@@ -1,0 +1,11 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Single registration point for every query module. SparkEntry derives the
+  * driver-facing `queries` / `oracleSql` maps from this sequence.
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    Relational.all
+}

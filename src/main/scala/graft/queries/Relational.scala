@@ -1,0 +1,411 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory from SURVEY.md §2.2-§2.7: aggregations
+  * (A1-A7), get-or-create / anti-join upserts (J1-J4), window election
+  * (W1-W3), set ops (SO1-SO2), classification predicates (P3/P9), sorts and
+  * top-k (§2.6). Each query is the Spark-first expression of one reference
+  * operator, exercised over the driver's relational testdata so the DuckDB
+  * oracle can hash-check it.
+  *
+  * Scale notes (100 TB): every aggregation here is a partial+final hash agg
+  * (map-side combine free from Catalyst); joins against `customer`/`part`
+  * side are broadcast-hinted when the dimension is small; sorts feed
+  * TakeOrderedAndProject via `orderBy().limit()` where a top-k is wanted.
+  */
+object Relational {
+
+  /** A2 band statistics: min/max/mean/stddev_pop + valid_percent (floored to
+    * 2dp) per group — the reference's most characteristic computation
+    * (reference utils.py:213-259; population stddev = numpy ddof=0, and
+    * valid_percent = floor(100*valid/total*100)/100 at utils.py:250).
+    */
+  val bandStats = QueryDef(
+    "q01_band_stats",
+    """SELECT l_returnflag, l_linestatus,
+      |  min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+      |  avg(l_quantity) AS mean_val,
+      |  round(stddev_pop(l_quantity), 6) AS stddev_val,
+      |  floor(10000.0 * count(CASE WHEN l_quantity IS NOT NULL AND NOT isnan(l_quantity) THEN 1 END) / count(*)) / 100.0 AS valid_percent
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        min("l_quantity").as("min_val"),
+        max("l_quantity").as("max_val"),
+        avg("l_quantity").as("mean_val"),
+        round(stddev_pop("l_quantity"), 6).as("stddev_val"),
+        (floor(count(when(col("l_quantity").isNotNull && !isnan(col("l_quantity")), 1))
+          * lit(10000.0) / count(lit(1))) / 100.0).as("valid_percent"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A1 bbox aggregate: min/max of x and y per group (reference
+    * generator.py:555-585). Coordinates stand in as (extendedprice, quantity).
+    */
+  val bbox = QueryDef(
+    "q02_bbox_agg",
+    """SELECT l_suppkey,
+      |  min(l_extendedprice) AS xmin, min(l_quantity) AS ymin,
+      |  max(l_extendedprice) AS xmax, max(l_quantity) AS ymax
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(
+        min("l_extendedprice").as("xmin"), min("l_quantity").as("ymin"),
+        max("l_extendedprice").as("xmax"), max("l_quantity").as("ymax"))
+      .orderBy("l_suppkey")
+  }
+
+  /** A3 temporal extent of a file: first/last of the time axis (reference
+    * generator.py:517-518) — min/max per key, emitted as DATE for oracle
+    * parity.
+    */
+  val temporalExtent = QueryDef(
+    "q03_temporal_extent",
+    """SELECT o_custkey,
+      |  CAST(min(o_orderdate) AS DATE) AS extent_start,
+      |  CAST(max(o_orderdate) AS DATE) AS extent_end,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        min("o_orderdate").cast("date").as("extent_start"),
+        max("o_orderdate").cast("date").as("extent_end"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** A4 temporal extent merge: union new [start,end] ranges into existing
+    * extents and re-aggregate (reference generator.py:192-207). Two disjoint
+    * slices of `orders` play the roles of stored vs incoming extents.
+    */
+  val extentMerge = QueryDef(
+    "q04_extent_merge",
+    """WITH old AS (
+      |  SELECT o_custkey, min(o_orderdate) AS s, max(o_orderdate) AS e
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+      |new AS (
+      |  SELECT o_custkey, min(o_orderdate) AS s, max(o_orderdate) AS e
+      |  FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_custkey),
+      |u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+      |SELECT o_custkey, CAST(min(s) AS DATE) AS extent_start,
+      |       CAST(max(e) AS DATE) AS extent_end
+      |FROM u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    def extent(pred: org.apache.spark.sql.Column) = orders.filter(pred)
+      .groupBy("o_custkey")
+      .agg(min("o_orderdate").as("s"), max("o_orderdate").as("e"))
+    extent(col("o_orderstatus") === "F")
+      .unionAll(extent(col("o_orderstatus") =!= "F"))
+      .groupBy("o_custkey")
+      .agg(min("s").cast("date").as("extent_start"),
+        max("e").cast("date").as("extent_end"))
+      .orderBy("o_custkey")
+  }
+
+  /** A5 leadtime count: distinct count per group (reference generator.py:647). */
+  val distinctCount = QueryDef(
+    "q05_distinct_count",
+    """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_lines"))
+      .orderBy("l_suppkey")
+  }
+
+  /** A6 directory size sum: total bytes per tree (reference
+    * stac/utils.py:77-83) — sum of an integral size column per group.
+    */
+  val sizeSum = QueryDef(
+    "q06_size_sum",
+    """SELECT source, sum(n_chars) AS total_chars, count(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** A7 valid-pixel count: finite-value count over a measure (reference
+    * utils.py:241-243).
+    */
+  val validCount = QueryDef(
+    "q07_valid_count",
+    """SELECT event_type,
+      |  count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN 1 END) AS n_valid,
+      |  count(*) AS n_total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(when(col("value").isNotNull && !isnan(col("value")), 1)).as("n_valid"),
+        count(lit(1)).as("n_total"))
+      .orderBy("event_type")
+  }
+
+  /** P9 hemisphere classifier: 3-way band classification with out-of-range
+    * branch (reference utils.py:47-82). A derived integer "latitude" from
+    * nationkey exercises all branches deterministically.
+    */
+  val hemisphere = QueryDef(
+    "q08_hemisphere",
+    """SELECT CASE
+      |    WHEN (n_nationkey * 8 - 90) BETWEEN 0 AND 90 THEN 'north'
+      |    WHEN (n_nationkey * 8 - 90) >= -90 AND (n_nationkey * 8 - 90) < 0 THEN 'south'
+      |    ELSE 'invalid' END AS hemisphere,
+      |  count(*) AS n
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val lat = col("n_nationkey") * 8 - 90
+    Tables.nation(s, d)
+      .select(
+        when(lat.between(0, 90), "north")
+          .when(lat >= -90 && lat < 0, "south")
+          .otherwise("invalid").as("hemisphere"))
+      .groupBy("hemisphere").agg(count(lit(1)).as("n"))
+      .orderBy("hemisphere")
+  }
+
+  /** P3/F9 unit normalization: km -> m scale on coordinate columns
+    * (reference generator.py:533-553).
+    */
+  val unitNorm = QueryDef(
+    "q09_unit_norm",
+    """SELECT o_orderkey, o_totalprice * 1000.0 AS price_milli
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_totalprice") * 1000.0).as("price_milli"))
+      .orderBy("o_orderkey").limit(100)
+  }
+
+  /** J2 get-or-create item, "existing wins": candidates minus existing as a
+    * left-anti join (reference generator.py:211-262 probe at 243). Customers
+    * with no orders = the anti side to insert.
+    */
+  val antiJoin = QueryDef(
+    "q10_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J3 skip-existing semi join: keys already present (reference
+    * dataloader.py:138-154 replaces per-row probes with one set-oriented
+    * semi join; small side broadcast).
+    */
+  val semiJoin = QueryDef(
+    "q11_semi_join",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** J1 get-or-create collection with extent merge: full-outer merge of
+    * existing vs incoming collections, coalescing fields and merging
+    * [start,end] (reference generator.py:144-209).
+    */
+  val getOrCreateMerge = QueryDef(
+    "q12_get_or_create",
+    """WITH existing AS (
+      |  SELECT o_custkey AS id, CAST(min(o_orderdate) AS DATE) AS s,
+      |         CAST(max(o_orderdate) AS DATE) AS e
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+      |incoming AS (
+      |  SELECT o_custkey AS id, CAST(min(o_orderdate) AS DATE) AS s,
+      |         CAST(max(o_orderdate) AS DATE) AS e
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey)
+      |SELECT COALESCE(existing.id, incoming.id) AS id,
+      |  LEAST(COALESCE(existing.s, incoming.s), COALESCE(incoming.s, existing.s)) AS extent_start,
+      |  GREATEST(COALESCE(existing.e, incoming.e), COALESCE(incoming.e, existing.e)) AS extent_end
+      |FROM existing FULL OUTER JOIN incoming ON existing.id = incoming.id
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    def half(m: Int) = orders.filter(col("o_orderkey") % 2 === m)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(min("o_orderdate").cast("date").as("s"),
+        max("o_orderdate").cast("date").as("e"))
+    val ex = half(0).as("ex")
+    val in = half(1).as("in")
+    ex.join(in, col("ex.id") === col("in.id"), "full_outer")
+      .select(
+        coalesce(col("ex.id"), col("in.id")).as("id"),
+        least(coalesce(col("ex.s"), col("in.s")),
+          coalesce(col("in.s"), col("ex.s"))).as("extent_start"),
+        greatest(coalesce(col("ex.e"), col("in.e")),
+          coalesce(col("in.e"), col("ex.e"))).as("extent_end"))
+      .orderBy("id")
+  }
+
+  /** J4 upsert, "new wins": incoming rows override stored rows on key;
+    * result = incoming UNION (stored ANTI incoming) (reference
+    * dataloader.py:171-189 Methods.upsert).
+    */
+  val upsert = QueryDef(
+    "q13_upsert",
+    """WITH incoming AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      |  FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_custkey, c_name, c_acctbal FROM incoming
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val incoming = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    val kept = cust.join(incoming.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+    incoming.unionAll(kept).orderBy("c_custkey")
+  }
+
+  /** SO1 dedup-by-key, first-wins: one row per key chosen by a deterministic
+    * order (reference generator.py:175-177 / 243 probe-and-skip).
+    */
+  val dedupFirstWins = QueryDef(
+    "q14_dedup_first_wins",
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey) = 1
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  /** SO2 config equality via multiset difference: EXCEPT ALL both ways must
+    * be empty for identical configs (reference generator.py:444-448); here
+    * the asymmetric difference is aggregated so the result is deterministic.
+    */
+  val exceptAllDiff = QueryDef(
+    "q15_except_all",
+    """WITH diff AS (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+      |SELECT o_orderpriority, count(*) AS n FROM diff
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+      .exceptAll(orders.filter(col("o_orderstatus") === "O").select("o_orderpriority"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** W2 positional index enumeration per partition (reference
+    * generator.py:784, 855-858): row_number over an ordered axis. Ordering
+    * key is the unique event_id (ns timestamps truncate to us in Spark, so
+    * ts itself is not a stable cross-engine sort key).
+    */
+  val rowNumber = QueryDef(
+    "q16_row_number",
+    """SELECT user_id, event_id, rn FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events) t WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "rn")
+      .orderBy("user_id", "rn")
+  }
+
+  /** W3 first-wins election (thumbnail promotion, reference
+    * generator.py:913-921, 798-803): the single first row per group.
+    */
+  val firstElection = QueryDef(
+    "q17_first_election",
+    """SELECT user_id, event_id, event_type FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** §2.6 top-k: orderBy().limit() so Spark plans TakeOrderedAndProject
+    * (no global sort materialization at scale).
+    */
+  val topK = QueryDef(
+    "q18_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Rollup totals (free-from-Spark extension noted at SURVEY §2.4): counts
+    * by region/nation with subtotal rows; grouping nulls coalesced to 'ALL'
+    * to keep cross-engine sort order stable.
+    */
+  val rollup = QueryDef(
+    "q19_rollup",
+    """SELECT COALESCE(r_name, 'ALL') AS region_name,
+      |  COALESCE(n_name, 'ALL') AS nation_name,
+      |  count(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region_name, nation_name""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** W1-adjacent running aggregate with an explicit frame (SURVEY §2.5):
+    * cumulative revenue per customer in deterministic (date, key) order;
+    * rounded because windowed double summation is association-order
+    * sensitive across engines.
+    */
+  val runningSum = QueryDef(
+    "q20_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
+    validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
+    upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
+    rollup, runningSum)
+}
