@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction for every entry point (Bench, Verify,
+  * tests). Centralizes the configs correctness depends on:
+  *
+  *   - UTC session time zone (reference normalizes all times to UTC,
+  *     reference utils.py:169-187);
+  *   - `nanosAsLong`: the driver's events.parquet carries
+  *     INT64 TIMESTAMP(NANOS) which Spark 4's vectorized parquet reader
+  *     rejects at task time even when the column is pruned. Reading nanos
+  *     as a plain long keeps every events query runnable; queries that
+  *     need a real timestamp derive it via `timestamp_micros(ts div 1000)`
+  *     (floor division — matching DuckDB's nanos→micros truncation);
+  *   - LAST_WIN map-key dedup: Python dict-merge (`|=`) right-bias
+  *     (reference generator.py:716-717);
+  *   - shuffle partitions sized to the local core count, not the 200
+  *     default (on a real cluster this would be set per-job to match
+  *     executor cores × nodes).
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

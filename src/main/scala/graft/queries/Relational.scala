@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * oracle can hash-check it.
   *
   * Scale notes (100 TB): every aggregation here is a partial+final hash agg
-  * (map-side combine free from Catalyst); joins against `customer`/`part`
-  * side are broadcast-hinted when the dimension is small; sorts feed
-  * TakeOrderedAndProject via `orderBy().limit()` where a top-k is wanted.
+  * (map-side combine free from Catalyst); small dimension tables
+  * (region/nation) carry an explicit `broadcast()` hint; sorts feed
+  * TakeOrderedAndProject via `orderBy().limit()` where a top-k is wanted,
+  * and queries carry NO terminal global sort otherwise — the driver
+  * canonicalizes row order itself, and a full-output Sort is an avoidable
+  * total shuffle at 100×. (Oracle SQL keeps ORDER BY for readability; the
+  * compare sorts rows before hashing so it is inert.)
   */
 object Relational {
 
@@ -41,7 +45,6 @@ object Relational {
         round(stddev_pop("l_quantity"), 6).as("stddev_val"),
         (floor(count(when(col("l_quantity").isNotNull && !isnan(col("l_quantity")), 1))
           * lit(10000.0) / count(lit(1))) / 100.0).as("valid_percent"))
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
   /** A1 bbox aggregate: min/max of x and y per group (reference
@@ -58,7 +61,6 @@ object Relational {
       .agg(
         min("l_extendedprice").as("xmin"), min("l_quantity").as("ymin"),
         max("l_extendedprice").as("xmax"), max("l_quantity").as("ymax"))
-      .orderBy("l_suppkey")
   }
 
   /** A3 temporal extent of a file: first/last of the time axis (reference
@@ -78,7 +80,6 @@ object Relational {
         min("o_orderdate").cast("date").as("extent_start"),
         max("o_orderdate").cast("date").as("extent_end"),
         count(lit(1)).as("n_orders"))
-      .orderBy("o_custkey")
   }
 
   /** A4 temporal extent merge: union new [start,end] ranges into existing
@@ -106,7 +107,6 @@ object Relational {
       .groupBy("o_custkey")
       .agg(min("s").cast("date").as("extent_start"),
         max("e").cast("date").as("extent_end"))
-      .orderBy("o_custkey")
   }
 
   /** A5 leadtime count: distinct count per group (reference generator.py:647). */
@@ -118,7 +118,6 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_suppkey")
       .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_lines"))
-      .orderBy("l_suppkey")
   }
 
   /** A6 directory size sum: total bytes per tree (reference
@@ -126,12 +125,12 @@ object Relational {
     */
   val sizeSum = QueryDef(
     "q06_size_sum",
-    """SELECT source, sum(n_chars) AS total_chars, count(*) AS n_docs
+    """SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .groupBy("source")
       .agg(sum("n_chars").as("total_chars"), count(lit(1)).as("n_docs"))
-      .orderBy("source")
   }
 
   /** A7 valid-pixel count: finite-value count over a measure (reference
@@ -148,7 +147,6 @@ object Relational {
       .agg(
         count(when(col("value").isNotNull && !isnan(col("value")), 1)).as("n_valid"),
         count(lit(1)).as("n_total"))
-      .orderBy("event_type")
   }
 
   /** P9 hemisphere classifier: 3-way band classification with out-of-range
@@ -170,7 +168,6 @@ object Relational {
           .when(lat >= -90 && lat < 0, "south")
           .otherwise("invalid").as("hemisphere"))
       .groupBy("hemisphere").agg(count(lit(1)).as("n"))
-      .orderBy("hemisphere")
   }
 
   /** P3/F9 unit normalization: km -> m scale on coordinate columns
@@ -195,9 +192,9 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   /** J3 skip-existing semi join: keys already present (reference
@@ -210,9 +207,9 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
     Tables.part(s, d)
-      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+      .join(Tables.lineitem(s, d).select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_semi")
       .select("p_partkey", "p_name")
-      .orderBy("p_partkey")
   }
 
   /** J1 get-or-create collection with extent merge: full-outer merge of
@@ -248,7 +245,6 @@ object Relational {
           coalesce(col("in.s"), col("ex.s"))).as("extent_start"),
         greatest(coalesce(col("ex.e"), col("in.e")),
           coalesce(col("in.e"), col("ex.e"))).as("extent_end"))
-      .orderBy("id")
   }
 
   /** J4 upsert, "new wins": incoming rows override stored rows on key;
@@ -262,8 +258,9 @@ object Relational {
       |  FROM customer WHERE c_mktsegment = 'BUILDING')
       |SELECT c_custkey, c_name, c_acctbal FROM incoming
       |UNION ALL
-      |SELECT c_custkey, c_name, c_acctbal FROM customer
-      |WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+      |SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM incoming i
+      |                  WHERE i.c_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val cust = Tables.customer(s, d)
     val incoming = cust.filter(col("c_mktsegment") === "BUILDING")
@@ -271,7 +268,7 @@ object Relational {
         (col("c_acctbal") + 100.0).as("c_acctbal"))
     val kept = cust.join(incoming.select("c_custkey"), Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
-    incoming.unionAll(kept).orderBy("c_custkey")
+    incoming.unionAll(kept)
   }
 
   /** SO1 dedup-by-key, first-wins: one row per key chosen by a deterministic
@@ -290,7 +287,6 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"))
-      .orderBy("o_custkey")
   }
 
   /** SO2 config equality via multiset difference: EXCEPT ALL both ways must
@@ -309,7 +305,6 @@ object Relational {
     orders.filter(col("o_orderstatus") === "F").select("o_orderpriority")
       .exceptAll(orders.filter(col("o_orderstatus") === "O").select("o_orderpriority"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
   }
 
   /** W2 positional index enumeration per partition (reference
@@ -328,7 +323,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("user_id", "event_id", "rn")
-      .orderBy("user_id", "rn")
   }
 
   /** W3 first-wins election (thumbnail promotion, reference
@@ -344,7 +338,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "event_type")
-      .orderBy("user_id")
   }
 
   /** §2.6 top-k: orderBy().limit() so Spark plans TakeOrderedAndProject
@@ -372,15 +365,22 @@ object Relational {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region_name, nation_name""".stripMargin) { (s, d) =>
+    // Project the two rollup keys to fresh names before the rollup: after
+    // join(...).rollup(...), re-selecting `r_name`/`n_name` is ambiguous
+    // between the join output and the grouping columns.
     Tables.nation(s, d)
-      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rn_"), col("n_name").as("nn_"))
+      .rollup("rn_", "nn_")
       .agg(count(lit(1)).as("n"))
+      .toDF("rn_", "nn_", "n") // fresh attribute ids: the Expand node under
+      // rollup duplicates the grouping attributes and a direct re-select
+      // trips Spark's ambiguous-self-join detection
       .select(
-        coalesce(col("r_name"), lit("ALL")).as("region_name"),
-        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        coalesce(col("rn_"), lit("ALL")).as("region_name"),
+        coalesce(col("nn_"), lit("ALL")).as("nation_name"),
         col("n"))
-      .orderBy("region_name", "nation_name")
   }
 
   /** W1-adjacent running aggregate with an explicit frame (SURVEY §2.5):
@@ -400,7 +400,6 @@ object Relational {
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         round(sum("o_totalprice").over(w), 2).as("running_total"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   val all: Seq[QueryDef] = Seq(
