@@ -1,18 +1,23 @@
 package graft
 
 /** Benchmark entry point. One warmup pass (JVM/codegen startup absorbed)
-  * then one timed pass per query, materialized through the `noop` sink so
-  * the full physical plan — including any terminal sort — executes rather
-  * than being pruned by `EliminateSorts` under a bare `count()`.
+  * then THREE timed passes per query, reporting the per-query MEDIAN —
+  * round-2 numbers showed multi-second environmental stalls (GC/disk/JIT)
+  * landing on arbitrary queries in a single pass (a 25-row scan "taking"
+  * 10.9 s), so a single sample is noise-dominated. Each query is
+  * materialized through the `noop` sink so the full physical plan —
+  * including any terminal sort — executes rather than being pruned by
+  * `EliminateSorts` under a bare `count()`.
   *
-  * Emits ONE JSON line with per-query seconds; a failed query is recorded
-  * as `-1` in `queries`, listed in `failed`, and flips the exit code to 1 —
-  * failures must never masquerade as timings.
+  * Emits ONE JSON line with per-query median seconds; a failed query is
+  * recorded as `-1` in `queries`, listed in `failed`, and flips the exit
+  * code to 1 — failures must never masquerade as timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = GraftSession.build(cpus)
 
     def runOnce(name: String): Either[String, Double] = {
@@ -29,20 +34,33 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup: absorb JVM/codegen/IO-cache startup
-    val results: Seq[(String, Either[String, Double])] =
-      names.map(n => n -> runOnce(n))
 
-    val qs = results.map {
-      case (k, Right(v)) => s""""$k":${"%.3f".format(v)}"""
-      case (k, Left(_))  => s""""$k":-1"""
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(err)) =>
-      s""""$k":"${err.replaceAll("[\"\\\\\n\r\t]", " ")}""""
-    }.mkString("{", ",", "}")
+    // Interleave iterations (pass 1 of all queries, then pass 2, ...) so a
+    // multi-minute environmental stall cannot poison all samples of one
+    // query; the median then discards it.
+    val samples: Seq[Seq[(String, Either[String, Double])]] =
+      (1 to iterations).map(_ => names.map(n => n -> runOnce(n)))
+    val results: Seq[(String, Either[String, Double])] = names.map { n =>
+      val runs = samples.map(_.find(_._1 == n).get._2)
+      val errs = runs.collect { case Left(e) => e }
+      if (errs.nonEmpty) n -> Left(errs.head)
+      else {
+        val ts = runs.collect { case Right(v) => v }.sorted
+        n -> Right(ts(ts.size / 2))
+      }
+    }
+
+    val qs = Json.obj(results.map {
+      case (k, Right(v)) => k -> Json.num(v)
+      case (k, Left(_))  => k -> "-1"
+    })
+    val failed = Json.obj(results.collect { case (k, Left(err)) =>
+      k -> Json.quote(err)
+    })
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFail = results.count(_._2.isLeft)
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -1,35 +1,41 @@
 package graft
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failures are surfaced, not swallowed: a throwing query gets a
+  * `<name>/_FAILED` marker file (so a missing parquet dir cannot silently
+  * read as "not registered"), every failure lands in `failures.json`, and
+  * the process exits non-zero — mirroring Bench's failure accounting.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[verify] $name FAILED: $msg")
+            val dir = Paths.get(outDir, name)
+            Files.createDirectories(dir)
+            Files.writeString(dir.resolve("_FAILED"), msg.take(2000))
+            Some(name -> Json.quote(msg.take(500)))
+        }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val oracle = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> Json.quote(v) }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), Json.obj(oracle))
+    Files.writeString(Paths.get(s"$outDir/failures.json"), Json.obj(failures))
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -191,8 +191,11 @@ object Relational {
     """SELECT c_custkey, c_name FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    // Probe side pre-aggregated with distinct(): the anti join only needs
+    // the key set, and shuffling ~400 distinct custkeys instead of every
+    // order row shrinks exchange volume ~10x (and far more at 100x SF).
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).select("o_custkey"),
+      .join(Tables.orders(s, d).select("o_custkey").distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
@@ -206,8 +209,10 @@ object Relational {
     """SELECT p_partkey, p_name FROM part
       |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    // distinct() on the probe key set before the semi join — same
+    // shuffle-volume rationale as q10.
     Tables.part(s, d)
-      .join(Tables.lineitem(s, d).select("l_partkey"),
+      .join(Tables.lineitem(s, d).select("l_partkey").distinct(),
         col("p_partkey") === col("l_partkey"), "left_semi")
       .select("p_partkey", "p_name")
   }
@@ -262,13 +267,16 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM incoming i
       |                  WHERE i.c_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    val cust = Tables.customer(s, d)
-    val incoming = cust.filter(col("c_mktsegment") === "BUILDING")
+    // Single scan: c_custkey is the table's primary key, so "incoming wins,
+    // others kept" collapses to a marker-column projection — no second
+    // customer scan and no anti join at all (the round-2 plan read the
+    // table twice). The general J4 shape (incoming UNION stored ANTI
+    // incoming) is what the oracle SQL expresses; this is its key-unique
+    // specialization.
+    Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"),
-        (col("c_acctbal") + 100.0).as("c_acctbal"))
-    val kept = cust.join(incoming.select("c_custkey"), Seq("c_custkey"), "left_anti")
-      .select("c_custkey", "c_name", "c_acctbal")
-    incoming.unionAll(kept)
+        when(col("c_mktsegment") === "BUILDING", col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
   }
 
   /** SO1 dedup-by-key, first-wins: one row per key chosen by a deterministic
@@ -365,22 +373,21 @@ object Relational {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region_name, nation_name""".stripMargin) { (s, d) =>
-    // Project the two rollup keys to fresh names before the rollup: after
-    // join(...).rollup(...), re-selecting `r_name`/`n_name` is ambiguous
-    // between the join output and the grouping columns.
-    Tables.nation(s, d)
-      .join(broadcast(Tables.region(s, d)),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("r_name").as("rn_"), col("n_name").as("nn_"))
-      .rollup("rn_", "nn_")
-      .agg(count(lit(1)).as("n"))
-      .toDF("rn_", "nn_", "n") // fresh attribute ids: the Expand node under
-      // rollup duplicates the grouping attributes and a direct re-select
-      // trips Spark's ambiguous-self-join detection
-      .select(
-        coalesce(col("rn_"), lit("ALL")).as("region_name"),
-        coalesce(col("nn_"), lit("ALL")).as("nation_name"),
-        col("n"))
+    // SQL formulation: the DataFrame-API rollup duplicates grouping
+    // attributes under the Expand node and any post-rollup re-select of
+    // them trips Spark's ambiguous-self-join detection (two rounds of
+    // workarounds failed). The SQL analyzer resolves ROLLUP + COALESCE over
+    // grouping columns without ambiguity; the physical plan is identical
+    // (Expand -> partial/final HashAggregate, region broadcast).
+    Tables.nation(s, d).createOrReplaceTempView("g19_nation")
+    Tables.region(s, d).createOrReplaceTempView("g19_region")
+    s.sql(
+      """SELECT /*+ BROADCAST(g19_region) */
+        |  COALESCE(r_name, 'ALL') AS region_name,
+        |  COALESCE(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n
+        |FROM g19_nation JOIN g19_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
   /** W1-adjacent running aggregate with an explicit frame (SURVEY §2.5):
