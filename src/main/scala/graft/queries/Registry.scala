@@ -7,5 +7,5 @@ import graft.QueryDef
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.all ++ Functions.all
+    Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over `embeddings.parquet` (vec_id, embedding:
+  * array<float> ×64, label).
+  *
+  * Scale design:
+  *  - q40 is the exact brute-force baseline: the QUERY side (a small key
+  *    subset) is broadcast; the corpus side streams — one pass over the
+  *    big table, no shuffle of the corpus, `TakeOrderedAndProject`-style
+  *    top-k per query via a window over the (small) pair set.
+  *  - q41/q42 are the 100 TB path: deterministic random-hyperplane sign
+  *    LSH assigns every vector to one of 256 buckets in a single
+  *    map-side pass; ANN then probes ONLY the query's bucket (corpus
+  *    shuffled once by bucket key; per-query work is bucket-sized, not
+  *    corpus-sized).
+  *  - All vector math is `Column` combinators (zip_with/aggregate) over
+  *    double-cast arrays — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Left-fold dot product in double precision (matches DuckDB's
+    * sequential list_sum over the same element order).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(emb: Column): Column =
+    transform(emb, x => x.cast("double"))
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1) — reproducible in any engine, no RNG
+    * state, no seed plumbing.
+    */
+  private def planeComponent(p: Column, i: Column): Column =
+    conv(substring(md5(concat(p.cast("string"), lit(":"), i.cast("string"))), 1, 4), 16, 10)
+      .cast("double") / 32768.0 - 1.0
+
+  /** Sign-LSH bucket id over `nPlanes` hyperplanes: bit p = sign of the
+    * projection onto plane p.
+    */
+  private def lshBucket(emb: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(1), size(emb)),
+          (x, i) => x * planeComponent(lit(p), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Exact top-5 cosine neighbors for the vec_id%100 query subset —
+    * the oracle-checked correctness baseline for ANN.
+    */
+  val cosineTopK = QueryDef("q40_cosine_topk",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+      |pairs AS (
+      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * emb[i]))
+      |      / (qn * nrm) AS cos
+      |  FROM q, e WHERE e.vec_id <> q_id)
+      |SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM pairs)
+      |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
+    val rn = row_number()
+      .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
+    pairs.withColumn("rank", rn).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH bucket histogram: 8 deterministic hyperplanes → 256 buckets,
+    * assigned in one map-side pass. The histogram is the oracle-checked
+    * part; bucket membership at a sign boundary is float-exact because
+    * both engines fold the same element order in double.
+    */
+  val lshBuckets = QueryDef("q41_lsh_buckets",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(generate_series(1, len(emb)),
+      |      i -> emb[i] * (CAST(('0x' || substr(md5(p || ':' || i), 1, 4)) AS BIGINT) / 32768.0 - 1.0))) AS pr
+      |  FROM e, generate_series(0, 7) g(p)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id)
+      |SELECT bucket, count(*) AS n_vecs FROM buckets
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    e.select(col("vec_id"), lshBucket(col("emb"), 8).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** Bucketed ANN (rows-only): probe only the query's LSH bucket for
+    * top-3 cosine — per-query work scales with bucket size, not corpus
+    * size. Registered rows-only: near-tie neighbor ordering inside a
+    * bucket is not DuckDB-hash-stable, and the exactness contract is
+    * already pinned by q40.
+    */
+  val annBucketed = QueryDef.rowsOnly("q42_ann_bucketed") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .withColumn("bucket", lshBucket(col("emb"), 8))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("q_bucket"))
+    val pairs = e.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
+    val rn = row_number()
+      .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
+    pairs.withColumn("rank", rn).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed)
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** LLM-training-data pipeline operators over `documents.parquet`:
+  * deduplication (exact, minhash/LSH-banded, simhash), n-gram Jaccard
+  * verification, and text analysis (token stats, quality scoring,
+  * language-ID heuristic, document fingerprinting).
+  *
+  * Scale design (the point of these operators at 100 TB):
+  *  - NOTHING is all-pairs. Near-dup candidates come from a banded
+  *    minhash self-join — each doc lands in B buckets, pairs are generated
+  *    only inside a bucket (groupBy/join on the band key shuffles by
+  *    bucket, so skew is bounded by the largest true near-dup cluster, and
+  *    a mega-bucket cap can be added as a HAVING before the self-join).
+  *  - Exact dedup is a single hash-aggregate on md5(text) — one shuffle of
+  *    (16-byte digest, doc_id), never the text payload.
+  *  - Jaccard verification runs ONLY on LSH candidates (419 pairs at
+  *    sf0.01, not the 124,750 of all-pairs).
+  *  - Signatures are pure Column expressions over the tokenized text —
+  *    codegen'd, no UDFs, no driver-side loops.
+  */
+object TextPipeline {
+
+  /** Whitespace tokens, matching a `text.split()`-style tokenizer. */
+  private def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Distinct 3-gram word shingles (guarded: <3 tokens → empty set;
+    * Spark's `sequence(1,0)` would DESCEND, unlike DuckDB generate_series).
+    */
+  private def shingles(text: Column): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2),
+          i => concat_ws(" ", slice(ts, i, lit(3)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Keyed minhash: min over the shingle set of md5("<h>:" ++ shingle) —
+    * one independent permutation approximation per key h.
+    */
+  private def minhash(sg: Column, h: Int): Column =
+    array_min(transform(sg, t => md5(concat(lit(s"$h:"), t))))
+
+  private val Stopwords = Seq("the", "a", "of", "to", "in", "and")
+
+  /** Text analysis: per-(lang, source) token statistics. */
+  val tokenStats = QueryDef("q32_token_stats",
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+      |  avg(len(string_split_regex(trim(text), '\s+'))) AS avg_tokens,
+      |  sum(n_chars) AS sum_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val nTok = size(tokens(col("text")))
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), nTok.as("nt"), col("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        avg(col("nt")).as("avg_tokens"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Text analysis: per-document quality scoring — token count, stopword
+    * ratio, average token length, and a quality bucket from
+    * length/stopword heuristics (the standard pre-training filters).
+    */
+  val qualityScore = QueryDef("q33_quality_score",
+    s"""SELECT doc_id, n_tokens,
+       |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       |  round((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       |  CASE WHEN n_tokens BETWEEN 20 AND 1000
+       |         AND n_stop / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'good'
+       |       WHEN n_tokens >= 20 THEN 'fair'
+       |       ELSE 'short' END AS quality
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS n_stop
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ts = tokens(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      size(ts).as("n_tokens"),
+      size(filter(ts, t => t.isin(Stopwords: _*))).as("n_stop"))
+    val stopRatio = col("n_stop") / col("n_tokens").cast("double")
+    base.select(col("doc_id"), col("n_tokens"),
+      round(stopRatio, 6).as("stop_ratio"),
+      // chars minus the (n_tokens-1) separating spaces, per token
+      round((col("n_chars") - col("n_tokens") + 1) / col("n_tokens").cast("double"), 6)
+        .as("avg_token_len"),
+      when(col("n_tokens").between(20, 1000) && stopRatio < 0.3, "good")
+        .when(col("n_tokens") >= 20, "fair")
+        .otherwise("short").as("quality"))
+  }
+
+  /** Text analysis: stopword-profile language-ID heuristic (an n-gram/
+    * stopword scorer: docs whose English-stopword ratio clears a threshold
+    * classify "en", else "und"), reported as a per-actual-lang confusion
+    * summary.
+    */
+  val langId = QueryDef("q34_lang_id",
+    s"""SELECT lang, count(*) AS n_docs,
+       |  sum(CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+       |      THEN 1 ELSE 0 END) AS n_pred_en
+       |FROM (
+       |  SELECT lang,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS n_stop
+       |  FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val ts = tokens(col("text"))
+    Tables.documents(s, d).select(col("lang"),
+      size(ts).as("n_tokens"),
+      size(filter(ts, t => t.isin(Stopwords: _*))).as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_stop") / col("n_tokens").cast("double") >= 0.05, 1)
+          .otherwise(0)).as("n_pred_en"))
+  }
+
+  /** Text analysis: document fingerprints — a canonical-form fingerprint
+    * (md5 of the sorted distinct token set, word-order-insensitive) and a
+    * min-shingle-hash fingerprint (the h=0 minhash, an order-sensitive
+    * rolling-hash analogue).
+    */
+  val fingerprint = QueryDef("q35_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_canonical,
+      |  list_min(list_transform(
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))),
+      |    t -> md5('0:' || t))) AS fp_minshingle
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+        .as("fp_canonical"),
+      minhash(shingles(col("text")), 0).as("fp_minshingle"))
+  }
+
+  /** Exact dedup: hash-group on md5(text), first-wins survivor election
+    * (min doc_id). One shuffle of (digest, doc_id) pairs — the text
+    * payload never moves.
+    */
+  val exactDedup = QueryDef("q36_exact_dedup",
+    """SELECT md5(text) AS checksum, min(doc_id) AS survivor_id,
+      |  count(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY survivor_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(md5(col("text")).as("checksum"), col("doc_id"))
+      .groupBy(col("checksum"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Near-dup candidates via banded minhash LSH: 4 bands × 1 minhash over
+    * 3-gram shingles; docs sharing any band bucket become a candidate
+    * pair. The self-join is per-bucket (shuffle on the band key), never
+    * all-pairs.
+    */
+  val minhashBands = QueryDef("q37_minhash_bands",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sg
+      |  FROM documents),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    list_min(list_transform(sg, t -> md5(CAST(b AS VARCHAR) || ':' || t))) AS key
+      |  FROM sh, generate_series(0, 3) g(b))
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+      |  AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val bands = bandedSignatures(s, d)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard verification of the LSH candidates: exact 3-gram-set
+    * Jaccard computed ONLY for pairs sharing a band bucket; pairs clearing
+    * 0.5 are confirmed near-duplicates.
+    */
+  val ngramJaccard = QueryDef("q38_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sg
+      |  FROM documents),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    list_min(list_transform(sg, t -> md5(CAST(b AS VARCHAR) || ':' || t))) AS key
+      |  FROM sh, generate_series(0, 3) g(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+      |    AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  round(CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
+      |        (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))), 6) AS jaccard
+      |FROM cand
+      |JOIN sh s1 ON s1.doc_id = id_a
+      |JOIN sh s2 ON s2.doc_id = id_b
+      |WHERE CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
+      |      (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sg"))
+    val bands = bandedSignatures(s, d)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val joined = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), "id_b")
+    val inter = size(array_intersect(col("sg_a"), col("sg_b"))).cast("double")
+    val jaccard = inter / (size(col("sg_a")) + size(col("sg_b")) - inter)
+    joined.filter(jaccard >= 0.5)
+      .select(col("id_a"), col("id_b"), round(jaccard, 6).as("jaccard"))
+  }
+
+  /** SimHash: 32-bit fingerprint over the distinct token set, in the
+    * fully relational two-level-aggregate form (explode tokens × bit
+    * positions → per-bit majority vote → bit reassembly) — the shape that
+    * distributes: both aggregations are hash-aggs keyed by (doc, bit) /
+    * doc.
+    */
+  val simhash = QueryDef("q39_simhash",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS s
+      |  FROM h, generate_series(0, 31) g(j) GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+    val h = tok.select(col("doc_id"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("hv"))
+    val bits = h
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum((expr("(hv >> j) & 1") * 2 - 1)).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("cast(1 as bigint) << j")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Shared 4-band minhash signature relation: (doc_id, band, key). */
+  private def bandedSignatures(s: SparkSession, d: String): DataFrame = {
+    val sg = shingles(col("text")).as("sg")
+    val withSig = Tables.documents(s, d).select(col("doc_id"), sg)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"), minhash(col("sg"), b).as("key")))
+    withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint,
+    exactDedup, minhashBands, ngramJaccard, simhash)
+}
