@@ -19,6 +19,12 @@ object Json {
 
   def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Full-precision double for data payloads (Locale-safe, JSON-valid). */
+  def dbl(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E")) String.format(Locale.ROOT, "%.17g", Double.box(v)) else s
+  }
+
   def obj(fields: Iterable[(String, String)]): String =
     fields.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** F11 — `proj_to_geo` (ref utils.py:161-166): reproject a projected
+  * bbox to EPSG:4326 with densified-edge sampling, matching rasterio's
+  * `transform_bounds`.
+  *
+  * The reference's inputs are the two IceNet grids: EPSG:6931 (WGS84
+  * Lambert Azimuthal Equal-Area, north polar) and EPSG:6932 (south
+  * polar). The inverse LAEA mapping is implemented from the public
+  * Snyder formulas (Map Projections — A Working Manual, USGS PP 1395,
+  * pp. 187-190): polar-aspect inverse to authalic latitude β, then the
+  * series expansion back to geodetic latitude. EPSG:4326 input passes
+  * through. Implemented as plain Scala + a UDF wrapper — the one scalar
+  * in the reference that has no Catalyst-expressible form; upgrade path
+  * is a codegen Expression if it ever lands in a hot loop.
+  */
+object Geo {
+
+  private val A  = 6378137.0               // WGS84 semi-major
+  private val E2 = 6.69437999014e-3        // WGS84 first eccentricity²
+  private val E  = math.sqrt(E2)
+
+  /** q_p — authalic function at the pole (Snyder 3-12 at φ=90°). */
+  private val Qp = (1 - E2) *
+    (1.0 / (1 - E2) - (1.0 / (2 * E)) * math.log((1 - E) / (1 + E)))
+
+  // Authalic→geodetic series coefficients (Snyder 3-18).
+  private val C2 = E2 / 3 + 31 * E2 * E2 / 180 + 517 * E2 * E2 * E2 / 5040
+  private val C4 = 23 * E2 * E2 / 360 + 251 * E2 * E2 * E2 / 3780
+  private val C6 = 761 * E2 * E2 * E2 / 45360
+
+  /** Inverse polar-aspect LAEA: projected (x, y) in meters → (lon, lat)
+    * degrees. `north` selects the EPSG:6931 (true) / 6932 (false) aspect.
+    */
+  def laeaInverse(x: Double, y: Double, north: Boolean): (Double, Double) = {
+    val rho = math.hypot(x, y)
+    if (rho < 1e-9) return (0.0, if (north) 90.0 else -90.0)
+    // Forward polar: ρ = a·sqrt(q_p − q) (north) / a·sqrt(q_p + q) (south)
+    val qAbs = Qp - (rho / A) * (rho / A)
+    val q = if (north) qAbs else -qAbs
+    val sinBeta = math.max(-1.0, math.min(1.0, q / Qp))
+    val beta = math.asin(sinBeta)
+    val phi = beta + C2 * math.sin(2 * beta) + C4 * math.sin(4 * beta) +
+      C6 * math.sin(6 * beta)
+    val lam =
+      if (north) math.atan2(x, -y)   // λ measured from −y axis (Snyder 20-16)
+      else math.atan2(x, y)          // south aspect (Snyder 20-17)
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  /** Projected bbox [w, s, e, n] → geographic bbox, via rasterio-style
+    * edge densification (`densify_pts` intermediate points per edge) plus
+    * pole containment: a polar-aspect bbox holding the projection origin
+    * contains the pole itself, so longitude spans the full ±180 and the
+    * polar latitude saturates — exactly `transform_bounds` behavior.
+    */
+  def projToGeo(bbox: Seq[Double], srcCrs: String,
+                densifyPts: Int = 21): Seq[Double] = {
+    val Seq(w, s, e, n) = bbox
+    srcCrs.trim.toUpperCase match {
+      case "EPSG:4326" => bbox
+      case "EPSG:6931" | "EPSG:6932" =>
+        val north = srcCrs.trim.toUpperCase == "EPSG:6931"
+        val pts = edgePoints(w, s, e, n, densifyPts).map { case (x, y) =>
+          laeaInverse(x, y, north)
+        }
+        val lons = pts.map(_._1); val lats = pts.map(_._2)
+        val poleInside = w <= 0 && 0 <= e && s <= 0 && 0 <= n
+        if (poleInside && north)
+          Seq(-180.0, lats.min, 180.0, 90.0)
+        else if (poleInside)
+          Seq(-180.0, -90.0, 180.0, lats.max)
+        else
+          Seq(lons.min, lats.min, lons.max, lats.max)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported CRS: $other")
+    }
+  }
+
+  private def edgePoints(w: Double, s: Double, e: Double, n: Double,
+                         k: Int): Seq[(Double, Double)] = {
+    val xs = (0 to k + 1).map(i => w + (e - w) * i / (k + 1.0))
+    val ys = (0 to k + 1).map(i => s + (n - s) * i / (k + 1.0))
+    xs.map((_, s)) ++ xs.map((_, n)) ++ ys.map((w, _)) ++ ys.map((e, _))
+  }
+
+  /** UDF form: projToGeo over (array<double> bbox, string crs) columns. */
+  val projToGeoUdf: UserDefinedFunction =
+    udf((bbox: Seq[Double], crs: String) => projToGeo(bbox, crs))
+
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("proj_to_geo", projToGeoUdf)
+}

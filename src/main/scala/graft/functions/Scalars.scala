@@ -115,6 +115,14 @@ object Scalars {
       .otherwise(href)
   }
 
+  /** F9/P3 — coordinate unit normalization (ref generator.py:533-553,
+    * tested at reference test_generator.py:135-160): coords whose units
+    * attr is "km" or "1000 meter" are scaled ×1000 to meters; everything
+    * else passes through.
+    */
+  def normalizeCoord(coord: Column, units: Column): Column =
+    when(units.isin("km", "1000 meter"), coord * 1000).otherwise(coord)
+
   /** F10 — floor to 2dp (ref utils.py:250): `math.floor(x*100)/100`. */
   def floor2dp(x: Column): Column = floor(x * 100) / 100
 

@@ -7,5 +7,6 @@ import graft.QueryDef
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all
+    Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all ++
+      StacQueries.all
 }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Scalars._
+import graft.model.{StacCatalog, StacCollection, StacItem, StacAsset}
+import graft.ops.StacOps
+import graft.sink.StacJsonSink
+
+/** STAC entity-layer queries: asset-row construction (E1/E2) as an
+  * oracle-checked projection, and the full model → sink → source
+  * round-trip (K4 + S4 + J2) registered rows-only (the round-trip writes
+  * a catalog tree to a temp dir and scans it back — DuckDB has no
+  * analogue of the tree layout, and the test suite pins byte-level
+  * determinism).
+  */
+object StacQueries {
+
+  /** E1 — netCDF asset-row construction (ref generator.py:736-751): per
+    * item, the data asset's href/media/title/roles plus the forecast:*
+    * property block, composed from the same scalar functions the sinks
+    * use.
+    */
+  val assetRows = QueryDef("q43_asset_rows",
+    """SELECT
+      |  'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ') AS item_id,
+      |  'model_' || (o_custkey % 3) AS collection,
+      |  './netcdf/model_' || (o_custkey % 3) || '/' || strftime(o_orderdate, '%Y-%m-%d')
+      |    || '/' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ') || '.nc' AS href,
+      |  'application/x-netcdf' AS media_type,
+      |  'Forecast initialisation: ' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS title,
+      |  'data' AS role,
+      |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS forecast_reference_time,
+      |  CAST(o_orderkey % 5 + 1 AS BIGINT) AS forecast_leadtime_length
+      |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY item_id, collection""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        concat(lit("model_"), (col("o_custkey") % 3).cast("string")).as("collection"))
+    base.select(
+      itemId(col("o_orderdate")).as("item_id"),
+      col("collection"),
+      concat(lit("./"), netcdfPath(col("collection"), col("o_orderdate"))).as("href"),
+      lit("application/x-netcdf").as("media_type"),
+      concat(lit("Forecast initialisation: "), datetimeToStr(col("o_orderdate")))
+        .as("title"),
+      lit("data").as("role"),
+      datetimeToStr(col("o_orderdate")).as("forecast_reference_time"),
+      (col("o_orderkey") % 5 + 1).as("forecast_leadtime_length"))
+  }
+
+  /** K4+S4+J2 round-trip (rows-only): derive items from orders, anti-join
+    * against a pre-existing subset (get-or-create), write the surviving
+    * catalog tree, scan it back, and return per-collection item counts.
+    * Success == the scan returns exactly the anti-join survivors.
+    */
+  val roundTrip = QueryDef.rowsOnly("q44_stac_roundtrip") { (s, d) =>
+    import s.implicits._
+    val items = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+      .select(
+        itemId(col("o_orderdate")).as("id"),
+        concat(lit("model_"), (col("o_custkey") % 2).cast("string")).as("collection"),
+        lit("""{"type": "Polygon", "coordinates": [[[30, 40], [30, 60], [10, 60], [10, 40], [30, 40]]]}""").as("geometry"),
+        typedLit(Seq(10.0, 40.0, 30.0, 60.0)).as("bbox"),
+        datetimeToStr(col("o_orderdate")).as("datetime"),
+        map(lit("forecast:leadtime_length"), lit("93")).as("properties"),
+        array(struct(
+          lit("data").as("key"),
+          concat(lit("./"), netcdfPath(
+            concat(lit("model_"), (col("o_custkey") % 2).cast("string")),
+            col("o_orderdate"))).as("href"),
+          lit("application/x-netcdf").as("media_type"),
+          lit("Forecast data").as("title"),
+          typedLit(Seq("data")).as("roles"),
+          lit(null).cast("string").as("checksum"),
+          lit(-1L).as("size"))).as("assets"))
+      .dropDuplicates("collection", "id")
+      .as[StacItem]
+    // "existing catalog": every other item already present → must be skipped
+    val existing = items.filter(abs(hash(col("id"))) % 2 === 0)
+    val created = StacOps.getOrCreateItems(existing, items)
+    val root = Files.createTempDirectory("graft-stac-rt").toString
+    StacJsonSink.write(root,
+      StacCatalog("cat", "roundtrip", Seq("model_0", "model_1")),
+      Seq(
+        StacCollection("model_0", "model_0", "Model 0 collection", "CC-BY-4.0",
+          Seq(10.0, 40.0, 30.0, 60.0), "2025-01-01T00:00:00Z",
+          "2025-12-31T00:00:00Z", Map.empty),
+        StacCollection("model_1", "model_1", "Model 1 collection", "CC-BY-4.0",
+          Seq(10.0, 40.0, 30.0, 60.0), "2025-01-01T00:00:00Z",
+          "2025-12-31T00:00:00Z", Map.empty)),
+      created)
+    StacJsonSink.readItems(s, root)
+      .groupBy(col("collection"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("id")).as("n_distinct_ids"))
+  }
+
+  val all: Seq[QueryDef] = Seq(assetRows, roundTrip)
+}

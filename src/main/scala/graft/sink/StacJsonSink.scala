@@ -1,0 +1,123 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.Json
+import graft.model.{StacCatalog, StacCollection, StacItem, StacAsset}
+
+/** K4/S4 — deterministic STAC JSON catalog writer + scanner.
+  *
+  * Layout mirrors pystac's SELF_CONTAINED normalize_hrefs tree (ref
+  * generator.py:1035-1058):
+  *
+  *   root/catalog.json
+  *   root/{collection}/collection.json
+  *   root/{collection}/{item_id}/{item_id}.json
+  *
+  * Scale split: the catalog/collection SKELETON is tiny and written on
+  * the driver, but ITEM documents are written from the executors via
+  * `foreachPartition` — the item set never collects. JSON is
+  * deterministic (fixed field order, sorted map keys) so golden-file
+  * comparison and save→rescan→identical round-trips are exact.
+  * (Local-fs writes here; the foreachPartition writer is where an HDFS/
+  * object-store client would slot in on a real cluster.)
+  */
+object StacJsonSink {
+
+  private val Version = "1.0.0"
+
+  def write(root: String, catalog: StacCatalog,
+            collections: Seq[StacCollection], items: Dataset[StacItem]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(Paths.get(root, "catalog.json"), catalogJson(catalog))
+    collections.foreach { c =>
+      val dir = Paths.get(root, c.id)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("collection.json"), collectionJson(c))
+    }
+    items.foreachPartition { part: Iterator[StacItem] =>
+      part.foreach { it =>
+        val dir = Paths.get(root, it.collection, it.id)
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve(s"${it.id}.json"), itemJson(it))
+      }
+    }
+  }
+
+  /** Scan a written catalog tree back into a Dataset[StacItem] (S4). The
+    * item documents form one multiLine JSON file-source scan — schema
+    * pinned, not inferred, so properties/assets come back as typed
+    * map/array columns.
+    */
+  def readItems(spark: SparkSession, root: String): Dataset[StacItem] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val assetSchema = new StructType()
+      .add("key", StringType).add("href", StringType)
+      .add("media_type", StringType).add("title", StringType)
+      .add("roles", ArrayType(StringType)).add("checksum", StringType)
+      .add("size", LongType)
+    val schema = new StructType()
+      .add("id", StringType).add("collection", StringType)
+      .add("geometry", StringType).add("bbox", ArrayType(DoubleType))
+      .add("datetime", StringType)
+      .add("properties", MapType(StringType, StringType))
+      .add("assets", ArrayType(assetSchema))
+    spark.read.schema(schema).option("multiLine", true)
+      .json(s"$root/*/*/*.json")
+      .withColumn("assets", coalesce(col("assets"),
+        array().cast(ArrayType(assetSchema))))
+      .withColumn("properties", coalesce(col("properties"),
+        map().cast(MapType(StringType, StringType))))
+      .as[StacItem]
+  }
+
+  private[sink] def catalogJson(c: StacCatalog): String = Json.obj(Seq(
+    "type" -> Json.quote("Catalog"),
+    "id" -> Json.quote(c.id),
+    "stac_version" -> Json.quote(Version),
+    "description" -> Json.quote(c.description),
+    "links" -> c.collections.sorted.map(id =>
+      Json.obj(Seq(
+        "rel" -> Json.quote("child"),
+        "href" -> Json.quote(s"./$id/collection.json")))).mkString("[", ",", "]")
+  ))
+
+  private[sink] def collectionJson(c: StacCollection): String = Json.obj(Seq(
+    "type" -> Json.quote("Collection"),
+    "id" -> Json.quote(c.id),
+    "stac_version" -> Json.quote(Version),
+    "title" -> Json.quote(c.title),
+    "description" -> Json.quote(c.description),
+    "license" -> Json.quote(c.license),
+    "extent" -> Json.obj(Seq(
+      "spatial" -> Json.obj(Seq(
+        "bbox" -> s"[${c.bbox.map(Json.dbl).mkString("[", ",", "]")}]")),
+      "temporal" -> Json.obj(Seq(
+        "interval" -> s"[[${Json.quote(c.temporal_start)},${Json.quote(c.temporal_end)}]]"))
+    ))) ++ c.extra.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.quote(v) })
+
+  private[sink] def itemJson(it: StacItem): String = Json.obj(Seq(
+    "type" -> Json.quote("Feature"),
+    "id" -> Json.quote(it.id),
+    "stac_version" -> Json.quote(Version),
+    "collection" -> Json.quote(it.collection),
+    "geometry" -> it.geometry, // already a GeoJSON document (F12)
+    "bbox" -> it.bbox.map(Json.dbl).mkString("[", ",", "]"),
+    "datetime" -> Json.quote(it.datetime),
+    "properties" -> Json.obj(
+      it.properties.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.quote(v) }),
+    "assets" -> it.assets.sortBy(_.key).map(assetJson).mkString("[", ",", "]")
+  ))
+
+  private def assetJson(a: StacAsset): String = Json.obj(Seq(
+    "key" -> Json.quote(a.key),
+    "href" -> Json.quote(a.href),
+    "media_type" -> Json.quote(a.media_type),
+    "title" -> Json.quote(a.title),
+    "roles" -> a.roles.map(Json.quote).mkString("[", ",", "]"),
+    "checksum" -> (if (a.checksum == null) "null" else Json.quote(a.checksum)),
+    "size" -> a.size.toString
+  ))
+}
