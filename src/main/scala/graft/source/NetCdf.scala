@@ -1,0 +1,248 @@
+package graft.source
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM reader/writer for the NetCDF classic binary format (CDF-1 and
+  * CDF-2), implemented from the public format specification (the NetCDF
+  * "classic format spec"; magic `CDF\x01`/`CDF\x02`, big-endian, 4-byte
+  * aligned). No native libs, no extra dependencies — this is what lets
+  * the engine scan the reference's primary input (S1, ref
+  * generator.py:485) and write per-slice netCDFs (K1, ref
+  * generator.py:961-979) inside executor tasks.
+  *
+  * Supported: dimensions (incl. one record dimension), global and
+  * per-variable attributes (char/byte/short/int/float/double), fixed and
+  * record variables of all six classic types. Not supported (not needed
+  * for forecast files): CDF-5, HDF5-backed netCDF-4.
+  */
+object NetCdf {
+
+  // classic nc_type codes
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  final case class Dim(name: String, length: Int) { def isRecord: Boolean = length == 0 }
+  final case class Attr(name: String, ncType: Int, text: String, nums: Seq[Double])
+  final case class Var(
+      name: String, dimIds: Seq[Int], attrs: Seq[Attr], ncType: Int,
+      vsize: Long, begin: Long) {
+    def attr(n: String): Option[Attr] = attrs.find(_.name == n)
+  }
+  final case class Header(
+      version: Int, numRecs: Int, dims: Seq[Dim], gatts: Seq[Attr],
+      vars: Seq[Var]) {
+    def shape(v: Var): Seq[Int] =
+      v.dimIds.map(i => if (dims(i).isRecord) numRecs else dims(i).length)
+    def gatt(n: String): Option[Attr] = gatts.find(_.name == n)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  def readHeader(bytes: Array[Byte]): Header = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
+      "not a NetCDF classic file (bad magic)")
+    val version = b.get().toInt
+    require(version == 1 || version == 2, s"unsupported CDF version $version")
+    val numRecs = b.getInt()
+    val dims = readTaggedList(b, 0x0A) { _ =>
+      Dim(readName(b), b.getInt())
+    }
+    val gatts = readAttrList(b)
+    val vars = readTaggedList(b, 0x0B) { _ =>
+      val name = readName(b)
+      val ndims = b.getInt()
+      val dimIds = (0 until ndims).map(_ => b.getInt())
+      val atts = readAttrList(b)
+      val ncType = b.getInt()
+      val vsize = b.getInt().toLong & 0xFFFFFFFFL
+      val begin = if (version == 1) b.getInt().toLong & 0xFFFFFFFFL else b.getLong()
+      Var(name, dimIds, atts, ncType, vsize, begin)
+    }
+    Header(version, numRecs, dims, gatts, vars)
+  }
+
+  /** Full variable read, flattened row-major, numeric types widened to
+    * Double (char unsupported here — coordinate/payload vars are numeric).
+    */
+  def readVariable(bytes: Array[Byte], h: Header, v: Var): Array[Double] = {
+    val shape = h.shape(v)
+    val n = shape.product
+    val out = new Array[Double](n)
+    val elemSize = sizeOf(v.ncType)
+    val isRec = v.dimIds.nonEmpty && h.dims(v.dimIds.head).isRecord
+    if (!isRec) {
+      readSlab(bytes, v.begin, v.ncType, n, out, 0)
+    } else {
+      val perRec = if (shape.isEmpty) 1 else shape.drop(1).product
+      val recSize = recordSize(h)
+      (0 until h.numRecs).foreach { r =>
+        readSlab(bytes, v.begin + r.toLong * recSize, v.ncType, perRec, out, r * perRec)
+      }
+    }
+    out
+  }
+
+  /** Total bytes of one record (sum of record-var vsizes; a single record
+    * var is NOT padded per the spec's special case — handled by using its
+    * unpadded slab size).
+    */
+  private def recordSize(h: Header): Long = {
+    val recVars = h.vars.filter(v => v.dimIds.nonEmpty && h.dims(v.dimIds.head).isRecord)
+    if (recVars.size == 1) {
+      val v = recVars.head
+      val perRec = v.dimIds.drop(1).map(i => h.dims(i).length).product.toLong
+      perRec * sizeOf(v.ncType)
+    } else recVars.map(_.vsize).sum
+  }
+
+  private def readSlab(bytes: Array[Byte], offset: Long, ncType: Int,
+                       n: Int, out: Array[Double], outPos: Int): Unit = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    b.position(offset.toInt)
+    var i = 0
+    while (i < n) {
+      out(outPos + i) = ncType match {
+        case NcByte   => b.get().toDouble
+        case NcShort  => b.getShort().toDouble
+        case NcInt    => b.getInt().toDouble
+        case NcFloat  => b.getFloat().toDouble
+        case NcDouble => b.getDouble()
+        case t => throw new IllegalArgumentException(s"numeric read of nc_type $t")
+      }
+      i += 1
+    }
+  }
+
+  private def readTaggedList[T](b: ByteBuffer, expectTag: Int)(f: Int => T): Seq[T] = {
+    val tag = b.getInt()
+    val n = b.getInt()
+    require(tag == expectTag || (tag == 0 && n == 0),
+      s"bad list tag $tag (expected $expectTag)")
+    (0 until n).map(f)
+  }
+
+  private def readAttrList(b: ByteBuffer): Seq[Attr] =
+    readTaggedList(b, 0x0C) { _ =>
+      val name = readName(b)
+      val t = b.getInt()
+      val n = b.getInt()
+      if (t == NcChar) {
+        val raw = new Array[Byte](n)
+        b.get(raw); skipPad(b, n)
+        Attr(name, t, new String(raw, StandardCharsets.UTF_8), Nil)
+      } else {
+        val vals = (0 until n).map { _ =>
+          t match {
+            case NcByte => b.get().toDouble
+            case NcShort => b.getShort().toDouble
+            case NcInt => b.getInt().toDouble
+            case NcFloat => b.getFloat().toDouble
+            case NcDouble => b.getDouble()
+            case other => throw new IllegalArgumentException(s"attr type $other")
+          }
+        }
+        skipPad(b, n * sizeOf(t))
+        Attr(name, t, null, vals)
+      }
+    }
+
+  private def readName(b: ByteBuffer): String = {
+    val n = b.getInt()
+    val raw = new Array[Byte](n)
+    b.get(raw); skipPad(b, n)
+    new String(raw, StandardCharsets.UTF_8)
+  }
+
+  private def sizeOf(t: Int): Int = t match {
+    case NcByte | NcChar => 1; case NcShort => 2
+    case NcInt | NcFloat => 4; case NcDouble => 8
+  }
+
+  private def skipPad(b: ByteBuffer, consumed: Int): Unit = {
+    val pad = (4 - consumed % 4) % 4
+    b.position(b.position() + pad)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Spec for one variable to write: named dims (must all be fixed) +
+    * attributes + double payload in row-major order.
+    */
+  final case class VarSpec(name: String, dims: Seq[String],
+                           attrs: Seq[(String, String)], data: Array[Double])
+
+  /** Write a CDF-1 file with fixed dimensions only (the per-slice output
+    * shape of K1: one forecast-init slice, no unlimited dim), double
+    * variables, char attributes. Deterministic byte layout.
+    */
+  def write(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
+            vars: Seq[VarSpec]): Array[Byte] = {
+    val dimIndex = dims.map(_._1).zipWithIndex.toMap
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(0) // numrecs
+    // dim list
+    o.writeInt(0x0A); o.writeInt(dims.size)
+    dims.foreach { case (n, len) => writeName(o, n); o.writeInt(len) }
+    writeAttrs(o, gatts)
+    // var list: compute header size first to lay out data offsets
+    val headerSize = {
+      val base = bos.size()
+      base + 8 + vars.map(v => varMetaSize(v)).sum
+    }
+    var offset = headerSize.toLong
+    val begins = vars.map { v =>
+      val b = offset
+      val bytes = v.data.length.toLong * 8
+      offset += bytes + ((4 - bytes % 4) % 4)
+      b
+    }
+    o.writeInt(0x0B); o.writeInt(vars.size)
+    vars.zip(begins).foreach { case (v, begin) =>
+      writeName(o, v.name)
+      o.writeInt(v.dims.size)
+      v.dims.foreach(d => o.writeInt(dimIndex(d)))
+      writeAttrs(o, v.attrs)
+      o.writeInt(NcDouble)
+      val bytes = v.data.length.toLong * 8
+      o.writeInt((bytes + ((4 - bytes % 4) % 4)).toInt) // vsize incl pad
+      o.writeInt(begin.toInt)
+    }
+    vars.foreach { v =>
+      v.data.foreach(o.writeDouble)
+      val pad = ((4 - (v.data.length.toLong * 8) % 4) % 4).toInt
+      (0 until pad).foreach(_ => o.writeByte(0))
+    }
+    o.flush()
+    bos.toByteArray
+  }
+
+  private def varMetaSize(v: VarSpec): Int =
+    nameSize(v.name) + 4 + 4 * v.dims.size + attrsSize(v.attrs) + 12
+
+  private def attrsSize(attrs: Seq[(String, String)]): Int =
+    8 + attrs.map { case (k, txt) => nameSize(k) + 8 + padded(txt.length) }.sum
+
+  private def nameSize(n: String): Int = 4 + padded(n.length)
+  private def padded(n: Int): Int = n + ((4 - n % 4) % 4)
+
+  private def writeAttrs(o: DataOutputStream, attrs: Seq[(String, String)]): Unit = {
+    o.writeInt(0x0C); o.writeInt(attrs.size)
+    attrs.foreach { case (k, txt) =>
+      writeName(o, k)
+      o.writeInt(NcChar); o.writeInt(txt.length)
+      o.writeBytes(txt)
+      (0 until (4 - txt.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+  }
+
+  private def writeName(o: DataOutputStream, n: String): Unit = {
+    o.writeInt(n.length)
+    o.writeBytes(n)
+    (0 until (4 - n.length % 4) % 4).foreach(_ => o.writeByte(0))
+  }
+}

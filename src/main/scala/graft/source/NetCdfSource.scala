@@ -1,0 +1,176 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** S1/P1/P2 — NetCDF scan as a Spark source: `binaryFile` file-source →
+  * per-task classic-format decode → tidy rows. The decode happens inside
+  * the executors (flatMap over file rows), so a directory of forecast
+  * files parallelizes per file exactly like the reference's per-file
+  * loop (X2) — but distributed, and with Catalyst able to prune/filter
+  * the tidy output downstream.
+  *
+  * Schema notes (SURVEY §1.4): one row per (variable, time_idx,
+  * leadtime_idx, y) scanline with an `xs` array payload — the shape that
+  * keeps row counts bounded (y × leadtime × vars) while leaving x fully
+  * vectorized; `explode(xs)` yields the fully-relational form when
+  * needed.
+  */
+object NetCdfSource {
+
+  /** P1 — coordinate-name resolution (ref utils.py:17-31,
+    * generator.py:487-496): first candidate present wins.
+    */
+  val XCandidates = Seq("xc", "x", "lon", "longitude")
+  val YCandidates = Seq("yc", "y", "lat", "latitude")
+  val TimeCandidates = Seq("time", "forecast_time")
+  val LeadCandidates = Seq("leadtime", "lead_time")
+
+  def findCoord(names: Seq[String], candidates: Seq[String]): Option[String] =
+    candidates.find(names.contains)
+
+  /** Per-file, per-variable manifest: the metadata-only first pass (ref
+    * get_forecast_info, generator.py:461-531) — header decode only, no
+    * payload read. Columns: path, variable, ndim, dims, dtype, n_values,
+    * units, crs, x_coord, y_coord, is_band (P2: exactly-4-D filter).
+    */
+  def manifest(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val h = NetCdf.readHeader(bytes)
+        val names = h.vars.map(_.name)
+        val xc = findCoord(names, XCandidates).orNull
+        val yc = findCoord(names, YCandidates).orNull
+        val crs = h.gatt("geospatial_bounds_crs").map(_.text).orNull
+        h.vars.map { v =>
+          (path, v.name, v.dimIds.size,
+            v.dimIds.map(h.dims(_).name).mkString(","),
+            typeName(v.ncType), h.shape(v).product.toLong,
+            v.attr("units").map(_.text).orNull, crs, xc, yc,
+            v.dimIds.size == 4)
+        }
+      }
+      .toDF("path", "variable", "ndim", "dims", "dtype", "n_values",
+        "units", "crs", "x_coord", "y_coord", "is_band")
+  }
+
+  /** Tidy decode of the 4-D band variables: one row per (variable,
+    * time_idx, leadtime_idx, y scanline). Coordinate VALUES are resolved
+    * through P1 and unit-normalized through P3 (km / "1000 meter" → m ×
+    * 1000, ref generator.py:533-553) at decode time.
+    */
+  def tidy(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => decodeTidy(path, bytes) }
+      .toDF("path", "variable", "time_idx", "time", "leadtime_idx",
+        "leadtime", "y_idx", "y", "xs", "values")
+  }
+
+  private[source] def decodeTidy(path: String, bytes: Array[Byte])
+      : Iterator[(String, String, Int, Double, Int, Double, Int, Double,
+                  Array[Double], Array[Double])] = {
+    val h = NetCdf.readHeader(bytes)
+    val names = h.vars.map(_.name)
+    def coordData(cands: Seq[String]): (String, Array[Double]) = {
+      val n = findCoord(names, cands).getOrElse(
+        throw new IllegalArgumentException(s"no coord among $cands in $path"))
+      n -> NetCdf.readVariable(bytes, h, h.vars.find(_.name == n).get)
+    }
+    val (xName, xRaw) = coordData(XCandidates)
+    val (yName, yRaw) = coordData(YCandidates)
+    val (tName, tVals) = coordData(TimeCandidates)
+    val (lName, lVals) = coordData(LeadCandidates)
+    def norm(coord: String, raw: Array[Double]): Array[Double] = {
+      val units = h.vars.find(_.name == coord).flatMap(_.attr("units"))
+        .map(_.text).getOrElse("")
+      if (units == "km" || units == "1000 meter") raw.map(_ * 1000) else raw
+    }
+    val xs = norm(xName, xRaw); val ys = norm(yName, yRaw)
+    val bands = h.vars.filter(_.dimIds.size == 4) // P2
+    bands.iterator.flatMap { v =>
+      val dimNames = v.dimIds.map(h.dims(_).name)
+      require(dimNames == Seq(tName, yName, xName, lName),
+        s"unexpected band layout $dimNames in $path " +
+          s"(expected ${Seq(tName, yName, xName, lName)})")
+      val data = NetCdf.readVariable(bytes, h, v)
+      val (nt, ny, nx, nl) = (tVals.length, ys.length, xs.length, lVals.length)
+      for {
+        t <- (0 until nt).iterator
+        l <- (0 until nl).iterator
+        y <- (0 until ny).iterator
+      } yield {
+        val row = new Array[Double](nx)
+        var x = 0
+        while (x < nx) {
+          row(x) = data(((t * ny + y) * nx + x) * nl + l)
+          x += 1
+        }
+        (path, v.name, t, tVals(t), l, lVals(l), y, ys(y), xs, row)
+      }
+    }
+  }
+
+  private def typeName(t: Int): String = t match {
+    case NetCdf.NcByte => "int8"; case NetCdf.NcChar => "char"
+    case NetCdf.NcShort => "int16"; case NetCdf.NcInt => "int32"
+    case NetCdf.NcFloat => "float32"; case NetCdf.NcDouble => "float64"
+  }
+}
+
+/** Deterministic synthetic forecast fixture, shaped like the reference's
+  * test dataset (reference test_generator.py:23-46: vars sic_mean /
+  * sic_stddev over (time, yc, xc, leadtime), CRS EPSG:6931, coords in
+  * km) but with a closed-form payload so tests can assert exact
+  * statistics: value = sin-free rational in (t, y, x, l), with NaNs
+  * planted on a known stride to exercise valid_percent.
+  */
+object NetCdfFixture {
+  def bytes(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3): Array[Byte] = {
+    def grid(f: (Int, Int, Int, Int) => Double): Array[Double] = {
+      val a = new Array[Double](nt * ny * nx * nl)
+      var i = 0
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx; l <- 0 until nl) {
+        a(i) = f(t, y, x, l); i += 1
+      }
+      a
+    }
+    val mean = grid((t, y, x, l) =>
+      if ((y * nx + x + l) % 17 == 0) Double.NaN
+      else (t + 1) * 0.1 + y * 0.01 + x * 0.001 + l * 0.0001)
+    val std = grid((t, y, x, l) => (y + x + l + t) * 0.005)
+    NetCdf.write(
+      dims = Seq("time" -> nt, "yc" -> ny, "xc" -> nx, "leadtime" -> nl),
+      gatts = Seq(
+        "geospatial_bounds_crs" -> "EPSG:6931",
+        "geospatial_lat_min" -> "45.0",
+        "source" -> "graft synthetic fixture"),
+      vars = Seq(
+        NetCdf.VarSpec("time", Seq("time"), Seq("units" -> "days since 2025-01-01"),
+          (0 until nt).map(_.toDouble).toArray),
+        NetCdf.VarSpec("yc", Seq("yc"), Seq("units" -> "km"),
+          (0 until ny).map(i => 100.0 + i).toArray),
+        NetCdf.VarSpec("xc", Seq("xc"), Seq("units" -> "km"),
+          (0 until nx).map(i => 200.0 + i).toArray),
+        NetCdf.VarSpec("leadtime", Seq("leadtime"), Seq(),
+          (0 until nl).map(_.toDouble).toArray),
+        NetCdf.VarSpec("sic_mean", Seq("time", "yc", "xc", "leadtime"),
+          Seq("units" -> "1", "long_name" -> "sea ice concentration mean"), mean),
+        NetCdf.VarSpec("sic_stddev", Seq("time", "yc", "xc", "leadtime"),
+          Seq("units" -> "1"), std)))
+  }
+
+  /** Write the fixture as .nc files under a directory; returns the glob. */
+  def writeFiles(dir: java.nio.file.Path, n: Int = 2): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(f"forecast_$i%02d.nc"), bytes(nt = 1))
+    }
+    s"$dir/*.nc"
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.source.{NetCdf, NetCdfFixture, NetCdfSource}
+
+/** S1/P1/P2/K1 — classic-format codec round-trip and the Spark scan,
+  * mirroring the reference's get_forecast_info test
+  * (test_generator.py:245-288: CRS attr, band detection) and
+  * test_convert_units_km at the source level.
+  */
+class NetCdfSpec extends SparkSpec {
+
+  test("codec round-trip: header, dims, attrs, variables survive write->read") {
+    val bytes = NetCdfFixture.bytes(nt = 1, ny = 4, nx = 5, nl = 3)
+    val h = NetCdf.readHeader(bytes)
+    assert(h.dims.map(d => d.name -> d.length) ===
+      Seq("time" -> 1, "yc" -> 4, "xc" -> 5, "leadtime" -> 3))
+    assert(h.gatt("geospatial_bounds_crs").map(_.text) === Some("EPSG:6931"))
+    assert(h.vars.map(_.name) ===
+      Seq("time", "yc", "xc", "leadtime", "sic_mean", "sic_stddev"))
+    val yc = NetCdf.readVariable(bytes, h, h.vars.find(_.name == "yc").get)
+    assert(yc.toSeq === Seq(100.0, 101.0, 102.0, 103.0))
+    val mean = NetCdf.readVariable(bytes, h, h.vars.find(_.name == "sic_mean").get)
+    assert(mean.length === 1 * 4 * 5 * 3)
+    // spot value at (t=0, y=1, x=2, l=1): row-major index ((0*4+1)*5+2)*3+1
+    assert(mean(((0 * 4 + 1) * 5 + 2) * 3 + 1) === 0.1 + 0.01 + 0.002 + 0.0001)
+  }
+
+  test("P2 band detection: exactly the 4-D vars flagged (test_get_forecast_info)") {
+    val dir = Files.createTempDirectory("graft-nc")
+    val glob = NetCdfFixture.writeFiles(dir, n = 2)
+    val m = NetCdfSource.manifest(spark, glob)
+    val bands = m.filter(col("is_band")).select("variable").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(bands === Array("sic_mean", "sic_stddev"))
+    val crs = m.select("crs").distinct().collect().map(_.getString(0))
+    assert(crs === Array("EPSG:6931"))
+    val coords = m.select("x_coord", "y_coord").distinct().collect().head
+    assert((coords.getString(0), coords.getString(1)) === (("xc", "yc")))
+  }
+
+  test("P1/P3 tidy scan: coords resolved and km-normalized to meters") {
+    val dir = Files.createTempDirectory("graft-nc2")
+    val glob = NetCdfFixture.writeFiles(dir, n = 1)
+    val t = NetCdfSource.tidy(spark, glob).cache()
+    // yc was [100..107] km → 100000..107000 m
+    val ys = t.select("y").distinct().collect().map(_.getDouble(0)).sorted
+    assert(ys.head === 100000.0 && ys.last === 107000.0)
+    val xs = t.select(explode(col("xs")).as("x")).distinct()
+      .collect().map(_.getDouble(0)).sorted
+    assert(xs.head === 200000.0 && xs.last === 207000.0)
+    // row count: vars(2) × time(1) × leadtime(3) × y(8)
+    assert(t.count() === 2 * 1 * 3 * 8)
+    t.unpersist()
+  }
+
+  test("A2 band stats over the tidy scan match direct computation") {
+    val dir = Files.createTempDirectory("graft-nc3")
+    val glob = NetCdfFixture.writeFiles(dir, n = 1)
+    val tidy = NetCdfSource.tidy(spark, glob)
+    val cell = tidy.select(col("variable"), col("leadtime_idx"),
+      explode(col("values")).as("v"))
+    val stats = cell.filter(col("variable") === "sic_mean")
+      .groupBy(col("leadtime_idx"))
+      .agg(
+        min(when(!isnan(col("v")), col("v"))).as("mn"),
+        max(when(!isnan(col("v")), col("v"))).as("mx"),
+        avg(when(!isnan(col("v")), col("v"))).as("mean"),
+        (sum(when(!isnan(col("v")), 1).otherwise(0)) * 100.0 / count(lit(1)))
+          .as("valid_pct_raw"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // direct recomputation from the fixture formula
+    for (l <- 0 until 3) {
+      val vals = for { y <- 0 until 8; x <- 0 until 8
+        if (y * 8 + x + l) % 17 != 0 }
+        yield 0.1 + y * 0.01 + x * 0.001 + l * 0.0001
+      val (mn, mx, mean, vp) = stats(l)
+      assert(mn === vals.min && mx === vals.max)
+      assert(math.abs(mean - vals.sum / vals.size) < 1e-12)
+      assert(math.abs(vp - vals.size * 100.0 / 64) < 1e-12)
+    }
+  }
+
+  test("K1 slice writer: per-slice file read back by the same scan") {
+    // take leadtime slice l=1 of the fixture and write it as its own file
+    val src = NetCdfFixture.bytes(nt = 1, ny = 4, nx = 4, nl = 3)
+    val h = NetCdf.readHeader(src)
+    val mean = NetCdf.readVariable(src, h, h.vars.find(_.name == "sic_mean").get)
+    val slice = Array.tabulate(1 * 4 * 4 * 1) { i =>
+      val (t, y, x) = (i / 16, (i / 4) % 4, i % 4)
+      mean(((t * 4 + y) * 4 + x) * 3 + 1)
+    }
+    val out = NetCdf.write(
+      dims = Seq("time" -> 1, "yc" -> 4, "xc" -> 4, "leadtime" -> 1),
+      gatts = Seq("geospatial_bounds_crs" -> "EPSG:6931"),
+      vars = Seq(
+        NetCdf.VarSpec("time", Seq("time"), Seq(), Array(0.0)),
+        NetCdf.VarSpec("yc", Seq("yc"), Seq("units" -> "km"),
+          Array(100, 101, 102, 103).map(_.toDouble)),
+        NetCdf.VarSpec("xc", Seq("xc"), Seq("units" -> "km"),
+          Array(200, 201, 202, 203).map(_.toDouble)),
+        NetCdf.VarSpec("leadtime", Seq("leadtime"), Seq(), Array(1.0)),
+        NetCdf.VarSpec("sic_mean", Seq("time", "yc", "xc", "leadtime"),
+          Seq(), slice)))
+    val h2 = NetCdf.readHeader(out)
+    val back = NetCdf.readVariable(out, h2, h2.vars.find(_.name == "sic_mean").get)
+    assert(back.toSeq === slice.toSeq)
+  }
+}
