@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one or more classes per query plan; dozens
+  // of distinct queries per run overflow the JVM's default 240 MB code
+  // cache, after which JIT compilation stops and everything runs
+  // interpreted in multi-minute bursts (observed as contiguous stalled
+  // query blocks in BENCH r1/r2).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

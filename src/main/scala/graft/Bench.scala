@@ -25,9 +25,12 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val took = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s ${took}%8.2f s")
+        Right(took)
       } catch {
         case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     }

@@ -13,8 +13,9 @@ final case class StacAsset(
     media_type: String,
     title: String,
     roles: Seq[String],
-    checksum: String,       // blockwise multihash (F14); null until enriched
-    size: Long)             // bytes; -1 until enriched
+    checksum: String,       // blockwise multihash (F14); null until enriched (E3)
+    size: Long,             // bytes; -1 until enriched (E3)
+    extra: Map[String, String]) // forecast:*/custom:* extras incl. band stats (E2)
 
 final case class StacItem(
     id: String,

@@ -1,0 +1,431 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Geo, Scalars}
+import graft.model.{StacCatalog, StacCollection, StacItem}
+import graft.ops.StacOps
+import graft.sink.StacJsonSink
+import graft.source.{NetCdf, NetCdfSource}
+
+/** Entry point 1 — `envstacgen preprocess` re-expressed as one Spark
+  * dataflow (ref cli.py:13-52 → preprocess.py:15-88 →
+  * generator.py:587-808, SURVEY §3.1).
+  *
+  * The reference opens each file three times and fans out leadtimes over
+  * a process pool; here one cached tidy scan feeds every stage and Spark
+  * task parallelism replaces the pool (X1/X2). Stage map:
+  *
+  *   config validate (S5/J5)            → ConfigRegistry
+  *   hemisphere + CRS + bands (P1/P2/P9)→ NetCdfSource.manifest
+  *   bbox + geometry (A1/F11/F12)       → coord agg + Geo.projToGeo
+  *   per-init item construction (F5/F6) → Scalars id/time functions
+  *   per-init netCDF slices (K1, P8)    → foreachPartition NetCdf.write
+  *   thumbnails for leadtime 0 (K3/W3)  → foreachPartition ImageIO JPEG
+  *   band statistics (A2)               → hash aggregate over tidy rows
+  *   asset rows + file info (E1/E2/E3/J6) → binaryFile manifest join
+  *   get-or-create vs existing (J1/J2)  → anti-join / extent merge
+  *   catalog tree (K4, F8)              → StacJsonSink
+  */
+object Preprocess {
+
+  final case class Options(
+      name: String,                       // collection id (ref process(name=...))
+      dataPath: String,
+      catalogName: String = "catalog",
+      forecastFrequency: String = "1days",
+      license: String = "CC-BY-4.0",
+      fileServerUrl: Option[String] = None,
+      stacOnly: Boolean = false,
+      overwrite: Boolean = false)
+
+  final case class Result(catalogRoot: String, nItems: Long, nSlices: Long)
+
+  private val FreqRe =
+    "^\\s*([0-9]*\\.?[0-9]+)\\s*(hours?|days?|weeks?|months?|years?)\\s*$".r
+
+  /** F1, driver-side (the reference parses once per run). */
+  def parseFrequency(s: String): (Double, String) = s.toLowerCase match {
+    case FreqRe(v, u) => (v.toDouble, u)
+    case _ => throw new IllegalArgumentException(s"Invalid leadtime format: $s")
+  }
+
+  /** CF-convention time decode: "<unit> since <base>" → milliseconds
+    * scale + base epoch (xarray's decode_coords analogue for the classic
+    * calendar).
+    */
+  private val SinceRe = "^(seconds?|minutes?|hours?|days?) since (.+)$".r
+  def parseTimeUnits(units: String): (Long, java.time.Instant) = units match {
+    case SinceRe(u, base) =>
+      val scale = u.stripSuffix("s") match {
+        case "second" => 1000L
+        case "minute" => 60000L
+        case "hour" => 3600000L
+        case "day" => 86400000L
+      }
+      val b = base.trim.replace(" ", "T")
+      val inst = java.time.Instant.parse(
+        if (b.length == 10) b + "T00:00:00Z"
+        else if (b.endsWith("Z")) b else b + "Z")
+      (scale, inst)
+    case other => throw new IllegalArgumentException(s"time units: $other")
+  }
+
+  def run(spark: SparkSession, inputGlob: String, opts: Options): Result = {
+    import spark.implicits._
+
+    // ---- S5/J5: config pinning before any work (ref generator.py:627)
+    new ConfigRegistry(s"${opts.dataPath}/config.json")
+      .storeOrValidate(opts.name,
+        Map("forecast_frequency" -> opts.forecastFrequency))
+    val (step, unit) = parseFrequency(opts.forecastFrequency)
+
+    // ---- metadata pass: P1/P2/P9 + CRS + time units (header-only decode)
+    val man = NetCdfSource.manifest(spark, inputGlob).persist()
+    val fileMeta = man.filter(col("is_band"))
+      .select(col("path"), col("crs"), col("lat_min")).distinct()
+    val timeUnits = man
+      .filter(col("variable").isin(NetCdfSource.TimeCandidates: _*))
+      .select(col("units")).distinct().as[String].collect()
+    require(timeUnits.length == 1, s"mixed time units: ${timeUnits.toSeq}")
+    val (tScale, tBase) = parseTimeUnits(timeUnits.head)
+    val hemisphere = fileMeta
+      .select(Scalars.hemisphere(col("lat_min")).as("h")).distinct()
+      .as[String].collect().headOption.getOrElse("")
+    val crs = fileMeta.select(col("crs")).distinct().as[String].collect().head
+
+    // ---- one cached tidy scan replaces the reference's three opens
+    val tidy = NetCdfSource.tidy(spark, inputGlob).persist()
+
+    // ---- A1/F11/F12: bbox in projected meters → geographic via LAEA
+    val bboxRow = tidy.agg(
+      min(array_min(col("xs"))), max(array_max(col("xs"))),
+      min(col("y")), max(col("y"))).head()
+    val projBbox = Seq(bboxRow.getDouble(0), bboxRow.getDouble(2),
+      bboxRow.getDouble(1), bboxRow.getDouble(3))
+    val geoBbox = Geo.projToGeo(projBbox, crs)
+    val geometry =
+      s"""{"type": "Polygon", "coordinates": [[[${geoBbox(2)}, ${geoBbox(1)}], [${geoBbox(2)}, ${geoBbox(3)}], [${geoBbox(0)}, ${geoBbox(3)}], [${geoBbox(0)}, ${geoBbox(1)}], [${geoBbox(2)}, ${geoBbox(1)}]]]}"""
+
+    // ---- per-(file, init) frame: reference time, id, leadtime count
+    val refTime = timestamp_millis(
+      (col("time") * tScale).cast("long") + lit(tBase.toEpochMilli))
+    val inits = tidy
+      .groupBy(col("path"), col("time_idx"), col("time"))
+      .agg(countDistinct(col("leadtime_idx")).as("nleadtime"))
+      .withColumn("ref_time", refTime)
+      .withColumn("item_id", Scalars.itemId(col("ref_time")))
+      .withColumn("end_time", Scalars.calendarAdd(col("ref_time"), lit(unit),
+        (col("nleadtime") - 1) * step))
+      .withColumn("date_str", Scalars.fmtDate(col("ref_time")))
+      .withColumn("ts_str", Scalars.formatTime(col("ref_time")))
+      .persist()
+
+    // ---- K1 + P8: per-init netCDF slices, one task per (file, init)
+    val nSlices =
+      if (opts.stacOnly) 0L
+      else writeSlices(spark, tidy, inits, opts)
+
+    // ---- K3 + W3: thumbnail for leadtime 0, first band, per item
+    if (!opts.stacOnly) writeThumbnails(spark, tidy, inits, opts)
+
+    // ---- A2: band statistics per (file, init, variable, leadtime)
+    val stats = tidy
+      .select(col("path"), col("time_idx"), col("variable"),
+        col("leadtime_idx"), col("leadtime"), explode(col("values")).as("v"))
+      .groupBy(col("path"), col("time_idx"), col("variable"), col("leadtime_idx"),
+        col("leadtime"))
+      .agg(
+        min(when(!isnan(col("v")), col("v"))).as("stat_min"),
+        max(when(!isnan(col("v")), col("v"))).as("stat_max"),
+        avg(when(!isnan(col("v")), col("v"))).as("stat_mean"),
+        stddev_pop(when(!isnan(col("v")), col("v"))).as("stat_stddev"),
+        Scalars.floor2dp(
+          sum(when(!isnan(col("v")), 1).otherwise(0)) * 100.0 / count(lit(1)))
+          .as("valid_percent"))
+
+    // ---- E1/E2: asset rows (netcdf + per-leadtime cog + thumbnail)
+    val assets = assetRows(inits, stats, step, unit, opts)
+
+    // ---- E3/J6: enrich with size + blockwise multihash of written files
+    val enriched = enrichFileInfo(spark, assets, opts)
+
+    // ---- item assembly + J2 get-or-create vs the existing catalog
+    val catalogRoot = s"${opts.dataPath}/stac/${opts.catalogName}"
+    val items = buildItems(spark, inits, enriched, geoBbox, geometry,
+      hemisphere, opts)
+    val existing =
+      if (Files.exists(Paths.get(catalogRoot, "catalog.json")))
+        StacJsonSink.readItems(spark, catalogRoot)
+      else spark.emptyDataset[StacItem]
+    val toWrite = StacOps.getOrCreateItems(existing, items).unionAll(existing)
+
+    // ---- J1/A4: collection merge, then K4 catalog write
+    val extent = inits.agg(
+      min(Scalars.datetimeToStr(col("ref_time"))),
+      max(Scalars.datetimeToStr(col("end_time")))).head()
+    val incomingColl = StacCollection(
+      id = opts.name, title = opts.name,
+      description = // ref generator.py:654
+        s"${opts.name.capitalize.replace("_", " ").replace("-", " ")} collection",
+      license = opts.license, bbox = geoBbox,
+      temporal_start = extent.getString(0), temporal_end = extent.getString(1),
+      extra = if (hemisphere.nonEmpty) Map("custom:hemisphere" -> hemisphere)
+              else Map.empty)
+    val collections =
+      if (Files.exists(Paths.get(catalogRoot, "catalog.json")))
+        StacOps.mergeCollections(
+          StacJsonSink.readCollections(spark, catalogRoot),
+          Seq(incomingColl).toDS()).collect().toSeq
+      else Seq(incomingColl)
+
+    val nItems = toWrite.count()
+    StacJsonSink.write(catalogRoot,
+      StacCatalog(opts.catalogName, s"${opts.catalogName} STAC catalog",
+        collections.map(_.id)),
+      collections, toWrite)
+    man.unpersist(); tidy.unpersist(); inits.unpersist()
+    Result(catalogRoot, nItems, nSlices)
+  }
+
+  /** K1: one .nc per (file, init) holding every band's slice, written
+    * inside the tasks; existence-skip unless overwrite (P8, ref
+    * generator.py:906-909 analogue for netCDF).
+    */
+  private def writeSlices(spark: SparkSession, tidy: DataFrame,
+                          inits: DataFrame, opts: Options): Long = {
+    import spark.implicits._
+    val target = inits.select(col("path"), col("time_idx"),
+      concat(lit(s"${opts.dataPath}/netcdf/${opts.name}/"), col("date_str"),
+        lit("/"), col("ts_str"), lit(".nc")).as("out_path"))
+    val rows = tidy
+      .join(target, Seq("path", "time_idx"))
+      .select(col("out_path"), col("variable"), col("time"),
+        col("leadtime_idx"), col("leadtime"), col("y_idx"), col("y"),
+        col("xs"), col("values"))
+    val overwrite = opts.overwrite
+    val written = rows
+      .repartition(col("out_path"))
+      .mapPartitions { part =>
+        val bySlice = part.toSeq.groupBy(r => r.getString(0))
+        bySlice.iterator.map { case (outPath, rs) =>
+          val p = Paths.get(outPath)
+          if (Files.exists(p) && !overwrite) 0L
+          else {
+            Files.createDirectories(p.getParent)
+            val xs = rs.head.getSeq[Double](7).toArray
+            val ys = rs.map(r => r.getInt(5) -> r.getDouble(6)).distinct
+              .sortBy(_._1).map(_._2).toArray
+            val ls = rs.map(r => r.getInt(3) -> r.getDouble(4)).distinct
+              .sortBy(_._1).map(_._2).toArray
+            val t = rs.head.getDouble(2)
+            val vars = rs.groupBy(_.getString(1)).toSeq.sortBy(_._1).map {
+              case (vname, vrows) =>
+                val grid = new Array[Double](ys.length * xs.length * ls.length)
+                vrows.foreach { r =>
+                  val (l, y) = (r.getInt(3), r.getInt(5))
+                  val vals = r.getSeq[Double](8)
+                  var x = 0
+                  while (x < xs.length) {
+                    grid((y * xs.length + x) * ls.length + l) = vals(x)
+                    x += 1
+                  }
+                }
+                NetCdf.VarSpec(vname, Seq("time", "yc", "xc", "leadtime"),
+                  Seq(), grid)
+            }
+            val coordVars = Seq(
+              NetCdf.VarSpec("time", Seq("time"), Seq(), Array(t)),
+              NetCdf.VarSpec("yc", Seq("yc"), Seq("units" -> "m"), ys),
+              NetCdf.VarSpec("xc", Seq("xc"), Seq("units" -> "m"), xs),
+              NetCdf.VarSpec("leadtime", Seq("leadtime"), Seq(), ls))
+            Files.write(p, NetCdf.write(
+              dims = Seq("time" -> 1, "yc" -> ys.length, "xc" -> xs.length,
+                "leadtime" -> ls.length),
+              gatts = Seq(),
+              vars = coordVars ++ vars))
+            1L
+          }
+        }
+      }
+    written.as[Long].reduce(_ + _)
+  }
+
+  /** K3/W3: leadtime-0 thumbnail per item — first band mapped through a
+    * blue→white→red diverging LUT (RdBu_r analogue) to JPEG via ImageIO.
+    */
+  private def writeThumbnails(spark: SparkSession, tidy: DataFrame,
+                              inits: DataFrame, opts: Options): Unit = {
+    val firstBand = tidy.select(col("variable")).distinct()
+      .orderBy(col("variable")).limit(1)
+    val target = inits.select(col("path"), col("time_idx"),
+      concat(lit(s"${opts.dataPath}/cogs/${opts.name}/"), col("date_str"),
+        lit("/"), col("item_id"), lit(".jpg")).as("out_path"))
+    val overwrite = opts.overwrite
+    tidy.filter(col("leadtime_idx") === 0)
+      .join(firstBand, Seq("variable"), "left_semi")
+      .join(target, Seq("path", "time_idx"))
+      .select(col("out_path"), col("y_idx"), col("values"))
+      .repartition(col("out_path"))
+      .foreachPartition { part: Iterator[org.apache.spark.sql.Row] =>
+        part.toSeq.groupBy(_.getString(0)).foreach { case (outPath, rs) =>
+          val p = Paths.get(outPath)
+          if (!Files.exists(p) || overwrite) {
+            Files.createDirectories(p.getParent)
+            val rows = rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+            Files.write(p, Thumbnail.jpeg(rows.toArray))
+          }
+        }
+      }
+  }
+
+  /** E1/E2: per-item asset rows as a DataFrame of (item_id, asset struct). */
+  private def assetRows(inits: DataFrame, stats: DataFrame, step: Double,
+                        unit: String, opts: Options): DataFrame = {
+    val emptyExtra = map().cast("map<string,string>")
+    val ncAsset = inits.select(col("item_id"), struct(
+      lit("netcdf").as("key"),
+      concat(lit("./netcdf/"), lit(opts.name), lit("/"), col("date_str"),
+        lit("/"), col("ts_str"), lit(".nc")).as("href"),
+      lit("application/x-netcdf").as("media_type"),
+      concat(lit("Full forecast netCDF from "),
+        Scalars.fmtSpace(col("ref_time"))).as("title"),
+      typedLit(Seq("data")).as("roles"),
+      lit(null).cast("string").as("checksum"), lit(-1L).as("size"),
+      map(
+        lit("forecast:reference_time"), Scalars.datetimeToStr(col("ref_time")),
+        lit("forecast:end_time"), Scalars.datetimeToStr(col("end_time")),
+        lit("forecast:leadtime_length"), col("nleadtime").cast("string"))
+        .as("extra")).as("asset"))
+    val thumbAsset = inits.select(col("item_id"), struct(
+      lit("thumbnail").as("key"),
+      concat(lit("./cogs/"), lit(opts.name), lit("/"), col("date_str"),
+        lit("/"), col("item_id"), lit(".jpg")).as("href"),
+      lit("image/jpeg").as("media_type"),
+      lit("Thumbnail").as("title"),
+      typedLit(Seq("thumbnail")).as("roles"),
+      lit(null).cast("string").as("checksum"), lit(-1L).as("size"),
+      emptyExtra.as("extra")).as("asset"))
+    // E2: per-leadtime COG asset with embedded band statistics
+    val validTime = Scalars.calendarAdd(col("ref_time"), lit(unit),
+      col("leadtime_idx") * step)
+    val perLead = stats
+      .groupBy(col("path"), col("time_idx"), col("leadtime_idx"))
+      .agg(sort_array(collect_list(struct(
+        col("variable"), col("stat_min"), col("stat_max"), col("stat_mean"),
+        col("stat_stddev"), col("valid_percent")))).as("bands"))
+      .join(inits, Seq("path", "time_idx"))
+      .withColumn("valid_time", validTime)
+      .withColumn("cog_id",
+        Scalars.cogItemId(col("item_id"), col("valid_time")))
+    val cogAsset = perLead.select(col("item_id"), struct(
+      concat(lit("cog_lead_"), col("leadtime_idx").cast("string")).as("key"),
+      concat(lit("./cogs/"), lit(opts.name), lit("/"), col("date_str"),
+        lit("/"), col("cog_id"), lit(".tif")).as("href"),
+      lit("image/tiff; application=geotiff; profile=cloud-optimized")
+        .as("media_type"),
+      concat(lit("Forecast for "), Scalars.fmtSpace(col("valid_time")))
+        .as("title"),
+      typedLit(Seq("data")).as("roles"),
+      lit(null).cast("string").as("checksum"), lit(-1L).as("size"),
+      map(
+        lit("custom:leadtime"), col("leadtime_idx").cast("string"),
+        lit("custom:valid_time"), Scalars.datetimeToStr(col("valid_time")),
+        lit("forecast:bands"), to_json(col("bands"))).as("extra")).as("asset"))
+    ncAsset.unionByName(thumbAsset).unionByName(cogAsset)
+  }
+
+  /** E3/J6: binaryFile manifest over everything written under dataPath,
+    * joined to asset hrefs — fills size + the blockwise digest-of-digest
+    * multihash (F14). Assets whose file was not produced (stacOnly, COGs
+    * pending) keep null checksum / -1 size.
+    */
+  private def enrichFileInfo(spark: SparkSession, assets: DataFrame,
+                             opts: Options): DataFrame = {
+    val ncDir = Paths.get(s"${opts.dataPath}/netcdf")
+    val cogDir = Paths.get(s"${opts.dataPath}/cogs")
+    val globs = Seq(ncDir, cogDir).filter(Files.exists(_))
+      .map(d => s"$d/*/*/*")
+    if (globs.isEmpty) return assets
+    val manifest = spark.read.format("binaryFile").load(globs: _*)
+      .select(
+        regexp_replace(col("path"), lit(s"^file:${opts.dataPath}/"), lit("./"))
+          .as("href"),
+        col("length").as("fsize"),
+        Scalars.blockMultihashMd5(col("content")).as("fchecksum"))
+    assets
+      .select(col("item_id"), col("asset.*"))
+      .join(manifest, Seq("href"), "left")
+      .select(col("item_id"), struct(
+        col("key"), col("href"), col("media_type"), col("title"), col("roles"),
+        coalesce(col("fchecksum"), col("checksum")).as("checksum"),
+        coalesce(col("fsize"), col("size")).as("size"),
+        col("extra")).as("asset"))
+  }
+
+  private def buildItems(spark: SparkSession, inits: DataFrame,
+                         assets: DataFrame, geoBbox: Seq[Double],
+                         geometry: String, hemisphere: String,
+                         opts: Options) = {
+    import spark.implicits._
+    val base = map(
+      lit("forecast:reference_time"), Scalars.datetimeToStr(col("ref_time")),
+      lit("forecast:end_time"), Scalars.datetimeToStr(col("end_time")),
+      lit("forecast:leadtime_length"), col("nleadtime").cast("string"))
+    val props =
+      if (hemisphere.isEmpty) base
+      else map_concat(base, map(lit("custom:hemisphere"), lit(hemisphere)))
+    // comparator array_sort: structs holding a MAP have no natural
+    // ordering, but the asset key alone is a deterministic sort
+    val byKey = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("key") < r.getField("key"), -1)
+        .when(l.getField("key") > r.getField("key"), 1).otherwise(0)
+    inits
+      .join(assets.groupBy(col("item_id"))
+        .agg(array_sort(collect_list(col("asset")), byKey).as("assets")),
+        Seq("item_id"))
+      .select(
+        col("item_id").as("id"),
+        lit(opts.name).as("collection"),
+        lit(geometry).as("geometry"),
+        typedLit(geoBbox).as("bbox"),
+        Scalars.datetimeToStr(col("ref_time")).as("datetime"),
+        props.as("properties"),
+        col("assets"))
+      .as[StacItem]
+  }
+}
+
+/** K3 — JPEG thumbnail encoder: values → blue-white-red diverging LUT →
+  * ImageIO JPEG bytes (ref generator.py:1011-1033; pixel-exact parity
+  * with matplotlib is out of contract — it's a lossy viz artifact).
+  */
+object Thumbnail {
+  def jpeg(grid: Array[Array[Double]]): Array[Byte] = {
+    val h = grid.length; val w = if (h == 0) 0 else grid(0).length
+    val img = new java.awt.image.BufferedImage(
+      math.max(w, 1), math.max(h, 1), java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val flat = grid.flatten.filterNot(_.isNaN)
+    val (mn, mx) =
+      if (flat.isEmpty) (0.0, 1.0)
+      else (flat.min, if (flat.max == flat.min) flat.min + 1 else flat.max)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = grid(y)(x)
+      val t = if (v.isNaN) 0.5 else (v - mn) / (mx - mn)
+      // RdBu_r analogue: 0 → blue, 0.5 → white, 1 → red
+      val (r, g, b) =
+        if (t < 0.5) {
+          val u = t * 2
+          ((u * 255).toInt, (u * 255).toInt, 255)
+        } else {
+          val u = (t - 0.5) * 2
+          (255, ((1 - u) * 255).toInt, ((1 - u) * 255).toInt)
+        }
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+}

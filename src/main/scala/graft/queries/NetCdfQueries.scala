@@ -46,5 +46,24 @@ object NetCdfQueries {
           .as("valid_percent"))
   }
 
-  val all: Seq[QueryDef] = Seq(manifest, bandStats)
+  /** X1/X2 — the full preprocess pipeline end-to-end: fixture .nc files →
+    * config registry → slices (K1) → thumbnails (K3/W3) → band stats (A2)
+    * → asset rows + file-info enrichment (E1/E2/E3) → STAC catalog (K4) →
+    * rescan (S4). Returns a per-item asset/property summary.
+    */
+  val preprocessE2e = QueryDef.rowsOnly("q47_preprocess_e2e") { (s, _) =>
+    val work = Files.createTempDirectory("graft-pre-q")
+    val glob = graft.source.NetCdfFixture.writeFiles(work.resolve("input"), n = 2)
+    val res = graft.pipeline.Preprocess.run(s, glob,
+      graft.pipeline.Preprocess.Options(
+        name = "sic_north", dataPath = work.resolve("data").toString))
+    graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
+      .select(col("id"), col("collection"),
+        size(col("assets")).as("n_assets"),
+        element_at(col("properties"), "forecast:leadtime_length")
+          .as("leadtime_length"),
+        element_at(col("properties"), "custom:hemisphere").as("hemisphere"))
+  }
+
+  val all: Seq[QueryDef] = Seq(manifest, bandStats, preprocessE2e)
 }

@@ -18,38 +18,35 @@ import graft.{QueryDef, Tables}
   *    map-side pass; ANN then probes ONLY the query's bucket (corpus
   *    shuffled once by bucket key; per-query work is bucket-sized, not
   *    corpus-sized).
-  *  - All vector math is `Column` combinators (zip_with/aggregate) over
-  *    double-cast arrays — codegen'd, no UDFs.
+  *  - Vector math runs through VectorOps.dotUdf: Spark's higher-order
+  *    functions evaluate interpreted (boxed, no codegen), so a primitive
+  *    while-loop UDF is the fast form for per-pair dot products; the
+  *    hyperplane matrix is a driver-precomputed broadcast literal, so the
+  *    executor hot path does zero hashing.
   */
 object Similarity {
 
-  /** Left-fold dot product in double precision (matches DuckDB's
-    * sequential list_sum over the same element order).
-    */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import graft.functions.VectorOps.{dotUdf => dot, planeMatrix}
 
   private def toDouble(emb: Column): Column =
     transform(emb, x => x.cast("double"))
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived uniform in [-1, 1) — reproducible in any engine, no RNG
-    * state, no seed plumbing.
+  /** Embedding dimensionality, read once at plan-construction from a
+    * single row — lets the hyperplane matrix be a precomputed literal
+    * sized to the data instead of per-row md5 evaluation.
     */
-  private def planeComponent(p: Column, i: Column): Column =
-    conv(substring(md5(concat(p.cast("string"), lit(":"), i.cast("string"))), 1, 4), 16, 10)
-      .cast("double") / 32768.0 - 1.0
+  private def embeddingDim(s: SparkSession, d: String): Int =
+    Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
 
-  /** Sign-LSH bucket id over `nPlanes` hyperplanes: bit p = sign of the
-    * projection onto plane p.
+  /** Sign-LSH bucket id over the precomputed deterministic hyperplanes:
+    * bit p = sign of the projection onto plane p. The plane matrix is a
+    * broadcast literal (VectorOps.planeMatrix — md5-derived, identical to
+    * the oracle's in-SQL derivation); the hot path is pure primitive dot
+    * products.
     */
-  private def lshBucket(emb: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(1), size(emb)),
-          (x, i) => x * planeComponent(lit(p), i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+  private def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(emb, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
   /** Exact top-5 cosine neighbors for the vec_id%100 query subset —
@@ -104,9 +101,10 @@ object Similarity {
       |  FROM proj GROUP BY vec_id)
       |SELECT bucket, count(*) AS n_vecs FROM buckets
       |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val planes = planeMatrix(8, embeddingDim(s, d))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-    e.select(col("vec_id"), lshBucket(col("emb"), 8).as("bucket"))
+    e.select(col("vec_id"), lshBucket(col("emb"), planes).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"))
   }
@@ -121,7 +119,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-      .withColumn("bucket", lshBucket(col("emb"), 8))
+      .withColumn("bucket", lshBucket(col("emb"), planeMatrix(8, embeddingDim(s, d))))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))

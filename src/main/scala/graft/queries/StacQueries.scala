@@ -73,7 +73,8 @@ object StacQueries {
           lit("Forecast data").as("title"),
           typedLit(Seq("data")).as("roles"),
           lit(null).cast("string").as("checksum"),
-          lit(-1L).as("size"))).as("assets"))
+          lit(-1L).as("size"),
+          map().cast("map<string,string>").as("extra"))).as("assets"))
       .dropDuplicates("collection", "id")
       .as[StacItem]
     // "existing catalog": every other item already present → must be skipped

@@ -28,16 +28,24 @@ object TextPipeline {
   private def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** Distinct 3-gram word shingles (guarded: <3 tokens → empty set;
-    * Spark's `sequence(1,0)` would DESCEND, unlike DuckDB generate_series).
+  /** Distinct 3-gram word shingles.
+    *
+    * Built as a zip of three shifted views of the token array — O(n) per
+    * document. (The naive `transform(sequence(1, n-2), i -> slice(ts, i,
+    * 3))` is O(n²): `slice` copies per element; at sf0.1 that alone cost
+    * minutes.) zip_with pads the shorter side with nulls, so the trailing
+    * 1- and 2-token tails null out through `concat` and are filtered.
+    * Shingle ORDER differs from the generate_series form the oracle uses,
+    * but every consumer is order-insensitive (set min / intersect size).
     */
   private def shingles(text: Column): Column = {
     val ts = tokens(text)
-    array_distinct(
-      when(size(ts) >= 3,
-        transform(sequence(lit(1), size(ts) - 2),
-          i => concat_ws(" ", slice(ts, i, lit(3)))))
-        .otherwise(array().cast("array<string>")))
+    val n = size(ts)
+    val pair2 = zip_with(ts, slice(ts, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val tri = zip_with(pair2, slice(ts, lit(3), greatest(n - 2, lit(0))),
+      (p, c) => concat(p, lit(" "), c))
+    array_distinct(filter(tri, _.isNotNull))
   }
 
   /** Keyed minhash: min over the shingle set of md5("<h>:" ++ shingle) —
@@ -175,7 +183,10 @@ object TextPipeline {
       |FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
       |  AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val bands = bandedSignatures(s, d)
+    // persist: the signature relation is both sides of the self-join
+    val bands = bandedSignatures(
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("sg"))).persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -211,9 +222,16 @@ object TextPipeline {
       |WHERE CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
       |      (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // The shingle relation feeds FOUR plan branches (both self-join sides
+    // of the candidate generation plus both sides of the pair join);
+    // without persisting, Spark recomputes the shingle+minhash expressions
+    // per branch — measured 293 s vs ~20 s at sf0.1. At cluster scale the
+    // same holds: signatures are computed once, kept columnar in memory/
+    // disk, reused across the LSH stages.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sg"))
-    val bands = bandedSignatures(s, d)
+      .persist()
+    val bands = bandedSignatures(sh).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -261,16 +279,25 @@ object TextPipeline {
         .as("simhash"))
   }
 
-  /** Shared 4-band minhash signature relation: (doc_id, band, key). */
-  private def bandedSignatures(s: SparkSession, d: String): DataFrame = {
-    val sg = shingles(col("text")).as("sg")
-    val withSig = Tables.documents(s, d).select(col("doc_id"), sg)
-    val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band"), minhash(col("sg"), b).as("key")))
-    withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
+  /** Shared 4-band minhash signature relation over a (doc_id, sg)
+    * shingle-set input: (doc_id, band, key).
+    *
+    * Relational form — explode shingles × bands, hash, groupBy-min —
+    * rather than per-row array transforms: every operator here is
+    * whole-stage-codegen'd (the HOF `transform`+`array_min` route
+    * evaluates interpreted per element), and the same shape is the one
+    * that scales: signature computation becomes one shuffle keyed by
+    * (doc, band) with map-side partial min.
+    */
+  private def bandedSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("sg")).as("shingle"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
+        col("shingle"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(col("band").cast("string"), lit(":"), col("shingle")))
+          .as("h"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(col("h")).as("key"))
 
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint,
     exactDedup, minhashBands, ngramJaccard, simhash)

@@ -35,13 +35,22 @@ object StacJsonSink {
       Files.createDirectories(dir)
       Files.writeString(dir.resolve("collection.json"), collectionJson(c))
     }
-    items.foreachPartition { part: Iterator[StacItem] =>
+    // A named serializable class, not a lambda: Spark's ClosureCleaner
+    // resolves indylambda capturing-class bytes via classloader resource
+    // lookup, which intermittently fails under repeated invocation on a
+    // plain-classpath JVM ("capturingClassReader is null"); a top-level
+    // Function1 class sidesteps that path entirely.
+    items.foreachPartition(new ItemPartitionWriter(root))
+  }
+
+  private final class ItemPartitionWriter(root: String)
+      extends (Iterator[StacItem] => Unit) with Serializable {
+    def apply(part: Iterator[StacItem]): Unit =
       part.foreach { it =>
         val dir = Paths.get(root, it.collection, it.id)
         Files.createDirectories(dir)
         Files.writeString(dir.resolve(s"${it.id}.json"), itemJson(it))
       }
-    }
   }
 
   /** Scan a written catalog tree back into a Dataset[StacItem] (S4). The
@@ -58,6 +67,7 @@ object StacJsonSink {
       .add("media_type", StringType).add("title", StringType)
       .add("roles", ArrayType(StringType)).add("checksum", StringType)
       .add("size", LongType)
+      .add("extra", MapType(StringType, StringType))
     val schema = new StructType()
       .add("id", StringType).add("collection", StringType)
       .add("geometry", StringType).add("bbox", ArrayType(DoubleType))
@@ -68,9 +78,44 @@ object StacJsonSink {
       .json(s"$root/*/*/*.json")
       .withColumn("assets", coalesce(col("assets"),
         array().cast(ArrayType(assetSchema))))
+      .withColumn("assets", transform(col("assets"), a =>
+        a.withField("extra",
+          coalesce(a.getField("extra"),
+            map().cast(MapType(StringType, StringType))))))
       .withColumn("properties", coalesce(col("properties"),
         map().cast(MapType(StringType, StringType))))
       .as[StacItem]
+  }
+
+  /** Scan the collection.json documents back into StacCollection rows —
+    * used by the incremental pipeline to merge extents (J1/A4) against a
+    * previously written catalog.
+    */
+  def readCollections(spark: SparkSession, root: String): Dataset[StacCollection] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("id", StringType).add("title", StringType)
+      .add("description", StringType).add("license", StringType)
+      .add("extent", new StructType()
+        .add("spatial", new StructType()
+          .add("bbox", ArrayType(ArrayType(DoubleType))))
+        .add("temporal", new StructType()
+          .add("interval", ArrayType(ArrayType(StringType)))))
+      .add("custom:hemisphere", StringType)
+    spark.read.schema(schema).option("multiLine", true)
+      .json(s"$root/*/collection.json")
+      .select(col("id"), col("title"), col("description"), col("license"),
+        element_at(col("extent.spatial.bbox"), 1).as("bbox"),
+        element_at(element_at(col("extent.temporal.interval"), 1), 1)
+          .as("temporal_start"),
+        element_at(element_at(col("extent.temporal.interval"), 1), 2)
+          .as("temporal_end"),
+        when(col("`custom:hemisphere`").isNotNull,
+          map(lit("custom:hemisphere"), col("`custom:hemisphere`")))
+          .otherwise(map().cast(MapType(StringType, StringType))).as("extra"))
+      .as[StacCollection]
   }
 
   private[sink] def catalogJson(c: StacCatalog): String = Json.obj(Seq(
@@ -118,6 +163,9 @@ object StacJsonSink {
     "title" -> Json.quote(a.title),
     "roles" -> a.roles.map(Json.quote).mkString("[", ",", "]"),
     "checksum" -> (if (a.checksum == null) "null" else Json.quote(a.checksum)),
-    "size" -> a.size.toString
+    "size" -> a.size.toString,
+    "extra" -> Json.obj(
+      Option(a.extra).getOrElse(Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> Json.quote(v) })
   ))
 }

@@ -45,16 +45,21 @@ object NetCdfSource {
         val xc = findCoord(names, XCandidates).orNull
         val yc = findCoord(names, YCandidates).orNull
         val crs = h.gatt("geospatial_bounds_crs").map(_.text).orNull
+        // lat_min may be stored as a char or numeric attr (ref
+        // utils.py:70 reads it unconditionally from attrs)
+        val latMin: java.lang.Double = h.gatt("geospatial_lat_min").flatMap { a =>
+          Option(a.text).flatMap(_.toDoubleOption).orElse(a.nums.headOption)
+        }.map(Double.box).orNull
         h.vars.map { v =>
           (path, v.name, v.dimIds.size,
             v.dimIds.map(h.dims(_).name).mkString(","),
             typeName(v.ncType), h.shape(v).product.toLong,
             v.attr("units").map(_.text).orNull, crs, xc, yc,
-            v.dimIds.size == 4)
+            v.dimIds.size == 4, latMin)
         }
       }
       .toDF("path", "variable", "ndim", "dims", "dtype", "n_values",
-        "units", "crs", "x_coord", "y_coord", "is_band")
+        "units", "crs", "x_coord", "y_coord", "is_band", "lat_min")
   }
 
   /** Tidy decode of the 4-D band variables: one row per (variable,
@@ -131,7 +136,8 @@ object NetCdfSource {
   * planted on a known stride to exercise valid_percent.
   */
 object NetCdfFixture {
-  def bytes(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3): Array[Byte] = {
+  def bytes(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3,
+            tStart: Double = 0.0): Array[Byte] = {
     def grid(f: (Int, Int, Int, Int) => Double): Array[Double] = {
       val a = new Array[Double](nt * ny * nx * nl)
       var i = 0
@@ -152,7 +158,7 @@ object NetCdfFixture {
         "source" -> "graft synthetic fixture"),
       vars = Seq(
         NetCdf.VarSpec("time", Seq("time"), Seq("units" -> "days since 2025-01-01"),
-          (0 until nt).map(_.toDouble).toArray),
+          (0 until nt).map(tStart + _).toArray),
         NetCdf.VarSpec("yc", Seq("yc"), Seq("units" -> "km"),
           (0 until ny).map(i => 100.0 + i).toArray),
         NetCdf.VarSpec("xc", Seq("xc"), Seq("units" -> "km"),
@@ -169,7 +175,9 @@ object NetCdfFixture {
   def writeFiles(dir: java.nio.file.Path, n: Int = 2): String = {
     java.nio.file.Files.createDirectories(dir)
     (0 until n).foreach { i =>
-      java.nio.file.Files.write(dir.resolve(f"forecast_$i%02d.nc"), bytes(nt = 1))
+      // distinct init date per file, like a daily forecast drop
+      java.nio.file.Files.write(dir.resolve(f"forecast_$i%02d.nc"),
+        bytes(nt = 1, tStart = i.toDouble))
     }
     s"$dir/*.nc"
   }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.pipeline.{ConfigMismatchException, Preprocess}
+import graft.sink.StacJsonSink
+import graft.source.{NetCdf, NetCdfFixture}
+
+/** End-to-end pipeline test: fixture .nc files → Preprocess.run → catalog
+  * tree + slices + thumbnails + enriched assets; idempotent re-run; config
+  * drift abort. (The reference has no end-to-end test — SURVEY §5 calls
+  * this layer out as the superset addition.)
+  */
+class PreprocessSpec extends SparkSpec {
+
+  private def freshRun(stacOnly: Boolean = false) = {
+    val work = Files.createTempDirectory("graft-pre")
+    val glob = NetCdfFixture.writeFiles(work.resolve("input"), n = 2)
+    val opts = Preprocess.Options(
+      name = "sic_north", dataPath = work.resolve("data").toString,
+      stacOnly = stacOnly)
+    (work, glob, opts)
+  }
+
+  test("full run: catalog tree, config, slices, thumbnails, enriched assets") {
+    val (work, glob, opts) = freshRun()
+    val res = Preprocess.run(spark, glob, opts)
+    // 2 files × 1 init each
+    assert(res.nItems === 2 && res.nSlices === 2)
+    assert(Files.exists(Paths.get(opts.dataPath, "config.json")))
+    assert(Files.exists(Paths.get(res.catalogRoot, "catalog.json")))
+    assert(Files.exists(Paths.get(res.catalogRoot, "sic_north", "collection.json")))
+
+    val items = StacJsonSink.readItems(spark, res.catalogRoot).collect()
+    assert(items.length === 2)
+    val it = items.head
+    assert(it.collection === "sic_north")
+    assert(it.properties("forecast:leadtime_length") === "3")
+    assert(it.properties("custom:hemisphere") === "north")
+    assert(it.id.startsWith("forecast_init_2025-01-01T00-00-00Z"))
+    // assets: 1 netcdf + 1 thumbnail + 3 per-leadtime cogs
+    assert(it.assets.length === 5)
+    val nc = it.assets.find(_.key == "netcdf").get
+    // E3 enrichment: the written slice was checksummed and sized
+    assert(nc.size > 0 && nc.checksum != null && nc.checksum.startsWith("d510"))
+    val cog = it.assets.find(_.key == "cog_lead_0").get
+    assert(cog.extra("forecast:bands").contains("sic_mean"))
+    assert(cog.extra("custom:valid_time") === "2025-01-01T00:00:00Z")
+    val thumb = it.assets.find(_.key == "thumbnail").get
+    assert(thumb.size > 0, "thumbnail written and enriched")
+
+    // the written slice is a valid classic netCDF our codec reads back
+    val sliceHref = nc.href.stripPrefix("./")
+    val sliceBytes = Files.readAllBytes(Paths.get(opts.dataPath, sliceHref))
+    val h = NetCdf.readHeader(sliceBytes)
+    assert(h.vars.map(_.name).contains("sic_mean"))
+    assert(h.dims.find(_.name == "leadtime").get.length === 3)
+    // geographic bbox from the LAEA transform, not raw projected meters
+    assert(it.bbox(1) > -90 && it.bbox(3) <= 90 && it.bbox(0) >= -180)
+  }
+
+  test("idempotent re-run: get-or-create adds nothing, slices skipped (P8)") {
+    val (_, glob, opts) = freshRun()
+    val first = Preprocess.run(spark, glob, opts)
+    val second = Preprocess.run(spark, glob, opts)
+    assert(second.nItems === first.nItems)   // existing wins (J2)
+    assert(second.nSlices === 0)             // skip-if-exists (P8)
+  }
+
+  test("config drift aborts the run before any work (J5)") {
+    val (_, glob, opts) = freshRun()
+    Preprocess.run(spark, glob, opts)
+    intercept[ConfigMismatchException] {
+      Preprocess.run(spark, glob, opts.copy(forecastFrequency = "6hours"))
+    }
+  }
+
+  test("stacOnly: catalog written, no netcdf/cog bytes, assets unenriched") {
+    val (_, glob, opts) = freshRun(stacOnly = true)
+    val res = Preprocess.run(spark, glob, opts)
+    assert(res.nSlices === 0)
+    assert(!Files.exists(Paths.get(opts.dataPath, "netcdf")))
+    val items = StacJsonSink.readItems(spark, res.catalogRoot).collect()
+    val nc = items.head.assets.find(_.key == "netcdf").get
+    assert(nc.size === -1 && nc.checksum == null)
+  }
+}

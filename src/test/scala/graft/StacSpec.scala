@@ -16,7 +16,8 @@ class StacSpec extends SparkSpec {
     datetime = f"2025-01-$day%02dT00:00:00Z",
     properties = Map("forecast:leadtime_length" -> "93", "custom:hemisphere" -> "north"),
     assets = Seq(StacAsset("data", s"./netcdf/$coll/$id.nc",
-      "application/x-netcdf", "Forecast data", Seq("data"), null, -1L)))
+      "application/x-netcdf", "Forecast data", Seq("data"), null, -1L,
+      Map("forecast:leadtime_length" -> "93"))))
 
   private def collection(id: String): StacCollection = StacCollection(
     id = id, title = id, description = s"$id collection", license = "CC-BY-4.0",

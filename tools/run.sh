@@ -16,5 +16,7 @@ exec java $ADDOPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -XX:ReservedCodeCacheSize=1g \
+  -XX:+UseCodeCacheFlushing \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLASS" "$@"
