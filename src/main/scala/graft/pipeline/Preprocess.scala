@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Geo, Scalars}
 import graft.model.{StacCatalog, StacCollection, StacItem}
 import graft.ops.StacOps
-import graft.sink.StacJsonSink
+import graft.sink.{CogWriter, StacJsonSink}
 import graft.source.{NetCdf, NetCdfSource}
 
 /** Entry point 1 — `envstacgen preprocess` re-expressed as one Spark
@@ -145,6 +145,10 @@ object Preprocess {
           sum(when(!isnan(col("v")), 1).otherwise(0)) * 100.0 / count(lit(1)))
           .as("valid_percent"))
 
+    // ---- K2 + P8: per-leadtime multiband COGs (ref generator.py:906-911)
+    if (!opts.stacOnly)
+      writeCogs(spark, tidy, inits, stats, step, unit, crs, opts)
+
     // ---- E1/E2: asset rows (netcdf + per-leadtime cog + thumbnail)
     val assets = assetRows(inits, stats, step, unit, opts)
 
@@ -275,6 +279,77 @@ object Preprocess {
             Files.createDirectories(p.getParent)
             val rows = rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
             Files.write(p, Thumbnail.jpeg(rows.toArray))
+          }
+        }
+      }
+  }
+
+  /** K2/P8: one multiband COG per (file, init, leadtime), all bands with
+    * their A2 statistics embedded as GDAL_METADATA STATISTICS_* items,
+    * DEFLATE tiles + overview pyramid (CogWriter). One task per COG via
+    * repartition on the output path; existence-skip unless overwrite.
+    * A slice (bands × y × x) must fit in task memory — the same contract
+    * the reference's per-leadtime worker has (generator.py:811-959).
+    */
+  private def writeCogs(spark: SparkSession, tidy: DataFrame, inits: DataFrame,
+                        stats: DataFrame, step: Double, unit: String,
+                        crs: String, opts: Options): Unit = {
+    val validTime = Scalars.calendarAdd(col("ref_time"), lit(unit),
+      col("leadtime_idx") * step)
+    val targets = stats.select(col("path"), col("time_idx"), col("leadtime_idx"))
+      .distinct()
+      .join(inits, Seq("path", "time_idx"))
+      .withColumn("valid_time", validTime)
+      .select(col("path"), col("time_idx"), col("leadtime_idx"),
+        concat(lit(s"${opts.dataPath}/cogs/${opts.name}/"), col("date_str"),
+          lit("/"), Scalars.cogItemId(col("item_id"), col("valid_time")),
+          lit(".tif")).as("out_path"))
+    val statsByBand = stats.select(col("path"), col("time_idx"),
+      col("leadtime_idx"), col("variable"), col("stat_min"), col("stat_max"),
+      col("stat_mean"), col("stat_stddev"), col("valid_percent"))
+    val rows = tidy
+      .join(targets, Seq("path", "time_idx", "leadtime_idx"))
+      .select(col("out_path"), col("variable"), col("y_idx"), col("y"),
+        col("xs"), col("values"))
+      .join(statsByBand
+        .join(targets, Seq("path", "time_idx", "leadtime_idx"))
+        .select(col("out_path"), col("variable"), col("stat_min"),
+          col("stat_max"), col("stat_mean"), col("stat_stddev"),
+          col("valid_percent")),
+        Seq("out_path", "variable"))
+    val overwrite = opts.overwrite
+    val epsg = "\\d+".r.findFirstIn(crs).map(_.toInt).getOrElse(0)
+    rows.repartition(col("out_path"))
+      .foreachPartition { part: Iterator[org.apache.spark.sql.Row] =>
+        part.toSeq.groupBy(_.getString(0)).foreach { case (outPath, rs) =>
+          val p = Paths.get(outPath)
+          if (!Files.exists(p) || overwrite) {
+            Files.createDirectories(p.getParent)
+            val xs = rs.head.getSeq[Double](4)
+            val ys = rs.map(r => r.getInt(2) -> r.getDouble(3)).distinct
+              .sortBy(_._1).map(_._2)
+            val pixel = if (xs.length > 1) math.abs(xs(1) - xs(0)) else 1.0
+            val bands = rs.groupBy(_.getString(1)).toSeq.sortBy(_._1).map {
+              case (vname, vrows) =>
+                val grid = Array.ofDim[Double](ys.length, xs.length)
+                vrows.foreach { r =>
+                  val y = r.getInt(2)
+                  val vals = r.getSeq[Double](5)
+                  var x = 0
+                  while (x < xs.length) { grid(y)(x) = vals(x); x += 1 }
+                }
+                val s = vrows.head
+                def stat(i: Int) = if (s.isNullAt(i)) Double.NaN else s.getDouble(i)
+                CogWriter.Band(vname, Map(
+                  "STATISTICS_MINIMUM" -> stat(6),
+                  "STATISTICS_MAXIMUM" -> stat(7),
+                  "STATISTICS_MEAN" -> stat(8),
+                  "STATISTICS_STDDEV" -> stat(9),
+                  "STATISTICS_VALID_PERCENT" -> stat(10))) -> grid
+            }
+            Files.write(p, CogWriter.write(bands, CogWriter.Options(
+              compress = true, epsg = epsg, pixelScale = (pixel, pixel),
+              origin = (xs.min, ys.max))))
           }
         }
       }

@@ -47,6 +47,15 @@ class PreprocessSpec extends SparkSpec {
     assert(cog.extra("custom:valid_time") === "2025-01-01T00:00:00Z")
     val thumb = it.assets.find(_.key == "thumbnail").get
     assert(thumb.size > 0, "thumbnail written and enriched")
+    // K2: the per-leadtime COGs were written, enriched, and parse back
+    assert(cog.size > 0 && cog.checksum != null)
+    val cogBytes = Files.readAllBytes(
+      Paths.get(opts.dataPath, cog.href.stripPrefix("./")))
+    val tiff = graft.source.CogReader.read(cogBytes)
+    assert(tiff.dtype === "float64")
+    assert(tiff.pages.head.nBands === 2)
+    assert(tiff.pages.head.epsg === Some(6931))
+    assert(tiff.pages.head.gdalMetadata.get.contains("STATISTICS_MEAN"))
 
     // the written slice is a valid classic netCDF our codec reads back
     val sliceHref = nc.href.stripPrefix("./")
