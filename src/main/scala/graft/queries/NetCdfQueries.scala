@@ -65,5 +65,28 @@ object NetCdfQueries {
         element_at(col("properties"), "custom:hemisphere").as("hemisphere"))
   }
 
-  val all: Seq[QueryDef] = Seq(manifest, bandStats, preprocessE2e)
+  /** S9/J3/J4/K6 — ingest of a preprocess-produced catalog against the
+    * dry-run pgSTAC client, pre-seeded so half the entities already
+    * "exist": returns the load/skip accounting the reference logs
+    * (dataloader.py:138-156).
+    */
+  val ingestDryRun = QueryDef.rowsOnly("q48_ingest_dry_run") { (s, _) =>
+    import s.implicits._
+    val work = Files.createTempDirectory("graft-ing-q")
+    val glob = graft.source.NetCdfFixture.writeFiles(work.resolve("input"), n = 2)
+    val res = graft.pipeline.Preprocess.run(s, glob,
+      graft.pipeline.Preprocess.Options(
+        name = "sic_north", dataPath = work.resolve("data").toString,
+        stacOnly = true))
+    val existingItem = graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
+      .collect().map(it => (it.collection, it.id)).sorted.take(1).toSet
+    val ing = graft.pipeline.Ingest.run(s, res.catalogRoot,
+      new graft.pipeline.Ingest.DryRunClient(Set.empty, existingItem))
+    Seq((ing.collectionsLoaded, ing.itemsLoaded, ing.collectionsSkipped,
+      ing.itemsSkipped)).toDF(
+      "collections_loaded", "items_loaded", "collections_skipped",
+      "items_skipped")
+  }
+
+  val all: Seq[QueryDef] = Seq(manifest, bandStats, preprocessE2e, ingestDryRun)
 }

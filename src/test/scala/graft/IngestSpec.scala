@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import graft.model.{StacAsset, StacCatalog, StacCollection, StacItem}
+import graft.pipeline.Ingest
+import graft.sink.StacJsonSink
+import graft.source.ZarrProbe
+
+/** S9/J3/J4/K6 — ingest semantics against an in-memory pgSTAC client
+  * (no database in this environment; the contract under test is key
+  * fetching, skip logic, FK ordering, and the exact SQL), plus the S7
+  * zarr probe.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+
+  private def writeCatalog(): String = {
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val items = Seq("i1", "i2", "i3").map { id =>
+      StacItem(id, "c1", """{"type": "Polygon", "coordinates": []}""",
+        Seq(0.0, 0.0, 1.0, 1.0), "2025-01-01T00:00:00Z",
+        Map("forecast:leadtime_length" -> "3"),
+        Seq(StacAsset("data", s"./x/$id.nc", "application/x-netcdf", "t",
+          Seq("data"), null, -1L, Map.empty)))
+    }
+    StacJsonSink.write(root, StacCatalog("cat", "d", Seq("c1")),
+      Seq(StacCollection("c1", "c1", "d", "CC-BY-4.0",
+        Seq(0.0, 0.0, 1.0, 1.0), "2025-01-01T00:00:00Z",
+        "2025-01-03T00:00:00Z", Map.empty)),
+      items.toDS())
+    root
+  }
+
+  test("J3 skip-existing: present collections and items are not reloaded") {
+    val root = writeCatalog()
+    val client = new FakeClient(colls = Set("c1"),
+      items = Set(("c1", "i1"), ("c1", "i3"))); FakeClient.reset()
+    val res = Ingest.run(spark, root, client)
+    assert(res.collectionsLoaded === 0 && res.collectionsSkipped === 1)
+    assert(res.itemsLoaded === 1 && res.itemsSkipped === 2)
+    val stmts = client.all
+    assert(stmts.count(_.startsWith("INSERT INTO items")) === 1)
+    assert(stmts.exists(_.contains("'i2'")))
+  }
+
+  test("J4 overwrite: everything loads with ON CONFLICT DO UPDATE") {
+    val root = writeCatalog()
+    val client = new FakeClient(colls = Set("c1"), items = Set(("c1", "i1")))
+    FakeClient.reset()
+    val res = Ingest.run(spark, root, client, overwrite = true)
+    assert(res.collectionsLoaded === 1 && res.itemsLoaded === 3)
+    assert(client.all.forall(_.contains("DO UPDATE SET content")))
+  }
+
+  test("K6 FK order: collections batch executes before any item batch") {
+    val root = writeCatalog()
+    val client = new FakeClient(); FakeClient.reset()
+    Ingest.run(spark, root, client)
+    val kinds = client.all.map(s =>
+      if (s.startsWith("INSERT INTO collections")) "c" else "i")
+    assert(kinds.head === "c")
+    assert(kinds.dropWhile(_ == "c").forall(_ == "i"))
+  }
+
+  test("SQL escaping: single quotes in values are doubled") {
+    assert(Ingest.sqlQuote("o'brien") === "'o''brien'")
+    val it = StacItem("id'1", "c", "{}", Seq(0.0), "2025-01-01T00:00:00Z",
+      Map.empty, Seq.empty)
+    assert(Ingest.itemSql(it, overwrite = false).contains("'id''1'"))
+  }
+
+  test("S7 zarr probe: dtype from .zarray, recursive size sum") {
+    val store = Files.createTempDirectory("graft-zarr")
+    Files.createDirectories(store.resolve("var"))
+    Files.writeString(store.resolve("var/.zarray"),
+      """{"dtype": "<f8", "shape": [4, 4], "chunks": [2, 2]}""")
+    Files.write(store.resolve("var/0.0"), new Array[Byte](32))
+    Files.write(store.resolve("var/0.1"), new Array[Byte](32))
+    val info = ZarrProbe.probe(store).get
+    assert(info.dataType === "float64" && info.bitDepth === 64)
+    assert(info.byteOrder === "little-endian")
+    assert(info.totalSize > 64) // chunks + .zarray json
+    assert(ZarrProbe.parseDtype(">i4") === (("int32", 32, "big-endian")))
+    assert(ZarrProbe.probe(store.resolve("nope")).isEmpty)
+  }
+}
+
+/** Top-level (serializable, no suite capture); executed statements land
+  * in a JVM-static buffer — valid in local mode where executor tasks
+  * share the JVM.
+  */
+class FakeClient(colls: Set[String] = Set.empty,
+                 items: Set[(String, String)] = Set.empty)
+    extends Ingest.PgStacClient {
+  def existingCollectionIds(): Set[String] = colls
+  def existingItemKeys(): Set[(String, String)] = items
+  def execBatch(statements: Seq[String]): Unit =
+    statements.foreach(FakeClient.executed.add)
+  def all: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    FakeClient.executed.iterator().asScala.toSeq
+  }
+}
+
+object FakeClient {
+  val executed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = executed.clear()
+}
