@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: media travels as an
+  * opaque `binary` column with typed metadata alongside; decode /
+  * feature-extract / resize / frame-sample run inside `mapPartitions`
+  * over the binary payload (the Scala analogue of mapInPandas — one
+  * JVM-side pass per batch of rows, no per-row driver involvement).
+  *
+  * What's real vs stubbed in this environment:
+  *  - IMAGE decode/resize/features: REAL — JPEG/PNG via javax.imageio
+  *    (in the JDK), resize via Graphics2D, features are luminance
+  *    histograms + mean intensity.
+  *  - VIDEO frame-sample and AUDIO features: the container has no
+  *    codecs, so the decode step is a clearly-marked deterministic stub
+  *    (byte-hash-derived values with the REAL schema, partitioning and
+  *    batch shape) — swap `stubFrame`/`stubAudioFeatures` for a codec
+  *    call on a real cluster.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("kind", StringType)          // image | video | audio
+    .add("media_type", StringType)    // mime
+    .add("content", BinaryType)
+    .add("meta", MapType(StringType, StringType))
+
+  val imageFeatureSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("mean_intensity", DoubleType)
+    .add("histogram", ArrayType(LongType)) // 16-bin luminance
+
+  /** REAL image decode + feature extraction: one pass per partition,
+    * decoding each binary payload once and emitting typed features.
+    */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("content"))
+      .mapPartitions { part =>
+        part.flatMap { r =>
+          val id = r.getLong(0)
+          val img = ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) None
+          else {
+            val hist = new Array[Long](16)
+            var sum = 0.0
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              hist(lum / 16) += 1
+              sum += lum
+            }
+            Some(Row(id, img.getWidth, img.getHeight,
+              sum / (img.getWidth * img.getHeight), hist.toSeq))
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL image resize: binary → binary, same mapPartitions shape. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      new StructType().add("media_id", LongType).add("content", BinaryType))
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("content"))
+      .mapPartitions { part =>
+        part.flatMap { r =>
+          val img = ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null) None
+          else {
+            val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH),
+              0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(out, "jpg", bos)
+            Some(Row(r.getLong(0), bos.toByteArray))
+          }
+        }
+      }(enc)
+  }
+
+  /** Video frame sampling — STUB decode (no codecs in this container):
+    * emits `nFrames` rows per video with the real output schema
+    * (media_id, frame_idx, ts_ms, frame binary); the frame bytes are a
+    * deterministic digest of (content, frame_idx) standing in for the
+    * decoded frame. Replace the body of `stubFrame` with a codec call.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      new StructType().add("media_id", LongType).add("frame_idx", IntegerType)
+        .add("ts_ms", LongType).add("frame", BinaryType))
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("content"),
+        element_at(col("meta"), "duration_ms").cast("long").as("dur"))
+      .mapPartitions { part =>
+        part.flatMap { r =>
+          val (id, content) = (r.getLong(0), r.getAs[Array[Byte]](1))
+          val dur = if (r.isNullAt(2)) 1000L else r.getLong(2)
+          (0 until nFrames).iterator.map { i =>
+            Row(id, i, dur * i / math.max(nFrames - 1, 1), stubFrame(content, i))
+          }
+        }
+      }(enc)
+  }
+
+  /** ??? — codec decode goes here; deterministic stand-in for now. */
+  private def stubFrame(content: Array[Byte], idx: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(content ++ BigInt(idx).toByteArray)
+
+  /** Audio feature extraction — STUB decode: real schema (media_id,
+    * duration_ms from metadata, rms/zero-crossing stand-ins derived
+    * deterministically from the payload bytes).
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      new StructType().add("media_id", LongType).add("duration_ms", LongType)
+        .add("rms", DoubleType).add("zero_crossings", LongType))
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("content"),
+        element_at(col("meta"), "duration_ms").cast("long").as("dur"))
+      .mapPartitions { part =>
+        part.map { r =>
+          val content = r.getAs[Array[Byte]](1)
+          // ??? — PCM decode goes here; byte-level stand-ins for now
+          val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
+            .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
+          val zc = content.sliding(2).count(p =>
+            p.length == 2 && ((p(0) < 0) != (p(1) < 0)))
+          Row(r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2), rms, zc.toLong)
+        }
+      }(enc)
+  }
+}

@@ -8,5 +8,5 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all ++
-      StacQueries.all ++ NetCdfQueries.all
+      StacQueries.all ++ NetCdfQueries.all ++ MultimodalQueries.all
 }

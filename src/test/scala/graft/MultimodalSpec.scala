@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.multimodal.Multimodal
+import graft.pipeline.Thumbnail
+
+/** Multimodal plumbing: real JPEG decode/resize/features through the
+  * binary-column mapPartitions path; deterministic stubs for video/audio
+  * keep schema + batch shape honest.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def mediaDf = {
+    // real JPEGs produced by the pipeline's own encoder
+    def jpeg(seed: Int) = Thumbnail.jpeg(
+      Array.tabulate(24, 24)((y, x) => (y * 24 + x + seed).toDouble))
+    val rows = Seq(
+      Row(1L, "image", "image/jpeg", jpeg(0), Map("source" -> "thumb")),
+      Row(2L, "image", "image/jpeg", jpeg(100), Map("source" -> "thumb")),
+      Row(3L, "video", "video/mp4", Array.fill[Byte](256)(7),
+        Map("duration_ms" -> "4000")),
+      Row(4L, "audio", "audio/wav", Array.tabulate[Byte](128)(i => (i - 64).toByte),
+        Map("duration_ms" -> "2000")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("image features: real JPEG decode, dims + luminance histogram") {
+    val f = Multimodal.imageFeatures(mediaDf).collect().sortBy(_.getLong(0))
+    assert(f.length === 2)
+    assert(f(0).getInt(1) === 24 && f(0).getInt(2) === 24)
+    val hist = f(0).getSeq[Long](4)
+    assert(hist.length === 16 && hist.sum === 24 * 24)
+    assert(f(0).getDouble(3) > 0 && f(0).getDouble(3) < 255)
+  }
+
+  test("image resize: binary->binary, output decodes at the target size") {
+    val resized = Multimodal.resizeImages(mediaDf, 8, 8).collect()
+    assert(resized.length === 2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.head.getAs[Array[Byte]](1)))
+    assert(img.getWidth === 8 && img.getHeight === 8)
+  }
+
+  test("video frame sampling: n frames, timestamps spread over duration, deterministic") {
+    val frames = Multimodal.sampleFrames(mediaDf, 5).collect()
+      .sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.length === 5)
+    assert(frames.map(_.getLong(2)).toSeq === Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    val again = Multimodal.sampleFrames(mediaDf, 5).collect()
+      .sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.zip(again).forall { case (a, b) =>
+      a.getAs[Array[Byte]](3).sameElements(b.getAs[Array[Byte]](3)) })
+  }
+
+  test("audio features: schema + deterministic stand-in values") {
+    val f = Multimodal.audioFeatures(mediaDf).collect()
+    assert(f.length === 1)
+    assert(f.head.getLong(1) === 2000L)
+    assert(f.head.getDouble(2) > 0)
+  }
+}
