@@ -26,7 +26,10 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  import graft.functions.VectorOps.{dotUdf => dot, planeMatrix}
+  // native codegen expression (DotProductExpr) — same left-fold double
+  // semantics as VectorOps.dotUdf and the oracle's list_sum
+  import graft.functions.DotProductExpr.dot
+  import graft.functions.VectorOps.planeMatrix
 
   private def toDouble(emb: Column): Column =
     transform(emb, x => x.cast("double"))
