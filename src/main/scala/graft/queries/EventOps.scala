@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.SkewJoin
+
+/** Event-stream batch operators over `events.parquet` + the salted-join
+  * skew recipe — the batch twins of the streaming surface, each with a
+  * DuckDB oracle.
+  *
+  * `ts` is INT64 nanos (read as long under nanosAsLong); window
+  * bucketing converts via micros truncation exactly like DuckDB's
+  * TIMESTAMP_NS → TIMESTAMP cast, and session-gap arithmetic stays in
+  * raw nanos so no float/timestamp conversion can drift.
+  */
+object EventOps {
+
+  /** Tumbling event-time windows (the batch form of
+    * streaming.EventStream.windowedCounts). Sum over DECIMAL so the
+    * aggregation is exact in both engines regardless of partial-agg
+    * order (double sums are order-sensitive).
+    */
+  val eventWindows = QueryDef("q50_event_windows",
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n,
+      |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val eventTime = timestamp_micros(expr("ts div 1000"))
+    Tables.events(s, d)
+      .select(window(eventTime, "1 hour")("start").as("window_start"),
+        col("event_type"), col("value"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+  }
+
+  /** Sessionization (gaps-and-islands): a >30-minute silence starts a
+    * new session per user; per-session event count and duration. Gap
+    * math in raw nanos — integer-exact in both engines.
+    */
+  val sessionize = QueryDef("q51_sessionize",
+    """WITH base AS (
+      |  SELECT user_id, epoch_ns(CAST(ts AS TIMESTAMP_NS)) AS ts, event_id
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - lag(ts) OVER w > 1800000000000 OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  (max(ts) - min(ts)) // 1000000 AS duration_ms
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNs ||
+          lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+    flagged
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // integer division in BOTH engines: double-divide-then-cast would
+        // round vs truncate differently across them
+        expr("(max(ts) - min(ts)) div 1000000").as("duration_ms"))
+  }
+
+  /** Salted skew join: result must equal the plain join (the oracle IS
+    * the plain join) while the physical plan spreads each orderkey over
+    * 8 shards — the hot-key recipe for 100 TB fact-fact joins.
+    */
+  val saltedJoin = QueryDef("q52_salted_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val joined = SkewJoin.saltedJoin(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      key = "o_orderkey", shards = 8)
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"))
+  }
+
+  val all: Seq[QueryDef] = Seq(eventWindows, sessionize, saltedJoin)
+}

@@ -8,5 +8,6 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all ++
-      StacQueries.all ++ NetCdfQueries.all ++ MultimodalQueries.all
+      StacQueries.all ++ NetCdfQueries.all ++ MultimodalQueries.all ++
+      EventOps.all
 }
