@@ -20,7 +20,12 @@ object StacOps {
                        candidates: Dataset[StacItem]): Dataset[StacItem] = {
     import candidates.sparkSession.implicits._
     candidates.join(existing.select("collection", "id"),
-      Seq("collection", "id"), "left_anti").as[StacItem]
+      Seq("collection", "id"), "left_anti")
+      // the join moves its keys to the front; restore the canonical
+      // field order so positional ops (union) downstream stay correct
+      .select("id", "collection", "geometry", "bbox", "datetime",
+        "properties", "assets")
+      .as[StacItem]
   }
 
   /** J1 + A4 — get-or-create collections with temporal-extent merge (ref

@@ -163,7 +163,11 @@ object Preprocess {
       if (Files.exists(Paths.get(catalogRoot, "catalog.json")))
         StacJsonSink.readItems(spark, catalogRoot)
       else spark.emptyDataset[StacItem]
-    val toWrite = StacOps.getOrCreateItems(existing, items).unionAll(existing)
+    // unionByName, never positional union: the two sides originate from
+    // different plans (join output vs JSON scan) whose column orders are
+    // not guaranteed to agree
+    val toWrite = StacOps.getOrCreateItems(existing, items)
+      .unionByName(existing)
 
     // ---- J1/A4: collection merge, then K4 catalog write
     val extent = inits.agg(

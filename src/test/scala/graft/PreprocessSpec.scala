@@ -70,9 +70,16 @@ class PreprocessSpec extends SparkSpec {
   test("idempotent re-run: get-or-create adds nothing, slices skipped (P8)") {
     val (_, glob, opts) = freshRun()
     val first = Preprocess.run(spark, glob, opts)
+    val firstItems = StacJsonSink.readItems(spark, first.catalogRoot)
+      .collect().map(it => (it.collection, it.id)).sorted
     val second = Preprocess.run(spark, glob, opts)
     assert(second.nItems === first.nItems)   // existing wins (J2)
     assert(second.nSlices === 0)             // skip-if-exists (P8)
+    // regression: a positional union once swapped id<->collection for
+    // re-read items — the catalog must be BYTE-identical in keys
+    val secondItems = StacJsonSink.readItems(spark, second.catalogRoot)
+      .collect().map(it => (it.collection, it.id)).sorted
+    assert(secondItems === firstItems)
   }
 
   test("config drift aborts the run before any work (J5)") {
