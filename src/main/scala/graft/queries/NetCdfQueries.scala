@@ -52,7 +52,9 @@ object NetCdfQueries {
     * valid_percent floored to 2dp (ref utils.py:213-259).
     */
   val bandStats = QueryDef.rowsOnly("q46_netcdf_band_stats") { (s, _) =>
-    val tidy = NetCdfSource.tidy(s, fixtureGlob())
+    // through the DataSource V2 format (same tidy schema as
+    // NetCdfSource.tidy; NetCdfV2Spec pins parity between the two paths)
+    val tidy = s.read.format("netcdf").load(fixtureGlob())
     val cell = tidy.select(
       regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
       col("variable"), col("time_idx"), col("leadtime_idx"),

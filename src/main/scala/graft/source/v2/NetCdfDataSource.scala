@@ -1,0 +1,181 @@
+package graft.source.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.source.{NetCdf, NetCdfSource}
+
+/** DataSource V2 NetCDF source: `spark.read.format("netcdf").load(glob)`
+  * (S1 as a first-class format, SURVEY §4.1's upgrade path from the
+  * mapPartitions decode).
+  *
+  * Planning: one input partition per file (the natural parallel unit —
+  * a directory of daily forecast drops fans out one task per file).
+  * Pushdown: SupportsPushDownRequiredColumns — when neither payload
+  * column (`values`, `xs`) is required, the reader decodes the HEADER
+  * ONLY and never touches the grid bytes, so metadata-shaped queries
+  * (variable lists, coord resolution, counts) cost O(header) per file
+  * exactly like the reference's metadata-only first pass
+  * (get_forecast_info). Files are read through the Hadoop FileSystem
+  * API, so the same source works on HDFS/object stores.
+  */
+final class NetCdfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "netcdf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetCdfDataSource.TidySchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NetCdfTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object NetCdfDataSource {
+  /** The tidy scanline schema (SURVEY §1.4). */
+  val TidySchema: StructType = new StructType()
+    .add("path", StringType).add("variable", StringType)
+    .add("time_idx", IntegerType).add("time", DoubleType)
+    .add("leadtime_idx", IntegerType).add("leadtime", DoubleType)
+    .add("y_idx", IntegerType).add("y", DoubleType)
+    .add("xs", ArrayType(DoubleType)).add("values", ArrayType(DoubleType))
+
+  def resolvePaths(props: Map[String, String]): Seq[String] = {
+    val raw = props.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .orElse(props.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("netcdf: no path given"))
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    raw.flatMap { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isFile).map(_.getPath.toString)
+    }.sorted
+  }
+}
+
+private[v2] final class NetCdfTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"netcdf(${props.getOrElse("path", "…")})"
+  override def schema(): StructType = NetCdfDataSource.TidySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetCdfScanBuilder(props)
+}
+
+private[v2] final class NetCdfScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = NetCdfDataSource.TidySchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new NetCdfScan(props, required)
+}
+
+private[v2] final class NetCdfScan(props: Map[String, String],
+                                   required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"netcdf scan, columns=[${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    NetCdfDataSource.resolvePaths(props)
+      .map(p => NetCdfInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetCdfReaderFactory(required.fieldNames)
+}
+
+private[v2] final case class NetCdfInputPartition(path: String)
+    extends InputPartition
+
+private[v2] final class NetCdfReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NetCdfPartitionReader(
+      partition.asInstanceOf[NetCdfInputPartition].path, requiredCols)
+}
+
+private[v2] final class NetCdfPartitionReader(path: String,
+                                              requiredCols: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needPayload =
+    requiredCols.contains("values") || requiredCols.contains("xs")
+
+  private val rows: Iterator[InternalRow] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hp = new HPath(path)
+    val fs = FileSystem.get(hp.toUri, conf)
+    val in = fs.open(hp)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(hp).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    if (needPayload) {
+      NetCdfSource.decodeTidy(path, bytes).map(project)
+    } else {
+      // header-only fast path: the grid payload is never decoded
+      headerRows(bytes).map(project)
+    }
+  }
+
+  /** Header-only row stream: same row grain as the full decode, but all
+    * values come from coords/shape — no payload read.
+    */
+  private def headerRows(bytes: Array[Byte]) = {
+    val h = NetCdf.readHeader(bytes)
+    val names = h.vars.map(_.name)
+    def coord(cands: Seq[String]): Array[Double] = {
+      val n = NetCdfSource.findCoord(names, cands).getOrElse(
+        throw new IllegalArgumentException(s"no coord among $cands in $path"))
+      NetCdf.readVariable(bytes, h, h.vars.find(_.name == n).get)
+    }
+    val yName = NetCdfSource.findCoord(names, NetCdfSource.YCandidates).get
+    val yUnits = h.vars.find(_.name == yName).flatMap(_.attr("units"))
+      .map(_.text).getOrElse("")
+    val yScale = if (yUnits == "km" || yUnits == "1000 meter") 1000.0 else 1.0
+    val (ts, ls, ys) =
+      (coord(NetCdfSource.TimeCandidates), coord(NetCdfSource.LeadCandidates),
+        coord(NetCdfSource.YCandidates).map(_ * yScale))
+    for {
+      v <- h.vars.filter(_.dimIds.size == 4).iterator
+      t <- ts.indices.iterator
+      l <- ls.indices.iterator
+      y <- ys.indices.iterator
+    } yield (path, v.name, t, ts(t), l, ls(l), y, ys(y), null, null)
+  }
+
+  private def project(t: (String, String, Int, Double, Int, Double, Int,
+                          Double, Array[Double], Array[Double])): InternalRow = {
+    val full: Map[String, Any] = Map(
+      "path" -> UTF8String.fromString(t._1),
+      "variable" -> UTF8String.fromString(t._2),
+      "time_idx" -> t._3, "time" -> t._4,
+      "leadtime_idx" -> t._5, "leadtime" -> t._6,
+      "y_idx" -> t._7, "y" -> t._8,
+      "xs" -> Option(t._9)
+        .map(a => org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a))
+        .orNull,
+      "values" -> Option(t._10)
+        .map(a => org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a))
+        .orNull)
+    InternalRow.fromSeq(requiredCols.toSeq.map(full))
+  }
+
+  override def next(): Boolean = rows.hasNext
+  override def get(): InternalRow = rows.next()
+  override def close(): Unit = ()
+}
