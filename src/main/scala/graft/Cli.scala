@@ -1,0 +1,97 @@
+package graft
+
+import graft.pipeline.{EnvConfig, Ingest, Preprocess}
+
+/** CLI facade mirroring the reference's `envstacgen` command surface
+  * (ref cli.py:13-66) so a user of the reference can switch 1:1:
+  *
+  *   graft.Cli preprocess <input...> --name <collection> \
+  *     [--data-path D] [--forecast-frequency 1days] [--workers N] \
+  *     [--no-compress] [--overwrite] [--stac-only]
+  *   graft.Cli ingest [--catalog PATH] [--overwrite] [--dry-run]
+  *
+  * Quirk preserved (SURVEY §7.4.8): `--no-compress` mirrors the
+  * reference's `-c` flag whose DEFAULT leaves DEFLATE ON and whose
+  * presence turns compression OFF — the observable behavior, not the
+  * reference's inverted variable naming. `--workers` is accepted for
+  * interface parity but maps to Spark's own task parallelism (the
+  * process pool it tuned does not exist here). Ingest resolves DB
+  * settings exactly like the reference: `.env` discovery + environment,
+  * fail-fast on missing POSTGRES_* variables (unless --dry-run).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    try args.headOption match {
+      case Some("preprocess") => preprocess(spark, args.drop(1))
+      case Some("ingest") => ingest(spark, args.drop(1))
+      case other =>
+        System.err.println(s"unknown command: ${other.getOrElse("<none>")}; " +
+          "expected preprocess | ingest")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def preprocess(spark: org.apache.spark.sql.SparkSession,
+                         args: Array[String]): Unit = {
+    val (flags, positional) = parse(args)
+    require(positional.nonEmpty, "preprocess: no input locations given")
+    val inputs = graft.source.Discovery.resolve(positional)
+    // compress default ON; --no-compress turns DEFLATE off (cli.py:30-35,
+    // generator.py:620 - behavior preserved, naming inversion not)
+    val compress = !flags.contains("no-compress")
+    val opts = Preprocess.Options(
+      name = flags.getOrElse("name",
+        sys.error("preprocess: --name <collection> is required")),
+      dataPath = flags.getOrElse("data-path", "data"),
+      catalogName = flags.getOrElse("catalog-name", "catalog"),
+      forecastFrequency = flags.getOrElse("forecast-frequency", "1days"),
+      fileServerUrl = EnvConfig.load().get("FILE_SERVER_URL"),
+      stacOnly = flags.contains("stac-only"),
+      overwrite = flags.contains("overwrite"),
+      compress = compress)
+    val glob = inputs.map(_.toString)
+    val res = Preprocess.run(spark, glob.mkString(","), opts)
+    println(s"preprocess: ${res.nItems} item(s), ${res.nSlices} slice(s) " +
+      s"written, catalog at ${res.catalogRoot} " +
+      s"(compression ${if (compress) "DEFLATE" else "NONE"})")
+  }
+
+  private def ingest(spark: org.apache.spark.sql.SparkSession,
+                     args: Array[String]): Unit = {
+    val (flags, _) = parse(args)
+    val catalogRoot = flags.getOrElse("catalog", "data/stac/catalog")
+    val overwrite = flags.contains("overwrite")
+    val client =
+      if (flags.contains("dry-run"))
+        new Ingest.DryRunClient(Set.empty, Set.empty)
+      else {
+        val dsn = EnvConfig.pgDsn(EnvConfig.load()) // fail-fast (ingest.py:37-55)
+        new Ingest.JdbcPgStacClient(s"jdbc:$dsn")
+      }
+    val res = Ingest.run(spark, catalogRoot, client, overwrite)
+    println(s"ingest: ${res.collectionsLoaded} collection(s) + " +
+      s"${res.itemsLoaded} item(s) loaded; " +
+      s"${res.collectionsSkipped}/${res.itemsSkipped} skipped")
+  }
+
+  /** `--flag value` / `--flag` / positional split; boolean flags are the
+    * ones whose next token is absent or another flag.
+    */
+  private[graft] def parse(args: Array[String]): (Map[String, String], Seq[String]) = {
+    val flags = scala.collection.mutable.Map[String, String]()
+    val positional = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          flags(key) = args(i + 1); i += 2
+        } else { flags(key) = "true"; i += 1 }
+      } else { positional += a; i += 1 }
+    }
+    (flags.toMap, positional.toSeq)
+  }
+}

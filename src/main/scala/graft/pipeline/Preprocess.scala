@@ -38,7 +38,8 @@ object Preprocess {
       license: String = "CC-BY-4.0",
       fileServerUrl: Option[String] = None,
       stacOnly: Boolean = false,
-      overwrite: Boolean = false)
+      overwrite: Boolean = false,
+      compress: Boolean = true)   // DEFLATE default on (ref generator.py:620)
 
   final case class Result(catalogRoot: String, nItems: Long, nSlices: Long)
 
@@ -322,6 +323,7 @@ object Preprocess {
           col("valid_percent")),
         Seq("out_path", "variable"))
     val overwrite = opts.overwrite
+    val compressOn = opts.compress
     val epsg = "\\d+".r.findFirstIn(crs).map(_.toInt).getOrElse(0)
     rows.repartition(col("out_path"))
       .foreachPartition { part: Iterator[org.apache.spark.sql.Row] =>
@@ -352,7 +354,7 @@ object Preprocess {
                   "STATISTICS_VALID_PERCENT" -> stat(10))) -> grid
             }
             Files.write(p, CogWriter.write(bands, CogWriter.Options(
-              compress = true, epsg = epsg, pixelScale = (pixel, pixel),
+              compress = compressOn, epsg = epsg, pixelScale = (pixel, pixel),
               origin = (xs.min, ys.max))))
           }
         }

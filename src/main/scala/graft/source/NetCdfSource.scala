@@ -36,7 +36,7 @@ object NetCdfSource {
     */
   def manifest(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
+    spark.read.format("binaryFile").load(glob.split(","): _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -69,7 +69,7 @@ object NetCdfSource {
     */
   def tidy(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
+    spark.read.format("binaryFile").load(glob.split(","): _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) => decodeTidy(path, bytes) }
