@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must pass through verbatim: the default LoggedOutput
+// prefixes every line with [info]/[error], which corrupts Bench's
+// one-line JSON contract ("[info] {...}" is not parseable JSON — BENCH_r02
+// and r03 both recorded parsed:null because of this).
+run / connectInput := true
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

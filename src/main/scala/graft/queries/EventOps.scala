@@ -24,15 +24,23 @@ object EventOps {
   val eventWindows = QueryDef("q50_event_windows",
     """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
       |  event_type, count(*) AS n,
-      |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val eventTime = timestamp_micros(expr("ts div 1000"))
     Tables.events(s, d)
-      .select(window(eventTime, "1 hour")("start").as("window_start"),
+      // cast to NTZ: the bare window start writes parquet timestamp[ns]
+      // (UTC-adjusted), while DuckDB's time_bucket is a naive µs
+      // timestamp — NTZ lands both sides on identical timestamp[us]
+      .select(window(eventTime, "1 hour")("start").cast("timestamp_ntz")
+          .as("window_start"),
         col("event_type"), col("value"))
       .groupBy(col("window_start"), col("event_type"))
+      // decimal sum is exact; the final cast to double makes both engines
+      // ship the same float64 (a parquet DECIMAL reads back as a Python
+      // Decimal object, which the driver's exact hash never matches
+      // against DuckDB's float rendering)
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
   /** Sessionization (gaps-and-islands): a >30-minute silence starts a
@@ -50,8 +58,8 @@ object EventOps {
       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  (max(ts) - min(ts)) // 1000000 AS duration_ms
@@ -80,7 +88,7 @@ object EventOps {
     */
   val saltedJoin = QueryDef("q52_salted_join",
     """SELECT o_orderpriority, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val joined = SkewJoin.saltedJoin(
@@ -90,7 +98,7 @@ object EventOps {
       key = "o_orderkey", shards = 8)
     joined.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
   }
 
   val all: Seq[QueryDef] = Seq(eventWindows, sessionize, saltedJoin)

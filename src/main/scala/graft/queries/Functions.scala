@@ -237,14 +237,19 @@ object Functions {
     */
   val jsonAttrs = QueryDef("q30_json_attrs",
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-      |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+      |    / count(json_extract_string(props, '$.k')) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val k = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(s, d).select(col("event_type"), k.as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-        avg(col("k")).as("avg_k"))
+        // exact-int sum then ONE double division — bit-identical in both
+        // engines, unlike avg() whose double partial sums are
+        // order-sensitive (and DuckDB's sum(BIGINT) is HUGEINT, which
+        // pandas renders as float — CAST pins the oracle dtype to int64)
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
   }
 
   /** F12 — GeoJSON Polygon construction from a grouped bbox aggregate

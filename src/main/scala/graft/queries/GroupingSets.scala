@@ -39,7 +39,7 @@ object GroupingSets {
   val groupingSets = QueryDef("q54_grouping_sets",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-      |  count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+      |  count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
@@ -47,7 +47,7 @@ object GroupingSets {
     s.sql(
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM g54_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
   }

@@ -100,7 +100,7 @@ object Similarity {
       |  FROM e, generate_series(0, 7) g(p)),
       |buckets AS (
       |  SELECT vec_id,
-      |    sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      |    CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM proj GROUP BY vec_id)
       |SELECT bucket, count(*) AS n_vecs FROM buckets
       |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>

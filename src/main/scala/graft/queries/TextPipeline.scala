@@ -59,16 +59,21 @@ object TextPipeline {
   /** Text analysis: per-(lang, source) token statistics. */
   val tokenStats = QueryDef("q32_token_stats",
     """SELECT lang, source, count(*) AS n_docs,
-      |  sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
-      |  avg(len(string_split_regex(trim(text), '\s+'))) AS avg_tokens,
-      |  sum(n_chars) AS sum_chars
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
     val nTok = size(tokens(col("text")))
     Tables.documents(s, d)
       .select(col("lang"), col("source"), nTok.as("nt"), col("n_chars"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
-        avg(col("nt")).as("avg_tokens"), sum(col("n_chars")).as("sum_chars"))
+        // exact-int sum / count, not avg(): deterministic across engines;
+        // CAST(... AS BIGINT) on the DuckDB side because sum(BIGINT) is
+        // HUGEINT there, which pandas renders as float64 and the driver's
+        // exact hash then sees 123.0 vs 123
+        (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
   }
 
   /** Text analysis: per-document quality scoring — token count, stopword
@@ -112,8 +117,8 @@ object TextPipeline {
     */
   val langId = QueryDef("q34_lang_id",
     s"""SELECT lang, count(*) AS n_docs,
-       |  sum(CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
-       |      THEN 1 ELSE 0 END) AS n_pred_en
+       |  CAST(sum(CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
        |FROM (
        |  SELECT lang,
        |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -263,7 +268,7 @@ object TextPipeline {
       |  SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS s
       |  FROM h, generate_series(0, 31) g(j) GROUP BY doc_id, j)
       |SELECT doc_id,
-      |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+      |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),

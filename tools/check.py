@@ -46,8 +46,24 @@ def cmp(name, spark_df, duck_df):
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     problems = []
+    def kind(s):
+        if pd.api.types.is_float_dtype(s): return "float"
+        if pd.api.types.is_integer_dtype(s): return "int"
+        if pd.api.types.is_datetime64_any_dtype(s): return "ts"
+        if s.dtype == object and any(type(v).__name__ == "Decimal"
+                                     for v in s.head(20)): return "decimal"
+        return "other"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the real driver hashes values exactly, so int64 3385 vs float64
+        # 3385.0 vs Decimal('3385.000000') all mismatch even when
+        # numerically equal (DuckDB sum(BIGINT) is HUGEINT -> float64 in
+        # pandas; Spark parquet DECIMAL -> Python Decimal objects)
+        ka, kb = kind(av), kind(bv)
+        if ka != kb:
+            problems.append(f"col {c}: DTYPE-CLASS spark={ka}({av.dtype}) "
+                            f"duck={kb}({bv.dtype}) — driver hash will differ")
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = av.astype(float); bvf = bv.astype(float)
             exact = ((avf == bvf) | (avf.isna() & bvf.isna())).all()
