@@ -35,7 +35,11 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args restrict the run to the named queries (dev loop:
+    // `tools/run.sh graft.Bench q44_stac_roundtrip`); no args = full suite.
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup: absorb JVM/codegen/IO-cache startup
 
     // Interleave iterations (pass 1 of all queries, then pass 2, ...) so a

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.functions.Scalars.floor2dp
@@ -12,30 +11,10 @@ import graft.source.{NetCdfFixture, NetCdfSource}
   */
 object NetCdfQueries {
 
+  import graft.Work.{stableDir => stableWork, retryingFresh}
+
   private def fixtureGlob(): String =
     NetCdfFixture.writeFiles(stableWork("fixtures").resolve("nc"), n = 2)
-
-  /** Per-JVM stable scratch dir (idempotent re-runs across bench passes). */
-  private def stableWork(tag: String): java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-work-$tag")
-    Files.createDirectories(p)
-    p
-  }
-
-  /** A killed run (bench timeout) can leave a half-written tree behind
-    * in the stable workdir; on any failure, wipe it and retry once from
-    * clean state.
-    */
-  private def retryingFresh[T](work: java.nio.file.Path)(body: => T): T =
-    try body catch {
-      case _: Throwable =>
-        import scala.jdk.CollectionConverters._
-        Files.walk(work).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-        Files.createDirectories(work)
-        body
-    }
 
   /** Metadata-only first pass: per-(file, variable) manifest with coord
     * resolution + 4-D band flag (ref get_forecast_info).

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.Scalars._
@@ -80,7 +79,14 @@ object StacQueries {
     // "existing catalog": every other item already present → must be skipped
     val existing = items.filter(abs(hash(col("id"))) % 2 === 0)
     val created = StacOps.getOrCreateItems(existing, items)
-    val root = Files.createTempDirectory("graft-stac-rt").toString
+    // sf-keyed stable dir: repeat invocations overwrite the same item
+    // files in place instead of allocating a fresh ~1500-inode tree per
+    // call (fresh trees accumulated by the hundred across bench/verify
+    // passes and made this query I/O-bound on loaded filesystems); the
+    // sf key keeps sf0.01 verify and sf0.1 bench trees separate, since a
+    // stale larger item set under the same root would pollute the rescan
+    val root = graft.Work.stableDir(
+      "q44-sf" + math.abs(d.hashCode).toString).toString
     StacJsonSink.write(root,
       StacCatalog("cat", "roundtrip", Seq("model_0", "model_1")),
       Seq(
