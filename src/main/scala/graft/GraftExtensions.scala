@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProductExpr, VecStatsExpr}
+
+/** Session extension injecting graft's native expressions into the SQL
+  * function registry, so `spark.sql("SELECT vec_dot(a, b) ...")` works
+  * exactly like the Column API (`DotProductExpr.dot`).
+  *
+  * Deployable both ways:
+  *   - programmatic: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  *     (what GraftSession does);
+  *   - config-driven: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *     on an existing cluster, which is why this is a zero-arg class
+  *     implementing `SparkSessionExtensions => Unit` rather than an object.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "vec_dot", "vec_dot(a, b) - dot product of two array<double>",
+      { case Seq(a, b) => DotProductExpr(a, b) }, arity = 2)
+    register(ext, "vec_stats",
+      "vec_stats(a) - single-pass NaN-skipping stats struct over array<double>",
+      { case Seq(a) => VecStatsExpr(a) }, arity = 1)
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String,
+                       builder: PartialFunction[Seq[Expression], Expression],
+                       arity: Int): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+      (args: Seq[Expression]) =>
+        if (args.length == arity) builder(args)
+        else throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${args.length}")))
+}

@@ -23,6 +23,10 @@ object GraftSession {
   def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // native graft expressions (vec_dot, vec_stats) on the SQL surface;
+      // cluster deployments get the same via
+      // --conf spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

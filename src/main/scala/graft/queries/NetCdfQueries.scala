@@ -34,19 +34,33 @@ object NetCdfQueries {
     // through the DataSource V2 format (same tidy schema as
     // NetCdfSource.tidy; NetCdfV2Spec pins parity between the two paths)
     val tidy = s.read.format("netcdf").load(fixtureGlob())
-    val cell = tidy.select(
+    // vec_stats folds each scanline array into six scalars INSIDE
+    // whole-stage codegen, so the exchange carries one small row per
+    // scanline instead of one row per grid cell (the previous
+    // explode-then-aggregate shape multiplied shuffle rows by row width —
+    // ~432× on a real EASE grid, fatal at 100 TB). stddev_pop is
+    // reassembled from (Σv, Σv², n): E[x²]−E[x]² with a 0-clamp, matching
+    // numpy's ddof=0 to float tolerance (NetCdfSpec pins 1e-12).
+    val st = graft.functions.VecStatsExpr.vecStats(col("values"))
+    val partials = tidy.select(
       regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
-      col("variable"), col("time_idx"), col("leadtime_idx"),
-      explode(col("values")).as("v"))
-    val valid = when(!isnan(col("v")) && !col("v").isNull, col("v"))
-    cell.groupBy(col("file"), col("variable"), col("time_idx"), col("leadtime_idx"))
+      col("variable"), col("time_idx"), col("leadtime_idx"), st.as("st"))
+    val g = partials
+      .groupBy(col("file"), col("variable"), col("time_idx"), col("leadtime_idx"))
       .agg(
-        min(valid).as("stat_min"),
-        max(valid).as("stat_max"),
-        avg(valid).as("stat_mean"),
-        stddev_pop(valid).as("stat_stddev"), // numpy std is ddof=0
-        floor2dp(sum(when(valid.isNotNull, 1).otherwise(0)) * 100.0 / count(lit(1)))
-          .as("valid_percent"))
+        // all-NaN scanlines carry vmin/vmax = NaN; guard to null so
+        // min()/max() skip them (Spark orders NaN greater than any
+        // double, so an unguarded max() would surface NaN)
+        min(when(col("st.n_valid") > 0, col("st.vmin"))).as("stat_min"),
+        max(when(col("st.n_valid") > 0, col("st.vmax"))).as("stat_max"),
+        sum(col("st.vsum")).as("sv"), sum(col("st.vsumsq")).as("sv2"),
+        sum(col("st.n_valid")).as("nv"), sum(col("st.n_total")).as("nt"))
+    val mean = col("sv") / col("nv")
+    g.select(col("file"), col("variable"), col("time_idx"), col("leadtime_idx"),
+      col("stat_min"), col("stat_max"), mean.as("stat_mean"),
+      sqrt(greatest(col("sv2") / col("nv") - mean * mean, lit(0.0)))
+        .as("stat_stddev"), // numpy std is ddof=0
+      floor2dp(col("nv") * 100.0 / col("nt")).as("valid_percent"))
   }
 
   /** X1/X2 — the full preprocess pipeline end-to-end: fixture .nc files →

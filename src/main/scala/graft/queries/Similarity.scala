@@ -137,5 +137,28 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed)
+  /** The SQL surface of the native expressions: vec_dot / vec_stats are
+    * injected into the function registry by GraftExtensions
+    * (spark.sql.extensions-deployable), so the same kernels the Column
+    * API uses are callable from plain SQL text. One map-side pass over
+    * the corpus, no shuffle; l2_norm parity with DuckDB holds because
+    * both fold left-to-right in double (same argument as q40).
+    */
+  val sqlVecFunctions = QueryDef("q55_sql_vec_functions",
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).createOrReplaceTempView("g55_embeddings")
+    s.sql(
+      """SELECT vec_id,
+        |  round(sqrt(vec_dot(emb, emb)), 6) AS l2_norm,
+        |  CAST(vec_stats(emb).n_valid AS BIGINT) AS n_dims,
+        |  round(vec_stats(emb).vmax, 6) AS max_val
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb
+        |      FROM g55_embeddings)""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions)
 }

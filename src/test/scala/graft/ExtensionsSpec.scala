@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecStatsExpr
+
+/** GraftExtensions SQL registration + VecStatsExpr kernel semantics. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_dot is callable from SQL and matches the Column API") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head.getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("vec_stats skips NaN and nulls, counts totals") {
+    import spark.implicits._
+    val df = Seq(Seq[java.lang.Double](1.0, Double.NaN, 3.0, null, 5.0))
+      .toDF("a")
+      .select(VecStatsExpr.vecStats(col("a").cast("array<double>")).as("st"))
+      .select("st.n_total", "st.n_valid", "st.vmin", "st.vmax", "st.vsum",
+        "st.vsumsq")
+    val row = df.head
+    assert(row.getInt(0) === 5)
+    assert(row.getInt(1) === 3)
+    assert(row.getDouble(2) === 1.0)
+    assert(row.getDouble(3) === 5.0)
+    assert(row.getDouble(4) === 9.0)
+    assert(row.getDouble(5) === 35.0)
+  }
+
+  test("vec_stats on an all-NaN array yields NaN min/max and zero sums") {
+    val row = spark.sql(
+      "SELECT vec_stats(array(CAST('NaN' AS DOUBLE))) AS st").select(
+      "st.n_total", "st.n_valid", "st.vmin", "st.vsum").head
+    assert(row.getInt(0) === 1)
+    assert(row.getInt(1) === 0)
+    assert(row.getDouble(2).isNaN)
+    assert(row.getDouble(3) === 0.0)
+  }
+
+  test("interpreted eval matches codegen for vec_stats") {
+    // force both paths on the same input: eval via the expression
+    // directly, codegen via a projection executed by Spark
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    val arr = ArrayData.toArrayData(Array(2.0, Double.NaN, 8.0))
+    val lit = Literal(arr,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val evald = VecStatsExpr(lit).eval(InternalRow.empty)
+      .asInstanceOf[InternalRow]
+    val viaSql = spark.sql(
+      "SELECT vec_stats(array(2.0d, CAST('NaN' AS DOUBLE), 8.0d)) AS st")
+      .select("st.n_total", "st.n_valid", "st.vmin", "st.vmax", "st.vsum",
+        "st.vsumsq").head
+    assert(evald.getInt(0) === viaSql.getInt(0))
+    assert(evald.getInt(1) === viaSql.getInt(1))
+    assert(evald.getDouble(2) === viaSql.getDouble(2))
+    assert(evald.getDouble(3) === viaSql.getDouble(3))
+    assert(evald.getDouble(4) === viaSql.getDouble(4))
+    assert(evald.getDouble(5) === viaSql.getDouble(5))
+  }
+
+  test("wrong arity raises an analysis-time error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("vec_dot"))
+  }
+}
