@@ -137,6 +137,90 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Nearest IVF cells for a vector: per-centroid squared-distance
+    * structs (|v|² dropped — constant per row under argmin), sorted
+    * lexicographically (distance, then cell id — deterministic ties),
+    * first `nprobe` kept. Pure map-side codegen'd expression chain: the
+    * codebook is a literal, so cell assignment costs K dot products per
+    * row and NO shuffle.
+    */
+  private def nearestCells(emb: Column,
+                           centroids: Array[(Long, Array[Double])],
+                           nprobe: Int): Column = {
+    val cells = centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((dot(emb, typedLit(c.toSeq)) * -2 + c2).as("d"),
+        lit(cid).as("cid"))
+    }
+    slice(array_sort(array(cells: _*)), 1, nprobe)
+  }
+
+  /** Deterministic sample-trained IVF codebook (the standard IVF recipe:
+    * train k-means on a SAMPLE, broadcast the centroids — sample-sized
+    * driver work, the corpus is never collected). Fixed init (first k
+    * sample vectors in vec_id order) and a fixed iteration count make
+    * the codebook bit-identical across runs.
+    */
+  private def trainCodebook(sample: Array[Array[Double]], k: Int,
+                            iters: Int): Array[(Long, Array[Double])] = {
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var dist = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(j)(i); dist += t * t; i += 1 }
+          if (dist < bd) { bd = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        val su = sums(best); var i = 0
+        while (i < dim) { su(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+    }
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }
+  }
+
+  /** IVF ANN (rows-only): the second scale path beside sign-LSH (q42).
+    * Every vector is assigned to its nearest codebook cell map-side;
+    * queries probe their 4 nearest cells, so per-query work is 4
+    * cell-sizes, not corpus-sized, and the corpus never shuffles here
+    * (query side broadcast). IvfSpec pins recall@3 against the exact
+    * q40 baseline.
+    */
+  val ivfAnn = QueryDef.rowsOnly("q56_ivf_ann") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val sample = e.filter(col("vec_id") % 7 === 0).orderBy(col("vec_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val centroids = trainCodebook(sample, k = 16, iters = 8)
+    val corpus = e
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .withColumn("cell",
+        nearestCells(col("emb"), centroids, 1)(0).getField("cid"))
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("nrm").as("qn"),
+        explode(transform(nearestCells(col("emb"), centroids, 4),
+          _.getField("cid"))).as("probe_cell"))
+    val pairs = corpus.join(broadcast(q),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
+    val rn = row_number()
+      .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
+    pairs.withColumn("rank", rn).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** The SQL surface of the native expressions: vec_dot / vec_stats are
     * injected into the function registry by GraftExtensions
     * (spark.sql.extensions-deployable), so the same kernels the Column
@@ -160,5 +244,5 @@ object Similarity {
         |      FROM g55_embeddings)""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions)
+  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn)
 }
