@@ -76,10 +76,92 @@ object Geo {
           Seq(-180.0, -90.0, 180.0, lats.max)
         else
           Seq(lons.min, lats.min, lons.max, lats.max)
+      case ps if PolarStereoCrs.contains(ps) =>
+        val proj = PolarStereoCrs(ps)
+        val pts = edgePoints(w, s, e, n, densifyPts).map { case (x, y) =>
+          proj.inverse(x, y)
+        }
+        val lons = pts.map(_._1); val lats = pts.map(_._2)
+        // the projection origin sits at the pole in both aspects
+        val poleInside = w <= 0 && 0 <= e && s <= 0 && 0 <= n
+        if (poleInside && proj.north)
+          Seq(-180.0, lats.min, 180.0, 90.0)
+        else if (poleInside)
+          Seq(-180.0, -90.0, 180.0, lats.max)
+        else
+          Seq(lons.min, lats.min, lons.max, lats.max)
       case other =>
         throw new IllegalArgumentException(s"Unsupported CRS: $other")
     }
   }
+
+  /** Ellipsoidal polar stereographic (Snyder PP 1395 §21, pp. 160-162):
+    * the NSIDC sea-ice grid family. Parameterized on ellipsoid
+    * (a, e²), standard parallel φ_c and central meridian λ0.
+    */
+  final case class PolarStereo(a: Double, e2: Double, latTs: Double,
+                               lon0: Double, north: Boolean) {
+    private val e = math.sqrt(e2)
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) *
+        math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e / 2)
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val phiC = math.toRadians(math.abs(latTs))
+    private val tC = tOf(phiC)
+    private val mC = mOf(phiC)
+
+    /** Forward: (lon, lat) degrees → (x, y) meters (Snyder 21-17..21-19,
+      * south aspect via the sign-flip substitution 21-10/21-11).
+      */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (lon, lat) =
+        if (north) (math.toRadians(lonDeg), math.toRadians(latDeg))
+        else (-math.toRadians(lonDeg), -math.toRadians(latDeg))
+      val lam0 = if (north) math.toRadians(lon0) else -math.toRadians(lon0)
+      val rho = a * mC * tOf(lat) / tC
+      val x = rho * math.sin(lon - lam0)
+      val y = -rho * math.cos(lon - lam0)
+      if (north) (x, y) else (-x, -y)
+    }
+
+    /** Inverse: (x, y) meters → (lon, lat) degrees (Snyder 21-39/21-40,
+      * iterated 7-9).
+      */
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val (x, y) = if (north) (xIn, yIn) else (-xIn, -yIn)
+      val lam0 = if (north) math.toRadians(lon0) else -math.toRadians(lon0)
+      val rho = math.hypot(x, y)
+      if (rho < 1e-9)
+        return (lon0, if (north) 90.0 else -90.0)
+      val t = rho * tC / (a * mC)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) {
+        val next = math.Pi / 2 - 2 * math.atan(t *
+          math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 10 }
+        else { phi = next; i += 1 }
+      }
+      val lam = lam0 + math.atan2(x, -y)
+      val (lonR, latR) = if (north) (lam, phi) else (-lam, -phi)
+      (normLon(math.toDegrees(lonR)), math.toDegrees(latR))
+    }
+  }
+
+  private def normLon(l: Double): Double =
+    if (l > 180) l - 360 else if (l < -180) l + 360 else l
+
+  // Hughes 1980 ellipsoid (the legacy NSIDC grids) and WGS84
+  private val HughesA = 6378273.0
+  private val HughesE2 = 0.006693883
+
+  /** The NSIDC polar stereographic family, keyed by EPSG code. */
+  val PolarStereoCrs: Map[String, PolarStereo] = Map(
+    "EPSG:3411" -> PolarStereo(HughesA, HughesE2, 70.0, -45.0, north = true),
+    "EPSG:3412" -> PolarStereo(HughesA, HughesE2, -70.0, 0.0, north = false),
+    "EPSG:3413" -> PolarStereo(A, E2, 70.0, -45.0, north = true),
+    "EPSG:3976" -> PolarStereo(A, E2, -70.0, 0.0, north = false))
 
   private def edgePoints(w: Double, s: Double, e: Double, n: Double,
                          k: Int): Seq[(Double, Double)] = {
