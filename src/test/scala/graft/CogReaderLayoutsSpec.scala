@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.source.CogReader
+
+/** CogReader layout coverage beyond CogWriter's own output: strip
+  * organization, big-endian, BigTIFF headers, horizontal predictor, and
+  * chunky (interleaved) planar configuration — each as a minimal
+  * hand-built TIFF.
+  */
+class CogReaderLayoutsSpec extends AnyFunSuite {
+
+  /** Minimal single-IFD TIFF builder. Strip data lands right after the
+    * header; external value arrays follow; the IFD comes last.
+    */
+  private def buildTiff(order: ByteOrder, big: Boolean,
+                        entries: Seq[(Int, Int, Seq[Long])],
+                        data: Array[Byte]): Array[Byte] = {
+    val headerLen = if (big) 16 else 8
+    val dataOff = headerLen
+    val inlineCap = if (big) 8 else 4
+    def typeSize(t: Int) = t match {
+      case 1 => 1; case 3 => 2; case 4 => 4; case 16 => 8
+    }
+    // lay out external arrays after the data block
+    var extOff = dataOff + data.length
+    val ext = ByteBuffer.allocate(4096).order(order)
+    val resolved = entries.map { case (tag, typ, vals) =>
+      val total = typeSize(typ) * vals.length
+      if (total <= inlineCap) (tag, typ, vals, None)
+      else {
+        val off = extOff
+        vals.foreach { v =>
+          typ match {
+            case 3 => ext.putShort(v.toShort)
+            case 4 => ext.putInt(v.toInt)
+            case 16 => ext.putLong(v)
+          }
+        }
+        extOff += total
+        (tag, typ, vals, Some(off))
+      }
+    }
+    val ifdOff = extOff
+    val out = ByteBuffer.allocate(8192).order(order)
+    // header
+    out.put((if (order == ByteOrder.LITTLE_ENDIAN) "II" else "MM").getBytes)
+    if (big) { out.putShort(43); out.putShort(8); out.putShort(0); out.putLong(ifdOff) }
+    else { out.putShort(42); out.putInt(ifdOff) }
+    while (out.position() < dataOff) out.put(0.toByte)
+    out.put(data)
+    out.put(java.util.Arrays.copyOf(ext.array(), extOff - (dataOff + data.length)))
+    // IFD
+    if (big) out.putLong(resolved.length) else out.putShort(resolved.length.toShort)
+    resolved.sortBy(_._1).foreach { case (tag, typ, vals, extOpt) =>
+      out.putShort(tag.toShort); out.putShort(typ.toShort)
+      if (big) out.putLong(vals.length) else out.putInt(vals.length)
+      val before = out.position()
+      extOpt match {
+        case Some(off) => if (big) out.putLong(off) else out.putInt(off)
+        case None => vals.foreach { v =>
+          typ match {
+            case 3 => out.putShort(v.toShort)
+            case 4 => out.putInt(v.toInt)
+            case 16 => out.putLong(v)
+          }
+        }
+      }
+      while (out.position() < before + inlineCap) out.put(0.toByte)
+    }
+    if (big) out.putLong(0L) else out.putInt(0)
+    java.util.Arrays.copyOf(out.array(), out.position())
+  }
+
+  private def baseEntries(w: Int, h: Int, bits: Int, fmt: Int,
+                          stripOffs: Seq[Long], stripCounts: Seq[Long],
+                          rps: Int, bands: Int = 1): Seq[(Int, Int, Seq[Long])] = Seq(
+    (256, 4, Seq(w.toLong)), (257, 4, Seq(h.toLong)),
+    (258, 3, Seq.fill(bands)(bits.toLong)), (277, 3, Seq(bands.toLong)),
+    (278, 4, Seq(rps.toLong)), (273, 4, stripOffs), (279, 4, stripCounts),
+    (339, 3, Seq.fill(bands)(fmt.toLong)))
+
+  test("classic little-endian two-strip uint8") {
+    // 3x4 image, 2 rows per strip -> 2 strips of 6 bytes
+    val data = Array.tabulate(12)(i => i.toByte)
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false,
+      baseEntries(3, 4, 8, 1, Seq(8L, 14L), Seq(6L, 6L), rps = 2), data)
+    val t = CogReader.read(bytes)
+    assert(t.dtype === "uint8")
+    assert(!t.pages.head.tiled)
+    val g = t.readBand(0, 0)
+    assert(g(0).toSeq === Seq(0.0, 1.0, 2.0))
+    assert(g(3).toSeq === Seq(9.0, 10.0, 11.0))
+  }
+
+  test("big-endian single-strip float32") {
+    val bb = ByteBuffer.allocate(4 * 4).order(ByteOrder.BIG_ENDIAN)
+    Seq(1.5f, -2.25f, 0f, 100f).foreach(bb.putFloat)
+    val bytes = buildTiff(ByteOrder.BIG_ENDIAN, big = false,
+      baseEntries(2, 2, 32, 3, Seq(8L), Seq(16L), rps = 2), bb.array())
+    val t = CogReader.read(bytes)
+    assert(t.dtype === "float32")
+    val g = t.readBand(0, 0)
+    assert(g(0)(0) === 1.5 && g(0)(1) === -2.25 && g(1)(1) === 100.0)
+  }
+
+  test("BigTIFF single-strip float64") {
+    val bb = ByteBuffer.allocate(8 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(0.125, 7.5, -1.0, 42.0).foreach(bb.putDouble)
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = true,
+      baseEntries(2, 2, 64, 3, Seq(16L), Seq(32L), rps = 2), bb.array())
+    val t = CogReader.read(bytes)
+    assert(t.dtype === "float64")
+    val g = t.readBand(0, 0)
+    assert(g(0)(0) === 0.125 && g(1)(1) === 42.0)
+  }
+
+  test("horizontal predictor 2 on int16 strips") {
+    // row values 100, 103, 105 stored as deltas 100, +3, +2
+    val bb = ByteBuffer.allocate(2 * 6).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(100, 3, 2, 50, -5, 1).foreach(v => bb.putShort(v.toShort))
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false,
+      baseEntries(3, 2, 16, 2, Seq(8L), Seq(12L), rps = 2) :+
+        ((317, 3, Seq(2L))), bb.array())
+    val g = CogReader.read(bytes).readBand(0, 0)
+    assert(g(0).toSeq === Seq(100.0, 103.0, 105.0))
+    assert(g(1).toSeq === Seq(50.0, 45.0, 46.0))
+  }
+
+  test("chunky (planar=1) interleaved two-band uint8") {
+    // 2x2, bands interleaved per pixel: (b0,b1) pairs
+    val data = Array[Byte](10, 110, 20, 120, 30, (130 & 0xFF).toByte, 40, (140 & 0xFF).toByte)
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false,
+      baseEntries(2, 2, 8, 1, Seq(8L), Seq(8L), rps = 2, bands = 2) :+
+        ((284, 3, Seq(1L))), data)
+    val t = CogReader.read(bytes)
+    val b0 = t.readBand(0, 0)
+    val b1 = t.readBand(0, 1)
+    assert(b0(0).toSeq === Seq(10.0, 20.0) && b0(1).toSeq === Seq(30.0, 40.0))
+    assert(b1(0).toSeq === Seq(110.0, 120.0) && b1(1).toSeq === Seq(130.0, 140.0))
+  }
+}
