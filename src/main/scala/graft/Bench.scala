@@ -1,6 +1,7 @@
 package graft
 
-/** Benchmark entry point. One warmup pass (JVM/codegen startup absorbed)
+/** Benchmark entry point (A8 — the grand-totals harness).
+  * One warmup pass (JVM/codegen startup absorbed)
   * then THREE timed passes per query, reporting the per-query MEDIAN —
   * round-2 numbers showed multi-second environmental stalls (GC/disk/JIT)
   * landing on arbitrary queries in a single pass (a 25-row scan "taking"

@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Shared SparkSession construction for every entry point (Bench, Verify,
   * tests). Centralizes the configs correctness depends on:
   *
-  *   - UTC session time zone (reference normalizes all times to UTC,
-  *     reference utils.py:169-187);
+  *   - UTC session time zone (F3 `ensure_utc`: the reference normalizes
+  *     every timestamp to UTC, utils.py:169-187 — with the session TZ
+  *     pinned, every parse/format/arithmetic path is UTC by
+  *     construction and naive inputs attach UTC exactly like the
+  *     reference helper);
   *   - `nanosAsLong`: the driver's events.parquet carries
   *     INT64 TIMESTAMP(NANOS) which Spark 4's vectorized parquet reader
   *     rejects at task time even when the column is pruned. Reading nanos

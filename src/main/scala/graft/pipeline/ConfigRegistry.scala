@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 /** Config mismatch abort (ref stac/utils.py:13-14). */
 final class ConfigMismatchException(msg: String) extends RuntimeException(msg)
 
-/** Write-once run-config registry (ref generator.py:425-459):
+/** Write-once run-config registry (S5/J5/K5, ref generator.py:425-459):
   *
   * The first run writes `config.json` capturing the per-collection
   * processing parameters; every later run for the same collection

@@ -19,6 +19,14 @@ import graft.source.{NetCdf, NetCdfSource}
   *
   *   config validate (S5/J5)            → ConfigRegistry
   *   hemisphere + CRS + bands (P1/P2/P9)→ NetCdfSource.manifest
+  *
+  * The reference's per-slice loops become set-oriented grouping here:
+  * time-slice / leadtime-slice / band selection (P4/P5/P6) are the
+  * `groupBy(time_idx)` fan-out, the `leadtime_idx === 0` thumbnail
+  * filter, and the first-band election below — SURVEY §2.2's "no loop
+  * at all" mapping. Item↔catalog attachment (J7) is the
+  * `collection`/`item_id` fk columns; the tree shape only materializes
+  * in the JSON sink.
   *   bbox + geometry (A1/F11/F12)       → coord agg + Geo.projToGeo
   *   per-init item construction (F5/F6) → Scalars id/time functions
   *   per-init netCDF slices (K1, P8)    → foreachPartition NetCdf.write
