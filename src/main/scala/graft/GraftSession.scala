@@ -31,6 +31,9 @@ object GraftSession {
       // --conf spark.sql.extensions=graft.GraftExtensions
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // bucketed-table writes (q57) land here, not in $PWD/spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        Work.stableDir("warehouse").toUri.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

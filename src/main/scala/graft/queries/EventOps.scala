@@ -101,5 +101,52 @@ object EventOps {
         sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
   }
 
-  val all: Seq[QueryDef] = Seq(eventWindows, sessionize, saltedJoin)
+  /** Bucketed co-located join: both sides written `bucketBy(8, key)` +
+    * sorted, so the sort-merge join reads co-located buckets and the
+    * plan has NO shuffle exchange on either side (BucketedJoinSpec
+    * asserts this on the physical plan). This is the 100 TB fact-fact
+    * recipe when both tables are join-heavy on the same key: pay the
+    * bucketed write once, then every subsequent join skips its
+    * exchange+sort entirely. Results are physically-identical to the
+    * plain join — the oracle IS the plain join.
+    *
+    * The bucketed tables are session-catalog tables under the stable
+    * warehouse dir, built once per (sf, JVM) and reused across bench
+    * passes — exactly the amortization the technique exists for.
+    */
+  val bucketedJoin = QueryDef("q57_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    joinBucketed(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+          .as("sum_price"))
+  }
+
+  /** The exchange-free join itself (pre-aggregation), shared with the
+    * plan-asserting spec.
+    */
+  def joinBucketed(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tag = math.abs(d.hashCode).toString
+    val lt = s"graft_bkt_lineitem_$tag"; val ot = s"graft_bkt_orders_$tag"
+    if (!s.catalog.tableExists(lt))
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+    if (!s.catalog.tableExists(ot))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+    // merge hint: keep the sort-merge form even when one side would fit
+    // a broadcast — the point is the exchange-free bucketed merge
+    s.table(lt).hint("merge")
+      .join(s.table(ot).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(eventWindows, sessionize, saltedJoin, bucketedJoin)
 }
