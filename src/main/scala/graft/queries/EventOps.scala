@@ -133,14 +133,21 @@ object EventOps {
       : org.apache.spark.sql.DataFrame = {
     val tag = math.abs(d.hashCode).toString
     val lt = s"graft_bkt_lineitem_$tag"; val ot = s"graft_bkt_orders_$tag"
-    if (!s.catalog.tableExists(lt))
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lt)
-    if (!s.catalog.tableExists(ot))
-      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ot)
+    def ensure(table: String, build: => org.apache.spark.sql.DataFrame,
+               key: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        // the in-memory catalog dies with the JVM but the warehouse dir
+        // persists — a leftover location from a previous run must be
+        // wiped or saveAsTable aborts with LOCATION_ALREADY_EXISTS
+        graft.Work.wipe(java.nio.file.Paths.get(
+          graft.Work.stableDir("warehouse").toString, table))
+        build.write.bucketBy(8, key).sortBy(key)
+          .mode("overwrite").saveAsTable(table)
+      }
+    ensure(lt, Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey")
+    ensure(ot, Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
     // merge hint: keep the sort-merge form even when one side would fit
     // a broadcast — the point is the exchange-free bucketed merge
     s.table(lt).hint("merge")

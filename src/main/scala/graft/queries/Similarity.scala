@@ -221,6 +221,54 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-dup (the fifth dedup flavor beside exact /
+    * minhash / simhash / n-gram Jaccard): candidates come ONLY from
+    * shared sign-LSH buckets (one shuffle keyed by bucket — never
+    * all-pairs), pairs above the cosine threshold mark the larger id a
+    * duplicate of the smallest qualifying neighbor (first-wins, same
+    * election as SO1). Output is per-vector over the whole corpus, so
+    * the oracle pins both the pair generation and the election.
+    */
+  val embeddingDedup = QueryDef("q58_embedding_dedup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    list_sum(list_transform(generate_series(1, len(emb)),
+      |      i -> emb[i] * (CAST(('0x' || substr(md5(p || ':' || i), 1, 4)) AS BIGINT) / 32768.0 - 1.0))) AS pr
+      |  FROM e, generate_series(0, 7) g(p)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |n AS (SELECT e.vec_id, emb, bucket,
+      |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      |      FROM e JOIN buckets USING (vec_id)),
+      |dups AS (
+      |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+      |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(generate_series(1, len(a.emb)),
+      |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) >= 0.35
+      |  GROUP BY b.vec_id)
+      |SELECT e.vec_id, CAST(d.dup_of IS NOT NULL AS BOOLEAN) AS is_dup, d.dup_of
+      |FROM e LEFT JOIN dups d USING (vec_id) ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val planes = planeMatrix(8, embeddingDim(s, d))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= 0.35)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    e.select(col("vec_id")).join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   /** The SQL surface of the native expressions: vec_dot / vec_stats are
     * injected into the function registry by GraftExtensions
     * (spark.sql.extensions-deployable), so the same kernels the Column
@@ -244,5 +292,6 @@ object Similarity {
         |      FROM g55_embeddings)""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn)
+  val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
+    embeddingDedup)
 }

@@ -304,6 +304,31 @@ object TextPipeline {
       .groupBy(col("doc_id"), col("band"))
       .agg(min(col("h")).as("key"))
 
-  val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint,
+  /** Token counting, the BPE-ish form: a GPT-2-style pretokenizer regex
+    * (contraction suffixes | space-prefixed letter runs | digit runs |
+    * punctuation runs) counted per document next to the whitespace count
+    * — the standard cheap token-budget estimator for training-data
+    * accounting. Pure regexp_count, codegen'd, one map pass; the ASCII
+    * classes keep Java-regex and RE2 (DuckDB) semantics identical.
+    */
+  val bpeTokens: QueryDef = {
+    val pattern = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    val sqlPattern = pattern.replace("'", "''").replace("\\", "\\")
+    QueryDef("q59_bpe_tokens",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '$sqlPattern')) AS BIGINT) AS n_bpe,
+         |  round(CAST(len(regexp_extract_all(text, '$sqlPattern')) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')), 6) AS bpe_per_word
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nWs = size(tokens(col("text"))).cast("bigint")
+      val nBpe = regexp_count(col("text"), lit(pattern)).cast("bigint")
+      Tables.documents(s, d).select(col("doc_id"),
+        nWs.as("n_ws"), nBpe.as("n_bpe"),
+        round(nBpe.cast("double") / nWs, 6).as("bpe_per_word"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
     exactDedup, minhashBands, ngramJaccard, simhash)
 }
