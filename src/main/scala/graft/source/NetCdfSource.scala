@@ -77,7 +77,10 @@ object NetCdfSource {
         "leadtime", "y_idx", "y", "xs", "values")
   }
 
-  private[source] def decodeTidy(path: String, bytes: Array[Byte])
+  private[source] def decodeTidy(path: String, bytes: Array[Byte],
+      varFilter: Option[Set[String]] = None,
+      tFilter: Option[Int] = None,
+      lFilter: Option[Int] = None)
       : Iterator[(String, String, Int, Double, Int, Double, Int, Double,
                   Array[Double], Array[Double])] = {
     val h = NetCdf.readHeader(bytes)
@@ -97,7 +100,11 @@ object NetCdfSource {
       if (units == "km" || units == "1000 meter") raw.map(_ * 1000) else raw
     }
     val xs = norm(xName, xRaw); val ys = norm(yName, yRaw)
-    val bands = h.vars.filter(_.dimIds.size == 4) // P2
+    // P2 + pushed-down predicates: an excluded band's payload is NEVER
+    // read (the whole-variable byte range is skipped), which is the
+    // dominant saving when a query wants one band of many
+    val bands = h.vars.filter(_.dimIds.size == 4)
+      .filter(v => varFilter.forall(_.contains(v.name)))
     bands.iterator.flatMap { v =>
       val dimNames = v.dimIds.map(h.dims(_).name)
       require(dimNames == Seq(tName, yName, xName, lName),
@@ -106,8 +113,8 @@ object NetCdfSource {
       val data = NetCdf.readVariable(bytes, h, v)
       val (nt, ny, nx, nl) = (tVals.length, ys.length, xs.length, lVals.length)
       for {
-        t <- (0 until nt).iterator
-        l <- (0 until nl).iterator
+        t <- (0 until nt).iterator if tFilter.forall(_ == t)
+        l <- (0 until nl).iterator if lFilter.forall(_ == l)
         y <- (0 until ny).iterator
       } yield {
         val row = new Array[Double](nx)

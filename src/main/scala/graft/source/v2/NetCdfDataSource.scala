@@ -73,40 +73,81 @@ private[v2] final class NetCdfTable(props: Map[String, String])
     new NetCdfScanBuilder(props)
 }
 
+/** Pushable predicates, extracted driver-side into plain serializable
+  * values: variable equality/IN skips whole-band payload reads;
+  * time_idx / leadtime_idx equality skips slice materialization.
+  */
+private[v2] final case class NetCdfFilters(
+    variables: Option[Set[String]], timeIdx: Option[Int],
+    leadtimeIdx: Option[Int]) {
+  def describe: String = Seq(
+    variables.map(v => s"variable IN (${v.toSeq.sorted.mkString(",")})"),
+    timeIdx.map(t => s"time_idx=$t"),
+    leadtimeIdx.map(l => s"leadtime_idx=$l")).flatten.mkString(", ")
+}
+
 private[v2] final class NetCdfScanBuilder(props: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = NetCdfDataSource.TidySchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new NetCdfScan(props, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("variable", _: String) => true
+      case In("variable", _) => true
+      case EqualTo("time_idx" | "leadtime_idx", _: Int) => true
+      case _ => false
+    }
+    // every filter stays residual: the pushed set only SKIPS work
+    // (band/slice decode); Spark re-applies the predicates on the rows
+    // that do come back, so pushdown can never change semantics
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = {
+    val vars = pushed.collectFirst {
+      case EqualTo("variable", v: String) => Set(v)
+      case In("variable", vs) => vs.collect { case s: String => s }.toSet
+    }
+    val t = pushed.collectFirst { case EqualTo("time_idx", v: Int) => v }
+    val l = pushed.collectFirst { case EqualTo("leadtime_idx", v: Int) => v }
+    new NetCdfScan(props, required, NetCdfFilters(vars, t, l))
+  }
 }
 
 private[v2] final class NetCdfScan(props: Map[String, String],
-                                   required: StructType)
+                                   required: StructType,
+                                   filters: NetCdfFilters)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"netcdf scan, columns=[${required.fieldNames.mkString(",")}]"
+    s"netcdf scan, columns=[${required.fieldNames.mkString(",")}]" +
+      (if (filters.describe.nonEmpty) s", pushed=[${filters.describe}]" else "")
   override def planInputPartitions(): Array[InputPartition] =
     NetCdfDataSource.resolvePaths(props)
       .map(p => NetCdfInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new NetCdfReaderFactory(required.fieldNames)
+    new NetCdfReaderFactory(required.fieldNames, filters)
 }
 
 private[v2] final case class NetCdfInputPartition(path: String)
     extends InputPartition
 
-private[v2] final class NetCdfReaderFactory(requiredCols: Array[String])
+private[v2] final class NetCdfReaderFactory(requiredCols: Array[String],
+                                            filters: NetCdfFilters)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new NetCdfPartitionReader(
-      partition.asInstanceOf[NetCdfInputPartition].path, requiredCols)
+      partition.asInstanceOf[NetCdfInputPartition].path, requiredCols, filters)
 }
 
 private[v2] final class NetCdfPartitionReader(path: String,
-                                              requiredCols: Array[String])
+                                              requiredCols: Array[String],
+                                              filters: NetCdfFilters)
     extends PartitionReader[InternalRow] {
 
   private val needPayload =
@@ -125,7 +166,8 @@ private[v2] final class NetCdfPartitionReader(path: String,
         buf
       } finally in.close()
     if (needPayload) {
-      NetCdfSource.decodeTidy(path, bytes).map(project)
+      NetCdfSource.decodeTidy(path, bytes, filters.variables,
+        filters.timeIdx, filters.leadtimeIdx).map(project)
     } else {
       // header-only fast path: the grid payload is never decoded
       headerRows(bytes).map(project)
@@ -152,8 +194,9 @@ private[v2] final class NetCdfPartitionReader(path: String,
         coord(NetCdfSource.YCandidates).map(_ * yScale))
     for {
       v <- h.vars.filter(_.dimIds.size == 4).iterator
-      t <- ts.indices.iterator
-      l <- ls.indices.iterator
+        if filters.variables.forall(_.contains(v.name))
+      t <- ts.indices.iterator if filters.timeIdx.forall(_ == t)
+      l <- ls.indices.iterator if filters.leadtimeIdx.forall(_ == l)
       y <- ys.indices.iterator
     } yield (path, v.name, t, ts(t), l, ls(l), y, ys(y), null, null)
   }

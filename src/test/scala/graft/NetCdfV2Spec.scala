@@ -47,4 +47,23 @@ class NetCdfV2Spec extends SparkSpec {
       .select("y").distinct().collect().map(_.getDouble(0)).sorted
     assert(ys.head === 100000.0)
   }
+
+  test("variable/slice predicates push into the scan and stay exact") {
+    val df = spark.read.format("netcdf").load(glob)
+      .filter(col("variable") === "sic_mean" && col("leadtime_idx") === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("variable IN (sic_mean)") &&
+      plan.contains("leadtime_idx=1"),
+      s"predicates not pushed into the scan:\n$plan")
+    // results identical to post-filtering the unpushed scan
+    val pushed = df.select("variable", "time_idx", "leadtime_idx", "y_idx")
+      .collect().map(_.toString).sorted.toSeq
+    val naive = spark.read.format("netcdf").load(glob)
+      .select("variable", "time_idx", "leadtime_idx", "y_idx", "values")
+      .where("variable = 'sic_mean' and leadtime_idx = 1")
+      .select("variable", "time_idx", "leadtime_idx", "y_idx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(pushed === naive && pushed.nonEmpty)
+    assert(pushed.length === 2 * 1 * 1 * 8) // files × time × leadtime × y
+  }
 }
