@@ -9,6 +9,15 @@ import graft.pipeline.{EnvConfig, Ingest, Preprocess}
   *     [--data-path D] [--forecast-frequency 1days] [--workers N] \
   *     [--no-compress] [--overwrite] [--stac-only]
   *   graft.Cli ingest [--catalog PATH] [--overwrite] [--dry-run]
+  *   graft.Cli watch <dropDir> --name <collection> [--data-path D]
+  *     [--interval 30s | --once] [preprocess flags...]
+  *
+  * `watch` is the engine's streaming superset of `preprocess`: a
+  * file-watch Structured Streaming source over the drop directory
+  * drives the identical batch pipeline per micro-batch
+  * (StreamingPreprocess). `--once` drains what is currently there and
+  * exits; otherwise the watch runs until interrupted, picking up each
+  * new forecast drop at `--interval`.
   *
   * Quirk preserved (SURVEY §7.4.8): `--no-compress` mirrors the
   * reference's `-c` flag whose DEFAULT leaves DEFLATE ON and whose
@@ -26,9 +35,10 @@ object Cli {
     try args.headOption match {
       case Some("preprocess") => preprocess(spark, args.drop(1))
       case Some("ingest") => ingest(spark, args.drop(1))
+      case Some("watch") => watch(spark, args.drop(1))
       case other =>
         System.err.println(s"unknown command: ${other.getOrElse("<none>")}; " +
-          "expected preprocess | ingest")
+          "expected preprocess | ingest | watch")
         sys.exit(2)
     } finally spark.stop()
   }
@@ -56,6 +66,35 @@ object Cli {
     println(s"preprocess: ${res.nItems} item(s), ${res.nSlices} slice(s) " +
       s"written, catalog at ${res.catalogRoot} " +
       s"(compression ${if (compress) "DEFLATE" else "NONE"})")
+  }
+
+  private def watch(spark: org.apache.spark.sql.SparkSession,
+                    args: Array[String]): Unit = {
+    val (flags, positional) = parse(args)
+    require(positional.length == 1, "watch: exactly one drop directory")
+    val opts = Preprocess.Options(
+      name = flags.getOrElse("name",
+        sys.error("watch: --name <collection> is required")),
+      dataPath = flags.getOrElse("data-path", "data"),
+      catalogName = flags.getOrElse("catalog-name", "catalog"),
+      forecastFrequency = flags.getOrElse("forecast-frequency", "1days"),
+      fileServerUrl = EnvConfig.load().get("FILE_SERVER_URL"),
+      stacOnly = flags.contains("stac-only"),
+      overwrite = flags.contains("overwrite"),
+      compress = !flags.contains("no-compress"))
+    val checkpoint = flags.getOrElse("checkpoint",
+      s"${opts.dataPath}/_watch_checkpoint")
+    val onBatch = (br: graft.streaming.StreamingPreprocess.BatchRun) =>
+      println(s"watch: batch ${br.batchId} — ${br.nFiles} file(s) → " +
+        s"${br.result.nItems} item(s)")
+    val trigger =
+      if (flags.contains("once"))
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      else org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(flags.getOrElse("interval", "30 seconds"))
+    val q = graft.streaming.StreamingPreprocess.start(
+      spark, positional.head, checkpoint, opts, onBatch, trigger)
+    q.awaitTermination()
   }
 
   private def ingest(spark: org.apache.spark.sql.SparkSession,
