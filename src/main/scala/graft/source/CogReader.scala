@@ -16,7 +16,8 @@ import java.util.zip.Inflater
   *   - strip pages (StripOffsets/RowsPerStrip/StripByteCounts), the
   *     common non-cloud-optimized GeoTIFF layout;
   *   - sample types float64/float32, signed/unsigned 8/16/32-bit ints;
-  *   - DEFLATE (8 and the legacy 32946 code) with horizontal predictor 2.
+  *   - DEFLATE (8 and the legacy 32946 code) and LZW (5, early-change
+  *     variant) with horizontal predictor 2.
   */
 object CogReader {
 
@@ -60,12 +61,17 @@ object CogReader {
 
       def chunk(idx: Int, nPixels: Int): ByteBuffer = {
         val expected = nPixels * valsPerPixel * ss
-        val raw =
-          if (p.compression == 8 || p.compression == 32946)
+        val raw = p.compression match {
+          case 8 | 32946 =>
             inflate(bytes, p.tileOffsets(idx).toInt, p.tileByteCounts(idx).toInt,
               expected)
-          else java.util.Arrays.copyOfRange(bytes, p.tileOffsets(idx).toInt,
-            (p.tileOffsets(idx) + p.tileByteCounts(idx)).toInt)
+          case 5 =>
+            lzwDecode(bytes, p.tileOffsets(idx).toInt,
+              p.tileByteCounts(idx).toInt, expected)
+          case _ =>
+            java.util.Arrays.copyOfRange(bytes, p.tileOffsets(idx).toInt,
+              (p.tileOffsets(idx) + p.tileByteCounts(idx)).toInt)
+        }
         ByteBuffer.wrap(raw).order(order)
       }
 
@@ -231,6 +237,63 @@ object CogReader {
       planar = one(284, if (tiled) 2 else 1).toInt,
       predictor = one(317, 1).toInt)
     (page, nextIfd)
+  }
+
+  /** TIFF-variant LZW (compression 5, TIFF 6.0 §13): MSB-first bit
+    * packing, ClearCode 256 / EOI 257, code width 9→12 bits with the
+    * "early change" (width bumps one code BEFORE the table index forces
+    * it — at 510/1022/2046).
+    */
+  private[graft] def lzwDecode(bytes: Array[Byte], off: Int, len: Int,
+                                expected: Int): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val table = new Array[Array[Byte]](4096)
+    var tableSize = 0
+    def resetTable(): Unit = {
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      tableSize = 258
+    }
+    resetTable()
+    var bitPos = 0L
+    val bitEnd = len.toLong * 8
+    def width = if (tableSize < 511) 9 else if (tableSize < 1023) 10
+      else if (tableSize < 2047) 11 else 12
+    def nextCode(w: Int): Int = {
+      if (bitPos + w > bitEnd) return Eoi
+      var v = 0; var i = 0
+      while (i < w) {
+        val byteIdx = off + (bitPos >> 3).toInt
+        val bit = 7 - (bitPos & 7).toInt
+        v = (v << 1) | ((bytes(byteIdx) >> bit) & 1)
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    var prev: Array[Byte] = null
+    var code = nextCode(width)
+    while (code != Eoi && out.size() < expected) {
+      if (code == Clear) {
+        resetTable()
+        code = nextCode(width)
+        if (code == Eoi) return java.util.Arrays.copyOf(out.toByteArray, expected)
+        out.write(table(code))
+        prev = table(code)
+      } else {
+        val entry =
+          if (code < tableSize && table(code) != null) table(code)
+          else prev :+ prev(0) // the KwKwK case
+        out.write(entry)
+        if (prev != null && tableSize < 4096) {
+          table(tableSize) = prev :+ entry(0)
+          tableSize += 1
+        }
+        prev = entry
+      }
+      code = nextCode(width)
+    }
+    java.util.Arrays.copyOf(out.toByteArray, expected)
   }
 
   private def inflate(bytes: Array[Byte], off: Int, len: Int,
