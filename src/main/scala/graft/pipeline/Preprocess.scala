@@ -99,10 +99,12 @@ object Preprocess {
       .select(col("units")).distinct().as[String].collect()
     require(timeUnits.length == 1, s"mixed time units: ${timeUnits.toSeq}")
     val (tScale, tBase) = parseTimeUnits(timeUnits.head)
-    val hemisphere = fileMeta
-      .select(Scalars.hemisphere(col("lat_min")).as("h")).distinct()
-      .as[String].collect().headOption.getOrElse("")
-    val crs = fileMeta.select(col("crs")).distinct().as[String].collect().head
+    // one driver action for both scalars instead of two tiny jobs
+    val metaRows = fileMeta
+      .select(col("crs"), Scalars.hemisphere(col("lat_min")).as("h"))
+      .distinct().as[(String, String)].collect()
+    val hemisphere = metaRows.map(_._2).distinct.headOption.getOrElse("")
+    val crs = metaRows.map(_._1).distinct.head
 
     // ---- one cached tidy scan replaces the reference's three opens
     val tidy = NetCdfSource.tidy(spark, inputGlob).persist()
@@ -139,20 +141,33 @@ object Preprocess {
     // ---- K3 + W3: thumbnail for leadtime 0, first band, per item
     if (!opts.stacOnly) writeThumbnails(spark, tidy, inits, opts)
 
-    // ---- A2: band statistics per (file, init, variable, leadtime)
-    val stats = tidy
+    // ---- A2: band statistics per (file, init, variable, leadtime).
+    // vec_stats folds each scanline to six scalars inside codegen, so the
+    // aggregation shuffles one small row per scanline instead of one row
+    // per grid cell (the explode form multiplies shuffle rows by the grid
+    // width — ~432× on a real EASE grid; same shape as q46). stddev is
+    // reassembled from (Σv, Σv², n) with numpy's ddof=0 and a 0-clamp.
+    val st = graft.functions.VecStatsExpr.vecStats(col("values"))
+    val statPartials = tidy
       .select(col("path"), col("time_idx"), col("variable"),
-        col("leadtime_idx"), col("leadtime"), explode(col("values")).as("v"))
+        col("leadtime_idx"), col("leadtime"), st.as("st"))
       .groupBy(col("path"), col("time_idx"), col("variable"), col("leadtime_idx"),
         col("leadtime"))
       .agg(
-        min(when(!isnan(col("v")), col("v"))).as("stat_min"),
-        max(when(!isnan(col("v")), col("v"))).as("stat_max"),
-        avg(when(!isnan(col("v")), col("v"))).as("stat_mean"),
-        stddev_pop(when(!isnan(col("v")), col("v"))).as("stat_stddev"),
-        Scalars.floor2dp(
-          sum(when(!isnan(col("v")), 1).otherwise(0)) * 100.0 / count(lit(1)))
-          .as("valid_percent"))
+        // all-NaN scanlines carry vmin/vmax = NaN; guard to null so
+        // min()/max() skip them (Spark orders NaN above every double)
+        min(when(col("st.n_valid") > 0, col("st.vmin"))).as("stat_min"),
+        max(when(col("st.n_valid") > 0, col("st.vmax"))).as("stat_max"),
+        sum(col("st.vsum")).as("sv"), sum(col("st.vsumsq")).as("sv2"),
+        sum(col("st.n_valid")).as("nv"), sum(col("st.n_total")).as("nt"))
+    val statMean = col("sv") / col("nv")
+    val stats = statPartials.select(
+      col("path"), col("time_idx"), col("variable"), col("leadtime_idx"),
+      col("leadtime"), col("stat_min"), col("stat_max"),
+      statMean.as("stat_mean"),
+      sqrt(greatest(col("sv2") / col("nv") - statMean * statMean, lit(0.0)))
+        .as("stat_stddev"),
+      Scalars.floor2dp(col("nv") * 100.0 / col("nt")).as("valid_percent"))
 
     // ---- K2 + P8: per-leadtime multiband COGs (ref generator.py:906-911)
     if (!opts.stacOnly)
