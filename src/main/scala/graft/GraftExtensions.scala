@@ -24,7 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "vec_stats",
       "vec_stats(a) - single-pass NaN-skipping stats struct over array<double>",
       { case Seq(a) => VecStatsExpr(a) }, arity = 1)
+    register(ext, "graft_top_k",
+      "graft_top_k(key, k, capacity) - SpaceSaving heavy-hitters aggregate",
+      { case Seq(key, k, cap) =>
+        graft.functions.HeavyHittersAgg(key, foldInt("k", k),
+          foldInt("capacity", cap)).toAggregateExpression() },
+      arity = 3)
   }
+
+  /** k/capacity are sketch SIZING, not data: they must be literals. */
+  private def foldInt(what: String, e: Expression): Int =
+    if (e.foldable) e.eval().asInstanceOf[Number].intValue()
+    else throw new IllegalArgumentException(
+      s"graft_top_k $what must be a literal integer")
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
                        builder: PartialFunction[Seq[Expression], Expression],

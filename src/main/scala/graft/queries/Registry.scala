@@ -9,5 +9,5 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all ++
       StacQueries.all ++ NetCdfQueries.all ++ MultimodalQueries.all ++
-      EventOps.all ++ GroupingSets.all ++ TemporalJoins.all
+      EventOps.all ++ GroupingSets.all ++ TemporalJoins.all ++ Sketches.all
 }
