@@ -19,6 +19,9 @@ import graft.functions.{DotProductExpr, VecStatsExpr}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // keyless range joins → binned equi-joins (opt-in via
+    // spark.graft.rangeJoin.binWidth; see BinnedRangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     register(ext, "vec_dot", "vec_dot(a, b) - dot product of two array<double>",
       { case Seq(a, b) => DotProductExpr(a, b) }, arity = 2)
     register(ext, "vec_stats",
