@@ -70,6 +70,76 @@ object EventStream {
       }
   }
 
+  final case class Session(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long)
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Streaming sessionization (the streaming twin of batch q51):
+    * >`gapMs` of per-user silence closes a session. Sessions closed by
+    * a later in-stream event emit immediately; the trailing open
+    * session emits when the EVENT-TIME TIMEOUT fires — i.e. when the
+    * watermark passes its gap deadline — so state is bounded by the
+    * number of users with activity inside the watermark horizon, not by
+    * history. Times are epoch millis.
+    *
+    * flatMapGroupsWithState rather than mapGroupsWithState because one
+    * micro-batch can close MANY sessions for one key (a burst spanning
+    * several gaps), and a timeout invocation can emit zero or one.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", "2 hours")
+      .select(col("user_id"), col("event_time")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = Seq.newBuilder[Session]
+            var open = state.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(o) if t - o.last > gapMs =>
+                  closed += Session(user, o.start, o.last, o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case Some(o) =>
+                  open = Some(o.copy(last = t, n = o.n + 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // the deadline may already be under the watermark when this
+              // batch replays old data; a timeout timestamp must sit above
+              // the watermark, and clamping only hastens the (correct)
+              // timeout emission
+              state.setTimeoutTimestamp(
+                math.max(o.last + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup (the streaming twin of batch q36): duplicate
+    * event_ids arriving within the watermark horizon collapse to the
+    * first sighting; dedup state for ids older than the watermark is
+    * dropped, keeping state bounded — the engine-level contract for
+    * at-least-once upstreams at 100 TB/day rates.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the stream to completion over the currently-available files
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result. This is the harness form — a live deployment would use the
