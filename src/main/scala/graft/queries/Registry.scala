@@ -9,5 +9,6 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all ++
       StacQueries.all ++ NetCdfQueries.all ++ MultimodalQueries.all ++
-      EventOps.all ++ GroupingSets.all ++ TemporalJoins.all ++ Sketches.all
+      EventOps.all ++ GroupingSets.all ++ TemporalJoins.all ++ Sketches.all ++
+      WindowSetOps.all
 }
