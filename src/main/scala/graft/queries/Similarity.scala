@@ -137,55 +137,18 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Nearest IVF cells for a vector: per-centroid squared-distance
-    * structs (|v|² dropped — constant per row under argmin), sorted
-    * lexicographically (distance, then cell id — deterministic ties),
-    * first `nprobe` kept. Pure map-side codegen'd expression chain: the
-    * codebook is a literal, so cell assignment costs K dot products per
-    * row and NO shuffle.
+  /** IVF helpers live in ops.IvfIndex (codebook training + nearest-cell
+    * expression) — q56 is the inline query form, IvfIndex the persisted
+    * build/open/query lifecycle over the same deterministic codebook.
     */
   private def nearestCells(emb: Column,
                            centroids: Array[(Long, Array[Double])],
-                           nprobe: Int): Column = {
-    val cells = centroids.map { case (cid, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((dot(emb, typedLit(c.toSeq)) * -2 + c2).as("d"),
-        lit(cid).as("cid"))
-    }
-    slice(array_sort(array(cells: _*)), 1, nprobe)
-  }
+                           nprobe: Int): Column =
+    graft.ops.IvfIndex.nearestCells(emb, centroids, nprobe)
 
-  /** Deterministic sample-trained IVF codebook (the standard IVF recipe:
-    * train k-means on a SAMPLE, broadcast the centroids — sample-sized
-    * driver work, the corpus is never collected). Fixed init (first k
-    * sample vectors in vec_id order) and a fixed iteration count make
-    * the codebook bit-identical across runs.
-    */
   private def trainCodebook(sample: Array[Array[Double]], k: Int,
-                            iters: Int): Array[(Long, Array[Double])] = {
-    val dim = sample.head.length
-    var cents = sample.take(k).map(_.clone)
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue
-        var j = 0
-        while (j < cents.length) {
-          var dist = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - cents(j)(i); dist += t * t; i += 1 }
-          if (dist < bd) { bd = dist; best = j }
-          j += 1
-        }
-        counts(best) += 1
-        val su = sums(best); var i = 0
-        while (i < dim) { su(i) += v(i); i += 1 }
-      }
-      cents = Array.tabulate(k)(j =>
-        if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
-    }
-    cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }
-  }
+                            iters: Int): Array[(Long, Array[Double])] =
+    graft.ops.IvfIndex.trainCodebook(sample, k, iters)
 
   /** IVF ANN (rows-only): the second scale path beside sign-LSH (q42).
     * Every vector is assigned to its nearest codebook cell map-side;

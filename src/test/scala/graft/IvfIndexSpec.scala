@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.IvfIndex
+
+/** The persisted IVF lifecycle: build → reopen → query must (a) prune
+  * the corpus scan to the probed cell partitions, (b) reach the same
+  * recall the inline q56 path reaches against the exact baseline, and
+  * (c) be deterministic across a rebuild.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val corpus = Tables.embeddings(spark, sf)
+    .select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+
+  private lazy val dir: String = {
+    val d = Work.stableDir("ivftest").toString
+    IvfIndex.build(spark, corpus, d, k = 16)
+    d
+  }
+
+  test("probing reads only the probed cell partitions") {
+    val idx = IvfIndex.open(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val res = IvfIndex.query(idx, queries, nprobe = 4, topk = 3)
+    val scan = res.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("FileScan") && l.contains("corpus"))
+      .getOrElse(fail("no corpus scan in plan"))
+    assert(scan.contains("PartitionFilters") && scan.contains("cell#"),
+      s"corpus scan is not partition-pruned: $scan")
+    assert(res.count() > 0)
+  }
+
+  test("recall@3 of the persisted index matches the inline path") {
+    val idx = IvfIndex.open(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val approx = IvfIndex.query(idx, queries, nprobe = 4, topk = 3)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+
+    // exact top-3 via brute force over the same corpus
+    val e = corpus.withColumn("nrm",
+      sqrt(graft.functions.DotProductExpr.dot($"emb", $"emb")))
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"emb".as("qe"), $"nrm".as("qn"))
+    val pairs = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        (graft.functions.DotProductExpr.dot($"qe", $"emb") / ($"qn" * $"nrm"))
+          .as("cos"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    val exact = pairs
+      .withColumn("rank", row_number().over(rn)).filter($"rank" <= 3)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+
+  test("rebuild is bit-deterministic") {
+    val d2 = Work.stableDir("ivftest2").toString
+    IvfIndex.build(spark, corpus, d2, k = 16)
+    val a = IvfIndex.open(spark, dir)
+    val b = IvfIndex.open(spark, d2)
+    assert(a.centroids.map(_._2.toSeq).toSeq === b.centroids.map(_._2.toSeq).toSeq)
+    val ca = a.corpus.select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    val cb = b.corpus.select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(ca === cb)
+  }
+}
