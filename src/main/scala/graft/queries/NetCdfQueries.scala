@@ -113,5 +113,35 @@ object NetCdfQueries {
       "items_skipped")
   }
 
-  val all: Seq[QueryDef] = Seq(manifest, bandStats, preprocessE2e, ingestDryRun)
+  /** S7 — Zarr v2 store scan end-to-end (rows-only: zarr fixtures, no
+    * DuckDB path; ZarrSpec pins exact cell values): per-array manifest
+    * facts joined to chunk-parallel value statistics, the vec_stats
+    * fold keeping one small row per CHUNK through the shuffle.
+    */
+  val zarrScan = QueryDef.rowsOnly("q67_zarr_scan") { (s, _) =>
+    val store = stableWork("fixtures").resolve("zarr")
+    if (!java.nio.file.Files.exists(store.resolve(".zgroup"))) {
+      graft.source.ZarrFixture.write(store, "sic_mean", Seq(40, 32),
+        Seq(16, 16), value = c => c.head * 0.5 + c(1) * 0.01)
+      graft.source.ZarrFixture.write(store, "sic_count", Seq(40, 32),
+        Seq(16, 16), dtype = "<i4", compress = false,
+        value = c => (c.head + c(1)).toDouble)
+    }
+    val statsByArray = Seq("sic_mean", "sic_count").map { name =>
+      val st = graft.functions.VecStatsExpr.vecStats(col("values"))
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), st.as("st"))
+        .groupBy(col("array"))
+        .agg(sum(col("st.n_total")).as("n_cells"),
+          min(col("st.vmin")).as("vmin"), max(col("st.vmax")).as("vmax"),
+          sum(col("st.vsum")).as("vsum"))
+    }.reduce(_ unionByName _)
+    graft.source.ZarrSource.manifest(s, store.toString)
+      .select(col("array"), col("dtype"), col("compressor"),
+        col("n_values"), col("n_chunks"))
+      .join(statsByArray, Seq("array"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(manifest, bandStats, preprocessE2e, ingestDryRun, zarrScan)
 }

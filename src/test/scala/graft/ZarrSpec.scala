@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.source.{ZarrCodec, ZarrFixture, ZarrSource}
+
+/** Zarr v2 reader: assembled values must equal the generating function
+  * over every in-bounds coordinate (edge-chunk padding trimmed), across
+  * compression and dtype variants; the manifest reports numpy-dtype
+  * facts the way the reference's file-info probe does.
+  */
+class ZarrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val store = {
+    val d = Files.createTempDirectory("graft-zarr")
+    // 7×5 with 4×3 chunks: right/bottom edge chunks are padded
+    ZarrFixture.write(d, "sic", Seq(7, 5), Seq(4, 3),
+      value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "counts", Seq(6), Seq(4), dtype = "<i4",
+      compress = false, value = _.sum * 3.0)
+    ZarrFixture.write(d, "mask", Seq(5), Seq(2), dtype = "|u1",
+      compress = true, value = c => (c.sum % 250).toDouble)
+    ZarrFixture.write(d, "big", Seq(3, 3), Seq(2, 2), dtype = ">f4",
+      compress = false, value = c => c(0) - c(1) * 0.5)
+    d
+  }
+
+  test("manifest lists every array with dtype facts") {
+    val m = ZarrSource.manifest(spark, store.toString)
+      .select("array", "dtype", "bit_depth", "byte_order", "compressor",
+        "n_values", "n_chunks")
+      .as[(String, String, Int, String, String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m.keySet === Set("sic", "counts", "mask", "big"))
+    assert(m("sic") === ("sic", "float64", 64, "little-endian", "zlib", 35L, 4L))
+    assert(m("counts") === ("counts", "int32", 32, "little-endian", "null", 6L, 2L))
+    assert(m("mask") === ("mask", "uint8", 8, "little-endian", "zlib", 5L, 3L))
+    assert(m("big") === ("big", "float32", 32, "big-endian", "null", 9L, 4L))
+  }
+
+  test("chunk-parallel read reassembles exactly, edge padding trimmed") {
+    val rows = ZarrSource.read(spark, store.toString, "sic")
+      .select("origin", "shape", "values")
+      .as[(Seq[Int], Seq[Int], Seq[Double])].collect()
+    assert(rows.length === 4)
+    val cells = rows.flatMap { case (origin, shape, values) =>
+      for (i <- shape.head * shape(1) - 1 to 0 by -1) yield {
+        val (r, c) = (i / shape(1), i % shape(1))
+        ((origin.head + r, origin(1) + c), values(i))
+      }
+    }.toMap
+    assert(cells.size === 35, "each in-bounds cell exactly once")
+    for (r <- 0 until 7; c <- 0 until 5)
+      assert(cells((r, c)) === r * 100.0 + c, s"($r,$c)")
+  }
+
+  test("dtype variants decode to the generating values") {
+    for ((name, n, f) <- Seq(
+        ("counts", 6, (i: Int) => i * 3.0),
+        ("mask", 5, (i: Int) => (i % 250).toDouble))) {
+      val cells = ZarrSource.read(spark, store.toString, name)
+        .select("origin", "values").as[(Seq[Int], Seq[Double])].collect()
+        .flatMap { case (o, v) => v.indices.map(i => (o.head + i) -> v(i)) }
+        .toMap
+      (0 until n).foreach(i => assert(cells(i) === f(i), s"$name[$i]"))
+    }
+    val big = ZarrSource.read(spark, store.toString, "big")
+      .select("origin", "shape", "values")
+      .as[(Seq[Int], Seq[Int], Seq[Double])].collect()
+      .flatMap { case (o, s, v) =>
+        v.indices.map(i => (o.head + i / s(1), o(1) + i % s(1)) -> v(i)) }
+      .toMap
+    for (r <- 0 until 3; c <- 0 until 3)
+      assert(big((r, c)) === (r - c * 0.5).toFloat.toDouble, s"big($r,$c)")
+  }
+
+  test("unsupported layouts fail loudly") {
+    val d = Files.createTempDirectory("graft-zarr-bad")
+    Files.createDirectories(d.resolve("a"))
+    Files.writeString(d.resolve("a").resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<f8",
+        | "compressor": {"id": "blosc"}, "fill_value": null,
+        | "order": "C", "filters": null}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      ZarrCodec.readMeta(d)
+    }
+    assert(e.getMessage.contains("blosc"))
+  }
+}
