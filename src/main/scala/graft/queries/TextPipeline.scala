@@ -204,8 +204,11 @@ object TextPipeline {
     * Jaccard computed ONLY for pairs sharing a band bucket; pairs clearing
     * 0.5 are confirmed near-duplicates.
     */
-  val ngramJaccard = QueryDef("q38_ngram_jaccard",
-    """WITH sh AS (
+  /** Shared oracle CTEs: shingles → minhash bands → candidate pairs →
+    * jaccard-verified near-dup pairs (used by q38 and q68's closure).
+    */
+  private val pairCtes =
+    """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
       |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sg
@@ -217,16 +220,21 @@ object TextPipeline {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
-      |    AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b,
-      |  round(CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
-      |        (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))), 6) AS jaccard
-      |FROM cand
-      |JOIN sh s1 ON s1.doc_id = id_a
-      |JOIN sh s2 ON s2.doc_id = id_b
-      |WHERE CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
-      |      (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
+      |      (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))) AS j
+      |  FROM cand
+      |  JOIN sh s1 ON s1.doc_id = id_a
+      |  JOIN sh s2 ON s2.doc_id = id_b
+      |  WHERE CAST(len(list_intersect(s1.sg, s2.sg)) AS DOUBLE) /
+      |        (len(s1.sg) + len(s2.sg) - len(list_intersect(s1.sg, s2.sg))) >= 0.5)""".stripMargin
+
+  val ngramJaccard = QueryDef("q38_ngram_jaccard",
+    s"""WITH $pairCtes
+      |SELECT id_a, id_b, round(j, 6) AS jaccard
+      |FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     // The shingle relation feeds FOUR plan branches (both self-join sides
     // of the candidate generation plus both sides of the pair join);
     // without persisting, Spark recomputes the shingle+minhash expressions
@@ -329,6 +337,31 @@ object TextPipeline {
     }
   }
 
+  /** Dup CLUSTERS from the verified near-dup pairs: pairwise similarity
+    * under-merges (A~B, B~C must cluster A,B,C even when A~C never
+    * became a candidate pair), so the pair graph runs through connected
+    * components; cluster_id = the component's smallest doc_id (the
+    * canonical-document election). The oracle closes the same pair
+    * relation with a recursive CTE and takes min per node.
+    */
+  val dupClusters = QueryDef("q68_dup_clusters",
+    s"""WITH RECURSIVE $pairCtes,
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |reach(node, r) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      |SELECT node AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = ngramJaccard.fn(s, d)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
-    exactDedup, minhashBands, ngramJaccard, simhash)
+    exactDedup, minhashBands, ngramJaccard, simhash, dupClusters)
 }

@@ -1,0 +1,34 @@
+package graft
+
+import graft.ops.ConnectedComponents
+
+/** Min-label propagation on known graphs: chains (the case pairwise
+  * dedup misses), separate components, and a star — every node must
+  * land on its component's minimum id.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, stars and isolated pairs resolve to component minima") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 12L),    // chain: {3,5,9,12} -> 3
+      (20L, 21L),                        // pair: {20,21} -> 20
+      (30L, 31L), (30L, 32L), (30L, 33L) // star: {30..33} -> 30
+    ).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      3L -> 3L, 5L -> 3L, 9L -> 3L, 12L -> 3L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L)
+    assert(got === expected)
+  }
+
+  test("long path converges within the diameter bound") {
+    // path 0-1-2-...-15: worst case for propagation, diameter 15
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges, maxIter = 25)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 15L).map(_ -> 0L).toMap)
+  }
+}
