@@ -65,10 +65,22 @@ object Bench {
     val failed = Json.obj(results.collect { case (k, Left(err)) =>
       k -> Json.quote(err)
     })
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    val total = results.collect { case (_, Right(v) ) => v }.sum
     val nFail = results.count(_._2.isLeft)
+    // Host-speed canary: this VM's effective CPU clock floats ~2-3×
+    // between runs (frequency scaling outside our control — observed
+    // identical code at 34 s and 62 s an hour apart). A fixed
+    // single-thread arithmetic loop timed alongside the suite lets any
+    // two bench lines be normalized against each other.
+    val calMs = {
+      var x = 0L; val t0 = System.nanoTime()
+      var i = 0
+      while (i < 200000000) { x += i * i; i += 1 }
+      if (x == 42) System.err.print("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e6
+    }
     println(
-      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }
