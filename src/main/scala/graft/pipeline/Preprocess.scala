@@ -81,6 +81,22 @@ object Preprocess {
     case other => throw new IllegalArgumentException(s"time units: $other")
   }
 
+  /** The pipeline is input-format agnostic: a path holding a `.zgroup`
+    * is a Zarr v2 store (one store = one logical multiband file), any
+    * other glob is netCDF files. Both sources produce the SAME manifest
+    * and tidy schemas, so every downstream stage is shared.
+    */
+  private def isZarrStore(input: String): Boolean =
+    !input.contains("*") && Files.exists(Paths.get(input, ".zgroup"))
+
+  private def sourceManifest(spark: SparkSession, input: String) =
+    if (isZarrStore(input)) graft.source.ZarrSource.forecastManifest(spark, input)
+    else NetCdfSource.manifest(spark, input)
+
+  private def sourceTidy(spark: SparkSession, input: String) =
+    if (isZarrStore(input)) graft.source.ZarrSource.tidy(spark, input)
+    else NetCdfSource.tidy(spark, input)
+
   def run(spark: SparkSession, inputGlob: String, opts: Options): Result = {
     import spark.implicits._
 
@@ -91,7 +107,7 @@ object Preprocess {
     val (step, unit) = parseFrequency(opts.forecastFrequency)
 
     // ---- metadata pass: P1/P2/P9 + CRS + time units (header-only decode)
-    val man = NetCdfSource.manifest(spark, inputGlob).persist()
+    val man = sourceManifest(spark, inputGlob).persist()
     val fileMeta = man.filter(col("is_band"))
       .select(col("path"), col("crs"), col("lat_min")).distinct()
     val timeUnits = man
@@ -107,7 +123,7 @@ object Preprocess {
     val crs = metaRows.map(_._1).distinct.head
 
     // ---- one cached tidy scan replaces the reference's three opens
-    val tidy = NetCdfSource.tidy(spark, inputGlob).persist()
+    val tidy = sourceTidy(spark, inputGlob).persist()
 
     // ---- A1/F11/F12: bbox in projected meters → geographic via LAEA
     val bboxRow = tidy.agg(

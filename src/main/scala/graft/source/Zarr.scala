@@ -41,6 +41,59 @@ object ZarrCodec {
 
   private val mapper = new ObjectMapper()
 
+  /** Scalar attributes from a `.zattrs` JSON (xarray convention: array
+    * dimension names live in `_ARRAY_DIMENSIONS`; group-level attrs at
+    * the store root carry the dataset facts the reference reads, e.g.
+    * `geospatial_bounds_crs`). Arrays come back comma-joined, scalars
+    * as their text.
+    */
+  def readAttrs(dir: Path): Map[String, String] = {
+    val f = dir.resolve(".zattrs")
+    if (!Files.exists(f)) return Map.empty
+    val node = mapper.readTree(Files.readString(f))
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      val s =
+        if (v.isArray) v.elements().asScala.map(_.asText()).mkString(",")
+        else v.asText()
+      e.getKey -> s
+    }.toMap
+  }
+
+  /** Driver-side full-array assembly — for small COORDINATE arrays only
+    * (the band payloads go through the chunk-parallel executor path).
+    */
+  def readArray(store: Path, meta: ArrayMeta): Array[Double] = {
+    val dir = if (meta.name == "/") store else store.resolve(meta.name)
+    val out = new Array[Double](meta.nValues.toInt)
+    val outStrides = {
+      val s = new Array[Int](meta.shape.length); var acc = 1
+      for (d <- meta.shape.indices.reverse) { s(d) = acc; acc *= meta.shape(d) }
+      s
+    }
+    Files.list(dir).iterator().asScala
+      .filterNot(_.getFileName.toString.startsWith(".")).foreach { f =>
+        val (origin, shape, values) =
+          decodeChunk(meta, f.getFileName.toString, Files.readAllBytes(f))
+        val strides = {
+          val s = new Array[Int](shape.length); var acc = 1
+          for (d <- shape.indices.reverse) { s(d) = acc; acc *= shape(d) }
+          s
+        }
+        var i = 0
+        while (i < values.length) {
+          var rem = i; var dst = 0; var d = 0
+          while (d < shape.length) {
+            val c = rem / strides(d); rem %= strides(d)
+            dst += (origin(d) + c) * outStrides(d); d += 1
+          }
+          out(dst) = values(i)
+          i += 1
+        }
+      }
+    out
+  }
+
   /** Driver-side metadata walk: every `.zarray` under the store root. */
   def readMeta(store: Path): Seq[ArrayMeta] = {
     require(Files.isDirectory(store), s"not a zarr store: $store")
@@ -162,6 +215,106 @@ object ZarrSource {
       "byte_order", "compressor", "n_values", "n_chunks")
   }
 
+  /** The same per-(file, variable) manifest NetCdfSource.manifest
+    * produces, over a forecast-shaped zarr GROUP (xarray layout: 1-D
+    * coord arrays + 4-D bands, `_ARRAY_DIMENSIONS` naming, group
+    * `.zattrs` carrying the dataset attrs). `path` is the store root for
+    * every row — a store is one logical "file" the way a multi-band .nc
+    * is.
+    */
+  def forecastManifest(spark: SparkSession, store: String): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(store)
+    val gatts = ZarrCodec.readAttrs(root)
+    val metas = ZarrCodec.readMeta(root)
+    val names = metas.map(_.name)
+    val xc = NetCdfSource.findCoord(names, NetCdfSource.XCandidates).orNull
+    val yc = NetCdfSource.findCoord(names, NetCdfSource.YCandidates).orNull
+    val latMin: java.lang.Double =
+      gatts.get("geospatial_lat_min").flatMap(_.toDoubleOption)
+        .map(Double.box).orNull
+    metas.map { m =>
+      val attrs = ZarrCodec.readAttrs(
+        if (m.name == "/") root else root.resolve(m.name))
+      val (dname, _, _) = ZarrProbe.parseDtype(m.dtype)
+      (store, m.name, m.shape.length,
+        attrs.getOrElse("_ARRAY_DIMENSIONS", ""), dname, m.nValues,
+        attrs.get("units").orNull, gatts.get("geospatial_bounds_crs").orNull,
+        xc, yc, m.shape.length == 4, latMin)
+    }.toDF("path", "variable", "ndim", "dims", "dtype", "n_values",
+      "units", "crs", "x_coord", "y_coord", "is_band", "lat_min")
+  }
+
+  /** Tidy decode of the 4-D bands of a forecast-shaped zarr group into
+    * EXACTLY NetCdfSource.tidy's schema — one row per (variable,
+    * time_idx, leadtime_idx, y) scanline, coords unit-normalized (P3).
+    * Chunk files stream through binaryFile and decode in the executors;
+    * the x axis must be unchunked so every chunk holds complete
+    * scanlines (pick zarr chunk shapes scanline-major for this engine,
+    * the same layout xarray forecast stores use). Coordinate arrays are
+    * driver-read (tiny) and ride the task closure.
+    */
+  def tidy(spark: SparkSession, store: String): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(store)
+    val metas = ZarrCodec.readMeta(root)
+    val names = metas.map(_.name)
+    def coord(cands: Seq[String]): (String, Array[Double], String) = {
+      val n = NetCdfSource.findCoord(names, cands).getOrElse(
+        throw new IllegalArgumentException(s"no coord among $cands in $store"))
+      val m = metas.find(_.name == n).get
+      require(m.shape.length == 1, s"coord $n is not 1-D")
+      (n, ZarrCodec.readArray(root, m),
+        ZarrCodec.readAttrs(root.resolve(n)).getOrElse("units", ""))
+    }
+    def norm(raw: Array[Double], units: String): Array[Double] =
+      if (units == "km" || units == "1000 meter") raw.map(_ * 1000) else raw
+    val (_, xRaw, xu) = coord(NetCdfSource.XCandidates)
+    val (yName, yRaw, yu) = coord(NetCdfSource.YCandidates)
+    val (tName, tVals, _) = coord(NetCdfSource.TimeCandidates)
+    val (lName, lVals, _) = coord(NetCdfSource.LeadCandidates)
+    val xs = norm(xRaw, xu); val ys = norm(yRaw, yu)
+    val xName = NetCdfSource.findCoord(names, NetCdfSource.XCandidates).get
+
+    val bands = metas.filter(_.shape.length == 4)
+    bands.map { m =>
+      val dims = ZarrCodec.readAttrs(root.resolve(m.name))
+        .getOrElse("_ARRAY_DIMENSIONS", "").split(",").toSeq
+      require(dims == Seq(tName, yName, xName, lName),
+        s"unexpected band layout $dims for ${m.name} in $store " +
+          s"(expected ${Seq(tName, yName, xName, lName)})")
+      require(m.chunks(2) == m.shape(2),
+        s"band ${m.name}: x axis must be unchunked for scanline reads " +
+          s"(chunks=${m.chunks}, shape=${m.shape})")
+      val vname = m.name
+      spark.read.format("binaryFile").load(s"$store/$vname/*")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val key = path.substring(path.lastIndexOf('/') + 1)
+          val (origin, shape, values) = ZarrCodec.decodeChunk(m, key, bytes)
+          val Array(ot, oy, _, ol) = origin
+          val Array(ct, cy, cx, cl) = shape
+          for {
+            t <- (0 until ct).iterator
+            l <- (0 until cl).iterator
+            y <- (0 until cy).iterator
+          } yield {
+            val row = new Array[Double](cx)
+            var x = 0
+            while (x < cx) {
+              row(x) = values(((t * cy + y) * cx + x) * cl + l)
+              x += 1
+            }
+            (store, vname, ot + t, tVals(ot + t), ol + l, lVals(ol + l),
+              oy + y, ys(oy + y), xs, row)
+          }
+        }
+        .toDF("path", "variable", "time_idx", "time", "leadtime_idx",
+          "leadtime", "y_idx", "y", "xs", "values")
+    }.reduce(_ unionByName _)
+  }
+
   /** Chunk-parallel read of one array: one row per chunk, decoded and
     * trimmed in the executors — (chunk_key, origin, shape, values
     * flattened C-order).
@@ -192,10 +345,22 @@ object ZarrFixture {
 
   def write(store: Path, name: String, shape: Seq[Int], chunks: Seq[Int],
             dtype: String = "<f8", compress: Boolean = true,
+            attrs: Map[String, String] = Map.empty,
+            dims: Seq[String] = Seq.empty,
             value: Seq[Int] => Double = _.sum.toDouble): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
+    val allAttrs =
+      (if (dims.nonEmpty)
+         Map("_ARRAY_DIMENSIONS" ->
+           dims.map(d => s""""$d"""").mkString("[", ", ", "]"))
+       else Map.empty[String, String]) ++
+        attrs.map { case (k, v) => k -> s""""$v"""" }
+    if (allAttrs.nonEmpty)
+      Files.writeString(dir.resolve(".zattrs"),
+        allAttrs.map { case (k, v) => s""""$k": $v""" }
+          .mkString("{", ", ", "}"))
     val comp =
       if (compress) """{"id": "zlib", "level": 6}""" else "null"
     Files.writeString(dir.resolve(".zarray"),
@@ -217,6 +382,49 @@ object ZarrFixture {
       val bytes = if (compress) deflate(raw) else raw
       Files.write(dir.resolve(ci.mkString(".")), bytes)
     }
+  }
+
+  def writeGroupAttrs(store: Path, attrs: Map[String, String]): Unit = {
+    Files.createDirectories(store)
+    Files.writeString(store.resolve(".zattrs"),
+      attrs.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}"))
+  }
+
+  /** Forecast-shaped store mirroring NetCdfFixture.bytes value-for-value
+    * (same closed-form payload, same NaN stride, same coords/attrs), so
+    * the pipeline can be driven by either format and produce identical
+    * statistics. Bands chunk scanline-major: x unchunked, (t, y, l)
+    * split — the layout ZarrSource.tidy requires.
+    */
+  def writeForecast(store: Path, nt: Int = 1, ny: Int = 8, nx: Int = 8,
+                    nl: Int = 3, tStart: Double = 0.0): Unit = {
+    writeGroupAttrs(store, Map(
+      "geospatial_bounds_crs" -> "EPSG:6931",
+      "geospatial_lat_min" -> "45.0",
+      "source" -> "graft synthetic fixture"))
+    write(store, "time", Seq(nt), Seq(nt),
+      attrs = Map("units" -> "days since 2025-01-01"), dims = Seq("time"),
+      value = c => tStart + c.head)
+    write(store, "yc", Seq(ny), Seq(ny), attrs = Map("units" -> "km"),
+      dims = Seq("yc"), value = c => 100.0 + c.head)
+    write(store, "xc", Seq(nx), Seq(nx), attrs = Map("units" -> "km"),
+      dims = Seq("xc"), value = c => 200.0 + c.head)
+    write(store, "leadtime", Seq(nl), Seq(nl), dims = Seq("leadtime"),
+      value = c => c.head.toDouble)
+    val bandDims = Seq("time", "yc", "xc", "leadtime")
+    val bandShape = Seq(nt, ny, nx, nl)
+    val bandChunks = Seq(nt, (ny + 1) / 2, nx, nl) // y split, x whole
+    write(store, "sic_mean", bandShape, bandChunks, dims = bandDims,
+      attrs = Map("units" -> "1",
+        "long_name" -> "sea ice concentration mean"),
+      value = { c =>
+        val Seq(t, y, x, l) = c
+        if ((y * nx + x + l) % 17 == 0) Double.NaN
+        else (t + 1) * 0.1 + y * 0.01 + x * 0.001 + l * 0.0001
+      })
+    write(store, "sic_stddev", bandShape, bandChunks, dims = bandDims,
+      attrs = Map("units" -> "1"),
+      value = { c => val Seq(t, y, x, l) = c; (y + x + l + t) * 0.005 })
   }
 
   private def cartesian(dims: Seq[Int]): Seq[Seq[Int]] =
