@@ -11,11 +11,17 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // Optional further args restrict the dump to the named queries
+    // (dev loop: `tools/run.sh graft.Verify <sf> <out> q69_decontaminate`).
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
     new java.io.File(outDir).mkdirs()
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val failures = selected.flatMap {
       case (name, fn) =>
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -32,6 +38,7 @@ object Verify {
         }
     }
     val oracle = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (k, v) => k -> Json.quote(v) }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), Json.obj(oracle))
     Files.writeString(Paths.get(s"$outDir/failures.json"), Json.obj(failures))

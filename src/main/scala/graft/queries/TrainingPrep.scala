@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-data preparation operators — the corpus-assembly stage that sits
+  * between the dedup/quality layer (TextPipeline) and the trainer:
+  * benchmark decontamination, repetition filtering (Gopher-style), exact
+  * deterministic stratified sampling, and token-budget sequence packing.
+  *
+  * Scale design (what keeps these alive at 100 TB):
+  *  - Decontamination joins the CORPUS n-grams against the BENCHMARK n-gram
+  *    set, and the benchmark side is small by construction (eval suites are
+  *    thousands of documents) — it broadcasts, so the corpus is one scan +
+  *    one map-side join + one hash-agg keyed by doc_id. No shuffle of text.
+  *  - Repetition stats are two hash-aggregations keyed by (doc, gram) then
+  *    doc — map-side partial counts absorb the repetition itself (that's
+  *    the very signal being measured), so skew is self-limiting.
+  *  - Sampling is a stateless per-row predicate on a content hash — no
+  *    shuffle at all, fully deterministic, reproducible across runs and
+  *    engines (no RNG state, unlike `df.sample`).
+  *  - Packing computes its running token offsets WITHIN hash shards
+  *    (partitionBy shard), never as one global window — a global
+  *    unpartitioned window is a single-task serialization point at scale;
+  *    per-shard packing is how production packers parallelize, trading a
+  *    bounded per-shard remainder (< one sequence) for linear scaling.
+  */
+object TrainingPrep {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-grams as a zip of k shifted token-array views — O(n·k) per doc
+    * (the `transform`+`slice` form is O(n²); see TextPipeline.shingles).
+    * zip_with null-pads the short side, so the k-1 tail entries null out
+    * through concat and are filtered.
+    */
+  private def ngrams(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val joined = (2 to k).foldLeft(ts) { (acc, i) =>
+      zip_with(acc, slice(ts, lit(i), greatest(n - (i - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, _.isNotNull)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any 5-gram
+    * with the held-out benchmark set (here: every 50th doc_id stands in for
+    * the eval suite). The benchmark's distinct 5-gram set is broadcast;
+    * corpus grams stream through a map-side join and a per-doc count.
+    * Every corpus doc is reported (matched or not) via a left join so the
+    * output is a full decontamination manifest, not just the hit list.
+    */
+  val decontaminate = QueryDef("q69_decontaminate",
+    """WITH sp AS (
+      |  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+      |    string_split(trim(text), ' ') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, is_bench,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(ts) - 4),
+      |      i -> array_to_string(ts[i:i+4], ' ')))) AS g
+      |  FROM sp),
+      |hits AS (
+      |  SELECT c.doc_id, count(DISTINCT c.g) AS n_matched
+      |  FROM grams c JOIN (SELECT DISTINCT g FROM grams WHERE is_bench) b
+      |    ON c.g = b.g
+      |  WHERE NOT c.is_bench GROUP BY c.doc_id)
+      |SELECT sp.doc_id AS doc_id,
+      |  CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched,
+      |  coalesce(h.n_matched, 0) > 0 AS contaminated
+      |FROM sp LEFT JOIN hits h ON sp.doc_id = h.doc_id
+      |WHERE NOT sp.is_bench ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 50 === 0).as("is_bench"),
+        array_distinct(ngrams(col("text"), 5)).as("grams"))
+    val benchGrams = docs.filter(col("is_bench"))
+      .select(explode(col("grams")).as("g")).distinct()
+    val corpus = docs.filter(!col("is_bench"))
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Gopher-style repetition filter: per-document duplicate-token ratio
+    * (1 − distinct/total) and most-common-2-gram fraction, with the
+    * Gopher thresholds (dup-token > 0.3 OR top-2-gram > 0.2 → drop).
+    * The 2-gram occurrence counts run as two stacked hash-aggs —
+    * (doc, gram) then doc — so repeated grams collapse map-side.
+    */
+  val repetition = QueryDef("q70_repetition",
+    """WITH sp AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> array_to_string(ts[i:i+1], ' '))) AS g
+      |  FROM sp),
+      |c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g),
+      |m AS (SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS tot
+      |      FROM c GROUP BY doc_id)
+      |SELECT sp.doc_id AS doc_id,
+      |  round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6)
+      |    AS dup_token_ratio,
+      |  round(CAST(m.top_n AS DOUBLE) / m.tot, 6) AS top_bigram_frac,
+      |  (1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) > 0.3
+      |    OR CAST(m.top_n AS DOUBLE) / m.tot > 0.2 AS repetitive
+      |FROM sp JOIN m ON sp.doc_id = m.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sp = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val dupRatio =
+      lit(1.0) - size(array_distinct(col("ts"))).cast("double") / size(col("ts"))
+    val bigramTop = docs
+      .select(col("doc_id"), explode(ngrams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("tot"))
+    sp.join(bigramTop, "doc_id")
+      .select(col("doc_id"),
+        round(dupRatio, 6).as("dup_token_ratio"),
+        round(col("top_n").cast("double") / col("tot"), 6).as("top_bigram_frac"),
+        (dupRatio > 0.3 || col("top_n").cast("double") / col("tot") > 0.2)
+          .as("repetitive"))
+  }
+
+  /** Deterministic stratified sampling: per-source keep rates applied
+    * through a content-hash bucket (md5 of the doc id → bucket 0..99,
+    * keep iff bucket < rate). Stateless, shuffle-free, and reproducible —
+    * the same doc survives every run on every engine, which `df.sample`'s
+    * RNG cannot promise. Reported as the per-source sampling manifest.
+    */
+  val stratifiedSample = QueryDef("q71_stratified_sample",
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    10 + 5 * (CAST(substr(source, 4) AS INT) % 10) AS rate_pct,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      |      % 100 AS bucket
+      |  FROM documents)
+      |SELECT source, rate_pct, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM s GROUP BY source, rate_pct ORDER BY source""".stripMargin) { (s, d) =>
+    val rate = (lit(10) + lit(5) * (substring(col("source"), 4, 10).cast("int") % 10))
+      .as("rate_pct")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    Tables.documents(s, d)
+      .select(col("source"), rate, bucket.as("bucket"))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Token-budget sequence packing (GPT-style contiguous packing with
+    * document splitting): docs are hash-sharded, ordered by doc_id within
+    * a shard, and laid end-to-end into 2048-token sequences via a
+    * per-shard running token offset. Emits each doc's first/last sequence
+    * index and offset — the trainer-facing pack manifest. The window is
+    * partitioned by shard, so packing parallelizes linearly; only the
+    * per-shard tail sequence is padded.
+    */
+  val sequencePacking = QueryDef("q72_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |      % 8 AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, shard, n_tok,
+      |  (cum - n_tok) // 2048 AS first_seq,
+      |  (cum - 1) // 2048 AS last_seq,
+      |  (cum - n_tok) % 2048 AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 8).as("shard"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr("(cum - n_tok) div 2048").as("first_seq"),
+        expr("(cum - 1) div 2048").as("last_seq"),
+        ((col("cum") - col("n_tok")) % 2048).as("seq_offset"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(decontaminate, repetition, stratifiedSample, sequencePacking)
+}

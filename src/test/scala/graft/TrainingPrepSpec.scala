@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TrainingPrep
+
+/** Semantics of the training-data-prep operators (q69–q72) pinned on the
+  * sf0.001 testdata plus hand-built frames where invariants are easier to
+  * state exactly.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontamination: benchmark docs excluded, flags iff shared 5-gram") {
+    val out = TrainingPrep.decontaminate.fn(spark, sf).cache()
+    // benchmark docs (doc_id % 50 == 0) never appear in the manifest
+    assert(out.filter(col("doc_id") % 50 === 0).count() == 0)
+    // contaminated <=> n_matched > 0, with both outcomes present
+    assert(out.filter(col("contaminated") =!= (col("n_matched") > 0)).count() == 0)
+    val rows = out.count()
+    val hits = out.filter(col("contaminated")).count()
+    assert(rows > 0 && hits > 0 && hits < rows)
+  }
+
+  test("repetition: a repeated-token doc trips the Gopher thresholds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // dup ratio 7/8
+      (2L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("trainprep").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TrainingPrep.repetition.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3), "all-spam doc must flag repetitive")
+    assert(!out(2L).getBoolean(3), "all-distinct doc must pass")
+    assert(out(2L).getDouble(1) == 0.0) // dup_token_ratio
+  }
+
+  test("stratified sample: kept counts within the hash-bucket bound") {
+    val out = TrainingPrep.stratifiedSample.fn(spark, sf).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val (rate, n, kept) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(kept <= n)
+      // deterministic hash: rate 0 would keep nothing; all rates here >0
+      assert(rate >= 10 && rate <= 55)
+    }
+    // determinism: a second run yields the identical manifest
+    val again = TrainingPrep.stratifiedSample.fn(spark, sf).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("sequence packing: offsets consistent within each shard") {
+    val rows = TrainingPrep.sequencePacking.fn(spark, sf)
+      .orderBy("shard", "doc_id").collect()
+    assert(rows.nonEmpty)
+    // per shard: cumulative offsets reconstruct from n_tok in doc_id order
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.foreach { r =>
+        val nTok = r.getLong(2)
+        assert(r.getLong(3) == cum / 2048, "first_seq")
+        assert(r.getLong(4) == (cum + nTok - 1) / 2048, "last_seq")
+        assert(r.getLong(5) == cum % 2048, "seq_offset")
+        cum += nTok
+      }
+    }
+  }
+}
