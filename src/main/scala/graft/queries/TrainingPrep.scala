@@ -196,6 +196,94 @@ object TrainingPrep {
         ((col("cum") - col("n_tok")) % 2048).as("seq_offset"))
   }
 
+  /** The corpus-assembly flagship: every stage above composed into one
+    * per-document disposition manifest — the first failing gate wins
+    * (short → duplicate → contaminated → repetitive → sampled_out → kept).
+    * Benchmark docs are excluded up front (they are the eval set, never
+    * trainable). This is the query a training-data pipeline actually runs;
+    * the stages stay individually cheap because each is the same
+    * broadcast-join / hash-agg shape proven in q69–q71, glued by doc_id
+    * equi-joins that all shuffle on the same key.
+    */
+  val corpusAssembly = QueryDef("q73_corpus_assembly",
+    """WITH d AS (
+      |  SELECT doc_id, source, text, string_split(trim(text), ' ') AS ts
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |dd AS (
+      |  SELECT doc_id, source, ts, len(ts) AS n_tok,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS survivor
+      |  FROM d),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(trim(text), ' ')) - 4),
+      |    i -> array_to_string(string_split(trim(text), ' ')[i:i+4], ' ')))) AS g
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT DISTINCT c.doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 4),
+      |      i -> array_to_string(ts[i:i+4], ' ')))) AS g
+      |    FROM d) c JOIN bench b ON c.g = b.g),
+      |bm AS (
+      |  SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS tot FROM (
+      |    SELECT doc_id, g, count(*) AS n FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |        i -> array_to_string(ts[i:i+1], ' '))) AS g
+      |      FROM d) GROUP BY doc_id, g) GROUP BY doc_id)
+      |SELECT dd.doc_id AS doc_id, dd.source AS source,
+      |  CAST(dd.n_tok AS BIGINT) AS n_tok,
+      |  CASE
+      |    WHEN dd.n_tok < 20 THEN 'short'
+      |    WHEN dd.doc_id <> dd.survivor THEN 'duplicate'
+      |    WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+      |    WHEN (1.0 - CAST(len(list_distinct(dd.ts)) AS DOUBLE) / dd.n_tok) > 0.3
+      |      OR CAST(bm.top_n AS DOUBLE) / bm.tot > 0.2 THEN 'repetitive'
+      |    WHEN CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      |      % 100 >= 10 + 5 * (CAST(substr(dd.source, 4) AS INT) % 10)
+      |      THEN 'sampled_out'
+      |    ELSE 'kept' END AS disposition
+      |FROM dd LEFT JOIN hits h ON dd.doc_id = h.doc_id
+      |JOIN bm ON dd.doc_id = bm.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("ts"))
+    val dd = base
+      .withColumn("n_tok", size(col("ts")))
+      .withColumn("survivor",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    val benchGrams = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(ngrams(col("text"), 5))).as("g"))
+      .distinct()
+    val hits = base
+      .select(col("doc_id"), explode(array_distinct(ngrams(col("text"), 5))).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    val bm = base
+      .select(col("doc_id"), explode(ngrams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("tot"))
+    val dupRatio =
+      lit(1.0) - size(array_distinct(col("ts"))).cast("double") / col("n_tok")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    val rate = lit(10) + lit(5) * (substring(col("source"), 4, 10).cast("int") % 10)
+    dd.join(hits, Seq("doc_id"), "left").join(bm, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),
+        when(col("n_tok") < 20, "short")
+          .when(col("doc_id") =!= col("survivor"), "duplicate")
+          .when(col("hit").isNotNull, "contaminated")
+          .when(dupRatio > 0.3 ||
+            col("top_n").cast("double") / col("tot") > 0.2, "repetitive")
+          .when(bucket >= rate, "sampled_out")
+          .otherwise("kept").as("disposition"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(decontaminate, repetition, stratifiedSample, sequencePacking)
+    Seq(decontaminate, repetition, stratifiedSample, sequencePacking,
+      corpusAssembly)
 }

@@ -53,6 +53,38 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("corpus assembly: every disposition branch fires on a crafted corpus") {
+    import spark.implicits._
+    // doc 0 is the benchmark (doc_id % 50 == 0). Hash buckets (md5 of the
+    // id string, first 6 hex digits % 100): doc 2 → 94, doc 4 → 6, so with
+    // src9's 55% rate doc 2 samples out and doc 4 survives every rate.
+    val distinct20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lam mu nu xi omicron pi rho sigma tau upsilon"), // benchmark
+      (1L, "tiny doc"), // short
+      (4L, distinct20), // survivor of the 4/54 dup pair; bucket 6 → kept
+      (54L, distinct20), // duplicate (same text, larger id)
+      (6L, "alpha beta gamma delta epsilon " +
+        (1 to 15).map(i => s"x$i").mkString(" ")), // shares a bench 5-gram
+      (7L, Seq.fill(25)("spam").mkString(" ")), // repetitive
+      (2L, (1 to 20).map(i => s"y$i").mkString(" ")) // bucket 94 → sampled_out
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("corpusasm").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("src9"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TrainingPrep.corpusAssembly.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(!out.contains(0L), "benchmark doc excluded from the manifest")
+    assert(out(1L) == "short")
+    assert(out(54L) == "duplicate")
+    assert(out(6L) == "contaminated")
+    assert(out(7L) == "repetitive")
+    assert(out(2L) == "sampled_out")
+    assert(out(4L) == "kept")
+  }
+
   test("sequence packing: offsets consistent within each shard") {
     val rows = TrainingPrep.sequencePacking.fn(spark, sf)
       .orderBy("shard", "doc_id").collect()
