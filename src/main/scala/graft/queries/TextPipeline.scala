@@ -192,12 +192,7 @@ object TextPipeline {
     val bands = bandedSignatures(
       Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("sg"))).persist()
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    candidatePairs(s, bands)
   }
 
   /** n-gram Jaccard verification of the LSH candidates: exact 3-gram-set
@@ -245,12 +240,7 @@ object TextPipeline {
       .select(col("doc_id"), shingles(col("text")).as("sg"))
       .persist()
     val bands = bandedSignatures(sh).persist()
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = candidatePairs(s, bands)
     val joined = cand
       .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b")), "id_b")
@@ -311,6 +301,36 @@ object TextPipeline {
           .as("h"))
       .groupBy(col("doc_id"), col("band"))
       .agg(min(col("h")).as("key"))
+
+  /** LSH candidate pairs from a (doc_id, band, key) signature relation —
+    * the per-bucket self-join, with the mega-bucket guard that keeps the
+    * join from going quadratic at scale: a bucket of n docs emits n²/2
+    * pairs, so one degenerate bucket (boilerplate text, empty documents, a
+    * hot template) can dominate the whole job at 100 TB. When
+    * `spark.graft.lsh.maxBucket` is set (> 0), buckets larger than the cap
+    * are dropped before the self-join via a semi-join against the
+    * per-bucket counts (same shuffle key as the join itself, so the guard
+    * adds one hash-agg, not a new shuffle shape). Docs in a dropped bucket
+    * still pair through their other bands — band redundancy is exactly
+    * what makes the cap safe for recall. Default (unset / 0) is
+    * unlimited, which keeps the q37/q38 oracles exact.
+    */
+  private def candidatePairs(spark: SparkSession, bands: DataFrame): DataFrame = {
+    val cap = spark.conf.getOption("spark.graft.lsh.maxBucket")
+      .map(_.toInt).getOrElse(0)
+    val pruned =
+      if (cap <= 0) bands
+      else bands.join(
+        bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= cap),
+        Seq("band", "key"), "left_semi")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
 
   /** Token counting, the BPE-ish form: a GPT-2-style pretokenizer regex
     * (contraction suffixes | space-prefixed letter runs | digit runs |
