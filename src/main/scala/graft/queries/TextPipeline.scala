@@ -382,6 +382,49 @@ object TextPipeline {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** TF-IDF top terms per document: term frequency × a rational inverse-
+    * document-frequency weight ((N+1)/(df+1) — the usual log is avoided
+    * deliberately: IEEE +,×,÷ are exactly specified so the score is
+    * bit-identical across engines, while libm log differs in ulps and
+    * would make ranking oracle-fragile). Three hash-aggs (tf, df, global
+    * N) + one join + a per-doc top-3 window — every stage distributes;
+    * df is a term-keyed aggregate whose skew is bounded by vocabulary
+    * frequency, and the window partitions by doc_id (never global).
+    */
+  val tfidfTerms = QueryDef("q74_tfidf_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY doc_id, t),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |s AS (
+      |  SELECT doc_id, t, n * (nd + 1.0) / (df + 1.0) AS score
+      |  FROM tf JOIN df USING (t) CROSS JOIN nd),
+      |r AS (
+      |  SELECT doc_id, t, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, t) AS INT) AS rank
+      |  FROM s)
+      |SELECT doc_id, t AS term, round(score, 6) AS tfidf, rank
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val score = col("n") * (col("nd") + 1.0) / (col("df") + 1.0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    tf.join(df, "t").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("t"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("t").as("term"),
+        round(col("score"), 6).as("tfidf"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
-    exactDedup, minhashBands, ngramJaccard, simhash, dupClusters)
+    exactDedup, minhashBands, ngramJaccard, simhash, dupClusters, tfidfTerms)
 }
