@@ -283,7 +283,42 @@ object TrainingPrep {
           .otherwise("kept").as("disposition"))
   }
 
+  /** Domain mixture weighting: per-source token accounting plus the
+    * sampling factor that rebalances the corpus toward a target mixture
+    * (uniform across sources here) — factor = target_share /
+    * natural_share, the number every mixture-weighted sampler multiplies
+    * a source's keep-rate by. One source-keyed hash-agg + a broadcast of
+    * the one-row global totals; all arithmetic is IEEE-exact ratios of
+    * exact integer sums, so the manifest is engine-reproducible.
+    */
+  val mixtureWeights = QueryDef("q75_mixture_weights",
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+      |    count(*) AS nsrc FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS natural_share,
+      |  round((1.0 / nsrc) / (CAST(n_tokens AS DOUBLE) / tot), 6)
+      |    AS sample_factor
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin) { (s, d) =>
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val totals = perSource
+      .agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("nsrc"))
+    val natural = col("n_tokens").cast("double") / col("tot")
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(natural, 6).as("natural_share"),
+        round((lit(1.0) / col("nsrc")) / natural, 6).as("sample_factor"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(decontaminate, repetition, stratifiedSample, sequencePacking,
-      corpusAssembly)
+      corpusAssembly, mixtureWeights)
 }
