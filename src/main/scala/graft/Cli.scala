@@ -91,7 +91,7 @@ object Cli {
       if (flags.contains("once"))
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
       else org.apache.spark.sql.streaming.Trigger
-        .ProcessingTime(flags.getOrElse("interval", "30 seconds"))
+        .ProcessingTime(normalizeInterval(flags.getOrElse("interval", "30 seconds")))
     val q = graft.streaming.StreamingPreprocess.start(
       spark, positional.head, checkpoint, opts, onBatch, trigger)
     q.awaitTermination()
@@ -114,6 +114,20 @@ object Cli {
       s"${res.itemsLoaded} item(s) loaded; " +
       s"${res.collectionsSkipped}/${res.itemsSkipped} skipped")
   }
+
+  /** `30s`/`5m`/`2h` shorthand → Spark interval syntax (`30 seconds`);
+    * anything else (already-spelled-out intervals) passes through to
+    * Trigger.ProcessingTime untouched.
+    */
+  private[graft] def normalizeInterval(s: String): String =
+    "^(\\d+)\\s*([smh])$".r.findFirstMatchIn(s.trim) match {
+      case Some(m) =>
+        val unit = m.group(2) match {
+          case "s" => "seconds"; case "m" => "minutes"; case _ => "hours"
+        }
+        s"${m.group(1)} $unit"
+      case None => s
+    }
 
   /** `--flag value` / `--flag` / positional split; boolean flags are the
     * ones whose next token is absent or another flag.

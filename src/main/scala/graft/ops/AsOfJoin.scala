@@ -36,6 +36,14 @@ object AsOfJoin {
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val reserved = Seq("_t", "_side", "_payload", "_match")
+    val clashes = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"joinAsOf: input columns collide with internal names: ${clashes.mkString(", ")}")
+    val overwritten = left.columns.filter(payloadCols.contains)
+    require(overwritten.isEmpty,
+      "joinAsOf: right payload columns shadow left columns: " +
+        s"${overwritten.mkString(", ")} — rename one side before joining")
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -47,8 +55,12 @@ object AsOfJoin {
       .withColumn("_payload", struct(payloadCols.map(col): _*))
       .select((keys ++ Seq("_t", "_side", "_payload")).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // _payload as the final sort key makes ties among right rows at the
+    // SAME (key, time) deterministic: Spark orders structs field-by-field,
+    // so last() always elects the same row. Left rows carry a NULL payload
+    // (sorted first) and are already separated by _side.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))

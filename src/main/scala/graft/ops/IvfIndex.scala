@@ -29,9 +29,14 @@ import graft.functions.DotProductExpr.dot
   */
 object IvfIndex {
 
-  /** Deterministic sample-trained k-means codebook (shared with q56). */
-  def trainCodebook(sample: Array[Array[Double]], k: Int,
+  /** Deterministic sample-trained k-means codebook (shared with q56).
+    * `k` is clamped to the sample size: a tiny corpus yields fewer cells
+    * rather than an out-of-bounds centroid table.
+    */
+  def trainCodebook(sample: Array[Array[Double]], k0: Int,
                     iters: Int): Array[(Long, Array[Double])] = {
+    require(sample.nonEmpty, "IVF codebook training needs a non-empty sample")
+    val k = math.min(k0, sample.length)
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone)
     for (_ <- 0 until iters) {
@@ -71,14 +76,20 @@ object IvfIndex {
   }
 
   /** Train on a sampled subset and write the index. `corpus` must carry
-    * (vec_id long, emb array<double>); `samplePredicate` picks the
-    * driver-side training sample (keep it a small fraction).
+    * (vec_id long, emb array<double>); `samplePredicate` thins the
+    * candidate pool and `maxSample` caps what actually reaches the
+    * driver — the collect is bounded by a CONSTANT independent of corpus
+    * size (a fraction alone would still be driver-OOM at 100 TB). The
+    * cap keeps determinism: candidates are ordered by vec_id and the
+    * limit takes the first `maxSample` of that order.
     */
   def build(spark: SparkSession, corpus: DataFrame, dir: String, k: Int,
             iters: Int = 8,
-            samplePredicate: Column = col("vec_id") % 7 === 0): Unit = {
+            samplePredicate: Column = col("vec_id") % 7 === 0,
+            maxSample: Int = 100000): Unit = {
     import spark.implicits._
     val sample = corpus.filter(samplePredicate).orderBy(col("vec_id"))
+      .limit(maxSample)
       .select(col("emb")).as[Seq[Double]].collect().map(_.toArray)
     val centroids = trainCodebook(sample, k, iters)
     centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }

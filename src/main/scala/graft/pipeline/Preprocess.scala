@@ -181,7 +181,13 @@ object Preprocess {
       col("path"), col("time_idx"), col("variable"), col("leadtime_idx"),
       col("leadtime"), col("stat_min"), col("stat_max"),
       statMean.as("stat_mean"),
-      sqrt(greatest(col("sv2") / col("nv") - statMean * statMean, lit(0.0)))
+      // nv=0 (fully masked slice): sv2/nv is NULL and greatest() would skip
+      // it, silently turning stddev into 0.0 next to NULL min/max/mean.
+      // Guard to NULL — the reference's nanstd yields NaN there, and None
+      // is what survives its JSON encoding (utils.py:247). valid_percent
+      // stays 0*100/nt = 0.0, matching utils.py:248 exactly.
+      when(col("nv") > 0,
+        sqrt(greatest(col("sv2") / col("nv") - statMean * statMean, lit(0.0))))
         .as("stat_stddev"),
       Scalars.floor2dp(col("nv") * 100.0 / col("nt")).as("valid_percent"))
 

@@ -58,7 +58,10 @@ object NetCdfQueries {
     val mean = col("sv") / col("nv")
     g.select(col("file"), col("variable"), col("time_idx"), col("leadtime_idx"),
       col("stat_min"), col("stat_max"), mean.as("stat_mean"),
-      sqrt(greatest(col("sv2") / col("nv") - mean * mean, lit(0.0)))
+      // guard nv=0 to NULL (not 0.0 via NULL-skipping greatest) so a fully
+      // masked slice reports NULL stddev beside its NULL min/max/mean
+      when(col("nv") > 0,
+        sqrt(greatest(col("sv2") / col("nv") - mean * mean, lit(0.0))))
         .as("stat_stddev"), // numpy std is ddof=0
       floor2dp(col("nv") * 100.0 / col("nt")).as("valid_percent"))
   }

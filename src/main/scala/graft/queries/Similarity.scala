@@ -160,7 +160,12 @@ object Similarity {
   val ivfAnn = QueryDef.rowsOnly("q56_ivf_ann") { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    // hash-thin, then CAP: the driver-side training collect is bounded by
+    // a constant (100k vectors) regardless of corpus size — a bare
+    // fraction is still a driver OOM at 100 TB. orderBy+limit keeps the
+    // sample (and so the codebook and every answer) deterministic.
     val sample = e.filter(col("vec_id") % 7 === 0).orderBy(col("vec_id"))
+      .limit(100000)
       .collect()
       .map(_.getSeq[Double](1).toArray)
     val centroids = trainCodebook(sample, k = 16, iters = 8)

@@ -341,7 +341,9 @@ object TextPipeline {
     */
   val bpeTokens: QueryDef = {
     val pattern = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
-    val sqlPattern = pattern.replace("'", "''").replace("\\", "\\")
+    // only quote-doubling is needed: DuckDB single-quoted literals do not
+    // process backslash escapes, so \s survives verbatim
+    val sqlPattern = pattern.replace("'", "''")
     QueryDef("q59_bpe_tokens",
       s"""SELECT doc_id,
          |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
