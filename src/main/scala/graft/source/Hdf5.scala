@@ -1,0 +1,707 @@
+package graft.source
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+/** Pure-JVM reader for the subset of HDF5 that netCDF-4 files use
+  * (S1 completion — the reference's primary input path opens
+  * HDF5-backed forecast netCDFs via h5netcdf/xarray, ref
+  * generator.py:485,661, and its slice writer emits netCDF-4 zlib-9,
+  * ref generator.py:969-977). Implemented from the public "HDF5 File
+  * Format Specification Version 3.0"; no native libs.
+  *
+  * Supported: superblock v0/v1/v2/v3; object headers v1 and v2 (with
+  * continuation blocks); symbol-table groups (B-tree v1 + local heap +
+  * SNOD) and compact link-message groups, recursively; datatypes
+  * fixed-point (1/2/4/8 LE/BE signed/unsigned), IEEE float (4/8),
+  * fixed + vlen strings, object references, vlen sequences; compact /
+  * contiguous / chunked (B-tree v1) data layouts; deflate, shuffle and
+  * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
+  * netCDF-4 dimension scales (DIMENSION_LIST object-reference
+  * resolution). Not supported (absent from netCDF-4 "earliest"-format
+  * output): fractal-heap dense groups/attributes, v4 data layouts,
+  * non-IEEE floats — all rejected with explicit errors.
+  */
+object Hdf5 {
+
+  private val Magic: Array[Byte] =
+    Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Magic(i))
+
+  val Undefined: Long = -1L // all-ones address
+
+  // datatype classes we understand
+  val ClsFixed = 0; val ClsFloat = 1; val ClsString = 3
+  val ClsReference = 7; val ClsVlen = 9
+
+  final case class H5Type(cls: Int, size: Int, littleEndian: Boolean,
+                          signed: Boolean, base: Option[H5Type] = None,
+                          vlenIsString: Boolean = false)
+
+  sealed trait Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** chunkDims excludes the trailing element-size pseudo-dimension. */
+  final case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+  final case class Compact(data: Array[Byte]) extends Layout
+
+  final case class Filter(id: Int, client: Seq[Int])
+
+  /** Attribute with the decodings we need: text (fixed or vlen string),
+    * numeric values, and object-reference lists (one Seq per dataspace
+    * element — DIMENSION_LIST is a vlen-of-refs per dimension).
+    */
+  final case class Attr(name: String, text: String, nums: Seq[Double],
+                        refs: Seq[Seq[Long]])
+
+  final case class Dataset(name: String, addr: Long, dims: Seq[Int],
+                           dtype: H5Type, layout: Layout,
+                           filters: Seq[Filter], attrs: Seq[Attr]) {
+    def attr(n: String): Option[Attr] = attrs.find(_.name == n)
+    def attrText(n: String): Option[String] =
+      attr(n).flatMap(a => Option(a.text))
+    def isDimScale: Boolean = attrText("CLASS").contains("DIMENSION_SCALE")
+  }
+
+  final case class File(gatts: Seq[Attr], datasets: Seq[Dataset]) {
+    def dataset(n: String): Option[Dataset] = datasets.find(_.name == n)
+    def gatt(n: String): Option[Attr] = gatts.find(_.name == n)
+    private lazy val byAddr: Map[Long, Dataset] =
+      datasets.map(d => d.addr -> d).toMap
+    /** netCDF-4 dimension names of a variable: DIMENSION_LIST object
+      * references resolved to the dim-scale datasets' link names; falls
+      * back to positional `phony_dim_<i>` when the attribute is absent.
+      */
+    def dimNames(ds: Dataset): Seq[String] = ds.attr("DIMENSION_LIST") match {
+      case Some(a) if a.refs.nonEmpty =>
+        a.refs.zipWithIndex.map { case (rs, i) =>
+          rs.headOption.flatMap(byAddr.get).map(_.name)
+            .getOrElse(s"phony_dim_$i")
+        }
+      case _ => ds.dims.indices.map(i => s"phony_dim_$i")
+    }
+  }
+
+  // ------------------------------------------------------------- parse
+
+  def read(bytes: Array[Byte]): File = new Parser(bytes).parse()
+
+  private final class Parser(bytes: Array[Byte]) {
+    private def buf(pos: Long): ByteBuffer = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.position(pos.toInt)
+      b
+    }
+    private def u2(b: ByteBuffer): Int = b.getShort() & 0xFFFF
+    private def u4(b: ByteBuffer): Long = b.getInt().toLong & 0xFFFFFFFFL
+    private def addr(b: ByteBuffer): Long = b.getLong() // -1 == undefined
+
+    def parse(): File = {
+      require(isHdf5(bytes), "not an HDF5 file (bad signature)")
+      val b = buf(8)
+      val sbVer = b.get().toInt
+      val rootOh: Long = sbVer match {
+        case 0 | 1 =>
+          b.get(); b.get(); b.get(); b.get() // fs ver, root ver, res, shared ver
+          val so = b.get().toInt; val sl = b.get().toInt
+          require(so == 8 && sl == 8,
+            s"unsupported offset/length sizes $so/$sl (8/8 expected)")
+          b.get() // reserved
+          u2(b); u2(b); u4(b) // leaf k, internal k, flags
+          if (sbVer == 1) { u2(b); u2(b) } // indexed-storage k + reserved
+          val base = addr(b); addr(b); addr(b); addr(b) // base, fs, eof, driver
+          require(base == 0, s"non-zero base address $base unsupported")
+          addr(b) // root link-name offset
+          addr(b) // root object-header address
+        case 2 | 3 =>
+          val so = b.get().toInt; val sl = b.get().toInt
+          require(so == 8 && sl == 8,
+            s"unsupported offset/length sizes $so/$sl (8/8 expected)")
+          b.get() // flags
+          val base = addr(b); addr(b); addr(b) // base, ext, eof
+          require(base == 0, s"non-zero base address $base unsupported")
+          addr(b) // root object-header address
+        case v => throw new IllegalArgumentException(s"superblock version $v")
+      }
+      val out = Vector.newBuilder[Dataset]
+      val rootAttrs = walkObject(rootOh, prefix = "", out)
+      File(rootAttrs, out.result())
+    }
+
+    /** Parse the object at `oh`; groups recurse (child names joined with
+      * '/'), datasets append to `out`. Returns the object's attributes
+      * (meaningful for the root group's global attrs).
+      */
+    private def walkObject(oh: Long, prefix: String,
+                           out: scala.collection.mutable.Builder[Dataset, Vector[Dataset]]): Seq[Attr] = {
+      val msgs = readMessages(oh)
+      val attrs = msgs.collect { case (0x000C, body) => parseAttribute(body) }
+      val space = msgs.collectFirst { case (0x0001, body) => parseDataspace(body) }
+      val dtype = msgs.collectFirst { case (0x0003, body) => parseDatatype(buf0(body)) }
+      val layout = msgs.collectFirst { case (0x0008, body) => parseLayout(body) }
+      msgs.collectFirst { case (0x0002, body) => body }.foreach { body =>
+        // Link Info: dense (fractal-heap) links are outside the subset
+        val b = buf0(body); b.get()
+        val flags = b.get().toInt
+        if ((flags & 0x1) != 0) b.getLong() // max creation index
+        val fheap = b.getLong()
+        require(fheap == Undefined, "dense (fractal-heap) groups unsupported")
+      }
+      msgs.collectFirst { case (0x0015, body) => body }.foreach { body =>
+        val b = buf0(body); b.get()
+        val flags = b.get().toInt
+        if ((flags & 0x1) != 0) u2(b)
+        val fheap = b.getLong()
+        require(fheap == Undefined, "dense (fractal-heap) attributes unsupported")
+      }
+      val isDataset = space.isDefined && dtype.isDefined && layout.isDefined
+      if (isDataset) {
+        val filters = msgs.collectFirst { case (0x000B, body) => parseFilters(body) }
+          .getOrElse(Nil)
+        out += Dataset(prefix.stripPrefix("/"), oh,
+          space.get.map(_.toInt), dtype.get, layout.get, filters, attrs)
+      } else {
+        // group: symbol-table children + compact link-message children
+        msgs.collectFirst { case (0x0011, body) => body }.foreach { body =>
+          val b = buf0(body)
+          val btree = b.getLong(); val heap = b.getLong()
+          symbolTableChildren(btree, heap).foreach { case (name, a) =>
+            walkObject(a, s"$prefix/$name", out)
+          }
+        }
+        msgs.collect { case (0x0006, body) => parseLink(body) }.foreach {
+          case Some((name, a)) => walkObject(a, s"$prefix/$name", out)
+          case None            => ()
+        }
+      }
+      attrs
+    }
+
+    private def buf0(body: Array[Byte]): ByteBuffer =
+      ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+
+    /** All (type, body) messages of an object header, v1 or v2, following
+      * continuation blocks.
+      */
+    private def readMessages(oh: Long): Seq[(Int, Array[Byte])] = {
+      val out = Vector.newBuilder[(Int, Array[Byte])]
+      val first = buf(oh)
+      val sig = new Array[Byte](4); first.get(sig)
+      if (sig.sameElements("OHDR".getBytes(StandardCharsets.US_ASCII))) {
+        // ---- version 2
+        val ver = first.get().toInt
+        require(ver == 2, s"OHDR version $ver")
+        val flags = first.get().toInt
+        if ((flags & 0x20) != 0) { u4(first); u4(first); u4(first); u4(first) }
+        if ((flags & 0x10) != 0) { u2(first); u2(first) }
+        val chunkSize = (flags & 0x3) match {
+          case 0 => first.get().toLong & 0xFF
+          case 1 => u2(first).toLong
+          case 2 => u4(first)
+          case 3 => first.getLong()
+        }
+        val trackOrder = (flags & 0x4) != 0
+        var blocks = List((first.position().toLong, chunkSize))
+        while (blocks.nonEmpty) {
+          val (start, len) = blocks.head; blocks = blocks.tail
+          val b = buf(start)
+          val end = start + len - 4 // trailing checksum
+          // a continuation block starts with OCHK
+          if (b.getInt(start.toInt) == 0x4B48434F) b.position(start.toInt + 4)
+          while (b.position() + 4 <= end) {
+            val t = b.get().toInt & 0xFF
+            val sz = u2(b)
+            b.get() // msg flags
+            if (trackOrder) u2(b)
+            val body = new Array[Byte](sz); b.get(body)
+            if (t == 0x10) {
+              val cb = buf0(body)
+              blocks = (cb.getLong(), cb.getLong()) :: blocks
+            } else out += (t -> body)
+          }
+        }
+      } else {
+        // ---- version 1
+        val b = buf(oh)
+        val ver = b.get().toInt
+        require(ver == 1, s"object header version $ver at $oh")
+        b.get() // reserved
+        var remaining = u2(b)
+        u4(b) // reference count
+        val hdrSize = u4(b)
+        b.position(b.position() + 4) // pad to 8-byte alignment
+        var blocks = List((b.position().toLong, hdrSize))
+        while (blocks.nonEmpty && remaining > 0) {
+          val (start, len) = blocks.head; blocks = blocks.tail
+          val bb = buf(start)
+          val end = start + len
+          while (bb.position() + 8 <= end && remaining > 0) {
+            val t = u2(bb)
+            val sz = u2(bb)
+            bb.get(); bb.get(); bb.get(); bb.get() // flags + reserved
+            val body = new Array[Byte](sz); bb.get(body)
+            remaining -= 1
+            if (t == 0x10) {
+              val cb = buf0(body)
+              blocks = blocks :+ ((cb.getLong(), cb.getLong()))
+            } else out += (t -> body)
+          }
+        }
+      }
+      out.result()
+    }
+
+    // ---- individual messages
+
+    private def parseDataspace(body: Array[Byte]): Seq[Long] = {
+      val b = buf0(body)
+      val ver = b.get().toInt
+      val rank = b.get().toInt
+      val flags = b.get().toInt
+      ver match {
+        case 1 => b.get(); b.getInt() // reserved ×5
+        case 2 => b.get() // type
+        case v => throw new IllegalArgumentException(s"dataspace version $v")
+      }
+      val dims = (0 until rank).map(_ => b.getLong())
+      if ((flags & 1) != 0) (0 until rank).foreach(_ => b.getLong()) // maxdims
+      dims
+    }
+
+    private def parseDatatype(b: ByteBuffer): H5Type = {
+      val cv = b.get().toInt & 0xFF
+      val cls = cv & 0xF
+      val bits = (b.get().toInt & 0xFF) | ((b.get().toInt & 0xFF) << 8) |
+        ((b.get().toInt & 0xFF) << 16)
+      val size = u4(b).toInt
+      cls match {
+        case ClsFixed =>
+          H5Type(cls, size, littleEndian = (bits & 1) == 0,
+            signed = (bits & 0x8) != 0)
+        case ClsFloat =>
+          require(size == 4 || size == 8, s"float size $size")
+          H5Type(cls, size, littleEndian = (bits & 1) == 0, signed = true)
+        case ClsString =>
+          H5Type(cls, size, littleEndian = true, signed = false)
+        case ClsReference =>
+          H5Type(cls, size, littleEndian = true, signed = false)
+        case ClsVlen =>
+          val vlenStr = (bits & 0xF) == 1
+          val base = parseDatatype(b)
+          H5Type(cls, size, littleEndian = true, signed = false,
+            base = Some(base), vlenIsString = vlenStr)
+        case c =>
+          throw new IllegalArgumentException(s"datatype class $c unsupported")
+      }
+    }
+
+    private def parseLayout(body: Array[Byte]): Layout = {
+      val b = buf0(body)
+      val ver = b.get().toInt
+      require(ver == 3, s"data layout version $ver (only v3 supported)")
+      b.get().toInt match {
+        case 0 =>
+          val sz = u2(b)
+          val d = new Array[Byte](sz); b.get(d)
+          Compact(d)
+        case 1 =>
+          Contiguous(b.getLong(), b.getLong())
+        case 2 =>
+          val dimsPlus1 = b.get().toInt
+          val btree = b.getLong()
+          val cdims = (0 until dimsPlus1).map(_ => u4(b).toInt)
+          Chunked(btree, cdims.dropRight(1)) // last is element size
+        case c => throw new IllegalArgumentException(s"layout class $c")
+      }
+    }
+
+    private def parseFilters(body: Array[Byte]): Seq[Filter] = {
+      val b = buf0(body)
+      val ver = b.get().toInt
+      val n = b.get().toInt
+      if (ver == 1) { b.get(); b.get(); b.getInt() } // reserved
+      (0 until n).map { _ =>
+        val id = u2(b)
+        val nameLen = if (ver == 2 && id < 256) 0 else u2(b)
+        u2(b) // flags
+        val nClient = u2(b)
+        if (nameLen > 0) {
+          val padded =
+            if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen
+          b.position(b.position() + padded)
+        }
+        val client = (0 until nClient).map(_ => u4(b).toInt)
+        if (ver == 1 && nClient % 2 == 1) b.getInt() // pad
+        Filter(id, client)
+      }
+    }
+
+    private def parseLink(body: Array[Byte]): Option[(String, Long)] = {
+      val b = buf0(body)
+      val ver = b.get().toInt
+      require(ver == 1, s"link message version $ver")
+      val flags = b.get().toInt
+      val ltype = if ((flags & 0x8) != 0) b.get().toInt else 0
+      if ((flags & 0x4) != 0) b.getLong() // creation order
+      if ((flags & 0x10) != 0) b.get() // charset
+      val nameLen = (flags & 0x3) match {
+        case 0 => b.get().toLong & 0xFF
+        case 1 => u2(b).toLong
+        case 2 => u4(b)
+        case 3 => b.getLong()
+      }
+      val nb = new Array[Byte](nameLen.toInt); b.get(nb)
+      val name = new String(nb, StandardCharsets.UTF_8)
+      if (ltype == 0) Some(name -> b.getLong()) // hard link
+      else None // soft/external links don't occur in netCDF-4 output
+    }
+
+    private def parseAttribute(body: Array[Byte]): Attr = {
+      val b = buf0(body)
+      val ver = b.get().toInt
+      require(ver >= 1 && ver <= 3, s"attribute message version $ver")
+      val flags = if (ver == 1) { b.get(); 0 } else b.get().toInt
+      require((flags & 0x3) == 0, "shared attribute datatype/dataspace unsupported")
+      val nameSize = u2(b)
+      val dtSize = u2(b)
+      val dsSize = u2(b)
+      if (ver == 3) b.get() // charset
+      def pad8(n: Int): Int = if (ver == 1) (n + 7) / 8 * 8 else n
+      val nb = new Array[Byte](pad8(nameSize)); b.get(nb)
+      val name = new String(nb, 0, math.max(0, nameSize - 1),
+        StandardCharsets.UTF_8) // size includes NUL
+      val dtb = new Array[Byte](pad8(dtSize)); b.get(dtb)
+      val dsb = new Array[Byte](pad8(dsSize)); b.get(dsb)
+      val dtype = parseDatatype(buf0(dtb))
+      val dims = parseDataspace(dsb)
+      val n = if (dims.isEmpty) 1 else dims.product.toInt
+      val data = new Array[Byte](body.length - b.position())
+      b.get(data)
+      decodeAttr(name, dtype, n, data)
+    }
+
+    private def decodeAttr(name: String, t: H5Type, n: Int,
+                           data: Array[Byte]): Attr = {
+      val b = buf0(data)
+      t.cls match {
+        case ClsString =>
+          val raw = new Array[Byte](math.min(n * t.size, data.length))
+          b.get(raw)
+          Attr(name, cString(raw), Nil, Nil)
+        case ClsVlen if t.vlenIsString =>
+          // first element only — string attrs in netCDF are scalar
+          b.getInt() // byte length (redundant with heap object size)
+          val gaddr = b.getLong(); val gidx = b.getInt()
+          Attr(name, new String(globalHeapObject(gaddr, gidx),
+            StandardCharsets.UTF_8), Nil, Nil)
+        case ClsVlen if t.base.exists(_.cls == ClsReference) =>
+          val refs = (0 until n).map { _ =>
+            val cnt = b.getInt()
+            val gaddr = b.getLong(); val gidx = b.getInt()
+            val ob = buf0(globalHeapObject(gaddr, gidx))
+            (0 until cnt).map(_ => ob.getLong())
+          }
+          Attr(name, null, Nil, refs)
+        case ClsReference =>
+          Attr(name, null, Nil, Seq((0 until n).map(_ => b.getLong())))
+        case ClsFixed | ClsFloat =>
+          val nums = (0 until n).map(_ => readNum(b, t))
+          Attr(name, null, nums, Nil)
+        case _ => Attr(name, null, Nil, Nil)
+      }
+    }
+
+    private def cString(raw: Array[Byte]): String = {
+      val end = raw.indexOf(0.toByte) match { case -1 => raw.length; case i => i }
+      new String(raw, 0, end, StandardCharsets.UTF_8)
+    }
+
+    private def readNum(b: ByteBuffer, t: H5Type): Double = {
+      b.order(if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      val v = (t.cls, t.size) match {
+        case (ClsFloat, 4) => b.getFloat().toDouble
+        case (ClsFloat, 8) => b.getDouble()
+        case (ClsFixed, 1) =>
+          val x = b.get(); if (t.signed) x.toDouble else (x & 0xFF).toDouble
+        case (ClsFixed, 2) =>
+          val x = b.getShort(); if (t.signed) x.toDouble else (x & 0xFFFF).toDouble
+        case (ClsFixed, 4) =>
+          val x = b.getInt(); if (t.signed) x.toDouble else (x.toLong & 0xFFFFFFFFL).toDouble
+        case (ClsFixed, 8) => b.getLong().toDouble
+        case (c, s) => throw new IllegalArgumentException(s"numeric ($c,$s)")
+      }
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      v
+    }
+
+    // ---- symbol-table groups
+
+    private def symbolTableChildren(btree: Long, heap: Long): Seq[(String, Long)] = {
+      val names = Vector.newBuilder[(String, Long)]
+      def walkNode(a: Long): Unit = {
+        val b = buf(a)
+        val sig = new Array[Byte](4); b.get(sig)
+        require(sig.sameElements("TREE".getBytes(StandardCharsets.US_ASCII)),
+          s"bad group B-tree signature at $a")
+        b.get() // node type 0
+        val level = b.get().toInt
+        val used = u2(b)
+        b.getLong(); b.getLong() // siblings
+        // key0, child0, key1, child1, ... keyN — keys are heap offsets
+        // of boundary names, irrelevant for a full walk
+        val kids = (0 until used).map { _ =>
+          b.getLong() // key
+          b.getLong() // child
+        }
+        kids.foreach { child =>
+          if (level > 0) walkNode(child) else readSnod(child)
+        }
+      }
+      def readSnod(a: Long): Unit = {
+        val b = buf(a)
+        val sig = new Array[Byte](4); b.get(sig)
+        require(sig.sameElements("SNOD".getBytes(StandardCharsets.US_ASCII)),
+          s"bad SNOD signature at $a")
+        b.get(); b.get()
+        val n = u2(b)
+        (0 until n).foreach { _ =>
+          val nameOff = b.getLong()
+          val oh = b.getLong()
+          b.getInt(); b.getInt() // cache type + reserved
+          b.position(b.position() + 16) // scratch
+          names += heapString(heap, nameOff) -> oh
+        }
+      }
+      walkNode(btree)
+      names.result()
+    }
+
+    private def heapString(heap: Long, off: Long): String = {
+      val b = buf(heap)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("HEAP".getBytes(StandardCharsets.US_ASCII)),
+        s"bad local heap signature at $heap")
+      b.get(); b.get(); b.get(); b.get() // version + reserved... (version, 3 res)
+      b.position((heap + 8).toInt)
+      b.getLong() // data segment size
+      b.getLong() // free-list head
+      val dataAddr = b.getLong()
+      var end = (dataAddr + off).toInt
+      while (end < bytes.length && bytes(end) != 0) end += 1
+      new String(bytes, (dataAddr + off).toInt, end - (dataAddr + off).toInt,
+        StandardCharsets.UTF_8)
+    }
+
+    // ---- global heap
+
+    private def globalHeapObject(collection: Long, index: Int): Array[Byte] = {
+      val b = buf(collection)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("GCOL".getBytes(StandardCharsets.US_ASCII)),
+        s"bad global heap signature at $collection")
+      b.get(); b.get(); b.get(); b.get() // version + reserved
+      val size = b.getLong()
+      val end = collection + size
+      while (b.position() < end) {
+        val idx = u2(b)
+        u2(b); u4(b) // refcount + reserved
+        val objSize = b.getLong()
+        if (idx == 0) // free space — object not found past here
+          throw new IllegalArgumentException(
+            s"global heap object $index not found at $collection")
+        val data = new Array[Byte](objSize.toInt)
+        b.get(data)
+        val pad = ((8 - objSize % 8) % 8).toInt
+        b.position(b.position() + pad)
+        if (idx == index) return data
+      }
+      throw new IllegalArgumentException(
+        s"global heap object $index not found at $collection")
+    }
+
+    // ------------------------------------------------------------ data
+
+    /** Raw dataset bytes assembled per layout, filters reversed. */
+    def rawData(ds: Dataset): Array[Byte] = {
+      val elem = ds.dtype.size
+      val total = ds.dims.map(_.toLong).product * elem
+      require(total <= Int.MaxValue, s"dataset ${ds.name} too large for one buffer")
+      ds.layout match {
+        case Compact(d) => d
+        case Contiguous(a, sz) =>
+          val out = new Array[Byte](total.toInt)
+          if (a != Undefined)
+            System.arraycopy(bytes, a.toInt, out, 0, math.min(sz, total).toInt)
+          out
+        case Chunked(btree, cdims) =>
+          val out = new Array[Byte](total.toInt)
+          if (btree != Undefined)
+            walkChunkTree(btree, ds.dims.length) {
+              case (coords, storedSize, mask, caddr) =>
+                var chunk = java.util.Arrays.copyOfRange(
+                  bytes, caddr.toInt, caddr.toInt + storedSize)
+                // reverse pipeline order, honoring the skip mask
+                ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
+                  if ((mask & (1 << i)) == 0) chunk = unfilter(f, chunk, elem)
+                }
+                scatter(chunk, coords, cdims, ds.dims, elem, out)
+            }
+          out
+      }
+    }
+
+    private def walkChunkTree(a: Long, rank: Int)(
+        f: (Array[Long], Int, Int, Long) => Unit): Unit = {
+      val b = buf(a)
+      val sig = new Array[Byte](4); b.get(sig)
+      require(sig.sameElements("TREE".getBytes(StandardCharsets.US_ASCII)),
+        s"bad chunk B-tree signature at $a")
+      require(b.get() == 1, "B-tree node type 1 expected for chunks")
+      val level = b.get().toInt
+      val used = u2(b)
+      b.getLong(); b.getLong() // siblings
+      (0 until used).foreach { _ =>
+        val size = u4(b).toInt
+        val mask = u4(b).toInt
+        val coords = new Array[Long](rank)
+        (0 until rank).foreach(i => coords(i) = b.getLong())
+        b.getLong() // element-size pseudo-dim offset (always 0)
+        val child = b.getLong()
+        if (level > 0) {
+          val save = b.position()
+          walkChunkTree(child, rank)(f)
+          b.position(save)
+        } else f(coords, size, mask, child)
+      }
+    }
+
+    private def unfilter(f: Filter, data: Array[Byte], elem: Int): Array[Byte] =
+      f.id match {
+        case 1 => inflate(data)
+        case 2 => unshuffle(data, f.client.headOption.getOrElse(elem))
+        case 3 => java.util.Arrays.copyOfRange(data, 0, data.length - 4) // fletcher32
+        case id => throw new IllegalArgumentException(s"filter $id unsupported")
+      }
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val tmp = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
+          "truncated deflate stream in chunk")
+        out.write(tmp, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+
+    private def unshuffle(data: Array[Byte], elem: Int): Array[Byte] = {
+      if (elem <= 1) return data
+      val n = data.length / elem
+      val out = new Array[Byte](data.length)
+      var j = 0
+      while (j < elem) {
+        var i = 0
+        while (i < n) {
+          out(i * elem + j) = data(j * n + i)
+          i += 1
+        }
+        j += 1
+      }
+      // trailing bytes (length not divisible by elem) copy through
+      var t = n * elem
+      while (t < data.length) { out(t) = data(t); t += 1 }
+      out
+    }
+
+    /** Copy one decoded chunk into the full row-major output, clipping
+      * edge chunks; inner runs along the last axis use arraycopy.
+      */
+    private def scatter(chunk: Array[Byte], origin: Array[Long],
+                        cdims: Seq[Int], dims: Seq[Int], elem: Int,
+                        out: Array[Byte]): Unit = {
+      val rank = dims.length
+      if (rank == 0) { System.arraycopy(chunk, 0, out, 0, elem); return }
+      val cd = cdims.toArray
+      val dd = dims.toArray
+      // effective lengths per dim after edge clipping
+      val eff = Array.tabulate(rank)(i =>
+        math.max(0, math.min(cd(i).toLong, dd(i) - origin(i)).toInt))
+      if (eff.exists(_ == 0)) return
+      val lastRun = eff(rank - 1) * elem
+      val idx = new Array[Int](rank) // chunk-local coords over dims 0..rank-2
+      def copyRuns(): Unit = {
+        var done = false
+        while (!done) {
+          // flat positions of the current run
+          var src = 0L; var dst = 0L
+          var i = 0
+          while (i < rank - 1) {
+            src = src * cd(i) + idx(i)
+            dst = dst * dd(i) + (origin(i) + idx(i))
+            i += 1
+          }
+          src = (src * cd(rank - 1)) * elem
+          dst = (dst * dd(rank - 1) + origin(rank - 1)) * elem
+          System.arraycopy(chunk, src.toInt, out, dst.toInt, lastRun)
+          // odometer increment over dims 0..rank-2
+          var d = rank - 2
+          var carry = true
+          while (carry && d >= 0) {
+            idx(d) += 1
+            if (idx(d) < eff(d)) carry = false else { idx(d) = 0; d -= 1 }
+          }
+          if (d < 0) done = true
+        }
+      }
+      if (rank == 1) {
+        System.arraycopy(chunk, 0, out, origin(0).toInt * elem, lastRun)
+      } else copyRuns()
+    }
+
+    /** Numeric dataset decoded to doubles (row-major). */
+    def readDoubles(ds: Dataset): Array[Double] = {
+      val raw = rawData(ds)
+      val n = ds.dims.map(_.toLong).product.toInt
+      val out = new Array[Double](n)
+      val b = ByteBuffer.wrap(raw).order(
+        if (ds.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      val t = ds.dtype
+      var i = 0
+      (t.cls, t.size) match {
+        case (ClsFloat, 8) => while (i < n) { out(i) = b.getDouble(); i += 1 }
+        case (ClsFloat, 4) => while (i < n) { out(i) = b.getFloat().toDouble; i += 1 }
+        case (ClsFixed, 1) =>
+          if (t.signed) while (i < n) { out(i) = b.get().toDouble; i += 1 }
+          else while (i < n) { out(i) = (b.get() & 0xFF).toDouble; i += 1 }
+        case (ClsFixed, 2) =>
+          if (t.signed) while (i < n) { out(i) = b.getShort().toDouble; i += 1 }
+          else while (i < n) { out(i) = (b.getShort() & 0xFFFF).toDouble; i += 1 }
+        case (ClsFixed, 4) =>
+          if (t.signed) while (i < n) { out(i) = b.getInt().toDouble; i += 1 }
+          else while (i < n) { out(i) = (b.getInt().toLong & 0xFFFFFFFFL).toDouble; i += 1 }
+        case (ClsFixed, 8) => while (i < n) { out(i) = b.getLong().toDouble; i += 1 }
+        case (c, s) => throw new IllegalArgumentException(
+          s"cannot decode dataset ${ds.name} of class $c size $s to doubles")
+      }
+      out
+    }
+  }
+
+  /** Convenience: parse + per-dataset numeric decode, for callers that
+    * hold the whole file (the binaryFile scan path).
+    */
+  final class Reader(bytes: Array[Byte]) {
+    private val parser = new Parser(bytes)
+    val file: File = parser.parse()
+    def readDoubles(ds: Dataset): Array[Double] = parser.readDoubles(ds)
+    def readDoubles(name: String): Array[Double] =
+      readDoubles(file.dataset(name).getOrElse(
+        throw new IllegalArgumentException(s"no dataset $name")))
+  }
+}

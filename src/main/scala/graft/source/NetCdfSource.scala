@@ -40,22 +40,22 @@ object NetCdfSource {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val h = NetCdf.readHeader(bytes)
-        val names = h.vars.map(_.name)
+        val g = GridFile.open(bytes) // classic or netCDF-4/HDF5 by magic
+        val names = g.varNames
         val xc = findCoord(names, XCandidates).orNull
         val yc = findCoord(names, YCandidates).orNull
-        val crs = h.gatt("geospatial_bounds_crs").map(_.text).orNull
+        val crs = g.gattText("geospatial_bounds_crs").orNull
         // lat_min may be stored as a char or numeric attr (ref
         // utils.py:70 reads it unconditionally from attrs)
-        val latMin: java.lang.Double = h.gatt("geospatial_lat_min").flatMap { a =>
-          Option(a.text).flatMap(_.toDoubleOption).orElse(a.nums.headOption)
-        }.map(Double.box).orNull
-        h.vars.map { v =>
-          (path, v.name, v.dimIds.size,
-            v.dimIds.map(h.dims(_).name).mkString(","),
-            typeName(v.ncType), h.shape(v).product.toLong,
-            v.attr("units").map(_.text).orNull, crs, xc, yc,
-            v.dimIds.size == 4, latMin)
+        val latMin: java.lang.Double = g.gattText("geospatial_lat_min")
+          .flatMap(_.toDoubleOption)
+          .orElse(g.gattNums("geospatial_lat_min").headOption)
+          .map(Double.box).orNull
+        names.map { v =>
+          (path, v, g.rank(v), g.dimNames(v).mkString(","),
+            g.dtypeName(v), g.shape(v).product.toLong,
+            g.varAttrText(v, "units").orNull, crs, xc, yc,
+            g.isPayload(v, 4), latMin)
         }
       }
       .toDF("path", "variable", "ndim", "dims", "dtype", "n_values",
@@ -83,34 +83,33 @@ object NetCdfSource {
       lFilter: Option[Int] = None)
       : Iterator[(String, String, Int, Double, Int, Double, Int, Double,
                   Array[Double], Array[Double])] = {
-    val h = NetCdf.readHeader(bytes)
-    val names = h.vars.map(_.name)
+    val g = GridFile.open(bytes) // classic or netCDF-4/HDF5 by magic
+    val names = g.varNames
     def coordData(cands: Seq[String]): (String, Array[Double]) = {
       val n = findCoord(names, cands).getOrElse(
         throw new IllegalArgumentException(s"no coord among $cands in $path"))
-      n -> NetCdf.readVariable(bytes, h, h.vars.find(_.name == n).get)
+      n -> g.readDoubles(n)
     }
     val (xName, xRaw) = coordData(XCandidates)
     val (yName, yRaw) = coordData(YCandidates)
     val (tName, tVals) = coordData(TimeCandidates)
     val (lName, lVals) = coordData(LeadCandidates)
     def norm(coord: String, raw: Array[Double]): Array[Double] = {
-      val units = h.vars.find(_.name == coord).flatMap(_.attr("units"))
-        .map(_.text).getOrElse("")
+      val units = g.varAttrText(coord, "units").getOrElse("")
       if (units == "km" || units == "1000 meter") raw.map(_ * 1000) else raw
     }
     val xs = norm(xName, xRaw); val ys = norm(yName, yRaw)
     // P2 + pushed-down predicates: an excluded band's payload is NEVER
     // read (the whole-variable byte range is skipped), which is the
     // dominant saving when a query wants one band of many
-    val bands = h.vars.filter(_.dimIds.size == 4)
-      .filter(v => varFilter.forall(_.contains(v.name)))
+    val bands = names.filter(g.isPayload(_, 4))
+      .filter(v => varFilter.forall(_.contains(v)))
     bands.iterator.flatMap { v =>
-      val dimNames = v.dimIds.map(h.dims(_).name)
+      val dimNames = g.dimNames(v)
       require(dimNames == Seq(tName, yName, xName, lName),
         s"unexpected band layout $dimNames in $path " +
           s"(expected ${Seq(tName, yName, xName, lName)})")
-      val data = NetCdf.readVariable(bytes, h, v)
+      val data = g.readDoubles(v)
       val (nt, ny, nx, nl) = (tVals.length, ys.length, xs.length, lVals.length)
       for {
         t <- (0 until nt).iterator if tFilter.forall(_ == t)
@@ -123,16 +122,11 @@ object NetCdfSource {
           row(x) = data(((t * ny + y) * nx + x) * nl + l)
           x += 1
         }
-        (path, v.name, t, tVals(t), l, lVals(l), y, ys(y), xs, row)
+        (path, v, t, tVals(t), l, lVals(l), y, ys(y), xs, row)
       }
     }
   }
 
-  private def typeName(t: Int): String = t match {
-    case NetCdf.NcByte => "int8"; case NetCdf.NcChar => "char"
-    case NetCdf.NcShort => "int16"; case NetCdf.NcInt => "int32"
-    case NetCdf.NcFloat => "float32"; case NetCdf.NcDouble => "float64"
-  }
 }
 
 /** Deterministic synthetic forecast fixture, shaped like the reference's
@@ -143,8 +137,14 @@ object NetCdfSource {
   * planted on a known stride to exercise valid_percent.
   */
 object NetCdfFixture {
-  def bytes(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3,
-            tStart: Double = 0.0): Array[Byte] = {
+
+  /** The fixture's (dims, gatts, vars) triple — shared by the classic
+    * and netCDF-4/HDF5 renderings so both formats carry byte-identical
+    * payloads and the scans can be compared 1:1.
+    */
+  def spec(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3,
+           tStart: Double = 0.0)
+      : (Seq[(String, Int)], Seq[(String, String)], Seq[NetCdf.VarSpec]) = {
     def grid(f: (Int, Int, Int, Int) => Double): Array[Double] = {
       val a = new Array[Double](nt * ny * nx * nl)
       var i = 0
@@ -157,13 +157,12 @@ object NetCdfFixture {
       if ((y * nx + x + l) % 17 == 0) Double.NaN
       else (t + 1) * 0.1 + y * 0.01 + x * 0.001 + l * 0.0001)
     val std = grid((t, y, x, l) => (y + x + l + t) * 0.005)
-    NetCdf.write(
-      dims = Seq("time" -> nt, "yc" -> ny, "xc" -> nx, "leadtime" -> nl),
-      gatts = Seq(
+    (Seq("time" -> nt, "yc" -> ny, "xc" -> nx, "leadtime" -> nl),
+      Seq(
         "geospatial_bounds_crs" -> "EPSG:6931",
         "geospatial_lat_min" -> "45.0",
         "source" -> "graft synthetic fixture"),
-      vars = Seq(
+      Seq(
         NetCdf.VarSpec("time", Seq("time"), Seq("units" -> "days since 2025-01-01"),
           (0 until nt).map(tStart + _).toArray),
         NetCdf.VarSpec("yc", Seq("yc"), Seq("units" -> "km"),
@@ -178,13 +177,33 @@ object NetCdfFixture {
           Seq("units" -> "1"), std)))
   }
 
-  /** Write the fixture as .nc files under a directory; returns the glob. */
-  def writeFiles(dir: java.nio.file.Path, n: Int = 2): String = {
+  def bytes(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3,
+            tStart: Double = 0.0): Array[Byte] = {
+    val (dims, gatts, vars) = spec(nt, ny, nx, nl, tStart)
+    NetCdf.write(dims, gatts, vars)
+  }
+
+  /** Same content as [[bytes]] but rendered as netCDF-4/HDF5 with
+    * shuffle + deflate-9 chunks — the reference's own output format
+    * (generator.py:969-977).
+    */
+  def bytesHdf5(nt: Int = 1, ny: Int = 8, nx: Int = 8, nl: Int = 3,
+                tStart: Double = 0.0): Array[Byte] = {
+    val (dims, gatts, vars) = spec(nt, ny, nx, nl, tStart)
+    Hdf5Write.write(dims, gatts, vars)
+  }
+
+  /** Write the fixture as .nc files under a directory; returns the glob.
+    * `hdf5 = true` renders netCDF-4/HDF5 files instead of classic.
+    */
+  def writeFiles(dir: java.nio.file.Path, n: Int = 2,
+                 hdf5: Boolean = false): String = {
     java.nio.file.Files.createDirectories(dir)
     (0 until n).foreach { i =>
       // distinct init date per file, like a daily forecast drop
-      java.nio.file.Files.write(dir.resolve(f"forecast_$i%02d.nc"),
-        bytes(nt = 1, tStart = i.toDouble))
+      val b = if (hdf5) bytesHdf5(nt = 1, tStart = i.toDouble)
+              else bytes(nt = 1, tStart = i.toDouble)
+      java.nio.file.Files.write(dir.resolve(f"forecast_$i%02d.nc"), b)
     }
     s"$dir/*.nc"
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import graft.source.{NetCdf, NetCdfSource}
+import graft.source.NetCdfSource
 
 /** DataSource V2 NetCDF source: `spark.read.format("netcdf").load(glob)`
   * (S1 as a first-class format, SURVEY §4.1's upgrade path from the
@@ -178,27 +178,26 @@ private[v2] final class NetCdfPartitionReader(path: String,
     * values come from coords/shape — no payload read.
     */
   private def headerRows(bytes: Array[Byte]) = {
-    val h = NetCdf.readHeader(bytes)
-    val names = h.vars.map(_.name)
+    val g = graft.source.GridFile.open(bytes) // classic or HDF5 by magic
+    val names = g.varNames
     def coord(cands: Seq[String]): Array[Double] = {
       val n = NetCdfSource.findCoord(names, cands).getOrElse(
         throw new IllegalArgumentException(s"no coord among $cands in $path"))
-      NetCdf.readVariable(bytes, h, h.vars.find(_.name == n).get)
+      g.readDoubles(n)
     }
     val yName = NetCdfSource.findCoord(names, NetCdfSource.YCandidates).get
-    val yUnits = h.vars.find(_.name == yName).flatMap(_.attr("units"))
-      .map(_.text).getOrElse("")
+    val yUnits = g.varAttrText(yName, "units").getOrElse("")
     val yScale = if (yUnits == "km" || yUnits == "1000 meter") 1000.0 else 1.0
     val (ts, ls, ys) =
       (coord(NetCdfSource.TimeCandidates), coord(NetCdfSource.LeadCandidates),
         coord(NetCdfSource.YCandidates).map(_ * yScale))
     for {
-      v <- h.vars.filter(_.dimIds.size == 4).iterator
-        if filters.variables.forall(_.contains(v.name))
+      v <- names.filter(g.isPayload(_, 4)).iterator
+        if filters.variables.forall(_.contains(v))
       t <- ts.indices.iterator if filters.timeIdx.forall(_ == t)
       l <- ls.indices.iterator if filters.leadtimeIdx.forall(_ == l)
       y <- ys.indices.iterator
-    } yield (path, v.name, t, ts(t), l, ls(l), y, ys(y), null, null)
+    } yield (path, v, t, ts(t), l, ls(l), y, ys(y), null, null)
   }
 
   private def project(t: (String, String, Int, Double, Int, Double, Int,
