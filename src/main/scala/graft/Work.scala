@@ -32,6 +32,28 @@ object Work {
         body
     }
 
+  /** Materialize a relation at a DETERMINISTIC path both engines can
+    * read, for queries whose INPUTS are generated files (netCDF, Zarr,
+    * images) rather than the shared parquet tables: the Spark query
+    * computes from the real source, and the DuckDB oracle recomputes
+    * the same aggregation from this dump via `read_parquet('<path>')` —
+    * turning a rows-only registration into a hash-checked one. The
+    * decode is shared (pinned separately by ScalaTest); the
+    * aggregation/projection is independently recomputed.
+    */
+  def oracleDump(spark: org.apache.spark.sql.SparkSession, tag: String,
+                 df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val path = oracleDumpPath(tag)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Fixed location (NOT java.io.tmpdir-dependent) so the static oracle
+    * SQL strings can embed it.
+    */
+  def oracleDumpPath(tag: String): String = s"/tmp/graft-oracle/$tag"
+
   def wipe(dir: Path): Unit = if (Files.exists(dir)) {
     import scala.jdk.CollectionConverters._
     Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -47,7 +47,11 @@ object Preprocess {
       fileServerUrl: Option[String] = None,
       stacOnly: Boolean = false,
       overwrite: Boolean = false,
-      compress: Boolean = true)   // DEFLATE default on (ref generator.py:620)
+      compress: Boolean = true,   // DEFLATE default on (ref generator.py:620)
+      // K1 slice format: "netcdf4" = HDF5 + shuffle + deflate-9, the
+      // reference's output envelope (generator.py:969-977, zlib=True
+      // complevel=9); "classic" = uncompressed CDF-1
+      ncFormat: String = "netcdf4")
 
   final case class Result(catalogRoot: String, nItems: Long, nSlices: Long)
 
@@ -259,6 +263,7 @@ object Preprocess {
         col("leadtime_idx"), col("leadtime"), col("y_idx"), col("y"),
         col("xs"), col("values"))
     val overwrite = opts.overwrite
+    val ncFormat = opts.ncFormat
     val written = rows
       .repartition(col("out_path"))
       .mapPartitions { part =>
@@ -294,11 +299,15 @@ object Preprocess {
               NetCdf.VarSpec("yc", Seq("yc"), Seq("units" -> "m"), ys),
               NetCdf.VarSpec("xc", Seq("xc"), Seq("units" -> "m"), xs),
               NetCdf.VarSpec("leadtime", Seq("leadtime"), Seq(), ls))
-            Files.write(p, NetCdf.write(
-              dims = Seq("time" -> 1, "yc" -> ys.length, "xc" -> xs.length,
-                "leadtime" -> ls.length),
-              gatts = Seq(),
-              vars = coordVars ++ vars))
+            val dims = Seq("time" -> 1, "yc" -> ys.length, "xc" -> xs.length,
+              "leadtime" -> ls.length)
+            // K1 parity: the reference writes netCDF-4 with zlib level 9
+            // (generator.py:969-977); classic CDF-1 stays available for
+            // consumers without HDF5 readers
+            Files.write(p,
+              if (ncFormat == "netcdf4")
+                graft.source.Hdf5Write.write(dims, Seq(), coordVars ++ vars)
+              else NetCdf.write(dims, Seq(), coordVars ++ vars))
             1L
           }
         }

@@ -190,6 +190,11 @@ object Functions {
 
   /** F14 rows-only registration: the digest-of-digest blockwise checksum
     * the reference actually uses for asset file-info (stac/utils.py:37-56).
+    * No DuckDB oracle is possible: the outer digest hashes the RAW 16
+    * bytes of the inner digest, and DuckDB 1.0.0's `md5` accepts VARCHAR
+    * only (no BLOB overload — probed via duckdb_functions()), so the
+    * chain cannot be expressed there. Exact constants are pinned by
+    * ScalarsSpec instead.
     */
   val blockMultihash = QueryDef.rowsOnly("q28_block_multihash") { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),

@@ -6,15 +6,28 @@ import graft.QueryDef
 import graft.multimodal.Multimodal
 import graft.pipeline.Thumbnail
 
-/** Multimodal binary-column pipeline through the driver surface
-  * (rows-only: media bytes are generated in-process; exact values are
-  * pinned by MultimodalSpec). Corpus: deterministic JPEGs from the
+/** Multimodal binary-column pipeline through the driver surface. Media
+  * bytes are generated in-process (deterministic JPEGs from the
   * pipeline's own thumbnail encoder + stub video/audio payloads, sized
-  * by the documents table so the row count scales with SF.
+  * by the documents table so the row count scales with SF); the decoded
+  * per-media features are dumped to parquet (Work.oracleDump) so DuckDB
+  * independently recomputes the per-kind metric union — decode itself is
+  * pinned by MultimodalSpec.
   */
 object MultimodalQueries {
 
-  val imagePipeline = QueryDef.rowsOnly("q49_image_features") { (s, d) =>
+  val imagePipeline = QueryDef("q49_image_features",
+    """SELECT media_id, 'image' AS kind,
+      |  CAST(width * height AS BIGINT) AS metric
+      |FROM read_parquet('/tmp/graft-oracle/q49_img/*.parquet')
+      |UNION ALL
+      |SELECT media_id, 'video' AS kind, count(*) AS metric
+      |FROM read_parquet('/tmp/graft-oracle/q49_frames/*.parquet')
+      |GROUP BY media_id
+      |UNION ALL
+      |SELECT media_id, 'audio' AS kind, zero_crossings AS metric
+      |FROM read_parquet('/tmp/graft-oracle/q49_audio/*.parquet')
+      |ORDER BY kind, media_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val n = math.min(graft.Tables.documents(s, d).count(), 64L).toInt
     val rows = (0 until n).map { i =>
@@ -31,13 +44,19 @@ object MultimodalQueries {
     }
     val media = s.createDataFrame(
       s.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
-    val img = Multimodal.imageFeatures(media)
+    val imgFeats = graft.Work.oracleDump(s, "q49_img",
+      Multimodal.imageFeatures(media))
+    val frames = graft.Work.oracleDump(s, "q49_frames",
+      Multimodal.sampleFrames(media, 3).select("media_id", "frame_idx"))
+    val audFeats = graft.Work.oracleDump(s, "q49_audio",
+      Multimodal.audioFeatures(media))
+    val img = imgFeats
       .select(col("media_id"), lit("image").as("kind"),
         (col("width") * col("height")).cast("long").as("metric"))
-    val vid = Multimodal.sampleFrames(media, 3)
+    val vid = frames
       .groupBy(col("media_id")).agg(count(lit(1)).as("metric"))
       .select(col("media_id"), lit("video").as("kind"), col("metric"))
-    val aud = Multimodal.audioFeatures(media)
+    val aud = audFeats
       .select(col("media_id"), lit("audio").as("kind"),
         col("zero_crossings").as("metric"))
     img.unionByName(vid).unionByName(aud)

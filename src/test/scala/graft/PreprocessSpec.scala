@@ -57,12 +57,14 @@ class PreprocessSpec extends SparkSpec {
     assert(tiff.pages.head.epsg === Some(6931))
     assert(tiff.pages.head.gdalMetadata.get.contains("STATISTICS_MEAN"))
 
-    // the written slice is a valid classic netCDF our codec reads back
+    // the written slice is a netCDF-4/HDF5 file (K1 zlib parity with
+    // generator.py:969-977) our own codec reads back through the facade
     val sliceHref = nc.href.stripPrefix("./")
     val sliceBytes = Files.readAllBytes(Paths.get(opts.dataPath, sliceHref))
-    val h = NetCdf.readHeader(sliceBytes)
-    assert(h.vars.map(_.name).contains("sic_mean"))
-    assert(h.dims.find(_.name == "leadtime").get.length === 3)
+    val g = graft.source.GridFile.open(sliceBytes)
+    assert(g.format === "hdf5")
+    assert(g.varNames.contains("sic_mean"))
+    assert(g.shape("leadtime") === Seq(3))
     // geographic bbox from the LAEA transform, not raw projected meters
     assert(it.bbox(1) > -90 && it.bbox(3) <= 90 && it.bbox(0) >= -180)
   }
