@@ -34,7 +34,11 @@ final case class StacCollection(
     bbox: Seq[Double],
     temporal_start: String, // RFC3339; collection temporal extent (A3/A4)
     temporal_end: String,
-    extra: Map[String, String]) // e.g. custom:hemisphere (ref generator.py:656)
+    extra: Map[String, String], // e.g. custom:hemisphere (ref generator.py:656)
+    // collection-level assets: the first item's thumbnail is promoted
+    // here when no thumbnail exists yet (W3, ref generator.py:798-803,
+    // 944-957)
+    assets: Seq[StacAsset] = Seq.empty)
 
 final case class StacCatalog(
     id: String,

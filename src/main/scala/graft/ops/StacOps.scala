@@ -54,7 +54,13 @@ object StacOps {
           .as("bbox"),
         min(col("temporal_start")).as("temporal_start"), // RFC3339 sorts lexically
         max(col("temporal_end")).as("temporal_end"),
-        min_by(col("extra"), col("pri")).as("extra"))
+        min_by(col("extra"), col("pri")).as("extra"),
+        // W3 promotion precedence (ref generator.py:798-803): a stored
+        // collection keeps its thumbnail; only a collection WITHOUT
+        // assets adopts the incoming ones — sort key (empty?, pri)
+        min_by(col("assets"),
+          struct(when(size(col("assets")) > 0, 0).otherwise(1), col("pri")))
+          .as("assets"))
       .as[StacCollection]
   }
 }

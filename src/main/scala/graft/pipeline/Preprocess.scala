@@ -223,12 +223,25 @@ object Preprocess {
     val extent = inits.agg(
       min(Scalars.datetimeToStr(col("ref_time"))),
       max(Scalars.datetimeToStr(col("end_time")))).head()
+    // W3 completion — promote the FIRST item's thumbnail to the
+    // collection (ref generator.py:798-803, 944-957): one-row limit
+    // collected, ordered by (datetime, id) so the election is
+    // deterministic; mergeCollections keeps an already-stored
+    // collection thumbnail over this incoming one
+    val promotedThumb = toWrite
+      .select(col("datetime"), col("id"), explode(col("assets")).as("a"))
+      .filter(col("a.key") === "thumbnail")
+      .orderBy(col("datetime"), col("id"))
+      .limit(1)
+      .select(col("a.*")).as[graft.model.StacAsset]
+      .collect().headOption
     val incomingColl = StacCollection(
       id = opts.name, title = opts.name,
       description = // ref generator.py:654
         s"${opts.name.capitalize.replace("_", " ").replace("-", " ")} collection",
       license = opts.license, bbox = geoBbox,
       temporal_start = extent.getString(0), temporal_end = extent.getString(1),
+      assets = promotedThumb.toSeq,
       extra = if (hemisphere.nonEmpty) Map("custom:hemisphere" -> hemisphere)
               else Map.empty)
     val collections =

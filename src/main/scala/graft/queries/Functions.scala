@@ -246,7 +246,12 @@ object Functions {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
       |    / count(json_extract_string(props, '$.k')) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    // from_json with a pinned schema parses the document ONCE into a
+    // struct Catalyst can prune, instead of get_json_object's per-call
+    // re-parse; props carries JSON numbers (a quoted "k" would null out
+    // here, which the events corpus never does)
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k")
     Tables.events(s, d).select(col("event_type"), k.as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),

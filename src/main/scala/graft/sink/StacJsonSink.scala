@@ -58,16 +58,20 @@ object StacJsonSink {
     * pinned, not inferred, so properties/assets come back as typed
     * map/array columns.
     */
-  def readItems(spark: SparkSession, root: String): Dataset[StacItem] = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
+  private val assetSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val assetSchema = new StructType()
+    new StructType()
       .add("key", StringType).add("href", StringType)
       .add("media_type", StringType).add("title", StringType)
       .add("roles", ArrayType(StringType)).add("checksum", StringType)
       .add("size", LongType)
       .add("extra", MapType(StringType, StringType))
+  }
+
+  def readItems(spark: SparkSession, root: String): Dataset[StacItem] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val schema = new StructType()
       .add("id", StringType).add("collection", StringType)
       .add("geometry", StringType).add("bbox", ArrayType(DoubleType))
@@ -104,6 +108,7 @@ object StacJsonSink {
         .add("temporal", new StructType()
           .add("interval", ArrayType(ArrayType(StringType)))))
       .add("custom:hemisphere", StringType)
+      .add("assets", ArrayType(assetSchema))
     spark.read.schema(schema).option("multiLine", true)
       .json(s"$root/*/collection.json")
       .select(col("id"), col("title"), col("description"), col("license"),
@@ -114,7 +119,10 @@ object StacJsonSink {
           .as("temporal_end"),
         when(col("`custom:hemisphere`").isNotNull,
           map(lit("custom:hemisphere"), col("`custom:hemisphere`")))
-          .otherwise(map().cast(MapType(StringType, StringType))).as("extra"))
+          .otherwise(map().cast(MapType(StringType, StringType))).as("extra"),
+        transform(coalesce(col("assets"), array().cast(ArrayType(assetSchema))),
+          a => a.withField("extra", coalesce(a.getField("extra"),
+            map().cast(MapType(StringType, StringType))))).as("assets"))
       .as[StacCollection]
   }
 
@@ -141,7 +149,13 @@ object StacJsonSink {
         "bbox" -> s"[${c.bbox.map(Json.dbl).mkString("[", ",", "]")}]")),
       "temporal" -> Json.obj(Seq(
         "interval" -> s"[[${Json.quote(c.temporal_start)},${Json.quote(c.temporal_end)}]]"))
-    ))) ++ c.extra.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.quote(v) })
+    ))) ++
+    // collection-level assets (promoted thumbnail, W3) — omitted when
+    // empty, matching the reference's absent-assets collections
+    (if (c.assets.isEmpty) Seq.empty
+     else Seq("assets" ->
+       c.assets.sortBy(_.key).map(assetJson).mkString("[", ",", "]"))) ++
+    c.extra.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.quote(v) })
 
   private[sink] def itemJson(it: StacItem): String = Json.obj(Seq(
     "type" -> Json.quote("Feature"),

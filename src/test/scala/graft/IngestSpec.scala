@@ -70,6 +70,16 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.itemSql(it, overwrite = false).contains("'id''1'"))
   }
 
+  test("J3 consumes the key RELATION, never the driver-side Set") {
+    // a client whose Set accessor explodes but whose DataFrame works:
+    // run() must succeed, proving the anti-join is fed by the relation
+    // (the JDBC client's partitioned executor-side read at scale)
+    val root = writeCatalog()
+    val client = new RelationOnlyClient(Set(("c1", "i2"))); FakeClient.reset()
+    val res = Ingest.run(spark, root, client)
+    assert(res.itemsLoaded === 2 && res.itemsSkipped === 1)
+  }
+
   test("S7 zarr probe: dtype from .zarray, recursive size sum") {
     val store = Files.createTempDirectory("graft-zarr")
     Files.createDirectories(store.resolve("var"))
@@ -106,4 +116,20 @@ class FakeClient(colls: Set[String] = Set.empty,
 object FakeClient {
   val executed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   def reset(): Unit = executed.clear()
+}
+
+/** Provides keys only as a DataFrame; the Set accessor throws so any
+  * regression back to driver-side materialization fails loudly.
+  */
+class RelationOnlyClient(keys: Set[(String, String)])
+    extends FakeClient(colls = Set("c1")) {
+  override def existingItemKeys(): Set[(String, String)] =
+    throw new UnsupportedOperationException(
+      "item keys must be consumed as a relation")
+  override def existingItemKeysDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    spark.createDataset(keys.toSeq).toDF("collection", "id")
+  }
 }

@@ -47,6 +47,15 @@ class PreprocessSpec extends SparkSpec {
     assert(cog.extra("custom:valid_time") === "2025-01-01T00:00:00Z")
     val thumb = it.assets.find(_.key == "thumbnail").get
     assert(thumb.size > 0, "thumbnail written and enriched")
+    // W3 completion: the FIRST item's thumbnail was promoted to the
+    // collection (ref generator.py:798-803, 944-957)
+    val coll = StacJsonSink.readCollections(spark, res.catalogRoot)
+      .collect().find(_.id == "sic_north").get
+    val cThumb = coll.assets.find(_.key == "thumbnail")
+    assert(cThumb.isDefined, "collection adopted a thumbnail asset")
+    val firstItem = items.sortBy(it => (it.datetime, it.id)).head
+    assert(cThumb.get.href ===
+      firstItem.assets.find(_.key == "thumbnail").get.href)
     // K2: the per-leadtime COGs were written, enriched, and parse back
     assert(cog.size > 0 && cog.checksum != null)
     val cogBytes = Files.readAllBytes(

@@ -50,6 +50,33 @@ class StacSpec extends SparkSpec {
         === Files.readString(java.nio.file.Paths.get(r2, rel)))
   }
 
+  test("W3 collection thumbnail: round-trips through write/rescan, merge " +
+    "prefers the stored one") {
+    val thumb = StacAsset("thumbnail", "./cogs/c/t.jpg", "image/jpeg",
+      "Thumbnail", Seq("thumbnail"), null, -1L, Map.empty)
+    val root = Files.createTempDirectory("graft-cthumb").toString
+    StacJsonSink.write(root, StacCatalog("cat", "d", Seq("c")),
+      Seq(collection("c").copy(assets = Seq(thumb))),
+      Seq(item("i1", "c", 1)).toDS())
+    // the collection document carries the promoted asset…
+    assert(Files.readString(java.nio.file.Paths.get(root, "c/collection.json"))
+      .contains("\"thumbnail\""))
+    // …and scans back intact
+    val back = StacJsonSink.readCollections(spark, root).collect()
+    assert(back.head.assets === Seq(thumb))
+    // merge precedence (ref generator.py:798-803): stored thumbnail wins;
+    // a stored collection WITHOUT one adopts the incoming thumbnail
+    val other = thumb.copy(href = "./cogs/c/other.jpg")
+    val kept = StacOps.mergeCollections(
+      Seq(collection("c").copy(assets = Seq(thumb))).toDS(),
+      Seq(collection("c").copy(assets = Seq(other))).toDS()).collect().head
+    assert(kept.assets === Seq(thumb))
+    val adopted = StacOps.mergeCollections(
+      Seq(collection("c")).toDS(),
+      Seq(collection("c").copy(assets = Seq(other))).toDS()).collect().head
+    assert(adopted.assets === Seq(other))
+  }
+
   test("J2 get-or-create items: existing wins, only new ids inserted") {
     val existing = Seq(item("i1", "c", 1)).toDS()
     val candidate1 = item("i1", "c", 9) // same id, different payload — must be DROPPED
