@@ -79,8 +79,32 @@ object Bench {
       if (x == 42) System.err.print("") // keep the loop observable
       (System.nanoTime() - t0) / 1e6
     }
+    // In-round regression tracking: compare against the newest committed
+    // BENCH_r*.json so a query that got slower surfaces in THIS round's
+    // artifact instead of at judgment. Ratio-gated (≥1.25× and prev
+    // ≥0.2 s) to keep noise-scale wobble out.
+    val regressions: String = {
+      val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+      val prev = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption
+      prev match {
+        case None => "{}"
+        case Some(f) =>
+          val txt = java.nio.file.Files.readString(f.toPath)
+          val pairRe = """"(q[0-9]\w+)":(-?[0-9.]+)""".r
+          val prevTimes = pairRe.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val regs = results.collect {
+            case (k, Right(v))
+                if prevTimes.get(k).exists(p => p >= 0.2 && v / p >= 1.25) =>
+              k -> s"""{"prev":${Json.num(prevTimes(k))},"now":${Json.num(v)},"ratio":${Json.num(v / prevTimes(k))}}"""
+          }
+          s"""{"vs":${Json.quote(f.getName)},"slower":${Json.obj(regs)}}"""
+      }
+    }
     println(
-      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"regressions":$regressions,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   *  - IMAGE decode/resize/features: REAL — JPEG/PNG via javax.imageio
   *    (in the JDK), resize via Graphics2D, features are luminance
   *    histograms + mean intensity.
-  *  - VIDEO frame-sample and AUDIO features: the container has no
-  *    codecs, so the decode step is a clearly-marked deterministic stub
-  *    (byte-hash-derived values with the REAL schema, partitioning and
-  *    batch shape) — swap `stubFrame`/`stubAudioFeatures` for a codec
-  *    call on a real cluster.
+  *  - AUDIO features: REAL for RIFF/PCM WAV (pure-JVM [[Wav]] codec —
+  *    rms, zero-crossings, duration from actual samples); compressed
+  *    formats fall back to a clearly-marked deterministic stub.
+  *  - VIDEO frame-sample: the container has no codecs, so the decode
+  *    step is a clearly-marked deterministic stub (byte-hash-derived
+  *    values with the REAL schema, partitioning and batch shape) —
+  *    swap `stubFrame` for a codec call on a real cluster.
   */
 object Multimodal {
 
@@ -120,9 +122,11 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(content ++ BigInt(idx).toByteArray)
 
-  /** Audio feature extraction — STUB decode: real schema (media_id,
-    * duration_ms from metadata, rms/zero-crossing stand-ins derived
-    * deterministically from the payload bytes).
+  /** Audio feature extraction. RIFF/PCM WAV payloads decode for REAL
+    * (graft.multimodal.Wav): rms / zero-crossings / duration from the
+    * actual mono-mixed samples. Compressed formats (no codecs in this
+    * container) keep the clearly-marked deterministic byte stand-in
+    * with duration from metadata.
     */
   def audioFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(
@@ -134,12 +138,30 @@ object Multimodal {
       .mapPartitions { part =>
         part.map { r =>
           val content = r.getAs[Array[Byte]](1)
-          // ??? — PCM decode goes here; byte-level stand-ins for now
-          val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
-            .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
-          val zc = content.sliding(2).count(p =>
-            p.length == 2 && ((p(0) < 0) != (p(1) < 0)))
-          Row(r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2), rms, zc.toLong)
+          Wav.decode(content) match {
+            case Some(pcm) =>
+              val n = pcm.samples.length
+              var sumSq = 0.0
+              var zc = 0L
+              var i = 0
+              while (i < n) {
+                val s = pcm.samples(i)
+                sumSq += s * s
+                if (i > 0 && (s < 0) != (pcm.samples(i - 1) < 0)) zc += 1
+                i += 1
+              }
+              Row(r.getLong(0), pcm.durationMs,
+                math.sqrt(sumSq / math.max(n, 1)), zc)
+            case None =>
+              // ??? — compressed-audio codec decode goes here;
+              // byte-level stand-ins for now
+              val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
+                .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
+              val zc = content.sliding(2).count(p =>
+                p.length == 2 && ((p(0) < 0) != (p(1) < 0)))
+              Row(r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2),
+                rms, zc.toLong)
+          }
         }
       }(enc)
   }

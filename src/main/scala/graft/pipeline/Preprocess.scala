@@ -420,9 +420,17 @@ object Preprocess {
                   "STATISTICS_STDDEV" -> stat(9),
                   "STATISTICS_VALID_PERCENT" -> stat(10))) -> grid
             }
-            Files.write(p, CogWriter.write(bands, CogWriter.Options(
+            val cogOpts = CogWriter.Options(
               compress = compressOn, epsg = epsg, pixelScale = (pixel, pixel),
-              origin = (xs.min, ys.max))))
+              origin = (xs.min, ys.max))
+            Files.write(p, CogWriter.write(bands, cogOpts))
+            // gdaladdo-parity external overview sidecar alongside the
+            // COG (ref cog.py:91-104: `<name>.tif.ovr` moved next to it)
+            if (cogOpts.externalOverviews &&
+                cogOpts.overviewFactors.exists(f =>
+                  xs.length / f > 0 && ys.length / f > 0))
+              Files.write(Paths.get(outPath + ".ovr"),
+                CogWriter.writeOvr(bands, cogOpts))
           }
         }
       }

@@ -245,14 +245,23 @@ object TrainingPrep {
       |FROM dd LEFT JOIN hits h ON dd.doc_id = h.doc_id
       |JOIN bm ON dd.doc_id = bm.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("source"), col("text"),
         tokens(col("text")).as("ts"))
+    // dedup survivor election in q36's digest-agg shape: a digest-keyed
+    // aggregate joined back on the digest carries the same shuffle
+    // payload as the previous min-over-window on md5(text) but needs no
+    // per-partition sort, and the agg side is partial-aggregated
+    // map-side (the window form shuffled every full row into a sorted
+    // partition first)
+    val survivors = base
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("survivor"))
     val dd = base
       .withColumn("n_tok", size(col("ts")))
-      .withColumn("survivor",
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("digest", md5(col("text")))
+      .join(survivors, "digest")
+      .drop("digest")
     val benchGrams = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
       .select(explode(array_distinct(ngrams(col("text"), 5))).as("g"))
       .distinct()

@@ -29,7 +29,11 @@ object CogWriter {
       overviewFactors: Seq[Int] = Seq(2, 4, 8, 16),
       epsg: Int = 6931,
       pixelScale: (Double, Double) = (1.0, 1.0),
-      origin: (Double, Double) = (0.0, 0.0))
+      origin: (Double, Double) = (0.0, 0.0),
+      // ALSO emit a gdaladdo-style external `.ovr` sidecar next to the
+      // COG (ref cog.py:91-104, external_overviews default True — the
+      // reference produces BOTH internal overview pages and the sidecar)
+      externalOverviews: Boolean = true)
 
   // TIFF tag ids
   private val NewSubfileType = 254
@@ -51,11 +55,35 @@ object CogWriter {
     val h = bands.head._2.length
     val w = bands.head._2.head.length
     // full-res page + overview pages (average resample, ref cog.py:112)
-    val pages = (1 +: opts.overviewFactors.filter(f => w / f > 0 && h / f > 0))
-      .map { f =>
-        val grids = bands.map { case (_, g) => downsample(g, f) }
-        (f, grids)
-      }
+    assemble(bands, opts,
+      1 +: opts.overviewFactors.filter(f => w / f > 0 && h / f > 0),
+      geoOnFirst = true)
+  }
+
+  /** The gdaladdo-style external overview sidecar (`<cog>.ovr`, ref
+    * cog.py:91-104): a plain TIFF holding ONLY the reduced-resolution
+    * pages — every IFD flagged NewSubfileType=1, no georeferencing or
+    * GDAL metadata (the main COG carries those).
+    */
+  def writeOvr(bands: Seq[(Band, Array[Array[Double]])],
+               opts: Options = Options()): Array[Byte] = {
+    require(bands.nonEmpty, "no bands")
+    val h = bands.head._2.length
+    val w = bands.head._2.head.length
+    val factors = opts.overviewFactors.filter(f => w / f > 0 && h / f > 0)
+    require(factors.nonEmpty, s"grid ${w}x$h too small for any overview")
+    assemble(bands, opts, factors, geoOnFirst = false)
+  }
+
+  private def assemble(bands: Seq[(Band, Array[Array[Double]])],
+                       opts: Options, factors: Seq[Int],
+                       geoOnFirst: Boolean): Array[Byte] = {
+    val h = bands.head._2.length
+    val w = bands.head._2.head.length
+    val pages = factors.map { f =>
+      val grids = bands.map { case (_, g) => downsample(g, f) }
+      (f, grids)
+    }
 
     // Pass 1: encode all tiles per page
     val encodedPages = pages.map { case (f, grids) =>
@@ -75,7 +103,8 @@ object CogWriter {
         val flatTiles = tiles.flatten
         val offsets = flatTiles.map { t => val o = cursor; cursor += t.length; o }
         buildIfd(pw, ph, tiles.length, offsets,
-          flatTiles.map(_.length.toLong), isOverview = pageIdx > 0,
+          flatTiles.map(_.length.toLong),
+          isOverview = !geoOnFirst || pageIdx > 0,
           bands.map(_._1), opts)
       }
     }

@@ -48,6 +48,24 @@ class CogSpec extends AnyFunSuite {
     assert(math.abs(ov(0)(0) - expected) < 1e-12)
   }
 
+  test("external .ovr sidecar: overview-only TIFF, all pages flagged, " +
+    "no geo tags (ref cog.py:91-104)") {
+    val ovr = CogWriter.writeOvr(bands,
+      CogWriter.Options(epsg = 6931, pixelScale = (25000.0, 25000.0)))
+    val t = CogReader.read(ovr)
+    // gdaladdo levels 2/4/8/16 and nothing else
+    assert(t.pages.length === 4)
+    assert(t.pages.forall(_.isOverview))
+    assert(t.pages.map(_.width) === Seq(150, 75, 37, 18))
+    // georeferencing and GDAL metadata live on the main COG only
+    assert(t.pages.forall(p => p.epsg.isEmpty && p.gdalMetadata.isEmpty))
+    assert(t.pages.forall(_.nBands === 2))
+    // ×2 page pixels are the same averages the internal pyramid carries
+    val full = CogReader.read(CogWriter.write(bands))
+    val (internal, external) = (full.readBand(1, 0), t.readBand(0, 0))
+    assert(internal(10).toSeq === external(10).toSeq)
+  }
+
   test("band statistics embedded in GDAL_METADATA (ref cog.py:80-87)") {
     val bytes = CogWriter.write(bands)
     val md = CogReader.read(bytes).pages.head.gdalMetadata.get

@@ -59,4 +59,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f.head.getLong(1) === 2000L)
     assert(f.head.getDouble(2) > 0)
   }
+
+  test("audio features: REAL PCM decode for WAV (rms, zero-crossings, " +
+    "duration from samples)") {
+    import graft.multimodal.Wav
+    // 100 Hz sine, amp 0.5, 8 kHz, 0.5 s
+    val sr = 8000
+    val samples = Array.tabulate(4000)(n =>
+      0.5 * math.sin(2 * math.Pi * 100 * n / sr))
+    val wav = Wav.write(samples, sr)
+    assert(Wav.isWav(wav))
+    val rows = Seq(Row(9L, "audio", "audio/wav", wav,
+      // metadata LIES about the duration — the decode must not use it
+      Map("duration_ms" -> "99999")))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val f = Multimodal.audioFeatures(media).collect().head
+    assert(f.getLong(1) === 500L) // 4000 samples @ 8 kHz
+    // rms of a sine = amp/sqrt(2); 16-bit quantization error stays tiny
+    assert(math.abs(f.getDouble(2) - 0.5 / math.sqrt(2)) < 1e-4)
+    // independent expected crossing count from the closed-form signal
+    val zcExpected = (1 until samples.length)
+      .count(i => (samples(i) < 0) != (samples(i - 1) < 0))
+    assert(f.getLong(3) === zcExpected.toLong)
+    // round-trip sanity on the codec itself, incl. stereo mixing
+    val pcm = Wav.decode(wav).get
+    assert(pcm.sampleRate === sr && pcm.channels === 1)
+    assert(math.abs(pcm.samples(20) - samples(20)) < 1e-4)
+  }
 }

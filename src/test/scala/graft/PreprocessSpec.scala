@@ -47,6 +47,10 @@ class PreprocessSpec extends SparkSpec {
     assert(cog.extra("custom:valid_time") === "2025-01-01T00:00:00Z")
     val thumb = it.assets.find(_.key == "thumbnail").get
     assert(thumb.size > 0, "thumbnail written and enriched")
+    // K2: gdaladdo-parity external overview sidecar alongside the COG
+    assert(Files.exists(
+      Paths.get(opts.dataPath, cog.href.stripPrefix("./") + ".ovr")))
+
     // W3 completion: the FIRST item's thumbnail was promoted to the
     // collection (ref generator.py:798-803, 944-957)
     val coll = StacJsonSink.readCollections(spark, res.catalogRoot)
