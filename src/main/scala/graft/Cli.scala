@@ -60,7 +60,9 @@ object Cli {
       fileServerUrl = EnvConfig.load().get("FILE_SERVER_URL"),
       stacOnly = flags.contains("stac-only"),
       overwrite = flags.contains("overwrite"),
-      compress = compress)
+      compress = compress,
+      // ref generator.py:826: reproject COGs to EPSG:4326, default off
+      reproject = flags.contains("reproject"))
     val glob = inputs.map(_.toString)
     val res = Preprocess.run(spark, glob.mkString(","), opts)
     println(s"preprocess: ${res.nItems} item(s), ${res.nSlices} slice(s) " +

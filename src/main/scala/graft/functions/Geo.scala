@@ -52,6 +52,36 @@ object Geo {
     (math.toDegrees(lam), math.toDegrees(phi))
   }
 
+  /** Forward polar-aspect LAEA: (lon, lat) degrees → projected (x, y)
+    * meters (Snyder 24-23/24-24 polar forms with the authalic radius
+    * construction 3-11/3-12; the exact inverse of [[laeaInverse]]).
+    */
+  def laeaForward(lonDeg: Double, latDeg: Double, north: Boolean): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val sinPhi = math.sin(phi)
+    val q = (1 - E2) * (sinPhi / (1 - E2 * sinPhi * sinPhi) -
+      (1.0 / (2 * E)) * math.log((1 - E * sinPhi) / (1 + E * sinPhi)))
+    val rho = A * math.sqrt(math.max(0.0, if (north) Qp - q else Qp + q))
+    if (north) (rho * math.sin(lam), -rho * math.cos(lam))
+    else (rho * math.sin(lam), rho * math.cos(lam))
+  }
+
+  /** Geographic → projected forward dispatch over the supported CRS set
+    * (the warp direction EPSG:4326 reproject-on-write needs: every
+    * destination pixel maps BACK through this to sample the source).
+    */
+  def forward(crs: String, lonDeg: Double, latDeg: Double): (Double, Double) =
+    crs.trim.toUpperCase match {
+      case "EPSG:4326" => (lonDeg, latDeg)
+      case "EPSG:6931" => laeaForward(lonDeg, latDeg, north = true)
+      case "EPSG:6932" => laeaForward(lonDeg, latDeg, north = false)
+      case ps if PolarStereoCrs.contains(ps) =>
+        PolarStereoCrs(ps).forward(lonDeg, latDeg)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported CRS: $other")
+    }
+
   /** Projected bbox [w, s, e, n] → geographic bbox, via rasterio-style
     * edge densification (`densify_pts` intermediate points per edge) plus
     * pole containment: a polar-aspect bbox holding the projection origin

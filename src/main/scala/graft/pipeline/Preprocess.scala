@@ -51,7 +51,10 @@ object Preprocess {
       // K1 slice format: "netcdf4" = HDF5 + shuffle + deflate-9, the
       // reference's output envelope (generator.py:969-977, zlib=True
       // complevel=9); "classic" = uncompressed CDF-1
-      ncFormat: String = "netcdf4")
+      ncFormat: String = "netcdf4",
+      // K2: warp COGs to EPSG:4326 before writing (ref reproject flag,
+      // generator.py:826,1006-1007 — default OFF there too)
+      reproject: Boolean = false)
 
   final case class Result(catalogRoot: String, nItems: Long, nSlices: Long)
 
@@ -391,6 +394,7 @@ object Preprocess {
         Seq("out_path", "variable"))
     val overwrite = opts.overwrite
     val compressOn = opts.compress
+    val reprojectOn = opts.reproject
     val epsg = "\\d+".r.findFirstIn(crs).map(_.toInt).getOrElse(0)
     rows.repartition(col("out_path"))
       .foreachPartition { part: Iterator[org.apache.spark.sql.Row] =>
@@ -420,17 +424,35 @@ object Preprocess {
                   "STATISTICS_STDDEV" -> stat(9),
                   "STATISTICS_VALID_PERCENT" -> stat(10))) -> grid
             }
-            val cogOpts = CogWriter.Options(
-              compress = compressOn, epsg = epsg, pixelScale = (pixel, pixel),
-              origin = (xs.min, ys.max))
-            Files.write(p, CogWriter.write(bands, cogOpts))
+            // optional EPSG:4326 warp before the write (ref
+            // generator.py:1006-1007; default off)
+            val (outBands, cogOpts) =
+              if (!reprojectOn)
+                (bands, CogWriter.Options(
+                  compress = compressOn, epsg = epsg,
+                  pixelScale = (pixel, pixel), origin = (xs.min, ys.max)))
+              else {
+                val warped = graft.functions.Reproject.toGeographic(
+                  bands.map { case (b, g) => b.name -> g },
+                  xs.toArray, ys.toArray, s"EPSG:$epsg")
+                val byName = bands.map { case (b, g) => b.name -> b }.toMap
+                val dLon = warped.lons(1) - warped.lons(0)
+                val dLat = warped.lats(0) - warped.lats(1)
+                (warped.bands.map { case (n, g) => byName(n) -> g },
+                  CogWriter.Options(
+                    compress = compressOn, epsg = 4326,
+                    pixelScale = (dLon, dLat),
+                    origin = (warped.lons.head - dLon / 2,
+                      warped.lats.head + dLat / 2)))
+              }
+            Files.write(p, CogWriter.write(outBands, cogOpts))
             // gdaladdo-parity external overview sidecar alongside the
             // COG (ref cog.py:91-104: `<name>.tif.ovr` moved next to it)
             if (cogOpts.externalOverviews &&
                 cogOpts.overviewFactors.exists(f =>
                   xs.length / f > 0 && ys.length / f > 0))
               Files.write(Paths.get(outPath + ".ovr"),
-                CogWriter.writeOvr(bands, cogOpts))
+                CogWriter.writeOvr(outBands, cogOpts))
           }
         }
       }

@@ -82,6 +82,22 @@ class PreprocessSpec extends SparkSpec {
     assert(it.bbox(1) > -90 && it.bbox(3) <= 90 && it.bbox(0) >= -180)
   }
 
+  test("reproject option: COGs come out georeferenced EPSG:4326 " +
+    "(ref generator.py:1006-1007)") {
+    val (_, glob, opts0) = freshRun()
+    val opts = opts0.copy(reproject = true)
+    val res = Preprocess.run(spark, glob, opts)
+    val it = StacJsonSink.readItems(spark, res.catalogRoot).collect().head
+    val cog = it.assets.find(_.key == "cog_lead_0").get
+    val bytes = Files.readAllBytes(
+      Paths.get(opts.dataPath, cog.href.stripPrefix("./")))
+    val tiff = graft.source.CogReader.read(bytes)
+    assert(tiff.pages.head.epsg === Some(4326))
+    // warped pixels come from the source value set (nearest neighbor)
+    val band = tiff.readBand(0, 0)
+    assert(band.flatten.exists(!_.isNaN))
+  }
+
   test("idempotent re-run: get-or-create adds nothing, slices skipped (P8)") {
     val (_, glob, opts) = freshRun()
     val first = Preprocess.run(spark, glob, opts)
