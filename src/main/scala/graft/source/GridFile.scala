@@ -19,6 +19,12 @@ sealed trait GridFile {
   def shape(v: String): Seq[Int]
   def dtypeName(v: String): String
   def varAttrText(v: String, a: String): Option[String]
+  /** First numeric value of a variable attribute (CF vocabulary:
+    * _FillValue, missing_value, scale_factor, add_offset); text attrs
+    * holding a parseable number also resolve, matching netCDF's lax
+    * real-world attribute typing.
+    */
+  def varAttrNum(v: String, a: String): Option[Double]
   def gattText(a: String): Option[String]
   def gattNums(a: String): Seq[Double]
   /** Full numeric decode, row-major, widened to Double. */
@@ -55,6 +61,9 @@ object GridFile {
     }
     override def varAttrText(n: String, a: String): Option[String] =
       v(n).attr(a).flatMap(at => Option(at.text))
+    override def varAttrNum(n: String, a: String): Option[Double] =
+      v(n).attr(a).flatMap(at =>
+        at.nums.headOption.orElse(Option(at.text).flatMap(_.toDoubleOption)))
     override def gattText(a: String): Option[String] =
       h.gatt(a).flatMap(at => Option(at.text))
     override def gattNums(a: String): Seq[Double] =
@@ -96,6 +105,9 @@ object GridFile {
     }
     override def varAttrText(n: String, a: String): Option[String] =
       ds(n).attrText(a)
+    override def varAttrNum(n: String, a: String): Option[Double] =
+      ds(n).attr(a).flatMap(at =>
+        at.nums.headOption.orElse(Option(at.text).flatMap(_.toDoubleOption)))
     override def gattText(a: String): Option[String] =
       r.file.gatt(a).flatMap(at => Option(at.text))
     override def gattNums(a: String): Seq[Double] =

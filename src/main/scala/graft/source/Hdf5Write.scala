@@ -54,13 +54,14 @@ object Hdf5Write {
     // netCDF-4: dims then data vars), then the payload variables
     final case class Plan(name: String, shape: Seq[Int], data: Array[Double],
                           attrs: Seq[(String, String)], isScale: Boolean,
-                          varDims: Seq[String])
+                          varDims: Seq[String],
+                          numAttrs: Seq[(String, Double)] = Seq.empty)
     val byName = vars.map(v => v.name -> v).toMap
     val scales = dims.map { case (n, len) =>
       byName.get(n) match {
         case Some(v) =>
           require(v.data.length == len, s"coord $n length ${v.data.length} != dim $len")
-          Plan(n, Seq(len), v.data, v.attrs, isScale = true, Seq(n))
+          Plan(n, Seq(len), v.data, v.attrs, isScale = true, Seq(n), v.numAttrs)
         case None => // dimension without a coordinate variable
           Plan(n, Seq(len), new Array[Double](len),
             Seq.empty, isScale = true, Seq(n))
@@ -71,7 +72,7 @@ object Hdf5Write {
         throw new IllegalArgumentException(s"unknown dim $d of ${v.name}")))
       require(v.data.length == shape.product,
         s"${v.name}: ${v.data.length} values for shape $shape")
-      Plan(v.name, shape, v.data, v.attrs, isScale = false, v.dims)
+      Plan(v.name, shape, v.data, v.attrs, isScale = false, v.dims, v.numAttrs)
     }
     val plans = scales ++ payloads
 
@@ -111,6 +112,8 @@ object Hdf5Write {
       else attrMsgSize("DIMENSION_LIST".length, 16, 16, rank * 16)
       val userAttrs = p.attrs.map { case (k, v) =>
         attrMsgSize(k.length, 8, 8, v.length + 1)
+      }.sum + p.numAttrs.map { case (k, _) =>
+        attrMsgSize(k.length, 20, 8, 8) // float64 scalar attribute
       }.sum
       16 + core + scaleAttrs + userAttrs
     }
@@ -274,6 +277,28 @@ object Hdf5Write {
       putPadded(b, (value + " ").getBytes(StandardCharsets.UTF_8), dataSize)
       (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
     }
+    def writeDoubleAttr(b: ByteBuffer, name: String, value: Double): Unit = {
+      val body = 8 + pad8(name.length + 1) + pad8(20) + pad8(8) + 8
+      msgHeader(b, 0x000C, body)
+      val mark = b.position()
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort((name.length + 1).toShort)
+      b.putShort(20); b.putShort(8)
+      putPadded(b, name.getBytes(StandardCharsets.UTF_8), pad8(name.length + 1))
+      // datatype: IEEE float64 LE (same encoding as the dataset type)
+      b.put(0x11.toByte)
+      b.put(0x20.toByte); b.put(0x3F.toByte); b.put(0.toByte)
+      b.putInt(8)
+      b.putShort(0); b.putShort(64)
+      b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+      b.putInt(1023)
+      (0 until pad8(20) - 20).foreach(_ => b.put(0.toByte))
+      // dataspace: scalar v1
+      b.put(1.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putInt(0)
+      b.putDouble(value)
+      (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
+    }
     def writeDimListAttr(b: ByteBuffer, varName: String, varDims: Seq[String]): Unit = {
       val rank = varDims.length
       val body = 8 + pad8("DIMENSION_LIST".length + 1) + 16 + 16 + rank * 16
@@ -308,7 +333,7 @@ object Hdf5Write {
       val b = seek(ohAddr(p.name))
       // scales: dataspace, datatype, fill, layout, CLASS, NAME + user
       // payloads: dataspace, datatype, fill, layout, filters, DIMENSION_LIST + user
-      val nMsgs = 6 + p.attrs.size
+      val nMsgs = 6 + p.attrs.size + p.numAttrs.size
       b.put(1.toByte); b.put(0.toByte)
       b.putShort(nMsgs.toShort)
       b.putInt(1)
@@ -347,6 +372,7 @@ object Hdf5Write {
         writeDimListAttr(b, p.name, p.varDims)
       }
       p.attrs.foreach { case (k, v) => writeTextAttr(b, k, v) }
+      p.numAttrs.foreach { case (k, v) => writeDoubleAttr(b, k, v) }
     }
 
     // local heap

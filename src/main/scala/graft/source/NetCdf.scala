@@ -169,10 +169,14 @@ object NetCdf {
   // --------------------------------------------------------------- write
 
   /** Spec for one variable to write: named dims (must all be fixed) +
-    * attributes + double payload in row-major order.
+    * text/numeric attributes + double payload in row-major order.
+    * Numeric attrs carry the CF packing/masking vocabulary
+    * (_FillValue, missing_value, scale_factor, add_offset) that real
+    * forecast files use.
     */
   final case class VarSpec(name: String, dims: Seq[String],
-                           attrs: Seq[(String, String)], data: Array[Double])
+                           attrs: Seq[(String, String)], data: Array[Double],
+                           numAttrs: Seq[(String, Double)] = Seq.empty)
 
   /** Write a CDF-1 file with fixed dimensions only (the per-slice output
     * shape of K1: one forecast-init slice, no unlimited dim), double
@@ -206,7 +210,7 @@ object NetCdf {
       writeName(o, v.name)
       o.writeInt(v.dims.size)
       v.dims.foreach(d => o.writeInt(dimIndex(d)))
-      writeAttrs(o, v.attrs)
+      writeAttrs(o, v.attrs, v.numAttrs)
       o.writeInt(NcDouble)
       val bytes = v.data.length.toLong * 8
       o.writeInt((bytes + ((4 - bytes % 4) % 4)).toInt) // vsize incl pad
@@ -222,21 +226,30 @@ object NetCdf {
   }
 
   private def varMetaSize(v: VarSpec): Int =
-    nameSize(v.name) + 4 + 4 * v.dims.size + attrsSize(v.attrs) + 12
+    nameSize(v.name) + 4 + 4 * v.dims.size +
+      attrsSize(v.attrs, v.numAttrs) + 12
 
-  private def attrsSize(attrs: Seq[(String, String)]): Int =
-    8 + attrs.map { case (k, txt) => nameSize(k) + 8 + padded(txt.length) }.sum
+  private def attrsSize(attrs: Seq[(String, String)],
+                        numAttrs: Seq[(String, Double)] = Seq.empty): Int =
+    8 + attrs.map { case (k, txt) => nameSize(k) + 8 + padded(txt.length) }.sum +
+      numAttrs.map { case (k, _) => nameSize(k) + 8 + 8 }.sum
 
   private def nameSize(n: String): Int = 4 + padded(n.length)
   private def padded(n: Int): Int = n + ((4 - n % 4) % 4)
 
-  private def writeAttrs(o: DataOutputStream, attrs: Seq[(String, String)]): Unit = {
-    o.writeInt(0x0C); o.writeInt(attrs.size)
+  private def writeAttrs(o: DataOutputStream, attrs: Seq[(String, String)],
+                         numAttrs: Seq[(String, Double)] = Seq.empty): Unit = {
+    o.writeInt(0x0C); o.writeInt(attrs.size + numAttrs.size)
     attrs.foreach { case (k, txt) =>
       writeName(o, k)
       o.writeInt(NcChar); o.writeInt(txt.length)
       o.writeBytes(txt)
       (0 until (4 - txt.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    numAttrs.foreach { case (k, v) =>
+      writeName(o, k)
+      o.writeInt(NcDouble); o.writeInt(1)
+      o.writeDouble(v) // 8 bytes, already 4-aligned
     }
   }
 

@@ -109,7 +109,7 @@ object NetCdfSource {
       require(dimNames == Seq(tName, yName, xName, lName),
         s"unexpected band layout $dimNames in $path " +
           s"(expected ${Seq(tName, yName, xName, lName)})")
-      val data = g.readDoubles(v)
+      val data = cfDecode(g, v, g.readDoubles(v))
       val (nt, ny, nx, nl) = (tVals.length, ys.length, xs.length, lVals.length)
       for {
         t <- (0 until nt).iterator if tFilter.forall(_ == t)
@@ -127,6 +127,34 @@ object NetCdfSource {
     }
   }
 
+  /** CF mask-and-scale, matching the reference's xarray decode
+    * (`xr.open_dataset` defaults, ref generator.py:485): cells equal to
+    * `_FillValue` or `missing_value` become NaN, then packed payloads
+    * unpack as `v * scale_factor + add_offset`. No-op (zero copies) for
+    * variables without the CF attributes.
+    */
+  private[source] def cfDecode(g: GridFile, v: String,
+                               data: Array[Double]): Array[Double] = {
+    val fill = g.varAttrNum(v, "_FillValue")
+    val miss = g.varAttrNum(v, "missing_value")
+    val scale = g.varAttrNum(v, "scale_factor")
+    val offset = g.varAttrNum(v, "add_offset")
+    if (fill.isEmpty && miss.isEmpty && scale.isEmpty && offset.isEmpty) data
+    else {
+      val sc = scale.getOrElse(1.0)
+      val off = offset.getOrElse(0.0)
+      val out = new Array[Double](data.length)
+      var i = 0
+      while (i < data.length) {
+        val x = data(i)
+        out(i) =
+          if (fill.exists(_ == x) || miss.exists(_ == x)) Double.NaN
+          else x * sc + off
+        i += 1
+      }
+      out
+    }
+  }
 }
 
 /** Deterministic synthetic forecast fixture, shaped like the reference's
