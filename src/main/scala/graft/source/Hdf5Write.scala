@@ -266,7 +266,7 @@ object Hdf5Write {
       b.put(1.toByte); b.put(0.toByte)
       b.putShort((name.length + 1).toShort)
       b.putShort(8); b.putShort(8)
-      putPadded(b, (name + " ").getBytes(StandardCharsets.UTF_8),
+      putPadded(b, (name + "\u0000").getBytes(StandardCharsets.UTF_8),
         pad8(name.length + 1))
       // datatype: fixed string, null-terminated
       b.put(0x13.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
@@ -274,7 +274,7 @@ object Hdf5Write {
       // dataspace: scalar v1
       b.put(1.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
       b.putInt(0)
-      putPadded(b, (value + " ").getBytes(StandardCharsets.UTF_8), dataSize)
+      putPadded(b, (value + "\u0000").getBytes(StandardCharsets.UTF_8), dataSize)
       (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
     }
     def writeDoubleAttr(b: ByteBuffer, name: String, value: Double): Unit = {
@@ -307,7 +307,7 @@ object Hdf5Write {
       b.put(1.toByte); b.put(0.toByte)
       b.putShort(("DIMENSION_LIST".length + 1).toShort)
       b.putShort(16); b.putShort(16)
-      putPadded(b, "DIMENSION_LIST ".getBytes(StandardCharsets.US_ASCII),
+      putPadded(b, "DIMENSION_LIST\u0000".getBytes(StandardCharsets.US_ASCII),
         pad8("DIMENSION_LIST".length + 1))
       // datatype: vlen sequence of object references
       b.put(0x19.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
@@ -385,7 +385,7 @@ object Hdf5Write {
       b.putLong(heapAddr + 32)
       b.putLong(0L) // reserved first 8 bytes of the data segment
       sortedNames.foreach { n =>
-        putPadded(b, (n + " ").getBytes(StandardCharsets.UTF_8),
+        putPadded(b, (n + "\u0000").getBytes(StandardCharsets.UTF_8),
           pad8(n.length + 1))
       }
     }
