@@ -82,6 +82,35 @@ class PreprocessSpec extends SparkSpec {
     assert(it.bbox(1) > -90 && it.bbox(3) <= 90 && it.bbox(0) >= -180)
   }
 
+  test("netCDF-4/HDF5 inputs: the full pipeline produces the same catalog " +
+    "as classic inputs (S1 end-to-end)") {
+    // identical fixture content, two renderings, two full runs
+    val workC = Files.createTempDirectory("graft-pre-c")
+    val workH = Files.createTempDirectory("graft-pre-h")
+    val globC = NetCdfFixture.writeFiles(workC.resolve("input"), n = 2)
+    val globH = NetCdfFixture.writeFiles(workH.resolve("input"), n = 2,
+      hdf5 = true)
+    val resC = Preprocess.run(spark, globC, Preprocess.Options(
+      name = "sic_north", dataPath = workC.resolve("data").toString))
+    val resH = Preprocess.run(spark, globH, Preprocess.Options(
+      name = "sic_north", dataPath = workH.resolve("data").toString))
+    assert(resH.nItems === resC.nItems && resH.nSlices === resC.nSlices)
+    val itemsC = StacJsonSink.readItems(spark, resC.catalogRoot).collect()
+      .sortBy(_.id)
+    val itemsH = StacJsonSink.readItems(spark, resH.catalogRoot).collect()
+      .sortBy(_.id)
+    assert(itemsH.map(_.id).toSeq === itemsC.map(_.id).toSeq)
+    assert(itemsH.map(_.properties).toSeq === itemsC.map(_.properties).toSeq)
+    assert(itemsH.map(_.bbox).toSeq === itemsC.map(_.bbox).toSeq)
+    // per-asset band statistics agree (the COG stats come from the
+    // decoded payload, so this pins HDF5 chunk decode through the
+    // WHOLE pipeline, not just the scan)
+    def cogStats(items: Seq[graft.model.StacItem]) = items.map(it =>
+      it.assets.filter(_.key.startsWith("cog_lead_")).sortBy(_.key)
+        .map(_.extra.get("forecast:bands")))
+    assert(cogStats(itemsH.toSeq) === cogStats(itemsC.toSeq))
+  }
+
   test("reproject option: COGs come out georeferenced EPSG:4326 " +
     "(ref generator.py:1006-1007)") {
     val (_, glob, opts0) = freshRun()
