@@ -48,7 +48,6 @@ object Hdf5Write {
             vars: Seq[NetCdf.VarSpec], deflateLevel: Int = 9,
             shuffle: Boolean = true): Array[Byte] = {
     val dimLen = dims.toMap
-    val dimNames = dims.map(_._1)
 
     // ---- dataset plans: dimension scales first (file order matches
     // netCDF-4: dims then data vars), then the payload variables
@@ -118,7 +117,6 @@ object Hdf5Write {
       16 + core + scaleAttrs + userAttrs
     }
 
-    val dataVarDims = payloads.map(p => p.name -> p.varDims).toMap
     val nHeapObjs = payloads.map(_.shape.length).sum
     val gcolSize = if (nHeapObjs == 0) 0 else 16 + nHeapObjs * 24 + 16
 
