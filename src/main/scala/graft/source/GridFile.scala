@@ -29,6 +29,14 @@ sealed trait GridFile {
   def gattNums(a: String): Seq[Double]
   /** Full numeric decode, row-major, widened to Double. */
   def readDoubles(v: String): Array[Double]
+  /** Slice-pushed decode: `fixed` pins an index per DIM NAME; formats
+    * with chunked storage (HDF5) skip decompressing chunks outside the
+    * slice, others fall back to the full read. Output always keeps the
+    * variable's full shape (pruned cells are 0 and must not be read) —
+    * callers' stride math stays identical either way.
+    */
+  def readDoublesSliced(v: String, fixed: Map[String, Int]): Array[Double] =
+    readDoubles(v)
   /** True for payload (non-coordinate) variables of the given rank. */
   def isPayload(v: String, wantRank: Int): Boolean
 }
@@ -113,6 +121,15 @@ object GridFile {
     override def gattNums(a: String): Seq[Double] =
       r.file.gatt(a).map(_.nums).getOrElse(Nil)
     override def readDoubles(n: String): Array[Double] = r.readDoubles(n)
+    override def readDoublesSliced(n: String,
+                                   fixed: Map[String, Int]): Array[Double] = {
+      if (fixed.isEmpty) readDoubles(n)
+      else {
+        val names = dimNames(n)
+        val keep = names.map(d => fixed.get(d).map(_.toLong)).toArray
+        r.readDoublesSliced(n, keep)
+      }
+    }
     override def isPayload(n: String, wantRank: Int): Boolean = {
       val d = ds(n)
       d.dims.size == wantRank && !d.isDimScale

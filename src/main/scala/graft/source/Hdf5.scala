@@ -523,8 +523,18 @@ object Hdf5 {
 
     // ------------------------------------------------------------ data
 
-    /** Raw dataset bytes assembled per layout, filters reversed. */
-    def rawData(ds: Dataset): Array[Byte] = {
+    /** Raw dataset bytes assembled per layout, filters reversed.
+      *
+      * `keep` is the chunk-pruning predicate (hyperslab pushdown): for
+      * each dimension position, `Some(i)` restricts the read to chunks
+      * whose extent covers index `i` along that dimension — chunks
+      * outside the slice are never copied, unshuffled, or INFLATED,
+      * which is the dominant cost for deflate-9 forecast payloads when
+      * a query wants one leadtime of ~93. Pruned-away cells stay zero
+      * in the full-shape output; callers only index the kept slice.
+      */
+    def rawData(ds: Dataset,
+                keep: Array[Option[Long]] = Array.empty): Array[Byte] = {
       val elem = ds.dtype.size
       val total = ds.dims.map(_.toLong).product * elem
       require(total <= Int.MaxValue, s"dataset ${ds.name} too large for one buffer")
@@ -537,16 +547,23 @@ object Hdf5 {
           out
         case Chunked(btree, cdims) =>
           val out = new Array[Byte](total.toInt)
+          def wanted(coords: Array[Long]): Boolean =
+            keep.isEmpty || coords.indices.forall { d =>
+              keep.lift(d).flatten.forall(i =>
+                coords(d) <= i && i < coords(d) + cdims(d))
+            }
           if (btree != Undefined)
             walkChunkTree(btree, ds.dims.length) {
               case (coords, storedSize, mask, caddr) =>
-                var chunk = java.util.Arrays.copyOfRange(
-                  bytes, caddr.toInt, caddr.toInt + storedSize)
-                // reverse pipeline order, honoring the skip mask
-                ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
-                  if ((mask & (1 << i)) == 0) chunk = unfilter(f, chunk, elem)
+                if (wanted(coords)) {
+                  var chunk = java.util.Arrays.copyOfRange(
+                    bytes, caddr.toInt, caddr.toInt + storedSize)
+                  // reverse pipeline order, honoring the skip mask
+                  ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
+                    if ((mask & (1 << i)) == 0) chunk = unfilter(f, chunk, elem)
+                  }
+                  scatter(chunk, coords, cdims, ds.dims, elem, out)
                 }
-                scatter(chunk, coords, cdims, ds.dims, elem, out)
             }
           out
       }
@@ -664,9 +681,12 @@ object Hdf5 {
       } else copyRuns()
     }
 
-    /** Numeric dataset decoded to doubles (row-major). */
-    def readDoubles(ds: Dataset): Array[Double] = {
-      val raw = rawData(ds)
+    /** Numeric dataset decoded to doubles (row-major); `keep` prunes
+      * chunks as in [[rawData]].
+      */
+    def readDoubles(ds: Dataset,
+                    keep: Array[Option[Long]] = Array.empty): Array[Double] = {
+      val raw = rawData(ds, keep)
       val n = ds.dims.map(_.toLong).product.toInt
       val out = new Array[Double](n)
       val b = ByteBuffer.wrap(raw).order(
@@ -703,5 +723,12 @@ object Hdf5 {
     def readDoubles(name: String): Array[Double] =
       readDoubles(file.dataset(name).getOrElse(
         throw new IllegalArgumentException(s"no dataset $name")))
+    /** Chunk-pruned read: only chunks covering the fixed indices are
+      * decompressed; output keeps the full shape with pruned cells 0.
+      */
+    def readDoublesSliced(name: String,
+                          keep: Array[Option[Long]]): Array[Double] =
+      parser.readDoubles(file.dataset(name).getOrElse(
+        throw new IllegalArgumentException(s"no dataset $name")), keep)
   }
 }

@@ -35,9 +35,9 @@ object Hdf5Write {
     * deterministic rule that keeps chunks worker-memory-friendly and
     * yields multiple chunks for real slice shapes.
     */
-  def chunkShape(dims: Seq[Int]): Seq[Int] = {
+  def chunkShape(dims: Seq[Int], maxElems: Int = 262144): Seq[Int] = {
     val c = dims.map(math.max(_, 1)).toArray
-    while (c.map(_.toLong).product > 262144) {
+    while (c.map(_.toLong).product > maxElems) {
       val i = c.indices.maxBy(c(_))
       c(i) = (c(i) + 1) / 2
     }
@@ -46,7 +46,8 @@ object Hdf5Write {
 
   def write(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
             vars: Seq[NetCdf.VarSpec], deflateLevel: Int = 9,
-            shuffle: Boolean = true): Array[Byte] = {
+            shuffle: Boolean = true,
+            maxChunkElems: Int = 262144): Array[Byte] = {
     val dimLen = dims.toMap
 
     // ---- dataset plans: dimension scales first (file order matches
@@ -78,7 +79,7 @@ object Hdf5Write {
     // ---- compress chunks (content-dependent sizes must precede layout)
     final case class Chunks(cdims: Seq[Int], list: Seq[(Array[Long], Array[Byte])])
     val chunked: Map[String, Chunks] = payloads.map { p =>
-      val cdims = chunkShape(p.shape)
+      val cdims = chunkShape(p.shape, maxChunkElems)
       val origins = cartesian(p.shape.zip(cdims).map { case (d, c) =>
         0L until d.toLong by c.toLong
       })

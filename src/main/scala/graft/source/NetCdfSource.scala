@@ -109,7 +109,11 @@ object NetCdfSource {
       require(dimNames == Seq(tName, yName, xName, lName),
         s"unexpected band layout $dimNames in $path " +
           s"(expected ${Seq(tName, yName, xName, lName)})")
-      val data = cfDecode(g, v, g.readDoubles(v))
+      // pushed time/leadtime predicates reach CHUNK granularity on
+      // HDF5 (slices outside the filter are never inflated); the cells
+      // the emit loop below reads are exactly the kept slice
+      val fixed = (tFilter.map(tName -> _) ++ lFilter.map(lName -> _)).toMap
+      val data = cfDecode(g, v, g.readDoublesSliced(v, fixed))
       val (nt, ny, nx, nl) = (tVals.length, ys.length, xs.length, lVals.length)
       for {
         t <- (0 until nt).iterator if tFilter.forall(_ == t)

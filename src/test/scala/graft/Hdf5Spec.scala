@@ -59,6 +59,44 @@ class Hdf5Spec extends SparkSpec {
     assert(back.toSeq === data.toSeq)
   }
 
+  test("chunk pruning: a sliced read inflates only intersecting chunks") {
+    // (time=1, yc=8, xc=8, leadtime=6) with chunks forced small enough
+    // to split: chunkShape((1,8,8,6), 48) = (1,4,4,3) → 2×2×2 chunks
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 8, nx = 8, nl = 6)
+    assert(Hdf5Write.chunkShape(Seq(1, 8, 8, 6), 48) === Seq(1, 4, 4, 3))
+    val bytes = Hdf5Write.write(dims, gatts, vars, maxChunkElems = 48)
+    val r = new Hdf5.Reader(bytes)
+    val full = r.readDoubles("sic_mean")
+    // keep leadtime index 4 (second leadtime chunk), all other dims free
+    val sliced = r.readDoublesSliced("sic_mean",
+      Array(None, None, None, Some(4L)))
+    val (ny, nx, nl) = (8, 8, 6)
+    for (y <- 0 until ny; x <- 0 until nx; l <- 0 until nl) {
+      val i = (y * nx + x) * nl + l
+      if (l >= 3) // kept leadtime chunk: values identical to the full read
+        assert(sliced(i) == full(i) || (sliced(i).isNaN && full(i).isNaN),
+          s"kept cell ($y,$x,$l)")
+      else // pruned chunks were never scattered: cells stay zero
+        assert(sliced(i) === 0.0, s"pruned cell ($y,$x,$l)")
+    }
+    // the tidy scan wired to the same pruning returns the right slice
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5prune")
+    java.nio.file.Files.write(dir.resolve("f.nc"), bytes)
+    val tidy = spark.read.format("netcdf").load(s"$dir/*.nc")
+      .filter(org.apache.spark.sql.functions.col("leadtime_idx") === 4)
+      .filter(org.apache.spark.sql.functions.col("variable") === "sic_mean")
+    val rows = tidy.collect()
+    assert(rows.length === ny)
+    val fullRows = NetCdfSource.tidy(spark, s"$dir/*.nc")
+      .filter(org.apache.spark.sql.functions.col("leadtime_idx") === 4)
+      .filter(org.apache.spark.sql.functions.col("variable") === "sic_mean")
+      .collect()
+    def key(r: org.apache.spark.sql.Row) = r.getInt(r.fieldIndex("y_idx"))
+    val a = rows.sortBy(key).map(_.getSeq[Double](9).map(d => if (d.isNaN) -1 else d))
+    val b = fullRows.sortBy(key).map(_.getSeq[Double](9).map(d => if (d.isNaN) -1 else d))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("GridFile facade dispatches by magic and agrees across formats") {
     val classic = GridFile.open(NetCdfFixture.bytes(ny = 4, nx = 4))
     val h5 = GridFile.open(NetCdfFixture.bytesHdf5(ny = 4, nx = 4))
