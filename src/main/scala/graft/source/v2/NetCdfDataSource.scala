@@ -160,8 +160,13 @@ private[v2] final class NetCdfPartitionReader(path: String,
     val in = fs.open(hp)
     val bytes =
       try {
-        val len = fs.getFileStatus(hp).getLen.toInt
-        val buf = new Array[Byte](len)
+        val len = fs.getFileStatus(hp).getLen
+        // whole-file decode contract (same as the binaryFile path):
+        // fail with a clear message rather than a negative-size array
+        require(len <= Int.MaxValue,
+          s"netcdf: $path is $len bytes; files over 2 GiB exceed the " +
+            "single-buffer decode contract — split the input")
+        val buf = new Array[Byte](len.toInt)
         in.readFully(0, buf)
         buf
       } finally in.close()
