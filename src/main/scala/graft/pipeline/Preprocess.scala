@@ -156,14 +156,6 @@ object Preprocess {
       .withColumn("ts_str", Scalars.formatTime(col("ref_time")))
       .persist()
 
-    // ---- K1 + P8: per-init netCDF slices, one task per (file, init)
-    val nSlices =
-      if (opts.stacOnly) 0L
-      else writeSlices(spark, tidy, inits, opts)
-
-    // ---- K3 + W3: thumbnail for leadtime 0, first band, per item
-    if (!opts.stacOnly) writeThumbnails(spark, tidy, inits, opts)
-
     // ---- A2: band statistics per (file, init, variable, leadtime).
     // vec_stats folds each scanline to six scalars inside codegen, so the
     // aggregation shuffles one small row per scanline instead of one row
@@ -198,9 +190,29 @@ object Preprocess {
         .as("stat_stddev"),
       Scalars.floor2dp(col("nv") * 100.0 / col("nt")).as("valid_percent"))
 
-    // ---- K2 + P8: per-leadtime multiband COGs (ref generator.py:906-911)
-    if (!opts.stacOnly)
-      writeCogs(spark, tidy, inits, stats, step, unit, crs, opts)
+    // ---- K1/K2/K3 sinks (P8 existence-skip inside each): the three
+    // file fan-outs are independent — they read only the cached tidy
+    // scan and the tiny inits table — so they run as CONCURRENT Spark
+    // jobs from separate threads. Sequentially each sink's many small
+    // write jobs leave the cluster under-utilized between stages; the
+    // overlap shortens the pipeline's critical path to the slowest
+    // sink (the reference writes slice → thumbnail → COGs
+    // sequentially per leadtime, generator.py:906-921). E3 enrichment
+    // below reads the written files and stays strictly after the join.
+    val nSlices =
+      if (opts.stacOnly) 0L
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fSlices = Future(writeSlices(spark, tidy, inits, opts))
+        val fThumbs = Future(writeThumbnails(spark, tidy, inits, opts))
+        val fCogs = Future(
+          writeCogs(spark, tidy, inits, stats, step, unit, crs, opts))
+        Await.result(fThumbs, Duration.Inf)
+        Await.result(fCogs, Duration.Inf)
+        Await.result(fSlices, Duration.Inf)
+      }
 
     // ---- E1/E2: asset rows (netcdf + per-leadtime cog + thumbnail)
     val assets = assetRows(inits, stats, step, unit, opts)
