@@ -60,6 +60,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@3 = $recall")
   }
 
+  test("training collect is capped: maxSample bounds the driver-side " +
+    "sample independent of corpus size") {
+    // a cap below k is the observable proof: the codebook can only hold
+    // as many centroids as collected vectors, so a 10-vector cap with
+    // k=16 must yield ≤10 cells (k clamps; no out-of-bounds centroids)
+    val d = Work.stableDir("ivfcap").toString
+    IvfIndex.build(spark, corpus, d, k = 16, maxSample = 10)
+    val idx = IvfIndex.open(spark, d)
+    assert(idx.centroids.length <= 10,
+      s"cap ignored: ${idx.centroids.length} centroids from a 10-row sample")
+    assert(idx.centroids.nonEmpty)
+    // the capped index still answers queries
+    val res = IvfIndex.query(idx, corpus.limit(3), nprobe = 2, topk = 2)
+    assert(res.count() > 0)
+  }
+
+  test("codebook k clamps to the sample size (tiny-corpus safety)") {
+    val sample = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val cents = IvfIndex.trainCodebook(sample, k0 = 16, iters = 2)
+    assert(cents.length === 3)
+    intercept[IllegalArgumentException] {
+      IvfIndex.trainCodebook(Array.empty, k0 = 4, iters = 1)
+    }
+  }
+
   test("rebuild is bit-deterministic") {
     val d2 = Work.stableDir("ivftest2").toString
     IvfIndex.build(spark, corpus, d2, k = 16)
