@@ -33,6 +33,13 @@ object Hdf5 {
 
   val Undefined: Long = -1L // all-ones address
 
+  /** Message types whose bodies we actually parse — the set the
+    * shared-message guard protects (a shared variant of anything else
+    * is skipped anyway).
+    */
+  private val ConsumedMessages: Set[Int] =
+    Set(0x0001, 0x0002, 0x0003, 0x0006, 0x0008, 0x000B, 0x000C, 0x0011, 0x0015)
+
   // datatype classes we understand
   val ClsFixed = 0; val ClsFloat = 1; val ClsString = 3
   val ClsReference = 7; val ClsVlen = 9
@@ -213,9 +220,13 @@ object Hdf5 {
           while (b.position() + 4 <= end) {
             val t = b.get().toInt & 0xFF
             val sz = u2(b)
-            b.get() // msg flags
+            val mf = b.get().toInt
             if (trackOrder) u2(b)
             val body = new Array[Byte](sz); b.get(body)
+            // a SHARED message's body is an indirection record, not the
+            // message — parsing it as-is would read garbage silently
+            require((mf & 0x2) == 0 || !ConsumedMessages(t),
+              s"shared message of type 0x${t.toHexString} unsupported")
             if (t == 0x10) {
               val cb = buf0(body)
               blocks = (cb.getLong(), cb.getLong()) :: blocks
@@ -240,9 +251,12 @@ object Hdf5 {
           while (bb.position() + 8 <= end && remaining > 0) {
             val t = u2(bb)
             val sz = u2(bb)
-            bb.get(); bb.get(); bb.get(); bb.get() // flags + reserved
+            val mf = bb.get().toInt
+            bb.get(); bb.get(); bb.get() // reserved
             val body = new Array[Byte](sz); bb.get(body)
             remaining -= 1
+            require((mf & 0x2) == 0 || !ConsumedMessages(t),
+              s"shared message of type 0x${t.toHexString} unsupported")
             if (t == 0x10) {
               val cb = buf0(body)
               blocks = blocks :+ ((cb.getLong(), cb.getLong()))
