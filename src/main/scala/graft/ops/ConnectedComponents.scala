@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * join) and converges in O(component diameter) rounds. Near-dup
   * clusters are shallow (diameter a handful), which makes propagation
   * the right tool here; for adversarial web-scale graphs with long
-  * chains, the two-phase small-star/large-star scheme (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond") trades more work per
-  * round for O(log n) rounds — same join shapes, drop-in replacement.
-  * Lineage is truncated every round (localCheckpoint) so the plan does
-  * not grow with the iteration count.
+  * chains, [[runStarContraction]] implements the two-phase
+  * small-star/large-star scheme (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") with O(log n) rounds — same output
+  * contract, pick per graph shape. Lineage is truncated every round
+  * (localCheckpoint) so the plan does not grow with the iteration
+  * count.
   */
 object ConnectedComponents {
 
@@ -57,5 +58,67 @@ object ConnectedComponents {
     sym.unpersist()
     require(changed == 0, s"label propagation not converged in $maxIter rounds")
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the adversarial-graph form: converges in O(log n)
+    * rounds regardless of component DIAMETER, where min-label
+    * propagation pays one round per hop. Same output contract as
+    * [[run]]; choose this when components can be long chains (web
+    * graphs, transitive link structures), and propagation when they
+    * are shallow near-dup clusters (fewer shuffles per round).
+    *
+    * Edges are kept directed large→small; each round is two
+    * grouped-min + join passes, with lineage truncated per round.
+    */
+  def runStarContraction(edges: DataFrame, maxIter: Int = 30,
+                         numPartitions: Int = 8): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    var e = canon(edges.select(col("src"), col("dst")))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long) = {
+      // bit_xor is order-independent and cannot overflow under ANSI
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(e)
+    var done = prev._1 == 0
+    var i = 0
+    while (!done && i < maxIter) {
+      // large-star: every neighbor v > u attaches to m(u) = min(u, N(u))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val mBig = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = canon(sym.join(mBig, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mBig.select(col("src"), col("m").as("dst"))))
+      // small-star on the directed form: all smaller neighbors (and u
+      // itself) attach to the minimum
+      val mSmall = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = canon(ls.join(mSmall, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mSmall.select(col("src"), col("m").as("dst"))))
+      e = ss.repartition(numPartitions, col("src")).localCheckpoint()
+      val cur = checksum(e)
+      done = cur == prev
+      prev = cur
+      i += 1
+    }
+    require(done, s"star contraction not converged in $maxIter rounds")
+    // fixpoint is a star forest: every edge points child → root
+    e.select(col("src").as("node"), col("dst").as("component"))
+      .unionByName(e.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
   }
 }

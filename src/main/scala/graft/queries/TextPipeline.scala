@@ -384,6 +384,20 @@ object TextPipeline {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** The same clustering through the O(log n)-round large-star/
+    * small-star contraction (the adversarial-graph path — diameter-
+    * independent, for when dup chains run long) against the identical
+    * recursive-CTE oracle: both algorithms must land every node on its
+    * component minimum.
+    */
+  val dupClustersStar = QueryDef("q78_dup_clusters_star",
+    dupClusters.oracle.get) { (s, d) =>
+    val pairs = ngramJaccard.fn(s, d)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.ConnectedComponents.runStarContraction(pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** TF-IDF top terms per document: term frequency × a rational inverse-
     * document-frequency weight ((N+1)/(df+1) — the usual log is avoided
     * deliberately: IEEE +,×,÷ are exactly specified so the score is
@@ -428,5 +442,6 @@ object TextPipeline {
   }
 
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
-    exactDedup, minhashBands, ngramJaccard, simhash, dupClusters, tfidfTerms)
+    exactDedup, minhashBands, ngramJaccard, simhash, dupClusters,
+    dupClustersStar, tfidfTerms)
 }

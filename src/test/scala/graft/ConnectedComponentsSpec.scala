@@ -31,4 +31,30 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === (0L to 15L).map(_ -> 0L).toMap)
   }
+
+  test("star contraction matches propagation on mixed graphs") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L),
+      (40L, 41L), (41L, 42L), (42L, 40L) // a cycle
+    ).toDF("src", "dst")
+    val prop = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    val star = ConnectedComponents.runStarContraction(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
+  test("star contraction beats the diameter: a 200-hop chain in few rounds") {
+    // propagation would need ~200 rounds here (its maxIter=25 default
+    // gives up); star contraction finishes inside its default budget
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(edges) // diameter 200 > 25 rounds
+    }
+    val got = ConnectedComponents.runStarContraction(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 200L).map(_ -> 0L).toMap)
+  }
 }
