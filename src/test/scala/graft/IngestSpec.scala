@@ -80,6 +80,49 @@ class IngestSpec extends SparkSpec {
     assert(res.itemsLoaded === 2 && res.itemsSkipped === 1)
   }
 
+  test("S9 key-read predicates: NUL-free valid UTF-8, pg-shaped syntax") {
+    // The round-5/6 production bug: a raw 0x00 inside the hashtext
+    // separator literal, which PostgreSQL rejects in any string literal
+    // (`invalid byte sequence for encoding "UTF8"`). Render EVERY
+    // predicate the client can issue and assert it is clean text.
+    for (n <- Seq(1, 7, 16); pred <- Ingest.keyReadPredicates(n)) {
+      assert(!pred.exists(_ < ' '), s"control byte in predicate: $pred")
+      val bytes = pred.getBytes("UTF-8")
+      assert(new String(bytes, "UTF-8") === pred) // round-trips as UTF-8
+      assert(!bytes.contains(0.toByte))
+      // pg-syntax-shaped: must parse as a SQL boolean expression
+      // (hashtext/chr resolve server-side; parse is the local gate)
+      spark.sessionState.sqlParser.parseExpression(pred)
+    }
+    // the upsert surface too — no batch statement may carry control bytes
+    val it = StacItem("i", "c", "{}", Seq(0.0), "2025-01-01T00:00:00Z",
+      Map("k" -> "v"), Seq.empty)
+    for (s <- Seq(Ingest.itemSql(it, overwrite = false),
+                  Ingest.itemSql(it, overwrite = true),
+                  Ingest.collectionSql(StacCollection("c", "t", "d", "l",
+                    Seq(0.0), "a", "b", Map.empty), overwrite = true)))
+      assert(!s.exists(_ < ' '), s"control byte in statement: $s")
+  }
+
+  test("S9 key-read predicates partition every row exactly once") {
+    // Execute the predicate SQL through a real engine (Spark accepts the
+    // same `abs(h(...)) % n = i` shape; `chr` is evaluated engine-side
+    // exactly as pg would) with a stand-in hashtext. Coverage must be a
+    // partition: each key matches exactly ONE slice, slices sum to all.
+    spark.udf.register("hashtext", (s: String) => s.hashCode)
+    Seq(("c1", "i1"), ("c1", "i2"), ("c2", "i1"), ("c'3", "x||y"))
+      .toDF("collection", "id").createOrReplaceTempView("existing_keys_t")
+    val n = 7
+    val counts = Ingest.keyReadPredicates(n).map(p =>
+      spark.sql(s"SELECT count(*) FROM existing_keys_t WHERE $p")
+        .head().getLong(0))
+    assert(counts.sum === 4L)
+    val perRow = Ingest.keyReadPredicates(n).map(p =>
+      spark.sql(s"SELECT collection, id FROM existing_keys_t WHERE $p")
+        .collect().toSeq).toSeq.flatten
+    assert(perRow.distinct.size === 4) // no row lands in two slices
+  }
+
   test("S7 zarr probe: dtype from .zarray, recursive size sum") {
     val store = Files.createTempDirectory("graft-zarr")
     Files.createDirectories(store.resolve("var"))
