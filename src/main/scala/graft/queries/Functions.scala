@@ -188,17 +188,25 @@ object Functions {
       multihashMd5(col("text")).as("checksum"), col("n_chars"))
   }
 
-  /** F14 rows-only registration: the digest-of-digest blockwise checksum
-    * the reference actually uses for asset file-info (stac/utils.py:37-56).
-    * No DuckDB oracle is possible: the outer digest hashes the RAW 16
-    * bytes of the inner digest, and DuckDB 1.0.0's `md5` accepts VARCHAR
-    * only (no BLOB overload — probed via duckdb_functions()), so the
-    * chain cannot be expressed there. Exact constants are pinned by
-    * ScalarsSpec instead.
+  /** F14 — the digest-of-digest blockwise checksum the reference uses
+    * for asset file-info (stac/utils.py:37-56). The outer digest hashes
+    * the RAW 16 bytes of the inner digest, and DuckDB 1.0.0's `md5`
+    * accepts VARCHAR only (no BLOB overload — re-probed this round), so
+    * the full chain cannot run there. The oracle instead independently
+    * re-derives the INNER digest from `documents.text` and joins it
+    * against the dumped chain row — any text/digest corruption breaks
+    * the hash compare — while the outer raw-bytes link stays pinned by
+    * ScalarsSpec known-answer constants.
     */
-  val blockMultihash = QueryDef.rowsOnly("q28_block_multihash") { (s, d) =>
-    Tables.documents(s, d).select(col("doc_id"),
-      blockMultihashMd5(col("text")).as("checksum_block"))
+  val blockMultihash = QueryDef("q28_block_multihash",
+    """SELECT d.doc_id, md5(d.text) AS inner_hex, o.checksum_block
+      |FROM documents d
+      |JOIN read_parquet('/tmp/graft-oracle/q28_chain/*.parquet') o
+      |  ON d.doc_id = o.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.Work.oracleDump(s, "q28_chain", Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("inner_hex"),
+        blockMultihashMd5(col("text")).as("checksum_block")))
   }
 
   /** F15/F16 — mime-type guess + static bit-depth/byte-order by extension

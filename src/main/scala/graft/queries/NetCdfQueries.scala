@@ -168,11 +168,31 @@ object NetCdfQueries {
   }
 
   /** S9/J3/J4/K6 — ingest of a preprocess-produced catalog against the
-    * dry-run pgSTAC client, pre-seeded so half the entities already
-    * "exist": returns the load/skip accounting the reference logs
-    * (dataloader.py:138-156).
+    * dry-run pgSTAC client, pre-seeded so one item already "exists":
+    * returns the load/skip accounting the reference logs
+    * (dataloader.py:138-156). The oracle recomputes that accounting
+    * INDEPENDENTLY: the catalog manifest (items + collections) and the
+    * pre-seeded key set are dumped to parquet, and DuckDB re-derives
+    * loaded/skipped via its own EXISTS anti/semi joins — so the J3 skip
+    * logic is cross-checked, not just counted twice.
     */
-  val ingestDryRun = QueryDef.rowsOnly("q48_ingest_dry_run") { (s, _) =>
+  val ingestDryRun = QueryDef("q48_ingest_dry_run",
+    """WITH items AS (
+      |  SELECT * FROM read_parquet('/tmp/graft-oracle/q48_items/*.parquet')),
+      |ex AS (
+      |  SELECT * FROM read_parquet('/tmp/graft-oracle/q48_existing/*.parquet')),
+      |colls AS (
+      |  SELECT * FROM read_parquet('/tmp/graft-oracle/q48_colls/*.parquet'))
+      |SELECT
+      |  (SELECT count(*) FROM colls WHERE NOT already_exists)
+      |    AS collections_loaded,
+      |  (SELECT count(*) FROM items i WHERE NOT EXISTS (SELECT 1 FROM ex e
+      |     WHERE e.collection = i.collection AND e.id = i.id)) AS items_loaded,
+      |  (SELECT count(*) FROM colls WHERE already_exists)
+      |    AS collections_skipped,
+      |  (SELECT count(*) FROM items i WHERE EXISTS (SELECT 1 FROM ex e
+      |     WHERE e.collection = i.collection AND e.id = i.id)) AS items_skipped
+      |""".stripMargin) { (s, _) =>
     import s.implicits._
     val work = stableWork("q48")
     val res = retryingFresh(work) {
@@ -184,6 +204,13 @@ object NetCdfQueries {
     }
     val existingItem = graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
       .collect().map(it => (it.collection, it.id)).sorted.take(1).toSet
+    oracleDump(s, "q48_items",
+      graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
+        .select(col("collection"), col("id")))
+    oracleDump(s, "q48_existing", existingItem.toSeq.toDF("collection", "id"))
+    oracleDump(s, "q48_colls",
+      graft.sink.StacJsonSink.readCollections(s, res.catalogRoot)
+        .select(col("id"), lit(false).as("already_exists")))
     val ing = graft.pipeline.Ingest.run(s, res.catalogRoot,
       new graft.pipeline.Ingest.DryRunClient(Set.empty, existingItem))
     Seq((ing.collectionsLoaded, ing.itemsLoaded, ing.collectionsSkipped,

@@ -112,13 +112,21 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
-  /** Bucketed ANN (rows-only): probe only the query's LSH bucket for
-    * top-3 cosine — per-query work scales with bucket size, not corpus
-    * size. Registered rows-only: near-tie neighbor ordering inside a
-    * bucket is not DuckDB-hash-stable, and the exactness contract is
-    * already pinned by q40.
+  /** Bucketed ANN: probe only the query's LSH bucket for top-3 cosine —
+    * per-query work scales with bucket size, not corpus size. Oracle via
+    * the dumped candidate-pair relation (the q45/q46 pattern): near-tie
+    * ordering over independently recomputed doubles is not cross-engine
+    * stable, so BOTH engines rank the SAME dumped full-precision cosines
+    * (top-k + tie-break + rounding independently recomputed); the pair
+    * generation itself is pinned by the q40 exact baseline and the q41
+    * bucket-assignment oracle.
     */
-  val annBucketed = QueryDef.rowsOnly("q42_ann_bucketed") { (s, d) =>
+  val annBucketed = QueryDef("q42_ann_bucketed",
+    """SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM read_parquet('/tmp/graft-oracle/q42_pairs/*.parquet'))
+      |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
@@ -130,9 +138,10 @@ object Similarity {
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
+    val dumped = graft.Work.oracleDump(s, "q42_pairs", pairs)
     val rn = row_number()
       .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
-    pairs.withColumn("rank", rn).filter(col("rank") <= 3)
+    dumped.withColumn("rank", rn).filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
   }
@@ -150,14 +159,21 @@ object Similarity {
                             iters: Int): Array[(Long, Array[Double])] =
     graft.ops.IvfIndex.trainCodebook(sample, k, iters)
 
-  /** IVF ANN (rows-only): the second scale path beside sign-LSH (q42).
-    * Every vector is assigned to its nearest codebook cell map-side;
-    * queries probe their 4 nearest cells, so per-query work is 4
-    * cell-sizes, not corpus-sized, and the corpus never shuffles here
-    * (query side broadcast). IvfSpec pins recall@3 against the exact
-    * q40 baseline.
+  /** IVF ANN: the second scale path beside sign-LSH (q42). Every vector
+    * is assigned to its nearest codebook cell map-side; queries probe
+    * their 4 nearest cells, so per-query work is 4 cell-sizes, not
+    * corpus-sized, and the corpus never shuffles here (query side
+    * broadcast). Oracle over the dumped probe-pair relation, same shape
+    * as q42: both engines independently rank/limit/round the same
+    * full-precision cosines; IvfSpec pins recall@3 against the exact
+    * q40 baseline and IvfIndexSpec the codebook lifecycle.
     */
-  val ivfAnn = QueryDef.rowsOnly("q56_ivf_ann") { (s, d) =>
+  val ivfAnn = QueryDef("q56_ivf_ann",
+    """SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM read_parquet('/tmp/graft-oracle/q56_pairs/*.parquet'))
+      |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
     // hash-thin, then CAP: the driver-side training collect is bounded by
@@ -182,9 +198,10 @@ object Similarity {
         col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
+    val dumped = graft.Work.oracleDump(s, "q56_pairs", pairs)
     val rn = row_number()
       .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
-    pairs.withColumn("rank", rn).filter(col("rank") <= 3)
+    dumped.withColumn("rank", rn).filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
   }

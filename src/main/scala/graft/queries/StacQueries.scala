@@ -9,10 +9,9 @@ import graft.sink.StacJsonSink
 
 /** STAC entity-layer queries: asset-row construction (E1/E2) as an
   * oracle-checked projection, and the full model → sink → source
-  * round-trip (K4 + S4 + J2) registered rows-only (the round-trip writes
-  * a catalog tree to a temp dir and scans it back — DuckDB has no
-  * analogue of the tree layout, and the test suite pins byte-level
-  * determinism).
+  * round-trip (K4 + S4 + J2) — DuckDB has no analogue of the catalog
+  * tree layout, so the round-trip oracle compares the rescan against
+  * the dumped pre-write survivor set instead.
   */
 object StacQueries {
 
@@ -48,12 +47,19 @@ object StacQueries {
       (col("o_orderkey") % 5 + 1).as("forecast_leadtime_length"))
   }
 
-  /** K4+S4+J2 round-trip (rows-only): derive items from orders, anti-join
-    * against a pre-existing subset (get-or-create), write the surviving
-    * catalog tree, scan it back, and return per-collection item counts.
-    * Success == the scan returns exactly the anti-join survivors.
+  /** K4+S4+J2 round-trip: derive items from orders, anti-join against a
+    * pre-existing subset (get-or-create), write the surviving catalog
+    * tree, scan it back, and return per-collection item counts. The
+    * oracle aggregates the PRE-WRITE survivor keys (dumped to parquet)
+    * while the Spark result aggregates the POST-round-trip rescan of the
+    * JSON tree — hash equality proves write→scan loses and invents
+    * nothing; byte-level determinism of the tree is pinned by StacSpec.
     */
-  val roundTrip = QueryDef.rowsOnly("q44_stac_roundtrip") { (s, d) =>
+  val roundTrip = QueryDef("q44_stac_roundtrip",
+    """SELECT collection, count(*) AS n_items,
+      |  count(DISTINCT id) AS n_distinct_ids
+      |FROM read_parquet('/tmp/graft-oracle/q44_created/*.parquet')
+      |GROUP BY collection ORDER BY collection""".stripMargin) { (s, d) =>
     import s.implicits._
     val items = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
       .select(
@@ -79,6 +85,8 @@ object StacQueries {
     // "existing catalog": every other item already present → must be skipped
     val existing = items.filter(abs(hash(col("id"))) % 2 === 0)
     val created = StacOps.getOrCreateItems(existing, items)
+    graft.Work.oracleDump(s, "q44_created",
+      created.select(col("collection"), col("id")))
     // sf-keyed stable dir: repeat invocations overwrite the same item
     // files in place instead of allocating a fresh ~1500-inode tree per
     // call (fresh trees accumulated by the hundred across bench/verify
