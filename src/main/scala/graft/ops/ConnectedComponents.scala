@@ -17,22 +17,77 @@ import org.apache.spark.sql.functions._
   * chains, [[runStarContraction]] implements the two-phase
   * small-star/large-star scheme (Kiveris et al., "Connected Components
   * in MapReduce and Beyond") with O(log n) rounds — same output
-  * contract, pick per graph shape. Lineage is truncated every round
-  * (localCheckpoint) so the plan does not grow with the iteration
-  * count.
+  * contract. [[components]] is the no-knowledge-needed entry point:
+  * propagation under a round budget, star contraction as the fallback.
+  * Lineage is truncated every round (localCheckpoint) so the plan does
+  * not grow with the iteration count.
   */
 object ConnectedComponents {
 
+  /** Shuffle partitions sized to EDGE volume, not the session default:
+    * ~2M edges (≈64 MB of long pairs) per partition, floor 8. A
+    * near-dup pair graph is orders of magnitude smaller than the corpus
+    * it came from — every round pays the partition count as fixed
+    * scheduling overhead — but a 10¹⁰-edge web graph must not funnel
+    * through 8 reducers either, which is what a constant default did.
+    */
+  def derivePartitions(edgeCount: Long,
+                       targetPerPartition: Long = 2L * 1000 * 1000): Int = {
+    // overflow-safe ceil: edgeCount can be anything a count() returns
+    val ceil = edgeCount / targetPerPartition +
+      (if (edgeCount % targetPerPartition > 0) 1L else 0L)
+    math.min(math.max(8L, ceil), 100000L).toInt
+  }
+
+  /** Last algorithm [[components]] settled on ("propagation" | "star")
+    * — observability for tests and ops, not part of the data contract.
+    */
+  @volatile var lastAlgorithm: String = ""
+
+  /** The caller-needs-no-graph-knowledge entry point: min-label
+    * propagation under `propagationBudget` rounds (cheapest per round on
+    * the shallow clusters that dominate dedup workloads), falling back
+    * to large-star/small-star contraction when the budget is exhausted —
+    * a chain-shaped adversarial graph gets the O(log n) algorithm
+    * without the caller choosing. Partitions derive from the edge count
+    * unless given.
+    */
+  def components(edges: DataFrame, numPartitions: Option[Int] = None,
+                 propagationBudget: Int = 12): DataFrame = {
+    val cached = edges.select(col("src"), col("dst")).persist()
+    try {
+      val parts = numPartitions.getOrElse(derivePartitions(cached.count()))
+      propagate(cached, propagationBudget, parts) match {
+        case Some(labels) =>
+          lastAlgorithm = "propagation"
+          labels
+        case None =>
+          lastAlgorithm = "star"
+          runStarContraction(cached, numPartitions = Some(parts))
+      }
+    } finally cached.unpersist() // results are localCheckpoint-backed
+  }
+
   /** @param edges undirected edge list with `src`/`dst` columns
-    * @param numPartitions parallelism of the per-round shuffles — size
-    *   to the EDGE volume, not the session default: a near-dup graph is
-    *   orders of magnitude smaller than the corpus it came from, and
-    *   each propagation round pays the partition count as fixed
-    *   overhead times the round count
+    * @param numPartitions parallelism of the per-round shuffles; derived
+    *   from the edge count (one `count()` over `edges`) when None
     * @return (node, component) — component = min node id reachable
     */
   def run(edges: DataFrame, maxIter: Int = 25,
-          numPartitions: Int = 8): DataFrame = {
+          numPartitions: Option[Int] = None): DataFrame = {
+    val cached = edges.select(col("src"), col("dst")).persist()
+    try {
+      val parts = numPartitions.getOrElse(derivePartitions(cached.count()))
+      propagate(cached, maxIter, parts).getOrElse(throw new IllegalStateException(
+        s"label propagation not converged in $maxIter rounds"))
+    } finally cached.unpersist()
+  }
+
+  /** The propagation loop; None when the round budget runs out before
+    * fixpoint (long-diameter graph — see [[components]] for the switch).
+    */
+  private def propagate(edges: DataFrame, maxIter: Int,
+                        numPartitions: Int): Option[DataFrame] = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(numPartitions, col("src")).persist()
@@ -56,8 +111,8 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
-    require(changed == 0, s"label propagation not converged in $maxIter rounds")
-    labels.withColumnRenamed("label", "component")
+    if (changed == 0) Some(labels.withColumnRenamed("label", "component"))
+    else None
   }
 
   /** Connected components by alternating large-star/small-star
@@ -73,15 +128,18 @@ object ConnectedComponents {
     * grouped-min + join passes, with lineage truncated per round.
     */
   def runStarContraction(edges: DataFrame, maxIter: Int = 30,
-                         numPartitions: Int = 8): DataFrame = {
+                         numPartitions: Option[Int] = None): DataFrame = {
     def canon(df: DataFrame): DataFrame = df
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-    var e = canon(edges.select(col("src"), col("dst")))
-      .repartition(numPartitions, col("src"))
+    val cached = edges.select(col("src"), col("dst")).persist()
+    val parts = numPartitions.getOrElse(derivePartitions(cached.count()))
+    var e = canon(cached)
+      .repartition(parts, col("src"))
       .localCheckpoint()
+    cached.unpersist()
     def checksum(df: DataFrame): (Long, Long) = {
       // bit_xor is order-independent and cannot overflow under ANSI
       val r = df.agg(count(lit(1)),
@@ -109,7 +167,7 @@ object ConnectedComponents {
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionByName(mSmall.select(col("src"), col("m").as("dst"))))
-      e = ss.repartition(numPartitions, col("src")).localCheckpoint()
+      e = ss.repartition(parts, col("src")).localCheckpoint()
       val cur = checksum(e)
       done = cur == prev
       prev = cur

@@ -50,11 +50,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     // propagation would need ~200 rounds here (its maxIter=25 default
     // gives up); star contraction finishes inside its default budget
     val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       ConnectedComponents.run(edges) // diameter 200 > 25 rounds
     }
     val got = ConnectedComponents.runStarContraction(edges)
       .as[(Long, Long)].collect().toMap
     assert(got === (0L to 200L).map(_ -> 0L).toMap)
+  }
+
+  test("partitions derive from edge volume, not a constant") {
+    // floor for the dedup-sized graphs this workload sees…
+    assert(ConnectedComponents.derivePartitions(100L) === 8)
+    assert(ConnectedComponents.derivePartitions(16L * 1000 * 1000) === 8)
+    // …linear in edges past the floor (2M edges ≈ 64 MB per partition)…
+    assert(ConnectedComponents.derivePartitions(40L * 1000 * 1000) === 20)
+    assert(ConnectedComponents.derivePartitions(200L * 1000 * 1000) === 100)
+    assert(ConnectedComponents.derivePartitions(10L * 1000 * 1000 * 1000)
+      === 5000)
+    // …and capped so a pathological count cannot explode the scheduler
+    assert(ConnectedComponents.derivePartitions(Long.MaxValue) === 100000)
+  }
+
+  test("components(): propagation on shallow graphs, star on long chains") {
+    val shallow = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("src", "dst")
+    val gotShallow = ConnectedComponents.components(shallow)
+      .as[(Long, Long)].collect().toMap
+    assert(ConnectedComponents.lastAlgorithm === "propagation")
+    assert(gotShallow === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L))
+
+    // 120-hop chain: exhausts the 12-round propagation budget, must
+    // fall back to star contraction and still land every node on 0
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("src", "dst")
+    val gotChain = ConnectedComponents.components(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(ConnectedComponents.lastAlgorithm === "star")
+    assert(gotChain === (0L to 120L).map(_ -> 0L).toMap)
   }
 }
