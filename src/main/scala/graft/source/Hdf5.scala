@@ -33,6 +33,68 @@ object Hdf5 {
 
   val Undefined: Long = -1L // all-ones address
 
+  /** Random-access byte provider — the seam that frees the parser from
+    * a whole-file buffer. Small files wrap an in-memory array; archives
+    * past 2 GiB read positioned ranges (metadata on the driver, chunk
+    * payloads per executor — the Zarr split, Zarr.scala:251).
+    */
+  trait ByteSource extends java.io.Closeable {
+    def length: Long
+    /** Exactly `len` bytes at `pos` (throws on short read). */
+    def read(pos: Long, len: Int): Array[Byte]
+    override def close(): Unit = ()
+  }
+
+  final class ArraySource(bytes: Array[Byte]) extends ByteSource {
+    def length: Long = bytes.length.toLong
+    def read(pos: Long, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len)
+  }
+
+  /** Buffered absolute-position cursor over a [[ByteSource]] — the
+    * ByteBuffer-shaped API the parser reads headers through. A small
+    * readahead window keeps per-field reads off the underlying source
+    * (one positioned read per ~8 KiB of header, not per short).
+    */
+  private[source] final class Cursor(src: ByteSource, start: Long,
+                                     window: Int = 8192) {
+    private var pos: Long = start
+    private var ord: ByteOrder = ByteOrder.LITTLE_ENDIAN
+    private var win: Array[Byte] = Array.emptyByteArray
+    private var winStart: Long = 0L
+
+    def position: Long = pos
+    def seek(p: Long): Unit = pos = p
+    def skip(n: Long): Unit = pos += n
+    def order(o: ByteOrder): Unit = ord = o
+
+    private def bb(n: Int): ByteBuffer = {
+      if (pos < winStart || pos + n > winStart + win.length) {
+        val avail = src.length - pos
+        require(avail >= n, s"read past EOF at $pos+$n (len ${src.length})")
+        win = src.read(pos, math.min(math.max(n, window).toLong, avail).toInt)
+        winStart = pos
+      }
+      val b = ByteBuffer.wrap(win, (pos - winStart).toInt, n).order(ord)
+      pos += n
+      b
+    }
+    def get(): Byte = bb(1).get()
+    def getShort(): Short = bb(2).getShort()
+    def getInt(): Int = bb(4).getInt()
+    def getLong(): Long = bb(8).getLong()
+    def get(dst: Array[Byte]): Unit = {
+      val src2 = read(dst.length)
+      System.arraycopy(src2, 0, dst, 0, dst.length)
+    }
+    /** `n` bytes from the current position, advancing past them. */
+    def read(n: Int): Array[Byte] = {
+      val out = src.read(pos, n)
+      pos += n
+      out
+    }
+  }
+
   /** Message types whose bodies we actually parse — the set the
     * shared-message guard protects (a shared variant of anything else
     * is skipped anyway).
