@@ -29,6 +29,23 @@ import graft.functions.DotProductExpr.dot
   */
 object IvfIndex {
 
+  /** Codebook size from corpus cardinality: k ≈ √n (the standard IVF
+    * sizing — cell population ≈ √n ≈ k balances probe cost against cell
+    * scan cost), clamped to [16, 65536]. A FIXED k is the scale killer:
+    * k=16 over a 100 TB corpus makes every probe touch nprobe/16 ≈ 25%
+    * of all vectors; √n keeps the probed fraction shrinking as n grows.
+    */
+  def deriveK(n: Long): Int =
+    math.min(65536L, math.max(16L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** Probe width scales with √k (so probed-corpus-fraction ≈ nprobe/k ≈
+    * 1/√k also shrinks with n), floored at 8: at small k a wide probe is
+    * cheap (8/16 of a tiny corpus) and keeps recall up; at the k ceiling
+    * the clamp is 64/65536 ≈ 0.1% of the corpus per query.
+    */
+  def deriveNprobe(k: Int): Int =
+    math.max(8, math.min(64, math.round(math.sqrt(k.toDouble)).toInt))
+
   /** Deterministic sample-trained k-means codebook (shared with q56).
     * `k` is clamped to the sample size: a tiny corpus yields fewer cells
     * rather than an out-of-bounds centroid table.
@@ -83,7 +100,7 @@ object IvfIndex {
     * cap keeps determinism: candidates are ordered by vec_id and the
     * limit takes the first `maxSample` of that order.
     */
-  def build(spark: SparkSession, corpus: DataFrame, dir: String, k: Int,
+  def build(spark: SparkSession, corpus: DataFrame, dir: String, k: Int = 0,
             iters: Int = 8,
             samplePredicate: Column = col("vec_id") % 7 === 0,
             maxSample: Int = 100000): Unit = {
@@ -91,7 +108,10 @@ object IvfIndex {
     val sample = corpus.filter(samplePredicate).orderBy(col("vec_id"))
       .limit(maxSample)
       .select(col("emb")).as[Seq[Double]].collect().map(_.toArray)
-    val centroids = trainCodebook(sample, k, iters)
+    // k=0 (default) derives the codebook size from corpus cardinality —
+    // count(*) over parquet is footer-metadata-only, not a data scan
+    val kEff = if (k > 0) k else deriveK(corpus.count())
+    val centroids = trainCodebook(sample, kEff, iters)
     centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")

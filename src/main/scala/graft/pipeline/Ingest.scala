@@ -58,30 +58,44 @@ object Ingest {
     // FK order: collections first (dataloader.py:173)
     client.execBatch(collsToLoad.map(collectionSql(_, overwrite)))
 
-    val toLoad =
-      if (overwrite) items
-      else {
-        import spark.implicits._
-        // J3 as a distributed anti-join: existing keys come in as a
-        // relation (JDBC partitioned read for a real pgSTAC), never a
-        // collected Set. No broadcast hint — AQE broadcasts when the key
-        // side turns out small and shuffles when it doesn't, which is
-        // exactly the scale behavior wanted at 10⁹ existing items.
-        items.join(client.existingItemKeysDF(spark)
-          .select("collection", "id"), Seq("collection", "id"), "left_anti")
-          .as[StacItem]
-      }
-    val nSkipped = items.count() - toLoad.count()
-
     val ow = overwrite
     val loaded = spark.sparkContext.longAccumulator("items_loaded")
-    toLoad.foreachPartition { part: Iterator[StacItem] =>
-      val stmts = part.map(itemSql(_, ow)).toSeq
-      if (stmts.nonEmpty) client.execBatch(stmts)
-      loaded.add(stmts.size)
+    val skipped = spark.sparkContext.longAccumulator("items_skipped")
+    if (overwrite) {
+      items.foreachPartition { part: Iterator[StacItem] =>
+        val stmts = part.map(itemSql(_, ow)).toSeq
+        if (stmts.nonEmpty) client.execBatch(stmts)
+        loaded.add(stmts.size)
+      }
+    } else {
+      // J3 as a distributed join: existing keys come in as a relation
+      // (JDBC partitioned read for a real pgSTAC), never a collected
+      // Set. No broadcast hint — AQE broadcasts when the key side turns
+      // out small and shuffles when it doesn't, which is exactly the
+      // scale behavior wanted at 10⁹ existing items. A MARKED left-outer
+      // join (null right = not yet in pgSTAC) instead of an anti-join
+      // lets ONE action both write the new items and count the skipped
+      // ones — the previous shape re-ran the catalog scan and the join
+      // twice more just for `items.count() - toLoad.count()`. Key
+      // uniqueness ((collection, id) is the pgSTAC primary key) means
+      // the join cannot fan out.
+      val existing = client.existingItemKeysDF(spark)
+        .select("collection", "id")
+      val marked = items.joinWith(existing,
+        items("collection") === existing("collection") &&
+          items("id") === existing("id"), "left_outer")
+      marked.foreachPartition {
+        part: Iterator[(StacItem, org.apache.spark.sql.Row)] =>
+          val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+          part.foreach { case (it, ex) =>
+            if (ex == null) stmts += itemSql(it, ow) else skipped.add(1)
+          }
+          if (stmts.nonEmpty) client.execBatch(stmts.toSeq)
+          loaded.add(stmts.size)
+      }
     }
     Result(collsToLoad.size.toLong, loaded.value,
-      collsSkipped.size.toLong, nSkipped)
+      collsSkipped.size.toLong, skipped.value)
   }
 
   /** pgSTAC collection load: insert, or upsert when overwrite —

@@ -206,7 +206,7 @@ object Functions {
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     graft.Work.oracleDump(s, "q28_chain", Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("inner_hex"),
-        blockMultihashMd5(col("text")).as("checksum_block")))
+        blockMultihashMd5(col("text")).as("checksum_block")), d)
   }
 
   /** F15/F16 — mime-type guess + static bit-depth/byte-order by extension

@@ -45,11 +45,11 @@ object MultimodalQueries {
     val media = s.createDataFrame(
       s.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
     val imgFeats = graft.Work.oracleDump(s, "q49_img",
-      Multimodal.imageFeatures(media))
+      Multimodal.imageFeatures(media), d)
     val frames = graft.Work.oracleDump(s, "q49_frames",
-      Multimodal.sampleFrames(media, 3).select("media_id", "frame_idx"))
+      Multimodal.sampleFrames(media, 3).select("media_id", "frame_idx"), d)
     val audFeats = graft.Work.oracleDump(s, "q49_audio",
-      Multimodal.audioFeatures(media))
+      Multimodal.audioFeatures(media), d)
     val img = imgFeats
       .select(col("media_id"), lit("image").as("kind"),
         (col("width") * col("height")).cast("long").as("metric"))

@@ -31,7 +31,7 @@ object NetCdfQueries {
     // inputs are generated .nc files, so the raw per-variable manifest is
     // materialized once (Work.oracleDump) and BOTH engines project from
     // it — the decode itself is pinned by NetCdfSpec/Hdf5Spec
-    val dumped = oracleDump(s, tag, NetCdfSource.manifest(s, glob))
+    val dumped = oracleDump(s, tag, NetCdfSource.manifest(s, glob), glob)
     dumped.select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
       col("variable"), col("ndim"), col("dims"), col("dtype"),
       col("n_values"), col("units"), col("crs"), col("is_band"))
@@ -95,7 +95,7 @@ object NetCdfQueries {
     oracleDump(s, tag, tidy.select(
       regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
       col("variable"), col("time_idx"), col("leadtime_idx"),
-      col("values").as("vals")))
+      col("values").as("vals")), glob)
     // vec_stats folds each scanline array into six scalars INSIDE
     // whole-stage codegen, so the exchange carries one small row per
     // scanline instead of one row per grid cell (the previous
@@ -158,7 +158,8 @@ object NetCdfQueries {
     // recomputes the asset count and map extractions
     val items = oracleDump(s, "q47_items",
       graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
-        .select(col("id"), col("collection"), col("assets"), col("properties")))
+        .select(col("id"), col("collection"), col("assets"), col("properties")),
+      res.catalogRoot)
     items
       .select(col("id"), col("collection"),
         size(col("assets")).cast("long").as("n_assets"),
@@ -204,15 +205,23 @@ object NetCdfQueries {
     }
     val existingItem = graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
       .collect().map(it => (it.collection, it.id)).sorted.take(1).toSet
+    // pre-seed one EXISTING collection too (first in id order), so the
+    // collection half of the skip logic is exercised against a real
+    // anti-join on both engines — not counted from a constant false
+    val existingColl = graft.sink.StacJsonSink.readCollections(s, res.catalogRoot)
+      .collect().map(_.id).sorted.take(1).toSet
     oracleDump(s, "q48_items",
       graft.sink.StacJsonSink.readItems(s, res.catalogRoot)
-        .select(col("collection"), col("id")))
-    oracleDump(s, "q48_existing", existingItem.toSeq.toDF("collection", "id"))
+        .select(col("collection"), col("id")), res.catalogRoot)
+    oracleDump(s, "q48_existing",
+      existingItem.toSeq.toDF("collection", "id"), res.catalogRoot)
     oracleDump(s, "q48_colls",
       graft.sink.StacJsonSink.readCollections(s, res.catalogRoot)
-        .select(col("id"), lit(false).as("already_exists")))
+        .select(col("id"),
+          col("id").isin(existingColl.toSeq: _*).as("already_exists")),
+      res.catalogRoot)
     val ing = graft.pipeline.Ingest.run(s, res.catalogRoot,
-      new graft.pipeline.Ingest.DryRunClient(Set.empty, existingItem))
+      new graft.pipeline.Ingest.DryRunClient(existingColl, existingItem))
     Seq((ing.collectionsLoaded, ing.itemsLoaded, ing.collectionsSkipped,
       ing.itemsSkipped)).toDF(
       "collections_loaded", "items_loaded", "collections_skipped",
@@ -247,7 +256,7 @@ object NetCdfQueries {
       graft.source.ZarrSource.read(s, store.toString, name)
         .select(lit(name).as("array"), col("values").as("vals"))
     }.reduce(_ unionByName _)
-    oracleDump(s, "q67_vals", perChunk)
+    oracleDump(s, "q67_vals", perChunk, store.toString)
     val statsByArray = Seq("sic_mean", "sic_count").map { name =>
       val st = graft.functions.VecStatsExpr.vecStats(col("values"))
       graft.source.ZarrSource.read(s, store.toString, name)
@@ -260,7 +269,7 @@ object NetCdfQueries {
     val man = oracleDump(s, "q67_manifest",
       graft.source.ZarrSource.manifest(s, store.toString)
         .select(col("array"), col("dtype"), col("compressor"),
-          col("n_values"), col("n_chunks")))
+          col("n_values"), col("n_chunks")), store.toString)
     man.join(statsByArray, Seq("array"))
   }
 

@@ -122,7 +122,7 @@ object Similarity {
     * bucket-assignment oracle.
     */
   val annBucketed = QueryDef("q42_ann_bucketed",
-    """SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+    """SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, cos_r AS cos
       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
       |        ORDER BY cos DESC, neighbor_id) AS rn
       |      FROM read_parquet('/tmp/graft-oracle/q42_pairs/*.parquet'))
@@ -134,16 +134,20 @@ object Similarity {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))
+    // cos_r is rounded ONCE here: both engines rank the identical dumped
+    // full-precision doubles and emit the identical pre-rounded value, so
+    // no half-ulp Spark-BigDecimal-vs-DuckDB-float rounding seam remains
     val pairs = e.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
-    val dumped = graft.Work.oracleDump(s, "q42_pairs", pairs)
+      .withColumn("cos_r", round(col("cos"), 6))
+    val dumped = graft.Work.oracleDump(s, "q42_pairs", pairs, d)
     val rn = row_number()
       .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
     dumped.withColumn("rank", rn).filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+        col("cos_r").as("cos"))
   }
 
   /** IVF helpers live in ops.IvfIndex (codebook training + nearest-cell
@@ -169,7 +173,7 @@ object Similarity {
     * q40 baseline and IvfIndexSpec the codebook lifecycle.
     */
   val ivfAnn = QueryDef("q56_ivf_ann",
-    """SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+    """SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, cos_r AS cos
       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
       |        ORDER BY cos DESC, neighbor_id) AS rn
       |      FROM read_parquet('/tmp/graft-oracle/q56_pairs/*.parquet'))
@@ -184,7 +188,12 @@ object Similarity {
       .limit(100000)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    val centroids = trainCodebook(sample, k = 16, iters = 8)
+    // k ≈ √n, nprobe ≈ √k (IvfIndex.deriveK/deriveNprobe): the probed
+    // fraction of the corpus SHRINKS as the corpus grows, instead of the
+    // fixed k=16 that probed ~25% of a corpus of any size
+    val k = graft.ops.IvfIndex.deriveK(e.count())
+    val nprobe = graft.ops.IvfIndex.deriveNprobe(k)
+    val centroids = trainCodebook(sample, k, iters = 8)
     val corpus = e
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .withColumn("cell",
@@ -192,18 +201,20 @@ object Similarity {
     val q = corpus.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"),
         col("nrm").as("qn"),
-        explode(transform(nearestCells(col("emb"), centroids, 4),
+        explode(transform(nearestCells(col("emb"), centroids, nprobe),
           _.getField("cid"))).as("probe_cell"))
+    // cos_r rounded once Spark-side — see q42 for the rounding-seam note
     val pairs = corpus.join(broadcast(q),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qe"), col("emb")) / (col("qn") * col("nrm"))).as("cos"))
-    val dumped = graft.Work.oracleDump(s, "q56_pairs", pairs)
+      .withColumn("cos_r", round(col("cos"), 6))
+    val dumped = graft.Work.oracleDump(s, "q56_pairs", pairs, d)
     val rn = row_number()
       .over(Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id")))
     dumped.withColumn("rank", rn).filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+        col("cos_r").as("cos"))
   }
 
   /** Embedding-cosine near-dup (the fifth dedup flavor beside exact /

@@ -86,7 +86,7 @@ object StacQueries {
     val existing = items.filter(abs(hash(col("id"))) % 2 === 0)
     val created = StacOps.getOrCreateItems(existing, items)
     graft.Work.oracleDump(s, "q44_created",
-      created.select(col("collection"), col("id")))
+      created.select(col("collection"), col("id")), d)
     // sf-keyed stable dir: repeat invocations overwrite the same item
     // files in place instead of allocating a fresh ~1500-inode tree per
     // call (fresh trees accumulated by the hundred across bench/verify

@@ -76,6 +76,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("codebook size derives from corpus cardinality: k ≈ √n in " +
+    "[16, 65536], nprobe ≈ √k in [4, 64]") {
+    assert(IvfIndex.deriveK(100) === 16)           // floor clamp
+    assert(IvfIndex.deriveK(1000000) === 1000)     // √n in range
+    assert(IvfIndex.deriveK(10000000000000L) === 65536) // ceiling clamp
+    assert(IvfIndex.deriveNprobe(16) === 8)        // floor clamp
+    assert(IvfIndex.deriveNprobe(1024) === 32)
+    assert(IvfIndex.deriveNprobe(65536) === 64)    // ceiling clamp
+    // the probed corpus fraction must SHRINK as n grows
+    val f1 = IvfIndex.deriveNprobe(IvfIndex.deriveK(10000)).toDouble /
+      IvfIndex.deriveK(10000)
+    val f2 = IvfIndex.deriveNprobe(IvfIndex.deriveK(100000000)).toDouble /
+      IvfIndex.deriveK(100000000)
+    assert(f2 < f1, s"probe fraction did not shrink: $f1 -> $f2")
+    // build with the default k=0 derives from the corpus
+    val d = Work.stableDir("ivfderive").toString
+    IvfIndex.build(spark, corpus, d)
+    val idx = IvfIndex.open(spark, d)
+    val expected = math.min(IvfIndex.deriveK(corpus.count()),
+      corpus.filter(col("vec_id") % 7 === 0).count().toInt) // sample clamp
+    assert(idx.centroids.length === expected)
+  }
+
   test("codebook k clamps to the sample size (tiny-corpus safety)") {
     val sample = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
     val cents = IvfIndex.trainCodebook(sample, k0 = 16, iters = 2)

@@ -26,6 +26,35 @@ class PlanShapeSpec extends SparkSpec {
       "q30 must not re-parse JSON per extraction")
   }
 
+  test("oracleDump keeps upstream partitioning: an 8-partition relation " +
+    "dumps as 8 tasks, not one") {
+    // round 7's coalesce(1) propagated below the write through
+    // broadcast-join plans and serialized the whole upstream stage
+    // (q42 2.07× vs r6); the file count is the task count
+    import spark.implicits._
+    Work.oracleDump(spark, "planspec_parts",
+      spark.range(0, 1000, 1, 8).toDF("v"), "k1")
+    val parts = new java.io.File(Work.oracleDumpPath("planspec_parts"))
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parts >= 8,
+      s"dump collapsed to $parts file(s) — upstream stage was serialized")
+  }
+
+  test("oracleDump writes once per (tag, inputKey): repeat invocations " +
+    "(bench timed passes) skip the oracle-support I/O") {
+    import spark.implicits._
+    val first = Seq(1, 2, 3).toDF("v")
+    val second = Seq(9, 9, 9).toDF("v")
+    Work.oracleDump(spark, "planspec_skip", first, "kA")
+    // same key with DIFFERENT data: the write must be skipped, so the
+    // read-back still carries the first relation's content
+    val again = Work.oracleDump(spark, "planspec_skip", second, "kA")
+    assert(again.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // a new inputKey (different sf dir) re-dumps
+    val fresh = Work.oracleDump(spark, "planspec_skip", second, "kB")
+    assert(fresh.as[Int].collect().toSeq === Seq(9, 9, 9))
+  }
+
   test("ingest skip anti-join consumes a relation (plan has the anti-join)") {
     // the RelationOnlyClient behavior test lives in IngestSpec; here we
     // pin that the join stays an ANTI join (no inner/except rewrite)
