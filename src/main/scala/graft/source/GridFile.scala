@@ -50,6 +50,25 @@ object GridFile {
     else throw new IllegalArgumentException(
       "unrecognized grid file (neither NetCDF classic nor HDF5 magic)")
 
+  /** Open through a positioned-read source — the >2 GiB path. HDF5
+    * (netCDF-4) parses metadata as small ranges and fetches chunk
+    * payloads as exact byte ranges, so file size is unbounded; classic
+    * CDF keeps the whole-buffer contract (the reference writer's classic
+    * output is per-slice and small — CDF-1/2 headers cap variable sizes
+    * well below this anyway).
+    */
+  def open(src: Hdf5.ByteSource): GridFile = {
+    val head = src.read(0, math.min(8L, src.length).toInt)
+    if (Hdf5.isHdf5(head)) new H5(src)
+    else if (head.length >= 4 && head(0) == 'C' && head(1) == 'D' && head(2) == 'F') {
+      require(src.length <= Int.MaxValue,
+        s"classic CDF of ${src.length} bytes exceeds the whole-buffer " +
+          "contract; use netCDF-4/HDF5 for archives past 2 GiB")
+      new Classic(src.read(0, src.length.toInt))
+    } else throw new IllegalArgumentException(
+      "unrecognized grid file (neither NetCDF classic nor HDF5 magic)")
+  }
+
   /** Classic CDF-1/2 via the [[NetCdf]] codec. */
   final class Classic(bytes: Array[Byte]) extends GridFile {
     private val h = NetCdf.readHeader(bytes)
@@ -85,8 +104,9 @@ object GridFile {
   /** netCDF-4/HDF5 via the [[Hdf5]] codec; dimension names resolve
     * through DIMENSION_LIST object references.
     */
-  final class H5(bytes: Array[Byte]) extends GridFile {
-    private val r = new Hdf5.Reader(bytes)
+  final class H5(src: Hdf5.ByteSource) extends GridFile {
+    def this(bytes: Array[Byte]) = this(new Hdf5.ArraySource(bytes))
+    private val r = new Hdf5.Reader(src)
     private def ds(name: String): Hdf5.Dataset =
       r.file.dataset(name).getOrElse(
         throw new IllegalArgumentException(s"no dataset $name"))

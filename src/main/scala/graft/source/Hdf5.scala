@@ -47,8 +47,13 @@ object Hdf5 {
 
   final class ArraySource(bytes: Array[Byte]) extends ByteSource {
     def length: Long = bytes.length.toLong
-    def read(pos: Long, len: Int): Array[Byte] =
+    def read(pos: Long, len: Int): Array[Byte] = {
+      // copyOfRange would silently zero-pad past the array end — a
+      // truncated file must FAIL the contract, not parse as zeros
+      require(pos >= 0 && len >= 0 && pos + len <= bytes.length,
+        s"read past EOF at $pos+$len (file ${bytes.length} bytes)")
       java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len)
+    }
   }
 
   /** Buffered absolute-position cursor over a [[ByteSource]] — the
@@ -89,6 +94,8 @@ object Hdf5 {
     }
     /** `n` bytes from the current position, advancing past them. */
     def read(n: Int): Array[Byte] = {
+      require(pos >= 0 && pos + n <= src.length,
+        s"read past EOF at $pos+$n (len ${src.length})")
       val out = src.read(pos, n)
       pos += n
       out
@@ -155,43 +162,47 @@ object Hdf5 {
 
   // ------------------------------------------------------------- parse
 
-  def read(bytes: Array[Byte]): File = new Parser(bytes).parse()
+  def read(bytes: Array[Byte]): File = read(new ArraySource(bytes))
 
-  private final class Parser(bytes: Array[Byte]) {
-    private def buf(pos: Long): ByteBuffer = {
-      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      b.position(pos.toInt)
-      b
-    }
+  /** Parse through a positioned-read source — the >2 GiB path: headers,
+    * heaps and B-trees are read as small ranges; chunk payloads as
+    * exact byte ranges. No whole-file buffer anywhere.
+    */
+  def read(src: ByteSource): File = new Parser(src).parse()
+
+  private final class Parser(src: ByteSource) {
+    private def cur(pos: Long): Cursor = new Cursor(src, pos)
+    private def u2(c: Cursor): Int = c.getShort() & 0xFFFF
+    private def u4(c: Cursor): Long = c.getInt().toLong & 0xFFFFFFFFL
     private def u2(b: ByteBuffer): Int = b.getShort() & 0xFFFF
     private def u4(b: ByteBuffer): Long = b.getInt().toLong & 0xFFFFFFFFL
-    private def addr(b: ByteBuffer): Long = b.getLong() // -1 == undefined
 
     def parse(): File = {
-      require(isHdf5(bytes), "not an HDF5 file (bad signature)")
-      val b = buf(8)
-      val sbVer = b.get().toInt
+      require(src.length >= 8 && isHdf5(src.read(0, 8)),
+        "not an HDF5 file (bad signature)")
+      val c = cur(8)
+      val sbVer = c.get().toInt
       val rootOh: Long = sbVer match {
         case 0 | 1 =>
-          b.get(); b.get(); b.get(); b.get() // fs ver, root ver, res, shared ver
-          val so = b.get().toInt; val sl = b.get().toInt
+          c.get(); c.get(); c.get(); c.get() // fs ver, root ver, res, shared ver
+          val so = c.get().toInt; val sl = c.get().toInt
           require(so == 8 && sl == 8,
             s"unsupported offset/length sizes $so/$sl (8/8 expected)")
-          b.get() // reserved
-          u2(b); u2(b); u4(b) // leaf k, internal k, flags
-          if (sbVer == 1) { u2(b); u2(b) } // indexed-storage k + reserved
-          val base = addr(b); addr(b); addr(b); addr(b) // base, fs, eof, driver
+          c.get() // reserved
+          u2(c); u2(c); u4(c) // leaf k, internal k, flags
+          if (sbVer == 1) { u2(c); u2(c) } // indexed-storage k + reserved
+          val base = c.getLong(); c.getLong(); c.getLong(); c.getLong() // base, fs, eof, driver
           require(base == 0, s"non-zero base address $base unsupported")
-          addr(b) // root link-name offset
-          addr(b) // root object-header address
+          c.getLong() // root link-name offset
+          c.getLong() // root object-header address
         case 2 | 3 =>
-          val so = b.get().toInt; val sl = b.get().toInt
+          val so = c.get().toInt; val sl = c.get().toInt
           require(so == 8 && sl == 8,
             s"unsupported offset/length sizes $so/$sl (8/8 expected)")
-          b.get() // flags
-          val base = addr(b); addr(b); addr(b) // base, ext, eof
+          c.get() // flags
+          val base = c.getLong(); c.getLong(); c.getLong() // base, ext, eof
           require(base == 0, s"non-zero base address $base unsupported")
-          addr(b) // root object-header address
+          c.getLong() // root object-header address
         case v => throw new IllegalArgumentException(s"superblock version $v")
       }
       val out = Vector.newBuilder[Dataset]
@@ -256,10 +267,10 @@ object Hdf5 {
       */
     private def readMessages(oh: Long): Seq[(Int, Array[Byte])] = {
       val out = Vector.newBuilder[(Int, Array[Byte])]
-      val first = buf(oh)
-      val sig = new Array[Byte](4); first.get(sig)
+      val sig = src.read(oh, 4)
       if (sig.sameElements("OHDR".getBytes(StandardCharsets.US_ASCII))) {
         // ---- version 2
+        val first = cur(oh + 4)
         val ver = first.get().toInt
         require(ver == 2, s"OHDR version $ver")
         val flags = first.get().toInt
@@ -272,19 +283,20 @@ object Hdf5 {
           case 3 => first.getLong()
         }
         val trackOrder = (flags & 0x4) != 0
-        var blocks = List((first.position().toLong, chunkSize))
+        var blocks = List((first.position, chunkSize))
         while (blocks.nonEmpty) {
           val (start, len) = blocks.head; blocks = blocks.tail
-          val b = buf(start)
           val end = start + len - 4 // trailing checksum
+          val b = cur(start)
           // a continuation block starts with OCHK
-          if (b.getInt(start.toInt) == 0x4B48434F) b.position(start.toInt + 4)
-          while (b.position() + 4 <= end) {
+          if (src.read(start, 4).sameElements(
+              "OCHK".getBytes(StandardCharsets.US_ASCII))) b.seek(start + 4)
+          while (b.position + 4 <= end) {
             val t = b.get().toInt & 0xFF
             val sz = u2(b)
             val mf = b.get().toInt
             if (trackOrder) u2(b)
-            val body = new Array[Byte](sz); b.get(body)
+            val body = b.read(sz)
             // a SHARED message's body is an indirection record, not the
             // message — parsing it as-is would read garbage silently
             require((mf & 0x2) == 0 || !ConsumedMessages(t),
@@ -297,25 +309,25 @@ object Hdf5 {
         }
       } else {
         // ---- version 1
-        val b = buf(oh)
+        val b = cur(oh)
         val ver = b.get().toInt
         require(ver == 1, s"object header version $ver at $oh")
         b.get() // reserved
         var remaining = u2(b)
         u4(b) // reference count
         val hdrSize = u4(b)
-        b.position(b.position() + 4) // pad to 8-byte alignment
-        var blocks = List((b.position().toLong, hdrSize))
+        b.skip(4) // pad to 8-byte alignment
+        var blocks = List((b.position, hdrSize))
         while (blocks.nonEmpty && remaining > 0) {
           val (start, len) = blocks.head; blocks = blocks.tail
-          val bb = buf(start)
+          val bb = cur(start)
           val end = start + len
-          while (bb.position() + 8 <= end && remaining > 0) {
+          while (bb.position + 8 <= end && remaining > 0) {
             val t = u2(bb)
             val sz = u2(bb)
             val mf = bb.get().toInt
             bb.get(); bb.get(); bb.get() // reserved
-            val body = new Array[Byte](sz); bb.get(body)
+            val body = bb.read(sz)
             remaining -= 1
             require((mf & 0x2) == 0 || !ConsumedMessages(t),
               s"shared message of type 0x${t.toHexString} unsupported")
@@ -517,8 +529,8 @@ object Hdf5 {
     private def symbolTableChildren(btree: Long, heap: Long): Seq[(String, Long)] = {
       val names = Vector.newBuilder[(String, Long)]
       def walkNode(a: Long): Unit = {
-        val b = buf(a)
-        val sig = new Array[Byte](4); b.get(sig)
+        val b = cur(a)
+        val sig = b.read(4)
         require(sig.sameElements("TREE".getBytes(StandardCharsets.US_ASCII)),
           s"bad group B-tree signature at $a")
         b.get() // node type 0
@@ -536,8 +548,8 @@ object Hdf5 {
         }
       }
       def readSnod(a: Long): Unit = {
-        val b = buf(a)
-        val sig = new Array[Byte](4); b.get(sig)
+        val b = cur(a)
+        val sig = b.read(4)
         require(sig.sameElements("SNOD".getBytes(StandardCharsets.US_ASCII)),
           s"bad SNOD signature at $a")
         b.get(); b.get()
@@ -546,7 +558,7 @@ object Hdf5 {
           val nameOff = b.getLong()
           val oh = b.getLong()
           b.getInt(); b.getInt() // cache type + reserved
-          b.position(b.position() + 16) // scratch
+          b.skip(16) // scratch
           names += heapString(heap, nameOff) -> oh
         }
       }
@@ -555,42 +567,57 @@ object Hdf5 {
     }
 
     private def heapString(heap: Long, off: Long): String = {
-      val b = buf(heap)
-      val sig = new Array[Byte](4); b.get(sig)
+      val b = cur(heap)
+      val sig = b.read(4)
       require(sig.sameElements("HEAP".getBytes(StandardCharsets.US_ASCII)),
         s"bad local heap signature at $heap")
-      b.get(); b.get(); b.get(); b.get() // version + reserved... (version, 3 res)
-      b.position((heap + 8).toInt)
+      b.skip(4) // version + 3 reserved
       b.getLong() // data segment size
       b.getLong() // free-list head
       val dataAddr = b.getLong()
-      var end = (dataAddr + off).toInt
-      while (end < bytes.length && bytes(end) != 0) end += 1
-      new String(bytes, (dataAddr + off).toInt, end - (dataAddr + off).toInt,
-        StandardCharsets.UTF_8)
+      cStringAt(dataAddr + off)
+    }
+
+    /** NUL-terminated string at an absolute position, read in bounded
+      * windows (never assumes the rest of the file is in memory).
+      */
+    private def cStringAt(pos: Long): String = {
+      val out = new java.io.ByteArrayOutputStream(64)
+      var p = pos
+      var done = false
+      while (!done) {
+        val n = math.min(256L, src.length - p).toInt
+        if (n <= 0) done = true
+        else {
+          val chunk = src.read(p, n)
+          val i = chunk.indexOf(0.toByte)
+          if (i >= 0) { out.write(chunk, 0, i); done = true }
+          else { out.write(chunk, 0, n); p += n }
+        }
+      }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
     }
 
     // ---- global heap
 
     private def globalHeapObject(collection: Long, index: Int): Array[Byte] = {
-      val b = buf(collection)
-      val sig = new Array[Byte](4); b.get(sig)
+      val b = cur(collection)
+      val sig = b.read(4)
       require(sig.sameElements("GCOL".getBytes(StandardCharsets.US_ASCII)),
         s"bad global heap signature at $collection")
-      b.get(); b.get(); b.get(); b.get() // version + reserved
+      b.skip(4) // version + reserved
       val size = b.getLong()
       val end = collection + size
-      while (b.position() < end) {
+      while (b.position < end) {
         val idx = u2(b)
         u2(b); u4(b) // refcount + reserved
         val objSize = b.getLong()
         if (idx == 0) // free space — object not found past here
           throw new IllegalArgumentException(
             s"global heap object $index not found at $collection")
-        val data = new Array[Byte](objSize.toInt)
-        b.get(data)
+        val data = b.read(objSize.toInt)
         val pad = ((8 - objSize % 8) % 8).toInt
-        b.position(b.position() + pad)
+        b.skip(pad)
         if (idx == index) return data
       }
       throw new IllegalArgumentException(
@@ -618,8 +645,10 @@ object Hdf5 {
         case Compact(d) => d
         case Contiguous(a, sz) =>
           val out = new Array[Byte](total.toInt)
-          if (a != Undefined)
-            System.arraycopy(bytes, a.toInt, out, 0, math.min(sz, total).toInt)
+          if (a != Undefined) {
+            val n = math.min(sz, total).toInt
+            System.arraycopy(src.read(a, n), 0, out, 0, n)
+          }
           out
         case Chunked(btree, cdims) =>
           val out = new Array[Byte](total.toInt)
@@ -632,8 +661,9 @@ object Hdf5 {
             walkChunkTree(btree, ds.dims.length) {
               case (coords, storedSize, mask, caddr) =>
                 if (wanted(coords)) {
-                  var chunk = java.util.Arrays.copyOfRange(
-                    bytes, caddr.toInt, caddr.toInt + storedSize)
+                  // exact byte-range read — a pruned-away chunk is never
+                  // fetched, so a >2 GiB archive costs only its slice
+                  var chunk = src.read(caddr, storedSize)
                   // reverse pipeline order, honoring the skip mask
                   ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
                     if ((mask & (1 << i)) == 0) chunk = unfilter(f, chunk, elem)
@@ -647,8 +677,8 @@ object Hdf5 {
 
     private def walkChunkTree(a: Long, rank: Int)(
         f: (Array[Long], Int, Int, Long) => Unit): Unit = {
-      val b = buf(a)
-      val sig = new Array[Byte](4); b.get(sig)
+      val b = cur(a)
+      val sig = b.read(4)
       require(sig.sameElements("TREE".getBytes(StandardCharsets.US_ASCII)),
         s"bad chunk B-tree signature at $a")
       require(b.get() == 1, "B-tree node type 1 expected for chunks")
@@ -662,11 +692,10 @@ object Hdf5 {
         (0 until rank).foreach(i => coords(i) = b.getLong())
         b.getLong() // element-size pseudo-dim offset (always 0)
         val child = b.getLong()
-        if (level > 0) {
-          val save = b.position()
-          walkChunkTree(child, rank)(f)
-          b.position(save)
-        } else f(coords, size, mask, child)
+        // each node gets its own cursor, so recursion into a child
+        // cannot disturb this node's read position
+        if (level > 0) walkChunkTree(child, rank)(f)
+        else f(coords, size, mask, child)
       }
     }
 
@@ -789,11 +818,14 @@ object Hdf5 {
     }
   }
 
-  /** Convenience: parse + per-dataset numeric decode, for callers that
-    * hold the whole file (the binaryFile scan path).
+  /** Convenience: parse + per-dataset numeric decode. The primary
+    * constructor takes a positioned [[ByteSource]] (the >2 GiB path);
+    * the array overload serves callers that already hold the whole file
+    * (the binaryFile scan path).
     */
-  final class Reader(bytes: Array[Byte]) {
-    private val parser = new Parser(bytes)
+  final class Reader(src: ByteSource) {
+    def this(bytes: Array[Byte]) = this(new ArraySource(bytes))
+    private val parser = new Parser(src)
     val file: File = parser.parse()
     def readDoubles(ds: Dataset): Array[Double] = parser.readDoubles(ds)
     def readDoubles(name: String): Array[Double] =

@@ -30,6 +30,45 @@ object Hdf5Write {
 
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
 
+  /** Position-addressed write sink: the renderer emits absolute-addressed
+    * segments, so output can be an in-memory array (small slice files) or
+    * a RandomAccessFile (unbounded; holes stay sparse — how the >2 GiB
+    * reader fixture is generated without 2 GiB of I/O or heap).
+    */
+  private trait WSink { def writeAt(pos: Long, data: Array[Byte], off: Int, len: Int): Unit }
+
+  private final class ArraySink(a: Array[Byte]) extends WSink {
+    def writeAt(pos: Long, data: Array[Byte], off: Int, len: Int): Unit =
+      System.arraycopy(data, off, a, pos.toInt, len)
+  }
+
+  private final class FileSink(raf: java.io.RandomAccessFile) extends WSink {
+    def writeAt(pos: Long, data: Array[Byte], off: Int, len: Int): Unit = {
+      raf.seek(pos); raf.write(data, off, len)
+    }
+  }
+
+  /** Little-endian cursor over a [[WSink]] — the ByteBuffer-shaped subset
+    * the renderer uses, with Long positions.
+    */
+  private final class W(sink: WSink) {
+    private var pos = 0L
+    private val tmp = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    def position(): Long = pos
+    def seekTo(a: Long): W = { pos = a; this }
+    private def flush(n: Int): Unit = {
+      sink.writeAt(pos, tmp.array(), 0, n); pos += n
+    }
+    def put(x: Byte): Unit = { tmp.clear(); tmp.put(x); flush(1) }
+    def put(xs: Array[Byte]): Unit = {
+      sink.writeAt(pos, xs, 0, xs.length); pos += xs.length
+    }
+    def putShort(x: Short): Unit = { tmp.clear(); tmp.putShort(x); flush(2) }
+    def putInt(x: Int): Unit = { tmp.clear(); tmp.putInt(x); flush(4) }
+    def putLong(x: Long): Unit = { tmp.clear(); tmp.putLong(x); flush(8) }
+    def putDouble(x: Double): Unit = { tmp.clear(); tmp.putDouble(x); flush(8) }
+  }
+
   /** Chunk shape: start from the full variable shape and halve the
     * largest dimension until ≤ 256k elements (2 MB of float64) — a
     * deterministic rule that keeps chunks worker-memory-friendly and
@@ -48,6 +87,39 @@ object Hdf5Write {
             vars: Seq[NetCdf.VarSpec], deflateLevel: Int = 9,
             shuffle: Boolean = true,
             maxChunkElems: Int = 262144): Array[Byte] = {
+    var arr: Array[Byte] = null
+    render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
+      dataBase = 0L, mkSink = { eof =>
+        require(eof <= Int.MaxValue,
+          s"in-memory render of $eof bytes; use writeFile for large output")
+        arr = new Array[Byte](eof.toInt)
+        new ArraySink(arr)
+      })
+    arr
+  }
+
+  /** Render straight to a file. `dataBase` pushes the data region (chunk
+    * payloads onward) to at least that offset, leaving a hole the
+    * filesystem keeps sparse — a cheap way to produce structurally-valid
+    * archives larger than 2 GiB (all internal addresses are 8-byte, so
+    * readers must handle >Int.MaxValue offsets).
+    */
+  def writeFile(path: java.nio.file.Path, dims: Seq[(String, Int)],
+                gatts: Seq[(String, String)], vars: Seq[NetCdf.VarSpec],
+                deflateLevel: Int = 9, shuffle: Boolean = true,
+                maxChunkElems: Int = 262144, dataBase: Long = 0L): Unit = {
+    val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+    try {
+      raf.setLength(0)
+      render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
+        dataBase, mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
+    } finally raf.close()
+  }
+
+  private def render(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
+                     vars: Seq[NetCdf.VarSpec], deflateLevel: Int,
+                     shuffle: Boolean, maxChunkElems: Int,
+                     dataBase: Long, mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
 
     // ---- dataset plans: dimension scales first (file order matches
@@ -122,6 +194,7 @@ object Hdf5Write {
     val gcolSize = if (nHeapObjs == 0) 0 else 16 + nHeapObjs * 24 + 16
 
     var cursor = 96L // after superblock v0
+    if (dataBase > 0) cursor = math.max(cursor, dataBase) // sparse hole
     def alloc(n: Long): Long = { val a = cursor; cursor += n; a }
 
     // chunk data + per-dataset b-trees (or contiguous data)
@@ -159,8 +232,8 @@ object Hdf5Write {
     val eof = cursor
 
     // ---- render
-    val out = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    def seek(a: Long): ByteBuffer = { out.position(a.toInt); out }
+    val out = new W(mkSink(eof))
+    def seek(a: Long): W = out.seekTo(a)
 
     // superblock v0
     out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
@@ -228,21 +301,21 @@ object Hdf5Write {
     }
 
     // ---- message renderers
-    def msgHeader(b: ByteBuffer, t: Int, bodySize: Int): Unit = {
+    def msgHeader(b: W, t: Int, bodySize: Int): Unit = {
       b.putShort(t.toShort); b.putShort(pad8(bodySize).toShort)
       b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
     }
-    def putPadded(b: ByteBuffer, raw: Array[Byte], padded: Int): Unit = {
+    def putPadded(b: W, raw: Array[Byte], padded: Int): Unit = {
       b.put(raw); (raw.length until padded).foreach(_ => b.put(0.toByte))
     }
-    def writeDataspace(b: ByteBuffer, shape: Seq[Int]): Unit = {
+    def writeDataspace(b: W, shape: Seq[Int]): Unit = {
       val body = 8 + shape.length * 8
       msgHeader(b, 0x0001, body)
       b.put(1.toByte); b.put(shape.length.toByte); b.put(0.toByte)
       b.put(0.toByte); b.putInt(0)
       shape.foreach(d => b.putLong(d.toLong))
     }
-    def writeDoubleType(b: ByteBuffer): Unit = {
+    def writeDoubleType(b: W): Unit = {
       msgHeader(b, 0x0003, 20)
       b.put(0x11.toByte) // version 1, class 1 (float)
       b.put(0x20.toByte); b.put(0x3F.toByte); b.put(0.toByte) // LE, MSB-implied, sign bit 63
@@ -252,12 +325,12 @@ object Hdf5Write {
       b.putInt(1023)
       (0 until pad8(20) - 20).foreach(_ => b.put(0.toByte))
     }
-    def writeFill(b: ByteBuffer): Unit = {
+    def writeFill(b: W): Unit = {
       msgHeader(b, 0x0005, 2)
       b.put(3.toByte); b.put(0x16.toByte) // v3: late alloc, never write, undefined
       (0 until 6).foreach(_ => b.put(0.toByte))
     }
-    def writeTextAttr(b: ByteBuffer, name: String, value: String): Unit = {
+    def writeTextAttr(b: W, name: String, value: String): Unit = {
       val dataSize = value.length + 1
       val body = 8 + pad8(name.length + 1) + pad8(8) + pad8(8) + dataSize
       msgHeader(b, 0x000C, body)
@@ -276,7 +349,7 @@ object Hdf5Write {
       putPadded(b, (value + "\u0000").getBytes(StandardCharsets.UTF_8), dataSize)
       (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
     }
-    def writeDoubleAttr(b: ByteBuffer, name: String, value: Double): Unit = {
+    def writeDoubleAttr(b: W, name: String, value: Double): Unit = {
       val body = 8 + pad8(name.length + 1) + pad8(20) + pad8(8) + 8
       msgHeader(b, 0x000C, body)
       val mark = b.position()
@@ -298,7 +371,7 @@ object Hdf5Write {
       b.putDouble(value)
       (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
     }
-    def writeDimListAttr(b: ByteBuffer, varName: String, varDims: Seq[String]): Unit = {
+    def writeDimListAttr(b: W, varName: String, varDims: Seq[String]): Unit = {
       val rank = varDims.length
       val body = 8 + pad8("DIMENSION_LIST".length + 1) + 16 + 16 + rank * 16
       msgHeader(b, 0x000C, body)
@@ -425,7 +498,6 @@ object Hdf5Write {
       gatts.foreach { case (k, v) => writeTextAttr(b, k, v) }
     }
 
-    out.array()
   }
 
   // ------------------------------------------------------------ helpers

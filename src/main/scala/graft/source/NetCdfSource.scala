@@ -82,8 +82,19 @@ object NetCdfSource {
       tFilter: Option[Int] = None,
       lFilter: Option[Int] = None)
       : Iterator[(String, String, Int, Double, Int, Double, Int, Double,
+                  Array[Double], Array[Double])] =
+    decodeTidy(path, GridFile.open(bytes), varFilter, tFilter, lFilter)
+
+  /** Format-neutral tidy decode over an already-opened [[GridFile]] —
+    * the seam the DSv2 reader uses so >2 GiB HDF5 inputs stream through
+    * positioned reads instead of a whole-file buffer.
+    */
+  private[source] def decodeTidy(path: String, g: GridFile,
+      varFilter: Option[Set[String]],
+      tFilter: Option[Int],
+      lFilter: Option[Int])
+      : Iterator[(String, String, Int, Double, Int, Double, Int, Double,
                   Array[Double], Array[Double])] = {
-    val g = GridFile.open(bytes) // classic or netCDF-4/HDF5 by magic
     val names = g.varNames
     def coordData(cands: Seq[String]): (String, Array[Double]) = {
       val n = findCoord(names, cands).getOrElse(

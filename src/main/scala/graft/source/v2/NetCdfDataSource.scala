@@ -153,37 +153,32 @@ private[v2] final class NetCdfPartitionReader(path: String,
   private val needPayload =
     requiredCols.contains("values") || requiredCols.contains("xs")
 
+  // held open for the lazy row iterator; released in close()
+  private var source: graft.source.FsByteSource = _
+
   private val rows: Iterator[InternalRow] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new HPath(path)
     val fs = FileSystem.get(hp.toUri, conf)
-    val in = fs.open(hp)
-    val bytes =
-      try {
-        val len = fs.getFileStatus(hp).getLen
-        // whole-file decode contract (same as the binaryFile path):
-        // fail with a clear message rather than a negative-size array
-        require(len <= Int.MaxValue,
-          s"netcdf: $path is $len bytes; files over 2 GiB exceed the " +
-            "single-buffer decode contract — split the input")
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
+    // positioned-read source: HDF5 inputs of ANY size stream header
+    // ranges + chunk byte-ranges (no whole-file buffer, no 2 GiB
+    // ceiling); classic CDF buffers inside GridFile.open with its own
+    // explicit size contract
+    source = new graft.source.FsByteSource(fs, hp)
+    val g = graft.source.GridFile.open(source)
     if (needPayload) {
-      NetCdfSource.decodeTidy(path, bytes, filters.variables,
+      NetCdfSource.decodeTidy(path, g, filters.variables,
         filters.timeIdx, filters.leadtimeIdx).map(project)
     } else {
       // header-only fast path: the grid payload is never decoded
-      headerRows(bytes).map(project)
+      headerRows(g).map(project)
     }
   }
 
   /** Header-only row stream: same row grain as the full decode, but all
     * values come from coords/shape — no payload read.
     */
-  private def headerRows(bytes: Array[Byte]) = {
-    val g = graft.source.GridFile.open(bytes) // classic or HDF5 by magic
+  private def headerRows(g: graft.source.GridFile) = {
     val names = g.varNames
     def coord(cands: Seq[String]): Array[Double] = {
       val n = NetCdfSource.findCoord(names, cands).getOrElse(
@@ -224,5 +219,5 @@ private[v2] final class NetCdfPartitionReader(path: String,
 
   override def next(): Boolean = rows.hasNext
   override def get(): InternalRow = rows.next()
-  override def close(): Unit = ()
+  override def close(): Unit = if (source != null) source.close()
 }
