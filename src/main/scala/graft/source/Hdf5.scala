@@ -19,9 +19,11 @@ import java.util.zip.Inflater
   * contiguous / chunked (B-tree v1) data layouts; deflate, shuffle and
   * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
   * netCDF-4 dimension scales (DIMENSION_LIST object-reference
-  * resolution). Not supported (absent from netCDF-4 "earliest"-format
-  * output): fractal-heap dense groups/attributes, v4 data layouts,
-  * non-IEEE floats — all rejected with explicit errors.
+  * resolution); DENSE groups (fractal-heap link storage + name-index
+  * v2 B-tree — the "latest"-format layout h5py emits once a group
+  * outgrows compact storage). Not supported: fractal-heap dense
+  * ATTRIBUTES, multi-level v2 B-trees, v4 data layouts, non-IEEE
+  * floats — all rejected with explicit errors.
   */
 object Hdf5 {
 
@@ -221,14 +223,19 @@ object Hdf5 {
       val space = msgs.collectFirst { case (0x0001, body) => parseDataspace(body) }
       val dtype = msgs.collectFirst { case (0x0003, body) => parseDatatype(buf0(body)) }
       val layout = msgs.collectFirst { case (0x0008, body) => parseLayout(body) }
-      msgs.collectFirst { case (0x0002, body) => body }.foreach { body =>
-        // Link Info: dense (fractal-heap) links are outside the subset
-        val b = buf0(body); b.get()
-        val flags = b.get().toInt
-        if ((flags & 0x1) != 0) b.getLong() // max creation index
-        val fheap = b.getLong()
-        require(fheap == Undefined, "dense (fractal-heap) groups unsupported")
-      }
+      val denseChildren: Seq[(String, Long)] =
+        msgs.collectFirst { case (0x0002, body) => body }.toSeq.flatMap { body =>
+          // Link Info: a defined fractal-heap address means the group's
+          // links are DENSE — stored as link messages inside a fractal
+          // heap, indexed by a name v2 B-tree (the "latest"-format layout
+          // h5py/libhdf5 emit once a group outgrows compact storage)
+          val b = buf0(body); b.get()
+          val flags = b.get().toInt
+          if ((flags & 0x1) != 0) b.getLong() // max creation index
+          val fheap = b.getLong()
+          val nameBtree = b.getLong()
+          if (fheap == Undefined) Seq.empty else denseLinks(fheap, nameBtree)
+        }
       msgs.collectFirst { case (0x0015, body) => body }.foreach { body =>
         val b = buf0(body); b.get()
         val flags = b.get().toInt
@@ -255,8 +262,144 @@ object Hdf5 {
           case Some((name, a)) => walkObject(a, s"$prefix/$name", out)
           case None            => ()
         }
+        denseChildren.foreach { case (name, a) =>
+          walkObject(a, s"$prefix/$name", out)
+        }
       }
       attrs
+    }
+
+    // ---- dense groups: fractal heap + name-index v2 B-tree
+
+    /** All (name, objectHeaderAddr) links of a dense group: walk the
+      * name-index v2 B-tree for the heap IDs (type-5 records: 4-byte
+      * name hash + heap ID), then fetch each link message from the
+      * fractal heap and parse it like any compact link.
+      */
+    private def denseLinks(fheapAddr: Long,
+                           nameBtreeAddr: Long): Seq[(String, Long)] = {
+      val heap = new FractalHeap(fheapAddr)
+      v2BtreeRecords(nameBtreeAddr, expectType = 5).flatMap { rec =>
+        val heapId = java.util.Arrays.copyOfRange(rec, 4, rec.length)
+        parseLink(heap.managedObject(heapId))
+      }
+    }
+
+    /** Records of a version-2 B-tree. Depth 0 only (root IS the leaf):
+      * one leaf at the default 2 KiB node size indexes ~180 links, and
+      * internal-node child pointers need the variable-width record-count
+      * encoding — rejected explicitly until a real file needs it.
+      */
+    private def v2BtreeRecords(addr: Long, expectType: Int): Seq[Array[Byte]] = {
+      val h = cur(addr)
+      require(h.read(4).sameElements("BTHD".getBytes(StandardCharsets.US_ASCII)),
+        s"bad v2 B-tree header signature at $addr")
+      require(h.get() == 0, "v2 B-tree header version")
+      val btype = h.get().toInt
+      require(btype == expectType,
+        s"v2 B-tree type $btype (expected $expectType)")
+      u4(h) // node size
+      val recordSize = u2(h)
+      val depth = u2(h)
+      h.get(); h.get() // split / merge percent
+      val rootAddr = h.getLong()
+      val rootNrec = u2(h)
+      h.getLong() // total records
+      require(depth == 0,
+        s"v2 B-tree of depth $depth unsupported (group outgrew one leaf)")
+      val b = cur(rootAddr)
+      require(b.read(4).sameElements("BTLF".getBytes(StandardCharsets.US_ASCII)),
+        s"bad v2 B-tree leaf signature at $rootAddr")
+      require(b.get() == 0, "BTLF version")
+      require(b.get().toInt == btype, "BTLF record type mismatch")
+      (0 until rootNrec).map(_ => b.read(recordSize))
+    }
+
+    /** Fractal heap, managed objects only: the header fixes the heap ID
+      * geometry (offset/length field widths), the root block is either a
+      * single direct block or one indirect block whose doubling table
+      * lists direct blocks (row sizes 2× per row past the second). Huge
+      * and tiny objects, I/O filters, and indirect-block recursion are
+      * outside what dense link/attribute storage produces at this scale
+      * and are rejected explicitly.
+      */
+    private final class FractalHeap(addr: Long) {
+      private val h = cur(addr)
+      require(h.read(4).sameElements("FRHP".getBytes(StandardCharsets.US_ASCII)),
+        s"bad fractal heap signature at $addr")
+      require(h.get() == 0, "FRHP version")
+      private val heapIdLen = u2(h)
+      private val ioFilterLen = u2(h)
+      h.get() // flags
+      u4(h) // max managed object size
+      (0 until 12).foreach(_ => h.getLong()) // huge/free/managed/tiny stats
+      private val tableWidth = u2(h)
+      private val startBlockSize = h.getLong()
+      private val maxDirectBlockSize = h.getLong()
+      private val maxHeapSizeBits = u2(h)
+      u2(h) // starting # rows
+      private val rootBlockAddr = h.getLong()
+      private val curRows = u2(h)
+      require(ioFilterLen == 0, "filtered fractal heap unsupported")
+      private val offSize = (maxHeapSizeBits + 7) / 8
+      private val lenSize = heapIdLen - 1 - offSize
+      require(lenSize >= 1 && lenSize <= 8,
+        s"fractal heap ID geometry $heapIdLen/$offSize unsupported")
+
+      /** (heapOffset, size, fileAddr) per direct block, heap-order. */
+      private val dblocks: Seq[(Long, Long, Long)] =
+        if (rootBlockAddr == Undefined) Seq.empty
+        else if (curRows == 0) Seq((0L, startBlockSize, rootBlockAddr))
+        else {
+          val b = cur(rootBlockAddr)
+          require(b.read(4).sameElements(
+            "FHIB".getBytes(StandardCharsets.US_ASCII)),
+            s"bad fractal heap indirect block at $rootBlockAddr")
+          require(b.get() == 0, "FHIB version")
+          b.getLong() // heap header address
+          b.read(offSize) // this block's heap offset (root: 0)
+          val maxDirectRows = (63 - java.lang.Long.numberOfLeadingZeros(
+            maxDirectBlockSize)) - (63 - java.lang.Long.numberOfLeadingZeros(
+            startBlockSize)) + 2
+          var off = 0L
+          val outB = Seq.newBuilder[(Long, Long, Long)]
+          (0 until curRows).foreach { r =>
+            require(r < maxDirectRows,
+              "indirect child blocks in fractal heap unsupported")
+            val size = if (r < 2) startBlockSize else startBlockSize << (r - 1)
+            (0 until tableWidth).foreach { _ =>
+              val a = b.getLong()
+              if (a != Undefined) outB += ((off, size, a))
+              off += size
+            }
+          }
+          outB.result()
+        }
+
+      private def leUnsigned(bytes: Array[Byte]): Long =
+        bytes.zipWithIndex.map { case (x, i) => (x.toLong & 0xFF) << (8 * i) }.sum
+
+      /** Raw bytes of a managed object addressed by heap ID. Object
+        * offsets live in the heap's virtual space, which INCLUDES each
+        * direct block's header — so file address = blockAddr +
+        * (offset − blockHeapOffset), no header arithmetic needed.
+        */
+      def managedObject(heapId: Array[Byte]): Array[Byte] = {
+        require(heapId.length >= 1 + offSize + lenSize,
+          s"heap ID of ${heapId.length} bytes (need ${1 + offSize + lenSize})")
+        val vt = heapId(0).toInt
+        require((vt & 0xC0) == 0, s"fractal heap ID version ${(vt >> 6) & 0x3}")
+        require((vt & 0x30) == 0,
+          s"non-managed fractal heap object (type ${(vt >> 4) & 0x3}) unsupported")
+        val off = leUnsigned(java.util.Arrays.copyOfRange(heapId, 1, 1 + offSize))
+        val len = leUnsigned(java.util.Arrays.copyOfRange(
+          heapId, 1 + offSize, 1 + offSize + lenSize))
+        val (bo, _, ba) = dblocks
+          .find(d => off >= d._1 && off + len <= d._1 + d._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"fractal heap offset $off+$len outside every direct block"))
+        src.read(ba + (off - bo), len.toInt)
+      }
     }
 
     private def buf0(body: Array[Byte]): ByteBuffer =

@@ -69,6 +69,54 @@ object Hdf5Write {
     def putDouble(x: Double): Unit = { tmp.clear(); tmp.putDouble(x); flush(8) }
   }
 
+  /** Jenkins lookup3 (`hashlittle`, public domain, Bob Jenkins 2006) —
+    * HDF5's metadata checksum and the name hash of v2 B-tree link
+    * records (H5_checksum_lookup3). Needed to emit spec-valid dense
+    * groups; written from the published algorithm.
+    */
+  private[source] object Lookup3 {
+    private def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    def hash(data: Array[Byte], init: Int = 0): Int = {
+      var a = 0xdeadbeef + data.length + init
+      var b = a; var c = a
+      var i = 0; var len = data.length
+      def u(x: Int): Int = data(x) & 0xFF
+      while (len > 12) {
+        a += u(i) + (u(i + 1) << 8) + (u(i + 2) << 16) + (u(i + 3) << 24)
+        b += u(i + 4) + (u(i + 5) << 8) + (u(i + 6) << 16) + (u(i + 7) << 24)
+        c += u(i + 8) + (u(i + 9) << 8) + (u(i + 10) << 16) + (u(i + 11) << 24)
+        a -= c; a ^= rot(c, 4); c += b
+        b -= a; b ^= rot(a, 6); a += c
+        c -= b; c ^= rot(b, 8); b += a
+        a -= c; a ^= rot(c, 16); c += b
+        b -= a; b ^= rot(a, 19); a += c
+        c -= b; c ^= rot(b, 4); b += a
+        i += 12; len -= 12
+      }
+      if (len == 0) return c // empty tail: no final mix (hashlittle case 0)
+      if (len >= 1) a += u(i)
+      if (len >= 2) a += u(i + 1) << 8
+      if (len >= 3) a += u(i + 2) << 16
+      if (len >= 4) a += u(i + 3) << 24
+      if (len >= 5) b += u(i + 4)
+      if (len >= 6) b += u(i + 5) << 8
+      if (len >= 7) b += u(i + 6) << 16
+      if (len >= 8) b += u(i + 7) << 24
+      if (len >= 9) c += u(i + 8)
+      if (len >= 10) c += u(i + 9) << 8
+      if (len >= 11) c += u(i + 10) << 16
+      if (len >= 12) c += u(i + 11) << 24
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+      c
+    }
+  }
+
   /** Chunk shape: start from the full variable shape and halve the
     * largest dimension until ≤ 256k elements (2 MB of float64) — a
     * deterministic rule that keeps chunks worker-memory-friendly and
@@ -86,10 +134,11 @@ object Hdf5Write {
   def write(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
             vars: Seq[NetCdf.VarSpec], deflateLevel: Int = 9,
             shuffle: Boolean = true,
-            maxChunkElems: Int = 262144): Array[Byte] = {
+            maxChunkElems: Int = 262144,
+            denseRoot: Boolean = false): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-      dataBase = 0L, mkSink = { eof =>
+      dataBase = 0L, denseRoot = denseRoot, mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
         arr = new Array[Byte](eof.toInt)
@@ -107,19 +156,30 @@ object Hdf5Write {
   def writeFile(path: java.nio.file.Path, dims: Seq[(String, Int)],
                 gatts: Seq[(String, String)], vars: Seq[NetCdf.VarSpec],
                 deflateLevel: Int = 9, shuffle: Boolean = true,
-                maxChunkElems: Int = 262144, dataBase: Long = 0L): Unit = {
+                maxChunkElems: Int = 262144, dataBase: Long = 0L,
+                denseRoot: Boolean = false): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-        dataBase, mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
+        dataBase, denseRoot,
+        mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
 
+  /** `denseRoot = true` stores the root group's links DENSE — link
+    * messages in a fractal heap indexed by a name v2 B-tree — instead of
+    * the symbol-table layout. This is the "latest"-format group layout
+    * h5py/libhdf5 emit once a group outgrows compact storage; the writer
+    * emits it to pin the reader's dense-group walk against a real file
+    * (one root direct block, depth-0 B-tree — enough for hundreds of
+    * variables; checksums and name hashes are real lookup3).
+    */
   private def render(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
                      vars: Seq[NetCdf.VarSpec], deflateLevel: Int,
                      shuffle: Boolean, maxChunkElems: Int,
-                     dataBase: Long, mkSink: Long => WSink): Unit = {
+                     dataBase: Long, denseRoot: Boolean,
+                     mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
 
     // ---- dataset plans: dimension scales first (file order matches
@@ -215,18 +275,44 @@ object Hdf5Write {
     val gcolAddr = if (gcolSize > 0) alloc(gcolSize.toLong) else Hdf5.Undefined
     val ohAddr = plans.map(p => p.name -> alloc(ohSize(p).toLong)).toMap
 
-    // root group: local heap (8-byte reserved head + padded names), SNOD,
-    // B-tree leaf, root object header
+    // root group, symbol-table layout: local heap (8-byte reserved head +
+    // padded names), SNOD, B-tree leaf, root object header
     val sortedNames = plans.map(_.name).sorted
     val nameOffsets = {
       var off = 8L
       sortedNames.map { n => val o = off; off += pad8(n.length + 1); n -> o }.toMap
     }
     val heapDataSize = 8L + sortedNames.map(n => pad8(n.length + 1).toLong).sum
-    val heapAddr = alloc(32L + heapDataSize)
-    val snodAddr = alloc(8L + plans.size * 40L)
-    val gBtreeAddr = alloc(48L)
-    val rootOhSize = 16 + msg(16) +
+    val heapAddr = if (denseRoot) Hdf5.Undefined else alloc(32L + heapDataSize)
+    val snodAddr = if (denseRoot) Hdf5.Undefined else alloc(8L + plans.size * 40L)
+    val gBtreeAddr = if (denseRoot) Hdf5.Undefined else alloc(48L)
+
+    // root group, dense layout: link messages as managed objects in one
+    // fractal-heap direct block + a depth-0 name v2 B-tree. Heap ID
+    // geometry: 32-bit heap space (4-byte offsets) + 2-byte lengths → the
+    // canonical 7-byte IDs, record size 4 (hash) + 7 = 11.
+    val denseLinkSize: Map[String, Int] =
+      plans.map(p => p.name -> (3 + p.name.length + 8)).toMap
+    val denseDblockHdr = 17 // FHDB: sig(4) + ver(1) + heap addr(8) + off(4)
+    val denseObjOffset: Map[String, Long] = {
+      var off = denseDblockHdr.toLong
+      sortedNames.map { n => val o = off; off += denseLinkSize(n); n -> o }.toMap
+    }
+    val denseDblockSize: Long = {
+      val need = denseDblockHdr.toLong +
+        sortedNames.map(denseLinkSize(_).toLong).sum
+      var s = 512L
+      while (s < need) s <<= 1
+      require(s <= 65536L, s"dense root needs $need bytes (> max direct block)")
+      s
+    }
+    val frhpAddr = if (denseRoot) alloc(146L) else Hdf5.Undefined
+    val denseDblockAddr = if (denseRoot) alloc(denseDblockSize) else Hdf5.Undefined
+    val bthdAddr = if (denseRoot) alloc(38L) else Hdf5.Undefined
+    val btlfAddr =
+      if (denseRoot) alloc(10L + plans.size * 11L) else Hdf5.Undefined
+
+    val rootOhSize = 16 + (if (denseRoot) msg(18) else msg(16)) +
       gatts.map { case (k, v) => attrMsgSize(k.length, 8, 8, v.length + 1) }.sum
     val rootOhAddr = alloc(rootOhSize.toLong)
     val eof = cursor
@@ -447,8 +533,87 @@ object Hdf5Write {
       p.numAttrs.foreach { case (k, v) => writeDoubleAttr(b, k, v) }
     }
 
+    if (denseRoot) {
+      // fractal heap header (checksummed; built in memory, then written)
+      val fr = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
+      fr.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+      fr.put(0.toByte) // version
+      fr.putShort(7)   // heap ID length: 1 + 4 (offset) + 2 (length)
+      fr.putShort(0)   // I/O filters encoded length
+      fr.put(0.toByte) // flags: direct blocks not checksummed
+      fr.putInt(4096)  // max managed object size
+      fr.putLong(0L)         // next huge id
+      fr.putLong(-1L)        // huge-object B-tree
+      fr.putLong(0L)         // free space
+      fr.putLong(-1L)        // free-space manager
+      fr.putLong(denseDblockSize)       // managed space
+      fr.putLong(denseDblockSize)       // allocated managed space
+      fr.putLong(denseObjOffset(sortedNames.last) +
+        denseLinkSize(sortedNames.last)) // managed iterator offset
+      fr.putLong(plans.size.toLong)     // managed object count
+      fr.putLong(0L); fr.putLong(0L)    // huge size / count
+      fr.putLong(0L); fr.putLong(0L)    // tiny size / count
+      fr.putShort(4)                    // table width
+      fr.putLong(denseDblockSize)       // starting block size
+      fr.putLong(65536L)                // max direct block size
+      fr.putShort(32)                   // max heap size (bits) → 4-byte offsets
+      fr.putShort(4)                    // starting rows in root indirect
+      fr.putLong(denseDblockAddr)       // root block (a DIRECT block:
+      fr.putShort(0)                    //   current rows = 0)
+      fr.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(fr.array(), 0, 142)))
+      seek(frhpAddr); out.put(fr.array())
+
+      // the one direct block: header + link messages back-to-back
+      val db = ByteBuffer.allocate(denseDblockSize.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      db.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+      db.put(0.toByte)
+      db.putLong(frhpAddr)
+      db.putInt(0) // heap offset of this block (4-byte heap space)
+      sortedNames.foreach { n =>
+        db.put(1.toByte) // link message version
+        db.put(0.toByte) // flags: 1-byte name length, hard link
+        db.put(n.length.toByte)
+        db.put(n.getBytes(StandardCharsets.US_ASCII))
+        db.putLong(ohAddr(n))
+      }
+      seek(denseDblockAddr); out.put(db.array())
+
+      // name-index v2 B-tree: header + one leaf, records sorted by hash
+      val bh = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+      bh.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+      bh.put(0.toByte) // version
+      bh.put(5.toByte) // type 5: link name records
+      bh.putInt(2048)  // node size
+      bh.putShort(11)  // record size: hash(4) + heap ID(7)
+      bh.putShort(0)   // depth: root is the leaf
+      bh.put(100.toByte); bh.put(40.toByte) // split / merge percent
+      bh.putLong(btlfAddr)
+      bh.putShort(plans.size.toShort)
+      bh.putLong(plans.size.toLong)
+      bh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(bh.array(), 0, 34)))
+      seek(bthdAddr); out.put(bh.array())
+
+      val leafSize = 10 + plans.size * 11
+      val bl = ByteBuffer.allocate(leafSize).order(ByteOrder.LITTLE_ENDIAN)
+      bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+      bl.put(0.toByte); bl.put(5.toByte)
+      val recs = sortedNames.map { n =>
+        (Lookup3.hash(n.getBytes(StandardCharsets.US_ASCII)), n)
+      }.sortBy { case (h, _) => h.toLong & 0xFFFFFFFFL }
+      recs.foreach { case (h, n) =>
+        bl.putInt(h)
+        bl.put(0.toByte) // heap ID: version 0, managed
+        bl.putInt(denseObjOffset(n).toInt)
+        bl.putShort(denseLinkSize(n).toShort)
+      }
+      bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+        bl.array(), 0, leafSize - 4)))
+      seek(btlfAddr); out.put(bl.array())
+    }
+
     // local heap
-    {
+    if (!denseRoot) {
       val b = seek(heapAddr)
       b.put("HEAP".getBytes(StandardCharsets.US_ASCII))
       b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
@@ -462,7 +627,7 @@ object Hdf5Write {
       }
     }
     // SNOD (entries sorted by link name)
-    {
+    if (!denseRoot) {
       val b = seek(snodAddr)
       b.put("SNOD".getBytes(StandardCharsets.US_ASCII))
       b.put(1.toByte); b.put(0.toByte)
@@ -475,7 +640,7 @@ object Hdf5Write {
       }
     }
     // group B-tree: one leaf pointing at the SNOD
-    {
+    if (!denseRoot) {
       val b = seek(gBtreeAddr)
       b.put("TREE".getBytes(StandardCharsets.US_ASCII))
       b.put(0.toByte); b.put(0.toByte)
@@ -485,7 +650,7 @@ object Hdf5Write {
       b.putLong(snodAddr)
       b.putLong(nameOffsets(sortedNames.last))
     }
-    // root object header: symbol-table message + global attrs
+    // root object header: symbol-table / link-info message + global attrs
     {
       val b = seek(rootOhAddr)
       b.put(1.toByte); b.put(0.toByte)
@@ -493,8 +658,17 @@ object Hdf5Write {
       b.putInt(1)
       b.putInt(rootOhSize - 16)
       b.putInt(0)
-      msgHeader(b, 0x0011, 16)
-      b.putLong(gBtreeAddr); b.putLong(heapAddr)
+      if (denseRoot) {
+        // Link Info: links live in the fractal heap + name B-tree
+        msgHeader(b, 0x0002, 18)
+        b.put(0.toByte); b.put(0.toByte) // version, flags (no creation order)
+        b.putLong(frhpAddr)
+        b.putLong(bthdAddr)
+        (18 until pad8(18)).foreach(_ => b.put(0.toByte))
+      } else {
+        msgHeader(b, 0x0011, 16)
+        b.putLong(gBtreeAddr); b.putLong(heapAddr)
+      }
       gatts.foreach { case (k, v) => writeTextAttr(b, k, v) }
     }
 
