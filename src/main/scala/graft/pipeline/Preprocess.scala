@@ -275,6 +275,31 @@ object Preprocess {
     Result(catalogRoot, nItems, nSlices)
   }
 
+  /** Streaming group-by over a partition SORTED by the string key at
+    * `keyIdx`: yields one (key, rows) group at a time, holding exactly
+    * ONE group's rows in memory. The file sinks hash-repartition on
+    * `out_path`, and several output files can land in one partition —
+    * buffering the whole partition (`part.toSeq.groupBy`) made task
+    * memory "all slices that hashed here" instead of the documented
+    * one-slice contract. Sorting within the partition first makes each
+    * group contiguous, so this iterator restores the bound without a
+    * second shuffle.
+    */
+  private[graft] def groupedBySortedKey(
+      part: Iterator[org.apache.spark.sql.Row], keyIdx: Int)
+      : Iterator[(String, Seq[org.apache.spark.sql.Row])] =
+    new Iterator[(String, Seq[org.apache.spark.sql.Row])] {
+      private val it = part.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): (String, Seq[org.apache.spark.sql.Row]) = {
+        val key = it.head.getString(keyIdx)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        while (it.hasNext && it.head.getString(keyIdx) == key) buf += it.next()
+        (key, buf.toSeq)
+      }
+    }
+
   /** K1: one .nc per (file, init) holding every band's slice, written
     * inside the tasks; existence-skip unless overwrite (P8, ref
     * generator.py:906-909 analogue for netCDF).
@@ -294,9 +319,9 @@ object Preprocess {
     val ncFormat = opts.ncFormat
     val written = rows
       .repartition(col("out_path"))
+      .sortWithinPartitions(col("out_path"))
       .mapPartitions { part =>
-        val bySlice = part.toSeq.groupBy(r => r.getString(0))
-        bySlice.iterator.map { case (outPath, rs) =>
+        groupedBySortedKey(part, 0).map { case (outPath, rs) =>
           val p = Paths.get(outPath)
           if (Files.exists(p) && !overwrite) 0L
           else {
@@ -359,8 +384,9 @@ object Preprocess {
       .join(target, Seq("path", "time_idx"))
       .select(col("out_path"), col("y_idx"), col("values"))
       .repartition(col("out_path"))
+      .sortWithinPartitions(col("out_path"))
       .foreachPartition { part: Iterator[org.apache.spark.sql.Row] =>
-        part.toSeq.groupBy(_.getString(0)).foreach { case (outPath, rs) =>
+        groupedBySortedKey(part, 0).foreach { case (outPath, rs) =>
           val p = Paths.get(outPath)
           if (!Files.exists(p) || overwrite) {
             Files.createDirectories(p.getParent)
@@ -409,8 +435,9 @@ object Preprocess {
     val reprojectOn = opts.reproject
     val epsg = "\\d+".r.findFirstIn(crs).map(_.toInt).getOrElse(0)
     rows.repartition(col("out_path"))
+      .sortWithinPartitions(col("out_path"))
       .foreachPartition { part: Iterator[org.apache.spark.sql.Row] =>
-        part.toSeq.groupBy(_.getString(0)).foreach { case (outPath, rs) =>
+        groupedBySortedKey(part, 0).foreach { case (outPath, rs) =>
           val p = Paths.get(outPath)
           if (!Files.exists(p) || overwrite) {
             Files.createDirectories(p.getParent)

@@ -142,6 +142,17 @@ class PreprocessSpec extends SparkSpec {
     assert(secondItems === firstItems)
   }
 
+  test("groupedBySortedKey streams one contiguous group at a time") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(Row("a", 1), Row("a", 2), Row("b", 3), Row("c", 4),
+      Row("c", 5))
+    val groups = Preprocess.groupedBySortedKey(rows.iterator, 0).toSeq
+    assert(groups.map(_._1) === Seq("a", "b", "c"))
+    assert(groups.map(_._2.map(_.getInt(1))) ===
+      Seq(Seq(1, 2), Seq(3), Seq(4, 5)))
+    assert(Preprocess.groupedBySortedKey(Iterator.empty, 0).isEmpty)
+  }
+
   test("config drift aborts the run before any work (J5)") {
     val (_, glob, opts) = freshRun()
     Preprocess.run(spark, glob, opts)
