@@ -39,11 +39,6 @@ object ConnectedComponents {
     math.min(math.max(8L, ceil), 100000L).toInt
   }
 
-  /** Last algorithm [[components]] settled on ("propagation" | "star")
-    * — observability for tests and ops, not part of the data contract.
-    */
-  @volatile var lastAlgorithm: String = ""
-
   /** The caller-needs-no-graph-knowledge entry point: min-label
     * propagation under `propagationBudget` rounds (cheapest per round on
     * the shallow clusters that dominate dedup workloads), falling back
@@ -53,17 +48,22 @@ object ConnectedComponents {
     * unless given.
     */
   def components(edges: DataFrame, numPartitions: Option[Int] = None,
-                 propagationBudget: Int = 12): DataFrame = {
+                 propagationBudget: Int = 12): DataFrame =
+    componentsChosen(edges, numPartitions, propagationBudget)._1
+
+  /** [[components]] plus which algorithm it settled on ("propagation" |
+    * "star") — returned with the result rather than stashed in shared
+    * state, so concurrent calls cannot race on the observability signal.
+    */
+  def componentsChosen(edges: DataFrame, numPartitions: Option[Int] = None,
+                       propagationBudget: Int = 12): (DataFrame, String) = {
     val cached = edges.select(col("src"), col("dst")).persist()
     try {
       val parts = numPartitions.getOrElse(derivePartitions(cached.count()))
       propagate(cached, propagationBudget, parts) match {
-        case Some(labels) =>
-          lastAlgorithm = "propagation"
-          labels
+        case Some(labels) => (labels, "propagation")
         case None =>
-          lastAlgorithm = "star"
-          runStarContraction(cached, numPartitions = Some(parts))
+          (runStarContraction(cached, numPartitions = Some(parts)), "star")
       }
     } finally cached.unpersist() // results are localCheckpoint-backed
   }

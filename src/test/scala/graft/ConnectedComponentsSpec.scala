@@ -73,18 +73,17 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("components(): propagation on shallow graphs, star on long chains") {
     val shallow = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("src", "dst")
-    val gotShallow = ConnectedComponents.components(shallow)
-      .as[(Long, Long)].collect().toMap
-    assert(ConnectedComponents.lastAlgorithm === "propagation")
-    assert(gotShallow === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
-      20L -> 20L, 21L -> 20L))
+    val (shallowDf, shallowAlgo) = ConnectedComponents.componentsChosen(shallow)
+    assert(shallowAlgo === "propagation")
+    assert(shallowDf.as[(Long, Long)].collect().toMap ===
+      Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
 
     // 120-hop chain: exhausts the 12-round propagation budget, must
     // fall back to star contraction and still land every node on 0
     val chain = (0L until 120L).map(i => (i, i + 1)).toDF("src", "dst")
-    val gotChain = ConnectedComponents.components(chain)
-      .as[(Long, Long)].collect().toMap
-    assert(ConnectedComponents.lastAlgorithm === "star")
-    assert(gotChain === (0L to 120L).map(_ -> 0L).toMap)
+    val (chainDf, chainAlgo) = ConnectedComponents.componentsChosen(chain)
+    assert(chainAlgo === "star")
+    assert(chainDf.as[(Long, Long)].collect().toMap ===
+      (0L to 120L).map(_ -> 0L).toMap)
   }
 }

@@ -59,18 +59,18 @@ class TrainingPrepSpec extends SparkSpec {
     // know the graph shape in advance. Shallow star (the common case):
     // budgeted propagation handles it…
     val shallow = Seq((1L, 7L), (1L, 9L), (40L, 41L)).toDF("src", "dst")
-    val s = graft.ops.ConnectedComponents.components(shallow)
-      .as[(Long, Long)].collect().toMap
-    assert(graft.ops.ConnectedComponents.lastAlgorithm === "propagation")
-    assert(s === Map(1L -> 1L, 7L -> 1L, 9L -> 1L, 40L -> 40L, 41L -> 40L))
+    val (sDf, sAlgo) = graft.ops.ConnectedComponents.componentsChosen(shallow)
+    assert(sAlgo === "propagation")
+    assert(sDf.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 7L -> 1L, 9L -> 1L, 40L -> 40L, 41L -> 40L))
     // …while a transitive near-dup CHAIN (A~B~C~…, each link barely over
     // threshold — the adversarial shape for propagation) silently falls
     // back to the O(log n) star contraction, same output contract
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
-    val c = graft.ops.ConnectedComponents.components(chain)
-      .as[(Long, Long)].collect().toMap
-    assert(graft.ops.ConnectedComponents.lastAlgorithm === "star")
-    assert(c === (0L to 64L).map(_ -> 0L).toMap)
+    val (cDf, cAlgo) = graft.ops.ConnectedComponents.componentsChosen(chain)
+    assert(cAlgo === "star")
+    assert(cDf.as[(Long, Long)].collect().toMap ===
+      (0L to 64L).map(_ -> 0L).toMap)
   }
 
   test("corpus assembly: every disposition branch fires on a crafted corpus") {
