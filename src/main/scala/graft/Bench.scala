@@ -126,19 +126,33 @@ object Bench {
       if (x == 42) System.err.print("") // keep the loop observable
       (System.nanoTime() - t0) / 1e6
     }
-    // In-round regression tracking: compare against the newest committed
-    // BENCH_r*.json so a query that got slower surfaces in THIS round's
-    // artifact instead of at judgment. Ratio-gated (≥1.25× raw and
-    // canary-normalized, prev ≥0.2 s) to keep noise-scale wobble out.
+    // In-round regression tracking: compare against the last committed
+    // bench so a query that got slower surfaces in THIS round's artifact
+    // instead of at judgment. Baseline preference: the COMMITTED
+    // bench_full.json (`git show HEAD:` — every query pair, immune to
+    // both the wrapper's 2000-char head-truncation and local bench runs
+    // overwriting the working file), falling back to the newest
+    // BENCH_r*.json wrapper tail when git or the sidecar is unavailable.
+    // Ratio-gated (≥1.25× raw and canary-normalized, prev ≥0.2 s) to
+    // keep noise-scale wobble out.
     val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
-    val prev = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName).lastOption
+    val committedFull: Option[(String, String)] = dirs.flatMap { d =>
+      try {
+        val txt = scala.sys.process.Process(
+          Seq("git", "-C", d.getPath, "show", "HEAD:bench_full.json")).!!
+        if (txt.contains("\"queries\"")) Some("bench_full.json@HEAD" -> txt)
+        else None
+      } catch { case _: Exception => None }
+    }.headOption
+    val prev = committedFull.orElse {
+      dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption
+        .map(f => f.getName -> java.nio.file.Files.readString(f.toPath))
+    }
     val regressions = prev match {
       case None => "{}"
-      case Some(f) =>
-        regressionsJson(results, f.getName,
-          java.nio.file.Files.readString(f.toPath), calMs)
+      case Some((name, txt)) => regressionsJson(results, name, txt, calMs)
     }
     val line =
       s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"regressions":$regressions,"sf":"$sfDir"}"""
@@ -149,8 +163,8 @@ object Bench {
     // direct `queries` access reads bench_full.json instead;
     // bench_history.jsonl accumulates one line per run for trend tools.
     try {
-      val dir = prev.map(_.getParentFile.toPath)
-        .getOrElse(java.nio.file.Path.of("."))
+      val dir = dirs.find(d => new java.io.File(d, ".git").exists())
+        .map(_.toPath).getOrElse(java.nio.file.Path.of("."))
       java.nio.file.Files.writeString(dir.resolve("bench_full.json"),
         line + "\n")
       java.nio.file.Files.writeString(dir.resolve("bench_history.jsonl"),
