@@ -108,8 +108,16 @@ object Cli {
       if (flags.contains("dry-run"))
         new Ingest.DryRunClient(Set.empty, Set.empty)
       else {
-        val dsn = EnvConfig.pgDsn(EnvConfig.load()) // fail-fast (ingest.py:37-55)
-        new Ingest.JdbcPgStacClient(s"jdbc:$dsn")
+        val cfg = EnvConfig.load()
+        val dsn = EnvConfig.pgDsn(cfg) // fail-fast (ingest.py:37-55)
+        val db = new Ingest.JdbcPgStacClient(s"jdbc:$dsn")
+        // legacy API-mode probes behind STAC_API_URL (or --stac-api-url):
+        // the reference routes existence checks through the STAC API when
+        // configured, with a readiness gate first (dataloader.py:34-52)
+        flags.get("stac-api-url").orElse(cfg.get("STAC_API_URL")) match {
+          case Some(api) => Ingest.ApiModeClient.connect(api, db)
+          case None => db
+        }
       }
     val res = Ingest.run(spark, catalogRoot, client, overwrite)
     println(s"ingest: ${res.collectionsLoaded} collection(s) + " +

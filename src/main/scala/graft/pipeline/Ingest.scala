@@ -49,11 +49,19 @@ object Ingest {
     val collections = StacJsonSink.readCollections(spark, catalogRoot).collect()
     val items = StacJsonSink.readItems(spark, catalogRoot)
 
-    // J3 — skip-existing unless overwrite (dataloader.py:138-154)
-    val existingColls = client.existingCollectionIds()
+    // J3 — skip-existing unless overwrite (dataloader.py:138-154).
+    // Legacy API mode probes per entity (dataloader.py:66-69); DB mode
+    // fetches the id set once.
     val (collsToLoad, collsSkipped) =
       if (overwrite) (collections.toSeq, Seq.empty)
-      else collections.toSeq.partition(c => !existingColls.contains(c.id))
+      else {
+        val exists: String => Boolean = client match {
+          case api: ApiModeClient => api.collectionExists
+          case _ =>
+            val ids = client.existingCollectionIds(); ids.contains
+        }
+        collections.toSeq.partition(c => !exists(c.id))
+      }
 
     // FK order: collections first (dataloader.py:173)
     client.execBatch(collsToLoad.map(collectionSql(_, overwrite)))
@@ -67,7 +75,23 @@ object Ingest {
         if (stmts.nonEmpty) client.execBatch(stmts)
         loaded.add(stmts.size)
       }
-    } else {
+    } else client match {
+      case api: ApiModeClient =>
+        // Legacy API mode: the reference's per-item GET probe
+        // (dataloader.py:88-91, its own docstring calls it "much
+        // slower") — kept for drop-in parity, but the N+1 requests run
+        // from executor tasks in parallel rather than one driver loop,
+        // and each partition still batches its writes.
+        items.foreachPartition { part: Iterator[StacItem] =>
+          val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+          part.foreach { it =>
+            if (api.itemExists(it.collection, it.id)) skipped.add(1)
+            else stmts += itemSql(it, ow)
+          }
+          if (stmts.nonEmpty) api.execBatch(stmts.toSeq)
+          loaded.add(stmts.size)
+        }
+      case _ =>
       // J3 as a distributed join: existing keys come in as a relation
       // (JDBC partitioned read for a real pgSTAC), never a collected
       // Set. No broadcast hint — AQE broadcasts when the key side turns
@@ -201,6 +225,74 @@ object Ingest {
       val st = c.createStatement()
       statements.foreach(st.addBatch)
       st.executeBatch()
+    }
+  }
+
+  /** One HTTP GET, returning the status code — the seam the API-mode
+    * existence probes go through (a stub server in tests, the JDK client
+    * in production). Connection failures PROPAGATE: the reference's
+    * `requests.get` raises on an unreachable API mid-ingest
+    * (dataloader.py:68,90 have no handler), and mapping that to "404 ⇒
+    * load everything again" would silently violate the skip contract.
+    */
+  trait StacApiProbe extends Serializable {
+    def getStatus(url: String): Int
+  }
+
+  final class HttpStacApiProbe extends StacApiProbe {
+    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+    def getStatus(url: String): Int =
+      client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+
+  /** S9/S10 legacy leg — API-mode existence probes
+    * (dataloader.py:54-100): when a `stac_api_url` is configured, a
+    * collection exists iff `GET {base}/collections/{id}` is 200 and an
+    * item iff `GET {base}/collections/{cid}/items/{iid}` is 200; writes
+    * still execute through the wrapped DB-side client (API mode in the
+    * reference changes only the probes — loads remain pypgstac,
+    * dataloader.py:171-189). The reference itself deprecates this path
+    * ("much slower than direct database queries", dataloader.py:22-25);
+    * it exists here for drop-in parity. Construct via
+    * [[ApiModeClient.connect]], which runs the readiness gate.
+    */
+  final class ApiModeClient(apiUrl: String, probe: StacApiProbe,
+                            writes: PgStacClient) extends PgStacClient {
+    private val base = apiUrl.stripSuffix("/") // dataloader.py:48
+    def collectionExists(id: String): Boolean =
+      probe.getStatus(s"$base/collections/$id") == 200
+    def itemExists(collection: String, id: String): Boolean =
+      probe.getStatus(s"$base/collections/$collection/items/$id") == 200
+    // the API surface cannot enumerate the whole store; run() routes
+    // around these in API mode — reaching one is a wiring bug
+    def existingCollectionIds(): Set[String] =
+      throw new UnsupportedOperationException("API mode probes per entity")
+    def existingItemKeys(): Set[(String, String)] =
+      throw new UnsupportedOperationException("API mode probes per entity")
+    def execBatch(statements: Seq[String]): Unit = writes.execBatch(statements)
+  }
+
+  object ApiModeClient {
+    /** The readiness gate at construction (dataloader.py:47-51): poll
+      * the API root until HTTP 200; the reference `exit(1)`s when the
+      * budget runs out — surfaced here as an exception.
+      */
+    def connect(apiUrl: String, writes: PgStacClient,
+                probe: StacApiProbe = new HttpStacApiProbe,
+                retries: Int = 30, delayMs: Long = 10000): ApiModeClient = {
+      val up = (0 until retries).exists { i =>
+        val ok =
+          try probe.getStatus(apiUrl) == 200
+          catch { case _: Exception => false } // dataloader.py:216-218
+        if (!ok && i < retries - 1) Thread.sleep(delayMs)
+        ok
+      }
+      if (!up) throw new IllegalStateException(
+        s"STAC API not available after $retries attempts: $apiUrl")
+      new ApiModeClient(apiUrl, probe, writes)
     }
   }
 }

@@ -123,6 +123,63 @@ class IngestSpec extends SparkSpec {
     assert(perRow.distinct.size === 4) // no row lands in two slices
   }
 
+  test("S9/S10 legacy API mode: existence probes route through the STAC " +
+    "API, writes through the wrapped client (dataloader.py:54-100)") {
+    // stub STAC API on an ephemeral port: c1 and (c1, i1) exist
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/", { exchange =>
+      val p = exchange.getRequestURI.getPath
+      hits.add(p)
+      val code = p match {
+        case "/" | "/collections/c1" | "/collections/c1/items/i1" => 200
+        case _ => 404
+      }
+      exchange.sendResponseHeaders(code, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = writeCatalog()
+      val writes = new FakeClient(); FakeClient.reset()
+      val client = Ingest.ApiModeClient.connect(base, writes,
+        retries = 3, delayMs = 1)
+      val res = Ingest.run(spark, root, client)
+      // c1 exists (200) → skipped; i1 exists → skipped, i2/i3 load
+      assert(res.collectionsLoaded === 0 && res.collectionsSkipped === 1)
+      assert(res.itemsLoaded === 2 && res.itemsSkipped === 1)
+      val stmts = writes.all
+      assert(stmts.count(_.startsWith("INSERT INTO items")) === 2)
+      assert(!stmts.exists(_.contains("'i1'")))
+      // the probes actually went over HTTP, one GET per entity
+      import scala.jdk.CollectionConverters._
+      val paths = hits.iterator().asScala.toSet
+      assert(paths.contains("/collections/c1"))
+      assert(paths.contains("/collections/c1/items/i2"))
+      // overwrite skips every probe: only the readiness GET again
+      hits.clear(); FakeClient.reset()
+      val res2 = Ingest.run(spark, root,
+        Ingest.ApiModeClient.connect(base, writes, retries = 1, delayMs = 1),
+        overwrite = true)
+      assert(res2.collectionsLoaded === 1 && res2.itemsLoaded === 3)
+      assert(hits.iterator().asScala.toSet === Set("/"))
+    } finally server.stop(0)
+  }
+
+  test("S10 readiness gate: unreachable API fails the connect after the " +
+    "retry budget (dataloader.py:49-51 exit(1))") {
+    val boom = new Ingest.StacApiProbe {
+      def getStatus(url: String): Int = throw new java.io.IOException("down")
+    }
+    val e = intercept[IllegalStateException] {
+      Ingest.ApiModeClient.connect("http://127.0.0.1:1", new FakeClient(),
+        probe = boom, retries = 2, delayMs = 1)
+    }
+    assert(e.getMessage.contains("2 attempts"))
+  }
+
   test("S7 zarr probe: dtype from .zarray, recursive size sum") {
     val store = Files.createTempDirectory("graft-zarr")
     Files.createDirectories(store.resolve("var"))
