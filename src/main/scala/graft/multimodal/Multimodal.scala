@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   *  - IMAGE decode/resize/features: REAL — JPEG/PNG via javax.imageio
   *    (in the JDK), resize via Graphics2D, features are luminance
   *    histograms + mean intensity.
-  *  - AUDIO features: REAL for RIFF/PCM WAV (pure-JVM [[Wav]] codec —
-  *    rms, zero-crossings, duration from actual samples); compressed
-  *    formats fall back to a clearly-marked deterministic stub.
+  *  - AUDIO features: REAL for RIFF/PCM WAV and FLAC (pure-JVM [[Wav]]
+  *    and [[Flac]] codecs — rms, zero-crossings, duration from actual
+  *    samples); lossy formats fall back to a clearly-marked
+  *    deterministic stub.
   *  - VIDEO frame-sample: the container has no codecs, so the decode
   *    step is a clearly-marked deterministic stub (byte-hash-derived
   *    values with the REAL schema, partitioning and batch shape) —
@@ -122,9 +123,10 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(content ++ BigInt(idx).toByteArray)
 
-  /** Audio feature extraction. RIFF/PCM WAV payloads decode for REAL
-    * (graft.multimodal.Wav): rms / zero-crossings / duration from the
-    * actual mono-mixed samples. Compressed formats (no codecs in this
+  /** Audio feature extraction. RIFF/PCM WAV and FLAC payloads decode
+    * for REAL (graft.multimodal.Wav / graft.multimodal.Flac — both
+    * pure-JVM codecs): rms / zero-crossings / duration from the actual
+    * mono-mixed samples. Lossy formats (mp3/aac — no codecs in this
     * container) keep the clearly-marked deterministic byte stand-in
     * with duration from metadata.
     */
@@ -138,7 +140,7 @@ object Multimodal {
       .mapPartitions { part =>
         part.map { r =>
           val content = r.getAs[Array[Byte]](1)
-          Wav.decode(content) match {
+          Wav.decode(content).orElse(Flac.decode(content)) match {
             case Some(pcm) =>
               val n = pcm.samples.length
               var sumSq = 0.0
@@ -153,7 +155,7 @@ object Multimodal {
               Row(r.getLong(0), pcm.durationMs,
                 math.sqrt(sumSq / math.max(n, 1)), zc)
             case None =>
-              // ??? — compressed-audio codec decode goes here;
+              // ??? — lossy-codec (mp3/aac) decode goes here;
               // byte-level stand-ins for now
               val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
                 .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
