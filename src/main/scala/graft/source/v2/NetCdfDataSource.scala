@@ -17,8 +17,16 @@ import graft.source.NetCdfSource
   * (S1 as a first-class format, SURVEY §4.1's upgrade path from the
   * mapPartitions decode).
   *
-  * Planning: one input partition per file (the natural parallel unit —
-  * a directory of daily forecast drops fans out one task per file).
+  * Planning: one input partition per file up to `split_bytes` (default
+  * 256 MiB); a LARGER file fans out into one partition per band
+  * variable, and per (variable, leadtime index) when a single variable
+  * still exceeds the threshold — so a multi-year archive decodes across
+  * the whole cluster instead of one task (the Zarr reader's chunk
+  * parallelism applied to netCDF; the HDF5 chunk index makes each
+  * sub-file partition read only its own byte ranges). Pushed
+  * variable/leadtime predicates prune sub-file partitions at PLANNING
+  * time, so a one-band query over a split archive schedules only that
+  * band's tasks.
   * Pushdown: SupportsPushDownRequiredColumns — when neither payload
   * column (`values`, `xs`) is required, the reader decodes the HEADER
   * ONLY and never touches the grid bytes, so metadata-shaped queries
@@ -38,6 +46,12 @@ final class NetCdfDataSource extends TableProvider with DataSourceRegister {
 }
 
 object NetCdfDataSource {
+  /** Files past this size fan out into sub-file partitions (reader
+    * option `split_bytes` overrides): ~256 MiB of decoded doubles per
+    * task keeps partitions executor-memory-safe at any file size.
+    */
+  val DefaultSplitBytes: Long = 256L << 20
+
   /** The tidy scanline schema (SURVEY §1.4). */
   val TidySchema: StructType = new StructType()
     .add("path", StringType).add("variable", StringType)
@@ -127,22 +141,78 @@ private[v2] final class NetCdfScan(props: Map[String, String],
   override def description(): String =
     s"netcdf scan, columns=[${required.fieldNames.mkString(",")}]" +
       (if (filters.describe.nonEmpty) s", pushed=[${filters.describe}]" else "")
-  override def planInputPartitions(): Array[InputPartition] =
-    NetCdfDataSource.resolvePaths(props)
-      .map(p => NetCdfInputPartition(p): InputPartition).toArray
+  private def needPayload =
+    required.fieldNames.contains("values") || required.fieldNames.contains("xs")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val paths = NetCdfDataSource.resolvePaths(props)
+    val splitBytes = props.get("split_bytes").map(_.toLong)
+      .getOrElse(NetCdfDataSource.DefaultSplitBytes)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      // header-only scans never split: the payload is never read, so
+      // the per-file header walk IS the whole cost
+      if (!needPayload || fs.getFileStatus(hp).getLen <= splitBytes)
+        Seq(NetCdfInputPartition(p))
+      else splitFile(p, fs, hp, splitBytes)
+    }.toArray
+  }
+
+  /** Sub-file planning for one oversized file: the header walk (cheap
+    * positioned reads, driver-side) enumerates band variables; pushed
+    * variable/leadtime predicates drop sub-partitions before they are
+    * ever scheduled.
+    */
+  private def splitFile(p: String, fs: FileSystem, hp: HPath,
+                        splitBytes: Long): Seq[NetCdfInputPartition] = {
+    val src = new graft.source.FsByteSource(fs, hp)
+    try {
+      val g = graft.source.GridFile.open(src)
+      val bands = g.varNames.filter(g.isPayload(_, 4))
+        .filter(v => filters.variables.forall(_.contains(v)))
+      bands.flatMap { v =>
+        val shape = g.shape(v)
+        // decoded size drives task cost (doubles), not on-disk size
+        val varBytes = shape.map(_.toLong).product * 8
+        val nl = shape.last // (t, y, x, leadtime) layout per decodeTidy
+        if (varBytes <= splitBytes || nl <= 1)
+          Seq(NetCdfInputPartition(p, Some(v), filters.leadtimeIdx))
+        else
+          (0 until nl).filter(l => filters.leadtimeIdx.forall(_ == l))
+            .map(l => NetCdfInputPartition(p, Some(v), Some(l)))
+      } match {
+        case Seq() => Seq(NetCdfInputPartition(p)) // filters match nothing
+        case parts => parts
+      }
+    } finally src.close()
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new NetCdfReaderFactory(required.fieldNames, filters)
 }
 
-private[v2] final case class NetCdfInputPartition(path: String)
-    extends InputPartition
+/** One scan task: a whole file, or — for split oversized files — one
+  * band variable (optionally pinned to one leadtime index) of it.
+  */
+private[v2] final case class NetCdfInputPartition(
+    path: String, variable: Option[String] = None,
+    leadtimeIdx: Option[Int] = None) extends InputPartition
 
 private[v2] final class NetCdfReaderFactory(requiredCols: Array[String],
                                             filters: NetCdfFilters)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NetCdfPartitionReader(
-      partition.asInstanceOf[NetCdfInputPartition].path, requiredCols, filters)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[NetCdfInputPartition]
+    // a split partition narrows the pushed filters to its own band/slice
+    val eff = NetCdfFilters(
+      p.variable.map(Set(_)).orElse(filters.variables),
+      filters.timeIdx,
+      p.leadtimeIdx.orElse(filters.leadtimeIdx))
+    new NetCdfPartitionReader(p.path, requiredCols, eff)
+  }
 }
 
 private[v2] final class NetCdfPartitionReader(path: String,

@@ -48,6 +48,28 @@ class NetCdfV2Spec extends SparkSpec {
     assert(ys.head === 100000.0)
   }
 
+  test("oversized files split into per-(variable, leadtime) partitions " +
+    "with identical results") {
+    // split_bytes=1 forces every file past the threshold: 2 vars × 3
+    // leadtimes × 2 files = 12 payload partitions instead of 2
+    val split = spark.read.format("netcdf").option("split_bytes", "1").load(glob)
+    assert(split.rdd.getNumPartitions === 12)
+    val whole = spark.read.format("netcdf").load(glob)
+    assert(whole.rdd.getNumPartitions === 2)
+    assert(split.collect().map(_.toString).sorted.toSeq ===
+      whole.collect().map(_.toString).sorted.toSeq)
+    // pushed predicates prune sub-partitions at PLANNING time: one band,
+    // one leadtime → one partition per file
+    val pruned = spark.read.format("netcdf").option("split_bytes", "1").load(glob)
+      .filter(col("variable") === "sic_mean" && col("leadtime_idx") === 2)
+    assert(pruned.rdd.getNumPartitions === 2)
+    assert(pruned.count() === 2 * 8) // files × y rows
+    // header-only scans never split (the payload is never read)
+    val meta = spark.read.format("netcdf").option("split_bytes", "1").load(glob)
+      .select("path", "variable", "leadtime")
+    assert(meta.rdd.getNumPartitions === 2)
+  }
+
   test("variable/slice predicates push into the scan and stay exact") {
     val df = spark.read.format("netcdf").load(glob)
       .filter(col("variable") === "sic_mean" && col("leadtime_idx") === 1)
