@@ -62,5 +62,55 @@ object MultimodalQueries {
     img.unionByName(vid).unionByName(aud)
   }
 
-  val all: Seq[QueryDef] = Seq(imagePipeline)
+  /** Audio features over REAL codec decodes — the same signals rendered
+    * as RIFF/PCM WAV (even ids) and FLAC (odd ids), decoded by the
+    * pure-JVM codecs inside executor tasks. The decoded sample arrays
+    * are dumped so DuckDB independently recomputes every feature (rms,
+    * zero crossings, integer-division duration) from the raw samples —
+    * the q46 pattern: decode pinned by FlacSpec/MultimodalSpec,
+    * aggregation cross-engine-checked. A WAV/FLAC pair of the same
+    * signal must produce identical features (lossless round-trip).
+    */
+  val audioPipeline = QueryDef("q79_audio_features",
+    """SELECT media_id, codec,
+      |  CAST(len(vals) AS BIGINT) * 1000 // sample_rate AS duration_ms,
+      |  round(sqrt(list_sum(list_transform(vals, x -> x * x)) / len(vals)), 6)
+      |    AS rms,
+      |  CAST(list_sum(list_transform(generate_series(2, len(vals)),
+      |    i -> CASE WHEN (vals[i] < 0) <> (vals[i-1] < 0) THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS zero_crossings
+      |FROM read_parquet('/tmp/graft-oracle/q79_samples/*.parquet')
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Flac, Wav}
+    val n = 24
+    val rows = (0 until n).map { i =>
+      val len = 1200 + (i % 3) * 100
+      val sig = Array.tabulate(len)(t => math.sin(t * (0.01 + i * 0.001)) * 0.7)
+      val codec = if (i % 2 == 0) "wav" else "flac"
+      val content =
+        if (codec == "wav") Wav.write(sig, 8000) else Flac.write(sig, 8000)
+      Row(i.toLong, "audio", s"audio/$codec", content,
+        Map("duration_ms" -> "0"))
+    }
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
+    // decoded samples dumped once (memoized) so the oracle starts from
+    // the raw PCM, not from our own feature values
+    val samples = media.select(col("media_id"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, mt, bytes) =>
+        val pcm = Wav.decode(bytes).orElse(Flac.decode(bytes)).get
+        (id, mt.stripPrefix("audio/"), pcm.sampleRate, pcm.samples)
+      }.toDF("media_id", "codec", "sample_rate", "vals")
+    graft.Work.oracleDump(s, "q79_samples", samples, d)
+    val codecs = media.select(col("media_id"),
+      regexp_replace(col("media_type"), "audio/", "").as("codec"))
+    Multimodal.audioFeatures(media)
+      .join(codecs, Seq("media_id"))
+      .select(col("media_id"), col("codec"), col("duration_ms"),
+        round(col("rms"), 6).as("rms"), col("zero_crossings"))
+  }
+
+  val all: Seq[QueryDef] = Seq(imagePipeline, audioPipeline)
 }
