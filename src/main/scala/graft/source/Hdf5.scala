@@ -19,11 +19,11 @@ import java.util.zip.Inflater
   * contiguous / chunked (B-tree v1) data layouts; deflate, shuffle and
   * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
   * netCDF-4 dimension scales (DIMENSION_LIST object-reference
-  * resolution); DENSE groups (fractal-heap link storage + name-index
-  * v2 B-tree — the "latest"-format layout h5py emits once a group
-  * outgrows compact storage). Not supported: fractal-heap dense
-  * ATTRIBUTES, multi-level v2 B-trees, v4 data layouts, non-IEEE
-  * floats — all rejected with explicit errors.
+  * resolution); DENSE groups and DENSE attributes (fractal-heap
+  * storage + name-index v2 B-trees, types 5 and 8 — the
+  * "latest"-format layouts h5py emits once links/attributes outgrow
+  * compact storage). Not supported: multi-level v2 B-trees, v4 data
+  * layouts, non-IEEE floats — all rejected with explicit errors.
   */
 object Hdf5 {
 
@@ -219,7 +219,20 @@ object Hdf5 {
     private def walkObject(oh: Long, prefix: String,
                            out: scala.collection.mutable.Builder[Dataset, Vector[Dataset]]): Seq[Attr] = {
       val msgs = readMessages(oh)
-      val attrs = msgs.collect { case (0x000C, body) => parseAttribute(body) }
+      // compact attribute messages, plus DENSE attribute storage (the
+      // "latest"-format layout once an object outgrows the compact
+      // limit): attribute messages as fractal-heap managed objects
+      // indexed by a name v2 B-tree — same machinery as dense links
+      val attrs = msgs.collect { case (0x000C, body) => parseAttribute(body) } ++
+        msgs.collectFirst { case (0x0015, body) => body }.toSeq.flatMap { body =>
+          val b = buf0(body); b.get()
+          val flags = b.get().toInt
+          if ((flags & 0x1) != 0) u2(b) // max creation index
+          val fheap = b.getLong()
+          val nameBtree = b.getLong()
+          if (fheap == Undefined) Seq.empty
+          else denseAttributes(fheap, nameBtree)
+        }
       val space = msgs.collectFirst { case (0x0001, body) => parseDataspace(body) }
       val dtype = msgs.collectFirst { case (0x0003, body) => parseDatatype(buf0(body)) }
       val layout = msgs.collectFirst { case (0x0008, body) => parseLayout(body) }
@@ -236,13 +249,6 @@ object Hdf5 {
           val nameBtree = b.getLong()
           if (fheap == Undefined) Seq.empty else denseLinks(fheap, nameBtree)
         }
-      msgs.collectFirst { case (0x0015, body) => body }.foreach { body =>
-        val b = buf0(body); b.get()
-        val flags = b.get().toInt
-        if ((flags & 0x1) != 0) u2(b)
-        val fheap = b.getLong()
-        require(fheap == Undefined, "dense (fractal-heap) attributes unsupported")
-      }
       val isDataset = space.isDefined && dtype.isDefined && layout.isDefined
       if (isDataset) {
         val filters = msgs.collectFirst { case (0x000B, body) => parseFilters(body) }
@@ -282,6 +288,21 @@ object Hdf5 {
       v2BtreeRecords(nameBtreeAddr, expectType = 5).flatMap { rec =>
         val heapId = java.util.Arrays.copyOfRange(rec, 4, rec.length)
         parseLink(heap.managedObject(heapId))
+      }
+    }
+
+    /** Attributes stored densely: each v2 B-tree type-8 record is
+      * heap ID (8) + message flags (1) + creation order (4) + name
+      * hash (4); the heap object is a regular attribute-message body.
+      * Shared attribute messages (flag bit 1) are rejected explicitly.
+      */
+    private def denseAttributes(fheapAddr: Long,
+                                nameBtreeAddr: Long): Seq[Attr] = {
+      val heap = new FractalHeap(fheapAddr)
+      v2BtreeRecords(nameBtreeAddr, expectType = 8).map { rec =>
+        require((rec(8) & 0x02) == 0, "shared dense attribute unsupported")
+        val heapId = java.util.Arrays.copyOfRange(rec, 0, 8)
+        parseAttribute(heap.managedObject(heapId))
       }
     }
 

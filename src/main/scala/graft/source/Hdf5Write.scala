@@ -135,10 +135,12 @@ object Hdf5Write {
             vars: Seq[NetCdf.VarSpec], deflateLevel: Int = 9,
             shuffle: Boolean = true,
             maxChunkElems: Int = 262144,
-            denseRoot: Boolean = false): Array[Byte] = {
+            denseRoot: Boolean = false,
+            denseAttrs: Boolean = false): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-      dataBase = 0L, denseRoot = denseRoot, mkSink = { eof =>
+      dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
+      mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
         arr = new Array[Byte](eof.toInt)
@@ -157,12 +159,13 @@ object Hdf5Write {
                 gatts: Seq[(String, String)], vars: Seq[NetCdf.VarSpec],
                 deflateLevel: Int = 9, shuffle: Boolean = true,
                 maxChunkElems: Int = 262144, dataBase: Long = 0L,
-                denseRoot: Boolean = false): Unit = {
+                denseRoot: Boolean = false,
+                denseAttrs: Boolean = false): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-        dataBase, denseRoot,
+        dataBase, denseRoot, denseAttrs,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -178,7 +181,7 @@ object Hdf5Write {
   private def render(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
                      vars: Seq[NetCdf.VarSpec], deflateLevel: Int,
                      shuffle: Boolean, maxChunkElems: Int,
-                     dataBase: Long, denseRoot: Boolean,
+                     dataBase: Long, denseRoot: Boolean, denseAttrs: Boolean,
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
 
@@ -312,8 +315,40 @@ object Hdf5Write {
     val btlfAddr =
       if (denseRoot) alloc(10L + plans.size * 11L) else Hdf5.Undefined
 
+    // dense ATTRIBUTE storage for the root group's global attributes:
+    // version-1 attribute-message bodies as fractal-heap managed
+    // objects + a type-8 name v2 B-tree — the "latest"-format layout
+    // once an object outgrows the compact attribute limit
+    val storeAttrsDense = denseAttrs && gatts.nonEmpty
+    def attrBodySize(k: String, v: String): Int =
+      8 + pad8(k.length + 1) + 8 + 8 + (v.length + 1)
+    val attrNames = gatts.map(_._1)
+    val attrObjOffset: Map[String, Long] = {
+      var off = 17L // FHDB header: sig(4) + ver(1) + heap addr(8) + off(4)
+      gatts.map { case (k, v) =>
+        val o = off; off += attrBodySize(k, v); k -> o
+      }.toMap
+    }
+    val attrDblockSize: Long =
+      if (!storeAttrsDense) 0L
+      else {
+        val need = 17L + gatts.map { case (k, v) => attrBodySize(k, v).toLong }.sum
+        var s = 512L
+        while (s < need) s <<= 1
+        require(s <= 65536L, s"dense attrs need $need bytes (> max direct block)")
+        s
+      }
+    val attrFrhpAddr = if (storeAttrsDense) alloc(146L) else Hdf5.Undefined
+    val attrDblockAddr =
+      if (storeAttrsDense) alloc(attrDblockSize) else Hdf5.Undefined
+    val attrBthdAddr = if (storeAttrsDense) alloc(38L) else Hdf5.Undefined
+    val attrBtlfAddr =
+      if (storeAttrsDense) alloc(10L + gatts.size * 17L) else Hdf5.Undefined
+
     val rootOhSize = 16 + (if (denseRoot) msg(18) else msg(16)) +
-      gatts.map { case (k, v) => attrMsgSize(k.length, 8, 8, v.length + 1) }.sum
+      (if (storeAttrsDense) msg(18)
+       else gatts.map { case (k, v) =>
+         attrMsgSize(k.length, 8, 8, v.length + 1) }.sum)
     val rootOhAddr = alloc(rootOhSize.toLong)
     val eof = cursor
 
@@ -612,6 +647,96 @@ object Hdf5Write {
       seek(btlfAddr); out.put(bl.array())
     }
 
+    if (storeAttrsDense) {
+      // version-1 attribute-message body, exactly as the compact 0x000C
+      // message would carry it — dense storage stores the same bytes as
+      // fractal-heap managed objects
+      def textAttrBody(name: String, value: String): Array[Byte] = {
+        val dataSize = value.length + 1
+        val buf = ByteBuffer.allocate(attrBodySize(name, value))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        buf.put(1.toByte); buf.put(0.toByte)
+        buf.putShort((name.length + 1).toShort)
+        buf.putShort(8); buf.putShort(8)
+        val nm = (name + "\u0000").getBytes(StandardCharsets.UTF_8)
+        buf.put(nm)
+        (nm.length until pad8(name.length + 1)).foreach(_ => buf.put(0.toByte))
+        buf.put(0x13.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+        buf.putInt(dataSize) // fixed string, null-terminated
+        buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+        buf.putInt(0) // scalar dataspace v1
+        buf.put((value + "\u0000").getBytes(StandardCharsets.UTF_8))
+        buf.array()
+      }
+      val fr = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
+      fr.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+      fr.put(0.toByte)
+      fr.putShort(7)   // heap ID: 1 + 4 (offset) + 2 (length)
+      fr.putShort(0)
+      fr.put(0.toByte)
+      fr.putInt(4096)
+      fr.putLong(0L); fr.putLong(-1L); fr.putLong(0L); fr.putLong(-1L)
+      fr.putLong(attrDblockSize); fr.putLong(attrDblockSize)
+      fr.putLong(attrObjOffset(attrNames.last) +
+        attrBodySize(attrNames.last, gatts.last._2))
+      fr.putLong(gatts.size.toLong)
+      fr.putLong(0L); fr.putLong(0L); fr.putLong(0L); fr.putLong(0L)
+      fr.putShort(4)
+      fr.putLong(attrDblockSize)
+      fr.putLong(65536L)
+      fr.putShort(32)
+      fr.putShort(4)
+      fr.putLong(attrDblockAddr)
+      fr.putShort(0) // root is a DIRECT block
+      fr.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(fr.array(), 0, 142)))
+      seek(attrFrhpAddr); out.put(fr.array())
+
+      val db = ByteBuffer.allocate(attrDblockSize.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      db.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+      db.put(0.toByte)
+      db.putLong(attrFrhpAddr)
+      db.putInt(0)
+      gatts.foreach { case (k, v) => db.put(textAttrBody(k, v)) }
+      seek(attrDblockAddr); out.put(db.array())
+
+      // attribute-name v2 B-tree: type-8 records (heap ID + flags +
+      // creation order + name hash), root is the leaf
+      val bh = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+      bh.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+      bh.put(0.toByte)
+      bh.put(8.toByte)
+      bh.putInt(2048)
+      bh.putShort(17) // heap ID(8) + flags(1) + creation order(4) + hash(4)
+      bh.putShort(0)
+      bh.put(100.toByte); bh.put(40.toByte)
+      bh.putLong(attrBtlfAddr)
+      bh.putShort(gatts.size.toShort)
+      bh.putLong(gatts.size.toLong)
+      bh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(bh.array(), 0, 34)))
+      seek(attrBthdAddr); out.put(bh.array())
+
+      val leafSize = 10 + gatts.size * 17
+      val bl = ByteBuffer.allocate(leafSize).order(ByteOrder.LITTLE_ENDIAN)
+      bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+      bl.put(0.toByte); bl.put(8.toByte)
+      val recs = gatts.zipWithIndex.map { case ((k, v), i) =>
+        (Lookup3.hash(k.getBytes(StandardCharsets.UTF_8)), k, v, i)
+      }.sortBy { case (h, _, _, _) => h.toLong & 0xFFFFFFFFL }
+      recs.foreach { case (h, k, v, i) =>
+        bl.put(0.toByte) // heap ID: version 0, managed
+        bl.putInt(attrObjOffset(k).toInt)
+        bl.putShort(attrBodySize(k, v).toShort)
+        bl.put(0.toByte) // heap ID pad to the record's 8-byte field
+        bl.put(0.toByte) // message flags
+        bl.putInt(i)     // creation order
+        bl.putInt(h)
+      }
+      bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+        bl.array(), 0, leafSize - 4)))
+      seek(attrBtlfAddr); out.put(bl.array())
+    }
+
     // local heap
     if (!denseRoot) {
       val b = seek(heapAddr)
@@ -654,7 +779,7 @@ object Hdf5Write {
     {
       val b = seek(rootOhAddr)
       b.put(1.toByte); b.put(0.toByte)
-      b.putShort((1 + gatts.size).toShort)
+      b.putShort((1 + (if (storeAttrsDense) 1 else gatts.size)).toShort)
       b.putInt(1)
       b.putInt(rootOhSize - 16)
       b.putInt(0)
@@ -669,7 +794,14 @@ object Hdf5Write {
         msgHeader(b, 0x0011, 16)
         b.putLong(gBtreeAddr); b.putLong(heapAddr)
       }
-      gatts.foreach { case (k, v) => writeTextAttr(b, k, v) }
+      if (storeAttrsDense) {
+        // Attribute Info: attrs live in their own fractal heap + B-tree
+        msgHeader(b, 0x0015, 18)
+        b.put(0.toByte); b.put(0.toByte) // version, flags (no creation order)
+        b.putLong(attrFrhpAddr)
+        b.putLong(attrBthdAddr)
+        (18 until pad8(18)).foreach(_ => b.put(0.toByte))
+      } else gatts.foreach { case (k, v) => writeTextAttr(b, k, v) }
     }
 
   }

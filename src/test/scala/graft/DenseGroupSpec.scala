@@ -55,6 +55,37 @@ class DenseGroupSpec extends SparkSpec {
     assert(tidy.count() === 2 * 1 * 3 * 8) // 2 vars x nt x nl x ny scanlines
   }
 
+  test("dense (fractal-heap) ATTRIBUTES read back identically to the " +
+    "compact rendering") {
+    // many global attributes — the shape that makes h5py/libhdf5 spill
+    // attribute storage out of the object header into a fractal heap +
+    // type-8 name B-tree ("latest" format)
+    val gatts = (0 until 12).map(i => f"attr_$i%02d" -> s"value $i") ++
+      Seq("geospatial_bounds_crs" -> "EPSG:6931")
+    val (dims, _, vars) = NetCdfFixture.spec(nt = 1, ny = 8, nx = 8, nl = 3)
+    val dense = Hdf5Write.write(dims, gatts, vars, denseAttrs = true)
+    val compact = Hdf5Write.write(dims, gatts, vars)
+    val gd = GridFile.open(dense)
+    val gc = GridFile.open(compact)
+    gatts.foreach { case (k, v) =>
+      assert(gd.gattText(k) === Some(v), k)
+      assert(gd.gattText(k) === gc.gattText(k), k)
+    }
+    assert(gd.gattText("nope").isEmpty)
+    // dense attrs + dense links compose (both heaps on one object)
+    val both = GridFile.open(
+      Hdf5Write.write(dims, gatts, vars, denseRoot = true, denseAttrs = true))
+    assert(both.gattText("attr_07") === Some("value 7"))
+    assert(both.varNames.toSet === gc.varNames.toSet)
+    // and the full pipeline metadata path sees the dense-attr CRS
+    val dir = Work.stableDir("denseattrnc")
+    java.nio.file.Files.write(dir.resolve("da_0.nc"), dense)
+    val man = graft.source.NetCdfSource.manifest(spark, s"$dir/*.nc")
+    import org.apache.spark.sql.functions.col
+    assert(man.filter(col("is_band")).select("crs").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("EPSG:6931"))
+  }
+
   test("a dense group larger than one B-tree leaf is rejected loudly, " +
     "not misread") {
     // depth-0 limit: the explicit error names the unsupported shape
