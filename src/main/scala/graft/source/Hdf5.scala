@@ -124,6 +124,19 @@ object Hdf5 {
   /** chunkDims excludes the trailing element-size pseudo-dimension. */
   final case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
   final case class Compact(data: Array[Byte]) extends Layout
+  // v4 ("latest"-format) chunk indexes: the three shapes h5py/libhdf5
+  // emit for fixed-shape datasets. Extensible Array and v2 B-tree
+  // indexes (unlimited dimensions) are rejected explicitly at parse.
+  /** One chunk covers the whole dataset; filteredSize < 0 = unfiltered. */
+  final case class ChunkedSingle(addr: Long, chunkDims: Seq[Int],
+                                 filteredSize: Long, filterMask: Int)
+      extends Layout
+  /** Unfiltered chunks laid out contiguously in row-major grid order. */
+  final case class ChunkedImplicit(addr: Long, chunkDims: Seq[Int])
+      extends Layout
+  /** Fixed Array index: FAHD header → FADB element block. */
+  final case class ChunkedFixedArray(addr: Long, chunkDims: Seq[Int])
+      extends Layout
 
   final case class Filter(id: Int, client: Seq[Int])
 
@@ -552,7 +565,8 @@ object Hdf5 {
     private def parseLayout(body: Array[Byte]): Layout = {
       val b = buf0(body)
       val ver = b.get().toInt
-      require(ver == 3, s"data layout version $ver (only v3 supported)")
+      require(ver == 3 || ver == 4,
+        s"data layout version $ver (v3 and v4 supported)")
       b.get().toInt match {
         case 0 =>
           val sz = u2(b)
@@ -560,11 +574,34 @@ object Hdf5 {
           Compact(d)
         case 1 =>
           Contiguous(b.getLong(), b.getLong())
-        case 2 =>
+        case 2 if ver == 3 =>
           val dimsPlus1 = b.get().toInt
           val btree = b.getLong()
           val cdims = (0 until dimsPlus1).map(_ => u4(b).toInt)
           Chunked(btree, cdims.dropRight(1)) // last is element size
+        case 2 => // v4 chunked: flags + sized dims + one of five indexes
+          val flags = b.get().toInt
+          val ndims = b.get().toInt
+          val encLen = b.get().toInt
+          def uN(): Long = {
+            var v = 0L
+            (0 until encLen).foreach(i => v |= (b.get().toLong & 0xFF) << (8 * i))
+            v
+          }
+          val cdims = (0 until ndims).map(_ => uN().toInt)
+          b.get().toInt match {
+            case 1 => // single chunk
+              val (fsz, fmask) =
+                if ((flags & 0x2) != 0) (b.getLong(), b.getInt()) else (-1L, 0)
+              ChunkedSingle(b.getLong(), cdims, fsz, fmask)
+            case 2 => ChunkedImplicit(b.getLong(), cdims)
+            case 3 =>
+              b.get() // page bits (the header repeats them)
+              ChunkedFixedArray(b.getLong(), cdims)
+            case t => throw new IllegalArgumentException(
+              s"v4 chunk index type $t (extensible array / v2 B-tree " +
+                "indexes for unlimited dims) unsupported")
+          }
         case c => throw new IllegalArgumentException(s"layout class $c")
       }
     }
@@ -814,28 +851,112 @@ object Hdf5 {
             System.arraycopy(src.read(a, n), 0, out, 0, n)
           }
           out
-        case Chunked(btree, cdims) =>
+        case chunkedLayout =>
+          val cdims = chunkedLayout match {
+            case Chunked(_, cd) => cd
+            case ChunkedSingle(_, cd, _, _) => cd
+            case ChunkedImplicit(_, cd) => cd
+            case ChunkedFixedArray(_, cd) => cd
+            case other => throw new IllegalStateException(s"layout $other")
+          }
           val out = new Array[Byte](total.toInt)
           def wanted(coords: Array[Long]): Boolean =
             keep.isEmpty || coords.indices.forall { d =>
               keep.lift(d).flatten.forall(i =>
                 coords(d) <= i && i < coords(d) + cdims(d))
             }
-          if (btree != Undefined)
-            walkChunkTree(btree, ds.dims.length) {
-              case (coords, storedSize, mask, caddr) =>
-                if (wanted(coords)) {
-                  // exact byte-range read — a pruned-away chunk is never
-                  // fetched, so a >2 GiB archive costs only its slice
-                  var chunk = src.read(caddr, storedSize)
-                  // reverse pipeline order, honoring the skip mask
-                  ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
-                    if ((mask & (1 << i)) == 0) chunk = unfilter(f, chunk, elem)
-                  }
-                  scatter(chunk, coords, cdims, ds.dims, elem, out)
-                }
+          // shared per-chunk pipeline for every index flavor: exact
+          // byte-range read — a pruned-away chunk is never fetched, so
+          // a >2 GiB archive costs only its slice — then the filter
+          // pipeline in reverse, honoring the skip mask
+          def emit(coords: Array[Long], storedSize: Int, mask: Int,
+                   caddr: Long): Unit =
+            if (wanted(coords)) {
+              var chunk = src.read(caddr, storedSize)
+              ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
+                if ((mask & (1 << i)) == 0) chunk = unfilter(f, chunk, elem)
+              }
+              scatter(chunk, coords, cdims, ds.dims, elem, out)
             }
+          val nominal = (cdims.map(_.toLong).product * elem).toInt
+          // row-major chunk-grid coordinates for linear index i
+          def gridCoords(i: Long): Array[Long] = {
+            val nPer = ds.dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
+            val coords = new Array[Long](cdims.length)
+            var rest = i
+            (cdims.length - 1) to 0 by -1 foreach { d =>
+              coords(d) = (rest % nPer(d)) * cdims(d); rest /= nPer(d)
+            }
+            coords
+          }
+          chunkedLayout match {
+            case Chunked(btree, _) =>
+              if (btree != Undefined) walkChunkTree(btree, ds.dims.length) {
+                case (coords, storedSize, mask, caddr) =>
+                  emit(coords, storedSize, mask, caddr)
+              }
+            case ChunkedSingle(addr, _, fsz, fmask) =>
+              if (addr != Undefined)
+                emit(new Array[Long](cdims.length),
+                  if (fsz >= 0) fsz.toInt else nominal,
+                  if (fsz >= 0) fmask else 0, addr)
+            case ChunkedImplicit(addr, _) =>
+              if (addr != Undefined) {
+                val n = ds.dims.zip(cdims)
+                  .map { case (d, c) => ((d + c - 1) / c).toLong }.product
+                (0L until n).foreach(i =>
+                  emit(gridCoords(i), nominal, 0, addr + i * nominal))
+              }
+            case ChunkedFixedArray(addr, _) =>
+              if (addr != Undefined)
+                fixedArrayChunks(addr, nominal)(
+                  (i, sz, mask, ca) => emit(gridCoords(i), sz, mask, ca))
+            case other => throw new IllegalStateException(s"layout $other")
+          }
           out
+      }
+    }
+
+    /** Walk a Fixed Array chunk index (FAHD header → FADB element
+      * block): client 0 entries are bare chunk addresses (unfiltered,
+      * nominal size), client 1 entries carry (address, stored size,
+      * filter mask). Paged data blocks (more entries than one page) are
+      * rejected explicitly.
+      */
+    private def fixedArrayChunks(faAddr: Long, nominal: Int)(
+        f: (Long, Int, Int, Long) => Unit): Unit = {
+      val h = cur(faAddr)
+      require(h.read(4).sameElements("FAHD".getBytes(StandardCharsets.US_ASCII)),
+        s"bad Fixed Array header signature at $faAddr")
+      require(h.get() == 0, "FAHD version")
+      val clientId = h.get().toInt
+      require(clientId == 0 || clientId == 1, s"FAHD client $clientId")
+      val entrySize = h.get().toInt
+      val pageBits = h.get().toInt
+      val maxEntries = h.getLong()
+      val dbAddr = h.getLong()
+      require(maxEntries <= (1L << pageBits),
+        s"paged Fixed Array ($maxEntries entries > one ${1L << pageBits}-" +
+          "entry page) unsupported")
+      if (dbAddr == Undefined) return
+      val b = cur(dbAddr)
+      require(b.read(4).sameElements("FADB".getBytes(StandardCharsets.US_ASCII)),
+        s"bad Fixed Array data block signature at $dbAddr")
+      require(b.get() == 0, "FADB version")
+      require(b.get().toInt == clientId, "FADB client mismatch")
+      b.getLong() // header back-pointer
+      val szBytes = entrySize - 12 // client-1 entry: addr(8) + size + mask(4)
+      (0L until maxEntries).foreach { i =>
+        if (clientId == 0) {
+          val a = b.getLong()
+          if (a != Undefined) f(i, nominal, 0, a)
+        } else {
+          val a = b.getLong()
+          var sz = 0L
+          (0 until szBytes).foreach(j => sz |= (b.get().toLong & 0xFF) << (8 * j))
+          val mask = b.getInt()
+          if (a != Undefined) f(i, sz.toInt, mask, a)
+        }
       }
     }
 

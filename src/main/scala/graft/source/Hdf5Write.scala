@@ -136,10 +136,12 @@ object Hdf5Write {
             shuffle: Boolean = true,
             maxChunkElems: Int = 262144,
             denseRoot: Boolean = false,
-            denseAttrs: Boolean = false): Array[Byte] = {
+            denseAttrs: Boolean = false,
+            v4Layout: Boolean = false): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
+      v4Layout = v4Layout,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -160,12 +162,13 @@ object Hdf5Write {
                 deflateLevel: Int = 9, shuffle: Boolean = true,
                 maxChunkElems: Int = 262144, dataBase: Long = 0L,
                 denseRoot: Boolean = false,
-                denseAttrs: Boolean = false): Unit = {
+                denseAttrs: Boolean = false,
+                v4Layout: Boolean = false): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-        dataBase, denseRoot, denseAttrs,
+        dataBase, denseRoot, denseAttrs, v4Layout,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -182,6 +185,7 @@ object Hdf5Write {
                      vars: Seq[NetCdf.VarSpec], deflateLevel: Int,
                      shuffle: Boolean, maxChunkElems: Int,
                      dataBase: Long, denseRoot: Boolean, denseAttrs: Boolean,
+                     v4Layout: Boolean,
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
 
@@ -240,7 +244,12 @@ object Hdf5Write {
         msg(20) + // datatype float64
         msg(2) + // fill v3 (undefined)
         (if (p.isScale) msg(18) // contiguous layout
-         else msg(3 + 8 + (rank + 1) * 4) + msg(filtersBody))
+         else (if (v4Layout) {
+                 // v4: Single Chunk (filtered info inline) or Fixed Array
+                 val n = chunked(p.name).list.size
+                 msg(if (n == 1) 26 + rank * 4 else 15 + rank * 4)
+               }
+               else msg(3 + 8 + (rank + 1) * 4)) + msg(filtersBody))
       val scaleAttrs = if (p.isScale)
         attrMsgSize("CLASS".length, 8, 8, "DIMENSION_SCALE".length + 1) +
         attrMsgSize("NAME".length, 8, 8, p.name.length + 1)
@@ -260,19 +269,32 @@ object Hdf5Write {
     if (dataBase > 0) cursor = math.max(cursor, dataBase) // sparse hole
     def alloc(n: Long): Long = { val a = cursor; cursor += n; a }
 
-    // chunk data + per-dataset b-trees (or contiguous data)
+    // chunk data + per-dataset chunk indexes (or contiguous data): a v1
+    // B-tree per payload in the default "earliest" rendering, an FAHD +
+    // FADB Fixed Array per payload in the v4 ("latest") rendering
     val dataAddr = scala.collection.mutable.Map[String, Long]()
     val chunkAddrs = scala.collection.mutable.Map[String, Seq[Long]]()
     val btreeAddr = scala.collection.mutable.Map[String, Long]()
+    val faHdrAddr = scala.collection.mutable.Map[String, Long]()
+    val faDbAddr = scala.collection.mutable.Map[String, Long]()
     plans.foreach { p =>
       if (p.isScale) {
         dataAddr(p.name) = alloc(p.data.length.toLong * 8)
       } else {
         val c = chunked(p.name)
         chunkAddrs(p.name) = c.list.map { case (_, bytes) => alloc(bytes.length.toLong) }
-        val rank = p.shape.length
-        val keySize = 8 + (rank + 1) * 8
-        btreeAddr(p.name) = alloc(24L + c.list.size * (keySize + 8) + keySize)
+        if (v4Layout) {
+          // single-chunk datasets use the Single Chunk index (the
+          // address lives in the layout message itself) — no FAHD/FADB
+          if (c.list.size > 1) {
+            faHdrAddr(p.name) = alloc(28L)
+            faDbAddr(p.name) = alloc(14L + c.list.size * 16L + 4L)
+          }
+        } else {
+          val rank = p.shape.length
+          val keySize = 8 + (rank + 1) * 8
+          btreeAddr(p.name) = alloc(24L + c.list.size * (keySize + 8) + keySize)
+        }
       }
     }
     val gcolAddr = if (gcolSize > 0) alloc(gcolSize.toLong) else Hdf5.Undefined
@@ -381,8 +403,10 @@ object Hdf5Write {
       }
     }
 
-    // chunk B-trees: single leaf, entries in row-major origin order
-    payloads.foreach { p =>
+    // chunk indexes: v1 B-tree (single leaf, entries in row-major origin
+    // order) in the default rendering; Fixed Array (FAHD + FADB,
+    // filtered client — address/size/mask entries) in the v4 rendering
+    if (!v4Layout) payloads.foreach { p =>
       val c = chunked(p.name)
       val b = seek(btreeAddr(p.name))
       b.put("TREE".getBytes(StandardCharsets.US_ASCII))
@@ -399,6 +423,32 @@ object Hdf5Write {
       b.putInt(0); b.putInt(0)
       last.indices.foreach(i => b.putLong(last(i) + c.cdims(i)))
       b.putLong(8L)
+    } else payloads.filter(p => chunked(p.name).list.size > 1).foreach { p =>
+      val c = chunked(p.name)
+      val n = c.list.size
+      val fh = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      fh.put("FAHD".getBytes(StandardCharsets.US_ASCII))
+      fh.put(0.toByte)  // version
+      fh.put(1.toByte)  // client 1: filtered chunks
+      fh.put(16.toByte) // entry: addr(8) + size(4) + mask(4)
+      fh.put(10.toByte) // page bits (1024 entries — paging never needed here)
+      require(n <= 1024, s"${p.name}: $n chunks exceed one Fixed Array page")
+      fh.putLong(n.toLong)
+      fh.putLong(faDbAddr(p.name))
+      fh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(fh.array(), 0, 24)))
+      seek(faHdrAddr(p.name)); out.put(fh.array())
+
+      val dbSize = 14 + n * 16 + 4
+      val db = ByteBuffer.allocate(dbSize).order(ByteOrder.LITTLE_ENDIAN)
+      db.put("FADB".getBytes(StandardCharsets.US_ASCII))
+      db.put(0.toByte); db.put(1.toByte)
+      db.putLong(faHdrAddr(p.name))
+      c.list.zip(chunkAddrs(p.name)).foreach { case ((_, bytes), a) =>
+        db.putLong(a); db.putInt(bytes.length); db.putInt(0)
+      }
+      db.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+        db.array(), 0, dbSize - 4)))
+      seek(faDbAddr(p.name)); out.put(db.array())
     }
 
     // global heap with one object-reference per (data var, dim)
@@ -542,6 +592,38 @@ object Hdf5Write {
         (0 until pad8(18) - 18).foreach(_ => b.put(0.toByte))
         writeTextAttr(b, "CLASS", "DIMENSION_SCALE")
         writeTextAttr(b, "NAME", p.name)
+      } else if (v4Layout) {
+        val c = chunked(p.name)
+        val single = c.list.size == 1
+        val body = (if (single) 26 else 15) + rank * 4
+        msgHeader(b, 0x0008, body)
+        b.put(4.toByte); b.put(2.toByte) // v4 chunked
+        b.put((if (single) 2 else 0).toByte) // flags: bit1 = filtered single
+        b.put(rank.toByte)
+        b.put(4.toByte)                  // dim size encoded length
+        c.cdims.foreach(d => b.putInt(d))
+        if (single) {
+          b.put(1.toByte)                // index type 1: Single Chunk
+          b.putLong(c.list.head._2.length.toLong) // filtered size
+          b.putInt(0)                    // filter mask
+          b.putLong(chunkAddrs(p.name).head)
+        } else {
+          b.put(3.toByte)                // index type 3: Fixed Array
+          b.put(10.toByte)               // page bits
+          b.putLong(faHdrAddr(p.name))
+        }
+        (0 until pad8(body) - body).foreach(_ => b.put(0.toByte))
+        msgHeader(b, 0x000B, filtersBody)
+        b.put(1.toByte)
+        b.put((if (shuffle) 2 else 1).toByte)
+        b.put(0.toByte); b.put(0.toByte); b.putInt(0)
+        if (shuffle) {
+          b.putShort(2); b.putShort(0); b.putShort(0); b.putShort(1)
+          b.putInt(8); b.putInt(0)
+        }
+        b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
+        b.putInt(deflateLevel); b.putInt(0)
+        writeDimListAttr(b, p.name, p.varDims)
       } else {
         val c = chunked(p.name)
         val body = 3 + 8 + (rank + 1) * 4
