@@ -29,6 +29,52 @@ object NetCdfSource {
   def findCoord(names: Seq[String], candidates: Seq[String]): Option[String] =
     candidates.find(names.contains)
 
+  /** Resolve a comma-joined glob to concrete file paths (driver-side,
+    * Hadoop FileSystem — works on local disk, HDFS, object stores).
+    */
+  private def resolveGlob(spark: SparkSession, glob: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    glob.split(",").toSeq.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isFile).map(_.getPath.toString)
+    }.sorted.distinct
+  }
+
+  /** One task-side positioned-read source per path; paths fan out one
+    * per task. Replaces the binaryFile scan that shipped WHOLE file
+    * contents into each task — fatal for the metadata-only pass over a
+    * 100 TB archive, where the header is a few KB of a multi-GB file.
+    */
+  private def perFile[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, glob: String)(
+      f: (String, GridFile) => IterableOnce[T]) = {
+    import spark.implicits._
+    val paths = resolveGlob(spark, glob)
+    val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    // parallelize (not repartition) keeps the file→partition assignment
+    // deterministic and shuffle-free: one slice per file up to the core
+    // count, in sorted path order
+    spark.createDataset(spark.sparkContext.parallelize(paths, par)).flatMap { path =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val src = new FsByteSource(org.apache.hadoop.fs.FileSystem.get(hp.toUri, conf), hp)
+      val it = f(path, GridFile.open(src)).iterator
+      // close exactly once, when the lazy row stream is exhausted — the
+      // decode iterators read through the source as they advance
+      new Iterator[T] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; src.close() }
+          h
+        }
+        def next(): T = it.next()
+      }
+    }
+  }
+
   /** Per-file, per-variable manifest: the metadata-only first pass (ref
     * get_forecast_info, generator.py:461-531) — header decode only, no
     * payload read. Columns: path, variable, ndim, dims, dtype, n_values,
@@ -36,11 +82,7 @@ object NetCdfSource {
     */
   def manifest(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob.split(","): _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val g = GridFile.open(bytes) // classic or netCDF-4/HDF5 by magic
+    perFile(spark, glob) { (path, g) =>
         val names = g.varNames
         val xc = findCoord(names, XCandidates).orNull
         val yc = findCoord(names, YCandidates).orNull
@@ -69,11 +111,9 @@ object NetCdfSource {
     */
   def tidy(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob.split(","): _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => decodeTidy(path, bytes) }
-      .toDF("path", "variable", "time_idx", "time", "leadtime_idx",
+    perFile(spark, glob) { (path, g) =>
+      decodeTidy(path, g, None, None, None)
+    }.toDF("path", "variable", "time_idx", "time", "leadtime_idx",
         "leadtime", "y_idx", "y", "xs", "values")
   }
 
