@@ -319,10 +319,14 @@ object Hdf5 {
       }
     }
 
-    /** Records of a version-2 B-tree. Depth 0 only (root IS the leaf):
-      * one leaf at the default 2 KiB node size indexes ~180 links, and
-      * internal-node child pointers need the variable-width record-count
-      * encoding — rejected explicitly until a real file needs it.
+    /** Records of a version-2 B-tree, depth 0 (root IS the leaf) or
+      * depth 1 (one BTIN internal node over BTLF leaves — what a group
+      * or attribute set outgrowing ~180 entries at the default 2 KiB
+      * node size produces). The internal node's child pointers carry a
+      * variable-width record count sized from the leaf capacity
+      * (H5VM_limit_enc_size of (nodeSize-10)/recordSize). Depth ≥ 2
+      * additionally threads total-subtree counts through the pointers
+      * and is rejected explicitly until a real file needs it.
       */
     private def v2BtreeRecords(addr: Long, expectType: Int): Seq[Array[Byte]] = {
       val h = cur(addr)
@@ -332,21 +336,45 @@ object Hdf5 {
       val btype = h.get().toInt
       require(btype == expectType,
         s"v2 B-tree type $btype (expected $expectType)")
-      u4(h) // node size
+      val nodeSize = u4(h).toInt
       val recordSize = u2(h)
       val depth = u2(h)
       h.get(); h.get() // split / merge percent
       val rootAddr = h.getLong()
       val rootNrec = u2(h)
       h.getLong() // total records
-      require(depth == 0,
-        s"v2 B-tree of depth $depth unsupported (group outgrew one leaf)")
-      val b = cur(rootAddr)
-      require(b.read(4).sameElements("BTLF".getBytes(StandardCharsets.US_ASCII)),
-        s"bad v2 B-tree leaf signature at $rootAddr")
-      require(b.get() == 0, "BTLF version")
-      require(b.get().toInt == btype, "BTLF record type mismatch")
-      (0 until rootNrec).map(_ => b.read(recordSize))
+      def leaf(a: Long, nrec: Int): Seq[Array[Byte]] = {
+        val b = cur(a)
+        require(b.read(4).sameElements("BTLF".getBytes(StandardCharsets.US_ASCII)),
+          s"bad v2 B-tree leaf signature at $a")
+        require(b.get() == 0, "BTLF version")
+        require(b.get().toInt == btype, "BTLF record type mismatch")
+        (0 until nrec).map(_ => b.read(recordSize))
+      }
+      depth match {
+        case 0 => leaf(rootAddr, rootNrec)
+        case 1 =>
+          val leafMax = (nodeSize - 10) / recordSize
+          var m = 1; var cap = 256L
+          while (leafMax >= cap) { m += 1; cap *= 256 }
+          val b = cur(rootAddr)
+          require(b.read(4).sameElements(
+            "BTIN".getBytes(StandardCharsets.US_ASCII)),
+            s"bad v2 B-tree internal node signature at $rootAddr")
+          require(b.get() == 0, "BTIN version")
+          require(b.get().toInt == btype, "BTIN record type mismatch")
+          val recs = (0 until rootNrec).map(_ => b.read(recordSize))
+          val kids = (0 to rootNrec).map { _ =>
+            val a = b.getLong()
+            val cb = b.read(m)
+            var c = 0L
+            cb.indices.foreach(i => c |= (cb(i).toLong & 0xFF) << (8 * i))
+            (a, c.toInt)
+          }
+          kids.flatMap { case (a, c) => leaf(a, c) } ++ recs
+        case d => throw new IllegalArgumentException(
+          s"v2 B-tree of depth $d unsupported")
+      }
     }
 
     /** Fractal heap, managed objects only: the header fixes the heap ID

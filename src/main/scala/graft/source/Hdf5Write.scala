@@ -117,6 +117,36 @@ object Hdf5Write {
     }
   }
 
+  /** Split plan for a version-2 B-tree index at a given node size:
+    * depth 0 (one BTLF leaf) while records fit, depth 1 (one BTIN
+    * internal node over evenly-filled leaves, separator records in the
+    * root) beyond — the same growth step libhdf5 takes. `m` is the
+    * child-pointer record-count width, sized from the leaf capacity
+    * exactly as the reader derives it.
+    */
+  private final case class V2TreePlan(nodeSize: Int, recordSize: Int, n: Int) {
+    val leafMax: Int = (nodeSize - 10) / recordSize
+    val m: Int = { var b = 1; var cap = 256L
+      while (leafMax >= cap) { b += 1; cap *= 256 }; b }
+    val depth: Int = if (n <= leafMax) 0 else 1
+    val k: Int = // leaves; k-1 separator records live in the root
+      if (depth == 0) 1
+      else { var k = 2; while (k.toLong * leafMax < n - (k - 1)) k += 1; k }
+    val leafCounts: Seq[Int] =
+      if (depth == 0) Seq(n)
+      else {
+        val data = n - (k - 1)
+        (0 until k).map(i => data / k + (if (i < data % k) 1 else 0))
+      }
+    if (depth == 1) {
+      val internalCap = (nodeSize - 10 - (8 + m)) / (recordSize + 8 + m)
+      require(k - 1 <= internalCap,
+        s"v2 B-tree needs depth > 1 for $n records at node size $nodeSize")
+    }
+    def leafSize(i: Int): Long = 10L + leafCounts(i) * recordSize
+    def internalSize: Long = 10L + (k - 1) * recordSize + k * (8 + m)
+  }
+
   /** Chunk shape: start from the full variable shape and halve the
     * largest dimension until ≤ 256k elements (2 MB of float64) — a
     * deterministic rule that keeps chunks worker-memory-friendly and
@@ -137,11 +167,12 @@ object Hdf5Write {
             maxChunkElems: Int = 262144,
             denseRoot: Boolean = false,
             denseAttrs: Boolean = false,
-            v4Layout: Boolean = false): Array[Byte] = {
+            v4Layout: Boolean = false,
+            denseNodeSize: Int = 2048): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
-      v4Layout = v4Layout,
+      v4Layout = v4Layout, denseNodeSize = denseNodeSize,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -163,12 +194,13 @@ object Hdf5Write {
                 maxChunkElems: Int = 262144, dataBase: Long = 0L,
                 denseRoot: Boolean = false,
                 denseAttrs: Boolean = false,
-                v4Layout: Boolean = false): Unit = {
+                v4Layout: Boolean = false,
+                denseNodeSize: Int = 2048): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-        dataBase, denseRoot, denseAttrs, v4Layout,
+        dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -185,7 +217,7 @@ object Hdf5Write {
                      vars: Seq[NetCdf.VarSpec], deflateLevel: Int,
                      shuffle: Boolean, maxChunkElems: Int,
                      dataBase: Long, denseRoot: Boolean, denseAttrs: Boolean,
-                     v4Layout: Boolean,
+                     v4Layout: Boolean, denseNodeSize: Int,
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
 
@@ -331,11 +363,16 @@ object Hdf5Write {
       require(s <= 65536L, s"dense root needs $need bytes (> max direct block)")
       s
     }
+    val linkTree = V2TreePlan(denseNodeSize, 11, plans.size)
     val frhpAddr = if (denseRoot) alloc(146L) else Hdf5.Undefined
     val denseDblockAddr = if (denseRoot) alloc(denseDblockSize) else Hdf5.Undefined
     val bthdAddr = if (denseRoot) alloc(38L) else Hdf5.Undefined
-    val btlfAddr =
-      if (denseRoot) alloc(10L + plans.size * 11L) else Hdf5.Undefined
+    val btLeafAddrs: Seq[Long] =
+      if (denseRoot) linkTree.leafCounts.indices.map(i => alloc(linkTree.leafSize(i)))
+      else Seq.empty
+    val btInternalAddr =
+      if (denseRoot && linkTree.depth == 1) alloc(linkTree.internalSize)
+      else Hdf5.Undefined
 
     // dense ATTRIBUTE storage for the root group's global attributes:
     // version-1 attribute-message bodies as fractal-heap managed
@@ -360,12 +397,18 @@ object Hdf5Write {
         require(s <= 65536L, s"dense attrs need $need bytes (> max direct block)")
         s
       }
+    val attrTree = V2TreePlan(denseNodeSize, 17, gatts.size)
     val attrFrhpAddr = if (storeAttrsDense) alloc(146L) else Hdf5.Undefined
     val attrDblockAddr =
       if (storeAttrsDense) alloc(attrDblockSize) else Hdf5.Undefined
     val attrBthdAddr = if (storeAttrsDense) alloc(38L) else Hdf5.Undefined
-    val attrBtlfAddr =
-      if (storeAttrsDense) alloc(10L + gatts.size * 17L) else Hdf5.Undefined
+    val attrLeafAddrs: Seq[Long] =
+      if (storeAttrsDense)
+        attrTree.leafCounts.indices.map(i => alloc(attrTree.leafSize(i)))
+      else Seq.empty
+    val attrInternalAddr =
+      if (storeAttrsDense && attrTree.depth == 1) alloc(attrTree.internalSize)
+      else Hdf5.Undefined
 
     val rootOhSize = 16 + (if (denseRoot) msg(18) else msg(16)) +
       (if (storeAttrsDense) msg(18)
@@ -650,6 +693,56 @@ object Hdf5Write {
       p.numAttrs.foreach { case (k, v) => writeDoubleAttr(b, k, v) }
     }
 
+    /** Render a v2 B-tree (header + leaves + optional depth-1 internal
+      * node) from pre-serialized records SORTED by the tree's key.
+      */
+    def writeV2Btree(bthd: Long, plan: V2TreePlan, btype: Int,
+                     leafAddrs: Seq[Long], internalAddr: Long,
+                     recs: Seq[Array[Byte]]): Unit = {
+      val bh = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+      bh.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+      bh.put(0.toByte); bh.put(btype.toByte)
+      bh.putInt(plan.nodeSize)
+      bh.putShort(plan.recordSize.toShort)
+      bh.putShort(plan.depth.toShort)
+      bh.put(100.toByte); bh.put(40.toByte) // split / merge percent
+      bh.putLong(if (plan.depth == 0) leafAddrs.head else internalAddr)
+      bh.putShort((if (plan.depth == 0) plan.n else plan.k - 1).toShort)
+      bh.putLong(plan.n.toLong)
+      bh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(bh.array(), 0, 34)))
+      seek(bthd); out.put(bh.array())
+      // leaf i takes leafCounts(i) records, then one separator record
+      // goes to the internal node — standard in-order B-tree layout
+      var idx = 0
+      val seps = Seq.newBuilder[Array[Byte]]
+      plan.leafCounts.zipWithIndex.foreach { case (cnt, i) =>
+        val ls = (10 + cnt * plan.recordSize)
+        val bl = ByteBuffer.allocate(ls).order(ByteOrder.LITTLE_ENDIAN)
+        bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+        bl.put(0.toByte); bl.put(btype.toByte)
+        recs.slice(idx, idx + cnt).foreach(bl.put)
+        idx += cnt
+        bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+          bl.array(), 0, ls - 4)))
+        seek(leafAddrs(i)); out.put(bl.array())
+        if (i < plan.leafCounts.size - 1) { seps += recs(idx); idx += 1 }
+      }
+      if (plan.depth == 1) {
+        val isz = plan.internalSize.toInt
+        val bi = ByteBuffer.allocate(isz).order(ByteOrder.LITTLE_ENDIAN)
+        bi.put("BTIN".getBytes(StandardCharsets.US_ASCII))
+        bi.put(0.toByte); bi.put(btype.toByte)
+        seps.result().foreach(bi.put)
+        leafAddrs.zip(plan.leafCounts).foreach { case (a, c) =>
+          bi.putLong(a)
+          (0 until plan.m).foreach(j => bi.put(((c >> (8 * j)) & 0xFF).toByte))
+        }
+        bi.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+          bi.array(), 0, isz - 4)))
+        seek(internalAddr); out.put(bi.array())
+      }
+    }
+
     if (denseRoot) {
       // fractal heap header (checksummed; built in memory, then written)
       val fr = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
@@ -696,37 +789,21 @@ object Hdf5Write {
       }
       seek(denseDblockAddr); out.put(db.array())
 
-      // name-index v2 B-tree: header + one leaf, records sorted by hash
-      val bh = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
-      bh.put("BTHD".getBytes(StandardCharsets.US_ASCII))
-      bh.put(0.toByte) // version
-      bh.put(5.toByte) // type 5: link name records
-      bh.putInt(2048)  // node size
-      bh.putShort(11)  // record size: hash(4) + heap ID(7)
-      bh.putShort(0)   // depth: root is the leaf
-      bh.put(100.toByte); bh.put(40.toByte) // split / merge percent
-      bh.putLong(btlfAddr)
-      bh.putShort(plans.size.toShort)
-      bh.putLong(plans.size.toLong)
-      bh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(bh.array(), 0, 34)))
-      seek(bthdAddr); out.put(bh.array())
-
-      val leafSize = 10 + plans.size * 11
-      val bl = ByteBuffer.allocate(leafSize).order(ByteOrder.LITTLE_ENDIAN)
-      bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
-      bl.put(0.toByte); bl.put(5.toByte)
-      val recs = sortedNames.map { n =>
+      // name-index v2 B-tree: type-5 records (hash + heap ID) sorted by
+      // hash, split across leaves + a depth-1 internal node when the
+      // group outgrows one leaf
+      val recBytes = sortedNames.map { n =>
         (Lookup3.hash(n.getBytes(StandardCharsets.US_ASCII)), n)
-      }.sortBy { case (h, _) => h.toLong & 0xFFFFFFFFL }
-      recs.foreach { case (h, n) =>
-        bl.putInt(h)
-        bl.put(0.toByte) // heap ID: version 0, managed
-        bl.putInt(denseObjOffset(n).toInt)
-        bl.putShort(denseLinkSize(n).toShort)
+      }.sortBy { case (h, _) => h.toLong & 0xFFFFFFFFL }.map { case (h, n) =>
+        val r = ByteBuffer.allocate(11).order(ByteOrder.LITTLE_ENDIAN)
+        r.putInt(h)
+        r.put(0.toByte) // heap ID: version 0, managed
+        r.putInt(denseObjOffset(n).toInt)
+        r.putShort(denseLinkSize(n).toShort)
+        r.array()
       }
-      bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
-        bl.array(), 0, leafSize - 4)))
-      seek(btlfAddr); out.put(bl.array())
+      writeV2Btree(bthdAddr, linkTree, 5, btLeafAddrs, btInternalAddr,
+        recBytes)
     }
 
     if (storeAttrsDense) {
@@ -783,40 +860,24 @@ object Hdf5Write {
       seek(attrDblockAddr); out.put(db.array())
 
       // attribute-name v2 B-tree: type-8 records (heap ID + flags +
-      // creation order + name hash), root is the leaf
-      val bh = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
-      bh.put("BTHD".getBytes(StandardCharsets.US_ASCII))
-      bh.put(0.toByte)
-      bh.put(8.toByte)
-      bh.putInt(2048)
-      bh.putShort(17) // heap ID(8) + flags(1) + creation order(4) + hash(4)
-      bh.putShort(0)
-      bh.put(100.toByte); bh.put(40.toByte)
-      bh.putLong(attrBtlfAddr)
-      bh.putShort(gatts.size.toShort)
-      bh.putLong(gatts.size.toLong)
-      bh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(bh.array(), 0, 34)))
-      seek(attrBthdAddr); out.put(bh.array())
-
-      val leafSize = 10 + gatts.size * 17
-      val bl = ByteBuffer.allocate(leafSize).order(ByteOrder.LITTLE_ENDIAN)
-      bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
-      bl.put(0.toByte); bl.put(8.toByte)
-      val recs = gatts.zipWithIndex.map { case ((k, v), i) =>
+      // creation order + name hash) sorted by hash, split across
+      // leaves + a depth-1 internal node when attrs outgrow one leaf
+      val recBytes = gatts.zipWithIndex.map { case ((k, v), i) =>
         (Lookup3.hash(k.getBytes(StandardCharsets.UTF_8)), k, v, i)
       }.sortBy { case (h, _, _, _) => h.toLong & 0xFFFFFFFFL }
-      recs.foreach { case (h, k, v, i) =>
-        bl.put(0.toByte) // heap ID: version 0, managed
-        bl.putInt(attrObjOffset(k).toInt)
-        bl.putShort(attrBodySize(k, v).toShort)
-        bl.put(0.toByte) // heap ID pad to the record's 8-byte field
-        bl.put(0.toByte) // message flags
-        bl.putInt(i)     // creation order
-        bl.putInt(h)
-      }
-      bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
-        bl.array(), 0, leafSize - 4)))
-      seek(attrBtlfAddr); out.put(bl.array())
+        .map { case (h, k, v, i) =>
+          val r = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+          r.put(0.toByte) // heap ID: version 0, managed
+          r.putInt(attrObjOffset(k).toInt)
+          r.putShort(attrBodySize(k, v).toShort)
+          r.put(0.toByte) // heap ID pad to the record's 8-byte field
+          r.put(0.toByte) // message flags
+          r.putInt(i)     // creation order
+          r.putInt(h)
+          r.array()
+        }
+      writeV2Btree(attrBthdAddr, attrTree, 8, attrLeafAddrs,
+        attrInternalAddr, recBytes)
     }
 
     // local heap

@@ -86,14 +86,11 @@ class DenseGroupSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("EPSG:6931"))
   }
 
-  test("a dense group larger than one B-tree leaf is rejected loudly, " +
-    "not misread") {
-    // depth-0 limit: the explicit error names the unsupported shape
+  test("a dense group within one B-tree leaf enumerates (depth-0 control)") {
     val manyVars = (0 until 30).map { i =>
       graft.source.NetCdf.VarSpec(f"var_with_a_rather_long_name_$i%02d",
         Seq("yc"), Seq.empty, Array.tabulate(8)(_.toDouble + i))
     }
-    // 30 links still fit one leaf; this is the positive control
     val dims = Seq("yc" -> 8)
     val bytes = Hdf5Write.write(dims, Seq.empty,
       graft.source.NetCdf.VarSpec("yc", Seq("yc"), Seq.empty,
@@ -101,5 +98,36 @@ class DenseGroupSpec extends SparkSpec {
     val f = Hdf5.read(bytes)
     assert(f.datasets.length === 31)
     assert(f.dataset("var_with_a_rather_long_name_17").isDefined)
+  }
+
+  test("depth-1 v2 B-tree: a dense group beyond one leaf enumerates and " +
+    "decodes through the BTIN internal node") {
+    // node size 256 → 22-record leaves; 41 links → 2 leaves + 1 separator
+    val manyVars = (0 until 40).map { i =>
+      graft.source.NetCdf.VarSpec(f"v_$i%02d", Seq("yc"), Seq.empty,
+        Array.tabulate(8)(x => x.toDouble + i))
+    }
+    val dims = Seq("yc" -> 8)
+    val bytes = Hdf5Write.write(dims, Seq.empty,
+      graft.source.NetCdf.VarSpec("yc", Seq("yc"), Seq.empty,
+        Array.tabulate(8)(_.toDouble)) +: manyVars,
+      denseRoot = true, denseNodeSize = 256)
+    val r = new Hdf5.Reader(bytes)
+    assert(r.file.datasets.length === 41)
+    (0 until 40).foreach { i =>
+      val name = f"v_$i%02d"
+      assert(r.file.dataset(name).isDefined, name)
+      assert(r.readDoubles(name).toSeq ===
+        Array.tabulate(8)(x => x.toDouble + i).toSeq, name)
+    }
+  }
+
+  test("depth-1 v2 B-tree: dense attributes beyond one leaf all resolve") {
+    // node size 256 → 14-record leaves; 30 attrs → 3 leaves + 2 separators
+    val gatts = (0 until 30).map(i => f"attr_$i%02d" -> s"value $i")
+    val (dims, _, vars) = NetCdfFixture.spec(nt = 1, ny = 8, nx = 8, nl = 3)
+    val g = GridFile.open(Hdf5Write.write(dims, gatts, vars,
+      denseAttrs = true, denseNodeSize = 256))
+    gatts.foreach { case (k, v) => assert(g.gattText(k) === Some(v), k) }
   }
 }
