@@ -94,7 +94,8 @@ object Preprocess {
     * and tidy schemas, so every downstream stage is shared.
     */
   private def isZarrStore(input: String): Boolean =
-    !input.contains("*") && Files.exists(Paths.get(input, ".zgroup"))
+    !input.contains("*") && (Files.exists(Paths.get(input, ".zgroup")) ||
+      Files.exists(Paths.get(input, "zarr.json"))) // v2 / v3 markers
 
   private def sourceManifest(spark: SparkSession, input: String) =
     if (isZarrStore(input)) graft.source.ZarrSource.forecastManifest(spark, input)

@@ -20,10 +20,13 @@ import java.util.zip.Inflater
   * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
   * netCDF-4 dimension scales (DIMENSION_LIST object-reference
   * resolution); DENSE groups and DENSE attributes (fractal-heap
-  * storage + name-index v2 B-trees, types 5 and 8 — the
-  * "latest"-format layouts h5py emits once links/attributes outgrow
-  * compact storage). Not supported: multi-level v2 B-trees, v4 data
-  * layouts, non-IEEE floats — all rejected with explicit errors.
+  * storage + name-index v2 B-trees of depth 0 and 1, types 5 and 8 —
+  * the "latest"-format layouts h5py emits once links/attributes
+  * outgrow compact storage); v4 data layouts with Single Chunk,
+  * Implicit and Fixed Array chunk indexes. Not supported: v2 B-trees
+  * of depth ≥ 2, paged Fixed Arrays, Extensible Array / v2 B-tree
+  * chunk indexes (unlimited dims), filtered fractal heaps, non-IEEE
+  * floats — all rejected with explicit errors.
   */
 object Hdf5 {
 

@@ -117,14 +117,6 @@ object NetCdfSource {
         "leadtime", "y_idx", "y", "xs", "values")
   }
 
-  private[source] def decodeTidy(path: String, bytes: Array[Byte],
-      varFilter: Option[Set[String]] = None,
-      tFilter: Option[Int] = None,
-      lFilter: Option[Int] = None)
-      : Iterator[(String, String, Int, Double, Int, Double, Int, Double,
-                  Array[Double], Array[Double])] =
-    decodeTidy(path, GridFile.open(bytes), varFilter, tFilter, lFilter)
-
   /** Format-neutral tidy decode over an already-opened [[GridFile]] —
     * the seam the DSv2 reader uses so >2 GiB HDF5 inputs stream through
     * positioned reads instead of a whole-file buffer.

@@ -9,34 +9,52 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** S7 — Zarr v2 store reader (ref stac/utils.py:119-133 reads zarr
-  * stores through xarray; here the format itself is decoded).
+/** S7 — Zarr store reader, formats v2 AND v3 (ref stac/utils.py:119-133
+  * reads zarr stores through xarray; here the format itself is decoded).
   *
   * A Zarr v2 store is a directory tree: each array directory holds a
   * `.zarray` JSON (shape, chunk shape, numpy dtype, compressor) and one
-  * file per chunk named by its grid coordinates ("1.0.2"). Chunks are
-  * ALWAYS full chunk-shape; edge chunks are padded, so the decoder trims
-  * each chunk to its in-bounds region.
+  * file per chunk named by its grid coordinates ("1.0.2"). A v3 store
+  * (zarr-python's current default) carries a `zarr.json` per node
+  * instead, with chunk files under a `c/` prefix nested by the key
+  * separator, a codec CHAIN (`bytes` endianness + optional gzip/zstd
+  * compression), and `dimension_names` in place of the xarray
+  * `_ARRAY_DIMENSIONS` attribute — all normalized here into the same
+  * [[ZarrCodec.ArrayMeta]], so every downstream path (manifest, tidy,
+  * chunk-parallel read) is format-agnostic. Chunks are ALWAYS full
+  * chunk-shape; edge chunks are padded, so the decoder trims each chunk
+  * to its in-bounds region.
   *
   * Split of labor mirrors NetCdfSource: array METADATA is driver-read
   * (tiny JSON files — also the only part the reference reads), while
   * chunk PAYLOADS stream through Spark's `binaryFile` source and decode
   * inside the executors — one task per chunk file, so a 100 TB store
-  * parallelizes by its chunk grid with no driver involvement. (The
-  * dot-named metadata files are invisible to `binaryFile` anyway: Spark
-  * file sources skip hidden files, which is exactly the split we want.)
+  * parallelizes by its chunk grid with no driver involvement.
   *
-  * Supported: C order, "." dimension separator, compressor null or zlib,
-  * dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus their big-endian
-  * forms. Anything else fails loudly rather than mis-decoding.
+  * Supported: C order; v2 compressor null/zlib, v3 codecs bytes +
+  * gzip/zstd; dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus their
+  * big-endian forms (v3 names normalized to these). Anything else —
+  * blosc, sharding, transpose — fails loudly rather than mis-decoding.
   */
 object ZarrCodec {
 
   final case class ArrayMeta(store: String, name: String, shape: Seq[Int],
                              chunks: Seq[Int], dtype: String,
                              compressor: String, fillValue: Double,
-                             nChunks: Seq[Int]) {
+                             nChunks: Seq[Int], zarrFormat: Int = 2,
+                             sep: String = ".") {
     def nValues: Long = shape.map(_.toLong).product
+  }
+
+  /** Dot-joined chunk indices from a chunk file path (any store layout:
+    * v2 flat "1.0.2"; v3 default "c/1/0/2" nested or "c.1.0.2" flat;
+    * v3 v2-style keys without the "c" prefix).
+    */
+  def keyFromPath(meta: ArrayMeta, path: String): String = {
+    val parts = path.split('/')
+    if (meta.zarrFormat == 2) parts.last
+    else if (meta.sep == "/") parts.takeRight(meta.shape.length).mkString(".")
+    else parts.last.stripPrefix("c" + meta.sep).replace(meta.sep, ".")
   }
 
   private val mapper = new ObjectMapper()
@@ -48,16 +66,27 @@ object ZarrCodec {
     * as their text.
     */
   def readAttrs(dir: Path): Map[String, String] = {
-    val f = dir.resolve(".zattrs")
-    if (!Files.exists(f)) return Map.empty
-    val node = mapper.readTree(Files.readString(f))
-    node.properties().asScala.map { e =>
-      val v = e.getValue
-      val s =
-        if (v.isArray) v.elements().asScala.map(_.asText()).mkString(",")
-        else v.asText()
-      e.getKey -> s
-    }.toMap
+    def toMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      node.properties().asScala.map { e =>
+        val v = e.getValue
+        val s =
+          if (v.isArray) v.elements().asScala.map(_.asText()).mkString(",")
+          else v.asText()
+        e.getKey -> s
+      }.toMap
+    val v3 = dir.resolve("zarr.json")
+    if (Files.exists(v3)) {
+      val node = mapper.readTree(Files.readString(v3))
+      val attrs = Option(node.get("attributes")).map(toMap).getOrElse(Map.empty)
+      // v3 dimension_names plays the role of xarray's _ARRAY_DIMENSIONS
+      val dims = Option(node.get("dimension_names"))
+        .map(_.elements().asScala.map(_.asText()).mkString(","))
+      attrs ++ dims.map("_ARRAY_DIMENSIONS" -> _)
+    } else {
+      val f = dir.resolve(".zattrs")
+      if (!Files.exists(f)) Map.empty
+      else toMap(mapper.readTree(Files.readString(f)))
+    }
   }
 
   /** Driver-side full-array assembly — for small COORDINATE arrays only
@@ -71,10 +100,12 @@ object ZarrCodec {
       for (d <- meta.shape.indices.reverse) { s(d) = acc; acc *= meta.shape(d) }
       s
     }
-    Files.list(dir).iterator().asScala
-      .filterNot(_.getFileName.toString.startsWith(".")).foreach { f =>
-        val (origin, shape, values) =
-          decodeChunk(meta, f.getFileName.toString, Files.readAllBytes(f))
+    Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(f => f.getFileName.toString.startsWith(".") ||
+        f.getFileName.toString == "zarr.json").foreach { f =>
+        val (origin, shape, values) = decodeChunk(meta,
+          keyFromPath(meta, dir.relativize(f).toString), Files.readAllBytes(f))
         val strides = {
           val s = new Array[Int](shape.length); var acc = 1
           for (d <- shape.indices.reverse) { s(d) = acc; acc *= shape(d) }
@@ -94,9 +125,73 @@ object ZarrCodec {
     out
   }
 
-  /** Driver-side metadata walk: every `.zarray` under the store root. */
+  /** Driver-side metadata walk: every `.zarray` (v2) or array
+    * `zarr.json` (v3) under the store root, normalized to one shape.
+    */
   def readMeta(store: Path): Seq[ArrayMeta] = {
     require(Files.isDirectory(store), s"not a zarr store: $store")
+    if (Files.exists(store.resolve("zarr.json"))) readMetaV3(store)
+    else readMetaV2(store)
+  }
+
+  private def readMetaV3(store: Path): Seq[ArrayMeta] =
+    Files.walk(store).iterator().asScala
+      .filter(_.getFileName.toString == "zarr.json").toSeq.sortBy(_.toString)
+      .flatMap { zj =>
+        val node = mapper.readTree(Files.readString(zj))
+        if (node.get("node_type").asText() != "array") None
+        else {
+          val name = store.relativize(zj.getParent).toString match {
+            case "" => "/"
+            case s => s
+          }
+          val shape = node.get("shape").elements().asScala.map(_.asInt()).toSeq
+          val grid = node.get("chunk_grid")
+          require(grid.get("name").asText() == "regular",
+            s"unsupported chunk grid '${grid.get("name").asText()}' in $zj")
+          val chunks = grid.get("configuration").get("chunk_shape")
+            .elements().asScala.map(_.asInt()).toSeq
+          val (keyEnc, sep) = Option(node.get("chunk_key_encoding")).map { cke =>
+            val nm = cke.get("name").asText()
+            require(nm == "default" || nm == "v2",
+              s"unsupported chunk key encoding '$nm' in $zj")
+            val sp = Option(cke.get("configuration"))
+              .flatMap(c => Option(c.get("separator"))).map(_.asText())
+              .getOrElse(if (nm == "default") "/" else ".")
+            (nm, sp)
+          }.getOrElse(("default", "/"))
+          require(keyEnc == "v2" || sep == "/" || sep == ".",
+            s"unsupported separator '$sep' in $zj")
+          var endian = "little"
+          var comp = "null"
+          node.get("codecs").elements().asScala.foreach { c =>
+            c.get("name").asText() match {
+              case "bytes" => endian = Option(c.get("configuration"))
+                .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
+                .getOrElse("little")
+              case "gzip" => comp = "gzip"
+              case "zstd" => comp = "zstd"
+              case other => throw new IllegalArgumentException(
+                s"unsupported zarr v3 codec '$other' in $zj")
+            }
+          }
+          val dtype = (if (endian == "big") ">" else "<") +
+            (node.get("data_type").asText() match {
+              case "float64" => "f8"; case "float32" => "f4"
+              case "int32" => "i4"; case "int16" => "i2"; case "int8" => "i1"
+              case "uint8" => "u1"; case "bool" => "b1"
+              case other => throw new IllegalArgumentException(
+                s"unsupported zarr v3 data_type '$other' in $zj")
+            })
+          val fill = Option(node.get("fill_value")).filterNot(_.isNull)
+            .map(_.asDouble(Double.NaN)).getOrElse(Double.NaN)
+          Some(ArrayMeta(store.toString, name, shape, chunks, dtype, comp,
+            fill, shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
+            zarrFormat = 3, sep = sep))
+        }
+      }
+
+  private def readMetaV2(store: Path): Seq[ArrayMeta] = {
     Files.walk(store).iterator().asScala
       .filter(_.getFileName.toString == ".zarray").toSeq.sortBy(_.toString)
       .map { za =>
@@ -137,6 +232,8 @@ object ZarrCodec {
     require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
     val raw = meta.compressor match {
       case "zlib" => inflate(bytes)
+      case "gzip" => gunzip(bytes)
+      case "zstd" => unzstd(bytes)
       case _ => bytes
     }
     val full = decodeDtype(meta.dtype, raw)
@@ -183,6 +280,21 @@ object ZarrCodec {
       case other => throw new IllegalArgumentException(
         s"unsupported zarr dtype $dtype")
     }
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** zstd via the zstd-jni Spark already ships (stream API: frame
+    * content size need not be recorded).
+    */
+  private def unzstd(bytes: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
   }
 
   private def inflate(bytes: Array[Byte]): Array[Byte] = {
@@ -287,12 +399,10 @@ object ZarrSource {
         s"band ${m.name}: x axis must be unchunked for scanline reads " +
           s"(chunks=${m.chunks}, shape=${m.shape})")
       val vname = m.name
-      spark.read.format("binaryFile").load(s"$store/$vname/*")
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
+      chunkScan(spark, s"$store/$vname", m)
         .flatMap { case (path, bytes) =>
-          val key = path.substring(path.lastIndexOf('/') + 1)
-          val (origin, shape, values) = ZarrCodec.decodeChunk(m, key, bytes)
+          val (origin, shape, values) =
+            ZarrCodec.decodeChunk(m, ZarrCodec.keyFromPath(m, path), bytes)
           val Array(ot, oy, _, ol) = origin
           val Array(ct, cy, cx, cl) = shape
           for {
@@ -325,15 +435,32 @@ object ZarrSource {
       .getOrElse(throw new IllegalArgumentException(
         s"no array '$array' in $store"))
     val dir = if (array == "/") store else s"$store/$array"
-    spark.read.format("binaryFile").load(s"$dir/*")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    import spark.implicits._
+    chunkScan(spark, dir, meta)
       .map { case (path, bytes) =>
-        val key = path.substring(path.lastIndexOf('/') + 1)
+        val key = ZarrCodec.keyFromPath(meta, path)
         val (origin, shape, values) = ZarrCodec.decodeChunk(meta, key, bytes)
         (key, origin.toSeq, shape.toSeq, values.toSeq)
       }
       .toDF("chunk_key", "origin", "shape", "values")
+  }
+
+  /** Chunk-file scan for one array, format-aware: v2 chunks are flat
+    * dot-keyed files (metadata is dot-hidden, invisible to binaryFile);
+    * v3 chunks nest under the `c/` prefix, so the scan recurses and
+    * filters the visible `zarr.json` out.
+    */
+  private def chunkScan(spark: SparkSession, dir: String,
+                        meta: ZarrCodec.ArrayMeta) = {
+    import spark.implicits._
+    val base =
+      if (meta.zarrFormat == 2)
+        spark.read.format("binaryFile").load(s"$dir/*")
+      else
+        spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(dir)
+          .filter(!col("path").endsWith("zarr.json"))
+    base.select(col("path"), col("content")).as[(String, Array[Byte])]
   }
 }
 
@@ -388,6 +515,120 @@ object ZarrFixture {
     Files.createDirectories(store)
     Files.writeString(store.resolve(".zattrs"),
       attrs.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}"))
+  }
+
+  /** Zarr v3 rendering of [[write]]: per-node `zarr.json`, chunks under
+    * the `c/` prefix (default key encoding, "/" separator), codec chain
+    * `bytes` + one of null/gzip/zstd.
+    */
+  def writeV3(store: Path, name: String, shape: Seq[Int], chunks: Seq[Int],
+              dtype: String = "<f8", codec: String = "zstd",
+              attrs: Map[String, String] = Map.empty,
+              dims: Seq[String] = Seq.empty,
+              value: Seq[Int] => Double = _.sum.toDouble): Unit = {
+    val dir = store.resolve(name)
+    Files.createDirectories(dir)
+    if (!Files.exists(store.resolve("zarr.json")))
+      Files.writeString(store.resolve("zarr.json"),
+        """{"zarr_format": 3, "node_type": "group"}""")
+    val dataType = dtype.drop(1) match {
+      case "f8" => "float64"; case "f4" => "float32"; case "i4" => "int32"
+      case "i2" => "int16"; case "u1" => "uint8"
+      case other => throw new IllegalArgumentException(s"fixture dtype $other")
+    }
+    val endian = if (dtype.startsWith(">")) "big" else "little"
+    val bytesCodec =
+      s"""{"name": "bytes", "configuration": {"endian": "$endian"}}"""
+    val codecsJson = codec match {
+      case "null" => s"[$bytesCodec]"
+      case "gzip" =>
+        s"""[$bytesCodec, {"name": "gzip", "configuration": {"level": 5}}]"""
+      case "zstd" =>
+        s"""[$bytesCodec, {"name": "zstd", "configuration": {"level": 3}}]"""
+    }
+    val attrsJson = attrs.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    val dimsJson =
+      if (dims.isEmpty) ""
+      else s""", "dimension_names": [${dims.map(d => s""""$d"""").mkString(", ")}]"""
+    Files.writeString(dir.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${shape.mkString(", ")}],
+         | "data_type": "$dataType",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": "NaN",
+         | "codecs": $codecsJson,
+         | "attributes": $attrsJson$dimsJson}""".stripMargin)
+    val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    cartesian(nChunks).foreach { ci =>
+      val origin = ci.zip(chunks).map { case (i, c) => i * c }
+      val vals = cartesian(chunks).map { off =>
+        val coord = origin.zip(off).map { case (o, x) => o + x }
+        if (coord.zip(shape).exists { case (x, s) => x >= s }) -1.0
+        else value(coord)
+      }
+      val raw = encode(dtype, vals)
+      val bytes = codec match {
+        case "gzip" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(raw); gz.close()
+          bos.toByteArray
+        case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+        case _ => raw
+      }
+      val f = dir.resolve("c").resolve(ci.mkString("/"))
+      Files.createDirectories(f.getParent)
+      Files.write(f, bytes)
+    }
+  }
+
+  def writeGroupAttrsV3(store: Path, attrs: Map[String, String]): Unit = {
+    Files.createDirectories(store)
+    val attrsJson = attrs.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    Files.writeString(store.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "group", "attributes": $attrsJson}""")
+  }
+
+  /** [[writeForecast]] in v3 form — same closed-form payload, zstd on
+    * one band and gzip on the other for codec coverage.
+    */
+  def writeForecastV3(store: Path, nt: Int = 1, ny: Int = 8, nx: Int = 8,
+                      nl: Int = 3, tStart: Double = 0.0): Unit = {
+    writeGroupAttrsV3(store, Map(
+      "geospatial_bounds_crs" -> "EPSG:6931",
+      "geospatial_lat_min" -> "45.0",
+      "source" -> "graft synthetic fixture"))
+    writeV3(store, "time", Seq(nt), Seq(nt), codec = "null",
+      attrs = Map("units" -> "days since 2025-01-01"), dims = Seq("time"),
+      value = c => tStart + c.head)
+    writeV3(store, "yc", Seq(ny), Seq(ny), codec = "null",
+      attrs = Map("units" -> "km"), dims = Seq("yc"),
+      value = c => 100.0 + c.head)
+    writeV3(store, "xc", Seq(nx), Seq(nx), codec = "null",
+      attrs = Map("units" -> "km"), dims = Seq("xc"),
+      value = c => 200.0 + c.head)
+    writeV3(store, "leadtime", Seq(nl), Seq(nl), codec = "null",
+      dims = Seq("leadtime"), value = c => c.head.toDouble)
+    val bandDims = Seq("time", "yc", "xc", "leadtime")
+    val bandShape = Seq(nt, ny, nx, nl)
+    val bandChunks = Seq(nt, (ny + 1) / 2, nx, nl)
+    writeV3(store, "sic_mean", bandShape, bandChunks, codec = "zstd",
+      dims = bandDims,
+      attrs = Map("units" -> "1",
+        "long_name" -> "sea ice concentration mean"),
+      value = { c =>
+        val Seq(t, y, x, l) = c
+        if ((y * nx + x + l) % 17 == 0) Double.NaN
+        else (t + 1) * 0.1 + y * 0.01 + x * 0.001 + l * 0.0001
+      })
+    writeV3(store, "sic_stddev", bandShape, bandChunks, codec = "gzip",
+      dims = bandDims, attrs = Map("units" -> "1"),
+      value = { c => val Seq(t, y, x, l) = c; (y + x + l + t) * 0.005 })
   }
 
   /** Forecast-shaped store mirroring NetCdfFixture.bytes value-for-value

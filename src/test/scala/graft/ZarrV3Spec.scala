@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.source.{ZarrCodec, ZarrFixture, ZarrSource}
+
+/** Zarr v3 stores (zarr-python's current default format): per-node
+  * zarr.json, c/-prefixed nested chunk keys, bytes+gzip/zstd codec
+  * chains, dimension_names — all normalized into the same ArrayMeta the
+  * v2 paths use, so manifest/tidy/read are format-agnostic.
+  */
+class ZarrV3Spec extends SparkSpec {
+
+  test("v3 metadata normalizes: shape, chunks, dtype, codec, key layout") {
+    val store = Files.createTempDirectory("graft-zarr3")
+    ZarrFixture.writeV3(store, "var", Seq(8, 6), Seq(4, 6), codec = "zstd",
+      value = c => c.head * 10.0 + c(1))
+    val metas = ZarrCodec.readMeta(store)
+    assert(metas.map(_.name) === Seq("var"))
+    val m = metas.head
+    assert(m.zarrFormat === 3 && m.sep === "/")
+    assert(m.shape === Seq(8, 6) && m.chunks === Seq(4, 6))
+    assert(m.dtype === "<f8" && m.compressor === "zstd")
+    assert(m.nChunks === Seq(2, 1))
+    // chunk files live nested under c/
+    assert(Files.exists(store.resolve("var/c/0/0")))
+    assert(ZarrCodec.keyFromPath(m, "var/c/1/0") === "1.0")
+  }
+
+  test("v3 chunks decode through every codec: null, gzip, zstd; LE and BE") {
+    val variants = Seq(("a_null", "null", "<f8"), ("b_gzip", "gzip", "<f8"),
+      ("c_zstd", "zstd", "<f8"), ("d_be", "zstd", ">i4"))
+    val store = Files.createTempDirectory("graft-zarr3c")
+    variants.foreach { case (name, codec, dt) =>
+      ZarrFixture.writeV3(store, name, Seq(5, 4), Seq(3, 4), dtype = dt,
+        codec = codec, value = c => (c.head * 4 + c(1)).toDouble)
+    }
+    variants.foreach { case (name, _, _) =>
+      val m = ZarrCodec.readMeta(store).find(_.name == name).get
+      val full = ZarrCodec.readArray(store, m)
+      assert(full.toSeq === (0 until 20).map(_.toDouble), name)
+    }
+  }
+
+  test("chunk-parallel executor read: v3 equals the v2 rendering") {
+    val v2 = Files.createTempDirectory("graft-zarr3v2")
+    val v3 = Files.createTempDirectory("graft-zarr3v3")
+    val value = (c: Seq[Int]) => c.head * 0.5 + c(1) * 0.01
+    ZarrFixture.write(v2, "sic", Seq(10, 8), Seq(4, 8), value = value)
+    ZarrFixture.writeV3(v3, "sic", Seq(10, 8), Seq(4, 8), codec = "zstd",
+      value = value)
+    def rows(store: String) = ZarrSource.read(spark, store, "sic")
+      .select(col("chunk_key"), explode(col("values")).as("v"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(v3.toString) === rows(v2.toString))
+  }
+
+  test("forecast-shaped v3 store: tidy scan equals the v2 store's") {
+    val v2 = Files.createTempDirectory("graft-zarr3f2")
+    val v3 = Files.createTempDirectory("graft-zarr3f3")
+    ZarrFixture.writeForecast(v2)
+    ZarrFixture.writeForecastV3(v3)
+    def tidyRows(store: String) = ZarrSource.tidy(spark, store.toString)
+      .drop("path") // store paths differ by construction
+      .collect().map(_.toString).sorted.toSeq
+    assert(tidyRows(v3.toString) === tidyRows(v2.toString))
+    assert(tidyRows(v3.toString).nonEmpty)
+    // the forecast manifest sees dimension_names and group attrs
+    val man = ZarrSource.forecastManifest(spark, v3.toString)
+    val band = man.filter(col("variable") === "sic_mean").head()
+    assert(band.getAs[String]("dims") === "time,yc,xc,leadtime")
+    assert(band.getAs[String]("crs") === "EPSG:6931")
+    assert(band.getAs[Boolean]("is_band"))
+  }
+
+  test("unsupported v3 codecs fail loudly (blosc/sharding)") {
+    val store = Files.createTempDirectory("graft-zarr3bad")
+    Files.writeString(store.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    val dir = store.resolve("bad")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "chunk_key_encoding": {"name": "default"},
+        | "fill_value": 0,
+        | "codecs": [{"name": "bytes"}, {"name": "blosc"}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException] { ZarrCodec.readMeta(store) }
+    assert(e.getMessage.contains("blosc"))
+  }
+}
