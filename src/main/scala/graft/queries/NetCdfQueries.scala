@@ -273,7 +273,52 @@ object NetCdfQueries {
     man.join(statsByArray, Seq("array"))
   }
 
+  /** S7 completion — the same scan over a Zarr V3 store (zarr-python's
+    * current default format): zarr.json metadata, c/-prefixed nested
+    * chunk keys, zstd and gzip codec chains. Same oracle shape as q67;
+    * format coverage is what's new, so the payload values match v2's
+    * and only the codec/key plumbing differs.
+    */
+  val zarrV3Scan = QueryDef("q80_zarr_v3_scan",
+    """SELECT m."array", m.dtype, m.compressor, m.n_values, m.n_chunks,
+      |  s.n_cells, s.vmin, s.vmax, s.vsum
+      |FROM read_parquet('/tmp/graft-oracle/q80_manifest/*.parquet') m
+      |JOIN (SELECT "array", count(*) AS n_cells, min(v) AS vmin,
+      |        max(v) AS vmax, round(sum(v), 6) AS vsum
+      |      FROM (SELECT "array", unnest(vals) AS v
+      |            FROM read_parquet('/tmp/graft-oracle/q80_vals/*.parquet'))
+      |      GROUP BY "array") s USING ("array")
+      |ORDER BY m."array"""".stripMargin) { (s, _) =>
+    val store = stableWork("fixtures").resolve("zarr3")
+    if (!java.nio.file.Files.exists(store.resolve("zarr.json"))) {
+      graft.source.ZarrFixture.writeV3(store, "sic_mean", Seq(40, 32),
+        Seq(16, 16), codec = "zstd", value = c => c.head * 0.5 + c(1) * 0.01)
+      graft.source.ZarrFixture.writeV3(store, "sic_count", Seq(40, 32),
+        Seq(16, 16), dtype = "<i4", codec = "gzip",
+        value = c => (c.head + c(1)).toDouble)
+    }
+    val perChunk = Seq("sic_mean", "sic_count").map { name =>
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), col("values").as("vals"))
+    }.reduce(_ unionByName _)
+    oracleDump(s, "q80_vals", perChunk, store.toString)
+    val statsByArray = Seq("sic_mean", "sic_count").map { name =>
+      val st = graft.functions.VecStatsExpr.vecStats(col("values"))
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), st.as("st"))
+        .groupBy(col("array"))
+        .agg(sum(col("st.n_total")).as("n_cells"),
+          min(col("st.vmin")).as("vmin"), max(col("st.vmax")).as("vmax"),
+          round(sum(col("st.vsum")), 6).as("vsum"))
+    }.reduce(_ unionByName _)
+    val man = oracleDump(s, "q80_manifest",
+      graft.source.ZarrSource.manifest(s, store.toString)
+        .select(col("array"), col("dtype"), col("compressor"),
+          col("n_values"), col("n_chunks")), store.toString)
+    man.join(statsByArray, Seq("array"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, preprocessE2e,
-      ingestDryRun, zarrScan)
+      ingestDryRun, zarrScan, zarrV3Scan)
 }
