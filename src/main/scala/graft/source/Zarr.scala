@@ -31,10 +31,12 @@ import org.apache.spark.sql.functions.col
   * inside the executors — one task per chunk file, so a 100 TB store
   * parallelizes by its chunk grid with no driver involvement.
   *
-  * Supported: C order; v2 compressor null/zlib, v3 codecs bytes +
-  * gzip/zstd; dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus their
-  * big-endian forms (v3 names normalized to these). Anything else —
-  * blosc, sharding, transpose — fails loudly rather than mis-decoding.
+  * Supported: C order; v2 compressors null/zlib/blosc (zarr-python's
+  * default blosc-lz4 included — [[Blosc]]), v3 codecs bytes +
+  * gzip/zstd/blosc; dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus
+  * their big-endian forms (v3 names normalized to these). Anything
+  * else — sharding, transpose, bit-shuffle — fails loudly rather than
+  * mis-decoding.
   */
 object ZarrCodec {
 
@@ -171,6 +173,7 @@ object ZarrCodec {
                 .getOrElse("little")
               case "gzip" => comp = "gzip"
               case "zstd" => comp = "zstd"
+              case "blosc" => comp = "blosc" // self-describing header
               case other => throw new IllegalArgumentException(
                 s"unsupported zarr v3 codec '$other' in $zj")
             }
@@ -204,8 +207,8 @@ object ZarrCodec {
         val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
         val comp = Option(node.get("compressor"))
           .filterNot(_.isNull).map(_.get("id").asText()).getOrElse("null")
-        require(comp == "null" || comp == "zlib",
-          s"unsupported zarr compressor '$comp' in $za (null/zlib only)")
+        require(comp == "null" || comp == "zlib" || comp == "blosc",
+          s"unsupported zarr compressor '$comp' in $za (null/zlib/blosc)")
         require(Option(node.get("filters")).forall(_.isNull),
           s"zarr filters unsupported in $za")
         require(node.get("order").asText() == "C",
@@ -234,6 +237,7 @@ object ZarrCodec {
       case "zlib" => inflate(bytes)
       case "gzip" => gunzip(bytes)
       case "zstd" => unzstd(bytes)
+      case "blosc" => Blosc.decompress(bytes)
       case _ => bytes
     }
     val full = decodeDtype(meta.dtype, raw)
@@ -474,7 +478,8 @@ object ZarrFixture {
             dtype: String = "<f8", compress: Boolean = true,
             attrs: Map[String, String] = Map.empty,
             dims: Seq[String] = Seq.empty,
-            value: Seq[Int] => Double = _.sum.toDouble): Unit = {
+            value: Seq[Int] => Double = _.sum.toDouble,
+            bloscCname: Option[String] = None): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
@@ -488,8 +493,12 @@ object ZarrFixture {
       Files.writeString(dir.resolve(".zattrs"),
         allAttrs.map { case (k, v) => s""""$k": $v""" }
           .mkString("{", ", ", "}"))
-    val comp =
-      if (compress) """{"id": "zlib", "level": 6}""" else "null"
+    val comp = bloscCname match {
+      case Some(cn) =>
+        s"""{"id": "blosc", "cname": "$cn", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      case None if compress => """{"id": "zlib", "level": 6}"""
+      case None => "null"
+    }
     Files.writeString(dir.resolve(".zarray"),
       s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
          | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
@@ -506,7 +515,11 @@ object ZarrFixture {
         else value(coord)
       }
       val raw = encode(dtype, vals)
-      val bytes = if (compress) deflate(raw) else raw
+      val typesize = math.max(1, raw.length / vals.length)
+      val bytes = bloscCname match {
+        case Some(cn) => Blosc.compress(raw, typesize, cn)
+        case None => if (compress) deflate(raw) else raw
+      }
       Files.write(dir.resolve(ci.mkString(".")), bytes)
     }
   }

@@ -80,11 +80,11 @@ class ZarrSpec extends SparkSpec {
     Files.createDirectories(d.resolve("a"))
     Files.writeString(d.resolve("a").resolve(".zarray"),
       """{"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<f8",
-        | "compressor": {"id": "blosc"}, "fill_value": null,
+        | "compressor": {"id": "lzma"}, "fill_value": null,
         | "order": "C", "filters": null}""".stripMargin)
     val e = intercept[IllegalArgumentException] {
       ZarrCodec.readMeta(d)
     }
-    assert(e.getMessage.contains("blosc"))
+    assert(e.getMessage.contains("lzma"))
   }
 }

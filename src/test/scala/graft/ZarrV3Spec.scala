@@ -73,7 +73,7 @@ class ZarrV3Spec extends SparkSpec {
     assert(band.getAs[Boolean]("is_band"))
   }
 
-  test("unsupported v3 codecs fail loudly (blosc/sharding)") {
+  test("unsupported v3 codecs fail loudly (sharding)") {
     val store = Files.createTempDirectory("graft-zarr3bad")
     Files.writeString(store.resolve("zarr.json"),
       """{"zarr_format": 3, "node_type": "group"}""")
@@ -85,8 +85,31 @@ class ZarrV3Spec extends SparkSpec {
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         | "chunk_key_encoding": {"name": "default"},
         | "fill_value": 0,
-        | "codecs": [{"name": "bytes"}, {"name": "blosc"}]}""".stripMargin)
+        | "codecs": [{"name": "sharding_indexed"}]}""".stripMargin)
     val e = intercept[IllegalArgumentException] { ZarrCodec.readMeta(store) }
-    assert(e.getMessage.contains("blosc"))
+    assert(e.getMessage.contains("sharding_indexed"))
+  }
+
+  test("v3 blosc codec chains decode (zarr-python v2-default compressor " +
+    "carried into v3)") {
+    val store = Files.createTempDirectory("graft-zarr3blosc")
+    ZarrFixture.writeV3(store, "b", Seq(6, 4), Seq(3, 4), codec = "null",
+      value = c => c.head * 2.0 + c(1))
+    // hand-swap the codec chain to bytes+blosc and re-encode the chunks
+    val dir = store.resolve("b")
+    val zj = Files.readString(dir.resolve("zarr.json"))
+    Files.writeString(dir.resolve("zarr.json"), zj.replace(
+      """[{"name": "bytes", "configuration": {"endian": "little"}}]""",
+      """[{"name": "bytes", "configuration": {"endian": "little"}}, """ +
+        """{"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5}}]"""))
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir.resolve("c")).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach { f =>
+        Files.write(f, graft.source.Blosc.compress(Files.readAllBytes(f), 8))
+      }
+    val m = ZarrCodec.readMeta(store).head
+    assert(m.compressor === "blosc")
+    assert(ZarrCodec.readArray(store, m).toSeq ===
+      (for (r <- 0 until 6; c <- 0 until 4) yield r * 2.0 + c))
   }
 }
