@@ -33,18 +33,30 @@ import org.apache.spark.sql.functions.col
   *
   * Supported: C order; v2 compressors null/zlib/blosc (zarr-python's
   * default blosc-lz4 included — [[Blosc]]), v3 codecs bytes +
-  * gzip/zstd/blosc; dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus
+  * gzip/zstd/blosc AND `sharding_indexed` (inner chunk grid + crc32c'd
+  * uint64 footer index per shard — each shard fans out one row per
+  * INNER chunk, so scan parallelism survives object-count-reducing
+  * shard layouts); dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus
   * their big-endian forms (v3 names normalized to these). Anything
-  * else — sharding, transpose, bit-shuffle — fails loudly rather than
+  * else — transpose, bit-shuffle — fails loudly rather than
   * mis-decoding.
   */
 object ZarrCodec {
+
+  /** Sharding (v3 `sharding_indexed` codec): the array's chunk grid is
+    * the SHARD grid; each shard file packs an inner chunk grid plus a
+    * footer index of (offset, nbytes) uint64 pairs, optionally
+    * crc32c-checksummed.
+    */
+  final case class ShardMeta(inner: Seq[Int], innerComp: String,
+                             indexAtEnd: Boolean, indexCrc: Boolean)
 
   final case class ArrayMeta(store: String, name: String, shape: Seq[Int],
                              chunks: Seq[Int], dtype: String,
                              compressor: String, fillValue: Double,
                              nChunks: Seq[Int], zarrFormat: Int = 2,
-                             sep: String = ".") {
+                             sep: String = ".",
+                             shard: Option[ShardMeta] = None) {
     def nValues: Long = shape.map(_.toLong).product
   }
 
@@ -106,8 +118,8 @@ object ZarrCodec {
       .filter(Files.isRegularFile(_))
       .filterNot(f => f.getFileName.toString.startsWith(".") ||
         f.getFileName.toString == "zarr.json").foreach { f =>
-        val (origin, shape, values) = decodeChunk(meta,
-          keyFromPath(meta, dir.relativize(f).toString), Files.readAllBytes(f))
+        decodeChunks(meta, keyFromPath(meta, dir.relativize(f).toString),
+          Files.readAllBytes(f)).foreach { case (origin, shape, values) =>
         val strides = {
           val s = new Array[Int](shape.length); var acc = 1
           for (d <- shape.indices.reverse) { s(d) = acc; acc *= shape(d) }
@@ -122,6 +134,7 @@ object ZarrCodec {
           }
           out(dst) = values(i)
           i += 1
+        }
         }
       }
     out
@@ -164,20 +177,8 @@ object ZarrCodec {
           }.getOrElse(("default", "/"))
           require(keyEnc == "v2" || sep == "/" || sep == ".",
             s"unsupported separator '$sep' in $zj")
-          var endian = "little"
-          var comp = "null"
-          node.get("codecs").elements().asScala.foreach { c =>
-            c.get("name").asText() match {
-              case "bytes" => endian = Option(c.get("configuration"))
-                .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
-                .getOrElse("little")
-              case "gzip" => comp = "gzip"
-              case "zstd" => comp = "zstd"
-              case "blosc" => comp = "blosc" // self-describing header
-              case other => throw new IllegalArgumentException(
-                s"unsupported zarr v3 codec '$other' in $zj")
-            }
-          }
+          val (endian, comp, shard) =
+            parseCodecChain(node.get("codecs"), zj.toString, topLevel = true)
           val dtype = (if (endian == "big") ">" else "<") +
             (node.get("data_type").asText() match {
               case "float64" => "f8"; case "float32" => "f4"
@@ -190,9 +191,47 @@ object ZarrCodec {
             .map(_.asDouble(Double.NaN)).getOrElse(Double.NaN)
           Some(ArrayMeta(store.toString, name, shape, chunks, dtype, comp,
             fill, shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
-            zarrFormat = 3, sep = sep))
+            zarrFormat = 3, sep = sep, shard = shard))
         }
       }
+
+  /** One pass over a v3 codec list → (endianness, compressor name,
+    * optional shard config). `sharding_indexed` recurses once for its
+    * inner chain; nested sharding is rejected.
+    */
+  private def parseCodecChain(codecs: com.fasterxml.jackson.databind.JsonNode,
+                              ctx: String, topLevel: Boolean)
+      : (String, String, Option[ShardMeta]) = {
+    var endian = "little"
+    var comp = "null"
+    var shard: Option[ShardMeta] = None
+    codecs.elements().asScala.foreach { c =>
+      c.get("name").asText() match {
+        case "bytes" => endian = Option(c.get("configuration"))
+          .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
+          .getOrElse("little")
+        case "gzip" => comp = "gzip"
+        case "zstd" => comp = "zstd"
+        case "blosc" => comp = "blosc" // self-describing header
+        case "sharding_indexed" if topLevel =>
+          val cfg = c.get("configuration")
+          val inner = cfg.get("chunk_shape").elements().asScala
+            .map(_.asInt()).toSeq
+          val (ie, ic, nested) =
+            parseCodecChain(cfg.get("codecs"), ctx, topLevel = false)
+          require(nested.isEmpty, s"nested sharding unsupported in $ctx")
+          endian = ie
+          val atEnd = Option(cfg.get("index_location"))
+            .map(_.asText()).getOrElse("end") == "end"
+          val crc = Option(cfg.get("index_codecs")).exists(
+            _.elements().asScala.exists(_.get("name").asText() == "crc32c"))
+          shard = Some(ShardMeta(inner, ic, atEnd, crc))
+        case other => throw new IllegalArgumentException(
+          s"unsupported zarr v3 codec '$other' in $ctx")
+      }
+    }
+    (endian, comp, shard)
+  }
 
   private def readMetaV2(store: Path): Seq[ArrayMeta] = {
     Files.walk(store).iterator().asScala
@@ -233,22 +272,93 @@ object ZarrCodec {
       : (Array[Int], Array[Int], Array[Double]) = {
     val idx = chunkKey.split('.').map(_.toInt)
     require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
-    val raw = meta.compressor match {
+    val full = decodeDtype(meta.dtype, decompressBy(meta.compressor, bytes))
+    val origin = idx.zip(meta.chunks).map { case (i, c) => i * c }
+    trimBox(full, origin, meta.chunks, meta.shape)
+  }
+
+  /** All chunks carried by one store file: exactly one for ordinary
+    * arrays, one per present INNER chunk for sharded arrays — the shape
+    * every scan path consumes, so sharding is transparent downstream.
+    */
+  def decodeChunks(meta: ArrayMeta, chunkKey: String, bytes: Array[Byte])
+      : Seq[(Array[Int], Array[Int], Array[Double])] =
+    meta.shard match {
+      case None => Seq(decodeChunk(meta, chunkKey, bytes))
+      case Some(sh) => decodeShard(meta, sh, chunkKey, bytes)
+    }
+
+  /** `sharding_indexed` shard file: footer (or header) index of uint64
+    * (offset, nbytes) pairs in row-major inner-grid order, all-ones =
+    * chunk absent; each present inner chunk decodes through the INNER
+    * codec chain and trims against the array bounds.
+    */
+  private def decodeShard(meta: ArrayMeta, sh: ShardMeta, chunkKey: String,
+                          bytes: Array[Byte])
+      : Seq[(Array[Int], Array[Int], Array[Double])] = {
+    val idx = chunkKey.split('.').map(_.toInt)
+    require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
+    val shardOrigin = idx.zip(meta.chunks).map { case (i, c) => i * c }
+    val grid = meta.chunks.zip(sh.inner).map { case (c, i) => (c + i - 1) / i }
+    val n = grid.product
+    val idxBytes = n * 16
+    val idxSize = idxBytes + (if (sh.indexCrc) 4 else 0)
+    require(bytes.length >= idxSize, s"shard smaller than its index")
+    val idxOff = if (sh.indexAtEnd) bytes.length - idxSize else 0
+    if (sh.indexCrc) {
+      val crc = new java.util.zip.CRC32C
+      crc.update(bytes, idxOff, idxBytes)
+      val stored = ByteBuffer.wrap(bytes, idxOff + idxBytes, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt()
+      require(crc.getValue.toInt == stored, "shard index crc32c mismatch")
+    }
+    val ib = ByteBuffer.wrap(bytes, idxOff, idxBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val gridStrides = strides(grid.toArray)
+    (0 until n).flatMap { li =>
+      val off = ib.getLong(16 * li + idxOff)
+      val len = ib.getLong(16 * li + idxOff + 8)
+      if (off == -1L && len == -1L) None // absent: fill-value region
+      else {
+        val packed = java.util.Arrays.copyOfRange(bytes, off.toInt,
+          off.toInt + len.toInt)
+        val full = decodeDtype(meta.dtype, decompressBy(sh.innerComp, packed))
+        val rel = new Array[Int](grid.length)
+        var rem = li
+        var d = 0
+        while (d < grid.length) {
+          rel(d) = (rem / gridStrides(d)) * sh.inner(d)
+          rem %= gridStrides(d)
+          d += 1
+        }
+        val origin = shardOrigin.zip(rel).map { case (a, b) => a + b }.toArray
+        // an inner chunk can sit entirely past the array bounds when the
+        // shard overhangs the edge — nothing to emit
+        if (origin.zip(meta.shape).exists { case (o, sz) => o >= sz }) None
+        else Some(trimBox(full, origin, sh.inner, meta.shape))
+      }
+    }
+  }
+
+  private def decompressBy(comp: String, bytes: Array[Byte]): Array[Byte] =
+    comp match {
       case "zlib" => inflate(bytes)
       case "gzip" => gunzip(bytes)
       case "zstd" => unzstd(bytes)
       case "blosc" => Blosc.decompress(bytes)
       case _ => bytes
     }
-    val full = decodeDtype(meta.dtype, raw)
-    val origin = idx.zip(meta.chunks).map { case (i, c) => i * c }
-    val trimmed = origin.zip(meta.chunks).zip(meta.shape).map {
+
+  /** Copy the in-bounds sub-box out of a padded C-order chunk. */
+  private def trimBox(full: Array[Double], origin: Array[Int],
+                      cdims: Seq[Int], shape: Seq[Int])
+      : (Array[Int], Array[Int], Array[Double]) = {
+    val trimmed = origin.zip(cdims).zip(shape).map {
       case ((o, c), s) => math.min(c, s - o)
     }
-    // copy the in-bounds sub-box out of the padded chunk (C order)
     val out = new Array[Double](trimmed.product)
     val nd = trimmed.length
-    val chunkStrides = strides(meta.chunks.toArray)
+    val chunkStrides = strides(cdims.toArray)
     val outStrides = strides(trimmed)
     var i = 0
     while (i < out.length) {
@@ -399,14 +509,15 @@ object ZarrSource {
       require(dims == Seq(tName, yName, xName, lName),
         s"unexpected band layout $dims for ${m.name} in $store " +
           s"(expected ${Seq(tName, yName, xName, lName)})")
-      require(m.chunks(2) == m.shape(2),
+      val effX = m.shard.map(_.inner(2)).getOrElse(m.chunks(2))
+      require(effX == m.shape(2),
         s"band ${m.name}: x axis must be unchunked for scanline reads " +
           s"(chunks=${m.chunks}, shape=${m.shape})")
       val vname = m.name
       chunkScan(spark, s"$store/$vname", m)
         .flatMap { case (path, bytes) =>
-          val (origin, shape, values) =
-            ZarrCodec.decodeChunk(m, ZarrCodec.keyFromPath(m, path), bytes)
+          ZarrCodec.decodeChunks(m, ZarrCodec.keyFromPath(m, path), bytes)
+            .iterator.flatMap { case (origin, shape, values) =>
           val Array(ot, oy, _, ol) = origin
           val Array(ct, cy, cx, cl) = shape
           for {
@@ -422,6 +533,7 @@ object ZarrSource {
             }
             (store, vname, ot + t, tVals(ot + t), ol + l, lVals(ol + l),
               oy + y, ys(oy + y), xs, row)
+          }
           }
         }
         .toDF("path", "variable", "time_idx", "time", "leadtime_idx",
@@ -441,10 +553,14 @@ object ZarrSource {
     val dir = if (array == "/") store else s"$store/$array"
     import spark.implicits._
     chunkScan(spark, dir, meta)
-      .map { case (path, bytes) =>
+      .flatMap { case (path, bytes) =>
         val key = ZarrCodec.keyFromPath(meta, path)
-        val (origin, shape, values) = ZarrCodec.decodeChunk(meta, key, bytes)
-        (key, origin.toSeq, shape.toSeq, values.toSeq)
+        ZarrCodec.decodeChunks(meta, key, bytes).zipWithIndex.map {
+          case ((origin, shape, values), i) =>
+            // sharded files carry many chunks; suffix keeps keys unique
+            val k = if (meta.shard.isEmpty) key else s"$key#$i"
+            (k, origin.toSeq, shape.toSeq, values.toSeq)
+        }
       }
       .toDF("chunk_key", "origin", "shape", "values")
   }
@@ -538,7 +654,8 @@ object ZarrFixture {
               dtype: String = "<f8", codec: String = "zstd",
               attrs: Map[String, String] = Map.empty,
               dims: Seq[String] = Seq.empty,
-              value: Seq[Int] => Double = _.sum.toDouble): Unit = {
+              value: Seq[Int] => Double = _.sum.toDouble,
+              shardInner: Option[Seq[Int]] = None): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     if (!Files.exists(store.resolve("zarr.json")))
@@ -552,12 +669,22 @@ object ZarrFixture {
     val endian = if (dtype.startsWith(">")) "big" else "little"
     val bytesCodec =
       s"""{"name": "bytes", "configuration": {"endian": "$endian"}}"""
-    val codecsJson = codec match {
+    val innerChainJson = codec match {
       case "null" => s"[$bytesCodec]"
       case "gzip" =>
         s"""[$bytesCodec, {"name": "gzip", "configuration": {"level": 5}}]"""
       case "zstd" =>
         s"""[$bytesCodec, {"name": "zstd", "configuration": {"level": 3}}]"""
+    }
+    val codecsJson = shardInner match {
+      case None => innerChainJson
+      case Some(inner) =>
+        s"""[{"name": "sharding_indexed", "configuration": {
+           |  "chunk_shape": [${inner.mkString(", ")}],
+           |  "codecs": $innerChainJson,
+           |  "index_codecs": [{"name": "bytes",
+           |    "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+           |  "index_location": "end"}}]""".stripMargin
     }
     val attrsJson = attrs.map { case (k, v) => s""""$k": "$v"""" }
       .mkString("{", ", ", "}")
@@ -575,23 +702,51 @@ object ZarrFixture {
          | "fill_value": "NaN",
          | "codecs": $codecsJson,
          | "attributes": $attrsJson$dimsJson}""".stripMargin)
-    val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
-    cartesian(nChunks).foreach { ci =>
-      val origin = ci.zip(chunks).map { case (i, c) => i * c }
-      val vals = cartesian(chunks).map { off =>
+    def pack(raw: Array[Byte]): Array[Byte] = codec match {
+      case "gzip" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+      case _ => raw
+    }
+    def chunkValues(origin: Seq[Int], cshape: Seq[Int]): Array[Byte] =
+      encode(dtype, cartesian(cshape).map { off =>
         val coord = origin.zip(off).map { case (o, x) => o + x }
         if (coord.zip(shape).exists { case (x, s) => x >= s }) -1.0
         else value(coord)
-      }
-      val raw = encode(dtype, vals)
-      val bytes = codec match {
-        case "gzip" =>
-          val bos = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(raw); gz.close()
-          bos.toByteArray
-        case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
-        case _ => raw
+      })
+    val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    cartesian(nChunks).foreach { ci =>
+      val origin = ci.zip(chunks).map { case (i, c) => i * c }
+      val bytes = shardInner match {
+        case None => pack(chunkValues(origin, chunks))
+        case Some(inner) =>
+          // shard: packed inner chunks + uint64 (offset, nbytes) index
+          // + crc32c footer (index_location "end")
+          val grid = chunks.zip(inner).map { case (c, i) => (c + i - 1) / i }
+          val body = new java.io.ByteArrayOutputStream()
+          val index = ByteBuffer.allocate(grid.product * 16 + 4)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          cartesian(grid).foreach { ii =>
+            val innerOrigin = origin.zip(ii.zip(inner)).map {
+              case (o, (i, c)) => o + i * c
+            }
+            if (innerOrigin.zip(shape).exists { case (o, sz) => o >= sz }) {
+              index.putLong(-1L); index.putLong(-1L) // absent chunk
+            } else {
+              val packed = pack(chunkValues(innerOrigin, inner))
+              index.putLong(body.size().toLong)
+              index.putLong(packed.length.toLong)
+              body.write(packed)
+            }
+          }
+          val crc = new java.util.zip.CRC32C
+          crc.update(index.array(), 0, grid.product * 16)
+          index.putInt(crc.getValue.toInt)
+          body.write(index.array())
+          body.toByteArray
       }
       val f = dir.resolve("c").resolve(ci.mkString("/"))
       Files.createDirectories(f.getParent)

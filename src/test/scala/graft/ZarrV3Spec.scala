@@ -73,7 +73,66 @@ class ZarrV3Spec extends SparkSpec {
     assert(band.getAs[Boolean]("is_band"))
   }
 
-  test("unsupported v3 codecs fail loudly (sharding)") {
+  test("sharding_indexed: shards decode to the unsharded array, absent " +
+    "inner chunks and the crc32c index included") {
+    val plain = Files.createTempDirectory("graft-zarr3pl")
+    val sharded = Files.createTempDirectory("graft-zarr3sh")
+    val value = (c: Seq[Int]) => c.head * 1.5 + c(1) * 0.25
+    // 10×6 array; 8×4 shards of 2×4 inner chunks — the last shard
+    // overhangs both edges, so it carries absent inner-chunk entries
+    ZarrFixture.writeV3(plain, "arr", Seq(10, 6), Seq(2, 4), codec = "zstd",
+      value = value)
+    ZarrFixture.writeV3(sharded, "arr", Seq(10, 6), Seq(8, 4),
+      codec = "zstd", value = value, shardInner = Some(Seq(2, 4)))
+    val mS = ZarrCodec.readMeta(sharded).head
+    assert(mS.shard.isDefined)
+    assert(mS.shard.get.inner === Seq(2, 4) && mS.shard.get.indexCrc)
+    val a = ZarrCodec.readArray(plain, ZarrCodec.readMeta(plain).head)
+    val b = ZarrCodec.readArray(sharded, mS)
+    assert(b.toSeq === a.toSeq)
+    // the executor path sees one row per INNER chunk, scale-parallel
+    val rows = ZarrSource.read(spark, sharded.toString, "arr")
+    assert(rows.count() > 2) // more chunks than shard files
+    val total = rows.select(explode(col("values")).as("v"))
+      .agg(sum(col("v"))).head.getDouble(0)
+    val expect = (for (r <- 0 until 10; c <- 0 until 6) yield value(Seq(r, c))).sum
+    assert(math.abs(total - expect) < 1e-9)
+  }
+
+  test("sharded forecast store: the tidy scan equals the unsharded one") {
+    val plain = Files.createTempDirectory("graft-zarr3tf")
+    val sharded = Files.createTempDirectory("graft-zarr3ts")
+    ZarrFixture.writeForecastV3(plain)
+    // same content, bands stored as one shard of scanline inner chunks
+    ZarrFixture.writeGroupAttrsV3(sharded, Map(
+      "geospatial_bounds_crs" -> "EPSG:6931",
+      "geospatial_lat_min" -> "45.0"))
+    ZarrFixture.writeV3(sharded, "time", Seq(1), Seq(1), codec = "null",
+      attrs = Map("units" -> "days since 2025-01-01"), dims = Seq("time"),
+      value = c => c.head.toDouble)
+    ZarrFixture.writeV3(sharded, "yc", Seq(8), Seq(8), codec = "null",
+      attrs = Map("units" -> "km"), dims = Seq("yc"), value = c => 100.0 + c.head)
+    ZarrFixture.writeV3(sharded, "xc", Seq(8), Seq(8), codec = "null",
+      attrs = Map("units" -> "km"), dims = Seq("xc"), value = c => 200.0 + c.head)
+    ZarrFixture.writeV3(sharded, "leadtime", Seq(3), Seq(3), codec = "null",
+      dims = Seq("leadtime"), value = c => c.head.toDouble)
+    val dims4 = Seq("time", "yc", "xc", "leadtime")
+    def band(name: String, f: Seq[Int] => Double): Unit =
+      ZarrFixture.writeV3(sharded, name, Seq(1, 8, 8, 3), Seq(1, 8, 8, 3),
+        codec = "zstd", dims = dims4, attrs = Map("units" -> "1"),
+        value = f, shardInner = Some(Seq(1, 4, 8, 3)))
+    band("sic_mean", { c =>
+      val Seq(t, y, x, l) = c
+      if ((y * 8 + x + l) % 17 == 0) Double.NaN
+      else (t + 1) * 0.1 + y * 0.01 + x * 0.001 + l * 0.0001
+    })
+    band("sic_stddev", { c => val Seq(t, y, x, l) = c; (y + x + l + t) * 0.005 })
+    def tidyRows(store: String) = ZarrSource.tidy(spark, store)
+      .drop("path").collect().map(_.toString).sorted.toSeq
+    assert(tidyRows(sharded.toString) === tidyRows(plain.toString))
+  }
+
+  test("unsupported v3 codecs fail loudly (transpose)") {
     val store = Files.createTempDirectory("graft-zarr3bad")
     Files.writeString(store.resolve("zarr.json"),
       """{"zarr_format": 3, "node_type": "group"}""")
@@ -85,9 +144,9 @@ class ZarrV3Spec extends SparkSpec {
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         | "chunk_key_encoding": {"name": "default"},
         | "fill_value": 0,
-        | "codecs": [{"name": "sharding_indexed"}]}""".stripMargin)
+        | "codecs": [{"name": "transpose"}, {"name": "bytes"}]}""".stripMargin)
     val e = intercept[IllegalArgumentException] { ZarrCodec.readMeta(store) }
-    assert(e.getMessage.contains("sharding_indexed"))
+    assert(e.getMessage.contains("transpose"))
   }
 
   test("v3 blosc codec chains decode (zarr-python v2-default compressor " +
