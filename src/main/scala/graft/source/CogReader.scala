@@ -110,11 +110,45 @@ object CogReader {
       grid
     }
 
-    /** Horizontal differencing (predictor 2, integer samples): each
-      * sample stores the delta to its left neighbor within the row.
+    /** Horizontal differencing (predictor 2, integer samples: delta to
+      * the left neighbor) and the floating-point predictor (3, TIFF
+      * Technical Note 3: each row's value bytes split into MSB→LSB
+      * streams, then byte-wise delta across the whole row — decode
+      * accumulates the bytes and re-interleaves them into the file's
+      * byte order).
       */
     private def undoPredictor(p: Page, buf: ByteBuffer, rowW: Int): Unit = {
       if (p.predictor == 1) return
+      if (p.predictor == 3) {
+        require(p.sampleFormat == 3,
+          s"predictor 3 requires float samples (sampleFormat ${p.sampleFormat})")
+        val ss = p.bitsPerSample / 8
+        val vals = if (p.planar == 1) p.nBands else 1
+        val n = rowW * vals
+        val rowBytes = n * ss
+        val arr = buf.array()
+        val tmp = new Array[Byte](rowBytes)
+        var rowStart = 0
+        while (rowStart + rowBytes <= arr.length) {
+          var i = rowStart + 1 // byte-wise accumulate, stride 1
+          while (i < rowStart + rowBytes) {
+            arr(i) = (arr(i) + arr(i - 1)).toByte; i += 1
+          }
+          var v = 0
+          while (v < n) {
+            var j = 0
+            while (j < ss) { // stream j carries byte j (MSB first)
+              val dst = if (order == ByteOrder.LITTLE_ENDIAN) ss - 1 - j else j
+              tmp(v * ss + dst) = arr(rowStart + j * n + v)
+              j += 1
+            }
+            v += 1
+          }
+          System.arraycopy(tmp, 0, arr, rowStart, rowBytes)
+          rowStart += rowBytes
+        }
+        return
+      }
       require(p.predictor == 2 && p.sampleFormat != 3,
         s"unsupported predictor ${p.predictor} for sampleFormat ${p.sampleFormat}")
       val ss = p.bitsPerSample / 8

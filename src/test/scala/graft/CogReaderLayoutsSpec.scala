@@ -128,6 +128,52 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
     assert(g(1).toSeq === Seq(50.0, 45.0, 46.0))
   }
 
+  test("floating-point predictor 3 on float32 strips (TIFF TechNote 3)") {
+    // encode reference: per row, split value bytes into MSB→LSB streams,
+    // then byte-delta across the whole row
+    val rows = Seq(Seq(1.5f, -2.25f, 100f), Seq(0.125f, 3f, -8f))
+    def encodeRow(vals: Seq[Float]): Array[Byte] = {
+      val be = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.BIG_ENDIAN)
+      vals.foreach(be.putFloat)
+      val b = be.array()
+      val split = new Array[Byte](b.length)
+      for (v <- vals.indices; j <- 0 until 4)
+        split(j * vals.length + v) = b(v * 4 + j)
+      val out = split.clone()
+      for (i <- (out.length - 1) to 1 by -1)
+        out(i) = (split(i) - split(i - 1)).toByte
+      out
+    }
+    val data = rows.flatMap(encodeRow(_)).toArray
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false,
+      baseEntries(3, 2, 32, 3, Seq(8L), Seq(data.length.toLong), rps = 2) :+
+        ((317, 3, Seq(3L))), data)
+    val g = CogReader.read(bytes).readBand(0, 0)
+    assert(g(0).toSeq === Seq(1.5, -2.25, 100.0))
+    assert(g(1).toSeq === Seq(0.125, 3.0, -8.0))
+    // big-endian file, float64 variant
+    val rows64 = Seq(Seq(0.5, -4.25), Seq(17.0, 0.0))
+    def encodeRow64(vals: Seq[Double]): Array[Byte] = {
+      val be = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.BIG_ENDIAN)
+      vals.foreach(be.putDouble)
+      val b = be.array()
+      val split = new Array[Byte](b.length)
+      for (v <- vals.indices; j <- 0 until 8)
+        split(j * vals.length + v) = b(v * 8 + j)
+      val out = split.clone()
+      for (i <- (out.length - 1) to 1 by -1)
+        out(i) = (split(i) - split(i - 1)).toByte
+      out
+    }
+    val data64 = rows64.flatMap(encodeRow64(_)).toArray
+    val bytes64 = buildTiff(ByteOrder.BIG_ENDIAN, big = false,
+      baseEntries(2, 2, 64, 3, Seq(8L), Seq(data64.length.toLong), rps = 2) :+
+        ((317, 3, Seq(3L))), data64)
+    val g64 = CogReader.read(bytes64).readBand(0, 0)
+    assert(g64(0).toSeq === Seq(0.5, -4.25))
+    assert(g64(1).toSeq === Seq(17.0, 0.0))
+  }
+
   test("chunky (planar=1) interleaved two-band uint8") {
     // 2x2, bands interleaved per pixel: (b0,b1) pairs
     val data = Array[Byte](10, 110, 20, 120, 30, (130 & 0xFF).toByte, 40, (140 & 0xFF).toByte)
