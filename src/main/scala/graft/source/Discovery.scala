@@ -13,10 +13,17 @@ import scala.jdk.CollectionConverters._
 object Discovery {
 
   /** get_nc_files: dir → *.ext listing (sorted for determinism), file →
-    * itself iff extension matches, else empty.
+    * itself iff extension matches, else empty. A directory that IS a
+    * zarr store (v2 `.zgroup` / v3 `zarr.json` marker) resolves to
+    * itself — one store is one logical multiband input, the way a .nc
+    * file is.
     */
   def files(location: Path, extension: String = "nc"): Seq[Path] = {
-    if (Files.isDirectory(location))
+    if (Files.isDirectory(location) &&
+      (Files.exists(location.resolve(".zgroup")) ||
+        Files.exists(location.resolve("zarr.json"))))
+      Seq(location.toAbsolutePath)
+    else if (Files.isDirectory(location))
       Files.list(location).iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(s".$extension"))
         .toSeq.sortBy(_.toString)

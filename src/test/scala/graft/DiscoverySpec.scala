@@ -18,6 +18,18 @@ class DiscoverySpec extends AnyFunSuite {
     assert(Discovery.files(d.resolve("c.txt")).isEmpty)
   }
 
+  test("S2 files: a zarr store directory resolves to ITSELF (v2 and v3 " +
+    "markers), so the CLI can drive a store like a .nc input") {
+    val v2 = Files.createTempDirectory("graft-disc-z2")
+    Files.writeString(v2.resolve(".zgroup"), """{"zarr_format": 2}""")
+    val v3 = Files.createTempDirectory("graft-disc-z3")
+    Files.writeString(v3.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    assert(Discovery.files(v2) === Seq(v2.toAbsolutePath))
+    assert(Discovery.files(v3) === Seq(v3.toAbsolutePath))
+    assert(Discovery.resolve(Seq(v2.toString)) === Seq(v2.toAbsolutePath))
+  }
+
   test("S3 flatten + P10 existence filter + resolve fail-on-empty") {
     val d = Files.createTempDirectory("graft-disc2")
     Files.write(d.resolve("x.nc"), Array[Byte](1))
