@@ -85,6 +85,9 @@ object GridFile {
       case NetCdf.NcByte => "int8"; case NetCdf.NcChar => "char"
       case NetCdf.NcShort => "int16"; case NetCdf.NcInt => "int32"
       case NetCdf.NcFloat => "float32"; case NetCdf.NcDouble => "float64"
+      case NetCdf.NcUByte => "uint8"; case NetCdf.NcUShort => "uint16"
+      case NetCdf.NcUInt => "uint32"; case NetCdf.NcInt64 => "int64"
+      case NetCdf.NcUInt64 => "uint64"
     }
     override def varAttrText(n: String, a: String): Option[String] =
       v(n).attr(a).flatMap(at => Option(at.text))

@@ -4,24 +4,27 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM reader/writer for the NetCDF classic binary format (CDF-1 and
-  * CDF-2), implemented from the public format specification (the NetCDF
-  * "classic format spec"; magic `CDF\x01`/`CDF\x02`, big-endian, 4-byte
-  * aligned). No native libs, no extra dependencies — this is what lets
-  * the engine scan the reference's primary input (S1, ref
-  * generator.py:485) and write per-slice netCDFs (K1, ref
-  * generator.py:961-979) inside executor tasks.
+/** Pure-JVM reader/writer for the NetCDF classic binary format — CDF-1,
+  * CDF-2 (64-bit offsets) and CDF-5 (64-bit data, the PnetCDF output
+  * HPC forecast models produce) — implemented from the public format
+  * specifications (magic `CDF\x01`/`\x02`/`\x05`, big-endian, 4-byte
+  * aligned; CDF-5 widens counts/lengths/ids to 64-bit and adds the
+  * unsigned + 64-bit integer types). No native libs, no extra
+  * dependencies — this is what lets the engine scan the reference's
+  * primary input (S1, ref generator.py:485) and write per-slice netCDFs
+  * (K1, ref generator.py:961-979) inside executor tasks.
   *
   * Supported: dimensions (incl. one record dimension), global and
-  * per-variable attributes (char/byte/short/int/float/double), fixed and
-  * record variables of all six classic types. Not supported (not needed
-  * for forecast files): CDF-5, HDF5-backed netCDF-4.
+  * per-variable attributes, fixed and record variables of all classic
+  * and CDF-5 numeric types. HDF5-backed netCDF-4 lives in [[Hdf5]].
   */
 object NetCdf {
 
-  // classic nc_type codes
+  // classic nc_type codes (+ the CDF-5 additions)
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  val NcUByte = 7; val NcUShort = 8; val NcUInt = 9
+  val NcInt64 = 10; val NcUInt64 = 11
 
   final case class Dim(name: String, length: Int) { def isRecord: Boolean = length == 0 }
   final case class Attr(name: String, ncType: Int, text: String, nums: Seq[Double])
@@ -45,19 +48,23 @@ object NetCdf {
     require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
       "not a NetCDF classic file (bad magic)")
     val version = b.get().toInt
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
-    val numRecs = b.getInt()
-    val dims = readTaggedList(b, 0x0A) { _ =>
-      Dim(readName(b), b.getInt())
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
+    // CDF-5 widens every NON_NEG count/length/id to 64 bits
+    def nn(): Long =
+      if (version == 5) b.getLong() else b.getInt().toLong & 0xFFFFFFFFL
+    val numRecs = nn().toInt
+    val dims = readTaggedList(b, 0x0A, nn) { _ =>
+      Dim(readName(b, nn), nn().toInt)
     }
-    val gatts = readAttrList(b)
-    val vars = readTaggedList(b, 0x0B) { _ =>
-      val name = readName(b)
-      val ndims = b.getInt()
-      val dimIds = (0 until ndims).map(_ => b.getInt())
-      val atts = readAttrList(b)
+    val gatts = readAttrList(b, nn)
+    val vars = readTaggedList(b, 0x0B, nn) { _ =>
+      val name = readName(b, nn)
+      val ndims = nn().toInt
+      val dimIds = (0 until ndims).map(_ => nn().toInt)
+      val atts = readAttrList(b, nn)
       val ncType = b.getInt()
-      val vsize = b.getInt().toLong & 0xFFFFFFFFL
+      val vsize = nn()
       val begin = if (version == 1) b.getInt().toLong & 0xFFFFFFFFL else b.getLong()
       Var(name, dimIds, atts, ncType, vsize, begin)
     }
@@ -104,61 +111,64 @@ object NetCdf {
     b.position(offset.toInt)
     var i = 0
     while (i < n) {
-      out(outPos + i) = ncType match {
-        case NcByte   => b.get().toDouble
-        case NcShort  => b.getShort().toDouble
-        case NcInt    => b.getInt().toDouble
-        case NcFloat  => b.getFloat().toDouble
-        case NcDouble => b.getDouble()
-        case t => throw new IllegalArgumentException(s"numeric read of nc_type $t")
-      }
+      out(outPos + i) = numericValue(b, ncType)
       i += 1
     }
   }
 
-  private def readTaggedList[T](b: ByteBuffer, expectTag: Int)(f: Int => T): Seq[T] = {
+  private def numericValue(b: ByteBuffer, ncType: Int): Double = ncType match {
+    case NcByte   => b.get().toDouble
+    case NcShort  => b.getShort().toDouble
+    case NcInt    => b.getInt().toDouble
+    case NcFloat  => b.getFloat().toDouble
+    case NcDouble => b.getDouble()
+    case NcUByte  => (b.get() & 0xFF).toDouble
+    case NcUShort => (b.getShort() & 0xFFFF).toDouble
+    case NcUInt   => (b.getInt().toLong & 0xFFFFFFFFL).toDouble
+    case NcInt64  => b.getLong().toDouble
+    case NcUInt64 =>
+      val v = b.getLong()
+      if (v >= 0) v.toDouble
+      else (v & Long.MaxValue).toDouble + 9.223372036854775808e18
+    case t => throw new IllegalArgumentException(s"numeric read of nc_type $t")
+  }
+
+  private def readTaggedList[T](b: ByteBuffer, expectTag: Int,
+                                nn: () => Long)(f: Int => T): Seq[T] = {
     val tag = b.getInt()
-    val n = b.getInt()
+    val n = nn().toInt
     require(tag == expectTag || (tag == 0 && n == 0),
       s"bad list tag $tag (expected $expectTag)")
     (0 until n).map(f)
   }
 
-  private def readAttrList(b: ByteBuffer): Seq[Attr] =
-    readTaggedList(b, 0x0C) { _ =>
-      val name = readName(b)
+  private def readAttrList(b: ByteBuffer, nn: () => Long): Seq[Attr] =
+    readTaggedList(b, 0x0C, nn) { _ =>
+      val name = readName(b, nn)
       val t = b.getInt()
-      val n = b.getInt()
+      val n = nn().toInt
       if (t == NcChar) {
         val raw = new Array[Byte](n)
         b.get(raw); skipPad(b, n)
         Attr(name, t, new String(raw, StandardCharsets.UTF_8), Nil)
       } else {
-        val vals = (0 until n).map { _ =>
-          t match {
-            case NcByte => b.get().toDouble
-            case NcShort => b.getShort().toDouble
-            case NcInt => b.getInt().toDouble
-            case NcFloat => b.getFloat().toDouble
-            case NcDouble => b.getDouble()
-            case other => throw new IllegalArgumentException(s"attr type $other")
-          }
-        }
+        val vals = (0 until n).map(_ => numericValue(b, t))
         skipPad(b, n * sizeOf(t))
         Attr(name, t, null, vals)
       }
     }
 
-  private def readName(b: ByteBuffer): String = {
-    val n = b.getInt()
+  private def readName(b: ByteBuffer, nn: () => Long): String = {
+    val n = nn().toInt
     val raw = new Array[Byte](n)
     b.get(raw); skipPad(b, n)
     new String(raw, StandardCharsets.UTF_8)
   }
 
   private def sizeOf(t: Int): Int = t match {
-    case NcByte | NcChar => 1; case NcShort => 2
-    case NcInt | NcFloat => 4; case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1; case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
   }
 
   private def skipPad(b: ByteBuffer, consumed: Int): Unit = {

@@ -108,4 +108,58 @@ class NetCdfSpec extends SparkSpec {
     val back = NetCdf.readVariable(out, h2, h2.vars.find(_.name == "sic_mean").get)
     assert(back.toSeq === slice.toSeq)
   }
+
+  test("CDF-5 (64-bit data): widened counts, new types, attrs all decode") {
+    // hand-built PnetCDF-style file: one dim, a char global attr, an
+    // int64 variable and a scale_factor'd uint16 variable
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    def name5(n: String): Unit = {
+      o.writeLong(n.length.toLong); o.writeBytes(n)
+      (0 until (4 - n.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    o.writeBytes("CDF"); o.writeByte(5)
+    o.writeLong(0L) // numrecs
+    o.writeInt(0x0A); o.writeLong(1L)
+    name5("x"); o.writeLong(4L)
+    o.writeInt(0x0C); o.writeLong(1L)
+    name5("title"); o.writeInt(NetCdf.NcChar); o.writeLong(5L)
+    o.writeBytes("hello"); (0 until 3).foreach(_ => o.writeByte(0))
+    o.writeInt(0x0B); o.writeLong(2L)
+    name5("a"); o.writeLong(1L); o.writeLong(0L) // 1 dim, dimid 0
+    o.writeInt(0); o.writeLong(0L)               // absent attr list
+    o.writeInt(NetCdf.NcInt64); o.writeLong(32L)
+    val beginAPos = bos.size(); o.writeLong(0L)
+    name5("bb"); o.writeLong(1L); o.writeLong(0L)
+    o.writeInt(0x0C); o.writeLong(1L)
+    name5("scale_factor"); o.writeInt(NetCdf.NcDouble); o.writeLong(1L)
+    o.writeDouble(0.5)
+    o.writeInt(NetCdf.NcUShort); o.writeLong(8L)
+    val beginBPos = bos.size(); o.writeLong(0L)
+    val beginA = bos.size().toLong // header ends here; data follows
+    Seq(1L, -2L, 3000000000L, 5L).foreach(o.writeLong)
+    val beginB = bos.size().toLong
+    Seq(0xFFFF, 7, 8, 9).foreach(v => o.writeShort(v))
+    o.flush()
+    val bytes = bos.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putLong(beginAPos, beginA); bb.putLong(beginBPos, beginB)
+
+    val h = NetCdf.readHeader(bytes)
+    assert(h.version === 5)
+    assert(h.dims === Seq(NetCdf.Dim("x", 4)))
+    assert(h.gatt("title").map(_.text) === Some("hello"))
+    val a = h.vars.find(_.name == "a").get
+    assert(NetCdf.readVariable(bytes, h, a).toSeq ===
+      Seq(1.0, -2.0, 3000000000.0, 5.0)) // int64 exceeds int32 range
+    val b = h.vars.find(_.name == "bb").get
+    assert(b.attr("scale_factor").map(_.nums.head) === Some(0.5))
+    assert(NetCdf.readVariable(bytes, h, b).toSeq ===
+      Seq(65535.0, 7.0, 8.0, 9.0)) // uint16 reads unsigned
+    // the format facade maps the CDF-5 types
+    val g = graft.source.GridFile.open(bytes)
+    assert(g.dtypeName("a") === "int64" && g.dtypeName("bb") === "uint16")
+  }
 }
+

@@ -58,4 +58,23 @@ class ZarrPipelineSpec extends SparkSpec {
     assert(cog.extra("forecast:bands").contains("sic_mean"))
     assert(cog.size > 0 && cog.checksum != null)
   }
+
+  test("preprocess over a zarr V3 store produces the same catalog as v2") {
+    def run(tag: String, writeStore: java.nio.file.Path => Unit) = {
+      val work = Files.createTempDirectory(s"graft-zarr-pipe-$tag")
+      val store = work.resolve("input.zarr")
+      writeStore(store)
+      graft.pipeline.Preprocess.run(spark, store.toString,
+        graft.pipeline.Preprocess.Options(
+          name = "sic_zarr", dataPath = work.resolve("data").toString))
+    }
+    val r2 = run("v2", ZarrFixture.writeForecast(_))
+    val r3 = run("v3", ZarrFixture.writeForecastV3(_))
+    assert(r3.nItems === r2.nItems && r3.nSlices === r2.nSlices)
+    def stats(root: String) = graft.sink.StacJsonSink.readItems(spark, root)
+      .collect().map(it => (it.id, it.properties.toSeq.sorted,
+        it.assets.filter(_.key.startsWith("cog_lead_")).sortBy(_.key)
+          .map(_.extra.get("forecast:bands")))).sortBy(_._1).toSeq
+    assert(stats(r3.catalogRoot) === stats(r2.catalogRoot))
+  }
 }
