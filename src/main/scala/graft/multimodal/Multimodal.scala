@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   *    and [[Flac]] codecs — rms, zero-crossings, duration from actual
   *    samples); lossy formats fall back to a clearly-marked
   *    deterministic stub.
-  *  - VIDEO frame-sample: the container has no codecs, so the decode
-  *    step is a clearly-marked deterministic stub (byte-hash-derived
-  *    values with the REAL schema, partitioning and batch shape) —
-  *    swap `stubFrame` for a codec call on a real cluster.
+  *  - VIDEO frame-sample: REAL for MJPEG/AVI (pure-JVM [[Avi]]
+  *    container parse; each frame is a standalone JPEG) — sampled
+  *    frames carry actual JPEG bytes and container-derived
+  *    timestamps. Codec-bound formats (h264/vp9) keep a
+  *    clearly-marked deterministic stub (byte-hash-derived values
+  *    with the REAL schema, partitioning and batch shape) — swap
+  *    `stubFrame` for a codec call on a real cluster.
   */
 object Multimodal {
 
@@ -94,11 +97,13 @@ object Multimodal {
       }(enc)
   }
 
-  /** Video frame sampling — STUB decode (no codecs in this container):
-    * emits `nFrames` rows per video with the real output schema
-    * (media_id, frame_idx, ts_ms, frame binary); the frame bytes are a
-    * deterministic digest of (content, frame_idx) standing in for the
-    * decoded frame. Replace the body of `stubFrame` with a codec call.
+  /** Video frame sampling. MJPEG/AVI payloads decode for REAL
+    * ([[Avi]], pure JVM): `nFrames` evenly-spaced frames per video,
+    * each row carrying the frame's actual JPEG bytes (feedable
+    * straight into [[imageFeatures]]) and its real timestamp from the
+    * container's frame rate. Codec-bound formats (h264/vp9 — no
+    * codecs in this container) keep the clearly-marked deterministic
+    * byte stand-in with duration from metadata.
     */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(
@@ -110,15 +115,27 @@ object Multimodal {
       .mapPartitions { part =>
         part.flatMap { r =>
           val (id, content) = (r.getLong(0), r.getAs[Array[Byte]](1))
-          val dur = if (r.isNullAt(2)) 1000L else r.getLong(2)
-          (0 until nFrames).iterator.map { i =>
-            Row(id, i, dur * i / math.max(nFrames - 1, 1), stubFrame(content, i))
+          Avi.decode(content) match {
+            case Some(v) =>
+              val n = v.frames.length
+              (0 until nFrames).iterator.map { i =>
+                val src = i * (n - 1) / math.max(nFrames - 1, 1)
+                Row(id, i, src * v.usPerFrame / 1000, v.frames(src))
+              }
+            case None =>
+              val dur = if (r.isNullAt(2)) 1000L else r.getLong(2)
+              (0 until nFrames).iterator.map { i =>
+                Row(id, i, dur * i / math.max(nFrames - 1, 1),
+                  stubFrame(content, i))
+              }
           }
         }
       }(enc)
   }
 
-  /** ??? — codec decode goes here; deterministic stand-in for now. */
+  /** ??? — codec-bound (h264/vp9) decode goes here; deterministic
+    * stand-in for now. MJPEG/AVI decodes for real above.
+    */
   private def stubFrame(content: Array[Byte], idx: Int): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5")
       .digest(content ++ BigInt(idx).toByteArray)

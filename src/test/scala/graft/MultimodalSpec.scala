@@ -53,6 +53,42 @@ class MultimodalSpec extends SparkSpec {
       a.getAs[Array[Byte]](3).sameElements(b.getAs[Array[Byte]](3)) })
   }
 
+  test("video: MJPEG/AVI round-trips and sampleFrames emits REAL frames") {
+    import graft.multimodal.Avi
+    def jpeg(seed: Int) = Thumbnail.jpeg(
+      Array.tabulate(16, 16)((y, x) => (y * 16 + x + seed).toDouble))
+    val srcFrames = (0 until 9).map(jpeg)
+    val avi = Avi.write(srcFrames, 16, 16, fps = 5)
+    assert(Avi.isAvi(avi) && !Avi.isAvi("not avi bytes!".getBytes))
+    val v = Avi.decode(avi).get
+    assert(v.width === 16 && v.height === 16)
+    assert(v.usPerFrame === 200000L && v.frames.length === 9)
+    v.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(v.durationMs === 1800L)
+    // every decoded frame is a standalone JPEG ImageIO accepts
+    v.frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth === 16)
+    }
+
+    // through the Spark operator: AVI rows sample real frames with
+    // container timestamps; non-AVI rows keep the 16-byte digest stub
+    val rows = Seq(
+      Row(7L, "video", "video/x-msvideo", avi, Map.empty[String, String]),
+      Row(8L, "video", "video/mp4", Array.fill[Byte](64)(3),
+        Map("duration_ms" -> "1000")))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val sampled = Multimodal.sampleFrames(media, 3).collect()
+      .groupBy(_.getLong(0))
+    val real = sampled(7L).sortBy(_.getInt(1))
+    assert(real.map(_.getLong(2)).toSeq === Seq(0L, 800L, 1600L))
+    assert(real.map(_.getAs[Array[Byte]](3).toSeq).toSeq ===
+      Seq(srcFrames(0).toSeq, srcFrames(4).toSeq, srcFrames(8).toSeq))
+    val stub = sampled(8L)
+    assert(stub.forall(_.getAs[Array[Byte]](3).length === 16)) // md5 stand-in
+  }
+
   test("audio features: schema + deterministic stand-in values") {
     val f = Multimodal.audioFeatures(mediaDf).collect()
     assert(f.length === 1)
