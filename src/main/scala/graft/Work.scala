@@ -55,15 +55,18 @@ object Work {
                  df: org.apache.spark.sql.DataFrame, inputKey: String)
       : org.apache.spark.sql.DataFrame = {
     val path = oracleDumpPath(tag)
-    if (!dumpedTags.contains(tag -> inputKey)) {
+    // memoize the LAST key written per tag — a set of all keys ever
+    // written would serve input B's stale dump when a query returns to
+    // input A (the shared path holds one dump at a time)
+    if (dumpedTags.get(tag) != inputKey) {
       df.write.mode("overwrite").parquet(path)
-      dumpedTags.add(tag -> inputKey)
+      dumpedTags.put(tag, inputKey)
     }
     spark.read.parquet(path)
   }
 
   private val dumpedTags =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Fixed location (NOT java.io.tmpdir-dependent) so the static oracle
     * SQL strings can embed it.

@@ -17,9 +17,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Avi {
 
-  final case class Video(width: Int, height: Int, usPerFrame: Long,
-                         frames: Seq[Array[Byte]]) {
-    def durationMs: Long = usPerFrame * frames.length / 1000
+  /** Decoded container facts + frame SPANS into the original buffer —
+    * frame bytes are sliced on demand so sampling k frames of an
+    * n-frame video copies k payloads, not n.
+    */
+  final class Video(val width: Int, val height: Int, val usPerFrame: Long,
+                    bytes: Array[Byte], spans: IndexedSeq[(Int, Int)]) {
+    def nFrames: Int = spans.length
+    def frame(i: Int): Array[Byte] = {
+      val (off, len) = spans(i)
+      java.util.Arrays.copyOfRange(bytes, off, off + len)
+    }
+    def frames: Seq[Array[Byte]] = spans.indices.map(frame)
+    def durationMs: Long = usPerFrame * nFrames / 1000
   }
 
   def isAvi(bytes: Array[Byte]): Boolean =
@@ -33,7 +43,7 @@ object Avi {
     var width = 0; var height = 0
     var usPerFrame = 0L
     var isMjpeg = false
-    val frames = Seq.newBuilder[Array[Byte]]
+    val spans = IndexedSeq.newBuilder[(Int, Int)]
 
     def fourcc(): String = {
       val f = new Array[Byte](4); b.get(f)
@@ -65,9 +75,7 @@ object Avi {
               if (compression.equalsIgnoreCase("MJPG")) isMjpeg = true
             }
           case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) =>
-            val payload = new Array[Byte](size)
-            b.get(payload)
-            frames += payload
+            spans += ((start, size))
           case _ => ()
         }
         // chunks are word-aligned: odd sizes carry a pad byte
@@ -76,9 +84,9 @@ object Avi {
 
     b.position(12) // past "RIFF" + size + "AVI "
     walk(bytes.length)
-    val fs = frames.result()
+    val fs = spans.result()
     if (!isMjpeg || fs.isEmpty) None
-    else Some(Video(width, height, usPerFrame, fs))
+    else Some(new Video(width, height, usPerFrame, bytes, fs))
   }
 
   /** Minimal valid single-stream MJPEG AVI from per-frame JPEG bytes. */

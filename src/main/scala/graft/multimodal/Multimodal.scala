@@ -117,10 +117,10 @@ object Multimodal {
           val (id, content) = (r.getLong(0), r.getAs[Array[Byte]](1))
           Avi.decode(content) match {
             case Some(v) =>
-              val n = v.frames.length
+              val n = v.nFrames
               (0 until nFrames).iterator.map { i =>
                 val src = i * (n - 1) / math.max(nFrames - 1, 1)
-                Row(id, i, src * v.usPerFrame / 1000, v.frames(src))
+                Row(id, i, src * v.usPerFrame / 1000, v.frame(src))
               }
             case None =>
               val dur = if (r.isNullAt(2)) 1000L else r.getLong(2)

@@ -269,8 +269,13 @@ object Hdf5 {
       if (isDataset) {
         val filters = msgs.collectFirst { case (0x000B, body) => parseFilters(body) }
           .getOrElse(Nil)
+        // v4 chunk-dims convention insurance: writers differ on whether
+        // the encoded dims are the dataspace rank or rank+1 with the
+        // element size as a trailing pseudo-dim (the v3 convention);
+        // reconcile against the dataspace so both decode correctly
+        val lay = reconcileV4Chunks(layout.get, space.get.length, dtype.get.size)
         out += Dataset(prefix.stripPrefix("/"), oh,
-          space.get.map(_.toInt), dtype.get, layout.get, filters, attrs)
+          space.get.map(_.toInt), dtype.get, lay, filters, attrs)
       } else {
         // group: symbol-table children + compact link-message children
         msgs.collectFirst { case (0x0011, body) => body }.foreach { body =>
@@ -304,6 +309,17 @@ object Hdf5 {
       v2BtreeRecords(nameBtreeAddr, expectType = 5).flatMap { rec =>
         val heapId = java.util.Arrays.copyOfRange(rec, 4, rec.length)
         parseLink(heap.managedObject(heapId))
+      }
+    }
+
+    private def reconcileV4Chunks(lay: Layout, rank: Int, elem: Int): Layout = {
+      def fix(cd: Seq[Int]): Seq[Int] =
+        if (cd.length == rank + 1 && cd.last == elem) cd.dropRight(1) else cd
+      lay match {
+        case ChunkedSingle(a, cd, f, m) => ChunkedSingle(a, fix(cd), f, m)
+        case ChunkedImplicit(a, cd) => ChunkedImplicit(a, fix(cd))
+        case ChunkedFixedArray(a, cd) => ChunkedFixedArray(a, fix(cd))
+        case other => other
       }
     }
 
@@ -911,8 +927,8 @@ object Hdf5 {
             }
           val nominal = (cdims.map(_.toLong).product * elem).toInt
           // row-major chunk-grid coordinates for linear index i
+          val nPer = ds.dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
           def gridCoords(i: Long): Array[Long] = {
-            val nPer = ds.dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
             val coords = new Array[Long](cdims.length)
             var rest = i
             (cdims.length - 1) to 0 by -1 foreach { d =>

@@ -30,15 +30,25 @@ object NetCdfSource {
     candidates.find(names.contains)
 
   /** Resolve a comma-joined glob to concrete file paths (driver-side,
-    * Hadoop FileSystem — works on local disk, HDFS, object stores).
+    * Hadoop FileSystem — works on local disk, HDFS, object stores). A
+    * pattern matching nothing FAILS (a typo'd path must not read as an
+    * empty dataset); a matched directory expands to its visible files
+    * (the listing binaryFile used to do).
     */
   private def resolveGlob(spark: SparkSession, glob: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     glob.split(",").toSeq.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(_.isFile).map(_.getPath.toString)
+      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matches.nonEmpty, s"netcdf scan: path does not exist: $p")
+      matches.flatMap { st =>
+        if (st.isFile) Seq(st.getPath.toString)
+        else fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+          .map(_.getPath.toString)
+          .filterNot(n => { val b = n.substring(n.lastIndexOf('/') + 1)
+            b.startsWith(".") || b.startsWith("_") })
+      }
     }.sorted.distinct
   }
 
@@ -53,25 +63,24 @@ object NetCdfSource {
     import spark.implicits._
     val paths = resolveGlob(spark, glob)
     val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    // session Hadoop conf rides to the tasks (spark.hadoop.* —
+    // object-store credentials etc.); a bare executor-side
+    // Configuration() would see only classpath defaults
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     // parallelize (not repartition) keeps the file→partition assignment
     // deterministic and shuffle-free: one slice per file up to the core
     // count, in sorted path order
     spark.createDataset(spark.sparkContext.parallelize(paths, par)).flatMap { path =>
-      val conf = new org.apache.hadoop.conf.Configuration()
       val hp = new org.apache.hadoop.fs.Path(path)
-      val src = new FsByteSource(org.apache.hadoop.fs.FileSystem.get(hp.toUri, conf), hp)
-      val it = f(path, GridFile.open(src)).iterator
-      // close exactly once, when the lazy row stream is exhausted — the
-      // decode iterators read through the source as they advance
-      new Iterator[T] {
-        private var closed = false
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !closed) { closed = true; src.close() }
-          h
-        }
-        def next(): T = it.next()
-      }
+      val src = new FsByteSource(
+        hp.getFileSystem(confBc.value.value), hp)
+      // the row stream is lazy and a limit can stop consuming it early;
+      // tie the close to task completion, not iterator exhaustion
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => src.close()))
+      f(path, GridFile.open(src)).iterator
     }
   }
 
