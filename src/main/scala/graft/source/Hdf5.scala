@@ -23,8 +23,9 @@ import java.util.zip.Inflater
   * storage + name-index v2 B-trees of depth 0 and 1, types 5 and 8 —
   * the "latest"-format layouts h5py emits once links/attributes
   * outgrow compact storage); v4 data layouts with Single Chunk,
-  * Implicit and Fixed Array chunk indexes. Not supported: v2 B-trees
-  * of depth ≥ 2, paged Fixed Arrays, Extensible Array / v2 B-tree
+  * Implicit and Fixed Array (direct and PAGED) chunk indexes. Not
+  * supported: v2 B-trees
+  * of depth ≥ 2, Extensible Array / v2 B-tree
   * chunk indexes (unlimited dims), filtered fractal heaps, non-IEEE
   * floats — all rejected with explicit errors.
   */
@@ -982,9 +983,6 @@ object Hdf5 {
       val pageBits = h.get().toInt
       val maxEntries = h.getLong()
       val dbAddr = h.getLong()
-      require(maxEntries <= (1L << pageBits),
-        s"paged Fixed Array ($maxEntries entries > one ${1L << pageBits}-" +
-          "entry page) unsupported")
       if (dbAddr == Undefined) return
       val b = cur(dbAddr)
       require(b.read(4).sameElements("FADB".getBytes(StandardCharsets.US_ASCII)),
@@ -993,16 +991,37 @@ object Hdf5 {
       require(b.get().toInt == clientId, "FADB client mismatch")
       b.getLong() // header back-pointer
       val szBytes = entrySize - 12 // client-1 entry: addr(8) + size + mask(4)
-      (0L until maxEntries).foreach { i =>
-        if (clientId == 0) {
-          val a = b.getLong()
-          if (a != Undefined) f(i, nominal, 0, a)
-        } else {
-          val a = b.getLong()
-          var sz = 0L
-          (0 until szBytes).foreach(j => sz |= (b.get().toLong & 0xFF) << (8 * j))
-          val mask = b.getInt()
-          if (a != Undefined) f(i, sz.toInt, mask, a)
+      def readEntries(c: Cursor, from: Long, count: Long): Unit =
+        (0L until count).foreach { i =>
+          if (clientId == 0) {
+            val a = c.getLong()
+            if (a != Undefined) f(from + i, nominal, 0, a)
+          } else {
+            val a = c.getLong()
+            var sz = 0L
+            (0 until szBytes).foreach(j => sz |= (c.get().toLong & 0xFF) << (8 * j))
+            val mask = c.getInt()
+            if (a != Undefined) f(from + i, sz.toInt, mask, a)
+          }
+        }
+      val pageSize = 1L << pageBits
+      if (maxEntries <= pageSize) readEntries(b, 0L, maxEntries)
+      else {
+        // PAGED data block (the shape any dataset past ~1024 chunks
+        // produces): a page-init bitmap + checksum in the block, then
+        // the element pages contiguously after it, each with its own
+        // trailing checksum; uninitialized pages hold no chunks
+        val nPages = ((maxEntries + pageSize - 1) / pageSize).toInt
+        val bitmap = b.read((nPages + 7) / 8)
+        b.getInt() // data-block checksum
+        var pageAddr = b.position
+        var from = 0L
+        (0 until nPages).foreach { pg =>
+          val count = math.min(pageSize, maxEntries - from)
+          if ((bitmap(pg / 8) & (1 << (pg % 8))) != 0)
+            readEntries(cur(pageAddr), from, count)
+          pageAddr += count * entrySize + 4 // + page checksum
+          from += count
         }
       }
     }

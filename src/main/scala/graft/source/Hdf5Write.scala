@@ -168,11 +168,13 @@ object Hdf5Write {
             denseRoot: Boolean = false,
             denseAttrs: Boolean = false,
             v4Layout: Boolean = false,
-            denseNodeSize: Int = 2048): Array[Byte] = {
+            denseNodeSize: Int = 2048,
+            v4PageBits: Int = 10): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
+      v4PageBits = v4PageBits,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -195,12 +197,13 @@ object Hdf5Write {
                 denseRoot: Boolean = false,
                 denseAttrs: Boolean = false,
                 v4Layout: Boolean = false,
-                denseNodeSize: Int = 2048): Unit = {
+                denseNodeSize: Int = 2048,
+                v4PageBits: Int = 10): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
-        dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize,
+        dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -217,7 +220,7 @@ object Hdf5Write {
                      vars: Seq[NetCdf.VarSpec], deflateLevel: Int,
                      shuffle: Boolean, maxChunkElems: Int,
                      dataBase: Long, denseRoot: Boolean, denseAttrs: Boolean,
-                     v4Layout: Boolean, denseNodeSize: Int,
+                     v4Layout: Boolean, denseNodeSize: Int, v4PageBits: Int,
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
 
@@ -320,7 +323,14 @@ object Hdf5Write {
           // address lives in the layout message itself) — no FAHD/FADB
           if (c.list.size > 1) {
             faHdrAddr(p.name) = alloc(28L)
-            faDbAddr(p.name) = alloc(14L + c.list.size * 16L + 4L)
+            val n = c.list.size.toLong
+            val pageSize = 1L << v4PageBits
+            faDbAddr(p.name) = alloc(
+              if (n <= pageSize) 14L + n * 16L + 4L
+              else { // paged: bitmap + block checksum, then per-page cksums
+                val nPages = (n + pageSize - 1) / pageSize
+                14L + (nPages + 7) / 8 + 4L + n * 16L + nPages * 4L
+              })
           }
         } else {
           val rank = p.shape.length
@@ -474,24 +484,58 @@ object Hdf5Write {
       fh.put(0.toByte)  // version
       fh.put(1.toByte)  // client 1: filtered chunks
       fh.put(16.toByte) // entry: addr(8) + size(4) + mask(4)
-      fh.put(10.toByte) // page bits (1024 entries — paging never needed here)
-      require(n <= 1024, s"${p.name}: $n chunks exceed one Fixed Array page")
+      fh.put(v4PageBits.toByte)
       fh.putLong(n.toLong)
       fh.putLong(faDbAddr(p.name))
       fh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(fh.array(), 0, 24)))
       seek(faHdrAddr(p.name)); out.put(fh.array())
 
-      val dbSize = 14 + n * 16 + 4
-      val db = ByteBuffer.allocate(dbSize).order(ByteOrder.LITTLE_ENDIAN)
-      db.put("FADB".getBytes(StandardCharsets.US_ASCII))
-      db.put(0.toByte); db.put(1.toByte)
-      db.putLong(faHdrAddr(p.name))
-      c.list.zip(chunkAddrs(p.name)).foreach { case ((_, bytes), a) =>
-        db.putLong(a); db.putInt(bytes.length); db.putInt(0)
+      val entries = c.list.zip(chunkAddrs(p.name))
+      val pageSize = 1 << v4PageBits
+      if (n <= pageSize) {
+        val dbSize = 14 + n * 16 + 4
+        val db = ByteBuffer.allocate(dbSize).order(ByteOrder.LITTLE_ENDIAN)
+        db.put("FADB".getBytes(StandardCharsets.US_ASCII))
+        db.put(0.toByte); db.put(1.toByte)
+        db.putLong(faHdrAddr(p.name))
+        entries.foreach { case ((_, bytes), a) =>
+          db.putLong(a); db.putInt(bytes.length); db.putInt(0)
+        }
+        db.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+          db.array(), 0, dbSize - 4)))
+        seek(faDbAddr(p.name)); out.put(db.array())
+      } else {
+        // paged: FADB carries the all-initialized page bitmap, then the
+        // element pages follow contiguously, each with a trailing
+        // checksum
+        val nPages = (n + pageSize - 1) / pageSize
+        val bitmapLen = (nPages + 7) / 8
+        val dbSize = 14 + bitmapLen + 4
+        val db = ByteBuffer.allocate(dbSize).order(ByteOrder.LITTLE_ENDIAN)
+        db.put("FADB".getBytes(StandardCharsets.US_ASCII))
+        db.put(0.toByte); db.put(1.toByte)
+        db.putLong(faHdrAddr(p.name))
+        (0 until bitmapLen).foreach { i =>
+          var bits = 0
+          (0 until 8).foreach(j => if (i * 8 + j < nPages) bits |= 1 << j)
+          db.put(bits.toByte)
+        }
+        db.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+          db.array(), 0, dbSize - 4)))
+        seek(faDbAddr(p.name)); out.put(db.array())
+        var pageAddr = faDbAddr(p.name) + dbSize
+        entries.grouped(pageSize).foreach { page =>
+          val ps = page.size * 16 + 4
+          val pb = ByteBuffer.allocate(ps).order(ByteOrder.LITTLE_ENDIAN)
+          page.foreach { case ((_, bytes), a) =>
+            pb.putLong(a); pb.putInt(bytes.length); pb.putInt(0)
+          }
+          pb.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+            pb.array(), 0, ps - 4)))
+          seek(pageAddr); out.put(pb.array())
+          pageAddr += ps
+        }
       }
-      db.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
-        db.array(), 0, dbSize - 4)))
-      seek(faDbAddr(p.name)); out.put(db.array())
     }
 
     // global heap with one object-reference per (data var, dim)
@@ -652,7 +696,7 @@ object Hdf5Write {
           b.putLong(chunkAddrs(p.name).head)
         } else {
           b.put(3.toByte)                // index type 3: Fixed Array
-          b.put(10.toByte)               // page bits
+          b.put(v4PageBits.toByte)
           b.putLong(faHdrAddr(p.name))
         }
         (0 until pad8(body) - body).foreach(_ => b.put(0.toByte))

@@ -46,6 +46,29 @@ class V4LayoutSpec extends SparkSpec {
     }
   }
 
+  test("PAGED Fixed Array (chunk count past one page) decodes bit-" +
+    "identically — the shape any many-chunk archive variable produces") {
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 64, nx = 64, nl = 3)
+    // 8 chunks per payload at this budget; page bits 1 → 2-entry pages
+    // → 4 element pages per variable behind the bitmap'd data block
+    val paged = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 2048, v4Layout = true, v4PageBits = 1))
+    val plain = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 2048))
+    plain.file.datasets.foreach { ds =>
+      bitEqual(plain.readDoubles(ds.name), paged.readDoubles(ds.name), ds.name)
+    }
+    // slice pushdown works through pages too
+    val full = paged.readDoubles("sic_mean")
+    val sliced = paged.readDoublesSliced("sic_mean",
+      Array(None, Some(10L), None, None))
+    (0 until 64 * 3).foreach { j =>
+      val idx = (10 * 64 * 3) + j
+      assert(java.lang.Double.doubleToLongBits(sliced(idx)) ===
+        java.lang.Double.doubleToLongBits(full(idx)), s"cell $idx")
+    }
+  }
+
   test("slice pushdown prunes chunks through the Fixed Array index") {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 64, nx = 64, nl = 3)
     val v4 = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
