@@ -112,5 +112,68 @@ object MultimodalQueries {
         round(col("rms"), 6).as("rms"), col("zero_crossings"))
   }
 
-  val all: Seq[QueryDef] = Seq(imagePipeline, audioPipeline)
+  /** Real video frame sampling over MJPEG/AVI — the sampling arithmetic
+    * is what the oracle independently recomputes: container facts
+    * (frame count, frame interval) and per-frame digests of EVERY
+    * source frame are dumped, and DuckDB re-derives which source frame
+    * each sampled row must be (evenly-spaced index), its timestamp, and
+    * the digest it must carry. A digest mismatch means the operator
+    * picked the wrong frame; the decode itself is pinned by
+    * MultimodalSpec.
+    */
+  val videoPipeline = QueryDef("q81_video_frames",
+    """WITH f AS (SELECT * FROM read_parquet('/tmp/graft-oracle/q81_facts/*.parquet')),
+      |a AS (SELECT * FROM read_parquet('/tmp/graft-oracle/q81_all/*.parquet')),
+      |s AS (SELECT * FROM read_parquet('/tmp/graft-oracle/q81_sampled/*.parquet'))
+      |SELECT s.media_id, s.frame_idx,
+      |  CAST(s.frame_idx * (f.n_frames - 1) // 2 AS INT) AS src_idx,
+      |  CAST(s.frame_idx * (f.n_frames - 1) // 2 * f.us_per_frame // 1000
+      |    AS BIGINT) AS ts_ms,
+      |  a.frame_md5
+      |FROM s JOIN f USING (media_id)
+      |JOIN a ON a.media_id = s.media_id
+      |  AND a.src_idx = s.frame_idx * (f.n_frames - 1) // 2
+      |ORDER BY s.media_id, s.frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Avi
+    val nVideos = 12
+    val rows = (0 until nVideos).map { i =>
+      val frames = (0 until 4 + i % 5).map(fr => Thumbnail.jpeg(
+        Array.tabulate(12, 12)((y, x) => (y * 12 + x + i * 100 + fr * 7).toDouble)))
+      Row(i.toLong, "video", "video/x-msvideo",
+        Avi.write(frames, 12, 12, fps = 5 + i % 3),
+        Map.empty[String, String])
+    }
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
+    // container facts + a digest of every source frame, decoded honestly
+    // from the AVI payloads inside tasks
+    val perVideo = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val v = Avi.decode(bytes).get
+        (0 until v.nFrames).map { i =>
+          (id, v.nFrames, v.usPerFrame, i,
+            java.security.MessageDigest.getInstance("MD5").digest(v.frame(i))
+              .map("%02x".format(_)).mkString)
+        }
+      }.toDF("media_id", "n_frames", "us_per_frame", "src_idx", "frame_md5")
+    graft.Work.oracleDump(s, "q81_facts",
+      perVideo.select("media_id", "n_frames", "us_per_frame").distinct(), d)
+    graft.Work.oracleDump(s, "q81_all",
+      perVideo.select("media_id", "src_idx", "frame_md5"), d)
+    val sampled = Multimodal.sampleFrames(media, 3)
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+        md5(col("frame")).as("frame_md5"))
+    val dumped = graft.Work.oracleDump(s, "q81_sampled", sampled, d)
+    dumped.join(
+        perVideo.select("media_id", "n_frames", "us_per_frame").distinct(),
+        Seq("media_id"))
+      .select(col("media_id"), col("frame_idx"),
+        floor(col("frame_idx") * (col("n_frames") - 1) / 2).cast("int")
+          .as("src_idx"),
+        col("ts_ms"), col("frame_md5"))
+  }
+
+  val all: Seq[QueryDef] = Seq(imagePipeline, audioPipeline, videoPipeline)
 }
