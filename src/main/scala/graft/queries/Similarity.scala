@@ -191,7 +191,8 @@ object Similarity {
     // k ≈ √n, nprobe ≈ √k (IvfIndex.deriveK/deriveNprobe): the probed
     // fraction of the corpus SHRINKS as the corpus grows, instead of the
     // fixed k=16 that probed ~25% of a corpus of any size
-    val k = graft.ops.IvfIndex.deriveK(e.count())
+    val k = graft.ops.IvfIndex.deriveK(
+      graft.Tables.cachedCount(s, d, "embeddings"))
     val nprobe = graft.ops.IvfIndex.deriveNprobe(k)
     val centroids = trainCodebook(sample, k, iters = 8)
     val corpus = e

@@ -629,6 +629,13 @@ object Hdf5 {
           Chunked(btree, cdims.dropRight(1)) // last is element size
         case 2 => // v4 chunked: flags + sized dims + one of five indexes
           val flags = b.get().toInt
+          // flags bit 0 = DONT_FILTER_PARTIAL_BOUND_CHUNKS
+          // (H5Pset_chunk_opts): edge chunks are stored UNFILTERED while
+          // the index reports filter mask 0, so running the pipeline
+          // would silently mis-decode them — fail loudly instead
+          require((flags & 0x1) == 0,
+            "v4 chunked layout: unfiltered partial edge chunks " +
+              "(DONT_FILTER_PARTIAL_BOUND_CHUNKS) unsupported")
           val ndims = b.get().toInt
           val encLen = b.get().toInt
           def uN(): Long = {

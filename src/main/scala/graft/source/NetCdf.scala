@@ -53,15 +53,15 @@ object NetCdf {
     // CDF-5 widens every NON_NEG count/length/id to 64 bits
     def nn(): Long =
       if (version == 5) b.getLong() else b.getInt().toLong & 0xFFFFFFFFL
-    val numRecs = nn().toInt
+    val numRecs = nnInt(nn())
     val dims = readTaggedList(b, 0x0A, nn) { _ =>
-      Dim(readName(b, nn), nn().toInt)
+      Dim(readName(b, nn), nnInt(nn()))
     }
     val gatts = readAttrList(b, nn)
     val vars = readTaggedList(b, 0x0B, nn) { _ =>
       val name = readName(b, nn)
-      val ndims = nn().toInt
-      val dimIds = (0 until ndims).map(_ => nn().toInt)
+      val ndims = nnInt(nn())
+      val dimIds = (0 until ndims).map(_ => nnInt(nn()))
       val atts = readAttrList(b, nn)
       val ncType = b.getInt()
       val vsize = nn()
@@ -133,10 +133,21 @@ object NetCdf {
     case t => throw new IllegalArgumentException(s"numeric read of nc_type $t")
   }
 
+  /** Narrow a NON_NEG count to Int, rejecting (not silently wrapping)
+    * CDF-5 headers whose 64-bit counts exceed the supported in-memory
+    * range — oversized counts are the case CDF-5 exists for, so they
+    * must fail loudly.
+    */
+  private def nnInt(v: Long): Int = {
+    require(v >= 0 && v <= Int.MaxValue,
+      s"CDF header count $v exceeds supported Int range")
+    v.toInt
+  }
+
   private def readTaggedList[T](b: ByteBuffer, expectTag: Int,
                                 nn: () => Long)(f: Int => T): Seq[T] = {
     val tag = b.getInt()
-    val n = nn().toInt
+    val n = nnInt(nn())
     require(tag == expectTag || (tag == 0 && n == 0),
       s"bad list tag $tag (expected $expectTag)")
     (0 until n).map(f)
@@ -146,7 +157,7 @@ object NetCdf {
     readTaggedList(b, 0x0C, nn) { _ =>
       val name = readName(b, nn)
       val t = b.getInt()
-      val n = nn().toInt
+      val n = nnInt(nn())
       if (t == NcChar) {
         val raw = new Array[Byte](n)
         b.get(raw); skipPad(b, n)
@@ -159,7 +170,7 @@ object NetCdf {
     }
 
   private def readName(b: ByteBuffer, nn: () => Long): String = {
-    val n = nn().toInt
+    val n = nnInt(nn())
     val raw = new Array[Byte](n)
     b.get(raw); skipPad(b, n)
     new String(raw, StandardCharsets.UTF_8)

@@ -53,6 +53,27 @@ class MultimodalSpec extends SparkSpec {
       a.getAs[Array[Byte]](3).sameElements(b.getAs[Array[Byte]](3)) })
   }
 
+  test("video: a second stream's frame chunks ('01dc') never interleave " +
+    "into the MJPEG frame list") {
+    import graft.multimodal.Avi
+    def jpeg(seed: Int) = Thumbnail.jpeg(
+      Array.tabulate(16, 16)((y, x) => (y * 16 + x + seed).toDouble))
+    val srcFrames = (0 until 5).map(jpeg)
+    val avi = Avi.write(srcFrames, 16, 16, fps = 5).clone()
+    // relabel the second movi chunk as stream 01: same container
+    // geometry, different stream — the MJPEG ('00') list must skip it
+    val pat = "00dc".getBytes("US-ASCII")
+    var at = avi.toSeq.indexOfSlice(pat) // first frame chunk
+    at = avi.toSeq.indexOfSlice(pat, at + 1) // second
+    assert(at > 0, "second 00dc chunk not found")
+    avi(at) = '0'; avi(at + 1) = '1'
+    val v = Avi.decode(avi).get
+    assert(v.nFrames === 4)
+    v.frames.zip(srcFrames.patch(1, Nil, 1)).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+  }
+
   test("video: MJPEG/AVI round-trips and sampleFrames emits REAL frames") {
     import graft.multimodal.Avi
     def jpeg(seed: Int) = Thumbnail.jpeg(

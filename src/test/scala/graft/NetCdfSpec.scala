@@ -109,6 +109,22 @@ class NetCdfSpec extends SparkSpec {
     assert(back.toSeq === slice.toSeq)
   }
 
+  test("CDF-5 counts past Int.MaxValue are rejected loudly, not wrapped") {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.writeBytes("CDF"); o.writeByte(5)
+    o.writeLong(0L) // numrecs
+    o.writeInt(0x0A); o.writeLong(1L) // one dim
+    o.writeLong(1L); o.writeBytes("x"); (0 until 3).foreach(_ => o.writeByte(0))
+    o.writeLong(0x100000000L) // dim length 2^32 — would wrap to 0 via toInt
+    o.flush()
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.readHeader(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+  }
+
   test("CDF-5 (64-bit data): widened counts, new types, attrs all decode") {
     // hand-built PnetCDF-style file: one dim, a char global attr, an
     // int64 variable and a scale_factor'd uint16 variable

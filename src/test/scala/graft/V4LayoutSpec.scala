@@ -96,6 +96,20 @@ class V4LayoutSpec extends SparkSpec {
     assert(tidy.count() === 2 * 1 * 3 * 8)
   }
 
+  test("v4 DONT_FILTER_PARTIAL_BOUND_CHUNKS (flags bit 0) is rejected — " +
+    "running the filter pipeline on unfiltered edge chunks would " +
+    "silently mis-decode") {
+    val (dims, gatts, vars) = NetCdfFixture.spec()
+    val v4 = Hdf5Write.write(dims, gatts, vars, v4Layout = true)
+    val pat = Seq[Byte](4, 2, 2, 4, 4) // ver cls flags ndims encLen
+    val at = v4.toSeq.lastIndexOfSlice(pat)
+    assert(at >= 0, "v4 single-chunk layout message not found")
+    val patched = v4.clone()
+    patched(at + 2) = (patched(at + 2) | 0x1).toByte
+    val e = intercept[Exception] { Hdf5.read(patched) }
+    assert(e.getMessage.contains("partial edge chunks"), e.getMessage)
+  }
+
   test("unsupported v4 indexes fail loudly (extensible array, v2 B-tree)") {
     // flip the index-type byte of a real v4 single-chunk layout message
     // (1 → 4 = extensible array): the reader must reject, not misread
