@@ -20,12 +20,11 @@ import java.util.zip.Inflater
   * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
   * netCDF-4 dimension scales (DIMENSION_LIST object-reference
   * resolution); DENSE groups and DENSE attributes (fractal-heap
-  * storage + name-index v2 B-trees of depth 0 and 1, types 5 and 8 —
+  * storage + name-index v2 B-trees of ANY depth, types 5 and 8 —
   * the "latest"-format layouts h5py emits once links/attributes
   * outgrow compact storage); v4 data layouts with Single Chunk,
   * Implicit and Fixed Array (direct and PAGED) chunk indexes. Not
-  * supported: v2 B-trees
-  * of depth ≥ 2, Extensible Array / v2 B-tree
+  * supported: Extensible Array / v2 B-tree
   * chunk indexes (unlimited dims), filtered fractal heaps, non-IEEE
   * floats — all rejected with explicit errors.
   */
@@ -143,6 +142,45 @@ object Hdf5 {
       extends Layout
 
   final case class Filter(id: Int, client: Seq[Int])
+
+  /** Field widths of a version-2 B-tree at a given node size — the
+    * capacity recurrence the library derives from the node size
+    * (H5B2 header math): the LEAF capacity sizes every per-child
+    * record-count field (leaves hold the most records), and internal
+    * capacities compound into the total-subtree-count widths that
+    * appear in child pointers at depth ≥ 2. Shared by the reader's
+    * walk and the writer's fixture rendering so both sides agree.
+    */
+  private[source] final case class V2BtreeGeometry(nodeSize: Int,
+                                                   recordSize: Int,
+                                                   depth: Int) {
+    private def bytesFor(v: Long): Int = {
+      var b = 1; var cap = 256L
+      while (v >= cap) { b += 1; cap *= 256 }
+      b
+    }
+    val leafMax: Int = (nodeSize - 10) / recordSize
+    val maxNrecSize: Int = bytesFor(leafMax)
+    /** record capacity of an internal node at depth d (d ≥ 1) */
+    val intMax: Array[Int] = new Array[Int](depth + 1)
+    /** max records a subtree rooted at depth d can hold */
+    val cumMax: Array[Long] = new Array[Long](depth + 1)
+    /** width of the total-count field under a depth-d child (0 for leaves) */
+    val cumNrecSize: Array[Int] = new Array[Int](depth + 1)
+    cumMax(0) = leafMax
+    cumNrecSize(0) = 0
+    (1 to depth).foreach { d =>
+      val ptr = 8 + maxNrecSize + cumNrecSize(d - 1)
+      intMax(d) = (nodeSize - 10 - ptr) / (recordSize + ptr)
+      cumMax(d) = (intMax(d) + 1).toLong * cumMax(d - 1) + intMax(d)
+      cumNrecSize(d) = bytesFor(cumMax(d))
+    }
+    /** on-disk size of a node at depth d holding `nrec` records */
+    def nodeBytes(d: Int, nrec: Int): Long =
+      if (d == 0) 10L + nrec.toLong * recordSize
+      else 10L + nrec.toLong * recordSize +
+        (nrec + 1).toLong * (8 + maxNrecSize + cumNrecSize(d - 1))
+  }
 
   /** Attribute with the decodings we need: text (fixed or vlen string),
     * numeric values, and object-reference lists (one Seq per dataspace
@@ -339,14 +377,16 @@ object Hdf5 {
       }
     }
 
-    /** Records of a version-2 B-tree, depth 0 (root IS the leaf) or
-      * depth 1 (one BTIN internal node over BTLF leaves — what a group
-      * or attribute set outgrowing ~180 entries at the default 2 KiB
-      * node size produces). The internal node's child pointers carry a
-      * variable-width record count sized from the leaf capacity
-      * (H5VM_limit_enc_size of (nodeSize-10)/recordSize). Depth ≥ 2
-      * additionally threads total-subtree counts through the pointers
-      * and is rejected explicitly until a real file needs it.
+    /** Records of a version-2 B-tree at ANY depth. Internal (BTIN)
+      * nodes hold N records and N+1 child pointers; a pointer carries
+      * the child's address, its record count in a variable-width field
+      * sized from the LEAF capacity (H5VM_limit_enc_size of
+      * (nodeSize-10)/recordSize — leaves hold the most records), and —
+      * only when the child is itself internal — the child subtree's
+      * total record count, whose width comes from the cumulative
+      * per-depth capacity recurrence the library derives from the node
+      * size (H5B2_NUM_INT_REC). Both recurrences are pinned by
+      * DenseGroupSpec's depth-2 fixture.
       */
     private def v2BtreeRecords(addr: Long, expectType: Int): Seq[Array[Byte]] = {
       val h = cur(addr)
@@ -363,39 +403,52 @@ object Hdf5 {
       val rootAddr = h.getLong()
       val rootNrec = u2(h)
       h.getLong() // total records
-      def leaf(a: Long, nrec: Int): Seq[Array[Byte]] = {
-        val b = cur(a)
+      val geo = V2BtreeGeometry(nodeSize, recordSize, depth)
+      walkV2Btree(rootAddr, rootNrec, depth, btype, recordSize, geo)
+    }
+
+    /** Depth-recursive walk shared by the name-index trees and the v2
+      * B-tree CHUNK indexes (types 10/11): collects every record in
+      * key order (child 0, record 0, child 1, …).
+      */
+    private def walkV2Btree(addr: Long, nrec: Int, depth: Int, btype: Int,
+                            recordSize: Int,
+                            geo: V2BtreeGeometry): Seq[Array[Byte]] =
+      if (depth == 0) {
+        val b = cur(addr)
         require(b.read(4).sameElements("BTLF".getBytes(StandardCharsets.US_ASCII)),
-          s"bad v2 B-tree leaf signature at $a")
+          s"bad v2 B-tree leaf signature at $addr")
         require(b.get() == 0, "BTLF version")
         require(b.get().toInt == btype, "BTLF record type mismatch")
         (0 until nrec).map(_ => b.read(recordSize))
+      } else {
+        val b = cur(addr)
+        require(b.read(4).sameElements(
+          "BTIN".getBytes(StandardCharsets.US_ASCII)),
+          s"bad v2 B-tree internal node signature at $addr")
+        require(b.get() == 0, "BTIN version")
+        require(b.get().toInt == btype, "BTIN record type mismatch")
+        val recs = (0 until nrec).map(_ => b.read(recordSize))
+        def leUn(bytes: Array[Byte]): Long = {
+          var c = 0L
+          bytes.indices.foreach(i => c |= (bytes(i).toLong & 0xFF) << (8 * i))
+          c
+        }
+        val kids = (0 to nrec).map { _ =>
+          val a = b.getLong()
+          val c = leUn(b.read(geo.maxNrecSize))
+          // total-subtree count: present only under internal children
+          if (depth > 1) b.read(geo.cumNrecSize(depth - 1))
+          (a, c.toInt)
+        }
+        val outSeq = Vector.newBuilder[Array[Byte]]
+        kids.indices.foreach { i =>
+          outSeq ++= walkV2Btree(kids(i)._1, kids(i)._2, depth - 1, btype,
+            recordSize, geo)
+          if (i < recs.length) outSeq += recs(i)
+        }
+        outSeq.result()
       }
-      depth match {
-        case 0 => leaf(rootAddr, rootNrec)
-        case 1 =>
-          val leafMax = (nodeSize - 10) / recordSize
-          var m = 1; var cap = 256L
-          while (leafMax >= cap) { m += 1; cap *= 256 }
-          val b = cur(rootAddr)
-          require(b.read(4).sameElements(
-            "BTIN".getBytes(StandardCharsets.US_ASCII)),
-            s"bad v2 B-tree internal node signature at $rootAddr")
-          require(b.get() == 0, "BTIN version")
-          require(b.get().toInt == btype, "BTIN record type mismatch")
-          val recs = (0 until rootNrec).map(_ => b.read(recordSize))
-          val kids = (0 to rootNrec).map { _ =>
-            val a = b.getLong()
-            val cb = b.read(m)
-            var c = 0L
-            cb.indices.foreach(i => c |= (cb(i).toLong & 0xFF) << (8 * i))
-            (a, c.toInt)
-          }
-          kids.flatMap { case (a, c) => leaf(a, c) } ++ recs
-        case d => throw new IllegalArgumentException(
-          s"v2 B-tree of depth $d unsupported")
-      }
-    }
 
     /** Fractal heap, managed objects only: the header fixes the heap ID
       * geometry (offset/length field widths), the root block is either a

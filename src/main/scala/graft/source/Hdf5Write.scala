@@ -117,34 +117,48 @@ object Hdf5Write {
     }
   }
 
-  /** Split plan for a version-2 B-tree index at a given node size:
-    * depth 0 (one BTLF leaf) while records fit, depth 1 (one BTIN
-    * internal node over evenly-filled leaves, separator records in the
-    * root) beyond — the same growth step libhdf5 takes. `m` is the
-    * child-pointer record-count width, sized from the leaf capacity
-    * exactly as the reader derives it.
+  /** Split plan for a version-2 B-tree index at a given node size, ANY
+    * depth: depth 0 (one BTLF leaf) while records fit, then BTIN
+    * internal levels added as capacities overflow — the same growth
+    * steps libhdf5 takes. Geometry (capacity recurrence, pointer field
+    * widths) is shared with the reader ([[Hdf5.V2BtreeGeometry]]) so
+    * both sides derive identical layouts. Nodes are exposed in PREORDER
+    * with their on-disk sizes, so callers allocate one address per node
+    * and [[Hdf5Write]] renders the standard in-order record layout
+    * (child, separator, child, …).
     */
   private final case class V2TreePlan(nodeSize: Int, recordSize: Int, n: Int) {
-    val leafMax: Int = (nodeSize - 10) / recordSize
-    val m: Int = { var b = 1; var cap = 256L
-      while (leafMax >= cap) { b += 1; cap *= 256 }; b }
-    val depth: Int = if (n <= leafMax) 0 else 1
-    val k: Int = // leaves; k-1 separator records live in the root
-      if (depth == 0) 1
-      else { var k = 2; while (k.toLong * leafMax < n - (k - 1)) k += 1; k }
-    val leafCounts: Seq[Int] =
-      if (depth == 0) Seq(n)
-      else {
-        val data = n - (k - 1)
-        (0 until k).map(i => data / k + (if (i < data % k) 1 else 0))
-      }
-    if (depth == 1) {
-      val internalCap = (nodeSize - 10 - (8 + m)) / (recordSize + 8 + m)
-      require(k - 1 <= internalCap,
-        s"v2 B-tree needs depth > 1 for $n records at node size $nodeSize")
+    val depth: Int = {
+      var d = 0
+      while (Hdf5.V2BtreeGeometry(nodeSize, recordSize, d).cumMax(d) < n)
+        d += 1
+      d
     }
-    def leafSize(i: Int): Long = 10L + leafCounts(i) * recordSize
-    def internalSize: Long = 10L + (k - 1) * recordSize + k * (8 + m)
+    val geo: Hdf5.V2BtreeGeometry =
+      Hdf5.V2BtreeGeometry(nodeSize, recordSize, depth)
+
+    /** nrec = records held by THIS node (leaf contents or separators). */
+    final case class PNode(d: Int, nrec: Int, children: Seq[PNode])
+    private def build(d: Int, count: Int): PNode =
+      if (d == 0) PNode(0, count, Nil)
+      else {
+        // c children, c-1 separators, even split; each child subtree
+        // must fit its depth's cumulative capacity
+        var c = 2
+        while ((count - (c - 1) + c - 1) / c > geo.cumMax(d - 1)) c += 1
+        require(c <= geo.intMax(d) + 1,
+          s"v2 B-tree split overflow: $count records, depth $d")
+        val data = count - (c - 1)
+        val per = (0 until c).map(i => data / c + (if (i < data % c) 1 else 0))
+        PNode(d, c - 1, per.map(build(d - 1, _)))
+      }
+    val root: PNode = build(depth, n)
+    /** preorder node list — allocation order for writers */
+    val nodesPre: Seq[PNode] = {
+      def walk(nd: PNode): Seq[PNode] = nd +: nd.children.flatMap(walk)
+      walk(root)
+    }
+    def nodeSizes: Seq[Long] = nodesPre.map(nd => geo.nodeBytes(nd.d, nd.nrec))
   }
 
   /** Chunk shape: start from the full variable shape and halve the
@@ -377,12 +391,8 @@ object Hdf5Write {
     val frhpAddr = if (denseRoot) alloc(146L) else Hdf5.Undefined
     val denseDblockAddr = if (denseRoot) alloc(denseDblockSize) else Hdf5.Undefined
     val bthdAddr = if (denseRoot) alloc(38L) else Hdf5.Undefined
-    val btLeafAddrs: Seq[Long] =
-      if (denseRoot) linkTree.leafCounts.indices.map(i => alloc(linkTree.leafSize(i)))
-      else Seq.empty
-    val btInternalAddr =
-      if (denseRoot && linkTree.depth == 1) alloc(linkTree.internalSize)
-      else Hdf5.Undefined
+    val btNodeAddrs: Seq[Long] =
+      if (denseRoot) linkTree.nodeSizes.map(alloc) else Seq.empty
 
     // dense ATTRIBUTE storage for the root group's global attributes:
     // version-1 attribute-message bodies as fractal-heap managed
@@ -412,13 +422,8 @@ object Hdf5Write {
     val attrDblockAddr =
       if (storeAttrsDense) alloc(attrDblockSize) else Hdf5.Undefined
     val attrBthdAddr = if (storeAttrsDense) alloc(38L) else Hdf5.Undefined
-    val attrLeafAddrs: Seq[Long] =
-      if (storeAttrsDense)
-        attrTree.leafCounts.indices.map(i => alloc(attrTree.leafSize(i)))
-      else Seq.empty
-    val attrInternalAddr =
-      if (storeAttrsDense && attrTree.depth == 1) alloc(attrTree.internalSize)
-      else Hdf5.Undefined
+    val attrNodeAddrs: Seq[Long] =
+      if (storeAttrsDense) attrTree.nodeSizes.map(alloc) else Seq.empty
 
     val rootOhSize = 16 + (if (denseRoot) msg(18) else msg(16)) +
       (if (storeAttrsDense) msg(18)
@@ -737,12 +742,17 @@ object Hdf5Write {
       p.numAttrs.foreach { case (k, v) => writeDoubleAttr(b, k, v) }
     }
 
-    /** Render a v2 B-tree (header + leaves + optional depth-1 internal
-      * node) from pre-serialized records SORTED by the tree's key.
+    /** Render a v2 B-tree (header + nodes at any depth) from
+      * pre-serialized records SORTED by the tree's key. `nodeAddrs`
+      * aligns with `plan.nodesPre`; records distribute in the standard
+      * in-order layout, children rendered depth-first so each internal
+      * node knows its child addresses and subtree totals.
       */
     def writeV2Btree(bthd: Long, plan: V2TreePlan, btype: Int,
-                     leafAddrs: Seq[Long], internalAddr: Long,
+                     nodeAddrs: Seq[Long],
                      recs: Seq[Array[Byte]]): Unit = {
+      require(recs.size == plan.n, s"${recs.size} records for plan of ${plan.n}")
+      val geo = plan.geo
       val bh = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
       bh.put("BTHD".getBytes(StandardCharsets.US_ASCII))
       bh.put(0.toByte); bh.put(btype.toByte)
@@ -750,41 +760,54 @@ object Hdf5Write {
       bh.putShort(plan.recordSize.toShort)
       bh.putShort(plan.depth.toShort)
       bh.put(100.toByte); bh.put(40.toByte) // split / merge percent
-      bh.putLong(if (plan.depth == 0) leafAddrs.head else internalAddr)
-      bh.putShort((if (plan.depth == 0) plan.n else plan.k - 1).toShort)
+      bh.putLong(nodeAddrs.head) // preorder: root first
+      bh.putShort(plan.root.nrec.toShort)
       bh.putLong(plan.n.toLong)
       bh.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(bh.array(), 0, 34)))
       seek(bthd); out.put(bh.array())
-      // leaf i takes leafCounts(i) records, then one separator record
-      // goes to the internal node — standard in-order B-tree layout
-      var idx = 0
-      val seps = Seq.newBuilder[Array[Byte]]
-      plan.leafCounts.zipWithIndex.foreach { case (cnt, i) =>
-        val ls = (10 + cnt * plan.recordSize)
-        val bl = ByteBuffer.allocate(ls).order(ByteOrder.LITTLE_ENDIAN)
-        bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
-        bl.put(0.toByte); bl.put(btype.toByte)
-        recs.slice(idx, idx + cnt).foreach(bl.put)
-        idx += cnt
-        bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
-          bl.array(), 0, ls - 4)))
-        seek(leafAddrs(i)); out.put(bl.array())
-        if (i < plan.leafCounts.size - 1) { seps += recs(idx); idx += 1 }
-      }
-      if (plan.depth == 1) {
-        val isz = plan.internalSize.toInt
-        val bi = ByteBuffer.allocate(isz).order(ByteOrder.LITTLE_ENDIAN)
-        bi.put("BTIN".getBytes(StandardCharsets.US_ASCII))
-        bi.put(0.toByte); bi.put(btype.toByte)
-        seps.result().foreach(bi.put)
-        leafAddrs.zip(plan.leafCounts).foreach { case (a, c) =>
-          bi.putLong(a)
-          (0 until plan.m).foreach(j => bi.put(((c >> (8 * j)) & 0xFF).toByte))
+      var idx = 0     // next record (in-order)
+      var nodeIdx = 0 // preorder address cursor
+      def putVar(bb: ByteBuffer, v: Long, width: Int): Unit =
+        (0 until width).foreach(j => bb.put(((v >> (8 * j)) & 0xFF).toByte))
+      /** renders the subtree, returns (addr, nrec, subtree total) */
+      def render(nd: plan.PNode): (Long, Int, Long) = {
+        val addr = nodeAddrs(nodeIdx); nodeIdx += 1
+        if (nd.d == 0) {
+          val ls = (10 + nd.nrec * plan.recordSize)
+          val bl = ByteBuffer.allocate(ls).order(ByteOrder.LITTLE_ENDIAN)
+          bl.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+          bl.put(0.toByte); bl.put(btype.toByte)
+          recs.slice(idx, idx + nd.nrec).foreach(bl.put)
+          idx += nd.nrec
+          bl.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+            bl.array(), 0, ls - 4)))
+          seek(addr); out.put(bl.array())
+          (addr, nd.nrec, nd.nrec.toLong)
+        } else {
+          val kids = Seq.newBuilder[(Long, Int, Long)]
+          val seps = Seq.newBuilder[Array[Byte]]
+          nd.children.zipWithIndex.foreach { case (c, i) =>
+            kids += render(c)
+            if (i < nd.children.size - 1) { seps += recs(idx); idx += 1 }
+          }
+          val isz = geo.nodeBytes(nd.d, nd.nrec).toInt
+          val bi = ByteBuffer.allocate(isz).order(ByteOrder.LITTLE_ENDIAN)
+          bi.put("BTIN".getBytes(StandardCharsets.US_ASCII))
+          bi.put(0.toByte); bi.put(btype.toByte)
+          seps.result().foreach(bi.put)
+          val ks = kids.result()
+          ks.foreach { case (a, c, tot) =>
+            bi.putLong(a)
+            putVar(bi, c.toLong, geo.maxNrecSize)
+            if (nd.d > 1) putVar(bi, tot, geo.cumNrecSize(nd.d - 1))
+          }
+          bi.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+            bi.array(), 0, isz - 4)))
+          seek(addr); out.put(bi.array())
+          (addr, nd.nrec, ks.map(_._3).sum + nd.nrec)
         }
-        bi.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
-          bi.array(), 0, isz - 4)))
-        seek(internalAddr); out.put(bi.array())
       }
+      render(plan.root)
     }
 
     if (denseRoot) {
@@ -846,8 +869,7 @@ object Hdf5Write {
         r.putShort(denseLinkSize(n).toShort)
         r.array()
       }
-      writeV2Btree(bthdAddr, linkTree, 5, btLeafAddrs, btInternalAddr,
-        recBytes)
+      writeV2Btree(bthdAddr, linkTree, 5, btNodeAddrs, recBytes)
     }
 
     if (storeAttrsDense) {
@@ -920,8 +942,7 @@ object Hdf5Write {
           r.putInt(h)
           r.array()
         }
-      writeV2Btree(attrBthdAddr, attrTree, 8, attrLeafAddrs,
-        attrInternalAddr, recBytes)
+      writeV2Btree(attrBthdAddr, attrTree, 8, attrNodeAddrs, recBytes)
     }
 
     // local heap

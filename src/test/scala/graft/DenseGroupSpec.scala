@@ -122,6 +122,42 @@ class DenseGroupSpec extends SparkSpec {
     }
   }
 
+  test("depth-2 v2 B-tree: a very wide dense group walks BTIN-over-BTIN " +
+    "with total-subtree counts in the child pointers") {
+    // node size 64 → 4-record leaves, 2-record internals; capacities
+    // are 4 (d0), 14 (d1), 44 (d2) — 41 links land at depth 2, where
+    // pointers in the root gain the total-count field the depth-1
+    // layout omits
+    val manyVars = (0 until 40).map { i =>
+      graft.source.NetCdf.VarSpec(f"v_$i%02d", Seq("yc"), Seq.empty,
+        Array.tabulate(8)(x => x.toDouble + i))
+    }
+    val dims = Seq("yc" -> 8)
+    val bytes = Hdf5Write.write(dims, Seq.empty,
+      graft.source.NetCdf.VarSpec("yc", Seq("yc"), Seq.empty,
+        Array.tabulate(8)(_.toDouble)) +: manyVars,
+      denseRoot = true, denseNodeSize = 64)
+    val r = new Hdf5.Reader(bytes)
+    assert(r.file.datasets.length === 41)
+    (0 until 40).foreach { i =>
+      val name = f"v_$i%02d"
+      assert(r.file.dataset(name).isDefined, name)
+      assert(r.readDoubles(name).toSeq ===
+        Array.tabulate(8)(x => x.toDouble + i).toSeq, name)
+    }
+  }
+
+  test("depth-3 v2 B-tree: dense attributes recurse through three " +
+    "internal levels") {
+    // 17-byte attr records at node size 64: capacities 3/7/15/31 per
+    // depth — 30 attrs force depth 3
+    val gatts = (0 until 30).map(i => f"attr_$i%02d" -> s"value $i")
+    val (dims, _, vars) = NetCdfFixture.spec(nt = 1, ny = 8, nx = 8, nl = 3)
+    val g = GridFile.open(Hdf5Write.write(dims, gatts, vars,
+      denseAttrs = true, denseNodeSize = 64))
+    gatts.foreach { case (k, v) => assert(g.gattText(k) === Some(v), k) }
+  }
+
   test("depth-1 v2 B-tree: dense attributes beyond one leaf all resolve") {
     // node size 256 → 14-record leaves; 30 attrs → 3 leaves + 2 separators
     val gatts = (0 until 30).map(i => f"attr_$i%02d" -> s"value $i")
