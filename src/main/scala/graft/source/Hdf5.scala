@@ -23,10 +23,11 @@ import java.util.zip.Inflater
   * storage + name-index v2 B-trees of ANY depth, types 5 and 8 —
   * the "latest"-format layouts h5py emits once links/attributes
   * outgrow compact storage); v4 data layouts with Single Chunk,
-  * Implicit and Fixed Array (direct and PAGED) chunk indexes. Not
-  * supported: Extensible Array / v2 B-tree
-  * chunk indexes (unlimited dims), filtered fractal heaps, non-IEEE
-  * floats — all rejected with explicit errors.
+  * Implicit, Fixed Array (direct and PAGED), Extensible Array (ONE
+  * unlimited dim — h5py `maxshape=(None,…)`, incl. super blocks and
+  * paged data blocks) and v2 B-tree (≥2 unlimited dims) chunk
+  * indexes. Not supported: filtered fractal heaps, non-IEEE floats —
+  * all rejected with explicit errors.
   */
 object Hdf5 {
 
@@ -122,6 +123,13 @@ object Hdf5 {
                           signed: Boolean, base: Option[H5Type] = None,
                           vlenIsString: Boolean = false)
 
+  /** Dataspace: current extents plus max extents, where −1 marks an
+    * UNLIMITED (appendable) dimension — the layout h5py's
+    * `maxshape=(None, …)` produces, which selects the Extensible
+    * Array / v2 B-tree chunk indexes.
+    */
+  final case class Space(dims: Seq[Long], maxDims: Seq[Long])
+
   sealed trait Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
   /** chunkDims excludes the trailing element-size pseudo-dimension. */
@@ -139,6 +147,18 @@ object Hdf5 {
       extends Layout
   /** Fixed Array index: FAHD header → FADB element block. */
   final case class ChunkedFixedArray(addr: Long, chunkDims: Seq[Int])
+      extends Layout
+  /** Extensible Array index (ONE unlimited dimension — the appendable
+    * time axis of a growing forecast archive): EAHD header → EAIB
+    * index block → super/data blocks; chunks linearized with the
+    * unlimited dim swizzled slowest.
+    */
+  final case class ChunkedExtArray(addr: Long, chunkDims: Seq[Int])
+      extends Layout
+  /** v2 B-tree index (≥2 unlimited dimensions): type-10/11 records
+    * carrying scaled chunk coordinates directly.
+    */
+  final case class ChunkedBtreeV2(addr: Long, chunkDims: Seq[Int])
       extends Layout
 
   final case class Filter(id: Int, client: Seq[Int])
@@ -191,8 +211,14 @@ object Hdf5 {
 
   final case class Dataset(name: String, addr: Long, dims: Seq[Int],
                            dtype: H5Type, layout: Layout,
-                           filters: Seq[Filter], attrs: Seq[Attr]) {
+                           filters: Seq[Filter], attrs: Seq[Attr],
+                           maxDims: Seq[Long] = Seq.empty) {
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
+    /** max extents, −1 = unlimited; empty maxDims means "= dims" */
+    def maxDimsOr: Seq[Long] =
+      if (maxDims.isEmpty) dims.map(_.toLong) else maxDims
+    def unlimited: Set[Int] =
+      maxDims.indices.filter(maxDims(_) == -1L).toSet
     def attrText(n: String): Option[String] =
       attr(n).flatMap(a => Option(a.text))
     def isDimScale: Boolean = attrText("CLASS").contains("DIMENSION_SCALE")
@@ -312,9 +338,11 @@ object Hdf5 {
         // the encoded dims are the dataspace rank or rank+1 with the
         // element size as a trailing pseudo-dim (the v3 convention);
         // reconcile against the dataspace so both decode correctly
-        val lay = reconcileV4Chunks(layout.get, space.get.length, dtype.get.size)
+        val lay = reconcileV4Chunks(layout.get, space.get.dims.length,
+          dtype.get.size)
         out += Dataset(prefix.stripPrefix("/"), oh,
-          space.get.map(_.toInt), dtype.get, lay, filters, attrs)
+          space.get.dims.map(_.toInt), dtype.get, lay, filters, attrs,
+          space.get.maxDims)
       } else {
         // group: symbol-table children + compact link-message children
         msgs.collectFirst { case (0x0011, body) => body }.foreach { body =>
@@ -345,7 +373,7 @@ object Hdf5 {
     private def denseLinks(fheapAddr: Long,
                            nameBtreeAddr: Long): Seq[(String, Long)] = {
       val heap = new FractalHeap(fheapAddr)
-      v2BtreeRecords(nameBtreeAddr, expectType = 5).flatMap { rec =>
+      v2BtreeRecords(nameBtreeAddr, Set(5))._2.flatMap { rec =>
         val heapId = java.util.Arrays.copyOfRange(rec, 4, rec.length)
         parseLink(heap.managedObject(heapId))
       }
@@ -358,6 +386,8 @@ object Hdf5 {
         case ChunkedSingle(a, cd, f, m) => ChunkedSingle(a, fix(cd), f, m)
         case ChunkedImplicit(a, cd) => ChunkedImplicit(a, fix(cd))
         case ChunkedFixedArray(a, cd) => ChunkedFixedArray(a, fix(cd))
+        case ChunkedExtArray(a, cd) => ChunkedExtArray(a, fix(cd))
+        case ChunkedBtreeV2(a, cd) => ChunkedBtreeV2(a, fix(cd))
         case other => other
       }
     }
@@ -370,7 +400,7 @@ object Hdf5 {
     private def denseAttributes(fheapAddr: Long,
                                 nameBtreeAddr: Long): Seq[Attr] = {
       val heap = new FractalHeap(fheapAddr)
-      v2BtreeRecords(nameBtreeAddr, expectType = 8).map { rec =>
+      v2BtreeRecords(nameBtreeAddr, Set(8))._2.map { rec =>
         require((rec(8) & 0x02) == 0, "shared dense attribute unsupported")
         val heapId = java.util.Arrays.copyOfRange(rec, 0, 8)
         parseAttribute(heap.managedObject(heapId))
@@ -388,14 +418,15 @@ object Hdf5 {
       * size (H5B2_NUM_INT_REC). Both recurrences are pinned by
       * DenseGroupSpec's depth-2 fixture.
       */
-    private def v2BtreeRecords(addr: Long, expectType: Int): Seq[Array[Byte]] = {
+    private def v2BtreeRecords(addr: Long,
+                               allowed: Set[Int]): (Int, Seq[Array[Byte]]) = {
       val h = cur(addr)
       require(h.read(4).sameElements("BTHD".getBytes(StandardCharsets.US_ASCII)),
         s"bad v2 B-tree header signature at $addr")
       require(h.get() == 0, "v2 B-tree header version")
       val btype = h.get().toInt
-      require(btype == expectType,
-        s"v2 B-tree type $btype (expected $expectType)")
+      require(allowed(btype),
+        s"v2 B-tree type $btype (expected one of ${allowed.mkString(",")})")
       val nodeSize = u4(h).toInt
       val recordSize = u2(h)
       val depth = u2(h)
@@ -404,7 +435,7 @@ object Hdf5 {
       val rootNrec = u2(h)
       h.getLong() // total records
       val geo = V2BtreeGeometry(nodeSize, recordSize, depth)
-      walkV2Btree(rootAddr, rootNrec, depth, btype, recordSize, geo)
+      btype -> walkV2Btree(rootAddr, rootNrec, depth, btype, recordSize, geo)
     }
 
     /** Depth-recursive walk shared by the name-index trees and the v2
@@ -621,7 +652,7 @@ object Hdf5 {
 
     // ---- individual messages
 
-    private def parseDataspace(body: Array[Byte]): Seq[Long] = {
+    private def parseDataspace(body: Array[Byte]): Space = {
       val b = buf0(body)
       val ver = b.get().toInt
       val rank = b.get().toInt
@@ -632,8 +663,14 @@ object Hdf5 {
         case v => throw new IllegalArgumentException(s"dataspace version $v")
       }
       val dims = (0 until rank).map(_ => b.getLong())
-      if ((flags & 1) != 0) (0 until rank).foreach(_ => b.getLong()) // maxdims
-      dims
+      // max-dims: −1 (all-ones) marks an UNLIMITED dimension. The
+      // Extensible Array chunk index linearizes over the MAX grid with
+      // the unlimited dim rotated slowest, so both the values and the
+      // unlimited markers matter downstream.
+      val maxDims =
+        if ((flags & 1) == 0) dims
+        else (0 until rank).map(_ => b.getLong())
+      Space(dims, maxDims)
     }
 
     private def parseDatatype(b: ByteBuffer): H5Type = {
@@ -706,9 +743,19 @@ object Hdf5 {
             case 3 =>
               b.get() // page bits (the header repeats them)
               ChunkedFixedArray(b.getLong(), cdims)
+            case 4 =>
+              // Extensible Array: five 1-byte creation params (max
+              // bits, index elements, min pointers, min elements, page
+              // bits) — all repeated in the EAHD header, so skipped
+              (0 until 5).foreach(_ => b.get())
+              ChunkedExtArray(b.getLong(), cdims)
+            case 5 =>
+              // v2 B-tree: node size + split/merge percents — the
+              // BTHD header repeats them
+              b.getInt(); b.get(); b.get()
+              ChunkedBtreeV2(b.getLong(), cdims)
             case t => throw new IllegalArgumentException(
-              s"v4 chunk index type $t (extensible array / v2 B-tree " +
-                "indexes for unlimited dims) unsupported")
+              s"v4 chunk index type $t unsupported")
           }
         case c => throw new IllegalArgumentException(s"layout class $c")
       }
@@ -772,7 +819,7 @@ object Hdf5 {
       val dtb = new Array[Byte](pad8(dtSize)); b.get(dtb)
       val dsb = new Array[Byte](pad8(dsSize)); b.get(dsb)
       val dtype = parseDatatype(buf0(dtb))
-      val dims = parseDataspace(dsb)
+      val dims = parseDataspace(dsb).dims
       val n = if (dims.isEmpty) 1 else dims.product.toInt
       val data = new Array[Byte](body.length - b.position())
       b.get(data)
@@ -965,6 +1012,8 @@ object Hdf5 {
             case ChunkedSingle(_, cd, _, _) => cd
             case ChunkedImplicit(_, cd) => cd
             case ChunkedFixedArray(_, cd) => cd
+            case ChunkedExtArray(_, cd) => cd
+            case ChunkedBtreeV2(_, cd) => cd
             case other => throw new IllegalStateException(s"layout $other")
           }
           val out = new Array[Byte](total.toInt)
@@ -1019,6 +1068,66 @@ object Hdf5 {
               if (addr != Undefined)
                 fixedArrayChunks(addr, nominal)(
                   (i, sz, mask, ca) => emit(gridCoords(i), sz, mask, ca))
+            case ChunkedExtArray(addr, _) =>
+              if (addr != Undefined) {
+                val rank = cdims.length
+                val unlim = ds.unlimited
+                require(unlim.size <= 1,
+                  s"extensible array with ${unlim.size} unlimited dims")
+                val u = unlim.headOption.getOrElse(0)
+                // linearization grid: MAX extents for the fixed dims
+                // (libhdf5 indexes against the maximal grid), CURRENT
+                // extent for the unlimited one (its position is
+                // slowest, so its extent never enters a stride)
+                val maxD = ds.maxDimsOr
+                val grid = Array.tabulate(rank) { i =>
+                  if (i == u || maxD(i) == -1L) nPer(i).toLong
+                  else (maxD(i) + cdims(i) - 1) / cdims(i)
+                }
+                // swizzle: unlimited dim rotated to position 0
+                val sGrid = grid(u) +:
+                  (grid.take(u) ++ grid.drop(u + 1)).toSeq
+                def eaCoords(idx: Long): Array[Long] = {
+                  val sc = new Array[Long](rank)
+                  var rest = idx
+                  (rank - 1) to 1 by -1 foreach { d =>
+                    sc(d) = rest % sGrid(d); rest /= sGrid(d)
+                  }
+                  sc(0) = rest
+                  val out2 = new Array[Long](rank)
+                  out2(u) = sc(0) * cdims(u)
+                  (0 until u).foreach(i => out2(i) = sc(i + 1) * cdims(i))
+                  (u + 1 until rank).foreach(i => out2(i) = sc(i) * cdims(i))
+                  out2
+                }
+                extArrayChunks(addr, nominal)(
+                  (i, sz, mask, ca) => emit(eaCoords(i), sz, mask, ca))
+              }
+            case ChunkedBtreeV2(addr, _) =>
+              if (addr != Undefined) {
+                val rank = cdims.length
+                val (btype, recs) = v2BtreeRecords(addr, Set(10, 11))
+                recs.foreach { r =>
+                  val bb = buf0(r)
+                  val a = bb.getLong()
+                  val (sz, mask) =
+                    if (btype == 11) {
+                      val szLen = r.length - 12 - 8 * rank
+                      require(szLen >= 1 && szLen <= 8,
+                        s"v2 B-tree chunk record of ${r.length} bytes at rank $rank")
+                      var s = 0L
+                      (0 until szLen).foreach(j =>
+                        s |= (bb.get().toLong & 0xFF) << (8 * j))
+                      (s.toInt, bb.getInt())
+                    } else {
+                      require(r.length == 8 + 8 * rank,
+                        s"v2 B-tree chunk record of ${r.length} bytes at rank $rank")
+                      (nominal, 0)
+                    }
+                  val coords = Array.tabulate(rank)(i => bb.getLong() * cdims(i))
+                  if (a != Undefined) emit(coords, sz, mask, a)
+                }
+              }
             case other => throw new IllegalStateException(s"layout $other")
           }
           out
@@ -1082,6 +1191,146 @@ object Hdf5 {
             readEntries(cur(pageAddr), from, count)
           pageAddr += count * entrySize + 4 // + page checksum
           from += count
+        }
+      }
+    }
+
+    /** Walk an Extensible Array chunk index: EAHD header → EAIB index
+      * block (first `idxBlkElmts` elements inline, then the first
+      * 2·(minPtrs−1) data-block addresses, then super-block
+      * addresses) → EASB super blocks → EADB data blocks, paged once a
+      * data block's element count exceeds the header's page size. The
+      * doubling geometry is the published recurrence: super block `u`
+      * holds 2^(u/2) data blocks of 2^((u+1)/2)·minElmts elements, and
+      * super blocks 0 … 2·log2(minPtrs)−1 have their data blocks
+      * addressed straight from the index block. Client 0 elements are
+      * bare chunk addresses; client 1 adds stored size + filter mask
+      * (same shapes as the Fixed Array). `f(linearIdx, size, mask,
+      * addr)` — callers map linearIdx through the swizzled chunk grid.
+      */
+    private def extArrayChunks(eaAddr: Long, nominal: Int)(
+        f: (Long, Int, Int, Long) => Unit): Unit = {
+      val h = cur(eaAddr)
+      require(h.read(4).sameElements("EAHD".getBytes(StandardCharsets.US_ASCII)),
+        s"bad Extensible Array header signature at $eaAddr")
+      require(h.get() == 0, "EAHD version")
+      val clientId = h.get().toInt
+      require(clientId == 0 || clientId == 1, s"EAHD client $clientId")
+      val elemSize = h.get().toInt
+      val maxBits = h.get().toInt
+      val idxBlkElmts = h.get().toInt
+      val minElmts = h.get().toInt
+      val minPtrs = h.get().toInt
+      val pageBits = h.get().toInt
+      h.skip(48) // six 8-byte stored statistics
+      val iblockAddr = h.getLong()
+      if (iblockAddr == Undefined) return
+      val arrOffSize = (maxBits + 7) / 8
+      val pageNelmts = 1L << pageBits
+      def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+      require(minElmts > 0 && minPtrs > 0, s"EAHD params $minElmts/$minPtrs")
+      val nsblks = 1 + (maxBits - log2(minElmts)) / 2
+      val sblkFirstIdx = math.min(2 * log2(minPtrs), nsblks)
+      val ndblkAddrs = 2 * (minPtrs - 1)
+      val nsblkAddrs = nsblks - sblkFirstIdx
+      val ndblks = Array.tabulate(nsblks)(u => 1L << (u / 2))
+      val dblkNelmts =
+        Array.tabulate(nsblks)(u => (1L << ((u + 1) / 2)) * minElmts)
+      val startIdx = new Array[Long](nsblks) // element idx past the iblock's
+      (1 until nsblks).foreach { u =>
+        startIdx(u) = startIdx(u - 1) + ndblks(u - 1) * dblkNelmts(u - 1)
+      }
+      val szBytes = elemSize - 12 // client-1: addr(8) + size + mask(4)
+      def readElements(c: Cursor, from: Long, count: Long): Unit =
+        (0L until count).foreach { i =>
+          if (clientId == 0) {
+            val a = c.getLong()
+            if (a != Undefined) f(from + i, nominal, 0, a)
+          } else {
+            val a = c.getLong()
+            var sz = 0L
+            (0 until szBytes).foreach(j =>
+              sz |= (c.get().toLong & 0xFF) << (8 * j))
+            val mask = c.getInt()
+            if (a != Undefined) f(from + i, sz.toInt, mask, a)
+          }
+        }
+      // ---- index block
+      val ib = cur(iblockAddr)
+      require(ib.read(4).sameElements(
+        "EAIB".getBytes(StandardCharsets.US_ASCII)),
+        s"bad Extensible Array index block at $iblockAddr")
+      require(ib.get() == 0, "EAIB version")
+      require(ib.get().toInt == clientId, "EAIB client mismatch")
+      ib.getLong() // header back-pointer
+      readElements(ib, 0L, idxBlkElmts.toLong)
+      val dblkAddrs = (0 until ndblkAddrs).map(_ => ib.getLong())
+      val sblkAddrs = (0 until nsblkAddrs).map(_ => ib.getLong())
+      /** one data block: prefix, then elements inline (unpaged) or —
+        * past the page size — a closing checksum with the element
+        * pages contiguous after it, each page carrying its own
+        */
+      def readDataBlock(addr: Long, from: Long, nelmts: Long,
+                        pageInit: Int => Boolean): Unit = {
+        if (addr == Undefined) return
+        val b = cur(addr)
+        require(b.read(4).sameElements(
+          "EADB".getBytes(StandardCharsets.US_ASCII)),
+          s"bad Extensible Array data block at $addr")
+        require(b.get() == 0, "EADB version")
+        require(b.get().toInt == clientId, "EADB client mismatch")
+        b.getLong() // header back-pointer
+        b.skip(arrOffSize) // block offset (redundant with `from`)
+        if (nelmts <= pageNelmts) readElements(b, from, nelmts)
+        else {
+          b.skip(4) // prefix checksum; pages follow contiguously
+          var pageAddr = b.position
+          val npages = (nelmts / pageNelmts).toInt
+          (0 until npages).foreach { pg =>
+            if (pageInit(pg))
+              readElements(cur(pageAddr), from + pg * pageNelmts, pageNelmts)
+            pageAddr += pageNelmts * elemSize + 4 // + page checksum
+          }
+        }
+      }
+      // ---- data blocks addressed straight from the index block
+      var dc = 0
+      (0 until sblkFirstIdx).foreach { u =>
+        (0L until ndblks(u)).foreach { d =>
+          require(dblkNelmts(u) <= pageNelmts,
+            "paged data block pointed from the index block unsupported")
+          readDataBlock(dblkAddrs(dc),
+            idxBlkElmts + startIdx(u) + d * dblkNelmts(u), dblkNelmts(u),
+            _ => true)
+          dc += 1
+        }
+      }
+      // ---- super blocks
+      (sblkFirstIdx until nsblks).foreach { u =>
+        val sa = sblkAddrs(u - sblkFirstIdx)
+        if (sa != Undefined) {
+          val sb = cur(sa)
+          require(sb.read(4).sameElements(
+            "EASB".getBytes(StandardCharsets.US_ASCII)),
+            s"bad Extensible Array super block at $sa")
+          require(sb.get() == 0, "EASB version")
+          require(sb.get().toInt == clientId, "EASB client mismatch")
+          sb.getLong() // header back-pointer
+          sb.skip(arrOffSize) // block offset
+          val paged = dblkNelmts(u) > pageNelmts
+          val npagesPer = if (paged) (dblkNelmts(u) / pageNelmts).toInt else 0
+          val bitmap =
+            if (paged) sb.read(((ndblks(u) * npagesPer + 7) / 8).toInt)
+            else Array.emptyByteArray
+          (0L until ndblks(u)).foreach { d =>
+            val da = sb.getLong()
+            readDataBlock(da,
+              idxBlkElmts + startIdx(u) + d * dblkNelmts(u), dblkNelmts(u),
+              pg => {
+                val bit = (d * npagesPer + pg).toInt
+                (bitmap(bit / 8) & (1 << (bit % 8))) != 0
+              })
+          }
         }
       }
     }

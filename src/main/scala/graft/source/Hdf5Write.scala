@@ -183,12 +183,15 @@ object Hdf5Write {
             denseAttrs: Boolean = false,
             v4Layout: Boolean = false,
             denseNodeSize: Int = 2048,
-            v4PageBits: Int = 10): Array[Byte] = {
+            v4PageBits: Int = 10,
+            v4Index: Int = 3,
+            unlimitedDims: Set[String] = Set.empty): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
-      v4PageBits = v4PageBits,
+      v4PageBits = v4PageBits, v4Index = v4Index,
+      unlimitedDims = unlimitedDims,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -212,14 +215,84 @@ object Hdf5Write {
                 denseAttrs: Boolean = false,
                 v4Layout: Boolean = false,
                 denseNodeSize: Int = 2048,
-                v4PageBits: Int = 10): Unit = {
+                v4PageBits: Int = 10,
+                v4Index: Int = 3,
+                unlimitedDims: Set[String] = Set.empty): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
         dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
+        v4Index, unlimitedDims,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
+  }
+
+  // Extensible Array creation parameters the fixture writer uses —
+  // deliberately small so a ~100-chunk dataset exercises every tier
+  // (index-block elements, inlined data blocks, super blocks, PAGED
+  // data blocks). Readers must honor whatever the EAHD carries, so
+  // these differing from libhdf5's defaults (32/4/4/16/10) is part of
+  // the point.
+  private val EaMaxBits = 32   // log2(max elements) → 4-byte block offsets
+  private val EaIdxElmts = 2   // elements stored in the index block
+  private val EaMinPtrs = 2    // super-block min data-block pointers
+  private val EaMinElmts = 4   // min elements per data block
+  private val EaPageBits = 3   // page = 8 elements
+  private val EaElemSize = 16  // client 1: addr(8) + size(4) + mask(4)
+
+  private def log2i(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+
+  /** Doubling geometry of the fixture's Extensible Array: which data
+    * blocks exist for `n` chunks, their element spans, paging, and the
+    * block sizes — shared by allocation and rendering.
+    */
+  private final case class EaPlan(n: Int) {
+    val nsblks: Int = 1 + (EaMaxBits - log2i(EaMinElmts)) / 2
+    val sblkFirstIdx: Int = 2 * log2i(EaMinPtrs)
+    val ndblkAddrs: Int = 2 * (EaMinPtrs - 1)
+    val nsblkAddrs: Int = nsblks - sblkFirstIdx
+    val pageNelmts: Long = 1L << EaPageBits
+    def ndblks(u: Int): Long = 1L << (u / 2)
+    def dblkNelmts(u: Int): Long = (1L << ((u + 1) / 2)) * EaMinElmts
+    val startIdx: Array[Long] = {
+      val a = new Array[Long](nsblks)
+      (1 until nsblks).foreach(u =>
+        a(u) = a(u - 1) + ndblks(u - 1) * dblkNelmts(u - 1))
+      a
+    }
+    /** chunks past the index block's inline elements */
+    val m: Long = math.max(0L, n.toLong - EaIdxElmts)
+    /** (sblk, dblk, firstElementIdx, nelmts, npages) for every data
+      * block holding at least one of the n chunks; npages = 0 when the
+      * block is unpaged
+      */
+    val dblks: Seq[(Int, Int, Long, Long, Int)] =
+      (0 until nsblks).flatMap { u =>
+        (0 until ndblks(u).toInt).flatMap { d =>
+          val from = startIdx(u) + d * dblkNelmts(u)
+          if (from >= m) Nil
+          else {
+            val ne = dblkNelmts(u)
+            val np = if (ne > pageNelmts) (ne / pageNelmts).toInt else 0
+            Seq((u, d, EaIdxElmts + from, ne, np))
+          }
+        }
+      }
+    val sblksNeeded: Seq[Int] =
+      dblks.map(_._1).distinct.filter(_ >= sblkFirstIdx)
+    // prefix: sig(4) + ver(1) + client(1) + hdrAddr(8) + blockOff(4) = 18
+    def dblkSize(nelmts: Long, npages: Int): Long =
+      if (npages == 0) 18L + nelmts * EaElemSize + 4L
+      else 18L + 4L + npages.toLong * (pageNelmts * EaElemSize + 4L)
+    def sblkSize(u: Int): Long = {
+      val np = if (dblkNelmts(u) > pageNelmts)
+        (dblkNelmts(u) / pageNelmts).toInt else 0
+      18L + (if (np > 0) (ndblks(u) * np + 7) / 8 else 0L) +
+        ndblks(u) * 8L + 4L
+    }
+    val iblockSize: Long =
+      14L + EaIdxElmts.toLong * EaElemSize + (ndblkAddrs + nsblkAddrs) * 8L + 4L
   }
 
   /** `denseRoot = true` stores the root group's links DENSE — link
@@ -235,8 +308,11 @@ object Hdf5Write {
                      shuffle: Boolean, maxChunkElems: Int,
                      dataBase: Long, denseRoot: Boolean, denseAttrs: Boolean,
                      v4Layout: Boolean, denseNodeSize: Int, v4PageBits: Int,
+                     v4Index: Int, unlimitedDims: Set[String],
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
+    require(v4Index == 3 || v4Index == 4 || v4Index == 5,
+      s"v4Index $v4Index (3 = Fixed Array, 4 = Extensible Array, 5 = v2 B-tree)")
 
     // ---- dataset plans: dimension scales first (file order matches
     // netCDF-4: dims then data vars), then the payload variables
@@ -287,16 +363,27 @@ object Hdf5Write {
       8 + pad8(8 + pad8(nameLen + 1) + pad8(dtSize) + pad8(dsSize) + dataSize)
     def msg(body: Int): Int = 8 + pad8(body)
 
+    def unlimMask(p: Plan): Seq[Boolean] =
+      if (p.isScale) p.shape.map(_ => false)
+      else p.varDims.map(unlimitedDims.contains)
+
     def ohSize(p: Plan): Int = {
       val rank = p.shape.length
-      val core = msg(8 + rank * 8) + // dataspace v1
+      val dsBody = 8 + rank * 8 +
+        (if (unlimMask(p).exists(identity)) rank * 8 else 0)
+      val core = msg(dsBody) + // dataspace v1 (+ maxdims when unlimited)
         msg(20) + // datatype float64
         msg(2) + // fill v3 (undefined)
         (if (p.isScale) msg(18) // contiguous layout
          else (if (v4Layout) {
-                 // v4: Single Chunk (filtered info inline) or Fixed Array
+                 // v4: Single Chunk (filtered info inline), Fixed
+                 // Array, Extensible Array or v2 B-tree
                  val n = chunked(p.name).list.size
-                 msg(if (n == 1) 26 + rank * 4 else 15 + rank * 4)
+                 msg(v4Index match {
+                   case 4 => 19 + rank * 4
+                   case 5 => 20 + rank * 4
+                   case _ => if (n == 1) 26 + rank * 4 else 15 + rank * 4
+                 })
                }
                else msg(3 + 8 + (rank + 1) * 4)) + msg(filtersBody))
       val scaleAttrs = if (p.isScale)
@@ -326,13 +413,36 @@ object Hdf5Write {
     val btreeAddr = scala.collection.mutable.Map[String, Long]()
     val faHdrAddr = scala.collection.mutable.Map[String, Long]()
     val faDbAddr = scala.collection.mutable.Map[String, Long]()
+    val eaHdrAddr = scala.collection.mutable.Map[String, Long]()
+    val eaIbAddr = scala.collection.mutable.Map[String, Long]()
+    val eaSblkAddr = scala.collection.mutable.Map[(String, Int), Long]()
+    val eaDblkAddr = scala.collection.mutable.Map[(String, Int, Int), Long]()
+    val bt2HdrAddr = scala.collection.mutable.Map[String, Long]()
+    val bt2NodeAddrs = scala.collection.mutable.Map[String, Seq[Long]]()
+    val bt2Plans = scala.collection.mutable.Map[String, V2TreePlan]()
     plans.foreach { p =>
       if (p.isScale) {
         dataAddr(p.name) = alloc(p.data.length.toLong * 8)
       } else {
         val c = chunked(p.name)
         chunkAddrs(p.name) = c.list.map { case (_, bytes) => alloc(bytes.length.toLong) }
-        if (v4Layout) {
+        if (v4Layout && v4Index == 4) {
+          val ea = EaPlan(c.list.size)
+          eaHdrAddr(p.name) = alloc(72L)
+          eaIbAddr(p.name) = alloc(ea.iblockSize)
+          ea.sblksNeeded.foreach { u =>
+            eaSblkAddr(p.name -> u) = alloc(ea.sblkSize(u))
+          }
+          ea.dblks.foreach { case (u, d, _, ne, np) =>
+            eaDblkAddr((p.name, u, d)) = alloc(ea.dblkSize(ne, np))
+          }
+        } else if (v4Layout && v4Index == 5) {
+          val rank = p.shape.length
+          val plan = V2TreePlan(denseNodeSize, 16 + 8 * rank, c.list.size)
+          bt2Plans(p.name) = plan
+          bt2HdrAddr(p.name) = alloc(38L)
+          bt2NodeAddrs(p.name) = plan.nodeSizes.map(alloc)
+        } else if (v4Layout) {
           // single-chunk datasets use the Single Chunk index (the
           // address lives in the layout message itself) — no FAHD/FADB
           if (c.list.size > 1) {
@@ -481,7 +591,115 @@ object Hdf5Write {
       b.putInt(0); b.putInt(0)
       last.indices.foreach(i => b.putLong(last(i) + c.cdims(i)))
       b.putLong(8L)
-    } else payloads.filter(p => chunked(p.name).list.size > 1).foreach { p =>
+    } else if (v4Index == 4) payloads.foreach { p =>
+      // Extensible Array: EAHD header, EAIB index block (inline
+      // elements + inlined data-block addrs + super-block addrs), then
+      // EASB/EADB blocks per the doubling geometry; real checksums
+      val c = chunked(p.name)
+      val n = c.list.size
+      val ea = EaPlan(n)
+      val hdrA = eaHdrAddr(p.name)
+      def entry(bb: ByteBuffer, i: Long): Unit =
+        if (i < n) {
+          bb.putLong(chunkAddrs(p.name)(i.toInt))
+          bb.putInt(c.list(i.toInt)._2.length); bb.putInt(0)
+        } else { bb.putLong(-1L); bb.putInt(0); bb.putInt(0) }
+      def sealed_(bb: ByteBuffer): Array[Byte] = {
+        bb.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+          bb.array(), 0, bb.capacity() - 4)))
+        bb.array()
+      }
+      val hb = ByteBuffer.allocate(72).order(ByteOrder.LITTLE_ENDIAN)
+      hb.put("EAHD".getBytes(StandardCharsets.US_ASCII))
+      hb.put(0.toByte); hb.put(1.toByte) // version, client 1 (filtered)
+      hb.put(EaElemSize.toByte); hb.put(EaMaxBits.toByte)
+      hb.put(EaIdxElmts.toByte); hb.put(EaMinElmts.toByte)
+      hb.put(EaMinPtrs.toByte); hb.put(EaPageBits.toByte)
+      hb.putLong(ea.sblksNeeded.size.toLong)            // super blocks
+      hb.putLong(ea.sblksNeeded.map(ea.sblkSize).sum)   // their bytes
+      hb.putLong(ea.dblks.size.toLong)                  // data blocks
+      hb.putLong(ea.dblks.map { case (_, _, _, ne, np) =>
+        ea.dblkSize(ne, np) }.sum)                      // their bytes
+      hb.putLong(math.max(0L, n.toLong - 1L))           // max index set
+      hb.putLong(n.toLong)                              // elements realized
+      hb.putLong(eaIbAddr(p.name))
+      seek(hdrA); out.put(sealed_(hb))
+      val ib = ByteBuffer.allocate(ea.iblockSize.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      ib.put("EAIB".getBytes(StandardCharsets.US_ASCII))
+      ib.put(0.toByte); ib.put(1.toByte)
+      ib.putLong(hdrA)
+      (0 until EaIdxElmts).foreach(i => entry(ib, i.toLong))
+      (0 until ea.sblkFirstIdx).foreach { u =>
+        (0 until ea.ndblks(u).toInt).foreach { d =>
+          ib.putLong(eaDblkAddr.getOrElse((p.name, u, d), -1L))
+        }
+      }
+      (ea.sblkFirstIdx until ea.nsblks).foreach { u =>
+        ib.putLong(eaSblkAddr.getOrElse(p.name -> u, -1L))
+      }
+      seek(eaIbAddr(p.name)); out.put(sealed_(ib))
+      ea.sblksNeeded.foreach { u =>
+        val np = if (ea.dblkNelmts(u) > ea.pageNelmts)
+          (ea.dblkNelmts(u) / ea.pageNelmts).toInt else 0
+        val bmLen =
+          if (np > 0) ((ea.ndblks(u) * np + 7) / 8).toInt else 0
+        val sb = ByteBuffer.allocate(ea.sblkSize(u).toInt)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        sb.put("EASB".getBytes(StandardCharsets.US_ASCII))
+        sb.put(0.toByte); sb.put(1.toByte)
+        sb.putLong(hdrA)
+        sb.putInt((EaIdxElmts + ea.startIdx(u)).toInt) // block offset
+        if (np > 0) {
+          // page-init bitmap: every page of every EXISTING data block
+          val bits = new Array[Byte](bmLen)
+          (0 until ea.ndblks(u).toInt).foreach { d =>
+            if (eaDblkAddr.contains((p.name, u, d)))
+              (0 until np).foreach { pg =>
+                val bit = d * np + pg
+                bits(bit / 8) = (bits(bit / 8) | (1 << (bit % 8))).toByte
+              }
+          }
+          sb.put(bits)
+        }
+        (0 until ea.ndblks(u).toInt).foreach { d =>
+          sb.putLong(eaDblkAddr.getOrElse((p.name, u, d), -1L))
+        }
+        seek(eaSblkAddr(p.name -> u)); out.put(sealed_(sb))
+      }
+      ea.dblks.foreach { case (u, d, from, ne, np) =>
+        val a = eaDblkAddr((p.name, u, d))
+        if (np == 0) {
+          val db = ByteBuffer.allocate(ea.dblkSize(ne, 0).toInt)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          db.put("EADB".getBytes(StandardCharsets.US_ASCII))
+          db.put(0.toByte); db.put(1.toByte)
+          db.putLong(hdrA)
+          db.putInt(from.toInt) // block offset (absolute element index)
+          (0L until ne).foreach(i => entry(db, from + i))
+          seek(a); out.put(sealed_(db))
+        } else {
+          // paged: prefix closes with its checksum, element pages
+          // follow contiguously, each with a trailing checksum
+          val db = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+          db.put("EADB".getBytes(StandardCharsets.US_ASCII))
+          db.put(0.toByte); db.put(1.toByte)
+          db.putLong(hdrA)
+          db.putInt(from.toInt)
+          seek(a); out.put(sealed_(db))
+          var pageAddr = a + 22
+          (0 until np).foreach { pg =>
+            val ps = (ea.pageNelmts * EaElemSize + 4).toInt
+            val pb = ByteBuffer.allocate(ps).order(ByteOrder.LITTLE_ENDIAN)
+            (0L until ea.pageNelmts).foreach(i =>
+              entry(pb, from + pg * ea.pageNelmts + i))
+            seek(pageAddr); out.put(sealed_(pb))
+            pageAddr += ps
+          }
+        }
+      }
+    } else if (v4Index != 5)
+      payloads.filter(p => chunked(p.name).list.size > 1).foreach { p =>
       val c = chunked(p.name)
       val n = c.list.size
       val fh = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
@@ -571,12 +789,18 @@ object Hdf5Write {
     def putPadded(b: W, raw: Array[Byte], padded: Int): Unit = {
       b.put(raw); (raw.length until padded).foreach(_ => b.put(0.toByte))
     }
-    def writeDataspace(b: W, shape: Seq[Int]): Unit = {
-      val body = 8 + shape.length * 8
+    def writeDataspace(b: W, shape: Seq[Int],
+                       unlim: Seq[Boolean] = Seq.empty): Unit = {
+      val hasMax = unlim.exists(identity)
+      val body = 8 + shape.length * 8 + (if (hasMax) shape.length * 8 else 0)
       msgHeader(b, 0x0001, body)
-      b.put(1.toByte); b.put(shape.length.toByte); b.put(0.toByte)
+      b.put(1.toByte); b.put(shape.length.toByte)
+      b.put((if (hasMax) 1 else 0).toByte) // flags bit 0: maxdims present
       b.put(0.toByte); b.putInt(0)
       shape.foreach(d => b.putLong(d.toLong))
+      if (hasMax) shape.zip(unlim).foreach { case (d, u) =>
+        b.putLong(if (u) -1L else d.toLong) // −1 = UNLIMITED
+      }
     }
     def writeDoubleType(b: W): Unit = {
       msgHeader(b, 0x0003, 20)
@@ -674,7 +898,7 @@ object Hdf5Write {
       b.putInt(1)
       b.putInt(size - 16)
       b.putInt(0) // pad to 8
-      writeDataspace(b, p.shape)
+      writeDataspace(b, p.shape, unlimMask(p))
       writeDoubleType(b)
       writeFill(b)
       if (p.isScale) {
@@ -686,15 +910,32 @@ object Hdf5Write {
         writeTextAttr(b, "NAME", p.name)
       } else if (v4Layout) {
         val c = chunked(p.name)
-        val single = c.list.size == 1
-        val body = (if (single) 26 else 15) + rank * 4
+        val single = c.list.size == 1 && v4Index == 3
+        val body = v4Index match {
+          case 4 => 19 + rank * 4
+          case 5 => 20 + rank * 4
+          case _ => (if (single) 26 else 15) + rank * 4
+        }
         msgHeader(b, 0x0008, body)
         b.put(4.toByte); b.put(2.toByte) // v4 chunked
         b.put((if (single) 2 else 0).toByte) // flags: bit1 = filtered single
         b.put(rank.toByte)
         b.put(4.toByte)                  // dim size encoded length
         c.cdims.foreach(d => b.putInt(d))
-        if (single) {
+        if (v4Index == 4) {
+          b.put(4.toByte)                // index type 4: Extensible Array
+          // creation params, layout-message order: max bits, index
+          // elements, min pointers, min elements, page bits
+          b.put(EaMaxBits.toByte); b.put(EaIdxElmts.toByte)
+          b.put(EaMinPtrs.toByte); b.put(EaMinElmts.toByte)
+          b.put(EaPageBits.toByte)
+          b.putLong(eaHdrAddr(p.name))
+        } else if (v4Index == 5) {
+          b.put(5.toByte)                // index type 5: v2 B-tree
+          b.putInt(denseNodeSize)
+          b.put(100.toByte); b.put(40.toByte) // split / merge percent
+          b.putLong(bt2HdrAddr(p.name))
+        } else if (single) {
           b.put(1.toByte)                // index type 1: Single Chunk
           b.putLong(c.list.head._2.length.toLong) // filtered size
           b.putInt(0)                    // filter mask
@@ -808,6 +1049,26 @@ object Hdf5Write {
         }
       }
       render(plan.root)
+    }
+
+    if (v4Layout && v4Index == 5) payloads.foreach { p =>
+      // v2 B-tree chunk index: type-11 records (addr + stored size +
+      // filter mask + scaled offsets), sorted by scaled coordinates —
+      // the row-major chunk enumeration already is
+      val c = chunked(p.name)
+      val rank = p.shape.length
+      val recs = c.list.zip(chunkAddrs(p.name)).map {
+        case ((origin, bytes), a) =>
+          val r = ByteBuffer.allocate(16 + 8 * rank)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          r.putLong(a); r.putInt(bytes.length); r.putInt(0)
+          origin.zipWithIndex.foreach { case (o, i) =>
+            r.putLong(o / c.cdims(i))
+          }
+          r.array()
+      }
+      writeV2Btree(bt2HdrAddr(p.name), bt2Plans(p.name), 11,
+        bt2NodeAddrs(p.name), recs)
     }
 
     if (denseRoot) {

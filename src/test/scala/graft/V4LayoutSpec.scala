@@ -110,9 +110,10 @@ class V4LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("partial edge chunks"), e.getMessage)
   }
 
-  test("unsupported v4 indexes fail loudly (extensible array, v2 B-tree)") {
+  test("unknown v4 index types fail loudly") {
     // flip the index-type byte of a real v4 single-chunk layout message
-    // (1 → 4 = extensible array): the reader must reject, not misread
+    // (1 → 6, past every defined index): the reader must reject, not
+    // misread
     val (dims, gatts, vars) = NetCdfFixture.spec()
     val v4 = Hdf5Write.write(dims, gatts, vars, v4Layout = true)
     // layout message body starts ver=4 cls=2 flags=2 ndims=4 encLen=4;
@@ -122,9 +123,99 @@ class V4LayoutSpec extends SparkSpec {
     val at = v4.toSeq.lastIndexOfSlice(pat)
     assert(at >= 0, "v4 single-chunk layout message not found")
     val patched = v4.clone()
-    patched(at + 5 + 16) = 4 // index type byte after the 4×4-byte dims
+    patched(at + 5 + 16) = 6 // index type byte after the 4×4-byte dims
     val e = intercept[Exception] { Hdf5.read(patched) }
     assert(e.getMessage.contains("unsupported") ||
       e.getMessage.contains("index type"), e.getMessage)
+  }
+
+  // ---- Extensible Array (ONE unlimited dim — h5py maxshape=(None,…))
+
+  test("Extensible Array index (unlimited time) decodes bit-identically " +
+    "to the v3 B-tree — index-block elements + inlined data blocks") {
+    // 6 chunks: 2 inline in the index block, the rest in the data
+    // blocks addressed straight from it
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 6, ny = 8, nx = 8, nl = 3)
+    val ea = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 8 * 8 * 3, v4Layout = true, v4Index = 4,
+      unlimitedDims = Set("time")))
+    val v3 = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 8 * 8 * 3))
+    val band = ea.file.dataset("sic_mean").get
+    assert(band.layout.isInstanceOf[Hdf5.ChunkedExtArray],
+      s"expected Extensible Array, got ${band.layout.getClass.getSimpleName}")
+    assert(band.unlimited === Set(0), band.maxDims.toString)
+    v3.file.datasets.foreach { ds =>
+      bitEqual(v3.readDoubles(ds.name), ea.readDoubles(ds.name), ds.name)
+    }
+    assert(ea.file.dimNames(band) === Seq("time", "yc", "xc", "leadtime"))
+  }
+
+  test("Extensible Array with super blocks and PAGED data blocks (the " +
+    "shape a grown appendable archive produces) decodes + slices") {
+    // 70 chunks (grid 35×2) reach super block 3, whose 2×16-element
+    // data blocks page at the fixture's 8-element page size
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 70, ny = 8, nx = 8, nl = 3)
+    val ea = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 256, v4Layout = true, v4Index = 4,
+      unlimitedDims = Set("time")))
+    val v3 = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 256))
+    v3.file.datasets.foreach { ds =>
+      bitEqual(v3.readDoubles(ds.name), ea.readDoubles(ds.name), ds.name)
+    }
+    // hyperslab pushdown prunes chunks through the EA tiers: pin one
+    // time step deep in the super-block region
+    val full = ea.readDoubles("sic_mean")
+    val sliced = ea.readDoublesSliced("sic_mean",
+      Array(Some(60L), None, None, None))
+    (0 until 8 * 8 * 3).foreach { j =>
+      val idx = (60 * 8 * 8 * 3) + j
+      assert(java.lang.Double.doubleToLongBits(sliced(idx)) ===
+        java.lang.Double.doubleToLongBits(full(idx)), s"cell $idx")
+    }
+  }
+
+  test("GridFile + tidy scan read an Extensible Array netCDF-4 " +
+    "transparently") {
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 3, ny = 8, nx = 8, nl = 3)
+    val bytes = Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 8 * 8 * 3, v4Layout = true, v4Index = 4,
+      unlimitedDims = Set("time"))
+    val g = GridFile.open(bytes)
+    assert(g.format === "hdf5" && g.isPayload("sic_mean", 4))
+    val dir = Work.stableDir("eanc")
+    java.nio.file.Files.write(dir.resolve("ea_0.nc"), bytes)
+    val tidy = graft.source.NetCdfSource.tidy(spark, s"$dir/*.nc")
+    assert(tidy.count() === 2 * 3 * 3 * 8)
+  }
+
+  // ---- v2 B-tree chunk index (≥2 unlimited dims)
+
+  test("v2 B-tree chunk index (two unlimited dims) decodes bit-" +
+    "identically, through a depth-1 record tree") {
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 70, ny = 8, nx = 8, nl = 3)
+    // 70 records of 48 bytes at node size 2048 (leaf cap 42) → depth 1
+    val bt = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 256, v4Layout = true, v4Index = 5,
+      unlimitedDims = Set("time", "yc")))
+    val v3 = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 256))
+    val band = bt.file.dataset("sic_mean").get
+    assert(band.layout.isInstanceOf[Hdf5.ChunkedBtreeV2],
+      s"expected v2 B-tree, got ${band.layout.getClass.getSimpleName}")
+    assert(band.unlimited === Set(0, 1), band.maxDims.toString)
+    v3.file.datasets.foreach { ds =>
+      bitEqual(v3.readDoubles(ds.name), bt.readDoubles(ds.name), ds.name)
+    }
+    // slice pushdown through the record walk
+    val full = bt.readDoubles("sic_mean")
+    val sliced = bt.readDoublesSliced("sic_mean",
+      Array(Some(33L), None, None, None))
+    (0 until 8 * 8 * 3).foreach { j =>
+      val idx = (33 * 8 * 8 * 3) + j
+      assert(java.lang.Double.doubleToLongBits(sliced(idx)) ===
+        java.lang.Double.doubleToLongBits(full(idx)), s"cell $idx")
+    }
   }
 }
