@@ -51,12 +51,21 @@ object ZarrCodec {
   final case class ShardMeta(inner: Seq[Int], innerComp: String,
                              indexAtEnd: Boolean, indexCrc: Boolean)
 
+  /** One zarr v2 filter (numcodecs codec applied before the
+    * compressor): `delta` carries its dtype, `shuffle` its element
+    * size. Decoding reverses the list back-to-front after
+    * decompression.
+    */
+  final case class V2Filter(id: String, dtype: String = "",
+                            elementSize: Int = 0)
+
   final case class ArrayMeta(store: String, name: String, shape: Seq[Int],
                              chunks: Seq[Int], dtype: String,
                              compressor: String, fillValue: Double,
                              nChunks: Seq[Int], zarrFormat: Int = 2,
                              sep: String = ".",
-                             shard: Option[ShardMeta] = None) {
+                             shard: Option[ShardMeta] = None,
+                             filters: Seq[V2Filter] = Nil) {
     def nValues: Long = shape.map(_.toLong).product
   }
 
@@ -248,8 +257,23 @@ object ZarrCodec {
           .filterNot(_.isNull).map(_.get("id").asText()).getOrElse("null")
         require(comp == "null" || comp == "zlib" || comp == "blosc",
           s"unsupported zarr compressor '$comp' in $za (null/zlib/blosc)")
-        require(Option(node.get("filters")).forall(_.isNull),
-          s"zarr filters unsupported in $za")
+        val filters = Option(node.get("filters")).filterNot(_.isNull).toSeq
+          .flatMap(_.elements().asScala).map { f =>
+            f.get("id").asText() match {
+              case "delta" =>
+                val dt = f.get("dtype").asText()
+                val at = Option(f.get("astype")).filterNot(_.isNull)
+                  .map(_.asText()).getOrElse(dt)
+                require(at == dt,
+                  s"delta astype '$at' != dtype '$dt' unsupported in $za")
+                V2Filter("delta", dtype = dt)
+              case "shuffle" =>
+                V2Filter("shuffle", elementSize =
+                  Option(f.get("elementsize")).map(_.asInt()).getOrElse(4))
+              case other => throw new IllegalArgumentException(
+                s"unsupported zarr v2 filter '$other' in $za (delta/shuffle)")
+            }
+          }
         require(node.get("order").asText() == "C",
           s"only C order supported in $za")
         val sep = Option(node.get("dimension_separator"))
@@ -259,8 +283,71 @@ object ZarrCodec {
           .map(_.asDouble(Double.NaN)).getOrElse(Double.NaN)
         ArrayMeta(store.toString, name, shape, chunks, node.get("dtype").asText(),
           comp, fill,
-          shape.zip(chunks).map { case (s, c) => (s + c - 1) / c })
+          shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
+          filters = filters)
       }
+  }
+
+  /** Reverse one v2 filter at the byte level. `delta` accumulates in
+    * the encoded dtype's native arithmetic (integer widths wrap exactly
+    * as numcodecs' numpy cumsum does); `shuffle` is the byte transpose.
+    */
+  private[source] def unfilterV2(f: V2Filter, data: Array[Byte]): Array[Byte] =
+    f.id match {
+      case "shuffle" => unshuffleBytes(data, f.elementSize)
+      case "delta" => unDelta(data, f.dtype)
+      case other =>
+        throw new IllegalArgumentException(s"zarr v2 filter '$other'")
+    }
+
+  private def unshuffleBytes(data: Array[Byte], elem: Int): Array[Byte] = {
+    if (elem <= 1) return data
+    val n = data.length / elem
+    val out = new Array[Byte](data.length)
+    var j = 0
+    while (j < elem) {
+      var i = 0
+      while (i < n) { out(i * elem + j) = data(j * n + i); i += 1 }
+      j += 1
+    }
+    var t = n * elem
+    while (t < data.length) { out(t) = data(t); t += 1 }
+    out
+  }
+
+  private def unDelta(data: Array[Byte], dtype: String): Array[Byte] = {
+    val order =
+      if (dtype.startsWith(">")) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    require(dtype.length >= 3, s"delta dtype '$dtype'")
+    val kind = dtype(1)
+    val width = dtype.substring(2).toInt
+    val out = data.clone()
+    val bb = java.nio.ByteBuffer.wrap(out).order(order)
+    val n = data.length / width
+    (kind, width) match {
+      case ('f', 8) =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += bb.getDouble(i * 8); bb.putDouble(i * 8, acc); i += 1 }
+      case ('f', 4) =>
+        var acc = 0.0f; var i = 0
+        while (i < n) { acc += bb.getFloat(i * 4); bb.putFloat(i * 4, acc); i += 1 }
+      case ('i' | 'u', 1) =>
+        var acc = 0L; var i = 0
+        while (i < n) { acc += bb.get(i); bb.put(i, acc.toByte); i += 1 }
+      case ('i' | 'u', 2) =>
+        var acc = 0L; var i = 0
+        while (i < n) { acc += bb.getShort(i * 2); bb.putShort(i * 2, acc.toShort); i += 1 }
+      case ('i' | 'u', 4) =>
+        var acc = 0L; var i = 0
+        while (i < n) { acc += bb.getInt(i * 4); bb.putInt(i * 4, acc.toInt); i += 1 }
+      case ('i' | 'u', 8) =>
+        var acc = 0L; var i = 0
+        while (i < n) { acc += bb.getLong(i * 8); bb.putLong(i * 8, acc); i += 1 }
+      case (k, w) => throw new IllegalArgumentException(
+        s"delta over dtype kind '$k' width $w unsupported")
+    }
+    out
   }
 
   /** Decode one chunk file to doubles, TRIMMED to its in-bounds region
@@ -272,7 +359,11 @@ object ZarrCodec {
       : (Array[Int], Array[Int], Array[Double]) = {
     val idx = chunkKey.split('.').map(_.toInt)
     require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
-    val full = decodeDtype(meta.dtype, decompressBy(meta.compressor, bytes))
+    // compressor off, then filters reversed back-to-front (they were
+    // applied in order before compression at write time)
+    val unfiltered = meta.filters.reverse.foldLeft(
+      decompressBy(meta.compressor, bytes))((b, f) => unfilterV2(f, b))
+    val full = decodeDtype(meta.dtype, unfiltered)
     val origin = idx.zip(meta.chunks).map { case (i, c) => i * c }
     trimBox(full, origin, meta.chunks, meta.shape)
   }
@@ -595,7 +686,8 @@ object ZarrFixture {
             attrs: Map[String, String] = Map.empty,
             dims: Seq[String] = Seq.empty,
             value: Seq[Int] => Double = _.sum.toDouble,
-            bloscCname: Option[String] = None): Unit = {
+            bloscCname: Option[String] = None,
+            filters: Seq[String] = Nil): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
@@ -615,11 +707,21 @@ object ZarrFixture {
       case None if compress => """{"id": "zlib", "level": 6}"""
       case None => "null"
     }
+    val width = dtype.substring(2).toInt
+    val filtJson =
+      if (filters.isEmpty) "null"
+      else filters.map {
+        case "delta" =>
+          s"""{"id": "delta", "dtype": "$dtype", "astype": "$dtype"}"""
+        case "shuffle" => s"""{"id": "shuffle", "elementsize": $width}"""
+        case other =>
+          throw new IllegalArgumentException(s"fixture filter $other")
+      }.mkString("[", ", ", "]")
     Files.writeString(dir.resolve(".zarray"),
       s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
          | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
          | "compressor": $comp, "fill_value": "NaN", "order": "C",
-         | "filters": null}""".stripMargin)
+         | "filters": $filtJson}""".stripMargin)
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     cartesian(nChunks).foreach { ci =>
       val origin = ci.zip(chunks).map { case (i, c) => i * c }
@@ -630,7 +732,15 @@ object ZarrFixture {
         if (coord.zip(shape).exists { case (x, s) => x >= s }) -1.0
         else value(coord)
       }
-      val raw = encode(dtype, vals)
+      // filters apply IN ORDER before the compressor (numcodecs chain)
+      val raw = filters.foldLeft(encode(dtype, vals)) { (b, f) =>
+        f match {
+          case "delta" => deltaEncode(b, dtype)
+          case "shuffle" => Hdf5Write.shuffleBytes(b, width)
+          case other =>
+            throw new IllegalArgumentException(s"fixture filter $other")
+        }
+      }
       val typesize = math.max(1, raw.length / vals.length)
       val bytes = bloscCname match {
         case Some(cn) => Blosc.compress(raw, typesize, cn)
@@ -638,6 +748,43 @@ object ZarrFixture {
       }
       Files.write(dir.resolve(ci.mkString(".")), bytes)
     }
+  }
+
+  /** Forward delta (out[i] = in[i] − in[i−1]) in the dtype's native
+    * arithmetic — the encode twin of the reader's cumulative decode.
+    */
+  private def deltaEncode(data: Array[Byte], dtype: String): Array[Byte] = {
+    val order =
+      if (dtype.startsWith(">")) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val kind = dtype(1)
+    val width = dtype.substring(2).toInt
+    val out = data.clone()
+    val bb = java.nio.ByteBuffer.wrap(out).order(order)
+    val n = data.length / width
+    (kind, width) match {
+      case ('f', 8) =>
+        var i = n - 1
+        while (i >= 1) {
+          bb.putDouble(i * 8, bb.getDouble(i * 8) - bb.getDouble((i - 1) * 8))
+          i -= 1
+        }
+      case ('f', 4) =>
+        var i = n - 1
+        while (i >= 1) {
+          bb.putFloat(i * 4, bb.getFloat(i * 4) - bb.getFloat((i - 1) * 4))
+          i -= 1
+        }
+      case ('i' | 'u', 4) =>
+        var i = n - 1
+        while (i >= 1) {
+          bb.putInt(i * 4, bb.getInt(i * 4) - bb.getInt((i - 1) * 4))
+          i -= 1
+        }
+      case (k, w) => throw new IllegalArgumentException(
+        s"fixture delta over kind '$k' width $w")
+    }
+    out
   }
 
   def writeGroupAttrs(store: Path, attrs: Map[String, String]): Unit = {

@@ -75,6 +75,32 @@ class ZarrSpec extends SparkSpec {
       assert(big((r, c)) === (r - c * 0.5).toFloat.toDouble, s"big($r,$c)")
   }
 
+  test("v2 filters (delta, shuffle, chained) decode to the generating " +
+    "values — the numcodecs options zarr-python configs commonly carry") {
+    val d = Files.createTempDirectory("graft-zarr-filt")
+    ZarrFixture.write(d, "dlt", Seq(7, 5), Seq(4, 3),
+      filters = Seq("delta"), value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "shf", Seq(7, 5), Seq(4, 3),
+      filters = Seq("shuffle"), value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "both", Seq(7, 5), Seq(4, 3),
+      filters = Seq("delta", "shuffle"), value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "idelta", Seq(9), Seq(4), dtype = "<i4",
+      compress = false, filters = Seq("delta"), value = _.sum * 7.0)
+    for (name <- Seq("dlt", "shf", "both")) {
+      val meta = ZarrCodec.readMeta(d).find(_.name == name).get
+      val got = ZarrCodec.readArray(d, meta)
+      for (r <- 0 until 7; c <- 0 until 5)
+        assert(got(r * 5 + c) === r * 100.0 + c, s"$name($r,$c)")
+      // the executor path decodes identically
+      val cells = ZarrSource.read(spark, d.toString, name)
+        .select("values").as[Seq[Double]].collect().flatten.sorted
+      assert(cells.length === 35, name)
+    }
+    val im = ZarrCodec.readMeta(d).find(_.name == "idelta").get
+    val ig = ZarrCodec.readArray(d, im)
+    (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"idelta($i)"))
+  }
+
   test("unsupported layouts fail loudly") {
     val d = Files.createTempDirectory("graft-zarr-bad")
     Files.createDirectories(d.resolve("a"))
