@@ -26,8 +26,9 @@ import java.util.zip.Inflater
   * Implicit, Fixed Array (direct and PAGED), Extensible Array (ONE
   * unlimited dim — h5py `maxshape=(None,…)`, incl. super blocks and
   * paged data blocks) and v2 B-tree (≥2 unlimited dims) chunk
-  * indexes. Not supported: filtered fractal heaps, non-IEEE floats —
-  * all rejected with explicit errors.
+  * indexes; fractal heaps with child indirect blocks and I/O-filtered
+  * (deflated) direct blocks. Not supported: huge/tiny heap objects,
+  * non-IEEE floats — all rejected with explicit errors.
   */
 object Hdf5 {
 
@@ -482,11 +483,15 @@ object Hdf5 {
       }
 
     /** Fractal heap, managed objects only: the header fixes the heap ID
-      * geometry (offset/length field widths), the root block is either a
-      * single direct block or one indirect block whose doubling table
-      * lists direct blocks (row sizes 2× per row past the second). Huge
-      * and tiny objects, I/O filters, and indirect-block recursion are
-      * outside what dense link/attribute storage produces at this scale
+      * geometry (offset/length field widths); the root block is a
+      * single direct block, or an indirect block whose doubling table
+      * lists direct blocks (row sizes 2× per row past the second) and —
+      * past `maxDirectRows` — child INDIRECT blocks, walked
+      * recursively. Heaps with I/O filters store each direct block
+      * compressed (the FRHP carries a filter-pipeline message and each
+      * doubling-table entry gains stored size + filter mask); images
+      * decompress on demand and are cached per block. Huge and tiny
+      * objects are outside what dense link/attribute storage produces
       * and are rejected explicitly.
       */
     private final class FractalHeap(addr: Long) {
@@ -506,44 +511,88 @@ object Hdf5 {
       u2(h) // starting # rows
       private val rootBlockAddr = h.getLong()
       private val curRows = u2(h)
-      require(ioFilterLen == 0, "filtered fractal heap unsupported")
+      // filtered heap extras: root-direct stored size + mask + the
+      // encoded filter-pipeline message
+      private val (rootFilteredSize, rootFilterMask, heapFilters) =
+        if (ioFilterLen == 0) (-1L, 0, Nil: Seq[Filter])
+        else {
+          val fsz = h.getLong()
+          val mask = h.getInt()
+          (fsz, mask, parseFilters(h.read(ioFilterLen)))
+        }
       private val offSize = (maxHeapSizeBits + 7) / 8
       private val lenSize = heapIdLen - 1 - offSize
       require(lenSize >= 1 && lenSize <= 8,
         s"fractal heap ID geometry $heapIdLen/$offSize unsupported")
+      private def log2l(v: Long): Int =
+        63 - java.lang.Long.numberOfLeadingZeros(v)
+      private val maxDirectRows =
+        log2l(maxDirectBlockSize) - log2l(startBlockSize) + 2
+      private def rowSize(r: Int): Long =
+        if (r < 2) startBlockSize else startBlockSize << (r - 1)
+      /** rows of an indirect block covering `covered` bytes of heap
+        * space (spec: log2(covered) − log2(start·width) + 1)
+        */
+      private def nrowsFor(covered: Long): Int =
+        log2l(covered) - log2l(startBlockSize * tableWidth) + 1
 
-      /** (heapOffset, size, fileAddr) per direct block, heap-order. */
-      private val dblocks: Seq[(Long, Long, Long)] =
-        if (rootBlockAddr == Undefined) Seq.empty
-        else if (curRows == 0) Seq((0L, startBlockSize, rootBlockAddr))
-        else {
-          val b = cur(rootBlockAddr)
+      /** (heapOffset, nominalSize, fileAddr, storedSize | −1, mask) per
+        * direct block, heap-offset order.
+        */
+      private val dblocks: Seq[(Long, Long, Long, Long, Int)] = {
+        val outB = Seq.newBuilder[(Long, Long, Long, Long, Int)]
+        def walkIndirect(a: Long, baseOff: Long, nrows: Int): Unit = {
+          val b = cur(a)
           require(b.read(4).sameElements(
             "FHIB".getBytes(StandardCharsets.US_ASCII)),
-            s"bad fractal heap indirect block at $rootBlockAddr")
+            s"bad fractal heap indirect block at $a")
           require(b.get() == 0, "FHIB version")
           b.getLong() // heap header address
-          b.read(offSize) // this block's heap offset (root: 0)
-          val maxDirectRows = (63 - java.lang.Long.numberOfLeadingZeros(
-            maxDirectBlockSize)) - (63 - java.lang.Long.numberOfLeadingZeros(
-            startBlockSize)) + 2
-          var off = 0L
-          val outB = Seq.newBuilder[(Long, Long, Long)]
-          (0 until curRows).foreach { r =>
-            require(r < maxDirectRows,
-              "indirect child blocks in fractal heap unsupported")
-            val size = if (r < 2) startBlockSize else startBlockSize << (r - 1)
+          b.read(offSize) // this block's heap offset (trust computed)
+          var off = baseOff
+          (0 until nrows).foreach { r =>
+            val size = rowSize(r)
             (0 until tableWidth).foreach { _ =>
-              val a = b.getLong()
-              if (a != Undefined) outB += ((off, size, a))
+              if (r < maxDirectRows) {
+                val da = b.getLong()
+                val (fsz, mask) =
+                  if (ioFilterLen > 0) (b.getLong(), b.getInt())
+                  else (-1L, 0)
+                if (da != Undefined) outB += ((off, size, da, fsz, mask))
+              } else {
+                val ca = b.getLong()
+                if (ca != Undefined) walkIndirect(ca, off, nrowsFor(size))
+              }
               off += size
             }
           }
-          outB.result()
         }
+        if (rootBlockAddr == Undefined) ()
+        else if (curRows == 0)
+          outB += ((0L, startBlockSize, rootBlockAddr, rootFilteredSize,
+            rootFilterMask))
+        else walkIndirect(rootBlockAddr, 0L, curRows)
+        outB.result()
+      }
 
       private def leUnsigned(bytes: Array[Byte]): Long =
         bytes.zipWithIndex.map { case (x, i) => (x.toLong & 0xFF) << (8 * i) }.sum
+
+      /** decompressed images of filtered direct blocks, by file addr */
+      private val imageCache =
+        scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      private def blockImage(ba: Long, fsz: Long, mask: Int): Array[Byte] =
+        imageCache.getOrElseUpdate(ba, {
+          var img = src.read(ba, fsz.toInt)
+          heapFilters.zipWithIndex.reverse.foreach { case (f, i) =>
+            if ((mask & (1 << i)) == 0) img = unfilter(f, img, 1)
+          }
+          require(img.length >= 4 && img(0) == 'F' && img(1) == 'H' &&
+            img(2) == 'D' && img(3) == 'B',
+            s"filtered fractal heap block at $ba decompressed without " +
+              "its FHDB signature")
+          img
+        })
 
       /** Raw bytes of a managed object addressed by heap ID. Object
         * offsets live in the heap's virtual space, which INCLUDES each
@@ -560,11 +609,16 @@ object Hdf5 {
         val off = leUnsigned(java.util.Arrays.copyOfRange(heapId, 1, 1 + offSize))
         val len = leUnsigned(java.util.Arrays.copyOfRange(
           heapId, 1 + offSize, 1 + offSize + lenSize))
-        val (bo, _, ba) = dblocks
+        val (bo, _, ba, fsz, mask) = dblocks
           .find(d => off >= d._1 && off + len <= d._1 + d._2)
           .getOrElse(throw new IllegalArgumentException(
             s"fractal heap offset $off+$len outside every direct block"))
-        src.read(ba + (off - bo), len.toInt)
+        if (fsz < 0) src.read(ba + (off - bo), len.toInt)
+        else {
+          val img = blockImage(ba, fsz, mask)
+          java.util.Arrays.copyOfRange(img, (off - bo).toInt,
+            (off - bo + len).toInt)
+        }
       }
     }
 

@@ -161,6 +161,97 @@ object Hdf5Write {
     def nodeSizes: Seq[Long] = nodesPre.map(nd => geo.nodeBytes(nd.d, nd.nrec))
   }
 
+  /** Generalized fractal-heap fixture plan: greedy placement of
+    * objects into the doubling table's direct blocks in heap-offset
+    * order, recursing into child INDIRECT blocks past `maxDirectRows`
+    * — the geometry the reader's dense-group walk must reproduce.
+    * Objects never span blocks (the library's rule); blocks holding no
+    * object stay unallocated (Undefined entries).
+    */
+  private[source] final class FHeapPlan(objSizes: Seq[Int], val start: Long,
+                                        val maxDirect: Long, val width: Int) {
+    val hdr = 17 // FHDB: sig(4) + ver(1) + heap addr(8) + 4-byte offset
+    private def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val maxDirectRows: Int = log2(maxDirect) - log2(start) + 2
+    def rowSize(r: Int): Long = if (r < 2) start else start << (r - 1)
+    def nrowsFor(covered: Long): Int = log2(covered) - log2(start * width) + 1
+    private def rowStart(r: Int): Long =
+      (0 until r).map(q => width * rowSize(q)).sum
+
+    /** offset-ordered direct blocks of the (unbounded) root table */
+    private def blocksUnder(base: Long, nrows: Int): Iterator[(Long, Long)] =
+      (0 until nrows).iterator.flatMap { r =>
+        val sz = rowSize(r)
+        (0 until width).iterator.flatMap { c =>
+          val off = base + rowStart(r) + c * sz
+          if (r < maxDirectRows) Iterator((off, sz))
+          else blocksUnder(off, nrowsFor(sz))
+        }
+      }
+
+    val objOff: Array[Long] = new Array[Long](objSizes.length)
+    /** (blockOff, blockSize) → object indices, placement order */
+    val dblocks: Seq[(Long, Long, Seq[Int])] = {
+      val used = scala.collection.mutable.LinkedHashMap
+        .empty[(Long, Long), scala.collection.mutable.ListBuffer[Int]]
+      val it = blocksUnder(0L, 48)
+      var cur = it.next()
+      var cursor = cur._1 + hdr
+      objSizes.zipWithIndex.foreach { case (sz, i) =>
+        require(sz + hdr <= maxDirect, s"object of $sz bytes exceeds heap blocks")
+        while (cursor + sz > cur._1 + cur._2) {
+          cur = it.next(); cursor = cur._1 + hdr
+        }
+        objOff(i) = cursor
+        used.getOrElseUpdate(cur, scala.collection.mutable.ListBuffer()) += i
+        cursor += sz
+      }
+      used.toSeq.map { case ((o, s), is) => (o, s, is.toSeq) }
+    }
+    val lastEnd: Long = dblocks.map(d => d._1 + d._2).max
+    /** single block at offset 0 → root stays a DIRECT block (curRows 0) */
+    val singleBlock: Boolean = dblocks.size == 1 && dblocks.head._1 == 0
+    val rootRows: Int = if (singleBlock) 0 else {
+      var n = 0
+      while (rowStart(n) < lastEnd) n += 1
+      n
+    }
+    /** (heapOff, nrows) per indirect block, preorder; head = root */
+    val inodes: Seq[(Long, Int)] =
+      if (singleBlock) Nil
+      else {
+        val buf = scala.collection.mutable.ListBuffer.empty[(Long, Int)]
+        def anyUsed(base: Long, covered: Long): Boolean =
+          dblocks.exists(d => d._1 >= base && d._1 < base + covered)
+        def visit(base: Long, nrows: Int): Unit = {
+          buf += ((base, nrows))
+          (maxDirectRows until nrows).foreach { r =>
+            (0 until width).foreach { c =>
+              val off = base + rowStart(r) + c * rowSize(r)
+              if (anyUsed(off, rowSize(r))) visit(off, nrowsFor(rowSize(r)))
+            }
+          }
+        }
+        visit(0L, rootRows)
+        buf.toList
+      }
+    def iblockSize(nrows: Int, filtered: Boolean): Long =
+      17L + (0 until nrows).map { r =>
+        if (r < maxDirectRows) width.toLong * (if (filtered) 20 else 8)
+        else width.toLong * 8
+      }.sum + 4L
+    /** row/col slots of an indirect node, render order: Left(directOff)
+      * or Right(childOff)
+      */
+    def slots(base: Long, nrows: Int): Seq[Either[Long, Long]] =
+      (0 until nrows).flatMap { r =>
+        (0 until width).map { c =>
+          val off = base + rowStart(r) + c * rowSize(r)
+          if (r < maxDirectRows) Left(off) else Right(off)
+        }
+      }
+  }
+
   /** Chunk shape: start from the full variable shape and halve the
     * largest dimension until ≤ 256k elements (2 MB of float64) — a
     * deterministic rule that keeps chunks worker-memory-friendly and
@@ -185,13 +276,16 @@ object Hdf5Write {
             denseNodeSize: Int = 2048,
             v4PageBits: Int = 10,
             v4Index: Int = 3,
-            unlimitedDims: Set[String] = Set.empty): Array[Byte] = {
+            unlimitedDims: Set[String] = Set.empty,
+            denseHeapGeom: Option[(Long, Long, Int)] = None,
+            denseHeapFiltered: Boolean = false): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
       v4PageBits = v4PageBits, v4Index = v4Index,
-      unlimitedDims = unlimitedDims,
+      unlimitedDims = unlimitedDims, denseHeapGeom = denseHeapGeom,
+      denseHeapFiltered = denseHeapFiltered,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -217,13 +311,15 @@ object Hdf5Write {
                 denseNodeSize: Int = 2048,
                 v4PageBits: Int = 10,
                 v4Index: Int = 3,
-                unlimitedDims: Set[String] = Set.empty): Unit = {
+                unlimitedDims: Set[String] = Set.empty,
+                denseHeapGeom: Option[(Long, Long, Int)] = None,
+                denseHeapFiltered: Boolean = false): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
         dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
-        v4Index, unlimitedDims,
+        v4Index, unlimitedDims, denseHeapGeom, denseHeapFiltered,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -309,6 +405,8 @@ object Hdf5Write {
                      dataBase: Long, denseRoot: Boolean, denseAttrs: Boolean,
                      v4Layout: Boolean, denseNodeSize: Int, v4PageBits: Int,
                      v4Index: Int, unlimitedDims: Set[String],
+                     denseHeapGeom: Option[(Long, Long, Int)],
+                     denseHeapFiltered: Boolean,
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
     require(v4Index == 3 || v4Index == 4 || v4Index == 5,
@@ -485,21 +583,84 @@ object Hdf5Write {
     val denseLinkSize: Map[String, Int] =
       plans.map(p => p.name -> (3 + p.name.length + 8)).toMap
     val denseDblockHdr = 17 // FHDB: sig(4) + ver(1) + heap addr(8) + off(4)
-    val denseObjOffset: Map[String, Long] = {
-      var off = denseDblockHdr.toLong
-      sortedNames.map { n => val o = off; off += denseLinkSize(n); n -> o }.toMap
+    // `advancedHeap` switches the dense-root heap to the generalized
+    // multi-block plan: custom doubling-table geometry (child indirect
+    // recursion) and/or I/O-filtered (deflated) direct blocks
+    val advancedHeap = denseRoot &&
+      (denseHeapGeom.isDefined || denseHeapFiltered)
+    val fplan: Option[FHeapPlan] =
+      if (!advancedHeap) None
+      else {
+        val (st, mx, w) = denseHeapGeom.getOrElse((512L, 65536L, 4))
+        Some(new FHeapPlan(sortedNames.map(denseLinkSize), st, mx, w))
+      }
+    val denseObjOffset: Map[String, Long] = fplan match {
+      case Some(fp) =>
+        sortedNames.zipWithIndex.map { case (n, i) => n -> fp.objOff(i) }.toMap
+      case None =>
+        var off = denseDblockHdr.toLong
+        sortedNames.map { n => val o = off; off += denseLinkSize(n); n -> o }.toMap
     }
     val denseDblockSize: Long = {
       val need = denseDblockHdr.toLong +
         sortedNames.map(denseLinkSize(_).toLong).sum
       var s = 512L
       while (s < need) s <<= 1
-      require(s <= 65536L, s"dense root needs $need bytes (> max direct block)")
+      require(advancedHeap || s <= 65536L,
+        s"dense root needs $need bytes (> max direct block)")
       s
     }
     val linkTree = V2TreePlan(denseNodeSize, 11, plans.size)
-    val frhpAddr = if (denseRoot) alloc(146L) else Hdf5.Undefined
-    val denseDblockAddr = if (denseRoot) alloc(denseDblockSize) else Hdf5.Undefined
+    // deflate-6 pipeline message: the filtered heap's I/O filter info
+    val heapFilterInfoLen = 24
+    val frhpAddr =
+      if (denseRoot)
+        alloc(if (denseHeapFiltered) 146L + 12L + heapFilterInfoLen else 146L)
+      else Hdf5.Undefined
+    val denseDblockAddr =
+      if (denseRoot && !advancedHeap) alloc(denseDblockSize) else Hdf5.Undefined
+    def linkMsgBytes(n: String): Array[Byte] = {
+      val bb = ByteBuffer.allocate(denseLinkSize(n))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.put(0.toByte) // version, flags (1-byte length)
+      bb.put(n.length.toByte)
+      bb.put(n.getBytes(StandardCharsets.US_ASCII))
+      bb.putLong(ohAddr(n))
+      bb.array()
+    }
+    /** nominal direct-block image: FHDB header + objects at their heap
+      * offsets (shared by the plain write and the pre-compression pass)
+      */
+    def fheapBlockImage(fp: FHeapPlan, off: Long, size: Long,
+                        objIdxs: Seq[Int]): Array[Byte] = {
+      val img = ByteBuffer.allocate(size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+      img.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+      img.put(0.toByte)
+      img.putLong(frhpAddr)
+      img.putInt(off.toInt)
+      objIdxs.foreach { i =>
+        img.position((fp.objOff(i) - off).toInt)
+        img.put(linkMsgBytes(sortedNames(i)))
+      }
+      img.array()
+    }
+    val fheapInodeAddr: Map[Long, Long] = fplan.map { fp =>
+      fp.inodes.map { case (off, nr) =>
+        off -> alloc(fp.iblockSize(nr, denseHeapFiltered))
+      }.toMap
+    }.getOrElse(Map.empty)
+    val fheapBlockBytes: Map[Long, Array[Byte]] =
+      fplan.filter(_ => denseHeapFiltered).map { fp =>
+        fp.dblocks.map { case (off, size, objIdxs) =>
+          off -> deflate(fheapBlockImage(fp, off, size, objIdxs), 6)
+        }.toMap
+      }.getOrElse(Map.empty)
+    val fheapDblockAddr: Map[Long, Long] = fplan.map { fp =>
+      fp.dblocks.map { case (off, size, _) =>
+        off -> alloc(
+          if (denseHeapFiltered) fheapBlockBytes(off).length.toLong else size)
+      }.toMap
+    }.getOrElse(Map.empty)
     val bthdAddr = if (denseRoot) alloc(38L) else Hdf5.Undefined
     val btNodeAddrs: Seq[Long] =
       if (denseRoot) linkTree.nodeSizes.map(alloc) else Seq.empty
@@ -1071,7 +1232,7 @@ object Hdf5Write {
         bt2NodeAddrs(p.name), recs)
     }
 
-    if (denseRoot) {
+    if (denseRoot && !advancedHeap) {
       // fractal heap header (checksummed; built in memory, then written)
       val fr = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
       fr.put("FRHP".getBytes(StandardCharsets.US_ASCII))
@@ -1108,18 +1269,93 @@ object Hdf5Write {
       db.put(0.toByte)
       db.putLong(frhpAddr)
       db.putInt(0) // heap offset of this block (4-byte heap space)
-      sortedNames.foreach { n =>
-        db.put(1.toByte) // link message version
-        db.put(0.toByte) // flags: 1-byte name length, hard link
-        db.put(n.length.toByte)
-        db.put(n.getBytes(StandardCharsets.US_ASCII))
-        db.putLong(ohAddr(n))
-      }
+      sortedNames.foreach(n => db.put(linkMsgBytes(n)))
       seek(denseDblockAddr); out.put(db.array())
+    }
 
+    if (denseRoot && advancedHeap) {
+      // generalized heap: FRHP (with filter pipeline when filtered) →
+      // root indirect (or direct) → child indirect recursion → direct
+      // blocks, deflated when filtered
+      val fp = fplan.get
+      val frSize =
+        (if (denseHeapFiltered) 146 + 12 + heapFilterInfoLen else 146)
+      val fr = ByteBuffer.allocate(frSize).order(ByteOrder.LITTLE_ENDIAN)
+      fr.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+      fr.put(0.toByte)
+      fr.putShort(7)
+      fr.putShort(
+        (if (denseHeapFiltered) heapFilterInfoLen else 0).toShort)
+      fr.put(0.toByte)
+      fr.putInt(4096)
+      fr.putLong(0L); fr.putLong(-1L); fr.putLong(0L); fr.putLong(-1L)
+      fr.putLong(fp.lastEnd)            // managed space
+      fr.putLong(fp.lastEnd)            // allocated managed space
+      fr.putLong(denseObjOffset(sortedNames.last) +
+        denseLinkSize(sortedNames.last))
+      fr.putLong(plans.size.toLong)
+      fr.putLong(0L); fr.putLong(0L); fr.putLong(0L); fr.putLong(0L)
+      fr.putShort(fp.width.toShort)
+      fr.putLong(fp.start)
+      fr.putLong(fp.maxDirect)
+      fr.putShort(32)
+      fr.putShort(4)
+      fr.putLong(
+        if (fp.singleBlock) fheapDblockAddr(0L) else fheapInodeAddr(0L))
+      fr.putShort(fp.rootRows.toShort)
+      if (denseHeapFiltered) {
+        fr.putLong(if (fp.singleBlock) fheapBlockBytes(0L).length.toLong
+                   else 0L)             // filtered root direct size
+        fr.putInt(0)                    // I/O filter mask
+        // filter pipeline message v1: one deflate filter, level 6
+        fr.put(1.toByte); fr.put(1.toByte)
+        fr.put(0.toByte); fr.put(0.toByte); fr.putInt(0) // reserved
+        fr.putShort(1)  // filter id: deflate
+        fr.putShort(0)  // name length
+        fr.putShort(0)  // flags
+        fr.putShort(1)  // client values
+        fr.putInt(6)    // level
+        fr.putInt(0)    // pad to even client count
+      }
+      fr.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+        fr.array(), 0, frSize - 4)))
+      seek(frhpAddr); out.put(fr.array())
+
+      fp.inodes.foreach { case (base, nrows) =>
+        val isz = fp.iblockSize(nrows, denseHeapFiltered).toInt
+        val ib = ByteBuffer.allocate(isz).order(ByteOrder.LITTLE_ENDIAN)
+        ib.put("FHIB".getBytes(StandardCharsets.US_ASCII))
+        ib.put(0.toByte)
+        ib.putLong(frhpAddr)
+        ib.putInt(base.toInt) // this block's heap offset (4-byte space)
+        fp.slots(base, nrows).foreach {
+          case Left(doff) =>
+            ib.putLong(fheapDblockAddr.getOrElse(doff, -1L))
+            if (denseHeapFiltered) {
+              ib.putLong(fheapBlockBytes.get(doff)
+                .map(_.length.toLong).getOrElse(0L))
+              ib.putInt(0)
+            }
+          case Right(coff) =>
+            ib.putLong(fheapInodeAddr.getOrElse(coff, -1L))
+        }
+        ib.putInt(Lookup3.hash(java.util.Arrays.copyOfRange(
+          ib.array(), 0, isz - 4)))
+        seek(fheapInodeAddr(base)); out.put(ib.array())
+      }
+
+      fp.dblocks.foreach { case (off, size, objIdxs) =>
+        val bytes =
+          if (denseHeapFiltered) fheapBlockBytes(off)
+          else fheapBlockImage(fp, off, size, objIdxs)
+        seek(fheapDblockAddr(off)); out.put(bytes)
+      }
+    }
+
+    if (denseRoot) {
       // name-index v2 B-tree: type-5 records (hash + heap ID) sorted by
-      // hash, split across leaves + a depth-1 internal node when the
-      // group outgrows one leaf
+      // hash, split across leaves + internal nodes when the group
+      // outgrows one leaf
       val recBytes = sortedNames.map { n =>
         (Lookup3.hash(n.getBytes(StandardCharsets.US_ASCII)), n)
       }.sortBy { case (h, _) => h.toLong & 0xFFFFFFFFL }.map { case (h, n) =>

@@ -166,4 +166,66 @@ class DenseGroupSpec extends SparkSpec {
       denseAttrs = true, denseNodeSize = 256))
     gatts.foreach { case (k, v) => assert(g.gattText(k) === Some(v), k) }
   }
+
+  private def manyVarSpec(n: Int)
+      : (Seq[(String, Int)], Seq[graft.source.NetCdf.VarSpec]) = {
+    val manyVars = (0 until n).map { i =>
+      graft.source.NetCdf.VarSpec(f"v_$i%02d", Seq("yc"), Seq.empty,
+        Array.tabulate(8)(x => x.toDouble + i))
+    }
+    (Seq("yc" -> 8),
+      graft.source.NetCdf.VarSpec("yc", Seq("yc"), Seq.empty,
+        Array.tabulate(8)(_.toDouble)) +: manyVars)
+  }
+
+  test("FILTERED fractal heap (deflated root direct block) enumerates " +
+    "and decodes — the I/O-filtered dense-group variant") {
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 8, nx = 8, nl = 3)
+    val filt = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      denseRoot = true, denseHeapFiltered = true))
+    val classic = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars))
+    assert(filt.file.datasets.map(_.name).toSet ===
+      classic.file.datasets.map(_.name).toSet)
+    classic.file.datasets.foreach { ds =>
+      val a = classic.readDoubles(ds.name)
+      val b = filt.readDoubles(ds.name)
+      assert(a.length === b.length, ds.name)
+      a.indices.foreach(i => assert(
+        java.lang.Double.doubleToLongBits(a(i)) ===
+          java.lang.Double.doubleToLongBits(b(i)), s"${ds.name}($i)"))
+    }
+    val band = filt.file.dataset("sic_mean").get
+    assert(filt.file.dimNames(band) === Seq("time", "yc", "xc", "leadtime"))
+  }
+
+  test("fractal heap with child INDIRECT blocks (doubling table past " +
+    "maxDirectRows) enumerates every link") {
+    // geometry 64/128/2: 3 direct rows cover 26 links; 41 links spill
+    // into row 3's child indirect blocks — two of them
+    val (dims, vars) = manyVarSpec(40)
+    val bytes = Hdf5Write.write(dims, Seq.empty, vars,
+      denseRoot = true, denseHeapGeom = Some((64L, 128L, 2)))
+    val r = new Hdf5.Reader(bytes)
+    assert(r.file.datasets.length === 41)
+    (0 until 40).foreach { i =>
+      val name = f"v_$i%02d"
+      assert(r.readDoubles(name).toSeq ===
+        Array.tabulate(8)(x => x.toDouble + i).toSeq, name)
+    }
+  }
+
+  test("FILTERED fractal heap with child indirect blocks: deflated " +
+    "direct blocks behind stored-size doubling-table entries") {
+    val (dims, vars) = manyVarSpec(40)
+    val bytes = Hdf5Write.write(dims, Seq.empty, vars,
+      denseRoot = true, denseHeapGeom = Some((64L, 128L, 2)),
+      denseHeapFiltered = true)
+    val r = new Hdf5.Reader(bytes)
+    assert(r.file.datasets.length === 41)
+    (0 until 40).foreach { i =>
+      val name = f"v_$i%02d"
+      assert(r.readDoubles(name).toSeq ===
+        Array.tabulate(8)(x => x.toDouble + i).toSeq, name)
+    }
+  }
 }
