@@ -1,0 +1,156 @@
+package graft.multimodal
+
+/** Pure-JVM MPEG audio frame-header walk (ISO/IEC 11172-3): no sample
+  * synthesis, but REAL stream facts — frame count, sample rate,
+  * channel mode and exact duration from the frame sequence, plus a
+  * coarse energy proxy from the Layer III side-info `global_gain`
+  * fields (a fixed-position 8-bit field per granule/channel, readable
+  * without Huffman decoding). This shrinks the audio stand-in for
+  * lossy formats: duration and energy come from the actual bitstream,
+  * only waveform-level features (zero crossings) remain stubbed.
+  *
+  * Accepts an optional leading ID3v2 tag and trailing junk (ID3v1);
+  * requires at least two consecutive consistent frames so arbitrary
+  * binary payloads don't probe as mp3.
+  */
+object Mp3 {
+
+  final case class Mp3Info(sampleRate: Int, channels: Int, nFrames: Int,
+                           durationMs: Long, bitrateKbps: Int,
+                           meanGlobalGain: Double)
+
+  // Layer III bitrates (kbps) by version; index 0 = free, 15 = bad
+  private val BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320, -1)
+  private val BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 144, 160, -1)
+  private val RateV1 = Array(44100, 48000, 32000, -1)
+  private val RateV2 = Array(22050, 24000, 16000, -1)
+  private val RateV25 = Array(11025, 12000, 8000, -1)
+
+  def probe(bytes: Array[Byte]): Option[Mp3Info] = {
+    var pos = 0
+    // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      pos = 10 + size
+    }
+    var nFrames = 0
+    var totalSamples = 0L
+    var rate = -1
+    var channels = -1
+    var bitrateSum = 0L
+    var gainSum = 0L
+    var gainCount = 0L
+    var ok = true
+    while (ok && pos + 4 <= bytes.length) {
+      val b1 = bytes(pos) & 0xFF
+      val b2 = bytes(pos + 1) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) ok = false
+      else {
+        val version = (b2 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layer = (b2 >> 1) & 0x3   // 1=III, 2=II, 3=I
+        val crcAbsent = (b2 & 0x1) == 1
+        val b3 = bytes(pos + 2) & 0xFF
+        val brIdx = (b3 >> 4) & 0xF
+        val rIdx = (b3 >> 2) & 0x3
+        val padding = (b3 >> 1) & 0x1
+        val b4 = bytes(pos + 3) & 0xFF
+        val mode = (b4 >> 6) & 0x3 // 3 = mono
+        if (version == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+            rIdx == 3) ok = false // free-form / reserved / non-L3: stop
+        else {
+          val mpeg1 = version == 3
+          val br = (if (mpeg1) BitrateV1 else BitrateV2)(brIdx)
+          val sr = (version match {
+            case 3 => RateV1
+            case 2 => RateV2
+            case _ => RateV25
+          })(rIdx)
+          if (rate == -1) { rate = sr; channels = if (mode == 3) 1 else 2 }
+          // a stream switching rate/version mid-way is not one we trust
+          if (sr != rate) ok = false
+          else {
+            val frameLen =
+              (if (mpeg1) 144 else 72) * br * 1000 / sr + padding
+            if (pos + frameLen > bytes.length) ok = false
+            else {
+              // Layer III side info (MPEG1 only): fixed 59-bit blocks
+              // per (granule, channel) after main_data_begin(9) +
+              // private bits + scfsi; global_gain sits 21 bits into
+              // each block (after part2_3_length + big_values)
+              if (mpeg1) {
+                val si = pos + 4 + (if (crcAbsent) 0 else 2)
+                val nch = if (mode == 3) 1 else 2
+                val head = 9 + (if (nch == 1) 5 else 3) + 4 * nch
+                var g = 0
+                while (g < 2 * nch) {
+                  val bit = head + g * 59 + 21
+                  gainSum += bits8(bytes, si, bit)
+                  gainCount += 1
+                  g += 1
+                }
+              }
+              nFrames += 1
+              totalSamples += (if (mpeg1) 1152 else 576)
+              bitrateSum += br
+              pos += frameLen
+            }
+          }
+        }
+      }
+    }
+    if (nFrames < 2 || rate <= 0) None
+    else Some(Mp3Info(rate, channels, nFrames,
+      totalSamples * 1000 / rate,
+      (bitrateSum / nFrames).toInt,
+      if (gainCount == 0) 0.0 else gainSum.toDouble / gainCount))
+  }
+
+  /** 8 bits starting `bitOff` bits past byte `base`, MSB-first. */
+  private def bits8(bytes: Array[Byte], base: Int, bitOff: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < 8) {
+      val bit = bitOff + i
+      val byteAt = base + bit / 8
+      val b = if (byteAt < bytes.length) bytes(byteAt) & 0xFF else 0
+      v = (v << 1) | ((b >> (7 - bit % 8)) & 1)
+      i += 1
+    }
+    v
+  }
+
+  /** Fixture: a stereo MPEG1 Layer III 44.1 kHz / 128 kbps frame
+    * stream with the given side-info global gain — structurally valid
+    * headers + side info, zeroed main data (silence).
+    */
+  def fixture(nFrames: Int, globalGain: Int, id3: Boolean = false): Array[Byte] = {
+    val frameLen = 144 * 128000 / 44100 // 417, no padding
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10))
+      out.write(new Array[Byte](10))
+    }
+    (0 until nFrames).foreach { _ =>
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte // MPEG1 L3, no CRC
+      f(2) = 0x90.toByte                     // 128 kbps, 44100, no pad
+      f(3) = 0x00                            // stereo
+      // side info: write global_gain at each (granule, channel) slot
+      val head = 9 + 3 + 8 // main_data_begin + private + scfsi (stereo)
+      (0 until 4).foreach { g =>
+        val bit = head + g * 59 + 21
+        (0 until 8).foreach { i =>
+          val b = (globalGain >> (7 - i)) & 1
+          val at = 4 + (bit + i) / 8
+          f(at) = (f(at) | (b << (7 - (bit + i) % 8))).toByte
+        }
+      }
+      out.write(f)
+    }
+    out.toByteArray
+  }
+}

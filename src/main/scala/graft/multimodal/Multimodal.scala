@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   *    histograms + mean intensity.
   *  - AUDIO features: REAL for RIFF/PCM WAV and FLAC (pure-JVM [[Wav]]
   *    and [[Flac]] codecs — rms, zero-crossings, duration from actual
-  *    samples); lossy formats fall back to a clearly-marked
-  *    deterministic stub.
+  *    samples); MP3 duration + coarse energy are REAL via the
+  *    frame-header walk ([[Mp3]]); remaining lossy formats fall back
+  *    to a clearly-marked deterministic stub.
   *  - VIDEO frame-sample: REAL for MJPEG/AVI (pure-JVM [[Avi]]
   *    container parse; each frame is a standalone JPEG) — sampled
   *    frames carry actual JPEG bytes and container-derived
@@ -143,9 +144,13 @@ object Multimodal {
   /** Audio feature extraction. RIFF/PCM WAV and FLAC payloads decode
     * for REAL (graft.multimodal.Wav / graft.multimodal.Flac — both
     * pure-JVM codecs): rms / zero-crossings / duration from the actual
-    * mono-mixed samples. Lossy formats (mp3/aac — no codecs in this
-    * container) keep the clearly-marked deterministic byte stand-in
-    * with duration from metadata.
+    * mono-mixed samples. MP3 goes through the pure-JVM frame-header
+    * walk ([[Mp3]]): duration is exact (frame count × samples/frame ÷
+    * rate) and rms is a coarse energy proxy from the Layer III
+    * side-info global gains — only zero crossings stay byte-derived.
+    * Remaining lossy formats (aac — no codec in this container) keep
+    * the clearly-marked deterministic byte stand-in with duration from
+    * metadata.
     */
   def audioFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(
@@ -172,14 +177,22 @@ object Multimodal {
               Row(r.getLong(0), pcm.durationMs,
                 math.sqrt(sumSq / math.max(n, 1)), zc)
             case None =>
-              // ??? — lossy-codec (mp3/aac) decode goes here;
-              // byte-level stand-ins for now
-              val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
-                .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
               val zc = content.sliding(2).count(p =>
-                p.length == 2 && ((p(0) < 0) != (p(1) < 0)))
-              Row(r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2),
-                rms, zc.toLong)
+                p.length == 2 && ((p(0) < 0) != (p(1) < 0))).toLong
+              Mp3.probe(content) match {
+                case Some(info) =>
+                  // REAL duration + coarse energy from the bitstream;
+                  // zero crossings need synthesis → byte stand-in
+                  Row(r.getLong(0), info.durationMs,
+                    info.meanGlobalGain / 255.0, zc)
+                case None =>
+                  // ??? — lossy-codec (aac) decode goes here;
+                  // byte-level stand-ins for now
+                  val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
+                    .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
+                  Row(r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2),
+                    rms, zc)
+              }
           }
         }
       }(enc)

@@ -144,4 +144,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pcm.sampleRate === sr && pcm.channels === 1)
     assert(math.abs(pcm.samples(20) - samples(20)) < 1e-4)
   }
+
+  test("audio features: REAL mp3 frame-header walk — exact duration " +
+    "and side-info energy, no metadata trust") {
+    import graft.multimodal.Mp3
+    // 86 frames of MPEG1 Layer III @ 44.1 kHz ≈ 2.246 s
+    val mp3 = Mp3.fixture(nFrames = 86, globalGain = 180, id3 = true)
+    val info = Mp3.probe(mp3).get
+    assert(info.nFrames === 86 && info.sampleRate === 44100 &&
+      info.channels === 2 && info.bitrateKbps === 128)
+    assert(info.durationMs === 86L * 1152 * 1000 / 44100)
+    assert(info.meanGlobalGain === 180.0)
+    val rows = Seq(Row(11L, "audio", "audio/mpeg", mp3,
+      // metadata LIES about the duration — the header walk must win
+      Map("duration_ms" -> "99999")))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val f = Multimodal.audioFeatures(media).collect().head
+    assert(f.getLong(1) === 86L * 1152 * 1000 / 44100)
+    assert(math.abs(f.getDouble(2) - 180.0 / 255.0) < 1e-9)
+    // arbitrary binary payloads must NOT probe as mp3 (two-frame rule)
+    assert(Mp3.probe(Array.tabulate[Byte](600)(i => (i * 37).toByte)).isEmpty)
+    assert(Mp3.probe(Array.fill[Byte](600)(0xFF.toByte)).isEmpty)
+  }
 }
