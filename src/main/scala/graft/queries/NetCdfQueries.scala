@@ -87,6 +87,20 @@ object NetCdfQueries {
     bandStatsQuery(s, "q77_tidy", fixtureGlobHdf5())
   }
 
+  /** S1 completion for APPENDABLE archives: the same statistics over
+    * netCDF-4 files with an UNLIMITED time dimension and the v4
+    * Extensible Array chunk index (h5py `maxshape=(None,…)` — the
+    * layout a forecast archive grows into). 34 per-timestep chunks per
+    * variable walk every EA tier (index-block elements, inlined data
+    * blocks, a super block, paged data blocks) on the scan path.
+    */
+  val bandStatsUnlimited = QueryDef("q82_netcdf4_unlimited_band_stats",
+    bandStatsOracle("q82_tidy")) { (s, _) =>
+    bandStatsQuery(s, "q82_tidy",
+      NetCdfFixture.writeFilesUnlimited(
+        stableWork("fixtures").resolve("ncea")))
+  }
+
   private def bandStatsQuery(s: org.apache.spark.sql.SparkSession,
                              tag: String, glob: String) = {
     // through the DataSource V2 format (same tidy schema as
@@ -319,6 +333,6 @@ object NetCdfQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, preprocessE2e,
-      ingestDryRun, zarrScan, zarrV3Scan)
+    Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
+      preprocessE2e, ingestDryRun, zarrScan, zarrV3Scan)
 }

@@ -291,4 +291,23 @@ object NetCdfFixture {
     }
     s"$dir/*.nc"
   }
+
+  /** The appendable-archive rendering: netCDF-4 with UNLIMITED time and
+    * the v4 Extensible Array chunk index — what h5py `maxshape=(None,…)`
+    * + `libver='latest'` emits as a forecast archive grows. Multiple
+    * time steps per file, one chunk per step, so the EA's tiers are
+    * exercised on the scan path.
+    */
+  def writeFilesUnlimited(dir: java.nio.file.Path, n: Int = 2,
+                          nt: Int = 34): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      val (dims, gatts, vars) = spec(nt = nt, tStart = i * nt.toDouble)
+      val b = Hdf5Write.write(dims, gatts, vars,
+        maxChunkElems = 8 * 8 * 3, v4Layout = true, v4Index = 4,
+        unlimitedDims = Set("time"))
+      java.nio.file.Files.write(dir.resolve(f"archive_$i%02d.nc"), b)
+    }
+    s"$dir/*.nc"
+  }
 }
