@@ -88,4 +88,27 @@ class NetCdfV2Spec extends SparkSpec {
     assert(pushed === naive && pushed.nonEmpty)
     assert(pushed.length === 2 * 1 * 1 * 8) // files × time × leadtime × y
   }
+
+  test("Extensible Array (unlimited time) archives scan through the V2 " +
+    "format with pushdown parity") {
+    // the appendable-archive rendering: per-timestep chunks behind the
+    // v4 EA index; 10 steps keep the unit spec fast (q82 walks the
+    // full 34-step tier set e2e)
+    val eaGlob = NetCdfFixture.writeFilesUnlimited(
+      Files.createTempDirectory("graft-v2-ea"), n = 2, nt = 10)
+    val df = spark.read.format("netcdf").load(eaGlob)
+    assert(df.count() === 2 * 2 * 10 * 3 * 8)
+    // slice predicate prunes and stays exact across the EA decode
+    val sliced = df.filter(col("variable") === "sic_mean" &&
+      col("time_idx") === 7)
+    assert(sliced.count() === 2 * 1 * 1 * 3 * 8)
+    val vSum = sliced
+      .select(explode(col("values")).as("v"))
+      .agg(sum(when(!isnan(col("v")), col("v")))).head().getDouble(0)
+    val naive = graft.source.NetCdfSource.tidy(spark, eaGlob)
+      .where("variable = 'sic_mean' and time_idx = 7")
+      .select(explode(col("values")).as("v"))
+      .agg(sum(when(!isnan(col("v")), col("v")))).head().getDouble(0)
+    assert(math.abs(vSum - naive) < 1e-9)
+  }
 }
