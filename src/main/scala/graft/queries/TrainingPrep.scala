@@ -88,6 +88,73 @@ object TrainingPrep {
         (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Benchmark decontamination restated for ARCHIVE scale (identical
+    * semantics and oracle to q69): instead of broadcasting every
+    * benchmark gram string, the bench set folds into a ~10-bit/element
+    * Bloom filter built distributively (xxhash64 per gram, per-partition
+    * filters merged on the driver — the driver never sees a gram).
+    * Corpus grams stream through the codegen'd `might_contain`
+    * expression map-side — a BINARY literal + xxhash64, no UDF — and
+    * only the tiny bloom-positive survivor set pays the exact verify
+    * join that removes false positives, so output is bit-identical to
+    * the exact path and the same DuckDB oracle applies. At 100 TB this
+    * turns a multi-GB gram-set broadcast into megabytes of filter.
+    */
+  val bloomDecontaminate = QueryDef("q83_bloom_decontaminate",
+    """WITH sp AS (
+      |  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+      |    string_split(trim(text), ' ') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, is_bench,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(ts) - 4),
+      |      i -> array_to_string(ts[i:i+4], ' ')))) AS g
+      |  FROM sp),
+      |hits AS (
+      |  SELECT c.doc_id, count(DISTINCT c.g) AS n_matched
+      |  FROM grams c JOIN (SELECT DISTINCT g FROM grams WHERE is_bench) b
+      |    ON c.g = b.g
+      |  WHERE NOT c.is_bench GROUP BY c.doc_id)
+      |SELECT sp.doc_id AS doc_id,
+      |  CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched,
+      |  coalesce(h.n_matched, 0) > 0 AS contaminated
+      |FROM sp LEFT JOIN hits h ON sp.doc_id = h.doc_id
+      |WHERE NOT sp.is_bench ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 50 === 0).as("is_bench"),
+        array_distinct(ngrams(col("text"), 5)).as("grams"))
+    val benchGrams = docs.filter(col("is_bench"))
+      .select(explode(col("grams")).as("g")).distinct()
+    val corpus = docs.filter(!col("is_bench"))
+    // filter sizing needs only an order of magnitude (fpp shapes the
+    // survivor-set size, never correctness): docs/50 bench docs at a
+    // generous 256 distinct grams each, from the cached table count
+    val expected =
+      math.max(1000L, Tables.cachedCount(s, d, "documents") / 50 * 256)
+    import s.implicits._
+    val bf = benchGrams.select(xxhash64(col("g")).as("h")).as[Long].rdd
+      .aggregate(org.apache.spark.util.sketch.BloomFilter.create(expected, 0.01))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal.create(bos.toByteArray, BinaryType),
+      Bridge.expression(xxhash64(col("g")))))
+    val candidates = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+      .filter(might)
+    val hits = candidates.join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Gopher-style repetition filter: per-document duplicate-token ratio
     * (1 − distinct/total) and most-common-2-gram fraction, with the
     * Gopher thresholds (dup-token > 0.3 OR top-2-gram > 0.2 → drop).
@@ -328,6 +395,6 @@ object TrainingPrep {
   }
 
   val all: Seq[QueryDef] =
-    Seq(decontaminate, repetition, stratifiedSample, sequencePacking,
-      corpusAssembly, mixtureWeights)
+    Seq(decontaminate, bloomDecontaminate, repetition, stratifiedSample,
+      sequencePacking, corpusAssembly, mixtureWeights)
 }
