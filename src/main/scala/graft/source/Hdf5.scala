@@ -14,7 +14,8 @@ import java.util.zip.Inflater
   * Supported: superblock v0/v1/v2/v3; object headers v1 and v2 (with
   * continuation blocks); symbol-table groups (B-tree v1 + local heap +
   * SNOD) and compact link-message groups, recursively; datatypes
-  * fixed-point (1/2/4/8 LE/BE signed/unsigned), IEEE float (4/8),
+  * fixed-point (1/2/4/8 LE/BE signed/unsigned), IEEE float (2/4/8 —
+  * binary16 included, the ML-array dtype),
   * fixed + vlen strings, object references, vlen sequences; compact /
   * contiguous / chunked (B-tree v1) data layouts; deflate, shuffle and
   * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
@@ -738,7 +739,7 @@ object Hdf5 {
           H5Type(cls, size, littleEndian = (bits & 1) == 0,
             signed = (bits & 0x8) != 0)
         case ClsFloat =>
-          require(size == 4 || size == 8, s"float size $size")
+          require(size == 2 || size == 4 || size == 8, s"float size $size")
           H5Type(cls, size, littleEndian = (bits & 1) == 0, signed = true)
         case ClsString =>
           H5Type(cls, size, littleEndian = true, signed = false)
@@ -919,6 +920,7 @@ object Hdf5 {
     private def readNum(b: ByteBuffer, t: H5Type): Double = {
       b.order(if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       val v = (t.cls, t.size) match {
+        case (ClsFloat, 2) => Half.toDouble(b.getShort())
         case (ClsFloat, 4) => b.getFloat().toDouble
         case (ClsFloat, 8) => b.getDouble()
         case (ClsFixed, 1) =>
@@ -1515,6 +1517,8 @@ object Hdf5 {
       (t.cls, t.size) match {
         case (ClsFloat, 8) => while (i < n) { out(i) = b.getDouble(); i += 1 }
         case (ClsFloat, 4) => while (i < n) { out(i) = b.getFloat().toDouble; i += 1 }
+        case (ClsFloat, 2) =>
+          while (i < n) { out(i) = Half.toDouble(b.getShort()); i += 1 }
         case (ClsFixed, 1) =>
           if (t.signed) while (i < n) { out(i) = b.get().toDouble; i += 1 }
           else while (i < n) { out(i) = (b.get() & 0xFF).toDouble; i += 1 }

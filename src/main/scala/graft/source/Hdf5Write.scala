@@ -278,14 +278,15 @@ object Hdf5Write {
             v4Index: Int = 3,
             unlimitedDims: Set[String] = Set.empty,
             denseHeapGeom: Option[(Long, Long, Int)] = None,
-            denseHeapFiltered: Boolean = false): Array[Byte] = {
+            denseHeapFiltered: Boolean = false,
+            halfVars: Set[String] = Set.empty): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
       v4PageBits = v4PageBits, v4Index = v4Index,
       unlimitedDims = unlimitedDims, denseHeapGeom = denseHeapGeom,
-      denseHeapFiltered = denseHeapFiltered,
+      denseHeapFiltered = denseHeapFiltered, halfVars = halfVars,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -313,13 +314,14 @@ object Hdf5Write {
                 v4Index: Int = 3,
                 unlimitedDims: Set[String] = Set.empty,
                 denseHeapGeom: Option[(Long, Long, Int)] = None,
-                denseHeapFiltered: Boolean = false): Unit = {
+                denseHeapFiltered: Boolean = false,
+                halfVars: Set[String] = Set.empty): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
         dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
-        v4Index, unlimitedDims, denseHeapGeom, denseHeapFiltered,
+        v4Index, unlimitedDims, denseHeapGeom, denseHeapFiltered, halfVars,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -407,6 +409,7 @@ object Hdf5Write {
                      v4Index: Int, unlimitedDims: Set[String],
                      denseHeapGeom: Option[(Long, Long, Int)],
                      denseHeapFiltered: Boolean,
+                     halfVars: Set[String],
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
     require(v4Index == 3 || v4Index == 4 || v4Index == 5,
@@ -414,10 +417,13 @@ object Hdf5Write {
 
     // ---- dataset plans: dimension scales first (file order matches
     // netCDF-4: dims then data vars), then the payload variables
+    // elem: on-disk float width — 8 (float64, default) or 2 (IEEE
+    // binary16 for names in `halfVars`, payload variables only)
     final case class Plan(name: String, shape: Seq[Int], data: Array[Double],
                           attrs: Seq[(String, String)], isScale: Boolean,
                           varDims: Seq[String],
-                          numAttrs: Seq[(String, Double)] = Seq.empty)
+                          numAttrs: Seq[(String, Double)] = Seq.empty,
+                          elem: Int = 8)
     val byName = vars.map(v => v.name -> v).toMap
     val scales = dims.map { case (n, len) =>
       byName.get(n) match {
@@ -434,7 +440,8 @@ object Hdf5Write {
         throw new IllegalArgumentException(s"unknown dim $d of ${v.name}")))
       require(v.data.length == shape.product,
         s"${v.name}: ${v.data.length} values for shape $shape")
-      Plan(v.name, shape, v.data, v.attrs, isScale = false, v.dims, v.numAttrs)
+      Plan(v.name, shape, v.data, v.attrs, isScale = false, v.dims, v.numAttrs,
+        elem = if (halfVars(v.name)) 2 else 8)
     }
     val plans = scales ++ payloads
 
@@ -447,8 +454,8 @@ object Hdf5Write {
       })
       val list = origins.map { o =>
         val slice = sliceChunk(p.data, p.shape, o, cdims)
-        val shuffled = if (shuffle) shuffleBytes(doubleBytes(slice), 8)
-                       else doubleBytes(slice)
+        val raw = floatBytes(slice, p.elem)
+        val shuffled = if (shuffle) shuffleBytes(raw, p.elem) else raw
         o.toArray -> deflate(shuffled, deflateLevel)
       }
       p.name -> Chunks(cdims, list)
@@ -963,14 +970,24 @@ object Hdf5Write {
         b.putLong(if (u) -1L else d.toLong) // −1 = UNLIMITED
       }
     }
-    def writeDoubleType(b: W): Unit = {
+    def writeDoubleType(b: W): Unit = writeFloatType(b, 8)
+    /** IEEE float datatype message: float64, or binary16 when elem = 2 */
+    def writeFloatType(b: W, elem: Int): Unit = {
       msgHeader(b, 0x0003, 20)
       b.put(0x11.toByte) // version 1, class 1 (float)
-      b.put(0x20.toByte); b.put(0x3F.toByte); b.put(0.toByte) // LE, MSB-implied, sign bit 63
-      b.putInt(8)
-      b.putShort(0); b.putShort(64)
-      b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
-      b.putInt(1023)
+      // LE, MSB-implied mantissa norm, sign at the top bit
+      b.put(0x20.toByte)
+      b.put((if (elem == 8) 0x3F else 0x0F).toByte)
+      b.put(0.toByte)
+      b.putInt(elem)
+      b.putShort(0); b.putShort((elem * 8).toShort)
+      if (elem == 8) {
+        b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+        b.putInt(1023)
+      } else {
+        b.put(10.toByte); b.put(5.toByte); b.put(0.toByte); b.put(10.toByte)
+        b.putInt(15)
+      }
       (0 until pad8(20) - 20).foreach(_ => b.put(0.toByte))
     }
     def writeFill(b: W): Unit = {
@@ -1060,7 +1077,7 @@ object Hdf5Write {
       b.putInt(size - 16)
       b.putInt(0) // pad to 8
       writeDataspace(b, p.shape, unlimMask(p))
-      writeDoubleType(b)
+      writeFloatType(b, p.elem)
       writeFill(b)
       if (p.isScale) {
         msgHeader(b, 0x0008, 18)
@@ -1113,7 +1130,7 @@ object Hdf5Write {
         b.put(0.toByte); b.put(0.toByte); b.putInt(0)
         if (shuffle) {
           b.putShort(2); b.putShort(0); b.putShort(0); b.putShort(1)
-          b.putInt(8); b.putInt(0)
+          b.putInt(p.elem); b.putInt(0)
         }
         b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
         b.putInt(deflateLevel); b.putInt(0)
@@ -1126,7 +1143,7 @@ object Hdf5Write {
         b.put((rank + 1).toByte)
         b.putLong(btreeAddr(p.name))
         c.cdims.foreach(d => b.putInt(d))
-        b.putInt(8) // element size pseudo-dim
+        b.putInt(p.elem) // element size pseudo-dim
         (0 until pad8(body) - body).foreach(_ => b.put(0.toByte))
         msgHeader(b, 0x000B, filtersBody)
         b.put(1.toByte)
@@ -1134,7 +1151,7 @@ object Hdf5Write {
         b.put(0.toByte); b.put(0.toByte); b.putInt(0)
         if (shuffle) {
           b.putShort(2); b.putShort(0); b.putShort(0); b.putShort(1)
-          b.putInt(8); b.putInt(0) // elem size + odd-count pad
+          b.putInt(p.elem); b.putInt(0) // elem size + odd-count pad
         }
         b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
         b.putInt(deflateLevel); b.putInt(0)
@@ -1558,6 +1575,15 @@ object Hdf5Write {
     a.foreach(b.putDouble)
     b.array()
   }
+
+  /** float64 or (elem = 2) IEEE binary16 little-endian encoding */
+  private def floatBytes(a: Array[Double], elem: Int): Array[Byte] =
+    if (elem == 8) doubleBytes(a)
+    else {
+      val b = ByteBuffer.allocate(a.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(v => b.putShort(Half.fromDouble(v)))
+      b.array()
+    }
 
   private[source] def shuffleBytes(data: Array[Byte], elem: Int): Array[Byte] = {
     val n = data.length / elem

@@ -191,6 +191,7 @@ object ZarrCodec {
           val dtype = (if (endian == "big") ">" else "<") +
             (node.get("data_type").asText() match {
               case "float64" => "f8"; case "float32" => "f4"
+              case "float16" => "f2"
               case "int32" => "i4"; case "int16" => "i2"; case "int8" => "i1"
               case "uint8" => "u1"; case "bool" => "b1"
               case other => throw new IllegalArgumentException(
@@ -478,6 +479,7 @@ object ZarrCodec {
     dtype.drop(1) match {
       case "f8" => Array.fill(raw.length / 8)(buf.getDouble)
       case "f4" => Array.fill(raw.length / 4)(buf.getFloat.toDouble)
+      case "f2" => Array.fill(raw.length / 2)(Half.toDouble(buf.getShort))
       case "i4" => Array.fill(raw.length / 4)(buf.getInt.toDouble)
       case "i2" => Array.fill(raw.length / 2)(buf.getShort.toDouble)
       case "i1" => raw.map(_.toDouble)
@@ -998,6 +1000,9 @@ object ZarrFixture {
       case "f4" =>
         val b = ByteBuffer.allocate(vals.length * 4).order(order)
         vals.foreach(v => b.putFloat(v.toFloat)); b.array()
+      case "f2" =>
+        val b = ByteBuffer.allocate(vals.length * 2).order(order)
+        vals.foreach(v => b.putShort(Half.fromDouble(v))); b.array()
       case "i4" =>
         val b = ByteBuffer.allocate(vals.length * 4).order(order)
         vals.foreach(v => b.putInt(v.toInt)); b.array()

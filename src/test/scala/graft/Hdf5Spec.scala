@@ -145,4 +145,28 @@ class Hdf5Spec extends SparkSpec {
       .select("variable", "leadtime").distinct()
     assert(meta.count() === 2 * 3)
   }
+
+  test("float16 payloads (the ML-array dtype) decode through chunk + " +
+    "shuffle + deflate, NaN preserved") {
+    import graft.source.{Half, Hdf5, Hdf5Write}
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 8, nx = 8, nl = 3)
+    val bytes = Hdf5Write.write(dims, gatts, vars,
+      halfVars = Set("sic_mean", "sic_stddev"))
+    val r = new Hdf5.Reader(bytes)
+    val band = r.file.dataset("sic_mean").get
+    assert(band.dtype.cls === Hdf5.ClsFloat && band.dtype.size === 2)
+    // expected = the fixture values quantized through binary16 —
+    // shuffle runs at 2-byte elements and NaNs survive the codec
+    val expect = vars.find(_.name == "sic_mean").get.data
+      .map(v => Half.toDouble(Half.fromDouble(v)))
+    val got = r.readDoubles("sic_mean")
+    assert(got.length === expect.length)
+    expect.indices.foreach(i => assert(
+      java.lang.Double.doubleToLongBits(got(i)) ===
+        java.lang.Double.doubleToLongBits(expect(i)), s"cell $i"))
+    assert(got.count(_.isNaN) > 0, "fixture NaNs must survive")
+    // coordinate scales stay float64 alongside half payloads
+    assert(r.file.dataset("yc").get.dtype.size === 8)
+    assert(r.readDoubles("yc").toSeq === (0 until 8).map(100.0 + _))
+  }
 }

@@ -73,6 +73,18 @@ class ZarrSpec extends SparkSpec {
       .toMap
     for (r <- 0 until 3; c <- 0 until 3)
       assert(big((r, c)) === (r - c * 0.5).toFloat.toDouble, s"big($r,$c)")
+    // float16 — the dtype ML embedding arrays ship ('<f2'); values are
+    // chosen binary16-representable so the round-trip is exact
+    val d = Files.createTempDirectory("graft-zarr-f2")
+    ZarrFixture.write(d, "emb", Seq(9), Seq(4), dtype = "<f2",
+      value = c => c.head * 0.25 - 1.0)
+    val meta = ZarrCodec.readMeta(d).find(_.name == "emb").get
+    val got = ZarrCodec.readArray(d, meta)
+    (0 until 9).foreach(i => assert(got(i) === i * 0.25 - 1.0, s"emb($i)"))
+    val m = ZarrSource.manifest(spark, d.toString)
+      .select("array", "dtype", "bit_depth").as[(String, String, Int)]
+      .collect().head
+    assert(m === (("emb", "float16", 16)))
   }
 
   test("v2 filters (delta, shuffle, chained) decode to the generating " +
