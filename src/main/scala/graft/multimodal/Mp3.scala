@@ -30,12 +30,13 @@ object Mp3 {
 
   def probe(bytes: Array[Byte]): Option[Mp3Info] = {
     var pos = 0
-    // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+    // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4); the
+    // size excludes the header and — flags bit 4 — the v2.4 footer
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
       val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
         ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
-      pos = 10 + size
+      pos = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
     }
     var nFrames = 0
     var totalSamples = 0L

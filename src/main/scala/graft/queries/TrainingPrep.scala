@@ -146,7 +146,12 @@ object TrainingPrep {
       Bridge.expression(xxhash64(col("g")))))
     val candidates = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
       .filter(might)
-    val hits = candidates.join(broadcast(benchGrams), "g")
+    // NO broadcast hint on the verify join: the whole point is not to
+    // ship the gram set to every executor — both sides here are small
+    // (bloom survivors × bench grams), so AQE picks the strategy; at
+    // fixture scale that is a broadcast anyway, at archive scale a
+    // shuffle of the survivor set
+    val hits = candidates.join(benchGrams, "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
     corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")

@@ -28,15 +28,18 @@ object Half {
     val neg = v < 0.0 || (v == 0.0 && 1.0 / v < 0.0)
     val sign = if (neg) 0x8000 else 0x0
     val a = math.abs(v)
-    if (a > 65504.0) return (sign | 0x7C00).toShort // ±inf / overflow
-    if (a < MinSub / 2) return sign.toShort         // ±0 / underflow
+    // IEEE overflow boundary is the 65504/65536 midpoint (65520), not
+    // max-finite: values in (65504, 65520) round DOWN to 65504 — numpy
+    // float16 semantics; ties go to even via rint throughout
+    if (a >= 65520.0) return (sign | 0x7C00).toShort // ±inf / overflow
+    if (a < MinSub / 2) return sign.toShort          // ±0 / underflow
     var exp = math.getExponent(a)
     if (exp < -14) { // subnormal half
-      val frac = math.round(a / MinSub).toInt
+      val frac = math.rint(a / MinSub).toInt
       return if (frac >= 1024) (sign | 0x0400).toShort // rounds to min normal
              else (sign | frac).toShort
     }
-    var frac = math.round((a / math.pow(2.0, exp) - 1.0) * 1024.0).toInt
+    var frac = math.rint((a / math.pow(2.0, exp) - 1.0) * 1024.0).toInt
     if (frac == 1024) { // mantissa rounding carried into the exponent
       exp += 1; frac = 0
       if (exp > 15) return (sign | 0x7C00).toShort

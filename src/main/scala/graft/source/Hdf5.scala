@@ -318,7 +318,8 @@ object Hdf5 {
         }
       val space = msgs.collectFirst { case (0x0001, body) => parseDataspace(body) }
       val dtype = msgs.collectFirst { case (0x0003, body) => parseDatatype(buf0(body)) }
-      val layout = msgs.collectFirst { case (0x0008, body) => parseLayout(body) }
+      val parsedLayout = msgs.collectFirst { case (0x0008, body) => parseLayout(body) }
+      val layout = parsedLayout.map(_._1)
       val denseChildren: Seq[(String, Long)] =
         msgs.collectFirst { case (0x0002, body) => body }.toSeq.flatMap { body =>
           // Link Info: a defined fractal-heap address means the group's
@@ -336,6 +337,15 @@ object Hdf5 {
       if (isDataset) {
         val filters = msgs.collectFirst { case (0x000B, body) => parseFilters(body) }
           .getOrElse(Nil)
+        // flags bit 0 = DONT_FILTER_PARTIAL_BOUND_CHUNKS
+        // (H5Pset_chunk_opts): edge chunks are stored UNFILTERED while
+        // the index reports filter mask 0, so running the pipeline
+        // would silently mis-decode them — fail loudly, but only when
+        // a pipeline actually exists (the flag is harmless otherwise)
+        require(!parsedLayout.get._2 || filters.isEmpty,
+          "v4 chunked layout: unfiltered partial edge chunks " +
+            "(DONT_FILTER_PARTIAL_BOUND_CHUNKS) with a filter " +
+            "pipeline unsupported")
         // v4 chunk-dims convention insurance: writers differ on whether
         // the encoded dims are the dataspace rank or rank+1 with the
         // element size as a trailing pseudo-dim (the v3 convention);
@@ -755,7 +765,11 @@ object Hdf5 {
       }
     }
 
-    private def parseLayout(body: Array[Byte]): Layout = {
+    /** (layout, DONT_FILTER_PARTIAL_BOUND_CHUNKS flag) — the flag only
+      * matters when the dataset also has a filter pipeline, which the
+      * caller knows and this parser doesn't, so it travels up.
+      */
+    private def parseLayout(body: Array[Byte]): (Layout, Boolean) = {
       val b = buf0(body)
       val ver = b.get().toInt
       require(ver == 3 || ver == 4,
@@ -764,23 +778,17 @@ object Hdf5 {
         case 0 =>
           val sz = u2(b)
           val d = new Array[Byte](sz); b.get(d)
-          Compact(d)
+          (Compact(d), false)
         case 1 =>
-          Contiguous(b.getLong(), b.getLong())
+          (Contiguous(b.getLong(), b.getLong()), false)
         case 2 if ver == 3 =>
           val dimsPlus1 = b.get().toInt
           val btree = b.getLong()
           val cdims = (0 until dimsPlus1).map(_ => u4(b).toInt)
-          Chunked(btree, cdims.dropRight(1)) // last is element size
+          (Chunked(btree, cdims.dropRight(1)), false) // last is element size
         case 2 => // v4 chunked: flags + sized dims + one of five indexes
           val flags = b.get().toInt
-          // flags bit 0 = DONT_FILTER_PARTIAL_BOUND_CHUNKS
-          // (H5Pset_chunk_opts): edge chunks are stored UNFILTERED while
-          // the index reports filter mask 0, so running the pipeline
-          // would silently mis-decode them — fail loudly instead
-          require((flags & 0x1) == 0,
-            "v4 chunked layout: unfiltered partial edge chunks " +
-              "(DONT_FILTER_PARTIAL_BOUND_CHUNKS) unsupported")
+          val unfilteredPartials = (flags & 0x1) != 0
           val ndims = b.get().toInt
           val encLen = b.get().toInt
           def uN(): Long = {
@@ -789,7 +797,7 @@ object Hdf5 {
             v
           }
           val cdims = (0 until ndims).map(_ => uN().toInt)
-          b.get().toInt match {
+          val lay = b.get().toInt match {
             case 1 => // single chunk
               val (fsz, fmask) =
                 if ((flags & 0x2) != 0) (b.getLong(), b.getInt()) else (-1L, 0)
@@ -812,6 +820,7 @@ object Hdf5 {
             case t => throw new IllegalArgumentException(
               s"v4 chunk index type $t unsupported")
           }
+          (lay, unfilteredPartials)
         case c => throw new IllegalArgumentException(s"layout class $c")
       }
     }
@@ -1438,24 +1447,8 @@ object Hdf5 {
       out.toByteArray
     }
 
-    private def unshuffle(data: Array[Byte], elem: Int): Array[Byte] = {
-      if (elem <= 1) return data
-      val n = data.length / elem
-      val out = new Array[Byte](data.length)
-      var j = 0
-      while (j < elem) {
-        var i = 0
-        while (i < n) {
-          out(i * elem + j) = data(j * n + i)
-          i += 1
-        }
-        j += 1
-      }
-      // trailing bytes (length not divisible by elem) copy through
-      var t = n * elem
-      while (t < data.length) { out(t) = data(t); t += 1 }
-      out
-    }
+    private def unshuffle(data: Array[Byte], elem: Int): Array[Byte] =
+      ByteShuffle.reverse(data, elem)
 
     /** Copy one decoded chunk into the full row-major output, clipping
       * edge chunks; inner runs along the last axis use arraycopy.

@@ -130,8 +130,15 @@ object Hdf5Write {
   private final case class V2TreePlan(nodeSize: Int, recordSize: Int, n: Int) {
     val depth: Int = {
       var d = 0
-      while (Hdf5.V2BtreeGeometry(nodeSize, recordSize, d).cumMax(d) < n)
+      while (Hdf5.V2BtreeGeometry(nodeSize, recordSize, d).cumMax(d) < n) {
         d += 1
+        // a node too small to hold one internal record stalls the
+        // capacity recurrence (cumMax stops growing) — fail, don't spin
+        require(d <= 32 &&
+          Hdf5.V2BtreeGeometry(nodeSize, recordSize, d).intMax(d) >= 1,
+          s"v2 B-tree node size $nodeSize cannot index $n records " +
+            s"of $recordSize bytes")
+      }
       d
     }
     val geo: Hdf5.V2BtreeGeometry =
@@ -1585,17 +1592,8 @@ object Hdf5Write {
       b.array()
     }
 
-  private[source] def shuffleBytes(data: Array[Byte], elem: Int): Array[Byte] = {
-    val n = data.length / elem
-    val out = new Array[Byte](data.length)
-    var j = 0
-    while (j < elem) {
-      var i = 0
-      while (i < n) { out(j * n + i) = data(i * elem + j); i += 1 }
-      j += 1
-    }
-    out
-  }
+  private[source] def shuffleBytes(data: Array[Byte], elem: Int): Array[Byte] =
+    ByteShuffle.forward(data, elem)
 
   private def deflate(data: Array[Byte], level: Int): Array[Byte] = {
     val d = new Deflater(level)

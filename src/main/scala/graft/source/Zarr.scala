@@ -301,20 +301,8 @@ object ZarrCodec {
         throw new IllegalArgumentException(s"zarr v2 filter '$other'")
     }
 
-  private def unshuffleBytes(data: Array[Byte], elem: Int): Array[Byte] = {
-    if (elem <= 1) return data
-    val n = data.length / elem
-    val out = new Array[Byte](data.length)
-    var j = 0
-    while (j < elem) {
-      var i = 0
-      while (i < n) { out(i * elem + j) = data(j * n + i); i += 1 }
-      j += 1
-    }
-    var t = n * elem
-    while (t < data.length) { out(t) = data(t); t += 1 }
-    out
-  }
+  private def unshuffleBytes(data: Array[Byte], elem: Int): Array[Byte] =
+    ByteShuffle.reverse(data, elem)
 
   private def unDelta(data: Array[Byte], dtype: String): Array[Byte] = {
     val order =

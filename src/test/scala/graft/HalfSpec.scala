@@ -36,4 +36,18 @@ class HalfSpec extends AnyFunSuite {
     assert(Half.fromDouble(1e9) === 0x7C00.toShort)
     assert(Half.fromDouble(-1e9) === 0xFC00.toShort)
   }
+
+  test("encode: IEEE overflow boundary and ties-to-even (numpy float16 " +
+    "parity)") {
+    // overflow midpoint is 65520: below rounds DOWN to max finite
+    assert(Half.fromDouble(65505.0) === 0x7BFF.toShort)
+    assert(Half.fromDouble(65519.0) === 0x7BFF.toShort)
+    assert(Half.fromDouble(65519.99) === 0x7BFF.toShort)
+    assert(Half.fromDouble(65520.0) === 0x7C00.toShort)
+    assert(Half.fromDouble(-65519.0) === 0xFBFF.toShort)
+    // ties-to-even: midpoint between 1.0 (0x3C00) and 1+1/1024 goes to
+    // the even mantissa; next midpoint rounds up to the even 2
+    assert(Half.fromDouble(1.0 + 0.5 / 1024.0) === 0x3C00.toShort)
+    assert(Half.fromDouble(1.0 + 1.5 / 1024.0) === 0x3C02.toShort)
+  }
 }

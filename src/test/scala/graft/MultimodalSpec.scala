@@ -166,5 +166,15 @@ class MultimodalSpec extends SparkSpec {
     // arbitrary binary payloads must NOT probe as mp3 (two-frame rule)
     assert(Mp3.probe(Array.tabulate[Byte](600)(i => (i * 37).toByte)).isEmpty)
     assert(Mp3.probe(Array.fill[Byte](600)(0xFF.toByte)).isEmpty)
+    // ID3v2.4 footer flag (bit 4): frames start 10 bytes later than the
+    // syncsafe size says — the walk must skip the footer too
+    val plain = Mp3.fixture(nFrames = 4, globalGain = 90)
+    val id3 = java.nio.ByteBuffer.allocate(30 + plain.length)
+    id3.put(Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 10))
+    id3.put(new Array[Byte](10)) // tag body (syncsafe size 10)
+    id3.put(Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 10)) // footer
+    id3.put(plain)
+    val withFooter = Mp3.probe(id3.array()).get
+    assert(withFooter.nFrames === 4 && withFooter.meanGlobalGain === 90.0)
   }
 }

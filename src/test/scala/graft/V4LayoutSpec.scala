@@ -190,6 +190,19 @@ class V4LayoutSpec extends SparkSpec {
     assert(tidy.count() === 2 * 3 * 3 * 8)
   }
 
+  test("a node size too small for the chunk records fails fast, not " +
+    "an infinite depth search") {
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 4, ny = 8, nx = 8, nl = 3)
+    // rank-4 chunk records are 48 bytes; a 64-byte node holds one per
+    // leaf and ZERO internal records — the capacity recurrence stalls
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Write.write(dims, gatts, vars, maxChunkElems = 8 * 8 * 3,
+        v4Layout = true, v4Index = 5, denseNodeSize = 64,
+        unlimitedDims = Set("time", "yc"))
+    }
+    assert(e.getMessage.contains("cannot index"), e.getMessage)
+  }
+
   // ---- v2 B-tree chunk index (≥2 unlimited dims)
 
   test("v2 B-tree chunk index (two unlimited dims) decodes bit-" +
