@@ -70,12 +70,15 @@ object ZarrCodec {
   }
 
   /** Dot-joined chunk indices from a chunk file path (any store layout:
-    * v2 flat "1.0.2"; v3 default "c/1/0/2" nested or "c.1.0.2" flat;
-    * v3 v2-style keys without the "c" prefix).
+    * v2 flat "1.0.2" or NESTED "1/0/2" (dimension_separator "/" — the
+    * cloud-store layout); v3 default "c/1/0/2" nested or "c.1.0.2"
+    * flat; v3 v2-style keys without the "c" prefix).
     */
   def keyFromPath(meta: ArrayMeta, path: String): String = {
     val parts = path.split('/')
-    if (meta.zarrFormat == 2) parts.last
+    if (meta.zarrFormat == 2 && meta.sep == "/")
+      parts.takeRight(meta.shape.length).mkString(".")
+    else if (meta.zarrFormat == 2) parts.last
     else if (meta.sep == "/") parts.takeRight(meta.shape.length).mkString(".")
     else parts.last.stripPrefix("c" + meta.sep).replace(meta.sep, ".")
   }
@@ -279,13 +282,14 @@ object ZarrCodec {
           s"only C order supported in $za")
         val sep = Option(node.get("dimension_separator"))
           .filterNot(_.isNull).map(_.asText()).getOrElse(".")
-        require(sep == ".", s"only '.' dimension_separator supported in $za")
+        require(sep == "." || sep == "/",
+          s"unsupported dimension_separator '$sep' in $za")
         val fill = Option(node.get("fill_value")).filterNot(_.isNull)
           .map(_.asDouble(Double.NaN)).getOrElse(Double.NaN)
         ArrayMeta(store.toString, name, shape, chunks, node.get("dtype").asText(),
           comp, fill,
           shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
-          filters = filters)
+          sep = sep, filters = filters)
       }
   }
 
@@ -655,8 +659,13 @@ object ZarrSource {
                         meta: ZarrCodec.ArrayMeta) = {
     import spark.implicits._
     val base =
-      if (meta.zarrFormat == 2)
+      if (meta.zarrFormat == 2 && meta.sep == ".")
         spark.read.format("binaryFile").load(s"$dir/*")
+      else if (meta.zarrFormat == 2)
+        // nested v2 (dimension_separator "/"): chunk files sit in index
+        // subdirectories; dot-metadata stays hidden from binaryFile
+        spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(dir)
       else
         spark.read.format("binaryFile")
           .option("recursiveFileLookup", "true").load(dir)
@@ -677,7 +686,8 @@ object ZarrFixture {
             dims: Seq[String] = Seq.empty,
             value: Seq[Int] => Double = _.sum.toDouble,
             bloscCname: Option[String] = None,
-            filters: Seq[String] = Nil): Unit = {
+            filters: Seq[String] = Nil,
+            sep: String = "."): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
@@ -711,6 +721,7 @@ object ZarrFixture {
       s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
          | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
          | "compressor": $comp, "fill_value": "NaN", "order": "C",
+         | "dimension_separator": "$sep",
          | "filters": $filtJson}""".stripMargin)
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     cartesian(nChunks).foreach { ci =>
@@ -736,7 +747,9 @@ object ZarrFixture {
         case Some(cn) => Blosc.compress(raw, typesize, cn)
         case None => if (compress) deflate(raw) else raw
       }
-      Files.write(dir.resolve(ci.mkString(".")), bytes)
+      val target = dir.resolve(ci.mkString(sep))
+      if (sep == "/") Files.createDirectories(target.getParent)
+      Files.write(target, bytes)
     }
   }
 

@@ -113,6 +113,30 @@ class ZarrSpec extends SparkSpec {
     (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"idelta($i)"))
   }
 
+  test("NESTED v2 store (dimension_separator '/') reassembles exactly — " +
+    "the cloud-store chunk layout") {
+    val d = Files.createTempDirectory("graft-zarr-nested")
+    ZarrFixture.write(d, "sic", Seq(7, 5), Seq(4, 3), sep = "/",
+      value = c => c(0) * 100.0 + c(1))
+    val meta = ZarrCodec.readMeta(d).find(_.name == "sic").get
+    assert(meta.sep === "/")
+    // driver assembly
+    val got = ZarrCodec.readArray(d, meta)
+    for (r <- 0 until 7; c <- 0 until 5)
+      assert(got(r * 5 + c) === r * 100.0 + c, s"($r,$c)")
+    // executor chunk-parallel path
+    val rows = ZarrSource.read(spark, d.toString, "sic")
+      .select("origin", "shape", "values")
+      .as[(Seq[Int], Seq[Int], Seq[Double])].collect()
+    assert(rows.length === 4)
+    val cells = rows.flatMap { case (origin, shape, values) =>
+      for (i <- values.indices) yield
+        ((origin.head + i / shape(1), origin(1) + i % shape(1)), values(i))
+    }.toMap
+    for (r <- 0 until 7; c <- 0 until 5)
+      assert(cells((r, c)) === r * 100.0 + c, s"parallel ($r,$c)")
+  }
+
   test("unsupported layouts fail loudly") {
     val d = Files.createTempDirectory("graft-zarr-bad")
     Files.createDirectories(d.resolve("a"))
