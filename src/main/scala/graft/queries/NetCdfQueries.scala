@@ -332,7 +332,57 @@ object NetCdfQueries {
     man.join(statsByArray, Seq("array"))
   }
 
+  /** S7 completion — the zarr v2 variants real stores carry: NESTED
+    * chunk layout (dimension_separator "/", the cloud-store form), a
+    * numcodecs delta+shuffle filter chain, and a float16 array (the
+    * ML-embedding dtype). Same manifest + chunk-stats oracle shape as
+    * q67; the decode edges are what's new.
+    */
+  val zarrVariantsScan = QueryDef("q84_zarr_variants_scan",
+    """SELECT m."array", m.dtype, m.compressor, m.n_values, m.n_chunks,
+      |  s.n_cells, s.vmin, s.vmax, s.vsum
+      |FROM read_parquet('/tmp/graft-oracle/q84_manifest/*.parquet') m
+      |JOIN (SELECT "array", count(*) AS n_cells, min(v) AS vmin,
+      |        max(v) AS vmax, round(sum(v), 6) AS vsum
+      |      FROM (SELECT "array", unnest(vals) AS v
+      |            FROM read_parquet('/tmp/graft-oracle/q84_vals/*.parquet'))
+      |      GROUP BY "array") s USING ("array")
+      |ORDER BY m."array"""".stripMargin) { (s, _) =>
+    val store = stableWork("fixtures").resolve("zarrv")
+    if (!java.nio.file.Files.exists(store.resolve(".zgroup"))) {
+      graft.source.ZarrFixture.write(store, "sic_nested", Seq(40, 32),
+        Seq(16, 16), sep = "/", value = c => c.head * 0.5 + c(1) * 0.01)
+      graft.source.ZarrFixture.write(store, "sic_delta", Seq(40, 32),
+        Seq(16, 16), filters = Seq("delta", "shuffle"),
+        value = c => (c.head + c(1)).toDouble)
+      // binary16-representable values so the oracle compare is exact
+      graft.source.ZarrFixture.write(store, "emb_f16", Seq(40, 32),
+        Seq(16, 16), dtype = "<f2",
+        value = c => c.head * 0.25 - c(1) * 0.5)
+    }
+    val arrays = Seq("sic_nested", "sic_delta", "emb_f16")
+    val perChunk = arrays.map { name =>
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), col("values").as("vals"))
+    }.reduce(_ unionByName _)
+    oracleDump(s, "q84_vals", perChunk, store.toString)
+    val statsByArray = arrays.map { name =>
+      val st = graft.functions.VecStatsExpr.vecStats(col("values"))
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), st.as("st"))
+        .groupBy(col("array"))
+        .agg(sum(col("st.n_total")).as("n_cells"),
+          min(col("st.vmin")).as("vmin"), max(col("st.vmax")).as("vmax"),
+          round(sum(col("st.vsum")), 6).as("vsum"))
+    }.reduce(_ unionByName _)
+    val man = oracleDump(s, "q84_manifest",
+      graft.source.ZarrSource.manifest(s, store.toString)
+        .select(col("array"), col("dtype"), col("compressor"),
+          col("n_values"), col("n_chunks")), store.toString)
+    man.join(statsByArray, Seq("array"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
-      preprocessE2e, ingestDryRun, zarrScan, zarrV3Scan)
+      preprocessE2e, ingestDryRun, zarrScan, zarrV3Scan, zarrVariantsScan)
 }
