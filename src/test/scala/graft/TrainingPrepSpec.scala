@@ -121,4 +121,24 @@ class TrainingPrepSpec extends SparkSpec {
       }
     }
   }
+
+  test("span dedup: identical docs are fully covered, unique docs clean") {
+    import spark.implicits._
+    // two byte-identical 12-token docs, one unique doc, one doc that
+    // repeats its own leading 8-gram internally (self-duplication counts)
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val self = ((1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, "unique " + (1 to 11).mkString(" u")),
+      (3L, self)).toDF("doc_id", "text")
+    val out = TrainingPrep.spanDedup.fn(spark, sf)
+    // invariant on real data: 0 <= n_dup_tokens <= n_tokens, keep consistent
+    assert(out.filter(col("n_dup_tokens") > col("n_tokens")).count() == 0)
+    assert(out.filter(col("keep") =!= (col("dup_fraction") <= 0.5)).count() == 0)
+    val byDoc = TrainingPrep.spanDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(byDoc(0L) == ((12L, 12L, false)), "dup twin fully covered")
+    assert(byDoc(1L) == ((12L, 12L, false)))
+    assert(byDoc(2L)._2 == 0L && byDoc(2L)._3, "unique doc untouched")
+    assert(byDoc(3L) == ((16L, 16L, false)), "self-repeating doc fully covered")
+  }
 }
