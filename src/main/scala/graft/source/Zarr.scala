@@ -32,14 +32,14 @@ import org.apache.spark.sql.functions.col
   * parallelizes by its chunk grid with no driver involvement.
   *
   * Supported: C order; v2 compressors null/zlib/blosc (zarr-python's
-  * default blosc-lz4 included — [[Blosc]]), v3 codecs bytes +
-  * gzip/zstd/blosc AND `sharding_indexed` (inner chunk grid + crc32c'd
-  * uint64 footer index per shard — each shard fans out one row per
-  * INNER chunk, so scan parallelism survives object-count-reducing
-  * shard layouts); dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus
-  * their big-endian forms (v3 names normalized to these). Anything
-  * else — transpose, bit-shuffle — fails loudly rather than
-  * mis-decoding.
+  * default blosc-lz4 included, byte- and bit-shuffle, snappy —
+  * [[Blosc]]), v3 codecs bytes + gzip/zstd/blosc AND
+  * `sharding_indexed` (inner chunk grid + crc32c'd uint64 footer
+  * index per shard — each shard fans out one row per INNER chunk, so
+  * scan parallelism survives object-count-reducing shard layouts);
+  * dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus their big-endian
+  * forms (v3 names normalized to these). Anything else — transpose,
+  * the blosclz inner codec — fails loudly rather than mis-decoding.
   */
 object ZarrCodec {
 
@@ -687,7 +687,8 @@ object ZarrFixture {
             value: Seq[Int] => Double = _.sum.toDouble,
             bloscCname: Option[String] = None,
             filters: Seq[String] = Nil,
-            sep: String = "."): Unit = {
+            sep: String = ".",
+            bloscBitShuffle: Boolean = false): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
@@ -703,7 +704,8 @@ object ZarrFixture {
           .mkString("{", ", ", "}"))
     val comp = bloscCname match {
       case Some(cn) =>
-        s"""{"id": "blosc", "cname": "$cn", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+        val sh = if (bloscBitShuffle) 2 else 1
+        s"""{"id": "blosc", "cname": "$cn", "clevel": 5, "shuffle": $sh, "blocksize": 0}"""
       case None if compress => """{"id": "zlib", "level": 6}"""
       case None => "null"
     }
@@ -744,7 +746,9 @@ object ZarrFixture {
       }
       val typesize = math.max(1, raw.length / vals.length)
       val bytes = bloscCname match {
-        case Some(cn) => Blosc.compress(raw, typesize, cn)
+        case Some(cn) =>
+          Blosc.compress(raw, typesize, cn,
+            shuffle = !bloscBitShuffle, bitShuffle = bloscBitShuffle)
         case None => if (compress) deflate(raw) else raw
       }
       val target = dir.resolve(ci.mkString(sep))

@@ -51,14 +51,84 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(b.array()).toSeq === data.toSeq)
   }
 
-  test("bit-shuffle and truncated chunks are rejected loudly") {
+  test("blosclz and truncated chunks are rejected loudly") {
     val ok = Blosc.compress(doubles(64), 8, "lz4")
-    val bitShuffled = ok.clone()
-    bitShuffled(2) = (bitShuffled(2) | 0x4).toByte
-    intercept[IllegalArgumentException] { Blosc.decompress(bitShuffled) }
+    val bloscLz = ok.clone()
+    bloscLz(2) = (bloscLz(2) & 0x1F).toByte // codec bits -> 0 = blosclz
+    intercept[IllegalArgumentException] { Blosc.decompress(bloscLz) }
     intercept[IllegalArgumentException] {
       Blosc.decompress(java.util.Arrays.copyOf(ok, ok.length - 1))
     }
+  }
+
+  test("bit-shuffle round-trips across codecs, typesizes and leftovers") {
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      "smooth-multi-block" -> doubles(40000),
+      "leftover-elems" -> doubles(1003),            // 1003 % 8 != 0
+      "trailing-bytes" -> (doubles(128) :+ 0x5A.toByte), // len % 8 != 0
+      "incompressible" -> Array.fill[Byte](4096)(rnd.nextInt().toByte),
+      "tiny" -> Array[Byte](1, 2, 3))
+    for {
+      (tag, data) <- payloads
+      cname <- Seq("lz4", "zlib", "zstd", "snappy")
+      typesize <- Seq(8, 4, 2, 1)
+    } {
+      val packed = Blosc.compress(data, typesize, cname,
+        shuffle = false, bitShuffle = true)
+      assert((packed(2) & 0x4) != 0, "bit-shuffle flag set")
+      val back = Blosc.decompress(packed)
+      assert(back.toSeq === data.toSeq, s"$tag/$cname/ts=$typesize")
+    }
+  }
+
+  test("snappy inner codec round-trips with and without byte-shuffle") {
+    for (shuffle <- Seq(true, false)) {
+      val data = doubles(5000)
+      val packed = Blosc.compress(data, 8, "snappy", shuffle = shuffle)
+      assert(Blosc.decompress(packed).toSeq === data.toSeq)
+    }
+  }
+
+  /** Hand-builds a chunk whose single stream is STORED RAW (cb == len,
+    * no compressor in the way) holding externally-derived bit-plane
+    * bytes, so decompress pins the decoder's plane->element mapping
+    * absolutely — a round-trip alone could not distinguish a
+    * self-consistent wrong layout from bitshuffle's published one.
+    */
+  private def rawBitShuffledChunk(planes: Array[Byte],
+                                  typesize: Int): Array[Byte] = {
+    val n = planes.length
+    val b = java.nio.ByteBuffer.allocate(16 + 4 + 4 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte); b.put(1.toByte)
+    b.put(((3 << 5) | 0x4).toByte) // zlib codec bits + bit-shuffle flag
+    b.put(typesize.toByte)
+    b.putInt(n)          // nbytes
+    b.putInt(n)          // blocksize: one block
+    b.putInt(16 + 4 + 4 + n) // cbytes
+    b.putInt(20)         // bstart of block 0
+    b.putInt(n)          // stream length == raw size -> stored raw
+    b.put(planes)
+    b.array()
+  }
+
+  test("bit-shuffle bit layout matches the published bitshuffle transform") {
+    // element 0 = 0xFF, elements 1..7 = 0 (typesize 1, n=8): bit kk of
+    // element r lands in plane kk, byte r/8, bit r%8 -> every plane's
+    // single byte has exactly bit 0 set
+    val planes1 = Array.fill[Byte](8)(0x01)
+    assert(Blosc.decompress(rawBitShuffledChunk(planes1, 1)).toSeq ===
+      Seq[Byte](0xFF.toByte, 0, 0, 0, 0, 0, 0, 0))
+    // typesize 2, 8 elements (16 bytes): plane index is j*8+kk (byte j
+    // of the element major) — a bit in the LAST plane (j=1, kk=7), byte
+    // 0, bit 3 must come back as bit 7 of byte 1 of element 3
+    val planes2 = new Array[Byte](16)
+    planes2(15) = 0x08
+    val back2 = Blosc.decompress(rawBitShuffledChunk(planes2, 2))
+    val want2 = new Array[Byte](16)
+    want2(3 * 2 + 1) = 0x80.toByte
+    assert(back2.toSeq === want2.toSeq)
   }
 
   test("zarr v2 store with blosc-lz4 chunks reads equal to the zlib store") {
@@ -73,5 +143,12 @@ class BloscSpec extends AnyFunSuite {
     val a = ZarrCodec.readArray(zlibStore, ZarrCodec.readMeta(zlibStore).head)
     val b = ZarrCodec.readArray(bloscStore, mB)
     assert(b.toSeq === a.toSeq)
+    // and the numcodecs Blosc(cname='snappy', shuffle=BITSHUFFLE) shape
+    val bitStore = Files.createTempDirectory("graft-blosc-bitsnappy")
+    ZarrFixture.write(bitStore, "sic", Seq(20, 16), Seq(8, 16),
+      value = value, bloscCname = Some("snappy"), bloscBitShuffle = true)
+    val mBit = ZarrCodec.readMeta(bitStore).head
+    val c = ZarrCodec.readArray(bitStore, mBit)
+    assert(c.toSeq === a.toSeq)
   }
 }
