@@ -236,16 +236,40 @@ object Blosc {
     out
   }
 
-  /** bitshuffle forward transform over one block: for n elements of
-    * `elem` bytes (n rounded down to a multiple of 8 — c-blosc copies
-    * the remainder verbatim), output bit-plane (j, kk) at offset
-    * (j*8 + kk) * n/8 holds bit kk (LSB-first) of byte j of every
-    * element, element i landing in byte i/8 at bit i%8. This is the
-    * composition of bitshuffle's three scalar passes (byte-transpose,
-    * TRANS_BIT_8X8 per little-endian 64-bit word, bit-row regroup)
-    * collapsed into its net layout.
-    */
-  private def bitShuffleBytes(data: Array[Byte], elem: Int): Array[Byte] = {
+  private def bitShuffleBytes(data: Array[Byte], elem: Int): Array[Byte] =
+    BitShuffle.forward(data, elem)
+
+  private def bitUnshuffle(data: Array[Byte], elem: Int): Array[Byte] =
+    BitShuffle.reverse(data, elem)
+
+  private def unshuffle(data: Array[Byte], elem: Int): Array[Byte] = {
+    val n = data.length / elem
+    val out = new Array[Byte](data.length)
+    var j = 0
+    while (j < elem) {
+      var i = 0
+      while (i < n) { out(i * elem + j) = data(j * n + i); i += 1 }
+      j += 1
+    }
+    var t = n * elem
+    while (t < data.length) { out(t) = data(t); t += 1 }
+    out
+  }
+}
+
+/** The bitshuffle transform (Masui's bitshuffle library) — shared by
+  * blosc chunks (flag 0x4) and the HDF5 registered filter 32008: for n
+  * elements of `elem` bytes (n rounded down to a multiple of 8; the
+  * remainder is copied verbatim), output bit-plane (j, kk) at offset
+  * (j*8 + kk) * n/8 holds bit kk (LSB-first) of byte j of every
+  * element, element i landing in byte i/8 at bit i%8. This is the
+  * composition of bitshuffle's three scalar passes (byte-transpose,
+  * TRANS_BIT_8X8 per little-endian 64-bit word, bit-row regroup)
+  * collapsed into its net layout.
+  */
+object BitShuffle {
+
+  def forward(data: Array[Byte], elem: Int): Array[Byte] = {
     val n = (data.length / elem) & ~7
     val nbr = n / 8
     val out = new Array[Byte](data.length)
@@ -274,7 +298,7 @@ object Blosc {
     out
   }
 
-  private def bitUnshuffle(data: Array[Byte], elem: Int): Array[Byte] = {
+  def reverse(data: Array[Byte], elem: Int): Array[Byte] = {
     val n = (data.length / elem) & ~7
     val nbr = n / 8
     val out = new Array[Byte](data.length)
@@ -301,20 +325,6 @@ object Blosc {
         }
         kk += 1
       }
-      j += 1
-    }
-    var t = n * elem
-    while (t < data.length) { out(t) = data(t); t += 1 }
-    out
-  }
-
-  private def unshuffle(data: Array[Byte], elem: Int): Array[Byte] = {
-    val n = data.length / elem
-    val out = new Array[Byte](data.length)
-    var j = 0
-    while (j < elem) {
-      var i = 0
-      while (i < n) { out(i * elem + j) = data(j * n + i); i += 1 }
       j += 1
     }
     var t = n * elem

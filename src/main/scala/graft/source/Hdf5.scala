@@ -18,7 +18,9 @@ import java.util.zip.Inflater
   * binary16 included, the ML-array dtype),
   * fixed + vlen strings, object references, vlen sequences; compact /
   * contiguous / chunked (B-tree v1) data layouts; deflate, shuffle and
-  * fletcher32 filters; global heap (GCOL) for vlen attribute payloads;
+  * fletcher32 filters plus the registered hdf5plugin trio lz4 32004,
+  * bitshuffle 32008 and zstd 32015 ([[H5Filters]]); global heap
+  * (GCOL) for vlen attribute payloads;
   * netCDF-4 dimension scales (DIMENSION_LIST object-reference
   * resolution); DENSE groups and DENSE attributes (fractal-heap
   * storage + name-index v2 B-trees of ANY depth, types 5 and 8 —
@@ -1429,6 +1431,10 @@ object Hdf5 {
         case 1 => inflate(data)
         case 2 => unshuffle(data, f.client.headOption.getOrElse(elem))
         case 3 => java.util.Arrays.copyOfRange(data, 0, data.length - 4) // fletcher32
+        // dynamically-registered filters hdf5plugin archives carry
+        case 32004 => H5Filters.lz4Decode(data)
+        case 32008 => H5Filters.bitshuffleDecode(data, f.client, elem)
+        case 32015 => H5Filters.zstdDecode(data)
         case id => throw new IllegalArgumentException(s"filter $id unsupported")
       }
 

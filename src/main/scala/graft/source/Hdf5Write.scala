@@ -30,6 +30,11 @@ object Hdf5Write {
 
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
 
+  // registered-filter fixture parameters: lz4 sub-block bytes (32004)
+  // and bitshuffle block elements (32008; multiple of 8)
+  private val regLz4Block = 65536
+  private val regBitshufBlockElems = 1024
+
   /** Position-addressed write sink: the renderer emits absolute-addressed
     * segments, so output can be an in-memory array (small slice files) or
     * a RandomAccessFile (unbounded; holes stay sparse — how the >2 GiB
@@ -286,7 +291,8 @@ object Hdf5Write {
             unlimitedDims: Set[String] = Set.empty,
             denseHeapGeom: Option[(Long, Long, Int)] = None,
             denseHeapFiltered: Boolean = false,
-            halfVars: Set[String] = Set.empty): Array[Byte] = {
+            halfVars: Set[String] = Set.empty,
+            regFilter: Option[String] = None): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
@@ -294,6 +300,7 @@ object Hdf5Write {
       v4PageBits = v4PageBits, v4Index = v4Index,
       unlimitedDims = unlimitedDims, denseHeapGeom = denseHeapGeom,
       denseHeapFiltered = denseHeapFiltered, halfVars = halfVars,
+      regFilter = regFilter,
       mkSink = { eof =>
         require(eof <= Int.MaxValue,
           s"in-memory render of $eof bytes; use writeFile for large output")
@@ -322,13 +329,15 @@ object Hdf5Write {
                 unlimitedDims: Set[String] = Set.empty,
                 denseHeapGeom: Option[(Long, Long, Int)] = None,
                 denseHeapFiltered: Boolean = false,
-                halfVars: Set[String] = Set.empty): Unit = {
+                halfVars: Set[String] = Set.empty,
+                regFilter: Option[String] = None): Unit = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       raf.setLength(0)
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
         dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
         v4Index, unlimitedDims, denseHeapGeom, denseHeapFiltered, halfVars,
+        regFilter,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -417,6 +426,7 @@ object Hdf5Write {
                      denseHeapGeom: Option[(Long, Long, Int)],
                      denseHeapFiltered: Boolean,
                      halfVars: Set[String],
+                     regFilter: Option[String],
                      mkSink: Long => WSink): Unit = {
     val dimLen = dims.toMap
     require(v4Index == 3 || v4Index == 4 || v4Index == 5,
@@ -462,14 +472,41 @@ object Hdf5Write {
       val list = origins.map { o =>
         val slice = sliceChunk(p.data, p.shape, o, cdims)
         val raw = floatBytes(slice, p.elem)
-        val shuffled = if (shuffle) shuffleBytes(raw, p.elem) else raw
-        o.toArray -> deflate(shuffled, deflateLevel)
+        val enc = regFilter match {
+          case Some("lz4") => H5Filters.lz4Encode(raw, regLz4Block)
+          case Some("bitshuffle-lz4") =>
+            H5Filters.bitshuffleEncode(raw, p.elem, regBitshufBlockElems)
+          case Some("zstd") => H5Filters.zstdEncode(raw)
+          case Some(other) =>
+            throw new IllegalArgumentException(s"regFilter $other")
+          case None =>
+            val shuffled = if (shuffle) shuffleBytes(raw, p.elem) else raw
+            deflate(shuffled, deflateLevel)
+        }
+        o.toArray -> enc
       }
       p.name -> Chunks(cdims, list)
     }.toMap
 
     // ---- size everything, then assign addresses sequentially
-    val filtersBody = 8 + (if (shuffle) 16 else 0) + 16
+    // registered filters (hdf5plugin ids): (id, name, cd_values(elem));
+    // the name is stored padded to 8 with its length recorded PADDED,
+    // matching libhdf5's v1 pipeline encoding
+    val regEntry: Option[(Int, String, Int => Seq[Int])] = regFilter.map {
+      case "lz4" => (32004, "lz4", (_: Int) => Seq(regLz4Block))
+      case "bitshuffle-lz4" =>
+        (32008, "bitshuffle",
+          (elem: Int) => Seq(0, 0, elem, regBitshufBlockElems, 2))
+      case "zstd" => (32015, "zstd", (_: Int) => Seq(3))
+      case other => throw new IllegalArgumentException(s"regFilter $other")
+    }
+    val filtersBody = regEntry match {
+      case Some((_, name, cdFor)) =>
+        val cd = cdFor(8)
+        8 + 8 + pad8(name.length + 1) + 4 * cd.length +
+          (if (cd.length % 2 == 1) 4 else 0)
+      case None => 8 + (if (shuffle) 16 else 0) + 16
+    }
     // NB the whole attr body is padded to 8 inside the message framing:
     def attrMsgSize(nameLen: Int, dtSize: Int, dsSize: Int, dataSize: Int): Int =
       8 + pad8(8 + pad8(nameLen + 1) + pad8(dtSize) + pad8(dsSize) + dataSize)
@@ -964,6 +1001,37 @@ object Hdf5Write {
     def putPadded(b: W, raw: Array[Byte], padded: Int): Unit = {
       b.put(raw); (raw.length until padded).foreach(_ => b.put(0.toByte))
     }
+    /** v1 filter pipeline message: either the classic shuffle+deflate
+      * pair or ONE registered filter (name stored padded-to-8, its
+      * length recorded padded, cd_values then odd-count pad — the
+      * libhdf5 encoding).
+      */
+    def writeFiltersMsg(b: W, elem: Int): Unit = {
+      msgHeader(b, 0x000B, filtersBody)
+      b.put(1.toByte)
+      regEntry match {
+        case Some((id, name, cdFor)) =>
+          b.put(1.toByte)                     // one filter
+          b.put(0.toByte); b.put(0.toByte); b.putInt(0)
+          val nm = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val padded = pad8(nm.length + 1)
+          val cd = cdFor(elem)
+          b.putShort(id.toShort); b.putShort(padded.toShort)
+          b.putShort(0); b.putShort(cd.length.toShort)
+          putPadded(b, nm, padded)
+          cd.foreach(b.putInt)
+          if (cd.length % 2 == 1) b.putInt(0)
+        case None =>
+          b.put((if (shuffle) 2 else 1).toByte)
+          b.put(0.toByte); b.put(0.toByte); b.putInt(0)
+          if (shuffle) {
+            b.putShort(2); b.putShort(0); b.putShort(0); b.putShort(1)
+            b.putInt(elem); b.putInt(0)     // elem size + odd-count pad
+          }
+          b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
+          b.putInt(deflateLevel); b.putInt(0)
+      }
+    }
     def writeDataspace(b: W, shape: Seq[Int],
                        unlim: Seq[Boolean] = Seq.empty): Unit = {
       val hasMax = unlim.exists(identity)
@@ -1131,16 +1199,7 @@ object Hdf5Write {
           b.putLong(faHdrAddr(p.name))
         }
         (0 until pad8(body) - body).foreach(_ => b.put(0.toByte))
-        msgHeader(b, 0x000B, filtersBody)
-        b.put(1.toByte)
-        b.put((if (shuffle) 2 else 1).toByte)
-        b.put(0.toByte); b.put(0.toByte); b.putInt(0)
-        if (shuffle) {
-          b.putShort(2); b.putShort(0); b.putShort(0); b.putShort(1)
-          b.putInt(p.elem); b.putInt(0)
-        }
-        b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
-        b.putInt(deflateLevel); b.putInt(0)
+        writeFiltersMsg(b, p.elem)
         writeDimListAttr(b, p.name, p.varDims)
       } else {
         val c = chunked(p.name)
@@ -1152,16 +1211,7 @@ object Hdf5Write {
         c.cdims.foreach(d => b.putInt(d))
         b.putInt(p.elem) // element size pseudo-dim
         (0 until pad8(body) - body).foreach(_ => b.put(0.toByte))
-        msgHeader(b, 0x000B, filtersBody)
-        b.put(1.toByte)
-        b.put((if (shuffle) 2 else 1).toByte)
-        b.put(0.toByte); b.put(0.toByte); b.putInt(0)
-        if (shuffle) {
-          b.putShort(2); b.putShort(0); b.putShort(0); b.putShort(1)
-          b.putInt(p.elem); b.putInt(0) // elem size + odd-count pad
-        }
-        b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1)
-        b.putInt(deflateLevel); b.putInt(0)
+        writeFiltersMsg(b, p.elem)
         writeDimListAttr(b, p.name, p.varDims)
       }
       p.attrs.foreach { case (k, v) => writeTextAttr(b, k, v) }
