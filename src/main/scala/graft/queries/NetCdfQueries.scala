@@ -101,15 +101,28 @@ object NetCdfQueries {
         stableWork("fixtures").resolve("ncea")))
   }
 
+  /** The same statistics over hdf5plugin-filtered archives — one file
+    * per registered filter (bitshuffle+lz4 32008, lz4 32004, zstd
+    * 32015), so the scan path decodes all three stream formats in one
+    * query.
+    */
+  val bandStatsPluginFilters = QueryDef("q86_netcdf4_filtered_band_stats",
+    bandStatsOracle("q86_tidy")) { (s, _) =>
+    val base = stableWork("fixtures")
+    val globs = Seq("bitshuffle-lz4", "lz4", "zstd").map(rf =>
+      NetCdfFixture.writeFilesFiltered(base.resolve(s"ncf-$rf"), rf))
+    bandStatsQuery(s, "q86_tidy", globs: _*)
+  }
+
   private def bandStatsQuery(s: org.apache.spark.sql.SparkSession,
-                             tag: String, glob: String) = {
+                             tag: String, globs: String*) = {
     // through the DataSource V2 format (same tidy schema as
     // NetCdfSource.tidy; NetCdfV2Spec pins parity between the two paths)
-    val tidy = s.read.format("netcdf").load(glob)
+    val tidy = s.read.format("netcdf").load(globs: _*)
     oracleDump(s, tag, tidy.select(
       regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
       col("variable"), col("time_idx"), col("leadtime_idx"),
-      col("values").as("vals")), glob)
+      col("values").as("vals")), globs.mkString(","))
     // vec_stats folds each scanline array into six scalars INSIDE
     // whole-stage codegen, so the exchange carries one small row per
     // scanline instead of one row per grid cell (the previous
@@ -384,5 +397,6 @@ object NetCdfQueries {
 
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
-      preprocessE2e, ingestDryRun, zarrScan, zarrV3Scan, zarrVariantsScan)
+      bandStatsPluginFilters, preprocessE2e, ingestDryRun, zarrScan,
+      zarrV3Scan, zarrVariantsScan)
 }

@@ -298,6 +298,25 @@ object NetCdfFixture {
     * time steps per file, one chunk per step, so the EA's tiers are
     * exercised on the scan path.
     */
+  /** The hdf5plugin rendering: netCDF-4 whose payload chunks run
+    * through a REGISTERED filter — "lz4" (32004), "bitshuffle-lz4"
+    * (32008, the common compressed-archive combo) or "zstd" (32015) —
+    * instead of shuffle+deflate. What `hdf5plugin.Bitshuffle()` etc.
+    * produce from h5py.
+    */
+  def writeFilesFiltered(dir: java.nio.file.Path, regFilter: String,
+                         n: Int = 2): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      val (dims, gatts, vars) = spec(nt = 1, tStart = i.toDouble)
+      val b = Hdf5Write.write(dims, gatts, vars,
+        regFilter = Some(regFilter))
+      val tag = regFilter.replace("-", "_")
+      java.nio.file.Files.write(dir.resolve(f"${tag}_$i%02d.nc"), b)
+    }
+    s"$dir/*.nc"
+  }
+
   def writeFilesUnlimited(dir: java.nio.file.Path, n: Int = 2,
                           nt: Int = 34): String = {
     java.nio.file.Files.createDirectories(dir)
