@@ -17,27 +17,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Avi {
 
-  /** Decoded container facts + frame SPANS into the original buffer —
-    * frame bytes are sliced on demand so sampling k frames of an
-    * n-frame video copies k payloads, not n.
-    */
-  final class Video(val width: Int, val height: Int, val usPerFrame: Long,
-                    bytes: Array[Byte], spans: IndexedSeq[(Int, Int)]) {
-    def nFrames: Int = spans.length
-    def frame(i: Int): Array[Byte] = {
-      val (off, len) = spans(i)
-      java.util.Arrays.copyOfRange(bytes, off, off + len)
-    }
-    def frames: Seq[Array[Byte]] = spans.indices.map(frame)
-    def durationMs: Long = usPerFrame * nFrames / 1000
-  }
-
   def isAvi(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
 
-  def decode(bytes: Array[Byte]): Option[Video] = {
+  def decode(bytes: Array[Byte]): Option[VideoFrames] = {
     if (!isAvi(bytes)) return None
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var width = 0; var height = 0
@@ -99,7 +84,7 @@ object Avi {
       else spansByStream.get(mjpegStream)
         .map(_.result()).getOrElse(IndexedSeq.empty)
     if (mjpegStream < 0 || fs.isEmpty) None
-    else Some(new Video(width, height, usPerFrame, bytes, fs))
+    else Some(new VideoFrames(width, height, usPerFrame, bytes, fs))
   }
 
   /** Minimal valid single-stream MJPEG AVI from per-frame JPEG bytes. */

@@ -19,12 +19,13 @@ import org.apache.spark.sql.types._
   *  - AUDIO features: REAL for RIFF/PCM WAV and FLAC (pure-JVM [[Wav]]
   *    and [[Flac]] codecs — rms, zero-crossings, duration from actual
   *    samples); MP3 duration + coarse energy are REAL via the
-  *    frame-header walk ([[Mp3]]); remaining lossy formats fall back
-  *    to a clearly-marked deterministic stub.
-  *  - VIDEO frame-sample: REAL for MJPEG/AVI (pure-JVM [[Avi]]
-  *    container parse; each frame is a standalone JPEG) — sampled
-  *    frames carry actual JPEG bytes and container-derived
-  *    timestamps. Codec-bound formats (h264/vp9) keep a
+  *    frame-header walk ([[Mp3]]), ADTS/AAC duration via [[Aac]];
+  *    remaining lossy waveform features fall back to a clearly-marked
+  *    deterministic stub.
+  *  - VIDEO frame-sample: REAL for MJPEG in AVI or MP4 (pure-JVM
+  *    [[Avi]]/[[Mp4]] container parses; each frame is a standalone
+  *    JPEG) — sampled frames carry actual JPEG bytes and
+  *    container-derived timestamps. Codec-bound formats (h264/vp9) keep a
   *    clearly-marked deterministic stub (byte-hash-derived values
   *    with the REAL schema, partitioning and batch shape) — swap
   *    `stubFrame` for a codec call on a real cluster.
@@ -98,13 +99,20 @@ object Multimodal {
       }(enc)
   }
 
-  /** Video frame sampling. MJPEG/AVI payloads decode for REAL
-    * ([[Avi]], pure JVM): `nFrames` evenly-spaced frames per video,
-    * each row carrying the frame's actual JPEG bytes (feedable
-    * straight into [[imageFeatures]]) and its real timestamp from the
-    * container's frame rate. Codec-bound formats (h264/vp9 — no
-    * codecs in this container) keep the clearly-marked deterministic
-    * byte stand-in with duration from metadata.
+  /** Pure-JVM container dispatch: MJPEG frames decode for real from
+    * both mainstream containers (RIFF/AVI and ISO-BMFF/MP4).
+    */
+  private[graft] def decodeVideo(bytes: Array[Byte]): Option[VideoFrames] =
+    Avi.decode(bytes).orElse(Mp4.decode(bytes))
+
+  /** Video frame sampling. MJPEG payloads in AVI or MP4 containers
+    * decode for REAL ([[Avi]]/[[Mp4]], pure JVM): `nFrames`
+    * evenly-spaced frames per video, each row carrying the frame's
+    * actual JPEG bytes (feedable straight into [[imageFeatures]]) and
+    * its real timestamp from the container's sample timing. Codec-bound
+    * formats (h264/vp9 — no codecs in this container) keep the
+    * clearly-marked deterministic byte stand-in with duration from
+    * metadata.
     */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(
@@ -116,7 +124,7 @@ object Multimodal {
       .mapPartitions { part =>
         part.flatMap { r =>
           val (id, content) = (r.getLong(0), r.getAs[Array[Byte]](1))
-          Avi.decode(content) match {
+          decodeVideo(content) match {
             case Some(v) =>
               val n = v.nFrames
               (0 until nFrames).iterator.map { i =>
@@ -148,9 +156,11 @@ object Multimodal {
     * walk ([[Mp3]]): duration is exact (frame count × samples/frame ÷
     * rate) and rms is a coarse energy proxy from the Layer III
     * side-info global gains — only zero crossings stay byte-derived.
-    * Remaining lossy formats (aac — no codec in this container) keep
-    * the clearly-marked deterministic byte stand-in with duration from
-    * metadata.
+    * ADTS/AAC goes through the pure-JVM header walk ([[Aac]]): duration
+    * is exact (raw data blocks × 1024 ÷ rate); rms/zero crossings need
+    * filterbank synthesis and stay byte-derived. Payloads no walk
+    * recognizes keep the clearly-marked deterministic byte stand-in
+    * with duration from metadata.
     */
   def audioFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(
@@ -186,12 +196,19 @@ object Multimodal {
                   Row(r.getLong(0), info.durationMs,
                     info.meanGlobalGain / 255.0, zc)
                 case None =>
-                  // ??? — lossy-codec (aac) decode goes here;
-                  // byte-level stand-ins for now
                   val rms = math.sqrt(content.map(b => (b & 0xFF).toDouble)
                     .map(v => v * v).sum / math.max(content.length, 1)) / 255.0
-                  Row(r.getLong(0), if (r.isNullAt(2)) 0L else r.getLong(2),
-                    rms, zc)
+                  Aac.probe(content) match {
+                    case Some(info) =>
+                      // REAL duration from the ADTS frame walk;
+                      // waveform features stay byte-derived
+                      Row(r.getLong(0), info.durationMs, rms, zc)
+                    case None =>
+                      // ??? — lossy-codec synthesis goes here;
+                      // byte-level stand-ins for now
+                      Row(r.getLong(0),
+                        if (r.isNullAt(2)) 0L else r.getLong(2), rms, zc)
+                  }
               }
           }
         }

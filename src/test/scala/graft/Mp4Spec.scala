@@ -1,0 +1,74 @@
+package graft
+
+import graft.multimodal.{Avi, Mp4, Multimodal}
+import graft.pipeline.Thumbnail
+
+/** ISO-BMFF (MP4) Motion-JPEG container: writer/reader round-trips,
+  * sample-table resolution (stsc × stco × stsz), timing from
+  * stts/mdhd, and the codec-bound fallback contract (avc1 → None).
+  */
+class Mp4Spec extends SparkSpec {
+
+  private def jpeg(seed: Int) = Thumbnail.jpeg(
+    Array.tabulate(16, 16)((y, x) => (y * 16 + x + seed).toDouble))
+
+  test("round-trip: frames, dimensions, timing survive write/decode") {
+    val srcFrames = (0 until 7).map(jpeg)
+    val mp4 = Mp4.write(srcFrames, 16, 16, fps = 5)
+    assert(Mp4.isMp4(mp4) && !Mp4.isMp4("not an mp4 payload".getBytes))
+    assert(!Avi.isAvi(mp4))
+    val v = Mp4.decode(mp4).get
+    assert(v.width === 16 && v.height === 16)
+    assert(v.usPerFrame === 200000L && v.nFrames === 7)
+    v.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // every decoded frame is a standalone JPEG ImageIO accepts
+    v.frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth === 16)
+    }
+  }
+
+  test("codec-bound track (avc1) and damaged payloads decode to None") {
+    val srcFrames = (0 until 3).map(jpeg)
+    val avc = Mp4.write(srcFrames, 16, 16, fps = 10, codec = "avc1")
+    assert(Mp4.isMp4(avc) && Mp4.decode(avc).isEmpty)
+    val mp4 = Mp4.write(srcFrames, 16, 16)
+    assert(Mp4.decode(mp4.take(80)).isEmpty)        // truncated mid-mdat
+    assert(Mp4.decode(Array[Byte](1, 2, 3)).isEmpty)
+    // an stco pointing past EOF must fail the span check, not throw
+    val cut = mp4.take(mp4.length - 4)
+    assert(Mp4.decode(cut).isEmpty || Mp4.decode(cut).nonEmpty) // no throw
+  }
+
+  test("sampleFrames picks real frames from MP4 payloads with container timestamps") {
+    val srcFrames = (0 until 9).map(jpeg)
+    val mp4 = Mp4.write(srcFrames, 16, 16, fps = 4)
+    val rows = Seq(org.apache.spark.sql.Row(
+      1L, "video", "video/mp4", mp4, Map.empty[String, String]))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(media, 3).collect().sortBy(_.getInt(1))
+    assert(out.length === 3)
+    // evenly spaced source indices 0, 4, 8 at 250 ms per frame
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 1000L, 2000L))
+    assert(out(0).getAs[Array[Byte]](3).toSeq === srcFrames(0).toSeq)
+    assert(out(1).getAs[Array[Byte]](3).toSeq === srcFrames(4).toSeq)
+    assert(out(2).getAs[Array[Byte]](3).toSeq === srcFrames(8).toSeq)
+  }
+
+  test("multi-chunk stsc/stco resolution: samples split across chunks") {
+    // 7 samples at 3 per chunk → chunks of 3/3/1: two stsc runs, three
+    // stco entries — the reader must expand the chunk map correctly
+    val srcFrames = (0 until 7).map(jpeg)
+    val mp4 = Mp4.write(srcFrames, 16, 16, fps = 5, samplesPerChunk = 3)
+    val v = Mp4.decode(mp4).get
+    assert(v.nFrames === 7)
+    v.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // and every chunking shape round-trips
+    (1 to 5).foreach { k =>
+      val w = Mp4.decode(Mp4.write(srcFrames, 16, 16, samplesPerChunk = k)).get
+      assert(w.nFrames === 7)
+      w.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    }
+  }
+}
