@@ -112,14 +112,15 @@ object MultimodalQueries {
         round(col("rms"), 6).as("rms"), col("zero_crossings"))
   }
 
-  /** Real video frame sampling over MJPEG/AVI — the sampling arithmetic
-    * is what the oracle independently recomputes: container facts
-    * (frame count, frame interval) and per-frame digests of EVERY
-    * source frame are dumped, and DuckDB re-derives which source frame
-    * each sampled row must be (evenly-spaced index), its timestamp, and
-    * the digest it must carry. A digest mismatch means the operator
-    * picked the wrong frame; the decode itself is pinned by
-    * MultimodalSpec.
+  /** Real video frame sampling over MJPEG in BOTH containers (RIFF/AVI
+    * even ids, ISO-BMFF/MP4 odd ids, the MP4s multi-chunk) — the
+    * sampling arithmetic is what the oracle independently recomputes:
+    * container facts (frame count, frame interval) and per-frame
+    * digests of EVERY source frame are dumped, and DuckDB re-derives
+    * which source frame each sampled row must be (evenly-spaced index),
+    * its timestamp, and the digest it must carry. A digest mismatch
+    * means the operator picked the wrong frame; the decodes are pinned
+    * by MultimodalSpec/Mp4Spec.
     */
   val videoPipeline = QueryDef("q81_video_frames",
     """WITH f AS (SELECT * FROM read_parquet('/tmp/graft-oracle/q81_facts/*.parquet')),
@@ -135,23 +136,29 @@ object MultimodalQueries {
       |  AND a.src_idx = s.frame_idx * (f.n_frames - 1) // 2
       |ORDER BY s.media_id, s.frame_idx""".stripMargin) { (s, d) =>
     import s.implicits._
-    import graft.multimodal.Avi
+    import graft.multimodal.{Avi, Mp4}
     val nVideos = 12
     val rows = (0 until nVideos).map { i =>
       val frames = (0 until 4 + i % 5).map(fr => Thumbnail.jpeg(
         Array.tabulate(12, 12)((y, x) => (y * 12 + x + i * 100 + fr * 7).toDouble)))
-      Row(i.toLong, "video", "video/x-msvideo",
-        Avi.write(frames, 12, 12, fps = 5 + i % 3),
-        Map.empty[String, String])
+      if (i % 2 == 0)
+        Row(i.toLong, "video", "video/x-msvideo",
+          Avi.write(frames, 12, 12, fps = 5 + i % 3),
+          Map.empty[String, String])
+      else
+        Row(i.toLong, "video", "video/mp4",
+          Mp4.write(frames, 12, 12, fps = 5 + i % 3,
+            samplesPerChunk = 2 + i % 3),
+          Map.empty[String, String])
     }
     val media = s.createDataFrame(
       s.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
     // container facts + a digest of every source frame, decoded honestly
-    // from the AVI payloads inside tasks
+    // from the AVI/MP4 payloads inside tasks
     val perVideo = media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val v = Avi.decode(bytes).get
+        val v = Multimodal.decodeVideo(bytes).get
         (0 until v.nFrames).map { i =>
           (id, v.nFrames, v.usPerFrame, i,
             java.security.MessageDigest.getInstance("MD5").digest(v.frame(i))
@@ -175,5 +182,57 @@ object MultimodalQueries {
         col("ts_ms"), col("frame_md5"))
   }
 
-  val all: Seq[QueryDef] = Seq(imagePipeline, audioPipeline, videoPipeline)
+  /** Lossy-audio header walks as parameter recovery: the generation
+    * PARAMETERS (frame counts, rates, side-info gain) are dumped before
+    * any payload exists, the payloads are then encoded from those
+    * parameters (structurally valid MP3 / ADTS streams), and the probes
+    * must recover the parameters from raw bytes inside tasks. The
+    * oracle recomputes every expected output (duration from the
+    * samples-per-frame arithmetic, gain) from the params dump alone —
+    * a probe that miscounts frames, misreads the rate table, or walks
+    * side-info bits at the wrong offset hash-mismatches.
+    */
+  val codecProbe = QueryDef("q87_codec_probe",
+    """SELECT media_id, codec, n_frames,
+      |  CAST(n_frames * spf * 1000 // rate AS BIGINT) AS duration_ms,
+      |  round(gain, 3) AS mean_gain
+      |FROM read_parquet('/tmp/graft-oracle/q87_params/*.parquet')
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Aac, Mp3}
+    val aacRateIdx = Array(4 -> 44100, 3 -> 48000, 8 -> 16000, 11 -> 8000)
+    val params = (0 until 24).map { i =>
+      if (i % 2 == 0) (i.toLong, "mp3", 20 + i, 1152, 44100, (100 + i).toDouble)
+      else {
+        val (_, rate) = aacRateIdx((i / 2) % 4)
+        (i.toLong, "aac", 30 + i, 1024, rate, 0.0)
+      }
+    }
+    val paramsDf = params
+      .toDF("media_id", "codec", "n_frames", "spf", "rate", "gain")
+    graft.Work.oracleDump(s, "q87_params", paramsDf, d)
+    val payloads = params.map { case (id, codec, nFrames, _, _, gain) =>
+      val i = id.toInt
+      val content =
+        if (codec == "mp3") Mp3.fixture(nFrames, gain.toInt, id3 = i % 4 == 0)
+        else Aac.fixture(nFrames, sampleRateIdx = aacRateIdx((i / 2) % 4)._1,
+          channels = 1 + i % 2, id3 = i % 3 == 0)
+      (id, codec, content)
+    }
+    s.sparkContext.parallelize(payloads, 4).toDF("media_id", "codec", "content")
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, codec, bytes) =>
+        if (codec == "mp3") {
+          val p = Mp3.probe(bytes).get
+          (id, codec, p.nFrames, p.durationMs, p.meanGlobalGain)
+        } else {
+          val p = Aac.probe(bytes).get
+          (id, codec, p.nFrames, p.durationMs, 0.0)
+        }
+      }.toDF("media_id", "codec", "n_frames", "duration_ms", "mean_gain")
+      .withColumn("mean_gain", round(col("mean_gain"), 3))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(imagePipeline, audioPipeline, videoPipeline, codecProbe)
 }
