@@ -10,12 +10,13 @@ import org.apache.spark.sql.SparkSession
   *     pinned, every parse/format/arithmetic path is UTC by
   *     construction and naive inputs attach UTC exactly like the
   *     reference helper);
-  *   - `nanosAsLong`: the driver's events.parquet carries
-  *     INT64 TIMESTAMP(NANOS) which Spark 4's vectorized parquet reader
-  *     rejects at task time even when the column is pruned. Reading nanos
-  *     as a plain long keeps every events query runnable; queries that
-  *     need a real timestamp derive it via `timestamp_micros(ts div 1000)`
-  *     (floor division — matching DuckDB's nanos→micros truncation);
+  *   - `nanosAsLong`: if a driver-generated events.parquet carries
+  *     INT64 TIMESTAMP(NANOS) (it did through r8; r9 regenerated it as
+  *     TIMESTAMP(MICROS)), Spark 4's vectorized parquet reader would
+  *     reject it at task time even when the column is pruned. Reading
+  *     nanos as a plain long keeps every events query runnable under
+  *     either fixture shape — `Tables.normalizeEventTs` then folds both
+  *     into the single integer-nanos contract downstream operators use;
   *   - LAST_WIN map-key dedup: Python dict-merge (`|=`) right-bias
   *     (reference generator.py:716-717);
   *   - shuffle partitions sized to the local core count, not the 200

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver's parquet testdata tables (TESTDATA.md).
   *
@@ -23,7 +25,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Normalize `events.ts` to the engine's integer-nanos contract
+    * regardless of the physical parquet type the driver generated:
+    *
+    *   - INT64 TIMESTAMP(NANOS) read as long under `nanosAsLong` → as-is;
+    *   - TIMESTAMP(MICROS) (tz or ntz) → `unix_micros * 1000`. The session
+    *     time zone is pinned to UTC (GraftSession), so the NTZ→TZ cast is
+    *     the identity and the extracted epoch is exact.
+    *
+    * Downstream event-time operators (q50/q51/q60, the streaming twins)
+    * all consume integer nanos, so a driver-side regeneration of the
+    * fixture's physical time type cannot change query semantics — the
+    * same input-convention discipline the reference applies to coordinate
+    * columns (utils.py:17-31), extended to time.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(other) => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — extend " +
+          "Tables.normalizeEventTs for the new driver fixture type")
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

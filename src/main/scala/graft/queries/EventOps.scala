@@ -9,10 +9,11 @@ import graft.ops.SkewJoin
   * skew recipe — the batch twins of the streaming surface, each with a
   * DuckDB oracle.
   *
-  * `ts` is INT64 nanos (read as long under nanosAsLong); window
-  * bucketing converts via micros truncation exactly like DuckDB's
-  * TIMESTAMP_NS → TIMESTAMP cast, and session-gap arithmetic stays in
-  * raw nanos so no float/timestamp conversion can drift.
+  * `ts` arrives as integer nanos whatever the parquet physical type
+  * (Tables.normalizeEventTs); window bucketing converts via micros
+  * truncation exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast, and
+  * session-gap arithmetic stays in raw nanos so no float/timestamp
+  * conversion can drift.
   */
 object EventOps {
 

@@ -18,21 +18,33 @@ import org.apache.spark.sql.types._
   *  - foreachBatch for running the UNCHANGED batch pipeline per
   *    micro-batch (idempotent by the same anti-join logic).
   *
-  * The events table schema (ts is INT64 nanos read as long under
-  * `nanosAsLong` — converted to a timestamp here, micros truncation
-  * matching DuckDB).
+  * The events table schema is probed from the files present at stream
+  * start (a streaming source needs a fixed schema upfront), then `ts`
+  * is normalized to the engine's integer-nanos contract exactly like
+  * the batch path (Tables.normalizeEventTs) — the stream keeps working
+  * whether the driver generates INT64 nanos or TIMESTAMP(MICROS).
   */
 object EventStream {
 
-  val eventsSchema: StructType = new StructType()
-    .add("event_id", LongType).add("ts", LongType)
+  /** The stream's schema with `ts` as the given physical time type. */
+  def eventsSchema(tsType: DataType): StructType = new StructType()
+    .add("event_id", LongType).add("ts", tsType)
     .add("user_id", LongType).add("event_type", StringType)
     .add("value", DoubleType).add("props", StringType)
 
-  /** File-watch stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
+  /** File-watch stream over a directory of events parquet. Probes the
+    * physical `ts` type from files already in the directory (falling
+    * back to µs-timestamp, the current driver fixture shape, when the
+    * directory is still empty) so late-arriving files of the probed
+    * shape always parse.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+    val raw = spark.readStream.schema(eventsSchema(tsType)).parquet(dir)
+    graft.Tables.normalizeEventTs(raw)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling 1-hour windows per event type with a 2-hour watermark:
     * late data beyond the watermark is dropped, state is bounded.

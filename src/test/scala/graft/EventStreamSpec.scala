@@ -24,7 +24,8 @@ class EventStreamSpec extends SparkSpec {
       "win_counts", outputMode = "complete")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       .toSet
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Tables.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -41,7 +42,8 @@ class EventStreamSpec extends SparkSpec {
         EventStream.readEvents(spark, dir)).toDF(),
       "first_seen").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Tables.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -61,7 +63,8 @@ class EventStreamSpec extends SparkSpec {
     // sorted times into gap-split sessions; a session is EMITTED if a
     // later event closed it in-stream, or the final watermark
     // (max event time - 2h) passed its gap deadline
-    val times = spark.read.parquet(s"$dir/events.parquet")
+    val times = Tables.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), expr("ts div 1000000").as("ms"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val finalWm = times.map(_._2).max - 2L * 3600 * 1000
