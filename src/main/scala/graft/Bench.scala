@@ -126,6 +126,28 @@ object Bench {
       if (x == 42) System.err.print("") // keep the loop observable
       (System.nanoTime() - t0) / 1e6
     }
+    // Multi-core canary: the same fixed loop on EVERY core at once, wall
+    // time of the slowest thread. The r9 round-end run drifted 1.27×
+    // across the board while the single-thread canary stayed flat — a
+    // signature the single-thread probe cannot attribute (multi-core
+    // contention from a co-tenant VM shows up here but not there, while
+    // a frequency-scaling tide moves both in lockstep). With both
+    // numbers in every artifact, "environment" becomes measurable
+    // instead of asserted.
+    val calMtMs = {
+      val nThreads = math.min(32, Runtime.getRuntime.availableProcessors())
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { tid =>
+        val t = new Thread(() => {
+          var x = 0L; var i = 0
+          while (i < 200000000) { x += i * i + tid; i += 1 }
+          if (x == 42) System.err.print("")
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
     // In-round regression tracking: compare against the last committed
     // bench so a query that got slower surfaces in THIS round's artifact
     // instead of at judgment. Baseline preference: the COMMITTED
@@ -155,7 +177,7 @@ object Bench {
       case Some((name, txt)) => regressionsJson(results, name, txt, calMs)
     }
     val line =
-      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"regressions":$regressions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"cpu_cal_mt_ms":${Json.num(calMtMs)},"regressions":$regressions,"sf":"$sfDir"}"""
     println(line)
     // Full-fidelity sidecars: the driver's BENCH_r*.json wrapper keeps
     // only the last 2000 chars of stdout (escaped, head-truncated, sbt
