@@ -1364,8 +1364,12 @@ object Hdf5 {
       var dc = 0
       (0 until sblkFirstIdx).foreach { u =>
         (0L until ndblks(u)).foreach { d =>
-          require(dblkNelmts(u) <= pageNelmts,
-            "paged data block pointed from the index block unsupported")
+          // Only super blocks carry a page-init bitmap; a data block
+          // pointed straight from the index block therefore reads every
+          // page when it exceeds the page size (possible only with
+          // non-default creation params — libhdf5's H5D constants keep
+          // these first blocks under one page, but the header's params
+          // govern). Absent chunks are undefined addresses either way.
           readDataBlock(dblkAddrs(dc),
             idxBlkElmts + startIdx(u) + d * dblkNelmts(u), dblkNelmts(u),
             _ => true)

@@ -288,6 +288,7 @@ object Hdf5Write {
             denseNodeSize: Int = 2048,
             v4PageBits: Int = 10,
             v4Index: Int = 3,
+            eaPageBits: Int = EaPageBits,
             unlimitedDims: Set[String] = Set.empty,
             denseHeapGeom: Option[(Long, Long, Int)] = None,
             denseHeapFiltered: Boolean = false,
@@ -297,7 +298,7 @@ object Hdf5Write {
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
-      v4PageBits = v4PageBits, v4Index = v4Index,
+      v4PageBits = v4PageBits, v4Index = v4Index, eaPageBits = eaPageBits,
       unlimitedDims = unlimitedDims, denseHeapGeom = denseHeapGeom,
       denseHeapFiltered = denseHeapFiltered, halfVars = halfVars,
       regFilter = regFilter,
@@ -326,6 +327,7 @@ object Hdf5Write {
                 denseNodeSize: Int = 2048,
                 v4PageBits: Int = 10,
                 v4Index: Int = 3,
+                eaPageBits: Int = EaPageBits,
                 unlimitedDims: Set[String] = Set.empty,
                 denseHeapGeom: Option[(Long, Long, Int)] = None,
                 denseHeapFiltered: Boolean = false,
@@ -337,7 +339,7 @@ object Hdf5Write {
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
         dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
         v4Index, unlimitedDims, denseHeapGeom, denseHeapFiltered, halfVars,
-        regFilter,
+        regFilter, eaPageBits = eaPageBits,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -361,12 +363,12 @@ object Hdf5Write {
     * blocks exist for `n` chunks, their element spans, paging, and the
     * block sizes — shared by allocation and rendering.
     */
-  private final case class EaPlan(n: Int) {
+  private final case class EaPlan(n: Int, pageBits: Int = EaPageBits) {
     val nsblks: Int = 1 + (EaMaxBits - log2i(EaMinElmts)) / 2
     val sblkFirstIdx: Int = 2 * log2i(EaMinPtrs)
     val ndblkAddrs: Int = 2 * (EaMinPtrs - 1)
     val nsblkAddrs: Int = nsblks - sblkFirstIdx
-    val pageNelmts: Long = 1L << EaPageBits
+    val pageNelmts: Long = 1L << pageBits
     def ndblks(u: Int): Long = 1L << (u / 2)
     def dblkNelmts(u: Int): Long = (1L << ((u + 1) / 2)) * EaMinElmts
     val startIdx: Array[Long] = {
@@ -427,7 +429,8 @@ object Hdf5Write {
                      denseHeapFiltered: Boolean,
                      halfVars: Set[String],
                      regFilter: Option[String],
-                     mkSink: Long => WSink): Unit = {
+                     mkSink: Long => WSink,
+                     eaPageBits: Int = EaPageBits): Unit = {
     val dimLen = dims.toMap
     require(v4Index == 3 || v4Index == 4 || v4Index == 5,
       s"v4Index $v4Index (3 = Fixed Array, 4 = Extensible Array, 5 = v2 B-tree)")
@@ -576,7 +579,7 @@ object Hdf5Write {
         val c = chunked(p.name)
         chunkAddrs(p.name) = c.list.map { case (_, bytes) => alloc(bytes.length.toLong) }
         if (v4Layout && v4Index == 4) {
-          val ea = EaPlan(c.list.size)
+          val ea = EaPlan(c.list.size, eaPageBits)
           eaHdrAddr(p.name) = alloc(72L)
           eaIbAddr(p.name) = alloc(ea.iblockSize)
           ea.sblksNeeded.foreach { u =>
@@ -809,7 +812,7 @@ object Hdf5Write {
       // EASB/EADB blocks per the doubling geometry; real checksums
       val c = chunked(p.name)
       val n = c.list.size
-      val ea = EaPlan(n)
+      val ea = EaPlan(n, eaPageBits)
       val hdrA = eaHdrAddr(p.name)
       def entry(bb: ByteBuffer, i: Long): Unit =
         if (i < n) {
@@ -826,7 +829,7 @@ object Hdf5Write {
       hb.put(0.toByte); hb.put(1.toByte) // version, client 1 (filtered)
       hb.put(EaElemSize.toByte); hb.put(EaMaxBits.toByte)
       hb.put(EaIdxElmts.toByte); hb.put(EaMinElmts.toByte)
-      hb.put(EaMinPtrs.toByte); hb.put(EaPageBits.toByte)
+      hb.put(EaMinPtrs.toByte); hb.put(ea.pageBits.toByte)
       hb.putLong(ea.sblksNeeded.size.toLong)            // super blocks
       hb.putLong(ea.sblksNeeded.map(ea.sblkSize).sum)   // their bytes
       hb.putLong(ea.dblks.size.toLong)                  // data blocks

@@ -176,6 +176,33 @@ class V4LayoutSpec extends SparkSpec {
     }
   }
 
+  test("Extensible Array PAGED data block pointed straight from the " +
+    "index block (no super block, no bitmap) decodes + slices") {
+    // eaPageBits=2 → 4-element pages: the u=1 data block (8 elements,
+    // addressed from the index block, below the super-block tier) pages.
+    // 12 one-timestep chunks: 2 inline, 4 in the u=0 block, 6 realized
+    // in the paged u=1 block (its trailing 2 elements stay undefined).
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 12, ny = 8, nx = 8, nl = 3)
+    val ea = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 8 * 8 * 3, v4Layout = true, v4Index = 4,
+      eaPageBits = 2, unlimitedDims = Set("time")))
+    val v3 = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+      maxChunkElems = 8 * 8 * 3))
+    v3.file.datasets.foreach { ds =>
+      bitEqual(v3.readDoubles(ds.name), ea.readDoubles(ds.name), ds.name)
+    }
+    // slice pinned inside the paged block's SECOND page (chunk 9 is
+    // element 7 of the u=1 block → page 1)
+    val full = ea.readDoubles("sic_mean")
+    val sliced = ea.readDoublesSliced("sic_mean",
+      Array(Some(9L), None, None, None))
+    (0 until 8 * 8 * 3).foreach { j =>
+      val idx = (9 * 8 * 8 * 3) + j
+      assert(java.lang.Double.doubleToLongBits(sliced(idx)) ===
+        java.lang.Double.doubleToLongBits(full(idx)), s"cell $idx")
+    }
+  }
+
   test("GridFile + tidy scan read an Extensible Array netCDF-4 " +
     "transparently") {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 3, ny = 8, nx = 8, nl = 3)
