@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions.col
   * inside the executors — one task per chunk file, so a 100 TB store
   * parallelizes by its chunk grid with no driver involvement.
   *
-  * Supported: C order; v2 compressors null/zlib/blosc (zarr-python's
-  * default blosc-lz4 included, byte- and bit-shuffle, snappy —
-  * [[Blosc]]), v3 codecs bytes + gzip/zstd/blosc AND
+  * Supported: C order; v2 compressors null/zlib/gzip/blosc/zstd/lz4
+  * (zarr-python's default blosc-lz4 included, byte- and bit-shuffle,
+  * snappy — [[Blosc]]; zstd/lz4 are the bare numcodecs frames, distinct
+  * from their blosc and HDF5-filter framings), v3 codecs bytes +
+  * gzip/zstd/blosc AND
   * `sharding_indexed` (inner chunk grid + crc32c'd uint64 footer
   * index per shard — each shard fans out one row per INNER chunk, so
   * scan parallelism survives object-count-reducing shard layouts);
@@ -259,8 +261,10 @@ object ZarrCodec {
         val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
         val comp = Option(node.get("compressor"))
           .filterNot(_.isNull).map(_.get("id").asText()).getOrElse("null")
-        require(comp == "null" || comp == "zlib" || comp == "blosc",
-          s"unsupported zarr compressor '$comp' in $za (null/zlib/blosc)")
+        require(comp == "null" || comp == "zlib" || comp == "blosc" ||
+          comp == "zstd" || comp == "lz4" || comp == "gzip",
+          s"unsupported zarr compressor '$comp' in $za " +
+            "(null/zlib/gzip/blosc/zstd/lz4)")
         val filters = Option(node.get("filters")).filterNot(_.isNull).toSeq
           .flatMap(_.elements().asScala).map { f =>
             f.get("id").asText() match {
@@ -430,8 +434,25 @@ object ZarrCodec {
       case "gzip" => gunzip(bytes)
       case "zstd" => unzstd(bytes)
       case "blosc" => Blosc.decompress(bytes)
+      case "lz4" => unlz4Numcodecs(bytes)
       case _ => bytes
     }
+
+  /** numcodecs LZ4 codec frame (lz4.pyx): a 4-byte LITTLE-endian
+    * uncompressed size, then ONE raw LZ4 block — distinct from both the
+    * HDF5 lz4 filter's big-endian multi-block frame (H5Filters) and
+    * blosc's lz4 (whole-cbuffer header).
+    */
+  private def unlz4Numcodecs(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 4, s"numcodecs lz4 frame of ${bytes.length} bytes")
+    val n = java.nio.ByteBuffer.wrap(bytes, 0, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    require(n >= 0, s"numcodecs lz4 negative size $n")
+    val out = new Array[Byte](n)
+    net.jpountz.lz4.LZ4Factory.safeInstance().fastDecompressor()
+      .decompress(bytes, 4, out, 0, n)
+    out
+  }
 
   /** Copy the in-bounds sub-box out of a padded C-order chunk. */
   private def trimBox(full: Array[Double], origin: Array[Int],
@@ -688,7 +709,10 @@ object ZarrFixture {
             bloscCname: Option[String] = None,
             filters: Seq[String] = Nil,
             sep: String = ".",
-            bloscBitShuffle: Boolean = false): Unit = {
+            bloscBitShuffle: Boolean = false,
+            numCodec: Option[String] = None): Unit = {
+    require(numCodec.isEmpty || bloscCname.isEmpty,
+      "numCodec and bloscCname are mutually exclusive")
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
@@ -702,12 +726,16 @@ object ZarrFixture {
       Files.writeString(dir.resolve(".zattrs"),
         allAttrs.map { case (k, v) => s""""$k": $v""" }
           .mkString("{", ", ", "}"))
-    val comp = bloscCname match {
-      case Some(cn) =>
+    val comp = (bloscCname, numCodec) match {
+      case (Some(cn), _) =>
         val sh = if (bloscBitShuffle) 2 else 1
         s"""{"id": "blosc", "cname": "$cn", "clevel": 5, "shuffle": $sh, "blocksize": 0}"""
-      case None if compress => """{"id": "zlib", "level": 6}"""
-      case None => "null"
+      case (None, Some("zstd")) => """{"id": "zstd", "level": 3}"""
+      case (None, Some("lz4")) => """{"id": "lz4", "acceleration": 1}"""
+      case (None, Some(other)) =>
+        throw new IllegalArgumentException(s"fixture numCodec $other")
+      case (None, None) if compress => """{"id": "zlib", "level": 6}"""
+      case (None, None) => "null"
     }
     val width = dtype.substring(2).toInt
     val filtJson =
@@ -745,11 +773,18 @@ object ZarrFixture {
         }
       }
       val typesize = math.max(1, raw.length / vals.length)
-      val bytes = bloscCname match {
-        case Some(cn) =>
+      val bytes = (bloscCname, numCodec) match {
+        case (Some(cn), _) =>
           Blosc.compress(raw, typesize, cn,
             shuffle = !bloscBitShuffle, bitShuffle = bloscBitShuffle)
-        case None => if (compress) deflate(raw) else raw
+        case (None, Some("zstd")) => com.github.luben.zstd.Zstd.compress(raw, 3)
+        case (None, Some(_)) => // lz4: LE32 uncompressed size + one block
+          val block = net.jpountz.lz4.LZ4Factory.safeInstance()
+            .fastCompressor().compress(raw)
+          java.nio.ByteBuffer.allocate(4 + block.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            .putInt(raw.length).put(block).array()
+        case (None, None) => if (compress) deflate(raw) else raw
       }
       val target = dir.resolve(ci.mkString(sep))
       if (sep == "/") Files.createDirectories(target.getParent)

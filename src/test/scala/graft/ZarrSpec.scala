@@ -113,6 +113,34 @@ class ZarrSpec extends SparkSpec {
     (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"idelta($i)"))
   }
 
+  test("v2 numcodecs zstd and lz4 compressors decode to the generating " +
+    "values, alone and chained after filters") {
+    val d = Files.createTempDirectory("graft-zarr-numcodec")
+    ZarrFixture.write(d, "z", Seq(7, 5), Seq(4, 3),
+      numCodec = Some("zstd"), value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "l", Seq(7, 5), Seq(4, 3),
+      numCodec = Some("lz4"), value = c => c(0) * 100.0 + c(1))
+    // filters apply before the compressor — the chained form a
+    // numcodecs config like {filters: [delta], compressor: lz4} produces
+    ZarrFixture.write(d, "lf", Seq(7, 5), Seq(4, 3),
+      numCodec = Some("lz4"), filters = Seq("delta", "shuffle"),
+      value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "zi", Seq(9), Seq(4), dtype = "<i4",
+      numCodec = Some("zstd"), value = _.sum * 7.0)
+    for (name <- Seq("z", "l", "lf")) {
+      val meta = ZarrCodec.readMeta(d).find(_.name == name).get
+      val got = ZarrCodec.readArray(d, meta)
+      for (r <- 0 until 7; c <- 0 until 5)
+        assert(got(r * 5 + c) === r * 100.0 + c, s"$name($r,$c)")
+      val cells = ZarrSource.read(spark, d.toString, name)
+        .select("values").as[Seq[Double]].collect().flatten
+      assert(cells.length === 35, name)
+    }
+    val im = ZarrCodec.readMeta(d).find(_.name == "zi").get
+    val ig = ZarrCodec.readArray(d, im)
+    (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"zi($i)"))
+  }
+
   test("NESTED v2 store (dimension_separator '/') reassembles exactly — " +
     "the cloud-store chunk layout") {
     val d = Files.createTempDirectory("graft-zarr-nested")
