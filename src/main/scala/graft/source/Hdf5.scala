@@ -112,9 +112,9 @@ object Hdf5 {
     }
   }
 
-  /** Message types whose bodies we actually parse — the set the
-    * shared-message guard protects (a shared variant of anything else
-    * is skipped anyway).
+  /** Message types whose bodies we actually parse — the set whose
+    * SHARED variants get resolved through the indirection record (a
+    * shared variant of anything else is skipped anyway).
     */
   private val ConsumedMessages: Set[Int] =
     Set(0x0001, 0x0002, 0x0003, 0x0006, 0x0008, 0x000B, 0x000C, 0x0011, 0x0015)
@@ -287,7 +287,9 @@ object Hdf5 {
           require(so == 8 && sl == 8,
             s"unsupported offset/length sizes $so/$sl (8/8 expected)")
           c.get() // flags
-          val base = c.getLong(); c.getLong(); c.getLong() // base, ext, eof
+          val base = c.getLong()
+          sbExtAddr = c.getLong() // superblock extension (SOHM table et al.)
+          c.getLong() // eof
           require(base == 0, s"non-zero base address $base unsupported")
           c.getLong() // root object-header address
         case v => throw new IllegalArgumentException(s"superblock version $v")
@@ -409,15 +411,17 @@ object Hdf5 {
     /** Attributes stored densely: each v2 B-tree type-8 record is
       * heap ID (8) + message flags (1) + creation order (4) + name
       * hash (4); the heap object is a regular attribute-message body.
-      * Shared attribute messages (flag bit 1) are rejected explicitly.
+      * A SHARED record (flag bit 1) carries a heap ID into the SOHM
+      * heap instead of the group's own attribute heap.
       */
     private def denseAttributes(fheapAddr: Long,
                                 nameBtreeAddr: Long): Seq[Attr] = {
       val heap = new FractalHeap(fheapAddr)
       v2BtreeRecords(nameBtreeAddr, Set(8))._2.map { rec =>
-        require((rec(8) & 0x02) == 0, "shared dense attribute unsupported")
         val heapId = java.util.Arrays.copyOfRange(rec, 0, 8)
-        parseAttribute(heap.managedObject(heapId))
+        if ((rec(8) & 0x02) != 0)
+          parseAttribute(sohmObject(0x000C, heapId))
+        else parseAttribute(heap.managedObject(heapId))
       }
     }
 
@@ -638,6 +642,99 @@ object Hdf5 {
     private def buf0(body: Array[Byte]): ByteBuffer =
       ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
 
+    // ---- shared messages
+
+    private var sbExtAddr: Long = Undefined
+
+    /** Resolve a SHARED message (header flag bit 1): its body is an
+      * indirection record, not the message. Versions 1/2 and version-3
+      * type 2 point at another object header holding the real message —
+      * the committed-datatype shape h5py's `f["t"] = dtype` +
+      * `create_dataset(dtype=f["t"])` produces. Version-3 type 1 is an
+      * 8-byte fractal-heap ID into the file's SOHM heap, reached through
+      * the superblock extension's Shared Message Table message.
+      */
+    private def resolveShared(t: Int, body: Array[Byte]): Array[Byte] = {
+      val b = buf0(body)
+      b.get().toInt match {
+        case 1 =>
+          b.get(); b.position(b.position() + 6) // msg type + 6 reserved
+          sharedFromObjectHeader(b.getLong(), t)
+        case 2 =>
+          b.get() // msg type
+          sharedFromObjectHeader(b.getLong(), t)
+        case 3 =>
+          b.get().toInt match {
+            case 2 => sharedFromObjectHeader(b.getLong(), t)
+            case 1 =>
+              val heapId = new Array[Byte](8); b.get(heapId)
+              sohmObject(t, heapId)
+            case other => throw new IllegalArgumentException(
+              s"shared message v3 type $other for 0x${t.toHexString}")
+          }
+        case v =>
+          throw new IllegalArgumentException(s"shared message version $v")
+      }
+    }
+
+    private def sharedFromObjectHeader(addr: Long, t: Int): Array[Byte] =
+      readMessages(addr).collectFirst { case (`t`, body) => body }
+        .getOrElse(throw new IllegalArgumentException(
+          s"shared message 0x${t.toHexString} absent from its object " +
+            s"header at $addr"))
+
+    /** SOHM indexes from the superblock extension: Shared Message Table
+      * message (0x0F) → SMTB master table → (message-type-flags,
+      * fractal heap) per index. The list / v2 B-tree index structures
+      * exist for WRITERS to find duplicates; a reader resolves heap IDs
+      * straight against the heap.
+      */
+    private lazy val sohmIndexes: Seq[(Int, FractalHeap)] =
+      if (sbExtAddr == Undefined) Nil
+      else readMessages(sbExtAddr).collectFirst { case (0x000F, body) =>
+        val b = buf0(body)
+        require(b.get() == 0, "shared-message-table message version")
+        val tableAddr = b.getLong()
+        val nIndexes = b.get().toInt
+        val c = cur(tableAddr)
+        require(c.read(4).sameElements(
+          "SMTB".getBytes(StandardCharsets.US_ASCII)),
+          s"bad shared message table signature at $tableAddr")
+        (0 until nIndexes).flatMap { _ =>
+          c.get() // index version
+          c.get() // index type (1 = list, 2 = v2 B-tree) — not needed
+          val typeFlags = u2(c)
+          u4(c) // minimum message size
+          u2(c); u2(c); u2(c) // list cutoff, B-tree cutoff, message count
+          c.getLong() // index (list/B-tree) address
+          val heapAddr = c.getLong()
+          if (heapAddr == Undefined) Nil
+          else Seq(typeFlags -> new FractalHeap(heapAddr))
+        }
+      }.getOrElse(Nil)
+
+    /** H5O_SHMESG_*_FLAG bit for a shareable message type. */
+    private def shmesgFlag(t: Int): Int = t match {
+      case 0x0001 => 0x0001 // dataspace
+      case 0x0003 => 0x0002 // datatype
+      case 0x0005 => 0x0004 // fill value
+      case 0x000B => 0x0008 // filter pipeline
+      case 0x000C => 0x0010 // attribute
+      case _ => 0
+    }
+
+    private def sohmObject(t: Int, heapId: Array[Byte]): Array[Byte] = {
+      val flag = shmesgFlag(t)
+      val candidates = sohmIndexes.filter(i => (i._1 & flag) != 0) match {
+        case Seq() => sohmIndexes // older files may leave flags 0
+        case hits => hits
+      }
+      require(candidates.nonEmpty,
+        s"message 0x${t.toHexString} is SOHM-heap shared but the file " +
+          "carries no shared-message table")
+      candidates.head._2.managedObject(heapId)
+    }
+
     /** All (type, body) messages of an object header, v1 or v2, following
       * continuation blocks.
       */
@@ -673,14 +770,14 @@ object Hdf5 {
             val mf = b.get().toInt
             if (trackOrder) u2(b)
             val body = b.read(sz)
-            // a SHARED message's body is an indirection record, not the
-            // message — parsing it as-is would read garbage silently
-            require((mf & 0x2) == 0 || !ConsumedMessages(t),
-              s"shared message of type 0x${t.toHexString} unsupported")
             if (t == 0x10) {
               val cb = buf0(body)
               blocks = (cb.getLong(), cb.getLong()) :: blocks
-            } else out += (t -> body)
+            } else if ((mf & 0x2) != 0 && ConsumedMessages(t))
+              // a SHARED message's body is an indirection record, not
+              // the message — resolve it before parsing
+              out += (t -> resolveShared(t, body))
+            else out += (t -> body)
           }
         }
       } else {
@@ -705,12 +802,12 @@ object Hdf5 {
             bb.get(); bb.get(); bb.get() // reserved
             val body = bb.read(sz)
             remaining -= 1
-            require((mf & 0x2) == 0 || !ConsumedMessages(t),
-              s"shared message of type 0x${t.toHexString} unsupported")
             if (t == 0x10) {
               val cb = buf0(body)
               blocks = blocks :+ ((cb.getLong(), cb.getLong()))
-            } else out += (t -> body)
+            } else if ((mf & 0x2) != 0 && ConsumedMessages(t))
+              out += (t -> resolveShared(t, body))
+            else out += (t -> body)
           }
         }
       }

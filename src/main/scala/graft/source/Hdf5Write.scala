@@ -289,6 +289,7 @@ object Hdf5Write {
             v4PageBits: Int = 10,
             v4Index: Int = 3,
             eaPageBits: Int = EaPageBits,
+            sharedDatatype: Boolean = false,
             unlimitedDims: Set[String] = Set.empty,
             denseHeapGeom: Option[(Long, Long, Int)] = None,
             denseHeapFiltered: Boolean = false,
@@ -299,6 +300,7 @@ object Hdf5Write {
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
       v4PageBits = v4PageBits, v4Index = v4Index, eaPageBits = eaPageBits,
+      sharedDatatype = sharedDatatype,
       unlimitedDims = unlimitedDims, denseHeapGeom = denseHeapGeom,
       denseHeapFiltered = denseHeapFiltered, halfVars = halfVars,
       regFilter = regFilter,
@@ -328,6 +330,7 @@ object Hdf5Write {
                 v4PageBits: Int = 10,
                 v4Index: Int = 3,
                 eaPageBits: Int = EaPageBits,
+                sharedDatatype: Boolean = false,
                 unlimitedDims: Set[String] = Set.empty,
                 denseHeapGeom: Option[(Long, Long, Int)] = None,
                 denseHeapFiltered: Boolean = false,
@@ -339,7 +342,7 @@ object Hdf5Write {
       render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
         dataBase, denseRoot, denseAttrs, v4Layout, denseNodeSize, v4PageBits,
         v4Index, unlimitedDims, denseHeapGeom, denseHeapFiltered, halfVars,
-        regFilter, eaPageBits = eaPageBits,
+        regFilter, eaPageBits = eaPageBits, sharedDatatype = sharedDatatype,
         mkSink = { eof => raf.setLength(eof); new FileSink(raf) })
     } finally raf.close()
   }
@@ -430,7 +433,8 @@ object Hdf5Write {
                      halfVars: Set[String],
                      regFilter: Option[String],
                      mkSink: Long => WSink,
-                     eaPageBits: Int = EaPageBits): Unit = {
+                     eaPageBits: Int = EaPageBits,
+                     sharedDatatype: Boolean = false): Unit = {
     val dimLen = dims.toMap
     require(v4Index == 3 || v4Index == 4 || v4Index == 5,
       s"v4Index $v4Index (3 = Fixed Array, 4 = Extensible Array, 5 = v2 B-tree)")
@@ -524,7 +528,7 @@ object Hdf5Write {
       val dsBody = 8 + rank * 8 +
         (if (unlimMask(p).exists(identity)) rank * 8 else 0)
       val core = msg(dsBody) + // dataspace v1 (+ maxdims when unlimited)
-        msg(20) + // datatype float64
+        (if (sharedDatatype && p.elem == 8) msg(10) else msg(20)) + // datatype
         msg(2) + // fill v3 (undefined)
         (if (p.isScale) msg(18) // contiguous layout
          else (if (v4Layout) {
@@ -556,6 +560,11 @@ object Hdf5Write {
     var cursor = 96L // after superblock v0
     if (dataBase > 0) cursor = math.max(cursor, dataBase) // sparse hole
     def alloc(n: Long): Long = { val a = cursor; cursor += n; a }
+
+    // committed (named) float64 datatype: its own v1 object header whose
+    // single message every float64 dataset references through a SHARED
+    // datatype record (v3, type 2) instead of an inline message
+    val namedTypeAddr = if (sharedDatatype) alloc(48L) else Hdf5.Undefined
 
     // chunk data + per-dataset chunk indexes (or contiguous data): a v1
     // B-tree per payload in the default "earliest" rendering, an FAHD +
@@ -1049,8 +1058,24 @@ object Hdf5Write {
       }
     }
     def writeDoubleType(b: W): Unit = writeFloatType(b, 8)
-    /** IEEE float datatype message: float64, or binary16 when elem = 2 */
+    /** IEEE float datatype message: float64, or binary16 when elem = 2.
+      * With `sharedDatatype`, float64 becomes a SHARED record (message
+      * flags bit 1; body = version 3, type 2, committed-type address) —
+      * the committed-datatype shape third-party writers produce.
+      */
     def writeFloatType(b: W, elem: Int): Unit = {
+      if (sharedDatatype && elem == 8) {
+        b.putShort(0x0003); b.putShort(pad8(10).toShort)
+        b.put(0x02.toByte) // flags: shared
+        b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+        b.put(3.toByte); b.put(2.toByte) // record v3, type 2 (in an OH)
+        b.putLong(namedTypeAddr)
+        (0 until pad8(10) - 10).foreach(_ => b.put(0.toByte))
+        return
+      }
+      writeFloatTypeInline(b, elem)
+    }
+    def writeFloatTypeInline(b: W, elem: Int): Unit = {
       msgHeader(b, 0x0003, 20)
       b.put(0x11.toByte) // version 1, class 1 (float)
       // LE, MSB-implied mantissa norm, sign at the top bit
@@ -1141,6 +1166,18 @@ object Hdf5Write {
       (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
     }
 
+    // committed (named) datatype: a v1 object header holding the one
+    // inline float64 datatype message every shared record points at
+    if (sharedDatatype) {
+      val b = seek(namedTypeAddr)
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort(1)   // one message
+      b.putInt(1)     // reference count (informational in this fixture)
+      b.putInt(32)    // header size: msg(20)
+      b.putInt(0)     // pad to 8
+      writeFloatTypeInline(b, 8)
+    }
+
     // dataset object headers
     plans.foreach { p =>
       val rank = p.shape.length
@@ -1184,7 +1221,7 @@ object Hdf5Write {
           // elements, min pointers, min elements, page bits
           b.put(EaMaxBits.toByte); b.put(EaIdxElmts.toByte)
           b.put(EaMinPtrs.toByte); b.put(EaMinElmts.toByte)
-          b.put(EaPageBits.toByte)
+          b.put(eaPageBits.toByte)
           b.putLong(eaHdrAddr(p.name))
         } else if (v4Index == 5) {
           b.put(5.toByte)                // index type 5: v2 B-tree

@@ -225,4 +225,162 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     // the level-1 node recursion assembles both leaf chunks in order
     assert(r.readDoubles("v").toSeq === Seq(1.0, 2.0, 3.0, 4.0))
   }
+
+  // ---- SHARED messages (committed datatypes + the SOHM heap)
+
+  import graft.source.{Hdf5Write, NetCdfFixture}
+
+  private def sharedPair(): (Array[Byte], Array[Byte]) = {
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 2, ny = 8, nx = 8, nl = 3)
+    (Hdf5Write.write(dims, gatts, vars, maxChunkElems = 8 * 8 * 3),
+      Hdf5Write.write(dims, gatts, vars, maxChunkElems = 8 * 8 * 3,
+        sharedDatatype = true))
+  }
+
+  /** positions (message-header start) of every shared datatype record:
+    * type=0x0003, size=16, flags bit 1, body = version 3 type 2
+    */
+  private def sharedRecordsAt(bytes: Array[Byte]): Seq[Int] = {
+    val pat = Array[Byte](0x03, 0x00, 0x10, 0x00, 0x02, 0x00, 0x00, 0x00,
+      0x03, 0x02)
+    bytes.indices.filter(i => i + pat.length <= bytes.length &&
+      pat.indices.forall(j => bytes(i + j) == pat(j)))
+  }
+
+  private def assertDecodesLikePlain(plain: Array[Byte],
+                                     variant: Array[Byte]): Unit = {
+    val rp = new Hdf5.Reader(plain)
+    val rv = new Hdf5.Reader(variant)
+    assert(rv.file.datasets.map(_.name).sorted ===
+      rp.file.datasets.map(_.name).sorted)
+    rp.file.datasets.foreach { ds =>
+      val a = rp.readDoubles(ds.name); val b = rv.readDoubles(ds.name)
+      assert(a.length === b.length, ds.name)
+      a.indices.foreach(i => assert(
+        java.lang.Double.doubleToLongBits(a(i)) ===
+          java.lang.Double.doubleToLongBits(b(i)), s"${ds.name}($i)"))
+    }
+  }
+
+  test("committed datatype: SHARED v3 type-2 records resolve through " +
+    "the named type's object header, decoding bit-identically") {
+    val (plain, shared) = sharedPair()
+    assert(sharedRecordsAt(shared).nonEmpty,
+      "fixture carries no shared datatype records")
+    assertDecodesLikePlain(plain, shared)
+  }
+
+  test("shared record versions 1 and 2 (older files) resolve the same") {
+    val (plain, shared) = sharedPair()
+    val recs = sharedRecordsAt(shared)
+    def addrAt(b: Array[Byte], p: Int): Long =
+      ByteBuffer.wrap(b, p + 10, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    // v1: version, type, 6 reserved, address (body fills all 16 bytes)
+    val v1 = shared.clone()
+    recs.foreach { p =>
+      val addr = addrAt(v1, p)
+      val body = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      body.put(1.toByte); body.put(2.toByte)
+      (0 until 6).foreach(_ => body.put(0.toByte))
+      body.putLong(addr)
+      System.arraycopy(body.array(), 0, v1, p + 8, 16)
+    }
+    assertDecodesLikePlain(plain, v1)
+    // v2: version, type, address (10 bytes + 6 pad)
+    val v2 = shared.clone()
+    recs.foreach { p =>
+      val addr = addrAt(v2, p)
+      val body = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      body.put(2.toByte); body.put(2.toByte); body.putLong(addr)
+      System.arraycopy(body.array(), 0, v2, p + 8, 16)
+    }
+    assertDecodesLikePlain(plain, v2)
+  }
+
+  test("SOHM heap: SHARED v3 type-1 heap IDs resolve through the " +
+    "superblock extension's shared-message table + fractal heap") {
+    val (plain, shared) = sharedPair()
+    val recs = sharedRecordsAt(shared)
+    assert(recs.nonEmpty)
+
+    // ---- appendix: FRHP + one direct block holding the float64
+    // datatype message body + SMTB + a superblock-extension OH
+    val frhpAddr = shared.length.toLong
+    val dblockAddr = frhpAddr + 146
+    val smtbAddr = dblockAddr + 40
+    val extOhAddr = smtbAddr + 38
+    val app = ByteBuffer.allocate(146 + 40 + 38 + 40)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // FRHP: 8-byte heap IDs (offSize 3 from 24 heap-size bits, lenSize
+    // 4), unfiltered, root = ONE 512-byte direct block (curRows = 0)
+    app.put("FRHP".getBytes); app.put(0.toByte)
+    app.putShort(8)                    // heap ID length
+    app.putShort(0)                    // I/O filter length
+    app.put(0.toByte)                  // flags
+    app.putInt(4096)                   // max managed object size
+    (0 until 12).foreach(_ => app.putLong(0L)) // huge/free/managed stats
+    app.putShort(4)                    // table width
+    app.putLong(512L)                  // starting block size
+    app.putLong(4096L)                 // max direct block size
+    app.putShort(24)                   // max heap size (bits)
+    app.putShort(1)                    // starting # rows
+    app.putLong(dblockAddr)            // root block address
+    app.putShort(0)                    // current rows: 0 = direct root
+    app.putInt(0)                      // checksum (not verified)
+    // FHDB: header (16 bytes with the 3-byte block offset), then the
+    // 20-byte inline float64 datatype message BODY at heap offset 16
+    app.put("FHDB".getBytes); app.put(0.toByte)
+    app.putLong(frhpAddr)
+    app.put(0.toByte); app.put(0.toByte); app.put(0.toByte) // block offset
+    app.put(0x11.toByte); app.put(0x20.toByte); app.put(0x3F.toByte)
+    app.put(0.toByte)
+    app.putInt(8); app.putShort(0); app.putShort(64)
+    app.put(52.toByte); app.put(11.toByte); app.put(0.toByte)
+    app.put(52.toByte); app.putInt(1023)
+    app.putInt(0)                      // checksum (not verified)
+    // SMTB: one index — datatype flag, list index (unused by readers),
+    // heap above
+    app.put("SMTB".getBytes)
+    app.put(0.toByte); app.put(1.toByte) // index version, type (list)
+    app.putShort(0x0002)               // message type flags: datatype
+    app.putInt(0)                      // minimum message size
+    app.putShort(50); app.putShort(40) // list/B-tree cutoffs
+    app.putShort(1)                    // number of messages
+    app.putLong(-1L)                   // index address (list unwritten)
+    app.putLong(frhpAddr)              // fractal heap address
+    app.putInt(0)                      // checksum
+    // superblock extension: v1 object header, one 0x0F message
+    app.put(1.toByte); app.put(0.toByte)
+    app.putShort(1)                    // message count
+    app.putInt(1)                      // reference count
+    app.putInt(24)                     // header size
+    app.putInt(0)                      // pad to 8
+    app.putShort(0x000F); app.putShort(16)
+    app.putInt(0)                      // flags + reserved
+    app.put(0.toByte)                  // shared-message-table version
+    app.putLong(smtbAddr)              // table address
+    app.put(1.toByte)                  // number of indexes
+    (0 until 6).foreach(_ => app.put(0.toByte))
+
+    val out = shared ++ app.array()
+    // rewrite the superblock as v2 with the extension address (root OH
+    // address carried over from the v0 entry at byte 64)
+    val rootOh = ByteBuffer.wrap(shared, 64, 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getLong
+    val sb = ByteBuffer.wrap(out, 8, 40).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(2.toByte); sb.put(8.toByte); sb.put(8.toByte); sb.put(0.toByte)
+    sb.putLong(0L); sb.putLong(extOhAddr); sb.putLong(out.length.toLong)
+    sb.putLong(rootOh)
+    // repoint every shared record at the SOHM heap: v3 type 1 + the
+    // 8-byte managed heap ID (version 0, offset 16, length 20)
+    recs.foreach { p =>
+      val body = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      body.put(3.toByte); body.put(1.toByte)
+      body.put(0.toByte)                                  // ID: managed v0
+      body.put(16.toByte); body.put(0.toByte); body.put(0.toByte) // offset
+      body.putInt(20)                                     // length
+      System.arraycopy(body.array(), 0, out, p + 8, 16)
+    }
+    assertDecodesLikePlain(plain, out)
+  }
 }
