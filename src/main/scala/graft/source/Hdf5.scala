@@ -507,9 +507,11 @@ object Hdf5 {
       * recursively. Heaps with I/O filters store each direct block
       * compressed (the FRHP carries a filter-pipeline message and each
       * doubling-table entry gains stored size + filter mask); images
-      * decompress on demand and are cached per block. Huge and tiny
-      * objects are outside what dense link/attribute storage produces
-      * and are rejected explicitly.
+      * decompress on demand and are cached per block. HUGE objects
+      * (over the max managed size — e.g. a very large shared attribute)
+      * resolve through the heap's huge-object v2 B-tree; TINY objects
+      * are rejected explicitly (no consumed message fits one at the
+      * 8-byte ID lengths dense/SOHM heaps use).
       */
     private final class FractalHeap(addr: Long) {
       private val h = cur(addr)
@@ -520,7 +522,9 @@ object Hdf5 {
       private val ioFilterLen = u2(h)
       h.get() // flags
       u4(h) // max managed object size
-      (0 until 12).foreach(_ => h.getLong()) // huge/free/managed/tiny stats
+      h.getLong() // next huge object ID
+      private val hugeBtAddr = h.getLong() // v2 B-tree of huge objects
+      (0 until 10).foreach(_ => h.getLong()) // free/managed/tiny stats
       private val tableWidth = u2(h)
       private val startBlockSize = h.getLong()
       private val maxDirectBlockSize = h.getLong()
@@ -617,12 +621,20 @@ object Hdf5 {
         * (offset − blockHeapOffset), no header arithmetic needed.
         */
       def managedObject(heapId: Array[Byte]): Array[Byte] = {
-        require(heapId.length >= 1 + offSize + lenSize,
-          s"heap ID of ${heapId.length} bytes (need ${1 + offSize + lenSize})")
+        require(heapId.length >= 1, "empty fractal heap ID")
         val vt = heapId(0).toInt
         require((vt & 0xC0) == 0, s"fractal heap ID version ${(vt >> 6) & 0x3}")
-        require((vt & 0x30) == 0,
-          s"non-managed fractal heap object (type ${(vt >> 4) & 0x3}) unsupported")
+        ((vt >> 4) & 0x3) match {
+          case 0 => // managed: falls through to the doubling-table walk
+          case 1 => return hugeObject(heapId)
+          case t => throw new IllegalArgumentException(
+            // type 2 (tiny) cannot hold any message this reader consumes
+            // at the 8-byte ID lengths dense/SOHM heaps use — reject
+            // pointedly rather than decode an impossible shape
+            s"fractal heap ID type $t (tiny/reserved) unsupported")
+        }
+        require(heapId.length >= 1 + offSize + lenSize,
+          s"heap ID of ${heapId.length} bytes (need ${1 + offSize + lenSize})")
         val off = leUnsigned(java.util.Arrays.copyOfRange(heapId, 1, 1 + offSize))
         val len = leUnsigned(java.util.Arrays.copyOfRange(
           heapId, 1 + offSize, 1 + offSize + lenSize))
@@ -636,6 +648,40 @@ object Hdf5 {
           java.util.Arrays.copyOfRange(img, (off - bo).toInt,
             (off - bo + len).toInt)
         }
+      }
+
+      /** HUGE object (ID type 1): the ID's remaining bytes are the huge
+        * object NUMBER, looked up in the heap's huge-object v2 B-tree
+        * (record type 1 unfiltered / 2 filtered — address, length,
+        * [mask + memory size,] id); the object itself is a plain byte
+        * range, unfiltered through the heap's pipeline when type 2.
+        */
+      private lazy val hugeRecords: (Int, Seq[Array[Byte]]) = {
+        require(hugeBtAddr != Undefined,
+          "huge fractal heap ID but the heap has no huge-object B-tree")
+        v2BtreeRecords(hugeBtAddr, Set(1, 2))
+      }
+
+      private def hugeObject(heapId: Array[Byte]): Array[Byte] = {
+        val id = leUnsigned(
+          java.util.Arrays.copyOfRange(heapId, 1, heapId.length))
+        val (btype, recs) = hugeRecords
+        val idOff = if (btype == 2) 28 else 16
+        val rec = recs.find(r => ByteBuffer.wrap(r)
+            .order(ByteOrder.LITTLE_ENDIAN).getLong(idOff) == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"huge object $id absent from the huge-object B-tree"))
+        val b = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        val addr = b.getLong(0)
+        val len = b.getLong(8)
+        var img = src.read(addr, len.toInt)
+        if (btype == 2) {
+          val mask = b.getInt(16)
+          heapFilters.zipWithIndex.reverse.foreach { case (f, i) =>
+            if ((mask & (1 << i)) == 0) img = unfilter(f, img, 1)
+          }
+        }
+        img
       }
     }
 

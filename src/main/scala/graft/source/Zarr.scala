@@ -55,11 +55,14 @@ object ZarrCodec {
 
   /** One zarr v2 filter (numcodecs codec applied before the
     * compressor): `delta` carries its dtype, `shuffle` its element
-    * size. Decoding reverses the list back-to-front after
-    * decompression.
+    * size, `fixedscaleoffset` its scale/offset and packed astype,
+    * `quantize` is identity on decode (precision was dropped at
+    * encode) up to an astype width change. Decoding reverses the list
+    * back-to-front after decompression.
     */
   final case class V2Filter(id: String, dtype: String = "",
-                            elementSize: Int = 0)
+                            elementSize: Int = 0, astype: String = "",
+                            scale: Double = 0.0, offset: Double = 0.0)
 
   final case class ArrayMeta(store: String, name: String, shape: Seq[Int],
                              chunks: Seq[Int], dtype: String,
@@ -278,8 +281,21 @@ object ZarrCodec {
               case "shuffle" =>
                 V2Filter("shuffle", elementSize =
                   Option(f.get("elementsize")).map(_.asInt()).getOrElse(4))
+              case "fixedscaleoffset" =>
+                val dt = f.get("dtype").asText()
+                V2Filter("fixedscaleoffset", dtype = dt,
+                  astype = Option(f.get("astype")).filterNot(_.isNull)
+                    .map(_.asText()).getOrElse(dt),
+                  scale = f.get("scale").asDouble(),
+                  offset = f.get("offset").asDouble())
+              case "quantize" =>
+                val dt = f.get("dtype").asText()
+                V2Filter("quantize", dtype = dt,
+                  astype = Option(f.get("astype")).filterNot(_.isNull)
+                    .map(_.asText()).getOrElse(dt))
               case other => throw new IllegalArgumentException(
-                s"unsupported zarr v2 filter '$other' in $za (delta/shuffle)")
+                s"unsupported zarr v2 filter '$other' in $za " +
+                  "(delta/shuffle/fixedscaleoffset/quantize)")
             }
           }
         require(node.get("order").asText() == "C",
@@ -305,9 +321,43 @@ object ZarrCodec {
     f.id match {
       case "shuffle" => unshuffleBytes(data, f.elementSize)
       case "delta" => unDelta(data, f.dtype)
+      case "fixedscaleoffset" =>
+        // numcodecs decode: x = enc / scale + offset, enc packed astype
+        encodeDtype(f.dtype,
+          decodeDtype(f.astype, data).map(v => v / f.scale + f.offset))
+      case "quantize" =>
+        // precision was dropped at ENCODE; decode only widens astype
+        if (f.astype == f.dtype) data
+        else encodeDtype(f.dtype, decodeDtype(f.astype, data))
       case other =>
         throw new IllegalArgumentException(s"zarr v2 filter '$other'")
     }
+
+  /** Inverse of [[decodeDtype]] for the filter transforms that change
+    * the packed representation (fixedscaleoffset, widening quantize).
+    */
+  private def encodeDtype(dtype: String, vals: Array[Double]): Array[Byte] = {
+    val order =
+      if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+      else ByteOrder.LITTLE_ENDIAN
+    dtype.drop(1) match {
+      case "f8" =>
+        val b = ByteBuffer.allocate(vals.length * 8).order(order)
+        vals.foreach(b.putDouble); b.array()
+      case "f4" =>
+        val b = ByteBuffer.allocate(vals.length * 4).order(order)
+        vals.foreach(v => b.putFloat(v.toFloat)); b.array()
+      case "i4" =>
+        val b = ByteBuffer.allocate(vals.length * 4).order(order)
+        vals.foreach(v => b.putInt(v.toInt)); b.array()
+      case "i2" =>
+        val b = ByteBuffer.allocate(vals.length * 2).order(order)
+        vals.foreach(v => b.putShort(v.toShort)); b.array()
+      case "i1" | "u1" => vals.map(v => v.toInt.toByte)
+      case other => throw new IllegalArgumentException(
+        s"unsupported zarr dtype $dtype for filter re-encode")
+    }
+  }
 
   private def unshuffleBytes(data: Array[Byte], elem: Int): Array[Byte] =
     ByteShuffle.reverse(data, elem)
@@ -744,6 +794,12 @@ object ZarrFixture {
         case "delta" =>
           s"""{"id": "delta", "dtype": "$dtype", "astype": "$dtype"}"""
         case "shuffle" => s"""{"id": "shuffle", "elementsize": $width}"""
+        case "fixedscaleoffset" =>
+          s"""{"id": "fixedscaleoffset", "scale": 1, "offset": 1000,""" +
+            s""" "dtype": "$dtype", "astype": "<i4"}"""
+        case "quantize" =>
+          s"""{"id": "quantize", "digits": 3, "dtype": "$dtype",""" +
+            s""" "astype": "$dtype"}"""
         case other =>
           throw new IllegalArgumentException(s"fixture filter $other")
       }.mkString("[", ", ", "]")
@@ -768,6 +824,18 @@ object ZarrFixture {
         f match {
           case "delta" => deltaEncode(b, dtype)
           case "shuffle" => Hdf5Write.shuffleBytes(b, width)
+          case "fixedscaleoffset" =>
+            // numcodecs encode: round((x - offset) * scale) packed astype
+            val xs = ZarrCodec.decodeDtype(dtype, b)
+            val out = ByteBuffer.allocate(xs.length * 4)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            xs.foreach(v => out.putInt(math.round((v - 1000.0) * 1.0).toInt))
+            out.array()
+          case "quantize" =>
+            // numcodecs encode: round(x * 10^digits) / 10^digits
+            val xs = ZarrCodec.decodeDtype(dtype, b)
+            encode(dtype, xs.map(v =>
+              math.round(v * 1000.0) / 1000.0).toSeq)
           case other =>
             throw new IllegalArgumentException(s"fixture filter $other")
         }

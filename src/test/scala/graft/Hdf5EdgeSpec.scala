@@ -383,4 +383,103 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     }
     assertDecodesLikePlain(plain, out)
   }
+
+  test("HUGE fractal-heap object: a type-1 heap ID resolves through the " +
+    "heap's huge-object v2 B-tree to the shared datatype bytes") {
+    val (plain, shared) = sharedPair()
+    val recs = sharedRecordsAt(shared)
+    assert(recs.nonEmpty)
+
+    // ---- appendix: FRHP (no direct blocks, huge B-tree attached) +
+    // the raw 20-byte datatype body + BTHD/BTLF with ONE type-1 record
+    // (address, length, id=42) + SMTB + superblock-extension OH
+    val frhpAddr = shared.length.toLong
+    val bodyAddr = frhpAddr + 146
+    val bthdAddr = bodyAddr + 20
+    val btlfAddr = bthdAddr + 38
+    val smtbAddr = btlfAddr + 34
+    val extOhAddr = smtbAddr + 38
+    val app = ByteBuffer.allocate(146 + 20 + 38 + 34 + 38 + 40)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // FRHP: huge-object B-tree in stats slot 2, NO root direct block
+    app.put("FRHP".getBytes); app.put(0.toByte)
+    app.putShort(8)                    // heap ID length
+    app.putShort(0)                    // I/O filter length
+    app.put(0.toByte)                  // flags
+    app.putInt(16)                     // max managed size (tiny: all huge)
+    app.putLong(43L)                   // next huge object ID
+    app.putLong(bthdAddr)              // huge-object v2 B-tree
+    (0 until 10).foreach(_ => app.putLong(0L))
+    app.putShort(4)                    // table width
+    app.putLong(512L)                  // starting block size
+    app.putLong(4096L)                 // max direct block size
+    app.putShort(24)                   // max heap size (bits)
+    app.putShort(1)                    // starting # rows
+    app.putLong(-1L)                   // root block address: none
+    app.putShort(0)                    // current rows
+    app.putInt(0)                      // checksum
+    // the huge object itself: the raw float64 datatype message body
+    app.put(0x11.toByte); app.put(0x20.toByte); app.put(0x3F.toByte)
+    app.put(0.toByte)
+    app.putInt(8); app.putShort(0); app.putShort(64)
+    app.put(52.toByte); app.put(11.toByte); app.put(0.toByte)
+    app.put(52.toByte); app.putInt(1023)
+    // BTHD: record type 1 (huge, unfiltered, indirect), depth 0
+    app.put("BTHD".getBytes); app.put(0.toByte)
+    app.put(1.toByte)                  // B-tree type 1
+    app.putInt(512)                    // node size
+    app.putShort(24)                   // record size: addr+len+id
+    app.putShort(0)                    // depth
+    app.put(100.toByte); app.put(40.toByte) // split / merge percent
+    app.putLong(btlfAddr)              // root node
+    app.putShort(1)                    // root record count
+    app.putLong(1L)                    // total records
+    app.putInt(0)                      // checksum
+    // BTLF: the one record
+    app.put("BTLF".getBytes); app.put(0.toByte)
+    app.put(1.toByte)
+    app.putLong(bodyAddr); app.putLong(20L); app.putLong(42L)
+    app.putInt(0)                      // checksum
+    // SMTB (same shape as the managed-SOHM test)
+    app.put("SMTB".getBytes)
+    app.put(0.toByte); app.put(1.toByte)
+    app.putShort(0x0002)
+    app.putInt(0)
+    app.putShort(50); app.putShort(40)
+    app.putShort(1)
+    app.putLong(-1L)
+    app.putLong(frhpAddr)
+    app.putInt(0)
+    // superblock extension OH
+    app.put(1.toByte); app.put(0.toByte)
+    app.putShort(1)
+    app.putInt(1)
+    app.putInt(24)
+    app.putInt(0)
+    app.putShort(0x000F); app.putShort(16)
+    app.putInt(0)
+    app.put(0.toByte)
+    app.putLong(smtbAddr)
+    app.put(1.toByte)
+    (0 until 6).foreach(_ => app.put(0.toByte))
+
+    val out = shared ++ app.array()
+    val rootOh = ByteBuffer.wrap(shared, 64, 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getLong
+    val sb = ByteBuffer.wrap(out, 8, 40).order(ByteOrder.LITTLE_ENDIAN)
+    sb.put(2.toByte); sb.put(8.toByte); sb.put(8.toByte); sb.put(0.toByte)
+    sb.putLong(0L); sb.putLong(extOhAddr); sb.putLong(out.length.toLong)
+    sb.putLong(rootOh)
+    // repoint every shared record: v3 type 1 + a HUGE heap ID (type
+    // bits 01, id number 42 little-endian in the remaining 7 bytes)
+    recs.foreach { p =>
+      val body = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      body.put(3.toByte); body.put(1.toByte)
+      body.put(0x10.toByte)            // heap ID: version 0, type 1 huge
+      body.put(42.toByte)              // id 42 LE
+      (0 until 6).foreach(_ => body.put(0.toByte))
+      System.arraycopy(body.array(), 0, out, p + 8, 16)
+    }
+    assertDecodesLikePlain(plain, out)
+  }
 }

@@ -113,6 +113,28 @@ class ZarrSpec extends SparkSpec {
     (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"idelta($i)"))
   }
 
+  test("v2 numcodecs fixedscaleoffset and quantize filters decode to " +
+    "the generating values (integer-exact at the fixture's params)") {
+    val d = Files.createTempDirectory("graft-zarr-fso")
+    // fso packs round((x-1000)*1) as <i4; decode x = i/1 + 1000 — exact
+    // for integer values
+    ZarrFixture.write(d, "fso", Seq(7, 5), Seq(4, 3),
+      filters = Seq("fixedscaleoffset"), value = c => c(0) * 100.0 + c(1))
+    // quantize keeps the dtype; digits=3 is exact for integers
+    ZarrFixture.write(d, "qnt", Seq(7, 5), Seq(4, 3),
+      filters = Seq("quantize"), value = c => c(0) * 100.0 + c(1))
+    // chained: quantize, then delta, then zlib — a realistic
+    // climate-store config (precision clamp + decorrelation)
+    ZarrFixture.write(d, "qd", Seq(7, 5), Seq(4, 3),
+      filters = Seq("quantize", "delta"), value = c => c(0) * 100.0 + c(1))
+    for (name <- Seq("fso", "qnt", "qd")) {
+      val meta = ZarrCodec.readMeta(d).find(_.name == name).get
+      val got = ZarrCodec.readArray(d, meta)
+      for (r <- 0 until 7; c <- 0 until 5)
+        assert(got(r * 5 + c) === r * 100.0 + c, s"$name($r,$c)")
+    }
+  }
+
   test("v2 numcodecs zstd and lz4 compressors decode to the generating " +
     "values, alone and chained after filters") {
     val d = Files.createTempDirectory("graft-zarr-numcodec")
