@@ -114,6 +114,17 @@ object NetCdfQueries {
     bandStatsQuery(s, "q86_tidy", globs: _*)
   }
 
+  /** The same statistics over archives whose datasets reference a
+    * COMMITTED (shared) float64 datatype — the shared-message resolution
+    * path through the DSv2 scan end to end — plus Extensible-Array
+    * files whose first data blocks page straight from the index block.
+    */
+  val bandStatsShared = QueryDef("q88_netcdf4_shared_band_stats",
+    bandStatsOracle("q88_tidy")) { (s, _) =>
+    bandStatsQuery(s, "q88_tidy",
+      NetCdfFixture.writeFilesShared(stableWork("fixtures").resolve("ncsh")))
+  }
+
   private def bandStatsQuery(s: org.apache.spark.sql.SparkSession,
                              tag: String, globs: String*) = {
     // through the DataSource V2 format (same tidy schema as
@@ -395,8 +406,62 @@ object NetCdfQueries {
     man.join(statsByArray, Seq("array"))
   }
 
+  /** S7 long-tail — the numcodecs v2 configs beyond the zarr-python
+    * defaults: bare zstd and lz4 compressor frames, a fixedscaleoffset
+    * int-packed array, and quantize chained before delta under zlib.
+    * Same manifest + chunk-stats oracle shape as q67/q84.
+    */
+  val zarrNumcodecsScan = QueryDef("q89_zarr_numcodecs_scan",
+    """SELECT m."array", m.dtype, m.compressor, m.n_values, m.n_chunks,
+      |  s.n_cells, s.vmin, s.vmax, s.vsum
+      |FROM read_parquet('/tmp/graft-oracle/q89_manifest/*.parquet') m
+      |JOIN (SELECT "array", count(*) AS n_cells, min(v) AS vmin,
+      |        max(v) AS vmax, round(sum(v), 6) AS vsum
+      |      FROM (SELECT "array", unnest(vals) AS v
+      |            FROM read_parquet('/tmp/graft-oracle/q89_vals/*.parquet'))
+      |      GROUP BY "array") s USING ("array")
+      |ORDER BY m."array"""".stripMargin) { (s, _) =>
+    val store = stableWork("fixtures").resolve("zarrnc")
+    if (!java.nio.file.Files.exists(store.resolve(".zgroup"))) {
+      graft.source.ZarrFixture.write(store, "sic_zstd", Seq(40, 32),
+        Seq(16, 16), numCodec = Some("zstd"),
+        value = c => c.head * 0.5 + c(1) * 0.01)
+      graft.source.ZarrFixture.write(store, "sic_lz4", Seq(40, 32),
+        Seq(16, 16), numCodec = Some("lz4"),
+        value = c => (c.head + c(1)).toDouble)
+      // integer values: fixedscaleoffset (scale 1, offset 1000, <i4
+      // packing) and quantize (3 digits) round-trip exactly
+      graft.source.ZarrFixture.write(store, "sic_fso", Seq(40, 32),
+        Seq(16, 16), filters = Seq("fixedscaleoffset"),
+        value = c => (c.head * 100 + c(1)).toDouble)
+      graft.source.ZarrFixture.write(store, "sic_quant", Seq(40, 32),
+        Seq(16, 16), filters = Seq("quantize", "delta"),
+        value = c => (c.head * 3 + c(1)).toDouble)
+    }
+    val arrays = Seq("sic_zstd", "sic_lz4", "sic_fso", "sic_quant")
+    val perChunk = arrays.map { name =>
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), col("values").as("vals"))
+    }.reduce(_ unionByName _)
+    oracleDump(s, "q89_vals", perChunk, store.toString)
+    val statsByArray = arrays.map { name =>
+      val st = graft.functions.VecStatsExpr.vecStats(col("values"))
+      graft.source.ZarrSource.read(s, store.toString, name)
+        .select(lit(name).as("array"), st.as("st"))
+        .groupBy(col("array"))
+        .agg(sum(col("st.n_total")).as("n_cells"),
+          min(col("st.vmin")).as("vmin"), max(col("st.vmax")).as("vmax"),
+          round(sum(col("st.vsum")), 6).as("vsum"))
+    }.reduce(_ unionByName _)
+    val man = oracleDump(s, "q89_manifest",
+      graft.source.ZarrSource.manifest(s, store.toString)
+        .select(col("array"), col("dtype"), col("compressor"),
+          col("n_values"), col("n_chunks")), store.toString)
+    man.join(statsByArray, Seq("array"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
-      bandStatsPluginFilters, preprocessE2e, ingestDryRun, zarrScan,
-      zarrV3Scan, zarrVariantsScan)
+      bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
+      zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan)
 }

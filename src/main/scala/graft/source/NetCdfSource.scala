@@ -317,6 +317,29 @@ object NetCdfFixture {
     s"$dir/*.nc"
   }
 
+  /** Archives whose datasets reference a COMMITTED (shared) float64
+    * datatype instead of inline messages — half in the default
+    * "earliest" rendering, half as appendable Extensible-Array files
+    * whose first data blocks PAGE straight from the index block
+    * (4-element pages), so one glob covers both r10 reader edges.
+    */
+  def writeFilesShared(dir: java.nio.file.Path, n: Int = 2): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      val (dims, gatts, vars) = spec(nt = 1, tStart = i.toDouble)
+      val b = Hdf5Write.write(dims, gatts, vars, sharedDatatype = true)
+      java.nio.file.Files.write(dir.resolve(f"shared_$i%02d.nc"), b)
+    }
+    (0 until n).foreach { i =>
+      val (dims, gatts, vars) = spec(nt = 12, tStart = (n + i) * 12.0)
+      val b = Hdf5Write.write(dims, gatts, vars, maxChunkElems = 8 * 8 * 3,
+        v4Layout = true, v4Index = 4, eaPageBits = 2,
+        unlimitedDims = Set("time"), sharedDatatype = true)
+      java.nio.file.Files.write(dir.resolve(f"shared_ea_$i%02d.nc"), b)
+    }
+    s"$dir/*.nc"
+  }
+
   def writeFilesUnlimited(dir: java.nio.file.Path, n: Int = 2,
                           nt: Int = 34): String = {
     java.nio.file.Files.createDirectories(dir)
