@@ -182,14 +182,18 @@ object Mp4 {
     */
   def write(frames: Seq[Array[Byte]], width: Int, height: Int,
             fps: Int = 10, codec: String = "jpeg",
-            samplesPerChunk: Int = Int.MaxValue): Array[Byte] = {
+            samplesPerChunk: Int = Int.MaxValue,
+            use64: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "no frames")
     require(samplesPerChunk > 0, "samplesPerChunk must be positive")
     val n = frames.length
     val mdatPayload = frames.map(_.length).sum
-    // layout: ftyp(24) | mdat hdr(8) + payload | moov
+    // layout: ftyp(24) | mdat hdr(8|16) + payload | moov. `use64` emits
+    // the >4 GiB shapes (largesize mdat + co64 chunk offsets) writers
+    // switch to once offsets may overflow 32 bits — readers must accept
+    // them at any file size.
     val mdatStart = 24L
-    val firstSample = mdatStart + 8
+    val firstSample = mdatStart + (if (use64) 16 else 8)
     // chunks are contiguous in mdat; stco still addresses each one
     val chunkSizes = frames.grouped(math.min(samplesPerChunk, n))
       .map(_.map(_.length).sum).toIndexedSeq
@@ -256,10 +260,15 @@ object Mp4 {
       o.putInt(0); o.putInt(n)
       frames.foreach(f => o.putInt(f.length))
     }, 12 + 4 * n)
-    val stco = full("stco", 0, o => {
-      o.putInt(chunkOffsets.length)
-      chunkOffsets.foreach(off => o.putInt(off.toInt))
-    }, 8 + 4 * chunkOffsets.length)
+    val stco =
+      if (use64) full("co64", 0, o => {
+        o.putInt(chunkOffsets.length)
+        chunkOffsets.foreach(o.putLong)
+      }, 8 + 8 * chunkOffsets.length)
+      else full("stco", 0, o => {
+        o.putInt(chunkOffsets.length)
+        chunkOffsets.foreach(off => o.putInt(off.toInt))
+      }, 8 + 4 * chunkOffsets.length)
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val vmhd = full("vmhd", 0, o => {
       o.putShort(0); o.putShort(0); o.putShort(0); o.putShort(0)
@@ -298,11 +307,17 @@ object Mp4 {
     }, 96)
     val moov = box("moov", mvhd ++ trak)
 
-    val out = ByteBuffer.allocate(24 + 8 + mdatPayload + moov.length)
+    val mdatHdr = if (use64) 16 else 8
+    val out = ByteBuffer.allocate(24 + mdatHdr + mdatPayload + moov.length)
     out.putInt(24); out.put("ftyp".getBytes("US-ASCII"))
     out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
     out.put("isom".getBytes("US-ASCII")); out.put("mp41".getBytes("US-ASCII"))
-    out.putInt(8 + mdatPayload); out.put("mdat".getBytes("US-ASCII"))
+    if (use64) {
+      out.putInt(1); out.put("mdat".getBytes("US-ASCII")) // size=1: largesize
+      out.putLong(16L + mdatPayload)
+    } else {
+      out.putInt(8 + mdatPayload); out.put("mdat".getBytes("US-ASCII"))
+    }
     frames.foreach(out.put)
     out.put(moov)
     out.array()

@@ -148,7 +148,10 @@ object MultimodalQueries {
       else
         Row(i.toLong, "video", "video/mp4",
           Mp4.write(frames, 12, 12, fps = 5 + i % 3,
-            samplesPerChunk = 2 + i % 3),
+            samplesPerChunk = 2 + i % 3,
+            // every third MP4 carries the >4 GiB shapes (co64 chunk
+            // offsets + largesize mdat) the reader must accept
+            use64 = i % 3 == 0),
           Map.empty[String, String])
     }
     val media = s.createDataFrame(

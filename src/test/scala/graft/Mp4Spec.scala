@@ -71,4 +71,23 @@ class Mp4Spec extends SparkSpec {
       w.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
     }
   }
+
+  test("co64 chunk offsets + largesize mdat (the >4 GiB shapes) decode " +
+    "identically to the 32-bit form") {
+    val srcFrames = (0 until 7).map(jpeg)
+    val big = Mp4.write(srcFrames, 16, 16, fps = 5, samplesPerChunk = 3,
+      use64 = true)
+    // the fixture really carries the 64-bit shapes
+    def has(fourcc: String) = {
+      val pat = fourcc.getBytes("US-ASCII")
+      big.indices.exists(i => i + 4 <= big.length &&
+        pat.indices.forall(j => big(i + j) == pat(j)))
+    }
+    assert(has("co64") && !has("stco"))
+    assert(java.nio.ByteBuffer.wrap(big, 24, 4).getInt === 1,
+      "mdat must use the size=1 largesize form")
+    val v = Mp4.decode(big).get
+    assert(v.nFrames === 7 && v.usPerFrame === 200000L)
+    v.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
 }
