@@ -2,12 +2,15 @@ package graft.multimodal
 
 /** Pure-JVM MPEG audio frame-header walk (ISO/IEC 11172-3): no sample
   * synthesis, but REAL stream facts — frame count, sample rate,
-  * channel mode and exact duration from the frame sequence, plus a
-  * coarse energy proxy from the Layer III side-info `global_gain`
-  * fields (a fixed-position 8-bit field per granule/channel, readable
-  * without Huffman decoding). This shrinks the audio stand-in for
-  * lossy formats: duration and energy come from the actual bitstream,
-  * only waveform-level features (zero crossings) remain stubbed.
+  * channel mode and exact duration from the frame sequence, plus the
+  * FULL Layer III side-info walk per (granule, channel): global_gain
+  * (energy proxy), scalefac_compress (scalefactor bit budget), the
+  * window-switching branch with block_type (short blocks mark
+  * transients — an audio-content signal) and subblock_gain, all
+  * readable without Huffman decoding. This shrinks the audio stand-in
+  * for lossy formats: duration, energy and transient density come
+  * from the actual bitstream; only waveform-level features (zero
+  * crossings) remain stubbed.
   *
   * Accepts an optional leading ID3v2 tag and trailing junk (ID3v1);
   * requires at least two consecutive consistent frames so arbitrary
@@ -17,7 +20,9 @@ object Mp3 {
 
   final case class Mp3Info(sampleRate: Int, channels: Int, nFrames: Int,
                            durationMs: Long, bitrateKbps: Int,
-                           meanGlobalGain: Double)
+                           meanGlobalGain: Double,
+                           meanScalefacCompress: Double,
+                           shortBlockFrac: Double)
 
   // Layer III bitrates (kbps) by version; index 0 = free, 15 = bad
   private val BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
@@ -45,6 +50,8 @@ object Mp3 {
     var bitrateSum = 0L
     var gainSum = 0L
     var gainCount = 0L
+    var sfcSum = 0L
+    var shortCount = 0L
     var ok = true
     while (ok && pos + 4 <= bytes.length) {
       val b1 = bytes(pos) & 0xFF
@@ -80,16 +87,27 @@ object Mp3 {
             else {
               // Layer III side info (MPEG1 only): fixed 59-bit blocks
               // per (granule, channel) after main_data_begin(9) +
-              // private bits + scfsi; global_gain sits 21 bits into
-              // each block (after part2_3_length + big_values)
+              // private bits + scfsi — walked field by field:
+              // part2_3_length(12) big_values(9) global_gain(8)
+              // scalefac_compress(4) windows_switching(1), then either
+              // block_type(2) mixed(1) table_select(2x5)
+              // subblock_gain(3x3) or table_select(3x5) region0(4)
+              // region1(3); preflag/scalefac_scale/count1table(3)
               if (mpeg1) {
                 val si = pos + 4 + (if (crcAbsent) 0 else 2)
                 val nch = if (mode == 3) 1 else 2
-                val head = 9 + (if (nch == 1) 5 else 3) + 4 * nch
+                val br2 = new BitReader(bytes, si)
+                br2.skip(9 + (if (nch == 1) 5 else 3) + 4 * nch)
                 var g = 0
                 while (g < 2 * nch) {
-                  val bit = head + g * 59 + 21
-                  gainSum += bits8(bytes, si, bit)
+                  br2.skip(12 + 9)       // part2_3_length + big_values
+                  gainSum += br2.read(8) // global_gain
+                  sfcSum += br2.read(4)  // scalefac_compress
+                  if (br2.read(1) == 1) { // windows_switching_flag
+                    if (br2.read(2) == 2) shortCount += 1 // block_type
+                    br2.skip(1 + 10 + 9) // mixed + tables + subblock_gain
+                  } else br2.skip(15 + 4 + 3) // tables + region counts
+                  br2.skip(3) // preflag + scalefac_scale + count1table
                   gainCount += 1
                   g += 1
                 }
@@ -107,28 +125,44 @@ object Mp3 {
     else Some(Mp3Info(rate, channels, nFrames,
       totalSamples * 1000 / rate,
       (bitrateSum / nFrames).toInt,
-      if (gainCount == 0) 0.0 else gainSum.toDouble / gainCount))
+      if (gainCount == 0) 0.0 else gainSum.toDouble / gainCount,
+      if (gainCount == 0) 0.0 else sfcSum.toDouble / gainCount,
+      if (gainCount == 0) 0.0 else shortCount.toDouble / gainCount))
   }
 
-  /** 8 bits starting `bitOff` bits past byte `base`, MSB-first. */
-  private def bits8(bytes: Array[Byte], base: Int, bitOff: Int): Int = {
-    var v = 0
-    var i = 0
-    while (i < 8) {
-      val bit = bitOff + i
-      val byteAt = base + bit / 8
-      val b = if (byteAt < bytes.length) bytes(byteAt) & 0xFF else 0
-      v = (v << 1) | ((b >> (7 - bit % 8)) & 1)
-      i += 1
+  /** MSB-first bit cursor over the side-info bytes (reads past EOF as
+    * zeros — the frame-length check already bounds real streams).
+    */
+  private final class BitReader(bytes: Array[Byte], base: Int) {
+    private var bit = 0
+    def skip(n: Int): Unit = bit += n
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = bit + i
+        val at = base + b / 8
+        val x = if (at < bytes.length) bytes(at) & 0xFF else 0
+        v = (v << 1) | ((x >> (7 - b % 8)) & 1)
+        i += 1
+      }
+      bit += n
+      v
     }
-    v
   }
 
   /** Fixture: a stereo MPEG1 Layer III 44.1 kHz / 128 kbps frame
-    * stream with the given side-info global gain — structurally valid
-    * headers + side info, zeroed main data (silence).
+    * stream with the given side-info fields — structurally valid
+    * headers + side info, zeroed main data (silence). Granules with
+    * index < `shortGranules` (of the 4 per frame) carry the
+    * window-switching branch with block_type 2 (short blocks), the
+    * rest the long-block branch, so the probe's branch walk and the
+    * short-block fraction are pinned by construction.
     */
-  def fixture(nFrames: Int, globalGain: Int, id3: Boolean = false): Array[Byte] = {
+  def fixture(nFrames: Int, globalGain: Int, id3: Boolean = false,
+              scalefacCompress: Int = 0,
+              shortGranules: Int = 0): Array[Byte] = {
+    require(shortGranules >= 0 && shortGranules <= 4, "4 granule slots")
     val frameLen = 144 * 128000 / 44100 // 417, no padding
     val out = new java.io.ByteArrayOutputStream()
     if (id3) {
@@ -140,14 +174,20 @@ object Mp3 {
       f(0) = 0xFF.toByte; f(1) = 0xFB.toByte // MPEG1 L3, no CRC
       f(2) = 0x90.toByte                     // 128 kbps, 44100, no pad
       f(3) = 0x00                            // stereo
-      // side info: write global_gain at each (granule, channel) slot
-      val head = 9 + 3 + 8 // main_data_begin + private + scfsi (stereo)
-      (0 until 4).foreach { g =>
-        val bit = head + g * 59 + 21
-        (0 until 8).foreach { i =>
-          val b = (globalGain >> (7 - i)) & 1
+      def set(bit: Int, width: Int, value: Int): Unit =
+        (0 until width).foreach { i =>
+          val b = (value >> (width - 1 - i)) & 1
           val at = 4 + (bit + i) / 8
           f(at) = (f(at) | (b << (7 - (bit + i) % 8))).toByte
+        }
+      val head = 9 + 3 + 8 // main_data_begin + private + scfsi (stereo)
+      (0 until 4).foreach { g =>
+        val base = head + g * 59
+        set(base + 21, 8, globalGain)       // global_gain
+        set(base + 29, 4, scalefacCompress) // scalefac_compress
+        if (g < shortGranules) {
+          set(base + 33, 1, 1)              // windows_switching_flag
+          set(base + 34, 2, 2)              // block_type: short
         }
       }
       out.write(f)

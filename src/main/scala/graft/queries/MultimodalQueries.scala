@@ -198,26 +198,34 @@ object MultimodalQueries {
   val codecProbe = QueryDef("q87_codec_probe",
     """SELECT media_id, codec, n_frames,
       |  CAST(n_frames * spf * 1000 // rate AS BIGINT) AS duration_ms,
-      |  round(gain, 3) AS mean_gain
+      |  round(gain, 3) AS mean_gain, round(sfc, 3) AS mean_sfc,
+      |  round(short_frac, 3) AS short_frac
       |FROM read_parquet('/tmp/graft-oracle/q87_params/*.parquet')
       |ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.{Aac, Mp3}
     val aacRateIdx = Array(4 -> 44100, 3 -> 48000, 8 -> 16000, 11 -> 8000)
+    // mp3 rows vary every recoverable side-info parameter: global_gain,
+    // scalefac_compress, and the short-block granule count (0..4 of the
+    // 4 per stereo frame → fraction in quarters)
     val params = (0 until 24).map { i =>
-      if (i % 2 == 0) (i.toLong, "mp3", 20 + i, 1152, 44100, (100 + i).toDouble)
+      if (i % 2 == 0)
+        (i.toLong, "mp3", 20 + i, 1152, 44100, (100 + i).toDouble,
+          (i % 16).toDouble, (i / 2 % 5) / 4.0)
       else {
         val (_, rate) = aacRateIdx((i / 2) % 4)
-        (i.toLong, "aac", 30 + i, 1024, rate, 0.0)
+        (i.toLong, "aac", 30 + i, 1024, rate, 0.0, 0.0, 0.0)
       }
     }
     val paramsDf = params
-      .toDF("media_id", "codec", "n_frames", "spf", "rate", "gain")
+      .toDF("media_id", "codec", "n_frames", "spf", "rate", "gain", "sfc",
+        "short_frac")
     graft.Work.oracleDump(s, "q87_params", paramsDf, d)
-    val payloads = params.map { case (id, codec, nFrames, _, _, gain) =>
+    val payloads = params.map { case (id, codec, nFrames, _, _, gain, sfc, sf) =>
       val i = id.toInt
       val content =
-        if (codec == "mp3") Mp3.fixture(nFrames, gain.toInt, id3 = i % 4 == 0)
+        if (codec == "mp3") Mp3.fixture(nFrames, gain.toInt, id3 = i % 4 == 0,
+          scalefacCompress = sfc.toInt, shortGranules = (sf * 4).toInt)
         else Aac.fixture(nFrames, sampleRateIdx = aacRateIdx((i / 2) % 4)._1,
           channels = 1 + i % 2, id3 = i % 3 == 0)
       (id, codec, content)
@@ -227,13 +235,17 @@ object MultimodalQueries {
       .map { case (id, codec, bytes) =>
         if (codec == "mp3") {
           val p = Mp3.probe(bytes).get
-          (id, codec, p.nFrames, p.durationMs, p.meanGlobalGain)
+          (id, codec, p.nFrames, p.durationMs, p.meanGlobalGain,
+            p.meanScalefacCompress, p.shortBlockFrac)
         } else {
           val p = Aac.probe(bytes).get
-          (id, codec, p.nFrames, p.durationMs, 0.0)
+          (id, codec, p.nFrames, p.durationMs, 0.0, 0.0, 0.0)
         }
-      }.toDF("media_id", "codec", "n_frames", "duration_ms", "mean_gain")
+      }.toDF("media_id", "codec", "n_frames", "duration_ms", "mean_gain",
+        "mean_sfc", "short_frac")
       .withColumn("mean_gain", round(col("mean_gain"), 3))
+      .withColumn("mean_sfc", round(col("mean_sfc"), 3))
+      .withColumn("short_frac", round(col("short_frac"), 3))
   }
 
   val all: Seq[QueryDef] =

@@ -155,6 +155,14 @@ class MultimodalSpec extends SparkSpec {
       info.channels === 2 && info.bitrateKbps === 128)
     assert(info.durationMs === 86L * 1152 * 1000 / 44100)
     assert(info.meanGlobalGain === 180.0)
+    assert(info.meanScalefacCompress === 0.0 && info.shortBlockFrac === 0.0)
+    // the full side-info walk recovers scalefac_compress and the
+    // short-block (transient) fraction written per granule
+    val transient = Mp3.probe(Mp3.fixture(nFrames = 10, globalGain = 90,
+      scalefacCompress = 11, shortGranules = 3)).get
+    assert(transient.meanGlobalGain === 90.0)
+    assert(transient.meanScalefacCompress === 11.0)
+    assert(transient.shortBlockFrac === 0.75)
     val rows = Seq(Row(11L, "audio", "audio/mpeg", mp3,
       // metadata LIES about the duration — the header walk must win
       Map("duration_ms" -> "99999")))
