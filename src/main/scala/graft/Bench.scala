@@ -25,8 +25,13 @@ object Bench {
     * the plain-form regex never matches a wrapper: q47 ran 1.90× slower
     * yet `"slower"` stayed `{}` — a silent no-op tracker.
     */
-  private val pairRe = """\\?"(q[0-9]\w+)\\?":(-?[0-9.]+)""".r
-  private val calRe = """\\?"cpu_cal_ms\\?":([0-9.]+)""".r
+  private val pairRe = """\\?"(q[0-9]\w+)\\?":\s*(-?[0-9.]+)""".r
+  // optional whitespace after the colon: this main writes compact JSON,
+  // but repaired/pretty-printed baselines (round-9's repair_note
+  // surgery) carry `": 0.349"` — round 10's tracker silently matched 0
+  // pairs against exactly such a file
+  private val calRe = """\\?"cpu_cal_ms\\?":\s*([0-9.]+)""".r
+  private val calMtRe = """\\?"cpu_cal_mt_ms\\?":\s*([0-9.]+)""".r
 
   def parsePrevTimes(txt: String): Map[String, Double] =
     pairRe.findAllMatchIn(txt)
@@ -34,6 +39,9 @@ object Bench {
 
   def parsePrevCal(txt: String): Option[Double] =
     calRe.findAllMatchIn(txt).map(_.group(1).toDouble).toSeq.lastOption
+
+  def parsePrevCalMt(txt: String): Option[Double] =
+    calMtRe.findAllMatchIn(txt).map(_.group(1).toDouble).toSeq.lastOption
 
   /** The `"regressions"` JSON block: queries ≥1.25× slower than `prevTxt`
     * both raw AND after normalizing by the host-speed canary
@@ -46,10 +54,17 @@ object Bench {
     */
   def regressionsJson(results: Seq[(String, Either[String, Double])],
                       prevName: String, prevTxt: String,
-                      calNow: Double): String = {
+                      calNow: Double, calMtNow: Double = 0.0): String = {
     val prevTimes = parsePrevTimes(prevTxt)
-    val calScale = parsePrevCal(prevTxt).filter(_ > 0)
-      .map(_ / calNow).getOrElse(1.0)
+    // normalize by the MULTI-core canary when both artifacts carry it —
+    // the wall-clock tides this VM shows are contention-shaped (r10:
+    // cal_mt moved 240→284 ms between back-to-back runs while the
+    // single-thread canary sat at 105.8 both times), so the
+    // single-thread proxy under-corrects them
+    val calScale = parsePrevCalMt(prevTxt).filter(_ > 0)
+      .filter(_ => calMtNow > 0).map(_ / calMtNow)
+      .orElse(parsePrevCal(prevTxt).filter(_ > 0).map(_ / calNow))
+      .getOrElse(1.0)
     val regs = results.collect {
       case (k, Right(v)) if prevTimes.get(k).exists(p =>
           p >= 0.2 && v / p >= 1.25 && v / p * calScale >= 1.25) =>
@@ -174,7 +189,8 @@ object Bench {
     }
     val regressions = prev match {
       case None => "{}"
-      case Some((name, txt)) => regressionsJson(results, name, txt, calMs)
+      case Some((name, txt)) =>
+        regressionsJson(results, name, txt, calMs, calMtMs)
     }
     val line =
       s"""{"metric":"total","value":${Json.num(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFail,"iterations":$iterations,"cpu_cal_ms":${Json.num(calMs)},"cpu_cal_mt_ms":${Json.num(calMtMs)},"regressions":$regressions,"sf":"$sfDir"}"""

@@ -69,6 +69,38 @@ class BenchTrackerSpec extends AnyFunSuite {
     assert(sameHost.contains("q47_preprocess_e2e"))
   }
 
+  test("pretty-printed baselines (space after the colon) still parse — " +
+    "the r9 repaired artifact's form") {
+    val pretty = """{"queries": {"q01_band_stats": 0.349, "q02": 1.5},
+      | "cpu_cal_ms": 108.244, "cpu_cal_mt_ms": 250.0}""".stripMargin
+    val t = Bench.parsePrevTimes(pretty)
+    assert(t === Map("q01_band_stats" -> 0.349, "q02" -> 1.5))
+    assert(Bench.parsePrevCal(pretty) === Some(108.244))
+    assert(Bench.parsePrevCalMt(pretty) === Some(250.0))
+  }
+
+  test("multi-core canary normalization wins over single-thread when " +
+    "both artifacts carry it") {
+    val prev = """{"queries":{"q47":4.0},"cpu_cal_ms":100.0,""" +
+      """"cpu_cal_mt_ms":200.0}"""
+    val results: Seq[(String, Either[String, Double])] =
+      Seq("q47" -> Right(6.0)) // raw 1.5×
+    // single-thread canary flat, but MT canary shows the host 1.5×
+    // contended: normalized 1.0× — suppressed
+    val tide = Bench.regressionsJson(results, "p", prev,
+      calNow = 100.0, calMtNow = 300.0)
+    assert(!tide.contains("q47"))
+    // MT canary flat too: real regression — flags
+    val real = Bench.regressionsJson(results, "p", prev,
+      calNow = 100.0, calMtNow = 200.0)
+    assert(real.contains("q47"))
+    // prev artifact without cpu_cal_mt_ms falls back to single-thread
+    val old = """{"queries":{"q47":4.0},"cpu_cal_ms":100.0}"""
+    val fb = Bench.regressionsJson(results, "p", old,
+      calNow = 150.0, calMtNow = 300.0)
+    assert(!fb.contains("q47")) // 1.5× ÷ 1.5 single-thread tide
+  }
+
   test("failed (-1) prev entries never count as a baseline") {
     val prev = """{"queries":{"q47_preprocess_e2e":-1}}"""
     val out = Bench.regressionsJson(
