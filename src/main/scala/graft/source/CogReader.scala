@@ -17,7 +17,9 @@ import java.util.zip.Inflater
   *     common non-cloud-optimized GeoTIFF layout;
   *   - sample types float64/float32, signed/unsigned 8/16/32-bit ints;
   *   - DEFLATE (8 and the legacy 32946 code) and LZW (5, early-change
-  *     variant) with horizontal predictor 2.
+  *     variant) with horizontal predictor 2;
+  *   - JPEG (7, TechNote 2) tiles/strips, standalone or abbreviated
+  *     against a JPEGTables (347) stream — the visual-COG layout.
   */
 object CogReader {
 
@@ -26,7 +28,8 @@ object CogReader {
       compression: Int, bitsPerSample: Int, sampleFormat: Int,
       isOverview: Boolean, tileOffsets: Seq[Long], tileByteCounts: Seq[Long],
       gdalMetadata: Option[String], epsg: Option[Int],
-      rowsPerStrip: Int = 0, planar: Int = 2, predictor: Int = 1) {
+      rowsPerStrip: Int = 0, planar: Int = 2, predictor: Int = 1,
+      jpegTables: Option[Array[Byte]] = None) {
     def tiled: Boolean = tileW > 0
   }
 
@@ -43,6 +46,7 @@ object CogReader {
     /** Decode band `b` of page `pageIdx` to a row-major grid. */
     def readBand(pageIdx: Int, b: Int): Array[Array[Double]] = {
       val p = pages(pageIdx)
+      if (p.compression == 7) return readBandJpeg(p, b)
       val grid = Array.ofDim[Double](p.height, p.width)
       val ss = p.bitsPerSample / 8
       def sample(buf: ByteBuffer): Double = (p.sampleFormat, p.bitsPerSample) match {
@@ -105,6 +109,64 @@ object CogReader {
             val v = sample(buf)
             if (!chunky || bb == b) grid(s * rps + y)(x) = v
           }
+        }
+      }
+      grid
+    }
+
+    /** JPEG-compressed page (compression 7, TIFF TechNote 2 — the
+      * visual-COG layout): each tile/strip is an abbreviated or
+      * standalone JPEG stream. When the IFD carries a JPEGTables tag
+      * (347: an SOI + quantization/Huffman segments + EOI stream), a
+      * tile starting with SOI is completed by splicing tables-without-
+      * EOI ahead of tile-without-SOI; decode goes through the JVM's
+      * ImageIO (exact per decoder — the fixture spec compares against
+      * ImageIO on the same bytes). Grayscale decodes as the single
+      * band; YCbCr 3-component tiles surface as the decoder's RGB.
+      */
+    private def readBandJpeg(p: Page, b: Int): Array[Array[Double]] = {
+      val grid = Array.ofDim[Double](p.height, p.width)
+      def raster(idx: Int): java.awt.image.Raster = {
+        val o = p.tileOffsets(idx).toInt
+        val raw = java.util.Arrays.copyOfRange(bytes, o,
+          o + p.tileByteCounts(idx).toInt)
+        val stream = p.jpegTables match {
+          case Some(t) if t.length > 4 && raw.length > 2 &&
+              (raw(0) & 0xFF) == 0xFF && (raw(1) & 0xFF) == 0xD8 =>
+            java.util.Arrays.copyOf(t, t.length - 2) ++ raw.drop(2)
+          case _ => raw
+        }
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(stream))
+        require(img != null, s"JPEG chunk $idx failed to decode")
+        img.getRaster
+      }
+      val chunky = p.planar == 1 && p.nBands > 1
+      if (p.tiled) {
+        val tilesX = (p.width + p.tileW - 1) / p.tileW
+        val tilesY = (p.height + p.tileH - 1) / p.tileH
+        val perBand = tilesX * tilesY
+        for (t <- 0 until perBand) {
+          val r = raster(if (chunky) t else b * perBand + t)
+          val band = if (r.getNumBands > 1) b else 0
+          val (ty, tx) = (t / tilesX, t % tilesX)
+          for (y <- 0 until p.tileH; x <- 0 until p.tileW) {
+            val yy = ty * p.tileH + y; val xx = tx * p.tileW + x
+            if (yy < p.height && xx < p.width)
+              grid(yy)(xx) = r.getSampleDouble(
+                math.min(x, r.getWidth - 1), math.min(y, r.getHeight - 1),
+                band)
+          }
+        }
+      } else {
+        val rps = if (p.rowsPerStrip > 0) p.rowsPerStrip else p.height
+        val nStrips = (p.height + rps - 1) / rps
+        for (s <- 0 until nStrips) {
+          val rows = math.min(rps, p.height - s * rps)
+          val r = raster(if (chunky || p.nBands == 1) s else b * nStrips + s)
+          val band = if (r.getNumBands > 1) b else 0
+          for (y <- 0 until rows; x <- 0 until p.width)
+            grid(s * rps + y)(x) = r.getSampleDouble(x, y, band)
         }
       }
       grid
@@ -248,6 +310,11 @@ object CogReader {
         val start = if (count <= inlineCap) valuePos else v.toInt
         new String(bytes, start, count, "UTF-8").takeWhile(_ != '\u0000')
     }
+    def raw(tag: Int): Option[Array[Byte]] = tags.get(tag).map {
+      case (_, count, v, valuePos) =>
+        val start = if (count <= inlineCap) valuePos else v.toInt
+        java.util.Arrays.copyOfRange(bytes, start, start + count)
+    }
 
     def one(tag: Int, default: Long = 0): Long = values(tag).headOption.getOrElse(default)
 
@@ -269,7 +336,8 @@ object CogReader {
       gdalMetadata = ascii(42112), epsg = epsg,
       rowsPerStrip = one(278).toInt,
       planar = one(284, if (tiled) 2 else 1).toInt,
-      predictor = one(317, 1).toInt)
+      predictor = one(317, 1).toInt,
+      jpegTables = raw(347))
     (page, nextIfd)
   }
 

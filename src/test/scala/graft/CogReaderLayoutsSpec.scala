@@ -21,7 +21,7 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
     val dataOff = headerLen
     val inlineCap = if (big) 8 else 4
     def typeSize(t: Int) = t match {
-      case 1 => 1; case 3 => 2; case 4 => 4; case 16 => 8
+      case 1 | 7 => 1; case 3 => 2; case 4 => 4; case 16 => 8
     }
     // lay out external arrays after the data block
     var extOff = dataOff + data.length
@@ -33,6 +33,7 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
         val off = extOff
         vals.foreach { v =>
           typ match {
+            case 1 | 7 => ext.put(v.toByte)
             case 3 => ext.putShort(v.toShort)
             case 4 => ext.putInt(v.toInt)
             case 16 => ext.putLong(v)
@@ -61,6 +62,7 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
         case Some(off) => if (big) out.putLong(off) else out.putInt(off)
         case None => vals.foreach { v =>
           typ match {
+            case 1 | 7 => out.put(v.toByte)
             case 3 => out.putShort(v.toShort)
             case 4 => out.putInt(v.toInt)
             case 16 => out.putLong(v)
@@ -185,5 +187,99 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
     val b1 = t.readBand(0, 1)
     assert(b0(0).toSeq === Seq(10.0, 20.0) && b0(1).toSeq === Seq(30.0, 40.0))
     assert(b1(0).toSeq === Seq(110.0, 120.0) && b1(1).toSeq === Seq(130.0, 140.0))
+  }
+
+  // ---- JPEG compression (7): the visual-COG layout
+
+  /** grayscale JPEG bytes for a deterministic 16×16 gradient */
+  private def grayJpeg(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (x * 13 + y * 7 + seed) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** expected grid: ImageIO's own decode of the same JPEG bytes */
+  private def decodeRef(jpeg: Array[Byte]): Array[Array[Double]] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    Array.tabulate(img.getHeight, img.getWidth)((y, x) =>
+      img.getRaster.getSampleDouble(x, y, 0))
+  }
+
+  /** split a JFIF stream into (tables: SOI+DQT/DHT+EOI, body: the
+    * stream with DQT/DHT removed) — the JPEGTables/abbreviated pair
+    */
+  private def splitJpeg(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val tables = new java.io.ByteArrayOutputStream()
+    val body = new java.io.ByteArrayOutputStream()
+    tables.write(0xFF); tables.write(0xD8)
+    body.write(0xFF); body.write(0xD8)
+    var i = 2
+    var done = false
+    while (!done && i + 4 <= jpeg.length) {
+      assert((jpeg(i) & 0xFF) == 0xFF, s"marker expected at $i")
+      val m = jpeg(i + 1) & 0xFF
+      if (m == 0xDA) { // SOS: entropy data to EOI — all body
+        body.write(jpeg, i, jpeg.length - i)
+        done = true
+      } else {
+        val len = ((jpeg(i + 2) & 0xFF) << 8) | (jpeg(i + 3) & 0xFF)
+        val seg = 2 + len
+        if (m == 0xDB || m == 0xC4) tables.write(jpeg, i, seg) // DQT/DHT
+        else body.write(jpeg, i, seg)
+        i += seg
+      }
+    }
+    tables.write(0xFF); tables.write(0xD9)
+    (tables.toByteArray, body.toByteArray)
+  }
+
+  private def jpegTiffEntries(w: Int, h: Int, offs: Seq[Long],
+                              counts: Seq[Long]): Seq[(Int, Int, Seq[Long])] =
+    Seq((256, 4, Seq(w.toLong)), (257, 4, Seq(h.toLong)),
+      (258, 3, Seq(8L)), (277, 3, Seq(1L)), (259, 3, Seq(7L)),
+      (262, 3, Seq(1L)), (284, 3, Seq(1L)),
+      (322, 4, Seq(16L)), (323, 4, Seq(16L)),
+      (324, 4, offs), (325, 4, counts))
+
+  test("JPEG-compressed tiles (compression 7) decode via ImageIO, " +
+    "bit-equal to ImageIO on the standalone streams") {
+    val tiles = Seq(grayJpeg(0), grayJpeg(50), grayJpeg(100), grayJpeg(150))
+    val offs = tiles.map(_.length.toLong).scanLeft(8L)(_ + _).init
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false,
+      jpegTiffEntries(32, 32, offs, tiles.map(_.length.toLong)),
+      tiles.flatten.toArray)
+    val t = CogReader.read(bytes)
+    assert(t.pages.head.compression === 7 && t.pages.head.tiled)
+    val g = t.readBand(0, 0)
+    val refs = tiles.map(decodeRef)
+    for (ti <- 0 until 4; y <- 0 until 16; x <- 0 until 16)
+      assert(g((ti / 2) * 16 + y)((ti % 2) * 16 + x) === refs(ti)(y)(x),
+        s"tile $ti ($x,$y)")
+  }
+
+  test("abbreviated JPEG tiles against a JPEGTables (347) stream " +
+    "decode identically to their standalone forms") {
+    val full = Seq(grayJpeg(0), grayJpeg(50), grayJpeg(100), grayJpeg(150))
+    val (tables, _) = splitJpeg(full.head)
+    // all tiles share the head tile's tables (same encoder settings),
+    // exactly what JPEGTables exists for
+    val abbrev = full.map(j => splitJpeg(j)._2)
+    val offs = abbrev.map(_.length.toLong).scanLeft(8L)(_ + _).init
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false,
+      jpegTiffEntries(32, 32, offs, abbrev.map(_.length.toLong)) :+
+        ((347, 7, tables.map(b => (b & 0xFF).toLong).toSeq)),
+      abbrev.flatten.toArray)
+    val t = CogReader.read(bytes)
+    assert(t.pages.head.jpegTables.exists(_.sameElements(tables)))
+    val g = t.readBand(0, 0)
+    val refs = full.map(decodeRef)
+    for (ti <- 0 until 4; y <- 0 until 16; x <- 0 until 16)
+      assert(g((ti / 2) * 16 + y)((ti % 2) * 16 + x) === refs(ti)(y)(x),
+        s"tile $ti ($x,$y)")
   }
 }
