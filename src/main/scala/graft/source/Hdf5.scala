@@ -1016,7 +1016,6 @@ object Hdf5 {
       val ver = b.get().toInt
       require(ver >= 1 && ver <= 3, s"attribute message version $ver")
       val flags = if (ver == 1) { b.get(); 0 } else b.get().toInt
-      require((flags & 0x3) == 0, "shared attribute datatype/dataspace unsupported")
       val nameSize = u2(b)
       val dtSize = u2(b)
       val dsSize = u2(b)
@@ -1027,8 +1026,13 @@ object Hdf5 {
         StandardCharsets.UTF_8) // size includes NUL
       val dtb = new Array[Byte](pad8(dtSize)); b.get(dtb)
       val dsb = new Array[Byte](pad8(dsSize)); b.get(dsb)
-      val dtype = parseDatatype(buf0(dtb))
-      val dims = parseDataspace(dsb).dims
+      // flag bits 0/1: the embedded datatype/dataspace block is a SHARED
+      // record, not the message — e.g. an attribute typed by a committed
+      // datatype; resolve through the same machinery as header messages
+      val dtype = parseDatatype(buf0(
+        if ((flags & 0x1) != 0) resolveShared(0x0003, dtb) else dtb))
+      val dims = parseDataspace(
+        if ((flags & 0x2) != 0) resolveShared(0x0001, dsb) else dsb).dims
       val n = if (dims.isEmpty) 1 else dims.product.toInt
       val data = new Array[Byte](body.length - b.position())
       b.get(data)

@@ -549,7 +549,9 @@ object Hdf5Write {
       val userAttrs = p.attrs.map { case (k, v) =>
         attrMsgSize(k.length, 8, 8, v.length + 1)
       }.sum + p.numAttrs.map { case (k, _) =>
-        attrMsgSize(k.length, 20, 8, 8) // float64 scalar attribute
+        if (sharedDatatype) // v2 attr, shared-record datatype, unpadded
+          msg(8 + (k.length + 1) + 10 + 8 + 8)
+        else attrMsgSize(k.length, 20, 8, 8) // float64 scalar attribute
       }.sum
       16 + core + scaleAttrs + userAttrs
     }
@@ -1118,6 +1120,25 @@ object Hdf5Write {
       (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
     }
     def writeDoubleAttr(b: W, name: String, value: Double): Unit = {
+      if (sharedDatatype) {
+        // version-2 attribute, flag bit 0: the embedded datatype block
+        // is a SHARED record (v3, type 2) pointing at the committed type
+        val body = 8 + (name.length + 1) + 10 + 8 + 8
+        msgHeader(b, 0x000C, body)
+        val mark = b.position()
+        b.put(2.toByte); b.put(1.toByte)
+        b.putShort((name.length + 1).toShort)
+        b.putShort(10); b.putShort(8)
+        b.put(name.getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+        b.put(3.toByte); b.put(2.toByte)
+        b.putLong(namedTypeAddr)
+        // dataspace: scalar v1
+        b.put(1.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+        b.putInt(0)
+        b.putDouble(value)
+        (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
+        return
+      }
       val body = 8 + pad8(name.length + 1) + pad8(20) + pad8(8) + 8
       msgHeader(b, 0x000C, body)
       val mark = b.position()

@@ -232,8 +232,12 @@ class Hdf5EdgeSpec extends AnyFunSuite {
 
   private def sharedPair(): (Array[Byte], Array[Byte]) = {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 2, ny = 8, nx = 8, nl = 3)
-    (Hdf5Write.write(dims, gatts, vars, maxChunkElems = 8 * 8 * 3),
-      Hdf5Write.write(dims, gatts, vars, maxChunkElems = 8 * 8 * 3,
+    // a numeric attribute: under sharedDatatype the writer types it by
+    // the committed datatype through a v2 attr message (flag bit 0)
+    val vars2 = vars.map(v => if (v.name == "sic_stddev")
+      v.copy(numAttrs = Seq("graft_cal" -> 2.5)) else v)
+    (Hdf5Write.write(dims, gatts, vars2, maxChunkElems = 8 * 8 * 3),
+      Hdf5Write.write(dims, gatts, vars2, maxChunkElems = 8 * 8 * 3,
         sharedDatatype = true))
   }
 
@@ -259,6 +263,11 @@ class Hdf5EdgeSpec extends AnyFunSuite {
       a.indices.foreach(i => assert(
         java.lang.Double.doubleToLongBits(a(i)) ===
           java.lang.Double.doubleToLongBits(b(i)), s"${ds.name}($i)"))
+      // attributes decode identically too (refs carry file-specific
+      // addresses, so compare name/text/numeric payloads only)
+      val dv = rv.file.dataset(ds.name).get
+      assert(ds.attrs.map(x => (x.name, x.text, x.nums)) ===
+        dv.attrs.map(x => (x.name, x.text, x.nums)), s"${ds.name} attrs")
     }
   }
 
