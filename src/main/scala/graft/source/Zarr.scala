@@ -35,12 +35,13 @@ import org.apache.spark.sql.functions.col
   * (zarr-python's default blosc-lz4 included, byte- and bit-shuffle,
   * snappy — [[Blosc]]; zstd/lz4 are the bare numcodecs frames, distinct
   * from their blosc and HDF5-filter framings), v3 codecs bytes +
-  * gzip/zstd/blosc AND
+  * gzip/zstd/blosc, `transpose`
+  * (any permutation, top-level or inside a shard's inner chain) AND
   * `sharding_indexed` (inner chunk grid + crc32c'd uint64 footer
   * index per shard — each shard fans out one row per INNER chunk, so
   * scan parallelism survives object-count-reducing shard layouts);
   * dtypes {<f8, <f4, <i4, <i2, |i1, |u1, |b1} plus their big-endian
-  * forms (v3 names normalized to these). Anything else — transpose,
+  * forms (v3 names normalized to these). Anything else — vlen types,
   * the blosclz inner codec — fails loudly rather than mis-decoding.
   */
 object ZarrCodec {
@@ -51,7 +52,8 @@ object ZarrCodec {
     * crc32c-checksummed.
     */
   final case class ShardMeta(inner: Seq[Int], innerComp: String,
-                             indexAtEnd: Boolean, indexCrc: Boolean)
+                             indexAtEnd: Boolean, indexCrc: Boolean,
+                             innerTranspose: Option[Seq[Int]] = None)
 
   /** One zarr v2 filter (numcodecs codec applied before the
     * compressor): `delta` carries its dtype, `shuffle` its element
@@ -70,7 +72,8 @@ object ZarrCodec {
                              nChunks: Seq[Int], zarrFormat: Int = 2,
                              sep: String = ".",
                              shard: Option[ShardMeta] = None,
-                             filters: Seq[V2Filter] = Nil) {
+                             filters: Seq[V2Filter] = Nil,
+                             transpose: Option[Seq[Int]] = None) {
     def nValues: Long = shape.map(_.toLong).product
   }
 
@@ -194,7 +197,7 @@ object ZarrCodec {
           }.getOrElse(("default", "/"))
           require(keyEnc == "v2" || sep == "/" || sep == ".",
             s"unsupported separator '$sep' in $zj")
-          val (endian, comp, shard) =
+          val (endian, comp, shard, trans) =
             parseCodecChain(node.get("codecs"), zj.toString, topLevel = true)
           val dtype = (if (endian == "big") ">" else "<") +
             (node.get("data_type").asText() match {
@@ -209,20 +212,21 @@ object ZarrCodec {
             .map(_.asDouble(Double.NaN)).getOrElse(Double.NaN)
           Some(ArrayMeta(store.toString, name, shape, chunks, dtype, comp,
             fill, shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
-            zarrFormat = 3, sep = sep, shard = shard))
+            zarrFormat = 3, sep = sep, shard = shard, transpose = trans))
         }
       }
 
   /** One pass over a v3 codec list → (endianness, compressor name,
-    * optional shard config). `sharding_indexed` recurses once for its
-    * inner chain; nested sharding is rejected.
+    * optional shard config, optional transpose order). `sharding_indexed`
+    * recurses once for its inner chain; nested sharding is rejected.
     */
   private def parseCodecChain(codecs: com.fasterxml.jackson.databind.JsonNode,
                               ctx: String, topLevel: Boolean)
-      : (String, String, Option[ShardMeta]) = {
+      : (String, String, Option[ShardMeta], Option[Seq[Int]]) = {
     var endian = "little"
     var comp = "null"
     var shard: Option[ShardMeta] = None
+    var trans: Option[Seq[Int]] = None
     codecs.elements().asScala.foreach { c =>
       c.get("name").asText() match {
         case "bytes" => endian = Option(c.get("configuration"))
@@ -231,11 +235,17 @@ object ZarrCodec {
         case "gzip" => comp = "gzip"
         case "zstd" => comp = "zstd"
         case "blosc" => comp = "blosc" // self-describing header
+        case "transpose" =>
+          val order = c.get("configuration").get("order")
+            .elements().asScala.map(_.asInt()).toSeq
+          require(order.sorted == order.indices.toSeq,
+            s"transpose order $order is not a permutation in $ctx")
+          trans = Some(order).filter(o => o != o.indices.toSeq)
         case "sharding_indexed" if topLevel =>
           val cfg = c.get("configuration")
           val inner = cfg.get("chunk_shape").elements().asScala
             .map(_.asInt()).toSeq
-          val (ie, ic, nested) =
+          val (ie, ic, nested, it) =
             parseCodecChain(cfg.get("codecs"), ctx, topLevel = false)
           require(nested.isEmpty, s"nested sharding unsupported in $ctx")
           endian = ie
@@ -243,12 +253,12 @@ object ZarrCodec {
             .map(_.asText()).getOrElse("end") == "end"
           val crc = Option(cfg.get("index_codecs")).exists(
             _.elements().asScala.exists(_.get("name").asText() == "crc32c"))
-          shard = Some(ShardMeta(inner, ic, atEnd, crc))
+          shard = Some(ShardMeta(inner, ic, atEnd, crc, it))
         case other => throw new IllegalArgumentException(
           s"unsupported zarr v3 codec '$other' in $ctx")
       }
     }
-    (endian, comp, shard)
+    (endian, comp, shard, trans)
   }
 
   private def readMetaV2(store: Path): Seq[ArrayMeta] = {
@@ -410,7 +420,9 @@ object ZarrCodec {
     // applied in order before compression at write time)
     val unfiltered = meta.filters.reverse.foldLeft(
       decompressBy(meta.compressor, bytes))((b, f) => unfilterV2(f, b))
-    val full = decodeDtype(meta.dtype, unfiltered)
+    val stored = decodeDtype(meta.dtype, unfiltered)
+    val full = meta.transpose
+      .map(untranspose(stored, meta.chunks, _)).getOrElse(stored)
     val origin = idx.zip(meta.chunks).map { case (i, c) => i * c }
     trimBox(full, origin, meta.chunks, meta.shape)
   }
@@ -460,7 +472,9 @@ object ZarrCodec {
       else {
         val packed = java.util.Arrays.copyOfRange(bytes, off.toInt,
           off.toInt + len.toInt)
-        val full = decodeDtype(meta.dtype, decompressBy(sh.innerComp, packed))
+        val inner0 = decodeDtype(meta.dtype, decompressBy(sh.innerComp, packed))
+        val full = sh.innerTranspose
+          .map(untranspose(inner0, sh.inner, _)).getOrElse(inner0)
         val rel = new Array[Int](grid.length)
         var rem = li
         var d = 0
@@ -501,6 +515,30 @@ object ZarrCodec {
     val out = new Array[Byte](n)
     net.jpountz.lz4.LZ4Factory.safeInstance().fastDecompressor()
       .decompress(bytes, 4, out, 0, n)
+    out
+  }
+
+  /** Inverse of the v3 `transpose` codec: the stored chunk is C-order
+    * over the PERMUTED dims (stored dim i = chunk dim order(i)); remap
+    * back to C-order over the chunk dims.
+    */
+  private def untranspose(vals: Array[Double], chunks: Seq[Int],
+                          order: Seq[Int]): Array[Double] = {
+    val n = chunks.length
+    val storedStr = strides(order.map(chunks).toArray)
+    val outStr = strides(chunks.toArray)
+    val out = new Array[Double](vals.length)
+    var i = 0
+    while (i < vals.length) {
+      var rem = i; var outIdx = 0; var d = 0
+      while (d < n) {
+        val c = rem / storedStr(d); rem %= storedStr(d)
+        outIdx += c * outStr(order(d))
+        d += 1
+      }
+      out(outIdx) = vals(i)
+      i += 1
+    }
     out
   }
 
@@ -912,7 +950,8 @@ object ZarrFixture {
               attrs: Map[String, String] = Map.empty,
               dims: Seq[String] = Seq.empty,
               value: Seq[Int] => Double = _.sum.toDouble,
-              shardInner: Option[Seq[Int]] = None): Unit = {
+              shardInner: Option[Seq[Int]] = None,
+              transposeOrder: Option[Seq[Int]] = None): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     if (!Files.exists(store.resolve("zarr.json")))
@@ -926,12 +965,15 @@ object ZarrFixture {
     val endian = if (dtype.startsWith(">")) "big" else "little"
     val bytesCodec =
       s"""{"name": "bytes", "configuration": {"endian": "$endian"}}"""
+    val transJson = transposeOrder.map(o =>
+      s"""{"name": "transpose", "configuration": """ +
+        s"""{"order": [${o.mkString(", ")}]}}, """).getOrElse("")
     val innerChainJson = codec match {
-      case "null" => s"[$bytesCodec]"
+      case "null" => s"[$transJson$bytesCodec]"
       case "gzip" =>
-        s"""[$bytesCodec, {"name": "gzip", "configuration": {"level": 5}}]"""
+        s"""[$transJson$bytesCodec, {"name": "gzip", "configuration": {"level": 5}}]"""
       case "zstd" =>
-        s"""[$bytesCodec, {"name": "zstd", "configuration": {"level": 3}}]"""
+        s"""[$transJson$bytesCodec, {"name": "zstd", "configuration": {"level": 3}}]"""
     }
     val codecsJson = shardInner match {
       case None => innerChainJson
@@ -968,12 +1010,31 @@ object ZarrFixture {
       case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
       case _ => raw
     }
-    def chunkValues(origin: Seq[Int], cshape: Seq[Int]): Array[Byte] =
-      encode(dtype, cartesian(cshape).map { off =>
+    def chunkValues(origin: Seq[Int], cshape: Seq[Int]): Array[Byte] = {
+      val vals = cartesian(cshape).map { off =>
         val coord = origin.zip(off).map { case (o, x) => o + x }
         if (coord.zip(shape).exists { case (x, s) => x >= s }) -1.0
         else value(coord)
-      })
+      }
+      transposeOrder match {
+        case None => encode(dtype, vals)
+        case Some(order) =>
+          // store C-order over the PERMUTED dims (the transpose codec's
+          // encode direction)
+          val arr = vals.toArray
+          val srcStr = { // strides of the un-permuted chunk
+            val st = new Array[Int](cshape.length); var acc = 1
+            for (d <- cshape.indices.reverse) { st(d) = acc; acc *= cshape(d) }
+            st
+          }
+          val stored = cartesian(order.map(cshape)).map { sc =>
+            var src = 0
+            for (d <- sc.indices) src += sc(d) * srcStr(order(d))
+            arr(src)
+          }
+          encode(dtype, stored)
+      }
+    }
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     cartesian(nChunks).foreach { ci =>
       val origin = ci.zip(chunks).map { case (i, c) => i * c }

@@ -132,7 +132,7 @@ class ZarrV3Spec extends SparkSpec {
     assert(tidyRows(sharded.toString) === tidyRows(plain.toString))
   }
 
-  test("unsupported v3 codecs fail loudly (transpose)") {
+  test("unsupported v3 codecs fail loudly (vlen-utf8)") {
     val store = Files.createTempDirectory("graft-zarr3bad")
     Files.writeString(store.resolve("zarr.json"),
       """{"zarr_format": 3, "node_type": "group"}""")
@@ -144,9 +144,41 @@ class ZarrV3Spec extends SparkSpec {
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         | "chunk_key_encoding": {"name": "default"},
         | "fill_value": 0,
-        | "codecs": [{"name": "transpose"}, {"name": "bytes"}]}""".stripMargin)
+        | "codecs": [{"name": "vlen-utf8"}, {"name": "bytes"}]}""".stripMargin)
     val e = intercept[IllegalArgumentException] { ZarrCodec.readMeta(store) }
-    assert(e.getMessage.contains("transpose"))
+    assert(e.getMessage.contains("vlen-utf8"))
+  }
+
+  test("transpose codec: permuted storage order decodes to the logical " +
+    "C-order array, alone and inside a shard's inner chain") {
+    val store = Files.createTempDirectory("graft-zarr3t")
+    // 2-D swap, edge chunks included (7x5 array, 4x3 chunks)
+    ZarrFixture.writeV3(store, "t2", Seq(7, 5), Seq(4, 3),
+      transposeOrder = Some(Seq(1, 0)), value = c => c.head * 100.0 + c(1))
+    // 3-D rotation order (2,0,1)
+    ZarrFixture.writeV3(store, "t3", Seq(4, 3, 5), Seq(2, 3, 4),
+      transposeOrder = Some(Seq(2, 0, 1)),
+      value = c => c.head * 100.0 + c(1) * 10.0 + c(2))
+    // transpose inside the sharding_indexed inner codec chain
+    ZarrFixture.writeV3(store, "ts", Seq(8, 6), Seq(4, 6),
+      shardInner = Some(Seq(2, 3)), transposeOrder = Some(Seq(1, 0)),
+      value = c => c.head * 100.0 + c(1))
+    val metas = ZarrCodec.readMeta(store)
+    val t2 = metas.find(_.name == "t2").get
+    assert(t2.transpose === Some(Seq(1, 0)))
+    val g2 = ZarrCodec.readArray(store, t2)
+    for (r <- 0 until 7; c <- 0 until 5)
+      assert(g2(r * 5 + c) === r * 100.0 + c, s"t2($r,$c)")
+    val t3 = metas.find(_.name == "t3").get
+    val g3 = ZarrCodec.readArray(store, t3)
+    for (a <- 0 until 4; b <- 0 until 3; c <- 0 until 5)
+      assert(g3((a * 3 + b) * 5 + c) === a * 100.0 + b * 10.0 + c,
+        s"t3($a,$b,$c)")
+    val ts = metas.find(_.name == "ts").get
+    assert(ts.shard.exists(_.innerTranspose === Some(Seq(1, 0))))
+    val gs = ZarrCodec.readArray(store, ts)
+    for (r <- 0 until 8; c <- 0 until 6)
+      assert(gs(r * 6 + c) === r * 100.0 + c, s"ts($r,$c)")
   }
 
   test("v3 blosc codec chains decode (zarr-python v2-default compressor " +
