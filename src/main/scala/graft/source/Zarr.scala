@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions.col
   * inside the executors — one task per chunk file, so a 100 TB store
   * parallelizes by its chunk grid with no driver involvement.
   *
-  * Supported: C order; v2 compressors null/zlib/gzip/blosc/zstd/lz4
+  * Supported: C and F order (F is the reversed-dims transpose); v2
+  * compressors null/zlib/gzip/blosc/zstd/lz4
   * (zarr-python's default blosc-lz4 included, byte- and bit-shuffle,
   * snappy — [[Blosc]]; zstd/lz4 are the bare numcodecs frames, distinct
   * from their blosc and HDF5-filter framings), v3 codecs bytes +
@@ -308,8 +309,15 @@ object ZarrCodec {
                   "(delta/shuffle/fixedscaleoffset/quantize)")
             }
           }
-        require(node.get("order").asText() == "C",
-          s"only C order supported in $za")
+        // F (Fortran) order is the reversed-dims transpose: reuse the
+        // v3 transpose machinery with order = reversed indices
+        val order = node.get("order").asText()
+        require(order == "C" || order == "F",
+          s"unsupported order '$order' in $za")
+        val trans =
+          if (order == "F" && shape.length > 1)
+            Some(shape.indices.reverse.toSeq)
+          else None
         val sep = Option(node.get("dimension_separator"))
           .filterNot(_.isNull).map(_.asText()).getOrElse(".")
         require(sep == "." || sep == "/",
@@ -319,7 +327,7 @@ object ZarrCodec {
         ArrayMeta(store.toString, name, shape, chunks, node.get("dtype").asText(),
           comp, fill,
           shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
-          sep = sep, filters = filters)
+          sep = sep, filters = filters, transpose = trans)
       }
   }
 
@@ -798,7 +806,8 @@ object ZarrFixture {
             filters: Seq[String] = Nil,
             sep: String = ".",
             bloscBitShuffle: Boolean = false,
-            numCodec: Option[String] = None): Unit = {
+            numCodec: Option[String] = None,
+            fortranOrder: Boolean = false): Unit = {
     require(numCodec.isEmpty || bloscCname.isEmpty,
       "numCodec and bloscCname are mutually exclusive")
     val dir = store.resolve(name)
@@ -844,19 +853,23 @@ object ZarrFixture {
     Files.writeString(dir.resolve(".zarray"),
       s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
          | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
-         | "compressor": $comp, "fill_value": "NaN", "order": "C",
+         | "compressor": $comp, "fill_value": "NaN",
+         | "order": "${if (fortranOrder) "F" else "C"}",
          | "dimension_separator": "$sep",
          | "filters": $filtJson}""".stripMargin)
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     cartesian(nChunks).foreach { ci =>
       val origin = ci.zip(chunks).map { case (i, c) => i * c }
-      val vals = cartesian(chunks).map { off =>
+      def at(off: Seq[Int]): Double = {
         val coord = origin.zip(off).map { case (o, x) => o + x }
         // padded region: value of the clamped coordinate (arbitrary but
         // deterministic — readers must trim it away)
         if (coord.zip(shape).exists { case (x, s) => x >= s }) -1.0
         else value(coord)
       }
+      val vals =
+        if (!fortranOrder) cartesian(chunks).map(at)
+        else cartesian(chunks.reverse).map(rc => at(rc.reverse))
       // filters apply IN ORDER before the compressor (numcodecs chain)
       val raw = filters.foldLeft(encode(dtype, vals)) { (b, f) =>
         f match {

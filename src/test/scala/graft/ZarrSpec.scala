@@ -113,6 +113,26 @@ class ZarrSpec extends SparkSpec {
     (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"idelta($i)"))
   }
 
+  test("v2 Fortran-order arrays decode to the logical C-order values — " +
+    "the numpy-asfortranarray store layout") {
+    val d = Files.createTempDirectory("graft-zarr-forder")
+    ZarrFixture.write(d, "f2", Seq(7, 5), Seq(4, 3), fortranOrder = true,
+      value = c => c(0) * 100.0 + c(1))
+    ZarrFixture.write(d, "f3", Seq(4, 3, 5), Seq(2, 3, 4),
+      fortranOrder = true, compress = false,
+      value = c => c(0) * 100.0 + c(1) * 10.0 + c(2))
+    val m2 = ZarrCodec.readMeta(d).find(_.name == "f2").get
+    assert(m2.transpose === Some(Seq(1, 0)))
+    val g2 = ZarrCodec.readArray(d, m2)
+    for (r <- 0 until 7; c <- 0 until 5)
+      assert(g2(r * 5 + c) === r * 100.0 + c, s"f2($r,$c)")
+    val m3 = ZarrCodec.readMeta(d).find(_.name == "f3").get
+    val g3 = ZarrCodec.readArray(d, m3)
+    for (a <- 0 until 4; b <- 0 until 3; c <- 0 until 5)
+      assert(g3((a * 3 + b) * 5 + c) === a * 100.0 + b * 10.0 + c,
+        s"f3($a,$b,$c)")
+  }
+
   test("v2 numcodecs fixedscaleoffset and quantize filters decode to " +
     "the generating values (integer-exact at the fixture's params)") {
     val d = Files.createTempDirectory("graft-zarr-fso")
