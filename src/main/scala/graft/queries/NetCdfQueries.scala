@@ -421,7 +421,9 @@ object NetCdfQueries {
       |            FROM read_parquet('/tmp/graft-oracle/q89_vals/*.parquet'))
       |      GROUP BY "array") s USING ("array")
       |ORDER BY m."array"""".stripMargin) { (s, _) =>
-    val store = stableWork("fixtures").resolve("zarrnc")
+    // r10b: + the Fortran-order array (dir versioned so stale cached
+    // stores from earlier fixture shapes never shadow the new arrays)
+    val store = stableWork("fixtures").resolve("zarrnc-r10b")
     if (!java.nio.file.Files.exists(store.resolve(".zgroup"))) {
       graft.source.ZarrFixture.write(store, "sic_zstd", Seq(40, 32),
         Seq(16, 16), numCodec = Some("zstd"),
@@ -437,8 +439,12 @@ object NetCdfQueries {
       graft.source.ZarrFixture.write(store, "sic_quant", Seq(40, 32),
         Seq(16, 16), filters = Seq("quantize", "delta"),
         value = c => (c.head * 3 + c(1)).toDouble)
+      graft.source.ZarrFixture.write(store, "sic_forder", Seq(40, 32),
+        Seq(16, 16), fortranOrder = true,
+        value = c => c.head * 0.25 + c(1) * 0.125)
     }
-    val arrays = Seq("sic_zstd", "sic_lz4", "sic_fso", "sic_quant")
+    val arrays =
+      Seq("sic_zstd", "sic_lz4", "sic_fso", "sic_quant", "sic_forder")
     val perChunk = arrays.map { name =>
       graft.source.ZarrSource.read(s, store.toString, name)
         .select(lit(name).as("array"), col("values").as("vals"))
