@@ -490,7 +490,56 @@ object TrainingPrep {
     filter(joined, _.isNotNull)
   }
 
+  // PII patterns shared by both engines: plain character classes and
+  // bounded quantifiers only — semantics identical between Java regex
+  // (Spark codegen) and RE2 (DuckDB), no lookaround/backreferences
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scrub (redaction) — the compliance pass every assembled corpus
+    * runs before training: count and redact email addresses and IPv4
+    * literals per document. The synthetic corpus carries no PII, so
+    * both engines INJECT it identically (deterministic doc_id-derived
+    * suffixes) and must then agree on the match count and the digest of
+    * the redacted text. Stateless per-row regex work — one scan, no
+    * shuffle, embarrassingly parallel at 100 TB.
+    */
+  val piiScrub = QueryDef("q90_pii_scrub",
+    s"""WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+      |      '@example.com or admin-' || doc_id || '@corp.test.org'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' from 192.168.' ||
+      |      (doc_id % 256) || '.42 and 10.0.' || (doc_id % 100) || '.7'
+      |      ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+      |  len(regexp_extract_all(t, '$Ipv4Re')) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+      |      '$Ipv4Re', '<IP>', 'g')) AS redacted_md5
+      |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"),
+            lit(" or admin-"), col("doc_id"), lit("@corp.test.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 192.168."), col("doc_id") % 256, lit(".42"),
+            lit(" and 10.0."), col("doc_id") % 100, lit(".7")))
+          .otherwise(lit(""))).as("t"))
+    aug.select(col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").cast("binary")).as("redacted_md5"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(decontaminate, bloomDecontaminate, repetition, stratifiedSample,
-      sequencePacking, corpusAssembly, mixtureWeights, spanDedup)
+      sequencePacking, corpusAssembly, mixtureWeights, spanDedup, piiScrub)
 }

