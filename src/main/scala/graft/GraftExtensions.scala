@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "vec_stats",
       "vec_stats(a) - single-pass NaN-skipping stats struct over array<double>",
       { case Seq(a) => VecStatsExpr(a) }, arity = 1)
+    register(ext, "graft_nfc",
+      "graft_nfc(s) - Unicode NFC canonical normalization",
+      { case Seq(a) => graft.functions.NfcNormalizeExpr(a) }, arity = 1)
     register(ext, "graft_top_k",
       "graft_top_k(key, k, capacity) - SpaceSaving heavy-hitters aggregate",
       { case Seq(key, k, cap) =>

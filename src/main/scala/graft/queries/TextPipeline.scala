@@ -441,7 +441,41 @@ object TextPipeline {
         round(col("score"), 6).as("tfidf"), col("rank"))
   }
 
+  /** Unicode NFC canonicalization (graft_nfc, a native codegen
+    * Expression — Spark ships no normalizer built-in) vs DuckDB's
+    * nfc_normalize. The ASCII corpus is already NFC, so both engines
+    * append the same combining sequences (e+U+0301, A+U+0300,
+    * o+U+0308) and the decomposable U+212B ANGSTROM SIGN to half the
+    * docs, then must agree on the changed flag, the post-NFC character
+    * count, and the digest of the normalized text. Stateless per-row —
+    * one scan, no shuffle.
+    */
+  val nfcNormalize = QueryDef("q91_nfc_normalize",
+    """WITH aug AS (
+      |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+      |    THEN ' caf' || chr(101) || chr(769) || ' ' || chr(65) ||
+      |         chr(768) || chr(111) || chr(776) || ' ' || chr(8491)
+      |    ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(t) <> t AS changed,
+      |  length(nfc_normalize(t)) AS n_chars_nfc,
+      |  md5(nfc_normalize(t)) AS nfc_md5
+      |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.NfcNormalizeExpr.nfcCol
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 2 === 0,
+        // decomposed sequences + U+212B ANGSTROM SIGN, codepoint-
+        // identical to the oracle's chr() chain
+        lit(" caf" + "e\u0301" + " " + "A\u0300" + "o\u0308" +
+          " \u212B"))
+        .otherwise(lit(""))).as("t"))
+    aug.select(col("doc_id"),
+      (nfcCol(col("t")) =!= col("t")).as("changed"),
+      length(nfcCol(col("t"))).cast("long").as("n_chars_nfc"),
+      md5(nfcCol(col("t")).cast("binary")).as("nfc_md5"))
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
     exactDedup, minhashBands, ngramJaccard, simhash, dupClusters,
-    dupClustersStar, tfidfTerms)
+    dupClustersStar, tfidfTerms, nfcNormalize)
 }

@@ -69,4 +69,26 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("vec_dot"))
   }
+
+  test("graft_nfc normalizes combining sequences from SQL and the " +
+    "Column API, interpreted and codegen agreeing") {
+    // e+U+0301 -> U+00E9; U+212B ANGSTROM SIGN -> U+00C5; NFC text as-is
+    val r = spark.sql(
+      "SELECT graft_nfc('cafe\u0301 \u212B'), graft_nfc('plain ascii')")
+      .collect()(0)
+    assert(r.getString(0) === "caf\u00e9 \u00c5")
+    assert(r.getString(1) === "plain ascii")
+    import graft.functions.NfcNormalizeExpr
+    val viaCol = spark.range(1)
+      .select(NfcNormalizeExpr.nfcCol(
+        org.apache.spark.sql.functions.lit("A\u0300o\u0308")))
+      .collect()(0).getString(0)
+    assert(viaCol === "\u00c0\u00f6")
+    // interpreted path (no codegen) matches
+    val interp = NfcNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("A\u0300"),
+        org.apache.spark.sql.types.StringType)).eval(null)
+    assert(interp.toString === "\u00c0")
+  }
 }
