@@ -156,5 +156,39 @@ object EventOps {
         col("l_orderkey") === col("o_orderkey"))
   }
 
-  val all: Seq[QueryDef] = Seq(eventWindows, sessionize, saltedJoin, bucketedJoin)
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The STREAMING twin of q50 under the SAME DuckDB oracle: the events
+    * table staged as a file-watch source, consumed by a watermarked
+    * tumbling-window aggregation via Trigger.AvailableNow, memory sink.
+    * Complete output mode keeps every window in state, so the final
+    * table must equal the batch aggregation exactly — Structured
+    * Streaming's event-time semantics are oracle-gated, not just
+    * spec-asserted. Decimal sums keep the aggregation order-insensitive
+    * across micro-batch boundaries exactly as across batch partials.
+    */
+  val streamEventWindows = QueryDef("q92_stream_event_windows",
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = graft.Work.stableDir(
+      s"stream-events-${math.abs(d.hashCode)}")
+    java.nio.file.Files.copy(src, dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val events = graft.streaming.EventStream.readEvents(s, dir.toString)
+    val agg = events
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    graft.streaming.EventStream.runToCompletion(s, agg,
+      s"q92_win_${streamRun.incrementAndGet()}", outputMode = "complete")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(eventWindows, sessionize, saltedJoin, bucketedJoin, streamEventWindows)
 }
