@@ -189,6 +189,51 @@ object EventOps {
       s"q92_win_${streamRun.incrementAndGet()}", outputMode = "complete")
   }
 
+  /** Streaming sessionization (flatMapGroupsWithState + event-time
+    * timeouts) under the oracle: a session is EMITTED iff a later
+    * in-stream event closed it, or the final watermark (max event time
+    * − 2 h) passed its gap deadline — the oracle SQL replicates exactly
+    * that emission rule on top of the batch gaps-and-islands, so the
+    * custom state machine's output is hash-gated, not just
+    * spec-asserted. Times are epoch millis (the state machine's unit).
+    */
+  val streamSessionize = QueryDef("q93_stream_sessionize",
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN ms - lag(ms) OVER w > 1800000 OR lag(ms) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |sessions AS (
+      |  SELECT user_id, ms,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, min(ms) AS session_start,
+      |    max(ms) AS session_end, count(*) AS n_events
+      |  FROM sessions GROUP BY 1, 2),
+      |wm AS (SELECT max(ms) - 7200000 AS final_wm FROM base)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM agg, wm
+      |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+      |   OR session_end + 1800000 < final_wm
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = graft.Work.stableDir(
+      s"stream-events-${math.abs(d.hashCode)}")
+    java.nio.file.Files.copy(src, dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val sessions = graft.streaming.EventStream.sessionizeStream(s,
+      graft.streaming.EventStream.readEvents(s, dir.toString))
+    graft.streaming.EventStream.runToCompletion(s, sessions.toDF(),
+      s"q93_sess_${streamRun.incrementAndGet()}", outputMode = "append")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(eventWindows, sessionize, saltedJoin, bucketedJoin, streamEventWindows)
+    Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
+      streamEventWindows, streamSessionize)
 }
