@@ -233,7 +233,67 @@ object EventOps {
         col("n_events"))
   }
 
+  /** Streaming exact dedup under the oracle: the events file staged
+    * TWICE (an at-least-once upstream), dropDuplicatesWithinWatermark
+    * collapsing each event_id to one emission — the result must equal
+    * the plain distinct event set. Aggregated per event_type so the
+    * oracle row count stays bounded while every surviving row still
+    * participates in the hash (count + sums over id/value).
+    */
+  val streamDedup = QueryDef("q94_stream_dedup",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = graft.Work.stableDir(
+      s"stream-events-dup-${math.abs(d.hashCode)}")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val deduped = graft.streaming.EventStream.dedupStream(
+      graft.streaming.EventStream.readEvents(s, dir.toString))
+    graft.streaming.EventStream.runToCompletion(s, deduped,
+      s"q94_dedup_${streamRun.incrementAndGet()}", outputMode = "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+  }
+
+  /** First-wins keyed state (mapGroupsWithState) under the oracle: the
+    * duplicated stream's per-user state must land on min(ts) with the
+    * doubled sighting count — the get-or-create J2 semantics in their
+    * streaming form, hash-gated.
+    */
+  val streamFirstSeen = QueryDef("q95_stream_first_seen",
+    """SELECT user_id,
+      |  CAST(min(epoch_ns(CAST(ts AS TIMESTAMP_NS))) AS BIGINT) AS first_ts,
+      |  CAST(2 * count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = graft.Work.stableDir(
+      s"stream-events-dup-${math.abs(d.hashCode)}")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val firsts = graft.streaming.EventStream.firstSeenPerUser(s,
+      graft.streaming.EventStream.readEvents(s, dir.toString))
+    // the update-mode memory table keeps every state revision if the
+    // files split across micro-batches; state is MONOTONE (first_ts
+    // only falls, n_events only grows), so min/max per user recovers
+    // the final state whatever the batching
+    graft.streaming.EventStream.runToCompletion(s, firsts.toDF(),
+      s"q95_first_${streamRun.incrementAndGet()}", outputMode = "update")
+      .groupBy(col("user_id"))
+      .agg(min(col("first_ts")).as("first_ts"),
+        max(col("n_events")).as("n_events"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
-      streamEventWindows, streamSessionize)
+      streamEventWindows, streamSessionize, streamDedup, streamFirstSeen)
 }
