@@ -289,6 +289,36 @@ object Similarity {
         |      FROM g55_embeddings)""".stripMargin)
   }
 
+  /** Symmetric per-vector int8 quantization — the ANN memory-scale path
+    * (4× smaller vectors, SIMD-friendly int dot products downstream):
+    * scale = max|x|/127, q_i = round(x_i/scale) in [-127, 127]. Both
+    * engines derive the identical doubles (float→double promotion is
+    * exact; one division and one round-half-away-from-zero each), so
+    * the digest of the quantized codes hash-matches. Stateless per-row
+    * work — one scan, no shuffle.
+    */
+  val int8Quantize = QueryDef("q96_int8_quantize",
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  md5(array_to_string(list_transform(embedding,
+      |    x -> CASE WHEN scale = 0 THEN 0
+      |         ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INT) END),
+      |    ',')) AS q_md5
+      |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        / lit(127.0)).as("scale"))
+    base.select(col("vec_id"), col("scale"),
+      md5(concat_ws(",", transform(col("embedding"),
+        x => when(col("scale") === 0, lit(0))
+          .otherwise(round(x.cast("double") / col("scale")).cast("int"))
+          .cast("string"))).cast("binary")).as("q_md5"))
+  }
+
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
-    embeddingDedup)
+    embeddingDedup, int8Quantize)
 }
