@@ -263,14 +263,43 @@ object ZarrCodec {
   }
 
   private def readMetaV2(store: Path): Seq[ArrayMeta] = {
-    Files.walk(store).iterator().asScala
-      .filter(_.getFileName.toString == ".zarray").toSeq.sortBy(_.toString)
-      .map { za =>
-        val node = mapper.readTree(Files.readString(za))
-        val name = store.relativize(za.getParent).toString match {
-          case "" => "/"
-          case s => s
+    // consolidated metadata (zarr.consolidate_metadata): every member's
+    // .zarray/.zattrs embedded in ONE .zmetadata object — at cloud scale
+    // this is one read instead of a LIST + N reads, so prefer it
+    val zm = store.resolve(".zmetadata")
+    if (Files.exists(zm)) {
+      val root = mapper.readTree(Files.readString(zm))
+      require(Option(root.get("zarr_consolidated_format"))
+        .exists(_.asInt() == 1),
+        s"unsupported zarr_consolidated_format in $zm")
+      val md = root.get("metadata")
+      md.properties().asScala.toSeq
+        .filter(e => e.getKey == ".zarray" || e.getKey.endsWith("/.zarray"))
+        .sortBy(_.getKey)
+        .map { e =>
+          val name = e.getKey.stripSuffix(".zarray").stripSuffix("/") match {
+            case "" => "/"
+            case s2 => s2
+          }
+          parseV2Array(store, e.getValue, name, s"$zm!${e.getKey}")
         }
+    } else
+      Files.walk(store).iterator().asScala
+        .filter(_.getFileName.toString == ".zarray").toSeq.sortBy(_.toString)
+        .map { za =>
+          val name = store.relativize(za.getParent).toString match {
+            case "" => "/"
+            case s2 => s2
+          }
+          parseV2Array(store, mapper.readTree(Files.readString(za)), name,
+            za.toString)
+        }
+  }
+
+  private def parseV2Array(store: Path,
+                           node: com.fasterxml.jackson.databind.JsonNode,
+                           name: String, za: String): ArrayMeta = {
+    {
         val shape = node.get("shape").elements().asScala.map(_.asInt()).toSeq
         val chunks = node.get("chunks").elements().asScala.map(_.asInt()).toSeq
         val comp = Option(node.get("compressor"))
@@ -909,6 +938,29 @@ object ZarrFixture {
       if (sep == "/") Files.createDirectories(target.getParent)
       Files.write(target, bytes)
     }
+  }
+
+  /** zarr.consolidate_metadata analogue: gather every .zgroup/.zarray/
+    * .zattrs under the store into ONE .zmetadata document (format 1 —
+    * the member JSONs embedded verbatim under their relative keys).
+    */
+  def consolidate(store: Path): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("zarr_consolidated_format", 1)
+    val md = rootNode.putObject("metadata")
+    Files.walk(store).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(f => Set(".zgroup", ".zarray", ".zattrs")(
+        f.getFileName.toString))
+      .toSeq.sortBy(_.toString)
+      .foreach { f =>
+        md.set[com.fasterxml.jackson.databind.JsonNode](
+          store.relativize(f).toString.replace('\\', '/'),
+          mapper.readTree(Files.readString(f)))
+      }
+    Files.writeString(store.resolve(".zmetadata"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode))
   }
 
   /** Forward delta (out[i] = in[i] − in[i−1]) in the dtype's native

@@ -113,6 +113,31 @@ class ZarrSpec extends SparkSpec {
     (0 until 9).foreach(i => assert(ig(i) === i * 7.0, s"idelta($i)"))
   }
 
+  test("consolidated metadata (.zmetadata) is preferred over walking — " +
+    "one read instead of LIST + N at cloud scale") {
+    val d = Files.createTempDirectory("graft-zarr-consol")
+    ZarrFixture.write(d, "a", Seq(7, 5), Seq(4, 3),
+      value = c => c(0) * 100.0 + c(1), dims = Seq("y", "x"))
+    ZarrFixture.write(d, "b", Seq(6), Seq(4), dtype = "<i4",
+      compress = false, value = _.sum * 3.0)
+    // NaN fill values break structural equality (NaN != NaN)
+    def canon(ms: Seq[ZarrCodec.ArrayMeta]) = ms.map(m =>
+      if (m.fillValue.isNaN) m.copy(fillValue = -999.0) else m)
+    val walked = canon(ZarrCodec.readMeta(d))
+    ZarrFixture.consolidate(d)
+    assert(canon(ZarrCodec.readMeta(d)) === walked)
+    // prove the consolidated path is the one actually read: corrupt the
+    // individual .zarray files — metadata must still come back intact
+    Files.writeString(d.resolve("a").resolve(".zarray"), "{corrupt")
+    Files.writeString(d.resolve("b").resolve(".zarray"), "{corrupt")
+    assert(canon(ZarrCodec.readMeta(d)) === walked)
+    // and the data itself still decodes through the consolidated metas
+    val m = ZarrCodec.readMeta(d).find(_.name == "a").get
+    val g = ZarrCodec.readArray(d, m)
+    for (r <- 0 until 7; c <- 0 until 5)
+      assert(g(r * 5 + c) === r * 100.0 + c, s"a($r,$c)")
+  }
+
   test("v2 Fortran-order arrays decode to the logical C-order values — " +
     "the numpy-asfortranarray store layout") {
     val d = Files.createTempDirectory("graft-zarr-forder")
