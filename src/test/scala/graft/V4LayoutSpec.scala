@@ -203,6 +203,31 @@ class V4LayoutSpec extends SparkSpec {
     }
   }
 
+  test("Extensible Array geometry sweep: page sizes 1..16 elements x " +
+    "several chunk counts decode bit-identically to the v3 B-tree") {
+    // pageBits 0 (1-element pages — EVERY multi-element block pages,
+    // including both index-block data blocks) through 4 (16-element
+    // pages — nothing pages until super block 3); chunk counts placed
+    // to end inside each tier
+    for (pageBits <- Seq(0, 2, 4); nt <- Seq(3, 7, 20)) {
+      val (dims, gatts, vars) = NetCdfFixture.spec(nt = nt, ny = 4, nx = 4,
+        nl = 2)
+      val ea = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+        maxChunkElems = 4 * 4 * 2, v4Layout = true, v4Index = 4,
+        eaPageBits = pageBits, unlimitedDims = Set("time")))
+      val v3 = new Hdf5.Reader(Hdf5Write.write(dims, gatts, vars,
+        maxChunkElems = 4 * 4 * 2))
+      v3.file.datasets.foreach { ds =>
+        val a = v3.readDoubles(ds.name); val b = ea.readDoubles(ds.name)
+        assert(a.length === b.length, s"$pageBits/$nt ${ds.name}")
+        a.indices.foreach(i => assert(
+          java.lang.Double.doubleToLongBits(a(i)) ===
+            java.lang.Double.doubleToLongBits(b(i)),
+          s"pageBits=$pageBits nt=$nt ${ds.name}($i)"))
+      }
+    }
+  }
+
   test("GridFile + tidy scan read an Extensible Array netCDF-4 " +
     "transparently") {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 3, ny = 8, nx = 8, nl = 3)
