@@ -262,6 +262,32 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
         s"tile $ti ($x,$y)")
   }
 
+  test("3-band (YCbCr) JPEG strips decode per band, matching ImageIO " +
+    "on the standalone stream") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 16) << 8) | ((x + y) * 7))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    val entries = Seq((256, 4, Seq(16L)), (257, 4, Seq(16L)),
+      (258, 3, Seq(8L, 8L, 8L)), (277, 3, Seq(3L)), (259, 3, Seq(7L)),
+      (262, 3, Seq(6L)), (284, 3, Seq(1L)), (278, 4, Seq(16L)),
+      (273, 4, Seq(8L)), (279, 4, Seq(jpeg.length.toLong)))
+    val bytes = buildTiff(ByteOrder.LITTLE_ENDIAN, big = false, entries, jpeg)
+    val t = CogReader.read(bytes)
+    assert(t.pages.head.nBands === 3 && !t.pages.head.tiled)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    for (b <- 0 until 3) {
+      val g = t.readBand(0, b)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(g(y)(x) === ref.getRaster.getSampleDouble(x, y, b),
+          s"band $b ($x,$y)")
+    }
+  }
+
   test("abbreviated JPEG tiles against a JPEGTables (347) stream " +
     "decode identically to their standalone forms") {
     val full = Seq(grayJpeg(0), grayJpeg(50), grayJpeg(100), grayJpeg(150))
