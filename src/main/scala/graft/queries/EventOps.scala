@@ -158,6 +158,31 @@ object EventOps {
 
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stage the events table as parquet FILES for the file-watch source.
+    * Robust to the driver regenerating events.parquet as either a single
+    * file (today's shape) or a directory of part files — the same
+    * fixture-shape discipline SchemaDriftSpec enforces for types.
+    * `copies` > 1 duplicates the input (the at-least-once fixtures).
+    */
+  private def stageEvents(d: String, tag: String, copies: Int = 1): String = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    val dir = graft.Work.stableDir(s"$tag-${math.abs(d.hashCode)}")
+    // leftovers from an earlier staging SHAPE would double the input
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete)
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      else Seq(src)
+    for (c <- 0 until copies; (p, i) <- parts.zipWithIndex)
+      java.nio.file.Files.copy(p, dir.resolve(f"ev_${c}%d_$i%03d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
   /** The STREAMING twin of q50 under the SAME DuckDB oracle: the events
     * table staged as a file-watch source, consumed by a watermarked
     * tumbling-window aggregation via Trigger.AvailableNow, memory sink.
@@ -172,12 +197,8 @@ object EventOps {
       |  event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-    val dir = graft.Work.stableDir(
-      s"stream-events-${math.abs(d.hashCode)}")
-    java.nio.file.Files.copy(src, dir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val events = graft.streaming.EventStream.readEvents(s, dir.toString)
+    val events = graft.streaming.EventStream.readEvents(s,
+      stageEvents(d, "stream-events"))
     val agg = events
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -220,13 +241,9 @@ object EventOps {
       |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
       |   OR session_end + 1800000 < final_wm
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-    val dir = graft.Work.stableDir(
-      s"stream-events-${math.abs(d.hashCode)}")
-    java.nio.file.Files.copy(src, dir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val sessions = graft.streaming.EventStream.sessionizeStream(s,
-      graft.streaming.EventStream.readEvents(s, dir.toString))
+      graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events")))
     graft.streaming.EventStream.runToCompletion(s, sessions.toDF(),
       s"q93_sess_${streamRun.incrementAndGet()}", outputMode = "append")
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -246,15 +263,9 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-    val dir = graft.Work.stableDir(
-      s"stream-events-dup-${math.abs(d.hashCode)}")
-    java.nio.file.Files.copy(src, dir.resolve("a.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.copy(src, dir.resolve("b.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val deduped = graft.streaming.EventStream.dedupStream(
-      graft.streaming.EventStream.readEvents(s, dir.toString))
+      graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events-dup", copies = 2)))
     graft.streaming.EventStream.runToCompletion(s, deduped,
       s"q94_dedup_${streamRun.incrementAndGet()}", outputMode = "append")
       .groupBy(col("event_type"))
@@ -273,15 +284,9 @@ object EventOps {
       |  CAST(min(epoch_ns(CAST(ts AS TIMESTAMP_NS))) AS BIGINT) AS first_ts,
       |  CAST(2 * count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val src = java.nio.file.Paths.get(d, "events.parquet")
-    val dir = graft.Work.stableDir(
-      s"stream-events-dup-${math.abs(d.hashCode)}")
-    java.nio.file.Files.copy(src, dir.resolve("a.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.copy(src, dir.resolve("b.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val firsts = graft.streaming.EventStream.firstSeenPerUser(s,
-      graft.streaming.EventStream.readEvents(s, dir.toString))
+      graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events-dup", copies = 2)))
     // the update-mode memory table keeps every state revision if the
     // files split across micro-batches; state is MONOTONE (first_ts
     // only falls, n_events only grows), so min/max per user recovers
