@@ -77,25 +77,30 @@ object Aac {
   }
 
   /** Fixture: a structurally valid ADTS stream with the given
-    * parameters — correct headers, zeroed raw data blocks.
+    * parameters — correct headers, zeroed raw data blocks. `withCrc`
+    * emits protection_absent = 0 frames (9-byte header including the
+    * 16-bit CRC field); `rawBlocks` packs several 1024-sample raw data
+    * blocks per frame (number_of_raw_data_blocks_in_frame).
     */
   def fixture(nFrames: Int, sampleRateIdx: Int = 4, channels: Int = 2,
-              payloadLen: Int = 64, id3: Boolean = false): Array[Byte] = {
+              payloadLen: Int = 64, id3: Boolean = false,
+              withCrc: Boolean = false, rawBlocks: Int = 1): Array[Byte] = {
+    require(rawBlocks >= 1 && rawBlocks <= 4, "1..4 raw data blocks")
     val out = new java.io.ByteArrayOutputStream()
     if (id3) {
       out.write(Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10))
       out.write(new Array[Byte](10))
     }
-    val frameLen = 7 + payloadLen
+    val frameLen = (if (withCrc) 9 else 7) + payloadLen
     (0 until nFrames).foreach { _ =>
       val f = new Array[Byte](frameLen)
       f(0) = 0xFF.toByte
-      f(1) = 0xF1.toByte // MPEG-4, layer 00, no CRC
+      f(1) = (if (withCrc) 0xF0 else 0xF1).toByte // MPEG-4, layer 00
       f(2) = (0x40 | (sampleRateIdx << 2) | ((channels >> 2) & 1)).toByte // AAC-LC
       f(3) = (((channels & 0x3) << 6) | ((frameLen >> 11) & 0x3)).toByte
       f(4) = ((frameLen >> 3) & 0xFF).toByte
       f(5) = (((frameLen & 0x7) << 5) | 0x1F).toByte // buffer fullness hi
-      f(6) = 0xFC.toByte // buffer fullness lo + 1 raw data block
+      f(6) = (0xFC | (rawBlocks - 1)).toByte // fullness lo + raw blocks − 1
       out.write(f)
     }
     out.toByteArray

@@ -227,7 +227,10 @@ object MultimodalQueries {
         if (codec == "mp3") Mp3.fixture(nFrames, gain.toInt, id3 = i % 4 == 0,
           scalefacCompress = sfc.toInt, shortGranules = (sf * 4).toInt)
         else Aac.fixture(nFrames, sampleRateIdx = aacRateIdx((i / 2) % 4)._1,
-          channels = 1 + i % 2, id3 = i % 3 == 0)
+          channels = 1 + i % 2, id3 = i % 3 == 0,
+          // every fifth AAC stream carries CRC-protected (9-byte)
+          // headers; duration math is unchanged, the walk must be
+          withCrc = i % 5 == 0)
       (id, codec, content)
     }
     s.sparkContext.parallelize(payloads, 4).toDF("media_id", "codec", "content")

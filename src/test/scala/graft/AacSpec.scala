@@ -25,6 +25,19 @@ class AacSpec extends SparkSpec {
     assert(lo.sampleRate === 8000 && lo.channels === 1)
   }
 
+  test("CRC-protected frames (protection_absent 0) and multi-raw-block " +
+    "frames walk correctly — 9-byte headers, 1024 samples per block") {
+    val crc = Aac.probe(Aac.fixture(12, withCrc = true)).get
+    assert(crc.nFrames === 12 && crc.sampleRate === 44100)
+    assert(crc.durationMs === 12L * 1024 * 1000 / 44100)
+    val multi = Aac.probe(Aac.fixture(10, rawBlocks = 4)).get
+    assert(multi.nFrames === 10)
+    assert(multi.durationMs === 10L * 4 * 1024 * 1000 / 44100,
+      "4 raw data blocks = 4096 samples per frame")
+    val both = Aac.probe(Aac.fixture(10, withCrc = true, rawBlocks = 2)).get
+    assert(both.durationMs === 10L * 2 * 1024 * 1000 / 44100)
+  }
+
   test("ID3v2 prefix is skipped; trailing junk tolerated; garbage rejected") {
     val tagged = Aac.fixture(8, id3 = true)
     assert(Aac.probe(tagged).get.nFrames === 8)
