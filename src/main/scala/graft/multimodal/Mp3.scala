@@ -151,6 +151,23 @@ object Mp3 {
     }
   }
 
+  /** Fixture: an MPEG-2 Layer III 22.05 kHz / 64 kbps mono stream —
+    * the low-rate voice-archive shape (576 samples per frame, the V2
+    * bitrate table, no MPEG1 side-info walk).
+    */
+  def fixtureV2(nFrames: Int): Array[Byte] = {
+    val frameLen = 72 * 64000 / 22050 // 208, no padding
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nFrames).foreach { _ =>
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xFF.toByte; f(1) = 0xF3.toByte // MPEG2 (version 10), L3, no CRC
+      f(2) = 0x80.toByte                     // 64 kbps (V2 idx 8), 22050
+      f(3) = 0xC0.toByte                     // mono
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
   /** Fixture: a stereo MPEG1 Layer III 44.1 kHz / 128 kbps frame
     * stream with the given side-info fields — structurally valid
     * headers + side info, zeroed main data (silence). Granules with

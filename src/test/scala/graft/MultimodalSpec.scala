@@ -171,6 +171,13 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.audioFeatures(media).collect().head
     assert(f.getLong(1) === 86L * 1152 * 1000 / 44100)
     assert(math.abs(f.getDouble(2) - 180.0 / 255.0) < 1e-9)
+    // MPEG-2 streams: 576 samples/frame, V2 bitrate table, mono — the
+    // version branch of the walk (side-info gain is MPEG1-only)
+    val v2 = Mp3.probe(Mp3.fixtureV2(40)).get
+    assert(v2.sampleRate === 22050 && v2.channels === 1 &&
+      v2.nFrames === 40 && v2.bitrateKbps === 64)
+    assert(v2.durationMs === 40L * 576 * 1000 / 22050)
+    assert(v2.meanGlobalGain === 0.0)
     // arbitrary binary payloads must NOT probe as mp3 (two-frame rule)
     assert(Mp3.probe(Array.tabulate[Byte](600)(i => (i * 37).toByte)).isEmpty)
     assert(Mp3.probe(Array.fill[Byte](600)(0xFF.toByte)).isEmpty)
