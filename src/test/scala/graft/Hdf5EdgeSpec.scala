@@ -226,6 +226,30 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     assert(r.readDoubles("v").toSeq === Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("big-endian float64 payloads decode via the datatype's byte " +
+    "order (third-party writers on BE systems)") {
+    val bytes = craftMultiSnod()
+    // flip both datasets' float64 datatype messages to big-endian
+    // (bits byte 0x20 -> 0x21) and byte-swap their contiguous payloads
+    val pat = Array[Byte](0x11, 0x20, 0x3F, 0x00)
+    var flipped = 0
+    var i = 0
+    while (i + 4 <= bytes.length) {
+      if (pat.indices.forall(j => bytes(i + j) == pat(j))) {
+        bytes(i + 1) = 0x21; flipped += 1
+      }
+      i += 1
+    }
+    assert(flipped === 2, s"expected 2 datatype messages, patched $flipped")
+    for (off <- Seq(96, 104, 112, 120)) {
+      val tmp = java.util.Arrays.copyOfRange(bytes, off, off + 8)
+      (0 until 8).foreach(j => bytes(off + j) = tmp(7 - j))
+    }
+    val r = new Hdf5.Reader(bytes)
+    assert(r.readDoubles("a").toSeq === Seq(1.5, 2.5))
+    assert(r.readDoubles("b").toSeq === Seq(3.5, 4.5))
+  }
+
   // ---- SHARED messages (committed datatypes + the SOHM heap)
 
   import graft.source.{Hdf5Write, NetCdfFixture}
