@@ -466,8 +466,47 @@ object NetCdfQueries {
     man.join(statsByArray, Seq("array"))
   }
 
+  /** S1 completion for USER-DEFINED datatypes: a CF flag variable stored
+    * as a netCDF-4 ENUM (int8 base) — the type class libhdf5 resolves
+    * transparently for the reference (generator.py:485) — scanned
+    * through the standard DSv2 tidy path with the variable filter
+    * pushed down, its category vocabulary resolved by the metadata-only
+    * [[NetCdfSource.enumLabels]] pass and broadcast-joined onto the
+    * exploded codes: per-(file, category) cell counts. The oracle
+    * re-derives the counts and the label join independently in DuckDB
+    * from the dumped scanlines + vocabulary.
+    */
+  val enumMaskCounts = QueryDef("q97_netcdf4_enum_mask",
+    """SELECT s.file, l.label, s.code, count(*) AS cnt
+      |FROM (SELECT file, variable, CAST(unnest(vals) AS BIGINT) AS code
+      |      FROM read_parquet('/tmp/graft-oracle/q97_codes/*.parquet')) s
+      |JOIN read_parquet('/tmp/graft-oracle/q97_labels/*.parquet') l
+      |  ON l.file = s.file AND l.variable = s.variable AND l.code = s.code
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, _) =>
+    val glob = NetCdfFixture.writeFilesEnum(
+      stableWork("fixtures").resolve("ncenum"))
+    val tidy = s.read.format("netcdf").load(glob)
+      .filter(col("variable") === "surface_mask")
+    val codes = oracleDump(s, "q97_codes", tidy.select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("variable"), col("values").as("vals")), glob)
+      .select(col("file"), col("variable"),
+        explode(col("vals")).as("v"))
+      .select(col("file"), col("variable"), col("v").cast("long").as("code"))
+    val labels = oracleDump(s, "q97_labels",
+      NetCdfSource.enumLabels(s, glob).select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("variable"), col("code"), col("label")), glob)
+    // the vocabulary is a handful of rows per variable — broadcast, so
+    // the exploded cell stream never shuffles for the join
+    codes.join(broadcast(labels), Seq("file", "variable", "code"))
+      .groupBy(col("file"), col("label"), col("code"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
-      zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan)
+      zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
+      enumMaskCounts)
 }

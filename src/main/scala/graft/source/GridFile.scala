@@ -25,6 +25,10 @@ sealed trait GridFile {
     * real-world attribute typing.
     */
   def varAttrNum(v: String, a: String): Option[Double]
+  /** All numeric values of a variable attribute (flag_values-style
+    * vectors; enum value maps).
+    */
+  def varAttrNums(v: String, a: String): Seq[Double]
   def gattText(a: String): Option[String]
   def gattNums(a: String): Seq[Double]
   /** Full numeric decode, row-major, widened to Double. */
@@ -94,6 +98,8 @@ object GridFile {
     override def varAttrNum(n: String, a: String): Option[Double] =
       v(n).attr(a).flatMap(at =>
         at.nums.headOption.orElse(Option(at.text).flatMap(_.toDoubleOption)))
+    override def varAttrNums(n: String, a: String): Seq[Double] =
+      v(n).attr(a).map(_.nums).getOrElse(Nil)
     override def gattText(a: String): Option[String] =
       h.gatt(a).flatMap(at => Option(at.text))
     override def gattNums(a: String): Seq[Double] =
@@ -121,8 +127,8 @@ object GridFile {
       if (d.isDimScale) Seq(d.name) else r.file.dimNames(d)
     }
     override def shape(n: String): Seq[Int] = ds(n).dims
-    override def dtypeName(n: String): String = {
-      val t = ds(n).dtype
+    override def dtypeName(n: String): String = typeName(ds(n).dtype)
+    private def typeName(t: Hdf5.H5Type): String =
       t.cls match {
         case Hdf5.ClsFloat => if (t.size == 8) "float64" else "float32"
         case Hdf5.ClsFixed =>
@@ -131,14 +137,18 @@ object GridFile {
           }
           (if (t.signed) "int" else "uint") + base
         case Hdf5.ClsString => "char"
+        // the names netCDF4-python reports for user-defined types
+        case Hdf5.ClsEnum => s"enum ${typeName(Hdf5.numericType(t))}"
+        case Hdf5.ClsCompound => "compound"
         case c => s"class$c"
       }
-    }
     override def varAttrText(n: String, a: String): Option[String] =
       ds(n).attrText(a)
     override def varAttrNum(n: String, a: String): Option[Double] =
       ds(n).attr(a).flatMap(at =>
         at.nums.headOption.orElse(Option(at.text).flatMap(_.toDoubleOption)))
+    override def varAttrNums(n: String, a: String): Seq[Double] =
+      ds(n).attr(a).map(_.nums).getOrElse(Nil)
     override def gattText(a: String): Option[String] =
       r.file.gatt(a).flatMap(at => Option(at.text))
     override def gattNums(a: String): Seq[Double] =

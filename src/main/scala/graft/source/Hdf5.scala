@@ -121,11 +121,32 @@ object Hdf5 {
 
   // datatype classes we understand
   val ClsFixed = 0; val ClsFloat = 1; val ClsString = 3
-  val ClsReference = 7; val ClsVlen = 9
+  val ClsCompound = 6; val ClsReference = 7; val ClsEnum = 8
+  val ClsVlen = 9; val ClsArray = 10
+
+  /** One member of a compound datatype: (name, byte offset in the
+    * record, member type).
+    */
+  final case class H5Member(name: String, offset: Int, tpe: H5Type)
 
   final case class H5Type(cls: Int, size: Int, littleEndian: Boolean,
                           signed: Boolean, base: Option[H5Type] = None,
-                          vlenIsString: Boolean = false)
+                          vlenIsString: Boolean = false,
+                          enumNames: Seq[String] = Nil,
+                          enumValues: Seq[Long] = Nil,
+                          members: Seq[H5Member] = Nil,
+                          arrayDims: Seq[Int] = Nil)
+
+  /** The numeric type a value of `t` decodes through: enums decode as
+    * their base integer type (CF flag variables are enum-of-int8, ref
+    * generator.py:485 reads them transparently via libhdf5).
+    */
+  @annotation.tailrec
+  def numericType(t: H5Type): H5Type = t.cls match {
+    case ClsEnum => numericType(t.base.getOrElse(
+      throw new IllegalArgumentException("enum datatype without base")))
+    case _ => t
+  }
 
   /** Dataspace: current extents plus max extents, where −1 marks an
     * UNLIMITED (appendable) dimension — the layout h5py's
@@ -356,9 +377,17 @@ object Hdf5 {
         // reconcile against the dataspace so both decode correctly
         val lay = reconcileV4Chunks(layout.get, space.get.dims.length,
           dtype.get.size)
+        // ENUM-typed datasets surface their name↔value map as synthetic
+        // attributes (the CF flag_meanings/flag_values shape netCDF4-
+        // python derives from the enum dict) so downstream relational
+        // plans can label categories without re-opening the type
+        val enumAttrs = dtype.filter(_.cls == ClsEnum).toSeq.flatMap { t =>
+          Seq(Attr("enum_names", t.enumNames.mkString(" "), Nil, Nil),
+            Attr("enum_values", null, t.enumValues.map(_.toDouble), Nil))
+        }
         out += Dataset(prefix.stripPrefix("/"), oh,
-          space.get.dims.map(_.toInt), dtype.get, lay, filters, attrs,
-          space.get.maxDims)
+          space.get.dims.map(_.toInt), dtype.get, lay, filters,
+          attrs ++ enumAttrs, space.get.maxDims)
       } else {
         // group: symbol-table children + compact link-message children
         msgs.collectFirst { case (0x0011, body) => body }.foreach { body =>
@@ -886,25 +915,108 @@ object Hdf5 {
     private def parseDatatype(b: ByteBuffer): H5Type = {
       val cv = b.get().toInt & 0xFF
       val cls = cv & 0xF
+      val ver = (cv >> 4) & 0xF
       val bits = (b.get().toInt & 0xFF) | ((b.get().toInt & 0xFF) << 8) |
         ((b.get().toInt & 0xFF) << 16)
       val size = u4(b).toInt
+      // null-terminated name; versions 1/2 pad to a multiple of 8,
+      // version 3 ("latest") stores it unpadded
+      def name(): String = {
+        val start = b.position()
+        while (b.get() != 0) {}
+        val rawLen = b.position() - start
+        val all = rawLen + (if (ver < 3) (8 - rawLen % 8) % 8 else 0)
+        val out = new Array[Byte](rawLen - 1)
+        b.position(start); b.get(out); b.position(start + all)
+        new String(out, java.nio.charset.StandardCharsets.UTF_8)
+      }
       cls match {
         case ClsFixed =>
+          // consume the fixed-point properties (bit offset + precision)
+          // so NESTED parses (compound members, enum bases) land on the
+          // next field
+          b.getShort(); b.getShort()
           H5Type(cls, size, littleEndian = (bits & 1) == 0,
             signed = (bits & 0x8) != 0)
         case ClsFloat =>
           require(size == 2 || size == 4 || size == 8, s"float size $size")
+          // bit offset/precision, exponent/mantissa geometry, bias
+          b.getShort(); b.getShort(); b.getInt(); b.getInt()
           H5Type(cls, size, littleEndian = (bits & 1) == 0, signed = true)
         case ClsString =>
           H5Type(cls, size, littleEndian = true, signed = false)
+        case ClsCompound =>
+          // per-member: name, record offset, member type. v1 carries
+          // old-style array dims inline (pre-class-10 writers); v3
+          // shrinks the offset to the fewest bytes that span `size`
+          val n = bits & 0xFFFF
+          val ms = (0 until n).map { _ =>
+            val mname = name()
+            val (off, adims) = ver match {
+              case 1 =>
+                val o = u4(b).toInt
+                val ndims = b.get().toInt
+                b.get(); b.get(); b.get() // reserved
+                b.getInt()                // dimension permutation
+                b.getInt()                // reserved
+                val ds = (0 until 4).map(_ => u4(b).toInt)
+                (o, ds.take(ndims))
+              case 2 => (u4(b).toInt, Nil)
+              case 3 =>
+                val nb = Math.max(1,
+                  (64 - java.lang.Long.numberOfLeadingZeros(
+                    Math.max(1L, size.toLong)) + 7) / 8)
+                var o = 0L
+                (0 until nb).foreach(i =>
+                  o |= (b.get().toLong & 0xFF) << (8 * i))
+                (o.toInt, Nil)
+              case v => throw new IllegalArgumentException(
+                s"compound datatype version $v")
+            }
+            val mt0 = parseDatatype(b)
+            val mt = if (adims.isEmpty) mt0
+              else H5Type(ClsArray, mt0.size * adims.product,
+                mt0.littleEndian, mt0.signed, base = Some(mt0),
+                arrayDims = adims)
+            H5Member(mname, off, mt)
+          }
+          H5Type(cls, size, littleEndian = true, signed = false, members = ms)
         case ClsReference =>
           H5Type(cls, size, littleEndian = true, signed = false)
+        case ClsEnum =>
+          // base type first, then all names, then all values (base-size
+          // each, base byte order)
+          val base = parseDatatype(b)
+          val n = bits & 0xFFFF
+          val names = (0 until n).map(_ => name())
+          val bt = numericType(base)
+          val values = (0 until n).map { _ =>
+            val raw = new Array[Byte](bt.size); b.get(raw)
+            var v = 0L
+            val idx = if (bt.littleEndian) raw.indices.reverse else raw.indices
+            idx.foreach(i => v = (v << 8) | (raw(i).toLong & 0xFF))
+            // sign-extend signed bases so enum-of-int8 keeps -1 flags
+            if (bt.signed && bt.size < 8) {
+              val sh = 64 - bt.size * 8
+              (v << sh) >> sh
+            } else v
+          }
+          H5Type(cls, size, littleEndian = base.littleEndian,
+            signed = base.signed, base = Some(base),
+            enumNames = names, enumValues = values)
         case ClsVlen =>
           val vlenStr = (bits & 0xF) == 1
           val base = parseDatatype(b)
           H5Type(cls, size, littleEndian = true, signed = false,
             base = Some(base), vlenIsString = vlenStr)
+        case ClsArray =>
+          val ndims = b.get().toInt
+          if (ver == 2) { b.get(); b.get(); b.get() } // reserved
+          val dims = (0 until ndims).map(_ => u4(b).toInt)
+          if (ver == 2) (0 until ndims).foreach(_ => b.getInt()) // permutation
+          val base = parseDatatype(b)
+          H5Type(cls, size, base.littleEndian, base.signed,
+            base = Some(base), arrayDims = dims)
         case c =>
           throw new IllegalArgumentException(s"datatype class $c unsupported")
       }
@@ -1065,6 +1177,10 @@ object Hdf5 {
           Attr(name, null, Nil, Seq((0 until n).map(_ => b.getLong())))
         case ClsFixed | ClsFloat =>
           val nums = (0 until n).map(_ => readNum(b, t))
+          Attr(name, null, nums, Nil)
+        case ClsEnum =>
+          val bt = numericType(t)
+          val nums = (0 until n).map(_ => readNum(b, bt))
           Attr(name, null, nums, Nil)
         case _ => Attr(name, null, Nil, Nil)
       }
@@ -1658,11 +1774,21 @@ object Hdf5 {
     def readDoubles(ds: Dataset,
                     keep: Array[Option[Long]] = Array.empty): Array[Double] = {
       val raw = rawData(ds, keep)
-      val n = ds.dims.map(_.toLong).product.toInt
+      // enums decode through their base integer type; array-typed cells
+      // flatten (dataset dims × array dims, row-major — the layout the
+      // bytes are already in)
+      val t = numericType(ds.dtype) match {
+        case a if a.cls == ClsArray => numericType(a.base.get)
+        case other => other
+      }
+      val perCell = numericType(ds.dtype) match {
+        case a if a.cls == ClsArray => a.arrayDims.map(_.toLong).product
+        case _ => 1L
+      }
+      val n = (ds.dims.map(_.toLong).product * perCell).toInt
       val out = new Array[Double](n)
       val b = ByteBuffer.wrap(raw).order(
-        if (ds.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-      val t = ds.dtype
+        if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       var i = 0
       (t.cls, t.size) match {
         case (ClsFloat, 8) => while (i < n) { out(i) = b.getDouble(); i += 1 }
@@ -1681,6 +1807,46 @@ object Hdf5 {
         case (ClsFixed, 8) => while (i < n) { out(i) = b.getLong().toDouble; i += 1 }
         case (c, s) => throw new IllegalArgumentException(
           s"cannot decode dataset ${ds.name} of class $c size $s to doubles")
+      }
+      out
+    }
+
+    /** One member of a COMPOUND dataset decoded to doubles: strides the
+      * record buffer at the member's offset (array-typed members — the
+      * coordinate-bounds shape — emit arrayDims.product values per
+      * record, row-major).
+      */
+    def readMemberDoubles(ds: Dataset, member: String,
+                          keep: Array[Option[Long]] = Array.empty): Array[Double] = {
+      require(ds.dtype.cls == ClsCompound,
+        s"dataset ${ds.name} is not compound")
+      val m = ds.dtype.members.find(_.name == member).getOrElse(
+        throw new IllegalArgumentException(
+          s"no member $member in compound ${ds.name} " +
+            s"(has ${ds.dtype.members.map(_.name).mkString(", ")})"))
+      val mt = numericType(m.tpe) match {
+        case a if a.cls == ClsArray => numericType(a.base.get)
+        case other => other
+      }
+      val perRec = numericType(m.tpe) match {
+        case a if a.cls == ClsArray => a.arrayDims.product
+        case _ => 1
+      }
+      val raw = rawData(ds, keep)
+      val recSize = ds.dtype.size
+      val nRec = ds.dims.map(_.toLong).product.toInt
+      val out = new Array[Double](nRec * perRec)
+      val b = ByteBuffer.wrap(raw).order(
+        if (mt.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      var r = 0
+      while (r < nRec) {
+        b.position(r * recSize + m.offset)
+        var j = 0
+        while (j < perRec) {
+          out(r * perRec + j) = readNum(b, mt)
+          j += 1
+        }
+        r += 1
       }
       out
     }
@@ -1706,5 +1872,9 @@ object Hdf5 {
                           keep: Array[Option[Long]]): Array[Double] =
       parser.readDoubles(file.dataset(name).getOrElse(
         throw new IllegalArgumentException(s"no dataset $name")), keep)
+    /** One member of a compound dataset, decoded to doubles. */
+    def readMemberDoubles(name: String, member: String): Array[Double] =
+      parser.readMemberDoubles(file.dataset(name).getOrElse(
+        throw new IllegalArgumentException(s"no dataset $name")), member)
   }
 }

@@ -35,6 +35,17 @@ object Hdf5Write {
   private val regLz4Block = 65536
   private val regBitshufBlockElems = 1024
 
+  /** Category map of enum-typed (elem = 1) variables: the CF
+    * surface-type flag vocabulary a sea-ice mask carries. Fixed so the
+    * reader's decoded enum_names/enum_values attrs are assertable.
+    */
+  val EnumMembers: Seq[(String, Int)] =
+    Seq("ocean" -> 0, "ice" -> 1, "land" -> 2, "missing" -> 3)
+  // enum datatype message body: 8 (enum header) + 12 (int8 base:
+  // 8-byte header + bit offset/precision) + padded names + 1-byte values
+  private def enumTypeBody: Int =
+    8 + 12 + EnumMembers.map(m => pad8(m._1.length + 1)).sum + EnumMembers.size
+
   /** Position-addressed write sink: the renderer emits absolute-addressed
     * segments, so output can be an in-memory array (small slice files) or
     * a RandomAccessFile (unbounded; holes stay sparse — how the >2 GiB
@@ -294,13 +305,14 @@ object Hdf5Write {
             denseHeapGeom: Option[(Long, Long, Int)] = None,
             denseHeapFiltered: Boolean = false,
             halfVars: Set[String] = Set.empty,
-            regFilter: Option[String] = None): Array[Byte] = {
+            regFilter: Option[String] = None,
+            enumVars: Set[String] = Set.empty): Array[Byte] = {
     var arr: Array[Byte] = null
     render(dims, gatts, vars, deflateLevel, shuffle, maxChunkElems,
       dataBase = 0L, denseRoot = denseRoot, denseAttrs = denseAttrs,
       v4Layout = v4Layout, denseNodeSize = denseNodeSize,
       v4PageBits = v4PageBits, v4Index = v4Index, eaPageBits = eaPageBits,
-      sharedDatatype = sharedDatatype,
+      sharedDatatype = sharedDatatype, enumVars = enumVars,
       unlimitedDims = unlimitedDims, denseHeapGeom = denseHeapGeom,
       denseHeapFiltered = denseHeapFiltered, halfVars = halfVars,
       regFilter = regFilter,
@@ -434,7 +446,8 @@ object Hdf5Write {
                      regFilter: Option[String],
                      mkSink: Long => WSink,
                      eaPageBits: Int = EaPageBits,
-                     sharedDatatype: Boolean = false): Unit = {
+                     sharedDatatype: Boolean = false,
+                     enumVars: Set[String] = Set.empty): Unit = {
     val dimLen = dims.toMap
     require(v4Index == 3 || v4Index == 4 || v4Index == 5,
       s"v4Index $v4Index (3 = Fixed Array, 4 = Extensible Array, 5 = v2 B-tree)")
@@ -465,7 +478,7 @@ object Hdf5Write {
       require(v.data.length == shape.product,
         s"${v.name}: ${v.data.length} values for shape $shape")
       Plan(v.name, shape, v.data, v.attrs, isScale = false, v.dims, v.numAttrs,
-        elem = if (halfVars(v.name)) 2 else 8)
+        elem = if (enumVars(v.name)) 1 else if (halfVars(v.name)) 2 else 8)
     }
     val plans = scales ++ payloads
 
@@ -528,7 +541,9 @@ object Hdf5Write {
       val dsBody = 8 + rank * 8 +
         (if (unlimMask(p).exists(identity)) rank * 8 else 0)
       val core = msg(dsBody) + // dataspace v1 (+ maxdims when unlimited)
-        (if (sharedDatatype && p.elem == 8) msg(10) else msg(20)) + // datatype
+        (if (p.elem == 1) msg(enumTypeBody)
+         else if (sharedDatatype && p.elem == 8) msg(10)
+         else msg(20)) + // datatype
         msg(2) + // fill v3 (undefined)
         (if (p.isScale) msg(18) // contiguous layout
          else (if (v4Layout) {
@@ -1077,6 +1092,32 @@ object Hdf5Write {
       }
       writeFloatTypeInline(b, elem)
     }
+    /** ENUM datatype message: version-1 enum of int8 with the fixed
+      * [[EnumMembers]] vocabulary — base type inline, then padded
+      * null-terminated names, then base-width values (the shape h5py
+      * emits for `h5py.enum_dtype({...}, basetype='i1')`).
+      */
+    def writeEnumType(b: W): Unit = {
+      val body = enumTypeBody
+      msgHeader(b, 0x0003, body)
+      val mark = b.position()
+      b.put(0x18.toByte)                     // version 1, class 8 (enum)
+      b.put(EnumMembers.size.toByte)         // bits 0-15: member count
+      b.put(0.toByte); b.put(0.toByte)
+      b.putInt(1)                            // size = base size
+      // base: fixed-point int8, little-endian, signed
+      b.put(0x10.toByte)
+      b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putInt(1)
+      b.putShort(0); b.putShort(8)           // bit offset, precision
+      EnumMembers.foreach { case (n, _) =>
+        // padding bytes are NUL, so the terminator comes from the pad
+        putPadded(b, n.getBytes(StandardCharsets.US_ASCII),
+          pad8(n.length + 1))
+      }
+      EnumMembers.foreach { case (_, v) => b.put(v.toByte) }
+      (b.position() until mark + pad8(body)).foreach(_ => b.put(0.toByte))
+    }
     def writeFloatTypeInline(b: W, elem: Int): Unit = {
       msgHeader(b, 0x0003, 20)
       b.put(0x11.toByte) // version 1, class 1 (float)
@@ -1213,7 +1254,7 @@ object Hdf5Write {
       b.putInt(size - 16)
       b.putInt(0) // pad to 8
       writeDataspace(b, p.shape, unlimMask(p))
-      writeFloatType(b, p.elem)
+      if (p.elem == 1) writeEnumType(b) else writeFloatType(b, p.elem)
       writeFill(b)
       if (p.isScale) {
         msgHeader(b, 0x0008, 18)
@@ -1694,9 +1735,10 @@ object Hdf5Write {
     b.array()
   }
 
-  /** float64 or (elem = 2) IEEE binary16 little-endian encoding */
+  /** float64, (elem = 2) IEEE binary16, or (elem = 1) int8 enum codes */
   private def floatBytes(a: Array[Double], elem: Int): Array[Byte] =
     if (elem == 8) doubleBytes(a)
+    else if (elem == 1) a.map(_.toByte)
     else {
       val b = ByteBuffer.allocate(a.length * 2).order(ByteOrder.LITTLE_ENDIAN)
       a.foreach(v => b.putShort(Half.fromDouble(v)))

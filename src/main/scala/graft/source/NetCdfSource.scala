@@ -113,6 +113,27 @@ object NetCdfSource {
         "units", "crs", "x_coord", "y_coord", "is_band", "lat_min")
   }
 
+  /** Category vocabulary of ENUM-typed variables (netCDF-4 user types,
+    * the CF flag-variable shape): one row per (path, variable, code,
+    * label), from the decoded enum name↔value map — a metadata-only
+    * pass (header reads, no payload bytes), so it broadcast-joins
+    * against the tidy scan at any archive size.
+    */
+  def enumLabels(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    perFile(spark, glob) { (path, g) =>
+      g.varNames.filter(v => g.dtypeName(v).startsWith("enum"))
+        .flatMap { v =>
+          val names = g.varAttrText(v, "enum_names")
+            .map(_.split(" ").toSeq).getOrElse(Nil)
+          val values = g.varAttrNums(v, "enum_values").map(_.toLong)
+          values.zip(names).map { case (code, label) =>
+            (path, v, code, label)
+          }
+        }
+    }.toDF("path", "variable", "code", "label")
+  }
+
   /** Tidy decode of the 4-D band variables: one row per (variable,
     * time_idx, leadtime_idx, y scanline). Coordinate VALUES are resolved
     * through P1 and unit-normalized through P3 (km / "1000 meter" → m ×
@@ -336,6 +357,34 @@ object NetCdfFixture {
         v4Layout = true, v4Index = 4, eaPageBits = 2,
         unlimitedDims = Set("time"), sharedDatatype = true)
       java.nio.file.Files.write(dir.resolve(f"shared_ea_$i%02d.nc"), b)
+    }
+    s"$dir/*.nc"
+  }
+
+  /** Archives carrying a CF flag variable as a netCDF-4 ENUM type
+    * (h5py `enum_dtype({...}, basetype='i1')`) beside the float
+    * payloads — the user-defined-datatype shape libhdf5 reads
+    * transparently for the reference (generator.py:485). The mask is
+    * 4-D over the same grid with deterministic category codes drawn
+    * from [[Hdf5Write.EnumMembers]].
+    */
+  def writeFilesEnum(dir: java.nio.file.Path, n: Int = 2): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      val (dims, gatts, vars) = spec(nt = 1, tStart = i.toDouble)
+      val Seq(nt, ny, nx, nl) = dims.map(_._2)
+      val nCats = Hdf5Write.EnumMembers.size
+      val mask = new Array[Double](nt * ny * nx * nl)
+      var j = 0
+      for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx; l <- 0 until nl) {
+        mask(j) = (t + y * 3 + x * 5 + l * 7 + i) % nCats; j += 1
+      }
+      val maskVar = NetCdf.VarSpec("surface_mask",
+        Seq("time", "yc", "xc", "leadtime"),
+        Seq("long_name" -> "surface type mask"), mask)
+      val b = Hdf5Write.write(dims, gatts, vars :+ maskVar,
+        enumVars = Set("surface_mask"))
+      java.nio.file.Files.write(dir.resolve(f"enum_$i%02d.nc"), b)
     }
     s"$dir/*.nc"
   }

@@ -515,4 +515,200 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     }
     assertDecodesLikePlain(plain, out)
   }
+
+  // ---- user-defined datatype classes: enum + compound (spec IV.A.2.d;
+  // the netCDF-4 shapes h5py's enum_dtype / compound dtypes emit)
+
+  /** Minimal one-dataset file: superblock v2 + contiguous data + OHDR v2
+    * carrying an arbitrary datatype message body — the harness for
+    * datatype-class parse tests (compound records, enum-of-int16).
+    */
+  private def craftTyped(dtBody: Array[Byte], data: Array[Byte],
+                         dim: Int): Array[Byte] = {
+    val dataAddr = 48
+    val dsAddr = dataAddr + data.length
+    val chunk0 = (4 + 12) + (4 + dtBody.length) + (4 + 18)
+    require(chunk0 <= 255, s"chunk0 $chunk0 needs a 1-byte size")
+    val dsSize = 4 + 2 + 1 + chunk0 + 4
+    val rootAddr = dsAddr + dsSize
+    val total = rootAddr + 27
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): ByteBuffer = { buf.position(pos); buf }
+
+    at(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(2.toByte)
+    buf.put(8.toByte); buf.put(8.toByte)
+    buf.put(0.toByte)
+    buf.putLong(0L)
+    buf.putLong(-1L)
+    buf.putLong(total.toLong)
+    buf.putLong(rootAddr.toLong)
+    buf.putInt(0)
+
+    at(dataAddr); buf.put(data)
+
+    at(dsAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put(chunk0.toByte)
+    // dataspace v2: rank 1, dims [dim]
+    buf.put(1.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
+    buf.putLong(dim.toLong)
+    // the datatype under test
+    buf.put(3.toByte); buf.putShort(dtBody.length.toShort); buf.put(0.toByte)
+    buf.put(dtBody)
+    // layout v3 contiguous
+    buf.put(8.toByte); buf.putShort(18); buf.put(0.toByte)
+    buf.put(3.toByte); buf.put(1.toByte)
+    buf.putLong(dataAddr.toLong); buf.putLong(data.length.toLong)
+    buf.putInt(0) // checksum (not verified)
+
+    at(rootAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put(16.toByte)
+    buf.put(6.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
+    buf.put('v'.toByte)
+    buf.putLong(dsAddr.toLong)
+    buf.putInt(0)
+
+    buf.array()
+  }
+
+  private def float64Type(b: ByteBuffer): Unit = {
+    b.put(0x11.toByte)
+    b.put(0x20.toByte); b.put(0x3F.toByte); b.put(0.toByte)
+    b.putInt(8)
+    b.putShort(0); b.putShort(64)
+    b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+    b.putInt(1023)
+  }
+
+  test("COMPOUND v1 records: scalar + old-style array member stride out") {
+    // {lo: f64 @0, bnds: f64[2] @8} — 24-byte records, dims [3]
+    val dt = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x16.toByte)                   // version 1, class 6
+    dt.put(2.toByte); dt.put(0.toByte); dt.put(0.toByte) // 2 members
+    dt.putInt(24)
+    def memberV1(name: String, off: Int, ndims: Int, d0: Int): Unit = {
+      val raw = name.getBytes("US-ASCII")
+      dt.put(raw); (raw.length until 8).foreach(_ => dt.put(0.toByte))
+      dt.putInt(off)
+      dt.put(ndims.toByte); dt.put(0.toByte); dt.put(0.toByte); dt.put(0.toByte)
+      dt.putInt(0)                        // dimension permutation
+      dt.putInt(0)                        // reserved
+      dt.putInt(d0); dt.putInt(0); dt.putInt(0); dt.putInt(0)
+      float64Type(dt)
+    }
+    memberV1("lo", 0, 0, 0)
+    memberV1("bnds", 8, 1, 2)
+    val data = ByteBuffer.allocate(3 * 24).order(ByteOrder.LITTLE_ENDIAN)
+    Seq((1.0, 10.0, 11.0), (2.0, 20.0, 21.0), (3.0, 30.0, 31.0)).foreach {
+      case (lo, b0, b1) => data.putDouble(lo); data.putDouble(b0); data.putDouble(b1)
+    }
+    val dtb = java.util.Arrays.copyOf(dt.array(), dt.position())
+    val r = new Hdf5.Reader(craftTyped(dtb, data.array(), 3))
+    val ds = r.file.dataset("v").get
+    assert(ds.dtype.cls === Hdf5.ClsCompound)
+    assert(ds.dtype.members.map(_.name) === Seq("lo", "bnds"))
+    assert(r.readMemberDoubles("v", "lo").toSeq === Seq(1.0, 2.0, 3.0))
+    assert(r.readMemberDoubles("v", "bnds").toSeq ===
+      Seq(10.0, 11.0, 20.0, 21.0, 30.0, 31.0))
+    val g = new graft.source.GridFile.H5(craftTyped(dtb, data.array(), 3))
+    assert(g.dtypeName("v") === "compound")
+  }
+
+  test("COMPOUND v3: unpadded names, minimal-width offsets, class-10 " +
+    "array member") {
+    // {t: f64 @0, bnds: f64[2] (array type) @8} — 24-byte records
+    // v3 offsets: size 24 -> 1 byte each
+    val dt = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x36.toByte)                   // version 3, class 6
+    dt.put(2.toByte); dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(24)
+    dt.put('t'.toByte); dt.put(0.toByte)  // name, unpadded
+    dt.put(0.toByte)                      // offset 0 in 1 byte
+    float64Type(dt)
+    "bnds".getBytes("US-ASCII").foreach(dt.put); dt.put(0.toByte)
+    dt.put(8.toByte)                      // offset 8
+    // array datatype v3: class 10, 1 dim of 2, base f64
+    dt.put(0x3A.toByte)
+    dt.put(0.toByte); dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(16)
+    dt.put(1.toByte)                      // dimensionality (v3: no pad)
+    dt.putInt(2)
+    float64Type(dt)
+    val data = ByteBuffer.allocate(2 * 24).order(ByteOrder.LITTLE_ENDIAN)
+    Seq((0.5, 1.0, 2.0), (1.5, 3.0, 4.0)).foreach { case (t, b0, b1) =>
+      data.putDouble(t); data.putDouble(b0); data.putDouble(b1)
+    }
+    val r = new Hdf5.Reader(craftTyped(
+      java.util.Arrays.copyOf(dt.array(), dt.position()), data.array(), 2))
+    val ds = r.file.dataset("v").get
+    assert(ds.dtype.members.map(_.name) === Seq("t", "bnds"))
+    assert(ds.dtype.members(1).tpe.cls === Hdf5.ClsArray)
+    assert(ds.dtype.members(1).tpe.arrayDims === Seq(2))
+    assert(r.readMemberDoubles("v", "t").toSeq === Seq(0.5, 1.5))
+    assert(r.readMemberDoubles("v", "bnds").toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("ENUM v3 of int16: unpadded names, sign-extended values, decode " +
+    "through the base type") {
+    val dt = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x38.toByte)                   // version 3, class 8
+    dt.put(2.toByte); dt.put(0.toByte); dt.put(0.toByte) // 2 members
+    dt.putInt(2)
+    // base: fixed int16 LE signed
+    dt.put(0x10.toByte)
+    dt.put(0x08.toByte); dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(2)
+    dt.putShort(0); dt.putShort(16)
+    dt.put('a'.toByte); dt.put(0.toByte)  // names unpadded in v3
+    dt.put('b'.toByte); dt.put(0.toByte)
+    dt.putShort((-1).toShort); dt.putShort(5)
+    val data = ByteBuffer.allocate(3 * 2).order(ByteOrder.LITTLE_ENDIAN)
+    data.putShort((-1).toShort); data.putShort(5); data.putShort((-1).toShort)
+    val bytes = craftTyped(
+      java.util.Arrays.copyOf(dt.array(), dt.position()), data.array(), 3)
+    val r = new Hdf5.Reader(bytes)
+    val ds = r.file.dataset("v").get
+    assert(ds.dtype.cls === Hdf5.ClsEnum)
+    assert(ds.dtype.enumNames === Seq("a", "b"))
+    assert(ds.dtype.enumValues === Seq(-1L, 5L))
+    assert(r.readDoubles("v").toSeq === Seq(-1.0, 5.0, -1.0))
+    // the synthesized vocabulary attrs the relational layer reads
+    assert(ds.attrText("enum_names").contains("a b"))
+    assert(ds.attr("enum_values").get.nums === Seq(-1.0, 5.0))
+    val g = new graft.source.GridFile.H5(bytes)
+    assert(g.dtypeName("v") === "enum int16")
+    assert(g.varAttrNums("v", "enum_values") === Seq(-1.0, 5.0))
+  }
+
+  test("ENUM writer round trip: enum-of-int8 mask variable through " +
+    "Hdf5Write -> Reader, codes + vocabulary intact") {
+    val mask = Array(0.0, 1.0, 2.0, 3.0, 0.0, 1.0)
+    val vars = Seq(
+      graft.source.NetCdf.VarSpec("t", Seq("t"), Seq(), Array(0.0, 1.0)),
+      graft.source.NetCdf.VarSpec("y", Seq("y"), Seq(), Array(0.0, 1.0, 2.0)),
+      graft.source.NetCdf.VarSpec("m", Seq("t", "y"),
+        Seq("long_name" -> "mask"), mask))
+    val bytes = graft.source.Hdf5Write.write(
+      Seq("t" -> 2, "y" -> 3), Seq(), vars, enumVars = Set("m"))
+    val r = new Hdf5.Reader(bytes)
+    val ds = r.file.dataset("m").get
+    assert(ds.dtype.cls === Hdf5.ClsEnum)
+    assert(ds.dtype.size === 1)
+    assert(ds.dtype.enumNames ===
+      graft.source.Hdf5Write.EnumMembers.map(_._1))
+    assert(ds.dtype.enumValues ===
+      graft.source.Hdf5Write.EnumMembers.map(_._2.toLong))
+    assert(r.readDoubles("m").toSeq === mask.toSeq)
+    assert(ds.attrText("enum_names").contains("ocean ice land missing"))
+    val g = new graft.source.GridFile.H5(bytes)
+    assert(g.dtypeName("m") === "enum int8")
+    assert(g.varAttrText("m", "long_name").contains("mask"))
+  }
 }
