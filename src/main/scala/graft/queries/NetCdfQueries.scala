@@ -327,20 +327,28 @@ object NetCdfQueries {
       |            FROM read_parquet('/tmp/graft-oracle/q80_vals/*.parquet'))
       |      GROUP BY "array") s USING ("array")
       |ORDER BY m."array"""".stripMargin) { (s, _) =>
-    val store = stableWork("fixtures").resolve("zarr3")
+    // r11: + a standalone-crc32c-codec array (dir versioned so stale
+    // cached stores regenerate)
+    val store = stableWork("fixtures").resolve("zarr3b")
     if (!java.nio.file.Files.exists(store.resolve("zarr.json"))) {
       graft.source.ZarrFixture.writeV3(store, "sic_mean", Seq(40, 32),
         Seq(16, 16), codec = "zstd", value = c => c.head * 0.5 + c(1) * 0.01)
       graft.source.ZarrFixture.writeV3(store, "sic_count", Seq(40, 32),
         Seq(16, 16), dtype = "<i4", codec = "gzip",
         value = c => (c.head + c(1)).toDouble)
+      // zarr-python 3 profile with a trailing checksum codec; dyadic
+      // values so the oracle compare is float-exact
+      graft.source.ZarrFixture.writeV3(store, "sic_crc", Seq(40, 32),
+        Seq(16, 16), codec = "zstd", withCrc32c = true,
+        value = c => c.head * 0.25 + c(1) * 0.125)
     }
-    val perChunk = Seq("sic_mean", "sic_count").map { name =>
+    val v3Arrays = Seq("sic_mean", "sic_count", "sic_crc")
+    val perChunk = v3Arrays.map { name =>
       graft.source.ZarrSource.read(s, store.toString, name)
         .select(lit(name).as("array"), col("values").as("vals"))
     }.reduce(_ unionByName _)
     oracleDump(s, "q80_vals", perChunk, store.toString)
-    val statsByArray = Seq("sic_mean", "sic_count").map { name =>
+    val statsByArray = v3Arrays.map { name =>
       val st = graft.functions.VecStatsExpr.vecStats(col("values"))
       graft.source.ZarrSource.read(s, store.toString, name)
         .select(lit(name).as("array"), st.as("st"))

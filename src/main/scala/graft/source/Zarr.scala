@@ -54,7 +54,8 @@ object ZarrCodec {
     */
   final case class ShardMeta(inner: Seq[Int], innerComp: String,
                              indexAtEnd: Boolean, indexCrc: Boolean,
-                             innerTranspose: Option[Seq[Int]] = None)
+                             innerTranspose: Option[Seq[Int]] = None,
+                             innerCrc: Boolean = false)
 
   /** One zarr v2 filter (numcodecs codec applied before the
     * compressor): `delta` carries its dtype, `shuffle` its element
@@ -74,7 +75,8 @@ object ZarrCodec {
                              sep: String = ".",
                              shard: Option[ShardMeta] = None,
                              filters: Seq[V2Filter] = Nil,
-                             transpose: Option[Seq[Int]] = None) {
+                             transpose: Option[Seq[Int]] = None,
+                             crc32c: Boolean = false) {
     def nValues: Long = shape.map(_.toLong).product
   }
 
@@ -198,7 +200,7 @@ object ZarrCodec {
           }.getOrElse(("default", "/"))
           require(keyEnc == "v2" || sep == "/" || sep == ".",
             s"unsupported separator '$sep' in $zj")
-          val (endian, comp, shard, trans) =
+          val (endian, comp, shard, trans, crc) =
             parseCodecChain(node.get("codecs"), zj.toString, topLevel = true)
           val dtype = (if (endian == "big") ">" else "<") +
             (node.get("data_type").asText() match {
@@ -213,7 +215,8 @@ object ZarrCodec {
             .map(_.asDouble(Double.NaN)).getOrElse(Double.NaN)
           Some(ArrayMeta(store.toString, name, shape, chunks, dtype, comp,
             fill, shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
-            zarrFormat = 3, sep = sep, shard = shard, transpose = trans))
+            zarrFormat = 3, sep = sep, shard = shard, transpose = trans,
+            crc32c = crc))
         }
       }
 
@@ -223,19 +226,28 @@ object ZarrCodec {
     */
   private def parseCodecChain(codecs: com.fasterxml.jackson.databind.JsonNode,
                               ctx: String, topLevel: Boolean)
-      : (String, String, Option[ShardMeta], Option[Seq[Int]]) = {
+      : (String, String, Option[ShardMeta], Option[Seq[Int]], Boolean) = {
     var endian = "little"
     var comp = "null"
     var shard: Option[ShardMeta] = None
     var trans: Option[Seq[Int]] = None
+    var crc32c = false
     codecs.elements().asScala.foreach { c =>
-      c.get("name").asText() match {
+      val cname = c.get("name").asText()
+      // crc32c trails the stream it checksums; a codec AFTER it would
+      // mean the checksum covers an intermediate representation we
+      // never materialize — reject rather than mis-verify
+      require(!crc32c,
+        s"codec '$cname' after crc32c unsupported in $ctx " +
+          "(crc32c must be the last codec in its chain)")
+      cname match {
         case "bytes" => endian = Option(c.get("configuration"))
           .flatMap(cc => Option(cc.get("endian"))).map(_.asText())
           .getOrElse("little")
         case "gzip" => comp = "gzip"
         case "zstd" => comp = "zstd"
         case "blosc" => comp = "blosc" // self-describing header
+        case "crc32c" => crc32c = true
         case "transpose" =>
           val order = c.get("configuration").get("order")
             .elements().asScala.map(_.asInt()).toSeq
@@ -246,7 +258,7 @@ object ZarrCodec {
           val cfg = c.get("configuration")
           val inner = cfg.get("chunk_shape").elements().asScala
             .map(_.asInt()).toSeq
-          val (ie, ic, nested, it) =
+          val (ie, ic, nested, it, icrc) =
             parseCodecChain(cfg.get("codecs"), ctx, topLevel = false)
           require(nested.isEmpty, s"nested sharding unsupported in $ctx")
           endian = ie
@@ -254,12 +266,18 @@ object ZarrCodec {
             .map(_.asText()).getOrElse("end") == "end"
           val crc = Option(cfg.get("index_codecs")).exists(
             _.elements().asScala.exists(_.get("name").asText() == "crc32c"))
-          shard = Some(ShardMeta(inner, ic, atEnd, crc, it))
+          shard = Some(ShardMeta(inner, ic, atEnd, crc, it, innerCrc = icrc))
         case other => throw new IllegalArgumentException(
           s"unsupported zarr v3 codec '$other' in $ctx")
       }
     }
-    (endian, comp, shard, trans)
+    // a top-level transpose AROUND sharding would permute the SHARD
+    // grid itself; decodeShard only applies the inner transpose, so
+    // honoring the module's fail-loudly contract beats silently
+    // emitting wrongly-ordered values
+    require(!(topLevel && shard.isDefined && trans.isDefined),
+      s"transpose combined with sharding_indexed unsupported in $ctx")
+    (endian, comp, shard, trans, crc32c)
   }
 
   private def readMetaV2(store: Path): Seq[ArrayMeta] = {
@@ -453,10 +471,12 @@ object ZarrCodec {
       : (Array[Int], Array[Int], Array[Double]) = {
     val idx = chunkKey.split('.').map(_.toInt)
     require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
-    // compressor off, then filters reversed back-to-front (they were
+    // checksum off first (crc32c is the outermost codec), then the
+    // compressor, then filters reversed back-to-front (they were
     // applied in order before compression at write time)
+    val checked = if (meta.crc32c) stripCrc32c(bytes, chunkKey) else bytes
     val unfiltered = meta.filters.reverse.foldLeft(
-      decompressBy(meta.compressor, bytes))((b, f) => unfilterV2(f, b))
+      decompressBy(meta.compressor, checked))((b, f) => unfilterV2(f, b))
     val stored = decodeDtype(meta.dtype, unfiltered)
     val full = meta.transpose
       .map(untranspose(stored, meta.chunks, _)).getOrElse(stored)
@@ -507,8 +527,11 @@ object ZarrCodec {
       val len = ib.getLong(16 * li + idxOff + 8)
       if (off == -1L && len == -1L) None // absent: fill-value region
       else {
-        val packed = java.util.Arrays.copyOfRange(bytes, off.toInt,
+        val packed0 = java.util.Arrays.copyOfRange(bytes, off.toInt,
           off.toInt + len.toInt)
+        val packed =
+          if (sh.innerCrc) stripCrc32c(packed0, s"$chunkKey inner $li")
+          else packed0
         val inner0 = decodeDtype(meta.dtype, decompressBy(sh.innerComp, packed))
         val full = sh.innerTranspose
           .map(untranspose(inner0, sh.inner, _)).getOrElse(inner0)
@@ -527,6 +550,21 @@ object ZarrCodec {
         else Some(trimBox(full, origin, sh.inner, meta.shape))
       }
     }
+  }
+
+  /** v3 `crc32c` codec on decode: the stored stream is payload + 4-byte
+    * little-endian CRC32C; verify and strip (the same checksum the
+    * shard-index path validates).
+    */
+  private def stripCrc32c(bytes: Array[Byte], ctx: String): Array[Byte] = {
+    require(bytes.length >= 4, s"crc32c stream of ${bytes.length} bytes in $ctx")
+    val n = bytes.length - 4
+    val crc = new java.util.zip.CRC32C
+    crc.update(bytes, 0, n)
+    val stored = ByteBuffer.wrap(bytes, n, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt()
+    require(crc.getValue.toInt == stored, s"chunk crc32c mismatch in $ctx")
+    java.util.Arrays.copyOfRange(bytes, 0, n)
   }
 
   private def decompressBy(comp: String, bytes: Array[Byte]): Array[Byte] =
@@ -1016,7 +1054,8 @@ object ZarrFixture {
               dims: Seq[String] = Seq.empty,
               value: Seq[Int] => Double = _.sum.toDouble,
               shardInner: Option[Seq[Int]] = None,
-              transposeOrder: Option[Seq[Int]] = None): Unit = {
+              transposeOrder: Option[Seq[Int]] = None,
+              withCrc32c: Boolean = false): Unit = {
     val dir = store.resolve(name)
     Files.createDirectories(dir)
     if (!Files.exists(store.resolve("zarr.json")))
@@ -1033,12 +1072,13 @@ object ZarrFixture {
     val transJson = transposeOrder.map(o =>
       s"""{"name": "transpose", "configuration": """ +
         s"""{"order": [${o.mkString(", ")}]}}, """).getOrElse("")
+    val crcJson = if (withCrc32c) """, {"name": "crc32c"}""" else ""
     val innerChainJson = codec match {
-      case "null" => s"[$transJson$bytesCodec]"
+      case "null" => s"[$transJson$bytesCodec$crcJson]"
       case "gzip" =>
-        s"""[$transJson$bytesCodec, {"name": "gzip", "configuration": {"level": 5}}]"""
+        s"""[$transJson$bytesCodec, {"name": "gzip", "configuration": {"level": 5}}$crcJson]"""
       case "zstd" =>
-        s"""[$transJson$bytesCodec, {"name": "zstd", "configuration": {"level": 3}}]"""
+        s"""[$transJson$bytesCodec, {"name": "zstd", "configuration": {"level": 3}}$crcJson]"""
     }
     val codecsJson = shardInner match {
       case None => innerChainJson
@@ -1066,14 +1106,25 @@ object ZarrFixture {
          | "fill_value": "NaN",
          | "codecs": $codecsJson,
          | "attributes": $attrsJson$dimsJson}""".stripMargin)
-    def pack(raw: Array[Byte]): Array[Byte] = codec match {
-      case "gzip" =>
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(raw); gz.close()
-        bos.toByteArray
-      case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
-      case _ => raw
+    def pack(raw: Array[Byte]): Array[Byte] = {
+      val packed = codec match {
+        case "gzip" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(raw); gz.close()
+          bos.toByteArray
+        case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+        case _ => raw
+      }
+      if (!withCrc32c) packed
+      else { // trailing 4-byte LE crc32c over the packed stream
+        val crc = new java.util.zip.CRC32C
+        crc.update(packed, 0, packed.length)
+        val out = java.util.Arrays.copyOf(packed, packed.length + 4)
+        ByteBuffer.wrap(out, packed.length, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+        out
+      }
     }
     def chunkValues(origin: Seq[Int], cshape: Seq[Int]): Array[Byte] = {
       val vals = cartesian(cshape).map { off =>

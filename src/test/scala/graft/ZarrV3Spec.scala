@@ -203,4 +203,73 @@ class ZarrV3Spec extends SparkSpec {
     assert(ZarrCodec.readArray(store, m).toSeq ===
       (for (r <- 0 until 6; c <- 0 until 4) yield r * 2.0 + c))
   }
+
+  test("standalone crc32c codec: trailing checksum verifies and strips; " +
+    "corruption fails loudly") {
+    val store = Files.createTempDirectory("graft-zarr3crc")
+    ZarrFixture.writeV3(store, "a", Seq(6, 4), Seq(3, 4), codec = "gzip",
+      withCrc32c = true, value = c => c.head * 10.0 + c(1))
+    val m = ZarrCodec.readMeta(store).head
+    assert(m.crc32c)
+    assert(ZarrCodec.readArray(store, m).toSeq ===
+      (for (r <- 0 until 6; c <- 0 until 4) yield r * 10.0 + c))
+    // flip one payload byte: the checksum must catch it
+    val chunk = store.resolve("a/c/0/0")
+    val bytes = Files.readAllBytes(chunk)
+    bytes(2) = (bytes(2) ^ 0x40).toByte
+    Files.write(chunk, bytes)
+    val e = intercept[IllegalArgumentException] {
+      ZarrCodec.readArray(store, m)
+    }
+    assert(e.getMessage.contains("crc32c mismatch"))
+  }
+
+  test("crc32c inside a shard's inner chain checksums each inner chunk") {
+    val plain = Files.createTempDirectory("graft-zarr3crcp")
+    val sharded = Files.createTempDirectory("graft-zarr3crcs")
+    def v(c: Seq[Int]) = c.head * 7.0 + c(1) * 0.5
+    ZarrFixture.writeV3(plain, "arr", Seq(10, 6), Seq(2, 4), codec = "zstd",
+      value = v)
+    ZarrFixture.writeV3(sharded, "arr", Seq(10, 6), Seq(8, 4),
+      shardInner = Some(Seq(2, 4)), codec = "zstd", withCrc32c = true,
+      value = v)
+    val mp = ZarrCodec.readMeta(plain).head
+    val ms = ZarrCodec.readMeta(sharded).head
+    assert(ms.shard.exists(_.innerCrc))
+    assert(ZarrCodec.readArray(sharded, ms).toSeq ===
+      ZarrCodec.readArray(plain, mp).toSeq)
+  }
+
+  test("codecs after crc32c and transpose around sharding are rejected") {
+    def badStore(codecs: String): java.nio.file.Path = {
+      val store = Files.createTempDirectory("graft-zarr3rej")
+      Files.writeString(store.resolve("zarr.json"),
+        """{"zarr_format": 3, "node_type": "group"}""")
+      val dir = store.resolve("bad")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [4],
+           | "data_type": "float64",
+           | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+           | "chunk_key_encoding": {"name": "default"},
+           | "fill_value": 0,
+           | "codecs": $codecs}""".stripMargin)
+      store
+    }
+    val afterCrc = badStore(
+      """[{"name": "bytes"}, {"name": "crc32c"}, {"name": "gzip"}]""")
+    val e1 = intercept[IllegalArgumentException] { ZarrCodec.readMeta(afterCrc) }
+    assert(e1.getMessage.contains("after crc32c"))
+    // outer transpose around sharding_indexed would permute the shard
+    // grid itself - must fail loudly, not decode wrongly ordered
+    val transShard = badStore(
+      """[{"name": "transpose", "configuration": {"order": [1, 0]}},
+        | {"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2, 2],
+        |   "codecs": [{"name": "bytes"}],
+        |   "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+        |   "index_location": "end"}}]""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] { ZarrCodec.readMeta(transShard) }
+    assert(e2.getMessage.contains("transpose combined with sharding"))
+  }
 }
