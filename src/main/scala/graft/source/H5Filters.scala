@@ -219,4 +219,156 @@ object H5Filters {
 
   def zstdEncode(data: Array[Byte], level: Int = 3): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data, level)
+
+  // ---- scale-offset (filter 6, H5Z_FILTER_SCALEOFFSET): packed-integer
+  // climate data. Stream = 4-byte LE minbits, 1 byte recording the
+  // writer's sizeof(unsigned long long), minval in that many LE bytes,
+  // then each element as `minbits` bits MSB-first in one continuous
+  // bitstream (output bytes little-endian, low `minbits` significant).
+  // cd_values (H5Zscaleoffset.c set_local): [scale_type, scale_factor,
+  // chunk nelmts, dtype class, dtype size, sign, byte order,
+  // fill_defined, fill value bytes LE packed 4-per-word from index 8].
+  // With a defined fill, the all-ones code marks fill cells; otherwise
+  // value = code + minval (modular in the dtype width).
+
+  private val SoFillDefined = 1
+
+  def scaleOffsetDecode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
+    require(cd.length >= 8, s"scale-offset cd_values ${cd.length} < 8")
+    val nelmts = cd(2)
+    val cls = cd(3)
+    val size = cd(4)
+    val order = cd(6)
+    val filavail = cd(7)
+    require(cls == 0, // H5T_INTEGER
+      "scale-offset float D/E-scale unsupported (integer scale only); " +
+        "re-write the archive unpacked or with deflate")
+    require(order == 0, "scale-offset over big-endian data unsupported")
+    require(size >= 1 && size <= 8, s"scale-offset dtype size $size")
+    var minbits = 0L
+    (0 until 4).foreach(i => minbits |= (data(i).toLong & 0xFF) << (8 * i))
+    val mvSize = math.min(8, data(4) & 0xFF)
+    var minval = 0L
+    (0 until mvSize).foreach(i =>
+      minval |= (data(5 + i).toLong & 0xFF) << (8 * i))
+    val payload = 5 + (data(4) & 0xFF)
+    require(minbits >= 0 && minbits <= size * 8L,
+      s"scale-offset minbits $minbits over $size-byte data")
+    val out = new Array[Byte](nelmts * size)
+    if (minbits == size * 8L) {
+      System.arraycopy(data, payload, out, 0, out.length)
+      return out
+    }
+    val filval =
+      if (filavail == SoFillDefined)
+        (0 until size).map(i =>
+          ((cd(8 + i / 4).toLong >> (8 * (i % 4))) & 0xFF) << (8 * i)).sum
+      else 0L
+    val fillCode = if (minbits >= 64) -1L else (1L << minbits) - 1
+    var bitPos = 0L
+    def nextCode(): Long = { // minbits bits, MSB-first
+      var v = 0L
+      var got = 0
+      while (got < minbits) {
+        val byteAt = (bitPos >> 3).toInt
+        val used = (bitPos & 7).toInt
+        val avail = 8 - used
+        val take = math.min(avail, (minbits - got).toInt)
+        val bits = ((data(payload + byteAt) & 0xFF) >> (avail - take)) &
+          ((1 << take) - 1)
+        v = (v << take) | bits
+        got += take
+        bitPos += take
+      }
+      v
+    }
+    var i = 0
+    while (i < nelmts) {
+      val code = if (minbits == 0) 0L else nextCode()
+      val value =
+        if (filavail == SoFillDefined && minbits > 0 && code == fillCode)
+          filval
+        else code + minval // modular: only the low size*8 bits are kept
+      var k = 0
+      while (k < size) {
+        out(i * size + k) = ((value >> (8 * k)) & 0xFF).toByte
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Encoder twin for round-trip fixtures: integer LE input, optional
+    * defined fill value (mapped to the reserved all-ones code, exactly
+    * the library's convention). Returns (stream, cd_values).
+    */
+  def scaleOffsetEncode(data: Array[Byte], size: Int,
+                        fill: Option[Long] = None): (Array[Byte], Seq[Int]) = {
+    require(data.length % size == 0, s"${data.length} % $size != 0")
+    val n = data.length / size
+    def at(i: Int): Long = {
+      var v = 0L
+      (0 until size).foreach(k => v |= (data(i * size + k).toLong & 0xFF) << (8 * k))
+      v
+    }
+    val vals = (0 until n).map(at)
+    val real = vals.filterNot(v => fill.exists(f => maskTo(f, size) == v))
+    val minval = if (real.isEmpty) 0L else real.min
+    val span = if (real.isEmpty) 0L else real.max - minval
+    // enough bits for every offset code; with a defined fill the
+    // all-ones code must stay distinct from real offsets
+    var minbits = 0
+    while (minbits < size * 8 &&
+           ((1L << minbits) <= span ||
+            (fill.isDefined && (1L << minbits) - 1 <= span))) minbits += 1
+    if (fill.isDefined && minbits == 0) minbits = 1
+    if (minbits > size * 8) minbits = size * 8
+    val header = new Array[Byte](13)
+    (0 until 4).foreach(i => header(i) = ((minbits >> (8 * i)) & 0xFF).toByte)
+    header(4) = 8
+    (0 until 8).foreach(i => header(5 + i) = ((minval >> (8 * i)) & 0xFF).toByte)
+    val body =
+      if (minbits == size * 8) data.clone()
+      else if (minbits == 0) Array.empty[Byte]
+      else {
+        val out = new Array[Byte]((n.toLong * minbits / 8 + 1).toInt)
+        var bitPos = 0L
+        def put(code: Long): Unit = {
+          var left = minbits
+          while (left > 0) {
+            val byteAt = (bitPos >> 3).toInt
+            val used = (bitPos & 7).toInt
+            val avail = 8 - used
+            val take = math.min(avail, left)
+            val bits = (code >> (left - take)) & ((1L << take) - 1)
+            out(byteAt) = (out(byteAt) | (bits << (avail - take))).toByte
+            left -= take
+            bitPos += take
+          }
+        }
+        if (minbits > 0) vals.foreach { v =>
+          if (fill.exists(f => maskTo(f, size) == v)) put((1L << minbits) - 1)
+          else put(v - minval)
+        }
+        out
+      }
+    val cdFill = fill.map { f =>
+      (0 until (size + 3) / 4).map { w =>
+        var cv = 0L
+        (0 until 4).foreach { b =>
+          val i = w * 4 + b
+          if (i < size) cv |= ((f >> (8 * i)) & 0xFF) << (8 * b)
+        }
+        cv.toInt
+      }
+    }.getOrElse(Seq.fill((size + 3) / 4)(0))
+    val cd = Seq(2 /* H5Z_SO_INT */, 0, n, 0 /* H5T_INTEGER */, size,
+      1 /* signed */, 0 /* LE */,
+      if (fill.isDefined) SoFillDefined else 0) ++ cdFill
+    (header ++ body, cd)
+  }
+
+  private def maskTo(v: Long, size: Int): Long =
+    if (size >= 8) v else v & ((1L << (8 * size)) - 1)
 }

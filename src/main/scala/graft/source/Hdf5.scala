@@ -1699,6 +1699,11 @@ object Hdf5 {
         case 2 => unshuffle(data, f.client.headOption.getOrElse(elem))
         case 3 => java.util.Arrays.copyOfRange(data, 0, data.length - 4) // fletcher32
         // dynamically-registered filters hdf5plugin archives carry
+        case 4 => throw new IllegalArgumentException(
+          "szip (filter 4) is unsupported (historically patent-encumbered, " +
+            "decoder deliberately omitted); re-write the archive with " +
+            "deflate or zstd — e.g. h5repack -f GZIP=9 — and re-scan")
+        case 6 => H5Filters.scaleOffsetDecode(data, f.client)
         case 32004 => H5Filters.lz4Decode(data)
         case 32008 => H5Filters.bitshuffleDecode(data, f.client, elem)
         case 32015 => H5Filters.zstdDecode(data)
