@@ -166,16 +166,20 @@ object EventOps {
     */
   private def stageEvents(d: String, tag: String, copies: Int = 1): String = {
     import scala.jdk.CollectionConverters._
+    // materialize + close each directory listing (Files.list holds an
+    // open handle until closed; these run once per streaming query)
+    def listParquet(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
     val src = java.nio.file.Paths.get(d, "events.parquet")
     val dir = graft.Work.stableDir(s"$tag-${math.abs(d.hashCode)}")
     // leftovers from an earlier staging SHAPE would double the input
-    java.nio.file.Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(java.nio.file.Files.delete)
+    listParquet(dir).foreach(java.nio.file.Files.delete)
     val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src))
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      if (java.nio.file.Files.isDirectory(src)) listParquet(src).sortBy(_.toString)
       else Seq(src)
     for (c <- 0 until copies; (p, i) <- parts.zipWithIndex)
       java.nio.file.Files.copy(p, dir.resolve(f"ev_${c}%d_$i%03d.parquet"),
@@ -217,6 +221,9 @@ object EventOps {
     * that emission rule on top of the batch gaps-and-islands, so the
     * custom state machine's output is hash-gated, not just
     * spec-asserted. Times are epoch millis (the state machine's unit).
+    * Since r11 the stream lands in the checkpointed parquet FILE sink
+    * and the oracle reads back what the sink committed, gating the
+    * production sink path, not just the memory-sink harness.
     */
   val streamSessionize = QueryDef("q93_stream_sessionize",
     """WITH base AS (
@@ -244,8 +251,11 @@ object EventOps {
     val sessions = graft.streaming.EventStream.sessionizeStream(s,
       graft.streaming.EventStream.readEvents(s,
         stageEvents(d, "stream-events")))
-    graft.streaming.EventStream.runToCompletion(s, sessions.toDF(),
-      s"q93_sess_${streamRun.incrementAndGet()}", outputMode = "append")
+    // through the PRODUCTION parquet file sink (checkpointed,
+    // exactly-once commit log) rather than the driver-side memory sink:
+    // the oracle gates the sink path a live deployment would run
+    graft.streaming.EventStream.runToParquet(s, sessions.toDF(),
+      graft.Work.stableDir(s"q93-sink-${math.abs(d.hashCode)}"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
   }

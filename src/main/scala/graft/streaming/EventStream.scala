@@ -61,24 +61,47 @@ object EventStream {
 
   /** First-wins keyed state (J2's streaming form): per user, the first
     * event timestamp ever seen is retained across micro-batches; later
-    * sightings only bump the count. GroupStateTimeout.NoTimeout — the
-    * user key-space is the bounded dimension here; production would set
-    * an event-time timeout to expire idle keys.
+    * sightings only bump the count. State carries an EVENT-TIME TIMEOUT:
+    * a user idle for `idleTtlMs` past the watermark is emitted one final
+    * time and expired, so state is bounded by the ACTIVE key-set inside
+    * the TTL horizon, not by every user ever seen. The final emission
+    * equals the last update, so update-mode sinks see no change; a user
+    * returning after expiry starts a fresh first_ts (the get-or-create
+    * row would already have been persisted downstream).
     */
-  def firstSeenPerUser(spark: SparkSession, events: DataFrame): Dataset[FirstSeen] = {
+  def firstSeenPerUser(spark: SparkSession, events: DataFrame,
+                       idleTtlMs: Long = 30L * 24 * 3600 * 1000): Dataset[FirstSeen] = {
     import spark.implicits._
-    events.select(col("user_id"), col("ts")).as[(Long, Long)]
+    events
+      .withWatermark("event_time", "2 hours")
+      // the watermarked column must reach the stateful operator's input
+      .select(col("user_id"), col("ts"), col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[FirstSeen]) =>
-          val batch = rows.toSeq
-          val prev = state.getOption
-          val first = prev.map(_.first_ts).getOrElse(Long.MaxValue)
-            .min(batch.map(_._2).min)
-          val updated = FirstSeen(user, first,
-            prev.map(_.n_events).getOrElse(0L) + batch.size)
-          state.update(updated)
-          updated
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[FirstSeen]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption
+            val first = prev.map(_.first_ts).getOrElse(Long.MaxValue)
+              .min(batch.map(_._2).min)
+            val updated = FirstSeen(user, first,
+              prev.map(_.n_events).getOrElse(0L) + batch.size)
+            state.update(updated)
+            // deadline rides the user's newest event (ts is integer
+            // nanos; the state clock is epoch millis); clamp above the
+            // watermark — a below-watermark deadline is rejected, and
+            // clamping only hastens the correct expiry
+            val lastMs = batch.map(_._2).max / 1000000L
+            state.setTimeoutTimestamp(math.max(lastMs + idleTtlMs,
+              state.getCurrentWatermarkMs + 1))
+            updated
+          }
       }
   }
 
@@ -165,5 +188,30 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** The PRODUCTION sink path: run an append-mode stream through the
+    * exactly-once parquet FILE sink (commit-log checkpointed) and read
+    * back what the sink committed. Unlike the memory sink nothing
+    * materializes on the driver — output scales with the sink store,
+    * not driver memory. `fresh` wipes output + checkpoint first so
+    * repeated harness invocations stay deterministic (a live deployment
+    * keeps both and resumes incrementally).
+    */
+  def runToParquet(spark: SparkSession, streaming: DataFrame,
+                   outDir: java.nio.file.Path,
+                   fresh: Boolean = true): DataFrame = {
+    val data = outDir.resolve("data")
+    val ckpt = outDir.resolve("checkpoint")
+    if (fresh) { graft.Work.wipe(data); graft.Work.wipe(ckpt) }
+    val q = streaming.writeStream
+      .format("parquet")
+      .option("path", data.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(data.toString)
   }
 }

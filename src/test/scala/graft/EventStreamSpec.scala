@@ -99,4 +99,69 @@ class EventStreamSpec extends SparkSpec {
     assert(deduped.count() === distinctIds,
       "each duplicated id must appear exactly once")
   }
+
+  test("first-seen state EXPIRES on event-time timeout and a returning " +
+    "user starts fresh") {
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-stream-ttl")
+    val day = 24L * 3600 * 1000
+    val t0 = 1700000000000L // epoch ms
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "user_id", "ms")
+        .select(col("event_id"), expr("ms * 1000000").as("ts"),
+          col("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(d.resolve(name).toString)
+    }
+    // one file per micro-batch (maxFilesPerTrigger=1): user 1 appears,
+    // goes idle past the 1-day TTL while user 2 advances the watermark,
+    // then returns after expiry
+    writeFile("f1", Seq((1L, 1L, t0)))
+    writeFile("f2", Seq((2L, 2L, t0 + 10 * day)))
+    writeFile("f3", Seq((3L, 2L, t0 + 12 * day)))
+    writeFile("f4", Seq((4L, 1L, t0 + 14 * day)))
+    // the file source reads nested part dirs via glob
+    val glob = s"$d/f*"
+    val raw = spark.readStream
+      .schema(EventStream.eventsSchema(LongType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(glob)
+    val events = Tables.normalizeEventTs(raw)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val rows = EventStream.runToCompletion(spark,
+      EventStream.firstSeenPerUser(spark, events, idleTtlMs = day).toDF(),
+      "first_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t0ns = t0 * 1000000L
+    // pre-expiry state for user 1...
+    assert(rows.contains((1L, t0ns, 1L)))
+    // ...and the post-expiry RESET: had state survived, the return
+    // visit would read (first_ts = t0, n_events = 2)
+    assert(rows.contains((1L, (t0 + 14 * day) * 1000000L, 1L)))
+    assert(!rows.contains((1L, t0ns, 2L)))
+  }
+
+  test("stateful stream through the parquet FILE sink commits the same " +
+    "rows as the memory sink") {
+    val viaMemory = EventStream.runToCompletion(spark,
+      EventStream.sessionizeStream(spark,
+        EventStream.readEvents(spark, dir)).toDF(),
+      "sessions_mem", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sink = Files.createTempDirectory("graft-stream-sink")
+    val viaFiles = EventStream.runToParquet(spark,
+      EventStream.sessionizeStream(spark,
+        EventStream.readEvents(spark, dir)).toDF(), sink)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaFiles === viaMemory)
+    assert(viaFiles.nonEmpty)
+    // the sink's exactly-once commit log is present and non-trivial
+    assert(Files.exists(sink.resolve("data").resolve("_spark_metadata")))
+    assert(Files.exists(sink.resolve("checkpoint")))
+  }
 }
