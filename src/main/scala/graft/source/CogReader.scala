@@ -150,12 +150,19 @@ object CogReader {
           val r = raster(if (chunky) t else b * perBand + t)
           val band = if (r.getNumBands > 1) b else 0
           val (ty, tx) = (t / tilesX, t % tilesX)
+          // in-bounds pixels must exist in the decoded raster — a
+          // decoder returning a smaller image than the declared tile
+          // means a malformed stream, and replicating edge pixels would
+          // hide it
+          val needW = math.min(p.tileW, p.width - tx * p.tileW)
+          val needH = math.min(p.tileH, p.height - ty * p.tileH)
+          require(r.getWidth >= needW && r.getHeight >= needH,
+            s"JPEG chunk $t decoded ${r.getWidth}x${r.getHeight}, " +
+              s"smaller than the ${needW}x$needH in-bounds tile region")
           for (y <- 0 until p.tileH; x <- 0 until p.tileW) {
             val yy = ty * p.tileH + y; val xx = tx * p.tileW + x
             if (yy < p.height && xx < p.width)
-              grid(yy)(xx) = r.getSampleDouble(
-                math.min(x, r.getWidth - 1), math.min(y, r.getHeight - 1),
-                band)
+              grid(yy)(xx) = r.getSampleDouble(x, y, band)
           }
         }
       } else {

@@ -703,6 +703,11 @@ object Hdf5 {
         val b = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
         val addr = b.getLong(0)
         val len = b.getLong(8)
+        // a stored length past Int.MaxValue would silently truncate (or
+        // go negative) through toInt — no real heap object this reader
+        // consumes approaches 2 GiB, so fail with the number instead
+        require(len >= 0 && len <= Int.MaxValue,
+          s"huge object $id length $len unsupported (exceeds 2 GiB buffer)")
         var img = src.read(addr, len.toInt)
         if (btype == 2) {
           val mask = b.getInt(16)
