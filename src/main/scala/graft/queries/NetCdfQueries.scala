@@ -423,16 +423,21 @@ object NetCdfQueries {
     """SELECT m."array", m.dtype, m.compressor, m.n_values, m.n_chunks,
       |  s.n_cells, s.vmin, s.vmax, s.vsum
       |FROM read_parquet('/tmp/graft-oracle/q89_manifest/*.parquet') m
-      |JOIN (SELECT "array", count(*) AS n_cells, min(v) AS vmin,
+      |LEFT JOIN (SELECT "array", count(*) AS n_cells, min(v) AS vmin,
       |        max(v) AS vmax, round(sum(v), 6) AS vsum
       |      FROM (SELECT "array", unnest(vals) AS v
       |            FROM read_parquet('/tmp/graft-oracle/q89_vals/*.parquet'))
       |      GROUP BY "array") s USING ("array")
       |ORDER BY m."array"""".stripMargin) { (s, _) =>
-    // r10b: + the Fortran-order array (dir versioned so stale cached
-    // stores from earlier fixture shapes never shadow the new arrays)
-    val store = stableWork("fixtures").resolve("zarrnc-r10b")
+    // r10b: + the Fortran-order array; r11: + a vlen-utf8 object-dtype
+    // label axis listed with NULL stats through the LEFT join (decode
+    // pinned by ZarrSpec) — dir versioned so stale cached stores from
+    // earlier fixture shapes never shadow the new arrays
+    val store = stableWork("fixtures").resolve("zarrnc-r11")
     if (!java.nio.file.Files.exists(store.resolve(".zgroup"))) {
+      graft.source.ZarrFixture.writeVlenUtf8(store, "member_label",
+        Seq("control", "perturbed-01", "perturbed-02", "perturbed-03"),
+        chunk = 3)
       graft.source.ZarrFixture.write(store, "sic_zstd", Seq(40, 32),
         Seq(16, 16), numCodec = Some("zstd"),
         value = c => c.head * 0.5 + c(1) * 0.01)
@@ -471,7 +476,7 @@ object NetCdfQueries {
       graft.source.ZarrSource.manifest(s, store.toString)
         .select(col("array"), col("dtype"), col("compressor"),
           col("n_values"), col("n_chunks")), store.toString)
-    man.join(statsByArray, Seq("array"))
+    man.join(statsByArray, Seq("array"), "left")
   }
 
   /** S1 completion for USER-DEFINED datatypes: a CF flag variable stored

@@ -351,9 +351,14 @@ object ZarrCodec {
                 V2Filter("quantize", dtype = dt,
                   astype = Option(f.get("astype")).filterNot(_.isNull)
                     .map(_.asText()).getOrElse(dt))
+              case "vlen-utf8" =>
+                // the object->bytes boundary for string arrays (label
+                // axes); decoded through readStringArray, not the
+                // numeric path
+                V2Filter("vlen-utf8")
               case other => throw new IllegalArgumentException(
                 s"unsupported zarr v2 filter '$other' in $za " +
-                  "(delta/shuffle/fixedscaleoffset/quantize)")
+                  "(delta/shuffle/fixedscaleoffset/quantize/vlen-utf8)")
             }
           }
         // F (Fortran) order is the reversed-dims transpose: reuse the
@@ -462,6 +467,81 @@ object ZarrCodec {
     out
   }
 
+  /** One chunk of a numcodecs VLenUTF8 object-dtype array (the string
+    * label axes zarr-python writes for coordinates): after the
+    * compressor, a u32 LE item count then per item a u32 LE byte length
+    * + UTF-8 payload, in C order over the full (padded) chunk box —
+    * trimmed here exactly like numeric chunks.
+    */
+  def decodeStringChunk(meta: ArrayMeta, chunkKey: String,
+                        bytes: Array[Byte])
+      : (Array[Int], Array[Int], Array[String]) = {
+    require(meta.filters.map(_.id) == Seq("vlen-utf8"),
+      s"${meta.name}: string decode expects filters [vlen-utf8], " +
+        s"got ${meta.filters.map(_.id)}")
+    val idx = chunkKey.split('.').map(_.toInt)
+    require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
+    val raw = decompressBy(meta.compressor, bytes)
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.getInt()
+    require(n == meta.chunks.product,
+      s"vlen chunk $chunkKey carries $n items for box ${meta.chunks}")
+    val full = Array.fill(n) {
+      val len = b.getInt()
+      require(len >= 0 && len <= b.remaining(), s"vlen item length $len")
+      val a = new Array[Byte](len); b.get(a)
+      new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val origin = idx.zip(meta.chunks).map { case (i, c) => i * c }
+    val trimmed = origin.zip(meta.chunks).zip(meta.shape).map {
+      case ((o, c), s) => math.min(c, s - o)
+    }
+    val out = new Array[String](trimmed.product)
+    val chunkStrides = strides(meta.chunks.toArray)
+    val outStrides = strides(trimmed)
+    var i = 0
+    while (i < out.length) {
+      var rem = i; var srcI = 0; var d = 0
+      while (d < trimmed.length) {
+        val coord = rem / outStrides(d); rem %= outStrides(d)
+        srcI += coord * chunkStrides(d); d += 1
+      }
+      out(i) = full(srcI)
+      i += 1
+    }
+    (origin, trimmed, out)
+  }
+
+  /** Assemble a whole object-dtype string array in C order — label axes
+    * are metadata-scale, so a driver-side assembly is the right tool
+    * (payload grids stay on the distributed numeric paths).
+    */
+  def readStringArray(store: Path, meta: ArrayMeta): Array[String] = {
+    val dir = if (meta.name == "/") store else store.resolve(meta.name)
+    val out = new Array[String](meta.nValues.toInt)
+    val outStrides = strides(meta.shape.toArray)
+    Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(f => f.getFileName.toString.startsWith(".") ||
+        f.getFileName.toString == "zarr.json").foreach { f =>
+        val (origin, shape, values) = decodeStringChunk(meta,
+          keyFromPath(meta, dir.relativize(f).toString),
+          Files.readAllBytes(f))
+        val st = strides(shape)
+        var i = 0
+        while (i < values.length) {
+          var rem = i; var dst = 0; var d = 0
+          while (d < shape.length) {
+            val c = rem / st(d); rem %= st(d)
+            dst += (origin(d) + c) * outStrides(d); d += 1
+          }
+          out(dst) = values(i)
+          i += 1
+        }
+      }
+    out
+  }
+
   /** Decode one chunk file to doubles, TRIMMED to its in-bounds region
     * (edge chunks are stored padded to full chunk shape). Returns the
     * flattened C-order values plus the trimmed shape and the chunk's
@@ -471,6 +551,9 @@ object ZarrCodec {
       : (Array[Int], Array[Int], Array[Double]) = {
     val idx = chunkKey.split('.').map(_.toInt)
     require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
+    require(!meta.filters.exists(_.id == "vlen-utf8"),
+      s"${meta.name} is an object-dtype string array; " +
+        "decode it with readStringArray, not the numeric scan")
     // checksum off first (crc32c is the outermost codec), then the
     // compressor, then filters reversed back-to-front (they were
     // applied in order before compression at write time)
@@ -975,6 +1058,44 @@ object ZarrFixture {
       val target = dir.resolve(ci.mkString(sep))
       if (sep == "/") Files.createDirectories(target.getParent)
       Files.write(target, bytes)
+    }
+  }
+
+  /** Object-dtype string array (numcodecs VLenUTF8 under zlib) — the
+    * label-axis shape zarr-python writes for e.g. member/region name
+    * coordinates. 1-D; `values` in index order.
+    */
+  def writeVlenUtf8(store: Path, name: String, values: Seq[String],
+                    chunk: Int,
+                    attrs: Map[String, String] = Map.empty): Unit = {
+    val dir = store.resolve(name)
+    Files.createDirectories(dir)
+    Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
+    if (attrs.nonEmpty)
+      Files.writeString(dir.resolve(".zattrs"),
+        attrs.map { case (k, v) => s""""$k": "$v"""" }
+          .mkString("{", ", ", "}"))
+    Files.writeString(dir.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${values.length}],
+         | "chunks": [$chunk], "dtype": "|O",
+         | "compressor": {"id": "zlib", "level": 6}, "fill_value": null,
+         | "order": "C",
+         | "filters": [{"id": "vlen-utf8"}]}""".stripMargin)
+    val nChunks = (values.length + chunk - 1) / chunk
+    (0 until nChunks).foreach { ci =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val b = new java.io.DataOutputStream(bos)
+      def le32(v: Int): Unit = {
+        b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+        b.write((v >> 16) & 0xFF); b.write((v >> 24) & 0xFF)
+      }
+      le32(chunk) // full (padded) chunk box, like numeric chunks
+      (0 until chunk).foreach { i =>
+        val v = values.lift(ci * chunk + i).getOrElse("")
+        val raw = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        le32(raw.length); b.write(raw)
+      }
+      Files.write(dir.resolve(ci.toString), deflate(bos.toByteArray))
     }
   }
 

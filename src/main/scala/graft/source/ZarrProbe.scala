@@ -14,8 +14,12 @@ object ZarrProbe {
   final case class Info(dataType: String, bitDepth: Int, byteOrder: String,
                         totalSize: Long)
 
-  /** numpy dtype string ("<f8", ">i4", "|u1") → (name, bits, order). */
+  /** numpy dtype string ("<f8", ">i4", "|u1", "|O") → (name, bits,
+    * order). Object dtype ("|O", vlen string label axes) has no fixed
+    * width — reported as `object` with bit depth 0.
+    */
   def parseDtype(d: String): (String, Int, String) = {
+    if (d == "|O") return ("object", 0, "little-endian")
     val order = d.head match {
       case '>' => "big-endian"
       case _ => "little-endian" // '<' and '|' (not applicable) both map little

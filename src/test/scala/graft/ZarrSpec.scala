@@ -244,4 +244,22 @@ class ZarrSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("lzma"))
   }
+
+  test("vlen-utf8 object-dtype string array (label axis) decodes; the " +
+    "numeric path rejects it pointedly") {
+    val store = java.nio.file.Files.createTempDirectory("graft-zarr-vlen")
+    val labels = Seq("ocean", "ice", "land", "\u00fcmlaut-\u98a8", "x", "y", "z")
+    graft.source.ZarrFixture.writeVlenUtf8(store, "member", labels,
+      chunk = 3, attrs = Map("long_name" -> "member id"))
+    val m = graft.source.ZarrCodec.readMeta(store)
+      .find(_.name == "member").get
+    assert(m.dtype === "|O")
+    assert(m.filters.map(_.id) === Seq("vlen-utf8"))
+    assert(graft.source.ZarrCodec.readStringArray(store, m).toSeq === labels)
+    val e = intercept[IllegalArgumentException] {
+      graft.source.ZarrCodec.decodeChunk(m, "0",
+        java.nio.file.Files.readAllBytes(store.resolve("member/0")))
+    }
+    assert(e.getMessage.contains("readStringArray"))
+  }
 }
