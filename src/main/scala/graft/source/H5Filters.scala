@@ -371,4 +371,91 @@ object H5Filters {
 
   private def maskTo(v: Long, size: Int): Long =
     if (size >= 8) v else v & ((1L << (8 * size)) - 1)
+
+  // ---- nbit (filter 5, H5Z_FILTER_NBIT): elements whose datatype
+  // carries H5Tset_precision < width are packed as `precision` bits
+  // each, MSB-first in one continuous bitstream (the same bit order as
+  // scale-offset; padding bits are NOT stored and come back zero).
+  // cd_values (H5Znbit.c set_local): [total nparms, needs-compression
+  // flag, chunk nelmts, then the datatype parms tree — for an ATOMIC
+  // (class 1) type: size, byte order, precision, bit offset]. Compound
+  // and array parms trees are out of scope (reject loudly).
+
+  def nbitDecode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
+    require(cd.length >= 3, s"nbit cd_values ${cd.length} < 3")
+    val flag = cd(1)
+    val nelmts = cd(2)
+    if (flag == 0) return data.clone() // full-precision: stored verbatim
+    require(cd.length >= 8, s"nbit cd_values ${cd.length} < 8")
+    require(cd(3) == 1,
+      s"nbit datatype class ${cd(3)} unsupported (atomic only; " +
+        "compound/array nbit trees not implemented)")
+    val size = cd(4)
+    val order = cd(5)
+    val prec = cd(6)
+    val off = cd(7)
+    require(order == 0, "nbit over big-endian data unsupported")
+    require(off == 0, s"nbit bit offset $off unsupported")
+    require(prec >= 1 && prec <= size * 8, s"nbit precision $prec")
+    val out = new Array[Byte](nelmts * size)
+    if (prec == size * 8) {
+      System.arraycopy(data, 0, out, 0, out.length)
+      return out
+    }
+    var bitPos = 0L
+    var i = 0
+    while (i < nelmts) {
+      var v = 0L
+      var got = 0
+      while (got < prec) {
+        val byteAt = (bitPos >> 3).toInt
+        val used = (bitPos & 7).toInt
+        val avail = 8 - used
+        val take = math.min(avail, prec - got)
+        val bits = ((data(byteAt) & 0xFF) >> (avail - take)) &
+          ((1 << take) - 1)
+        v = (v << take) | bits
+        got += take
+        bitPos += take
+      }
+      var k = 0
+      while (k < size) {
+        out(i * size + k) = ((v >> (8 * k)) & 0xFF).toByte
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Encoder twin for fixtures: pack the low `prec` bits of each LE
+    * element. Returns (stream, cd_values).
+    */
+  def nbitEncode(data: Array[Byte], size: Int, prec: Int)
+      : (Array[Byte], Seq[Int]) = {
+    require(data.length % size == 0 && prec >= 1 && prec <= size * 8)
+    val n = data.length / size
+    val cd = Seq(8, if (prec == size * 8) 0 else 1, n, 1, size, 0, prec, 0)
+    if (prec == size * 8) return (data.clone(), cd)
+    val out = new Array[Byte](((n.toLong * prec + 7) / 8).toInt)
+    var bitPos = 0L
+    (0 until n).foreach { i =>
+      var v = 0L
+      (0 until size).foreach(k =>
+        v |= (data(i * size + k).toLong & 0xFF) << (8 * k))
+      v &= (if (prec == 64) -1L else (1L << prec) - 1)
+      var left = prec
+      while (left > 0) {
+        val byteAt = (bitPos >> 3).toInt
+        val used = (bitPos & 7).toInt
+        val avail = 8 - used
+        val take = math.min(avail, left)
+        val bits = (v >> (left - take)) & ((1L << take) - 1)
+        out(byteAt) = (out(byteAt) | (bits << (avail - take))).toByte
+        left -= take
+        bitPos += take
+      }
+    }
+    (out, cd)
+  }
 }

@@ -135,7 +135,15 @@ object Hdf5 {
                           enumNames: Seq[String] = Nil,
                           enumValues: Seq[Long] = Nil,
                           members: Seq[H5Member] = Nil,
-                          arrayDims: Seq[Int] = Nil)
+                          arrayDims: Seq[Int] = Nil,
+                          bitPrecision: Int = 0) {
+    /** True when only the low `bitPrecision` bits are significant — the
+      * H5Tset_precision shape the nbit filter packs (padding bits come
+      * back ZERO, so signed values need re-extension from precision).
+      */
+    def partialPrecision: Boolean =
+      cls == ClsFixed && bitPrecision > 0 && bitPrecision < size * 8
+  }
 
   /** The numeric type a value of `t` decodes through: enums decode as
     * their base integer type (CF flag variables are enum-of-int8, ref
@@ -937,12 +945,15 @@ object Hdf5 {
       }
       cls match {
         case ClsFixed =>
-          // consume the fixed-point properties (bit offset + precision)
-          // so NESTED parses (compound members, enum bases) land on the
-          // next field
-          b.getShort(); b.getShort()
+          // fixed-point properties (bit offset + precision): consumed so
+          // NESTED parses (compound members, enum bases) land on the
+          // next field; precision kept for nbit-packed datasets
+          val bitOff = b.getShort() & 0xFFFF
+          val prec = b.getShort() & 0xFFFF
+          require(bitOff == 0,
+            s"fixed-point bit offset $bitOff unsupported")
           H5Type(cls, size, littleEndian = (bits & 1) == 0,
-            signed = (bits & 0x8) != 0)
+            signed = (bits & 0x8) != 0, bitPrecision = prec)
         case ClsFloat =>
           require(size == 2 || size == 4 || size == 8, s"float size $size")
           // bit offset/precision, exponent/mantissa geometry, bias
@@ -1708,6 +1719,7 @@ object Hdf5 {
           "szip (filter 4) is unsupported (historically patent-encumbered, " +
             "decoder deliberately omitted); re-write the archive with " +
             "deflate or zstd — e.g. h5repack -f GZIP=9 — and re-scan")
+        case 5 => H5Filters.nbitDecode(data, f.client)
         case 6 => H5Filters.scaleOffsetDecode(data, f.client)
         case 32004 => H5Filters.lz4Decode(data)
         case 32008 => H5Filters.bitshuffleDecode(data, f.client, elem)
@@ -1800,6 +1812,24 @@ object Hdf5 {
       val b = ByteBuffer.wrap(raw).order(
         if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       var i = 0
+      if (t.partialPrecision) {
+        // nbit-packed integers: padding bits above `precision` came back
+        // zero from the filter — re-extend from the precision bit
+        val sh = 64 - t.bitPrecision
+        while (i < n) {
+          val raw0 = t.size match {
+            case 1 => (b.get() & 0xFF).toLong
+            case 2 => (b.getShort() & 0xFFFF).toLong
+            case 4 => b.getInt().toLong & 0xFFFFFFFFL
+            case _ => b.getLong()
+          }
+          out(i) =
+            if (t.signed) ((raw0 << sh) >> sh).toDouble
+            else ((raw0 << sh) >>> sh).toDouble
+          i += 1
+        }
+        return out
+      }
       (t.cls, t.size) match {
         case (ClsFloat, 8) => while (i < n) { out(i) = b.getDouble(); i += 1 }
         case (ClsFloat, 4) => while (i < n) { out(i) = b.getFloat().toDouble; i += 1 }

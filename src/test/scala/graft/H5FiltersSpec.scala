@@ -236,4 +236,110 @@ class H5FiltersSpec extends AnyFunSuite {
         Seq(2, 0, 1, 0, 4, 1, 1 /* BE */, 0, 0))
     }
   }
+
+  // ---- nbit (filter 5): H5Tset_precision packed integers
+
+  test("nbit: 12-bit-precision int32 round trip, full-precision " +
+    "passthrough flag") {
+    val b = java.nio.ByteBuffer.allocate(5 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // 12-bit two's complement values (sign bit at bit 11), stored
+    // zero-padded above the precision, exactly what the filter sees
+    Seq(0x7FF, 0x800, 0xFFF, 0x001, 0x234).foreach(b.putInt)
+    val (enc, cd) = H5Filters.nbitEncode(b.array(), 4, 12)
+    assert(enc.length === (5 * 12 + 7) / 8)
+    assert(H5Filters.nbitDecode(enc, cd).toSeq === b.array().toSeq)
+    val (raw, cdRaw) = H5Filters.nbitEncode(b.array(), 4, 32)
+    assert(cdRaw(1) === 0) // needs-compression flag off
+    assert(H5Filters.nbitDecode(raw, cdRaw).toSeq === b.array().toSeq)
+  }
+
+  test("nbit: compound/array parms trees are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      H5Filters.nbitDecode(new Array[Byte](4),
+        Seq(10, 1, 2, 3 /* compound */, 8, 0, 16, 0))
+    }
+    assert(e.getMessage.contains("atomic only"))
+  }
+
+  test("nbit end to end: crafted chunked int32 dataset (precision 12, " +
+    "signed) decodes with sign extension through the scan path") {
+    val vals = Seq(-1, 5, -2048, 2047, 0) // 12-bit two's complement range
+    val raw = java.nio.ByteBuffer.allocate(vals.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => raw.putInt(v & 0xFFF)) // filter input: padded to 0
+    val (enc, cd) = H5Filters.nbitEncode(raw.array(), 4, 12)
+    assert(cd.length === 8)
+
+    val chunkAddr = 48
+    val btreeAddr = chunkAddr + enc.length
+    val dsAddr = btreeAddr + 80
+    val chunk0 = (4 + 12) + (4 + 12) + (4 + 19) + (4 + 40)
+    val dsSize = 4 + 2 + 1 + chunk0 + 4
+    val rootAddr = dsAddr + dsSize
+    val total = rootAddr + 27
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): java.nio.ByteBuffer = { buf.position(pos); buf }
+
+    at(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(2.toByte); buf.put(8.toByte); buf.put(8.toByte); buf.put(0.toByte)
+    buf.putLong(0L); buf.putLong(-1L)
+    buf.putLong(total.toLong); buf.putLong(rootAddr.toLong)
+    buf.putInt(0)
+
+    at(chunkAddr); buf.put(enc)
+
+    at(btreeAddr)
+    buf.put("TREE".getBytes); buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(1)
+    buf.putLong(-1L); buf.putLong(-1L)
+    buf.putInt(enc.length); buf.putInt(0)
+    buf.putLong(0L); buf.putLong(0L)
+    buf.putLong(chunkAddr.toLong)
+    buf.putInt(0); buf.putInt(0)
+    buf.putLong(5L); buf.putLong(0L)
+
+    at(dsAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put(chunk0.toByte)
+    // dataspace v2: rank 1, dims [5]
+    buf.put(1.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
+    buf.putLong(5L)
+    // datatype: fixed int32 LE signed, PRECISION 12 (H5Tset_precision)
+    buf.put(3.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(0x10.toByte)
+    buf.put(0x08.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putInt(4)
+    buf.putShort(0); buf.putShort(12)
+    // layout v3 chunked
+    buf.put(8.toByte); buf.putShort(19); buf.put(0.toByte)
+    buf.put(3.toByte); buf.put(2.toByte); buf.put(2.toByte)
+    buf.putLong(btreeAddr.toLong)
+    buf.putInt(5); buf.putInt(4)
+    // filter pipeline v2: one filter, id 5, 8 cd values
+    buf.put(11.toByte); buf.putShort(40); buf.put(0.toByte)
+    buf.put(2.toByte); buf.put(1.toByte)
+    buf.putShort(5); buf.putShort(0); buf.putShort(8)
+    cd.foreach(buf.putInt)
+
+    at(rootAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put(16.toByte)
+    buf.put(6.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
+    buf.put('v'.toByte)
+    buf.putLong(dsAddr.toLong)
+    buf.putInt(0)
+
+    val r = new Hdf5.Reader(buf.array())
+    val ds = r.file.dataset("v").get
+    assert(ds.filters.map(_.id) === Seq(5))
+    assert(ds.dtype.bitPrecision === 12)
+    assert(r.readDoubles("v").toSeq === vals.map(_.toDouble))
+  }
 }
