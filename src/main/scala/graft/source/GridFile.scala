@@ -165,7 +165,14 @@ object GridFile {
     }
     override def isPayload(n: String, wantRank: Int): Boolean = {
       val d = ds(n)
-      d.dims.size == wantRank && !d.isDimScale
+      // only numerically-decodable classes are band payloads — a 4-D
+      // compound or string variable must be skipped by the tidy scan
+      // (readable through the dedicated member/string APIs), not crash it
+      val numeric = Hdf5.numericType(d.dtype).cls match {
+        case Hdf5.ClsFixed | Hdf5.ClsFloat => true
+        case _ => false
+      }
+      d.dims.size == wantRank && !d.isDimScale && numeric
     }
   }
 }

@@ -206,8 +206,11 @@ object ZarrCodec {
             (node.get("data_type").asText() match {
               case "float64" => "f8"; case "float32" => "f4"
               case "float16" => "f2"
-              case "int32" => "i4"; case "int16" => "i2"; case "int8" => "i1"
-              case "uint8" => "u1"; case "bool" => "b1"
+              case "int64" => "i8"; case "int32" => "i4"
+              case "int16" => "i2"; case "int8" => "i1"
+              case "uint64" => "u8"; case "uint32" => "u4"
+              case "uint16" => "u2"; case "uint8" => "u1"
+              case "bool" => "b1"
               case other => throw new IllegalArgumentException(
                 s"unsupported zarr v3 data_type '$other' in $zj")
             })
@@ -739,9 +742,18 @@ object ZarrCodec {
       case "f8" => Array.fill(raw.length / 8)(buf.getDouble)
       case "f4" => Array.fill(raw.length / 4)(buf.getFloat.toDouble)
       case "f2" => Array.fill(raw.length / 2)(Half.toDouble(buf.getShort))
+      case "i8" => Array.fill(raw.length / 8)(buf.getLong.toDouble)
       case "i4" => Array.fill(raw.length / 4)(buf.getInt.toDouble)
       case "i2" => Array.fill(raw.length / 2)(buf.getShort.toDouble)
       case "i1" => raw.map(_.toDouble)
+      case "u8" => Array.fill(raw.length / 8) {
+        val v = buf.getLong
+        // numpy prints uint64 exactly; double holds 53 bits — the same
+        // widening xarray applies when it promotes uint64 to float64
+        if (v >= 0) v.toDouble else (v & Long.MaxValue).toDouble + 9.223372036854776e18
+      }
+      case "u4" => Array.fill(raw.length / 4)((buf.getInt.toLong & 0xFFFFFFFFL).toDouble)
+      case "u2" => Array.fill(raw.length / 2)((buf.getShort & 0xFFFF).toDouble)
       case "u1" | "b1" => raw.map(b => (b & 0xFF).toDouble)
       case other => throw new IllegalArgumentException(
         s"unsupported zarr dtype $dtype")
@@ -1183,8 +1195,9 @@ object ZarrFixture {
       Files.writeString(store.resolve("zarr.json"),
         """{"zarr_format": 3, "node_type": "group"}""")
     val dataType = dtype.drop(1) match {
-      case "f8" => "float64"; case "f4" => "float32"; case "i4" => "int32"
-      case "i2" => "int16"; case "u1" => "uint8"
+      case "f8" => "float64"; case "f4" => "float32"
+      case "i8" => "int64"; case "i4" => "int32"; case "i2" => "int16"
+      case "u4" => "uint32"; case "u2" => "uint16"; case "u1" => "uint8"
       case other => throw new IllegalArgumentException(s"fixture dtype $other")
     }
     val endian = if (dtype.startsWith(">")) "big" else "little"
@@ -1409,12 +1422,21 @@ object ZarrFixture {
       case "f2" =>
         val b = ByteBuffer.allocate(vals.length * 2).order(order)
         vals.foreach(v => b.putShort(Half.fromDouble(v))); b.array()
+      case "i8" =>
+        val b = ByteBuffer.allocate(vals.length * 8).order(order)
+        vals.foreach(v => b.putLong(v.toLong)); b.array()
       case "i4" =>
         val b = ByteBuffer.allocate(vals.length * 4).order(order)
         vals.foreach(v => b.putInt(v.toInt)); b.array()
       case "i2" =>
         val b = ByteBuffer.allocate(vals.length * 2).order(order)
         vals.foreach(v => b.putShort(v.toShort)); b.array()
+      case "u4" =>
+        val b = ByteBuffer.allocate(vals.length * 4).order(order)
+        vals.foreach(v => b.putInt(v.toLong.toInt)); b.array()
+      case "u2" =>
+        val b = ByteBuffer.allocate(vals.length * 2).order(order)
+        vals.foreach(v => b.putShort(v.toInt.toShort)); b.array()
       case "u1" => vals.map(v => (v.toInt & 0xFF).toByte).toArray
       case other => throw new IllegalArgumentException(s"fixture dtype $other")
     }

@@ -272,4 +272,22 @@ class ZarrV3Spec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] { ZarrCodec.readMeta(transShard) }
     assert(e2.getMessage.contains("transpose combined with sharding"))
   }
+
+  test("v3 integer dtype long tail: int64, uint32, uint16 decode exactly") {
+    val store = Files.createTempDirectory("graft-zarr3ints")
+    ZarrFixture.writeV3(store, "t64", Seq(6), Seq(4), dtype = "<i8",
+      codec = "zstd", value = c => 1.7e15 + c.head * 3600.0) // ns timestamps
+    ZarrFixture.writeV3(store, "u32", Seq(6), Seq(4), dtype = "<u4",
+      codec = "gzip", value = c => 4.0e9 + c.head) // above Int.MaxValue
+    ZarrFixture.writeV3(store, "u16", Seq(6), Seq(4), dtype = "<u2",
+      codec = "null", value = c => 60000.0 + c.head)
+    val metas = ZarrCodec.readMeta(store)
+    def arr(n: String) = ZarrCodec.readArray(store,
+      metas.find(_.name == n).get).toSeq
+    assert(arr("t64") === (0 until 6).map(i => 1.7e15 + i * 3600.0))
+    assert(arr("u32") === (0 until 6).map(i => 4.0e9 + i))
+    assert(arr("u16") === (0 until 6).map(i => 60000.0 + i))
+    assert(metas.find(_.name == "t64").get.dtype === "<i8")
+    assert(metas.find(_.name == "u32").get.dtype === "<u4")
+  }
 }
