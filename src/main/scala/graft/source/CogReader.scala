@@ -72,9 +72,15 @@ object CogReader {
           case 5 =>
             lzwDecode(bytes, p.tileOffsets(idx).toInt,
               p.tileByteCounts(idx).toInt, expected)
-          case _ =>
+          case 32773 =>
+            packBitsDecode(bytes, p.tileOffsets(idx).toInt,
+              p.tileByteCounts(idx).toInt, expected)
+          case 1 =>
             java.util.Arrays.copyOfRange(bytes, p.tileOffsets(idx).toInt,
               (p.tileOffsets(idx) + p.tileByteCounts(idx)).toInt)
+          case c => throw new IllegalArgumentException(
+            s"TIFF compression $c unsupported " +
+              "(none/LZW/PackBits/deflate/JPEG)")
         }
         ByteBuffer.wrap(raw).order(order)
       }
@@ -346,6 +352,37 @@ object CogReader {
       predictor = one(317, 1).toInt,
       jpegTables = raw(347))
     (page, nextIfd)
+  }
+
+  /** PackBits RLE (compression 32773, TIFF 6.0 §9): flag byte n in
+    * 0..127 copies n+1 literal bytes; −1..−127 repeats the next byte
+    * 1−n times; −128 is a no-op.
+    */
+  private[graft] def packBitsDecode(bytes: Array[Byte], off: Int, len: Int,
+                                    expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var pos = off
+    val end = off + len
+    var o = 0
+    while (o < expected && pos < end) {
+      val n = bytes(pos); pos += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(pos + cnt <= end && o + cnt <= expected,
+          s"PackBits literal run of $cnt overruns at $pos")
+        System.arraycopy(bytes, pos, out, o, cnt)
+        pos += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(pos < end && o + cnt <= expected,
+          s"PackBits repeat run of $cnt overruns at $pos")
+        java.util.Arrays.fill(out, o, o + cnt, bytes(pos))
+        pos += 1; o += cnt
+      }
+    }
+    require(o == expected,
+      s"PackBits stream produced $o of $expected bytes")
+    out
   }
 
   /** TIFF-variant LZW (compression 5, TIFF 6.0 §13): MSB-first bit

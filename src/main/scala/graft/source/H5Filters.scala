@@ -458,4 +458,36 @@ object H5Filters {
     }
     (out, cd)
   }
+
+  /** HDF5's Fletcher-32 (H5_checksum_fletcher32): big-endian 16-bit
+    * word sums folded every 360 words, odd trailing byte high-aligned,
+    * double-reduced to 16 bits each.
+    */
+  def fletcher32(data: Array[Byte], len: Int): Int = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var pos = 0
+    var words = len / 2
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(pos) & 0xFF) << 8) | (data(pos + 1) & 0xFF)).toLong
+        pos += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += ((data(pos) & 0xFF) << 8).toLong
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
 }

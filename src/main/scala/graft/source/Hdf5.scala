@@ -1713,7 +1713,14 @@ object Hdf5 {
       f.id match {
         case 1 => inflate(data)
         case 2 => unshuffle(data, f.client.headOption.getOrElse(elem))
-        case 3 => java.util.Arrays.copyOfRange(data, 0, data.length - 4) // fletcher32
+        case 3 => // fletcher32: verify the trailing LE checksum, then strip
+          require(data.length >= 4, s"fletcher32 stream of ${data.length} bytes")
+          val stored = ByteBuffer.wrap(data, data.length - 4, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt()
+          val computed = H5Filters.fletcher32(data, data.length - 4)
+          require(computed == stored,
+            f"fletcher32 mismatch: stored 0x$stored%08x, computed 0x$computed%08x")
+          java.util.Arrays.copyOfRange(data, 0, data.length - 4)
         // dynamically-registered filters hdf5plugin archives carry
         case 4 => throw new IllegalArgumentException(
           "szip (filter 4) is unsupported (historically patent-encumbered, " +

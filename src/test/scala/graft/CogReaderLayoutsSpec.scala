@@ -308,4 +308,35 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
       assert(g((ti / 2) * 16 + y)((ti % 2) * 16 + x) === refs(ti)(y)(x),
         s"tile $ti ($x,$y)")
   }
+
+  test("PackBits strips (compression 32773) decode; literal, repeat " +
+    "and no-op runs") {
+    // 4x3 uint8, one strip; rows hand-packed: a repeat run, a literal
+    // run, a -128 no-op between runs
+    val pixels = Array[Byte](
+      9, 9, 9, 9,      // row 0: repeat run
+      1, 2, 3, 4,      // row 1: literal run
+      7, 7, 5, 6)      // row 2: short repeat + literal
+    val packed = Array[Byte](
+      (-3).toByte, 9,                    // 9 x4
+      (-128).toByte,                     // no-op filler
+      3, 1, 2, 3, 4,                     // literal x4
+      (-1).toByte, 7,                    // 7 x2
+      1, 5, 6)                           // literal x2
+    val entries = baseEntries(4, 3, 8, 1,
+      Seq(8L), Seq(packed.length.toLong), rps = 3) :+
+      (259, 3, Seq(32773L))
+    val t = CogReader.read(buildTiff(ByteOrder.LITTLE_ENDIAN,
+      big = false, entries, packed))
+    assert(t.pages.head.compression === 32773)
+    val g = t.readBand(0, 0)
+    assert(g.flatten.toSeq === pixels.map(_.toDouble).toSeq)
+    // unknown compressions now fail loudly instead of raw-copying
+    val bad = baseEntries(4, 3, 8, 1, Seq(8L),
+      Seq(12L), rps = 3) :+ (259, 3, Seq(4L)) // CCITT T.6
+    val tb = CogReader.read(buildTiff(ByteOrder.LITTLE_ENDIAN,
+      big = false, bad, pixels))
+    val e = intercept[IllegalArgumentException] { tb.readBand(0, 0) }
+    assert(e.getMessage.contains("compression 4"))
+  }
 }

@@ -146,18 +146,19 @@ class H5FiltersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("float D/E-scale"))
   }
 
-  test("scale-offset end to end: crafted chunked int32 dataset with a " +
-    "v2 pipeline message decodes through the scan path") {
-    val raw = java.nio.ByteBuffer.allocate(5 * 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Seq(7, 3, 12, 5, 9).foreach(raw.putInt)
-    val (enc, cd) = H5Filters.scaleOffsetEncode(raw.array(), 4)
-    assert(cd.length === 9)
 
+  /** Crafted single-chunk int32 dataset wrapped in a v2 filter-pipeline
+    * message — the e2e harness for filter decode through the normal
+    * chunk-walk path. Returns the file bytes.
+    */
+  private def craftFilteredInt32(enc: Array[Byte], filterId: Int,
+                                 cd: Seq[Int], n: Int,
+                                 precision: Int = 32): Array[Byte] = {
     val chunkAddr = 48
     val btreeAddr = chunkAddr + enc.length
     val dsAddr = btreeAddr + 80
-    val chunk0 = (4 + 12) + (4 + 12) + (4 + 19) + (4 + 44)
+    val filtBody = 2 + 6 + 4 * cd.length
+    val chunk0 = (4 + 12) + (4 + 12) + (4 + 19) + (4 + filtBody)
     val dsSize = 4 + 2 + 1 + chunk0 + 4
     val rootAddr = dsAddr + dsSize
     val total = rootAddr + 27
@@ -174,40 +175,36 @@ class H5FiltersSpec extends AnyFunSuite {
 
     at(chunkAddr); buf.put(enc)
 
-    // single-leaf v1 chunk B-tree, rank 1 (+ elem pseudo-dim)
     at(btreeAddr)
     buf.put("TREE".getBytes); buf.put(1.toByte); buf.put(0.toByte)
     buf.putShort(1)
     buf.putLong(-1L); buf.putLong(-1L)
-    buf.putInt(enc.length); buf.putInt(0)    // stored size, filter mask
-    buf.putLong(0L); buf.putLong(0L)         // coords
+    buf.putInt(enc.length); buf.putInt(0)
+    buf.putLong(0L); buf.putLong(0L)
     buf.putLong(chunkAddr.toLong)
-    buf.putInt(0); buf.putInt(0)             // final key
-    buf.putLong(5L); buf.putLong(0L)
+    buf.putInt(0); buf.putInt(0)
+    buf.putLong(n.toLong); buf.putLong(0L)
 
     at(dsAddr)
     buf.put("OHDR".getBytes)
     buf.put(2.toByte); buf.put(0.toByte)
     buf.put(chunk0.toByte)
-    // dataspace v2: rank 1, dims [5]
     buf.put(1.toByte); buf.putShort(12); buf.put(0.toByte)
     buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
-    buf.putLong(5L)
-    // datatype: fixed int32 LE signed
+    buf.putLong(n.toLong)
     buf.put(3.toByte); buf.putShort(12); buf.put(0.toByte)
     buf.put(0x10.toByte)
     buf.put(0x08.toByte); buf.put(0.toByte); buf.put(0.toByte)
     buf.putInt(4)
-    buf.putShort(0); buf.putShort(32)
-    // layout v3 chunked: btree, chunk dims [5, 4]
+    buf.putShort(0); buf.putShort(precision.toShort)
     buf.put(8.toByte); buf.putShort(19); buf.put(0.toByte)
     buf.put(3.toByte); buf.put(2.toByte); buf.put(2.toByte)
     buf.putLong(btreeAddr.toLong)
-    buf.putInt(5); buf.putInt(4)
-    // filter pipeline v2: one filter, id 6, 9 cd values
-    buf.put(11.toByte); buf.putShort(44); buf.put(0.toByte)
+    buf.putInt(n); buf.putInt(4)
+    buf.put(11.toByte); buf.putShort(filtBody.toShort); buf.put(0.toByte)
     buf.put(2.toByte); buf.put(1.toByte)
-    buf.putShort(6); buf.putShort(0); buf.putShort(9)
+    buf.putShort(filterId.toShort); buf.putShort(0)
+    buf.putShort(cd.length.toShort)
     cd.foreach(buf.putInt)
 
     at(rootAddr)
@@ -219,8 +216,17 @@ class H5FiltersSpec extends AnyFunSuite {
     buf.put('v'.toByte)
     buf.putLong(dsAddr.toLong)
     buf.putInt(0)
+    buf.array()
+  }
 
-    val r = new Hdf5.Reader(buf.array())
+  test("scale-offset end to end: crafted chunked int32 dataset with a " +
+    "v2 pipeline message decodes through the scan path") {
+    val raw = java.nio.ByteBuffer.allocate(5 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(7, 3, 12, 5, 9).foreach(raw.putInt)
+    val (enc, cd) = H5Filters.scaleOffsetEncode(raw.array(), 4)
+    assert(cd.length === 9)
+    val r = new Hdf5.Reader(craftFilteredInt32(enc, 6, cd, 5))
     assert(r.file.dataset("v").get.filters.map(_.id) === Seq(6))
     assert(r.readDoubles("v").toSeq === Seq(7.0, 3.0, 12.0, 5.0, 9.0))
   }
@@ -270,76 +276,30 @@ class H5FiltersSpec extends AnyFunSuite {
     vals.foreach(v => raw.putInt(v & 0xFFF)) // filter input: padded to 0
     val (enc, cd) = H5Filters.nbitEncode(raw.array(), 4, 12)
     assert(cd.length === 8)
-
-    val chunkAddr = 48
-    val btreeAddr = chunkAddr + enc.length
-    val dsAddr = btreeAddr + 80
-    val chunk0 = (4 + 12) + (4 + 12) + (4 + 19) + (4 + 40)
-    val dsSize = 4 + 2 + 1 + chunk0 + 4
-    val rootAddr = dsAddr + dsSize
-    val total = rootAddr + 27
-    val buf = java.nio.ByteBuffer.allocate(total)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def at(pos: Int): java.nio.ByteBuffer = { buf.position(pos); buf }
-
-    at(0)
-    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-    buf.put(2.toByte); buf.put(8.toByte); buf.put(8.toByte); buf.put(0.toByte)
-    buf.putLong(0L); buf.putLong(-1L)
-    buf.putLong(total.toLong); buf.putLong(rootAddr.toLong)
-    buf.putInt(0)
-
-    at(chunkAddr); buf.put(enc)
-
-    at(btreeAddr)
-    buf.put("TREE".getBytes); buf.put(1.toByte); buf.put(0.toByte)
-    buf.putShort(1)
-    buf.putLong(-1L); buf.putLong(-1L)
-    buf.putInt(enc.length); buf.putInt(0)
-    buf.putLong(0L); buf.putLong(0L)
-    buf.putLong(chunkAddr.toLong)
-    buf.putInt(0); buf.putInt(0)
-    buf.putLong(5L); buf.putLong(0L)
-
-    at(dsAddr)
-    buf.put("OHDR".getBytes)
-    buf.put(2.toByte); buf.put(0.toByte)
-    buf.put(chunk0.toByte)
-    // dataspace v2: rank 1, dims [5]
-    buf.put(1.toByte); buf.putShort(12); buf.put(0.toByte)
-    buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
-    buf.putLong(5L)
-    // datatype: fixed int32 LE signed, PRECISION 12 (H5Tset_precision)
-    buf.put(3.toByte); buf.putShort(12); buf.put(0.toByte)
-    buf.put(0x10.toByte)
-    buf.put(0x08.toByte); buf.put(0.toByte); buf.put(0.toByte)
-    buf.putInt(4)
-    buf.putShort(0); buf.putShort(12)
-    // layout v3 chunked
-    buf.put(8.toByte); buf.putShort(19); buf.put(0.toByte)
-    buf.put(3.toByte); buf.put(2.toByte); buf.put(2.toByte)
-    buf.putLong(btreeAddr.toLong)
-    buf.putInt(5); buf.putInt(4)
-    // filter pipeline v2: one filter, id 5, 8 cd values
-    buf.put(11.toByte); buf.putShort(40); buf.put(0.toByte)
-    buf.put(2.toByte); buf.put(1.toByte)
-    buf.putShort(5); buf.putShort(0); buf.putShort(8)
-    cd.foreach(buf.putInt)
-
-    at(rootAddr)
-    buf.put("OHDR".getBytes)
-    buf.put(2.toByte); buf.put(0.toByte)
-    buf.put(16.toByte)
-    buf.put(6.toByte); buf.putShort(12); buf.put(0.toByte)
-    buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
-    buf.put('v'.toByte)
-    buf.putLong(dsAddr.toLong)
-    buf.putInt(0)
-
-    val r = new Hdf5.Reader(buf.array())
+    val r = new Hdf5.Reader(craftFilteredInt32(enc, 5, cd, 5, precision = 12))
     val ds = r.file.dataset("v").get
     assert(ds.filters.map(_.id) === Seq(5))
     assert(ds.dtype.bitPrecision === 12)
     assert(r.readDoubles("v").toSeq === vals.map(_.toDouble))
+  }
+
+  test("fletcher32 end to end: trailing checksum verifies through the " +
+    "chunk path; corruption fails loudly") {
+    val raw = java.nio.ByteBuffer.allocate(5 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(17, -3, 1200, 5, 90017).foreach(raw.putInt)
+    val sum = H5Filters.fletcher32(raw.array(), raw.array().length)
+    val enc = java.util.Arrays.copyOf(raw.array(), raw.array().length + 4)
+    java.nio.ByteBuffer.wrap(enc, raw.array().length, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(sum)
+    val good = craftFilteredInt32(enc, 3, Seq.empty, 5)
+    assert(new Hdf5.Reader(good).readDoubles("v").toSeq ===
+      Seq(17.0, -3.0, 1200.0, 5.0, 90017.0))
+    val bad = good.clone()
+    bad(50) = (bad(50) ^ 0x08).toByte // flip a payload bit
+    val e = intercept[IllegalArgumentException] {
+      new Hdf5.Reader(bad).readDoubles("v")
+    }
+    assert(e.getMessage.contains("fletcher32 mismatch"))
   }
 }
