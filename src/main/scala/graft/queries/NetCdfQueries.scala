@@ -517,9 +517,37 @@ object NetCdfQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** S1 completion for COMPOUND datatypes: netCDF-4/HDF5 files whose
+    * payload is a {lo, hi} float64 record dataset (the coordinate-
+    * bounds/user-record shape libhdf5 reads transparently,
+    * generator.py:485), decoded per member through the distributed
+    * compound scan and re-aggregated per file. The oracle re-derives
+    * the interval stats from the dumped per-record rows in DuckDB.
+    */
+  val compoundBounds = QueryDef("q98_netcdf4_compound_bounds",
+    """SELECT file, count(*) AS n_rec,
+      |  min(lo) AS first_lo, max(hi) AS last_hi,
+      |  round(sum(hi - lo), 6) AS total_span
+      |FROM read_parquet('/tmp/graft-oracle/q98_bounds/*.parquet')
+      |GROUP BY file ORDER BY file""".stripMargin) { (s, _) =>
+    val glob = NetCdfFixture.writeFilesCompound(
+      stableWork("fixtures").resolve("nccomp"))
+    val recs = NetCdfSource.compoundRecords(s, glob, "time_bnds",
+      Seq("lo", "hi"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("rec_idx"),
+        col("member_values").getItem(0).as("lo"),
+        col("member_values").getItem(1).as("hi"))
+    oracleDump(s, "q98_bounds", recs, glob)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rec"),
+        min(col("lo")).as("first_lo"), max(col("hi")).as("last_hi"),
+        round(sum(col("hi") - col("lo")), 6).as("total_span"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
-      enumMaskCounts)
+      enumMaskCounts, compoundBounds)
 }

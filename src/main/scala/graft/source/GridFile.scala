@@ -43,6 +43,12 @@ sealed trait GridFile {
     readDoubles(v)
   /** True for payload (non-coordinate) variables of the given rank. */
   def isPayload(v: String, wantRank: Int): Boolean
+  /** One member of a COMPOUND variable decoded to doubles (the
+    * coordinate-bounds shape; netCDF-4/HDF5 only).
+    */
+  def readMemberDoubles(v: String, member: String): Array[Double] =
+    throw new UnsupportedOperationException(
+      s"$format carries no compound variables")
 }
 
 object GridFile {
@@ -154,6 +160,8 @@ object GridFile {
     override def gattNums(a: String): Seq[Double] =
       r.file.gatt(a).map(_.nums).getOrElse(Nil)
     override def readDoubles(n: String): Array[Double] = r.readDoubles(n)
+    override def readMemberDoubles(n: String, member: String): Array[Double] =
+      r.readMemberDoubles(n, member)
     override def readDoublesSliced(n: String,
                                    fixed: Map[String, Int]): Array[Double] = {
       if (fixed.isEmpty) readDoubles(n)

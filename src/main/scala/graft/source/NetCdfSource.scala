@@ -134,6 +134,24 @@ object NetCdfSource {
     }.toDF("path", "variable", "code", "label")
   }
 
+  /** Per-record member decode of a COMPOUND variable (coordinate
+    * bounds, user-defined record types): one row per record, member
+    * values in the requested order — per-file parallel like every
+    * other scan, positioned reads underneath.
+    */
+  def compoundRecords(spark: SparkSession, glob: String, dataset: String,
+                      members: Seq[String]): DataFrame = {
+    import spark.implicits._
+    perFile(spark, glob) { (path, g) =>
+      val cols = members.map(m => g.readMemberDoubles(dataset, m))
+      val nRec = cols.headOption.map(_.length).getOrElse(0)
+      require(cols.forall(_.length == nRec),
+        s"ragged member lengths for $dataset in $path " +
+          s"(${members.zip(cols.map(_.length)).mkString(", ")})")
+      (0 until nRec).map(i => (path, i.toLong, members.indices.map(cols(_)(i))))
+    }.toDF("path", "rec_idx", "member_values")
+  }
+
   /** Tidy decode of the 4-D band variables: one row per (variable,
     * time_idx, leadtime_idx, y scanline). Coordinate VALUES are resolved
     * through P1 and unit-normalized through P3 (km / "1000 meter" → m ×
@@ -387,6 +405,98 @@ object NetCdfFixture {
       java.nio.file.Files.write(dir.resolve(f"enum_$i%02d.nc"), b)
     }
     s"$dir/*.nc"
+  }
+
+  /** Minimal netCDF-4/HDF5 files whose payload is a COMPOUND dataset —
+    * the user-defined record shape (h5py compound dtypes, coordinate
+    * bounds) libhdf5 reads transparently for the reference
+    * (generator.py:485). One `time_bnds` dataset of {lo, hi} float64
+    * records per file, v1 compound datatype message, contiguous layout.
+    */
+  def writeFilesCompound(dir: java.nio.file.Path, n: Int = 2,
+                         nRec: Int = 24): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      val b = compoundBytes(nRec, tStart = i * 86400.0)
+      java.nio.file.Files.write(dir.resolve(f"bounds_$i%02d.nc"), b)
+    }
+    s"$dir/*.nc"
+  }
+
+  private[source] def compoundBytes(nRec: Int, tStart: Double): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val name = "time_bnds"
+    val dataAddr = 48
+    val dataLen = nRec * 16
+    val dsAddr = dataAddr + dataLen
+    val dtBody = 8 + 2 * 60 // v1 compound, two float64 members
+    val chunk0 = (4 + 12) + (4 + dtBody) + (4 + 18)
+    val dsSize = 4 + 2 + 1 + chunk0 + 4
+    val rootAddr = dsAddr + dsSize
+    val linkBody = 3 + name.length + 8
+    val total = rootAddr + 4 + 2 + 1 + (4 + linkBody) + 4
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): ByteBuffer = { buf.position(pos); buf }
+
+    at(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(2.toByte); buf.put(8.toByte); buf.put(8.toByte); buf.put(0.toByte)
+    buf.putLong(0L); buf.putLong(-1L)
+    buf.putLong(total.toLong); buf.putLong(rootAddr.toLong)
+    buf.putInt(0)
+
+    at(dataAddr)
+    (0 until nRec).foreach { r =>
+      val lo = tStart + r * 3600.0
+      buf.putDouble(lo); buf.putDouble(lo + 3600.0)
+    }
+
+    at(dsAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put(chunk0.toByte)
+    // dataspace v2: rank 1, dims [nRec]
+    buf.put(1.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
+    buf.putLong(nRec.toLong)
+    // datatype: v1 compound {lo: f64 @0, hi: f64 @8}
+    buf.put(3.toByte); buf.putShort(dtBody.toShort); buf.put(0.toByte)
+    buf.put(0x16.toByte)
+    buf.put(2.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putInt(16)
+    def member(mname: String, off: Int): Unit = {
+      val raw = mname.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      buf.put(raw); (raw.length until 8).foreach(_ => buf.put(0.toByte))
+      buf.putInt(off)
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putInt(0); buf.putInt(0)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      // IEEE float64 LE
+      buf.put(0x11.toByte)
+      buf.put(0x20.toByte); buf.put(0x3F.toByte); buf.put(0.toByte)
+      buf.putInt(8)
+      buf.putShort(0); buf.putShort(64)
+      buf.put(52.toByte); buf.put(11.toByte); buf.put(0.toByte); buf.put(52.toByte)
+      buf.putInt(1023)
+    }
+    member("lo", 0); member("hi", 8)
+    // layout v3 contiguous
+    buf.put(8.toByte); buf.putShort(18); buf.put(0.toByte)
+    buf.put(3.toByte); buf.put(1.toByte)
+    buf.putLong(dataAddr.toLong); buf.putLong(dataLen.toLong)
+    buf.putInt(0)
+
+    at(rootAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put((4 + linkBody).toByte)
+    buf.put(6.toByte); buf.putShort(linkBody.toShort); buf.put(0.toByte)
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.put(name.length.toByte)
+    buf.put(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putLong(dsAddr.toLong)
+    buf.putInt(0)
+    buf.array()
   }
 
   def writeFilesUnlimited(dir: java.nio.file.Path, n: Int = 2,

@@ -711,4 +711,24 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     assert(g.dtypeName("m") === "enum int8")
     assert(g.varAttrText("m", "long_name").contains("mask"))
   }
+
+  test("compound fixture files open through GridFile: member reads, " +
+    "type name, band exclusion") {
+    val d = java.nio.file.Files.createTempDirectory("graft-comp")
+    val glob = graft.source.NetCdfFixture.writeFilesCompound(d, n = 1, nRec = 4)
+    val path = java.nio.file.Paths.get(glob.stripSuffix("/*.nc"))
+      .resolve("bounds_00.nc")
+    val g = graft.source.GridFile.open(
+      java.nio.file.Files.readAllBytes(path))
+    assert(g.varNames === Seq("time_bnds"))
+    assert(g.dtypeName("time_bnds") === "compound")
+    assert(!g.isPayload("time_bnds", 1)) // never a band payload
+    assert(g.readMemberDoubles("time_bnds", "lo").toSeq ===
+      Seq(0.0, 3600.0, 7200.0, 10800.0))
+    assert(g.readMemberDoubles("time_bnds", "hi").toSeq ===
+      Seq(3600.0, 7200.0, 10800.0, 14400.0))
+    intercept[IllegalArgumentException] {
+      g.readMemberDoubles("time_bnds", "nope")
+    }
+  }
 }
