@@ -89,7 +89,7 @@ object H5Filters {
     val elem = cd.lift(2).filter(_ > 0).getOrElse(elemFallback)
     val compression = cd.lift(4).getOrElse(0)
     compression match {
-      case 2 =>
+      case 2 | 3 => // per-block lz4 (2) or zstd (3), same framing
         val b = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
         val total = b.getLong()
         require(total >= 0 && total <= Int.MaxValue && total % elem == 0,
@@ -108,7 +108,14 @@ object H5Filters {
             .order(ByteOrder.BIG_ENDIAN).getInt()
           pos += 4
           val block = new Array[Byte](nBytes)
-          lz4.safeDecompressor().decompress(data, pos, cb, block, 0, nBytes)
+          if (compression == 2)
+            lz4.safeDecompressor().decompress(data, pos, cb, block, 0, nBytes)
+          else {
+            val n = com.github.luben.zstd.Zstd.decompressByteArray(
+              block, 0, nBytes,
+              data, pos, cb)
+            require(n == nBytes, s"bitshuffle zstd block: $n of $nBytes bytes")
+          }
           pos += cb
           System.arraycopy(BitShuffle.reverse(block, elem), 0,
             out, off * elem, nBytes)
@@ -128,7 +135,7 @@ object H5Filters {
           s"bitshuffle block of $blockElems elems not a multiple of 8")
         blockedBitshuffle(data, elem, blockElems, forward = false)
       case other => throw new IllegalArgumentException(
-        s"bitshuffle filter compression $other unsupported (none/lz4)")
+        s"bitshuffle filter compression $other unsupported (none/lz4/zstd)")
     }
   }
 
@@ -165,11 +172,12 @@ object H5Filters {
 
   def bitshuffleEncode(data: Array[Byte], elem: Int,
                        blockElems0: Int = 0,
-                       withLz4: Boolean = true): Array[Byte] = {
+                       withLz4: Boolean = true,
+                       zstd: Boolean = false): Array[Byte] = {
     val blockElems =
       if (blockElems0 > 0) blockElems0 else bshufDefaultBlockElems(elem)
     require(blockElems % 8 == 0, s"block of $blockElems elems")
-    if (!withLz4) return blockedBitshuffle(data, elem, blockElems,
+    if (!withLz4 && !zstd) return blockedBitshuffle(data, elem, blockElems,
       forward = true)
     require(data.length % elem == 0,
       s"bitshuffle payload ${data.length} not element-aligned ($elem)")
@@ -183,9 +191,15 @@ object H5Filters {
       val nBytes = nElems * elem
       val block = BitShuffle.forward(java.util.Arrays.copyOfRange(
         data, off * elem, off * elem + nBytes), elem)
-      val c = lz4.fastCompressor()
-      val dst = new Array[Byte](c.maxCompressedLength(nBytes))
-      val n = c.compress(block, 0, nBytes, dst, 0, dst.length)
+      val (dst, n) =
+        if (zstd) {
+          val z = com.github.luben.zstd.Zstd.compress(block, 3)
+          (z, z.length)
+        } else {
+          val c = lz4.fastCompressor()
+          val d = new Array[Byte](c.maxCompressedLength(nBytes))
+          (d, c.compress(block, 0, nBytes, d, 0, d.length))
+        }
       val lb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
       lb.putInt(n)
       out.write(lb.array()); out.write(dst, 0, n)

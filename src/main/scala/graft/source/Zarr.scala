@@ -866,7 +866,10 @@ object ZarrSource {
     val xs = norm(xRaw, xu); val ys = norm(yRaw, yu)
     val xName = NetCdfSource.findCoord(names, NetCdfSource.XCandidates).get
 
-    val bands = metas.filter(_.shape.length == 4)
+    // numeric 4-D arrays only: an object-dtype (vlen string) array can
+    // never be a band payload
+    val bands = metas.filter(m => m.shape.length == 4 &&
+      !m.filters.exists(_.id == "vlen-utf8") && m.dtype != "|O")
     bands.map { m =>
       val dims = ZarrCodec.readAttrs(root.resolve(m.name))
         .getOrElse("_ARRAY_DIMENSIONS", "").split(",").toSeq

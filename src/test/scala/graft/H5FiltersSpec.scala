@@ -302,4 +302,15 @@ class H5FiltersSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("fletcher32 mismatch"))
   }
+
+  test("bitshuffle filter: zstd mode (compression 3) round trips with " +
+    "short block and raw tail") {
+    val data = doubles(1003) // 15 full blocks of 64, short 40, tail 3
+    val enc = H5Filters.bitshuffleEncode(data, elem = 8, blockElems0 = 64,
+      zstd = true)
+    val cd = Seq(0, 0, 8, 64, 3)
+    assert(H5Filters.bitshuffleDecode(enc, cd, 8).toSeq === data.toSeq)
+    // the tail rides raw, exactly as in lz4 mode
+    assert(enc.takeRight(24).toSeq === data.takeRight(24).toSeq)
+  }
 }
