@@ -65,4 +65,22 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("anti"))
   }
+
+  test("q97: the enum vocabulary join is a BROADCAST hash join — the " +
+    "exploded cell stream must not shuffle") {
+    val plan = graft.queries.NetCdfQueries.enumMaskCounts.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "q97 label join must broadcast the vocabulary")
+    assert(!plan.contains("SortMergeJoin"),
+      "q97 must not sort-merge the exploded cells against a tiny label set")
+  }
+
+  test("q98: compound-record aggregation is a partial+final hash agg " +
+    "over the per-file scan (no sort, no window)") {
+    val plan = graft.queries.NetCdfQueries.compoundBounds.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "q98 should hash-aggregate")
+    assert(!plan.contains("Window"), "q98 must not window")
+  }
 }
