@@ -19,7 +19,10 @@ import java.util.zip.Inflater
   *   - DEFLATE (8 and the legacy 32946 code) and LZW (5, early-change
   *     variant) with horizontal predictor 2;
   *   - JPEG (7, TechNote 2) tiles/strips, standalone or abbreviated
-  *     against a JPEGTables (347) stream — the visual-COG layout.
+  *     against a JPEGTables (347) stream — the visual-COG layout;
+  *   - ZSTD (50000, the GDAL COMPRESS=ZSTD extension: one zstd frame
+  *     per tile/strip) with the same predictor semantics as deflate;
+  *   - PackBits (32773); LZMA/WEBP/LERC rejected with pointed errors.
   */
 object CogReader {
 
@@ -75,12 +78,31 @@ object CogReader {
           case 32773 =>
             packBitsDecode(bytes, p.tileOffsets(idx).toInt,
               p.tileByteCounts(idx).toInt, expected)
+          case 50000 =>
+            // GDAL's ZSTD extension (COMPRESSION=ZSTD): each tile/strip
+            // is one plain zstd frame; predictors apply as for deflate
+            val out = new Array[Byte](expected)
+            val n = com.github.luben.zstd.Zstd.decompressByteArray(
+              out, 0, expected,
+              bytes, p.tileOffsets(idx).toInt, p.tileByteCounts(idx).toInt)
+            require(n == expected,
+              s"zstd tile $idx decoded $n bytes, expected $expected")
+            out
           case 1 =>
             java.util.Arrays.copyOfRange(bytes, p.tileOffsets(idx).toInt,
               (p.tileOffsets(idx) + p.tileByteCounts(idx)).toInt)
+          case 34925 => throw new IllegalArgumentException(
+            "TIFF compression 34925 (LZMA) unsupported — rewrite the " +
+              "file with DEFLATE or ZSTD (gdal_translate -co COMPRESS=ZSTD)")
+          case 50001 => throw new IllegalArgumentException(
+            "TIFF compression 50001 (WEBP) unsupported — lossy visual " +
+              "codec; rewrite with JPEG or DEFLATE for this reader")
+          case 34887 => throw new IllegalArgumentException(
+            "TIFF compression 34887 (LERC) unsupported — rewrite the " +
+              "file with DEFLATE or ZSTD (gdal_translate -co COMPRESS=ZSTD)")
           case c => throw new IllegalArgumentException(
             s"TIFF compression $c unsupported " +
-              "(none/LZW/PackBits/deflate/JPEG)")
+              "(none/LZW/PackBits/deflate/ZSTD/JPEG)")
         }
         ByteBuffer.wrap(raw).order(order)
       }

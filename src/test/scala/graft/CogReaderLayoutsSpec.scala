@@ -339,4 +339,42 @@ class CogReaderLayoutsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { tb.readBand(0, 0) }
     assert(e.getMessage.contains("compression 4"))
   }
+
+  test("ZSTD strips (compression 50000, GDAL extension) decode with " +
+    "horizontal predictor 2") {
+    // 3x2 int16 with predictor 2: rows 100,103,105 / 50,45,46 stored
+    // as per-row deltas, then each strip zstd-compressed whole
+    val deltas = ByteBuffer.allocate(2 * 6).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(100, 3, 2, 50, -5, 1).foreach(v => deltas.putShort(v.toShort))
+    val packed = com.github.luben.zstd.Zstd.compress(deltas.array(), 3)
+    val entries = baseEntries(3, 2, 16, 2,
+      Seq(8L), Seq(packed.length.toLong), rps = 2) :+
+      (259, 3, Seq(50000L)) :+ (317, 3, Seq(2L))
+    val t = CogReader.read(buildTiff(ByteOrder.LITTLE_ENDIAN,
+      big = false, entries, packed))
+    assert(t.pages.head.compression === 50000)
+    val g = t.readBand(0, 0)
+    assert(g(0).toSeq === Seq(100.0, 103.0, 105.0))
+    assert(g(1).toSeq === Seq(50.0, 45.0, 46.0))
+    // a frame that inflates to the wrong size fails loudly
+    val short = com.github.luben.zstd.Zstd.compress(Array[Byte](1, 2), 3)
+    val bad = baseEntries(3, 2, 16, 2,
+      Seq(8L), Seq(short.length.toLong), rps = 2) :+ (259, 3, Seq(50000L))
+    val tb = CogReader.read(buildTiff(ByteOrder.LITTLE_ENDIAN,
+      big = false, bad, short))
+    intercept[Exception] { tb.readBand(0, 0) }
+  }
+
+  test("LZMA / WEBP / LERC compressions are rejected with pointed, " +
+    "actionable messages") {
+    for ((code, hint) <- Seq(34925L -> "LZMA", 50001L -> "WEBP",
+        34887L -> "LERC")) {
+      val entries = baseEntries(2, 2, 8, 1, Seq(8L), Seq(4L), rps = 2) :+
+        (259, 3, Seq(code))
+      val t = CogReader.read(buildTiff(ByteOrder.LITTLE_ENDIAN,
+        big = false, entries, Array[Byte](1, 2, 3, 4)))
+      val e = intercept[IllegalArgumentException] { t.readBand(0, 0) }
+      assert(e.getMessage.contains(hint), s"message for $code: ${e.getMessage}")
+    }
+  }
 }
