@@ -308,7 +308,38 @@ object EventOps {
         max(col("n_events")).as("n_events"))
   }
 
+  /** Watermarked stream-stream interval join under the oracle: every
+    * view→click attribution pair within 30 minutes per user, via
+    * Spark's symmetric-hash stream join with watermark-derived state
+    * eviction on BOTH buffers ([[graft.streaming.EventStream
+    * .intervalJoinStream]]). The append-mode pair stream is aggregated
+    * per user in batch afterwards so the oracle row count stays
+    * bounded while sum/min over the pair delays still hash every
+    * emitted pair.
+    */
+  val streamIntervalJoin = QueryDef("q99_stream_interval_join",
+    """SELECT v.user_id,
+      |  count(*) AS n_pairs,
+      |  CAST(sum(epoch_us(c.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_delay_us,
+      |  CAST(min(epoch_us(c.ts) - epoch_us(v.ts)) AS BIGINT) AS min_delay_us
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val pairs = graft.streaming.EventStream.intervalJoinStream(
+      graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events")))
+    graft.streaming.EventStream.runToCompletion(s, pairs,
+      s"q99_ssjoin_${streamRun.incrementAndGet()}", outputMode = "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("click_us") - col("view_us")).as("sum_delay_us"),
+        min(col("click_us") - col("view_us")).as("min_delay_us"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
-      streamEventWindows, streamSessionize, streamDedup, streamFirstSeen)
+      streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
+      streamIntervalJoin)
 }

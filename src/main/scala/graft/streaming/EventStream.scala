@@ -175,6 +175,39 @@ object EventStream {
       .withWatermark("event_time", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream INTERVAL self-join: each `view` event
+    * pairs with every `click` by the same user landing inside
+    * [view, view + matchMs] — the attribution-join shape. Both sides
+    * carry a watermark and the join condition bounds click_time
+    * relative to view_time, so Spark derives state-eviction thresholds
+    * for BOTH join buffers (a view row is dropped once the watermark
+    * passes view_time + matchMs; a click row once it passes
+    * click_time): state holds only the sliding correlation horizon,
+    * never the whole stream — the property that keeps a 100 TB/day
+    * stream joinable. Inner join ⇒ append-mode emission as soon as
+    * both sides of a pair have arrived.
+    *
+    * Emits (user_id, view_us, click_us) with times in epoch micros —
+    * exactly `ts div 1000` of the integer-nanos contract, so a batch
+    * oracle comparing at microsecond precision sees identical values.
+    */
+  def intervalJoinStream(events: DataFrame,
+                         matchMs: Long = 30L * 60 * 1000): DataFrame = {
+    def side(tpe: String, tag: String): DataFrame =
+      events.filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${tag}_user"),
+          expr("ts div 1000").as(s"${tag}_us"),
+          col("event_time").as(s"${tag}_time"))
+        .withWatermark(s"${tag}_time", "2 hours")
+    side("view", "view").join(side("click", "click"),
+      col("view_user") === col("click_user") &&
+        col("click_time") >= col("view_time") &&
+        col("click_time") <= col("view_time") +
+          expr(s"INTERVAL ${matchMs / 1000} SECONDS"))
+      .select(col("view_user").as("user_id"), col("view_us"),
+        col("click_us"))
+  }
+
   /** Run the stream to completion over the currently-available files
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result. This is the harness form — a live deployment would use the

@@ -164,4 +164,36 @@ class EventStreamSpec extends SparkSpec {
     assert(Files.exists(sink.resolve("data").resolve("_spark_metadata")))
     assert(Files.exists(sink.resolve("checkpoint")))
   }
+
+  test("stream-stream interval join emits exactly the batch attribution " +
+    "pairs, via a symmetric-hash join with watermarked state") {
+    val joined = EventStream.intervalJoinStream(
+      EventStream.readEvents(spark, dir))
+    // the physical plan must be the stream-stream symmetric hash join
+    // (both buffers watermark-evicted), not a broadcast/sort-merge plan
+    // that would buffer a whole side
+    val q = joined.writeStream.format("memory").queryName("ssjoin_pairs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.operatorName).toSet
+    val streamed = spark.table("ssjoin_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("view_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), expr("ts div 1000").as("click_us"))
+    val batch = views.join(clicks,
+        col("user_id") === col("cu") && col("click_us") >= col("view_us") &&
+          col("click_us") <= col("view_us") + 30L * 60 * 1000 * 1000)
+      .select(col("user_id"), col("view_us"), col("click_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    assert(stateOps.exists(_.toLowerCase.contains("symmetrichashjoin")),
+      s"expected a stream-stream symmetric hash join, got $stateOps")
+  }
 }
