@@ -78,6 +78,8 @@ object Geo {
       case "EPSG:6932" => laeaForward(lonDeg, latDeg, north = false)
       case ps if PolarStereoCrs.contains(ps) =>
         PolarStereoCrs(ps).forward(lonDeg, latDeg)
+      case lcc if LccCrs.contains(lcc) =>
+        LccCrs(lcc).forward(lonDeg, latDeg)
       case other =>
         throw new IllegalArgumentException(s"Unsupported CRS: $other")
     }
@@ -117,6 +119,22 @@ object Geo {
         if (poleInside && proj.north)
           Seq(-180.0, lats.min, 180.0, 90.0)
         else if (poleInside)
+          Seq(-180.0, -90.0, 180.0, lats.max)
+        else
+          Seq(lons.min, lats.min, lons.max, lats.max)
+      case lcc if LccCrs.contains(lcc) =>
+        val proj = LccCrs(lcc)
+        val pts = edgePoints(w, s, e, n, densifyPts).map { case (x, y) =>
+          proj.inverse(x, y)
+        }
+        val lons = pts.map(_._1); val lats = pts.map(_._2)
+        // the cone apex is the pole on the concave side; a bbox holding
+        // it contains that pole, so longitude wraps
+        val (ax, ay) = proj.apex
+        val apexInside = w <= ax && ax <= e && s <= ay && ay <= n
+        if (apexInside && proj.n >= 0)
+          Seq(-180.0, lats.min, 180.0, 90.0)
+        else if (apexInside)
           Seq(-180.0, -90.0, 180.0, lats.max)
         else
           Seq(lons.min, lats.min, lons.max, lats.max)
@@ -178,6 +196,84 @@ object Geo {
       (normLon(math.toDegrees(lonR)), math.toDegrees(latR))
     }
   }
+
+  /** Ellipsoidal Lambert Conformal Conic, 2 standard parallels (Snyder
+    * PP 1395 §15, pp. 104-110; eqs 14-1/14-2, 15-8/15-9, 15-17..15-19):
+    * the regional forecast-model grid family (NOAA HRRR/NAM, Lambert-93,
+    * most CORDEX LCC domains). `lat1 == lat2` takes the single-parallel
+    * limit n = sin φ1; a sphere is the e² = 0 degenerate of the same
+    * equations. Carries false easting/northing (x0, y0).
+    */
+  final case class LambertConformal(a: Double, e2: Double,
+                                    lat1: Double, lat2: Double,
+                                    lat0: Double, lon0: Double,
+                                    x0: Double = 0.0, y0: Double = 0.0) {
+    private val e = math.sqrt(e2)
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) *
+        math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e / 2)
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    /** Cone constant (15-17; sin φ1 in the tangent-cone limit). */
+    val n: Double =
+      if (math.abs(lat1 - lat2) < 1e-9) math.sin(p1)
+      else (math.log(mOf(p1)) - math.log(mOf(p2))) /
+        (math.log(tOf(p1)) - math.log(tOf(p2)))
+    private val bigF = mOf(p1) / (n * math.pow(tOf(p1), n))
+    private val rho0 = a * bigF * math.pow(tOf(math.toRadians(lat0)), n)
+
+    /** Forward: (lon, lat) degrees → (x, y) meters (14-1/14-2). */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * bigF * math.pow(tOf(math.toRadians(latDeg)), n)
+      val theta = n * math.toRadians(normLon(lonDeg - lon0))
+      (x0 + rho * math.sin(theta), y0 + rho0 - rho * math.cos(theta))
+    }
+
+    /** Inverse: (x, y) meters → (lon, lat) degrees (14-10/14-11,
+      * 15-10/15-11; φ from t via the 7-9 fixed-point iteration).
+      */
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val x = xIn - x0
+      val yc = rho0 - (yIn - y0)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.hypot(x, yc)
+      if (math.abs(rho) < 1e-9)
+        return (lon0, if (n >= 0) 90.0 else -90.0) // cone apex = pole
+      val theta = math.atan2(sgn * x, sgn * yc)
+      val lam = theta / n + math.toRadians(lon0)
+      val t = math.pow(rho / (a * bigF), 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) {
+        val next = math.Pi / 2 - 2 * math.atan(t *
+          math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 10 }
+        else { phi = next; i += 1 }
+      }
+      (normLon(math.toDegrees(lam)), math.toDegrees(phi))
+    }
+
+    /** The cone apex (the pole on the concave side) in projected meters:
+      * the point where ρ = 0 — a bbox containing it contains the pole.
+      */
+    def apex: (Double, Double) = (x0, y0 + rho0)
+  }
+
+  // GRS80 first eccentricity² (EPSG:2154's ellipsoid)
+  private val Grs80E2 = 0.00669438002290
+  // The spherical earth most LCC-gridded NWP models use (HRRR/NAM/WRF)
+  private val NwpSphereR = 6371229.0
+
+  /** Named LCC grids: Lambert-93 (the EPSG:2154 national grid) and the
+    * NOAA HRRR model's native spherical LCC.
+    */
+  val LccCrs: Map[String, LambertConformal] = Map(
+    "EPSG:2154" -> LambertConformal(A, Grs80E2, lat1 = 49.0, lat2 = 44.0,
+      lat0 = 46.5, lon0 = 3.0, x0 = 700000.0, y0 = 6600000.0),
+    "HRRR" -> LambertConformal(NwpSphereR, 0.0, lat1 = 38.5, lat2 = 38.5,
+      lat0 = 38.5, lon0 = -97.5))
 
   private def normLon(l: Double): Double =
     if (l > 180) l - 360 else if (l < -180) l + 360 else l
