@@ -80,6 +80,7 @@ object Geo {
         PolarStereoCrs(ps).forward(lonDeg, latDeg)
       case lcc if LccCrs.contains(lcc) =>
         LccCrs(lcc).forward(lonDeg, latDeg)
+      case "MODIS:SIN" => Sinusoidal().forward(lonDeg, latDeg)
       case other =>
         throw new IllegalArgumentException(s"Unsupported CRS: $other")
     }
@@ -138,6 +139,21 @@ object Geo {
           Seq(-180.0, -90.0, 180.0, lats.max)
         else
           Seq(lons.min, lats.min, lons.max, lats.max)
+      case "MODIS:SIN" =>
+        val proj = Sinusoidal()
+        val halfMeridian = proj.r * math.Pi / 2 // y at the poles
+        val pts = edgePoints(w, s, e, n, densifyPts).map { case (x, y) =>
+          proj.inverse(x, y)
+        }
+        val lons = pts.map(_._1); val lats = pts.map(_._2)
+        // a bbox whose top/bottom edge reaches a pole row spans all
+        // longitudes at that pole (1 cm slack absorbs the mm-rounded
+        // published grid constants)
+        val (loW, loE) =
+          if (n >= halfMeridian - 1e-2 || s <= -halfMeridian + 1e-2)
+            (-180.0, 180.0)
+          else (lons.min, lons.max)
+        Seq(loW, lats.min, loE, lats.max)
       case other =>
         throw new IllegalArgumentException(s"Unsupported CRS: $other")
     }
@@ -261,6 +277,67 @@ object Geo {
     def apex: (Double, Double) = (x0, y0 + rho0)
   }
 
+  /** CF `rotated_latitude_longitude` (the CORDEX regional-climate grid
+    * mapping): a spherical lat-lon system whose north pole sits at
+    * geographic (poleLon, poleLat). Closed forms derived from the
+    * rotation R = Rz(λp)·Ry(π/2−θp)·Rz(π) — the composition under
+    * which the rotated pole maps to (λp, θp) and the rotated origin to
+    * (λp+180°, 90°−θp), the CF/COSMO convention (ref: CF conventions
+    * §5.6 grid_north_pole_latitude/longitude).
+    */
+  final case class RotatedPole(poleLat: Double, poleLon: Double) {
+    private val tp = math.toRadians(poleLat)
+    private val sinTp = math.sin(tp)
+    private val cosTp = math.cos(tp)
+
+    /** Rotated (rlon, rlat) degrees → geographic (lon, lat) degrees. */
+    def toGeo(rlonDeg: Double, rlatDeg: Double): (Double, Double) = {
+      val lr = math.toRadians(rlonDeg)
+      val pr = math.toRadians(rlatDeg)
+      val sinPhi = math.sin(pr) * sinTp + math.cos(pr) * cosTp * math.cos(lr)
+      val lat = math.asin(math.max(-1.0, math.min(1.0, sinPhi)))
+      val lon = math.toRadians(poleLon) + math.atan2(
+        -math.cos(pr) * math.sin(lr),
+        math.sin(pr) * cosTp - math.cos(pr) * sinTp * math.cos(lr))
+      (normLon(math.toDegrees(lon)), math.toDegrees(lat))
+    }
+
+    /** Geographic (lon, lat) degrees → rotated (rlon, rlat) degrees —
+      * the exact inverse (transpose rotation).
+      */
+    def fromGeo(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val dl = math.toRadians(lonDeg - poleLon)
+      val ph = math.toRadians(latDeg)
+      val sinPr = math.sin(ph) * sinTp + math.cos(ph) * cosTp * math.cos(dl)
+      val rlat = math.asin(math.max(-1.0, math.min(1.0, sinPr)))
+      val rlon = math.atan2(
+        -math.cos(ph) * math.sin(dl),
+        cosTp * math.sin(ph) - sinTp * math.cos(ph) * math.cos(dl))
+      (normLon(math.toDegrees(rlon)), math.toDegrees(rlat))
+    }
+  }
+
+  /** Sinusoidal (Sanson-Flamsteed) on the MODIS sphere: the MODIS land
+    * tile grid. x = R·λ·cos φ, y = R·φ — equal-area by construction.
+    */
+  final case class Sinusoidal(r: Double = ModisSphereR) {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      (r * math.toRadians(lonDeg) * math.cos(phi), r * phi)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = y / r
+      // within a few nanoradians of a pole, longitude is indeterminate
+      // (and x/(R·cos φ) blows up on rounded grid constants) — pin it
+      val lon = if (math.Pi / 2 - math.abs(phi) < 1e-9) 0.0
+        else math.toDegrees(x / (r * math.cos(phi)))
+      (normLon(lon), math.toDegrees(phi))
+    }
+  }
+
+  /** The MODIS authalic sphere radius (the SIN grid's earth model). */
+  val ModisSphereR = 6371007.181
+
   // GRS80 first eccentricity² (EPSG:2154's ellipsoid)
   private val Grs80E2 = 0.00669438002290
   // The spherical earth most LCC-gridded NWP models use (HRRR/NAM/WRF)
@@ -300,6 +377,26 @@ object Geo {
   val projToGeoUdf: UserDefinedFunction =
     udf((bbox: Seq[Double], crs: String) => projToGeo(bbox, crs))
 
-  def register(spark: SparkSession): Unit =
+  /** UDF form of [[RotatedPole.toGeo]]: (rlon, rlat, poleLat, poleLon)
+    * → [lon, lat]. Per-row so a CORDEX tidy scan (one row per rotated
+    * grid cell) georeferences in a single narrow projection.
+    */
+  val rotatedToGeoUdf: UserDefinedFunction =
+    udf((rlon: Double, rlat: Double, poleLat: Double, poleLon: Double) => {
+      val (lon, lat) = RotatedPole(poleLat, poleLon).toGeo(rlon, rlat)
+      Seq(lon, lat)
+    })
+
+  /** UDF form of [[RotatedPole.fromGeo]]. */
+  val geoToRotatedUdf: UserDefinedFunction =
+    udf((lon: Double, lat: Double, poleLat: Double, poleLon: Double) => {
+      val (rlon, rlat) = RotatedPole(poleLat, poleLon).fromGeo(lon, lat)
+      Seq(rlon, rlat)
+    })
+
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("proj_to_geo", projToGeoUdf)
+    spark.udf.register("rotated_to_geo", rotatedToGeoUdf)
+    spark.udf.register("geo_to_rotated", geoToRotatedUdf)
+  }
 }

@@ -294,6 +294,58 @@ object Functions {
           .as("geometry"))
   }
 
+  /** F11 extension — CF rotated-pole unrotation ([[graft.functions.Geo
+    * .RotatedPole]], the CORDEX EUR-11 mapping) over a deterministic
+    * rotated grid derived from `part`. The oracle spells the same
+    * spherical trig in SQL, so the Scala closed form is gated against
+    * an independent transcription; outputs are floor-microdegree
+    * integers, absorbing libm-vs-JVM last-ulp trig differences while
+    * still hashing every cell through the per-band sums. Offsets are
+    * chosen so no cell lands on an axis or an exact degree boundary.
+    */
+  val rotatedPole = QueryDef("q100_rotated_pole",
+    """WITH raw AS (
+      |  SELECT (p_partkey % 57) * 0.73 - 20.303 AS rlon,
+      |         ((p_partkey // 57) % 49) * 0.81 - 19.459 AS rlat
+      |  FROM part),
+      |geo AS (
+      |  SELECT rlat,
+      |    degrees(asin(greatest(-1.0, least(1.0,
+      |      sin(radians(rlat)) * sin(radians(39.25)) +
+      |      cos(radians(rlat)) * cos(radians(39.25)) * cos(radians(rlon))
+      |      )))) AS lat,
+      |    degrees(radians(-162.0) + atan2(
+      |      -cos(radians(rlat)) * sin(radians(rlon)),
+      |      sin(radians(rlat)) * cos(radians(39.25)) -
+      |      cos(radians(rlat)) * sin(radians(39.25)) * cos(radians(rlon))
+      |      )) AS lon0
+      |  FROM raw),
+      |wrapped AS (
+      |  SELECT rlat, lat,
+      |    CASE WHEN lon0 < -180 THEN lon0 + 360
+      |         WHEN lon0 > 180 THEN lon0 - 360 ELSE lon0 END AS lon
+      |  FROM geo)
+      |SELECT CAST(floor(rlat) AS BIGINT) AS band, count(*) AS n,
+      |  CAST(sum(CAST(floor(lon * 1e6) AS BIGINT)) AS BIGINT) AS sum_lon_u,
+      |  CAST(sum(CAST(floor(lat * 1e6) AS BIGINT)) AS BIGINT) AS sum_lat_u,
+      |  CAST(min(floor(lat * 1e6)) AS BIGINT) AS min_lat_u,
+      |  CAST(max(floor(lat * 1e6)) AS BIGINT) AS max_lat_u
+      |FROM wrapped GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val rp = graft.functions.Geo.rotatedToGeoUdf(
+      col("rlon"), col("rlat"), lit(39.25), lit(-162.0))
+    Tables.part(s, d)
+      .select(((col("p_partkey") % 57) * 0.73 - 20.303).as("rlon"),
+        ((expr("p_partkey div 57") % 49) * 0.81 - 19.459).as("rlat"))
+      .select(col("rlat"), rp.getItem(0).as("lon"), rp.getItem(1).as("lat"))
+      .groupBy(floor(col("rlat")).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("lon") * 1e6).cast("long")).as("sum_lon_u"),
+        sum(floor(col("lat") * 1e6).cast("long")).as("sum_lat_u"),
+        min(floor(col("lat") * 1e6)).cast("long").as("min_lat_u"),
+        max(floor(col("lat") * 1e6)).cast("long").as("max_lat_u"))
+  }
+
   val all: Seq[QueryDef] = Seq(freqParse, validTime, timeFormats, itemIds,
-    titleCase, hrefs, multihash, blockMultihash, mimeTypes, jsonAttrs, geometry)
+    titleCase, hrefs, multihash, blockMultihash, mimeTypes, jsonAttrs,
+    geometry, rotatedPole)
 }
