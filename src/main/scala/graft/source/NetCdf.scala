@@ -199,25 +199,73 @@ object NetCdf {
                            attrs: Seq[(String, String)], data: Array[Double],
                            numAttrs: Seq[(String, Double)] = Seq.empty)
 
-  /** Write a CDF-1 file with fixed dimensions only (the per-slice output
-    * shape of K1: one forecast-init slice, no unlimited dim), double
-    * variables, char attributes. Deterministic byte layout.
+  /** Write a classic file with fixed dimensions only (the per-slice
+    * output shape of K1: one forecast-init slice, no unlimited dim),
+    * double variables, char attributes. Deterministic byte layout.
+    *
+    * `version` selects the envelope: 1 (CDF-1, the h5netcdf-compatible
+    * default — 32-bit offsets cap the file at 2 GiB), 2 (CDF-2, 64-bit
+    * `begin` offsets), or 5 (CDF-5: every NON_NEG count, dimension id,
+    * vsize and offset widens to 64 bits — the PnetCDF large-variable
+    * form a 100 TB archive's slice files actually need). CDF-1 output
+    * REJECTS layouts whose data would land past the 32-bit offset
+    * horizon instead of silently wrapping.
     */
   def write(dims: Seq[(String, Int)], gatts: Seq[(String, String)],
-            vars: Seq[VarSpec]): Array[Byte] = {
+            vars: Seq[VarSpec], version: Int = 1): Array[Byte] = {
+    require(version == 1 || version == 2 || version == 5,
+      s"CDF version $version unsupported (1/2/5)")
     val dimIndex = dims.map(_._1).zipWithIndex.toMap
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
-    o.writeBytes("CDF"); o.writeByte(1)
-    o.writeInt(0) // numrecs
+    // NON_NEG width and begin-offset width per version
+    val nnBytes = if (version == 5) 8 else 4
+    val beginBytes = if (version == 1) 4 else 8
+    def writeNN(v: Long): Unit =
+      if (version == 5) o.writeLong(v) else o.writeInt(v.toInt)
+    def padded(n: Int): Int = n + ((4 - n % 4) % 4)
+    def nameSize(n: String): Int = nnBytes + padded(n.length)
+    def writeName(n: String): Unit = {
+      writeNN(n.length)
+      o.writeBytes(n)
+      (0 until (4 - n.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    def attrsSize(attrs: Seq[(String, String)],
+                  numAttrs: Seq[(String, Double)]): Int =
+      4 + nnBytes +
+        attrs.map { case (k, txt) =>
+          nameSize(k) + 4 + nnBytes + padded(txt.length)
+        }.sum +
+        numAttrs.map { case (k, _) => nameSize(k) + 4 + nnBytes + 8 }.sum
+    def writeAttrs(attrs: Seq[(String, String)],
+                   numAttrs: Seq[(String, Double)] = Seq.empty): Unit = {
+      o.writeInt(0x0C); writeNN(attrs.size + numAttrs.size)
+      attrs.foreach { case (k, txt) =>
+        writeName(k)
+        o.writeInt(NcChar); writeNN(txt.length)
+        o.writeBytes(txt)
+        (0 until (4 - txt.length % 4) % 4).foreach(_ => o.writeByte(0))
+      }
+      numAttrs.foreach { case (k, v) =>
+        writeName(k)
+        o.writeInt(NcDouble); writeNN(1)
+        o.writeDouble(v) // 8 bytes, already 4-aligned
+      }
+    }
+    def varMetaSize(v: VarSpec): Int =
+      nameSize(v.name) + nnBytes + nnBytes * v.dims.size +
+        attrsSize(v.attrs, v.numAttrs) + 4 + nnBytes + beginBytes
+
+    o.writeBytes("CDF"); o.writeByte(version)
+    writeNN(0) // numrecs
     // dim list
-    o.writeInt(0x0A); o.writeInt(dims.size)
-    dims.foreach { case (n, len) => writeName(o, n); o.writeInt(len) }
-    writeAttrs(o, gatts)
+    o.writeInt(0x0A); writeNN(dims.size)
+    dims.foreach { case (n, len) => writeName(n); writeNN(len) }
+    writeAttrs(gatts)
     // var list: compute header size first to lay out data offsets
     val headerSize = {
       val base = bos.size()
-      base + 8 + vars.map(v => varMetaSize(v)).sum
+      base + 4 + nnBytes + vars.map(v => varMetaSize(v)).sum
     }
     var offset = headerSize.toLong
     val begins = vars.map { v =>
@@ -226,16 +274,19 @@ object NetCdf {
       offset += bytes + ((4 - bytes % 4) % 4)
       b
     }
-    o.writeInt(0x0B); o.writeInt(vars.size)
+    require(version != 1 || offset <= Int.MaxValue.toLong,
+      s"CDF-1 data section would end at byte $offset, past the 32-bit " +
+        "offset horizon — write version 2 or 5 instead")
+    o.writeInt(0x0B); writeNN(vars.size)
     vars.zip(begins).foreach { case (v, begin) =>
-      writeName(o, v.name)
-      o.writeInt(v.dims.size)
-      v.dims.foreach(d => o.writeInt(dimIndex(d)))
-      writeAttrs(o, v.attrs, v.numAttrs)
+      writeName(v.name)
+      writeNN(v.dims.size)
+      v.dims.foreach(d => writeNN(dimIndex(d)))
+      writeAttrs(v.attrs, v.numAttrs)
       o.writeInt(NcDouble)
       val bytes = v.data.length.toLong * 8
-      o.writeInt((bytes + ((4 - bytes % 4) % 4)).toInt) // vsize incl pad
-      o.writeInt(begin.toInt)
+      writeNN(bytes + ((4 - bytes % 4) % 4)) // vsize incl pad
+      if (version == 1) o.writeInt(begin.toInt) else o.writeLong(begin)
     }
     vars.foreach { v =>
       v.data.foreach(o.writeDouble)
@@ -244,39 +295,5 @@ object NetCdf {
     }
     o.flush()
     bos.toByteArray
-  }
-
-  private def varMetaSize(v: VarSpec): Int =
-    nameSize(v.name) + 4 + 4 * v.dims.size +
-      attrsSize(v.attrs, v.numAttrs) + 12
-
-  private def attrsSize(attrs: Seq[(String, String)],
-                        numAttrs: Seq[(String, Double)] = Seq.empty): Int =
-    8 + attrs.map { case (k, txt) => nameSize(k) + 8 + padded(txt.length) }.sum +
-      numAttrs.map { case (k, _) => nameSize(k) + 8 + 8 }.sum
-
-  private def nameSize(n: String): Int = 4 + padded(n.length)
-  private def padded(n: Int): Int = n + ((4 - n % 4) % 4)
-
-  private def writeAttrs(o: DataOutputStream, attrs: Seq[(String, String)],
-                         numAttrs: Seq[(String, Double)] = Seq.empty): Unit = {
-    o.writeInt(0x0C); o.writeInt(attrs.size + numAttrs.size)
-    attrs.foreach { case (k, txt) =>
-      writeName(o, k)
-      o.writeInt(NcChar); o.writeInt(txt.length)
-      o.writeBytes(txt)
-      (0 until (4 - txt.length % 4) % 4).foreach(_ => o.writeByte(0))
-    }
-    numAttrs.foreach { case (k, v) =>
-      writeName(o, k)
-      o.writeInt(NcDouble); o.writeInt(1)
-      o.writeDouble(v) // 8 bytes, already 4-aligned
-    }
-  }
-
-  private def writeName(o: DataOutputStream, n: String): Unit = {
-    o.writeInt(n.length)
-    o.writeBytes(n)
-    (0 until (4 - n.length % 4) % 4).foreach(_ => o.writeByte(0))
   }
 }

@@ -177,5 +177,53 @@ class NetCdfSpec extends SparkSpec {
     val g = graft.source.GridFile.open(bytes)
     assert(g.dtypeName("a") === "int64" && g.dtypeName("bb") === "uint16")
   }
+
+  test("writer emits CDF-2 and CDF-5 envelopes that the reader decodes " +
+    "identically to CDF-1 (64-bit offsets / widened counts)") {
+    val dims = Seq("y" -> 3, "x" -> 4)
+    val gatts = Seq("title" -> "slice", "crs" -> "EPSG:6931")
+    val data = Array.tabulate(12)(i => i * 0.5 - 1.25)
+    val vars = Seq(NetCdf.VarSpec("v", Seq("y", "x"),
+      Seq("units" -> "K"), data, numAttrs = Seq("scale_factor" -> 0.01)))
+    val byVersion = Seq(1, 2, 5).map { ver =>
+      val bytes = NetCdf.write(dims, gatts, vars, version = ver)
+      assert(bytes(3) === ver.toByte)
+      val h = NetCdf.readHeader(bytes)
+      assert(h.version === ver)
+      assert(h.dims.map(d => d.name -> d.length) === dims)
+      assert(h.gatt("title").map(_.text) === Some("slice"))
+      val v = h.vars.find(_.name == "v").get
+      assert(v.attrs.exists(a => a.name == "units" && a.text == "K"))
+      assert(v.attrs.exists(a => a.name == "scale_factor" &&
+        a.nums == Seq(0.01)))
+      NetCdf.readVariable(bytes, h, v).toSeq
+    }
+    assert(byVersion.distinct.size === 1) // same values whatever the envelope
+    assert(byVersion.head === data.toSeq)
+    // CDF-2/5 headers are strictly larger (wider offsets/counts)
+    val sizes = Seq(1, 2, 5).map(v =>
+      NetCdf.write(dims, gatts, vars, version = v).length)
+    assert(sizes(0) < sizes(1) && sizes(1) < sizes(2))
+  }
+
+  test("CDF-1 write REJECTS a layout whose data would pass the 32-bit " +
+    "offset horizon instead of wrapping the begin offset") {
+    // 32 variables sharing one 80 MB buffer lay out 2.56 GiB of data —
+    // the guard fires while sizing the header, before anything that
+    // big is ever materialized
+    val big = new Array[Double](10 << 20)
+    val vars = (0 until 32).map(i =>
+      NetCdf.VarSpec(s"v$i", Seq("x"), Seq.empty, big))
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.write(Seq("x" -> big.length), Seq.empty, vars, version = 1)
+    }
+    assert(e.getMessage.contains("32-bit offset horizon"))
+    // unknown envelope versions are rejected up front
+    intercept[IllegalArgumentException] {
+      NetCdf.write(Seq("x" -> 1), Seq.empty,
+        Seq(NetCdf.VarSpec("v", Seq("x"), Seq.empty, Array(1.0))),
+        version = 3)
+    }
+  }
 }
 
