@@ -75,5 +75,62 @@ object TemporalJoins {
         sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
   }
 
-  val all: Seq[QueryDef] = Seq(asOfJoin, rangeJoin)
+  /** Time-series resample + linear gap-fill: each user's irregular
+    * event series interpolated onto the hourly grid spanning it — the
+    * forecast-pipeline regularization step (align observations to the
+    * model timestep before joining against forecasts). Spark plan: ONE
+    * window (lead) over the user_id shuffle to form adjacent pairs,
+    * then `sequence()`+`explode` generates grid points inside each gap
+    * WITHOUT a join — per-pair work, embarrassingly parallel, state
+    * bounded by the pair's own gap. Grid points are integer epoch-µs
+    * hour multiples; interpolated values quantize to floor-microunits
+    * so the cross-engine hash is exact-integer arithmetic end to end.
+    */
+  val gapFill = QueryDef("q101_gap_fill",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, value AS v, event_id FROM events),
+      |p AS (
+      |  SELECT user_id, t, v,
+      |    lead(t) OVER w AS t2, lead(v) OVER w AS v2
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |g AS (
+      |  SELECT user_id, t, v, t2, v2,
+      |    unnest(generate_series(
+      |      (t + 3599999999) // 3600000000 * 3600000000,
+      |      t2 - 1, 3600000000)) AS h
+      |  FROM p WHERE t2 IS NOT NULL),
+      |i AS (
+      |  SELECT user_id, h,
+      |    v + (v2 - v) * CAST(h - t AS DOUBLE) / CAST(t2 - t AS DOUBLE) AS iv
+      |  FROM g)
+      |SELECT user_id, count(*) AS n_points,
+      |  CAST(sum(CAST(floor(iv * 1e6) AS BIGINT)) AS BIGINT) AS sum_interp_u,
+      |  min(h) AS first_h, max(h) AS last_h
+      |FROM i GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val step = 3600000000L
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("t"),
+        col("value").as("v"), col("event_id"))
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("v2", lead("v", 1).over(w))
+      .filter(col("t2").isNotNull)
+    val h0 = expr(s"((t + ${step - 1}) div $step) * $step")
+    val grid = pairs
+      .withColumn("h", explode(
+        when(h0 <= col("t2") - 1,
+          sequence(h0, col("t2") - 1, lit(step))).otherwise(
+          array().cast("array<bigint>"))))
+    grid
+      .withColumn("iv", col("v") + (col("v2") - col("v")) *
+        (col("h") - col("t")).cast("double") /
+        (col("t2") - col("t")).cast("double"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(floor(col("iv") * 1e6).cast("long")).as("sum_interp_u"),
+        min(col("h")).as("first_h"), max(col("h")).as("last_h"))
+  }
+
+  val all: Seq[QueryDef] = Seq(asOfJoin, rangeJoin, gapFill)
 }
