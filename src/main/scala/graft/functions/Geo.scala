@@ -338,6 +338,72 @@ object Geo {
   /** The MODIS authalic sphere radius (the SIN grid's earth model). */
   val ModisSphereR = 6371007.181
 
+  /** Geostationary projection (the GOES-R ABI fixed grid / Meteosat
+    * SEVIRI view geometry), from the public GOES-R Product User Guide
+    * §5.1.2.8 / CGMS LRIT-HRIT 2.6 normalized geostationary projection:
+    * geodetic (lon, lat) ↔ scan angles (x, y) in RADIANS as seen from a
+    * satellite at `h` meters from the EARTH CENTER above `lon0`.
+    * Points beyond the visible disk return None (forward) — the limb
+    * test is the PUG's quadratic-visibility condition.
+    */
+  final case class Geostationary(lon0: Double,
+                                 req: Double = 6378137.0,
+                                 rpol: Double = 6356752.31414,
+                                 h: Double = 42164160.0) {
+    private val e2 = (req * req - rpol * rpol) / (req * req)
+    private val invFlat2 = (req * req) / (rpol * rpol)
+
+    /** Geodetic (lon, lat) degrees → scan angles (x, y) radians; None
+      * when the point is on the far side of the planet.
+      */
+    def forward(lonDeg: Double, latDeg: Double): Option[(Double, Double)] = {
+      val lam = math.toRadians(lonDeg - lon0)
+      val phi = math.toRadians(latDeg)
+      val phiC = math.atan(math.tan(phi) / invFlat2) // geocentric latitude
+      val rc = rpol / math.sqrt(1 - e2 * math.cos(phiC) * math.cos(phiC))
+      // earth-centered point P and satellite S = (h, 0, 0)
+      val px = rc * math.cos(phiC) * math.cos(lam)
+      val py = rc * math.cos(phiC) * math.sin(lam)
+      val pz = rc * math.sin(phiC)
+      val sx = h - px
+      val sy = -py
+      val sz = pz
+      // visibility: the satellite must sit above the point's geodetic
+      // horizon — (S − P)·n̂ > 0 with n̂ the geodetic surface normal
+      // (cos φ cos λ, cos φ sin λ, sin φ). Exact at the limb, unlike
+      // the PUG's quadratic screen, which accepts a ~0.2° band past
+      // the true grazing circle.
+      val aboveHorizon =
+        (h - px) * math.cos(phi) * math.cos(lam) -
+          py * math.cos(phi) * math.sin(lam) - pz * math.sin(phi) > 0
+      if (!aboveHorizon) None
+      else Some((
+        math.asin(-sy / math.sqrt(sx * sx + sy * sy + sz * sz)),
+        math.atan(sz / sx)))
+    }
+
+    /** Scan angles (x, y) radians → geodetic (lon, lat) degrees; None
+      * when the ray misses the ellipsoid (off-disk pixel).
+      */
+    def inverse(x: Double, y: Double): Option[(Double, Double)] = {
+      val cosX = math.cos(x); val sinX = math.sin(x)
+      val cosY = math.cos(y); val sinY = math.sin(y)
+      val a = sinX * sinX + cosX * cosX *
+        (cosY * cosY + invFlat2 * sinY * sinY)
+      val b = -2 * h * cosX * cosY
+      val c = h * h - req * req
+      val disc = b * b - 4 * a * c
+      if (disc < 0) return None // ray misses the disk
+      val rs = (-b - math.sqrt(disc)) / (2 * a)
+      val sx = rs * cosX * cosY
+      val sy = -rs * sinX
+      val sz = rs * cosX * sinY
+      val lat = math.atan(invFlat2 * sz / math.hypot(h - sx, sy))
+      val lon = math.toRadians(lon0) - math.atan(sy / (h - sx))
+      Some((normLon(math.toDegrees(lon)), math.toDegrees(lat)))
+    }
+  }
+
   // GRS80 first eccentricity² (EPSG:2154's ellipsoid)
   private val Grs80E2 = 0.00669438002290
   // The spherical earth most LCC-gridded NWP models use (HRRR/NAM/WRF)
