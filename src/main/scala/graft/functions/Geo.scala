@@ -81,9 +81,23 @@ object Geo {
       case lcc if LccCrs.contains(lcc) =>
         LccCrs(lcc).forward(lonDeg, latDeg)
       case "MODIS:SIN" => Sinusoidal().forward(lonDeg, latDeg)
+      case "EPSG:5070" => conusAlbers.forward(lonDeg, latDeg)
+      case UtmEpsg(tm) => tm.forward(lonDeg, latDeg)
       case other =>
         throw new IllegalArgumentException(s"Unsupported CRS: $other")
     }
+
+  /** Extractor for the WGS84 UTM EPSG range: 32601-32660 north,
+    * 32701-32760 south.
+    */
+  private object UtmEpsg {
+    def unapply(crs: String): Option[TransverseMercator] =
+      if (!crs.startsWith("EPSG:32")) None
+      else crs.drop(5).toIntOption.collect {
+        case c if c >= 32601 && c <= 32660 => utm(c - 32600, north = true)
+        case c if c >= 32701 && c <= 32760 => utm(c - 32700, north = false)
+      }
+  }
 
   /** Projected bbox [w, s, e, n] → geographic bbox, via rasterio-style
     * edge densification (`densify_pts` intermediate points per edge) plus
@@ -154,6 +168,20 @@ object Geo {
             (-180.0, 180.0)
           else (lons.min, lons.max)
         Seq(loW, lats.min, loE, lats.max)
+      case "EPSG:5070" =>
+        val proj = conusAlbers
+        val pts = edgePoints(w, s, e, n, densifyPts).map { case (x, y) =>
+          proj.inverse(x, y)
+        }
+        Seq(pts.map(_._1).min, pts.map(_._2).min,
+          pts.map(_._1).max, pts.map(_._2).max)
+      case UtmEpsg(proj) =>
+        // cylindrical aspect: no pole/apex inside any in-zone bbox
+        val pts = edgePoints(w, s, e, n, densifyPts).map { case (x, y) =>
+          proj.inverse(x, y)
+        }
+        Seq(pts.map(_._1).min, pts.map(_._2).min,
+          pts.map(_._1).max, pts.map(_._2).max)
       case other =>
         throw new IllegalArgumentException(s"Unsupported CRS: $other")
     }
@@ -403,6 +431,142 @@ object Geo {
       Some((normLon(math.toDegrees(lon)), math.toDegrees(lat)))
     }
   }
+
+  /** Ellipsoidal Transverse Mercator (Snyder PP 1395 §8, eqs 8-9..8-25
+    * — the USGS series form, sub-mm within a UTM zone): the Sentinel-2
+    * / Landsat tile CRS family (EPSG:326xx/327xx via [[utm]]).
+    */
+  final case class TransverseMercator(a: Double, e2: Double,
+                                      lat0: Double, lon0: Double,
+                                      k0: Double = 0.9996,
+                                      x0: Double = 0.0, y0: Double = 0.0) {
+    private val ep2 = e2 / (1 - e2)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    /** Meridian arc from the equator (Snyder 3-21). */
+    private def mOf(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+        (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi) +
+        (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi) -
+        (35 * e6 / 3072) * math.sin(6 * phi))
+    private val m0 = mOf(math.toRadians(lat0))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sinP = math.sin(phi); val cosP = math.cos(phi)
+      val nu = a / math.sqrt(1 - e2 * sinP * sinP)
+      val t = math.tan(phi) * math.tan(phi)
+      val c = ep2 * cosP * cosP
+      val bigA = math.toRadians(normLon(lonDeg - lon0)) * cosP
+      val a2 = bigA * bigA; val a3 = a2 * bigA
+      val x = k0 * nu * (bigA + (1 - t + c) * a3 / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) * a3 * a2 / 120) + x0
+      val y = k0 * (mOf(phi) - m0 + nu * math.tan(phi) * (a2 / 2 +
+        (5 - t + 9 * c + 4 * c * c) * a2 * a2 / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) * a3 * a3 / 720)) + y0
+      (x, y)
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val m = (yIn - y0) / k0 + m0
+      val mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val phi1 = mu +
+        (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP1 = math.sin(phi1); val cosP1 = math.cos(phi1)
+      val c1 = ep2 * cosP1 * cosP1
+      val t1 = math.tan(phi1) * math.tan(phi1)
+      val n1 = a / math.sqrt(1 - e2 * sinP1 * sinP1)
+      val r1 = a * (1 - e2) / math.pow(1 - e2 * sinP1 * sinP1, 1.5)
+      val d = (xIn - x0) / (n1 * k0)
+      val d2 = d * d; val d3 = d2 * d
+      val phi = phi1 - (n1 * math.tan(phi1) / r1) * (d2 / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d2 * d2 / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 -
+          3 * c1 * c1) * d3 * d3 / 720)
+      val lam = math.toRadians(lon0) + (d - (1 + 2 * t1 + c1) * d3 / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 +
+          24 * t1 * t1) * d3 * d2 / 120) / cosP1
+      (normLon(math.toDegrees(lam)), math.toDegrees(phi))
+    }
+  }
+
+  /** WGS84 UTM zone (EPSG:326zz north / 327zz south): central meridian
+    * 6·zone − 183, k0 = 0.9996, false easting 500 km (+10,000 km false
+    * northing on the south aspect).
+    */
+  def utm(zone: Int, north: Boolean): TransverseMercator = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range")
+    TransverseMercator(A, E2, lat0 = 0.0, lon0 = 6.0 * zone - 183.0,
+      k0 = 0.9996, x0 = 500000.0, y0 = if (north) 0.0 else 10000000.0)
+  }
+
+  /** Ellipsoidal Albers Equal-Area Conic (Snyder PP 1395 §14, eqs
+    * 14-1..14-24 with the 3-16 latitude iteration): the CONUS analysis
+    * grid (EPSG:5070) and the landcover archives on it.
+    */
+  final case class AlbersEqualArea(a: Double, e2: Double,
+                                   lat1: Double, lat2: Double,
+                                   lat0: Double, lon0: Double,
+                                   x0: Double = 0.0, y0: Double = 0.0) {
+    private val e = math.sqrt(e2)
+    /** Snyder 3-12. */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (e < 1e-12) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    val n: Double =
+      if (math.abs(lat1 - lat2) < 1e-9) math.sin(p1)
+      else (mOf(p1) * mOf(p1) - mOf(p2) * mOf(p2)) / (qOf(p2) - qOf(p1))
+    private val bigC = mOf(p1) * mOf(p1) + n * qOf(p1)
+    private val rho0 = a * math.sqrt(bigC - n * qOf(math.toRadians(lat0))) / n
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * math.sqrt(bigC - n * qOf(math.toRadians(latDeg))) / n
+      val theta = n * math.toRadians(normLon(lonDeg - lon0))
+      (x0 + rho * math.sin(theta), y0 + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val x = xIn - x0
+      val yc = rho0 - (yIn - y0)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.hypot(x, yc)
+      val theta = math.atan2(sgn * x, sgn * yc)
+      val lam = theta / n + math.toRadians(lon0)
+      val q = (bigC - (rho * n / a) * (rho * n / a)) / n
+      // Snyder 3-16 iteration from the authalic start
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val om = 1 - e2 * s * s
+        val next = phi + (om * om / (2 * math.cos(phi))) *
+          (q / (1 - e2) - s / om +
+            (if (e < 1e-12) 0.0
+             else (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))))
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 }
+        else { phi = next; i += 1 }
+      }
+      (normLon(math.toDegrees(lam)), math.toDegrees(phi))
+    }
+  }
+
+  /** CONUS Albers (EPSG:5070, NAD83/GRS80): 29.5°/45.5°, origin 23°N
+    * 96°W.
+    */
+  def conusAlbers: AlbersEqualArea =
+    AlbersEqualArea(A, Grs80E2, lat1 = 29.5, lat2 = 45.5,
+      lat0 = 23.0, lon0 = -96.0)
 
   // GRS80 first eccentricity² (EPSG:2154's ellipsoid)
   private val Grs80E2 = 0.00669438002290
