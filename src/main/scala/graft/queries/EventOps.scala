@@ -338,8 +338,48 @@ object EventOps {
         min(col("click_us") - col("view_us")).as("min_delay_us"))
   }
 
+  /** LEFT-OUTER stream-stream join under the oracle: matched
+    * view→click pairs emit inner-style; an unmatched view emits ONCE
+    * with a null click when the watermark passes its match horizon
+    * (eviction = outer emission). The oracle replicates exactly that
+    * emission rule: the final watermark is min(max view ts, max click
+    * ts) − 2 h (each side's watermark tracks its own filtered stream),
+    * and an orphan view emits iff view + 30 min < final watermark —
+    * verified row-for-row in EventStreamSpec before being gated here.
+    */
+  val streamOuterJoin = QueryDef("q102_stream_outer_join",
+    """WITH v AS (
+      |  SELECT user_id AS u, epoch_us(ts) AS vus FROM events
+      |  WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id AS cu, epoch_us(ts) AS cus FROM events
+      |  WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(vus) FROM v), (SELECT max(cus) FROM c))
+      |         - 7200000000 AS final_wm),
+      |j AS (
+      |  SELECT u, vus, cus FROM v LEFT JOIN c
+      |    ON u = cu AND cus >= vus AND cus <= vus + 1800000000),
+      |f AS (
+      |  SELECT u, vus, cus FROM j, wm
+      |  WHERE cus IS NOT NULL OR vus + 1800000000 < final_wm)
+      |SELECT u AS user_id, count(*) AS n_rows, count(cus) AS n_matched,
+      |  CAST(sum(CASE WHEN cus IS NULL THEN 0 ELSE cus - vus END)
+      |    AS BIGINT) AS sum_delay_us
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val joined = graft.streaming.EventStream.intervalJoinStream(
+      graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events")), joinType = "left_outer")
+    graft.streaming.EventStream.runToCompletion(s, joined,
+      s"q102_ssouter_${streamRun.incrementAndGet()}", outputMode = "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("click_us")).as("n_matched"),
+        sum(coalesce(col("click_us") - col("view_us"), lit(0L)))
+          .as("sum_delay_us"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
-      streamIntervalJoin)
+      streamIntervalJoin, streamOuterJoin)
 }

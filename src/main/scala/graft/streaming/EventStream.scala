@@ -192,18 +192,25 @@ object EventStream {
     * oracle comparing at microsecond precision sees identical values.
     */
   def intervalJoinStream(events: DataFrame,
-                         matchMs: Long = 30L * 60 * 1000): DataFrame = {
+                         matchMs: Long = 30L * 60 * 1000,
+                         joinType: String = "inner"): DataFrame = {
     def side(tpe: String, tag: String): DataFrame =
       events.filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${tag}_user"),
           expr("ts div 1000").as(s"${tag}_us"),
           col("event_time").as(s"${tag}_time"))
         .withWatermark(s"${tag}_time", "2 hours")
+    // left_outer adds the watermark-driven null emission: an unmatched
+    // view row is held in the join buffer until the watermark passes
+    // view_time + matchMs (no future click can match it), then emits
+    // once with a null click — eviction and outer-result emission are
+    // the same event, so "no match" is as incremental as "match"
     side("view", "view").join(side("click", "click"),
       col("view_user") === col("click_user") &&
         col("click_time") >= col("view_time") &&
         col("click_time") <= col("view_time") +
-          expr(s"INTERVAL ${matchMs / 1000} SECONDS"))
+          expr(s"INTERVAL ${matchMs / 1000} SECONDS"),
+      joinType)
       .select(col("view_user").as("user_id"), col("view_us"),
         col("click_us"))
   }

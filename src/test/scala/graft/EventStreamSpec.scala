@@ -196,4 +196,39 @@ class EventStreamSpec extends SparkSpec {
     assert(stateOps.exists(_.toLowerCase.contains("symmetrichashjoin")),
       s"expected a stream-stream symmetric hash join, got $stateOps")
   }
+
+  test("left-outer stream-stream join: matches emit inner-style; " +
+    "unmatched views emit a null click exactly when the final " +
+    "watermark passes their match horizon") {
+    val joined = EventStream.intervalJoinStream(
+      EventStream.readEvents(spark, dir), joinType = "left_outer")
+    val streamed = EventStream.runToCompletion(spark, joined,
+      "ssjoin_outer", outputMode = "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val ev = Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    val matchUs = 30L * 60 * 1000 * 1000
+    // the query watermark is the MIN across both watermark nodes, each
+    // computed over its own FILTERED side — not over all events
+    val finalWm = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("event_type")).agg(max(expr("ts div 1000")).as("m"))
+      .agg(min(col("m"))).collect()(0).getLong(0) - 2L * 3600 * 1000 * 1000
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("view_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("click_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = views.toSeq.flatMap { case (u, v) =>
+      val ms = clicks.toSeq.filter { case (cu, c) =>
+        cu == u && c >= v && c <= v + matchUs }
+      if (ms.nonEmpty) ms.map { case (_, c) => (u, v, Option(c)) }
+      else if (v + matchUs < finalWm) Seq((u, v, Option.empty[Long]))
+      else Seq.empty[(Long, Long, Option[Long])] // inside the horizon
+    }.toSet
+    assert(streamed === expected)
+    assert(streamed.exists(_._3.isEmpty), "fixture should have orphans")
+    assert(streamed.exists(_._3.nonEmpty))
+  }
 }
