@@ -305,8 +305,10 @@ object Functions {
     */
   val rotatedPole = QueryDef("q100_rotated_pole",
     """WITH raw AS (
-      |  SELECT (p_partkey % 57) * 0.73 - 20.303 AS rlon,
-      |         ((p_partkey // 57) % 49) * 0.81 - 19.459 AS rlat
+      |  -- e0 suffixes force DOUBLE literals (DuckDB parses bare
+      |  -- decimals as exact DECIMAL, which drifts a ulp from Spark)
+      |  SELECT (p_partkey % 57) * 0.73e0 - 20.303e0 AS rlon,
+      |         ((p_partkey // 57) % 49) * 0.81e0 - 19.459e0 AS rlat
       |  FROM part),
       |geo AS (
       |  SELECT rlat,

@@ -545,9 +545,132 @@ object NetCdfQueries {
         round(sum(col("hi") - col("lo")), 6).as("total_span"))
   }
 
+  /** R1 — block-mean regrid (2×2 → 1 area-average downsample, the
+    * regrid-to-coarser-model step): cells map to target cells by index
+    * halving, NaNs drop out, and each target carries the valid count +
+    * the exact nano-quantized sum so the cross-engine hash is integer
+    * arithmetic. The Spark plan keeps the shuffle small: map-side
+    * partial aggregation collapses each source partition's cells to
+    * target-cell partials before the exchange, so the wire carries one
+    * row per TARGET cell — the explode never crosses the shuffle.
+    */
+  val regridBlockMean = QueryDef("q103_regrid_blockmean",
+    """SELECT file, variable, leadtime_idx,
+      |  y_idx // 2 AS ty, x_idx // 2 AS tx,
+      |  count(*) AS n_valid,
+      |  CAST(sum(CAST(floor(v * 1e9) AS BIGINT)) AS BIGINT) AS sum_u
+      |FROM read_parquet('/tmp/graft-oracle/q103_cells/*.parquet')
+      |WHERE NOT isnan(v)
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin) {
+    (s, _) =>
+    val glob = fixtureGlob()
+    val tidy = s.read.format("netcdf").load(glob)
+    val cells = tidy.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("variable"), col("leadtime_idx"), col("y_idx"),
+      posexplode(col("values")).as(Seq("x_idx", "v")))
+    oracleDump(s, "q103_cells", cells, glob)
+    cells.filter(!isnan(col("v")))
+      .groupBy(col("file"), col("variable"), col("leadtime_idx"),
+        (col("y_idx") / 2).cast("int").as("ty"),
+        (col("x_idx") / 2).cast("int").as("tx"))
+      .agg(count(lit(1)).as("n_valid"),
+        sum(floor(col("v") * 1e9).cast("long")).as("sum_u"))
+  }
+
+  /** R2 — bilinear sampling at arbitrary fractional grid coordinates
+    * (the regrid-to-finer / point-extraction step): a deterministic
+    * 5×5 point set per band gathers its 4 neighbors WITHOUT exploding
+    * the grid — two joins against whole scanline ROWS (y0 and y1), the
+    * x-neighbors picked by `element_at` inside the row. Points are tiny
+    * → both joins broadcast; the big cell relation is never shuffled.
+    * Points with any NaN corner drop (both engines). Output quantizes
+    * to floor-microunits; the interpolation arithmetic is a fixed-order
+    * scalar expression, so IEEE doubles agree bit-for-bit.
+    */
+  val regridBilinear = QueryDef("q104_regrid_bilinear",
+    """WITH rows_ AS (
+      |  SELECT * FROM read_parquet('/tmp/graft-oracle/q104_rows/*.parquet')),
+      |bands AS (SELECT DISTINCT file, variable, leadtime_idx FROM rows_),
+      |pts AS (
+      |  -- e0 suffixes force DOUBLE literals: DuckDB otherwise parses
+      |  -- 1.4 as exact DECIMAL and the coordinates drift a ulp from
+      |  -- Spark's doubles, flipping floor() at cell boundaries
+      |  SELECT file, variable, leadtime_idx,
+      |    0.5e0 + 1.4e0 * i.i AS yt, 0.5e0 + 1.3e0 * j.j AS xt
+      |  FROM bands,
+      |    (SELECT unnest(range(5)) AS i) i, (SELECT unnest(range(5)) AS j) j),
+      |g AS (
+      |  SELECT p.file, p.variable, p.leadtime_idx, p.yt, p.xt,
+      |    CAST(floor(p.yt) AS INT) AS y0, CAST(floor(p.xt) AS INT) AS x0,
+      |    r0.vals AS v0, r1.vals AS v1
+      |  FROM pts p
+      |  JOIN rows_ r0 ON r0.file = p.file AND r0.variable = p.variable
+      |    AND r0.leadtime_idx = p.leadtime_idx
+      |    AND r0.y_idx = CAST(floor(p.yt) AS INT)
+      |  JOIN rows_ r1 ON r1.file = p.file AND r1.variable = p.variable
+      |    AND r1.leadtime_idx = p.leadtime_idx
+      |    AND r1.y_idx = CAST(floor(p.yt) AS INT) + 1),
+      |iv AS (
+      |  SELECT file, variable, leadtime_idx, yt, xt,
+      |    list_extract(v0, x0 + 1) AS v00, list_extract(v0, x0 + 2) AS v01,
+      |    list_extract(v1, x0 + 1) AS v10, list_extract(v1, x0 + 2) AS v11,
+      |    yt - y0 AS fy, xt - x0 AS fx
+      |  FROM g)
+      |SELECT file, variable, leadtime_idx,
+      |  CAST(floor(yt * 10) AS BIGINT) AS yt_d, CAST(floor(xt * 10) AS BIGINT) AS xt_d,
+      |  CAST(floor(((1 - fy) * ((1 - fx) * v00 + fx * v01)
+      |            + fy * ((1 - fx) * v10 + fx * v11)) * 1e6) AS BIGINT) AS v_u
+      |FROM iv
+      |WHERE NOT (isnan(v00) OR isnan(v01) OR isnan(v10) OR isnan(v11))
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin) { (s, _) =>
+    val glob = fixtureGlob()
+    val tidy = s.read.format("netcdf").load(glob)
+    val rows = tidy.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("variable"), col("leadtime_idx"), col("y_idx"),
+      col("values").as("vals"))
+    oracleDump(s, "q104_rows", rows, glob)
+    import s.implicits._
+    val ij = (for (i <- 0 until 5; j <- 0 until 5) yield (i, j))
+      .toDF("i", "j")
+    val pts = rows.select(col("file"), col("variable"), col("leadtime_idx"))
+      .distinct()
+      .crossJoin(broadcast(ij))
+      .select(col("file"), col("variable"), col("leadtime_idx"),
+        (lit(0.5) + lit(1.4) * col("i")).as("yt"),
+        (lit(0.5) + lit(1.3) * col("j")).as("xt"))
+      .withColumn("y0", floor(col("yt")).cast("int"))
+      .withColumn("x0", floor(col("xt")).cast("int"))
+    val r0 = rows.withColumnRenamed("vals", "v0")
+    val r1 = rows.withColumnRenamed("vals", "v1")
+      .withColumnRenamed("y_idx", "y_idx1")
+    val g = broadcast(pts)
+      .join(r0, pts("file") === r0("file") &&
+        pts("variable") === r0("variable") &&
+        pts("leadtime_idx") === r0("leadtime_idx") &&
+        col("y0") === r0("y_idx"))
+      .select(pts("file"), pts("variable"), pts("leadtime_idx"),
+        col("yt"), col("xt"), col("y0"), col("x0"), col("v0"))
+      .join(r1, Seq("file", "variable", "leadtime_idx"))
+      .filter(col("y_idx1") === col("y0") + 1)
+    val v00 = element_at(col("v0"), col("x0") + 1)
+    val v01 = element_at(col("v0"), col("x0") + 2)
+    val v10 = element_at(col("v1"), col("x0") + 1)
+    val v11 = element_at(col("v1"), col("x0") + 2)
+    val fy = col("yt") - col("y0"); val fx = col("xt") - col("x0")
+    g.filter(!(isnan(v00) || isnan(v01) || isnan(v10) || isnan(v11)))
+      .select(col("file"), col("variable"), col("leadtime_idx"),
+        floor(col("yt") * 10).cast("long").as("yt_d"),
+        floor(col("xt") * 10).cast("long").as("xt_d"),
+        floor(((lit(1) - fy) * ((lit(1) - fx) * v00 + fx * v01) +
+          fy * ((lit(1) - fx) * v10 + fx * v11)) * 1e6).cast("long")
+          .as("v_u"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
-      enumMaskCounts, compoundBounds)
+      enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear)
 }
