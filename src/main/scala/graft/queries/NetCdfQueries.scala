@@ -645,15 +645,23 @@ object NetCdfQueries {
     val r0 = rows.withColumnRenamed("vals", "v0")
     val r1 = rows.withColumnRenamed("vals", "v1")
       .withColumnRenamed("y_idx", "y_idx1")
-    val g = broadcast(pts)
+    val withRow0 = broadcast(pts)
       .join(r0, pts("file") === r0("file") &&
         pts("variable") === r0("variable") &&
         pts("leadtime_idx") === r0("leadtime_idx") &&
         col("y0") === r0("y_idx"))
       .select(pts("file"), pts("variable"), pts("leadtime_idx"),
         col("yt"), col("xt"), col("y0"), col("x0"), col("v0"))
-      .join(r1, Seq("file", "variable", "leadtime_idx"))
-      .filter(col("y_idx1") === col("y0") + 1)
+    // the gathered point set stays tiny (25 per band) — re-hint it so
+    // the second gather also broadcasts instead of shuffling scanlines
+    val g = broadcast(withRow0)
+      .join(r1, withRow0("file") === r1("file") &&
+        withRow0("variable") === r1("variable") &&
+        withRow0("leadtime_idx") === r1("leadtime_idx") &&
+        col("y_idx1") === col("y0") + 1)
+      .select(withRow0("file"), withRow0("variable"),
+        withRow0("leadtime_idx"), col("yt"), col("xt"), col("y0"),
+        col("x0"), col("v0"), col("v1"))
     val v00 = element_at(col("v0"), col("x0") + 1)
     val v01 = element_at(col("v0"), col("x0") + 2)
     val v10 = element_at(col("v1"), col("x0") + 1)

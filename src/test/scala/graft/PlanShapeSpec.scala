@@ -83,4 +83,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "q98 should hash-aggregate")
     assert(!plan.contains("Window"), "q98 must not window")
   }
+
+  test("q101: the gap-fill groupBy reuses the window's user_id " +
+    "partitioning — exactly ONE exchange in the whole plan") {
+    val plan = graft.queries.TemporalJoins.gapFill.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1,
+      s"q101 should shuffle once on user_id, found $exchanges:\n" +
+        plan.take(2000))
+  }
+
+  test("q104: bilinear gather never shuffles the cell relation — " +
+    "broadcast joins only, no sort-merge") {
+    val plan = graft.queries.NetCdfQueries.regridBilinear.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "q104 must broadcast the point set")
+    assert(!plan.contains("SortMergeJoin"),
+      "q104 must not sort-merge scanline rows against 25 points")
+  }
+
+  test("q103: block-mean regrid is partial+final hash agg — the " +
+    "exploded cells collapse map-side before the exchange") {
+    val df = graft.queries.NetCdfQueries.regridBlockMean.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "q103 should hash-aggregate")
+    // partial agg appears below the exchange: two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "q103 needs map-side partials so the shuffle carries target cells")
+  }
 }
