@@ -74,8 +74,26 @@ object Work {
   def oracleDumpPath(tag: String): String = s"/tmp/graft-oracle/$tag"
 
   def wipe(dir: Path): Unit = if (Files.exists(dir)) {
+    walkAll(dir).reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Materialize a recursive directory walk AND close the stream —
+    * `Files.walk` holds an open directory handle until closed, so the
+    * bare-iterator form leaks one fd per call (the EventOps r11 fix,
+    * applied everywhere).
+    */
+  def walkAll(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
+  /** Materialize one directory level AND close the stream. */
+  def listDir(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+    finally s.close()
   }
 }

@@ -24,9 +24,9 @@ object Discovery {
         Files.exists(location.resolve("zarr.json"))))
       Seq(location.toAbsolutePath)
     else if (Files.isDirectory(location))
-      Files.list(location).iterator().asScala
+      graft.Work.listDir(location)
         .filter(p => p.getFileName.toString.endsWith(s".$extension"))
-        .toSeq.sortBy(_.toString)
+        .sortBy(_.toString)
     else if (Files.isRegularFile(location) &&
       location.toString.toLowerCase.endsWith(s".$extension"))
       Seq(location.toAbsolutePath)

@@ -137,7 +137,7 @@ object ZarrCodec {
       for (d <- meta.shape.indices.reverse) { s(d) = acc; acc *= meta.shape(d) }
       s
     }
-    Files.walk(dir).iterator().asScala
+    graft.Work.walkAll(dir).iterator
       .filter(Files.isRegularFile(_))
       .filterNot(f => f.getFileName.toString.startsWith(".") ||
         f.getFileName.toString == "zarr.json").foreach { f =>
@@ -173,8 +173,8 @@ object ZarrCodec {
   }
 
   private def readMetaV3(store: Path): Seq[ArrayMeta] =
-    Files.walk(store).iterator().asScala
-      .filter(_.getFileName.toString == "zarr.json").toSeq.sortBy(_.toString)
+    graft.Work.walkAll(store)
+      .filter(_.getFileName.toString == "zarr.json").sortBy(_.toString)
       .flatMap { zj =>
         val node = mapper.readTree(Files.readString(zj))
         if (node.get("node_type").asText() != "array") None
@@ -305,8 +305,8 @@ object ZarrCodec {
           parseV2Array(store, e.getValue, name, s"$zm!${e.getKey}")
         }
     } else
-      Files.walk(store).iterator().asScala
-        .filter(_.getFileName.toString == ".zarray").toSeq.sortBy(_.toString)
+      graft.Work.walkAll(store)
+        .filter(_.getFileName.toString == ".zarray").sortBy(_.toString)
         .map { za =>
           val name = store.relativize(za.getParent).toString match {
             case "" => "/"
@@ -523,7 +523,7 @@ object ZarrCodec {
     val dir = if (meta.name == "/") store else store.resolve(meta.name)
     val out = new Array[String](meta.nValues.toInt)
     val outStrides = strides(meta.shape.toArray)
-    Files.walk(dir).iterator().asScala
+    graft.Work.walkAll(dir).iterator
       .filter(Files.isRegularFile(_))
       .filterNot(f => f.getFileName.toString.startsWith(".") ||
         f.getFileName.toString == "zarr.json").foreach { f =>
@@ -1123,11 +1123,11 @@ object ZarrFixture {
     val rootNode = mapper.createObjectNode()
     rootNode.put("zarr_consolidated_format", 1)
     val md = rootNode.putObject("metadata")
-    Files.walk(store).iterator().asScala
+    graft.Work.walkAll(store)
       .filter(Files.isRegularFile(_))
       .filter(f => Set(".zgroup", ".zarray", ".zattrs")(
         f.getFileName.toString))
-      .toSeq.sortBy(_.toString)
+      .sortBy(_.toString)
       .foreach { f =>
         md.set[com.fasterxml.jackson.databind.JsonNode](
           store.relativize(f).toString.replace('\\', '/'),

@@ -34,12 +34,12 @@ object ZarrProbe {
 
   def probe(store: Path): Option[Info] = {
     if (!Files.isDirectory(store)) return None
-    val zarray = Files.walk(store).iterator().asScala
+    val zarray = graft.Work.walkAll(store)
       .find(_.getFileName.toString == ".zarray")
     zarray.map { za =>
       val node = new ObjectMapper().readTree(Files.readString(za))
       val (name, bits, order) = parseDtype(node.get("dtype").asText())
-      val total = Files.walk(store).iterator().asScala
+      val total = graft.Work.walkAll(store).iterator
         .filter(Files.isRegularFile(_)).map(Files.size).sum
       Info(name, bits, order, total)
     }
