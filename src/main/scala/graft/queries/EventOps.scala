@@ -378,8 +378,86 @@ object EventOps {
           .as("sum_delay_us"))
   }
 
+  /** Ordered funnel (view → later click → later purchase): per stage,
+    * the qualifying timestamp is the FIRST event of that type strictly
+    * after the user's previous-stage time — the order-sensitive funnel,
+    * not independent existence checks. Each stage is an aggregate +
+    * broadcast join of the (tiny) per-user stage table back against
+    * events; the big relation never shuffles twice for one stage.
+    */
+  val funnel = QueryDef("q105_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_view_click_purchase,
+      |  (SELECT CAST(coalesce(sum(c.t2 - v.t1), 0) AS BIGINT)
+      |   FROM c JOIN v ON c.user_id = v.user_id) AS sum_click_delay_us""".stripMargin) {
+    (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id").filter(col("t") > col("t1"))
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id").filter(col("t") > col("t2"))
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    val delay = c.join(v, "user_id")
+      .agg(coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_click_delay_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      .crossJoin(delay)
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event; each (cohort, week-offset) cell counts distinct
+    * users active that week. Offsets are exact integer arithmetic on
+    * epoch microseconds of the week-truncated timestamps, so the
+    * cross-engine hash never touches calendar-diff semantics.
+    */
+  val cohorts = QueryDef("q106_retention_cohorts",
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    epoch_us(date_trunc('week', min(CAST(ts AS TIMESTAMP)))) AS cw
+      |  FROM events GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT e.user_id, f.cw,
+      |    (epoch_us(date_trunc('week', CAST(e.ts AS TIMESTAMP))) - f.cw)
+      |      // 604800000000 AS week_offset
+      |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+      |SELECT cw AS cohort_week_us, week_offset,
+      |  count(*) AS n_active
+      |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", timestamp_micros(expr("ts div 1000"))).as("w"))
+    val firsts = ev.groupBy("user_id")
+      .agg(min(unix_micros(col("w"))).as("cw"))
+    ev.join(broadcast(firsts), "user_id")
+      .select(col("user_id"), col("cw"),
+        ((unix_micros(col("w")) - col("cw")) / 604800000000L)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(col("cw").as("cohort_week_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
-      streamIntervalJoin, streamOuterJoin)
+      streamIntervalJoin, streamOuterJoin, funnel, cohorts)
 }
