@@ -194,6 +194,9 @@ object EventStream {
   def intervalJoinStream(events: DataFrame,
                          matchMs: Long = 30L * 60 * 1000,
                          joinType: String = "inner"): DataFrame = {
+    require(matchMs > 0 && matchMs % 1000 == 0,
+      s"matchMs $matchMs must be a positive whole number of seconds " +
+        "(the interval literal is built in seconds)")
     def side(tpe: String, tag: String): DataFrame =
       events.filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${tag}_user"),
