@@ -676,9 +676,68 @@ object NetCdfQueries {
           .as("v_u"))
   }
 
+  /** S11 — GRIB2 scan (the operational forecast distribution format)
+    * through the tidy query layer: simple-packed fields with bitmap
+    * holes decode into the same scanline shape the netCDF scan emits;
+    * per-field statistics re-derived by DuckDB from the dumped cells.
+    * Values quantize to floor-microunits (packing already quantized
+    * them to 10^-D, but the binary value of rScaled + X·2^E/10^D is
+    * what both engines must agree on bit-for-bit).
+    */
+  val grib2Scan = QueryDef("q107_grib2_scan",
+    """SELECT regexp_extract(path, '([^/]+)$', 1) AS file, field_idx,
+      |  category, parameter, forecast_hours,
+      |  count(CASE WHEN NOT isnan(v) THEN 1 END) AS n_valid,
+      |  count(*) AS n_cells,
+      |  CAST(sum(CASE WHEN isnan(v) THEN 0
+      |           ELSE CAST(floor(v * 1e6) AS BIGINT) END) AS BIGINT) AS sum_u,
+      |  CAST(min(floor(lat * 1e6)) AS BIGINT) AS min_lat_u
+      |FROM (SELECT path, field_idx, category, parameter, forecast_hours,
+      |        lat, unnest(values) AS v
+      |      FROM read_parquet('/tmp/graft-oracle/q107_cells/*.parquet'))
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin) {
+    (s, _) =>
+    val dir = stableWork("fixtures").resolve("grib2")
+    java.nio.file.Files.createDirectories(dir)
+    for (fi <- 0 until 2) {
+      val fields = Seq(
+        graft.source.Grib2Write.FieldSpec(0, 3, 5 + fi,
+          forecastHours = 6 * (fi + 1), ni = 12, nj = 9,
+          lat1 = 62.0, lon1 = -40.5, dLat = 0.5, dLon = 0.75,
+          values = Array.tabulate(108)(i =>
+            if ((i + fi) % 13 == 0) Double.NaN
+            else 250.0 + (i % 17) * 0.75 + fi * 3.25),
+          decimalScale = 2),
+        graft.source.Grib2Write.FieldSpec(2, 0, 2,
+          forecastHours = 12, ni = 6, nj = 4,
+          lat1 = -5.0, lon1 = 100.0, dLat = 1.0, dLon = 1.0,
+          values = Array.tabulate(24)(i => -40.0 + i * 1.5),
+          decimalScale = 1, binaryScale = 1))
+      java.nio.file.Files.write(dir.resolve(f"fc_$fi%02d.grib2"),
+        graft.source.Grib2Write.write(fields))
+    }
+    val tidy = graft.source.Grib2Source.tidy(s, dir.toString)
+    val cells = tidy.select(col("path"), col("field_idx"), col("category"),
+      col("parameter"), col("forecast_hours"), col("lat"),
+      col("values"))
+    oracleDump(s, "q107_cells", cells, dir.toString)
+    tidy.select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("field_idx"), col("category"), col("parameter"),
+      col("forecast_hours"), col("lat"), explode(col("values")).as("v"))
+      .groupBy(col("file"), col("field_idx"), col("category"),
+        col("parameter"), col("forecast_hours"))
+      .agg(
+        count(when(!isnan(col("v")), 1)).as("n_valid"),
+        count(lit(1)).as("n_cells"),
+        sum(when(isnan(col("v")), 0L)
+          .otherwise(floor(col("v") * 1e6).cast("long"))).as("sum_u"),
+        min(floor(col("lat") * 1e6)).cast("long").as("min_lat_u"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
-      enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear)
+      enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear,
+      grib2Scan)
 }

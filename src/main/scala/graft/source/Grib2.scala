@@ -1,0 +1,301 @@
+package graft.source
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** S-layer extension — GRIB2 reader (WMO FM 92 GRIB Edition 2, the
+  * operational distribution format of GFS/HRRR/ECMWF open data; the
+  * reference's archives are netCDF, but a forecast lake at scale
+  * ingests GRIB2 upstream of everything else).
+  *
+  * Implemented from the public WMO/NCEP specification:
+  *  - Section 0 indicator (`GRIB`, discipline, edition 2, 8-byte total
+  *    length) and `7777` trailer; multiple messages per file.
+  *  - Section 1 identification (reference time).
+  *  - Section 3 grid definition template 3.0 (regular lat/lon in
+  *    microdegrees, sign-magnitude signed fields, i/j scanning modes).
+  *  - Section 4 product definition template 4.0 (parameter category /
+  *    number, forecast hour), other templates carried opaquely.
+  *  - Section 5 data representation template 5.0 (simple packing:
+  *    value = (R + packed·2^E) / 10^D, R an IEEE float32, E/D
+  *    sign-magnitude int16) and template 5.41 (PNG packing: same
+  *    transform, packed values carried as a PNG image — decoded
+  *    through the JVM's ImageIO).
+  *  - Section 6 bitmaps (indicator 0 = inline, 254 = reuse previous,
+  *    255 = none): masked-out points surface as NaN.
+  *  - Section 7 packed data, MSB-first bit stream.
+  *  - Sections 2 (local use) skipped; repeated section runs (3..7 or
+  *    4..7) within one message fan out into one field each.
+  *
+  * Rejected loudly (with the re-encode workaround named): complex
+  * packing 5.2/5.3, JPEG2000 packing 5.40, CCSDS 5.42, non-lat/lon
+  * grid templates, GRIB edition 1.
+  */
+object Grib2 {
+
+  final case class Field(
+      discipline: Int, category: Int, parameter: Int,
+      refTime: String, forecastHours: Option[Int],
+      ni: Int, nj: Int,
+      lat1: Double, lon1: Double, dLat: Double, dLon: Double,
+      scanMode: Int,
+      /** Row-major j-major values, bitmap holes as NaN, scan order
+        * normalized to +i (west→east), −j (north→south) when the scan
+        * flags request the common alternatives.
+        */
+      values: Array[Double])
+
+  def read(bytes: Array[Byte]): Seq[Field] = {
+    val out = Seq.newBuilder[Field]
+    var pos = 0
+    while (pos + 16 <= bytes.length) {
+      require(bytes(pos) == 'G' && bytes(pos + 1) == 'R' &&
+        bytes(pos + 2) == 'I' && bytes(pos + 3) == 'B',
+        s"bad GRIB magic at byte $pos")
+      val edition = bytes(pos + 7) & 0xFF
+      require(edition == 2,
+        s"GRIB edition $edition unsupported (GRIB2 only — convert " +
+          "GRIB1 with wgrib2/cnvgrib)")
+      val discipline = bytes(pos + 6) & 0xFF
+      val total = ByteBuffer.wrap(bytes, pos + 8, 8)
+        .order(ByteOrder.BIG_ENDIAN).getLong
+      require(total >= 16 && pos + total <= bytes.length,
+        s"GRIB message length $total overruns the file")
+      out ++= readMessage(bytes, pos, (pos + total).toInt, discipline)
+      pos = (pos + total).toInt
+    }
+    out.result()
+  }
+
+  // sign-magnitude integers (GRIB convention: MSB is the sign BIT)
+  private def sm2(b: ByteBuffer): Int = {
+    val raw = b.getShort & 0xFFFF
+    if ((raw & 0x8000) != 0) -(raw & 0x7FFF) else raw
+  }
+  private def sm4(b: ByteBuffer): Long = {
+    val raw = b.getInt.toLong & 0xFFFFFFFFL
+    if ((raw & 0x80000000L) != 0) -(raw & 0x7FFFFFFFL) else raw
+  }
+
+  private final case class Grid(ni: Int, nj: Int, lat1: Double,
+      lon1: Double, dLat: Double, dLon: Double, scanMode: Int)
+  private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
+      nbits: Int, nPoints: Int)
+
+  private def readMessage(bytes: Array[Byte], start: Int, end: Int,
+                          discipline: Int): Seq[Field] = {
+    val out = Seq.newBuilder[Field]
+    var pos = start + 16
+    var refTime = ""
+    var grid: Option[Grid] = None
+    var product: Option[(Int, Int, Option[Int])] = None
+    var packing: Option[Packing] = None
+    var bitmap: Option[Array[Boolean]] = None
+    var lastBitmap: Option[Array[Boolean]] = None
+    while (pos < end - 4) {
+      val b = ByteBuffer.wrap(bytes, pos, end - pos)
+        .order(ByteOrder.BIG_ENDIAN)
+      val len = b.getInt
+      val sec = b.get() & 0xFF
+      require(len >= 5 && pos + len <= end,
+        s"GRIB section $sec length $len overruns the message")
+      sec match {
+        case 1 =>
+          b.position(b.position() + 7) // center(2) subcenter(2) tables(2) sig(1)
+          val y = b.getShort & 0xFFFF
+          val mo = b.get() & 0xFF; val d = b.get() & 0xFF
+          val h = b.get() & 0xFF; val mi = b.get() & 0xFF
+          val s = b.get() & 0xFF
+          refTime = f"$y%04d-$mo%02d-$d%02dT$h%02d:$mi%02d:$s%02dZ"
+        case 2 => () // local use
+        case 3 =>
+          b.get() // grid definition source
+          b.getInt // number of data points
+          b.get(); b.get() // optional-list octets + interpretation
+          val tpl = b.getShort & 0xFFFF
+          require(tpl == 0,
+            s"GRIB2 grid template 3.$tpl unsupported (regular lat/lon " +
+              "3.0 only — regrid with wgrib2 -new_grid latlon)")
+          b.get(); b.get(); b.getInt // earth shape + radius
+          b.get(); b.getInt; b.get(); b.getInt // major/minor axes
+          val ni = b.getInt; val nj = b.getInt
+          b.getInt; b.getInt // basic angle + subdivisions
+          val lat1 = sm4(b) / 1e6
+          val lon1 = sm4(b) / 1e6
+          b.get() // resolution/component flags
+          sm4(b); sm4(b) // lat2/lon2 (derivable)
+          val dLon = b.getInt / 1e6
+          val dLat = b.getInt / 1e6
+          val scan = b.get() & 0xFF
+          grid = Some(Grid(ni, nj, lat1, lon1, dLat, dLon, scan))
+        case 4 =>
+          b.getShort // coordinate values count
+          val tpl = b.getShort & 0xFFFF
+          if (tpl == 0 || tpl == 1 || tpl == 8) {
+            val cat = b.get() & 0xFF
+            val par = b.get() & 0xFF
+            b.get(); b.get(); b.get() // process type/id/background
+            b.getShort; b.get() // cutoff hours + minutes... (template 4.0 octets 19-22)
+            val unit = b.get() & 0xFF
+            val fcst = b.getInt
+            val hours = unit match {
+              case 0 => Some(fcst / 60) // minutes
+              case 1 => Some(fcst) // hours
+              case 2 => Some(fcst * 24) // days
+              case _ => None
+            }
+            product = Some((cat, par, hours))
+          } else product = Some((-1, -1, None)) // opaque template
+        case 5 =>
+          val nPoints = b.getInt
+          val tpl = b.getShort & 0xFFFF
+          tpl match {
+            case 0 | 41 =>
+              val r = b.getFloat.toDouble
+              val e = sm2(b)
+              val d = sm2(b)
+              val nbits = b.get() & 0xFF
+              packing = Some(Packing(tpl, r, e, d, nbits, nPoints))
+            case 2 | 3 => throw new IllegalArgumentException(
+              s"GRIB2 data template 5.$tpl (complex packing) " +
+                "unsupported — re-encode with simple packing " +
+                "(wgrib2 -set_grib_type simple)")
+            case 40 => throw new IllegalArgumentException(
+              "GRIB2 data template 5.40 (JPEG2000) unsupported — " +
+                "re-encode with simple packing (wgrib2 -set_grib_type simple)")
+            case 42 => throw new IllegalArgumentException(
+              "GRIB2 data template 5.42 (CCSDS/AEC) unsupported — " +
+                "re-encode with simple packing (wgrib2 -set_grib_type simple)")
+            case t => throw new IllegalArgumentException(
+              s"GRIB2 data template 5.$t unsupported")
+          }
+        case 6 =>
+          val ind = b.get() & 0xFF
+          ind match {
+            case 0 =>
+              val g = grid.getOrElse(
+                throw new IllegalArgumentException("bitmap before grid"))
+              val n = g.ni * g.nj
+              val bm = new Array[Boolean](n)
+              var i = 0
+              while (i < n) {
+                bm(i) = (bytes(pos + 6 + i / 8) & (0x80 >> (i % 8))) != 0
+                i += 1
+              }
+              bitmap = Some(bm); lastBitmap = Some(bm)
+            case 254 => bitmap = lastBitmap
+            case 255 => bitmap = None
+            case o => throw new IllegalArgumentException(
+              s"GRIB2 bitmap indicator $o unsupported (0/254/255)")
+          }
+        case 7 =>
+          val g = grid.getOrElse(
+            throw new IllegalArgumentException("data before grid section"))
+          val p = packing.getOrElse(
+            throw new IllegalArgumentException("data before representation"))
+          val (cat, par, hours) = product.getOrElse((-1, -1, None))
+          val packed: Array[Long] = p.tpl match {
+            case 0 => unpackBits(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
+            case 41 => unpackPng(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
+          }
+          val scale = math.pow(2, p.e) / math.pow(10, p.d)
+          val rScaled = p.r / math.pow(10, p.d)
+          val n = g.ni * g.nj
+          val vals = new Array[Double](n)
+          bitmap match {
+            case Some(bm) =>
+              var vi = 0
+              var i = 0
+              while (i < n) {
+                if (bm(i)) { vals(i) = rScaled + packed(vi) * scale; vi += 1 }
+                else vals(i) = Double.NaN
+                i += 1
+              }
+            case None =>
+              require(p.nPoints == n,
+                s"packed point count ${p.nPoints} != grid $n without bitmap")
+              var i = 0
+              while (i < n) { vals(i) = rScaled + packed(i) * scale; i += 1 }
+          }
+          out += Field(discipline, cat, par, refTime, hours,
+            g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
+            normalizeScan(vals, g))
+        case 0 | 8 => () // handled by the outer walk
+        case o => throw new IllegalArgumentException(
+          s"GRIB2 section $o unexpected")
+      }
+      pos += len
+    }
+    require(bytes(end - 4) == '7' && bytes(end - 3) == '7' &&
+      bytes(end - 2) == '7' && bytes(end - 1) == '7',
+      "GRIB message missing 7777 trailer")
+    out.result()
+  }
+
+  /** Normalize storage to +i, −j (row 0 = northernmost, west→east):
+    * scan-mode bit 7 (0x80) set = −i (east→west) → reverse each row;
+    * bit 6 (0x40) set = +j (south→north) → reverse row order. Bit 5
+    * (0x20, j-consecutive) is rejected.
+    */
+  private def normalizeScan(vals: Array[Double], g: Grid): Array[Double] = {
+    require((g.scanMode & 0x20) == 0,
+      s"GRIB2 j-consecutive scan mode ${g.scanMode} unsupported")
+    val out = new Array[Double](vals.length)
+    var j = 0
+    while (j < g.nj) {
+      val srcRow = if ((g.scanMode & 0x40) != 0) g.nj - 1 - j else j
+      var i = 0
+      while (i < g.ni) {
+        val srcCol = if ((g.scanMode & 0x80) != 0) g.ni - 1 - i else i
+        out(j * g.ni + i) = vals(srcRow * g.ni + srcCol)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** MSB-first fixed-width unpack (section 7, template 5.0). */
+  private def unpackBits(bytes: Array[Byte], off: Int, len: Int,
+                         nbits: Int, n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    if (nbits == 0) return out // constant field: all values = R
+    require(nbits <= 32, s"GRIB2 packing width $nbits unsupported")
+    require(n.toLong * nbits <= len.toLong * 8,
+      s"packed data too short: need ${n.toLong * nbits} bits, have ${len * 8}")
+    var bit = 0L
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var k = 0
+      while (k < nbits) {
+        val byteAt = off + (bit >> 3).toInt
+        val get = (bytes(byteAt) >> (7 - (bit & 7)).toInt) & 1
+        v = (v << 1) | get
+        bit += 1; k += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Template 5.41: the packed integers are the pixels of a PNG
+    * (grayscale 8/16-bit per the declared width), decoded via ImageIO.
+    */
+  private def unpackPng(bytes: Array[Byte], off: Int, len: Int,
+                        nbits: Int, n: Int): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    require(img != null, "GRIB2 PNG payload did not decode")
+    val w = img.getWidth; val h = img.getHeight
+    require(w * h == n, s"PNG pixel count ${w * h} != packed count $n")
+    val raster = img.getRaster
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = raster.getSample(i % w, i / w, 0).toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,145 @@
+package graft.source
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal GRIB2 writer (simple packing, regular lat/lon, template
+  * 4.0 products): the fixture/K-side twin of [[Grib2]], same spec.
+  * One message per field; NaN cells emit through a section-6 bitmap.
+  */
+object Grib2Write {
+
+  final case class FieldSpec(
+      discipline: Int, category: Int, parameter: Int,
+      forecastHours: Int,
+      ni: Int, nj: Int,
+      lat1: Double, lon1: Double, dLat: Double, dLon: Double,
+      /** Row-major, row 0 northernmost (+i/−j scan, mode 0). */
+      values: Array[Double],
+      decimalScale: Int = 2,
+      binaryScale: Int = 0)
+
+  def write(fields: Seq[FieldSpec],
+            refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
+  : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    fields.foreach(f => out.write(message(f, refTime)))
+    out.toByteArray
+  }
+
+  private def sm2(v: Int): Int =
+    if (v < 0) 0x8000 | -v else v
+  private def sm4(v: Long): Int =
+    if (v < 0) (0x80000000L | -v).toInt else v.toInt
+
+  private def message(f: FieldSpec,
+                      rt: (Int, Int, Int, Int, Int, Int)): Array[Byte] = {
+    require(f.values.length == f.ni * f.nj, "values != ni*nj")
+    val body = new ByteArrayOutputStream()
+    def sec(num: Int)(fill: ByteBuffer => Unit): Unit = {
+      val buf = ByteBuffer.allocate(1 << 20).order(ByteOrder.BIG_ENDIAN)
+      buf.position(5)
+      fill(buf)
+      val len = buf.position()
+      buf.putInt(0, len); buf.put(4, num.toByte)
+      body.write(buf.array(), 0, len)
+    }
+    // section 1 — identification
+    sec(1) { b =>
+      b.putShort(0); b.putShort(0) // center/subcenter
+      b.put(2.toByte); b.put(0.toByte) // table versions
+      b.put(1.toByte) // significance: start of forecast
+      b.putShort(rt._1.toShort); b.put(rt._2.toByte); b.put(rt._3.toByte)
+      b.put(rt._4.toByte); b.put(rt._5.toByte); b.put(rt._6.toByte)
+      b.put(0.toByte); b.put(1.toByte) // production status, data type
+    }
+    // section 3 — grid definition template 3.0
+    sec(3) { b =>
+      b.put(0.toByte); b.putInt(f.ni * f.nj); b.put(0.toByte); b.put(0.toByte)
+      b.putShort(0) // template 3.0
+      b.put(6.toByte); b.put(0.toByte); b.putInt(0) // earth shape + radius
+      b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0) // axes
+      b.putInt(f.ni); b.putInt(f.nj)
+      b.putInt(0); b.putInt(0) // basic angle + subdivisions
+      b.putInt(sm4(math.round(f.lat1 * 1e6)))
+      b.putInt(sm4(math.round(f.lon1 * 1e6)))
+      b.put(0x30.toByte) // resolution flags: increments given
+      b.putInt(sm4(math.round((f.lat1 - f.dLat * (f.nj - 1)) * 1e6)))
+      b.putInt(sm4(math.round((f.lon1 + f.dLon * (f.ni - 1)) * 1e6)))
+      b.putInt(math.round(f.dLon * 1e6).toInt)
+      b.putInt(math.round(f.dLat * 1e6).toInt)
+      b.put(0.toByte) // scan mode: +i, −j
+    }
+    // section 4 — product definition template 4.0
+    sec(4) { b =>
+      b.putShort(0); b.putShort(0) // no coord values, template 4.0
+      b.put(f.category.toByte); b.put(f.parameter.toByte)
+      b.put(2.toByte); b.put(0.toByte); b.put(0.toByte) // process ids
+      b.putShort(0); b.put(0.toByte) // cutoff
+      b.put(1.toByte) // time unit: hours
+      b.putInt(f.forecastHours)
+    }
+    // pack: X = round((Y·10^D − R)/2^E), R = min(Y·10^D) over valid
+    val d10 = math.pow(10, f.decimalScale)
+    val e2 = math.pow(2, f.binaryScale)
+    val valid = f.values.filterNot(_.isNaN)
+    val hasBitmap = valid.length != f.values.length
+    // pack against R AS THE DECODER WILL SEE IT (float32-rounded), so
+    // the only round-trip error is the X quantization itself; clamp at
+    // 0 for the minimum element when the float rounding lands above it
+    val r = (if (valid.isEmpty) 0.0
+             else valid.map(_ * d10).min.toFloat).toDouble
+    val packed = valid.map(v =>
+      math.max(0L, math.round((v * d10 - r) / e2)))
+    val maxX = if (packed.isEmpty) 0L else packed.max
+    val nbits =
+      if (maxX == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxX)
+    // section 5 — representation template 5.0
+    sec(5) { b =>
+      b.putInt(valid.length)
+      b.putShort(0)
+      b.putFloat(r.toFloat)
+      b.putShort(sm2(f.binaryScale).toShort)
+      b.putShort(sm2(f.decimalScale).toShort)
+      b.put(nbits.toByte)
+      b.put(0.toByte) // original field type: float
+    }
+    // section 6 — bitmap
+    sec(6) { b =>
+      if (!hasBitmap) b.put(255.toByte)
+      else {
+        b.put(0.toByte)
+        var acc = 0; var nb = 0
+        f.values.foreach { v =>
+          acc = (acc << 1) | (if (v.isNaN) 0 else 1); nb += 1
+          if (nb == 8) { b.put(acc.toByte); acc = 0; nb = 0 }
+        }
+        if (nb > 0) b.put((acc << (8 - nb)).toByte)
+      }
+    }
+    // section 7 — MSB-first packed data
+    sec(7) { b =>
+      var acc = 0L; var nb = 0
+      packed.foreach { x =>
+        var k = nbits - 1
+        while (k >= 0) {
+          acc = (acc << 1) | ((x >> k) & 1); nb += 1
+          if (nb == 8) { b.put(acc.toByte); acc = 0; nb = 0 }
+          k -= 1
+        }
+      }
+      if (nb > 0) b.put((acc << (8 - nb)).toByte)
+    }
+    val sections = body.toByteArray
+    val total = 16 + sections.length + 4
+    val msg = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    msg.put('G'.toByte); msg.put('R'.toByte); msg.put('I'.toByte)
+    msg.put('B'.toByte)
+    msg.putShort(0) // reserved
+    msg.put(f.discipline.toByte); msg.put(2.toByte)
+    msg.putLong(total.toLong)
+    msg.put(sections)
+    msg.put("7777".getBytes)
+    msg.array()
+  }
+}

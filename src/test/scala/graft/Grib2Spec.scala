@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.source.{Grib2, Grib2Write}
+
+/** GRIB2 decode pinned two ways: a HAND-BUILT message (every octet
+  * placed from the WMO section layout here in the test, independent of
+  * Grib2Write) with hand-computed expected values, and writer
+  * round-trips over bitmaps, negative coordinates, scan modes and
+  * scale factors.
+  */
+class Grib2Spec extends AnyFunSuite {
+
+  /** Octet-by-octet message builder used by the hand fixtures. */
+  private def handMessage(scanMode: Int = 0, dataTemplate: Int = 0,
+                          gridTemplate: Int = 0, edition: Int = 2,
+                          packedBytes: Array[Byte] = Array(0x01, 0x23, 0x4F)
+                            .map(_.toByte)): Array[Byte] = {
+    val b = ByteBuffer.allocate(4096).order(ByteOrder.BIG_ENDIAN)
+    b.put("GRIB".getBytes); b.putShort(0)
+    b.put(0.toByte) // discipline 0 (meteorological)
+    b.put(edition.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    def sec(num: Int)(fill: ByteBuffer => Unit): Unit = {
+      val at = b.position(); b.putInt(0); b.put(num.toByte)
+      fill(b)
+      b.putInt(at, b.position() - at)
+    }
+    sec(1) { s =>
+      s.putShort(7); s.putShort(0); s.put(2.toByte); s.put(0.toByte)
+      s.put(1.toByte)
+      s.putShort(2024); s.put(3.toByte); s.put(5.toByte)
+      s.put(6.toByte); s.put(0.toByte); s.put(0.toByte)
+      s.put(0.toByte); s.put(1.toByte)
+    }
+    sec(3) { s =>
+      s.put(0.toByte); s.putInt(6); s.put(0.toByte); s.put(0.toByte)
+      s.putShort(gridTemplate.toShort)
+      s.put(6.toByte); s.put(0.toByte); s.putInt(0)
+      s.put(0.toByte); s.putInt(0); s.put(0.toByte); s.putInt(0)
+      s.putInt(3); s.putInt(2) // ni=3, nj=2
+      s.putInt(0); s.putInt(0)
+      s.putInt(50500000) // lat1 = 50.5
+      s.putInt(0x80000000 | 10250000) // lon1 = -10.25 (sign-magnitude)
+      s.put(0x30.toByte)
+      s.putInt(49500000); s.putInt(0x80000000 | 9250000) // lat2/lon2
+      s.putInt(500000) // dLon = 0.5
+      s.putInt(1000000) // dLat = 1.0
+      s.put(scanMode.toByte)
+    }
+    sec(4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(3.toByte); s.put(5.toByte) // category 3, parameter 5
+      s.put(2.toByte); s.put(0.toByte); s.put(0.toByte)
+      s.putShort(0); s.put(0.toByte)
+      s.put(1.toByte); s.putInt(6) // 6 hours
+    }
+    sec(5) { s =>
+      s.putInt(6); s.putShort(dataTemplate.toShort)
+      s.putFloat(1.5f)
+      s.putShort(1) // E = 1 → ×2
+      s.putShort(0) // D = 0
+      s.put(4.toByte) // 4 bits per value
+      s.put(0.toByte)
+    }
+    sec(6) { s => s.put(255.toByte) }
+    sec(7) { s => s.put(packedBytes) }
+    b.put("7777".getBytes)
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  test("hand-built message decodes: header fields, sign-magnitude " +
+    "coordinates, and Y = R + X·2^E with hand-computed values") {
+    val fields = Grib2.read(handMessage())
+    assert(fields.length === 1)
+    val f = fields.head
+    assert(f.discipline === 0 && f.category === 3 && f.parameter === 5)
+    assert(f.refTime === "2024-03-05T06:00:00Z")
+    assert(f.forecastHours === Some(6))
+    assert(f.ni === 3 && f.nj === 2)
+    assert(f.lat1 === 50.5 && f.lon1 === -10.25)
+    assert(f.dLat === 1.0 && f.dLon === 0.5)
+    // packed nibbles 0,1,2,3,4,15 → 1.5 + X·2
+    assert(f.values.toSeq === Seq(1.5, 3.5, 5.5, 7.5, 9.5, 31.5))
+  }
+
+  test("scan-mode normalization: −i reverses rows, +j reverses row " +
+    "order, j-consecutive is rejected") {
+    val base = Grib2.read(handMessage()).head.values.toSeq
+    // 0x80: stored east→west per row → decoder un-reverses each row
+    val negI = Grib2.read(handMessage(scanMode = 0x80)).head.values.toSeq
+    assert(negI === Seq(5.5, 3.5, 1.5, 31.5, 9.5, 7.5))
+    // 0x40: stored south→north → decoder swaps the two rows
+    val posJ = Grib2.read(handMessage(scanMode = 0x40)).head.values.toSeq
+    assert(posJ === Seq(7.5, 9.5, 31.5, 1.5, 3.5, 5.5))
+    val e = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(scanMode = 0x20))
+    }
+    assert(e.getMessage.contains("j-consecutive"))
+    assert(base === Seq(1.5, 3.5, 5.5, 7.5, 9.5, 31.5))
+  }
+
+  test("pointed rejections: GRIB1, complex/JPEG2000 packing, non-latlon " +
+    "grids") {
+    val e1 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(edition = 1))
+    }
+    assert(e1.getMessage.contains("GRIB1"))
+    val e2 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(dataTemplate = 3))
+    }
+    assert(e2.getMessage.contains("complex packing"))
+    val e3 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(dataTemplate = 40))
+    }
+    assert(e3.getMessage.contains("JPEG2000"))
+    val e4 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(gridTemplate = 30))
+    }
+    assert(e4.getMessage.contains("3.30"))
+  }
+
+  test("writer round-trip: values within the declared quantization, " +
+    "NaN cells through the bitmap, negative coordinates preserved") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 10) {
+      val ni = 2 + rnd.nextInt(9); val nj = 2 + rnd.nextInt(7)
+      val d = trial % 3; val e = trial % 2
+      val vals = Array.tabulate(ni * nj)(i =>
+        if (i % 11 == 3) Double.NaN else rnd.nextDouble() * 200 - 100)
+      val spec = Grib2Write.FieldSpec(0, 2, 8, forecastHours = 12 * trial,
+        ni = ni, nj = nj, lat1 = -12.5, lon1 = -170.0,
+        dLat = 0.25, dLon = 0.25, values = vals,
+        decimalScale = d, binaryScale = e)
+      val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+      assert(f.ni === ni && f.nj === nj)
+      assert(f.lat1 === -12.5 && f.lon1 === -170.0)
+      assert(f.forecastHours === Some(12 * trial))
+      val tol = math.pow(2, e) / math.pow(10, d) / 2 + 1e-9
+      vals.zip(f.values).zipWithIndex.foreach { case ((a, b2), i) =>
+        if (a.isNaN) assert(b2.isNaN, s"trial $trial cell $i")
+        else assert(math.abs(a - b2) <= tol,
+          s"trial $trial cell $i: $a vs $b2 (tol $tol)")
+      }
+    }
+  }
+
+  test("constant field packs to nbits=0 and decodes to R everywhere; " +
+    "multiple fields concatenate as independent messages") {
+    val c = Grib2Write.FieldSpec(0, 0, 0, 0, 4, 3, 60.0, 0.0, 1.0, 1.0,
+      Array.fill(12)(273.15), decimalScale = 2)
+    val v = Grib2Write.FieldSpec(2, 0, 5, 24, 2, 2, 10.0, 5.0, 0.5, 0.5,
+      Array(1.0, 2.0, 3.0, 4.0))
+    val fields = Grib2.read(Grib2Write.write(Seq(c, v)))
+    assert(fields.length === 2)
+    assert(fields(0).values.forall(x => math.abs(x - 273.15) < 1e-6))
+    assert(fields(1).discipline === 2 && fields(1).forecastHours === Some(24))
+    assert(fields(1).values.toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("PNG packing (template 5.41): packed integers carried as a " +
+    "16-bit grayscale PNG decode through the same transform") {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val samples = Array(0, 100, 2000, 30000, 65535, 7)
+    for (i <- samples.indices)
+      img.getRaster.setSample(i % 3, i / 3, 0, samples(i))
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val msg = handMessage(dataTemplate = 41, packedBytes = png)
+    val f = Grib2.read(msg).head
+    assert(f.values.toSeq === samples.map(x => 1.5 + x * 2.0).toSeq)
+  }
+}
