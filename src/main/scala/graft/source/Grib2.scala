@@ -17,18 +17,21 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    number, forecast hour), other templates carried opaquely.
   *  - Section 5 data representation template 5.0 (simple packing:
   *    value = (R + packed·2^E) / 10^D, R an IEEE float32, E/D
-  *    sign-magnitude int16) and template 5.41 (PNG packing: same
-  *    transform, packed values carried as a PNG image — decoded
-  *    through the JVM's ImageIO).
+  *    sign-magnitude int16), templates 5.2/5.3 (complex packing with
+  *    general group splitting and 1st/2nd-order spatial differencing —
+  *    what operational NOAA GFS/HRRR files actually carry), and
+  *    template 5.41 (PNG packing: same transform, packed values
+  *    carried as a PNG image — decoded through the JVM's ImageIO).
   *  - Section 6 bitmaps (indicator 0 = inline, 254 = reuse previous,
   *    255 = none): masked-out points surface as NaN.
   *  - Section 7 packed data, MSB-first bit stream.
   *  - Sections 2 (local use) skipped; repeated section runs (3..7 or
   *    4..7) within one message fan out into one field each.
   *
-  * Rejected loudly (with the re-encode workaround named): complex
-  * packing 5.2/5.3, JPEG2000 packing 5.40, CCSDS 5.42, non-lat/lon
-  * grid templates, GRIB edition 1.
+  * Rejected loudly (with the re-encode workaround named): JPEG2000
+  * packing 5.40, CCSDS 5.42, complex-packing missing-value management
+  * (bitmap-encoded missing only), non-lat/lon grid templates, GRIB
+  * edition 1.
   */
 object Grib2 {
 
@@ -79,7 +82,12 @@ object Grib2 {
   private final case class Grid(ni: Int, nj: Int, lat1: Double,
       lon1: Double, dLat: Double, dLon: Double, scanMode: Int)
   private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
-      nbits: Int, nPoints: Int)
+      nbits: Int, nPoints: Int,
+      complex: Option[ComplexParams] = None)
+  private final case class ComplexParams(
+      ng: Int, widthRef: Int, widthBits: Int,
+      lenRef: Int, lenInc: Int, lastLen: Int, lenBits: Int,
+      diffOrder: Int, diffOctets: Int)
 
   private def readMessage(bytes: Array[Byte], start: Int, end: Int,
                           discipline: Int): Seq[Field] = {
@@ -155,10 +163,34 @@ object Grib2 {
               val d = sm2(b)
               val nbits = b.get() & 0xFF
               packing = Some(Packing(tpl, r, e, d, nbits, nPoints))
-            case 2 | 3 => throw new IllegalArgumentException(
-              s"GRIB2 data template 5.$tpl (complex packing) " +
-                "unsupported — re-encode with simple packing " +
-                "(wgrib2 -set_grib_type simple)")
+            case 2 | 3 =>
+              val r = b.getFloat.toDouble
+              val e = sm2(b)
+              val d = sm2(b)
+              val nbits = b.get() & 0xFF
+              b.get() // original field type
+              val split = b.get() & 0xFF
+              require(split == 1,
+                s"GRIB2 group-splitting method $split unsupported (1 only)")
+              val mvm = b.get() & 0xFF
+              require(mvm == 0,
+                s"GRIB2 missing-value management $mvm unsupported " +
+                  "(bitmap-encoded missing only)")
+              b.getInt; b.getInt // primary/secondary missing substitutes
+              val ng = b.getInt
+              val widthRef = b.get() & 0xFF
+              val widthBits = b.get() & 0xFF
+              val lenRef = b.getInt
+              val lenInc = b.get() & 0xFF
+              val lastLen = b.getInt
+              val lenBits = b.get() & 0xFF
+              val (ord, octs) =
+                if (tpl == 3) ((b.get() & 0xFF, b.get() & 0xFF)) else ((0, 0))
+              require(tpl == 2 || ord == 1 || ord == 2,
+                s"GRIB2 spatial differencing order $ord unsupported (1/2)")
+              packing = Some(Packing(tpl, r, e, d, nbits, nPoints,
+                Some(ComplexParams(ng, widthRef, widthBits, lenRef,
+                  lenInc, lastLen, lenBits, ord, octs))))
             case 40 => throw new IllegalArgumentException(
               "GRIB2 data template 5.40 (JPEG2000) unsupported — " +
                 "re-encode with simple packing (wgrib2 -set_grib_type simple)")
@@ -196,6 +228,8 @@ object Grib2 {
           val packed: Array[Long] = p.tpl match {
             case 0 => unpackBits(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
             case 41 => unpackPng(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
+            case 2 | 3 =>
+              unpackComplex(bytes, pos + 5, len - 5, p)
           }
           val scale = math.pow(2, p.e) / math.pow(10, p.d)
           val rScaled = p.r / math.pow(10, p.d)
@@ -275,6 +309,85 @@ object Grib2 {
       }
       out(i) = v
       i += 1
+    }
+    out
+  }
+
+  /** Templates 5.2/5.3 (complex packing, general group splitting, no
+    * missing-value management — bitmap-encoded missing only): section
+    * 7 carries, each block zero-padded to an octet boundary, the NG
+    * group references (nbits wide), group widths (widthBits wide, plus
+    * widthRef), scaled group lengths (lenBits wide → ref + scaled·inc,
+    * last group overridden by the header's true length), then each
+    * group's values at its own width. 5.3 prefixes the section with
+    * `order` initial field values and the overall minimum g_min of the
+    * differences (sign-magnitude, diffOctets wide each); the packed
+    * stream then holds the biased differences, reconstructed as
+    * Y_i = d_i + g_min + Y_{i-1} (order 1) or + 2Y_{i-1} − Y_{i-2}
+    * (order 2), with the first `order` values taken verbatim.
+    */
+  private def unpackComplex(bytes: Array[Byte], off: Int, len: Int,
+                            p: Packing): Array[Long] = {
+    val cp = p.complex.get
+    var bit = 0L
+    val limit = len.toLong * 8
+    def readBits(n: Int): Long = {
+      require(bit + n <= limit, s"complex-packed data overruns section 7")
+      var v = 0L; var k = 0
+      while (k < n) {
+        v = (v << 1) |
+          ((bytes(off + (bit >> 3).toInt) >> (7 - (bit & 7)).toInt) & 1)
+        bit += 1; k += 1
+      }
+      v
+    }
+    def align(): Unit = { val r = bit % 8; if (r != 0) bit += 8 - r }
+    def readSm(octets: Int): Long = {
+      val raw = readBits(octets * 8)
+      val signBit = 1L << (octets * 8 - 1)
+      if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
+    }
+    val init = new Array[Long](cp.diffOrder)
+    var gmin = 0L
+    if (p.tpl == 3) {
+      var k = 0
+      while (k < cp.diffOrder) { init(k) = readSm(cp.diffOctets); k += 1 }
+      gmin = readSm(cp.diffOctets)
+    }
+    val refs = Array.fill(cp.ng)(
+      if (p.nbits == 0) 0L else readBits(p.nbits))
+    align()
+    val widths = Array.fill(cp.ng)(cp.widthRef +
+      (if (cp.widthBits == 0) 0L else readBits(cp.widthBits)))
+    align()
+    val lens = Array.fill(cp.ng)(cp.lenRef.toLong +
+      (if (cp.lenBits == 0) 0L else readBits(cp.lenBits)) * cp.lenInc)
+    if (cp.ng > 0) lens(cp.ng - 1) = cp.lastLen
+    align()
+    require(lens.sum == p.nPoints,
+      s"group lengths sum ${lens.sum} != packed point count ${p.nPoints}")
+    val out = new Array[Long](p.nPoints)
+    var idx = 0
+    var g = 0
+    while (g < cp.ng) {
+      val w = widths(g).toInt
+      var i = 0L
+      while (i < lens(g)) {
+        out(idx) = refs(g) + (if (w == 0) 0L else readBits(w))
+        idx += 1; i += 1
+      }
+      g += 1
+    }
+    if (p.tpl == 3) {
+      var i = 0
+      while (i < cp.diffOrder && i < out.length) { out(i) = init(i); i += 1 }
+      if (cp.diffOrder == 1) {
+        while (i < out.length) { out(i) = out(i) + gmin + out(i - 1); i += 1 }
+      } else {
+        while (i < out.length) {
+          out(i) = out(i) + gmin + 2 * out(i - 1) - out(i - 2); i += 1
+        }
+      }
     }
     out
   }

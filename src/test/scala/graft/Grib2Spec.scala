@@ -12,11 +12,16 @@ import graft.source.{Grib2, Grib2Write}
   */
 class Grib2Spec extends AnyFunSuite {
 
-  /** Octet-by-octet message builder used by the hand fixtures. */
+  /** Octet-by-octet message builder used by the hand fixtures.
+    * `sec5Payload`, when set, replaces everything after section 5's
+    * 5-byte header + point count + template number.
+    */
   private def handMessage(scanMode: Int = 0, dataTemplate: Int = 0,
                           gridTemplate: Int = 0, edition: Int = 2,
                           packedBytes: Array[Byte] = Array(0x01, 0x23, 0x4F)
-                            .map(_.toByte)): Array[Byte] = {
+                            .map(_.toByte),
+                          sec5Payload: Option[Array[Byte]] = None)
+  : Array[Byte] = {
     val b = ByteBuffer.allocate(4096).order(ByteOrder.BIG_ENDIAN)
     b.put("GRIB".getBytes); b.putShort(0)
     b.put(0.toByte) // discipline 0 (meteorological)
@@ -58,11 +63,15 @@ class Grib2Spec extends AnyFunSuite {
     }
     sec(5) { s =>
       s.putInt(6); s.putShort(dataTemplate.toShort)
-      s.putFloat(1.5f)
-      s.putShort(1) // E = 1 → ×2
-      s.putShort(0) // D = 0
-      s.put(4.toByte) // 4 bits per value
-      s.put(0.toByte)
+      sec5Payload match {
+        case Some(p) => s.put(p)
+        case None =>
+          s.putFloat(1.5f)
+          s.putShort(1) // E = 1 → ×2
+          s.putShort(0) // D = 0
+          s.put(4.toByte) // 4 bits per value
+          s.put(0.toByte)
+      }
     }
     sec(6) { s => s.put(255.toByte) }
     sec(7) { s => s.put(packedBytes) }
@@ -109,10 +118,6 @@ class Grib2Spec extends AnyFunSuite {
       Grib2.read(handMessage(edition = 1))
     }
     assert(e1.getMessage.contains("GRIB1"))
-    val e2 = intercept[IllegalArgumentException] {
-      Grib2.read(handMessage(dataTemplate = 3))
-    }
-    assert(e2.getMessage.contains("complex packing"))
     val e3 = intercept[IllegalArgumentException] {
       Grib2.read(handMessage(dataTemplate = 40))
     }
@@ -159,6 +164,105 @@ class Grib2Spec extends AnyFunSuite {
     assert(fields(0).values.forall(x => math.abs(x - 273.15) < 1e-6))
     assert(fields(1).discipline === 2 && fields(1).forecastHours === Some(24))
     assert(fields(1).values.toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  /** 5.2/5.3 template payload (octets 12-47/49 after the common 11). */
+  private def complexSec5(r: Float, e: Int, d: Int, nbits: Int,
+                          ng: Int, widthRef: Int, widthBits: Int,
+                          lenRef: Int, lenInc: Int, lastLen: Int,
+                          lenBits: Int, order: Int = 0,
+                          diffOctets: Int = 0): Array[Byte] = {
+    val b = ByteBuffer.allocate(64).order(ByteOrder.BIG_ENDIAN)
+    b.putFloat(r); b.putShort(e.toShort); b.putShort(d.toShort)
+    b.put(nbits.toByte); b.put(0.toByte)
+    b.put(1.toByte) // general group splitting
+    b.put(0.toByte) // no missing-value management
+    b.putInt(0); b.putInt(0) // missing substitutes
+    b.putInt(ng)
+    b.put(widthRef.toByte); b.put(widthBits.toByte)
+    b.putInt(lenRef); b.put(lenInc.toByte); b.putInt(lastLen)
+    b.put(lenBits.toByte)
+    if (order > 0) { b.put(order.toByte); b.put(diffOctets.toByte) }
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  test("complex packing (5.2): hand-packed groups — references, " +
+    "widths, scaled lengths, per-group value streams, octet-aligned " +
+    "blocks — decode to the hand-computed field") {
+    // X = [5,6,7 | 100,102,101]: group refs 5/100 (7 bits each),
+    // widths 2/2 (3-bit block), lens 2-bit scaled (ref 3, inc 1, last 3)
+    val sec7 = Array(
+      0x0B, 0x90, // refs: 0000101 1100100 + 2 pad bits
+      0x48,       // widths: 010 010 + pad
+      0x00,       // lens: 00 00 + pad (last group overridden anyway)
+      0x18, 0x90  // values: 000110 001001 + pad
+    ).map(_.toByte)
+    val msg = handMessage(dataTemplate = 2, packedBytes = sec7,
+      sec5Payload = Some(complexSec5(0.5f, 0, 0, nbits = 7,
+        ng = 2, widthRef = 0, widthBits = 3,
+        lenRef = 3, lenInc = 1, lastLen = 3, lenBits = 2)))
+    val f = Grib2.read(msg).head
+    assert(f.values.toSeq === Seq(5.5, 6.5, 7.5, 100.5, 102.5, 101.5))
+  }
+
+  test("complex packing with spatial differencing (5.3, order 1): " +
+    "initial value + g_min prefix, biased differences reconstruct the " +
+    "hand-computed series") {
+    // true X = [10,12,11,15,14,18]; d = [2,-1,4,-1,4]; gmin = -1;
+    // packed g = d - gmin = [3,0,5,0,5] with a placeholder first slot
+    val sec7 = Array(
+      0x00, 0x0A, // init1 = 10 (2-octet sign-magnitude)
+      0x80, 0x01, // gmin = -1
+      0x00,       // refs: ref0 = 0 (4 bits) + pad
+      0x60,       // widths: 011 + pad (width = 3)
+      // values, 3 bits each: 000 011 000 101 000 101 + pad
+      0x0C, 0x51, 0x40
+    ).map(_.toByte)
+    val msg = handMessage(dataTemplate = 3, packedBytes = sec7,
+      sec5Payload = Some(complexSec5(0f, 0, 0, nbits = 4,
+        ng = 1, widthRef = 0, widthBits = 3,
+        lenRef = 6, lenInc = 1, lastLen = 6, lenBits = 0,
+        order = 1, diffOctets = 2)))
+    val f = Grib2.read(msg).head
+    assert(f.values.toSeq === Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0))
+  }
+
+  test("complex packing 5.3 order 2 reconstructs through the " +
+    "second-order recurrence") {
+    // X = [3, 5, 8, 12, 17, 23]: second differences all 1 → d = [1,1,1,1],
+    // gmin = 1 → packed g = 0 for every non-initial slot (width 0!)
+    val sec7 = Array(
+      0x00, 0x03, // init1 = 3
+      0x00, 0x05, // init2 = 5
+      0x00, 0x01, // gmin = 1
+      0x00,       // refs: 4-bit ref0 = 0 + pad
+      0x00        // widths: 3-bit width = 0 + pad; no value bits at all
+    ).map(_.toByte)
+    val msg = handMessage(dataTemplate = 3, packedBytes = sec7,
+      sec5Payload = Some(complexSec5(0f, 0, 0, nbits = 4,
+        ng = 1, widthRef = 0, widthBits = 3,
+        lenRef = 6, lenInc = 1, lastLen = 6, lenBits = 0,
+        order = 2, diffOctets = 2)))
+    val f = Grib2.read(msg).head
+    assert(f.values.toSeq === Seq(3.0, 5.0, 8.0, 12.0, 17.0, 23.0))
+  }
+
+  test("complex packing rejects missing-value management and other " +
+    "group-splitting methods pointedly") {
+    val p = complexSec5(0f, 0, 0, 7, 1, 0, 3, 6, 1, 6, 0)
+    p(10) = 0 // group splitting method (octet 22, after the type octet)
+    val e1 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(dataTemplate = 2, sec5Payload = Some(p),
+        packedBytes = Array[Byte](0, 0, 0)))
+    }
+    assert(e1.getMessage.contains("group-splitting"))
+    val q = complexSec5(0f, 0, 0, 7, 1, 0, 3, 6, 1, 6, 0)
+    q(11) = 1 // missing-value management (octet 23) → primary
+    val e2 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(dataTemplate = 2, sec5Payload = Some(q),
+        packedBytes = Array[Byte](0, 0, 0)))
+    }
+    assert(e2.getMessage.contains("missing-value"))
   }
 
   test("PNG packing (template 5.41): packed integers carried as a " +
