@@ -712,7 +712,17 @@ object NetCdfQueries {
           forecastHours = 12, ni = 6, nj = 4,
           lat1 = -5.0, lon1 = 100.0, dLat = 1.0, dLon = 1.0,
           values = Array.tabulate(24)(i => -40.0 + i * 1.5),
-          decimalScale = 1, binaryScale = 1))
+          decimalScale = 1, binaryScale = 1),
+        // complex packing + 2nd-order spatial differencing (5.3): the
+        // operational NOAA encoding, oracle-gated through the same scan
+        graft.source.Grib2Write.FieldSpec(0, 1, 8,
+          forecastHours = 3, ni = 15, nj = 11,
+          lat1 = 70.0, lon1 = -30.0, dLat = 0.25, dLon = 0.25,
+          values = Array.tabulate(165)(i =>
+            if (i % 31 == 11) Double.NaN
+            else 980.0 + 0.5 * (i / 15) + 0.25 * (i % 15) +
+              ((i * 7) % 5) * 0.04),
+          decimalScale = 2, packing = 3, diffOrder = 2, groupSize = 13))
       java.nio.file.Files.write(dir.resolve(f"fc_$fi%02d.grib2"),
         graft.source.Grib2Write.write(fields))
     }

@@ -17,7 +17,14 @@ object Grib2Write {
       /** Row-major, row 0 northernmost (+i/−j scan, mode 0). */
       values: Array[Double],
       decimalScale: Int = 2,
-      binaryScale: Int = 0)
+      binaryScale: Int = 0,
+      /** 0 = simple (5.0); 2 = complex (5.2); 3 = complex + spatial
+        * differencing (5.3, `diffOrder` 1 or 2).
+        */
+      packing: Int = 0,
+      diffOrder: Int = 2,
+      /** Fixed group size for the complex templates' group splitting. */
+      groupSize: Int = 17)
 
   def write(fields: Seq[FieldSpec],
             refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
@@ -94,15 +101,68 @@ object Grib2Write {
     val maxX = if (packed.isEmpty) 0L else packed.max
     val nbits =
       if (maxX == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxX)
-    // section 5 — representation template 5.0
+    // for complex templates the bit budget is recomputed per group
+    // below; the differencing transform replaces `packed` first
+    val (series, init, gmin) =
+      if (f.packing != 3) (packed, Array.empty[Long], 0L)
+      else {
+        require(f.diffOrder == 1 || f.diffOrder == 2,
+          s"diffOrder ${f.diffOrder} unsupported")
+        val d = new Array[Long](packed.length)
+        var i = f.diffOrder
+        while (i < packed.length) {
+          d(i) =
+            if (f.diffOrder == 1) packed(i) - packed(i - 1)
+            else packed(i) - 2 * packed(i - 1) + packed(i - 2)
+          i += 1
+        }
+        val tail = d.drop(f.diffOrder)
+        val mn = if (tail.isEmpty) 0L else tail.min
+        val biased = d.clone()
+        var j = f.diffOrder
+        while (j < biased.length) { biased(j) -= mn; j += 1 }
+        // the first `diffOrder` slots are placeholders (decoder
+        // overwrites them with the initial values)
+        (0 until f.diffOrder).foreach(k => biased(k) = 0L)
+        (biased, packed.take(f.diffOrder), mn)
+      }
+    val groups: Seq[Array[Long]] =
+      if (f.packing == 0) Nil
+      else series.grouped(math.max(1, f.groupSize)).toSeq
+    val gRefs = groups.map(g => g.min).toArray
+    val gWidths = groups.zip(gRefs).map { case (g, ref) =>
+      val mx = g.map(_ - ref).max
+      if (mx == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(mx)
+    }.toArray
+    val refBits =
+      if (gRefs.isEmpty || gRefs.max == 0) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(gRefs.max)
+    val lenBits = 8 // group sizes ≤ 255 at the fixture scale
+    require(f.packing == 0 || f.groupSize <= 255, "groupSize > 255")
+    val diffOcts = 4
+    // section 5 — representation template 5.0 / 5.2 / 5.3
     sec(5) { b =>
       b.putInt(valid.length)
-      b.putShort(0)
+      b.putShort((if (f.packing == 0) 0 else f.packing).toShort)
       b.putFloat(r.toFloat)
       b.putShort(sm2(f.binaryScale).toShort)
       b.putShort(sm2(f.decimalScale).toShort)
-      b.put(nbits.toByte)
+      b.put((if (f.packing == 0) nbits else refBits).toByte)
       b.put(0.toByte) // original field type: float
+      if (f.packing != 0) {
+        b.put(1.toByte) // general group splitting
+        b.put(0.toByte) // no missing-value management
+        b.putInt(0); b.putInt(0)
+        b.putInt(groups.length)
+        b.put(0.toByte) // group width reference
+        b.put(6.toByte) // 6 bits per group width
+        b.putInt(0); b.put(1.toByte) // length ref 0, increment 1
+        b.putInt(groups.lastOption.map(_.length).getOrElse(0))
+        b.put(lenBits.toByte)
+        if (f.packing == 3) {
+          b.put(f.diffOrder.toByte); b.put(diffOcts.toByte)
+        }
+      }
     }
     // section 6 — bitmap
     sec(6) { b =>
@@ -120,15 +180,36 @@ object Grib2Write {
     // section 7 — MSB-first packed data
     sec(7) { b =>
       var acc = 0L; var nb = 0
-      packed.foreach { x =>
-        var k = nbits - 1
+      def bits(x: Long, n: Int): Unit = {
+        var k = n - 1
         while (k >= 0) {
           acc = (acc << 1) | ((x >> k) & 1); nb += 1
           if (nb == 8) { b.put(acc.toByte); acc = 0; nb = 0 }
           k -= 1
         }
       }
-      if (nb > 0) b.put((acc << (8 - nb)).toByte)
+      def alignByte(): Unit =
+        if (nb > 0) { b.put((acc << (8 - nb)).toByte); acc = 0; nb = 0 }
+      def smBits(v: Long, octets: Int): Unit = {
+        val signBit = 1L << (octets * 8 - 1)
+        bits(if (v < 0) signBit | -v else v, octets * 8)
+      }
+      if (f.packing == 0) {
+        packed.foreach(bits(_, nbits))
+      } else {
+        require(gWidths.forall(_ <= 63), "group width exceeds 6 bits")
+        if (f.packing == 3) {
+          init.foreach(smBits(_, diffOcts))
+          smBits(gmin, diffOcts)
+        }
+        gRefs.foreach(bits(_, refBits)); alignByte()
+        gWidths.foreach(w => bits(w.toLong, 6)); alignByte()
+        groups.foreach(g => bits(g.length.toLong, lenBits)); alignByte()
+        groups.zipWithIndex.foreach { case (g, gi) =>
+          if (gWidths(gi) > 0) g.foreach(x => bits(x - gRefs(gi), gWidths(gi)))
+        }
+      }
+      alignByte()
     }
     val sections = body.toByteArray
     val total = 16 + sections.length + 4

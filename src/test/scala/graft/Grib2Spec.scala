@@ -265,6 +265,32 @@ class Grib2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("missing-value"))
   }
 
+  test("writer round-trips COMPLEX packing (5.2) and spatial " +
+    "differencing (5.3 orders 1/2), with bitmaps, through the decoder") {
+    val rnd = new scala.util.Random(7)
+    for ((packing, order) <- Seq((2, 0), (3, 1), (3, 2)); trial <- 0 until 4) {
+      val ni = 5 + rnd.nextInt(20); val nj = 3 + rnd.nextInt(10)
+      // smooth field + noise: the shape complex packing exists for
+      val vals = Array.tabulate(ni * nj) { i =>
+        val (y, x) = (i / ni, i % ni)
+        if (packing == 2 && i % 29 == 7) Double.NaN
+        else 500.0 + 3.0 * y + 1.5 * x + math.sin(x * 0.7) * 2 +
+          rnd.nextInt(3) * 0.25
+      }
+      val spec = Grib2Write.FieldSpec(0, 1, 1, 6, ni, nj,
+        lat1 = 45.0, lon1 = 5.0, dLat = 0.1, dLon = 0.1,
+        values = vals, decimalScale = 2, packing = packing,
+        diffOrder = math.max(order, 1), groupSize = 7 + trial * 5)
+      val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+      val tol = 0.005 + 1e-9 // D=2, E=0 → half of 0.01
+      vals.zip(f.values).zipWithIndex.foreach { case ((a, b2), i) =>
+        if (a.isNaN) assert(b2.isNaN)
+        else assert(math.abs(a - b2) <= tol,
+          s"packing $packing order $order trial $trial cell $i: $a vs $b2")
+      }
+    }
+  }
+
   test("PNG packing (template 5.41): packed integers carried as a " +
     "16-bit grayscale PNG decode through the same transform") {
     val img = new java.awt.image.BufferedImage(3, 2,
