@@ -45,7 +45,21 @@ object Grib2 {
         * normalized to +i (west→east), −j (north→south) when the scan
         * flags request the common alternatives.
         */
-      values: Array[Double])
+      values: Array[Double],
+      /** "latlon" (template 3.0: lat1/lon1/dLat/dLon are degrees) or
+        * "lambert" (template 3.30: lat1/lon1 are the FIRST GRID POINT
+        * in degrees, dLat/dLon are Dy/Dx in METERS, and `lambert`
+        * carries the cone parameters).
+        */
+      gridType: String = "latlon",
+      lambert: Option[LambertGrid] = None)
+
+  /** Template 3.30 cone parameters + the earth radius the file
+    * declares; [[graft.functions.Geo.LambertConformal]] georeferences
+    * cells from these directly.
+    */
+  final case class LambertGrid(earthRadius: Double, lov: Double,
+      laD: Double, latin1: Double, latin2: Double)
 
   def read(bytes: Array[Byte]): Seq[Field] = {
     val out = Seq.newBuilder[Field]
@@ -80,7 +94,8 @@ object Grib2 {
   }
 
   private final case class Grid(ni: Int, nj: Int, lat1: Double,
-      lon1: Double, dLat: Double, dLon: Double, scanMode: Int)
+      lon1: Double, dLat: Double, dLon: Double, scanMode: Int,
+      gridType: String = "latlon", lambert: Option[LambertGrid] = None)
   private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
       nbits: Int, nPoints: Int,
       complex: Option[ComplexParams] = None)
@@ -120,21 +135,58 @@ object Grib2 {
           b.getInt // number of data points
           b.get(); b.get() // optional-list octets + interpretation
           val tpl = b.getShort & 0xFFFF
-          require(tpl == 0,
-            s"GRIB2 grid template 3.$tpl unsupported (regular lat/lon " +
-              "3.0 only — regrid with wgrib2 -new_grid latlon)")
-          b.get(); b.get(); b.getInt // earth shape + radius
-          b.get(); b.getInt; b.get(); b.getInt // major/minor axes
-          val ni = b.getInt; val nj = b.getInt
-          b.getInt; b.getInt // basic angle + subdivisions
-          val lat1 = sm4(b) / 1e6
-          val lon1 = sm4(b) / 1e6
-          b.get() // resolution/component flags
-          sm4(b); sm4(b) // lat2/lon2 (derivable)
-          val dLon = b.getInt / 1e6
-          val dLat = b.getInt / 1e6
-          val scan = b.get() & 0xFF
-          grid = Some(Grid(ni, nj, lat1, lon1, dLat, dLon, scan))
+          def earthRadius(): Double = {
+            val shape = b.get() & 0xFF
+            val rScale = b.get() & 0xFF
+            val rVal = b.getInt
+            b.get(); b.getInt; b.get(); b.getInt // major/minor axes
+            shape match {
+              case 0 => 6367470.0
+              case 1 => rVal / math.pow(10, rScale)
+              case 6 => 6371229.0 // the NWP sphere (GFS/HRRR)
+              case o => throw new IllegalArgumentException(
+                s"GRIB2 earth shape $o unsupported (sphere 0/1/6 only)")
+            }
+          }
+          tpl match {
+            case 0 =>
+              earthRadius() // consumed; lat/lon grids don't need it
+              val ni = b.getInt; val nj = b.getInt
+              b.getInt; b.getInt // basic angle + subdivisions
+              val lat1 = sm4(b) / 1e6
+              val lon1 = sm4(b) / 1e6
+              b.get() // resolution/component flags
+              sm4(b); sm4(b) // lat2/lon2 (derivable)
+              val dLon = b.getInt / 1e6
+              val dLat = b.getInt / 1e6
+              val scan = b.get() & 0xFF
+              grid = Some(Grid(ni, nj, lat1, lon1, dLat, dLon, scan))
+            case 30 =>
+              // Lambert conformal (the HRRR/NAM native grid): first
+              // point in microdegrees, increments in MILLIMETERS,
+              // cone parallels Latin1/Latin2, orientation LoV
+              val radius = earthRadius()
+              val ni = b.getInt; val nj = b.getInt
+              val la1 = sm4(b) / 1e6
+              val lo1 = sm4(b) / 1e6
+              b.get() // resolution/component flags
+              val laD = sm4(b) / 1e6
+              val lov = sm4(b) / 1e6
+              val dx = b.getInt / 1e3
+              val dy = b.getInt / 1e3
+              b.get() // projection centre flag
+              val scan = b.get() & 0xFF
+              val latin1 = sm4(b) / 1e6
+              val latin2 = sm4(b) / 1e6
+              sm4(b); sm4(b) // southern-pole lat/lon (bipolar form)
+              grid = Some(Grid(ni, nj, la1, lo1, dy, dx, scan,
+                gridType = "lambert",
+                lambert = Some(LambertGrid(radius, lov, laD,
+                  latin1, latin2))))
+            case t => throw new IllegalArgumentException(
+              s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0 and " +
+                "Lambert 3.30 — regrid with wgrib2 -new_grid)")
+          }
         case 4 =>
           b.getShort // coordinate values count
           val tpl = b.getShort & 0xFFFF
@@ -252,7 +304,7 @@ object Grib2 {
           }
           out += Field(discipline, cat, par, refTime, hours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
-            normalizeScan(vals, g))
+            normalizeScan(vals, g), g.gridType, g.lambert)
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")

@@ -45,14 +45,29 @@ class Grib2Spec extends AnyFunSuite {
       s.put(6.toByte); s.put(0.toByte); s.putInt(0)
       s.put(0.toByte); s.putInt(0); s.put(0.toByte); s.putInt(0)
       s.putInt(3); s.putInt(2) // ni=3, nj=2
-      s.putInt(0); s.putInt(0)
-      s.putInt(50500000) // lat1 = 50.5
-      s.putInt(0x80000000 | 10250000) // lon1 = -10.25 (sign-magnitude)
-      s.put(0x30.toByte)
-      s.putInt(49500000); s.putInt(0x80000000 | 9250000) // lat2/lon2
-      s.putInt(500000) // dLon = 0.5
-      s.putInt(1000000) // dLat = 1.0
-      s.put(scanMode.toByte)
+      if (gridTemplate == 30) {
+        // Lambert 3.30 (HRRR-shaped): first point, LaD/LoV, mm
+        // increments, cone parallels
+        s.putInt(21138000) // La1 = 21.138
+        s.putInt(0x80000000 | 122720000) // Lo1 = -122.72
+        s.put(0x08.toByte)
+        s.putInt(38500000) // LaD = 38.5
+        s.putInt(0x80000000 | 97500000) // LoV = -97.5
+        s.putInt(3000000); s.putInt(3000000) // Dx = Dy = 3000 m (in mm)
+        s.put(0.toByte) // projection centre: north
+        s.put(scanMode.toByte)
+        s.putInt(38500000); s.putInt(38500000) // Latin1 = Latin2 = 38.5
+        s.putInt(0x80000000 | 90000000); s.putInt(0) // southern pole
+      } else {
+        s.putInt(0); s.putInt(0)
+        s.putInt(50500000) // lat1 = 50.5
+        s.putInt(0x80000000 | 10250000) // lon1 = -10.25 (sign-magnitude)
+        s.put(0x30.toByte)
+        s.putInt(49500000); s.putInt(0x80000000 | 9250000) // lat2/lon2
+        s.putInt(500000) // dLon = 0.5
+        s.putInt(1000000) // dLat = 1.0
+        s.put(scanMode.toByte)
+      }
     }
     sec(4) { s =>
       s.putShort(0); s.putShort(0)
@@ -123,9 +138,34 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("JPEG2000"))
     val e4 = intercept[IllegalArgumentException] {
-      Grib2.read(handMessage(gridTemplate = 30))
+      Grib2.read(handMessage(gridTemplate = 90)) // space view
     }
-    assert(e4.getMessage.contains("3.30"))
+    assert(e4.getMessage.contains("3.90"))
+  }
+
+  test("Lambert grid (template 3.30, the HRRR native projection): cone " +
+    "parameters decode and cells georeference through Geo" +
+    ".LambertConformal") {
+    // +j scan (0x40), as HRRR stores it: first point = SW corner
+    val f = Grib2.read(handMessage(gridTemplate = 30, scanMode = 0x40)).head
+    assert(f.gridType === "lambert")
+    assert(f.lat1 === 21.138 && f.lon1 === -122.72)
+    assert(f.dLat === 3000.0 && f.dLon === 3000.0) // meters
+    val lg = f.lambert.get
+    assert(lg.earthRadius === 6371229.0)
+    assert(lg.lov === -97.5 && lg.laD === 38.5)
+    assert(lg.latin1 === 38.5 && lg.latin2 === 38.5)
+    // values flow through scan normalization like any grid (rows swap)
+    assert(f.values.toSeq === Seq(7.5, 9.5, 31.5, 1.5, 3.5, 5.5))
+    // georeference: the declared first point projects into the cone and
+    // steps of Dx land exactly one cell apart (round-trip consistent)
+    val lcc = graft.functions.Geo.LambertConformal(
+      lg.earthRadius, 0.0, lg.latin1, lg.latin2, lg.laD, lg.lov)
+    val (x0, y0) = lcc.forward(f.lon1, f.lat1)
+    val (lonN, latN) = lcc.inverse(x0 + f.dLon, y0)
+    val (xN, yN) = lcc.forward(lonN, latN)
+    assert(math.abs(xN - (x0 + f.dLon)) < 1e-6 && math.abs(yN - y0) < 1e-6)
+    assert(latN > 20.0 && latN < 22.0 && lonN > f.lon1) // one cell east
   }
 
   test("writer round-trip: values within the declared quantization, " +
