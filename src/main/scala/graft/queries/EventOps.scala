@@ -164,7 +164,7 @@ object EventOps {
     * fixture-shape discipline SchemaDriftSpec enforces for types.
     * `copies` > 1 duplicates the input (the at-least-once fixtures).
     */
-  private def stageEvents(d: String, tag: String, copies: Int = 1): String = {
+  private[graft] def stageEvents(d: String, tag: String, copies: Int = 1): String = {
     import scala.jdk.CollectionConverters._
     // materialize + close each directory listing (Files.list holds an
     // open handle until closed; these run once per streaming query)
@@ -201,17 +201,19 @@ object EventOps {
       |  event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val events = graft.streaming.EventStream.readEvents(s,
-      stageEvents(d, "stream-events"))
-    val agg = events
-      .withWatermark("event_time", "2 hours")
-      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"), col("sum_value"))
-    graft.streaming.EventStream.runToCompletion(s, agg,
-      s"q92_win_${streamRun.incrementAndGet()}", outputMode = "complete")
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val events = graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events"))
+      val agg = events
+        .withWatermark("event_time", "2 hours")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      graft.streaming.EventStream.runToCompletion(s, agg,
+        s"q92_win_${streamRun.incrementAndGet()}", outputMode = "complete")
+    }
   }
 
   /** Streaming sessionization (flatMapGroupsWithState + event-time
@@ -248,16 +250,18 @@ object EventOps {
       |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
       |   OR session_end + 1800000 < final_wm
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-    val sessions = graft.streaming.EventStream.sessionizeStream(s,
-      graft.streaming.EventStream.readEvents(s,
-        stageEvents(d, "stream-events")))
-    // through the PRODUCTION parquet file sink (checkpointed,
-    // exactly-once commit log) rather than the driver-side memory sink:
-    // the oracle gates the sink path a live deployment would run
-    graft.streaming.EventStream.runToParquet(s, sessions.toDF(),
-      graft.Work.stableDir(s"q93-sink-${math.abs(d.hashCode)}"))
-      .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"))
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val sessions = graft.streaming.EventStream.sessionizeStream(s,
+        graft.streaming.EventStream.readEvents(s,
+          stageEvents(d, "stream-events")))
+      // through the PRODUCTION parquet file sink (checkpointed,
+      // exactly-once commit log) rather than the driver-side memory sink:
+      // the oracle gates the sink path a live deployment would run
+      graft.streaming.EventStream.runToParquet(s, sessions.toDF(),
+        graft.Work.stableDir(s"q93-sink-${math.abs(d.hashCode)}"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+    }
   }
 
   /** Streaming exact dedup under the oracle: the events file staged
@@ -273,15 +277,17 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
-    val deduped = graft.streaming.EventStream.dedupStream(
-      graft.streaming.EventStream.readEvents(s,
-        stageEvents(d, "stream-events-dup", copies = 2)))
-    graft.streaming.EventStream.runToCompletion(s, deduped,
-      s"q94_dedup_${streamRun.incrementAndGet()}", outputMode = "append")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
-        sum(col("value").cast("decimal(18,6)")).cast("double")
-          .as("sum_value"))
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val deduped = graft.streaming.EventStream.dedupStream(
+        graft.streaming.EventStream.readEvents(s,
+          stageEvents(d, "stream-events-dup", copies = 2)))
+      graft.streaming.EventStream.runToCompletion(s, deduped,
+        s"q94_dedup_${streamRun.incrementAndGet()}", outputMode = "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+    }
   }
 
   /** First-wins keyed state (mapGroupsWithState) under the oracle: the
@@ -294,18 +300,20 @@ object EventOps {
       |  CAST(min(epoch_ns(CAST(ts AS TIMESTAMP_NS))) AS BIGINT) AS first_ts,
       |  CAST(2 * count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val firsts = graft.streaming.EventStream.firstSeenPerUser(s,
-      graft.streaming.EventStream.readEvents(s,
-        stageEvents(d, "stream-events-dup", copies = 2)))
-    // the update-mode memory table keeps every state revision if the
-    // files split across micro-batches; state is MONOTONE (first_ts
-    // only falls, n_events only grows), so min/max per user recovers
-    // the final state whatever the batching
-    graft.streaming.EventStream.runToCompletion(s, firsts.toDF(),
-      s"q95_first_${streamRun.incrementAndGet()}", outputMode = "update")
-      .groupBy(col("user_id"))
-      .agg(min(col("first_ts")).as("first_ts"),
-        max(col("n_events")).as("n_events"))
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val firsts = graft.streaming.EventStream.firstSeenPerUser(s,
+        graft.streaming.EventStream.readEvents(s,
+          stageEvents(d, "stream-events-dup", copies = 2)))
+      // the update-mode memory table keeps every state revision if the
+      // files split across micro-batches; state is MONOTONE (first_ts
+      // only falls, n_events only grows), so min/max per user recovers
+      // the final state whatever the batching
+      graft.streaming.EventStream.runToCompletion(s, firsts.toDF(),
+        s"q95_first_${streamRun.incrementAndGet()}", outputMode = "update")
+        .groupBy(col("user_id"))
+        .agg(min(col("first_ts")).as("first_ts"),
+          max(col("n_events")).as("n_events"))
+    }
   }
 
   /** Watermarked stream-stream interval join under the oracle: every
@@ -327,15 +335,17 @@ object EventOps {
       | AND v.event_type = 'view' AND c.event_type = 'click'
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val pairs = graft.streaming.EventStream.intervalJoinStream(
-      graft.streaming.EventStream.readEvents(s,
-        stageEvents(d, "stream-events")))
-    graft.streaming.EventStream.runToCompletion(s, pairs,
-      s"q99_ssjoin_${streamRun.incrementAndGet()}", outputMode = "append")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("click_us") - col("view_us")).as("sum_delay_us"),
-        min(col("click_us") - col("view_us")).as("min_delay_us"))
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val pairs = graft.streaming.EventStream.intervalJoinStream(
+        graft.streaming.EventStream.readEvents(s,
+          stageEvents(d, "stream-events")))
+      graft.streaming.EventStream.runToCompletion(s, pairs,
+        s"q99_ssjoin_${streamRun.incrementAndGet()}", outputMode = "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_us") - col("view_us")).as("sum_delay_us"),
+          min(col("click_us") - col("view_us")).as("min_delay_us"))
+    }
   }
 
   /** LEFT-OUTER stream-stream join under the oracle: matched
@@ -367,15 +377,18 @@ object EventOps {
       |  CAST(sum(CASE WHEN cus IS NULL THEN 0 ELSE cus - vus END)
       |    AS BIGINT) AS sum_delay_us
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val joined = graft.streaming.EventStream.intervalJoinStream(
-      graft.streaming.EventStream.readEvents(s,
-        stageEvents(d, "stream-events")), joinType = "left_outer")
-    graft.streaming.EventStream.runToCompletion(s, joined,
-      s"q102_ssouter_${streamRun.incrementAndGet()}", outputMode = "append")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_rows"), count(col("click_us")).as("n_matched"),
-        sum(coalesce(col("click_us") - col("view_us"), lit(0L)))
-          .as("sum_delay_us"))
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val joined = graft.streaming.EventStream.intervalJoinStream(
+        graft.streaming.EventStream.readEvents(s,
+          stageEvents(d, "stream-events")), joinType = "left_outer")
+      graft.streaming.EventStream.runToCompletion(s, joined,
+        s"q102_ssouter_${streamRun.incrementAndGet()}", outputMode = "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("click_us")).as("n_matched"),
+          sum(coalesce(col("click_us") - col("view_us"), lit(0L)))
+            .as("sum_delay_us"))
+    }
   }
 
   /** Ordered funnel (view → later click → later purchase): per stage,
