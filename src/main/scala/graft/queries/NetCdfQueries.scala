@@ -722,7 +722,18 @@ object NetCdfQueries {
             if (i % 31 == 11) Double.NaN
             else 980.0 + 0.5 * (i / 15) + 0.25 * (i % 15) +
               ((i * 7) % 5) * 0.04),
-          decimalScale = 2, packing = 3, diffOrder = 2, groupSize = 13))
+          decimalScale = 2, packing = 3, diffOrder = 2, groupSize = 13),
+        // HRRR-shaped Lambert grid (3.30): rows georeference through
+        // the cone, so the dumped per-row lat column exercises the
+        // projected path in the oracle hash too
+        graft.source.Grib2Write.FieldSpec(0, 0, 0,
+          forecastHours = 1, ni = 8, nj = 6,
+          lat1 = 47.3, lon1 = -110.0, dLat = 3000.0, dLon = 3000.0,
+          values = Array.tabulate(48)(i => 280.0 + (i % 9) * 0.5),
+          decimalScale = 1,
+          lambert = Some(graft.source.Grib2.LambertGrid(
+            6371229.0, lov = -97.5, laD = 38.5,
+            latin1 = 38.5, latin2 = 38.5))))
       java.nio.file.Files.write(dir.resolve(f"fc_$fi%02d.grib2"),
         graft.source.Grib2Write.write(fields))
     }

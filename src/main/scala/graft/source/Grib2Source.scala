@@ -26,9 +26,33 @@ object Grib2Source {
         val bytes = java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p))
         Grib2.read(bytes).zipWithIndex.flatMap { case (f, fi) =>
+          // per-row latitude: regular grids step in degrees; Lambert
+          // grids step in projected METERS, so the row anchor (cell
+          // i=0) georeferences through the cone. Normalized row 0 is
+          // northernmost; the file's first point maps to stored row 0,
+          // which scan bit 0x40 puts at the SOUTH edge.
+          val rowLat: Int => Double = f.gridType match {
+            case "lambert" =>
+              val lg = f.lambert.get
+              val lcc = graft.functions.Geo.LambertConformal(
+                lg.earthRadius, 0.0, lg.latin1, lg.latin2, lg.laD, lg.lov)
+              val (x1, y1) = lcc.forward(f.lon1, f.lat1)
+              val up = (f.scanMode & 0x40) != 0 // stored south→north
+              j => {
+                val srcRow = if (up) f.nj - 1 - j else j
+                val y = if (up) y1 + srcRow * f.dLat else y1 - srcRow * f.dLat
+                lcc.inverse(x1, y)._2
+              }
+            case _ =>
+              // lat1 anchors the file's FIRST stored point: the north
+              // edge under −j scan, the south edge under +j (0x40)
+              val up = (f.scanMode & 0x40) != 0
+              j => if (up) f.lat1 + (f.nj - 1 - j) * f.dLat
+                   else f.lat1 - j * f.dLat
+          }
           (0 until f.nj).map { j =>
             (p, fi, f.discipline, f.category, f.parameter, f.refTime,
-              f.forecastHours.getOrElse(-1), j, f.lat1 - j * f.dLat,
+              f.forecastHours.getOrElse(-1), j, rowLat(j),
               f.values.slice(j * f.ni, (j + 1) * f.ni))
           }
         }

@@ -24,7 +24,12 @@ object Grib2Write {
       packing: Int = 0,
       diffOrder: Int = 2,
       /** Fixed group size for the complex templates' group splitting. */
-      groupSize: Int = 17)
+      groupSize: Int = 17,
+      /** When set, emit grid template 3.30 (Lambert conformal):
+        * lat1/lon1 become the first grid point and dLat/dLon are Dy/Dx
+        * in meters; stored with scan mode 0 (first point = NW corner).
+        */
+      lambert: Option[Grib2.LambertGrid] = None)
 
   def write(fields: Seq[FieldSpec],
             refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
@@ -60,22 +65,43 @@ object Grib2Write {
       b.put(rt._4.toByte); b.put(rt._5.toByte); b.put(rt._6.toByte)
       b.put(0.toByte); b.put(1.toByte) // production status, data type
     }
-    // section 3 — grid definition template 3.0
+    // section 3 — grid definition template 3.0 (lat/lon) or 3.30
     sec(3) { b =>
       b.put(0.toByte); b.putInt(f.ni * f.nj); b.put(0.toByte); b.put(0.toByte)
-      b.putShort(0) // template 3.0
-      b.put(6.toByte); b.put(0.toByte); b.putInt(0) // earth shape + radius
-      b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0) // axes
-      b.putInt(f.ni); b.putInt(f.nj)
-      b.putInt(0); b.putInt(0) // basic angle + subdivisions
-      b.putInt(sm4(math.round(f.lat1 * 1e6)))
-      b.putInt(sm4(math.round(f.lon1 * 1e6)))
-      b.put(0x30.toByte) // resolution flags: increments given
-      b.putInt(sm4(math.round((f.lat1 - f.dLat * (f.nj - 1)) * 1e6)))
-      b.putInt(sm4(math.round((f.lon1 + f.dLon * (f.ni - 1)) * 1e6)))
-      b.putInt(math.round(f.dLon * 1e6).toInt)
-      b.putInt(math.round(f.dLat * 1e6).toInt)
-      b.put(0.toByte) // scan mode: +i, −j
+      f.lambert match {
+        case None =>
+          b.putShort(0) // template 3.0
+          b.put(6.toByte); b.put(0.toByte); b.putInt(0) // shape + radius
+          b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0) // axes
+          b.putInt(f.ni); b.putInt(f.nj)
+          b.putInt(0); b.putInt(0) // basic angle + subdivisions
+          b.putInt(sm4(math.round(f.lat1 * 1e6)))
+          b.putInt(sm4(math.round(f.lon1 * 1e6)))
+          b.put(0x30.toByte) // resolution flags: increments given
+          b.putInt(sm4(math.round((f.lat1 - f.dLat * (f.nj - 1)) * 1e6)))
+          b.putInt(sm4(math.round((f.lon1 + f.dLon * (f.ni - 1)) * 1e6)))
+          b.putInt(math.round(f.dLon * 1e6).toInt)
+          b.putInt(math.round(f.dLat * 1e6).toInt)
+          b.put(0.toByte) // scan mode: +i, −j
+        case Some(lg) =>
+          b.putShort(30) // template 3.30
+          b.put(1.toByte); b.put(0.toByte) // shape 1: given sphere radius
+          b.putInt(math.round(lg.earthRadius).toInt)
+          b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0)
+          b.putInt(f.ni); b.putInt(f.nj)
+          b.putInt(sm4(math.round(f.lat1 * 1e6)))
+          b.putInt(sm4(math.round(f.lon1 * 1e6)))
+          b.put(0x08.toByte)
+          b.putInt(sm4(math.round(lg.laD * 1e6)))
+          b.putInt(sm4(math.round(lg.lov * 1e6)))
+          b.putInt(math.round(f.dLon * 1e3).toInt) // Dx in mm
+          b.putInt(math.round(f.dLat * 1e3).toInt) // Dy in mm
+          b.put(0.toByte) // projection centre: north
+          b.put(0.toByte) // scan mode: +i, −j (first point NW)
+          b.putInt(sm4(math.round(lg.latin1 * 1e6)))
+          b.putInt(sm4(math.round(lg.latin2 * 1e6)))
+          b.putInt(sm4(-90000000L)); b.putInt(0)
+      }
     }
     // section 4 — product definition template 4.0
     sec(4) { b =>

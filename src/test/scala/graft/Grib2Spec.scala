@@ -331,6 +331,24 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("writer emits Lambert grids (3.30) the reader decodes; values " +
+    "and cone parameters round-trip") {
+    val lg = Grib2.LambertGrid(6371229.0, lov = -97.5, laD = 38.5,
+      latin1 = 38.5, latin2 = 38.5)
+    val spec = Grib2Write.FieldSpec(0, 0, 0, 6, ni = 5, nj = 4,
+      lat1 = 40.0, lon1 = -100.0, dLat = 3000.0, dLon = 3000.0,
+      values = Array.tabulate(20)(i => 250.0 + i * 0.25),
+      decimalScale = 2, lambert = Some(lg))
+    val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+    assert(f.gridType === "lambert")
+    assert(f.lambert === Some(lg))
+    assert(f.lat1 === 40.0 && f.lon1 === -100.0)
+    assert(f.dLat === 3000.0 && f.dLon === 3000.0)
+    f.values.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - (250.0 + i * 0.25)) <= 0.005 + 1e-9, s"cell $i")
+    }
+  }
+
   test("PNG packing (template 5.41): packed integers carried as a " +
     "16-bit grayscale PNG decode through the same transform") {
     val img = new java.awt.image.BufferedImage(3, 2,
