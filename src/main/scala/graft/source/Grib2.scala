@@ -52,7 +52,8 @@ object Grib2 {
         * carries the cone parameters).
         */
       gridType: String = "latlon",
-      lambert: Option[LambertGrid] = None)
+      lambert: Option[LambertGrid] = None,
+      polar: Option[PolarGrid] = None)
 
   /** Template 3.30 cone parameters + the earth radius the file
     * declares; [[graft.functions.Geo.LambertConformal]] georeferences
@@ -60,6 +61,14 @@ object Grib2 {
     */
   final case class LambertGrid(earthRadius: Double, lov: Double,
       laD: Double, latin1: Double, latin2: Double)
+
+  /** Template 3.20 parameters (polar stereographic, the polar NWP
+    * grids); [[graft.functions.Geo.PolarStereo]] georeferences cells
+    * from these (spherical earth → e² = 0, LaD as the true-scale
+    * parallel, LoV as the orientation meridian).
+    */
+  final case class PolarGrid(earthRadius: Double, lov: Double,
+      laD: Double, north: Boolean)
 
   def read(bytes: Array[Byte]): Seq[Field] = {
     val out = Seq.newBuilder[Field]
@@ -95,7 +104,8 @@ object Grib2 {
 
   private final case class Grid(ni: Int, nj: Int, lat1: Double,
       lon1: Double, dLat: Double, dLon: Double, scanMode: Int,
-      gridType: String = "latlon", lambert: Option[LambertGrid] = None)
+      gridType: String = "latlon", lambert: Option[LambertGrid] = None,
+      polar: Option[PolarGrid] = None)
   private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
       nbits: Int, nPoints: Int,
       complex: Option[ComplexParams] = None)
@@ -183,9 +193,27 @@ object Grib2 {
                 gridType = "lambert",
                 lambert = Some(LambertGrid(radius, lov, laD,
                   latin1, latin2))))
+            case 20 =>
+              // polar stereographic: first point, LaD true-scale
+              // parallel, LoV orientation, mm increments
+              val radius = earthRadius()
+              val ni = b.getInt; val nj = b.getInt
+              val la1 = sm4(b) / 1e6
+              val lo1 = sm4(b) / 1e6
+              b.get() // resolution/component flags
+              val laD = sm4(b) / 1e6
+              val lov = sm4(b) / 1e6
+              val dx = b.getInt / 1e3
+              val dy = b.getInt / 1e3
+              val centre = b.get() & 0xFF // bit 1 set = south pole
+              val scan = b.get() & 0xFF
+              grid = Some(Grid(ni, nj, la1, lo1, dy, dx, scan,
+                gridType = "polar",
+                polar = Some(PolarGrid(radius, lov, laD,
+                  north = (centre & 0x80) == 0))))
             case t => throw new IllegalArgumentException(
-              s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0 and " +
-                "Lambert 3.30 — regrid with wgrib2 -new_grid)")
+              s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0, " +
+                "polar 3.20, Lambert 3.30 — regrid with wgrib2 -new_grid)")
           }
         case 4 =>
           b.getShort // coordinate values count
@@ -304,7 +332,7 @@ object Grib2 {
           }
           out += Field(discipline, cat, par, refTime, hours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
-            normalizeScan(vals, g), g.gridType, g.lambert)
+            normalizeScan(vals, g), g.gridType, g.lambert, g.polar)
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")

@@ -43,6 +43,17 @@ object Grib2Source {
                 val y = if (up) y1 + srcRow * f.dLat else y1 - srcRow * f.dLat
                 lcc.inverse(x1, y)._2
               }
+            case "polar" =>
+              val pg = f.polar.get
+              val ps = graft.functions.Geo.PolarStereo(
+                pg.earthRadius, 0.0, pg.laD, pg.lov, pg.north)
+              val (x1, y1) = ps.forward(f.lon1, f.lat1)
+              val up = (f.scanMode & 0x40) != 0
+              j => {
+                val srcRow = if (up) f.nj - 1 - j else j
+                val y = if (up) y1 + srcRow * f.dLat else y1 - srcRow * f.dLat
+                ps.inverse(x1, y)._2
+              }
             case _ =>
               // lat1 anchors the file's FIRST stored point: the north
               // edge under −j scan, the south edge under +j (0x40)

@@ -45,7 +45,17 @@ class Grib2Spec extends AnyFunSuite {
       s.put(6.toByte); s.put(0.toByte); s.putInt(0)
       s.put(0.toByte); s.putInt(0); s.put(0.toByte); s.putInt(0)
       s.putInt(3); s.putInt(2) // ni=3, nj=2
-      if (gridTemplate == 30) {
+      if (gridTemplate == 20) {
+        // polar stereographic (NSIDC-style north grid)
+        s.putInt(30000000) // La1 = 30.0
+        s.putInt(0x80000000 | 150000000) // Lo1 = -150.0
+        s.put(0x08.toByte)
+        s.putInt(60000000) // LaD = 60.0 (true-scale parallel)
+        s.putInt(0x80000000 | 45000000) // LoV = -45.0
+        s.putInt(25000000); s.putInt(25000000) // Dx = Dy = 25 km in mm
+        s.put(0.toByte) // projection centre: north pole
+        s.put(scanMode.toByte)
+      } else if (gridTemplate == 30) {
         // Lambert 3.30 (HRRR-shaped): first point, LaD/LoV, mm
         // increments, cone parallels
         s.putInt(21138000) // La1 = 21.138
@@ -329,6 +339,26 @@ class Grib2Spec extends AnyFunSuite {
           s"packing $packing order $order trial $trial cell $i: $a vs $b2")
       }
     }
+  }
+
+  test("polar stereographic grid (template 3.20): parameters decode " +
+    "and the anchor georeferences through Geo.PolarStereo") {
+    val f = Grib2.read(handMessage(gridTemplate = 20)).head
+    assert(f.gridType === "polar")
+    assert(f.lat1 === 30.0 && f.lon1 === -150.0)
+    assert(f.dLat === 25000.0 && f.dLon === 25000.0)
+    val pg = f.polar.get
+    assert(pg.earthRadius === 6371229.0 && pg.north)
+    assert(pg.laD === 60.0 && pg.lov === -45.0)
+    assert(f.values.toSeq === Seq(1.5, 3.5, 5.5, 7.5, 9.5, 31.5))
+    val ps = graft.functions.Geo.PolarStereo(
+      pg.earthRadius, 0.0, pg.laD, pg.lov, pg.north)
+    val (x1, y1) = ps.forward(f.lon1, f.lat1)
+    val (lon2, lat2) = ps.inverse(x1, y1)
+    assert(math.abs(lon2 - f.lon1) < 1e-9 && math.abs(lat2 - f.lat1) < 1e-9)
+    // one Dy step toward the pole raises latitude
+    assert(ps.inverse(x1, y1 + f.dLat)._2 > f.lat1 ||
+      ps.inverse(x1, y1 - f.dLat)._2 > f.lat1)
   }
 
   test("writer emits Lambert grids (3.30) the reader decodes; values " +
