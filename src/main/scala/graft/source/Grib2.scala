@@ -70,6 +70,94 @@ object Grib2 {
   final case class PolarGrid(earthRadius: Double, lov: Double,
       laD: Double, north: Boolean)
 
+  /** Metadata for one field without touching its packed data. */
+  final case class FieldMeta(
+      discipline: Int, category: Int, parameter: Int,
+      refTime: String, forecastHours: Option[Int],
+      ni: Int, nj: Int, gridType: String, packingTemplate: Int,
+      nBits: Int, msgOffset: Long, msgLength: Long)
+
+  /** Header-only walk: every field's identity, grid shape and packing
+    * WITHOUT decoding section 7 — the O(header) manifest pass a 100 TB
+    * GRIB archive needs (each message's byte range comes back, so a
+    * planner can split decode work per message exactly like a `.idx`
+    * sidecar would).
+    */
+  def readMeta(bytes: Array[Byte]): Seq[FieldMeta] = {
+    val out = Seq.newBuilder[FieldMeta]
+    var pos = 0
+    while (pos + 16 <= bytes.length) {
+      require(bytes(pos) == 'G' && bytes(pos + 1) == 'R' &&
+        bytes(pos + 2) == 'I' && bytes(pos + 3) == 'B',
+        s"bad GRIB magic at byte $pos")
+      val discipline = bytes(pos + 6) & 0xFF
+      val total = ByteBuffer.wrap(bytes, pos + 8, 8)
+        .order(ByteOrder.BIG_ENDIAN).getLong
+      val end = (pos + total).toInt
+      var sp = pos + 16
+      var refTime = ""
+      var gridShape = (0, 0, "latlon")
+      var product: Option[(Int, Int, Option[Int])] = None
+      var packTpl = -1
+      var packBits = 0
+      while (sp < end - 4) {
+        val b = ByteBuffer.wrap(bytes, sp, end - sp)
+          .order(ByteOrder.BIG_ENDIAN)
+        val len = b.getInt
+        val sec = b.get() & 0xFF
+        sec match {
+          case 1 =>
+            b.position(b.position() + 7)
+            val y = b.getShort & 0xFFFF
+            val mo = b.get() & 0xFF; val d = b.get() & 0xFF
+            val h = b.get() & 0xFF; val mi = b.get() & 0xFF
+            val s = b.get() & 0xFF
+            refTime = f"$y%04d-$mo%02d-$d%02dT$h%02d:$mi%02d:$s%02dZ"
+          case 3 =>
+            b.get(); b.getInt; b.get(); b.get()
+            val tpl = b.getShort & 0xFFFF
+            // ni/nj sit after the 16-octet earth block in every
+            // supported template (3.0/3.20/3.30)
+            b.position(b.position() + 16)
+            val ni = b.getInt; val nj = b.getInt
+            gridShape = (ni, nj, tpl match {
+              case 0 => "latlon"; case 20 => "polar"; case 30 => "lambert"
+              case t => s"template-3.$t"
+            })
+          case 4 =>
+            b.getShort
+            val tpl = b.getShort & 0xFFFF
+            if (tpl == 0 || tpl == 1 || tpl == 8) {
+              val cat = b.get() & 0xFF
+              val par = b.get() & 0xFF
+              b.get(); b.get(); b.get(); b.getShort; b.get()
+              val unit = b.get() & 0xFF
+              val fcst = b.getInt
+              val hours = unit match {
+                case 0 => Some(fcst / 60); case 1 => Some(fcst)
+                case 2 => Some(fcst * 24); case _ => None
+              }
+              product = Some((cat, par, hours))
+            } else product = Some((-1, -1, None))
+          case 5 =>
+            b.getInt
+            packTpl = b.getShort & 0xFFFF
+            b.getFloat; b.getShort; b.getShort
+            packBits = b.get() & 0xFF
+          case 7 =>
+            val (cat, par, hours) = product.getOrElse((-1, -1, None))
+            val (ni, nj, gt) = gridShape
+            out += FieldMeta(discipline, cat, par, refTime, hours,
+              ni, nj, gt, packTpl, packBits, pos.toLong, total)
+          case _ => ()
+        }
+        sp += len
+      }
+      pos = end
+    }
+    out.result()
+  }
+
   def read(bytes: Array[Byte]): Seq[Field] = {
     val out = Seq.newBuilder[Field]
     var pos = 0

@@ -379,6 +379,33 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("readMeta walks headers only: field identities, grid shapes, " +
+    "packing and message byte ranges, for every grid/packing variant") {
+    val multi = Grib2Write.write(Seq(
+      Grib2Write.FieldSpec(0, 3, 5, 6, 4, 3, 50.0, 0.0, 1.0, 1.0,
+        Array.tabulate(12)(_.toDouble)),
+      Grib2Write.FieldSpec(2, 0, 2, 12, 5, 4, 40.0, -100.0, 3000.0, 3000.0,
+        Array.tabulate(20)(i => i * 0.5), packing = 3,
+        lambert = Some(Grib2.LambertGrid(6371229.0, -97.5, 38.5,
+          38.5, 38.5)))))
+    val metas = Grib2.readMeta(multi)
+    assert(metas.length === 2)
+    assert(metas(0).gridType === "latlon" && metas(0).packingTemplate === 0)
+    assert(metas(1).gridType === "lambert" && metas(1).packingTemplate === 3)
+    assert(metas(0).ni === 4 && metas(0).nj === 3)
+    assert(metas(1).category === 0 && metas(1).parameter === 2)
+    assert(metas(1).forecastHours === Some(12))
+    // the byte ranges tile the file exactly (the .idx-style split plan)
+    assert(metas(0).msgOffset === 0)
+    assert(metas(1).msgOffset === metas(0).msgLength)
+    assert(metas(1).msgOffset + metas(1).msgLength === multi.length)
+    // and a meta walk never rejects packings it does not decode: a
+    // JPEG2000-packed message still yields its manifest row
+    val j2k = handMessage(dataTemplate = 40)
+    assert(Grib2.readMeta(j2k).head.packingTemplate === 40)
+    intercept[IllegalArgumentException] { Grib2.read(j2k) }
+  }
+
   test("PNG packing (template 5.41): packed integers carried as a " +
     "16-bit grayscale PNG decode through the same transform") {
     val img = new java.awt.image.BufferedImage(3, 2,
