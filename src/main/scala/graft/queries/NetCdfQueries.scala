@@ -723,6 +723,16 @@ object NetCdfQueries {
             else 980.0 + 0.5 * (i / 15) + 0.25 * (i % 15) +
               ((i * 7) % 5) * 0.04),
           decimalScale = 2, packing = 3, diffOrder = 2, groupSize = 13),
+        // CCSDS/AEC packing (5.42) — the ECMWF/DWD operational
+        // encoding, decoded through the extended-Rice coder; the
+        // second file's copy byte-pads each reference interval
+        graft.source.Grib2Write.FieldSpec(0, 2, 2,
+          forecastHours = 9, ni = 16, nj = 13,
+          lat1 = 55.0, lon1 = 2.0, dLat = 0.25, dLon = 0.25,
+          values = Array.tabulate(208)(i =>
+            if ((i + fi) % 29 == 3) Double.NaN
+            else 10.0 + 4.0 * math.sin(i / 10.0) + (i % 7) * 0.11),
+          decimalScale = 2, packing = 42, ccsdsPadRsi = fi == 1),
         // HRRR-shaped Lambert grid (3.30): rows georeference through
         // the cone, so the dumped per-row lat column exercises the
         // projected path in the oracle hash too

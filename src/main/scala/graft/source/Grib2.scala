@@ -28,10 +28,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - Sections 2 (local use) skipped; repeated section runs (3..7 or
   *    4..7) within one message fan out into one field each.
   *
+  * Template 5.42 (CCSDS/AEC — the ECMWF/DWD operational packing since
+  * libaec) decodes through [[Ccsds]], with the flags/block-size/RSI
+  * read from octets 22-25 of section 5.
+  *
   * Rejected loudly (with the re-encode workaround named): JPEG2000
-  * packing 5.40, CCSDS 5.42, complex-packing missing-value management
-  * (bitmap-encoded missing only), non-lat/lon grid templates, GRIB
-  * edition 1.
+  * packing 5.40, CCSDS restricted coding, complex-packing
+  * missing-value management (bitmap-encoded missing only), non-lat/lon
+  * grid templates, GRIB edition 1.
   */
 object Grib2 {
 
@@ -196,7 +200,13 @@ object Grib2 {
       polar: Option[PolarGrid] = None)
   private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
       nbits: Int, nPoints: Int,
-      complex: Option[ComplexParams] = None)
+      complex: Option[ComplexParams] = None,
+      ccsds: Option[CcsdsParams] = None)
+  /** Template 5.42 octets 22-25: the libaec flags mask (1 signed,
+    * 4 MSB, 8 preprocess, 16 restricted, 32 pad-RSI), block size in
+    * samples, reference sample interval in blocks.
+    */
+  private final case class CcsdsParams(flags: Int, blockSize: Int, rsi: Int)
   private final case class ComplexParams(
       ng: Int, widthRef: Int, widthBits: Int,
       lenRef: Int, lenInc: Int, lastLen: Int, lenBits: Int,
@@ -331,6 +341,19 @@ object Grib2 {
               val d = sm2(b)
               val nbits = b.get() & 0xFF
               packing = Some(Packing(tpl, r, e, d, nbits, nPoints))
+            case 42 => // CCSDS/AEC (libaec raw stream in section 7)
+              val r = b.getFloat.toDouble
+              val e = sm2(b)
+              val d = sm2(b)
+              val nbits = b.get() & 0xFF
+              b.get() // original field type
+              val flags = b.get() & 0xFF
+              val blockSize = b.get() & 0xFF
+              val rsi = b.getShort & 0xFFFF
+              require((flags & 16) == 0,
+                "GRIB2 CCSDS restricted coding (AEC_RESTRICTED) unsupported")
+              packing = Some(Packing(tpl, r, e, d, nbits, nPoints,
+                ccsds = Some(CcsdsParams(flags, blockSize, rsi))))
             case 2 | 3 =>
               val r = b.getFloat.toDouble
               val e = sm2(b)
@@ -361,9 +384,6 @@ object Grib2 {
                   lenInc, lastLen, lenBits, ord, octs))))
             case 40 => throw new IllegalArgumentException(
               "GRIB2 data template 5.40 (JPEG2000) unsupported — " +
-                "re-encode with simple packing (wgrib2 -set_grib_type simple)")
-            case 42 => throw new IllegalArgumentException(
-              "GRIB2 data template 5.42 (CCSDS/AEC) unsupported — " +
                 "re-encode with simple packing (wgrib2 -set_grib_type simple)")
             case t => throw new IllegalArgumentException(
               s"GRIB2 data template 5.$t unsupported")
@@ -398,6 +418,16 @@ object Grib2 {
             case 41 => unpackPng(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
             case 2 | 3 =>
               unpackComplex(bytes, pos + 5, len - 5, p)
+            case 42 =>
+              val c = p.ccsds.get
+              if (p.nbits == 0) new Array[Long](p.nPoints)
+              else Ccsds.decode(
+                java.util.Arrays.copyOfRange(bytes, pos + 5, pos + len),
+                p.nPoints,
+                Ccsds.Params(p.nbits, c.blockSize, c.rsi,
+                  preprocess = (c.flags & 8) != 0,
+                  signed = (c.flags & 1) != 0,
+                  padRsi = (c.flags & 32) != 0))
           }
           val scale = math.pow(2, p.e) / math.pow(10, p.d)
           val rScaled = p.r / math.pow(10, p.d)

@@ -19,9 +19,12 @@ object Grib2Write {
       decimalScale: Int = 2,
       binaryScale: Int = 0,
       /** 0 = simple (5.0); 2 = complex (5.2); 3 = complex + spatial
-        * differencing (5.3, `diffOrder` 1 or 2).
+        * differencing (5.3, `diffOrder` 1 or 2); 42 = CCSDS/AEC (5.42,
+        * preprocessed MSB stream, block 16, RSI 4 blocks).
         */
       packing: Int = 0,
+      /** 5.42 only: byte-align the stream at each RSI (flag 32). */
+      ccsdsPadRsi: Boolean = false,
       diffOrder: Int = 2,
       /** Fixed group size for the complex templates' group splitting. */
       groupSize: Int = 17,
@@ -153,7 +156,7 @@ object Grib2Write {
         (biased, packed.take(f.diffOrder), mn)
       }
     val groups: Seq[Array[Long]] =
-      if (f.packing == 0) Nil
+      if (f.packing == 0 || f.packing == 42) Nil
       else series.grouped(math.max(1, f.groupSize)).toSeq
     val gRefs = groups.map(g => g.min).toArray
     val gWidths = groups.zip(gRefs).map { case (g, ref) =>
@@ -173,9 +176,15 @@ object Grib2Write {
       b.putFloat(r.toFloat)
       b.putShort(sm2(f.binaryScale).toShort)
       b.putShort(sm2(f.decimalScale).toShort)
-      b.put((if (f.packing == 0) nbits else refBits).toByte)
+      b.put((if (f.packing == 0 || f.packing == 42) nbits else refBits)
+        .toByte)
       b.put(0.toByte) // original field type: float
-      if (f.packing != 0) {
+      if (f.packing == 42) {
+        b.put((12 | (if (f.ccsdsPadRsi) 32 else 0)).toByte) // MSB+preproc
+        b.put(16.toByte) // block size
+        b.putShort(4.toShort) // RSI in blocks
+      }
+      if (f.packing == 2 || f.packing == 3) {
         b.put(1.toByte) // general group splitting
         b.put(0.toByte) // no missing-value management
         b.putInt(0); b.putInt(0)
@@ -222,6 +231,11 @@ object Grib2Write {
       }
       if (f.packing == 0) {
         packed.foreach(bits(_, nbits))
+      } else if (f.packing == 42) {
+        if (nbits > 0)
+          Ccsds.encode(packed, Ccsds.Params(nbits, 16, 4,
+            preprocess = true, padRsi = f.ccsdsPadRsi)).foreach(x =>
+            bits(x & 0xFFL, 8))
       } else {
         require(gWidths.forall(_ <= 63), "group width exceeds 6 bits")
         if (f.packing == 3) {

@@ -504,4 +504,93 @@ object H5Filters {
     sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
     ((sum2 << 16) | sum1).toInt
   }
+
+  // ---- szip (filter 4, H5Zszip.c over the CCSDS extended-Rice coder):
+  // cd_values = [options_mask, bits_per_pixel, pixels_per_block,
+  // pixels_per_scanline]; the filter payload is a 4-byte LITTLE-endian
+  // uncompressed byte count followed by a raw (headerless) CCSDS
+  // stream. HDF5 always compresses in szip's "raw" mode
+  // (SZ_RAW_OPTION_MASK 128); NN (32) selects the unit-delay
+  // preprocessor, EC (4) entropy-only; LSB (8) / MSB (16) is the
+  // sample byte order of the DECODED chunk (H5Zszip sets it from the
+  // datatype's endianness). A scanline is one reference-sample
+  // interval, byte-aligned in the stream (the original szip coded
+  // scanlines independently — libaec's SZ-compatibility AEC_PAD_RSI).
+
+  private final val SzMaskEc = 4
+  private final val SzMaskLsb = 8
+  private final val SzMaskNn = 32
+  private final val SzMaskRaw = 128
+
+  def szipDecode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
+    require(cd.length >= 4, s"szip cd_values ${cd.length} < 4")
+    val (mask, bits, ppb, pps) = (cd(0), cd(1), cd(2), cd(3))
+    require((mask & SzMaskRaw) != 0,
+      "szip stream with an szip file header (no SZ_RAW_OPTION) " +
+        "unsupported — HDF5's filter always writes raw mode")
+    require(bits == 8 || bits == 16 || bits == 24,
+      s"szip bits-per-pixel $bits unsupported (8/16/24 — szip " +
+        "recodes 32/64-bit data as a byte stream with library-internal " +
+        "parameter rescaling; re-write with deflate or zstd, e.g. " +
+        "h5repack -f GZIP=9, and re-scan)")
+    require(ppb >= 2 && pps >= ppb && pps % ppb == 0,
+      s"szip scanline $pps not a whole number of $ppb-pixel blocks " +
+        "unsupported (partial-block scanline padding); re-write with " +
+        "deflate — h5repack -f GZIP=9 — and re-scan")
+    require(data.length >= 4, s"szip payload of ${data.length} bytes")
+    val stored = ((data(0) & 0xFF) | ((data(1) & 0xFF) << 8) |
+      ((data(2) & 0xFF) << 16) | ((data(3) & 0xFF).toLong << 24)).toLong
+    val bytesPer = bits / 8
+    require(stored > 0 && stored <= Int.MaxValue && stored % bytesPer == 0,
+      s"szip stored size $stored not a whole number of $bytesPer-byte " +
+        "samples")
+    val nSamples = (stored / bytesPer).toInt
+    val p = Ccsds.Params(bits, ppb, pps / ppb,
+      preprocess = (mask & SzMaskNn) != 0, signed = false, padRsi = true)
+    require((mask & (SzMaskNn | SzMaskEc)) != 0,
+      "szip options mask selects neither NN nor EC coding")
+    val vals = Ccsds.decode(
+      java.util.Arrays.copyOfRange(data, 4, data.length), nSamples, p)
+    val out = new Array[Byte](stored.toInt)
+    val lsbFirst = (mask & SzMaskLsb) != 0
+    var i = 0
+    while (i < nSamples) {
+      val v = vals(i)
+      var bI = 0
+      while (bI < bytesPer) {
+        val shift = if (lsbFirst) 8 * bI else 8 * (bytesPer - 1 - bI)
+        out(i * bytesPer + bI) = ((v >> shift) & 0xFF).toByte
+        bI += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Fixture/spec twin of [[szipDecode]]. */
+  def szipEncode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
+    val (mask, bits, ppb, pps) = (cd(0), cd(1), cd(2), cd(3))
+    val bytesPer = bits / 8
+    require(data.length % bytesPer == 0, "payload not sample-aligned")
+    val n = data.length / bytesPer
+    val lsbFirst = (mask & SzMaskLsb) != 0
+    val vals = Array.tabulate(n) { i =>
+      var v = 0L
+      var bI = 0
+      while (bI < bytesPer) {
+        val shift = if (lsbFirst) 8 * bI else 8 * (bytesPer - 1 - bI)
+        v |= (data(i * bytesPer + bI) & 0xFFL) << shift
+        bI += 1
+      }
+      v
+    }
+    val p = Ccsds.Params(bits, ppb, pps / ppb,
+      preprocess = (mask & SzMaskNn) != 0, signed = false, padRsi = true)
+    val stream = Ccsds.encode(vals, p)
+    val hdr = Array[Byte](
+      (data.length & 0xFF).toByte, ((data.length >> 8) & 0xFF).toByte,
+      ((data.length >> 16) & 0xFF).toByte,
+      ((data.length >> 24) & 0xFF).toByte)
+    hdr ++ stream
+  }
 }

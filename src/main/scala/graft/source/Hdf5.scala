@@ -1721,11 +1721,7 @@ object Hdf5 {
           require(computed == stored,
             f"fletcher32 mismatch: stored 0x$stored%08x, computed 0x$computed%08x")
           java.util.Arrays.copyOfRange(data, 0, data.length - 4)
-        // dynamically-registered filters hdf5plugin archives carry
-        case 4 => throw new IllegalArgumentException(
-          "szip (filter 4) is unsupported (historically patent-encumbered, " +
-            "decoder deliberately omitted); re-write the archive with " +
-            "deflate or zstd — e.g. h5repack -f GZIP=9 — and re-scan")
+        case 4 => H5Filters.szipDecode(data, f.client)
         case 5 => H5Filters.nbitDecode(data, f.client)
         case 6 => H5Filters.scaleOffsetDecode(data, f.client)
         case 32004 => H5Filters.lz4Decode(data)

@@ -422,4 +422,46 @@ class Grib2Spec extends AnyFunSuite {
     val f = Grib2.read(msg).head
     assert(f.values.toSeq === samples.map(x => 1.5 + x * 2.0).toSeq)
   }
+
+  test("CCSDS/AEC packing (template 5.42): writer round-trips across " +
+    "multiple reference intervals, bitmap holes, RSI byte padding") {
+    val rnd = new scala.util.Random(4242)
+    for ((pad, trial) <- Seq(false, true, false, true).zipWithIndex) {
+      val ni = 30; val nj = 20 // 600 points ≈ 10 RSIs at block 16 × 4
+      val vals = Array.tabulate(ni * nj)(i =>
+        if (trial % 2 == 1 && i % 53 == 7) Double.NaN
+        else 500.0 + 40.0 * math.sin(i / 25.0) + rnd.nextInt(5) * 0.01)
+      val spec = Grib2Write.FieldSpec(0, 3, 1, forecastHours = 6,
+        ni = ni, nj = nj, lat1 = 75.0, lon1 = -20.0,
+        dLat = 0.5, dLon = 0.5, values = vals,
+        decimalScale = 2, packing = 42, ccsdsPadRsi = pad)
+      val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+      val tol = 1.0 / 100 / 2 + 1e-9
+      vals.zip(f.values).zipWithIndex.foreach { case ((a, b), i) =>
+        if (a.isNaN) assert(b.isNaN, s"trial $trial cell $i")
+        else assert(math.abs(a - b) <= tol,
+          s"trial $trial pad=$pad cell $i: $a vs $b")
+      }
+    }
+    // constant CCSDS field → nbits 0, no stream, R everywhere
+    val c = Grib2Write.FieldSpec(0, 0, 0, 0, 4, 3, 60.0, 0.0, 1.0, 1.0,
+      Array.fill(12)(101325.0), decimalScale = 0, packing = 42)
+    assert(Grib2.read(Grib2Write.write(Seq(c))).head.values
+      .forall(_ == 101325.0))
+    // restricted coding rejected by name
+    val msg = Grib2Write.write(Seq(c))
+    // flip the flags octet inside section 5 (template parse reads it);
+    // find section 5 by walking section lengths
+    var pos = 16
+    var flagsAt = -1
+    while (flagsAt < 0) {
+      val len = java.nio.ByteBuffer.wrap(msg, pos, 4).getInt
+      // section 5 octet 22 (1-based) = the CCSDS flags mask
+      if ((msg(pos + 4) & 0xFF) == 5) flagsAt = pos + 21
+      else pos += len
+    }
+    msg(flagsAt) = (msg(flagsAt) | 16).toByte
+    val e = intercept[IllegalArgumentException] { Grib2.read(msg) }
+    assert(e.getMessage.contains("restricted"))
+  }
 }

@@ -153,7 +153,8 @@ class H5FiltersSpec extends AnyFunSuite {
     */
   private def craftFilteredInt32(enc: Array[Byte], filterId: Int,
                                  cd: Seq[Int], n: Int,
-                                 precision: Int = 32): Array[Byte] = {
+                                 precision: Int = 32,
+                                 elemSize: Int = 4): Array[Byte] = {
     val chunkAddr = 48
     val btreeAddr = chunkAddr + enc.length
     val dsAddr = btreeAddr + 80
@@ -195,12 +196,12 @@ class H5FiltersSpec extends AnyFunSuite {
     buf.put(3.toByte); buf.putShort(12); buf.put(0.toByte)
     buf.put(0x10.toByte)
     buf.put(0x08.toByte); buf.put(0.toByte); buf.put(0.toByte)
-    buf.putInt(4)
+    buf.putInt(elemSize)
     buf.putShort(0); buf.putShort(precision.toShort)
     buf.put(8.toByte); buf.putShort(19); buf.put(0.toByte)
     buf.put(3.toByte); buf.put(2.toByte); buf.put(2.toByte)
     buf.putLong(btreeAddr.toLong)
-    buf.putInt(n); buf.putInt(4)
+    buf.putInt(n); buf.putInt(elemSize)
     buf.put(11.toByte); buf.putShort(filtBody.toShort); buf.put(0.toByte)
     buf.put(2.toByte); buf.put(1.toByte)
     buf.putShort(filterId.toShort); buf.putShort(0)
@@ -231,16 +232,59 @@ class H5FiltersSpec extends AnyFunSuite {
     assert(r.readDoubles("v").toSeq === Seq(7.0, 3.0, 12.0, 5.0, 9.0))
   }
 
-  test("szip rejection names the filter and the h5repack workaround") {
-    // same crafted file, pipeline id swapped to szip (4)
-    // (cheapest faithful source of the error path: a real pipeline walk)
-    val raw = java.nio.ByteBuffer.allocate(4)
+  // ---- szip (filter 4): the CCSDS coder under H5Zszip's framing
+
+  test("szip: 16-bit NN payload round-trips, LE header carries the size") {
+    val mask = 128 | 32 | 8 | 1 // raw + NN + LSB + allow-k13
+    val cd = Seq(mask, 16, 16, 64)
+    val raw = java.nio.ByteBuffer.allocate(200 * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    raw.putInt(1)
-    intercept[IllegalArgumentException] {
-      H5Filters.scaleOffsetDecode(new Array[Byte](13),
-        Seq(2, 0, 1, 0, 4, 1, 1 /* BE */, 0, 0))
+    (0 until 200).foreach(i => raw.putShort((1000 + 37 * (i % 23) +
+      (if (i % 41 == 0) 7000 else 0)).toShort))
+    val enc = H5Filters.szipEncode(raw.array(), cd)
+    // 4-byte little-endian uncompressed size leads the stream
+    assert((enc(0) & 0xFF) === 400 % 256 && (enc(1) & 0xFF) === 400 / 256)
+    assert(H5Filters.szipDecode(enc, cd).toSeq === raw.array().toSeq)
+    // EC (no preprocessing) and MSB byte order variants
+    for (m2 <- Seq(128 | 4 | 8, 128 | 32 | 16, 128 | 4 | 16)) {
+      val cd2 = Seq(m2, 16, 8, 32)
+      val e2 = H5Filters.szipEncode(raw.array(), cd2)
+      assert(H5Filters.szipDecode(e2, cd2).toSeq === raw.array().toSeq,
+        s"mask $m2")
     }
+  }
+
+  test("szip: 8-bit payload across multiple scanlines") {
+    val cd = Seq(128 | 32 | 8, 8, 8, 16) // 2-block scanlines
+    val raw = Array.tabulate(150)(i => ((i * 11) % 251).toByte)
+    assert(H5Filters.szipDecode(H5Filters.szipEncode(raw, cd), cd)
+      .toSeq === raw.toSeq)
+  }
+
+  test("szip end to end: crafted chunked int16 dataset with a v2 " +
+    "pipeline message decodes through the scan path") {
+    val vals = Seq(7, 3, 12, 5, 9, 300, 301, 299, 1, 0)
+    val raw = java.nio.ByteBuffer.allocate(vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => raw.putShort(v.toShort))
+    val cd = Seq(128 | 32 | 8 | 1, 16, 8, 8)
+    val enc = H5Filters.szipEncode(raw.array(), cd)
+    val r = new Hdf5.Reader(craftFilteredInt32(enc, 4, cd, vals.length,
+      precision = 16, elemSize = 2))
+    assert(r.file.dataset("v").get.filters.map(_.id) === Seq(4))
+    assert(r.readDoubles("v").toSeq === vals.map(_.toDouble))
+  }
+
+  test("szip: 32-bit byte-stream mode and partial-block scanlines " +
+    "rejected with the h5repack workaround named") {
+    val e1 = intercept[IllegalArgumentException] {
+      H5Filters.szipDecode(new Array[Byte](8), Seq(168, 32, 16, 64))
+    }
+    assert(e1.getMessage.contains("h5repack"))
+    val e2 = intercept[IllegalArgumentException] {
+      H5Filters.szipDecode(new Array[Byte](8), Seq(168, 16, 16, 40))
+    }
+    assert(e2.getMessage.contains("h5repack"))
   }
 
   // ---- nbit (filter 5): H5Tset_precision packed integers
