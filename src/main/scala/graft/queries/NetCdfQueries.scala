@@ -733,6 +733,15 @@ object NetCdfQueries {
             if ((i + fi) % 29 == 3) Double.NaN
             else 10.0 + 4.0 * math.sin(i / 10.0) + (i % 7) * 0.11),
           decimalScale = 2, packing = 42, ccsdsPadRsi = fi == 1),
+        // ECMWF-shaped regular Gaussian grid (3.40): rows sit on the
+        // N8 parallel table (a regional subset in the second file), so
+        // the oracle hashes the quadrature latitudes themselves
+        graft.source.Grib2Write.FieldSpec(0, 3, 3,
+          forecastHours = 24, ni = 10, nj = if (fi == 0) 16 else 6,
+          lat1 = 0, lon1 = -15.0, dLat = 0, dLon = 3.0,
+          values = Array.tabulate(10 * (if (fi == 0) 16 else 6))(i =>
+            230.0 + (i % 19) * 0.8 + fi * 1.1),
+          decimalScale = 2, gaussian = Some((8, if (fi == 0) 0 else 4))),
         // HRRR-shaped Lambert grid (3.30): rows georeference through
         // the cone, so the dumped per-row lat column exercises the
         // projected path in the oracle hash too

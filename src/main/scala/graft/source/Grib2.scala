@@ -57,7 +57,12 @@ object Grib2 {
         */
       gridType: String = "latlon",
       lambert: Option[LambertGrid] = None,
-      polar: Option[PolarGrid] = None)
+      polar: Option[PolarGrid] = None,
+      /** "gaussian" (template 3.40) only: the grid's latitudes in
+        * normalized row order (north→south), resolved from the
+        * Gaussian parallel table against La1/La2.
+        */
+      gaussLats: Option[Array[Double]] = None)
 
   /** Template 3.30 cone parameters + the earth radius the file
     * declares; [[graft.functions.Geo.LambertConformal]] georeferences
@@ -73,6 +78,49 @@ object Grib2 {
     */
   final case class PolarGrid(earthRadius: Double, lov: Double,
       laD: Double, north: Boolean)
+
+  private val gaussCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  /** Latitudes (degrees, north→south) of the 2n parallels of a regular
+    * Gaussian grid (template 3.40, the ECMWF model-native grid): the
+    * arcsines of the roots of the Legendre polynomial P_2n, found by
+    * Newton iteration on the three-term recurrence from the classic
+    * cos(π(i−¼)/(m+½)) starting guesses. Southern half by symmetry;
+    * cached per n (an archive re-resolves one table per grid, and
+    * O1280's 2560-degree polynomial is not free).
+    */
+  def gaussianLatitudes(n: Int): Array[Double] =
+    gaussCache.computeIfAbsent(n, _ => {
+      require(n >= 1 && n <= 4096, s"Gaussian grid N=$n unsupported")
+      val m = 2 * n
+      val lats = new Array[Double](m)
+      var i = 0
+      while (i < n) {
+        var x = math.cos(math.Pi * (i + 0.75) / (m + 0.5))
+        var delta = 1.0
+        var iter = 0
+        while (math.abs(delta) > 1e-15 && iter < 100) {
+          var p0 = 1.0
+          var p1 = x
+          var k = 2
+          while (k <= m) {
+            val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+            p0 = p1; p1 = p2
+            k += 1
+          }
+          val dp = m * (x * p1 - p0) / (x * x - 1)
+          delta = p1 / dp
+          x -= delta
+          iter += 1
+        }
+        val lat = math.toDegrees(math.asin(x))
+        lats(i) = lat
+        lats(m - 1 - i) = -lat
+        i += 1
+      }
+      lats
+    })
 
   /** Metadata for one field without touching its packed data. */
   final case class FieldMeta(
@@ -126,6 +174,7 @@ object Grib2 {
             val ni = b.getInt; val nj = b.getInt
             gridShape = (ni, nj, tpl match {
               case 0 => "latlon"; case 20 => "polar"; case 30 => "lambert"
+              case 40 => "gaussian"
               case t => s"template-3.$t"
             })
           case 4 =>
@@ -197,7 +246,8 @@ object Grib2 {
   private final case class Grid(ni: Int, nj: Int, lat1: Double,
       lon1: Double, dLat: Double, dLon: Double, scanMode: Int,
       gridType: String = "latlon", lambert: Option[LambertGrid] = None,
-      polar: Option[PolarGrid] = None)
+      polar: Option[PolarGrid] = None,
+      gaussLats: Option[Array[Double]] = None)
   private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
       nbits: Int, nPoints: Int,
       complex: Option[ComplexParams] = None,
@@ -309,9 +359,51 @@ object Grib2 {
                 gridType = "polar",
                 polar = Some(PolarGrid(radius, lov, laD,
                   north = (centre & 0x80) == 0))))
+            case 40 =>
+              // regular Gaussian (the ECMWF native grid): same octets
+              // as 3.0 except Dj is replaced by N, the parallel count
+              // between pole and equator; latitudes come from the
+              // Gaussian table, La1/La2 select the (possibly regional)
+              // row subset
+              earthRadius()
+              val ni = b.getInt; val nj = b.getInt
+              b.getInt; b.getInt // basic angle + subdivisions
+              val lat1 = sm4(b) / 1e6
+              val lon1 = sm4(b) / 1e6
+              b.get() // resolution/component flags
+              val lat2 = sm4(b) / 1e6
+              sm4(b) // lon2 (derivable)
+              val dLon = b.getInt / 1e6
+              val nPar = b.getInt
+              val scan = b.get() & 0xFF
+              val all = gaussianLatitudes(nPar)
+              def nearest(lat: Double): Int = {
+                var best = 0; var bd = Double.MaxValue
+                var i = 0
+                while (i < all.length) {
+                  val d = math.abs(all(i) - lat)
+                  if (d < bd) { bd = d; best = i }
+                  i += 1
+                }
+                require(bd < 1e-3,
+                  f"GRIB2 Gaussian grid latitude $lat%.6f is not a " +
+                    s"parallel of the N$nPar table (nearest off by " +
+                    f"$bd%.6f°)")
+                best
+              }
+              val i1 = nearest(lat1); val i2 = nearest(lat2)
+              val lo = math.min(i1, i2); val hi = math.max(i1, i2)
+              require(hi - lo + 1 == nj,
+                s"GRIB2 Gaussian grid rows $nj != La1..La2 span " +
+                  s"${hi - lo + 1} in the N$nPar table")
+              grid = Some(Grid(ni, nj, lat1, lon1, 0.0, dLon, scan,
+                gridType = "gaussian",
+                gaussLats = Some(
+                  java.util.Arrays.copyOfRange(all, lo, hi + 1))))
             case t => throw new IllegalArgumentException(
               s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0, " +
-                "polar 3.20, Lambert 3.30 — regrid with wgrib2 -new_grid)")
+                "polar 3.20, Lambert 3.30, Gaussian 3.40 — regrid " +
+                "with wgrib2 -new_grid)")
           }
         case 4 =>
           b.getShort // coordinate values count
@@ -450,7 +542,8 @@ object Grib2 {
           }
           out += Field(discipline, cat, par, refTime, hours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
-            normalizeScan(vals, g), g.gridType, g.lambert, g.polar)
+            normalizeScan(vals, g), g.gridType, g.lambert, g.polar,
+            g.gaussLats)
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")

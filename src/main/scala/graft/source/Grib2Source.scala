@@ -54,6 +54,11 @@ object Grib2Source {
                 val y = if (up) y1 + srcRow * f.dLat else y1 - srcRow * f.dLat
                 ps.inverse(x1, y)._2
               }
+            case "gaussian" =>
+              // the resolved Gaussian parallels are already in
+              // normalized row order (north→south)
+              val lats = f.gaussLats.get
+              j => lats(j)
             case _ =>
               // lat1 anchors the file's FIRST stored point: the north
               // edge under −j scan, the south edge under +j (0x40)

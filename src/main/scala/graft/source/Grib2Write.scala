@@ -32,7 +32,13 @@ object Grib2Write {
         * lat1/lon1 become the first grid point and dLat/dLon are Dy/Dx
         * in meters; stored with scan mode 0 (first point = NW corner).
         */
-      lambert: Option[Grib2.LambertGrid] = None)
+      lambert: Option[Grib2.LambertGrid] = None,
+      /** When set to (N, row0), emit grid template 3.40 (regular
+        * Gaussian, N parallels per hemisphere): rows are the nj
+        * consecutive Gaussian parallels starting at index row0 of the
+        * north→south table; lat1/dLat are ignored.
+        */
+      gaussian: Option[(Int, Int)] = None)
 
   def write(fields: Seq[FieldSpec],
             refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
@@ -71,7 +77,25 @@ object Grib2Write {
     // section 3 — grid definition template 3.0 (lat/lon) or 3.30
     sec(3) { b =>
       b.put(0.toByte); b.putInt(f.ni * f.nj); b.put(0.toByte); b.put(0.toByte)
-      f.lambert match {
+      f.gaussian match {
+        case Some((nPar, row0)) =>
+          val lats = Grib2.gaussianLatitudes(nPar)
+          require(row0 >= 0 && row0 + f.nj <= lats.length,
+            s"Gaussian rows $row0+${f.nj} outside the N$nPar table")
+          b.putShort(40) // template 3.40
+          b.put(6.toByte); b.put(0.toByte); b.putInt(0) // shape + radius
+          b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0)
+          b.putInt(f.ni); b.putInt(f.nj)
+          b.putInt(0); b.putInt(0) // basic angle + subdivisions
+          b.putInt(sm4(math.round(lats(row0) * 1e6)))
+          b.putInt(sm4(math.round(f.lon1 * 1e6)))
+          b.put(0x30.toByte)
+          b.putInt(sm4(math.round(lats(row0 + f.nj - 1) * 1e6)))
+          b.putInt(sm4(math.round((f.lon1 + f.dLon * (f.ni - 1)) * 1e6)))
+          b.putInt(math.round(f.dLon * 1e6).toInt)
+          b.putInt(nPar)
+          b.put(0.toByte) // scan mode: +i, −j
+        case None => f.lambert match {
         case None =>
           b.putShort(0) // template 3.0
           b.put(6.toByte); b.put(0.toByte); b.putInt(0) // shape + radius
@@ -104,7 +128,7 @@ object Grib2Write {
           b.putInt(sm4(math.round(lg.latin1 * 1e6)))
           b.putInt(sm4(math.round(lg.latin2 * 1e6)))
           b.putInt(sm4(-90000000L)); b.putInt(0)
-      }
+      } }
     }
     // section 4 — product definition template 4.0
     sec(4) { b =>

@@ -464,4 +464,66 @@ class Grib2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { Grib2.read(msg) }
     assert(e.getMessage.contains("restricted"))
   }
+
+  test("Gaussian parallels: pinned against an independent quadrature " +
+    "(numpy leggauss) and the Legendre-root property") {
+    // numpy.polynomial.legendre.leggauss(2N), arcsin, descending
+    assert(Grib2.gaussianLatitudes(2).take(2).map(l => math.rint(l * 1e8))
+      .toSeq === Seq(59.4444082892, 19.8757191474).map(l =>
+      math.rint(l * 1e8)))
+    val n32 = Grib2.gaussianLatitudes(32)
+    for ((want, i) <- Seq(87.8637988392, 85.0965269883, 82.3129129479,
+        79.5256065727).zipWithIndex)
+      assert(math.abs(n32(i) - want) < 1e-9, s"N32 lat $i")
+    // independent check: every parallel's sine is a root of P_64
+    // (recurrence evaluated forward here, vs Newton inside)
+    def legendre(m: Int, x: Double): Double = {
+      var p0 = 1.0; var p1 = x
+      for (k <- 2 to m) {
+        val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+        p0 = p1; p1 = p2
+      }
+      if (m == 0) 1.0 else p1
+    }
+    n32.foreach { lat =>
+      assert(math.abs(legendre(64, math.sin(math.toRadians(lat)))) < 1e-12)
+    }
+    // symmetry and strict descending order
+    assert(n32.toSeq === n32.reverse.map(-_).toSeq)
+    assert(n32.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("Gaussian grid (template 3.40): global and regional-subset " +
+    "grids decode with table latitudes; mismatched La1 rejected") {
+    // full N=4 grid (8 rows)
+    val lats = Grib2.gaussianLatitudes(4)
+    val full = Grib2Write.FieldSpec(0, 3, 0, forecastHours = 6,
+      ni = 6, nj = 8, lat1 = 0, lon1 = 0.0, dLat = 0, dLon = 60.0,
+      values = Array.tabulate(48)(i => 220.0 + (i % 13) * 1.5),
+      decimalScale = 1, gaussian = Some((4, 0)))
+    val f = Grib2.read(Grib2Write.write(Seq(full))).head
+    assert(f.gridType === "gaussian")
+    val got = f.gaussLats.get
+    assert(got.length === 8)
+    got.zip(lats).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) }
+    // regional subset: rows 2..5 of the same table
+    val sub = full.copy(nj = 4, values = full.values.take(24),
+      gaussian = Some((4, 2)))
+    val fs = Grib2.read(Grib2Write.write(Seq(sub))).head
+    assert(fs.gaussLats.get.toSeq.zip(lats.slice(2, 6))
+      .forall(p => math.abs(p._1 - p._2) < 1e-5))
+    // a La1 that is not a parallel of the table fails pointedly
+    val msg = Grib2Write.write(Seq(full))
+    var pos = 16
+    var la1At = -1
+    while (la1At < 0) {
+      val len = java.nio.ByteBuffer.wrap(msg, pos, 4).getInt
+      // section 3 octets 47-50 (1-based) = La1
+      if ((msg(pos + 4) & 0xFF) == 3) la1At = pos + 46
+      else pos += len
+    }
+    java.nio.ByteBuffer.wrap(msg, la1At, 4).putInt(45000000) // 45°N
+    val e = intercept[IllegalArgumentException] { Grib2.read(msg) }
+    assert(e.getMessage.contains("not a parallel"))
+  }
 }
