@@ -742,6 +742,14 @@ object NetCdfQueries {
           values = Array.tabulate(10 * (if (fi == 0) 16 else 6))(i =>
             230.0 + (i % 19) * 0.8 + fi * 1.1),
           decimalScale = 2, gaussian = Some((8, if (fi == 0) 0 else 4))),
+        // REDUCED Gaussian grid (the ERA5/IFS native layout): ragged
+        // rows through the PL list, each row its own tidy values array
+        graft.source.Grib2Write.FieldSpec(0, 1, 6,
+          forecastHours = 18, ni = -1, nj = 8,
+          lat1 = 0, lon1 = 0.0, dLat = 0, dLon = 0,
+          values = Array.tabulate(200)(i => 0.5 + (i % 23) * 0.25 + fi),
+          decimalScale = 2, gaussian = Some((4, 0)),
+          gaussianPl = Some(Array(18, 22, 26, 32, 30, 28, 24, 20))),
         // HRRR-shaped Lambert grid (3.30): rows georeference through
         // the cone, so the dumped per-row lat column exercises the
         // projected path in the oracle hash too
@@ -756,7 +764,11 @@ object NetCdfQueries {
       java.nio.file.Files.write(dir.resolve(f"fc_$fi%02d.grib2"),
         graft.source.Grib2Write.write(fields))
     }
-    val tidy = graft.source.Grib2Source.tidy(s, dir.toString)
+    // splitBytes=1 → every message becomes its own planned split, so
+    // the oracle hash also gates the sub-file split path: per-split
+    // positioned reads and file-global field_idx bookkeeping
+    val tidy = graft.source.Grib2Source.tidy(s, dir.toString,
+      splitBytes = 1)
     val cells = tidy.select(col("path"), col("field_idx"), col("category"),
       col("parameter"), col("forecast_hours"), col("lat"),
       col("values"))

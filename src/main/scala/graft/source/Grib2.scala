@@ -62,7 +62,12 @@ object Grib2 {
         * normalized row order (north→south), resolved from the
         * Gaussian parallel table against La1/La2.
         */
-      gaussLats: Option[Array[Double]] = None)
+      gaussLats: Option[Array[Double]] = None,
+      /** REDUCED Gaussian grids (3.40 with Ni missing + a PL list)
+        * only: points per row in normalized row order; `values` is
+        * then ragged with these row lengths and `ni` is -1.
+        */
+      rowNi: Option[Array[Int]] = None)
 
   /** Template 3.30 cone parameters + the earth radius the file
     * declares; [[graft.functions.Geo.LambertConformal]] georeferences
@@ -247,7 +252,10 @@ object Grib2 {
       lon1: Double, dLat: Double, dLon: Double, scanMode: Int,
       gridType: String = "latlon", lambert: Option[LambertGrid] = None,
       polar: Option[PolarGrid] = None,
-      gaussLats: Option[Array[Double]] = None)
+      gaussLats: Option[Array[Double]] = None,
+      rowNi: Option[Array[Int]] = None) {
+    def nPoints: Int = rowNi.map(_.sum).getOrElse(ni * nj)
+  }
   private final case class Packing(tpl: Int, r: Double, e: Int, d: Int,
       nbits: Int, nPoints: Int,
       complex: Option[ComplexParams] = None,
@@ -291,7 +299,8 @@ object Grib2 {
         case 3 =>
           b.get() // grid definition source
           b.getInt // number of data points
-          b.get(); b.get() // optional-list octets + interpretation
+          val plOctets = b.get() & 0xFF // optional-list entry width
+          val plInterp = b.get() & 0xFF // 1 = points per row
           val tpl = b.getShort & 0xFFFF
           def earthRadius(): Double = {
             val shape = b.get() & 0xFF
@@ -360,22 +369,41 @@ object Grib2 {
                 polar = Some(PolarGrid(radius, lov, laD,
                   north = (centre & 0x80) == 0))))
             case 40 =>
-              // regular Gaussian (the ECMWF native grid): same octets
-              // as 3.0 except Dj is replaced by N, the parallel count
-              // between pole and equator; latitudes come from the
-              // Gaussian table, La1/La2 select the (possibly regional)
-              // row subset
+              // regular OR reduced Gaussian (the ECMWF native grids):
+              // same octets as 3.0 except Dj is replaced by N, the
+              // parallel count between pole and equator; latitudes
+              // come from the Gaussian table, La1/La2 select the
+              // (possibly regional) row subset. A REDUCED grid marks
+              // Ni missing and appends the per-row point counts (the
+              // PL list) after the template.
               earthRadius()
-              val ni = b.getInt; val nj = b.getInt
+              val niRaw = b.getInt; val nj = b.getInt
+              val reduced = niRaw == -1 // 0xFFFFFFFF = missing
+              val ni = if (reduced) -1 else niRaw
               b.getInt; b.getInt // basic angle + subdivisions
               val lat1 = sm4(b) / 1e6
               val lon1 = sm4(b) / 1e6
               b.get() // resolution/component flags
               val lat2 = sm4(b) / 1e6
               sm4(b) // lon2 (derivable)
-              val dLon = b.getInt / 1e6
+              val diRaw = b.getInt
+              val dLon = if (reduced) 0.0 else diRaw / 1e6
               val nPar = b.getInt
               val scan = b.get() & 0xFF
+              val pl: Option[Array[Int]] =
+                if (!reduced) None
+                else {
+                  require(plOctets > 0 && plOctets <= 4 && plInterp == 1,
+                    s"GRIB2 reduced Gaussian grid needs a points-per-row " +
+                      s"list (octets $plOctets, interpretation $plInterp)")
+                  Some(Array.fill(nj) {
+                    var v = 0
+                    var k = 0
+                    while (k < plOctets) { v = (v << 8) | (b.get() & 0xFF)
+                      k += 1 }
+                    v
+                  })
+                }
               val all = gaussianLatitudes(nPar)
               def nearest(lat: Double): Int = {
                 var best = 0; var bd = Double.MaxValue
@@ -399,7 +427,8 @@ object Grib2 {
               grid = Some(Grid(ni, nj, lat1, lon1, 0.0, dLon, scan,
                 gridType = "gaussian",
                 gaussLats = Some(
-                  java.util.Arrays.copyOfRange(all, lo, hi + 1))))
+                  java.util.Arrays.copyOfRange(all, lo, hi + 1)),
+                rowNi = pl))
             case t => throw new IllegalArgumentException(
               s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0, " +
                 "polar 3.20, Lambert 3.30, Gaussian 3.40 — regrid " +
@@ -494,7 +523,14 @@ object Grib2 {
                 i += 1
               }
               bitmap = Some(bm); lastBitmap = Some(bm)
-            case 254 => bitmap = lastBitmap
+            case 254 =>
+              // reuse-previous across a sub-file split boundary would
+              // silently drop the mask — fail loudly instead
+              require(lastBitmap.isDefined,
+                "GRIB2 bitmap indicator 254 (reuse previous) with no " +
+                  "prior bitmap in this read — message split away from " +
+                  "its bitmap carrier?")
+              bitmap = lastBitmap
             case 255 => bitmap = None
             case o => throw new IllegalArgumentException(
               s"GRIB2 bitmap indicator $o unsupported (0/254/255)")
@@ -523,7 +559,7 @@ object Grib2 {
           }
           val scale = math.pow(2, p.e) / math.pow(10, p.d)
           val rScaled = p.r / math.pow(10, p.d)
-          val n = g.ni * g.nj
+          val n = g.nPoints
           val vals = new Array[Double](n)
           bitmap match {
             case Some(bm) =>
@@ -540,10 +576,12 @@ object Grib2 {
               var i = 0
               while (i < n) { vals(i) = rScaled + packed(i) * scale; i += 1 }
           }
+          val up = (g.scanMode & 0x40) != 0
           out += Field(discipline, cat, par, refTime, hours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
             normalizeScan(vals, g), g.gridType, g.lambert, g.polar,
-            g.gaussLats)
+            g.gaussLats,
+            g.rowNi.map(pl => if (up) pl.reverse else pl))
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")
@@ -564,6 +602,27 @@ object Grib2 {
   private def normalizeScan(vals: Array[Double], g: Grid): Array[Double] = {
     require((g.scanMode & 0x20) == 0,
       s"GRIB2 j-consecutive scan mode ${g.scanMode} unsupported")
+    if (g.rowNi.isDefined) {
+      // ragged (reduced Gaussian) rows: reverse within rows / reorder
+      // whole rows through per-row offsets
+      val pl = g.rowNi.get
+      val out = new Array[Double](vals.length)
+      val off = pl.scanLeft(0)(_ + _)
+      var dst = 0
+      var j = 0
+      while (j < g.nj) {
+        val srcRow = if ((g.scanMode & 0x40) != 0) g.nj - 1 - j else j
+        val w = pl(srcRow)
+        var i = 0
+        while (i < w) {
+          val srcCol = if ((g.scanMode & 0x80) != 0) w - 1 - i else i
+          out(dst) = vals(off(srcRow) + srcCol)
+          dst += 1; i += 1
+        }
+        j += 1
+      }
+      return out
+    }
     val out = new Array[Double](vals.length)
     var j = 0
     while (j < g.nj) {

@@ -2,29 +2,87 @@ package graft.source
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Distributed GRIB2 scan: one task per file, one tidy row per
-  * (field, j scanline) — the same shape the netCDF tidy scan emits, so
-  * downstream band-stats/regrid queries run unchanged on GRIB inputs.
+/** Distributed GRIB2 scan with PLANNING-TIME SUB-FILE SPLITS: the
+  * driver walks each file's 16-octet message indicator sections only
+  * (the information a `.idx` sidecar carries — O(messages) positioned
+  * reads, zero payload bytes), coalesces consecutive messages into
+  * ~`splitBytes` tasks, and each executor task positioned-reads
+  * EXACTLY its byte range. A 100 GB multi-message archive therefore
+  * fans out across the cluster instead of serializing on one
+  * whole-file task, and no task ever materializes a file-sized
+  * buffer. Every message is independently decodable (each repeats its
+  * grid/representation sections), so message granularity is the
+  * natural split unit — the same design as the netCDF DSv2 source's
+  * (variable × leadtime) splits.
   *
-  * Scale note: a production archive pairs each GRIB with a `.idx`
-  * sidecar (byte offsets per message); the upgrade path is planning-
-  * time sub-file splits on those offsets — each message is already
-  * independently decodable, exactly like the netCDF DSv2 source's
-  * (variable × leadtime) splits. At fixture scale whole-file tasks
-  * are the right plan.
+  * Output is one tidy row per (field, j scanline) — the same shape the
+  * netCDF tidy scan emits, so downstream band-stats/regrid queries run
+  * unchanged on GRIB inputs.
   */
 object Grib2Source {
 
-  def tidy(spark: SparkSession, glob: String): DataFrame = {
+  /** Byte ranges [(offset, length)] of every message, from the
+    * indicator sections alone.
+    */
+  def messageRanges(src: Hdf5.ByteSource): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var pos = 0L
+    while (pos + 16 <= src.length) {
+      val hdr = src.read(pos, 16)
+      require(hdr(0) == 'G' && hdr(1) == 'R' && hdr(2) == 'I' &&
+        hdr(3) == 'B', s"bad GRIB magic at byte $pos")
+      val total = java.nio.ByteBuffer.wrap(hdr, 8, 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN).getLong
+      require(total >= 16 && pos + total <= src.length,
+        s"GRIB message length $total at byte $pos overruns the file")
+      out += ((pos, total))
+      pos += total
+    }
+    out.result()
+  }
+
+  def tidy(spark: SparkSession, glob: String,
+           splitBytes: Long = 128L << 20): DataFrame = {
     import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val paths = Discovery.resolve(Seq(glob), extension = "grib2")
       .map(_.toString)
-    val par = math.max(1, math.min(paths.size,
+    // planning: coalesce consecutive messages into splits; each split
+    // carries the file-global index of its first message so field_idx
+    // stays the message ordinal regardless of the split plan
+    val splits: Seq[(String, Long, Long, Int)] = paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val src = new FsByteSource(hp.getFileSystem(conf), hp)
+      val ranges = try messageRanges(src) finally src.close()
+      val out = Seq.newBuilder[(String, Long, Long, Int)]
+      var start = -1L
+      var len = 0L
+      var idx0 = 0
+      for (((off, mlen), i) <- ranges.zipWithIndex) {
+        if (start < 0) { start = off; len = 0; idx0 = i }
+        len += mlen
+        if (len >= splitBytes) {
+          out += ((p, start, len, idx0)); start = -1
+        }
+      }
+      if (start >= 0) out += ((p, start, len, idx0))
+      out.result()
+    }
+    val par = math.max(1, math.min(splits.size,
       spark.sparkContext.defaultParallelism))
-    spark.createDataset(spark.sparkContext.parallelize(paths, par))
-      .flatMap { p =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    spark.createDataset(spark.sparkContext.parallelize(splits, par))
+      .flatMap { case (p, off, splitLen, idx0) =>
+        require(splitLen <= Int.MaxValue,
+          s"GRIB split of $splitLen bytes (one message over 2 GiB?) " +
+            "unsupported in a single task buffer")
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val src = new FsByteSource(
+          hp.getFileSystem(confBc.value.value), hp)
+        val bytes =
+          try src.read(off, splitLen.toInt)
+          finally src.close()
         Grib2.read(bytes).zipWithIndex.flatMap { case (f, fi) =>
           // per-row latitude: regular grids step in degrees; Lambert
           // grids step in projected METERS, so the row anchor (cell
@@ -66,10 +124,17 @@ object Grib2Source {
               j => if (up) f.lat1 + (f.nj - 1 - j) * f.dLat
                    else f.lat1 - j * f.dLat
           }
+          // reduced Gaussian grids are ragged: row bounds come from
+          // the PL list's running offsets instead of a fixed ni
+          val rowOff: Array[Int] =
+            f.rowNi.map(_.scanLeft(0)(_ + _)).orNull
           (0 until f.nj).map { j =>
-            (p, fi, f.discipline, f.category, f.parameter, f.refTime,
-              f.forecastHours.getOrElse(-1), j, rowLat(j),
-              f.values.slice(j * f.ni, (j + 1) * f.ni))
+            val (s0, s1) =
+              if (rowOff != null) (rowOff(j), rowOff(j + 1))
+              else (j * f.ni, (j + 1) * f.ni)
+            (p, idx0 + fi, f.discipline, f.category, f.parameter,
+              f.refTime, f.forecastHours.getOrElse(-1), j, rowLat(j),
+              f.values.slice(s0, s1))
           }
         }
       }

@@ -38,7 +38,12 @@ object Grib2Write {
         * consecutive Gaussian parallels starting at index row0 of the
         * north→south table; lat1/dLat are ignored.
         */
-      gaussian: Option[(Int, Int)] = None)
+      gaussian: Option[(Int, Int)] = None,
+      /** With `gaussian`: REDUCED grid points-per-row (north→south);
+        * Ni/Di are then written missing, `values` is ragged with
+        * these row lengths, and the PL list trails the template.
+        */
+      gaussianPl: Option[Array[Int]] = None)
 
   def write(fields: Seq[FieldSpec],
             refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
@@ -55,7 +60,8 @@ object Grib2Write {
 
   private def message(f: FieldSpec,
                       rt: (Int, Int, Int, Int, Int, Int)): Array[Byte] = {
-    require(f.values.length == f.ni * f.nj, "values != ni*nj")
+    require(f.gaussianPl.isDefined || f.values.length == f.ni * f.nj,
+      "values != ni*nj")
     val body = new ByteArrayOutputStream()
     def sec(num: Int)(fill: ByteBuffer => Unit): Unit = {
       val buf = ByteBuffer.allocate(1 << 20).order(ByteOrder.BIG_ENDIAN)
@@ -76,25 +82,32 @@ object Grib2Write {
     }
     // section 3 — grid definition template 3.0 (lat/lon) or 3.30
     sec(3) { b =>
-      b.put(0.toByte); b.putInt(f.ni * f.nj); b.put(0.toByte); b.put(0.toByte)
+      b.put(0.toByte); b.putInt(f.values.length)
+      if (f.gaussianPl.isDefined) { b.put(2.toByte); b.put(1.toByte) }
+      else { b.put(0.toByte); b.put(0.toByte) }
       f.gaussian match {
         case Some((nPar, row0)) =>
           val lats = Grib2.gaussianLatitudes(nPar)
           require(row0 >= 0 && row0 + f.nj <= lats.length,
             s"Gaussian rows $row0+${f.nj} outside the N$nPar table")
+          f.gaussianPl.foreach { pl =>
+            require(pl.length == f.nj && pl.sum == f.values.length,
+              "gaussianPl rows/points disagree with nj/values") }
+          val reduced = f.gaussianPl.isDefined
           b.putShort(40) // template 3.40
           b.put(6.toByte); b.put(0.toByte); b.putInt(0) // shape + radius
           b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0)
-          b.putInt(f.ni); b.putInt(f.nj)
+          b.putInt(if (reduced) -1 else f.ni); b.putInt(f.nj)
           b.putInt(0); b.putInt(0) // basic angle + subdivisions
           b.putInt(sm4(math.round(lats(row0) * 1e6)))
           b.putInt(sm4(math.round(f.lon1 * 1e6)))
           b.put(0x30.toByte)
           b.putInt(sm4(math.round(lats(row0 + f.nj - 1) * 1e6)))
           b.putInt(sm4(math.round((f.lon1 + f.dLon * (f.ni - 1)) * 1e6)))
-          b.putInt(math.round(f.dLon * 1e6).toInt)
+          b.putInt(if (reduced) -1 else math.round(f.dLon * 1e6).toInt)
           b.putInt(nPar)
           b.put(0.toByte) // scan mode: +i, −j
+          f.gaussianPl.foreach(_.foreach(w => b.putShort(w.toShort)))
         case None => f.lambert match {
         case None =>
           b.putShort(0) // template 3.0

@@ -526,4 +526,49 @@ class Grib2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { Grib2.read(msg) }
     assert(e.getMessage.contains("not a parallel"))
   }
+
+  test("REDUCED Gaussian grid: ragged rows through the PL list, " +
+    "missing Ni/Di, scan-mode flips over ragged rows") {
+    // octahedral-style N4 (8 rows), deliberately asymmetric so the
+    // +j flip below actually permutes the PL list
+    val pl = Array(18, 22, 26, 32, 30, 28, 24, 20)
+    val vals = Array.tabulate(pl.sum)(i => 100.0 + (i % 37) * 0.5)
+    val spec = Grib2Write.FieldSpec(0, 1, 1, forecastHours = 12,
+      ni = -1, nj = 8, lat1 = 0, lon1 = 0.0, dLat = 0, dLon = 0,
+      values = vals, decimalScale = 1,
+      gaussian = Some((4, 0)), gaussianPl = Some(pl))
+    val msg = Grib2Write.write(Seq(spec))
+    val f = Grib2.read(msg).head
+    assert(f.ni === -1 && f.gridType === "gaussian")
+    assert(f.rowNi.get.toSeq === pl.toSeq)
+    assert(f.gaussLats.get.length === 8)
+    val tol = 0.1 / 2 + 1e-9
+    vals.zip(f.values).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= tol) }
+    // flip the stored scan mode to −i (0x80): same bytes reinterpret
+    // as east→west rows, so normalization must reverse WITHIN each
+    // ragged row. Section 3 scan octet = 72 (1-based).
+    val m2 = msg.clone()
+    var pos = 16
+    var scanAt = -1
+    while (scanAt < 0) {
+      val len = java.nio.ByteBuffer.wrap(m2, pos, 4).getInt
+      if ((m2(pos + 4) & 0xFF) == 3) scanAt = pos + 71
+      else pos += len
+    }
+    m2(scanAt) = 0x80.toByte
+    val f2 = Grib2.read(m2).head
+    val off = pl.scanLeft(0)(_ + _)
+    val expect = (0 until 8).flatMap(j =>
+      f.values.slice(off(j), off(j + 1)).reverse)
+    assert(f2.values.toSeq === expect)
+    // and +j (0x40): whole rows reverse, PL list follows
+    val m3 = msg.clone()
+    m3(scanAt) = 0x40.toByte
+    val f3 = Grib2.read(m3).head
+    assert(f3.rowNi.get.toSeq === pl.reverse.toSeq)
+    val expect3 = (0 until 8).reverse.flatMap(j =>
+      f.values.slice(off(j), off(j + 1)))
+    assert(f3.values.toSeq === expect3)
+  }
 }
