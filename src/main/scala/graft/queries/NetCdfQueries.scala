@@ -430,14 +430,19 @@ object NetCdfQueries {
       |      GROUP BY "array") s USING ("array")
       |ORDER BY m."array"""".stripMargin) { (s, _) =>
     // r10b: + the Fortran-order array; r11: + a vlen-utf8 object-dtype
-    // label axis listed with NULL stats through the LEFT join (decode
-    // pinned by ZarrSpec) — dir versioned so stale cached stores from
-    // earlier fixture shapes never shadow the new arrays
-    val store = stableWork("fixtures").resolve("zarrnc-r11")
+    // label axis and a RAW datetime64[ns] time axis, both listed with
+    // NULL stats through the LEFT join (decodes pinned by ZarrSpec) —
+    // dir versioned so stale cached stores from earlier fixture shapes
+    // never shadow the new arrays
+    val store = stableWork("fixtures").resolve("zarrnc-r11c")
     if (!java.nio.file.Files.exists(store.resolve(".zgroup"))) {
       graft.source.ZarrFixture.writeVlenUtf8(store, "member_label",
         Seq("control", "perturbed-01", "perturbed-02", "perturbed-03"),
         chunk = 3)
+      graft.source.ZarrFixture.writeInt64(store, "time_axis",
+        (0 until 7).map(i => if (i == 5) Long.MinValue
+          else 1735689600000000000L + i * 21600L * 1000000000L),
+        chunk = 3, dtype = "<M8[ns]", shuffle = true)
       graft.source.ZarrFixture.write(store, "sic_zstd", Seq(40, 32),
         Seq(16, 16), numCodec = Some("zstd"),
         value = c => c.head * 0.5 + c(1) * 0.01)

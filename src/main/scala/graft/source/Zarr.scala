@@ -755,9 +755,90 @@ object ZarrCodec {
       case "u4" => Array.fill(raw.length / 4)((buf.getInt.toLong & 0xFFFFFFFFL).toDouble)
       case "u2" => Array.fill(raw.length / 2)((buf.getShort & 0xFFFF).toDouble)
       case "u1" | "b1" => raw.map(b => (b & 0xFF).toDouble)
+      case dt if dt.startsWith("M8[") || dt.startsWith("m8[") =>
+        // numpy datetime64/timedelta64: int64 epoch ticks, NaT =
+        // Long.MinValue → NaN. Doubles hold 53 bits — use
+        // readLongArray where tick exactness matters.
+        Array.fill(raw.length / 8) {
+          val v = buf.getLong
+          if (v == Long.MinValue) Double.NaN else v.toDouble
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported zarr dtype $dtype")
     }
+  }
+
+  /** numpy datetime64/timedelta64 dtype ("<M8[ns]" / "<m8[us]" …). */
+  def isTime64(dtype: String): Boolean =
+    dtype.length > 3 && (dtype(1) == 'M' || dtype(1) == 'm') &&
+      dtype(2) == '8' && dtype(3) == '['
+
+  /** Seconds per tick for a datetime64/timedelta64 unit. */
+  def timeUnitSeconds(dtype: String): Double = {
+    val open = dtype.indexOf('[')
+    val close = dtype.indexOf(']')
+    require(open > 0 && close > open, s"no time unit in dtype $dtype")
+    dtype.substring(open + 1, close) match {
+      case "ns" => 1e-9; case "us" => 1e-6; case "ms" => 1e-3
+      case "s" => 1.0; case "m" => 60.0; case "h" => 3600.0
+      case "D" => 86400.0
+      case u => throw new IllegalArgumentException(
+        s"unsupported datetime64 unit '$u' in $dtype")
+    }
+  }
+
+  /** Exact int64 assembly for datetime64/timedelta64 (and plain i8)
+    * arrays — time/label axes are metadata-scale, so a driver-side
+    * assembly is the right tool, mirroring [[readStringArray]]. Values
+    * are raw epoch ticks; numpy NaT (Long.MinValue) passes through.
+    */
+  def readLongArray(store: Path, meta: ArrayMeta): Array[Long] = {
+    require(isTime64(meta.dtype) || meta.dtype.drop(1) == "i8",
+      s"${meta.name}: readLongArray expects an int64-backed dtype, " +
+        s"got ${meta.dtype}")
+    require(meta.filters.forall(_.id == "shuffle"),
+      s"${meta.name}: filters ${meta.filters.map(_.id)} unsupported " +
+        "on the int64 path (shuffle only)")
+    require(meta.shard.isEmpty && meta.transpose.isEmpty,
+      s"${meta.name}: sharded/transposed int64 arrays unsupported")
+    val order = if (meta.dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
+    val dir = if (meta.name == "/") store else store.resolve(meta.name)
+    val out = new Array[Long](meta.nValues.toInt)
+    val outStrides = strides(meta.shape.toArray)
+    graft.Work.walkAll(dir).iterator
+      .filter(Files.isRegularFile(_))
+      .filterNot(f => f.getFileName.toString.startsWith(".") ||
+        f.getFileName.toString == "zarr.json").foreach { f =>
+        val key = keyFromPath(meta, dir.relativize(f).toString)
+        val idx = key.split('.').map(_.toInt)
+        require(idx.length == meta.shape.length, s"bad chunk key $key")
+        val raw = meta.filters.reverse.foldLeft(
+          decompressBy(meta.compressor, Files.readAllBytes(f)))(
+          (b2, flt) => unfilterV2(flt, b2))
+        val buf = ByteBuffer.wrap(raw).order(order)
+        val full = Array.fill(raw.length / 8)(buf.getLong)
+        val origin = idx.zip(meta.chunks).map { case (i, c) => i * c }
+        val trimmed = origin.zip(meta.chunks).zip(meta.shape).map {
+          case ((o, c), s) => math.min(c, s - o)
+        }
+        val chunkStrides = strides(meta.chunks.toArray)
+        val outShapeStrides = strides(trimmed.toArray)
+        var i = 0
+        val n = trimmed.product
+        while (i < n) {
+          var rem = i; var srcI = 0; var dst = 0; var d = 0
+          while (d < trimmed.length) {
+            val c = rem / outShapeStrides(d); rem %= outShapeStrides(d)
+            srcI += c * chunkStrides(d)
+            dst += (origin(d) + c) * outStrides(d)
+            d += 1
+          }
+          out(dst) = full(srcI)
+          i += 1
+        }
+      }
+    out
   }
 
   private def gunzip(bytes: Array[Byte]): Array[Byte] = {
@@ -854,8 +935,16 @@ object ZarrSource {
         throw new IllegalArgumentException(s"no coord among $cands in $store"))
       val m = metas.find(_.name == n).get
       require(m.shape.length == 1, s"coord $n is not 1-D")
-      (n, ZarrCodec.readArray(root, m),
-        ZarrCodec.readAttrs(root.resolve(n)).getOrElse("units", ""))
+      if (ZarrCodec.isTime64(m.dtype)) {
+        // raw datetime64 axis (zarr-python without CF encoding):
+        // exact int64 ticks scaled to epoch seconds, NaT → NaN
+        val scale = ZarrCodec.timeUnitSeconds(m.dtype)
+        (n, ZarrCodec.readLongArray(root, m).map(v =>
+          if (v == Long.MinValue) Double.NaN else v * scale),
+          "seconds since 1970-01-01")
+      } else
+        (n, ZarrCodec.readArray(root, m),
+          ZarrCodec.readAttrs(root.resolve(n)).getOrElse("units", ""))
     }
     def norm(raw: Array[Double], units: String): Array[Double] =
       if (units == "km" || units == "1000 meter") raw.map(_ * 1000) else raw
@@ -1111,6 +1200,48 @@ object ZarrFixture {
         le32(raw.length); b.write(raw)
       }
       Files.write(dir.resolve(ci.toString), deflate(bos.toByteArray))
+    }
+  }
+
+  /** int64-backed fixture (datetime64/timedelta64/i8): raw ticks,
+    * zlib-compressed, optional byte-shuffle filter; edge chunks padded
+    * to the full box like every v2 numeric chunk.
+    */
+  def writeInt64(store: Path, name: String, values: Seq[Long],
+                 chunk: Int, dtype: String = "<M8[ns]",
+                 shuffle: Boolean = false,
+                 attrs: Map[String, String] = Map.empty,
+                 dims: Seq[String] = Seq.empty): Unit = {
+    val dir = store.resolve(name)
+    Files.createDirectories(dir)
+    Files.writeString(store.resolve(".zgroup"), """{"zarr_format": 2}""")
+    val extra = attrs.map { case (k, v) => s""""$k": "$v"""" } ++
+      (if (dims.nonEmpty)
+        Seq(s""""_ARRAY_DIMENSIONS": ${
+          dims.map(d => s""""$d"""").mkString("[", ", ", "]")}""")
+      else Seq.empty)
+    if (extra.nonEmpty)
+      Files.writeString(dir.resolve(".zattrs"),
+        extra.mkString("{", ", ", "}"))
+    val filterJson =
+      if (shuffle) """[{"id": "shuffle", "elementsize": 8}]""" else "null"
+    Files.writeString(dir.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${values.length}],
+         | "chunks": [$chunk], "dtype": "$dtype",
+         | "compressor": {"id": "zlib", "level": 6}, "fill_value": null,
+         | "order": "C",
+         | "filters": $filterJson}""".stripMargin)
+    val nChunks = (values.length + chunk - 1) / chunk
+    (0 until nChunks).foreach { ci =>
+      val b = java.nio.ByteBuffer.allocate(chunk * 8)
+        .order(if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+               else ByteOrder.LITTLE_ENDIAN)
+      (0 until chunk).foreach(i =>
+        b.putLong(values.lift(ci * chunk + i).getOrElse(0L)))
+      val raw =
+        if (shuffle) graft.source.ByteShuffle.forward(b.array(), 8)
+        else b.array()
+      Files.write(dir.resolve(ci.toString), deflate(raw))
     }
   }
 

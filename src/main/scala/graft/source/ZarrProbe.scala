@@ -24,6 +24,11 @@ object ZarrProbe {
       case '>' => "big-endian"
       case _ => "little-endian" // '<' and '|' (not applicable) both map little
     }
+    if (d.length > 3 && (d(1) == 'M' || d(1) == 'm') && d(2) == '8') {
+      // numpy datetime64[unit] / timedelta64[unit]: int64 ticks
+      val name = if (d(1) == 'M') "datetime64" else "timedelta64"
+      return (s"$name${d.drop(3)}", 64, order)
+    }
     val kind = d(1) match {
       case 'f' => "float"; case 'i' => "int"; case 'u' => "uint"
       case 'b' => "bool"; case c => c.toString

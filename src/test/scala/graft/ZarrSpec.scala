@@ -262,4 +262,56 @@ class ZarrSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("readStringArray"))
   }
+
+  test("datetime64 axes (raw M8 ticks): exact int64 assembly, NaT " +
+    "passthrough, shuffle + big-endian variants, probe naming") {
+    val store = java.nio.file.Files.createTempDirectory("graft-zarr-m8")
+    // hourly stamps around 2025-01-01T00Z in ns, one NaT hole,
+    // chunk 3 over 7 values → padded edge chunk
+    val base = 1735689600000000000L
+    val ticks = (0 until 7).map(i =>
+      if (i == 4) Long.MinValue else base + i * 3600L * 1000000000L)
+    graft.source.ZarrFixture.writeInt64(store, "time", ticks, chunk = 3,
+      dtype = "<M8[ns]", dims = Seq("time"))
+    graft.source.ZarrFixture.writeInt64(store, "t_shuf", ticks, chunk = 4,
+      dtype = "<M8[ns]", shuffle = true)
+    graft.source.ZarrFixture.writeInt64(store, "t_be_us",
+      ticks.map(v => if (v == Long.MinValue) v else v / 1000), chunk = 7,
+      dtype = ">M8[us]")
+    val metas = graft.source.ZarrCodec.readMeta(store)
+    val mt = metas.find(_.name == "time").get
+    assert(graft.source.ZarrCodec.readLongArray(store, mt).toSeq ===
+      ticks)
+    assert(graft.source.ZarrCodec.readLongArray(store,
+      metas.find(_.name == "t_shuf").get).toSeq === ticks)
+    assert(graft.source.ZarrCodec.readLongArray(store,
+      metas.find(_.name == "t_be_us").get).toSeq ===
+      ticks.map(v => if (v == Long.MinValue) v else v / 1000))
+    // the double path carries ticks with NaT → NaN
+    val d = graft.source.ZarrCodec.readArray(store, mt)
+    assert(d(4).isNaN && d(0) === base.toDouble)
+    // unit table + probe naming
+    assert(graft.source.ZarrCodec.timeUnitSeconds("<M8[ns]") === 1e-9)
+    assert(graft.source.ZarrCodec.timeUnitSeconds(">m8[h]") === 3600.0)
+    assert(graft.source.ZarrProbe.parseDtype("<M8[ns]") ===
+      (("datetime64[ns]", 64, "little-endian")))
+    assert(graft.source.ZarrProbe.parseDtype(">m8[s]") ===
+      (("timedelta64[s]", 64, "big-endian")))
+  }
+
+  test("tidy scan consumes a RAW datetime64 time axis as epoch seconds") {
+    val store = java.nio.file.Files.createTempDirectory("graft-zarr-m8t")
+    graft.source.ZarrFixture.writeForecast(store, nt = 2)
+    // replace the CF-numeric time axis with raw datetime64[ns]
+    graft.Work.walkAll(store.resolve("time"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(java.nio.file.Files.delete)
+    val stamps = Seq(1735689600000000000L, 1735776000000000000L)
+    graft.source.ZarrFixture.writeInt64(store, "time", stamps, chunk = 2,
+      dtype = "<M8[ns]", dims = Seq("time"))
+    val t = graft.source.ZarrSource.tidy(spark, store.toString)
+      .select("time_idx", "time").distinct().collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(t(0) === 1735689600.0 && t(1) === 1735776000.0)
+  }
 }
