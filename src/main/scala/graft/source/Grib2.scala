@@ -74,7 +74,9 @@ object Grib2 {
     * cells from these directly.
     */
   final case class LambertGrid(earthRadius: Double, lov: Double,
-      laD: Double, latin1: Double, latin2: Double)
+      laD: Double, latin1: Double, latin2: Double,
+      /** First eccentricity² from code table 3.2 (0 for spheres). */
+      e2: Double = 0.0)
 
   /** Template 3.20 parameters (polar stereographic, the polar NWP
     * grids); [[graft.functions.Geo.PolarStereo]] georeferences cells
@@ -82,7 +84,9 @@ object Grib2 {
     * parallel, LoV as the orientation meridian).
     */
   final case class PolarGrid(earthRadius: Double, lov: Double,
-      laD: Double, north: Boolean)
+      laD: Double, north: Boolean,
+      /** First eccentricity² from code table 3.2 (0 for spheres). */
+      e2: Double = 0.0)
 
   private val gaussCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
@@ -302,19 +306,38 @@ object Grib2 {
           val plOctets = b.get() & 0xFF // optional-list entry width
           val plInterp = b.get() & 0xFF // 1 = points per row
           val tpl = b.getShort & 0xFFFF
-          def earthRadius(): Double = {
+          // code table 3.2: (semi-major axis, first eccentricity²) —
+          // spheres carry e² = 0, ellipsoids feed the projections'
+          // ellipsoidal forms directly
+          def earthShape(): (Double, Double) = {
             val shape = b.get() & 0xFF
             val rScale = b.get() & 0xFF
             val rVal = b.getInt
-            b.get(); b.getInt; b.get(); b.getInt // major/minor axes
+            val aScale = b.get() & 0xFF
+            val aVal = b.getInt
+            val bScale = b.get() & 0xFF
+            val bVal = b.getInt
+            def e2Of(a: Double, bAx: Double): Double =
+              1.0 - (bAx / a) * (bAx / a)
             shape match {
-              case 0 => 6367470.0
-              case 1 => rVal / math.pow(10, rScale)
-              case 6 => 6371229.0 // the NWP sphere (GFS/HRRR)
+              case 0 => (6367470.0, 0.0)
+              case 1 => (rVal / math.pow(10, rScale), 0.0)
+              case 2 => (6378160.0, e2Of(6378160.0, 6356775.0)) // IAU 65
+              case 3 | 7 => // stored major/minor axes (km / m)
+                val unit = if (shape == 3) 1000.0 else 1.0
+                val a = aVal / math.pow(10, aScale) * unit
+                val bAx = bVal / math.pow(10, bScale) * unit
+                require(a > 0 && bAx > 0 && bAx <= a,
+                  s"GRIB2 earth axes $a/$bAx invalid")
+                (a, e2Of(a, bAx))
+              case 4 => (6378137.0, e2Of(6378137.0, 6356752.314)) // GRS80
+              case 5 => (6378137.0, 6.69437999014e-3) // WGS84
+              case 6 => (6371229.0, 0.0) // the NWP sphere (GFS/HRRR)
               case o => throw new IllegalArgumentException(
-                s"GRIB2 earth shape $o unsupported (sphere 0/1/6 only)")
+                s"GRIB2 earth shape $o unsupported (table 3.2 codes 0-7)")
             }
           }
+          def earthRadius(): Double = earthShape()._1
           tpl match {
             case 0 =>
               earthRadius() // consumed; lat/lon grids don't need it
@@ -332,7 +355,7 @@ object Grib2 {
               // Lambert conformal (the HRRR/NAM native grid): first
               // point in microdegrees, increments in MILLIMETERS,
               // cone parallels Latin1/Latin2, orientation LoV
-              val radius = earthRadius()
+              val (radius, e2) = earthShape()
               val ni = b.getInt; val nj = b.getInt
               val la1 = sm4(b) / 1e6
               val lo1 = sm4(b) / 1e6
@@ -349,11 +372,11 @@ object Grib2 {
               grid = Some(Grid(ni, nj, la1, lo1, dy, dx, scan,
                 gridType = "lambert",
                 lambert = Some(LambertGrid(radius, lov, laD,
-                  latin1, latin2))))
+                  latin1, latin2, e2))))
             case 20 =>
               // polar stereographic: first point, LaD true-scale
               // parallel, LoV orientation, mm increments
-              val radius = earthRadius()
+              val (radius, e2) = earthShape()
               val ni = b.getInt; val nj = b.getInt
               val la1 = sm4(b) / 1e6
               val lo1 = sm4(b) / 1e6
@@ -367,7 +390,7 @@ object Grib2 {
               grid = Some(Grid(ni, nj, la1, lo1, dy, dx, scan,
                 gridType = "polar",
                 polar = Some(PolarGrid(radius, lov, laD,
-                  north = (centre & 0x80) == 0))))
+                  north = (centre & 0x80) == 0, e2 = e2))))
             case 40 =>
               // regular OR reduced Gaussian (the ECMWF native grids):
               // same octets as 3.0 except Dj is replaced by N, the

@@ -93,7 +93,7 @@ object Grib2Source {
             case "lambert" =>
               val lg = f.lambert.get
               val lcc = graft.functions.Geo.LambertConformal(
-                lg.earthRadius, 0.0, lg.latin1, lg.latin2, lg.laD, lg.lov)
+                lg.earthRadius, lg.e2, lg.latin1, lg.latin2, lg.laD, lg.lov)
               val (x1, y1) = lcc.forward(f.lon1, f.lat1)
               val up = (f.scanMode & 0x40) != 0 // stored south→north
               j => {
@@ -104,7 +104,7 @@ object Grib2Source {
             case "polar" =>
               val pg = f.polar.get
               val ps = graft.functions.Geo.PolarStereo(
-                pg.earthRadius, 0.0, pg.laD, pg.lov, pg.north)
+                pg.earthRadius, pg.e2, pg.laD, pg.lov, pg.north)
               val (x1, y1) = ps.forward(f.lon1, f.lat1)
               val up = (f.scanMode & 0x40) != 0
               j => {

@@ -465,6 +465,52 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("restricted"))
   }
 
+  test("earth shapes (code table 3.2): ellipsoids resolve semi-major + " +
+    "eccentricity² for projected grids; unknown codes rejected") {
+    val spec = Grib2Write.FieldSpec(0, 0, 0, 1, 4, 3, 47.0, -110.0,
+      3000.0, 3000.0, Array.tabulate(12)(_ * 1.0), decimalScale = 1,
+      lambert = Some(Grib2.LambertGrid(6371229.0, -97.5, 38.5,
+        38.5, 38.5)))
+    val msg = Grib2Write.write(Seq(spec))
+    var pos = 16
+    var shapeAt = -1
+    while (shapeAt < 0) {
+      val len = java.nio.ByteBuffer.wrap(msg, pos, 4).getInt
+      // section 3 octet 15 (1-based) = earth shape code
+      if ((msg(pos + 4) & 0xFF) == 3) shapeAt = pos + 14
+      else pos += len
+    }
+    def withShape(code: Int, patch: Array[Byte] => Unit = _ => ())
+        : Grib2.LambertGrid = {
+      val m = msg.clone()
+      m(shapeAt) = code.toByte
+      patch(m)
+      Grib2.read(m).head.lambert.get
+    }
+    val wgs = withShape(5)
+    assert(wgs.earthRadius === 6378137.0)
+    assert(math.abs(wgs.e2 - 6.69437999014e-3) < 1e-12)
+    val grs = withShape(4)
+    assert(grs.earthRadius === 6378137.0)
+    assert(math.abs(grs.e2 - 0.006694380022903416) < 1e-9)
+    val iau = withShape(2)
+    assert(iau.earthRadius === 6378160.0)
+    assert(iau.e2 > 0.0066 && iau.e2 < 0.0068)
+    // shape 7: explicit axes in meters (octets 21-30 after the shape)
+    val custom = withShape(7, m => {
+      val b = java.nio.ByteBuffer.wrap(m, shapeAt + 6, 10)
+      b.put(0.toByte); b.putInt(6378388) // major (scale 0)
+      b.put(0.toByte); b.putInt(6356912) // minor
+    })
+    assert(custom.earthRadius === 6378388.0)
+    assert(math.abs(custom.e2 -
+      (1.0 - math.pow(6356912.0 / 6378388.0, 2))) < 1e-12)
+    val e = intercept[IllegalArgumentException] {
+      val m = msg.clone(); m(shapeAt) = 9.toByte; Grib2.read(m)
+    }
+    assert(e.getMessage.contains("table 3.2"))
+  }
+
   test("Gaussian parallels: pinned against an independent quadrature " +
     "(numpy leggauss) and the Legendre-root property") {
     // numpy.polynomial.legendre.leggauss(2N), arcsin, descending
