@@ -691,16 +691,19 @@ object NetCdfQueries {
     */
   val grib2Scan = QueryDef("q107_grib2_scan",
     """SELECT regexp_extract(path, '([^/]+)$', 1) AS file, field_idx,
-      |  category, parameter, forecast_hours,
+      |  category, parameter, forecast_hours, ensemble_member,
+      |  stat_process,
       |  count(CASE WHEN NOT isnan(v) THEN 1 END) AS n_valid,
       |  count(*) AS n_cells,
       |  CAST(sum(CASE WHEN isnan(v) THEN 0
       |           ELSE CAST(floor(v * 1e6) AS BIGINT) END) AS BIGINT) AS sum_u,
       |  CAST(min(floor(lat * 1e6)) AS BIGINT) AS min_lat_u
       |FROM (SELECT path, field_idx, category, parameter, forecast_hours,
+      |        ensemble_member, stat_process,
       |        lat, unnest(values) AS v
       |      FROM read_parquet('/tmp/graft-oracle/q107_cells/*.parquet'))
-      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin) {
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin) {
     (s, _) =>
     val dir = stableWork("fixtures").resolve("grib2")
     java.nio.file.Files.createDirectories(dir)
@@ -755,6 +758,16 @@ object NetCdfQueries {
           values = Array.tabulate(200)(i => 0.5 + (i % 23) * 0.25 + fi),
           decimalScale = 2, gaussian = Some((4, 0)),
           gaussianPl = Some(Array(18, 22, 26, 32, 30, 28, 24, 20))),
+        // GEFS-shaped ensemble accumulation (product template 4.11:
+        // perturbation member + a 6-hour accumulation), CCSDS-packed
+        graft.source.Grib2Write.FieldSpec(0, 1, 8,
+          forecastHours = 6, ni = 9, nj = 7,
+          lat1 = 40.0, lon1 = -100.0, dLat = 0.5, dLon = 0.5,
+          values = Array.tabulate(63)(i =>
+            if (i % 17 == 2) Double.NaN else (i % 11) * 0.4 + fi * 0.2),
+          decimalScale = 2, packing = 42,
+          ensembleSpec = Some((3, 4 + fi, 31)),
+          statSpec = Some((1, 6))),
         // HRRR-shaped Lambert grid (3.30): rows georeference through
         // the cone, so the dumped per-row lat column exercises the
         // projected path in the oracle hash too
@@ -775,14 +788,16 @@ object NetCdfQueries {
     val tidy = graft.source.Grib2Source.tidy(s, dir.toString,
       splitBytes = 1)
     val cells = tidy.select(col("path"), col("field_idx"), col("category"),
-      col("parameter"), col("forecast_hours"), col("lat"),
-      col("values"))
+      col("parameter"), col("forecast_hours"), col("ensemble_member"),
+      col("stat_process"), col("lat"), col("values"))
     oracleDump(s, "q107_cells", cells, dir.toString)
     tidy.select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
       col("field_idx"), col("category"), col("parameter"),
-      col("forecast_hours"), col("lat"), explode(col("values")).as("v"))
+      col("forecast_hours"), col("ensemble_member"), col("stat_process"),
+      col("lat"), explode(col("values")).as("v"))
       .groupBy(col("file"), col("field_idx"), col("category"),
-        col("parameter"), col("forecast_hours"))
+        col("parameter"), col("forecast_hours"), col("ensemble_member"),
+        col("stat_process"))
       .agg(
         count(when(!isnan(col("v")), 1)).as("n_valid"),
         count(lit(1)).as("n_cells"),

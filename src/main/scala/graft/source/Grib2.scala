@@ -67,7 +67,22 @@ object Grib2 {
         * only: points per row in normalized row order; `values` is
         * then ragged with these row lengths and `ni` is -1.
         */
-      rowNi: Option[Array[Int]] = None)
+      rowNi: Option[Array[Int]] = None,
+      /** Product templates 4.1/4.11: (ensemble type, perturbation
+        * number, forecast count) — the GEFS member identity.
+        */
+      ensemble: Option[(Int, Int, Int)] = None,
+      /** Product templates 4.8/4.11: (statistical process code —
+        * 0 avg / 1 accum / 2 max / 3 min — and the interval span in
+        * hours when the unit converts).
+        */
+      stat: Option[(Int, Option[Int])] = None)
+
+  /** Section-4 facts shared by the supported product templates. */
+  final case class ProductInfo(category: Int, parameter: Int,
+      forecastHours: Option[Int],
+      ensemble: Option[(Int, Int, Int)] = None,
+      stat: Option[(Int, Option[Int])] = None)
 
   /** Template 3.30 cone parameters + the earth radius the file
     * declares; [[graft.functions.Geo.LambertConformal]] georeferences
@@ -280,7 +295,7 @@ object Grib2 {
     var pos = start + 16
     var refTime = ""
     var grid: Option[Grid] = None
-    var product: Option[(Int, Int, Option[Int])] = None
+    var product: Option[ProductInfo] = None
     var packing: Option[Packing] = None
     var bitmap: Option[Array[Boolean]] = None
     var lastBitmap: Option[Array[Boolean]] = None
@@ -460,7 +475,7 @@ object Grib2 {
         case 4 =>
           b.getShort // coordinate values count
           val tpl = b.getShort & 0xFFFF
-          if (tpl == 0 || tpl == 1 || tpl == 8) {
+          if (tpl == 0 || tpl == 1 || tpl == 8 || tpl == 11) {
             val cat = b.get() & 0xFF
             val par = b.get() & 0xFF
             b.get(); b.get(); b.get() // process type/id/background
@@ -473,8 +488,33 @@ object Grib2 {
               case 2 => Some(fcst * 24) // days
               case _ => None
             }
-            product = Some((cat, par, hours))
-          } else product = Some((-1, -1, None)) // opaque template
+            // 4.1/4.11 append (type, member, count) after the two
+            // fixed surfaces; 4.8/4.11 then carry the time-interval
+            // block (end time + per-range statistical process)
+            val ens =
+              if (tpl == 1 || tpl == 11) {
+                b.position(b.position() + 12) // two fixed surfaces
+                Some((b.get() & 0xFF, b.get() & 0xFF, b.get() & 0xFF))
+              } else None
+            val stat =
+              if (tpl == 8 || tpl == 11) {
+                if (tpl == 8) b.position(b.position() + 12) // surfaces
+                b.position(b.position() + 7) // interval end time
+                val nRanges = b.get() & 0xFF
+                b.getInt // missing-in-interval count
+                require(nRanges >= 1, "4.8 with no time ranges")
+                val proc = b.get() & 0xFF // 0 avg, 1 accum, 2 max, 3 min
+                b.get() // type of time increment
+                val spanUnit = b.get() & 0xFF
+                val span = b.getInt
+                val spanHours = spanUnit match {
+                  case 0 => Some(span / 60); case 1 => Some(span)
+                  case 2 => Some(span * 24); case _ => None
+                }
+                Some((proc, spanHours))
+              } else None
+            product = Some(ProductInfo(cat, par, hours, ens, stat))
+          } else product = Some(ProductInfo(-1, -1, None)) // opaque
         case 5 =>
           val nPoints = b.getInt
           val tpl = b.getShort & 0xFFFF
@@ -563,7 +603,7 @@ object Grib2 {
             throw new IllegalArgumentException("data before grid section"))
           val p = packing.getOrElse(
             throw new IllegalArgumentException("data before representation"))
-          val (cat, par, hours) = product.getOrElse((-1, -1, None))
+          val pi = product.getOrElse(ProductInfo(-1, -1, None))
           val packed: Array[Long] = p.tpl match {
             case 0 => unpackBits(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
             case 41 => unpackPng(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
@@ -600,11 +640,13 @@ object Grib2 {
               while (i < n) { vals(i) = rScaled + packed(i) * scale; i += 1 }
           }
           val up = (g.scanMode & 0x40) != 0
-          out += Field(discipline, cat, par, refTime, hours,
+          out += Field(discipline, pi.category, pi.parameter, refTime,
+            pi.forecastHours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
             normalizeScan(vals, g), g.gridType, g.lambert, g.polar,
             g.gaussLats,
-            g.rowNi.map(pl => if (up) pl.reverse else pl))
+            g.rowNi.map(pl => if (up) pl.reverse else pl),
+            pi.ensemble, pi.stat)
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")

@@ -133,12 +133,15 @@ object Grib2Source {
               if (rowOff != null) (rowOff(j), rowOff(j + 1))
               else (j * f.ni, (j + 1) * f.ni)
             (p, idx0 + fi, f.discipline, f.category, f.parameter,
-              f.refTime, f.forecastHours.getOrElse(-1), j, rowLat(j),
+              f.refTime, f.forecastHours.getOrElse(-1),
+              f.ensemble.map(_._2).getOrElse(-1),
+              f.stat.map(_._1).getOrElse(-1), j, rowLat(j),
               f.values.slice(s0, s1))
           }
         }
       }
       .toDF("path", "field_idx", "discipline", "category", "parameter",
-        "ref_time", "forecast_hours", "j", "lat", "values")
+        "ref_time", "forecast_hours", "ensemble_member", "stat_process",
+        "j", "lat", "values")
   }
 }

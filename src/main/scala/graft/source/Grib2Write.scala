@@ -43,7 +43,15 @@ object Grib2Write {
         * Ni/Di are then written missing, `values` is ragged with
         * these row lengths, and the PL list trails the template.
         */
-      gaussianPl: Option[Array[Int]] = None)
+      gaussianPl: Option[Array[Int]] = None,
+      /** (type, perturbation number, count) → product template 4.1
+        * (4.11 when `statSpec` is also set) — the GEFS member identity.
+        */
+      ensembleSpec: Option[(Int, Int, Int)] = None,
+      /** (statistical process code, span hours) → product template 4.8
+        * (4.11 with `ensembleSpec`): accumulations/averages.
+        */
+      statSpec: Option[(Int, Int)] = None)
 
   def write(fields: Seq[FieldSpec],
             refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
@@ -143,14 +151,34 @@ object Grib2Write {
           b.putInt(sm4(-90000000L)); b.putInt(0)
       } }
     }
-    // section 4 — product definition template 4.0
+    // section 4 — product definition template 4.0/4.1/4.8/4.11
     sec(4) { b =>
-      b.putShort(0); b.putShort(0) // no coord values, template 4.0
+      val tpl4 = (f.ensembleSpec, f.statSpec) match {
+        case (Some(_), Some(_)) => 11
+        case (Some(_), None) => 1
+        case (None, Some(_)) => 8
+        case _ => 0
+      }
+      b.putShort(0); b.putShort(tpl4.toShort)
       b.put(f.category.toByte); b.put(f.parameter.toByte)
       b.put(2.toByte); b.put(0.toByte); b.put(0.toByte) // process ids
       b.putShort(0); b.put(0.toByte) // cutoff
       b.put(1.toByte) // time unit: hours
       b.putInt(f.forecastHours)
+      if (tpl4 != 0) { // fixed surfaces: ground + missing second
+        b.put(1.toByte); b.put(0.toByte); b.putInt(0)
+        b.put(255.toByte); b.put(0.toByte); b.putInt(0)
+      }
+      f.ensembleSpec.foreach { case (t, m, n) =>
+        b.put(t.toByte); b.put(m.toByte); b.put(n.toByte) }
+      f.statSpec.foreach { case (proc, spanHours) =>
+        // end-of-interval time (reader skips), one range, no missing
+        (0 until 7).foreach(_ => b.put(0.toByte))
+        b.put(1.toByte); b.putInt(0)
+        b.put(proc.toByte); b.put(2.toByte) // successive-times incr
+        b.put(1.toByte); b.putInt(spanHours) // unit hours + span
+        b.put(1.toByte); b.putInt(0) // increment unit + value
+      }
     }
     // pack: X = round((Y·10^D − R)/2^E), R = min(Y·10^D) over valid
     val d10 = math.pow(10, f.decimalScale)

@@ -465,6 +465,30 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("restricted"))
   }
 
+  test("product templates 4.1/4.8/4.11: ensemble identity and " +
+    "statistical processing surface; 4.0 stays bare") {
+    def spec(ens: Option[(Int, Int, Int)], st: Option[(Int, Int)]) =
+      Grib2Write.FieldSpec(0, 1, 8, forecastHours = 6, ni = 4, nj = 3,
+        lat1 = 50.0, lon1 = 0.0, dLat = 1.0, dLon = 1.0,
+        values = Array.tabulate(12)(_ * 0.5), decimalScale = 1,
+        ensembleSpec = ens, statSpec = st)
+    val plain = Grib2.read(Grib2Write.write(Seq(spec(None, None)))).head
+    assert(plain.ensemble === None && plain.stat === None)
+    val ens = Grib2.read(Grib2Write.write(Seq(
+      spec(Some((3, 7, 31)), None)))).head
+    assert(ens.ensemble === Some((3, 7, 31)) && ens.stat === None)
+    assert(ens.forecastHours === Some(6))
+    val acc = Grib2.read(Grib2Write.write(Seq(
+      spec(None, Some((1, 24)))))).head
+    assert(acc.stat === Some((1, Some(24))) && acc.ensemble === None)
+    val both = Grib2.read(Grib2Write.write(Seq(
+      spec(Some((2, 0, 11)), Some((0, 12)))))).head
+    assert(both.ensemble === Some((2, 0, 11)))
+    assert(both.stat === Some((0, Some(12))))
+    // values survive the longer section-4 bodies unchanged
+    assert(both.values.toSeq === plain.values.toSeq)
+  }
+
   test("earth shapes (code table 3.2): ellipsoids resolve semi-major + " +
     "eccentricity² for projected grids; unknown codes rejected") {
     val spec = Grib2Write.FieldSpec(0, 0, 0, 1, 4, 3, 47.0, -110.0,
