@@ -550,6 +550,37 @@ object NetCdfQueries {
         round(sum(col("hi") - col("lo")), 6).as("total_span"))
   }
 
+  /** S1 completion for RAGGED data: a netCDF-4 VARIABLE-LENGTH
+    * (class 9) variable — h5py `vlen_dtype(float64)`, per-cell
+    * global-heap payloads — scanned distributed through the same
+    * per-file positioned-read path as every other netCDF scan. The
+    * oracle re-derives per-file row counts, element counts and the
+    * exact micro-quantized sum from the dumped ragged rows.
+    */
+  val vlenRagged = QueryDef("q108_netcdf4_vlen_ragged",
+    """SELECT file, count(*) AS n_cells,
+      |  CAST(sum(len(vals)) AS BIGINT) AS n_elems,
+      |  CAST(max(len(vals)) AS BIGINT) AS max_len,
+      |  CAST(sum(CASE WHEN len(vals) = 0 THEN 0
+      |    ELSE (SELECT CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT)
+      |          FROM unnest(vals) AS t(v)) END) AS BIGINT) AS sum_u
+      |FROM read_parquet('/tmp/graft-oracle/q108_rows/*.parquet')
+      |GROUP BY file ORDER BY file""".stripMargin) { (s, _) =>
+    val glob = NetCdfFixture.writeFilesVlen(
+      stableWork("fixtures").resolve("ncvlen"))
+    val rows = NetCdfSource.vlenRows(s, glob, "obs_depths")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("cell_idx"), col("vals"))
+    oracleDump(s, "q108_rows", rows, glob)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(size(col("vals"))).cast("long").as("n_elems"),
+        max(size(col("vals"))).cast("long").as("max_len"),
+        coalesce(sum(expr(
+          "aggregate(vals, 0L, (acc, v) -> acc + CAST(floor(v * 1e6) AS BIGINT))")),
+          lit(0L)).as("sum_u"))
+  }
+
   /** R1 — block-mean regrid (2×2 → 1 area-average downsample, the
     * regrid-to-coarser-model step): cells map to target cells by index
     * halving, NaNs drop out, and each target carries the valid count +
@@ -807,7 +838,8 @@ object NetCdfQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
+    Seq(vlenRagged,
+      manifest, manifestHdf5, bandStats, bandStatsHdf5, bandStatsUnlimited,
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
       enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear,

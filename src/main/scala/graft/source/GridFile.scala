@@ -49,6 +49,12 @@ sealed trait GridFile {
   def readMemberDoubles(v: String, member: String): Array[Double] =
     throw new UnsupportedOperationException(
       s"$format carries no compound variables")
+  /** Ragged rows of a numeric VARIABLE-LENGTH (class 9) variable
+    * (h5py vlen_dtype; netCDF-4/HDF5 only).
+    */
+  def readVlenRows(v: String): Array[Array[Double]] =
+    throw new UnsupportedOperationException(
+      s"$format carries no variable-length variables")
 }
 
 object GridFile {
@@ -162,6 +168,8 @@ object GridFile {
     override def readDoubles(n: String): Array[Double] = r.readDoubles(n)
     override def readMemberDoubles(n: String, member: String): Array[Double] =
       r.readMemberDoubles(n, member)
+    override def readVlenRows(n: String): Array[Array[Double]] =
+      r.readVlenRows(n)
     override def readDoublesSliced(n: String,
                                    fixed: Map[String, Int]): Array[Double] = {
       if (fixed.isEmpty) readDoubles(n)

@@ -1893,6 +1893,66 @@ object Hdf5 {
       }
       out
     }
+
+    private def vlenDescriptors(ds: Dataset): Array[(Int, Long, Int)] = {
+      require(ds.dtype.size == 16,
+        s"vlen descriptor size ${ds.dtype.size} (16 expected with " +
+          "8-byte offsets)")
+      val raw = rawData(ds)
+      val n = ds.dims.map(_.toLong).product.toInt
+      val db = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate(n) { i =>
+        db.position(i * 16)
+        val cnt = db.getInt()
+        require(cnt >= 0, s"vlen cell $i count $cnt")
+        val addr = db.getLong()
+        val idx = db.getInt()
+        (cnt, addr, idx)
+      }
+    }
+
+    /** VARIABLE-LENGTH (class 9) dataset decode — netCDF-4 VLEN types
+      * (h5py `vlen_dtype`): each stored cell is a (count u4,
+      * global-heap collection address, object index u4) descriptor,
+      * the payload a GCOL object. One ragged row per cell; count-0
+      * cells yield empty rows.
+      */
+    def readVlenRows(ds: Dataset): Array[Array[Double]] = {
+      val t = ds.dtype
+      require(t.cls == ClsVlen && !t.vlenIsString,
+        s"dataset ${ds.name} is not a numeric vlen sequence")
+      val bt = numericType(t.base.get)
+      vlenDescriptors(ds).map { case (cnt, addr, idx) =>
+        if (cnt == 0) Array.empty[Double]
+        else {
+          val payload = globalHeapObject(addr, idx)
+          require(payload.length >= cnt.toLong * bt.size,
+            s"vlen payload ${payload.length} B < $cnt × ${bt.size}")
+          val pb = ByteBuffer.wrap(payload).order(
+            if (bt.littleEndian) ByteOrder.LITTLE_ENDIAN
+            else ByteOrder.BIG_ENDIAN)
+          Array.fill(cnt)(readNum(pb, bt))
+        }
+      }
+    }
+
+    /** vlen STRING dataset (netCDF-4 `string` variables): the
+      * descriptor count is the BYTE length of each UTF-8 payload.
+      */
+    def readVlenStrings(ds: Dataset): Array[String] = {
+      val t = ds.dtype
+      require(t.cls == ClsVlen && t.vlenIsString,
+        s"dataset ${ds.name} is not a vlen string array")
+      vlenDescriptors(ds).map { case (cnt, addr, idx) =>
+        if (cnt == 0) ""
+        else {
+          val payload = globalHeapObject(addr, idx)
+          require(payload.length >= cnt,
+            s"vlen string payload ${payload.length} B < $cnt")
+          new String(payload, 0, cnt, StandardCharsets.UTF_8)
+        }
+      }
+    }
   }
 
   /** Convenience: parse + per-dataset numeric decode. The primary
@@ -1919,5 +1979,13 @@ object Hdf5 {
     def readMemberDoubles(name: String, member: String): Array[Double] =
       parser.readMemberDoubles(file.dataset(name).getOrElse(
         throw new IllegalArgumentException(s"no dataset $name")), member)
+    /** Ragged rows of a numeric VLEN (class 9) dataset. */
+    def readVlenRows(name: String): Array[Array[Double]] =
+      parser.readVlenRows(file.dataset(name).getOrElse(
+        throw new IllegalArgumentException(s"no dataset $name")))
+    /** Cells of a vlen-string dataset (netCDF-4 `string` variables). */
+    def readVlenStrings(name: String): Array[String] =
+      parser.readVlenStrings(file.dataset(name).getOrElse(
+        throw new IllegalArgumentException(s"no dataset $name")))
   }
 }

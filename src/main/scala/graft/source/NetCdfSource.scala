@@ -152,6 +152,19 @@ object NetCdfSource {
     }.toDF("path", "rec_idx", "member_values")
   }
 
+  /** Ragged VLEN (class 9) rows: one row per cell with its
+    * variable-length values array — the distributed scan for netCDF-4
+    * VLEN variables.
+    */
+  def vlenRows(spark: SparkSession, glob: String, dataset: String)
+      : DataFrame = {
+    import spark.implicits._
+    perFile(spark, glob) { (path, g) =>
+      g.readVlenRows(dataset).zipWithIndex.map { case (v, i) =>
+        (path, i.toLong, v) }
+    }.toDF("path", "cell_idx", "vals")
+  }
+
   /** Tidy decode of the 4-D band variables: one row per (variable,
     * time_idx, leadtime_idx, y scanline). Coordinate VALUES are resolved
     * through P1 and unit-normalized through P3 (km / "1000 meter" → m ×
@@ -421,6 +434,106 @@ object NetCdfFixture {
       java.nio.file.Files.write(dir.resolve(f"bounds_$i%02d.nc"), b)
     }
     s"$dir/*.nc"
+  }
+
+  /** Minimal netCDF-4/HDF5 files whose payload is a VARIABLE-LENGTH
+    * (class 9) dataset — the ragged shape h5py `vlen_dtype(float64)`
+    * produces: per-cell (count, global-heap address, index)
+    * descriptors, payloads in one GCOL collection.
+    */
+  def writeFilesVlen(dir: java.nio.file.Path, n: Int = 2,
+                     nCells: Int = 12): String = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until n).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(f"ragged_$i%02d.nc"),
+        vlenBytes(nCells, seed = i * 10.0))
+    }
+    s"$dir/*.nc"
+  }
+
+  private[source] def vlenBytes(nCells: Int, seed: Double): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val name = "obs_depths"
+    // ragged rows: cell i carries i % 4 elements (empties included)
+    val rows = (0 until nCells).map(i =>
+      (0 until i % 4).map(k => seed + i * 0.5 + k * 0.25))
+    val payloads = rows.filter(_.nonEmpty)
+    val objSizes = payloads.map(p => 16 + p.length * 8) // f64: 8-aligned
+    val gcolLen = 16 + objSizes.sum
+    val dataAddr = 48
+    val descLen = nCells * 16
+    val gcolAddr = dataAddr + descLen
+    val dsAddr = gcolAddr + gcolLen
+    val dtBody = 8 + 20 // v1 vlen header + float64 base
+    val chunk0 = (4 + 12) + (4 + dtBody) + (4 + 18)
+    val dsSize = 4 + 2 + 1 + chunk0 + 4
+    val rootAddr = dsAddr + dsSize
+    val linkBody = 3 + name.length + 8
+    val total = rootAddr + 4 + 2 + 1 + (4 + linkBody) + 4
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): ByteBuffer = { buf.position(pos); buf }
+
+    at(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(2.toByte); buf.put(8.toByte); buf.put(8.toByte); buf.put(0.toByte)
+    buf.putLong(0L); buf.putLong(-1L)
+    buf.putLong(total.toLong); buf.putLong(rootAddr.toLong)
+    buf.putInt(0)
+
+    at(dataAddr)
+    var gIdx = 0
+    rows.foreach { r =>
+      if (r.isEmpty) { buf.putInt(0); buf.putLong(0L); buf.putInt(0) }
+      else {
+        gIdx += 1
+        buf.putInt(r.length); buf.putLong(gcolAddr.toLong); buf.putInt(gIdx)
+      }
+    }
+    // GCOL collection: header + 1-based objects, exact size
+    buf.put("GCOL".getBytes)
+    buf.put(1.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putLong(gcolLen.toLong)
+    payloads.zipWithIndex.foreach { case (p, oi) =>
+      buf.putShort((oi + 1).toShort); buf.putShort(1); buf.putInt(0)
+      buf.putLong(p.length * 8L)
+      p.foreach(buf.putDouble)
+    }
+
+    at(dsAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put(chunk0.toByte)
+    buf.put(1.toByte); buf.putShort(12); buf.put(0.toByte)
+    buf.put(2.toByte); buf.put(1.toByte); buf.put(0.toByte); buf.put(1.toByte)
+    buf.putLong(nCells.toLong)
+    // datatype: v1 vlen SEQUENCE of IEEE float64 LE
+    buf.put(3.toByte); buf.putShort(dtBody.toShort); buf.put(0.toByte)
+    buf.put(0x19.toByte)
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putInt(16)
+    buf.put(0x11.toByte)
+    buf.put(0x20.toByte); buf.put(0x3F.toByte); buf.put(0.toByte)
+    buf.putInt(8)
+    buf.putShort(0); buf.putShort(64)
+    buf.put(52.toByte); buf.put(11.toByte); buf.put(0.toByte); buf.put(52.toByte)
+    buf.putInt(1023)
+    // layout v3 contiguous (descriptor region only; GCOL trails it)
+    buf.put(8.toByte); buf.putShort(18); buf.put(0.toByte)
+    buf.put(3.toByte); buf.put(1.toByte)
+    buf.putLong(dataAddr.toLong); buf.putLong(descLen.toLong)
+    buf.putInt(0)
+
+    at(rootAddr)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte); buf.put(0.toByte)
+    buf.put((4 + linkBody).toByte)
+    buf.put(6.toByte); buf.putShort(linkBody.toShort); buf.put(0.toByte)
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.put(name.length.toByte)
+    buf.put(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putLong(dsAddr.toLong)
+    buf.putInt(0)
+    buf.array()
   }
 
   private[source] def compoundBytes(nRec: Int, tStart: Double): Array[Byte] = {

@@ -587,6 +587,74 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     b.putInt(1023)
   }
 
+  /** GCOL collection bytes: header + one object per payload (1-based
+    * indices), 8-byte padded, exact collection size.
+    */
+  private def gcol(payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val objSizes = payloads.map(p => 16 + p.length + ((8 - p.length % 8) % 8))
+    val total = 16 + objSizes.sum
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GCOL".getBytes); b.put(1.toByte)
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putLong(total.toLong)
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      b.putShort((i + 1).toShort); b.putShort(1); b.putInt(0)
+      b.putLong(p.length.toLong)
+      b.put(p)
+      (0 until (8 - p.length % 8) % 8).foreach(_ => b.put(0.toByte))
+    }
+    b.array()
+  }
+
+  test("VLEN (class 9) datasets: ragged numeric rows and vlen strings " +
+    "resolve through the global heap") {
+    // --- numeric: 3 cells [1.5, 2.5], [], [7.25, -3.0, 0.125]
+    val rows = Seq(Seq(1.5, 2.5), Seq.empty[Double], Seq(7.25, -3.0, 0.125))
+    val payloads = rows.filter(_.nonEmpty).map { r =>
+      val pb = ByteBuffer.allocate(r.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      r.foreach(pb.putDouble); pb.array()
+    }
+    val gcolAddr = 48 + 3 * 16
+    val desc = ByteBuffer.allocate(3 * 16).order(ByteOrder.LITTLE_ENDIAN)
+    desc.putInt(2); desc.putLong(gcolAddr.toLong); desc.putInt(1)
+    desc.putInt(0); desc.putLong(0L); desc.putInt(0) // empty cell
+    desc.putInt(3); desc.putLong(gcolAddr.toLong); desc.putInt(2)
+    val dt = ByteBuffer.allocate(8 + 20).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x19.toByte) // v1, class 9 (vlen)
+    dt.put(0.toByte); dt.put(0.toByte); dt.put(0.toByte) // sequence
+    dt.putInt(16) // stored descriptor size
+    float64Type(dt)
+    val r = new Hdf5.Reader(craftTyped(dt.array(),
+      desc.array() ++ gcol(payloads), 3))
+    assert(r.file.dataset("v").get.dtype.cls === Hdf5.ClsVlen)
+    assert(r.readVlenRows("v").map(_.toSeq).toSeq === rows)
+    intercept[IllegalArgumentException] { r.readVlenStrings("v") }
+
+    // --- strings: ["alpha", "", "βeta!"] (UTF-8 byte-length counts)
+    val strs = Seq("alpha", "", "βeta!")
+    val sPayloads = strs.filter(_.nonEmpty)
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sDesc = ByteBuffer.allocate(3 * 16).order(ByteOrder.LITTLE_ENDIAN)
+    sDesc.putInt(sPayloads(0).length)
+    sDesc.putLong(gcolAddr.toLong); sDesc.putInt(1)
+    sDesc.putInt(0); sDesc.putLong(0L); sDesc.putInt(0)
+    sDesc.putInt(sPayloads(1).length)
+    sDesc.putLong(gcolAddr.toLong); sDesc.putInt(2)
+    val sdt = ByteBuffer.allocate(8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    sdt.put(0x19.toByte)
+    sdt.put(0x01.toByte) // type 1: string
+    sdt.put(1.toByte) // charset UTF-8
+    sdt.put(0.toByte)
+    sdt.putInt(16)
+    sdt.put(0x13.toByte); sdt.put(0.toByte); sdt.put(0.toByte)
+    sdt.put(0.toByte); sdt.putInt(1) // base: 1-byte string
+    val rs = new Hdf5.Reader(craftTyped(sdt.array(),
+      sDesc.array() ++ gcol(sPayloads), 3))
+    assert(rs.readVlenStrings("v").toSeq === strs)
+    intercept[IllegalArgumentException] { rs.readVlenRows("v") }
+  }
+
   test("COMPOUND v1 records: scalar + old-style array member stride out") {
     // {lo: f64 @0, bnds: f64[2] @8} — 24-byte records, dims [3]
     val dt = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
