@@ -109,7 +109,9 @@ object NetCdfQueries {
   val bandStatsPluginFilters = QueryDef("q86_netcdf4_filtered_band_stats",
     bandStatsOracle("q86_tidy")) { (s, _) =>
     val base = stableWork("fixtures")
-    val globs = Seq("bitshuffle-lz4", "lz4", "zstd").map(rf =>
+    // r11: + szip (filter 4, the NASA EOS staple) over binary16
+    // payloads — the CCSDS coder on the DSv2 scan path
+    val globs = Seq("bitshuffle-lz4", "lz4", "zstd", "szip").map(rf =>
       NetCdfFixture.writeFilesFiltered(base.resolve(s"ncf-$rf"), rf))
     bandStatsQuery(s, "q86_tidy", globs: _*)
   }

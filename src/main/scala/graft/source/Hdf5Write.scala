@@ -497,6 +497,8 @@ object Hdf5Write {
           case Some("bitshuffle-lz4") =>
             H5Filters.bitshuffleEncode(raw, p.elem, regBitshufBlockElems)
           case Some("zstd") => H5Filters.zstdEncode(raw)
+          case Some("szip") =>
+            H5Filters.szipEncode(raw, Seq(169, p.elem * 8, 16, 64))
           case Some(other) =>
             throw new IllegalArgumentException(s"regFilter $other")
           case None =>
@@ -518,6 +520,10 @@ object Hdf5Write {
         (32008, "bitshuffle",
           (elem: Int) => Seq(0, 0, elem, regBitshufBlockElems, 2))
       case "zstd" => (32015, "zstd", (_: Int) => Seq(3))
+      // szip (filter 4): raw+NN+LSB+K13 mask, block 16, scanline 64 —
+      // H5Zszip-shaped cd over binary16 payloads (the 8/16-bit integer
+      // and half-float regime NASA EOS archives sit in)
+      case "szip" => (4, "szip", (elem: Int) => Seq(169, elem * 8, 16, 64))
       case other => throw new IllegalArgumentException(s"regFilter $other")
     }
     val filtersBody = regEntry match {

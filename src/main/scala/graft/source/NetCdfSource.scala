@@ -361,8 +361,14 @@ object NetCdfFixture {
     java.nio.file.Files.createDirectories(dir)
     (0 until n).foreach { i =>
       val (dims, gatts, vars) = spec(nt = 1, tStart = i.toDouble)
+      // szip (filter 4) codes ≤ 32-bit samples: payloads go binary16,
+      // the half-float regime szip'd archives actually sit in
+      val halves =
+        if (regFilter == "szip")
+          vars.map(_.name).toSet -- dims.map(_._1).toSet
+        else Set.empty[String]
       val b = Hdf5Write.write(dims, gatts, vars,
-        regFilter = Some(regFilter))
+        regFilter = Some(regFilter), halfVars = halves)
       val tag = regFilter.replace("-", "_")
       java.nio.file.Files.write(dir.resolve(f"${tag}_$i%02d.nc"), b)
     }
