@@ -561,6 +561,47 @@ object Geo {
     }
   }
 
+  /** Ellipsoidal Mercator with true scale at `latTs` (Snyder PP 1395
+    * §7, eqs 7-6..7-10 — the GRIB2 template 3.10 / tropical-satellite
+    * grid projection): y is a·m(φts) times the ISOMETRIC latitude, so
+    * MercatorSpec pins the closed form against numeric quadrature of
+    * the isometric-latitude integrand. Spheres pass e2 = 0.
+    */
+  final case class Mercator(a: Double, e2: Double,
+                            latTs: Double = 0.0, lon0: Double = 0.0) {
+    private val e = math.sqrt(e2)
+    private val sTs = math.sin(math.toRadians(latTs))
+    /** a·m(φts): meters of easting per radian of longitude. */
+    val k: Double = a * math.cos(math.toRadians(latTs)) /
+      math.sqrt(1 - e2 * sTs * sTs)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      val conf =
+        if (e < 1e-12) 1.0
+        else math.pow((1 - e * s) / (1 + e * s), e / 2)
+      val x = k * math.toRadians(normLon(lonDeg - lon0))
+      val y = k * math.log(math.tan(math.Pi / 4 + phi / 2) * conf)
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-y / k)
+      // Snyder 7-9/7-10: fixed point from the spherical start
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15 && e >= 1e-12) {
+        val s = math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * s) / (1 + e * s), e / 2))
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 }
+        else { phi = next; i += 1 }
+      }
+      (normLon(math.toDegrees(x / k) + lon0), math.toDegrees(phi))
+    }
+  }
+
   /** CONUS Albers (EPSG:5070, NAD83/GRS80): 29.5°/45.5°, origin 23°N
     * 96°W.
     */

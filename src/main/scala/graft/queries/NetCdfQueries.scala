@@ -811,7 +811,33 @@ object NetCdfQueries {
           decimalScale = 1,
           lambert = Some(graft.source.Grib2.LambertGrid(
             6371229.0, lov = -97.5, laD = 38.5,
-            latin1 = 38.5, latin2 = 38.5))))
+            latin1 = 38.5, latin2 = 38.5))),
+        // Mercator grid (3.10, the tropical satellite-product
+        // projection): rows georeference through Geo.Mercator from
+        // the true-scale parallel
+        graft.source.Grib2Write.FieldSpec(0, 6, 1,
+          forecastHours = 2, ni = 10, nj = 8,
+          lat1 = 18.0, lon1 = 95.0, dLat = 50000.0, dLon = 50000.0,
+          values = Array.tabulate(80)(i =>
+            if ((i + fi) % 19 == 7) Double.NaN
+            else 290.0 + (i % 13) * 0.3 + fi * 0.15),
+          decimalScale = 2,
+          mercator = Some(graft.source.Grib2.MercatorGrid(
+            6371229.0, laD = 18.0))),
+        // space-view grid (3.90): a GOES-East-shaped mid-disk sector
+        // (16-cell apparent disk, sector origin (3,4)); row anchors
+        // georeference through the geostationary view geometry
+        graft.source.Grib2Write.FieldSpec(3, 0, 7 + fi,
+          forecastHours = 0, ni = 10, nj = 8,
+          lat1 = 0, lon1 = 0, dLat = 0, dLon = 0,
+          values = Array.tabulate(80)(i =>
+            if (i % 23 == 5) Double.NaN
+            else 0.1 + (i % 9) * 0.05 + fi * 0.01),
+          decimalScale = 3,
+          spaceview = Some(graft.source.Grib2Write.SpaceViewSpec(
+            req = 6378137.0, rpol = 6356752.0, lop = -75.0,
+            nrMicroRadii = 6610561, dx = 16, dy = 16,
+            xpMilli = 8000, ypMilli = 8000, xo = 3, yo = 4))))
       java.nio.file.Files.write(dir.resolve(f"fc_$fi%02d.grib2"),
         graft.source.Grib2Write.write(fields))
     }

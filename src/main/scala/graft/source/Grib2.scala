@@ -58,6 +58,15 @@ object Grib2 {
       gridType: String = "latlon",
       lambert: Option[LambertGrid] = None,
       polar: Option[PolarGrid] = None,
+      /** "mercator" (template 3.10): lat1/lon1 are the first grid
+        * point in degrees, dLat/dLon are Dj/Di in METERS at LaD.
+        */
+      mercator: Option[MercatorGrid] = None,
+      /** "spaceview" (template 3.90): lat1/lon1 are the SUB-SATELLITE
+        * point in degrees, dLat/dLon are ry/rx in RADIANS of scan
+        * angle per grid length.
+        */
+      spaceview: Option[SpaceViewGrid] = None,
       /** "gaussian" (template 3.40) only: the grid's latitudes in
         * normalized row order (north→south), resolved from the
         * Gaussian parallel table against La1/La2.
@@ -102,6 +111,33 @@ object Grib2 {
       laD: Double, north: Boolean,
       /** First eccentricity² from code table 3.2 (0 for spheres). */
       e2: Double = 0.0)
+
+  /** Template 3.10 parameters (Mercator, the tropical/regional
+    * satellite product grid); [[graft.functions.Geo.Mercator]]
+    * georeferences cells from these (LaD is the true-scale parallel
+    * Di/Dj are measured at).
+    */
+  final case class MercatorGrid(earthRadius: Double, laD: Double,
+      /** First eccentricity² from code table 3.2 (0 for spheres). */
+      e2: Double = 0.0)
+
+  /** Template 3.90 parameters (space view — the geostationary
+    * full-disk/sector grid of GOES GVAR / Meteosat products). `rx`/`ry`
+    * are the scan-angle steps PER GRID LENGTH in radians, derived from
+    * the template's apparent-diameter counts: the disk subtends
+    * 2·asin(r_eq/height) over `dx` columns (2·asin(r_pol/height) over
+    * `dy` rows). `xp`/`yp` locate the sub-satellite point and `xo`/`yo`
+    * the sector origin, all in full-image grid lengths;
+    * [[graft.functions.Geo.Geostationary]] georeferences the scan
+    * angles from these.
+    */
+  final case class SpaceViewGrid(req: Double, rpol: Double, lop: Double,
+      /** Satellite distance from the earth CENTER in meters (Nr·10⁻⁶
+        * equatorial radii, resolved).
+        */
+      height: Double,
+      rx: Double, ry: Double, xp: Double, yp: Double,
+      xo: Double, yo: Double)
 
   private val gaussCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
@@ -197,8 +233,9 @@ object Grib2 {
             b.position(b.position() + 16)
             val ni = b.getInt; val nj = b.getInt
             gridShape = (ni, nj, tpl match {
-              case 0 => "latlon"; case 20 => "polar"; case 30 => "lambert"
-              case 40 => "gaussian"
+              case 0 => "latlon"; case 10 => "mercator"
+              case 20 => "polar"; case 30 => "lambert"
+              case 40 => "gaussian"; case 90 => "spaceview"
               case t => s"template-3.$t"
             })
           case 4 =>
@@ -271,6 +308,8 @@ object Grib2 {
       lon1: Double, dLat: Double, dLon: Double, scanMode: Int,
       gridType: String = "latlon", lambert: Option[LambertGrid] = None,
       polar: Option[PolarGrid] = None,
+      mercator: Option[MercatorGrid] = None,
+      spaceview: Option[SpaceViewGrid] = None,
       gaussLats: Option[Array[Double]] = None,
       rowNi: Option[Array[Int]] = None) {
     def nPoints: Int = rowNi.map(_.sum).getOrElse(ni * nj)
@@ -406,6 +445,67 @@ object Grib2 {
                 gridType = "polar",
                 polar = Some(PolarGrid(radius, lov, laD,
                   north = (centre & 0x80) == 0, e2 = e2))))
+            case 10 =>
+              // Mercator: first point in microdegrees, LaD the
+              // true-scale parallel, increments in MILLIMETERS at LaD.
+              // NOTE the template's octet order: scan mode and the
+              // grid orientation sit BEFORE Di/Dj here, unlike 3.0.
+              val (radius, e2) = earthShape()
+              val ni = b.getInt; val nj = b.getInt
+              val la1 = sm4(b) / 1e6
+              val lo1 = sm4(b) / 1e6
+              b.get() // resolution/component flags
+              val laD = sm4(b) / 1e6
+              sm4(b); sm4(b) // la2/lo2 (derivable)
+              val scan = b.get() & 0xFF
+              val orient = sm4(b)
+              require(orient == 0,
+                s"GRIB2 Mercator grid orientation $orient unsupported " +
+                  "(i must point east)")
+              val di = b.getInt / 1e3
+              val dj = b.getInt / 1e3
+              grid = Some(Grid(ni, nj, la1, lo1, dj, di, scan,
+                gridType = "mercator",
+                mercator = Some(MercatorGrid(radius, laD, e2))))
+            case 90 =>
+              // space view (the geostationary imager grid): apparent
+              // earth diameters dx/dy in grid lengths, sub-satellite
+              // pixel Xp/Yp in 10⁻³ grid lengths, camera distance Nr
+              // in 10⁻⁶ equatorial radii FROM THE EARTH CENTER, sector
+              // origin Xo/Yo in grid lengths
+              val (req, e2) = earthShape()
+              val rpol = req * math.sqrt(1 - e2)
+              val nx = b.getInt; val ny = b.getInt
+              val lap = sm4(b) / 1e6
+              val lop = sm4(b) / 1e6
+              require(math.abs(lap) < 1e-9,
+                s"GRIB2 space-view sub-satellite latitude $lap " +
+                  "unsupported (geostationary view only)")
+              b.get() // resolution/component flags
+              val dx = b.getInt; val dy = b.getInt
+              require(dx > 0 && dy > 0,
+                s"GRIB2 space-view apparent diameters $dx x $dy invalid")
+              val xp = b.getInt / 1e3
+              val yp = b.getInt / 1e3
+              val scan = b.get() & 0xFF
+              val orient = sm4(b)
+              require(orient == 0,
+                s"GRIB2 space-view grid orientation $orient unsupported")
+              val nr = b.getInt.toLong & 0xFFFFFFFFL
+              require(nr != 0xFFFFFFFFL,
+                "GRIB2 space-view orthographic view (missing Nr) " +
+                  "unsupported")
+              val height = nr * 1e-6 * req
+              require(height > req,
+                s"GRIB2 space-view camera distance $height m is inside " +
+                  "the earth")
+              val xo = b.getInt; val yo = b.getInt
+              val rx = 2 * math.asin(req / height) / dx
+              val ry = 2 * math.asin(rpol / height) / dy
+              grid = Some(Grid(nx, ny, lap, lop, ry, rx, scan,
+                gridType = "spaceview",
+                spaceview = Some(SpaceViewGrid(req, rpol, lop, height,
+                  rx, ry, xp, yp, xo, yo))))
             case 40 =>
               // regular OR reduced Gaussian (the ECMWF native grids):
               // same octets as 3.0 except Dj is replaced by N, the
@@ -469,8 +569,8 @@ object Grib2 {
                 rowNi = pl))
             case t => throw new IllegalArgumentException(
               s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0, " +
-                "polar 3.20, Lambert 3.30, Gaussian 3.40 — regrid " +
-                "with wgrib2 -new_grid)")
+                "Mercator 3.10, polar 3.20, Lambert 3.30, Gaussian " +
+                "3.40, space view 3.90 — regrid with wgrib2 -new_grid)")
           }
         case 4 =>
           b.getShort // coordinate values count
@@ -644,6 +744,7 @@ object Grib2 {
             pi.forecastHours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
             normalizeScan(vals, g), g.gridType, g.lambert, g.polar,
+            g.mercator, g.spaceview,
             g.gaussLats,
             g.rowNi.map(pl => if (up) pl.reverse else pl),
             pi.ensemble, pi.stat)

@@ -112,6 +112,34 @@ object Grib2Source {
                 val y = if (up) y1 + srcRow * f.dLat else y1 - srcRow * f.dLat
                 ps.inverse(x1, y)._2
               }
+            case "mercator" =>
+              val mg = f.mercator.get
+              val m = graft.functions.Geo.Mercator(
+                mg.earthRadius, mg.e2, mg.laD)
+              val (x1, y1) = m.forward(f.lon1, f.lat1)
+              val up = (f.scanMode & 0x40) != 0
+              j => {
+                val srcRow = if (up) f.nj - 1 - j else j
+                val y = if (up) y1 + srcRow * f.dLat else y1 - srcRow * f.dLat
+                m.inverse(x1, y)._2
+              }
+            case "spaceview" =>
+              // rows anchor at the sub-satellite meridian (scan angle
+              // x = 0), where every row crossing the disk has a
+              // defined latitude; rows entirely off-disk emit NaN.
+              // Full-image row = Yo + stored row; y = 0 at Yp either
+              // scan direction, signed toward the scan's north.
+              val sg = f.spaceview.get
+              val geos = graft.functions.Geo.Geostationary(
+                sg.lop, sg.req, sg.rpol, sg.height)
+              val up = (f.scanMode & 0x40) != 0
+              j => {
+                val srcRow = if (up) f.nj - 1 - j else j
+                val fullRow = sg.yo + srcRow
+                val y = if (up) (fullRow - sg.yp) * sg.ry
+                        else (sg.yp - fullRow) * sg.ry
+                geos.inverse(0.0, y).map(_._2).getOrElse(Double.NaN)
+              }
             case "gaussian" =>
               // the resolved Gaussian parallels are already in
               // normalized row order (north→south)

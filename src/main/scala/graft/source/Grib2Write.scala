@@ -33,6 +33,18 @@ object Grib2Write {
         * in meters; stored with scan mode 0 (first point = NW corner).
         */
       lambert: Option[Grib2.LambertGrid] = None,
+      /** When set, emit grid template 3.10 (Mercator): lat1/lon1
+        * become the first grid point and dLat/dLon are Dj/Di in meters
+        * at the true-scale parallel laD; earth axes are written via
+        * shape code 7 (explicit major/minor, meters), so spheres pass
+        * e2 = 0. Stored with scan mode 0 (first point = NW corner).
+        */
+      mercator: Option[Grib2.MercatorGrid] = None,
+      /** When set, emit grid template 3.90 (space view / geostationary
+        * sector): ni/nj are the sector's Nx/Ny and lat1/lon1/dLat/dLon
+        * are ignored — the view geometry comes from the spec itself.
+        */
+      spaceview: Option[SpaceViewSpec] = None,
       /** When set to (N, row0), emit grid template 3.40 (regular
         * Gaussian, N parallels per hemisphere): rows are the nj
         * consecutive Gaussian parallels starting at index row0 of the
@@ -52,6 +64,16 @@ object Grib2Write {
         * (4.11 with `ensembleSpec`): accumulations/averages.
         */
       statSpec: Option[(Int, Int)] = None)
+
+  /** Template 3.90 writer parameters, in the template's own units:
+    * `nrMicroRadii` = camera distance from the earth center in 10⁻⁶
+    * equatorial radii, `dx`/`dy` = apparent earth diameters in grid
+    * lengths, `xpMilli`/`ypMilli` = sub-satellite pixel in 10⁻³ grid
+    * lengths, `xo`/`yo` = sector origin in grid lengths.
+    */
+  final case class SpaceViewSpec(req: Double, rpol: Double, lop: Double,
+      nrMicroRadii: Long, dx: Int, dy: Int,
+      xpMilli: Long, ypMilli: Long, xo: Int, yo: Int)
 
   def write(fields: Seq[FieldSpec],
             refTime: (Int, Int, Int, Int, Int, Int) = (2024, 1, 1, 0, 0, 0))
@@ -116,7 +138,52 @@ object Grib2Write {
           b.putInt(nPar)
           b.put(0.toByte) // scan mode: +i, −j
           f.gaussianPl.foreach(_.foreach(w => b.putShort(w.toShort)))
-        case None => f.lambert match {
+        case None =>
+          // explicit major/minor axes (code table 3.2 shape 7, meters)
+          def shape7(a: Double, bAx: Double): Unit = {
+            b.put(7.toByte); b.put(0.toByte); b.putInt(0)
+            b.put(0.toByte); b.putInt(math.round(a).toInt)
+            b.put(0.toByte); b.putInt(math.round(bAx).toInt)
+          }
+          (f.mercator, f.spaceview) match {
+          case (Some(mg), None) =>
+            b.putShort(10) // template 3.10 (Mercator)
+            shape7(mg.earthRadius,
+              mg.earthRadius * math.sqrt(1 - mg.e2))
+            b.putInt(f.ni); b.putInt(f.nj)
+            b.putInt(sm4(math.round(f.lat1 * 1e6)))
+            b.putInt(sm4(math.round(f.lon1 * 1e6)))
+            b.put(0x30.toByte)
+            b.putInt(sm4(math.round(mg.laD * 1e6)))
+            // la2/lo2 (derivable): last grid point through the
+            // projection, first point anchored at the NW corner
+            val m = graft.functions.Geo.Mercator(
+              mg.earthRadius, mg.e2, mg.laD)
+            val (x1, y1) = m.forward(f.lon1, f.lat1)
+            val la2 = m.inverse(x1, y1 - (f.nj - 1) * f.dLat)._2
+            val lo2 = m.inverse(x1 + (f.ni - 1) * f.dLon, y1)._1
+            b.putInt(sm4(math.round(la2 * 1e6)))
+            b.putInt(sm4(math.round(lo2 * 1e6)))
+            b.put(0.toByte) // scan mode: +i, −j (BEFORE Di/Dj in 3.10)
+            b.putInt(0) // grid orientation
+            b.putInt(math.round(f.dLon * 1e3).toInt) // Di in mm
+            b.putInt(math.round(f.dLat * 1e3).toInt) // Dj in mm
+          case (None, Some(sv)) =>
+            b.putShort(90) // template 3.90 (space view)
+            shape7(sv.req, sv.rpol)
+            b.putInt(f.ni); b.putInt(f.nj)
+            b.putInt(0) // Lap: geostationary
+            b.putInt(sm4(math.round(sv.lop * 1e6)))
+            b.put(0.toByte)
+            b.putInt(sv.dx); b.putInt(sv.dy)
+            b.putInt(sv.xpMilli.toInt); b.putInt(sv.ypMilli.toInt)
+            b.put(0.toByte) // scan mode: +i, −j
+            b.putInt(0) // grid orientation
+            b.putInt(sv.nrMicroRadii.toInt)
+            b.putInt(sv.xo); b.putInt(sv.yo)
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "at most one projected-grid spec per field")
+          case (None, None) => f.lambert match {
         case None =>
           b.putShort(0) // template 3.0
           b.put(6.toByte); b.put(0.toByte); b.putInt(0) // shape + radius
@@ -149,7 +216,7 @@ object Grib2Write {
           b.putInt(sm4(math.round(lg.latin1 * 1e6)))
           b.putInt(sm4(math.round(lg.latin2 * 1e6)))
           b.putInt(sm4(-90000000L)); b.putInt(0)
-      } }
+      } } }
     }
     // section 4 — product definition template 4.0/4.1/4.8/4.11
     sec(4) { b =>

@@ -68,6 +68,31 @@ class Grib2Spec extends AnyFunSuite {
         s.put(scanMode.toByte)
         s.putInt(38500000); s.putInt(38500000) // Latin1 = Latin2 = 38.5
         s.putInt(0x80000000 | 90000000); s.putInt(0) // southern pole
+      } else if (gridTemplate == 10) {
+        // Mercator 3.10 (tropical sector). NOTE the template's octet
+        // order: scan mode + orientation sit BEFORE Di/Dj.
+        s.putInt(20000000) // La1 = 20.0
+        s.putInt(100000000) // Lo1 = 100.0
+        s.put(0x30.toByte)
+        s.putInt(20000000) // LaD = 20.0 (true-scale parallel)
+        s.putInt(19000000); s.putInt(101000000) // La2/Lo2 (derivable)
+        s.put(scanMode.toByte)
+        s.putInt(0) // orientation: i east
+        s.putInt(50000000) // Di = 50 km in mm
+        s.putInt(50000000) // Dj
+      } else if (gridTemplate == 90) {
+        // space view 3.90 (GOES-East-shaped, on the hand sphere):
+        // disk spans 16 grid lengths, sub-satellite pixel (8,8),
+        // sector origin (3,4), camera at 6.6107 equatorial radii
+        s.putInt(0) // Lap: geostationary
+        s.putInt(0x80000000 | 75000000) // Lop = -75.0
+        s.put(0.toByte)
+        s.putInt(16); s.putInt(16) // dx, dy (apparent diameters)
+        s.putInt(8000); s.putInt(8000) // Xp, Yp in 10⁻³ grid lengths
+        s.put(scanMode.toByte)
+        s.putInt(0) // orientation
+        s.putInt(6610700) // Nr in 10⁻⁶ equatorial radii
+        s.putInt(3); s.putInt(4) // Xo, Yo
       } else {
         s.putInt(0); s.putInt(0)
         s.putInt(50500000) // lat1 = 50.5
@@ -148,9 +173,9 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("JPEG2000"))
     val e4 = intercept[IllegalArgumentException] {
-      Grib2.read(handMessage(gridTemplate = 90)) // space view
+      Grib2.read(handMessage(gridTemplate = 50)) // spherical harmonics
     }
-    assert(e4.getMessage.contains("3.90"))
+    assert(e4.getMessage.contains("3.50"))
   }
 
   test("Lambert grid (template 3.30, the HRRR native projection): cone " +
@@ -359,6 +384,93 @@ class Grib2Spec extends AnyFunSuite {
     // one Dy step toward the pole raises latitude
     assert(ps.inverse(x1, y1 + f.dLat)._2 > f.lat1 ||
       ps.inverse(x1, y1 - f.dLat)._2 > f.lat1)
+  }
+
+  test("Mercator grid (template 3.10): parameters decode — the " +
+    "template puts scan mode BEFORE the increments — and the anchor " +
+    "georeferences through Geo.Mercator") {
+    val f = Grib2.read(handMessage(gridTemplate = 10)).head
+    assert(f.gridType === "mercator")
+    assert(f.lat1 === 20.0 && f.lon1 === 100.0)
+    assert(f.dLat === 50000.0 && f.dLon === 50000.0)
+    val mg = f.mercator.get
+    assert(mg.earthRadius === 6371229.0 && mg.e2 === 0.0)
+    assert(mg.laD === 20.0)
+    assert(f.values.toSeq === Seq(1.5, 3.5, 5.5, 7.5, 9.5, 31.5))
+    val m = graft.functions.Geo.Mercator(mg.earthRadius, mg.e2, mg.laD)
+    val (x1, y1) = m.forward(f.lon1, f.lat1)
+    val (lon2, lat2) = m.inverse(x1, y1)
+    assert(math.abs(lon2 - f.lon1) < 1e-9 && math.abs(lat2 - f.lat1) < 1e-9)
+    // one Dj step down the stored grid (−j scan) lowers latitude
+    assert(m.inverse(x1, y1 - f.dLat)._2 < f.lat1)
+  }
+
+  test("space-view grid (template 3.90): scan-angle steps resolve " +
+    "from the apparent diameters, the camera distance from Nr, and " +
+    "rows georeference through Geo.Geostationary") {
+    val f = Grib2.read(handMessage(gridTemplate = 90)).head
+    assert(f.gridType === "spaceview")
+    val sg = f.spaceview.get
+    assert(sg.lop === -75.0)
+    assert(math.abs(sg.height - 6.6107 * 6371229.0) < 10.0)
+    assert(sg.req === 6371229.0 && sg.rpol === 6371229.0)
+    val expRx = 2 * math.asin(6371229.0 / sg.height) / 16
+    assert(math.abs(sg.rx - expRx) < 1e-12 && math.abs(sg.ry - expRx) < 1e-12)
+    assert(sg.xp === 8.0 && sg.yp === 8.0 && sg.xo === 3.0 && sg.yo === 4.0)
+    assert(f.values.toSeq === Seq(1.5, 3.5, 5.5, 7.5, 9.5, 31.5))
+    // stored row 0 sits at full-image row Yo = 4, NORTH of the
+    // sub-satellite row 8 → positive y scan angle, positive latitude
+    // on the sub-satellite meridian
+    val geos = graft.functions.Geo.Geostationary(
+      sg.lop, sg.req, sg.rpol, sg.height)
+    val y0 = (sg.yp - sg.yo) * sg.ry
+    val (lonA, latA) = geos.inverse(0.0, y0).get
+    assert(latA > 0 && math.abs(lonA - sg.lop) < 1e-9)
+  }
+
+  test("writer emits Mercator grids (3.10) the reader decodes; the " +
+    "ellipsoidal axes survive shape code 7 and values round-trip") {
+    val mg = Grib2.MercatorGrid(6378137.0, laD = 15.0,
+      e2 = 6.69437999014e-3)
+    val spec = Grib2Write.FieldSpec(0, 1, 7, 3, ni = 6, nj = 5,
+      lat1 = 22.0, lon1 = 88.0, dLat = 40000.0, dLon = 40000.0,
+      values = Array.tabulate(30)(i => 290.0 + (i % 7) * 0.25),
+      decimalScale = 2, mercator = Some(mg))
+    val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+    assert(f.gridType === "mercator")
+    assert(f.lat1 === 22.0 && f.lon1 === 88.0)
+    assert(f.dLat === 40000.0 && f.dLon === 40000.0)
+    val got = f.mercator.get
+    assert(got.laD === 15.0 && got.earthRadius === 6378137.0)
+    // e2 reconstitutes from the meter-rounded axes of shape code 7
+    assert(math.abs(got.e2 - mg.e2) < 1e-7)
+    f.values.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - (290.0 + (i % 7) * 0.25)) <= 0.005 + 1e-9,
+        s"cell $i")
+    }
+  }
+
+  test("writer emits space-view grids (3.90); the GOES-R ABI " +
+    "full-disk parameters resolve to the PUG's 56 µrad scan step") {
+    // GOES-16 shape: 2 km full disk = 5424 cells, camera 42164.16 km
+    // from the earth center = 6.610561 equatorial radii
+    val sv = Grib2Write.SpaceViewSpec(req = 6378137.0, rpol = 6356752.0,
+      lop = -75.0, nrMicroRadii = 6610561, dx = 5424, dy = 5424,
+      xpMilli = 2712000, ypMilli = 2712000, xo = 2000, yo = 2400)
+    val spec = Grib2Write.FieldSpec(3, 0, 0, 0, ni = 4, nj = 3,
+      lat1 = 0, lon1 = 0, dLat = 0, dLon = 0,
+      values = Array.tabulate(12)(i => 0.25 * i),
+      decimalScale = 2, spaceview = Some(sv))
+    val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+    assert(f.gridType === "spaceview")
+    val sg = f.spaceview.get
+    assert(math.abs(sg.rx - 56e-6) < 0.1e-6, s"rx ${sg.rx}") // PUG E/W
+    assert(math.abs(sg.ry - 56e-6) < 0.3e-6, s"ry ${sg.ry}")
+    assert(sg.lop === -75.0 && sg.xo === 2000.0 && sg.yo === 2400.0)
+    assert(sg.xp === 2712.0 && sg.yp === 2712.0)
+    f.values.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - 0.25 * i) <= 0.005 + 1e-9, s"cell $i")
+    }
   }
 
   test("writer emits Lambert grids (3.30) the reader decodes; values " +
