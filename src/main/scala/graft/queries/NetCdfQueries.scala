@@ -714,6 +714,110 @@ object NetCdfQueries {
           .as("v_u"))
   }
 
+  /** R3 — zonal statistics (the climate-diagnostics reduction over
+    * named regions): cells map to zones by a bounding-box containment
+    * join in the grid's own coordinates. The zone table is tiny and
+    * BROADCAST, so the range-predicate join never shuffles the cell
+    * relation — at archive scale the plan is one scan + a broadcast
+    * nested-loop against four rows + a partial-aggregated groupBy.
+    */
+  val zonalStats = QueryDef("q109_zonal_stats",
+    """WITH zones(zone, y_min, y_max, x_min, x_max) AS (
+      |  VALUES ('nw', 100000.0, 104000.0, 200000.0, 204000.0),
+      |         ('ne', 100000.0, 104000.0, 204000.0, 208000.0),
+      |         ('sw', 104000.0, 108000.0, 200000.0, 204000.0),
+      |         ('se', 104000.0, 108000.0, 204000.0, 208000.0))
+      |SELECT file, variable, leadtime_idx, zone,
+      |  count(*) AS n_valid,
+      |  CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS sum_u
+      |FROM read_parquet('/tmp/graft-oracle/q109_cells/*.parquet') c
+      |JOIN zones z ON c.y >= z.y_min AND c.y < z.y_max
+      |            AND c.x >= z.x_min AND c.x < z.x_max
+      |WHERE NOT isnan(v)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin) { (s, _) =>
+    val glob = fixtureGlob()
+    val tidy = s.read.format("netcdf").load(glob)
+    val cells = tidy
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("variable"), col("leadtime_idx"), col("y"), col("xs"),
+        posexplode(col("values")).as(Seq("x_idx", "v")))
+      .withColumn("x", element_at(col("xs"), col("x_idx") + 1))
+      .drop("xs", "x_idx")
+    oracleDump(s, "q109_cells", cells, glob)
+    import s.implicits._
+    // the tidy scan normalizes km axes to METERS (P3), so the zone
+    // boxes are in meters too
+    val zones = Seq(
+      ("nw", 100000.0, 104000.0, 200000.0, 204000.0),
+      ("ne", 100000.0, 104000.0, 204000.0, 208000.0),
+      ("sw", 104000.0, 108000.0, 200000.0, 204000.0),
+      ("se", 104000.0, 108000.0, 204000.0, 208000.0))
+      .toDF("zone", "y_min", "y_max", "x_min", "x_max")
+    cells.filter(!isnan(col("v")))
+      .join(broadcast(zones),
+        col("y") >= col("y_min") && col("y") < col("y_max") &&
+          col("x") >= col("x_min") && col("x") < col("x_max"))
+      .groupBy(col("file"), col("variable"), col("leadtime_idx"),
+        col("zone"))
+      .agg(count(lit(1)).as("n_valid"),
+        sum(floor(col("v") * 1e6).cast("long")).as("sum_u"))
+  }
+
+  /** R4 — climatology + anomaly (the two-pass temporal normalization
+    * every reanalysis pipeline runs): a per-cell climatology over the
+    * time axis, anomalies re-joined per step. The arithmetic is exact
+    * integers — anomaly_u = n·v_u − Σv_u — so the cross-engine hash
+    * is independent of float summation order, and the Spark join
+    * shuffles BOTH sides on the same cell key (co-partitioned, no
+    * broadcast of the big side) — the shape that survives a 100×
+    * archive.
+    */
+  val climatologyAnomaly = QueryDef("q110_climatology_anomaly",
+    """WITH cells AS (
+      |  SELECT file, variable, time_idx, leadtime_idx, y_idx, x_idx,
+      |    CAST(floor(v * 1e6) AS BIGINT) AS v_u
+      |  FROM read_parquet('/tmp/graft-oracle/q110_cells/*.parquet')
+      |  WHERE NOT isnan(v)),
+      |clim AS (
+      |  SELECT variable, leadtime_idx, y_idx, x_idx,
+      |    count(*) AS n, CAST(sum(v_u) AS BIGINT) AS s
+      |  FROM cells GROUP BY 1, 2, 3, 4)
+      |SELECT c.file, c.variable, c.time_idx,
+      |  count(*) AS n_cells,
+      |  CAST(sum(cl.n * c.v_u - cl.s) AS BIGINT) AS sum_anom_u,
+      |  CAST(sum(abs(cl.n * c.v_u - cl.s)) AS BIGINT) AS sum_abs_anom_u
+      |FROM cells c
+      |JOIN clim cl ON c.variable = cl.variable
+      |  AND c.leadtime_idx = cl.leadtime_idx
+      |  AND c.y_idx = cl.y_idx AND c.x_idx = cl.x_idx
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, _) =>
+    // a 4-step archive in one file: the climatology spans the file's
+    // own time axis, so the cell values genuinely vary per step
+    val dir = stableWork("fixtures").resolve("ncclim")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("archive.nc"),
+      NetCdfFixture.bytes(nt = 4))
+    val glob = s"$dir/*.nc"
+    val tidy = s.read.format("netcdf").load(glob)
+    val cells0 = tidy.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("variable"), col("time_idx"), col("leadtime_idx"),
+      col("y_idx"), posexplode(col("values")).as(Seq("x_idx", "v")))
+    oracleDump(s, "q110_cells", cells0, glob)
+    val cells = cells0.filter(!isnan(col("v")))
+      .withColumn("v_u", floor(col("v") * 1e6).cast("long"))
+    val clim = cells.groupBy(col("variable"), col("leadtime_idx"),
+        col("y_idx"), col("x_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("v_u")).as("s"))
+    val anom = cells
+      .join(clim, Seq("variable", "leadtime_idx", "y_idx", "x_idx"))
+      .withColumn("anom_u", col("n") * col("v_u") - col("s"))
+    anom.groupBy(col("file"), col("variable"), col("time_idx"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("anom_u")).cast("long").as("sum_anom_u"),
+        sum(abs(col("anom_u"))).cast("long").as("sum_abs_anom_u"))
+  }
+
   /** S11 — GRIB2 scan (the operational forecast distribution format)
     * through the tidy query layer: simple-packed fields with bitmap
     * holes decode into the same scanline shape the netCDF scan emits;
@@ -871,5 +975,5 @@ object NetCdfQueries {
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
       enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear,
-      grib2Scan)
+      zonalStats, climatologyAnomaly, grib2Scan)
 }

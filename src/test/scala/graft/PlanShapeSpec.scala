@@ -105,6 +105,28 @@ class PlanShapeSpec extends SparkSpec {
       "q104 must not sort-merge scanline rows against 25 points")
   }
 
+  test("q109: the zone assignment is a BROADCAST nested-loop over the " +
+    "four-row zone table — the cell relation must not shuffle into " +
+    "the join") {
+    val plan = graft.queries.NetCdfQueries.zonalStats.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "q109 must broadcast the zone table into a nested-loop join")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q109 must not shuffle cells against four zones")
+  }
+
+  test("q110: the climatology re-join shuffles BOTH sides on the cell " +
+    "key (sort-merge, co-partitioned) — no broadcast of the big side") {
+    val plan = graft.queries.NetCdfQueries.climatologyAnomaly
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "q110 must co-partition cells with their climatology, not " +
+        "broadcast a relation that scales with the grid:\n" +
+        plan.take(1500))
+  }
+
   test("q103: block-mean regrid is partial+final hash agg — the " +
     "exploded cells collapse map-side before the exchange") {
     val df = graft.queries.NetCdfQueries.regridBlockMean.fn(spark, sf)
