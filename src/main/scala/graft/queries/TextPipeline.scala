@@ -475,7 +475,73 @@ object TextPipeline {
       md5(nfcCol(col("t")).cast("binary")).as("nfc_md5"))
   }
 
+  /** LM-familiarity scoring — the CCNet/KenLM-style perplexity filter:
+    * an add-one-smoothed BIGRAM language model trained on the corpus
+    * itself scores every document's mean-free log-likelihood. The
+    * per-pair logprob ln((c(w1,w2)+1)/(c(w1)+V)) is floored to
+    * micro-units BEFORE the per-doc sum, so the cross-engine hash sums
+    * integers and never depends on float accumulation order.
+    *
+    * Scale shape: pairs come from a zip of two shifted token-array
+    * views (no shuffle, no window — the same O(n) trick as
+    * [[shingles]]); the three count/score joins shuffle on vocabulary
+    * keys (w1,w2 then w1), which is how an n-gram count table wants to
+    * be keyed at 100 TB; the one-row vocabulary size broadcasts.
+    * n_repeated counts pairs the corpus saw ≥ 2× (the familiarity
+    * signal a novelty filter thresholds on).
+    */
+  val bigramLm = QueryDef("q111_bigram_lm",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |pairs AS (
+      |  SELECT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+      |      SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS p FROM toks))
+      |  WHERE w2 IS NOT NULL),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2)
+      |SELECT doc_id, count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN c12 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeated,
+      |  CAST(sum(CAST(floor(1e6 * ln(CAST(c12 + 1 AS DOUBLE)
+      |    / CAST(c1 + v AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score_u
+      |FROM pairs JOIN big USING (w1, w2) JOIN uni ON uni.w = pairs.w1
+      |CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toksArr = docs.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    val uni = toksArr.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val pairStructs = zip_with(col("ws"),
+      slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = toksArr
+      .select(col("doc_id"),
+        explode(filter(pairStructs, p => p.getField("w2").isNotNull))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val scored = pairs.join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_u", floor(lit(1e6) *
+        log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double"))).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("c12") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_repeated"),
+        sum(col("lp_u")).cast("long").as("score_u"))
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
     exactDedup, minhashBands, ngramJaccard, simhash, dupClusters,
-    dupClustersStar, tfidfTerms, nfcNormalize)
+    dupClustersStar, tfidfTerms, nfcNormalize, bigramLm)
 }

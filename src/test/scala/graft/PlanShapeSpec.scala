@@ -127,6 +127,17 @@ class PlanShapeSpec extends SparkSpec {
         plan.take(1500))
   }
 
+  test("q111: bigram pairs come from shifted-array zips, not a " +
+    "per-doc Window sort; the vocabulary size broadcasts") {
+    val plan = graft.queries.TextPipeline.bigramLm.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "q111 must build pairs with zip_with, not lead() over a window")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "q111 must broadcast the one-row vocabulary count")
+  }
+
   test("q103: block-mean regrid is partial+final hash agg — the " +
     "exploded cells collapse map-side before the exchange") {
     val df = graft.queries.NetCdfQueries.regridBlockMean.fn(spark, sf)
