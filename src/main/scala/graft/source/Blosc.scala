@@ -17,11 +17,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   * exactly c-blosc's `bitshuffle()`); the memcpy fallback; raw
   * (incompressible) streams; split blocks (c-blosc's forward-compat
   * rule: lz4/blosclz, typesize ≤ 16, blocksize/typesize ≥ 128, never
-  * the leftover block). Rejected explicitly: the blosclz inner codec —
-  * its LZ77 token format has no public-jar decoder to delegate to and
-  * no parity source in this container to pin a hand-rolled one
-  * against, so refusing loudly beats decoding plausibly-wrong
-  * (zarr-python's default cname is lz4; blosclz is rare in stores).
+  * the leftover block); and the blosclz inner codec via [[BloscLz]]
+  * (hand-pinned FastLZ-style token stream — see its parity caveat).
   */
 object Blosc {
 
@@ -64,7 +61,6 @@ object Blosc {
       return out
     }
     val codec = (flags >> 5) & 0x7
-    require(codec != CodecBloscLz, s"blosc inner codec blosclz unsupported")
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val bstarts = (0 until nblocks).map(_ => bb.getInt())
     var i = 0
@@ -85,6 +81,8 @@ object Blosc {
         if (cb == streamLen) // stored raw: compression did not gain
           System.arraycopy(chunk, pos, block, boff, streamLen)
         else codec match {
+          case CodecBloscLz =>
+            BloscLz.decompress(chunk, pos, cb, block, boff, streamLen)
           case CodecLz4 =>
             lz4.safeDecompressor()
               .decompress(chunk, pos, cb, block, boff, streamLen)
@@ -132,6 +130,7 @@ object Blosc {
                blockSizeHint: Int = 65536,
                bitShuffle: Boolean = false): Array[Byte] = {
     val codec = cname match {
+      case "blosclz" => CodecBloscLz
       case "lz4" => CodecLz4
       case "zlib" => CodecZlib
       case "zstd" => CodecZstd
@@ -184,6 +183,8 @@ object Blosc {
             val src = java.util.Arrays.copyOfRange(block, s * per,
               s * per + streamLen)
             com.github.luben.zstd.Zstd.compress(src, level)
+          case CodecBloscLz =>
+            BloscLz.compress(block, s * per, streamLen)
           case CodecSnappy =>
             val dst = new Array[Byte](
               org.xerial.snappy.Snappy.maxCompressedLength(streamLen))

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
-import graft.source.{Blosc, ZarrCodec, ZarrFixture}
+import graft.source.{Blosc, BloscLz, ZarrCodec, ZarrFixture}
 
 /** Blosc chunk codec (c-blosc 1.x format) — zarr-python v2's DEFAULT
   * compressor. Round-trips cover the format's branch points: split vs
@@ -51,11 +51,8 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(b.array()).toSeq === data.toSeq)
   }
 
-  test("blosclz and truncated chunks are rejected loudly") {
+  test("truncated chunks are rejected loudly") {
     val ok = Blosc.compress(doubles(64), 8, "lz4")
-    val bloscLz = ok.clone()
-    bloscLz(2) = (bloscLz(2) & 0x1F).toByte // codec bits -> 0 = blosclz
-    intercept[IllegalArgumentException] { Blosc.decompress(bloscLz) }
     intercept[IllegalArgumentException] {
       Blosc.decompress(java.util.Arrays.copyOf(ok, ok.length - 1))
     }
@@ -150,5 +147,101 @@ class BloscSpec extends AnyFunSuite {
     val mBit = ZarrCodec.readMeta(bitStore).head
     val c = ZarrCodec.readArray(bitStore, mBit)
     assert(c.toSeq === a.toSeq)
+  }
+
+  // ---- blosclz: hand-assembled token streams (decoded by hand from the
+  // FastLZ-style grammar in BloscLz's doc) pin the decoder independently
+  // of the compressor.
+
+  private def lzDecode(stream: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    BloscLz.decompress(stream, 0, stream.length, out, 0, outLen)
+    out
+  }
+
+  test("blosclz: literal run + overlapped short match, by hand") {
+    // literal "abc" (token 0x02), then copy 6 bytes from distance 2
+    // (ref = pos 0): lenField = (6-3)+1 = 4 -> token 0x80, code 0x02
+    val s = Array[Byte](0x02, 'a', 'b', 'c', 0x80.toByte, 0x02)
+    assert(new String(lzDecode(s, 9)) === "abcabcabc")
+  }
+
+  test("blosclz: 255-chained length extension, by hand") {
+    // literal "x", then a 300-byte self-overlapping run at distance 0:
+    // lenField 7 (token 0xE0), ext 255 + 36 (6+255+36 = 297 = 300-3),
+    // distance code 0
+    val s = Array[Byte](0x00, 'x', 0xE0.toByte, 0xFF.toByte, 36, 0x00)
+    assert(lzDecode(s, 301).toSeq === Seq.fill(301)('x'.toByte))
+  }
+
+  test("blosclz: far match past 8191, by hand") {
+    // 8300 pseudo-random literals, then 10 bytes copied from offset 0 =
+    // distance 8299 >= 8191: token (7<<5)|31 = 0xFF, ext 1 (len 10),
+    // code 255, far = 8299-8191 = 108 big-endian
+    val lit = Array.tabulate[Byte](8300)(i => ((i * 37 + 11) & 0xFF).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < lit.length) {
+      val run = math.min(32, lit.length - p)
+      bos.write(run - 1); bos.write(lit, p, run); p += run
+    }
+    bos.write(0xFF); bos.write(1); bos.write(0xFF); bos.write(0); bos.write(108)
+    val out = lzDecode(bos.toByteArray, 8310)
+    assert(out.take(8300).toSeq === lit.toSeq)
+    assert(out.drop(8300).toSeq === lit.take(10).toSeq)
+  }
+
+  test("blosclz: malformed streams fail loudly") {
+    // match before any output underruns the buffer
+    intercept[IllegalArgumentException] {
+      lzDecode(Array[Byte](0x80.toByte, 0x00), 3)
+    }
+    // declared output longer than the stream produces
+    intercept[IllegalArgumentException] {
+      lzDecode(Array[Byte](0x00, 'x'), 5)
+    }
+  }
+
+  test("blosclz: compressor round-trips every instruction form") {
+    val rnd = new scala.util.Random(41)
+    val payloads = Seq(
+      "periodic" -> Array.tabulate[Byte](20000)(i => (i % 23).toByte),
+      "text" -> ("the quick brown fox " * 700).getBytes,
+      "random" -> Array.fill[Byte](9000)(rnd.nextInt().toByte),
+      "runs" -> Array.tabulate[Byte](70000)(i => (i / 9000).toByte),
+      "tiny" -> Array[Byte](7),
+      "far-reuse" -> {
+        // unique prefix past the 8191 short-match horizon, then repeats
+        val u = Array.tabulate[Byte](9000)(i => ((i * 131 + 7) & 0xFF).toByte)
+        u ++ u.take(512)
+      })
+    for ((tag, data) <- payloads) {
+      val c = BloscLz.compress(data, 0, data.length)
+      assert(lzDecode(c, data.length).toSeq === data.toSeq, tag)
+    }
+  }
+
+  test("blosclz inside blosc chunks: split, shuffle and leftover blocks") {
+    val payloads = Seq(doubles(40000), doubles(40000 + 13), doubles(100))
+    for {
+      data <- payloads
+      shuffle <- Seq(true, false)
+      typesize <- Seq(8, 4, 1)
+    } {
+      val packed = Blosc.compress(data, typesize, "blosclz", shuffle = shuffle)
+      assert(Blosc.decompress(packed).toSeq === data.toSeq)
+    }
+  }
+
+  test("zarr v2 store with blosc-blosclz chunks reads equal to zlib") {
+    val zlibStore = Files.createTempDirectory("graft-blosclz-zlib")
+    val lzStore = Files.createTempDirectory("graft-blosclz")
+    val value = (c: Seq[Int]) => c.head * 0.5 + c(1) * 0.01
+    ZarrFixture.write(zlibStore, "sic", Seq(20, 16), Seq(8, 16), value = value)
+    ZarrFixture.write(lzStore, "sic", Seq(20, 16), Seq(8, 16),
+      value = value, bloscCname = Some("blosclz"))
+    val a = ZarrCodec.readArray(zlibStore, ZarrCodec.readMeta(zlibStore).head)
+    val b = ZarrCodec.readArray(lzStore, ZarrCodec.readMeta(lzStore).head)
+    assert(b.toSeq === a.toSeq)
   }
 }

@@ -17,10 +17,10 @@ class FuzzRoundTripSpec extends AnyFunSuite {
 
   test("blosc: compress∘decompress is identity across cnames, shuffle " +
     "modes, typesizes, and awkward lengths (incl. sub-typesize tails)") {
-    val cnames = Seq("lz4", "zlib", "zstd", "snappy")
-    for (trial <- 0 until 60) {
+    val cnames = Seq("lz4", "zlib", "zstd", "snappy", "blosclz")
+    for (trial <- 0 until 75) {
       val ts = Seq(1, 2, 4, 8)(trial % 4)
-      val cname = cnames((trial / 4) % 4)
+      val cname = cnames((trial / 4) % 5)
       val mode = trial % 3 // 0 none, 1 byte-shuffle, 2 bit-shuffle
       // lengths straddle block boundaries and typesize remainders
       val len = Seq(0, 1, ts, ts * 7 + 3, 65536 - 1, 65536 + ts,
