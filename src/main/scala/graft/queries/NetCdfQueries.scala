@@ -905,6 +905,19 @@ object NetCdfQueries {
           decimalScale = 2, packing = 42,
           ensembleSpec = Some((3, 4 + fi, 31)),
           statSpec = Some((1, 6))),
+        // CORDEX-shaped rotated lat/lon grid (3.1, the EUR-11 pole):
+        // rows step in rotated degrees and the per-row lat column
+        // georeferences the anchor column through the rotated-pole
+        // mapping
+        graft.source.Grib2Write.FieldSpec(0, 0, 17,
+          forecastHours = 4, ni = 11, nj = 9,
+          lat1 = 4.0, lon1 = -6.5, dLat = 0.44, dLon = 0.44,
+          values = Array.tabulate(99)(i =>
+            if ((i + fi) % 27 == 9) Double.NaN
+            else 275.0 + (i % 12) * 0.45 + fi * 0.7),
+          decimalScale = 2,
+          rotated = Some(graft.source.Grib2.RotatedGrid(
+            poleLat = 39.25, poleLon = -162.0))),
         // HRRR-shaped Lambert grid (3.30): rows georeference through
         // the cone, so the dumped per-row lat column exercises the
         // projected path in the oracle hash too

@@ -62,6 +62,10 @@ object Grib2 {
         * point in degrees, dLat/dLon are Dj/Di in METERS at LaD.
         */
       mercator: Option[MercatorGrid] = None,
+      /** "rotated" (template 3.1): lat1/lon1/dLat/dLon are degrees in
+        * the ROTATED system whose north pole `rotated` carries.
+        */
+      rotated: Option[RotatedGrid] = None,
       /** "spaceview" (template 3.90): lat1/lon1 are the SUB-SATELLITE
         * point in degrees, dLat/dLon are ry/rx in RADIANS of scan
         * angle per grid length.
@@ -120,6 +124,14 @@ object Grib2 {
   final case class MercatorGrid(earthRadius: Double, laD: Double,
       /** First eccentricity² from code table 3.2 (0 for spheres). */
       e2: Double = 0.0)
+
+  /** Template 3.1 parameters (rotated lat/lon — the CORDEX/COSMO/ICON
+    * regional-model grid): the grid axes are degrees in a ROTATED
+    * spherical system. Stored as the CF `grid_north_pole` convention
+    * (the template's southern pole of projection negated/flipped), so
+    * [[graft.functions.Geo.RotatedPole]] georeferences cells directly.
+    */
+  final case class RotatedGrid(poleLat: Double, poleLon: Double)
 
   /** Template 3.90 parameters (space view — the geostationary
     * full-disk/sector grid of GOES GVAR / Meteosat products). `rx`/`ry`
@@ -233,7 +245,8 @@ object Grib2 {
             b.position(b.position() + 16)
             val ni = b.getInt; val nj = b.getInt
             gridShape = (ni, nj, tpl match {
-              case 0 => "latlon"; case 10 => "mercator"
+              case 0 => "latlon"; case 1 => "rotated"
+              case 10 => "mercator"
               case 20 => "polar"; case 30 => "lambert"
               case 40 => "gaussian"; case 90 => "spaceview"
               case t => s"template-3.$t"
@@ -309,6 +322,7 @@ object Grib2 {
       gridType: String = "latlon", lambert: Option[LambertGrid] = None,
       polar: Option[PolarGrid] = None,
       mercator: Option[MercatorGrid] = None,
+      rotated: Option[RotatedGrid] = None,
       spaceview: Option[SpaceViewGrid] = None,
       gaussLats: Option[Array[Double]] = None,
       rowNi: Option[Array[Int]] = None) {
@@ -405,6 +419,36 @@ object Grib2 {
               val dLat = b.getInt / 1e6
               val scan = b.get() & 0xFF
               grid = Some(Grid(ni, nj, lat1, lon1, dLat, dLon, scan))
+            case 1 =>
+              // rotated lat/lon (CORDEX/COSMO/ICON regional grids):
+              // identical octets to 3.0 — but La1/Lo1/Di/Dj are
+              // degrees in the ROTATED system — plus the southern
+              // pole of projection and a rotation angle
+              earthRadius() // consumed; degrees grids don't need it
+              val ni = b.getInt; val nj = b.getInt
+              b.getInt; b.getInt // basic angle + subdivisions
+              val lat1 = sm4(b) / 1e6
+              val lon1 = sm4(b) / 1e6
+              b.get() // resolution/component flags
+              sm4(b); sm4(b) // lat2/lon2 (derivable)
+              val dLon = b.getInt / 1e6
+              val dLat = b.getInt / 1e6
+              val scan = b.get() & 0xFF
+              val southLat = sm4(b) / 1e6
+              val southLon = sm4(b) / 1e6
+              val rot = sm4(b) / 1e6
+              require(math.abs(rot) < 1e-9,
+                s"GRIB2 rotated grid angle-of-rotation $rot° " +
+                  "unsupported (0 only — the CORDEX/COSMO convention)")
+              // CF grid_north_pole = the stored southern pole negated
+              // and flipped 180° (CF conventions §5.6)
+              val poleLat = -southLat
+              val poleLon0 = southLon + 180.0
+              val poleLon = if (poleLon0 > 180.0) poleLon0 - 360.0
+                            else poleLon0
+              grid = Some(Grid(ni, nj, lat1, lon1, dLat, dLon, scan,
+                gridType = "rotated",
+                rotated = Some(RotatedGrid(poleLat, poleLon))))
             case 30 =>
               // Lambert conformal (the HRRR/NAM native grid): first
               // point in microdegrees, increments in MILLIMETERS,
@@ -569,8 +613,9 @@ object Grib2 {
                 rowNi = pl))
             case t => throw new IllegalArgumentException(
               s"GRIB2 grid template 3.$t unsupported (lat/lon 3.0, " +
-                "Mercator 3.10, polar 3.20, Lambert 3.30, Gaussian " +
-                "3.40, space view 3.90 — regrid with wgrib2 -new_grid)")
+                "rotated 3.1, Mercator 3.10, polar 3.20, Lambert " +
+                "3.30, Gaussian 3.40, space view 3.90 — regrid with " +
+                "wgrib2 -new_grid)")
           }
         case 4 =>
           b.getShort // coordinate values count
@@ -744,7 +789,7 @@ object Grib2 {
             pi.forecastHours,
             g.ni, g.nj, g.lat1, g.lon1, g.dLat, g.dLon, g.scanMode,
             normalizeScan(vals, g), g.gridType, g.lambert, g.polar,
-            g.mercator, g.spaceview,
+            g.mercator, g.rotated, g.spaceview,
             g.gaussLats,
             g.rowNi.map(pl => if (up) pl.reverse else pl),
             pi.ensemble, pi.stat)

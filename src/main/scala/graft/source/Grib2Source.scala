@@ -140,6 +140,23 @@ object Grib2Source {
                         else (sg.yp - fullRow) * sg.ry
                 geos.inverse(0.0, y).map(_._2).getOrElse(Double.NaN)
               }
+            case "rotated" =>
+              // rows step in ROTATED degrees; the row anchor (the
+              // file's first stored column, rlon1 — same convention
+              // as the projected grids' x1 anchor) georeferences
+              // through the rotated-pole mapping. Geographic latitude
+              // varies along a rotated row, so this is explicitly the
+              // anchor-column latitude.
+              val rg = f.rotated.get
+              val rp = graft.functions.Geo.RotatedPole(
+                rg.poleLat, rg.poleLon)
+              val up = (f.scanMode & 0x40) != 0
+              j => {
+                val srcRow = if (up) f.nj - 1 - j else j
+                val rlat = if (up) f.lat1 + srcRow * f.dLat
+                           else f.lat1 - srcRow * f.dLat
+                rp.toGeo(f.lon1, rlat)._2
+              }
             case "gaussian" =>
               // the resolved Gaussian parallels are already in
               // normalized row order (north→south)

@@ -40,6 +40,14 @@ object Grib2Write {
         * e2 = 0. Stored with scan mode 0 (first point = NW corner).
         */
       mercator: Option[Grib2.MercatorGrid] = None,
+      /** When set, emit grid template 3.1 (rotated lat/lon, the
+        * CORDEX/COSMO grid): lat1/lon1/dLat/dLon are degrees in the
+        * ROTATED system; the CF north pole given here is stored as
+        * the template's southern pole of projection (negated, flipped
+        * 180°), rotation angle 0. Scan mode 0 (first point = rotated
+        * NW corner).
+        */
+      rotated: Option[Grib2.RotatedGrid] = None,
       /** When set, emit grid template 3.90 (space view / geostationary
         * sector): ni/nj are the sector's Nx/Ny and lat1/lon1/dLat/dLon
         * are ignored — the view geometry comes from the spec itself.
@@ -92,6 +100,9 @@ object Grib2Write {
                       rt: (Int, Int, Int, Int, Int, Int)): Array[Byte] = {
     require(f.gaussianPl.isDefined || f.values.length == f.ni * f.nj,
       "values != ni*nj")
+    require(Seq(f.lambert, f.mercator, f.spaceview, f.gaussian,
+      f.rotated).count(_.isDefined) <= 1,
+      "at most one grid spec per field")
     val body = new ByteArrayOutputStream()
     def sec(num: Int)(fill: ByteBuffer => Unit): Unit = {
       val buf = ByteBuffer.allocate(1 << 20).order(ByteOrder.BIG_ENDIAN)
@@ -185,7 +196,7 @@ object Grib2Write {
             "at most one projected-grid spec per field")
           case (None, None) => f.lambert match {
         case None =>
-          b.putShort(0) // template 3.0
+          b.putShort(if (f.rotated.isDefined) 1 else 0) // 3.0 / 3.1
           b.put(6.toByte); b.put(0.toByte); b.putInt(0) // shape + radius
           b.put(0.toByte); b.putInt(0); b.put(0.toByte); b.putInt(0) // axes
           b.putInt(f.ni); b.putInt(f.nj)
@@ -198,6 +209,17 @@ object Grib2Write {
           b.putInt(math.round(f.dLon * 1e6).toInt)
           b.putInt(math.round(f.dLat * 1e6).toInt)
           b.put(0.toByte) // scan mode: +i, −j
+          f.rotated.foreach { rg =>
+            // the CF north pole stored as the southern pole of
+            // projection: negate the latitude, flip the longitude
+            val southLat = -rg.poleLat
+            val southLon0 = rg.poleLon - 180.0
+            val southLon = if (southLon0 < -180.0) southLon0 + 360.0
+                           else southLon0
+            b.putInt(sm4(math.round(southLat * 1e6)))
+            b.putInt(sm4(math.round(southLon * 1e6)))
+            b.putInt(0) // angle of rotation
+          }
         case Some(lg) =>
           b.putShort(30) // template 3.30
           b.put(1.toByte); b.put(0.toByte) // shape 1: given sphere radius

@@ -102,6 +102,13 @@ class Grib2Spec extends AnyFunSuite {
         s.putInt(500000) // dLon = 0.5
         s.putInt(1000000) // dLat = 1.0
         s.put(scanMode.toByte)
+        if (gridTemplate == 1) {
+          // rotated lat/lon (3.1): the CORDEX EUR pole stored as the
+          // SOUTHERN pole of projection (-39.25, 18.0), rotation 0
+          s.putInt(0x80000000 | 39250000)
+          s.putInt(18000000)
+          s.putInt(0)
+        }
       }
     }
     sec(4) { s =>
@@ -201,6 +208,66 @@ class Grib2Spec extends AnyFunSuite {
     val (xN, yN) = lcc.forward(lonN, latN)
     assert(math.abs(xN - (x0 + f.dLon)) < 1e-6 && math.abs(yN - y0) < 1e-6)
     assert(latN > 20.0 && latN < 22.0 && lonN > f.lon1) // one cell east
+  }
+
+  test("rotated lat/lon grid (template 3.1, the CORDEX/COSMO grid): " +
+    "southern pole converts to the CF north pole and rows " +
+    "georeference through Geo.RotatedPole") {
+    val f = Grib2.read(handMessage(gridTemplate = 1)).head
+    assert(f.gridType === "rotated")
+    // grid axes stay in ROTATED degrees
+    assert(f.lat1 === 50.5 && f.lon1 === -10.25)
+    assert(f.dLat === 1.0 && f.dLon === 0.5)
+    // stored southern pole (-39.25, 18.0) = CF north pole (39.25, -162)
+    val rg = f.rotated.get
+    assert(rg.poleLat === 39.25 && rg.poleLon === -162.0)
+    // values decode exactly like the 3.0 hand message (same sec 5/7)
+    assert(f.values.toSeq ===
+      Grib2.read(handMessage(gridTemplate = 0)).head.values.toSeq)
+    // georeference: the rotated origin (0,0) maps to the pole's
+    // antipodal complement — geographic (poleLon+180, 90-poleLat) —
+    // and the mapping round-trips
+    val rp = graft.functions.Geo.RotatedPole(rg.poleLat, rg.poleLon)
+    val (lon0, lat0) = rp.toGeo(0.0, 0.0)
+    assert(math.abs(lat0 - (90.0 - 39.25)) < 1e-9)
+    assert(math.abs(lon0 - 18.0) < 1e-9)
+    val (rlonB, rlatB) = rp.fromGeo(lon0, lat0)
+    assert(math.abs(rlonB) < 1e-9 && math.abs(rlatB) < 1e-9)
+    // nonzero rotation angles are rejected loudly, not mis-decoded
+    val msg = handMessage(gridTemplate = 1)
+    // angle of rotation = last 4 octets of section 3; find section 3
+    // (starts after the 16-byte indicator + section 1) and poke it
+    val s1len = ByteBuffer.wrap(msg, 16, 4).getInt
+    val s3at = 16 + s1len
+    val s3len = ByteBuffer.wrap(msg, s3at, 4).getInt
+    ByteBuffer.wrap(msg, s3at + s3len - 4, 4).putInt(5000000)
+    val ex = intercept[IllegalArgumentException] { Grib2.read(msg) }
+    assert(ex.getMessage.contains("angle-of-rotation"))
+  }
+
+  test("writer emits rotated grids (3.1) the reader decodes; the " +
+    "pole survives the southern-pole encoding both ways") {
+    val vals = Array.tabulate(20)(i =>
+      if (i == 7) Double.NaN else 262.0 + i * 0.25)
+    val spec = Grib2Write.FieldSpec(0, 0, 17, forecastHours = 4,
+      ni = 5, nj = 4, lat1 = 3.5, lon1 = -8.0, dLat = 0.44, dLon = 0.44,
+      values = vals, decimalScale = 2,
+      rotated = Some(Grib2.RotatedGrid(poleLat = 39.25, poleLon = -162.0)))
+    val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+    assert(f.gridType === "rotated")
+    assert(f.rotated.get.poleLat === 39.25)
+    assert(f.rotated.get.poleLon === -162.0)
+    assert(f.lat1 === 3.5 && f.lon1 === -8.0)
+    vals.zip(f.values).foreach { case (a, b2) =>
+      if (a.isNaN) assert(b2.isNaN) else assert(math.abs(a - b2) <= 0.005 + 1e-9)
+    }
+    // an eastern-hemisphere pole wraps the stored longitude back into
+    // range and returns unchanged
+    val spec2 = spec.copy(rotated =
+      Some(Grib2.RotatedGrid(poleLat = 31.0, poleLon = 120.0)))
+    val f2 = Grib2.read(Grib2Write.write(Seq(spec2))).head
+    assert(f2.rotated.get.poleLat === 31.0)
+    assert(f2.rotated.get.poleLon === 120.0)
   }
 
   test("writer round-trip: values within the declared quantization, " +
