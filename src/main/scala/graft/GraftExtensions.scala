@@ -36,13 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HeavyHittersAgg(key, foldInt("k", k),
           foldInt("capacity", cap)).toAggregateExpression() },
       arity = 3)
+    register(ext, "graft_kmv_distinct",
+      "graft_kmv_distinct(s, k) - KMV approximate-distinct sketch " +
+        "(struct<est, kth>) over a string key",
+      { case Seq(key, k) =>
+        graft.functions.KmvDistinctAgg(key, foldInt("k", k))
+          .toAggregateExpression() },
+      arity = 2)
   }
 
   /** k/capacity are sketch SIZING, not data: they must be literals. */
   private def foldInt(what: String, e: Expression): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue()
     else throw new IllegalArgumentException(
-      s"graft_top_k $what must be a literal integer")
+      s"sketch sizing argument $what must be a literal integer")
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
                        builder: PartialFunction[Seq[Expression], Expression],

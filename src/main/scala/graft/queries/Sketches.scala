@@ -50,5 +50,57 @@ object Sketches {
         FROM graft_q63_lineitem GROUP BY l_returnflag""")
   }
 
-  val all: Seq[QueryDef] = Seq(heavyHitters, quantiles)
+  /** KMV distinct-count sketch per group — oracle-gated IN ITS
+    * APPROXIMATE REGIME, which no HLL-style sketch can offer: the hash
+    * (first 15 hex digits of md5, 60 bits) and the exact-integer
+    * estimator (k-1)·2^60 ÷ h_k are reproduced digit-by-digit by
+    * DuckDB, and the k smallest distinct hashes are a pure function of
+    * the input set. l_partkey (~2000 distinct per flag at sf0.01)
+    * overflows k=256 so the estimate path is live; l_linestatus (1-2
+    * distinct) pins the exact path (`kth` = -1). At 100 TB each
+    * partial ships at most k longs per group however many keys the
+    * scan holds.
+    */
+  val kmvSketch = QueryDef("q112_kmv_distinct",
+    """WITH hx AS (
+      |  SELECT l_returnflag AS flag,
+      |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS h
+      |  FROM lineitem GROUP BY 1, 2),
+      |counts AS (SELECT flag, count(*) AS nd FROM hx GROUP BY 1),
+      |kth AS (
+      |  SELECT flag, h FROM (
+      |    SELECT flag, h,
+      |      row_number() OVER (PARTITION BY flag ORDER BY h) AS rk
+      |    FROM hx) WHERE rk = 256),
+      |num AS (
+      |  SELECT k.flag,
+      |    sum((strpos('0123456789abcdef', substr(k.h, g.i, 1)) - 1)
+      |        * (1::BIGINT << ((15 - g.i) * 4))) AS hv
+      |  FROM kth k, generate_series(1, 15) AS g(i) GROUP BY 1),
+      |ls AS (
+      |  SELECT l_returnflag AS flag,
+      |    count(DISTINCT md5(CAST(l_linestatus AS VARCHAR))) AS nd
+      |  FROM lineitem GROUP BY 1)
+      |SELECT c.flag AS l_returnflag,
+      |  CASE WHEN n.hv IS NULL THEN c.nd
+      |       ELSE CAST((255::HUGEINT * 1152921504606846976::HUGEINT)
+      |                 // n.hv::HUGEINT AS BIGINT) END AS part_est,
+      |  COALESCE(CAST(n.hv AS BIGINT), -1) AS part_kth,
+      |  ls.nd AS status_est, CAST(-1 AS BIGINT) AS status_kth
+      |FROM counts c LEFT JOIN num n ON c.flag = n.flag
+      |JOIN ls ON ls.flag = c.flag
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.KmvDistinctExpr.kmvDistinct
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        kmvDistinct(col("l_partkey").cast("string"), 256).as("pk"),
+        kmvDistinct(col("l_linestatus").cast("string"), 256).as("st"))
+      .select(col("l_returnflag"),
+        col("pk.est").as("part_est"), col("pk.kth").as("part_kth"),
+        col("st.est").as("status_est"), col("st.kth").as("status_kth"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QueryDef] = Seq(heavyHitters, quantiles, kmvSketch)
 }
