@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HeavyHittersAgg(key, foldInt("k", k),
           foldInt("capacity", cap)).toAggregateExpression() },
       arity = 3)
+    register(ext, "graft_zorder",
+      "graft_zorder(x, y, bits) - Morton Z-order interleave of two " +
+        "quantized dimensions (BIGINT clustering key)",
+      { case Seq(x, y, b) =>
+        graft.functions.ZOrderExpr(x, y, foldInt("bits", b)) },
+      arity = 3)
     register(ext, "graft_kmv_distinct",
       "graft_kmv_distinct(s, k) - KMV approximate-distinct sketch " +
         "(struct<est, kth>) over a string key",

@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+import graft.functions.ZOrderExpr
+
+/** Z-order table clustering — the write-side layout operator the
+  * [[graft.functions.ZOrderExpr]] key exists for: range-partition by
+  * the Morton key and sort within partitions, so each output file
+  * covers one contiguous Z range = one spatial tile, and BOTH
+  * dimensions' min/max file statistics become selective at scan time.
+  *
+  * Scale shape: `repartitionByRange` samples the key (reservoir per
+  * partition, driver merges ~`numPartitions * 100` samples — constant
+  * per partition, not data-sized) to build balanced range bounds, then
+  * one exchange + local sort. No global sort, no driver collect of
+  * data rows. This matches Delta/Iceberg OPTIMIZE ZORDER's layout
+  * contract without their table-format machinery.
+  */
+object ZOrderCluster {
+
+  /** Add a `z` Morton column over the two quantized dimension columns
+    * and cluster into `numPartitions` Z ranges.
+    */
+  def cluster(df: DataFrame, x: Column, y: Column, bits: Int,
+              numPartitions: Int): DataFrame =
+    df.withColumn("z", ZOrderExpr.zorder(x, y, bits))
+      .repartitionByRange(numPartitions, col("z"))
+      .sortWithinPartitions("z")
+}

@@ -409,9 +409,46 @@ object Relational {
         round(sum("o_totalprice").over(w), 2).as("running_total"))
   }
 
+  /** Z-order clustering key (the lakehouse multi-dimensional layout
+    * operator): the Morton interleave of two quantized dimensions,
+    * grouped by Z-PREFIX — the top 2 bits of each dimension, i.e. the
+    * 4×4 tile grid the key induces. The per-tile px/py min/max the
+    * oracle hashes ARE the data-skipping property: each prefix range
+    * covers one contiguous quadrant in BOTH dimensions, which is what
+    * per-file stats pruning exploits after [[graft.ops.ZOrderCluster]]
+    * lays a 100 TB table out by this key. Shuffle-free key computation
+    * (codegen'd bit spreading), one aggregation exchange.
+    */
+  val zorderKey = QueryDef("q113_zorder_key",
+    """WITH c AS (SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py
+      |           FROM lineitem),
+      |z AS (SELECT px, py,
+      |  CAST((SELECT sum(((px >> g.i) & 1) * (1::BIGINT << (2*g.i)) +
+      |                   ((py >> g.i) & 1) * (1::BIGINT << (2*g.i + 1)))
+      |        FROM generate_series(0, 9) AS g(i)) AS BIGINT) AS zkey
+      |  FROM c)
+      |SELECT zkey >> 16 AS cluster, count(*) AS n,
+      |  min(zkey) AS z_min, max(zkey) AS z_max,
+      |  min(px) AS px_min, max(px) AS px_max,
+      |  min(py) AS py_min, max(py) AS py_max
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.ZOrderExpr.zorder
+    val px = pmod(col("l_partkey"), lit(1024)).cast("long")
+    val py = pmod(col("l_orderkey"), lit(1024)).cast("long")
+    Tables.lineitem(s, d)
+      .select(px.as("px"), py.as("py"))
+      .withColumn("zkey", zorder(col("px"), col("py"), 10))
+      .groupBy(shiftright(col("zkey"), 16).as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        min("zkey").as("z_min"), max("zkey").as("z_max"),
+        min("px").as("px_min"), max("px").as("px_max"),
+        min("py").as("py_min"), max("py").as("py_max"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
-    rollup, runningSum)
+    rollup, runningSum, zorderKey)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrderExpr
+import graft.ops.ZOrderCluster
+
+/** Morton Z-order key + clustering layout: bit-level correctness
+  * against a naive interleave, the quadrant-locality property the
+  * data-skipping story rests on, SQL surface, and the range-clustered
+  * layout (disjoint per-partition Z ranges, range exchange in the
+  * plan). Cross-engine arithmetic parity is q113's oracle.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private def naive(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits)
+      z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    z
+  }
+
+  test("interleave matches the naive bit loop across widths") {
+    val rnd = new scala.util.Random(9)
+    for (bits <- Seq(1, 4, 10, 16, 31); _ <- 0 until 200) {
+      val x = rnd.nextLong().abs % (1L << bits)
+      val y = rnd.nextLong().abs % (1L << bits)
+      assert(ZOrderExpr.interleave(x, y, bits) === naive(x, y, bits),
+        s"bits=$bits x=$x y=$y")
+    }
+    // exhaustive at bits=4: the key is a bijection onto [0, 256)
+    val all = for (x <- 0 until 16; y <- 0 until 16)
+      yield ZOrderExpr.interleave(x, y, 4)
+    assert(all.sorted === (0 until 256).map(_.toLong))
+  }
+
+  test("Z-prefix clusters are exact quadrants (the data-skipping " +
+    "property)") {
+    // bits=4, prefix = top 2 bits of each dim -> 16 clusters, each a
+    // contiguous 4x4 tile in BOTH dimensions
+    val rows = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong, ZOrderExpr.interleave(x, y, 4))
+    rows.groupBy(_._3 >> 4).foreach { case (_, tile) =>
+      assert(tile.size === 16)
+      val xs = tile.map(_._1); val ys = tile.map(_._2)
+      assert(xs.max - xs.min === 3 && ys.max - ys.min === 3)
+      // and the tile's Z range contains NO foreign keys (aligned tiles
+      // are contiguous in Z, so min/max pruning has no false positives)
+      val zs = tile.map(_._3)
+      assert(zs.max - zs.min === 15)
+    }
+  }
+
+  test("out-of-range inputs throw instead of folding into a wrong tile") {
+    intercept[IllegalArgumentException] { ZOrderExpr.interleave(16, 0, 4) }
+    intercept[IllegalArgumentException] { ZOrderExpr.interleave(0, -1, 4) }
+  }
+
+  test("SQL surface graft_zorder matches the Column API through codegen") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ((i * 7) % 1024L, (i * 13) % 1024L))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("graft_z_in")
+    val viaSql = spark.sql(
+      "SELECT graft_zorder(x, y, 10) AS z FROM graft_z_in ORDER BY z")
+      .collect().map(_.getLong(0))
+    val viaCol = df.select(ZOrderExpr.zorder($"x", $"y", 10).as("z"))
+      .orderBy("z").collect().map(_.getLong(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+    assert(viaSql.toSeq ===
+      (0 until 1000).map(i => naive((i * 7) % 1024L, (i * 13) % 1024L, 10))
+        .sorted)
+  }
+
+  test("ZOrderCluster: range exchange in the plan, disjoint Z ranges " +
+    "per partition, rows intact") {
+    import spark.implicits._
+    val df = (0 until 4000)
+      .map(i => ((i * 31) % 512L, (i * 17) % 512L)).toDF("x", "y")
+    val clustered = ZOrderCluster.cluster(df, $"x", $"y", bits = 9,
+      numPartitions = 8)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    val ranges = clustered.select("z").as[Long]
+      .mapPartitions { it =>
+        val s = it.toSeq
+        if (s.isEmpty) Iterator.empty else Iterator((s.min, s.max, s.size))
+      }.collect().sortBy(_._1)
+    assert(ranges.map(_._3).sum === 4000)
+    ranges.sliding(2).foreach {
+      case Array((_, hi, _), (lo, _, _)) => assert(hi <= lo)
+      case _ => ()
+    }
+  }
+}
