@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.SpatialJoin
+import graft.ops.SpatialJoin.Poly
+
+/** Spatial containment over driver data: the polygon-join layer above
+  * the grid analytics (q109 zonal statistics assigns cells to bboxes;
+  * this assigns points to CONVEX POLYGONS — the real zone shape).
+  */
+object Spatial {
+
+  /** The q114 zone set: integer-vertex convex polygons in the
+    * [0, 1024)² plane the quantized point cloud lives in — a triangle,
+    * an axis-aligned square, a pentagon and a tilted quad that
+    * OVERLAPS the square (a point in both emits two rows, pinning the
+    * inner-join multiplicity).
+    */
+  val zones: Seq[Poly] = Seq(
+    Poly(1, Seq((0L, 0L), (600L, 0L), (0L, 600L))),
+    Poly(2, Seq((200L, 200L), (800L, 200L), (800L, 800L), (200L, 800L))),
+    Poly(3, Seq((500L, 100L), (900L, 400L), (750L, 850L), (250L, 850L),
+      (100L, 400L))),
+    Poly(4, Seq((400L, 400L), (1000L, 500L), (900L, 1000L), (450L, 900L))))
+
+  /** Point-in-convex-polygon join (the [[SpatialJoin]] operator):
+    * points quantized from lineitem keys, zones broadcast, containment
+    * the exact-integer half-plane conjunction — so the DuckDB oracle
+    * reproduces every comparison bit-for-bit from the same edge list.
+    * Boundary points count as inside on both engines (>= 0).
+    */
+  val pointInPolygon = QueryDef("q114_point_in_polygon",
+    """WITH raw AS (
+      |  SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem),
+      |pts AS (
+      |  SELECT px, py, count(*) AS m, sum(qty_u) AS q
+      |  FROM raw GROUP BY 1, 2),
+      |e(pid, x1, y1, x2, y2) AS (VALUES
+      |  (1, 0, 0, 600, 0), (1, 600, 0, 0, 600), (1, 0, 600, 0, 0),
+      |  (2, 200, 200, 800, 200), (2, 800, 200, 800, 800),
+      |  (2, 800, 800, 200, 800), (2, 200, 800, 200, 200),
+      |  (3, 500, 100, 900, 400), (3, 900, 400, 750, 850),
+      |  (3, 750, 850, 250, 850), (3, 250, 850, 100, 400),
+      |  (3, 100, 400, 500, 100),
+      |  (4, 400, 400, 1000, 500), (4, 1000, 500, 900, 1000),
+      |  (4, 900, 1000, 450, 900), (4, 450, 900, 400, 400)),
+      |ne AS (SELECT pid, count(*) AS n FROM e GROUP BY 1),
+      |hit AS (
+      |  SELECT pts.px, pts.py, pts.m, pts.q, e.pid, count(*) AS sat
+      |  FROM pts, e
+      |  WHERE (e.x2 - e.x1) * (pts.py - e.y1)
+      |      - (e.y2 - e.y1) * (pts.px - e.x1) >= 0
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |ins AS (
+      |  SELECT h.pid, h.px, h.py, h.m, h.q
+      |  FROM hit h JOIN ne ON h.pid = ne.pid AND h.sat = ne.n)
+      |SELECT pid, CAST(sum(m) AS BIGINT) AS n_pts,
+      |  CAST(sum(q) AS BIGINT) AS qty_u_sum,
+      |  CAST(min(px * 1024 + py) AS BIGINT) AS first_cell,
+      |  CAST(max(px * 1024 + py) AS BIGINT) AS last_cell
+      |FROM ins GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    // pre-aggregate to distinct cells (the quantized plane is at most
+    // 1024² cells, and at 100 TB this map-side combine is what keeps
+    // the broadcast-join input small) — multiplicity and the measure
+    // ride along
+    val pts = Tables.lineitem(s, d).select(
+        pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+        pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("m"), sum("qty_u").as("q"))
+    SpatialJoin.pointInPolygon(pts, SpatialJoin.polyTable(s, zones),
+        col("px"), col("py"))
+      .groupBy("pid")
+      .agg(sum("m").cast("long").as("n_pts"),
+        sum("q").cast("long").as("qty_u_sum"),
+        min(col("px") * 1024 + col("py")).as("first_cell"),
+        max(col("px") * 1024 + col("py")).as("last_cell"))
+      .orderBy("pid")
+  }
+
+  val all: Seq[QueryDef] = Seq(pointInPolygon)
+}
