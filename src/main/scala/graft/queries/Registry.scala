@@ -10,5 +10,5 @@ object Registry {
     Relational.all ++ Functions.all ++ TextPipeline.all ++ Similarity.all ++
       StacQueries.all ++ NetCdfQueries.all ++ MultimodalQueries.all ++
       EventOps.all ++ GroupingSets.all ++ TemporalJoins.all ++ Sketches.all ++
-      WindowSetOps.all ++ TrainingPrep.all ++ Spatial.all
+      WindowSetOps.all ++ TrainingPrep.all ++ Spatial.all ++ GraphRank.all
 }
