@@ -829,18 +829,19 @@ object NetCdfQueries {
   val grib2Scan = QueryDef("q107_grib2_scan",
     """SELECT regexp_extract(path, '([^/]+)$', 1) AS file, field_idx,
       |  category, parameter, forecast_hours, ensemble_member,
-      |  stat_process,
+      |  stat_process, prob_type,
+      |  COALESCE(prob_thresh_u, -1) AS prob_thresh_u,
       |  count(CASE WHEN NOT isnan(v) THEN 1 END) AS n_valid,
       |  count(*) AS n_cells,
       |  CAST(sum(CASE WHEN isnan(v) THEN 0
       |           ELSE CAST(floor(v * 1e6) AS BIGINT) END) AS BIGINT) AS sum_u,
       |  CAST(min(floor(lat * 1e6)) AS BIGINT) AS min_lat_u
       |FROM (SELECT path, field_idx, category, parameter, forecast_hours,
-      |        ensemble_member, stat_process,
+      |        ensemble_member, stat_process, prob_type, prob_thresh_u,
       |        lat, unnest(values) AS v
       |      FROM read_parquet('/tmp/graft-oracle/q107_cells/*.parquet'))
-      |GROUP BY 1, 2, 3, 4, 5, 6, 7
-      |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin) {
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9""".stripMargin) {
     (s, _) =>
     val dir = stableWork("fixtures").resolve("grib2")
     java.nio.file.Files.createDirectories(dir)
@@ -905,6 +906,19 @@ object NetCdfQueries {
           decimalScale = 2, packing = 42,
           ensembleSpec = Some((3, 4 + fi, 31)),
           statSpec = Some((1, 6))),
+        // NBM/GEFS-shaped probability-of-precipitation field (product
+        // template 4.9): P(6h precip > 0.254 mm), probability type 3
+        // (above lower limit), threshold octets (scale 3, value 254)
+        // → 254000 micro-units exactly
+        graft.source.Grib2Write.FieldSpec(0, 1, 8,
+          forecastHours = 12, ni = 8, nj = 5,
+          lat1 = 45.0, lon1 = -90.0, dLat = 0.5, dLon = 0.5,
+          values = Array.tabulate(40)(i =>
+            if ((i + fi) % 33 == 8) Double.NaN else (i % 21) * 5.0),
+          decimalScale = 0,
+          probSpec = Some(graft.source.Grib2Write.ProbSpec(
+            0, 1, probType = 3, scale = 3, lo = Some(254), hi = None)),
+          statSpec = Some((1, 6))),
         // CORDEX-shaped rotated lat/lon grid (3.1, the EUR-11 pole):
         // rows step in rotated degrees and the per-row lat column
         // georeferences the anchor column through the rotated-pole
@@ -965,15 +979,18 @@ object NetCdfQueries {
       splitBytes = 1)
     val cells = tidy.select(col("path"), col("field_idx"), col("category"),
       col("parameter"), col("forecast_hours"), col("ensemble_member"),
-      col("stat_process"), col("lat"), col("values"))
+      col("stat_process"), col("prob_type"), col("prob_thresh_u"),
+      col("lat"), col("values"))
     oracleDump(s, "q107_cells", cells, dir.toString)
     tidy.select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
       col("field_idx"), col("category"), col("parameter"),
       col("forecast_hours"), col("ensemble_member"), col("stat_process"),
+      col("prob_type"),
+      coalesce(col("prob_thresh_u"), lit(-1L)).as("prob_thresh_u"),
       col("lat"), explode(col("values")).as("v"))
       .groupBy(col("file"), col("field_idx"), col("category"),
         col("parameter"), col("forecast_hours"), col("ensemble_member"),
-        col("stat_process"))
+        col("stat_process"), col("prob_type"), col("prob_thresh_u"))
       .agg(
         count(when(!isnan(col("v")), 1)).as("n_valid"),
         count(lit(1)).as("n_cells"),

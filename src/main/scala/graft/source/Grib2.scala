@@ -89,13 +89,33 @@ object Grib2 {
         * 0 avg / 1 accum / 2 max / 3 min — and the interval span in
         * hours when the unit converts).
         */
-      stat: Option[(Int, Option[Int])] = None)
+      stat: Option[(Int, Option[Int])] = None,
+      /** Product templates 4.5/4.9 (probability forecasts — PoP-style
+        * fields): the probability block.
+        */
+      prob: Option[ProbInfo] = None)
+
+  /** Product templates 4.5/4.9: the probability block — member number
+    * of the probability ensemble, total probabilities, probability
+    * type (code table 4.9: 0 below lower, 1 above upper, 2 between,
+    * 3 above lower, 4 below upper), and the threshold bounds in EXACT
+    * micro-units (scaledValue·10^(6−scale); a missing bound — all-ones
+    * octets — is None).
+    */
+  final case class ProbInfo(number: Int, total: Int, probType: Int,
+      loU: Option[Long], hiU: Option[Long]) {
+    /** The defining threshold: the upper bound for above-/below-upper
+      * types (1/4), the lower bound otherwise.
+      */
+    def threshU: Option[Long] = if (probType == 1 || probType == 4) hiU else loU
+  }
 
   /** Section-4 facts shared by the supported product templates. */
   final case class ProductInfo(category: Int, parameter: Int,
       forecastHours: Option[Int],
       ensemble: Option[(Int, Int, Int)] = None,
-      stat: Option[(Int, Option[Int])] = None)
+      stat: Option[(Int, Option[Int])] = None,
+      prob: Option[ProbInfo] = None)
 
   /** Template 3.30 cone parameters + the earth radius the file
     * declares; [[graft.functions.Geo.LambertConformal]] georeferences
@@ -254,7 +274,11 @@ object Grib2 {
           case 4 =>
             b.getShort
             val tpl = b.getShort & 0xFFFF
-            if (tpl == 0 || tpl == 1 || tpl == 8) {
+            // octets through forecast time are shared by 4.0/4.1/4.5/
+            // 4.8/4.9/4.11; anything else is manifest-opaque, not an
+            // error
+            if (tpl == 0 || tpl == 1 || tpl == 5 || tpl == 8 ||
+                tpl == 9 || tpl == 11) {
               val cat = b.get() & 0xFF
               val par = b.get() & 0xFF
               b.get(); b.get(); b.get(); b.getShort; b.get()
@@ -620,7 +644,8 @@ object Grib2 {
         case 4 =>
           b.getShort // coordinate values count
           val tpl = b.getShort & 0xFFFF
-          if (tpl == 0 || tpl == 1 || tpl == 8 || tpl == 11) {
+          if (tpl == 0 || tpl == 1 || tpl == 5 || tpl == 8 || tpl == 9 ||
+              tpl == 11) {
             val cat = b.get() & 0xFF
             val par = b.get() & 0xFF
             b.get(); b.get(); b.get() // process type/id/background
@@ -634,15 +659,46 @@ object Grib2 {
               case _ => None
             }
             // 4.1/4.11 append (type, member, count) after the two
-            // fixed surfaces; 4.8/4.11 then carry the time-interval
-            // block (end time + per-range statistical process)
+            // fixed surfaces; 4.5/4.9 the probability block; 4.8/4.9/
+            // 4.11 then carry the time-interval block (end time +
+            // per-range statistical process)
             val ens =
               if (tpl == 1 || tpl == 11) {
                 b.position(b.position() + 12) // two fixed surfaces
                 Some((b.get() & 0xFF, b.get() & 0xFF, b.get() & 0xFF))
               } else None
+            val prob =
+              if (tpl == 5 || tpl == 9) {
+                b.position(b.position() + 12) // two fixed surfaces
+                val number = b.get() & 0xFF
+                val total = b.get() & 0xFF
+                val ptype = b.get() & 0xFF
+                // each bound: 1-octet sign-magnitude scale + 4-octet
+                // sign-magnitude scaled value; ALL-ONES = missing.
+                // micro-units = scaled·10^(6−scale), exact integers
+                def bound(): Option[Long] = {
+                  val rawScale = b.get() & 0xFF
+                  val rawVal = b.getInt
+                  if (rawScale == 0xFF && rawVal == -1) None
+                  else {
+                    val scale = if ((rawScale & 0x80) != 0)
+                      -(rawScale & 0x7F) else rawScale
+                    val v = if ((rawVal & 0x80000000) != 0)
+                      -(rawVal & 0x7FFFFFFF).toLong else rawVal.toLong
+                    require(scale >= -3 && scale <= 6,
+                      s"GRIB2 probability threshold scale $scale " +
+                        "unsupported (-3..6)")
+                    var m = v
+                    var k = 6 - scale
+                    while (k > 0) { m *= 10; k -= 1 }
+                    Some(m)
+                  }
+                }
+                val lo = bound(); val hi = bound()
+                Some(ProbInfo(number, total, ptype, lo, hi))
+              } else None
             val stat =
-              if (tpl == 8 || tpl == 11) {
+              if (tpl == 8 || tpl == 9 || tpl == 11) {
                 if (tpl == 8) b.position(b.position() + 12) // surfaces
                 b.position(b.position() + 7) // interval end time
                 val nRanges = b.get() & 0xFF
@@ -658,7 +714,7 @@ object Grib2 {
                 }
                 Some((proc, spanHours))
               } else None
-            product = Some(ProductInfo(cat, par, hours, ens, stat))
+            product = Some(ProductInfo(cat, par, hours, ens, stat, prob))
           } else product = Some(ProductInfo(-1, -1, None)) // opaque
         case 5 =>
           val nPoints = b.getInt
@@ -792,7 +848,7 @@ object Grib2 {
             g.mercator, g.rotated, g.spaceview,
             g.gaussLats,
             g.rowNi.map(pl => if (up) pl.reverse else pl),
-            pi.ensemble, pi.stat)
+            pi.ensemble, pi.stat, pi.prob)
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")

@@ -180,13 +180,15 @@ object Grib2Source {
             (p, idx0 + fi, f.discipline, f.category, f.parameter,
               f.refTime, f.forecastHours.getOrElse(-1),
               f.ensemble.map(_._2).getOrElse(-1),
-              f.stat.map(_._1).getOrElse(-1), j, rowLat(j),
+              f.stat.map(_._1).getOrElse(-1),
+              f.prob.map(_.probType).getOrElse(-1),
+              f.prob.flatMap(_.threshU), j, rowLat(j),
               f.values.slice(s0, s1))
           }
         }
       }
       .toDF("path", "field_idx", "discipline", "category", "parameter",
         "ref_time", "forecast_hours", "ensemble_member", "stat_process",
-        "j", "lat", "values")
+        "prob_type", "prob_thresh_u", "j", "lat", "values")
   }
 }

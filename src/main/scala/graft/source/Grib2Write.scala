@@ -71,7 +71,19 @@ object Grib2Write {
       /** (statistical process code, span hours) → product template 4.8
         * (4.11 with `ensembleSpec`): accumulations/averages.
         */
-      statSpec: Option[(Int, Int)] = None)
+      statSpec: Option[(Int, Int)] = None,
+      /** Probability block → product template 4.5 (4.9 with
+        * `statSpec` — the PoP shape). Mutually exclusive with
+        * `ensembleSpec`.
+        */
+      probSpec: Option[ProbSpec] = None)
+
+  /** Writer-side probability block: bounds as (scale, scaledValue)
+    * pairs so the stored octets are exact; a `None` bound writes the
+    * all-ones MISSING encoding.
+    */
+  final case class ProbSpec(number: Int, total: Int, probType: Int,
+      scale: Int, lo: Option[Int], hi: Option[Int])
 
   /** Template 3.90 writer parameters, in the template's own units:
     * `nrMicroRadii` = camera distance from the earth center in 10⁻⁶
@@ -242,10 +254,14 @@ object Grib2Write {
     }
     // section 4 — product definition template 4.0/4.1/4.8/4.11
     sec(4) { b =>
-      val tpl4 = (f.ensembleSpec, f.statSpec) match {
-        case (Some(_), Some(_)) => 11
-        case (Some(_), None) => 1
-        case (None, Some(_)) => 8
+      require(f.probSpec.isEmpty || f.ensembleSpec.isEmpty,
+        "probSpec and ensembleSpec are mutually exclusive")
+      val tpl4 = (f.ensembleSpec, f.probSpec, f.statSpec) match {
+        case (Some(_), _, Some(_)) => 11
+        case (Some(_), _, None) => 1
+        case (None, Some(_), Some(_)) => 9
+        case (None, Some(_), None) => 5
+        case (None, None, Some(_)) => 8
         case _ => 0
       }
       b.putShort(0); b.putShort(tpl4.toShort)
@@ -260,6 +276,17 @@ object Grib2Write {
       }
       f.ensembleSpec.foreach { case (t, m, n) =>
         b.put(t.toByte); b.put(m.toByte); b.put(n.toByte) }
+      f.probSpec.foreach { p =>
+        b.put(p.number.toByte); b.put(p.total.toByte)
+        b.put(p.probType.toByte)
+        def bound(v: Option[Int]): Unit = v match {
+          case Some(x) =>
+            b.put((if (p.scale < 0) 0x80 | -p.scale else p.scale).toByte)
+            b.putInt(if (x < 0) 0x80000000 | -x else x)
+          case None => b.put(0xFF.toByte); b.putInt(-1) // missing
+        }
+        bound(p.lo); bound(p.hi)
+      }
       f.statSpec.foreach { case (proc, spanHours) =>
         // end-of-interval time (reader skips), one range, no missing
         (0 until 7).foreach(_ => b.put(0.toByte))

@@ -668,6 +668,45 @@ class Grib2Spec extends AnyFunSuite {
     assert(both.values.toSeq === plain.values.toSeq)
   }
 
+  test("probability products (templates 4.5/4.9): the probability " +
+    "block round-trips, thresholds resolve to exact micro-units, " +
+    "missing bounds stay missing") {
+    val vals = Array.tabulate(12)(i => i * 5.0)
+    // 4.9: PoP shape — P(6h precip > 0.254 mm), scale 3 / value 254
+    val pop = Grib2Write.FieldSpec(0, 1, 8, forecastHours = 12,
+      ni = 4, nj = 3, lat1 = 45.0, lon1 = -90.0, dLat = 0.5, dLon = 0.5,
+      values = vals, decimalScale = 0,
+      probSpec = Some(Grib2Write.ProbSpec(0, 1, probType = 3,
+        scale = 3, lo = Some(254), hi = None)),
+      statSpec = Some((1, 6)))
+    val f = Grib2.read(Grib2Write.write(Seq(pop))).head
+    val p = f.prob.get
+    assert(p.probType === 3 && p.number === 0 && p.total === 1)
+    assert(p.loU === Some(254000L) && p.hiU === None)
+    assert(p.threshU === Some(254000L)) // lower bound defines type 3
+    assert(f.stat === Some((1, Some(6)))) // the 4.9 interval survives
+    assert(f.values.toSeq === vals.toSeq)
+    // 4.5 (no interval): between-bounds type carries BOTH thresholds,
+    // negative scaled values survive sign-magnitude, and an
+    // upper-defined type picks the upper bound
+    val between = pop.copy(statSpec = None,
+      probSpec = Some(Grib2Write.ProbSpec(2, 5, probType = 2,
+        scale = 1, lo = Some(-50), hi = Some(120))))
+    val f2 = Grib2.read(Grib2Write.write(Seq(between))).head
+    val p2 = f2.prob.get
+    assert(p2.loU === Some(-5000000L) && p2.hiU === Some(12000000L))
+    assert(p2.threshU === Some(-5000000L))
+    val above = pop.copy(statSpec = None,
+      probSpec = Some(Grib2Write.ProbSpec(0, 1, probType = 1,
+        scale = 0, lo = None, hi = Some(300))))
+    val f3 = Grib2.read(Grib2Write.write(Seq(above))).head
+    assert(f3.prob.get.threshU === Some(300000000L))
+    // readMeta keeps its identity columns for 4.5/4.9 messages
+    val meta = Grib2.readMeta(Grib2Write.write(Seq(pop))).head
+    assert(meta.category === 1 && meta.parameter === 8 &&
+      meta.forecastHours === Some(12))
+  }
+
   test("earth shapes (code table 3.2): ellipsoids resolve semi-major + " +
     "eccentricity² for projected grids; unknown codes rejected") {
     val spec = Grib2Write.FieldSpec(0, 0, 0, 1, 4, 3, 47.0, -110.0,
