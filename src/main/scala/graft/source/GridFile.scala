@@ -152,6 +152,9 @@ object GridFile {
         // the names netCDF4-python reports for user-defined types
         case Hdf5.ClsEnum => s"enum ${typeName(Hdf5.numericType(t))}"
         case Hdf5.ClsCompound => "compound"
+        case Hdf5.ClsBitfield => s"bitfield${t.size * 8}"
+        case Hdf5.ClsOpaque =>
+          if (t.opaqueTag.isEmpty) "opaque" else s"opaque(${t.opaqueTag})"
         case c => s"class$c"
       }
     override def varAttrText(n: String, a: String): Option[String] =

@@ -121,6 +121,7 @@ object Hdf5 {
 
   // datatype classes we understand
   val ClsFixed = 0; val ClsFloat = 1; val ClsString = 3
+  val ClsBitfield = 4; val ClsOpaque = 5
   val ClsCompound = 6; val ClsReference = 7; val ClsEnum = 8
   val ClsVlen = 9; val ClsArray = 10
 
@@ -136,7 +137,9 @@ object Hdf5 {
                           enumValues: Seq[Long] = Nil,
                           members: Seq[H5Member] = Nil,
                           arrayDims: Seq[Int] = Nil,
-                          bitPrecision: Int = 0) {
+                          bitPrecision: Int = 0,
+                          /** Class-5 (opaque) tag string. */
+                          opaqueTag: String = "") {
     /** True when only the low `bitPrecision` bits are significant — the
       * H5Tset_precision shape the nbit filter packs (padding bits come
       * back ZERO, so signed values need re-extension from precision).
@@ -153,6 +156,9 @@ object Hdf5 {
   def numericType(t: H5Type): H5Type = t.cls match {
     case ClsEnum => numericType(t.base.getOrElse(
       throw new IllegalArgumentException("enum datatype without base")))
+    // bitfields (class 4, H5T_STD_B*) carry plain bytes and decode as
+    // the unsigned integer of the same width and byte order
+    case ClsBitfield => t.copy(cls = ClsFixed, signed = false)
     case _ => t
   }
 
@@ -961,6 +967,23 @@ object Hdf5 {
           H5Type(cls, size, littleEndian = (bits & 1) == 0, signed = true)
         case ClsString =>
           H5Type(cls, size, littleEndian = true, signed = false)
+        case ClsBitfield =>
+          // same property block as fixed-point (bit offset + precision);
+          // values are flag words, decoded as unsigned integers
+          val bitOff = b.getShort() & 0xFFFF
+          val prec = b.getShort() & 0xFFFF
+          require(bitOff == 0,
+            s"bitfield bit offset $bitOff unsupported")
+          H5Type(cls, size, littleEndian = (bits & 1) == 0,
+            signed = false, bitPrecision = prec)
+        case ClsOpaque =>
+          // bits 0-7 of the class bit field = tag length (null-padded
+          // ASCII); payload stays opaque bytes, surfaced by tag
+          val tagLen = bits & 0xFF
+          val raw = new Array[Byte](tagLen); b.get(raw)
+          H5Type(cls, size, littleEndian = true, signed = false,
+            opaqueTag = new String(raw.takeWhile(_ != 0),
+              java.nio.charset.StandardCharsets.UTF_8))
         case ClsCompound =>
           // per-member: name, record offset, member type. v1 carries
           // old-style array dims inline (pre-class-10 writers); v3
@@ -1194,7 +1217,7 @@ object Hdf5 {
         case ClsFixed | ClsFloat =>
           val nums = (0 until n).map(_ => readNum(b, t))
           Attr(name, null, nums, Nil)
-        case ClsEnum =>
+        case ClsEnum | ClsBitfield =>
           val bt = numericType(t)
           val nums = (0 until n).map(_ => readNum(b, bt))
           Attr(name, null, nums, Nil)

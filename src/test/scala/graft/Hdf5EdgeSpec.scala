@@ -655,6 +655,43 @@ class Hdf5EdgeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { rs.readVlenRows("v") }
   }
 
+  test("BITFIELD (class 4) datasets decode as unsigned integers; " +
+    "OPAQUE (class 5) parses with its tag and stays non-numeric") {
+    // bitfield16, little-endian, full precision: values 1, 32768, 48879
+    val bdt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    bdt.put(0x14.toByte) // v1, class 4
+    bdt.put(0.toByte); bdt.put(0.toByte); bdt.put(0.toByte) // LE, no pad
+    bdt.putInt(2) // size
+    bdt.putShort(0); bdt.putShort(16) // bit offset + precision
+    val bdata = ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
+    bdata.putShort(1); bdata.putShort(0x8000.toShort)
+    bdata.putShort(0xBEEF.toShort)
+    val rb = new Hdf5.Reader(craftTyped(bdt.array(), bdata.array(), 3))
+    val dsb = rb.file.dataset("v").get
+    assert(dsb.dtype.cls === Hdf5.ClsBitfield)
+    assert(rb.readDoubles("v").toSeq === Seq(1.0, 32768.0, 48879.0))
+    val gb = new graft.source.GridFile.H5(
+      craftTyped(bdt.array(), bdata.array(), 3))
+    assert(gb.dtypeName("v") === "bitfield16")
+
+    // opaque(sensor): 2 cells of 4 raw bytes; tag null-padded to 8
+    val odt = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    odt.put(0x15.toByte) // v1, class 5
+    odt.put(8.toByte); odt.put(0.toByte); odt.put(0.toByte) // tag len 8
+    odt.putInt(4) // size
+    odt.put("sensor".getBytes); odt.put(0.toByte); odt.put(0.toByte)
+    val ro = new Hdf5.Reader(craftTyped(odt.array(),
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 2))
+    val dso = ro.file.dataset("v").get
+    assert(dso.dtype.cls === Hdf5.ClsOpaque)
+    assert(dso.dtype.opaqueTag === "sensor")
+    intercept[IllegalArgumentException] { ro.readDoubles("v") }
+    val go = new graft.source.GridFile.H5(craftTyped(odt.array(),
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 2))
+    assert(go.dtypeName("v") === "opaque(sensor)")
+    assert(!go.isPayload("v", 1)) // the tidy scan skips, not crashes
+  }
+
   test("COMPOUND v1 records: scalar + old-style array member stride out") {
     // {lo: f64 @0, bnds: f64[2] @8} — 24-byte records, dims [3]
     val dt = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
