@@ -32,7 +32,13 @@ object StreamingPreprocess {
   def start(spark: SparkSession, watchDir: String, checkpoint: String,
             opts: Preprocess.Options,
             onBatch: BatchRun => Unit = _ => (),
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            /** Bounds BOTH the per-batch driver list and the batch
+              * pipeline's working set — at 100× ingest rate this is
+              * what keeps each micro-batch a constant-sized unit of
+              * work instead of "everything that arrived".
+              */
+            maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     // streaming file sources demand an explicit schema; this is
     // binaryFile's fixed one
     val binaryFileSchema = new org.apache.spark.sql.types.StructType()
@@ -40,9 +46,11 @@ object StreamingPreprocess {
       .add("modificationTime", org.apache.spark.sql.types.TimestampType)
       .add("length", org.apache.spark.sql.types.LongType)
       .add("content", org.apache.spark.sql.types.BinaryType)
+    require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be positive")
     val newFiles = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.nc")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(watchDir)
       .select(col("path"))
     newFiles.writeStream
