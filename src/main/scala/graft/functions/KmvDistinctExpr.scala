@@ -148,6 +148,61 @@ final case class KmvDistinctAgg(
       c: IndexedSeq[Expression]): KmvDistinctAgg = copy(child = c.head)
 }
 
+/** `graft_kmv_mins(s, k)` aggregate — the RAW k smallest distinct
+  * 60-bit hashes, ascending (array<bigint>, length <= k). This is the
+  * composable form of the KMV sketch: set operations (union, estimated
+  * intersection, Jaccard) are pure array arithmetic over two sides'
+  * minima — see q116 — because the k minima of A ∪ B are computable
+  * from the k minima of A and of B alone (Bar-Yossef et al. 2002).
+  */
+final case class KmvMinsAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvState] {
+
+  require(k >= 2, s"graft_kmv_mins needs k >= 2 (got $k)")
+
+  override def prettyName: String = "graft_kmv_mins"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_mins expects a string (cast the key), got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(b: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) b.add(KmvState.hash60(v.asInstanceOf[UTF8String]))
+    b
+  }
+
+  override def merge(b: KmvState, o: KmvState): KmvState = { b.mergeIn(o); b }
+
+  override def eval(b: KmvState): Any = {
+    val out = new Array[Any](b.set.size)
+    val it = b.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(b: KmvState): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvState =
+    KmvState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMinsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMinsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvMinsAgg = copy(child = c.head)
+}
+
 object KmvDistinctExpr {
   /** Column API: `kmvDistinct($"key".cast("string"), 256)` →
     * struct<est, kth>.
@@ -155,4 +210,11 @@ object KmvDistinctExpr {
   def kmvDistinct(key: Column, k: Int): Column =
     Bridge.column(
       KmvDistinctAgg(Bridge.expression(key), k).toAggregateExpression())
+
+  /** Column API: `kmvMins($"key".cast("string"), 256)` → the ascending
+    * k smallest distinct hashes (array<bigint>).
+    */
+  def kmvMins(key: Column, k: Int): Column =
+    Bridge.column(
+      KmvMinsAgg(Bridge.expression(key), k).toAggregateExpression())
 }

@@ -102,5 +102,88 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[QueryDef] = Seq(heavyHitters, quantiles, kmvSketch)
+  /** KMV SET OPERATIONS — the composable form of the q112 sketch: the
+    * k smallest hashes of A ∪ B are computable from each side's k
+    * minima alone, so union cardinality, intersection estimate and
+    * Jaccard similarity come from two bounded sketches without ever
+    * joining the underlying sets (Bar-Yossef et al. 2002). Sides are
+    * the (part, supplier) pairs on low-quantity vs high-quantity
+    * lineitems — overlapping in the [20, 25) band. The estimator is
+    * decomposed as 255·(2^60 div h) + (255·(2^60 mod h)) div h so
+    * every intermediate fits a BIGINT on both engines and the
+    * APPROXIMATE estimates hash-match exactly. At 100 TB each side
+    * ships k longs per partial; the combination is one 1×1 join.
+    */
+  val kmvJaccard = QueryDef("q116_kmv_jaccard",
+    """WITH ha AS (
+      |  SELECT substr(md5(CAST(l_partkey * 1000 + l_suppkey AS VARCHAR)),
+      |                1, 15) AS h
+      |  FROM lineitem WHERE l_quantity < 25 GROUP BY 1),
+      |hb AS (
+      |  SELECT substr(md5(CAST(l_partkey * 1000 + l_suppkey AS VARCHAR)),
+      |                1, 15) AS h
+      |  FROM lineitem WHERE l_quantity >= 20 GROUP BY 1),
+      |ak AS (SELECT h FROM (
+      |  SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ha)
+      |  WHERE rk <= 256),
+      |bk AS (SELECT h FROM (
+      |  SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hb)
+      |  WHERE rk <= 256),
+      |u AS (SELECT h FROM (
+      |  SELECT h, row_number() OVER (ORDER BY h) AS rk
+      |  FROM (SELECT h FROM ak UNION SELECT h FROM bk))
+      |  WHERE rk <= 256),
+      |m AS (SELECT count(*) AS matches FROM u
+      |      WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)),
+      |hx(nm, h) AS (
+      |  SELECT 'a', max(h) FROM ak
+      |  UNION ALL SELECT 'b', max(h) FROM bk
+      |  UNION ALL SELECT 'u', max(h) FROM u),
+      |hv AS (SELECT nm,
+      |    sum((strpos('0123456789abcdef', substr(h, g.i, 1)) - 1)
+      |        * (1::BIGINT << ((15 - g.i) * 4))) AS v
+      |  FROM hx, generate_series(1, 15) AS g(i) GROUP BY 1),
+      |est AS (SELECT nm, 255 * (1152921504606846976 // v)
+      |    + (255 * (1152921504606846976 % v)) // v AS e FROM hv)
+      |SELECT
+      |  CAST((SELECT e FROM est WHERE nm = 'a') AS BIGINT) AS est_a,
+      |  CAST((SELECT e FROM est WHERE nm = 'b') AS BIGINT) AS est_b,
+      |  CAST((SELECT e FROM est WHERE nm = 'u') AS BIGINT) AS est_union,
+      |  CAST(((SELECT matches FROM m)
+      |        * (SELECT e FROM est WHERE nm = 'u')) // 256 AS BIGINT)
+      |    AS est_inter,
+      |  CAST(((SELECT matches FROM m) * 10000) // 256 AS BIGINT)
+      |    AS jaccard_bp,
+      |  CAST((SELECT matches FROM m) AS BIGINT) AS matches""".stripMargin) {
+    (s, d) =>
+    import graft.functions.KmvDistinctExpr.kmvMins
+    val li = Tables.lineitem(s, d)
+    val elem = (col("l_partkey") * 1000 + col("l_suppkey")).cast("string")
+    val a = li.filter(col("l_quantity") < 25)
+      .agg(kmvMins(elem, 256).as("ka"))
+    val b = li.filter(col("l_quantity") >= 20)
+      .agg(kmvMins(elem, 256).as("kb"))
+    def estOf(h: String) =
+      s"255L * (1152921504606846976L div $h) + " +
+        s"(255L * (1152921504606846976L % $h)) div $h"
+    a.crossJoin(b) // two one-row sketches — the bounded combination
+      .withColumn("ku",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, 256))
+      .withColumn("matches", size(filter(col("ku"), x =>
+        array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+        .cast("long"))
+      .withColumn("hha", element_at(col("ka"), 256))
+      .withColumn("hhb", element_at(col("kb"), 256))
+      .withColumn("hhu", element_at(col("ku"), 256))
+      .withColumn("est_a", expr(estOf("hha")))
+      .withColumn("est_b", expr(estOf("hhb")))
+      .withColumn("est_union", expr(estOf("hhu")))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        expr("(matches * est_union) div 256").as("est_inter"),
+        expr("(matches * 10000L) div 256").as("jaccard_bp"),
+        col("matches"))
+  }
+
+  val all: Seq[QueryDef] = Seq(heavyHitters, quantiles, kmvSketch,
+    kmvJaccard)
 }

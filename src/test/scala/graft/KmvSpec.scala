@@ -60,6 +60,30 @@ class KmvSpec extends SparkSpec {
     assert(back.estimate === st.estimate)
   }
 
+  test("kmvMins exposes the ascending k minima; union-from-sketches " +
+    "equals the sketch of the union (composability)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val aKeys = (0 until 3000).map(i => s"a$i")
+    val bKeys = (1500 until 4500).map(i => s"a$i") // half-overlapping
+    val dfA = aKeys.toDF("s"); val dfB = bKeys.toDF("s")
+    def mins(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(KmvDistinctExpr.kmvMins($"s", 128).as("m"))
+        .head().getSeq[Long](0)
+    val ma = mins(dfA); val mb = mins(dfB)
+    assert(ma.length === 128 && ma === ma.sorted)
+    // k minima of A ∪ B from the two sketches = sketch of A ∪ B
+    val direct = mins(dfA.union(dfB))
+    val combined = (ma ++ mb).distinct.sorted.take(128)
+    assert(combined === direct)
+    // intersection ratio recovers the true overlap within KMV error
+    val matches = combined.count(h => ma.contains(h) && mb.contains(h))
+    val estU = (BigInt(127) << 60) / BigInt(combined.last)
+    val estI = matches * estU / 128
+    assert((estI.toDouble - 1500).abs / 1500 < 0.5,
+      s"est intersection $estI vs 1500")
+  }
+
   test("SQL surface graft_kmv_distinct agrees with the Column API and " +
     "rejects non-literal k") {
     import spark.implicits._
