@@ -200,10 +200,33 @@ object ZarrCodec {
           }.getOrElse(("default", "/"))
           require(keyEnc == "v2" || sep == "/" || sep == ".",
             s"unsupported separator '$sep' in $zj")
+          val dataTypeTxt = node.get("data_type").asText()
+          if (dataTypeTxt == "string") {
+            // zarr-python 3 string arrays: variable-length UTF-8 via the
+            // v3 `vlen-utf8` array→bytes codec (same buffer layout as
+            // numcodecs VLenUTF8), optionally compressed/checksummed.
+            // Modeled as the v2 object dtype ("|O" + [vlen-utf8]) so
+            // decodeStringChunk/readStringArray apply unchanged.
+            val items = node.get("codecs").elements().asScala.toSeq
+            require(items.nonEmpty &&
+              items.head.get("name").asText() == "vlen-utf8",
+              s"zarr v3 string array needs vlen-utf8 first in $zj")
+            val restNode = mapper.createArrayNode()
+            items.tail.foreach(restNode.add)
+            val (_, comp, shard, trans, crc) =
+              parseCodecChain(restNode, zj.toString, topLevel = true)
+            require(shard.isEmpty && trans.isEmpty,
+              s"sharding/transpose over string arrays unsupported in $zj")
+            Some(ArrayMeta(store.toString, name, shape, chunks,
+              "|O", comp, Double.NaN,
+              shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
+              zarrFormat = 3, sep = sep,
+              filters = Seq(V2Filter("vlen-utf8")), crc32c = crc))
+          } else {
           val (endian, comp, shard, trans, crc) =
             parseCodecChain(node.get("codecs"), zj.toString, topLevel = true)
           val dtype = (if (endian == "big") ">" else "<") +
-            (node.get("data_type").asText() match {
+            (dataTypeTxt match {
               case "float64" => "f8"; case "float32" => "f4"
               case "float16" => "f2"
               case "int64" => "i8"; case "int32" => "i4"
@@ -220,6 +243,7 @@ object ZarrCodec {
             fill, shape.zip(chunks).map { case (s, c) => (s + c - 1) / c },
             zarrFormat = 3, sep = sep, shard = shard, transpose = trans,
             crc32c = crc))
+          }
         }
       }
 
@@ -484,7 +508,9 @@ object ZarrCodec {
         s"got ${meta.filters.map(_.id)}")
     val idx = chunkKey.split('.').map(_.toInt)
     require(idx.length == meta.shape.length, s"bad chunk key $chunkKey")
-    val raw = decompressBy(meta.compressor, bytes)
+    // v3 string chains may end in a crc32c checksum codec
+    val checked = if (meta.crc32c) stripCrc32c(bytes, chunkKey) else bytes
+    val raw = decompressBy(meta.compressor, checked)
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val n = b.getInt()
     require(n == meta.chunks.product,
@@ -1200,6 +1226,63 @@ object ZarrFixture {
         le32(raw.length); b.write(raw)
       }
       Files.write(dir.resolve(ci.toString), deflate(bos.toByteArray))
+    }
+  }
+
+  /** v3 string-array fixture (zarr-python 3 `dtype=str`): data_type
+    * "string", codecs [vlen-utf8, gzip?, crc32c?], numcodecs VLenUTF8
+    * chunk buffers, default "c/"-prefixed nested keys.
+    */
+  def writeStringV3(store: Path, name: String, values: Seq[String],
+                    chunk: Int, gzip: Boolean = true,
+                    withCrc32c: Boolean = false): Unit = {
+    val dir = store.resolve(name)
+    Files.createDirectories(dir.resolve("c"))
+    if (!Files.exists(store.resolve("zarr.json")))
+      Files.writeString(store.resolve("zarr.json"),
+        """{"zarr_format": 3, "node_type": "group"}""")
+    val tail = (if (gzip)
+      """, {"name": "gzip", "configuration": {"level": 5}}""" else "") +
+      (if (withCrc32c) """, {"name": "crc32c"}""" else "")
+    Files.writeString(dir.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${values.length}],
+         | "data_type": "string",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [$chunk]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": "",
+         | "codecs": [{"name": "vlen-utf8"}$tail]}""".stripMargin)
+    val nChunks = (values.length + chunk - 1) / chunk
+    (0 until nChunks).foreach { ci =>
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+        bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+      }
+      le32(chunk)
+      (0 until chunk).foreach { i =>
+        val raw = values.lift(ci * chunk + i).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        le32(raw.length); bos.write(raw, 0, raw.length)
+      }
+      var packed = bos.toByteArray
+      if (gzip) {
+        val gbos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(gbos)
+        gz.write(packed); gz.close()
+        packed = gbos.toByteArray
+      }
+      if (withCrc32c) {
+        val crc = new java.util.zip.CRC32C
+        crc.update(packed, 0, packed.length)
+        val out = java.util.Arrays.copyOf(packed, packed.length + 4)
+        ByteBuffer.wrap(out, packed.length, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+        packed = out
+      }
+      Files.write(dir.resolve("c").resolve(ci.toString), packed)
     }
   }
 

@@ -290,4 +290,38 @@ class ZarrV3Spec extends SparkSpec {
     assert(metas.find(_.name == "t64").get.dtype === "<i8")
     assert(metas.find(_.name == "u32").get.dtype === "<u4")
   }
+
+  test("v3 string arrays (data_type string + vlen-utf8): label axes " +
+    "decode through the shared object-dtype paths, crc32c verified") {
+    val store = Files.createTempDirectory("graft-zarr-v3-str")
+    val labels = Seq("alpha", "βeta", "", "tile-3", "tile-4")
+    ZarrFixture.writeStringV3(store, "labels", labels, chunk = 3)
+    ZarrFixture.writeStringV3(store, "labels_crc", labels, chunk = 2,
+      withCrc32c = true)
+    ZarrFixture.writeStringV3(store, "labels_raw", labels, chunk = 5,
+      gzip = false)
+    val metas = ZarrCodec.readMeta(store)
+    val m = metas.find(_.name == "labels").get
+    assert(m.dtype === "|O" && m.zarrFormat === 3)
+    assert(ZarrCodec.readStringArray(store, m).toSeq === labels)
+    assert(ZarrCodec.readStringArray(store,
+      metas.find(_.name == "labels_crc").get).toSeq === labels)
+    assert(ZarrCodec.readStringArray(store,
+      metas.find(_.name == "labels_raw").get).toSeq === labels)
+    // a corrupted crc32c chunk fails loudly, not silently
+    val crcDir = store.resolve("labels_crc").resolve("c")
+    val f = crcDir.resolve("0")
+    val bytes = Files.readAllBytes(f)
+    bytes(0) = (bytes(0) ^ 0x01).toByte
+    Files.write(f, bytes)
+    val ex = intercept[IllegalArgumentException] {
+      ZarrCodec.readStringArray(store,
+        ZarrCodec.readMeta(store).find(_.name == "labels_crc").get)
+    }
+    assert(ex.getMessage.contains("crc32c"))
+    // the numeric scan still refuses object dtypes pointedly
+    intercept[IllegalArgumentException] {
+      ZarrCodec.readArray(store, m)
+    }
+  }
 }
