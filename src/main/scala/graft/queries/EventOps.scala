@@ -469,8 +469,53 @@ object EventOps {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Interval union / coverage ([[graft.ops.Intervals]]): each event
+    * opens a 5-minute half-open activity interval; overlapping-or-
+    * touching intervals merge into maximal islands per user, and the
+    * per-user coverage (total covered nanos, island count, longest
+    * island) is exact integer arithmetic in both engines. This is the
+    * multi-run generalization of the A3/A4 temporal extent: gaps
+    * survive instead of collapsing into one min/max range.
+    */
+  val intervalCoverage = QueryDef("q117_interval_coverage",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ns(CAST(ts AS TIMESTAMP_NS)) AS s,
+      |    epoch_ns(CAST(ts AS TIMESTAMP_NS)) + 300000000000 AS e
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM g),
+      |m AS (SELECT user_id, island, min(s) AS st, max(e) AS en,
+      |        count(*) AS nr
+      |      FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(nr) AS BIGINT) AS n_raw,
+      |  CAST(sum(en - st) AS BIGINT) AS covered_ns,
+      |  CAST(max(en - st) AS BIGINT) AS max_island_ns
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.ops.Intervals.merge(ev, col("user_id"), col("ts"),
+        col("ts") + lit(300000000000L))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_raw")).cast("long").as("n_raw"),
+        sum(col("end") - col("start")).cast("long").as("covered_ns"),
+        max(col("end") - col("start")).cast("long").as("max_island_ns"))
+      .select(col("k").as("user_id"), col("n_islands"), col("n_raw"),
+        col("covered_ns"), col("max_island_ns"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
-      streamIntervalJoin, streamOuterJoin, funnel, cohorts)
+      streamIntervalJoin, streamOuterJoin, funnel, cohorts,
+      intervalCoverage)
 }
