@@ -13,7 +13,7 @@ object NetCdfQueries {
 
   import graft.Work.{stableDir => stableWork, retryingFresh, oracleDump}
 
-  private def fixtureGlob(): String =
+  private[graft] def fixtureGlob(): String =
     NetCdfFixture.writeFiles(stableWork("fixtures").resolve("nc"), n = 2)
 
   private def fixtureGlobHdf5(): String =
@@ -714,6 +714,62 @@ object NetCdfQueries {
           .as("v_u"))
   }
 
+  /** R5 — CONSERVATIVE (area-weighted) regridding between MISALIGNED
+    * grids (the xESMF/ESMF `conservative` method — the flux-preserving
+    * resample every climate pipeline uses where block-mean/bilinear
+    * would break conservation): source cells of width 3 units map onto
+    * target cells of width 5 along x, so overlaps are fractional and
+    * EXACT INTEGERS at the same time — overlap(i,j) =
+    * min(3i+3, 5j+5) − max(3i, 5j). Each source cell feeds at most
+    * ⌈3/5⌉+1 = 2 targets, generated arithmetically (`sequence` over
+    * the index bounds) — NO join against a weight matrix, no shuffle
+    * beyond the final aggregation. The oracle re-derives every weight
+    * in DuckDB from the same index arithmetic, so the conservation
+    * property itself is hash-checked: Σ_j out_wv(j) = Σ_i 3·v(i).
+    */
+  val regridConservative = QueryDef("q118_regrid_conservative",
+    """WITH src AS (
+      |  SELECT file, variable, leadtime_idx, y_idx, x_idx,
+      |    CAST(floor(v * 1e6) AS BIGINT) AS v_u
+      |  FROM read_parquet('/tmp/graft-oracle/q118_cells/*.parquet')
+      |  WHERE NOT isnan(v)),
+      |fan AS (
+      |  SELECT file, variable, leadtime_idx, y_idx, x_idx, v_u, tx.tx
+      |  FROM src, LATERAL (
+      |    SELECT unnest(generate_series((3 * x_idx) // 5,
+      |                                  (3 * x_idx + 2) // 5)) AS tx) tx),
+      |w AS (
+      |  SELECT file, variable, leadtime_idx, y_idx, tx,
+      |    least(3 * x_idx + 3, 5 * tx + 5)
+      |      - greatest(3 * x_idx, 5 * tx) AS ov, v_u
+      |  FROM fan)
+      |SELECT file, variable, leadtime_idx, y_idx, tx,
+      |  count(*) AS n_src,
+      |  CAST(sum(ov) AS BIGINT) AS w_sum,
+      |  CAST(sum(ov * v_u) AS BIGINT) AS wv_u
+      |FROM w GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin) { (s, _) =>
+    val glob = fixtureGlob()
+    val tidy = s.read.format("netcdf").load(glob)
+    val cells = tidy.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("variable"), col("leadtime_idx"), col("y_idx"),
+      posexplode(col("values")).as(Seq("x_idx", "v")))
+    oracleDump(s, "q118_cells", cells, glob)
+    cells.filter(!isnan(col("v")))
+      .withColumn("v_u", floor(col("v") * 1e6).cast("long"))
+      .withColumn("tx", explode(sequence(
+        expr("(3 * x_idx) div 5"), expr("(3 * x_idx + 2) div 5"))))
+      .withColumn("ov",
+        least(col("x_idx") * 3 + 3, col("tx") * 5 + 5) -
+          greatest(col("x_idx") * 3, col("tx") * 5))
+      .groupBy(col("file"), col("variable"), col("leadtime_idx"),
+        col("y_idx"), col("tx"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(col("ov")).cast("long").as("w_sum"),
+        sum(col("ov") * col("v_u")).cast("long").as("wv_u"))
+  }
+
   /** R3 — zonal statistics (the climate-diagnostics reduction over
     * named regions): cells map to zones by a bounding-box containment
     * join in the grid's own coordinates. The zone table is tiny and
@@ -1005,5 +1061,5 @@ object NetCdfQueries {
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
       enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear,
-      zonalStats, climatologyAnomaly, grib2Scan)
+      regridConservative, zonalStats, climatologyAnomaly, grib2Scan)
 }

@@ -147,4 +147,33 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "q103 needs map-side partials so the shuffle carries target cells")
   }
+
+  test("q118: conservative regrid is join-free (arithmetic fan-out, " +
+    "no weight-matrix join) and CONSERVES mass per scanline") {
+    val df = graft.queries.NetCdfQueries.regridConservative.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "q118 must fan out targets arithmetically, not join a weight matrix")
+    // conservation: Σ_j ov·v over a scanline = cellwidth · Σ_i v — the
+    // property that makes this method "conservative"
+    import org.apache.spark.sql.functions._
+    val out = df.groupBy("file", "variable", "leadtime_idx", "y_idx")
+      .agg(sum("wv_u").as("lhs")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2), r.get(3)) ->
+        r.getLong(4)).toMap
+    val cells = spark.read.format("netcdf")
+      .load(graft.queries.NetCdfQueries.fixtureGlob())
+      .select(col("path"), col("variable"), col("leadtime_idx"),
+        col("y_idx"), explode(col("values")).as("v"))
+      .filter(!isnan(col("v")))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("variable"), col("leadtime_idx"), col("y_idx"),
+        floor(col("v") * 1e6).cast("long").as("v_u"))
+      .groupBy("file", "variable", "leadtime_idx", "y_idx")
+      .agg(sum(col("v_u") * 3).as("rhs")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2), r.get(3)) ->
+        r.getLong(4)).toMap
+    assert(out.nonEmpty && out.keySet === cells.keySet)
+    out.foreach { case (k, lhs) => assert(lhs === cells(k), k) }
+  }
 }
