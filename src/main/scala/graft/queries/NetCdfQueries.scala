@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.functions.Scalars.floor2dp
 import graft.source.{NetCdfFixture, NetCdfSource}
@@ -770,6 +771,72 @@ object NetCdfQueries {
         sum(col("ov") * col("v_u")).cast("long").as("wv_u"))
   }
 
+  /** R6 — terrain/field GRADIENTS (the DEM slope/roughness primitive:
+    * central differences over the 3×3 neighborhood). The y-neighbors
+    * come from lag/lead of WHOLE SCANLINE ARRAYS over one window (one
+    * shuffle per band, no self-join of the cell relation); x-neighbors
+    * are `element_at` within the row. Gradients stay EXACT integers
+    * (differences of floor-microunit cells; roughness = Σ(∂x² + ∂y²))
+    * so no trig/libm cross-engine hazard exists — slope/aspect are a
+    * scalar atan away for consumers who want degrees.
+    */
+  val gradients = QueryDef("q119_gradients",
+    """WITH w AS (
+      |  SELECT file, variable, leadtime_idx, y_idx, vals,
+      |    lag(vals)  OVER win AS vm, lead(vals) OVER win AS vp
+      |  FROM read_parquet('/tmp/graft-oracle/q119_rows/*.parquet')
+      |  WINDOW win AS (PARTITION BY file, variable, leadtime_idx
+      |                 ORDER BY y_idx)),
+      |cells AS (
+      |  SELECT file, variable, leadtime_idx, y_idx,
+      |    CAST(floor(vals[i.i + 1] * 1e6) AS BIGINT)
+      |      - CAST(floor(vals[i.i - 1] * 1e6) AS BIGINT) AS dzdx,
+      |    CAST(floor(vp[i.i] * 1e6) AS BIGINT)
+      |      - CAST(floor(vm[i.i] * 1e6) AS BIGINT) AS dzdy
+      |  FROM w, LATERAL (SELECT unnest(generate_series(2,
+      |                     len(vals) - 1)) AS i) AS i
+      |  WHERE vm IS NOT NULL AND vp IS NOT NULL
+      |    AND NOT isnan(vals[i.i - 1]) AND NOT isnan(vals[i.i + 1])
+      |    AND NOT isnan(vm[i.i]) AND NOT isnan(vp[i.i]))
+      |SELECT file, variable, leadtime_idx, y_idx, count(*) AS n,
+      |  CAST(sum(abs(dzdx)) AS BIGINT) AS sum_abs_dzdx,
+      |  CAST(sum(abs(dzdy)) AS BIGINT) AS sum_abs_dzdy,
+      |  CAST(sum(dzdx * dzdx + dzdy * dzdy) AS BIGINT) AS roughness
+      |FROM cells GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2, 3, 4""".stripMargin) { (s, _) =>
+    val glob = fixtureGlob()
+    val tidy = s.read.format("netcdf").load(glob)
+    val rows = tidy.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("variable"), col("leadtime_idx"), col("y_idx"),
+      col("values").as("vals"))
+    oracleDump(s, "q119_rows", rows, glob)
+    val win = Window.partitionBy("file", "variable", "leadtime_idx")
+      .orderBy("y_idx")
+    val w = rows
+      .withColumn("vm", lag(col("vals"), 1).over(win))
+      .withColumn("vp", lead(col("vals"), 1).over(win))
+      .filter(col("vm").isNotNull && col("vp").isNotNull)
+    def q(c: org.apache.spark.sql.Column) = floor(c * 1e6).cast("long")
+    val cells = w
+      .withColumn("i", explode(sequence(lit(2), size(col("vals")) - 1)))
+      .filter(!isnan(element_at(col("vals"), col("i") - 1)) &&
+        !isnan(element_at(col("vals"), col("i") + 1)) &&
+        !isnan(element_at(col("vm"), col("i"))) &&
+        !isnan(element_at(col("vp"), col("i"))))
+      .withColumn("dzdx", q(element_at(col("vals"), col("i") + 1)) -
+        q(element_at(col("vals"), col("i") - 1)))
+      .withColumn("dzdy", q(element_at(col("vp"), col("i"))) -
+        q(element_at(col("vm"), col("i"))))
+    cells.groupBy(col("file"), col("variable"), col("leadtime_idx"),
+        col("y_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("dzdx"))).cast("long").as("sum_abs_dzdx"),
+        sum(abs(col("dzdy"))).cast("long").as("sum_abs_dzdy"),
+        sum(col("dzdx") * col("dzdx") + col("dzdy") * col("dzdy"))
+          .cast("long").as("roughness"))
+  }
+
   /** R3 — zonal statistics (the climate-diagnostics reduction over
     * named regions): cells map to zones by a bounding-box containment
     * join in the grid's own coordinates. The zone table is tiny and
@@ -1061,5 +1128,5 @@ object NetCdfQueries {
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
       enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear,
-      regridConservative, zonalStats, climatologyAnomaly, grib2Scan)
+      regridConservative, gradients, zonalStats, climatologyAnomaly, grib2Scan)
 }
