@@ -93,7 +93,11 @@ object Grib2 {
       /** Product templates 4.5/4.9 (probability forecasts — PoP-style
         * fields): the probability block.
         */
-      prob: Option[ProbInfo] = None)
+      prob: Option[ProbInfo] = None,
+      /** Product templates 4.2/4.12 (derived forecasts): (derivation
+        * code from table 4.7, ensemble size).
+        */
+      derived: Option[(Int, Int)] = None)
 
   /** Product templates 4.5/4.9: the probability block — member number
     * of the probability ensemble, total probabilities, probability
@@ -115,7 +119,12 @@ object Grib2 {
       forecastHours: Option[Int],
       ensemble: Option[(Int, Int, Int)] = None,
       stat: Option[(Int, Option[Int])] = None,
-      prob: Option[ProbInfo] = None)
+      prob: Option[ProbInfo] = None,
+      /** Templates 4.2/4.12 (derived forecasts — the GEFS ensemble
+        * mean/spread products): (code table 4.7 derivation — 0 mean,
+        * 2/4 spread —, number of forecasts in the ensemble).
+        */
+      derived: Option[(Int, Int)] = None)
 
   /** Template 3.30 cone parameters + the earth radius the file
     * declares; [[graft.functions.Geo.LambertConformal]] georeferences
@@ -274,11 +283,11 @@ object Grib2 {
           case 4 =>
             b.getShort
             val tpl = b.getShort & 0xFFFF
-            // octets through forecast time are shared by 4.0/4.1/4.5/
-            // 4.8/4.9/4.11; anything else is manifest-opaque, not an
-            // error
-            if (tpl == 0 || tpl == 1 || tpl == 5 || tpl == 8 ||
-                tpl == 9 || tpl == 11) {
+            // octets through forecast time are shared by 4.0/4.1/4.2/
+            // 4.5/4.8/4.9/4.11/4.12; anything else is manifest-opaque,
+            // not an error
+            if (tpl == 0 || tpl == 1 || tpl == 2 || tpl == 5 ||
+                tpl == 8 || tpl == 9 || tpl == 11 || tpl == 12) {
               val cat = b.get() & 0xFF
               val par = b.get() & 0xFF
               b.get(); b.get(); b.get(); b.getShort; b.get()
@@ -644,8 +653,8 @@ object Grib2 {
         case 4 =>
           b.getShort // coordinate values count
           val tpl = b.getShort & 0xFFFF
-          if (tpl == 0 || tpl == 1 || tpl == 5 || tpl == 8 || tpl == 9 ||
-              tpl == 11) {
+          if (tpl == 0 || tpl == 1 || tpl == 2 || tpl == 5 || tpl == 8 ||
+              tpl == 9 || tpl == 11 || tpl == 12) {
             val cat = b.get() & 0xFF
             val par = b.get() & 0xFF
             b.get(); b.get(); b.get() // process type/id/background
@@ -666,6 +675,11 @@ object Grib2 {
               if (tpl == 1 || tpl == 11) {
                 b.position(b.position() + 12) // two fixed surfaces
                 Some((b.get() & 0xFF, b.get() & 0xFF, b.get() & 0xFF))
+              } else None
+            val derived =
+              if (tpl == 2 || tpl == 12) {
+                b.position(b.position() + 12) // two fixed surfaces
+                Some((b.get() & 0xFF, b.get() & 0xFF))
               } else None
             val prob =
               if (tpl == 5 || tpl == 9) {
@@ -698,7 +712,7 @@ object Grib2 {
                 Some(ProbInfo(number, total, ptype, lo, hi))
               } else None
             val stat =
-              if (tpl == 8 || tpl == 9 || tpl == 11) {
+              if (tpl == 8 || tpl == 9 || tpl == 11 || tpl == 12) {
                 if (tpl == 8) b.position(b.position() + 12) // surfaces
                 b.position(b.position() + 7) // interval end time
                 val nRanges = b.get() & 0xFF
@@ -714,7 +728,8 @@ object Grib2 {
                 }
                 Some((proc, spanHours))
               } else None
-            product = Some(ProductInfo(cat, par, hours, ens, stat, prob))
+            product = Some(ProductInfo(cat, par, hours, ens, stat, prob,
+              derived))
           } else product = Some(ProductInfo(-1, -1, None)) // opaque
         case 5 =>
           val nPoints = b.getInt
@@ -848,7 +863,7 @@ object Grib2 {
             g.mercator, g.rotated, g.spaceview,
             g.gaussLats,
             g.rowNi.map(pl => if (up) pl.reverse else pl),
-            pi.ensemble, pi.stat, pi.prob)
+            pi.ensemble, pi.stat, pi.prob, pi.derived)
         case 0 | 8 => () // handled by the outer walk
         case o => throw new IllegalArgumentException(
           s"GRIB2 section $o unexpected")

@@ -76,7 +76,12 @@ object Grib2Write {
         * `statSpec` — the PoP shape). Mutually exclusive with
         * `ensembleSpec`.
         */
-      probSpec: Option[ProbSpec] = None)
+      probSpec: Option[ProbSpec] = None,
+      /** (derivation code, ensemble size) → product template 4.2
+        * (4.12 with `statSpec`) — the GEFS mean/spread products.
+        * Mutually exclusive with `ensembleSpec`/`probSpec`.
+        */
+      derivedSpec: Option[(Int, Int)] = None)
 
   /** Writer-side probability block: bounds as (scale, scaledValue)
     * pairs so the stored octets are exact; a `None` bound writes the
@@ -254,14 +259,18 @@ object Grib2Write {
     }
     // section 4 — product definition template 4.0/4.1/4.8/4.11
     sec(4) { b =>
-      require(f.probSpec.isEmpty || f.ensembleSpec.isEmpty,
-        "probSpec and ensembleSpec are mutually exclusive")
-      val tpl4 = (f.ensembleSpec, f.probSpec, f.statSpec) match {
-        case (Some(_), _, Some(_)) => 11
-        case (Some(_), _, None) => 1
-        case (None, Some(_), Some(_)) => 9
-        case (None, Some(_), None) => 5
-        case (None, None, Some(_)) => 8
+      require(Seq(f.probSpec, f.ensembleSpec, f.derivedSpec)
+        .count(_.isDefined) <= 1,
+        "probSpec, ensembleSpec and derivedSpec are mutually exclusive")
+      val tpl4 = (f.ensembleSpec, f.probSpec, f.derivedSpec,
+          f.statSpec) match {
+        case (Some(_), _, _, Some(_)) => 11
+        case (Some(_), _, _, None) => 1
+        case (None, Some(_), _, Some(_)) => 9
+        case (None, Some(_), _, None) => 5
+        case (None, None, Some(_), Some(_)) => 12
+        case (None, None, Some(_), None) => 2
+        case (None, None, None, Some(_)) => 8
         case _ => 0
       }
       b.putShort(0); b.putShort(tpl4.toShort)
@@ -276,6 +285,8 @@ object Grib2Write {
       }
       f.ensembleSpec.foreach { case (t, m, n) =>
         b.put(t.toByte); b.put(m.toByte); b.put(n.toByte) }
+      f.derivedSpec.foreach { case (code, n) =>
+        b.put(code.toByte); b.put(n.toByte) }
       f.probSpec.foreach { p =>
         b.put(p.number.toByte); b.put(p.total.toByte)
         b.put(p.probType.toByte)

@@ -707,6 +707,30 @@ class Grib2Spec extends AnyFunSuite {
       meta.forecastHours === Some(12))
   }
 
+  test("derived forecasts (templates 4.2/4.12): derivation code and " +
+    "ensemble size round-trip, with and without the interval block") {
+    val vals = Array.tabulate(12)(i => 0.1 * i)
+    // 4.2: GEFS ensemble-mean shape (code 0, 31 members)
+    val mean = Grib2Write.FieldSpec(0, 0, 0, forecastHours = 6,
+      ni = 4, nj = 3, lat1 = 50.0, lon1 = 0.0, dLat = 1.0, dLon = 1.0,
+      values = vals, decimalScale = 2, derivedSpec = Some((0, 31)))
+    val f = Grib2.read(Grib2Write.write(Seq(mean))).head
+    assert(f.derived === Some((0, 31)))
+    assert(f.ensemble === None && f.stat === None)
+    vals.zip(f.values).foreach { case (a, b2) =>
+      assert(math.abs(a - b2) <= 0.005 + 1e-9) }
+    // 4.12: spread of a 6-hour accumulation (code 4 + interval block)
+    val spread = mean.copy(derivedSpec = Some((4, 21)),
+      statSpec = Some((1, 6)))
+    val f2 = Grib2.read(Grib2Write.write(Seq(spread))).head
+    assert(f2.derived === Some((4, 21)))
+    assert(f2.stat === Some((1, Some(6))))
+    // readMeta keeps identities for 4.2/4.12 messages
+    val meta = Grib2.readMeta(Grib2Write.write(Seq(mean, spread)))
+    assert(meta.length === 2)
+    assert(meta.forall(m => m.category === 0 && m.forecastHours === Some(6)))
+  }
+
   test("earth shapes (code table 3.2): ellipsoids resolve semi-major + " +
     "eccentricity² for projected grids; unknown codes rejected") {
     val spec = Grib2Write.FieldSpec(0, 0, 0, 1, 4, 3, 47.0, -110.0,
