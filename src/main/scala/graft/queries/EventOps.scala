@@ -469,6 +469,35 @@ object EventOps {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Arbitrary stateful processing on Spark 4's NEW `transformWithState`
+    * API (RocksDB-backed typed state variables — the successor to
+    * mapGroupsWithState) under the oracle: per-user running totals
+    * whose every field is monotone, so whatever the micro-batch
+    * slicing, per-column max over the update stream equals the plain
+    * batch aggregate DuckDB computes. This gates the new API's state
+    * round-trip (encoder-backed ValueState in RocksDB) end to end.
+    */
+  val streamRunningTotals = QueryDef("q120_stream_running_totals",
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |  CAST(max(epoch_ns(CAST(ts AS TIMESTAMP_NS))) AS BIGINT) AS max_ts
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.streaming.EventStream.withRocksDbStateStore(s) {
+      graft.streaming.EventStream.withStatePartitions(s, 8) {
+        val totals = graft.streaming.EventStream.runningTotalsPerUser(s,
+          graft.streaming.EventStream.readEvents(s,
+            stageEvents(d, "stream-events")))
+        graft.streaming.EventStream.runToCompletion(s, totals.toDF(),
+          s"q120_totals_${streamRun.incrementAndGet()}",
+          outputMode = "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("sum_id")).as("sum_id"),
+            max(col("max_ts")).as("max_ts"))
+      }
+    }
+  }
+
   /** Interval union / coverage ([[graft.ops.Intervals]]): each event
     * opens a 5-minute half-open activity interval; overlapping-or-
     * touching intervals merge into maximal islands per user, and the
@@ -517,5 +546,5 @@ object EventOps {
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
       streamIntervalJoin, streamOuterJoin, funnel, cohorts,
-      intervalCoverage)
+      intervalCoverage, streamRunningTotals)
 }

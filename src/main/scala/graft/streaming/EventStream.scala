@@ -235,6 +235,77 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long,
+                              sum_id: Long, max_ts: Long)
+
+  /** Arbitrary-state processor on the NEW `transformWithState` API
+    * (Spark 4's successor to mapGroupsWithState: composable typed state
+    * variables, timers, TTL — and RocksDB-backed only). Keeps one
+    * ValueState of running per-user totals; every input batch updates
+    * it and emits the revision. Each field is MONOTONE (n grows, ids
+    * are non-negative so the sum grows, max_ts only rises), so an
+    * update-mode sink recovers the final state with per-column max —
+    * the same determinism-under-any-batching argument q95 uses.
+    */
+  private class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[UserTotals] = {
+      var n = 0L; var s = 0L; var m = Long.MinValue
+      if (totals.exists()) {
+        val p = totals.get()
+        n = p.n_events; s = p.sum_id; m = p.max_ts
+      }
+      rows.foreach { case (_, id, ts) =>
+        n += 1; s += id; if (ts > m) m = ts
+      }
+      val upd = UserTotals(user, n, s, m)
+      totals.update(upd)
+      Iterator.single(upd)
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` — rows are
+    * (user_id, event_id, ts-nanos). The caller must enable the RocksDB
+    * state store provider (see [[withRocksDbStateStore]]): the new API
+    * refuses the default HDFS-backed provider.
+    */
+  def runningTotalsPerUser(spark: SparkSession, events: DataFrame)
+  : Dataset[UserTotals] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Run `body` with the RocksDB state store provider (the only
+    * provider `transformWithState` supports), restoring the previous
+    * provider afterwards.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run the stream to completion over the currently-available files
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result. This is the harness form — a live deployment would use the

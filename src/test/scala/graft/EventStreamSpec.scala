@@ -231,4 +231,45 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exists(_._3.isEmpty), "fixture should have orphans")
     assert(streamed.exists(_._3.nonEmpty))
   }
+
+  test("transformWithState running totals: RocksDB-backed ValueState " +
+    "survives MULTIPLE micro-batches and equals the batch aggregate") {
+    // two copies of the events file -> at least two files in the
+    // stream; force one file per micro-batch so state genuinely
+    // round-trips through RocksDB between batches
+    val d2 = Files.createTempDirectory("graft-stream-tws")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d2.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d2.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStream.withRocksDbStateStore(spark) {
+      val src = spark.readStream
+        .schema(EventStream.eventsSchema(
+          spark.read.parquet(d2.toString).schema("ts").dataType))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d2.toString)
+      val events = Tables.normalizeEventTs(src)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      EventStream.runToCompletion(spark,
+        EventStream.runningTotalsPerUser(spark, events).toDF(),
+        "tws_totals", outputMode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("sum_id")).as("s"),
+          max(col("max_ts")).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    }
+    val batch = Tables.normalizeEventTs(
+        spark.read.parquet(d2.toString))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"),
+        max(col("ts")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed === batch)
+    assert(batch.valuesIterator.forall(_._1 >= 2),
+      "every user should have been seen in both files")
+  }
 }
