@@ -715,6 +715,55 @@ object NetCdfQueries {
           .as("v_u"))
   }
 
+  /** S12 — KERCHUNK reference-store scan (the Pangeo cloud pattern:
+    * archival netCDF-4 exposed as zarr via a byte-range index, no
+    * bytes rewritten). The driver builds the version-1 refs JSON from
+    * our own HDF5 chunk walk, then the SCAN plans one task per chunk
+    * ref: executors positioned-read exactly their [offset, length)
+    * range and decode through the shared zarr chunk codec — zero HDF5
+    * metadata touched at read time, which is the format's entire
+    * point at 100 TB (the header walk is paid once at index time).
+    */
+  val kerchunkScan = QueryDef("q121_kerchunk_scan",
+    """SELECT variable, count(*) AS n_cells,
+      |  count(CASE WHEN NOT isnan(v) THEN 1 END) AS n_valid,
+      |  CAST(sum(CASE WHEN isnan(v) THEN 0
+      |           ELSE CAST(floor(v * 1e6) AS BIGINT) END) AS BIGINT) AS sum_u
+      |FROM (SELECT variable, unnest(values) AS v
+      |      FROM read_parquet('/tmp/graft-oracle/q121_cells/*.parquet'))
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+    import graft.source.Kerchunk
+    val dir = stableWork("fixtures").resolve("kerchunk")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("archive.nc")
+    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 2, ny = 16,
+      nx = 12, nl = 3)
+    java.nio.file.Files.write(f,
+      graft.source.Hdf5Write.write(dims, gatts, vars, maxChunkElems = 96))
+    val refsPath = dir.resolve("refs.json")
+    java.nio.file.Files.writeString(refsPath, Kerchunk.build(f))
+    val st = Kerchunk.parse(java.nio.file.Files.readString(refsPath))
+    // one task per (array, chunk ref): the index IS the split plan
+    val tasks = st.metas.flatMap(m =>
+      Kerchunk.chunkRefs(st, m).map { case (k, r) => (m, k, r) })
+    import s.implicits._
+    val cells = s.createDataset(s.sparkContext
+      .parallelize(tasks, math.min(tasks.size, 16))
+      .map { case (m, key, ref) =>
+        val (_, _, values) = Kerchunk.decodeRef(m, key, ref)
+        (m.name, values)
+      })
+      .toDF("variable", "values")
+    oracleDump(s, "q121_cells", cells, dir.toString)
+    cells.select(col("variable"), explode(col("values")).as("v"))
+      .groupBy(col("variable"))
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(!isnan(col("v")), 1)).as("n_valid"),
+        sum(when(isnan(col("v")), 0L)
+          .otherwise(floor(col("v") * 1e6).cast("long"))).as("sum_u"))
+      .orderBy("variable")
+  }
+
   /** R5 — CONSERVATIVE (area-weighted) regridding between MISALIGNED
     * grids (the xESMF/ESMF `conservative` method — the flux-preserving
     * resample every climate pipeline uses where block-mean/bilinear
@@ -1128,5 +1177,5 @@ object NetCdfQueries {
       bandStatsPluginFilters, bandStatsShared, preprocessE2e, ingestDryRun,
       zarrScan, zarrV3Scan, zarrVariantsScan, zarrNumcodecsScan,
       enumMaskCounts, compoundBounds, regridBlockMean, regridBilinear,
-      regridConservative, gradients, zonalStats, climatologyAnomaly, grib2Scan)
+      kerchunkScan, regridConservative, gradients, zonalStats, climatologyAnomaly, grib2Scan)
 }

@@ -200,6 +200,18 @@ object Hdf5 {
   final case class ChunkedBtreeV2(addr: Long, chunkDims: Seq[Int])
       extends Layout
 
+  /** Chunk shape of any chunked layout flavor. */
+  def chunkDims(l: Layout): Seq[Int] = l match {
+    case Chunked(_, cd) => cd
+    case ChunkedSingle(_, cd, _, _) => cd
+    case ChunkedImplicit(_, cd) => cd
+    case ChunkedFixedArray(_, cd) => cd
+    case ChunkedExtArray(_, cd) => cd
+    case ChunkedBtreeV2(_, cd) => cd
+    case other =>
+      throw new IllegalArgumentException(s"not a chunked layout: $other")
+  }
+
   final case class Filter(id: Int, client: Seq[Int])
 
   /** Field widths of a version-2 B-tree at a given node size — the
@@ -1375,16 +1387,8 @@ object Hdf5 {
             System.arraycopy(src.read(a, n), 0, out, 0, n)
           }
           out
-        case chunkedLayout =>
-          val cdims = chunkedLayout match {
-            case Chunked(_, cd) => cd
-            case ChunkedSingle(_, cd, _, _) => cd
-            case ChunkedImplicit(_, cd) => cd
-            case ChunkedFixedArray(_, cd) => cd
-            case ChunkedExtArray(_, cd) => cd
-            case ChunkedBtreeV2(_, cd) => cd
-            case other => throw new IllegalStateException(s"layout $other")
-          }
+        case _ =>
+          val cdims = Hdf5.chunkDims(ds.layout)
           val out = new Array[Byte](total.toInt)
           def wanted(coords: Array[Long]): Boolean =
             keep.isEmpty || coords.indices.forall { d =>
@@ -1395,8 +1399,7 @@ object Hdf5 {
           // byte-range read — a pruned-away chunk is never fetched, so
           // a >2 GiB archive costs only its slice — then the filter
           // pipeline in reverse, honoring the skip mask
-          def emit(coords: Array[Long], storedSize: Int, mask: Int,
-                   caddr: Long): Unit =
+          foreachChunk(ds) { (coords, storedSize, mask, caddr) =>
             if (wanted(coords)) {
               var chunk = src.read(caddr, storedSize)
               ds.filters.zipWithIndex.reverse.foreach { case (f, i) =>
@@ -1404,18 +1407,34 @@ object Hdf5 {
               }
               scatter(chunk, coords, cdims, ds.dims, elem, out)
             }
-          val nominal = (cdims.map(_.toLong).product * elem).toInt
-          // row-major chunk-grid coordinates for linear index i
-          val nPer = ds.dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
-          def gridCoords(i: Long): Array[Long] = {
-            val coords = new Array[Long](cdims.length)
-            var rest = i
-            (cdims.length - 1) to 0 by -1 foreach { d =>
-              coords(d) = (rest % nPer(d)) * cdims(d); rest /= nPer(d)
-            }
-            coords
           }
-          chunkedLayout match {
+          out
+      }
+    }
+
+    /** Enumerate every STORED chunk of a chunked dataset across all
+      * five index flavors: the callback receives (array-coordinate
+      * origin, stored byte size, filter mask, absolute file address).
+      * These byte-range facts are the read pipeline's plan AND the
+      * export surface for kerchunk-style reference stores
+      * ([[Kerchunk]]), which record exactly (address, size) per chunk.
+      */
+    def foreachChunk(ds: Dataset)(
+        emit: (Array[Long], Int, Int, Long) => Unit): Unit = {
+      val elem = ds.dtype.size
+      val cdims = Hdf5.chunkDims(ds.layout)
+      val nominal = (cdims.map(_.toLong).product * elem).toInt
+      // row-major chunk-grid coordinates for linear index i
+      val nPer = ds.dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
+      def gridCoords(i: Long): Array[Long] = {
+        val coords = new Array[Long](cdims.length)
+        var rest = i
+        (cdims.length - 1) to 0 by -1 foreach { d =>
+          coords(d) = (rest % nPer(d)) * cdims(d); rest /= nPer(d)
+        }
+        coords
+      }
+      ds.layout match {
             case Chunked(btree, _) =>
               if (btree != Undefined) walkChunkTree(btree, ds.dims.length) {
                 case (coords, storedSize, mask, caddr) =>
@@ -1498,8 +1517,6 @@ object Hdf5 {
                 }
               }
             case other => throw new IllegalStateException(s"layout $other")
-          }
-          out
       }
     }
 
@@ -1987,6 +2004,10 @@ object Hdf5 {
     def this(bytes: Array[Byte]) = this(new ArraySource(bytes))
     private val parser = new Parser(src)
     val file: File = parser.parse()
+    /** Per-chunk byte-range enumeration (see Parser.foreachChunk). */
+    def foreachChunk(ds: Dataset)(
+        f: (Array[Long], Int, Int, Long) => Unit): Unit =
+      parser.foreachChunk(ds)(f)
     def readDoubles(ds: Dataset): Array[Double] = parser.readDoubles(ds)
     def readDoubles(name: String): Array[Double] =
       readDoubles(file.dataset(name).getOrElse(

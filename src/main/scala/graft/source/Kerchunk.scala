@@ -1,0 +1,253 @@
+package graft.source
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Kerchunk-style REFERENCE STORES (the fsspec `ReferenceFileSystem`
+  * format the Pangeo stack uses to expose archival netCDF-4/HDF5 as a
+  * zarr v2 store WITHOUT rewriting a byte): a JSON document mapping
+  * zarr keys to either inline content (metadata, `base64:` chunks) or
+  * `[url, offset, length]` byte ranges into the original files.
+  *
+  * Spec: fsspec ReferenceFileSystem / kerchunk docs — version 0 is the
+  * flat key→ref object; version 1 wraps it as {"version": 1, "refs":
+  * {...}} with optional string templates `{{name}}` substituted from
+  * a "templates" object.
+  *
+  * Both directions are implemented from that public spec:
+  *
+  *  - [[build]] is the index side: walk an HDF5 file's chunk B-trees
+  *    via [[Hdf5.Reader.foreachChunk]] and emit genuine zarr v2
+  *    metadata plus per-chunk byte ranges. Only deflate/shuffle filter
+  *    pipelines are representable as numcodecs chains; anything else
+  *    is rejected with the workaround named.
+  *  - [[parse]]/[[readArray]] are the read side: chunks decode through
+  *    the SAME [[ZarrCodec.decodeChunk]] every zarr store uses — the
+  *    whole point of the format is that a zarr reader needs no HDF5
+  *    code — with byte ranges fetched by positioned reads.
+  *
+  * At 100 TB the reference JSON is metadata-scale (one row per chunk);
+  * the chunk reads it plans are exactly the positioned-read splits the
+  * DSv2 netCDF source derives from HDF5 metadata itself — kerchunk
+  * just persists that plan as data, letting the archive scan skip
+  * every header walk.
+  */
+object Kerchunk {
+
+  /** Positioned reads over a local file (FileChannel-backed). */
+  private final class PathByteSource(p: Path) extends Hdf5.ByteSource {
+    private val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    override val length: Long = ch.size()
+    override def read(off: Long, len: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(len)
+      var pos = off
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, pos)
+        require(n > 0, s"short read at $pos in $p")
+        pos += n
+      }
+      bb.array()
+    }
+    override def close(): Unit = ch.close()
+  }
+
+  sealed trait Ref
+  final case class FileRef(path: String, offset: Long, length: Long)
+    extends Ref
+  final case class InlineRef(bytes: Array[Byte]) extends Ref
+
+  final case class RefStore(metas: Seq[ZarrCodec.ArrayMeta],
+                            refs: Map[String, Ref])
+
+  private val mapper = new ObjectMapper()
+
+  /** zarr v2 dtype string for a (numeric) HDF5 type. */
+  private def zarrDtype(t0: Hdf5.H5Type): String = {
+    val t = Hdf5.numericType(t0)
+    val order = if (t.size == 1) "|" else if (t.littleEndian) "<" else ">"
+    val kind = t.cls match {
+      case Hdf5.ClsFloat => "f"
+      case Hdf5.ClsFixed => if (t.signed) "i" else "u"
+      case c => throw new IllegalArgumentException(
+        s"datatype class $c has no zarr v2 numeric dtype")
+    }
+    s"$order$kind${t.size}"
+  }
+
+  /** Build a version-1 reference JSON for one HDF5/netCDF-4 file. The
+    * URL recorded for every chunk is the file's own path (template
+    * `{{u}}`), so the refs stay valid wherever the pair travels
+    * together.
+    */
+  def build(h5: Path): String = {
+    val src = new PathByteSource(h5)
+    try {
+      val r = new Hdf5.Reader(src)
+      val refs = scala.collection.mutable.LinkedHashMap[String, Any]()
+      refs(".zgroup") = """{"zarr_format":2}"""
+      r.file.datasets.foreach { ds =>
+        val t = Hdf5.numericType(ds.dtype)
+        require(t.cls == Hdf5.ClsFloat || t.cls == Hdf5.ClsFixed,
+          s"dataset ${ds.name}: only numeric datasets are " +
+            "kerchunk-indexable here (strings/compounds: read directly)")
+        // representable filter pipelines only: deflate -> zlib
+        // compressor, shuffle -> numcodecs shuffle filter
+        val comp = ds.filters.collect {
+          case f if f.id == 1 => """{"id":"zlib","level":6}"""
+        }
+        val shuf = ds.filters.collect {
+          case f if f.id == 2 =>
+            s"""{"id":"shuffle","elementsize":${t.size}}"""
+        }
+        val unsupported = ds.filters.filterNot(f => f.id == 1 || f.id == 2)
+        require(unsupported.isEmpty,
+          s"dataset ${ds.name}: filters ${unsupported.map(_.id)} have " +
+            "no numcodecs twin — h5repack to deflate/shuffle first")
+        require(comp.size <= 1, s"dataset ${ds.name}: two deflate stages")
+        val chunks = ds.layout match {
+          case _: Hdf5.Contiguous | _: Hdf5.Compact => ds.dims
+          case l => Hdf5.chunkDims(l)
+        }
+        val name = ds.name.stripPrefix("/")
+        refs(s"$name/.zarray") =
+          s"""{"zarr_format":2,"shape":[${ds.dims.mkString(",")}],""" +
+            s""""chunks":[${chunks.mkString(",")}],""" +
+            s""""dtype":"${zarrDtype(ds.dtype)}",""" +
+            s""""compressor":${comp.headOption.getOrElse("null")},""" +
+            s""""filters":${
+              if (shuf.isEmpty) "null" else shuf.mkString("[", ",", "]")},""" +
+            """"fill_value":null,"order":"C"}"""
+        val dims = r.file.dimNames(ds)
+        if (dims.nonEmpty)
+          refs(s"$name/.zattrs") =
+            s"""{"_ARRAY_DIMENSIONS":[${
+              dims.map(d => s""""$d"""").mkString(",")}]}"""
+        ds.layout match {
+          case Hdf5.Contiguous(addr, size) =>
+            val key = name + "/" + ds.dims.map(_ => "0").mkString(".")
+            if (addr != Hdf5.Undefined)
+              refs(key) = (addr, size)
+          case Hdf5.Compact(data) =>
+            val key = name + "/" + ds.dims.map(_ => "0").mkString(".")
+            refs(key) = data
+          case _ =>
+            val cdims = Hdf5.chunkDims(ds.layout)
+            r.foreachChunk(ds) { (coords, storedSize, mask, caddr) =>
+              require(mask == 0,
+                s"dataset ${ds.name}: partial filter masks are not " +
+                  "representable in zarr refs")
+              val key = name + "/" + coords.zip(cdims)
+                .map { case (c, w) => (c / w).toString }.mkString(".")
+              refs(key) = (caddr, storedSize.toLong)
+            }
+        }
+      }
+      val sb = new StringBuilder
+      sb.append("""{"version":1,"templates":{"u":""")
+        .append(mapper.writeValueAsString(h5.toString)).append("},\"refs\":{")
+      var first = true
+      refs.foreach { case (k, v) =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(mapper.writeValueAsString(k)).append(':')
+        v match {
+          case s: String => sb.append(mapper.writeValueAsString(s))
+          case (off: Long, len: Long) =>
+            sb.append(s"""["{{u}}",$off,$len]""")
+          case bytes: Array[Byte] =>
+            sb.append(mapper.writeValueAsString(
+              "base64:" + java.util.Base64.getEncoder.encodeToString(bytes)))
+          case other => throw new IllegalStateException(other.toString)
+        }
+      }
+      sb.append("}}")
+      sb.toString
+    } finally src.close()
+  }
+
+  /** Parse a version-0 or version-1 reference JSON. */
+  def parse(json: String): RefStore = {
+    val root = mapper.readTree(json)
+    val (refsNode, templates) =
+      if (root.has("refs")) {
+        val t = Option(root.get("templates")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
+        (root.get("refs"), t)
+      } else (root, Map.empty[String, String])
+    def substitute(u: String): String =
+      templates.foldLeft(u) { case (s, (k, v)) => s.replace(s"{{$k}}", v) }
+    val entries = refsNode.properties().asScala.toSeq
+      .map(e => e.getKey -> e.getValue)
+    val metas = entries.collect {
+      case (k, v) if k.endsWith("/.zarray") =>
+        val name = k.stripSuffix("/.zarray")
+        ZarrCodec.parseV2Array(java.nio.file.Paths.get("/kerchunk"),
+          mapper.readTree(v.asText()), name, s"refs!$k")
+    }
+    val refs = entries.collect {
+      case (k, v) if !k.endsWith(".zarray") && !k.endsWith(".zattrs") &&
+          !k.endsWith(".zgroup") && !k.endsWith(".zmetadata") =>
+        val ref: Ref =
+          if (v.isArray) FileRef(substitute(v.get(0).asText()),
+            v.get(1).asLong(), v.get(2).asLong())
+          else {
+            val s = v.asText()
+            if (s.startsWith("base64:"))
+              InlineRef(java.util.Base64.getDecoder.decode(s.drop(7)))
+            else InlineRef(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        k -> ref
+    }.toMap
+    RefStore(metas, refs)
+  }
+
+  /** Decode one referenced chunk through the shared zarr codec. */
+  def decodeRef(meta: ZarrCodec.ArrayMeta, key: String, ref: Ref)
+      : (Array[Int], Array[Int], Array[Double]) =
+    ZarrCodec.decodeChunk(meta, key, fetch(ref))
+
+  private def fetch(ref: Ref): Array[Byte] = ref match {
+    case InlineRef(b) => b
+    case FileRef(p, off, len) =>
+      require(len <= Int.MaxValue, s"chunk of $len bytes")
+      val src = new PathByteSource(java.nio.file.Paths.get(p))
+      try src.read(off, len.toInt) finally src.close()
+  }
+
+  /** Chunk refs of one array: (chunkKey, ref), key in zarr "0.0" form. */
+  def chunkRefs(st: RefStore, meta: ZarrCodec.ArrayMeta)
+  : Seq[(String, Ref)] = {
+    val prefix = meta.name + "/"
+    st.refs.toSeq.collect {
+      case (k, r) if k.startsWith(prefix) => k.stripPrefix(prefix) -> r
+    }.sortBy(_._1)
+  }
+
+  /** Assemble one array (driver-side; the distributed path maps the
+    * same `chunkRefs` over executors — q121).
+    */
+  def readArray(st: RefStore, meta: ZarrCodec.ArrayMeta): Array[Double] = {
+    val out = new Array[Double](meta.nValues.toInt)
+    val outStrides = meta.shape.scanRight(1)((d, acc) => d * acc).tail
+    chunkRefs(st, meta).foreach { case (key, ref) =>
+      val (origin, shape, values) =
+        ZarrCodec.decodeChunk(meta, key, fetch(ref))
+      val st2 = shape.scanRight(1)((d, acc) => d * acc).tail
+      var i = 0
+      while (i < values.length) {
+        var rem = i; var dst = 0; var d = 0
+        while (d < shape.length) {
+          val c = rem / st2(d); rem %= st2(d)
+          dst += (origin(d) + c) * outStrides(d); d += 1
+        }
+        out(dst) = values(i)
+        i += 1
+      }
+    }
+    out
+  }
+}

@@ -341,7 +341,7 @@ object ZarrCodec {
         }
   }
 
-  private def parseV2Array(store: Path,
+  private[source] def parseV2Array(store: Path,
                            node: com.fasterxml.jackson.databind.JsonNode,
                            name: String, za: String): ArrayMeta = {
     {
