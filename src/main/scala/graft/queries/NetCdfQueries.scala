@@ -735,14 +735,25 @@ object NetCdfQueries {
     import graft.source.Kerchunk
     val dir = stableWork("fixtures").resolve("kerchunk")
     java.nio.file.Files.createDirectories(dir)
-    val f = dir.resolve("archive.nc")
-    val (dims, gatts, vars) = NetCdfFixture.spec(nt = 2, ny = 16,
-      nx = 12, nl = 3)
-    java.nio.file.Files.write(f,
-      graft.source.Hdf5Write.write(dims, gatts, vars, maxChunkElems = 96))
-    val refsPath = dir.resolve("refs.json")
-    java.nio.file.Files.writeString(refsPath, Kerchunk.build(f))
-    val st = Kerchunk.parse(java.nio.file.Files.readString(refsPath))
+    // a two-file archive combined into ONE virtual store along time
+    // (MultiZarrToZarr): the scan below never knows there were files
+    val parts = Seq(0.0, 2.0).zipWithIndex.map { case (t0, i) =>
+      val f = dir.resolve(f"archive_$i%d.nc")
+      val (dims, gatts, vars) = NetCdfFixture.spec(nt = 2, ny = 16,
+        nx = 12, nl = 3, tStart = t0)
+      java.nio.file.Files.write(f,
+        graft.source.Hdf5Write.write(dims, gatts, vars, maxChunkElems = 96))
+      f
+    }
+    val refPaths = parts.zipWithIndex.map { case (f, i) =>
+      val rp = dir.resolve(s"refs_$i.json")
+      java.nio.file.Files.writeString(rp, Kerchunk.build(f))
+      rp
+    }
+    val st = Kerchunk.combine(
+      refPaths.map(rp =>
+        Kerchunk.parse(java.nio.file.Files.readString(rp))),
+      concatDim = "time")
     // one task per (array, chunk ref): the index IS the split plan
     val tasks = st.metas.flatMap(m =>
       Kerchunk.chunkRefs(st, m).map { case (k, r) => (m, k, r) })

@@ -60,7 +60,10 @@ object Kerchunk {
   final case class InlineRef(bytes: Array[Byte]) extends Ref
 
   final case class RefStore(metas: Seq[ZarrCodec.ArrayMeta],
-                            refs: Map[String, Ref])
+                            refs: Map[String, Ref],
+                            /** _ARRAY_DIMENSIONS per array, when the
+                              * refs carry .zattrs. */
+                            dims: Map[String, Seq[String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -120,7 +123,11 @@ object Kerchunk {
             s""""filters":${
               if (shuf.isEmpty) "null" else shuf.mkString("[", ",", "]")},""" +
             """"fill_value":null,"order":"C"}"""
-        val dims = r.file.dimNames(ds)
+        // coordinate (dimension-scale) variables name their own axis,
+        // exactly as xarray/kerchunk record them
+        val dims =
+          if (ds.isDimScale) Seq(ds.name.stripPrefix("/"))
+          else r.file.dimNames(ds)
         if (dims.nonEmpty)
           refs(s"$name/.zattrs") =
             s"""{"_ARRAY_DIMENSIONS":[${
@@ -188,6 +195,13 @@ object Kerchunk {
         ZarrCodec.parseV2Array(java.nio.file.Paths.get("/kerchunk"),
           mapper.readTree(v.asText()), name, s"refs!$k")
     }
+    val dims = entries.collect {
+      case (k, v) if k.endsWith("/.zattrs") =>
+        val node = mapper.readTree(v.asText())
+        k.stripSuffix("/.zattrs") ->
+          Option(node.get("_ARRAY_DIMENSIONS")).map(_.elements().asScala
+            .map(_.asText()).toSeq).getOrElse(Seq.empty)
+    }.filter(_._2.nonEmpty).toMap
     val refs = entries.collect {
       case (k, v) if !k.endsWith(".zarray") && !k.endsWith(".zattrs") &&
           !k.endsWith(".zgroup") && !k.endsWith(".zmetadata") =>
@@ -202,13 +216,75 @@ object Kerchunk {
           }
         k -> ref
     }.toMap
-    RefStore(metas, refs)
+    RefStore(metas, refs, dims)
   }
 
   /** Decode one referenced chunk through the shared zarr codec. */
   def decodeRef(meta: ZarrCodec.ArrayMeta, key: String, ref: Ref)
       : (Array[Int], Array[Int], Array[Double]) =
     ZarrCodec.decodeChunk(meta, key, fetch(ref))
+
+
+  /** MultiZarr combine (kerchunk's `MultiZarrToZarr`): concatenate
+    * per-file reference stores into ONE virtual store along
+    * `concatDim`. Arrays whose leading `_ARRAY_DIMENSIONS` entry is
+    * the concat dimension get their shape summed and their chunk keys
+    * re-indexed by each file's cumulative chunk-row offset; every
+    * other array must agree across files and is taken from the first.
+    * Requires chunk-aligned parts (each file's extent a multiple of
+    * the chunk size along the axis) — the layout h5py/netCDF4 produce
+    * for per-timestep archives — so a chunk never straddles files.
+    */
+  def combine(stores: Seq[RefStore], concatDim: String): RefStore = {
+    // case-class equality trips on NaN fill values (NaN != NaN);
+    // compare with the fill normalized out, then NaN-aware
+    def sameMeta(a: ZarrCodec.ArrayMeta, b: ZarrCodec.ArrayMeta): Boolean =
+      a.copy(fillValue = 0) == b.copy(fillValue = 0) &&
+        (a.fillValue == b.fillValue ||
+          (a.fillValue.isNaN && b.fillValue.isNaN))
+    require(stores.nonEmpty, "no stores to combine")
+    val head = stores.head
+    val names = head.metas.map(_.name)
+    stores.tail.foreach(st => require(st.metas.map(_.name) == names,
+      "stores carry different array sets"))
+    def isConcat(name: String): Boolean =
+      head.dims.get(name).exists(_.headOption.contains(concatDim))
+    val outRefs = scala.collection.mutable.LinkedHashMap[String, Ref]()
+    val outMetas = head.metas.map { m0 =>
+      val perFile = stores.map(_.metas.find(_.name == m0.name).get)
+      if (!isConcat(m0.name)) {
+        require(perFile.forall(sameMeta(_, m0)),
+          s"${m0.name}: non-concat arrays must be identical across files")
+        chunkRefs(head, m0).foreach { case (k, r) =>
+          outRefs(s"${m0.name}/$k") = r
+        }
+        m0
+      } else {
+        val chunkT = m0.chunks.head
+        perFile.foreach { m =>
+          require(sameMeta(m.copy(shape = m0.shape, nChunks = m0.nChunks), m0),
+            s"${m.name}: incompatible metadata across files")
+          require(m.shape.head % chunkT == 0,
+            s"${m.name}: extent ${m.shape.head} along $concatDim is not " +
+              s"a multiple of chunk $chunkT — a chunk would straddle files")
+        }
+        var rowOff = 0
+        stores.zip(perFile).foreach { case (st, m) =>
+          chunkRefs(st, m).foreach { case (k, r) =>
+            val idx = k.split('.')
+            val shifted = ((idx.head.toInt + rowOff) +: idx.tail.toSeq)
+              .mkString(".")
+            outRefs(s"${m0.name}/$shifted") = r
+          }
+          rowOff += m.shape.head / chunkT
+        }
+        val total = perFile.map(_.shape.head).sum
+        m0.copy(shape = total +: m0.shape.tail,
+          nChunks = ((total + chunkT - 1) / chunkT) +: m0.nChunks.tail)
+      }
+    }
+    RefStore(outMetas, outRefs.toMap, head.dims)
+  }
 
   private def fetch(ref: Ref): Array[Byte] = ref match {
     case InlineRef(b) => b

@@ -62,6 +62,56 @@ class KerchunkSpec extends AnyFunSuite {
     assert(Kerchunk.readArray(st, m).toSeq === vals.toSeq)
   }
 
+  test("MultiZarr combine: two per-file stores concatenate along t; " +
+    "every array reads as the concatenation of the direct reads") {
+    def part(tStart: Double): java.nio.file.Path = {
+      val (dims, gatts, vars) = NetCdfFixture.spec(nt = 2, ny = 5, nx = 4,
+        nl = 2, tStart = tStart)
+      val f = Files.createTempFile("graft-kerchunk-part", ".nc")
+      Files.write(f, Hdf5Write.write(dims, gatts, vars, maxChunkElems = 40))
+      f
+    }
+    val (f1, f2) = (part(0.0), part(2.0))
+    val combined = Kerchunk.combine(
+      Seq(Kerchunk.parse(Kerchunk.build(f1)),
+        Kerchunk.parse(Kerchunk.build(f2))), concatDim = "time")
+    val (r1, r2) = (new Hdf5.Reader(Files.readAllBytes(f1)),
+      new Hdf5.Reader(Files.readAllBytes(f2)))
+    // the t axis itself concatenates (its only dim IS the concat dim)
+    val tMeta = combined.metas.find(_.name == "time").get
+    assert(tMeta.shape === Seq(4))
+    assert(Kerchunk.readArray(combined, tMeta).toSeq ===
+      (r1.readDoubles("time") ++ r2.readDoubles("time")).toSeq)
+    // 4-D payloads concatenate along t; static coords come from file 1
+    combined.metas.foreach { m =>
+      val got = Kerchunk.readArray(combined, m)
+      val want =
+        if (combined.dims.get(m.name).exists(_.headOption.contains("time")))
+          r1.readDoubles(m.name) ++ r2.readDoubles(m.name)
+        else r1.readDoubles(m.name)
+      assert(got.length === want.length, m.name)
+      got.zip(want).foreach { case (a, b) =>
+        assert(a == b || (a.isNaN && b.isNaN), m.name) }
+    }
+    // chunk misalignment along t is rejected, not silently straddled
+    val odd = {
+      val (dims, gatts, vars) = NetCdfFixture.spec(nt = 3, ny = 5, nx = 4,
+        nl = 2, tStart = 4.0)
+      val f = Files.createTempFile("graft-kerchunk-odd", ".nc")
+      // chunk of 2 along t against nt=3 -> extent not chunk-aligned
+      Files.write(f, Hdf5Write.write(dims, gatts, vars, maxChunkElems = 80))
+      f
+    }
+    val stOdd = Kerchunk.parse(Kerchunk.build(odd))
+    val band = stOdd.metas.maxBy(_.nValues)
+    if (band.shape.head % band.chunks.head != 0) {
+      val ex = intercept[IllegalArgumentException] {
+        Kerchunk.combine(Seq(stOdd, stOdd), concatDim = "time")
+      }
+      assert(ex.getMessage.contains("straddle"))
+    }
+  }
+
   test("unsupported filter pipelines are rejected with the workaround " +
     "named, not mis-indexed") {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 6, nx = 6,
