@@ -176,4 +176,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.nonEmpty && out.keySet === cells.keySet)
     out.foreach { case (k, lhs) => assert(lhs === cells(k), k) }
   }
+
+  test("q113: the Z-order key is computed shuffle-free — one " +
+    "aggregation exchange, no join in the plan") {
+    val plan = graft.queries.Relational.zorderKey.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "q113 must not join")
+    // one hash exchange into the tile aggregation; the 16-row terminal
+    // ORDER BY's range exchange is driver-trivial and not counted
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"q113 should shuffle once into the tile aggregation:\n" +
+        plan.take(1500))
+  }
+
+  test("q116: sketch combination never sort-merges — two bounded " +
+    "single-row aggregates meet in a broadcast join") {
+    val plan = graft.queries.Sketches.kmvJaccard.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "q116 must not shuffle-join two 256-long sketches")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("CartesianProduct"),
+      "q116 should combine the one-row sketches via broadcast")
+  }
+
+  test("q117: the island aggregation reuses the window's key " +
+    "partitioning — exactly one exchange end to end") {
+    val plan = graft.queries.EventOps.intervalCoverage.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1,
+      s"q117 should shuffle once on the interval key:\n" +
+        plan.take(1500))
+  }
 }
