@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(x, y, b) =>
         graft.functions.ZOrderExpr(x, y, foldInt("bits", b)) },
       arity = 3)
+    register(ext, "graft_cms",
+      "graft_cms(s, d, w) - Count-Min frequency sketch " +
+        "(array<array<bigint>> counter grid) over a string key",
+      { case Seq(key, d, w) =>
+        graft.functions.CountMinAgg(key, foldInt("d", d), foldInt("w", w))
+          .toAggregateExpression() },
+      arity = 3)
     register(ext, "graft_kmv_distinct",
       "graft_kmv_distinct(s, k) - KMV approximate-distinct sketch " +
         "(struct<est, kth>) over a string key",

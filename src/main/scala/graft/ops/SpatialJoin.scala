@@ -72,6 +72,72 @@ object SpatialJoin {
     }.toDF("pid", "xmin", "xmax", "ymin", "ymax", "edges")
   }
 
+  /** GENERAL (possibly concave) simple-polygon containment by integer
+    * ray casting (even-odd rule): a horizontal ray to +x crosses edge
+    * (x1,y1)->(x2,y2) iff the edge spans the point's y strictly
+    * ((y1 > py) != (y2 > py) — the half-open treatment that makes
+    * shared vertices count once) AND the intersection lies strictly
+    * right of the point, which in exact integers is cross > 0 for
+    * upward edges and cross < 0 for downward ones (cross as in
+    * [[cross]]). No division, no epsilon; points exactly ON an edge
+    * line are not crossed by it (boundary semantics follow parity of
+    * the remaining edges — identical in any engine running the same
+    * comparisons, which is what q122 gates).
+    */
+  def containsGeneral(p: Poly, px: Long, py: Long): Boolean = {
+    val n = p.vertices.size
+    var inside = false
+    var i = 0
+    while (i < n) {
+      val (x1, y1) = p.vertices(i)
+      val (x2, y2) = p.vertices((i + 1) % n)
+      if ((y1 > py) != (y2 > py)) {
+        val cr = cross(x1, y1, x2, y2, px, py)
+        if (if (y2 > y1) cr > 0 else cr < 0) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  /** Polygon table WITHOUT the convexity requirement (ray casting
+    * handles any simple ring, either orientation).
+    */
+  def polyTableGeneral(spark: SparkSession, polys: Seq[Poly]): DataFrame = {
+    import spark.implicits._
+    polys.foreach(p =>
+      require(p.vertices.size >= 3, s"polygon ${p.pid} needs >= 3 vertices"))
+    polys.map { p =>
+      val n = p.vertices.size
+      val edges = (0 until n).map { i =>
+        val (x1, y1) = p.vertices(i)
+        val (x2, y2) = p.vertices((i + 1) % n)
+        (x1, y1, x2, y2)
+      }
+      (p.pid, p.vertices.map(_._1).min, p.vertices.map(_._1).max,
+        p.vertices.map(_._2).min, p.vertices.map(_._2).max, edges)
+    }.toDF("pid", "xmin", "xmax", "ymin", "ymax", "edges")
+  }
+
+  /** General containment join: same broadcast/bbox shape as
+    * [[pointInPolygon]], with the half-plane conjunction replaced by
+    * the ray-cast crossing parity over the edge ring.
+    */
+  def pointInPolygonGeneral(points: DataFrame, polyDim: DataFrame,
+                            px: Column, py: Column): DataFrame = {
+    val e = col("edges")
+    def crossE(ed: Column) =
+      (ed.getField("_3") - ed.getField("_1")) * (py - ed.getField("_2")) -
+        (ed.getField("_4") - ed.getField("_2")) * (px - ed.getField("_1"))
+    val crossings = size(filter(e, ed =>
+      (ed.getField("_2") > py) =!= (ed.getField("_4") > py) &&
+        when(ed.getField("_4") > ed.getField("_2"), crossE(ed) > 0L)
+          .otherwise(crossE(ed) < 0L)))
+    points.join(broadcast(polyDim),
+      px >= col("xmin") && px <= col("xmax") &&
+        py >= col("ymin") && py <= col("ymax") && crossings % 2 === 1)
+  }
+
   /** Join `points` (with integer columns `px`, `py`) to the polygons
     * containing them. Inner join; a point in k polygons emits k rows.
     */

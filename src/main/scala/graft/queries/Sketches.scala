@@ -184,6 +184,80 @@ object Sketches {
         col("matches"))
   }
 
+  /** Count-Min frequency sketch (the third mergeable summary beside
+    * SpaceSaving and KMV): the full d×w counter grid aggregates in one
+    * pass (d·w longs per partial, elementwise-add merge), and probe
+    * estimates are min-over-rows lookups — computed here as plain
+    * `element_at`/`least` column arithmetic with the probe buckets
+    * derived from the same md5 hash DuckDB recomputes digit-by-digit.
+    * Estimates (with their collision overcounting!) hash-match
+    * exactly; exact counts ride along for the error to be visible.
+    */
+  val cmsFreq = QueryDef("q123_cms_freq",
+    """WITH keys AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |probes(k) AS (VALUES ('1'), ('17'), ('999'), ('2000')),
+      |hx AS (
+      |  SELECT k.k, k.n, r.j,
+      |    substr(md5(k.k || '#' || CAST(r.j AS VARCHAR)), 1, 15) AS h
+      |  FROM keys k, rows_ r),
+      |num AS (
+      |  SELECT k, n, j,
+      |    sum((strpos('0123456789abcdef', substr(h, g.i, 1)) - 1)
+      |        * (1::BIGINT << ((15 - g.i) * 4))) % 512 AS bucket
+      |  FROM hx, generate_series(1, 15) AS g(i) GROUP BY 1, 2, 3),
+      |cms AS (SELECT j, bucket, CAST(sum(n) AS BIGINT) AS c
+      |        FROM num GROUP BY 1, 2),
+      |-- probe buckets hashed INDEPENDENTLY of data presence: an
+      |-- absent key still estimates (its buckets' collision mass)
+      |hxp AS (
+      |  SELECT p.k, r.j,
+      |    substr(md5(p.k || '#' || CAST(r.j AS VARCHAR)), 1, 15) AS h
+      |  FROM probes p, rows_ r),
+      |nump AS (
+      |  SELECT k, j,
+      |    sum((strpos('0123456789abcdef', substr(h, g.i, 1)) - 1)
+      |        * (1::BIGINT << ((15 - g.i) * 4))) % 512 AS bucket
+      |  FROM hxp, generate_series(1, 15) AS g(i) GROUP BY 1, 2),
+      |est AS (
+      |  SELECT p.k, min(COALESCE(c.c, 0)) AS e
+      |  FROM nump p LEFT JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+      |  GROUP BY 1)
+      |SELECT
+      |  COALESCE((SELECT e FROM est WHERE k = '1'), 0) AS est_1,
+      |  COALESCE((SELECT CAST(n AS BIGINT) FROM keys WHERE k = '1'), 0)
+      |    AS n_1,
+      |  COALESCE((SELECT e FROM est WHERE k = '17'), 0) AS est_17,
+      |  COALESCE((SELECT CAST(n AS BIGINT) FROM keys WHERE k = '17'), 0)
+      |    AS n_17,
+      |  COALESCE((SELECT e FROM est WHERE k = '999'), 0) AS est_999,
+      |  COALESCE((SELECT CAST(n AS BIGINT) FROM keys WHERE k = '999'), 0)
+      |    AS n_999,
+      |  COALESCE((SELECT e FROM est WHERE k = '2000'), 0) AS est_2000,
+      |  COALESCE((SELECT CAST(n AS BIGINT) FROM keys WHERE k = '2000'), 0)
+      |    AS n_2000""".stripMargin) { (s, d) =>
+    import graft.functions.{CmsState, CountMinExpr}
+    import org.apache.spark.unsafe.types.UTF8String
+    val (dd, ww) = (4, 512)
+    val key = col("l_partkey").cast("string")
+    val probes = Seq("1", "17", "999", "2000")
+    val aggs = CountMinExpr.cms(key, dd, ww).as("s") +:
+      probes.map(p => sum(when(key === p, 1L).otherwise(0L))
+        .cast("long").as(s"n_$p"))
+    val row = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val cols = probes.flatMap { p =>
+      // probe buckets are DRIVER-side constants of the same md5 math
+      val est = least((0 until dd).map { j =>
+        val b = CmsState.bucket(UTF8String.fromString(p), j, ww)
+        element_at(element_at(col("s"), j + 1), b + 1)
+      }: _*).as(s"est_$p")
+      Seq(est, col(s"n_$p"))
+    }
+    row.select(cols: _*)
+  }
+
   val all: Seq[QueryDef] = Seq(heavyHitters, quantiles, kmvSketch,
-    kmvJaccard)
+    kmvJaccard, cmsFreq)
 }

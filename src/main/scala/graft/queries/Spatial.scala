@@ -82,5 +82,71 @@ object Spatial {
       .orderBy("pid")
   }
 
-  val all: Seq[QueryDef] = Seq(pointInPolygon)
+  /** The q122 zone set: CONCAVE simple polygons — an L-shape and a
+    * five-point star — that the half-plane conjunction cannot express;
+    * containment is ray-cast crossing parity in exact integers.
+    */
+  val concaveZones: Seq[Poly] = Seq(
+    Poly(1, Seq((100L, 100L), (500L, 100L), (500L, 300L), (300L, 300L),
+      (300L, 500L), (100L, 500L))),
+    Poly(2, Seq((700L, 850L), (641L, 681L), (462L, 677L), (605L, 569L),
+      (553L, 398L), (700L, 500L), (847L, 398L), (795L, 569L),
+      (938L, 677L), (759L, 681L))))
+
+  /** Point-in-GENERAL-polygon join (even-odd ray casting, see
+    * [[SpatialJoin.containsGeneral]]): the concave-zone assignment the
+    * convex fast path (q114) cannot answer, with the crossing-parity
+    * arithmetic replicated comparison-for-comparison by DuckDB.
+    */
+  val pointInConcave = QueryDef("q122_point_in_concave",
+    """WITH raw AS (
+      |  SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem),
+      |pts AS (
+      |  SELECT px, py, count(*) AS m, sum(qty_u) AS q
+      |  FROM raw GROUP BY 1, 2),
+      |e(pid, x1, y1, x2, y2) AS (VALUES
+      |  (1, 100, 100, 500, 100), (1, 500, 100, 500, 300),
+      |  (1, 500, 300, 300, 300), (1, 300, 300, 300, 500),
+      |  (1, 300, 500, 100, 500), (1, 100, 500, 100, 100),
+      |  (2, 700, 850, 641, 681), (2, 641, 681, 462, 677),
+      |  (2, 462, 677, 605, 569), (2, 605, 569, 553, 398),
+      |  (2, 553, 398, 700, 500), (2, 700, 500, 847, 398),
+      |  (2, 847, 398, 795, 569), (2, 795, 569, 938, 677),
+      |  (2, 938, 677, 759, 681), (2, 759, 681, 700, 850)),
+      |hit AS (
+      |  SELECT pts.px, pts.py, pts.m, pts.q, e.pid,
+      |    sum(CASE WHEN (e.y1 > pts.py) <> (e.y2 > pts.py)
+      |          AND CASE WHEN e.y2 > e.y1
+      |            THEN (e.x2 - e.x1) * (pts.py - e.y1)
+      |               - (e.y2 - e.y1) * (pts.px - e.x1) > 0
+      |            ELSE (e.x2 - e.x1) * (pts.py - e.y1)
+      |               - (e.y2 - e.y1) * (pts.px - e.x1) < 0 END
+      |        THEN 1 ELSE 0 END) AS nc
+      |  FROM pts, e GROUP BY 1, 2, 3, 4, 5),
+      |ins AS (SELECT pid, px, py, m, q FROM hit WHERE nc % 2 = 1)
+      |SELECT pid, CAST(sum(m) AS BIGINT) AS n_pts,
+      |  CAST(sum(q) AS BIGINT) AS qty_u_sum,
+      |  CAST(min(px * 1024 + py) AS BIGINT) AS first_cell,
+      |  CAST(max(px * 1024 + py) AS BIGINT) AS last_cell
+      |FROM ins GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val pts = Tables.lineitem(s, d).select(
+        pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+        pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("m"), sum("qty_u").as("q"))
+    SpatialJoin.pointInPolygonGeneral(pts,
+        SpatialJoin.polyTableGeneral(s, concaveZones),
+        col("px"), col("py"))
+      .groupBy("pid")
+      .agg(sum("m").cast("long").as("n_pts"),
+        sum("q").cast("long").as("qty_u_sum"),
+        min(col("px") * 1024 + col("py")).as("first_cell"),
+        max(col("px") * 1024 + col("py")).as("last_cell"))
+      .orderBy("pid")
+  }
+
+  val all: Seq[QueryDef] = Seq(pointInPolygon, pointInConcave)
 }

@@ -53,6 +53,40 @@ class SpatialJoinSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortmergejoin"), plan)
   }
 
+  test("general (concave) containment: ray-cast Column form matches " +
+    "the plain-Scala twin on a dense grid, and agrees with the " +
+    "half-plane test on convex rings") {
+    import spark.implicits._
+    // an L-shape (concave) and the convex quad, both through ray cast
+    val ell = Poly(3, Seq((2L, 2L), (10L, 2L), (10L, 6L), (6L, 6L),
+      (6L, 10L), (2L, 10L)))
+    val pts = (for (x <- 0L to 12L; y <- 0L to 12L) yield (x, y))
+      .toDF("px", "py")
+    val dim = SpatialJoin.polyTableGeneral(spark, Seq(ell, quad))
+    val got = SpatialJoin.pointInPolygonGeneral(pts, dim, $"px", $"py")
+      .select("px", "py", "pid").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      x <- 0L to 12L; y <- 0L to 12L
+      p <- Seq(ell, quad) if SpatialJoin.containsGeneral(p, x, y)
+    } yield (x, y, p.pid)).toSet
+    assert(got === want)
+    // concavity is real: the notch corner region is OUTSIDE
+    assert(!want.contains((8L, 8L, 3)))
+    assert(want.contains((4L, 8L, 3)) && want.contains((8L, 4L, 3)))
+    // on convex rings ray casting agrees with the half-plane interior
+    // (boundaries excepted — parity treats edges half-open)
+    for (x <- 0L to 12L; y <- 0L to 12L) {
+      val strict = (0 until quad.vertices.size).forall { i =>
+        val (x1, y1) = quad.vertices(i)
+        val (x2, y2) = quad.vertices((i + 1) % quad.vertices.size)
+        SpatialJoin.cross(x1, y1, x2, y2, x, y) > 0
+      }
+      if (strict) assert(SpatialJoin.containsGeneral(quad, x, y), (x, y))
+      if (!SpatialJoin.contains(quad, x, y))
+        assert(!SpatialJoin.containsGeneral(quad, x, y), (x, y))
+    }
+  }
+
   test("q114's zone set is strictly convex CCW (fixture sanity)") {
     // polyTable throws otherwise; also pin the overlap the query doc
     // claims: (500, 600) sits in BOTH the square and the tilted quad
