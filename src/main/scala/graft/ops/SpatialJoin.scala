@@ -72,6 +72,21 @@ object SpatialJoin {
     }.toDF("pid", "xmin", "xmax", "ymin", "ymax", "edges")
   }
 
+  /** TWICE the signed area of a ring (the shoelace sum Σ x1·y2 − x2·y1
+    * over edges) — exact in integers, positive for CCW rings. Absolute
+    * value / 2 is the polygon area; with integer vertices `area2` keeps
+    * the result integral, so zone densities (points per area) derive
+    * without float hazard.
+    */
+  def area2(p: Poly): Long = {
+    val n = p.vertices.size
+    (0 until n).map { i =>
+      val (x1, y1) = p.vertices(i)
+      val (x2, y2) = p.vertices((i + 1) % n)
+      x1 * y2 - x2 * y1
+    }.sum
+  }
+
   /** GENERAL (possibly concave) simple-polygon containment by integer
     * ray casting (even-odd rule): a horizontal ray to +x crosses edge
     * (x1,y1)->(x2,y2) iff the edge spans the point's y strictly

@@ -125,18 +125,29 @@ object Spatial {
       |               - (e.y2 - e.y1) * (pts.px - e.x1) < 0 END
       |        THEN 1 ELSE 0 END) AS nc
       |  FROM pts, e GROUP BY 1, 2, 3, 4, 5),
-      |ins AS (SELECT pid, px, py, m, q FROM hit WHERE nc % 2 = 1)
-      |SELECT pid, CAST(sum(m) AS BIGINT) AS n_pts,
+      |ins AS (SELECT pid, px, py, m, q FROM hit WHERE nc % 2 = 1),
+      |ar AS (
+      |  SELECT pid, CAST(abs(sum(x1 * y2 - x2 * y1)) AS BIGINT) AS a2
+      |  FROM e GROUP BY 1)
+      |SELECT i.pid, CAST(sum(m) AS BIGINT) AS n_pts,
       |  CAST(sum(q) AS BIGINT) AS qty_u_sum,
       |  CAST(min(px * 1024 + py) AS BIGINT) AS first_cell,
-      |  CAST(max(px * 1024 + py) AS BIGINT) AS last_cell
-      |FROM ins GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |  CAST(max(px * 1024 + py) AS BIGINT) AS last_cell,
+      |  CAST(max(ar.a2) AS BIGINT) AS area2,
+      |  -- integer density: points per area, in millionths
+      |  CAST((sum(m) * 2000000) // max(ar.a2) AS BIGINT) AS density_ppm
+      |FROM ins i JOIN ar ON ar.pid = i.pid
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val pts = Tables.lineitem(s, d).select(
         pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
         pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
         floor(col("l_quantity") * 100).cast("long").as("qty_u"))
       .groupBy("px", "py")
       .agg(count(lit(1)).as("m"), sum("qty_u").as("q"))
+    import s.implicits._
+    val areas = concaveZones
+      .map(p => (p.pid, math.abs(SpatialJoin.area2(p))))
+      .toDF("a_pid", "area2")
     SpatialJoin.pointInPolygonGeneral(pts,
         SpatialJoin.polyTableGeneral(s, concaveZones),
         col("px"), col("py"))
@@ -145,6 +156,12 @@ object Spatial {
         sum("q").cast("long").as("qty_u_sum"),
         min(col("px") * 1024 + col("py")).as("first_cell"),
         max(col("px") * 1024 + col("py")).as("last_cell"))
+      .join(broadcast(areas), col("pid") === col("a_pid"))
+      .select(col("pid"), col("n_pts"), col("qty_u_sum"),
+        col("first_cell"), col("last_cell"), col("area2"),
+        // integer density: points per area, in millionths (the
+        // factor 2 folds the shoelace doubling back out)
+        expr("(n_pts * 2000000) div area2").as("density_ppm"))
       .orderBy("pid")
   }
 
