@@ -112,6 +112,78 @@ object MultimodalQueries {
         round(col("rms"), 6).as("rms"), col("zero_crossings"))
   }
 
+  /** Spectral audio features from REAL samples ([[graft.multimodal
+    * .Dsp]]): decode → 1024-point FFT → one-sided power spectrum,
+    * quantized to integer micro-units per bin AT THE DUMP — so the
+    * oracle recomputes total power, the spectral-centroid numerator
+    * (Σ k·p_u), the peak bin (min index among maxima — deterministic
+    * tie-break) and active-bin count from the BINS, all in exact
+    * integers. The FFT itself is pinned against a brute-force DFT and
+    * Parseval in DspSpec; fixture sines sit ON bin centers, so each
+    * medium's peak bin equals its generating frequency index by
+    * construction.
+    */
+  val audioSpectrum = QueryDef("q124_audio_spectrum",
+    """WITH b AS (
+      |  SELECT media_id, sample_rate, generate_subscripts(bins, 1) - 1 AS k,
+      |    unnest(bins) AS p
+      |  FROM read_parquet('/tmp/graft-oracle/q124_bins/*.parquet'))
+      |SELECT media_id,
+      |  CAST(sum(p) AS BIGINT) AS total_pu,
+      |  CAST(sum(k * p) AS BIGINT) AS centroid_num,
+      |  CAST(min(CASE WHEN p = mp THEN k END) AS BIGINT) AS peak_bin,
+      |  CAST(count(CASE WHEN p * 1000 > tp THEN 1 END) AS BIGINT)
+      |    AS n_active
+      |FROM (SELECT *, max(p) OVER (PARTITION BY media_id) AS mp,
+      |        sum(p) OVER (PARTITION BY media_id) AS tp FROM b)
+      |GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Dsp, Flac, Wav}
+    val n = 16
+    val fftN = 1024
+    val rows = (0 until n).map { i =>
+      val rate = 8000
+      // bin-centered sine (k = 40 + 7i) + for odd ids a second tone
+      val k1 = 40 + 7 * i
+      val sig = Array.tabulate(1536) { t =>
+        val w1 = math.sin(2 * math.Pi * k1 * t / fftN.toDouble) * 0.7
+        val w2 = if (i % 2 == 1)
+          math.sin(2 * math.Pi * (k1 + 100) * t / fftN.toDouble) * 0.3
+        else 0.0
+        w1 + w2
+      }
+      val codec = if (i % 2 == 0) "wav" else "flac"
+      val content =
+        if (codec == "wav") Wav.write(sig, rate) else Flac.write(sig, rate)
+      Row(i.toLong, "audio", s"audio/$codec", content,
+        Map("duration_ms" -> "0"))
+    }
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
+    val bins = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pcm = Wav.decode(bytes).orElse(Flac.decode(bytes)).get
+        val p = Dsp.powerSpectrum(pcm.samples, fftN)
+        (id, pcm.sampleRate, p.map(v => math.floor(v * 1e6).toLong))
+      }.toDF("media_id", "sample_rate", "bins")
+    val dumped = graft.Work.oracleDump(s, "q124_bins", bins, d)
+    val withK = dumped.select(col("media_id"),
+      posexplode(col("bins")).as(Seq("k", "p")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+    withK
+      .withColumn("mp", max(col("p")).over(w))
+      .withColumn("tp", sum(col("p")).over(w))
+      .groupBy("media_id")
+      .agg(sum(col("p")).cast("long").as("total_pu"),
+        sum(col("k") * col("p")).cast("long").as("centroid_num"),
+        min(when(col("p") === col("mp"), col("k"))).cast("long")
+          .as("peak_bin"),
+        count(when(col("p") * 1000 > col("tp"), 1)).cast("long")
+          .as("n_active"))
+      .orderBy("media_id")
+  }
+
   /** Real video frame sampling over MJPEG in BOTH containers (RIFF/AVI
     * even ids, ISO-BMFF/MP4 odd ids, the MP4s multi-chunk) — the
     * sampling arithmetic is what the oracle independently recomputes:
@@ -252,5 +324,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(imagePipeline, audioPipeline, videoPipeline, codecProbe)
+    Seq(imagePipeline, audioPipeline, audioSpectrum, videoPipeline,
+      codecProbe)
 }
