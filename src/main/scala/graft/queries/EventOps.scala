@@ -477,6 +477,39 @@ object EventOps {
     * batch aggregate DuckDB computes. This gates the new API's state
     * round-trip (encoder-backed ValueState in RocksDB) end to end.
     */
+  /** STREAM-STATIC join under the oracle (the remaining streaming join
+    * shape after q99/q102's stream-stream forms): the event stream
+    * enriched per micro-batch against a BROADCAST static dimension —
+    * stateless, append-mode, no watermark needed — then aggregated in
+    * batch. The result must equal the plain batch join, whatever the
+    * file batching.
+    */
+  val streamStaticJoin = QueryDef("q125_stream_static_join",
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.streaming.EventStream.withStatePartitions(s, 8) {
+      val ev = graft.streaming.EventStream.readEvents(s,
+        stageEvents(d, "stream-events"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = ev
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("event_id"),
+          col("value"))
+      graft.streaming.EventStream.runToCompletion(s, enriched,
+        s"q125_enrich_${streamRun.incrementAndGet()}",
+        outputMode = "append")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("segment")
+    }
+  }
+
   val streamRunningTotals = QueryDef("q120_stream_running_totals",
     """SELECT user_id, count(*) AS n_events,
       |  CAST(sum(event_id) AS BIGINT) AS sum_id,
@@ -546,5 +579,5 @@ object EventOps {
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
       streamIntervalJoin, streamOuterJoin, funnel, cohorts,
-      intervalCoverage, streamRunningTotals)
+      intervalCoverage, streamRunningTotals, streamStaticJoin)
 }
