@@ -55,5 +55,36 @@ object GraphRank {
       .orderBy(col("pr").desc, col("node")).limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank)
+  /** q126 — co-occurrence mining (the market-basket pair count behind
+    * "frequently bought together"): distinct (order, part) items
+    * self-joined within the basket with p1 < p2, counted, top-20 with
+    * a total deterministic tie-break. Scale shape: the self-join
+    * co-partitions both sides on the basket key (one shuffle) and the
+    * pair explosion is bounded by basket size squared — baskets are
+    * small by construction here (≤7 lines/order); a 100 TB run over
+    * heavy baskets would cap or sample per-basket items first, the
+    * standard FP-growth preprocessing step.
+    */
+  val coOccurrence = QueryDef("q126_co_occurrence",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)
+      |SELECT p1, p2, count(*) AS n
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, coOccurrence)
 }
