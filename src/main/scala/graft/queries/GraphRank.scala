@@ -68,20 +68,41 @@ object GraphRank {
   val coOccurrence = QueryDef("q126_co_occurrence",
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |supp AS (SELECT p, count(*) AS np FROM items GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT o) AS no FROM items),
       |pairs AS (
-      |  SELECT a.p AS p1, b.p AS p2
-      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)
-      |SELECT p1, p2, count(*) AS n
-      |FROM pairs GROUP BY 1, 2
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS n
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2)
+      |SELECT p1, p2, n,
+      |  CAST((n * 1000000) // s1.np AS BIGINT) AS conf_ppm,
+      |  CAST((n * tot.no * 1000000) // (s1.np * s2.np) AS BIGINT)
+      |    AS lift_ppm
+      |FROM pairs JOIN supp s1 ON s1.p = p1 JOIN supp s2 ON s2.p = p2,
+      |  tot
       |ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    items.as("a")
+    val supp = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val tot = items.select(countDistinct(col("o")).as("no"))
+    val pairs = items.as("a")
       .join(items.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(supp.withColumnRenamed("p", "p1")
+        .withColumnRenamed("np", "np1")), "p1")
+      .join(broadcast(supp.withColumnRenamed("p", "p2")
+        .withColumnRenamed("np", "np2")), "p2")
+      .crossJoin(broadcast(tot))
+      // association-rule metrics in exact integer ppm: confidence
+      // P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) — truncation-divided
+      // identically in both engines
+      .select(col("p1"), col("p2"), col("n"),
+        expr("(n * 1000000) div np1").as("conf_ppm"),
+        expr("(n * no * 1000000) div (np1 * np2)").as("lift_ppm"))
       .orderBy(col("n").desc, col("p1"), col("p2"))
       .limit(20)
   }
