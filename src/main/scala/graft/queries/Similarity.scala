@@ -319,6 +319,36 @@ object Similarity {
           .cast("string"))).cast("binary")).as("q_md5"))
   }
 
+  /** q127 — Gram matrix Σ v·vᵀ over the embedding corpus (the
+    * covariance/PCA-whitening primitive) via [[graft.functions
+    * .GramExpr]]: one pass, d(d+1)/2 longs of bounded state per
+    * partial, additive merge — never an exploded (row × i × j)
+    * relation. Components quantize to exact integers through DOUBLE
+    * (both engines convert float32 → float64 losslessly before the
+    * multiply), so all 2080 upper-triangle cells hash-match.
+    */
+  val gramMatrix = QueryDef("q127_gram_matrix",
+    """WITH qv AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT i.i, j.j, CAST(sum(v[i.i] * v[j.j]) AS BIGINT) AS g
+      |  FROM qv, generate_series(1, 64) AS i(i),
+      |       generate_series(1, 64) AS j(j)
+      |  WHERE i.i <= j.j GROUP BY 1, 2)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, g
+      |FROM cells ORDER BY i, j""".stripMargin) { (s, d) =>
+    import graft.functions.GramExpr.gram
+    val qv = Tables.embeddings(s, d).select(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+    qv.agg(gram(col("v"), 64).as("gm"))
+      .select(explode(col("gm")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.g").as("g"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
-    embeddingDedup, int8Quantize)
+    embeddingDedup, int8Quantize, gramMatrix)
 }
