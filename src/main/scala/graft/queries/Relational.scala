@@ -446,9 +446,59 @@ object Relational {
       .orderBy("cluster")
   }
 
+  /** q128 — ordinary least squares, EXACTLY: the distributed part is
+    * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
+    * partial+final aggregates, O(1) shuffle bytes), and the closed-form
+    * solve is rational arithmetic over them — slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) — evaluated in BigInt/HUGEINT with FLOOR division
+    * on both engines, so the fitted coefficients hash-match to the ppm.
+    * This is the pattern every "ML on Spark" fit reduces to: suffstats
+    * in one pass, a driver-side O(1) solve.
+    */
+  val olsFit = QueryDef("q128_ols_fit",
+    """WITH q AS (
+      |  SELECT CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x * x) AS sxx, sum(x * y) AS sxy FROM q),
+      |r AS (SELECT CAST(n AS HUGEINT) AS n, CAST(sx AS HUGEINT) AS sx,
+      |        CAST(sy AS HUGEINT) AS sy, CAST(sxx AS HUGEINT) AS sxx,
+      |        CAST(sxy AS HUGEINT) AS sxy FROM s)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(((n * sxy - sx * sy) * 1000000)
+      |       // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm,
+      |  CAST(((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+      |        * 1000000) // (n * (n * sxx - sx * sx)) AS BIGINT)
+      |    AS intercept_ppm
+      |FROM r""".stripMargin) { (s, d) =>
+    val q = Tables.lineitem(s, d).select(
+      floor(col("l_quantity") * 100).cast("long").as("x"),
+      floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    val st = q.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .head()
+    // O(1) driver-side solve over the five stats, exact rationals
+    val n = BigInt(st.getLong(0)); val sx = BigInt(st.getLong(1))
+    val sy = BigInt(st.getLong(2)); val sxx = BigInt(st.getLong(3))
+    val sxy = BigInt(st.getLong(4))
+    def fdiv(a: BigInt, b: BigInt): BigInt = { // floor, like DuckDB //
+      val qd = a / b
+      if (a % b != 0 && (a.signum != b.signum)) qd - 1 else qd
+    }
+    val den = n * sxx - sx * sx
+    val num = n * sxy - sx * sy
+    val slope = fdiv(num * 1000000, den)
+    val intercept = fdiv((sy * den - num * sx) * 1000000, n * den)
+    import s.implicits._
+    Seq((n.toLong, slope.toLong, intercept.toLong))
+      .toDF("n", "slope_ppm", "intercept_ppm")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
-    rollup, runningSum, zorderKey)
+    rollup, runningSum, zorderKey, olsFit)
 }
