@@ -483,14 +483,11 @@ object Relational {
     val n = BigInt(st.getLong(0)); val sx = BigInt(st.getLong(1))
     val sy = BigInt(st.getLong(2)); val sxx = BigInt(st.getLong(3))
     val sxy = BigInt(st.getLong(4))
-    def fdiv(a: BigInt, b: BigInt): BigInt = { // floor, like DuckDB //
-      val qd = a / b
-      if (a % b != 0 && (a.signum != b.signum)) qd - 1 else qd
-    }
+    // BigInt / truncates toward zero, exactly like DuckDB's //
     val den = n * sxx - sx * sx
     val num = n * sxy - sx * sy
-    val slope = fdiv(num * 1000000, den)
-    val intercept = fdiv((sy * den - num * sx) * 1000000, n * den)
+    val slope = (num * 1000000) / den
+    val intercept = ((sy * den - num * sx) * 1000000) / (n * den)
     import s.implicits._
     Seq((n.toLong, slope.toLong, intercept.toLong))
       .toDF("n", "slope_ppm", "intercept_ppm")

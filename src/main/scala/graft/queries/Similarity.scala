@@ -349,6 +349,92 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** q129 — TWO Lloyd iterations of k-means over the quantized
+    * embedding corpus, EXACTLY: squared distances are integer sums,
+    * the argmin tie-breaks on center id (row_number, total order), and
+    * centroid updates floor-divide per-dimension integer sums — so the
+    * assignment sets, the updated centers and the final inertia all
+    * hash-match DuckDB's CTE-chain replay. Fixed deterministic seeds
+    * (four spread vec_ids) replace the RNG init, the same discipline
+    * as the PageRank recurrence (q115). Scale shape per iteration: a
+    * broadcast of k centers against the vector scan + one groupBy —
+    * never a vector-vector self-join.
+    */
+  val kmeans = QueryDef("q129_kmeans",
+    """WITH qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM qv
+      |       WHERE vec_id IN (0, 100, 200, 300)),
+      |d1 AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(sum((q.v[g.i] - c.c[g.i]) * (q.v[g.i] - c.c[g.i]))
+      |      AS BIGINT) AS dist
+      |  FROM qv q, c0 c, generate_series(1, 64) AS g(i) GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+      |        AS rn FROM d1) WHERE rn = 1),
+      |cs AS (
+      |  SELECT a1.cid, g.i AS i,
+      |    CAST(sum(q.v[g.i]) AS BIGINT) // count(*) AS cv
+      |  FROM a1 JOIN qv q USING (vec_id), generate_series(1, 64) AS g(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(cv ORDER BY i) AS c FROM cs GROUP BY 1),
+      |d2 AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(sum((q.v[g.i] - c.c[g.i]) * (q.v[g.i] - c.c[g.i]))
+      |      AS BIGINT) AS dist
+      |  FROM qv q, c1 c, generate_series(1, 64) AS g(i) GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+      |        AS rn FROM d2) WHERE rn = 1)
+      |SELECT cid, count(*) AS n_members,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+      |  CAST(sum(dist) AS BIGINT) AS inertia
+      |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+    val c0 = qv.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    def dist2 = aggregate(
+      zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    def assign(centers: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      qv.crossJoin(broadcast(centers))
+        .select(col("vec_id"), col("cid"), col("v"), dist2.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    val a1 = assign(c0)
+    // centroid update: per-dim integer sums, TRUNCATION-divided —
+    // Spark's `div` and DuckDB's `//` both round toward zero
+    val c1 = a1.select(col("cid"),
+        posexplode(col("v")).as(Seq("i", "comp")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum("comp").as("sm"), count(lit(1)).as("m"))
+      .withColumn("cv", expr("sm div m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("i"), col("cv"))))
+        .as("pairs"))
+      .select(col("cid"),
+        transform(col("pairs"), p => p.getField("cv")).as("c"))
+    assign(c1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum("vec_id").cast("long").as("sum_vec_id"),
+        sum("dist").cast("long").as("inertia"))
+      .orderBy("cid")
+  }
+
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
-    embeddingDedup, int8Quantize, gramMatrix)
+    embeddingDedup, int8Quantize, gramMatrix, kmeans)
 }
