@@ -211,4 +211,26 @@ class PlanShapeSpec extends SparkSpec {
       s"q117 should shuffle once on the interval key:\n" +
         plan.take(1500))
   }
+
+  test("q127: the Gram pass is ONE aggregation over the vector scan — " +
+    "no join, no explode-shuffle of (row × i × j)") {
+    val plan = graft.queries.Similarity.gramMatrix.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "q127 must not join")
+    assert(plan.contains("graft_gram"), "q127 should use the Gram aggregate")
+    // explode appears only AFTER the aggregate (2080 result cells),
+    // never below it on the n-row side: the scan feeds ObjectHashAgg
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan.take(1200))
+  }
+
+  test("q129: every k-means assignment broadcasts the centers — the " +
+    "vector relation is never shuffle-joined") {
+    val plan = graft.queries.Similarity.kmeans.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "q129 must broadcast k centers, not shuffle the corpus")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
 }
