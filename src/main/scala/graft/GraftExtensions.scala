@@ -56,6 +56,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.KmvDistinctAgg(key, foldInt("k", k))
           .toAggregateExpression() },
       arity = 2)
+    register(ext, "graft_kmv_mins",
+      "graft_kmv_mins(s, k) - the raw ascending k-minima of the KMV " +
+        "sketch (array<bigint>), composable for set operations",
+      { case Seq(key, k) =>
+        graft.functions.KmvMinsAgg(key, foldInt("k", k))
+          .toAggregateExpression() },
+      arity = 2)
+    register(ext, "graft_gram",
+      "graft_gram(v, dim) - one-pass Gram matrix over array<bigint> " +
+        "vectors (upper triangle as array<struct<i, j, g>>)",
+      { case Seq(v, dim) =>
+        graft.functions.GramAgg(v, foldInt("dim", dim))
+          .toAggregateExpression() },
+      arity = 2)
   }
 
   /** k/capacity are sketch SIZING, not data: they must be literals. */
