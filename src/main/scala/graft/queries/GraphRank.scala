@@ -86,10 +86,17 @@ object GraphRank {
       .distinct()
     val supp = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
     val tot = items.select(countDistinct(col("o")).as("no"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+    // pairs WITHOUT a self-join: group each basket once, emit its
+    // ordered pairs map-side from the sorted item array (p1 < p2 falls
+    // out of the sort) — one shuffle on the basket key instead of a
+    // join's shuffle of both sides plus the pair re-aggregation
+    val baskets = items.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n"))
     pairs
       .join(broadcast(supp.withColumnRenamed("p", "p1")
