@@ -435,6 +435,52 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** q130 — TWO POWER ITERATIONS over the (symmetrized) Gram matrix:
+    * the top-principal-direction primitive that completes the q127
+    * story. Instead of float normalization, each matvec truncation-
+    * divides by 2^16 — a fixed deterministic rescale — so both
+    * iterations stay exact integers and the 64 resulting components
+    * hash-match DuckDB's join-replay of the same recurrence. The
+    * matvec is a 4096-cell × 64-row join: constant-sized whatever the
+    * corpus, because the DATA-sized pass already happened inside the
+    * one-pass Gram aggregate.
+    */
+  val powerIteration = QueryDef("q130_power_iteration",
+    """WITH qv AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |tri AS (
+      |  SELECT i.i, j.j, CAST(sum(v[i.i] * v[j.j]) AS BIGINT) AS g
+      |  FROM qv, generate_series(1, 64) AS i(i),
+      |       generate_series(1, 64) AS j(j)
+      |  WHERE i.i <= j.j GROUP BY 1, 2),
+      |gm AS (SELECT i, j, g FROM tri
+      |       UNION ALL SELECT j, i, g FROM tri WHERE i < j),
+      |v1 AS (SELECT i, CAST(sum(g) AS BIGINT) // 65536 AS v
+      |       FROM gm GROUP BY 1),
+      |v2 AS (SELECT gm.i, CAST(sum(gm.g * v1.v) AS BIGINT) // 65536 AS v
+      |       FROM gm JOIN v1 ON gm.j = v1.i GROUP BY 1)
+      |SELECT CAST(i AS INT) AS i, v FROM v2 ORDER BY i""".stripMargin) {
+    (s, d) =>
+    import graft.functions.GramExpr.gram
+    val qv = Tables.embeddings(s, d).select(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+    val tri = qv.agg(gram(col("v"), 64).as("gm"))
+      .select(explode(col("gm")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.g").as("g"))
+    val gm = tri.unionAll(tri.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("g")))
+    val v1 = gm.groupBy(col("i"))
+      .agg(expr("CAST(sum(g) AS BIGINT) div 65536").as("v"))
+      .withColumnRenamed("i", "vi")
+    gm.join(broadcast(v1), col("j") === col("vi"))
+      .groupBy(col("i"))
+      .agg(expr("CAST(sum(g * v) AS BIGINT) div 65536").as("v"))
+      .orderBy("i")
+  }
+
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
-    embeddingDedup, int8Quantize, gramMatrix, kmeans)
+    embeddingDedup, int8Quantize, gramMatrix, kmeans, powerIteration)
 }
