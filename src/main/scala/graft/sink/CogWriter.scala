@@ -33,7 +33,12 @@ object CogWriter {
       // ALSO emit a gdaladdo-style external `.ovr` sidecar next to the
       // COG (ref cog.py:91-104, external_overviews default True — the
       // reference produces BOTH internal overview pages and the sidecar)
-      externalOverviews: Boolean = true)
+      externalOverviews: Boolean = true,
+      /** Emit the BigTIFF envelope (magic 43, 8-byte offsets/counts,
+        * 20-byte IFD entries) — the >4 GiB mosaic form; CogReader
+        * round-trips both envelopes.
+        */
+      bigTiff: Boolean = false)
 
   // TIFF tag ids
   private val NewSubfileType = 254
@@ -109,14 +114,23 @@ object CogWriter {
       }
     }
     val measured = buildAll(0L)
-    val tileBase = 8L + measured.map(_.size).sum
+    val headerLen = if (opts.bigTiff) 16L else 8L
+    val tileBase = headerLen + measured.map(_.size).sum
     val ifds = buildAll(tileBase)
 
     val out = new ByteArrayOutputStream()
-    val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
-    out.write(header.array())
-    var ifdOffset = 8L
+    if (opts.bigTiff) {
+      // BigTIFF header: magic 43, offset size 8, pad, u64 first-IFD
+      val header = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      header.put('I'.toByte).put('I'.toByte).putShort(43)
+      header.putShort(8).putShort(0).putLong(16L)
+      out.write(header.array())
+    } else {
+      val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      out.write(header.array())
+    }
+    var ifdOffset = headerLen
     ifds.zipWithIndex.foreach { case (ifd, i) =>
       val next = if (i == ifds.size - 1) 0L else ifdOffset + ifd.size
       out.write(ifd.render(ifdOffset, next))
@@ -189,28 +203,37 @@ object CogWriter {
   private final case class IfdEntry(tag: Int, typ: Int, count: Int,
                                     payload: Array[Byte])
 
-  private final case class Ifd(entries: Seq[IfdEntry]) {
-    private val entriesStart = 2 + entries.length * 12 + 4
+  /** Classic layout: 12-byte entries, u16 count, u32 next/offsets,
+    * 4-byte inline values. BigTIFF: 20-byte entries, u64 count,
+    * u64 next/offsets, 8-byte inline values.
+    */
+  private final case class Ifd(entries: Seq[IfdEntry], big: Boolean) {
+    private val inlineMax = if (big) 8 else 4
+    private val entriesStart =
+      if (big) 8 + entries.length * 20 + 8 else 2 + entries.length * 12 + 4
     private val extraSizes = entries.map(e =>
-      if (e.payload.length <= 4) 0 else e.payload.length)
+      if (e.payload.length <= inlineMax) 0 else e.payload.length)
     val size: Long = entriesStart + extraSizes.sum
 
     def render(base: Long, nextIfd: Long): Array[Byte] = {
       val buf = ByteBuffer.allocate(size.toInt).order(ByteOrder.LITTLE_ENDIAN)
-      buf.putShort(entries.length.toShort)
+      if (big) buf.putLong(entries.length.toLong)
+      else buf.putShort(entries.length.toShort)
       var extraOff = entriesStart
       val extras = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       entries.foreach { e =>
-        buf.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
-        if (e.payload.length <= 4) {
-          buf.put(java.util.Arrays.copyOf(e.payload, 4))
+        buf.putShort(e.tag.toShort).putShort(e.typ.toShort)
+        if (big) buf.putLong(e.count.toLong) else buf.putInt(e.count)
+        if (e.payload.length <= inlineMax) {
+          buf.put(java.util.Arrays.copyOf(e.payload, inlineMax))
         } else {
-          buf.putInt((base + extraOff).toInt)
+          if (big) buf.putLong(base + extraOff)
+          else buf.putInt((base + extraOff).toInt)
           extras += e.payload
           extraOff += e.payload.length
         }
       }
-      buf.putInt(nextIfd.toInt)
+      if (big) buf.putLong(nextIfd) else buf.putInt(nextIfd.toInt)
       extras.foreach(buf.put)
       buf.array()
     }
@@ -223,6 +246,10 @@ object CogWriter {
   private def longs4(vs: Seq[Long]): Array[Byte] = {
     val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
     vs.foreach(v => b.putInt(v.toInt)); b.array()
+  }
+  private def longs8(vs: Seq[Long]): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putLong); b.array()
   }
   private def doubles(vs: Seq[Double]): Array[Byte] = {
     val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -245,8 +272,15 @@ object CogWriter {
     short1(PlanarConfig, 2) // separate planes per band
     short1(TileWidth, opts.tileSize)
     short1(TileLength, opts.tileSize)
-    es += IfdEntry(TileOffsets, 4, offsets.length, longs4(offsets))
-    es += IfdEntry(TileByteCounts, 4, counts.length, longs4(counts))
+    if (opts.bigTiff) {
+      // LONG8 (type 16) offsets/counts — the fields that overflow u32
+      // in a >4 GiB mosaic
+      es += IfdEntry(TileOffsets, 16, offsets.length, longs8(offsets))
+      es += IfdEntry(TileByteCounts, 16, counts.length, longs8(counts))
+    } else {
+      es += IfdEntry(TileOffsets, 4, offsets.length, longs4(offsets))
+      es += IfdEntry(TileByteCounts, 4, counts.length, longs4(counts))
+    }
     es += IfdEntry(SampleFormat, 3, nBands, shorts(Seq.fill(nBands)(3)))
     if (!isOverview) {
       es += IfdEntry(ModelPixelScale, 12, 3,
@@ -263,6 +297,6 @@ object CogWriter {
       val md = gdalMetadataXml(bands)
       es += IfdEntry(GdalMetadata, 2, md.length, md)
     }
-    Ifd(es.sortBy(_.tag).toSeq)
+    Ifd(es.sortBy(_.tag).toSeq, opts.bigTiff)
   }
 }

@@ -103,4 +103,34 @@ class CogSpec extends AnyFunSuite {
     // overview 2x2 block containing the NaN averages the 3 valid cells
     assert(t.readBand(1, 0)(0)(0) === 1.0)
   }
+
+  test("BigTIFF envelope: magic 43, LONG8 offsets, identical pixels " +
+    "and pyramid through the same reader") {
+    val bytes = CogWriter.write(bands,
+      CogWriter.Options(epsg = 6931, pixelScale = (25000.0, 25000.0),
+        bigTiff = true))
+    // header: II + 43 + offset-size 8 + pad 0
+    assert(bytes(0) === 'I'.toByte && bytes(1) === 'I'.toByte)
+    assert(java.nio.ByteBuffer.wrap(bytes, 2, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort === 43)
+    val t = CogReader.read(bytes)
+    assert(t.pages.length === 5)
+    val full = t.pages.head
+    assert((full.width, full.height) === ((300, 300)))
+    assert(full.nBands === 2 && full.epsg === Some(6931))
+    // pixels byte-identical with the classic envelope
+    val classic = CogReader.read(CogWriter.write(bands,
+      CogWriter.Options(epsg = 6931, pixelScale = (25000.0, 25000.0))))
+    for (p <- 0 until 5; b <- 0 until 2) {
+      val a = t.readBand(p, b); val c = classic.readBand(p, b)
+      for (y <- a.indices; x <- a(y).indices)
+        assert(a(y)(x) == c(y)(x) ||
+          (a(y)(x).isNaN && c(y)(x).isNaN), s"p$p b$b ($y,$x)")
+    }
+    // the .ovr sidecar also renders as BigTIFF when asked
+    val ovr = CogWriter.writeOvr(bands, CogWriter.Options(bigTiff = true))
+    assert(java.nio.ByteBuffer.wrap(ovr, 2, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort === 43)
+    assert(CogReader.read(ovr).pages.forall(_.isOverview))
+  }
 }
