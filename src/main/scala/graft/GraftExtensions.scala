@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CountMinAgg(key, foldInt("d", d), foldInt("w", w))
           .toAggregateExpression() },
       arity = 3)
+    register(ext, "graft_hilbert",
+      "graft_hilbert(x, y, bits) - Hilbert-curve index of a quantized " +
+        "2-D cell (BIGINT clustering key with strict adjacency locality)",
+      { case Seq(x, y, b) =>
+        graft.functions.HilbertExpr(x, y, foldInt("bits", b)) },
+      arity = 3)
     register(ext, "graft_kmv_distinct",
       "graft_kmv_distinct(s, k) - KMV approximate-distinct sketch " +
         "(struct<est, kth>) over a string key",

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
-import graft.functions.ZOrderExpr
+import graft.functions.{HilbertExpr, ZOrderExpr}
 
 /** Z-order table clustering — the write-side layout operator the
   * [[graft.functions.ZOrderExpr]] key exists for: range-partition by
@@ -19,12 +19,23 @@ import graft.functions.ZOrderExpr
   */
 object ZOrderCluster {
 
-  /** Add a `z` Morton column over the two quantized dimension columns
-    * and cluster into `numPartitions` Z ranges.
+  /** Add a `z` curve-key column over the two quantized dimension
+    * columns and cluster into `numPartitions` key ranges. `curve` is
+    * "zorder" (Morton) or "hilbert" — Hilbert's strict adjacency makes
+    * each file's key range a tighter spatial region at the cost of a
+    * slightly heavier key computation (see [[graft.functions
+    * .HilbertExpr]]).
     */
   def cluster(df: DataFrame, x: Column, y: Column, bits: Int,
-              numPartitions: Int): DataFrame =
-    df.withColumn("z", ZOrderExpr.zorder(x, y, bits))
+              numPartitions: Int, curve: String = "zorder"): DataFrame = {
+    val key = curve match {
+      case "zorder" => ZOrderExpr.zorder(x, y, bits)
+      case "hilbert" => HilbertExpr.hilbert(x, y, bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' (zorder/hilbert)")
+    }
+    df.withColumn("z", key)
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions("z")
+  }
 }

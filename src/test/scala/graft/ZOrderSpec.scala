@@ -71,6 +71,23 @@ class ZOrderSpec extends SparkSpec {
         .sorted)
   }
 
+  test("ZOrderCluster with curve=hilbert clusters by the Hilbert key " +
+    "and rejects unknown curves") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => ((i * 31) % 256L, (i * 17) % 256L))
+      .toDF("x", "y")
+    val clustered = ZOrderCluster.cluster(df, $"x", $"y", bits = 8,
+      numPartitions = 4, curve = "hilbert")
+    val keys = clustered.select("x", "y", "z")
+      .as[(Long, Long, Long)].collect()
+    keys.foreach { case (x, y, z) =>
+      assert(z === graft.functions.HilbertExpr.index(x, y, 8))
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderCluster.cluster(df, $"x", $"y", 8, 4, curve = "peano")
+    }
+  }
+
   test("ZOrderCluster: range exchange in the plan, disjoint Z ranges " +
     "per partition, rows intact") {
     import spark.implicits._
