@@ -96,7 +96,18 @@ final case class GramAgg(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      b.add(a.toLongArray())
+      val n = a.numElements()
+      val arr = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_gram: null vector component at index $i — null elements " +
+              "have no SQL-consistent Gram contribution; filter or impute first")
+        arr(i) = a.getLong(i)
+        i += 1
+      }
+      b.add(arr)
     }
     b
   }

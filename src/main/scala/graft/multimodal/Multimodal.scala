@@ -118,6 +118,13 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(
       new StructType().add("media_id", LongType).add("frame_idx", IntegerType)
         .add("ts_ms", LongType).add("frame", BinaryType))
+    // Captured at plan time on the driver: whether a video no container
+    // walk recognizes may fall back to the deterministic byte stand-in.
+    // DEFAULT OFF — a stand-in that returns plausible frame bytes is the
+    // one place this engine could silently hand wrong pixels to a
+    // training pipeline, so unknown codecs fail loudly instead.
+    val allowStub = media.sparkSession.conf
+      .get("spark.graft.video.allowStub", "false").toBoolean
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("content"),
         element_at(col("meta"), "duration_ms").cast("long").as("dur"))
@@ -131,19 +138,27 @@ object Multimodal {
                 val src = i * (n - 1) / math.max(nFrames - 1, 1)
                 Row(id, i, src * v.usPerFrame / 1000, v.frame(src))
               }
-            case None =>
+            case None if allowStub =>
               val dur = if (r.isNullAt(2)) 1000L else r.getLong(2)
               (0 until nFrames).iterator.map { i =>
                 Row(id, i, dur * i / math.max(nFrames - 1, 1),
                   stubFrame(content, i))
               }
+            case None =>
+              throw new IllegalArgumentException(
+                s"media_id $id: video payload is not MJPEG in an AVI or " +
+                  "MP4 container — the only codecs this engine decodes " +
+                  "for real. Transcode to MJPEG first, or set " +
+                  "spark.graft.video.allowStub=true to accept a " +
+                  "deterministic NON-PIXEL byte stand-in per frame.")
           }
         }
       }(enc)
   }
 
   /** ??? — codec-bound (h264/vp9) decode goes here; deterministic
-    * stand-in for now. MJPEG/AVI decodes for real above.
+    * stand-in, gated behind `spark.graft.video.allowStub` (default off).
+    * MJPEG/AVI/MP4 decodes for real above.
     */
   private def stubFrame(content: Array[Byte], idx: Int): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5")

@@ -35,17 +35,23 @@ object PageRank {
     val nodes = edges.select(col("src").as("v")).distinct()
       .union(edges.select(col("dst").as("v")).distinct()).distinct()
     var ranks = nodes.withColumn("pr", lit(scale))
+    var prev: DataFrame = null
     for (_ <- 0 until iterations) {
       val contribs = edges
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("v"), expr("pr div d").as("c"))
         .groupBy("v").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("v"), "left")
+      val next = nodes.join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr(s"($num * coalesce(s, 0L)) div $den")).as("pr"))
         .cache()
+      next.count() // materialize before dropping the superseded iteration
+      if (prev != null) prev.unpersist()
+      prev = ranks
+      ranks = next
     }
+    if (prev != null) prev.unpersist()
     ranks
   }
 }

@@ -34,6 +34,9 @@ object ZOrderCluster {
       case other => throw new IllegalArgumentException(
         s"unknown clustering curve '$other' (zorder/hilbert)")
     }
+    require(!df.columns.contains("z"),
+      "input already has a 'z' column — rename it before clustering, or " +
+        "the curve key would silently overwrite it")
     df.withColumn("z", key)
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions("z")

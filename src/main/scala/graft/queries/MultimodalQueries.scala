@@ -37,6 +37,11 @@ object MultimodalQueries {
       val content = kind match {
         case "image" => Thumbnail.jpeg(
           Array.tabulate(16, 16)((y, x) => (y * 16 + x + i).toDouble))
+        case "video" =>
+          // real MJPEG/AVI payload — the stub path is gated off by default
+          graft.multimodal.Avi.write((0 until 4).map(fr => Thumbnail.jpeg(
+            Array.tabulate(12, 12)((y, x) => (y * 12 + x + i + fr).toDouble))),
+            12, 12, fps = 4)
         case _ => Array.tabulate[Byte](64)(b => ((b * (i + 3)) % 127).toByte)
       }
       Row(i.toLong, kind, s"$kind/x", content,

@@ -172,9 +172,12 @@ object Sketches {
       .withColumn("matches", size(filter(col("ku"), x =>
         array_contains(col("ka"), x) && array_contains(col("kb"), x)))
         .cast("long"))
-      .withColumn("hha", element_at(col("ka"), 256))
-      .withColumn("hhb", element_at(col("kb"), 256))
-      .withColumn("hhu", element_at(col("ku"), 256))
+      // kth-minimum probe: 0-based `get` at min(size,k)-1 so a sketch that
+      // never filled (fewer than k distinct) degrades to its max hash —
+      // exactly DuckDB's max(h) — instead of an ANSI out-of-bounds error.
+      .withColumn("hha", get(col("ka"), least(size(col("ka")), lit(256)) - 1))
+      .withColumn("hhb", get(col("kb"), least(size(col("kb")), lit(256)) - 1))
+      .withColumn("hhu", get(col("ku"), least(size(col("ku")), lit(256)) - 1))
       .withColumn("est_a", expr(estOf("hha")))
       .withColumn("est_b", expr(estOf("hhb")))
       .withColumn("est_union", expr(estOf("hhu")))

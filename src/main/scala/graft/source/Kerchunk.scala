@@ -115,6 +115,17 @@ object Kerchunk {
           case l => Hdf5.chunkDims(l)
         }
         val name = ds.name.stripPrefix("/")
+        // Unallocated contiguous storage (addr undefined) has no chunk
+        // ref to emit; HDF5's default fill for numeric data is 0, so the
+        // .zarray must say fill_value 0 — with null, an external zarr
+        // reader would treat the missing chunk as undefined instead of
+        // reproducing the all-zeros region h5py reads. (Explicit
+        // non-default fill-value messages are not parsed by the HDF5
+        // reader; allocated datasets keep null = every chunk present.)
+        val unallocated = ds.layout match {
+          case Hdf5.Contiguous(addr, _) => addr == Hdf5.Undefined
+          case _ => false
+        }
         refs(s"$name/.zarray") =
           s"""{"zarr_format":2,"shape":[${ds.dims.mkString(",")}],""" +
             s""""chunks":[${chunks.mkString(",")}],""" +
@@ -122,7 +133,8 @@ object Kerchunk {
             s""""compressor":${comp.headOption.getOrElse("null")},""" +
             s""""filters":${
               if (shuf.isEmpty) "null" else shuf.mkString("[", ",", "]")},""" +
-            """"fill_value":null,"order":"C"}"""
+            s""""fill_value":${if (unallocated) "0" else "null"},""" +
+            """"order":"C"}"""
         // coordinate (dimension-scale) variables name their own axis,
         // exactly as xarray/kerchunk record them
         val dims =

@@ -42,15 +42,30 @@ class MultimodalSpec extends SparkSpec {
     assert(img.getWidth === 8 && img.getHeight === 8)
   }
 
+  test("video frame sampling: unknown codec FAILS LOUDLY by default, " +
+    "names the supported path") {
+    // mediaDf's video row is not MJPEG/AVI/MP4 — with the stub gate at
+    // its default (off), the sample must error, not hand back fake bytes
+    spark.conf.unset("spark.graft.video.allowStub")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(mediaDf, 5).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("MJPEG") && msg.contains("allowStub"))
+  }
+
   test("video frame sampling: n frames, timestamps spread over duration, deterministic") {
-    val frames = Multimodal.sampleFrames(mediaDf, 5).collect()
-      .sortBy(r => (r.getLong(0), r.getInt(1)))
-    assert(frames.length === 5)
-    assert(frames.map(_.getLong(2)).toSeq === Seq(0L, 1000L, 2000L, 3000L, 4000L))
-    val again = Multimodal.sampleFrames(mediaDf, 5).collect()
-      .sortBy(r => (r.getLong(0), r.getInt(1)))
-    assert(frames.zip(again).forall { case (a, b) =>
-      a.getAs[Array[Byte]](3).sameElements(b.getAs[Array[Byte]](3)) })
+    spark.conf.set("spark.graft.video.allowStub", "true")
+    try {
+      val frames = Multimodal.sampleFrames(mediaDf, 5).collect()
+        .sortBy(r => (r.getLong(0), r.getInt(1)))
+      assert(frames.length === 5)
+      assert(frames.map(_.getLong(2)).toSeq === Seq(0L, 1000L, 2000L, 3000L, 4000L))
+      val again = Multimodal.sampleFrames(mediaDf, 5).collect()
+        .sortBy(r => (r.getLong(0), r.getInt(1)))
+      assert(frames.zip(again).forall { case (a, b) =>
+        a.getAs[Array[Byte]](3).sameElements(b.getAs[Array[Byte]](3)) })
+    } finally spark.conf.unset("spark.graft.video.allowStub")
   }
 
   test("video: a second stream's frame chunks ('01dc') never interleave " +
@@ -100,8 +115,10 @@ class MultimodalSpec extends SparkSpec {
         Map("duration_ms" -> "1000")))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
-    val sampled = Multimodal.sampleFrames(media, 3).collect()
-      .groupBy(_.getLong(0))
+    spark.conf.set("spark.graft.video.allowStub", "true")
+    val sampled =
+      try Multimodal.sampleFrames(media, 3).collect().groupBy(_.getLong(0))
+      finally spark.conf.unset("spark.graft.video.allowStub")
     val real = sampled(7L).sortBy(_.getInt(1))
     assert(real.map(_.getLong(2)).toSeq === Seq(0L, 800L, 1600L))
     assert(real.map(_.getAs[Array[Byte]](3).toSeq).toSeq ===
