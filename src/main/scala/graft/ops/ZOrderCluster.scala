@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 import graft.functions.{HilbertExpr, ZOrderExpr}
 
 /** Z-order table clustering — the write-side layout operator the
@@ -40,5 +40,65 @@ object ZOrderCluster {
     df.withColumn("z", key)
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions("z")
+  }
+
+  /** One manifest row per written file: its curve-key range + row count. */
+  final case class FileRange(file: String, zMin: Long, zMax: Long, n: Long)
+
+  /** Write the clustered layout AND its data-skipping manifest — the
+    * Iceberg/Delta story without their table format: parquet files laid
+    * out by [[cluster]] (each file one contiguous key range), plus
+    * `<path>_manifest` recording every file's min/max key. A key-range
+    * scan then opens the manifest (one tiny file, driver-side) and reads
+    * ONLY intersecting data files — at 100 TB that is the difference
+    * between listing+scanning every object and touching the handful a
+    * query rectangle maps to.
+    *
+    * The manifest is derived by re-aggregating the written files
+    * (`input_file_name` groupBy) rather than trusted from the writer's
+    * task-side ranges: what's recorded is what a reader will actually
+    * observe per file, whatever the committer renamed.
+    */
+  def write(df: DataFrame, path: String, x: Column, y: Column, bits: Int,
+            numPartitions: Int, curve: String = "zorder"): Unit = {
+    val spark = df.sparkSession
+    cluster(df, x, y, bits, numPartitions, curve)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("z").as("zMin"), max("z").as("zMax"), count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").json(path + "_manifest")
+  }
+
+  def readManifest(spark: SparkSession, path: String): Seq[FileRange] =
+    spark.read.json(path + "_manifest").collect().map { r =>
+      FileRange(r.getAs[String]("file"), r.getAs[Long]("zMin"),
+        r.getAs[Long]("zMax"), r.getAs[Long]("n"))
+    }.toSeq
+
+  /** Key-range scan with file skipping: manifest-prune to the files
+    * whose [zMin, zMax] intersects [lo, hi], read only those, keep the
+    * key predicate as the residual (file ranges overlap the query range;
+    * they don't equal it). Returns the pruned relation plus
+    * (filesRead, filesTotal) so callers can ASSERT the skipping payoff
+    * instead of taking it on faith.
+    *
+    * For a query rectangle under the Morton curve, [lo, hi] =
+    * [zorder(xmin,ymin), zorder(xmax,ymax)] is a correct cover: the
+    * interleave is monotone in each dimension, so every point of the
+    * rectangle keys inside the corner interval (with false positives the
+    * residual x/y predicate removes). Hilbert keys do NOT have this
+    * property — rectangle queries over a Hilbert layout need a
+    * multi-range decomposition, so pass explicit curve ranges there.
+    */
+  def scanRange(spark: SparkSession, path: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val manifest = readManifest(spark, path)
+    val hit = manifest.filter(f => f.zMax >= lo && f.zMin <= hi)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(hit.map(_.file): _*)
+    (df.filter(col("z").between(lo, hi)), hit.length, manifest.length)
   }
 }

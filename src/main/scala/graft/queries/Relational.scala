@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Work}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -446,6 +446,68 @@ object Relational {
       .orderBy("cluster")
   }
 
+  // one clustered layout per (sf dir, JVM): bench warmup pays the write,
+  // timed passes and verify read the already-laid-out files (the
+  // Work.oracleDump discipline)
+  private val clusterLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q131 — the data-skipping PAYOFF of the clustered layout (q113
+    * proved locality; this proves pruning): lineitem laid out by
+    * [[graft.ops.ZOrderCluster.write]] into range-partitioned files with
+    * a per-file min/max key manifest, then a rectangle query scans via
+    * [[graft.ops.ZOrderCluster.scanRange]] — manifest-pruned to the
+    * files intersecting the rectangle's Morton corner interval, residual
+    * x/y predicate on the survivors. The pruning is ASSERTED, not
+    * narrated: the query throws unless files_read < files_total (and
+    * > 0), and emits the strictness as a hashed column so the gate sees
+    * it. The aggregate itself is recomputed by DuckDB from the raw
+    * table — a wrong file set (dropped file, wrong manifest range)
+    * changes n/qty_u and hash-mismatches.
+    *
+    * The rectangle is a 64-aligned Z tile ([128,191]²), whose Morton
+    * cover [zorder(128,128), zorder(191,191)] is exact — at 16 files
+    * over a 2^20 key space the scan touches ~1-2 of them.
+    */
+  val clusterSkip = QueryDef("q131_cluster_skip",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  min(px) AS px_min, max(px) AS px_max,
+      |  min(py) AS py_min, max(py) AS py_max,
+      |  TRUE AS files_pruned
+      |FROM (SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py,
+      |        l_quantity FROM lineitem)
+      |WHERE px BETWEEN 128 AND 191 AND py BETWEEN 128 AND 191""".stripMargin) {
+    (s, d) =>
+    import graft.functions.ZOrderExpr
+    import graft.ops.ZOrderCluster
+    val path = Work.oracleDumpPath("q131_layout")
+    clusterLayouts.compute("q131", (_, prev) => {
+      if (prev != d) {
+        val base = Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        ZOrderCluster.write(base, path, col("px"), col("py"), bits = 10,
+          numPartitions = 16)
+      }
+      d
+    })
+    val lo = ZOrderExpr.interleave(128, 128, 10)
+    val hi = ZOrderExpr.interleave(191, 191, 10)
+    val (scan, filesRead, filesTotal) = ZOrderCluster.scanRange(s, path, lo, hi)
+    require(filesRead > 0 && filesRead < filesTotal,
+      s"clustered layout did not prune: read $filesRead of $filesTotal " +
+        "files — the manifest ranges or the layout are broken")
+    scan
+      .filter(col("px").between(128, 191) && col("py").between(128, 191))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"),
+        min("px").as("px_min"), max("px").as("px_max"),
+        min("py").as("py_min"), max("py").as("py_max"))
+      .withColumn("files_pruned", lit(filesRead < filesTotal))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -497,5 +559,5 @@ object Relational {
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
-    rollup, runningSum, zorderKey, olsFit)
+    rollup, runningSum, zorderKey, clusterSkip, olsFit)
 }

@@ -88,6 +88,45 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("write + scanRange: manifest prunes files, pruned scan returns " +
+    "exactly the rectangle rows") {
+    import spark.implicits._
+    val dir = Work.stableDir("zorder-skip-spec").resolve("layout").toString
+    val df = (0 until 8000)
+      .map(i => ((i * 31) % 256L, (i * 17) % 256L, i.toLong))
+      .toDF("x", "y", "payload")
+    ZOrderCluster.write(df, dir, $"x", $"y", bits = 8, numPartitions = 8)
+    val manifest = ZOrderCluster.readManifest(spark, dir)
+    assert(manifest.map(_.n).sum === 8000)
+    // file ranges are pairwise disjoint (the layout contract pruning
+    // rests on)
+    val sorted = manifest.sortBy(_.zMin)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.zMax < b.zMin)
+      case _ => ()
+    }
+    // 64-aligned rectangle [64,127]x[64,127]: exact Morton cover
+    val lo = ZOrderExpr.interleave(64, 64, 8)
+    val hi = ZOrderExpr.interleave(127, 127, 8)
+    val (scan, read, total) = ZOrderCluster.scanRange(spark, dir, lo, hi)
+    assert(read > 0 && read < total, s"no pruning: $read of $total")
+    // inputFiles of the pruned relation = the manifest hits, nothing more
+    assert(scan.inputFiles.length === read)
+    val got = scan.filter($"x".between(64, 127) && $"y".between(64, 127))
+      .select("x", "y", "payload").as[(Long, Long, Long)].collect().toSet
+    val want = (0 until 8000)
+      .map(i => ((i * 31) % 256L, (i * 17) % 256L, i.toLong))
+      .filter(t => t._1 >= 64 && t._1 <= 127 && t._2 >= 64 && t._2 <= 127)
+      .toSet
+    assert(got === want)
+    // an empty key range prunes everything and returns an empty, schema-
+    // intact relation
+    val (none, r0, _) = ZOrderCluster.scanRange(spark, dir,
+      Long.MaxValue - 1, Long.MaxValue)
+    assert(r0 === 0 && none.count() === 0 &&
+      none.columns.toSet === Set("x", "y", "payload", "z"))
+  }
+
   test("ZOrderCluster: range exchange in the plan, disjoint Z ranges " +
     "per partition, rows intact") {
     import spark.implicits._
