@@ -750,10 +750,22 @@ object NetCdfQueries {
       java.nio.file.Files.writeString(rp, Kerchunk.build(f))
       rp
     }
-    val st = Kerchunk.combine(
+    val combined = Kerchunk.combine(
       refPaths.map(rp =>
         Kerchunk.parse(java.nio.file.Files.readString(rp))),
       concatDim = "time")
+    // persist the combined virtual store in BOTH formats and SCAN THE
+    // PARQUET ONE: at archive scale the JSON document is a single-node
+    // parse bottleneck; the parquet refs (one row per chunk,
+    // record-blocked per array) are what fsspec reads there. Any
+    // divergence between the parquet round-trip and the JSON store
+    // hash-mismatches the oracle below.
+    val pqDir = dir.resolve("refs_parquet")
+    Kerchunk.writeParquetRefs(combined, pqDir, recordSize = 4)
+    val st = Kerchunk.readParquetRefs(pqDir)
+    require(st.metas.map(_.name).sorted == combined.metas.map(_.name).sorted
+        && st.refs.keySet == combined.refs.keySet,
+      "parquet reference round-trip lost arrays or chunk refs")
     // one task per (array, chunk ref): the index IS the split plan
     val tasks = st.metas.flatMap(m =>
       Kerchunk.chunkRefs(st, m).map { case (k, r) => (m, k, r) })

@@ -1,6 +1,6 @@
 package graft.source
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -63,7 +63,12 @@ object Kerchunk {
                             refs: Map[String, Ref],
                             /** _ARRAY_DIMENSIONS per array, when the
                               * refs carry .zattrs. */
-                            dims: Map[String, Seq[String]] = Map.empty)
+                            dims: Map[String, Seq[String]] = Map.empty,
+                            /** raw metadata JSON entries (".zgroup",
+                              * "var/.zarray", "var/.zattrs") kept
+                              * verbatim so the parquet emitter can
+                              * round-trip them without re-deriving. */
+                            metaJson: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -228,7 +233,11 @@ object Kerchunk {
           }
         k -> ref
     }.toMap
-    RefStore(metas, refs, dims)
+    val metaJson = entries.collect {
+      case (k, v) if k.endsWith(".zarray") || k.endsWith(".zattrs") ||
+          k.endsWith(".zgroup") => k -> v.asText()
+    }.toMap
+    RefStore(metas, refs, dims, metaJson)
   }
 
   /** Decode one referenced chunk through the shared zarr codec. */
@@ -295,7 +304,163 @@ object Kerchunk {
           nChunks = ((total + chunkT - 1) / chunkT) +: m0.nChunks.tail)
       }
     }
-    RefStore(outMetas, outRefs.toMap, head.dims)
+    // carry the raw metadata forward, patching concat arrays' shapes so
+    // the parquet emitter round-trips the COMBINED geometry
+    val outMetaJson = head.metaJson.map {
+      case (k, v) if k.endsWith("/.zarray") &&
+          isConcat(k.stripSuffix("/.zarray")) =>
+        val m = outMetas.find(_.name == k.stripSuffix("/.zarray")).get
+        val node = mapper.readTree(v).asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        val arr = node.putArray("shape")
+        m.shape.foreach(arr.add)
+        k -> mapper.writeValueAsString(node)
+      case kv => kv
+    }
+    RefStore(outMetas, outRefs.toMap, head.dims, outMetaJson)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Parquet reference stores (fsspec LazyReferenceMapper layout): the
+  // at-scale twin of the JSON document. One row PER CHUNK, C-ordered by
+  // chunk index, `recordSize` rows per refs.{i}.parq file under each
+  // array's directory; `.zmetadata` holds the consolidated zarr
+  // metadata plus "record_size". A 100 TB archive's JSON refs are
+  // gigabytes of text parsed on one node — the parquet form keeps the
+  // same information columnar, splittable, and lazily readable per
+  // array, which is why the fsspec ecosystem moved to it.
+  // ---------------------------------------------------------------- //
+
+  private val refsSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      """message refs {
+        |  optional binary path (UTF8);
+        |  optional int64 offset;
+        |  optional int64 size;
+        |  optional binary raw;
+        |}""".stripMargin)
+
+  /** C-order chunk keys of an array ("0.0", "0.1", ...). */
+  private def chunkKeysInOrder(m: ZarrCodec.ArrayMeta): Seq[String] = {
+    val n = m.nChunks.map(_.toLong).product
+    require(n <= Int.MaxValue, s"${m.name}: $n chunks")
+    (0L until n).map { ord =>
+      val idx = new Array[Long](m.nChunks.length)
+      var rem = ord
+      var d = m.nChunks.length - 1
+      while (d >= 0) { idx(d) = rem % m.nChunks(d); rem /= m.nChunks(d); d -= 1 }
+      idx.mkString(".")
+    }
+  }
+
+  /** Emit a parquet reference store for `store` at `dir`: `.zmetadata`
+    * (consolidated metadata + record_size) and per-array
+    * `<name>/refs.{i}.parq` files. Missing chunks (fill-value regions)
+    * become all-null rows — the row POSITION is the chunk ordinal, so
+    * absence must be encoded, not skipped.
+    */
+  def writeParquetRefs(store: RefStore, dir: Path,
+                       recordSize: Int = 10000): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.io.api.Binary
+    require(recordSize >= 1, s"recordSize $recordSize")
+    Files.createDirectories(dir)
+    val metaNode = mapper.createObjectNode()
+    val mNode = metaNode.putObject("metadata")
+    store.metaJson.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      mNode.set[com.fasterxml.jackson.databind.JsonNode](k, mapper.readTree(v))
+    }
+    metaNode.put("record_size", recordSize)
+    Files.writeString(dir.resolve(".zmetadata"),
+      mapper.writeValueAsString(metaNode))
+    store.metas.foreach { m =>
+      val aDir = dir.resolve(m.name)
+      Files.createDirectories(aDir)
+      chunkKeysInOrder(m).grouped(recordSize).zipWithIndex.foreach {
+        case (block, i) =>
+          val f = aDir.resolve(s"refs.$i.parq")
+          Files.deleteIfExists(f)
+          val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+            .builder(new org.apache.hadoop.fs.Path(f.toString))
+            .withType(refsSchema)
+            .withConf(new org.apache.hadoop.conf.Configuration())
+            .build()
+          try block.foreach { key =>
+            val g = new SimpleGroup(refsSchema)
+            store.refs.get(s"${m.name}/$key").foreach {
+              case FileRef(p, off, len) =>
+                g.append("path", p)
+                g.append("offset", off)
+                g.append("size", len)
+              case InlineRef(bytes) =>
+                g.append("raw", Binary.fromConstantByteArray(bytes))
+            }
+            w.write(g)
+          } finally w.close()
+      }
+    }
+  }
+
+  /** Read a parquet reference store written by [[writeParquetRefs]] (or
+    * fsspec): `.zmetadata` supplies the array metadata and record size,
+    * each refs.{i}.parq row maps back to its chunk by position.
+    */
+  def readParquetRefs(dir: Path): RefStore = {
+    import org.apache.parquet.example.data.Group
+    val metaNode = mapper.readTree(Files.readString(dir.resolve(".zmetadata")))
+    val recordSize = metaNode.get("record_size").asInt()
+    val mNode = metaNode.get("metadata")
+    val entries = mNode.properties().asScala.toSeq
+      .map(e => e.getKey -> e.getValue)
+    val metaJson = entries
+      .map { case (k, v) => k -> mapper.writeValueAsString(v) }.toMap
+    val metas = entries.collect {
+      case (k, v) if k.endsWith("/.zarray") =>
+        ZarrCodec.parseV2Array(Paths.get("/kerchunk"), v,
+          k.stripSuffix("/.zarray"), s"zmetadata!$k")
+    }
+    val dims = entries.collect {
+      case (k, v) if k.endsWith("/.zattrs") =>
+        k.stripSuffix("/.zattrs") ->
+          Option(v.get("_ARRAY_DIMENSIONS")).map(_.elements().asScala
+            .map(_.asText()).toSeq).getOrElse(Seq.empty)
+    }.filter(_._2.nonEmpty).toMap
+    val refs = scala.collection.mutable.LinkedHashMap[String, Ref]()
+    metas.foreach { m =>
+      val keys = chunkKeysInOrder(m)
+      val aDir = dir.resolve(m.name)
+      var ord = 0
+      var i = 0
+      while (Files.exists(aDir.resolve(s"refs.$i.parq"))) {
+        val r = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(aDir.resolve(s"refs.$i.parq").toString))
+          .withConf(new org.apache.hadoop.conf.Configuration())
+          .build()
+        try {
+          var g: Group = r.read()
+          while (g != null) {
+            require(ord < keys.length,
+              s"${m.name}: more ref rows than chunks (${keys.length})")
+            val key = keys(ord)
+            if (g.getFieldRepetitionCount("path") > 0)
+              refs(s"${m.name}/$key") = FileRef(g.getString("path", 0),
+                g.getLong("offset", 0), g.getLong("size", 0))
+            else if (g.getFieldRepetitionCount("raw") > 0)
+              refs(s"${m.name}/$key") =
+                InlineRef(g.getBinary("raw", 0).getBytes)
+            // all-null row = missing chunk (fill value): no ref entry
+            ord += 1
+            g = r.read()
+          }
+        } finally r.close()
+        i += 1
+      }
+      require(ord == keys.length,
+        s"${m.name}: $ord ref rows for ${keys.length} chunks " +
+          s"(record_size $recordSize, $i files)")
+    }
+    RefStore(metas, refs.toMap, dims, metaJson)
   }
 
   private def fetch(ref: Ref): Array[Byte] = ref match {

@@ -112,6 +112,60 @@ class KerchunkSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet reference store: write/read round-trips refs by chunk " +
+    "POSITION, inline raw and missing chunks included") {
+    val f = fixture(maxChunkElems = 64)
+    val st = Kerchunk.parse(Kerchunk.build(f))
+    val dir = Files.createTempDirectory("graft-kerchunk-pq")
+    // recordSize 3 forces multiple refs.{i}.parq files per array
+    Kerchunk.writeParquetRefs(st, dir, recordSize = 3)
+    assert(Files.exists(dir.resolve(".zmetadata")))
+    val band = st.metas.maxBy(_.nValues)
+    assert(Files.exists(dir.resolve(band.name).resolve("refs.0.parq")))
+    assert(Files.exists(dir.resolve(band.name).resolve("refs.1.parq")))
+    val back = Kerchunk.readParquetRefs(dir)
+    assert(back.metas.map(_.name).sorted === st.metas.map(_.name).sorted)
+    assert(back.dims === st.dims)
+    assert(back.refs.keySet === st.refs.keySet)
+    st.refs.foreach { case (k, r) =>
+      (r, back.refs(k)) match {
+        case (Kerchunk.InlineRef(a), Kerchunk.InlineRef(b)) =>
+          assert(a.toSeq === b.toSeq, k)
+        case (a, b) => assert(a === b, k)
+      }
+    }
+    // every array decodes identically through either store form
+    st.metas.foreach { m =>
+      val m2 = back.metas.find(_.name == m.name).get
+      val a = Kerchunk.readArray(st, m)
+      val b = Kerchunk.readArray(back, m2)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y || (x.isNaN && y.isNaN), m.name) }
+    }
+
+    // inline chunks survive as raw rows, and a MISSING chunk row (all
+    // null) reads back as no ref — not a phantom chunk
+    val vals = Array(4.5, -1.0)
+    val raw = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(raw.putDouble)
+    val b64 = java.util.Base64.getEncoder.encodeToString(raw.array())
+    val json =
+      s"""{".zgroup": "{\\"zarr_format\\":2}",
+         | "a/.zarray": "{\\"zarr_format\\":2,\\"shape\\":[4],
+         |   \\"chunks\\":[2],\\"dtype\\":\\"<f8\\",\\"compressor\\":null,
+         |   \\"filters\\":null,\\"fill_value\\":0,\\"order\\":\\"C\\"}",
+         | "a/0": "base64:$b64"}""".stripMargin.replace("\n", "")
+    val sparse = Kerchunk.parse(json) // chunk "a/1" absent = fill
+    val dir2 = Files.createTempDirectory("graft-kerchunk-pq2")
+    Kerchunk.writeParquetRefs(sparse, dir2)
+    val back2 = Kerchunk.readParquetRefs(dir2)
+    assert(back2.refs.keySet === Set("a/0"))
+    assert(back2.refs("a/0").isInstanceOf[Kerchunk.InlineRef])
+    val m2 = back2.metas.find(_.name == "a").get
+    assert(Kerchunk.readArray(back2, m2).toSeq === Seq(4.5, -1.0, 0.0, 0.0))
+  }
+
   test("unsupported filter pipelines are rejected with the workaround " +
     "named, not mis-indexed") {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 6, nx = 6,
