@@ -1,0 +1,1150 @@
+package graft.source
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** JPEG 2000 Part 1 (ISO/IEC 15444-1) codec — the bounded subset GRIB2
+  * data template 5.40 actually uses (reference semantics:
+  * `templates/template_5_40.py` analogues in operational GRIB stacks;
+  * the packing is declared at reference scope only through the grid
+  * libraries it links):
+  *
+  *  - single component, unsigned, depth 1..28 bits
+  *  - one tile, one tile-part, one quality layer
+  *  - reversible 5/3 wavelet (Annex F), no quantization (Annex E style 0)
+  *  - default code-block style (no bypass/reset/termall/causal/
+  *    predictable-termination/segmentation symbols), default precincts
+  *  - any decomposition-level count ≤ 32, any progression order (with
+  *    one layer/component/precinct every order degenerates to
+  *    resolution-ascending packets)
+  *  - SOP/EPH marker tolerance on decode
+  *
+  * Everything outside the subset is rejected loudly with the wgrib2
+  * re-encode workaround named — the same bounded-subset discipline as
+  * the CCSDS/FLAC coders. Implemented from the public spec alone:
+  * MQ arithmetic coder per Annex C (the software-conventions register
+  * layout), tag trees per B.10.2, tier-1 context modelling per Annex D
+  * (significance propagation / magnitude refinement / cleanup with
+  * run-length mode), tier-2 packet headers per B.10, lifting DWT per
+  * Annex F with whole-sample symmetric extension.
+  *
+  * Lossless is exact by construction: [[encode]]→[[decode]] round-trips
+  * every sample bit-for-bit (Jpeg2kSpec fuzzes this across sizes,
+  * depths and level counts; the DWT and tag trees are additionally
+  * pinned by hand-computed vectors).
+  */
+object Jpeg2k {
+
+  // ------------------------------------------------------------------ //
+  // MQ arithmetic coder (Annex C). State table: (Qe, NMPS, NLPS, SWITCH).
+  // ------------------------------------------------------------------ //
+
+  private val QeTab = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val NmpsTab = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val NlpsTab = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val SwitchTab = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Tier-1 context slots: 9 zero-coding, 5 sign-coding, 3 magnitude-
+    * refinement, 1 run-length, 1 uniform.
+    */
+  private val NCtx = 19
+  private val CtxRl = 17
+  private val CtxUni = 18
+
+  private def initStates(): (Array[Int], Array[Int]) = {
+    val idx = new Array[Int](NCtx)
+    val mps = new Array[Int](NCtx)
+    idx(0) = 4 // all-zero-neighborhood ZC context
+    idx(CtxRl) = 3
+    idx(CtxUni) = 46
+    (idx, mps)
+  }
+
+  private final class MqEncoder {
+    private var a = 0x8000
+    private var c = 0
+    private var ct = 12
+    // index 0 is the Annex C scratch byte before BPST; never emitted
+    private val bytes = ArrayBuffer[Int](0)
+    private var bp = 0
+    private val (idx, mps) = initStates()
+
+    def encode(d: Int, cx: Int): Unit = {
+      val i = idx(cx)
+      val qe = QeTab(i)
+      if (d == mps(cx)) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          idx(cx) = NmpsTab(i)
+          renorm()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (SwitchTab(i) == 1) mps(cx) = 1 - mps(cx)
+        idx(cx) = NlpsTab(i)
+        renorm()
+      }
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) byteout()
+        go = (a & 0x8000) == 0
+      }
+    }
+
+    private def byteout(): Unit = {
+      if (bytes(bp) == 0xFF) {
+        bp += 1; bytes += 0
+        bytes(bp) = (c >>> 20) & 0xFF; c &= 0xFFFFF; ct = 7
+      } else if ((c & 0x8000000) == 0) {
+        bp += 1; bytes += 0
+        bytes(bp) = (c >>> 19) & 0xFF; c &= 0x7FFFF; ct = 8
+      } else {
+        bytes(bp) += 1
+        if (bytes(bp) == 0xFF) {
+          c &= 0x7FFFFFF
+          bp += 1; bytes += 0
+          bytes(bp) = (c >>> 20) & 0xFF; c &= 0xFFFFF; ct = 7
+        } else {
+          bp += 1; bytes += 0
+          bytes(bp) = (c >>> 19) & 0xFF; c &= 0x7FFFF; ct = 8
+        }
+      }
+    }
+
+    /** Terminate and return the codeword segment. */
+    def flush(): Array[Byte] = {
+      // SETBITS
+      val tempc = c + a
+      c |= 0xFFFF
+      if (c >= tempc) c -= 0x8000
+      c <<= ct; byteout()
+      c <<= ct; byteout()
+      // a trailing 0xFF is dropped (the decoder synthesizes 1-bits)
+      val end = if (bytes(bp) != 0xFF) bp + 1 else bp
+      bytes.slice(1, end).map(_.toByte).toArray
+    }
+  }
+
+  private final class MqDecoder(data: Array[Byte], start: Int, end: Int) {
+    private var bp = start
+    private var c = byteAt(bp) << 16
+    private var ct = 0
+    private var a = 0
+    private val (idx, mps) = initStates()
+    bytein()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    private def byteAt(i: Int): Int =
+      if (i < end) data(i) & 0xFF else 0xFF
+
+    private def bytein(): Unit = {
+      if (byteAt(bp) == 0xFF) {
+        if (byteAt(bp + 1) > 0x8F) { c += 0xFF00; ct = 8 }
+        else { bp += 1; c += byteAt(bp) << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp) << 8; ct = 8 }
+    }
+
+    def decode(cx: Int): Int = {
+      val i = idx(cx)
+      val qe = QeTab(i)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xFFFF) < qe) {
+        // LPS exchange path
+        if (a < qe) { a = qe; d = mps(cx); idx(cx) = NmpsTab(i) }
+        else {
+          a = qe; d = 1 - mps(cx)
+          if (SwitchTab(i) == 1) mps(cx) = 1 - mps(cx)
+          idx(cx) = NlpsTab(i)
+        }
+        renorm()
+      } else {
+        c -= qe << 16
+        if ((a & 0x8000) == 0) {
+          if (a < qe) {
+            d = 1 - mps(cx)
+            if (SwitchTab(i) == 1) mps(cx) = 1 - mps(cx)
+            idx(cx) = NlpsTab(i)
+          } else { d = mps(cx); idx(cx) = NmpsTab(i) }
+          renorm()
+        } else d = mps(cx)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        if (ct == 0) bytein()
+        a <<= 1; c <<= 1; ct -= 1
+        go = (a & 0x8000) == 0
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Tag trees (B.10.2)
+  // ------------------------------------------------------------------ //
+
+  /** Quad-tree over a w×h leaf grid; each inner node's value is the min
+    * of its children. Encode/decode answer "leaf value < threshold" one
+    * bit at a time, sharing partial knowledge across leaves.
+    */
+  private final class TagTree(w: Int, h: Int) {
+    require(w >= 1 && h >= 1)
+    private val dims = {
+      val b = ArrayBuffer[(Int, Int)]((w, h))
+      while (b.last._1 > 1 || b.last._2 > 1)
+        b += (((b.last._1 + 1) / 2, (b.last._2 + 1) / 2))
+      b.toSeq // level 0 = leaves
+    }
+    private val value = dims.map { case (lw, lh) => new Array[Int](lw * lh) }
+    private val state = dims.map { case (lw, lh) => new Array[Int](lw * lh) }
+    private val known = dims.map { case (lw, lh) => new Array[Boolean](lw * lh) }
+
+    def setLeaf(i: Int, j: Int, v: Int): Unit = value(0)(j * w + i) = v
+
+    /** Propagate leaf values up (encoder side, after all setLeaf). */
+    def buildInner(): Unit =
+      for (lv <- 1 until dims.length) {
+        val (lw, lh) = dims(lv)
+        val (cw, ch) = dims(lv - 1)
+        for (j <- 0 until lh; i <- 0 until lw) {
+          var m = Int.MaxValue
+          for (dj <- 0 until 2; di <- 0 until 2) {
+            val cj = j * 2 + dj; val ci = i * 2 + di
+            if (ci < cw && cj < ch) m = math.min(m, value(lv - 1)(cj * cw + ci))
+          }
+          value(lv)(j * lw + i) = m
+        }
+      }
+
+    private def path(i: Int, j: Int): Seq[(Int, Int)] =
+      dims.indices.reverse.map(lv => (lv, (j >> lv) * dims(lv)._1 + (i >> lv)))
+
+    /** Emit the bits that let a decoder conclude whether
+      * value(i,j) < threshold.
+      */
+    def encode(bits: BitWriter, i: Int, j: Int, threshold: Int): Unit = {
+      var low = 0
+      for ((lv, n) <- path(i, j)) {
+        if (state(lv)(n) < low) state(lv)(n) = low
+        var stop = false
+        while (!stop && !known(lv)(n) && state(lv)(n) < threshold) {
+          if (value(lv)(n) > state(lv)(n)) { bits.put(0); state(lv)(n) += 1 }
+          else { bits.put(1); known(lv)(n) = true }
+        }
+        if (!known(lv)(n)) stop = true
+        if (stop) return
+        low = value(lv)(n)
+      }
+    }
+
+    /** Returns true iff value(i,j) < threshold (decoder side). */
+    def decode(bits: BitReader, i: Int, j: Int, threshold: Int): Boolean = {
+      var low = 0
+      for ((lv, n) <- path(i, j)) {
+        if (value(lv)(n) < low) value(lv)(n) = low
+        while (!known(lv)(n) && value(lv)(n) < threshold) {
+          if (bits.bit() == 1) known(lv)(n) = true
+          else value(lv)(n) += 1
+        }
+        if (!known(lv)(n)) return false
+        low = value(lv)(n)
+      }
+      value(0)(j * w + i) < threshold
+    }
+
+    /** Decoder: fully resolve a leaf value (zero-bitplane trees). */
+    def decodeValue(bits: BitReader, i: Int, j: Int): Int = {
+      var t = 1
+      while (!decode(bits, i, j, t)) t += 1
+      t - 1
+    }
+
+    /** Encoder twin of [[decodeValue]]. */
+    def encodeValue(bits: BitWriter, i: Int, j: Int): Unit = {
+      val v = value(0)(j * w + i)
+      var t = 1
+      while (t <= v + 1) { encode(bits, i, j, t); t += 1 }
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Packet-header bit I/O with 0xFF stuffing (B.10.1)
+  // ------------------------------------------------------------------ //
+
+  private[source] final class BitWriter {
+    private val out = ArrayBuffer[Byte]()
+    private var acc = 0
+    private var nb = 0
+    private def capacity: Int = if (out.nonEmpty && (out.last & 0xFF) == 0xFF) 7 else 8
+    def put(b: Int): Unit = {
+      acc = (acc << 1) | (b & 1); nb += 1
+      if (nb == capacity) { out += acc.toByte; acc = 0; nb = 0 }
+    }
+    def put(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { put(((v >> k) & 1).toInt); k -= 1 }
+    }
+    /** Pad to a byte boundary; a trailing 0xFF gets its stuffed 0 byte. */
+    def flush(): Array[Byte] = {
+      if (nb > 0) { out += (acc << (capacity - nb)).toByte; acc = 0; nb = 0 }
+      if (out.nonEmpty && (out.last & 0xFF) == 0xFF) out += 0.toByte
+      out.toArray
+    }
+  }
+
+  private[source] final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nb = 0
+    private var last = 0
+    def bit(): Int = {
+      if (nb == 0) {
+        val cap = if (last == 0xFF) 7 else 8
+        require(pos < data.length, "JPEG2000 packet header truncated")
+        acc = data(pos) & 0xFF; pos += 1
+        last = acc
+        nb = cap
+        if (cap == 7) acc &= 0x7F
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+    /** Align past the header: byte boundary + the stuffed byte after a
+      * final 0xFF.
+      */
+    def alignEnd(): Unit = {
+      nb = 0
+      if (last == 0xFF) { pos += 1 }
+      last = 0
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Tier-1 code-block coding (Annex D)
+  // ------------------------------------------------------------------ //
+
+  /** Zero-coding context from neighbor significance counts; orient:
+    * 0 = LL/LH (h-dominant), 1 = HL (transposed), 2 = HH.
+    */
+  private def zcCtx(h: Int, v: Int, d: Int, orient: Int): Int = {
+    val (hh, vv) = if (orient == 1) (v, h) else (h, v)
+    if (orient == 2) {
+      if (d >= 3) 8
+      else if (d == 2) { if (hh + vv >= 1) 7 else 6 }
+      else if (d == 1) { if (hh + vv >= 2) 5 else if (hh + vv == 1) 4 else 3 }
+      else { if (hh + vv >= 2) 2 else if (hh + vv == 1) 1 else 0 }
+    } else {
+      if (hh == 2) 8
+      else if (hh == 1) { if (vv >= 1) 7 else if (d >= 1) 6 else 5 }
+      else if (vv == 2) 4
+      else if (vv == 1) 3
+      else if (d >= 2) 2
+      else if (d == 1) 1
+      else 0
+    }
+  }
+
+  /** Sign-coding context and XOR bit from clamped neighbor sign sums. */
+  private def scCtx(hc: Int, vc: Int): (Int, Int) = (hc, vc) match {
+    case (1, 1) => (13, 0); case (1, 0) => (12, 0); case (1, -1) => (11, 0)
+    case (0, 1) => (10, 0); case (0, 0) => (9, 0); case (0, -1) => (10, 1)
+    case (-1, 1) => (11, 1); case (-1, 0) => (12, 1); case _ => (13, 1)
+  }
+
+  /** Shared scan state for one code-block (w×h, sign-magnitude). */
+  private final class CbState(val w: Int, val h: Int) {
+    val sig = new Array[Boolean](w * h)
+    val visited = new Array[Boolean](w * h)
+    val refined = new Array[Boolean](w * h)
+    val neg = new Array[Boolean](w * h)
+    val mag = new Array[Int](w * h)
+
+    @inline def at(x: Int, y: Int): Int = y * w + x
+    @inline private def sigAt(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && y < h && sig(at(x, y))
+
+    def neighborCounts(x: Int, y: Int): (Int, Int, Int) = {
+      val hh = (if (sigAt(x - 1, y)) 1 else 0) + (if (sigAt(x + 1, y)) 1 else 0)
+      val vv = (if (sigAt(x, y - 1)) 1 else 0) + (if (sigAt(x, y + 1)) 1 else 0)
+      val dd = (if (sigAt(x - 1, y - 1)) 1 else 0) +
+        (if (sigAt(x + 1, y - 1)) 1 else 0) +
+        (if (sigAt(x - 1, y + 1)) 1 else 0) +
+        (if (sigAt(x + 1, y + 1)) 1 else 0)
+      (hh, vv, dd)
+    }
+
+    private def signContrib(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h || !sig(at(x, y))) 0
+      else if (neg(at(x, y))) -1 else 1
+
+    def signCtx(x: Int, y: Int): (Int, Int) = {
+      val hc = math.max(-1, math.min(1,
+        signContrib(x - 1, y) + signContrib(x + 1, y)))
+      val vc = math.max(-1, math.min(1,
+        signContrib(x, y - 1) + signContrib(x, y + 1)))
+      scCtx(hc, vc)
+    }
+  }
+
+  /** Decode `numPasses` coding passes of a code-block whose first
+    * included pass sits at bit-plane numbps-1.
+    */
+  private def decodeBlock(mq: MqDecoder, st: CbState, numbps: Int,
+                          numPasses: Int, orient: Int): Unit = {
+    var pass = 0
+    var plane = numbps - 1
+    var kind = 2 // 0 = sigprop, 1 = magref, 2 = cleanup; first pass is CUP
+    while (pass < numPasses) {
+      kind match {
+        case 0 => sigPropPass(st, plane, orient, bitOut = null, mq)
+        case 1 => magRefPass(st, plane, bitOut = null, mq)
+        case 2 => cleanupPass(st, plane, orient, bitOut = null, mq)
+      }
+      if (kind == 2) {
+        java.util.Arrays.fill(st.visited, false)
+        plane -= 1; kind = 0
+      } else kind += 1
+      pass += 1
+    }
+  }
+
+  /** Encode all passes of a code-block; returns (numbps, numPasses,
+    * segment bytes). mag/neg must be pre-filled.
+    */
+  private def encodeBlock(st: CbState, orient: Int): (Int, Int, Array[Byte]) = {
+    var maxMag = 0
+    var i = 0
+    while (i < st.mag.length) { maxMag = math.max(maxMag, st.mag(i)); i += 1 }
+    if (maxMag == 0) return (0, 0, Array.emptyByteArray)
+    val numbps = 32 - Integer.numberOfLeadingZeros(maxMag)
+    val numPasses = 3 * numbps - 2
+    val mq = new MqEncoder
+    var pass = 0
+    var plane = numbps - 1
+    var kind = 2
+    while (pass < numPasses) {
+      kind match {
+        case 0 => sigPropPass(st, plane, orient, bitOut = mq, null)
+        case 1 => magRefPass(st, plane, bitOut = mq, null)
+        case 2 => cleanupPass(st, plane, orient, bitOut = mq, null)
+      }
+      if (kind == 2) {
+        java.util.Arrays.fill(st.visited, false)
+        plane -= 1; kind = 0
+      } else kind += 1
+      pass += 1
+    }
+    (numbps, numPasses, mq.flush())
+  }
+
+  // Each pass runs in encode mode (enc != null: bits derived from mag/
+  // neg and emitted) or decode mode (dec != null: bits drawn and mag/neg
+  // built up). One body per pass keeps the two directions in lockstep.
+  @inline private def code(enc: MqEncoder, dec: MqDecoder, bit: Int,
+                           cx: Int): Int =
+    if (enc != null) { enc.encode(bit, cx); bit } else dec.decode(cx)
+
+  private def sigPropPass(st: CbState, plane: Int, orient: Int,
+                          bitOut: MqEncoder, dec: MqDecoder): Unit = {
+    var y0 = 0
+    while (y0 < st.h) {
+      var x = 0
+      while (x < st.w) {
+        var y = y0
+        val yEnd = math.min(y0 + 4, st.h)
+        while (y < yEnd) {
+          val n = st.at(x, y)
+          if (!st.sig(n)) {
+            val (hh, vv, dd) = st.neighborCounts(x, y)
+            val cx = zcCtx(hh, vv, dd, orient)
+            if (cx != 0) {
+              val b = code(bitOut, dec, (st.mag(n) >>> plane) & 1, cx)
+              st.visited(n) = true
+              if (b == 1) {
+                st.sig(n) = true
+                if (dec != null) st.mag(n) |= 1 << plane
+                val (sctx, xor) = st.signCtx(x, y)
+                val sb = code(bitOut, dec,
+                  (if (st.neg(n)) 1 else 0) ^ xor, sctx)
+                if (dec != null) st.neg(n) = (sb ^ xor) == 1
+              }
+            }
+          }
+          y += 1
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  private def magRefPass(st: CbState, plane: Int,
+                         bitOut: MqEncoder, dec: MqDecoder): Unit = {
+    var y0 = 0
+    while (y0 < st.h) {
+      var x = 0
+      while (x < st.w) {
+        var y = y0
+        val yEnd = math.min(y0 + 4, st.h)
+        while (y < yEnd) {
+          val n = st.at(x, y)
+          if (st.sig(n) && !st.visited(n)) {
+            val cx =
+              if (!st.refined(n)) {
+                val (hh, vv, dd) = st.neighborCounts(x, y)
+                if (hh + vv + dd > 0) 15 else 14
+              } else 16
+            val b = code(bitOut, dec, (st.mag(n) >>> plane) & 1, cx)
+            if (dec != null && b == 1) st.mag(n) |= 1 << plane
+            st.refined(n) = true
+          }
+          y += 1
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  private def cleanupPass(st: CbState, plane: Int, orient: Int,
+                          bitOut: MqEncoder, dec: MqDecoder): Unit = {
+    var y0 = 0
+    while (y0 < st.h) {
+      var x = 0
+      while (x < st.w) {
+        var y = y0
+        val yEnd = math.min(y0 + 4, st.h)
+        // run-length mode: a full 4-high stripe column, every
+        // coefficient uncoded with an all-zero neighborhood
+        var rl = yEnd - y0 == 4
+        if (rl) {
+          var k = y0
+          while (rl && k < yEnd) {
+            val n = st.at(x, k)
+            if (st.sig(n) || st.visited(n)) rl = false
+            else {
+              val (hh, vv, dd) = st.neighborCounts(x, k)
+              if (zcCtx(hh, vv, dd, orient) != 0) rl = false
+            }
+            k += 1
+          }
+        }
+        if (rl) {
+          val anyBit =
+            if (bitOut != null) {
+              var any = 0
+              var k = y0
+              while (k < yEnd) {
+                if (((st.mag(st.at(x, k)) >>> plane) & 1) == 1) any = 1
+                k += 1
+              }
+              code(bitOut, null, any, CtxRl)
+            } else code(null, dec, 0, CtxRl)
+          if (anyBit == 0) y = yEnd // all four stay zero
+          else {
+            // position of the first significant coefficient: 2 UNI bits
+            val first =
+              if (bitOut != null) {
+                var k = y0
+                while (((st.mag(st.at(x, k)) >>> plane) & 1) == 0) k += 1
+                val rel = k - y0
+                bitOut.encode((rel >> 1) & 1, CtxUni)
+                bitOut.encode(rel & 1, CtxUni)
+                k
+              } else {
+                val rel = (dec.decode(CtxUni) << 1) | dec.decode(CtxUni)
+                y0 + rel
+              }
+            val n = st.at(x, first)
+            st.sig(n) = true
+            if (dec != null) st.mag(n) |= 1 << plane
+            val (sctx, xor) = st.signCtx(x, first)
+            val sb = code(bitOut, dec, (if (st.neg(n)) 1 else 0) ^ xor, sctx)
+            if (dec != null) st.neg(n) = (sb ^ xor) == 1
+            y = first + 1
+          }
+        }
+        while (y < yEnd) {
+          val n = st.at(x, y)
+          if (!st.sig(n) && !st.visited(n)) {
+            val (hh, vv, dd) = st.neighborCounts(x, y)
+            val cx = zcCtx(hh, vv, dd, orient)
+            val b = code(bitOut, dec, (st.mag(n) >>> plane) & 1, cx)
+            if (b == 1) {
+              st.sig(n) = true
+              if (dec != null) st.mag(n) |= 1 << plane
+              val (sctx, xor) = st.signCtx(x, y)
+              val sb = code(bitOut, dec, (if (st.neg(n)) 1 else 0) ^ xor, sctx)
+              if (dec != null) st.neg(n) = (sb ^ xor) == 1
+            }
+          }
+          y += 1
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Reversible 5/3 DWT (Annex F), whole-sample symmetric extension
+  // ------------------------------------------------------------------ //
+
+  @inline private def mirror(i: Int, n: Int): Int =
+    if (n == 1) 0
+    else if (i < 0) -i
+    else if (i >= n) 2 * n - 2 - i
+    else i
+
+  /** Forward 1-D on x[0..n): low coefficients returned at even slots,
+    * high at odd (in place on a copy).
+    */
+  private[graft] def fwd53(x: Array[Int]): Array[Int] = {
+    val n = x.length
+    if (n <= 1) return x.clone()
+    @inline def xv(i: Int) = x(mirror(i, n))
+    val nd = n / 2 // high count (parity-0 signal)
+    val ns = (n + 1) / 2
+    val d = new Array[Int](nd)
+    val s = new Array[Int](ns)
+    var k = 0
+    while (k < nd) {
+      d(k) = xv(2 * k + 1) - ((xv(2 * k) + xv(2 * k + 2)) >> 1)
+      k += 1
+    }
+    @inline def dv(i: Int) =
+      d(if (i < 0) 0 else if (i >= nd) nd - 1 else i)
+    k = 0
+    while (k < ns) {
+      s(k) = x(2 * k) + ((dv(k - 1) + dv(k) + 2) >> 2)
+      k += 1
+    }
+    val out = new Array[Int](n)
+    k = 0
+    while (k < ns) { out(2 * k) = s(k); k += 1 }
+    k = 0
+    while (k < nd) { out(2 * k + 1) = d(k); k += 1 }
+    out
+  }
+
+  /** Inverse 1-D on interleaved y (low even / high odd). */
+  private[graft] def inv53(y: Array[Int]): Array[Int] = {
+    val n = y.length
+    if (n <= 1) return y.clone()
+    val nd = n / 2
+    val ns = (n + 1) / 2
+    @inline def dv(i: Int) =
+      y(2 * (if (i < 0) 0 else if (i >= nd) nd - 1 else i) + 1)
+    val x = new Array[Int](n)
+    var k = 0
+    while (k < ns) {
+      x(2 * k) = y(2 * k) - ((dv(k - 1) + dv(k) + 2) >> 2)
+      k += 1
+    }
+    @inline def xe(i: Int) = x(2 * mirror2(i, ns))
+    k = 0
+    while (k < nd) {
+      x(2 * k + 1) = y(2 * k + 1) + ((xe(k) + xe(k + 1)) >> 1)
+      k += 1
+    }
+    x
+  }
+
+  // mirror for the even-sample (s) index space during inverse odd lift
+  @inline private def mirror2(i: Int, ns: Int): Int =
+    if (i >= ns) ns - 1 else i
+
+  // ------------------------------------------------------------------ //
+  // Geometry
+  // ------------------------------------------------------------------ //
+
+  /** Per-level low/high split sizes from the recursive ceil/floor rule. */
+  private def splitSizes(n: Int, levels: Int): (Array[Int], Array[Int]) = {
+    val lo = new Array[Int](levels + 1)
+    val hi = new Array[Int](levels + 1)
+    lo(0) = n
+    for (l <- 1 to levels) {
+      lo(l) = (lo(l - 1) + 1) / 2
+      hi(l) = lo(l - 1) / 2
+    }
+    (lo, hi)
+  }
+
+  private final case class Band(orient: Int, // 0 LL/LH form...
+                                w: Int, h: Int,
+                                /** tier-1 orientation: 0 LL/LH, 1 HL, 2 HH */
+                                t1: Int)
+
+  /** Bands of resolution r (0..NL): r=0 is LL_NL; r>0 holds HL/LH/HH of
+    * level NL-r+1.
+    */
+  private def resolutionBands(w: Int, h: Int, nl: Int, r: Int): Seq[Band] = {
+    val (lox, hix) = splitSizes(w, nl)
+    val (loy, hiy) = splitSizes(h, nl)
+    if (r == 0) Seq(Band(0, lox(nl), loy(nl), 0))
+    else {
+      val l = nl - r + 1
+      Seq(Band(1, hix(l), loy(l), 1), // HL
+        Band(2, lox(l), hiy(l), 0), // LH
+        Band(3, hix(l), hiy(l), 2)) // HH
+    }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Codestream
+  // ------------------------------------------------------------------ //
+
+  private val CbExp = 6 // 64×64 code-blocks
+  private val GuardBits = 2
+
+  private def reject(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"JPEG2000: $msg — outside the GRIB2 5.40 lossless subset " +
+        "(re-encode with wgrib2 -set_grib_type simple)")
+
+  /** Decode a single-component lossless codestream → (width, height,
+    * depth, samples row-major as unsigned longs).
+    */
+  def decode(data: Array[Byte]): (Int, Int, Int, Array[Long]) = {
+    val b = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+    def u8() = b.get() & 0xFF
+    def u16() = b.getShort & 0xFFFF
+    def u32() = b.getInt
+    require(u16() == 0xFF4F, "not a JPEG2000 codestream (no SOC)")
+    var w = 0; var h = 0; var depth = 0
+    var nl = -1; var cbw = 0; var cbh = 0
+    var sopUsed = false; var ephUsed = false
+    var exps: Array[Int] = null
+    var sotSeen = false
+    while (!sotSeen) {
+      val marker = u16()
+      marker match {
+        case 0xFF51 => // SIZ
+          val start = b.position(); val len = u16()
+          u16() // Rsiz (capabilities; any profile accepted)
+          w = u32(); h = u32()
+          if (u32() != 0 || u32() != 0) reject("image offsets != 0")
+          if (u32() != w || u32() != h) reject("tile size != image size")
+          if (u32() != 0 || u32() != 0) reject("tile offsets != 0")
+          if (u16() != 1) reject("multi-component image")
+          val ssiz = u8()
+          if ((ssiz & 0x80) != 0) reject("signed samples")
+          depth = (ssiz & 0x7F) + 1
+          if (depth > 28) reject(s"depth $depth > 28")
+          if (u8() != 1 || u8() != 1) reject("subsampled component")
+          b.position(start + len)
+        case 0xFF52 => // COD
+          val start = b.position(); val len = u16()
+          val scod = u8()
+          if ((scod & 0x01) != 0) reject("explicit precinct sizes")
+          sopUsed = (scod & 0x02) != 0
+          ephUsed = (scod & 0x04) != 0
+          u8() // progression order: all degenerate at 1 layer/comp
+          if (u16() != 1) reject("more than one quality layer")
+          u8() // MCT (single component: ignored)
+          nl = u8()
+          if (nl > 32) reject(s"$nl decomposition levels")
+          cbw = (u8() & 0x0F) + 2
+          cbh = (u8() & 0x0F) + 2
+          if (cbw + cbh > 12) reject("code-block area > 4096")
+          val cbSty = u8()
+          if (cbSty != 0) reject(f"code-block style 0x$cbSty%02x")
+          if (u8() != 1) reject("9/7 irreversible transform")
+          b.position(start + len)
+        case 0xFF5C => // QCD
+          val start = b.position(); val len = u16()
+          val sqcd = u8()
+          if ((sqcd & 0x1F) != 0) reject("quantization in a lossless stream")
+          val g = sqcd >>> 5
+          // store Mb per subband directly: exponent + guard bits - 1
+          exps = (0 until (len - 3)).map(_ => (u8() >>> 3) + g - 1).toArray
+          b.position(start + len)
+        case 0xFF53 => reject("COC per-component coding override")
+        case 0xFF5D => reject("QCC per-component quantization override")
+        case 0xFF5E => reject("RGN region of interest")
+        case 0xFF60 => reject("PPM packed packet headers")
+        case 0xFF55 | 0xFF57 | 0xFF5F | 0xFF63 | 0xFF64 =>
+          val start = b.position(); val len = u16()
+          b.position(start + len) // TLM/PLM/POC/CRG/COM: informational
+        case 0xFF90 => // SOT
+          val start = b.position(); val len = u16()
+          u16() // Isot
+          u32() // Psot (single tile-part: runs to EOC)
+          if (u8() != 0) reject("multiple tile-parts")
+          val tn = u8()
+          if (tn > 1) reject("multiple tile-parts")
+          b.position(start + len)
+          sotSeen = true
+        case m => reject(f"marker 0x$m%04x before SOT")
+      }
+    }
+    require(w > 0 && h > 0 && depth > 0 && nl >= 0 && exps != null,
+      "JPEG2000 missing SIZ/COD/QCD")
+    require(u16() == 0xFF93, "SOD expected after SOT")
+
+    // decode the NL+1 packets (one per resolution)
+    val reader = new BitReader(data, b.position())
+    val blocks = ArrayBuffer[(Band, Int, Int, CbState, Int, Int)]()
+    var bandIdx = 0
+    for (r <- 0 to nl) {
+      if (sopUsed && reader.pos + 1 < data.length &&
+          (data(reader.pos) & 0xFF) == 0xFF &&
+          (data(reader.pos + 1) & 0xFF) == 0x91)
+        reader.pos += 6 // SOP marker segment
+      val bands = resolutionBands(w, h, nl, r)
+      val nonEmpty = reader.bit() == 1
+      val pending = ArrayBuffer[(Band, CbState, Int, Int, Int, Int)]()
+      if (nonEmpty) {
+        for (band <- bands) {
+          if (band.w > 0 && band.h > 0) {
+            val ncx = (band.w + (1 << cbw) - 1) >> cbw
+            val ncy = (band.h + (1 << cbh) - 1) >> cbh
+            val incl = new TagTree(ncx, ncy)
+            val zbp = new TagTree(ncx, ncy)
+            for (cy <- 0 until ncy; cx0 <- 0 until ncx) {
+              val included = incl.decode(reader, cx0, cy, 1)
+              if (included) {
+                val p = zbp.decodeValue(reader, cx0, cy)
+                val mb = exps(bandIdx)
+                val numbps = mb - p
+                require(numbps >= 1 && numbps <= 31,
+                  s"bit-plane count $numbps out of range (Mb=$mb, P=$p)")
+                // number of coding passes (B.10.6)
+                val numPasses =
+                  if (reader.bit() == 0) 1
+                  else if (reader.bit() == 0) 2
+                  else {
+                    val v2 = reader.bits(2).toInt
+                    if (v2 < 3) 3 + v2
+                    else {
+                      val v5 = reader.bits(5).toInt
+                      if (v5 < 31) 6 + v5
+                      else 37 + reader.bits(7).toInt
+                    }
+                  }
+                var lblock = 3
+                while (reader.bit() == 1) lblock += 1
+                val lenBits = lblock + (31 - Integer
+                  .numberOfLeadingZeros(numPasses))
+                val segLen = reader.bits(lenBits).toInt
+                val bw = math.min((cx0 + 1) << cbw, band.w) - (cx0 << cbw)
+                val bh = math.min((cy + 1) << cbh, band.h) - (cy << cbh)
+                val st = new CbState(bw, bh)
+                pending += ((band, st, numbps, numPasses, segLen,
+                  cx0 | (cy << 16)))
+              }
+            }
+          }
+          bandIdx += 1
+        }
+      } else bandIdx += bands.length
+      reader.alignEnd()
+      if (ephUsed && reader.pos + 1 < data.length &&
+          (data(reader.pos) & 0xFF) == 0xFF &&
+          (data(reader.pos + 1) & 0xFF) == 0x92)
+        reader.pos += 2
+      // packet body: the code-block segments in header order
+      for ((band, st, numbps, numPasses, segLen, pos) <- pending) {
+        val mq = new MqDecoder(data, reader.pos, reader.pos + segLen)
+        decodeBlock(mq, st, numbps, numPasses, band.t1)
+        reader.pos += segLen
+        blocks += ((band, pos & 0xFFFF, pos >>> 16, st, r, numbps))
+      }
+    }
+
+    // assemble subband planes
+    val (lox, hix) = splitSizes(w, nl)
+    val (loy, hiy) = splitSizes(h, nl)
+    def emptyPlane(pw: Int, ph: Int) = Array.ofDim[Int](math.max(ph, 1),
+      math.max(pw, 1))
+    // planes(r) = bands of that resolution in header order
+    val planes = (0 to nl).map { r =>
+      resolutionBands(w, h, nl, r).map(bd => emptyPlane(bd.w, bd.h))
+    }
+    for ((band, cx0, cy, st, r, _) <- blocks) {
+      val bands = resolutionBands(w, h, nl, r)
+      val bi = bands.indexWhere(_.orient == band.orient)
+      val plane = planes(r)(bi)
+      val xOff = cx0 << cbw
+      val yOff = cy << cbh
+      for (yy <- 0 until st.h; xx <- 0 until st.w) {
+        val n = st.at(xx, yy)
+        val v = if (st.neg(n)) -st.mag(n) else st.mag(n)
+        plane(yOff + yy)(xOff + xx) = v
+      }
+    }
+
+    // inverse DWT: LL_nl + (HL,LH,HH)_l → LL_{l-1}
+    var cur = planes(0).head
+    for (r <- 1 to nl) {
+      val l = nl - r + 1
+      val Seq(hl, lh, hh) = planes(r)
+      val ow = lox(l - 1); val oh = loy(l - 1)
+      val inter = Array.ofDim[Int](oh, ow)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        inter(y)(x) = ((x & 1, y & 1) match {
+          case (0, 0) => cur(y >> 1)(x >> 1)
+          case (1, 0) => if (hix(l) > 0) hl(y >> 1)(x >> 1) else 0
+          case (0, 1) => if (hiy(l) > 0) lh(y >> 1)(x >> 1) else 0
+          case _ =>
+            if (hix(l) > 0 && hiy(l) > 0) hh(y >> 1)(x >> 1) else 0
+        })
+      }
+      // inverse: rows first, then columns (the forward did the reverse)
+      for (y <- 0 until oh) inter(y) = inv53(inter(y))
+      val colBuf = new Array[Int](oh)
+      for (x <- 0 until ow) {
+        var y = 0
+        while (y < oh) { colBuf(y) = inter(y)(x); y += 1 }
+        val t = inv53(colBuf)
+        y = 0
+        while (y < oh) { inter(y)(x) = t(y); y += 1 }
+      }
+      cur = inter
+    }
+
+    // DC level shift back to unsigned
+    val shift = 1L << (depth - 1)
+    val out = new Array[Long](w * h)
+    for (y <- 0 until h; x <- 0 until w) out(y * w + x) = cur(y)(x) + shift
+    (w, h, depth, out)
+  }
+
+  /** Encode row-major unsigned samples losslessly. `levels < 0` picks
+    * min(5, log2(max dim)).
+    */
+  def encode(samples: Array[Long], w: Int, h: Int, depth: Int,
+             levels: Int = -1): Array[Byte] = {
+    require(w >= 1 && h >= 1 && samples.length == w * h,
+      s"${samples.length} samples for ${w}x$h")
+    require(depth >= 1 && depth <= 28, s"depth $depth (1..28)")
+    val nl =
+      if (levels >= 0) levels
+      else math.min(5, 31 - Integer.numberOfLeadingZeros(math.max(w, h)))
+    require(nl <= 32)
+    val shift = 1L << (depth - 1)
+    var grid = Array.tabulate(h, w) { (y, x) =>
+      val v = samples(y * w + x)
+      require(v >= 0 && v < (1L << depth),
+        s"sample $v outside unsigned $depth-bit range")
+      (v - shift).toInt
+    }
+
+    // forward DWT: columns then rows per level (inverse mirrors)
+    val (lox, hix) = splitSizes(w, nl)
+    val (loy, hiy) = splitSizes(h, nl)
+    // subband planes per resolution, matching resolutionBands order
+    val planes = Array.ofDim[Array[Array[Int]]](nl + 1, 3)
+    for (l <- 1 to nl) {
+      val cw = lox(l - 1); val ch = loy(l - 1)
+      val colBuf = new Array[Int](ch)
+      for (x <- 0 until cw) {
+        var y = 0
+        while (y < ch) { colBuf(y) = grid(y)(x); y += 1 }
+        val t = fwd53(colBuf)
+        y = 0
+        while (y < ch) { grid(y)(x) = t(y); y += 1 }
+      }
+      for (y <- 0 until ch) grid(y) = fwd53(grid(y).take(cw)) ++
+        grid(y).drop(cw)
+      // deinterleave into LL (kept in grid) + HL/LH/HH planes
+      val r = nl - l + 1
+      def plane(pw: Int, ph: Int) =
+        Array.ofDim[Int](math.max(ph, 1), math.max(pw, 1))
+      val hl = plane(hix(l), loy(l))
+      val lhp = plane(lox(l), hiy(l))
+      val hhp = plane(hix(l), hiy(l))
+      val ll = Array.ofDim[Int](loy(l), lox(l))
+      for (y <- 0 until ch; x <- 0 until cw) {
+        val v = grid(y)(x)
+        ((x & 1, y & 1)) match {
+          case (0, 0) => ll(y >> 1)(x >> 1) = v
+          case (1, 0) => hl(y >> 1)(x >> 1) = v
+          case (0, 1) => lhp(y >> 1)(x >> 1) = v
+          case _ => hhp(y >> 1)(x >> 1) = v
+        }
+      }
+      planes(r) = Array(hl, lhp, hhp)
+      grid = ll
+    }
+    planes(0) = Array(grid, null, null)
+
+    // per-band exponents sized to the actual coefficient range
+    val bandList = (0 to nl).flatMap { r =>
+      resolutionBands(w, h, nl, r).zipWithIndex.map { case (bd, i) =>
+        (r, i, bd)
+      }
+    }
+    val exps = bandList.map { case (r, i, bd) =>
+      var mx = 0
+      if (bd.w > 0 && bd.h > 0) {
+        val p = planes(r)(i)
+        for (y <- 0 until bd.h; x <- 0 until bd.w)
+          mx = math.max(mx, math.abs(p(y)(x)))
+      }
+      val bits = if (mx == 0) 1 else 32 - Integer.numberOfLeadingZeros(mx)
+      // Mb = exp + G - 1 must cover the data; exponent field is 5 bits
+      val e = math.max(1, bits - GuardBits + 1)
+      require(e <= 31, s"subband exponent $e overflows")
+      e
+    }.toArray
+
+    // tier-1 + packets
+    val body = new java.io.ByteArrayOutputStream()
+    var bandIdx = 0
+    for (r <- 0 to nl) {
+      val bands = resolutionBands(w, h, nl, r)
+      val hdr = new BitWriter
+      val segs = ArrayBuffer[Array[Byte]]()
+      // first determine inclusion per code-block
+      var any = false
+      val perBand = bands.zipWithIndex.map { case (band, bi) =>
+        if (band.w <= 0 || band.h <= 0) None
+        else {
+          val ncx = (band.w + (1 << CbExp) - 1) >> CbExp
+          val ncy = (band.h + (1 << CbExp) - 1) >> CbExp
+          val plane = planes(r)(bi)
+          val mb = exps(bandIdx + bi) + GuardBits - 1
+          val cbs = for (cy <- 0 until ncy; cx0 <- 0 until ncx) yield {
+            val x0 = cx0 << CbExp; val y0 = cy << CbExp
+            val bw = math.min(x0 + (1 << CbExp), band.w) - x0
+            val bh = math.min(y0 + (1 << CbExp), band.h) - y0
+            val st = new CbState(bw, bh)
+            for (yy <- 0 until bh; xx <- 0 until bw) {
+              val v = plane(y0 + yy)(x0 + xx)
+              st.mag(st.at(xx, yy)) = math.abs(v)
+              st.neg(st.at(xx, yy)) = v < 0
+            }
+            val (numbps, numPasses, seg) = encodeBlock(st, band.t1)
+            if (numbps > 0) {
+              require(numbps <= mb,
+                s"code-block needs $numbps planes, subband budget $mb")
+              any = true
+            }
+            (cx0, cy, numbps, numPasses, seg, mb)
+          }
+          Some((ncx, ncy, cbs))
+        }
+      }
+      hdr.put(if (any) 1 else 0)
+      if (any) {
+        perBand.foreach {
+          case None => ()
+          case Some((ncx, ncy, cbs)) =>
+            val incl = new TagTree(ncx, ncy)
+            val zbp = new TagTree(ncx, ncy)
+            cbs.foreach { case (cx0, cy, numbps, _, _, mb) =>
+              incl.setLeaf(cx0, cy, if (numbps > 0) 0 else 1)
+              zbp.setLeaf(cx0, cy, if (numbps > 0) mb - numbps else 0)
+            }
+            incl.buildInner(); zbp.buildInner()
+            cbs.foreach { case (cx0, cy, numbps, numPasses, seg, _) =>
+              incl.encode(hdr, cx0, cy, 1)
+              if (numbps > 0) {
+                zbp.encodeValue(hdr, cx0, cy)
+                // number of passes (B.10.6)
+                if (numPasses == 1) hdr.put(0)
+                else if (numPasses == 2) { hdr.put(1); hdr.put(0) }
+                else if (numPasses <= 5) {
+                  hdr.put(1); hdr.put(1)
+                  hdr.put((numPasses - 3).toLong, 2)
+                } else if (numPasses <= 36) {
+                  hdr.put(1); hdr.put(1); hdr.put(3L, 2)
+                  hdr.put((numPasses - 6).toLong, 5)
+                } else {
+                  hdr.put(1); hdr.put(1); hdr.put(3L, 2); hdr.put(31L, 5)
+                  hdr.put((numPasses - 37).toLong, 7)
+                }
+                // segment length with Lblock escalation
+                val floorLog = 31 - Integer.numberOfLeadingZeros(numPasses)
+                val need = if (seg.length == 0) 1
+                  else 32 - Integer.numberOfLeadingZeros(seg.length)
+                var lblock = 3
+                val target = math.max(lblock, need - floorLog)
+                (lblock until target).foreach(_ => hdr.put(1))
+                hdr.put(0)
+                lblock = target
+                hdr.put(seg.length.toLong, lblock + floorLog)
+                segs += seg
+              }
+            }
+        }
+      }
+      body.write(hdr.flush())
+      segs.foreach(body.write)
+      bandIdx += bands.length
+    }
+
+    // markers
+    val tileData = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    val mb = ByteBuffer.allocate(64).order(ByteOrder.BIG_ENDIAN)
+    def emit(): Unit = { out.write(mb.array(), 0, mb.position()); mb.clear() }
+    mb.putShort(0xFF4F.toShort) // SOC
+    mb.putShort(0xFF51.toShort) // SIZ
+    mb.putShort(41)
+    mb.putShort(0) // Rsiz
+    emit()
+    mb.putInt(w); mb.putInt(h); mb.putInt(0); mb.putInt(0)
+    mb.putInt(w); mb.putInt(h); mb.putInt(0); mb.putInt(0)
+    emit()
+    mb.putShort(1) // Csiz
+    mb.put((depth - 1).toByte); mb.put(1.toByte); mb.put(1.toByte)
+    mb.putShort(0xFF52.toShort) // COD
+    mb.putShort(12)
+    mb.put(0.toByte) // Scod
+    mb.put(0.toByte) // LRCP
+    mb.putShort(1) // layers
+    mb.put(0.toByte) // no MCT
+    mb.put(nl.toByte)
+    mb.put((CbExp - 2).toByte); mb.put((CbExp - 2).toByte)
+    mb.put(0.toByte) // code-block style
+    mb.put(1.toByte) // 5/3
+    emit()
+    mb.putShort(0xFF5C.toShort) // QCD
+    mb.putShort((3 + exps.length).toShort)
+    mb.put((GuardBits << 5).toByte)
+    emit()
+    exps.foreach(e => out.write(e << 3))
+    mb.putShort(0xFF90.toShort) // SOT
+    mb.putShort(10)
+    mb.putShort(0) // Isot
+    mb.putInt(12 + 2 + tileData.length) // Psot: SOT..end of data
+    mb.put(0.toByte); mb.put(1.toByte) // TPsot 0 of 1
+    mb.putShort(0xFF93.toShort) // SOD
+    emit()
+    out.write(tileData)
+    mb.putShort(0xFFD9.toShort) // EOC
+    emit()
+    out.toByteArray
+  }
+}
