@@ -1091,6 +1091,17 @@ object NetCdfQueries {
           values = Array.tabulate(200)(i => 0.5 + (i % 23) * 0.25 + fi),
           decimalScale = 2, gaussian = Some((4, 0)),
           gaussianPl = Some(Array(18, 22, 26, 32, 30, 28, 24, 20))),
+        // JPEG2000 packing (5.40) — the NCEP dissemination encoding,
+        // decoded through the from-spec Part 1 subset codec; the
+        // second file's copy carries bitmap holes, exercising the
+        // nPoints×1 raster shape
+        graft.source.Grib2Write.FieldSpec(0, 3, 192,
+          forecastHours = 15, ni = 14, nj = 10,
+          lat1 = 48.0, lon1 = -5.0, dLat = 0.5, dLon = 0.5,
+          values = Array.tabulate(140)(i =>
+            if (fi == 1 && i % 41 == 6) Double.NaN
+            else 300.0 + 25.0 * math.sin(i / 8.0) + (i % 13) * 0.07),
+          decimalScale = 2, packing = 40),
         // GEFS-shaped ensemble accumulation (product template 4.11:
         // perturbation member + a 6-hour accumulation), CCSDS-packed
         graft.source.Grib2Write.FieldSpec(0, 1, 8,

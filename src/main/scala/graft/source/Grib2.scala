@@ -30,12 +30,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Template 5.42 (CCSDS/AEC — the ECMWF/DWD operational packing since
   * libaec) decodes through [[Ccsds]], with the flags/block-size/RSI
-  * read from octets 22-25 of section 5.
+  * read from octets 22-25 of section 5. Template 5.40 (JPEG2000 — the
+  * NCEP dissemination packing) decodes through [[Jpeg2k]]: the
+  * section-7 payload is a single-component lossless codestream whose
+  * raster, flattened row-major, is the packed-value sequence (i-fastest
+  * point order; with a bitmap the raster is nPoints×1).
   *
   * Rejected loudly (with the re-encode workaround named): JPEG2000
-  * packing 5.40, CCSDS restricted coding, complex-packing
-  * missing-value management (bitmap-encoded missing only), non-lat/lon
-  * grid templates, GRIB edition 1.
+  * lossy streams and subset walls (multi-component/tile/layer, 9/7),
+  * CCSDS restricted coding, complex-packing missing-value management
+  * (bitmap-encoded missing only), non-lat/lon grid templates, GRIB
+  * edition 1.
   */
 object Grib2 {
 
@@ -782,9 +787,18 @@ object Grib2 {
               packing = Some(Packing(tpl, r, e, d, nbits, nPoints,
                 Some(ComplexParams(ng, widthRef, widthBits, lenRef,
                   lenInc, lastLen, lenBits, ord, octs))))
-            case 40 => throw new IllegalArgumentException(
-              "GRIB2 data template 5.40 (JPEG2000) unsupported — " +
-                "re-encode with simple packing (wgrib2 -set_grib_type simple)")
+            case 40 => // JPEG2000 codestream in section 7
+              val r = b.getFloat.toDouble
+              val e = sm2(b)
+              val d = sm2(b)
+              val nbits = b.get() & 0xFF
+              b.get() // original field type
+              val compType = b.get() & 0xFF
+              require(compType == 0,
+                s"GRIB2 JPEG2000 lossy compression (type $compType) " +
+                  "unsupported — GRIB archives pack losslessly (type 0)")
+              b.get() // target compression ratio (lossless: 255)
+              packing = Some(Packing(tpl, r, e, d, nbits, nPoints))
             case t => throw new IllegalArgumentException(
               s"GRIB2 data template 5.$t unsupported")
           }
@@ -822,6 +836,15 @@ object Grib2 {
           val pi = product.getOrElse(ProductInfo(-1, -1, None))
           val packed: Array[Long] = p.tpl match {
             case 0 => unpackBits(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
+            case 40 =>
+              if (p.nbits == 0) new Array[Long](p.nPoints)
+              else {
+                val (jw, jh, _, vals) = Jpeg2k.decode(
+                  java.util.Arrays.copyOfRange(bytes, pos + 5, pos + len))
+                require(jw * jh == p.nPoints,
+                  s"JPEG2000 raster ${jw}x$jh != ${p.nPoints} packed points")
+                vals
+              }
             case 41 => unpackPng(bytes, pos + 5, len - 5, p.nbits, p.nPoints)
             case 2 | 3 =>
               unpackComplex(bytes, pos + 5, len - 5, p)

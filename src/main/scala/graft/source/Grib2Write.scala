@@ -19,8 +19,10 @@ object Grib2Write {
       decimalScale: Int = 2,
       binaryScale: Int = 0,
       /** 0 = simple (5.0); 2 = complex (5.2); 3 = complex + spatial
-        * differencing (5.3, `diffOrder` 1 or 2); 42 = CCSDS/AEC (5.42,
-        * preprocessed MSB stream, block 16, RSI 4 blocks).
+        * differencing (5.3, `diffOrder` 1 or 2); 40 = JPEG2000 (5.40,
+        * lossless single-component codestream via [[Jpeg2k]]); 42 =
+        * CCSDS/AEC (5.42, preprocessed MSB stream, block 16, RSI 4
+        * blocks).
         */
       packing: Int = 0,
       /** 5.42 only: byte-align the stream at each RSI (flag 32). */
@@ -348,7 +350,7 @@ object Grib2Write {
         (biased, packed.take(f.diffOrder), mn)
       }
     val groups: Seq[Array[Long]] =
-      if (f.packing == 0 || f.packing == 42) Nil
+      if (f.packing == 0 || f.packing == 40 || f.packing == 42) Nil
       else series.grouped(math.max(1, f.groupSize)).toSeq
     val gRefs = groups.map(g => g.min).toArray
     val gWidths = groups.zip(gRefs).map { case (g, ref) =>
@@ -368,9 +370,13 @@ object Grib2Write {
       b.putFloat(r.toFloat)
       b.putShort(sm2(f.binaryScale).toShort)
       b.putShort(sm2(f.decimalScale).toShort)
-      b.put((if (f.packing == 0 || f.packing == 42) nbits else refBits)
-        .toByte)
+      b.put((if (f.packing == 0 || f.packing == 40 || f.packing == 42)
+        nbits else refBits).toByte)
       b.put(0.toByte) // original field type: float
+      if (f.packing == 40) {
+        b.put(0.toByte) // compression type: lossless
+        b.put(255.toByte) // target ratio: n/a for lossless
+      }
       if (f.packing == 42) {
         b.put((12 | (if (f.ccsdsPadRsi) 32 else 0)).toByte) // MSB+preproc
         b.put(16.toByte) // block size
@@ -423,6 +429,14 @@ object Grib2Write {
       }
       if (f.packing == 0) {
         packed.foreach(bits(_, nbits))
+      } else if (f.packing == 40) {
+        if (nbits > 0) {
+          // no bitmap: the raster is the grid; with one: nPoints×1
+          val (jw, jh) =
+            if (hasBitmap) (packed.length, 1) else (f.ni, f.nj)
+          Jpeg2k.encode(packed.toArray, jw, jh, nbits)
+            .foreach(x => bits(x & 0xFFL, 8))
+        }
       } else if (f.packing == 42) {
         if (nbits > 0)
           Ccsds.encode(packed, Ccsds.Params(nbits, 16, 4,

@@ -169,20 +169,74 @@ class Grib2Spec extends AnyFunSuite {
     assert(base === Seq(1.5, 3.5, 5.5, 7.5, 9.5, 31.5))
   }
 
-  test("pointed rejections: GRIB1, complex/JPEG2000 packing, non-latlon " +
-    "grids") {
+  test("pointed rejections: GRIB1, lossy JPEG2000, non-latlon grids") {
     val e1 = intercept[IllegalArgumentException] {
       Grib2.read(handMessage(edition = 1))
     }
     assert(e1.getMessage.contains("GRIB1"))
-    val e3 = intercept[IllegalArgumentException] {
-      Grib2.read(handMessage(dataTemplate = 40))
+    // 5.40 with compression type 1 (lossy) must reject by name
+    val lossyPayload = {
+      val p = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      p.putFloat(1.5f); p.putShort(1); p.putShort(0)
+      p.put(4.toByte); p.put(0.toByte)
+      p.put(1.toByte) // compression type: LOSSY
+      p.put(20.toByte) // target ratio
+      p.array()
     }
-    assert(e3.getMessage.contains("JPEG2000"))
+    val e3 = intercept[IllegalArgumentException] {
+      Grib2.read(handMessage(dataTemplate = 40,
+        sec5Payload = Some(lossyPayload)))
+    }
+    assert(e3.getMessage.contains("lossy"))
     val e4 = intercept[IllegalArgumentException] {
       Grib2.read(handMessage(gridTemplate = 50)) // spherical harmonics
     }
     assert(e4.getMessage.contains("3.50"))
+  }
+
+  test("JPEG2000 packing (template 5.40): hand-built section 5 octets, " +
+    "codestream raster flattens through the simple-packing transform") {
+    // section 5 after (nPoints, template): R=1.5f, E=1, D=0, nbits=16,
+    // original type 0, compression type 0 (lossless), ratio 255
+    val payload = {
+      val p = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      p.putFloat(1.5f); p.putShort(1); p.putShort(0)
+      p.put(16.toByte); p.put(0.toByte)
+      p.put(0.toByte); p.put(255.toByte)
+      p.array()
+    }
+    val samples = Array(0L, 100L, 2000L, 30000L, 65535L, 7L)
+    val stream = graft.source.Jpeg2k.encode(samples, 3, 2, 16)
+    val msg = handMessage(dataTemplate = 40, sec5Payload = Some(payload),
+      packedBytes = stream)
+    val f = Grib2.read(msg).head
+    // same hand-computed expectations as the PNG twin: 1.5 + X·2^1
+    assert(f.values.toSeq === samples.map(x => 1.5 + x * 2.0).toSeq)
+  }
+
+  test("writer round-trips JPEG2000 packing (5.40) incl. bitmap holes " +
+    "(nPoints×1 raster) and the constant-field nbits=0 path") {
+    val rnd = new scala.util.Random(5040)
+    for (trial <- 0 until 2) {
+      val ni = 23; val nj = 17
+      val vals = Array.tabulate(ni * nj)(i =>
+        if (trial == 1 && i % 37 == 3) Double.NaN
+        else 250.0 + 30.0 * math.cos(i / 19.0) + rnd.nextInt(7) * 0.01)
+      val spec = Grib2Write.FieldSpec(0, 3, 1, forecastHours = 12,
+        ni = ni, nj = nj, lat1 = 60.0, lon1 = -10.0,
+        dLat = 0.5, dLon = 0.5, values = vals,
+        decimalScale = 2, packing = 40)
+      val f = Grib2.read(Grib2Write.write(Seq(spec))).head
+      val tol = 1.0 / 100 / 2 + 1e-9
+      vals.zip(f.values).zipWithIndex.foreach { case ((a, b), i) =>
+        if (a.isNaN) assert(b.isNaN, s"trial $trial cell $i")
+        else assert(math.abs(a - b) <= tol, s"trial $trial cell $i: $a vs $b")
+      }
+    }
+    val c = Grib2Write.FieldSpec(0, 0, 0, 0, 4, 3, 60.0, 0.0, 1.0, 1.0,
+      Array.fill(12)(1013.25), decimalScale = 2, packing = 40)
+    assert(Grib2.read(Grib2Write.write(Seq(c))).head.values
+      .forall(_ == 1013.25))
   }
 
   test("Lambert grid (template 3.30, the HRRR native projection): cone " +
