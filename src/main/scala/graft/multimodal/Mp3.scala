@@ -12,6 +12,18 @@ package graft.multimodal
   * from the actual bitstream; only waveform-level features (zero
   * crossings) remain stubbed.
   *
+  * Why PCM synthesis stays out (deliberately, not as debt): full Layer
+  * III decode needs the Annex B.7 Huffman code tables — ~600 entries of
+  * ARBITRARY optimized code data, not derivable from structure. The
+  * from-spec codecs this engine does ship (CCSDS Rice, FLAC, JPEG 2000)
+  * are algorithmic: a mis-implementation breaks their own round-trip or
+  * hand-computed pins. A mis-transcribed Huffman table has NO such
+  * self-check — our encoder and decoder would agree with each other and
+  * silently emit wrong PCM for every real-world stream, the exact
+  * failure mode the video stub gate exists to prevent. Until a
+  * verifiable copy of the tables is available, the honest surface is
+  * the header/side-info walk below plus the loud byte-stand-in path.
+  *
   * Accepts an optional leading ID3v2 tag and trailing junk (ID3v1);
   * requires at least two consecutive consistent frames so arbitrary
   * binary payloads don't probe as mp3.
