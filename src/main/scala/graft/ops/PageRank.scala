@@ -17,12 +17,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: contributions are edges ⋈ ranks ⋈ degrees on `src` —
   * three relations pre-partitioned by the same key, one shuffle per
-  * iteration for the dst-side re-aggregation. Ranks are cached per
-  * iteration so iteration i+1 reads a materialized i instead of
-  * recomputing the whole chain (lineage stays O(1) per step; for
-  * hundreds of iterations swap the cache for `localCheckpoint`).
-  * Nodes without in-edges keep the bare teleport term via the left
-  * join against the node set.
+  * iteration for the dst-side re-aggregation. Only the FINAL ranks are
+  * cached (see the note at the return); for hundreds of iterations the
+  * accumulated lineage needs `localCheckpoint` every ~20 steps. Nodes
+  * without in-edges keep the bare teleport term via the left join
+  * against the node set.
   */
 object PageRank {
 
@@ -35,23 +34,25 @@ object PageRank {
     val nodes = edges.select(col("src").as("v")).distinct()
       .union(edges.select(col("dst").as("v")).distinct()).distinct()
     var ranks = nodes.withColumn("pr", lit(scale))
-    var prev: DataFrame = null
     for (_ <- 0 until iterations) {
       val contribs = edges
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("v"), expr("pr div d").as("c"))
         .groupBy("v").agg(sum("c").as("s"))
-      val next = nodes.join(contribs, Seq("v"), "left")
+      ranks = nodes.join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr(s"($num * coalesce(s, 0L)) div $den")).as("pr"))
-        .cache()
-      next.count() // materialize before dropping the superseded iteration
-      if (prev != null) prev.unpersist()
-      prev = ranks
-      ranks = next
     }
-    if (prev != null) prev.unpersist()
-    ranks
+    // Cache ONLY the final ranks: a single-action consumer computes each
+    // iteration's branch exactly once whether or not the intermediates
+    // are cached, so per-iteration caches cost storage that grows with
+    // iteration count and buy nothing (the r12 review finding) — while
+    // eagerly materializing each step to bound that storage costs one
+    // full job per iteration (measured 15x on q115). Repeated actions on
+    // the RESULT hit this one cache. For hundreds of iterations the
+    // lineage itself becomes the problem — localCheckpoint every ~20
+    // steps there, as the scale note above says.
+    ranks.cache()
   }
 }

@@ -331,6 +331,10 @@ object Kerchunk {
   // array, which is why the fsspec ecosystem moved to it.
   // ---------------------------------------------------------------- //
 
+  // one shared Configuration: constructing one per refs file costs more
+  // than the write itself at fixture scale
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
   private val refsSchema = org.apache.parquet.schema.MessageTypeParser
     .parseMessageType(
       """message refs {
@@ -383,7 +387,7 @@ object Kerchunk {
           val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
             .builder(new org.apache.hadoop.fs.Path(f.toString))
             .withType(refsSchema)
-            .withConf(new org.apache.hadoop.conf.Configuration())
+            .withConf(hadoopConf)
             .build()
           try block.foreach { key =>
             val g = new SimpleGroup(refsSchema)
@@ -435,7 +439,7 @@ object Kerchunk {
         val r = org.apache.parquet.hadoop.ParquetReader
           .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
             new org.apache.hadoop.fs.Path(aDir.resolve(s"refs.$i.parq").toString))
-          .withConf(new org.apache.hadoop.conf.Configuration())
+          .withConf(hadoopConf)
           .build()
         try {
           var g: Group = r.read()
