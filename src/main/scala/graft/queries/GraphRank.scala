@@ -114,5 +114,78 @@ object GraphRank {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, coOccurrence)
+  /** q133 — exact TRIANGLE COUNTING (the graph-analytics primitive
+    * behind clustering coefficients and community scoring) by the
+    * degree-ordered orientation algorithm: orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one, build each
+    * node's out-neighbor PAIRS, and semi-join the closing edge. Each
+    * triangle is counted EXACTLY once (its three nodes are totally
+    * ordered by (degree, id); the orientation makes the minimum node
+    * the one emitting both wings).
+    *
+    * Scale shape: the orientation bounds out-degree by O(√m) on any
+    * graph (a node of degree d only keeps edges to HIGHER-degree
+    * neighbors, and there are at most 2m/d of those) — so the wing
+    * self-join fans out O(m^1.5) total instead of Σ d² on the raw
+    * adjacency, the standard MapReduce triangle-count bound. The
+    * oracle brute-forces the same count from the a<b<c edge triple
+    * join; wedges (ordered out-pairs) ride along to make the
+    * clustering-coefficient denominator part of the hash.
+    */
+  val triangles = QueryDef("q133_triangles",
+    """WITH raw AS (
+      |  SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+      |    greatest(l_partkey % 200, l_suppkey % 200) AS b
+      |  FROM lineitem
+      |  WHERE l_partkey % 200 <> l_suppkey % 200),
+      |tri AS (
+      |  SELECT count(*) AS t
+      |  FROM raw e1 JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |deg AS (SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM raw UNION ALL SELECT b FROM raw) GROUP BY 1)
+      |SELECT CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+      |  CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_edges,
+      |  CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+      |    AS n_wedges""".stripMargin) { (s, d) =>
+    val raw = Tables.lineitem(s, d)
+      .select(pmod(col("l_partkey"), lit(200)).as("u"),
+        pmod(col("l_suppkey"), lit(200)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = raw.select(col("a").as("v")).union(raw.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient a→b from the (degree, id)-smaller endpoint: out-degrees
+    // bounded by O(√m) whatever the degree skew
+    val oriented = raw
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .cache()
+    val w1 = oriented.select(col("src"), col("dst").as("x"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"))
+    // wings: ordered out-neighbor pairs of each source
+    val wings = w1.join(w2, Seq("src")).filter(col("x") < col("y"))
+    // the closing edge may be oriented either way between x and y —
+    // normalize to (min,max) and probe the undirected edge set
+    val closing = raw.select(col("a").as("x"), col("b").as("y"))
+    val nTri = wings.join(closing, Seq("x", "y"), "left_semi").count()
+    val nEdges = raw.count()
+    val nWedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("w"))
+      .head().getLong(0)
+    oriented.unpersist()
+    import s.implicits._
+    Seq((nTri, nEdges, nWedges))
+      .toDF("n_triangles", "n_edges", "n_wedges")
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, coOccurrence, triangles)
 }

@@ -261,6 +261,79 @@ object Sketches {
     row.select(cols: _*)
   }
 
+  /** q134 — HYPERLOGLOG distinct counting (the fourth mergeable
+    * summary: 256 six-bit registers whatever the cardinality), with the
+    * estimator EXACT-INTEGER so the approximate value itself
+    * hash-matches DuckDB: each element's 60-bit md5 hash splits into a
+    * register index (top 8 bits) and a 52-bit suffix whose rank is
+    * 53 − bitlength (binary-string length on both engines — no float
+    * log); the harmonic sum Σ 2^(−M_j) is carried scaled by 2^53 as
+    * S = Σ 2^(53−M_j) (empty registers contribute 2^53), and the raw
+    * estimate α·m²/ (S/2^53) becomes one HUGEINT/DECIMAL integral
+    * divide: (7182·65536·2^53) div (10000·S). Exact count and empty-
+    * register count ride along so the sketch's error is visible in the
+    * gated output.
+    *
+    * Scale shape: one hash-aggregate to 256 (register, max-rank) rows —
+    * partials are 256 small ints per group however many distinct keys
+    * the scan holds; the estimator is O(m) driver-free arithmetic.
+    */
+  val hllDistinct = QueryDef("q134_hll_distinct",
+    """WITH el AS (
+      |  SELECT DISTINCT CAST(l_partkey * 1000 + l_suppkey AS VARCHAR) AS e
+      |  FROM lineitem),
+      |hx AS (
+      |  SELECT e, sum((strpos('0123456789abcdef', substr(md5(e), g.i, 1)) - 1)
+      |      * (1::BIGINT << ((15 - g.i) * 4))) AS h
+      |  FROM el, generate_series(1, 15) AS g(i) GROUP BY e),
+      |rw AS (
+      |  SELECT CAST(h // 4503599627370496 AS BIGINT) AS idx,
+      |    CAST(h % 4503599627370496 AS BIGINT) AS w
+      |  FROM hx),
+      |regs AS (
+      |  SELECT idx, max(CASE WHEN w = 0 THEN 53
+      |                  ELSE 53 - length(bin(w)) END) AS m
+      |  FROM rw GROUP BY idx),
+      |full_ AS (
+      |  SELECT g.i AS idx, COALESCE(r.m, 0) AS m
+      |  FROM generate_series(0, 255) g(i) LEFT JOIN regs r ON r.idx = g.i),
+      |agg AS (
+      |  SELECT CAST(sum(1::HUGEINT << (53 - m)) AS HUGEINT) AS s,
+      |    count(CASE WHEN m = 0 THEN 1 END) AS v_zero
+      |  FROM full_)
+      |SELECT CAST((SELECT count(*) FROM el) AS BIGINT) AS n_exact,
+      |  CAST((SELECT v_zero FROM agg) AS BIGINT) AS v_zero,
+      |  CAST((SELECT s FROM agg) AS BIGINT) AS s_scaled,
+      |  CAST((7182::HUGEINT * 65536 * (1::HUGEINT << 53))
+      |       // (10000::HUGEINT * (SELECT s FROM agg)) AS BIGINT) AS est
+      |""".stripMargin) { (s, d) =>
+    val el = Tables.lineitem(s, d)
+      .select((col("l_partkey") * 1000 + col("l_suppkey")).cast("string")
+        .as("e")).distinct()
+    val h = el.select(
+      conv(substring(md5(col("e")), 1, 15), 16, 10).cast("long").as("h"))
+    val rw = h.select(expr("h div 4503599627370496").as("idx"),
+      (col("h") % 4503599627370496L).as("w"))
+    val regs = rw.groupBy("idx")
+      .agg(max(when(col("w") === 0, 53)
+        .otherwise(lit(53) - length(conv(col("w"), 10, 2)))).as("m"))
+    import s.implicits._
+    val full = (0 until 256).toDF("idx")
+      .join(regs, Seq("idx"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val agg = full.agg(
+      sum(expr("shiftleft(1L, 53 - m)")).as("s"),
+      count(when(col("m") === 0, 1)).as("v_zero"))
+    val nExact = el.count()
+    // α_256·m²·2^53 as one exact decimal literal; integral divide → BIGINT
+    agg.select(
+      lit(nExact).as("n_exact"),
+      col("v_zero").cast("long").as("v_zero"),
+      col("s").cast("long").as("s_scaled"),
+      expr("CAST(4239504509996223990595584 AS DECIMAL(38,0)) " +
+        "div (CAST(10000 AS DECIMAL(38,0)) * s)").cast("long").as("est"))
+  }
+
   val all: Seq[QueryDef] = Seq(heavyHitters, quantiles, kmvSketch,
-    kmvJaccard, cmsFreq)
+    kmvJaccard, cmsFreq, hllDistinct)
 }

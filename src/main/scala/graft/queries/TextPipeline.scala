@@ -541,7 +541,95 @@ object TextPipeline {
         sum(col("lp_u")).cast("long").as("score_u"))
   }
 
+  /** q132 — set-similarity JOIN with PREFIX FILTERING (the AllPairs/
+    * PPJoin primitive): every pair of documents whose distinct 3-gram
+    * shingle Jaccard clears τ = 1/2, found WITHOUT an all-pairs
+    * comparison and with the EXACT same result set brute force would
+    * produce — the exact-by-construction twin of q38's LSH
+    * (probabilistic-recall) candidate generation over the same
+    * near-dup semantics.
+    *
+    * Why the candidate set is complete (the prefix-filter theorem):
+    * order all tokens by (document frequency, token) — any total order
+    * works; rarest-first makes prefixes selective. A doc's prefix is its
+    * n − ceil(τ·n) + 1 smallest tokens. If J(a,b) ≥ τ then
+    * |a∩b| ≥ τ·max(na,nb) ≥ ceil(τ·na); were the globally smallest
+    * common token outside a's prefix, ALL common tokens would sit in
+    * a's ceil(τ·na) − 1 suffix slots — pigeonhole contradiction — so it
+    * sits in a's prefix, and symmetrically in b's. Joining prefixes on
+    * the token is therefore lossless; the exact intersection verifies
+    * the survivors.
+    *
+    * Scale shape: one df aggregation, one window per doc, a self-join
+    * restricted to prefix tokens (rare by construction — frequency-
+    * ascending order puts common tokens LAST, outside prefixes), a
+    * 5·min ≥ ... length filter killing mismatched sizes before the
+    * verify join. Everything exact integers: jaccard_bp = 10000·I div U
+    * hash-matches DuckDB's brute force digit for digit.
+    */
+  val setsimJoin = QueryDef("q132_setsim_join",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sg
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(sg) AS t, len(sg) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+      |    count(*) AS i
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_n,
+      |  CAST(na + nb - i AS BIGINT) AS union_n,
+      |  CAST((i * 10000) // (na + nb - i) AS BIGINT) AS jaccard_bp
+      |FROM pairs
+      |WHERE (i * 10000) // (na + nb - i) >= 5000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .persist() // feeds the prefix build AND both verify sides
+    val tok = docs.select(col("doc_id"), col("n"), explode(col("toks")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    // τ = 1/2: prefix length n − ceil(n/2) + 1, all integer arithmetic
+    val ranked = tok.join(freq, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "t")) - 1)
+    val prefix = ranked
+      .filter(col("pos") < col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("n"), col("t"))
+    val a = prefix.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("t").as("ta_t"))
+    val b = prefix.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("t").as("tb_t"))
+    val cand = a.join(b, col("ta_t") === col("tb_t") &&
+        col("id_a") < col("id_b") &&
+        // length filter: J ≥ 1/2 needs 2·min(na,nb) ≥ max(na,nb)
+        lit(2) * least(col("na"), col("nb")) >=
+          greatest(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val verify = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+        col("n").as("na")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+        col("n").as("nb")), "id_b")
+      .withColumn("inter_n", size(array_intersect(col("ta"), col("tb")))
+        .cast("long"))
+      .withColumn("union_n", (col("na") + col("nb") - col("inter_n"))
+        .cast("long"))
+      .withColumn("jaccard_bp",
+        expr("(inter_n * 10000) div union_n").cast("long"))
+    // the persist stays live across actions (LRU-evictable), exactly
+    // like q38's shingle cache — an eager unpersist would force the
+    // caller's action to recompute shingles for all four plan branches
+    verify.filter(col("jaccard_bp") >= 5000)
+      .select(col("id_a"), col("id_b"), col("inter_n"), col("union_n"),
+        col("jaccard_bp"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
     exactDedup, minhashBands, ngramJaccard, simhash, dupClusters,
-    dupClustersStar, tfidfTerms, nfcNormalize, bigramLm)
+    dupClustersStar, tfidfTerms, nfcNormalize, bigramLm, setsimJoin)
 }
