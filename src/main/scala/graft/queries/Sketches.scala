@@ -108,10 +108,12 @@ object Sketches {
     * Jaccard similarity come from two bounded sketches without ever
     * joining the underlying sets (Bar-Yossef et al. 2002). Sides are
     * the (part, supplier) pairs on low-quantity vs high-quantity
-    * lineitems — overlapping in the [20, 25) band. The estimator is
-    * decomposed as 255·(2^60 div h) + (255·(2^60 mod h)) div h so
-    * every intermediate fits a BIGINT on both engines and the
-    * APPROXIMATE estimates hash-match exactly. At 100 TB each side
+    * lineitems — overlapping in the [20, 25) band. The estimator
+    * 255·2^60 ÷ h is computed in exact wide integers on both engines
+    * (decimal(38,0) here, HUGEINT in DuckDB) so the APPROXIMATE
+    * estimates hash-match exactly at any h — a BIGINT decomposition
+    * would overflow on 255·(2^60 mod h) whenever the k-th min hash is
+    * large, i.e. exactly when the input is sparse. At 100 TB each side
     * ships k longs per partial; the combination is one 1×1 join.
     */
   val kmvJaccard = QueryDef("q116_kmv_jaccard",
@@ -143,8 +145,8 @@ object Sketches {
       |    sum((strpos('0123456789abcdef', substr(h, g.i, 1)) - 1)
       |        * (1::BIGINT << ((15 - g.i) * 4))) AS v
       |  FROM hx, generate_series(1, 15) AS g(i) GROUP BY 1),
-      |est AS (SELECT nm, 255 * (1152921504606846976 // v)
-      |    + (255 * (1152921504606846976 % v)) // v AS e FROM hv)
+      |est AS (SELECT nm, CAST((255::HUGEINT * 1152921504606846976::HUGEINT)
+      |    // v::HUGEINT AS BIGINT) AS e FROM hv)
       |SELECT
       |  CAST((SELECT e FROM est WHERE nm = 'a') AS BIGINT) AS est_a,
       |  CAST((SELECT e FROM est WHERE nm = 'b') AS BIGINT) AS est_b,
@@ -164,8 +166,7 @@ object Sketches {
     val b = li.filter(col("l_quantity") >= 20)
       .agg(kmvMins(elem, 256).as("kb"))
     def estOf(h: String) =
-      s"255L * (1152921504606846976L div $h) + " +
-        s"(255L * (1152921504606846976L % $h)) div $h"
+      s"(cast(255 as decimal(38,0)) * 1152921504606846976L) div $h"
     a.crossJoin(b) // two one-row sketches — the bounded combination
       .withColumn("ku",
         slice(array_sort(array_union(col("ka"), col("kb"))), 1, 256))

@@ -31,7 +31,10 @@ import scala.collection.mutable.ArrayBuffer
   * Lossless is exact by construction: [[encode]]→[[decode]] round-trips
   * every sample bit-for-bit (Jpeg2kSpec fuzzes this across sizes,
   * depths and level counts; the DWT and tag trees are additionally
-  * pinned by hand-computed vectors).
+  * pinned by hand-computed vectors, and the MQ coder is pinned against
+  * the published ITU-T T.88 Annex H.2 conformance sequence — the same
+  * coder, byte-for-byte, so a mutually-inverse-but-non-conformant
+  * coding layer cannot pass the spec).
   */
 object Jpeg2k {
 
@@ -291,6 +294,47 @@ object Jpeg2k {
     }
   }
 
+  /** Test hook: MQ-encode a raw decision sequence in a single context
+    * that starts at state (index 0, MPS 0) — the setup of the public
+    * ITU-T T.88 Annex H.2 conformance sequence for this exact coder
+    * (JBIG2 and JPEG 2000 Annex C share the MQ coder verbatim). Lets
+    * Jpeg2kSpec pin the coder against externally-published bytes.
+    */
+  private[graft] def mqEncodeRaw(decisions: Array[Int]): Array[Byte] = {
+    val mq = new MqEncoder
+    decisions.foreach(d => mq.encode(d, 1)) // cx 1 inits at (0, MPS 0)
+    mq.flush()
+  }
+
+  /** Decoder twin of [[mqEncodeRaw]]. */
+  private[graft] def mqDecodeRaw(bytes: Array[Byte], n: Int): Array[Int] = {
+    val mq = new MqDecoder(bytes, 0, bytes.length)
+    Array.fill(n)(mq.decode(1))
+  }
+
+  /** Test hook: encode every leaf of a w×h tag tree via
+    * [[TagTree.encodeValue]] (row-major) and return the flushed bytes.
+    * Exists so Jpeg2kSpec can pin the B.10.2 bit procedure against a
+    * hand-traced vector without exposing the class.
+    */
+  private[graft] def tagTreeEncodeAll(w: Int, h: Int, leaves: Array[Int]): Array[Byte] = {
+    val tt = new TagTree(w, h)
+    for (j <- 0 until h; i <- 0 until w) tt.setLeaf(i, j, leaves(j * w + i))
+    tt.buildInner()
+    val bits = new BitWriter
+    for (j <- 0 until h; i <- 0 until w) tt.encodeValue(bits, i, j)
+    bits.flush()
+  }
+
+  /** Decoder twin of [[tagTreeEncodeAll]]: resolve every leaf value. */
+  private[graft] def tagTreeDecodeAll(w: Int, h: Int, bytes: Array[Byte]): Array[Int] = {
+    val tt = new TagTree(w, h)
+    val bits = new BitReader(bytes, 0)
+    val out = new Array[Int](w * h)
+    for (j <- 0 until h; i <- 0 until w) out(j * w + i) = tt.decodeValue(bits, i, j)
+    out
+  }
+
   // ------------------------------------------------------------------ //
   // Packet-header bit I/O with 0xFF stuffing (B.10.1)
   // ------------------------------------------------------------------ //
@@ -420,6 +464,11 @@ object Jpeg2k {
     */
   private def decodeBlock(mq: MqDecoder, st: CbState, numbps: Int,
                           numPasses: Int, orient: Int): Unit = {
+    // A pass count beyond 3*numbps-2 would drive `plane` negative and
+    // turn the shift-based magnitude updates into silent garbage — the
+    // same loud-reject discipline as every other malformed-stream case.
+    require(numPasses <= 3 * numbps - 2,
+      s"JPEG 2000: code-block declares $numPasses passes but numbps=$numbps admits at most ${3 * numbps - 2}")
     var pass = 0
     var plane = numbps - 1
     var kind = 2 // 0 = sigprop, 1 = magref, 2 = cleanup; first pass is CUP

