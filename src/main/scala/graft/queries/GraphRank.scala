@@ -130,7 +130,10 @@ object GraphRank {
     * adjacency, the standard MapReduce triangle-count bound. The
     * oracle brute-forces the same count from the a<b<c edge triple
     * join; wedges (ordered out-pairs) ride along to make the
-    * clustering-coefficient denominator part of the hash.
+    * clustering-coefficient denominator part of the hash. The fact
+    * table is scanned exactly once: the distinct edge set is cached
+    * (it IS the graph — O(m), nothing next to the scan) and every
+    * branch reads it from memory.
     */
   val triangles = QueryDef("q133_triangles",
     """WITH raw AS (
@@ -148,6 +151,11 @@ object GraphRank {
       |  CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_edges,
       |  CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
       |    AS n_wedges""".stripMargin) { (s, d) =>
+    // The distinct edge set is the graph itself — O(edges), tiny next
+    // to the fact scan — so cache it and pay the lineitem scan ONCE:
+    // the count below materializes the cache AND is n_edges, and every
+    // downstream branch (degrees, orientation, closing-edge probe)
+    // reads the cached edges instead of re-scanning the fact table.
     val raw = Tables.lineitem(s, d)
       .select(pmod(col("l_partkey"), lit(200)).as("u"),
         pmod(col("l_suppkey"), lit(200)).as("v"))
@@ -155,6 +163,8 @@ object GraphRank {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
+      .cache()
+    val nEdges = raw.count()
     val deg = raw.select(col("a").as("v")).union(raw.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient a→b from the (degree, id)-smaller endpoint: out-degrees
@@ -177,11 +187,16 @@ object GraphRank {
     // the closing edge may be oriented either way between x and y —
     // normalize to (min,max) and probe the undirected edge set
     val closing = raw.select(col("a").as("x"), col("b").as("y"))
-    val nTri = wings.join(closing, Seq("x", "y"), "left_semi").count()
-    val nEdges = raw.count()
-    val nWedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("w"))
-      .head().getLong(0)
+    // one collected row carries both remaining aggregates
+    val row = wings.join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(
+        deg.agg(sum(expr("d * (d - 1) div 2")).as("w"))))
+      .head()
+    val nTri = row.getLong(0)
+    val nWedges = row.getLong(1)
     oriented.unpersist()
+    raw.unpersist()
     import s.implicits._
     Seq((nTri, nEdges, nWedges))
       .toDF("n_triangles", "n_edges", "n_wedges")

@@ -275,9 +275,20 @@ object Sketches {
     * register count ride along so the sketch's error is visible in the
     * gated output.
     *
-    * Scale shape: one hash-aggregate to 256 (register, max-rank) rows —
-    * partials are 256 small ints per group however many distinct keys
-    * the scan holds; the estimator is O(m) driver-free arithmetic.
+    * Scale shape: ONE scan of the fact table: the register reduction
+    * carries a per-register element count alongside the max rank, so
+    * n_exact is Σ counts from the same 256-row aggregate — no second
+    * pass, no driver-side count action. Partials are 256 small ints
+    * per group however many distinct keys the scan holds; the
+    * estimator is O(m) driver-free arithmetic.
+    *
+    * Deliberately the RAW estimator: the standard linear-counting
+    * small-range correction (E < 2.5m with empty registers) needs
+    * m·ln(m/V), and a float ln cannot hash-match across engines. Below
+    * ~2.5·m ≈ 640 distinct values `est` is therefore biased low — by
+    * design; `v_zero` and `n_exact` ride along so the regime (and the
+    * sketch's true error) is visible in the gated output. Valid use is
+    * cardinalities ≫ m, which is the only regime HLL is for.
     */
   val hllDistinct = QueryDef("q134_hll_distinct",
     """WITH el AS (
@@ -317,18 +328,20 @@ object Sketches {
       (col("h") % 4503599627370496L).as("w"))
     val regs = rw.groupBy("idx")
       .agg(max(when(col("w") === 0, 53)
-        .otherwise(lit(53) - length(conv(col("w"), 10, 2)))).as("m"))
+        .otherwise(lit(53) - length(conv(col("w"), 10, 2)))).as("m"),
+        count(lit(1)).as("cnt")) // piggyback: n_exact = Σ cnt, same pass
     import s.implicits._
     val full = (0 until 256).toDF("idx")
       .join(regs, Seq("idx"), "left")
-      .select(coalesce(col("m"), lit(0)).as("m"))
+      .select(coalesce(col("m"), lit(0)).as("m"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
     val agg = full.agg(
+      sum(col("cnt")).as("n_exact"),
       sum(expr("shiftleft(1L, 53 - m)")).as("s"),
       count(when(col("m") === 0, 1)).as("v_zero"))
-    val nExact = el.count()
     // α_256·m²·2^53 as one exact decimal literal; integral divide → BIGINT
     agg.select(
-      lit(nExact).as("n_exact"),
+      col("n_exact").cast("long").as("n_exact"),
       col("v_zero").cast("long").as("v_zero"),
       col("s").cast("long").as("s_scaled"),
       expr("CAST(4239504509996223990595584 AS DECIMAL(38,0)) " +

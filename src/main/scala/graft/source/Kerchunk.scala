@@ -380,6 +380,17 @@ object Kerchunk {
     store.metas.foreach { m =>
       val aDir = dir.resolve(m.name)
       Files.createDirectories(aDir)
+      // Clear ALL previous refs.*.parq first: a rewrite with a smaller
+      // layout (fewer chunks or a larger record_size) must not leave
+      // stale higher-index blocks behind — readParquetRefs walks
+      // refs.{i}.parq while the file exists, so a survivor from an old
+      // layout would be ingested and trip the ordinal/keys check.
+      val prior = Files.list(aDir)
+      try prior.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("refs.") && n.endsWith(".parq"))
+          Files.deleteIfExists(p)
+      } finally prior.close()
       chunkKeysInOrder(m).grouped(recordSize).zipWithIndex.foreach {
         case (block, i) =>
           val f = aDir.resolve(s"refs.$i.parq")

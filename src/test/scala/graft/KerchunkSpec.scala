@@ -166,6 +166,29 @@ class KerchunkSpec extends AnyFunSuite {
     assert(Kerchunk.readArray(back2, m2).toSeq === Seq(4.5, -1.0, 0.0, 0.0))
   }
 
+  test("parquet reference store rewrite clears stale higher-index blocks") {
+    val f = fixture(maxChunkElems = 64)
+    val st = Kerchunk.parse(Kerchunk.build(f))
+    val dir = Files.createTempDirectory("graft-kerchunk-rewrite")
+    // first write: recordSize 1 -> one refs.{i}.parq per chunk
+    Kerchunk.writeParquetRefs(st, dir, recordSize = 1)
+    val band = st.metas.maxBy(_.nValues)
+    assert(Files.exists(dir.resolve(band.name).resolve("refs.1.parq")))
+    // rewrite with a coarser layout: fewer blocks; the old refs.1.parq
+    // (and up) must be gone or readParquetRefs would ingest stale rows
+    Kerchunk.writeParquetRefs(st, dir, recordSize = 10000)
+    assert(!Files.exists(dir.resolve(band.name).resolve("refs.1.parq")))
+    val back = Kerchunk.readParquetRefs(dir)
+    assert(back.refs.keySet === st.refs.keySet)
+    st.metas.foreach { m =>
+      val m2 = back.metas.find(_.name == m.name).get
+      val a = Kerchunk.readArray(st, m)
+      val b = Kerchunk.readArray(back, m2)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y || (x.isNaN && y.isNaN), m.name) }
+    }
+  }
+
   test("unsupported filter pipelines are rejected with the workaround " +
     "named, not mis-indexed") {
     val (dims, gatts, vars) = NetCdfFixture.spec(nt = 1, ny = 6, nx = 6,
