@@ -365,6 +365,15 @@ object TextPipeline {
     * components; cluster_id = the component's smallest doc_id (the
     * canonical-document election). The oracle closes the same pair
     * relation with a recursive CTE and takes min per node.
+    *
+    * Routed through [[graft.ops.ConnectedComponents.components]]: min-
+    * label propagation under a bounded round budget (cheapest on the
+    * shallow clusters that dominate dedup graphs), auto-switching to
+    * the O(log n)-round star contraction when the budget runs out — so
+    * this entry point stays safe on a long-chain graph at archive
+    * scale instead of paying one round per hop of the diameter. The
+    * output contract (every node → component minimum) is identical on
+    * both paths, so the oracle hash does not depend on the route.
     */
   val dupClusters = QueryDef("q68_dup_clusters",
     s"""WITH RECURSIVE $pairCtes,
@@ -380,7 +389,7 @@ object TextPipeline {
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pairs = ngramJaccard.fn(s, d)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    graft.ops.ConnectedComponents.run(pairs)
+    graft.ops.ConnectedComponents.components(pairs)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
