@@ -77,6 +77,29 @@ object Bench {
       s""""slower":${Json.obj(regs)}}"""
   }
 
+  /** Baseline-overwrite guard: `bench_full.json` is what every future
+    * run's regression tracker compares against, and this main rewrites
+    * it in place on EVERY invocation — including dev-loop partial runs
+    * (`graft.Bench q44_...`). A stray `git add -A` after such a run
+    * once committed a 2-query baseline (r12, caught by the next full
+    * run's `matched: 2`). So: refuse to overwrite when the new run
+    * covers FEWER queries than the existing file, unless the caller
+    * passed `--rebaseline`. Returns Left(reason) when the write must be
+    * skipped.
+    */
+  def baselineWriteDecision(existingTxt: Option[String],
+                            newKeys: Set[String],
+                            rebaseline: Boolean): Either[String, Unit] = {
+    if (rebaseline) return Right(())
+    existingTxt.map(parsePrevTimes(_).keySet) match {
+      case Some(prevKeys) if prevKeys.size > newKeys.size =>
+        Left(s"run covers ${newKeys.size} queries but the existing " +
+          s"bench_full.json has ${prevKeys.size} — refusing to shrink " +
+          "the baseline (partial dev run?). Pass --rebaseline to override.")
+      case _ => Right(())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -99,9 +122,14 @@ object Bench {
     }
 
     // Optional args restrict the run to the named queries (dev loop:
-    // `tools/run.sh graft.Bench q44_stac_roundtrip`); no args = full suite.
+    // `tools/run.sh graft.Bench q44_stac_roundtrip`); no args = full
+    // suite. `--rebaseline` is a flag, not a query name — it lets a
+    // deliberately-smaller run overwrite bench_full.json (see
+    // [[baselineWriteDecision]]).
+    val rebaseline = args.contains("--rebaseline")
+    val qArgs = args.toSeq.filterNot(_ == "--rebaseline")
     val names =
-      if (args.nonEmpty) args.toSeq.sorted
+      if (qArgs.nonEmpty) qArgs.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup: absorb JVM/codegen/IO-cache startup
 
@@ -203,8 +231,17 @@ object Bench {
     try {
       val dir = dirs.find(d => new java.io.File(d, ".git").exists())
         .map(_.toPath).getOrElse(java.nio.file.Path.of("."))
-      java.nio.file.Files.writeString(dir.resolve("bench_full.json"),
-        line + "\n")
+      val fullPath = dir.resolve("bench_full.json")
+      val existing =
+        if (java.nio.file.Files.exists(fullPath))
+          Some(java.nio.file.Files.readString(fullPath))
+        else None
+      baselineWriteDecision(existing, names.toSet, rebaseline) match {
+        case Right(()) =>
+          java.nio.file.Files.writeString(fullPath, line + "\n")
+        case Left(reason) =>
+          System.err.println(s"[bench] NOT writing bench_full.json: $reason")
+      }
       java.nio.file.Files.writeString(dir.resolve("bench_history.jsonl"),
         line + "\n", java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -20,9 +20,15 @@ package graft.multimodal
   * hand-computed pins. A mis-transcribed Huffman table has NO such
   * self-check — our encoder and decoder would agree with each other and
   * silently emit wrong PCM for every real-world stream, the exact
-  * failure mode the video stub gate exists to prevent. Until a
-  * verifiable copy of the tables is available, the honest surface is
-  * the header/side-info walk below plus the loud byte-stand-in path.
+  * failure mode the video stub gate exists to prevent. CLOSED as
+  * formally out-of-scope (r13, SURVEY §2.14): the only sound closure
+  * would be an externally-produced PCM oracle (an independent
+  * decoder's dumped samples for a fixture stream, the FLAC pattern),
+  * and this environment ships no independent MPEG audio decoder and
+  * has zero egress to obtain a dump — so the self-check cannot exist
+  * here. The header/side-info walk below plus the loud byte-stand-in
+  * path IS the complete supported mp3 contract; re-entry condition is
+  * a trusted PCM dump fixture.
   *
   * Accepts an optional leading ID3v2 tag and trailing junk (ID3v1);
   * requires at least two consecutive consistent frames so arbitrary

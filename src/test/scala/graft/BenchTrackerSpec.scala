@@ -108,4 +108,24 @@ class BenchTrackerSpec extends AnyFunSuite {
     assert(!out.contains(""""prev":-1"""))
     assert(out.contains(""""matched":1"""))
   }
+
+  test("baseline guard refuses a shrinking overwrite unless --rebaseline") {
+    val full = """{"queries":{"q01_a":1.0,"q02_b":2.0,"q03_c":3.0}}"""
+    // partial dev run (1 of 3 queries): refused with a reason
+    val refused = Bench.baselineWriteDecision(Some(full), Set("q01_a"),
+      rebaseline = false)
+    assert(refused.isLeft)
+    assert(refused.swap.toOption.get.contains("--rebaseline"))
+    // same or larger coverage: allowed
+    assert(Bench.baselineWriteDecision(Some(full),
+      Set("q01_a", "q02_b", "q03_c"), rebaseline = false).isRight)
+    assert(Bench.baselineWriteDecision(Some(full),
+      Set("q01_a", "q02_b", "q03_c", "q04_d"), rebaseline = false).isRight)
+    // no existing file: allowed (first write)
+    assert(Bench.baselineWriteDecision(None, Set("q01_a"),
+      rebaseline = false).isRight)
+    // explicit override: allowed
+    assert(Bench.baselineWriteDecision(Some(full), Set("q01_a"),
+      rebaseline = true).isRight)
+  }
 }
