@@ -88,17 +88,49 @@ object ZOrderCluster {
     * [zorder(xmin,ymin), zorder(xmax,ymax)] is a correct cover: the
     * interleave is monotone in each dimension, so every point of the
     * rectangle keys inside the corner interval (with false positives the
-    * residual x/y predicate removes). Hilbert keys do NOT have this
-    * property — rectangle queries over a Hilbert layout need a
-    * multi-range decomposition, so pass explicit curve ranges there.
+    * residual x/y predicate removes). But for NON-ALIGNED rectangles the
+    * corner interval is loose (the corners can differ in a high
+    * interleaved bit and the interval then spans most of the key space),
+    * and Hilbert keys admit no corner interval at all — use
+    * [[scanRectangle]] for both: it prunes through a
+    * [[CurveCover]] multi-interval decomposition instead.
     */
   def scanRange(spark: SparkSession, path: String, lo: Long, hi: Long)
-      : (DataFrame, Int, Int) = {
+      : (DataFrame, Int, Int) =
+    scanRanges(spark, path, Seq((lo, hi)))
+
+  /** [[scanRange]] over a pre-computed multi-interval cover: read the
+    * files whose [zMin, zMax] intersects ANY interval, with the
+    * OR-of-BETWEEN key predicate as the residual. Intervals should come
+    * from [[CurveCover.cover]] (sorted, disjoint, bounded count — the
+    * predicate stays codegen-friendly).
+    */
+  def scanRanges(spark: SparkSession, path: String,
+                 ranges: Seq[(Long, Long)]): (DataFrame, Int, Int) = {
+    require(ranges.nonEmpty, "empty range cover — nothing to scan")
     val manifest = readManifest(spark, path)
-    val hit = manifest.filter(f => f.zMax >= lo && f.zMin <= hi)
+    val hit = manifest.filter(f =>
+      ranges.exists { case (lo, hi) => f.zMax >= lo && f.zMin <= hi })
     val df =
       if (hit.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(hit.map(_.file): _*)
-    (df.filter(col("z").between(lo, hi)), hit.length, manifest.length)
+    val pred = ranges.map { case (lo, hi) => col("z").between(lo, hi) }
+      .reduce(_ || _)
+    (df.filter(pred), hit.length, manifest.length)
   }
+
+  /** Rectangle scan over a clustered layout on EITHER curve: decompose
+    * the (inclusive, cell-coordinate) rectangle into at most `maxRanges`
+    * contiguous key intervals via [[CurveCover]], manifest-prune to the
+    * intersecting files, and keep the interval predicate as the
+    * residual. The caller still applies its own x/y predicate — the
+    * cover is exact on cells only when the budget allows; capped covers
+    * and file granularity both leave false-positive rows.
+    */
+  def scanRectangle(spark: SparkSession, path: String,
+                    xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+                    bits: Int, curve: String = "zorder",
+                    maxRanges: Int = 64): (DataFrame, Int, Int) =
+    scanRanges(spark, path,
+      CurveCover.cover(xmin, xmax, ymin, ymax, bits, curve, maxRanges))
 }

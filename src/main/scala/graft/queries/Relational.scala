@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables, Work}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -508,6 +509,62 @@ object Relational {
       .withColumn("files_pruned", lit(filesRead < filesTotal))
   }
 
+  /** q135 — multi-interval curve-cover pruning on a NON-ALIGNED
+    * rectangle, over BOTH curves: the same lineitem projection is laid
+    * out once by Morton key and once by Hilbert key, and the rectangle
+    * [100,300]×[50,137] — deliberately straddling the x=256 and y=128
+    * power-of-two boundaries, so its Morton CORNER interval is ~5× the
+    * rectangle's area and a Hilbert corner interval doesn't exist —
+    * scans each layout through [[graft.ops.CurveCover]]'s bounded
+    * multi-interval decomposition ([[graft.ops.ZOrderCluster
+    * .scanRectangle]]). Pruning is ASSERTED per curve (throws unless
+    * 0 < files_read < files_total) and both scans' aggregates are
+    * emitted side-by-side: they must equal each other AND DuckDB's
+    * recompute from the raw table, so a wrong cover (dropped interval,
+    * mis-decomposed Hilbert block) hash-mismatches.
+    */
+  val curveCoverSkip = QueryDef("q135_curve_cover_skip",
+    """SELECT count(*) AS n,
+      |  CAST(sum(qty_u) AS BIGINT) AS qty_u,
+      |  count(*) AS n_h,
+      |  CAST(sum(qty_u) AS BIGINT) AS qty_u_h,
+      |  TRUE AS files_pruned_z, TRUE AS files_pruned_h
+      |FROM (SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py,
+      |        CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |      FROM lineitem)
+      |WHERE px BETWEEN 100 AND 300 AND py BETWEEN 50 AND 137""".stripMargin) {
+    (s, d) =>
+    import graft.ops.ZOrderCluster
+    val zPath = Work.oracleDumpPath("q135_layout_z")
+    val hPath = Work.oracleDumpPath("q135_layout_h")
+    clusterLayouts.compute("q135", (_, prev) => {
+      if (prev != d) {
+        val base = Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        ZOrderCluster.write(base, zPath, col("px"), col("py"), bits = 10,
+          numPartitions = 16, curve = "zorder")
+        ZOrderCluster.write(base, hPath, col("px"), col("py"), bits = 10,
+          numPartitions = 16, curve = "hilbert")
+      }
+      d
+    })
+    def scanOne(path: String, curve: String): DataFrame = {
+      val (scan, filesRead, filesTotal) = ZOrderCluster.scanRectangle(
+        s, path, 100, 300, 50, 137, bits = 10, curve = curve)
+      require(filesRead > 0 && filesRead < filesTotal,
+        s"$curve cover did not prune: read $filesRead of $filesTotal files")
+      scan.filter(col("px").between(100, 300) && col("py").between(50, 137))
+        .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"))
+    }
+    scanOne(zPath, "zorder")
+      .crossJoin(scanOne(hPath, "hilbert")
+        .withColumnRenamed("n", "n_h").withColumnRenamed("qty_u", "qty_u_h"))
+      .withColumn("files_pruned_z", lit(true))
+      .withColumn("files_pruned_h", lit(true))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -559,5 +616,5 @@ object Relational {
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
-    rollup, runningSum, zorderKey, clusterSkip, olsFit)
+    rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, olsFit)
 }

@@ -522,16 +522,44 @@ object H5Filters {
   private final val SzMaskNn = 32
   private final val SzMaskRaw = 128
 
+  /** Byte-plane transpose of the 32/64-bit BYTE-STREAM mode (libaec
+    * `sz_compat.c` `interleave_buffer`, the szip-compatibility layout
+    * HDF5 ships today): szip does not Rice-code 32/64-bit samples
+    * directly — it splits each word into its byte planes (all byte-0s,
+    * then all byte-1s, ...) and codes the result as 8-bit samples, a
+    * shuffle that groups bytes of similar entropy exactly like the
+    * HDF5 shuffle filter. `forward` = interleave (encode side).
+    */
+  private def byteStreamTranspose(data: Array[Byte], wordSize: Int,
+                                  forward: Boolean): Array[Byte] = {
+    require(data.length % wordSize == 0,
+      s"szip byte-stream payload ${data.length} not a whole number of " +
+        s"$wordSize-byte words")
+    val nWords = data.length / wordSize
+    val out = new Array[Byte](data.length)
+    var i = 0
+    while (i < nWords) {
+      var j = 0
+      while (j < wordSize) {
+        if (forward) out(j * nWords + i) = data(i * wordSize + j)
+        else out(i * wordSize + j) = data(j * nWords + i)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   def szipDecode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
     require(cd.length >= 4, s"szip cd_values ${cd.length} < 4")
     val (mask, bits, ppb, pps) = (cd(0), cd(1), cd(2), cd(3))
     require((mask & SzMaskRaw) != 0,
       "szip stream with an szip file header (no SZ_RAW_OPTION) " +
         "unsupported — HDF5's filter always writes raw mode")
-    require(bits == 8 || bits == 16 || bits == 24,
-      s"szip bits-per-pixel $bits unsupported (8/16/24 — szip " +
-        "recodes 32/64-bit data as a byte stream with library-internal " +
-        "parameter rescaling; re-write with deflate or zstd, e.g. " +
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32 ||
+      bits == 64,
+      s"szip bits-per-pixel $bits unsupported (8/16/24 direct, 32/64 " +
+        "byte-stream; re-write with deflate or zstd, e.g. " +
         "h5repack -f GZIP=9, and re-scan)")
     require(ppb >= 2 && pps >= ppb && pps % ppb == 0,
       s"szip scanline $pps not a whole number of $ppb-pixel blocks " +
@@ -540,15 +568,20 @@ object H5Filters {
     require(data.length >= 4, s"szip payload of ${data.length} bytes")
     val stored = ((data(0) & 0xFF) | ((data(1) & 0xFF) << 8) |
       ((data(2) & 0xFF) << 16) | ((data(3) & 0xFF).toLong << 24)).toLong
-    val bytesPer = bits / 8
-    require(stored > 0 && stored <= Int.MaxValue && stored % bytesPer == 0,
-      s"szip stored size $stored not a whole number of $bytesPer-byte " +
-        "samples")
-    val nSamples = (stored / bytesPer).toInt
-    val p = Ccsds.Params(bits, ppb, pps / ppb,
-      preprocess = (mask & SzMaskNn) != 0, signed = false, padRsi = true)
     require((mask & (SzMaskNn | SzMaskEc)) != 0,
       "szip options mask selects neither NN nor EC coding")
+    // 32/64-bit data rides the BYTE-STREAM mode: byte-plane interleaved
+    // words coded as 8-bit samples (libaec sz_compat); the sample-level
+    // parameters (ppb, pps) apply to the byte stream as-is.
+    val byteStream = bits == 32 || bits == 64
+    val codedBits = if (byteStream) 8 else bits
+    val bytesPer = codedBits / 8
+    require(stored > 0 && stored <= Int.MaxValue && stored % (bits / 8) == 0,
+      s"szip stored size $stored not a whole number of ${bits / 8}-byte " +
+        "samples")
+    val nSamples = (stored / bytesPer).toInt
+    val p = Ccsds.Params(codedBits, ppb, pps / ppb,
+      preprocess = (mask & SzMaskNn) != 0, signed = false, padRsi = true)
     val vals = Ccsds.decode(
       java.util.Arrays.copyOfRange(data, 4, data.length), nSamples, p)
     val out = new Array[Byte](stored.toInt)
@@ -564,27 +597,33 @@ object H5Filters {
       }
       i += 1
     }
-    out
+    if (byteStream) byteStreamTranspose(out, bits / 8, forward = false)
+    else out
   }
 
   /** Fixture/spec twin of [[szipDecode]]. */
   def szipEncode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
     val (mask, bits, ppb, pps) = (cd(0), cd(1), cd(2), cd(3))
-    val bytesPer = bits / 8
-    require(data.length % bytesPer == 0, "payload not sample-aligned")
-    val n = data.length / bytesPer
+    val byteStream = bits == 32 || bits == 64
+    val codedBits = if (byteStream) 8 else bits
+    val coded =
+      if (byteStream) byteStreamTranspose(data, bits / 8, forward = true)
+      else data
+    val bytesPer = codedBits / 8
+    require(coded.length % bytesPer == 0, "payload not sample-aligned")
+    val n = coded.length / bytesPer
     val lsbFirst = (mask & SzMaskLsb) != 0
     val vals = Array.tabulate(n) { i =>
       var v = 0L
       var bI = 0
       while (bI < bytesPer) {
         val shift = if (lsbFirst) 8 * bI else 8 * (bytesPer - 1 - bI)
-        v |= (data(i * bytesPer + bI) & 0xFFL) << shift
+        v |= (coded(i * bytesPer + bI) & 0xFFL) << shift
         bI += 1
       }
       v
     }
-    val p = Ccsds.Params(bits, ppb, pps / ppb,
+    val p = Ccsds.Params(codedBits, ppb, pps / ppb,
       preprocess = (mask & SzMaskNn) != 0, signed = false, padRsi = true)
     val stream = Ccsds.encode(vals, p)
     val hdr = Array[Byte](

@@ -333,12 +333,12 @@ object NetCdfFixture {
     * `hdf5 = true` renders netCDF-4/HDF5 files instead of classic.
     */
   def writeFiles(dir: java.nio.file.Path, n: Int = 2,
-                 hdf5: Boolean = false): String = {
+                 hdf5: Boolean = false, ny: Int = 8, nx: Int = 8): String = {
     java.nio.file.Files.createDirectories(dir)
     (0 until n).foreach { i =>
       // distinct init date per file, like a daily forecast drop
-      val b = if (hdf5) bytesHdf5(nt = 1, tStart = i.toDouble)
-              else bytes(nt = 1, tStart = i.toDouble)
+      val b = if (hdf5) bytesHdf5(nt = 1, ny = ny, nx = nx, tStart = i.toDouble)
+              else bytes(nt = 1, ny = ny, nx = nx, tStart = i.toDouble)
       java.nio.file.Files.write(dir.resolve(f"forecast_$i%02d.nc"), b)
     }
     s"$dir/*.nc"

@@ -275,16 +275,56 @@ class H5FiltersSpec extends AnyFunSuite {
     assert(r.readDoubles("v").toSeq === vals.map(_.toDouble))
   }
 
-  test("szip: 32-bit byte-stream mode and partial-block scanlines " +
-    "rejected with the h5repack workaround named") {
-    val e1 = intercept[IllegalArgumentException] {
-      H5Filters.szipDecode(new Array[Byte](8), Seq(168, 32, 16, 64))
+  test("szip: 32/64-bit byte-stream mode round-trips (libaec sz_compat " +
+    "byte-plane interleave over 8-bit Rice coding)") {
+    // int32 payload: slowly-varying values so the NN preprocessor and
+    // the byte-plane split both have structure to exploit
+    val raw32 = java.nio.ByteBuffer.allocate(96 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 96).foreach(i => raw32.putInt(1000000 + i * 3 +
+      (if (i % 17 == 0) 50000 else 0)))
+    for (mask <- Seq(128 | 32 | 8 | 1, 128 | 4 | 8)) {
+      val cd = Seq(mask, 32, 16, 64)
+      val enc = H5Filters.szipEncode(raw32.array(), cd)
+      assert(H5Filters.szipDecode(enc, cd).toSeq === raw32.array().toSeq,
+        s"mask $mask")
     }
-    assert(e1.getMessage.contains("h5repack"))
+    // float64 payload (the NASA EOS case: double geophysical fields)
+    val raw64 = java.nio.ByteBuffer.allocate(48 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 48).foreach(i => raw64.putDouble(273.15 + i * 0.01))
+    val cd64 = Seq(128 | 32 | 8 | 1, 64, 8, 16)
+    val enc64 = H5Filters.szipEncode(raw64.array(), cd64)
+    assert(H5Filters.szipDecode(enc64, cd64).toSeq === raw64.array().toSeq)
+    // the byte count still leads the stream
+    assert((enc64(0) & 0xFF) === (48 * 8) % 256)
+    assert((enc64(1) & 0xFF) === (48 * 8) / 256)
+  }
+
+  test("szip end to end: crafted chunked int32 dataset in byte-stream " +
+    "mode decodes through the scan path") {
+    val vals = Seq(100000, 100007, 99991, 100123, 100122, 100125, 7, 8)
+    val raw = java.nio.ByteBuffer.allocate(vals.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(raw.putInt)
+    val cd = Seq(128 | 32 | 8 | 1, 32, 8, 8)
+    val enc = H5Filters.szipEncode(raw.array(), cd)
+    val r = new Hdf5.Reader(craftFilteredInt32(enc, 4, cd, vals.length))
+    assert(r.file.dataset("v").get.filters.map(_.id) === Seq(4))
+    assert(r.readDoubles("v").toSeq === vals.map(_.toDouble))
+  }
+
+  test("szip: partial-block scanlines still rejected with the h5repack " +
+    "workaround named") {
     val e2 = intercept[IllegalArgumentException] {
       H5Filters.szipDecode(new Array[Byte](8), Seq(168, 16, 16, 40))
     }
     assert(e2.getMessage.contains("h5repack"))
+    // mis-aligned byte-stream payload fails loudly, not silently
+    val e3 = intercept[IllegalArgumentException] {
+      H5Filters.szipEncode(new Array[Byte](10), Seq(168, 32, 16, 64))
+    }
+    assert(e3.getMessage.toLowerCase.contains("word"))
   }
 
   // ---- nbit (filter 5): H5Tset_precision packed integers
