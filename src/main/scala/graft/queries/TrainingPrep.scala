@@ -539,7 +539,121 @@ object TrainingPrep {
         Ipv4Re, "<IP>").cast("binary")).as("redacted_md5"))
   }
 
+  /** q136 — EXACT SUBSTRING duplication detection (the ExactSubstr
+    * primitive of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): document pairs sharing at least one
+    * verbatim character run of length ≥ L (=40), with the count of
+    * distinct shared L-grams. This is a DIFFERENT duplication signal
+    * from the shingle-Jaccard family (q36–q39, q132): long verbatim
+    * runs catch boilerplate/quotation/copy-paste contamination that
+    * whole-document similarity dilutes below any Jaccard threshold.
+    *
+    * This entry is the brute-force semantics twin (sliding L-gram
+    * explode + self-join — the oracle does the identical thing);
+    * [[winnowedSubstringDup]] (q137) is the archive-scale path over
+    * the same contract.
+    */
+  private val SubL = 40
+  val exactSubstringDup = QueryDef("q136_exact_substring_dup",
+    s"""WITH pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, len(text) - ${SubL - 1})) AS i
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substr(text, i, $SubL) AS g FROM pos)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .filter(length(col("text")) >= SubL)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${SubL - 1}), " +
+          s"i -> substring(text, i, $SubL))"))).as("g"))
+    g.select(col("doc_id").as("id_a"), col("g"))
+      .join(g.select(col("doc_id").as("id_b"), col("g")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q137 — the ARCHIVE-SCALE form of the q136 contract via robust
+    * WINNOWING (Schleimer, Wilkerson & Aiken, SIGMOD 2003): per
+    * document, hash every k-gram and select as ANCHORS the windowed
+    * minima (min over (hash, rightmost-position), tie-free and
+    * content-local), join documents on shared anchors, then exactly
+    * verify only CANDIDATE pairs. The winnowing theorem guarantees any
+    * shared run of ≥ w+k−1 chars selects the SAME anchor gram in both
+    * documents (the all-shared window's minimum depends only on shared
+    * content), so the candidate set provably covers the contract; the
+    * oracle brute-forces the verified relation, so a dropped candidate
+    * (a winnowing bug) hash-mismatches.
+    *
+    * Parameter choice is a MEASURED selectivity decision, and the
+    * reason this entry's threshold is 64 rather than q136's 40: the
+    * anchor gram length k must make shared k-grams RARE or the
+    * candidate join explodes — in this corpus 16-char grams are shared
+    * boilerplate (5.5M candidate pair-slots at sf0.1, which made a
+    * k=16 draft SLOWER than brute force) while 40-char grams are
+    * selective (63k pair-slots). With k=40 and w=25 the guarantee
+    * threshold w+k−1 is 64, so the verified contract here is "shares a
+    * ≥64-char verbatim run" (⇔ shares a 64-gram).
+    *
+    * Scale shape: anchor selection is [[graft.functions
+    * .WinnowAnchorsExpr]] — a native codegen expression doing the
+    * whole rolling-hash + monotonic-deque windowed-minimum pass in
+    * O(n) per document with NO shuffle and no per-position rows (the
+    * higher-order-function formulation allocated a slice per position
+    * and measured 5× slower than the brute plan); only anchors
+    * (density ~2/(w+1) ≈ 8% of positions) reach the candidate join,
+    * and the heavyweight verification explode happens only for
+    * documents that appear in some candidate pair (semi-join
+    * pushdown). The brute q136 plan shuffles every position of every
+    * document; this one shuffles anchors and verifies survivors — the
+    * ratio IS the winnowing win.
+    */
+  private val SubL2 = 64
+  val winnowedSubstringDup = QueryDef("q137_winnowed_substring_dup",
+    s"""WITH pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, len(text) - ${SubL2 - 1})) AS i
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substr(text, i, $SubL2) AS g FROM pos)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val K = 40; val W = 25 // guarantee threshold w+k-1 = 64 = SubL2
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= SubL2)
+    val anchors = docs.select(col("doc_id"),
+      explode(graft.functions.WinnowAnchorsExpr
+        .winnowAnchors(col("text"), K, W)).as("a"))
+      .persist() // ~2/(w+1) of positions; feeds both join sides
+    // the candidate PAIR set is referenced three times below (both
+    // doc-set derivations + the verify join) — without the persist the
+    // anchor self-join would recompute once per reference
+    val cand = anchors.select(col("doc_id").as("id_a"), col("a"))
+      .join(anchors.select(col("doc_id").as("id_b"), col("a")), "a")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .persist()
+    // exact verification, threshold-length grams only for documents in
+    // candidate pairs
+    val inCand = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b"))).distinct()
+    val g = docs.join(inCand, "doc_id")
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${SubL2 - 1}), " +
+          s"i -> substring(text, i, $SubL2))"))).as("g"))
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("g").as("g2")), "id_b")
+      .filter(col("g") === col("g2"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] =
     Seq(decontaminate, bloomDecontaminate, repetition, stratifiedSample,
-      sequencePacking, corpusAssembly, mixtureWeights, spanDedup, piiScrub)
+      sequencePacking, corpusAssembly, mixtureWeights, spanDedup, piiScrub,
+      exactSubstringDup, winnowedSubstringDup)
 }

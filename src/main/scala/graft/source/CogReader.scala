@@ -97,6 +97,16 @@ object CogReader {
           case 50001 => throw new IllegalArgumentException(
             "TIFF compression 50001 (WEBP) unsupported — lossy visual " +
               "codec; rewrite with JPEG or DEFLATE for this reader")
+          // LERC stays a loud wall DELIBERATELY (r13 decision, SURVEY
+          // §2.14): the Lerc2 container's normative definition is the
+          // Esri C++ source (block-header bit assignments, BitStuffer2
+          // LUT variants, RLE mask bytes, the v3+ Huffman path), which
+          // is not available in this environment, and no externally-
+          // produced LERC fixture exists here either — so a from-memory
+          // implementation could only be validated against itself, the
+          // mutually-inverse-but-non-conformant failure mode this
+          // reader rejects codecs over. Re-entry needs the normative
+          // source or a trusted fixture blob.
           case 34887 => throw new IllegalArgumentException(
             "TIFF compression 34887 (LERC) unsupported — rewrite the " +
               "file with DEFLATE or ZSTD (gdal_translate -co COMPRESS=ZSTD)")
