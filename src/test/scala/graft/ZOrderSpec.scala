@@ -127,6 +127,36 @@ class ZOrderSpec extends SparkSpec {
       none.columns.toSet === Set("x", "y", "payload", "z"))
   }
 
+  test("scanRectangle: non-aligned rectangle prunes on BOTH curves, " +
+    "multi-range cover beats the Morton corner interval") {
+    import spark.implicits._
+    val rows = (0 until 8000)
+      .map(i => ((i * 31) % 256L, (i * 17) % 256L, i.toLong))
+    val df = rows.toDF("x", "y", "payload")
+    // [30,97]x[50,137] straddles the 64 and 128 boundaries on both axes
+    val want = rows.filter(t =>
+      t._1 >= 30 && t._1 <= 97 && t._2 >= 50 && t._2 <= 137).toSet
+    for (curve <- Seq("zorder", "hilbert")) {
+      val dir = Work.stableDir("curve-rect-spec").resolve(curve).toString
+      ZOrderCluster.write(df, dir, $"x", $"y", bits = 8,
+        numPartitions = 16, curve = curve)
+      val (scan, read, total) = ZOrderCluster.scanRectangle(spark, dir,
+        30, 97, 50, 137, bits = 8, curve = curve)
+      assert(read > 0 && read < total, s"$curve: no pruning $read/$total")
+      val got = scan.filter($"x".between(30, 97) && $"y".between(50, 137))
+        .select("x", "y", "payload").as[(Long, Long, Long)].collect().toSet
+      assert(got === want, curve)
+      if (curve == "zorder") {
+        // corner interval on the same layout reads at least as many files
+        val lo = ZOrderExpr.interleave(30, 50, 8)
+        val hi = ZOrderExpr.interleave(97, 137, 8)
+        val (_, cornerRead, _) = ZOrderCluster.scanRange(spark, dir, lo, hi)
+        assert(read <= cornerRead,
+          s"multi-range cover read $read files, corner $cornerRead")
+      }
+    }
+  }
+
   test("ZOrderCluster: range exchange in the plan, disjoint Z ranges " +
     "per partition, rows intact") {
     import spark.implicits._
