@@ -360,8 +360,12 @@ object Similarity {
     * broadcast of k centers against the vector scan + one groupBy —
     * never a vector-vector self-join.
     */
-  val kmeans = QueryDef("q129_kmeans",
-    """WITH qv AS (
+  /** The q129 CTE chain up to the final assignment relation `a2`
+    * (vec_id, cid, dist) — shared verbatim by the q129 and q138
+    * oracles so both gates replay the identical clustering.
+    */
+  private val KmeansCtes =
+    """qv AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings),
@@ -392,11 +396,27 @@ object Similarity {
       |  SELECT vec_id, cid, dist FROM (
       |    SELECT vec_id, cid, dist,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
-      |        AS rn FROM d2) WHERE rn = 1)
+      |        AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
+  val kmeans = QueryDef("q129_kmeans",
+    s"""WITH $KmeansCtes
       |SELECT cid, count(*) AS n_members,
       |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
       |  CAST(sum(dist) AS BIGINT) AS inertia
       |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    kmeansAssignments(s, d)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum("vec_id").cast("long").as("sum_vec_id"),
+        sum("dist").cast("long").as("inertia"))
+      .orderBy("cid")
+  }
+
+  /** The two-Lloyd-iteration assignment relation (vec_id, cid, dist)
+    * behind q129 — extracted so q138's cluster-balanced sampling
+    * composes with the identical clustering instead of re-deriving it.
+    */
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
     val qv = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")).as("v"))
@@ -405,7 +425,7 @@ object Similarity {
     def dist2 = aggregate(
       zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
-    def assign(centers: org.apache.spark.sql.DataFrame) = {
+    def assign(centers: DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
       qv.crossJoin(broadcast(centers))
@@ -428,10 +448,52 @@ object Similarity {
       .select(col("cid"),
         transform(col("pairs"), p => p.getField("cv")).as("c"))
     assign(c1)
+  }
+
+  /** q138 — CLUSTER-BALANCED CURATION SAMPLE: the composition every
+    * embedding-space data-curation pipeline runs (cluster the corpus,
+    * then cap each cluster's contribution so dominant modes don't
+    * swamp the mixture — the DoReMi/SemDeDup-style rebalancing step).
+    * Composes q129's EXACT k-means assignment with q71's deterministic
+    * content-hash sampling discipline: within each cluster, rank by
+    * md5(vec_id) (a stateless, engine-reproducible order — no RNG) and
+    * keep the first `cap`. Emits per-cluster kept/total counts and
+    * exact integer digests of the kept set, so the oracle re-derives
+    * the SELECTION itself, not just its size.
+    *
+    * Scale shape: everything q129 already pays (broadcast centers, one
+    * groupBy per Lloyd round) plus ONE window partitioned by cluster
+    * id — k partitions, each holding only that cluster's ids, never a
+    * global sort. At a 10⁹-vector corpus the cap makes the output
+    * bounded by k·cap however skewed the clusters.
+    */
+  val clusterSample = QueryDef("q138_cluster_sample",
+    s"""WITH $KmeansCtes,
+      |sel AS (
+      |  SELECT vec_id, cid, dist,
+      |    row_number() OVER (PARTITION BY cid
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM a2)
+      |SELECT cid,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(CASE WHEN rk <= 100 THEN 1 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk <= 100 THEN vec_id END) AS BIGINT)
+      |    AS kept_id_sum,
+      |  CAST(sum(CASE WHEN rk <= 100 THEN dist END) AS BIGINT)
+      |    AS kept_inertia
+      |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cap = 100
+    val w = Window.partitionBy("cid")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    kmeansAssignments(s, d)
+      .withColumn("rk", row_number().over(w))
       .groupBy("cid")
-      .agg(count(lit(1)).as("n_members"),
-        sum("vec_id").cast("long").as("sum_vec_id"),
-        sum("dist").cast("long").as("inertia"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("rk") <= cap, 1)).as("n_kept"),
+        sum(when(col("rk") <= cap, col("vec_id"))).cast("long")
+          .as("kept_id_sum"),
+        sum(when(col("rk") <= cap, col("dist"))).cast("long")
+          .as("kept_inertia"))
       .orderBy("cid")
   }
 
@@ -482,5 +544,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
-    embeddingDedup, int8Quantize, gramMatrix, kmeans, powerIteration)
+    embeddingDedup, int8Quantize, gramMatrix, kmeans, clusterSample,
+    powerIteration)
 }

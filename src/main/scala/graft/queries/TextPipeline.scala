@@ -638,7 +638,65 @@ object TextPipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** q139 — VOCABULARY BUILD + OOV RATE: the tokenizer-training
+    * precursor (fix a top-V vocabulary over the corpus, then measure
+    * how much of each slice it fails to cover — the coverage signal
+    * that drives vocab sizing and corpus-mix decisions). The top-V cut
+    * is deterministic (count DESC, token ASC — no RNG, no hash
+    * ordering), membership is an exact set probe, and rates are exact
+    * integer basis points, so the whole report hash-matches.
+    *
+    * Scale shape: one token explode feeding a hash-aggregate keyed by
+    * token (bounded by VOCABULARY size, not corpus size — Zipf keeps
+    * it millions at worst), a top-V TakeOrdered (V rows to the
+    * driver-side broadcast), then a second pass whose vocab probe is a
+    * BROADCAST left-anti-style membership join — the corpus is never
+    * shuffled by token twice, and per-source aggregation is the only
+    * other exchange.
+    */
+  val vocabOov: QueryDef = {
+    val V = 1000
+    QueryDef("q139_vocab_oov",
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split_regex(trim(text),
+        |    '\\s+')) AS t
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE t <> ''),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, count(*) AS c FROM tok2 GROUP BY 1
+        |    ORDER BY c DESC, t ASC LIMIT $V)),
+        |flag AS (
+        |  SELECT k.doc_id, k.source, k.t,
+        |    CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok2 k LEFT JOIN vocab v ON k.t = v.t)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((sum(oov) * 10000) // count(*) AS BIGINT) AS oov_bp
+        |FROM flag GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(V)
+        .select("t")
+      tok.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("t"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("in_v").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(col("oov")).as("n_oov"),
+          expr("(sum(oov) * 10000) div count(*)").as("oov_bp"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
     exactDedup, minhashBands, ngramJaccard, simhash, dupClusters,
-    dupClustersStar, tfidfTerms, nfcNormalize, bigramLm, setsimJoin)
+    dupClustersStar, tfidfTerms, nfcNormalize, bigramLm, setsimJoin,
+    vocabOov)
 }

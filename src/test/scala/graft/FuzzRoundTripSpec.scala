@@ -41,6 +41,29 @@ class FuzzRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("szip: encode∘decode is identity across bit widths (incl. the " +
+    "32/64-bit byte-stream mode), masks, and block geometries") {
+    for (trial <- 0 until 60) {
+      val bits = Seq(8, 16, 24, 32, 64)(trial % 5)
+      val mask = Seq(128 | 32 | 8 | 1, 128 | 4 | 8, 128 | 32 | 16)(trial % 3)
+      val (ppb, pps) = Seq((8, 8), (16, 64), (8, 32))(trial % 3)
+      val cd = Seq(mask, bits, ppb, pps)
+      val bytesPer = bits / 8
+      val n = Seq(1, 7, 64, 200 + trial)(trial % 4) * bytesPer
+      val data = new Array[Byte](n)
+      var i = 0
+      while (i < n) { // runs + noise: both rice regimes
+        data(i) = if ((i / 53) % 2 == 0) (i % 5).toByte
+                  else rnd.nextInt().toByte
+        i += 1
+      }
+      val enc = graft.source.H5Filters.szipEncode(data, cd)
+      val back = graft.source.H5Filters.szipDecode(enc, cd)
+      assert(back.sameElements(data),
+        s"trial $trial: bits=$bits mask=$mask ppb=$ppb pps=$pps n=$n")
+    }
+  }
+
   test("netCDF classic writer: random dims/attrs/values round-trip " +
     "through the reader at every envelope version (NaN and ±Inf " +
     "preserved; padding paths hit via odd name/attr lengths)") {
