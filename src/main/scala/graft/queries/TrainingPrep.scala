@@ -610,6 +610,16 @@ object TrainingPrep {
     * pushdown). The brute q136 plan shuffles every position of every
     * document; this one shuffles anchors and verifies survivors — the
     * ratio IS the winnowing win.
+    *
+    * Adversarial note: an anchor gram mass-duplicated across the
+    * corpus (boilerplate shared by m documents) contributes O(m²)
+    * candidate pairs — and those pairs ARE the contract's true answer
+    * whenever the boilerplate run reaches the threshold, so no cap
+    * can drop them without breaking the guarantee (q132's
+    * `lsh.maxBucket` situation, but here exactness forbids the cap).
+    * On a corpus where that bites, the operator-level fix is to
+    * normalize boilerplate away BEFORE dedup (the PII/NFC scrub
+    * stage), not to weaken the join.
     */
   private val SubL2 = 64
   val winnowedSubstringDup = QueryDef("q137_winnowed_substring_dup",
