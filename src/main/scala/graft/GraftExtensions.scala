@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(x, y, b) =>
         graft.functions.HilbertExpr(x, y, foldInt("bits", b)) },
       arity = 3)
+    register(ext, "graft_winnow_anchors",
+      "graft_winnow_anchors(text, k, w) - distinct robust-winnowing " +
+        "anchor k-grams (array<string>): windowed minima of a rolling " +
+        "k-gram hash, window w, rightmost tie-break",
+      { case Seq(t, k, w) =>
+        graft.functions.WinnowAnchorsExpr(t, foldInt("k", k),
+          foldInt("w", w)) },
+      arity = 3)
     register(ext, "graft_kmv_distinct",
       "graft_kmv_distinct(s, k) - KMV approximate-distinct sketch " +
         "(struct<est, kth>) over a string key",

@@ -91,4 +91,19 @@ class ExtensionsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)).eval(null)
     assert(interp.toString === "\u00c0")
   }
+
+  test("graft_winnow_anchors is callable from SQL and matches the " +
+    "Column API") {
+    val txt = "abcabcabcabcabcXYZabcabcabc"
+    val viaSql = spark.sql(
+      s"SELECT graft_winnow_anchors('$txt', 4, 5) AS a")
+      .head.getSeq[String](0).toSet
+    val viaCol = spark.range(1)
+      .select(graft.functions.WinnowAnchorsExpr
+        .winnowAnchors(lit(txt), 4, 5).as("a"))
+      .head.getSeq[String](0).toSet
+    assert(viaSql === viaCol)
+    assert(viaSql.nonEmpty)
+    viaSql.foreach(g => assert(g.length === 4 && txt.contains(g)))
+  }
 }
