@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(x, y, b) =>
         graft.functions.HilbertExpr(x, y, foldInt("bits", b)) },
       arity = 3)
+    register(ext, "graft_zorder3",
+      "graft_zorder3(x, y, t, bits) - 3-D Morton interleave (BIGINT " +
+        "clustering key over three quantized dimensions, e.g. x/y/time)",
+      { case Seq(x, y, t, b) =>
+        graft.functions.ZOrder3Expr(x, y, t, foldInt("bits", b)) },
+      arity = 4)
     register(ext, "graft_winnow_anchors",
       "graft_winnow_anchors(text, k, w) - distinct robust-winnowing " +
         "anchor k-grams (array<string>): windowed minima of a rolling " +

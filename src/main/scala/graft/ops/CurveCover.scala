@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.functions.{HilbertExpr, ZOrderExpr}
+import graft.functions.{HilbertExpr, ZOrder3Expr, ZOrderExpr}
 
 /** Multi-interval space-filling-curve covers for rectangle queries —
   * the tight form of what a single Morton corner interval
@@ -92,6 +92,68 @@ object CurveCover {
               val contained = bx >= x0 && ex <= x1 && by >= y0 && ey <= y1
               if (contained) out += blockInterval(bx, by, k - 1)
               else next += ((bx, by, k - 1))
+            }
+            qi += 1
+          }
+        }
+        frontier = next.result()
+        k -= 1
+      }
+    }
+    merge(out.toSeq)
+  }
+
+  /** 3-D analogue of [[cover]] for the Morton-3 key
+    * ([[graft.functions.ZOrder3Expr]]): inclusive index intervals
+    * covering the BOX [xmin,xmax]×[ymin,ymax]×[tmin,tmax] by octree
+    * descent — every aligned 2^k cube is a contiguous run of 8^k
+    * consecutive Morton-3 indices, so the same
+    * contained-emit / straddle-recurse / budget-flush scheme applies
+    * with eight children per split.
+    */
+  def cover3(xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+             tmin: Long, tmax: Long, bits: Int,
+             maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 21, s"bits $bits (1..21)")
+    require(maxRanges >= 1, s"maxRanges $maxRanges")
+    val lim = 1L << bits
+    val x0 = math.max(0L, xmin); val x1 = math.min(lim - 1, xmax)
+    val y0 = math.max(0L, ymin); val y1 = math.min(lim - 1, ymax)
+    val t0 = math.max(0L, tmin); val t1 = math.min(lim - 1, tmax)
+    if (x0 > x1 || y0 > y1 || t0 > t1) return Nil
+
+    def blockInterval(cx: Long, cy: Long, ct: Long, k: Int): (Long, Long) = {
+      val area = 1L << (3 * k)
+      val base = (ZOrder3Expr.interleave3(cx, cy, ct, bits) / area) * area
+      (base, base + area - 1)
+    }
+
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var frontier = List((0L, 0L, 0L, bits))
+    var k = bits
+    while (frontier.nonEmpty) {
+      if (out.size + frontier.size * 8 > maxRanges || k == 0) {
+        frontier.foreach { case (cx, cy, ct, kk) =>
+          out += blockInterval(cx, cy, ct, kk) }
+        frontier = Nil
+      } else {
+        val next = List.newBuilder[(Long, Long, Long, Int)]
+        val half = 1L << (k - 1)
+        frontier.foreach { case (cx, cy, ct, _) =>
+          var qi = 0
+          while (qi < 8) {
+            val bx = cx + (if ((qi & 1) != 0) half else 0L)
+            val by = cy + (if ((qi & 2) != 0) half else 0L)
+            val bt = ct + (if ((qi & 4) != 0) half else 0L)
+            val ex = bx + half - 1; val ey = by + half - 1
+            val et = bt + half - 1
+            val disjoint = ex < x0 || bx > x1 || ey < y0 || by > y1 ||
+              et < t0 || bt > t1
+            if (!disjoint) {
+              val contained = bx >= x0 && ex <= x1 && by >= y0 &&
+                ey <= y1 && bt >= t0 && et <= t1
+              if (contained) out += blockInterval(bx, by, bt, k - 1)
+              else next += ((bx, by, bt, k - 1))
             }
             qi += 1
           }

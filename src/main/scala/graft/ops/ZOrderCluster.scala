@@ -119,6 +119,48 @@ object ZOrderCluster {
     (df.filter(pred), hit.length, manifest.length)
   }
 
+  /** 3-D Morton clustering: `z = graft_zorder3(x, y, t, bits)`, range-
+    * partitioned and sorted like [[cluster]] — the (time, y, x) layout
+    * of a forecast archive, where per-file stats must prune both
+    * "recent window, whole domain" and "full history, one tile"
+    * queries.
+    */
+  def cluster3(df: DataFrame, x: Column, y: Column, t: Column,
+               bits: Int, numPartitions: Int): DataFrame = {
+    require(!df.columns.contains("z"),
+      "input already has a 'z' column — rename it before clustering, or " +
+        "the curve key would silently overwrite it")
+    df.withColumn("z", graft.functions.ZOrder3Expr.zorder3(x, y, t, bits))
+      .repartitionByRange(numPartitions, col("z"))
+      .sortWithinPartitions("z")
+  }
+
+  /** [[write]] for the 3-D key: same manifest contract, so
+    * [[scanRanges]]/[[scanBox3]] prune it identically.
+    */
+  def write3(df: DataFrame, path: String, x: Column, y: Column, t: Column,
+             bits: Int, numPartitions: Int): Unit = {
+    val spark = df.sparkSession
+    cluster3(df, x, y, t, bits, numPartitions)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("z").as("zMin"), max("z").as("zMax"), count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").json(path + "_manifest")
+  }
+
+  /** Box scan over a [[write3]] layout through [[CurveCover.cover3]]'s
+    * octree multi-interval decomposition; caller applies the residual
+    * x/y/t predicate.
+    */
+  def scanBox3(spark: SparkSession, path: String,
+               xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+               tmin: Long, tmax: Long, bits: Int,
+               maxRanges: Int = 64): (DataFrame, Int, Int) =
+    scanRanges(spark, path,
+      CurveCover.cover3(xmin, xmax, ymin, ymax, tmin, tmax, bits, maxRanges))
+
   /** Rectangle scan over a clustered layout on EITHER curve: decompose
     * the (inclusive, cell-coordinate) rectangle into at most `maxRanges`
     * contiguous key intervals via [[CurveCover]], manifest-prune to the

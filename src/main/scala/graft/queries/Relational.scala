@@ -565,6 +565,54 @@ object Relational {
       .withColumn("files_pruned_h", lit(true))
   }
 
+  /** q140 — 3-D curve-cover pruning: lineitem laid out by the Morton-3
+    * key over (px, py, pt) — the (x, y, time) shape every forecast
+    * archive actually clusters on — and a BOX query straddling a
+    * power-of-two boundary on all three axes scans through
+    * [[graft.ops.CurveCover.cover3]]'s octree decomposition
+    * ([[graft.ops.ZOrderCluster.scanBox3]]). Pruning asserted
+    * (0 < files_read < files_total); the aggregate is recomputed by
+    * DuckDB from the raw table so a wrong cover hash-mismatches. With
+    * three interleaved dimensions a corner interval would be useless
+    * almost always (any axis straddle inflates it eightfold per
+    * level), which is why the 3-D layout ships WITH the multi-interval
+    * cover rather than gaining it later.
+    */
+  val curveCover3Skip = QueryDef("q140_curve_cover3_skip",
+    """SELECT count(*) AS n,
+      |  CAST(sum(qty_u) AS BIGINT) AS qty_u,
+      |  TRUE AS files_pruned
+      |FROM (SELECT l_partkey % 256 AS px, l_orderkey % 256 AS py,
+      |        l_suppkey % 256 AS pt,
+      |        CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |      FROM lineitem)
+      |WHERE px BETWEEN 30 AND 97 AND py BETWEEN 100 AND 201
+      |  AND pt BETWEEN 10 AND 40""".stripMargin) { (s, d) =>
+    import graft.ops.ZOrderCluster
+    val path = Work.oracleDumpPath("q140_layout")
+    clusterLayouts.compute("q140", (_, prev) => {
+      if (prev != d) {
+        val base = Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(256)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(256)).cast("long").as("py"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("pt"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        ZOrderCluster.write3(base, path, col("px"), col("py"), col("pt"),
+          bits = 8, numPartitions = 24)
+      }
+      d
+    })
+    val (scan, filesRead, filesTotal) = ZOrderCluster.scanBox3(
+      s, path, 30, 97, 100, 201, 10, 40, bits = 8)
+    require(filesRead > 0 && filesRead < filesTotal,
+      s"3-D cover did not prune: read $filesRead of $filesTotal files")
+    scan
+      .filter(col("px").between(30, 97) && col("py").between(100, 201) &&
+        col("pt").between(10, 40))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"))
+      .withColumn("files_pruned", lit(true))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -616,5 +664,5 @@ object Relational {
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
-    rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, olsFit)
+    rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip, olsFit)
 }

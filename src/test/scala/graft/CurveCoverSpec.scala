@@ -112,6 +112,62 @@ class CurveCoverSpec extends AnyFunSuite {
     assert(CurveCover.cover(0, 7, 0, 7, 3, "hilbert") === Seq((0L, 63L)))
   }
 
+  test("3-D: spread3/interleave3 match a naive bit loop") {
+    def naive(x: Long, y: Long, t: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((x >> i) & 1L) << (3 * i)
+        z |= ((y >> i) & 1L) << (3 * i + 1)
+        z |= ((t >> i) & 1L) << (3 * i + 2)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val bits = 1 + rnd.nextInt(21)
+      val lim = 1L << bits
+      val (x, y, t) = (rnd.nextLong().abs % lim, rnd.nextLong().abs % lim,
+        rnd.nextLong().abs % lim)
+      assert(graft.functions.ZOrder3Expr.interleave3(x, y, t, bits) ===
+        naive(x, y, t, bits), s"($x,$y,$t) bits=$bits")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.ZOrder3Expr.interleave3(4, 0, 0, 2)
+    }
+  }
+
+  test("3-D: unbudgeted octree covers are EXACT for every box at " +
+    "bits=2, and for random boxes at bits=4") {
+    def exact3(xr: (Long, Long), yr: (Long, Long), tr: (Long, Long),
+               bits: Int): Set[Long] =
+      (for (x <- xr._1 to xr._2; y <- yr._1 to yr._2; t <- tr._1 to tr._2)
+        yield graft.functions.ZOrder3Expr.interleave3(x, y, t, bits)).toSet
+    val n = 4
+    for (x0 <- 0 until n; x1 <- x0 until n;
+         y0 <- 0 until n; y1 <- y0 until n;
+         t0 <- 0 until n; t1 <- t0 until n) {
+      val c = CurveCover.cover3(x0, x1, y0, y1, t0, t1, 2, maxRanges = 100000)
+      assert(union(c) === exact3((x0, x1), (y0, y1), (t0, t1), 2),
+        s"[$x0,$x1]x[$y0,$y1]x[$t0,$t1]")
+    }
+    val rnd = new scala.util.Random(29)
+    for (_ <- 0 until 25) {
+      val xs = Seq.fill(2)(rnd.nextInt(16).toLong).sorted
+      val ys = Seq.fill(2)(rnd.nextInt(16).toLong).sorted
+      val ts = Seq.fill(2)(rnd.nextInt(16).toLong).sorted
+      val want = exact3((xs(0), xs(1)), (ys(0), ys(1)), (ts(0), ts(1)), 4)
+      val full = CurveCover.cover3(xs(0), xs(1), ys(0), ys(1), ts(0), ts(1),
+        4, maxRanges = 1000000)
+      assert(union(full) === want, s"$xs $ys $ts")
+      for (budget <- Seq(1, 8, 32)) {
+        val capped = CurveCover.cover3(xs(0), xs(1), ys(0), ys(1),
+          ts(0), ts(1), 4, budget)
+        assert(capped.size <= budget, s"budget=$budget")
+        assert(want.subsetOf(union(capped)), s"budget=$budget cover")
+      }
+    }
+  }
+
   test("merge coalesces touching and overlapping runs") {
     assert(CurveCover.merge(Seq((5L, 9L), (0L, 4L), (12L, 14L), (8L, 11L)))
       === Seq((0L, 14L)))
