@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(x, y, t, b) =>
         graft.functions.ZOrder3Expr(x, y, t, foldInt("bits", b)) },
       arity = 4)
+    register(ext, "graft_hilbert3",
+      "graft_hilbert3(x, y, t, bits) - 3-D Hilbert index (Skilling " +
+        "transpose construction; strict-adjacency BIGINT clustering key)",
+      { case Seq(x, y, t, b) =>
+        graft.functions.Hilbert3Expr(x, y, t, foldInt("bits", b)) },
+      arity = 4)
     register(ext, "graft_winnow_anchors",
       "graft_winnow_anchors(text, k, w) - distinct robust-winnowing " +
         "anchor k-grams (array<string>): windowed minima of a rolling " +

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.functions.{HilbertExpr, ZOrder3Expr, ZOrderExpr}
+import graft.functions.{Hilbert3Expr, HilbertExpr, ZOrder3Expr, ZOrderExpr}
 
 /** Multi-interval space-filling-curve covers for rectangle queries —
   * the tight form of what a single Morton corner interval
@@ -103,17 +103,20 @@ object CurveCover {
     merge(out.toSeq)
   }
 
-  /** 3-D analogue of [[cover]] for the Morton-3 key
-    * ([[graft.functions.ZOrder3Expr]]): inclusive index intervals
-    * covering the BOX [xmin,xmax]×[ymin,ymax]×[tmin,tmax] by octree
-    * descent — every aligned 2^k cube is a contiguous run of 8^k
-    * consecutive Morton-3 indices, so the same
+  /** 3-D analogue of [[cover]]: inclusive index intervals covering the
+    * BOX [xmin,xmax]×[ymin,ymax]×[tmin,tmax] by octree descent — every
+    * aligned 2^k cube is a contiguous run of 8^k consecutive indices
+    * on BOTH 3-D curves (Morton by construction, Hilbert by octant
+    * contiguity, verified exhaustively in Hilbert3Spec), so the same
     * contained-emit / straddle-recurse / budget-flush scheme applies
-    * with eight children per split.
+    * with eight children per split. `curve` is "zorder"
+    * ([[graft.functions.ZOrder3Expr]]) or "hilbert"
+    * ([[graft.functions.Hilbert3Expr]]).
     */
   def cover3(xmin: Long, xmax: Long, ymin: Long, ymax: Long,
              tmin: Long, tmax: Long, bits: Int,
-             maxRanges: Int = 64): Seq[(Long, Long)] = {
+             maxRanges: Int = 64,
+             curve: String = "zorder"): Seq[(Long, Long)] = {
     require(bits >= 1 && bits <= 21, s"bits $bits (1..21)")
     require(maxRanges >= 1, s"maxRanges $maxRanges")
     val lim = 1L << bits
@@ -122,9 +125,15 @@ object CurveCover {
     val t0 = math.max(0L, tmin); val t1 = math.min(lim - 1, tmax)
     if (x0 > x1 || y0 > y1 || t0 > t1) return Nil
 
+    val idx: (Long, Long, Long) => Long = curve match {
+      case "zorder" => ZOrder3Expr.interleave3(_, _, _, bits)
+      case "hilbert" => Hilbert3Expr.index(_, _, _, bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' (zorder/hilbert)")
+    }
     def blockInterval(cx: Long, cy: Long, ct: Long, k: Int): (Long, Long) = {
       val area = 1L << (3 * k)
-      val base = (ZOrder3Expr.interleave3(cx, cy, ct, bits) / area) * area
+      val base = (idx(cx, cy, ct) / area) * area
       (base, base + area - 1)
     }
 

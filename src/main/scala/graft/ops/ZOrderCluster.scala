@@ -126,11 +126,18 @@ object ZOrderCluster {
     * queries.
     */
   def cluster3(df: DataFrame, x: Column, y: Column, t: Column,
-               bits: Int, numPartitions: Int): DataFrame = {
+               bits: Int, numPartitions: Int,
+               curve: String = "zorder"): DataFrame = {
     require(!df.columns.contains("z"),
       "input already has a 'z' column — rename it before clustering, or " +
         "the curve key would silently overwrite it")
-    df.withColumn("z", graft.functions.ZOrder3Expr.zorder3(x, y, t, bits))
+    val key = curve match {
+      case "zorder" => graft.functions.ZOrder3Expr.zorder3(x, y, t, bits)
+      case "hilbert" => graft.functions.Hilbert3Expr.hilbert3(x, y, t, bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' (zorder/hilbert)")
+    }
+    df.withColumn("z", key)
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions("z")
   }
@@ -139,9 +146,10 @@ object ZOrderCluster {
     * [[scanRanges]]/[[scanBox3]] prune it identically.
     */
   def write3(df: DataFrame, path: String, x: Column, y: Column, t: Column,
-             bits: Int, numPartitions: Int): Unit = {
+             bits: Int, numPartitions: Int,
+             curve: String = "zorder"): Unit = {
     val spark = df.sparkSession
-    cluster3(df, x, y, t, bits, numPartitions)
+    cluster3(df, x, y, t, bits, numPartitions, curve)
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
@@ -157,9 +165,11 @@ object ZOrderCluster {
   def scanBox3(spark: SparkSession, path: String,
                xmin: Long, xmax: Long, ymin: Long, ymax: Long,
                tmin: Long, tmax: Long, bits: Int,
-               maxRanges: Int = 64): (DataFrame, Int, Int) =
+               maxRanges: Int = 64,
+               curve: String = "zorder"): (DataFrame, Int, Int) =
     scanRanges(spark, path,
-      CurveCover.cover3(xmin, xmax, ymin, ymax, tmin, tmax, bits, maxRanges))
+      CurveCover.cover3(xmin, xmax, ymin, ymax, tmin, tmax, bits,
+        maxRanges, curve))
 
   /** Rectangle scan over a clustered layout on EITHER curve: decompose
     * the (inclusive, cell-coordinate) rectangle into at most `maxRanges`

@@ -613,6 +613,42 @@ object Relational {
       .withColumn("files_pruned", lit(true))
   }
 
+  /** q141 — the q140 box scan over a 3-D HILBERT layout: identical box,
+    * identical oracle (the answer is layout-independent — that is the
+    * point), but the layout key is [[graft.functions.Hilbert3Expr]]
+    * and the cover is the Hilbert-3 octree decomposition, exercising
+    * the octant-contiguity property end-to-end (a wrong Hilbert block
+    * interval reads the wrong files and hash-mismatches the DuckDB
+    * recompute). Mirrors the q68/q78 twin pattern: one contract, both
+    * layout strategies gated.
+    */
+  val curveCover3HilbertSkip = QueryDef("q141_curve_cover3_hilbert",
+    curveCover3Skip.oracle.get) { (s, d) =>
+    import graft.ops.ZOrderCluster
+    val path = Work.oracleDumpPath("q141_layout")
+    clusterLayouts.compute("q141", (_, prev) => {
+      if (prev != d) {
+        val base = Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(256)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(256)).cast("long").as("py"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("pt"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        ZOrderCluster.write3(base, path, col("px"), col("py"), col("pt"),
+          bits = 8, numPartitions = 24, curve = "hilbert")
+      }
+      d
+    })
+    val (scan, filesRead, filesTotal) = ZOrderCluster.scanBox3(
+      s, path, 30, 97, 100, 201, 10, 40, bits = 8, curve = "hilbert")
+    require(filesRead > 0 && filesRead < filesTotal,
+      s"hilbert-3 cover did not prune: read $filesRead of $filesTotal files")
+    scan
+      .filter(col("px").between(30, 97) && col("py").between(100, 201) &&
+        col("pt").between(10, 40))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"))
+      .withColumn("files_pruned", lit(true))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -664,5 +700,6 @@ object Relational {
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
-    rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip, olsFit)
+    rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
+    curveCover3HilbertSkip, olsFit)
 }

@@ -137,33 +137,41 @@ class CurveCoverSpec extends AnyFunSuite {
   }
 
   test("3-D: unbudgeted octree covers are EXACT for every box at " +
-    "bits=2, and for random boxes at bits=4") {
-    def exact3(xr: (Long, Long), yr: (Long, Long), tr: (Long, Long),
-               bits: Int): Set[Long] =
+    "bits=2, and for random boxes at bits=4 — BOTH curves") {
+    def idx3(curve: String, bits: Int): (Long, Long, Long) => Long =
+      curve match {
+        case "zorder" => graft.functions.ZOrder3Expr.interleave3(_, _, _, bits)
+        case "hilbert" => graft.functions.Hilbert3Expr.index(_, _, _, bits)
+      }
+    def exact3(curve: String, xr: (Long, Long), yr: (Long, Long),
+               tr: (Long, Long), bits: Int): Set[Long] =
       (for (x <- xr._1 to xr._2; y <- yr._1 to yr._2; t <- tr._1 to tr._2)
-        yield graft.functions.ZOrder3Expr.interleave3(x, y, t, bits)).toSet
+        yield idx3(curve, bits)(x, y, t)).toSet
     val n = 4
-    for (x0 <- 0 until n; x1 <- x0 until n;
+    for (curve <- Seq("zorder", "hilbert");
+         x0 <- 0 until n; x1 <- x0 until n;
          y0 <- 0 until n; y1 <- y0 until n;
          t0 <- 0 until n; t1 <- t0 until n) {
-      val c = CurveCover.cover3(x0, x1, y0, y1, t0, t1, 2, maxRanges = 100000)
-      assert(union(c) === exact3((x0, x1), (y0, y1), (t0, t1), 2),
-        s"[$x0,$x1]x[$y0,$y1]x[$t0,$t1]")
+      val c = CurveCover.cover3(x0, x1, y0, y1, t0, t1, 2,
+        maxRanges = 100000, curve = curve)
+      assert(union(c) === exact3(curve, (x0, x1), (y0, y1), (t0, t1), 2),
+        s"$curve [$x0,$x1]x[$y0,$y1]x[$t0,$t1]")
     }
     val rnd = new scala.util.Random(29)
-    for (_ <- 0 until 25) {
+    for (curve <- Seq("zorder", "hilbert"); _ <- 0 until 25) {
       val xs = Seq.fill(2)(rnd.nextInt(16).toLong).sorted
       val ys = Seq.fill(2)(rnd.nextInt(16).toLong).sorted
       val ts = Seq.fill(2)(rnd.nextInt(16).toLong).sorted
-      val want = exact3((xs(0), xs(1)), (ys(0), ys(1)), (ts(0), ts(1)), 4)
+      val want = exact3(curve, (xs(0), xs(1)), (ys(0), ys(1)),
+        (ts(0), ts(1)), 4)
       val full = CurveCover.cover3(xs(0), xs(1), ys(0), ys(1), ts(0), ts(1),
-        4, maxRanges = 1000000)
-      assert(union(full) === want, s"$xs $ys $ts")
+        4, maxRanges = 1000000, curve = curve)
+      assert(union(full) === want, s"$curve $xs $ys $ts")
       for (budget <- Seq(1, 8, 32)) {
         val capped = CurveCover.cover3(xs(0), xs(1), ys(0), ys(1),
-          ts(0), ts(1), 4, budget)
-        assert(capped.size <= budget, s"budget=$budget")
-        assert(want.subsetOf(union(capped)), s"budget=$budget cover")
+          ts(0), ts(1), 4, budget, curve = curve)
+        assert(capped.size <= budget, s"$curve budget=$budget")
+        assert(want.subsetOf(union(capped)), s"$curve budget=$budget cover")
       }
     }
   }
