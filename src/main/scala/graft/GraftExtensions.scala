@@ -69,7 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity = 4)
     register(ext, "graft_winnow_anchors",
       "graft_winnow_anchors(text, k, w) - distinct robust-winnowing " +
-        "anchor k-grams (array<string>): windowed minima of a rolling " +
+        "anchor k-grams (array<binary> — byte grams): windowed minima of a rolling " +
         "k-gram hash, window w, rightmost tie-break",
       { case Seq(t, k, w) =>
         graft.functions.WinnowAnchorsExpr(t, foldInt("k", k),

@@ -88,7 +88,11 @@ object Hilbert3Expr {
 
   /** Inverse of [[index]] — test/round-trip surface. */
   def inverse(d: Long, bits: Int): (Long, Long, Long) = {
-    require(d >= 0 && d < (1L << (3 * bits)), s"index $d out of range")
+    // range check via shift, not `d < (1L << 3*bits)`: at bits = 21 the
+    // literal bound is 1L << 63 = Long.MinValue and the compare would
+    // reject every input at the documented maximum order
+    require(d >= 0 && (3 * bits == 64 || (d >>> (3 * bits)) == 0),
+      s"index $d out of range for bits=$bits")
     val xs = new Array[Long](3)
     var j = 3 * bits - 1
     var k = 0

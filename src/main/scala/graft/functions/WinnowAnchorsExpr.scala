@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Robust-winnowing anchor selection (Schleimer, Wilkerson & Aiken,
@@ -42,7 +42,7 @@ final case class WinnowAnchorsExpr(child: Expression, k: Int, w: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"graft_winnow_anchors expects a string argument, got " +
         s"${child.dataType.sql}")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def prettyName: String = "graft_winnow_anchors"
 
   override def nullSafeEval(v: Any): Any =
@@ -62,7 +62,11 @@ object WinnowAnchorsExpr {
     * Operates on the raw UTF-8 BYTES (k-gram = k bytes): byte windows
     * and char windows select identically on ASCII, and on multi-byte
     * text byte-grams are merely a different — equally deterministic —
-    * gram family, which the guarantee is indifferent to.
+    * gram family, which the guarantee is indifferent to. Because a
+    * byte slice can split a multi-byte codepoint, grams are returned
+    * as BINARY, not strings — an honest contract (byte-equality joins
+    * work unchanged; a StringType return would hand callers invalid
+    * UTF-8 on non-ASCII text).
     */
   def anchors(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.getBytes
@@ -106,17 +110,20 @@ object WinnowAnchorsExpr {
       if (i >= w - 1 || i == n - 1) isAnchor(deque(head)) = true
       i += 1
     }
-    // distinct anchor grams, insertion-ordered
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // distinct anchor grams, insertion-ordered (ByteBuffer equality is
+    // content-based, unlike raw Array[Byte])
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
     i = 0
     while (i < n) {
-      if (isAnchor(i)) seen.add(UTF8String.fromBytes(bytes, i, k))
+      if (isAnchor(i))
+        seen.add(java.nio.ByteBuffer.wrap(
+          java.util.Arrays.copyOfRange(bytes, i, i + k)))
       i += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    while (it.hasNext) { out(i) = it.next().array(); i += 1 }
     new GenericArrayData(out)
   }
 

@@ -107,8 +107,12 @@ object ZOrderCluster {
     */
   def scanRanges(spark: SparkSession, path: String,
                  ranges: Seq[(Long, Long)]): (DataFrame, Int, Int) = {
-    require(ranges.nonEmpty, "empty range cover — nothing to scan")
     val manifest = readManifest(spark, path)
+    // an empty cover (a rectangle/box entirely outside the grid after
+    // clamping) matches nothing — like any other predicate, that is an
+    // empty relation, not an error
+    if (ranges.isEmpty)
+      return (spark.read.parquet(path).limit(0), 0, manifest.length)
     val hit = manifest.filter(f =>
       ranges.exists { case (lo, hi) => f.zMax >= lo && f.zMin <= hi })
     val df =

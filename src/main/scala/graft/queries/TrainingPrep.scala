@@ -647,13 +647,21 @@ object TrainingPrep {
       .select("id_a", "id_b").distinct()
       .persist()
     // exact verification, threshold-length grams only for documents in
-    // candidate pairs
+    // candidate pairs; persisted because the two verify joins key on
+    // DIFFERENT columns (id_a, id_b) — without the cache the heaviest
+    // stage, the gram explode, would run once per side.
+    // Persist lifecycle (all three persists here): the result is
+    // returned lazily, so an eager unpersist would force the caller's
+    // action to recompute every branch — the q132 shingle-cache
+    // discipline applies: blocks stay LRU-evictable and are reclaimed
+    // under memory pressure rather than by hand.
     val inCand = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b"))).distinct()
     val g = docs.join(inCand, "doc_id")
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, length(text) - ${SubL2 - 1}), " +
           s"i -> substring(text, i, $SubL2))"))).as("g"))
+      .persist()
     cand
       .join(g.select(col("doc_id").as("id_a"), col("g")), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("g").as("g2")), "id_b")

@@ -529,6 +529,17 @@ object H5Filters {
     * then all byte-1s, ...) and codes the result as 8-bit samples, a
     * shuffle that groups bytes of similar entropy exactly like the
     * HDF5 shuffle filter. `forward` = interleave (encode side).
+    *
+    * Honest validation status: the 8-bit Rice layer underneath is
+    * pinned by CcsdsSpec's external vectors, but THIS framing choice
+    * (byte-plane interleave; ppb/pps applied to the byte stream as-is)
+    * is validated by round-trip + crafted-file tests only — no
+    * externally-produced szip-32 chunk exists in this environment. If
+    * the convention were mis-remembered, a real NASA EOS szip-32 chunk
+    * would decode to garbage or a framing error while every shipped
+    * test passes. Residual risk is one layout convention (not a whole
+    * container, which is why this shipped while LERC did not); the
+    * closing fixture is any real szip-32 HDF5 chunk.
     */
   private def byteStreamTranspose(data: Array[Byte], wordSize: Int,
                                   forward: Boolean): Array[Byte] = {

@@ -93,15 +93,15 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("graft_winnow_anchors is callable from SQL and matches the " +
-    "Column API") {
+    "Column API (binary byte-grams)") {
     val txt = "abcabcabcabcabcXYZabcabcabc"
-    val viaSql = spark.sql(
-      s"SELECT graft_winnow_anchors('$txt', 4, 5) AS a")
-      .head.getSeq[String](0).toSet
-    val viaCol = spark.range(1)
+    def asStrings(r: org.apache.spark.sql.Row): Set[String] =
+      r.getSeq[Array[Byte]](0).map(new String(_, "UTF-8")).toSet
+    val viaSql = asStrings(spark.sql(
+      s"SELECT graft_winnow_anchors('$txt', 4, 5) AS a").head)
+    val viaCol = asStrings(spark.range(1)
       .select(graft.functions.WinnowAnchorsExpr
-        .winnowAnchors(lit(txt), 4, 5).as("a"))
-      .head.getSeq[String](0).toSet
+        .winnowAnchors(lit(txt), 4, 5).as("a")).head)
     assert(viaSql === viaCol)
     assert(viaSql.nonEmpty)
     viaSql.foreach(g => assert(g.length === 4 && txt.contains(g)))

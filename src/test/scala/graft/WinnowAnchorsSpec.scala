@@ -15,7 +15,8 @@ class WinnowAnchorsSpec extends AnyFunSuite {
 
   private def anchors(s: String, k: Int, w: Int): Set[String] = {
     val a = WinnowAnchorsExpr.anchors(UTF8String.fromString(s), k, w)
-    (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toSet
+    (0 until a.numElements())
+      .map(i => new String(a.getBinary(i), "UTF-8")).toSet
   }
 
   /** Brute selection: same hash, same (h, -pos) windowed-min rule. */

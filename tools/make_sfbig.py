@@ -43,13 +43,16 @@ copy("lineitem", f"""
          l_returnflag, l_linestatus, l_shipdate
   FROM read_parquet('{sf}/lineitem.parquet'), {rep}""")
 
+# NOTE: qualify the base relation's star — a bare `*` over the joined
+# (base, replica-counter) pair would leak the counter column `i` into
+# the output schema
 copy("documents", f"""
-  SELECT doc_id + r.i * 10000000 AS doc_id, * EXCLUDE (doc_id)
-  FROM read_parquet('{sf}/documents.parquet'), {rep}""")
+  SELECT d.doc_id + r.i * 10000000 AS doc_id, d.* EXCLUDE (doc_id)
+  FROM read_parquet('{sf}/documents.parquet') d, {rep}""")
 
 copy("embeddings", f"""
-  SELECT vec_id + r.i * 10000000 AS vec_id, * EXCLUDE (vec_id)
-  FROM read_parquet('{sf}/embeddings.parquet'), {rep}""")
+  SELECT e.vec_id + r.i * 10000000 AS vec_id, e.* EXCLUDE (vec_id)
+  FROM read_parquet('{sf}/embeddings.parquet') e, {rep}""")
 
 copy("events", f"""
   SELECT event_id + r.i * 10000000 AS event_id, ts,
