@@ -153,6 +153,11 @@ class ZOrderSpec extends SparkSpec {
         val (_, cornerRead, _) = ZOrderCluster.scanRange(spark, dir, lo, hi)
         assert(read <= cornerRead,
           s"multi-range cover read $read files, corner $cornerRead")
+        // a rectangle fully outside the grid is an empty relation, not
+        // an error (its cover is empty after clamping)
+        val (none, r0, _) = ZOrderCluster.scanRectangle(spark, dir,
+          300, 400, 0, 10, bits = 8)
+        assert(r0 === 0 && none.count() === 0)
       }
     }
   }
