@@ -649,6 +649,52 @@ object Relational {
       .withColumn("files_pruned", lit(true))
   }
 
+  /** q142 — per-file BLOOM index point lookup: the skipping complement
+    * of q131's min/max manifests. lineitem is laid out in its natural
+    * archive order (range-partitioned by l_shipdate), so every file's
+    * [min, max] over l_orderkey spans essentially the whole key domain
+    * and range stats prune NOTHING for an orderkey probe — the exact
+    * layout/probe mismatch of a time-partitioned fact table. A per-file
+    * Bloom over l_orderkey ([[graft.ops.BloomIndex]]) restores pruning
+    * for equality probes: an order's lineitems ship within a few months,
+    * landing in 1–3 of 16 date-ranged files, and blooms have no false
+    * negatives, so the probe reads those files (plus rare fp files the
+    * residual IN empties) and THROWS unless files_read < files_total.
+    * The aggregate is recomputed by DuckDB from the raw table — a
+    * dropped file (a bloom false NEGATIVE, which must never happen)
+    * loses rows and hash-mismatches.
+    */
+  val bloomSkip = QueryDef("q142_bloom_index_skip",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  TRUE AS files_pruned
+      |FROM lineitem WHERE l_orderkey IN (1, 2, 3)""".stripMargin) {
+    (s, d) =>
+    import graft.ops.BloomIndex
+    val path = Work.oracleDumpPath("q142_layout")
+    clusterLayouts.compute("q142", (_, prev) => {
+      if (prev != d) {
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_shipdate"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        BloomIndex.write(base, path, col("l_shipdate"), "l_orderkey",
+          numPartitions = 16, expectedPerFile = 65536)
+      }
+      d
+    })
+    val (scan, filesRead, filesTotal) =
+      BloomIndex.scanKeys(s, path, "l_orderkey", Seq(1L, 2L, 3L))
+    require(filesRead > 0 && filesRead < filesTotal,
+      s"bloom index did not prune: read $filesRead of $filesTotal files — " +
+        "the per-file blooms or the date layout are broken")
+    scan
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"),
+        count_distinct(col("l_orderkey")).as("n_orders"))
+      .withColumn("files_pruned", lit(filesRead < filesTotal))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -701,5 +747,5 @@ object Relational {
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
-    curveCover3HilbertSkip, olsFit)
+    curveCover3HilbertSkip, bloomSkip, olsFit)
 }
