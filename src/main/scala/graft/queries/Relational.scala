@@ -695,6 +695,50 @@ object Relational {
       .withColumn("files_pruned", lit(filesRead < filesTotal))
   }
 
+  /** q144 — small-file compaction PLAN ([[graft.ops.Compaction]]):
+    * next-fit bin assignment in layout order over a per-file manifest,
+    * the metadata-only step behind every OPTIMIZE/rewrite job. The
+    * manifest here is derived (one "file" per partkey residue, bytes =
+    * its price-cents mass) so DuckDB can recompute the identical plan;
+    * in production it is the layout's `_manifest` relation. The
+    * `contiguous` column ASSERTS the property the algorithm exists for
+    * — every output bin is an unbroken run of input files, so compacted
+    * files inherit contiguous clustering-key ranges and [[graft.ops
+    * .ZOrderCluster]] pruning survives the rewrite; an FFD-style
+    * reorder would break it (and hash-mismatch). Plan cost is
+    * O(manifest), never O(data).
+    */
+  val compactionPlan = QueryDef("q144_compaction_plan",
+    """WITH files AS (
+      |  SELECT l_partkey % 500 AS fid,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS bytes
+      |  FROM lineitem GROUP BY 1),
+      |plan AS (
+      |  SELECT fid, bytes,
+      |    COALESCE(sum(bytes) OVER (ORDER BY fid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_excl
+      |  FROM files)
+      |SELECT CAST(cum_excl // 10000000000 AS BIGINT) AS bin,
+      |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+      |  min(fid) AS fid_min, max(fid) AS fid_max,
+      |  (max(fid) - min(fid) + 1 = count(*)) AS contiguous
+      |FROM plan GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.ops.Compaction
+    val files = Tables.lineitem(s, d)
+      .groupBy(pmod(col("l_partkey"), lit(500)).cast("long").as("fid"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .cast("long").as("bytes"))
+    Compaction.planBins(files, col("bytes"), col("fid"), 10000000000L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").cast("long").as("bytes"),
+        min("fid").as("fid_min"), max("fid").as("fid_max"))
+      .withColumn("contiguous",
+        col("fid_max") - col("fid_min") + 1 === col("n_files"))
+      .orderBy("bin")
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -747,5 +791,5 @@ object Relational {
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
-    curveCover3HilbertSkip, bloomSkip, olsFit)
+    curveCover3HilbertSkip, bloomSkip, compactionPlan, olsFit)
 }

@@ -348,6 +348,57 @@ object Sketches {
         "div (CAST(10000 AS DECIMAL(38,0)) * s)").cast("long").as("est"))
   }
 
+  /** q143 — fixed-bin HISTOGRAM quantiles: the bounded-state scale path
+    * q63's doc comment promises. q63's exact per-group percentile sorts
+    * every group's values; at 100 TB a hot group's sort spills. Here the
+    * distributed pass is a (flag, bin) count — each partial carries at
+    * most `domain / binWidth` counters whatever the row count, exactly
+    * like the sketch family above — and the quantile readout picks the
+    * first bin whose cumulative count crosses ceil(p·n), over the TINY
+    * histogram relation (groups × bins), not the data. The answer is
+    * the bin's lower edge: deterministically quantized (error ≤ the
+    * $100 bin width, a DOCUMENTED bound, not a float hazard), so both
+    * engines compute bit-identical integers and the approximation
+    * itself hash-gates — same discipline as q134's raw HLL estimator.
+    * Bin width 10000 (cents) over l_extendedprice ≈ 1000 live bins.
+    */
+  val histQuantiles = QueryDef("q143_hist_quantiles",
+    """WITH q AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) // 10000 AS bin
+      |  FROM lineitem),
+      |hist AS (SELECT flag, bin, count(*) AS c FROM q GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, bin,
+      |    sum(c) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY flag) AS total
+      |  FROM hist)
+      |SELECT flag,
+      |  min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN bin END) * 10000
+      |    AS p50_lo_u,
+      |  min(CASE WHEN cum >= (total * 95 + 99) // 100 THEN bin END) * 10000
+      |    AS p95_lo_u,
+      |  min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bin END) * 10000
+      |    AS p99_lo_u
+      |FROM cum GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT) div 10000")
+          .as("bin"))
+      .groupBy("flag", "bin").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("flag").orderBy("bin")))
+      .withColumn("total", sum("c").over(Window.partitionBy("flag")))
+    def pick(p: Int, name: String) =
+      (min(when(col("cum") >= expr(s"(total * $p + 99) div 100"), col("bin")))
+        * 10000L).as(name)
+    cum.groupBy("flag")
+      .agg(pick(50, "p50_lo_u"), pick(95, "p95_lo_u"), pick(99, "p99_lo_u"))
+      .orderBy("flag")
+  }
+
   val all: Seq[QueryDef] = Seq(heavyHitters, quantiles, kmvSketch,
-    kmvJaccard, cmsFreq, hllDistinct)
+    kmvJaccard, cmsFreq, hllDistinct, histQuantiles)
 }
