@@ -156,9 +156,13 @@ object Multimodal {
       }(enc)
   }
 
-  /** ??? — codec-bound (h264/vp9) decode goes here; deterministic
+  /** ??? — codec-bound (h264/vp9) PIXEL decode goes here; deterministic
     * stand-in, gated behind `spark.graft.video.allowStub` (default off).
-    * MJPEG/AVI/MP4 decodes for real above.
+    * MJPEG/AVI/MP4 decodes for real above. H.264 streams DO have a real
+    * metadata path ([[Avc.probe]]: resolution/profile/entropy/slice mix
+    * from any Annex B stream) and a lossless {I_PCM, P_Skip} subset
+    * decoder ([[Avc.decode]], q145); what stays walled is CAVLC/CABAC
+    * residual decoding — see Avc's class doc for the boundary argument.
     */
   private def stubFrame(content: Array[Byte], idx: Int): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5")

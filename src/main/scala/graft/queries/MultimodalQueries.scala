@@ -328,7 +328,70 @@ object MultimodalQueries {
       .withColumn("short_frac", round(col("short_frac"), 3))
   }
 
+  /** q145 — H.264 bitstream probe + subset decode as parameter
+    * recovery (the q79 lossy-audio pattern, now for video): the
+    * generation parameters — resolution, GOP structure (IDR runs vs
+    * repeated frames), and the luma mass of every generated frame —
+    * are dumped BEFORE any payload exists; the payloads are then
+    * encoded as real H.264 Annex B streams ([[graft.multimodal.Avc]]:
+    * SPS/PPS + I_PCM IDR slices + P_Skip slices), and inside tasks the
+    * probe must recover resolution/profile/entropy/slice-mix from raw
+    * bytes while the subset decoder must reproduce every frame's luma
+    * sum EXACTLY (P_Skip frames inherit their reference's mass — a
+    * wrong reference copy or a mis-placed PCM macroblock shifts
+    * y_total and hash-mismatches the oracle's recompute from the
+    * params dump). Probe facts that never touch the decoder (profile,
+    * entropy mode) are literals on the oracle side — a misparse breaks
+    * the join columns, not just the sums.
+    */
+  val avcProbe = QueryDef("q145_avc_probe",
+    """SELECT media_id, width, height, 66 AS profile, FALSE AS cabac,
+      |  n_frames, n_idr, n_pskip, y_total
+      |FROM read_parquet('/tmp/graft-oracle/q145_params/*.parquet')
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Avc
+    val nVideos = 10
+    // generation parameters first: geometry, GOP run lengths, per-frame
+    // luma mass (unsigned-byte sum over the generated plane)
+    val specs = (0 until nVideos).map { i =>
+      val w = 16 * (1 + i % 3)
+      val h = 16 * (1 + (i / 2) % 2)
+      val nFrames = 3 + i % 4
+      val runLen = 1 + i % 2 // 2 -> every other frame repeats (P_Skip)
+      val frames = (0 until nFrames).map { j =>
+        val src = j - j % runLen // repeated frames reuse the run head
+        Avc.Frame(w, h,
+          Array.tabulate(w * h)(p => (p * 7 + src * 13 + i * 31).toByte),
+          Array.tabulate(w / 2 * h / 2)(p => (p * 5 + src * 3 + i).toByte),
+          Array.tabulate(w / 2 * h / 2)(p => (p * 11 + src + i * 2).toByte))
+      }
+      val ySum = frames.map(_.y.map(b => (b & 0xFF).toLong).sum).sum
+      val nIdr = (0 until nFrames).count(j => j % runLen == 0)
+      (i.toLong, w, h, nFrames, nIdr, nFrames - nIdr, ySum, frames)
+    }
+    graft.Work.oracleDump(s, "q145_params",
+      specs.map { case (id, w, h, nf, ni, np, ys, _) =>
+        (id, w, h, nf.toLong, ni.toLong, np.toLong, ys)
+      }.toDF("media_id", "width", "height", "n_frames", "n_idr",
+        "n_pskip", "y_total"), d)
+    // now the payloads: real Annex B streams, probed + decoded in tasks
+    val media = specs.map { case (id, _, _, _, _, _, _, frames) =>
+      (id, Avc.encode(frames))
+    }.toDF("media_id", "content").repartition(4)
+    media.as[(Long, Array[Byte])].map { case (id, bytes) =>
+      val p = Avc.probe(bytes).getOrElse(
+        throw new IllegalArgumentException(s"media $id: not H.264"))
+      val frames = Avc.decode(bytes)
+      val ySum = frames.map(_.y.map(b => (b & 0xFF).toLong).sum).sum
+      (id, p.width, p.height, p.profile, p.entropyCabac,
+        (p.nI + p.nP).toLong, p.nIdr.toLong, p.nP.toLong, ySum)
+    }.toDF("media_id", "width", "height", "profile", "cabac",
+      "n_frames", "n_idr", "n_pskip", "y_total")
+      .orderBy("media_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(imagePipeline, audioPipeline, audioSpectrum, videoPipeline,
-      codecProbe)
+      codecProbe, avcProbe)
 }
