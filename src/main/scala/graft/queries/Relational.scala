@@ -739,6 +739,114 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** q148 — SNAPSHOT TABLE time travel ([[graft.ops.SnapshotTable]]):
+    * two committed versions (a base load and an append), then BOTH
+    * versions scanned side by side from their manifests. Version
+    * isolation is ASSERTED twice: structurally (the v1 scan opens
+    * strictly fewer files than v2's manifest lists — a directory
+    * listing would see them all, which is exactly the failure the
+    * manifest protocol exists to prevent) and by value (each scan's
+    * count must equal its manifest's committed row count, so a scan
+    * leaking the other version's files throws before the oracle even
+    * runs). The per-version aggregates are recomputed by DuckDB from
+    * the raw table with the same date predicates — a manifest that
+    * drops or duplicates a file hash-mismatches.
+    */
+  val timeTravel = QueryDef("q148_time_travel",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1998-01-01') AS n_v1,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1998-01-01') AS qty_v1,
+      |  (SELECT count(*) FROM lineitem) AS n_v2,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem) AS qty_v2,
+      |  TRUE AS isolated""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q148_table")
+    clusterLayouts.compute("q148", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_shipdate"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(
+          base.filter(col("l_shipdate") < lit("1998-01-01")), path,
+          numPartitions = 8)
+        SnapshotTable.append(
+          base.filter(col("l_shipdate") >= lit("1998-01-01")), path,
+          numPartitions = 4)
+      }
+      d
+    })
+    val (scan1, files1, rows1) = SnapshotTable.scanAt(s, path, 1)
+    val (scan2, files2, rows2) = SnapshotTable.scanAt(s, path, 2)
+    require(files1 < files2,
+      s"time travel leaked: v1 sees $files1 files, v2 lists $files2")
+    val a1 = scan1.agg(count(lit(1)).as("n_v1"),
+      sum("qty_u").cast("long").as("qty_v1"))
+    val a2 = scan2.agg(count(lit(1)).as("n_v2"),
+      sum("qty_u").cast("long").as("qty_v2"))
+    // one execution: the collected row both feeds the drift assertion
+    // and becomes the (1-row) result
+    val r = a1.crossJoin(a2).collect().head
+    require(r.getLong(0) == rows1 && r.getLong(2) == rows2,
+      s"scan/manifest row drift: v1 ${r.getLong(0)}!=$rows1 or " +
+        s"v2 ${r.getLong(2)}!=$rows2")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), true))
+      .toDF("n_v1", "qty_v1", "n_v2", "qty_v2", "isolated")
+  }
+
+  /** q149 — COLUMN-STATS file skipping on the snapshot table: the
+    * manifest carries per-file min/max of a plain data column
+    * (ship-day), so an arbitrary date-range predicate prunes files
+    * with NO curve key involved — the Iceberg stats story
+    * complementing q131 (curve manifests) and q142 (blooms): together
+    * the three cover range-on-sorted, rectangle-on-clustered and
+    * equality-on-unsorted. Layout is the natural ingest order (range
+    * by ship day), a one-year slice out of seven years of data must
+    * leave most files untouched (asserted by require), and the
+    * aggregate is recomputed by DuckDB from the raw table with the
+    * same calendar predicate — a stats row off by one day admits or
+    * drops a file's rows and hash-mismatches.
+    */
+  val statsSkip = QueryDef("q149_stats_skip",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  min(l_orderkey) AS k_min, max(l_orderkey) AS k_max,
+      |  TRUE AS files_pruned
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q149_table")
+    clusterLayouts.compute("q149", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"),
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("ship_day"))
+      }
+      d
+    })
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val (scan, filesRead, filesTotal) =
+      SnapshotTable.scanStatsRange(s, path, 1, lo, hi)
+    require(filesRead > 0 && filesRead < filesTotal,
+      s"column stats did not prune: read $filesRead of $filesTotal files")
+    scan.agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"),
+        min("l_orderkey").as("k_min"), max("l_orderkey").as("k_max"))
+      .withColumn("files_pruned", lit(filesRead < filesTotal))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -791,5 +899,6 @@ object Relational {
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
-    curveCover3HilbertSkip, bloomSkip, compactionPlan, olsFit)
+    curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
+    statsSkip, olsFit)
 }

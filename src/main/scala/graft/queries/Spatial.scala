@@ -165,5 +165,57 @@ object Spatial {
       .orderBy("pid")
   }
 
-  val all: Seq[QueryDef] = Seq(pointInPolygon, pointInConcave)
+  /** q147 — DISTANCE-THRESHOLD self-join via GRID BUCKETING: the
+    * point-point proximity complement of q114's point-in-polygon (and
+    * the 2-D sibling of q61's binned 1-D range join). Cell size =
+    * the radius r, so every pair within r lies in the same or an
+    * adjacent cell; the left side emits its 9-cell neighborhood keys
+    * and the equi-join against home cells is a lossless candidate
+    * cover. Exactly ONE of the nine offsets equals a qualifying
+    * pair's cell delta, so with the rid<rid orientation no pair
+    * duplicates and no DISTINCT pass is needed — the join output is
+    * the candidate set. Residual exact predicate in integers
+    * (dx²+dy² ≤ r²). At 100 TB: candidates O(n·density) instead of
+    * the O(n²) cross join the oracle brute-forces; cell keys hash-
+    * partition evenly for quantized-uniform clouds, and a skewed hot
+    * cell would salt exactly like q52.
+    */
+  val proximityJoin = QueryDef("q147_proximity_join",
+    """WITH p AS (
+      |  SELECT p_partkey AS id, p_partkey % 1024 AS x,
+      |    (p_partkey * 7919) % 1024 AS y
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.id AS ia, b.id AS ib,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM p a JOIN p b ON a.id < b.id)
+      |SELECT count(*) AS n_pairs, CAST(sum(d2) AS BIGINT) AS sum_d2,
+      |  count(DISTINCT ia) AS n_anchors
+      |FROM pairs WHERE d2 <= 256""".stripMargin) { (s, d) =>
+    val r = 16L
+    val pts = Tables.part(s, d).select(col("p_partkey").as("id"),
+        pmod(col("p_partkey"), lit(1024)).cast("long").as("x"),
+        pmod(col("p_partkey") * 7919, lit(1024)).cast("long").as("y"))
+      .withColumn("cx", expr(s"x div $r")).withColumn("cy", expr(s"y div $r"))
+    // left side: 9-cell neighborhood; right side: home cell
+    val probe = pts.select(col("id"), col("x"), col("y"),
+      explode(expr("transform(sequence(0, 8), " +
+        "i -> struct(cx + i div 3 - 1 AS cx, cy + i % 3 - 1 AS cy))"))
+        .as("c"))
+      .select(col("id"), col("x"), col("y"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val joined = probe.as("a").join(pts.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+          (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))).as("d2"))
+      .filter(col("d2") <= r * r)
+    joined.agg(count(lit(1)).as("n_pairs"),
+      sum("d2").cast("long").as("sum_d2"),
+      count_distinct(col("ia")).as("n_anchors"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pointInPolygon, pointInConcave,
+    proximityJoin)
 }

@@ -695,8 +695,78 @@ object TextPipeline {
     }
   }
 
+  /** q146 — EXACT edit-distance-1 string join via SymSpell DELETION
+    * NEIGHBORHOODS: the third member of the similarity-join family,
+    * covering the metric q132 (set-similarity/prefix filter) and q38
+    * (LSH) cannot — Levenshtein distance, where token and gram sets
+    * are blind to single-character noise. The index maps each string
+    * to itself plus its |s| single-deletion variants (O(n·L) keys);
+    * any two strings within edit distance 1 MUST share a key (the
+    * edit's deletion on one side reproduces the other, or their common
+    * deletion coincides for substitutions — the SymSpell observation),
+    * so the candidate equi-join is lossless, and `levenshtein` runs
+    * only on candidates. At 100 TB this is the difference between an
+    * O(n²) cross join and a key-partitioned shuffle of O(n·L) short
+    * strings; hex-uniform keys cannot skew. Both engines build the
+    * SAME records (md5-derived names + a deterministic one-character
+    * deletion per twin), the same key sets, and the same exact verify,
+    * so candidate-set and verify bugs both hash-mismatch.
+    */
+  val editDistanceJoin = QueryDef("q146_edit_distance_join",
+    """WITH base AS (
+      |  SELECT c_custkey AS id,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS nm
+      |  FROM customer),
+      |recs AS (
+      |  SELECT id * 2 AS rid, nm FROM base
+      |  UNION ALL
+      |  SELECT id * 2 + 1,
+      |    substr(nm, 1, (id % 10)) || substr(nm, (id % 10) + 2, 10)
+      |  FROM base),
+      |ks AS (
+      |  -- fixed series 0..10 (names are <= 10 chars): i beyond the
+      |  -- length degenerates to the identity key the record already
+      |  -- has, so the DISTINCT candidate set is unchanged
+      |  SELECT rid, nm,
+      |    CASE WHEN g.i = 0 OR g.i > length(nm) THEN nm
+      |         ELSE substr(nm, 1, g.i - 1) || substr(nm, g.i + 1, 10) END AS k
+      |  FROM recs, generate_series(0, 10) AS g(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.rid AS ra, b.rid AS rb, a.nm AS na, b.nm AS nb
+      |  FROM ks a JOIN ks b ON a.k = b.k AND a.rid < b.rid),
+      |m AS (SELECT ra, rb, levenshtein(na, nb) AS lev FROM cand
+      |      WHERE levenshtein(na, nb) <= 1)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(lev) AS BIGINT) AS sum_lev,
+      |  count(DISTINCT ra) AS n_left,
+      |  count(DISTINCT rb) AS n_right
+      |FROM m""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      expr("substr(md5(CAST(c_custkey AS STRING)), 1, 10)").as("nm"))
+    val recs = base.select((col("id") * 2).as("rid"), col("nm"))
+      .unionAll(base.select((col("id") * 2 + 1).as("rid"),
+        expr("concat(substr(nm, 1, (id % 10)), " +
+          "substr(nm, (id % 10) + 2, 10))").as("nm")))
+    val ks = recs.select(col("rid"), col("nm"),
+      explode(expr("transform(sequence(0, length(nm)), i -> " +
+        "CASE WHEN i = 0 THEN nm " +
+        "ELSE concat(substr(nm, 1, i - 1), substr(nm, i + 1, 10)) END)"))
+        .as("k"))
+    val cand = ks.as("a").join(ks.as("b"),
+        col("a.k") === col("b.k") && col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
+        col("a.nm").as("na"), col("b.nm").as("nb"))
+      .distinct()
+    cand.withColumn("lev", levenshtein(col("na"), col("nb")))
+      .filter(col("lev") <= 1)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("lev").cast("long").as("sum_lev"),
+        count_distinct(col("ra")).as("n_left"),
+        count_distinct(col("rb")).as("n_right"))
+  }
+
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScore, langId, fingerprint, bpeTokens,
     exactDedup, minhashBands, ngramJaccard, simhash, dupClusters,
     dupClustersStar, tfidfTerms, nfcNormalize, bigramLm, setsimJoin,
-    vocabOov)
+    vocabOov, editDistanceJoin)
 }
