@@ -142,7 +142,79 @@ object SnapshotTable {
       : (DataFrame, Int, Long) = {
     val ver = readVersion(spark, path, version)
     require(ver.files.nonEmpty, s"version $version is empty")
-    (spark.read.parquet(ver.files: _*), ver.files.length, ver.rows)
+    // mergeSchema: appends may evolve the schema (added columns read
+    // as null from older files) — the manifest, not file homogeneity,
+    // defines the table
+    (spark.read.option("mergeSchema", "true").parquet(ver.files: _*),
+      ver.files.length, ver.rows)
+  }
+
+  /** Copy-on-write DELETE of stat-column range [lo, hi]: rewrite ONLY
+    * the files whose manifest [min, max] intersects the range —
+    * untouched files carry into the new version BY REFERENCE (zero
+    * I/O), which is the entire economics of a 100 TB delete: dropping
+    * one bad ingest day must not rewrite seven years. Survivor rows of
+    * the hit files are rewritten into new files, and the next manifest
+    * lists carried + rewritten files. Time travel is preserved: the
+    * old version's manifest (and its files, which are never deleted
+    * here — that is a separate retention sweep) still reads exactly
+    * the pre-delete table. Returns (newVersion, filesRewritten,
+    * filesTotalBefore).
+    */
+  def deleteStatsRange(spark: SparkSession, path: String, lo: Long,
+                       hi: Long): (Long, Int, Int) = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val st = ver.stats.getOrElse(throw new IllegalArgumentException(
+      "copy-on-write delete needs column stats — append with statsCol"))
+    val hitIdx = ver.files.indices.filter(i =>
+      st.maxs(i) >= lo && st.mins(i) <= hi)
+    val keepIdx = ver.files.indices.filterNot(hitIdx.contains)
+    val v = prev + 1
+    if (hitIdx.isEmpty) {
+      // nothing intersects: the new version is the old file list
+      val manifest = Json.obj(Seq(
+        "version" -> v.toString, "rows" -> ver.rows.toString,
+        "files" -> ver.files.map(Json.quote).mkString("[", ",", "]"),
+        "stats_col" -> Json.quote(st.col),
+        "stats_min" -> st.mins.mkString("[", ",", "]"),
+        "stats_max" -> st.maxs.mkString("[", ",", "]")))
+      val tmp = logDir(path).resolve(s".v$v.json.tmp")
+      Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath(path, v), StandardCopyOption.ATOMIC_MOVE)
+      return (v, 0, ver.files.length)
+    }
+    val hitFiles = hitIdx.map(ver.files)
+    val hitRows = spark.read.parquet(hitFiles: _*).count()
+    val survivors = spark.read.parquet(hitFiles: _*)
+      .filter(!col(st.col).between(lo, hi))
+    val batchDir = s"$path/files/batch-$v"
+    // keep the survivors' stat-order so their new stats stay tight
+    survivors.repartitionByRange(math.max(hitIdx.length / 2, 1),
+        col(st.col))
+      .sortWithinPartitions(st.col)
+      .write.mode("errorifexists").parquet(batchDir)
+    val perFile = spark.read.parquet(batchDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min(col(st.col)).cast("long").as("mn"),
+        max(col(st.col)).cast("long").as("mx"))
+      .collect().sortBy(_.getString(0))
+    val newRows = perFile.map(_.getLong(1)).sum
+    val files = keepIdx.map(ver.files) ++ perFile.map(_.getString(0))
+    val mins = keepIdx.map(st.mins) ++ perFile.map(_.getLong(2))
+    val maxs = keepIdx.map(st.maxs) ++ perFile.map(_.getLong(3))
+    val manifest = Json.obj(Seq(
+      "version" -> v.toString,
+      "rows" -> (ver.rows - hitRows + newRows).toString,
+      "files" -> files.map(Json.quote).mkString("[", ",", "]"),
+      "stats_col" -> Json.quote(st.col),
+      "stats_min" -> mins.mkString("[", ",", "]"),
+      "stats_max" -> maxs.mkString("[", ",", "]")))
+    val tmp = logDir(path).resolve(s".v$v.json.tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(path, v), StandardCopyOption.ATOMIC_MOVE)
+    (v, hitIdx.length, ver.files.length)
   }
 
   /** Stats-pruned range scan at `version`: open only the files whose

@@ -847,6 +847,116 @@ object Relational {
       .withColumn("files_pruned", lit(filesRead < filesTotal))
   }
 
+  /** q150 — COPY-ON-WRITE DELETE on the snapshot table: dropping one
+    * year out of seven rewrites ONLY the files whose stat range
+    * intersects it ([[graft.ops.SnapshotTable.deleteStatsRange]]);
+    * everything else carries into v2 by reference, zero I/O — the
+    * economics that make a 100 TB delete feasible at all. The rewrite
+    * scope is ASSERTED (0 < rewritten < total files), v1 remains
+    * readable and must still aggregate to the FULL table (time travel
+    * across a destructive operation — the recovery story), and both
+    * versions' aggregates are recomputed by DuckDB from the raw table
+    * with and without the deleted range.
+    */
+  val cowDelete = QueryDef("q150_cow_delete",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_v1,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01') AS n_v2,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01') AS qty_v2,
+      |  TRUE AS partial_rewrite""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q150_table")
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q150", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"),
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("ship_day"))
+        val (_, rewritten, total) =
+          SnapshotTable.deleteStatsRange(s, path, lo, hi)
+        require(rewritten > 0 && rewritten < total,
+          s"copy-on-write delete rewrote $rewritten of $total files — " +
+            "stats pruning of the rewrite scope is broken")
+      }
+      d
+    })
+    val (scan1, _, rows1) = SnapshotTable.scanAt(s, path, 1)
+    val (scan2, _, rows2) = SnapshotTable.scanAt(s, path, 2)
+    val r1 = scan1.agg(count(lit(1))).collect().head.getLong(0)
+    val a2 = scan2.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    require(r1 == rows1 && a2.getLong(0) == rows2,
+      "scan/manifest row drift across the delete")
+    // deleted rows must actually be GONE from v2
+    require(scan2.filter(col("ship_day").between(lo, hi)).isEmpty,
+      "deleted range still present at v2")
+    import s.implicits._
+    Seq((r1, a2.getLong(0), a2.getLong(1), true))
+      .toDF("n_v1", "n_v2", "qty_v2", "partial_rewrite")
+  }
+
+  /** q151 — SCHEMA EVOLUTION on the snapshot table: v2 appends a
+    * column v1's files don't have; the manifest-driven scan reads the
+    * union schema (old files surface the new column as NULL — additive
+    * evolution, no rewrite), and the aggregate folds the evolved
+    * column with null-as-absent semantics. DuckDB recomputes from the
+    * raw table by reconstructing the same two-batch union, so a scan
+    * that drops old files, fails to merge schemas, or defaults the
+    * missing column to anything but NULL hash-mismatches.
+    */
+  val schemaEvolution = QueryDef("q151_schema_evolution",
+    """WITH v1 AS (
+      |  SELECT l_orderkey AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS a,
+      |    CAST(NULL AS BIGINT) AS b
+      |  FROM lineitem WHERE l_linenumber = 1),
+      |v2 AS (
+      |  SELECT l_orderkey AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS a,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS b
+      |  FROM lineitem WHERE l_linenumber = 2),
+      |t AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |SELECT count(*) AS n, CAST(sum(a) AS BIGINT) AS sum_a,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  count(b) AS n_with_b
+      |FROM t""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q151_table")
+    clusterLayouts.compute("q151", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val li = Tables.lineitem(s, d)
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 1).select(
+            col("l_orderkey").as("k"),
+            floor(col("l_quantity") * 100).cast("long").as("a")),
+          path, numPartitions = 4)
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 2).select(
+            col("l_orderkey").as("k"),
+            floor(col("l_quantity") * 100).cast("long").as("a"),
+            floor(col("l_extendedprice") * 100).cast("long").as("b")),
+          path, numPartitions = 4)
+      }
+      d
+    })
+    val (scan, _, _) = SnapshotTable.scanAt(s, path, 2)
+    scan.agg(count(lit(1)).as("n"), sum("a").cast("long").as("sum_a"),
+      sum("b").cast("long").as("sum_b"),
+      count(col("b")).as("n_with_b"))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -900,5 +1010,5 @@ object Relational {
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
     curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
-    statsSkip, olsFit)
+    statsSkip, cowDelete, schemaEvolution, olsFit)
 }

@@ -92,6 +92,52 @@ class SnapshotTableSpec extends SparkSpec {
     assert(scan.count() === 50)
   }
 
+  test("copy-on-write delete rewrites only intersecting files and " +
+    "preserves time travel") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0L until 1000L).toDF("day"), path, 10,
+      statsCol = Some("day"))
+    val (v2, rewritten, total) =
+      SnapshotTable.deleteStatsRange(spark, path, 250, 349)
+    assert(v2 === 2 && total === 10)
+    assert(rewritten > 0 && rewritten < total, s"rewrote $rewritten")
+    val (s2, _, rows2) = SnapshotTable.scanAt(spark, path, 2)
+    assert(rows2 === 900 && s2.count() === 900)
+    assert(s2.filter(col("day").between(250, 349)).isEmpty)
+    // v1 still reads the pre-delete table
+    val (s1, _, rows1) = SnapshotTable.scanAt(spark, path, 1)
+    assert(rows1 === 1000 && s1.count() === 1000)
+    // boundary survivors of the rewritten files are intact
+    assert(s2.filter(col("day").between(200, 249)).count() === 50)
+    assert(s2.filter(col("day").between(350, 399)).count() === 50)
+  }
+
+  test("delete of a non-intersecting range carries all files forward") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0L until 100L).toDF("day"), path, 4,
+      statsCol = Some("day"))
+    val (v2, rewritten, total) =
+      SnapshotTable.deleteStatsRange(spark, path, 5000, 6000)
+    assert(v2 === 2 && rewritten === 0)
+    val (s2, f2, rows2) = SnapshotTable.scanAt(spark, path, 2)
+    assert(f2 === total && rows2 === 100 && s2.count() === 100)
+  }
+
+  test("schema evolution: an appended column reads as null from old " +
+    "files") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(Seq((1L, 10L)).toDF("k", "a"), path, 1)
+    SnapshotTable.append(Seq((2L, 20L, 7L)).toDF("k", "a", "b"), path, 1)
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, 2)
+    val rows = scan.orderBy("k").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b")))
+    assert(rows(1).getLong(rows(1).fieldIndex("b")) === 7L)
+  }
+
   test("missing version and missing table are loud") {
     import spark.implicits._
     val path = freshPath()
