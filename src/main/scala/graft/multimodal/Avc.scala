@@ -55,7 +55,10 @@ object Avc {
       var z = 0
       while ({ require(bitsLeft > 0, "bitstream underrun in ue()"); bitAt(pos) == 0 }) {
         z += 1; pos += 1
-        require(z <= 31, "ue() prefix longer than 31 bits — corrupt stream")
+        // z == 31 would compute (1 << 31) = Int.MinValue and return a
+        // negative value; no field parsed here is ever > 2^31 - 2, so a
+        // 31-zero prefix is corruption, not a large code
+        require(z <= 30, "ue() prefix longer than 30 bits — corrupt stream")
       }
       pos += 1 // the terminating 1
       if (z == 0) 0 else ((1 << z) | u(z)) - 1

@@ -3,7 +3,7 @@ package graft.ops
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.Base64
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -31,6 +31,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * order-independent bit-sets over Murmur3 of the key, so the merged
   * index is deterministic for a deterministic layout.
   *
+  * The PROBE side is distributed too: the index relation is filtered
+  * in executors (each task decodes only its partition's blooms, tests
+  * membership, and emits at most the file NAME), so the driver holds
+  * O(hit files) strings — never O(files × bloomBytes). At 100k files ×
+  * ~1.2 MB blooms that is the difference between a few KB of hit
+  * names and ~120 GB of driver heap for one point lookup.
+  *
   * Like the curve-key manifests, the index is derived by re-scanning
   * the written files (`input_file_name`), recording what a reader will
   * actually observe, whatever the committer renamed.
@@ -48,23 +55,16 @@ object BloomIndex {
   private def deserialize(b: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(b))
 
-  /** Lay `df` out range-partitioned by `sortCol` (the natural archive
-    * order — time, crawl sequence) and build the per-file Bloom index
-    * over long-castable column `keyName`.
-    *
-    * `expectedPerFile` sizes every bloom identically (a requirement for
-    * the OR-merge); an undershoot only inflates the false-positive rate
-    * — pruning degrades, correctness never does.
+  /** One index row per file of `files`: per-scan-partition partial
+    * blooms OR-merged per file. The shuffle carries only bloom bytes;
+    * nothing here ever materializes data or blooms on the driver.
+    * Shared by the standalone index writer and the snapshot-table
+    * per-batch index maintenance ([[SnapshotTable]]).
     */
-  def write(df: DataFrame, path: String, sortCol: Column, keyName: String,
-            numPartitions: Int, expectedPerFile: Long,
-            fpp: Double = 0.01): Unit = {
-    val spark = df.sparkSession
+  def buildRows(spark: SparkSession, files: Seq[String], keyName: String,
+                expectedPerFile: Long, fpp: Double): Dataset[FileBloom] = {
     import spark.implicits._
-    df.repartitionByRange(numPartitions, sortCol)
-      .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(path)
-    val partials = spark.read.parquet(path)
+    spark.read.parquet(files: _*)
       .select(input_file_name().as("file"),
         col(keyName).cast("long").as("k"))
       .as[(String, Long)]
@@ -78,7 +78,6 @@ object BloomIndex {
         }
         acc.iterator.map { case (f, (bf, n)) => (f, n, serialize(bf)) }
       }
-    partials
       .groupByKey(_._1)
       .reduceGroups { (a, b) =>
         val bf = deserialize(a._3)
@@ -88,33 +87,80 @@ object BloomIndex {
       .map { case (file, (_, n, bytes)) =>
         FileBloom(file, n, Base64.getEncoder.encodeToString(bytes))
       }
+  }
+
+  /** Lay `df` out range-partitioned by `sortCol` (the natural archive
+    * order — time, crawl sequence) and build the per-file Bloom index
+    * over long-castable column `keyName`.
+    *
+    * `expectedPerFile` sizes every bloom identically (a requirement for
+    * the OR-merge); an undershoot only inflates the false-positive rate
+    * — pruning degrades, correctness never does.
+    */
+  def write(df: DataFrame, path: String, sortCol: Column, keyName: String,
+            numPartitions: Int, expectedPerFile: Long,
+            fpp: Double = 0.01): Unit = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numPartitions, sortCol)
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    val files = spark.read.parquet(path)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq // O(files) names, metadata only
+    buildRows(spark, files, keyName, expectedPerFile, fpp)
       .coalesce(1)
       .write.mode("overwrite").json(path + "_bloomidx")
   }
 
-  def readIndex(spark: SparkSession, path: String): Seq[FileBloom] =
-    spark.read.json(path + "_bloomidx").collect().map { r =>
-      FileBloom(r.getAs[String]("file"), r.getAs[Long]("n"),
-        r.getAs[String]("bloomB64"))
-    }.toSeq
+  /** The probe RELATION: one row `(files_total, hit_files)` where
+    * membership is evaluated per index row IN EXECUTORS — each task
+    * decodes its partition's blooms, tests the probe keys, and emits
+    * the file name iff some key might be present. The schema of what
+    * reaches the driver is `(bigint, array<string>)`: bloom bytes never
+    * leave the executors, so probe-side driver memory is O(hit files)
+    * however many files the index covers. Exposed (rather than inlined
+    * in [[scanKeys]]) so tests can pin that schema property.
+    */
+  def probePlan(idx: DataFrame, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "bloom probe needs at least one key")
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val ks = keys.toArray
+    idx.select(col("file"), col("bloomB64")).as[(String, String)]
+      .map { case (f, b64) =>
+        val bf = deserialize(Base64.getDecoder.decode(b64))
+        (f, ks.exists(bf.mightContainLong))
+      }
+      .toDF("file", "hit")
+      // collect_list skips the nulls the `when` leaves for misses, so
+      // the single collected row carries ONLY hit names plus the total
+      .agg(count(lit(1)).as("files_total"),
+        collect_list(when(col("hit"), col("file"))).as("hit_files"))
+  }
+
+  /** Executor-side probe over an index relation: (hitFiles, filesTotal). */
+  def probeFiles(idx: DataFrame, keys: Seq[Long]): (Seq[String], Int) = {
+    val r = probePlan(idx, keys).collect().head
+    (r.getAs[scala.collection.Seq[String]]("hit_files").toSeq.sorted,
+      r.getAs[Long]("files_total").toInt)
+  }
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path + "_bloomidx")
 
   /** Equality probe with file skipping: read only the files whose bloom
     * MIGHT contain at least one probe key, with the exact `IN` predicate
     * as the residual. Returns (relation, filesRead, filesTotal) so
     * callers can ASSERT the skipping payoff, [[ZOrderCluster.scanRange]]
-    * style.
+    * style. Membership tests run in executors ([[probePlan]]); the
+    * driver receives only the hit file names.
     */
   def scanKeys(spark: SparkSession, path: String, keyName: String,
                keys: Seq[Long]): (DataFrame, Int, Int) = {
-    require(keys.nonEmpty, "bloom probe needs at least one key")
-    val index = readIndex(spark, path)
-    val hit = index.filter { fb =>
-      val bf = deserialize(Base64.getDecoder.decode(fb.bloomB64))
-      keys.exists(bf.mightContainLong)
-    }
+    val (hit, total) = probeFiles(readIndex(spark, path), keys)
     val df =
       if (hit.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(hit.map(_.file): _*)
-    (df.filter(col(keyName).isin(keys: _*)), hit.length, index.length)
+      else spark.read.parquet(hit: _*)
+    (df.filter(col(keyName).isin(keys: _*)), hit.length, total)
   }
 }

@@ -30,7 +30,12 @@ object Compaction {
   /** Assign each manifest row a `bin` — floor(exclusive-prefix-sum /
     * target) over `orderCol` — plus the running fill. A file larger
     * than `target` gets (at least) a bin of its own; bins never split a
-    * file. Deterministic integer arithmetic end-to-end.
+    * file. Deterministic integer arithmetic end-to-end — PROVIDED
+    * `orderCol` is a total order: `Window.orderBy` with ties gives a
+    * nondeterministic prefix sum, so callers must pass a unique key
+    * (a file id/path, or a `struct(min, max, file)` as
+    * [[SnapshotTable.compact]] does) rather than a stat with
+    * duplicates.
     */
   def planBins(manifest: DataFrame, sizeCol: Column, orderCol: Column,
                target: Long): DataFrame = {

@@ -1,9 +1,9 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Json
@@ -16,17 +16,38 @@ import graft.Json
   * exactly the data files visible at that version. Readers never list
   * the directory (an eventually-consistent object store lists late,
   * lists partial writes, and lists abandoned files from failed jobs);
-  * they read `log/v{N}.json` and open precisely those files. A commit
-  * is one write-then-atomic-rename of the next manifest, so a reader
-  * sees v{N} entirely or not at all — on a real object store the
-  * rename becomes a conditional put, with the SAME manifest contents.
+  * they read `log/v{N}.json` and open precisely those files.
   *
-  * Manifests are COMPLETE snapshots (every visible file), not deltas:
+  * A commit is CREATE-EXCLUSIVE: the manifest is written to a unique
+  * temp name and hard-linked to `v{N}.json`, which atomically fails
+  * with [[FileAlreadyExistsException]] when some other writer already
+  * committed N — optimistic concurrency, the local-filesystem twin of
+  * an object store's if-none-match conditional put. Appends RETRY on
+  * conflict (their data files are already durable under a unique batch
+  * directory, so only the cheap manifest step re-runs against the new
+  * latest version, and the loser's rows land at N+1 — no committed
+  * version is ever silently replaced). Mutating commits that PLANNED
+  * against the previous version (delete, compaction) do not blind-
+  * retry: their file arithmetic is stale on conflict, so they fail
+  * loudly for the caller to re-plan.
+  *
+  * Manifests are COMPLETE snapshots (every visible file, with per-file
+  * row counts, byte sizes, and optional column min/max), not deltas:
   * O(files) bytes per version, but time travel and recovery need no
   * log replay, and scan planning is a single small read however long
   * the history — the right trade until file counts force Iceberg-style
-  * manifest trees (note in [[Compaction]]: bin-compaction keeps file
-  * counts bounded, which is what keeps THIS design flat).
+  * manifest trees ([[compact]] keeps file counts bounded, which is
+  * what keeps THIS design flat). Per-file row counts make
+  * scan/manifest drift checks and COW-delete accounting metadata-only;
+  * per-file byte sizes feed the compaction planner without touching
+  * the filesystem.
+  *
+  * The table can carry its own per-file Bloom index over one column
+  * ([[BloomIndex]]): append writes index rows for each new batch, and
+  * delete/compaction re-index the files they rewrite, so EQUALITY
+  * probes keep whole-file skipping at every version — the index
+  * follows the table through every commit instead of pointing at
+  * whatever layout happens to be latest.
   */
 object SnapshotTable {
 
@@ -36,26 +57,50 @@ object SnapshotTable {
     */
   final case class Stats(col: String, mins: Seq[Long], maxs: Seq[Long])
 
+  /** Bloom-index configuration recorded in the manifest so mutating
+    * commits know to keep the index current for the files they write.
+    */
+  final case class BloomConf(col: String, expectedPerFile: Long)
+
   final case class Version(version: Long, files: Seq[String], rows: Long,
-                           stats: Option[Stats] = None)
+                           stats: Option[Stats] = None,
+                           fileRows: Option[Seq[Long]] = None,
+                           fileBytes: Option[Seq[Long]] = None,
+                           bloom: Option[BloomConf] = None)
+
+  /** Facts about one committed batch of data files, derived by reading
+    * the WRITTEN files back (what a reader will actually observe,
+    * whatever the committer renamed) plus one directory listing for
+    * byte sizes. Everything is O(files in the batch) metadata.
+    */
+  private final case class Batch(files: Seq[String], rows: Seq[Long],
+                                 bytes: Seq[Long], mins: Seq[Long],
+                                 maxs: Seq[Long])
 
   private def logDir(path: String): Path = Paths.get(path, "log")
 
   private def manifestPath(path: String, v: Long): Path =
     logDir(path).resolve(s"v$v.json")
 
+  private def bloomIdxDir(path: String): String = s"$path/bloomidx"
+
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.take(12)
+
   /** Latest committed version, 0 if the table does not exist. */
   def latestVersion(path: String): Long = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) return 0L
-    val vs = Files.list(dir).iterator()
-    var best = 0L
-    vs.forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("v") && n.endsWith(".json"))
-        best = math.max(best, n.drop(1).dropRight(5).toLong)
-    }
-    best
+    val st = Files.list(dir)
+    try {
+      var best = 0L
+      st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          best = math.max(best, n.drop(1).dropRight(5).toLong)
+      }
+      best
+    } finally st.close()
   }
 
   def readVersion(spark: SparkSession, path: String, v: Long): Version = {
@@ -63,39 +108,89 @@ object SnapshotTable {
     require(Files.exists(p), s"snapshot table $path has no version $v")
     val df = spark.read.json(p.toString)
     val r = df.collect().head
+    def longs(c: String): Option[Seq[Long]] =
+      if (df.columns.contains(c))
+        Some(r.getAs[scala.collection.Seq[Long]](c).toSeq)
+      else None
     val stats =
       if (df.columns.contains("stats_col"))
         Some(Stats(r.getAs[String]("stats_col"),
-          r.getAs[scala.collection.Seq[Long]]("stats_min").toSeq,
-          r.getAs[scala.collection.Seq[Long]]("stats_max").toSeq))
+          longs("stats_min").get, longs("stats_max").get))
+      else None
+    val bloom =
+      if (df.columns.contains("bloom_col"))
+        Some(BloomConf(r.getAs[String]("bloom_col"),
+          r.getAs[Long]("bloom_expected")))
       else None
     Version(r.getAs[Long]("version"),
       r.getAs[scala.collection.Seq[String]]("files").toSeq,
-      r.getAs[Long]("rows"), stats)
+      r.getAs[Long]("rows"), stats, longs("file_rows"),
+      longs("file_bytes"), bloom)
   }
 
-  /** Commit `df` as the next version: new immutable data files under
-    * `files/batch-{v}/`, then the manifest (previous visible files +
-    * the new batch) written to a temp name and atomically renamed.
-    * Returns the committed version number.
+  // ------------------------------------------------------------ commit
+
+  private def renderManifest(v: Long, files: Seq[String], rows: Seq[Long],
+                             bytes: Seq[Long], stats: Option[Stats],
+                             bloom: Option[BloomConf]): String = {
+    val fields = scala.collection.mutable.ArrayBuffer(
+      "version" -> v.toString,
+      "rows" -> rows.sum.toString,
+      "files" -> files.map(Json.quote).mkString("[", ",", "]"),
+      "file_rows" -> rows.mkString("[", ",", "]"),
+      "file_bytes" -> bytes.mkString("[", ",", "]"))
+    stats.foreach { st =>
+      fields += "stats_col" -> Json.quote(st.col)
+      fields += "stats_min" -> st.mins.mkString("[", ",", "]")
+      fields += "stats_max" -> st.maxs.mkString("[", ",", "]")
+    }
+    bloom.foreach { bc =>
+      fields += "bloom_col" -> Json.quote(bc.col)
+      fields += "bloom_expected" -> bc.expectedPerFile.toString
+    }
+    Json.obj(fields)
+  }
+
+  /** Conditional put of `v{N}.json`: write to a unique temp name, then
+    * hard-link it to the manifest name — `createLink` is atomic and
+    * FAILS (never replaces) when the target exists, surfacing a racing
+    * writer's earlier commit as [[FileAlreadyExistsException]]. This is
+    * the property a plain rename lacks: POSIX rename silently replaces,
+    * which would let two writers that both computed prev+1 discard one
+    * another's committed version.
     */
-  def append(df: DataFrame, path: String, numPartitions: Int,
-             statsCol: Option[String] = None): Long = {
+  private def commitExclusive(path: String, v: Long,
+                              manifest: String): Unit = {
+    Files.createDirectories(logDir(path))
+    val tmp = logDir(path).resolve(s".v$v.${nonce()}.tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(manifestPath(path, v), tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+
+  // ------------------------------------------------------------- batch
+
+  /** Write `df` as a new immutable batch under a unique directory and
+    * derive its per-file facts. `statsCol`-laid-out batches are range-
+    * partitioned and sorted so file min/max stay tight (stats only
+    * prune when files hold tight ranges; a date-ish column arrives
+    * nearly sorted anyway).
+    */
+  private def writeBatch(df: DataFrame, path: String, numPartitions: Int,
+                         statsCol: Option[String]): Batch = {
     val spark = df.sparkSession
-    val prev = latestVersion(path)
-    val v = prev + 1
-    val batchDir = s"$path/files/batch-$v"
+    val batchDir = s"$path/files/batch-${nonce()}"
     val laidOut = statsCol match {
-      // stats only prune when files hold tight ranges: range-partition
-      // and sort by the stat column (the natural ingest order — a date
-      // column arrives nearly sorted anyway)
       case Some(c) => df.repartitionByRange(numPartitions, col(c))
         .sortWithinPartitions(c)
       case None => df.repartition(numPartitions)
     }
     laidOut.write.mode("errorifexists").parquet(batchDir)
-    // manifest facts derived from the WRITTEN files (one read-back
-    // aggregation), recording what a reader will observe
+    batchFacts(spark, batchDir, statsCol)
+  }
+
+  private def batchFacts(spark: SparkSession, batchDir: String,
+                         statsCol: Option[String]): Batch = {
     val perFile = spark.read.parquet(batchDir)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"),
@@ -103,36 +198,96 @@ object SnapshotTable {
           .getOrElse(max(lit(0L)).as("mn")),
         statsCol.map(c => max(col(c)).cast("long").as("mx"))
           .getOrElse(max(lit(0L)).as("mx")))
-      .collect().sortBy(_.getString(0))
-    val newFiles = perFile.map(_.getString(0)).toSeq
-    val newRows = perFile.map(_.getLong(1)).sum
-    val base =
-      if (prev == 0) Version(0, Seq.empty, 0)
-      else readVersion(spark, path, prev)
-    require(statsCol.isEmpty || base.files.isEmpty ||
-        base.stats.exists(_.col == statsCol.get),
-      s"stats column changed mid-table (was ${base.stats.map(_.col)})")
-    val fields = scala.collection.mutable.ArrayBuffer(
-      "version" -> v.toString,
-      "rows" -> (base.rows + newRows).toString,
-      "files" -> (base.files ++ newFiles).map(Json.quote)
-        .mkString("[", ",", "]"))
-    statsCol.foreach { c =>
-      val baseMins = base.stats.map(_.mins).getOrElse(Seq.empty)
-      val baseMaxs = base.stats.map(_.maxs).getOrElse(Seq.empty)
-      fields += "stats_col" -> Json.quote(c)
-      fields += "stats_min" -> (baseMins ++ perFile.map(_.getLong(2)))
-        .mkString("[", ",", "]")
-      fields += "stats_max" -> (baseMaxs ++ perFile.map(_.getLong(3)))
-        .mkString("[", ",", "]")
+      .collect().sortBy(_.getString(0)) // O(batch files) metadata
+    val sizes: Map[String, Long] = {
+      val st = Files.list(Paths.get(batchDir.stripPrefix("file:")))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      finally st.close()
     }
-    val manifest = Json.obj(fields)
-    Files.createDirectories(logDir(path))
-    val tmp = logDir(path).resolve(s".v$v.json.tmp")
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(path, v), StandardCopyOption.ATOMIC_MOVE)
-    v
+    def sizeOf(f: String): Long =
+      sizes.getOrElse(f.substring(f.lastIndexOf('/') + 1),
+        throw new IllegalStateException(s"written file vanished: $f"))
+    Batch(perFile.map(_.getString(0)).toSeq,
+      perFile.map(_.getLong(1)).toSeq,
+      perFile.map(r => sizeOf(r.getString(0))).toSeq,
+      perFile.map(_.getLong(2)).toSeq,
+      perFile.map(_.getLong(3)).toSeq)
   }
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  /** Build and persist bloom-index rows for a batch's files (metadata
+    * beside the data, one JSON dir per batch; probes read the union
+    * and restrict to the manifest's file list).
+    */
+  private def writeBloomRows(spark: SparkSession, path: String,
+                             files: Seq[String], bc: BloomConf): Unit =
+    BloomIndex.buildRows(spark, files, bc.col, bc.expectedPerFile,
+        fpp = 0.01)
+      .coalesce(1)
+      .write.mode("errorifexists")
+      .json(s"${bloomIdxDir(path)}/idx-${nonce()}")
+
+  // ------------------------------------------------------------ append
+
+  /** Commit `df` as the next version: new immutable data files under a
+    * unique batch directory, then a create-exclusive manifest commit,
+    * RETRIED against the refreshed latest version when a concurrent
+    * append wins the race (both batches end up visible — the loser's
+    * at the next version number). Returns the committed version.
+    */
+  def append(df: DataFrame, path: String, numPartitions: Int,
+             statsCol: Option[String] = None,
+             bloomCol: Option[String] = None,
+             bloomExpectedPerFile: Long = 1L << 16): Long = {
+    val spark = df.sparkSession
+    val batch = writeBatch(df, path, numPartitions, statsCol)
+    val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))
+    bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      val base =
+        if (prev == 0) Version(0, Seq.empty, 0)
+        else readVersion(spark, path, prev)
+      require(statsCol.isEmpty || base.files.isEmpty ||
+          base.stats.exists(_.col == statsCol.get),
+        s"stats column changed mid-table (was ${base.stats.map(_.col)})")
+      require(bloomCol.isEmpty || base.files.isEmpty ||
+          base.bloom.exists(_.col == bloomCol.get),
+        s"bloom column changed mid-table (was ${base.bloom.map(_.col)})")
+      val v = prev + 1
+      val manifest = renderManifest(v,
+        base.files ++ batch.files,
+        base.fileRows.getOrElse(Seq.fill(base.files.length)(0L)) ++
+          batch.rows,
+        base.fileBytes.getOrElse(Seq.fill(base.files.length)(0L)) ++
+          batch.bytes,
+        statsCol.map { c =>
+          Stats(c,
+            base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
+            base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
+        },
+        bloomConf.orElse(base.bloom))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"append to $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
+  // ------------------------------------------------------------- scans
 
   /** Time-travel scan: exactly the files visible at `version`, plus
     * (filesRead, rowsExpected) so callers can assert isolation — a
@@ -147,74 +302,6 @@ object SnapshotTable {
     // defines the table
     (spark.read.option("mergeSchema", "true").parquet(ver.files: _*),
       ver.files.length, ver.rows)
-  }
-
-  /** Copy-on-write DELETE of stat-column range [lo, hi]: rewrite ONLY
-    * the files whose manifest [min, max] intersects the range —
-    * untouched files carry into the new version BY REFERENCE (zero
-    * I/O), which is the entire economics of a 100 TB delete: dropping
-    * one bad ingest day must not rewrite seven years. Survivor rows of
-    * the hit files are rewritten into new files, and the next manifest
-    * lists carried + rewritten files. Time travel is preserved: the
-    * old version's manifest (and its files, which are never deleted
-    * here — that is a separate retention sweep) still reads exactly
-    * the pre-delete table. Returns (newVersion, filesRewritten,
-    * filesTotalBefore).
-    */
-  def deleteStatsRange(spark: SparkSession, path: String, lo: Long,
-                       hi: Long): (Long, Int, Int) = {
-    val prev = latestVersion(path)
-    require(prev > 0, s"snapshot table $path does not exist")
-    val ver = readVersion(spark, path, prev)
-    val st = ver.stats.getOrElse(throw new IllegalArgumentException(
-      "copy-on-write delete needs column stats — append with statsCol"))
-    val hitIdx = ver.files.indices.filter(i =>
-      st.maxs(i) >= lo && st.mins(i) <= hi)
-    val keepIdx = ver.files.indices.filterNot(hitIdx.contains)
-    val v = prev + 1
-    if (hitIdx.isEmpty) {
-      // nothing intersects: the new version is the old file list
-      val manifest = Json.obj(Seq(
-        "version" -> v.toString, "rows" -> ver.rows.toString,
-        "files" -> ver.files.map(Json.quote).mkString("[", ",", "]"),
-        "stats_col" -> Json.quote(st.col),
-        "stats_min" -> st.mins.mkString("[", ",", "]"),
-        "stats_max" -> st.maxs.mkString("[", ",", "]")))
-      val tmp = logDir(path).resolve(s".v$v.json.tmp")
-      Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, manifestPath(path, v), StandardCopyOption.ATOMIC_MOVE)
-      return (v, 0, ver.files.length)
-    }
-    val hitFiles = hitIdx.map(ver.files)
-    val hitRows = spark.read.parquet(hitFiles: _*).count()
-    val survivors = spark.read.parquet(hitFiles: _*)
-      .filter(!col(st.col).between(lo, hi))
-    val batchDir = s"$path/files/batch-$v"
-    // keep the survivors' stat-order so their new stats stay tight
-    survivors.repartitionByRange(math.max(hitIdx.length / 2, 1),
-        col(st.col))
-      .sortWithinPartitions(st.col)
-      .write.mode("errorifexists").parquet(batchDir)
-    val perFile = spark.read.parquet(batchDir)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"), min(col(st.col)).cast("long").as("mn"),
-        max(col(st.col)).cast("long").as("mx"))
-      .collect().sortBy(_.getString(0))
-    val newRows = perFile.map(_.getLong(1)).sum
-    val files = keepIdx.map(ver.files) ++ perFile.map(_.getString(0))
-    val mins = keepIdx.map(st.mins) ++ perFile.map(_.getLong(2))
-    val maxs = keepIdx.map(st.maxs) ++ perFile.map(_.getLong(3))
-    val manifest = Json.obj(Seq(
-      "version" -> v.toString,
-      "rows" -> (ver.rows - hitRows + newRows).toString,
-      "files" -> files.map(Json.quote).mkString("[", ",", "]"),
-      "stats_col" -> Json.quote(st.col),
-      "stats_min" -> mins.mkString("[", ",", "]"),
-      "stats_max" -> maxs.mkString("[", ",", "]")))
-    val tmp = logDir(path).resolve(s".v$v.json.tmp")
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(path, v), StandardCopyOption.ATOMIC_MOVE)
-    (v, hitIdx.length, ver.files.length)
   }
 
   /** Stats-pruned range scan at `version`: open only the files whose
@@ -234,5 +321,197 @@ object SnapshotTable {
       if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
       else spark.read.parquet(hit: _*)
     (df.filter(col(st.col).between(lo, hi)), hit.length, ver.files.length)
+  }
+
+  /** Bloom-pruned equality probe AT A VERSION: membership is tested in
+    * executors over the index rows of exactly the files visible at
+    * `version` ([[BloomIndex.probePlan]] — bloom bytes never reach the
+    * driver), then only the might-contain files are opened with the
+    * exact `IN` as residual. Skipping composes with time travel: a
+    * probe at v1 cannot open a file committed at v2, however the
+    * layout evolved since. Returns (relation, filesRead, filesTotal).
+    */
+  def scanKeysAt(spark: SparkSession, path: String, version: Long,
+                 keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val ver = readVersion(spark, path, version)
+    val bc = ver.bloom.getOrElse(throw new IllegalArgumentException(
+      s"version $version carries no bloom index — append with bloomCol"))
+    import spark.implicits._
+    // restrict the index union (rows for every batch ever written) to
+    // THIS version's manifest: a broadcast semi-join on file name —
+    // O(files) names, the same manifest-scale trade every planner op
+    // makes; the bloom bytes stay columnar in executors
+    val visible = ver.files.toDF("file")
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .json(bloomIdxDir(path))
+      .join(broadcast(visible), "file")
+    val (hit, total) = BloomIndex.probeFiles(idx, keys)
+    require(total == ver.files.length,
+      s"bloom index incomplete at version $version: " +
+        s"$total of ${ver.files.length} files indexed")
+    val df =
+      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
+      else spark.read.parquet(hit: _*)
+    (df.filter(col(bc.col).isin(keys: _*)), hit.length, total)
+  }
+
+  // ------------------------------------------------------------ delete
+
+  /** Copy-on-write DELETE of stat-column range [lo, hi]: rewrite ONLY
+    * the files whose manifest [min, max] intersects the range —
+    * untouched files carry into the new version BY REFERENCE (zero
+    * I/O), which is the entire economics of a 100 TB delete: dropping
+    * one bad ingest day must not rewrite seven years. Survivor rows of
+    * the hit files are rewritten into new files (ONE read — the
+    * deleted-row accounting comes from the manifest's per-file counts,
+    * not a second scan), and the next manifest lists carried +
+    * rewritten files. Time travel is preserved: the old version's
+    * manifest (and its files, which are never deleted here — that is a
+    * separate retention sweep) still reads exactly the pre-delete
+    * table. The commit is create-exclusive and does NOT retry: the
+    * rewrite plan is computed against `prev`, so losing a race means
+    * the plan is stale — the caller re-runs against the new latest.
+    * Returns (newVersion, filesRewritten, filesTotalBefore).
+    */
+  def deleteStatsRange(spark: SparkSession, path: String, lo: Long,
+                       hi: Long): (Long, Int, Int) = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val st = ver.stats.getOrElse(throw new IllegalArgumentException(
+      "copy-on-write delete needs column stats — append with statsCol"))
+    val hitIdx = ver.files.indices.filter(i =>
+      st.maxs(i) >= lo && st.mins(i) <= hi)
+    val keepIdx = ver.files.indices.filterNot(hitIdx.contains)
+    val v = prev + 1
+    def carried(xs: Seq[Long]): Seq[Long] = keepIdx.map(xs)
+    if (hitIdx.isEmpty) {
+      // nothing intersects: the new version is the old file list
+      commitExclusive(path, v, renderManifest(v, ver.files,
+        ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L)),
+        ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L)),
+        Some(st), ver.bloom))
+      return (v, 0, ver.files.length)
+    }
+    val hitFiles = hitIdx.map(ver.files)
+    val survivors = spark.read.parquet(hitFiles: _*)
+      .filter(!col(st.col).between(lo, hi))
+    val batchDir = s"$path/files/batch-${nonce()}"
+    // keep the survivors' stat-order so their new stats stay tight
+    survivors.repartitionByRange(math.max(hitIdx.length / 2, 1),
+        col(st.col))
+      .sortWithinPartitions(st.col)
+      .write.mode("errorifexists").parquet(batchDir)
+    val batch = batchFacts(spark, batchDir, Some(st.col))
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
+    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files) ++ batch.files,
+      carried(rows) ++ batch.rows,
+      carried(bytes) ++ batch.bytes,
+      Some(Stats(st.col, carried(st.mins) ++ batch.mins,
+        carried(st.maxs) ++ batch.maxs)),
+      ver.bloom))
+    (v, hitIdx.length, ver.files.length)
+  }
+
+  // ----------------------------------------------------------- compact
+
+  /** Result of one OPTIMIZE pass: the committed version, file counts
+    * before/after, and how many input files were rewritten (the rest
+    * carried by reference).
+    */
+  final case class CompactResult(version: Long, filesBefore: Int,
+                                 filesAfter: Int, rewritten: Int)
+
+  /** Bin-compact the latest version toward `targetBytes` per file and
+    * commit the result as a new version — OPTIMIZE, closing the loop
+    * from [[Compaction.planBins]] (the metadata-only plan) to a
+    * manifest that swaps the merged inputs for their outputs.
+    *
+    * The plan orders files by their stat-column min (tiebroken by max
+    * and file name — a total order, satisfying planBins' unique-order
+    * precondition) and assigns NEXT-FIT bins, so every bin is a
+    * contiguous run of the key space and the compacted files inherit
+    * tight disjoint stat ranges — stats/curve pruning SURVIVES the
+    * rewrite, which is the property the next-fit choice exists for.
+    * Single-file bins carry by reference, and so do multi-file bins
+    * whose members are all already ≥ `minFileBytes` (default half the
+    * target — the Delta-style convergence rule: without it, two files
+    * just under target re-merge on every pass and OPTIMIZE never
+    * reaches a fixed point; with it, already-compact regions of a
+    * 100 TB table cost nothing to re-OPTIMIZE). The remaining bins are
+    * rewritten in ONE job: their rows get a bin id via a
+    * broadcast file→bin join on `input_file_name`, are range-
+    * repartitioned by (bin, key) — order-preserving, so every output
+    * file still covers a contiguous key run even if the range
+    * partitioner folds small adjacent bins together — and sorted
+    * within partitions by the key.
+    *
+    * Plan cost is O(manifest); data cost is one read+write of exactly
+    * the under-sized files. The commit is create-exclusive and does
+    * not retry (stale plan on conflict — re-run). Requires a stats
+    * layout: compaction without a declared order would have nothing to
+    * preserve. The table's bloom index, if any, is rebuilt for the
+    * rewritten files only.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              minFileBytes: Long = -1L): CompactResult = {
+    require(targetBytes > 0, s"compaction target must be positive")
+    val minBytes = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val st = ver.stats.getOrElse(throw new IllegalArgumentException(
+      "compaction preserves key contiguity — needs a statsCol layout"))
+    val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
+      "manifest lacks per-file rows — recommit with this version"))
+    val bytes = ver.fileBytes.getOrElse(throw new IllegalArgumentException(
+      "manifest lacks per-file bytes — recommit with this version"))
+    import spark.implicits._
+    val manifestDf = ver.files.indices.map { i =>
+      (ver.files(i), rows(i), bytes(i), st.mins(i), st.maxs(i))
+    }.toDF("file", "rws", "bytes", "mn", "mx")
+    val planned = Compaction.planBins(manifestDf, col("bytes"),
+        struct(col("mn"), col("mx"), col("file")), targetBytes)
+      .collect() // O(manifest)
+    val byBin = planned.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1)
+    def fileOf(r: Row): String = r.getAs[String]("file")
+    // rewrite a bin only when merging buys something: ≥2 files and at
+    // least one genuinely under-sized — the convergence rule above
+    val (multi, single) = byBin.partition { case (_, rs) =>
+      rs.length > 1 && rs.exists(_.getAs[Long]("bytes") < minBytes)
+    }
+    val carriedSet = single.flatMap(_._2).map(fileOf).toSet
+    val carriedIdx = ver.files.indices.filter(i => carriedSet(ver.files(i)))
+    if (multi.isEmpty) // already compact: nothing to commit
+      return CompactResult(prev, ver.files.length, ver.files.length, 0)
+    // bin ids re-indexed 0..B-1 in layout order for the shuffle key
+    val binMap = multi.zipWithIndex.flatMap { case ((_, rs), b) =>
+      rs.map(r => (fileOf(r), b.toLong))
+    }
+    val rewriteFiles = binMap.map(_._1)
+    val binDf = binMap.toDF("__file", "__bin")
+    val batchDir = s"$path/files/batch-${nonce()}"
+    spark.read.parquet(rewriteFiles: _*)
+      .withColumn("__file", input_file_name())
+      .join(broadcast(binDf), "__file")
+      .repartitionByRange(multi.length, col("__bin"), col(st.col))
+      .sortWithinPartitions(col("__bin"), col(st.col))
+      .drop("__file", "__bin")
+      .write.mode("errorifexists").parquet(batchDir)
+    val batch = batchFacts(spark, batchDir, Some(st.col))
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      carriedIdx.map(ver.files) ++ batch.files,
+      carriedIdx.map(rows) ++ batch.rows,
+      carriedIdx.map(bytes) ++ batch.bytes,
+      Some(Stats(st.col, carriedIdx.map(st.mins) ++ batch.mins,
+        carriedIdx.map(st.maxs) ++ batch.maxs)),
+      ver.bloom))
+    CompactResult(v, ver.files.length,
+      carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
 }

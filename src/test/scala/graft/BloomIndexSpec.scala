@@ -63,6 +63,26 @@ class BloomIndexSpec extends SparkSpec {
     assert(scan.count() === want)
   }
 
+  test("probe never moves bloom bytes to the driver: the collected " +
+    "schema is (files_total, hit_files) only") {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    val (path, _) = layout(n = 2000, files = 4)
+    val plan = BloomIndex.probePlan(
+      BloomIndex.readIndex(spark, path), Seq(1L))
+    // what reaches the driver is exactly one row of (bigint,
+    // array<string>) — membership was evaluated in executors and the
+    // bloomB64 column never appears in the probe's output schema
+    assert(plan.schema.fieldNames.toSeq ===
+      Seq("files_total", "hit_files"))
+    assert(plan.schema("files_total").dataType === LongType)
+    assert(plan.schema("hit_files").dataType ===
+      ArrayType(StringType, containsNull = false) ||
+      plan.schema("hit_files").dataType ===
+      ArrayType(StringType, containsNull = true))
+    assert(!plan.schema.fieldNames.contains("bloomB64"))
+    assert(plan.count() === 1)
+  }
+
   test("empty probe key list is rejected loudly") {
     val (path, _) = layout(n = 100, files = 2)
     intercept[IllegalArgumentException] {

@@ -138,6 +138,148 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows(1).getLong(rows(1).fieldIndex("b")) === 7L)
   }
 
+  test("manifest carries per-file rows and bytes summing to the totals") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0L until 500L).toDF("day"), path, 5,
+      statsCol = Some("day"))
+    SnapshotTable.append((500L until 600L).toDF("day"), path, 2,
+      statsCol = Some("day"))
+    val v2 = SnapshotTable.readVersion(spark, path, 2)
+    val rows = v2.fileRows.get
+    val bytes = v2.fileBytes.get
+    assert(rows.length === v2.files.length)
+    assert(bytes.length === v2.files.length)
+    assert(rows.sum === v2.rows)
+    assert(bytes.forall(_ > 0))
+    // the on-disk sizes agree with the manifest (files are immutable)
+    v2.files.zip(bytes).foreach { case (f, b) =>
+      assert(Files.size(java.nio.file.Paths.get(
+        f.stripPrefix("file:"))) === b)
+    }
+  }
+
+  test("commit is create-exclusive: a second manifest at the same " +
+    "version fails instead of silently replacing") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1 to 10).toDF("x"), path, 1)
+    // simulate a stale writer racing the commit: hard-linking over the
+    // existing v1.json must throw, never replace
+    val log = java.nio.file.Paths.get(path, "log")
+    val tmp = log.resolve(".race.tmp")
+    Files.write(tmp, "{}".getBytes)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.createLink(log.resolve("v1.json"), tmp)
+    }
+    Files.delete(tmp)
+    // the committed manifest is untouched
+    assert(SnapshotTable.readVersion(spark, path, 1).rows === 10)
+  }
+
+  test("concurrent appenders: the loser retries and both batches are " +
+    "visible at the final version") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1 to 5).toDF("x"), path, 1) // v1 base
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      (6 to 15).toDF("x"), (16 to 18).toDF("x")).map { df =>
+      new Thread(() => {
+        start.await()
+        try results.add(SnapshotTable.append(df, path, 1))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"appender died: ${errs.peek()}")
+    val vs = results.iterator()
+    val got = Seq(vs.next(), vs.next()).sorted
+    assert(got === Seq(2L, 3L), s"got versions $got")
+    val (s3, _, rows3) = SnapshotTable.scanAt(spark, path, 3)
+    assert(rows3 === 18 && s3.count() === 18)
+    assert(s3.agg(sum("x")).collect().head.getLong(0) === (1 to 18).sum)
+  }
+
+  test("compact merges small files, preserves stats pruning, and " +
+    "carries already-compact files by reference") {
+    import spark.implicits._
+    val path = freshPath()
+    // eight fragmented appends of 125 keys each -> 16 small files
+    for (i <- 0 until 8)
+      SnapshotTable.append((i * 125L until (i + 1) * 125L).toDF("day"),
+        path, 2, statsCol = Some("day"))
+    val before = SnapshotTable.readVersion(spark, path, 8)
+    assert(before.files.length === 16)
+    val target = before.fileBytes.get.sum / 4 // aim for ~4 output files
+    val res = SnapshotTable.compact(spark, path, target)
+    assert(res.version === 9)
+    assert(res.filesBefore === 16)
+    assert(res.filesAfter < res.filesBefore,
+      s"compaction did not shrink: ${res.filesAfter} of ${res.filesBefore}")
+    assert(res.rewritten > 0)
+    // data preserved exactly
+    val (s9, f9, rows9) = SnapshotTable.scanAt(spark, path, 9)
+    assert(f9 === res.filesAfter)
+    assert(rows9 === 1000 && s9.count() === 1000)
+    assert(s9.agg(sum("day")).collect().head.getLong(0) ===
+      (0L until 1000L).sum)
+    // stats pruning SURVIVES the rewrite: a 10% slice skips most files
+    val (scan, read, total) =
+      SnapshotTable.scanStatsRange(spark, path, 9, 100, 199)
+    assert(read > 0 && read < total, s"post-compact read $read of $total")
+    assert(scan.count() === 100)
+    // compacted files hold contiguous, pairwise-disjoint key ranges
+    val after = SnapshotTable.readVersion(spark, path, 9)
+    val ranges = after.stats.get.mins.zip(after.stats.get.maxs)
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping post-compact ranges $ranges")
+      case _ =>
+    }
+    // pre-compaction version still time-travels
+    val (s8, _, rows8) = SnapshotTable.scanAt(spark, path, 8)
+    assert(rows8 === 1000 && s8.count() === 1000)
+    // an already-compact table is a no-op (no empty commit)
+    val res2 = SnapshotTable.compact(spark, path, target)
+    assert(res2.version === 9 && res2.rewritten === 0)
+  }
+
+  test("bloom index follows the table through append and delete") {
+    import spark.implicits._
+    val path = freshPath()
+    // key confined per append batch; day is the layout
+    val b1 = (0L until 400L).map(i => (i, i / 100L)).toDF("day", "k")
+    val b2 = (400L until 800L).map(i => (i, i / 100L)).toDF("day", "k")
+    SnapshotTable.append(b1, path, 4, statsCol = Some("day"),
+      bloomCol = Some("k"), bloomExpectedPerFile = 4096)
+    SnapshotTable.append(b2, path, 4, statsCol = Some("day"),
+      bloomCol = Some("k"), bloomExpectedPerFile = 4096)
+    // probe at v1: must not open (or count) v2's files
+    val (s1, read1, total1) = SnapshotTable.scanKeysAt(spark, path, 1,
+      Seq(2L))
+    assert(total1 === 4, s"v1 probe saw $total1 files")
+    assert(read1 > 0 && read1 < total1)
+    assert(s1.count() === 100)
+    // probe at v2 sees both batches' files
+    val (s2, read2, total2) = SnapshotTable.scanKeysAt(spark, path, 2,
+      Seq(2L, 6L))
+    assert(total2 === 8)
+    assert(read2 < total2)
+    assert(s2.count() === 200)
+    // a COW delete re-indexes its rewritten files: probes still work
+    SnapshotTable.deleteStatsRange(spark, path, 150, 249)
+    val (s3, read3, total3) = SnapshotTable.scanKeysAt(spark, path, 3,
+      Seq(2L))
+    assert(read3 > 0 && read3 <= total3)
+    assert(s3.count() === 50) // keys 200..249 deleted
+  }
+
   test("missing version and missing table are loud") {
     import spark.implicits._
     val path = freshPath()
