@@ -957,6 +957,140 @@ object Relational {
       count(col("b")).as("n_with_b"))
   }
 
+  /** q152 — OPTIMIZE: compaction EXECUTED through the snapshot table
+    * ([[graft.ops.SnapshotTable.compact]]), closing the loop q144 only
+    * planned. Seven single-year appends fragment the table into small
+    * files; compact() next-fit-bins them in ship-day order and commits
+    * a new version whose manifest swaps the merged inputs for their
+    * outputs. Three properties are ASSERTED, because they are the whole
+    * point of the design: (a) the file count strictly shrinks, (b)
+    * stats pruning SURVIVES the rewrite — next-fit in layout order was
+    * chosen precisely so compacted files inherit contiguous disjoint
+    * key ranges; an FFD-style bin packer would interleave years and a
+    * one-year slice would stop pruning — and (c) the pre-compaction
+    * version still time-travels. The full-table aggregate AND the
+    * pruned one-year slice are recomputed by DuckDB from the raw
+    * table, so a compaction that drops, duplicates, or mis-ranges a
+    * single row hash-mismatches.
+    */
+  val optimizeCompact = QueryDef("q152_optimize_compact",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem) AS qty_u,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01') AS n_slice,
+      |  TRUE AS compacted, TRUE AS pruned""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q152_table")
+    clusterLayouts.compute("q152", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"),
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        // one append per ship year (the synthetic corpus ships
+        // 1995-2001): a fragmented ingest history
+        for (y <- 1995 to 2001) {
+          val lo = java.time.LocalDate.of(y, 1, 1).toEpochDay
+          val hi = java.time.LocalDate.of(y + 1, 1, 1).toEpochDay
+          SnapshotTable.append(
+            base.filter(col("ship_day") >= lo && col("ship_day") < hi),
+            path, numPartitions = 4, statsCol = Some("ship_day"))
+        }
+        val before = SnapshotTable.readVersion(s, path,
+          SnapshotTable.latestVersion(path))
+        val res = SnapshotTable.compact(s, path,
+          targetBytes = before.fileBytes.get.sum / 5)
+        require(res.version > before.version && res.rewritten > 0 &&
+            res.filesAfter < res.filesBefore,
+          s"OPTIMIZE did not shrink the table: ${res.filesAfter} of " +
+            s"${res.filesBefore} files after, ${res.rewritten} rewritten")
+      }
+      d
+    })
+    val v = SnapshotTable.latestVersion(path)
+    val (scan, _, rowsExp) = SnapshotTable.scanAt(s, path, v)
+    // (c) the fragmented pre-OPTIMIZE version still reads whole
+    val (pre, _, rowsPre) = SnapshotTable.scanAt(s, path, v - 1)
+    require(rowsPre == rowsExp && pre.count() == rowsExp,
+      "pre-compaction version lost rows")
+    // (b) pruning survives: one year out of seven skips most files
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val (slice, read, total) = SnapshotTable.scanStatsRange(s, path, v, lo, hi)
+    require(read > 0 && read < total,
+      s"stats pruning did not survive OPTIMIZE: read $read of $total")
+    val a = scan.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("qty_u")).collect().head
+    require(a.getLong(0) == rowsExp, "scan/manifest row drift after OPTIMIZE")
+    val nSlice = slice.count()
+    import s.implicits._
+    Seq((a.getLong(0), a.getLong(1), nSlice, true, true))
+      .toDF("n", "qty_u", "n_slice", "compacted", "pruned")
+  }
+
+  /** q153 — VERSIONED bloom probe: q142's equality skipping composed
+    * with q148's time travel ([[graft.ops.SnapshotTable.scanKeysAt]]).
+    * The table carries its bloom index THROUGH commits — append writes
+    * index rows for each new batch — so a probe at version N tests
+    * membership over exactly N's files (in executors; bloom bytes never
+    * reach the driver) instead of whatever layout is latest. Isolation
+    * and pruning are both ASSERTED: the v1 probe must see strictly
+    * fewer files than v2's manifest, and the v2 probe must still skip
+    * (orders ship within months, so date-ranged files prune for an
+    * orderkey probe). Both versions' aggregates are recomputed by
+    * DuckDB from the raw table with the batch-defining predicate — a
+    * probe that opens the other version's files (or drops a
+    * false-negative file) hash-mismatches.
+    */
+  val versionedBloom = QueryDef("q153_versioned_bloom_probe",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (1, 2, 3) AND l_linenumber <= 3) AS n_v1,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_orderkey IN (1, 2, 3) AND l_linenumber <= 3) AS qty_v1,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (1, 2, 3)) AS n_v2,
+      |  TRUE AS isolated, TRUE AS files_pruned""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q153_table")
+    clusterLayouts.compute("q153", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(base.filter(col("l_linenumber") <= 3), path,
+          numPartitions = 8, statsCol = Some("ship_day"),
+          bloomCol = Some("l_orderkey"), bloomExpectedPerFile = 65536)
+        SnapshotTable.append(base.filter(col("l_linenumber") > 3), path,
+          numPartitions = 8, statsCol = Some("ship_day"),
+          bloomCol = Some("l_orderkey"), bloomExpectedPerFile = 65536)
+      }
+      d
+    })
+    val keys = Seq(1L, 2L, 3L)
+    val (s1, read1, total1) = SnapshotTable.scanKeysAt(s, path, 1, keys)
+    val (s2, read2, total2) = SnapshotTable.scanKeysAt(s, path, 2, keys)
+    require(total1 < total2,
+      s"versioned probe leaked: v1 tests $total1 files, v2 lists $total2")
+    require(read1 > 0 && read2 > 0 && read2 < total2,
+      s"versioned bloom did not prune: v1 $read1/$total1, v2 $read2/$total2")
+    val a1 = s1.agg(count(lit(1)).as("n_v1"),
+      sum("qty_u").cast("long").as("qty_v1")).collect().head
+    val n2 = s2.count()
+    import s.implicits._
+    Seq((a1.getLong(0), a1.getLong(1), n2, true, true))
+      .toDF("n_v1", "qty_v1", "n_v2", "isolated", "files_pruned")
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -1010,5 +1144,6 @@ object Relational {
     upsert, dedupFirstWins, exceptAllDiff, rowNumber, firstElection, topK,
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
     curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
-    statsSkip, cowDelete, schemaEvolution, olsFit)
+    statsSkip, cowDelete, schemaEvolution, optimizeCompact,
+    versionedBloom, olsFit)
 }
