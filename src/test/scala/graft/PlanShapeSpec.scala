@@ -233,4 +233,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
+
+  test("q133: the fact table is scanned once — every downstream branch " +
+    "reads the cached edge set, never parquet") {
+    // capture every action's executed plan; the only execution allowed
+    // to touch parquet WITHOUT going through the cache is the one that
+    // materializes it (raw.count). A re-planned double scan — the
+    // regression the r13 bench drift suggested — shows up as a second
+    // cache-less parquet execution and fails here, not in a bench diff.
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.queries.GraphRank.triangles.fn(spark, sf).collect()
+      // the listener bus is async: the query runs two actions (cache
+      // materialization + the wing-join head), so wait for both
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val plans = captured.asScala.toSeq
+      assert(plans.size >= 2, s"captured only ${plans.size} executions")
+      // the parquet scan lives only inside the cache BUILDER (which the
+      // executed tree does not print); every printed execution must
+      // read through InMemoryTableScan. A dropped/unused cache — the
+      // double-scan regression — prints a bare parquet scan and fails.
+      val parquetNoCache = plans.filter(p =>
+        p.contains("Scan parquet") && !p.contains("InMemoryTableScan"))
+      assert(parquetNoCache.isEmpty,
+        s"q133 re-scanned the fact table outside the edge cache in " +
+          s"${parquetNoCache.size} execution(s):\n" +
+          parquetNoCache.headOption.map(_.take(800)).getOrElse(""))
+      // the triangle-closing execution itself reads the cache
+      val wingPlan = plans.find(_.contains("LeftSemi"))
+      assert(wingPlan.exists(_.contains("InMemoryTableScan")),
+        "the wing/closing-edge join must read the cached edges")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
