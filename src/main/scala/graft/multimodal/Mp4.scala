@@ -46,10 +46,18 @@ object Mp4 {
     var uniformSize = 0
     var sampleCount = 0
     var chunkOffsets: IndexedSeq[Long] = IndexedSeq.empty
+    // raw first sample entry (fourcc + fixed fields + extension boxes
+    // like avcC) — codec-specific probes parse what they need from it
+    var entryRaw: Array[Byte] = Array.emptyByteArray
+    // stss sync-sample table (1-based sample numbers); empty = absent
+    var stss: IndexedSeq[Long] = IndexedSeq.empty
   }
 
-  def decode(bytes: Array[Byte]): Option[VideoFrames] = {
-    if (!isMp4(bytes)) return None
+  /** Walk the box tree and fill one [[Track]] per trak. None on a
+    * malformed/truncated tree. Shared by the MJPEG decoder and the
+    * avc1 probe.
+    */
+  private def parseTracks(bytes: Array[Byte]): Option[Seq[Track]] = {
     val b = ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
     val tracks = scala.collection.mutable.ArrayBuffer[Track]()
     var cur: Track = null
@@ -90,8 +98,14 @@ object Mp4 {
             val n = u32()
             if (n >= 1) {
               val entryStart = b.position()
-              b.position(entryStart + 4) // entry size
+              val entrySize = u32()
               cur.codec = fourcc()
+              // keep the whole entry (bounded by the stsd box) so
+              // codec probes can walk its extension boxes (avcC)
+              val entryEnd = math.min(entryStart + math.max(entrySize, 8L),
+                next).toInt
+              cur.entryRaw =
+                java.util.Arrays.copyOfRange(bytes, entryStart, entryEnd)
               // VisualSampleEntry: width/height 24 bytes past the format
               if (b.position() + 28 <= next) {
                 b.position(entryStart + 8 + 24)
@@ -99,6 +113,10 @@ object Mp4 {
                 cur.height = b.getShort() & 0xFFFF
               }
             }
+          case "stss" if cur != null =>
+            b.position(b.position() + 4)
+            val n = u32().toInt
+            cur.stss = (0 until n).map(_ => u32())
           case "stts" if cur != null =>
             b.position(b.position() + 4)
             val n = u32().toInt
@@ -130,7 +148,12 @@ object Mp4 {
 
     try walk(bytes.length.toLong)
     catch { case _: RuntimeException => return None } // truncated tables
+    Some(tracks.toSeq)
+  }
 
+  def decode(bytes: Array[Byte]): Option[VideoFrames] = {
+    if (!isMp4(bytes)) return None
+    val tracks = parseTracks(bytes).getOrElse(return None)
     tracks.find(t => t.handler == "vide" &&
         MjpegFourccs(t.codec.toLowerCase) && t.sampleCount > 0 &&
         t.chunkOffsets.nonEmpty && t.timescale > 0)
@@ -173,17 +196,37 @@ object Mp4 {
     spans.result()
   }
 
+  private def box(id: String, body: Array[Byte]): Array[Byte] = {
+    val o = ByteBuffer.allocate(8 + body.length)
+    o.putInt(8 + body.length)
+    o.put(id.getBytes("US-ASCII"))
+    o.put(body)
+    o.array()
+  }
+
+  private def full(id: String, version: Int, body: ByteBuffer => Unit,
+                   cap: Int): Array[Byte] = {
+    val o = ByteBuffer.allocate(cap + 4)
+    o.putInt(version << 24) // version + zero flags
+    body(o)
+    box(id, java.util.Arrays.copyOf(o.array(), o.position()))
+  }
+
   /** Minimal valid single-track MJPEG MP4 from per-frame JPEG bytes:
     * ftyp + mdat + moov, one stts run. `samplesPerChunk` splits the
     * samples over several chunks (distinct stco entries + stsc runs) so
     * the reader's chunk-map expansion is exercisable; `codec` is
     * overridable so specs can pin the codec-bound fallback (an avc1
-    * track must decode to None).
+    * track must decode to None). `entryExt` appends extension boxes to
+    * the sample entry (avcC for [[writeAvc]]); non-empty `syncSamples`
+    * (1-based) emits an stss box.
     */
   def write(frames: Seq[Array[Byte]], width: Int, height: Int,
             fps: Int = 10, codec: String = "jpeg",
             samplesPerChunk: Int = Int.MaxValue,
-            use64: Boolean = false): Array[Byte] = {
+            use64: Boolean = false,
+            entryExt: Array[Byte] = Array.emptyByteArray,
+            syncSamples: Seq[Int] = Nil): Array[Byte] = {
     require(frames.nonEmpty, "no frames")
     require(samplesPerChunk > 0, "samplesPerChunk must be positive")
     val n = frames.length
@@ -201,21 +244,6 @@ object Mp4 {
       .map(_.length).toIndexedSeq
     val chunkOffsets = chunkSizes.scanLeft(firstSample)(_ + _).init
 
-    def box(id: String, body: Array[Byte]): Array[Byte] = {
-      val o = ByteBuffer.allocate(8 + body.length)
-      o.putInt(8 + body.length)
-      o.put(id.getBytes("US-ASCII"))
-      o.put(body)
-      o.array()
-    }
-    def full(id: String, version: Int, body: ByteBuffer => Unit,
-             cap: Int): Array[Byte] = {
-      val o = ByteBuffer.allocate(cap + 4)
-      o.putInt(version << 24) // version + zero flags
-      body(o)
-      box(id, java.util.Arrays.copyOf(o.array(), o.position()))
-    }
-
     val durTicks = n.toLong // mdhd timescale = fps, one tick per frame
     val mdhd = full("mdhd", 0, o => {
       o.putInt(0); o.putInt(0)           // creation/modification
@@ -230,10 +258,11 @@ object Mp4 {
       o.putInt(0); o.putInt(0); o.putInt(0)
       o.put(0.toByte)                    // empty name
     }, 24)
-    // VisualSampleEntry (86 bytes incl. its own box header)
+    // VisualSampleEntry (86 fixed bytes incl. its own box header, plus
+    // any extension boxes — avcC and friends)
     val entry = {
-      val o = ByteBuffer.allocate(86)
-      o.putInt(86); o.put(codec.getBytes("US-ASCII"))
+      val o = ByteBuffer.allocate(86 + entryExt.length)
+      o.putInt(86 + entryExt.length); o.put(codec.getBytes("US-ASCII"))
       o.put(new Array[Byte](6)); o.putShort(1)   // reserved + data_ref_index
       o.put(new Array[Byte](16))                 // pre_defined/reserved
       o.putShort(width.toShort); o.putShort(height.toShort)
@@ -241,6 +270,7 @@ object Mp4 {
       o.putInt(0); o.putShort(1)                 // reserved, frame_count
       o.put(new Array[Byte](32))                 // compressorname
       o.putShort(24); o.putShort(-1)             // depth, pre_defined
+      o.put(entryExt)
       o.array()
     }
     val stsd = full("stsd", 0, o => { o.putInt(1); o.put(entry) }, 8 + entry.length)
@@ -269,7 +299,13 @@ object Mp4 {
         o.putInt(chunkOffsets.length)
         chunkOffsets.foreach(off => o.putInt(off.toInt))
       }, 8 + 4 * chunkOffsets.length)
-    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val stss =
+      if (syncSamples.isEmpty) Array.emptyByteArray
+      else full("stss", 0, o => {
+        o.putInt(syncSamples.length)
+        syncSamples.foreach(o.putInt)
+      }, 8 + 4 * syncSamples.length)
+    val stbl = box("stbl", stsd ++ stts ++ stss ++ stsc ++ stsz ++ stco)
     val vmhd = full("vmhd", 0, o => {
       o.putShort(0); o.putShort(0); o.putShort(0); o.putShort(0)
     }, 12)
@@ -321,5 +357,147 @@ object Mp4 {
     frames.foreach(out.put)
     out.put(moov)
     out.array()
+  }
+
+  // ------------------------------------------------------- avc1 / avcC
+
+  /** Mux an H.264 Annex B stream into a single-track avc1 MP4 (ISO/IEC
+    * 14496-15): SPS/PPS move OUT-OF-BAND into the sample entry's avcC
+    * box (AVCDecoderConfigurationRecord), slices become 4-byte
+    * length-prefixed samples, and IDR slices are listed in stss. This
+    * is the shape real-world H.264 actually ships in — Annex B start
+    * codes exist on the wire and in .h264 dumps; files carry avcC.
+    * One slice per picture (this engine's encoder emits exactly that);
+    * a multi-slice-per-AU stream would need AUD-based grouping, out of
+    * scope here.
+    */
+  def writeAvc(annexB: Array[Byte], fps: Int = 10,
+               samplesPerChunk: Int = Int.MaxValue,
+               use64: Boolean = false): Array[Byte] = {
+    val nals = Avc.splitAnnexB(annexB).getOrElse(
+      throw new IllegalArgumentException("not an H.264 Annex B stream"))
+    def ofType(ts: Set[Int]) = nals.filter(n => ts((n(0) & 0x1F)))
+    val sps = ofType(Set(7)); val pps = ofType(Set(8))
+    val slices = ofType(Set(1, 5))
+    require(sps.nonEmpty && pps.nonEmpty && slices.nonEmpty,
+      "stream lacks SPS, PPS, or slices — nothing to mux")
+    val parsed = Avc.parseSps(Avc.rbspFromEbsp(
+      java.util.Arrays.copyOfRange(sps.head, 1, sps.head.length)))
+    // AVCDecoderConfigurationRecord: profile/compat/level copied from
+    // the SPS's own first three payload bytes, 4-byte NAL lengths
+    val rec = {
+      val cap = 7 + (sps ++ pps).map(_.length + 2).sum
+      val o = ByteBuffer.allocate(cap)
+      o.put(1.toByte)               // configurationVersion
+      o.put(sps.head(1)); o.put(sps.head(2)); o.put(sps.head(3))
+      o.put((0xFC | 3).toByte)      // lengthSizeMinusOne = 3
+      o.put((0xE0 | sps.length).toByte)
+      sps.foreach { n => o.putShort(n.length.toShort); o.put(n) }
+      o.put(pps.length.toByte)
+      pps.foreach { n => o.putShort(n.length.toShort); o.put(n) }
+      o.array()
+    }
+    val samples = slices.map { n =>
+      ByteBuffer.allocate(4 + n.length).putInt(n.length).put(n).array()
+    }
+    val sync = slices.zipWithIndex.collect {
+      case (n, i) if (n(0) & 0x1F) == 5 => i + 1
+    }
+    write(samples, parsed.width, parsed.height, fps, codec = "avc1",
+      samplesPerChunk = samplesPerChunk, use64 = use64,
+      entryExt = box("avcC", rec), syncSamples = sync)
+  }
+
+  /** First child box with `id` among the sample entry's extension
+    * boxes (after the 86 fixed VisualSampleEntry bytes).
+    */
+  private def entryExtBox(entryRaw: Array[Byte], id: String)
+      : Option[Array[Byte]] = {
+    var p = 86
+    while (p + 8 <= entryRaw.length) {
+      val size = ByteBuffer.wrap(entryRaw, p, 4).getInt
+      if (size < 8 || p + size > entryRaw.length) return None
+      val name = new String(entryRaw, p + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (name == id)
+        return Some(java.util.Arrays.copyOfRange(entryRaw, p + 8, p + size))
+      p += size
+    }
+    None
+  }
+
+  /** De-mux an avc1 track back to Annex B: avcC's out-of-band SPS/PPS
+    * first, then every sample's length-prefixed NALs, all start-coded —
+    * the exact inverse of [[writeAvc]], feeding [[Avc.probe]]/
+    * [[Avc.decode]] unchanged. When an stss table is present it must
+    * agree with the IDR NALs found in the samples (a muxer that lists a
+    * non-IDR as a sync point breaks seeking — loud, never lenient).
+    * None for non-MP4 payloads or MP4s without an avc1 video track.
+    */
+  def avcToAnnexB(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isMp4(bytes)) return None
+    val t = parseTracks(bytes).getOrElse(return None)
+      .find(t => t.handler == "vide" && t.codec.equalsIgnoreCase("avc1") &&
+        t.sampleCount > 0 && t.chunkOffsets.nonEmpty)
+      .getOrElse(return None)
+    val rec = entryExtBox(t.entryRaw, "avcC").getOrElse(return None)
+    val r = ByteBuffer.wrap(rec)
+    require((r.get() & 0xFF) == 1, "avcC configurationVersion != 1")
+    r.position(r.position() + 3) // profile/compat/level (SPS re-carries)
+    val lengthSize = (r.get() & 3) + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def copyParamSets(n: Int): Unit = (0 until n).foreach { _ =>
+      val len = r.getShort() & 0xFFFF
+      val nal = new Array[Byte](len); r.get(nal)
+      out.write(Array[Byte](0, 0, 0, 1)); out.write(nal)
+    }
+    copyParamSets(r.get() & 0x1F)  // numOfSequenceParameterSets
+    copyParamSets(r.get() & 0xFF)  // numOfPictureParameterSets
+    val spans = sampleSpans(t, bytes.length)
+    require(spans.length == t.sampleCount,
+      s"sample table truncated: ${spans.length} of ${t.sampleCount}")
+    val idrSamples = IndexedSeq.newBuilder[Long]
+    spans.zipWithIndex.foreach { case ((off, len), i) =>
+      var p = off; val end = off + len; var first = true
+      while (p < end) {
+        require(p + lengthSize <= end, s"sample $i: truncated NAL length")
+        var nl = 0
+        (0 until lengthSize).foreach { k => nl = (nl << 8) | (bytes(p + k) & 0xFF) }
+        p += lengthSize
+        require(nl > 0 && p + nl <= end, s"sample $i: NAL overruns sample")
+        if (first) {
+          if ((bytes(p) & 0x1F) == 5) idrSamples += (i + 1).toLong
+          first = false
+        }
+        out.write(Array[Byte](0, 0, 0, 1)); out.write(bytes, p, nl)
+        p += nl
+      }
+    }
+    if (t.stss.nonEmpty)
+      require(t.stss == idrSamples.result(),
+        s"stss sync table ${t.stss} disagrees with IDR samples at " +
+          s"${idrSamples.result()}")
+    Some(out.toByteArray)
+  }
+
+  /** Codec facts of an avc1 MP4 plus container-level timing — the
+    * scan-time video probe over the files an ingest actually sees:
+    * resolution/profile/entropy/GOP from the out-of-band parameter
+    * sets and the sample NAL walk (no pixel decode), duration from the
+    * stts/mdhd tables, sync-point count from stss.
+    */
+  final case class AvcInfo(probe: Avc.Probe, durationMs: Long,
+                           nSamples: Int, nSync: Int)
+
+  def probeAvc(bytes: Array[Byte]): Option[AvcInfo] = {
+    if (!isMp4(bytes)) return None
+    val t = parseTracks(bytes).getOrElse(return None)
+      .find(t => t.handler == "vide" && t.codec.equalsIgnoreCase("avc1") &&
+        t.sampleCount > 0 && t.timescale > 0)
+      .getOrElse(return None)
+    avcToAnnexB(bytes).flatMap(Avc.probe).map { p =>
+      val ticks = t.stts.map { case (c, d) => c * d }.sum
+      AvcInfo(p, ticks * 1000L / t.timescale, t.sampleCount, t.stss.length)
+    }
   }
 }

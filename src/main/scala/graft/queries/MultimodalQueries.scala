@@ -391,7 +391,76 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** q154 — MP4/avcC H.264 probe: q145's bitstream layer reaching the
+    * container real-world video actually ships in. The fixtures are
+    * avc1 MP4s ([[graft.multimodal.Mp4.writeAvc]]: SPS/PPS out-of-band
+    * in the avcC record, 4-byte length-prefixed sample NALs, stss sync
+    * table, chunked sample maps and a 64-bit-shape file mixed in), and
+    * the generation parameters — geometry, GOP mix, per-stream luma
+    * mass, container duration — are dumped BEFORE muxing. Inside tasks
+    * [[graft.multimodal.Mp4.probeAvc]] must recover resolution/profile/
+    * entropy from the OUT-OF-BAND parameter sets (there are no start
+    * codes to find — a probe that only knows Annex B returns nothing
+    * here), the GOP mix from the length-prefixed sample walk
+    * cross-checked against stss, duration from stts/mdhd, and the
+    * de-mux must feed the subset decoder to the exact luma sum. The
+    * oracle recomputes everything from the params dump.
+    */
+  val mp4AvcProbe = QueryDef("q154_mp4_avc_probe",
+    """SELECT media_id, width, height, 66 AS profile, FALSE AS cabac,
+      |  n_frames, n_idr, n_pskip, duration_ms, y_total
+      |FROM read_parquet('/tmp/graft-oracle/q154_params/*.parquet')
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Avc, Mp4}
+    val nVideos = 10
+    val specs = (0 until nVideos).map { i =>
+      val w = 16 * (1 + i % 3)
+      val h = 16 * (1 + (i / 2) % 2)
+      val nFrames = 3 + i % 4
+      val runLen = 1 + i % 2
+      val fps = 2 + i % 3
+      val frames = (0 until nFrames).map { j =>
+        val src = j - j % runLen
+        Avc.Frame(w, h,
+          Array.tabulate(w * h)(p => (p * 7 + src * 13 + i * 31).toByte),
+          Array.tabulate(w / 2 * h / 2)(p => (p * 5 + src * 3 + i).toByte),
+          Array.tabulate(w / 2 * h / 2)(p => (p * 11 + src + i * 2).toByte))
+      }
+      val ySum = frames.map(_.y.map(b => (b & 0xFF).toLong).sum).sum
+      val nIdr = (0 until nFrames).count(j => j % runLen == 0)
+      (i.toLong, w, h, nFrames, nIdr, fps, ySum, frames)
+    }
+    graft.Work.oracleDump(s, "q154_params",
+      specs.map { case (id, w, h, nf, ni, fps, ys, _) =>
+        (id, w, h, nf.toLong, ni.toLong, (nf - ni).toLong,
+          nf.toLong * 1000L / fps, ys)
+      }.toDF("media_id", "width", "height", "n_frames", "n_idr",
+        "n_pskip", "duration_ms", "y_total"), d)
+    // mux AFTER the dump: varying fps, chunk splits, and one 64-bit
+    // shape so the sample-map walk is exercised, not just one layout
+    val media = specs.map { case (id, _, _, _, _, fps, _, frames) =>
+      (id, Mp4.writeAvc(Avc.encode(frames), fps = fps,
+        samplesPerChunk = 1 + (id % 3).toInt, use64 = id == 7))
+    }.toDF("media_id", "content").repartition(4)
+    media.as[(Long, Array[Byte])].map { case (id, bytes) =>
+      val info = Mp4.probeAvc(bytes).getOrElse(
+        throw new IllegalArgumentException(s"media $id: not an avc1 MP4"))
+      val p = info.probe
+      require(info.nSync == p.nIdr,
+        s"media $id: stss lists ${info.nSync} sync samples, " +
+          s"probe found ${p.nIdr} IDRs")
+      val frames = Avc.decode(Mp4.avcToAnnexB(bytes).get)
+      val ySum = frames.map(_.y.map(b => (b & 0xFF).toLong).sum).sum
+      (id, p.width, p.height, p.profile, p.entropyCabac,
+        (p.nI + p.nP).toLong, p.nIdr.toLong, p.nP.toLong,
+        info.durationMs, ySum)
+    }.toDF("media_id", "width", "height", "profile", "cabac",
+      "n_frames", "n_idr", "n_pskip", "duration_ms", "y_total")
+      .orderBy("media_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(imagePipeline, audioPipeline, audioSpectrum, videoPipeline,
-      codecProbe, avcProbe)
+      codecProbe, avcProbe, mp4AvcProbe)
 }

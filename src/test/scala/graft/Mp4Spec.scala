@@ -90,4 +90,57 @@ class Mp4Spec extends SparkSpec {
     assert(v.nFrames === 7 && v.usPerFrame === 200000L)
     v.frames.zip(srcFrames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
+
+  private def avcFrames(n: Int, w: Int, h: Int, runLen: Int) =
+    (0 until n).map { j =>
+      val src = j - j % runLen
+      graft.multimodal.Avc.Frame(w, h,
+        Array.tabulate(w * h)(p => (p * 7 + src * 13).toByte),
+        Array.tabulate(w / 2 * h / 2)(p => (p * 5 + src).toByte),
+        Array.tabulate(w / 2 * h / 2)(p => (p * 11 + src).toByte))
+    }
+
+  test("avc1 mux/demux round trip: SPS/PPS via avcC, pixels bit-exact, " +
+    "stss lists exactly the IDR samples") {
+    import graft.multimodal.Avc
+    val frames = avcFrames(n = 6, w = 32, h = 16, runLen = 2)
+    val annexB = Avc.encode(frames)
+    val mp4 = Mp4.writeAvc(annexB, fps = 5, samplesPerChunk = 4)
+    assert(Mp4.isMp4(mp4))
+    assert(Mp4.decode(mp4).isEmpty, "MJPEG decode must stay codec-bound")
+    val info = Mp4.probeAvc(mp4).get
+    assert(info.probe.width === 32 && info.probe.height === 16)
+    assert(info.probe.profile === 66 && !info.probe.entropyCabac)
+    assert(info.nSamples === 6 && info.probe.nIdr === 3)
+    assert(info.nSync === 3, "stss must list the 3 IDR samples")
+    assert(info.durationMs === 1200L) // 6 frames at 5 fps
+    // de-mux feeds the subset decoder unchanged: planes bit-exact
+    val decoded = Avc.decode(Mp4.avcToAnnexB(mp4).get)
+    assert(decoded.length === 6)
+    decoded.zip(frames).foreach { case (a, b) =>
+      assert(a.y.toSeq === b.y.toSeq)
+      assert(a.cb.toSeq === b.cb.toSeq && a.cr.toSeq === b.cr.toSeq)
+    }
+  }
+
+  test("avc1 demux survives the 64-bit container shapes and rejects a " +
+    "lying stss loudly") {
+    import graft.multimodal.Avc
+    val annexB = Avc.encode(avcFrames(n = 4, w = 16, h = 16, runLen = 1))
+    val big = Mp4.writeAvc(annexB, fps = 2, use64 = true)
+    val info = Mp4.probeAvc(big).get
+    assert(info.probe.nIdr === 4 && info.nSync === 4)
+    assert(info.durationMs === 2000L)
+    // corrupt the stss table: first sync entry 1 -> 2 (a non-IDR claim)
+    val pat = "stss".getBytes("US-ASCII")
+    val at = big.indices.find(i =>
+      pat.indices.forall(j => i + j < big.length && big(i + j) == pat(j))).get
+    val bad = big.clone()
+    bad(at + 4 + 4 + 3) = 2 // version/flags(4) + count(4), LSB of entry 1
+    val e = intercept[IllegalArgumentException](Mp4.avcToAnnexB(bad))
+    assert(e.getMessage.contains("stss"))
+    // non-MP4 and MJPEG-only payloads probe to None, never throw
+    assert(Mp4.probeAvc(annexB).isEmpty)
+    assert(Mp4.probeAvc(Mp4.write((0 until 3).map(jpeg), 16, 16)).isEmpty)
+  }
 }
