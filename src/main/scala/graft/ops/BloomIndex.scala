@@ -60,19 +60,35 @@ object BloomIndex {
     * nothing here ever materializes data or blooms on the driver.
     * Shared by the standalone index writer and the snapshot-table
     * per-batch index maintenance ([[SnapshotTable]]).
+    *
+    * `expectedPerFile <= 0` sizes each file's bloom from its EXACT row
+    * count (one counting pre-pass over the batch, an O(files) map in
+    * the task closures). A fixed guess cannot survive growth: at 10×
+    * the file sizes a 65k-sized bloom holds 375k keys, its fpp
+    * saturates toward 1, and pruning silently stops — measured exactly
+    * so on the 10× scale run. Partials for the SAME file always use
+    * that file's count, so the OR-merge compatibility requirement
+    * (identical bit size) still holds.
     */
   def buildRows(spark: SparkSession, files: Seq[String], keyName: String,
                 expectedPerFile: Long, fpp: Double): Dataset[FileBloom] = {
     import spark.implicits._
-    spark.read.parquet(files: _*)
+    val src = spark.read.parquet(files: _*)
       .select(input_file_name().as("file"),
         col(keyName).cast("long").as("k"))
-      .as[(String, Long)]
+    val sizes: Map[String, Long] =
+      if (expectedPerFile > 0) Map.empty
+      else src.groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sizeFor(file: String): Long =
+      if (expectedPerFile > 0) expectedPerFile
+      else math.max(sizes.getOrElse(file, 1L), 1L)
+    src.as[(String, Long)]
       .mapPartitions { rows =>
         val acc = scala.collection.mutable.Map.empty[String, (BloomFilter, Long)]
         rows.foreach { case (file, k) =>
           val (bf, n) = acc.getOrElseUpdate(file,
-            (BloomFilter.create(expectedPerFile, fpp), 0L))
+            (BloomFilter.create(sizeFor(file), fpp), 0L))
           bf.putLong(k)
           acc(file) = (bf, n + 1)
         }
@@ -93,12 +109,13 @@ object BloomIndex {
     * order — time, crawl sequence) and build the per-file Bloom index
     * over long-castable column `keyName`.
     *
-    * `expectedPerFile` sizes every bloom identically (a requirement for
-    * the OR-merge); an undershoot only inflates the false-positive rate
-    * — pruning degrades, correctness never does.
+    * `expectedPerFile <= 0` (the scale-safe default) sizes each file's
+    * bloom from its exact row count; a positive value fixes the size —
+    * an undershoot only inflates the false-positive rate, so pruning
+    * degrades, correctness never does (blooms have no false negatives).
     */
   def write(df: DataFrame, path: String, sortCol: Column, keyName: String,
-            numPartitions: Int, expectedPerFile: Long,
+            numPartitions: Int, expectedPerFile: Long = -1L,
             fpp: Double = 0.01): Unit = {
     val spark = df.sparkSession
     df.repartitionByRange(numPartitions, sortCol)

@@ -59,6 +59,9 @@ object SnapshotTable {
 
   /** Bloom-index configuration recorded in the manifest so mutating
     * commits know to keep the index current for the files they write.
+    * `expectedPerFile <= 0` = size each file's bloom from its exact
+    * row count ([[BloomIndex.buildRows]]) — the default; a fixed guess
+    * saturates when file sizes grow past it and pruning stops.
     */
   final case class BloomConf(col: String, expectedPerFile: Long)
 
@@ -246,7 +249,7 @@ object SnapshotTable {
   def append(df: DataFrame, path: String, numPartitions: Int,
              statsCol: Option[String] = None,
              bloomCol: Option[String] = None,
-             bloomExpectedPerFile: Long = 1L << 16): Long = {
+             bloomExpectedPerFile: Long = -1L): Long = {
     val spark = df.sparkSession
     val batch = writeBatch(df, path, numPartitions, statsCol)
     val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))

@@ -679,8 +679,11 @@ object Relational {
         val base = Tables.lineitem(s, d).select(
           col("l_orderkey"), col("l_shipdate"),
           floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        // blooms auto-sized per file: a fixed expectedPerFile guess
+        // saturates (fpp -> 1) once file sizes outgrow it — measured
+        // at the 10× table, where 65536 stopped pruning entirely
         BloomIndex.write(base, path, col("l_shipdate"), "l_orderkey",
-          numPartitions = 16, expectedPerFile = 65536)
+          numPartitions = 16)
       }
       d
     })
@@ -1069,10 +1072,10 @@ object Relational {
           floor(col("l_quantity") * 100).cast("long").as("qty_u"))
         SnapshotTable.append(base.filter(col("l_linenumber") <= 3), path,
           numPartitions = 8, statsCol = Some("ship_day"),
-          bloomCol = Some("l_orderkey"), bloomExpectedPerFile = 65536)
+          bloomCol = Some("l_orderkey"))
         SnapshotTable.append(base.filter(col("l_linenumber") > 3), path,
           numPartitions = 8, statsCol = Some("ship_day"),
-          bloomCol = Some("l_orderkey"), bloomExpectedPerFile = 65536)
+          bloomCol = Some("l_orderkey"))
       }
       d
     })
