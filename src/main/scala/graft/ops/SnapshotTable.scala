@@ -517,4 +517,186 @@ object SnapshotTable {
     CompactResult(v, ver.files.length,
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
+
+  // ------------------------------------------------------------- merge
+
+  final case class MergeResult(version: Long, filesRewritten: Int,
+                               filesTotal: Int, rowsMatched: Long,
+                               rowsInserted: Long)
+
+  /** MERGE INTO (copy-on-write upsert): rows of `updates` REPLACE the
+    * table rows sharing their `keyCol` value and INSERT where no such
+    * row exists. Only the candidate files are rewritten: stats-pruned
+    * by the update batch's [min, max] on the layout column, then — when
+    * the table's bloom index covers the merge key and the batch is
+    * collect-able (≤100k keys; a CDC batch is small next to the table,
+    * and a giant backfill should rewrite, not merge) — bloom-refined to
+    * the files that might actually contain an update key. Everything
+    * else carries by reference, which is the 100 TB economics: a
+    * late-data correction batch for one day must not rewrite the year.
+    *
+    * Merge contract: `keyCol` is unique per row in the table and in
+    * `updates` (checked for updates, one agg on the small side), and an
+    * update carries the SAME layout-column value as the row it replaces
+    * — rows are addressed by key but LOCATED by layout, so a key living
+    * outside the batch's layout range would not be found and the update
+    * would insert a duplicate. That is the CDC-natural case (a
+    * correction carries its event's own timestamp); violating it is a
+    * data bug this layer cannot detect without scanning the full table.
+    *
+    * Row accounting is metadata arithmetic (manifest per-file counts +
+    * one count of the small side): matched = hitRows + |updates| −
+    * newBatchRows, inserted = |updates| − matched. The commit is
+    * create-exclusive and does not retry (stale plan on conflict).
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCol: String): MergeResult = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val st = ver.stats.getOrElse(throw new IllegalArgumentException(
+      "merge locates rows via column stats — append with statsCol"))
+    require(updates.columns.contains(keyCol) &&
+        updates.columns.contains(st.col),
+      s"updates must carry $keyCol and the layout column ${st.col}")
+    import spark.implicits._
+    // small-side facts in ONE aggregate
+    val u = updates.agg(count(lit(1)), count_distinct(col(keyCol)),
+      min(col(st.col)).cast("long"), max(col(st.col)).cast("long"))
+      .collect().head
+    val nUpd = u.getLong(0)
+    require(nUpd > 0, "empty update batch")
+    require(u.getLong(1) == nUpd,
+      s"merge keys must be unique: $nUpd rows, ${u.getLong(1)} keys")
+    val (lo, hi) = (u.getLong(2), u.getLong(3))
+    val statsHit = ver.files.indices.filter(i =>
+      st.maxs(i) >= lo && st.mins(i) <= hi)
+    val hitIdx = ver.bloom.filter(_.col == keyCol) match {
+      case Some(_) if statsHit.nonEmpty && nUpd <= 100000 =>
+        val keys = updates.select(col(keyCol).cast("long"))
+          .distinct().as[Long].collect().toSeq
+        val visible = statsHit.map(ver.files).toDF("file")
+        val idx = spark.read.option("recursiveFileLookup", "true")
+          .json(bloomIdxDir(path)).join(broadcast(visible), "file")
+        val (hitFiles, _) = BloomIndex.probeFiles(idx, keys)
+        val hs = hitFiles.toSet
+        statsHit.filter(i => hs(ver.files(i)))
+      case _ => statsHit
+    }
+    val keepIdx = ver.files.indices.filterNot(hitIdx.contains)
+    val tableCols = spark.read.parquet(ver.files.head).limit(0).columns
+    require(updates.columns.sorted.sameElements(tableCols.sorted),
+      s"updates schema ${updates.columns.toSeq} must match table " +
+        s"columns ${tableCols.toSeq}")
+    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
+    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val hitRows = hitIdx.map(rows).sum
+    val newData =
+      if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
+      else spark.read.parquet(hitIdx.map(ver.files): _*)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(tableCols.map(col): _*)
+        .unionByName(updates.select(tableCols.map(col): _*))
+    val batchDir = s"$path/files/batch-${nonce()}"
+    newData.repartitionByRange(math.max(hitIdx.length, 1), col(st.col))
+      .sortWithinPartitions(st.col)
+      .write.mode("errorifexists").parquet(batchDir)
+    val batch = batchFacts(spark, batchDir, Some(st.col))
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files) ++ batch.files,
+      keepIdx.map(rows) ++ batch.rows,
+      keepIdx.map(bytes) ++ batch.bytes,
+      Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
+        keepIdx.map(st.maxs) ++ batch.maxs)),
+      ver.bloom))
+    val matched = hitRows + nUpd - batch.rows.sum
+    MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
+  }
+
+  // ------------------------------------------------------------ expire
+
+  final case class ExpireResult(manifestsDeleted: Int, filesDeleted: Int,
+                                filesRetained: Int)
+
+  /** Retention sweep: drop every version < `keepFrom` — delete their
+    * manifests and every data file NOT referenced by any retained
+    * version. Time travel to expired versions fails loudly afterwards
+    * (the manifest is gone); retained versions read byte-identically
+    * (their files were never candidates — a file is deleted only when
+    * NO retained manifest lists it). Only files the expired manifests
+    * REFERENCE are touched: unknown files in the directory are left
+    * alone, so an in-flight append's durable-but-uncommitted batch can
+    * never be swept out from under it. Cost is O(manifests × files)
+    * string work plus one unlink per dead file — metadata-scale.
+    * Stale bloom-index rows for deleted files are left behind
+    * (probes restrict to a manifest's file list, so they are inert);
+    * they vanish when their batch's files are all dead and the index
+    * dir is rewritten by a later compaction of the index, not here.
+    */
+  def expire(spark: SparkSession, path: String, keepFrom: Long)
+      : ExpireResult = {
+    val latest = latestVersion(path)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside committed versions [1, $latest]")
+    val retained = (keepFrom to latest)
+      .flatMap(v => readVersion(spark, path, v).files).toSet
+    var manifests = 0
+    var deleted = 0
+    (1L until keepFrom).foreach { v =>
+      val p = manifestPath(path, v)
+      if (Files.exists(p)) {
+        readVersion(spark, path, v).files.filterNot(retained).foreach { f =>
+          if (Files.deleteIfExists(Paths.get(f.stripPrefix("file:"))))
+            deleted += 1
+        }
+        Files.delete(p)
+        manifests += 1
+      }
+    }
+    ExpireResult(manifests, deleted, retained.size)
+  }
+
+  // ----------------------------------------------------------- changes
+
+  /** Change data feed between two versions: every row-level difference,
+    * tagged `_change` ∈ {insert, delete} (an update surfaces as the
+    * delete of the old row plus the insert of the new one). Computed
+    * from the MANIFEST diff: only files that entered or left the table
+    * between the versions are read — carried files contribute nothing
+    * and cost nothing, so CDF cost scales with the CHURN, never the
+    * table. Rewritten-but-identical rows (a COW delete's survivors, a
+    * compaction's merged rows) cancel in the multiset difference and
+    * correctly emit no change. Both file sets are read in ONE scan
+    * (union of paths, mergeSchema for evolved columns) and split by a
+    * broadcast file→side join, so the diff is two exceptAlls over
+    * exactly the churned bytes.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long)
+      : DataFrame = {
+    require(fromV <= toV, s"changes($fromV, $toV): versions reversed")
+    val a = readVersion(spark, path, fromV)
+    val b = readVersion(spark, path, toV)
+    val aSet = a.files.toSet; val bSet = b.files.toSet
+    val removed = a.files.filterNot(bSet)
+    val added = b.files.filterNot(aSet)
+    import spark.implicits._
+    if (removed.isEmpty && added.isEmpty)
+      return spark.read.parquet(a.files.head).limit(0)
+        .withColumn("_change", lit(""))
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet((removed ++ added): _*)
+    val dataCols = src.columns.toSeq
+    val side = (removed.map((_, "old")) ++ added.map((_, "new")))
+      .toDF("__f", "__side")
+    val tagged = src.withColumn("__f", input_file_name())
+      .join(broadcast(side), "__f")
+    val olds = tagged.filter(col("__side") === "old")
+      .select(dataCols.map(col): _*)
+    val news = tagged.filter(col("__side") === "new")
+      .select(dataCols.map(col): _*)
+    news.exceptAll(olds).withColumn("_change", lit("insert"))
+      .unionByName(olds.exceptAll(news).withColumn("_change", lit("delete")))
+  }
 }

@@ -1094,6 +1094,206 @@ object Relational {
       .toDF("n_v1", "qty_v1", "n_v2", "isolated", "files_pruned")
   }
 
+  /** q155 — MERGE INTO (copy-on-write upsert) on the snapshot table
+    * ([[graft.ops.SnapshotTable.merge]]): a late-data correction batch
+    * (every 1999 order gets +10000.00 on its total, same key and order
+    * day) plus fresh inserts (one negative-keyed row per corrected
+    * order) merged in ONE commit that rewrites ONLY the files
+    * whose stat range intersects the batch's — stats-pruned, then
+    * bloom-refined by the merge keys when the batch is collect-able.
+    * The require asserts the three facts that make this a MERGE and
+    * not a rewrite: partial file rewrite, exact matched-row count
+    * (manifest arithmetic, no extra scan), exact inserted-row count.
+    * DuckDB recomputes post-merge totals from the raw table — a lost
+    * survivor row, a duplicated key, or a dropped insert all
+    * hash-mismatch.
+    */
+  val mergeUpsert = QueryDef("q155_merge_upsert",
+    """SELECT
+      |  (SELECT count(*) FROM orders) +
+      |  (SELECT count(*) FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      |      AND o_orderdate < TIMESTAMP '2000-01-01') AS n,
+      |  (SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+      |     AS BIGINT) FROM orders) +
+      |  (SELECT 1000007 * count(*) FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      |      AND o_orderdate < TIMESTAMP '2000-01-01') AS price_u,
+      |  (SELECT count(*) FROM orders) AS n_v1,
+      |  TRUE AS partial_rewrite""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q155_table")
+    val lo99 = java.time.LocalDate.of(1999, 1, 1).toEpochDay
+    val hi99 = java.time.LocalDate.of(1999, 12, 31).toEpochDay
+    def keyed(df: DataFrame) = df.select(
+      col("o_orderkey").cast("long").as("k"),
+      expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+        .as("order_day"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_u"))
+    clusterLayouts.compute("q155", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = keyed(Tables.load(s, d, "orders"))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("order_day"), bloomCol = Some("k"))
+        val hit = keyed(Tables.load(s, d, "orders"))
+          .filter(col("order_day").between(lo99, hi99))
+        val updates = hit.withColumn("price_u", col("price_u") + 1000000L)
+          .unionByName(hit.select((-col("k")).as("k"), col("order_day"),
+            lit(7L).as("price_u")))
+        val nHit = hit.count()
+        val res = SnapshotTable.merge(s, path, updates, "k")
+        require(res.filesRewritten > 0 &&
+            res.filesRewritten < res.filesTotal,
+          s"merge rewrote ${res.filesRewritten} of ${res.filesTotal} " +
+            "files — candidate pruning is broken")
+        require(res.rowsMatched == nHit && res.rowsInserted == nHit,
+          s"merge accounting drift: matched ${res.rowsMatched}, " +
+            s"inserted ${res.rowsInserted}, expected $nHit each")
+      }
+      d
+    })
+    val (s2, _, rows2) = SnapshotTable.scanAt(s, path, 2)
+    val (s1, _, rows1) = SnapshotTable.scanAt(s, path, 1)
+    val a = s2.agg(count(lit(1)).as("n"),
+      sum("price_u").cast("long").as("price_u")).collect().head
+    require(a.getLong(0) == rows2, "scan/manifest row drift after merge")
+    val n1 = s1.count()
+    require(n1 == rows1, "pre-merge version lost rows")
+    import s.implicits._
+    Seq((a.getLong(0), a.getLong(1), n1, true))
+      .toDF("n", "price_u", "n_v1", "partial_rewrite")
+  }
+
+  /** q156 — SNAPSHOT EXPIRATION (retention sweep,
+    * [[graft.ops.SnapshotTable.expire]]): after a COW delete, the
+    * pre-delete version is expired — its manifest removed and exactly
+    * the files no retained version references unlinked. The per-run
+    * requires pin the three retention facts: the expired version fails
+    * loudly (no manifest, no silent directory fallback), the on-disk
+    * parquet population equals the retained manifest exactly (the
+    * sweep removed the dead files and ONLY them), and the retained
+    * version's aggregate — recomputed by DuckDB from the raw table
+    * with the delete predicate — is untouched by the sweep.
+    */
+  val expireSnapshots = QueryDef("q156_expire_snapshots",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  TRUE AS expired_loud, TRUE AS files_swept
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |   OR l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q156_table")
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q156", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("ship_day"))
+        SnapshotTable.deleteStatsRange(s, path, lo, hi)
+        val res = SnapshotTable.expire(s, path, keepFrom = 2)
+        require(res.manifestsDeleted == 1 && res.filesDeleted > 0,
+          s"expire swept ${res.manifestsDeleted} manifests, " +
+            s"${res.filesDeleted} files — nothing was dead?")
+      }
+      d
+    })
+    // the expired version is loud, per run
+    require(scala.util.Try(SnapshotTable.scanAt(s, path, 1)).isFailure,
+      "expired version 1 still readable")
+    val ver = SnapshotTable.readVersion(s, path, 2)
+    // on-disk population == the retained manifest, exactly
+    val onDisk = Work.walkAll(java.nio.file.Paths.get(path, "files"))
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    require(onDisk == ver.files.length,
+      s"$onDisk parquet files on disk, manifest lists ${ver.files.length}")
+    val (s2, _, rows2) = SnapshotTable.scanAt(s, path, 2)
+    val a = s2.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("qty_u")).collect().head
+    require(a.getLong(0) == rows2, "retained version lost rows")
+    import s.implicits._
+    Seq((a.getLong(0), a.getLong(1), true, true))
+      .toDF("n", "qty_u", "expired_loud", "files_swept")
+  }
+
+  /** q157 — CHANGE DATA FEED ([[graft.ops.SnapshotTable.changes]]):
+    * row-level diff between versions computed from the MANIFEST diff —
+    * only churned files are read, carried files cost nothing, so CDF
+    * cost scales with the change, never the table. The v1→v2 diff of a
+    * COW delete must emit EXACTLY the deleted rows (the survivors were
+    * rewritten into new files, but identical rows cancel in the
+    * multiset difference — asserted by the zero insert count riding in
+    * the hash); the v2→v3 diff of an append is pure inserts. DuckDB
+    * recomputes both sides from the raw table with the same predicates.
+    */
+  val changeDataFeed = QueryDef("q157_change_data_feed",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01') AS n_del,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01') AS qty_del,
+      |  0 AS n_ins_12,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |      AND l_linenumber = 1) AS n_ins_23""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q157_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val lo97 = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+    val hi97 = java.time.LocalDate.of(1997, 12, 31).toEpochDay
+    clusterLayouts.compute("q157", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("ship_day"))
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v2
+        SnapshotTable.append(                               // v3
+          Tables.lineitem(s, d)
+            .filter(col("l_linenumber") === 1)
+            .select(
+              expr("CAST(datediff(l_shipdate, DATE '1970-01-01') " +
+                "AS BIGINT)").as("ship_day"),
+              floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+            .filter(col("ship_day").between(lo97, hi97)),
+          path, numPartitions = 2, statsCol = Some("ship_day"))
+      }
+      d
+    })
+    val d12 = SnapshotTable.changes(s, path, 1, 2)
+    val d23 = SnapshotTable.changes(s, path, 2, 3)
+    val a = d12.groupBy("_change")
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (nDel, qtyDel) = a.getOrElse("delete", (0L, 0L))
+    val nIns12 = a.get("insert").map(_._1).getOrElse(0L)
+    require(nIns12 == 0,
+      s"COW-delete CDF leaked $nIns12 phantom inserts — survivor " +
+        "rewrites must cancel")
+    val nIns23 = d23.filter(col("_change") === "insert").count()
+    require(d23.filter(col("_change") === "delete").isEmpty,
+      "append CDF emitted deletes")
+    import s.implicits._
+    Seq((nDel, qtyDel, nIns12, nIns23))
+      .toDF("n_del", "qty_del", "n_ins_12", "n_ins_23")
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -1148,5 +1348,5 @@ object Relational {
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
     curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
-    versionedBloom, olsFit)
+    versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed, olsFit)
 }

@@ -280,6 +280,98 @@ class SnapshotTableSpec extends SparkSpec {
     assert(s3.count() === 50) // keys 200..249 deleted
   }
 
+  test("merge: updates replace matched keys, inserts land, only " +
+    "candidate files rewrite, v1 time-travels") {
+    import spark.implicits._
+    val path = freshPath()
+    // 1000 unique keys laid out by day (key = day here: locality holds)
+    val base = (0L until 1000L).map(k => (k, k, k % 7))
+      .toDF("k", "day", "payload")
+    SnapshotTable.append(base, path, 8, statsCol = Some("day"),
+      bloomCol = Some("k"))
+    // updates: keys 100-149 get payload 999; inserts: keys 2000-2009
+    // with days inside the same range (locality contract)
+    val ups = ((100L until 150L).map(k => (k, k, 999L)) ++
+      (2000L until 2010L).map(k => (k, 120L, 777L)))
+      .toDF("k", "day", "payload")
+    val res = SnapshotTable.merge(spark, path, ups, "k")
+    assert(res.version === 2)
+    assert(res.rowsMatched === 50 && res.rowsInserted === 10)
+    assert(res.filesRewritten > 0 && res.filesRewritten < res.filesTotal,
+      s"merge rewrote ${res.filesRewritten} of ${res.filesTotal}")
+    val (s2, _, rows2) = SnapshotTable.scanAt(spark, path, 2)
+    assert(rows2 === 1010 && s2.count() === 1010)
+    assert(s2.filter(col("payload") === 999).count() === 50)
+    assert(s2.filter(col("payload") === 777).count() === 10)
+    // matched keys hold exactly one row (replaced, not duplicated)
+    assert(s2.filter(col("k") === 120).count() === 1)
+    // pre-merge version unchanged
+    val (s1, _, _) = SnapshotTable.scanAt(spark, path, 1)
+    assert(s1.count() === 1000 &&
+      s1.filter(col("payload") === 999).isEmpty)
+    // duplicate update keys are rejected loudly
+    val dup = Seq((1L, 1L, 0L), (1L, 1L, 2L)).toDF("k", "day", "payload")
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, path, dup, "k"))
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("expire drops old versions' manifests and exactly their " +
+    "unreferenced files; retained versions read unchanged") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0L until 500L).toDF("day"), path, 4,
+      statsCol = Some("day"))
+    SnapshotTable.append((500L until 600L).toDF("day"), path, 2,
+      statsCol = Some("day"))
+    // v3: COW delete rewrites some v1 files -> v1-only files exist
+    SnapshotTable.deleteStatsRange(spark, path, 100, 199)
+    val v3 = SnapshotTable.readVersion(spark, path, 3)
+    val dead = (SnapshotTable.readVersion(spark, path, 1).files.toSet ++
+      SnapshotTable.readVersion(spark, path, 2).files.toSet) --
+      v3.files.toSet
+    assert(dead.nonEmpty)
+    val res = SnapshotTable.expire(spark, path, keepFrom = 3)
+    assert(res.manifestsDeleted === 2)
+    assert(res.filesDeleted === dead.size)
+    assert(res.filesRetained === v3.files.size)
+    // expired versions are loud, the retained one reads whole
+    intercept[IllegalArgumentException](
+      SnapshotTable.scanAt(spark, path, 1))
+    val (s3, _, rows3) = SnapshotTable.scanAt(spark, path, 3)
+    assert(s3.count() === rows3 && rows3 === 500)
+    // every retained file still on disk, every dead file gone
+    v3.files.foreach(f => assert(Files.exists(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))))
+    dead.foreach(f => assert(!Files.exists(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))))
+  }
+
+  test("changes: a COW delete emits only the deleted rows, an append " +
+    "only inserts, and rewritten survivors cancel") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0L until 400L).toDF("day"), path, 4,
+      statsCol = Some("day"))
+    SnapshotTable.deleteStatsRange(spark, path, 100, 199) // v2
+    SnapshotTable.append((1000L until 1050L).toDF("day"), path, 1,
+      statsCol = Some("day")) // v3
+    val d12 = SnapshotTable.changes(spark, path, 1, 2)
+    val dels = d12.filter(col("_change") === "delete")
+    assert(dels.count() === 100)
+    assert(d12.filter(col("_change") === "insert").isEmpty,
+      "survivor rewrite must cancel in the multiset diff")
+    assert(dels.agg(min("day"), max("day")).collect().head.toSeq ===
+      Seq(100L, 199L))
+    val d23 = SnapshotTable.changes(spark, path, 2, 3)
+    assert(d23.filter(col("_change") === "delete").isEmpty)
+    assert(d23.filter(col("_change") === "insert").count() === 50)
+    // same-version diff is empty; reversed versions are loud
+    assert(SnapshotTable.changes(spark, path, 2, 2).isEmpty)
+    intercept[IllegalArgumentException](
+      SnapshotTable.changes(spark, path, 3, 1))
+  }
+
   test("missing version and missing table are loud") {
     import spark.implicits._
     val path = freshPath()
