@@ -69,7 +69,8 @@ object SnapshotTable {
                            stats: Option[Stats] = None,
                            fileRows: Option[Seq[Long]] = None,
                            fileBytes: Option[Seq[Long]] = None,
-                           bloom: Option[BloomConf] = None)
+                           bloom: Option[BloomConf] = None,
+                           txns: Map[String, Long] = Map.empty)
 
   /** Facts about one committed batch of data files, derived by reading
     * the WRITTEN files back (what a reader will actually observe,
@@ -125,17 +126,23 @@ object SnapshotTable {
         Some(BloomConf(r.getAs[String]("bloom_col"),
           r.getAs[Long]("bloom_expected")))
       else None
+    val txns =
+      if (df.columns.contains("txn_writers"))
+        r.getAs[scala.collection.Seq[String]]("txn_writers")
+          .zip(r.getAs[scala.collection.Seq[Long]]("txn_batches")).toMap
+      else Map.empty[String, Long]
     Version(r.getAs[Long]("version"),
       r.getAs[scala.collection.Seq[String]]("files").toSeq,
       r.getAs[Long]("rows"), stats, longs("file_rows"),
-      longs("file_bytes"), bloom)
+      longs("file_bytes"), bloom, txns)
   }
 
   // ------------------------------------------------------------ commit
 
   private def renderManifest(v: Long, files: Seq[String], rows: Seq[Long],
                              bytes: Seq[Long], stats: Option[Stats],
-                             bloom: Option[BloomConf]): String = {
+                             bloom: Option[BloomConf],
+                             txns: Map[String, Long] = Map.empty): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "rows" -> rows.sum.toString,
@@ -150,6 +157,13 @@ object SnapshotTable {
     bloom.foreach { bc =>
       fields += "bloom_col" -> Json.quote(bc.col)
       fields += "bloom_expected" -> bc.expectedPerFile.toString
+    }
+    if (txns.nonEmpty) {
+      // sorted for byte-deterministic manifests
+      val ts = txns.toSeq.sortBy(_._1)
+      fields += "txn_writers" -> ts.map(t => Json.quote(t._1))
+        .mkString("[", ",", "]")
+      fields += "txn_batches" -> ts.map(_._2).mkString("[", ",", "]")
     }
     Json.obj(fields)
   }
@@ -245,12 +259,33 @@ object SnapshotTable {
     * RETRIED against the refreshed latest version when a concurrent
     * append wins the race (both batches end up visible — the loser's
     * at the next version number). Returns the committed version.
+    *
+    * `txn = Some((writerId, batchId))` makes the append IDEMPOTENT per
+    * writer: the manifest carries each writer's latest committed
+    * batchId, and a replay (same writer, batchId ≤ committed) returns
+    * the already-visible version WITHOUT writing anything — the
+    * Delta-style transaction identifier that turns a Structured
+    * Streaming `foreachBatch` sink into exactly-once: on restart the
+    * re-delivered micro-batch hits the recorded id and skips. batchIds
+    * must be monotonically increasing per writer (streaming batch ids
+    * are). If a concurrent attempt of the SAME writer/batch wins the
+    * commit race after this call already wrote its data files, those
+    * files are simply never referenced (and [[expire]] never touches
+    * unknown files, so they are inert until a cleanup).
     */
   def append(df: DataFrame, path: String, numPartitions: Int,
              statsCol: Option[String] = None,
              bloomCol: Option[String] = None,
-             bloomExpectedPerFile: Long = -1L): Long = {
+             bloomExpectedPerFile: Long = -1L,
+             txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
+    def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
+      base.txns.get(w).exists(_ >= b)
+    }
+    // replay fast-path: check BEFORE writing any data
+    val pre = latestVersion(path)
+    if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
+      return pre
     val batch = writeBatch(df, path, numPartitions, statsCol)
     val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -260,6 +295,9 @@ object SnapshotTable {
       val base =
         if (prev == 0) Version(0, Seq.empty, 0)
         else readVersion(spark, path, prev)
+      // a racing attempt of the same writer/batch committed first:
+      // this attempt's files stay unreferenced, the table is correct
+      if (committedAt(base)) return prev
       require(statsCol.isEmpty || base.files.isEmpty ||
           base.stats.exists(_.col == statsCol.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
@@ -278,7 +316,8 @@ object SnapshotTable {
             base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
         },
-        bloomConf.orElse(base.bloom))
+        bloomConf.orElse(base.bloom),
+        base.txns ++ txn.toMap)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -393,7 +432,7 @@ object SnapshotTable {
       commitExclusive(path, v, renderManifest(v, ver.files,
         ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L)),
         ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L)),
-        Some(st), ver.bloom))
+        Some(st), ver.bloom, ver.txns))
       return (v, 0, ver.files.length)
     }
     val hitFiles = hitIdx.map(ver.files)
@@ -415,7 +454,7 @@ object SnapshotTable {
       carried(bytes) ++ batch.bytes,
       Some(Stats(st.col, carried(st.mins) ++ batch.mins,
         carried(st.maxs) ++ batch.maxs)),
-      ver.bloom))
+      ver.bloom, ver.txns))
     (v, hitIdx.length, ver.files.length)
   }
 
@@ -513,7 +552,7 @@ object SnapshotTable {
       carriedIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, carriedIdx.map(st.mins) ++ batch.mins,
         carriedIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom))
+      ver.bloom, ver.txns))
     CompactResult(v, ver.files.length,
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -610,7 +649,7 @@ object SnapshotTable {
       keepIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom))
+      ver.bloom, ver.txns))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }

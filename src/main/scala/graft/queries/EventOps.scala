@@ -575,9 +575,101 @@ object EventOps {
         col("covered_ns"), col("max_island_ns"))
   }
 
+  /** q158 — STREAMING INGESTION into the snapshot table, exactly-once:
+    * the events file-stream lands in [[graft.ops.SnapshotTable]] via
+    * `foreachBatch`, each micro-batch committed with a transaction id
+    * `(writer, batchId)` the manifest records per writer. Replay is the
+    * whole point: a re-delivered micro-batch (restart, checkpoint
+    * rollback, foreachBatch's at-least-once contract) hits the recorded
+    * watermark and commits NOTHING — asserted by re-appending the last
+    * batch id and requiring the version unchanged. maxFilesPerTrigger
+    * forces ≥2 real micro-batches so cross-batch txn accounting is
+    * exercised, and the require pins exactly-once structurally: the
+    * table's committed row count must equal the source row count (a
+    * duplicated batch doubles it, a skipped one loses it) — then DuckDB
+    * recomputes the aggregate from the raw events table, catching
+    * row-level duplication the count alone might balance out.
+    */
+  val streamTableIngest = QueryDef("q158_stream_table_ingest",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users,
+      |  TRUE AS replay_skipped
+      |FROM events""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = graft.Work.oracleDumpPath("q158_table")
+    val ingestLayouts = streamTableLayouts
+    ingestLayouts.compute("q158", (_, prev) => {
+      if (prev != d) {
+        graft.Work.wipe(java.nio.file.Paths.get(path))
+        // stage the events table as FOUR files so maxFilesPerTrigger=1
+        // yields four real micro-batches (the raw table is one file)
+        val srcDir = graft.Work.stableDir(
+          s"q158-src-${math.abs(d.hashCode)}").toString
+        graft.Work.wipe(java.nio.file.Paths.get(srcDir))
+        Tables.load(s, d, "events").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val ckpt = graft.Work.stableDir(
+          s"q158-ckpt-${math.abs(d.hashCode)}")
+        graft.Work.wipe(ckpt)
+        val events = s.readStream
+          .schema(s.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+          .parquet(srcDir)
+        val writer = "q158_ingest"
+        val q = events.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              SnapshotTable.append(
+                batch.select(col("event_id").cast("long").as("event_id"),
+                  col("user_id").cast("long").as("user_id"),
+                  col("value")),
+                path, numPartitions = 2, txn = Some((writer, batchId)))
+              ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val v = SnapshotTable.latestVersion(path)
+        require(v >= 2, s"expected ≥2 micro-batch commits, got $v")
+        val ver = SnapshotTable.readVersion(s, path, v)
+        // replay the last delivered batch: must commit nothing
+        val lastBatch = ver.txns(writer)
+        val vReplay = SnapshotTable.append(
+          s.read.parquet(srcDir).limit(5)
+            .select(col("event_id").cast("long").as("event_id"),
+              col("user_id").cast("long").as("user_id"), col("value")),
+          path, numPartitions = 1, txn = Some((writer, lastBatch)))
+        require(vReplay == v && SnapshotTable.latestVersion(path) == v,
+          s"replayed batch $lastBatch committed a new version")
+        // exactly-once, structurally: table rows == source rows
+        val srcRows = s.read.parquet(srcDir).count()
+        require(ver.rows == srcRows,
+          s"ingest landed ${ver.rows} rows, source has $srcRows")
+      }
+      d
+    })
+    val (scan, _, rowsExp) =
+      SnapshotTable.scanAt(s, path, SnapshotTable.latestVersion(path))
+    val a = scan.agg(count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double")
+        .as("sum_value"),
+      count_distinct(col("user_id")).as("n_users")).collect().head
+    require(a.getLong(0) == rowsExp, "scan/manifest drift after ingest")
+    import s.implicits._
+    Seq((a.getLong(0), a.getDouble(1), a.getLong(2), true))
+      .toDF("n", "sum_value", "n_users", "replay_skipped")
+  }
+
+  private val streamTableLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[QueryDef] =
     Seq(eventWindows, sessionize, saltedJoin, bucketedJoin,
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
       streamIntervalJoin, streamOuterJoin, funnel, cohorts,
-      intervalCoverage, streamRunningTotals, streamStaticJoin)
+      intervalCoverage, streamRunningTotals, streamStaticJoin,
+      streamTableIngest)
 }

@@ -372,6 +372,39 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.changes(spark, path, 3, 1))
   }
 
+  test("txn appends are idempotent per writer: a replayed batch id " +
+    "commits nothing, a new id commits, writers are independent") {
+    import spark.implicits._
+    val path = freshPath()
+    val v1 = SnapshotTable.append((1 to 10).toDF("x"), path, 1,
+      txn = Some(("writerA", 0L)))
+    assert(v1 === 1)
+    // replay of batch 0: no new version, no new rows, no new files
+    val filesBefore = SnapshotTable.readVersion(spark, path, 1).files
+    val vReplay = SnapshotTable.append((999 to 1020).toDF("x"), path, 1,
+      txn = Some(("writerA", 0L)))
+    assert(vReplay === 1)
+    assert(SnapshotTable.latestVersion(path) === 1)
+    assert(SnapshotTable.readVersion(spark, path, 1).files === filesBefore)
+    // the next batch id commits; an OLDER id afterwards is also skipped
+    val v2 = SnapshotTable.append((11 to 15).toDF("x"), path, 1,
+      txn = Some(("writerA", 1L)))
+    assert(v2 === 2)
+    assert(SnapshotTable.append((0 to 0).toDF("x"), path, 1,
+      txn = Some(("writerA", 0L))) === 2)
+    // a different writer with the same batch id is independent
+    val v3 = SnapshotTable.append((16 to 18).toDF("x"), path, 1,
+      txn = Some(("writerB", 0L)))
+    assert(v3 === 3)
+    val (s3, _, rows3) = SnapshotTable.scanAt(spark, path, 3)
+    assert(rows3 === 18 && s3.count() === 18)
+    // txn watermarks survive a non-txn append
+    SnapshotTable.append((19 to 20).toDF("x"), path, 1)
+    assert(SnapshotTable.append((0 to 9).toDF("x"), path, 1,
+      txn = Some(("writerA", 1L))) === 4)
+    assert(SnapshotTable.latestVersion(path) === 4)
+  }
+
   test("missing version and missing table are loud") {
     import spark.implicits._
     val path = freshPath()
