@@ -372,6 +372,20 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.changes(spark, path, 3, 1))
   }
 
+  test("changes tags file sides via a broadcast join — no cartesian, " +
+    "no shuffle of the file map") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0L until 200L).toDF("day"), path, 4,
+      statsCol = Some("day"))
+    SnapshotTable.deleteStatsRange(spark, path, 50, 99)
+    val plan = SnapshotTable.changes(spark, path, 1, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), "file-side tagging went " +
+      "cartesian")
+  }
+
   test("txn appends are idempotent per writer: a replayed batch id " +
     "commits nothing, a new id commits, writers are independent") {
     import spark.implicits._
