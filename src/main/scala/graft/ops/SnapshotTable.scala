@@ -365,6 +365,47 @@ object SnapshotTable {
     (df.filter(col(st.col).between(lo, hi)), hit.length, ver.files.length)
   }
 
+  /** Multi-interval stats scan AT A VERSION: open only the files whose
+    * manifest [min, max] on the stat column intersects ANY of the
+    * (sorted, disjoint) intervals, with the OR-of-BETWEEN residual.
+    * When the stat column IS a space-filling-curve key (append the
+    * layout with `statsCol = "z"`), feeding this the rectangle's
+    * [[CurveCover]] decomposition gives Z-order/Hilbert rectangle
+    * pruning WITH time travel — the clustered-layout story (q131/q135)
+    * composed with the commit log, no separate `_manifest` file: the
+    * snapshot manifest's per-file stats ARE the curve manifest.
+    * An empty cover is an empty relation, not an error.
+    */
+  def scanRangesAt(spark: SparkSession, path: String, version: Long,
+                   ranges: Seq[(Long, Long)]): (DataFrame, Int, Int) = {
+    val ver = readVersion(spark, path, version)
+    val st = ver.stats.getOrElse(throw new IllegalArgumentException(
+      s"version $version carries no column stats — append with statsCol"))
+    if (ranges.isEmpty)
+      return (spark.read.parquet(ver.files.head).limit(0), 0,
+        ver.files.length)
+    val hit = ver.files.indices.filter(i => ranges.exists {
+      case (lo, hi) => st.maxs(i) >= lo && st.mins(i) <= hi
+    }).map(ver.files)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
+      else spark.read.parquet(hit: _*)
+    val pred = ranges.map { case (lo, hi) => col(st.col).between(lo, hi) }
+      .reduce(_ || _)
+    (df.filter(pred), hit.length, ver.files.length)
+  }
+
+  /** Rectangle probe at a version over a curve-keyed layout: the
+    * [[CurveCover]] decomposition of the (x, y) rectangle against this
+    * VERSION's per-file key ranges. See [[scanRangesAt]].
+    */
+  def scanRectangleAt(spark: SparkSession, path: String, version: Long,
+                      xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+                      bits: Int, curve: String = "zorder",
+                      maxRanges: Int = 64): (DataFrame, Int, Int) =
+    scanRangesAt(spark, path, version,
+      CurveCover.cover(xmin, xmax, ymin, ymax, bits, curve, maxRanges))
+
   /** Bloom-pruned equality probe AT A VERSION: membership is tested in
     * executors over the index rows of exactly the files visible at
     * `version` ([[BloomIndex.probePlan]] — bloom bytes never reach the

@@ -1294,6 +1294,76 @@ object Relational {
       .toDF("n_del", "qty_del", "n_ins_12", "n_ins_23")
   }
 
+  /** q159 — VERSIONED curve-key rectangle probe: q131's Z-order
+    * data skipping composed with q148's time travel, with NO separate
+    * `_manifest` file — the snapshot manifest's per-file stats over the
+    * Morton key ARE the curve manifest ([[graft.ops.SnapshotTable
+    * .scanRectangleAt]]). Two curve-clustered batches commit as v1/v2;
+    * the same 64-aligned rectangle probes both versions, pruning
+    * asserted at each (a 64² tile of a 1024² domain must touch 1-2 of
+    * 16 files per batch) and isolation asserted structurally (the v1
+    * probe plans over strictly fewer files). DuckDB recomputes both
+    * versions' rectangle aggregates from the raw table with the
+    * batch-defining predicate — a wrong cover interval or a leaked
+    * v2 file changes the v1 numbers and hash-mismatches.
+    */
+  val versionedCurveSkip = QueryDef("q159_versioned_curve_skip",
+    """WITH pts AS (
+      |  SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py,
+      |    l_linenumber AS ln,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem)
+      |SELECT
+      |  (SELECT count(*) FROM pts
+      |    WHERE px BETWEEN 128 AND 191 AND py BETWEEN 128 AND 191
+      |      AND ln <= 3) AS n_v1,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM pts
+      |    WHERE px BETWEEN 128 AND 191 AND py BETWEEN 128 AND 191
+      |      AND ln <= 3) AS qty_v1,
+      |  (SELECT count(*) FROM pts
+      |    WHERE px BETWEEN 128 AND 191 AND py BETWEEN 128 AND 191)
+      |    AS n_v2,
+      |  TRUE AS isolated, TRUE AS files_pruned""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q159_table")
+    clusterLayouts.compute("q159", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
+          col("l_linenumber").as("ln"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .withColumn("z", graft.functions.ZOrderExpr.zorder(
+            col("px"), col("py"), 10))
+        SnapshotTable.append(base.filter(col("ln") <= 3), path,
+          numPartitions = 16, statsCol = Some("z"))
+        SnapshotTable.append(base.filter(col("ln") > 3), path,
+          numPartitions = 16, statsCol = Some("z"))
+      }
+      d
+    })
+    def probe(version: Long) = {
+      val (scan, read, total) = SnapshotTable.scanRectangleAt(
+        s, path, version, 128, 191, 128, 191, bits = 10)
+      require(read > 0 && read < total,
+        s"versioned curve cover did not prune at v$version: " +
+          s"read $read of $total files")
+      (scan.filter(col("px").between(128, 191) &&
+        col("py").between(128, 191)), total)
+    }
+    val (s1, total1) = probe(1)
+    val (s2, total2) = probe(2)
+    require(total1 < total2,
+      s"versioned probe leaked: v1 plans over $total1 files, v2 $total2")
+    val a1 = s1.agg(count(lit(1)).as("n_v1"),
+      sum("qty_u").cast("long").as("qty_v1")).collect().head
+    val n2 = s2.count()
+    import s.implicits._
+    Seq((a1.getLong(0), a1.getLong(1), n2, true, true))
+      .toDF("n_v1", "qty_v1", "n_v2", "isolated", "files_pruned")
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -1348,5 +1418,6 @@ object Relational {
     rollup, runningSum, zorderKey, clusterSkip, curveCoverSkip, curveCover3Skip,
     curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
-    versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed, olsFit)
+    versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
+    versionedCurveSkip, olsFit)
 }
