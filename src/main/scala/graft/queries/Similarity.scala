@@ -543,7 +543,123 @@ object Similarity {
       .orderBy("i")
   }
 
+  /** q160 — PRODUCT-QUANTIZATION ANN (Jégou-Douze-Schmid 2011), the
+    * memory-bound scale path brute cosine (q40) and IVF (q56) don't
+    * cover: vectors compress to m sub-space centroid CODES (here 8
+    * sub-spaces × 8 dims, 4 centroids each → 8 small ints per vector
+    * instead of 64 floats — the compression that lets a 100 TB corpus'
+    * index live in RAM), and a query scans CODES ONLY via an
+    * asymmetric-distance LUT (m×k partial distances computed once per
+    * query, broadcast; the scan is one hash-agg over the code table —
+    * no vector arithmetic per row). Everything is integer-exact in the
+    * q129 discipline: quantized components, deterministic sub-space
+    * codebooks (four spread seed vectors, ONE Lloyd update, truncation
+    * division, ties broken on centroid id), so DuckDB replays codebook
+    * training, encoding, the LUT, and the ADC top-10 bit-for-bit —
+    * the full PQ pipeline is hash-gated, not just its shape.
+    */
+  val pqAnn = QueryDef("q160_pq_ann",
+    """WITH qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS sv
+      |  FROM qv, generate_series(0, 7) AS s(j)),
+      |c0 AS (SELECT j, vec_id AS cid, sv AS c FROM sub
+      |       WHERE vec_id IN (0, 100, 200, 300)),
+      |d1 AS (
+      |  SELECT s.vec_id, s.j, c.cid,
+      |    CAST(sum((s.sv[g.i] - c.c[g.i]) * (s.sv[g.i] - c.c[g.i]))
+      |      AS BIGINT) AS dist
+      |  FROM sub s JOIN c0 c ON s.j = c.j,
+      |       generate_series(1, 8) AS g(i)
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, j, cid FROM (
+      |    SELECT vec_id, j, cid,
+      |      row_number() OVER (PARTITION BY vec_id, j
+      |        ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+      |cs AS (
+      |  SELECT a1.j, a1.cid, g.i AS i,
+      |    CAST(sum(s.sv[g.i]) AS BIGINT) // count(*) AS cv
+      |  FROM a1 JOIN sub s USING (vec_id, j),
+      |       generate_series(1, 8) AS g(i)
+      |  GROUP BY 1, 2, 3),
+      |c1 AS (SELECT j, cid, list(cv ORDER BY i) AS c FROM cs
+      |       GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT s.vec_id, s.j, c.cid,
+      |    CAST(sum((s.sv[g.i] - c.c[g.i]) * (s.sv[g.i] - c.c[g.i]))
+      |      AS BIGINT) AS dist
+      |  FROM sub s JOIN c1 c ON s.j = c.j,
+      |       generate_series(1, 8) AS g(i)
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, j, cid FROM (
+      |    SELECT vec_id, j, cid,
+      |      row_number() OVER (PARTITION BY vec_id, j
+      |        ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1),
+      |lut AS (
+      |  SELECT c.j, c.cid,
+      |    CAST(sum((q.sv[g.i] - c.c[g.i]) * (q.sv[g.i] - c.c[g.i]))
+      |      AS BIGINT) AS qdist
+      |  FROM c1 c JOIN sub q ON q.j = c.j AND q.vec_id = 42,
+      |       generate_series(1, 8) AS g(i)
+      |  GROUP BY 1, 2),
+      |adist AS (
+      |  SELECT codes.vec_id, CAST(sum(lut.qdist) AS BIGINT) AS adist
+      |  FROM codes JOIN lut USING (j, cid) GROUP BY 1)
+      |SELECT vec_id, adist FROM adist
+      |ORDER BY adist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val m = 8; val dsub = 8
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+    // (vec_id, j, sv): the m sub-vectors of every vector
+    val sub = qv.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+    val c0 = sub.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
+      .select(col("j"), col("vec_id").as("cid"), col("sv").as("c"))
+    def dist2 = aggregate(
+      zip_with(col("sv"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "j").orderBy(col("dist"), col("cid"))
+    def assign(centers: DataFrame) =
+      sub.join(broadcast(centers), Seq("j"))
+        .select(col("vec_id"), col("j"), col("cid"), col("sv"),
+          dist2.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    val a1 = assign(c0)
+    // per-sub-space centroid update: truncation-divided integer means
+    val c1 = a1.select(col("j"), col("cid"),
+        posexplode(col("sv")).as(Seq("i", "comp")))
+      .groupBy(col("j"), col("cid"), col("i"))
+      .agg(sum("comp").as("sm"), count(lit(1)).as("mcnt"))
+      .withColumn("cv", expr("sm div mcnt"))
+      .groupBy("j", "cid")
+      .agg(array_sort(collect_list(struct(col("i"), col("cv"))))
+        .as("pairs"))
+      .select(col("j"), col("cid"),
+        transform(col("pairs"), p => p.getField("cv")).as("c"))
+    val codes = assign(c1).select(col("vec_id"), col("j"), col("cid"))
+    // ADC lookup table: the query's m×k partial distances — one tiny
+    // broadcast relation; the scan below never touches a vector again
+    val lut = sub.filter(col("vec_id") === 42L)
+      .join(broadcast(c1), Seq("j"))
+      .select(col("j"), col("cid"), dist2.as("qdist"))
+    codes.join(broadcast(lut), Seq("j", "cid"))
+      .groupBy("vec_id")
+      .agg(sum("qdist").cast("long").as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
     embeddingDedup, int8Quantize, gramMatrix, kmeans, clusterSample,
-    powerIteration)
+    powerIteration, pqAnn)
 }
