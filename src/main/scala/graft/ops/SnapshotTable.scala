@@ -630,10 +630,18 @@ object SnapshotTable {
     * create-exclusive and does not retry (stale plan on conflict).
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            keyCol: String): MergeResult = {
+            keyCol: String, txn: Option[(String, Long)] = None)
+      : MergeResult = {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    // idempotent replay (same contract as append's txn): a batch id at
+    // or below the writer's recorded watermark merges NOTHING — the
+    // exactly-once guarantee for a streaming CDC-apply sink
+    txn.foreach { case (w, b) =>
+      if (ver.txns.get(w).exists(_ >= b))
+        return MergeResult(prev, 0, ver.files.length, 0L, 0L)
+    }
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "merge locates rows via column stats — append with statsCol"))
     require(updates.columns.contains(keyCol) &&
@@ -690,7 +698,7 @@ object SnapshotTable {
       keepIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns))
+      ver.bloom, ver.txns ++ txn.toMap))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }

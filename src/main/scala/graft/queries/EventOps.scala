@@ -663,6 +663,124 @@ object EventOps {
       .toDF("n", "sum_value", "n_users", "replay_skipped")
   }
 
+  /** q161 — STREAMING CDC APPLY, exactly-once: the composition a
+    * change-data-capture consumer actually runs — per micro-batch,
+    * reduce the batch to one winner per key (arg-max on the unique,
+    * monotonically-assigned event id), MERGE it into the snapshot
+    * table, and commit the batch's transaction id in the SAME manifest
+    * as the data, so replays apply nothing ([[graft.ops.SnapshotTable
+    * .merge]] with `txn`). The batches are staged in event-id order
+    * (sequential single-file writes — the file source processes them
+    * oldest-first), so the table's final state is exactly "every user's
+    * latest event", which DuckDB recomputes from the raw events table
+    * with arg_max. Replay of the final batch is asserted to merge
+    * nothing, and the per-user row count is pinned structurally (a
+    * duplicated apply inflates it; upsert semantics keep one row per
+    * key however many batches touch it).
+    */
+  val streamCdcApply = QueryDef("q161_stream_cdc_apply",
+    """WITH w AS (
+      |  SELECT user_id, arg_max(value, event_id) AS value,
+      |    max(event_id) AS last_event_id
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS sum_last_value,
+      |  CAST(sum(last_event_id) AS BIGINT) AS sum_last_event,
+      |  TRUE AS replay_skipped
+      |FROM w""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = graft.Work.oracleDumpPath("q161_table")
+    streamTableLayouts.compute("q161", (_, prev) => {
+      if (prev != d) {
+        graft.Work.wipe(java.nio.file.Paths.get(path))
+        val ev = Tables.load(s, d, "events")
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"), col("value"))
+        // seed state: one row per user, sentinel value, id -1 — every
+        // user is overwritten by its first CDC batch
+        SnapshotTable.append(
+          ev.select(col("user_id")).distinct()
+            .withColumn("last_event_id", lit(-1L))
+            .withColumn("value", lit(0.0)),
+          path, numPartitions = 4, statsCol = Some("user_id"))
+        // stage 4 batches in EVENT-ID ORDER as sequential single-file
+        // writes (increasing mtimes — the file source replays them
+        // oldest-first, the Kafka-partition-order stand-in)
+        val srcDir = graft.Work.stableDir(
+          s"q161-src-${math.abs(d.hashCode)}").toString
+        graft.Work.wipe(java.nio.file.Paths.get(srcDir))
+        val maxId = ev.agg(max("event_id")).collect().head.getLong(0)
+        for (k <- 0 until 4) {
+          ev.filter(col("event_id") >= k * (maxId + 1) / 4 &&
+              col("event_id") < (k + 1) * (maxId + 1) / 4)
+            .coalesce(1)
+            .write.mode("append").parquet(srcDir)
+          Thread.sleep(5) // distinct mtimes -> deterministic replay order
+        }
+        val ckpt = graft.Work.stableDir(
+          s"q161-ckpt-${math.abs(d.hashCode)}")
+        graft.Work.wipe(ckpt)
+        val writer = "q161_cdc"
+        val q = s.readStream
+          .schema(s.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              // one winner per key: the batch's latest event
+              val ups = batch.groupBy("user_id")
+                .agg(max_by(col("value"), col("event_id")).as("value"),
+                  max("event_id").as("last_event_id"))
+                .select(col("user_id"), col("last_event_id"), col("value"))
+              if (!ups.isEmpty)
+                SnapshotTable.merge(s, path, ups, "user_id",
+                  txn = Some((writer, batchId)))
+              ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val v = SnapshotTable.latestVersion(path)
+        val ver = SnapshotTable.readVersion(s, path, v)
+        require(ver.txns.contains(writer) && v >= 3,
+          s"expected ≥2 CDC merges after the seed, got version $v")
+        // replay the last batch: must merge nothing
+        val res = SnapshotTable.merge(s, path,
+          s.read.parquet(srcDir).limit(3)
+            .select(col("user_id").cast("long").as("user_id"),
+              col("event_id").cast("long").as("last_event_id"),
+              col("value")),
+          "user_id", txn = Some((writer, ver.txns(writer))))
+        require(res.version == v && res.rowsMatched == 0 &&
+            res.rowsInserted == 0,
+          s"replayed CDC batch ${ver.txns(writer)} applied changes")
+      }
+      d
+    })
+    val (scan, _, rowsExp) =
+      SnapshotTable.scanAt(s, path, SnapshotTable.latestVersion(path))
+    // upsert discipline: exactly one state row per user
+    val nUsers = Tables.load(s, d, "events")
+      .select(col("user_id")).distinct().count()
+    require(rowsExp == nUsers,
+      s"CDC state holds $rowsExp rows for $nUsers users")
+    // no sentinel survived: every user was reached by some batch
+    val a = scan.agg(count(lit(1)).as("n_users"),
+      sum(col("value").cast("decimal(18,6)")).cast("double")
+        .as("sum_last_value"),
+      sum("last_event_id").cast("long").as("sum_last_event"),
+      min("last_event_id").as("min_last")).collect().head
+    require(a.getLong(3) >= 0, "a seed sentinel row survived the stream")
+    import s.implicits._
+    Seq((a.getLong(0), a.getDouble(1), a.getLong(2), true))
+      .toDF("n_users", "sum_last_value", "sum_last_event",
+        "replay_skipped")
+  }
+
   private val streamTableLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -671,5 +789,5 @@ object EventOps {
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
       streamIntervalJoin, streamOuterJoin, funnel, cohorts,
       intervalCoverage, streamRunningTotals, streamStaticJoin,
-      streamTableIngest)
+      streamTableIngest, streamCdcApply)
 }
