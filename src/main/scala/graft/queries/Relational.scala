@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables, Work}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1242,7 +1242,7 @@ object Relational {
       |     AS BIGINT) FROM lineitem
       |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |      AND l_shipdate < TIMESTAMP '1997-01-01') AS qty_del,
-      |  0 AS n_ins_12,
+      |  CAST(0 AS BIGINT) AS n_ins_12,
       |  (SELECT count(*) FROM lineitem
       |    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |      AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1364,6 +1364,64 @@ object Relational {
       .toDF("n_v1", "qty_v1", "n_v2", "isolated", "files_pruned")
   }
 
+  /** q162 — DATA-QUALITY CONSTRAINT SUITE (the Deequ-style validation
+    * gate a training pipeline runs before trusting an ingest): five
+    * constraint classes evaluated over the fact table — completeness
+    * (nulls), range (quantity bounds), domain (calendar window),
+    * uniqueness (key-pair duplicates via count − count distinct), and
+    * referential integrity (orderkeys absent from a stale dimension
+    * snapshot, the realistic FK failure: the dim lags the facts). The
+    * row-local constraints stack into ONE aggregation over ONE scan
+    * (conditional sums share the pass — N constraints never cost N
+    * scans); the FK check is a broadcast anti-join against the
+    * dimension (the only shape that survives a 100 TB fact side).
+    * Violation COUNTS are the output, recomputed by DuckDB — a
+    * validator that under- or over-counts by one row hash-mismatches.
+    */
+  val qualitySuite = QueryDef("q162_quality_suite",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_rows,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_quantity IS NULL
+      |       OR l_quantity < 1 OR l_quantity > 30) AS n_qty_violations,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1995-01-01'
+      |       OR l_shipdate >= TIMESTAMP '2002-01-01') AS n_date_violations,
+      |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+      |    FROM lineitem) AS n_dup_pairs,
+      |  (SELECT count(*) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_orderkey = l.l_orderkey
+      |        AND o.o_orderkey <= 10000)) AS n_orphans""".stripMargin) {
+    (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // all row-local constraints in ONE aggregation over ONE scan
+    val rowLocal = li.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 30)
+        .as("n_qty_violations"),
+      viol(col("l_shipdate") < lit("1995-01-01").cast("timestamp") ||
+        col("l_shipdate") >= lit("2002-01-01").cast("timestamp"))
+        .as("n_date_violations"),
+      (count(lit(1)) - count_distinct(
+        struct(col("l_orderkey"), col("l_linenumber")))).as("n_dup_pairs"))
+    // referential check against a stale dimension snapshot: broadcast
+    // anti-join — the dim is the small side by construction
+    val staleDim = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 10000).select(col("o_orderkey"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(broadcast(staleDim),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    rowLocal.crossJoin(broadcast(orphans))
+      .select(col("n_rows"), col("n_qty_violations"),
+        col("n_date_violations"),
+        col("n_dup_pairs").cast("long").as("n_dup_pairs"),
+        col("n_orphans"))
+  }
+
   /** q128 — ordinary least squares, EXACTLY: the distributed part is
     * five integer sufficient statistics (n, Σx, Σy, Σx², Σxy — plain
     * partial+final aggregates, O(1) shuffle bytes), and the closed-form
@@ -1419,5 +1477,5 @@ object Relational {
     curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
-    versionedCurveSkip, olsFit)
+    versionedCurveSkip, qualitySuite, olsFit)
 }
