@@ -598,6 +598,60 @@ object SnapshotTable {
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
 
+  // --------------------------------------------------------- recluster
+
+  final case class ReclusterResult(version: Long, filesBefore: Int,
+                                   filesAfter: Int)
+
+  /** Re-layout the latest version by a DIFFERENT cluster column —
+    * `OPTIMIZE ... ZORDER BY`, the operation that converts an
+    * ingest-ordered table (laid out and stats-pruned on arrival time)
+    * into a query-ordered one (laid out on a space-filling-curve key so
+    * rectangle probes prune; see [[scanRectangleAt]]). The column must
+    * already exist in the table — recluster changes the physical order
+    * and the manifest's stat column, never the rows, so the rewrite is
+    * row-preserving: a change feed across the recluster commit is EMPTY
+    * (every rewritten row cancels in [[changes]]' multiset difference)
+    * and time travel to the pre-recluster version still prunes on the
+    * OLD stat column, because stats live per manifest, not per table.
+    *
+    * This is the one whole-table rewrite in the lifecycle (compaction
+    * touches under-sized files, delete touches intersecting files) —
+    * the price of changing the clustering dimension. It is still ONE
+    * range-shuffle job: read every live file, range-partition by the
+    * new key (contiguous disjoint per-file key ranges, exactly what
+    * stats pruning needs), sort within partitions, commit. At 100 TB
+    * you run it once per layout decision, not per ingest — and appends
+    * after it keep the new layout by passing the new `statsCol`.
+    * Create-exclusive commit, no retry (a racing commit staled the
+    * plan — re-run). The bloom index, if any, is rebuilt for the new
+    * files; bloom pruning is layout-independent so it just follows.
+    */
+  def recluster(spark: SparkSession, path: String, clusterCol: String,
+                numPartitions: Int): ReclusterResult = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(ver.files: _*)
+    require(data.columns.contains(clusterCol),
+      s"recluster column $clusterCol not in table " +
+        s"(${data.columns.toSeq.mkString(", ")}) — add it before " +
+        "reclustering; recluster reorders rows, it does not derive them")
+    val batchDir = s"$path/files/batch-${nonce()}"
+    data.repartitionByRange(numPartitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("errorifexists").parquet(batchDir)
+    val batch = batchFacts(spark, batchDir, Some(clusterCol))
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, batch.files, batch.rows,
+      batch.bytes,
+      Some(Stats(clusterCol, batch.mins, batch.maxs)),
+      ver.bloom, ver.txns))
+    ReclusterResult(v, ver.files.length, batch.files.length)
+  }
+
   // ------------------------------------------------------------- merge
 
   final case class MergeResult(version: Long, filesRewritten: Int,

@@ -1364,6 +1364,159 @@ object Relational {
       .toDF("n_v1", "qty_v1", "n_v2", "isolated", "files_pruned")
   }
 
+  /** q164 — INCREMENTAL VIEW MAINTENANCE over the change feed
+    * ([[graft.ops.IncrementalView]]): the downstream consumer the CDF
+    * (q157) exists for. A per-week aggregate view is built once in
+    * full, then the table churns — a COW delete of 1996 and an append
+    * of 1997 line-1 rows — and ONE incremental refresh (require-
+    * asserted: mode == "incremental", i.e. the gap is applied as a
+    * delta over [[graft.ops.SnapshotTable.changes]], reading only
+    * churned files, never the table) brings the view to head across
+    * BOTH commits. The refreshed view is emitted in full and DuckDB
+    * recomputes it from scratch against the final table state: a
+    * delta that double-counts a survivor rewrite, misses a dead
+    * group, or mis-signs a delete changes some group's (cnt, sum) and
+    * hash-mismatches.
+    */
+  val incrementalView = QueryDef("q164_incremental_view",
+    """WITH fin AS (
+      |  -- v1 survivors of the 1996 delete ...
+      |  SELECT CAST(datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_linenumber <= 3
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')
+      |  UNION ALL
+      |  -- ... plus the v3 append, WITH multiplicity: line-1 1997 rows
+      |  -- exist twice in the final table (once from each commit)
+      |  SELECT CAST(datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_linenumber = 1
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |SELECT ship_day % 32 AS wk, count(*) AS cnt,
+      |  CAST(sum(qty_u) AS BIGINT) AS s_qty
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.ops.{IncrementalView, SnapshotTable}
+    val path = Work.oracleDumpPath("q164_table")
+    val view = Work.oracleDumpPath("q164_view")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val lo97 = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+    val hi97 = java.time.LocalDate.of(1997, 12, 31).toEpochDay
+    clusterLayouts.compute("q164", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        Work.wipe(java.nio.file.Paths.get(view))
+        def rows(pred: Column) = Tables.lineitem(s, d).filter(pred)
+          .select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .withColumn("wk", pmod(col("ship_day"), lit(32L)))
+        SnapshotTable.append(rows(col("l_linenumber") <= 3), path,
+          numPartitions = 16, statsCol = Some("ship_day"))
+        val r1 = IncrementalView.refresh(s, path, view,
+          Seq("wk"), Seq("qty_u" -> "s_qty"))
+        require(r1.mode == "full" && r1.tableVersion == 1,
+          s"first refresh was ${r1.mode} at v${r1.tableVersion}")
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v2
+        SnapshotTable.append(                               // v3
+          rows(col("l_linenumber") === 1)
+            .filter(col("ship_day").between(lo97, hi97)),
+          path, numPartitions = 2, statsCol = Some("ship_day"))
+        val r2 = IncrementalView.refresh(s, path, view,
+          Seq("wk"), Seq("qty_u" -> "s_qty"))
+        require(r2.mode == "incremental" && r2.tableVersion == 3,
+          s"catch-up refresh was ${r2.mode} at v${r2.tableVersion} — " +
+            "the delta path did not run")
+      }
+      d
+    })
+    IncrementalView.read(s, view)
+      .select(col("wk"), col("cnt"), col("s_qty"))
+  }
+
+  /** q163 — OPTIMIZE ZORDER BY: [[graft.ops.SnapshotTable.recluster]]
+    * converts an ingest-ordered table into a curve-ordered one through
+    * one commit. The table lands laid out (and stats-pruned) on
+    * `ship_day` — the only order an ingest can produce — while carrying
+    * a Morton key over (px, py) that the arrival order scatters across
+    * every file, so rectangle probes cannot prune. Reclustering by `z`
+    * is the one whole-table rewrite in the lifecycle: one range-shuffle
+    * job, after which the SAME manifest machinery prunes rectangles
+    * ([[graft.ops.SnapshotTable.scanRectangleAt]], require-asserted),
+    * while time travel to v1 still prunes on ship_day — stats live per
+    * manifest, so changing the clustering dimension never rewrites
+    * history. Both versions' aggregates are recomputed by DuckDB from
+    * the raw table: a recluster that drops, duplicates, or re-derives a
+    * row (rather than purely reordering) hash-mismatches, and the
+    * rectangle residual catches a wrong curve cover.
+    */
+  val optimizeZorder = QueryDef("q163_optimize_zorder",
+    """WITH pts AS (
+      |  SELECT l_partkey % 1024 AS px, l_orderkey % 1024 AS py,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u,
+      |    l_shipdate AS sd
+      |  FROM lineitem)
+      |SELECT
+      |  (SELECT count(*) FROM pts
+      |    WHERE px BETWEEN 128 AND 191 AND py BETWEEN 128 AND 191)
+      |    AS n_rect,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM pts
+      |    WHERE px BETWEEN 128 AND 191 AND py BETWEEN 128 AND 191)
+      |    AS qty_rect,
+      |  (SELECT count(*) FROM pts
+      |    WHERE sd >= TIMESTAMP '1996-01-01'
+      |      AND sd < TIMESTAMP '1997-01-01') AS n_1996,
+      |  TRUE AS reclustered, TRUE AS pruned""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q163_table")
+    clusterLayouts.compute("q163", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(1024)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("py"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"),
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"))
+          .withColumn("z", graft.functions.ZOrderExpr.zorder(
+            col("px"), col("py"), 10))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("ship_day"))
+        val r = SnapshotTable.recluster(s, path, "z", 16)
+        require(r.version == 2 && r.filesAfter == 16,
+          s"recluster committed v${r.version} with ${r.filesAfter} files")
+      }
+      d
+    })
+    // v2 prunes the rectangle via the curve cover over the NEW stats
+    val (rect, read2, total2) = SnapshotTable.scanRectangleAt(
+      s, path, 2, 128, 191, 128, 191, bits = 10)
+    require(read2 > 0 && read2 < total2,
+      s"rectangle did not prune after ZORDER: read $read2 of $total2")
+    // v1 still prunes a calendar year via the OLD stats
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val (slice, read1, total1) =
+      SnapshotTable.scanStatsRange(s, path, 1, lo, hi)
+    require(read1 > 0 && read1 < total1,
+      s"ship_day pruning lost at v1: read $read1 of $total1")
+    val a = rect.filter(col("px").between(128, 191) &&
+        col("py").between(128, 191))
+      .agg(count(lit(1)).as("n_rect"),
+        sum("qty_u").cast("long").as("qty_rect")).collect().head
+    val n96 = slice.count()
+    import s.implicits._
+    Seq((a.getLong(0), a.getLong(1), n96, true, true))
+      .toDF("n_rect", "qty_rect", "n_1996", "reclustered", "pruned")
+  }
+
   /** q162 — DATA-QUALITY CONSTRAINT SUITE (the Deequ-style validation
     * gate a training pipeline runs before trusting an ingest): five
     * constraint classes evaluated over the fact table — completeness
@@ -1477,5 +1630,6 @@ object Relational {
     curveCover3HilbertSkip, bloomSkip, compactionPlan, timeTravel,
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
-    versionedCurveSkip, qualitySuite, olsFit)
+    versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
+    olsFit)
 }

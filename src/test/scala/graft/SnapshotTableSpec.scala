@@ -419,6 +419,53 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(path) === 4)
   }
 
+  test("recluster switches the layout column, preserves rows exactly, " +
+      "and keeps old-layout pruning at the old version") {
+    import spark.implicits._
+    val path = freshPath()
+    // ingest-ordered: laid out on `day`, but carrying a z-ish key `k`
+    // that scatters uniformly (poor pruning under the day layout)
+    val base = (0L until 1000L).toDF("day")
+      .withColumn("k", (col("day") * 37) % 1000)
+      .withColumn("v", col("day") * 2)
+    SnapshotTable.append(base, path, 10, statsCol = Some("day"))
+    val r = SnapshotTable.recluster(spark, path, "k", 10)
+    assert(r.version === 2 && r.filesBefore === 10 && r.filesAfter === 10)
+    // new version prunes on k
+    val (s2, read2, total2) =
+      SnapshotTable.scanStatsRange(spark, path, 2, 100, 199)
+    assert(read2 > 0 && read2 < total2, s"read $read2 of $total2")
+    assert(s2.count() === 100)
+    // old version still prunes on day — stats are per manifest
+    val v1 = SnapshotTable.readVersion(spark, path, 1)
+    assert(v1.stats.get.col === "day")
+    val (s1, read1, total1) =
+      SnapshotTable.scanStatsRange(spark, path, 1, 100, 199)
+    assert(read1 < total1 && s1.count() === 100)
+    // row-preserving: the change feed across the recluster is empty
+    assert(SnapshotTable.changes(spark, path, 1, 2).isEmpty)
+    // multiset equality of a full aggregate at both versions
+    val agg1 = SnapshotTable.scanAt(spark, path, 1)._1
+      .agg(sum("v"), count(lit(1))).collect().head
+    val agg2 = SnapshotTable.scanAt(spark, path, 2)._1
+      .agg(sum("v"), count(lit(1))).collect().head
+    assert(agg1 === agg2)
+    // appends after recluster follow the NEW layout column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append((0L until 5L).toDF("day")
+        .withColumn("k", col("day")).withColumn("v", col("day")),
+        path, 1, statsCol = Some("day"))
+    }
+    SnapshotTable.append((1000L until 1005L).toDF("day")
+      .withColumn("k", col("day")).withColumn("v", col("day")),
+      path, 1, statsCol = Some("k"))
+    assert(SnapshotTable.readVersion(spark, path, 3).rows === 1005)
+    // a column the table does not carry is loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.recluster(spark, path, "nope", 4)
+    }
+  }
+
   test("missing version and missing table are loud") {
     import spark.implicits._
     val path = freshPath()
