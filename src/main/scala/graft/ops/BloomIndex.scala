@@ -72,6 +72,8 @@ object BloomIndex {
     */
   def buildRows(spark: SparkSession, files: Seq[String], keyName: String,
                 expectedPerFile: Long, fpp: Double): Dataset[FileBloom] = {
+    require(files.nonEmpty,
+      "bloom index build over zero files — callers skip empty batches")
     import spark.implicits._
     val src = spark.read.parquet(files: _*)
       .select(input_file_name().as("file"),

@@ -486,7 +486,13 @@ object SnapshotTable {
       .sortWithinPartitions(st.col)
       .write.mode("errorifexists").parquet(batchDir)
     val batch = batchFacts(spark, batchDir, Some(st.col))
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    // a delete range aligned exactly to file boundaries leaves NO
+    // survivors: nothing to index, nothing to reference — drop the
+    // empty rewrite dir (only row-less part files) rather than leaving
+    // it for vacuum, and the new manifest is just the carried set
+    if (batch.files.nonEmpty)
+      ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    else graft.Work.wipe(Paths.get(batchDir))
     val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
     val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
     commitExclusive(path, v, renderManifest(v,
@@ -798,6 +804,118 @@ object SnapshotTable {
       }
     }
     ExpireResult(manifests, deleted, retained.size)
+  }
+
+  // ------------------------------------------------------------ vacuum
+
+  final case class VacuumResult(orphansDeleted: Int, bytesFreed: Long,
+                                indexRowsDropped: Long, filesLive: Int)
+
+  /** Physical garbage collection — the sweep [[expire]] deliberately is
+    * not: delete every data file under the table directory that NO
+    * existing manifest references and that is older than `olderThanMs`.
+    * Two things produce such files: aborted/raced commits (append
+    * writes its batch durably BEFORE the manifest race, so a loser that
+    * never retried, or a crashed job, leaves a whole batch directory
+    * unreferenced) and [[expire]]d history. The age guard is what makes
+    * the sweep safe to run alongside writers: an IN-FLIGHT append's
+    * files are newer than any sane TTL, so they are never candidates —
+    * the same recently-written grace every table format's VACUUM ships
+    * with. Batch directories emptied of parquet are removed whole
+    * (their `_SUCCESS` markers carry no information once the data is
+    * gone).
+    *
+    * The bloom index, when present, is garbage-collected in the same
+    * pass: index rows for files no manifest references are dropped and
+    * the surviving rows are CONSOLIDATED into a single fresh directory
+    * replacing the accumulated per-batch ones — without this, a
+    * long-lived table's probe cost creeps up with dead batches even
+    * though every probe correctly ignores their rows. Index GC assumes
+    * no concurrent probe (a reader between the new dir's write and the
+    * old dirs' removal would double-count files) — run it in the same
+    * maintenance window as expire, which shares the assumption.
+    *
+    * Cost: one directory walk + O(manifests × files) string work +
+    * one unlink per dead file; index GC is one small JSON read/write.
+    * Nothing ever reads data.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             olderThanMs: Long = 7L * 24 * 3600 * 1000): VacuumResult = {
+    val latest = latestVersion(path)
+    require(latest > 0, s"snapshot table $path does not exist")
+    def normalize(f: String): String =
+      Paths.get(f.stripPrefix("file:")).normalize().toString
+    // manifest-form names ("file:///…", exactly what the index rows
+    // carry) and filesystem-form paths for the disk walk
+    val liveRaw = (1L to latest)
+      .filter(v => Files.exists(manifestPath(path, v)))
+      .flatMap(v => readVersion(spark, path, v).files)
+      .toSet
+    val live = liveRaw.map(normalize)
+    val dataRoot = Paths.get(path, "files")
+    val cutoff = System.currentTimeMillis() - math.max(olderThanMs, 0L)
+    var deleted = 0
+    var freed = 0L
+    val touched = scala.collection.mutable.Set.empty[Path]
+    if (Files.isDirectory(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try walk.iterator().asScala.foreach { p =>
+        if (Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !live(p.normalize().toString) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          freed += Files.size(p)
+          Files.delete(p)
+          deleted += 1
+          touched += p.getParent
+        }
+      } finally walk.close()
+      // drop batch directories the sweep emptied (marker files only).
+      // The age guard applies to the DIRECTORY too: an in-flight write
+      // holds only `_temporary/` (no parquet yet) but has a fresh
+      // mtime, so the TTL that protects its files protects its dir —
+      // except for dirs THIS sweep emptied, whose mtime the unlinks
+      // just bumped
+      val dirs = Files.list(dataRoot)
+      try dirs.iterator().asScala.foreach { d =>
+        if (Files.isDirectory(d) && (touched(d) ||
+            Files.getLastModifiedTime(d).toMillis <= cutoff)) {
+          val inner = Files.walk(d)
+          val hasParquet =
+            try inner.iterator().asScala
+              .exists(_.getFileName.toString.endsWith(".parquet"))
+            finally inner.close()
+          if (!hasParquet) graft.Work.wipe(d)
+        }
+      } finally dirs.close()
+    }
+    // bloom-index GC: drop rows for dead files, consolidate the rest
+    var idxDropped = 0L
+    val idxRoot = Paths.get(bloomIdxDir(path))
+    if (Files.isDirectory(idxRoot)) {
+      val oldDirs = {
+        val st = Files.list(idxRoot)
+        try st.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally st.close()
+      }
+      val idx = spark.read.option("recursiveFileLookup", "true")
+        .json(bloomIdxDir(path))
+      val total = idx.count()
+      import spark.implicits._
+      // index rows carry manifest-form names, so a broadcast semi-join
+      // on the raw strings is exact
+      val kept = idx.join(broadcast(liveRaw.toSeq.toDF("file")),
+        Seq("file"), "left_semi")
+      val keptN = kept.count()
+      idxDropped = total - keptN
+      if (idxDropped > 0 || oldDirs.length > 1) {
+        if (keptN > 0)
+          kept.coalesce(1).write.mode("errorifexists")
+            .json(s"${bloomIdxDir(path)}/idx-gc-${nonce()}")
+        oldDirs.foreach(graft.Work.wipe)
+      }
+    }
+    VacuumResult(deleted, freed, idxDropped, live.size)
   }
 
   // ----------------------------------------------------------- changes

@@ -1517,6 +1517,83 @@ object Relational {
       .toDF("n_rect", "qty_rect", "n_1996", "reclustered", "pruned")
   }
 
+  /** q165 — VACUUM: physical GC of the snapshot table
+    * ([[graft.ops.SnapshotTable.vacuum]]), the sweep that closes the
+    * storage loop q156's expire deliberately left open. The table
+    * accumulates the two garbage classes expire cannot touch: an
+    * aborted ingest's durable-but-uncommitted batch (written straight
+    * into the data directory, never committed — expire only ever
+    * deletes files a manifest REFERENCES, so these are invisible to
+    * it), and the bloom-index rows of the files expire did delete. One
+    * vacuum pass (TTL 0 — the test IS the maintenance window) must
+    * sweep exactly the 2-file aborted batch (require-asserted), drop
+    * dead index rows, and leave the live version byte-identical: the
+    * aggregate and a bloom-pruned key probe are recomputed by DuckDB —
+    * a vacuum that unlinks one live file breaks the aggregate; one
+    * that drops a live index row breaks the probe's completeness
+    * require.
+    */
+  val vacuumSweep = QueryDef("q165_vacuum",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01') AS n,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01') AS qty_u,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (1, 2, 3)
+      |      AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |           OR l_shipdate >= TIMESTAMP '1997-01-01')) AS n_probe,
+      |  TRUE AS swept, TRUE AS index_gcd""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q165_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q165", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("k"),
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(base, path, numPartitions = 16,
+          statsCol = Some("ship_day"), bloomCol = Some("k"))
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v2
+        // an aborted ingest: durable batch no manifest references
+        base.limit(100).repartition(2)
+          .write.parquet(s"$path/files/batch-aborted")
+        SnapshotTable.expire(s, path, keepFrom = 2)
+        val r = SnapshotTable.vacuum(s, path, olderThanMs = 0L)
+        // expire removed the referenced-dead pre-delete originals
+        // itself; vacuum's catch is the UNreferenced garbage — the
+        // 2-file aborted batch — plus the dead files' index rows
+        require(r.orphansDeleted == 2,
+          s"vacuum swept ${r.orphansDeleted} files — expected exactly " +
+            "the 2-file aborted batch")
+        require(r.indexRowsDropped > 0,
+          "dead files' bloom-index rows survived the GC")
+      }
+      d
+    })
+    val (scan, _, rowsExp) = SnapshotTable.scanAt(s, path, 2)
+    val a = scan.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("qty_u")).collect().head
+    require(a.getLong(0) == rowsExp,
+      s"post-vacuum scan (${a.getLong(0)} rows) drifted from the " +
+        s"manifest ($rowsExp) — a live file was swept")
+    val (probe, read, total) =
+      SnapshotTable.scanKeysAt(s, path, 2, Seq(1L, 2L, 3L))
+    require(read > 0 && read < total,
+      s"bloom probe stopped pruning after vacuum: read $read of $total")
+    val nProbe = probe.count()
+    import s.implicits._
+    Seq((a.getLong(0), a.getLong(1), nProbe, true, true))
+      .toDF("n", "qty_u", "n_probe", "swept", "index_gcd")
+  }
+
   /** q162 — DATA-QUALITY CONSTRAINT SUITE (the Deequ-style validation
     * gate a training pipeline runs before trusting an ingest): five
     * constraint classes evaluated over the fact table — completeness
@@ -1631,5 +1708,5 @@ object Relational {
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
-    olsFit)
+    vacuumSweep, olsFit)
 }

@@ -466,6 +466,47 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum sweeps unreferenced batches and dead index rows, never " +
+      "live files") {
+    import spark.implicits._
+    val path = freshPath()
+    val base = (0L until 400L).map(i => (i, i % 997)).toDF("day", "k")
+    SnapshotTable.append(base, path, 8, statsCol = Some("day"),
+      bloomCol = Some("k"))
+    SnapshotTable.append(
+      (400L until 500L).map(i => (i, i % 997)).toDF("day", "k"),
+      path, 2, statsCol = Some("day"), bloomCol = Some("k"))
+    // an aborted ingest: a durable batch no manifest references
+    (9000L until 9100L).map(i => (i, i)).toDF("day", "k")
+      .repartition(2).write.parquet(s"$path/files/batch-orphan")
+    // a boundary-aligned delete: [0, 99] covers files 1-2 of the
+    // 50-day layout exactly, so the survivor rewrite is EMPTY — the
+    // manifest is just the carried set (regression: this used to crash
+    // building a bloom index over zero files)
+    SnapshotTable.deleteStatsRange(spark, path, 0L, 99L) // v3
+    // expire removes REFERENCED-dead files itself; vacuum's job is the
+    // unreferenced garbage (the aborted batch) + the dead index rows
+    SnapshotTable.expire(spark, path, keepFrom = 3)
+    val r = SnapshotTable.vacuum(spark, path, olderThanMs = 0L)
+    assert(r.orphansDeleted === 2, s"swept ${r.orphansDeleted}")
+    assert(r.bytesFreed > 0)
+    assert(r.indexRowsDropped > 0,
+      "dead files' bloom rows survived the GC")
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(s"$path/files/batch-orphan")),
+      "emptied orphan batch dir was left behind")
+    // the surviving version reads exactly and probes still prune
+    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, 3)
+    assert(rows === 400 && scan.count() === 400)
+    val (probe, read, total) =
+      SnapshotTable.scanKeysAt(spark, path, 3, Seq(150L))
+    assert(read > 0 && read <= total)
+    assert(probe.count() === 1)
+    // idempotent: a second sweep finds nothing
+    val r2 = SnapshotTable.vacuum(spark, path, olderThanMs = 0L)
+    assert(r2.orphansDeleted === 0 && r2.indexRowsDropped === 0L)
+  }
+
   test("missing version and missing table are loud") {
     import spark.implicits._
     val path = freshPath()
