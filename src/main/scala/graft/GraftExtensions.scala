@@ -96,6 +96,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.GramAgg(v, foldInt("dim", dim))
           .toAggregateExpression() },
       arity = 2)
+    // FROM-clause time travel: the snapshot-table layer surfaced as a
+    // table-valued function, so plain SQL reads a committed version —
+    // `SELECT ... FROM graft_snapshot('/path/t', 3)` — with the same
+    // manifest-planned file list (never a directory listing) as the
+    // programmatic scanAt. One argument = the latest version. The
+    // returned relation is the analyzed plan of the manifest's file
+    // scan, so pushdown/pruning over it behave exactly like any
+    // parquet relation.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_snapshot",
+        "graft_snapshot(path[, version]) - snapshot table at a " +
+          "committed version (FROM-clause time travel)"),
+      (args: Seq[Expression]) => {
+        if (args.length < 1 || args.length > 2)
+          throw new IllegalArgumentException(
+            s"graft_snapshot expects (path[, version]), got ${args.length}")
+        val path = foldString("path", args(0))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val version =
+          if (args.length == 2) foldLong("version", args(1))
+          else graft.ops.SnapshotTable.latestVersion(path)
+        graft.ops.SnapshotTable.scanAt(spark, path, version)
+          ._1.queryExecution.analyzed
+      }))
   }
 
   /** k/capacity are sketch SIZING, not data: they must be literals. */
@@ -103,6 +128,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (e.foldable) e.eval().asInstanceOf[Number].intValue()
     else throw new IllegalArgumentException(
       s"sketch sizing argument $what must be a literal integer")
+
+  private def foldLong(what: String, e: Expression): Long =
+    if (e.foldable) e.eval().asInstanceOf[Number].longValue()
+    else throw new IllegalArgumentException(
+      s"$what must be a literal integer")
+
+  private def foldString(what: String, e: Expression): String =
+    if (e.foldable) Option(e.eval()).map(_.toString).getOrElse(
+      throw new IllegalArgumentException(s"$what must not be null"))
+    else throw new IllegalArgumentException(
+      s"$what must be a literal string")
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
                        builder: PartialFunction[Seq[Expression], Expression],

@@ -1594,6 +1594,68 @@ object Relational {
       .toDF("n", "qty_u", "n_probe", "swept", "index_gcd")
   }
 
+  /** q166 — SQL TIME TRAVEL: the snapshot table surfaced as a
+    * table-valued function (`graft_snapshot(path[, version])`,
+    * registered by [[graft.GraftExtensions]] via
+    * `injectTableFunction`), so PLAIN SQL reads committed versions from
+    * the FROM clause — the full declarative surface over the q148
+    * layer: scalar subqueries over two versions and a cross-version
+    * anti-join (v1 rows whose (k, ln) key has no survivor in v2 —
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    * so the oracle states the same semantics via NOT EXISTS rather
+    * than a removed-row count), all in one statement, no
+    * Column API. The TVF resolves to the manifest's analyzed file scan,
+    * so Catalyst sees an ordinary parquet relation (pushdown, pruning,
+    * broadcast all apply). DuckDB recomputes every branch from the raw
+    * table with the version-defining predicates — a TVF that resolves
+    * the wrong version's file list hash-mismatches.
+    */
+  val sqlTimeTravel = QueryDef("q166_sql_time_travel",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 3) AS n_v1,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem WHERE l_linenumber <= 3) AS qty_v1,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 3
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS n_v2,
+      |  (SELECT count(*) FROM lineitem a WHERE a.l_linenumber <= 3
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem b
+      |      WHERE b.l_linenumber <= 3
+      |      AND (b.l_shipdate < TIMESTAMP '1996-01-01'
+      |           OR b.l_shipdate >= TIMESTAMP '1997-01-01')
+      |      AND b.l_orderkey = a.l_orderkey
+      |      AND b.l_linenumber = a.l_linenumber)) AS n_removed""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q166_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q166", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).filter(col("l_linenumber") <= 3).select(
+            col("l_orderkey").as("k"),
+            col("l_linenumber").as("ln"), // (k, ln) = unique row identity
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, numPartitions = 8, statsCol = Some("ship_day"))
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v2
+      }
+      d
+    })
+    s.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM graft_snapshot('$path', 1)) AS n_v1,
+         |  (SELECT CAST(sum(qty_u) AS BIGINT)
+         |     FROM graft_snapshot('$path', 1)) AS qty_v1,
+         |  (SELECT count(*) FROM graft_snapshot('$path')) AS n_v2,
+         |  (SELECT count(*) FROM graft_snapshot('$path', 1) a
+         |     ANTI JOIN graft_snapshot('$path', 2) b
+         |     ON a.k = b.k AND a.ln = b.ln) AS n_removed""".stripMargin)
+  }
+
   /** q162 — DATA-QUALITY CONSTRAINT SUITE (the Deequ-style validation
     * gate a training pipeline runs before trusting an ingest): five
     * constraint classes evaluated over the fact table — completeness
@@ -1708,5 +1770,5 @@ object Relational {
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
-    vacuumSweep, olsFit)
+    vacuumSweep, sqlTimeTravel, olsFit)
 }

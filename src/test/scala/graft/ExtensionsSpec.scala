@@ -106,4 +106,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
     viaSql.foreach(g => assert(g.length === 4 && txt.contains(g)))
   }
+
+  test("graft_snapshot reads a committed version from the FROM clause") {
+    import spark.implicits._
+    import graft.ops.SnapshotTable
+    val path =
+      java.nio.file.Files.createTempDirectory("tvf").toString + "/t"
+    SnapshotTable.append((1L to 100L).toDF("x"), path, 2)
+    SnapshotTable.append((101L to 250L).toDF("x"), path, 2)
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s " +
+        s"FROM graft_snapshot('$path', 1)").head
+    assert(v1.getLong(0) === 100 && v1.getLong(1) === 5050)
+    // one argument = latest version
+    val head = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$path')").head
+    assert(head.getLong(0) === 250)
+    // joins against ordinary relations work — it's just a relation
+    val joined = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$path', 2) a " +
+        s"JOIN graft_snapshot('$path', 1) b ON a.x = b.x").head
+    assert(joined.getLong(0) === 100)
+    // non-literal args and missing versions are loud
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot('$path', 9)").collect()
+    }
+  }
 }
