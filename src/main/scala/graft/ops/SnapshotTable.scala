@@ -65,12 +65,70 @@ object SnapshotTable {
     */
   final case class BloomConf(col: String, expectedPerFile: Long)
 
+  /** HIDDEN-partitioning spec (Iceberg-style): rows are grouped into
+    * partition-pure files by `transform(source)`, the transform value
+    * is recorded PER FILE in the manifest, and scans prune files from
+    * predicates on the SOURCE column — callers never mention, see, or
+    * store the derived value. The data files do not contain it (it
+    * lives only in batch-directory names and the manifest), so unlike
+    * Hive partitioning the partitioning can be about the table's
+    * layout without being part of its schema, and queries that forget
+    * the partition column still prune.
+    *
+    * Transforms over a LONG source column (the width the driver-side
+    * probe mirror and the executor-side hash agree on):
+    *  - `identity`           — v = x (param ignored); every partition
+    *    holds exactly one source value
+    *  - `truncate` (param=w) — v = floorDiv(x, w); daily partitions
+    *    over an epoch-millis column are `truncate(86_400_000)`
+    *  - `bucket` (param=n)   — v = floorMod(xxhash64(x), n) with the
+    *    SAME xxhash64 (seed 42) Spark evaluates in executors, mirrored
+    *    on the driver for probe planning. Equality probes prune; range
+    *    predicates cannot (the hash scatters order) and are rejected.
+    */
+  final case class PartSpec(source: String, transform: String, param: Long) {
+    require(Seq("identity", "truncate", "bucket").contains(transform),
+      s"unknown partition transform $transform " +
+        "(identity | truncate | bucket)")
+    require(transform == "identity" || param > 0,
+      s"$transform needs a positive param, got $param")
+
+    /** Range predicates convert to partition-value ranges only when the
+      * transform preserves order. */
+    def monotone: Boolean = transform != "bucket"
+
+    /** Driver-side transform, used to convert source-domain probe
+      * bounds/keys into partition values at plan time. MUST stay
+      * byte-identical to [[column]]'s executor arithmetic.
+      */
+    def apply(x: Long): Long = transform match {
+      case "identity" => x
+      case "truncate" => Math.floorDiv(x, param)
+      case "bucket" => Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(x, org.apache.spark.sql.types.LongType, 42L), param)
+    }
+
+    /** The same transform as a codegen'd Column over the source column
+      * (pmod-normalized DIV = floorDiv exactly; xxhash64's default seed
+      * is the 42 the driver mirror uses).
+      */
+    def column: org.apache.spark.sql.Column = transform match {
+      case "identity" => col(source).cast("long")
+      case "truncate" =>
+        expr(s"(`$source` - pmod(`$source`, ${param}L)) DIV ${param}L")
+      case "bucket" => pmod(xxhash64(col(source)), lit(param)).cast("long")
+    }
+  }
+
   final case class Version(version: Long, files: Seq[String], rows: Long,
                            stats: Option[Stats] = None,
                            fileRows: Option[Seq[Long]] = None,
                            fileBytes: Option[Seq[Long]] = None,
                            bloom: Option[BloomConf] = None,
-                           txns: Map[String, Long] = Map.empty)
+                           txns: Map[String, Long] = Map.empty,
+                           part: Option[PartSpec] = None,
+                           partValues: Option[Seq[Long]] = None)
 
   /** Facts about one committed batch of data files, derived by reading
     * the WRITTEN files back (what a reader will actually observe,
@@ -131,10 +189,15 @@ object SnapshotTable {
         r.getAs[scala.collection.Seq[String]]("txn_writers")
           .zip(r.getAs[scala.collection.Seq[Long]]("txn_batches")).toMap
       else Map.empty[String, Long]
+    val part =
+      if (df.columns.contains("part_source"))
+        Some(PartSpec(r.getAs[String]("part_source"),
+          r.getAs[String]("part_transform"), r.getAs[Long]("part_param")))
+      else None
     Version(r.getAs[Long]("version"),
       r.getAs[scala.collection.Seq[String]]("files").toSeq,
       r.getAs[Long]("rows"), stats, longs("file_rows"),
-      longs("file_bytes"), bloom, txns)
+      longs("file_bytes"), bloom, txns, part, longs("part_values"))
   }
 
   // ------------------------------------------------------------ commit
@@ -142,7 +205,9 @@ object SnapshotTable {
   private def renderManifest(v: Long, files: Seq[String], rows: Seq[Long],
                              bytes: Seq[Long], stats: Option[Stats],
                              bloom: Option[BloomConf],
-                             txns: Map[String, Long] = Map.empty): String = {
+                             txns: Map[String, Long] = Map.empty,
+                             part: Option[PartSpec] = None,
+                             partValues: Option[Seq[Long]] = None): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "rows" -> rows.sum.toString,
@@ -164,6 +229,15 @@ object SnapshotTable {
       fields += "txn_writers" -> ts.map(t => Json.quote(t._1))
         .mkString("[", ",", "]")
       fields += "txn_batches" -> ts.map(_._2).mkString("[", ",", "]")
+    }
+    part.foreach { p =>
+      fields += "part_source" -> Json.quote(p.source)
+      fields += "part_transform" -> Json.quote(p.transform)
+      fields += "part_param" -> p.param.toString
+      fields += "part_values" ->
+        partValues.getOrElse(throw new IllegalStateException(
+          "partitioned manifest without per-file partition values"))
+          .mkString("[", ",", "]")
     }
     Json.obj(fields)
   }
@@ -298,6 +372,9 @@ object SnapshotTable {
       // a racing attempt of the same writer/batch committed first:
       // this attempt's files stay unreferenced, the table is correct
       if (committedAt(base)) return prev
+      require(base.part.isEmpty,
+        s"table is hidden-partitioned (${base.part.get}) — " +
+          "use appendPartitioned so new files stay partition-pure")
       require(statsCol.isEmpty || base.files.isEmpty ||
           base.stats.exists(_.col == statsCol.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
@@ -327,6 +404,216 @@ object SnapshotTable {
       }
     }
     -1L // unreachable
+  }
+
+  // ------------------------------------------------- hidden partitioning
+
+  /** Per-file facts for a batch written with `partitionBy("__p")`: the
+    * standard [[Batch]] plus each file's partition value, parsed from
+    * its `__p=v` path segment — the value never lands in file payloads,
+    * so deriving it is pure path arithmetic, no extra read.
+    */
+  private def partitionedBatchFacts(spark: SparkSession, batchDir: String,
+                                    statsCol: Option[String])
+      : (Batch, Seq[Long]) = {
+    val perFile = spark.read.parquet(batchDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        statsCol.map(c => min(col(c)).cast("long").as("mn"))
+          .getOrElse(max(lit(0L)).as("mn")),
+        statsCol.map(c => max(col(c)).cast("long").as("mx"))
+          .getOrElse(max(lit(0L)).as("mx")))
+      .collect().sortBy(_.getString(0)) // O(batch files) metadata
+    val sizes: Map[String, Long] = {
+      val st = Files.walk(Paths.get(batchDir.stripPrefix("file:")))
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+      finally st.close()
+    }
+    def sizeOf(f: String): Long =
+      sizes.getOrElse(f.substring(f.lastIndexOf('/') + 1),
+        throw new IllegalStateException(s"written file vanished: $f"))
+    val partRe = "__p=(-?\\d+)".r
+    def partOf(f: String): Long =
+      partRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(
+        throw new IllegalStateException(
+          s"partitioned batch file without a __p= segment: $f"))
+    (Batch(perFile.map(_.getString(0)).toSeq,
+      perFile.map(_.getLong(1)).toSeq,
+      perFile.map(r => sizeOf(r.getString(0))).toSeq,
+      perFile.map(_.getLong(2)).toSeq,
+      perFile.map(_.getLong(3)).toSeq),
+      perFile.map(r => partOf(r.getString(0))).toSeq)
+  }
+
+  /** Commit `df` as the next version of a HIDDEN-partitioned table:
+    * rows are shuffled once on the derived partition value (so each
+    * value lands in one task) and written `partitionBy` so every data
+    * file holds exactly one value — which is what makes manifest
+    * pruning on the recorded per-file value EXACT, not just tight.
+    * The derived value is dropped by the writer (it lives in the
+    * `__p=v` directory name and the manifest only); scans of leaf
+    * files never see it. `statsCol` additionally records per-file
+    * min/max of a DATA column for second-level pruning inside
+    * partitions (files are sorted by it within each partition).
+    *
+    * Same create-exclusive commit + blind retry as [[append]] (append
+    * commutes with append). The spec is table metadata: the first
+    * partitioned append fixes it and later appends must match.
+    */
+  def appendPartitioned(df: DataFrame, path: String, spec: PartSpec,
+                        statsCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    require(df.columns.contains(spec.source),
+      s"partition source ${spec.source} not in ${df.columns.toSeq}")
+    require(df.schema(spec.source).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"partition source ${spec.source} must be LONG — the driver-side " +
+        "probe mirror and the executor hash must agree on input width")
+    require(!df.columns.contains("__p"),
+      "__p is reserved for the hidden partition value")
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val withP = df.withColumn("__p", spec.column)
+    val laidOut = statsCol match {
+      case Some(c) => withP.repartition(col("__p"))
+        .sortWithinPartitions(col("__p"), col(c))
+      case None => withP.repartition(col("__p"))
+    }
+    laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      val base =
+        if (prev == 0) Version(0, Seq.empty, 0)
+        else readVersion(spark, path, prev)
+      require(base.files.isEmpty || base.part.contains(spec),
+        s"partition spec changed mid-table (was ${base.part}, got $spec)")
+      require(statsCol.isEmpty || base.files.isEmpty ||
+          base.stats.exists(_.col == statsCol.get),
+        s"stats column changed mid-table (was ${base.stats.map(_.col)})")
+      val v = prev + 1
+      val manifest = renderManifest(v,
+        base.files ++ batch.files,
+        base.fileRows.getOrElse(Seq.fill(base.files.length)(0L)) ++
+          batch.rows,
+        base.fileBytes.getOrElse(Seq.fill(base.files.length)(0L)) ++
+          batch.bytes,
+        statsCol.map { c =>
+          Stats(c,
+            base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
+            base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
+        },
+        base.bloom, base.txns,
+        Some(spec),
+        Some(base.partValues.getOrElse(Seq.empty) ++ pvals))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"append to $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Partition-pruned scan at `version` from a RANGE predicate on the
+    * SOURCE column: the bounds are pushed through the (monotone)
+    * transform on the driver, only the files whose recorded partition
+    * value falls in the transformed range are opened, and the exact
+    * BETWEEN rides along as the residual. Bucket transforms reject —
+    * hashing scatters order — use [[scanPartitionKeys]].
+    * Returns (relation, filesRead, filesTotal) for pruning assertions.
+    */
+  def scanPartitionRange(spark: SparkSession, path: String, version: Long,
+                         lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val ver = readVersion(spark, path, version)
+    val spec = ver.part.getOrElse(throw new IllegalArgumentException(
+      s"version $version is not hidden-partitioned — appendPartitioned"))
+    require(spec.monotone,
+      s"${spec.transform} does not preserve order — range predicates " +
+        "cannot prune bucket partitions; use scanPartitionKeys")
+    val pv = ver.partValues.get
+    val (plo, phi) = (spec(lo), spec(hi))
+    val hit = ver.files.indices
+      .filter(i => pv(i) >= plo && pv(i) <= phi).map(ver.files)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
+      else spark.read.parquet(hit: _*)
+    (df.filter(col(spec.source).between(lo, hi)), hit.length,
+      ver.files.length)
+  }
+
+  /** Partition-pruned equality probe at `version`: each key maps
+    * through the transform (any transform — bucket included, which is
+    * what bucket partitioning exists for) to a partition value; only
+    * files recording one of those values are opened, with the exact
+    * `IN` as residual. Returns (relation, filesRead, filesTotal).
+    */
+  def scanPartitionKeys(spark: SparkSession, path: String, version: Long,
+                        keys: Seq[Long]): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "partition probe needs at least one key")
+    val ver = readVersion(spark, path, version)
+    val spec = ver.part.getOrElse(throw new IllegalArgumentException(
+      s"version $version is not hidden-partitioned — appendPartitioned"))
+    val want = keys.map(spec(_)).toSet
+    val pv = ver.partValues.get
+    val hit = ver.files.indices.filter(i => want(pv(i))).map(ver.files)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
+      else spark.read.parquet(hit: _*)
+    (df.filter(col(spec.source).isin(keys: _*)), hit.length,
+      ver.files.length)
+  }
+
+  /** METADATA-ONLY delete of whole partitions: when [lo, hi] on the
+    * source column aligns to partition boundaries, every row of every
+    * intersecting file is in range, so the new version simply OMITS
+    * those files from its manifest — zero bytes read, zero written,
+    * whatever the partitions hold. This is the step past the COW
+    * delete's economics ("rewrite only intersecting files") for the
+    * delete shape ingest actually produces (drop a bad day/tenant):
+    * at 100 TB the drop costs one manifest write. Non-aligned ranges
+    * reject loudly rather than silently over-deleting — sub-partition
+    * surgery is [[deleteStatsRange]]'s job. Time travel to the
+    * pre-delete version still reads the dropped files (they stay on
+    * disk until [[expire]]). Create-exclusive commit, no retry (the
+    * file arithmetic is version-specific). Returns
+    * (newVersion, filesDropped, filesTotalBefore).
+    */
+  def deletePartitionRange(spark: SparkSession, path: String, lo: Long,
+                           hi: Long): (Long, Int, Int) = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val spec = ver.part.getOrElse(throw new IllegalArgumentException(
+      "metadata-only delete needs hidden partitioning — appendPartitioned"))
+    require(spec.monotone,
+      s"${spec.transform} partitions hold unordered key mixtures — a " +
+        "range cannot drop whole bucket partitions")
+    if (spec.transform == "truncate")
+      require(Math.floorMod(lo, spec.param) == 0 &&
+          Math.floorMod(hi + 1, spec.param) == 0,
+        s"[$lo, $hi] is not aligned to the $spec partition width — " +
+          "a metadata-only delete drops whole partitions; use " +
+          "deleteStatsRange for sub-partition ranges")
+    // identity partitions hold one value each: any range is aligned
+    val (plo, phi) = (spec(lo), spec(hi))
+    val pv = ver.partValues.get
+    val keepIdx = ver.files.indices
+      .filterNot(i => pv(i) >= plo && pv(i) <= phi)
+    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
+    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files), keepIdx.map(rows), keepIdx.map(bytes),
+      ver.stats.map(st =>
+        Stats(st.col, keepIdx.map(st.mins), keepIdx.map(st.maxs))),
+      ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv))))
+    (v, ver.files.length - keepIdx.length, ver.files.length)
   }
 
   // ------------------------------------------------------------- scans
@@ -461,6 +748,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.part.isEmpty,
+      "COW delete would rewrite files without their partition dirs — " +
+        "on a hidden-partitioned table use deletePartitionRange")
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "copy-on-write delete needs column stats — append with statsCol"))
     val hitIdx = ver.files.indices.filter(i =>
@@ -552,6 +842,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.part.isEmpty,
+      "compaction would merge files across partition values — " +
+        "not supported on hidden-partitioned tables")
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "compaction preserves key contiguity — needs a statsCol layout"))
     val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
@@ -638,6 +931,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.part.isEmpty,
+      "recluster would rewrite files without their partition dirs — " +
+        "not supported on hidden-partitioned tables")
     val data = spark.read.option("mergeSchema", "true")
       .parquet(ver.files: _*)
     require(data.columns.contains(clusterCol),
@@ -702,6 +998,9 @@ object SnapshotTable {
       if (ver.txns.get(w).exists(_ >= b))
         return MergeResult(prev, 0, ver.files.length, 0L, 0L)
     }
+    require(ver.part.isEmpty,
+      "merge would rewrite files without their partition dirs — " +
+        "not supported on hidden-partitioned tables")
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "merge locates rows via column stats — append with statsCol"))
     require(updates.columns.contains(keyCol) &&
@@ -867,7 +1166,13 @@ object SnapshotTable {
           freed += Files.size(p)
           Files.delete(p)
           deleted += 1
-          touched += p.getParent
+          // mark every ancestor up to the data root: partitioned
+          // batches nest files under __p=v dirs, and the emptied-dir
+          // pass below lists only batch-level dirs
+          var anc = p.getParent
+          while (anc != null && anc != dataRoot) {
+            touched += anc; anc = anc.getParent
+          }
         }
       } finally walk.close()
       // drop batch directories the sweep emptied (marker files only).

@@ -1656,6 +1656,122 @@ object Relational {
          |     ON a.k = b.k AND a.ln = b.ln) AS n_removed""".stripMargin)
   }
 
+  /** q167 — HIDDEN PARTITIONING with a metadata-only partition drop
+    * ([[graft.ops.SnapshotTable.appendPartitioned]]): lineitem is laid
+    * out in 32-day partitions by `truncate(ship_day, 32)` — the
+    * Iceberg-style transform lives in the MANIFEST, not the schema, so
+    * the probe filters on the raw ship-day column and the planner
+    * pushes the bounds through the transform to open only the covering
+    * partitions (require-asserted, partition-PURE files so pruning is
+    * exact, and the derived value is require-asserted absent from the
+    * scan schema). Then the delete shape ingest actually produces —
+    * drop a bad date range — lands as a METADATA-ONLY commit: the
+    * range aligns to partition boundaries ([1997-05-03, 1998-05-22) =
+    * day 9984..10367, multiples of 32), so v2's manifest simply omits
+    * whole files; zero bytes read or written, the step past the COW
+    * delete's economics. Time travel: the probe and n_v1 read VERSION
+    * 1 through the drop. DuckDB recomputes every branch from raw
+    * lineitem — a wrong transform floor, an off-by-one partition
+    * boundary, or a leaked/dropped row hash-mismatches.
+    */
+  val hiddenPartitionPrune = QueryDef("q167_hidden_partition_prune",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+      |      AND l_shipdate < TIMESTAMP '1996-09-16') AS n_probe,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+      |      AND l_shipdate < TIMESTAMP '1996-09-16') AS qty_probe,
+      |  (SELECT count(*) FROM lineitem) AS n_v1,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1997-05-03'
+      |       OR l_shipdate >= TIMESTAMP '1998-05-22') AS n_v2""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    val path = Work.oracleDumpPath("q167_table")
+    clusterLayouts.compute("q167", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.appendPartitioned(
+          Tables.lineitem(s, d).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, PartSpec("ship_day", "truncate", 32))
+        // days 9984..10367 = [1997-05-03, 1998-05-22): multiples of 32
+        val (_, dropped, total) =
+          SnapshotTable.deletePartitionRange(s, path, 9984L, 10367L)
+        require(dropped > 0 && dropped < total,
+          s"metadata-only delete dropped $dropped of $total files")
+      }
+      d
+    })
+    val plo = java.time.LocalDate.of(1996, 3, 15).toEpochDay
+    val phi = java.time.LocalDate.of(1996, 9, 15).toEpochDay
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(s, path, 1, plo, phi)
+    require(read > 0 && read < total,
+      s"hidden partitioning did not prune: read $read of $total files")
+    require(!probe.columns.contains("__p"),
+      "partition value leaked into the scan schema")
+    val p = probe.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    val (s1, _, rows1) = SnapshotTable.scanAt(s, path, 1)
+    val (s2, _, rows2) = SnapshotTable.scanAt(s, path, 2)
+    val n1 = s1.count(); val n2 = s2.count()
+    require(n1 == rows1 && n2 == rows2,
+      "scan/manifest row drift across the partition drop")
+    import s.implicits._
+    Seq((p.getLong(0), p.getLong(1), n1, n2))
+      .toDF("n_probe", "qty_probe", "n_v1", "n_v2")
+  }
+
+  /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
+    * hidden buckets on the order key (`bucket(16)` =
+    * floorMod(xxhash64(k), 16), the executor hash mirrored on the
+    * driver at plan time). A 5-key probe opens AT MOST the keys'
+    * buckets — require-asserted `read <= 5 < 16` — with the exact `IN`
+    * as residual; the keys (1, 7, 34, 39, 70) satisfy TPC-H's
+    * (k−1) mod 32 < 8 pattern so they exist at every scale factor.
+    * DuckDB recomputes from raw lineitem: a driver/executor hash
+    * disagreement would route a key to the wrong bucket and lose its
+    * rows — exactly what the hash-compare catches.
+    */
+  val bucketPartitionProbe = QueryDef("q168_bucket_partition_probe",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  count(DISTINCT l_orderkey) AS k_seen,
+      |  TRUE AS files_pruned
+      |FROM lineitem
+      |WHERE l_orderkey IN (1, 7, 34, 39, 70)""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    val path = Work.oracleDumpPath("q168_table")
+    clusterLayouts.compute("q168", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.appendPartitioned(
+          Tables.lineitem(s, d).select(
+            col("l_orderkey").as("k"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, PartSpec("k", "bucket", 16))
+      }
+      d
+    })
+    val keys = Seq(1L, 7L, 34L, 39L, 70L)
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionKeys(s, path, 1, keys)
+    require(read <= keys.length && read < total,
+      s"bucket pruning failed: read $read of $total files")
+    probe.agg(count(lit(1)).as("n"),
+        sum("qty_u").cast("long").as("qty_u"),
+        count_distinct(col("k")).as("k_seen"))
+      .withColumn("files_pruned", lit(read < total))
+  }
+
   /** q162 — DATA-QUALITY CONSTRAINT SUITE (the Deequ-style validation
     * gate a training pipeline runs before trusting an ingest): five
     * constraint classes evaluated over the fact table — completeness
@@ -1770,5 +1886,6 @@ object Relational {
     statsSkip, cowDelete, schemaEvolution, optimizeCompact,
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
-    vacuumSweep, sqlTimeTravel, olsFit)
+    vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
+    olsFit)
 }

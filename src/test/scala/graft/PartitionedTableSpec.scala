@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.ops.SnapshotTable
+import graft.ops.SnapshotTable.PartSpec
+
+/** Hidden partitioning over the snapshot table: partition-pure file
+  * writes, transform-aware pruning from SOURCE-column predicates, the
+  * metadata-only partition drop, and the guards that keep the
+  * stats-based mutating ops off partitioned layouts. q167/q168
+  * oracle-gate the scan arithmetic cross-engine.
+  */
+class PartitionedTableSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("ptab").toString + "/t"
+
+  private def parquetLeaves(path: String): Seq[java.nio.file.Path] = {
+    val w = Files.walk(Paths.get(path, "files"))
+    try {
+      val it = w.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".")) buf += p
+      }
+      buf.toSeq
+    } finally w.close()
+  }
+
+  test("truncate partitioning: files are partition-pure, range scans " +
+      "prune to exactly the covering partitions, and the derived value " +
+      "never appears in the schema") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 100)
+    SnapshotTable.appendPartitioned(
+      (0L until 1000L).toDF("x"), path, spec)
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    assert(ver.part === Some(spec))
+    assert(ver.partValues.get.sorted === (0L to 9L))
+    assert(ver.files.length === 10) // one file per partition value
+    val (df, read, total) = SnapshotTable.scanPartitionRange(
+      spark, path, 1, 250, 449)
+    assert(total === 10 && read === 3) // partitions 2, 3, 4
+    assert(!df.columns.contains("__p")) // hidden: not in the schema
+    assert(df.count() === 200)
+    assert(df.agg(sum("x")).head.getLong(0) === (250L to 449L).sum)
+  }
+
+  test("per-file partition values agree with the executor-side " +
+      "transform for every row of every file") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("k", "bucket", 8)
+    SnapshotTable.appendPartitioned(
+      (1L to 400L).toDF("k"), path, spec)
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    ver.files.zip(ver.partValues.get).foreach { case (f, pv) =>
+      val vals = spark.read.parquet(f).select("k")
+        .collect().map(r => spec(r.getLong(0))).distinct
+      assert(vals.toSeq === Seq(pv), s"file $f mixes partition values")
+    }
+  }
+
+  test("bucket partitioning: key probes open only the keys' buckets; " +
+      "range scans reject loudly") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("k", "bucket", 8)
+    SnapshotTable.appendPartitioned(
+      (1L to 400L).toDF("k"), path, spec)
+    val keys = Seq(7L, 133L, 350L)
+    val (df, read, total) = SnapshotTable.scanPartitionKeys(
+      spark, path, 1, keys)
+    assert(total === 8)
+    assert(read <= keys.length && read >= 1)
+    assert(df.select("k").collect().map(_.getLong(0)).sorted === keys)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.scanPartitionRange(spark, path, 1, 1, 400)
+    }
+    assert(e.getMessage.contains("scanPartitionKeys"))
+  }
+
+  test("metadata-only delete drops whole partitions with zero data " +
+      "I/O and preserves time travel; non-aligned ranges reject") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 100)
+    SnapshotTable.appendPartitioned((0L until 1000L).toDF("x"), path, spec)
+    val before = parquetLeaves(path).toSet
+    val (v, dropped, total) = SnapshotTable.deletePartitionRange(
+      spark, path, 300, 499) // exactly partitions 3 and 4
+    assert(v === 2 && dropped === 2 && total === 10)
+    // zero I/O: not one data file written or removed by the delete
+    assert(parquetLeaves(path).toSet === before)
+    val (s2, _, r2) = SnapshotTable.scanAt(spark, path, 2)
+    assert(r2 === 800 && s2.filter(col("x").between(300, 499)).count() === 0)
+    val (s1, _, r1) = SnapshotTable.scanAt(spark, path, 1)
+    assert(r1 === 1000 && s1.count() === 1000)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.deletePartitionRange(spark, path, 310, 499)
+    }
+    assert(e.getMessage.contains("aligned"))
+  }
+
+  test("identity partitioning: every range is partition-aligned") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("g", "identity", 0)
+    SnapshotTable.appendPartitioned(
+      Seq.tabulate(300)(i => (i.toLong % 6, i.toLong)).toDF("g", "v"),
+      path, spec)
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    assert(ver.partValues.get.sorted === (0L to 5L))
+    val (_, dropped, _) =
+      SnapshotTable.deletePartitionRange(spark, path, 2, 3)
+    assert(dropped === 2)
+    assert(SnapshotTable.scanAt(spark, path, 2)._1.count() === 200)
+  }
+
+  test("appends accumulate partitions across versions and the spec is " +
+      "pinned: plain append, a different spec, and the stats-based " +
+      "mutating ops all reject") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 100)
+    SnapshotTable.appendPartitioned((0L until 200L).toDF("x"), path, spec)
+    SnapshotTable.appendPartitioned((200L until 300L).toDF("x"), path, spec)
+    val ver = SnapshotTable.readVersion(spark, path, 2)
+    assert(ver.files.length === 3 && ver.partValues.get.length === 3)
+    val (_, read, total) =
+      SnapshotTable.scanPartitionRange(spark, path, 2, 100, 299)
+    assert(total === 3 && read === 2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append((1L to 5L).toDF("x"), path, 1)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.appendPartitioned((1L to 5L).toDF("x"), path,
+        PartSpec("x", "truncate", 50))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteStatsRange(spark, path, 0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, path, 1 << 20)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.recluster(spark, path, "x", 2)
+    }
+  }
+
+  test("statsCol composes: partition pruning first, per-file stats " +
+      "inside the surviving partitions") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("d", "truncate", 1000)
+    SnapshotTable.appendPartitioned(
+      (0L until 4000L).map(i => (i, i % 97)).toDF("d", "m"),
+      path, spec, statsCol = Some("d"))
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    val st = ver.stats.get
+    ver.partValues.get.indices.foreach { i =>
+      assert(st.mins(i) >= ver.partValues.get(i) * 1000 &&
+        st.maxs(i) < (ver.partValues.get(i) + 1) * 1000)
+    }
+  }
+
+  test("vacuum sweeps an unreferenced partitioned batch including its " +
+      "nested partition dirs") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 100)
+    SnapshotTable.appendPartitioned((0L until 200L).toDF("x"), path, spec)
+    // fake an aborted partitioned append: a durable nested batch no
+    // manifest references
+    val orphan = Paths.get(path, "files", "batch-orphan", "__p=9")
+    Files.createDirectories(orphan)
+    val donor = parquetLeaves(path).head
+    Files.copy(donor, orphan.resolve("part-orphan.parquet"))
+    val res = SnapshotTable.vacuum(spark, path, olderThanMs = 0)
+    assert(res.orphansDeleted === 1)
+    assert(!Files.exists(Paths.get(path, "files", "batch-orphan")))
+    // the live table is untouched
+    assert(SnapshotTable.scanAt(spark, path, 1)._1.count() === 200)
+  }
+}
