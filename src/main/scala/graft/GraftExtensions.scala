@@ -121,6 +121,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.SnapshotTable.scanAt(spark, path, version)
           ._1.queryExecution.analyzed
       }))
+    // The change feed as a FROM-clause relation:
+    // `graft_changes('/path/t', 1, 3)` = every row-level difference
+    // between the two committed versions, tagged `_change` ∈
+    // {insert, delete} — SnapshotTable.changes' manifest-diff plan
+    // (cost ∝ churned files, never the table), so SQL consumers can
+    // aggregate/join a version delta without the Scala API.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_changes",
+        "graft_changes(path, fromVersion, toVersion) - row-level " +
+          "change feed between two committed snapshot-table versions"),
+      (args: Seq[Expression]) => {
+        if (args.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_changes expects (path, fromV, toV), got ${args.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.SnapshotTable.changes(spark, foldString("path", args(0)),
+            foldLong("fromVersion", args(1)), foldLong("toVersion", args(2)))
+          .queryExecution.analyzed
+      }))
   }
 
   /** k/capacity are sketch SIZING, not data: they must be literals. */

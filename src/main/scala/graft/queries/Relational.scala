@@ -1728,6 +1728,65 @@ object Relational {
       .toDF("n_probe", "qty_probe", "n_v1", "n_v2")
   }
 
+  /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
+    * surfaced as the `graft_changes(path, fromV, toV)` table-valued
+    * function, so the version delta is a plain FROM-clause relation.
+    * The table is built as two interleaved halves of lineitem (odd /
+    * even line numbers) plus a COW delete of 1996, and the multiset
+    * algebra of the manifest diff collapses to a closed form DuckDB
+    * can state directly from the raw table: inserts = the second
+    * batch minus the deleted range (its in-range rows entered and
+    * left between the versions, cancelling), deletes = the FIRST
+    * batch's in-range rows only (the second batch's never existed at
+    * v1). Rewritten-but-identical survivor rows must cancel exactly —
+    * any survivor leaking through the exceptAll shows up as a phantom
+    * insert+delete pair and hash-mismatches.
+    */
+  val sqlChangeFeed = QueryDef("q169_sql_change_feed",
+    """SELECT 'delete' AS _change, count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u
+      |FROM lineitem
+      |WHERE l_linenumber % 2 = 1
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |UNION ALL
+      |SELECT 'insert' AS _change, count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u
+      |FROM lineitem
+      |WHERE l_linenumber % 2 = 0
+      |  AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01')""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q169_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q169", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        def half(parity: Int) = Tables.lineitem(s, d)
+          .filter(col("l_linenumber") % 2 === parity).select(
+            col("l_orderkey").as("k"),
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(half(1), path, numPartitions = 8,
+          statsCol = Some("ship_day"))
+        SnapshotTable.append(half(0), path, numPartitions = 8,
+          statsCol = Some("ship_day"))
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v3
+      }
+      d
+    })
+    s.sql(
+      s"""SELECT _change, count(*) AS n,
+         |  CAST(sum(qty_u) AS BIGINT) AS qty_u
+         |FROM graft_changes('$path', 1, 3)
+         |GROUP BY _change""".stripMargin)
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -1887,5 +1946,5 @@ object Relational {
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
-    olsFit)
+    sqlChangeFeed, olsFit)
 }

@@ -132,4 +132,26 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_snapshot('$path', 9)").collect()
     }
   }
+
+  test("graft_changes surfaces the version delta to SQL") {
+    import spark.implicits._
+    import graft.ops.SnapshotTable
+    val path =
+      java.nio.file.Files.createTempDirectory("tvfc").toString + "/t"
+    SnapshotTable.append((1L to 100L).toDF("x"), path, 2)
+    SnapshotTable.append((101L to 250L).toDF("x"), path, 2)
+    val r = spark.sql(
+      s"SELECT _change, count(*) AS n, CAST(sum(x) AS BIGINT) AS s " +
+        s"FROM graft_changes('$path', 1, 2) GROUP BY _change").collect()
+    assert(r.length === 1)
+    assert(r.head.getString(0) === "insert")
+    assert(r.head.getLong(1) === 150 &&
+      r.head.getLong(2) === (101L to 250L).sum)
+    // an empty delta is an empty relation, not an error
+    assert(spark.sql(
+      s"SELECT * FROM graft_changes('$path', 2, 2)").count() === 0)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$path', 1)").collect()
+    }
+  }
 }
