@@ -1223,6 +1223,74 @@ object SnapshotTable {
     VacuumResult(deleted, freed, idxDropped, live.size)
   }
 
+  // -------------------------------------------------------------- tail
+
+  final case class TailBatch(fromV: Long, toV: Long)
+
+  /** The durable consumer offset [[tailChanges]] advances: the highest
+    * table version this checkpoint has fully processed (0 = nothing).
+    */
+  def committedOffset(checkpointDir: String): Long = {
+    val p = Paths.get(checkpointDir, "offset")
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Rewind/seek a consumer (reprocessing after a downstream bug, or
+    * bootstrapping a copy). Overwrites the offset atomically; the next
+    * [[tailChanges]] re-delivers from `v` — safe when the downstream
+    * apply is idempotent (txn-keyed), duplicate-producing otherwise.
+    */
+  def resetOffset(checkpointDir: String, v: Long): Unit = {
+    require(v >= 0, s"offset must be >= 0, got $v")
+    Files.createDirectories(Paths.get(checkpointDir))
+    val tmp = Paths.get(checkpointDir, s".offset.${nonce()}.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(checkpointDir, "offset"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Incremental consumption of the commit log with a durable offset —
+    * the batch half of a table→stream bridge (Delta-style streaming
+    * read, Trigger.AvailableNow shape). One call delivers everything
+    * committed since the checkpoint as ONE DataFrame — the full table
+    * tagged `insert` on first contact (the initial snapshot), the
+    * [[changes]] feed after (cost ∝ churn, never table size) — to `f`,
+    * and advances the offset ONLY after `f` returns.
+    *
+    * Delivery is at-least-once with DETERMINISTIC batches: a crash
+    * between `f` and the offset commit re-delivers exactly the same
+    * (fromV, toV) range, so a downstream apply that keys its writes on
+    * `toV` — [[append]]/[[merge]] with `txn = (consumerId, toV)` —
+    * dedupes the replay and the pipeline is exactly-once end to end.
+    * That composition is the point: offsets here, idempotence there,
+    * no coordination between the two stores. A checkpoint whose
+    * version has been [[expire]]d from the log fails loudly (the delta
+    * can no longer be computed — reset and re-bootstrap) rather than
+    * silently skipping history.
+    */
+  def tailChanges(spark: SparkSession, path: String, checkpointDir: String)
+      (f: (DataFrame, Long, Long) => Unit): Option[TailBatch] = {
+    val from = committedOffset(checkpointDir)
+    val head = latestVersion(path)
+    require(head > 0, s"snapshot table $path does not exist")
+    require(from <= head,
+      s"checkpoint $from is ahead of table head $head — wrong table?")
+    if (head == from) return None
+    require(from == 0 || Files.exists(manifestPath(path, from)),
+      s"checkpointed version $from has been expired from the log — " +
+        "resetOffset(0) and re-bootstrap the consumer")
+    val delta =
+      if (from == 0)
+        scanAt(spark, path, head)._1.withColumn("_change", lit("insert"))
+      else changes(spark, path, from, head)
+    f(delta, from, head)
+    resetOffset(checkpointDir, head)
+    Some(TailBatch(from, head))
+  }
+
   // ----------------------------------------------------------- changes
 
   /** Change data feed between two versions: every row-level difference,

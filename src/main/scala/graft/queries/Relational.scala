@@ -1787,6 +1787,82 @@ object Relational {
          |GROUP BY _change""".stripMargin)
   }
 
+  /** q170 — EXACTLY-ONCE TABLE→TABLE TAIL
+    * ([[graft.ops.SnapshotTable.tailChanges]]): the batch bridge a
+    * downstream store uses to follow a snapshot table — durable
+    * consumer offset, initial-snapshot-then-deltas delivery, and
+    * deterministic at-least-once batches that a txn-keyed downstream
+    * append turns into exactly-once. The query BUILDS the failure it
+    * claims to survive: after the real tail of the delete delta, the
+    * offset is rewound and the same (2, 3) range re-delivered; the
+    * downstream's txn watermark absorbs the replay (require-asserted:
+    * its version does not advance). The final downstream state —
+    * inserts = the full table, deletes = the 1996 range — is
+    * recomputed by DuckDB from raw lineitem, so a lost batch, a
+    * double-applied replay, or a wrong delta each hash-mismatch.
+    */
+  val exactlyOnceTail = QueryDef("q170_exactly_once_tail",
+    """SELECT 'delete' AS _change, count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |UNION ALL
+      |SELECT 'insert' AS _change, count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val src = Work.oracleDumpPath("q170_src")
+    val down = Work.oracleDumpPath("q170_down")
+    val ckpt = Work.oracleDumpPath("q170_ckpt")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q170", (_, prev) => {
+      if (prev != d) {
+        Seq(src, down, ckpt).foreach(p =>
+          Work.wipe(java.nio.file.Paths.get(p)))
+        def half(parity: Int) = Tables.lineitem(s, d)
+          .filter(col("l_linenumber") % 2 === parity).select(
+            col("l_orderkey").as("k"),
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(half(1), src, numPartitions = 8,
+          statsCol = Some("ship_day"))
+        SnapshotTable.append(half(0), src, numPartitions = 8,
+          statsCol = Some("ship_day"))
+        def apply1(df: org.apache.spark.sql.DataFrame, toV: Long): Unit =
+          SnapshotTable.append(df, down, numPartitions = 8,
+            txn = Some(("q170-consumer", toV)))
+        // initial snapshot: versions (0, 2] as inserts
+        SnapshotTable.tailChanges(s, src, ckpt)((df, _, to) =>
+          apply1(df, to))
+        SnapshotTable.deleteStatsRange(s, src, lo96, hi96) // v3
+        // the delete delta: versions (2, 3]
+        SnapshotTable.tailChanges(s, src, ckpt)((df, _, to) =>
+          apply1(df, to))
+        val vDown = SnapshotTable.latestVersion(down)
+        // rewind and RE-DELIVER (2, 3]: the txn watermark must absorb it
+        SnapshotTable.resetOffset(ckpt, 2)
+        val replay = SnapshotTable.tailChanges(s, src, ckpt)((df, from, to) => {
+          require(from == 2 && to == 3, s"replay range drifted: $from->$to")
+          apply1(df, to)
+        })
+        require(replay.contains(SnapshotTable.TailBatch(2, 3)),
+          s"expected a replayed (2,3] batch, got $replay")
+        require(SnapshotTable.latestVersion(down) == vDown,
+          "replayed batch was applied twice — txn dedupe failed")
+      }
+      d
+    })
+    val (scan, _, _) =
+      SnapshotTable.scanAt(s, down, SnapshotTable.latestVersion(down))
+    scan.groupBy("_change").agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("qty_u"))
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -1946,5 +2022,5 @@ object Relational {
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
-    sqlChangeFeed, olsFit)
+    sqlChangeFeed, exactlyOnceTail, olsFit)
 }
