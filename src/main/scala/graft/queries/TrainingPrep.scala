@@ -670,8 +670,44 @@ object TrainingPrep {
       .orderBy("id_a", "id_b")
   }
 
+  /** q171 — WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    * A-ES, the one-pass distributed algorithm): each document draws an
+    * exponential key Exp(w) — here −ln(u)/w with u a DETERMINISTIC
+    * 60-bit hash-uniform from md5(doc_id) and w = n_chars — and the k
+    * smallest keys ARE a weighted sample without replacement
+    * (P(doc first) = w/Σw, the exponential race). This is the
+    * training-mix primitive "sample 10 B tokens proportional to
+    * quality×size": one scan, a k-row TakeOrdered — no shuffle of the
+    * corpus, no sequential pass, and reproducible across runs/engines
+    * because the randomness is content-addressed, exactly like q71's
+    * stratified buckets. The float key is computed identically in
+    * DuckDB (same md5-uniform, same ln) but EXCLUDED from the output:
+    * selection flips only if the rank-k and rank-k+1 keys sit within
+    * one double ulp of each other (~1e-6 odds), whereas emitting the
+    * key would hash float formatting differences directly.
+    * doc_id tiebreak makes equal keys deterministic.
+    */
+  val weightedSample = QueryDef("q171_weighted_sample",
+    """WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) + 1) / 1152921504606846976.0)
+      |      / greatest(n_chars, 1) AS k
+      |  FROM documents)
+      |SELECT doc_id, n_chars
+      |FROM keyed ORDER BY k, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    docs.select(col("doc_id"), col("n_chars"),
+        (-log(u) / greatest(col("n_chars"), lit(1L))).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(100)
+      .select("doc_id", "n_chars")
+  }
+
   val all: Seq[QueryDef] =
     Seq(decontaminate, bloomDecontaminate, repetition, stratifiedSample,
       sequencePacking, corpusAssembly, mixtureWeights, spanDedup, piiScrub,
-      exactSubstringDup, winnowedSubstringDup)
+      exactSubstringDup, winnowedSubstringDup, weightedSample)
 }
