@@ -659,7 +659,67 @@ object Similarity {
       .limit(10)
   }
 
+  /** q172 — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space, then compare pairs ONLY within clusters and drop
+    * every vector that sits within τ of a lower-id clustermate — the
+    * lower-id-wins rule that makes the survivor set deterministic.
+    * Composes q129's exact integer k-means (same [[KmeansCtes]] replay
+    * in the oracle) with an integer squared-distance pair join, so the
+    * whole pipeline — assignment, pairing, thresholding, survivor
+    * arithmetic — is engine-exact; τ = 1,300,000 sits in the observed
+    * distance distribution's thin near-dup tail (min pair ≈ 1.04M,
+    * 0.1 % quantile ≈ 1.24M on the synthetic corpus).
+    *
+    * Scale shape — the reason SemDeDup exists: the pair join is keyed
+    * on cluster id, so candidate pairs are Σ|cluster|², never n² — at
+    * 10⁹ vectors you raise k until clusters are ~10⁵ and each
+    * partition's quadratic stays bounded (the same mega-bucket
+    * discipline as the LSH `maxBucket` guard); the test's k=4 keeps
+    * the oracle replayable, not the layout. One hash shuffle on cid,
+    * one distinct on the loser ids, one broadcast-free left-anti —
+    * nothing global, nothing driver-side.
+    */
+  val semanticDedup = QueryDef("q172_semantic_dedup",
+    s"""WITH $KmeansCtes,
+      |m AS (SELECT a2.vec_id, a2.cid, qv.v
+      |      FROM a2 JOIN qv USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.cid, a.vec_id AS i,
+      |    CAST(sum((a.v[g.k] - b.v[g.k]) * (a.v[g.k] - b.v[g.k]))
+      |      AS BIGINT) AS d2
+      |  FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id,
+      |    generate_series(1, 64) AS g(k)
+      |  GROUP BY a.cid, a.vec_id, b.vec_id),
+      |dups AS (SELECT DISTINCT cid, i FROM pairs WHERE d2 <= 1300000)
+      |SELECT m.cid,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(dups.i) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN dups.i IS NULL THEN m.vec_id END) AS BIGINT)
+      |    AS survivor_id_sum
+      |FROM m LEFT JOIN dups ON m.cid = dups.cid AND m.vec_id = dups.i
+      |GROUP BY m.cid ORDER BY m.cid""".stripMargin) { (s, d) =>
+    val tau = 1300000L
+    val m = kmeansAssignments(s, d).select("cid", "vec_id", "v")
+    val d2 = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val dups = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("i"), d2.as("d2"))
+      .filter(col("d2") <= tau)
+      .select("cid", "i").distinct()
+    m.join(dups, m("cid") === dups("cid") && m("vec_id") === dups("i"),
+        "left")
+      .groupBy(m("cid"))
+      .agg(count(lit(1)).as("n_total"),
+        count(dups("i")).as("n_dup"),
+        sum(when(dups("i").isNull, m("vec_id"))).cast("long")
+          .as("survivor_id_sum"))
+      .orderBy(m("cid"))
+  }
+
   val all: Seq[QueryDef] = Seq(cosineTopK, lshBuckets, annBucketed, sqlVecFunctions, ivfAnn,
     embeddingDedup, int8Quantize, gramMatrix, kmeans, clusterSample,
-    powerIteration, pqAnn)
+    powerIteration, pqAnn, semanticDedup)
 }
