@@ -897,6 +897,100 @@ object SnapshotTable {
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
 
+  /** OPTIMIZE for hidden-partitioned tables: bin-compact small files
+    * WITHIN each partition value — the maintenance op a daily-ingest
+    * table actually needs, since every append drops one small file per
+    * partition and a year of ingest makes 365× the files. Bins are
+    * next-fit per partition (ordered by the stats min when the table
+    * has a stats layout, file name otherwise), single-file bins and
+    * all-large bins carry by reference (the same convergence rule as
+    * [[compact]]), and the rewrite re-derives `__p` from the source
+    * column so the output files are partition-pure by construction —
+    * partition pruning survives, which is the property [[compact]]'s
+    * guard exists to protect. One read+write of exactly the
+    * under-sized files; plan cost O(manifest). Create-exclusive
+    * commit, no retry.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long, minFileBytes: Long = -1L)
+      : CompactResult = {
+    require(targetBytes > 0, "compaction target must be positive")
+    val minBytes = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val spec = ver.part.getOrElse(throw new IllegalArgumentException(
+      "compactPartitioned needs hidden partitioning — use compact"))
+    val pv = ver.partValues.get
+    val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
+      "manifest lacks per-file rows — recommit with this version"))
+    val bytes = ver.fileBytes.getOrElse(throw new IllegalArgumentException(
+      "manifest lacks per-file bytes — recommit with this version"))
+    // next-fit bins per partition, in layout order (stats min when
+    // present so key contiguity survives, name otherwise — a total
+    // order either way since names are unique)
+    val orderKey: Int => (Long, String) = ver.stats match {
+      case Some(st) => i => (st.mins(i), ver.files(i))
+      case None => i => (0L, ver.files(i))
+    }
+    val binOf = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var rewriteBins = 0L
+    pv.indices.groupBy(pv).toSeq.sortBy(_._1).foreach { case (p, idxs) =>
+      val ordered = idxs.sortBy(orderKey)
+      // next-fit: cut a bin when adding the file would overflow target
+      val bins = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      var acc = 0L
+      ordered.foreach { i =>
+        if (acc + bytes(i) > targetBytes && bins.last.nonEmpty) {
+          bins += scala.collection.mutable.ArrayBuffer.empty[Int]
+          acc = 0L
+        }
+        bins.last += i; acc += bytes(i)
+      }
+      bins.filter(b => b.length > 1 && b.exists(i => bytes(i) < minBytes))
+        .foreach { b =>
+          b.foreach(i => binOf(ver.files(i)) = (p, rewriteBins))
+          rewriteBins += 1
+        }
+    }
+    if (binOf.isEmpty)
+      return CompactResult(prev, ver.files.length, ver.files.length, 0)
+    val rewriteFiles = binOf.keys.toSeq.sorted
+    val keepIdx = ver.files.indices.filterNot(i => binOf.contains(ver.files(i)))
+    import spark.implicits._
+    val binDf = binOf.toSeq.map { case (f, (_, b)) => (f, b) }
+      .toDF("__file", "__bin")
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val src = spark.read.parquet(rewriteFiles: _*)
+      .withColumn("__file", input_file_name())
+      .join(broadcast(binDf), "__file")
+      .withColumn("__p", spec.column) // partition-pure by construction
+    val laidOut = ver.stats match {
+      case Some(st) => src
+        .repartitionByRange(rewriteBins.toInt, col("__bin"), col(st.col))
+        .sortWithinPartitions(col("__bin"), col(st.col))
+      case None => src.repartitionByRange(rewriteBins.toInt, col("__bin"))
+    }
+    laidOut.drop("__file", "__bin")
+      .write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    val (batch, pvals) =
+      partitionedBatchFacts(spark, batchDir, ver.stats.map(_.col))
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files) ++ batch.files,
+      keepIdx.map(rows) ++ batch.rows,
+      keepIdx.map(bytes) ++ batch.bytes,
+      ver.stats.map(st => Stats(st.col,
+        keepIdx.map(st.mins) ++ batch.mins,
+        keepIdx.map(st.maxs) ++ batch.maxs)),
+      ver.bloom, ver.txns, Some(spec),
+      Some(keepIdx.map(pv) ++ pvals)))
+    CompactResult(v, ver.files.length,
+      keepIdx.length + batch.files.length, rewriteFiles.length)
+  }
+
   // --------------------------------------------------------- recluster
 
   final case class ReclusterResult(version: Long, filesBefore: Int,

@@ -1863,6 +1863,75 @@ object Relational {
       sum("qty_u").cast("long").as("qty_u"))
   }
 
+  /** q173 — PARTITION-AWARE OPTIMIZE
+    * ([[graft.ops.SnapshotTable.compactPartitioned]]): three ingest
+    * waves each drop one small file into every 32-day partition (the
+    * daily-ingest fragmentation shape); compaction then merges files
+    * WITHIN partitions only — the rewrite re-derives the hidden
+    * partition value from the source column, so the output files are
+    * partition-pure by construction and range pruning survives
+    * (require-asserted after, alongside fewer-files and an EMPTY
+    * change feed across the commit — OPTIMIZE moves bytes, never
+    * rows). DuckDB recomputes the post-compaction aggregates from raw
+    * lineitem; a partition-crossing merge would break the pruned
+    * probe's arithmetic and hash-mismatch.
+    */
+  val partitionCompact = QueryDef("q173_partition_compact",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_total,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+      |      AND l_shipdate < TIMESTAMP '1996-09-16') AS n_probe,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+      |      AND l_shipdate < TIMESTAMP '1996-09-16') AS qty_probe,
+      |  TRUE AS compacted""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    val path = Work.oracleDumpPath("q173_table")
+    clusterLayouts.compute("q173", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        def wave(pred: org.apache.spark.sql.Column) =
+          Tables.lineitem(s, d).filter(pred).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        val spec = PartSpec("ship_day", "truncate", 32)
+        SnapshotTable.appendPartitioned(
+          wave(col("l_linenumber") <= 2), path, spec,
+          statsCol = Some("ship_day"))
+        SnapshotTable.appendPartitioned(
+          wave(col("l_linenumber").between(3, 4)), path, spec,
+          statsCol = Some("ship_day"))
+        SnapshotTable.appendPartitioned(
+          wave(col("l_linenumber") >= 5), path, spec,
+          statsCol = Some("ship_day"))
+        val res = SnapshotTable.compactPartitioned(s, path, 1L << 30)
+        require(res.rewritten > 0 && res.filesAfter < res.filesBefore,
+          s"compaction did not shrink the layout: $res")
+        require(SnapshotTable.changes(s, path, 3, 4).isEmpty,
+          "OPTIMIZE must be row-preserving — change feed not empty")
+      }
+      d
+    })
+    val plo = java.time.LocalDate.of(1996, 3, 15).toEpochDay
+    val phi = java.time.LocalDate.of(1996, 9, 15).toEpochDay
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(s, path, 4, plo, phi)
+    require(read > 0 && read < total,
+      s"pruning died across compaction: read $read of $total files")
+    val p = probe.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    val (all4, _, rows4) = SnapshotTable.scanAt(s, path, 4)
+    val n4 = all4.count()
+    require(n4 == rows4, "scan/manifest row drift after compaction")
+    import s.implicits._
+    Seq((n4, p.getLong(0), p.getLong(1), true))
+      .toDF("n_total", "n_probe", "qty_probe", "compacted")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2022,5 +2091,5 @@ object Relational {
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
-    sqlChangeFeed, exactlyOnceTail, olsFit)
+    sqlChangeFeed, exactlyOnceTail, partitionCompact, olsFit)
 }

@@ -169,6 +169,37 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitioned merges small files within partitions only, " +
+      "keeps pruning exact, and is row-preserving") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 100)
+    // three appends → three small files per partition value
+    (0 until 3).foreach { _ =>
+      SnapshotTable.appendPartitioned((0L until 300L).toDF("x"), path, spec)
+    }
+    val v1 = SnapshotTable.readVersion(spark, path, 3)
+    assert(v1.files.length === 9) // 3 partitions × 3 appends
+    val res = SnapshotTable.compactPartitioned(spark, path, 1L << 30)
+    assert(res.version === 4 && res.rewritten === 9)
+    val v2 = SnapshotTable.readVersion(spark, path, 4)
+    assert(v2.files.length === 3) // one file per partition value
+    assert(v2.partValues.get.sorted === Seq(0L, 1L, 2L))
+    // partition purity: every row of every file maps to its value
+    v2.files.zip(v2.partValues.get).foreach { case (f, p) =>
+      assert(spark.read.parquet(f).select("x").collect()
+        .forall(r => spec(r.getLong(0)) == p))
+    }
+    // pruning still exact; row-preserving across the rewrite
+    val (df, read, total) =
+      SnapshotTable.scanPartitionRange(spark, path, 4, 100, 199)
+    assert(total === 3 && read === 1 && df.count() === 300)
+    assert(SnapshotTable.changes(spark, path, 3, 4).count() === 0)
+    // a second pass converges: nothing left to merge
+    assert(SnapshotTable.compactPartitioned(spark, path, 1L << 30)
+      .rewritten === 0)
+  }
+
   test("vacuum sweeps an unreferenced partitioned batch including its " +
       "nested partition dirs") {
     import spark.implicits._
