@@ -462,9 +462,14 @@ object SnapshotTable {
     * Same create-exclusive commit + blind retry as [[append]] (append
     * commutes with append). The spec is table metadata: the first
     * partitioned append fixes it and later appends must match.
+    * `txn` gives the same per-writer idempotence as [[append]]'s — a
+    * replayed streaming micro-batch at or below the writer's recorded
+    * watermark commits nothing, so `foreachBatch` ingest into a
+    * partitioned table is exactly-once too.
     */
   def appendPartitioned(df: DataFrame, path: String, spec: PartSpec,
-                        statsCol: Option[String] = None): Long = {
+                        statsCol: Option[String] = None,
+                        txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     require(df.columns.contains(spec.source),
       s"partition source ${spec.source} not in ${df.columns.toSeq}")
@@ -474,6 +479,12 @@ object SnapshotTable {
         "probe mirror and the executor hash must agree on input width")
     require(!df.columns.contains("__p"),
       "__p is reserved for the hidden partition value")
+    def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
+      base.txns.get(w).exists(_ >= b)
+    }
+    val pre = latestVersion(path)
+    if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
+      return pre
     val batchDir = s"$path/files/batch-${nonce()}"
     val withP = df.withColumn("__p", spec.column)
     val laidOut = statsCol match {
@@ -489,6 +500,7 @@ object SnapshotTable {
       val base =
         if (prev == 0) Version(0, Seq.empty, 0)
         else readVersion(spark, path, prev)
+      if (committedAt(base)) return prev
       require(base.files.isEmpty || base.part.contains(spec),
         s"partition spec changed mid-table (was ${base.part}, got $spec)")
       require(statsCol.isEmpty || base.files.isEmpty ||
@@ -506,7 +518,7 @@ object SnapshotTable {
             base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
         },
-        base.bloom, base.txns,
+        base.bloom, base.txns ++ txn.toMap,
         Some(spec),
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals))
       try { commitExclusive(path, v, manifest); return v }

@@ -200,6 +200,23 @@ class PartitionedTableSpec extends SparkSpec {
       .rewritten === 0)
   }
 
+  test("txn appends are idempotent per writer on partitioned tables") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 50)
+    val v1 = SnapshotTable.appendPartitioned((0L until 100L).toDF("x"),
+      path, spec, txn = Some(("w", 1L)))
+    // replayed micro-batch: nothing committed, same version returned
+    val v1b = SnapshotTable.appendPartitioned((0L until 100L).toDF("x"),
+      path, spec, txn = Some(("w", 1L)))
+    assert(v1 === 1 && v1b === 1)
+    assert(SnapshotTable.latestVersion(path) === 1)
+    assert(SnapshotTable.scanAt(spark, path, 1)._1.count() === 100)
+    val v2 = SnapshotTable.appendPartitioned((100L until 150L).toDF("x"),
+      path, spec, txn = Some(("w", 2L)))
+    assert(v2 === 2)
+  }
+
   test("vacuum sweeps an unreferenced partitioned batch including its " +
       "nested partition dirs") {
     import spark.implicits._
