@@ -128,7 +128,8 @@ object SnapshotTable {
                            bloom: Option[BloomConf] = None,
                            txns: Map[String, Long] = Map.empty,
                            part: Option[PartSpec] = None,
-                           partValues: Option[Seq[Long]] = None)
+                           partValues: Option[Seq[Long]] = None,
+                           committedMs: Long = 0L)
 
   /** Facts about one committed batch of data files, derived by reading
     * the WRITTEN files back (what a reader will actually observe,
@@ -165,6 +166,28 @@ object SnapshotTable {
     } finally st.close()
   }
 
+  /** AS OF TIMESTAMP resolution: the newest version whose manifest was
+    * committed at or before `tsMillis` — `SELECT ... AS OF` by wall
+    * clock, resolved against the commit times the manifests record
+    * (not file mtimes, which copies and restores rewrite). A timestamp
+    * before the first commit fails loudly: "the table as of then" was
+    * nothing, and silently returning v1 would fabricate history. Scans
+    * every manifest (O(versions) small JSON reads — the same trade as
+    * [[expire]]) rather than binary-searching, so a clock that stepped
+    * backwards between commits still resolves to the newest qualifying
+    * version.
+    */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val latest = latestVersion(path)
+    require(latest > 0, s"snapshot table $path does not exist")
+    val hits = (1L to latest)
+      .filter(v => Files.exists(manifestPath(path, v)))
+      .filter(v => readVersion(spark, path, v).committedMs <= tsMillis)
+    require(hits.nonEmpty,
+      s"no version of $path existed at $tsMillis — first commit is later")
+    hits.max
+  }
+
   def readVersion(spark: SparkSession, path: String, v: Long): Version = {
     val p = manifestPath(path, v)
     require(Files.exists(p), s"snapshot table $path has no version $v")
@@ -197,7 +220,9 @@ object SnapshotTable {
     Version(r.getAs[Long]("version"),
       r.getAs[scala.collection.Seq[String]]("files").toSeq,
       r.getAs[Long]("rows"), stats, longs("file_rows"),
-      longs("file_bytes"), bloom, txns, part, longs("part_values"))
+      longs("file_bytes"), bloom, txns, part, longs("part_values"),
+      if (df.columns.contains("committed_ms"))
+        r.getAs[Long]("committed_ms") else 0L)
   }
 
   // ------------------------------------------------------------ commit
@@ -210,6 +235,7 @@ object SnapshotTable {
                              partValues: Option[Seq[Long]] = None): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
+      "committed_ms" -> System.currentTimeMillis().toString,
       "rows" -> rows.sum.toString,
       "files" -> files.map(Json.quote).mkString("[", ",", "]"),
       "file_rows" -> rows.mkString("[", ",", "]"),
@@ -469,7 +495,9 @@ object SnapshotTable {
     */
   def appendPartitioned(df: DataFrame, path: String, spec: PartSpec,
                         statsCol: Option[String] = None,
-                        txn: Option[(String, Long)] = None): Long = {
+                        txn: Option[(String, Long)] = None,
+                        bloomCol: Option[String] = None,
+                        bloomExpectedPerFile: Long = -1L): Long = {
     val spark = df.sparkSession
     require(df.columns.contains(spec.source),
       s"partition source ${spec.source} not in ${df.columns.toSeq}")
@@ -494,6 +522,8 @@ object SnapshotTable {
     }
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
     val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+    val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))
+    bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
     var attempts = 0
     while (true) {
       val prev = latestVersion(path)
@@ -506,6 +536,9 @@ object SnapshotTable {
       require(statsCol.isEmpty || base.files.isEmpty ||
           base.stats.exists(_.col == statsCol.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
+      require(bloomCol.isEmpty || base.files.isEmpty ||
+          base.bloom.exists(_.col == bloomCol.get),
+        s"bloom column changed mid-table (was ${base.bloom.map(_.col)})")
       val v = prev + 1
       val manifest = renderManifest(v,
         base.files ++ batch.files,
@@ -518,7 +551,7 @@ object SnapshotTable {
             base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
         },
-        base.bloom, base.txns ++ txn.toMap,
+        bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         Some(spec),
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals))
       try { commitExclusive(path, v, manifest); return v }

@@ -200,6 +200,24 @@ class PartitionedTableSpec extends SparkSpec {
       .rewritten === 0)
   }
 
+  test("a bloom index on a data column composes with hidden " +
+      "partitioning: version-scoped equality probes skip files inside " +
+      "the partition layout") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 1000)
+    // key k is NOT the partition source — bloom is the only route to
+    // file-level equality skipping on it
+    SnapshotTable.appendPartitioned(
+      (0L until 4000L).map(i => (i, i * 7 % 4096)).toDF("t", "k"),
+      path, spec, bloomCol = Some("k"))
+    val (df, read, total) =
+      SnapshotTable.scanKeysAt(spark, path, 1, Seq(7L, 14L))
+    assert(total === 4 && read < total)
+    assert(df.select("t").collect().map(_.getLong(0)).sorted ===
+      Seq(1L, 2L)) // 1*7=7, 2*7=14
+  }
+
   test("txn appends are idempotent per writer on partitioned tables") {
     import spark.implicits._
     val path = freshPath()

@@ -234,6 +234,14 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("q171: the weighted sample compiles to TakeOrderedAndProject — " +
+    "a k-row heap per partition, never a global sort of the corpus") {
+    val plan = TrainingPrep.weightedSample.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES top-k lost its TakeOrdered shape:\n$plan")
+  }
+
   test("q133: the fact table is scanned once — every downstream branch " +
     "reads the cached edge set, never parquet") {
     // capture every action's executed plan; the only execution allowed

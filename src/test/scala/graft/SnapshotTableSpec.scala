@@ -15,6 +15,25 @@ class SnapshotTableSpec extends SparkSpec {
   private def freshPath(): String =
     Files.createTempDirectory("snap").toString + "/t"
 
+  test("versionAsOf resolves the newest version committed at or before " +
+      "the timestamp, and pre-history timestamps fail loudly") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1 to 10).toDF("x"), path, 1)
+    val t1 = SnapshotTable.readVersion(spark, path, 1).committedMs
+    assert(t1 > 0)
+    Thread.sleep(15)
+    SnapshotTable.append((11 to 20).toDF("x"), path, 1)
+    val t2 = SnapshotTable.readVersion(spark, path, 2).committedMs
+    assert(t2 >= t1)
+    assert(SnapshotTable.versionAsOf(spark, path, t1) === 1)
+    assert(SnapshotTable.versionAsOf(spark, path, t2 + 1000) === 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, path, t1 - 10000)
+    }
+    assert(e.getMessage.contains("first commit is later"))
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
