@@ -1244,6 +1244,56 @@ object SnapshotTable {
     ExpireResult(manifests, deleted, retained.size)
   }
 
+  // ----------------------------------------------------------- restore
+
+  /** RESTORE TABLE … TO VERSION — the undo of any committed mutation,
+    * as a metadata-only commit: version `prev+1`'s manifest is a copy
+    * of `toVersion`'s file list, per-file facts, stats, bloom config
+    * and partition layout. Zero data bytes move, history is preserved
+    * (the rolled-back versions stay time-travelable until [[expire]]),
+    * and [[changes]] across the restore commit reports exactly the
+    * rows the rollback removed and re-added — so downstream
+    * incremental consumers ([[tailChanges]]) absorb a restore like any
+    * other commit instead of needing a reset.
+    *
+    * Fails loudly when any restored file no longer exists on disk
+    * ([[expire]]/[[vacuum]] may have GC'd the history being revived) —
+    * committing a manifest that points at deleted batches would
+    * produce a silently truncated table. Writer txn ids are carried
+    * from the LATEST version, not the restored one: an ingest that
+    * replays an already-committed batch still dedupes, while a writer
+    * whose data was just rolled back must re-commit under a NEW batch
+    * id — the rollback is a deliberate operator action, not something
+    * an at-least-once retry should silently reverse.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val src = readVersion(spark, path, toVersion)
+    src.files.foreach { f =>
+      require(Files.exists(Paths.get(f.stripPrefix("file:"))),
+        s"cannot restore $path to v$toVersion: data file $f was " +
+          "garbage-collected (expire/vacuum) — history is gone")
+    }
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      require(prev >= toVersion,
+        s"restore target v$toVersion is ahead of latest v$prev")
+      val base = readVersion(spark, path, prev)
+      val manifest = renderManifest(prev + 1, src.files,
+        src.fileRows.getOrElse(Seq.fill(src.files.length)(0L)),
+        src.fileBytes.getOrElse(Seq.fill(src.files.length)(0L)),
+        src.stats, src.bloom, base.txns, src.part, src.partValues)
+      try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"restore of $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   // ------------------------------------------------------------ vacuum
 
   final case class VacuumResult(orphansDeleted: Int, bytesFreed: Long,

@@ -1932,6 +1932,147 @@ object Relational {
       .toDF("n_total", "n_probe", "qty_probe", "compacted")
   }
 
+  /** q174 — TIMESTAMP time travel (`AS OF TIMESTAMP`,
+    * [[graft.ops.SnapshotTable.versionAsOf]]): three commits — a base
+    * load, an append, a stats-ranged COW delete — each manifest
+    * recording its commit wall-clock (`committed_ms`). The probe
+    * resolves three timestamps against the log: the v1 commit instant
+    * itself (at-or-before = the inclusive boundary every SQL
+    * `AS OF TIMESTAMP` dialect uses), the instant just before v3, and
+    * v3's own — and require-asserts the resolutions land on 1/2/3
+    * before scanning, so a resolver that rounds the wrong way or
+    * trusts file mtimes fails loudly rather than hash-mismatching
+    * downstream. The build sleeps between commits to make the
+    * ordering strict (manifest times are milliseconds). Each resolved
+    * version is then scanned from its manifest and aggregated; DuckDB
+    * recomputes all three states from raw lineitem with the
+    * version-defining predicates.
+    */
+  val timestampTravel = QueryDef("q174_timestamp_travel",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber = 1) AS n_t1,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2) AS n_t2,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS n_t3,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS qty_t3""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q174_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q174", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        def wave(pred: org.apache.spark.sql.Column) =
+          Tables.lineitem(s, d).filter(pred).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(wave(col("l_linenumber") === 1), path,
+          numPartitions = 4, statsCol = Some("ship_day"))
+        Thread.sleep(25) // strict ms ordering between manifests
+        SnapshotTable.append(wave(col("l_linenumber") === 2), path,
+          numPartitions = 4, statsCol = Some("ship_day"))
+        Thread.sleep(25)
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v3
+      }
+      d
+    })
+    val t1 = SnapshotTable.readVersion(s, path, 1).committedMs
+    val t2 = SnapshotTable.readVersion(s, path, 2).committedMs
+    val t3 = SnapshotTable.readVersion(s, path, 3).committedMs
+    require(t1 > 0 && t1 < t2 && t2 < t3,
+      s"commit times not strictly ordered: $t1 $t2 $t3")
+    val rv = Seq(SnapshotTable.versionAsOf(s, path, t1),
+      SnapshotTable.versionAsOf(s, path, t3 - 1),
+      SnapshotTable.versionAsOf(s, path, t3))
+    require(rv == Seq(1L, 2L, 3L), s"AS OF resolution drifted: $rv")
+    def aggAt(v: Long) = {
+      val (scan, _, rows) = SnapshotTable.scanAt(s, path, v)
+      val r = scan.agg(count(lit(1)), sum("qty_u").cast("long"))
+        .collect().head
+      require(r.getLong(0) == rows,
+        s"scan/manifest row drift at v$v: ${r.getLong(0)} != $rows")
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n1, _) = aggAt(rv(0))
+    val (n2, _) = aggAt(rv(1))
+    val (n3, q3) = aggAt(rv(2))
+    import s.implicits._
+    Seq((n1, n2, n3, q3)).toDF("n_t1", "n_t2", "n_t3", "qty_t3")
+  }
+
+  /** q175 — RESTORE TO VERSION ([[graft.ops.SnapshotTable.restore]]):
+    * a bad COW delete (v3 drops 1996) is rolled back by committing v4
+    * as a metadata-only copy of v2's manifest. Structurally asserted:
+    * v4's file list IS v2's (zero data bytes moved — the rollback is a
+    * manifest write, nothing else), and the change feed across the
+    * restore commit reports the revived 1996 rows as inserts and
+    * nothing as deletes — a downstream incremental consumer absorbs
+    * the rollback like any other commit. DuckDB recomputes the
+    * post-delete state, the restored state, and the re-added row count
+    * from raw lineitem; a restore that revived the wrong version or
+    * leaked the deleted rows into the feed hash-mismatches.
+    */
+  val restoreVersion = QueryDef("q175_restore_version",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS n_deleted_state,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2) AS n_restored,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01') AS n_readded,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem WHERE l_linenumber <= 2) AS qty_restored""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q175_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q175", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        def wave(pred: org.apache.spark.sql.Column) =
+          Tables.lineitem(s, d).filter(pred).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(wave(col("l_linenumber") === 1), path,
+          numPartitions = 4, statsCol = Some("ship_day"))
+        SnapshotTable.append(wave(col("l_linenumber") === 2), path,
+          numPartitions = 4, statsCol = Some("ship_day"))
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96) // v3: the mistake
+        val v4 = SnapshotTable.restore(s, path, 2)
+        require(v4 == 4, s"restore committed v$v4, expected v4")
+      }
+      d
+    })
+    val v2 = SnapshotTable.readVersion(s, path, 2)
+    val v4 = SnapshotTable.readVersion(s, path, 4)
+    require(v4.files == v2.files,
+      "restore was not metadata-only: v4's file list differs from v2's")
+    val feed = SnapshotTable.changes(s, path, 3, 4)
+      .groupBy("_change").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!feed.contains("delete"),
+      s"restore change feed reported deletes: $feed")
+    val (scan3, _, rows3) = SnapshotTable.scanAt(s, path, 3)
+    val (scan4, _, rows4) = SnapshotTable.scanAt(s, path, 4)
+    val n3 = scan3.count()
+    val r4 = scan4.agg(count(lit(1)), sum("qty_u").cast("long"))
+      .collect().head
+    require(n3 == rows3 && r4.getLong(0) == rows4,
+      "scan/manifest row drift across restore")
+    import s.implicits._
+    Seq((n3, r4.getLong(0), feed.getOrElse("insert", 0L), r4.getLong(1)))
+      .toDF("n_deleted_state", "n_restored", "n_readded", "qty_restored")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2091,5 +2232,6 @@ object Relational {
     versionedBloom, mergeUpsert, expireSnapshots, changeDataFeed,
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
-    sqlChangeFeed, exactlyOnceTail, partitionCompact, olsFit)
+    sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
+    restoreVersion, olsFit)
 }

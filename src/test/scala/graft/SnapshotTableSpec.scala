@@ -34,6 +34,48 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("first commit is later"))
   }
 
+  test("restore commits a metadata-only copy of the target version and " +
+      "the change feed reports the revived rows as inserts") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 10L).toDF("k"), path, 2,
+      statsCol = Some("k"))
+    SnapshotTable.append((11L to 20L).toDF("k"), path, 2,
+      statsCol = Some("k"))
+    SnapshotTable.deleteStatsRange(spark, path, 11L, 15L) // v3
+    assert(SnapshotTable.restore(spark, path, 2) === 4)
+    val v2 = SnapshotTable.readVersion(spark, path, 2)
+    val v4 = SnapshotTable.readVersion(spark, path, 4)
+    assert(v4.files === v2.files && v4.rows === v2.rows)
+    assert(v4.stats === v2.stats)
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, 4)
+    assert(scan.count() === 20)
+    val feed = SnapshotTable.changes(spark, path, 3, 4)
+    assert(feed.filter(col("_change") === "delete").count() === 0)
+    assert(feed.filter(col("_change") === "insert")
+      .select("k").collect().map(_.getLong(0)).sorted === (11L to 15L))
+  }
+
+  test("restore to a version whose data was garbage-collected fails " +
+      "loudly instead of committing a manifest over deleted files") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 10L).toDF("k"), path, 2,
+      statsCol = Some("k"))
+    SnapshotTable.deleteStatsRange(spark, path, 1L, 5L) // v2 rewrites
+    // v1's manifest survives but one of its data files is GC'd
+    // out-of-band (the shape a partial vacuum of a corrupted table, or
+    // operator error, produces)
+    val gone = SnapshotTable.readVersion(spark, path, 1).files
+      .filterNot(SnapshotTable.readVersion(spark, path, 2).files.toSet).head
+    Files.delete(java.nio.file.Paths.get(gone.stripPrefix("file:")))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, path, 1)
+    }
+    assert(e.getMessage.contains("garbage-collected"))
+    assert(SnapshotTable.latestVersion(path) === 2) // nothing committed
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
