@@ -141,6 +141,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             foldLong("fromVersion", args(1)), foldLong("toVersion", args(2)))
           .queryExecution.analyzed
       }))
+    // DESCRIBE HISTORY as a FROM-clause relation:
+    // `graft_history('/path/t')` = one row per surviving version with
+    // the operation that committed it and the state it left — audit
+    // queries ("what deleted rows last week?") in plain SQL.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_history",
+        "graft_history(path) - snapshot-table commit history " +
+          "(version, op, committed_ms, rows, n_files, bytes)"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_history expects (path), got ${args.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.SnapshotTable.history(spark, foldString("path", args(0)))
+          .queryExecution.analyzed
+      }))
   }
 
   /** k/capacity are sketch SIZING, not data: they must be literals. */

@@ -129,7 +129,8 @@ object SnapshotTable {
                            txns: Map[String, Long] = Map.empty,
                            part: Option[PartSpec] = None,
                            partValues: Option[Seq[Long]] = None,
-                           committedMs: Long = 0L)
+                           committedMs: Long = 0L,
+                           op: String = "")
 
   /** Facts about one committed batch of data files, derived by reading
     * the WRITTEN files back (what a reader will actually observe,
@@ -188,6 +189,28 @@ object SnapshotTable {
     hits.max
   }
 
+  /** DESCRIBE HISTORY: one row per surviving committed version — the
+    * operation that produced it (APPEND/DELETE/OPTIMIZE/MERGE/RESTORE,
+    * recorded in the manifest at commit time), its commit wall-clock,
+    * and the state it left behind (row count, file count, total
+    * bytes). O(versions) small manifest reads on the driver — the same
+    * metadata trade as [[expire]] and [[versionAsOf]]; history is
+    * manifests, never data. [[expire]]d versions simply don't appear.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val latest = latestVersion(path)
+    require(latest > 0, s"snapshot table $path does not exist")
+    import spark.implicits._
+    (1L to latest)
+      .filter(v => Files.exists(manifestPath(path, v)))
+      .map { v =>
+        val ver = readVersion(spark, path, v)
+        (ver.version, ver.op, ver.committedMs, ver.rows,
+          ver.files.length.toLong,
+          ver.fileBytes.map(_.sum).getOrElse(0L))
+      }.toDF("version", "op", "committed_ms", "rows", "n_files", "bytes")
+  }
+
   def readVersion(spark: SparkSession, path: String, v: Long): Version = {
     val p = manifestPath(path, v)
     require(Files.exists(p), s"snapshot table $path has no version $v")
@@ -222,7 +245,8 @@ object SnapshotTable {
       r.getAs[Long]("rows"), stats, longs("file_rows"),
       longs("file_bytes"), bloom, txns, part, longs("part_values"),
       if (df.columns.contains("committed_ms"))
-        r.getAs[Long]("committed_ms") else 0L)
+        r.getAs[Long]("committed_ms") else 0L,
+      if (df.columns.contains("op")) r.getAs[String]("op") else "")
   }
 
   // ------------------------------------------------------------ commit
@@ -232,9 +256,11 @@ object SnapshotTable {
                              bloom: Option[BloomConf],
                              txns: Map[String, Long] = Map.empty,
                              part: Option[PartSpec] = None,
-                             partValues: Option[Seq[Long]] = None): String = {
+                             partValues: Option[Seq[Long]] = None,
+                             op: String = ""): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
+      "op" -> Json.quote(op),
       "committed_ms" -> System.currentTimeMillis().toString,
       "rows" -> rows.sum.toString,
       "files" -> files.map(Json.quote).mkString("[", ",", "]"),
@@ -420,7 +446,7 @@ object SnapshotTable {
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
         },
         bloomConf.orElse(base.bloom),
-        base.txns ++ txn.toMap)
+        base.txns ++ txn.toMap, op = "APPEND")
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -553,7 +579,8 @@ object SnapshotTable {
         },
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         Some(spec),
-        Some(base.partValues.getOrElse(Seq.empty) ++ pvals))
+        Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
+        op = "APPEND")
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -657,7 +684,8 @@ object SnapshotTable {
       keepIdx.map(ver.files), keepIdx.map(rows), keepIdx.map(bytes),
       ver.stats.map(st =>
         Stats(st.col, keepIdx.map(st.mins), keepIdx.map(st.maxs))),
-      ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv))))
+      ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv)),
+      op = "DELETE"))
     (v, ver.files.length - keepIdx.length, ver.files.length)
   }
 
@@ -808,7 +836,7 @@ object SnapshotTable {
       commitExclusive(path, v, renderManifest(v, ver.files,
         ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L)),
         ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L)),
-        Some(st), ver.bloom, ver.txns))
+        Some(st), ver.bloom, ver.txns, op = "DELETE"))
       return (v, 0, ver.files.length)
     }
     val hitFiles = hitIdx.map(ver.files)
@@ -836,7 +864,7 @@ object SnapshotTable {
       carried(bytes) ++ batch.bytes,
       Some(Stats(st.col, carried(st.mins) ++ batch.mins,
         carried(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns))
+      ver.bloom, ver.txns, op = "DELETE"))
     (v, hitIdx.length, ver.files.length)
   }
 
@@ -937,7 +965,7 @@ object SnapshotTable {
       carriedIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, carriedIdx.map(st.mins) ++ batch.mins,
         carriedIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns))
+      ver.bloom, ver.txns, op = "OPTIMIZE"))
     CompactResult(v, ver.files.length,
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -1031,7 +1059,7 @@ object SnapshotTable {
         keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, Some(spec),
-      Some(keepIdx.map(pv) ++ pvals)))
+      Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE"))
     CompactResult(v, ver.files.length,
       keepIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -1089,7 +1117,7 @@ object SnapshotTable {
     commitExclusive(path, v, renderManifest(v, batch.files, batch.rows,
       batch.bytes,
       Some(Stats(clusterCol, batch.mins, batch.maxs)),
-      ver.bloom, ver.txns))
+      ver.bloom, ver.txns, op = "OPTIMIZE"))
     ReclusterResult(v, ver.files.length, batch.files.length)
   }
 
@@ -1196,7 +1224,7 @@ object SnapshotTable {
       keepIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns ++ txn.toMap))
+      ver.bloom, ver.txns ++ txn.toMap, op = "MERGE"))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
@@ -1282,7 +1310,8 @@ object SnapshotTable {
       val manifest = renderManifest(prev + 1, src.files,
         src.fileRows.getOrElse(Seq.fill(src.files.length)(0L)),
         src.fileBytes.getOrElse(Seq.fill(src.files.length)(0L)),
-        src.stats, src.bloom, base.txns, src.part, src.partValues)
+        src.stats, src.bloom, base.txns, src.part, src.partValues,
+        op = "RESTORE")
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>

@@ -2073,6 +2073,69 @@ object Relational {
       .toDF("n_deleted_state", "n_restored", "n_readded", "qty_restored")
   }
 
+  /** q176 — DESCRIBE HISTORY ([[graft.ops.SnapshotTable.history]],
+    * surfaced as the `graft_history` TVF): every manifest records the
+    * operation that committed it, so the table's full audit trail —
+    * what each commit did and the state it left — is one plain-SQL
+    * FROM clause over metadata (O(versions) manifest reads, never
+    * data). The lifecycle exercised is append → append → COW delete →
+    * OPTIMIZE → RESTORE; the oracle states the expected op sequence as
+    * literals and recomputes each version's row count from raw
+    * lineitem — an op recorded wrong, a version lost, or a row count
+    * drifting across OPTIMIZE/RESTORE hash-mismatches. File counts
+    * (not SQL-recomputable) are require-asserted in-query: OPTIMIZE
+    * shrinks the layout, RESTORE revives exactly v2's.
+    */
+  val tableHistory = QueryDef("q176_table_history",
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, 'APPEND' AS op,
+      |    (SELECT count(*) FROM lineitem WHERE l_linenumber = 1) AS n_rows
+      |  UNION ALL SELECT 2, 'APPEND',
+      |    (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2)
+      |  UNION ALL SELECT 3, 'DELETE',
+      |    (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |      AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |           OR l_shipdate >= TIMESTAMP '1997-01-01'))
+      |  UNION ALL SELECT 4, 'OPTIMIZE',
+      |    (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |      AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |           OR l_shipdate >= TIMESTAMP '1997-01-01'))
+      |  UNION ALL SELECT 5, 'RESTORE',
+      |    (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2)
+      |) ORDER BY version""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q176_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q176", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        def wave(pred: org.apache.spark.sql.Column) =
+          Tables.lineitem(s, d).filter(pred).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(wave(col("l_linenumber") === 1), path,
+          numPartitions = 6, statsCol = Some("ship_day"))
+        SnapshotTable.append(wave(col("l_linenumber") === 2), path,
+          numPartitions = 6, statsCol = Some("ship_day"))
+        SnapshotTable.deleteStatsRange(s, path, lo96, hi96)  // v3
+        SnapshotTable.compact(s, path, 1L << 30)             // v4
+        SnapshotTable.restore(s, path, 2)                    // v5
+      }
+      d
+    })
+    val h = SnapshotTable.history(s, path).orderBy("version").collect()
+    require(h.length == 5, s"expected 5 versions, history has ${h.length}")
+    val nf = h.map(r => r.getAs[Long]("n_files"))
+    require(nf(3) < nf(2),
+      s"OPTIMIZE did not shrink the layout: ${nf.toSeq}")
+    require(nf(4) == nf(1),
+      s"RESTORE did not revive v2's file count: ${nf.toSeq}")
+    s.sql(s"""SELECT version, op, rows AS n_rows
+             |FROM graft_history('$path') ORDER BY version""".stripMargin)
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2233,5 +2296,5 @@ object Relational {
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
-    restoreVersion, olsFit)
+    restoreVersion, tableHistory, olsFit)
 }

@@ -76,6 +76,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(path) === 2) // nothing committed
   }
 
+  test("history records the committing operation for every mutation " +
+      "path, including merge and recluster") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 20L).map(k => (k, k * 10))
+      .toDF("k", "v"), path, 2, statsCol = Some("k"))
+    SnapshotTable.merge(spark, path,
+      Seq((5L, 999L), (21L, 210L)).toDF("k", "v"), "k")
+    SnapshotTable.recluster(spark, path, "v", numPartitions = 2)
+    SnapshotTable.deleteStatsRange(spark, path, 1L, 3L)
+    SnapshotTable.restore(spark, path, 3)
+    val ops = SnapshotTable.history(spark, path).orderBy("version")
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("APPEND", "MERGE", "OPTIMIZE", "DELETE", "RESTORE"))
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
