@@ -329,7 +329,67 @@ object SnapshotTable {
       case None => df.repartition(numPartitions)
     }
     laidOut.write.mode("errorifexists").parquet(batchDir)
+    enforceConstraints(spark, path, batchDir)
     batchFacts(spark, batchDir, statsCol)
+  }
+
+  // ------------------------------------------------------- constraints
+
+  final case class Constraint(name: String, expr: String)
+
+  /** Declare CHECK constraints (Delta-style invariants) for a table:
+    * every subsequent data-INGESTING commit — [[append]],
+    * [[appendPartitioned]], [[merge]] — validates the WRITTEN batch
+    * (what readers will actually observe, after any cast or truncation
+    * the write path applied) and ABORTS on violation: the batch
+    * directory is wiped, nothing is referenced, the table stays at its
+    * prior version, and the error names each violated constraint with
+    * its violating-row count. SQL CHECK semantics: a row violates only
+    * when the expression evaluates to FALSE — NULL passes, so
+    * `x IS NOT NULL` is itself an expressible constraint. Validation
+    * is ONE aggregate over the just-written batch — O(batch), never
+    * O(table), reading files the facts pass leaves page-cache-warm.
+    * Rewrite-only commits (delete, compact, recluster, restore) skip
+    * validation: their rows were validated when ingested.
+    */
+  def setConstraints(path: String, cs: Seq[Constraint]): Unit = {
+    require(cs.nonEmpty, "declare at least one constraint")
+    Files.createDirectories(Paths.get(path))
+    val json = cs.map(c => Json.obj(Seq(
+      "name" -> Json.quote(c.name), "expr" -> Json.quote(c.expr))))
+      .mkString("\n")
+    Files.write(Paths.get(path, "constraints.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def constraintsOf(spark: SparkSession, path: String): Seq[Constraint] = {
+    val p = Paths.get(path, "constraints.json")
+    if (!Files.exists(p)) return Seq.empty
+    spark.read.json(p.toString).collect().toSeq
+      .map(r => Constraint(r.getAs[String]("name"),
+        r.getAs[String]("expr")))
+  }
+
+  private def enforceConstraints(spark: SparkSession, path: String,
+                                 batchDir: String): Unit = {
+    val cs = constraintsOf(spark, path)
+    if (cs.isEmpty) return
+    val df = spark.read.parquet(batchDir)
+    val aggs = cs.map(c =>
+      sum(when(expr(c.expr) === false, 1L).otherwise(0L)).as(c.name))
+    val r = df.agg(aggs.head, aggs.drop(1): _*).collect().head
+    val bad = cs.zipWithIndex
+      .map { case (c, i) => c -> (if (r.isNullAt(i)) 0L else r.getLong(i)) }
+      .filter(_._2 > 0)
+    if (bad.nonEmpty) {
+      // the batch is unreferenced by any manifest: wipe it so the
+      // aborted commit leaves nothing for vacuum to sweep
+      graft.Work.wipe(Paths.get(batchDir.stripPrefix("file:")))
+      throw new IllegalArgumentException(
+        "constraint violation, commit aborted: " + bad.map { case (c, n) =>
+          s"${c.name} (CHECK ${c.expr}) violated by $n row(s)"
+        }.mkString("; "))
+    }
   }
 
   private def batchFacts(spark: SparkSession, batchDir: String,
@@ -547,6 +607,7 @@ object SnapshotTable {
       case None => withP.repartition(col("__p"))
     }
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    enforceConstraints(spark, path, batchDir)
     val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
     val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -1215,6 +1276,7 @@ object SnapshotTable {
     newData.repartitionByRange(math.max(hitIdx.length, 1), col(st.col))
       .sortWithinPartitions(st.col)
       .write.mode("errorifexists").parquet(batchDir)
+    enforceConstraints(spark, path, batchDir)
     val batch = batchFacts(spark, batchDir, Some(st.col))
     ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
     val v = prev + 1

@@ -2136,6 +2136,94 @@ object Relational {
              |FROM graft_history('$path') ORDER BY version""".stripMargin)
   }
 
+  /** q177 — CHECK-constraint gated ingest
+    * ([[graft.ops.SnapshotTable.setConstraints]]): the table declares
+    * invariants (`qty_u >= 0`, `ship_day < 2000-01-01`,
+    * `ship_day IS NOT NULL`); a clean wave commits, then a dirty wave
+    * (containing year-2000+ ship days) is REJECTED at commit time —
+    * the batch is validated as WRITTEN (what readers would observe),
+    * the abort names the violated constraint and its row count, the
+    * batch directory is wiped (nothing left for vacuum), and the table
+    * provably stays at v1 (require-asserted: latest version, history
+    * length, and zero unreferenced batch dirs on disk). The dirty wave
+    * is require-asserted non-empty in its violating slice, so the
+    * rejection is exercised for real at every scale factor. DuckDB
+    * recomputes the surviving table's aggregates with the constraint
+    * predicate — an enforcement leak (dirty rows committed) or an
+    * over-rejection (clean rows lost) hash-mismatches.
+    */
+  val constraintGate = QueryDef("q177_constraint_gate",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber = 1
+      |    AND l_shipdate < TIMESTAMP '2000-01-01') AS n_clean,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem WHERE l_linenumber = 1
+      |    AND l_shipdate < TIMESTAMP '2000-01-01') AS qty_clean,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber = 2
+      |    AND l_shipdate >= TIMESTAMP '2000-01-01') AS n_rejected_cause,
+      |  CAST(1 AS BIGINT) AS n_versions""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.Constraint
+    val path = Work.oracleDumpPath("q177_table")
+    val y2k = java.time.LocalDate.of(2000, 1, 1).toEpochDay
+    def wave(pred: org.apache.spark.sql.Column) =
+      Tables.lineitem(s, d).filter(pred).select(
+        expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+          .as("ship_day"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+    clusterLayouts.compute("q177", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.setConstraints(path, Seq(
+          Constraint("qty_nonneg", "qty_u >= 0"),
+          Constraint("ship_pre_y2k", s"ship_day < $y2k"),
+          Constraint("ship_known", "ship_day IS NOT NULL")))
+        SnapshotTable.append(
+          wave(col("l_linenumber") === 1).filter(col("ship_day") < y2k),
+          path, numPartitions = 4, statsCol = Some("ship_day"))
+        val dirty = wave(col("l_linenumber") === 2)
+        require(dirty.filter(col("ship_day") >= y2k).limit(1).count() > 0,
+          "fixture drift: the dirty wave has no violating rows")
+        val e = try {
+          SnapshotTable.append(dirty, path, numPartitions = 4,
+            statsCol = Some("ship_day"))
+          null
+        } catch { case ex: IllegalArgumentException => ex }
+        require(e != null && e.getMessage.contains("ship_pre_y2k"),
+          s"dirty commit was not rejected by name: $e")
+        require(SnapshotTable.latestVersion(path) == 1,
+          "rejected commit advanced the version")
+        // the aborted batch must leave no garbage on disk
+        val live = SnapshotTable.readVersion(s, path, 1).files
+          .map(f => java.nio.file.Paths.get(f.stripPrefix("file:"))
+            .getParent.getFileName.toString).toSet
+        val onDisk = {
+          val st = java.nio.file.Files.list(
+            java.nio.file.Paths.get(path, "files"))
+          try {
+            val it = st.iterator()
+            val b = scala.collection.mutable.Set.empty[String]
+            while (it.hasNext) b += it.next().getFileName.toString
+            b.toSet
+          } finally st.close()
+        }
+        require(onDisk == live,
+          s"aborted batch left garbage: ${onDisk -- live}")
+      }
+      d
+    })
+    val (scan, _, rows) = SnapshotTable.scanAt(s, path, 1)
+    val r = scan.agg(count(lit(1)), sum("qty_u").cast("long"))
+      .collect().head
+    require(r.getLong(0) == rows, "scan/manifest row drift")
+    val nCause = wave(col("l_linenumber") === 2)
+      .filter(col("ship_day") >= y2k).count()
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), nCause,
+        SnapshotTable.history(s, path).count()))
+      .toDF("n_clean", "qty_clean", "n_rejected_cause", "n_versions")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2296,5 +2384,5 @@ object Relational {
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
-    restoreVersion, tableHistory, olsFit)
+    restoreVersion, tableHistory, constraintGate, olsFit)
 }

@@ -92,6 +92,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ops === Seq("APPEND", "MERGE", "OPTIMIZE", "DELETE", "RESTORE"))
   }
 
+  test("CHECK constraints follow SQL semantics — FALSE violates, NULL " +
+      "passes — and enforcement covers merge and partitioned appends") {
+    import spark.implicits._
+    import SnapshotTable.Constraint
+    val path = freshPath()
+    SnapshotTable.setConstraints(path, Seq(Constraint("v_pos", "v > 0")))
+    // NULL v passes (SQL CHECK), negative v violates
+    SnapshotTable.append(
+      Seq((1L, Some(5L)), (2L, None)).toDF("k", "v"), path, 1,
+      statsCol = Some("k"))
+    assert(SnapshotTable.latestVersion(path) === 1)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.append(Seq((3L, Some(-1L))).toDF("k", "v"), path, 1,
+        statsCol = Some("k"))
+    }
+    assert(e1.getMessage.contains("v_pos") &&
+      e1.getMessage.contains("1 row(s)"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, path,
+        Seq((1L, Some(-9L))).toDF("k", "v"), "k")
+    }
+    assert(e2.getMessage.contains("v_pos"))
+    assert(SnapshotTable.latestVersion(path) === 1)
+    // partitioned table: same gate
+    val p2 = freshPath()
+    SnapshotTable.setConstraints(p2, Seq(Constraint("v_pos", "v > 0")))
+    val spec = SnapshotTable.PartSpec("k", "truncate", 10)
+    SnapshotTable.appendPartitioned(
+      Seq((1L, 5L), (25L, 7L)).toDF("k", "v"), p2, spec)
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.appendPartitioned(
+        Seq((30L, -2L)).toDF("k", "v"), p2, spec)
+    }
+    assert(e3.getMessage.contains("v_pos"))
+    assert(SnapshotTable.latestVersion(p2) === 1)
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
