@@ -130,7 +130,9 @@ object SnapshotTable {
                            part: Option[PartSpec] = None,
                            partValues: Option[Seq[Long]] = None,
                            committedMs: Long = 0L,
-                           op: String = "")
+                           op: String = "",
+                           dvFiles: Seq[String] = Seq.empty,
+                           dvRows: Long = 0L)
 
   /** Facts about one committed batch of data files, derived by reading
     * the WRITTEN files back (what a reader will actually observe,
@@ -246,7 +248,11 @@ object SnapshotTable {
       longs("file_bytes"), bloom, txns, part, longs("part_values"),
       if (df.columns.contains("committed_ms"))
         r.getAs[Long]("committed_ms") else 0L,
-      if (df.columns.contains("op")) r.getAs[String]("op") else "")
+      if (df.columns.contains("op")) r.getAs[String]("op") else "",
+      if (df.columns.contains("dv_files"))
+        r.getAs[scala.collection.Seq[String]]("dv_files").toSeq
+      else Seq.empty,
+      if (df.columns.contains("dv_rows")) r.getAs[Long]("dv_rows") else 0L)
   }
 
   // ------------------------------------------------------------ commit
@@ -257,12 +263,17 @@ object SnapshotTable {
                              txns: Map[String, Long] = Map.empty,
                              part: Option[PartSpec] = None,
                              partValues: Option[Seq[Long]] = None,
-                             op: String = ""): String = {
+                             op: String = "",
+                             dvFiles: Seq[String] = Seq.empty,
+                             dvRows: Long = 0L): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
       "committed_ms" -> System.currentTimeMillis().toString,
-      "rows" -> rows.sum.toString,
+      // LOGICAL row count: physical file rows minus DV-deleted rows
+      // (file_rows stay physical — they describe the files, not the
+      // table; scans assert against the logical count)
+      "rows" -> (rows.sum - dvRows).toString,
       "files" -> files.map(Json.quote).mkString("[", ",", "]"),
       "file_rows" -> rows.mkString("[", ",", "]"),
       "file_bytes" -> bytes.mkString("[", ",", "]"))
@@ -281,6 +292,11 @@ object SnapshotTable {
       fields += "txn_writers" -> ts.map(t => Json.quote(t._1))
         .mkString("[", ",", "]")
       fields += "txn_batches" -> ts.map(_._2).mkString("[", ",", "]")
+    }
+    if (dvFiles.nonEmpty) {
+      fields += "dv_files" -> dvFiles.map(Json.quote)
+        .mkString("[", ",", "]")
+      fields += "dv_rows" -> dvRows.toString
     }
     part.foreach { p =>
       fields += "part_source" -> Json.quote(p.source)
@@ -506,7 +522,8 @@ object SnapshotTable {
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
         },
         bloomConf.orElse(base.bloom),
-        base.txns ++ txn.toMap, op = "APPEND")
+        base.txns ++ txn.toMap, op = "APPEND",
+        dvFiles = base.dvFiles, dvRows = base.dvRows)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -641,7 +658,7 @@ object SnapshotTable {
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         Some(spec),
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
-        op = "APPEND")
+        op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -675,7 +692,7 @@ object SnapshotTable {
       .filter(i => pv(i) >= plo && pv(i) <= phi).map(ver.files)
     val df =
       if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else spark.read.parquet(hit: _*)
+      else readWithDv(spark, ver, hit)
     (df.filter(col(spec.source).between(lo, hi)), hit.length,
       ver.files.length)
   }
@@ -697,7 +714,7 @@ object SnapshotTable {
     val hit = ver.files.indices.filter(i => want(pv(i))).map(ver.files)
     val df =
       if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else spark.read.parquet(hit: _*)
+      else readWithDv(spark, ver, hit)
     (df.filter(col(spec.source).isin(keys: _*)), hit.length,
       ver.files.length)
   }
@@ -722,6 +739,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "metadata-only delete needs hidden partitioning — appendPartitioned"))
     require(spec.monotone,
@@ -763,9 +783,54 @@ object SnapshotTable {
     // mergeSchema: appends may evolve the schema (added columns read
     // as null from older files) — the manifest, not file homogeneity,
     // defines the table
-    (spark.read.option("mergeSchema", "true").parquet(ver.files: _*),
+    (readWithDv(spark, ver, ver.files, mergeSchema = true),
       ver.files.length, ver.rows)
   }
+
+  /** Read `files` (a pruned subset of `ver.files`) applying the
+    * version's DELETION VECTORS, if any: rows whose (file, position)
+    * appears in the DV relation are anti-joined away. The DV side is
+    * tiny relative to the table (it is the deleted rows' addresses,
+    * nothing else), so AQE broadcasts it and the read tax is one
+    * hash-probe per row — the merge-on-read trade
+    * [[deleteRowsWhere]] buys its O(matched) delete latency with,
+    * until [[materializeDeletes]] rewrites it away. Row addressing
+    * uses the parquet source's `_metadata.file_path`/`row_index`,
+    * which are stable per committed immutable file.
+    */
+  private def readWithDv(spark: SparkSession, ver: Version,
+                         files: Seq[String],
+                         mergeSchema: Boolean = false): DataFrame = {
+    val rd =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    applyDv(spark, rd.parquet(files: _*), ver)
+  }
+
+  /** Canonical filesystem path for cross-source file comparisons:
+    * `input_file_name()` (manifest entries) renders `file:///x` while
+    * `_metadata.file_path` (DV addresses) renders `file:/x` — equal
+    * files, unequal strings. Comparisons WITHIN one source stay raw;
+    * any comparison ACROSS the two goes through this.
+    */
+  private def canonFile(f: String): String =
+    Paths.get(f.stripPrefix("file:")).normalize().toString
+
+  /** Anti-join `ver`'s deletion vectors onto `base`, which MUST still
+    * be the raw file-source relation (`_metadata` stops resolving
+    * after any join/projection).
+    */
+  private def applyDv(spark: SparkSession, base: DataFrame,
+                      ver: Version): DataFrame =
+    if (ver.dvFiles.isEmpty) base
+    else {
+      val dv = spark.read.parquet(ver.dvFiles: _*)
+      base.select(col("*"), col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__i"))
+        .join(dv, col("__f") === dv("__dvf") && col("__i") === dv("__dvp"),
+          "left_anti")
+        .drop("__f", "__i")
+    }
 
   /** Stats-pruned range scan at `version`: open only the files whose
     * [min, max] on the manifest's stat column intersects [lo, hi],
@@ -782,7 +847,7 @@ object SnapshotTable {
       st.maxs(i) >= lo && st.mins(i) <= hi).map(ver.files)
     val df =
       if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else spark.read.parquet(hit: _*)
+      else readWithDv(spark, ver, hit)
     (df.filter(col(st.col).between(lo, hi)), hit.length, ver.files.length)
   }
 
@@ -810,7 +875,7 @@ object SnapshotTable {
     }).map(ver.files)
     val df =
       if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else spark.read.parquet(hit: _*)
+      else readWithDv(spark, ver, hit)
     val pred = ranges.map { case (lo, hi) => col(st.col).between(lo, hi) }
       .reduce(_ || _)
     (df.filter(pred), hit.length, ver.files.length)
@@ -855,7 +920,7 @@ object SnapshotTable {
         s"$total of ${ver.files.length} files indexed")
     val df =
       if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else spark.read.parquet(hit: _*)
+      else readWithDv(spark, ver, hit)
     (df.filter(col(bc.col).isin(keys: _*)), hit.length, total)
   }
 
@@ -882,6 +947,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
     require(ver.part.isEmpty,
       "COW delete would rewrite files without their partition dirs — " +
         "on a hidden-partitioned table use deletePartitionRange")
@@ -927,6 +995,125 @@ object SnapshotTable {
         carried(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, op = "DELETE"))
     (v, hitIdx.length, ver.files.length)
+  }
+
+  // --------------------------------------------------- deletion vectors
+
+  /** MERGE-ON-READ delete — the third point on the delete-economics
+    * triangle ([[deleteStatsRange]] = copy-on-write rewrite,
+    * [[deletePartitionRange]] = metadata-only aligned drop): delete by
+    * ARBITRARY predicate while moving only the deleted rows'
+    * ADDRESSES. The current version is scanned (existing DVs applied,
+    * so re-deleting is naturally idempotent), matching rows' (file,
+    * position) pairs are written as a deletion-vector parquet batch,
+    * and the new manifest carries the SAME file list with the DV
+    * attached — commit cost ∝ matched rows, never rewritten bytes, the
+    * shape that matters when 100 rows die inside a 1 GB file. Readers
+    * pay one broadcast anti-join until [[materializeDeletes]] folds
+    * the DVs into a rewrite. File stats stay valid as bounds (pruning
+    * keeps working; it may open a file whose matches are all dead —
+    * correct, just less tight). Works on plain AND hidden-partitioned
+    * layouts. Returns (version, rowsDeleted); deleting zero rows still
+    * commits (an auditable no-op, like an empty append).
+    */
+  def deleteRowsWhere(spark: SparkSession, path: String,
+                      predicateSql: String): (Long, Long) = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val dvDir = s"$path/dv/batch-${nonce()}"
+    // tag addresses on the RAW file scan (_metadata resolves only on
+    // the source relation), then apply existing DVs so a repeated
+    // delete of the same predicate is a natural no-op
+    val tagged = spark.read.option("mergeSchema", "true")
+      .parquet(ver.files: _*)
+      .select(col("*"), col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"))
+    val live =
+      if (ver.dvFiles.isEmpty) tagged
+      else {
+        val dv0 = spark.read.parquet(ver.dvFiles: _*)
+        tagged.join(dv0,
+          col("__f") === dv0("__dvf") && col("__i") === dv0("__dvp"),
+          "left_anti")
+      }
+    val hits = live.filter(expr(predicateSql))
+      .select(col("__f").as("__dvf"), col("__i").as("__dvp"))
+    // one file per delete commit: a DV batch is addresses only (16 B a
+    // row), so even a 10M-row delete is ~160 MB — raise this if a
+    // single delete routinely kills more
+    hits.repartition(1).write.mode("errorifexists").parquet(dvDir)
+    val written = spark.read.parquet(dvDir)
+    val nDel = written.count()
+    val dvFiles =
+      if (nDel == 0) { graft.Work.wipe(Paths.get(dvDir)); Seq.empty }
+      else written.select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, ver.files,
+      ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L)),
+      ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L)),
+      ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
+      op = "DELETE",
+      dvFiles = ver.dvFiles ++ dvFiles, dvRows = ver.dvRows + nDel))
+    (v, nDel)
+  }
+
+  /** Fold a table's deletion vectors into its layout: files with NO
+    * dead rows are carried untouched; files with dead rows are
+    * rewritten DV-applied (stats-sorted so their new per-file stats
+    * stay tight), and the new version carries no DVs — the maintenance
+    * commit that ends the MOR read tax and re-opens the COW/compact/
+    * recluster/merge paths. Cost ∝ the hit files, never the table —
+    * the DV relation itself says which files those are. Not supported
+    * on hidden-partitioned layouts (the rewrite would need per-
+    * partition routing; use partition-aligned deletes there).
+    */
+  def materializeDeletes(spark: SparkSession, path: String)
+      : CompactResult = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.nonEmpty, "table carries no deletion vectors")
+    require(ver.part.isEmpty,
+      "materializeDeletes on a hidden-partitioned table is not " +
+        "supported — delete on partition boundaries instead")
+    val dv = spark.read.parquet(ver.dvFiles: _*)
+    val hitSet = dv.select("__dvf").distinct()
+      .collect().map(r => canonFile(r.getString(0)))
+      .toSet // O(hit files) driver metadata
+    val hitIdx = ver.files.indices.filter(i => hitSet(canonFile(ver.files(i))))
+    require(hitIdx.nonEmpty, "deletion vectors reference no live file")
+    val keepIdx =
+      ver.files.indices.filterNot(i => hitSet(canonFile(ver.files(i))))
+    val statsCol = ver.stats.map(_.col)
+    val survivors = {
+      val hitVer = ver.copy(files = hitIdx.map(ver.files))
+      readWithDv(spark, hitVer, hitVer.files)
+    }
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val laidOut = statsCol match {
+      case Some(c) => survivors
+        .repartitionByRange(math.max(hitIdx.length / 2, 1), col(c))
+        .sortWithinPartitions(c)
+      case None => survivors.repartition(math.max(hitIdx.length / 2, 1))
+    }
+    laidOut.write.mode("errorifexists").parquet(batchDir)
+    val batch = batchFacts(spark, batchDir, statsCol)
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
+    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files) ++ batch.files,
+      keepIdx.map(rows) ++ batch.rows,
+      keepIdx.map(bytes) ++ batch.bytes,
+      ver.stats.map(st => Stats(st.col,
+        keepIdx.map(st.mins) ++ batch.mins,
+        keepIdx.map(st.maxs) ++ batch.maxs)),
+      ver.bloom, ver.txns, op = "OPTIMIZE"))
+    CompactResult(v, ver.files.length,
+      keepIdx.length + batch.files.length, hitIdx.length)
   }
 
   // ----------------------------------------------------------- compact
@@ -976,6 +1163,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
     require(ver.part.isEmpty,
       "compaction would merge files across partition values — " +
         "not supported on hidden-partitioned tables")
@@ -1053,6 +1243,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "compactPartitioned needs hidden partitioning — use compact"))
     val pv = ver.partValues.get
@@ -1159,6 +1352,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
     require(ver.part.isEmpty,
       "recluster would rewrite files without their partition dirs — " +
         "not supported on hidden-partitioned tables")
@@ -1219,6 +1415,9 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
     // idempotent replay (same contract as append's txn): a batch id at
     // or below the writer's recorded watermark merges NOTHING — the
     // exactly-once guarantee for a streaming CDC-apply sink
@@ -1373,7 +1572,7 @@ object SnapshotTable {
         src.fileRows.getOrElse(Seq.fill(src.files.length)(0L)),
         src.fileBytes.getOrElse(Seq.fill(src.files.length)(0L)),
         src.stats, src.bloom, base.txns, src.part, src.partValues,
-        op = "RESTORE")
+        op = "RESTORE", dvFiles = src.dvFiles, dvRows = src.dvRows)
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1426,18 +1625,23 @@ object SnapshotTable {
       Paths.get(f.stripPrefix("file:")).normalize().toString
     // manifest-form names ("file:///…", exactly what the index rows
     // carry) and filesystem-form paths for the disk walk
-    val liveRaw = (1L to latest)
+    val versions = (1L to latest)
       .filter(v => Files.exists(manifestPath(path, v)))
-      .flatMap(v => readVersion(spark, path, v).files)
-      .toSet
-    val live = liveRaw.map(normalize)
+      .map(v => readVersion(spark, path, v))
+    val liveRaw = versions.flatMap(_.files).toSet
+    // deletion-vector batches are referenced data too: a DV file is
+    // live while ANY manifest lists it, dead once materialize/expire
+    // dropped its last reference — swept under the same TTL
+    val live = liveRaw.map(normalize) ++
+      versions.flatMap(_.dvFiles).map(normalize)
     val dataRoot = Paths.get(path, "files")
     val cutoff = System.currentTimeMillis() - math.max(olderThanMs, 0L)
     var deleted = 0
     var freed = 0L
     val touched = scala.collection.mutable.Set.empty[Path]
-    if (Files.isDirectory(dataRoot)) {
-      val walk = Files.walk(dataRoot)
+    for (root <- Seq(dataRoot, Paths.get(path, "dv"))
+         if Files.isDirectory(root)) {
+      val walk = Files.walk(root)
       try walk.iterator().asScala.foreach { p =>
         if (Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet") &&
@@ -1450,7 +1654,7 @@ object SnapshotTable {
           // batches nest files under __p=v dirs, and the emptied-dir
           // pass below lists only batch-level dirs
           var anc = p.getParent
-          while (anc != null && anc != dataRoot) {
+          while (anc != null && anc != root) {
             touched += anc; anc = anc.getParent
           }
         }
@@ -1461,7 +1665,7 @@ object SnapshotTable {
       // mtime, so the TTL that protects its files protects its dir —
       // except for dirs THIS sweep emptied, whose mtime the unlinks
       // just bumped
-      val dirs = Files.list(dataRoot)
+      val dirs = Files.list(root)
       try dirs.iterator().asScala.foreach { d =>
         if (Files.isDirectory(d) && (touched(d) ||
             Files.getLastModifiedTime(d).toMillis <= cutoff)) {
@@ -1585,6 +1789,14 @@ object SnapshotTable {
     * (union of paths, mergeSchema for evolved columns) and split by a
     * broadcast file→side join, so the diff is two exceptAlls over
     * exactly the churned bytes.
+    *
+    * DELETION VECTORS compose: files that entered/left are read with
+    * their OWN version's DVs applied (a materialize rewrite therefore
+    * correctly cancels — the dead rows were already gone at `fromV`),
+    * and for files present in BOTH versions the DV ADDRESS delta is
+    * the change — addresses deleted in between emit those rows as
+    * `delete`, addresses revived (a restore past a MOR delete) emit
+    * `insert`. Cost stays churn-bound: only addressed files are read.
     */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long)
       : DataFrame = {
@@ -1595,21 +1807,77 @@ object SnapshotTable {
     val removed = a.files.filterNot(bSet)
     val added = b.files.filterNot(aSet)
     import spark.implicits._
-    if (removed.isEmpty && added.isEmpty)
-      return spark.read.parquet(a.files.head).limit(0)
+    // DV address deltas, restricted to files both versions still list
+    // (file-level churn is handled by the DV-aware reads below);
+    // canonical form — DV addresses and manifest entries render paths
+    // differently
+    val common = (aSet intersect bSet).map(canonFile)
+    def dvAddrs(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    val (morDeleted, morRevived) =
+      if (a.dvFiles == b.dvFiles) (None, None)
+      else {
+        val aAddr = dvAddrs(a.dvFiles)
+        val bAddr = dvAddrs(b.dvFiles)
+        def delta(x: Option[DataFrame], y: Option[DataFrame]) =
+          (x, y) match {
+            case (Some(xa), Some(ya)) => Some(xa.exceptAll(ya))
+            case (Some(xa), None) => Some(xa)
+            case _ => None
+          }
+        def rowsAt(addr: Option[DataFrame]): Option[DataFrame] =
+          addr.flatMap { ad =>
+            // O(addressed files) driver metadata, like every manifest op
+            val files = ad.select("__dvf").distinct().collect()
+              .map(_.getString(0)).filter(f => common(canonFile(f)))
+              .toSeq.sorted
+            if (files.isEmpty) None
+            else {
+              val scoped = ad.filter(col("__dvf").isInCollection(files))
+              Some(spark.read.option("mergeSchema", "true")
+                .parquet(files: _*)
+                .select(col("*"), col("_metadata.file_path").as("__mf"),
+                  col("_metadata.row_index").as("__mi"))
+                .join(scoped, col("__mf") === scoped("__dvf") &&
+                  col("__mi") === scoped("__dvp"), "left_semi")
+                .drop("__mf", "__mi"))
+            }
+          }
+        (rowsAt(delta(dvAddrs(b.dvFiles), aAddr)),
+          rowsAt(delta(dvAddrs(a.dvFiles), bAddr)))
+      }
+    val fileLevel: Option[DataFrame] =
+      if (removed.isEmpty && added.isEmpty) None
+      else {
+        // one union schema so evolved columns align across the diff;
+        // each side then reads its own files with its OWN version's
+        // DVs applied (missing columns arrive as nulls)
+        val unionSchema = spark.read.option("mergeSchema", "true")
+          .parquet((removed ++ added): _*).schema
+        def sideOf(files: Seq[String], ver: Version): Option[DataFrame] =
+          if (files.isEmpty) None
+          else Some(applyDv(spark,
+            spark.read.schema(unionSchema).parquet(files: _*), ver))
+        val olds = sideOf(removed, a)
+        val news = sideOf(added, b)
+        (olds, news) match {
+          case (Some(o), Some(n)) =>
+            Some(n.exceptAll(o).withColumn("_change", lit("insert"))
+              .unionByName(o.exceptAll(n)
+                .withColumn("_change", lit("delete"))))
+          case (Some(o), None) =>
+            Some(o.withColumn("_change", lit("delete")))
+          case (None, Some(n)) =>
+            Some(n.withColumn("_change", lit("insert")))
+          case _ => None
+        }
+      }
+    val parts = fileLevel.toSeq ++
+      morDeleted.map(_.withColumn("_change", lit("delete"))) ++
+      morRevived.map(_.withColumn("_change", lit("insert")))
+    if (parts.isEmpty)
+      spark.read.parquet(a.files.head).limit(0)
         .withColumn("_change", lit(""))
-    val src = spark.read.option("mergeSchema", "true")
-      .parquet((removed ++ added): _*)
-    val dataCols = src.columns.toSeq
-    val side = (removed.map((_, "old")) ++ added.map((_, "new")))
-      .toDF("__f", "__side")
-    val tagged = src.withColumn("__f", input_file_name())
-      .join(broadcast(side), "__f")
-    val olds = tagged.filter(col("__side") === "old")
-      .select(dataCols.map(col): _*)
-    val news = tagged.filter(col("__side") === "new")
-      .select(dataCols.map(col): _*)
-    news.exceptAll(olds).withColumn("_change", lit("insert"))
-      .unionByName(olds.exceptAll(news).withColumn("_change", lit("delete")))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

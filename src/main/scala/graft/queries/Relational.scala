@@ -2224,6 +2224,85 @@ object Relational {
       .toDF("n_clean", "qty_clean", "n_rejected_cause", "n_versions")
   }
 
+  /** q178 — DELETION VECTORS (merge-on-read delete,
+    * [[graft.ops.SnapshotTable.deleteRowsWhere]]): the third point on
+    * the delete-economics triangle — q150's COW rewrites hit files,
+    * q167's aligned drop moves metadata only, and this moves only the
+    * deleted rows' ADDRESSES: v2 carries v1's exact file list
+    * (require-asserted — zero data bytes rewritten) plus a DV batch;
+    * every scan flavor then hides the dead rows via a broadcast
+    * anti-join, the change feed reports exactly the MOR-deleted rows
+    * (address-delta path, no file churn to diff), and
+    * [[graft.ops.SnapshotTable.materializeDeletes]] folds the DVs into
+    * a rewrite of ONLY the DV-hit files (require-asserted partial),
+    * ending the read tax with an empty change feed across the
+    * materialize commit. DuckDB recomputes the pre-delete, post-delete
+    * and post-materialize states plus the feed's delete count from raw
+    * lineitem — a DV that misses rows, double-deletes, or a
+    * materialize that loses survivors hash-mismatches.
+    */
+  val deletionVectors = QueryDef("q178_deletion_vectors",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2) AS n_v1,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS n_mor,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS qty_mor,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01') AS n_feed_del,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01'))
+      |    AS n_materialized""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q178_table")
+    val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi96 = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    clusterLayouts.compute("q178", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).filter(col("l_linenumber") <= 2).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, numPartitions = 8, statsCol = Some("ship_day"))
+        val v1 = SnapshotTable.readVersion(s, path, 1)
+        val (v2, nDel) = SnapshotTable.deleteRowsWhere(s, path,
+          s"ship_day BETWEEN $lo96 AND $hi96")
+        require(v2 == 2 && nDel > 0, s"MOR delete removed $nDel rows")
+        require(SnapshotTable.readVersion(s, path, 2).files == v1.files,
+          "MOR delete rewrote data files — the whole point is not to")
+        val res = SnapshotTable.materializeDeletes(s, path) // v3
+        require(res.rewritten > 0 && res.rewritten < v1.files.length,
+          s"materialize must rewrite only DV-hit files: $res")
+        require(SnapshotTable.readVersion(s, path, 3).dvFiles.isEmpty,
+          "materialize left DVs behind")
+        require(SnapshotTable.changes(s, path, 2, 3).isEmpty,
+          "materialize must be row-preserving — change feed not empty")
+      }
+      d
+    })
+    val (scan1, _, rows1) = SnapshotTable.scanAt(s, path, 1)
+    val (scan2, _, rows2) = SnapshotTable.scanAt(s, path, 2)
+    val (scan3, _, rows3) = SnapshotTable.scanAt(s, path, 3)
+    val feedDel = SnapshotTable.changes(s, path, 1, 2)
+      .filter(col("_change") === "delete").count()
+    val n1 = scan1.count()
+    val r2 = scan2.agg(count(lit(1)), sum("qty_u").cast("long"))
+      .collect().head
+    val n3 = scan3.count()
+    require(n1 == rows1 && r2.getLong(0) == rows2 && n3 == rows3,
+      "scan/manifest row drift across the DV lifecycle")
+    import s.implicits._
+    Seq((n1, r2.getLong(0), r2.getLong(1), feedDel, n3))
+      .toDF("n_v1", "n_mor", "qty_mor", "n_feed_del", "n_materialized")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2384,5 +2463,5 @@ object Relational {
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
-    restoreVersion, tableHistory, constraintGate, olsFit)
+    restoreVersion, tableHistory, constraintGate, deletionVectors, olsFit)
 }

@@ -129,6 +129,95 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(p2) === 1)
   }
 
+  test("deletion vectors: MOR delete moves zero data bytes, scans hide " +
+      "the dead rows at the new version and time travel revives them") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 100L).map(k => (k, k * 2))
+      .toDF("k", "v"), path, 4, statsCol = Some("k"))
+    val v1 = SnapshotTable.readVersion(spark, path, 1)
+    val (v2, nDel) = SnapshotTable.deleteRowsWhere(spark, path,
+      "k % 10 = 3") // 3, 13, ..., 93
+    assert(v2 === 2 && nDel === 10)
+    val ver2 = SnapshotTable.readVersion(spark, path, 2)
+    assert(ver2.files === v1.files, "MOR delete rewrote data files")
+    assert(ver2.dvRows === 10 && ver2.rows === 90)
+    val (scan2, _, rows2) = SnapshotTable.scanAt(spark, path, 2)
+    assert(scan2.count() === 90 && rows2 === 90)
+    assert(scan2.filter(col("k") % 10 === 3).count() === 0)
+    val (scan1, _, _) = SnapshotTable.scanAt(spark, path, 1)
+    assert(scan1.count() === 100) // v1 untouched
+    // re-delete of the same predicate is a natural no-op
+    val (v3, n2) = SnapshotTable.deleteRowsWhere(spark, path, "k % 10 = 3")
+    assert(v3 === 3 && n2 === 0)
+    assert(SnapshotTable.readVersion(spark, path, 3).rows === 90)
+    // stats-pruned scans apply DVs too
+    val (pruned, _, _) = SnapshotTable.scanStatsRange(spark, path, 3, 1, 25)
+    assert(pruned.select("k").collect().map(_.getLong(0)).sorted ===
+      (1L to 25L).filterNot(_ % 10 == 3))
+  }
+
+  test("deletion vectors: change feed reports the MOR-deleted rows, " +
+      "materialize folds DVs into a rewrite that cancels in the feed") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 100L).map(k => (k, k * 2))
+      .toDF("k", "v"), path, 4, statsCol = Some("k"))
+    SnapshotTable.deleteRowsWhere(spark, path, "k BETWEEN 40 AND 59")
+    val feed = SnapshotTable.changes(spark, path, 1, 2)
+    assert(feed.filter(col("_change") === "insert").count() === 0)
+    assert(feed.filter(col("_change") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted === (40L to 59L))
+    // mutating ops refuse a DV-carrying table
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, path, 1L << 30)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    val res = SnapshotTable.materializeDeletes(spark, path)
+    val ver3 = SnapshotTable.readVersion(spark, path, 3)
+    assert(ver3.dvFiles.isEmpty && ver3.rows === 80)
+    assert(res.rewritten > 0 && res.rewritten < 4,
+      s"materialize must rewrite only DV-hit files: $res")
+    val (scan3, _, _) = SnapshotTable.scanAt(spark, path, 3)
+    assert(scan3.count() === 80)
+    // the materialize rewrite is row-preserving: empty change feed
+    assert(SnapshotTable.changes(spark, path, 2, 3).count() === 0)
+    // and appends on top carry nothing stale
+    SnapshotTable.append(Seq((200L, 400L)).toDF("k", "v"), path, 1,
+      statsCol = Some("k"))
+    assert(SnapshotTable.readVersion(spark, path, 4).rows === 81)
+    // once history drops the DV-carrying versions, vacuum sweeps the
+    // dead DV batches like any other unreferenced data
+    SnapshotTable.expire(spark, path, keepFrom = 3)
+    SnapshotTable.vacuum(spark, path, olderThanMs = 0)
+    val dvRoot = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(path, "dv"))
+    val dvLeft =
+      try {
+        val it = dvRoot.iterator(); var n = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+        }
+        n
+      } finally dvRoot.close()
+    assert(dvLeft === 0, s"$dvLeft dead DV files survived vacuum")
+  }
+
+  test("the DV read tax is a broadcast anti-join — the table side is " +
+      "never shuffled for the deletion vectors") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 5000L).map(k => (k, k * 2))
+      .toDF("k", "v"), path, 4, statsCol = Some("k"))
+    SnapshotTable.deleteRowsWhere(spark, path, "k % 100 = 7")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(900))
+    assert(!plan.contains("SortMergeJoin"),
+      s"DV anti-join shuffled the table side:\n${plan.take(900)}")
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
@@ -486,8 +575,8 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.changes(spark, path, 3, 1))
   }
 
-  test("changes tags file sides via a broadcast join — no cartesian, " +
-    "no shuffle of the file map") {
+  test("changes reads each side as its own pruned file scan — no " +
+    "cartesian, no shuffle of a file map") {
     import spark.implicits._
     val path = freshPath()
     SnapshotTable.append((0L until 200L).toDF("day"), path, 4,
@@ -495,9 +584,13 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.deleteStatsRange(spark, path, 50, 99)
     val plan = SnapshotTable.changes(spark, path, 1, 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
-    assert(!plan.contains("CartesianProduct"), "file-side tagging went " +
+    assert(!plan.contains("CartesianProduct"), "file-side split went " +
       "cartesian")
+    // correctness of the split: only the COW-deleted rows surface
+    val feed = SnapshotTable.changes(spark, path, 1, 2)
+    assert(feed.filter(col("_change") === "insert").count() === 0)
+    assert(feed.filter(col("_change") === "delete")
+      .select("day").collect().map(_.getLong(0)).sorted === (50L to 99L))
   }
 
   test("txn appends are idempotent per writer: a replayed batch id " +
