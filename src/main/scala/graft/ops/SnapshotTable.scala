@@ -63,7 +63,8 @@ object SnapshotTable {
     * row count ([[BloomIndex.buildRows]]) — the default; a fixed guess
     * saturates when file sizes grow past it and pruning stops.
     */
-  final case class BloomConf(col: String, expectedPerFile: Long)
+  final case class BloomConf(col: String, expectedPerFile: Long,
+                             fpp: Double = 0.01)
 
   /** HIDDEN-partitioning spec (Iceberg-style): rows are grouped into
     * partition-pure files by `transform(source)`, the transform value
@@ -230,7 +231,9 @@ object SnapshotTable {
     val bloom =
       if (df.columns.contains("bloom_col"))
         Some(BloomConf(r.getAs[String]("bloom_col"),
-          r.getAs[Long]("bloom_expected")))
+          r.getAs[Long]("bloom_expected"),
+          if (df.columns.contains("bloom_fpp"))
+            r.getAs[Double]("bloom_fpp") else 0.01))
       else None
     val txns =
       if (df.columns.contains("txn_writers"))
@@ -285,6 +288,7 @@ object SnapshotTable {
     bloom.foreach { bc =>
       fields += "bloom_col" -> Json.quote(bc.col)
       fields += "bloom_expected" -> bc.expectedPerFile.toString
+      fields += "bloom_fpp" -> bc.fpp.toString
     }
     if (txns.nonEmpty) {
       // sorted for byte-deterministic manifests
@@ -449,7 +453,7 @@ object SnapshotTable {
   private def writeBloomRows(spark: SparkSession, path: String,
                              files: Seq[String], bc: BloomConf): Unit =
     BloomIndex.buildRows(spark, files, bc.col, bc.expectedPerFile,
-        fpp = 0.01)
+        fpp = bc.fpp)
       .coalesce(1)
       .write.mode("errorifexists")
       .json(s"${bloomIdxDir(path)}/idx-${nonce()}")
@@ -479,6 +483,7 @@ object SnapshotTable {
              statsCol: Option[String] = None,
              bloomCol: Option[String] = None,
              bloomExpectedPerFile: Long = -1L,
+             bloomFpp: Double = 0.01,
              txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
@@ -489,7 +494,8 @@ object SnapshotTable {
     if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
       return pre
     val batch = writeBatch(df, path, numPartitions, statsCol)
-    val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))
+    val bloomConf =
+      bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
     var attempts = 0
     while (true) {
@@ -600,7 +606,8 @@ object SnapshotTable {
                         statsCol: Option[String] = None,
                         txn: Option[(String, Long)] = None,
                         bloomCol: Option[String] = None,
-                        bloomExpectedPerFile: Long = -1L): Long = {
+                        bloomExpectedPerFile: Long = -1L,
+                        bloomFpp: Double = 0.01): Long = {
     val spark = df.sparkSession
     require(df.columns.contains(spec.source),
       s"partition source ${spec.source} not in ${df.columns.toSeq}")
@@ -626,7 +633,8 @@ object SnapshotTable {
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
     enforceConstraints(spark, path, batchDir)
     val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
-    val bloomConf = bloomCol.map(BloomConf(_, bloomExpectedPerFile))
+    val bloomConf =
+      bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
     var attempts = 0
     while (true) {
@@ -1486,6 +1494,119 @@ object SnapshotTable {
       Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, op = "MERGE"))
+    val matched = hitRows + nUpd - batch.rows.sum
+    MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
+  }
+
+  /** MERGE INTO for hidden-partitioned tables — the upsert a
+    * partitioned CDC sink actually needs. Candidate files prune by the
+    * update rows' PARTITION VALUES (derived from the source column on
+    * the small side, O(distinct partitions) driver metadata), and the
+    * rewrite re-derives `__p` so outputs stay partition-pure — an
+    * update whose source value changed simply lands in its new
+    * partition.
+    *
+    * The cross-partition-move hazard is handled, not assumed away:
+    * when the merge key is NOT the partition source, a key's existing
+    * row may live in a partition the update's own value doesn't cover
+    * — rewriting only value-covered partitions would DUPLICATE the
+    * key. Three regimes: key == source (moves impossible — the key
+    * determines the partition, value-pruning is exact); a bloom index
+    * on the key (probe ALL files for the update keys, union the hits
+    * into the candidate set — the old row's file is rewritten and the
+    * key anti-joined out, wherever it lives, for the price of a
+    * metadata probe); neither → fail loudly naming the hazard rather
+    * than silently duplicating. Updates too large to probe (>100k)
+    * fall back to rewriting every partition — correct, just unpruned.
+    * Same txn-id replay dedupe and CHECK-constraint gate as [[merge]].
+    */
+  def mergePartitioned(spark: SparkSession, path: String,
+                       updates: DataFrame, keyCol: String,
+                       txn: Option[(String, Long)] = None): MergeResult = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
+    txn.foreach { case (w, b) =>
+      if (ver.txns.get(w).exists(_ >= b))
+        return MergeResult(prev, 0, ver.files.length, 0L, 0L)
+    }
+    val spec = ver.part.getOrElse(throw new IllegalArgumentException(
+      "mergePartitioned needs hidden partitioning — use merge"))
+    val pv = ver.partValues.get
+    val tableCols = spark.read.parquet(ver.files.head).limit(0).columns
+    require(updates.columns.sorted.sameElements(tableCols.sorted),
+      s"updates schema ${updates.columns.toSeq} must match table " +
+        s"columns ${tableCols.toSeq}")
+    require(updates.columns.contains(keyCol) &&
+        updates.columns.contains(spec.source),
+      s"updates must carry $keyCol and the partition source ${spec.source}")
+    import spark.implicits._
+    val u = updates.agg(count(lit(1)), count_distinct(col(keyCol)))
+      .collect().head
+    val nUpd = u.getLong(0)
+    require(nUpd > 0, "empty update batch")
+    require(u.getLong(1) == nUpd,
+      s"merge keys must be unique: $nUpd rows, ${u.getLong(1)} keys")
+    val updParts = updates
+      .select(spec.column.as("__p")).distinct().as[Long].collect().toSet
+    val partHit = ver.files.indices.filter(i => updParts(pv(i)))
+    val hitIdx: Seq[Int] =
+      if (keyCol == spec.source) partHit
+      else if (nUpd > 100000) ver.files.indices // unprunable: all files
+      else ver.bloom.filter(_.col == keyCol) match {
+        case Some(_) =>
+          val keys = updates.select(col(keyCol).cast("long"))
+            .distinct().as[Long].collect().toSeq
+          val visible = ver.files.toDF("file")
+          val idx = spark.read.option("recursiveFileLookup", "true")
+            .json(bloomIdxDir(path)).join(broadcast(visible), "file")
+          val (hitFiles, _) = BloomIndex.probeFiles(idx, keys)
+          val hs = hitFiles.toSet
+          (partHit ++ ver.files.indices.filter(i => hs(ver.files(i))))
+            .distinct.sorted
+        case None => throw new IllegalArgumentException(
+          s"mergePartitioned on key '$keyCol' != partition source " +
+            s"'${spec.source}' needs a bloom index on the key: without " +
+            "one, a key whose row lives outside the updates' partition " +
+            "values would be silently duplicated")
+      }
+    val keepIdx = ver.files.indices.filterNot(hitIdx.contains)
+    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
+    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val hitRows = hitIdx.map(rows).sum
+    val newData =
+      if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
+      else spark.read.parquet(hitIdx.map(ver.files): _*)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(tableCols.map(col): _*)
+        .unionByName(updates.select(tableCols.map(col): _*))
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val withP = newData.withColumn("__p", spec.column)
+    val laidOut = ver.stats match {
+      case Some(st) => withP
+        .repartitionByRange(math.max(hitIdx.length, 1),
+          col("__p"), col(st.col))
+        .sortWithinPartitions(col("__p"), col(st.col))
+      case None => withP.repartition(col("__p"))
+    }
+    laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    enforceConstraints(spark, path, batchDir)
+    val (batch, pvalsB) =
+      partitionedBatchFacts(spark, batchDir, ver.stats.map(_.col))
+    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files) ++ batch.files,
+      keepIdx.map(rows) ++ batch.rows,
+      keepIdx.map(bytes) ++ batch.bytes,
+      ver.stats.map(st => Stats(st.col,
+        keepIdx.map(st.mins) ++ batch.mins,
+        keepIdx.map(st.maxs) ++ batch.maxs)),
+      ver.bloom, ver.txns ++ txn.toMap, Some(spec),
+      Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE"))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }

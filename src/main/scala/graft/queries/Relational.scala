@@ -2303,6 +2303,126 @@ object Relational {
       .toDF("n_v1", "n_mor", "qty_mor", "n_feed_del", "n_materialized")
   }
 
+  /** q179 — PARTITIONED MERGE
+    * ([[graft.ops.SnapshotTable.mergePartitioned]]): upsert into a
+    * hidden-partitioned table, including the hazard every partitioned
+    * merge must face — updates that MOVE keys across partitions (here
+    * ship_day += 40 crosses the 32-day transform boundary,
+    * require-asserted to actually occur). Candidates prune by the
+    * updates' partition values UNION a bloom probe on the merge key
+    * over all files, so a moved key's OLD row is found and anti-joined
+    * out wherever it lives while untouched partitions carry by
+    * reference; the rewrite re-derives the hidden value so outputs
+    * stay partition-pure, and range pruning survives the merge
+    * (require-asserted read<total on the probe window). Matched and
+    * inserted counts are require-asserted against the update batch's
+    * composition. DuckDB replays the merge relationally (base minus
+    * updated keys, union modified rows, union inserts) — a duplicated
+    * moved key, a lost insert, or partition-impure output
+    * hash-mismatches.
+    */
+  val partitionMerge = QueryDef("q179_partition_merge",
+    """WITH base AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |         min(l_shipdate) AS sd,
+      |         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |           AS BIGINT) AS qty_u
+      |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY 1),
+      |upd AS (
+      |  SELECT k, sd + INTERVAL 40 DAY AS sd, qty_u + 1000000 AS qty_u
+      |  FROM base WHERE k >= 10000 AND k < 14000
+      |    AND sd >= TIMESTAMP '1996-01-01'
+      |    AND sd < TIMESTAMP '1997-01-01'),
+      |ins AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |         min(l_shipdate) AS sd,
+      |         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |           AS BIGINT) AS qty_u
+      |  FROM lineitem WHERE l_linenumber = 3
+      |    AND l_orderkey >= 1000 AND l_orderkey < 1400
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+      |final AS (
+      |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(qty_u) AS BIGINT) AS qty_total,
+      |  (SELECT count(*) FROM final
+      |    WHERE sd >= TIMESTAMP '1996-03-15'
+      |      AND sd < TIMESTAMP '1996-09-16') AS n_probe
+      |FROM final""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    val path = Work.oracleDumpPath("q179_table")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    // (see q166) — group to a unique merge key, deterministically
+    def rowsOf(pred: org.apache.spark.sql.Column) =
+      Tables.lineitem(s, d).filter(pred).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("k"),
+        expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+          .as("sd"),
+        floor(col("l_quantity") * 100).cast("long").as("q"))
+        .groupBy("k")
+        .agg(min(col("sd")).as("ship_day"),
+          sum(col("q")).cast("long").as("qty_u"))
+    clusterLayouts.compute("q179", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val spec = PartSpec("ship_day", "truncate", 32)
+        // CDC-shaped micro-batch: a fixed orderkey window keeps the
+        // update-key count scale-invariant, and the tight fpp keeps a
+        // few-hundred-key bloom probe selective across all files
+        SnapshotTable.appendPartitioned(
+          rowsOf(col("l_linenumber") <= 2), path, spec,
+          statsCol = Some("ship_day"), bloomCol = Some("k"),
+          bloomFpp = 1e-4)
+        // localized like a real CDC correction batch: one orderkey
+        // window × one year of ship days, so partition-value pruning
+        // has something to prune (an update set spread over every
+        // partition would legitimately rewrite every partition)
+        val lo96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+        val hi96x = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+        val upd = rowsOf(col("l_linenumber") <= 2)
+          .filter(col("k") >= 10000L && col("k") < 14000L &&
+            col("ship_day") >= lo96 && col("ship_day") < hi96x)
+          .select(col("k"), (col("ship_day") + 40).as("ship_day"),
+            (col("qty_u") + 1000000L).as("qty_u"))
+        val ins = rowsOf(col("l_linenumber") === 3 &&
+          col("l_orderkey") >= 1000 && col("l_orderkey") < 1400 &&
+          col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        val moved = upd.filter(
+          expr("((ship_day - 40) div 32) != (ship_day div 32)")).count()
+        require(moved > 0, "fixture drift: no update crosses a partition")
+        val nUpd = upd.count()
+        val nIns = ins.count()
+        val res = SnapshotTable.mergePartitioned(s, path,
+          upd.unionByName(ins), "k")
+        require(res.rowsMatched == nUpd && res.rowsInserted == nIns,
+          s"merge accounting drifted: $res vs upd=$nUpd ins=$nIns")
+        require(res.filesRewritten < res.filesTotal,
+          s"partition+bloom pruning rewrote everything: $res")
+      }
+      d
+    })
+    val plo = java.time.LocalDate.of(1996, 3, 15).toEpochDay
+    val phi = java.time.LocalDate.of(1996, 9, 15).toEpochDay
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(s, path, 2, plo, phi)
+    require(read > 0 && read < total,
+      s"pruning died across the merge: read $read of $total files")
+    val nProbe = probe.count()
+    val (all2, _, rows2) = SnapshotTable.scanAt(s, path, 2)
+    val r = all2.agg(count(lit(1)), sum("qty_u").cast("long"))
+      .collect().head
+    require(r.getLong(0) == rows2, "scan/manifest row drift after merge")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), nProbe))
+      .toDF("n_total", "qty_total", "n_probe")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2463,5 +2583,6 @@ object Relational {
     versionedCurveSkip, qualitySuite, optimizeZorder, incrementalView,
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
-    restoreVersion, tableHistory, constraintGate, deletionVectors, olsFit)
+    restoreVersion, tableHistory, constraintGate, deletionVectors,
+    partitionMerge, olsFit)
 }

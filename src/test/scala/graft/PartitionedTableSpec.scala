@@ -218,6 +218,55 @@ class PartitionedTableSpec extends SparkSpec {
       Seq(1L, 2L)) // 1*7=7, 2*7=14
   }
 
+  test("mergePartitioned handles cross-partition key moves via the " +
+      "bloom probe: the old row dies, the new lands partition-pure") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 100)
+    SnapshotTable.appendPartitioned(
+      (1L to 300L).map(k => (k, k, k * 10)).toDF("k", "t", "v"),
+      path, spec, statsCol = Some("t"), bloomCol = Some("k"))
+    // key 5 moves from partition 0 to partition 200; key 150 updates
+    // in place; key 1000 is new
+    val res = SnapshotTable.mergePartitioned(spark, path,
+      Seq((5L, 250L, 999L), (150L, 151L, 888L), (1000L, 50L, 777L))
+        .toDF("k", "t", "v"), "k")
+    assert(res.rowsMatched === 2 && res.rowsInserted === 1)
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, 2)
+    assert(scan.count() === 301)
+    assert(scan.filter(col("k") === 5L).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("v"))).toSeq ===
+      Seq((250L, 999L))) // exactly one row — the move did not duplicate
+    // the moved row is served by a probe of its NEW partition
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(spark, path, 2, 240L, 260L)
+    assert(read < total)
+    assert(probe.filter(col("k") === 5L).count() === 1)
+    // partition purity survives: every file's __p dir matches its rows
+    val ver = SnapshotTable.readVersion(spark, path, 2)
+    assert(ver.partValues.get.length === ver.files.length)
+  }
+
+  test("mergePartitioned without a key bloom fails loudly when the key " +
+      "is not the partition source; key == source needs no bloom") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 100)
+    SnapshotTable.appendPartitioned(
+      (1L to 100L).map(k => (k, k, k)).toDF("k", "t", "v"),
+      path, spec, statsCol = Some("t"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergePartitioned(spark, path,
+        Seq((5L, 5L, 0L)).toDF("k", "t", "v"), "k")
+    }
+    assert(e.getMessage.contains("bloom"))
+    // key == partition source: value-pruning is exact, merge succeeds
+    val res = SnapshotTable.mergePartitioned(spark, path,
+      Seq((5L, 5L, 0L)).toDF("k", "t", "v"), "t")
+    assert(res.rowsMatched === 1 && res.rowsInserted === 0)
+    assert(res.filesRewritten < res.filesTotal)
+  }
+
   test("txn appends are idempotent per writer on partitioned tables") {
     import spark.implicits._
     val path = freshPath()
