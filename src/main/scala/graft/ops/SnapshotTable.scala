@@ -1025,7 +1025,29 @@ object SnapshotTable {
     * commits (an auditable no-op, like an empty append).
     */
   def deleteRowsWhere(spark: SparkSession, path: String,
-                      predicateSql: String): (Long, Long) = {
+                      predicateSql: String): (Long, Long) =
+    deleteRowsBy(spark, path, _.filter(expr(predicateSql)))
+
+  /** MOR delete by KEY SET: the deletion-vector shape a curation
+    * pipeline needs — "remove THESE doc ids" where the ids come from
+    * another computation (a dedup pass, a contamination scan), as a
+    * DataFrame, never a driver-side IN-list. The key relation joins
+    * distributively (broadcast when small, shuffle when not); rows
+    * already MOR-deleted are skipped, so overlapping passes compose
+    * idempotently. Same zero-rewrite commit as [[deleteRowsWhere]].
+    */
+  def deleteRowsIn(spark: SparkSession, path: String, keyCol: String,
+                   keys: DataFrame): (Long, Long) = {
+    require(keys.columns.contains(keyCol),
+      s"key relation lacks column $keyCol")
+    deleteRowsBy(spark, path,
+      _.join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+        "left_semi"))
+  }
+
+  private def deleteRowsBy(spark: SparkSession, path: String,
+                           selectHits: DataFrame => DataFrame)
+      : (Long, Long) = {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
@@ -1045,7 +1067,7 @@ object SnapshotTable {
           col("__f") === dv0("__dvf") && col("__i") === dv0("__dvp"),
           "left_anti")
       }
-    val hits = live.filter(expr(predicateSql))
+    val hits = selectHits(live)
       .select(col("__f").as("__dvf"), col("__i").as("__dvp"))
     // one file per delete commit: a DV batch is addresses only (16 B a
     // row), so even a 10M-row delete is ~160 MB — raise this if a

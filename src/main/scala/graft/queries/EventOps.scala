@@ -781,6 +781,97 @@ object EventOps {
         "replay_skipped")
   }
 
+  /** q180 — STREAMING INGESTION into a HIDDEN-PARTITIONED snapshot
+    * table, exactly-once: q158's foreachBatch + txn-id discipline
+    * composed with q167's partition layout
+    * ([[graft.ops.SnapshotTable.appendPartitioned]] takes the same
+    * per-writer transaction ids) — the shape a production event
+    * pipeline actually lands: micro-batches arrive partition-PURE into
+    * `bucket(8)` on the user key, a re-delivered batch commits nothing
+    * (require-asserted by replaying the last id), and the payoff is
+    * immediate: a per-user probe after ingest opens at most the users'
+    * buckets (require-asserted `read < total`). Exactly-once is pinned
+    * structurally (table rows == source rows) and DuckDB recomputes
+    * global and probe aggregates from raw events — a duplicated or
+    * dropped micro-batch, or a bucket-routing drift between executor
+    * and driver hashes, hash-mismatches.
+    */
+  val streamPartitionedIngest = QueryDef("q180_stream_partitioned_ingest",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  (SELECT count(*) FROM events
+      |    WHERE CAST(user_id AS BIGINT) IN (1, 2, 3)) AS n_probe,
+      |  TRUE AS replay_skipped
+      |FROM events""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    val path = graft.Work.oracleDumpPath("q180_table")
+    streamTableLayouts.compute("q180", (_, prev) => {
+      if (prev != d) {
+        graft.Work.wipe(java.nio.file.Paths.get(path))
+        val srcDir = graft.Work.stableDir(
+          s"q180-src-${math.abs(d.hashCode)}").toString
+        graft.Work.wipe(java.nio.file.Paths.get(srcDir))
+        Tables.load(s, d, "events").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val ckpt = graft.Work.stableDir(
+          s"q180-ckpt-${math.abs(d.hashCode)}")
+        graft.Work.wipe(ckpt)
+        val events = s.readStream
+          .schema(s.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val writer = "q180_ingest"
+        val spec = PartSpec("user_id", "bucket", 8)
+        val q = events.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              SnapshotTable.appendPartitioned(
+                batch.select(col("event_id").cast("long").as("event_id"),
+                  col("user_id").cast("long").as("user_id"),
+                  col("value")),
+                path, spec, txn = Some((writer, batchId)))
+              ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val v = SnapshotTable.latestVersion(path)
+        require(v >= 2, s"expected ≥2 micro-batch commits, got $v")
+        val ver = SnapshotTable.readVersion(s, path, v)
+        val vReplay = SnapshotTable.appendPartitioned(
+          s.read.parquet(srcDir).limit(5)
+            .select(col("event_id").cast("long").as("event_id"),
+              col("user_id").cast("long").as("user_id"), col("value")),
+          path, spec, txn = Some((writer, ver.txns(writer))))
+        require(vReplay == v && SnapshotTable.latestVersion(path) == v,
+          s"replayed batch ${ver.txns(writer)} committed a new version")
+        val srcRows = s.read.parquet(srcDir).count()
+        require(ver.rows == srcRows,
+          s"ingest landed ${ver.rows} rows, source has $srcRows")
+      }
+      d
+    })
+    val latest = SnapshotTable.latestVersion(path)
+    val (scan, _, rowsExp) = SnapshotTable.scanAt(s, path, latest)
+    val a = scan.agg(count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double")
+        .as("sum_value")).collect().head
+    require(a.getLong(0) == rowsExp, "scan/manifest drift after ingest")
+    // the partition payoff: a 3-user probe opens at most the keys' 3
+    // buckets — per micro-batch, so ≤ 3/8 of the files
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionKeys(s, path, latest, Seq(1L, 2L, 3L))
+    require(read < total,
+      s"bucket pruning died: read $read of $total partition files")
+    val nProbe = probe.count()
+    import s.implicits._
+    Seq((a.getLong(0), a.getDouble(1), nProbe, true))
+      .toDF("n", "sum_value", "n_probe", "replay_skipped")
+  }
+
   private val streamTableLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -789,5 +880,5 @@ object EventOps {
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
       streamIntervalJoin, streamOuterJoin, funnel, cohorts,
       intervalCoverage, streamRunningTotals, streamStaticJoin,
-      streamTableIngest, streamCdcApply)
+      streamTableIngest, streamCdcApply, streamPartitionedIngest)
 }

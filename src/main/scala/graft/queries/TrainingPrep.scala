@@ -706,8 +706,121 @@ object TrainingPrep {
       .select("doc_id", "n_chars")
   }
 
+  /** q181 — GOVERNED TRAINING CORPUS: the end-to-end shape a curation
+    * pipeline takes on a lakehouse, composing the r14 table layer with
+    * the dedup/decontamination operators. The documents corpus is
+    * ingested into a snapshot table (v1); near-duplicates (8-token
+    * prefix fingerprint) die by MERGE-ON-READ deletion vectors ([[graft.ops.SnapshotTable
+    * .deleteRowsIn]] — the loser doc_ids come from a distributed
+    * min-per-text pass, never a driver IN-list; v2 moves zero corpus
+    * bytes, require-asserted); benchmark-contaminated documents (q69's
+    * 5-gram overlap, computed on the raw corpus so the two passes are
+    * independent and idempotent) die the same way (v3). Every
+    * curation decision is a COMMIT: time travel reproduces the corpus
+    * as trained-on at any stage, the history records APPEND/DELETE/
+    * DELETE, and the audit trail costs O(versions) metadata. DuckDB
+    * replays the whole pipeline relationally — dedup survivor rule,
+    * contamination scan, final corpus stats — so a DV that misses a
+    * duplicate, re-kills an already-dead row, or loses a survivor
+    * hash-mismatches.
+    */
+  val corpusGovernance = QueryDef("q181_corpus_governance",
+    """WITH docs AS (SELECT doc_id, text, n_chars FROM documents),
+      |keep1 AS (SELECT min(doc_id) AS doc_id FROM docs
+      |  GROUP BY array_to_string(string_split(trim(text), ' ')[1:8], ' ')),
+      |sp AS (
+      |  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+      |    string_split(trim(text), ' ') AS ts
+      |  FROM docs),
+      |grams AS (
+      |  SELECT doc_id, is_bench,
+      |    unnest(list_distinct(list_transform(generate_series(1, len(ts) - 4),
+      |      i -> array_to_string(ts[i:i+4], ' ')))) AS g
+      |  FROM sp),
+      |contaminated AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM grams c JOIN (SELECT DISTINCT g FROM grams WHERE is_bench) b
+      |    ON c.g = b.g
+      |  WHERE NOT c.is_bench),
+      |final AS (
+      |  SELECT * FROM docs
+      |  WHERE doc_id IN (SELECT doc_id FROM keep1)
+      |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+      |SELECT
+      |  (SELECT count(*) FROM docs) AS n_v1,
+      |  (SELECT count(*) FROM docs
+      |    WHERE doc_id IN (SELECT doc_id FROM keep1)) AS n_dedup,
+      |  (SELECT count(*) FROM final) AS n_final,
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM final) AS chars_final""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = graft.Work.oracleDumpPath("q181_table")
+    corpusTables.compute("q181", (_, prev) => {
+      if (prev != d) {
+        graft.Work.wipe(java.nio.file.Paths.get(path))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        SnapshotTable.append(docs, path, numPartitions = 4,
+          statsCol = Some("doc_id"))
+        val v1 = SnapshotTable.readVersion(s, path, 1)
+        // prefix-fingerprint dedup (first 8 tokens — boilerplate
+        // headers collide, unique bodies don't): lower id survives;
+        // losers computed distributively, handed over as a relation
+        val losers = docs
+          .withColumn("fp", concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 8)))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep"),
+            collect_list(col("doc_id")).as("ids"))
+          .select(explode(col("ids")).as("doc_id"), col("keep"))
+          .filter(col("doc_id") =!= col("keep"))
+        val (v2, nDup) = SnapshotTable.deleteRowsIn(s, path,
+          "doc_id", losers)
+        require(SnapshotTable.readVersion(s, path, 2).files == v1.files,
+          "dedup rewrote corpus files — DV delete must not")
+        // decontamination: q69's 5-gram overlap on the raw corpus;
+        // overlapping ids may include already-dead duplicates — the DV
+        // layer skips them (idempotent compose), require-asserted by
+        // the oracle's final count
+        val sp = docs.select(col("doc_id"),
+          (col("doc_id") % 50 === 0).as("is_bench"),
+          array_distinct(ngrams(col("text"), 5)).as("grams"))
+        val benchGrams = sp.filter(col("is_bench"))
+          .select(explode(col("grams")).as("g")).distinct()
+        val contaminated = sp.filter(!col("is_bench"))
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+          .join(broadcast(benchGrams), "g")
+          .select("doc_id").distinct()
+        val (v3, nCont) = SnapshotTable.deleteRowsIn(s, path,
+          "doc_id", contaminated)
+        require(v2 == 2 && v3 == 3 && nDup > 0 && nCont > 0,
+          s"pipeline fixture degenerate: nDup=$nDup nCont=$nCont")
+        val ops = SnapshotTable.history(s, path).orderBy("version")
+          .select("op").collect().map(_.getString(0)).toSeq
+        require(ops == Seq("APPEND", "DELETE", "DELETE"),
+          s"audit trail drifted: $ops")
+      }
+      d
+    })
+    val (s1, _, r1) = SnapshotTable.scanAt(s, path, 1)
+    val (s2, _, r2) = SnapshotTable.scanAt(s, path, 2)
+    val (s3, _, r3) = SnapshotTable.scanAt(s, path, 3)
+    val n1 = s1.count(); val n2 = s2.count()
+    val f = s3.agg(count(lit(1)), sum("n_chars").cast("long"))
+      .collect().head
+    require(n1 == r1 && n2 == r2 && f.getLong(0) == r3,
+      "scan/manifest drift across the governance pipeline")
+    import s.implicits._
+    Seq((n1, n2, f.getLong(0), f.getLong(1)))
+      .toDF("n_v1", "n_dedup", "n_final", "chars_final")
+  }
+
+  private val corpusTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[QueryDef] =
     Seq(decontaminate, bloomDecontaminate, repetition, stratifiedSample,
       sequencePacking, corpusAssembly, mixtureWeights, spanDedup, piiScrub,
-      exactSubstringDup, winnowedSubstringDup, weightedSample)
+      exactSubstringDup, winnowedSubstringDup, weightedSample,
+      corpusGovernance)
 }
