@@ -121,6 +121,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.SnapshotTable.scanAt(spark, path, version)
           ._1.queryExecution.analyzed
       }))
+    // AS OF TIMESTAMP in the FROM clause: resolve a wall-clock instant
+    // against the manifests' commit times, then serve that version's
+    // manifest-planned scan — `graft_snapshot_at('/path/t', <ms>)`.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_snapshot_at",
+        "graft_snapshot_at(path, tsMillis) - snapshot table AS OF a " +
+          "wall-clock timestamp (newest version committed at or before)"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_snapshot_at expects (path, tsMillis), got ${args.length}")
+        val path = foldString("path", args(0))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val version = graft.ops.SnapshotTable.versionAsOf(spark, path,
+          foldLong("tsMillis", args(1)))
+        graft.ops.SnapshotTable.scanAt(spark, path, version)
+          ._1.queryExecution.analyzed
+      }))
     // The change feed as a FROM-clause relation:
     // `graft_changes('/path/t', 1, 3)` = every row-level difference
     // between the two committed versions, tagged `_change` ∈

@@ -1095,9 +1095,10 @@ object SnapshotTable {
     * stay tight), and the new version carries no DVs — the maintenance
     * commit that ends the MOR read tax and re-opens the COW/compact/
     * recluster/merge paths. Cost ∝ the hit files, never the table —
-    * the DV relation itself says which files those are. Not supported
-    * on hidden-partitioned layouts (the rewrite would need per-
-    * partition routing; use partition-aligned deletes there).
+    * the DV relation itself says which files those are. On
+    * hidden-partitioned layouts the survivor rewrite re-derives the
+    * hidden value, so the materialized files stay partition-pure and
+    * range/key pruning survives.
     */
   def materializeDeletes(spark: SparkSession, path: String)
       : CompactResult = {
@@ -1105,9 +1106,6 @@ object SnapshotTable {
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
     require(ver.dvFiles.nonEmpty, "table carries no deletion vectors")
-    require(ver.part.isEmpty,
-      "materializeDeletes on a hidden-partitioned table is not " +
-        "supported — delete on partition boundaries instead")
     val dv = spark.read.parquet(ver.dvFiles: _*)
     val hitSet = dv.select("__dvf").distinct()
       .collect().map(r => canonFile(r.getString(0)))
@@ -1122,28 +1120,62 @@ object SnapshotTable {
       readWithDv(spark, hitVer, hitVer.files)
     }
     val batchDir = s"$path/files/batch-${nonce()}"
-    val laidOut = statsCol match {
-      case Some(c) => survivors
-        .repartitionByRange(math.max(hitIdx.length / 2, 1), col(c))
-        .sortWithinPartitions(c)
-      case None => survivors.repartition(math.max(hitIdx.length / 2, 1))
-    }
-    laidOut.write.mode("errorifexists").parquet(batchDir)
-    val batch = batchFacts(spark, batchDir, statsCol)
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
     val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
     val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
     val v = prev + 1
-    commitExclusive(path, v, renderManifest(v,
-      keepIdx.map(ver.files) ++ batch.files,
-      keepIdx.map(rows) ++ batch.rows,
-      keepIdx.map(bytes) ++ batch.bytes,
-      ver.stats.map(st => Stats(st.col,
-        keepIdx.map(st.mins) ++ batch.mins,
-        keepIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns, op = "OPTIMIZE"))
-    CompactResult(v, ver.files.length,
-      keepIdx.length + batch.files.length, hitIdx.length)
+    ver.part match {
+      case Some(spec) =>
+        // partitioned layout: re-derive the hidden value so the
+        // rewritten survivors stay partition-pure (DV-hit files are
+        // partition-pure already, so this is a routing no-op for rows
+        // — it exists so the WRITE lands in the right dirs)
+        val withP = survivors.withColumn("__p", spec.column)
+        val laidOut = statsCol match {
+          case Some(c) => withP
+            .repartitionByRange(math.max(hitIdx.length / 2, 1),
+              col("__p"), col(c))
+            .sortWithinPartitions(col("__p"), col(c))
+          case None => withP.repartition(col("__p"))
+        }
+        laidOut.write.mode("errorifexists").partitionBy("__p")
+          .parquet(batchDir)
+        val (batch, pvals) =
+          partitionedBatchFacts(spark, batchDir, statsCol)
+        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        val pv = ver.partValues.get
+        commitExclusive(path, v, renderManifest(v,
+          keepIdx.map(ver.files) ++ batch.files,
+          keepIdx.map(rows) ++ batch.rows,
+          keepIdx.map(bytes) ++ batch.bytes,
+          ver.stats.map(st => Stats(st.col,
+            keepIdx.map(st.mins) ++ batch.mins,
+            keepIdx.map(st.maxs) ++ batch.maxs)),
+          ver.bloom, ver.txns, Some(spec),
+          Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE"))
+        CompactResult(v, ver.files.length,
+          keepIdx.length + batch.files.length, hitIdx.length)
+      case None =>
+        val laidOut = statsCol match {
+          case Some(c) => survivors
+            .repartitionByRange(math.max(hitIdx.length / 2, 1), col(c))
+            .sortWithinPartitions(c)
+          case None =>
+            survivors.repartition(math.max(hitIdx.length / 2, 1))
+        }
+        laidOut.write.mode("errorifexists").parquet(batchDir)
+        val batch = batchFacts(spark, batchDir, statsCol)
+        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        commitExclusive(path, v, renderManifest(v,
+          keepIdx.map(ver.files) ++ batch.files,
+          keepIdx.map(rows) ++ batch.rows,
+          keepIdx.map(bytes) ++ batch.bytes,
+          ver.stats.map(st => Stats(st.col,
+            keepIdx.map(st.mins) ++ batch.mins,
+            keepIdx.map(st.maxs) ++ batch.maxs)),
+          ver.bloom, ver.txns, op = "OPTIMIZE"))
+        CompactResult(v, ver.files.length,
+          keepIdx.length + batch.files.length, hitIdx.length)
+    }
   }
 
   // ----------------------------------------------------------- compact

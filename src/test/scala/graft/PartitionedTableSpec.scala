@@ -267,6 +267,37 @@ class PartitionedTableSpec extends SparkSpec {
     assert(res.filesRewritten < res.filesTotal)
   }
 
+  test("deletion vectors compose with hidden partitioning: MOR delete " +
+      "moves nothing, pruned scans hide dead rows, materialize stays " +
+      "partition-pure") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 100)
+    SnapshotTable.appendPartitioned(
+      (0L until 400L).map(k => (k, k, k * 2)).toDF("k", "t", "v"),
+      path, spec, statsCol = Some("t"))
+    val v1 = SnapshotTable.readVersion(spark, path, 1)
+    val (_, nDel) = SnapshotTable.deleteRowsWhere(spark, path,
+      "t BETWEEN 150 AND 250")
+    assert(nDel === 101)
+    assert(SnapshotTable.readVersion(spark, path, 2).files === v1.files)
+    // partition-pruned scan applies the DVs
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(spark, path, 2, 100L, 299L)
+    assert(read < total)
+    assert(probe.count() === 200 - 101)
+    // materialize: only DV-hit partitions rewritten, pruning survives
+    val res = SnapshotTable.materializeDeletes(spark, path)
+    assert(res.rewritten === 2, s"expected partitions 1,2 rewritten: $res")
+    val v3 = SnapshotTable.readVersion(spark, path, 3)
+    assert(v3.dvFiles.isEmpty && v3.rows === 299)
+    assert(v3.partValues.get.length === v3.files.length)
+    val (probe3, read3, total3) =
+      SnapshotTable.scanPartitionRange(spark, path, 3, 100L, 299L)
+    assert(read3 < total3 && probe3.count() === 99)
+    assert(SnapshotTable.changes(spark, path, 2, 3).count() === 0)
+  }
+
   test("txn appends are idempotent per writer on partitioned tables") {
     import spark.implicits._
     val path = freshPath()

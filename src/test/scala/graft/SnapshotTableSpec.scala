@@ -218,6 +218,23 @@ class SnapshotTableSpec extends SparkSpec {
       s"DV anti-join shuffled the table side:\n${plan.take(900)}")
   }
 
+  test("graft_snapshot_at serves AS OF TIMESTAMP from plain SQL") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1 to 10).toDF("x"), path, 1)
+    val t1 = SnapshotTable.readVersion(spark, path, 1).committedMs
+    Thread.sleep(15)
+    SnapshotTable.append((11 to 20).toDF("x"), path, 1)
+    val n1 = spark.sql(
+      s"SELECT count(*) FROM graft_snapshot_at('$path', $t1)")
+      .head.getLong(0)
+    assert(n1 === 10)
+    val t2 = SnapshotTable.readVersion(spark, path, 2).committedMs
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_snapshot_at('$path', ${t2 + 1000})")
+      .head.getLong(0) === 20)
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
