@@ -1694,18 +1694,65 @@ object SnapshotTable {
       .flatMap(v => readVersion(spark, path, v).files).toSet
     var manifests = 0
     var deleted = 0
+    // OWNERSHIP GUARD: a table only ever garbage-collects files under
+    // its own root. A shallow [[cloneAt]] manifest references the
+    // SOURCE table's files; expiring clone history must never reach
+    // across and delete them (the source's own retention owns those).
+    val root = Paths.get(path).normalize().toString + "/"
     (1L until keepFrom).foreach { v =>
       val p = manifestPath(path, v)
       if (Files.exists(p)) {
-        readVersion(spark, path, v).files.filterNot(retained).foreach { f =>
-          if (Files.deleteIfExists(Paths.get(f.stripPrefix("file:"))))
-            deleted += 1
-        }
+        readVersion(spark, path, v).files.filterNot(retained)
+          .filter(f => canonFile(f).startsWith(root))
+          .foreach { f =>
+            if (Files.deleteIfExists(Paths.get(f.stripPrefix("file:"))))
+              deleted += 1
+          }
         Files.delete(p)
         manifests += 1
       }
     }
     ExpireResult(manifests, deleted, retained.size)
+  }
+
+  // ------------------------------------------------------------- clone
+
+  /** SHALLOW CLONE: create a NEW table whose v1 manifest references the
+    * source table's data files at `version` — zero bytes copied, one
+    * manifest write, full stats/partition metadata carried (deletion
+    * vectors too: the clone sees exactly the source version's logical
+    * rows). The clone then lives its own life: appends, deletes,
+    * compactions write under ITS root and never touch the source —
+    * dev/test forks, experiment branches, and point-in-time handoffs
+    * at metadata cost. Bloom indexes are NOT carried (they live under
+    * the source's root; rebuild with an append or recluster if key
+    * probes matter on the clone). Writer txn ids are not carried — a
+    * clone is a new table, not a resumed stream sink.
+    *
+    * Retention interplay (the hazard every shallow-clone design has):
+    * the source's expire/vacuum does not know about clones, so
+    * expiring source history a clone still references breaks the clone
+    * — same documented contract as the big table formats; pin source
+    * retention while clones live. The REVERSE hazard is closed
+    * structurally: [[expire]]'s ownership guard means clone-side GC
+    * only ever deletes files under the clone's own root.
+    */
+  def cloneAt(spark: SparkSession, srcPath: String, dstPath: String,
+              version: Long = -1L): Long = {
+    val v = if (version > 0) version else latestVersion(srcPath)
+    val src = readVersion(spark, srcPath, v)
+    require(latestVersion(dstPath) == 0,
+      s"clone target $dstPath already has committed versions")
+    src.files.foreach { f =>
+      require(Files.exists(Paths.get(f.stripPrefix("file:"))),
+        s"cannot clone $srcPath@v$v: data file $f was garbage-collected")
+    }
+    commitExclusive(dstPath, 1, renderManifest(1, src.files,
+      src.fileRows.getOrElse(Seq.fill(src.files.length)(0L)),
+      src.fileBytes.getOrElse(Seq.fill(src.files.length)(0L)),
+      src.stats, None, Map.empty, src.part, src.partValues,
+      op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows))
+    1L
   }
 
   // ----------------------------------------------------------- restore

@@ -2423,6 +2423,83 @@ object Relational {
       .toDF("n_total", "qty_total", "n_probe")
   }
 
+  /** q182 — SHALLOW CLONE ([[graft.ops.SnapshotTable.cloneAt]]): fork
+    * the table at a point in time for ZERO data bytes — the clone's v1
+    * manifest references the source's files (require-asserted: no data
+    * directory exists under the clone's root at creation), carries the
+    * source version's stats, and then lives independently: the
+    * experiment branch COW-deletes a DIFFERENT year than the source
+    * did, and both lineages are require-asserted unaffected by each
+    * other. The retention hazard is closed structurally — clone-side
+    * expire+vacuum run with GC ownership guards, and the source's two
+    * versions must still scan intact afterwards. DuckDB recomputes the
+    * source's latest state, the clone's forked state, and the shared
+    * point-in-time base from raw lineitem — a clone that referenced
+    * the wrong version, leaked a mutation across lineages, or lost
+    * source files to the clone's GC hash-mismatches.
+    */
+  val shallowClone = QueryDef("q182_shallow_clone",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2) AS n_base,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1996-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1997-01-01')) AS n_src,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1997-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1998-01-01')) AS n_clone,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem WHERE l_linenumber <= 2
+      |    AND (l_shipdate < TIMESTAMP '1997-01-01'
+      |         OR l_shipdate >= TIMESTAMP '1998-01-01'))
+      |    AS qty_clone""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val src = Work.oracleDumpPath("q182_src")
+    val dst = Work.oracleDumpPath("q182_clone")
+    def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
+    clusterLayouts.compute("q182", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(src))
+        Work.wipe(java.nio.file.Paths.get(dst))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).filter(col("l_linenumber") <= 2).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          src, numPartitions = 8, statsCol = Some("ship_day"))
+        SnapshotTable.cloneAt(s, src, dst, 1)
+        require(!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dst, "files")),
+          "shallow clone copied data bytes")
+        // the lineages diverge: source drops 1996, clone drops 1997
+        SnapshotTable.deleteStatsRange(s, src, day(1996), day(1997) - 1)
+        SnapshotTable.deleteStatsRange(s, dst, day(1997), day(1998) - 1)
+        // clone-side GC with ownership guards must not touch the source
+        SnapshotTable.expire(s, dst, keepFrom = 2)
+        SnapshotTable.vacuum(s, dst, olderThanMs = 0)
+        val ops = SnapshotTable.history(s, dst).orderBy("version")
+          .select("op").collect().map(_.getString(0)).toSeq
+        require(ops == Seq("DELETE"), // v1 CLONE expired, v2 remains
+          s"clone history drifted: $ops")
+      }
+      d
+    })
+    val (srcScan, _, srcRows) =
+      SnapshotTable.scanAt(s, src, SnapshotTable.latestVersion(src))
+    val (srcBase, _, baseRows) = SnapshotTable.scanAt(s, src, 1)
+    val (cScan, _, cRows) =
+      SnapshotTable.scanAt(s, dst, SnapshotTable.latestVersion(dst))
+    val nBase = srcBase.count()
+    val nSrc = srcScan.count()
+    val c = cScan.agg(count(lit(1)), sum("qty_u").cast("long"))
+      .collect().head
+    require(nBase == baseRows && nSrc == srcRows &&
+        c.getLong(0) == cRows,
+      "scan/manifest drift across the clone lineages")
+    import s.implicits._
+    Seq((nBase, nSrc, c.getLong(0), c.getLong(1)))
+      .toDF("n_base", "n_src", "n_clone", "qty_clone")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2584,5 +2661,5 @@ object Relational {
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
-    partitionMerge, olsFit)
+    partitionMerge, shallowClone, olsFit)
 }

@@ -235,6 +235,32 @@ class SnapshotTableSpec extends SparkSpec {
       .head.getLong(0) === 20)
   }
 
+  test("shallow clone copies zero bytes, lives independently, and " +
+      "clone-side GC never deletes source files") {
+    import spark.implicits._
+    val src = freshPath()
+    val dst = freshPath()
+    SnapshotTable.append((1L to 20L).toDF("k"), src, 2,
+      statsCol = Some("k"))
+    SnapshotTable.append((21L to 30L).toDF("k"), src, 1,
+      statsCol = Some("k"))
+    assert(SnapshotTable.cloneAt(spark, src, dst, 1) === 1)
+    // zero data under the clone's root
+    assert(!Files.isDirectory(java.nio.file.Paths.get(dst, "files")))
+    val (c1, _, _) = SnapshotTable.scanAt(spark, dst, 1)
+    assert(c1.count() === 20)
+    assert(SnapshotTable.readVersion(spark, dst, 1).op === "CLONE")
+    // the clone mutates without touching the source
+    SnapshotTable.deleteStatsRange(spark, dst, 1L, 5L)
+    assert(SnapshotTable.scanAt(spark, dst, 2)._1.count() === 15)
+    assert(SnapshotTable.scanAt(spark, src, 2)._1.count() === 30)
+    // clone-side expire + vacuum: ownership guard protects src files
+    SnapshotTable.expire(spark, dst, keepFrom = 2)
+    SnapshotTable.vacuum(spark, dst, olderThanMs = 0)
+    assert(SnapshotTable.scanAt(spark, src, 1)._1.count() === 20)
+    assert(SnapshotTable.scanAt(spark, src, 2)._1.count() === 30)
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
