@@ -187,7 +187,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"sketch sizing argument $what must be a literal integer")
 
   private def foldLong(what: String, e: Expression): Long =
-    if (e.foldable) e.eval().asInstanceOf[Number].longValue()
+    if (e.foldable) Option(e.eval()).map(_.asInstanceOf[Number].longValue())
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what must not be null"))
     else throw new IllegalArgumentException(
       s"$what must be a literal integer")
 

@@ -117,6 +117,13 @@ object IncrementalView {
         summed.filter(col("cnt") =!= 0)
       }
     val dir = stateDir(viewPath, cur)
+    // a refresh that crashed mid-write leaves state-v{cur} WITHOUT
+    // _SUCCESS: refreshedVersion already ignores it, but the stale dir
+    // would block this errorifexists write forever — clear it so a
+    // re-run of a crashed refresh actually converges, as documented
+    if (Files.isDirectory(Paths.get(dir)) &&
+        !Files.exists(Paths.get(dir, "_SUCCESS")))
+      graft.Work.wipe(Paths.get(dir))
     next.write.mode("errorifexists").parquet(dir)
     // drift check on the WRITTEN state (view-sized, one small read —
     // not a second pass over the churned table files): a negative count

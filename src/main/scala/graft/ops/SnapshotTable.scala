@@ -135,6 +135,22 @@ object SnapshotTable {
                            dvFiles: Seq[String] = Seq.empty,
                            dvRows: Long = 0L)
 
+  /** Per-file rows/bytes of a committed version, LOUDLY: a manifest
+    * predating per-file facts cannot be mutated or extended without
+    * silently corrupting the logical row count (rows = base + batch
+    * needs base's per-file counts) — same contract compact() already
+    * enforced. Read-only paths never need these.
+    */
+  private def rowsOf(ver: Version): Seq[Long] =
+    if (ver.files.isEmpty) Seq.empty
+    else ver.fileRows.getOrElse(throw new IllegalArgumentException(
+      "manifest lacks per-file rows — recommit with this version"))
+
+  private def bytesOf(ver: Version): Seq[Long] =
+    if (ver.files.isEmpty) Seq.empty
+    else ver.fileBytes.getOrElse(throw new IllegalArgumentException(
+      "manifest lacks per-file bytes — recommit with this version"))
+
   /** Facts about one committed batch of data files, derived by reading
     * the WRITTEN files back (what a reader will actually observe,
     * whatever the committer renamed) plus one directory listing for
@@ -518,9 +534,9 @@ object SnapshotTable {
       val v = prev + 1
       val manifest = renderManifest(v,
         base.files ++ batch.files,
-        base.fileRows.getOrElse(Seq.fill(base.files.length)(0L)) ++
+        rowsOf(base) ++
           batch.rows,
-        base.fileBytes.getOrElse(Seq.fill(base.files.length)(0L)) ++
+        bytesOf(base) ++
           batch.bytes,
         statsCol.map { c =>
           Stats(c,
@@ -654,9 +670,9 @@ object SnapshotTable {
       val v = prev + 1
       val manifest = renderManifest(v,
         base.files ++ batch.files,
-        base.fileRows.getOrElse(Seq.fill(base.files.length)(0L)) ++
+        rowsOf(base) ++
           batch.rows,
-        base.fileBytes.getOrElse(Seq.fill(base.files.length)(0L)) ++
+        bytesOf(base) ++
           batch.bytes,
         statsCol.map { c =>
           Stats(c,
@@ -766,8 +782,11 @@ object SnapshotTable {
     val pv = ver.partValues.get
     val keepIdx = ver.files.indices
       .filterNot(i => pv(i) >= plo && pv(i) <= phi)
-    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
-    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    require(keepIdx.nonEmpty,
+      "delete range covers every partition — a zero-file version is " +
+        "unreadable (no schema source); drop the table instead")
+    val rows = rowsOf(ver)
+    val bytes = bytesOf(ver)
     val v = prev + 1
     commitExclusive(path, v, renderManifest(v,
       keepIdx.map(ver.files), keepIdx.map(rows), keepIdx.map(bytes),
@@ -821,8 +840,17 @@ object SnapshotTable {
     * files, unequal strings. Comparisons WITHIN one source stay raw;
     * any comparison ACROSS the two goes through this.
     */
+  private def hasParquet(dir: String): Boolean = {
+    val root = Paths.get(dir.stripPrefix("file:"))
+    if (!Files.isDirectory(root)) return false
+    val w = Files.walk(root)
+    try w.iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+    finally w.close()
+  }
+
   private def canonFile(f: String): String =
-    Paths.get(f.stripPrefix("file:")).normalize().toString
+    Paths.get(f.stripPrefix("file:")).toAbsolutePath.normalize().toString
 
   /** Anti-join `ver`'s deletion vectors onto `base`, which MUST still
     * be the raw file-source relation (`_metadata` stops resolving
@@ -971,8 +999,8 @@ object SnapshotTable {
     if (hitIdx.isEmpty) {
       // nothing intersects: the new version is the old file list
       commitExclusive(path, v, renderManifest(v, ver.files,
-        ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L)),
-        ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L)),
+        rowsOf(ver),
+        bytesOf(ver),
         Some(st), ver.bloom, ver.txns, op = "DELETE"))
       return (v, 0, ver.files.length)
     }
@@ -993,8 +1021,11 @@ object SnapshotTable {
     if (batch.files.nonEmpty)
       ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
     else graft.Work.wipe(Paths.get(batchDir))
-    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
-    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    require(keepIdx.nonEmpty || batch.files.nonEmpty,
+      "delete covers every row of every file — a zero-file version is " +
+        "unreadable (no schema source); drop the table instead")
+    val rows = rowsOf(ver)
+    val bytes = bytesOf(ver)
     commitExclusive(path, v, renderManifest(v,
       keepIdx.map(ver.files) ++ batch.files,
       carried(rows) ++ batch.rows,
@@ -1081,8 +1112,8 @@ object SnapshotTable {
         .collect().map(_.getString(0)).toSeq.sorted
     val v = prev + 1
     commitExclusive(path, v, renderManifest(v, ver.files,
-      ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L)),
-      ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L)),
+      rowsOf(ver),
+      bytesOf(ver),
       ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
       op = "DELETE",
       dvFiles = ver.dvFiles ++ dvFiles, dvRows = ver.dvRows + nDel))
@@ -1112,6 +1143,9 @@ object SnapshotTable {
       .toSet // O(hit files) driver metadata
     val hitIdx = ver.files.indices.filter(i => hitSet(canonFile(ver.files(i))))
     require(hitIdx.nonEmpty, "deletion vectors reference no live file")
+    require(hitIdx.length < ver.files.length || ver.dvRows < ver.rows + ver.dvRows,
+      "materialize would rewrite every file of a fully-deleted table — " +
+        "drop the table instead")
     val keepIdx =
       ver.files.indices.filterNot(i => hitSet(canonFile(ver.files(i))))
     val statsCol = ver.stats.map(_.col)
@@ -1120,8 +1154,8 @@ object SnapshotTable {
       readWithDv(spark, hitVer, hitVer.files)
     }
     val batchDir = s"$path/files/batch-${nonce()}"
-    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
-    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val rows = rowsOf(ver)
+    val bytes = bytesOf(ver)
     val v = prev + 1
     ver.part match {
       case Some(spec) =>
@@ -1139,9 +1173,16 @@ object SnapshotTable {
         }
         laidOut.write.mode("errorifexists").partitionBy("__p")
           .parquet(batchDir)
+        // every row of every hit file may be DV-dead: the write then
+        // lands no parquet at all — carry only the kept files
         val (batch, pvals) =
-          partitionedBatchFacts(spark, batchDir, statsCol)
-        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+          if (!hasParquet(batchDir)) {
+            graft.Work.wipe(Paths.get(batchDir.stripPrefix("file:")))
+            (Batch(Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty),
+              Seq.empty[Long])
+          } else partitionedBatchFacts(spark, batchDir, statsCol)
+        if (batch.files.nonEmpty)
+          ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
         val pv = ver.partValues.get
         commitExclusive(path, v, renderManifest(v,
           keepIdx.map(ver.files) ++ batch.files,
@@ -1164,7 +1205,9 @@ object SnapshotTable {
         }
         laidOut.write.mode("errorifexists").parquet(batchDir)
         val batch = batchFacts(spark, batchDir, statsCol)
-        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        if (batch.files.nonEmpty)
+          ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        else graft.Work.wipe(Paths.get(batchDir.stripPrefix("file:")))
         commitExclusive(path, v, renderManifest(v,
           keepIdx.map(ver.files) ++ batch.files,
           keepIdx.map(rows) ++ batch.rows,
@@ -1524,8 +1567,8 @@ object SnapshotTable {
     require(updates.columns.sorted.sameElements(tableCols.sorted),
       s"updates schema ${updates.columns.toSeq} must match table " +
         s"columns ${tableCols.toSeq}")
-    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
-    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val rows = rowsOf(ver)
+    val bytes = bytesOf(ver)
     val hitRows = hitIdx.map(rows).sum
     val newData =
       if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
@@ -1628,8 +1671,8 @@ object SnapshotTable {
             "values would be silently duplicated")
       }
     val keepIdx = ver.files.indices.filterNot(hitIdx.contains)
-    val rows = ver.fileRows.getOrElse(Seq.fill(ver.files.length)(0L))
-    val bytes = ver.fileBytes.getOrElse(Seq.fill(ver.files.length)(0L))
+    val rows = rowsOf(ver)
+    val bytes = bytesOf(ver)
     val hitRows = hitIdx.map(rows).sum
     val newData =
       if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
@@ -1698,7 +1741,7 @@ object SnapshotTable {
     // its own root. A shallow [[cloneAt]] manifest references the
     // SOURCE table's files; expiring clone history must never reach
     // across and delete them (the source's own retention owns those).
-    val root = Paths.get(path).normalize().toString + "/"
+    val root = Paths.get(path).toAbsolutePath.normalize().toString + "/"
     (1L until keepFrom).foreach { v =>
       val p = manifestPath(path, v)
       if (Files.exists(p)) {
@@ -1748,10 +1791,15 @@ object SnapshotTable {
         s"cannot clone $srcPath@v$v: data file $f was garbage-collected")
     }
     commitExclusive(dstPath, 1, renderManifest(1, src.files,
-      src.fileRows.getOrElse(Seq.fill(src.files.length)(0L)),
-      src.fileBytes.getOrElse(Seq.fill(src.files.length)(0L)),
+      rowsOf(src),
+      bytesOf(src),
       src.stats, None, Map.empty, src.part, src.partValues,
       op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows))
+    // governance travels with the fork: the source's CHECK constraints
+    // apply to the clone's future ingests too
+    val srcCs = Paths.get(srcPath, "constraints.json")
+    if (Files.exists(srcCs))
+      Files.copy(srcCs, Paths.get(dstPath, "constraints.json"))
     1L
   }
 
@@ -1791,8 +1839,8 @@ object SnapshotTable {
         s"restore target v$toVersion is ahead of latest v$prev")
       val base = readVersion(spark, path, prev)
       val manifest = renderManifest(prev + 1, src.files,
-        src.fileRows.getOrElse(Seq.fill(src.files.length)(0L)),
-        src.fileBytes.getOrElse(Seq.fill(src.files.length)(0L)),
+        rowsOf(src),
+        bytesOf(src),
         src.stats, src.bloom, base.txns, src.part, src.partValues,
         op = "RESTORE", dvFiles = src.dvFiles, dvRows = src.dvRows)
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
@@ -1844,7 +1892,7 @@ object SnapshotTable {
     val latest = latestVersion(path)
     require(latest > 0, s"snapshot table $path does not exist")
     def normalize(f: String): String =
-      Paths.get(f.stripPrefix("file:")).normalize().toString
+      Paths.get(f.stripPrefix("file:")).toAbsolutePath.normalize().toString
     // manifest-form names ("file:///…", exactly what the index rows
     // carry) and filesystem-form paths for the disk walk
     val versions = (1L to latest)
@@ -1865,9 +1913,13 @@ object SnapshotTable {
          if Files.isDirectory(root)) {
       val walk = Files.walk(root)
       try walk.iterator().asScala.foreach { p =>
+        // toAbsolutePath before comparing: the live set is built from
+        // absolute manifest URIs, and a RELATIVE table path would
+        // otherwise make every live file fail the membership test and
+        // be swept — total data loss on a healthy table
         if (Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet") &&
-            !live(p.normalize().toString) &&
+            !live(p.toAbsolutePath.normalize().toString) &&
             Files.getLastModifiedTime(p).toMillis <= cutoff) {
           freed += Files.size(p)
           Files.delete(p)

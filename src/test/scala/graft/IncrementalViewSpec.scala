@@ -32,6 +32,22 @@ class IncrementalViewSpec extends SparkSpec {
         (r.getAs[Long]("g"), (r.getAs[Long]("cnt"), r.getAs[Long]("sx")))
       }.toMap
 
+  test("a refresh that crashed mid-write (state dir without _SUCCESS) " +
+      "does not wedge the view — the re-run converges") {
+    import spark.implicits._
+    val (path, view) = fresh()
+    SnapshotTable.append((0L until 100L).map(i => (i, i % 4, i))
+      .toDF("day", "g", "x"), path, 2, statsCol = Some("day"))
+    // simulate the crash: a partial state-v1 with data but no _SUCCESS
+    val partial = java.nio.file.Paths.get(view, "state-v1")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val r = IncrementalView.refresh(spark, path, view,
+      Seq("g"), Seq("x" -> "sx"))
+    assert(r.mode === "full" && r.groups === 4)
+  }
+
   test("full build, then delta refreshes track append and delete") {
     import spark.implicits._
     val (path, view) = fresh()

@@ -261,6 +261,54 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.scanAt(spark, src, 2)._1.count() === 30)
   }
 
+  test("vacuum invoked with a RELATIVE table path never sweeps live " +
+      "files (the live set is absolute-URI based)") {
+    import spark.implicits._
+    val abs = java.nio.file.Paths.get(freshPath())
+    val rel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(abs).toString
+    SnapshotTable.append((1L to 10L).toDF("k"), rel, 2,
+      statsCol = Some("k"))
+    val res = SnapshotTable.vacuum(spark, rel, olderThanMs = 0)
+    assert(res.orphansDeleted === 0,
+      s"vacuum with a relative path swept live data: $res")
+    assert(SnapshotTable.scanAt(spark, rel, 1)._1.count() === 10)
+  }
+
+  test("materialize handles hit files whose every row is DV-dead: the " +
+      "empty rewrite is dropped, blooms skip it, kept files carry") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 100L).map(k => (k, k)).toDF("k", "v"),
+      path, 4, statsCol = Some("k"), bloomCol = Some("k"))
+    // file 1 holds exactly 26..50 (range-partitioned): kill ALL of it
+    SnapshotTable.deleteRowsWhere(spark, path, "k BETWEEN 26 AND 50")
+    val res = SnapshotTable.materializeDeletes(spark, path)
+    val v3 = SnapshotTable.readVersion(spark, path, 3)
+    assert(v3.dvFiles.isEmpty && v3.rows === 75)
+    assert(SnapshotTable.scanAt(spark, path, 3)._1.count() === 75)
+    assert(res.filesAfter <= res.filesBefore)
+    // the bloom index still serves the surviving keys
+    val (hitScan, _, _) = SnapshotTable.scanKeysAt(spark, path, 3, Seq(7L))
+    assert(hitScan.count() === 1)
+  }
+
+  test("shallow clone carries the source's CHECK constraints") {
+    import spark.implicits._
+    import SnapshotTable.Constraint
+    val src = freshPath(); val dst = freshPath()
+    SnapshotTable.setConstraints(src, Seq(Constraint("v_pos", "v > 0")))
+    SnapshotTable.append(Seq((1L, 5L)).toDF("k", "v"), src, 1,
+      statsCol = Some("k"))
+    SnapshotTable.cloneAt(spark, src, dst)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.append(Seq((2L, -1L)).toDF("k", "v"), dst, 1,
+        statsCol = Some("k"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(SnapshotTable.latestVersion(dst) === 1)
+  }
+
   test("append assigns consecutive versions and accumulates files") {
     import spark.implicits._
     val path = freshPath()
