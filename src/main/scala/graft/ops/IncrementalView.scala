@@ -117,23 +117,40 @@ object IncrementalView {
         summed.filter(col("cnt") =!= 0)
       }
     val dir = stateDir(viewPath, cur)
-    // a refresh that crashed mid-write leaves state-v{cur} WITHOUT
-    // _SUCCESS: refreshedVersion already ignores it, but the stale dir
-    // would block this errorifexists write forever — clear it so a
-    // re-run of a crashed refresh actually converges, as documented
-    if (Files.isDirectory(Paths.get(dir)) &&
-        !Files.exists(Paths.get(dir, "_SUCCESS")))
-      graft.Work.wipe(Paths.get(dir))
-    next.write.mode("errorifexists").parquet(dir)
+    // write to a UNIQUE temp dir and atomically rename into place:
+    // wiping a crashed state-v{cur} before an in-place write would
+    // re-open the concurrent-refresh race (refresher B wipes A's
+    // in-progress write, both then write the same directory) — with
+    // rename-publish, a half-written state is only ever under a
+    // nonced temp name and the loser's rename fails loudly
+    val tmp = s"$viewPath/.state-v$cur." +
+      java.util.UUID.randomUUID().toString.take(12) + ".tmp"
+    next.write.mode("errorifexists").parquet(tmp)
     // drift check on the WRITTEN state (view-sized, one small read —
     // not a second pass over the churned table files): a negative count
     // means the change feed and the prior state disagree
-    val bad = spark.read.parquet(dir).filter(col("cnt") < 0).count()
+    val bad = spark.read.parquet(tmp).filter(col("cnt") < 0).count()
     if (bad > 0) {
-      graft.Work.wipe(Paths.get(dir))
+      graft.Work.wipe(Paths.get(tmp))
       throw new IllegalStateException(
         s"incremental refresh drove $bad group count(s) negative — " +
           "change feed and view state have drifted")
+    }
+    // a refresh that crashed mid-write under the PRE-rename scheme left
+    // state-v{cur} without _SUCCESS; such a legacy leftover (never a
+    // live write — live writes are under temp names now) still blocks
+    // the rename, so clear it
+    if (Files.isDirectory(Paths.get(dir)) &&
+        !Files.exists(Paths.get(dir, "_SUCCESS")))
+      graft.Work.wipe(Paths.get(dir))
+    try Files.move(Paths.get(tmp), Paths.get(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        graft.Work.wipe(Paths.get(tmp))
+        throw new IllegalStateException(
+          s"concurrent refresh already committed $dir — " +
+            "this refresher lost the publish race", e)
     }
     RefreshResult(cur, if (last == 0) "full" else "incremental",
       spark.read.parquet(dir).count())

@@ -200,12 +200,18 @@ object SnapshotTable {
   def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
     val latest = latestVersion(path)
     require(latest > 0, s"snapshot table $path does not exist")
+    // a manifest without committed_ms (pre-upgrade table) carries NO
+    // commit time — treating it as epoch 0 would resolve every
+    // timestamp to it, fabricating AS OF history; skip it loudly
     val hits = (1L to latest)
       .filter(v => Files.exists(manifestPath(path, v)))
-      .filter(v => readVersion(spark, path, v).committedMs <= tsMillis)
+      .map(v => v -> readVersion(spark, path, v).committedMs)
+      .filter { case (_, ms) => ms > 0 && ms <= tsMillis }
     require(hits.nonEmpty,
-      s"no version of $path existed at $tsMillis — first commit is later")
-    hits.max
+      s"no version of $path with a recorded commit time existed at " +
+        s"$tsMillis — first commit is later (pre-upgrade manifests " +
+        "lack committed_ms and cannot resolve AS OF)")
+    hits.map(_._1).max
   }
 
   /** DESCRIBE HISTORY: one row per surviving committed version — the
@@ -228,6 +234,11 @@ object SnapshotTable {
           ver.files.length.toLong,
           ver.fileBytes.map(_.sum).getOrElse(0L))
       }.toDF("version", "op", "committed_ms", "rows", "n_files", "bytes")
+      // pre-upgrade manifests carry no commit time: surface NULL, not
+      // a fabricated epoch-0 wall clock
+      .withColumn("committed_ms",
+        when(col("committed_ms") === 0L, lit(null)).otherwise(
+          col("committed_ms")))
   }
 
   def readVersion(spark: SparkSession, path: String, v: Long): Version = {
@@ -575,17 +586,27 @@ object SnapshotTable {
         statsCol.map(c => max(col(c)).cast("long").as("mx"))
           .getOrElse(max(lit(0L)).as("mx")))
       .collect().sortBy(_.getString(0)) // O(batch files) metadata
+    // key by path RELATIVE to the batch dir, never by base filename:
+    // Spark's dynamic-partition writer reuses one task's base name
+    // (part-NNNNN-<uuid>.c000…) across different __p= directories, so
+    // filename keys collide and commit the wrong file_bytes
+    val batchRoot =
+      Paths.get(batchDir.stripPrefix("file:")).toAbsolutePath.normalize()
     val sizes: Map[String, Long] = {
-      val st = Files.walk(Paths.get(batchDir.stripPrefix("file:")))
+      val st = Files.walk(batchRoot)
       try st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith("."))
-        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+        .map(p => batchRoot.relativize(p.toAbsolutePath.normalize()).toString
+          -> Files.size(p)).toMap
       finally st.close()
     }
-    def sizeOf(f: String): Long =
-      sizes.getOrElse(f.substring(f.lastIndexOf('/') + 1),
+    def sizeOf(f: String): Long = {
+      val rel = canonFile(f).stripPrefix(batchRoot.toString)
+        .stripPrefix("/")
+      sizes.getOrElse(rel,
         throw new IllegalStateException(s"written file vanished: $f"))
+    }
     val partRe = "__p=(-?\\d+)".r
     def partOf(f: String): Long =
       partRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(
@@ -1640,6 +1661,14 @@ object SnapshotTable {
     require(updates.columns.contains(keyCol) &&
         updates.columns.contains(spec.source),
       s"updates must carry $keyCol and the partition source ${spec.source}")
+    // the partition transform and the bloom probe both hash LONGs:
+    // xxhash64 is type-dependent, so an IntegerType source would
+    // mis-bucket partition values and mis-route rewritten rows
+    require(updates.schema(spec.source).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"updates' partition source ${spec.source} must be LONG (was " +
+        s"${updates.schema(spec.source).dataType}) — the driver probe " +
+        "mirror and the executor hash must agree on input width")
     import spark.implicits._
     val u = updates.agg(count(lit(1)), count_distinct(col(keyCol)))
       .collect().head
@@ -1655,15 +1684,29 @@ object SnapshotTable {
       else if (nUpd > 100000) ver.files.indices // unprunable: all files
       else ver.bloom.filter(_.col == keyCol) match {
         case Some(_) =>
+          require(updates.schema(keyCol).dataType ==
+              org.apache.spark.sql.types.LongType,
+            s"merge key $keyCol must be LONG in updates (was " +
+              s"${updates.schema(keyCol).dataType}) — the bloom index " +
+              "hashes longs; a lossy cast would miss existing rows")
           val keys = updates.select(col(keyCol).cast("long"))
             .distinct().as[Long].collect().toSeq
           val visible = ver.files.toDF("file")
           val idx = spark.read.option("recursiveFileLookup", "true")
             .json(bloomIdxDir(path)).join(broadcast(visible), "file")
-          val (hitFiles, _) = BloomIndex.probeFiles(idx, keys)
-          val hs = hitFiles.toSet
-          (partHit ++ ver.files.indices.filter(i => hs(ver.files(i))))
-            .distinct.sorted
+          val (hitFiles, total) = BloomIndex.probeFiles(idx, keys)
+          // completeness: a live file with NO bloom rows (an append
+          // that omitted bloomCol still carries base.bloom) is never
+          // probed, and a moved key whose old row lives there would be
+          // silently duplicated — the hazard this method exists to
+          // close. Fall back to rewriting every file: correct, just
+          // unpruned.
+          if (total != ver.files.length) ver.files.indices
+          else {
+            val hs = hitFiles.toSet
+            (partHit ++ ver.files.indices.filter(i => hs(ver.files(i))))
+              .distinct.sorted
+          }
         case None => throw new IllegalArgumentException(
           s"mergePartitioned on key '$keyCol' != partition source " +
             s"'${spec.source}' needs a bloom index on the key: without " +

@@ -333,4 +333,78 @@ class PartitionedTableSpec extends SparkSpec {
     // the live table is untouched
     assert(SnapshotTable.scanAt(spark, path, 1)._1.count() === 200)
   }
+
+  test("manifest file_bytes are per-file exact even when one task " +
+      "writes multiple partition directories (base-name reuse)") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("x", "truncate", 10)
+    // 40 partition values over ≤32 shuffle partitions: some task MUST
+    // write ≥2 __p= dirs, reusing its part-file base name across them
+    // — a filename-keyed size map would collide and record wrong
+    // bytes. Skewed partition sizes (partition p holds p+1 rows) make
+    // any collision visible as a size mismatch.
+    val rows = (0 until 40).flatMap(p =>
+      (0 to p).map(j => 10L * p + (j % 10)))
+    SnapshotTable.appendPartitioned(rows.toDF("x"), path, spec,
+      statsCol = Some("x"))
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    assert(ver.files.length >= 40)
+    ver.files.zip(ver.fileBytes.get).foreach { case (f, b) =>
+      assert(Files.size(Paths.get(f.stripPrefix("file:"))) === b,
+        s"manifest bytes for $f disagree with disk")
+    }
+    ver.files.zip(ver.fileRows.get).foreach { case (f, n) =>
+      assert(spark.read.parquet(f).count() === n,
+        s"manifest rows for $f disagree with file contents")
+    }
+  }
+
+  test("mergePartitioned falls back to a full rewrite when the bloom " +
+      "index does not cover every live file — a moved key in an " +
+      "unindexed file is not duplicated") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("day", "identity", 0)
+    SnapshotTable.appendPartitioned(
+      (1L to 10L).map(i => (i, 1L)).toDF("id", "day"), path, spec,
+      bloomCol = Some("id"))
+    // second append OMITS bloomCol: allowed, the manifest still carries
+    // base.bloom, but the new file has no index rows
+    SnapshotTable.appendPartitioned(
+      (11L to 20L).map(i => (i, 2L)).toDF("id", "day"), path, spec)
+    val before = SnapshotTable.readVersion(spark, path, 2)
+    // move id=15 (lives in the UNINDEXED day-2 file) to day 3: a probe
+    // that trusted the incomplete index would never rewrite its old
+    // row and the key would appear twice
+    val res = SnapshotTable.mergePartitioned(spark, path,
+      Seq((15L, 3L)).toDF("id", "day"), "id")
+    assert(res.filesRewritten === before.files.length,
+      "incomplete index must force the unpruned full rewrite")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, res.version)
+    val hits = scan.filter(col("id") === 15).collect()
+    assert(hits.length === 1, "moved key duplicated")
+    assert(hits.head.getAs[Long]("day") === 3L)
+    assert(scan.count() === 20)
+  }
+
+  test("mergePartitioned rejects non-LONG partition source and merge " +
+      "key in updates — xxhash64 is type-dependent") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("day", "identity", 0)
+    SnapshotTable.appendPartitioned(
+      (1L to 5L).map(i => (i, 1L)).toDF("id", "day"), path, spec,
+      bloomCol = Some("id"))
+    val intDay = intercept[IllegalArgumentException] {
+      SnapshotTable.mergePartitioned(spark, path,
+        Seq((3L, 1)).toDF("id", "day"), "id")
+    }
+    assert(intDay.getMessage.contains("must be LONG"))
+    val intKey = intercept[IllegalArgumentException] {
+      SnapshotTable.mergePartitioned(spark, path,
+        Seq((3, 1L)).toDF("id", "day"), "id")
+    }
+    assert(intKey.getMessage.contains("LONG"))
+  }
 }

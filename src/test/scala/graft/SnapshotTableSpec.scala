@@ -816,4 +816,28 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.scanAt(spark, path, 7)
     }
   }
+
+  test("versionAsOf never fabricates AS OF history from pre-upgrade " +
+      "manifests lacking committed_ms; history surfaces them as null") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(Seq(1L).toDF("x"), path, 1)
+    // simulate a pre-upgrade manifest: strip the committed_ms field
+    val mp = java.nio.file.Paths.get(path, "log", "v1.json")
+    val stripped = new String(Files.readAllBytes(mp), "UTF-8")
+      .replaceFirst("\"committed_ms\":\\d+,", "")
+    Files.write(mp, stripped.getBytes("UTF-8"))
+    // epoch-0 must not win every AS OF race: with no timestamped
+    // commit, resolution fails loudly instead of returning v1
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, path, System.currentTimeMillis())
+    }
+    assert(e.getMessage.contains("pre-upgrade"))
+    val h = SnapshotTable.history(spark, path).collect()
+    assert(h.length === 1 && h.head.isNullAt(h.head.fieldIndex("committed_ms")))
+    // a later timestamped commit resolves normally
+    SnapshotTable.append(Seq(2L).toDF("x"), path, 1)
+    assert(SnapshotTable.versionAsOf(spark, path,
+      System.currentTimeMillis()) === 2L)
+  }
 }
