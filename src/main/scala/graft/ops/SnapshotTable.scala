@@ -1,7 +1,6 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.file.FileAlreadyExistsException
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,11 +17,16 @@ import graft.Json
   * lists partial writes, and lists abandoned files from failed jobs);
   * they read `log/v{N}.json` and open precisely those files.
   *
-  * A commit is CREATE-EXCLUSIVE: the manifest is written to a unique
-  * temp name and hard-linked to `v{N}.json`, which atomically fails
-  * with [[FileAlreadyExistsException]] when some other writer already
-  * committed N — optimistic concurrency, the local-filesystem twin of
-  * an object store's if-none-match conditional put. Appends RETRY on
+  * A commit is CREATE-EXCLUSIVE — a conditional put of `v{N}.json`
+  * that atomically fails with [[FileAlreadyExistsException]] when some
+  * other writer already committed N (optimistic concurrency). The
+  * entire METADATA plane routes through [[TableIo]], resolved from the
+  * table-root string: plain paths use java.nio (conditional put =
+  * unique temp file + atomic hard link), URI-schemed paths use the
+  * Hadoop `FileSystem` API (conditional put = `create(path,
+  * overwrite=false)` — atomic on HDFS, an `If-None-Match` PUT on
+  * S3A ≥3.4.1), so the same commit protocol deploys wherever a 100 TB
+  * table's log actually lives. Appends RETRY on
   * conflict (their data files are already durable under a unique batch
   * directory, so only the cheap manifest step re-runs against the new
   * latest version, and the loser's rows land at N+1 — no committed
@@ -160,30 +164,30 @@ object SnapshotTable {
                                  bytes: Seq[Long], mins: Seq[Long],
                                  maxs: Seq[Long])
 
-  private def logDir(path: String): Path = Paths.get(path, "log")
+  private def logDir(path: String): String = s"$path/log"
 
-  private def manifestPath(path: String, v: Long): Path =
-    logDir(path).resolve(s"v$v.json")
+  private def manifestPath(path: String, v: Long): String =
+    s"${logDir(path)}/v$v.json"
 
   private def bloomIdxDir(path: String): String = s"$path/bloomidx"
+
+  /** All metadata I/O routes through [[TableIo]], resolved from the
+    * table-root string: plain paths → java.nio, URI-schemed paths →
+    * Hadoop `FileSystem` — the data plane always goes through Spark.
+    */
+  private def io(path: String): TableIo = TableIo.forPath(path)
 
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.take(12)
 
   /** Latest committed version, 0 if the table does not exist. */
   def latestVersion(path: String): Long = {
-    val dir = logDir(path)
-    if (!Files.isDirectory(dir)) return 0L
-    val st = Files.list(dir)
-    try {
-      var best = 0L
-      st.iterator().forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v") && n.endsWith(".json"))
-          best = math.max(best, n.drop(1).dropRight(5).toLong)
-      }
-      best
-    } finally st.close()
+    var best = 0L
+    io(path).listNames(logDir(path)).foreach { n =>
+      if (n.startsWith("v") && n.endsWith(".json"))
+        best = math.max(best, n.drop(1).dropRight(5).toLong)
+    }
+    best
   }
 
   /** AS OF TIMESTAMP resolution: the newest version whose manifest was
@@ -204,7 +208,7 @@ object SnapshotTable {
     // commit time — treating it as epoch 0 would resolve every
     // timestamp to it, fabricating AS OF history; skip it loudly
     val hits = (1L to latest)
-      .filter(v => Files.exists(manifestPath(path, v)))
+      .filter(v => io(path).exists(manifestPath(path, v)))
       .map(v => v -> readVersion(spark, path, v).committedMs)
       .filter { case (_, ms) => ms > 0 && ms <= tsMillis }
     require(hits.nonEmpty,
@@ -227,7 +231,7 @@ object SnapshotTable {
     require(latest > 0, s"snapshot table $path does not exist")
     import spark.implicits._
     (1L to latest)
-      .filter(v => Files.exists(manifestPath(path, v)))
+      .filter(v => io(path).exists(manifestPath(path, v)))
       .map { v =>
         val ver = readVersion(spark, path, v)
         (ver.version, ver.op, ver.committedMs, ver.rows,
@@ -243,8 +247,8 @@ object SnapshotTable {
 
   def readVersion(spark: SparkSession, path: String, v: Long): Version = {
     val p = manifestPath(path, v)
-    require(Files.exists(p), s"snapshot table $path has no version $v")
-    val df = spark.read.json(p.toString)
+    require(io(path).exists(p), s"snapshot table $path has no version $v")
+    val df = spark.read.json(p)
     val r = df.collect().head
     def longs(c: String): Option[Seq[Long]] =
       if (df.columns.contains(c))
@@ -350,13 +354,8 @@ object SnapshotTable {
     * another's committed version.
     */
   private def commitExclusive(path: String, v: Long,
-                              manifest: String): Unit = {
-    Files.createDirectories(logDir(path))
-    val tmp = logDir(path).resolve(s".v$v.${nonce()}.tmp")
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(manifestPath(path, v), tmp)
-    finally Files.deleteIfExists(tmp)
-  }
+                              manifest: String): Unit =
+    io(path).createExclusive(manifestPath(path, v), manifest)
 
   // ------------------------------------------------------------- batch
 
@@ -401,18 +400,16 @@ object SnapshotTable {
     */
   def setConstraints(path: String, cs: Seq[Constraint]): Unit = {
     require(cs.nonEmpty, "declare at least one constraint")
-    Files.createDirectories(Paths.get(path))
     val json = cs.map(c => Json.obj(Seq(
       "name" -> Json.quote(c.name), "expr" -> Json.quote(c.expr))))
       .mkString("\n")
-    Files.write(Paths.get(path, "constraints.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+    io(path).write(s"$path/constraints.json", json)
   }
 
   def constraintsOf(spark: SparkSession, path: String): Seq[Constraint] = {
-    val p = Paths.get(path, "constraints.json")
-    if (!Files.exists(p)) return Seq.empty
-    spark.read.json(p.toString).collect().toSeq
+    val p = s"$path/constraints.json"
+    if (!io(path).exists(p)) return Seq.empty
+    spark.read.json(p).collect().toSeq
       .map(r => Constraint(r.getAs[String]("name"),
         r.getAs[String]("expr")))
   }
@@ -431,7 +428,7 @@ object SnapshotTable {
     if (bad.nonEmpty) {
       // the batch is unreferenced by any manifest: wipe it so the
       // aborted commit leaves nothing for vacuum to sweep
-      graft.Work.wipe(Paths.get(batchDir.stripPrefix("file:")))
+      io(batchDir).deleteDir(batchDir)
       throw new IllegalArgumentException(
         "constraint violation, commit aborted: " + bad.map { case (c, n) =>
           s"${c.name} (CHECK ${c.expr}) violated by $n row(s)"
@@ -449,28 +446,23 @@ object SnapshotTable {
         statsCol.map(c => max(col(c)).cast("long").as("mx"))
           .getOrElse(max(lit(0L)).as("mx")))
       .collect().sortBy(_.getString(0)) // O(batch files) metadata
-    val sizes: Map[String, Long] = {
-      val st = Files.list(Paths.get(batchDir.stripPrefix("file:")))
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => p.getFileName.toString -> Files.size(p)).toMap
-      finally st.close()
-    }
-    def sizeOf(f: String): Long =
-      sizes.getOrElse(f.substring(f.lastIndexOf('/') + 1),
+    val bio = io(batchDir)
+    val batchRoot = bio.canon(batchDir)
+    val sizes: Map[String, Long] = bio.walkFiles(batchDir)
+      .filter(e => e.name.endsWith(".parquet") && !e.name.startsWith("."))
+      .map(e => bio.canon(e.path).stripPrefix(batchRoot)
+        .stripPrefix("/") -> e.size)
+      .toMap
+    def sizeOf(f: String): Long = {
+      val rel = bio.canon(f).stripPrefix(batchRoot).stripPrefix("/")
+      sizes.getOrElse(rel,
         throw new IllegalStateException(s"written file vanished: $f"))
+    }
     Batch(perFile.map(_.getString(0)).toSeq,
       perFile.map(_.getLong(1)).toSeq,
       perFile.map(r => sizeOf(r.getString(0))).toSeq,
       perFile.map(_.getLong(2)).toSeq,
       perFile.map(_.getLong(3)).toSeq)
-  }
-
-  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
   }
 
   /** Build and persist bloom-index rows for a batch's files (metadata
@@ -590,20 +582,15 @@ object SnapshotTable {
     // Spark's dynamic-partition writer reuses one task's base name
     // (part-NNNNN-<uuid>.c000…) across different __p= directories, so
     // filename keys collide and commit the wrong file_bytes
-    val batchRoot =
-      Paths.get(batchDir.stripPrefix("file:")).toAbsolutePath.normalize()
-    val sizes: Map[String, Long] = {
-      val st = Files.walk(batchRoot)
-      try st.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(p => batchRoot.relativize(p.toAbsolutePath.normalize()).toString
-          -> Files.size(p)).toMap
-      finally st.close()
-    }
+    val bio = io(batchDir)
+    val batchRoot = bio.canon(batchDir)
+    val sizes: Map[String, Long] = bio.walkFiles(batchDir)
+      .filter(e => e.name.endsWith(".parquet") && !e.name.startsWith("."))
+      .map(e => bio.canon(e.path).stripPrefix(batchRoot)
+        .stripPrefix("/") -> e.size)
+      .toMap
     def sizeOf(f: String): Long = {
-      val rel = canonFile(f).stripPrefix(batchRoot.toString)
-        .stripPrefix("/")
+      val rel = bio.canon(f).stripPrefix(batchRoot).stripPrefix("/")
       sizes.getOrElse(rel,
         throw new IllegalStateException(s"written file vanished: $f"))
     }
@@ -861,17 +848,12 @@ object SnapshotTable {
     * files, unequal strings. Comparisons WITHIN one source stay raw;
     * any comparison ACROSS the two goes through this.
     */
-  private def hasParquet(dir: String): Boolean = {
-    val root = Paths.get(dir.stripPrefix("file:"))
-    if (!Files.isDirectory(root)) return false
-    val w = Files.walk(root)
-    try w.iterator().asScala
-      .exists(_.getFileName.toString.endsWith(".parquet"))
-    finally w.close()
-  }
+  private def hasParquet(dir: String): Boolean =
+    io(dir).walkFiles(dir).exists(_.name.endsWith(".parquet"))
 
   private def canonFile(f: String): String =
-    Paths.get(f.stripPrefix("file:")).toAbsolutePath.normalize().toString
+    if (f.startsWith("file:")) TableIo.nioIo.canon(f)
+    else TableIo.forPath(f).canon(f)
 
   /** Anti-join `ver`'s deletion vectors onto `base`, which MUST still
     * be the raw file-source relation (`_metadata` stops resolving
@@ -1041,7 +1023,7 @@ object SnapshotTable {
     // it for vacuum, and the new manifest is just the carried set
     if (batch.files.nonEmpty)
       ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
-    else graft.Work.wipe(Paths.get(batchDir))
+    else io(batchDir).deleteDir(batchDir)
     require(keepIdx.nonEmpty || batch.files.nonEmpty,
       "delete covers every row of every file — a zero-file version is " +
         "unreadable (no schema source); drop the table instead")
@@ -1128,7 +1110,7 @@ object SnapshotTable {
     val written = spark.read.parquet(dvDir)
     val nDel = written.count()
     val dvFiles =
-      if (nDel == 0) { graft.Work.wipe(Paths.get(dvDir)); Seq.empty }
+      if (nDel == 0) { io(dvDir).deleteDir(dvDir); Seq.empty }
       else written.select(input_file_name()).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
     val v = prev + 1
@@ -1198,7 +1180,7 @@ object SnapshotTable {
         // lands no parquet at all — carry only the kept files
         val (batch, pvals) =
           if (!hasParquet(batchDir)) {
-            graft.Work.wipe(Paths.get(batchDir.stripPrefix("file:")))
+            io(batchDir).deleteDir(batchDir)
             (Batch(Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty),
               Seq.empty[Long])
           } else partitionedBatchFacts(spark, batchDir, statsCol)
@@ -1228,7 +1210,7 @@ object SnapshotTable {
         val batch = batchFacts(spark, batchDir, statsCol)
         if (batch.files.nonEmpty)
           ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
-        else graft.Work.wipe(Paths.get(batchDir.stripPrefix("file:")))
+        else io(batchDir).deleteDir(batchDir)
         commitExclusive(path, v, renderManifest(v,
           keepIdx.map(ver.files) ++ batch.files,
           keepIdx.map(rows) ++ batch.rows,
@@ -1784,17 +1766,17 @@ object SnapshotTable {
     // its own root. A shallow [[cloneAt]] manifest references the
     // SOURCE table's files; expiring clone history must never reach
     // across and delete them (the source's own retention owns those).
-    val root = Paths.get(path).toAbsolutePath.normalize().toString + "/"
+    val tio = io(path)
+    val root = tio.canon(path) + "/"
     (1L until keepFrom).foreach { v =>
       val p = manifestPath(path, v)
-      if (Files.exists(p)) {
+      if (tio.exists(p)) {
         readVersion(spark, path, v).files.filterNot(retained)
           .filter(f => canonFile(f).startsWith(root))
           .foreach { f =>
-            if (Files.deleteIfExists(Paths.get(f.stripPrefix("file:"))))
-              deleted += 1
+            if (tio.delete(f)) deleted += 1
           }
-        Files.delete(p)
+        tio.delete(p)
         manifests += 1
       }
     }
@@ -1830,7 +1812,7 @@ object SnapshotTable {
     require(latestVersion(dstPath) == 0,
       s"clone target $dstPath already has committed versions")
     src.files.foreach { f =>
-      require(Files.exists(Paths.get(f.stripPrefix("file:"))),
+      require(io(srcPath).exists(f),
         s"cannot clone $srcPath@v$v: data file $f was garbage-collected")
     }
     commitExclusive(dstPath, 1, renderManifest(1, src.files,
@@ -1840,9 +1822,10 @@ object SnapshotTable {
       op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows))
     // governance travels with the fork: the source's CHECK constraints
     // apply to the clone's future ingests too
-    val srcCs = Paths.get(srcPath, "constraints.json")
-    if (Files.exists(srcCs))
-      Files.copy(srcCs, Paths.get(dstPath, "constraints.json"))
+    val srcCs = s"$srcPath/constraints.json"
+    if (io(srcPath).exists(srcCs))
+      io(dstPath).write(s"$dstPath/constraints.json",
+        io(srcPath).readString(srcCs))
     1L
   }
 
@@ -1871,7 +1854,7 @@ object SnapshotTable {
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val src = readVersion(spark, path, toVersion)
     src.files.foreach { f =>
-      require(Files.exists(Paths.get(f.stripPrefix("file:"))),
+      require(io(path).exists(f),
         s"cannot restore $path to v$toVersion: data file $f was " +
           "garbage-collected (expire/vacuum) — history is gone")
     }
@@ -1934,78 +1917,72 @@ object SnapshotTable {
              olderThanMs: Long = 7L * 24 * 3600 * 1000): VacuumResult = {
     val latest = latestVersion(path)
     require(latest > 0, s"snapshot table $path does not exist")
-    def normalize(f: String): String =
-      Paths.get(f.stripPrefix("file:")).toAbsolutePath.normalize().toString
+    val tio = io(path)
     // manifest-form names ("file:///…", exactly what the index rows
-    // carry) and filesystem-form paths for the disk walk
+    // carry) and canonical paths for the storage walk
     val versions = (1L to latest)
-      .filter(v => Files.exists(manifestPath(path, v)))
+      .filter(v => tio.exists(manifestPath(path, v)))
       .map(v => readVersion(spark, path, v))
     val liveRaw = versions.flatMap(_.files).toSet
     // deletion-vector batches are referenced data too: a DV file is
     // live while ANY manifest lists it, dead once materialize/expire
     // dropped its last reference — swept under the same TTL
-    val live = liveRaw.map(normalize) ++
-      versions.flatMap(_.dvFiles).map(normalize)
-    val dataRoot = Paths.get(path, "files")
+    val live = liveRaw.map(canonFile) ++
+      versions.flatMap(_.dvFiles).map(canonFile)
     val cutoff = System.currentTimeMillis() - math.max(olderThanMs, 0L)
     var deleted = 0
     var freed = 0L
-    val touched = scala.collection.mutable.Set.empty[Path]
-    for (root <- Seq(dataRoot, Paths.get(path, "dv"))
-         if Files.isDirectory(root)) {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.foreach { p =>
-        // toAbsolutePath before comparing: the live set is built from
+    val touched = scala.collection.mutable.Set.empty[String]
+    def parentOf(p: String): String = {
+      val i = p.lastIndexOf('/')
+      if (i <= 0) null else p.substring(0, i)
+    }
+    for (root <- Seq(s"$path/files", s"$path/dv")
+         if tio.isDirectory(root)) {
+      val rootCanon = tio.canon(root)
+      tio.walkFiles(root).foreach { e =>
+        // canonicalize before comparing: the live set is built from
         // absolute manifest URIs, and a RELATIVE table path would
         // otherwise make every live file fail the membership test and
         // be swept — total data loss on a healthy table
-        if (Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet") &&
-            !live(p.toAbsolutePath.normalize().toString) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff) {
-          freed += Files.size(p)
-          Files.delete(p)
+        val canon = tio.canon(e.path)
+        if (e.name.endsWith(".parquet") && !live(canon) &&
+            e.mtime <= cutoff) {
+          freed += e.size
+          tio.delete(e.path)
           deleted += 1
           // mark every ancestor up to the data root: partitioned
           // batches nest files under __p=v dirs, and the emptied-dir
           // pass below lists only batch-level dirs
-          var anc = p.getParent
-          while (anc != null && anc != root) {
-            touched += anc; anc = anc.getParent
+          var anc = parentOf(canon)
+          while (anc != null && anc != rootCanon &&
+              anc.startsWith(rootCanon)) {
+            touched += anc; anc = parentOf(anc)
           }
         }
-      } finally walk.close()
+      }
       // drop batch directories the sweep emptied (marker files only).
       // The age guard applies to the DIRECTORY too: an in-flight write
       // holds only `_temporary/` (no parquet yet) but has a fresh
       // mtime, so the TTL that protects its files protects its dir —
       // except for dirs THIS sweep emptied, whose mtime the unlinks
       // just bumped
-      val dirs = Files.list(root)
-      try dirs.iterator().asScala.foreach { d =>
-        if (Files.isDirectory(d) && (touched(d) ||
-            Files.getLastModifiedTime(d).toMillis <= cutoff)) {
-          val inner = Files.walk(d)
-          val hasParquet =
-            try inner.iterator().asScala
-              .exists(_.getFileName.toString.endsWith(".parquet"))
-            finally inner.close()
-          if (!hasParquet) graft.Work.wipe(d)
+      tio.listEntries(root).foreach { d =>
+        if (d.isDir && (touched(tio.canon(d.path)) ||
+            d.mtime <= cutoff)) {
+          val hasPq = tio.walkFiles(d.path)
+            .exists(_.name.endsWith(".parquet"))
+          if (!hasPq) tio.deleteDir(d.path)
         }
-      } finally dirs.close()
+      }
     }
     // bloom-index GC: drop rows for dead files, consolidate the rest
     var idxDropped = 0L
-    val idxRoot = Paths.get(bloomIdxDir(path))
-    if (Files.isDirectory(idxRoot)) {
-      val oldDirs = {
-        val st = Files.list(idxRoot)
-        try st.iterator().asScala.filter(Files.isDirectory(_)).toSeq
-        finally st.close()
-      }
+    val idxRoot = bloomIdxDir(path)
+    if (tio.isDirectory(idxRoot)) {
+      val oldDirs = tio.listEntries(idxRoot).filter(_.isDir).map(_.path)
       val idx = spark.read.option("recursiveFileLookup", "true")
-        .json(bloomIdxDir(path))
+        .json(idxRoot)
       val total = idx.count()
       import spark.implicits._
       // index rows carry manifest-form names, so a broadcast semi-join
@@ -2018,7 +1995,7 @@ object SnapshotTable {
         if (keptN > 0)
           kept.coalesce(1).write.mode("errorifexists")
             .json(s"${bloomIdxDir(path)}/idx-gc-${nonce()}")
-        oldDirs.foreach(graft.Work.wipe)
+        oldDirs.foreach(tio.deleteDir)
       }
     }
     VacuumResult(deleted, freed, idxDropped, live.size)
@@ -2032,10 +2009,9 @@ object SnapshotTable {
     * table version this checkpoint has fully processed (0 = nothing).
     */
   def committedOffset(checkpointDir: String): Long = {
-    val p = Paths.get(checkpointDir, "offset")
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    val cio = io(checkpointDir)
+    val p = s"$checkpointDir/offset"
+    if (cio.exists(p)) cio.readString(p).trim.toLong else 0L
   }
 
   /** Rewind/seek a consumer (reprocessing after a downstream bug, or
@@ -2045,12 +2021,7 @@ object SnapshotTable {
     */
   def resetOffset(checkpointDir: String, v: Long): Unit = {
     require(v >= 0, s"offset must be >= 0, got $v")
-    Files.createDirectories(Paths.get(checkpointDir))
-    val tmp = Paths.get(checkpointDir, s".offset.${nonce()}.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(checkpointDir, "offset"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    io(checkpointDir).writeAtomic(s"$checkpointDir/offset", v.toString)
   }
 
   /** Incremental consumption of the commit log with a durable offset —
@@ -2080,7 +2051,7 @@ object SnapshotTable {
     require(from <= head,
       s"checkpoint $from is ahead of table head $head — wrong table?")
     if (head == from) return None
-    require(from == 0 || Files.exists(manifestPath(path, from)),
+    require(from == 0 || io(path).exists(manifestPath(path, from)),
       s"checkpointed version $from has been expired from the log — " +
         "resetOffset(0) and re-bootstrap the consumer")
     val delta =
