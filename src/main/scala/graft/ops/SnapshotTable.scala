@@ -1079,6 +1079,49 @@ object SnapshotTable {
         "left_semi"))
   }
 
+  /** DV maintenance policy: the bound on merge-on-read's read tax.
+    * Every MOR delete appends one DV batch, and every scan pays an
+    * anti-join against ALL of the version's DV files — chained
+    * curation passes (dedup, decontamination, quality filters, each a
+    * [[deleteRowsIn]] commit) would otherwise grow that tax without
+    * limit, and past broadcast size the scan plan silently degrades
+    * to a sort-merge of the full table side. With a policy set, a
+    * delete whose committed state exceeds EITHER threshold triggers
+    * [[materializeDeletes]] immediately after its commit: DV count
+    * stays ≤ `maxDvFiles` (bounding per-scan file opens) and dead
+    * rows stay ≤ `maxDvFraction` of physical rows (bounding the
+    * anti-join's broadcast side). Both commits land in history
+    * (DELETE then OPTIMIZE) — auditable, and the change feed across
+    * the pair nets to exactly the deleted rows. No policy = today's
+    * manual-materialize behavior.
+    */
+  final case class DvPolicy(maxDvFiles: Int, maxDvFraction: Double)
+
+  def setDvPolicy(path: String, maxDvFiles: Int = 8,
+                  maxDvFraction: Double = 0.1): Unit = {
+    require(maxDvFiles >= 1, s"maxDvFiles must be >= 1, got $maxDvFiles")
+    require(maxDvFraction > 0 && maxDvFraction <= 1,
+      s"maxDvFraction must be in (0, 1], got $maxDvFraction")
+    io(path).write(s"$path/dvpolicy.json", Json.obj(Seq(
+      "max_dv_files" -> maxDvFiles.toString,
+      "max_dv_fraction" -> maxDvFraction.toString)))
+  }
+
+  def dvPolicyOf(path: String): Option[DvPolicy] = {
+    val p = s"$path/dvpolicy.json"
+    if (!io(path).exists(p)) return None
+    val s = io(path).readString(p)
+    val files = "\"max_dv_files\":\\s*(\\d+)".r
+      .findFirstMatchIn(s).map(_.group(1).toInt)
+    val frac = "\"max_dv_fraction\":\\s*([0-9.eE+-]+)".r
+      .findFirstMatchIn(s).map(_.group(1).toDouble)
+    Some(DvPolicy(
+      files.getOrElse(throw new IllegalStateException(
+        s"malformed dv policy at $p: $s")),
+      frac.getOrElse(throw new IllegalStateException(
+        s"malformed dv policy at $p: $s"))))
+  }
+
   private def deleteRowsBy(spark: SparkSession, path: String,
                            selectHits: DataFrame => DataFrame)
       : (Long, Long) = {
@@ -1114,13 +1157,28 @@ object SnapshotTable {
       else written.select(input_file_name()).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
     val v = prev + 1
+    val physRows = rowsOf(ver).sum
+    val allDv = ver.dvFiles ++ dvFiles
+    val allDvRows = ver.dvRows + nDel
     commitExclusive(path, v, renderManifest(v, ver.files,
       rowsOf(ver),
       bytesOf(ver),
       ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
       op = "DELETE",
-      dvFiles = ver.dvFiles ++ dvFiles, dvRows = ver.dvRows + nDel))
-    (v, nDel)
+      dvFiles = allDv, dvRows = allDvRows))
+    // maintenance hook: when a [[DvPolicy]] is set and this commit
+    // pushed the table past either threshold, fold the DVs into a
+    // rewrite NOW — the caller's returned version is the materialized
+    // one, and the read tax stays bounded however many curation
+    // passes chain
+    dvPolicyOf(path) match {
+      case Some(pol) if allDv.nonEmpty &&
+          (allDv.length > pol.maxDvFiles ||
+            allDvRows.toDouble / math.max(physRows, 1L) >
+              pol.maxDvFraction) =>
+        (materializeDeletes(spark, path).version, nDel)
+      case _ => (v, nDel)
+    }
   }
 
   /** Fold a table's deletion vectors into its layout: files with NO
@@ -1826,6 +1884,11 @@ object SnapshotTable {
     if (io(srcPath).exists(srcCs))
       io(dstPath).write(s"$dstPath/constraints.json",
         io(srcPath).readString(srcCs))
+    // the DV maintenance policy is governance too
+    val srcPol = s"$srcPath/dvpolicy.json"
+    if (io(srcPath).exists(srcPol))
+      io(dstPath).write(s"$dstPath/dvpolicy.json",
+        io(srcPath).readString(srcPol))
     1L
   }
 

@@ -817,6 +817,58 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("DV maintenance policy bounds the read tax: six chained MOR " +
+      "deletes auto-materialize at the file-count threshold and the " +
+      "table never carries more than maxDvFiles vectors") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 600L).map(k => (k, k * 2))
+      .toDF("k", "v"), path, 3, statsCol = Some("k"))
+    SnapshotTable.setDvPolicy(path, maxDvFiles = 2, maxDvFraction = 1.0)
+    assert(SnapshotTable.dvPolicyOf(path)
+      === Some(SnapshotTable.DvPolicy(2, 1.0)))
+    (0 until 6).foreach { i =>
+      val keys = ((i * 20 + 1).toLong to (i * 20 + 20).toLong).toDF("k")
+      val (v, nDel) = SnapshotTable.deleteRowsIn(spark, path, "k", keys)
+      assert(nDel === 20)
+      val ver = SnapshotTable.readVersion(spark, path, v)
+      assert(ver.dvFiles.length <= 2,
+        s"pass $i left ${ver.dvFiles.length} DV files — unbounded tax")
+    }
+    val head = SnapshotTable.latestVersion(path)
+    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, head)
+    assert(rows === 480 && scan.count() === 480)
+    assert(scan.filter(col("k") <= 120).count() === 0)
+    assert(scan.agg(min("k")).head.getLong(0) === 121L)
+    // both commits of each triggered pass are in history: auditable
+    val ops = SnapshotTable.history(spark, path)
+      .select("op").as[String].collect()
+    assert(ops.count(_ == "DELETE") === 6)
+    assert(ops.count(_ == "OPTIMIZE") >= 2)
+  }
+
+  test("DV fraction threshold: one oversized delete materializes " +
+      "immediately; an unconfigured table never auto-materializes") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 100L).map(k => (k, k)).toDF("k", "v"),
+      path, 2, statsCol = Some("k"))
+    SnapshotTable.setDvPolicy(path, maxDvFiles = 100,
+      maxDvFraction = 0.25)
+    val (v, nDel) =
+      SnapshotTable.deleteRowsWhere(spark, path, "k <= 40")
+    assert(nDel === 40)
+    val ver = SnapshotTable.readVersion(spark, path, v)
+    assert(ver.dvFiles.isEmpty && ver.op === "OPTIMIZE")
+    assert(SnapshotTable.scanAt(spark, path, v)._1.count() === 60)
+    // no policy → today's manual behavior
+    val bare = freshPath()
+    SnapshotTable.append((1L to 100L).map(k => (k, k)).toDF("k", "v"),
+      bare, 2, statsCol = Some("k"))
+    val (v2, _) = SnapshotTable.deleteRowsWhere(spark, bare, "k <= 40")
+    assert(SnapshotTable.readVersion(spark, bare, v2).dvFiles.nonEmpty)
+  }
+
   test("versionAsOf never fabricates AS OF history from pre-upgrade " +
       "manifests lacking committed_ms; history surfaces them as null") {
     import spark.implicits._
