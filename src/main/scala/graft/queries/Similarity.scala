@@ -364,13 +364,27 @@ object Similarity {
     * (vec_id, cid, dist) — shared verbatim by the q129 and q138
     * oracles so both gates replay the identical clustering.
     */
+  /** k SCALES WITH THE CORPUS — the SemDeDup discipline carried into
+    * the gated artifact: `k = max(4, n/125)` keeps expected cluster
+    * size ≤ 125, so the within-cluster pair join's Σ|cluster|² stays
+    * LINEAR in n instead of quadratic (a fixed k heads past
+    * 15 min/pass at 10× — measured, r13 BASELINE). Seeds are
+    * `i · stride` for i < k with `stride = min(100, n div k)` —
+    * deterministic over the dense 0..n-1 vec_id domain, replayed
+    * byte-identically by the DuckDB CTE, and identical to the
+    * historical k=4 seeds at the n=500 gate corpus.
+    */
   private val KmeansCtes =
     """qv AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, v AS c FROM qv
-      |       WHERE vec_id IN (0, 100, 200, 300)),
+      |kk AS (
+      |  SELECT greatest(4, count(*) // 125) AS k,
+      |    least(100, count(*) // greatest(4, count(*) // 125)) AS stride
+      |  FROM qv),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM qv, kk
+      |       WHERE vec_id % stride = 0 AND vec_id < k * stride),
       |d1 AS (
       |  SELECT q.vec_id, c.cid,
       |    CAST(sum((q.v[g.i] - c.c[g.i]) * (q.v[g.i] - c.c[g.i]))
@@ -420,7 +434,14 @@ object Similarity {
     val qv = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")).as("v"))
-    val c0 = qv.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
+    // k tracks the corpus (see [[KmeansCtes]]): one O(1) metadata
+    // count on the driver, then k and the seed stride are plan-time
+    // literals — the scale-safe plan IS the committed plan
+    val n = qv.count()
+    val k = math.max(4L, n / 125)
+    val stride = math.min(100L, n / k)
+    val c0 = qv.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < k * stride)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     def dist2 = aggregate(
       zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
@@ -671,11 +692,13 @@ object Similarity {
     * 0.1 % quantile ≈ 1.24M on the synthetic corpus).
     *
     * Scale shape — the reason SemDeDup exists: the pair join is keyed
-    * on cluster id, so candidate pairs are Σ|cluster|², never n² — at
-    * 10⁹ vectors you raise k until clusters are ~10⁵ and each
-    * partition's quadratic stays bounded (the same mega-bucket
-    * discipline as the LSH `maxBucket` guard); the test's k=4 keeps
-    * the oracle replayable, not the layout. One hash shuffle on cid,
+    * on cluster id, so candidate pairs are Σ|cluster|², never n² —
+    * and the GATED entry derives `k = max(4, n/125)` from the corpus
+    * itself ([[KmeansCtes]]), so expected cluster size — and each
+    * cid-partition's quadratic — stays bounded at every scale (the
+    * same mega-bucket discipline as the LSH `maxBucket` guard), with
+    * the DuckDB oracle replaying the identical derivation rather than
+    * a pinned k. One hash shuffle on cid,
     * one distinct on the loser ids, one broadcast-free left-anti —
     * nothing global, nothing driver-side.
     */
