@@ -126,6 +126,16 @@ object SnapshotTable {
     }
   }
 
+  /** `schemaIds`/`schemaNames` — the VISIBLE schema at this version as
+    * Iceberg-style (field-id, current-name) pairs in column order;
+    * `epoch` — the naming epoch files are currently written under
+    * (bumped by [[renameColumn]] and [[materializeSchema]], each epoch's
+    * id→physical-name table persisted immutably as
+    * `log/schema-e{E}.json`); `fileEpochs` — per file, the epoch it was
+    * written under; `droppedIds` — ids dropped since the table was last
+    * physically uniform. Absent on pre-upgrade tables (everything
+    * degrades to the name-based behavior).
+    */
   final case class Version(version: Long, files: Seq[String], rows: Long,
                            stats: Option[Stats] = None,
                            fileRows: Option[Seq[Long]] = None,
@@ -137,7 +147,27 @@ object SnapshotTable {
                            committedMs: Long = 0L,
                            op: String = "",
                            dvFiles: Seq[String] = Seq.empty,
-                           dvRows: Long = 0L)
+                           dvRows: Long = 0L,
+                           schemaIds: Option[Seq[Long]] = None,
+                           schemaNames: Option[Seq[String]] = None,
+                           fileEpochs: Option[Seq[Long]] = None,
+                           epoch: Long = 0L,
+                           droppedIds: Seq[Long] = Seq.empty,
+                           schemaMaxId: Long = 0L,
+                           schemaAltered: Boolean = false) {
+
+    /** True when a raw name-based read of this version's files would
+      * mis-merge: a rename or drop has happened since the table was
+      * last physically uniform, so some live file carries a stale
+      * physical name or a dropped column. Scans then resolve columns
+      * BY FIELD ID per epoch group; rewrite ops require physical
+      * uniformity ([[materializeSchema]]) instead. Pure ADDs bump the
+      * naming epoch (the epoch table stays complete) but never set
+      * this — add-only histories keep the single-scan mergeSchema
+      * plan.
+      */
+    def needsResolve: Boolean = schemaIds.isDefined && schemaAltered
+  }
 
   /** Per-file rows/bytes of a committed version, LOUDLY: a manifest
     * predating per-file facts cannot be mutated or extended without
@@ -179,6 +209,98 @@ object SnapshotTable {
 
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.take(12)
+
+  // ---------------------------------------------------- schema epochs
+
+  private def epochFilePath(path: String, e: Long): String =
+    s"${logDir(path)}/schema-e$e.json"
+
+  /** Persist epoch `e`'s complete id→physical-name table, immutably:
+    * create-exclusive, and a loser whose content matches the winner's
+    * (a replayed commit) proceeds while a DIFFERENT naming for the
+    * same epoch fails loudly — two concurrent schema changes cannot
+    * both win.
+    */
+  private def writeEpochFile(path: String, e: Long, ids: Seq[Long],
+                             names: Seq[String]): Unit = {
+    val content = Json.obj(Seq(
+      "epoch" -> e.toString,
+      "ids" -> ids.mkString("[", ",", "]"),
+      "names" -> names.map(Json.quote).mkString("[", ",", "]")))
+    try io(path).createExclusive(epochFilePath(path, e), content)
+    catch {
+      case _: FileAlreadyExistsException =>
+        require(io(path).readString(epochFilePath(path, e)) == content,
+          s"conflicting schema epoch $e at $path — a concurrent schema " +
+            "change committed a different naming; re-plan against the " +
+            "new latest version")
+    }
+  }
+
+  /** Epoch `e`'s id→physical-name table (O(1) small JSON read). */
+  private def epochNaming(spark: SparkSession, path: String,
+                          e: Long): Map[Long, String] = {
+    val p = epochFilePath(path, e)
+    require(io(path).exists(p),
+      s"schema epoch $e of $path is missing — was log/ tampered with?")
+    val r = spark.read.json(p).collect().head
+    r.getAs[scala.collection.Seq[Long]]("ids")
+      .zip(r.getAs[scala.collection.Seq[String]]("names")).toMap
+  }
+
+  /** Schema metadata for an append: first append assigns field ids
+    * 1..C positionally (epoch 0); later appends reuse the base schema,
+    * assigning FRESH ids (never recycling — `schemaMaxId` is the
+    * fence) to new columns and bumping the naming epoch so the epoch
+    * table stays complete for files written hereafter. Pre-upgrade
+    * tables (no schema metadata in the base) stay name-based.
+    */
+  private def appendMeta(base: Version, path: String,
+                         batchCols: Seq[String],
+                         nNewFiles: Int): Option[SchemaMeta] = {
+    if (base.files.isEmpty && base.schemaIds.isEmpty) {
+      val ids = (1L to batchCols.length.toLong).toSeq
+      writeEpochFile(path, 0L, ids, batchCols)
+      Some(SchemaMeta(ids, batchCols, Seq.fill(nNewFiles)(0L), 0L,
+        Seq.empty, batchCols.length.toLong, altered = false))
+    } else base.schemaIds match {
+      case None => None
+      case Some(baseIds) =>
+        val baseNames = base.schemaNames.get
+        val known = baseNames.toSet
+        val newCols = batchCols.filterNot(known)
+        if (newCols.isEmpty)
+          Some(SchemaMeta(baseIds, baseNames,
+            base.fileEpochs.get ++ Seq.fill(nNewFiles)(base.epoch),
+            base.epoch, base.droppedIds, base.schemaMaxId,
+            base.schemaAltered))
+        else {
+          val newIds = ((base.schemaMaxId + 1) to
+            (base.schemaMaxId + newCols.length)).toSeq
+          val e = base.epoch + 1
+          val ids = baseIds ++ newIds
+          val names = baseNames ++ newCols
+          writeEpochFile(path, e, ids, names)
+          Some(SchemaMeta(ids, names,
+            base.fileEpochs.get ++ Seq.fill(nNewFiles)(e), e,
+            base.droppedIds, base.schemaMaxId + newCols.length,
+            base.schemaAltered))
+        }
+    }
+  }
+
+  /** Rewrite ops read files by PHYSICAL column name (one merged scan):
+    * sound only while the table is physically uniform. After a rename
+    * or drop they fail loudly — [[materializeSchema]] is the rewrite
+    * that restores uniformity.
+    */
+  private def requireUniform(ver: Version, opName: String): Unit =
+    require(!ver.needsResolve,
+      s"$opName reads files by physical column name, but the table " +
+        s"carries schema ALTERs (naming epoch ${ver.epoch}" +
+        (if (ver.droppedIds.nonEmpty)
+          s", dropped ids ${ver.droppedIds.mkString(",")}" else "") +
+        ") — run materializeSchema(...) first")
 
   /** Latest committed version, 0 if the table does not exist. */
   def latestVersion(path: String): Long = {
@@ -286,10 +408,43 @@ object SnapshotTable {
       if (df.columns.contains("dv_files"))
         r.getAs[scala.collection.Seq[String]]("dv_files").toSeq
       else Seq.empty,
-      if (df.columns.contains("dv_rows")) r.getAs[Long]("dv_rows") else 0L)
+      if (df.columns.contains("dv_rows")) r.getAs[Long]("dv_rows") else 0L,
+      longs("schema_ids"),
+      if (df.columns.contains("schema_names"))
+        Some(r.getAs[scala.collection.Seq[String]]("schema_names").toSeq)
+      else None,
+      longs("file_epochs"),
+      if (df.columns.contains("epoch")) r.getAs[Long]("epoch") else 0L,
+      longs("schema_dropped").getOrElse(Seq.empty),
+      if (df.columns.contains("schema_max_id"))
+        r.getAs[Long]("schema_max_id") else 0L,
+      if (df.columns.contains("schema_altered"))
+        r.getAs[Boolean]("schema_altered") else false)
   }
 
   // ------------------------------------------------------------ commit
+
+  /** Field-id schema metadata carried by a manifest: the visible
+    * (id, name) pairs, each file's naming epoch, the current epoch,
+    * and ids dropped since the table was last physically uniform.
+    */
+  private final case class SchemaMeta(ids: Seq[Long], names: Seq[String],
+                                      fileEpochs: Seq[Long], epoch: Long,
+                                      dropped: Seq[Long], maxId: Long,
+                                      altered: Boolean)
+
+  /** Carry a version's schema metadata into its successor: kept files
+    * keep their epochs, `nNew` rewritten/appended files get the
+    * CURRENT epoch (they are written under the current naming).
+    */
+  private def carryMeta(ver: Version, keepIdx: Seq[Int],
+                        nNew: Int): Option[SchemaMeta] =
+    ver.schemaIds.map { ids =>
+      val fe = ver.fileEpochs.get
+      SchemaMeta(ids, ver.schemaNames.get,
+        keepIdx.map(fe) ++ Seq.fill(nNew)(ver.epoch), ver.epoch,
+        ver.droppedIds, ver.schemaMaxId, ver.schemaAltered)
+    }
 
   private def renderManifest(v: Long, files: Seq[String], rows: Seq[Long],
                              bytes: Seq[Long], stats: Option[Stats],
@@ -299,7 +454,8 @@ object SnapshotTable {
                              partValues: Option[Seq[Long]] = None,
                              op: String = "",
                              dvFiles: Seq[String] = Seq.empty,
-                             dvRows: Long = 0L): String = {
+                             dvRows: Long = 0L,
+                             schema: Option[SchemaMeta] = None): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
@@ -332,6 +488,20 @@ object SnapshotTable {
       fields += "dv_files" -> dvFiles.map(Json.quote)
         .mkString("[", ",", "]")
       fields += "dv_rows" -> dvRows.toString
+    }
+    schema.foreach { sm =>
+      require(sm.fileEpochs.length == files.length,
+        s"schema meta carries ${sm.fileEpochs.length} epochs for " +
+          s"${files.length} files")
+      fields += "schema_ids" -> sm.ids.mkString("[", ",", "]")
+      fields += "schema_names" -> sm.names.map(Json.quote)
+        .mkString("[", ",", "]")
+      fields += "file_epochs" -> sm.fileEpochs.mkString("[", ",", "]")
+      fields += "epoch" -> sm.epoch.toString
+      fields += "schema_max_id" -> sm.maxId.toString
+      fields += "schema_altered" -> sm.altered.toString
+      if (sm.dropped.nonEmpty)
+        fields += "schema_dropped" -> sm.dropped.mkString("[", ",", "]")
     }
     part.foreach { p =>
       fields += "part_source" -> Json.quote(p.source)
@@ -513,6 +683,9 @@ object SnapshotTable {
     if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
       return pre
     val batch = writeBatch(df, path, numPartitions, statsCol)
+    // WRITTEN schema, not df's: what readers will actually observe
+    val batchCols = spark.read.parquet(batch.files.head)
+      .schema.fieldNames.toSeq
     val bloomConf =
       bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -548,7 +721,8 @@ object SnapshotTable {
         },
         bloomConf.orElse(base.bloom),
         base.txns ++ txn.toMap, op = "APPEND",
-        dvFiles = base.dvFiles, dvRows = base.dvRows)
+        dvFiles = base.dvFiles, dvRows = base.dvRows,
+        schema = appendMeta(base, path, batchCols, batch.files.length))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -657,6 +831,8 @@ object SnapshotTable {
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
     enforceConstraints(spark, path, batchDir)
     val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+    val batchCols = spark.read.parquet(batch.files.head)
+      .schema.fieldNames.toSeq
     val bloomConf =
       bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -690,7 +866,8 @@ object SnapshotTable {
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         Some(spec),
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
-        op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows)
+        op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows,
+        schema = appendMeta(base, path, batchCols, batch.files.length))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -721,10 +898,10 @@ object SnapshotTable {
     val pv = ver.partValues.get
     val (plo, phi) = (spec(lo), spec(hi))
     val hit = ver.files.indices
-      .filter(i => pv(i) >= plo && pv(i) <= phi).map(ver.files)
+      .filter(i => pv(i) >= plo && pv(i) <= phi)
     val df =
-      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else readWithDv(spark, ver, hit)
+      if (hit.isEmpty) emptyRelation(spark, path, ver)
+      else readWithDv(spark, path, ver, hit)
     (df.filter(col(spec.source).between(lo, hi)), hit.length,
       ver.files.length)
   }
@@ -743,10 +920,10 @@ object SnapshotTable {
       s"version $version is not hidden-partitioned — appendPartitioned"))
     val want = keys.map(spec(_)).toSet
     val pv = ver.partValues.get
-    val hit = ver.files.indices.filter(i => want(pv(i))).map(ver.files)
+    val hit = ver.files.indices.filter(i => want(pv(i)))
     val df =
-      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else readWithDv(spark, ver, hit)
+      if (hit.isEmpty) emptyRelation(spark, path, ver)
+      else readWithDv(spark, path, ver, hit)
     (df.filter(col(spec.source).isin(keys: _*)), hit.length,
       ver.files.length)
   }
@@ -801,7 +978,7 @@ object SnapshotTable {
       ver.stats.map(st =>
         Stats(st.col, keepIdx.map(st.mins), keepIdx.map(st.maxs))),
       ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv)),
-      op = "DELETE"))
+      op = "DELETE", schema = carryMeta(ver, keepIdx, 0)))
     (v, ver.files.length - keepIdx.length, ver.files.length)
   }
 
@@ -818,7 +995,7 @@ object SnapshotTable {
     // mergeSchema: appends may evolve the schema (added columns read
     // as null from older files) — the manifest, not file homogeneity,
     // defines the table
-    (readWithDv(spark, ver, ver.files, mergeSchema = true),
+    (readWithDv(spark, path, ver, ver.files.indices, mergeSchema = true),
       ver.files.length, ver.rows)
   }
 
@@ -833,13 +1010,62 @@ object SnapshotTable {
     * uses the parquet source's `_metadata.file_path`/`row_index`,
     * which are stable per committed immutable file.
     */
-  private def readWithDv(spark: SparkSession, ver: Version,
-                         files: Seq[String],
-                         mergeSchema: Boolean = false): DataFrame = {
-    val rd =
-      if (mergeSchema) spark.read.option("mergeSchema", "true")
-      else spark.read
-    applyDv(spark, rd.parquet(files: _*), ver)
+  /** Zero-row relation with the version's VISIBLE schema — pruned
+    * scans that hit nothing must still present current column names,
+    * not a head file's stale physical ones.
+    */
+  private def emptyRelation(spark: SparkSession, path: String,
+                            ver: Version): DataFrame =
+    if (ver.needsResolve) readResolved(spark, path, ver, Seq(0)).limit(0)
+    else spark.read.parquet(ver.files.head).limit(0)
+
+  private def readWithDv(spark: SparkSession, path: String, ver: Version,
+                         idx: Seq[Int],
+                         mergeSchema: Boolean = false): DataFrame =
+    if (ver.needsResolve) readResolved(spark, path, ver, idx)
+    else {
+      val rd =
+        if (mergeSchema) spark.read.option("mergeSchema", "true")
+        else spark.read
+      applyDv(spark, rd.parquet(idx.map(ver.files): _*), ver)
+    }
+
+  /** FIELD-ID column resolution — the read path that makes rename and
+    * drop metadata-only: the version's files are grouped by the naming
+    * EPOCH they were written under, each group is read with its
+    * epoch's id→physical-name table and projected onto the version's
+    * VISIBLE schema (physical name aliased to current name, per id),
+    * and the groups union by name with nulls for columns a group's
+    * files predate. Deletion vectors apply per group, on the raw
+    * source relation, before the projection. Epoch count = ALTER
+    * count since last uniform state (small); each group is one
+    * ordinary pruned parquet scan — no per-file work, no driver data.
+    * Under name-based resolution a rename would silently fork a
+    * column into old-null/new-null halves; ids make old files serve
+    * the new name and dropped columns vanish without rewriting a
+    * byte.
+    */
+  private def readResolved(spark: SparkSession, path: String,
+                           ver: Version, idx: Seq[Int]): DataFrame = {
+    val fe = ver.fileEpochs.get
+    val visible = ver.schemaIds.get.zip(ver.schemaNames.get)
+    val groups = idx.groupBy(fe).toSeq.sortBy(_._1)
+    val parts = groups.map { case (e, gidx) =>
+      val naming = epochNaming(spark, path, e)
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(gidx.map(ver.files): _*)
+      val present = raw.schema.fieldNames.toSet
+      val cols = visible.flatMap { case (id, cur) =>
+        naming.get(id).filter(present).map(ph => col(ph).as(cur))
+      }
+      applyDv(spark, raw, ver).select(cols: _*)
+    }
+    val u = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // a visible column absent from EVERY opened group (pruned scan
+    // missing the adding batch's files) still surfaces, as nulls
+    val missing = ver.schemaNames.get.filterNot(u.columns.contains)
+    missing.foldLeft(u)((d, c) => d.withColumn(c, lit(null)))
+      .select(ver.schemaNames.get.map(col): _*)
   }
 
   /** Canonical filesystem path for cross-source file comparisons:
@@ -883,10 +1109,10 @@ object SnapshotTable {
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       s"version $version carries no column stats — append with statsCol"))
     val hit = ver.files.indices.filter(i =>
-      st.maxs(i) >= lo && st.mins(i) <= hi).map(ver.files)
+      st.maxs(i) >= lo && st.mins(i) <= hi)
     val df =
-      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else readWithDv(spark, ver, hit)
+      if (hit.isEmpty) emptyRelation(spark, path, ver)
+      else readWithDv(spark, path, ver, hit)
     (df.filter(col(st.col).between(lo, hi)), hit.length, ver.files.length)
   }
 
@@ -907,14 +1133,14 @@ object SnapshotTable {
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       s"version $version carries no column stats — append with statsCol"))
     if (ranges.isEmpty)
-      return (spark.read.parquet(ver.files.head).limit(0), 0,
+      return (emptyRelation(spark, path, ver), 0,
         ver.files.length)
     val hit = ver.files.indices.filter(i => ranges.exists {
       case (lo, hi) => st.maxs(i) >= lo && st.mins(i) <= hi
-    }).map(ver.files)
+    })
     val df =
-      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else readWithDv(spark, ver, hit)
+      if (hit.isEmpty) emptyRelation(spark, path, ver)
+      else readWithDv(spark, path, ver, hit)
     val pred = ranges.map { case (lo, hi) => col(st.col).between(lo, hi) }
       .reduce(_ || _)
     (df.filter(pred), hit.length, ver.files.length)
@@ -957,10 +1183,12 @@ object SnapshotTable {
     require(total == ver.files.length,
       s"bloom index incomplete at version $version: " +
         s"$total of ${ver.files.length} files indexed")
+    val hs = hit.toSet
+    val hitIdx = ver.files.indices.filter(i => hs(ver.files(i)))
     val df =
-      if (hit.isEmpty) spark.read.parquet(ver.files.head).limit(0)
-      else readWithDv(spark, ver, hit)
-    (df.filter(col(bc.col).isin(keys: _*)), hit.length, total)
+      if (hitIdx.isEmpty) emptyRelation(spark, path, ver)
+      else readWithDv(spark, path, ver, hitIdx)
+    (df.filter(col(bc.col).isin(keys: _*)), hitIdx.length, total)
   }
 
   // ------------------------------------------------------------ delete
@@ -992,6 +1220,7 @@ object SnapshotTable {
     require(ver.part.isEmpty,
       "COW delete would rewrite files without their partition dirs — " +
         "on a hidden-partitioned table use deletePartitionRange")
+    requireUniform(ver, "deleteStatsRange")
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "copy-on-write delete needs column stats — append with statsCol"))
     val hitIdx = ver.files.indices.filter(i =>
@@ -1004,7 +1233,8 @@ object SnapshotTable {
       commitExclusive(path, v, renderManifest(v, ver.files,
         rowsOf(ver),
         bytesOf(ver),
-        Some(st), ver.bloom, ver.txns, op = "DELETE"))
+        Some(st), ver.bloom, ver.txns, op = "DELETE",
+        schema = carryMeta(ver, ver.files.indices, 0)))
       return (v, 0, ver.files.length)
     }
     val hitFiles = hitIdx.map(ver.files)
@@ -1035,7 +1265,8 @@ object SnapshotTable {
       carried(bytes) ++ batch.bytes,
       Some(Stats(st.col, carried(st.mins) ++ batch.mins,
         carried(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns, op = "DELETE"))
+      ver.bloom, ver.txns, op = "DELETE",
+      schema = carryMeta(ver, keepIdx, batch.files.length)))
     (v, hitIdx.length, ver.files.length)
   }
 
@@ -1128,6 +1359,7 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    requireUniform(ver, "MOR delete")
     val dvDir = s"$path/dv/batch-${nonce()}"
     // tag addresses on the RAW file scan (_metadata resolves only on
     // the source relation), then apply existing DVs so a repeated
@@ -1165,7 +1397,8 @@ object SnapshotTable {
       bytesOf(ver),
       ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
       op = "DELETE",
-      dvFiles = allDv, dvRows = allDvRows))
+      dvFiles = allDv, dvRows = allDvRows,
+      schema = carryMeta(ver, ver.files.indices, 0)))
     // maintenance hook: when a [[DvPolicy]] is set and this commit
     // pushed the table past either threshold, fold the DVs into a
     // rewrite NOW — the caller's returned version is the materialized
@@ -1197,6 +1430,7 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
+    requireUniform(ver, "materializeDeletes")
     require(ver.dvFiles.nonEmpty, "table carries no deletion vectors")
     val dv = spark.read.parquet(ver.dvFiles: _*)
     val hitSet = dv.select("__dvf").distinct()
@@ -1212,7 +1446,8 @@ object SnapshotTable {
     val statsCol = ver.stats.map(_.col)
     val survivors = {
       val hitVer = ver.copy(files = hitIdx.map(ver.files))
-      readWithDv(spark, hitVer, hitVer.files)
+      applyDv(spark, spark.read.option("mergeSchema", "true")
+        .parquet(hitVer.files: _*), hitVer)
     }
     val batchDir = s"$path/files/batch-${nonce()}"
     val rows = rowsOf(ver)
@@ -1253,7 +1488,8 @@ object SnapshotTable {
             keepIdx.map(st.mins) ++ batch.mins,
             keepIdx.map(st.maxs) ++ batch.maxs)),
           ver.bloom, ver.txns, Some(spec),
-          Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE"))
+          Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
+          schema = carryMeta(ver, keepIdx, batch.files.length)))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
       case None =>
@@ -1276,7 +1512,8 @@ object SnapshotTable {
           ver.stats.map(st => Stats(st.col,
             keepIdx.map(st.mins) ++ batch.mins,
             keepIdx.map(st.maxs) ++ batch.maxs)),
-          ver.bloom, ver.txns, op = "OPTIMIZE"))
+          ver.bloom, ver.txns, op = "OPTIMIZE",
+          schema = carryMeta(ver, keepIdx, batch.files.length)))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
     }
@@ -1335,6 +1572,7 @@ object SnapshotTable {
     require(ver.part.isEmpty,
       "compaction would merge files across partition values — " +
         "not supported on hidden-partitioned tables")
+    requireUniform(ver, "compact")
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "compaction preserves key contiguity — needs a statsCol layout"))
     val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
@@ -1382,7 +1620,8 @@ object SnapshotTable {
       carriedIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, carriedIdx.map(st.mins) ++ batch.mins,
         carriedIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns, op = "OPTIMIZE"))
+      ver.bloom, ver.txns, op = "OPTIMIZE",
+      schema = carryMeta(ver, carriedIdx, batch.files.length)))
     CompactResult(v, ver.files.length,
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -1414,6 +1653,7 @@ object SnapshotTable {
         "so the rewrite cannot resurrect MOR-deleted rows")
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "compactPartitioned needs hidden partitioning — use compact"))
+    requireUniform(ver, "compactPartitioned")
     val pv = ver.partValues.get
     val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
       "manifest lacks per-file rows — recommit with this version"))
@@ -1479,7 +1719,8 @@ object SnapshotTable {
         keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, Some(spec),
-      Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE"))
+      Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
+      schema = carryMeta(ver, keepIdx, batch.files.length)))
     CompactResult(v, ver.files.length,
       keepIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -1524,6 +1765,7 @@ object SnapshotTable {
     require(ver.part.isEmpty,
       "recluster would rewrite files without their partition dirs — " +
         "not supported on hidden-partitioned tables")
+    requireUniform(ver, "recluster")
     val data = spark.read.option("mergeSchema", "true")
       .parquet(ver.files: _*)
     require(data.columns.contains(clusterCol),
@@ -1540,7 +1782,8 @@ object SnapshotTable {
     commitExclusive(path, v, renderManifest(v, batch.files, batch.rows,
       batch.bytes,
       Some(Stats(clusterCol, batch.mins, batch.maxs)),
-      ver.bloom, ver.txns, op = "OPTIMIZE"))
+      ver.bloom, ver.txns, op = "OPTIMIZE",
+      schema = carryMeta(ver, Seq.empty, batch.files.length)))
     ReclusterResult(v, ver.files.length, batch.files.length)
   }
 
@@ -1594,6 +1837,7 @@ object SnapshotTable {
     require(ver.part.isEmpty,
       "merge would rewrite files without their partition dirs — " +
         "not supported on hidden-partitioned tables")
+    requireUniform(ver, "merge")
     val st = ver.stats.getOrElse(throw new IllegalArgumentException(
       "merge locates rows via column stats — append with statsCol"))
     require(updates.columns.contains(keyCol) &&
@@ -1651,7 +1895,8 @@ object SnapshotTable {
       keepIdx.map(bytes) ++ batch.bytes,
       Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns ++ txn.toMap, op = "MERGE"))
+      ver.bloom, ver.txns ++ txn.toMap, op = "MERGE",
+      schema = carryMeta(ver, keepIdx, batch.files.length)))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
@@ -1693,6 +1938,7 @@ object SnapshotTable {
     }
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "mergePartitioned needs hidden partitioning — use merge"))
+    requireUniform(ver, "mergePartitioned")
     val pv = ver.partValues.get
     val tableCols = spark.read.parquet(ver.files.head).limit(0).columns
     require(updates.columns.sorted.sameElements(tableCols.sorted),
@@ -1786,9 +2032,168 @@ object SnapshotTable {
         keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, Some(spec),
-      Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE"))
+      Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE",
+      schema = carryMeta(ver, keepIdx, batch.files.length)))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
+  }
+
+  // ------------------------------------------------ schema evolution
+
+  /** RENAME COLUMN — metadata-only, O(1): the visible name changes AT
+    * THE COLUMN'S FIELD ID; no data file is touched. Files written
+    * before the rename keep their old physical name and scans resolve
+    * them by id ([[readResolved]]); files written after use the new
+    * name (the naming epoch bumps, its id→name table persisted
+    * immutably). Under name-based resolution a rename silently forks
+    * the column into old-null/new-null halves — the hazard field ids
+    * exist to close. Time travel shows each version under ITS OWN
+    * names. Layout metadata follows: a stats/bloom/partition-source
+    * column keeps pruning under its new name. Create-exclusive
+    * commit, no retry (plan-against-prev mutation).
+    */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String): Long = {
+    require(oldName != newName, "rename to the same name is a no-op")
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val ids = ver.schemaIds.getOrElse(throw new IllegalArgumentException(
+      s"$path predates field-id schema tracking — a name-based rename " +
+        "would fork the column; recreate the table to upgrade"))
+    val names = ver.schemaNames.get
+    val i = names.indexOf(oldName)
+    require(i >= 0, s"no column $oldName in ${names.mkString(", ")}")
+    require(!names.contains(newName),
+      s"column $newName already exists — renaming $oldName onto it " +
+        "would collide; rename or drop the existing $newName first")
+    val newNames = names.updated(i, newName)
+    val e = ver.epoch + 1
+    writeEpochFile(path, e, ids, newNames)
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
+      bytesOf(ver),
+      ver.stats.map(st =>
+        if (st.col == oldName) st.copy(col = newName) else st),
+      ver.bloom.map(bc =>
+        if (bc.col == oldName) bc.copy(col = newName) else bc),
+      ver.txns,
+      ver.part.map(p =>
+        if (p.source == oldName) p.copy(source = newName) else p),
+      ver.partValues, op = "ALTER",
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      schema = Some(SchemaMeta(ids, newNames, ver.fileEpochs.get, e,
+        ver.droppedIds, ver.schemaMaxId, altered = true))))
+    v
+  }
+
+  /** DROP COLUMN — metadata-only: the (id, name) pair leaves the
+    * visible schema; the bytes stay in the files (old versions still
+    * time-travel to them) but every scan at this and later versions
+    * projects the column away ([[readResolved]]). The id is never
+    * recycled (`schemaMaxId` fence), so a later ADD of the same NAME
+    * is a brand-new column that reads NULL from files predating it —
+    * never the dropped column's resurrected bytes. Layout columns
+    * (stats/bloom/partition source) refuse to drop: pruning and
+    * routing arithmetic depend on them.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val ids = ver.schemaIds.getOrElse(throw new IllegalArgumentException(
+      s"$path predates field-id schema tracking — recreate to upgrade"))
+    val names = ver.schemaNames.get
+    val i = names.indexOf(name)
+    require(i >= 0, s"no column $name in ${names.mkString(", ")}")
+    require(names.length > 1,
+      "cannot drop the last visible column — drop the table instead")
+    require(!ver.stats.exists(_.col == name),
+      s"$name is the stats layout column — pruning depends on it; " +
+        "recluster to another layout first")
+    require(!ver.bloom.exists(_.col == name),
+      s"$name is the bloom index column — key probes depend on it")
+    require(!ver.part.exists(_.source == name),
+      s"$name is the hidden-partitioning source — routing depends on it")
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
+      bytesOf(ver),
+      ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
+      op = "ALTER", dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      schema = Some(SchemaMeta(ids.patch(i, Nil, 1),
+        names.patch(i, Nil, 1), ver.fileEpochs.get, ver.epoch,
+        ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true))))
+    v
+  }
+
+  /** Rewrite every live file under the CURRENT naming and visible
+    * schema — the maintenance commit that ends [[readResolved]]'s
+    * per-epoch read path and re-opens the rewrite ops
+    * ([[requireUniform]]); deletion vectors fold away in the same
+    * pass. One read+write of the whole table — the price of physical
+    * uniformity, paid once per ALTER burst, never per query. Layout
+    * (stats sort / hidden partitioning) is preserved, blooms rebuilt,
+    * and a fresh naming epoch marks the uniform state (`altered`
+    * clears, dropped-id bookkeeping resets).
+    */
+  def materializeSchema(spark: SparkSession, path: String,
+                        numPartitions: Int = -1): CompactResult = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    require(ver.schemaIds.isDefined,
+      s"$path predates field-id schema tracking — nothing to materialize")
+    val data = readResolved(spark, path, ver, ver.files.indices)
+    val nOut = if (numPartitions > 0) numPartitions
+      else math.max(ver.files.length, 1)
+    val statsCol = ver.stats.map(_.col)
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val ids = ver.schemaIds.get
+    val names = ver.schemaNames.get
+    val e = ver.epoch + 1
+    writeEpochFile(path, e, ids, names)
+    val v = prev + 1
+    def uniformMeta(nFiles: Int) = Some(SchemaMeta(ids, names,
+      Seq.fill(nFiles)(e), e, Seq.empty, ver.schemaMaxId,
+      altered = false))
+    ver.part match {
+      case Some(spec) =>
+        val withP = data.withColumn("__p", spec.column)
+        val laidOut = statsCol match {
+          case Some(c) => withP
+            .repartitionByRange(nOut, col("__p"), col(c))
+            .sortWithinPartitions(col("__p"), col(c))
+          case None => withP.repartition(col("__p"))
+        }
+        laidOut.write.mode("errorifexists").partitionBy("__p")
+          .parquet(batchDir)
+        val (batch, pvals) =
+          partitionedBatchFacts(spark, batchDir, statsCol)
+        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        commitExclusive(path, v, renderManifest(v, batch.files,
+          batch.rows, batch.bytes,
+          statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
+          ver.bloom, ver.txns, Some(spec), Some(pvals),
+          op = "OPTIMIZE", schema = uniformMeta(batch.files.length)))
+        CompactResult(v, ver.files.length, batch.files.length,
+          ver.files.length)
+      case None =>
+        val laidOut = statsCol match {
+          case Some(c) => data.repartitionByRange(nOut, col(c))
+            .sortWithinPartitions(c)
+          case None => data.repartition(nOut)
+        }
+        laidOut.write.mode("errorifexists").parquet(batchDir)
+        val batch = batchFacts(spark, batchDir, statsCol)
+        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        commitExclusive(path, v, renderManifest(v, batch.files,
+          batch.rows, batch.bytes,
+          statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
+          ver.bloom, ver.txns, op = "OPTIMIZE",
+          schema = uniformMeta(batch.files.length)))
+        CompactResult(v, ver.files.length, batch.files.length,
+          ver.files.length)
+    }
   }
 
   // ------------------------------------------------------------ expire
@@ -1877,7 +2282,16 @@ object SnapshotTable {
       rowsOf(src),
       bytesOf(src),
       src.stats, None, Map.empty, src.part, src.partValues,
-      op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows))
+      op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows,
+      schema = carryMeta(src, src.files.indices, 0)))
+    // the clone's readers resolve naming epochs against ITS OWN log:
+    // copy every epoch table the referenced files could need
+    io(srcPath).listNames(logDir(srcPath))
+      .filter(n => n.startsWith("schema-e") && n.endsWith(".json"))
+      .foreach { n =>
+        io(dstPath).write(s"${logDir(dstPath)}/$n",
+          io(srcPath).readString(s"${logDir(srcPath)}/$n"))
+      }
     // governance travels with the fork: the source's CHECK constraints
     // apply to the clone's future ingests too
     val srcCs = s"$srcPath/constraints.json"
@@ -1931,7 +2345,13 @@ object SnapshotTable {
         rowsOf(src),
         bytesOf(src),
         src.stats, src.bloom, base.txns, src.part, src.partValues,
-        op = "RESTORE", dvFiles = src.dvFiles, dvRows = src.dvRows)
+        op = "RESTORE", dvFiles = src.dvFiles, dvRows = src.dvRows,
+        // the id fence NEVER regresses: a restore past a column add
+        // must not let a later append recycle the rolled-back id —
+        // old files' bytes would surface under the new column
+        schema = carryMeta(src, src.files.indices, 0)
+          .map(sm => sm.copy(
+            maxId = math.max(sm.maxId, base.schemaMaxId))))
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2155,6 +2575,35 @@ object SnapshotTable {
     val a = readVersion(spark, path, fromV)
     val b = readVersion(spark, path, toV)
     val aSet = a.files.toSet; val bSet = b.files.toSet
+    // schema ALTERs are metadata-only: a rename/drop between the
+    // versions moves no rows, so a churn-free interval is an EMPTY
+    // feed (in the newer version's schema). Churn ACROSS an ALTER
+    // boundary diffs correctly only when every churned file was
+    // written under the CURRENT naming (the post-ALTER append case —
+    // raw column names equal visible names); older-epoch churn would
+    // need per-version resolution inside the multiset diff — consume
+    // such feeds in segments split at the ALTER commit.
+    if (a.schemaNames != b.schemaNames) {
+      require(a.files == b.files && a.dvFiles == b.dvFiles,
+        s"changes($fromV, $toV) crosses a schema ALTER with data " +
+          "churn — consume the feed in segments split at the ALTER")
+      return emptyRelation(spark, path, b)
+        .withColumn("_change", lit(""))
+    }
+    if (a.needsResolve || b.needsResolve) {
+      val aEp = a.files.zip(a.fileEpochs.getOrElse(Seq.empty)).toMap
+      val bEp = b.files.zip(b.fileEpochs.getOrElse(Seq.empty)).toMap
+      val churn = a.files.filterNot(bSet).forall(f =>
+          aEp.get(f).contains(a.epoch)) &&
+        b.files.filterNot(aSet).forall(f => bEp.get(f).contains(b.epoch))
+      require(churn && a.dvFiles == b.dvFiles,
+        s"changes($fromV, $toV) diffs files written under a pre-ALTER " +
+          "naming — materializeSchema(...) or segment the feed at the " +
+          "ALTER commit")
+      if (a.files == b.files)
+        return emptyRelation(spark, path, b)
+          .withColumn("_change", lit(""))
+    }
     val removed = a.files.filterNot(bSet)
     val added = b.files.filterNot(aSet)
     import spark.implicits._

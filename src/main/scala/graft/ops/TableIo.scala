@@ -260,9 +260,20 @@ final class HadoopTableIo extends TableIo {
 
   override def createExclusive(p: String, content: String): Unit = {
     val (fs, hp) = fsFor(p)
-    // pre-check narrows the local-fs window and gives RawLocalFileSystem
-    // (whose create(false) throws an untyped IOException) a typed path
-    if (fs.exists(hp)) throw new FileAlreadyExistsException(p)
+    if (fs.getScheme == "file") {
+      // RawLocalFileSystem's create(overwrite=false) is CHECK-THEN-ACT
+      // — two concurrent writers can both pass the check and one
+      // silently replaces the other's committed manifest (observed
+      // under the concurrent-append spec). The local scheme has a true
+      // conditional put: the nio hard-link primitive. Real deployment
+      // schemes below have native atomic creates and take the
+      // FileSystem path.
+      TableIo.nioIo.createExclusive(
+        fs.makeQualified(hp).toUri.getPath, content)
+      return
+    }
+    // HDFS create(overwrite=false) is an atomic namespace op; S3A
+    // (Hadoop >= 3.4.1) maps it to a conditional If-None-Match PUT
     val out =
       try fs.create(hp, false)
       catch {
