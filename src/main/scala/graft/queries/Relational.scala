@@ -841,13 +841,25 @@ object Relational {
     })
     val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
     val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
-    val (scan, filesRead, filesTotal) =
-      SnapshotTable.scanStatsRange(s, path, 1, lo, hi)
-    require(filesRead > 0 && filesRead < filesTotal,
-      s"column stats did not prune: read $filesRead of $filesTotal files")
-    scan.agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"),
+    // re-routed through the DSv2 provider: the SAME manifest pruning,
+    // but driven by an ORDINARY Catalyst filter pushdown instead of
+    // the bespoke scanStatsRange entry point — any SQL predicate on
+    // the stats column prunes files at planning time
+    import graft.source.v2.GraftTableSource
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val res = GraftTableSource.resolve(Map("path" -> path, "version" -> "1"))
+    val kept = GraftTableSource.pruneFiles(res, Array(
+      GreaterThanOrEqual("ship_day", lo), LessThanOrEqual("ship_day", hi)))
+    require(kept.nonEmpty && kept.length < res.ver.files.length,
+      s"column stats did not prune: planned ${kept.length} of " +
+        s"${res.ver.files.length} files")
+    s.read.format("graft_table")
+      .option("path", path).option("version", "1").load()
+      .filter(col("ship_day").between(lo, hi))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("qty_u"),
         min("l_orderkey").as("k_min"), max("l_orderkey").as("k_max"))
-      .withColumn("files_pruned", lit(filesRead < filesTotal))
+      .withColumn("files_pruned",
+        lit(kept.length < res.ver.files.length))
   }
 
   /** q150 — COPY-ON-WRITE DELETE on the snapshot table: dropping one
@@ -2500,6 +2512,92 @@ object Relational {
       .toDF("n_base", "n_src", "n_clone", "qty_clone")
   }
 
+  /** q183 — SCHEMA EVOLUTION BY FIELD ID
+    * ([[graft.ops.SnapshotTable.renameColumn]] /
+    * [[graft.ops.SnapshotTable.dropColumn]]): the full add → rename →
+    * drop → post-ALTER-append lifecycle, every step metadata-only
+    * (require-asserted: the rename and drop commits reference exactly
+    * the prior version's data files). The load-bearing check is the
+    * rename: files written BEFORE it carry the old physical name, and
+    * the id-resolved scan must serve their bytes under the NEW name
+    * with zero nulls — under name-based resolution the column forks
+    * into old-null/new-null halves, which the sum and the
+    * null-count both catch. The drop must hide the column from v4's
+    * scan while v2 still time-travels to it, and the post-ALTER append
+    * (new naming) must unify with the pre-ALTER files. DuckDB
+    * reconstructs each version's aggregate from raw lineitem, so a
+    * forked, leaked, or resurrected column hash-mismatches.
+    */
+  val renameDropEvolution = QueryDef("q183_rename_drop",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 2) AS n_v2,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |    AS BIGINT) FROM lineitem WHERE l_linenumber <= 2) AS sum_a_v2,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber = 2) AS n_b_v2,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |    AS BIGINT) FROM lineitem WHERE l_linenumber <= 2) AS sum_qc_v3,
+      |  CAST(0 AS BIGINT) AS null_qc_v3,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 3) AS n_v5,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |    AS BIGINT) FROM lineitem WHERE l_linenumber <= 3) AS sum_qc_v5,
+      |  TRUE AS alters_metadata_only, TRUE AS drop_hidden""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q183_table")
+    clusterLayouts.compute("q183", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val li = Tables.lineitem(s, d)
+        def qc = floor(col("l_quantity") * 100).cast("long")
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 1)
+            .select(col("l_orderkey").as("k"), qc.as("a")),
+          path, numPartitions = 4)
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 2)
+            .select(col("l_orderkey").as("k"), qc.as("a"),
+              floor(col("l_extendedprice") * 100).cast("long").as("b")),
+          path, numPartitions = 4)
+        val files2 = SnapshotTable.readVersion(s, path, 2).files.toSet
+        SnapshotTable.renameColumn(s, path, "a", "qty_c")
+        SnapshotTable.dropColumn(s, path, "b")
+        // both ALTERs were metadata-only: same data files throughout
+        Seq(3L, 4L).foreach { v =>
+          require(SnapshotTable.readVersion(s, path, v).files.toSet
+            == files2, s"ALTER at v$v rewrote data files")
+        }
+        // post-ALTER ingest under the new naming
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 3)
+            .select(col("l_orderkey").as("k"), qc.as("qty_c")),
+          path, numPartitions = 4)
+      }
+      d
+    })
+    val (s2, _, _) = SnapshotTable.scanAt(s, path, 2)
+    require(s2.columns.toSeq == Seq("k", "a", "b"),
+      s"v2 schema drifted: ${s2.columns.toSeq}")
+    val (s3, _, _) = SnapshotTable.scanAt(s, path, 3)
+    require(s3.columns.toSeq == Seq("k", "qty_c", "b"),
+      s"v3 schema drifted: ${s3.columns.toSeq}")
+    val (s4, _, _) = SnapshotTable.scanAt(s, path, 4)
+    require(s4.columns.toSeq == Seq("k", "qty_c"),
+      "drop did not hide the column")
+    val (s5, _, _) = SnapshotTable.scanAt(s, path, 5)
+    val r2 = s2.agg(count(lit(1)), sum("a").cast("long"),
+      count(col("b"))).collect().head
+    val r3 = s3.agg(sum("qty_c").cast("long"),
+      sum(when(col("qty_c").isNull, 1L).otherwise(0L)).cast("long"))
+      .collect().head
+    val r5 = s5.agg(count(lit(1)), sum("qty_c").cast("long"))
+      .collect().head
+    import s.implicits._
+    Seq((r2.getLong(0), r2.getLong(1), r2.getLong(2), r3.getLong(0),
+      r3.getLong(1), r5.getLong(0), r5.getLong(1), true, true))
+      .toDF("n_v2", "sum_a_v2", "n_b_v2", "sum_qc_v3", "null_qc_v3",
+        "n_v5", "sum_qc_v5", "alters_metadata_only", "drop_hidden")
+  }
+
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
     * hidden buckets on the order key (`bucket(16)` =
     * floorMod(xxhash64(k), 16), the executor hash mirrored on the
@@ -2661,5 +2759,5 @@ object Relational {
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
-    partitionMerge, shallowClone, olsFit)
+    partitionMerge, shallowClone, renameDropEvolution, olsFit)
 }

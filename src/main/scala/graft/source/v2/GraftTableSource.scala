@@ -1,0 +1,439 @@
+package graft.source.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.{BloomIndex, SnapshotTable}
+
+/** DataSource V2 provider for the snapshot table:
+  * `spark.read.format("graft_table").option("path", root)` — the
+  * Catalyst-native front door that unifies the bespoke pruned entry
+  * points (`scanStatsRange`, `scanKeys`, partition probes) under
+  * ordinary SQL: ANY predicate a query pushes on the stats, partition
+  * source, or bloom column prunes FILES at planning time, against the
+  * MANIFEST — never a directory listing, never a data read.
+  *
+  * Options: `path` (table root), `version` (time travel; default
+  * latest), `timestamp_ms` (AS OF wall clock, resolved via the
+  * manifests' recorded commit times).
+  *
+  * Planning (all driver-side, O(manifest)):
+  *  - stats column:   =, <, <=, >, >=, IN prune by per-file [min, max]
+  *  - partition src:  same predicates through the hidden transform —
+  *    range forms prune only monotone transforms; equality/IN prunes
+  *    bucket transforms too (the hash is mirrored driver-side)
+  *  - bloom column:   =, IN probe the per-file bloom index (membership
+  *    evaluated in executors, hit NAMES only to the driver)
+  * Every pushed filter stays RESIDUAL — pruning only skips files whose
+  * stats prove they cannot match, and Spark re-applies the predicates
+  * on surviving rows, so pushdown can never change semantics.
+  *
+  * Reading: one input partition per surviving file (the snapshot
+  * table's files are already compaction-sized; sub-file splits belong
+  * to OPTIMIZE, not the reader), parquet-hadoop record reader with a
+  * PROJECTED schema (column pruning reaches the file), columns
+  * resolved BY FIELD ID per file epoch — renamed tables scan under
+  * their current names with zero rewrites, exactly like
+  * [[SnapshotTable.scanAt]]. Versions carrying deletion vectors
+  * reject loudly (the DV anti-join is a plan-level operation this
+  * row-level reader cannot express — materializeDeletes first).
+  *
+  * Supported column types: BOOLEAN, INT, BIGINT, FLOAT, DOUBLE,
+  * STRING, BINARY — the snapshot-table surface. Nested/temporal
+  * columns reject at schema inference.
+  */
+final class GraftTableSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft_table"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSource.resolve(options.asScala.toMap).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftTable(GraftTableSource.resolve(properties.asScala.toMap))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftTableSource {
+
+  /** Everything planning needs, resolved once on the driver: the
+    * pinned version's manifest plus the visible schema with, per
+    * file, the physical name of every visible column (field-id
+    * resolution applied).
+    */
+  /** (filesPlanned, filesTotal) of the most recent planInputPartitions
+    * in this JVM — the spec-facing pruning probe.
+    */
+  val lastPlan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
+
+  final case class Resolved(path: String, version: Long,
+                            ver: SnapshotTable.Version,
+                            schema: StructType,
+                            filePhysical: Seq[Map[String, String]])
+
+  def resolve(props: Map[String, String]): Resolved = {
+    val spark = SparkSession.active
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException("graft_table: no path option"))
+    val version = props.get("version").map(_.toLong)
+      .orElse(props.get("timestamp_ms").map(ts =>
+        SnapshotTable.versionAsOf(spark, path, ts.toLong)))
+      .getOrElse(SnapshotTable.latestVersion(path))
+    val ver = SnapshotTable.readVersion(spark, path, version)
+    require(ver.dvFiles.isEmpty,
+      s"graft_table: version $version of $path carries deletion " +
+        "vectors — the row-level reader cannot apply the DV anti-join; " +
+        "materializeDeletes(...) first or scan via scanAt")
+    // visible (id, name) pairs; pre-upgrade tables fall back to the
+    // head file's own names with positional ids
+    val (ids, names) = (ver.schemaIds, ver.schemaNames) match {
+      case (Some(i), Some(n)) => (i, n)
+      case _ =>
+        val cols = spark.read.parquet(ver.files.head).schema.fieldNames
+        ((1L to cols.length.toLong).toSeq, cols.toSeq)
+    }
+    val epochs = ver.fileEpochs.getOrElse(Seq.fill(ver.files.length)(0L))
+    // id→physical-name per DISTINCT epoch (epoch count = ALTERs since
+    // uniform, small), then per file
+    val namings: Map[Long, Map[Long, String]] =
+      if (ver.schemaIds.isEmpty)
+        Map(0L -> ids.zip(names).toMap)
+      else epochs.distinct.map(e =>
+        e -> epochNamingPublic(spark, path, e)).toMap
+    val filePhys = epochs.map { e =>
+      val naming = namings(e)
+      ids.zip(names).flatMap { case (id, cur) =>
+        naming.get(id).map(cur -> _)
+      }.toMap
+    }
+    // visible schema TYPES: per epoch group, read the group's merged
+    // parquet schema and type each visible column through its physical
+    // name; first group naming a column wins (types never change per
+    // the append contract)
+    val typed = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    epochs.distinct.foreach { e =>
+      val gFiles = ver.files.indices.filter(i => epochs(i) == e)
+        .map(ver.files)
+      val phys = spark.read.option("mergeSchema", "true")
+        .parquet(gFiles: _*).schema
+      val naming = namings(e)
+      ids.zip(names).foreach { case (id, cur) =>
+        naming.get(id).foreach { ph =>
+          phys.fields.find(_.name == ph).foreach { f =>
+            if (!typed.contains(cur)) typed(cur) = f.dataType
+          }
+        }
+      }
+    }
+    val schema = StructType(names.map { n =>
+      val dt = typed.getOrElse(n, StringType)
+      dt match {
+        case BooleanType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | BinaryType => ()
+        case other => throw new IllegalArgumentException(
+          s"graft_table: column $n has unsupported type $other — the " +
+            "graft_table reader serves scalar snapshot tables")
+      }
+      StructField(n, dt)
+    })
+    Resolved(path, version, ver, schema, filePhys)
+  }
+
+  /** Package-door into the table's epoch files (they live in its log
+    * directory beside the manifests).
+    */
+  private def epochNamingPublic(spark: SparkSession, path: String,
+                                e: Long): Map[Long, String] = {
+    val p = s"$path/log/schema-e$e.json"
+    val r = spark.read.json(p).collect().head
+    r.getAs[scala.collection.Seq[Long]]("ids")
+      .zip(r.getAs[scala.collection.Seq[String]]("names")).toMap
+  }
+
+  /** Manifest-driven file pruning from pushed filters. Returns the
+    * SURVIVING file indices; every decision is conservative (a file is
+    * dropped only when its stats prove no row can match).
+    */
+  def pruneFiles(res: Resolved,
+                 filters: Array[org.apache.spark.sql.sources.Filter])
+      : Seq[Int] = {
+    import org.apache.spark.sql.sources._
+    val ver = res.ver
+    var keep: Set[Int] = ver.files.indices.toSet
+
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+
+    // interval arithmetic over per-file [min, max] vectors
+    def pruneRange(mins: Seq[Long], maxs: Seq[Long], lo: Option[Long],
+                   hi: Option[Long]): Unit = {
+      keep = keep.filter(i =>
+        lo.forall(l => maxs(i) >= l) && hi.forall(h => mins(i) <= h))
+    }
+
+    def pruneIn(mins: Seq[Long], maxs: Seq[Long], vs: Seq[Long]): Unit =
+      keep = keep.filter(i => vs.exists(v => mins(i) <= v && maxs(i) >= v))
+
+    val statCol = ver.stats.map(_.col)
+    val partCol = ver.part.map(_.source)
+    filters.foreach {
+      case EqualTo(c, v) if statCol.contains(c) =>
+        longOf(v).foreach(l =>
+          pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
+            Some(l), Some(l)))
+      case GreaterThan(c, v) if statCol.contains(c) =>
+        longOf(v).foreach(l =>
+          pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
+            Some(l + 1), None))
+      case GreaterThanOrEqual(c, v) if statCol.contains(c) =>
+        longOf(v).foreach(l =>
+          pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
+            Some(l), None))
+      case LessThan(c, v) if statCol.contains(c) =>
+        longOf(v).foreach(l =>
+          pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
+            None, Some(l - 1)))
+      case LessThanOrEqual(c, v) if statCol.contains(c) =>
+        longOf(v).foreach(l =>
+          pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
+            None, Some(l)))
+      case In(c, vs) if statCol.contains(c) =>
+        val ls = vs.toSeq.flatMap(longOf)
+        if (ls.length == vs.length)
+          pruneIn(ver.stats.get.mins, ver.stats.get.maxs, ls)
+
+      // hidden partitioning: push the predicate through the transform
+      case EqualTo(c, v) if partCol.contains(c) =>
+        longOf(v).foreach { l =>
+          val want = ver.part.get(l)
+          val pv = ver.partValues.get
+          keep = keep.filter(i => pv(i) == want)
+        }
+      case In(c, vs) if partCol.contains(c) =>
+        val ls = vs.toSeq.flatMap(longOf)
+        if (ls.length == vs.length) {
+          val want = ls.map(ver.part.get.apply).toSet
+          val pv = ver.partValues.get
+          keep = keep.filter(i => want(pv(i)))
+        }
+      case GreaterThanOrEqual(c, v)
+          if partCol.contains(c) && ver.part.get.monotone =>
+        longOf(v).foreach { l =>
+          val plo = ver.part.get(l)
+          val pv = ver.partValues.get
+          keep = keep.filter(i => pv(i) >= plo)
+        }
+      case LessThanOrEqual(c, v)
+          if partCol.contains(c) && ver.part.get.monotone =>
+        longOf(v).foreach { l =>
+          val phi = ver.part.get(l)
+          val pv = ver.partValues.get
+          keep = keep.filter(i => pv(i) <= phi)
+        }
+      case GreaterThan(c, v)
+          if partCol.contains(c) && ver.part.get.monotone =>
+        longOf(v).foreach { l =>
+          val plo = ver.part.get(l + 1)
+          val pv = ver.partValues.get
+          keep = keep.filter(i => pv(i) >= plo)
+        }
+      case LessThan(c, v)
+          if partCol.contains(c) && ver.part.get.monotone =>
+        longOf(v).foreach { l =>
+          val phi = ver.part.get(l - 1)
+          val pv = ver.partValues.get
+          keep = keep.filter(i => pv(i) <= phi)
+        }
+      case _ => ()
+    }
+
+    // bloom probe: equality/IN on the indexed column refines whatever
+    // stats/partitions kept (membership tested in executors; only the
+    // complete-index case is trusted, mirroring scanKeysAt)
+    val bloomKeys: Seq[Long] = ver.bloom.map(_.col) match {
+      case Some(bc) => filters.collect {
+        case EqualTo(c, v) if c == bc => longOf(v).toSeq
+        case In(c, vs) if c == bc => vs.toSeq.flatMap(longOf)
+      }.flatten.toSeq
+      case None => Seq.empty
+    }
+    if (bloomKeys.nonEmpty && keep.nonEmpty) {
+      val spark = SparkSession.active
+      import spark.implicits._
+      import org.apache.spark.sql.functions.broadcast
+      val visible = ver.files.toDF("file")
+      val idx = spark.read.option("recursiveFileLookup", "true")
+        .json(s"${res.path}/bloomidx").join(broadcast(visible), "file")
+      val (hit, total) = BloomIndex.probeFiles(idx, bloomKeys.distinct)
+      if (total == ver.files.length) {
+        val hs = hit.toSet
+        keep = keep.filter(i => hs(ver.files(i)))
+      }
+    }
+    keep.toSeq.sorted
+  }
+}
+
+private[v2] final class GraftTable(res: GraftTableSource.Resolved)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_table(${res.path}@v${res.version})"
+  override def schema(): StructType = res.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(res)
+}
+
+private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+  private var required: StructType = res.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val prunable = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
+      ++ res.ver.bloom.map(_.col)).toSet
+    pushed = filters.filter(f => f.references.exists(prunable))
+    filters // all residual: pruning only ever skips provably-dead files
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftScan(res, required, pushed)
+}
+
+private[v2] final class GraftScan(res: GraftTableSource.Resolved,
+                                  required: StructType,
+                                  pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Surviving files of the latest plan — exposed so specs can
+    * require-assert the pruning payoff without parsing explain text.
+    */
+  @volatile var plannedFiles: Int = -1
+  @volatile var totalFiles: Int = res.ver.files.length
+
+  override def description(): String = {
+    val kept = GraftTableSource.pruneFiles(res, pushed)
+    s"graft_table ${res.path}@v${res.version}, " +
+      s"files=${kept.length}/${res.ver.files.length}, " +
+      s"columns=[${required.fieldNames.mkString(",")}]" +
+      (if (pushed.nonEmpty)
+        s", pushed=[${pushed.mkString(", ")}]" else "")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = GraftTableSource.pruneFiles(res, pushed)
+    plannedFiles = kept.length
+    GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
+    kept.map { i =>
+      GraftFilePartition(res.ver.files(i), res.filePhysical(i),
+        required.fields.map(f => f.name -> f.dataType.catalogString))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory
+}
+
+private[v2] final case class GraftFilePartition(
+    file: String, physical: Map[String, String],
+    required: Array[(String, String)]) extends InputPartition
+
+private[v2] final class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new GraftPartitionReader(p)
+  }
+}
+
+/** Row reader for one table file: parquet-hadoop record reader with a
+  * projected schema (only the required visible columns' PHYSICAL
+  * names are requested — column pruning reaches the file), values
+  * converted per the table's scalar type surface, visible columns the
+  * file predates surfacing as nulls.
+  */
+private[v2] final class GraftPartitionReader(p: GraftFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val reader: ParquetReader[Group] = {
+    // project to the required columns that physically exist here
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, new HPath(p.file),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+    val fileSchema = footer.getFileMetaData.getSchema
+    val want = p.required.flatMap { case (vis, _) =>
+      p.physical.get(vis).filter(fileSchema.containsField)
+    }
+    val fields: java.util.List[org.apache.parquet.schema.Type] =
+      want.map(n => fileSchema.getType(Array(n): _*)).toList.asJava
+    val projected =
+      new org.apache.parquet.schema.MessageType("graft", fields)
+    if (want.nonEmpty)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+    ParquetReader.builder(new GroupReadSupport(), new HPath(p.file))
+      .withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val schema = g.getType
+    InternalRow.fromSeq(p.required.toSeq.map { case (vis, dt) =>
+      p.physical.get(vis) match {
+        case Some(ph) if schema.containsField(ph) =>
+          val idx = schema.getFieldIndex(ph)
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else dt match {
+            case "bigint" => g.getLong(idx, 0)
+            case "int" => g.getInteger(idx, 0)
+            case "double" => g.getDouble(idx, 0)
+            case "float" => g.getFloat(idx, 0)
+            case "boolean" => g.getBoolean(idx, 0)
+            case "string" => UTF8String.fromString(g.getString(idx, 0))
+            case "binary" => g.getBinary(idx, 0).getBytes
+            case other => throw new IllegalStateException(
+              s"graft_table reader: unexpected type $other for $vis")
+          }
+        case _ => null // column predates this file (or was never here)
+      }
+    })
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SnapshotTable
+import graft.ops.SnapshotTable.PartSpec
+import graft.source.v2.GraftTableSource
+
+/** The snapshot table as a DSv2 format: `spark.read.format
+  * ("graft_table")` with manifest-driven filter pushdown — stats
+  * ranges, hidden-partition transforms and bloom probes all prune
+  * FILES at planning time from ordinary Catalyst predicates, results
+  * byte-equal to scanAt, time travel via options, field-id renames
+  * served without rewrites.
+  */
+class GraftTableSourceSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("gts").toString + "/t"
+
+  test("reads equal scanAt; column pruning reaches the reader; " +
+      "version option time-travels") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 100L).map(k => (k, k * 3, s"r$k")).toDF("k", "v", "tag"),
+      path, 4, statsCol = Some("k"))
+    SnapshotTable.append(
+      (101L to 120L).map(k => (k, k * 3, s"r$k")).toDF("k", "v", "tag"),
+      path, 1, statsCol = Some("k"))
+    val df = spark.read.format("graft_table").option("path", path).load()
+    assert(df.columns.toSeq === Seq("k", "v", "tag"))
+    assert(df.count() === 120)
+    assert(df.agg(sum("v")).head.getLong(0) === (1L to 120L).map(_ * 3).sum)
+    assert(df.filter(col("tag") === "r7").count() === 1)
+    val v1 = spark.read.format("graft_table").option("path", path)
+      .option("version", "1").load()
+    assert(v1.count() === 100)
+    // matches the bespoke scan row-for-row
+    val a = SnapshotTable.scanAt(spark, path, 2)._1
+      .orderBy("k").collect().map(_.toSeq)
+    val b = df.orderBy("k").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("stats predicates prune files at planning time and the " +
+      "explain description carries the file arithmetic") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v"), path, 10,
+      statsCol = Some("k"))
+    val df = spark.read.format("graft_table").option("path", path).load()
+      .filter(col("k").between(301, 400))
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(df.count() === 100)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(total === 10 && planned >= 1 && planned <= 2,
+      s"stats pushdown did not prune: $planned of $total")
+    assert(df.agg(sum("k")).head.getLong(0) === (301L to 400L).sum)
+    // IN-list pruning
+    GraftTableSource.lastPlan.set((-1, -1))
+    val in = spark.read.format("graft_table").option("path", path).load()
+      .filter(col("k").isin(7L, 907L))
+    assert(in.count() === 2)
+    assert(GraftTableSource.lastPlan.get()._1 <= 2)
+  }
+
+  test("hidden-partition predicates prune through the transform — " +
+      "bucket equality included") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.appendPartitioned(
+      (1L to 400L).toDF("id"), path, PartSpec("id", "bucket", 8))
+    GraftTableSource.lastPlan.set((-1, -1))
+    val one = spark.read.format("graft_table").option("path", path).load()
+      .filter(col("id") === 133L)
+    assert(one.count() === 1)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(total === 8 && planned === 1,
+      s"bucket pushdown did not prune: $planned of $total")
+    // truncate range pruning
+    val p2 = freshPath()
+    SnapshotTable.appendPartitioned(
+      (0L until 1000L).toDF("x"), p2, PartSpec("x", "truncate", 100))
+    GraftTableSource.lastPlan.set((-1, -1))
+    val r = spark.read.format("graft_table").option("path", p2).load()
+      .filter(col("x") >= 250L && col("x") <= 449L)
+    assert(r.count() === 200)
+    assert(GraftTableSource.lastPlan.get() === ((3, 10)))
+  }
+
+  test("bloom equality refines the surviving set") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 400L).map(k => (k, k)).toDF("k", "v"), path, 8,
+      bloomCol = Some("k"))
+    GraftTableSource.lastPlan.set((-1, -1))
+    val df = spark.read.format("graft_table").option("path", path).load()
+      .filter(col("k") === 97L)
+    assert(df.count() === 1)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(total === 8 && planned < total,
+      s"bloom pushdown did not prune: $planned of $total")
+  }
+
+  test("a renamed table reads under its current names — old files " +
+      "served by field id, zero rewrites") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 10L).map(k => (k, k * 5)).toDF("k", "old"), path, 1)
+    SnapshotTable.renameColumn(spark, path, "old", "fresh")
+    SnapshotTable.append(
+      (11L to 15L).map(k => (k, k * 5)).toDF("k", "fresh"), path, 1)
+    val df = spark.read.format("graft_table").option("path", path).load()
+    assert(df.columns.toSeq === Seq("k", "fresh"))
+    assert(df.filter(col("fresh").isNull).count() === 0)
+    assert(df.agg(sum("fresh")).head.getLong(0)
+      === (1L to 15L).map(_ * 5).sum)
+  }
+
+  test("DV-carrying versions reject loudly; missing path is loud") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 10L).map(k => (k, k)).toDF("k", "v"), path, 1,
+      statsCol = Some("k"))
+    SnapshotTable.deleteRowsWhere(spark, path, "k = 3")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft_table").option("path", path).load()
+    }
+    assert(e.getMessage.contains("deletion"))
+    // pre-DV version still serves
+    assert(spark.read.format("graft_table").option("path", path)
+      .option("version", "1").load().count() === 10)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft_table").load()
+    }
+  }
+}
