@@ -122,6 +122,52 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
+  // ------------------------------------------------ version lineage
+
+  /** Build the index FROM a [[SnapshotTable]] version's scan and pin
+    * its lineage: the index lives under `<tablePath>/ivfidx/v<N>` with
+    * a lineage record naming the exact (table, version) it serves —
+    * the piece a bare side-directory index lacks, where any MERGE or
+    * delete silently stales it. One index per version; versions share
+    * nothing (an index is derived data — rebuild cost, not a
+    * correctness coupling). [[SnapshotTable.vacuum]] walks only the
+    * data/DV roots, so index dirs survive GC; indexes of
+    * [[SnapshotTable.expire]]d versions are the caller's to drop.
+    */
+  def buildAt(spark: SparkSession, tablePath: String, version: Long,
+              idCol: String = "vec_id", embCol: String = "emb",
+              k: Int = 0, iters: Int = 8): String = {
+    val (scan, _, _) = SnapshotTable.scanAt(spark, tablePath, version)
+    val dir = s"$tablePath/ivfidx/v$version"
+    build(spark, scan.select(col(idCol).as("vec_id"),
+      col(embCol).as("emb")), dir, k = k, iters = iters)
+    TableIo.forPath(tablePath).write(s"$dir/lineage.json", graft.Json.obj(
+      Seq("table" -> graft.Json.quote(tablePath),
+        "version" -> version.toString)))
+    dir
+  }
+
+  /** Open the index serving EXACTLY `version` of the table — a probe
+    * must never silently answer from another version's index (a v1
+    * probe against a post-delete index would hide rows v1 still has;
+    * the reverse would resurrect deleted ones). Missing or foreign
+    * lineage fails loudly.
+    */
+  def openAt(spark: SparkSession, tablePath: String,
+             version: Long): Opened = {
+    val dir = s"$tablePath/ivfidx/v$version"
+    val tio = TableIo.forPath(tablePath)
+    require(tio.exists(s"$dir/lineage.json"),
+      s"no IVF index built at $tablePath v$version — buildAt(...) " +
+        "first; a probe never silently serves another version's index")
+    val lin = tio.readString(s"$dir/lineage.json")
+    val v = "\"version\":\\s*(\\d+)".r.findFirstMatchIn(lin)
+      .map(_.group(1).toLong)
+    require(v.contains(version),
+      s"index lineage at $dir claims version $v, probe wants $version")
+    open(spark, dir)
+  }
+
   final case class Opened(centroids: Array[(Long, Array[Double])],
                           corpus: DataFrame)
 
