@@ -439,10 +439,11 @@ object Similarity {
     val qv = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")).as("v"))
-    // k tracks the corpus (see [[KmeansCtes]]): one O(1) metadata
-    // count on the driver, then k and the seed stride are plan-time
-    // literals — the scale-safe plan IS the committed plan
-    val n = qv.count()
+    // k tracks the corpus (see [[KmeansCtes]]): the cached table
+    // cardinality (footer metadata, no extra job), then k and the
+    // seed stride are plan-time literals — the scale-safe plan IS
+    // the committed plan
+    val n = graft.Tables.cachedCount(s, d, "embeddings")
     val k = math.max(4L, n / 125)
     val stride = math.min(100L, n / k)
     val c0 = qv.filter(col("vec_id") % stride === 0 &&
