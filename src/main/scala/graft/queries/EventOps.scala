@@ -872,6 +872,77 @@ object EventOps {
       .toDF("n", "sum_value", "n_probe", "replay_skipped")
   }
 
+  /** q185 — THE SNAPSHOT TABLE AS A STREAMING SOURCE
+    * (`spark.readStream.format("graft_table")`,
+    * [[graft.source.v2.GraftTableSource]]): the commit log is the
+    * offset domain — each micro-batch delivers exactly the files that
+    * ENTERED the table in its version range, planned from the
+    * manifest diff (cost ∝ appended files, never table size). The
+    * fixture streams an initial two-version snapshot into a parquet
+    * sink, appends two MORE versions, and RESTARTS the stream on the
+    * same checkpoint: the tail delivers only the new versions' rows,
+    * so the sink holds every source row exactly once — the
+    * q158 ingest direction reversed (table→stream instead of
+    * stream→table), closing the loop: a table can now sit in the
+    * MIDDLE of a streaming pipeline. Exactly-once is require-asserted
+    * (sink rows == source rows; a re-delivered version doubles, a
+    * skipped one loses), then DuckDB recomputes the aggregate from
+    * raw lineitem, catching row-level duplication counts can balance.
+    */
+  val tableStream = QueryDef("q185_table_stream",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  min(l_orderkey) AS k_min, max(l_orderkey) AS k_max,
+      |  TRUE AS exactly_once
+      |FROM lineitem WHERE l_linenumber <= 4""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val table = graft.Work.oracleDumpPath("q185_table")
+    val sink = graft.Work.oracleDumpPath("q185_sink")
+    streamTableLayouts.compute("q185", (_, prev) => {
+      if (prev != d) {
+        graft.Work.wipe(java.nio.file.Paths.get(table))
+        graft.Work.wipe(java.nio.file.Paths.get(sink))
+        val ckpt = graft.Work.stableDir(
+          s"q185-ckpt-${math.abs(d.hashCode)}")
+        graft.Work.wipe(ckpt)
+        val li = Tables.lineitem(s, d)
+        def slice(ln: Int) = li.filter(col("l_linenumber") === ln)
+          .select(col("l_orderkey").as("k"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        def runStream(): Unit = {
+          val q = s.readStream.format("graft_table")
+            .option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          ()
+        }
+        SnapshotTable.append(slice(1), table, 2, statsCol = Some("k"))
+        SnapshotTable.append(slice(2), table, 2, statsCol = Some("k"))
+        runStream() // initial snapshot: versions (0, 2]
+        SnapshotTable.append(slice(3), table, 2, statsCol = Some("k"))
+        SnapshotTable.append(slice(4), table, 2, statsCol = Some("k"))
+        runStream() // tail: versions (2, 4] only
+      }
+      d
+    })
+    val sunk = s.read.parquet(sink)
+    val (scan, _, tableRows) =
+      SnapshotTable.scanAt(s, table, SnapshotTable.latestVersion(table))
+    val nSunk = sunk.count()
+    require(nSunk == tableRows && nSunk == scan.count(),
+      s"streamed sink holds $nSunk rows, table holds $tableRows — " +
+        "the version tail was duplicated or dropped")
+    sunk.agg(count(lit(1)).as("n"),
+        sum("qty_u").cast("long").as("qty_u"),
+        min("k").as("k_min"), max("k").as("k_max"))
+      .withColumn("exactly_once", lit(true))
+  }
+
   private val streamTableLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -880,5 +951,6 @@ object EventOps {
       streamEventWindows, streamSessionize, streamDedup, streamFirstSeen,
       streamIntervalJoin, streamOuterJoin, funnel, cohorts,
       intervalCoverage, streamRunningTotals, streamStaticJoin,
-      streamTableIngest, streamCdcApply, streamPartitionedIngest)
+      streamTableIngest, streamCdcApply, streamPartitionedIngest,
+      tableStream)
 }

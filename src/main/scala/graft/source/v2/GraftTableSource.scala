@@ -314,7 +314,8 @@ private[v2] final class GraftTable(res: GraftTableSource.Resolved)
   override def name(): String = s"graft_table(${res.path}@v${res.version})"
   override def schema(): StructType = res.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(res)
 }
@@ -346,6 +347,10 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(res, required)
 
   /** Surviving files of the latest plan — exposed so specs can
     * require-assert the pruning payoff without parsing explain text.
@@ -481,4 +486,90 @@ private[v2] final class GraftPartitionReader(p: GraftFilePartition)
     if (vec != null) vec.close()
     if (slow != null) slow.close()
   }
+}
+
+/** Version offset of the streaming source: the commit log IS the
+  * stream's offset domain, so checkpointing and replay inherit the
+  * table's own atomicity.
+  */
+private[v2] final case class GraftVersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** `spark.readStream.format("graft_table")` — the commit log as a
+  * micro-batch stream (the Delta streaming-read shape): each offset
+  * is a table VERSION, each micro-batch delivers exactly the rows of
+  * the files that ENTERED the table in (start, end] — planned from
+  * the manifests, cost ∝ appended files, never table size. Starting
+  * from offset 0 the first batch is the initial snapshot (everything
+  * visible at the then-latest version), after which the stream tails
+  * appends. The source serves APPEND-ONLY histories: a commit in
+  * range that removed files or touched deletion vectors (COW/MOR
+  * delete, compaction, restore, recluster) fails the stream loudly —
+  * a tailing consumer must not silently miss retractions; route such
+  * tables through [[SnapshotTable.tailChanges]], whose change feed
+  * carries the deletes. Schema drift across the stream (a rename/
+  * drop mid-tail) also fails loudly; restart the stream to adopt the
+  * new schema. Exactly-once end-to-end comes from Spark's offset log
+  * + this source's deterministic (version-range → files) planning.
+  */
+private[v2] final class GraftMicroBatchStream(
+    res: GraftTableSource.Resolved,
+    required: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftVersionOffset(0L)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(SnapshotTable.latestVersion(res.path))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftVersionOffset].version
+    val b = end.asInstanceOf[GraftVersionOffset].version
+    if (a >= b) return Array.empty
+    val spark = SparkSession.active
+    val endRes = GraftTableSource.resolve(
+      Map("path" -> res.path, "version" -> b.toString))
+    require(endRes.schema == res.schema,
+      s"graft_table stream: schema changed between v$a and v$b " +
+        s"(${res.schema.fieldNames.toSeq} → " +
+        s"${endRes.schema.fieldNames.toSeq}) — restart the stream to " +
+        "adopt the new schema")
+    val endVer = endRes.ver
+    val baseFiles: Set[String] =
+      if (a == 0) Set.empty
+      else {
+        val startVer = SnapshotTable.readVersion(spark, res.path, a)
+        require(startVer.dvFiles == endVer.dvFiles,
+          s"graft_table stream: deletion vectors changed between v$a " +
+            s"and v$b — the append-only tail cannot represent " +
+            "retractions; consume via tailChanges instead")
+        val endSet = endVer.files.toSet
+        val removed = startVer.files.filterNot(endSet)
+        require(removed.isEmpty,
+          s"graft_table stream: ${removed.length} file(s) left the " +
+            s"table between v$a and v$b (delete/compact/restore) — " +
+            "the append-only tail cannot represent that; consume via " +
+            "tailChanges instead")
+        startVer.files.toSet
+      }
+    endVer.files.indices
+      .filterNot(i => baseFiles(endVer.files(i)))
+      .map { i =>
+        GraftFilePartition(endVer.files(i), endRes.filePhysical(i),
+          required.fields.map(f => f.name -> f.dataType.catalogString))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory
 }
