@@ -1740,6 +1740,83 @@ object Relational {
       .toDF("n_probe", "qty_probe", "n_v1", "n_v2")
   }
 
+  /** q186 — RUNTIME (DPP-style) file pruning through the DSv2
+    * provider: lineitem lives as a hidden-partitioned snapshot table
+    * (`truncate(ship_day, 32)`), and the query is a plain JOIN against
+    * a filtered dimension — one month of order dates — with NO static
+    * predicate on the fact side at all. Catalyst plans the dimension
+    * as the broadcast side, Spark's PartitionPruning rule sees the
+    * scan's `SupportsRuntimeFiltering` attributes, executes the
+    * dimension FIRST and hands its join keys back as an `In` filter;
+    * the manifest then drops every partition file holding none of
+    * those days AT RUNTIME (require-asserted: a strict subset
+    * planned). This is the 100 TB join shape — fact-side I/O bounded
+    * by the dimension's reach, not the table's size — with zero
+    * bespoke API: `spark.read.format("graft_table")` + `join`.
+    * DuckDB recomputes the join from raw lineitem×orders; a file
+    * over- or under-pruned at runtime changes (n, qty_u, n_days) and
+    * hash-mismatches.
+    */
+  val runtimePrune = QueryDef("q186_runtime_prune",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
+      |  TRUE AS files_pruned
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) IN (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01')""".stripMargin) {
+    (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q186_table")
+    clusterLayouts.compute("q186", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.appendPartitioned(
+          Tables.lineitem(s, d).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, PartSpec("ship_day", "truncate", 32))
+      }
+      d
+    })
+    val fact = s.read.format("graft_table").option("path", path).load()
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("order_day"))
+      .distinct()
+    // deterministic DPP benefit check (stats-free plan cost estimates
+    // vary with sf); restored after the EAGER aggregate below
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    val r = try {
+      GraftTableSource.lastPlan.set((-1, -1))
+      fact.join(dim, col("ship_day") === col("order_day"))
+        .agg(count(lit(1)).as("n"),
+          sum("qty_u").cast("long").as("qty_u"),
+          countDistinct("ship_day").as("n_days"))
+        .collect().head
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    require(planned > 0 && planned < total,
+      s"runtime filter did not prune: planned $planned of $total files")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n", "qty_u", "n_days", "files_pruned")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -2759,5 +2836,6 @@ object Relational {
     vacuumSweep, sqlTimeTravel, hiddenPartitionPrune, bucketPartitionProbe,
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
-    partitionMerge, shallowClone, renameDropEvolution, olsFit)
+    partitionMerge, shallowClone, renameDropEvolution, olsFit,
+    runtimePrune)
 }

@@ -344,9 +344,52 @@ private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
 private[v2] final class GraftScan(res: GraftTableSource.Resolved,
                                   required: StructType,
                                   pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Manifest-derived statistics, AFTER static pruning: Catalyst sees
+    * the bytes/rows of the files a query will actually read, so a
+    * filtered slice of a huge table still qualifies for the broadcast
+    * side of a join — the manifest makes the estimate exact, where
+    * file-source tables guess from raw file sizes.
+    */
+  override def estimateStatistics(): Statistics = {
+    val kept = GraftTableSource.pruneFiles(res, pushed)
+    val bytes = res.ver.fileBytes.map(fb => kept.map(fb).sum)
+    val rows = res.ver.fileRows.map(fr => kept.map(fr).sum)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  /** Runtime (DPP-style) file pruning: when this table is joined on
+    * its stats / partition-source / bloom column, Spark executes the
+    * other side first and hands the join keys back as an `In` filter —
+    * the SAME manifest pruning then drops files at RUNTIME, so a join
+    * against a filtered dimension reads only the matching slice of a
+    * 100 TB fact table. Filters arrive before (re-)planning; pruning
+    * stays conservative, Spark re-applies the join itself.
+    */
+  private var runtime: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
+      ++ res.ver.bloom.map(_.col)).toSeq.distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = filters
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -368,7 +411,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = GraftTableSource.pruneFiles(res, pushed)
+    val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
     plannedFiles = kept.length
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
     kept.map { i =>

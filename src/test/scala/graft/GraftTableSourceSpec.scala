@@ -123,6 +123,60 @@ class GraftTableSourceSpec extends SparkSpec {
       === (1L to 15L).map(_ * 5).sum)
   }
 
+  test("manifest statistics reach Catalyst: scan-node stats equal the " +
+      "manifest byte/row totals of the SURVIVING files, and a joined " +
+      "graft_table lands on the broadcast side") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v"), path, 10,
+      statsCol = Some("k"))
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    val t = spark.read.format("graft_table").option("path", path).load()
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.stats
+      }.head
+    assert(scanStats(t).sizeInBytes === BigInt(ver.fileBytes.get.sum))
+    assert(scanStats(t).rowCount.contains(BigInt(1000)))
+    // a pushed predicate shrinks the estimate to the pruned files
+    val slice = t.filter(col("k") <= 100L)
+    assert(scanStats(slice).sizeInBytes < BigInt(ver.fileBytes.get.sum))
+    // the (tiny) table side of a join broadcasts off the manifest stats
+    val big = spark.range(0, 200000L).withColumnRenamed("id", "k2")
+    val joined = big.join(t, col("k2") === col("k"))
+    assert(joined.count() === 1000)
+    val bcast = joined.queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"),
+      s"manifest stats did not drive a broadcast join:\n$bcast")
+  }
+
+  test("runtime filtering: joining on the partition source prunes " +
+      "files at EXECUTION time from the dimension's keys") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.appendPartitioned(
+      (0L until 1000L).toDF("x"), path, PartSpec("x", "truncate", 100))
+    val fact = spark.read.format("graft_table").option("path", path).load()
+    // parquet-backed so the selective filter SURVIVES to the
+    // PartitionPruning rule (a LocalRelation folds it away)
+    val dimPath = freshPath()
+    Seq((250L, "a"), (251L, "a"), (993L, "z")).toDF("x2", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "a")
+    withSQLConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1048576") {
+      GraftTableSource.lastPlan.set((-1, -1))
+      val joined = fact.join(dim, col("x") === col("x2"))
+      assert(joined.count() === 2)
+      val (planned, total) = GraftTableSource.lastPlan.get()
+      assert(total === 10 && planned === 1,
+        s"runtime filter did not prune: $planned of $total")
+    }
+  }
+
   test("DV-carrying versions reject loudly; missing path is loud") {
     import spark.implicits._
     val path = freshPath()
