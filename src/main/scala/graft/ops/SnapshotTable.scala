@@ -734,6 +734,75 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Commit `df` as the next version REPLACING the table's contents —
+    * SQL TRUNCATE + INSERT as one atomic commit (`mode("overwrite")`
+    * through the DSv2 front door). The new manifest references ONLY
+    * the fresh batch; prior files stay on disk for time travel until
+    * [[expire]]/[[vacuum]] reclaim them, so an overwrite is as
+    * reversible as any other commit ([[restore]] undoes it). Deletion
+    * vectors do not carry (every row they addressed is gone), and
+    * stats/bloom configs are NOT inherited: the old files' index rows
+    * describe files no longer in the table — pass `statsCol`/
+    * `bloomCol` to index the replacement. Schema follows [[append]]'s
+    * evolution contract (unknown columns get fresh field ids, naming
+    * epoch bumps). Partitioned tables reject: a plain repartition
+    * would break the partition-purity invariant pruning relies on —
+    * drop partitions or re-create the table instead. Blind commit
+    * retry is sound here for the same reason as [[append]]: the
+    * result manifest does not depend on the base it replaces.
+    */
+  def overwrite(df: DataFrame, path: String, numPartitions: Int,
+                statsCol: Option[String] = None,
+                bloomCol: Option[String] = None,
+                bloomExpectedPerFile: Long = -1L,
+                bloomFpp: Double = 0.01,
+                txn: Option[(String, Long)] = None): Long = {
+    val spark = df.sparkSession
+    def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
+      base.txns.get(w).exists(_ >= b)
+    }
+    val pre = latestVersion(path)
+    if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
+      return pre
+    val batch = writeBatch(df, path, numPartitions, statsCol)
+    val batchCols = spark.read.parquet(batch.files.head)
+      .schema.fieldNames.toSeq
+    val bloomConf =
+      bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
+    bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      val base =
+        if (prev == 0) Version(0, Seq.empty, 0)
+        else readVersion(spark, path, prev)
+      if (committedAt(base)) return prev
+      require(base.part.isEmpty,
+        s"table is hidden-partitioned (${base.part.get}) — a plain " +
+          "overwrite would break partition purity; drop partitions " +
+          "or re-create the table")
+      val v = prev + 1
+      // appendMeta computes epochs for base + new files; an overwrite
+      // keeps only the new files' tail
+      val meta = appendMeta(base, path, batchCols, batch.files.length)
+        .map(m => m.copy(fileEpochs = m.fileEpochs.takeRight(
+          batch.files.length)))
+      val manifest = renderManifest(v, batch.files, batch.rows,
+        batch.bytes,
+        statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
+        bloomConf, base.txns ++ txn.toMap, op = "OVERWRITE",
+        schema = meta)
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"overwrite of $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   // ------------------------------------------------- hidden partitioning
 
   /** Per-file facts for a batch written with `partitionBy("__p")`: the

@@ -1817,6 +1817,82 @@ object Relational {
       .toDF("n", "qty_u", "n_days", "files_pruned")
   }
 
+  /** q187 — the DSv2 WRITE front door: the snapshot table's full
+    * ingest lifecycle driven ONLY through
+    * `df.write.format("graft_table")` — create (first append fixes
+    * the stats layout), a second append that INHERITS the layout from
+    * the manifest, and `mode("overwrite")` as an atomic
+    * TRUNCATE+INSERT commit — then read back through the same format:
+    * the post-append total, a pruned range probe (require-asserted
+    * strict subset: the inherited stats index the second batch's
+    * files too), the overwritten v3, and TIME TRAVEL back across the
+    * overwrite to v1. Every branch recomputed by DuckDB from raw
+    * lineitem; a dropped batch, a stale layout, an overwrite that
+    * leaked old rows, or a broken travel changes some branch and
+    * hash-mismatches.
+    */
+  val dsv2Write = QueryDef("q187_dsv2_write",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_all,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem) AS qty_all,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+      |      AND l_shipdate < TIMESTAMP '1995-09-01') AS n_probe,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1997-01-01') AS n_v1,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01') AS n_v3,
+      |  TRUE AS files_pruned""".stripMargin) { (s, d) =>
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q187_table")
+    val day96 = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val day97 = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+    clusterLayouts.compute("q187", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val li = Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        // v1: create — the first write fixes the stats layout
+        li.filter(col("ship_day") < day97)
+          .write.format("graft_table").mode("append")
+          .option("path", path).option("write_partitions", "8")
+          .option("stats_col", "ship_day").save()
+        // v2: append — stats col INHERITED from the manifest
+        li.filter(col("ship_day") >= day97)
+          .write.format("graft_table").mode("append")
+          .option("path", path).option("write_partitions", "8").save()
+        // v3: atomic TRUNCATE+INSERT
+        li.filter(col("ship_day") >= day96 && col("ship_day") < day97)
+          .write.format("graft_table").mode("overwrite")
+          .option("path", path).option("write_partitions", "4")
+          .option("stats_col", "ship_day").save()
+      }
+      d
+    })
+    def at(v: Int) = s.read.format("graft_table")
+      .option("path", path).option("version", v.toString).load()
+    val plo = java.time.LocalDate.of(1995, 3, 1).toEpochDay
+    val phi = java.time.LocalDate.of(1995, 9, 1).toEpochDay
+    GraftTableSource.lastPlan.set((-1, -1))
+    val all = at(2).agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    val probe = at(2)
+      .filter(col("ship_day") >= plo && col("ship_day") < phi)
+      .count()
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    require(planned > 0 && planned < total,
+      s"inherited stats did not prune: planned $planned of $total files")
+    val nV1 = at(1).count()
+    val nV3 = at(3).count()
+    import s.implicits._
+    Seq((all.getLong(0), all.getLong(1), probe, nV1, nV3, true))
+      .toDF("n_all", "qty_all", "n_probe", "n_v1", "n_v3", "files_pruned")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -2837,5 +2913,5 @@ object Relational {
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
-    runtimePrune)
+    runtimePrune, dsv2Write)
 }

@@ -60,12 +60,21 @@ import graft.ops.{BloomIndex, SnapshotTable}
 final class GraftTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft_table"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableSource.resolve(options.asScala.toMap).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val props = options.asScala.toMap
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException("graft_table: no path option"))
+    // a table that does not exist yet has no schema — an EMPTY struct
+    // lets `df.write.format("graft_table")` CREATE it (the write path
+    // takes the incoming data's schema); reads of a missing table
+    // still fail loudly at scan planning
+    if (SnapshotTable.latestVersion(path) == 0L) new StructType()
+    else GraftTableSource.resolve(props).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GraftTable(GraftTableSource.resolve(properties.asScala.toMap))
+    new GraftTable(properties.asScala.toMap)
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -102,18 +111,30 @@ object GraftTableSource {
       .orElse(props.get("timestamp_ms").map(ts =>
         SnapshotTable.versionAsOf(spark, path, ts.toLong)))
       .getOrElse(SnapshotTable.latestVersion(path))
+    require(version > 0, s"graft_table: snapshot table $path does not exist")
     if (resolved.size > 256) resolved.clear()
     resolved.computeIfAbsent((path, version),
       _ => resolveUncached(spark, path, version))
   }
 
+  /** [[resolve]] plus the read-path precondition: versions carrying
+    * deletion vectors reject (the DV anti-join is a plan-level
+    * operation the row-level reader cannot express). The write path
+    * resolves WITHOUT this check — appending to a DV-carrying table
+    * is legal.
+    */
+  def resolveForScan(props: Map[String, String]): Resolved = {
+    val res = resolve(props)
+    require(res.ver.dvFiles.isEmpty,
+      s"graft_table: version ${res.version} of ${res.path} carries " +
+        "deletion vectors — the row-level reader cannot apply the DV " +
+        "anti-join; materializeDeletes(...) first or scan via scanAt")
+    res
+  }
+
   private def resolveUncached(spark: SparkSession, path: String,
                               version: Long): Resolved = {
     val ver = SnapshotTable.readVersion(spark, path, version)
-    require(ver.dvFiles.isEmpty,
-      s"graft_table: version $version of $path carries deletion " +
-        "vectors — the row-level reader cannot apply the DV anti-join; " +
-        "materializeDeletes(...) first or scan via scanAt")
     // visible (id, name) pairs; pre-upgrade tables fall back to the
     // head file's own names with positional ids
     val (ids, names) = (ver.schemaIds, ver.schemaNames) match {
@@ -309,15 +330,91 @@ object GraftTableSource {
   }
 }
 
-private[v2] final class GraftTable(res: GraftTableSource.Resolved)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft_table(${res.path}@v${res.version})"
-  override def schema(): StructType = res.schema
+private[v2] final class GraftTable(props: Map[String, String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private val path = props.getOrElse("path",
+    throw new IllegalArgumentException("graft_table: no path option"))
+
+  override def name(): String = s"graft_table($path)"
+  override def schema(): StructType =
+    if (SnapshotTable.latestVersion(path) == 0L) new StructType()
+    else GraftTableSource.resolve(props).schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(res)
+    new GraftScanBuilder(GraftTableSource.resolveForScan(props))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(path, props)
+}
+
+/** `df.write.format("graft_table").mode("append"|"overwrite")` — the
+  * ingest front door, routed through [[SnapshotTable]]'s hardened
+  * commit protocol (create-exclusive manifest put with retry, CHECK
+  * constraints, per-file stats/blooms, field-id schema evolution,
+  * txn-keyed idempotence) rather than a parallel implementation:
+  * the plan is declared through Spark's `V1Write` fallback, whose
+  * [[InsertableRelation]] hands this builder the full DataFrame.
+  *
+  * Layout is INHERITED: a hidden-partitioned table routes through
+  * `appendPartitioned` under its recorded spec, and an existing
+  * stats/bloom config indexes the new files too, so a plain
+  * `.write.format(...)` keeps every pruning structure current.
+  * Options: `write_partitions` (target files per unpartitioned batch,
+  * default 8), `stats_col`, `bloom_col`, `txn_writer`+`txn_batch`
+  * (exactly-once replay key). `mode("overwrite")` = atomic TRUNCATE +
+  * INSERT ([[SnapshotTable.overwrite]]); a first write CREATES the
+  * table.
+  */
+private[v2] final class GraftWriteBuilder(path: String,
+                                          props: Map[String, String])
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
+
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+          val spark = data.sparkSession
+          val latest = SnapshotTable.latestVersion(path)
+          val base =
+            if (latest > 0) Some(SnapshotTable.readVersion(spark, path, latest))
+            else None
+          val numParts = props.get("write_partitions").map(_.toInt)
+            .getOrElse(8)
+          val statsCol = props.get("stats_col")
+            .orElse(base.flatMap(_.stats.map(_.col)))
+            .filter(data.columns.contains)
+          val bloomCol = props.get("bloom_col")
+            .orElse(base.flatMap(_.bloom.map(_.col)))
+            .filter(data.columns.contains)
+          val txn = for {
+            w <- props.get("txn_writer"); b <- props.get("txn_batch")
+          } yield (w, b.toLong)
+          if (truncating)
+            SnapshotTable.overwrite(data, path, numParts,
+              statsCol = statsCol, bloomCol = bloomCol, txn = txn)
+          else base.flatMap(_.part) match {
+            case Some(spec) =>
+              SnapshotTable.appendPartitioned(data, path, spec,
+                statsCol = statsCol, txn = txn, bloomCol = bloomCol)
+            case None =>
+              SnapshotTable.append(data, path, numParts,
+                statsCol = statsCol, bloomCol = bloomCol, txn = txn)
+          }
+          ()
+        }
+    }
 }
 
 private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
@@ -589,8 +686,16 @@ private[v2] final class GraftMicroBatchStream(
         "adopt the new schema")
     val endVer = endRes.ver
     val baseFiles: Set[String] =
-      if (a == 0) Set.empty
-      else {
+      if (a == 0) {
+        // the initial snapshot delivers raw file rows — a DV-carrying
+        // version would silently resurrect its deleted rows
+        require(endVer.dvFiles.isEmpty,
+          s"graft_table stream: version $b of ${res.path} carries " +
+            "deletion vectors — the snapshot batch cannot apply the " +
+            "DV anti-join; materializeDeletes(...) first or consume " +
+            "via tailChanges")
+        Set.empty
+      } else {
         val startVer = SnapshotTable.readVersion(spark, res.path, a)
         require(startVer.dvFiles == endVer.dvFiles,
           s"graft_table stream: deletion vectors changed between v$a " +

@@ -177,6 +177,87 @@ class GraftTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write: a first append CREATES the table, later appends " +
+      "commit new versions, and stats/bloom layout is inherited") {
+    import spark.implicits._
+    val path = freshPath()
+    (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+      .write.format("graft_table").mode("append")
+      .option("path", path).option("write_partitions", "4")
+      .option("stats_col", "k").option("bloom_col", "v").save()
+    assert(SnapshotTable.latestVersion(path) === 1)
+    // second write inherits the stats/bloom columns from the manifest
+    (101L to 150L).map(k => (k, k * 2)).toDF("k", "v")
+      .write.format("graft_table").mode("append")
+      .option("path", path).option("write_partitions", "2").save()
+    val ver = SnapshotTable.readVersion(spark, path, 2)
+    assert(ver.stats.exists(_.col == "k") && ver.stats.get.mins.length === 6)
+    assert(ver.bloom.exists(_.col == "v"))
+    val df = spark.read.format("graft_table").option("path", path).load()
+    assert(df.count() === 150)
+    assert(df.agg(sum("v")).head.getLong(0) === (1L to 150L).map(_ * 2).sum)
+    // the inherited stats still prune through the read path
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(df.filter(col("k").between(120L, 140L)).count() === 21)
+    assert(GraftTableSource.lastPlan.get()._1 < 6)
+  }
+
+  test("DSv2 write into a hidden-partitioned table routes through " +
+      "appendPartitioned — partition purity and pruning survive") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.appendPartitioned(
+      (0L until 400L).toDF("x"), path, PartSpec("x", "truncate", 100))
+    (400L until 800L).toDF("x")
+      .write.format("graft_table").mode("append")
+      .option("path", path).save()
+    val df = spark.read.format("graft_table").option("path", path).load()
+    assert(df.count() === 800)
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(df.filter(col("x") === 650L).count() === 1)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(total === 8 && planned === 1,
+      s"partition purity lost through DSv2 write: $planned of $total")
+  }
+
+  test("DSv2 overwrite is an atomic TRUNCATE+INSERT and the prior " +
+      "version still time-travels; txn options are exactly-once") {
+    import spark.implicits._
+    val path = freshPath()
+    (1L to 100L).map(k => (k, "old")).toDF("k", "tag")
+      .write.format("graft_table").mode("append")
+      .option("path", path).save()
+    (1L to 7L).map(k => (k, "new")).toDF("k", "tag")
+      .write.format("graft_table").mode("overwrite")
+      .option("path", path).save()
+    val cur = spark.read.format("graft_table").option("path", path).load()
+    assert(cur.count() === 7)
+    assert(cur.filter(col("tag") === "old").count() === 0)
+    assert(SnapshotTable.readVersion(spark, path, 2).op === "OVERWRITE")
+    // time travel across the overwrite
+    assert(spark.read.format("graft_table").option("path", path)
+      .option("version", "1").load().count() === 100)
+    // a replayed txn batch commits nothing
+    def writeTxn(): Unit =
+      (8L to 9L).map(k => (k, "txn")).toDF("k", "tag")
+        .write.format("graft_table").mode("append")
+        .option("path", path)
+        .option("txn_writer", "w1").option("txn_batch", "5").save()
+    writeTxn(); writeTxn()
+    assert(SnapshotTable.latestVersion(path) === 3)
+    assert(spark.read.format("graft_table").option("path", path)
+      .load().count() === 9)
+    // overwrite on a partitioned table rejects loudly
+    val p2 = freshPath()
+    SnapshotTable.appendPartitioned(
+      (0L until 100L).toDF("x"), p2, PartSpec("x", "truncate", 50))
+    val e = intercept[Exception] {
+      (0L until 10L).toDF("x").write.format("graft_table")
+        .mode("overwrite").option("path", p2).save()
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("DV-carrying versions reject loudly; missing path is loud") {
     import spark.implicits._
     val path = freshPath()
@@ -185,7 +266,7 @@ class GraftTableSourceSpec extends SparkSpec {
       statsCol = Some("k"))
     SnapshotTable.deleteRowsWhere(spark, path, "k = 3")
     val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft_table").option("path", path).load()
+      spark.read.format("graft_table").option("path", path).load().count()
     }
     assert(e.getMessage.contains("deletion"))
     // pre-DV version still serves
