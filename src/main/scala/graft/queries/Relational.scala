@@ -1893,6 +1893,61 @@ object Relational {
       .toDF("n_all", "qty_all", "n_probe", "n_v1", "n_v3", "files_pruned")
   }
 
+  /** q188 — MANIFEST-ANSWERED AGGREGATES through the DSv2 provider:
+    * `SELECT count(*), min(ship_day), max(ship_day)` on the snapshot
+    * table completes as an O(1) metadata read — Spark pushes the
+    * aggregation into the scan builder, the manifest's exact row
+    * counts and per-file [min, max] produce the one-row answer, and
+    * ZERO data files are opened (require-asserted via the pushdown
+    * probe). The 100 TB shape: table-level facts at manifest cost.
+    * The guard rails are part of the query: a FILTERED count must
+    * DECLINE the pushdown (manifest bounds are not exact under a
+    * residual predicate) and still agree with DuckDB, which recomputes
+    * every branch from raw lineitem.
+    */
+  val manifestAgg = QueryDef("q188_manifest_agg",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n,
+      |  (SELECT CAST(min(datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE))) AS BIGINT) FROM lineitem) AS d_min,
+      |  (SELECT CAST(max(datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE))) AS BIGINT) FROM lineitem) AS d_max,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01') AS n_filtered,
+      |  TRUE AS manifest_served""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q188_table")
+    clusterLayouts.compute("q188", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, numPartitions = 8, statsCol = Some("ship_day"))
+      }
+      d
+    })
+    val t = s.read.format("graft_table").option("path", path).load()
+    GraftTableSource.lastAggPush.set(false)
+    val r = t.agg(count(lit(1)).as("n"), min("ship_day").as("d_min"),
+      max("ship_day").as("d_max")).collect().head
+    require(GraftTableSource.lastAggPush.get(),
+      "count/min/max were not manifest-served")
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+    GraftTableSource.lastAggPush.set(false)
+    val nf = t.filter(col("ship_day") >= lo && col("ship_day") < hi).count()
+    require(!GraftTableSource.lastAggPush.get(),
+      "a FILTERED count must not be served from manifest bounds")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), nf, true))
+      .toDF("n", "d_min", "d_max", "n_filtered", "manifest_served")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -2913,5 +2968,5 @@ object Relational {
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
-    runtimePrune, dsv2Write)
+    runtimePrune, dsv2Write, manifestAgg)
 }

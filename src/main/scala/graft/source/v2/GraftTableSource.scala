@@ -91,6 +91,11 @@ object GraftTableSource {
     */
   val lastPlan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
 
+  /** True when the most recent scan in this JVM served a completely
+    * pushed aggregate from the manifest — the spec-facing probe.
+    */
+  val lastAggPush = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   final case class Resolved(path: String, version: Long,
                             ver: SnapshotTable.Version,
                             schema: StructType,
@@ -419,10 +424,14 @@ private[v2] final class GraftWriteBuilder(path: String,
 
 private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources.Filter
+
   private var required: StructType = res.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPush: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -435,8 +444,100 @@ private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(res, required, pushed)
+  /** COUNT(*) / MIN / MAX on the stats column answered from the
+    * MANIFEST — zero data files opened, O(1) regardless of table
+    * size. Sound because the manifest's facts are exact: `rows` is
+    * the committed logical row count (DV-carrying versions never
+    * reach a scan builder) and per-file [min, max] cover every row.
+    * Only complete pushdown with NO grouping and NO filters
+    * qualifies (any residual predicate makes the manifest bounds
+    * approximations); everything else declines and Spark runs the
+    * ordinary scan-side aggregate.
+    */
+  private def translate(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty ||
+        res.ver.files.isEmpty) return None
+    val st = res.ver.stats
+    def statName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 &&
+          st.exists(_.col == f.fieldNames()(0)) => Some(f.fieldNames()(0))
+      case _ => None
+    }
+    // stats are stored as longs; only integral visible types round-trip
+    def typed(c: String, v: Long): Option[(DataType, Any)] =
+      res.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) => Some((LongType, v))
+        case Some(IntegerType) => Some((IntegerType, v.toInt))
+        case _ => None
+      }
+    val fields = Seq.newBuilder[StructField]
+    val vals = Seq.newBuilder[Any]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        vals += res.ver.rows
+      case m: Min =>
+        val c = statName(m.column()).getOrElse(return None)
+        val (dt, v) = typed(c, st.get.mins.min).getOrElse(return None)
+        fields += StructField(s"min_$c", dt); vals += v
+      case m: Max =>
+        val c = statName(m.column()).getOrElse(return None)
+        val (dt, v) = typed(c, st.get.maxs.max).getOrElse(return None)
+        fields += StructField(s"max_$c", dt); vals += v
+      case _ => return None
+    }
+    Some((StructType(fields.result()), vals.result()))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggPush = translate(agg)
+    aggPush.isDefined
+  }
+
+  override def build(): Scan = aggPush match {
+    case Some((schema, vals)) => new GraftAggScan(res, schema, vals)
+    case None => new GraftScan(res, required, pushed)
+  }
 }
+
+/** One-row scan serving a completely-pushed aggregate straight from
+  * the manifest (see [[GraftScanBuilder.translate]]).
+  */
+private[v2] final class GraftAggScan(res: GraftTableSource.Resolved,
+                                     schema: StructType, vals: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_table ${res.path}@v${res.version} MANIFEST-AGGREGATE " +
+      s"[${schema.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    GraftTableSource.lastAggPush.set(true)
+    Array(GraftAggPartition(vals))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vs = partition.asInstanceOf[GraftAggPartition].vals
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(vs)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[v2] final case class GraftAggPartition(vals: Seq[Any])
+    extends InputPartition
 
 private[v2] final class GraftScan(res: GraftTableSource.Resolved,
                                   required: StructType,

@@ -177,6 +177,35 @@ class GraftTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("COUNT(*)/MIN/MAX on the stats column are answered from the " +
+      "manifest — zero data I/O; filters or other columns decline") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v"), path, 10,
+      statsCol = Some("k"))
+    val t = spark.read.format("graft_table").option("path", path).load()
+    GraftTableSource.lastAggPush.set(false)
+    val r = t.agg(count(lit(1)), min("k"), max("k")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1000L, 1L, 1000L)))
+    assert(GraftTableSource.lastAggPush.get(),
+      "aggregate was not manifest-served")
+    // a residual predicate declines the pushdown and stays correct
+    GraftTableSource.lastAggPush.set(false)
+    assert(t.filter(col("k") > 500L).agg(count(lit(1)))
+      .head.getLong(0) === 500L)
+    assert(!GraftTableSource.lastAggPush.get())
+    // min/max on a non-stats column declines
+    GraftTableSource.lastAggPush.set(false)
+    assert(t.agg(max("v")).head.getLong(0) === 2000L)
+    assert(!GraftTableSource.lastAggPush.get())
+    // grouped aggregates decline
+    GraftTableSource.lastAggPush.set(false)
+    assert(t.groupBy((col("k") % 2).as("g")).agg(count(lit(1)))
+      .count() === 2)
+    assert(!GraftTableSource.lastAggPush.get())
+  }
+
   test("DSv2 write: a first append CREATES the table, later appends " +
       "commit new versions, and stats/bloom layout is inherited") {
     import spark.implicits._
