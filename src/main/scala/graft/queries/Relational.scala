@@ -1948,6 +1948,73 @@ object Relational {
       .toDF("n", "d_min", "d_max", "n_filtered", "manifest_served")
   }
 
+  /** q189 — STORAGE-PARTITIONED JOIN: customer and supplier live as
+    * snapshot tables identity-partitioned on nation key, the scans
+    * report `KeyGroupedPartitioning` with per-file partition keys, and
+    * with v2 bucketing enabled Spark joins them FILE-AGAINST-FILE —
+    * the executed plan carries NO hash-partitioning exchange on
+    * either side (require-asserted on the plan text, with broadcast
+    * disabled so the assert can't be satisfied vacuously). This is
+    * the co-located fact↔fact join: at 100 TB the shuffle this
+    * eliminates IS the query cost. DuckDB recomputes the join from
+    * raw customer×supplier; a mis-keyed partition (rows under the
+    * wrong key would join against the wrong files) changes n or a
+    * sum and hash-mismatches.
+    */
+  val spjJoin = QueryDef("q189_spj_join",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS c_sum,
+      |  CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS s_sum,
+      |  TRUE AS no_shuffle
+      |FROM customer c JOIN supplier s
+      |  ON c.c_nationkey = s.s_nationkey""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.PartSpec
+    val p1 = Work.oracleDumpPath("q189_cust")
+    val p2 = Work.oracleDumpPath("q189_supp")
+    clusterLayouts.compute("q189", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(p1))
+        Work.wipe(java.nio.file.Paths.get(p2))
+        SnapshotTable.appendPartitioned(
+          Tables.customer(s, d).select(
+            col("c_nationkey").cast("long").as("nkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("c_acct")),
+          p1, PartSpec("nkey", "identity", 0))
+        SnapshotTable.appendPartitioned(
+          Tables.supplier(s, d).select(
+            col("s_nationkey").cast("long").as("nkey"),
+            floor(col("s_acctbal") * 100).cast("long").as("s_acct")),
+          p2, PartSpec("nkey", "identity", 0))
+      }
+      d
+    })
+    val t1 = s.read.format("graft_table").option("path", p1).load()
+    val t2 = s.read.format("graft_table").option("path", p2).load()
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    val (r, plan) = try {
+      val j = t1.join(t2, "nkey")
+        .agg(count(lit(1)).as("n"), sum("c_acct").as("c_sum"),
+          sum("s_acct").as("s_sum"))
+      (j.collect().head, j.queryExecution.executedPlan.toString)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join still shuffles:\n$plan")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n", "c_sum", "s_sum", "no_shuffle")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -2968,5 +3035,5 @@ object Relational {
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
-    runtimePrune, dsv2Write, manifestAgg)
+    runtimePrune, dsv2Write, manifestAgg, spjJoin)
 }

@@ -543,9 +543,37 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
                                   required: StructType,
                                   pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STORAGE-PARTITIONED JOIN: an identity-partitioned table reports
+    * `KeyGroupedPartitioning` over its partition source, and every
+    * input partition carries its key — with
+    * `spark.sql.sources.v2.bucketing.enabled`, Spark groups the files
+    * by key and a join (or aggregate) on that column needs NO shuffle
+    * of this side at all: two co-partitioned snapshot tables join
+    * file-against-file, the plan a 100 TB fact↔fact join requires.
+    * Non-identity transforms stay `UnknownPartitioning`: truncate/
+    * bucket keys would need a FunctionCatalog for Catalyst to prove
+    * both sides agree, and the provider is catalog-less by design.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    res.ver.part match {
+      case Some(p) if p.transform == "identity" &&
+          required.fieldNames.contains(p.source) =>
+        val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
+        val pv = res.ver.partValues.get
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .column(p.source)),
+            kept.map(pv).distinct.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(res.ver.files.length)
+    }
 
   /** Manifest-derived statistics, AFTER static pruning: Catalyst sees
     * the bytes/rows of the files a query will actually read, so a
@@ -612,9 +640,14 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
     plannedFiles = kept.length
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
+    val identityKeyed = res.ver.part.exists(p =>
+      p.transform == "identity" && required.fieldNames.contains(p.source))
     kept.map { i =>
-      GraftFilePartition(res.ver.files(i), res.filePhysical(i),
+      val base = GraftFilePartition(res.ver.files(i), res.filePhysical(i),
         required.fields.map(f => f.name -> f.dataType.catalogString))
+      if (identityKeyed)
+        KeyedFilePartition(base, res.ver.partValues.get(i))
+      else base: InputPartition
     }.toArray
   }
 
@@ -626,11 +659,21 @@ private[v2] final case class GraftFilePartition(
     file: String, physical: Map[String, String],
     required: Array[(String, String)]) extends InputPartition
 
+/** A file partition of an identity-partitioned table, carrying its
+  * partition value so Spark can key-group partitions for
+  * storage-partitioned joins.
+  */
+private[v2] final case class KeyedFilePartition(p: GraftFilePartition,
+                                                key: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(key)
+}
+
 private[v2] final class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
-    new GraftPartitionReader(p)
+      : PartitionReader[InternalRow] = partition match {
+    case KeyedFilePartition(p, _) => new GraftPartitionReader(p)
+    case p: GraftFilePartition => new GraftPartitionReader(p)
   }
 }
 

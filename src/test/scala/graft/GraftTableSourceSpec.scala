@@ -287,6 +287,37 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("storage-partitioned join: two identity-partitioned tables " +
+      "join with NO shuffle on either side; groupBy on the partition " +
+      "key also skips the exchange") {
+    import spark.implicits._
+    val p1 = freshPath(); val p2 = freshPath()
+    SnapshotTable.appendPartitioned(
+      (0L until 400L).map(i => (i % 8, i)).toDF("g", "v"),
+      p1, PartSpec("g", "identity", 0))
+    SnapshotTable.appendPartitioned(
+      (0L until 80L).map(i => (i % 8, i * 10)).toDF("g", "w"),
+      p2, PartSpec("g", "identity", 0))
+    val t1 = spark.read.format("graft_table").option("path", p1).load()
+    val t2 = spark.read.format("graft_table").option("path", p2).load()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = t1.join(t2, "g")
+      assert(j.count() === 400L * 10)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffles:\n$plan")
+      // single-table aggregate on the partition key: no shuffle either
+      val a = t1.groupBy("g").agg(sum("v").as("sv"))
+      assert(a.count() === 8)
+      val aPlan = a.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange hashpartitioning"),
+        s"groupBy on partition key still shuffles:\n$aPlan")
+    }
+  }
+
   test("DV-carrying versions reject loudly; missing path is loud") {
     import spark.implicits._
     val path = freshPath()
