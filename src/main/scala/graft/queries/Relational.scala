@@ -2015,6 +2015,78 @@ object Relational {
       .toDF("n", "c_sum", "s_sum", "no_shuffle")
   }
 
+  /** q190 — the SQL CATALOG lifecycle: everything q187 does through
+    * the DataFrame writer happens here in PURE SQL against a
+    * registered `GraftCatalog` — CREATE TABLE with a hidden
+    * `truncate(32, ship_day)` partition transform and a stats
+    * TBLPROPERTY, two INSERT INTO commits, a WHERE-range SELECT whose
+    * partition pruning is require-asserted (the transform lives in
+    * the manifest, the predicate is plain SQL on the source column),
+    * VERSION AS OF time travel back across the second insert, and a
+    * metadata-only ALTER TABLE RENAME COLUMN whose new name serves
+    * the final aggregate. DuckDB recomputes every branch from raw
+    * lineitem; nothing here touches a bespoke API — a Delta/Iceberg
+    * user's day-one workflow, answered by the same manifests.
+    */
+  val sqlCatalog = QueryDef("q190_sql_catalog",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+      |      AND l_shipdate < TIMESTAMP '1996-09-16') AS n_probe,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+      |      AND l_shipdate < TIMESTAMP '1996-09-16') AS qty_probe,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1997-01-01') AS n_v1,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem) AS qty_renamed,
+      |  TRUE AS files_pruned""".stripMargin) { (s, d) =>
+    import graft.source.v2.GraftTableSource
+    val wh = Work.oracleDumpPath("q190_warehouse")
+    s.conf.set("spark.sql.catalog.graft_wh",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_wh.root", wh)
+    clusterLayouts.compute("q190", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q190_src")
+        s.sql("""CREATE TABLE graft_wh.q190.li (ship_day BIGINT, qty_u BIGINT)
+          PARTITIONED BY (truncate(32, ship_day))""")
+        s.sql("INSERT INTO graft_wh.q190.li " +
+          "SELECT ship_day, qty_u FROM q190_src WHERE ship_day < 9862")
+        s.sql("INSERT INTO graft_wh.q190.li " +
+          "SELECT ship_day, qty_u FROM q190_src WHERE ship_day >= 9862")
+        s.sql("ALTER TABLE graft_wh.q190.li RENAME COLUMN qty_u TO qty")
+      }
+      d
+    })
+    val plo = java.time.LocalDate.of(1996, 3, 15).toEpochDay
+    val phi = java.time.LocalDate.of(1996, 9, 15).toEpochDay
+    GraftTableSource.lastPlan.set((-1, -1))
+    val probe = s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS q
+         |FROM graft_wh.q190.li
+         |WHERE ship_day >= $plo AND ship_day <= $phi""".stripMargin)
+      .collect().head
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    require(planned > 0 && planned < total,
+      s"SQL partition pruning failed: planned $planned of $total files")
+    val nV1 = s.sql(
+      "SELECT count(*) FROM graft_wh.q190.li VERSION AS OF 1")
+      .head.getLong(0)
+    val qtyAll = s.sql(
+      "SELECT CAST(sum(qty) AS BIGINT) FROM graft_wh.q190.li")
+      .head.getLong(0)
+    import s.implicits._
+    Seq((probe.getLong(0), probe.getLong(1), nV1, qtyAll, true))
+      .toDF("n_probe", "qty_probe", "n_v1", "qty_renamed", "files_pruned")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -3035,5 +3107,5 @@ object Relational {
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
-    runtimePrune, dsv2Write, manifestAgg, spjJoin)
+    runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog)
 }

@@ -1,0 +1,245 @@
+package graft.source.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.{SnapshotTable, TableIo}
+
+/** The snapshot table as a Spark SQL CATALOG — the front door that
+  * makes the whole table layer plain SQL:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.source.v2.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse
+  *
+  *   CREATE TABLE graft.db.t (k BIGINT, v STRING)
+  *     PARTITIONED BY (bucket(8, k))
+  *   INSERT INTO graft.db.t SELECT ...
+  *   SELECT * FROM graft.db.t VERSION AS OF 3
+  *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   ALTER TABLE graft.db.t RENAME COLUMN v TO label
+  *   ALTER TABLE graft.db.t DROP COLUMN label
+  *   DROP TABLE graft.db.t
+  * }}}
+  *
+  * Identifiers map to directories (`root/ns.../name`); a table exists
+  * when its `log/` holds a manifest or a CREATE marker. CREATE TABLE
+  * records intent only (schema DDL + partition spec + stats/bloom
+  * layout via TBLPROPERTIES `stats_col`/`bloom_col`) — the first
+  * INSERT commits version 1 under that layout through the same
+  * create-exclusive protocol every other commit uses, so DDL adds no
+  * second metadata plane. ALTERs are [[SnapshotTable.renameColumn]]/
+  * [[SnapshotTable.dropColumn]] — metadata-only commits by field id —
+  * or a marker rewrite while the table is still empty. ADD COLUMN is
+  * deliberately absent: columns enter by appending data that carries
+  * them (the manifest's add-only evolution), keeping "a column with
+  * no type-bearing file" unrepresentable.
+  *
+  * Supported column types: the graft_table scalar surface (BOOLEAN,
+  * INT, BIGINT, FLOAT, DOUBLE, STRING, BINARY). Partition transforms:
+  * identity / bucket(n, col) / truncate(w, col) over a BIGINT source.
+  */
+final class GraftCatalog extends TableCatalog {
+  private var cname: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    cname = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog $name needs spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = cname
+
+  private def io: TableIo = TableIo.forPath(root)
+
+  private def pathOf(ident: Identifier): String =
+    (root +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def existsAt(p: String): Boolean =
+    SnapshotTable.latestVersion(p) > 0 ||
+      GraftTableSource.readMarker(p).isDefined
+
+  override def tableExists(ident: Identifier): Boolean =
+    existsAt(pathOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (root +: namespace.toSeq).mkString("/")
+    if (!io.exists(dir)) return Array.empty
+    io.listNames(dir)
+      .filter(n => existsAt(s"$dir/$n"))
+      .sorted
+      .map(n => Identifier.of(namespace, n))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!existsAt(p)) throw new NoSuchTableException(ident)
+    new GraftTable(Map("path" -> p))
+  }
+
+  /** SELECT ... VERSION AS OF v */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!existsAt(p)) throw new NoSuchTableException(ident)
+    new GraftTable(Map("path" -> p, "version" -> version))
+  }
+
+  /** SELECT ... TIMESTAMP AS OF ts — Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!existsAt(p)) throw new NoSuchTableException(ident)
+    new GraftTable(Map("path" -> p,
+      "timestamp_ms" -> (timestamp / 1000L).toString))
+  }
+
+  private val supportedTypes: Set[DataType] = Set(BooleanType,
+    IntegerType, LongType, FloatType, DoubleType, StringType, BinaryType)
+
+  private def toPartSpec(t: Transform,
+                         schema: StructType): SnapshotTable.PartSpec = {
+    def ref(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: Expression): Option[Long] = e match {
+      case l: Literal[_] => l.value() match {
+        case n: Number => Some(n.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    val args = t.arguments().toSeq
+    val spec = t.name() match {
+      case "identity" =>
+        SnapshotTable.PartSpec(args.flatMap(ref).headOption.getOrElse(
+          fail(t)), "identity", 0L)
+      case n @ ("bucket" | "truncate") =>
+        val c = args.flatMap(ref).headOption.getOrElse(fail(t))
+        val w = args.flatMap(lit).headOption.getOrElse(fail(t))
+        SnapshotTable.PartSpec(c, n, w)
+      case _ => fail(t)
+    }
+    require(schema.fields.exists(f =>
+        f.name == spec.source && f.dataType == LongType),
+      s"partition source ${spec.source} must be a BIGINT column — the " +
+        "driver-side probe mirror and the executor hash must agree on " +
+        "input width")
+    spec
+  }
+
+  private def fail(t: Transform): Nothing =
+    throw new UnsupportedOperationException(
+      s"unsupported partition transform $t — use identity(col), " +
+        "bucket(n, col) or truncate(w, col)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (existsAt(p)) throw new TableAlreadyExistsException(ident)
+    schema.fields.foreach { f =>
+      require(supportedTypes(f.dataType),
+        s"column ${f.name} has unsupported type ${f.dataType} — the " +
+          "graft catalog serves scalar snapshot tables")
+    }
+    require(partitions.length <= 1,
+      "snapshot tables take at most one partition transform")
+    val part = partitions.headOption.map(toPartSpec(_, schema))
+    val props = properties.asScala
+    def layoutCol(key: String): Option[String] = props.get(key).map { c =>
+      require(schema.fieldNames.contains(c),
+        s"$key=$c is not a column of the table")
+      c
+    }
+    GraftTableSource.writeMarker(p, GraftTableSource.Marker(
+      schema, part, layoutCol("stats_col"), layoutCol("bloom_col")))
+    new GraftTable(Map("path" -> p))
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!existsAt(p)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "nested columns are not part of the snapshot-table surface")
+        if (SnapshotTable.latestVersion(p) > 0)
+          SnapshotTable.renameColumn(spark, p, r.fieldNames()(0),
+            r.newName())
+        else alterMarker(p) { m =>
+          val old = r.fieldNames()(0)
+          val i = m.schema.fieldIndex(old)
+          require(!m.schema.fieldNames.contains(r.newName()),
+            s"column ${r.newName()} already exists")
+          // declared layout follows the rename (nothing is committed)
+          m.copy(
+            schema = StructType(m.schema.fields.updated(i,
+              m.schema.fields(i).copy(name = r.newName()))),
+            part = m.part.map(sp =>
+              if (sp.source == old) sp.copy(source = r.newName()) else sp),
+            statsCol = m.statsCol.map(c =>
+              if (c == old) r.newName() else c),
+            bloomCol = m.bloomCol.map(c =>
+              if (c == old) r.newName() else c))
+        }
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "nested columns are not part of the snapshot-table surface")
+        if (SnapshotTable.latestVersion(p) > 0)
+          SnapshotTable.dropColumn(spark, p, d.fieldNames()(0))
+        else alterMarker(p) { m =>
+          val i = m.schema.fieldIndex(d.fieldNames()(0))
+          require(m.schema.length > 1, "cannot drop the last column")
+          m.copy(schema = StructType(m.schema.fields.patch(i, Nil, 1)))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER $other — columns are ADDED by appending " +
+          "data that carries them (field-id evolution); rename/drop " +
+          "are the metadata-only ALTERs")
+    }
+    loadTable(ident)
+  }
+
+  private def alterMarker(p: String)(
+      f: GraftTableSource.Marker => GraftTableSource.Marker): Unit = {
+    val m = GraftTableSource.readMarker(p).getOrElse(
+      throw new IllegalStateException(s"no CREATE marker at $p"))
+    val next = f(m)
+    // layout columns follow a rename only while nothing is committed
+    require(next.part.forall(sp =>
+        next.schema.fieldNames.contains(sp.source)) &&
+        next.statsCol.forall(next.schema.fieldNames.contains) &&
+        next.bloomCol.forall(next.schema.fieldNames.contains),
+      "ALTER would orphan the declared partition/stats/bloom layout " +
+        "column — re-create the table with a consistent layout")
+    GraftTableSource.rewriteMarker(p, next)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    if (!existsAt(p)) return false
+    io.deleteDir(p)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "renameTable moves the table directory; the log is path-relative " +
+        "and self-contained, so move it in storage and re-address it")
+}

@@ -108,6 +108,60 @@ object GraftTableSource {
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Resolved]()
 
+  /** CREATE TABLE intent for a table with no committed versions yet:
+    * the declared schema (types included — nothing else can know them
+    * before the first data file exists), the partition spec, and the
+    * stats/bloom layout the first append must honor. Written once,
+    * create-exclusive, at `log/table.json`; superseded by manifests as
+    * soon as version 1 commits (schema/layout then live in the log).
+    */
+  final case class Marker(schema: StructType,
+                          part: Option[SnapshotTable.PartSpec],
+                          statsCol: Option[String],
+                          bloomCol: Option[String])
+
+  private def markerPath(path: String): String = s"$path/log/table.json"
+
+  private def renderMarker(m: Marker): String = {
+    val fields = scala.collection.mutable.ArrayBuffer(
+      "schema_ddl" -> graft.Json.quote(m.schema.toDDL))
+    m.part.foreach { p =>
+      fields += "part_source" -> graft.Json.quote(p.source)
+      fields += "part_transform" -> graft.Json.quote(p.transform)
+      fields += "part_param" -> p.param.toString
+    }
+    m.statsCol.foreach(c => fields += "stats_col" -> graft.Json.quote(c))
+    m.bloomCol.foreach(c => fields += "bloom_col" -> graft.Json.quote(c))
+    graft.Json.obj(fields.toSeq)
+  }
+
+  def writeMarker(path: String, m: Marker): Unit = {
+    val io = graft.ops.TableIo.forPath(path)
+    io.mkdirs(s"$path/log")
+    io.createExclusive(markerPath(path), renderMarker(m))
+  }
+
+  def readMarker(path: String): Option[Marker] = {
+    val p = markerPath(path)
+    if (!graft.ops.TableIo.forPath(path).exists(p)) return None
+    val df = SparkSession.active.read.json(p)
+    val r = df.collect().head
+    val part =
+      if (df.columns.contains("part_source"))
+        Some(SnapshotTable.PartSpec(r.getAs[String]("part_source"),
+          r.getAs[String]("part_transform"), r.getAs[Long]("part_param")))
+      else None
+    def opt(c: String): Option[String] =
+      if (df.columns.contains(c)) Option(r.getAs[String](c)) else None
+    Some(Marker(StructType.fromDDL(r.getAs[String]("schema_ddl")), part,
+      opt("stats_col"), opt("bloom_col")))
+  }
+
+  /** Replace the marker (pre-first-commit ALTER on an empty table). */
+  def rewriteMarker(path: String, m: Marker): Unit =
+    graft.ops.TableIo.forPath(path)
+      .writeAtomic(markerPath(path), renderMarker(m))
+
   def resolve(props: Map[String, String]): Resolved = {
     val spark = SparkSession.active
     val path = props.getOrElse("path",
@@ -343,15 +397,30 @@ private[v2] final class GraftTable(props: Map[String, String])
 
   override def name(): String = s"graft_table($path)"
   override def schema(): StructType =
-    if (SnapshotTable.latestVersion(path) == 0L) new StructType()
+    if (SnapshotTable.latestVersion(path) == 0L)
+      GraftTableSource.readMarker(path).map(_.schema)
+        .getOrElse(new StructType())
     else GraftTableSource.resolve(props).schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    // a known schema (committed versions or a CREATE TABLE marker)
+    // gets Spark's ordinary write-side validation; only a
+    // create-on-first-write path-based target accepts any schema
+    if (schema().isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(GraftTableSource.resolveForScan(props))
+    if (SnapshotTable.latestVersion(path) == 0L &&
+        props.get("version").isEmpty && props.get("timestamp_ms").isEmpty)
+      GraftTableSource.readMarker(path) match {
+        // a created-but-never-written table scans as zero rows
+        case Some(m) => new GraftEmptyScanBuilder(m.schema)
+        case None => new GraftScanBuilder(GraftTableSource.resolveForScan(props))
+      }
+    else new GraftScanBuilder(GraftTableSource.resolveForScan(props))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -395,21 +464,31 @@ private[v2] final class GraftWriteBuilder(path: String,
           val base =
             if (latest > 0) Some(SnapshotTable.readVersion(spark, path, latest))
             else None
+          // a version-less table may still carry CREATE TABLE intent:
+          // the first insert honors the marker's layout
+          val marker =
+            if (base.isEmpty) GraftTableSource.readMarker(path) else None
           val numParts = props.get("write_partitions").map(_.toInt)
             .getOrElse(8)
           val statsCol = props.get("stats_col")
             .orElse(base.flatMap(_.stats.map(_.col)))
+            .orElse(marker.flatMap(_.statsCol))
             .filter(data.columns.contains)
           val bloomCol = props.get("bloom_col")
             .orElse(base.flatMap(_.bloom.map(_.col)))
+            .orElse(marker.flatMap(_.bloomCol))
             .filter(data.columns.contains)
           val txn = for {
             w <- props.get("txn_writer"); b <- props.get("txn_batch")
           } yield (w, b.toLong)
-          if (truncating)
+          val part = base.flatMap(_.part).orElse(marker.flatMap(_.part))
+          if (truncating) {
+            require(part.isEmpty,
+              s"table is hidden-partitioned (${part.get}) — a plain " +
+                "overwrite would break partition purity")
             SnapshotTable.overwrite(data, path, numParts,
               statsCol = statsCol, bloomCol = bloomCol, txn = txn)
-          else base.flatMap(_.part) match {
+          } else part match {
             case Some(spec) =>
               SnapshotTable.appendPartitioned(data, path, spec,
                 statsCol = statsCol, txn = txn, bloomCol = bloomCol)
@@ -538,6 +617,28 @@ private[v2] final class GraftAggScan(res: GraftTableSource.Resolved,
 
 private[v2] final case class GraftAggPartition(vals: Seq[Any])
     extends InputPartition
+
+/** Scan of a CREATEd table with no committed versions: the marker's
+  * schema, zero partitions.
+  */
+private[v2] final class GraftEmptyScanBuilder(schema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String = "graft_table EMPTY (no versions)"
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(partition: InputPartition)
+            : PartitionReader[InternalRow] =
+          throw new IllegalStateException("empty scan has no partitions")
+      }
+  }
+}
 
 private[v2] final class GraftScan(res: GraftTableSource.Resolved,
                                   required: StructType,

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.SnapshotTable
+import graft.source.v2.GraftTableSource
+
+/** The snapshot table as a Spark SQL catalog: CREATE TABLE (with
+  * partition transforms + layout TBLPROPERTIES), INSERT INTO routed
+  * through the commit protocol, SELECT with manifest pruning, VERSION
+  * AS OF / TIMESTAMP AS OF, metadata-only ALTERs, SHOW TABLES, DROP.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("gcat").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.source.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("CREATE / INSERT / SELECT / time travel / ALTER / DROP — " +
+      "the whole lifecycle in pure SQL") {
+    root
+    spark.sql("""CREATE TABLE graft.db.t (k BIGINT, v BIGINT, tag STRING)
+      PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('stats_col'='v')""")
+    // a created-but-never-written table scans as zero rows
+    assert(spark.sql("SELECT * FROM graft.db.t").count() === 0)
+    assert(spark.table("graft.db.t").columns.toSeq
+      === Seq("k", "v", "tag"))
+
+    spark.sql("INSERT INTO graft.db.t " +
+      "SELECT id AS k, id * 2 AS v, 'a' AS tag FROM range(100)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t")
+      .head.getLong(0) === 100)
+    spark.sql("INSERT INTO graft.db.t " +
+      "SELECT id, id * 2, 'b' FROM range(100, 150)")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.t")
+      .head.getLong(0) === (0L until 150L).map(_ * 2).sum)
+
+    // the marker's layout reached the manifest: bucket partitioning
+    // prunes a SQL equality, stats prune a range
+    val p = s"$root/db/t"
+    val ver = SnapshotTable.readVersion(spark,
+      p, SnapshotTable.latestVersion(p))
+    assert(ver.part.exists(_.transform == "bucket"))
+    assert(ver.stats.exists(_.col == "v"))
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(spark.sql("SELECT * FROM graft.db.t WHERE k = 7").count() === 1)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(planned < total, s"bucket pruning failed: $planned of $total")
+
+    // time travel: version and wall clock
+    assert(spark.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 1")
+      .head.getLong(0) === 100)
+    assert(spark.sql("SELECT count(*) FROM graft.db.t " +
+      "TIMESTAMP AS OF '2099-01-01 00:00:00'").head.getLong(0) === 150)
+
+    // metadata-only ALTERs by field id
+    spark.sql("ALTER TABLE graft.db.t RENAME COLUMN tag TO label")
+    assert(spark.sql("SELECT label FROM graft.db.t WHERE label = 'b'")
+      .count() === 50)
+    spark.sql("ALTER TABLE graft.db.t DROP COLUMN label")
+    assert(spark.table("graft.db.t").columns.toSeq === Seq("k", "v"))
+    // old version still reads under its own names
+    assert(spark.sql("SELECT tag FROM graft.db.t VERSION AS OF 1")
+      .where("tag = 'a'").count() === 100)
+
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE graft.db.t")
+    assert(!spark.catalog.tableExists("graft.db.t"))
+  }
+
+  test("pre-commit ALTER rewrites the CREATE marker and keeps the " +
+      "declared layout consistent; bad layouts reject at CREATE") {
+    root
+    spark.sql("""CREATE TABLE graft.db.m (a BIGINT, b BIGINT)
+      PARTITIONED BY (a) TBLPROPERTIES ('bloom_col'='b')""")
+    spark.sql("ALTER TABLE graft.db.m RENAME COLUMN a TO key")
+    assert(spark.table("graft.db.m").columns.toSeq === Seq("key", "b"))
+    // first insert honors the renamed layout
+    spark.sql("INSERT INTO graft.db.m SELECT id, id FROM range(40)")
+    val p = s"$root/db/m"
+    val ver = SnapshotTable.readVersion(spark, p, 1)
+    assert(ver.part.exists(sp =>
+      sp.source == "key" && sp.transform == "identity"))
+    assert(ver.bloom.exists(_.col == "b"))
+    spark.sql("DROP TABLE graft.db.m")
+
+    // a non-BIGINT partition source rejects at CREATE
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.db.bad (s STRING, x BIGINT)
+        PARTITIONED BY (s)""")
+    }
+    assert(e.getMessage.contains("BIGINT"))
+    // unsupported column types reject at CREATE
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.bad2 (m MAP<STRING,STRING>)")
+    }
+    assert(e2.getMessage.contains("unsupported type"))
+  }
+}
