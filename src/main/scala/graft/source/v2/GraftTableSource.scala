@@ -503,7 +503,8 @@ private[v2] final class GraftWriteBuilder(path: String,
 
 private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources.Filter
@@ -511,9 +512,21 @@ private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
   private var required: StructType = res.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggPush: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT n plans only enough FILES to cover n rows (manifest row
+    * counts are exact) — `SELECT * FROM t LIMIT 10` on a 100 TB table
+    * opens one file. PARTIAL pushdown: Spark re-applies the limit, so
+    * over-delivery within the kept files is harmless.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
@@ -579,7 +592,7 @@ private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
 
   override def build(): Scan = aggPush match {
     case Some((schema, vals)) => new GraftAggScan(res, schema, vals)
-    case None => new GraftScan(res, required, pushed)
+    case None => new GraftScan(res, required, pushed, limit)
   }
 }
 
@@ -642,7 +655,8 @@ private[v2] final class GraftEmptyScanBuilder(schema: StructType)
 
 private[v2] final class GraftScan(res: GraftTableSource.Resolved,
                                   required: StructType,
-                                  pushed: Array[org.apache.spark.sql.sources.Filter])
+                                  pushed: Array[org.apache.spark.sql.sources.Filter],
+                                  limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -662,7 +676,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     res.ver.part match {
-      case Some(p) if p.transform == "identity" &&
+      case Some(p) if p.transform == "identity" && limit.isEmpty &&
           required.fieldNames.contains(p.source) =>
         val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
         val pv = res.ver.partValues.get
@@ -738,10 +752,23 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
+    val pruned = GraftTableSource.pruneFiles(res, pushed ++ runtime)
+    // a pushed LIMIT keeps only enough files to cover n rows (partial
+    // pushdown: Spark re-applies the limit on the delivered rows)
+    val kept = limit match {
+      case Some(n) if res.ver.fileRows.isDefined =>
+        val fr = res.ver.fileRows.get
+        var cum = 0L
+        pruned.takeWhile { i =>
+          val need = cum < n
+          cum += fr(i)
+          need
+        }
+      case _ => pruned
+    }
     plannedFiles = kept.length
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
-    val identityKeyed = res.ver.part.exists(p =>
+    val identityKeyed = limit.isEmpty && res.ver.part.exists(p =>
       p.transform == "identity" && required.fieldNames.contains(p.source))
     kept.map { i =>
       val base = GraftFilePartition(res.ver.files(i), res.filePhysical(i),

@@ -318,6 +318,23 @@ class GraftTableSourceSpec extends SparkSpec {
     }
   }
 
+  test("LIMIT opens only enough files to cover n rows") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 1000L).map(k => (k, k * 2)).toDF("k", "v"), path, 10,
+      statsCol = Some("k"))
+    val t = spark.read.format("graft_table").option("path", path).load()
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(t.limit(7).collect().length === 7)
+    assert(GraftTableSource.lastPlan.get()._1 === 1,
+      s"LIMIT 7 planned ${GraftTableSource.lastPlan.get()._1} files")
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(t.limit(150).collect().length === 150)
+    assert(GraftTableSource.lastPlan.get()._1 === 2,
+      s"LIMIT 150 planned ${GraftTableSource.lastPlan.get()._1} files")
+  }
+
   test("DV-carrying versions reject loudly; missing path is loud") {
     import spark.implicits._
     val path = freshPath()
