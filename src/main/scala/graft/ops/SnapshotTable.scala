@@ -803,6 +803,41 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** SQL TRUNCATE TABLE: commit a version with ZERO files — a pure
+    * metadata operation at any table size (the COW/MOR delete
+    * economics' third point, for the everything case). The visible
+    * schema and partition spec carry (future appends keep the layout
+    * and naming epochs); stats/bloom configs drop with the files they
+    * described; prior versions stay time-travelable until [[expire]].
+    * Blind retry is sound: the result does not depend on the base.
+    */
+  def truncate(spark: SparkSession, path: String): Long = {
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      require(prev > 0, s"snapshot table $path does not exist")
+      val base = readVersion(spark, path, prev)
+      require(base.schemaIds.isDefined,
+        s"$path predates field-id schema tracking — an empty version " +
+          "would lose the column types; recreate the table to upgrade")
+      val v = prev + 1
+      val meta = base.schemaIds.map(ids => SchemaMeta(ids,
+        base.schemaNames.get, Seq.empty, base.epoch, base.droppedIds,
+        base.schemaMaxId, base.schemaAltered))
+      val manifest = renderManifest(v, Seq.empty, Seq.empty, Seq.empty,
+        None, None, base.txns, base.part,
+        base.part.map(_ => Seq.empty), op = "TRUNCATE", schema = meta)
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"truncate of $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   // ------------------------------------------------- hidden partitioning
 
   /** Per-file facts for a batch written with `partitionBy("__p")`: the

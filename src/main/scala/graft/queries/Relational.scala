@@ -2043,10 +2043,13 @@ object Relational {
       |    FROM lineitem) AS qty_renamed,
       |  TRUE AS files_pruned""".stripMargin) { (s, d) =>
     import graft.source.v2.GraftTableSource
+    // one catalog name per query: Spark caches catalog instances by
+    // name after first initialization, so a shared name would pin the
+    // first query's root for everyone
     val wh = Work.oracleDumpPath("q190_warehouse")
-    s.conf.set("spark.sql.catalog.graft_wh",
+    s.conf.set("spark.sql.catalog.graft_q190",
       "graft.source.v2.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_wh.root", wh)
+    s.conf.set("spark.sql.catalog.graft_q190.root", wh)
     clusterLayouts.compute("q190", (_, prev) => {
       if (prev != d) {
         Work.wipe(java.nio.file.Paths.get(wh))
@@ -2055,13 +2058,13 @@ object Relational {
             .as("ship_day"),
           floor(col("l_quantity") * 100).cast("long").as("qty_u"))
           .createOrReplaceTempView("q190_src")
-        s.sql("""CREATE TABLE graft_wh.q190.li (ship_day BIGINT, qty_u BIGINT)
+        s.sql("""CREATE TABLE graft_q190.q190.li (ship_day BIGINT, qty_u BIGINT)
           PARTITIONED BY (truncate(32, ship_day))""")
-        s.sql("INSERT INTO graft_wh.q190.li " +
+        s.sql("INSERT INTO graft_q190.q190.li " +
           "SELECT ship_day, qty_u FROM q190_src WHERE ship_day < 9862")
-        s.sql("INSERT INTO graft_wh.q190.li " +
+        s.sql("INSERT INTO graft_q190.q190.li " +
           "SELECT ship_day, qty_u FROM q190_src WHERE ship_day >= 9862")
-        s.sql("ALTER TABLE graft_wh.q190.li RENAME COLUMN qty_u TO qty")
+        s.sql("ALTER TABLE graft_q190.q190.li RENAME COLUMN qty_u TO qty")
       }
       d
     })
@@ -2070,21 +2073,79 @@ object Relational {
     GraftTableSource.lastPlan.set((-1, -1))
     val probe = s.sql(
       s"""SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS q
-         |FROM graft_wh.q190.li
+         |FROM graft_q190.q190.li
          |WHERE ship_day >= $plo AND ship_day <= $phi""".stripMargin)
       .collect().head
     val (planned, total) = GraftTableSource.lastPlan.get()
     require(planned > 0 && planned < total,
       s"SQL partition pruning failed: planned $planned of $total files")
     val nV1 = s.sql(
-      "SELECT count(*) FROM graft_wh.q190.li VERSION AS OF 1")
+      "SELECT count(*) FROM graft_q190.q190.li VERSION AS OF 1")
       .head.getLong(0)
     val qtyAll = s.sql(
-      "SELECT CAST(sum(qty) AS BIGINT) FROM graft_wh.q190.li")
+      "SELECT CAST(sum(qty) AS BIGINT) FROM graft_q190.q190.li")
       .head.getLong(0)
     import s.implicits._
     Seq((probe.getLong(0), probe.getLong(1), nV1, qtyAll, true))
       .toDF("n_probe", "qty_probe", "n_v1", "qty_renamed", "files_pruned")
+  }
+
+  /** q191 — SQL DELETE: `DELETE FROM ... WHERE` through the catalog —
+    * the predicate lands as a merge-on-read deletion-vector commit
+    * immediately folded into a bounded rewrite (history reads
+    * APPEND / DELETE / OPTIMIZE, asserted in-query), so a SQL user
+    * gets COW-delete economics with zero bespoke API and the reader
+    * never sees a DV. Deleting one year from seven; DuckDB recomputes
+    * the survivor aggregate and the pre-delete travel from raw
+    * lineitem — an over- or under-deleted row changes n/qty and
+    * hash-mismatches.
+    */
+  val sqlDelete = QueryDef("q191_sql_delete",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01') AS n_after,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |       OR l_shipdate >= TIMESTAMP '1997-01-01') AS qty_after,
+      |  (SELECT count(*) FROM lineitem) AS n_v1,
+      |  TRUE AS folded""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val wh = Work.oracleDumpPath("q191_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q191",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q191.root", wh)
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+    clusterLayouts.compute("q191", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q191_src")
+        s.sql("""CREATE TABLE graft_q191.q191.li (ship_day BIGINT, qty_u BIGINT)
+          TBLPROPERTIES ('stats_col'='ship_day')""")
+        s.sql("INSERT INTO graft_q191.q191.li SELECT * FROM q191_src")
+        s.sql("DELETE FROM graft_q191.q191.li " +
+          s"WHERE ship_day >= $lo AND ship_day < $hi")
+      }
+      d
+    })
+    val path = s"$wh/q191/li"
+    val ver = SnapshotTable.readVersion(s, path,
+      SnapshotTable.latestVersion(path))
+    require(ver.dvFiles.isEmpty && ver.op == "OPTIMIZE",
+      s"DELETE did not fold: op=${ver.op}, dvFiles=${ver.dvFiles.length}")
+    val after = s.sql("SELECT count(*) AS n, CAST(sum(qty_u) AS BIGINT)" +
+      " AS q FROM graft_q191.q191.li").collect().head
+    val nV1 = s.sql("SELECT count(*) FROM graft_q191.q191.li VERSION AS OF 1")
+      .head.getLong(0)
+    import s.implicits._
+    Seq((after.getLong(0), after.getLong(1), nV1, true))
+      .toDF("n_after", "qty_after", "n_v1", "folded")
   }
 
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
@@ -3107,5 +3168,5 @@ object Relational {
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
-    runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog)
+    runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete)
 }

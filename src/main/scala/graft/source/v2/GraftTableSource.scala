@@ -235,6 +235,27 @@ object GraftTableSource {
         }
       }
     }
+    // a ZERO-file version (TRUNCATE) has no footers to type from: walk
+    // back to the newest prior version that had files and carry its
+    // types BY FIELD ID (types never change per the append contract)
+    if (ver.files.isEmpty && ver.schemaIds.isDefined) {
+      val priorV = (version - 1 to 1L by -1).find { v =>
+        SnapshotTable.readVersion(spark, path, v).files.nonEmpty
+      }
+      priorV.foreach { pv =>
+        val prior = resolveUncached(spark, path, pv)
+        val priorIdType: Map[Long, DataType] =
+          prior.ver.schemaIds.get.zip(prior.ver.schemaNames.get)
+            .flatMap { case (id, n) =>
+              prior.schema.fields.find(_.name == n).map(id -> _.dataType)
+            }.toMap
+        ids.zip(names).foreach { case (id, cur) =>
+          priorIdType.get(id).foreach { t =>
+            if (!typed.contains(cur)) typed(cur) = t
+          }
+        }
+      }
+    }
     val schema = StructType(names.map { n =>
       val dt = typed.getOrElse(n, StringType)
       dt match {
@@ -391,9 +412,53 @@ object GraftTableSource {
 
 private[v2] final class GraftTable(props: Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   private val path = props.getOrElse("path",
     throw new IllegalArgumentException("graft_table: no path option"))
+
+  /** SQL `DELETE FROM t WHERE ...`: the predicate becomes a
+    * merge-on-read deletion-vector commit ([[SnapshotTable
+    * .deleteRowsWhere]] — zero data files rewritten at commit time)
+    * immediately FOLDED by [[SnapshotTable.materializeDeletes]]
+    * (rewrite ∝ hit files only) so the row-level DSv2 reader keeps
+    * serving the table — net COW-delete economics with the DV
+    * machinery doing row addressing. On a schema-ALTERed table the
+    * fold step needs physical uniformity and is skipped: the DVs
+    * stay, and the reader's DV reject names materializeDeletes as
+    * the fix. Only filters with an exact SQL rendering are accepted
+    * ([[GraftTable.filterSql]]); Spark falls back to an analysis
+    * error for the rest rather than a wrong delete.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.filterSql(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    if (SnapshotTable.latestVersion(path) == 0L) return // created, empty
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.map(f => GraftTable.filterSql(f).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft_table: untranslatable DELETE predicate $f")))
+        .mkString(" AND ")
+    val (_, nDel) = SnapshotTable.deleteRowsWhere(spark, path, pred)
+    val ver = SnapshotTable.readVersion(spark, path,
+      SnapshotTable.latestVersion(path))
+    if (nDel > 0 && ver.dvFiles.nonEmpty && !ver.needsResolve)
+      SnapshotTable.materializeDeletes(spark, path)
+  }
+
+  /** SQL `TRUNCATE TABLE t`: a zero-file manifest commit — pure
+    * metadata at any size, prior versions still travel.
+    */
+  override def truncateTable(): Boolean = {
+    SnapshotTable.truncate(SparkSession.active, path)
+    true
+  }
 
   override def name(): String = s"graft_table($path)"
   override def schema(): StructType =
@@ -425,6 +490,58 @@ private[v2] final class GraftTable(props: Map[String, String])
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(path, props)
+}
+
+private[v2] object GraftTable {
+  import org.apache.spark.sql.sources._
+
+  /** Exact SQL rendering of a pushed Filter, or None when the value
+    * type has no safe literal form (binary, temporal) — a DELETE
+    * must never run against an approximation.
+    */
+  def filterSql(f: Filter): Option[String] = {
+    def lit(v: Any): Option[String] = v match {
+      case s: String =>
+        Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case b: Boolean => Some(b.toString)
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(s"${n}L")
+      case d: Double => Some(s"CAST($d AS DOUBLE)")
+      case fl: Float => Some(s"CAST($fl AS FLOAT)")
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) => lit(v).map(l => s"(`$c` = $l)")
+      case EqualNullSafe(c, v) => lit(v).map(l => s"(`$c` <=> $l)")
+      case GreaterThan(c, v) => lit(v).map(l => s"(`$c` > $l)")
+      case GreaterThanOrEqual(c, v) => lit(v).map(l => s"(`$c` >= $l)")
+      case LessThan(c, v) => lit(v).map(l => s"(`$c` < $l)")
+      case LessThanOrEqual(c, v) => lit(v).map(l => s"(`$c` <= $l)")
+      case In(c, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.nonEmpty && ls.forall(_.isDefined))
+          Some(s"(`$c` IN (${ls.flatten.mkString(", ")}))")
+        else None
+      case IsNull(c) => Some(s"(`$c` IS NULL)")
+      case IsNotNull(c) => Some(s"(`$c` IS NOT NULL)")
+      case And(l, r) =>
+        for (a <- filterSql(l); b <- filterSql(r)) yield s"($a AND $b)"
+      case Or(l, r) =>
+        for (a <- filterSql(l); b <- filterSql(r)) yield s"($a OR $b)"
+      case Not(x) => filterSql(x).map(s => s"(NOT $s)")
+      // LIKE renderings only for values free of pattern metachars —
+      // escaping % and _ through two quoting layers invites an
+      // off-by-one wildcard, and a DELETE must never guess
+      case StringStartsWith(c, v) if !v.exists("%_\\".contains(_)) =>
+        lit(v + "%").map(l => s"(`$c` LIKE $l)")
+      case StringEndsWith(c, v) if !v.exists("%_\\".contains(_)) =>
+        lit("%" + v).map(l => s"(`$c` LIKE $l)")
+      case StringContains(c, v) if !v.exists("%_\\".contains(_)) =>
+        lit("%" + v + "%").map(l => s"(`$c` LIKE $l)")
+      case _: AlwaysTrue => Some("true")
+      case _: AlwaysFalse => Some("false")
+      case _ => None
+    }
+  }
 }
 
 /** `df.write.format("graft_table").mode("append"|"overwrite")` — the

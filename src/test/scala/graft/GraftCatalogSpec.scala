@@ -73,6 +73,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft.db.t"))
   }
 
+  test("DELETE FROM folds a DV commit into a bounded rewrite; " +
+      "TRUNCATE TABLE is a zero-file metadata commit — both travel") {
+    root
+    spark.sql("""CREATE TABLE graft.db.d (k BIGINT, v BIGINT, tag STRING)
+      TBLPROPERTIES ('stats_col'='k')""")
+    spark.sql("INSERT INTO graft.db.d " +
+      "SELECT id, id * 2, concat('t', CAST(id % 3 AS STRING)) " +
+      "FROM range(300)")
+    spark.sql("DELETE FROM graft.db.d WHERE k >= 100 AND tag = 't1'")
+    val after = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv FROM graft.db.d").head
+    val survivors = (0L until 300L)
+      .filterNot(k => k >= 100 && k % 3 == 1)
+    assert(after.getLong(0) === survivors.length)
+    assert(after.getLong(1) === survivors.map(_ * 2).sum)
+    // the delete landed as DELETE + OPTIMIZE (fold) — the reader
+    // never sees deletion vectors
+    val p = s"$root/db/d"
+    val latest = SnapshotTable.latestVersion(p)
+    val ver = SnapshotTable.readVersion(spark, p, latest)
+    assert(ver.dvFiles.isEmpty && ver.op === "OPTIMIZE")
+    // v1 still serves the pre-delete table
+    assert(spark.sql("SELECT count(*) FROM graft.db.d VERSION AS OF 1")
+      .head.getLong(0) === 300)
+
+    spark.sql("TRUNCATE TABLE graft.db.d")
+    assert(spark.sql("SELECT * FROM graft.db.d").count() === 0)
+    // schema (names AND types) survives the zero-file version
+    assert(spark.table("graft.db.d").schema.map(f =>
+      (f.name, f.dataType.typeName)).toSeq
+      === Seq(("k", "long"), ("v", "long"), ("tag", "string")))
+    val tver = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(tver.files.isEmpty && tver.op === "TRUNCATE")
+    // a post-truncate insert starts the table again
+    spark.sql("INSERT INTO graft.db.d SELECT id, id, 'x' FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.d")
+      .head.getLong(0) === 5)
+    spark.sql("DROP TABLE graft.db.d")
+  }
+
   test("pre-commit ALTER rewrites the CREATE marker and keeps the " +
       "declared layout consistent; bad layouts reject at CREATE") {
     root
