@@ -2148,6 +2148,84 @@ object Relational {
       .toDF("n_after", "qty_after", "n_v1", "folded")
   }
 
+  /** q192 — BUCKET storage-partitioned join in pure SQL: lineitem and
+    * orders live as catalog tables both `PARTITIONED BY
+    * (bucket(16, okey))`, and THE TPC-H join — fact⋈fact on order
+    * key — plans with NO exchange on either side: the catalog's
+    * FunctionCatalog carries the bucket transform, Catalyst proves
+    * both sides agree, and the join runs file-against-file
+    * (require-asserted: no hash exchange, both scans present, with
+    * broadcast disabled). q189 demonstrated the identity case; this
+    * is the transform real tables use — at 100 TB the eliminated
+    * shuffle IS the query. DuckDB recomputes the join from raw
+    * lineitem×orders; a row mis-bucketed on either side joins against
+    * the wrong files and changes (n, qty_u, total_u).
+    */
+  val bucketSpj = QueryDef("q192_bucket_spj",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_u,
+      |  TRUE AS no_shuffle
+      |FROM lineitem l JOIN orders o
+      |  ON l.l_orderkey = o.o_orderkey""".stripMargin) { (s, d) =>
+    val wh = Work.oracleDumpPath("q192_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q192",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q192.root", wh)
+    clusterLayouts.compute("q192", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").cast("long").as("okey"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q192_li")
+        Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("okey"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_u"))
+          .createOrReplaceTempView("q192_ord")
+        s.sql("""CREATE TABLE graft_q192.q192.li (okey BIGINT, qty_u BIGINT)
+          PARTITIONED BY (bucket(16, okey))""")
+        s.sql("""CREATE TABLE graft_q192.q192.ord (okey BIGINT, total_u BIGINT)
+          PARTITIONED BY (bucket(16, okey))""")
+        s.sql("INSERT INTO graft_q192.q192.li SELECT * FROM q192_li")
+        s.sql("INSERT INTO graft_q192.q192.ord SELECT * FROM q192_ord")
+      }
+      d
+    })
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    val (r, plan) = try {
+      val j = s.sql("""SELECT count(*) AS n,
+        CAST(sum(l.qty_u) AS BIGINT) AS qty_u,
+        CAST(sum(o.total_u) AS BIGINT) AS total_u
+        FROM graft_q192.q192.li l JOIN graft_q192.q192.ord o
+        ON l.okey = o.okey""")
+      val row = j.collect().head
+      val phys = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      (row, phys.toString)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"bucket SPJ still shuffles:\n$plan")
+    require("BatchScan graft_table".r.findAllIn(plan).length == 2,
+      s"expected two graft_table scans in the join:\n$plan")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n", "qty_u", "total_u", "no_shuffle")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -3168,5 +3246,6 @@ object Relational {
     sqlChangeFeed, exactlyOnceTail, partitionCompact, timestampTravel,
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
-    runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete)
+    runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
+    bucketSpj)
 }

@@ -47,9 +47,32 @@ import graft.ops.{SnapshotTable, TableIo}
   * INT, BIGINT, FLOAT, DOUBLE, STRING, BINARY). Partition transforms:
   * identity / bucket(n, col) / truncate(w, col) over a BIGINT source.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var cname: String = _
   private var root: String = _
+
+  /** The partition transforms as V2 catalog FUNCTIONS — what lets
+    * Catalyst prove two bucket/truncate-partitioned tables agree and
+    * plan a STORAGE-PARTITIONED JOIN between them (the scan reports
+    * `KeyGroupedPartitioning(bucket(n, col))`; resolution needs the
+    * function to come from the relation's catalog). The bound
+    * arithmetic is [[SnapshotTable.PartSpec]]'s, byte-identical to
+    * what routed the rows at write time.
+    */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "truncate"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => new GraftTransformFunction("bucket")
+      case "truncate" => new GraftTransformFunction("truncate")
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -242,4 +265,46 @@ final class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "renameTable moves the table directory; the log is path-relative " +
         "and self-contained, so move it in storage and re-address it")
+}
+
+/** The `bucket(width, col)` / `truncate(width, col)` partition
+  * transforms as bindable V2 scalar functions — the arithmetic is
+  * [[SnapshotTable.PartSpec.apply]]'s exactly (xxhash64 seed 42 +
+  * floorMod for bucket, floorDiv for truncate), so a value computed
+  * here equals the manifest's recorded partition value for the file
+  * holding that row.
+  */
+private[v2] final class GraftTransformFunction(transform: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = transform
+  override def description(): String =
+    s"graft $transform(width, col BIGINT): the snapshot table's " +
+      "hidden-partitioning transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"$transform takes (width, col), got $inputType")
+    val widthType = inputType.fields(0).dataType
+    require(widthType == IntegerType || widthType == LongType,
+      s"$transform width must be integral, got $widthType")
+    require(inputType.fields(1).dataType == LongType,
+      s"$transform column must be BIGINT (the write-time routing " +
+        s"width), got ${inputType.fields(1).dataType}")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] =
+        Array(widthType, LongType)
+      override def resultType(): DataType = LongType
+      override def name(): String = transform
+      override def canonicalName(): String = s"graft.$transform"
+      override def produceResult(input: org.apache.spark.sql.catalyst
+          .InternalRow): java.lang.Long = {
+        val w =
+          if (widthType == IntegerType) input.getInt(0).toLong
+          else input.getLong(0)
+        SnapshotTable.PartSpec("x", transform, w)(input.getLong(1))
+      }
+    }
+  }
 }

@@ -793,14 +793,26 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     res.ver.part match {
-      case Some(p) if p.transform == "identity" && limit.isEmpty &&
+      case Some(p) if limit.isEmpty &&
           required.fieldNames.contains(p.source) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        // identity resolves catalog-free; bucket/truncate resolve only
+        // for tables loaded through GraftCatalog (its FunctionCatalog
+        // carries the transform arithmetic) — elsewhere Spark simply
+        // falls back to unknown partitioning, which is always sound
+        val key = p.transform match {
+          case "identity" => Expressions.column(p.source)
+          case "bucket" =>
+            Expressions.bucket(p.param.toInt, p.source)
+          case "truncate" =>
+            Expressions.apply("truncate",
+              Expressions.literal(p.param),
+              Expressions.column(p.source))
+        }
         val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
         val pv = res.ver.partValues.get
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .column(p.source)),
+          .KeyGroupedPartitioning(Array(key),
             kept.map(pv).distinct.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
@@ -886,7 +898,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     plannedFiles = kept.length
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
     val identityKeyed = limit.isEmpty && res.ver.part.exists(p =>
-      p.transform == "identity" && required.fieldNames.contains(p.source))
+      required.fieldNames.contains(p.source))
     kept.map { i =>
       val base = GraftFilePartition(res.ver.files(i), res.filePhysical(i),
         required.fields.map(f => f.name -> f.dataType.catalogString))

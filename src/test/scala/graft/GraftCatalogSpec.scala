@@ -114,6 +114,46 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.d")
   }
 
+  test("bucket-partitioned catalog tables storage-partition-join: " +
+      "the FunctionCatalog proves both sides agree, no shuffle") {
+    root
+    spark.sql("""CREATE TABLE graft.db.f1 (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(8, k))""")
+    spark.sql("""CREATE TABLE graft.db.f2 (k BIGINT, w BIGINT)
+      PARTITIONED BY (bucket(8, k))""")
+    spark.sql("INSERT INTO graft.db.f1 SELECT id, id * 2 FROM range(400)")
+    spark.sql("INSERT INTO graft.db.f2 " +
+      "SELECT id % 100, id * 10 FROM range(400)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql("""SELECT f1.k, f1.v, f2.w
+        FROM graft.db.f1 f1 JOIN graft.db.f2 f2 ON f1.k = f2.k""")
+      assert(j.collect().length === 400) // each f2 row matches one f1.k
+      val phys = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val plan = phys.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket SPJ still shuffles:\n$plan")
+      // not vacuous: it IS a join of the two scans, planned key-grouped
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"unexpected join shape:\n$plan")
+      // both scans present (not a collapsed/broadcast shape), and the
+      // stage's partitioning is the key-grouped one SPJ planned on
+      assert("BatchScan graft_table".r.findAllIn(plan).length === 2, plan)
+      val leafParts = phys.collectLeaves()
+        .map(_.outputPartitioning.getClass.getSimpleName)
+      assert(leafParts.forall(_.contains("KeyGroupedPartitioning")),
+        s"stage did not carry key-grouped partitioning: $leafParts\n$plan")
+    }
+    spark.sql("DROP TABLE graft.db.f1")
+    spark.sql("DROP TABLE graft.db.f2")
+  }
+
   test("pre-commit ALTER rewrites the CREATE marker and keeps the " +
       "declared layout consistent; bad layouts reject at CREATE") {
     root
