@@ -239,8 +239,11 @@ object GraftTableSource {
     // back to the newest prior version that had files and carry its
     // types BY FIELD ID (types never change per the append contract)
     if (ver.files.isEmpty && ver.schemaIds.isDefined) {
+      val io = graft.ops.TableIo.forPath(path)
       val priorV = (version - 1 to 1L by -1).find { v =>
-        SnapshotTable.readVersion(spark, path, v).files.nonEmpty
+        // expired versions leave gaps in the log — skip them
+        io.exists(s"$path/log/v$v.json") &&
+          SnapshotTable.readVersion(spark, path, v).files.nonEmpty
       }
       priorV.foreach { pv =>
         val prior = resolveUncached(spark, path, pv)
@@ -448,7 +451,11 @@ private[v2] final class GraftTable(props: Map[String, String])
     val (_, nDel) = SnapshotTable.deleteRowsWhere(spark, path, pred)
     val ver = SnapshotTable.readVersion(spark, path,
       SnapshotTable.latestVersion(path))
-    if (nDel > 0 && ver.dvFiles.nonEmpty && !ver.needsResolve)
+    if (ver.rows == 0L && ver.files.nonEmpty)
+      // the predicate killed EVERY row: materialize would refuse a
+      // full rewrite-to-nothing; the zero-file commit is the answer
+      SnapshotTable.truncate(spark, path)
+    else if (nDel > 0 && ver.dvFiles.nonEmpty && !ver.needsResolve)
       SnapshotTable.materializeDeletes(spark, path)
   }
 

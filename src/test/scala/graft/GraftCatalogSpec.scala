@@ -111,6 +111,13 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.d SELECT id, id, 'x' FROM range(5)")
     assert(spark.sql("SELECT count(*) FROM graft.db.d")
       .head.getLong(0) === 5)
+    // an unconditional (or all-matching) DELETE routes to the
+    // zero-file commit instead of a rewrite-to-nothing
+    spark.sql("DELETE FROM graft.db.d WHERE k >= 0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.d")
+      .head.getLong(0) === 0)
+    assert(SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p)).op === "TRUNCATE")
     spark.sql("DROP TABLE graft.db.d")
   }
 
