@@ -48,7 +48,8 @@ import graft.ops.{SnapshotTable, TableIo}
   * identity / bucket(n, col) / truncate(w, col) over a BIGINT source.
   */
 final class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var cname: String = _
   private var root: String = _
 
@@ -108,8 +109,17 @@ final class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
-    if (!existsAt(p)) throw new NoSuchTableException(ident)
-    new GraftTable(Map("path" -> p))
+    if (existsAt(p)) return new GraftTable(Map("path" -> p))
+    // Iceberg-style metadata tables: `graft.db.t.history` parses as
+    // namespace [db, t] + name "history" — serve the owning table's
+    // log as a relation when the suffix names one
+    if (ident.namespace().nonEmpty &&
+        GraftMetaTable.kinds(ident.name())) {
+      val owner = (root +: ident.namespace().toSeq).mkString("/")
+      if (existsAt(owner))
+        return new GraftMetaTable(ident.name(), owner)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SELECT ... VERSION AS OF v */
@@ -265,7 +275,171 @@ final class GraftCatalog extends TableCatalog
     throw new UnsupportedOperationException(
       "renameTable moves the table directory; the log is path-relative " +
         "and self-contained, so move it in storage and re-address it")
+
+  // ------------------------------------------------------- namespaces
+  // A namespace IS a directory level under the root: CREATE mkdirs,
+  // DROP removes (cascade required when tables remain), SHOW lists
+  // directories that are not themselves tables.
+
+  private def nsDir(ns: Seq[String]): String =
+    (root +: ns).mkString("/")
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    io.isDirectory(nsDir(namespace.toSeq)) &&
+      !existsAt(nsDir(namespace.toSeq))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = nsDir(namespace.toSeq)
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toSeq)
+    if (!io.exists(dir)) return Array.empty
+    io.listNames(dir).sorted
+      .filter(n => io.isDirectory(s"$dir/$n") && !existsAt(s"$dir/$n"))
+      .map(n => namespace :+ n)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    io.mkdirs(nsDir(namespace.toSeq))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector
+                                .catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are directories and carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    io.deleteDir(nsDir(namespace.toSeq))
+    true
+  }
 }
+
+/** Metadata tables over a snapshot table's LOG — pure manifest reads,
+  * O(versions) / O(files), never data:
+  *  - `t.history`: one row per surviving version (version, op,
+  *    committed_ms, rows, n_files, bytes) — DESCRIBE HISTORY as a
+  *    relation any SQL can join/filter.
+  *  - `t.files`: the CURRENT version's file inventory (file, rows,
+  *    bytes, stats min/max, hidden partition value) — the manifest a
+  *    query planner prunes with, exposed for inspection.
+  */
+private[v2] final class GraftMetaTable(kind: String, path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = s"graft_table($path).$kind"
+
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("op", StringType),
+      StructField("committed_ms", LongType),
+      StructField("rows", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType),
+      StructField("bytes", LongType),
+      StructField("stats_min", LongType),
+      StructField("stats_max", LongType),
+      StructField("partition", LongType)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Rows computed ON THE DRIVER at plan time (the log is small by
+    * design); one input partition carries them.
+    */
+  private def rows(): Seq[Array[Any]] = {
+    val spark = SparkSession.active
+    val latest = SnapshotTable.latestVersion(path)
+    if (latest == 0L) return Seq.empty // created, never written
+    val io = TableIo.forPath(path)
+    kind match {
+      case "history" =>
+        (1L to latest)
+          .filter(v => io.exists(s"$path/log/v$v.json"))
+          .map { v =>
+            val ver = SnapshotTable.readVersion(spark, path, v)
+            Array[Any](ver.version,
+              org.apache.spark.unsafe.types.UTF8String.fromString(ver.op),
+              if (ver.committedMs == 0L) null else ver.committedMs,
+              ver.rows, ver.files.length.toLong,
+              ver.fileBytes.map(_.sum).getOrElse(0L))
+          }
+      case "files" =>
+        val ver = SnapshotTable.readVersion(spark, path, latest)
+        ver.files.indices.map { i =>
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(ver.files(i)),
+            ver.fileRows.map(r => Long.box(r(i))).orNull,
+            ver.fileBytes.map(b => Long.box(b(i))).orNull,
+            ver.stats.map(st => Long.box(st.mins(i))).orNull,
+            ver.stats.map(st => Long.box(st.maxs(i))).orNull,
+            ver.partValues.map(pv => Long.box(pv(i))).orNull)
+        }
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new Scan with Batch {
+    override def readSchema(): StructType = GraftMetaTable.this.schema()
+    override def toBatch: Batch = this
+    override def description(): String = name()
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftMetaPartition(rows()))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(partition: InputPartition)
+            : PartitionReader[InternalRow] = {
+          val it = partition.asInstanceOf[GraftMetaPartition]
+            .rows.iterator
+          new PartitionReader[InternalRow] {
+            private var cur: Array[Any] = _
+            override def next(): Boolean =
+              if (it.hasNext) { cur = it.next(); true } else false
+            override def get(): InternalRow =
+              InternalRow.fromSeq(cur.toSeq)
+            override def close(): Unit = ()
+          }
+        }
+      }
+  }
+}
+
+private[v2] object GraftMetaTable {
+  val kinds: Set[String] = Set("history", "files")
+}
+
+private[v2] final case class GraftMetaPartition(rows: Seq[Array[Any]])
+    extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The `bucket(width, col)` / `truncate(width, col)` partition
   * transforms as bindable V2 scalar functions — the arithmetic is

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.ops.SnapshotTable
 import graft.source.v2.GraftTableSource
 
@@ -159,6 +161,85 @@ class GraftCatalogSpec extends SparkSpec {
     }
     spark.sql("DROP TABLE graft.db.f1")
     spark.sql("DROP TABLE graft.db.f2")
+  }
+
+  test("spark.readStream.table tails a catalog table: the commit log " +
+      "as a stream, addressed by name") {
+    root
+    spark.sql("CREATE TABLE graft.db.s (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.s SELECT id, id * 2 FROM range(50)")
+    val ckpt = Files.createTempDirectory("gcat-ck").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("graft.db.s")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.add(r.getLong(0)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(out.asScala.toSet === (0L until 50L).toSet)
+    spark.sql("INSERT INTO graft.db.s SELECT id, id * 2 FROM range(50, 80)")
+    val q2 = spark.readStream.table("graft.db.s")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.add(r.getLong(0)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    // exactly-once across the restart: only the appended rows arrived
+    assert(out.asScala.toSet === (0L until 80L).toSet)
+    assert(out.size === 80)
+    spark.sql("DROP TABLE graft.db.s")
+  }
+
+  test("metadata tables: t.history and t.files serve the log as " +
+      "SQL relations") {
+    root
+    spark.sql("""CREATE TABLE graft.db.h (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats_col'='k')""")
+    spark.sql("INSERT INTO graft.db.h SELECT id, id FROM range(100)")
+    spark.sql("INSERT INTO graft.db.h SELECT id, id FROM range(100, 130)")
+    spark.sql("DELETE FROM graft.db.h WHERE k < 10")
+    val hist = spark.sql(
+      "SELECT version, op, rows FROM graft.db.h.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.map(_._2).toSeq
+      === Seq("APPEND", "APPEND", "DELETE", "OPTIMIZE"))
+    assert(hist.last._3 === 120)
+    // files: inventory of the CURRENT version with stats bounds
+    val files = spark.sql("SELECT * FROM graft.db.h.files")
+    assert(files.count() ===
+      SnapshotTable.readVersion(spark, s"$root/db/h", 4).files.length)
+    assert(files.agg(org.apache.spark.sql.functions.sum("rows"))
+      .head.getLong(0) === 120)
+    assert(files.agg(org.apache.spark.sql.functions.min("stats_min"))
+      .head.getLong(0) === 10)
+    // joinable like any relation
+    assert(spark.sql("""SELECT count(*) FROM graft.db.h.files f
+      JOIN graft.db.h.history v ON f.rows <= v.rows""").head.getLong(0)
+      > 0)
+    spark.sql("DROP TABLE graft.db.h")
+  }
+
+  test("namespaces are directories: CREATE / SHOW / DROP NAMESPACE " +
+      "with a non-empty guard") {
+    root
+    spark.sql("CREATE NAMESPACE graft.nsx")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nsx"))
+    spark.sql("CREATE TABLE graft.nsx.t1 (a BIGINT)")
+    assert(spark.sql("SHOW TABLES IN graft.nsx").collect()
+      .map(_.getString(1)) === Array("t1"))
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.nsx") }
+    spark.sql("DROP NAMESPACE graft.nsx CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nsx"))
   }
 
   test("pre-commit ALTER rewrites the CREATE marker and keeps the " +
