@@ -89,13 +89,28 @@ object Bench {
     */
   def baselineWriteDecision(existingTxt: Option[String],
                             newKeys: Set[String],
-                            rebaseline: Boolean): Either[String, Unit] = {
+                            rebaseline: Boolean,
+                            newSf: String = ""): Either[String, Unit] = {
     if (rebaseline) return Right(())
     existingTxt.map(parsePrevTimes(_).keySet) match {
       case Some(prevKeys) if prevKeys.size > newKeys.size =>
-        Left(s"run covers ${newKeys.size} queries but the existing " +
+        return Left(s"run covers ${newKeys.size} queries but the existing " +
           s"bench_full.json has ${prevKeys.size} — refusing to shrink " +
           "the baseline (partial dev run?). Pass --rebaseline to override.")
+      case _ => ()
+    }
+    // second guard, learned in r15: a full-coverage run at a DIFFERENT
+    // scale factor silently replaced the sf0.1 baseline with sf0.001
+    // numbers (every dev verify loop runs sf0.001, and `git add -A`
+    // committed it) — cross-SF baselines poison every later regression
+    // ratio, so refuse those too unless --rebaseline
+    val prevSf = existingTxt.flatMap(t =>
+      "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(t).map(_.group(1)))
+    prevSf match {
+      case Some(p) if newSf.nonEmpty && p != newSf =>
+        Left(s"run measured $newSf but the existing bench_full.json is " +
+          s"a $p baseline — refusing the cross-SF overwrite (dev loop " +
+          "at a smaller sf?). Pass --rebaseline to override.")
       case _ => Right(())
     }
   }
@@ -236,7 +251,8 @@ object Bench {
         if (java.nio.file.Files.exists(fullPath))
           Some(java.nio.file.Files.readString(fullPath))
         else None
-      baselineWriteDecision(existing, names.toSet, rebaseline) match {
+      baselineWriteDecision(existing, names.toSet, rebaseline,
+          newSf = sfDir) match {
         case Right(()) =>
           java.nio.file.Files.writeString(fullPath, line + "\n")
         case Left(reason) =>

@@ -762,8 +762,17 @@ object SnapshotTable {
       base.txns.get(w).exists(_ >= b)
     }
     val pre = latestVersion(path)
-    if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
-      return pre
+    if (pre > 0) {
+      val preVer = readVersion(spark, path, pre)
+      if (txn.isDefined && committedAt(preVer)) return pre
+      // reject BEFORE materializing the batch: writing the full
+      // replacement only to fail the in-loop partitioning require
+      // would burn a table-size write and leave orphans for vacuum
+      require(preVer.part.isEmpty,
+        s"table is hidden-partitioned (${preVer.part.get}) — a plain " +
+          "overwrite would break partition purity; drop partitions " +
+          "or re-create the table")
+    }
     val batch = writeBatch(df, path, numPartitions, statsCol)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
@@ -783,10 +792,21 @@ object SnapshotTable {
           "or re-create the table")
       val v = prev + 1
       // appendMeta computes epochs for base + new files; an overwrite
-      // keeps only the new files' tail
+      // keeps only the new files' tail — and NARROWS the visible
+      // schema to the batch's columns: a column the replacement does
+      // not carry has no type-bearing file left, so keeping it
+      // visible would silently flip its type (its id moves to
+      // dropped, exactly like DROP COLUMN, and a later re-add is a
+      // fresh column)
       val meta = appendMeta(base, path, batchCols, batch.files.length)
-        .map(m => m.copy(fileEpochs = m.fileEpochs.takeRight(
-          batch.files.length)))
+        .map { m =>
+          val keep = m.names.indices.filter(i => batchCols.contains(m.names(i)))
+          val removed = m.names.indices.filterNot(keep.toSet).map(m.ids)
+          m.copy(ids = keep.map(m.ids), names = keep.map(m.names),
+            fileEpochs = m.fileEpochs.takeRight(batch.files.length),
+            dropped = m.dropped ++ removed,
+            altered = m.altered || removed.nonEmpty)
+        }
       val manifest = renderManifest(v, batch.files, batch.rows,
         batch.bytes,
         statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
@@ -824,8 +844,12 @@ object SnapshotTable {
       val meta = base.schemaIds.map(ids => SchemaMeta(ids,
         base.schemaNames.get, Seq.empty, base.epoch, base.droppedIds,
         base.schemaMaxId, base.schemaAltered))
+      // layout CONFIG survives the truncate (stats with empty per-file
+      // vectors, bloom unchanged) so post-truncate appends keep
+      // indexing — dropping it would silently end range pruning
       val manifest = renderManifest(v, Seq.empty, Seq.empty, Seq.empty,
-        None, None, base.txns, base.part,
+        base.stats.map(st => Stats(st.col, Seq.empty, Seq.empty)),
+        base.bloom, base.txns, base.part,
         base.part.map(_ => Seq.empty), op = "TRUNCATE", schema = meta)
       try { commitExclusive(path, v, manifest); return v }
       catch {

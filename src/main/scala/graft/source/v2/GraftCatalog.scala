@@ -267,6 +267,9 @@ final class GraftCatalog extends TableCatalog
     val p = pathOf(ident)
     if (!existsAt(p)) return false
     io.deleteDir(p)
+    // a re-created table restarts version numbering — stale cached
+    // resolutions would serve the dropped table's metadata
+    GraftTableSource.invalidate(p)
     true
   }
 
@@ -329,7 +332,10 @@ final class GraftCatalog extends TableCatalog
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
-    if (!cascade && listTables(namespace).nonEmpty)
+    // non-cascade requires the directory EMPTY — direct tables AND
+    // nested namespaces both count (a nested namespace may hold
+    // tables a shallow listTables check would miss)
+    if (!cascade && io.listNames(nsDir(namespace.toSeq)).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NonEmptyNamespaceException(namespace)
     io.deleteDir(nsDir(namespace.toSeq))

@@ -162,6 +162,13 @@ object GraftTableSource {
     graft.ops.TableIo.forPath(path)
       .writeAtomic(markerPath(path), renderMarker(m))
 
+  /** Forget every cached resolution for `path` — REQUIRED after DROP
+    * TABLE: a re-created table reuses version numbers, so the
+    * (path, version) key would serve the dropped table's metadata.
+    */
+  def invalidate(path: String): Unit =
+    resolved.keySet.removeIf(_._1 == path)
+
   def resolve(props: Map[String, String]): Resolved = {
     val spark = SparkSession.active
     val path = props.getOrElse("path",
@@ -463,7 +470,9 @@ private[v2] final class GraftTable(props: Map[String, String])
     * metadata at any size, prior versions still travel.
     */
   override def truncateTable(): Boolean = {
-    SnapshotTable.truncate(SparkSession.active, path)
+    // a created-but-never-written table is already empty
+    if (SnapshotTable.latestVersion(path) > 0L)
+      SnapshotTable.truncate(SparkSession.active, path)
     true
   }
 
@@ -512,9 +521,11 @@ private[v2] object GraftTable {
         Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
       case b: Boolean => Some(b.toString)
       case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(s"${n}L")
-      case d: Double => Some(s"CAST($d AS DOUBLE)")
-      case fl: Float => Some(s"CAST($fl AS FLOAT)")
-      case _ => None
+      case d: Double if java.lang.Double.isFinite(d) =>
+        Some(s"CAST($d AS DOUBLE)")
+      case fl: Float if java.lang.Float.isFinite(fl) =>
+        Some(s"CAST($fl AS FLOAT)")
+      case _ => None // binary/temporal/non-finite: no safe literal
     }
     f match {
       case EqualTo(c, v) => lit(v).map(l => s"(`$c` = $l)")
@@ -816,11 +827,10 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
               Expressions.literal(p.param),
               Expressions.column(p.source))
         }
-        val kept = GraftTableSource.pruneFiles(res, pushed ++ runtime)
         val pv = res.ver.partValues.get
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(Array(key),
-            kept.map(pv).distinct.length)
+            keptFiles().map(pv).distinct.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(res.ver.files.length)
@@ -833,7 +843,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     * file-source tables guess from raw file sizes.
     */
   override def estimateStatistics(): Statistics = {
-    val kept = GraftTableSource.pruneFiles(res, pushed)
+    val kept = keptFiles()
     val bytes = res.ver.fileBytes.map(fb => kept.map(fb).sum)
     val rows = res.ver.fileRows.map(fr => kept.map(fr).sum)
     new Statistics {
@@ -856,6 +866,21 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     */
   private var runtime: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+
+  // pruneFiles can launch a Spark job (bloom probe); Spark calls
+  // estimateStatistics / outputPartitioning / planInputPartitions
+  // each at least once per plan — memoize per runtime-filter
+  // instance (filter() replaces the array wholesale)
+  @volatile private var keptKey: AnyRef = _
+  @volatile private var keptMemo: Seq[Int] = _
+  private def keptFiles(): Seq[Int] = {
+    val k = runtime
+    if (keptMemo == null || !(keptKey eq k)) {
+      keptMemo = GraftTableSource.pruneFiles(res, pushed ++ k)
+      keptKey = k
+    }
+    keptMemo
+  }
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -888,7 +913,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val pruned = GraftTableSource.pruneFiles(res, pushed ++ runtime)
+    val pruned = keptFiles()
     // a pushed LIMIT keeps only enough files to cover n rows (partial
     // pushdown: Spark re-applies the limit on the delivered rows)
     val kept = limit match {

@@ -128,4 +128,24 @@ class BenchTrackerSpec extends AnyFunSuite {
     assert(Bench.baselineWriteDecision(Some(full), Set("q01_a"),
       rebaseline = true).isRight)
   }
+
+  test("baseline guard refuses a cross-SF overwrite unless --rebaseline") {
+    val full = """{"queries":{"q01_a":1.0},"sf":"/root/testdata/sf0.1"}"""
+    val keys = Set("q01_a")
+    // same sf: allowed
+    assert(Bench.baselineWriteDecision(Some(full), keys,
+      rebaseline = false, newSf = "/root/testdata/sf0.1").isRight)
+    // different sf (the dev loop at sf0.001): refused with a reason
+    val refused = Bench.baselineWriteDecision(Some(full), keys,
+      rebaseline = false, newSf = "/root/testdata/sf0.001")
+    assert(refused.isLeft)
+    assert(refused.swap.toOption.get.contains("cross-SF"))
+    // --rebaseline overrides
+    assert(Bench.baselineWriteDecision(Some(full), keys,
+      rebaseline = true, newSf = "/root/testdata/sf0.001").isRight)
+    // legacy baseline without an sf field: allowed (nothing to compare)
+    val noSf = """{"queries":{"q01_a":1.0}}"""
+    assert(Bench.baselineWriteDecision(Some(noSf), keys,
+      rebaseline = false, newSf = "/root/testdata/sf0.001").isRight)
+  }
 }

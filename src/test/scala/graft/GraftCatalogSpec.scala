@@ -109,10 +109,14 @@ class GraftCatalogSpec extends SparkSpec {
     val tver = SnapshotTable.readVersion(spark, p,
       SnapshotTable.latestVersion(p))
     assert(tver.files.isEmpty && tver.op === "TRUNCATE")
-    // a post-truncate insert starts the table again
+    // a post-truncate insert starts the table again — and the stats
+    // LAYOUT survived the truncate, so the new files are indexed
     spark.sql("INSERT INTO graft.db.d SELECT id, id, 'x' FROM range(5)")
     assert(spark.sql("SELECT count(*) FROM graft.db.d")
       .head.getLong(0) === 5)
+    assert(SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p)).stats.exists(_.col == "k"),
+      "stats layout lost across TRUNCATE")
     // an unconditional (or all-matching) DELETE routes to the
     // zero-file commit instead of a rewrite-to-nothing
     spark.sql("DELETE FROM graft.db.d WHERE k >= 0")

@@ -276,6 +276,29 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(path) === 3)
     assert(spark.read.format("graft_table").option("path", path)
       .load().count() === 9)
+    // a DIRECT-API overwrite that omits a column NARROWS the schema
+    // (the id moves to dropped — no type-bearing file is left, so
+    // keeping it visible would silently flip its type to the
+    // StringType fallback); v1 still shows both columns. Note the
+    // DSv2 writer path never produces this shape: Spark's output
+    // resolution null-fills missing nullable columns instead.
+    val p3 = freshPath()
+    (1L to 20L).map(k => (k, k * 2)).toDF("k", "v")
+      .write.format("graft_table").mode("append").option("path", p3).save()
+    SnapshotTable.overwrite(
+      (1L to 4L).map(k => Tuple1(k)).toDF("k"), p3, 1)
+    val narrowed = spark.read.format("graft_table").option("path", p3).load()
+    assert(narrowed.columns.toSeq === Seq("k"))
+    assert(spark.read.format("graft_table").option("path", p3)
+      .option("version", "1").load().columns.toSeq === Seq("k", "v"))
+    // re-adding the name is a FRESH column read from its own files
+    // (evolution-by-add goes through the API; the validated DSv2
+    // writer rejects extra columns by design)
+    SnapshotTable.append(
+      (5L to 6L).map(k => (k, k)).toDF("k", "v"), p3, 1)
+    val readded = spark.read.format("graft_table").option("path", p3).load()
+    assert(readded.filter(col("v").isNotNull).count() === 2)
+
     // overwrite on a partitioned table rejects loudly
     val p2 = freshPath()
     SnapshotTable.appendPartitioned(
