@@ -231,6 +231,26 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.h")
   }
 
+  test("DataFrameWriterV2: writeTo(...).append() / .overwritePartitions " +
+      "route through the same commit protocol") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft.db.w (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats_col'='k')""")
+    (1L to 60L).map(k => (k, k * 3)).toDF("k", "v")
+      .writeTo("graft.db.w").append()
+    assert(spark.table("graft.db.w").count() === 60)
+    // byName resolution: reordered columns land correctly
+    (61L to 70L).map(k => (k * 3, k)).toDF("v", "k")
+      .writeTo("graft.db.w").append()
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.w WHERE v = k * 3")
+      .head.getLong(0) === 70)
+    val ver = SnapshotTable.readVersion(spark, s"$root/db/w", 2)
+    assert(ver.stats.exists(_.col == "k"))
+    spark.sql("DROP TABLE graft.db.w")
+  }
+
   test("namespaces are directories: CREATE / SHOW / DROP NAMESPACE " +
       "with a non-empty guard") {
     root
