@@ -862,6 +862,29 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Commit a GROUP REPLACEMENT prepared by the DSv2 row-level write
+    * (SQL MERGE/UPDATE): the caller already wrote the new files and
+    * derived their facts; this renders the swapped manifest — kept
+    * files carried by reference, schema meta carried under the
+    * current epoch — and performs ONE create-exclusive put against
+    * base+1. A racing commit fails THIS operation loudly (the
+    * plan-against-base mutation policy): the merged rows were
+    * computed against `base`, so retrying on a different base could
+    * silently lose the race winner's changes.
+    */
+  private[graft] def commitReplaceGroups(spark: SparkSession, path: String,
+                                         base: Version, files: Seq[String],
+                                         rows: Seq[Long], bytes: Seq[Long],
+                                         stats: Option[Stats],
+                                         keepIdx: Seq[Int], nNew: Int,
+                                         op: String): Long = {
+    val v = base.version + 1
+    commitExclusive(path, v, renderManifest(v, files, rows, bytes,
+      stats, base.bloom, base.txns, op = op,
+      schema = carryMeta(base, keepIdx, nNew)))
+    v
+  }
+
   // ------------------------------------------------- hidden partitioning
 
   /** Per-file facts for a batch written with `partitionBy("__p")`: the
@@ -1205,7 +1228,7 @@ object SnapshotTable {
   private def hasParquet(dir: String): Boolean =
     io(dir).walkFiles(dir).exists(_.name.endsWith(".parquet"))
 
-  private def canonFile(f: String): String =
+  private[graft] def canonFile(f: String): String =
     if (f.startsWith("file:")) TableIo.nioIo.canon(f)
     else TableIo.forPath(f).canon(f)
 

@@ -2226,6 +2226,72 @@ object Relational {
       .toDF("n", "qty_u", "total_u", "no_shuffle")
   }
 
+  /** q193 — SQL MERGE INTO: Spark's group-based copy-on-write
+    * machinery driven end-to-end against the snapshot table — the
+    * catalog's `SupportsRowLevelOperations` hands Spark a scan whose
+    * planned files become the replaced GROUPS, executors rewrite them
+    * through the table's own parquet row codec, and the commit is one
+    * conditional put that swaps scanned files for rewritten ones
+    * (history op MERGE, asserted). The business shape: bump every
+    * lineitem of March-1996 orders by 100 quantity units. DuckDB
+    * recomputes the post-merge aggregate from raw lineitem×orders and
+    * the pre-merge travel; a lost row, double-applied bump, or
+    * resurrected group hash-mismatches.
+    */
+  val sqlMerge = QueryDef("q193_sql_merge",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n,
+      |  (SELECT CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)
+      |     + CASE WHEN o.o_orderdate >= TIMESTAMP '1996-03-01'
+      |             AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |        THEN 100 ELSE 0 END) AS BIGINT)
+      |    FROM lineitem l JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey) AS qty_after,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem) AS qty_v1,
+      |  TRUE AS merged""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val wh = Work.oracleDumpPath("q193_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q193",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q193.root", wh)
+    clusterLayouts.compute("q193", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").cast("long").as("okey"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q193_li")
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey").cast("long").as("okey"))
+          .createOrReplaceTempView("q193_src")
+        s.sql("""CREATE TABLE graft_q193.q193.li (okey BIGINT, qty_u BIGINT)
+          TBLPROPERTIES ('stats_col'='okey')""")
+        s.sql("INSERT INTO graft_q193.q193.li SELECT * FROM q193_li")
+        s.sql("""MERGE INTO graft_q193.q193.li t USING q193_src s
+          ON t.okey = s.okey
+          WHEN MATCHED THEN UPDATE SET qty_u = t.qty_u + 100""")
+      }
+      d
+    })
+    val path = s"$wh/q193/li"
+    val ver = SnapshotTable.readVersion(s, path,
+      SnapshotTable.latestVersion(path))
+    require(ver.op == "MERGE", s"expected MERGE commit, got ${ver.op}")
+    val after = s.sql("SELECT count(*) AS n, CAST(sum(qty_u) AS BIGINT)" +
+      " AS q FROM graft_q193.q193.li").collect().head
+    require(after.getLong(0) == ver.rows,
+      s"scan/manifest row drift: ${after.getLong(0)} != ${ver.rows}")
+    val qtyV1 = s.sql(
+      "SELECT CAST(sum(qty_u) AS BIGINT) FROM graft_q193.q193.li " +
+        "VERSION AS OF 1").head.getLong(0)
+    import s.implicits._
+    Seq((after.getLong(0), after.getLong(1), qtyV1, true))
+      .toDF("n", "qty_after", "qty_v1", "merged")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -3247,5 +3313,5 @@ object Relational {
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
-    bucketSpj)
+    bucketSpj, sqlMerge)
 }

@@ -322,7 +322,21 @@ object GraftTableSource {
 
     val statCol = ver.stats.map(_.col)
     val partCol = ver.part.map(_.source)
+    def fileNameSet(vs: Seq[Any]): Set[String] =
+      vs.collect { case s: String => s }
+        .map(f => f.stripPrefix("file:")).toSet
     filters.foreach {
+      // the _file METADATA column: runtime group filters for
+      // row-level operations arrive here, naming exactly the files
+      // that hold matched rows
+      case EqualTo("_file", v) =>
+        val want = fileNameSet(Seq(v))
+        keep = keep.filter(i =>
+          want(ver.files(i).stripPrefix("file:")))
+      case In("_file", vs) =>
+        val want = fileNameSet(vs.toSeq)
+        keep = keep.filter(i =>
+          want(ver.files(i).stripPrefix("file:")))
       case EqualTo(c, v) if statCol.contains(c) =>
         longOf(v).foreach(l =>
           pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
@@ -424,7 +438,34 @@ private[v2] final class GraftTable(props: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` — the data file a row lives in, the metadata column that
+    * (a) makes row-level rewrites project correctly (Spark's
+    * metadata-aware writing task strips the merge bookkeeping columns
+    * only when the operation requires metadata) and (b) lets the
+    * runtime GROUP filter name exactly the files holding matched
+    * rows.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file serving this row"
+    })
+
+  /** SQL MERGE INTO / UPDATE (and DELETEs whose predicates the direct
+    * DV path cannot translate): group-based copy-on-write — see
+    * [[GraftRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, info.command())
   private val path = props.getOrElse("path",
     throw new IllegalArgumentException("graft_table: no path option"))
 
@@ -636,7 +677,7 @@ private[v2] final class GraftWriteBuilder(path: String,
     }
 }
 
-private[v2] final class GraftScanBuilder(res: GraftTableSource.Resolved)
+private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -883,11 +924,18 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   }
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val cols = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
       ++ res.ver.bloom.map(_.col)).toSeq.distinct
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // _file is only resolvable when this scan actually OUTPUTS the
+    // metadata column (row-level rewrites do); advertising it on an
+    // ordinary scan breaks reference resolution for every runtime
+    // filter on the relation
+    val all =
+      if (required.fieldNames.contains("_file")) cols :+ "_file" else cols
+    all.map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
+  }
 
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
@@ -902,6 +950,11 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     */
   @volatile var plannedFiles: Int = -1
   @volatile var totalFiles: Int = res.ver.files.length
+
+  /** The exact files the latest plan served — the GROUP set a
+    * row-level rewrite replaces.
+    */
+  @volatile var plannedFileNames: Seq[String] = _
 
   override def description(): String = {
     val kept = GraftTableSource.pruneFiles(res, pushed)
@@ -928,6 +981,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
       case _ => pruned
     }
     plannedFiles = kept.length
+    plannedFileNames = kept.map(res.ver.files)
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
     val identityKeyed = limit.isEmpty && res.ver.part.exists(p =>
       required.fieldNames.contains(p.source))
@@ -989,7 +1043,20 @@ private[v2] final class GraftPartitionReader(p: GraftFilePartition)
     footer.getFileMetaData.getSchema
   }
 
-  private val physOf: Array[Option[String]] = p.required.map {
+  // the _file METADATA column is served by the reader itself, not the
+  // parquet payload — Spark appends metadata columns after the data
+  // columns, asserted here because the append below relies on it
+  private val fileFieldIdx = p.required.indexWhere(_._1 == "_file")
+  require(fileFieldIdx < 0 || fileFieldIdx == p.required.length - 1,
+    s"_file must be the trailing requested column, got position " +
+      s"$fileFieldIdx of ${p.required.map(_._1).toSeq}")
+  private val dataReq =
+    if (fileFieldIdx < 0) p.required else p.required.dropRight(1)
+  private val fileRow: InternalRow =
+    if (fileFieldIdx < 0) null
+    else InternalRow(UTF8String.fromString(p.file))
+
+  private val physOf: Array[Option[String]] = dataReq.map {
     case (vis, _) => p.physical.get(vis).filter(fileSchema.containsField)
   }
 
@@ -1029,12 +1096,18 @@ private[v2] final class GraftPartitionReader(p: GraftFilePartition)
     if (vec != null) vec.nextKeyValue()
     else { current = slow.read(); current != null }
 
+  private def withFile(row: InternalRow): InternalRow =
+    if (fileFieldIdx < 0) row
+    else new org.apache.spark.sql.catalyst.expressions
+      .JoinedRow(row, fileRow)
+
   override def get(): InternalRow =
-    if (vec != null) vec.getCurrentValue.asInstanceOf[InternalRow]
+    if (vec != null)
+      withFile(vec.getCurrentValue.asInstanceOf[InternalRow])
     else {
       val g = current
       val schema = g.getType
-      InternalRow.fromSeq(p.required.toSeq.map { case (vis, dt) =>
+      withFile(InternalRow.fromSeq(dataReq.toSeq.map { case (vis, dt) =>
         p.physical.get(vis) match {
           case Some(ph) if schema.containsField(ph) =>
             val idx = schema.getFieldIndex(ph)
@@ -1052,7 +1125,7 @@ private[v2] final class GraftPartitionReader(p: GraftFilePartition)
             }
           case _ => null // column predates this file
         }
-      })
+      }))
     }
 
   override def close(): Unit = {
