@@ -585,10 +585,20 @@ object SnapshotTable {
   }
 
   private def enforceConstraints(spark: SparkSession, path: String,
-                                 batchDir: String): Unit = {
+                                 batchDir: String): Unit =
+    enforceConstraintsOn(spark, path, Seq(batchDir))
+
+  /** Constraint validation over explicit file paths — the DSv2
+    * row-level write stages files individually rather than under one
+    * batch directory. Violations wipe the STAGED files (unreferenced
+    * by any manifest) and abort.
+    */
+  private[graft] def enforceConstraintsOn(spark: SparkSession,
+                                          path: String,
+                                          files: Seq[String]): Unit = {
     val cs = constraintsOf(spark, path)
-    if (cs.isEmpty) return
-    val df = spark.read.parquet(batchDir)
+    if (cs.isEmpty || files.isEmpty) return
+    val df = spark.read.parquet(files: _*)
     val aggs = cs.map(c =>
       sum(when(expr(c.expr) === false, 1L).otherwise(0L)).as(c.name))
     val r = df.agg(aggs.head, aggs.drop(1): _*).collect().head
@@ -596,9 +606,12 @@ object SnapshotTable {
       .map { case (c, i) => c -> (if (r.isNullAt(i)) 0L else r.getLong(i)) }
       .filter(_._2 > 0)
     if (bad.nonEmpty) {
-      // the batch is unreferenced by any manifest: wipe it so the
-      // aborted commit leaves nothing for vacuum to sweep
-      io(batchDir).deleteDir(batchDir)
+      // the staged files are unreferenced by any manifest: wipe them
+      // so the aborted commit leaves nothing for vacuum to sweep
+      files.foreach { f =>
+        val fio = io(f)
+        if (fio.isDirectory(f)) fio.deleteDir(f) else fio.delete(f)
+      }
       throw new IllegalArgumentException(
         "constraint violation, commit aborted: " + bad.map { case (c, n) =>
           s"${c.name} (CHECK ${c.expr}) violated by $n row(s)"

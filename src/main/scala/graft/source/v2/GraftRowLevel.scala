@@ -41,8 +41,12 @@ import graft.ops.SnapshotTable
   * group rewrite would break partition purity — route through
   * [[SnapshotTable.mergePartitioned]]), and DV-carrying or
   * schema-ALTERed tables reject at scan resolution as everywhere
-  * else. DELETE never lands here — [[GraftTable]]'s `SupportsDelete`
-  * intercepts it first with the cheaper DV + fold path.
+  * else. Translatable DELETEs never land here — [[GraftTable]]'s
+  * `SupportsDelete` intercepts them with the cheaper DV + fold path;
+  * a DELETE whose predicate has no safe SQL rendering falls back to
+  * this group-based rewrite, which evaluates it as a Catalyst
+  * expression. CHECK constraints validate the rewritten batch before
+  * commit, and the history op records the actual command.
   */
 final class GraftRowLevelOperation(
     path: String,
@@ -98,7 +102,7 @@ final class GraftRowLevelOperation(
       override def description(): String =
         s"graft_table $path $cmd (group-based rewrite)"
       override def toBatch: BatchWrite =
-        new GraftBatchWrite(path, res, info.schema(), () => {
+        new GraftBatchWrite(path, res, info.schema(), cmd.toString, () => {
           require(scan != null && scan.plannedFileNames != null,
             "row-level write committed before its scan planned — " +
               "no group set to replace")
@@ -116,13 +120,17 @@ private[v2] final class GraftBatchWrite(
     path: String,
     res: GraftTableSource.Resolved,
     rowSchema: StructType,
+    op: String,
     scannedFiles: () => Seq[String]) extends BatchWrite {
 
   private val batchDir =
     s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
 
-  private val statsIdx: Option[Int] =
-    res.ver.stats.map(_.col).map(rowSchema.fieldIndex)
+  private val statsIdx: Option[(Int, Boolean)] =
+    res.ver.stats.map(_.col).map { c =>
+      val i = rowSchema.fieldIndex(c)
+      (i, rowSchema.fields(i).dataType == IntegerType)
+    }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
@@ -154,6 +162,9 @@ private[v2] final class GraftBatchWrite(
     val written = messages.toSeq.collect {
       case m: GraftRowWriteMessage if m.rows > 0 => m
     }.sortBy(_.file)
+    // MERGE/UPDATE ingest rows: CHECK constraints validate the
+    // rewritten batch exactly like every other data-ingesting commit
+    SnapshotTable.enforceConstraintsOn(spark, path, written.map(_.file))
     val removed = scannedFiles().map(SnapshotTable.canonFile).toSet
     val base = res.ver
     val keepIdx = base.files.indices
@@ -182,7 +193,7 @@ private[v2] final class GraftBatchWrite(
             .toString.take(12)}")
     }
     SnapshotTable.commitReplaceGroups(spark, path, base, files, rows,
-      bytes, stats, keepIdx, written.length, op = "MERGE")
+      bytes, stats, keepIdx, written.length, op = op)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -202,7 +213,8 @@ private[v2] final case class GraftRowWriteMessage(
     extends WriterCommitMessage
 
 private[v2] final class GraftRowWriterFactory(
-    batchDir: String, schema: StructType, statsIdx: Option[Int],
+    batchDir: String, schema: StructType,
+    statsIdx: Option[(Int, Boolean)],
     sqlConfs: Map[String, String])
     extends DataWriterFactory {
 
@@ -239,9 +251,9 @@ private[v2] final class GraftRowWriterFactory(
                          record: InternalRow): Unit = write(record)
 
       override def write(record: InternalRow): Unit = {
-        statsIdx.foreach { i =>
+        statsIdx.foreach { case (i, isInt) =>
           if (!record.isNullAt(i)) {
-            val v = record.getLong(i)
+            val v = if (isInt) record.getInt(i).toLong else record.getLong(i)
             if (v < mn) mn = v
             if (v > mx) mx = v
           }
@@ -258,7 +270,14 @@ private[v2] final class GraftRowWriterFactory(
       }
 
       override def abort(): Unit =
-        if (n > 0) try writer.close() catch { case _: Throwable => () }
+        if (n > 0) {
+          try writer.close() catch { case _: Throwable => () }
+          try {
+            val hp = new HPath(file)
+            val fs = hp.getFileSystem(new Configuration())
+            if (fs.exists(hp)) fs.delete(hp, false)
+          } catch { case _: Throwable => () }
+        }
 
       override def close(): Unit = ()
     }

@@ -296,12 +296,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.db.g VERSION AS OF 1")
       .head.getLong(0) === 100)
 
-    // UPDATE rides the same machinery
+    // UPDATE rides the same machinery — and records its own op
     spark.sql("UPDATE graft.db.g SET v = 0 WHERE k = 10")
     assert(spark.sql("SELECT v FROM graft.db.g WHERE k = 10")
       .head.getLong(0) === 0)
     assert(spark.sql("SELECT count(*) FROM graft.db.g")
       .head.getLong(0) === 103)
+    assert(SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p)).op === "UPDATE")
+    // CHECK constraints gate the rewritten batch: a violating UPDATE
+    // aborts and the table stays at its prior version
+    SnapshotTable.setConstraints(p,
+      Seq(SnapshotTable.Constraint("v_nonneg", "v >= 0")))
+    val before = SnapshotTable.latestVersion(p)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.db.g SET v = -5 WHERE k = 11")
+    }
+    assert(e.getMessage.contains("constraint") ||
+      e.getCause != null &&
+        String.valueOf(e.getCause.getMessage).contains("constraint"))
+    assert(SnapshotTable.latestVersion(p) === before)
+    assert(spark.sql("SELECT v FROM graft.db.g WHERE k = 11")
+      .head.getLong(0) === 11)
     spark.sql("DROP TABLE graft.db.g")
   }
 
