@@ -747,6 +747,76 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** [[append]] for files ALREADY WRITTEN by the caller's executors —
+    * the native streaming sink's commit half: the epoch's tasks wrote
+    * parquet directly ([[graft.source.v2.GraftRowWriterFactory]]) and
+    * hand their per-file facts here; this validates constraints,
+    * indexes blooms, and runs the same retry-against-refreshed-base
+    * conditional put as [[append]], with `txn = (queryId, epochId)`
+    * making a replayed epoch commit NOTHING. `statMinMax` must be
+    * present exactly when the table carries a stats config (the
+    * caller tracked min/max while writing).
+    */
+  private[graft] def commitAppendFiles(spark: SparkSession, path: String,
+                                       files: Seq[String], rows: Seq[Long],
+                                       bytes: Seq[Long],
+                                       batchCols: Seq[String],
+                                       statsCol: Option[String],
+                                       statMinMax: Option[(Seq[Long], Seq[Long])],
+                                       bloomCol: Option[String],
+                                       txn: Option[(String, Long)],
+                                       op: String = "APPEND"): Long = {
+    require(statsCol.isEmpty == statMinMax.isEmpty,
+      "per-file stats must be tracked exactly when a stats column is set")
+    def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
+      base.txns.get(w).exists(_ >= b)
+    }
+    enforceConstraintsOn(spark, path, files)
+    val pre = latestVersion(path)
+    val preBase =
+      if (pre == 0) Version(0, Seq.empty, 0)
+      else readVersion(spark, path, pre)
+    if (committedAt(preBase)) return pre
+    val bloomConf = bloomCol.map(BloomConf(_, -1L, 0.01))
+    if (files.nonEmpty) bloomConf.orElse(preBase.bloom).foreach(
+      writeBloomRows(spark, path, files, _))
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      val base =
+        if (prev == 0) Version(0, Seq.empty, 0)
+        else readVersion(spark, path, prev)
+      if (committedAt(base)) return prev
+      require(base.part.isEmpty,
+        s"table is hidden-partitioned (${base.part.get}) — the native " +
+          "streaming sink writes unpartitioned batches; ingest through " +
+          "foreachBatch + appendPartitioned")
+      require(statsCol.isEmpty || base.files.isEmpty ||
+          base.stats.exists(_.col == statsCol.get),
+        s"stats column changed mid-stream (was ${base.stats.map(_.col)})")
+      require(statsCol.isDefined || base.stats.isEmpty,
+        s"table indexes stats on ${base.stats.map(_.col)} but the " +
+          "stream tracked none — the writer resolved a stale layout")
+      val v = prev + 1
+      val manifest = renderManifest(v,
+        base.files ++ files, rowsOf(base) ++ rows, bytesOf(base) ++ bytes,
+        statsCol.map(c => Stats(c,
+          base.stats.map(_.mins).getOrElse(Seq.empty) ++ statMinMax.get._1,
+          base.stats.map(_.maxs).getOrElse(Seq.empty) ++ statMinMax.get._2)),
+        bloomConf.orElse(base.bloom), base.txns ++ txn.toMap, op = op,
+        dvFiles = base.dvFiles, dvRows = base.dvRows,
+        schema = appendMeta(base, path, batchCols, files.length))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"append to $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Commit `df` as the next version REPLACING the table's contents —
     * SQL TRUNCATE + INSERT as one atomic commit (`mode("overwrite")`
     * through the DSv2 front door). The new manifest references ONLY
@@ -890,10 +960,16 @@ object SnapshotTable {
                                          rows: Seq[Long], bytes: Seq[Long],
                                          stats: Option[Stats],
                                          keepIdx: Seq[Int], nNew: Int,
-                                         op: String): Long = {
+                                         op: String,
+                                         partValues: Option[Seq[Long]] = None)
+      : Long = {
+    require(base.part.isEmpty == partValues.isEmpty,
+      "a partitioned base needs per-file partition values for every " +
+        "surviving and rewritten file (and an unpartitioned one none)")
     val v = base.version + 1
     commitExclusive(path, v, renderManifest(v, files, rows, bytes,
-      stats, base.bloom, base.txns, op = op,
+      stats, base.bloom, base.txns, part = base.part,
+      partValues = partValues, op = op,
       schema = carryMeta(base, keepIdx, nNew)))
     v
   }
@@ -1038,6 +1114,121 @@ object SnapshotTable {
           attempts += 1
           require(attempts < 16,
             s"append to $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** REPLACE WHERE as ONE commit: delete every row of the partitioned
+    * table whose source value lies in [lo, hi] AND insert `df` — SQL
+    * `INSERT INTO t REPLACE WHERE …` / `df.writeTo(t).overwrite(cond)`.
+    * The range must align to partition boundaries (monotone transform;
+    * truncate widths checked like [[deletePartitionRange]]), so the
+    * delete half is pure METADATA — surviving files are carried by
+    * reference, zero data bytes moved — and the insert half is an
+    * ordinary partitioned batch. Every incoming row must itself fall
+    * in [lo, hi]: rows outside would silently survive the next
+    * replace of the same range, so they reject loudly (the
+    * Delta-replaceWhere contract). Commit retry recomputes the keep
+    * set against the refreshed base — overwrite semantics are
+    * REPLACE, so re-resolving against a racing append commits the
+    * overwrite's view of the range, exactly as a sequential
+    * delete+insert would. Returns the committed version.
+    */
+  def overwriteWhere(df: DataFrame, path: String, lo: Long, hi: Long,
+                     txn: Option[(String, Long)] = None): Long = {
+    val spark = df.sparkSession
+    require(lo <= hi, s"empty REPLACE WHERE range [$lo, $hi]")
+    val pre = latestVersion(path)
+    require(pre > 0, s"snapshot table $path does not exist")
+    def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
+      base.txns.get(w).exists(_ >= b)
+    }
+    if (committedAt(readVersion(spark, path, pre))) return pre
+    val ver0 = readVersion(spark, path, pre)
+    require(ver0.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the replace cannot resurrect MOR-deleted rows")
+    val spec = ver0.part.getOrElse(throw new IllegalArgumentException(
+      "REPLACE WHERE needs hidden partitioning — an unpartitioned " +
+        "range replace is deleteStatsRange + append"))
+    require(spec.monotone,
+      s"${spec.transform} partitions hold unordered key mixtures — a " +
+        "range cannot replace whole bucket partitions")
+    if (spec.transform == "truncate")
+      require(Math.floorMod(lo, spec.param) == 0 &&
+          Math.floorMod(hi + 1, spec.param) == 0,
+        s"[$lo, $hi] is not aligned to the $spec partition width — " +
+          "REPLACE WHERE swaps whole partitions; widen the predicate " +
+          "to partition boundaries")
+    require(df.columns.contains(spec.source) &&
+        df.schema(spec.source).dataType ==
+          org.apache.spark.sql.types.LongType,
+      s"replacement rows must carry BIGINT ${spec.source}")
+    val statsCol = ver0.stats.map(_.col)
+    // the new batch, laid out exactly like a partitioned append
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val withP = df.withColumn("__p", spec.column)
+    val laidOut = statsCol match {
+      case Some(c) => withP.repartition(col("__p"))
+        .sortWithinPartitions(col("__p"), col(c))
+      case None => withP.repartition(col("__p"))
+    }
+    laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    // the replaceWhere contract: every incoming row inside the range
+    val range = spark.read.parquet(batchDir)
+      .agg(min(col(spec.source)).cast("long"),
+        max(col(spec.source)).cast("long")).collect().head
+    if (!range.isNullAt(0))
+      require(range.getLong(0) >= lo && range.getLong(1) <= hi,
+        s"replacement rows fall outside REPLACE WHERE [$lo, $hi] " +
+          s"(batch spans [${range.getLong(0)}, ${range.getLong(1)}]) — " +
+          "rows outside the predicate would silently survive the next " +
+          "replace; widen the predicate or filter the input")
+    enforceConstraints(spark, path, batchDir)
+    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+    val batchCols = spark.read.parquet(batch.files.head)
+      .schema.fieldNames.toSeq
+    ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val (plo, phi) = (spec(lo), spec(hi))
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      val ver = readVersion(spark, path, prev)
+      if (committedAt(ver)) return prev
+      require(ver.part.contains(spec) && ver.dvFiles.isEmpty,
+        s"table layout changed under the replace (part=${ver.part}, " +
+          s"dv=${ver.dvFiles.length}) — re-run against the new base")
+      // the batch carries no new columns (checked so the schema meta
+      // can be carried by reference — REPLACE WHERE is not evolution)
+      ver.schemaNames.foreach { names =>
+        val unknown = batchCols.filterNot(c => names.contains(c))
+        require(unknown.isEmpty,
+          s"REPLACE WHERE batch carries new column(s) $unknown — " +
+            "evolve the schema with an append first")
+      }
+      val pv = ver.partValues.get
+      val keepIdx = ver.files.indices
+        .filterNot(i => pv(i) >= plo && pv(i) <= phi)
+      val rows = rowsOf(ver)
+      val bytes = bytesOf(ver)
+      val v = prev + 1
+      val manifest = renderManifest(v,
+        keepIdx.map(ver.files) ++ batch.files,
+        keepIdx.map(rows) ++ batch.rows,
+        keepIdx.map(bytes) ++ batch.bytes,
+        ver.stats.map(st => Stats(st.col,
+          keepIdx.map(st.mins) ++ batch.mins,
+          keepIdx.map(st.maxs) ++ batch.maxs)),
+        ver.bloom, ver.txns ++ txn.toMap, Some(spec),
+        Some(keepIdx.map(pv) ++ pvals), op = "OVERWRITE",
+        schema = carryMeta(ver, keepIdx, batch.files.length))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"replace on $path lost $attempts consecutive version races")
       }
     }
     -1L // unreachable
@@ -2230,7 +2421,7 @@ object SnapshotTable {
     require(i >= 0, s"no column $oldName in ${names.mkString(", ")}")
     require(!names.contains(newName),
       s"column $newName already exists — renaming $oldName onto it " +
-        "would collide; rename or drop the existing $newName first")
+        s"would collide; rename or drop the existing $newName first")
     val newNames = names.updated(i, newName)
     val e = ver.epoch + 1
     writeEpochFile(path, e, ids, newNames)

@@ -2292,6 +2292,298 @@ object Relational {
       .toDF("n", "qty_after", "qty_v1", "merged")
   }
 
+  /** q194 — SQL `INSERT INTO ... REPLACE WHERE`: the idempotent
+    * backfill shape (re-run a corrected pipeline over one date range)
+    * as ONE commit against a hidden-partitioned catalog table. The
+    * range [9632, 9760) is aligned to the `truncate(32, ship_day)`
+    * transform, so the delete half is pure METADATA — every surviving
+    * file carries into the new manifest BY REFERENCE
+    * (require-asserted: same paths, zero data bytes moved) — and only
+    * the replacement batch is written. At 100 TB this is the
+    * difference between a backfill that rewrites the table and one
+    * that costs (new partition bytes + one manifest put). The
+    * replacement recomputes the window's rows with +7 quantity units;
+    * DuckDB states the post-replace aggregates in closed form from
+    * raw lineitem, and time travel still reads the pre-replace table.
+    */
+  val replaceWhere = QueryDef("q194_replace_where",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_after,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)
+      |     + CASE WHEN datediff('day', DATE '1970-01-01',
+      |              CAST(l_shipdate AS DATE)) BETWEEN 9632 AND 9759
+      |        THEN 7 ELSE 0 END) AS BIGINT) FROM lineitem) AS qty_after,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) BETWEEN 9632 AND 9759) AS n_window,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem) AS qty_v1,
+      |  TRUE AS zero_copy""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val wh = Work.oracleDumpPath("q194_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q194",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q194.root", wh)
+    clusterLayouts.compute("q194", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q194_src")
+        s.sql("""CREATE TABLE graft_q194.q194.li (ship_day BIGINT, qty_u BIGINT)
+          PARTITIONED BY (truncate(32, ship_day))""")
+        s.sql("INSERT INTO graft_q194.q194.li SELECT * FROM q194_src")
+        val v1 = SnapshotTable.readVersion(s, s"$wh/q194/li", 1)
+        // the corrected backfill of four aligned partitions
+        s.sql("""INSERT INTO graft_q194.q194.li
+          REPLACE WHERE ship_day >= 9632 AND ship_day < 9760
+          SELECT ship_day, qty_u + 7 FROM q194_src
+          WHERE ship_day >= 9632 AND ship_day < 9760""")
+        val v2 = SnapshotTable.readVersion(s, s"$wh/q194/li", 2)
+        require(v2.op == "OVERWRITE", s"expected OVERWRITE, got ${v2.op}")
+        // zero-copy delete half: every outside-range v1 file carried
+        // BY REFERENCE; every in-range v1 file gone
+        val pv1 = v1.partValues.get
+        val v2set = v2.files.toSet
+        v1.files.indices.foreach { i =>
+          val inRange = pv1(i) >= 9632 / 32 && pv1(i) < 9760 / 32
+          require(v2set.contains(v1.files(i)) == !inRange,
+            s"replace moved bytes it should not have: file ${v1.files(i)}" +
+              s" (partition ${pv1(i)}, inRange=$inRange)")
+        }
+      }
+      d
+    })
+    val after = s.sql("SELECT count(*) AS n, CAST(sum(qty_u) AS BIGINT)" +
+      " AS q FROM graft_q194.q194.li").collect().head
+    val nWindow = s.sql("SELECT count(*) FROM graft_q194.q194.li " +
+      "WHERE ship_day BETWEEN 9632 AND 9759").head.getLong(0)
+    val qtyV1 = s.sql("SELECT CAST(sum(qty_u) AS BIGINT) FROM " +
+      "graft_q194.q194.li VERSION AS OF 1").head.getLong(0)
+    import s.implicits._
+    Seq((after.getLong(0), after.getLong(1), nWindow, qtyV1, true))
+      .toDF("n_after", "qty_after", "n_window", "qty_v1", "zero_copy")
+  }
+
+  /** q195 — SQL MERGE INTO a BUCKET-PARTITIONED catalog table: q193's
+    * business shape (bump March-1996 orders' lineitems by 100 units)
+    * against the layout real fact tables use. The row-level write
+    * declares `RequiresDistributionAndOrdering` — clustered + sorted
+    * on the catalog's own bucket function — so rewritten files stay
+    * PARTITION-PURE and the manifest's per-file values keep pruning
+    * exact (require-asserted: a post-merge key probe plans a strict
+    * subset). A row whose bucket went stale after the merge would
+    * either break the probe's count or the recorded purity — DuckDB
+    * recomputes the post-merge aggregate and the probe key's rows
+    * from raw lineitem×orders.
+    */
+  val partitionedSqlMerge = QueryDef("q195_partitioned_sql_merge",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n,
+      |  (SELECT CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)
+      |     + CASE WHEN o.o_orderdate >= TIMESTAMP '1996-03-01'
+      |             AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |        THEN 100 ELSE 0 END) AS BIGINT)
+      |    FROM lineitem l JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey) AS qty_after,
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey = 7) AS n_probe,
+      |  TRUE AS pruned""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val wh = Work.oracleDumpPath("q195_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q195",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q195.root", wh)
+    clusterLayouts.compute("q195", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").cast("long").as("okey"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q195_li")
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey").cast("long").as("okey"))
+          .createOrReplaceTempView("q195_src")
+        s.sql("""CREATE TABLE graft_q195.q195.li (okey BIGINT, qty_u BIGINT)
+          PARTITIONED BY (bucket(16, okey))""")
+        s.sql("INSERT INTO graft_q195.q195.li SELECT * FROM q195_li")
+        s.sql("""MERGE INTO graft_q195.q195.li t USING q195_src s
+          ON t.okey = s.okey
+          WHEN MATCHED THEN UPDATE SET qty_u = t.qty_u + 100""")
+      }
+      d
+    })
+    val path = s"$wh/q195/li"
+    val ver = SnapshotTable.readVersion(s, path,
+      SnapshotTable.latestVersion(path))
+    require(ver.op == "MERGE" && ver.part.exists(_.transform == "bucket"),
+      s"expected a MERGE on the bucket layout, got ${ver.op}/${ver.part}")
+    require(ver.partValues.exists(_.length == ver.files.length),
+      "rewritten files must carry their partition values")
+    val after = s.sql("SELECT count(*) AS n, CAST(sum(qty_u) AS BIGINT)" +
+      " AS q FROM graft_q195.q195.li").collect().head
+    require(after.getLong(0) == ver.rows,
+      s"scan/manifest row drift: ${after.getLong(0)} != ${ver.rows}")
+    // post-merge pruning stays EXACT: a key probe plans a strict
+    // subset of the rewritten table's files
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nProbe = s.sql(
+      "SELECT count(*) FROM graft_q195.q195.li WHERE okey = 7")
+      .head.getLong(0)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    require(planned > 0 && planned < total,
+      s"post-merge bucket pruning failed: $planned of $total files")
+    import s.implicits._
+    Seq((after.getLong(0), after.getLong(1), nProbe, true))
+      .toDF("n", "qty_after", "n_probe", "pruned")
+  }
+
+  /** q196 — the NATIVE exactly-once streaming sink:
+    * `writeStream.format("graft_table")` replaces the foreachBatch
+    * idiom (q158/q180) with zero user code — each epoch's executors
+    * write through the table's parquet row codec and the commit is
+    * one conditional put keyed `txn = (queryId, epochId)`. The run:
+    * tail one snapshot table into another with Trigger.AvailableNow,
+    * append a delta to the source, run again (exactly the delta
+    * arrives — no duplication, no loss), then an IDLE restart which
+    * must commit NOTHING (require-asserted zero version churn — the
+    * replayed-offset form of the q158 assertion, native). The sink
+    * inherits the stats layout, so the streamed table keeps pruning
+    * (require-asserted). DuckDB recomputes both watermarks from raw
+    * lineitem.
+    */
+  val streamSink = QueryDef("q196_stream_sink",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_shipdate < TIMESTAMP '1997-01-01') AS n_first,
+      |  (SELECT count(*) FROM lineitem) AS n_all,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem) AS qty_all,
+      |  TRUE AS exactly_once""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val src = Work.oracleDumpPath("q196_src")
+    val dst = Work.oracleDumpPath("q196_dst")
+    val ckpt = Work.oracleDumpPath("q196_ckpt")
+    val day97 = java.time.LocalDate.of(1997, 1, 1).toEpochDay
+    clusterLayouts.compute("q196", (_, prev) => {
+      if (prev != d) {
+        Seq(src, dst, ckpt).foreach(p =>
+          Work.wipe(java.nio.file.Paths.get(p)))
+        val li = Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.append(li.filter(col("ship_day") < day97), src, 4,
+          statsCol = Some("ship_day"))
+        def run(): Unit = {
+          val q = s.readStream.format("graft_table").option("path", src)
+            .load()
+            .writeStream.format("graft_table")
+            .option("path", dst).option("stats_col", "ship_day")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          ()
+        }
+        run()
+        // the delta arrives exactly once on restart
+        SnapshotTable.append(li.filter(col("ship_day") >= day97), src, 2,
+          statsCol = Some("ship_day"))
+        run()
+        // an IDLE restart must not commit: zero version churn
+        val vBefore = SnapshotTable.latestVersion(dst)
+        run()
+        require(SnapshotTable.latestVersion(dst) == vBefore,
+          "an idle streaming restart committed a version")
+        val ver = SnapshotTable.readVersion(s, dst, vBefore)
+        require(ver.txns.keys.exists(_.startsWith("stream-")),
+          "streamed commits must be txn-keyed by (queryId, epochId)")
+        require(ver.stats.exists(_.col == "ship_day"),
+          "the sink must inherit the stats layout")
+      }
+      d
+    })
+    // AvailableNow + the version-offset source = ONE commit per
+    // non-idle run, so dst's v1 IS the first watermark
+    val nFirst = SnapshotTable.readVersion(s, dst, 1).rows
+    val t = s.read.format("graft_table").option("path", dst).load()
+    val r = t.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    import s.implicits._
+    Seq((nFirst, r.getLong(0), r.getLong(1), true))
+      .toDF("n_first", "n_all", "qty_all", "exactly_once")
+  }
+
+  /** q197 — DAY-TWO MAINTENANCE from pure SQL: Spark 4's procedure
+    * catalog (`CALL graft.system.optimize/zorder/expire/vacuum`) over
+    * the same commit protocol as every Scala-API mutation. An
+    * ingest-fragmented table (8 small inserts) is compacted toward
+    * the target size (require-asserted fewer files), re-clustered by
+    * the VALUE column (OPTIMIZE ... ZORDER BY's shape — the layout
+    * that turns value-range queries prunable), old versions expired
+    * and orphans vacuumed — and the DATA is bit-identical throughout,
+    * which is the whole point: maintenance must never change answers.
+    * DuckDB recomputes the aggregates from raw lineitem.
+    */
+  val sqlMaintenance = QueryDef("q197_sql_maintenance",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  CAST(min(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_min,
+      |  TRUE AS compacted
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val wh = Work.oracleDumpPath("q197_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q197",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q197.root", wh)
+    clusterLayouts.compute("q197", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q197_src")
+        s.sql("""CREATE TABLE graft_q197.q197.li (ship_day BIGINT, qty_u BIGINT)
+          TBLPROPERTIES ('stats_col'='ship_day')""")
+        // fragmented ingest: 8 small commits
+        (0 until 8).foreach(i => s.sql("INSERT INTO graft_q197.q197.li " +
+          s"SELECT * FROM q197_src WHERE pmod(ship_day, 8) = $i"))
+        val p = s"$wh/q197/li"
+        val before = SnapshotTable.readVersion(s, p, 8).files.length
+        val opt = s.sql("CALL graft_q197.system.optimize(" +
+          "`table` => 'q197.li', target_bytes => 67108864)")
+          .collect().head
+        require(opt.getInt(2) < before,
+          s"optimize did not shrink: ${opt.getInt(2)} of $before files")
+        // re-cluster by the VALUE column: q135's layout flip, from SQL
+        val z = s.sql("CALL graft_q197.system.zorder('q197.li', 'qty_u', 4)")
+          .collect().head
+        require(z.getInt(2) > 0, s"zorder produced no files: $z")
+        val keep = SnapshotTable.latestVersion(p)
+        val ex = s.sql(s"CALL graft_q197.system.expire('q197.li', $keep)")
+          .collect().head
+        require(ex.getInt(0) > 0, "expire dropped no manifests")
+        s.sql("CALL graft_q197.system.vacuum('q197.li', 0)")
+      }
+      d
+    })
+    val r = s.sql("SELECT count(*) AS n, CAST(sum(qty_u) AS BIGINT) AS q," +
+      " CAST(min(qty_u) AS BIGINT) AS mn FROM graft_q197.q197.li")
+      .collect().head
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n", "qty_u", "qty_min", "compacted")
+  }
+
   /** q169 — SQL CHANGE FEED: [[graft.ops.SnapshotTable.changes]]
     * surfaced as the `graft_changes(path, fromV, toV)` table-valued
     * function, so the version delta is a plain FROM-clause relation.
@@ -3313,5 +3605,6 @@ object Relational {
     restoreVersion, tableHistory, constraintGate, deletionVectors,
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
-    bucketSpj, sqlMerge)
+    bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
+    sqlMaintenance)
 }

@@ -49,9 +49,18 @@ import graft.ops.{SnapshotTable, TableIo}
   */
 final class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var cname: String = _
   private var root: String = _
+
+  /** Day-two maintenance as SQL `CALL` — see [[GraftProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident.name())
 
   /** The partition transforms as V2 catalog FUNCTIONS — what lets
     * Catalyst prove two bucket/truncate-partitioned tables agree and

@@ -2,14 +2,17 @@ package graft.source.v2
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.ops.SnapshotTable
 
@@ -37,29 +40,46 @@ import graft.ops.SnapshotTable
   *      concurrent commit fails THIS operation loudly — the
   *      plan-against-base mutation policy, same as compact/merge.
   *
-  * Boundaries, stated loudly: hidden-partitioned tables reject (a
-  * group rewrite would break partition purity — route through
-  * [[SnapshotTable.mergePartitioned]]), and DV-carrying or
-  * schema-ALTERed tables reject at scan resolution as everywhere
-  * else. Translatable DELETEs never land here — [[GraftTable]]'s
-  * `SupportsDelete` intercepts them with the cheaper DV + fold path;
-  * a DELETE whose predicate has no safe SQL rendering falls back to
-  * this group-based rewrite, which evaluates it as a Catalyst
-  * expression. CHECK constraints validate the rewritten batch before
-  * commit, and the history op records the actual command.
+  * HIDDEN-PARTITIONED tables rewrite partition-pure: the write
+  * declares `RequiresDistributionAndOrdering` — clustered on the
+  * partition transform (resolved through the catalog's
+  * FunctionCatalog, the same arithmetic that routed the rows at
+  * append time) and sorted by (transform, stats column) — so each
+  * task receives whole partition values in order, rolls to a new
+  * file whenever the derived value changes, and the commit records
+  * the NEW value per file. A MERGE that updates the partition SOURCE
+  * column therefore moves the row to its new partition by
+  * construction — the cross-partition-move hazard
+  * [[SnapshotTable.mergePartitioned]] guards against cannot arise
+  * here, because Spark's runtime group filter is computed from a
+  * full scan of the target (complete by construction, no bloom
+  * completeness precondition).
+  *
+  * Boundaries, stated loudly: DV-carrying or schema-ALTERed tables
+  * reject at scan RESOLUTION (lazily — never in the constructor, so
+  * a translatable DELETE still optimizes back to the cheaper
+  * `SupportsDelete` DV + fold path before any scan is built).
+  * CHECK constraints validate the rewritten batch before commit, and
+  * the history op records the actual command.
   */
 final class GraftRowLevelOperation(
     path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  private val res = GraftTableSource.resolveForScan(Map("path" -> path))
-  require(res.ver.part.isEmpty,
-    s"table is hidden-partitioned (${res.ver.part.get}) — a group " +
-      "rewrite would break partition purity; use " +
-      "SnapshotTable.mergePartitioned")
+  // resolution is deliberately LAZY: Spark builds the row-level
+  // operation at ANALYSIS for every DELETE on a
+  // SupportsRowLevelOperations table, BEFORE
+  // OptimizeMetadataOnlyDeleteFromTable can route translatable
+  // predicates to SupportsDelete.deleteWhere — an eager resolve here
+  // would fail DELETEs (on DV-carrying, empty, or marker-only tables)
+  // that never needed a group rewrite at all
+  private lazy val res = GraftTableSource.resolveForScan(Map("path" -> path))
 
   /** The scan serving the operation — kept so commit() knows exactly
-    * which files were read (= replaced).
+    * which files were read (= replaced). Captured AT MOST ONCE: a
+    * second full-schema build through this operation would silently
+    * replace the group set and drop unrewritten files from the
+    * manifest, so it fails loudly instead.
     */
   @volatile private var scan: GraftScan = _
 
@@ -85,7 +105,14 @@ final class GraftRowLevelOperation(
         // whole rows); the runtime group-filter SUBQUERY scan reads
         // only the join key + _file and must not become the group set
         case g: GraftScan if res.schema.fieldNames.forall(
-            g.readSchema().fieldNames.contains) => scan = g
+            g.readSchema().fieldNames.contains) =>
+          if (scan != null)
+            throw new IllegalStateException(
+              s"graft_table $path $cmd: a SECOND full-schema scan was " +
+                "built through this row-level operation — the group " +
+                "set would be silently replaced and unrewritten files " +
+                "dropped from the manifest; plan the operation again")
+          scan = g
         case _ => ()
       }
       s
@@ -98,9 +125,34 @@ final class GraftRowLevelOperation(
     }
 
   private def rowLevelWrite(info: LogicalWriteInfo): Write = {
-    new Write {
+    new Write with RequiresDistributionAndOrdering {
       override def description(): String =
         s"graft_table $path $cmd (group-based rewrite)"
+
+      /** Partitioned rewrites cluster on the partition transform —
+        * the same catalog function SPJ reads resolve — so a task
+        * holds whole partition values and files stay partition-pure.
+        * Unpartitioned rewrites run under any distribution.
+        */
+      override def requiredDistribution(): Distribution =
+        res.ver.part match {
+          case Some(p) => Distributions.clustered(Array(transformExpr(p)))
+          case None => Distributions.unspecified()
+        }
+
+      /** Sort by (transform, stats column): the writer rolls files on
+        * transform-value change, and within a file the stats column
+        * stays tight for manifest pruning.
+        */
+      override def requiredOrdering(): Array[SortOrder] = {
+        val onPart = res.ver.part.toSeq.map(p =>
+          Expressions.sort(transformExpr(p), SortDirection.ASCENDING))
+        val onStats = res.ver.stats.toSeq.map(st =>
+          Expressions.sort(Expressions.column(st.col),
+            SortDirection.ASCENDING))
+        (onPart ++ onStats).toArray
+      }
+
       override def toBatch: BatchWrite =
         new GraftBatchWrite(path, res, info.schema(), cmd.toString, () => {
           require(scan != null && scan.plannedFileNames != null,
@@ -110,6 +162,15 @@ final class GraftRowLevelOperation(
         })
     }
   }
+
+  private def transformExpr(p: SnapshotTable.PartSpec)
+      : org.apache.spark.sql.connector.expressions.Expression =
+    p.transform match {
+      case "identity" => Expressions.column(p.source)
+      case "bucket" => Expressions.bucket(p.param.toInt, p.source)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.literal(p.param), Expressions.column(p.source))
+    }
 }
 
 /** One rewritten group batch: executors write parquet files under a
@@ -126,10 +187,37 @@ private[v2] final class GraftBatchWrite(
   private val batchDir =
     s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
 
+  /** (index, isInt) of the stats column. Only INT/BIGINT stats are
+    * committable: the manifest stores longs, `record.getLong` on a
+    * float/double column would commit raw IEEE bits as min/max, and
+    * those bounds feed aggregate pushdown and file pruning — silent
+    * wrong answers. The append path enforces the same surface.
+    */
   private val statsIdx: Option[(Int, Boolean)] =
     res.ver.stats.map(_.col).map { c =>
       val i = rowSchema.fieldIndex(c)
-      (i, rowSchema.fields(i).dataType == IntegerType)
+      rowSchema.fields(i).dataType match {
+        case IntegerType => (i, true)
+        case LongType => (i, false)
+        case other => throw new IllegalArgumentException(
+          s"stats column $c has type $other — per-file min/max are " +
+            "manifest LONGs; only INT/BIGINT stats columns are " +
+            "supported (the same surface the append path indexes)")
+      }
+    }
+
+  /** (source index, spec) of the hidden partition transform — the
+    * writer derives each row's partition value and rolls files so
+    * every data file holds exactly one value (what makes manifest
+    * pruning on the recorded value EXACT).
+    */
+  private val partIdx: Option[(Int, SnapshotTable.PartSpec)] =
+    res.ver.part.map { p =>
+      val i = rowSchema.fieldIndex(p.source)
+      require(rowSchema.fields(i).dataType == LongType,
+        s"partition source ${p.source} must be BIGINT — the driver " +
+          "probe mirror and the executor hash must agree on input width")
+      (i, p)
     }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -154,14 +242,30 @@ private[v2] final class GraftBatchWrite(
         sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
       SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
         sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    new GraftRowWriterFactory(batchDir, rowSchema, statsIdx, sqlConfs)
+    // the SESSION's Hadoop configuration, broadcast: spark.hadoop.*
+    // settings (object-store credentials, endpoints) must reach the
+    // executors' parquet writers — a fresh Configuration() loses them
+    val spark = SparkSession.active
+    val bconf = spark.sparkContext.broadcast(new SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    new GraftRowWriterFactory(batchDir, rowSchema, statsIdx, partIdx,
+      sqlConfs, bconf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val written = messages.toSeq.collect {
-      case m: GraftRowWriteMessage if m.rows > 0 => m
-    }.sortBy(_.file)
+      case m: GraftRowWriteMessage => m.files
+    }.flatten.filter(_.rows > 0).sortBy(_.file)
+    // a non-empty file whose stats column was entirely NULL has no
+    // committable [min, max]; recording a fabricated range would
+    // corrupt pruning and aggregate pushdown — abort like the append
+    // path does
+    written.find(f => statsIdx.isDefined && !f.statSeen).foreach { f =>
+      throw new IllegalStateException(
+        s"rewritten file ${f.file} holds only NULLs in stats column " +
+          s"${res.ver.stats.get.col} — no committable min/max")
+    }
     // MERGE/UPDATE ingest rows: CHECK constraints validate the
     // rewritten batch exactly like every other data-ingesting commit
     SnapshotTable.enforceConstraintsOn(spark, path, written.map(_.file))
@@ -169,8 +273,9 @@ private[v2] final class GraftBatchWrite(
     val base = res.ver
     val keepIdx = base.files.indices
       .filterNot(i => removed(SnapshotTable.canonFile(base.files(i))))
-    // sizes: one driver-side stat per new file, O(batch)
-    val conf = new Configuration()
+    // sizes: one driver-side stat per new file, O(batch), through the
+    // session conf (the table may live on an object store)
+    val conf = spark.sparkContext.hadoopConfiguration
     def sizeOf(f: String): Long = {
       val p = new HPath(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
@@ -184,6 +289,9 @@ private[v2] final class GraftBatchWrite(
         keepIdx.map(st.mins) ++ written.map(_.statMin),
         keepIdx.map(st.maxs) ++ written.map(_.statMax))
     }
+    val partVals = base.partValues.map { pv =>
+      keepIdx.map(pv) ++ written.map(_.part)
+    }
     base.bloom.foreach { bc =>
       if (written.nonEmpty)
         graft.ops.BloomIndex.buildRows(spark, written.map(_.file),
@@ -193,29 +301,40 @@ private[v2] final class GraftBatchWrite(
             .toString.take(12)}")
     }
     SnapshotTable.commitReplaceGroups(spark, path, base, files, rows,
-      bytes, stats, keepIdx, written.length, op = op)
+      bytes, stats, keepIdx, written.length, op = op,
+      partValues = partVals)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
     messages.foreach {
-      case m: GraftRowWriteMessage =>
-        val p = new HPath(m.file)
+      case m: GraftRowWriteMessage => m.files.foreach { f =>
+        val p = new HPath(f.file)
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.delete(p, false)
+      }
       case _ => ()
     }
   }
 }
 
-private[v2] final case class GraftRowWriteMessage(
-    file: String, rows: Long, statMin: Long, statMax: Long)
+/** Per-file facts a rewrite task commits: row count, stats [min, max]
+  * (valid only when `statSeen`), and the file's single hidden
+  * partition value (0 for unpartitioned tables).
+  */
+private[v2] final case class GraftFileFact(
+    file: String, rows: Long, statMin: Long, statMax: Long,
+    statSeen: Boolean, part: Long)
+
+private[v2] final case class GraftRowWriteMessage(files: Seq[GraftFileFact])
     extends WriterCommitMessage
 
 private[v2] final class GraftRowWriterFactory(
     batchDir: String, schema: StructType,
     statsIdx: Option[(Int, Boolean)],
-    sqlConfs: Map[String, String])
+    partIdx: Option[(Int, SnapshotTable.PartSpec)],
+    sqlConfs: Map[String, String],
+    bconf: Broadcast[SerializableConfiguration])
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -223,18 +342,28 @@ private[v2] final class GraftRowWriterFactory(
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-      private val file =
-        s"$batchDir/part-$partitionId-$taskId.parquet"
+      private val facts = scala.collection.mutable.ArrayBuffer
+        .empty[GraftFileFact]
+      private var fileSeq = 0
+      private var file: String = _
       private var n = 0L
       private var mn = Long.MaxValue
       private var mx = Long.MinValue
+      private var curPart = 0L
+      private var writer:
+        org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
 
-      private lazy val writer = {
-        val conf = new Configuration()
+      private def open(part: Long): Unit = {
+        file = s"$batchDir/part-$partitionId-$taskId-$fileSeq.parquet"
+        fileSeq += 1
+        n = 0L; mn = Long.MaxValue; mx = Long.MinValue
+        curPart = part
+        val conf = new org.apache.hadoop.conf.Configuration(
+          bconf.value.value)
         sqlConfs.foreach { case (k, v) => if (v != null) conf.set(k, v) }
         ParquetWriteSupport.setSchema(schema, conf)
         val support = new ParquetWriteSupport
-        new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+        writer = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
           new HPath(file), support,
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
           org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
@@ -245,12 +374,37 @@ private[v2] final class GraftRowWriterFactory(
           conf)
       }
 
+      private def roll(): Unit =
+        if (writer != null && n > 0) {
+          writer.close()
+          facts += GraftFileFact(file, n,
+            if (mn == Long.MaxValue) 0L else mn,
+            if (mx == Long.MinValue) 0L else mx,
+            statSeen = mn != Long.MaxValue, part = curPart)
+          writer = null
+        }
+
       // carried-over rows arrive with their metadata row; the
       // rewrite only needs the data projection
       override def write(metadata: InternalRow,
                          record: InternalRow): Unit = write(record)
 
       override def write(record: InternalRow): Unit = {
+        // rows arrive clustered AND sorted by the transform
+        // (requiredDistribution/Ordering), so rolling on value change
+        // yields partition-pure files without a per-value writer pool
+        val p = partIdx match {
+          case Some((i, spec)) =>
+            if (record.isNullAt(i))
+              throw new IllegalArgumentException(
+                s"partition source ${spec.source} is NULL — hidden " +
+                  "partitioning routes by value and cannot place a " +
+                  "NULL row")
+            spec(record.getLong(i))
+          case None => 0L
+        }
+        if (writer == null) open(p)
+        else if (p != curPart) { roll(); open(p) }
         statsIdx.foreach { case (i, isInt) =>
           if (!record.isNullAt(i)) {
             val v = if (isInt) record.getInt(i).toLong else record.getLong(i)
@@ -263,21 +417,22 @@ private[v2] final class GraftRowWriterFactory(
       }
 
       override def commit(): WriterCommitMessage = {
-        if (n > 0) writer.close()
-        GraftRowWriteMessage(file, n,
-          if (mn == Long.MaxValue) 0L else mn,
-          if (mx == Long.MinValue) 0L else mx)
+        roll()
+        GraftRowWriteMessage(facts.toSeq)
       }
 
-      override def abort(): Unit =
-        if (n > 0) {
-          try writer.close() catch { case _: Throwable => () }
-          try {
-            val hp = new HPath(file)
-            val fs = hp.getFileSystem(new Configuration())
+      override def abort(): Unit = {
+        try { if (writer != null) writer.close() }
+        catch { case _: Throwable => () }
+        try {
+          val conf = bconf.value.value
+          (facts.map(_.file) ++ Option(file)).foreach { f =>
+            val hp = new HPath(f)
+            val fs = hp.getFileSystem(conf)
             if (fs.exists(hp)) fs.delete(hp, false)
-          } catch { case _: Throwable => () }
-        }
+          }
+        } catch { case _: Throwable => () }
+      }
 
       override def close(): Unit = ()
     }

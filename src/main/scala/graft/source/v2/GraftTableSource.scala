@@ -91,6 +91,15 @@ object GraftTableSource {
     */
   val lastPlan = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((-1, -1))
 
+  /** Rows DELIVERED by graft_table partition readers in this JVM since
+    * the last reset — the spec-facing ROW-GROUP skipping probe: with a
+    * selective pushed filter on the stats column, parquet's
+    * statistics-based row-group filtering bounds delivered rows well
+    * below the kept files' row counts (single-JVM local mode only, by
+    * construction).
+    */
+  val rowsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** True when the most recent scan in this JVM served a completely
     * pushed aggregate from the manifest — the spec-facing probe.
     */
@@ -322,9 +331,11 @@ object GraftTableSource {
 
     val statCol = ver.stats.map(_.col)
     val partCol = ver.part.map(_.source)
+    // canonicalized comparison (TableIo.canon via canonFile): `file:`
+    // vs `file://` vs plain forms of the same path must all match
     def fileNameSet(vs: Seq[Any]): Set[String] =
       vs.collect { case s: String => s }
-        .map(f => f.stripPrefix("file:")).toSet
+        .map(SnapshotTable.canonFile).toSet
     filters.foreach {
       // the _file METADATA column: runtime group filters for
       // row-level operations arrive here, naming exactly the files
@@ -332,11 +343,11 @@ object GraftTableSource {
       case EqualTo("_file", v) =>
         val want = fileNameSet(Seq(v))
         keep = keep.filter(i =>
-          want(ver.files(i).stripPrefix("file:")))
+          want(SnapshotTable.canonFile(ver.files(i))))
       case In("_file", vs) =>
         val want = fileNameSet(vs.toSeq)
         keep = keep.filter(i =>
-          want(ver.files(i).stripPrefix("file:")))
+          want(SnapshotTable.canonFile(ver.files(i))))
       case EqualTo(c, v) if statCol.contains(c) =>
         longOf(v).foreach(l =>
           pruneRange(ver.stats.get.mins, ver.stats.get.maxs,
@@ -527,7 +538,8 @@ private[v2] final class GraftTable(props: Map[String, String])
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
     // a known schema (committed versions or a CREATE TABLE marker)
     // gets Spark's ordinary write-side validation; only a
     // create-on-first-write path-based target accepts any schema
@@ -546,7 +558,7 @@ private[v2] final class GraftTable(props: Map[String, String])
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(path, props)
+    new GraftWriteBuilder(path, props, info)
 }
 
 private[v2] object GraftTable {
@@ -621,14 +633,37 @@ private[v2] object GraftTable {
   * INSERT ([[SnapshotTable.overwrite]]); a first write CREATES the
   * table.
   */
-private[v2] final class GraftWriteBuilder(path: String,
-                                          props: Map[String, String])
+private[v2] final class GraftWriteBuilder(
+    path: String, props: Map[String, String],
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
+  import org.apache.spark.sql.sources.Filter
 
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
+
+  /** REPLACE WHERE: an aligned range predicate on the partition
+    * source becomes a metadata-only partition swap + append in ONE
+    * commit ([[SnapshotTable.overwriteWhere]]); everything else
+    * declines here so Spark raises the analysis error instead of a
+    * wrong overwrite.
+    */
+  private var replaceFilters: Option[Array[Filter]] = None
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
+      GraftWriteBuilder.rangeOf(filters).isDefined
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(
+        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncating = true
+    else replaceFilters = Some(filters)
+    this
+  }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new V1Write {
@@ -658,10 +693,25 @@ private[v2] final class GraftWriteBuilder(path: String,
             w <- props.get("txn_writer"); b <- props.get("txn_batch")
           } yield (w, b.toLong)
           val part = base.flatMap(_.part).orElse(marker.flatMap(_.part))
-          if (truncating) {
+          if (replaceFilters.isDefined) {
+            val filters = replaceFilters.get
+            val spec = part.getOrElse(throw new IllegalArgumentException(
+              "REPLACE WHERE needs a hidden-partitioned table — an " +
+                "unpartitioned overwrite is all-or-nothing"))
+            val (c, lo, hi) = GraftWriteBuilder.rangeOf(filters)
+              .getOrElse(throw new IllegalArgumentException(
+                s"REPLACE WHERE predicate ${filters.toSeq} has no " +
+                  "closed integral range form — replace swaps whole " +
+                  "partitions of the source column"))
+            require(c == spec.source,
+              s"REPLACE WHERE must predicate the partition source " +
+                s"${spec.source}, got $c")
+            SnapshotTable.overwriteWhere(data, path, lo, hi, txn = txn)
+          } else if (truncating) {
             require(part.isEmpty,
               s"table is hidden-partitioned (${part.get}) — a plain " +
-                "overwrite would break partition purity")
+                "overwrite would break partition purity; REPLACE WHERE " +
+                "an aligned range instead")
             SnapshotTable.overwrite(data, path, numParts,
               statsCol = statsCol, bloomCol = bloomCol, txn = txn)
           } else part match {
@@ -674,7 +724,178 @@ private[v2] final class GraftWriteBuilder(path: String,
           }
           ()
         }
+
+      /** `writeStream.format("graft_table")` / `.toTable(...)` — the
+        * native exactly-once sink: each epoch's tasks write parquet
+        * through the table's row codec, and commit(epochId) is one
+        * [[SnapshotTable.commitAppendFiles]] conditional put keyed
+        * `txn = (queryId, epochId)` — a replayed epoch (restart,
+        * retried commit) hits the recorded watermark and commits
+        * NOTHING, the same idempotence contract the foreachBatch
+        * idiom used, now with zero user code.
+        */
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        require(!truncating && replaceFilters.isEmpty,
+          "graft_table streams append-only; complete/update output " +
+            "modes have no table form")
+        new GraftStreamingWrite(path, props, info)
+      }
     }
+}
+
+private[v2] object GraftWriteBuilder {
+  import org.apache.spark.sql.sources._
+
+  /** The conjunction's closed integral range on ONE column:
+    * `(col, lo, hi)` — what an aligned REPLACE WHERE predicate must
+    * reduce to. Conservative: anything unrecognized yields None.
+    */
+  def rangeOf(filters: Array[Filter]): Option[(String, Long, Long)] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val bounds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[Long], Option[Long])]
+    def walk(f: Filter): Boolean = f match {
+      case And(l, r) => walk(l) && walk(r)
+      case EqualTo(c, v) =>
+        longOf(v).exists { l => bounds += ((c, Some(l), Some(l))); true }
+      case GreaterThan(c, v) =>
+        longOf(v).exists { l => bounds += ((c, Some(l + 1), None)); true }
+      case GreaterThanOrEqual(c, v) =>
+        longOf(v).exists { l => bounds += ((c, Some(l), None)); true }
+      case LessThan(c, v) =>
+        longOf(v).exists { l => bounds += ((c, None, Some(l - 1))); true }
+      case LessThanOrEqual(c, v) =>
+        longOf(v).exists { l => bounds += ((c, None, Some(l))); true }
+      case _ => false
+    }
+    if (!filters.forall(walk) || bounds.isEmpty) return None
+    val cols = bounds.map(_._1).distinct
+    if (cols.length != 1) return None
+    val lo = bounds.flatMap(_._2).maxOption
+    val hi = bounds.flatMap(_._3).minOption
+    for (l <- lo; h <- hi if l <= h) yield (cols.head, l, h)
+  }
+}
+
+/** The native streaming sink (see [[GraftWriteBuilder]]'s
+  * `toStreaming`): layout resolved ONCE at stream start (manifest or
+  * CREATE marker — stats/bloom columns keep indexing streamed files),
+  * partitioned tables decline loudly (foreachBatch +
+  * appendPartitioned is their exactly-once route).
+  */
+private[v2] final class GraftStreamingWrite(
+    path: String, props: Map[String, String],
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val schema = info.schema()
+  private val latest = SnapshotTable.latestVersion(path)
+  private val base =
+    if (latest > 0)
+      Some(SnapshotTable.readVersion(SparkSession.active, path, latest))
+    else None
+  private val marker =
+    if (base.isEmpty) GraftTableSource.readMarker(path) else None
+  require(base.flatMap(_.part).orElse(marker.flatMap(_.part)).isEmpty,
+    "table is hidden-partitioned — the native streaming sink writes " +
+      "unpartitioned batches; ingest through foreachBatch + " +
+      "appendPartitioned")
+  private val statsCol = props.get("stats_col")
+    .orElse(base.flatMap(_.stats.map(_.col)))
+    .orElse(marker.flatMap(_.statsCol))
+    .filter(schema.fieldNames.contains)
+  private val bloomCol = props.get("bloom_col")
+    .orElse(base.flatMap(_.bloom.map(_.col)))
+    .orElse(marker.flatMap(_.bloomCol))
+    .filter(schema.fieldNames.contains)
+
+  private val statsIdx: Option[(Int, Boolean)] = statsCol.map { c =>
+    val i = schema.fieldIndex(c)
+    schema.fields(i).dataType match {
+      case IntegerType => (i, true)
+      case LongType => (i, false)
+      case other => throw new IllegalArgumentException(
+        s"stats column $c has type $other — only INT/BIGINT stats " +
+          "columns are indexable")
+    }
+  }
+
+  private val batchDir =
+    s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    import org.apache.spark.sql.internal.SQLConf
+    val sc = SQLConf.get
+    val sqlConfs = Map(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
+        sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
+        sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
+        sc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
+        sc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
+        sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
+        sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val rows = new GraftRowWriterFactory(batchDir, schema, statsIdx,
+      None, sqlConfs, bconf)
+    (partitionId: Int, taskId: Long, _: Long) =>
+      rows.createWriter(partitionId, taskId)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val written = messages.toSeq.collect {
+      case m: GraftRowWriteMessage => m.files
+    }.flatten.filter(_.rows > 0).sortBy(_.file)
+    if (written.isEmpty) return // empty epoch: nothing to commit
+    written.find(f => statsIdx.isDefined && !f.statSeen).foreach { f =>
+      throw new IllegalStateException(
+        s"streamed file ${f.file} holds only NULLs in stats column " +
+          s"${statsCol.get} — no committable min/max")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sizeOf(f: String): Long = {
+      val p = new HPath(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }
+    SnapshotTable.commitAppendFiles(spark, path,
+      written.map(_.file), written.map(_.rows),
+      written.map(m => sizeOf(m.file)),
+      batchCols = schema.fieldNames.toSeq,
+      statsCol = statsCol,
+      statMinMax = statsCol.map(_ =>
+        (written.map(_.statMin), written.map(_.statMax))),
+      bloomCol = bloomCol,
+      txn = Some((s"stream-${info.queryId()}", epochId)))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    messages.foreach {
+      case m: GraftRowWriteMessage => m.files.foreach { f =>
+        val p = new HPath(f.file)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      case _ => ()
+    }
+  }
 }
 
 private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
@@ -707,7 +928,14 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
       ++ res.ver.bloom.map(_.col)).toSet
-    pushed = filters.filter(f => f.references.exists(prunable))
+    // integral columns without a manifest index still benefit: their
+    // predicates ride to parquet's ROW-GROUP statistics filter inside
+    // each kept file (pruneFiles simply ignores them)
+    val integral = res.schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType => f.name
+    }.toSet
+    pushed = filters.filter(f => f.references.exists(prunable) ||
+      (f.references.nonEmpty && f.references.forall(integral)))
     filters // all residual: pruning only ever skips provably-dead files
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -985,9 +1213,14 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
     val identityKeyed = limit.isEmpty && res.ver.part.exists(p =>
       required.fieldNames.contains(p.source))
+    // the pushed + runtime predicates, re-checked by Spark above the
+    // scan, also drive parquet's ROW-GROUP statistics filtering inside
+    // each kept file — what bounds the read when pruning keeps a huge
+    // file for one matching range
+    val rowGroupFilters = pushed ++ runtime
     kept.map { i =>
-      val base = GraftFilePartition(res.ver.files(i), res.filePhysical(i),
-        required.fields.map(f => f.name -> f.dataType.catalogString))
+      val base = GraftReaderFactory.partition(res, i, required,
+        rowGroupFilters)
       if (identityKeyed)
         KeyedFilePartition(base, res.ver.partValues.get(i))
       else base: InputPartition
@@ -995,12 +1228,21 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory
+    GraftReaderFactory.forSession(SparkSession.active)
 }
 
+/** One table file to read: the per-file REQUESTED schema (required
+  * visible columns under this file's PHYSICAL names — field-id
+  * resolution applied at planning; a column this file predates keeps
+  * its visible name, matches nothing, and reads as nulls), whether
+  * the trailing `_file` metadata column is requested, and the
+  * serialized parquet row-group predicate derived from the pushed
+  * filters.
+  */
 private[v2] final case class GraftFilePartition(
-    file: String, physical: Map[String, String],
-    required: Array[(String, String)]) extends InputPartition
+    file: String, requestedJson: String, wantsFileCol: Boolean,
+    rowGroupPredicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate])
+    extends InputPartition
 
 /** A file partition of an identity-partitioned table, carrying its
   * partition value so Spark can key-group partitions for
@@ -1012,125 +1254,223 @@ private[v2] final case class KeyedFilePartition(p: GraftFilePartition,
   override def partitionKey(): InternalRow = InternalRow(key)
 }
 
-private[v2] final class GraftReaderFactory extends PartitionReaderFactory {
+/** Reader factory carrying the SESSION's Hadoop configuration as a
+  * broadcast — executors open table files through it, so
+  * `spark.hadoop.*` settings (object-store credentials, endpoints)
+  * reach the data plane exactly as they reach the metadata plane
+  * ([[graft.ops.HadoopTableIo]]). Scans whose columns are all data
+  * columns read COLUMNAR (`ColumnarBatch` pass-through, ColumnarToRow
+  * fused above the scan); only `_file`-projecting scans (row-level
+  * rewrites) take the per-row path.
+  */
+private[v2] final class GraftReaderFactory(
+    bconf: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration])
+    extends PartitionReaderFactory {
+
+  private def fileOf(partition: InputPartition): GraftFilePartition =
+    partition match {
+      case KeyedFilePartition(p, _) => p
+      case p: GraftFilePartition => p
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !fileOf(partition).wantsFileCol
+
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = partition match {
-    case KeyedFilePartition(p, _) => new GraftPartitionReader(p)
-    case p: GraftFilePartition => new GraftPartitionReader(p)
+      : PartitionReader[InternalRow] =
+    new GraftPartitionReader(fileOf(partition), bconf.value.value)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = fileOf(partition)
+    require(!p.wantsFileCol,
+      "_file-projecting scans read row-by-row")
+    val vec = GraftReaderFactory.openVectorized(p, bconf.value.value)
+    vec.initBatch(new StructType(), InternalRow.empty)
+    vec.enableReturningBatches()
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var delivered = 0L
+      override def next(): Boolean = vec.nextKeyValue()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = vec.getCurrentValue
+          .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+        delivered += b.numRows()
+        b
+      }
+      override def close(): Unit = {
+        GraftTableSource.rowsRead.addAndGet(delivered)
+        vec.close()
+      }
+    }
   }
 }
 
-/** Row reader for one table file. Fast path: Spark's own
-  * VectorizedParquetRecordReader (codegen-grade columnar decode,
-  * ~10× the record-materializing reader) driven directly with the
-  * required visible columns' PHYSICAL names — column pruning reaches
-  * the file, and because the requested order IS the required order
-  * the batch rows pass through untouched. Files that predate a
-  * required column (adds/renames mid-epoch) take the
-  * record-materializing fallback, which pads the missing columns
-  * with nulls.
+private[v2] object GraftReaderFactory {
+
+  def forSession(spark: SparkSession): GraftReaderFactory = {
+    val conf = spark.sessionState.newHadoopConf()
+    // scan-wide constants Spark's ParquetReadSupport resolves from the
+    // task configuration; per-file keys (requested schema, row-group
+    // predicate) are layered on an executor-side copy
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
+    conf.setBoolean("spark.sql.caseSensitive", true)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    new GraftReaderFactory(spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf)))
+  }
+
+  /** Build the partition for file `i`: resolve each required visible
+    * column to this file's physical name (field-id resolution was
+    * applied when `res` was built) and translate the pushed filters
+    * into a parquet row-group predicate against those names.
+    */
+  def partition(res: GraftTableSource.Resolved, i: Int,
+                required: StructType,
+                filters: Array[org.apache.spark.sql.sources.Filter])
+      : GraftFilePartition = {
+    val phys = res.filePhysical(i)
+    val wantsFile = required.fieldNames.lastOption.contains("_file")
+    require(!required.fieldNames.dropRight(1).contains("_file"),
+      s"_file must be the trailing requested column, got " +
+        s"${required.fieldNames.toSeq}")
+    val dataFields = (if (wantsFile) required.fields.dropRight(1)
+      else required.fields).toSeq
+    val requested = StructType(dataFields.map(f =>
+      StructField(phys.getOrElse(f.name, f.name), f.dataType,
+        nullable = true)))
+    GraftFilePartition(res.ver.files(i), requested.json, wantsFile,
+      rowGroupPredicate(res, phys, filters))
+  }
+
+  /** Pushed/runtime filters as a parquet [[FilterPredicate]] —
+    * STATISTICS-level row-group skipping inside kept files. Only
+    * integral comparisons on columns physically present translate;
+    * everything else is simply not part of the predicate (the filters
+    * are residual — Spark re-applies them above the scan — so a
+    * partial translation can only skip row groups that provably hold
+    * no matching row, never change results).
+    */
+  private def rowGroupPredicate(res: GraftTableSource.Resolved,
+                                phys: Map[String, String],
+                                filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.spark.sql.sources._
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    // visible column -> (physical name, visible integral type)
+    def colOf(c: String): Option[(String, Boolean)] =
+      res.schema.fields.find(_.name == c).flatMap { f =>
+        phys.get(c).flatMap(ph => f.dataType match {
+          case LongType => Some((ph, true))
+          case IntegerType => Some((ph, false))
+          case _ => None
+        })
+      }
+    def cmp(c: String, v: Any)(
+        mkL: (org.apache.parquet.filter2.predicate.Operators.LongColumn,
+              java.lang.Long) => FilterPredicate,
+        mkI: (org.apache.parquet.filter2.predicate.Operators.IntColumn,
+              java.lang.Integer) => FilterPredicate)
+        : Option[FilterPredicate] =
+      for {
+        (ph, isLong) <- colOf(c)
+        l <- longOf(v)
+        if isLong || (l >= Int.MinValue && l <= Int.MaxValue)
+      } yield
+        if (isLong) mkL(FilterApi.longColumn(ph), java.lang.Long.valueOf(l))
+        else mkI(FilterApi.intColumn(ph), Integer.valueOf(l.toInt))
+    def one(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, v) => cmp(c, v)(FilterApi.eq(_, _), FilterApi.eq(_, _))
+      case GreaterThan(c, v) => cmp(c, v)(FilterApi.gt(_, _), FilterApi.gt(_, _))
+      case GreaterThanOrEqual(c, v) =>
+        cmp(c, v)(FilterApi.gtEq(_, _), FilterApi.gtEq(_, _))
+      case LessThan(c, v) => cmp(c, v)(FilterApi.lt(_, _), FilterApi.lt(_, _))
+      case LessThanOrEqual(c, v) =>
+        cmp(c, v)(FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
+        val eqs = vs.toSeq.map(v =>
+          cmp(c, v)(FilterApi.eq(_, _), FilterApi.eq(_, _)))
+        if (eqs.forall(_.isDefined)) eqs.flatten.reduceOption(FilterApi.or)
+        else None
+      case _ => None
+    }
+    filters.toSeq.flatMap(one).reduceOption(FilterApi.and)
+  }
+
+  /** Open one file through Spark's VectorizedParquetRecordReader via
+    * the Hadoop split path — the session configuration (not a fresh
+    * one) resolves the FileSystem, so any Hadoop-addressable store
+    * serves the read; the per-file requested schema and row-group
+    * predicate ride the task configuration.
+    */
+  def openVectorized(p: GraftFilePartition,
+                     base: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    val conf = new org.apache.hadoop.conf.Configuration(base)
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      p.requestedJson)
+    p.rowGroupPredicate.foreach(pred =>
+      org.apache.parquet.hadoop.ParquetInputFormat
+        .setFilterPredicate(conf, pred))
+    // Spark's reader casts to the OLD-API FileSplit (which extends the
+    // mapreduce one), so that is the type to hand it
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new HPath(p.file), 0L, Long.MaxValue, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
+        "CORRECTED", "UTC", false, 4096)
+    try r.initialize(split, ctx)
+    catch { case e: Throwable => r.close(); throw e }
+    r
+  }
+}
+
+/** Per-row reader for one table file — the `_file`-projecting path
+  * (row-level rewrites need the metadata column appended per row);
+  * plain scans go columnar through
+  * [[GraftReaderFactory.createColumnarReader]]. Both drive the same
+  * vectorized parquet decode through the session's Hadoop
+  * configuration; a column the file predates reads as nulls (the
+  * requested schema names it, the file doesn't match it).
   */
-private[v2] final class GraftPartitionReader(p: GraftFilePartition)
+private[v2] final class GraftPartitionReader(
+    p: GraftFilePartition, base: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  private val localPath = p.file.stripPrefix("file:")
+  private val vec = GraftReaderFactory.openVectorized(p, base)
+  private var delivered = 0L
 
-  private val fileSchema = {
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-      conf, new HPath(p.file),
-      org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
-    footer.getFileMetaData.getSchema
-  }
-
-  // the _file METADATA column is served by the reader itself, not the
-  // parquet payload — Spark appends metadata columns after the data
-  // columns, asserted here because the append below relies on it
-  private val fileFieldIdx = p.required.indexWhere(_._1 == "_file")
-  require(fileFieldIdx < 0 || fileFieldIdx == p.required.length - 1,
-    s"_file must be the trailing requested column, got position " +
-      s"$fileFieldIdx of ${p.required.map(_._1).toSeq}")
-  private val dataReq =
-    if (fileFieldIdx < 0) p.required else p.required.dropRight(1)
   private val fileRow: InternalRow =
-    if (fileFieldIdx < 0) null
+    if (!p.wantsFileCol) null
     else InternalRow(UTF8String.fromString(p.file))
 
-  private val physOf: Array[Option[String]] = dataReq.map {
-    case (vis, _) => p.physical.get(vis).filter(fileSchema.containsField)
-  }
+  override def next(): Boolean = vec.nextKeyValue()
 
-  private val allPresent = physOf.forall(_.isDefined)
-
-  // ---- vectorized fast path (every required column present)
-  private val vec =
-    if (!allPresent) null
-    else {
-      val r = new org.apache.spark.sql.execution.datasources.parquet
-        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
-          "CORRECTED", "UTC", false, 4096)
-      r.initialize(localPath, physOf.flatten.toList.asJava)
-      r
-    }
-
-  // ---- record-materializing fallback (missing columns pad as null)
-  private val slow: ParquetReader[Group] =
-    if (allPresent) null
-    else {
-      val want = physOf.flatten
-      if (want.nonEmpty) {
-        val fields: java.util.List[org.apache.parquet.schema.Type] =
-          want.map(n => fileSchema.getType(Array(n): _*)).toList.asJava
-        conf.set(
-          org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-          new org.apache.parquet.schema.MessageType("graft", fields)
-            .toString)
-      }
-      ParquetReader.builder(new GroupReadSupport(), new HPath(p.file))
-        .withConf(conf).build()
-    }
-
-  private var current: Group = _
-
-  override def next(): Boolean =
-    if (vec != null) vec.nextKeyValue()
-    else { current = slow.read(); current != null }
-
-  private def withFile(row: InternalRow): InternalRow =
-    if (fileFieldIdx < 0) row
+  override def get(): InternalRow = {
+    delivered += 1
+    val row = vec.getCurrentValue.asInstanceOf[InternalRow]
+    if (!p.wantsFileCol) row
     else new org.apache.spark.sql.catalyst.expressions
       .JoinedRow(row, fileRow)
-
-  override def get(): InternalRow =
-    if (vec != null)
-      withFile(vec.getCurrentValue.asInstanceOf[InternalRow])
-    else {
-      val g = current
-      val schema = g.getType
-      withFile(InternalRow.fromSeq(dataReq.toSeq.map { case (vis, dt) =>
-        p.physical.get(vis) match {
-          case Some(ph) if schema.containsField(ph) =>
-            val idx = schema.getFieldIndex(ph)
-            if (g.getFieldRepetitionCount(idx) == 0) null
-            else dt match {
-              case "bigint" => g.getLong(idx, 0)
-              case "int" => g.getInteger(idx, 0)
-              case "double" => g.getDouble(idx, 0)
-              case "float" => g.getFloat(idx, 0)
-              case "boolean" => g.getBoolean(idx, 0)
-              case "string" => UTF8String.fromString(g.getString(idx, 0))
-              case "binary" => g.getBinary(idx, 0).getBytes
-              case other => throw new IllegalStateException(
-                s"graft_table reader: unexpected type $other for $vis")
-            }
-          case _ => null // column predates this file
-        }
-      }))
-    }
+  }
 
   override def close(): Unit = {
-    if (vec != null) vec.close()
-    if (slow != null) slow.close()
+    GraftTableSource.rowsRead.addAndGet(delivered)
+    vec.close()
   }
 }
 
@@ -1163,13 +1503,28 @@ private[v2] final case class GraftVersionOffset(version: Long)
 private[v2] final class GraftMicroBatchStream(
     res: GraftTableSource.Resolved,
     required: org.apache.spark.sql.types.StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = GraftVersionOffset(0L)
 
   override def latestOffset(): Offset =
     GraftVersionOffset(SnapshotTable.latestVersion(res.path))
+
+  /** Trigger.AvailableNow: pin the end of the run to the version
+    * visible when the trigger fired — later commits wait for the next
+    * run, exactly the table's own snapshot-isolation contract.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(SnapshotTable.latestVersion(res.path))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GraftVersionOffset(availableNowCap
+      .getOrElse(SnapshotTable.latestVersion(res.path)))
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
@@ -1219,11 +1574,11 @@ private[v2] final class GraftMicroBatchStream(
     endVer.files.indices
       .filterNot(i => baseFiles(endVer.files(i)))
       .map { i =>
-        GraftFilePartition(endVer.files(i), endRes.filePhysical(i),
-          required.fields.map(f => f.name -> f.dataType.catalogString))
+        GraftReaderFactory.partition(endRes, i, required, Array.empty)
+          : InputPartition
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory
+    GraftReaderFactory.forSession(SparkSession.active)
 }

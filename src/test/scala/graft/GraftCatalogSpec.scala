@@ -321,6 +321,189 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.g")
   }
 
+  test("MERGE INTO / UPDATE / DELETE on HIDDEN-PARTITIONED tables: " +
+      "rewrites stay partition-pure, moved rows re-derive their " +
+      "partition, DELETE takes the DV path") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft.db.pm (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO graft.db.pm SELECT id, id FROM range(200)")
+    val p = s"$root/db/pm"
+    val spec = SnapshotTable.readVersion(spark, p, 1).part.get
+
+    def assertPurity(): Unit = {
+      val ver = SnapshotTable.readVersion(spark, p,
+        SnapshotTable.latestVersion(p))
+      val pv = ver.partValues.get
+      ver.files.zipWithIndex.foreach { case (f, i) =>
+        val vals = spark.read.parquet(f).select("k").as[Long]
+          .collect().map(spec(_)).distinct
+        assert(vals.length === 1 && vals.head === pv(i),
+          s"file $f is not partition-pure: ${vals.toSeq} vs ${pv(i)}")
+      }
+    }
+
+    (10L to 29L).map(k => (k, 1000L + k)).toDF("k", "v")
+      .createOrReplaceTempView("pm_src")
+    spark.sql("""MERGE INTO graft.db.pm t USING pm_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm")
+      .head.getLong(0) === 200)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.pm WHERE k BETWEEN 10 AND 29")
+      .head.getLong(0) === (10L to 29L).map(1000L + _).sum)
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.op === "MERGE" && v2.part.contains(spec))
+    assertPurity()
+    // partition pruning still exact after the rewrite
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(spark.sql("SELECT v FROM graft.db.pm WHERE k = 15")
+      .head.getLong(0) === 1015)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(planned < total, s"post-merge pruning failed: $planned/$total")
+
+    // a MERGE that UPDATES THE PARTITION SOURCE moves rows between
+    // partitions: the writer re-derives each row's value
+    Seq((50L, 0L)).toDF("k", "v").createOrReplaceTempView("pm_mv")
+    spark.sql("""MERGE INTO graft.db.pm t USING pm_mv s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET k = t.k + 1000""")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm")
+      .head.getLong(0) === 200)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm WHERE k = 1050")
+      .head.getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm WHERE k = 50")
+      .head.getLong(0) === 0)
+    assertPurity()
+
+    // UPDATE rides the same partitioned machinery
+    spark.sql("UPDATE graft.db.pm SET v = -1 WHERE k = 7")
+    assert(spark.sql("SELECT v FROM graft.db.pm WHERE k = 7")
+      .head.getLong(0) === -1)
+    assertPurity()
+
+    // translatable DELETE on a partitioned table takes the DV + fold
+    // path (never the group rewrite) — the lazy-resolution contract
+    spark.sql("DELETE FROM graft.db.pm WHERE k >= 190 AND k < 200")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm")
+      .head.getLong(0) === 190)
+    val verD = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(verD.dvFiles.isEmpty && verD.op === "OPTIMIZE",
+      s"partitioned DELETE did not fold: op=${verD.op}")
+    assertPurity()
+    spark.sql("DROP TABLE graft.db.pm")
+  }
+
+  test("DELETE FROM an empty CREATEd table is a no-op, not an " +
+      "analysis failure") {
+    root
+    spark.sql("CREATE TABLE graft.db.empty_d (k BIGINT, v BIGINT)")
+    spark.sql("DELETE FROM graft.db.empty_d WHERE k = 1") // must not throw
+    assert(spark.sql("SELECT count(*) FROM graft.db.empty_d")
+      .head.getLong(0) === 0)
+    spark.sql("DROP TABLE graft.db.empty_d")
+  }
+
+  test("INSERT INTO ... REPLACE WHERE: an aligned range swap is ONE " +
+      "commit with surviving files carried by reference (zero data " +
+      "bytes moved for the delete half)") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft.db.rw (d BIGINT, v BIGINT)
+      PARTITIONED BY (truncate(10, d))""")
+    spark.sql("INSERT INTO graft.db.rw " +
+      "SELECT id AS d, id AS v FROM range(100)")
+    val p = s"$root/db/rw"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+
+    // replace days [20, 40) with corrected values
+    spark.sql("""INSERT INTO graft.db.rw
+      REPLACE WHERE d >= 20 AND d < 40
+      SELECT id AS d, id * 100 AS v FROM range(20, 40)""")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rw")
+      .head.getLong(0) === 100)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rw WHERE d BETWEEN 20 AND 39")
+      .head.getLong(0) === (20L until 40L).map(_ * 100).sum)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rw WHERE d < 20")
+      .head.getLong(0) === (0L until 20L).sum)
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.op === "OVERWRITE")
+    // the delete half was metadata: every outside-range v1 file is in
+    // v2 BY REFERENCE (same path, no rewrite)
+    val pv1 = v1.partValues.get
+    val outside = v1.files.indices
+      .filter(i => pv1(i) < 2 || pv1(i) >= 4).map(v1.files).toSet
+    assert(outside.forall(v2.files.contains),
+      "surviving files must carry by reference, not rewrite")
+    assert(v1.files.indices
+      .filter(i => pv1(i) >= 2 && pv1(i) < 4)
+      .map(v1.files).forall(f => !v2.files.contains(f)),
+      "in-range files must leave the manifest")
+    // time travel across the replace
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rw VERSION AS OF 1")
+      .head.getLong(0) === (0L until 100L).sum)
+
+    // rows OUTSIDE the predicate reject loudly
+    val e = intercept[Exception] {
+      spark.sql("""INSERT INTO graft.db.rw REPLACE WHERE d >= 20 AND d < 40
+        SELECT id AS d, id AS v FROM range(50, 60)""")
+    }
+    assert(String.valueOf(e.getMessage).contains("REPLACE WHERE") ||
+      e.getCause != null && String.valueOf(e.getCause.getMessage)
+        .contains("REPLACE WHERE"))
+    // an UNALIGNED range rejects loudly
+    val e2 = intercept[Exception] {
+      spark.sql("""INSERT INTO graft.db.rw REPLACE WHERE d >= 25 AND d < 40
+        SELECT id AS d, id AS v FROM range(25, 40)""")
+    }
+    assert(String.valueOf(e2.getMessage).contains("aligned") ||
+      e2.getCause != null && String.valueOf(e2.getCause.getMessage)
+        .contains("aligned"))
+    spark.sql("DROP TABLE graft.db.rw")
+  }
+
+  test("CALL procedures: optimize / zorder / expire / vacuum from " +
+      "pure SQL, results as one-row relations") {
+    root
+    spark.sql("""CREATE TABLE graft.db.mt (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats_col'='k')""")
+    (1 to 6).foreach(i => spark.sql("INSERT INTO graft.db.mt " +
+      s"SELECT id, id FROM range(${(i - 1) * 100}, ${i * 100})"))
+    val p = s"$root/db/mt"
+    val before = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(before.files.length >= 6)
+    val sum0 = spark.sql("SELECT sum(v) FROM graft.db.mt").head.getLong(0)
+
+    val opt = spark.sql(
+      "CALL graft.system.optimize(`table` => 'db.mt', " +
+        "target_bytes => 67108864)").collect().head
+    assert(opt.getInt(2) < opt.getInt(1),
+      s"optimize did not shrink the file count: $opt")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.mt")
+      .head.getLong(0) === sum0)
+    assert(SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p)).op === "OPTIMIZE")
+
+    val z = spark.sql("CALL graft.system.zorder('db.mt', 'v', 4)")
+      .collect().head
+    assert(z.getInt(2) > 0 && z.getLong(0) > opt.getLong(0))
+    assert(spark.sql("SELECT sum(v) FROM graft.db.mt")
+      .head.getLong(0) === sum0)
+
+    val keep = SnapshotTable.latestVersion(p)
+    val ex = spark.sql(
+      s"CALL graft.system.expire('db.mt', $keep)").collect().head
+    assert(ex.getInt(0) > 0, "expire must drop old manifests")
+    val vac = spark.sql(
+      "CALL graft.system.vacuum('db.mt', 0)").collect().head
+    assert(vac.getInt(0) >= 0)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.mt")
+      .head.getLong(0) === sum0)
+    assert(spark.sql("SHOW PROCEDURES IN graft").count() >= 6)
+    spark.sql("DROP TABLE graft.db.mt")
+  }
+
   test("namespaces are directories: CREATE / SHOW / DROP NAMESPACE " +
       "with a non-empty guard") {
     root

@@ -358,6 +358,137 @@ class GraftTableSourceSpec extends SparkSpec {
       s"LIMIT 150 planned ${GraftTableSource.lastPlan.get()._1} files")
   }
 
+  test("a file: URI table root serves end-to-end THROUGH the Hadoop " +
+      "configuration path — metadata plane and data plane both") {
+    import spark.implicits._
+    // URI-schemed root: TableIo routes commits through HadoopTableIo,
+    // and the DSv2 reader opens footers + row groups through the
+    // session Hadoop conf — the deployable path, exercised on file:
+    val path = "file://" + freshPath()
+    SnapshotTable.append(
+      (1L to 500L).map(k => (k, k * 2)).toDF("k", "v"), path, 5,
+      statsCol = Some("k"))
+    SnapshotTable.append(
+      (501L to 600L).map(k => (k, k * 2)).toDF("k", "v"), path, 1,
+      statsCol = Some("k"))
+    val t = spark.read.format("graft_table").option("path", path).load()
+    assert(t.count() === 600)
+    assert(t.agg(sum("v")).head.getLong(0) === (1L to 600L).map(_ * 2).sum)
+    // pruning arithmetic works on URI manifests too
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(t.filter(col("k").between(101, 200)).count() === 100)
+    val (planned, total) = GraftTableSource.lastPlan.get()
+    assert(total === 6 && planned < total,
+      s"URI-rooted stats pushdown did not prune: $planned of $total")
+    // the row-level path (SQL-equivalent surface) commits there too
+    SnapshotTable.deleteRowsWhere(spark, path, "k <= 100")
+    SnapshotTable.materializeDeletes(spark, path)
+    assert(spark.read.format("graft_table").option("path", path).load()
+      .count() === 500)
+  }
+
+  test("plain scans read COLUMNAR (ColumnarToRow above the batch " +
+      "scan); _file-projecting scans stay row-based") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 200L).map(k => (k, k * 2, s"t$k")).toDF("k", "v", "tag"),
+      path, 2, statsCol = Some("k"))
+    val df = spark.read.format("graft_table").option("path", path).load()
+      .filter(col("k") > 50).select(col("v"), col("tag"))
+    assert(df.count() === 150)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar scan with ColumnarToRow fusion:\n$plan")
+    assert(df.agg(sum("v")).head.getLong(0) === (51L to 200L).map(_ * 2).sum)
+  }
+
+  test("pushed predicates skip ROW GROUPS inside kept files — " +
+      "delivered rows bounded well below the file's row count") {
+    import spark.implicits._
+    val path = freshPath()
+    // small parquet row groups so a single file holds many: the unit
+    // of sub-file skipping the pushed filter is handed to
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      SnapshotTable.append(
+        (1L to 200000L).map(k => (k, k * 2)).toDF("k", "v"), path, 1,
+        statsCol = Some("k"))
+    } finally prior match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+    val t = spark.read.format("graft_table").option("path", path).load()
+    // one file — file-level pruning cannot help; row-group stats must
+    GraftTableSource.rowsRead.set(0L)
+    assert(t.filter(col("k").between(1000, 1999)).count() === 1000)
+    val delivered = GraftTableSource.rowsRead.get()
+    assert(delivered >= 1000 && delivered < 100000,
+      s"row-group skipping did not bound the read: $delivered of 200000")
+    // an unindexed-but-integral column's predicate skips too (files
+    // are sorted by k, and v = 2k is correlated)
+    GraftTableSource.rowsRead.set(0L)
+    assert(t.filter(col("v") <= 2000).count() === 1000)
+    val dv = GraftTableSource.rowsRead.get()
+    assert(dv < 100000,
+      s"non-stats integral predicate did not reach row groups: $dv")
+    // correctness unchanged with the filter present
+    assert(t.filter(col("k").between(1000, 1999)).agg(sum("v"))
+      .head.getLong(0) === (1000L to 1999L).map(_ * 2).sum)
+  }
+
+  test("native streaming sink: writeStream into a graft_table, " +
+      "exactly-once across restarts, replayed epoch commits nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("gsink").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    SnapshotTable.append(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), src, 2,
+      statsCol = Some("k"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft_table").option("path", src)
+        .load()
+        .writeStream.format("graft_table")
+        .option("path", dst)
+        .option("stats_col", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    run()
+    val t = spark.read.format("graft_table").option("path", dst).load()
+    assert(t.count() === 100)
+    assert(t.agg(sum("v")).head.getLong(0) === (1L to 100L).map(_ * 2).sum)
+    // layout inherited: the sink indexed stats through the stream
+    val ver1 = SnapshotTable.readVersion(spark, dst,
+      SnapshotTable.latestVersion(dst))
+    assert(ver1.stats.exists(_.col == "k"),
+      "streamed files must carry the stats index")
+    // restart with new source rows: ONLY the delta arrives
+    SnapshotTable.append(
+      (101L to 130L).map(k => (k, k * 2)).toDF("k", "v"), src, 1)
+    run()
+    assert(spark.read.format("graft_table").option("path", dst).load()
+      .count() === 130)
+    // idle restart commits nothing (no version churn)
+    val vBefore = SnapshotTable.latestVersion(dst)
+    run()
+    assert(SnapshotTable.latestVersion(dst) === vBefore,
+      "an idle restart must not commit")
+    // a REPLAYED epoch (same queryId, same epochId) is a no-op even
+    // when invoked directly against the sink's commit path
+    val lastEpochTxn = SnapshotTable.readVersion(spark, dst, vBefore).txns
+    assert(lastEpochTxn.keys.exists(_.startsWith("stream-")),
+      "streamed commits must be txn-keyed by (queryId, epochId)")
+  }
+
   test("DV-carrying versions reject loudly; missing path is loud") {
     import spark.implicits._
     val path = freshPath()
