@@ -1234,6 +1234,128 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Whole-table overwrite of a HIDDEN-PARTITIONED table — atomic
+    * TRUNCATE + partitioned INSERT as one commit (`mode("overwrite")`
+    * / static INSERT OVERWRITE): the new manifest references ONLY the
+    * fresh partition-pure batch under the table's recorded spec;
+    * prior versions travel until [[expire]]. Layout (spec, stats,
+    * bloom) is inherited — an overwrite changes contents, never the
+    * table's pruning structures. Blind commit retry is sound exactly
+    * as in [[overwrite]]: the result does not depend on the base.
+    */
+  def overwritePartitioned(df: DataFrame, path: String,
+                           txn: Option[(String, Long)] = None): Long = {
+    val spark = df.sparkSession
+    val pre = latestVersion(path)
+    require(pre > 0, s"snapshot table $path does not exist")
+    def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
+      base.txns.get(w).exists(_ >= b)
+    }
+    val ver0 = readVersion(spark, path, pre)
+    if (committedAt(ver0)) return pre
+    val spec = ver0.part.getOrElse(throw new IllegalArgumentException(
+      "overwritePartitioned needs hidden partitioning — use overwrite"))
+    val statsCol = ver0.stats.map(_.col)
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val withP = df.withColumn("__p", spec.column)
+    val laidOut = statsCol match {
+      case Some(c) => withP.repartition(col("__p"))
+        .sortWithinPartitions(col("__p"), col(c))
+      case None => withP.repartition(col("__p"))
+    }
+    laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    enforceConstraints(spark, path, batchDir)
+    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+    val batchCols = spark.read.parquet(batch.files.head)
+      .schema.fieldNames.toSeq
+    ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    var attempts = 0
+    while (true) {
+      val prev = latestVersion(path)
+      val ver = readVersion(spark, path, prev)
+      if (committedAt(ver)) return prev
+      require(ver.part.contains(spec),
+        s"partition spec changed mid-overwrite (was ${ver.part})")
+      ver.schemaNames.foreach { names =>
+        val unknown = batchCols.filterNot(names.contains)
+        require(unknown.isEmpty,
+          s"overwrite batch carries new column(s) $unknown — evolve " +
+            "the schema with an append first")
+      }
+      val v = prev + 1
+      val manifest = renderManifest(v, batch.files, batch.rows,
+        batch.bytes,
+        statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
+        ver.bloom, ver.txns ++ txn.toMap, Some(spec), Some(pvals),
+        op = "OVERWRITE",
+        schema = carryMeta(ver, Seq.empty, batch.files.length))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"overwrite of $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Commit half of DYNAMIC partition overwrite (the DSv2 write's
+    * executors already wrote partition-pure files and derived their
+    * facts): swap every base file whose recorded partition value is
+    * in `replaced` for the new batch, surviving files carried by
+    * reference, retried against the refreshed base (overwrite
+    * semantics are REPLACE — the same argument as
+    * [[overwriteWhere]]). Works for ANY transform, bucket included:
+    * the replaced set is exact partition values, never a range.
+    */
+  private[graft] def commitDynamicOverwrite(spark: SparkSession,
+                                            path: String, spec: PartSpec,
+                                            replaced: Set[Long],
+                                            files: Seq[String],
+                                            rows: Seq[Long],
+                                            bytes: Seq[Long],
+                                            statMins: Seq[Long],
+                                            statMaxs: Seq[Long],
+                                            parts: Seq[Long]): Long = {
+    var attempts = 0
+    var bloomWritten = false
+    while (true) {
+      val prev = latestVersion(path)
+      val ver = readVersion(spark, path, prev)
+      require(ver.part.contains(spec) && ver.dvFiles.isEmpty,
+        s"table layout changed under the overwrite (part=${ver.part}, " +
+          s"dv=${ver.dvFiles.length}) — re-run against the new base")
+      if (!bloomWritten) {
+        ver.bloom.foreach(writeBloomRows(spark, path, files, _))
+        bloomWritten = true
+      }
+      val pv = ver.partValues.get
+      val keepIdx = ver.files.indices.filterNot(i => replaced(pv(i)))
+      val baseRows = rowsOf(ver)
+      val baseBytes = bytesOf(ver)
+      val v = prev + 1
+      val manifest = renderManifest(v,
+        keepIdx.map(ver.files) ++ files,
+        keepIdx.map(baseRows) ++ rows,
+        keepIdx.map(baseBytes) ++ bytes,
+        ver.stats.map(st => Stats(st.col,
+          keepIdx.map(st.mins) ++ statMins,
+          keepIdx.map(st.maxs) ++ statMaxs)),
+        ver.bloom, ver.txns, Some(spec),
+        Some(keepIdx.map(pv) ++ parts), op = "OVERWRITE",
+        schema = carryMeta(ver, keepIdx, files.length))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"overwrite on $path lost $attempts consecutive version races")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Partition-pruned scan at `version` from a RANGE predicate on the
     * SOURCE column: the bounds are pushed through the (monotone)
     * transform on the driver, only the files whose recorded partition

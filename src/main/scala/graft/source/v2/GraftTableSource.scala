@@ -539,6 +539,7 @@ private[v2] final class GraftTable(props: Map[String, String])
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
     // a known schema (committed versions or a CREATE TABLE marker)
     // gets Spark's ordinary write-side validation; only a
@@ -638,12 +639,25 @@ private[v2] final class GraftWriteBuilder(
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
   import org.apache.spark.sql.sources.Filter
 
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
+
+  /** DYNAMIC partition overwrite (`writeTo(...).overwritePartitions()`
+    * or INSERT OVERWRITE under partitionOverwriteMode=dynamic):
+    * replace exactly the partitions the incoming batch touches, in one
+    * commit — implemented as a REAL DSv2 BatchWrite (Spark has no V1
+    * fallback for this plan) with the same clustered+sorted
+    * distribution the row-level writer uses.
+    */
+  private var dynamic = false
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
 
   /** REPLACE WHERE: an aligned range predicate on the partition
     * source becomes a metadata-only partition swap + append in ONE
@@ -665,7 +679,8 @@ private[v2] final class GraftWriteBuilder(
     this
   }
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    if (dynamic) return new GraftDynamicOverwrite(path, info)
     new V1Write {
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =
@@ -708,12 +723,20 @@ private[v2] final class GraftWriteBuilder(
                 s"${spec.source}, got $c")
             SnapshotTable.overwriteWhere(data, path, lo, hi, txn = txn)
           } else if (truncating) {
-            require(part.isEmpty,
-              s"table is hidden-partitioned (${part.get}) — a plain " +
-                "overwrite would break partition purity; REPLACE WHERE " +
-                "an aligned range instead")
-            SnapshotTable.overwrite(data, path, numParts,
-              statsCol = statsCol, bloomCol = bloomCol, txn = txn)
+            part match {
+              // whole-table overwrite keeps the recorded layout: the
+              // fresh batch is partitioned under the same spec, ONE
+              // commit (a created-but-empty partitioned table routes
+              // through appendPartitioned below instead)
+              case Some(_) if latest > 0 =>
+                SnapshotTable.overwritePartitioned(data, path, txn = txn)
+              case Some(spec) =>
+                SnapshotTable.appendPartitioned(data, path, spec,
+                  statsCol = statsCol, txn = txn, bloomCol = bloomCol)
+              case None =>
+                SnapshotTable.overwrite(data, path, numParts,
+                  statsCol = statsCol, bloomCol = bloomCol, txn = txn)
+            }
           } else part match {
             case Some(spec) =>
               SnapshotTable.appendPartitioned(data, path, spec,
@@ -742,6 +765,7 @@ private[v2] final class GraftWriteBuilder(
         new GraftStreamingWrite(path, props, info)
       }
     }
+  }
 }
 
 private[v2] object GraftWriteBuilder {
@@ -1471,6 +1495,162 @@ private[v2] final class GraftPartitionReader(
   override def close(): Unit = {
     GraftTableSource.rowsRead.addAndGet(delivered)
     vec.close()
+  }
+}
+
+/** DYNAMIC partition overwrite — replace exactly the partitions the
+  * incoming batch touches, one conditional-put commit: the write
+  * declares the same clustered+sorted distribution as the row-level
+  * rewrite (the catalog's transform function), executors roll
+  * partition-pure files, and commit() swaps every base file whose
+  * recorded partition value appears in the batch — surviving
+  * partitions carry BY REFERENCE, so the cost is (new partition
+  * bytes + one manifest put) at any table size. Commit retry
+  * recomputes the keep set against the refreshed base (overwrite
+  * semantics are REPLACE, same argument as
+  * [[SnapshotTable.overwriteWhere]]). DV-carrying tables and
+  * not-yet-committed tables decline loudly.
+  */
+private[v2] final class GraftDynamicOverwrite(
+    path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val schema = info.schema()
+  private val spark0 = SparkSession.active
+  private val latest = SnapshotTable.latestVersion(path)
+  require(latest > 0,
+    s"dynamic partition overwrite needs a committed table at $path — " +
+      "INSERT INTO creates")
+  private val base0 = SnapshotTable.readVersion(spark0, path, latest)
+  require(base0.dvFiles.isEmpty,
+    "table carries deletion vectors — materializeDeletes(...) first " +
+      "so the replace cannot resurrect MOR-deleted rows")
+  private val spec = base0.part.getOrElse(
+    throw new IllegalArgumentException(
+      "dynamic partition overwrite needs hidden partitioning — an " +
+        "unpartitioned overwrite is all-or-nothing (mode overwrite)"))
+  private val srcIdx = {
+    val i = schema.fieldIndex(spec.source)
+    require(schema.fields(i).dataType == LongType,
+      s"partition source ${spec.source} must be BIGINT")
+    i
+  }
+  private val statsIdx: Option[(Int, Boolean)] =
+    base0.stats.map(_.col).map { c =>
+      val i = schema.fieldIndex(c)
+      schema.fields(i).dataType match {
+        case IntegerType => (i, true)
+        case LongType => (i, false)
+        case other => throw new IllegalArgumentException(
+          s"stats column $c has type $other — only INT/BIGINT stats " +
+            "columns are indexable")
+      }
+    }
+  // no new columns: the schema meta is carried by reference
+  base0.schemaNames.foreach { names =>
+    val unknown = schema.fieldNames.filterNot(names.contains)
+    require(unknown.isEmpty,
+      s"dynamic overwrite carries new column(s) ${unknown.toSeq} — " +
+        "evolve the schema with an append first")
+  }
+
+  private val batchDir =
+    s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def description(): String =
+    s"graft_table $path DYNAMIC OVERWRITE"
+  override def toBatch: BatchWrite = this
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions
+      .clustered(Array(transformExpr))
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    (Seq(Expressions.sort(transformExpr, SortDirection.ASCENDING)) ++
+      base0.stats.map(st => Expressions.sort(
+        Expressions.column(st.col), SortDirection.ASCENDING))).toArray
+  }
+
+  private def transformExpr
+      : org.apache.spark.sql.connector.expressions.Expression = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spec.transform match {
+      case "identity" => Expressions.column(spec.source)
+      case "bucket" => Expressions.bucket(spec.param.toInt, spec.source)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.literal(spec.param), Expressions.column(spec.source))
+    }
+  }
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    import org.apache.spark.sql.internal.SQLConf
+    val sc = SQLConf.get
+    val sqlConfs = Map(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
+        sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
+        sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
+        sc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
+        sc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
+        sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
+        sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val spark = SparkSession.active
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    new GraftRowWriterFactory(batchDir, schema, statsIdx,
+      Some((srcIdx, spec)), sqlConfs, bconf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val written = messages.toSeq.collect {
+      case m: GraftRowWriteMessage => m.files
+    }.flatten.filter(_.rows > 0).sortBy(_.file)
+    require(written.nonEmpty,
+      "dynamic partition overwrite with an EMPTY batch replaces " +
+        "nothing — refusing the ambiguous no-op")
+    written.find(f => statsIdx.isDefined && !f.statSeen).foreach { f =>
+      throw new IllegalStateException(
+        s"written file ${f.file} holds only NULLs in stats column " +
+          s"${base0.stats.get.col} — no committable min/max")
+    }
+    SnapshotTable.enforceConstraintsOn(spark, path, written.map(_.file))
+    val replaced = written.map(_.part).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sizeOf(f: String): Long = {
+      val p = new HPath(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }
+    val bytes = written.map(m => sizeOf(m.file))
+    SnapshotTable.commitDynamicOverwrite(spark, path, spec, replaced,
+      written.map(_.file), written.map(_.rows), bytes,
+      written.map(_.statMin), written.map(_.statMax),
+      written.map(_.part))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    messages.foreach {
+      case m: GraftRowWriteMessage => m.files.foreach { f =>
+        val p = new HPath(f.file)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      case _ => ()
+    }
   }
 }
 

@@ -462,6 +462,77 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.rw")
   }
 
+  test("dynamic partition overwrite: writeTo(...).overwritePartitions " +
+      "replaces exactly the touched partitions in one commit, " +
+      "survivors by reference — bucket transforms included") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft.db.dyn (d BIGINT, v BIGINT)
+      PARTITIONED BY (truncate(10, d)) TBLPROPERTIES ('stats_col'='v')""")
+    spark.sql("INSERT INTO graft.db.dyn SELECT id, id FROM range(100)")
+    val p = s"$root/db/dyn"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+
+    // rows in partitions 2 and 7: exactly those two are replaced
+    ((20L until 30L) ++ (70L until 80L)).map(d => (d, d * 100))
+      .toDF("d", "v").writeTo("graft.db.dyn").overwritePartitions()
+    assert(spark.sql("SELECT count(*) FROM graft.db.dyn")
+      .head.getLong(0) === 100)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.db.dyn WHERE d BETWEEN 20 AND 29")
+      .head.getLong(0) === (20L until 30L).map(_ * 100).sum)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.dyn WHERE d < 20")
+      .head.getLong(0) === (0L until 20L).sum)
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.op === "OVERWRITE")
+    val pv1 = v1.partValues.get
+    val v2set = v2.files.toSet
+    v1.files.indices.foreach { i =>
+      val touched = pv1(i) == 2L || pv1(i) == 7L
+      assert(v2set.contains(v1.files(i)) === !touched,
+        s"file ${v1.files(i)} (partition ${pv1(i)}) wrong carry")
+    }
+    // time travel across it; stats carried for survivors and new files
+    assert(spark.sql("SELECT sum(v) FROM graft.db.dyn VERSION AS OF 1")
+      .head.getLong(0) === (0L until 100L).sum)
+    assert(v2.stats.exists(_.mins.length == v2.files.length))
+
+    // STATIC whole-table overwrite keeps the partitioned layout in
+    // ONE commit; purity and pruning survive
+    spark.sql("INSERT OVERWRITE graft.db.dyn " +
+      "SELECT id AS d, id * 7 AS v FROM range(50)")
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.dyn")
+      .head match { case r => r.getLong(0) == 50 &&
+        r.getLong(1) == (0L until 50L).map(_ * 7).sum })
+    val v3 = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(v3.op === "OVERWRITE" && v3.part.isDefined &&
+      v3.partValues.exists(_.length == v3.files.length))
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dyn WHERE d < 10")
+      .head.getLong(0) === 10)
+    assert(GraftTableSource.lastPlan.get() match {
+      case (planned, total) => planned < total
+    }, "post-overwrite partition pruning failed")
+
+    // bucket transform: the replaced set is exact values, no range
+    spark.sql("""CREATE TABLE graft.db.dynb (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO graft.db.dynb SELECT id, id FROM range(40)")
+    Seq((5L, 500L)).toDF("k", "v")
+      .writeTo("graft.db.dynb").overwritePartitions()
+    // k=5's whole bucket was replaced by the single row
+    val bspec = SnapshotTable.readVersion(spark,
+      s"$root/db/dynb", 2).part.get
+    val sameBucket = (0L until 40L).count(k => bspec(k) == bspec(5L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dynb")
+      .head.getLong(0) === 40 - sameBucket + 1)
+    assert(spark.sql("SELECT v FROM graft.db.dynb WHERE k = 5")
+      .head.getLong(0) === 500L)
+    spark.sql("DROP TABLE graft.db.dyn")
+    spark.sql("DROP TABLE graft.db.dynb")
+  }
+
   test("CALL procedures: optimize / zorder / expire / vacuum from " +
       "pure SQL, results as one-row relations") {
     root

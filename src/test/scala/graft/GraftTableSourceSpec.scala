@@ -299,15 +299,22 @@ class GraftTableSourceSpec extends SparkSpec {
     val readded = spark.read.format("graft_table").option("path", p3).load()
     assert(readded.filter(col("v").isNotNull).count() === 2)
 
-    // overwrite on a partitioned table rejects loudly
+    // overwrite on a partitioned table keeps the recorded layout:
+    // one TRUNCATE+INSERT commit, batch partitioned under the spec
     val p2 = freshPath()
     SnapshotTable.appendPartitioned(
       (0L until 100L).toDF("x"), p2, PartSpec("x", "truncate", 50))
-    val e = intercept[Exception] {
-      (0L until 10L).toDF("x").write.format("graft_table")
-        .mode("overwrite").option("path", p2).save()
-    }
-    assert(e.getMessage.contains("partition"))
+    (0L until 10L).toDF("x").write.format("graft_table")
+      .mode("overwrite").option("path", p2).save()
+    val over = SnapshotTable.readVersion(spark, p2, 2)
+    assert(over.op === "OVERWRITE" && over.rows === 10 &&
+      over.part.exists(_.transform == "truncate") &&
+      over.partValues.exists(_.forall(_ === 0L)))
+    assert(spark.read.format("graft_table").option("path", p2).load()
+      .count() === 10)
+    // prior version still travels
+    assert(spark.read.format("graft_table").option("path", p2)
+      .option("version", "1").load().count() === 100)
   }
 
   test("storage-partitioned join: two identity-partitioned tables " +

@@ -131,6 +131,73 @@ class RaceMatrixSpec extends SparkSpec {
     assert(hits.length === 1 && hits.head.getLong(1) === 0L)
     assert(scan.count() === 50000L)
   }
+  test("SQL MERGE vs INSERT INTO: a catalog-table merge that lost to " +
+      "an interleaved insert surfaces the conditional-put error " +
+      "through Spark's command exec; a re-run lands on the new base") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("racesql").toString
+    spark.conf.set("spark.sql.catalog.graft_race",
+      "graft.source.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_race.root", root)
+    spark.sql("""CREATE TABLE graft_race.db.t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats_col'='k')""")
+    spark.sql("INSERT INTO graft_race.db.t SELECT id, id * 2 FROM range(50000)")
+    // a one-shot slow gate on the TARGET side of the ON condition: it
+    // first evaluates inside the merge's EXECUTION (group-filter
+    // subquery / rewrite join) — strictly after the operation resolved
+    // and planned against v1 — so the main thread can land the
+    // conflicting INSERT deterministically inside the merge's window.
+    // (A gate on the source would fold at ConvertToLocalRelation,
+    // BEFORE scan resolution, and the merge would legally re-plan.)
+    RaceMatrixSpec.gateSeen.set(false)
+    val slowOnce = udf((x: Long) => {
+      if (RaceMatrixSpec.gateSeen.compareAndSet(false, true))
+        Thread.sleep(8000)
+      x
+    })
+    spark.udf.register("race_gate", slowOnce)
+    Seq((777L, 0L)).toDF("k", "v").createOrReplaceTempView("race_src")
+    val err = new AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try spark.sql("""MERGE INTO graft_race.db.t t USING race_src s
+        ON t.k = s.k AND race_gate(t.v) = t.v
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (!RaceMatrixSpec.gateSeen.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+    assert(RaceMatrixSpec.gateSeen.get(), "merge never started planning")
+    spark.sql("INSERT INTO graft_race.db.t VALUES (999999, 1)")
+    t.join(180000)
+    assert(err.get() != null,
+      "the SQL merge must LOSE to the interleaved insert and fail loudly")
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err.get()).exists(
+        _.isInstanceOf[java.nio.file.FileAlreadyExistsException]),
+      s"conditional-put error did not surface: ${err.get()}")
+    // v2 is the insert's commit; the failed merge changed nothing
+    val p = s"$root/db/t"
+    assert(SnapshotTable.latestVersion(p) === 2L)
+    assert(spark.sql("SELECT count(*) FROM graft_race.db.t")
+      .head.getLong(0) === 50001L)
+    assert(spark.sql("SELECT v FROM graft_race.db.t WHERE k = 777")
+      .head.getLong(0) === 1554L)
+    // re-run against the new base: the update lands once, the
+    // interleaved insert's row survives
+    Seq((777L, 0L)).toDF("k", "v").createOrReplaceTempView("race_src2")
+    spark.sql("""MERGE INTO graft_race.db.t t USING race_src2 s
+      ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.sql("SELECT v FROM graft_race.db.t WHERE k = 777")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft_race.db.t")
+      .head.getLong(0) === 50001L)
+    assert(spark.sql("SELECT v FROM graft_race.db.t WHERE k = 999999")
+      .head.getLong(0) === 1L)
+    spark.sql("DROP TABLE graft_race.db.t")
+  }
 }
 
 object RaceMatrixSpec {

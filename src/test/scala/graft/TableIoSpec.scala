@@ -48,6 +48,25 @@ class TableIoSpec extends SparkSpec {
     }
   }
 
+  test("createExclusive normalizes an object-store-shaped plain " +
+      "IOException 'already exists' to FileAlreadyExistsException") {
+    // an in-process FileSystem that behaves like an object store's
+    // conditional PUT: a non-'file' scheme (so the nio reroute does
+    // not apply) whose exclusive create rejects with a PLAIN
+    // IOException carrying an 'already exists' message — the branch
+    // HadoopTableIo must normalize for the commit/retry logic to stay
+    // implementation-blind
+    spark.sparkContext.hadoopConfiguration.set("fs.graftmock.impl",
+      classOf[MockObjectStoreFs].getName)
+    val io = TableIo.hadoopIo
+    val p = s"graftmock:${freshDir()}/log/v1.json"
+    io.createExclusive(p, "first")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      io.createExclusive(p, "second")
+    }
+    assert(io.readString(p) === "first")
+  }
+
   test("both impls agree on list/walk/size/delete/canon semantics") {
     spark.sparkContext
     for ((io, root) <- Seq((TableIo.nioIo, freshDir()),
