@@ -765,9 +765,14 @@ object SnapshotTable {
                                        statMinMax: Option[(Seq[Long], Seq[Long])],
                                        bloomCol: Option[String],
                                        txn: Option[(String, Long)],
+                                       part: Option[(PartSpec, Seq[Long])] = None,
                                        op: String = "APPEND"): Long = {
     require(statsCol.isEmpty == statMinMax.isEmpty,
       "per-file stats must be tracked exactly when a stats column is set")
+    part.foreach { case (_, pv) =>
+      require(pv.length == files.length,
+        s"${pv.length} partition values for ${files.length} files")
+    }
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
       base.txns.get(w).exists(_ >= b)
     }
@@ -787,10 +792,12 @@ object SnapshotTable {
         if (prev == 0) Version(0, Seq.empty, 0)
         else readVersion(spark, path, prev)
       if (committedAt(base)) return prev
-      require(base.part.isEmpty,
-        s"table is hidden-partitioned (${base.part.get}) — the native " +
-          "streaming sink writes unpartitioned batches; ingest through " +
-          "foreachBatch + appendPartitioned")
+      require(base.files.isEmpty ||
+          base.part.isEmpty == part.isEmpty &&
+            base.part.forall(sp => part.exists(_._1 == sp)),
+        s"partition layout changed mid-stream (table: ${base.part}, " +
+          s"writer: ${part.map(_._1)}) — the writer resolved a stale " +
+          "layout")
       require(statsCol.isEmpty || base.files.isEmpty ||
           base.stats.exists(_.col == statsCol.get),
         s"stats column changed mid-stream (was ${base.stats.map(_.col)})")
@@ -803,7 +810,11 @@ object SnapshotTable {
         statsCol.map(c => Stats(c,
           base.stats.map(_.mins).getOrElse(Seq.empty) ++ statMinMax.get._1,
           base.stats.map(_.maxs).getOrElse(Seq.empty) ++ statMinMax.get._2)),
-        bloomConf.orElse(base.bloom), base.txns ++ txn.toMap, op = op,
+        bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
+        part = part.map(_._1),
+        partValues = part.map(p =>
+          base.partValues.getOrElse(Seq.empty) ++ p._2),
+        op = op,
         dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, files.length))
       try { commitExclusive(path, v, manifest); return v }

@@ -33,7 +33,7 @@ import graft.ops.SnapshotTable
 private[v2] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "zorder", "expire", "vacuum",
-    "materialize_deletes", "materialize_schema")
+    "materialize_deletes", "materialize_schema", "restore", "clone")
 
   def load(root: String, name: String): UnboundProcedure = {
     def pathOf(table: String): String =
@@ -117,6 +117,25 @@ private[v2] object GraftProcedures {
         val r = SnapshotTable.materializeSchema(spark, p)
         GraftTableSource.invalidate(p)
         Seq[Any](r.version, r.filesBefore, r.filesAfter, r.rewritten)
+      }
+      case "restore" => proc("restore",
+        Seq("table" -> StringType, "to_version" -> LongType),
+        StructType(Seq(StructField("version", LongType)))) { args =>
+        val spark = SparkSession.active
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        val v = SnapshotTable.restore(spark, p, args(1).asInstanceOf[Long])
+        GraftTableSource.invalidate(p)
+        Seq[Any](v)
+      }
+      case "clone" => proc("clone",
+        Seq("source" -> StringType, "target" -> StringType,
+          "version" -> LongType),
+        StructType(Seq(StructField("version", LongType)))) { args =>
+        val spark = SparkSession.active
+        val src = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        val dst = pathOf(args(1).asInstanceOf[UTF8String].toString)
+        Seq[Any](SnapshotTable.cloneAt(spark, src, dst,
+          args(2).asInstanceOf[Long]))
       }
       case other => throw new UnsupportedOperationException(
         s"no graft procedure $other — available: ${names.mkString(", ")}")

@@ -342,47 +342,45 @@ private[v2] final class GraftRowWriterFactory(
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-      private val facts = scala.collection.mutable.ArrayBuffer
-        .empty[GraftFileFact]
-      private var fileSeq = 0
-      private var file: String = _
-      private var n = 0L
-      private var mn = Long.MaxValue
-      private var mx = Long.MinValue
-      private var curPart = 0L
-      private var writer:
-        org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
-
-      private def open(part: Long): Unit = {
-        file = s"$batchDir/part-$partitionId-$taskId-$fileSeq.parquet"
-        fileSeq += 1
-        n = 0L; mn = Long.MaxValue; mx = Long.MinValue
-        curPart = part
-        val conf = new org.apache.hadoop.conf.Configuration(
-          bconf.value.value)
-        sqlConfs.foreach { case (k, v) => if (v != null) conf.set(k, v) }
-        ParquetWriteSupport.setSchema(schema, conf)
-        val support = new ParquetWriteSupport
-        writer = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
-          new HPath(file), support,
-          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
-          true, false,
-          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
-          conf)
+      /** Open writer + running facts for one partition value. */
+      final class Slot(val part: Long) {
+        val file: String = {
+          val seq = fileSeq; fileSeq += 1
+          s"$batchDir/part-$partitionId-$taskId-$seq.parquet"
+        }
+        var n = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+          val conf = new org.apache.hadoop.conf.Configuration(
+            bconf.value.value)
+          sqlConfs.foreach { case (k, v) => if (v != null) conf.set(k, v) }
+          ParquetWriteSupport.setSchema(schema, conf)
+          val support = new ParquetWriteSupport
+          new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+            new HPath(file), support,
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+            true, false,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_WRITER_VERSION,
+            conf)
+        }
+        def fact: GraftFileFact = GraftFileFact(file, n,
+          if (mn == Long.MaxValue) 0L else mn,
+          if (mx == Long.MinValue) 0L else mx,
+          statSeen = mn != Long.MaxValue, part = part)
       }
 
-      private def roll(): Unit =
-        if (writer != null && n > 0) {
-          writer.close()
-          facts += GraftFileFact(file, n,
-            if (mn == Long.MaxValue) 0L else mn,
-            if (mx == Long.MinValue) 0L else mx,
-            statSeen = mn != Long.MaxValue, part = curPart)
-          writer = null
-        }
+      private var fileSeq = 0
+      // POOLED by partition value: one open writer (and so one output
+      // file) per value this task sees — correct for ANY input order,
+      // so the streaming sink needs no plan-level shuffle; pool size
+      // is bounded by the values per task (clustered+sorted rewrites
+      // see each value once; micro-batches see a handful)
+      private val slots =
+        scala.collection.mutable.LinkedHashMap.empty[Long, Slot]
 
       // carried-over rows arrive with their metadata row; the
       // rewrite only needs the data projection
@@ -390,9 +388,6 @@ private[v2] final class GraftRowWriterFactory(
                          record: InternalRow): Unit = write(record)
 
       override def write(record: InternalRow): Unit = {
-        // rows arrive clustered AND sorted by the transform
-        // (requiredDistribution/Ordering), so rolling on value change
-        // yields partition-pure files without a per-value writer pool
         val p = partIdx match {
           case Some((i, spec)) =>
             if (record.isNullAt(i))
@@ -403,34 +398,36 @@ private[v2] final class GraftRowWriterFactory(
             spec(record.getLong(i))
           case None => 0L
         }
-        if (writer == null) open(p)
-        else if (p != curPart) { roll(); open(p) }
+        val slot = slots.getOrElseUpdate(p, new Slot(p))
         statsIdx.foreach { case (i, isInt) =>
           if (!record.isNullAt(i)) {
             val v = if (isInt) record.getInt(i).toLong else record.getLong(i)
-            if (v < mn) mn = v
-            if (v > mx) mx = v
+            if (v < slot.mn) slot.mn = v
+            if (v > slot.mx) slot.mx = v
           }
         }
-        n += 1
-        writer.write(record)
+        slot.n += 1
+        slot.writer.write(record)
       }
 
       override def commit(): WriterCommitMessage = {
-        roll()
-        GraftRowWriteMessage(facts.toSeq)
+        val facts = slots.values.toSeq.map { s =>
+          s.writer.close(); s.fact
+        }
+        slots.clear()
+        GraftRowWriteMessage(facts.filter(_.rows > 0))
       }
 
       override def abort(): Unit = {
-        try { if (writer != null) writer.close() }
-        catch { case _: Throwable => () }
         try {
           val conf = bconf.value.value
-          (facts.map(_.file) ++ Option(file)).foreach { f =>
-            val hp = new HPath(f)
+          slots.values.foreach { s =>
+            try s.writer.close() catch { case _: Throwable => () }
+            val hp = new HPath(s.file)
             val fs = hp.getFileSystem(conf)
             if (fs.exists(hp)) fs.delete(hp, false)
           }
+          slots.clear()
         } catch { case _: Throwable => () }
       }
 

@@ -808,9 +808,10 @@ private[v2] object GraftWriteBuilder {
 
 /** The native streaming sink (see [[GraftWriteBuilder]]'s
   * `toStreaming`): layout resolved ONCE at stream start (manifest or
-  * CREATE marker — stats/bloom columns keep indexing streamed files),
-  * partitioned tables decline loudly (foreachBatch +
-  * appendPartitioned is their exactly-once route).
+  * CREATE marker — stats/bloom columns keep indexing streamed files,
+  * hidden-partitioned tables stream partition-pure through the
+  * POOLED writer, which needs no plan-level shuffle: each task keeps
+  * one open file per partition value it sees).
   */
 private[v2] final class GraftStreamingWrite(
     path: String, props: Map[String, String],
@@ -826,10 +827,15 @@ private[v2] final class GraftStreamingWrite(
     else None
   private val marker =
     if (base.isEmpty) GraftTableSource.readMarker(path) else None
-  require(base.flatMap(_.part).orElse(marker.flatMap(_.part)).isEmpty,
-    "table is hidden-partitioned — the native streaming sink writes " +
-      "unpartitioned batches; ingest through foreachBatch + " +
-      "appendPartitioned")
+  private val partSpec: Option[SnapshotTable.PartSpec] =
+    base.flatMap(_.part).orElse(marker.flatMap(_.part))
+  private val partIdx: Option[(Int, SnapshotTable.PartSpec)] =
+    partSpec.map { p =>
+      val i = schema.fieldIndex(p.source)
+      require(schema.fields(i).dataType == LongType,
+        s"partition source ${p.source} must be BIGINT")
+      (i, p)
+    }
   private val statsCol = props.get("stats_col")
     .orElse(base.flatMap(_.stats.map(_.col)))
     .orElse(marker.flatMap(_.statsCol))
@@ -875,7 +881,7 @@ private[v2] final class GraftStreamingWrite(
       SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
         sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
     val rows = new GraftRowWriterFactory(batchDir, schema, statsIdx,
-      None, sqlConfs, bconf)
+      partIdx, sqlConfs, bconf)
     (partitionId: Int, taskId: Long, _: Long) =>
       rows.createWriter(partitionId, taskId)
   }
@@ -905,7 +911,8 @@ private[v2] final class GraftStreamingWrite(
       statMinMax = statsCol.map(_ =>
         (written.map(_.statMin), written.map(_.statMax))),
       bloomCol = bloomCol,
-      txn = Some((s"stream-${info.queryId()}", epochId)))
+      txn = Some((s"stream-${info.queryId()}", epochId)),
+      part = partSpec.map(sp => (sp, written.map(_.part))))
   }
 
   override def abort(epochId: Long,

@@ -533,6 +533,68 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.dynb")
   }
 
+  test("native streaming sink into a HIDDEN-PARTITIONED catalog " +
+      "table: epochs land partition-pure through the pooled writer, " +
+      "exactly-once, zero churn on idle restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    root
+    val dirs = Files.createTempDirectory("gsinkp").toString
+    val src = s"$dirs/src"
+    val ckpt = s"$dirs/ckpt"
+    SnapshotTable.append(
+      (1L to 200L).map(k => (k, k * 2)).toDF("k", "v"), src, 2,
+      statsCol = Some("k"))
+    spark.sql("""CREATE TABLE graft.db.psink (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft_table").option("path", src)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.db.psink")
+      q.awaitTermination(120000)
+      ()
+    }
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft.db.psink")
+      .head.getLong(0) === 200)
+    val p = s"$root/db/psink"
+    val ver = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(ver.part.exists(_.transform == "bucket") &&
+      ver.partValues.exists(_.length == ver.files.length))
+    assert(ver.txns.keys.exists(_.startsWith("stream-")))
+    // partition purity, file by file
+    val spec = ver.part.get
+    val pv = ver.partValues.get
+    ver.files.zipWithIndex.foreach { case (f, i) =>
+      val vals = spark.read.parquet(f).select("k").as[Long]
+        .collect().map(spec(_)).distinct
+      assert(vals.length === 1 && vals.head === pv(i),
+        s"streamed file $f not partition-pure")
+    }
+    // pruning works on the streamed table
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(spark.sql("SELECT v FROM graft.db.psink WHERE k = 42")
+      .head.getLong(0) === 84)
+    assert(GraftTableSource.lastPlan.get() match {
+      case (planned, total) => planned > 0 && planned < total
+    })
+    // delta arrives exactly once; idle restart commits nothing
+    SnapshotTable.append(
+      (201L to 230L).map(k => (k, k * 2)).toDF("k", "v"), src, 1)
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft.db.psink")
+      .head.getLong(0) === 230)
+    val vBefore = SnapshotTable.latestVersion(p)
+    run()
+    assert(SnapshotTable.latestVersion(p) === vBefore,
+      "idle restart must not commit")
+    spark.sql("DROP TABLE graft.db.psink")
+  }
+
   test("CALL procedures: optimize / zorder / expire / vacuum from " +
       "pure SQL, results as one-row relations") {
     root
@@ -572,6 +634,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(v) FROM graft.db.mt")
       .head.getLong(0) === sum0)
     assert(spark.sql("SHOW PROCEDURES IN graft").count() >= 6)
+
+    // restore and clone from SQL: lineage operations as CALLs
+    spark.sql("INSERT INTO graft.db.mt SELECT id, 0 FROM range(5)")
+    val withExtra = SnapshotTable.latestVersion(p)
+    val rv = spark.sql(
+      s"CALL graft.system.restore('db.mt', ${withExtra - 1})")
+      .collect().head.getLong(0)
+    assert(rv === withExtra + 1)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.mt")
+      .head.getLong(0) === sum0)
+    val cv = spark.sql(
+      s"CALL graft.system.clone('db.mt', 'db.mt_fork', $rv)")
+      .collect().head.getLong(0)
+    assert(cv === 1L)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.mt_fork")
+      .head.getLong(0) === sum0)
+    spark.sql("DROP TABLE graft.db.mt_fork")
     spark.sql("DROP TABLE graft.db.mt")
   }
 
