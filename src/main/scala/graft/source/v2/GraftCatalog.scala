@@ -383,6 +383,11 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
       StructField("stats_min", LongType),
       StructField("stats_max", LongType),
       StructField("partition", LongType)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("rows", LongType),
+      StructField("bytes", LongType)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -420,6 +425,17 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
             ver.stats.map(st => Long.box(st.maxs(i))).orNull,
             ver.partValues.map(pv => Long.box(pv(i))).orNull)
         }
+      case "partitions" =>
+        val ver = SnapshotTable.readVersion(spark, path, latest)
+        val pv = ver.partValues.getOrElse(
+          throw new IllegalArgumentException(
+            s"$path is not hidden-partitioned — t.partitions needs a " +
+              "partition transform; t.files inventories plain tables"))
+        pv.indices.groupBy(pv).toSeq.sortBy(_._1).map { case (p, idx) =>
+          Array[Any](p, idx.length.toLong,
+            ver.fileRows.map(r => Long.box(idx.map(r).sum)).orNull,
+            ver.fileBytes.map(b => Long.box(idx.map(b).sum)).orNull)
+        }
     }
   }
 
@@ -450,7 +466,7 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
 }
 
 private[v2] object GraftMetaTable {
-  val kinds: Set[String] = Set("history", "files")
+  val kinds: Set[String] = Set("history", "files", "partitions")
 }
 
 private[v2] final case class GraftMetaPartition(rows: Seq[Array[Any]])

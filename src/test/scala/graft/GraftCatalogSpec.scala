@@ -229,6 +229,22 @@ class GraftCatalogSpec extends SparkSpec {
       JOIN graft.db.h.history v ON f.rows <= v.rows""").head.getLong(0)
       > 0)
     spark.sql("DROP TABLE graft.db.h")
+
+    // t.partitions: per-partition rollup for partitioned tables;
+    // plain tables decline naming t.files
+    spark.sql("""CREATE TABLE graft.db.hp (k BIGINT, v BIGINT)
+      PARTITIONED BY (truncate(25, k))""")
+    spark.sql("INSERT INTO graft.db.hp SELECT id, id FROM range(100)")
+    val parts = spark.sql(
+      "SELECT * FROM graft.db.hp.partitions ORDER BY partition")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(parts.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(parts.map(_._3).sum === 100)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.h2x.partitions").collect()
+    }
+    assert(e != null)
+    spark.sql("DROP TABLE graft.db.hp")
   }
 
   test("DataFrameWriterV2: writeTo(...).append() / .overwritePartitions " +
