@@ -1369,9 +1369,13 @@ private[v2] object GraftReaderFactory {
         s"${required.fieldNames.toSeq}")
     val dataFields = (if (wantsFile) required.fields.dropRight(1)
       else required.fields).toSeq
+    // a column this file predates reads as nulls BY NAME MISMATCH —
+    // the sentinel cannot collide with any physical name, where the
+    // bare visible name could: after RENAME a→c, a LATER column named
+    // `a` must never match an old file's physical `a` (c's bytes)
     val requested = StructType(dataFields.map(f =>
-      StructField(phys.getOrElse(f.name, f.name), f.dataType,
-        nullable = true)))
+      StructField(phys.getOrElse(f.name, s"__graft_absent__${f.name}"),
+        f.dataType, nullable = true)))
     GraftFilePartition(res.ver.files(i), requested.json, wantsFile,
       rowGroupPredicate(res, phys, filters))
   }

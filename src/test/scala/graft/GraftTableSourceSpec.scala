@@ -123,6 +123,30 @@ class GraftTableSourceSpec extends SparkSpec {
       === (1L to 15L).map(_ * 5).sum)
   }
 
+  test("a column RE-ADDED under a renamed-away name never resurrects " +
+      "the old physical bytes — pre-add files read it as NULL") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 50L).map(k => (k, k * 2)).toDF("a", "v"), path, 2,
+      statsCol = Some("a"))
+    SnapshotTable.renameColumn(spark, path, "a", "c")
+    // a brand-new column NAMED `a`: a different field id — old files'
+    // physical `a` belongs to `c`, never to this column
+    SnapshotTable.append(
+      (51L to 60L).map(k => (k, k * 2, k * 10)).toDF("c", "v", "a"),
+      path, 1, statsCol = Some("c"))
+    val t = spark.read.format("graft_table").option("path", path).load()
+    assert(t.columns.toSeq === Seq("c", "v", "a"))
+    // old rows: c serves the original bytes, the re-added a is NULL
+    assert(t.filter(col("a").isNull).count() === 50)
+    assert(t.filter(col("c") <= 50).agg(sum("c")).head.getLong(0)
+      === (1L to 50L).sum)
+    // new rows carry both
+    assert(t.filter(col("a").isNotNull).agg(sum("a")).head.getLong(0)
+      === (51L to 60L).map(_ * 10).sum)
+  }
+
   test("manifest statistics reach Catalyst: scan-node stats equal the " +
       "manifest byte/row totals of the SURVIVING files, and a joined " +
       "graft_table lands on the broadcast side") {
