@@ -1155,8 +1155,8 @@ object SnapshotTable {
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
       base.txns.get(w).exists(_ >= b)
     }
-    if (committedAt(readVersion(spark, path, pre))) return pre
     val ver0 = readVersion(spark, path, pre)
+    if (committedAt(ver0)) return pre
     require(ver0.dvFiles.isEmpty,
       "table carries deletion vectors — materializeDeletes(...) first " +
         "so the replace cannot resurrect MOR-deleted rows")
@@ -1186,21 +1186,31 @@ object SnapshotTable {
       case None => withP.repartition(col("__p"))
     }
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
-    // the replaceWhere contract: every incoming row inside the range
-    val range = spark.read.parquet(batchDir)
-      .agg(min(col(spec.source)).cast("long"),
-        max(col(spec.source)).cast("long")).collect().head
-    if (!range.isNullAt(0))
-      require(range.getLong(0) >= lo && range.getLong(1) <= hi,
-        s"replacement rows fall outside REPLACE WHERE [$lo, $hi] " +
-          s"(batch spans [${range.getLong(0)}, ${range.getLong(1)}]) — " +
-          "rows outside the predicate would silently survive the next " +
-          "replace; widen the predicate or filter the input")
-    enforceConstraints(spark, path, batchDir)
-    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
-    val batchCols = spark.read.parquet(batch.files.head)
-      .schema.fieldNames.toSeq
-    ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    // an EMPTY replacement is a legitimate "clear this range" backfill:
+    // the commit below is then the pure metadata-only partition drop
+    val emptyBatch = !hasParquet(batchDir)
+    if (!emptyBatch) {
+      // the replaceWhere contract: every incoming row inside the range
+      val range = spark.read.parquet(batchDir)
+        .agg(min(col(spec.source)).cast("long"),
+          max(col(spec.source)).cast("long")).collect().head
+      if (!range.isNullAt(0))
+        require(range.getLong(0) >= lo && range.getLong(1) <= hi,
+          s"replacement rows fall outside REPLACE WHERE [$lo, $hi] " +
+            s"(batch spans [${range.getLong(0)}, ${range.getLong(1)}]) — " +
+            "rows outside the predicate would silently survive the next " +
+            "replace; widen the predicate or filter the input")
+      enforceConstraints(spark, path, batchDir)
+    } else io(batchDir).deleteDir(batchDir)
+    val (batch, pvals) =
+      if (emptyBatch) (Batch(Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+        Seq.empty), Seq.empty[Long])
+      else partitionedBatchFacts(spark, batchDir, statsCol)
+    val batchCols =
+      if (emptyBatch) Seq.empty[String]
+      else spark.read.parquet(batch.files.head).schema.fieldNames.toSeq
+    if (!emptyBatch)
+      ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
     val (plo, phi) = (spec(lo), spec(hi))
     var attempts = 0
     while (true) {
@@ -1221,6 +1231,9 @@ object SnapshotTable {
       val pv = ver.partValues.get
       val keepIdx = ver.files.indices
         .filterNot(i => pv(i) >= plo && pv(i) <= phi)
+      require(keepIdx.nonEmpty || batch.files.nonEmpty,
+        "REPLACE WHERE covers every partition and the replacement is " +
+          "empty — a zero-file version is unreadable; TRUNCATE instead")
       val rows = rowsOf(ver)
       val bytes = bytesOf(ver)
       val v = prev + 1
@@ -1275,6 +1288,12 @@ object SnapshotTable {
       case None => withP.repartition(col("__p"))
     }
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    if (!hasParquet(batchDir)) {
+      // overwrite-with-nothing = TRUNCATE: the zero-file manifest
+      // commit, layout carried, prior versions travel
+      io(batchDir).deleteDir(batchDir)
+      return truncate(spark, path)
+    }
     enforceConstraints(spark, path, batchDir)
     val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
     val batchCols = spark.read.parquet(batch.files.head)
@@ -1328,12 +1347,19 @@ object SnapshotTable {
                                             bytes: Seq[Long],
                                             statMins: Seq[Long],
                                             statMaxs: Seq[Long],
-                                            parts: Seq[Long]): Long = {
+                                            parts: Seq[Long],
+                                            txn: Option[(String, Long)] = None)
+      : Long = {
     var attempts = 0
     var bloomWritten = false
     while (true) {
       val prev = latestVersion(path)
       val ver = readVersion(spark, path, prev)
+      // replay idempotence: a re-delivered (writer, batch) at or below
+      // the recorded watermark commits NOTHING — the staged files stay
+      // unreferenced and inert
+      if (txn.exists { case (w, b) => ver.txns.get(w).exists(_ >= b) })
+        return prev
       require(ver.part.contains(spec) && ver.dvFiles.isEmpty,
         s"table layout changed under the overwrite (part=${ver.part}, " +
           s"dv=${ver.dvFiles.length}) — re-run against the new base")
@@ -1353,7 +1379,7 @@ object SnapshotTable {
         ver.stats.map(st => Stats(st.col,
           keepIdx.map(st.mins) ++ statMins,
           keepIdx.map(st.maxs) ++ statMaxs)),
-        ver.bloom, ver.txns, Some(spec),
+        ver.bloom, ver.txns ++ txn.toMap, Some(spec),
         Some(keepIdx.map(pv) ++ parts), op = "OVERWRITE",
         schema = carryMeta(ver, keepIdx, files.length))
       try { commitExclusive(path, v, manifest); return v }

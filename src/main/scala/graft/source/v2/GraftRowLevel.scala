@@ -136,17 +136,19 @@ final class GraftRowLevelOperation(
         */
       override def requiredDistribution(): Distribution =
         res.ver.part match {
-          case Some(p) => Distributions.clustered(Array(transformExpr(p)))
+          case Some(p) => Distributions.clustered(
+            Array(GraftWriteUtil.transformExpr(p)))
           case None => Distributions.unspecified()
         }
 
-      /** Sort by (transform, stats column): the writer rolls files on
-        * transform-value change, and within a file the stats column
-        * stays tight for manifest pruning.
+      /** Sort by (transform, stats column): a task then sees each
+        * partition value once (one output file per value) and within
+        * a file the stats column stays tight for manifest pruning.
         */
       override def requiredOrdering(): Array[SortOrder] = {
         val onPart = res.ver.part.toSeq.map(p =>
-          Expressions.sort(transformExpr(p), SortDirection.ASCENDING))
+          Expressions.sort(GraftWriteUtil.transformExpr(p),
+            SortDirection.ASCENDING))
         val onStats = res.ver.stats.toSeq.map(st =>
           Expressions.sort(Expressions.column(st.col),
             SortDirection.ASCENDING))
@@ -163,13 +165,69 @@ final class GraftRowLevelOperation(
     }
   }
 
-  private def transformExpr(p: SnapshotTable.PartSpec)
+}
+
+/** Shared plumbing of the three executor-writing paths (row-level
+  * rewrite, dynamic overwrite, streaming sink) — one definition of
+  * the parquet SQL-conf snapshot, the session-conf broadcast, the
+  * partition-transform V2 expression, and staged-file cleanup.
+  */
+private[v2] object GraftWriteUtil {
+
+  /** ParquetWriteSupport.init reads these SQL confs from the hadoop
+    * Configuration (FileFormatWriter copies them in the ordinary
+    * write path); resolve them ON THE DRIVER through their typed
+    * entries — defaults only resolve against a live SQLConf — and
+    * ship the rendered values.
+    */
+  def parquetSqlConfs(): Map[String, String] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val sc = SQLConf.get
+    Map(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
+        sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
+        sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
+        sc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
+        sc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
+        sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
+        sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+  }
+
+  /** The SESSION's Hadoop configuration, broadcast: spark.hadoop.*
+    * settings (object-store credentials, endpoints) must reach the
+    * executors' parquet writers — a fresh Configuration() loses them.
+    */
+  def broadcastSessionConf(spark: SparkSession)
+      : Broadcast[SerializableConfiguration] =
+    spark.sparkContext.broadcast(new SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+
+  /** The partition transform as a V2 expression — identity resolves
+    * catalog-free; bucket/truncate resolve through the relation's
+    * FunctionCatalog (GraftCatalog), the same arithmetic that routed
+    * rows at append time.
+    */
+  def transformExpr(p: SnapshotTable.PartSpec)
       : org.apache.spark.sql.connector.expressions.Expression =
     p.transform match {
       case "identity" => Expressions.column(p.source)
       case "bucket" => Expressions.bucket(p.param.toInt, p.source)
       case "truncate" => Expressions.apply("truncate",
         Expressions.literal(p.param), Expressions.column(p.source))
+    }
+
+  /** Best-effort cleanup of staged (never-referenced) files. */
+  def deleteStaged(conf: org.apache.hadoop.conf.Configuration,
+                   files: Seq[String]): Unit =
+    files.foreach { f =>
+      val p = new HPath(f)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
     }
 }
 
@@ -221,36 +279,10 @@ private[v2] final class GraftBatchWrite(
     }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = {
-    // ParquetWriteSupport.init reads these SQL confs from the hadoop
-    // Configuration (FileFormatWriter copies them in the ordinary
-    // write path); resolve them ON THE DRIVER through their typed
-    // entries — defaults only resolve against a live SQLConf — and
-    // ship the rendered values
-    import org.apache.spark.sql.internal.SQLConf
-    val sc = SQLConf.get
-    val sqlConfs = Map(
-      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
-        sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
-        sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
-      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
-        sc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
-      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
-        sc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
-        sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
-        sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    // the SESSION's Hadoop configuration, broadcast: spark.hadoop.*
-    // settings (object-store credentials, endpoints) must reach the
-    // executors' parquet writers — a fresh Configuration() loses them
-    val spark = SparkSession.active
-    val bconf = spark.sparkContext.broadcast(new SerializableConfiguration(
-      spark.sessionState.newHadoopConf()))
+      : DataWriterFactory =
     new GraftRowWriterFactory(batchDir, rowSchema, statsIdx, partIdx,
-      sqlConfs, bconf)
-  }
+      GraftWriteUtil.parquetSqlConfs(),
+      GraftWriteUtil.broadcastSessionConf(SparkSession.active))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -305,17 +337,12 @@ private[v2] final class GraftBatchWrite(
       partValues = partVals)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    messages.foreach {
-      case m: GraftRowWriteMessage => m.files.foreach { f =>
-        val p = new HPath(f.file)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, false)
-      }
-      case _ => ()
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteUtil.deleteStaged(
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      messages.toSeq.collect {
+        case m: GraftRowWriteMessage => m.files.map(_.file)
+      }.flatten)
 }
 
 /** Per-file facts a rewrite task commits: row count, stats [min, max]

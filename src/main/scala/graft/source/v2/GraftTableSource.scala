@@ -664,9 +664,26 @@ private[v2] final class GraftWriteBuilder(
     */
   private var replaceFilters: Option[Array[Filter]] = None
 
+  /** ANALYSIS-time validation, so an unusable predicate fails as
+    * "table does not support overwrite by filter" instead of a
+    * mid-write error: the range must predicate the partition SOURCE
+    * of a monotone transform and align to its boundaries.
+    */
   override def canOverwrite(filters: Array[Filter]): Boolean =
     filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
-      GraftWriteBuilder.rangeOf(filters).isDefined
+      (GraftWriteBuilder.rangeOf(filters) match {
+        case Some((c, lo, hi)) =>
+          val latest = SnapshotTable.latestVersion(path)
+          val spec =
+            if (latest > 0)
+              SnapshotTable.readVersion(SparkSession.active, path, latest).part
+            else GraftTableSource.readMarker(path).flatMap(_.part)
+          spec.exists(sp => sp.source == c && sp.monotone &&
+            (sp.transform != "truncate" ||
+              (Math.floorMod(lo, sp.param) == 0 &&
+                Math.floorMod(hi + 1, sp.param) == 0)))
+        case None => false
+      })
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.forall(
@@ -856,29 +873,16 @@ private[v2] final class GraftStreamingWrite(
   private val batchDir =
     s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
 
+  // ONE factory (and one conf broadcast) per STREAM RUN, not per
+  // epoch — a long-running sink must not leak a broadcast per trigger
+  private lazy val rowFactory = new GraftRowWriterFactory(
+    batchDir, schema, statsIdx, partIdx,
+    GraftWriteUtil.parquetSqlConfs(),
+    GraftWriteUtil.broadcastSessionConf(SparkSession.active))
+
   override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory = {
-    val spark = SparkSession.active
-    val bconf = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
-    import org.apache.spark.sql.internal.SQLConf
-    val sc = SQLConf.get
-    val sqlConfs = Map(
-      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
-        sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
-        sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
-      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
-        sc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
-      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
-        sc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
-        sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
-        sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    val rows = new GraftRowWriterFactory(batchDir, schema, statsIdx,
-      partIdx, sqlConfs, bconf)
+    val rows = rowFactory
     (partitionId: Int, taskId: Long, _: Long) =>
       rows.createWriter(partitionId, taskId)
   }
@@ -913,17 +917,12 @@ private[v2] final class GraftStreamingWrite(
   }
 
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    messages.foreach {
-      case m: GraftRowWriteMessage => m.files.foreach { f =>
-        val p = new HPath(f.file)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, false)
-      }
-      case _ => ()
-    }
-  }
+                     messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteUtil.deleteStaged(
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      messages.toSeq.collect {
+        case m: GraftRowWriteMessage => m.files.map(_.file)
+      }.flatten)
 }
 
 private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
@@ -1244,8 +1243,15 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     // the pushed + runtime predicates, re-checked by Spark above the
     // scan, also drive parquet's ROW-GROUP statistics filtering inside
     // each kept file — what bounds the read when pruning keeps a huge
-    // file for one matching range
-    val rowGroupFilters = pushed ++ runtime
+    // file for one matching range. NEVER on a `_file`-projecting scan:
+    // that is the row-level REWRITE scan, whose contract is
+    // file-granular — predicates may prune whole GROUPS (files), but
+    // every row of a scanned file must be DELIVERED (carried rows of
+    // unmatched row groups would otherwise silently vanish from the
+    // rewritten table)
+    val rowGroupFilters =
+      if (required.fieldNames.contains("_file")) Array.empty[org.apache.spark.sql.sources.Filter]
+      else pushed ++ runtime
     kept.map { i =>
       val base = GraftReaderFactory.partition(res, i, required,
         rowGroupFilters)
@@ -1269,7 +1275,8 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   */
 private[v2] final case class GraftFilePartition(
     file: String, requestedJson: String, wantsFileCol: Boolean,
-    rowGroupPredicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate])
+    rowGroupPredicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+    predicateCols: Seq[String] = Seq.empty)
     extends InputPartition
 
 /** A file partition of an identity-partitioned table, carrying its
@@ -1376,8 +1383,9 @@ private[v2] object GraftReaderFactory {
     val requested = StructType(dataFields.map(f =>
       StructField(phys.getOrElse(f.name, s"__graft_absent__${f.name}"),
         f.dataType, nullable = true)))
+    val (pred, predCols) = rowGroupPredicate(res, phys, filters)
     GraftFilePartition(res.ver.files(i), requested.json, wantsFile,
-      rowGroupPredicate(res, phys, filters))
+      pred, predCols)
   }
 
   /** Pushed/runtime filters as a parquet [[FilterPredicate]] —
@@ -1391,9 +1399,11 @@ private[v2] object GraftReaderFactory {
   private def rowGroupPredicate(res: GraftTableSource.Resolved,
                                 phys: Map[String, String],
                                 filters: Array[org.apache.spark.sql.sources.Filter])
-      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+      : (Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+         Seq[String]) = {
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     import org.apache.spark.sql.sources._
+    val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -1420,9 +1430,11 @@ private[v2] object GraftReaderFactory {
         (ph, isLong) <- colOf(c)
         l <- longOf(v)
         if isLong || (l >= Int.MinValue && l <= Int.MaxValue)
-      } yield
+      } yield {
+        referenced += ph
         if (isLong) mkL(FilterApi.longColumn(ph), java.lang.Long.valueOf(l))
         else mkI(FilterApi.intColumn(ph), Integer.valueOf(l.toInt))
+      }
     def one(f: Filter): Option[FilterPredicate] = f match {
       case EqualTo(c, v) => cmp(c, v)(FilterApi.eq(_, _), FilterApi.eq(_, _))
       case GreaterThan(c, v) => cmp(c, v)(FilterApi.gt(_, _), FilterApi.gt(_, _))
@@ -1438,7 +1450,8 @@ private[v2] object GraftReaderFactory {
         else None
       case _ => None
     }
-    filters.toSeq.flatMap(one).reduceOption(FilterApi.and)
+    (filters.toSeq.flatMap(one).reduceOption(FilterApi.and),
+      referenced.toSeq)
   }
 
   /** Open one file through Spark's VectorizedParquetRecordReader via
@@ -1453,9 +1466,23 @@ private[v2] object GraftReaderFactory {
     val conf = new org.apache.hadoop.conf.Configuration(base)
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
       p.requestedJson)
-    p.rowGroupPredicate.foreach(pred =>
+    // the row-group predicate applies only when THIS FILE physically
+    // carries every referenced column — a subset-column batch within
+    // an epoch (appendMeta stamps it with the current epoch) may lack
+    // one, and parquet's schema validator throws instead of treating
+    // the column as all-null; one SKIP_ROW_GROUPS footer probe gates
+    // the predicate, paid only on predicated scans
+    val predOk = p.rowGroupPredicate.isDefined && {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new HPath(p.file),
+        org.apache.parquet.format.converter.ParquetMetadataConverter
+          .SKIP_ROW_GROUPS)
+      val fileSchema = footer.getFileMetaData.getSchema
+      p.predicateCols.forall(fileSchema.containsField)
+    }
+    if (predOk)
       org.apache.parquet.hadoop.ParquetInputFormat
-        .setFilterPredicate(conf, pred))
+        .setFilterPredicate(conf, p.rowGroupPredicate.get)
     // Spark's reader casts to the OLD-API FileSplit (which extends the
     // mapreduce one), so that is the type to hand it
     val split = new org.apache.hadoop.mapred.FileSplit(
@@ -1576,51 +1603,22 @@ private[v2] final class GraftDynamicOverwrite(
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions
-      .clustered(Array(transformExpr))
+      .clustered(Array(GraftWriteUtil.transformExpr(spec)))
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    (Seq(Expressions.sort(transformExpr, SortDirection.ASCENDING)) ++
+    (Seq(Expressions.sort(GraftWriteUtil.transformExpr(spec),
+        SortDirection.ASCENDING)) ++
       base0.stats.map(st => Expressions.sort(
         Expressions.column(st.col), SortDirection.ASCENDING))).toArray
   }
 
-  private def transformExpr
-      : org.apache.spark.sql.connector.expressions.Expression = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    spec.transform match {
-      case "identity" => Expressions.column(spec.source)
-      case "bucket" => Expressions.bucket(spec.param.toInt, spec.source)
-      case "truncate" => Expressions.apply("truncate",
-        Expressions.literal(spec.param), Expressions.column(spec.source))
-    }
-  }
-
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
-      : DataWriterFactory = {
-    import org.apache.spark.sql.internal.SQLConf
-    val sc = SQLConf.get
-    val sqlConfs = Map(
-      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
-        sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
-        sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
-      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
-        sc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
-      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
-        sc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key ->
-        sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
-        sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    val spark = SparkSession.active
-    val bconf = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
+      : DataWriterFactory =
     new GraftRowWriterFactory(batchDir, schema, statsIdx,
-      Some((srcIdx, spec)), sqlConfs, bconf)
-  }
+      Some((srcIdx, spec)), GraftWriteUtil.parquetSqlConfs(),
+      GraftWriteUtil.broadcastSessionConf(SparkSession.active))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -1643,23 +1641,23 @@ private[v2] final class GraftDynamicOverwrite(
       p.getFileSystem(conf).getFileStatus(p).getLen
     }
     val bytes = written.map(m => sizeOf(m.file))
+    // the same per-writer idempotence every other write path honors
+    val txn = for {
+      w <- Option(info.options().get("txn_writer"))
+      b <- Option(info.options().get("txn_batch"))
+    } yield (w, b.toLong)
     SnapshotTable.commitDynamicOverwrite(spark, path, spec, replaced,
       written.map(_.file), written.map(_.rows), bytes,
       written.map(_.statMin), written.map(_.statMax),
-      written.map(_.part))
+      written.map(_.part), txn = txn)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    messages.foreach {
-      case m: GraftRowWriteMessage => m.files.foreach { f =>
-        val p = new HPath(f.file)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, false)
-      }
-      case _ => ()
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteUtil.deleteStaged(
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      messages.toSeq.collect {
+        case m: GraftRowWriteMessage => m.files.map(_.file)
+      }.flatten)
 }
 
 /** Version offset of the streaming source: the commit log IS the

@@ -410,6 +410,37 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.pm")
   }
 
+  test("a row-level REWRITE delivers every row of its scanned files — " +
+      "row-group skipping must never apply to the group scan") {
+    import spark.implicits._
+    root
+    // many row groups in ONE file: the configuration under which a
+    // pushed UPDATE predicate, if (wrongly) handed to parquet's
+    // row-group filter on the rewrite scan, silently drops every
+    // carried row outside the matching group
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      spark.sql("""CREATE TABLE graft.db.rg (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('stats_col'='k')""")
+      spark.sql(
+        "INSERT INTO graft.db.rg SELECT id, id FROM range(100000)")
+    } finally prior match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+    spark.sql("UPDATE graft.db.rg SET v = -1 WHERE k = 77777")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rg")
+      .head.getLong(0) === 100000,
+      "the rewrite dropped carried rows of unmatched row groups")
+    assert(spark.sql("SELECT v FROM graft.db.rg WHERE k = 77777")
+      .head.getLong(0) === -1)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.rg").head.getLong(0)
+      === (0L until 100000L).sum - 77777L - 1L)
+    spark.sql("DROP TABLE graft.db.rg")
+  }
+
   test("DELETE FROM an empty CREATEd table is a no-op, not an " +
       "analysis failure") {
     root
@@ -467,14 +498,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).contains("REPLACE WHERE") ||
       e.getCause != null && String.valueOf(e.getCause.getMessage)
         .contains("REPLACE WHERE"))
-    // an UNALIGNED range rejects loudly
+    // an UNALIGNED range rejects at ANALYSIS (canOverwrite declines)
     val e2 = intercept[Exception] {
       spark.sql("""INSERT INTO graft.db.rw REPLACE WHERE d >= 25 AND d < 40
         SELECT id AS d, id AS v FROM range(25, 40)""")
     }
-    assert(String.valueOf(e2.getMessage).contains("aligned") ||
-      e2.getCause != null && String.valueOf(e2.getCause.getMessage)
-        .contains("aligned"))
+    assert(e2.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      String.valueOf(e2.getMessage).toLowerCase.contains("overwrite"))
+    // a range on a NON-partition-source column rejects at analysis too
+    val e3 = intercept[Exception] {
+      spark.sql("""INSERT INTO graft.db.rw REPLACE WHERE v >= 0 AND v < 40
+        SELECT id AS d, id AS v FROM range(0, 40)""")
+    }
+    assert(e3.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      String.valueOf(e3.getMessage).toLowerCase.contains("overwrite"))
+    // an EMPTY replacement clears the range as pure metadata
+    spark.sql("""INSERT INTO graft.db.rw REPLACE WHERE d >= 20 AND d < 40
+      SELECT id AS d, id AS v FROM range(0) """)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rw")
+      .head.getLong(0) === 80)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.rw WHERE d BETWEEN 20 AND 39")
+      .head.getLong(0) === 0)
     spark.sql("DROP TABLE graft.db.rw")
   }
 

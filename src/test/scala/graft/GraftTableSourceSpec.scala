@@ -123,6 +123,25 @@ class GraftTableSourceSpec extends SparkSpec {
       === (1L to 15L).map(_ * 5).sum)
   }
 
+  test("a pushed predicate on a column some files physically LACK " +
+      "reads those files as all-null instead of failing the scan") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), path, 1,
+      statsCol = Some("k"))
+    // a SUBSET-column batch: same epoch, no new columns, but this
+    // file has no physical v — a row-group predicate on v must not
+    // reach it (parquet's schema validator would throw)
+    SnapshotTable.append(
+      (101L to 150L).map(k => Tuple1(k)).toDF("k"), path, 1,
+      statsCol = Some("k"))
+    val t = spark.read.format("graft_table").option("path", path).load()
+    assert(t.count() === 150)
+    assert(t.filter(col("v") <= 20).count() === 10)
+    assert(t.filter(col("v").isNull).count() === 50)
+  }
+
   test("a column RE-ADDED under a renamed-away name never resurrects " +
       "the old physical bytes — pre-add files read it as NULL") {
     import spark.implicits._
