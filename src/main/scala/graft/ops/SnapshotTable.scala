@@ -695,7 +695,18 @@ object SnapshotTable {
     val pre = latestVersion(path)
     if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
       return pre
-    val batch = writeBatch(df, path, numPartitions, statsCol)
+    // LAYOUT INHERITANCE: an indexed table keeps its stats index
+    // through appends that did not name it — per-file [min, max]
+    // vectors must cover EVERY file, so "this batch just skips stats"
+    // is unrepresentable and the old behavior (silently dropping the
+    // whole index) was a pruning trap. A batch that does not carry
+    // the column at all still appends (the index drops, loudly
+    // visible in the manifest, as before).
+    val statsColEff = statsCol.orElse(
+      if (pre == 0) None
+      else readVersion(spark, path, pre).stats.map(_.col)
+        .filter(df.columns.contains))
+    val batch = writeBatch(df, path, numPartitions, statsColEff)
     // WRITTEN schema, not df's: what readers will actually observe
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
@@ -714,8 +725,8 @@ object SnapshotTable {
       require(base.part.isEmpty,
         s"table is hidden-partitioned (${base.part.get}) — " +
           "use appendPartitioned so new files stay partition-pure")
-      require(statsCol.isEmpty || base.files.isEmpty ||
-          base.stats.exists(_.col == statsCol.get),
+      require(statsColEff.isEmpty || base.files.isEmpty ||
+          base.stats.exists(_.col == statsColEff.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
       require(bloomCol.isEmpty || base.files.isEmpty ||
           base.bloom.exists(_.col == bloomCol.get),
@@ -727,7 +738,7 @@ object SnapshotTable {
           batch.rows,
         bytesOf(base) ++
           batch.bytes,
-        statsCol.map { c =>
+        statsColEff.map { c =>
           Stats(c,
             base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
@@ -1072,16 +1083,22 @@ object SnapshotTable {
     val pre = latestVersion(path)
     if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
       return pre
+    // layout inheritance, exactly as [[append]]: an indexed table
+    // keeps its stats index through appends that did not name it
+    val statsColEff = statsCol.orElse(
+      if (pre == 0) None
+      else readVersion(spark, path, pre).stats.map(_.col)
+        .filter(df.columns.contains))
     val batchDir = s"$path/files/batch-${nonce()}"
     val withP = df.withColumn("__p", spec.column)
-    val laidOut = statsCol match {
+    val laidOut = statsColEff match {
       case Some(c) => withP.repartition(col("__p"))
         .sortWithinPartitions(col("__p"), col(c))
       case None => withP.repartition(col("__p"))
     }
     laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
     enforceConstraints(spark, path, batchDir)
-    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsColEff)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
     val bloomConf =
@@ -1096,8 +1113,8 @@ object SnapshotTable {
       if (committedAt(base)) return prev
       require(base.files.isEmpty || base.part.contains(spec),
         s"partition spec changed mid-table (was ${base.part}, got $spec)")
-      require(statsCol.isEmpty || base.files.isEmpty ||
-          base.stats.exists(_.col == statsCol.get),
+      require(statsColEff.isEmpty || base.files.isEmpty ||
+          base.stats.exists(_.col == statsColEff.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
       require(bloomCol.isEmpty || base.files.isEmpty ||
           base.bloom.exists(_.col == bloomCol.get),
@@ -1109,7 +1126,7 @@ object SnapshotTable {
           batch.rows,
         bytesOf(base) ++
           batch.bytes,
-        statsCol.map { c =>
+        statsColEff.map { c =>
           Stats(c,
             base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)

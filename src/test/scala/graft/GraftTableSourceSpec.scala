@@ -418,9 +418,11 @@ class GraftTableSourceSpec extends SparkSpec {
     SnapshotTable.append(
       (1L to 500L).map(k => (k, k * 2)).toDF("k", "v"), path, 5,
       statsCol = Some("k"))
+    // statsCol deliberately OMITTED: an indexed table inherits its
+    // stats layout through plain appends (the pruning assert below
+    // needs per-file bounds for ALL SIX files)
     SnapshotTable.append(
-      (501L to 600L).map(k => (k, k * 2)).toDF("k", "v"), path, 1,
-      statsCol = Some("k"))
+      (501L to 600L).map(k => (k, k * 2)).toDF("k", "v"), path, 1)
     val t = spark.read.format("graft_table").option("path", path).load()
     assert(t.count() === 600)
     assert(t.agg(sum("v")).head.getLong(0) === (1L to 600L).map(_ * 2).sum)
