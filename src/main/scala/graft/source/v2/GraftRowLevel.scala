@@ -101,17 +101,22 @@ final class GraftRowLevelOperation(
     override def build(): org.apache.spark.sql.connector.read.Scan = {
       val s = super.build()
       s match {
-        // the REWRITE scan reads every table column (it reproduces
-        // whole rows); the runtime group-filter SUBQUERY scan reads
-        // only the join key + _file and must not become the group set
-        case g: GraftScan if res.schema.fieldNames.forall(
-            g.readSchema().fieldNames.contains) =>
-          if (scan != null)
-            throw new IllegalStateException(
-              s"graft_table $path $cmd: a SECOND full-schema scan was " +
-                "built through this row-level operation — the group " +
-                "set would be silently replaced and unrewritten files " +
-                "dropped from the manifest; plan the operation again")
+        // the REWRITE scan reproduces whole rows: its read schema is
+        // EXACTLY the table schema plus the trailing _file metadata
+        // column, in table order (GraftReaderFactory.partition already
+        // requires _file trailing). The runtime group-filter SUBQUERY
+        // scan is column-pruned to the condition columns + _file and
+        // so (except on a table whose every column the condition
+        // references) never matches. Spark builds the rewrite scan
+        // FIRST (V2ScanRelationPushDown), the group-filter subquery
+        // later (the PartitionPruning optimizer batch) — so the first
+        // exact-schema build IS the rewrite scan, and a later
+        // exact-schema build (a narrow table whose condition touches
+        // every column) is the subquery: keep the first capture
+        // rather than failing a valid MERGE/UPDATE.
+        case g: GraftScan if scan == null &&
+            g.readSchema().fieldNames.toSeq ==
+              res.schema.fieldNames.toSeq :+ "_file" =>
           scan = g
         case _ => ()
       }
@@ -378,6 +383,7 @@ private[v2] final class GraftRowWriterFactory(
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue
+        var lastUse = 0L
         val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
           val conf = new org.apache.hadoop.conf.Configuration(
             bconf.value.value)
@@ -402,12 +408,23 @@ private[v2] final class GraftRowWriterFactory(
 
       private var fileSeq = 0
       // POOLED by partition value: one open writer (and so one output
-      // file) per value this task sees — correct for ANY input order,
-      // so the streaming sink needs no plan-level shuffle; pool size
-      // is bounded by the values per task (clustered+sorted rewrites
-      // see each value once; micro-batches see a handful)
+      // file) per value this task currently holds — correct for ANY
+      // input order, so the streaming sink needs no plan-level
+      // shuffle. The pool is CAPPED: each open ParquetWriter holds
+      // page buffers, so a task that sees many distinct values (an
+      // identity transform over a wide key range, a shuffle-free
+      // stream) must not hold them all open. Past the cap the
+      // least-recently-written slot is closed and its fact banked —
+      // a value seen again later simply starts a NEW file (manifests
+      // list files individually, several files per partition value
+      // are fine). Clustered+sorted rewrites see each value once, so
+      // eviction there just closes the file the sort already finished.
+      private val maxOpen = GraftRowWriterFactory.maxOpenWriters
+      private var useTick = 0L
       private val slots =
         scala.collection.mutable.LinkedHashMap.empty[Long, Slot]
+      private val banked =
+        scala.collection.mutable.ArrayBuffer.empty[GraftFileFact]
 
       // carried-over rows arrive with their metadata row; the
       // rewrite only needs the data projection
@@ -425,7 +442,17 @@ private[v2] final class GraftRowWriterFactory(
             spec(record.getLong(i))
           case None => 0L
         }
-        val slot = slots.getOrElseUpdate(p, new Slot(p))
+        val slot = slots.getOrElse(p, {
+          if (slots.size >= maxOpen) {
+            val lru = slots.values.minBy(_.lastUse)
+            lru.writer.close()
+            banked += lru.fact
+            slots.remove(lru.part)
+          }
+          val s = new Slot(p); slots(p) = s; s
+        })
+        useTick += 1
+        slot.lastUse = useTick
         statsIdx.foreach { case (i, isInt) =>
           if (!record.isNullAt(i)) {
             val v = if (isInt) record.getInt(i).toLong else record.getLong(i)
@@ -438,26 +465,37 @@ private[v2] final class GraftRowWriterFactory(
       }
 
       override def commit(): WriterCommitMessage = {
-        val facts = slots.values.toSeq.map { s =>
+        val facts = banked.toSeq ++ slots.values.toSeq.map { s =>
           s.writer.close(); s.fact
         }
-        slots.clear()
+        slots.clear(); banked.clear()
         GraftRowWriteMessage(facts.filter(_.rows > 0))
       }
 
       override def abort(): Unit = {
         try {
           val conf = bconf.value.value
-          slots.values.foreach { s =>
-            try s.writer.close() catch { case _: Throwable => () }
-            val hp = new HPath(s.file)
+          slots.values.foreach(s =>
+            try s.writer.close() catch { case _: Throwable => () })
+          (slots.values.map(_.file) ++ banked.map(_.file)).foreach { f =>
+            val hp = new HPath(f)
             val fs = hp.getFileSystem(conf)
             if (fs.exists(hp)) fs.delete(hp, false)
           }
-          slots.clear()
+          slots.clear(); banked.clear()
         } catch { case _: Throwable => () }
       }
 
       override def close(): Unit = ()
     }
+}
+
+private[v2] object GraftRowWriterFactory {
+  /** Open-writer cap per task (see the pool comment above): small
+    * enough that page buffers cannot stack into an executor OOM,
+    * large enough that a clustered rewrite or a modest micro-batch
+    * never evicts. Overridable for specs via system property.
+    */
+  def maxOpenWriters: Int =
+    Integer.getInteger("graft.writer.maxOpen", 16)
 }

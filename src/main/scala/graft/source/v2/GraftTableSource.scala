@@ -797,16 +797,27 @@ private[v2] object GraftWriteBuilder {
     }
     val bounds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[Long], Option[Long])]
+    // strict bounds rewrite with CHECKED arithmetic: GreaterThan(c,
+    // Long.MaxValue) is vacuously false, and a wrapped rewrite would
+    // resolve it to a widest-possible range — dropping partitions the
+    // predicate never matched. Overflow declines the whole predicate
+    // (canOverwrite then raises the analysis error).
     def walk(f: Filter): Boolean = f match {
       case And(l, r) => walk(l) && walk(r)
       case EqualTo(c, v) =>
         longOf(v).exists { l => bounds += ((c, Some(l), Some(l))); true }
       case GreaterThan(c, v) =>
-        longOf(v).exists { l => bounds += ((c, Some(l + 1), None)); true }
+        longOf(v).exists { l =>
+          try { bounds += ((c, Some(Math.addExact(l, 1L)), None)); true }
+          catch { case _: ArithmeticException => false }
+        }
       case GreaterThanOrEqual(c, v) =>
         longOf(v).exists { l => bounds += ((c, Some(l), None)); true }
       case LessThan(c, v) =>
-        longOf(v).exists { l => bounds += ((c, None, Some(l - 1))); true }
+        longOf(v).exists { l =>
+          try { bounds += ((c, None, Some(Math.subtractExact(l, 1L)))); true }
+          catch { case _: ArithmeticException => false }
+        }
       case LessThanOrEqual(c, v) =>
         longOf(v).exists { l => bounds += ((c, None, Some(l))); true }
       case _ => false
@@ -1625,9 +1636,14 @@ private[v2] final class GraftDynamicOverwrite(
     val written = messages.toSeq.collect {
       case m: GraftRowWriteMessage => m.files
     }.flatten.filter(_.rows > 0).sortBy(_.file)
-    require(written.nonEmpty,
-      "dynamic partition overwrite with an EMPTY batch replaces " +
-        "nothing — refusing the ambiguous no-op")
+    // dynamic overwrite replaces exactly the partitions the batch
+    // touches — an EMPTY batch touches none, so the correct result is
+    // the unchanged table (the Delta/Iceberg contract; a scheduled
+    // INSERT OVERWRITE over an occasionally-empty source must not
+    // fail the job). No commit = no version churn; the txn watermark
+    // is deliberately NOT advanced, because replaying a no-op is
+    // itself a no-op.
+    if (written.isEmpty) return
     written.find(f => statsIdx.isDefined && !f.statSeen).foreach { f =>
       throw new IllegalStateException(
         s"written file ${f.file} holds only NULLs in stats column " +
