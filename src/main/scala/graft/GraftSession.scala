@@ -37,6 +37,10 @@ object GraftSession {
         Work.stableDir("warehouse").toUri.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standard int64-micros timestamps (not INT96): what gives
+      // timestamp columns parquet min/max statistics, so the snapshot
+      // table's typed row-group predicates can skip inside files
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -58,8 +58,39 @@ object SnapshotTable {
   /** Per-file min/max of one long-typed column, aligned with `files` —
     * the Iceberg-style column statistics that let ANY range predicate
     * on the stat column prune files, not just curve-key rectangles.
+    * This column doubles as the table's SORT/LAYOUT column (batches
+    * are range-partitioned and sorted by it); for pruning-only
+    * statistics over further columns — and over non-integral types —
+    * see [[ColStats]].
     */
   final case class Stats(col: String, mins: Seq[Long], maxs: Seq[Long])
+
+  /** TYPED per-file min/max of one declared stats column, aligned
+    * with `files` — the multi-column generalization of [[Stats]]:
+    * a table declares a LIST of stats columns (INT/BIGINT/DATE/
+    * TIMESTAMP/FLOAT/DOUBLE/STRING/BOOLEAN), every write path
+    * collects per-file bounds for each, and any range/equality
+    * predicate on any of them prunes files at plan time. Bounds are
+    * encoded per [[TypedBounds]] (strings in the manifest, dtype-
+    * interpreted); `has(i)` = file i holds a non-NULL value (bounds
+    * usable), `exact(i)` = the bounds are actual column values
+    * (string bounds may be truncated — prunable, but NOT servable to
+    * a pushed MIN/MAX aggregate).
+    */
+  final case class ColStats(col: String, dtype: String,
+                            mins: Seq[String], maxs: Seq[String],
+                            has: Seq[Boolean], exact: Seq[Boolean]) {
+    def slice(keepIdx: Seq[Int]): ColStats =
+      ColStats(col, dtype, keepIdx.map(mins), keepIdx.map(maxs),
+        keepIdx.map(has), keepIdx.map(exact))
+    def ++(that: ColStats): ColStats = {
+      require(col == that.col && dtype == that.dtype,
+        s"cannot extend stats of ($col: $dtype) with " +
+          s"(${that.col}: ${that.dtype})")
+      ColStats(col, dtype, mins ++ that.mins, maxs ++ that.maxs,
+        has ++ that.has, exact ++ that.exact)
+    }
+  }
 
   /** Bloom-index configuration recorded in the manifest so mutating
     * commits know to keep the index current for the files they write.
@@ -154,7 +185,8 @@ object SnapshotTable {
                            epoch: Long = 0L,
                            droppedIds: Seq[Long] = Seq.empty,
                            schemaMaxId: Long = 0L,
-                           schemaAltered: Boolean = false) {
+                           schemaAltered: Boolean = false,
+                           colStats: Seq[ColStats] = Seq.empty) {
 
     /** True when a raw name-based read of this version's files would
       * mis-merge: a rename or drop has happened since the table was
@@ -398,6 +430,16 @@ object SnapshotTable {
         Some(PartSpec(r.getAs[String]("part_source"),
           r.getAs[String]("part_transform"), r.getAs[Long]("part_param")))
       else None
+    val colStats =
+      if (df.columns.contains("col_stats"))
+        r.getAs[scala.collection.Seq[Row]]("col_stats").toSeq.map { cr =>
+          ColStats(cr.getAs[String]("col"), cr.getAs[String]("dtype"),
+            cr.getAs[scala.collection.Seq[String]]("mins").toSeq,
+            cr.getAs[scala.collection.Seq[String]]("maxs").toSeq,
+            cr.getAs[scala.collection.Seq[Boolean]]("has").toSeq,
+            cr.getAs[scala.collection.Seq[Boolean]]("exact").toSeq)
+        }
+      else Seq.empty
     Version(r.getAs[Long]("version"),
       r.getAs[scala.collection.Seq[String]]("files").toSeq,
       r.getAs[Long]("rows"), stats, longs("file_rows"),
@@ -419,7 +461,8 @@ object SnapshotTable {
       if (df.columns.contains("schema_max_id"))
         r.getAs[Long]("schema_max_id") else 0L,
       if (df.columns.contains("schema_altered"))
-        r.getAs[Boolean]("schema_altered") else false)
+        r.getAs[Boolean]("schema_altered") else false,
+      colStats)
   }
 
   // ------------------------------------------------------------ commit
@@ -455,7 +498,12 @@ object SnapshotTable {
                              op: String = "",
                              dvFiles: Seq[String] = Seq.empty,
                              dvRows: Long = 0L,
-                             schema: Option[SchemaMeta] = None): String = {
+                             schema: Option[SchemaMeta] = None,
+                             // NO default: every commit path must say
+                             // what happens to the typed stats — a
+                             // defaulted Seq.empty would silently drop
+                             // the whole index on any path that forgot
+                             colStats: Seq[ColStats]): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
@@ -511,6 +559,25 @@ object SnapshotTable {
         partValues.getOrElse(throw new IllegalStateException(
           "partitioned manifest without per-file partition values"))
           .mkString("[", ",", "]")
+    }
+    if (colStats.nonEmpty) {
+      colStats.foreach { cs =>
+        require(cs.mins.length == files.length &&
+            cs.maxs.length == files.length &&
+            cs.has.length == files.length &&
+            cs.exact.length == files.length,
+          s"typed stats of ${cs.col} carry ${cs.mins.length} bounds " +
+            s"for ${files.length} files — a commit path mis-carried " +
+            "the index")
+      }
+      fields += "col_stats" -> colStats.map(cs => Json.obj(Seq(
+        "col" -> Json.quote(cs.col),
+        "dtype" -> Json.quote(cs.dtype),
+        "mins" -> cs.mins.map(Json.quote).mkString("[", ",", "]"),
+        "maxs" -> cs.maxs.map(Json.quote).mkString("[", ",", "]"),
+        "has" -> cs.has.mkString("[", ",", "]"),
+        "exact" -> cs.exact.mkString("[", ",", "]"))))
+        .mkString("[", ",", "]")
     }
     Json.obj(fields)
   }
@@ -660,6 +727,170 @@ object SnapshotTable {
       .write.mode("errorifexists")
       .json(s"${bloomIdxDir(path)}/idx-${nonce()}")
 
+  // ------------------------------------------------- typed file stats
+
+  /** The declared (column, dtype) list of a version's typed stats. */
+  private[graft] def colSpecsOf(ver: Version): Seq[(String, String)] =
+    ver.colStats.map(cs => (cs.col, cs.dtype))
+
+  /** Per-file typed bounds of `files` for the declared `specs` — ONE
+    * column-pruned aggregate over exactly the new files (O(batch),
+    * reading only the stats columns), encoded per [[TypedBounds]].
+    * A declared column a file does not carry (schema evolution) gets
+    * `has = false` — unprunable, never wrong. Result arrays align
+    * with `files` in the GIVEN order.
+    */
+  private[graft] def computeColStats(spark: SparkSession,
+                                     files: Seq[String],
+                                     specs: Seq[(String, String)])
+      : Seq[ColStats] = {
+    if (specs.isEmpty) return Seq.empty
+    if (files.isEmpty)
+      return specs.map { case (c, t) =>
+        ColStats(c, t, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+      }
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val present = specs.filter { case (c, _) => df.columns.contains(c) }
+    present.foreach { case (c, t) =>
+      val dt = TypedBounds.dtypeOf(df.schema(c).dataType)
+      require(dt.contains(t),
+        s"stats column $c has type ${df.schema(c).dataType} but the " +
+          s"manifest declares $t — types never change per the append " +
+          "contract")
+    }
+    val byFile: Map[String, Row] =
+      if (present.isEmpty) Map.empty
+      else {
+        val aggs = present.flatMap { case (c, _) =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+        }
+        df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.drop(1): _*)
+          .collect() // O(batch files) metadata
+          .map(r => canonFile(r.getString(0)) -> r).toMap
+      }
+    val presentSet = present.map(_._1).toSet
+    specs.map { case (c, t) =>
+      val bounds = files.map { f =>
+        byFile.get(canonFile(f)) match {
+          case Some(r) if presentSet(c) =>
+            TypedBounds.encode(t, r.getAs[Any](s"__mn_$c"),
+              r.getAs[Any](s"__mx_$c"))
+          case _ => ("", "", false, false)
+        }
+      }
+      ColStats(c, t, bounds.map(_._1), bounds.map(_._2),
+        bounds.map(_._3), bounds.map(_._4))
+    }
+  }
+
+  /** Typed stats for a commit against `base`: the base's per-file
+    * vectors sliced to the kept files, extended with `fresh` (the new
+    * files' bounds, computed once by the caller at plan time). Fails
+    * loudly when the declared columns changed under the operation —
+    * the caller's fresh bounds would describe the wrong index.
+    */
+  private[graft] def colStatsWith(base: Version, keepIdx: Seq[Int],
+                                  fresh: Seq[ColStats]): Seq[ColStats] =
+    if (base.colStats.isEmpty) fresh
+    else {
+      require(fresh.isEmpty ||
+          colSpecsOf(base) == fresh.map(cs => (cs.col, cs.dtype)),
+        s"typed stats columns changed under the operation (table: " +
+          s"${colSpecsOf(base)}, writer: " +
+          s"${fresh.map(cs => (cs.col, cs.dtype))}) — re-plan against " +
+          "the new latest version")
+      val carried = base.colStats.map(_.slice(keepIdx))
+      if (fresh.isEmpty) carried
+      else carried.zip(fresh).map { case (a, b) => a ++ b }
+    }
+
+  /** Derive (column, dtype) specs for a FIRST declaration from the
+    * written batch's schema — every named column must exist in the
+    * batch and carry a [[TypedBounds]]-supported type.
+    */
+  private def deriveColSpecs(spark: SparkSession, sampleFiles: Seq[String],
+                             cols: Seq[String]): Seq[(String, String)] = {
+    require(cols.distinct.length == cols.length,
+      s"duplicate stats columns in ${cols.mkString(", ")}")
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(sampleFiles: _*).schema
+    cols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats column $c is not in the written batch " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      val t = TypedBounds.dtypeOf(f.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats column $c has type ${f.dataType} — typed stats " +
+            "cover INT/BIGINT/DATE/TIMESTAMP/FLOAT/DOUBLE/STRING/" +
+            "BOOLEAN"))
+      (c, t)
+    }
+  }
+
+  /** The effective typed-stats specs of an APPEND-shaped commit:
+    * inherited from the base when declared there (a `statsCols`
+    * argument must then match), or derived from the written batch for
+    * a FIRST declaration — allowed only while the table holds no data
+    * (declaring over existing files is [[analyzeStats]]' explicit
+    * O(table) read, not something an append should do implicitly).
+    */
+  private def colSpecsForAppend(spark: SparkSession,
+                                preBase: Option[Version],
+                                statsCols: Seq[String],
+                                sampleFiles: Seq[String])
+      : Seq[(String, String)] =
+    preBase.filter(_.colStats.nonEmpty) match {
+      case Some(b) =>
+        require(statsCols.isEmpty ||
+            statsCols.toSet == b.colStats.map(_.col).toSet,
+          s"typed stats columns changed mid-table (was " +
+            s"${b.colStats.map(_.col)}, got $statsCols) — re-declare " +
+            "with analyzeStats")
+        colSpecsOf(b)
+      case None if statsCols.isEmpty => Seq.empty
+      case None =>
+        require(preBase.forall(_.files.isEmpty),
+          "declaring typed stats on a table with existing data needs " +
+            "analyzeStats (per-file bounds must cover EVERY file)")
+        deriveColSpecs(spark, sampleFiles, statsCols)
+    }
+
+  /** Declare (or re-declare) the table's typed stats columns and
+    * commit per-file bounds for EVERY live file — ANALYZE, the one
+    * deliberate O(table-stats-columns) read in the lifecycle: adding
+    * statistics to a table that already has data has to look at the
+    * data once. Subsequent commits maintain the index incrementally
+    * (each write path computes bounds for just its new files).
+    * Re-declaring with a different column list REPLACES the index —
+    * also the way to RETIRE a stats column (e.g. before DROP COLUMN).
+    * Plan-against-base mutation policy: a racing commit fails this
+    * loudly (the bounds were computed for the base's file list).
+    */
+  def analyzeStats(spark: SparkSession, path: String,
+                   cols: Seq[String]): Long = {
+    require(cols.nonEmpty,
+      "declare at least one stats column (re-declare a subset to " +
+        "retire one)")
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    requireUniform(ver, "analyzeStats")
+    require(ver.files.nonEmpty,
+      "cannot ANALYZE an empty table — declare stats_cols on the " +
+        "first write instead")
+    val specs = deriveColSpecs(spark, ver.files, cols)
+    val cs = computeColStats(spark, ver.files, specs)
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
+      bytesOf(ver), ver.stats, ver.bloom, ver.txns, ver.part,
+      ver.partValues, op = "ANALYZE",
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      schema = carryMeta(ver, ver.files.indices, 0), colStats = cs))
+    v
+  }
+
   // ------------------------------------------------------------ append
 
   /** Commit `df` as the next version: new immutable data files under a
@@ -686,15 +917,17 @@ object SnapshotTable {
              bloomCol: Option[String] = None,
              bloomExpectedPerFile: Long = -1L,
              bloomFpp: Double = 0.01,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
       base.txns.get(w).exists(_ >= b)
     }
     // replay fast-path: check BEFORE writing any data
     val pre = latestVersion(path)
-    if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
-      return pre
+    val preBase =
+      if (pre == 0) None else Some(readVersion(spark, path, pre))
+    if (txn.isDefined && preBase.exists(committedAt)) return pre
     // LAYOUT INHERITANCE: an indexed table keeps its stats index
     // through appends that did not name it — per-file [min, max]
     // vectors must cover EVERY file, so "this batch just skips stats"
@@ -703,10 +936,14 @@ object SnapshotTable {
     // the column at all still appends (the index drops, loudly
     // visible in the manifest, as before).
     val statsColEff = statsCol.orElse(
-      if (pre == 0) None
-      else readVersion(spark, path, pre).stats.map(_.col)
-        .filter(df.columns.contains))
+      preBase.flatMap(_.stats.map(_.col)).filter(df.columns.contains))
     val batch = writeBatch(df, path, numPartitions, statsColEff)
+    // typed stats: inherit the declared columns, or take a FIRST
+    // declaration on a table with no data yet (declaring on existing
+    // data is the explicit O(table) read — analyzeStats)
+    val colSpecs = colSpecsForAppend(spark, preBase, statsCols,
+      batch.files)
+    val batchCs = computeColStats(spark, batch.files, colSpecs)
     // WRITTEN schema, not df's: what readers will actually observe
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
@@ -746,7 +983,8 @@ object SnapshotTable {
         bloomConf.orElse(base.bloom),
         base.txns ++ txn.toMap, op = "APPEND",
         dvFiles = base.dvFiles, dvRows = base.dvRows,
-        schema = appendMeta(base, path, batchCols, batch.files.length))
+        schema = appendMeta(base, path, batchCols, batch.files.length),
+        colStats = colStatsWith(base, base.files.indices, batchCs))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -777,7 +1015,9 @@ object SnapshotTable {
                                        bloomCol: Option[String],
                                        txn: Option[(String, Long)],
                                        part: Option[(PartSpec, Seq[Long])] = None,
-                                       op: String = "APPEND"): Long = {
+                                       op: String = "APPEND",
+                                       statsCols: Seq[String] = Seq.empty)
+      : Long = {
     require(statsCol.isEmpty == statMinMax.isEmpty,
       "per-file stats must be tracked exactly when a stats column is set")
     part.foreach { case (_, pv) =>
@@ -793,6 +1033,9 @@ object SnapshotTable {
       if (pre == 0) Version(0, Seq.empty, 0)
       else readVersion(spark, path, pre)
     if (committedAt(preBase)) return pre
+    val colSpecs = colSpecsForAppend(spark,
+      if (pre == 0) None else Some(preBase), statsCols, files)
+    val batchCs = computeColStats(spark, files, colSpecs)
     val bloomConf = bloomCol.map(BloomConf(_, -1L, 0.01))
     if (files.nonEmpty) bloomConf.orElse(preBase.bloom).foreach(
       writeBloomRows(spark, path, files, _))
@@ -827,7 +1070,8 @@ object SnapshotTable {
           base.partValues.getOrElse(Seq.empty) ++ p._2),
         op = op,
         dvFiles = base.dvFiles, dvRows = base.dvRows,
-        schema = appendMeta(base, path, batchCols, files.length))
+        schema = appendMeta(base, path, batchCols, files.length),
+        colStats = colStatsWith(base, base.files.indices, batchCs))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -861,7 +1105,8 @@ object SnapshotTable {
                 bloomCol: Option[String] = None,
                 bloomExpectedPerFile: Long = -1L,
                 bloomFpp: Double = 0.01,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
       base.txns.get(w).exists(_ >= b)
@@ -881,6 +1126,13 @@ object SnapshotTable {
     val batch = writeBatch(df, path, numPartitions, statsCol)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
+    // typed stats are NOT inherited across an overwrite (the old
+    // bounds describe replaced files) — mirror the stats/bloom
+    // contract: pass statsCols to index the replacement
+    val batchCs =
+      if (statsCols.isEmpty) Seq.empty
+      else computeColStats(spark, batch.files,
+        deriveColSpecs(spark, batch.files, statsCols))
     val bloomConf =
       bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -916,7 +1168,7 @@ object SnapshotTable {
         batch.bytes,
         statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
         bloomConf, base.txns ++ txn.toMap, op = "OVERWRITE",
-        schema = meta)
+        schema = meta, colStats = batchCs)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -955,7 +1207,8 @@ object SnapshotTable {
       val manifest = renderManifest(v, Seq.empty, Seq.empty, Seq.empty,
         base.stats.map(st => Stats(st.col, Seq.empty, Seq.empty)),
         base.bloom, base.txns, base.part,
-        base.part.map(_ => Seq.empty), op = "TRUNCATE", schema = meta)
+        base.part.map(_ => Seq.empty), op = "TRUNCATE", schema = meta,
+        colStats = base.colStats.map(_.slice(Seq.empty)))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -983,7 +1236,8 @@ object SnapshotTable {
                                          stats: Option[Stats],
                                          keepIdx: Seq[Int], nNew: Int,
                                          op: String,
-                                         partValues: Option[Seq[Long]] = None)
+                                         partValues: Option[Seq[Long]] = None,
+                                         colStats: Seq[ColStats])
       : Long = {
     require(base.part.isEmpty == partValues.isEmpty,
       "a partitioned base needs per-file partition values for every " +
@@ -992,7 +1246,7 @@ object SnapshotTable {
     commitExclusive(path, v, renderManifest(v, files, rows, bytes,
       stats, base.bloom, base.txns, part = base.part,
       partValues = partValues, op = op,
-      schema = carryMeta(base, keepIdx, nNew)))
+      schema = carryMeta(base, keepIdx, nNew), colStats = colStats))
     v
   }
 
@@ -1067,7 +1321,8 @@ object SnapshotTable {
                         txn: Option[(String, Long)] = None,
                         bloomCol: Option[String] = None,
                         bloomExpectedPerFile: Long = -1L,
-                        bloomFpp: Double = 0.01): Long = {
+                        bloomFpp: Double = 0.01,
+                        statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(df.columns.contains(spec.source),
       s"partition source ${spec.source} not in ${df.columns.toSeq}")
@@ -1081,14 +1336,13 @@ object SnapshotTable {
       base.txns.get(w).exists(_ >= b)
     }
     val pre = latestVersion(path)
-    if (pre > 0 && txn.isDefined && committedAt(readVersion(spark, path, pre)))
-      return pre
+    val preBase =
+      if (pre == 0) None else Some(readVersion(spark, path, pre))
+    if (txn.isDefined && preBase.exists(committedAt)) return pre
     // layout inheritance, exactly as [[append]]: an indexed table
     // keeps its stats index through appends that did not name it
     val statsColEff = statsCol.orElse(
-      if (pre == 0) None
-      else readVersion(spark, path, pre).stats.map(_.col)
-        .filter(df.columns.contains))
+      preBase.flatMap(_.stats.map(_.col)).filter(df.columns.contains))
     val batchDir = s"$path/files/batch-${nonce()}"
     val withP = df.withColumn("__p", spec.column)
     val laidOut = statsColEff match {
@@ -1101,6 +1355,9 @@ object SnapshotTable {
     val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsColEff)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
+    val colSpecs = colSpecsForAppend(spark, preBase, statsCols,
+      batch.files)
+    val batchCs = computeColStats(spark, batch.files, colSpecs)
     val bloomConf =
       bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
     bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -1135,7 +1392,8 @@ object SnapshotTable {
         Some(spec),
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
         op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows,
-        schema = appendMeta(base, path, batchCols, batch.files.length))
+        schema = appendMeta(base, path, batchCols, batch.files.length),
+        colStats = colStatsWith(base, base.files.indices, batchCs))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1228,6 +1486,7 @@ object SnapshotTable {
       else spark.read.parquet(batch.files.head).schema.fieldNames.toSeq
     if (!emptyBatch)
       ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val batchCs = computeColStats(spark, batch.files, colSpecsOf(ver0))
     val (plo, phi) = (spec(lo), spec(hi))
     var attempts = 0
     while (true) {
@@ -1263,7 +1522,8 @@ object SnapshotTable {
           keepIdx.map(st.maxs) ++ batch.maxs)),
         ver.bloom, ver.txns ++ txn.toMap, Some(spec),
         Some(keepIdx.map(pv) ++ pvals), op = "OVERWRITE",
-        schema = carryMeta(ver, keepIdx, batch.files.length))
+        schema = carryMeta(ver, keepIdx, batch.files.length),
+        colStats = colStatsWith(ver, keepIdx, batchCs))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1316,6 +1576,7 @@ object SnapshotTable {
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
     ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    val batchCs = computeColStats(spark, batch.files, colSpecsOf(ver0))
     var attempts = 0
     while (true) {
       val prev = latestVersion(path)
@@ -1335,7 +1596,8 @@ object SnapshotTable {
         statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
         ver.bloom, ver.txns ++ txn.toMap, Some(spec), Some(pvals),
         op = "OVERWRITE",
-        schema = carryMeta(ver, Seq.empty, batch.files.length))
+        schema = carryMeta(ver, Seq.empty, batch.files.length),
+        colStats = colStatsWith(ver, Seq.empty, batchCs))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1369,6 +1631,10 @@ object SnapshotTable {
       : Long = {
     var attempts = 0
     var bloomWritten = false
+    // new files' typed bounds, computed ONCE against the pre-commit
+    // layout (the in-loop colStatsWith fails loudly if it changes)
+    val freshCs = computeColStats(spark, files,
+      colSpecsOf(readVersion(spark, path, latestVersion(path))))
     while (true) {
       val prev = latestVersion(path)
       val ver = readVersion(spark, path, prev)
@@ -1398,7 +1664,8 @@ object SnapshotTable {
           keepIdx.map(st.maxs) ++ statMaxs)),
         ver.bloom, ver.txns ++ txn.toMap, Some(spec),
         Some(keepIdx.map(pv) ++ parts), op = "OVERWRITE",
-        schema = carryMeta(ver, keepIdx, files.length))
+        schema = carryMeta(ver, keepIdx, files.length),
+        colStats = colStatsWith(ver, keepIdx, freshCs))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1509,7 +1776,8 @@ object SnapshotTable {
       ver.stats.map(st =>
         Stats(st.col, keepIdx.map(st.mins), keepIdx.map(st.maxs))),
       ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv)),
-      op = "DELETE", schema = carryMeta(ver, keepIdx, 0)))
+      op = "DELETE", schema = carryMeta(ver, keepIdx, 0),
+      colStats = ver.colStats.map(_.slice(keepIdx))))
     (v, ver.files.length - keepIdx.length, ver.files.length)
   }
 
@@ -1765,7 +2033,8 @@ object SnapshotTable {
         rowsOf(ver),
         bytesOf(ver),
         Some(st), ver.bloom, ver.txns, op = "DELETE",
-        schema = carryMeta(ver, ver.files.indices, 0)))
+        schema = carryMeta(ver, ver.files.indices, 0),
+        colStats = ver.colStats))
       return (v, 0, ver.files.length)
     }
     val hitFiles = hitIdx.map(ver.files)
@@ -1797,7 +2066,9 @@ object SnapshotTable {
       Some(Stats(st.col, carried(st.mins) ++ batch.mins,
         carried(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, op = "DELETE",
-      schema = carryMeta(ver, keepIdx, batch.files.length)))
+      schema = carryMeta(ver, keepIdx, batch.files.length),
+      colStats = colStatsWith(ver, keepIdx,
+        computeColStats(spark, batch.files, colSpecsOf(ver)))))
     (v, hitIdx.length, ver.files.length)
   }
 
@@ -1929,7 +2200,8 @@ object SnapshotTable {
       ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
       op = "DELETE",
       dvFiles = allDv, dvRows = allDvRows,
-      schema = carryMeta(ver, ver.files.indices, 0)))
+      schema = carryMeta(ver, ver.files.indices, 0),
+      colStats = ver.colStats))
     // maintenance hook: when a [[DvPolicy]] is set and this commit
     // pushed the table past either threshold, fold the DVs into a
     // rewrite NOW — the caller's returned version is the materialized
@@ -2020,7 +2292,9 @@ object SnapshotTable {
             keepIdx.map(st.maxs) ++ batch.maxs)),
           ver.bloom, ver.txns, Some(spec),
           Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
-          schema = carryMeta(ver, keepIdx, batch.files.length)))
+          schema = carryMeta(ver, keepIdx, batch.files.length),
+          colStats = colStatsWith(ver, keepIdx,
+            computeColStats(spark, batch.files, colSpecsOf(ver)))))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
       case None =>
@@ -2044,7 +2318,9 @@ object SnapshotTable {
             keepIdx.map(st.mins) ++ batch.mins,
             keepIdx.map(st.maxs) ++ batch.maxs)),
           ver.bloom, ver.txns, op = "OPTIMIZE",
-          schema = carryMeta(ver, keepIdx, batch.files.length)))
+          schema = carryMeta(ver, keepIdx, batch.files.length),
+          colStats = colStatsWith(ver, keepIdx,
+            computeColStats(spark, batch.files, colSpecsOf(ver)))))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
     }
@@ -2152,7 +2428,9 @@ object SnapshotTable {
       Some(Stats(st.col, carriedIdx.map(st.mins) ++ batch.mins,
         carriedIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, op = "OPTIMIZE",
-      schema = carryMeta(ver, carriedIdx, batch.files.length)))
+      schema = carryMeta(ver, carriedIdx, batch.files.length),
+      colStats = colStatsWith(ver, carriedIdx,
+        computeColStats(spark, batch.files, colSpecsOf(ver)))))
     CompactResult(v, ver.files.length,
       carriedIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -2251,7 +2529,9 @@ object SnapshotTable {
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, Some(spec),
       Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
-      schema = carryMeta(ver, keepIdx, batch.files.length)))
+      schema = carryMeta(ver, keepIdx, batch.files.length),
+      colStats = colStatsWith(ver, keepIdx,
+        computeColStats(spark, batch.files, colSpecsOf(ver)))))
     CompactResult(v, ver.files.length,
       keepIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -2314,7 +2594,9 @@ object SnapshotTable {
       batch.bytes,
       Some(Stats(clusterCol, batch.mins, batch.maxs)),
       ver.bloom, ver.txns, op = "OPTIMIZE",
-      schema = carryMeta(ver, Seq.empty, batch.files.length)))
+      schema = carryMeta(ver, Seq.empty, batch.files.length),
+      colStats = colStatsWith(ver, Seq.empty,
+        computeColStats(spark, batch.files, colSpecsOf(ver)))))
     ReclusterResult(v, ver.files.length, batch.files.length)
   }
 
@@ -2427,7 +2709,9 @@ object SnapshotTable {
       Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, op = "MERGE",
-      schema = carryMeta(ver, keepIdx, batch.files.length)))
+      schema = carryMeta(ver, keepIdx, batch.files.length),
+      colStats = colStatsWith(ver, keepIdx,
+        computeColStats(spark, batch.files, colSpecsOf(ver)))))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
@@ -2564,7 +2848,9 @@ object SnapshotTable {
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, Some(spec),
       Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE",
-      schema = carryMeta(ver, keepIdx, batch.files.length)))
+      schema = carryMeta(ver, keepIdx, batch.files.length),
+      colStats = colStatsWith(ver, keepIdx,
+        computeColStats(spark, batch.files, colSpecsOf(ver)))))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
@@ -2614,7 +2900,9 @@ object SnapshotTable {
       ver.partValues, op = "ALTER",
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids, newNames, ver.fileEpochs.get, e,
-        ver.droppedIds, ver.schemaMaxId, altered = true))))
+        ver.droppedIds, ver.schemaMaxId, altered = true)),
+      colStats = ver.colStats.map(cs =>
+        if (cs.col == oldName) cs.copy(col = newName) else cs)))
     v
   }
 
@@ -2646,6 +2934,9 @@ object SnapshotTable {
       s"$name is the bloom index column — key probes depend on it")
     require(!ver.part.exists(_.source == name),
       s"$name is the hidden-partitioning source — routing depends on it")
+    require(!ver.colStats.exists(_.col == name),
+      s"$name is a typed stats column — re-declare the index without " +
+        "it (analyzeStats) before dropping")
     val v = prev + 1
     commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
       bytesOf(ver),
@@ -2653,7 +2944,8 @@ object SnapshotTable {
       op = "ALTER", dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids.patch(i, Nil, 1),
         names.patch(i, Nil, 1), ver.fileEpochs.get, ver.epoch,
-        ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true))))
+        ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true)),
+      colStats = ver.colStats))
     v
   }
 
@@ -2705,7 +2997,9 @@ object SnapshotTable {
           batch.rows, batch.bytes,
           statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
           ver.bloom, ver.txns, Some(spec), Some(pvals),
-          op = "OPTIMIZE", schema = uniformMeta(batch.files.length)))
+          op = "OPTIMIZE", schema = uniformMeta(batch.files.length),
+          colStats = colStatsWith(ver, Seq.empty,
+            computeColStats(spark, batch.files, colSpecsOf(ver)))))
         CompactResult(v, ver.files.length, batch.files.length,
           ver.files.length)
       case None =>
@@ -2721,7 +3015,9 @@ object SnapshotTable {
           batch.rows, batch.bytes,
           statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
           ver.bloom, ver.txns, op = "OPTIMIZE",
-          schema = uniformMeta(batch.files.length)))
+          schema = uniformMeta(batch.files.length),
+          colStats = colStatsWith(ver, Seq.empty,
+            computeColStats(spark, batch.files, colSpecsOf(ver)))))
         CompactResult(v, ver.files.length, batch.files.length,
           ver.files.length)
     }
@@ -2814,7 +3110,8 @@ object SnapshotTable {
       bytesOf(src),
       src.stats, None, Map.empty, src.part, src.partValues,
       op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows,
-      schema = carryMeta(src, src.files.indices, 0)))
+      schema = carryMeta(src, src.files.indices, 0),
+      colStats = src.colStats))
     // the clone's readers resolve naming epochs against ITS OWN log:
     // copy every epoch table the referenced files could need
     io(srcPath).listNames(logDir(srcPath))
@@ -2882,7 +3179,8 @@ object SnapshotTable {
         // old files' bytes would surface under the new column
         schema = carryMeta(src, src.files.indices, 0)
           .map(sm => sm.copy(
-            maxId = math.max(sm.maxId, base.schemaMaxId))))
+            maxId = math.max(sm.maxId, base.schemaMaxId))),
+        colStats = src.colStats)
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Typed per-file min/max bounds for the manifest's multi-column file
+  * statistics ([[SnapshotTable.ColStats]]) — the encoding, decoding,
+  * and ordering rules in ONE place so writers, the pruner, and
+  * aggregate pushdown can never disagree.
+  *
+  * Bounds are stored in the manifest as STRINGS whatever the dtype
+  * (uniform JSON shape — heterogeneous arrays would fight schema
+  * inference on read):
+  *
+  *   int / long    decimal value
+  *   date          days since epoch, decimal (what parquet stores)
+  *   timestamp     microseconds since epoch, decimal (Spark's
+  *                 TimestampType precision — exact)
+  *   double/float  `java.lang.Double.doubleToLongBits`, decimal —
+  *                 bit-exact round-trip; a decimal rendering could
+  *                 drift and a drifted bound silently mis-prunes
+  *   boolean       "0" / "1"
+  *   string        the value itself, TRUNCATED to ≤ [[StringCap]]
+  *                 code points (Iceberg-style): a truncated MIN is the
+  *                 prefix (a prefix is ≤ every string it prefixes in
+  *                 binary order), a truncated MAX is the prefix with
+  *                 its last code point incremented (≥ everything the
+  *                 prefix prefixes). Truncated bounds are marked
+  *                 `exact = false`: valid for pruning, NEVER for
+  *                 aggregate pushdown.
+  *
+  * Ordering matches Spark's: integral/temporal types compare as
+  * longs; double/float via `java.lang.Double.compare` (NaN largest —
+  * the same total order Spark's sort and min/max aggregates use);
+  * strings in UTF-8 BINARY order ([[UTF8String]] comparison — also
+  * parquet's UNSIGNED byte order for string statistics, so the three
+  * layers of pruning agree).
+  */
+private[graft] object TypedBounds {
+
+  /** Max stored code points for string bounds. */
+  val StringCap = 64
+
+  def dtypeOf(dt: DataType): Option[String] = dt match {
+    case IntegerType => Some("int")
+    case LongType => Some("long")
+    case DateType => Some("date")
+    case TimestampType => Some("timestamp")
+    case DoubleType => Some("double")
+    case FloatType => Some("float")
+    case StringType => Some("string")
+    case BooleanType => Some("boolean")
+    case _ => None
+  }
+
+  /** The visible Spark type a dtype string round-trips to. */
+  def sparkType(dtype: String): DataType = dtype match {
+    case "int" => IntegerType
+    case "long" => LongType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case other => throw new IllegalArgumentException(
+      s"unknown stats dtype $other")
+  }
+
+  /** Comparable key of a FILTER value (the external objects Spark
+    * puts in pushed `Filter`s): Long for integral/temporal/boolean
+    * dtypes, java.lang.Double for double/float, String for string.
+    * None = the value's runtime type does not fit the column (no
+    * pruning — conservative).
+    */
+  def keyOfValue(dtype: String, v: Any): Option[Any] = dtype match {
+    case "int" | "long" => v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    case "date" => v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+    case "timestamp" => v match {
+      case t: java.sql.Timestamp => Some(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t))
+      case t: java.time.Instant => Some(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(t))
+      case _ => None
+    }
+    case "double" | "float" => v match {
+      case d: Double => Some(Double.box(d))
+      case f: Float => Some(Double.box(f.toDouble))
+      case _ => None
+    }
+    case "string" => v match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    case "boolean" => v match {
+      case b: Boolean => Some(if (b) 1L else 0L)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Comparable key of a stored (encoded) bound. */
+  def keyOfEncoded(dtype: String, enc: String): Any = dtype match {
+    case "int" | "long" | "date" | "timestamp" | "boolean" => enc.toLong
+    case "double" | "float" =>
+      Double.box(java.lang.Double.longBitsToDouble(enc.toLong))
+    case "string" => enc
+    case other => throw new IllegalArgumentException(
+      s"unknown stats dtype $other")
+  }
+
+  /** Total order over keys of one dtype (see class doc). */
+  def compare(dtype: String, a: Any, b: Any): Int = dtype match {
+    case "double" | "float" =>
+      java.lang.Double.compare(a.asInstanceOf[Double],
+        b.asInstanceOf[Double])
+    case "string" =>
+      UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+    case _ =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** Encode one file's (min, max) as read back from a per-file
+    * aggregate: → (minEnc, maxEnc, has, exact). `has = false` (all
+    * rows NULL in this file, or a string max that cannot be bounded)
+    * means "no usable bounds" — the file is never pruned and never
+    * serves a pushed aggregate.
+    */
+  def encode(dtype: String, mn: Any, mx: Any)
+      : (String, String, Boolean, Boolean) = {
+    if (mn == null || mx == null) return ("", "", false, false)
+    def longEnc(v: Any): String = (keyOfValue(dtype, v) match {
+      case Some(l: Long) => l
+      case _ => throw new IllegalArgumentException(
+        s"stats value $v (${v.getClass.getName}) does not fit dtype " +
+          s"$dtype")
+    }).toString
+    dtype match {
+      case "int" | "long" | "date" | "timestamp" | "boolean" =>
+        (longEnc(mn), longEnc(mx), true, true)
+      case "double" | "float" =>
+        def bits(v: Any): String = v match {
+          case d: Double => java.lang.Double.doubleToLongBits(d).toString
+          case f: Float =>
+            java.lang.Double.doubleToLongBits(f.toDouble).toString
+          case _ => throw new IllegalArgumentException(
+            s"stats value $v does not fit dtype $dtype")
+        }
+        (bits(mn), bits(mx), true, true)
+      case "string" =>
+        val (lo, loExact) = truncateMin(mn.asInstanceOf[String])
+        truncateMax(mx.asInstanceOf[String]) match {
+          case Some((hi, hiExact)) => (lo, hi, true, loExact && hiExact)
+          case None => ("", "", false, false)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown stats dtype $other")
+    }
+  }
+
+  /** A valid LOWER bound ≤ s: the ≤[[StringCap]]-code-point prefix. */
+  def truncateMin(s: String): (String, Boolean) =
+    if (s.codePointCount(0, s.length) <= StringCap) (s, true)
+    else (s.substring(0, s.offsetByCodePoints(0, StringCap)), false)
+
+  /** A valid UPPER bound ≥ s, ≤ StringCap code points: s itself when
+    * short enough, else the prefix with its last incrementable code
+    * point bumped (skipping the surrogate gap — lone surrogates are
+    * not valid code points). None when every prefix code point is
+    * already MAX_CODE_POINT (no bounded upper exists).
+    */
+  def truncateMax(s: String): Option[(String, Boolean)] = {
+    if (s.codePointCount(0, s.length) <= StringCap) return Some((s, true))
+    val cps = s.codePoints().limit(StringCap.toLong).toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) return None
+    val bumped = cps(i) + 1 match {
+      // the surrogate block is not a code point a String can carry
+      // alone; the next comparable value above 0xD7FF is 0xE000
+      case c if c >= 0xD800 && c <= 0xDFFF => 0xE000
+      case c => c
+    }
+    val sb = new java.lang.StringBuilder
+    (0 until i).foreach(j => sb.appendCodePoint(cps(j)))
+    sb.appendCodePoint(bumped)
+    Some((sb.toString, false))
+  }
+}

@@ -147,7 +147,8 @@ final class GraftCatalog extends TableCatalog
   }
 
   private val supportedTypes: Set[DataType] = Set(BooleanType,
-    IntegerType, LongType, FloatType, DoubleType, StringType, BinaryType)
+    IntegerType, LongType, FloatType, DoubleType, StringType, BinaryType,
+    DateType, TimestampType)
 
   private def toPartSpec(t: Transform,
                          schema: StructType): SnapshotTable.PartSpec = {
@@ -206,8 +207,21 @@ final class GraftCatalog extends TableCatalog
         s"$key=$c is not a column of the table")
       c
     }
+    // typed multi-column stats: TBLPROPERTIES('stats_cols'='a,b,c')
+    val statsCols = props.get("stats_cols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    statsCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats_cols names $c, not a column of the table"))
+      require(graft.ops.TypedBounds.dtypeOf(f.dataType).isDefined,
+        s"stats_cols column $c has type ${f.dataType} — typed stats " +
+          "cover INT/BIGINT/DATE/TIMESTAMP/FLOAT/DOUBLE/STRING/BOOLEAN")
+    }
     GraftTableSource.writeMarker(p, GraftTableSource.Marker(
-      schema, part, layoutCol("stats_col"), layoutCol("bloom_col")))
+      schema, part, layoutCol("stats_col"), layoutCol("bloom_col"),
+      statsCols))
     new GraftTable(Map("path" -> p))
   }
 
@@ -237,6 +251,8 @@ final class GraftCatalog extends TableCatalog
             statsCol = m.statsCol.map(c =>
               if (c == old) r.newName() else c),
             bloomCol = m.bloomCol.map(c =>
+              if (c == old) r.newName() else c),
+            statsCols = m.statsCols.map(c =>
               if (c == old) r.newName() else c))
         }
       case d: TableChange.DeleteColumn =>
@@ -245,9 +261,13 @@ final class GraftCatalog extends TableCatalog
         if (SnapshotTable.latestVersion(p) > 0)
           SnapshotTable.dropColumn(spark, p, d.fieldNames()(0))
         else alterMarker(p) { m =>
-          val i = m.schema.fieldIndex(d.fieldNames()(0))
+          val name = d.fieldNames()(0)
+          val i = m.schema.fieldIndex(name)
           require(m.schema.length > 1, "cannot drop the last column")
-          m.copy(schema = StructType(m.schema.fields.patch(i, Nil, 1)))
+          // nothing is committed yet: a declared-but-empty stats list
+          // entry simply drops with the column
+          m.copy(schema = StructType(m.schema.fields.patch(i, Nil, 1)),
+            statsCols = m.statsCols.filterNot(_ == name))
         }
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER $other — columns are ADDED by appending " +
@@ -266,7 +286,8 @@ final class GraftCatalog extends TableCatalog
     require(next.part.forall(sp =>
         next.schema.fieldNames.contains(sp.source)) &&
         next.statsCol.forall(next.schema.fieldNames.contains) &&
-        next.bloomCol.forall(next.schema.fieldNames.contains),
+        next.bloomCol.forall(next.schema.fieldNames.contains) &&
+        next.statsCols.forall(next.schema.fieldNames.contains),
       "ALTER would orphan the declared partition/stats/bloom layout " +
         "column — re-create the table with a consistent layout")
     GraftTableSource.rewriteMarker(p, next)

@@ -329,6 +329,12 @@ private[v2] final class GraftBatchWrite(
     val partVals = base.partValues.map { pv =>
       keepIdx.map(pv) ++ written.map(_.part)
     }
+    // typed multi-column stats: carried for survivors, recomputed for
+    // the rewritten files by one O(batch) column-pruned read-back —
+    // the same collection every write path performs
+    val colStats = SnapshotTable.colStatsWith(base, keepIdx,
+      SnapshotTable.computeColStats(spark, written.map(_.file),
+        SnapshotTable.colSpecsOf(base)))
     base.bloom.foreach { bc =>
       if (written.nonEmpty)
         graft.ops.BloomIndex.buildRows(spark, written.map(_.file),
@@ -339,7 +345,7 @@ private[v2] final class GraftBatchWrite(
     }
     SnapshotTable.commitReplaceGroups(spark, path, base, files, rows,
       bytes, stats, keepIdx, written.length, op = op,
-      partValues = partVals)
+      partValues = partVals, colStats = colStats)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -124,7 +124,8 @@ object GraftTableSource {
   final case class Marker(schema: StructType,
                           part: Option[SnapshotTable.PartSpec],
                           statsCol: Option[String],
-                          bloomCol: Option[String])
+                          bloomCol: Option[String],
+                          statsCols: Seq[String] = Seq.empty)
 
   private def markerPath(path: String): String = s"$path/log/table.json"
 
@@ -138,6 +139,9 @@ object GraftTableSource {
     }
     m.statsCol.foreach(c => fields += "stats_col" -> graft.Json.quote(c))
     m.bloomCol.foreach(c => fields += "bloom_col" -> graft.Json.quote(c))
+    if (m.statsCols.nonEmpty)
+      fields += "stats_cols" -> m.statsCols.map(graft.Json.quote)
+        .mkString("[", ",", "]")
     graft.Json.obj(fields.toSeq)
   }
 
@@ -159,8 +163,12 @@ object GraftTableSource {
       else None
     def opt(c: String): Option[String] =
       if (df.columns.contains(c)) Option(r.getAs[String](c)) else None
+    val statsCols =
+      if (df.columns.contains("stats_cols"))
+        r.getAs[scala.collection.Seq[String]]("stats_cols").toSeq
+      else Seq.empty
     Some(Marker(StructType.fromDDL(r.getAs[String]("schema_ddl")), part,
-      opt("stats_col"), opt("bloom_col")))
+      opt("stats_col"), opt("bloom_col"), statsCols))
   }
 
   /** Replace the marker (pre-first-commit ALTER on an empty table). */
@@ -276,7 +284,8 @@ object GraftTableSource {
       val dt = typed.getOrElse(n, StringType)
       dt match {
         case BooleanType | IntegerType | LongType | FloatType |
-             DoubleType | StringType | BinaryType => ()
+             DoubleType | StringType | BinaryType | DateType |
+             TimestampType => ()
         case other => throw new IllegalArgumentException(
           s"graft_table: column $n has unsupported type $other — the " +
             "graft_table reader serves scalar snapshot tables")
@@ -413,6 +422,62 @@ object GraftTableSource {
           keep = keep.filter(i => pv(i) <= phi)
         }
       case _ => ()
+    }
+
+    // TYPED multi-column stats ([[SnapshotTable.ColStats]]): a second
+    // pass over the filters — any range/equality/IN on any declared
+    // stats column prunes by the per-file typed bounds, whatever the
+    // column's type (DATE/TIMESTAMP/DOUBLE/STRING/...). Files with no
+    // usable bounds (`has = false`: all-NULL, or an unboundable
+    // string max) are never pruned; truncated string bounds prune
+    // conservatively by construction.
+    val typedCols: Map[String, SnapshotTable.ColStats] =
+      ver.colStats.map(cs => cs.col -> cs).toMap
+    if (typedCols.nonEmpty) {
+      import graft.ops.TypedBounds
+      def surviveRange(cs: SnapshotTable.ColStats, i: Int,
+                       lo: Option[Any], loStrict: Boolean,
+                       hi: Option[Any], hiStrict: Boolean): Boolean =
+        !cs.has(i) || {
+          val mn = TypedBounds.keyOfEncoded(cs.dtype, cs.mins(i))
+          val mx = TypedBounds.keyOfEncoded(cs.dtype, cs.maxs(i))
+          lo.forall { l =>
+            val c = TypedBounds.compare(cs.dtype, mx, l)
+            if (loStrict) c > 0 else c >= 0
+          } && hi.forall { h =>
+            val c = TypedBounds.compare(cs.dtype, mn, h)
+            if (hiStrict) c < 0 else c <= 0
+          }
+        }
+      def pruneWith(c: String)(
+          pred: (SnapshotTable.ColStats, Int) => Boolean): Unit =
+        typedCols.get(c).foreach(cs => keep = keep.filter(pred(cs, _)))
+      filters.foreach {
+        case EqualTo(c, v) if typedCols.contains(c) =>
+          TypedBounds.keyOfValue(typedCols(c).dtype, v).foreach(k =>
+            pruneWith(c)(surviveRange(_, _, Some(k), false, Some(k), false)))
+        case GreaterThan(c, v) if typedCols.contains(c) =>
+          TypedBounds.keyOfValue(typedCols(c).dtype, v).foreach(k =>
+            pruneWith(c)(surviveRange(_, _, Some(k), true, None, false)))
+        case GreaterThanOrEqual(c, v) if typedCols.contains(c) =>
+          TypedBounds.keyOfValue(typedCols(c).dtype, v).foreach(k =>
+            pruneWith(c)(surviveRange(_, _, Some(k), false, None, false)))
+        case LessThan(c, v) if typedCols.contains(c) =>
+          TypedBounds.keyOfValue(typedCols(c).dtype, v).foreach(k =>
+            pruneWith(c)(surviveRange(_, _, None, false, Some(k), true)))
+        case LessThanOrEqual(c, v) if typedCols.contains(c) =>
+          TypedBounds.keyOfValue(typedCols(c).dtype, v).foreach(k =>
+            pruneWith(c)(surviveRange(_, _, None, false, Some(k), false)))
+        case In(c, vs) if typedCols.contains(c) =>
+          val dt = typedCols(c).dtype
+          val ks = vs.toSeq.flatMap(v => TypedBounds.keyOfValue(dt, v))
+          // only a COMPLETE translation may prune (a dropped value
+          // could be the one a file holds)
+          if (ks.length == vs.length && ks.nonEmpty)
+            pruneWith(c)((cs, i) => ks.exists(k =>
+              surviveRange(cs, i, Some(k), false, Some(k), false)))
+        case _ => ()
+      }
     }
 
     // bloom probe: equality/IN on the indexed column refines whatever
@@ -718,6 +783,12 @@ private[v2] final class GraftWriteBuilder(
             .orElse(base.flatMap(_.bloom.map(_.col)))
             .orElse(marker.flatMap(_.bloomCol))
             .filter(data.columns.contains)
+          // typed multi-column stats declaration ("a,b,c"); inherited
+          // declarations live in the manifest and need no option
+          val statsCols = props.get("stats_cols")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .orElse(marker.map(_.statsCols).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
           val txn = for {
             w <- props.get("txn_writer"); b <- props.get("txn_batch")
           } yield (w, b.toLong)
@@ -746,18 +817,22 @@ private[v2] final class GraftWriteBuilder(
                 SnapshotTable.overwritePartitioned(data, path, txn = txn)
               case Some(spec) =>
                 SnapshotTable.appendPartitioned(data, path, spec,
-                  statsCol = statsCol, txn = txn, bloomCol = bloomCol)
+                  statsCol = statsCol, txn = txn, bloomCol = bloomCol,
+                  statsCols = statsCols)
               case None =>
                 SnapshotTable.overwrite(data, path, numParts,
-                  statsCol = statsCol, bloomCol = bloomCol, txn = txn)
+                  statsCol = statsCol, bloomCol = bloomCol, txn = txn,
+                  statsCols = statsCols)
             }
           } else part match {
             case Some(spec) =>
               SnapshotTable.appendPartitioned(data, path, spec,
-                statsCol = statsCol, txn = txn, bloomCol = bloomCol)
+                statsCol = statsCol, txn = txn, bloomCol = bloomCol,
+                statsCols = statsCols)
             case None =>
               SnapshotTable.append(data, path, numParts,
-                statsCol = statsCol, bloomCol = bloomCol, txn = txn)
+                statsCol = statsCol, bloomCol = bloomCol, txn = txn,
+                statsCols = statsCols)
           }
           ()
         }
@@ -869,6 +944,13 @@ private[v2] final class GraftStreamingWrite(
     .orElse(base.flatMap(_.bloom.map(_.col)))
     .orElse(marker.flatMap(_.bloomCol))
     .filter(schema.fieldNames.contains)
+  // typed multi-column stats: a first declaration via option/marker;
+  // an existing declaration is inherited by commitAppendFiles from
+  // the manifest and needs nothing here
+  private val statsCols: Seq[String] = props.get("stats_cols")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .orElse(marker.map(_.statsCols).filter(_.nonEmpty))
+    .getOrElse(Seq.empty)
 
   private val statsIdx: Option[(Int, Boolean)] = statsCol.map { c =>
     val i = schema.fieldIndex(c)
@@ -924,7 +1006,8 @@ private[v2] final class GraftStreamingWrite(
         (written.map(_.statMin), written.map(_.statMax))),
       bloomCol = bloomCol,
       txn = Some((s"stream-${info.queryId()}", epochId)),
-      part = partSpec.map(sp => (sp, written.map(_.part))))
+      part = partSpec.map(sp => (sp, written.map(_.part))),
+      statsCols = statsCols)
   }
 
   override def abort(epochId: Long,
@@ -965,15 +1048,16 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
-      ++ res.ver.bloom.map(_.col)).toSet
-    // integral columns without a manifest index still benefit: their
-    // predicates ride to parquet's ROW-GROUP statistics filter inside
-    // each kept file (pruneFiles simply ignores them)
-    val integral = res.schema.fields.collect {
-      case f if f.dataType == LongType || f.dataType == IntegerType => f.name
+      ++ res.ver.bloom.map(_.col)).toSet ++ res.ver.colStats.map(_.col)
+    // columns without a manifest index still benefit: predicates on
+    // any row-group-translatable type ride to parquet's statistics
+    // and column-index filters inside each kept file (pruneFiles
+    // simply ignores them)
+    val translatable = res.schema.fields.collect {
+      case f if GraftReaderFactory.rowGroupTypes(f.dataType) => f.name
     }.toSet
     pushed = filters.filter(f => f.references.exists(prunable) ||
-      (f.references.nonEmpty && f.references.forall(integral)))
+      (f.references.nonEmpty && f.references.forall(translatable)))
     filters // all residual: pruning only ever skips provably-dead files
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -992,18 +1076,58 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty ||
         res.ver.files.isEmpty) return None
     val st = res.ver.stats
-    def statName(e: org.apache.spark.sql.connector.expressions.Expression)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
-      case f: NamedReference if f.fieldNames().length == 1 &&
-          st.exists(_.col == f.fieldNames()(0)) => Some(f.fieldNames()(0))
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
       case _ => None
     }
-    // stats are stored as longs; only integral visible types round-trip
-    def typed(c: String, v: Long): Option[(DataType, Any)] =
+    // legacy stats are stored as longs; only integral visible types
+    // round-trip
+    def legacyTyped(c: String, v: Long): Option[(DataType, Any)] =
       res.schema.fields.find(_.name == c).map(_.dataType) match {
         case Some(LongType) => Some((LongType, v))
         case Some(IntegerType) => Some((IntegerType, v.toInt))
         case _ => None
+      }
+    // TYPED stats serve MIN/MAX only when EVERY file's bounds are
+    // usable AND exact — a has=false file could hide the extremum,
+    // a truncated string bound is not a value of the column
+    import graft.ops.TypedBounds
+    def typedExtremum(c: String, wantMin: Boolean)
+        : Option[(DataType, Any)] =
+      res.ver.colStats.find(_.col == c)
+        .filter(cs => cs.has.nonEmpty && cs.has.forall(identity) &&
+          cs.exact.forall(identity))
+        .map { cs =>
+          val keys = (if (wantMin) cs.mins else cs.maxs)
+            .map(TypedBounds.keyOfEncoded(cs.dtype, _))
+          val best = keys.reduce { (a, b) =>
+            val cmp = TypedBounds.compare(cs.dtype, a, b)
+            if (wantMin == (cmp <= 0)) a else b
+          }
+          val internal: Any = cs.dtype match {
+            case "int" | "date" => best.asInstanceOf[Long].toInt
+            case "long" | "timestamp" => best
+            case "double" => best
+            case "float" => best.asInstanceOf[Double].toFloat
+            case "string" =>
+              UTF8String.fromString(best.asInstanceOf[String])
+            case "boolean" => best.asInstanceOf[Long] != 0L
+          }
+          (TypedBounds.sparkType(cs.dtype), internal)
+        }
+    def extremum(e: org.apache.spark.sql.connector.expressions.Expression,
+                 wantMin: Boolean): Option[(String, DataType, Any)] =
+      colName(e).flatMap { c =>
+        val legacy =
+          if (st.exists(_.col == c))
+            legacyTyped(c,
+              if (wantMin) st.get.mins.min else st.get.maxs.max)
+          else None
+        legacy.orElse(typedExtremum(c, wantMin)).map { case (dt, v) =>
+          (c, dt, v)
+        }
       }
     val fields = Seq.newBuilder[StructField]
     val vals = Seq.newBuilder[Any]
@@ -1012,12 +1136,12 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
         fields += StructField("count_star", LongType, nullable = false)
         vals += res.ver.rows
       case m: Min =>
-        val c = statName(m.column()).getOrElse(return None)
-        val (dt, v) = typed(c, st.get.mins.min).getOrElse(return None)
+        val (c, dt, v) = extremum(m.column(), wantMin = true)
+          .getOrElse(return None)
         fields += StructField(s"min_$c", dt); vals += v
       case m: Max =>
-        val c = statName(m.column()).getOrElse(return None)
-        val (dt, v) = typed(c, st.get.maxs.max).getOrElse(return None)
+        val (c, dt, v) = extremum(m.column(), wantMin = false)
+          .getOrElse(return None)
         fields += StructField(s"max_$c", dt); vals += v
       case _ => return None
     }
@@ -1191,8 +1315,9 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val cols = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
-      ++ res.ver.bloom.map(_.col)).toSeq.distinct
+    val cols = ((res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
+      ++ res.ver.bloom.map(_.col)).toSeq
+      ++ res.ver.colStats.map(_.col)).distinct
     // _file is only resolvable when this scan actually OUTPUTS the
     // metadata column (row-level rewrites do); advertising it on an
     // ordinary scan breaks reference resolution for every runtime
@@ -1287,7 +1412,11 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
 private[v2] final case class GraftFilePartition(
     file: String, requestedJson: String, wantsFileCol: Boolean,
     rowGroupPredicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
-    predicateCols: Seq[String] = Seq.empty)
+    // (physical column name, declared dtype) of every column the
+    // row-group predicate references — the footer probe checks each
+    // is physically present WITH the expected parquet shape before
+    // the predicate applies
+    predicateCols: Seq[(String, String)] = Seq.empty)
     extends InputPartition
 
 /** A file partition of an identity-partitioned table, carrying its
@@ -1399,64 +1528,144 @@ private[v2] object GraftReaderFactory {
       pred, predCols)
   }
 
+  /** The visible types whose predicates translate into parquet
+    * row-group/page filters ([[rowGroupPredicate]]) — also what
+    * [[GraftScanBuilder.pushFilters]] keeps pushing for.
+    */
+  val rowGroupTypes: Set[DataType] = Set(IntegerType, LongType,
+    DateType, TimestampType, DoubleType, FloatType, StringType,
+    BooleanType)
+
   /** Pushed/runtime filters as a parquet [[FilterPredicate]] —
-    * STATISTICS-level row-group skipping inside kept files. Only
-    * integral comparisons on columns physically present translate;
-    * everything else is simply not part of the predicate (the filters
-    * are residual — Spark re-applies them above the scan — so a
-    * partial translation can only skip row groups that provably hold
-    * no matching row, never change results).
+    * STATISTICS-level row-group skipping (and column-index page
+    * skipping) inside kept files, TYPED: integral, DATE (int32 epoch
+    * days), TIMESTAMP (int64 micros), DOUBLE/FLOAT, STRING (binary —
+    * parquet's unsigned byte order IS UTF-8 order) and BOOLEAN
+    * comparisons on columns physically present translate; everything
+    * else is simply not part of the predicate (the filters are
+    * residual — Spark re-applies them above the scan — so a partial
+    * translation can only skip row groups that provably hold no
+    * matching row, never change results).
     */
   private def rowGroupPredicate(res: GraftTableSource.Resolved,
                                 phys: Map[String, String],
                                 filters: Array[org.apache.spark.sql.sources.Filter])
       : (Option[org.apache.parquet.filter2.predicate.FilterPredicate],
-         Seq[String]) = {
+         Seq[(String, String)]) = {
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
     import org.apache.spark.sql.sources._
-    val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
-    def longOf(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int => Some(i.toLong)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
-    // visible column -> (physical name, visible integral type)
-    def colOf(c: String): Option[(String, Boolean)] =
+    import graft.ops.TypedBounds
+    val referenced =
+      scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    // visible column -> (physical name, dtype)
+    def colOf(c: String): Option[(String, String)] =
       res.schema.fields.find(_.name == c).flatMap { f =>
-        phys.get(c).flatMap(ph => f.dataType match {
-          case LongType => Some((ph, true))
-          case IntegerType => Some((ph, false))
-          case _ => None
-        })
+        phys.get(c).flatMap(ph =>
+          TypedBounds.dtypeOf(f.dataType).map(ph -> _))
       }
-    def cmp(c: String, v: Any)(
-        mkL: (org.apache.parquet.filter2.predicate.Operators.LongColumn,
-              java.lang.Long) => FilterPredicate,
-        mkI: (org.apache.parquet.filter2.predicate.Operators.IntColumn,
-              java.lang.Integer) => FilterPredicate)
-        : Option[FilterPredicate] =
-      for {
-        (ph, isLong) <- colOf(c)
-        l <- longOf(v)
-        if isLong || (l >= Int.MinValue && l <= Int.MaxValue)
-      } yield {
-        referenced += ph
-        if (isLong) mkL(FilterApi.longColumn(ph), java.lang.Long.valueOf(l))
-        else mkI(FilterApi.intColumn(ph), Integer.valueOf(l.toInt))
+    sealed trait Op
+    case object OpEq extends Op; case object OpGt extends Op
+    case object OpGtEq extends Op; case object OpLt extends Op
+    case object OpLtEq extends Op
+    def longOf(dtype: String, v: Any): Option[Long] =
+      TypedBounds.keyOfValue(dtype, v) match {
+        case Some(l: Long) => Some(l)
+        case _ => None
+      }
+    def cmp(c: String, v: Any, op: Op): Option[FilterPredicate] =
+      colOf(c).flatMap { case (ph, dtype) =>
+        val pred: Option[FilterPredicate] = dtype match {
+          case "long" | "timestamp" =>
+            longOf(dtype, v).map { l =>
+              val col = FilterApi.longColumn(ph)
+              val jv = java.lang.Long.valueOf(l)
+              op match {
+                case OpEq => FilterApi.eq(col, jv)
+                case OpGt => FilterApi.gt(col, jv)
+                case OpGtEq => FilterApi.gtEq(col, jv)
+                case OpLt => FilterApi.lt(col, jv)
+                case OpLtEq => FilterApi.ltEq(col, jv)
+              }
+            }
+          case "int" | "date" =>
+            longOf(dtype, v)
+              .filter(l => l >= Int.MinValue && l <= Int.MaxValue)
+              .map { l =>
+                val col = FilterApi.intColumn(ph)
+                val jv = Integer.valueOf(l.toInt)
+                op match {
+                  case OpEq => FilterApi.eq(col, jv)
+                  case OpGt => FilterApi.gt(col, jv)
+                  case OpGtEq => FilterApi.gtEq(col, jv)
+                  case OpLt => FilterApi.lt(col, jv)
+                  case OpLtEq => FilterApi.ltEq(col, jv)
+                }
+              }
+          case "double" =>
+            (v match {
+              case d: Double => Some(d)
+              case f: Float => Some(f.toDouble)
+              case _ => None
+            }).map { d =>
+              val col = FilterApi.doubleColumn(ph)
+              val jv = java.lang.Double.valueOf(d)
+              op match {
+                case OpEq => FilterApi.eq(col, jv)
+                case OpGt => FilterApi.gt(col, jv)
+                case OpGtEq => FilterApi.gtEq(col, jv)
+                case OpLt => FilterApi.lt(col, jv)
+                case OpLtEq => FilterApi.ltEq(col, jv)
+              }
+            }
+          case "float" =>
+            (v match {
+              case f: Float => Some(f)
+              case _ => None
+            }).map { f =>
+              val col = FilterApi.floatColumn(ph)
+              val jv = java.lang.Float.valueOf(f)
+              op match {
+                case OpEq => FilterApi.eq(col, jv)
+                case OpGt => FilterApi.gt(col, jv)
+                case OpGtEq => FilterApi.gtEq(col, jv)
+                case OpLt => FilterApi.lt(col, jv)
+                case OpLtEq => FilterApi.ltEq(col, jv)
+              }
+            }
+          case "string" =>
+            (v match {
+              case s: String => Some(Binary.fromString(s))
+              case _ => None
+            }).map { b =>
+              val col = FilterApi.binaryColumn(ph)
+              op match {
+                case OpEq => FilterApi.eq(col, b)
+                case OpGt => FilterApi.gt(col, b)
+                case OpGtEq => FilterApi.gtEq(col, b)
+                case OpLt => FilterApi.lt(col, b)
+                case OpLtEq => FilterApi.ltEq(col, b)
+              }
+            }
+          case "boolean" =>
+            (v, op) match {
+              case (b: Boolean, OpEq) => Some(FilterApi.eq(
+                FilterApi.booleanColumn(ph), java.lang.Boolean.valueOf(b)))
+              case _ => None
+            }
+          case _ => None
+        }
+        pred.foreach(_ => referenced += ((ph, dtype)))
+        pred
       }
     def one(f: Filter): Option[FilterPredicate] = f match {
-      case EqualTo(c, v) => cmp(c, v)(FilterApi.eq(_, _), FilterApi.eq(_, _))
-      case GreaterThan(c, v) => cmp(c, v)(FilterApi.gt(_, _), FilterApi.gt(_, _))
-      case GreaterThanOrEqual(c, v) =>
-        cmp(c, v)(FilterApi.gtEq(_, _), FilterApi.gtEq(_, _))
-      case LessThan(c, v) => cmp(c, v)(FilterApi.lt(_, _), FilterApi.lt(_, _))
-      case LessThanOrEqual(c, v) =>
-        cmp(c, v)(FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      case EqualTo(c, v) => cmp(c, v, OpEq)
+      case GreaterThan(c, v) => cmp(c, v, OpGt)
+      case GreaterThanOrEqual(c, v) => cmp(c, v, OpGtEq)
+      case LessThan(c, v) => cmp(c, v, OpLt)
+      case LessThanOrEqual(c, v) => cmp(c, v, OpLtEq)
       case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
-        val eqs = vs.toSeq.map(v =>
-          cmp(c, v)(FilterApi.eq(_, _), FilterApi.eq(_, _)))
+        val eqs = vs.toSeq.map(v => cmp(c, v, OpEq))
         if (eqs.forall(_.isDefined)) eqs.flatten.reduceOption(FilterApi.or)
         else None
       case _ => None
@@ -1471,6 +1680,65 @@ private[v2] object GraftReaderFactory {
     * serves the read; the per-file requested schema and row-group
     * predicate ride the task configuration.
     */
+  /** Memo of the footer presence/shape probe below, keyed by (file,
+    * referenced columns): table files are IMMUTABLE (write-once under
+    * unique batch dirs), so a probe result never goes stale — and at
+    * object-store latency the probe is a whole RTT per file per scan
+    * that repeated scans should not re-pay. Bounded, cleared
+    * wholesale.
+    */
+  private val probeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(String, String)]), java.lang.Boolean]()
+
+  /** Footer probes actually performed (cache misses) — spec-facing. */
+  val probeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** True when the predicate may apply to this file: every referenced
+    * column is physically present WITH the parquet shape the
+    * predicate was built for — primitive type per dtype, and for
+    * timestamps the MICROS logical annotation (a session writing
+    * INT96 produces a column the int64 predicate must not touch).
+    */
+  private def probeOk(p: GraftFilePartition,
+                      conf: org.apache.hadoop.conf.Configuration)
+      : Boolean = {
+    if (probeMemo.size > 4096) probeMemo.clear()
+    probeMemo.computeIfAbsent((p.file, p.predicateCols), _ => {
+      probeCount.incrementAndGet()
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new HPath(p.file),
+        org.apache.parquet.format.converter.ParquetMetadataConverter
+          .SKIP_ROW_GROUPS)
+      val fileSchema = footer.getFileMetaData.getSchema
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      p.predicateCols.forall { case (name, dtype) =>
+        fileSchema.containsField(name) && {
+          val t = fileSchema.getType(Seq(name): _*)
+          t.isPrimitive && {
+            val prim = t.asPrimitiveType().getPrimitiveTypeName
+            dtype match {
+              case "int" | "date" => prim == INT32
+              case "long" => prim == INT64
+              case "timestamp" => prim == INT64 &&
+                (t.getLogicalTypeAnnotation match {
+                  case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    ts.getUnit ==
+                      LogicalTypeAnnotation.TimeUnit.MICROS
+                  case _ => false
+                })
+              case "double" => prim == DOUBLE
+              case "float" => prim == FLOAT
+              case "string" => prim == BINARY
+              case "boolean" => prim == BOOLEAN
+              case _ => false
+            }
+          }
+        }
+      }
+    })
+  }
+
   def openVectorized(p: GraftFilePartition,
                      base: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
@@ -1478,19 +1746,13 @@ private[v2] object GraftReaderFactory {
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
       p.requestedJson)
     // the row-group predicate applies only when THIS FILE physically
-    // carries every referenced column — a subset-column batch within
-    // an epoch (appendMeta stamps it with the current epoch) may lack
-    // one, and parquet's schema validator throws instead of treating
-    // the column as all-null; one SKIP_ROW_GROUPS footer probe gates
-    // the predicate, paid only on predicated scans
-    val predOk = p.rowGroupPredicate.isDefined && {
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        conf, new HPath(p.file),
-        org.apache.parquet.format.converter.ParquetMetadataConverter
-          .SKIP_ROW_GROUPS)
-      val fileSchema = footer.getFileMetaData.getSchema
-      p.predicateCols.forall(fileSchema.containsField)
-    }
+    // carries every referenced column in the predicate's shape — a
+    // subset-column batch within an epoch (appendMeta stamps it with
+    // the current epoch) may lack one, and parquet's schema validator
+    // throws instead of treating the column as all-null; one
+    // SKIP_ROW_GROUPS footer probe gates the predicate, paid only on
+    // predicated scans and MEMOIZED per (immutable file, columns)
+    val predOk = p.rowGroupPredicate.isDefined && probeOk(p, conf)
     if (predOk)
       org.apache.parquet.hadoop.ParquetInputFormat
         .setFilterPredicate(conf, p.rowGroupPredicate.get)
