@@ -31,9 +31,14 @@ import graft.Json
   * directory, so only the cheap manifest step re-runs against the new
   * latest version, and the loser's rows land at N+1 — no committed
   * version is ever silently replaced). Mutating commits that PLANNED
-  * against the previous version (delete, compaction) do not blind-
-  * retry: their file arithmetic is stale on conflict, so they fail
-  * loudly for the caller to re-plan.
+  * against the previous version (delete, compaction, merge, row-level
+  * rewrites) detect conflicts on loss: when the winner's commit is
+  * provably DISJOINT from the operation's read set (the common case —
+  * an interleaved append elsewhere in the key space; layout and
+  * schema unchanged), the rewrite AUTO-REBASES onto the new base and
+  * re-commits ([[commitReplace]] — Delta's WriteSerializable
+  * contract); an overlapping commit fails loudly for the caller to
+  * re-plan.
   *
   * Manifests are COMPLETE snapshots (every visible file, with per-file
   * row counts, byte sizes, and optional column min/max), not deltas:
@@ -1220,35 +1225,159 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** OCC conflict detection for GROUP-REPLACEMENT commits: is `latest`
+    * (the version a racing writer committed while this operation was
+    * rewriting) a SAFE base to rebase onto? Safe means the winner's
+    * commit is LOGICALLY DISJOINT from this operation: every file the
+    * operation read is still live and unchanged (no rewrite, no DV),
+    * the layout and schema metadata are byte-identical, and any files
+    * the winner ADDED are ones the operation's own predicates can
+    * prove hold no matching row (`interleavedOk` — supplied by the
+    * caller, who knows its predicate semantics). Then re-committing
+    * the same rewrite against `latest` is equivalent to the serial
+    * order winner→this-operation — the Delta WriteSerializable
+    * contract. Anything else throws, loudly, with the conditional-put
+    * loss as the cause: the caller must re-plan.
+    */
+  private def rebaseTarget(path: String, op: String, base: Version,
+                           latest: Version, removed: Set[String],
+                           interleavedOk: (Version, Seq[Int]) => Boolean,
+                           cause: Throwable): Version = {
+    def fail(why: String): Nothing = {
+      val e = new java.util.ConcurrentModificationException(
+        s"$op on $path planned against v${base.version}, but " +
+          s"v${latest.version} committed concurrently and $why — " +
+          "re-run the operation against the new latest version")
+      e.initCause(cause)
+      throw e
+    }
+    val latestCanon = latest.files.map(canonFile)
+    val latestSet = latestCanon.toSet
+    if (!removed.forall(latestSet))
+      fail("rewrote or removed files this operation read")
+    if (latest.dvFiles != base.dvFiles)
+      fail("changed deletion vectors")
+    if (latest.part != base.part) fail("changed the partition layout")
+    if (latest.stats.map(_.col) != base.stats.map(_.col))
+      fail("changed the stats layout")
+    if (colSpecsOf(latest) != colSpecsOf(base))
+      fail("changed the typed-stats layout")
+    if (latest.bloom != base.bloom) fail("changed the bloom layout")
+    if (latest.schemaIds != base.schemaIds ||
+        latest.schemaNames != base.schemaNames ||
+        latest.epoch != base.epoch ||
+        latest.schemaAltered != base.schemaAltered ||
+        latest.droppedIds != base.droppedIds ||
+        latest.schemaMaxId != base.schemaMaxId)
+      fail("altered the schema")
+    val baseSet = base.files.map(canonFile).toSet
+    val interleaved = latest.files.indices
+      .filter(i => !baseSet(latestCanon(i)))
+    if (interleaved.nonEmpty && !interleavedOk(latest, interleaved))
+      fail("added files this operation's predicates cannot prove " +
+        "unmatched")
+    latest
+  }
+
+  /** One GROUP-REPLACEMENT commit — files' = (base − removed) + new —
+    * with OCC AUTO-REBASE: when the conditional put loses a version
+    * race to a commit [[rebaseTarget]] proves logically disjoint (the
+    * common case: an interleaved append elsewhere in the key space),
+    * the replacement re-renders against the winner's manifest —
+    * surviving files re-sliced, the winner's interleaved files
+    * carried, txn watermarks taken from the winner — and re-commits,
+    * instead of failing a rewrite whose data work is already done.
+    * Overlapping commits still fail loudly (stale plan). The new
+    * files' facts are positional over `newFiles`, computed once by
+    * the caller.
+    */
+  private def commitReplace(spark: SparkSession, path: String,
+                            base: Version, removed: Set[String],
+                            newFiles: Seq[String], newRows: Seq[Long],
+                            newBytes: Seq[Long],
+                            newStats: Option[(Seq[Long], Seq[Long])],
+                            newParts: Option[Seq[Long]],
+                            newColStats: Seq[ColStats], op: String,
+                            extraTxn: Map[String, Long],
+                            interleavedOk: (Version, Seq[Int]) => Boolean)
+      : Long = {
+    require(base.stats.isEmpty == newStats.isEmpty,
+      "new-file stat bounds must be present exactly when the base " +
+        "carries a stats layout")
+    require(base.part.isEmpty == newParts.isEmpty,
+      "a partitioned base needs partition values for every new file " +
+        "(and an unpartitioned one none)")
+    var cur = base
+    var attempts = 0
+    while (true) {
+      val curCanon = cur.files.map(canonFile)
+      val keepIdx = cur.files.indices.filterNot(i => removed(curCanon(i)))
+      val rows = rowsOf(cur)
+      val bytes = bytesOf(cur)
+      val v = cur.version + 1
+      val manifest = renderManifest(v,
+        keepIdx.map(cur.files) ++ newFiles,
+        keepIdx.map(rows) ++ newRows,
+        keepIdx.map(bytes) ++ newBytes,
+        cur.stats.map(st => Stats(st.col,
+          keepIdx.map(st.mins) ++ newStats.get._1,
+          keepIdx.map(st.maxs) ++ newStats.get._2)),
+        cur.bloom, cur.txns ++ extraTxn, part = cur.part,
+        partValues = cur.partValues.map(pv =>
+          keepIdx.map(pv) ++ newParts.get),
+        op = op,
+        schema = carryMeta(cur, keepIdx, newFiles.length),
+        colStats = colStatsWith(cur, keepIdx, newColStats))
+      try { commitExclusive(path, v, manifest); return v }
+      catch {
+        case e: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"$op on $path lost $attempts consecutive version races")
+          val latest = readVersion(spark, path, latestVersion(path))
+          cur = rebaseTarget(path, op, base, latest, removed,
+            interleavedOk, e)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Interleaved files are safe when the base's stats layout proves
+    * them outside [lo, hi] on the layout column — the guard for
+    * range-predicated rewrites (COW delete, merge's key-location
+    * range).
+    */
+  private def statsDisjoint(lo: Long, hi: Long)
+      : (Version, Seq[Int]) => Boolean =
+    (nb, idxs) => nb.stats.exists(st =>
+      idxs.forall(i => st.maxs(i) < lo || st.mins(i) > hi))
+
   /** Commit a GROUP REPLACEMENT prepared by the DSv2 row-level write
     * (SQL MERGE/UPDATE): the caller already wrote the new files and
-    * derived their facts; this renders the swapped manifest — kept
-    * files carried by reference, schema meta carried under the
-    * current epoch — and performs ONE create-exclusive put against
-    * base+1. A racing commit fails THIS operation loudly (the
-    * plan-against-base mutation policy): the merged rows were
-    * computed against `base`, so retrying on a different base could
-    * silently lose the race winner's changes.
+    * derived their facts; kept files carry by reference, schema meta
+    * carries under the current epoch. Loses of the conditional put
+    * AUTO-REBASE when the racing commit is provably disjoint
+    * ([[commitReplace]]); `interleavedOk` is the caller's proof
+    * obligation for files the winner added — the row-level write
+    * passes its scan's STATIC pushed predicates through manifest
+    * pruning, and an operation with no static predicates (a bare
+    * MERGE ON key) stays fail-loudly.
     */
   private[graft] def commitReplaceGroups(spark: SparkSession, path: String,
-                                         base: Version, files: Seq[String],
-                                         rows: Seq[Long], bytes: Seq[Long],
-                                         stats: Option[Stats],
-                                         keepIdx: Seq[Int], nNew: Int,
+                                         base: Version,
+                                         removed: Set[String],
+                                         newFiles: Seq[String],
+                                         newRows: Seq[Long],
+                                         newBytes: Seq[Long],
+                                         newStats: Option[(Seq[Long], Seq[Long])],
+                                         newParts: Option[Seq[Long]],
+                                         newColStats: Seq[ColStats],
                                          op: String,
-                                         partValues: Option[Seq[Long]] = None,
-                                         colStats: Seq[ColStats])
-      : Long = {
-    require(base.part.isEmpty == partValues.isEmpty,
-      "a partitioned base needs per-file partition values for every " +
-        "surviving and rewritten file (and an unpartitioned one none)")
-    val v = base.version + 1
-    commitExclusive(path, v, renderManifest(v, files, rows, bytes,
-      stats, base.bloom, base.txns, part = base.part,
-      partValues = partValues, op = op,
-      schema = carryMeta(base, keepIdx, nNew), colStats = colStats))
-    v
-  }
+                                         interleavedOk: (Version, Seq[Int]) => Boolean)
+      : Long =
+    commitReplace(spark, path, base, removed, newFiles, newRows,
+      newBytes, newStats, newParts, newColStats, op,
+      extraTxn = Map.empty, interleavedOk = interleavedOk)
 
   // ------------------------------------------------- hidden partitioning
 
@@ -2003,9 +2132,10 @@ object SnapshotTable {
     * rewritten files. Time travel is preserved: the old version's
     * manifest (and its files, which are never deleted here — that is a
     * separate retention sweep) still reads exactly the pre-delete
-    * table. The commit is create-exclusive and does NOT retry: the
-    * rewrite plan is computed against `prev`, so losing a race means
-    * the plan is stale — the caller re-runs against the new latest.
+    * table. Losing the create-exclusive commit AUTO-REBASES when the
+    * winner only added files provably outside [lo, hi] (manifest-stats
+    * proof — [[commitReplace]]); an overlapping winner fails loudly
+    * for the caller to re-plan.
     * Returns (newVersion, filesRewritten, filesTotalBefore).
     */
   def deleteStatsRange(spark: SparkSession, path: String, lo: Long,
@@ -2057,19 +2187,17 @@ object SnapshotTable {
     require(keepIdx.nonEmpty || batch.files.nonEmpty,
       "delete covers every row of every file — a zero-file version is " +
         "unreadable (no schema source); drop the table instead")
-    val rows = rowsOf(ver)
-    val bytes = bytesOf(ver)
-    commitExclusive(path, v, renderManifest(v,
-      keepIdx.map(ver.files) ++ batch.files,
-      carried(rows) ++ batch.rows,
-      carried(bytes) ++ batch.bytes,
-      Some(Stats(st.col, carried(st.mins) ++ batch.mins,
-        carried(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns, op = "DELETE",
-      schema = carryMeta(ver, keepIdx, batch.files.length),
-      colStats = colStatsWith(ver, keepIdx,
-        computeColStats(spark, batch.files, colSpecsOf(ver)))))
-    (v, hitIdx.length, ver.files.length)
+    // OCC: an interleaved commit that only ADDED files provably
+    // outside [lo, hi] (manifest stats) rebases automatically —
+    // serial-order-equivalent, the delete never needed to see them
+    val vc = commitReplace(spark, path, ver,
+      hitFiles.map(canonFile).toSet,
+      batch.files, batch.rows, batch.bytes,
+      Some((batch.mins, batch.maxs)), None,
+      computeColStats(spark, batch.files, colSpecsOf(ver)),
+      op = "DELETE", extraTxn = Map.empty,
+      interleavedOk = statsDisjoint(lo, hi))
+    (vc, hitIdx.length, ver.files.length)
   }
 
   // --------------------------------------------------- deletion vectors
@@ -2360,8 +2488,11 @@ object SnapshotTable {
     * within partitions by the key.
     *
     * Plan cost is O(manifest); data cost is one read+write of exactly
-    * the under-sized files. The commit is create-exclusive and does
-    * not retry (stale plan on conflict — re-run). Requires a stats
+    * the under-sized files. Losing the create-exclusive commit
+    * AUTO-REBASES across ANY disjoint concurrent commit (compaction
+    * is predicate-free — interleaved appends simply are not compacted
+    * this pass); rewrites of the planned inputs fail loudly. Requires
+    * a stats
     * layout: compaction without a declared order would have nothing to
     * preserve. The table's bloom index, if any, is rebuilt for the
     * rewritten files only.
@@ -2420,19 +2551,17 @@ object SnapshotTable {
       .write.mode("errorifexists").parquet(batchDir)
     val batch = batchFacts(spark, batchDir, Some(st.col))
     ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
-    val v = prev + 1
-    commitExclusive(path, v, renderManifest(v,
-      carriedIdx.map(ver.files) ++ batch.files,
-      carriedIdx.map(rows) ++ batch.rows,
-      carriedIdx.map(bytes) ++ batch.bytes,
-      Some(Stats(st.col, carriedIdx.map(st.mins) ++ batch.mins,
-        carriedIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns, op = "OPTIMIZE",
-      schema = carryMeta(ver, carriedIdx, batch.files.length),
-      colStats = colStatsWith(ver, carriedIdx,
-        computeColStats(spark, batch.files, colSpecsOf(ver)))))
+    // OCC: compaction is predicate-free — ANY interleaved append
+    // rebases (the new files simply are not compacted this pass)
+    val v = commitReplace(spark, path, ver,
+      rewriteFiles.map(canonFile).toSet,
+      batch.files, batch.rows, batch.bytes,
+      Some((batch.mins, batch.maxs)), None,
+      computeColStats(spark, batch.files, colSpecsOf(ver)),
+      op = "OPTIMIZE", extraTxn = Map.empty,
+      interleavedOk = (_, _) => true)
     CompactResult(v, ver.files.length,
-      carriedIdx.length + batch.files.length, rewriteFiles.length)
+      readVersion(spark, path, v).files.length, rewriteFiles.length)
   }
 
   /** OPTIMIZE for hidden-partitioned tables: bin-compact small files
@@ -2628,8 +2757,10 @@ object SnapshotTable {
     *
     * Row accounting is metadata arithmetic (manifest per-file counts +
     * one count of the small side): matched = hitRows + |updates| −
-    * newBatchRows, inserted = |updates| − matched. The commit is
-    * create-exclusive and does not retry (stale plan on conflict).
+    * newBatchRows, inserted = |updates| − matched. Losing the
+    * create-exclusive commit AUTO-REBASES when the winner only added
+    * files provably outside the update batch's layout range
+    * ([[commitReplace]]); an overlapping winner fails loudly.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCol: String, txn: Option[(String, Long)] = None)
@@ -2701,17 +2832,17 @@ object SnapshotTable {
     enforceConstraints(spark, path, batchDir)
     val batch = batchFacts(spark, batchDir, Some(st.col))
     ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
-    val v = prev + 1
-    commitExclusive(path, v, renderManifest(v,
-      keepIdx.map(ver.files) ++ batch.files,
-      keepIdx.map(rows) ++ batch.rows,
-      keepIdx.map(bytes) ++ batch.bytes,
-      Some(Stats(st.col, keepIdx.map(st.mins) ++ batch.mins,
-        keepIdx.map(st.maxs) ++ batch.maxs)),
-      ver.bloom, ver.txns ++ txn.toMap, op = "MERGE",
-      schema = carryMeta(ver, keepIdx, batch.files.length),
-      colStats = colStatsWith(ver, keepIdx,
-        computeColStats(spark, batch.files, colSpecsOf(ver)))))
+    // OCC: interleaved files provably outside the update batch's
+    // layout range [lo, hi] cannot hold a row any update key locates
+    // (the merge contract addresses rows by key but LOCATES them by
+    // layout) — rebase; anything inside the range fails loudly
+    val v = commitReplace(spark, path, ver,
+      hitIdx.map(ver.files).map(canonFile).toSet,
+      batch.files, batch.rows, batch.bytes,
+      Some((batch.mins, batch.maxs)), None,
+      computeColStats(spark, batch.files, colSpecsOf(ver)),
+      op = "MERGE", extraTxn = txn.toMap,
+      interleavedOk = statsDisjoint(lo, hi))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }

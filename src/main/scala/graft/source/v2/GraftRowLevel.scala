@@ -161,12 +161,14 @@ final class GraftRowLevelOperation(
       }
 
       override def toBatch: BatchWrite =
-        new GraftBatchWrite(path, res, info.schema(), cmd.toString, () => {
-          require(scan != null && scan.plannedFileNames != null,
-            "row-level write committed before its scan planned — " +
-              "no group set to replace")
-          scan.plannedFileNames
-        })
+        new GraftBatchWrite(path, res, info.schema(), cmd.toString,
+          () => {
+            require(scan != null && scan.plannedFileNames != null,
+              "row-level write committed before its scan planned — " +
+                "no group set to replace")
+            scan.plannedFileNames
+          },
+          () => if (scan == null) Array.empty else scan.staticPredicates)
     }
   }
 
@@ -245,7 +247,9 @@ private[v2] final class GraftBatchWrite(
     res: GraftTableSource.Resolved,
     rowSchema: StructType,
     op: String,
-    scannedFiles: () => Seq[String]) extends BatchWrite {
+    scannedFiles: () => Seq[String],
+    staticFilters: () => Array[org.apache.spark.sql.sources.Filter])
+    extends BatchWrite {
 
   private val batchDir =
     s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -308,8 +312,6 @@ private[v2] final class GraftBatchWrite(
     SnapshotTable.enforceConstraintsOn(spark, path, written.map(_.file))
     val removed = scannedFiles().map(SnapshotTable.canonFile).toSet
     val base = res.ver
-    val keepIdx = base.files.indices
-      .filterNot(i => removed(SnapshotTable.canonFile(base.files(i))))
     // sizes: one driver-side stat per new file, O(batch), through the
     // session conf (the table may live on an object store)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -317,24 +319,12 @@ private[v2] final class GraftBatchWrite(
       val p = new HPath(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }
-    val files = keepIdx.map(base.files) ++ written.map(_.file)
-    val rows = keepIdx.map(i => base.fileRows.get(i)) ++ written.map(_.rows)
-    val bytes = keepIdx.map(i => base.fileBytes.get(i)) ++
-      written.map(m => sizeOf(m.file))
-    val stats = base.stats.map { st =>
-      SnapshotTable.Stats(st.col,
-        keepIdx.map(st.mins) ++ written.map(_.statMin),
-        keepIdx.map(st.maxs) ++ written.map(_.statMax))
-    }
-    val partVals = base.partValues.map { pv =>
-      keepIdx.map(pv) ++ written.map(_.part)
-    }
-    // typed multi-column stats: carried for survivors, recomputed for
-    // the rewritten files by one O(batch) column-pruned read-back —
-    // the same collection every write path performs
-    val colStats = SnapshotTable.colStatsWith(base, keepIdx,
-      SnapshotTable.computeColStats(spark, written.map(_.file),
-        SnapshotTable.colSpecsOf(base)))
+    // typed multi-column stats: recomputed for the rewritten files by
+    // one O(batch) column-pruned read-back — the same collection
+    // every write path performs (carry happens inside the commit,
+    // per whatever base the rebase lands on)
+    val freshCs = SnapshotTable.computeColStats(spark,
+      written.map(_.file), SnapshotTable.colSpecsOf(base))
     base.bloom.foreach { bc =>
       if (written.nonEmpty)
         graft.ops.BloomIndex.buildRows(spark, written.map(_.file),
@@ -343,9 +333,28 @@ private[v2] final class GraftBatchWrite(
           .json(s"$path/bloomidx/idx-${java.util.UUID.randomUUID()
             .toString.take(12)}")
     }
-    SnapshotTable.commitReplaceGroups(spark, path, base, files, rows,
-      bytes, stats, keepIdx, written.length, op = op,
-      partValues = partVals, colStats = colStats)
+    // OCC-rebase proof for interleaved files: the scan's STATIC
+    // predicates through the same manifest pruning a scan would use —
+    // a file the stats/partition/bloom metadata proves unmatched is
+    // one the serial-order rewrite would have carried untouched. A
+    // rewrite with no static predicates (bare MERGE ON key) offers no
+    // proof and stays fail-loudly.
+    def interleavedOk(nb: SnapshotTable.Version,
+                      idxs: Seq[Int]): Boolean = {
+      val filters = staticFilters()
+      filters.nonEmpty && {
+        val kept = GraftTableSource.pruneFiles(
+          res.copy(version = nb.version, ver = nb), filters).toSet
+        idxs.forall(i => !kept(i))
+      }
+    }
+    SnapshotTable.commitReplaceGroups(spark, path, base, removed,
+      written.map(_.file), written.map(_.rows),
+      written.map(m => sizeOf(m.file)),
+      base.stats.map(_ =>
+        (written.map(_.statMin), written.map(_.statMax))),
+      base.part.map(_ => written.map(_.part)),
+      freshCs, op = op, interleavedOk = interleavedOk)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1332,6 +1332,17 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtime = filters
 
+  /** The scan's pushed + runtime predicates EXCLUDING plan-derived
+    * `_file` group filters — a row-level rewrite's static
+    * read-predicate set, usable as the OCC-rebase proof that a
+    * concurrently-added file cannot hold a matching row (`_file`
+    * lists are plan-time enumerations over the OLD base, never a
+    * predicate over new files).
+    */
+  private[v2] def staticPredicates
+      : Array[org.apache.spark.sql.sources.Filter] =
+    (pushed ++ runtime).filterNot(_.references.contains("_file"))
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(res, required)

@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.SnapshotTable
 
-/** The race matrix for PLAN-AGAINST-PREV mutations: a COW delete, a
-  * merge, or a compaction that loses the version race must FAIL with
-  * the conditional-put error — its file arithmetic is stale, and a
-  * blind retry would commit a manifest computed against a version
-  * that no longer is the base (silently dropping the interleaved
-  * commit's rows). Each case asserts the loser throws
-  * FileAlreadyExistsException AND that a re-run against the new base
-  * lands the intended result with the interleaved commit intact —
-  * no lost update under any interleaving.
+/** The race matrix for PLAN-AGAINST-PREV mutations, under OCC
+  * conflict detection: a COW delete, merge, or compaction that loses
+  * the version race AUTO-REBASES when the winner's commit is provably
+  * disjoint from its read set (an interleaved append elsewhere in the
+  * key space — the rewrite re-commits against the new base, winner's
+  * rows intact), and FAILS LOUDLY — ConcurrentModificationException
+  * with the conditional-put loss as cause — when the winner touched
+  * its inputs or offered no disjointness proof. Every interleaving
+  * asserts no lost update.
   */
 class RaceMatrixSpec extends SparkSpec {
 
@@ -35,8 +35,8 @@ class RaceMatrixSpec extends SparkSpec {
   }
 
   test("append vs COW delete: the delete that lost the version race " +
-      "throws the conditional-put error; a re-run lands on the " +
-      "appended base with no lost update") {
+      "to a DISJOINT append auto-rebases — one commit, appended rows " +
+      "intact, no lost update") {
     import spark.implicits._
     val path = freshPath()
     // big enough that the delete's survivor rewrite far outlasts the
@@ -68,19 +68,19 @@ class RaceMatrixSpec extends SparkSpec {
         repeat(md5(col("id").cast("string")), 8).as("v")),
       path, 1, statsCol = Some("k"))
     t.join(120000)
-    assert(err.get() != null,
-      "the delete must LOSE to the interleaved append and fail loudly")
-    assert(err.get().isInstanceOf[java.nio.file.FileAlreadyExistsException],
-      s"wrong failure: ${err.get()}")
-    // v2 is the append's commit; the failed delete changed nothing
-    assert(SnapshotTable.latestVersion(path) === 2L)
-    assert(SnapshotTable.scanAt(spark, path, 2)._1.count() === 2000010L)
-    // re-run against the new base: delete applies, appended rows stay
-    val (v3, _, _) = SnapshotTable.deleteStatsRange(spark, path, 1L, 500000L)
-    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, v3)
+    // the appended keys [2000001, 2000010] are provably outside the
+    // delete range [1, 500000] — the delete AUTO-REBASES onto the
+    // appended base instead of failing
+    assert(err.get() == null,
+      s"a disjoint interleaved append must rebase, got ${err.get()}")
+    assert(SnapshotTable.latestVersion(path) === 3L,
+      "v2 = the append's commit, v3 = the rebased delete")
+    assert(SnapshotTable.readVersion(spark, path, 3).op === "DELETE")
+    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, 3)
     assert(rows === 1500010L && scan.count() === 1500010L)
     assert(scan.agg(min("k")).head.getLong(0) === 500001L)
-    assert(scan.filter(col("k") > 2000000L).count() === 10L)
+    assert(scan.filter(col("k") > 2000000L).count() === 10L,
+      "the interleaved append's rows must survive the rebased delete")
   }
 
   test("merge vs compact: the merge that lost to an interleaved " +
@@ -116,8 +116,15 @@ class RaceMatrixSpec extends SparkSpec {
     t.join(120000)
     assert(err.get() != null,
       "the merge must LOSE to the interleaved compaction and fail loudly")
-    assert(err.get().isInstanceOf[java.nio.file.FileAlreadyExistsException],
+    // the compaction REWROTE files the merge read: no rebase — the
+    // conflict surfaces as ConcurrentModificationException with the
+    // conditional-put loss as cause
+    assert(err.get()
+      .isInstanceOf[java.util.ConcurrentModificationException],
       s"wrong failure: ${err.get()}")
+    assert(err.get().getCause
+      .isInstanceOf[java.nio.file.FileAlreadyExistsException],
+      s"missing conditional-put cause: ${err.get().getCause}")
     // the compacted base is intact; the failed merge changed nothing
     assert(SnapshotTable.latestVersion(path) === 2L)
     assert(SnapshotTable.scanAt(spark, path, 2)._1
@@ -197,6 +204,139 @@ class RaceMatrixSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM graft_race.db.t WHERE k = 999999")
       .head.getLong(0) === 1L)
     spark.sql("DROP TABLE graft_race.db.t")
+  }
+
+  test("merge vs DISJOINT interleaved append: the merge auto-rebases " +
+      "— upsert lands once, appended rows intact") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 50000L).map(k => (k, k * 2))
+      .toDF("k", "v"), path, 8, statsCol = Some("k"))
+    RaceMatrixSpec.gateSeen.set(false)
+    val slowOnce = udf((x: Long) => {
+      if (RaceMatrixSpec.gateSeen.compareAndSet(false, true))
+        Thread.sleep(2500)
+      x
+    })
+    val updates = Seq((777L, 0L)).toDF("k", "v")
+      .withColumn("k", slowOnce(col("k")))
+    val err = new AtomicReference[Throwable]()
+    val res = new AtomicReference[SnapshotTable.MergeResult]()
+    val t = new Thread(() => {
+      try res.set(SnapshotTable.merge(spark, path, updates, "k"))
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (!RaceMatrixSpec.gateSeen.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+    assert(RaceMatrixSpec.gateSeen.get(), "merge never started planning")
+    // the interleaved append's keys are far outside the update
+    // batch's layout range [777, 777]
+    SnapshotTable.append((900001L to 900010L).map(k => (k, k))
+      .toDF("k", "v"), path, 1, statsCol = Some("k"))
+    t.join(120000)
+    assert(err.get() == null,
+      s"a disjoint interleaved append must rebase, got ${err.get()}")
+    assert(res.get().version === 3L,
+      "v2 = the append's commit, v3 = the rebased merge")
+    assert(res.get().rowsMatched === 1L && res.get().rowsInserted === 0L)
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, 3)
+    val hits = scan.filter(col("k") === 777L).collect()
+    assert(hits.length === 1 && hits.head.getLong(1) === 0L,
+      "the upsert must land exactly once")
+    assert(scan.filter(col("k") > 900000L).count() === 10L,
+      "the interleaved append's rows must survive the rebased merge")
+    assert(scan.count() === 50010L)
+  }
+
+  test("compact vs interleaved append: compaction is predicate-free " +
+      "— ANY disjoint append rebases; the appended file simply is " +
+      "not compacted this pass") {
+    import spark.implicits._
+    val path = freshPath()
+    // many small files so the compaction rewrite has real work
+    (0 until 8).foreach { b =>
+      SnapshotTable.append(
+        spark.range(b * 100000L, (b + 1) * 100000L)
+          .select(col("id").as("k"),
+            repeat(md5(col("id").cast("string")), 4).as("v")),
+        path, 2, statsCol = Some("k"))
+    }
+    val before = batchDirs(path)
+    val err = new AtomicReference[Throwable]()
+    val res = new AtomicReference[SnapshotTable.CompactResult]()
+    val t = new Thread(() => {
+      try res.set(SnapshotTable.compact(spark, path,
+        targetBytes = 256L << 20))
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 60000
+    var appended = false
+    while (!appended && System.currentTimeMillis() < deadline) {
+      if (batchDirs(path) != before) {
+        SnapshotTable.append(
+          spark.range(800000L, 800010L).select(col("id").as("k"),
+            repeat(md5(col("id").cast("string")), 4).as("v")),
+          path, 1, statsCol = Some("k"))
+        appended = true
+      } else Thread.sleep(5)
+    }
+    t.join(120000)
+    if (appended && err.get() == null && res.get() != null &&
+        res.get().version > 9L) {
+      // the append won the race window: the compaction rebased
+      assert(res.get().version === 10L)
+    }
+    assert(err.get() == null,
+      s"an interleaved append must never fail a compaction, got " +
+        s"${err.get()}")
+    val latest = SnapshotTable.latestVersion(path)
+    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, latest)
+    assert(rows === 800010L && scan.count() === 800010L,
+      "every row — compacted and interleaved — must survive")
+    assert(scan.agg(sum("k")).head.getLong(0)
+      === (0L until 800000L).sum + (800000L until 800010L).sum)
+  }
+
+  test("two concurrent native streaming sinks on one table serialize " +
+      "through the conditional put — both land, consecutive versions, " +
+      "no lost epoch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("race2s").toString
+    val dst = s"$dir/dst"
+    val srcA = s"$dir/srcA"
+    val srcB = s"$dir/srcB"
+    SnapshotTable.append((1L to 5000L).map(k => (k, k))
+      .toDF("k", "v"), srcA, 4)
+    SnapshotTable.append((5001L to 10000L).map(k => (k, k))
+      .toDF("k", "v"), srcB, 4)
+    SnapshotTable.append(Seq((0L, 0L)).toDF("k", "v"), dst, 1,
+      statsCol = Some("k"))
+    def start(src: String, ckpt: String) =
+      spark.readStream.format("graft_table").option("path", src).load()
+        .writeStream.format("graft_table")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    val qa = start(srcA, s"$dir/ckptA")
+    val qb = start(srcB, s"$dir/ckptB")
+    qa.awaitTermination(120000)
+    qb.awaitTermination(120000)
+    val latest = SnapshotTable.latestVersion(dst)
+    assert(latest === 3L,
+      s"two epoch commits must land at consecutive versions, got $latest")
+    val t = spark.read.format("graft_table").option("path", dst).load()
+    assert(t.count() === 10001L)
+    assert(t.agg(sum("k")).head.getLong(0) === (1L to 10000L).sum)
+    // both writers' txn watermarks recorded — each stream is
+    // independently replay-safe
+    val txns = SnapshotTable.readVersion(spark, dst, latest).txns
+    assert(txns.keys.count(_.startsWith("stream-")) === 2,
+      s"both streaming writers must carry watermarks: $txns")
   }
 }
 
