@@ -191,7 +191,8 @@ object SnapshotTable {
                            droppedIds: Seq[Long] = Seq.empty,
                            schemaMaxId: Long = 0L,
                            schemaAltered: Boolean = false,
-                           colStats: Seq[ColStats] = Seq.empty) {
+                           colStats: Seq[ColStats] = Seq.empty,
+                           addedTypes: Seq[(Long, String)] = Seq.empty) {
 
     /** True when a raw name-based read of this version's files would
       * mis-merge: a rename or drop has happened since the table was
@@ -310,7 +311,7 @@ object SnapshotTable {
           Some(SchemaMeta(baseIds, baseNames,
             base.fileEpochs.get ++ Seq.fill(nNewFiles)(base.epoch),
             base.epoch, base.droppedIds, base.schemaMaxId,
-            base.schemaAltered))
+            base.schemaAltered, base.addedTypes))
         else {
           val newIds = ((base.schemaMaxId + 1) to
             (base.schemaMaxId + newCols.length)).toSeq
@@ -321,7 +322,7 @@ object SnapshotTable {
           Some(SchemaMeta(ids, names,
             base.fileEpochs.get ++ Seq.fill(nNewFiles)(e), e,
             base.droppedIds, base.schemaMaxId + newCols.length,
-            base.schemaAltered))
+            base.schemaAltered, base.addedTypes))
         }
     }
   }
@@ -467,19 +468,31 @@ object SnapshotTable {
         r.getAs[Long]("schema_max_id") else 0L,
       if (df.columns.contains("schema_altered"))
         r.getAs[Boolean]("schema_altered") else false,
-      colStats)
+      colStats,
+      if (df.columns.contains("schema_added_ids"))
+        r.getAs[scala.collection.Seq[Long]]("schema_added_ids")
+          .zip(r.getAs[scala.collection.Seq[String]]("schema_added_types"))
+          .toSeq
+      else Seq.empty)
   }
 
   // ------------------------------------------------------------ commit
 
   /** Field-id schema metadata carried by a manifest: the visible
     * (id, name) pairs, each file's naming epoch, the current epoch,
-    * and ids dropped since the table was last physically uniform.
+    * ids dropped since the table was last physically uniform, and —
+    * for columns that entered by ALTER TABLE ADD COLUMN rather than
+    * by data — the DECLARED type per field id (`addedTypes`): the one
+    * fact no file footer can supply while the column has no
+    * type-bearing file. Entries persist harmlessly after data
+    * arrives (footer types take precedence at resolution).
     */
   private final case class SchemaMeta(ids: Seq[Long], names: Seq[String],
                                       fileEpochs: Seq[Long], epoch: Long,
                                       dropped: Seq[Long], maxId: Long,
-                                      altered: Boolean)
+                                      altered: Boolean,
+                                      addedTypes: Seq[(Long, String)] =
+                                        Seq.empty)
 
   /** Carry a version's schema metadata into its successor: kept files
     * keep their epochs, `nNew` rewritten/appended files get the
@@ -491,7 +504,8 @@ object SnapshotTable {
       val fe = ver.fileEpochs.get
       SchemaMeta(ids, ver.schemaNames.get,
         keepIdx.map(fe) ++ Seq.fill(nNew)(ver.epoch), ver.epoch,
-        ver.droppedIds, ver.schemaMaxId, ver.schemaAltered)
+        ver.droppedIds, ver.schemaMaxId, ver.schemaAltered,
+        ver.addedTypes)
     }
 
   private def renderManifest(v: Long, files: Seq[String], rows: Seq[Long],
@@ -555,6 +569,13 @@ object SnapshotTable {
       fields += "schema_altered" -> sm.altered.toString
       if (sm.dropped.nonEmpty)
         fields += "schema_dropped" -> sm.dropped.mkString("[", ",", "]")
+      if (sm.addedTypes.nonEmpty) {
+        val ts = sm.addedTypes.sortBy(_._1)
+        fields += "schema_added_ids" -> ts.map(_._1)
+          .mkString("[", ",", "]")
+        fields += "schema_added_types" -> ts.map(t => Json.quote(t._2))
+          .mkString("[", ",", "]")
+      }
     }
     part.foreach { p =>
       fields += "part_source" -> Json.quote(p.source)
@@ -1167,7 +1188,9 @@ object SnapshotTable {
           m.copy(ids = keep.map(m.ids), names = keep.map(m.names),
             fileEpochs = m.fileEpochs.takeRight(batch.files.length),
             dropped = m.dropped ++ removed,
-            altered = m.altered || removed.nonEmpty)
+            altered = m.altered || removed.nonEmpty,
+            addedTypes = m.addedTypes
+              .filter(t => keep.map(m.ids).contains(t._1)))
         }
       val manifest = renderManifest(v, batch.files, batch.rows,
         batch.bytes,
@@ -1205,7 +1228,7 @@ object SnapshotTable {
       val v = prev + 1
       val meta = base.schemaIds.map(ids => SchemaMeta(ids,
         base.schemaNames.get, Seq.empty, base.epoch, base.droppedIds,
-        base.schemaMaxId, base.schemaAltered))
+        base.schemaMaxId, base.schemaAltered, base.addedTypes))
       // layout CONFIG survives the truncate (stats with empty per-file
       // vectors, bloom unchanged) so post-truncate appends keep
       // indexing — dropping it would silently end range pruning
@@ -1945,7 +1968,8 @@ object SnapshotTable {
   private def emptyRelation(spark: SparkSession, path: String,
                             ver: Version): DataFrame =
     if (ver.needsResolve) readResolved(spark, path, ver, Seq(0)).limit(0)
-    else spark.read.parquet(ver.files.head).limit(0)
+    else fillAddedColumns(
+      spark.read.parquet(ver.files.head).limit(0), ver)
 
   private def readWithDv(spark: SparkSession, path: String, ver: Version,
                          idx: Seq[Int],
@@ -1955,7 +1979,10 @@ object SnapshotTable {
       val rd =
         if (mergeSchema) spark.read.option("mergeSchema", "true")
         else spark.read
-      applyDv(spark, rd.parquet(idx.map(ver.files): _*), ver)
+      // ADD COLUMN columns with no type-bearing file surface as typed
+      // nulls (no file carries them, so the merged schema lacks them)
+      fillAddedColumns(
+        applyDv(spark, rd.parquet(idx.map(ver.files): _*), ver), ver)
     }
 
   /** FIELD-ID column resolution — the read path that makes rename and
@@ -1989,11 +2016,11 @@ object SnapshotTable {
       applyDv(spark, raw, ver).select(cols: _*)
     }
     val u = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    // a visible column absent from EVERY opened group (pruned scan
-    // missing the adding batch's files) still surfaces, as nulls
-    val missing = ver.schemaNames.get.filterNot(u.columns.contains)
-    missing.foldLeft(u)((d, c) => d.withColumn(c, lit(null)))
-      .select(ver.schemaNames.get.map(col): _*)
+    // a visible column absent from EVERY opened group (a pruned scan
+    // missing the adding batch's files, or an ADD COLUMN with no
+    // type-bearing file) still surfaces, as TYPED nulls when the
+    // manifest declares the type
+    fillAddedColumns(u, ver)
   }
 
   /** Canonical filesystem path for cross-source file comparisons:
@@ -3031,7 +3058,8 @@ object SnapshotTable {
       ver.partValues, op = "ALTER",
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids, newNames, ver.fileEpochs.get, e,
-        ver.droppedIds, ver.schemaMaxId, altered = true)),
+        ver.droppedIds, ver.schemaMaxId, altered = true,
+        addedTypes = ver.addedTypes)),
       colStats = ver.colStats.map(cs =>
         if (cs.col == oldName) cs.copy(col = newName) else cs)))
     v
@@ -3075,10 +3103,79 @@ object SnapshotTable {
       op = "ALTER", dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids.patch(i, Nil, 1),
         names.patch(i, Nil, 1), ver.fileEpochs.get, ver.epoch,
-        ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true)),
+        ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true,
+        addedTypes = ver.addedTypes.filterNot(_._1 == ids(i)))),
       colStats = ver.colStats))
     v
   }
+
+  /** ADD COLUMN — metadata-only, O(1): a fresh field id enters the
+    * visible schema with a DECLARED type recorded in the manifest
+    * (`addedTypes` — the one fact no file footer can supply while the
+    * column has no type-bearing file), the naming epoch bumps so
+    * files written hereafter carry the id→name mapping, and every
+    * existing file reads the column as typed NULLs — no data file is
+    * touched, exactly like Delta/Iceberg ADD COLUMN. Pure adds keep
+    * `schemaAltered` FALSE: reads stay on the single-scan merged
+    * path (the new column simply resolves to nulls by name
+    * mismatch), and rewrite ops stay open. The id is never recycled
+    * (`schemaMaxId` fence), so a DROP and re-ADD of the same name is
+    * a brand-new column that never resurrects old bytes. Returns the
+    * committed version.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val ids = ver.schemaIds.getOrElse(throw new IllegalArgumentException(
+      s"$path predates field-id schema tracking — recreate to upgrade"))
+    val names = ver.schemaNames.get
+    require(!names.contains(name),
+      s"column $name already exists in ${names.mkString(", ")}")
+    val ddl = dataType.sql
+    // the type must round-trip through its DDL rendering — that is
+    // how the manifest stores it
+    require(org.apache.spark.sql.types.DataType.fromDDL(ddl) == dataType,
+      s"type $dataType does not round-trip through DDL")
+    val newId = ver.schemaMaxId + 1
+    val e = ver.epoch + 1
+    writeEpochFile(path, e, ids :+ newId, names :+ name)
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
+      bytesOf(ver),
+      ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
+      op = "ALTER", dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      schema = Some(SchemaMeta(ids :+ newId, names :+ name,
+        ver.fileEpochs.get, e, ver.droppedIds, newId,
+        altered = ver.schemaAltered,
+        addedTypes = ver.addedTypes :+ (newId, ddl))),
+      colStats = ver.colStats))
+    v
+  }
+
+  /** Typed NULL fill for visible columns a (possibly pruned) read did
+    * not surface — ADD COLUMN columns with no type-bearing file read
+    * as nulls OF THEIR DECLARED TYPE, and column order follows the
+    * visible schema.
+    */
+  private def fillAddedColumns(df: DataFrame, ver: Version): DataFrame =
+    ver.schemaNames match {
+      case Some(names) if names.exists(n => !df.columns.contains(n)) =>
+        val idType = ver.addedTypes.toMap
+        val byName = ver.schemaIds.get.zip(names).map(_.swap).toMap
+        val filled = names.filterNot(df.columns.contains)
+          .foldLeft(df) { (d, n) =>
+            val c = idType.get(byName(n)) match {
+              case Some(ddl) => lit(null).cast(
+                org.apache.spark.sql.types.DataType.fromDDL(ddl))
+              case None => lit(null)
+            }
+            d.withColumn(n, c)
+          }
+        filled.select(names.map(col): _*)
+      case _ => df
+    }
 
   /** Rewrite every live file under the CURRENT naming and visible
     * schema — the maintenance commit that ends [[readResolved]]'s
@@ -3109,7 +3206,7 @@ object SnapshotTable {
     val v = prev + 1
     def uniformMeta(nFiles: Int) = Some(SchemaMeta(ids, names,
       Seq.fill(nFiles)(e), e, Seq.empty, ver.schemaMaxId,
-      altered = false))
+      altered = false, addedTypes = ver.addedTypes))
     ver.part match {
       case Some(spec) =>
         val withP = data.withColumn("__p", spec.column)

@@ -80,6 +80,13 @@ trait TableIo {
   /** Recursive delete of a directory tree (missing dir is a no-op). */
   def deleteDir(dir: String): Unit
 
+  /** Move a file or directory tree to a DESTINATION THAT MUST NOT
+    * EXIST — fails loudly when it does (never merges src under an
+    * existing dst, the HDFS-rename footgun). The staged-commit
+    * primitive atomic CTAS publishes through.
+    */
+  def rename(src: String, dst: String): Unit
+
   /** Canonical scheme-less absolute path for cross-source string
     * comparisons: manifest URIs (`file:///x`), `_metadata.file_path`
     * URIs (`file:/x`) and walked paths must all canonicalize equal
@@ -202,6 +209,15 @@ final class NioTableIo extends TableIo {
 
   override def canon(p: String): String =
     path(p).toAbsolutePath.normalize().toString
+
+  override def rename(src: String, dst: String): Unit = {
+    val d = path(dst)
+    if (Files.exists(d))
+      throw new java.nio.file.FileAlreadyExistsException(dst)
+    Files.createDirectories(d.getParent)
+    Files.move(path(src), d)
+    ()
+  }
 }
 
 /** Hadoop `FileSystem` implementation — the deployable metadata plane.
@@ -347,5 +363,16 @@ final class HadoopTableIo extends TableIo {
   override def canon(p: String): String = {
     val (fs, hp) = fsFor(p)
     fs.makeQualified(hp).toUri.getPath
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    val (fs, dp) = fsFor(dst)
+    // HDFS rename onto an existing DIRECTORY silently moves src
+    // UNDER it — guard first, so dst-exists is a loud failure
+    if (fs.exists(dp))
+      throw new java.nio.file.FileAlreadyExistsException(dst)
+    fs.mkdirs(dp.getParent)
+    val (_, sp) = fsFor(src)
+    require(fs.rename(sp, dp), s"rename $src -> $dst failed")
   }
 }

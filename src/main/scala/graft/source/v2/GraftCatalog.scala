@@ -36,21 +36,23 @@ import graft.ops.{SnapshotTable, TableIo}
   * layout via TBLPROPERTIES `stats_col`/`bloom_col`) — the first
   * INSERT commits version 1 under that layout through the same
   * create-exclusive protocol every other commit uses, so DDL adds no
-  * second metadata plane. ALTERs are [[SnapshotTable.renameColumn]]/
-  * [[SnapshotTable.dropColumn]] — metadata-only commits by field id —
-  * or a marker rewrite while the table is still empty. ADD COLUMN is
-  * deliberately absent: columns enter by appending data that carries
-  * them (the manifest's add-only evolution), keeping "a column with
-  * no type-bearing file" unrepresentable.
+  * second metadata plane. ALTERs are [[SnapshotTable.addColumn]]/
+  * [[SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]] —
+  * metadata-only commits by field id (ADD records the declared type
+  * in the manifest, since no file footer can supply it until data
+  * arrives; old files read the column as typed NULLs) — or a marker
+  * rewrite while the table is still empty.
   *
   * Supported column types: the graft_table scalar surface (BOOLEAN,
-  * INT, BIGINT, FLOAT, DOUBLE, STRING, BINARY). Partition transforms:
-  * identity / bucket(n, col) / truncate(w, col) over a BIGINT source.
+  * INT, BIGINT, FLOAT, DOUBLE, STRING, BINARY, DATE, TIMESTAMP).
+  * Partition transforms: identity / bucket(n, col) / truncate(w, col)
+  * over a BIGINT source.
   */
 final class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var cname: String = _
   private var root: String = _
 
@@ -110,6 +112,8 @@ final class GraftCatalog extends TableCatalog
     val dir = (root +: namespace.toSeq).mkString("/")
     if (!io.exists(dir)) return Array.empty
     io.listNames(dir)
+      // dot-dirs are staging areas (atomic CTAS), never tables
+      .filterNot(_.startsWith("."))
       .filter(n => existsAt(s"$dir/$n"))
       .sorted
       .map(n => Identifier.of(namespace, n))
@@ -188,11 +192,14 @@ final class GraftCatalog extends TableCatalog
       s"unsupported partition transform $t — use identity(col), " +
         "bucket(n, col) or truncate(w, col)")
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    val p = pathOf(ident)
-    if (existsAt(p)) throw new TableAlreadyExistsException(ident)
+  /** Validate schema + partitions + layout TBLPROPERTIES into the
+    * CREATE marker — shared by CREATE TABLE and the staged (CTAS/
+    * RTAS) paths.
+    */
+  private def buildMarker(schema: StructType,
+                          partitions: Array[Transform],
+                          properties: util.Map[String, String])
+      : GraftTableSource.Marker = {
     schema.fields.foreach { f =>
       require(supportedTypes(f.dataType),
         s"column ${f.name} has unsupported type ${f.dataType} — the " +
@@ -219,11 +226,65 @@ final class GraftCatalog extends TableCatalog
         s"stats_cols column $c has type ${f.dataType} — typed stats " +
           "cover INT/BIGINT/DATE/TIMESTAMP/FLOAT/DOUBLE/STRING/BOOLEAN")
     }
-    GraftTableSource.writeMarker(p, GraftTableSource.Marker(
-      schema, part, layoutCol("stats_col"), layoutCol("bloom_col"),
-      statsCols))
+    GraftTableSource.Marker(schema, part, layoutCol("stats_col"),
+      layoutCol("bloom_col"), statsCols)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (existsAt(p)) throw new TableAlreadyExistsException(ident)
+    GraftTableSource.writeMarker(p,
+      buildMarker(schema, partitions, properties))
     new GraftTable(Map("path" -> p))
   }
+
+  // ---------------------------------------------- staged CTAS / RTAS
+  // CREATE TABLE ... AS SELECT and REPLACE TABLE ... AS SELECT run
+  // ATOMICALLY: the staged table writes marker + data + v1 manifest
+  // under a hidden sibling directory (`.staged-<name>-<nonce>` — the
+  // dot prefix keeps it out of listings), and commitStagedChanges
+  // publishes it with ONE directory rename into the final identity.
+  // A failed CTAS aborts by deleting the staging dir — no half-table
+  // is ever visible under the real name. REPLACE deletes the old
+  // directory immediately before the rename: a crash in that narrow
+  // window leaves the staged dir intact for manual recovery, never a
+  // torn table.
+
+  private def stagedTable(ident: Identifier,
+                          info: org.apache.spark.sql.connector.catalog.TableInfo,
+                          replacing: Boolean): StagedTable = {
+    val schema = StructType(info.columns().map(c =>
+      StructField(c.name(), c.dataType(), c.nullable())))
+    val tmp = (root +: ident.namespace().toSeq :+
+      s".staged-${ident.name()}-${java.util.UUID.randomUUID()
+        .toString.take(12)}").mkString("/")
+    GraftTableSource.writeMarker(tmp,
+      buildMarker(schema, info.partitions(), info.properties()))
+    new GraftStagedTable(ident, pathOf(ident), tmp, replacing, this)
+  }
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    if (existsAt(pathOf(ident))) throw new TableAlreadyExistsException(ident)
+    stagedTable(ident, info, replacing = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    if (!existsAt(pathOf(ident))) throw new NoSuchTableException(ident)
+    stagedTable(ident, info, replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable =
+    stagedTable(ident, info, replacing = true)
+
+  private[v2] def existsAtPath(p: String): Boolean = existsAt(p)
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -231,6 +292,27 @@ final class GraftCatalog extends TableCatalog
     if (!existsAt(p)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested columns are not part of the snapshot-table surface")
+        val cname = a.fieldNames()(0)
+        require(supportedTypes(a.dataType()),
+          s"column $cname has unsupported type ${a.dataType()} — the " +
+            "graft catalog serves scalar snapshot tables")
+        require(a.isNullable,
+          s"ADD COLUMN $cname NOT NULL is unsatisfiable — existing " +
+            "rows read the new column as NULL")
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported — new columns " +
+            "append at the end of the schema (field-id order)")
+        if (SnapshotTable.latestVersion(p) > 0)
+          SnapshotTable.addColumn(spark, p, cname, a.dataType())
+        else alterMarker(p) { m =>
+          require(!m.schema.fieldNames.contains(cname),
+            s"column $cname already exists")
+          m.copy(schema = StructType(m.schema.fields :+
+            StructField(cname, a.dataType())))
+        }
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "nested columns are not part of the snapshot-table surface")
@@ -270,9 +352,8 @@ final class GraftCatalog extends TableCatalog
             statsCols = m.statsCols.filterNot(_ == name))
         }
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER $other — columns are ADDED by appending " +
-          "data that carries them (field-id evolution); rename/drop " +
-          "are the metadata-only ALTERs")
+        s"unsupported ALTER $other — add/rename/drop column are the " +
+          "metadata-only ALTERs this catalog serves")
     }
     loadTable(ident)
   }
@@ -332,6 +413,7 @@ final class GraftCatalog extends TableCatalog
         .NoSuchNamespaceException(namespace.toSeq)
     if (!io.exists(dir)) return Array.empty
     io.listNames(dir).sorted
+      .filterNot(_.startsWith("."))
       .filter(n => io.isDirectory(s"$dir/$n") && !existsAt(s"$dir/$n"))
       .map(n => namespace :+ n)
       .toArray
@@ -370,6 +452,64 @@ final class GraftCatalog extends TableCatalog
         .NonEmptyNamespaceException(namespace)
     io.deleteDir(nsDir(namespace.toSeq))
     true
+  }
+}
+
+/** A staged table for atomic CTAS/RTAS (see [[GraftCatalog]]'s staged
+  * section): a fully functional [[GraftTable]] addressed at the
+  * HIDDEN staging directory — marker, inserts, and the v1 manifest
+  * all land there — published into the real identity by one
+  * directory rename at commit, deleted wholesale on abort.
+  */
+private[v2] final class GraftStagedTable(
+    ident: Identifier, realPath: String, tmpPath: String,
+    replacing: Boolean, catalog: GraftCatalog)
+    extends GraftTable(Map("path" -> tmpPath)) with StagedTable {
+
+  override def name(): String = s"graft_table($realPath) [staged]"
+
+  override def commitStagedChanges(): Unit = {
+    val io = TableIo.forPath(realPath)
+    // a staged table cannot carry DVs (its whole life is inserts),
+    // but the invariant is load-bearing for the re-addressing below
+    // (DV parquet embeds absolute addresses no string rewrite fixes)
+    val latest = SnapshotTable.latestVersion(tmpPath)
+    if (latest > 0)
+      require(SnapshotTable.readVersion(
+          org.apache.spark.sql.SparkSession.active, tmpPath, latest)
+        .dvFiles.isEmpty, "staged table unexpectedly carries DVs")
+    if (replacing && catalog.existsAtPath(realPath)) {
+      io.deleteDir(realPath)
+      GraftTableSource.invalidate(realPath)
+    }
+    // rename fails loudly when the destination exists — a concurrent
+    // CREATE that won the race is never silently replaced
+    io.rename(tmpPath, realPath)
+    // re-address the log: manifests (and bloom-index rows) record
+    // ABSOLUTE file URIs into the staging dir; O(versions + index
+    // files) small JSON rewrites, atomic each
+    val tmpCanon = TableIo.forPath(tmpPath).canon(tmpPath)
+    val realCanon = io.canon(realPath)
+    val logDir = s"$realPath/log"
+    io.listNames(logDir)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .foreach { n =>
+        val p = s"$logDir/$n"
+        io.writeAtomic(p, io.readString(p).replace(tmpCanon, realCanon))
+      }
+    val bloomDir = s"$realPath/bloomidx"
+    if (io.isDirectory(bloomDir))
+      io.walkFiles(bloomDir).filter(_.name.endsWith(".json"))
+        .foreach { e =>
+          io.writeAtomic(e.path,
+            io.readString(e.path).replace(tmpCanon, realCanon))
+        }
+    GraftTableSource.invalidate(tmpPath)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    TableIo.forPath(tmpPath).deleteDir(tmpPath)
+    GraftTableSource.invalidate(tmpPath)
   }
 }
 

@@ -280,6 +280,18 @@ object GraftTableSource {
         }
       }
     }
+    // ADD COLUMN columns with no type-bearing file: the manifest's
+    // declared type is the only type source (footers win when a later
+    // append carries the column physically)
+    if (ver.addedTypes.nonEmpty) {
+      val idType = ver.addedTypes.toMap
+      ids.zip(names).foreach { case (id, cur) =>
+        if (!typed.contains(cur)) idType.get(id).foreach { ddl =>
+          typed(cur) =
+            org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        }
+      }
+    }
     val schema = StructType(names.map { n =>
       val dt = typed.getOrElse(n, StringType)
       dt match {
@@ -507,7 +519,7 @@ object GraftTableSource {
   }
 }
 
-private[v2] final class GraftTable(props: Map[String, String])
+private[v2] class GraftTable(props: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete

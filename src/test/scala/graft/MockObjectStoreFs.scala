@@ -18,6 +18,25 @@ class MockObjectStoreFs extends RawLocalFileSystem {
   override def getScheme: String = "graftmock"
   override def getUri: URI = URI.create("graftmock:///")
 
+  // RawLocalFileSystem defers permission loading to `new File(uri)`,
+  // which rejects the non-file scheme — return statuses with
+  // permissions already materialized (as a real object-store
+  // connector does; stores have no POSIX permissions to lazy-load)
+  private def solid(st: org.apache.hadoop.fs.FileStatus)
+      : org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime,
+      st.getAccessTime,
+      if (st.isDirectory) FsPermission.getDirDefault
+      else FsPermission.getFileDefault,
+      "", "", st.getPath)
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    solid(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(solid)
+
   override def create(f: Path, permission: FsPermission,
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blockSize: Long,

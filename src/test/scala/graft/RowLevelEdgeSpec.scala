@@ -25,9 +25,9 @@ class RowLevelEdgeSpec extends SparkSpec {
 
   private lazy val root: String = {
     val r = Files.createTempDirectory("rle").toString
-    spark.conf.set("spark.sql.catalog.graft",
+    spark.conf.set("spark.sql.catalog.graft_rle",
       "graft.source.v2.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.root", r)
+    spark.conf.set("spark.sql.catalog.graft_rle.root", r)
     r
   }
 
@@ -35,36 +35,36 @@ class RowLevelEdgeSpec extends SparkSpec {
       "succeeds — the group-filter subquery scan is not captured as " +
       "a second rewrite scan") {
     root
-    spark.sql("CREATE TABLE graft.db.narrow (k BIGINT)")
-    spark.sql("INSERT INTO graft.db.narrow SELECT id FROM range(10)")
-    spark.sql("""MERGE INTO graft.db.narrow t
+    spark.sql("CREATE TABLE graft_rle.db.narrow (k BIGINT)")
+    spark.sql("INSERT INTO graft_rle.db.narrow SELECT id FROM range(10)")
+    spark.sql("""MERGE INTO graft_rle.db.narrow t
       USING (SELECT CAST(id + 5 AS BIGINT) AS k FROM range(10)) s
       ON t.k = s.k
       WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""")
-    assert(spark.sql("SELECT count(*) FROM graft.db.narrow")
+    assert(spark.sql("SELECT count(*) FROM graft_rle.db.narrow")
       .head.getLong(0) === 15)
-    assert(spark.sql("SELECT sum(k) FROM graft.db.narrow")
+    assert(spark.sql("SELECT sum(k) FROM graft_rle.db.narrow")
       .head.getLong(0) === (0L until 15L).sum)
-    spark.sql("DROP TABLE graft.db.narrow")
+    spark.sql("DROP TABLE graft_rle.db.narrow")
   }
 
   test("dynamic partition overwrite with an empty batch is a no-op, " +
       "not an error") {
     root
-    spark.sql("""CREATE TABLE graft.db.dyn (p BIGINT, v BIGINT)
+    spark.sql("""CREATE TABLE graft_rle.db.dyn (p BIGINT, v BIGINT)
       PARTITIONED BY (p)""")
-    spark.sql("INSERT INTO graft.db.dyn " +
+    spark.sql("INSERT INTO graft_rle.db.dyn " +
       "SELECT id % 4, id FROM range(100)")
     val path = s"$root/db/dyn"
     val before = SnapshotTable.latestVersion(path)
     // an occasionally-empty source must not fail a scheduled overwrite
-    spark.table("graft.db.dyn").where("false")
-      .writeTo("graft.db.dyn").overwritePartitions()
+    spark.table("graft_rle.db.dyn").where("false")
+      .writeTo("graft_rle.db.dyn").overwritePartitions()
     assert(SnapshotTable.latestVersion(path) === before,
       "empty dynamic overwrite must not commit a version")
-    assert(spark.sql("SELECT count(*) FROM graft.db.dyn")
+    assert(spark.sql("SELECT count(*) FROM graft_rle.db.dyn")
       .head.getLong(0) === 100)
-    spark.sql("DROP TABLE graft.db.dyn")
+    spark.sql("DROP TABLE graft_rle.db.dyn")
   }
 
   test("pooled writer cap: more distinct partition values than open " +
