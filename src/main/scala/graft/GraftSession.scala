@@ -36,6 +36,17 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         Work.stableDir("warehouse").toUri.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // java.time externals (LocalDate/Instant) for collected rows,
+      // literals and pushed filter values: the legacy java.sql.Date
+      // conversion (SparkDateTimeUtils.toJavaDate/fromJavaDate) needs
+      // a method handle into sun.util.calendar that only exists under
+      // `--add-opens java.base/sun.util.calendar=ALL-UNNAMED` — a
+      // spark-submit default this library cannot assume (a plain
+      // `java -cp` driver crashes on the FIRST DATE-typed collect or
+      // pushed DATE predicate otherwise). java.time is pure JDK API
+      // and the representation every operator here expects
+      // (TypedBounds.keyOfValue, row-group predicate translation).
+      .config("spark.sql.datetime.java8API.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // standard int64-micros timestamps (not INT96): what gives
       // timestamp columns parquet min/max statistics, so the snapshot

@@ -31,6 +31,7 @@ object Verify {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             System.err.println(s"[verify] $name FAILED: $msg")
+            e.printStackTrace()
             val dir = Paths.get(outDir, name)
             Files.createDirectories(dir)
             Files.writeString(dir.resolve("_FAILED"), msg.take(2000))

@@ -192,7 +192,8 @@ object SnapshotTable {
                            schemaMaxId: Long = 0L,
                            schemaAltered: Boolean = false,
                            colStats: Seq[ColStats] = Seq.empty,
-                           addedTypes: Seq[(Long, String)] = Seq.empty) {
+                           addedTypes: Seq[(Long, String)] = Seq.empty,
+                           segRefs: Option[Seq[SegRef]] = None) {
 
     /** True when a raw name-based read of this version's files would
       * mis-merge: a rename or drop has happened since the table was
@@ -206,6 +207,39 @@ object SnapshotTable {
       */
     def needsResolve: Boolean = schemaIds.isDefined && schemaAltered
   }
+
+  /** One reference from a SEGMENTED manifest header to an immutable
+    * file-list segment (`log/seg-<nonce>.json`): the segment's name,
+    * its ORIGINAL file count, and the original-position indices this
+    * version has dropped from it. A version's live file list is the
+    * concatenation of its segments' surviving entries in order —
+    * commits that carry files forward re-reference the base's
+    * segments (O(Δ) manifest bytes per commit however large the
+    * table) instead of re-listing every file the way inline
+    * manifests do.
+    */
+  final case class SegRef(name: String, size: Int, drops: Seq[Int]) {
+    def liveIdx: Seq[Int] = {
+      val d = drops.toSet
+      (0 until size).filterNot(d)
+    }
+  }
+
+  /** A parsed segment: per-file facts for its ORIGINAL slice, aligned
+    * positionally. `csMins`/`csMaxs`/`csHas`/`csExact` are indexed by
+    * the HEADER's typed-stats declaration order (segments carry no
+    * column names, so ALTER RENAME stays metadata-only).
+    */
+  private final case class Segment(files: Seq[String], rows: Seq[Long],
+                                   bytes: Seq[Long],
+                                   epochs: Option[Seq[Long]],
+                                   partValues: Option[Seq[Long]],
+                                   statsMin: Option[Seq[Long]],
+                                   statsMax: Option[Seq[Long]],
+                                   csMins: Seq[Seq[String]],
+                                   csMaxs: Seq[Seq[String]],
+                                   csHas: Seq[Seq[Boolean]],
+                                   csExact: Seq[Seq[Boolean]])
 
   /** Per-file rows/bytes of a committed version, LOUDLY: a manifest
     * predating per-file facts cannot be mutated or extended without
@@ -247,6 +281,145 @@ object SnapshotTable {
 
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.take(12)
+
+  // ------------------------------------------------ segmented manifests
+  //
+  // Above a file-count threshold, manifests switch from inline full
+  // snapshots to a small HEADER (still one conditional-put v{N}.json —
+  // the commit protocol is untouched) referencing immutable file-list
+  // SEGMENTS (`log/seg-<nonce>.json`). A commit re-references the
+  // base's segments for every carried file and writes one new segment
+  // for its fresh files, so commit bytes are O(Δ), not O(table) — the
+  // Delta-log/Iceberg-manifest economics a 100 TB table needs (a
+  // million-file table must not rewrite a ~100 MB manifest to append
+  // one batch). Reads stay one header + its segments, each cached
+  // JVM-wide (segments are immutable), so repeated planning costs one
+  // small read however long the history.
+  //
+  // Carry is DERIVED and SELF-VERIFYING, never declared: the renderer
+  // matches the commit's file list against the base's by name and
+  // reuses a base segment entry only when EVERY positional fact (rows,
+  // bytes, layout stats, partition value, naming epoch, typed bounds)
+  // is bit-equal to what the base recorded — anything else (stats
+  // re-declaration, reordering, upgrades) falls back to writing a
+  // full fresh segment. A wrong carry is therefore unrepresentable;
+  // the worst a caller can cause is an O(files) segment write.
+
+  /** File count at which manifests switch to segmented headers. Small
+    * tables keep the inline single-read form (simpler, zero extra
+    * RTTs); once a table crosses the threshold — or its base is
+    * already segmented — commits write O(Δ) headers.
+    */
+  private def segThreshold: Int = confInt(
+    "spark.graft.manifest.segmentThreshold", 512)
+
+  /** Max segments per header before the renderer collapses the list
+    * into one full segment (amortized O(Δ·maxSegments + files) — the
+    * LSM trade every log-structured metadata design makes).
+    */
+  private def segMaxSegments: Int = confInt(
+    "spark.graft.manifest.maxSegments", 64)
+
+  private def confInt(key: String, dflt: Int): Int =
+    try SparkSession.active.conf.get(key, dflt.toString).toInt
+    catch { case _: Throwable => dflt }
+
+  /** A base segment whose drop list outgrew this bound is folded into
+    * the commit's fresh segment instead of re-referenced — without
+    * the cap, one big delete would repeat its drop indices in every
+    * subsequent header forever (O(drops) per commit, not O(Δ)).
+    */
+  private def segDropCap(size: Int): Int = math.max(64, size / 10)
+
+  /** Segment cache: immutable once written, so one parse per JVM. The
+    * clear-at-capacity policy is deliberately dumb — segments are
+    * small and re-parse is one readString + Jackson pass.
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Segment]()
+
+  /** Drop every cached segment under `path` — for callers that delete
+    * or rewrite a table root wholesale (RTAS replace, staged-table
+    * re-addressing), where stale cache entries could otherwise serve
+    * a dead table's file lists.
+    */
+  private[graft] def invalidateSegments(path: String): Unit = {
+    val prefix = io(path).canon(path)
+    val it = segCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
+
+  private def readSegment(path: String, name: String): Segment = {
+    val p = s"${logDir(path)}/$name"
+    val key = io(path).canon(p)
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    if (segCache.size > 512) segCache.clear()
+    val seg = parseSegment(io(path).readString(p))
+    segCache.put(key, seg)
+    seg
+  }
+
+  private def parseSegment(json: String): Segment = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(json)
+    def node(f: String) = Option(n.get(f))
+    def strs(f: String): Seq[String] = node(f).map(a =>
+      (0 until a.size).map(a.get(_).asText()): Seq[String])
+      .getOrElse(Seq.empty)
+    def longs(f: String): Option[Seq[Long]] = node(f).map(a =>
+      (0 until a.size).map(a.get(_).asLong()): Seq[Long])
+    def nested[T](f: String, get: com.fasterxml.jackson.databind.JsonNode
+        => T): Seq[Seq[T]] = node(f).map { outer =>
+      (0 until outer.size).map { k =>
+        val inner = outer.get(k)
+        (0 until inner.size).map(j => get(inner.get(j))): Seq[T]
+      }: Seq[Seq[T]]
+    }.getOrElse(Seq.empty)
+    Segment(strs("files"), longs("file_rows").getOrElse(Seq.empty),
+      longs("file_bytes").getOrElse(Seq.empty),
+      longs("file_epochs"), longs("part_values"),
+      longs("stats_min"), longs("stats_max"),
+      nested("cs_mins", _.asText()), nested("cs_maxs", _.asText()),
+      nested("cs_has", _.asBoolean()), nested("cs_exact", _.asBoolean()))
+  }
+
+  private def renderSegment(seg: Segment): String = {
+    val fields = scala.collection.mutable.ArrayBuffer(
+      "files" -> seg.files.map(Json.quote).mkString("[", ",", "]"),
+      "file_rows" -> seg.rows.mkString("[", ",", "]"),
+      "file_bytes" -> seg.bytes.mkString("[", ",", "]"))
+    seg.epochs.foreach(e =>
+      fields += "file_epochs" -> e.mkString("[", ",", "]"))
+    seg.partValues.foreach(p =>
+      fields += "part_values" -> p.mkString("[", ",", "]"))
+    seg.statsMin.foreach(m =>
+      fields += "stats_min" -> m.mkString("[", ",", "]"))
+    seg.statsMax.foreach(m =>
+      fields += "stats_max" -> m.mkString("[", ",", "]"))
+    if (seg.csMins.nonEmpty) {
+      def nest[T](vss: Seq[Seq[T]], f: T => String): String =
+        vss.map(_.map(f).mkString("[", ",", "]")).mkString("[", ",", "]")
+      fields += "cs_mins" -> nest[String](seg.csMins, Json.quote)
+      fields += "cs_maxs" -> nest[String](seg.csMaxs, Json.quote)
+      fields += "cs_has" -> nest[Boolean](seg.csHas, _.toString)
+      fields += "cs_exact" -> nest[Boolean](seg.csExact, _.toString)
+    }
+    Json.obj(fields)
+  }
+
+  /** Write a fresh segment under the table's log, returning its
+    * SegRef. Create-exclusive under a nonce name — raced/abandoned
+    * renders leave orphan segments no header references, swept by
+    * [[vacuum]] under the same TTL as orphan data files.
+    */
+  private def writeSegment(path: String, seg: Segment): SegRef = {
+    val name = s"seg-${nonce()}.json"
+    io(path).createExclusive(s"${logDir(path)}/$name", renderSegment(seg))
+    // the fresh segment is immediately hot — prime the cache
+    segCache.put(io(path).canon(s"${logDir(path)}/$name"), seg)
+    SegRef(name, seg.files.length, Seq.empty)
+  }
 
   // ---------------------------------------------------- schema epochs
 
@@ -414,11 +587,47 @@ object SnapshotTable {
       if (df.columns.contains(c))
         Some(r.getAs[scala.collection.Seq[Long]](c).toSeq)
       else None
-    val stats =
-      if (df.columns.contains("stats_col"))
-        Some(Stats(r.getAs[String]("stats_col"),
-          longs("stats_min").get, longs("stats_max").get))
+    def strsOf(c: String): Seq[String] =
+      r.getAs[scala.collection.Seq[String]](c).toSeq
+    // SEGMENTED header: materialize positional facts from the
+    // referenced segments (each cached JVM-wide); scalar facts parse
+    // from the header exactly like the inline form below
+    val seg: Option[(Seq[SegRef], Seq[(SegRef, Segment)])] =
+      if (df.columns.contains("seg_names")) {
+        val names = strsOf("seg_names")
+        val sizes = longs("seg_sizes").get
+        val drops = strsOf("seg_drops")
+        val refs = names.indices.map { i =>
+          SegRef(names(i), sizes(i).toInt,
+            if (drops(i).isEmpty) Seq.empty
+            else drops(i).split(',').map(_.toInt).toSeq)
+        }
+        val loaded = refs.map(rf => (rf, readSegment(path, rf.name)))
+        loaded.foreach { case (rf, sg) =>
+          require(sg.files.length == rf.size,
+            s"segment ${rf.name} holds ${sg.files.length} files, " +
+              s"header of v$v says ${rf.size}")
+        }
+        Some((refs, loaded))
+      } else None
+    def cat[T](f: Segment => Seq[T]): Seq[T] =
+      seg.get._2.flatMap { case (rf, sg) => rf.liveIdx.map(f(sg)) }
+    def catOpt[T](f: Segment => Option[Seq[T]]): Option[Seq[T]] =
+      if (seg.get._2.nonEmpty && seg.get._2.forall(s => f(s._2).isDefined))
+        Some(seg.get._2.flatMap { case (rf, sg) =>
+          rf.liveIdx.map(f(sg).get) })
       else None
+    val stats =
+      if (df.columns.contains("stats_col")) {
+        if (seg.isDefined)
+          Some(Stats(r.getAs[String]("stats_col"),
+            catOpt(_.statsMin).getOrElse(throw new IllegalStateException(
+              s"v$v declares stats_col but a segment lacks bounds")),
+            catOpt(_.statsMax).get))
+        else
+          Some(Stats(r.getAs[String]("stats_col"),
+            longs("stats_min").get, longs("stats_max").get))
+      } else None
     val bloom =
       if (df.columns.contains("bloom_col"))
         Some(BloomConf(r.getAs[String]("bloom_col"),
@@ -437,7 +646,21 @@ object SnapshotTable {
           r.getAs[String]("part_transform"), r.getAs[Long]("part_param")))
       else None
     val colStats =
-      if (df.columns.contains("col_stats"))
+      if (seg.isDefined && df.columns.contains("cs_cols")) {
+        // segmented: declaration (names/dtypes) in the header, bounds
+        // concatenated from the segments' positional arrays
+        val cols = strsOf("cs_cols")
+        val dts = strsOf("cs_dtypes")
+        cols.indices.map { k =>
+          seg.get._2.foreach { case (rf, sg) =>
+            require(sg.csMins.length == cols.length,
+              s"segment ${rf.name} carries ${sg.csMins.length} typed-" +
+                s"stats columns, header of v$v declares ${cols.length}")
+          }
+          ColStats(cols(k), dts(k), cat(_.csMins(k)), cat(_.csMaxs(k)),
+            cat(_.csHas(k)), cat(_.csExact(k)))
+        }
+      } else if (df.columns.contains("col_stats"))
         r.getAs[scala.collection.Seq[Row]]("col_stats").toSeq.map { cr =>
           ColStats(cr.getAs[String]("col"), cr.getAs[String]("dtype"),
             cr.getAs[scala.collection.Seq[String]]("mins").toSeq,
@@ -446,10 +669,31 @@ object SnapshotTable {
             cr.getAs[scala.collection.Seq[Boolean]]("exact").toSeq)
         }
       else Seq.empty
+    val schemaIds = longs("schema_ids")
+    // file naming epochs: positional — from segments when segmented.
+    // A schema-carrying segmented manifest whose segments lack epochs
+    // is corrupt; fail loudly rather than degrade to name resolution.
+    val fileEpochs =
+      if (seg.isDefined) {
+        val e = catOpt(_.epochs)
+        require(schemaIds.isEmpty || e.isDefined,
+          s"v$v carries field-id schema but a segment lacks file_epochs")
+        e
+      } else longs("file_epochs")
+    val partValues =
+      if (seg.isDefined) {
+        val pv = catOpt(_.partValues)
+        require(part.isEmpty || pv.isDefined,
+          s"v$v is hidden-partitioned but a segment lacks part_values")
+        pv
+      } else longs("part_values")
     Version(r.getAs[Long]("version"),
-      r.getAs[scala.collection.Seq[String]]("files").toSeq,
-      r.getAs[Long]("rows"), stats, longs("file_rows"),
-      longs("file_bytes"), bloom, txns, part, longs("part_values"),
+      if (seg.isDefined) cat(_.files)
+      else r.getAs[scala.collection.Seq[String]]("files").toSeq,
+      r.getAs[Long]("rows"), stats,
+      if (seg.isDefined) Some(cat(_.rows)) else longs("file_rows"),
+      if (seg.isDefined) Some(cat(_.bytes)) else longs("file_bytes"),
+      bloom, txns, part, partValues,
       if (df.columns.contains("committed_ms"))
         r.getAs[Long]("committed_ms") else 0L,
       if (df.columns.contains("op")) r.getAs[String]("op") else "",
@@ -457,11 +701,11 @@ object SnapshotTable {
         r.getAs[scala.collection.Seq[String]]("dv_files").toSeq
       else Seq.empty,
       if (df.columns.contains("dv_rows")) r.getAs[Long]("dv_rows") else 0L,
-      longs("schema_ids"),
+      schemaIds,
       if (df.columns.contains("schema_names"))
         Some(r.getAs[scala.collection.Seq[String]]("schema_names").toSeq)
       else None,
-      longs("file_epochs"),
+      fileEpochs,
       if (df.columns.contains("epoch")) r.getAs[Long]("epoch") else 0L,
       longs("schema_dropped").getOrElse(Seq.empty),
       if (df.columns.contains("schema_max_id"))
@@ -473,7 +717,8 @@ object SnapshotTable {
         r.getAs[scala.collection.Seq[Long]]("schema_added_ids")
           .zip(r.getAs[scala.collection.Seq[String]]("schema_added_types"))
           .toSeq
-      else Seq.empty)
+      else Seq.empty,
+      segRefs = seg.map(_._1))
   }
 
   // ------------------------------------------------------------ commit
@@ -508,6 +753,14 @@ object SnapshotTable {
         ver.addedTypes)
     }
 
+  /** Render the next version's manifest, choosing the storage form:
+    * INLINE full snapshot below [[segThreshold]] files (one read, no
+    * extra RTTs), SEGMENTED header above it or whenever the commit's
+    * base already is (`seg` = the table path plus the base version the
+    * commit was planned against; `path -> None` for first commits and
+    * cross-table copies). Carry against the base is derived and
+    * verified inside — see the segmented-manifests section doc.
+    */
   private def renderManifest(v: Long, files: Seq[String], rows: Seq[Long],
                              bytes: Seq[Long], stats: Option[Stats],
                              bloom: Option[BloomConf],
@@ -522,7 +775,235 @@ object SnapshotTable {
                              // what happens to the typed stats — a
                              // defaulted Seq.empty would silently drop
                              // the whole index on any path that forgot
-                             colStats: Seq[ColStats]): String = {
+                             colStats: Seq[ColStats],
+                             // NO default either: every commit path
+                             // must say what base it planned against,
+                             // or O(Δ) commits silently degrade to
+                             // O(table) inline rewrites at scale
+                             seg: (String, Option[Version])): String = {
+    val (tpath, baseOpt) = seg
+    val segmented = tpath.nonEmpty && files.nonEmpty &&
+      (baseOpt.exists(_.segRefs.exists(_.nonEmpty)) ||
+        files.length >= segThreshold)
+    if (!segmented)
+      renderInline(v, files, rows, bytes, stats, bloom, txns, part,
+        partValues, op, dvFiles, dvRows, schema, colStats)
+    else
+      renderSegmented(tpath, baseOpt, v, files, rows, bytes, stats,
+        bloom, txns, part, partValues, op, dvFiles, dvRows, schema,
+        colStats)
+  }
+
+  /** Segmented header render: derive the carry against `baseOpt`,
+    * write at most one fresh segment, and emit the O(Δ) header. See
+    * the section doc for the self-verification contract.
+    */
+  private def renderSegmented(tpath: String, baseOpt: Option[Version],
+                              v: Long, files: Seq[String],
+                              rows: Seq[Long], bytes: Seq[Long],
+                              stats: Option[Stats],
+                              bloom: Option[BloomConf],
+                              txns: Map[String, Long],
+                              part: Option[PartSpec],
+                              partValues: Option[Seq[Long]],
+                              op: String, dvFiles: Seq[String],
+                              dvRows: Long, schema: Option[SchemaMeta],
+                              colStats: Seq[ColStats]): String = {
+    // the same positional-alignment guards renderInline enforces
+    require(rows.length == files.length && bytes.length == files.length,
+      s"per-file facts misaligned: ${rows.length} rows / " +
+        s"${bytes.length} bytes for ${files.length} files")
+    stats.foreach(st => require(st.mins.length == files.length &&
+      st.maxs.length == files.length,
+      s"layout stats carry ${st.mins.length} bounds for " +
+        s"${files.length} files"))
+    part.foreach(_ => require(partValues.exists(_.length == files.length),
+      "partitioned manifest without per-file partition values"))
+    schema.foreach(sm => require(sm.fileEpochs.length == files.length,
+      s"schema meta carries ${sm.fileEpochs.length} epochs for " +
+        s"${files.length} files"))
+    colStats.foreach { cs =>
+      require(cs.mins.length == files.length &&
+          cs.maxs.length == files.length &&
+          cs.has.length == files.length &&
+          cs.exact.length == files.length,
+        s"typed stats of ${cs.col} carry ${cs.mins.length} bounds " +
+          s"for ${files.length} files — a commit path mis-carried " +
+          "the index")
+    }
+    val epochs: Option[Seq[Long]] = schema.map(_.fileEpochs)
+    // ---- derive the carry: (re-referenced base segments, indices of
+    // carried files in caller order, indices going into the fresh
+    // segment). Any verification miss → everything fresh.
+    val carry: Option[(Seq[SegRef], Seq[Int], Seq[Int])] =
+      baseOpt.filter(b => b.segRefs.exists(_.nonEmpty) &&
+          b.fileRows.isDefined && b.fileBytes.isDefined)
+        .flatMap { base =>
+          val refs = base.segRefs.get
+          val posOf = base.files.zipWithIndex.toMap
+          val pairs = files.indices.flatMap(i =>
+            posOf.get(files(i)).map(p => (i, p)))
+          val basePos = pairs.map(_._2)
+          val ascending = basePos.indices.drop(1)
+            .forall(j => basePos(j - 1) < basePos(j))
+          val shapeOk =
+            stats.isDefined == base.stats.isDefined &&
+              part.isDefined == base.part.isDefined &&
+              epochs.isDefined == base.fileEpochs.isDefined &&
+              colStats.length == base.colStats.length
+          if (pairs.isEmpty || !ascending || !shapeOk) None
+          else {
+            val bRows = base.fileRows.get
+            val bBytes = base.fileBytes.get
+            val factsEqual = pairs.forall { case (i, p) =>
+              rows(i) == bRows(p) && bytes(i) == bBytes(p) &&
+                stats.forall(st => st.mins(i) == base.stats.get.mins(p) &&
+                  st.maxs(i) == base.stats.get.maxs(p)) &&
+                partValues.forall(pv => pv(i) == base.partValues.get(p)) &&
+                epochs.forall(e => e(i) == base.fileEpochs.get(p)) &&
+                colStats.indices.forall { k =>
+                  val a = colStats(k); val b = base.colStats(k)
+                  a.dtype == b.dtype && a.mins(i) == b.mins(p) &&
+                    a.maxs(i) == b.maxs(p) && a.has(i) == b.has(p) &&
+                    a.exact(i) == b.exact(p)
+                }
+            }
+            if (!factsEqual) None
+            else {
+              // base position -> (segment index, original local index)
+              val posToSeg = refs.zipWithIndex.flatMap { case (rf, si) =>
+                rf.liveIdx.map(li => (si, li))
+              }.toIndexedSeq
+              require(posToSeg.length == base.files.length,
+                s"segments of v${base.version} materialize " +
+                  s"${posToSeg.length} files, manifest says " +
+                  s"${base.files.length}")
+              val keptBySeg = Array.fill(refs.length)(
+                scala.collection.mutable.Set.empty[Int])
+              pairs.foreach { case (_, p) =>
+                val (si, li) = posToSeg(p); keptBySeg(si) += li
+              }
+              // fully-dead segments vanish; over-dropped segments fold
+              // their survivors into the fresh segment (drop-cap);
+              // everything else re-references
+              val fold = scala.collection.mutable.Set.empty[Int]
+              val newRefs = refs.zipWithIndex.flatMap { case (rf, si) =>
+                val kept = keptBySeg(si)
+                if (kept.isEmpty) None
+                else {
+                  val drops = (0 until rf.size).filterNot(kept)
+                  if (drops.length > segDropCap(rf.size)) {
+                    fold += si; None
+                  } else Some(SegRef(rf.name, rf.size, drops))
+                }
+              }
+              val keptIdx = pairs.collect {
+                case (i, p) if !fold(posToSeg(p)._1) => i
+              }
+              val foldIdx = pairs.collect {
+                case (i, p) if fold(posToSeg(p)._1) => i
+              }
+              val freshIdx = files.indices
+                .filterNot(i => posOf.contains(files(i)))
+              Some((newRefs, keptIdx, foldIdx ++ freshIdx))
+            }
+          }
+        }
+    val (carriedRefs, carriedIdx, freshIdx) =
+      carry.getOrElse((Seq.empty[SegRef], Seq.empty[Int],
+        files.indices: Seq[Int]))
+    def segOf(idx: Seq[Int]): Segment = Segment(
+      idx.map(files), idx.map(rows), idx.map(bytes),
+      epochs.map(e => idx.map(e)), partValues.map(p => idx.map(p)),
+      stats.map(st => idx.map(st.mins)), stats.map(st => idx.map(st.maxs)),
+      colStats.map(cs => idx.map(cs.mins)),
+      colStats.map(cs => idx.map(cs.maxs)),
+      colStats.map(cs => idx.map(cs.has)),
+      colStats.map(cs => idx.map(cs.exact)))
+    val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
+    val (finalRefs, headerIdx) =
+      if (carriedRefs.isEmpty || wantSegs > segMaxSegments) {
+        // collapse: one full segment holding every live file
+        val order = carriedIdx ++ freshIdx
+        (Seq(writeSegment(tpath, segOf(order))), order)
+      } else if (freshIdx.nonEmpty)
+        (carriedRefs :+ writeSegment(tpath, segOf(freshIdx)),
+          carriedIdx ++ freshIdx)
+      else (carriedRefs, carriedIdx)
+    require(headerIdx.length == files.length &&
+        headerIdx.toSet.size == files.length,
+      s"segment render lost files: ${headerIdx.length} of " +
+        s"${files.length}")
+    // ---- the O(Δ) header: scalar facts + segment references
+    val fields = scala.collection.mutable.ArrayBuffer(
+      "version" -> v.toString,
+      "op" -> Json.quote(op),
+      "committed_ms" -> System.currentTimeMillis().toString,
+      "rows" -> (rows.sum - dvRows).toString,
+      "seg_names" -> finalRefs.map(rf => Json.quote(rf.name))
+        .mkString("[", ",", "]"),
+      "seg_sizes" -> finalRefs.map(_.size).mkString("[", ",", "]"),
+      "seg_drops" -> finalRefs.map(rf =>
+        Json.quote(rf.drops.mkString(","))).mkString("[", ",", "]"))
+    stats.foreach(st => fields += "stats_col" -> Json.quote(st.col))
+    bloom.foreach { bc =>
+      fields += "bloom_col" -> Json.quote(bc.col)
+      fields += "bloom_expected" -> bc.expectedPerFile.toString
+      fields += "bloom_fpp" -> bc.fpp.toString
+    }
+    if (txns.nonEmpty) {
+      val ts = txns.toSeq.sortBy(_._1)
+      fields += "txn_writers" -> ts.map(t => Json.quote(t._1))
+        .mkString("[", ",", "]")
+      fields += "txn_batches" -> ts.map(_._2).mkString("[", ",", "]")
+    }
+    if (dvFiles.nonEmpty) {
+      fields += "dv_files" -> dvFiles.map(Json.quote)
+        .mkString("[", ",", "]")
+      fields += "dv_rows" -> dvRows.toString
+    }
+    schema.foreach { sm =>
+      fields += "schema_ids" -> sm.ids.mkString("[", ",", "]")
+      fields += "schema_names" -> sm.names.map(Json.quote)
+        .mkString("[", ",", "]")
+      fields += "epoch" -> sm.epoch.toString
+      fields += "schema_max_id" -> sm.maxId.toString
+      fields += "schema_altered" -> sm.altered.toString
+      if (sm.dropped.nonEmpty)
+        fields += "schema_dropped" -> sm.dropped.mkString("[", ",", "]")
+      if (sm.addedTypes.nonEmpty) {
+        val ts = sm.addedTypes.sortBy(_._1)
+        fields += "schema_added_ids" -> ts.map(_._1)
+          .mkString("[", ",", "]")
+        fields += "schema_added_types" -> ts.map(t => Json.quote(t._2))
+          .mkString("[", ",", "]")
+      }
+    }
+    part.foreach { p =>
+      fields += "part_source" -> Json.quote(p.source)
+      fields += "part_transform" -> Json.quote(p.transform)
+      fields += "part_param" -> p.param.toString
+    }
+    if (colStats.nonEmpty) {
+      fields += "cs_cols" -> colStats.map(c => Json.quote(c.col))
+        .mkString("[", ",", "]")
+      fields += "cs_dtypes" -> colStats.map(c => Json.quote(c.dtype))
+        .mkString("[", ",", "]")
+    }
+    Json.obj(fields)
+  }
+
+  private def renderInline(v: Long, files: Seq[String], rows: Seq[Long],
+                           bytes: Seq[Long], stats: Option[Stats],
+                           bloom: Option[BloomConf],
+                           txns: Map[String, Long] = Map.empty,
+                           part: Option[PartSpec] = None,
+                           partValues: Option[Seq[Long]] = None,
+                           op: String = "",
+                           dvFiles: Seq[String] = Seq.empty,
+                           dvRows: Long = 0L,
+                           schema: Option[SchemaMeta] = None,
+                           colStats: Seq[ColStats]): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
@@ -913,7 +1394,8 @@ object SnapshotTable {
       bytesOf(ver), ver.stats, ver.bloom, ver.txns, ver.part,
       ver.partValues, op = "ANALYZE",
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
-      schema = carryMeta(ver, ver.files.indices, 0), colStats = cs))
+      schema = carryMeta(ver, ver.files.indices, 0), colStats = cs,
+      seg = path -> Some(ver)))
     v
   }
 
@@ -1010,7 +1492,8 @@ object SnapshotTable {
         base.txns ++ txn.toMap, op = "APPEND",
         dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, batch.files.length),
-        colStats = colStatsWith(base, base.files.indices, batchCs))
+        colStats = colStatsWith(base, base.files.indices, batchCs),
+        seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1097,7 +1580,8 @@ object SnapshotTable {
         op = op,
         dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, files.length),
-        colStats = colStatsWith(base, base.files.indices, batchCs))
+        colStats = colStatsWith(base, base.files.indices, batchCs),
+        seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1196,7 +1680,8 @@ object SnapshotTable {
         batch.bytes,
         statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
         bloomConf, base.txns ++ txn.toMap, op = "OVERWRITE",
-        schema = meta, colStats = batchCs)
+        schema = meta, colStats = batchCs,
+        seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1236,7 +1721,8 @@ object SnapshotTable {
         base.stats.map(st => Stats(st.col, Seq.empty, Seq.empty)),
         base.bloom, base.txns, base.part,
         base.part.map(_ => Seq.empty), op = "TRUNCATE", schema = meta,
-        colStats = base.colStats.map(_.slice(Seq.empty)))
+        colStats = base.colStats.map(_.slice(Seq.empty)),
+        seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1350,7 +1836,8 @@ object SnapshotTable {
           keepIdx.map(pv) ++ newParts.get),
         op = op,
         schema = carryMeta(cur, keepIdx, newFiles.length),
-        colStats = colStatsWith(cur, keepIdx, newColStats))
+        colStats = colStatsWith(cur, keepIdx, newColStats),
+        seg = path -> Some(cur))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case e: FileAlreadyExistsException =>
@@ -1545,7 +2032,8 @@ object SnapshotTable {
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
         op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, batch.files.length),
-        colStats = colStatsWith(base, base.files.indices, batchCs))
+        colStats = colStatsWith(base, base.files.indices, batchCs),
+        seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1675,7 +2163,8 @@ object SnapshotTable {
         ver.bloom, ver.txns ++ txn.toMap, Some(spec),
         Some(keepIdx.map(pv) ++ pvals), op = "OVERWRITE",
         schema = carryMeta(ver, keepIdx, batch.files.length),
-        colStats = colStatsWith(ver, keepIdx, batchCs))
+        colStats = colStatsWith(ver, keepIdx, batchCs),
+        seg = path -> Some(ver))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1749,7 +2238,8 @@ object SnapshotTable {
         ver.bloom, ver.txns ++ txn.toMap, Some(spec), Some(pvals),
         op = "OVERWRITE",
         schema = carryMeta(ver, Seq.empty, batch.files.length),
-        colStats = colStatsWith(ver, Seq.empty, batchCs))
+        colStats = colStatsWith(ver, Seq.empty, batchCs),
+        seg = path -> Some(ver))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1817,7 +2307,8 @@ object SnapshotTable {
         ver.bloom, ver.txns ++ txn.toMap, Some(spec),
         Some(keepIdx.map(pv) ++ parts), op = "OVERWRITE",
         schema = carryMeta(ver, keepIdx, files.length),
-        colStats = colStatsWith(ver, keepIdx, freshCs))
+        colStats = colStatsWith(ver, keepIdx, freshCs),
+        seg = path -> Some(ver))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1929,7 +2420,8 @@ object SnapshotTable {
         Stats(st.col, keepIdx.map(st.mins), keepIdx.map(st.maxs))),
       ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv)),
       op = "DELETE", schema = carryMeta(ver, keepIdx, 0),
-      colStats = ver.colStats.map(_.slice(keepIdx))))
+      colStats = ver.colStats.map(_.slice(keepIdx)),
+      seg = path -> Some(ver)))
     (v, ver.files.length - keepIdx.length, ver.files.length)
   }
 
@@ -2191,7 +2683,8 @@ object SnapshotTable {
         bytesOf(ver),
         Some(st), ver.bloom, ver.txns, op = "DELETE",
         schema = carryMeta(ver, ver.files.indices, 0),
-        colStats = ver.colStats))
+        colStats = ver.colStats,
+      seg = path -> Some(ver)))
       return (v, 0, ver.files.length)
     }
     val hitFiles = hitIdx.map(ver.files)
@@ -2356,7 +2849,8 @@ object SnapshotTable {
       op = "DELETE",
       dvFiles = allDv, dvRows = allDvRows,
       schema = carryMeta(ver, ver.files.indices, 0),
-      colStats = ver.colStats))
+      colStats = ver.colStats,
+      seg = path -> Some(ver)))
     // maintenance hook: when a [[DvPolicy]] is set and this commit
     // pushed the table past either threshold, fold the DVs into a
     // rewrite NOW — the caller's returned version is the materialized
@@ -2449,7 +2943,8 @@ object SnapshotTable {
           Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
           schema = carryMeta(ver, keepIdx, batch.files.length),
           colStats = colStatsWith(ver, keepIdx,
-            computeColStats(spark, batch.files, colSpecsOf(ver)))))
+            computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
       case None =>
@@ -2475,7 +2970,8 @@ object SnapshotTable {
           ver.bloom, ver.txns, op = "OPTIMIZE",
           schema = carryMeta(ver, keepIdx, batch.files.length),
           colStats = colStatsWith(ver, keepIdx,
-            computeColStats(spark, batch.files, colSpecsOf(ver)))))
+            computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
     }
@@ -2687,7 +3183,8 @@ object SnapshotTable {
       Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
-        computeColStats(spark, batch.files, colSpecsOf(ver)))))
+        computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
     CompactResult(v, ver.files.length,
       keepIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -2752,7 +3249,8 @@ object SnapshotTable {
       ver.bloom, ver.txns, op = "OPTIMIZE",
       schema = carryMeta(ver, Seq.empty, batch.files.length),
       colStats = colStatsWith(ver, Seq.empty,
-        computeColStats(spark, batch.files, colSpecsOf(ver)))))
+        computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
     ReclusterResult(v, ver.files.length, batch.files.length)
   }
 
@@ -3008,7 +3506,8 @@ object SnapshotTable {
       Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE",
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
-        computeColStats(spark, batch.files, colSpecsOf(ver)))))
+        computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
@@ -3061,7 +3560,8 @@ object SnapshotTable {
         ver.droppedIds, ver.schemaMaxId, altered = true,
         addedTypes = ver.addedTypes)),
       colStats = ver.colStats.map(cs =>
-        if (cs.col == oldName) cs.copy(col = newName) else cs)))
+        if (cs.col == oldName) cs.copy(col = newName) else cs),
+      seg = path -> Some(ver)))
     v
   }
 
@@ -3105,7 +3605,8 @@ object SnapshotTable {
         names.patch(i, Nil, 1), ver.fileEpochs.get, ver.epoch,
         ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true,
         addedTypes = ver.addedTypes.filterNot(_._1 == ids(i)))),
-      colStats = ver.colStats))
+      colStats = ver.colStats,
+      seg = path -> Some(ver)))
     v
   }
 
@@ -3150,7 +3651,8 @@ object SnapshotTable {
         ver.fileEpochs.get, e, ver.droppedIds, newId,
         altered = ver.schemaAltered,
         addedTypes = ver.addedTypes :+ (newId, ddl))),
-      colStats = ver.colStats))
+      colStats = ver.colStats,
+      seg = path -> Some(ver)))
     v
   }
 
@@ -3227,7 +3729,8 @@ object SnapshotTable {
           ver.bloom, ver.txns, Some(spec), Some(pvals),
           op = "OPTIMIZE", schema = uniformMeta(batch.files.length),
           colStats = colStatsWith(ver, Seq.empty,
-            computeColStats(spark, batch.files, colSpecsOf(ver)))))
+            computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
         CompactResult(v, ver.files.length, batch.files.length,
           ver.files.length)
       case None =>
@@ -3245,7 +3748,8 @@ object SnapshotTable {
           ver.bloom, ver.txns, op = "OPTIMIZE",
           schema = uniformMeta(batch.files.length),
           colStats = colStatsWith(ver, Seq.empty,
-            computeColStats(spark, batch.files, colSpecsOf(ver)))))
+            computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver)))
         CompactResult(v, ver.files.length, batch.files.length,
           ver.files.length)
     }
@@ -3276,8 +3780,16 @@ object SnapshotTable {
     val latest = latestVersion(path)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom $keepFrom outside committed versions [1, $latest]")
-    val retained = (keepFrom to latest)
-      .flatMap(v => readVersion(spark, path, v).files).toSet
+    val survivors = (keepFrom to latest)
+      .map(v => readVersion(spark, path, v))
+    val retained = survivors.flatMap(_.files).toSet
+    // segments referenced by ANY surviving header stay; a segment
+    // referenced only by expired headers goes with them. (A fresh
+    // segment an in-flight commit just wrote is referenced by NO
+    // header yet — expire never touches it; vacuum's TTL sweep owns
+    // true orphans, same as data files.)
+    val retainedSegs = survivors.flatMap(_.segRefs.getOrElse(Seq.empty))
+      .map(_.name).toSet
     var manifests = 0
     var deleted = 0
     // OWNERSHIP GUARD: a table only ever garbage-collects files under
@@ -3286,17 +3798,25 @@ object SnapshotTable {
     // across and delete them (the source's own retention owns those).
     val tio = io(path)
     val root = tio.canon(path) + "/"
+    val deadSegs = scala.collection.mutable.Set.empty[String]
     (1L until keepFrom).foreach { v =>
       val p = manifestPath(path, v)
       if (tio.exists(p)) {
-        readVersion(spark, path, v).files.filterNot(retained)
+        val dead = readVersion(spark, path, v)
+        dead.files.filterNot(retained)
           .filter(f => canonFile(f).startsWith(root))
           .foreach { f =>
             if (tio.delete(f)) deleted += 1
           }
+        dead.segRefs.getOrElse(Seq.empty).map(_.name)
+          .filterNot(retainedSegs).foreach(deadSegs.add)
         tio.delete(p)
         manifests += 1
       }
+    }
+    deadSegs.foreach { n =>
+      segCache.remove(tio.canon(s"${logDir(path)}/$n"))
+      tio.delete(s"${logDir(path)}/$n")
     }
     ExpireResult(manifests, deleted, retained.size)
   }
@@ -3339,7 +3859,8 @@ object SnapshotTable {
       src.stats, None, Map.empty, src.part, src.partValues,
       op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows,
       schema = carryMeta(src, src.files.indices, 0),
-      colStats = src.colStats))
+      colStats = src.colStats,
+      seg = dstPath -> None))
     // the clone's readers resolve naming epochs against ITS OWN log:
     // copy every epoch table the referenced files could need
     io(srcPath).listNames(logDir(srcPath))
@@ -3408,7 +3929,8 @@ object SnapshotTable {
         schema = carryMeta(src, src.files.indices, 0)
           .map(sm => sm.copy(
             maxId = math.max(sm.maxId, base.schemaMaxId))),
-        colStats = src.colStats)
+        colStats = src.colStats,
+        seg = path -> Some(src))
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>
@@ -3514,6 +4036,20 @@ object SnapshotTable {
             .exists(_.name.endsWith(".parquet"))
           if (!hasPq) tio.deleteDir(d.path)
         }
+      }
+    }
+    // orphan SEGMENT sweep: a raced/abandoned segmented render writes
+    // its segment before losing (or never attempting) the header
+    // commit, leaving a seg-*.json no manifest references — same
+    // lifecycle as orphan data files, same TTL guard
+    val liveSegs = versions.flatMap(_.segRefs.getOrElse(Seq.empty))
+      .map(_.name).toSet
+    tio.listEntries(logDir(path)).foreach { e =>
+      if (!e.isDir && e.name.startsWith("seg-") &&
+          e.name.endsWith(".json") && !liveSegs(e.name) &&
+          e.mtime <= cutoff) {
+        segCache.remove(tio.canon(e.path))
+        if (tio.delete(e.path)) deleted += 1
       }
     }
     // bloom-index GC: drop rows for dead files, consolidate the rest

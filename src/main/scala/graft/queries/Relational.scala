@@ -3368,9 +3368,15 @@ object Relational {
     * into old-null/new-null halves, which the sum and the
     * null-count both catch. The drop must hide the column from v4's
     * scan while v2 still time-travels to it, and the post-ALTER append
-    * (new naming) must unify with the pre-ALTER files. DuckDB
-    * reconstructs each version's aggregate from raw lineitem, so a
-    * forked, leaked, or resurrected column hash-mismatches.
+    * (new naming) must unify with the pre-ALTER files. The lifecycle
+    * then continues across an ADD COLUMN: v6 declares `note STRING`
+    * as a METADATA-ONLY commit (require-asserted: same data files),
+    * every pre-ADD row reads it as NULL (the null-count catches a
+    * type- or value-leak), and the v7 append fills it physically —
+    * the mixed old/new files must unify under one schema with the
+    * non-null count exactly the new batch's. DuckDB reconstructs each
+    * version's aggregate from raw lineitem, so a forked, leaked, or
+    * resurrected column hash-mismatches.
     */
   val renameDropEvolution = QueryDef("q183_rename_drop",
     """SELECT
@@ -3384,7 +3390,13 @@ object Relational {
       |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 3) AS n_v5,
       |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
       |    AS BIGINT) FROM lineitem WHERE l_linenumber <= 3) AS sum_qc_v5,
-      |  TRUE AS alters_metadata_only, TRUE AS drop_hidden""".stripMargin
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 4) AS n_v7,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |    AS BIGINT) FROM lineitem WHERE l_linenumber <= 4) AS sum_qc_v7,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber = 4)
+      |    AS notes_nonnull,
+      |  TRUE AS alters_metadata_only, TRUE AS drop_hidden,
+      |  TRUE AS add_metadata_only""".stripMargin
   ) { (s, d) =>
     import graft.ops.SnapshotTable
     val path = Work.oracleDumpPath("q183_table")
@@ -3415,6 +3427,17 @@ object Relational {
           li.filter(col("l_linenumber") === 3)
             .select(col("l_orderkey").as("k"), qc.as("qty_c")),
           path, numPartitions = 4)
+        // ADD COLUMN: metadata-only, typed, old files read NULL
+        val files5 = SnapshotTable.readVersion(s, path, 5).files.toSet
+        SnapshotTable.addColumn(s, path, "note",
+          org.apache.spark.sql.types.StringType)
+        require(SnapshotTable.readVersion(s, path, 6).files.toSet
+          == files5, "ADD COLUMN rewrote data files")
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 4)
+            .select(col("l_orderkey").as("k"), qc.as("qty_c"),
+              col("l_returnflag").as("note")),
+          path, numPartitions = 4)
       }
       d
     })
@@ -3428,6 +3451,15 @@ object Relational {
     require(s4.columns.toSeq == Seq("k", "qty_c"),
       "drop did not hide the column")
     val (s5, _, _) = SnapshotTable.scanAt(s, path, 5)
+    val (s6, _, _) = SnapshotTable.scanAt(s, path, 6)
+    require(s6.columns.toSeq == Seq("k", "qty_c", "note"),
+      s"ADD COLUMN not visible at v6: ${s6.columns.toSeq}")
+    require(s6.schema("note").dataType
+      == org.apache.spark.sql.types.StringType,
+      "added column must read with its DECLARED type")
+    require(s6.agg(count(col("note"))).head.getLong(0) == 0L,
+      "pre-ADD rows must read the new column as NULL")
+    val (s7, _, _) = SnapshotTable.scanAt(s, path, 7)
     val r2 = s2.agg(count(lit(1)), sum("a").cast("long"),
       count(col("b"))).collect().head
     val r3 = s3.agg(sum("qty_c").cast("long"),
@@ -3435,11 +3467,15 @@ object Relational {
       .collect().head
     val r5 = s5.agg(count(lit(1)), sum("qty_c").cast("long"))
       .collect().head
+    val r7 = s7.agg(count(lit(1)), sum("qty_c").cast("long"),
+      count(col("note"))).collect().head
     import s.implicits._
     Seq((r2.getLong(0), r2.getLong(1), r2.getLong(2), r3.getLong(0),
-      r3.getLong(1), r5.getLong(0), r5.getLong(1), true, true))
+      r3.getLong(1), r5.getLong(0), r5.getLong(1), r7.getLong(0),
+      r7.getLong(1), r7.getLong(2), true, true, true))
       .toDF("n_v2", "sum_a_v2", "n_b_v2", "sum_qc_v3", "null_qc_v3",
-        "n_v5", "sum_qc_v5", "alters_metadata_only", "drop_hidden")
+        "n_v5", "sum_qc_v5", "n_v7", "sum_qc_v7", "notes_nonnull",
+        "alters_metadata_only", "drop_hidden", "add_metadata_only")
   }
 
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
@@ -3591,6 +3627,356 @@ object Relational {
       .toDF("n", "slope_ppm", "intercept_ppm")
   }
 
+  /** q198 — TYPED multi-column file statistics on REAL column types:
+    * the manifest carries per-file min/max for a declared list of
+    * columns (here a DATE and a STRING, alongside the BIGINT layout
+    * column), and the DSv2 planner prunes files from predicates on
+    * them directly — no "cast your dates to epoch-days" contortion.
+    * The table is range-laid-out on ship_day so the correlated DATE
+    * and month-STRING bounds per file are tight; a half-year DATE
+    * window and a one-month STRING equality must each plan a strict
+    * subset of files (require-asserted), the month probe's DELIVERED
+    * rows must stay below the table's total (the same predicate also
+    * reaches parquet row-group statistics inside kept files), and
+    * MIN/MAX over the DATE column must serve from the manifest
+    * without opening a single file (require-asserted). DuckDB
+    * recomputes everything from raw lineitem — a pruning bug that
+    * drops a boundary file changes n/qty and hash-mismatches.
+    */
+  val typedStatsPrune = QueryDef("q198_typed_stats_prune",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-15'
+      |      AND CAST(l_shipdate AS DATE) <= DATE '1996-09-15') AS n_date,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem
+      |    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-15'
+      |      AND CAST(l_shipdate AS DATE) <= DATE '1996-09-15') AS qty_date,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')
+      |      = '1996-03') AS n_month,
+      |  (SELECT min(CAST(l_shipdate AS DATE)) FROM lineitem) AS d_min,
+      |  (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem) AS d_max,
+      |  TRUE AS files_pruned, TRUE AS agg_from_manifest""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q198_table")
+    clusterLayouts.compute("q198", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            col("l_shipdate").cast("date").as("ship_d"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_m"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, numPartitions = 8, statsCol = Some("ship_day"),
+          statsCols = Seq("ship_d", "ship_m"))
+      }
+      d
+    })
+    val t = s.read.format("graft_table").option("path", path).load()
+    val nAll = t.count()
+    GraftTableSource.lastPlan.set((-1, -1))
+    val rd = t.filter(col("ship_d").between(
+        to_date(lit("1996-03-15")), to_date(lit("1996-09-15"))))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().head
+    val (p1, t1) = GraftTableSource.lastPlan.get()
+    require(p1 > 0 && p1 < t1,
+      s"DATE range pruning failed: planned $p1 of $t1 files")
+    GraftTableSource.lastPlan.set((-1, -1))
+    GraftTableSource.rowsRead.set(0L)
+    val nMonth = t.filter(col("ship_m") === "1996-03").count()
+    val (p2, t2) = GraftTableSource.lastPlan.get()
+    require(p2 > 0 && p2 < t2,
+      s"STRING equality pruning failed: planned $p2 of $t2 files")
+    require(GraftTableSource.rowsRead.get() < nAll,
+      s"month probe delivered ${GraftTableSource.rowsRead.get()} of " +
+        s"$nAll rows — row-group statistics did not bound the read")
+    GraftTableSource.lastAggPush.set(false)
+    val ag = t.agg(min("ship_d").as("d_min"), max("ship_d").as("d_max"))
+      .collect().head
+    require(GraftTableSource.lastAggPush.get(),
+      "MIN/MAX over the DATE stats column must serve from the manifest")
+    import s.implicits._
+    // java8API session: DATE collects as java.time.LocalDate
+    Seq((rd.getLong(0), rd.getLong(1), nMonth,
+      ag.getAs[java.time.LocalDate](0), ag.getAs[java.time.LocalDate](1),
+      true, true))
+      .toDF("n_date", "qty_date", "n_month", "d_min", "d_max",
+        "files_pruned", "agg_from_manifest")
+  }
+
+  /** q199 — OPTIMISTIC CONCURRENCY with auto-rebase
+    * ([[graft.ops.SnapshotTable.merge]] losing the conditional-put
+    * race to a provably DISJOINT append): a CDC upsert batch is held
+    * mid-plan (a gate UDF inside the update batch's evaluation) while
+    * an append of far-outside-range keys wins the next version; the
+    * merge's commit then loses the create-exclusive put and — because
+    * every file it read is still live and the interleaved file's
+    * layout-column range is disjoint from the update batch's — REBASES
+    * onto the winner and commits at the next version instead of
+    * failing (Delta WriteSerializable semantics). Require-asserted:
+    * the merge reports v3 with every update matched and none
+    * inserted, so v2 was the interleaved append and the rebase really
+    * happened. DuckDB recomputes the final state from raw orders —
+    * an upsert applied twice, a lost appended row, or a rebase against
+    * the wrong base all change n/tp and hash-mismatch. (The gate is a
+    * JVM-static flag — a local-mode harness device; the protocol under
+    * test is the manifest's create-exclusive commit, which is
+    * process-agnostic.)
+    */
+  val occRebase = QueryDef("q199_occ_rebase",
+    """SELECT count(*) AS n_after,
+      |  CAST(sum(tp) AS BIGINT) AS tp_after,
+      |  CAST(sum(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_touched,
+      |  TRUE AS rebased
+      |FROM (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 1000 = 7 THEN 5 ELSE 0 END AS tp,
+      |    o_orderkey % 1000 = 7 AS touched
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 55 AS tp, FALSE AS touched FROM orders
+      |  WHERE o_orderkey % 997 = 1
+      |)""".stripMargin) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q199_table")
+    clusterLayouts.compute("q199", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val base = Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("tp"))
+        SnapshotTable.append(base, path, 8, statsCol = Some("k"))
+        OccGate.seen.set(false)
+        val gate = udf((x: Long) => {
+          if (OccGate.seen.compareAndSet(false, true))
+            Thread.sleep(3000)
+          x
+        })
+        val updates = base.filter(col("k") % 1000 === 7)
+          .withColumn("tp", col("tp") + 5)
+          .withColumn("k", gate(col("k")))
+        val err = new java.util.concurrent.atomic
+          .AtomicReference[Throwable]()
+        val res = new java.util.concurrent.atomic
+          .AtomicReference[SnapshotTable.MergeResult]()
+        val th = new Thread(() => {
+          try res.set(SnapshotTable.merge(s, path, updates, "k"))
+          catch { case e: Throwable => err.set(e) }
+        })
+        th.start()
+        val deadline = System.currentTimeMillis() + 60000
+        while (!OccGate.seen.get() &&
+            System.currentTimeMillis() < deadline) Thread.sleep(5)
+        require(OccGate.seen.get(), "merge never started planning")
+        // the interleave: keys offset far outside every base file's
+        // layout range, so the rebase disjointness proof holds
+        SnapshotTable.append(
+          Tables.orders(s, d).filter(col("o_orderkey") % 997 === 1)
+            .select((col("o_orderkey").cast("long")
+              + 1000000000L).as("k"), lit(55L).as("tp")),
+          path, 1, statsCol = Some("k"))
+        th.join(180000)
+        require(err.get() == null,
+          s"disjoint interleaved append must rebase, got ${err.get()}")
+        require(res.get().version == 3L,
+          s"expected v2=append, v3=rebased merge; merge landed at " +
+            s"v${res.get().version}")
+        require(res.get().rowsInserted == 0L,
+          s"every update key exists — ${res.get().rowsInserted} inserts")
+      }
+      d
+    })
+    val (scan, _, _) = SnapshotTable.scanAt(s, path,
+      SnapshotTable.latestVersion(path))
+    val r = scan.agg(count(lit(1)).as("n"),
+        sum("tp").cast("long").as("tp"),
+        sum(when(col("k") % 1000 === 7 && col("k") < 1000000000L, 1L)
+          .otherwise(0L)).cast("long").as("nt"))
+      .collect().head
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n_after", "tp_after", "n_touched", "rebased")
+  }
+
+  /** q200 — ATOMIC CTAS/RTAS through the staging catalog
+    * ([[graft.source.v2.GraftCatalog]] as a `StagingTableCatalog`):
+    * `CREATE TABLE ... PARTITIONED BY (truncate) TBLPROPERTIES
+    * (stats_cols) AS SELECT` stages data files and manifest under a
+    * hidden sibling directory published by ONE rename — a failed CTAS
+    * (a mid-write exploding UDF) leaves NO table and NO staging
+    * litter (require-asserted), which is the atomicity a scheduled
+    * pipeline needs: re-running after a crash never finds a
+    * half-table. The created table carries the declared hidden
+    * partitioning AND typed stats from birth (a date-window probe
+    * plans a strict file subset, require-asserted), and
+    * `REPLACE TABLE ... AS SELECT` swaps a second table's contents
+    * and schema atomically. DuckDB recomputes every aggregate from
+    * raw lineitem/orders.
+    */
+  val ctasAtomic = QueryDef("q200_ctas",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_ctas,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem) AS qty_ctas,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-15'
+      |      AND CAST(l_shipdate AS DATE) <= DATE '1996-09-15') AS n_probe,
+      |  (SELECT count(*) FROM orders) AS n_rtas,
+      |  TRUE AS atomic_abort, TRUE AS files_pruned""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val wh = Work.oracleDumpPath("q200_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q200",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q200.root", wh)
+    clusterLayouts.compute("q200", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).select(
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .as("ship_day"),
+          col("l_shipdate").cast("date").as("ship_d"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          .createOrReplaceTempView("q200_src")
+        // a CTAS that explodes mid-write must leave nothing behind
+        s.udf.register("q200_boom", udf((x: Long) =>
+          if (x > 0L) throw new RuntimeException("q200 boom") else x))
+        try {
+          s.sql("""CREATE TABLE graft_q200.q200.li
+            AS SELECT q200_boom(ship_day) AS ship_day FROM q200_src""")
+          require(false, "exploding CTAS unexpectedly succeeded")
+        } catch { case _: Exception => () }
+        require(!s.catalog.tableExists("graft_q200.q200.li"),
+          "a failed CTAS must leave no table")
+        val db = java.nio.file.Paths.get(wh, "q200")
+        if (java.nio.file.Files.isDirectory(db)) {
+          val leftovers = java.nio.file.Files.list(db)
+          try leftovers.iterator().forEachRemaining { p =>
+            require(!p.getFileName.toString.startsWith(".staged-"),
+              s"failed CTAS leaked staging dir $p")
+          } finally leftovers.close()
+        }
+        s.sql("""CREATE TABLE graft_q200.q200.li
+          PARTITIONED BY (truncate(32, ship_day))
+          TBLPROPERTIES ('stats_col'='ship_day', 'stats_cols'='ship_d')
+          AS SELECT ship_day, ship_d, qty_u FROM q200_src""")
+        // RTAS: contents and schema swap atomically
+        s.sql("""CREATE TABLE graft_q200.q200.o
+          AS SELECT CAST(1 AS BIGINT) AS placeholder FROM range(1)""")
+        Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("okey"),
+          floor(col("o_totalprice") * 100).cast("long").as("tp"))
+          .createOrReplaceTempView("q200_orders")
+        s.sql("""REPLACE TABLE graft_q200.q200.o
+          AS SELECT okey, tp FROM q200_orders""")
+        require(s.table("graft_q200.q200.o").columns.toSeq
+          == Seq("okey", "tp"), "RTAS must swap the schema")
+      }
+      d
+    })
+    val base = s.sql("SELECT count(*) AS n, CAST(sum(qty_u) AS BIGINT)" +
+      " AS q FROM graft_q200.q200.li").collect().head
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nProbe = s.sql("""SELECT count(*) FROM graft_q200.q200.li
+      WHERE ship_d >= DATE '1996-03-15'
+        AND ship_d <= DATE '1996-09-15'""").head.getLong(0)
+    val (p1, t1) = GraftTableSource.lastPlan.get()
+    require(p1 > 0 && p1 < t1,
+      s"CTAS-born stats did not prune: planned $p1 of $t1 files")
+    val nRtas = s.sql("SELECT count(*) FROM graft_q200.q200.o")
+      .head.getLong(0)
+    import s.implicits._
+    Seq((base.getLong(0), base.getLong(1), nProbe, nRtas, true, true))
+      .toDF("n_ctas", "qty_ctas", "n_probe", "n_rtas",
+        "atomic_abort", "files_pruned")
+  }
+
+  /** q201 — SEGMENTED MANIFESTS ([[graft.ops.SnapshotTable]] O(Δ)
+    * commit metadata): above a file-count threshold the manifest
+    * becomes a small header referencing immutable file-list segments,
+    * and each commit re-references the base's segments for carried
+    * files instead of re-listing the table — the Delta-log/Iceberg
+    * economics that keep a million-file table's commits from
+    * rewriting ~100 MB of metadata each. Require-asserted in-query:
+    * the 7th append's header names the previous version's segments
+    * and contains NONE of the carried data-file paths (structurally
+    * O(Δ)), the COW delete re-references too, and time travel to v1
+    * still materializes through the shared segments. DuckDB
+    * recomputes the post-delete aggregate and the v1 row count from
+    * raw lineitem — a drop-list bug that loses or resurrects a file's
+    * rows hash-mismatches.
+    */
+  val segmentedManifest = QueryDef("q201_segmented_manifest",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) NOT BETWEEN 9131 AND 9495)
+      |    AS n_after,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem
+      |    WHERE datediff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE)) NOT BETWEEN 9131 AND 9495)
+      |    AS qty_after,
+      |  (SELECT count(*) FROM lineitem) AS n_v7,
+      |  TRUE AS odelta_commits, TRUE AS segments_shared""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q201_table")
+    clusterLayouts.compute("q201", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        s.conf.set("spark.graft.manifest.segmentThreshold", "8")
+        try {
+          val src = Tables.lineitem(s, d).select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            col("l_linenumber").cast("long").as("ln"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+          (1 to 7).foreach(ln => SnapshotTable.append(
+            src.filter(col("ln") === ln), path, 4,
+            statsCol = Some("ship_day")))
+          val v6 = SnapshotTable.readVersion(s, path, 6)
+          require(v6.segRefs.exists(_.nonEmpty),
+            "28-file table above threshold 8 must be segmented")
+          val h7 = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(path, "log", "v7.json"))
+          require(v6.segRefs.get.map(_.name).forall(h7.contains),
+            "append header must re-reference the base's segments")
+          require(v6.files.forall(f => !h7.contains(f)),
+            "carried file paths must not appear in the O(Δ) header")
+          // COW delete of 1995 re-references the untouched segments
+          SnapshotTable.deleteStatsRange(s, path, 9131, 9495)
+          val v7segs = SnapshotTable.readVersion(s, path, 7)
+            .segRefs.get.map(_.name).toSet
+          val v8 = SnapshotTable.readVersion(s, path, 8)
+          require(v8.segRefs.get.map(_.name).exists(v7segs),
+            "delete must re-reference untouched segments")
+        } finally
+          s.conf.unset("spark.graft.manifest.segmentThreshold")
+      }
+      d
+    })
+    val (scan, _, _) = SnapshotTable.scanAt(s, path,
+      SnapshotTable.latestVersion(path))
+    val r = scan.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    // v7 (pre-delete) still materializes through the shared segments
+    val (s7, _, _) = SnapshotTable.scanAt(s, path, 7)
+    val n7 = s7.count()
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), n7, true, true))
+      .toDF("n_after", "qty_after", "n_v7", "odelta_commits",
+        "segments_shared")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -3606,5 +3992,13 @@ object Relational {
     partitionMerge, shallowClone, renameDropEvolution, olsFit,
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
-    sqlMaintenance)
+    sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
+    segmentedManifest)
+}
+
+/** JVM-static gate for q199's deterministic commit race (local-mode
+  * harness device — see the query doc).
+  */
+private object OccGate {
+  val seen = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -492,11 +492,18 @@ private[v2] final class GraftStagedTable(
     val realCanon = io.canon(realPath)
     val logDir = s"$realPath/log"
     io.listNames(logDir)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      // segment files carry data-file URIs exactly like inline
+      // manifests — both forms re-address
+      .filter(n => (n.startsWith("v") || n.startsWith("seg-")) &&
+        n.endsWith(".json"))
       .foreach { n =>
         val p = s"$logDir/$n"
         io.writeAtomic(p, io.readString(p).replace(tmpCanon, realCanon))
       }
+    // staged-path cache entries die with the staging dir; entries for
+    // a replaced table's old segments die with the table
+    SnapshotTable.invalidateSegments(tmpPath)
+    SnapshotTable.invalidateSegments(realPath)
     val bloomDir = s"$realPath/bloomidx"
     if (io.isDirectory(bloomDir))
       io.walkFiles(bloomDir).filter(_.name.endsWith(".json"))

@@ -22,7 +22,7 @@ class EventStreamSpec extends SparkSpec {
     val streamed = EventStream.runToCompletion(spark,
       EventStream.windowedCounts(EventStream.readEvents(spark, dir)),
       "win_counts", outputMode = "complete")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[Any](0), r.getString(1), r.getLong(2)))
       .toSet
     val batch = Tables.normalizeEventTs(
         spark.read.parquet(s"$dir/events.parquet"))
@@ -30,7 +30,7 @@ class EventStreamSpec extends SparkSpec {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start"), col("event_type"), col("n"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[Any](0), r.getString(1), r.getLong(2)))
       .toSet
     assert(streamed === batch)
     assert(batch.nonEmpty)

@@ -50,12 +50,16 @@ class ScalarsSpec extends SparkSpec {
 
   test("F2 calendar add: month-end clamp matches relativedelta") {
     val ts = to_timestamp(lit("2024-01-31 06:00:00"))
-    assert(one[java.sql.Timestamp](calendarAdd(ts, lit("months"), lit(1)).cast("timestamp"))
-      .toString.startsWith("2024-02-29"))
-    assert(one[java.sql.Timestamp](calendarAdd(ts, lit("years"), lit(1)).cast("timestamp"))
-      .toString.startsWith("2025-01-31"))
-    assert(one[java.sql.Timestamp](calendarAdd(ts, lit("hours"), lit(1.5)).cast("timestamp"))
-      .toString.startsWith("2024-01-31 07:30:00"))
+    // render in-plan (session-TZ string): the java8API session collects
+    // timestamps as java.time.Instant, whose toString format differs
+    def s(c: org.apache.spark.sql.Column): String =
+      one[String](c.cast("timestamp").cast("string"))
+    assert(s(calendarAdd(ts, lit("months"), lit(1)))
+      .startsWith("2024-02-29"))
+    assert(s(calendarAdd(ts, lit("years"), lit(1)))
+      .startsWith("2025-01-31"))
+    assert(s(calendarAdd(ts, lit("hours"), lit(1.5)))
+      .startsWith("2024-01-31 07:30:00"))
     // fractional months are ambiguous in relativedelta (raises) → null here
     assert(one[Any](calendarAdd(ts, lit("months"), lit(1.5))) == null)
   }

@@ -145,9 +145,14 @@ class TypedStatsSpec extends SparkSpec {
       min("name"), count(lit(1))).collect().head
     assert(GraftTableSource.lastAggPush.get(),
       "typed min/max must serve from the manifest")
-    assert(r.getDate(0) === day("2024-01-01"))
-    assert(r.getDate(1) === day("2024-01-28"))
-    assert(r.getTimestamp(2) === ts("2024-01-01 12:00:00"))
+    // java8API session: date/timestamp collect as LocalDate/Instant
+    assert(r.getAs[java.time.LocalDate](0)
+      === java.time.LocalDate.parse("2024-01-01"))
+    assert(r.getAs[java.time.LocalDate](1)
+      === java.time.LocalDate.parse("2024-01-28"))
+    // same JVM-default-zone conversion the toDF input side used
+    assert(r.getAs[java.time.Instant](2)
+      === ts("2024-01-01 12:00:00").toInstant)
     assert(r.getDouble(3) === 279.0 / 7.0)
     assert(r.getString(4) === "doc-00000")
     assert(r.getLong(5) === 280)
