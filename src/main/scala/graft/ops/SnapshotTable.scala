@@ -360,9 +360,13 @@ object SnapshotTable {
     seg
   }
 
+  /** Shared mapper: construction is the expensive part and readTree
+    * is thread-safe.
+    */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def parseSegment(json: String): Segment = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = om.readTree(json)
+    val n = jsonMapper.readTree(json)
     def node(f: String) = Option(n.get(f))
     def strs(f: String): Seq[String] = node(f).map(a =>
       (0 until a.size).map(a.get(_).asText()): Seq[String])
@@ -581,19 +585,28 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, path: String, v: Long): Version = {
     val p = manifestPath(path, v)
     require(io(path).exists(p), s"snapshot table $path has no version $v")
-    val df = spark.read.json(p)
-    val r = df.collect().head
+    // Jackson, not spark.read.json: a manifest read is PLANNING-path
+    // metadata — one small GET plus a driver-local parse, never a
+    // Spark job (spark.read.json costs ~90 ms/job at local[32] and a
+    // planning pass reads manifests dozens of times)
+    val root = jsonMapper.readTree(io(path).readString(p))
+    def has(c: String): Boolean = root.has(c)
+    def jLong(c: String): Long = root.get(c).asLong()
+    def jStr(c: String): String = root.get(c).asText()
     def longs(c: String): Option[Seq[Long]] =
-      if (df.columns.contains(c))
-        Some(r.getAs[scala.collection.Seq[Long]](c).toSeq)
-      else None
-    def strsOf(c: String): Seq[String] =
-      r.getAs[scala.collection.Seq[String]](c).toSeq
+      if (has(c)) {
+        val a = root.get(c)
+        Some((0 until a.size).map(a.get(_).asLong()): Seq[Long])
+      } else None
+    def strsOf(c: String): Seq[String] = {
+      val a = root.get(c)
+      (0 until a.size).map(a.get(_).asText())
+    }
     // SEGMENTED header: materialize positional facts from the
     // referenced segments (each cached JVM-wide); scalar facts parse
     // from the header exactly like the inline form below
     val seg: Option[(Seq[SegRef], Seq[(SegRef, Segment)])] =
-      if (df.columns.contains("seg_names")) {
+      if (has("seg_names")) {
         val names = strsOf("seg_names")
         val sizes = longs("seg_sizes").get
         val drops = strsOf("seg_drops")
@@ -610,43 +623,44 @@ object SnapshotTable {
         }
         Some((refs, loaded))
       } else None
+    // hoist each segment's surviving-index list: 13 positional arrays
+    // concatenate below, and liveIdx is O(segment) to rebuild
+    val segLive: Seq[(Segment, Seq[Int])] = seg.toSeq.flatMap(_._2)
+      .map { case (rf, sg) => (sg, rf.liveIdx) }
     def cat[T](f: Segment => Seq[T]): Seq[T] =
-      seg.get._2.flatMap { case (rf, sg) => rf.liveIdx.map(f(sg)) }
+      segLive.flatMap { case (sg, li) => li.map(f(sg)) }
     def catOpt[T](f: Segment => Option[Seq[T]]): Option[Seq[T]] =
-      if (seg.get._2.nonEmpty && seg.get._2.forall(s => f(s._2).isDefined))
-        Some(seg.get._2.flatMap { case (rf, sg) =>
-          rf.liveIdx.map(f(sg).get) })
+      if (segLive.nonEmpty && segLive.forall(s => f(s._1).isDefined))
+        Some(segLive.flatMap { case (sg, li) => li.map(f(sg).get) })
       else None
     val stats =
-      if (df.columns.contains("stats_col")) {
+      if (has("stats_col")) {
         if (seg.isDefined)
-          Some(Stats(r.getAs[String]("stats_col"),
+          Some(Stats(jStr("stats_col"),
             catOpt(_.statsMin).getOrElse(throw new IllegalStateException(
               s"v$v declares stats_col but a segment lacks bounds")),
             catOpt(_.statsMax).get))
         else
-          Some(Stats(r.getAs[String]("stats_col"),
+          Some(Stats(jStr("stats_col"),
             longs("stats_min").get, longs("stats_max").get))
       } else None
     val bloom =
-      if (df.columns.contains("bloom_col"))
-        Some(BloomConf(r.getAs[String]("bloom_col"),
-          r.getAs[Long]("bloom_expected"),
-          if (df.columns.contains("bloom_fpp"))
-            r.getAs[Double]("bloom_fpp") else 0.01))
+      if (has("bloom_col"))
+        Some(BloomConf(jStr("bloom_col"), jLong("bloom_expected"),
+          if (has("bloom_fpp")) root.get("bloom_fpp").asDouble()
+          else 0.01))
       else None
     val txns =
-      if (df.columns.contains("txn_writers"))
-        r.getAs[scala.collection.Seq[String]]("txn_writers")
-          .zip(r.getAs[scala.collection.Seq[Long]]("txn_batches")).toMap
+      if (has("txn_writers"))
+        strsOf("txn_writers").zip(longs("txn_batches").get).toMap
       else Map.empty[String, Long]
     val part =
-      if (df.columns.contains("part_source"))
-        Some(PartSpec(r.getAs[String]("part_source"),
-          r.getAs[String]("part_transform"), r.getAs[Long]("part_param")))
+      if (has("part_source"))
+        Some(PartSpec(jStr("part_source"), jStr("part_transform"),
+          jLong("part_param")))
       else None
     val colStats =
-      if (seg.isDefined && df.columns.contains("cs_cols")) {
+      if (seg.isDefined && has("cs_cols")) {
         // segmented: declaration (names/dtypes) in the header, bounds
         // concatenated from the segments' positional arrays
         val cols = strsOf("cs_cols")
@@ -660,15 +674,20 @@ object SnapshotTable {
           ColStats(cols(k), dts(k), cat(_.csMins(k)), cat(_.csMaxs(k)),
             cat(_.csHas(k)), cat(_.csExact(k)))
         }
-      } else if (df.columns.contains("col_stats"))
-        r.getAs[scala.collection.Seq[Row]]("col_stats").toSeq.map { cr =>
-          ColStats(cr.getAs[String]("col"), cr.getAs[String]("dtype"),
-            cr.getAs[scala.collection.Seq[String]]("mins").toSeq,
-            cr.getAs[scala.collection.Seq[String]]("maxs").toSeq,
-            cr.getAs[scala.collection.Seq[Boolean]]("has").toSeq,
-            cr.getAs[scala.collection.Seq[Boolean]]("exact").toSeq)
+      } else if (has("col_stats")) {
+        val arr = root.get("col_stats")
+        (0 until arr.size).map { i =>
+          val cr = arr.get(i)
+          def sarr(f: String): Seq[String] = {
+            val a = cr.get(f); (0 until a.size).map(a.get(_).asText())
+          }
+          def barr(f: String): Seq[Boolean] = {
+            val a = cr.get(f); (0 until a.size).map(a.get(_).asBoolean())
+          }
+          ColStats(cr.get("col").asText(), cr.get("dtype").asText(),
+            sarr("mins"), sarr("maxs"), barr("has"), barr("exact"))
         }
-      else Seq.empty
+      } else Seq.empty
     val schemaIds = longs("schema_ids")
     // file naming epochs: positional — from segments when segmented.
     // A schema-carrying segmented manifest whose segments lack epochs
@@ -687,36 +706,27 @@ object SnapshotTable {
           s"v$v is hidden-partitioned but a segment lacks part_values")
         pv
       } else longs("part_values")
-    Version(r.getAs[Long]("version"),
-      if (seg.isDefined) cat(_.files)
-      else r.getAs[scala.collection.Seq[String]]("files").toSeq,
-      r.getAs[Long]("rows"), stats,
+    Version(jLong("version"),
+      if (seg.isDefined) cat(_.files) else strsOf("files"),
+      jLong("rows"), stats,
       if (seg.isDefined) Some(cat(_.rows)) else longs("file_rows"),
       if (seg.isDefined) Some(cat(_.bytes)) else longs("file_bytes"),
       bloom, txns, part, partValues,
-      if (df.columns.contains("committed_ms"))
-        r.getAs[Long]("committed_ms") else 0L,
-      if (df.columns.contains("op")) r.getAs[String]("op") else "",
-      if (df.columns.contains("dv_files"))
-        r.getAs[scala.collection.Seq[String]]("dv_files").toSeq
-      else Seq.empty,
-      if (df.columns.contains("dv_rows")) r.getAs[Long]("dv_rows") else 0L,
+      if (has("committed_ms")) jLong("committed_ms") else 0L,
+      if (has("op")) jStr("op") else "",
+      if (has("dv_files")) strsOf("dv_files") else Seq.empty,
+      if (has("dv_rows")) jLong("dv_rows") else 0L,
       schemaIds,
-      if (df.columns.contains("schema_names"))
-        Some(r.getAs[scala.collection.Seq[String]]("schema_names").toSeq)
-      else None,
+      if (has("schema_names")) Some(strsOf("schema_names")) else None,
       fileEpochs,
-      if (df.columns.contains("epoch")) r.getAs[Long]("epoch") else 0L,
+      if (has("epoch")) jLong("epoch") else 0L,
       longs("schema_dropped").getOrElse(Seq.empty),
-      if (df.columns.contains("schema_max_id"))
-        r.getAs[Long]("schema_max_id") else 0L,
-      if (df.columns.contains("schema_altered"))
-        r.getAs[Boolean]("schema_altered") else false,
+      if (has("schema_max_id")) jLong("schema_max_id") else 0L,
+      if (has("schema_altered")) root.get("schema_altered").asBoolean()
+      else false,
       colStats,
-      if (df.columns.contains("schema_added_ids"))
-        r.getAs[scala.collection.Seq[Long]]("schema_added_ids")
-          .zip(r.getAs[scala.collection.Seq[String]]("schema_added_types"))
-          .toSeq
+      if (has("schema_added_ids"))
+        longs("schema_added_ids").get.zip(strsOf("schema_added_types"))
       else Seq.empty,
       segRefs = seg.map(_._1))
   }

@@ -556,6 +556,11 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
       StructField("n_files", LongType, nullable = false),
       StructField("rows", LongType),
       StructField("bytes", LongType)))
+    case "segments" => StructType(Seq(
+      StructField("segment", StringType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("live", LongType, nullable = false),
+      StructField("dropped", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -604,6 +609,18 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
             ver.fileRows.map(r => Long.box(idx.map(r).sum)).orNull,
             ver.fileBytes.map(b => Long.box(idx.map(b).sum)).orNull)
         }
+      case "segments" =>
+        // the O(Δ) manifest structure, inspectable from SQL; an
+        // inline (below-threshold) table simply has none
+        val ver = SnapshotTable.readVersion(spark, path, latest)
+        ver.segRefs.getOrElse(Seq.empty).map { rf =>
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(rf.name),
+            rf.size.toLong,
+            (rf.size - rf.drops.length).toLong,
+            rf.drops.length.toLong)
+        }
     }
   }
 
@@ -634,7 +651,8 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
 }
 
 private[v2] object GraftMetaTable {
-  val kinds: Set[String] = Set("history", "files", "partitions")
+  val kinds: Set[String] = Set("history", "files", "partitions",
+    "segments")
 }
 
 private[v2] final case class GraftMetaPartition(rows: Seq[Array[Any]])

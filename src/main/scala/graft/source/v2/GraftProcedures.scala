@@ -20,6 +20,7 @@ import graft.ops.SnapshotTable
   *   CALL graft.system.vacuum('db.t', 3600000)
   *   CALL graft.system.materialize_deletes('db.t')
   *   CALL graft.system.materialize_schema('db.t')
+  *   CALL graft.system.analyze('db.t', 'ship_d, name')
   * }}}
   *
   * The namespace is decorative (procedures are catalog-global); the
@@ -33,7 +34,8 @@ import graft.ops.SnapshotTable
 private[v2] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "zorder", "expire", "vacuum",
-    "materialize_deletes", "materialize_schema", "restore", "clone")
+    "materialize_deletes", "materialize_schema", "restore", "clone",
+    "analyze")
 
   def load(root: String, name: String): UnboundProcedure = {
     def pathOf(table: String): String =
@@ -71,6 +73,23 @@ private[v2] object GraftProcedures {
           args(2).asInstanceOf[Int])
         GraftTableSource.invalidate(p)
         Seq[Any](r.version, r.filesBefore, r.filesAfter)
+      }
+      case "analyze" => proc("analyze",
+        Seq("table" -> StringType, "columns" -> StringType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("columns", IntegerType)))) { args =>
+        // ANALYZE TABLE for the typed stats index: declare (or
+        // re-declare) the comma-separated column list and commit
+        // per-file bounds for every live file — the one deliberate
+        // O(table-stats-columns) read in the lifecycle, now reachable
+        // from pure SQL
+        val spark = SparkSession.active
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        val cols = args(1).asInstanceOf[UTF8String].toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val v = SnapshotTable.analyzeStats(spark, p, cols)
+        GraftTableSource.invalidate(p)
+        Seq[Any](v, cols.length)
       }
       case "expire" => proc("expire",
         Seq("table" -> StringType, "keep_from" -> LongType),

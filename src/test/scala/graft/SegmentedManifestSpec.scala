@@ -256,6 +256,45 @@ class SegmentedManifestSpec extends SparkSpec {
     }
   }
 
+  test("t.segments metadata table + CALL graft.system.analyze: the " +
+      "O(Δ) structure and the stats index are SQL-reachable") {
+    withSegConf(3) {
+      val root = Files.createTempDirectory("segsql").toString
+      spark.conf.set("spark.sql.catalog.graft_segq",
+        "graft.source.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_segq.root", root)
+      val path = s"$root/db/t"
+      import spark.implicits._
+      SnapshotTable.append((0 until 400).map(i =>
+        (i.toLong, i / 9.0)).toDF("k", "score"), path, 8,
+        statsCol = Some("k"))
+      SnapshotTable.append((400 until 500).map(i =>
+        (i.toLong, i / 9.0)).toDF("k", "score"), path, 2,
+        statsCol = Some("k"))
+      val segs = spark.sql("SELECT * FROM graft_segq.db.t.segments")
+        .collect()
+      val ver = SnapshotTable.readVersion(spark, path, 2)
+      assert(segs.map(_.getString(0)).toSet
+        === ver.segRefs.get.map(_.name).toSet)
+      assert(segs.map(_.getLong(2)).sum === 10L, "live files must sum")
+      // ANALYZE from SQL declares the typed index over existing data
+      val r = spark.sql(
+        "CALL graft_segq.system.analyze('db.t', 'score')").collect().head
+      assert(r.getLong(0) === 3L && r.getInt(1) === 1)
+      val v3 = SnapshotTable.readVersion(spark, path, 3)
+      assert(v3.colStats.map(_.col) === Seq("score"))
+      assert(v3.colStats.head.mins.length === v3.files.length)
+      import graft.source.v2.GraftTableSource
+      GraftTableSource.lastPlan.set((-1, -1))
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_segq.db.t WHERE score >= 54.0")
+        .head.getLong(0) === 14L)
+      val (p, tot) = GraftTableSource.lastPlan.get()
+      assert(p > 0 && p < tot,
+        s"SQL-declared stats must prune: planned $p of $tot")
+    }
+  }
+
   test("typed stats survive segmentation end to end: pruning, " +
       "manifest-served aggregates, ANALYZE re-declaration") {
     withSegConf(3) {
