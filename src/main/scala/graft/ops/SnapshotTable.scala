@@ -1301,6 +1301,26 @@ object SnapshotTable {
     }
   }
 
+  /** Typed stats of an append-shaped RETRY against a refreshed base:
+    * the loser of a version race re-commits blindly (the append
+    * contract), so when a concurrent commit (re-)declared the stats
+    * columns after this append computed its bounds, recompute the
+    * batch's bounds against the base's CURRENT declaration instead of
+    * failing the retry with a misaligned-index error. A first
+    * declaration that lost to plain data commits drops (declaring
+    * over existing data is analyzeStats' explicit O(table) read, per
+    * [[colSpecsForAppend]]'s contract).
+    */
+  private def retryCs(spark: SparkSession, base: Version,
+                      files: Seq[String],
+                      plannedSpecs: Seq[(String, String)],
+                      planned: Seq[ColStats]): Seq[ColStats] = {
+    val baseSpecs = colSpecsOf(base)
+    if (baseSpecs == plannedSpecs || base.files.isEmpty) planned
+    else if (baseSpecs.isEmpty) Seq.empty
+    else computeColStats(spark, files, baseSpecs)
+  }
+
   /** Typed stats for a commit against `base`: the base's per-file
     * vectors sliced to the kept files, extended with `fresh` (the new
     * files' bounds, computed once by the caller at plan time). Fails
@@ -1502,7 +1522,8 @@ object SnapshotTable {
         base.txns ++ txn.toMap, op = "APPEND",
         dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, batch.files.length),
-        colStats = colStatsWith(base, base.files.indices, batchCs),
+        colStats = colStatsWith(base, base.files.indices,
+          retryCs(spark, base, batch.files, colSpecs, batchCs)),
         seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
@@ -1590,7 +1611,8 @@ object SnapshotTable {
         op = op,
         dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, files.length),
-        colStats = colStatsWith(base, base.files.indices, batchCs),
+        colStats = colStatsWith(base, base.files.indices,
+          retryCs(spark, base, files, colSpecs, batchCs)),
         seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
@@ -1841,7 +1863,13 @@ object SnapshotTable {
         cur.stats.map(st => Stats(st.col,
           keepIdx.map(st.mins) ++ newStats.get._1,
           keepIdx.map(st.maxs) ++ newStats.get._2)),
-        cur.bloom, cur.txns ++ extraTxn, part = cur.part,
+        // per-writer MAX, never last-write-wins: a rebase against a
+        // winner that already advanced this writer's watermark must
+        // not regress it, or a crash-recovery replay of the newer
+        // batch would re-apply it (exactly-once breaks)
+        cur.bloom, extraTxn.foldLeft(cur.txns) { case (m, (w, b)) =>
+          m.updated(w, math.max(b, m.getOrElse(w, Long.MinValue)))
+        }, part = cur.part,
         partValues = cur.partValues.map(pv =>
           keepIdx.map(pv) ++ newParts.get),
         op = op,
@@ -2042,7 +2070,8 @@ object SnapshotTable {
         Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
         op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, batch.files.length),
-        colStats = colStatsWith(base, base.files.indices, batchCs),
+        colStats = colStatsWith(base, base.files.indices,
+          retryCs(spark, base, batch.files, colSpecs, batchCs)),
         seg = path -> Some(base))
       try { commitExclusive(path, v, manifest); return v }
       catch {
@@ -3673,7 +3702,7 @@ object SnapshotTable {
     */
   private def fillAddedColumns(df: DataFrame, ver: Version): DataFrame =
     ver.schemaNames match {
-      case Some(names) if names.exists(n => !df.columns.contains(n)) =>
+      case Some(names) =>
         val idType = ver.addedTypes.toMap
         val byName = ver.schemaIds.get.zip(names).map(_.swap).toMap
         val filled = names.filterNot(df.columns.contains)
@@ -3685,6 +3714,10 @@ object SnapshotTable {
             }
             d.withColumn(n, c)
           }
+        // ALWAYS normalize to the visible schema's column order: a
+        // subset-column union can surface every column yet append a
+        // later one at the end (unionByName ordering), and positional
+        // consumers read the visible order
         filled.select(names.map(col): _*)
       case _ => df
     }

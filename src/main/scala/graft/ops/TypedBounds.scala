@@ -121,11 +121,16 @@ private[graft] object TypedBounds {
       s"unknown stats dtype $other")
   }
 
-  /** Total order over keys of one dtype (see class doc). */
+  /** Total order over keys of one dtype (see class doc). Signed
+    * zeros compare EQUAL (`x + 0.0` folds -0.0 into +0.0, NaN
+    * untouched): SQL `=` treats -0.0 and 0.0 as the same value, so a
+    * pruning order that ranks them would drop a file whose only
+    * matching rows hold the other zero.
+    */
   def compare(dtype: String, a: Any, b: Any): Int = dtype match {
     case "double" | "float" =>
-      java.lang.Double.compare(a.asInstanceOf[Double],
-        b.asInstanceOf[Double])
+      java.lang.Double.compare(a.asInstanceOf[Double] + 0.0,
+        b.asInstanceOf[Double] + 0.0)
     case "string" =>
       UTF8String.fromString(a.asInstanceOf[String])
         .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
@@ -152,10 +157,15 @@ private[graft] object TypedBounds {
       case "int" | "long" | "date" | "timestamp" | "boolean" =>
         (longEnc(mn), longEnc(mx), true, true)
       case "double" | "float" =>
+        // `+ 0.0` canonicalizes -0.0 to +0.0 (NaN untouched): SQL
+        // treats the zeros as one value, so bounds store the
+        // canonical form and a manifest-served MIN/MAX never surfaces
+        // a sign Spark's own aggregate would not
         def bits(v: Any): String = v match {
-          case d: Double => java.lang.Double.doubleToLongBits(d).toString
+          case d: Double =>
+            java.lang.Double.doubleToLongBits(d + 0.0).toString
           case f: Float =>
-            java.lang.Double.doubleToLongBits(f.toDouble).toString
+            java.lang.Double.doubleToLongBits(f.toDouble + 0.0).toString
           case _ => throw new IllegalArgumentException(
             s"stats value $v does not fit dtype $dtype")
         }

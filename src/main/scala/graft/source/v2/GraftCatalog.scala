@@ -478,39 +478,47 @@ private[v2] final class GraftStagedTable(
       require(SnapshotTable.readVersion(
           org.apache.spark.sql.SparkSession.active, tmpPath, latest)
         .dvFiles.isEmpty, "staged table unexpectedly carries DVs")
-    if (replacing && catalog.existsAtPath(realPath)) {
-      io.deleteDir(realPath)
-      GraftTableSource.invalidate(realPath)
-    }
-    // rename fails loudly when the destination exists — a concurrent
-    // CREATE that won the race is never silently replaced
-    io.rename(tmpPath, realPath)
-    // re-address the log: manifests (and bloom-index rows) record
-    // ABSOLUTE file URIs into the staging dir; O(versions + index
-    // files) small JSON rewrites, atomic each
-    val tmpCanon = TableIo.forPath(tmpPath).canon(tmpPath)
+    // re-address the log FIRST, while still under the (hidden)
+    // staging dir: manifests, segments and bloom-index rows record
+    // ABSOLUTE file URIs into the staging dir, rewritten here to the
+    // final path (O(versions + index files) small JSON rewrites).
+    // Ordering is the atomicity: the rename below is the LAST step,
+    // so a crash anywhere before it leaves only the dot-hidden
+    // staging dir — never a VISIBLE table whose manifests point at a
+    // staging path that no longer exists (the torn state the old
+    // rename-then-rewrite order could leave).
+    val tio = TableIo.forPath(tmpPath)
+    val tmpCanon = tio.canon(tmpPath)
     val realCanon = io.canon(realPath)
-    val logDir = s"$realPath/log"
-    io.listNames(logDir)
+    val tmpLog = s"$tmpPath/log"
+    tio.listNames(tmpLog)
       // segment files carry data-file URIs exactly like inline
       // manifests — both forms re-address
       .filter(n => (n.startsWith("v") || n.startsWith("seg-")) &&
         n.endsWith(".json"))
       .foreach { n =>
-        val p = s"$logDir/$n"
-        io.writeAtomic(p, io.readString(p).replace(tmpCanon, realCanon))
+        val p = s"$tmpLog/$n"
+        tio.writeAtomic(p, tio.readString(p).replace(tmpCanon, realCanon))
       }
+    val tmpBloom = s"$tmpPath/bloomidx"
+    if (tio.isDirectory(tmpBloom))
+      tio.walkFiles(tmpBloom).filter(_.name.endsWith(".json"))
+        .foreach { e =>
+          tio.writeAtomic(e.path,
+            tio.readString(e.path).replace(tmpCanon, realCanon))
+        }
+    if (replacing && catalog.existsAtPath(realPath)) {
+      io.deleteDir(realPath)
+      GraftTableSource.invalidate(realPath)
+    }
+    // rename LAST — the single visible step; fails loudly when the
+    // destination exists, so a concurrent CREATE that won the race is
+    // never silently replaced
+    io.rename(tmpPath, realPath)
     // staged-path cache entries die with the staging dir; entries for
     // a replaced table's old segments die with the table
     SnapshotTable.invalidateSegments(tmpPath)
     SnapshotTable.invalidateSegments(realPath)
-    val bloomDir = s"$realPath/bloomidx"
-    if (io.isDirectory(bloomDir))
-      io.walkFiles(bloomDir).filter(_.name.endsWith(".json"))
-        .foreach { e =>
-          io.writeAtomic(e.path,
-            io.readString(e.path).replace(tmpCanon, realCanon))
-        }
     GraftTableSource.invalidate(tmpPath)
   }
 

@@ -83,6 +83,13 @@ final class GraftRowLevelOperation(
     */
   @volatile private var scan: GraftScan = _
 
+  /** A possible SECOND exact-schema scan (the runtime group-filter
+    * subquery on a narrow table whose condition references every
+    * column) — kept only to cross-check the first-capture ordering
+    * assumption at commit time, never used as the group set.
+    */
+  @volatile private var secondScan: GraftScan = _
+
   override def command(): RowLevelOperation.Command = cmd
 
   /** Requiring `_file` routes the write through Spark's
@@ -114,10 +121,10 @@ final class GraftRowLevelOperation(
         // exact-schema build (a narrow table whose condition touches
         // every column) is the subquery: keep the first capture
         // rather than failing a valid MERGE/UPDATE.
-        case g: GraftScan if scan == null &&
-            g.readSchema().fieldNames.toSeq ==
-              res.schema.fieldNames.toSeq :+ "_file" =>
-          scan = g
+        case g: GraftScan if g.readSchema().fieldNames.toSeq ==
+            res.schema.fieldNames.toSeq :+ "_file" =>
+          if (scan == null) scan = g
+          else if (secondScan == null) secondScan = g
         case _ => ()
       }
       s
@@ -166,6 +173,23 @@ final class GraftRowLevelOperation(
             require(scan != null && scan.plannedFileNames != null,
               "row-level write committed before its scan planned — " +
                 "no group set to replace")
+            // ordering sentinel: first-capture assumes Spark builds
+            // the rewrite scan before the group-filter subquery
+            // (V2ScanRelationPushDown before PartitionPruning). The
+            // subquery is strictly MORE pruned, so its planned files
+            // are a subset of the group set; if a Spark change ever
+            // flips the build order, the second scan here is the real
+            // rewrite scan, plans files OUTSIDE the captured set, and
+            // this fails loudly instead of committing a partial group
+            // replacement that drops unrewritten rows.
+            if (secondScan != null && secondScan.plannedFileNames != null) {
+              val captured = scan.plannedFileNames.toSet
+              require(secondScan.plannedFileNames.forall(captured),
+                "row-level scan capture inverted: the second " +
+                  "exact-schema scan planned files outside the " +
+                  "captured group set — optimizer build order " +
+                  "changed; refusing a partial group replacement")
+            }
             scan.plannedFileNames
           },
           () => if (scan == null) Array.empty else scan.staticPredicates)

@@ -338,6 +338,87 @@ class RaceMatrixSpec extends SparkSpec {
     assert(txns.keys.count(_.startsWith("stream-")) === 2,
       s"both streaming writers must carry watermarks: $txns")
   }
+
+  test("rebased merge never REGRESSES a writer's txn watermark: the " +
+      "winner advanced it, the rebase keeps the per-writer max") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((1L to 20000L).map(k => (k, k)).toDF("k", "v"),
+      path, 4, statsCol = Some("k"), txn = Some(("w", 3L)))
+    RaceMatrixSpec.gateSeen.set(false)
+    val slowOnce = udf((x: Long) => {
+      if (RaceMatrixSpec.gateSeen.compareAndSet(false, true))
+        Thread.sleep(2500)
+      x
+    })
+    val updates = Seq((777L, 0L)).toDF("k", "v")
+      .withColumn("k", slowOnce(col("k")))
+    val err = new AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try SnapshotTable.merge(spark, path, updates, "k",
+        txn = Some(("w", 4L)))
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (!RaceMatrixSpec.gateSeen.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+    // the same writer's LATER batch wins the race with a disjoint key
+    SnapshotTable.append(Seq((900001L, 1L)).toDF("k", "v"), path, 1,
+      statsCol = Some("k"), txn = Some(("w", 5L)))
+    t.join(120000)
+    assert(err.get() == null,
+      s"disjoint interleave must rebase, got ${err.get()}")
+    val ver = SnapshotTable.readVersion(spark, path,
+      SnapshotTable.latestVersion(path))
+    assert(ver.txns("w") === 5L,
+      s"rebase regressed the watermark to ${ver.txns("w")} — a " +
+        "crash-recovery replay of batch 5 would re-apply it")
+    // and the merge's own effect landed exactly once
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, ver.version)
+    assert(scan.filter(col("k") === 777L).head.getLong(1) === 0L)
+  }
+
+  test("append racing a FIRST analyzeStats declaration self-heals: " +
+      "the blind retry recomputes its typed bounds against the new " +
+      "declaration instead of committing a misaligned index") {
+    import spark.implicits._
+    val path = freshPath()
+    SnapshotTable.append((0 until 1000).map(i => (i.toLong, i / 7.0))
+      .toDF("k", "score"), path, 4, statsCol = Some("k"))
+    RaceMatrixSpec.gateSeen.set(false)
+    val slowOnce = udf((x: Long) => {
+      if (RaceMatrixSpec.gateSeen.compareAndSet(false, true))
+        Thread.sleep(2500)
+      x
+    })
+    val batch = (1000 until 1200).map(i => (i.toLong, i / 7.0))
+      .toDF("k", "score").withColumn("k", slowOnce(col("k")))
+    val err = new AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try SnapshotTable.append(batch, path, 2, statsCol = Some("k"))
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (!RaceMatrixSpec.gateSeen.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+    // the interleave DECLARES typed stats over existing data (v2)
+    SnapshotTable.analyzeStats(spark, path, Seq("score"))
+    t.join(120000)
+    assert(err.get() == null,
+      s"append must blind-retry through a stats declaration, got " +
+        s"${err.get()}")
+    val ver = SnapshotTable.readVersion(spark, path,
+      SnapshotTable.latestVersion(path))
+    assert(ver.colStats.map(_.col) === Seq("score"),
+      "the declaration must survive the racing append")
+    assert(ver.colStats.head.mins.length === ver.files.length,
+      "the retried append must carry bounds for ITS files too — a " +
+        "misaligned index would have failed the commit")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, ver.version)
+    assert(scan.count() === 1200)
+  }
 }
 
 object RaceMatrixSpec {

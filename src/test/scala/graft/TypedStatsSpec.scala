@@ -33,7 +33,10 @@ class TypedStatsSpec extends SparkSpec {
 
   test("TypedBounds: encoding round-trips, string truncation gives " +
       "valid conservative bounds, NaN orders largest") {
-    // double bit round-trip is exact, including non-finite
+    // double bit round-trip is exact, including non-finite; -0.0
+    // canonicalizes to +0.0 (SQL's one zero — a signed stored bound
+    // could prune a file holding the other zero, or serve a MIN/MAX
+    // sign Spark's own aggregate would not)
     for (d <- Seq(0.0, -0.0, 1.5, -1e308, Double.NaN,
         Double.PositiveInfinity)) {
       val (mn, mx, has, exact) = TypedBounds.encode("double", d, d)
@@ -41,11 +44,14 @@ class TypedStatsSpec extends SparkSpec {
       val back = TypedBounds.keyOfEncoded("double", mn)
         .asInstanceOf[Double]
       assert(java.lang.Double.doubleToLongBits(back)
-        === java.lang.Double.doubleToLongBits(d), s"bits drift for $d")
+        === java.lang.Double.doubleToLongBits(d + 0.0),
+        s"bits drift for $d")
       assert(mn === mx)
     }
     assert(TypedBounds.compare("double", Double.NaN, 1e308) > 0,
       "NaN must order largest, matching Spark's sort order")
+    assert(TypedBounds.compare("double", -0.0d, 0.0d) === 0,
+      "signed zeros must compare equal — SQL's `=` does")
     // long string: min is a prefix (≤ original), max dominates
     val s = "x" * 100 + "tail"
     val (mn, mx, has, exact) = TypedBounds.encode("string", s, s)
