@@ -85,6 +85,19 @@ object SnapshotTable {
   final case class ColStats(col: String, dtype: String,
                             mins: Seq[String], maxs: Seq[String],
                             has: Seq[Boolean], exact: Seq[Boolean]) {
+    /** Decoded comparable bound keys (null where `has` is false),
+      * materialized lazily ONCE per instance: the planner compares
+      * bounds per (file × predicate × plan), and versions are cached
+      * per (path, version) — re-parsing every encoded string on every
+      * plan would be O(files) string work per query at scale.
+      */
+    @transient lazy val minKeys: IndexedSeq[Any] =
+      mins.indices.map(i =>
+        if (has(i)) TypedBounds.keyOfEncoded(dtype, mins(i)) else null)
+    @transient lazy val maxKeys: IndexedSeq[Any] =
+      maxs.indices.map(i =>
+        if (has(i)) TypedBounds.keyOfEncoded(dtype, maxs(i)) else null)
+
     def slice(keepIdx: Seq[Int]): ColStats =
       ColStats(col, dtype, keepIdx.map(mins), keepIdx.map(maxs),
         keepIdx.map(has), keepIdx.map(exact))
@@ -624,14 +637,21 @@ object SnapshotTable {
         Some((refs, loaded))
       } else None
     // hoist each segment's surviving-index list: 13 positional arrays
-    // concatenate below, and liveIdx is O(segment) to rebuild
+    // concatenate below, and liveIdx is O(segment) to rebuild. Results
+    // materialize as IndexedSeq — everything downstream (pruning, the
+    // next commit's carry verification) indexes them per element, and
+    // a List here would be O(n²) at scale
     val segLive: Seq[(Segment, Seq[Int])] = seg.toSeq.flatMap(_._2)
       .map { case (rf, sg) => (sg, rf.liveIdx) }
-    def cat[T](f: Segment => Seq[T]): Seq[T] =
-      segLive.flatMap { case (sg, li) => li.map(f(sg)) }
-    def catOpt[T](f: Segment => Option[Seq[T]]): Option[Seq[T]] =
+    def cat[T](f: Segment => Seq[T]): IndexedSeq[T] =
+      segLive.iterator.flatMap { case (sg, li) =>
+        val xs = f(sg); li.iterator.map(xs)
+      }.toIndexedSeq
+    def catOpt[T](f: Segment => Option[Seq[T]]): Option[IndexedSeq[T]] =
       if (segLive.nonEmpty && segLive.forall(s => f(s._1).isDefined))
-        Some(segLive.flatMap { case (sg, li) => li.map(f(sg).get) })
+        Some(segLive.iterator.flatMap { case (sg, li) =>
+          val xs = f(sg).get; li.iterator.map(xs)
+        }.toIndexedSeq)
       else None
     val stats =
       if (has("stats_col")) {
@@ -809,16 +829,30 @@ object SnapshotTable {
     * the section doc for the self-verification contract.
     */
   private def renderSegmented(tpath: String, baseOpt: Option[Version],
-                              v: Long, files: Seq[String],
-                              rows: Seq[Long], bytes: Seq[Long],
-                              stats: Option[Stats],
+                              v: Long, files0: Seq[String],
+                              rows0: Seq[Long], bytes0: Seq[Long],
+                              stats0: Option[Stats],
                               bloom: Option[BloomConf],
                               txns: Map[String, Long],
                               part: Option[PartSpec],
-                              partValues: Option[Seq[Long]],
+                              partValues0: Option[Seq[Long]],
                               op: String, dvFiles: Seq[String],
                               dvRows: Long, schema: Option[SchemaMeta],
-                              colStats: Seq[ColStats]): String = {
+                              colStats0: Seq[ColStats]): String = {
+    // EVERY positional array gets indexed per element below (carry
+    // verification, fresh-segment extraction) — commit paths build
+    // them with `++` which can yield List-backed Seqs, and per-element
+    // List indexing is the O(n²) that turns a 20k-file commit into
+    // seconds. Normalize once.
+    val files = files0.toIndexedSeq
+    val rows = rows0.toIndexedSeq
+    val bytes = bytes0.toIndexedSeq
+    val stats = stats0.map(st =>
+      Stats(st.col, st.mins.toIndexedSeq, st.maxs.toIndexedSeq))
+    val partValues = partValues0.map(_.toIndexedSeq)
+    val colStats = colStats0.map(cs => ColStats(cs.col, cs.dtype,
+      cs.mins.toIndexedSeq, cs.maxs.toIndexedSeq, cs.has.toIndexedSeq,
+      cs.exact.toIndexedSeq))
     // the same positional-alignment guards renderInline enforces
     require(rows.length == files.length && bytes.length == files.length,
       s"per-file facts misaligned: ${rows.length} rows / " +
@@ -841,7 +875,8 @@ object SnapshotTable {
           s"for ${files.length} files — a commit path mis-carried " +
           "the index")
     }
-    val epochs: Option[Seq[Long]] = schema.map(_.fileEpochs)
+    val epochs: Option[IndexedSeq[Long]] =
+      schema.map(_.fileEpochs.toIndexedSeq)
     // ---- derive the carry: (re-referenced base segments, indices of
     // carried files in caller order, indices going into the fresh
     // segment). Any verification miss → everything fresh.
@@ -922,14 +957,22 @@ object SnapshotTable {
     val (carriedRefs, carriedIdx, freshIdx) =
       carry.getOrElse((Seq.empty[SegRef], Seq.empty[Int],
         files.indices: Seq[Int]))
-    def segOf(idx: Seq[Int]): Segment = Segment(
-      idx.map(files), idx.map(rows), idx.map(bytes),
-      epochs.map(e => idx.map(e)), partValues.map(p => idx.map(p)),
-      stats.map(st => idx.map(st.mins)), stats.map(st => idx.map(st.maxs)),
-      colStats.map(cs => idx.map(cs.mins)),
-      colStats.map(cs => idx.map(cs.maxs)),
-      colStats.map(cs => idx.map(cs.has)),
-      colStats.map(cs => idx.map(cs.exact)))
+    def segOf(idx0: Seq[Int]): Segment = {
+      // IndexedSeq throughout: this instance also PRIMES the segment
+      // cache (writeSegment), and readers index its fields per
+      // element — a List here (e.g. an `empty ++ Range` concat from
+      // the no-carry path) made warm reads O(n²)
+      val idx = idx0.toIndexedSeq
+      Segment(
+        idx.map(files), idx.map(rows), idx.map(bytes),
+        epochs.map(e => idx.map(e)), partValues.map(p => idx.map(p)),
+        stats.map(st => idx.map(st.mins)),
+        stats.map(st => idx.map(st.maxs)),
+        colStats.map(cs => idx.map(cs.mins)),
+        colStats.map(cs => idx.map(cs.maxs)),
+        colStats.map(cs => idx.map(cs.has)),
+        colStats.map(cs => idx.map(cs.exact)))
+    }
     val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
     val (finalRefs, headerIdx) =
       if (carriedRefs.isEmpty || wantSegs > segMaxSegments) {

@@ -451,8 +451,8 @@ object GraftTableSource {
                        lo: Option[Any], loStrict: Boolean,
                        hi: Option[Any], hiStrict: Boolean): Boolean =
         !cs.has(i) || {
-          val mn = TypedBounds.keyOfEncoded(cs.dtype, cs.mins(i))
-          val mx = TypedBounds.keyOfEncoded(cs.dtype, cs.maxs(i))
+          val mn = cs.minKeys(i)
+          val mx = cs.maxKeys(i)
           lo.forall { l =>
             val c = TypedBounds.compare(cs.dtype, mx, l)
             if (loStrict) c > 0 else c >= 0
@@ -1112,8 +1112,7 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
         .filter(cs => cs.has.nonEmpty && cs.has.forall(identity) &&
           cs.exact.forall(identity))
         .map { cs =>
-          val keys = (if (wantMin) cs.mins else cs.maxs)
-            .map(TypedBounds.keyOfEncoded(cs.dtype, _))
+          val keys = if (wantMin) cs.minKeys else cs.maxKeys
           val best = keys.reduce { (a, b) =>
             val cmp = TypedBounds.compare(cs.dtype, a, b)
             if (wantMin == (cmp <= 0)) a else b

@@ -10,7 +10,7 @@ object SegBench {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build("8")
     import spark.implicits._
-    val nFiles = 2000
+    val nFiles = args.headOption.map(_.toInt).getOrElse(2000)
     val df = (0 until 200000).map(i => (i.toLong, i * 2L)).toDF("k", "x")
     val small = (0 until 200).map(i => (1000000L + i, i.toLong)).toDF("k", "x")
     def run(tag: String, threshold: Int): Unit = {
