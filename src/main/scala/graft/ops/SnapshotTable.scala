@@ -92,11 +92,19 @@ object SnapshotTable {
       * plan would be O(files) string work per query at scale.
       */
     @transient lazy val minKeys: IndexedSeq[Any] =
-      mins.indices.map(i =>
-        if (has(i)) TypedBounds.keyOfEncoded(dtype, mins(i)) else null)
+      mins.indices.map(i => decodeKey(mins, i))
     @transient lazy val maxKeys: IndexedSeq[Any] =
-      maxs.indices.map(i =>
-        if (has(i)) TypedBounds.keyOfEncoded(dtype, maxs(i)) else null)
+      maxs.indices.map(i => decodeKey(maxs, i))
+
+    /** null = no usable key (has=false, or an undecodable entry in a
+      * corrupted manifest): consumers treat it exactly like has=false
+      * — the file is never pruned and never serves an aggregate.
+      * Pruning metadata must degrade conservative, not fail the scan.
+      */
+    private def decodeKey(enc: Seq[String], i: Int): Any =
+      if (!has(i)) null
+      else try TypedBounds.keyOfEncoded(dtype, enc(i))
+      catch { case _: RuntimeException => null }
 
     def slice(keepIdx: Seq[Int]): ColStats =
       ColStats(col, dtype, keepIdx.map(mins), keepIdx.map(maxs),

@@ -453,12 +453,16 @@ object GraftTableSource {
         !cs.has(i) || {
           val mn = cs.minKeys(i)
           val mx = cs.maxKeys(i)
-          lo.forall { l =>
-            val c = TypedBounds.compare(cs.dtype, mx, l)
-            if (loStrict) c > 0 else c >= 0
-          } && hi.forall { h =>
-            val c = TypedBounds.compare(cs.dtype, mn, h)
-            if (hiStrict) c < 0 else c <= 0
+          // null key = undecodable bound (corrupt manifest): treat as
+          // no-bounds — keep the file, never mis-prune
+          mn == null || mx == null || {
+            lo.forall { l =>
+              val c = TypedBounds.compare(cs.dtype, mx, l)
+              if (loStrict) c > 0 else c >= 0
+            } && hi.forall { h =>
+              val c = TypedBounds.compare(cs.dtype, mn, h)
+              if (hiStrict) c < 0 else c <= 0
+            }
           }
         }
       def pruneWith(c: String)(
@@ -1110,7 +1114,10 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
         : Option[(DataType, Any)] =
       res.ver.colStats.find(_.col == c)
         .filter(cs => cs.has.nonEmpty && cs.has.forall(identity) &&
-          cs.exact.forall(identity))
+          cs.exact.forall(identity) &&
+          // an undecodable bound (corrupt manifest) declines the
+          // serve, same as has=false
+          cs.minKeys.forall(_ != null) && cs.maxKeys.forall(_ != null))
         .map { cs =>
           val keys = if (wantMin) cs.minKeys else cs.maxKeys
           val best = keys.reduce { (a, b) =>

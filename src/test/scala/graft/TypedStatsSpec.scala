@@ -65,6 +65,37 @@ class TypedStatsSpec extends SparkSpec {
     assert(TypedBounds.keyOfEncoded("date", k1.toString) === k1)
   }
 
+  test("a corrupted bound entry degrades to NO-pruning (file kept, " +
+      "aggregate serve declined) — never a failed scan") {
+    import graft.ops.SnapshotTable
+    // unit: an undecodable key is null, its neighbors still decode
+    val cs = SnapshotTable.ColStats("c", "long", Seq("zz", "5"),
+      Seq("9", "9"), Seq(true, true), Seq(true, true))
+    assert(cs.minKeys(0) == null && cs.minKeys(1) === 5L)
+    assert(cs.maxKeys(0) === 9L)
+    // end-to-end: doctor the committed manifest's first min bound
+    val path = freshPath()
+    import spark.implicits._
+    SnapshotTable.append((0 until 100).map(i => (i.toLong, i.toLong * 2))
+      .toDF("k", "v"), path, 2, statsCol = Some("k"),
+      statsCols = Seq("v"))
+    val mf = java.nio.file.Paths.get(path, "log", "v1.json")
+    val txt = Files.readString(mf)
+    assert(txt.contains("\"mins\":[\"0\""), "fixture drifted")
+    Files.writeString(mf,
+      txt.replace("\"mins\":[\"0\"", "\"mins\":[\"zz\""))
+    graft.source.v2.GraftTableSource.invalidate(path)
+    val t = spark.read.format("graft_table").option("path", path).load()
+    // the corrupt-bound file is KEPT, so the answer is exact
+    assert(t.filter(col("v") < 20L).count() === 10)
+    graft.source.v2.GraftTableSource.lastAggPush.set(false)
+    val r = t.agg(min("v"), max("v")).collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 198L,
+      "a declined serve must still compute the exact answer")
+    assert(!graft.source.v2.GraftTableSource.lastAggPush.get(),
+      "an undecodable bound must decline the manifest serve")
+  }
+
   test("append declares a typed stats LIST; bounds land per file, a " +
       "second append extends them without re-declaring") {
     val path = freshPath()
