@@ -40,13 +40,17 @@ import graft.Json
   * contract); an overlapping commit fails loudly for the caller to
   * re-plan.
   *
-  * Manifests are COMPLETE snapshots (every visible file, with per-file
-  * row counts, byte sizes, and optional column min/max), not deltas:
-  * O(files) bytes per version, but time travel and recovery need no
-  * log replay, and scan planning is a single small read however long
-  * the history — the right trade until file counts force Iceberg-style
-  * manifest trees ([[compact]] keeps file counts bounded, which is
-  * what keeps THIS design flat). Per-file row counts make
+  * Manifests are LOGICALLY complete snapshots (every visible file,
+  * with per-file row counts, byte sizes, and optional column
+  * min/max) — time travel and recovery need no log replay, and scan
+  * planning never lists directories. The STORAGE form adapts to file
+  * count: below [[segThreshold]] the whole snapshot inlines into the
+  * version file (one small read, zero extra RTTs); above it the
+  * version file becomes an O(Δ) header re-referencing immutable
+  * file-list SEGMENTS (see the segmented-manifests section), so a
+  * commit's metadata cost is O(changed files) however large the
+  * table — the Delta-log/Iceberg-manifest economics, without giving
+  * up one-file version resolution. Per-file row counts make
   * scan/manifest drift checks and COW-delete accounting metadata-only;
   * per-file byte sizes feed the compaction planner without touching
   * the filesystem.
