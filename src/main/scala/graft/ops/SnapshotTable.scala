@@ -345,9 +345,16 @@ object SnapshotTable {
   private def segMaxSegments: Int = confInt(
     "spark.graft.manifest.maxSegments", 64)
 
-  private def confInt(key: String, dflt: Int): Int =
-    try SparkSession.active.conf.get(key, dflt.toString).toInt
-    catch { case _: Throwable => dflt }
+  /** A malformed value (e.g. 'abc') propagates as NumberFormatException
+    * — silent fallback would mask operator misconfiguration; only the
+    * no-active-session case falls back to the default.
+    */
+  private def confInt(key: String, dflt: Int): Int = {
+    val raw =
+      try SparkSession.active.conf.get(key, dflt.toString)
+      catch { case scala.util.control.NonFatal(_) => dflt.toString }
+    raw.toInt
+  }
 
   /** A base segment whose drop list outgrew this bound is folded into
     * the commit's fresh segment instead of re-referenced — without
@@ -369,7 +376,9 @@ object SnapshotTable {
     * a dead table's file lists.
     */
   private[graft] def invalidateSegments(path: String): Unit = {
-    val prefix = io(path).canon(path)
+    // trailing separator: bare-prefix matching would also evict a
+    // sibling table whose name extends this one (/wh/t1 vs /wh/t10)
+    val prefix = io(path).canon(path).stripSuffix("/") + "/"
     val it = segCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }
@@ -671,7 +680,8 @@ object SnapshotTable {
           Some(Stats(jStr("stats_col"),
             catOpt(_.statsMin).getOrElse(throw new IllegalStateException(
               s"v$v declares stats_col but a segment lacks bounds")),
-            catOpt(_.statsMax).get))
+            catOpt(_.statsMax).getOrElse(throw new IllegalStateException(
+              s"v$v declares stats_col but a segment lacks bounds"))))
         else
           Some(Stats(jStr("stats_col"),
             longs("stats_min").get, longs("stats_max").get))

@@ -87,6 +87,16 @@ final class GraftRowLevelOperation(
     * subquery on a narrow table whose condition references every
     * column) — kept only to cross-check the first-capture ordering
     * assumption at commit time, never used as the group set.
+    *
+    * Scope note: every capture already flows through THIS operation's
+    * `newScanBuilder` override (an ordinary read of the same table —
+    * e.g. a self-referencing MERGE source — resolves its own
+    * [[GraftTable]] and never reaches it), so tagging builders adds
+    * no discrimination, and the DSv2 API offers no positive marker
+    * for "the ReplaceData rewrite scan". Should an exotic plan ever
+    * route a third exact-schema scan here between the two expected
+    * builds, the sentinel can only ABORT (fail-safe) — committing on
+    * a guessed group set could drop or duplicate unrewritten rows.
     */
   @volatile private var secondScan: GraftScan = _
 
