@@ -131,60 +131,302 @@ object SnapshotTable {
   final case class BloomConf(col: String, expectedPerFile: Long,
                              fpp: Double = 0.01)
 
-  /** HIDDEN-partitioning spec (Iceberg-style): rows are grouped into
-    * partition-pure files by `transform(source)`, the transform value
-    * is recorded PER FILE in the manifest, and scans prune files from
-    * predicates on the SOURCE column — callers never mention, see, or
-    * store the derived value. The data files do not contain it (it
-    * lives only in batch-directory names and the manifest), so unlike
-    * Hive partitioning the partitioning can be about the table's
-    * layout without being part of its schema, and queries that forget
-    * the partition column still prune.
+  /** One dimension of a hidden-partitioning spec: `transform(source)`
+    * over a TYPED source column. `dtype` is the source column's type
+    * in [[TypedBounds]]' vocabulary — partitioning covers `int`,
+    * `long`, `date`, `timestamp` and `string` sources (floats hash
+    * and compare treacherously as layout keys; booleans are a filter,
+    * not a layout). Transforms (Iceberg's public transform catalog,
+    * UTC-pinned for temporal math):
     *
-    * Transforms over a LONG source column (the width the driver-side
-    * probe mirror and the executor-side hash agree on):
-    *  - `identity`           — v = x (param ignored); every partition
-    *    holds exactly one source value
-    *  - `truncate` (param=w) — v = floorDiv(x, w); daily partitions
-    *    over an epoch-millis column are `truncate(86_400_000)`
+    *  - `identity`           — v = x; every partition holds exactly
+    *    one source value (any dtype)
+    *  - `truncate` (param=w) — integral: v = floorDiv(x, w); string:
+    *    the first w CODE POINTS (order-preserving prefix — matches
+    *    Spark's code-point `substring`)
     *  - `bucket` (param=n)   — v = floorMod(xxhash64(x), n) with the
-    *    SAME xxhash64 (seed 42) Spark evaluates in executors, mirrored
-    *    on the driver for probe planning. Equality probes prune; range
-    *    predicates cannot (the hash scatters order) and are rejected.
+    *    SAME xxhash64 (seed 42) Spark evaluates in executors,
+    *    mirrored on the driver via `XxHash64Function.hash` over the
+    *    column's PHYSICAL value (int days for DATE, long micros for
+    *    TIMESTAMP, UTF8 bytes for STRING). Equality probes prune;
+    *    range predicates cannot (the hash scatters order).
+    *  - `days` / `months` / `years` — DATE or TIMESTAMP sources,
+    *    ordinals since 1970-01-01 UTC (epoch day / `(y-1970)*12+m-1`
+    *    / `y-1970`); `hours` — TIMESTAMP only,
+    *    floorDiv(micros, 3.6e9). All monotone.
+    *
+    * The partition VALUE is a long for every transform except string
+    * identity/truncate (a string); [[valueDtype]] names its encoding.
     */
-  final case class PartSpec(source: String, transform: String, param: Long) {
-    require(Seq("identity", "truncate", "bucket").contains(transform),
-      s"unknown partition transform $transform " +
-        "(identity | truncate | bucket)")
-    require(transform == "identity" || param > 0,
-      s"$transform needs a positive param, got $param")
+  final case class PartField(source: String, transform: String,
+                             param: Long, dtype: String) {
+    require(Seq("identity", "truncate", "bucket", "days", "months",
+        "years", "hours").contains(transform),
+      s"unknown partition transform $transform (identity | truncate | " +
+        "bucket | days | months | years | hours)")
+    require(Seq("int", "long", "date", "timestamp", "string")
+        .contains(dtype),
+      s"partition source $source has dtype $dtype — hidden " +
+        "partitioning covers INT/BIGINT/DATE/TIMESTAMP/STRING sources")
+    transform match {
+      case "identity" => ()
+      case "truncate" =>
+        require(param > 0, s"truncate needs a positive width, got $param")
+        require(dtype == "int" || dtype == "long" || dtype == "string",
+          s"truncate($param, $source) needs an integral or string " +
+            s"source, got $dtype — use days()/months() for temporal")
+      case "bucket" =>
+        require(param > 0, s"bucket needs a positive count, got $param")
+      case "days" | "months" | "years" =>
+        require(dtype == "date" || dtype == "timestamp",
+          s"$transform($source) needs a DATE or TIMESTAMP source, " +
+            s"got $dtype")
+      case "hours" =>
+        require(dtype == "timestamp",
+          s"hours($source) needs a TIMESTAMP source, got $dtype")
+    }
 
-    /** Range predicates convert to partition-value ranges only when the
-      * transform preserves order. */
+    /** Encoding dtype of the recorded partition value. */
+    def valueDtype: String =
+      if (transform == "identity") dtype
+      else if (transform == "truncate" && dtype == "string") "string"
+      else "long"
+
+    /** Range predicates convert to partition-value ranges only when
+      * the transform preserves order. */
     def monotone: Boolean = transform != "bucket"
 
-    /** Driver-side transform, used to convert source-domain probe
-      * bounds/keys into partition values at plan time. MUST stay
-      * byte-identical to [[column]]'s executor arithmetic.
-      */
-    def apply(x: Long): Long = transform match {
-      case "identity" => x
-      case "truncate" => Math.floorDiv(x, param)
-      case "bucket" => Math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(x, org.apache.spark.sql.types.LongType, 42L), param)
+    private def micros(k: Any): Long = k.asInstanceOf[Long]
+    private def epochDay(k: Any): Long = dtype match {
+      case "date" => k.asInstanceOf[Long]
+      case _ => Math.floorDiv(micros(k), PartField.MicrosPerDay)
     }
 
-    /** The same transform as a codegen'd Column over the source column
-      * (pmod-normalized DIV = floorDiv exactly; xxhash64's default seed
-      * is the 42 the driver mirror uses).
+    /** Driver-side transform over a DECODED probe key (the shapes
+      * [[TypedBounds.keyOfValue]] produces: Long for integral and
+      * temporal dtypes, String for string) → the partition-value key
+      * in [[valueDtype]]'s comparable shape. MUST stay byte-identical
+      * to [[column]]'s executor arithmetic.
       */
-    def column: org.apache.spark.sql.Column = transform match {
-      case "identity" => col(source).cast("long")
-      case "truncate" =>
-        expr(s"(`$source` - pmod(`$source`, ${param}L)) DIV ${param}L")
-      case "bucket" => pmod(xxhash64(col(source)), lit(param)).cast("long")
+    def applyKey(k: Any): Any = transform match {
+      case "identity" => k
+      case "truncate" => dtype match {
+        case "string" =>
+          val s = k.asInstanceOf[String]
+          if (s.codePointCount(0, s.length) <= param) s
+          else s.substring(0, s.offsetByCodePoints(0, param.toInt))
+        case _ => Math.floorDiv(k.asInstanceOf[Long], param)
+      }
+      case "bucket" => Math.floorMod(hash64(k), param)
+      case "days" => epochDay(k)
+      case "hours" => Math.floorDiv(micros(k), PartField.MicrosPerHour)
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(epochDay(k))
+        (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
+      case "years" =>
+        (java.time.LocalDate.ofEpochDay(epochDay(k)).getYear - 1970).toLong
     }
+
+    /** xxhash64 (seed 42) over the column's PHYSICAL value — the same
+      * function the executor `xxhash64(col)` expression evaluates, so
+      * driver probes and written files can never disagree.
+      */
+    private def hash64(k: Any): Long = {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types._
+      dtype match {
+        case "string" => XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(k.asInstanceOf[String]), StringType, 42L)
+        case "int" => XxHash64Function.hash(
+          k.asInstanceOf[Long].toInt, IntegerType, 42L)
+        case "date" => XxHash64Function.hash(
+          k.asInstanceOf[Long].toInt, DateType, 42L)
+        case "timestamp" => XxHash64Function.hash(
+          k.asInstanceOf[Long], TimestampType, 42L)
+        case _ => XxHash64Function.hash(
+          k.asInstanceOf[Long], LongType, 42L)
+      }
+    }
+
+    /** The transform as a codegen'd Column over the source column,
+      * producing the partition-value key (long, or string for string
+      * identity/truncate). Temporal math is UTC by construction
+      * (epoch-day/epoch-micros arithmetic, never session-zone
+      * year()/month() over raw timestamps).
+      */
+    def column: org.apache.spark.sql.Column = {
+      def floorDivC(c: org.apache.spark.sql.Column, w: Long) =
+        ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+      val src = col(source)
+      lazy val days: org.apache.spark.sql.Column = dtype match {
+        case "date" => datediff(src, to_date(lit("1970-01-01")))
+          .cast("long")
+        case _ => floorDivC(unix_micros(src), PartField.MicrosPerDay)
+      }
+      lazy val asDate: org.apache.spark.sql.Column = dtype match {
+        case "date" => src
+        case _ => date_from_unix_date(days.cast("int"))
+      }
+      transform match {
+        case "identity" => dtype match {
+          case "string" => src
+          case "date" => datediff(src, to_date(lit("1970-01-01")))
+            .cast("long")
+          case "timestamp" => unix_micros(src)
+          case _ => src.cast("long")
+        }
+        case "truncate" => dtype match {
+          case "string" => substring(src, 1, param.toInt)
+          case _ =>
+            expr(s"(`$source` - pmod(`$source`, ${param}L)) DIV ${param}L")
+        }
+        case "bucket" => pmod(xxhash64(src), lit(param)).cast("long")
+        case "days" => days
+        case "hours" => floorDivC(unix_micros(src), PartField.MicrosPerHour)
+        case "months" =>
+          ((year(asDate) - 1970) * 12 + month(asDate) - 1).cast("long")
+        case "years" => (year(asDate) - 1970).cast("long")
+      }
+    }
+
+    /** Executor-side transform over the column's PHYSICAL value as an
+      * InternalRow getter returns it (Int for int/date, Long for
+      * long/timestamp, UTF8String for string) → the same key shape
+      * [[applyKey]] produces. Bucket over strings hashes the
+      * UTF8String bytes directly (what the `xxhash64(col)` expression
+      * hashes), skipping a String round-trip per row.
+      */
+    def applyPhysical(raw: Any): Any = dtype match {
+      case "string" =>
+        val u = raw.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        if (transform == "bucket")
+          Math.floorMod(
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(u, org.apache.spark.sql.types.StringType, 42L),
+            param)
+        else applyKey(u.toString)
+      case "int" | "date" => applyKey(raw.asInstanceOf[Int].toLong)
+      case _ => applyKey(raw.asInstanceOf[Long])
+    }
+
+    /** Encode a computed partition-value key for manifest storage. */
+    def encodeKey(k: Any): String = k match {
+      case l: Long => l.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"partition value $other (${other.getClass.getName}) for " +
+          s"$transform($source)")
+    }
+  }
+
+  object PartField {
+    val MicrosPerDay: Long = 86_400_000_000L
+    val MicrosPerHour: Long = 3_600_000_000L
+  }
+
+  /** HIDDEN-partitioning spec (Iceberg-style): rows are grouped into
+    * partition-pure files by the TUPLE of its [[PartField]]
+    * transforms, the tuple is recorded PER FILE in the manifest, and
+    * scans prune files from predicates on any SOURCE column — callers
+    * never mention, see, or store the derived values. The data files
+    * do not contain them (they live only in batch-directory names and
+    * the manifest), so unlike Hive partitioning the layout is not
+    * part of the schema, and queries that forget a partition column
+    * still prune.
+    *
+    * Two storage forms, chosen by [[isLegacy]]:
+    *  - the original single-field LONG-source form keeps its compact
+    *    manifest encoding (`part_source/part_transform/part_param` +
+    *    long `part_values`) and every legacy code path;
+    *  - TYPED and/or MULTI-COLUMN specs record `part_sources/
+    *    part_transforms/part_params/part_dtypes` plus per-file
+    *    encoded-string tuples ([[PartKeys]]).
+    */
+  final case class PartSpec(fields: Seq[PartField]) {
+    require(fields.nonEmpty, "partition spec needs at least one field")
+    require(fields.map(_.source).distinct.length == fields.length,
+      s"partition spec repeats a source column: ${fields.map(_.source)}")
+
+    /** The single-field LONG-source form every pre-typed code path
+      * (and manifest encoding) was built around. */
+    def isLegacy: Boolean = fields.lengthCompare(1) == 0 &&
+      fields.head.dtype == "long" &&
+      Seq("identity", "truncate", "bucket").contains(fields.head.transform)
+
+    private def legacy: PartField = {
+      require(isLegacy,
+        s"this path supports only single-column BIGINT partition " +
+          s"specs, got $describe")
+      fields.head
+    }
+
+    def describe: String = fields.map(f => f.transform match {
+      case "identity" => f.source
+      case "bucket" | "truncate" => s"${f.transform}(${f.param}, ${f.source})"
+      case t => s"$t(${f.source})"
+    }).mkString("(", ", ", ")")
+
+    // ---- legacy single-LONG accessors (loud on typed specs)
+    def source: String = legacy.source
+    def transform: String = legacy.transform
+    def param: Long = legacy.param
+    def monotone: Boolean = legacy.monotone
+    def apply(x: Long): Long = legacy.applyKey(x).asInstanceOf[Long]
+    def column: org.apache.spark.sql.Column = legacy.column
+  }
+
+  object PartSpec {
+    /** The legacy single-column BIGINT spec — the public constructor
+      * every pre-typed caller uses. */
+    def apply(source: String, transform: String, param: Long): PartSpec =
+      PartSpec(Seq(PartField(source, transform, param, "long")))
+  }
+
+  /** Per-file partition-value tuples of a TYPED spec: one encoded
+    * string per field per file, flattened file-major. Decoded
+    * comparable keys materialize lazily ONCE per instance (versions
+    * are cached per (path, version); re-parsing per plan would be
+    * O(files × fields) string work per query at scale).
+    */
+  final case class PartKeys(valueDtypes: IndexedSeq[String],
+                            flat: IndexedSeq[String]) {
+    require(valueDtypes.nonEmpty, "PartKeys without fields")
+    require(flat.length % valueDtypes.length == 0,
+      s"${flat.length} partition keys do not tile ${valueDtypes.length} " +
+        "fields")
+    def nFields: Int = valueDtypes.length
+    def nFiles: Int = flat.length / nFields
+
+    /** Encoded tuple of file i (a view, not a copy). */
+    def row(i: Int): IndexedSeq[String] = {
+      val o = i * nFields
+      (0 until nFields).map(j => flat(o + j))
+    }
+
+    /** Decoded comparable key of (file i, field j). */
+    def key(i: Int, j: Int): Any = keys(i * nFields + j)
+
+    @transient lazy val keys: IndexedSeq[Any] =
+      flat.indices.map(x =>
+        TypedBounds.keyOfEncoded(valueDtypes(x % nFields), flat(x)))
+
+    def slice(keepIdx: Seq[Int]): PartKeys =
+      PartKeys(valueDtypes,
+        keepIdx.iterator.flatMap(i =>
+          (0 until nFields).map(j => flat(i * nFields + j))).toIndexedSeq)
+
+    def ++(that: PartKeys): PartKeys = {
+      require(valueDtypes == that.valueDtypes,
+        "cannot extend partition keys across differing specs")
+      PartKeys(valueDtypes, flat ++ that.flat)
+    }
+  }
+
+  object PartKeys {
+    def empty(spec: PartSpec): PartKeys =
+      PartKeys(spec.fields.map(_.valueDtype).toIndexedSeq,
+        IndexedSeq.empty)
   }
 
   /** `schemaIds`/`schemaNames` — the VISIBLE schema at this version as
@@ -218,7 +460,11 @@ object SnapshotTable {
                            schemaAltered: Boolean = false,
                            colStats: Seq[ColStats] = Seq.empty,
                            addedTypes: Seq[(Long, String)] = Seq.empty,
-                           segRefs: Option[Seq[SegRef]] = None) {
+                           segRefs: Option[Seq[SegRef]] = None,
+                           // per-file tuples of a TYPED spec (exactly
+                           // one of partValues/partKeys is set when
+                           // part is, by part.isLegacy)
+                           partKeys: Option[PartKeys] = None) {
 
     /** True when a raw name-based read of this version's files would
       * mis-merge: a rename or drop has happened since the table was
@@ -264,7 +510,11 @@ object SnapshotTable {
                                    csMins: Seq[Seq[String]],
                                    csMaxs: Seq[Seq[String]],
                                    csHas: Seq[Seq[Boolean]],
-                                   csExact: Seq[Seq[Boolean]])
+                                   csExact: Seq[Seq[Boolean]],
+                                   // typed-spec tuples, flattened
+                                   // file-major (nFields from the
+                                   // header's spec)
+                                   partKeys: Option[Seq[String]] = None)
 
   /** Per-file rows/bytes of a committed version, LOUDLY: a manifest
     * predating per-file facts cannot be mutated or extended without
@@ -419,7 +669,9 @@ object SnapshotTable {
       longs("file_epochs"), longs("part_values"),
       longs("stats_min"), longs("stats_max"),
       nested("cs_mins", _.asText()), nested("cs_maxs", _.asText()),
-      nested("cs_has", _.asBoolean()), nested("cs_exact", _.asBoolean()))
+      nested("cs_has", _.asBoolean()), nested("cs_exact", _.asBoolean()),
+      partKeys = node("part_keys").map(a =>
+        (0 until a.size).map(a.get(_).asText()): Seq[String]))
   }
 
   private def renderSegment(seg: Segment): String = {
@@ -431,6 +683,8 @@ object SnapshotTable {
       fields += "file_epochs" -> e.mkString("[", ",", "]"))
     seg.partValues.foreach(p =>
       fields += "part_values" -> p.mkString("[", ",", "]"))
+    seg.partKeys.foreach(p =>
+      fields += "part_keys" -> p.map(Json.quote).mkString("[", ",", "]"))
     seg.statsMin.foreach(m =>
       fields += "stats_min" -> m.mkString("[", ",", "]"))
     seg.statsMax.foreach(m =>
@@ -700,7 +954,15 @@ object SnapshotTable {
       if (has("part_source"))
         Some(PartSpec(jStr("part_source"), jStr("part_transform"),
           jLong("part_param")))
-      else None
+      else if (has("part_sources")) {
+        // TYPED / multi-column form: four parallel field arrays
+        val srcs = strsOf("part_sources")
+        val trs = strsOf("part_transforms")
+        val ps = longs("part_params").get
+        val dts = strsOf("part_dtypes")
+        Some(PartSpec(srcs.indices.map(k =>
+          PartField(srcs(k), trs(k), ps(k), dts(k)))))
+      } else None
     val colStats =
       if (seg.isDefined && has("cs_cols")) {
         // segmented: declaration (names/dtypes) in the header, bounds
@@ -741,13 +1003,29 @@ object SnapshotTable {
           s"v$v carries field-id schema but a segment lacks file_epochs")
         e
       } else longs("file_epochs")
+    val legacyPart = part.exists(_.isLegacy)
     val partValues =
       if (seg.isDefined) {
         val pv = catOpt(_.partValues)
-        require(part.isEmpty || pv.isDefined,
+        require(!legacyPart || pv.isDefined,
           s"v$v is hidden-partitioned but a segment lacks part_values")
         pv
       } else longs("part_values")
+    val partKeys: Option[PartKeys] = part.filterNot(_.isLegacy).map { sp =>
+      val vdts = sp.fields.map(_.valueDtype).toIndexedSeq
+      val nF = vdts.length
+      if (seg.isDefined) {
+        // per-segment flat tuples, liveIdx selecting whole FILE groups
+        val flat = segLive.iterator.flatMap { case (sg, li) =>
+          val ks = sg.partKeys.getOrElse(throw new IllegalStateException(
+            s"v$v is typed-partitioned but a segment lacks part_keys"))
+            .toIndexedSeq
+          li.iterator.flatMap(i =>
+            (0 until nF).map(j => ks(i * nF + j)))
+        }.toIndexedSeq
+        PartKeys(vdts, flat)
+      } else PartKeys(vdts, strsOf("part_keys").toIndexedSeq)
+    }
     Version(jLong("version"),
       if (seg.isDefined) cat(_.files) else strsOf("files"),
       jLong("rows"), stats,
@@ -770,7 +1048,8 @@ object SnapshotTable {
       if (has("schema_added_ids"))
         longs("schema_added_ids").get.zip(strsOf("schema_added_types"))
       else Seq.empty,
-      segRefs = seg.map(_._1))
+      segRefs = seg.map(_._1),
+      partKeys = partKeys)
   }
 
   // ------------------------------------------------------------ commit
@@ -832,18 +1111,31 @@ object SnapshotTable {
                              // must say what base it planned against,
                              // or O(Δ) commits silently degrade to
                              // O(table) inline rewrites at scale
-                             seg: (String, Option[Version])): String = {
+                             seg: (String, Option[Version]),
+                             partKeys: Option[PartKeys] = None): String = {
     val (tpath, baseOpt) = seg
+    // exactly one storage form per spec shape, checked HERE so any
+    // commit path that forgot to thread the typed tuples fails loudly
+    // at render, not as a silent unpartitioned manifest
+    part.foreach { p =>
+      if (p.isLegacy)
+        require(partValues.isDefined && partKeys.isEmpty,
+          "legacy partition spec needs long part_values (not part_keys)")
+      else
+        require(partKeys.isDefined && partValues.isEmpty,
+          s"typed partition spec ${p.describe} needs per-file " +
+            "part_keys (not long part_values)")
+    }
     val segmented = tpath.nonEmpty && files.nonEmpty &&
       (baseOpt.exists(_.segRefs.exists(_.nonEmpty)) ||
         files.length >= segThreshold)
     if (!segmented)
       renderInline(v, files, rows, bytes, stats, bloom, txns, part,
-        partValues, op, dvFiles, dvRows, schema, colStats)
+        partValues, op, dvFiles, dvRows, schema, colStats, partKeys)
     else
       renderSegmented(tpath, baseOpt, v, files, rows, bytes, stats,
         bloom, txns, part, partValues, op, dvFiles, dvRows, schema,
-        colStats)
+        colStats, partKeys)
   }
 
   /** Segmented header render: derive the carry against `baseOpt`,
@@ -860,7 +1152,8 @@ object SnapshotTable {
                               partValues0: Option[Seq[Long]],
                               op: String, dvFiles: Seq[String],
                               dvRows: Long, schema: Option[SchemaMeta],
-                              colStats0: Seq[ColStats]): String = {
+                              colStats0: Seq[ColStats],
+                              partKeys: Option[PartKeys] = None): String = {
     // EVERY positional array gets indexed per element below (carry
     // verification, fresh-segment extraction) — commit paths build
     // them with `++` which can yield List-backed Seqs, and per-element
@@ -883,8 +1176,14 @@ object SnapshotTable {
       st.maxs.length == files.length,
       s"layout stats carry ${st.mins.length} bounds for " +
         s"${files.length} files"))
-    part.foreach(_ => require(partValues.exists(_.length == files.length),
-      "partitioned manifest without per-file partition values"))
+    part.foreach { p =>
+      if (p.isLegacy)
+        require(partValues.exists(_.length == files.length),
+          "partitioned manifest without per-file partition values")
+      else
+        require(partKeys.exists(_.nFiles == files.length),
+          "typed-partitioned manifest without per-file partition keys")
+    }
     schema.foreach(sm => require(sm.fileEpochs.length == files.length,
       s"schema meta carries ${sm.fileEpochs.length} epochs for " +
         s"${files.length} files"))
@@ -916,6 +1215,8 @@ object SnapshotTable {
           val shapeOk =
             stats.isDefined == base.stats.isDefined &&
               part.isDefined == base.part.isDefined &&
+              partKeys.isDefined == base.partKeys.isDefined &&
+              partValues.isDefined == base.partValues.isDefined &&
               epochs.isDefined == base.fileEpochs.isDefined &&
               colStats.length == base.colStats.length
           if (pairs.isEmpty || !ascending || !shapeOk) None
@@ -927,6 +1228,8 @@ object SnapshotTable {
                 stats.forall(st => st.mins(i) == base.stats.get.mins(p) &&
                   st.maxs(i) == base.stats.get.maxs(p)) &&
                 partValues.forall(pv => pv(i) == base.partValues.get(p)) &&
+                partKeys.forall(pk =>
+                  pk.row(i) == base.partKeys.get.row(p)) &&
                 epochs.forall(e => e(i) == base.fileEpochs.get(p)) &&
                 colStats.indices.forall { k =>
                   val a = colStats(k); val b = base.colStats(k)
@@ -993,7 +1296,9 @@ object SnapshotTable {
         colStats.map(cs => idx.map(cs.mins)),
         colStats.map(cs => idx.map(cs.maxs)),
         colStats.map(cs => idx.map(cs.has)),
-        colStats.map(cs => idx.map(cs.exact)))
+        colStats.map(cs => idx.map(cs.exact)),
+        partKeys = partKeys.map(pk =>
+          idx.flatMap(i => pk.row(i)): Seq[String]))
     }
     val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
     val (finalRefs, headerIdx) =
@@ -1055,9 +1360,20 @@ object SnapshotTable {
       }
     }
     part.foreach { p =>
-      fields += "part_source" -> Json.quote(p.source)
-      fields += "part_transform" -> Json.quote(p.transform)
-      fields += "part_param" -> p.param.toString
+      if (p.isLegacy) {
+        fields += "part_source" -> Json.quote(p.source)
+        fields += "part_transform" -> Json.quote(p.transform)
+        fields += "part_param" -> p.param.toString
+      } else {
+        fields += "part_sources" -> p.fields.map(f => Json.quote(f.source))
+          .mkString("[", ",", "]")
+        fields += "part_transforms" -> p.fields
+          .map(f => Json.quote(f.transform)).mkString("[", ",", "]")
+        fields += "part_params" -> p.fields.map(_.param)
+          .mkString("[", ",", "]")
+        fields += "part_dtypes" -> p.fields.map(f => Json.quote(f.dtype))
+          .mkString("[", ",", "]")
+      }
     }
     if (colStats.nonEmpty) {
       fields += "cs_cols" -> colStats.map(c => Json.quote(c.col))
@@ -1078,7 +1394,8 @@ object SnapshotTable {
                            dvFiles: Seq[String] = Seq.empty,
                            dvRows: Long = 0L,
                            schema: Option[SchemaMeta] = None,
-                           colStats: Seq[ColStats]): String = {
+                           colStats: Seq[ColStats],
+                           partKeys: Option[PartKeys] = None): String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
@@ -1134,13 +1451,30 @@ object SnapshotTable {
       }
     }
     part.foreach { p =>
-      fields += "part_source" -> Json.quote(p.source)
-      fields += "part_transform" -> Json.quote(p.transform)
-      fields += "part_param" -> p.param.toString
-      fields += "part_values" ->
-        partValues.getOrElse(throw new IllegalStateException(
-          "partitioned manifest without per-file partition values"))
+      if (p.isLegacy) {
+        fields += "part_source" -> Json.quote(p.source)
+        fields += "part_transform" -> Json.quote(p.transform)
+        fields += "part_param" -> p.param.toString
+        fields += "part_values" ->
+          partValues.getOrElse(throw new IllegalStateException(
+            "partitioned manifest without per-file partition values"))
+            .mkString("[", ",", "]")
+      } else {
+        val pk = partKeys.getOrElse(throw new IllegalStateException(
+          "typed-partitioned manifest without per-file partition keys"))
+        require(pk.nFiles == files.length,
+          s"${pk.nFiles} partition tuples for ${files.length} files")
+        fields += "part_sources" -> p.fields.map(f => Json.quote(f.source))
           .mkString("[", ",", "]")
+        fields += "part_transforms" -> p.fields
+          .map(f => Json.quote(f.transform)).mkString("[", ",", "]")
+        fields += "part_params" -> p.fields.map(_.param)
+          .mkString("[", ",", "]")
+        fields += "part_dtypes" -> p.fields.map(f => Json.quote(f.dtype))
+          .mkString("[", ",", "]")
+        fields += "part_keys" -> pk.flat.map(Json.quote)
+          .mkString("[", ",", "]")
+      }
     }
     if (colStats.nonEmpty) {
       colStats.foreach { cs =>
@@ -1322,6 +1656,14 @@ object SnapshotTable {
     * `has = false` — unprunable, never wrong. Result arrays align
     * with `files` in the GIVEN order.
     */
+  /** Spec-visible counter of batch re-reads this JVM performed to
+    * recover typed bounds — the write paths track bounds in their
+    * tasks and must NOT bump this per commit; [[analyzeStats]]' one
+    * deliberate O(table) read does.
+    */
+  private[graft] val colStatsReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def computeColStats(spark: SparkSession,
                                      files: Seq[String],
                                      specs: Seq[(String, String)])
@@ -1331,6 +1673,7 @@ object SnapshotTable {
       return specs.map { case (c, t) =>
         ColStats(c, t, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
       }
+    colStatsReads.incrementAndGet()
     val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val present = specs.filter { case (c, _) => df.columns.contains(c) }
     present.foreach { case (c, t) =>
@@ -1490,7 +1833,7 @@ object SnapshotTable {
       ver.partValues, op = "ANALYZE",
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = carryMeta(ver, ver.files.indices, 0), colStats = cs,
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), partKeys = ver.partKeys))
     v
   }
 
@@ -1619,15 +1962,23 @@ object SnapshotTable {
                                        statMinMax: Option[(Seq[Long], Seq[Long])],
                                        bloomCol: Option[String],
                                        txn: Option[(String, Long)],
-                                       part: Option[(PartSpec, Seq[Long])] = None,
+                                       part: Option[(PartSpec, BatchParts)] = None,
                                        op: String = "APPEND",
-                                       statsCols: Seq[String] = Seq.empty)
+                                       statsCols: Seq[String] = Seq.empty,
+                                       // typed bounds tracked INSIDE
+                                       // the write tasks: when they
+                                       // cover the table's declared
+                                       // specs, the commit skips the
+                                       // O(batch bytes) re-read
+                                       trackedCs: Option[Seq[ColStats]] = None)
       : Long = {
     require(statsCol.isEmpty == statMinMax.isEmpty,
       "per-file stats must be tracked exactly when a stats column is set")
-    part.foreach { case (_, pv) =>
+    part.foreach { case (sp, pv) =>
       require(pv.length == files.length,
         s"${pv.length} partition values for ${files.length} files")
+      require(sp.isLegacy == pv.longs.isDefined,
+        s"partition-value form mismatch: spec ${sp.describe} vs $pv")
     }
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
       base.txns.get(w).exists(_ >= b)
@@ -1640,7 +1991,13 @@ object SnapshotTable {
     if (committedAt(preBase)) return pre
     val colSpecs = colSpecsForAppend(spark,
       if (pre == 0) None else Some(preBase), statsCols, files)
-    val batchCs = computeColStats(spark, files, colSpecs)
+    // writer-tracked bounds cover the declared specs → zero re-read;
+    // anything else (first declaration through a path that did not
+    // track, a drifted layout) recomputes — correct over fast
+    val batchCs = trackedCs match {
+      case Some(cs) if cs.map(c => (c.col, c.dtype)) == colSpecs => cs
+      case _ => computeColStats(spark, files, colSpecs)
+    }
     val bloomConf = bloomCol.map(BloomConf(_, -1L, 0.01))
     if (files.nonEmpty) bloomConf.orElse(preBase.bloom).foreach(
       writeBloomRows(spark, path, files, _))
@@ -1671,14 +2028,18 @@ object SnapshotTable {
           base.stats.map(_.maxs).getOrElse(Seq.empty) ++ statMinMax.get._2)),
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         part = part.map(_._1),
-        partValues = part.map(p =>
-          base.partValues.getOrElse(Seq.empty) ++ p._2),
+        partValues = part.flatMap { case (sp, bp) =>
+          extendParts(sp, base, base.files.indices, bp)._1
+        },
         op = op,
         dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, files.length),
         colStats = colStatsWith(base, base.files.indices,
           retryCs(spark, base, files, colSpecs, batchCs)),
-        seg = path -> Some(base))
+        seg = path -> Some(base),
+        partKeys = part.flatMap { case (sp, bp) =>
+          extendParts(sp, base, base.files.indices, bp)._2
+        })
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1817,9 +2178,11 @@ object SnapshotTable {
       val manifest = renderManifest(v, Seq.empty, Seq.empty, Seq.empty,
         base.stats.map(st => Stats(st.col, Seq.empty, Seq.empty)),
         base.bloom, base.txns, base.part,
-        base.part.map(_ => Seq.empty), op = "TRUNCATE", schema = meta,
+        base.part.filter(_.isLegacy).map(_ => Seq.empty),
+        op = "TRUNCATE", schema = meta,
         colStats = base.colStats.map(_.slice(Seq.empty)),
-        seg = path -> Some(base))
+        seg = path -> Some(base),
+        partKeys = base.part.filterNot(_.isLegacy).map(PartKeys.empty))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -1902,7 +2265,7 @@ object SnapshotTable {
                             newFiles: Seq[String], newRows: Seq[Long],
                             newBytes: Seq[Long],
                             newStats: Option[(Seq[Long], Seq[Long])],
-                            newParts: Option[Seq[Long]],
+                            newParts: Option[BatchParts],
                             newColStats: Seq[ColStats], op: String,
                             extraTxn: Map[String, Long],
                             interleavedOk: (Version, Seq[Int]) => Boolean)
@@ -1913,6 +2276,10 @@ object SnapshotTable {
     require(base.part.isEmpty == newParts.isEmpty,
       "a partitioned base needs partition values for every new file " +
         "(and an unpartitioned one none)")
+    base.part.foreach(sp => require(
+      sp.isLegacy == newParts.get.longs.isDefined,
+      s"partition-value form mismatch: spec ${sp.describe} vs " +
+        s"${newParts.get}"))
     var cur = base
     var attempts = 0
     while (true) {
@@ -1935,12 +2302,14 @@ object SnapshotTable {
         cur.bloom, extraTxn.foldLeft(cur.txns) { case (m, (w, b)) =>
           m.updated(w, math.max(b, m.getOrElse(w, Long.MinValue)))
         }, part = cur.part,
-        partValues = cur.partValues.map(pv =>
-          keepIdx.map(pv) ++ newParts.get),
+        partValues = cur.part.flatMap(sp =>
+          extendParts(sp, cur, keepIdx, newParts.get)._1),
         op = op,
         schema = carryMeta(cur, keepIdx, newFiles.length),
         colStats = colStatsWith(cur, keepIdx, newColStats),
-        seg = path -> Some(cur))
+        seg = path -> Some(cur),
+        partKeys = cur.part.flatMap(sp =>
+          extendParts(sp, cur, keepIdx, newParts.get)._2))
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case e: FileAlreadyExistsException =>
@@ -1983,7 +2352,7 @@ object SnapshotTable {
                                          newRows: Seq[Long],
                                          newBytes: Seq[Long],
                                          newStats: Option[(Seq[Long], Seq[Long])],
-                                         newParts: Option[Seq[Long]],
+                                         newParts: Option[BatchParts],
                                          newColStats: Seq[ColStats],
                                          op: String,
                                          interleavedOk: (Version, Seq[Int]) => Boolean)
@@ -2002,6 +2371,21 @@ object SnapshotTable {
   private def partitionedBatchFacts(spark: SparkSession, batchDir: String,
                                     statsCol: Option[String])
       : (Batch, Seq[Long]) = {
+    val batch = dirBatchFacts(spark, batchDir, statsCol)
+    val partRe = "__p=(-?\\d+)".r
+    def partOf(f: String): Long =
+      partRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(
+        throw new IllegalStateException(
+          s"partitioned batch file without a __p= segment: $f"))
+    (batch, batch.files.map(partOf))
+  }
+
+  /** The shared per-file facts of a `partitionBy`-written batch (rows,
+    * stats bounds, sizes), partition-form-agnostic — the caller parses
+    * the partition value(s) from the returned file paths.
+    */
+  private def dirBatchFacts(spark: SparkSession, batchDir: String,
+                            statsCol: Option[String]): Batch = {
     val perFile = spark.read.parquet(batchDir)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"),
@@ -2026,18 +2410,154 @@ object SnapshotTable {
       sizes.getOrElse(rel,
         throw new IllegalStateException(s"written file vanished: $f"))
     }
-    val partRe = "__p=(-?\\d+)".r
-    def partOf(f: String): Long =
-      partRe.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(
-        throw new IllegalStateException(
-          s"partitioned batch file without a __p= segment: $f"))
-    (Batch(perFile.map(_.getString(0)).toSeq,
+    Batch(perFile.map(_.getString(0)).toSeq,
       perFile.map(_.getLong(1)).toSeq,
       perFile.map(r => sizeOf(r.getString(0))).toSeq,
       perFile.map(_.getLong(2)).toSeq,
-      perFile.map(_.getLong(3)).toSeq),
-      perFile.map(r => partOf(r.getString(0))).toSeq)
+      perFile.map(_.getLong(3)).toSeq)
   }
+
+  // ------------------------- typed-spec batch plumbing (multi/typed)
+
+  /** Per-file partition values of one freshly-written batch, in the
+    * storage form the spec dictates (exactly one side set).
+    */
+  private[graft] final case class BatchParts(longs: Option[Seq[Long]],
+                                             keys: Option[PartKeys]) {
+    def length: Int = longs.map(_.length).getOrElse(keys.get.nFiles)
+  }
+
+  /** The derived hidden-partition columns `df` is routed and
+    * `partitionBy`-written under: legacy = one LONG `__p` (dir names
+    * byte-identical to the pre-typed layout); typed = one path-safe
+    * STRING per field — `"k" + hex(UTF8(encoded value))`, pure
+    * `[kA-F0-9]`, so Spark's partition-path escaping never fires and
+    * [[typedBatchFacts]] parses values back with no unescaping rules.
+    * A NULL source value yields a NULL derived column, which lands in
+    * the `__HIVE_DEFAULT_PARTITION__` directory and fails the parse
+    * LOUDLY — hidden partitioning routes by value and rejects NULL
+    * sources on every write path.
+    */
+  private def partDerivedCols(spec: PartSpec)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    if (spec.isLegacy) Seq("__p" -> spec.column)
+    else spec.fields.zipWithIndex.map { case (f, k) =>
+      s"__p$k" -> concat(lit("k"),
+        hex(encode(f.column.cast("string"), "UTF-8")))
+    }
+
+  /** Check `df` can be routed under `spec`: sources present, dtypes
+    * matching the spec's declaration, derived names unclaimed. */
+  private def requireRoutable(df: DataFrame, spec: PartSpec): Unit = {
+    spec.fields.foreach { f =>
+      require(df.columns.contains(f.source),
+        s"partition source ${f.source} not in ${df.columns.toSeq}")
+      val dt = df.schema(f.source).dataType
+      val have = TypedBounds.dtypeOf(dt).getOrElse(dt.simpleString)
+      require(have == f.dtype,
+        s"partition source ${f.source} is $have, spec declares " +
+          s"${f.dtype} — the driver-side probe mirror and the " +
+          "executor transform must agree on the input type")
+    }
+    partDerivedCols(spec).foreach { case (n, _) =>
+      require(!df.columns.contains(n),
+        s"$n is reserved for the hidden partition value")
+    }
+  }
+
+  /** Decode one `__pK=` dir value back to the encoded partition key. */
+  private def unhexKey(s: String, file: String): String = {
+    require(s != "__HIVE_DEFAULT_PARTITION__",
+      s"partition source is NULL in $file — hidden partitioning " +
+        "routes by value and cannot place a NULL row")
+    require(s.nonEmpty && s.charAt(0) == 'k' && (s.length - 1) % 2 == 0,
+      s"malformed hidden-partition dir value $s under $file")
+    val hexs = s.substring(1)
+    val bytes = new Array[Byte](hexs.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = java.lang.Integer
+        .parseInt(hexs.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** [[dirBatchFacts]] + per-field partition tuples parsed from each
+    * file's `__p0=…/__p1=…` path segments.
+    */
+  private def typedBatchFacts(spark: SparkSession, batchDir: String,
+                              statsCol: Option[String], spec: PartSpec)
+      : (Batch, PartKeys) = {
+    val batch = dirBatchFacts(spark, batchDir, statsCol)
+    val res = spec.fields.indices.map(k => (s"__p$k=([^/]+)").r)
+    val flat = batch.files.iterator.flatMap { f =>
+      res.zipWithIndex.map { case (re, k) =>
+        val m = re.findFirstMatchIn(f).getOrElse(
+          throw new IllegalStateException(
+            s"partitioned batch file without a __p$k= segment: $f"))
+        unhexKey(m.group(1), f)
+      }
+    }.toIndexedSeq
+    (batch, PartKeys(spec.fields.map(_.valueDtype).toIndexedSeq, flat))
+  }
+
+  /** Route + write one partitioned batch under `spec` (either form):
+    * one shuffle on the derived value(s) so each partition tuple lands
+    * in one task, `partitionBy` on the derived dirs so every data file
+    * holds exactly one tuple, sorted by the stats column within
+    * partitions when one is indexed. Returns the per-file facts.
+    */
+  private def writePartitionedBatch(df: DataFrame, batchDir: String,
+                                    spec: PartSpec,
+                                    statsCol: Option[String])
+      : (Batch, BatchParts) = {
+    requireRoutable(df, spec)
+    val derived = partDerivedCols(spec)
+    val pcols = derived.map { case (n, _) => col(n) }
+    val withP = derived.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val laidOut = statsCol match {
+      case Some(c) => withP.repartition(pcols: _*)
+        .sortWithinPartitions(pcols :+ col(c): _*)
+      case None => withP.repartition(pcols: _*)
+    }
+    laidOut.write.mode("errorifexists")
+      .partitionBy(derived.map(_._1): _*).parquet(batchDir)
+    val spark = df.sparkSession
+    // an all-empty input lands no parquet at all — empty facts, the
+    // caller decides what an empty batch means (truncate, carry, …)
+    if (!hasParquet(batchDir)) {
+      val batch = Batch(Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+        Seq.empty)
+      if (spec.isLegacy) (batch, BatchParts(Some(Seq.empty), None))
+      else (batch, BatchParts(None, Some(PartKeys.empty(spec))))
+    } else if (spec.isLegacy) {
+      val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
+      (batch, BatchParts(Some(pvals), None))
+    } else {
+      val (batch, pkeys) = typedBatchFacts(spark, batchDir, statsCol, spec)
+      (batch, BatchParts(None, Some(pkeys)))
+    }
+  }
+
+  /** Carry a partitioned base's per-file values and extend with one
+    * batch — the (partValues, partKeys) pair every partitioned commit
+    * hands to [[renderManifest]].
+    */
+  private def extendParts(spec: PartSpec, base: Version, keepIdx: Seq[Int],
+                          fresh: BatchParts)
+      : (Option[Seq[Long]], Option[PartKeys]) =
+    if (spec.isLegacy) {
+      val kept = base.partValues.map(pv => keepIdx.map(pv))
+        .getOrElse(Seq.empty)
+      (Some(kept ++ fresh.longs.get), None)
+    } else {
+      val kept = base.partKeys.map(_.slice(keepIdx))
+        .getOrElse(PartKeys.empty(spec))
+      (None, Some(kept ++ fresh.keys.get))
+    }
 
   /** Commit `df` as the next version of a HIDDEN-partitioned table:
     * rows are shuffled once on the derived partition value (so each
@@ -2066,14 +2586,7 @@ object SnapshotTable {
                         bloomFpp: Double = 0.01,
                         statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    require(df.columns.contains(spec.source),
-      s"partition source ${spec.source} not in ${df.columns.toSeq}")
-    require(df.schema(spec.source).dataType ==
-        org.apache.spark.sql.types.LongType,
-      s"partition source ${spec.source} must be LONG — the driver-side " +
-        "probe mirror and the executor hash must agree on input width")
-    require(!df.columns.contains("__p"),
-      "__p is reserved for the hidden partition value")
+    requireRoutable(df, spec)
     def committedAt(base: Version): Boolean = txn.exists { case (w, b) =>
       base.txns.get(w).exists(_ >= b)
     }
@@ -2086,15 +2599,9 @@ object SnapshotTable {
     val statsColEff = statsCol.orElse(
       preBase.flatMap(_.stats.map(_.col)).filter(df.columns.contains))
     val batchDir = s"$path/files/batch-${nonce()}"
-    val withP = df.withColumn("__p", spec.column)
-    val laidOut = statsColEff match {
-      case Some(c) => withP.repartition(col("__p"))
-        .sortWithinPartitions(col("__p"), col(c))
-      case None => withP.repartition(col("__p"))
-    }
-    laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
+    val (batch, bparts) =
+      writePartitionedBatch(df, batchDir, spec, statsColEff)
     enforceConstraints(spark, path, batchDir)
-    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsColEff)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
     val colSpecs = colSpecsForAppend(spark, preBase, statsCols,
@@ -2119,6 +2626,8 @@ object SnapshotTable {
           base.bloom.exists(_.col == bloomCol.get),
         s"bloom column changed mid-table (was ${base.bloom.map(_.col)})")
       val v = prev + 1
+      val (pvNew, pkNew) =
+        extendParts(spec, base, base.files.indices, bparts)
       val manifest = renderManifest(v,
         base.files ++ batch.files,
         rowsOf(base) ++
@@ -2131,13 +2640,13 @@ object SnapshotTable {
             base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
         },
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
-        Some(spec),
-        Some(base.partValues.getOrElse(Seq.empty) ++ pvals),
+        Some(spec), pvNew,
         op = "APPEND", dvFiles = base.dvFiles, dvRows = base.dvRows,
         schema = appendMeta(base, path, batchCols, batch.files.length),
         colStats = colStatsWith(base, base.files.indices,
           retryCs(spark, base, batch.files, colSpecs, batchCs)),
-        seg = path -> Some(base))
+        seg = path -> Some(base),
+        partKeys = pkNew)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2303,21 +2812,15 @@ object SnapshotTable {
       "overwritePartitioned needs hidden partitioning — use overwrite"))
     val statsCol = ver0.stats.map(_.col)
     val batchDir = s"$path/files/batch-${nonce()}"
-    val withP = df.withColumn("__p", spec.column)
-    val laidOut = statsCol match {
-      case Some(c) => withP.repartition(col("__p"))
-        .sortWithinPartitions(col("__p"), col(c))
-      case None => withP.repartition(col("__p"))
-    }
-    laidOut.write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
-    if (!hasParquet(batchDir)) {
+    val (batch, bparts) = writePartitionedBatch(df, batchDir, spec,
+      statsCol)
+    if (batch.files.isEmpty) {
       // overwrite-with-nothing = TRUNCATE: the zero-file manifest
       // commit, layout carried, prior versions travel
       io(batchDir).deleteDir(batchDir)
       return truncate(spark, path)
     }
     enforceConstraints(spark, path, batchDir)
-    val (batch, pvals) = partitionedBatchFacts(spark, batchDir, statsCol)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
     ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
@@ -2336,14 +2839,15 @@ object SnapshotTable {
             "the schema with an append first")
       }
       val v = prev + 1
+      val (pvNew, pkNew) = extendParts(spec, ver, Seq.empty, bparts)
       val manifest = renderManifest(v, batch.files, batch.rows,
         batch.bytes,
         statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
-        ver.bloom, ver.txns ++ txn.toMap, Some(spec), Some(pvals),
+        ver.bloom, ver.txns ++ txn.toMap, Some(spec), pvNew,
         op = "OVERWRITE",
         schema = carryMeta(ver, Seq.empty, batch.files.length),
         colStats = colStatsWith(ver, Seq.empty, batchCs),
-        seg = path -> Some(ver))
+        seg = path -> Some(ver), partKeys = pkNew)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2366,21 +2870,33 @@ object SnapshotTable {
     */
   private[graft] def commitDynamicOverwrite(spark: SparkSession,
                                             path: String, spec: PartSpec,
-                                            replaced: Set[Long],
                                             files: Seq[String],
                                             rows: Seq[Long],
                                             bytes: Seq[Long],
                                             statMins: Seq[Long],
                                             statMaxs: Seq[Long],
-                                            parts: Seq[Long],
-                                            txn: Option[(String, Long)] = None)
+                                            parts: BatchParts,
+                                            txn: Option[(String, Long)] = None,
+                                            trackedCs: Option[Seq[ColStats]] = None)
       : Long = {
     var attempts = 0
     var bloomWritten = false
-    // new files' typed bounds, computed ONCE against the pre-commit
-    // layout (the in-loop colStatsWith fails loudly if it changes)
-    val freshCs = computeColStats(spark, files,
-      colSpecsOf(readVersion(spark, path, latestVersion(path))))
+    // the replaced set: exactly the partition tuples the batch landed
+    // in (either storage form)
+    val replacedLong: Set[Long] = parts.longs.map(_.toSet)
+      .getOrElse(Set.empty)
+    val replacedTyped: Set[IndexedSeq[String]] = parts.keys
+      .map(pk => (0 until pk.nFiles).map(pk.row).toSet)
+      .getOrElse(Set.empty)
+    // new files' typed bounds: writer-tracked when they cover the
+    // pre-commit declaration, else computed ONCE here (the in-loop
+    // colStatsWith fails loudly if the layout changes)
+    val preSpecs =
+      colSpecsOf(readVersion(spark, path, latestVersion(path)))
+    val freshCs = trackedCs match {
+      case Some(cs) if cs.map(c => (c.col, c.dtype)) == preSpecs => cs
+      case _ => computeColStats(spark, files, preSpecs)
+    }
     while (true) {
       val prev = latestVersion(path)
       val ver = readVersion(spark, path, prev)
@@ -2396,11 +2912,18 @@ object SnapshotTable {
         ver.bloom.foreach(writeBloomRows(spark, path, files, _))
         bloomWritten = true
       }
-      val pv = ver.partValues.get
-      val keepIdx = ver.files.indices.filterNot(i => replaced(pv(i)))
+      val keepIdx =
+        if (spec.isLegacy) {
+          val pv = ver.partValues.get
+          ver.files.indices.filterNot(i => replacedLong(pv(i)))
+        } else {
+          val pk = ver.partKeys.get
+          ver.files.indices.filterNot(i => replacedTyped(pk.row(i)))
+        }
       val baseRows = rowsOf(ver)
       val baseBytes = bytesOf(ver)
       val v = prev + 1
+      val (pvNew, pkNew) = extendParts(spec, ver, keepIdx, parts)
       val manifest = renderManifest(v,
         keepIdx.map(ver.files) ++ files,
         keepIdx.map(baseRows) ++ rows,
@@ -2409,10 +2932,10 @@ object SnapshotTable {
           keepIdx.map(st.mins) ++ statMins,
           keepIdx.map(st.maxs) ++ statMaxs)),
         ver.bloom, ver.txns ++ txn.toMap, Some(spec),
-        Some(keepIdx.map(pv) ++ parts), op = "OVERWRITE",
+        pvNew, op = "OVERWRITE",
         schema = carryMeta(ver, keepIdx, files.length),
         colStats = colStatsWith(ver, keepIdx, freshCs),
-        seg = path -> Some(ver))
+        seg = path -> Some(ver), partKeys = pkNew)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2954,7 +3477,7 @@ object SnapshotTable {
       dvFiles = allDv, dvRows = allDvRows,
       schema = carryMeta(ver, ver.files.indices, 0),
       colStats = ver.colStats,
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), partKeys = ver.partKeys))
     // maintenance hook: when a [[DvPolicy]] is set and this commit
     // pushed the table past either threshold, fold the DVs into a
     // rewrite NOW — the caller's returned version is the materialized
@@ -3010,6 +3533,28 @@ object SnapshotTable {
     val bytes = bytesOf(ver)
     val v = prev + 1
     ver.part match {
+      case Some(spec) if !spec.isLegacy =>
+        // typed/multi-column layout: the shared batch writer re-routes
+        // survivors partition-pure under the spec
+        val (batch, bparts) =
+          writePartitionedBatch(survivors, batchDir, spec, statsCol)
+        if (batch.files.isEmpty) io(batchDir).deleteDir(batchDir)
+        else ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        val (pvNew, pkNew) = extendParts(spec, ver, keepIdx, bparts)
+        commitExclusive(path, v, renderManifest(v,
+          keepIdx.map(ver.files) ++ batch.files,
+          keepIdx.map(rows) ++ batch.rows,
+          keepIdx.map(bytes) ++ batch.bytes,
+          ver.stats.map(st => Stats(st.col,
+            keepIdx.map(st.mins) ++ batch.mins,
+            keepIdx.map(st.maxs) ++ batch.maxs)),
+          ver.bloom, ver.txns, Some(spec), pvNew, op = "OPTIMIZE",
+          schema = carryMeta(ver, keepIdx, batch.files.length),
+          colStats = colStatsWith(ver, keepIdx,
+            computeColStats(spark, batch.files, colSpecsOf(ver))),
+          seg = path -> Some(ver), partKeys = pkNew))
+        CompactResult(v, ver.files.length,
+          keepIdx.length + batch.files.length, hitIdx.length)
       case Some(spec) =>
         // partitioned layout: re-derive the hidden value so the
         // rewritten survivors stay partition-pure (DV-hit files are
@@ -3219,6 +3764,9 @@ object SnapshotTable {
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "compactPartitioned needs hidden partitioning — use compact"))
     requireUniform(ver, "compactPartitioned")
+    require(spec.isLegacy,
+      s"compactPartitioned supports single-column BIGINT specs; the " +
+        s"table is partitioned by ${spec.describe}")
     val pv = ver.partValues.get
     val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
       "manifest lacks per-file rows — recommit with this version"))
@@ -3514,6 +4062,9 @@ object SnapshotTable {
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "mergePartitioned needs hidden partitioning — use merge"))
     requireUniform(ver, "mergePartitioned")
+    require(spec.isLegacy,
+      s"mergePartitioned supports single-column BIGINT specs; the " +
+        s"table is partitioned by ${spec.describe} — use SQL MERGE INTO")
     val pv = ver.partValues.get
     val tableCols = spark.read.parquet(ver.files.head).limit(0).columns
     require(updates.columns.sorted.sameElements(tableCols.sorted),
@@ -3656,8 +4207,8 @@ object SnapshotTable {
       ver.bloom.map(bc =>
         if (bc.col == oldName) bc.copy(col = newName) else bc),
       ver.txns,
-      ver.part.map(p =>
-        if (p.source == oldName) p.copy(source = newName) else p),
+      ver.part.map(p => PartSpec(p.fields.map(f =>
+        if (f.source == oldName) f.copy(source = newName) else f))),
       ver.partValues, op = "ALTER",
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids, newNames, ver.fileEpochs.get, e,
@@ -3665,7 +4216,8 @@ object SnapshotTable {
         addedTypes = ver.addedTypes)),
       colStats = ver.colStats.map(cs =>
         if (cs.col == oldName) cs.copy(col = newName) else cs),
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver),
+      partKeys = ver.partKeys))
     v
   }
 
@@ -3695,8 +4247,8 @@ object SnapshotTable {
         "recluster to another layout first")
     require(!ver.bloom.exists(_.col == name),
       s"$name is the bloom index column — key probes depend on it")
-    require(!ver.part.exists(_.source == name),
-      s"$name is the hidden-partitioning source — routing depends on it")
+    require(!ver.part.exists(_.fields.exists(_.source == name)),
+      s"$name is a hidden-partitioning source — routing depends on it")
     require(!ver.colStats.exists(_.col == name),
       s"$name is a typed stats column — re-declare the index without " +
         "it (analyzeStats) before dropping")
@@ -3710,7 +4262,7 @@ object SnapshotTable {
         ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true,
         addedTypes = ver.addedTypes.filterNot(_._1 == ids(i)))),
       colStats = ver.colStats,
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), partKeys = ver.partKeys))
     v
   }
 
@@ -3756,7 +4308,7 @@ object SnapshotTable {
         altered = ver.schemaAltered,
         addedTypes = ver.addedTypes :+ (newId, ddl))),
       colStats = ver.colStats,
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), partKeys = ver.partKeys))
     v
   }
 
@@ -3968,7 +4520,7 @@ object SnapshotTable {
       op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows,
       schema = carryMeta(src, src.files.indices, 0),
       colStats = src.colStats,
-      seg = dstPath -> None))
+      seg = dstPath -> None, partKeys = src.partKeys))
     // the clone's readers resolve naming epochs against ITS OWN log:
     // copy every epoch table the referenced files could need
     io(srcPath).listNames(logDir(srcPath))
@@ -4038,7 +4590,7 @@ object SnapshotTable {
           .map(sm => sm.copy(
             maxId = math.max(sm.maxId, base.schemaMaxId))),
         colStats = src.colStats,
-        seg = path -> Some(src))
+        seg = path -> Some(src), partKeys = src.partKeys)
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>

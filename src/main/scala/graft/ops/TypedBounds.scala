@@ -181,6 +181,38 @@ private[graft] object TypedBounds {
     }
   }
 
+  /** Encode one file's (min, max) tracked as PHYSICAL values by an
+    * executor writer — Long for int/long/date/timestamp (days /
+    * micros), Double for float/double (already widened, -0.0
+    * canonicalized here), Boolean, UTF8String for string. `mn = null`
+    * means the writer saw no non-NULL value (has = false).
+    */
+  def encodePhysical(dtype: String, mn: Any, mx: Any)
+      : (String, String, Boolean, Boolean) = {
+    if (mn == null || mx == null) return ("", "", false, false)
+    dtype match {
+      case "int" | "long" | "date" | "timestamp" =>
+        (mn.asInstanceOf[Long].toString, mx.asInstanceOf[Long].toString,
+          true, true)
+      case "double" | "float" =>
+        def bits(v: Any): String = java.lang.Double
+          .doubleToLongBits(v.asInstanceOf[Double] + 0.0).toString
+        (bits(mn), bits(mx), true, true)
+      case "boolean" =>
+        def b(v: Any): String = if (v.asInstanceOf[Boolean]) "1" else "0"
+        (b(mn), b(mx), true, true)
+      case "string" =>
+        val (lo, loExact) =
+          truncateMin(mn.asInstanceOf[UTF8String].toString)
+        truncateMax(mx.asInstanceOf[UTF8String].toString) match {
+          case Some((hi, hiExact)) => (lo, hi, true, loExact && hiExact)
+          case None => ("", "", false, false)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown stats dtype $other")
+    }
+  }
+
   /** A valid LOWER bound ≤ s: the ≤[[StringCap]]-code-point prefix. */
   def truncateMin(s: String): (String, Boolean) =
     if (s.codePointCount(0, s.length) <= StringCap) (s, true)

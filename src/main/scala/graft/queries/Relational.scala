@@ -3977,6 +3977,133 @@ object Relational {
         "segments_shared")
   }
 
+  /** q202 — TYPED, MULTI-COLUMN hidden partitioning
+    * ([[graft.ops.SnapshotTable.PartField]], Iceberg's transform
+    * catalog): the table is created via SQL `PARTITIONED BY
+    * (days(ship_d), bucket(8, flag))` — a real DATE dimension and a
+    * hashed STRING dimension, no epoch-day-BIGINT contortion — and
+    * every write path honors the spec under layout inheritance:
+    * INSERT routes partition-pure tuples, SQL MERGE moves rows whose
+    * partition SOURCE changed to their new partition by construction
+    * (the clustered rewrite), and a dynamic `overwritePartitions`
+    * swaps exactly the touched (day × bucket) tuples with survivors
+    * carried by reference. Pruning is require-asserted on BOTH
+    * dimensions (a DATE equality through days(), a STRING equality
+    * through bucket — each must plan a strict subset of files).
+    * DuckDB recomputes the final state from raw lineitem (the merge's
+    * key arithmetic and the overwrite's replacement day are pure
+    * SQL), so a mis-routed tuple, a wrongly-replaced partition, or a
+    * pruning bug that drops a file all change the counts and
+    * hash-mismatch.
+    */
+  val typedPartitions = QueryDef("q202_typed_partitions",
+    """WITH src AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(l_shipdate AS DATE) AS d0,
+      |    concat('g', CAST(l_orderkey % 5 AS VARCHAR)) AS flag,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+      |    AND CAST(l_shipdate AS DATE) <= DATE '1996-04-30'
+      |), merged AS (
+      |  SELECT k,
+      |    CASE WHEN k % 97 = 3 THEN DATE '1996-04-20' ELSE d0 END AS d,
+      |    flag, qty_u
+      |  FROM src
+      |), finalt AS (
+      |  SELECT k, d, flag, qty_u FROM merged
+      |  WHERE d <> DATE '1996-03-15'
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (CAST(1 AS BIGINT), DATE '1996-03-15', 'g0', CAST(111 AS BIGINT)),
+      |    (CAST(2 AS BIGINT), DATE '1996-03-15', 'g1', CAST(222 AS BIGINT)),
+      |    (CAST(3 AS BIGINT), DATE '1996-03-15', 'g2', CAST(333 AS BIGINT)),
+      |    (CAST(4 AS BIGINT), DATE '1996-03-15', 'g3', CAST(444 AS BIGINT)),
+      |    (CAST(5 AS BIGINT), DATE '1996-03-15', 'g4', CAST(555 AS BIGINT)))
+      |    AS t(k, d, flag, qty_u)
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM finalt) AS n_all,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM finalt) AS qty_all,
+      |  (SELECT count(*) FROM finalt WHERE d = DATE '1996-03-20')
+      |    AS n_day,
+      |  (SELECT count(*) FROM finalt WHERE flag = 'g1') AS n_flag,
+      |  (SELECT count(*) FROM finalt
+      |    WHERE d >= DATE '1996-04-01' AND flag = 'g2') AS n_both,
+      |  (SELECT count(*) FROM finalt WHERE d = DATE '1996-04-20')
+      |    AS n_moved,
+      |  TRUE AS pruned_date, TRUE AS pruned_bucket""".stripMargin
+  ) { (s, d) =>
+    import graft.source.v2.GraftTableSource
+    val wh = Work.oracleDumpPath("q202_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q202",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q202.root", wh)
+    clusterLayouts.compute("q202", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).createOrReplaceTempView("q202_lineitem")
+        s.sql("""CREATE TABLE graft_q202.q202.li
+          (k BIGINT, d DATE, flag STRING, qty_u BIGINT)
+          PARTITIONED BY (days(d), bucket(8, flag))""")
+        s.sql("""INSERT INTO graft_q202.q202.li
+          SELECT l_orderkey * 10 + l_linenumber,
+            CAST(l_shipdate AS DATE),
+            concat('g', CAST(l_orderkey % 5 AS STRING)),
+            CAST(floor(l_quantity * 100) AS BIGINT)
+          FROM q202_lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+            AND CAST(l_shipdate AS DATE) <= DATE '1996-04-30'""")
+        // MERGE moves every k % 97 = 3 row to 1996-04-20: the row-
+        // level rewrite re-routes them to the new (day, bucket) tuple
+        s.sql("""MERGE INTO graft_q202.q202.li t
+          USING (SELECT DISTINCT k AS mk FROM graft_q202.q202.li
+                 WHERE k % 97 = 3) m
+          ON t.k = m.mk
+          WHEN MATCHED THEN UPDATE SET d = DATE '1996-04-20'""")
+        // dynamic overwrite: the batch's (1996-03-15 × 3 flag
+        // buckets) tuples replace that day wholesale, survivors by
+        // reference
+        import s.implicits._
+        Seq((1L, "1996-03-15", "g0", 111L), (2L, "1996-03-15", "g1", 222L),
+          (3L, "1996-03-15", "g2", 333L), (4L, "1996-03-15", "g3", 444L),
+          (5L, "1996-03-15", "g4", 555L))
+          .toDF("k", "ds", "flag", "qty_u")
+          .select(col("k"), to_date(col("ds")).as("d"), col("flag"),
+            col("qty_u"))
+          .writeTo("graft_q202.q202.li").overwritePartitions()
+      }
+      d
+    })
+    val t = s.table("graft_q202.q202.li")
+    val all = t.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nDay = s.sql("""SELECT count(*) FROM graft_q202.q202.li
+      WHERE d = DATE '1996-03-20'""").head.getLong(0)
+    val (p1, t1) = GraftTableSource.lastPlan.get()
+    require(p1 < t1,
+      s"days() pruning failed: planned $p1 of $t1 files")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nFlag = s.sql("""SELECT count(*) FROM graft_q202.q202.li
+      WHERE flag = 'g1'""").head.getLong(0)
+    val (p2, t2) = GraftTableSource.lastPlan.get()
+    require(p2 > 0 && p2 < t2,
+      s"bucket(flag) pruning failed: planned $p2 of $t2 files")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nBoth = s.sql("""SELECT count(*) FROM graft_q202.q202.li
+      WHERE d >= DATE '1996-04-01' AND flag = 'g2'""").head.getLong(0)
+    val (p3, _) = GraftTableSource.lastPlan.get()
+    require(p3 <= p2, s"combined two-dimension pruning kept $p3 files")
+    val nMoved = s.sql("""SELECT count(*) FROM graft_q202.q202.li
+      WHERE d = DATE '1996-04-20'""").head.getLong(0)
+    import s.implicits._
+    Seq((all.getLong(0), all.getLong(1), nDay, nFlag, nBoth, nMoved,
+      true, true))
+      .toDF("n_all", "qty_all", "n_day", "n_flag", "n_both", "n_moved",
+        "pruned_date", "pruned_bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -3993,7 +4120,7 @@ object Relational {
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
-    segmentedManifest)
+    segmentedManifest, typedPartitions)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

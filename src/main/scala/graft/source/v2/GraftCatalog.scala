@@ -74,17 +74,14 @@ final class GraftCatalog extends TableCatalog
     */
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"),
-      Identifier.of(namespace, "truncate"))
+    GraftTransformFunction.names.map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    ident.name() match {
-      case "bucket" => new GraftTransformFunction("bucket")
-      case "truncate" => new GraftTransformFunction("truncate")
-      case _ => throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchFunctionException(ident)
-    }
+    if (GraftTransformFunction.names.contains(ident.name()))
+      new GraftTransformFunction(ident.name())
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -154,8 +151,14 @@ final class GraftCatalog extends TableCatalog
     IntegerType, LongType, FloatType, DoubleType, StringType, BinaryType,
     DateType, TimestampType)
 
-  private def toPartSpec(t: Transform,
-                         schema: StructType): SnapshotTable.PartSpec = {
+  /** One SQL `PARTITIONED BY` transform → a typed [[SnapshotTable
+    * .PartField]]: the source dtype comes from the declared schema
+    * (what fixes the executor/driver arithmetic), transform names are
+    * Iceberg's public catalog (identity, bucket, truncate, days,
+    * months, years, hours).
+    */
+  private def toPartField(t: Transform,
+                          schema: StructType): SnapshotTable.PartField = {
     def ref(e: Expression): Option[String] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
         Some(r.fieldNames()(0))
@@ -169,28 +172,37 @@ final class GraftCatalog extends TableCatalog
       case _ => None
     }
     val args = t.arguments().toSeq
-    val spec = t.name() match {
+    def dtypeOf(c: String): String = {
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source $c is not a column of the table"))
+      graft.ops.TypedBounds.dtypeOf(f.dataType)
+        .filter(Set("int", "long", "date", "timestamp", "string"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition source $c has type ${f.dataType} — hidden " +
+            "partitioning covers INT/BIGINT/DATE/TIMESTAMP/STRING " +
+            "sources"))
+    }
+    t.name() match {
       case "identity" =>
-        SnapshotTable.PartSpec(args.flatMap(ref).headOption.getOrElse(
-          fail(t)), "identity", 0L)
+        val c = args.flatMap(ref).headOption.getOrElse(fail(t))
+        SnapshotTable.PartField(c, "identity", 0L, dtypeOf(c))
       case n @ ("bucket" | "truncate") =>
         val c = args.flatMap(ref).headOption.getOrElse(fail(t))
         val w = args.flatMap(lit).headOption.getOrElse(fail(t))
-        SnapshotTable.PartSpec(c, n, w)
+        SnapshotTable.PartField(c, n, w, dtypeOf(c))
+      case n @ ("days" | "months" | "years" | "hours") =>
+        val c = args.flatMap(ref).headOption.getOrElse(fail(t))
+        SnapshotTable.PartField(c, n, 0L, dtypeOf(c))
       case _ => fail(t)
     }
-    require(schema.fields.exists(f =>
-        f.name == spec.source && f.dataType == LongType),
-      s"partition source ${spec.source} must be a BIGINT column — the " +
-        "driver-side probe mirror and the executor hash must agree on " +
-        "input width")
-    spec
   }
 
   private def fail(t: Transform): Nothing =
     throw new UnsupportedOperationException(
       s"unsupported partition transform $t — use identity(col), " +
-        "bucket(n, col) or truncate(w, col)")
+        "bucket(n, col), truncate(w, col), days(col), months(col), " +
+        "years(col) or hours(col)")
 
   /** Validate schema + partitions + layout TBLPROPERTIES into the
     * CREATE marker — shared by CREATE TABLE and the staged (CTAS/
@@ -205,9 +217,10 @@ final class GraftCatalog extends TableCatalog
         s"column ${f.name} has unsupported type ${f.dataType} — the " +
           "graft catalog serves scalar snapshot tables")
     }
-    require(partitions.length <= 1,
-      "snapshot tables take at most one partition transform")
-    val part = partitions.headOption.map(toPartSpec(_, schema))
+    val part =
+      if (partitions.isEmpty) None
+      else Some(SnapshotTable.PartSpec(
+        partitions.toSeq.map(toPartField(_, schema))))
     val props = properties.asScala
     def layoutCol(key: String): Option[String] = props.get(key).map { c =>
       require(schema.fieldNames.contains(c),
@@ -328,8 +341,10 @@ final class GraftCatalog extends TableCatalog
           m.copy(
             schema = StructType(m.schema.fields.updated(i,
               m.schema.fields(i).copy(name = r.newName()))),
-            part = m.part.map(sp =>
-              if (sp.source == old) sp.copy(source = r.newName()) else sp),
+            part = m.part.map(sp => SnapshotTable.PartSpec(
+              sp.fields.map(f =>
+                if (f.source == old) f.copy(source = r.newName())
+                else f))),
             statsCol = m.statsCol.map(c =>
               if (c == old) r.newName() else c),
             bloomCol = m.bloomCol.map(c =>
@@ -558,9 +573,12 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
       StructField("bytes", LongType),
       StructField("stats_min", LongType),
       StructField("stats_max", LongType),
-      StructField("partition", LongType)))
+      StructField("partition", LongType),
+      // typed/multi specs: the rendered tuple (partition stays NULL)
+      StructField("partition_key", StringType)))
     case "partitions" => StructType(Seq(
-      StructField("partition", LongType, nullable = false),
+      StructField("partition", LongType),
+      StructField("partition_key", StringType),
       StructField("n_files", LongType, nullable = false),
       StructField("rows", LongType),
       StructField("bytes", LongType)))
@@ -604,18 +622,37 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
             ver.fileBytes.map(b => Long.box(b(i))).orNull,
             ver.stats.map(st => Long.box(st.mins(i))).orNull,
             ver.stats.map(st => Long.box(st.maxs(i))).orNull,
-            ver.partValues.map(pv => Long.box(pv(i))).orNull)
+            ver.partValues.map(pv => Long.box(pv(i))).orNull,
+            ver.partKeys.map(pk =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                GraftMetaTable.keyLabel(ver.part.get, pk.row(i))))
+              .orNull)
         }
       case "partitions" =>
         val ver = SnapshotTable.readVersion(spark, path, latest)
-        val pv = ver.partValues.getOrElse(
-          throw new IllegalArgumentException(
-            s"$path is not hidden-partitioned — t.partitions needs a " +
-              "partition transform; t.files inventories plain tables"))
-        pv.indices.groupBy(pv).toSeq.sortBy(_._1).map { case (p, idx) =>
-          Array[Any](p, idx.length.toLong,
-            ver.fileRows.map(r => Long.box(idx.map(r).sum)).orNull,
-            ver.fileBytes.map(b => Long.box(idx.map(b).sum)).orNull)
+        require(ver.partValues.isDefined || ver.partKeys.isDefined,
+          s"$path is not hidden-partitioned — t.partitions needs a " +
+            "partition transform; t.files inventories plain tables")
+        ver.partValues match {
+          case Some(pv) =>
+            pv.indices.groupBy(pv).toSeq.sortBy(_._1)
+              .map { case (p, idx) =>
+                Array[Any](p, null, idx.length.toLong,
+                  ver.fileRows.map(r => Long.box(idx.map(r).sum)).orNull,
+                  ver.fileBytes.map(b => Long.box(idx.map(b).sum)).orNull)
+              }
+          case None =>
+            val pk = ver.partKeys.get
+            (0 until pk.nFiles).groupBy(pk.row).toSeq
+              .sortBy(t => GraftMetaTable.keyLabel(ver.part.get, t._1))
+              .map { case (row, idx) =>
+                Array[Any](null,
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    GraftMetaTable.keyLabel(ver.part.get, row)),
+                  idx.length.toLong,
+                  ver.fileRows.map(r => Long.box(idx.map(r).sum)).orNull,
+                  ver.fileBytes.map(b => Long.box(idx.map(b).sum)).orNull)
+              }
         }
       case "segments" =>
         // the O(Δ) manifest structure, inspectable from SQL; an
@@ -661,15 +698,32 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
 private[v2] object GraftMetaTable {
   val kinds: Set[String] = Set("history", "files", "partitions",
     "segments")
+
+  /** Human-readable rendering of one typed partition tuple, e.g.
+    * `days(ship_d)=18250/bucket(8, flag)=3`.
+    */
+  def keyLabel(spec: SnapshotTable.PartSpec, row: Seq[String]): String =
+    spec.fields.zip(row).map { case (f, v) =>
+      val label = f.transform match {
+        case "identity" => f.source
+        case "bucket" | "truncate" =>
+          s"${f.transform}(${f.param}, ${f.source})"
+        case t => s"$t(${f.source})"
+      }
+      s"$label=$v"
+    }.mkString("/")
 }
 
 private[v2] final case class GraftMetaPartition(rows: Seq[Array[Any]])
     extends org.apache.spark.sql.connector.read.InputPartition
 
-/** The `bucket(width, col)` / `truncate(width, col)` partition
-  * transforms as bindable V2 scalar functions — the arithmetic is
-  * [[SnapshotTable.PartSpec.apply]]'s exactly (xxhash64 seed 42 +
-  * floorMod for bucket, floorDiv for truncate), so a value computed
+/** The hidden-partitioning transforms as bindable V2 scalar functions
+  * — `bucket(width, col)` / `truncate(width, col)` over any supported
+  * source type, and the single-argument temporal ordinals `days(col)`
+  * / `months(col)` / `years(col)` / `hours(col)`. The arithmetic is
+  * [[SnapshotTable.PartField.applyPhysical]]'s exactly (xxhash64 seed
+  * 42 + floorMod for bucket, floorDiv/code-point prefix for truncate,
+  * UTC epoch ordinals for the temporal family), so a value computed
   * here equals the manifest's recorded partition value for the file
   * holding that row.
   */
@@ -677,33 +731,78 @@ private[v2] final class GraftTransformFunction(transform: String)
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
   import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
 
+  private val temporal = GraftTransformFunction.temporalNames(transform)
+
   override def name(): String = transform
   override def description(): String =
-    s"graft $transform(width, col BIGINT): the snapshot table's " +
+    if (temporal) s"graft $transform(col): the snapshot table's " +
+      "hidden-partitioning transform (UTC epoch ordinal)"
+    else s"graft $transform(width, col): the snapshot table's " +
       "hidden-partitioning transform"
 
+  private def dtypeOf(dt: DataType, what: String): String =
+    graft.ops.TypedBounds.dtypeOf(dt)
+      .filter(Set("int", "long", "date", "timestamp", "string"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$transform does not take a $dt $what"))
+
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.length == 2,
-      s"$transform takes (width, col), got $inputType")
-    val widthType = inputType.fields(0).dataType
-    require(widthType == IntegerType || widthType == LongType,
-      s"$transform width must be integral, got $widthType")
-    require(inputType.fields(1).dataType == LongType,
-      s"$transform column must be BIGINT (the write-time routing " +
-        s"width), got ${inputType.fields(1).dataType}")
-    new ScalarFunction[java.lang.Long] {
+    val (widthType, colPos) =
+      if (temporal) {
+        require(inputType.length == 1,
+          s"$transform takes (col), got $inputType")
+        (null: DataType, 0)
+      } else {
+        require(inputType.length == 2,
+          s"$transform takes (width, col), got $inputType")
+        val wt = inputType.fields(0).dataType
+        require(wt == IntegerType || wt == LongType,
+          s"$transform width must be integral, got $wt")
+        (wt, 1)
+      }
+    val colType = inputType.fields(colPos).dataType
+    val dtype = dtypeOf(colType, "column")
+    // validate the (transform, dtype) combination (and, for the
+    // width-less family, pin the whole field) at BIND time — a
+    // width-bearing field revalidates per row against the live width
+    val boundField =
+      if (temporal) Some(SnapshotTable.PartField("x", transform, 0L, dtype))
+      else None
+    val stringValued = transform == "truncate" && dtype == "string"
+    new ScalarFunction[AnyRef] {
       override def inputTypes(): Array[DataType] =
-        Array(widthType, LongType)
-      override def resultType(): DataType = LongType
+        if (temporal) Array(colType) else Array(widthType, colType)
+      override def resultType(): DataType =
+        if (stringValued) StringType else LongType
       override def name(): String = transform
       override def canonicalName(): String = s"graft.$transform"
       override def produceResult(input: org.apache.spark.sql.catalyst
-          .InternalRow): java.lang.Long = {
-        val w =
-          if (widthType == IntegerType) input.getInt(0).toLong
-          else input.getLong(0)
-        SnapshotTable.PartSpec("x", transform, w)(input.getLong(1))
+          .InternalRow): AnyRef = {
+        val field = boundField.getOrElse {
+          val w =
+            if (widthType == IntegerType) input.getInt(0).toLong
+            else input.getLong(0)
+          SnapshotTable.PartField("x", transform, w, dtype)
+        }
+        val raw: Any = dtype match {
+          case "int" | "date" => input.getInt(colPos)
+          case "string" => input.getUTF8String(colPos)
+          case _ => input.getLong(colPos)
+        }
+        field.applyPhysical(raw) match {
+          case l: Long => Long.box(l)
+          case s: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other => throw new IllegalStateException(
+            s"unexpected transform value $other")
+        }
       }
     }
   }
+}
+
+private[v2] object GraftTransformFunction {
+  val temporalNames: Set[String] = Set("days", "months", "years", "hours")
+  val names: Seq[String] =
+    Seq("bucket", "truncate", "days", "months", "years", "hours")
 }

@@ -159,7 +159,7 @@ final class GraftRowLevelOperation(
       override def requiredDistribution(): Distribution =
         res.ver.part match {
           case Some(p) => Distributions.clustered(
-            Array(GraftWriteUtil.transformExpr(p)))
+            GraftWriteUtil.transformExprs(p).toArray)
           case None => Distributions.unspecified()
         }
 
@@ -168,9 +168,9 @@ final class GraftRowLevelOperation(
         * a file the stats column stays tight for manifest pruning.
         */
       override def requiredOrdering(): Array[SortOrder] = {
-        val onPart = res.ver.part.toSeq.map(p =>
-          Expressions.sort(GraftWriteUtil.transformExpr(p),
-            SortDirection.ASCENDING))
+        val onPart = res.ver.part.toSeq
+          .flatMap(GraftWriteUtil.transformExprs)
+          .map(Expressions.sort(_, SortDirection.ASCENDING))
         val onStats = res.ver.stats.toSeq.map(st =>
           Expressions.sort(Expressions.column(st.col),
             SortDirection.ASCENDING))
@@ -248,18 +248,91 @@ private[v2] object GraftWriteUtil {
     spark.sparkContext.broadcast(new SerializableConfiguration(
       spark.sessionState.newHadoopConf()))
 
-  /** The partition transform as a V2 expression — identity resolves
-    * catalog-free; bucket/truncate resolve through the relation's
-    * FunctionCatalog (GraftCatalog), the same arithmetic that routed
-    * rows at append time.
+  /** The partition transforms as V2 expressions, one per field —
+    * identity resolves catalog-free; bucket/truncate/days/months/
+    * years/hours resolve through the relation's FunctionCatalog
+    * (GraftCatalog), the same arithmetic that routed rows at append
+    * time.
     */
-  def transformExpr(p: SnapshotTable.PartSpec)
-      : org.apache.spark.sql.connector.expressions.Expression =
-    p.transform match {
-      case "identity" => Expressions.column(p.source)
-      case "bucket" => Expressions.bucket(p.param.toInt, p.source)
-      case "truncate" => Expressions.apply("truncate",
-        Expressions.literal(p.param), Expressions.column(p.source))
+  def transformExprs(p: SnapshotTable.PartSpec)
+      : Seq[org.apache.spark.sql.connector.expressions.Expression] =
+    p.fields.map { f =>
+      f.transform match {
+        case "identity" => Expressions.column(f.source)
+        case "bucket" => Expressions.bucket(f.param.toInt, f.source)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(f.param), Expressions.column(f.source))
+        case t => // days | months | years | hours
+          Expressions.apply(t, Expressions.column(f.source))
+      }
+    }
+
+  /** Resolve each partition source's schema index and check its type
+    * matches the spec's declaration — shared by the three
+    * executor-writing paths.
+    */
+  def partIndices(schema: StructType, p: SnapshotTable.PartSpec)
+      : (Seq[Int], SnapshotTable.PartSpec) = {
+    val idxs = p.fields.map { f =>
+      val i = schema.fieldIndex(f.source)
+      val have = graft.ops.TypedBounds.dtypeOf(schema.fields(i).dataType)
+        .getOrElse(schema.fields(i).dataType.simpleString)
+      require(have == f.dtype,
+        s"partition source ${f.source} is $have, spec declares " +
+          s"${f.dtype} — the driver-side probe mirror and the " +
+          "executor transform must agree on the input type")
+      i
+    }
+    (idxs, p)
+  }
+
+  /** Resolve each declared typed-stats column to (name, schema index
+    * or -1, dtype) for writer-task bound tracking, failing loudly on
+    * a dtype drift (the append contract freezes stats column types).
+    */
+  def csIndices(schema: StructType, specs: Seq[(String, String)])
+      : Seq[(String, Int, String)] =
+    specs.map { case (c, t) =>
+      val i = schema.fieldNames.indexOf(c)
+      if (i >= 0) {
+        val have = graft.ops.TypedBounds.dtypeOf(schema.fields(i).dataType)
+        require(have.contains(t),
+          s"stats column $c has type ${schema.fields(i).dataType} but " +
+            s"the manifest declares $t — types never change per the " +
+            "append contract")
+      }
+      (c, i, t)
+    }
+
+  /** Assemble the commit-side [[SnapshotTable.ColStats]] from the
+    * writer-tracked per-file bounds — the zero-read replacement for
+    * the post-write batch re-read.
+    */
+  def colStatsFromFacts(specs: Seq[(String, String)],
+                        written: Seq[GraftFileFact])
+      : Seq[SnapshotTable.ColStats] =
+    specs.zipWithIndex.map { case ((c, t), k) =>
+      val bs = written.map { f =>
+        if (k < f.cs.length) f.cs(k) else ("", "", false, false)
+      }
+      SnapshotTable.ColStats(c, t, bs.map(_._1), bs.map(_._2),
+        bs.map(_._3), bs.map(_._4))
+    }
+
+  /** The per-file partition values of a written batch, in the storage
+    * form the spec dictates.
+    */
+  def batchParts(p: SnapshotTable.PartSpec, written: Seq[GraftFileFact])
+      : SnapshotTable.BatchParts =
+    if (p.isLegacy)
+      SnapshotTable.BatchParts(Some(written.map(_.part)), None)
+    else {
+      written.foreach(f => require(f.partKey.length == p.fields.length,
+        s"file ${f.file} carries ${f.partKey.length} partition keys " +
+          s"for ${p.fields.length} fields"))
+      SnapshotTable.BatchParts(None, Some(SnapshotTable.PartKeys(
+        p.fields.map(_.valueDtype).toIndexedSeq,
+        written.iterator.flatMap(_.partKey).toIndexedSeq)))
     }
 
   /** Best-effort cleanup of staged (never-referenced) files. */
@@ -307,25 +380,21 @@ private[v2] final class GraftBatchWrite(
       }
     }
 
-  /** (source index, spec) of the hidden partition transform — the
-    * writer derives each row's partition value and rolls files so
-    * every data file holds exactly one value (what makes manifest
+  /** (source indices, spec) of the hidden partition transform — the
+    * writer derives each row's partition value(s) and rolls files so
+    * every data file holds exactly one tuple (what makes manifest
     * pruning on the recorded value EXACT).
     */
-  private val partIdx: Option[(Int, SnapshotTable.PartSpec)] =
-    res.ver.part.map { p =>
-      val i = rowSchema.fieldIndex(p.source)
-      require(rowSchema.fields(i).dataType == LongType,
-        s"partition source ${p.source} must be BIGINT — the driver " +
-          "probe mirror and the executor hash must agree on input width")
-      (i, p)
-    }
+  private val partIdx: Option[(Seq[Int], SnapshotTable.PartSpec)] =
+    res.ver.part.map(GraftWriteUtil.partIndices(rowSchema, _))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new GraftRowWriterFactory(batchDir, rowSchema, statsIdx, partIdx,
       GraftWriteUtil.parquetSqlConfs(),
-      GraftWriteUtil.broadcastSessionConf(SparkSession.active))
+      GraftWriteUtil.broadcastSessionConf(SparkSession.active),
+      csIdx = GraftWriteUtil.csIndices(rowSchema,
+        SnapshotTable.colSpecsOf(res.ver)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -353,12 +422,12 @@ private[v2] final class GraftBatchWrite(
       val p = new HPath(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }
-    // typed multi-column stats: recomputed for the rewritten files by
-    // one O(batch) column-pruned read-back — the same collection
-    // every write path performs (carry happens inside the commit,
-    // per whatever base the rebase lands on)
-    val freshCs = SnapshotTable.computeColStats(spark,
-      written.map(_.file), SnapshotTable.colSpecsOf(base))
+    // typed multi-column stats: tracked INSIDE the write tasks and
+    // carried back in the commit messages — zero re-read of the batch
+    // (carry happens inside the commit, per whatever base the rebase
+    // lands on; rebaseTarget rejects a changed stats layout)
+    val freshCs = GraftWriteUtil.colStatsFromFacts(
+      SnapshotTable.colSpecsOf(base), written)
     base.bloom.foreach { bc =>
       if (written.nonEmpty)
         graft.ops.BloomIndex.buildRows(spark, written.map(_.file),
@@ -387,7 +456,7 @@ private[v2] final class GraftBatchWrite(
       written.map(m => sizeOf(m.file)),
       base.stats.map(_ =>
         (written.map(_.statMin), written.map(_.statMax))),
-      base.part.map(_ => written.map(_.part)),
+      base.part.map(GraftWriteUtil.batchParts(_, written)),
       freshCs, op = op, interleavedOk = interleavedOk)
   }
 
@@ -400,12 +469,17 @@ private[v2] final class GraftBatchWrite(
 }
 
 /** Per-file facts a rewrite task commits: row count, stats [min, max]
-  * (valid only when `statSeen`), and the file's single hidden
-  * partition value (0 for unpartitioned tables).
+  * (valid only when `statSeen`), the file's hidden partition value —
+  * `part` for a legacy single-LONG spec (0 when unpartitioned),
+  * `partKey` (the encoded tuple) for typed/multi specs — and `cs`,
+  * the TYPED multi-column bounds (encoded min, encoded max, has,
+  * exact) per declared stats column, tracked INSIDE the write task so
+  * the commit never re-reads the batch it just wrote.
   */
 private[v2] final case class GraftFileFact(
     file: String, rows: Long, statMin: Long, statMax: Long,
-    statSeen: Boolean, part: Long)
+    statSeen: Boolean, part: Long, partKey: Seq[String] = Seq.empty,
+    cs: Seq[(String, String, Boolean, Boolean)] = Seq.empty)
 
 private[v2] final case class GraftRowWriteMessage(files: Seq[GraftFileFact])
     extends WriterCommitMessage
@@ -413,9 +487,14 @@ private[v2] final case class GraftRowWriteMessage(files: Seq[GraftFileFact])
 private[v2] final class GraftRowWriterFactory(
     batchDir: String, schema: StructType,
     statsIdx: Option[(Int, Boolean)],
-    partIdx: Option[(Int, SnapshotTable.PartSpec)],
+    partIdx: Option[(Seq[Int], SnapshotTable.PartSpec)],
     sqlConfs: Map[String, String],
-    bconf: Broadcast[SerializableConfiguration])
+    bconf: Broadcast[SerializableConfiguration],
+    // TYPED stats tracking: (column, schema index or -1 when the
+    // write's schema lacks it, dtype) per declared stats column —
+    // bounds accumulate per open file and ride back in the commit
+    // message, so typed-stats commits never re-read their batch
+    csIdx: Seq[(String, Int, String)] = Seq.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -423,8 +502,12 @@ private[v2] final class GraftRowWriterFactory(
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-      /** Open writer + running facts for one partition value. */
-      final class Slot(val part: Long) {
+      /** Open writer + running facts for one partition value. `key`
+        * is the slot's pool key: the Long partition value for a
+        * legacy spec, the List of per-field keys for a typed one, 0L
+        * when unpartitioned.
+        */
+      final class Slot(val key: Any) {
         val file: String = {
           val seq = fileSeq; fileSeq += 1
           s"$batchDir/part-$partitionId-$taskId-$seq.parquet"
@@ -433,6 +516,11 @@ private[v2] final class GraftRowWriterFactory(
         var mn = Long.MaxValue
         var mx = Long.MinValue
         var lastUse = 0L
+        // typed bounds per declared stats column: PHYSICAL values
+        // (Long / Double / Boolean / UTF8String copies), null = none
+        // seen in this file yet
+        val csMn = new Array[Any](csIdx.length)
+        val csMx = new Array[Any](csIdx.length)
         val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
           val conf = new org.apache.hadoop.conf.Configuration(
             bconf.value.value)
@@ -452,7 +540,18 @@ private[v2] final class GraftRowWriterFactory(
         def fact: GraftFileFact = GraftFileFact(file, n,
           if (mn == Long.MaxValue) 0L else mn,
           if (mx == Long.MinValue) 0L else mx,
-          statSeen = mn != Long.MaxValue, part = part)
+          statSeen = mn != Long.MaxValue,
+          part = key match { case l: Long => l; case _ => 0L },
+          partKey = key match {
+            case ks: List[_] =>
+              val fs = partIdx.get._2.fields
+              fs.indices.map(k => fs(k).encodeKey(ks(k)))
+            case _ => Seq.empty
+          },
+          cs = csIdx.indices.map { k =>
+            graft.ops.TypedBounds.encodePhysical(csIdx(k)._3,
+              csMn(k), csMx(k))
+          })
       }
 
       private var fileSeq = 0
@@ -471,7 +570,7 @@ private[v2] final class GraftRowWriterFactory(
       private val maxOpen = GraftRowWriterFactory.maxOpenWriters
       private var useTick = 0L
       private val slots =
-        scala.collection.mutable.LinkedHashMap.empty[Long, Slot]
+        scala.collection.mutable.LinkedHashMap.empty[Any, Slot]
       private val banked =
         scala.collection.mutable.ArrayBuffer.empty[GraftFileFact]
 
@@ -481,14 +580,38 @@ private[v2] final class GraftRowWriterFactory(
                          record: InternalRow): Unit = write(record)
 
       override def write(record: InternalRow): Unit = {
-        val p = partIdx match {
-          case Some((i, spec)) =>
-            if (record.isNullAt(i))
+        val p: Any = partIdx match {
+          case Some((idxs, spec)) if spec.isLegacy =>
+            if (record.isNullAt(idxs.head))
               throw new IllegalArgumentException(
                 s"partition source ${spec.source} is NULL — hidden " +
                   "partitioning routes by value and cannot place a " +
                   "NULL row")
-            spec(record.getLong(i))
+            spec(record.getLong(idxs.head))
+          case Some((idxs, spec)) =>
+            // typed/multi spec: per-field physical read + transform
+            val fs = spec.fields
+            val keys = new Array[Any](fs.length)
+            var k = 0
+            while (k < fs.length) {
+              val i = idxs(k)
+              val f = fs(k)
+              if (record.isNullAt(i))
+                throw new IllegalArgumentException(
+                  s"partition source ${f.source} is NULL — hidden " +
+                    "partitioning routes by value and cannot place a " +
+                    "NULL row")
+              val raw: Any = f.dtype match {
+                case "int" | "date" => record.getInt(i)
+                // consumed synchronously by applyPhysical (hashed or
+                // copied to String) — no buffer retention
+                case "string" => record.getUTF8String(i)
+                case _ => record.getLong(i)
+              }
+              keys(k) = f.applyPhysical(raw)
+              k += 1
+            }
+            keys.toList
           case None => 0L
         }
         val slot = slots.getOrElse(p, {
@@ -496,7 +619,7 @@ private[v2] final class GraftRowWriterFactory(
             val lru = slots.values.minBy(_.lastUse)
             lru.writer.close()
             banked += lru.fact
-            slots.remove(lru.part)
+            slots.remove(lru.key)
           }
           val s = new Slot(p); slots(p) = s; s
         })
@@ -508,6 +631,57 @@ private[v2] final class GraftRowWriterFactory(
             if (v < slot.mn) slot.mn = v
             if (v > slot.mx) slot.mx = v
           }
+        }
+        var k = 0
+        while (k < csIdx.length) {
+          val (_, i, dt) = csIdx(k)
+          if (i >= 0 && !record.isNullAt(i)) {
+            dt match {
+              case "string" =>
+                // compare against the live buffer, COPY only when the
+                // value becomes a retained bound (unsafe-row buffers
+                // are reused across rows)
+                val v = record.getUTF8String(i)
+                val mnS = slot.csMn(k)
+                  .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                if (mnS == null || v.compareTo(mnS) < 0)
+                  slot.csMn(k) = v.copy()
+                val mxS = slot.csMx(k)
+                  .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                if (mxS == null || v.compareTo(mxS) > 0)
+                  slot.csMx(k) = v.copy()
+              case "double" | "float" =>
+                val v = if (dt == "float") record.getFloat(i).toDouble
+                  else record.getDouble(i)
+                // java.lang.Double.compare: the NaN-largest total
+                // order Spark's own min/max aggregates use
+                if (slot.csMn(k) == null || java.lang.Double.compare(
+                    v, slot.csMn(k).asInstanceOf[Double]) < 0)
+                  slot.csMn(k) = v
+                if (slot.csMx(k) == null || java.lang.Double.compare(
+                    v, slot.csMx(k).asInstanceOf[Double]) > 0)
+                  slot.csMx(k) = v
+              case "boolean" =>
+                val v = record.getBoolean(i)
+                if (slot.csMn(k) == null ||
+                    (!v && slot.csMn(k).asInstanceOf[Boolean]))
+                  slot.csMn(k) = v
+                if (slot.csMx(k) == null ||
+                    (v && !slot.csMx(k).asInstanceOf[Boolean]))
+                  slot.csMx(k) = v
+              case _ => // int | long | date | timestamp
+                val v =
+                  if (dt == "int" || dt == "date") record.getInt(i).toLong
+                  else record.getLong(i)
+                if (slot.csMn(k) == null ||
+                    v < slot.csMn(k).asInstanceOf[Long])
+                  slot.csMn(k) = v
+                if (slot.csMx(k) == null ||
+                    v > slot.csMx(k).asInstanceOf[Long])
+                  slot.csMx(k) = v
+            }
+          }
+          k += 1
         }
         slot.n += 1
         slot.writer.write(record)

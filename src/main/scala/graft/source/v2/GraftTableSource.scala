@@ -133,9 +133,20 @@ object GraftTableSource {
     val fields = scala.collection.mutable.ArrayBuffer(
       "schema_ddl" -> graft.Json.quote(m.schema.toDDL))
     m.part.foreach { p =>
-      fields += "part_source" -> graft.Json.quote(p.source)
-      fields += "part_transform" -> graft.Json.quote(p.transform)
-      fields += "part_param" -> p.param.toString
+      if (p.isLegacy) {
+        fields += "part_source" -> graft.Json.quote(p.source)
+        fields += "part_transform" -> graft.Json.quote(p.transform)
+        fields += "part_param" -> p.param.toString
+      } else {
+        fields += "part_sources" -> p.fields
+          .map(f => graft.Json.quote(f.source)).mkString("[", ",", "]")
+        fields += "part_transforms" -> p.fields
+          .map(f => graft.Json.quote(f.transform)).mkString("[", ",", "]")
+        fields += "part_params" -> p.fields.map(_.param)
+          .mkString("[", ",", "]")
+        fields += "part_dtypes" -> p.fields
+          .map(f => graft.Json.quote(f.dtype)).mkString("[", ",", "]")
+      }
     }
     m.statsCol.foreach(c => fields += "stats_col" -> graft.Json.quote(c))
     m.bloomCol.foreach(c => fields += "bloom_col" -> graft.Json.quote(c))
@@ -160,7 +171,14 @@ object GraftTableSource {
       if (df.columns.contains("part_source"))
         Some(SnapshotTable.PartSpec(r.getAs[String]("part_source"),
           r.getAs[String]("part_transform"), r.getAs[Long]("part_param")))
-      else None
+      else if (df.columns.contains("part_sources")) {
+        val srcs = r.getAs[scala.collection.Seq[String]]("part_sources")
+        val trs = r.getAs[scala.collection.Seq[String]]("part_transforms")
+        val ps = r.getAs[scala.collection.Seq[Long]]("part_params")
+        val dts = r.getAs[scala.collection.Seq[String]]("part_dtypes")
+        Some(SnapshotTable.PartSpec(srcs.indices.map(k =>
+          SnapshotTable.PartField(srcs(k), trs(k), ps(k), dts(k))).toSeq))
+      } else None
     def opt(c: String): Option[String] =
       if (df.columns.contains(c)) Option(r.getAs[String](c)) else None
     val statsCols =
@@ -348,7 +366,9 @@ object GraftTableSource {
       keep = keep.filter(i => vs.exists(v => mins(i) <= v && maxs(i) >= v))
 
     val statCol = ver.stats.map(_.col)
-    val partCol = ver.part.map(_.source)
+    // the legacy single-LONG pass below; typed/multi specs prune in
+    // their own pass further down
+    val partCol = ver.part.filter(_.isLegacy).map(_.source)
     // canonicalized comparison (TableIo.canon via canonFile): `file:`
     // vs `file://` vs plain forms of the same path must all match
     def fileNameSet(vs: Seq[Any]): Set[String] =
@@ -492,6 +512,60 @@ object GraftTableSource {
           if (ks.length == vs.length && ks.nonEmpty)
             pruneWith(c)((cs, i) => ks.exists(k =>
               surviveRange(cs, i, Some(k), false, Some(k), false)))
+        case _ => ()
+      }
+    }
+
+    // TYPED hidden partitioning ([[SnapshotTable.PartField]]): a
+    // predicate on any SOURCE column pushes through that field's
+    // transform and compares against the per-file recorded tuple.
+    // Partition values are EXACT (partition-pure files), so equality
+    // and IN prune exactly; ranges prune on monotone transforms; and
+    // IS NULL prunes EVERYTHING — every partitioned write path
+    // rejects NULL sources, so no file can hold one.
+    ver.part.filterNot(_.isLegacy).foreach { sp =>
+      import graft.ops.TypedBounds
+      val pk = ver.partKeys.getOrElse(throw new IllegalStateException(
+        s"typed-partitioned version lacks partition keys"))
+      val fieldOf: Map[String, (SnapshotTable.PartField, Int)] =
+        sp.fields.zipWithIndex
+          .map { case (f, j) => f.source -> (f, j) }.toMap
+      def cmpAt(f: SnapshotTable.PartField, j: Int, i: Int,
+                probe: Any): Int =
+        TypedBounds.compare(f.valueDtype, pk.key(i, j), probe)
+      def rangePrune(c: String, v: Any, isLo: Boolean): Unit =
+        fieldOf.get(c).filter(_._1.monotone).foreach { case (f, j) =>
+          TypedBounds.keyOfValue(f.dtype, v).foreach { k =>
+            val p = f.applyKey(k)
+            keep = keep.filter(i =>
+              if (isLo) cmpAt(f, j, i, p) >= 0 else cmpAt(f, j, i, p) <= 0)
+          }
+        }
+      filters.foreach {
+        case EqualTo(c, v) if fieldOf.contains(c) =>
+          val (f, j) = fieldOf(c)
+          TypedBounds.keyOfValue(f.dtype, v).foreach { k =>
+            val p = f.applyKey(k)
+            keep = keep.filter(i => cmpAt(f, j, i, p) == 0)
+          }
+        case In(c, vs) if fieldOf.contains(c) =>
+          val (f, j) = fieldOf(c)
+          val ks = vs.toSeq.flatMap(v => TypedBounds.keyOfValue(f.dtype, v))
+          // only a COMPLETE translation may prune
+          if (ks.length == vs.length && ks.nonEmpty) {
+            val want = ks.map(f.applyKey).toSet
+            keep = keep.filter(i => want.contains(pk.key(i, j)))
+          }
+        // strict bounds stay conservative through the transform: the
+        // file's partition value must be ≥/≤ the PROBE's partition
+        // value (several source values share one), the exact
+        // predicate rides along as the residual
+        case GreaterThan(c, v) => rangePrune(c, v, isLo = true)
+        case GreaterThanOrEqual(c, v) => rangePrune(c, v, isLo = true)
+        case LessThan(c, v) => rangePrune(c, v, isLo = false)
+        case LessThanOrEqual(c, v) => rangePrune(c, v, isLo = false)
+        case IsNull(c) if fieldOf.contains(c) =>
+          keep = Set.empty
         case _ => ()
       }
     }
@@ -759,7 +833,7 @@ private[v2] final class GraftWriteBuilder(
             if (latest > 0)
               SnapshotTable.readVersion(SparkSession.active, path, latest).part
             else GraftTableSource.readMarker(path).flatMap(_.part)
-          spec.exists(sp => sp.source == c && sp.monotone &&
+          spec.exists(sp => sp.isLegacy && sp.source == c && sp.monotone &&
             (sp.transform != "truncate" ||
               (Math.floorMod(lo, sp.param) == 0 &&
                 Math.floorMod(hi + 1, sp.param) == 0)))
@@ -945,13 +1019,8 @@ private[v2] final class GraftStreamingWrite(
     if (base.isEmpty) GraftTableSource.readMarker(path) else None
   private val partSpec: Option[SnapshotTable.PartSpec] =
     base.flatMap(_.part).orElse(marker.flatMap(_.part))
-  private val partIdx: Option[(Int, SnapshotTable.PartSpec)] =
-    partSpec.map { p =>
-      val i = schema.fieldIndex(p.source)
-      require(schema.fields(i).dataType == LongType,
-        s"partition source ${p.source} must be BIGINT")
-      (i, p)
-    }
+  private val partIdx: Option[(Seq[Int], SnapshotTable.PartSpec)] =
+    partSpec.map(GraftWriteUtil.partIndices(schema, _))
   private val statsCol = props.get("stats_col")
     .orElse(base.flatMap(_.stats.map(_.col)))
     .orElse(marker.flatMap(_.statsCol))
@@ -967,6 +1036,25 @@ private[v2] final class GraftStreamingWrite(
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .orElse(marker.map(_.statsCols).filter(_.nonEmpty))
     .getOrElse(Seq.empty)
+
+  /** The typed specs the writer tasks track bounds for — the table's
+    * declaration, or (first epoch of a declared-but-empty table) the
+    * declaration with dtypes from the stream schema. Tracking here is
+    * what keeps a typed-stats EPOCH commit from launching a Spark
+    * re-read job per trigger.
+    */
+  private val csSpecs: Seq[(String, String)] =
+    base.map(SnapshotTable.colSpecsOf).filter(_.nonEmpty).getOrElse {
+      statsCols.map { c =>
+        val i = schema.fieldIndex(c)
+        val t = graft.ops.TypedBounds.dtypeOf(schema.fields(i).dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"stats_cols column $c has type " +
+              s"${schema.fields(i).dataType} — typed stats cover " +
+              "INT/BIGINT/DATE/TIMESTAMP/FLOAT/DOUBLE/STRING/BOOLEAN"))
+        (c, t)
+      }
+    }
 
   private val statsIdx: Option[(Int, Boolean)] = statsCol.map { c =>
     val i = schema.fieldIndex(c)
@@ -987,7 +1075,8 @@ private[v2] final class GraftStreamingWrite(
   private lazy val rowFactory = new GraftRowWriterFactory(
     batchDir, schema, statsIdx, partIdx,
     GraftWriteUtil.parquetSqlConfs(),
-    GraftWriteUtil.broadcastSessionConf(SparkSession.active))
+    GraftWriteUtil.broadcastSessionConf(SparkSession.active),
+    csIdx = GraftWriteUtil.csIndices(schema, csSpecs))
 
   override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory = {
@@ -1022,8 +1111,12 @@ private[v2] final class GraftStreamingWrite(
         (written.map(_.statMin), written.map(_.statMax))),
       bloomCol = bloomCol,
       txn = Some((s"stream-${info.queryId()}", epochId)),
-      part = partSpec.map(sp => (sp, written.map(_.part))),
-      statsCols = statsCols)
+      part = partSpec.map(sp =>
+        (sp, GraftWriteUtil.batchParts(sp, written))),
+      statsCols = statsCols,
+      trackedCs =
+        if (csSpecs.isEmpty) None
+        else Some(GraftWriteUtil.colStatsFromFacts(csSpecs, written)))
   }
 
   override def abort(epochId: Long,
@@ -1063,7 +1156,8 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val prunable = (res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
+    val prunable = (res.ver.stats.map(_.col)
+      ++ res.ver.part.toSeq.flatMap(_.fields.map(_.source))
       ++ res.ver.bloom.map(_.col)).toSet ++ res.ver.colStats.map(_.col)
     // columns without a manifest index still benefit: predicates on
     // any row-group-translatable type ride to parquet's statistics
@@ -1260,7 +1354,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     res.ver.part match {
-      case Some(p) if limit.isEmpty &&
+      case Some(p) if p.isLegacy && limit.isEmpty &&
           required.fieldNames.contains(p.source) =>
         import org.apache.spark.sql.connector.expressions.Expressions
         // identity resolves catalog-free; bucket/truncate resolve only
@@ -1333,15 +1427,20 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val cols = ((res.ver.stats.map(_.col) ++ res.ver.part.map(_.source)
-      ++ res.ver.bloom.map(_.col)).toSeq
+    val cols = ((res.ver.stats.map(_.col) ++ res.ver.bloom.map(_.col))
+      .toSeq
+      ++ res.ver.part.toSeq.flatMap(_.fields.map(_.source))
       ++ res.ver.colStats.map(_.col)).distinct
-    // _file is only resolvable when this scan actually OUTPUTS the
-    // metadata column (row-level rewrites do); advertising it on an
-    // ordinary scan breaks reference resolution for every runtime
-    // filter on the relation
-    val all =
-      if (required.fieldNames.contains("_file")) cols :+ "_file" else cols
+    // advertise ONLY columns this scan OUTPUTS (the pruned schema):
+    // Spark resolves these references against the relation's output,
+    // so naming a pruned-away column (a partition source a narrow
+    // projection dropped — e.g. the source side of a self-referencing
+    // MERGE) fails ANALYSIS for the whole query. A runtime filter can
+    // only arrive on an output attribute anyway. `_file` likewise
+    // resolves only when projected (row-level rewrites project it).
+    val out = required.fieldNames.toSet
+    val all = cols.filter(out) ++
+      (if (out("_file")) Seq("_file") else Seq.empty)
     all.map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
@@ -1404,7 +1503,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     plannedFileNames = kept.map(res.ver.files)
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
     val identityKeyed = limit.isEmpty && res.ver.part.exists(p =>
-      required.fieldNames.contains(p.source))
+      p.isLegacy && required.fieldNames.contains(p.source))
     // the pushed + runtime predicates, re-checked by Spark above the
     // scan, also drive parquet's ROW-GROUP statistics filtering inside
     // each kept file — what bounds the read when pruning keeps a huge
@@ -1870,12 +1969,8 @@ private[v2] final class GraftDynamicOverwrite(
     throw new IllegalArgumentException(
       "dynamic partition overwrite needs hidden partitioning — an " +
         "unpartitioned overwrite is all-or-nothing (mode overwrite)"))
-  private val srcIdx = {
-    val i = schema.fieldIndex(spec.source)
-    require(schema.fields(i).dataType == LongType,
-      s"partition source ${spec.source} must be BIGINT")
-    i
-  }
+  private val srcIdxs: Seq[Int] =
+    GraftWriteUtil.partIndices(schema, spec)._1
   private val statsIdx: Option[(Int, Boolean)] =
     base0.stats.map(_.col).map { c =>
       val i = schema.fieldIndex(c)
@@ -1905,13 +2000,13 @@ private[v2] final class GraftDynamicOverwrite(
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions
-      .clustered(Array(GraftWriteUtil.transformExpr(spec)))
+      .clustered(GraftWriteUtil.transformExprs(spec).toArray)
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    (Seq(Expressions.sort(GraftWriteUtil.transformExpr(spec),
-        SortDirection.ASCENDING)) ++
+    (GraftWriteUtil.transformExprs(spec)
+        .map(Expressions.sort(_, SortDirection.ASCENDING)) ++
       base0.stats.map(st => Expressions.sort(
         Expressions.column(st.col), SortDirection.ASCENDING))).toArray
   }
@@ -1919,8 +2014,10 @@ private[v2] final class GraftDynamicOverwrite(
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
       : DataWriterFactory =
     new GraftRowWriterFactory(batchDir, schema, statsIdx,
-      Some((srcIdx, spec)), GraftWriteUtil.parquetSqlConfs(),
-      GraftWriteUtil.broadcastSessionConf(SparkSession.active))
+      Some((srcIdxs, spec)), GraftWriteUtil.parquetSqlConfs(),
+      GraftWriteUtil.broadcastSessionConf(SparkSession.active),
+      csIdx = GraftWriteUtil.csIndices(schema,
+        SnapshotTable.colSpecsOf(base0)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -1941,7 +2038,6 @@ private[v2] final class GraftDynamicOverwrite(
           s"${base0.stats.get.col} — no committable min/max")
     }
     SnapshotTable.enforceConstraintsOn(spark, path, written.map(_.file))
-    val replaced = written.map(_.part).toSet
     val conf = spark.sparkContext.hadoopConfiguration
     def sizeOf(f: String): Long = {
       val p = new HPath(f)
@@ -1953,10 +2049,12 @@ private[v2] final class GraftDynamicOverwrite(
       w <- Option(info.options().get("txn_writer"))
       b <- Option(info.options().get("txn_batch"))
     } yield (w, b.toLong)
-    SnapshotTable.commitDynamicOverwrite(spark, path, spec, replaced,
+    SnapshotTable.commitDynamicOverwrite(spark, path, spec,
       written.map(_.file), written.map(_.rows), bytes,
       written.map(_.statMin), written.map(_.statMax),
-      written.map(_.part), txn = txn)
+      GraftWriteUtil.batchParts(spec, written), txn = txn,
+      trackedCs = Some(GraftWriteUtil.colStatsFromFacts(
+        SnapshotTable.colSpecsOf(base0), written)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -236,7 +236,8 @@ class GraftCatalogSpec extends SparkSpec {
       PARTITIONED BY (truncate(25, k))""")
     spark.sql("INSERT INTO graft.db.hp SELECT id, id FROM range(100)")
     val parts = spark.sql(
-      "SELECT * FROM graft.db.hp.partitions ORDER BY partition")
+      "SELECT partition, n_files, rows FROM graft.db.hp.partitions " +
+        "ORDER BY partition")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(parts.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
     assert(parts.map(_._3).sum === 100)
@@ -746,12 +747,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ver.bloom.exists(_.col == "b"))
     spark.sql("DROP TABLE graft.db.m")
 
-    // a non-BIGINT partition source rejects at CREATE
+    // an unsupported partition source type rejects at CREATE (typed
+    // specs cover INT/BIGINT/DATE/TIMESTAMP/STRING — floats hash and
+    // compare treacherously as layout keys)
     val e = intercept[Exception] {
-      spark.sql("""CREATE TABLE graft.db.bad (s STRING, x BIGINT)
+      spark.sql("""CREATE TABLE graft.db.bad (s DOUBLE, x BIGINT)
         PARTITIONED BY (s)""")
     }
-    assert(e.getMessage.contains("BIGINT"))
+    assert(e.getMessage.contains("INT/BIGINT/DATE/TIMESTAMP/STRING"))
     // unsupported column types reject at CREATE
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE graft.db.bad2 (m MAP<STRING,STRING>)")

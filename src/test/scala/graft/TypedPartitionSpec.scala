@@ -1,0 +1,466 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.SnapshotTable
+import graft.ops.SnapshotTable.{PartField, PartSpec}
+import graft.source.v2.GraftTableSource
+
+/** TYPED, MULTI-COLUMN hidden partitioning: DATE/TIMESTAMP sources
+  * under days()/months()/years()/hours(), STRING identity/truncate/
+  * bucket, INT sources, and multi-field specs (e.g. days(date) ×
+  * bucket(8, string)) — Iceberg's transform catalog re-expressed over
+  * the snapshot table. Covers the driver↔executor transform agreement
+  * (the invariant pruning correctness rests on), every write path
+  * (append, INSERT, dynamic overwrite, static overwrite, MERGE,
+  * streaming sink), manifest round-trip in both storage forms
+  * (inline + segmented), and the loud guards. q202 oracle-gates the
+  * SQL surface cross-engine.
+  */
+class TypedPartitionSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("tpart").toString + "/t"
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("tpcat").toString
+    spark.conf.set("spark.sql.catalog.graft_tp",
+      "graft.source.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tp.root", r)
+    r
+  }
+
+  private def resetPlan(): Unit = GraftTableSource.lastPlan.set((-1, -1))
+  private def lastPlan(): (Int, Int) = GraftTableSource.lastPlan.get()
+
+  private def scanPath(path: String) =
+    spark.read.format("graft_table").option("path", path).load()
+
+  test("multi-column typed spec via the API: days(date) × " +
+      "bucket(4, string) routes partition-pure, records per-file " +
+      "tuples, and prunes on BOTH dimensions independently") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(
+      PartField("d", "days", 0L, "date"),
+      PartField("tag", "bucket", 4L, "string")))
+    val df = (0L until 400L).map { i =>
+      (i, s"2024-03-${(i % 4) + 10}", s"tag-${i % 7}")
+    }.toDF("v", "ds", "tag")
+      .withColumn("d", to_date(col("ds"))).drop("ds")
+    SnapshotTable.appendPartitioned(df, path, spec)
+
+    val ver = SnapshotTable.readVersion(spark, path, 1)
+    assert(ver.part === Some(spec))
+    assert(ver.partValues.isEmpty, "typed spec must not store longs")
+    val pk = ver.partKeys.get
+    assert(pk.nFiles === ver.files.length && pk.nFields === 2)
+
+    // partition purity on BOTH dimensions, file by file, and the
+    // recorded tuple equals the driver-side transform of the rows
+    ver.files.zipWithIndex.foreach { case (f, i) =>
+      val rows = spark.read.parquet(f)
+        .select(datediff(col("d"), to_date(lit("1970-01-01"))), col("tag"))
+        .collect().map(r => (r.getInt(0).toLong, r.getString(1)))
+      val tuples = rows.map { case (day, tag) =>
+        (spec.fields.head.applyKey(day),
+          spec.fields(1).applyKey(tag))
+      }.distinct
+      assert(tuples.length === 1, s"file $f holds ${tuples.length} tuples")
+      assert(pk.row(i) === IndexedSeq(
+        spec.fields.head.encodeKey(tuples.head._1),
+        spec.fields(1).encodeKey(tuples.head._2)))
+    }
+
+    // prune on the DATE dimension (equality through days())
+    resetPlan()
+    val d1 = scanPath(path).filter(col("d") === lit("2024-03-11").cast("date"))
+    assert(d1.count() === 100)
+    val (p1, t1) = lastPlan()
+    assert(p1 > 0 && p1 < t1, s"date pruning failed: $p1 of $t1")
+
+    // prune on the STRING dimension (equality through bucket)
+    resetPlan()
+    val d2 = scanPath(path).filter(col("tag") === "tag-3")
+    assert(d2.count() === (0L until 400L).count(_ % 7 == 3))
+    val (p2, t2) = lastPlan()
+    assert(p2 > 0 && p2 < t2, s"bucket pruning failed: $p2 of $t2")
+
+    // both together prune to (at most) one partition tuple's file(s)
+    resetPlan()
+    val d3 = scanPath(path)
+      .filter(col("d") === lit("2024-03-11").cast("date") &&
+        col("tag") === "tag-3")
+    assert(d3.count() ===
+      (0L until 400L).count(i => i % 4 == 1 && i % 7 == 3))
+    val (p3, _) = lastPlan()
+    assert(p3 <= math.min(p1, p2), s"combined pruning kept $p3 files")
+
+    // DATE range prunes through the monotone days() transform
+    resetPlan()
+    assert(scanPath(path)
+      .filter(col("d") >= lit("2024-03-12").cast("date"))
+      .count() === 200)
+    assert(lastPlan()._1 < t1, "date range pruning failed")
+
+    // IS NULL on a partition source prunes EVERY file (writes reject
+    // NULL sources)
+    resetPlan()
+    assert(scanPath(path).filter(col("d").isNull).count() === 0)
+    assert(lastPlan()._1 === 0, "IS NULL must prune everything")
+  }
+
+  test("driver↔executor transform agreement, per transform × dtype: " +
+      "an equality probe under pruning returns exactly the brute-force " +
+      "rows") {
+    import spark.implicits._
+    // each case: (spec field over column `c`, a DataFrame builder, a
+    // probe Column value). Correctness under pruning == agreement: a
+    // mis-mirrored transform drops the matching file and loses rows.
+    val n = 120L
+    def longs = (0L until n).toDF("x")
+    val cases: Seq[(PartField, org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)] = Seq(
+      (PartField("c", "identity", 0L, "int"),
+        longs.select((col("x") % 9).cast("int").as("c"), col("x")),
+        lit(4).cast("int")),
+      (PartField("c", "truncate", 25L, "int"),
+        longs.select((col("x") - 60L).cast("int").as("c"), col("x")),
+        lit(-13).cast("int")),
+      (PartField("c", "bucket", 5L, "int"),
+        longs.select(col("x").cast("int").as("c"), col("x")),
+        lit(77).cast("int")),
+      (PartField("c", "identity", 0L, "date"),
+        longs.select(date_add(lit("2020-02-27").cast("date"),
+          (col("x") % 6).cast("int")).as("c"), col("x")),
+        lit("2020-03-01").cast("date")),
+      (PartField("c", "months", 0L, "date"),
+        longs.select(date_add(lit("2019-12-25").cast("date"),
+          ((col("x") % 5) * 10).cast("int")).as("c"), col("x")),
+        lit("2020-01-14").cast("date")),
+      (PartField("c", "years", 0L, "date"),
+        longs.select(date_add(lit("2019-11-30").cast("date"),
+          ((col("x") % 4) * 90).cast("int")).as("c"), col("x")),
+        lit("2020-02-28").cast("date")),
+      (PartField("c", "bucket", 3L, "date"),
+        longs.select(date_add(lit("2021-01-01").cast("date"),
+          (col("x") % 11).cast("int")).as("c"), col("x")),
+        lit("2021-01-08").cast("date")),
+      (PartField("c", "days", 0L, "timestamp"),
+        longs.select(to_timestamp(concat(lit("2024-06-1"),
+          (col("x") % 5) + 1, lit(" 0"), col("x") % 10,
+          lit(":30:00"))).as("c"), col("x")),
+        to_timestamp(lit("2024-06-13 07:30:00"))),
+      (PartField("c", "hours", 0L, "timestamp"),
+        longs.select(to_timestamp(concat(lit("2024-06-11 0"),
+          col("x") % 8, lit(":"), lpad((col("x") % 60).cast("string"),
+            2, "0"), lit(":00"))).as("c"), col("x")),
+        to_timestamp(lit("2024-06-11 05:42:00"))),
+      (PartField("c", "months", 0L, "timestamp"),
+        longs.select(to_timestamp(concat(lit("2024-0"),
+          (col("x") % 3) + 3, lit("-07 12:00:00"))).as("c"), col("x")),
+        to_timestamp(lit("2024-04-07 12:00:00"))),
+      (PartField("c", "identity", 0L, "string"),
+        longs.select(concat(lit("srv-"), col("x") % 6).as("c"), col("x")),
+        lit("srv-2")),
+      (PartField("c", "truncate", 2L, "string"),
+        longs.select(concat(lit("u"), col("x") % 7, lit("@host"))
+          .as("c"), col("x")),
+        lit("u5@host")),
+      (PartField("c", "bucket", 8L, "string"),
+        longs.select(concat(lit("k"), col("x")).as("c"), col("x")),
+        lit("k93")))
+    cases.foreach { case (field, df, probe) =>
+      val path = freshPath()
+      SnapshotTable.appendPartitioned(df, path, PartSpec(Seq(field)))
+      val ver = SnapshotTable.readVersion(spark, path, 1)
+      assert(ver.partKeys.exists(_.nFiles == ver.files.length),
+        s"${field.transform}/${field.dtype}: no typed keys recorded")
+      val expected = df.filter(col("c") === probe).count()
+      resetPlan()
+      val got = scanPath(path).filter(col("c") === probe).count()
+      assert(got === expected,
+        s"${field.transform}/${field.dtype}: pruned scan lost rows " +
+          s"($got vs $expected) — driver/executor transform disagree")
+      val (planned, total) = lastPlan()
+      assert(planned < total,
+        s"${field.transform}/${field.dtype}: no pruning ($planned/$total)")
+    }
+  }
+
+  test("SQL lifecycle: CREATE PARTITIONED BY (days(d), bucket(8, " +
+      "flag)) — INSERT inherits layout, MERGE rewrites partition-pure " +
+      "(moving rows across partitions), dynamic overwrite swaps exactly " +
+      "the touched tuples, static overwrite keeps the layout") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft_tp.db.tp
+      (d DATE, flag STRING, v BIGINT)
+      PARTITIONED BY (days(d), bucket(8, flag))""")
+    spark.sql("""INSERT INTO graft_tp.db.tp
+      SELECT date_add(DATE'2024-01-10', CAST(id % 3 AS INT)),
+             concat('f', id % 5), id FROM range(300)""")
+    val p = s"$root/db/tp"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+    assert(v1.part.exists(sp => !sp.isLegacy && sp.fields.map(_.transform)
+      === Seq("days", "bucket")))
+    assert(v1.partKeys.exists(_.nFiles == v1.files.length))
+
+    // second INSERT inherits the layout (no spec re-declared) and the
+    // manifest carries the first batch's tuples by position
+    spark.sql("""INSERT INTO graft_tp.db.tp
+      SELECT date_add(DATE'2024-01-10', CAST(id % 3 AS INT)),
+             concat('f', id % 5), id FROM range(300, 400)""")
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.partKeys.get.nFiles === v2.files.length)
+    assert(v2.files.take(v1.files.length) === v1.files)
+    assert((0 until v1.files.length).forall(i =>
+      v2.partKeys.get.row(i) == v1.partKeys.get.row(i)))
+
+    // prune on both dimensions through SQL
+    resetPlan()
+    assert(spark.sql("""SELECT sum(v) FROM graft_tp.db.tp
+      WHERE d = DATE'2024-01-11' AND flag = 'f2'""").head.getLong(0)
+      === (0L until 400L).filter(i => i % 3 == 1 && i % 5 == 2).sum)
+    val (pl, tot) = lastPlan()
+    assert(pl > 0 && pl < tot, s"SQL two-dim pruning failed: $pl/$tot")
+
+    // MERGE through the row-level path: update moves a row's DATE —
+    // the rewrite re-routes it to its new partition by construction
+    Seq((5L, "2024-02-01")).toDF("mv", "nd")
+      .createOrReplaceTempView("moves")
+    spark.sql("""MERGE INTO graft_tp.db.tp t USING moves m
+      ON t.v = m.mv
+      WHEN MATCHED THEN UPDATE SET d = to_date(m.nd)""")
+    val v3 = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(v3.partKeys.get.nFiles === v3.files.length)
+    assert(spark.sql(
+      "SELECT d FROM graft_tp.db.tp WHERE v = 5").head.get(0)
+      .toString === "2024-02-01")
+    // the moved row's new partition serves it under pruning
+    resetPlan()
+    assert(spark.sql("""SELECT count(*) FROM graft_tp.db.tp
+      WHERE d = DATE'2024-02-01'""").head.getLong(0) === 1)
+    assert(lastPlan()._1 < lastPlan()._2)
+    // purity survived the rewrite, every file, both dimensions
+    val spec3 = v3.part.get
+    v3.files.zipWithIndex.foreach { case (f, i) =>
+      val tuples = spark.read.parquet(f)
+        .select(datediff(col("d"), to_date(lit("1970-01-01"))),
+          col("flag"))
+        .collect().map(r => IndexedSeq(
+          spec3.fields.head.encodeKey(
+            spec3.fields.head.applyKey(r.getInt(0).toLong)),
+          spec3.fields(1).encodeKey(
+            spec3.fields(1).applyKey(r.getString(1))))).distinct
+      assert(tuples.length === 1 &&
+        tuples.head === v3.partKeys.get.row(i),
+        s"post-MERGE file $f not partition-pure")
+    }
+
+    // dynamic overwrite replaces exactly the touched tuples
+    val before = spark.sql(
+      "SELECT count(*) FROM graft_tp.db.tp").head.getLong(0)
+    val touched = spark.sql("""SELECT count(*) FROM graft_tp.db.tp
+      WHERE d = DATE'2024-01-10' AND flag = 'f0'""").head.getLong(0)
+    Seq(("2024-01-10", "f0", 100000L)).toDF("ds", "flag", "v")
+      .select(to_date(col("ds")).as("d"), col("flag"), col("v"))
+      .writeTo("graft_tp.db.tp").overwritePartitions()
+    assert(spark.sql("SELECT count(*) FROM graft_tp.db.tp")
+      .head.getLong(0) === before - touched + 1)
+    val v4 = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(v4.op === "OVERWRITE")
+    // exactly the touched tuple's files were swapped; every other
+    // file carried BY REFERENCE
+    val touchedKey = IndexedSeq(
+      spec3.fields.head.encodeKey(spec3.fields.head.applyKey(
+        java.time.LocalDate.parse("2024-01-10").toEpochDay)),
+      spec3.fields(1).encodeKey(spec3.fields(1).applyKey("f0")))
+    val v4set = v4.files.toSet
+    v3.files.indices.foreach { i =>
+      val isTouched = v3.partKeys.get.row(i) == touchedKey
+      assert(v4set.contains(v3.files(i)) === !isTouched,
+        s"file ${v3.files(i)} wrong carry (touched=$isTouched)")
+    }
+
+    // static INSERT OVERWRITE keeps the typed layout in one commit
+    spark.sql("""INSERT OVERWRITE graft_tp.db.tp
+      SELECT date_add(DATE'2024-05-01', CAST(id % 2 AS INT)),
+             concat('g', id % 3), id * 7 FROM range(60)""")
+    val v5 = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(v5.op === "OVERWRITE" &&
+      v5.partKeys.exists(_.nFiles == v5.files.length))
+    resetPlan()
+    assert(spark.sql("""SELECT count(*) FROM graft_tp.db.tp
+      WHERE d = DATE'2024-05-02'""").head.getLong(0) === 30)
+    assert(lastPlan()._1 < lastPlan()._2,
+      "post-overwrite typed pruning failed")
+
+    // t.partitions renders the tuples; t.files carries partition_key
+    val parts = spark.sql("""SELECT partition_key, n_files, rows
+      FROM graft_tp.db.tp.partitions""").collect()
+    assert(parts.length > 1 && parts.forall(_.getString(0) != null))
+    assert(parts.map(_.getLong(2)).sum === 60L)
+    assert(spark.sql("SELECT partition_key FROM graft_tp.db.tp.files")
+      .collect().forall(_.getString(0).contains("days(d)=")))
+    spark.sql("DROP TABLE graft_tp.db.tp")
+  }
+
+  test("streaming sink into a typed-partitioned catalog table: epochs " +
+      "land partition-pure tuples exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    root
+    val dirs = Files.createTempDirectory("tpsink").toString
+    val src = s"$dirs/src"
+    val ckpt = s"$dirs/ckpt"
+    SnapshotTable.append(
+      (0L until 90L).map(i => (s"2024-07-${i % 3 + 10}", s"u${i % 4}", i))
+        .toDF("ds", "u", "v"), src, 2)
+    spark.sql("""CREATE TABLE graft_tp.db.tsink
+      (d DATE, u STRING, v BIGINT)
+      PARTITIONED BY (days(d), u)""")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft_table").option("path", src)
+        .load()
+        .select(to_date(col("ds")).as("d"), col("u"), col("v"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_tp.db.tsink")
+      q.awaitTermination(120000)
+      ()
+    }
+    run()
+    assert(spark.sql("SELECT count(*) FROM graft_tp.db.tsink")
+      .head.getLong(0) === 90)
+    val p = s"$root/db/tsink"
+    val ver = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(ver.part.exists(!_.isLegacy))
+    val pk = ver.partKeys.get
+    assert(pk.nFiles === ver.files.length)
+    // purity: each streamed file holds one (day, user) tuple matching
+    // its recorded keys
+    val spec = ver.part.get
+    ver.files.zipWithIndex.foreach { case (f, i) =>
+      val tuples = spark.read.parquet(f)
+        .select(datediff(col("d"), to_date(lit("1970-01-01"))), col("u"))
+        .collect().map(r => IndexedSeq(
+          spec.fields.head.encodeKey(
+            spec.fields.head.applyKey(r.getInt(0).toLong)),
+          spec.fields(1).encodeKey(
+            spec.fields(1).applyKey(r.getString(1))))).distinct
+      assert(tuples.length === 1 && tuples.head === pk.row(i),
+        s"streamed file $f not tuple-pure")
+    }
+    resetPlan()
+    assert(spark.sql("""SELECT sum(v) FROM graft_tp.db.tsink
+      WHERE u = 'u1' AND d = DATE'2024-07-11'""").head.getLong(0)
+      === (0L until 90L).filter(i => i % 4 == 1 && i % 3 == 1).sum)
+    assert(lastPlan()._1 < lastPlan()._2)
+    // idle restart commits nothing (exactly-once)
+    val vb = SnapshotTable.latestVersion(p)
+    run()
+    assert(SnapshotTable.latestVersion(p) === vb)
+    spark.sql("DROP TABLE graft_tp.db.tsink")
+  }
+
+  test("typed manifests survive segmentation: part_keys ride in " +
+      "segments, carry by reference, and pruning is unchanged") {
+    import spark.implicits._
+    val path = freshPath()
+    withSQLConf("spark.graft.manifest.segmentThreshold" -> "1") {
+      val spec = PartSpec(Seq(
+        PartField("d", "days", 0L, "date"),
+        PartField("g", "identity", 0L, "string")))
+      def batch(lo: Long, hi: Long) =
+        (lo until hi).map(i => (s"2024-08-1${i % 2}", s"g${i % 3}", i))
+          .toDF("ds", "g", "v")
+          .select(to_date(col("ds")).as("d"), col("g"), col("v"))
+      SnapshotTable.appendPartitioned(batch(0, 60), path, spec)
+      SnapshotTable.appendPartitioned(batch(60, 120), path, spec)
+      val ver = SnapshotTable.readVersion(spark, path, 2)
+      assert(ver.segRefs.exists(_.nonEmpty), "manifest not segmented")
+      assert(ver.partKeys.get.nFiles === ver.files.length)
+      resetPlan()
+      assert(scanPath(path).filter(col("g") === "g1").count()
+        === (0L until 120L).count(_ % 3 == 1))
+      assert(lastPlan()._1 < lastPlan()._2,
+        "string identity pruning failed on a segmented manifest")
+      // identity partitioning records the RAW string — exact, no hash
+      assert(ver.partKeys.get.flat.exists(_ == "g1"))
+    }
+  }
+
+  test("guards: dtype mismatch, NULL partition source, and the " +
+      "legacy-only maintenance ops reject typed specs loudly") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(PartField("d", "days", 0L, "date")))
+    // dtype mismatch: spec says DATE, column is STRING
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.appendPartitioned(
+        Seq(("2024-01-01", 1L)).toDF("d", "v"), path, spec)
+    }
+    assert(e1.getMessage.contains("spec declares date"))
+    // NULL source rejects loudly, nothing committed
+    val e2 = intercept[Exception] {
+      SnapshotTable.appendPartitioned(
+        Seq((null: java.sql.Date, 1L)).toDF("d", "v")
+          .select(col("d").cast("date"), col("v")), path, spec)
+    }
+    assert(e2.getMessage.contains("NULL"))
+    assert(SnapshotTable.latestVersion(path) === 0)
+    // a committed typed table: compactPartitioned / mergePartitioned
+    // (single-LONG helpers) must reject, not corrupt
+    SnapshotTable.appendPartitioned(
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("ds", "v")
+        .select(to_date(col("ds")).as("d"), col("v")), path, spec)
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.compactPartitioned(spark, path, 1024 * 1024)
+    }
+    assert(e3.getMessage.contains("single-column BIGINT"))
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotTable.mergePartitioned(spark, path,
+        Seq(("2024-01-01", 5L)).toDF("ds", "v")
+          .select(to_date(col("ds")).as("d"), col("v")), "v")
+    }
+    assert(e4.getMessage.contains("single-column BIGINT"))
+    // bucket fields reject range pruning but equality still works;
+    // months over an INT source rejects at construction
+    val e5 = intercept[IllegalArgumentException] {
+      PartField("x", "months", 0L, "long")
+    }
+    assert(e5.getMessage.contains("DATE or TIMESTAMP"))
+  }
+
+  test("ALTER RENAME of a typed partition source is metadata-only: " +
+      "same files, spec follows the name, pruning works on the new " +
+      "name") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft_tp.db.rn (d DATE, v BIGINT)
+      PARTITIONED BY (months(d))""")
+    spark.sql("""INSERT INTO graft_tp.db.rn
+      SELECT date_add(DATE'2024-01-15', CAST((id % 4) * 31 AS INT)), id
+      FROM range(80)""")
+    val p = s"$root/db/rn"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+    spark.sql("ALTER TABLE graft_tp.db.rn RENAME COLUMN d TO event_d")
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.files === v1.files, "rename must not rewrite data")
+    assert(v2.part.exists(_.fields.head.source == "event_d"))
+    assert(v2.partKeys.get.flat === v1.partKeys.get.flat)
+    resetPlan()
+    assert(spark.sql("""SELECT count(*) FROM graft_tp.db.rn
+      WHERE event_d >= DATE'2024-03-01'""").head.getLong(0)
+      === (0L until 80L).count(_ % 4 >= 2))
+    assert(lastPlan()._1 < lastPlan()._2,
+      "months() range pruning failed after rename")
+    spark.sql("DROP TABLE graft_tp.db.rn")
+  }
+}
