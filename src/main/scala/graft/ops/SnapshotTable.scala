@@ -88,7 +88,14 @@ object SnapshotTable {
     */
   final case class ColStats(col: String, dtype: String,
                             mins: Seq[String], maxs: Seq[String],
-                            has: Seq[Boolean], exact: Seq[Boolean]) {
+                            has: Seq[Boolean], exact: Seq[Boolean],
+                            // per-file NULL counts (Iceberg
+                            // null_value_counts): prunes IS NULL /
+                            // IS NOT NULL and serves pushed
+                            // COUNT(col). Empty = unknown (a manifest
+                            // written before the counts existed) —
+                            // consumers then neither prune nor serve.
+                            nulls: Seq[Long] = Seq.empty) {
     /** Decoded comparable bound keys (null where `has` is false),
       * materialized lazily ONCE per instance: the planner compares
       * bounds per (file × predicate × plan), and versions are cached
@@ -112,13 +119,19 @@ object SnapshotTable {
 
     def slice(keepIdx: Seq[Int]): ColStats =
       ColStats(col, dtype, keepIdx.map(mins), keepIdx.map(maxs),
-        keepIdx.map(has), keepIdx.map(exact))
+        keepIdx.map(has), keepIdx.map(exact),
+        if (nulls.isEmpty) Seq.empty else keepIdx.map(nulls))
     def ++(that: ColStats): ColStats = {
       require(col == that.col && dtype == that.dtype,
         s"cannot extend stats of ($col: $dtype) with " +
           s"(${that.col}: ${that.dtype})")
       ColStats(col, dtype, mins ++ that.mins, maxs ++ that.maxs,
-        has ++ that.has, exact ++ that.exact)
+        has ++ that.has, exact ++ that.exact,
+        // null counts stay only when BOTH sides know them — a mixed
+        // vector would mis-prune the unknown half
+        if ((nulls.isEmpty && mins.nonEmpty) ||
+            (that.nulls.isEmpty && that.mins.nonEmpty)) Seq.empty
+        else nulls ++ that.nulls)
     }
   }
 
@@ -514,7 +527,11 @@ object SnapshotTable {
                                    // typed-spec tuples, flattened
                                    // file-major (nFields from the
                                    // header's spec)
-                                   partKeys: Option[Seq[String]] = None)
+                                   partKeys: Option[Seq[String]] = None,
+                                   // per-column per-file null counts
+                                   // (empty = written before they
+                                   // existed — unknown)
+                                   csNulls: Seq[Seq[Long]] = Seq.empty)
 
   /** Per-file rows/bytes of a committed version, LOUDLY: a manifest
     * predating per-file facts cannot be mutated or extended without
@@ -671,7 +688,8 @@ object SnapshotTable {
       nested("cs_mins", _.asText()), nested("cs_maxs", _.asText()),
       nested("cs_has", _.asBoolean()), nested("cs_exact", _.asBoolean()),
       partKeys = node("part_keys").map(a =>
-        (0 until a.size).map(a.get(_).asText()): Seq[String]))
+        (0 until a.size).map(a.get(_).asText()): Seq[String]),
+      csNulls = nested("cs_nulls", _.asLong()))
   }
 
   private def renderSegment(seg: Segment): String = {
@@ -696,6 +714,8 @@ object SnapshotTable {
       fields += "cs_maxs" -> nest[String](seg.csMaxs, Json.quote)
       fields += "cs_has" -> nest[Boolean](seg.csHas, _.toString)
       fields += "cs_exact" -> nest[Boolean](seg.csExact, _.toString)
+      if (seg.csNulls.nonEmpty)
+        fields += "cs_nulls" -> nest[Long](seg.csNulls, _.toString)
     }
     Json.obj(fields)
   }
@@ -976,7 +996,11 @@ object SnapshotTable {
                 s"stats columns, header of v$v declares ${cols.length}")
           }
           ColStats(cols(k), dts(k), cat(_.csMins(k)), cat(_.csMaxs(k)),
-            cat(_.csHas(k)), cat(_.csExact(k)))
+            cat(_.csHas(k)), cat(_.csExact(k)),
+            nulls =
+              if (segLive.forall(_._1.csNulls.nonEmpty))
+                cat(_.csNulls(k))
+              else Seq.empty)
         }
       } else if (has("col_stats")) {
         val arr = root.get("col_stats")
@@ -989,7 +1013,12 @@ object SnapshotTable {
             val a = cr.get(f); (0 until a.size).map(a.get(_).asBoolean())
           }
           ColStats(cr.get("col").asText(), cr.get("dtype").asText(),
-            sarr("mins"), sarr("maxs"), barr("has"), barr("exact"))
+            sarr("mins"), sarr("maxs"), barr("has"), barr("exact"),
+            nulls =
+              if (cr.has("nulls")) {
+                val a = cr.get("nulls")
+                (0 until a.size).map(a.get(_).asLong()): Seq[Long]
+              } else Seq.empty)
         }
       } else Seq.empty
     val schemaIds = longs("schema_ids")
@@ -1167,7 +1196,7 @@ object SnapshotTable {
     val partValues = partValues0.map(_.toIndexedSeq)
     val colStats = colStats0.map(cs => ColStats(cs.col, cs.dtype,
       cs.mins.toIndexedSeq, cs.maxs.toIndexedSeq, cs.has.toIndexedSeq,
-      cs.exact.toIndexedSeq))
+      cs.exact.toIndexedSeq, cs.nulls.toIndexedSeq))
     // the same positional-alignment guards renderInline enforces
     require(rows.length == files.length && bytes.length == files.length,
       s"per-file facts misaligned: ${rows.length} rows / " +
@@ -1235,7 +1264,12 @@ object SnapshotTable {
                   val a = colStats(k); val b = base.colStats(k)
                   a.dtype == b.dtype && a.mins(i) == b.mins(p) &&
                     a.maxs(i) == b.maxs(p) && a.has(i) == b.has(p) &&
-                    a.exact(i) == b.exact(p)
+                    a.exact(i) == b.exact(p) &&
+                    // null counts must agree in PRESENCE and value —
+                    // a carry across an unknown/known boundary would
+                    // fabricate or drop counts
+                    a.nulls.nonEmpty == b.nulls.nonEmpty &&
+                    (a.nulls.isEmpty || a.nulls(i) == b.nulls(p))
                 }
             }
             if (!factsEqual) None
@@ -1298,7 +1332,11 @@ object SnapshotTable {
         colStats.map(cs => idx.map(cs.has)),
         colStats.map(cs => idx.map(cs.exact)),
         partKeys = partKeys.map(pk =>
-          idx.flatMap(i => pk.row(i)): Seq[String]))
+          idx.flatMap(i => pk.row(i)): Seq[String]),
+        csNulls =
+          if (colStats.forall(_.nulls.nonEmpty))
+            colStats.map(cs => idx.map(cs.nulls))
+          else Seq.empty)
     }
     val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
     val (finalRefs, headerIdx) =
@@ -1492,7 +1530,10 @@ object SnapshotTable {
         "mins" -> cs.mins.map(Json.quote).mkString("[", ",", "]"),
         "maxs" -> cs.maxs.map(Json.quote).mkString("[", ",", "]"),
         "has" -> cs.has.mkString("[", ",", "]"),
-        "exact" -> cs.exact.mkString("[", ",", "]"))))
+        "exact" -> cs.exact.mkString("[", ",", "]")) ++
+        (if (cs.nulls.length == files.length)
+          Seq("nulls" -> cs.nulls.mkString("[", ",", "]"))
+        else Seq.empty)))
         .mkString("[", ",", "]")
     }
     Json.obj(fields)
@@ -1683,29 +1724,33 @@ object SnapshotTable {
           s"manifest declares $t — types never change per the append " +
           "contract")
     }
-    val byFile: Map[String, Row] =
-      if (present.isEmpty) Map.empty
-      else {
-        val aggs = present.flatMap { case (c, _) =>
-          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    val byFile: Map[String, Row] = {
+      val aggs = Seq(count(lit(1)).as("__n")) ++
+        present.flatMap { case (c, _) =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"))
         }
-        df.groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.drop(1): _*)
-          .collect() // O(batch files) metadata
-          .map(r => canonFile(r.getString(0)) -> r).toMap
-      }
+      df.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.drop(1): _*)
+        .collect() // O(batch files) metadata
+        .map(r => canonFile(r.getString(0)) -> r).toMap
+    }
     val presentSet = present.map(_._1).toSet
     specs.map { case (c, t) =>
       val bounds = files.map { f =>
         byFile.get(canonFile(f)) match {
           case Some(r) if presentSet(c) =>
-            TypedBounds.encode(t, r.getAs[Any](s"__mn_$c"),
-              r.getAs[Any](s"__mx_$c"))
-          case _ => ("", "", false, false)
+            val (mn, mx, has, exact) = TypedBounds.encode(t,
+              r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
+            (mn, mx, has, exact, r.getAs[Long](s"__nu_$c"))
+          case Some(r) =>
+            // the file predates the column: every row reads as NULL
+            ("", "", false, false, r.getAs[Long]("__n"))
+          case _ => ("", "", false, false, 0L)
         }
       }
       ColStats(c, t, bounds.map(_._1), bounds.map(_._2),
-        bounds.map(_._3), bounds.map(_._4))
+        bounds.map(_._3), bounds.map(_._4), bounds.map(_._5))
     }
   }
 

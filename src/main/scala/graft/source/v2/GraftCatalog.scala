@@ -366,6 +366,20 @@ final class GraftCatalog extends TableCatalog
           m.copy(schema = StructType(m.schema.fields.patch(i, Nil, 1)),
             statsCols = m.statsCols.filterNot(_ == name))
         }
+      // type promotion is deliberately REJECTED, not silently
+      // metadata-only: committed files carry the old physical type
+      // and the columnar read path resolves columns by (field id,
+      // footer type) — serving INT32 pages under a BIGINT schema
+      // would need a per-file upcast layer the scan does not have.
+      // The spec-pinned workaround rewrites once, atomically.
+      case u: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          s"ALTER COLUMN ${u.fieldNames().mkString(".")} TYPE " +
+            s"${u.newDataType().simpleString} is not supported — " +
+            "committed files keep their written physical type; " +
+            "rewrite instead: REPLACE TABLE t AS SELECT " +
+            s"CAST(${u.fieldNames().mkString(".")} AS " +
+            s"${u.newDataType().simpleString}) ... FROM t (atomic RTAS)")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER $other — add/rename/drop column are the " +
           "metadata-only ALTERs this catalog serves")

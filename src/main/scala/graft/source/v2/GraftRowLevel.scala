@@ -274,7 +274,12 @@ private[v2] object GraftWriteUtil {
   def partIndices(schema: StructType, p: SnapshotTable.PartSpec)
       : (Seq[Int], SnapshotTable.PartSpec) = {
     val idxs = p.fields.map { f =>
-      val i = schema.fieldIndex(f.source)
+      val i = schema.fieldNames.indexOf(f.source)
+      require(i >= 0,
+        s"partition source ${f.source} is not a column of the " +
+          s"write (${schema.fieldNames.mkString(", ")}) — the " +
+          "table's partition layout changed under the writer " +
+          "(a mid-stream rename?)")
       val have = graft.ops.TypedBounds.dtypeOf(schema.fields(i).dataType)
         .getOrElse(schema.fields(i).dataType.simpleString)
       require(have == f.dtype,
@@ -316,7 +321,9 @@ private[v2] object GraftWriteUtil {
         if (k < f.cs.length) f.cs(k) else ("", "", false, false)
       }
       SnapshotTable.ColStats(c, t, bs.map(_._1), bs.map(_._2),
-        bs.map(_._3), bs.map(_._4))
+        bs.map(_._3), bs.map(_._4),
+        nulls = written.map(f =>
+          if (k < f.csNulls.length) f.csNulls(k) else 0L))
     }
 
   /** The per-file partition values of a written batch, in the storage
@@ -479,7 +486,8 @@ private[v2] final class GraftBatchWrite(
 private[v2] final case class GraftFileFact(
     file: String, rows: Long, statMin: Long, statMax: Long,
     statSeen: Boolean, part: Long, partKey: Seq[String] = Seq.empty,
-    cs: Seq[(String, String, Boolean, Boolean)] = Seq.empty)
+    cs: Seq[(String, String, Boolean, Boolean)] = Seq.empty,
+    csNulls: Seq[Long] = Seq.empty)
 
 private[v2] final case class GraftRowWriteMessage(files: Seq[GraftFileFact])
     extends WriterCommitMessage
@@ -518,9 +526,10 @@ private[v2] final class GraftRowWriterFactory(
         var lastUse = 0L
         // typed bounds per declared stats column: PHYSICAL values
         // (Long / Double / Boolean / UTF8String copies), null = none
-        // seen in this file yet
+        // seen in this file yet; csNu = NULL rows per column
         val csMn = new Array[Any](csIdx.length)
         val csMx = new Array[Any](csIdx.length)
+        val csNu = new Array[Long](csIdx.length)
         val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
           val conf = new org.apache.hadoop.conf.Configuration(
             bconf.value.value)
@@ -551,7 +560,8 @@ private[v2] final class GraftRowWriterFactory(
           cs = csIdx.indices.map { k =>
             graft.ops.TypedBounds.encodePhysical(csIdx(k)._3,
               csMn(k), csMx(k))
-          })
+          },
+          csNulls = csIdx.indices.map(csNu))
       }
 
       private var fileSeq = 0
@@ -635,6 +645,8 @@ private[v2] final class GraftRowWriterFactory(
         var k = 0
         while (k < csIdx.length) {
           val (_, i, dt) = csIdx(k)
+          // a schema-absent column reads as NULL for every row
+          if (i < 0 || record.isNullAt(i)) slot.csNu(k) += 1
           if (i >= 0 && !record.isNullAt(i)) {
             dt match {
               case "string" =>

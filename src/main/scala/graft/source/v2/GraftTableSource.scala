@@ -512,6 +512,16 @@ object GraftTableSource {
           if (ks.length == vs.length && ks.nonEmpty)
             pruneWith(c)((cs, i) => ks.exists(k =>
               surviveRange(cs, i, Some(k), false, Some(k), false)))
+        // per-file NULL counts (Iceberg null_value_counts): IS NULL
+        // keeps only files holding a NULL; IS NOT NULL drops files
+        // that are ALL NULL. Unknown counts (empty vector) keep.
+        case IsNull(c) if typedCols.contains(c) =>
+          pruneWith(c)((cs, i) => cs.nulls.isEmpty || cs.nulls(i) > 0L)
+        case IsNotNull(c) if typedCols.contains(c) =>
+          ver.fileRows.foreach { fr =>
+            pruneWith(c)((cs, i) =>
+              cs.nulls.isEmpty || cs.nulls(i) < fr(i))
+          }
         case _ => ()
       }
     }
@@ -1241,6 +1251,16 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
           (c, dt, v)
         }
       }
+    // COUNT(col) = rows − NULLs, served when the per-file null
+    // counts cover every file (Iceberg null_value_counts semantics —
+    // the counts are exact, truncation never applies to them)
+    def countCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, Long)] =
+      colName(e).flatMap { c =>
+        res.ver.colStats.find(_.col == c)
+          .filter(_.nulls.length == res.ver.files.length)
+          .map(cs => (c, res.ver.rows - cs.nulls.sum))
+      }
     val fields = Seq.newBuilder[StructField]
     val vals = Seq.newBuilder[Any]
     agg.aggregateExpressions().foreach {
@@ -1255,6 +1275,10 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
         val (c, dt, v) = extremum(m.column(), wantMin = false)
           .getOrElse(return None)
         fields += StructField(s"max_$c", dt); vals += v
+      case ct: Count if !ct.isDistinct =>
+        val (c, n) = countCol(ct.column()).getOrElse(return None)
+        fields += StructField(s"count_$c", LongType, nullable = false)
+        vals += n
       case _ => return None
     }
     Some((StructType(fields.result()), vals.result()))

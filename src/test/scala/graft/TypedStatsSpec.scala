@@ -314,4 +314,63 @@ class TypedStatsSpec extends SparkSpec {
     assert(v3.colStats.head.mins.length === v3.files.length,
       "overwritePartitioned mis-carried typed stats")
   }
+
+  test("per-file NULL counts: IS NULL and IS NOT NULL both prune " +
+      "files, COUNT(col) serves from the manifest, and the counts " +
+      "survive carry + segmentation") {
+    import spark.implicits._
+    val path = freshPath()
+    def batch(vals: Seq[(Long, Option[String])]) =
+      vals.toDF("k", "tag")
+    // file 1: no NULLs; file 2: mixed; file 3: ALL NULL
+    SnapshotTable.append(
+      batch((0L until 20L).map(i => (i, Some(s"a-$i")))), path, 1,
+      statsCols = Seq("tag"))
+    SnapshotTable.append(
+      batch((20L until 40L).map(i =>
+        (i, if (i % 4 == 0) None else Some(s"b-$i")))), path, 1)
+    SnapshotTable.append(
+      batch((40L until 60L).map(i => (i, Option.empty[String]))),
+      path, 1)
+    val ver = SnapshotTable.readVersion(spark, path, 3)
+    val cs = ver.colStats.head
+    assert(cs.nulls === Seq(0L, 5L, 20L))
+
+    val t = spark.read.format("graft_table").option("path", path).load()
+    // IS NULL keeps only the two files holding a NULL
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(t.filter(col("tag").isNull).count() === 25)
+    assert(GraftTableSource.lastPlan.get() === ((2, 3)),
+      "IS NULL must prune the no-NULL file")
+    // IS NOT NULL drops the all-NULL file
+    GraftTableSource.lastPlan.set((-1, -1))
+    assert(t.filter(col("tag").isNotNull).count() === 35)
+    assert(GraftTableSource.lastPlan.get() === ((2, 3)),
+      "IS NOT NULL must prune the all-NULL file")
+    // COUNT(col) answers from the manifest: rows − NULLs, no files
+    GraftTableSource.lastAggPush.set(false)
+    assert(t.agg(count(col("tag"))).head.getLong(0) === 35)
+    assert(GraftTableSource.lastAggPush.get(),
+      "COUNT(col) must serve from the manifest's null counts")
+    // count(*) still serves too
+    GraftTableSource.lastAggPush.set(false)
+    assert(t.agg(count(lit(1))).head.getLong(0) === 60)
+    assert(GraftTableSource.lastAggPush.get())
+
+    // counts survive a carry (MOR delete commits a new version that
+    // slices/keeps the vectors) and segmentation
+    withSQLConf("spark.graft.manifest.segmentThreshold" -> "1") {
+      SnapshotTable.append(
+        batch((60L until 70L).map(i => (i, Some(s"c-$i")))), path, 1)
+      val v4 = SnapshotTable.readVersion(spark, path, 4)
+      assert(v4.segRefs.exists(_.nonEmpty), "expected a segmented header")
+      assert(v4.colStats.head.nulls === Seq(0L, 5L, 20L, 0L),
+        "null counts lost through the segment render/read")
+      GraftTableSource.lastAggPush.set(false)
+      val t4 = spark.read.format("graft_table").option("path", path)
+        .load()
+      assert(t4.agg(count(col("tag"))).head.getLong(0) === 45)
+      assert(GraftTableSource.lastAggPush.get())
+    }
+  }
 }
