@@ -44,7 +44,8 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomIndex {
 
-  final case class FileBloom(file: String, n: Long, bloomB64: String)
+  final case class FileBloom(file: String, n: Long, bloomB64: String,
+                             col: String)
 
   private def serialize(bf: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -103,7 +104,8 @@ object BloomIndex {
         (a._1, a._2 + b._2, serialize(bf))
       }
       .map { case (file, (_, n, bytes)) =>
-        FileBloom(file, n, Base64.getEncoder.encodeToString(bytes))
+        FileBloom(file, n, Base64.getEncoder.encodeToString(bytes),
+          keyName)
       }
   }
 

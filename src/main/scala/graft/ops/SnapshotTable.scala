@@ -477,7 +477,15 @@ object SnapshotTable {
                            // per-file tuples of a TYPED spec (exactly
                            // one of partValues/partKeys is set when
                            // part is, by part.isLegacy)
-                           partKeys: Option[PartKeys] = None) {
+                           partKeys: Option[PartKeys] = None,
+                           // bloom indexes beyond the first: `bloom`
+                           // keeps the compact single-column encoding
+                           // (and every legacy path), extras are
+                           // additive — consumers use [[bloomConfs]]
+                           bloomsExtra: Seq[BloomConf] = Seq.empty) {
+
+    /** Every declared bloom index, primary first. */
+    def bloomConfs: Seq[BloomConf] = bloom.toSeq ++ bloomsExtra
 
     /** True when a raw name-based read of this version's files would
       * mis-merge: a rename or drop has happened since the table was
@@ -966,6 +974,16 @@ object SnapshotTable {
           if (has("bloom_fpp")) root.get("bloom_fpp").asDouble()
           else 0.01))
       else None
+    val bloomsExtra =
+      if (has("bloom_cols_extra")) {
+        val cols = strsOf("bloom_cols_extra")
+        val exps = longs("bloom_expecteds_extra").get
+        val fpps = {
+          val a = root.get("bloom_fpps_extra")
+          (0 until a.size).map(a.get(_).asDouble())
+        }
+        cols.indices.map(i => BloomConf(cols(i), exps(i), fpps(i)))
+      } else Seq.empty[BloomConf]
     val txns =
       if (has("txn_writers"))
         strsOf("txn_writers").zip(longs("txn_batches").get).toMap
@@ -1078,7 +1096,8 @@ object SnapshotTable {
         longs("schema_added_ids").get.zip(strsOf("schema_added_types"))
       else Seq.empty,
       segRefs = seg.map(_._1),
-      partKeys = partKeys)
+      partKeys = partKeys,
+      bloomsExtra = bloomsExtra)
   }
 
   // ------------------------------------------------------------ commit
@@ -1141,7 +1160,11 @@ object SnapshotTable {
                              // or O(Δ) commits silently degrade to
                              // O(table) inline rewrites at scale
                              seg: (String, Option[Version]),
-                             partKeys: Option[PartKeys] = None): String = {
+                             partKeys: Option[PartKeys] = None,
+                             // NO default: a path that forgot the
+                             // extra bloom indexes would silently
+                             // drop them from the successor manifest
+                             bloomsExtra: Seq[BloomConf]): String = {
     val (tpath, baseOpt) = seg
     // exactly one storage form per spec shape, checked HERE so any
     // commit path that forgot to thread the typed tuples fails loudly
@@ -1160,11 +1183,12 @@ object SnapshotTable {
         files.length >= segThreshold)
     if (!segmented)
       renderInline(v, files, rows, bytes, stats, bloom, txns, part,
-        partValues, op, dvFiles, dvRows, schema, colStats, partKeys)
+        partValues, op, dvFiles, dvRows, schema, colStats, partKeys,
+        bloomsExtra)
     else
       renderSegmented(tpath, baseOpt, v, files, rows, bytes, stats,
         bloom, txns, part, partValues, op, dvFiles, dvRows, schema,
-        colStats, partKeys)
+        colStats, partKeys, bloomsExtra)
   }
 
   /** Segmented header render: derive the carry against `baseOpt`,
@@ -1182,7 +1206,9 @@ object SnapshotTable {
                               op: String, dvFiles: Seq[String],
                               dvRows: Long, schema: Option[SchemaMeta],
                               colStats0: Seq[ColStats],
-                              partKeys: Option[PartKeys] = None): String = {
+                              partKeys: Option[PartKeys] = None,
+                              bloomsExtra: Seq[BloomConf] = Seq.empty)
+      : String = {
     // EVERY positional array gets indexed per element below (carry
     // verification, fresh-segment extraction) — commit paths build
     // them with `++` which can yield List-backed Seqs, and per-element
@@ -1235,9 +1261,28 @@ object SnapshotTable {
           b.fileRows.isDefined && b.fileBytes.isDefined)
         .flatMap { base =>
           val refs = base.segRefs.get
-          val posOf = base.files.zipWithIndex.toMap
-          val pairs = files.indices.flatMap(i =>
-            posOf.get(files(i)).map(p => (i, p)))
+          // the APPEND shape — the commit built its list as
+          // `base.files ++ batch` — matches by REFERENCE for the
+          // whole prefix: detect it without hashing 200k file-name
+          // strings into a map (the dominant per-commit driver cost
+          // at scale; measured 52 → 437 ms/commit growth across a
+          // 200k-file build before this path)
+          val baseFiles = base.files
+          val prefixLen = {
+            var i = 0
+            val n = math.min(files.length, baseFiles.length)
+            while (i < n && (files(i).asInstanceOf[AnyRef] eq
+                baseFiles(i).asInstanceOf[AnyRef])) i += 1
+            i
+          }
+          val pairs: IndexedSeq[(Int, Int)] =
+            if (prefixLen == baseFiles.length)
+              baseFiles.indices.map(i => (i, i))
+            else {
+              val posOf = baseFiles.zipWithIndex.toMap
+              files.indices.flatMap(i =>
+                posOf.get(files(i)).map(p => (i, p)))
+            }
           val basePos = pairs.map(_._2)
           val ascending = basePos.indices.drop(1)
             .forall(j => basePos(j - 1) < basePos(j))
@@ -1252,6 +1297,12 @@ object SnapshotTable {
           else {
             val bRows = base.fileRows.get
             val bBytes = base.fileBytes.get
+            // string facts carried by `++` are the SAME objects —
+            // reference-first equality keeps this pass cheap at 200k
+            // files without weakening it (eq implies ==)
+            def sEq(a: String, b: String): Boolean =
+              (a.asInstanceOf[AnyRef] eq b.asInstanceOf[AnyRef]) ||
+                a == b
             val factsEqual = pairs.forall { case (i, p) =>
               rows(i) == bRows(p) && bytes(i) == bBytes(p) &&
                 stats.forall(st => st.mins(i) == base.stats.get.mins(p) &&
@@ -1262,8 +1313,8 @@ object SnapshotTable {
                 epochs.forall(e => e(i) == base.fileEpochs.get(p)) &&
                 colStats.indices.forall { k =>
                   val a = colStats(k); val b = base.colStats(k)
-                  a.dtype == b.dtype && a.mins(i) == b.mins(p) &&
-                    a.maxs(i) == b.maxs(p) && a.has(i) == b.has(p) &&
+                  a.dtype == b.dtype && sEq(a.mins(i), b.mins(p)) &&
+                    sEq(a.maxs(i), b.maxs(p)) && a.has(i) == b.has(p) &&
                     a.exact(i) == b.exact(p) &&
                     // null counts must agree in PRESENCE and value —
                     // a carry across an unknown/known boundary would
@@ -1307,8 +1358,8 @@ object SnapshotTable {
               val foldIdx = pairs.collect {
                 case (i, p) if fold(posToSeg(p)._1) => i
               }
-              val freshIdx = files.indices
-                .filterNot(i => posOf.contains(files(i)))
+              val matched = pairs.map(_._1).toSet
+              val freshIdx = files.indices.filterNot(matched)
               Some((newRefs, keptIdx, foldIdx ++ freshIdx))
             }
           }
@@ -1368,6 +1419,14 @@ object SnapshotTable {
       fields += "bloom_col" -> Json.quote(bc.col)
       fields += "bloom_expected" -> bc.expectedPerFile.toString
       fields += "bloom_fpp" -> bc.fpp.toString
+    }
+    if (bloomsExtra.nonEmpty) {
+      fields += "bloom_cols_extra" -> bloomsExtra
+        .map(b => Json.quote(b.col)).mkString("[", ",", "]")
+      fields += "bloom_expecteds_extra" -> bloomsExtra
+        .map(_.expectedPerFile).mkString("[", ",", "]")
+      fields += "bloom_fpps_extra" -> bloomsExtra
+        .map(_.fpp).mkString("[", ",", "]")
     }
     if (txns.nonEmpty) {
       val ts = txns.toSeq.sortBy(_._1)
@@ -1433,7 +1492,9 @@ object SnapshotTable {
                            dvRows: Long = 0L,
                            schema: Option[SchemaMeta] = None,
                            colStats: Seq[ColStats],
-                           partKeys: Option[PartKeys] = None): String = {
+                           partKeys: Option[PartKeys] = None,
+                           bloomsExtra: Seq[BloomConf] = Seq.empty)
+      : String = {
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
@@ -1454,6 +1515,14 @@ object SnapshotTable {
       fields += "bloom_col" -> Json.quote(bc.col)
       fields += "bloom_expected" -> bc.expectedPerFile.toString
       fields += "bloom_fpp" -> bc.fpp.toString
+    }
+    if (bloomsExtra.nonEmpty) {
+      fields += "bloom_cols_extra" -> bloomsExtra
+        .map(b => Json.quote(b.col)).mkString("[", ",", "]")
+      fields += "bloom_expecteds_extra" -> bloomsExtra
+        .map(_.expectedPerFile).mkString("[", ",", "]")
+      fields += "bloom_fpps_extra" -> bloomsExtra
+        .map(_.fpp).mkString("[", ",", "]")
     }
     if (txns.nonEmpty) {
       // sorted for byte-deterministic manifests
@@ -1676,6 +1745,23 @@ object SnapshotTable {
     * beside the data, one JSON dir per batch; probes read the union
     * and restrict to the manifest's file list).
     */
+  /** A bloom declaration names one column or a comma-separated LIST
+    * ('doc_id' / 'doc_id,url'): the first keeps the compact
+    * single-column manifest encoding (and every legacy path), the
+    * rest ride as [[Version.bloomsExtra]] — each column gets its own
+    * per-file filters, maintained by the same write paths.
+    */
+  private def splitBloomDecl(bloomCol: Option[String], expected: Long,
+                             fpp: Double)
+      : (Option[BloomConf], Seq[BloomConf]) = {
+    val cols = bloomCol.toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    require(cols.distinct.length == cols.length,
+      s"duplicate bloom columns in ${cols.mkString(", ")}")
+    (cols.headOption.map(BloomConf(_, expected, fpp)),
+      cols.drop(1).map(BloomConf(_, expected, fpp)))
+  }
+
   private def writeBloomRows(spark: SparkSession, path: String,
                              files: Seq[String], bc: BloomConf): Unit =
     BloomIndex.buildRows(spark, files, bc.col, bc.expectedPerFile,
@@ -1878,7 +1964,8 @@ object SnapshotTable {
       ver.partValues, op = "ANALYZE",
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = carryMeta(ver, ver.files.indices, 0), colStats = cs,
-      seg = path -> Some(ver), partKeys = ver.partKeys))
+      seg = path -> Some(ver), partKeys = ver.partKeys,
+      bloomsExtra = ver.bloomsExtra))
     v
   }
 
@@ -1938,9 +2025,10 @@ object SnapshotTable {
     // WRITTEN schema, not df's: what readers will actually observe
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
-    val bloomConf =
-      bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
-    bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
+    val (bloomConf, bloomExtraConfs) =
+      splitBloomDecl(bloomCol, bloomExpectedPerFile, bloomFpp)
+    (bloomConf.toSeq ++ bloomExtraConfs)
+      .foreach(writeBloomRows(spark, path, batch.files, _))
     var attempts = 0
     while (true) {
       val prev = latestVersion(path)
@@ -1957,8 +2045,10 @@ object SnapshotTable {
           base.stats.exists(_.col == statsColEff.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
       require(bloomCol.isEmpty || base.files.isEmpty ||
-          base.bloom.exists(_.col == bloomCol.get),
-        s"bloom column changed mid-table (was ${base.bloom.map(_.col)})")
+          base.bloomConfs.map(_.col) ==
+            (bloomConf.toSeq ++ bloomExtraConfs).map(_.col),
+        s"bloom columns changed mid-table (was " +
+          s"${base.bloomConfs.map(_.col)}, got $bloomCol)")
       val v = prev + 1
       val manifest = renderManifest(v,
         base.files ++ batch.files,
@@ -1977,7 +2067,10 @@ object SnapshotTable {
         schema = appendMeta(base, path, batchCols, batch.files.length),
         colStats = colStatsWith(base, base.files.indices,
           retryCs(spark, base, batch.files, colSpecs, batchCs)),
-        seg = path -> Some(base))
+        seg = path -> Some(base),
+        bloomsExtra =
+          if (bloomConf.isDefined) bloomExtraConfs
+          else base.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2043,14 +2136,18 @@ object SnapshotTable {
       case Some(cs) if cs.map(c => (c.col, c.dtype)) == colSpecs => cs
       case _ => computeColStats(spark, files, colSpecs)
     }
-    val bloomConf = bloomCol.map(BloomConf(_, -1L, 0.01))
-    if (files.nonEmpty) bloomConf.orElse(preBase.bloom).foreach(
-      writeBloomRows(spark, path, files, _))
+    val (bloomConf, bloomExtraConfs) = splitBloomDecl(bloomCol, -1L, 0.01)
+    val bloomEff =
+      if (bloomConf.isDefined) bloomConf.toSeq ++ bloomExtraConfs
+      else preBase.bloomConfs
+    if (files.nonEmpty)
+      bloomEff.foreach(writeBloomRows(spark, path, files, _))
     var attempts = 0
     while (true) {
       val prev = latestVersion(path)
       val base =
         if (prev == 0) Version(0, Seq.empty, 0)
+        else if (prev == pre) preBase // no race: reuse the pre-read
         else readVersion(spark, path, prev)
       if (committedAt(base)) return prev
       require(base.files.isEmpty ||
@@ -2084,7 +2181,10 @@ object SnapshotTable {
         seg = path -> Some(base),
         partKeys = part.flatMap { case (sp, bp) =>
           extendParts(sp, base, base.files.indices, bp)._2
-        })
+        },
+        bloomsExtra =
+          if (bloomConf.isDefined) bloomExtraConfs
+          else base.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2146,9 +2246,10 @@ object SnapshotTable {
       if (statsCols.isEmpty) Seq.empty
       else computeColStats(spark, batch.files,
         deriveColSpecs(spark, batch.files, statsCols))
-    val bloomConf =
-      bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
-    bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
+    val (bloomConf, bloomExtraConfs) =
+      splitBloomDecl(bloomCol, bloomExpectedPerFile, bloomFpp)
+    (bloomConf.toSeq ++ bloomExtraConfs)
+      .foreach(writeBloomRows(spark, path, batch.files, _))
     var attempts = 0
     while (true) {
       val prev = latestVersion(path)
@@ -2184,7 +2285,7 @@ object SnapshotTable {
         statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
         bloomConf, base.txns ++ txn.toMap, op = "OVERWRITE",
         schema = meta, colStats = batchCs,
-        seg = path -> Some(base))
+        seg = path -> Some(base), bloomsExtra = bloomExtraConfs)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2227,7 +2328,8 @@ object SnapshotTable {
         op = "TRUNCATE", schema = meta,
         colStats = base.colStats.map(_.slice(Seq.empty)),
         seg = path -> Some(base),
-        partKeys = base.part.filterNot(_.isLegacy).map(PartKeys.empty))
+        partKeys = base.part.filterNot(_.isLegacy).map(PartKeys.empty),
+        bloomsExtra = base.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2354,7 +2456,8 @@ object SnapshotTable {
         colStats = colStatsWith(cur, keepIdx, newColStats),
         seg = path -> Some(cur),
         partKeys = cur.part.flatMap(sp =>
-          extendParts(sp, cur, keepIdx, newParts.get)._2))
+          extendParts(sp, cur, keepIdx, newParts.get)._2),
+        bloomsExtra = cur.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case e: FileAlreadyExistsException =>
@@ -2652,9 +2755,10 @@ object SnapshotTable {
     val colSpecs = colSpecsForAppend(spark, preBase, statsCols,
       batch.files)
     val batchCs = computeColStats(spark, batch.files, colSpecs)
-    val bloomConf =
-      bloomCol.map(BloomConf(_, bloomExpectedPerFile, bloomFpp))
-    bloomConf.foreach(writeBloomRows(spark, path, batch.files, _))
+    val (bloomConf, bloomExtraConfs) =
+      splitBloomDecl(bloomCol, bloomExpectedPerFile, bloomFpp)
+    (bloomConf.toSeq ++ bloomExtraConfs)
+      .foreach(writeBloomRows(spark, path, batch.files, _))
     var attempts = 0
     while (true) {
       val prev = latestVersion(path)
@@ -2668,8 +2772,10 @@ object SnapshotTable {
           base.stats.exists(_.col == statsColEff.get),
         s"stats column changed mid-table (was ${base.stats.map(_.col)})")
       require(bloomCol.isEmpty || base.files.isEmpty ||
-          base.bloom.exists(_.col == bloomCol.get),
-        s"bloom column changed mid-table (was ${base.bloom.map(_.col)})")
+          base.bloomConfs.map(_.col) ==
+            (bloomConf.toSeq ++ bloomExtraConfs).map(_.col),
+        s"bloom columns changed mid-table (was " +
+          s"${base.bloomConfs.map(_.col)}, got $bloomCol)")
       val v = prev + 1
       val (pvNew, pkNew) =
         extendParts(spec, base, base.files.indices, bparts)
@@ -2691,7 +2797,10 @@ object SnapshotTable {
         colStats = colStatsWith(base, base.files.indices,
           retryCs(spark, base, batch.files, colSpecs, batchCs)),
         seg = path -> Some(base),
-        partKeys = pkNew)
+        partKeys = pkNew,
+        bloomsExtra =
+          if (bloomConf.isDefined) bloomExtraConfs
+          else base.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2822,7 +2931,7 @@ object SnapshotTable {
         Some(keepIdx.map(pv) ++ pvals), op = "OVERWRITE",
         schema = carryMeta(ver, keepIdx, batch.files.length),
         colStats = colStatsWith(ver, keepIdx, batchCs),
-        seg = path -> Some(ver))
+        seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2892,7 +3001,8 @@ object SnapshotTable {
         op = "OVERWRITE",
         schema = carryMeta(ver, Seq.empty, batch.files.length),
         colStats = colStatsWith(ver, Seq.empty, batchCs),
-        seg = path -> Some(ver), partKeys = pkNew)
+        seg = path -> Some(ver), partKeys = pkNew,
+        bloomsExtra = ver.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -2980,7 +3090,8 @@ object SnapshotTable {
         pvNew, op = "OVERWRITE",
         schema = carryMeta(ver, keepIdx, files.length),
         colStats = colStatsWith(ver, keepIdx, freshCs),
-        seg = path -> Some(ver), partKeys = pkNew)
+        seg = path -> Some(ver), partKeys = pkNew,
+        bloomsExtra = ver.bloomsExtra)
       try { commitExclusive(path, v, manifest); return v }
       catch {
         case _: FileAlreadyExistsException =>
@@ -3093,7 +3204,7 @@ object SnapshotTable {
       ver.bloom, ver.txns, Some(spec), Some(keepIdx.map(pv)),
       op = "DELETE", schema = carryMeta(ver, keepIdx, 0),
       colStats = ver.colStats.map(_.slice(keepIdx)),
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
     (v, ver.files.length - keepIdx.length, ver.files.length)
   }
 
@@ -3297,6 +3408,7 @@ object SnapshotTable {
     val visible = ver.files.toDF("file")
     val idx = spark.read.option("recursiveFileLookup", "true")
       .json(bloomIdxDir(path))
+      .filter(col("col") === bc.col)
       .join(broadcast(visible), "file")
     val (hit, total) = BloomIndex.probeFiles(idx, keys)
     require(total == ver.files.length,
@@ -3356,7 +3468,7 @@ object SnapshotTable {
         Some(st), ver.bloom, ver.txns, op = "DELETE",
         schema = carryMeta(ver, ver.files.indices, 0),
         colStats = ver.colStats,
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
       return (v, 0, ver.files.length)
     }
     val hitFiles = hitIdx.map(ver.files)
@@ -3522,7 +3634,8 @@ object SnapshotTable {
       dvFiles = allDv, dvRows = allDvRows,
       schema = carryMeta(ver, ver.files.indices, 0),
       colStats = ver.colStats,
-      seg = path -> Some(ver), partKeys = ver.partKeys))
+      seg = path -> Some(ver), partKeys = ver.partKeys,
+      bloomsExtra = ver.bloomsExtra))
     // maintenance hook: when a [[DvPolicy]] is set and this commit
     // pushed the table past either threshold, fold the DVs into a
     // rewrite NOW — the caller's returned version is the materialized
@@ -3597,7 +3710,8 @@ object SnapshotTable {
           schema = carryMeta(ver, keepIdx, batch.files.length),
           colStats = colStatsWith(ver, keepIdx,
             computeColStats(spark, batch.files, colSpecsOf(ver))),
-          seg = path -> Some(ver), partKeys = pkNew))
+          seg = path -> Some(ver), partKeys = pkNew,
+          bloomsExtra = ver.bloomsExtra))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
       case Some(spec) =>
@@ -3638,7 +3752,7 @@ object SnapshotTable {
           schema = carryMeta(ver, keepIdx, batch.files.length),
           colStats = colStatsWith(ver, keepIdx,
             computeColStats(spark, batch.files, colSpecsOf(ver))),
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
       case None =>
@@ -3665,7 +3779,7 @@ object SnapshotTable {
           schema = carryMeta(ver, keepIdx, batch.files.length),
           colStats = colStatsWith(ver, keepIdx,
             computeColStats(spark, batch.files, colSpecsOf(ver))),
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
         CompactResult(v, ver.files.length,
           keepIdx.length + batch.files.length, hitIdx.length)
     }
@@ -3881,7 +3995,7 @@ object SnapshotTable {
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
     CompactResult(v, ver.files.length,
       keepIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -3943,7 +4057,8 @@ object SnapshotTable {
     commitExclusive(path, v, renderManifest(v, batch.files, batch.rows,
       batch.bytes,
       Some(Stats(clusterCol, batch.mins, batch.maxs)),
-      ver.bloom, ver.txns, op = "OPTIMIZE",
+      ver.bloom, ver.txns, bloomsExtra = ver.bloomsExtra,
+      op = "OPTIMIZE",
       schema = carryMeta(ver, Seq.empty, batch.files.length),
       colStats = colStatsWith(ver, Seq.empty,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
@@ -4027,7 +4142,8 @@ object SnapshotTable {
           .distinct().as[Long].collect().toSeq
         val visible = statsHit.map(ver.files).toDF("file")
         val idx = spark.read.option("recursiveFileLookup", "true")
-          .json(bloomIdxDir(path)).join(broadcast(visible), "file")
+          .json(bloomIdxDir(path)).filter(col("col") === keyCol)
+          .join(broadcast(visible), "file")
         val (hitFiles, _) = BloomIndex.probeFiles(idx, keys)
         val hs = hitFiles.toSet
         statsHit.filter(i => hs(ver.files(i)))
@@ -4150,7 +4266,9 @@ object SnapshotTable {
             .distinct().as[Long].collect().toSeq
           val visible = ver.files.toDF("file")
           val idx = spark.read.option("recursiveFileLookup", "true")
-            .json(bloomIdxDir(path)).join(broadcast(visible), "file")
+            .json(bloomIdxDir(path))
+            .filter(col("col") === ver.bloom.get.col)
+            .join(broadcast(visible), "file")
           val (hitFiles, total) = BloomIndex.probeFiles(idx, keys)
           // completeness: a live file with NO bloom rows (an append
           // that omitted bloomCol still carries base.bloom) is never
@@ -4207,7 +4325,7 @@ object SnapshotTable {
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
-      seg = path -> Some(ver)))
+      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
     val matched = hitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
@@ -4262,7 +4380,9 @@ object SnapshotTable {
       colStats = ver.colStats.map(cs =>
         if (cs.col == oldName) cs.copy(col = newName) else cs),
       seg = path -> Some(ver),
-      partKeys = ver.partKeys))
+      partKeys = ver.partKeys,
+      bloomsExtra = ver.bloomsExtra.map(bc =>
+        if (bc.col == oldName) bc.copy(col = newName) else bc)))
     v
   }
 
@@ -4290,8 +4410,8 @@ object SnapshotTable {
     require(!ver.stats.exists(_.col == name),
       s"$name is the stats layout column — pruning depends on it; " +
         "recluster to another layout first")
-    require(!ver.bloom.exists(_.col == name),
-      s"$name is the bloom index column — key probes depend on it")
+    require(!ver.bloomConfs.exists(_.col == name),
+      s"$name is a bloom index column — key probes depend on it")
     require(!ver.part.exists(_.fields.exists(_.source == name)),
       s"$name is a hidden-partitioning source — routing depends on it")
     require(!ver.colStats.exists(_.col == name),
@@ -4301,6 +4421,7 @@ object SnapshotTable {
     commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
       bytesOf(ver),
       ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
+      bloomsExtra = ver.bloomsExtra,
       op = "ALTER", dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids.patch(i, Nil, 1),
         names.patch(i, Nil, 1), ver.fileEpochs.get, ver.epoch,
@@ -4347,6 +4468,7 @@ object SnapshotTable {
     commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
       bytesOf(ver),
       ver.stats, ver.bloom, ver.txns, ver.part, ver.partValues,
+      bloomsExtra = ver.bloomsExtra,
       op = "ALTER", dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids :+ newId, names :+ name,
         ver.fileEpochs.get, e, ver.droppedIds, newId,
@@ -4432,6 +4554,7 @@ object SnapshotTable {
           batch.rows, batch.bytes,
           statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
           ver.bloom, ver.txns, Some(spec), Some(pvals),
+          bloomsExtra = ver.bloomsExtra,
           op = "OPTIMIZE", schema = uniformMeta(batch.files.length),
           colStats = colStatsWith(ver, Seq.empty,
             computeColStats(spark, batch.files, colSpecsOf(ver))),
@@ -4450,7 +4573,8 @@ object SnapshotTable {
         commitExclusive(path, v, renderManifest(v, batch.files,
           batch.rows, batch.bytes,
           statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
-          ver.bloom, ver.txns, op = "OPTIMIZE",
+          ver.bloom, ver.txns, bloomsExtra = ver.bloomsExtra,
+          op = "OPTIMIZE",
           schema = uniformMeta(batch.files.length),
           colStats = colStatsWith(ver, Seq.empty,
             computeColStats(spark, batch.files, colSpecsOf(ver))),
@@ -4565,7 +4689,8 @@ object SnapshotTable {
       op = "CLONE", dvFiles = src.dvFiles, dvRows = src.dvRows,
       schema = carryMeta(src, src.files.indices, 0),
       colStats = src.colStats,
-      seg = dstPath -> None, partKeys = src.partKeys))
+      seg = dstPath -> None, partKeys = src.partKeys,
+      bloomsExtra = Seq.empty))
     // the clone's readers resolve naming epochs against ITS OWN log:
     // copy every epoch table the referenced files could need
     io(srcPath).listNames(logDir(srcPath))
@@ -4635,7 +4760,8 @@ object SnapshotTable {
           .map(sm => sm.copy(
             maxId = math.max(sm.maxId, base.schemaMaxId))),
         colStats = src.colStats,
-        seg = path -> Some(src), partKeys = src.partKeys)
+        seg = path -> Some(src), partKeys = src.partKeys,
+        bloomsExtra = src.bloomsExtra)
       try { commitExclusive(path, prev + 1, manifest); return prev + 1 }
       catch {
         case _: FileAlreadyExistsException =>

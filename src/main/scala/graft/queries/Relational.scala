@@ -4104,6 +4104,76 @@ object Relational {
         "pruned_date", "pruned_bucket")
   }
 
+  /** q203 — MULTI-COLUMN bloom indexes on the snapshot table: the
+    * bloom declaration is a column LIST ('okey,pkey'), each column
+    * getting its own per-file filters maintained by the same write
+    * paths ([[graft.ops.SnapshotTable.Version.bloomsExtra]]). The
+    * table is date-laid-out, so BOTH keys scatter across every file
+    * and min/max stats prune nothing — the per-column blooms restore
+    * equality pruning for each dimension independently
+    * (require-asserted: each probe plans a strict subset of files).
+    * DuckDB recomputes both probe aggregates from raw lineitem — a
+    * bloom false negative (a dropped file) loses rows and
+    * hash-mismatches.
+    */
+  val multiBloom = QueryDef("q203_multi_bloom",
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey IN (1, 2, 3)) AS n_ok,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem
+      |    WHERE l_orderkey IN (1, 2, 3)) AS qty_ok,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_partkey IN (1, 2)) AS n_pk,
+      |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+      |     AS BIGINT) FROM lineitem
+      |    WHERE l_partkey IN (1, 2)) AS qty_pk,
+      |  TRUE AS pruned_okey, TRUE AS pruned_pkey""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q203_table")
+    clusterLayouts.compute("q203", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).select(
+            col("l_orderkey").as("okey"),
+            col("l_partkey").as("pkey"),
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          path, numPartitions = 16, statsCol = Some("ship_day"),
+          bloomCol = Some("okey,pkey"))
+      }
+      d
+    })
+    val ver = SnapshotTable.readVersion(s, path,
+      SnapshotTable.latestVersion(path))
+    require(ver.bloomConfs.map(_.col) == Seq("okey", "pkey"),
+      s"expected two bloom indexes, manifest has ${ver.bloomConfs}")
+    val t = s.read.format("graft_table").option("path", path).load()
+    GraftTableSource.lastPlan.set((-1, -1))
+    val ok = t.filter(col("okey").isin(1L, 2L, 3L))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().head
+    val (p1, t1) = GraftTableSource.lastPlan.get()
+    require(p1 > 0 && p1 < t1,
+      s"okey bloom did not prune: planned $p1 of $t1 files")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val pk = t.filter(col("pkey").isin(1L, 2L))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().head
+    val (p2, t2) = GraftTableSource.lastPlan.get()
+    require(p2 > 0 && p2 < t2,
+      s"pkey bloom did not prune: planned $p2 of $t2 files")
+    import s.implicits._
+    Seq((ok.getLong(0), ok.getLong(1), pk.getLong(0), pk.getLong(1),
+      true, true))
+      .toDF("n_ok", "qty_ok", "n_pk", "qty_pk",
+        "pruned_okey", "pruned_pkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4120,7 +4190,7 @@ object Relational {
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
-    segmentedManifest, typedPartitions)
+    segmentedManifest, typedPartitions, multiBloom)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

@@ -751,13 +751,22 @@ object TrainingPrep {
       |  (SELECT count(*) FROM docs
       |    WHERE doc_id IN (SELECT doc_id FROM keep1)) AS n_dedup,
       |  (SELECT count(*) FROM final) AS n_final,
-      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM final) AS chars_final""".stripMargin) {
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM final) AS chars_final,
+      |  TRUE AS segments_shared""".stripMargin) {
     (s, d) =>
     import graft.ops.SnapshotTable
     val path = graft.Work.oracleDumpPath("q181_table")
     corpusTables.compute("q181", (_, prev) => {
       if (prev != d) {
         graft.Work.wipe(java.nio.file.Paths.get(path))
+        // the curation table runs SEGMENTED (threshold 1): the
+        // metadata plane must be O(Δ) — a curation commit re-
+        // references the corpus's file-list segment, never re-lists
+        // the carried files
+        val prevThresh =
+          s.conf.getOption("spark.graft.manifest.segmentThreshold")
+        s.conf.set("spark.graft.manifest.segmentThreshold", "1")
+        try {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("text"), col("n_chars"))
         SnapshotTable.append(docs, path, numPartitions = 4,
@@ -799,6 +808,33 @@ object TrainingPrep {
           .select("op").collect().map(_.getString(0)).toSeq
         require(ops == Seq("APPEND", "DELETE", "DELETE"),
           s"audit trail drifted: $ops")
+        // segment economics, pinned in the flagship: both curation
+        // commits re-reference v1's segments verbatim (the DV deletes
+        // touch no corpus file), so the log holds exactly v1's fresh
+        // segments and the DELETE headers name no carried files
+        val m1 = SnapshotTable.readVersion(s, path, 1)
+        val m3v = SnapshotTable.readVersion(s, path, 3)
+        require(m1.segRefs.exists(_.nonEmpty),
+          "curation table is not segmented — the economics pin is void")
+        require(m3v.segRefs == m1.segRefs,
+          "a curation commit re-listed carried files — the metadata " +
+            "plane is not O(Δ)")
+        val segCount = java.nio.file.Files.list(
+          java.nio.file.Paths.get(path, "log")).iterator()
+        var nSegs = 0
+        segCount.forEachRemaining(pp =>
+          if (pp.getFileName.toString.startsWith("seg-")) nSegs += 1)
+        require(nSegs == m1.segRefs.get.length,
+          s"curation commits wrote $nSegs segments, expected only " +
+            s"v1's ${m1.segRefs.get.length}")
+        } finally {
+          prevThresh match {
+            case Some(v) =>
+              s.conf.set("spark.graft.manifest.segmentThreshold", v)
+            case None =>
+              s.conf.unset("spark.graft.manifest.segmentThreshold")
+          }
+        }
       }
       d
     })
@@ -811,8 +847,9 @@ object TrainingPrep {
     require(n1 == r1 && n2 == r2 && f.getLong(0) == r3,
       "scan/manifest drift across the governance pipeline")
     import s.implicits._
-    Seq((n1, n2, f.getLong(0), f.getLong(1)))
-      .toDF("n_v1", "n_dedup", "n_final", "chars_final")
+    Seq((n1, n2, f.getLong(0), f.getLong(1), true))
+      .toDF("n_v1", "n_dedup", "n_final", "chars_final",
+        "segments_shared")
   }
 
   private val corpusTables =

@@ -222,9 +222,13 @@ final class GraftCatalog extends TableCatalog
       else Some(SnapshotTable.PartSpec(
         partitions.toSeq.map(toPartField(_, schema))))
     val props = properties.asScala
+    // bloom_col accepts a comma-separated LIST (per-column indexes);
+    // stats_col stays one column by the manifest's compact encoding
     def layoutCol(key: String): Option[String] = props.get(key).map { c =>
-      require(schema.fieldNames.contains(c),
-        s"$key=$c is not a column of the table")
+      c.split(',').map(_.trim).filter(_.nonEmpty).foreach { one =>
+        require(schema.fieldNames.contains(one),
+          s"$key=$one is not a column of the table")
+      }
       c
     }
     // typed multi-column stats: TBLPROPERTIES('stats_cols'='a,b,c')

@@ -435,7 +435,7 @@ private[v2] final class GraftBatchWrite(
     // lands on; rebaseTarget rejects a changed stats layout)
     val freshCs = GraftWriteUtil.colStatsFromFacts(
       SnapshotTable.colSpecsOf(base), written)
-    base.bloom.foreach { bc =>
+    base.bloomConfs.foreach { bc =>
       if (written.nonEmpty)
         graft.ops.BloomIndex.buildRows(spark, written.map(_.file),
             bc.col, bc.expectedPerFile, fpp = bc.fpp)

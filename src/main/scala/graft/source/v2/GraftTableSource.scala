@@ -580,27 +580,28 @@ object GraftTableSource {
       }
     }
 
-    // bloom probe: equality/IN on the indexed column refines whatever
+    // bloom probe: equality/IN on ANY indexed column refines whatever
     // stats/partitions kept (membership tested in executors; only the
-    // complete-index case is trusted, mirroring scanKeysAt)
-    val bloomKeys: Seq[Long] = ver.bloom.map(_.col) match {
-      case Some(bc) => filters.collect {
-        case EqualTo(c, v) if c == bc => longOf(v).toSeq
-        case In(c, vs) if c == bc => vs.toSeq.flatMap(longOf)
+    // complete-index case is trusted per column, mirroring scanKeysAt)
+    ver.bloomConfs.foreach { bc =>
+      val bloomKeys: Seq[Long] = filters.collect {
+        case EqualTo(c, v) if c == bc.col => longOf(v).toSeq
+        case In(c, vs) if c == bc.col => vs.toSeq.flatMap(longOf)
       }.flatten.toSeq
-      case None => Seq.empty
-    }
-    if (bloomKeys.nonEmpty && keep.nonEmpty) {
-      val spark = SparkSession.active
-      import spark.implicits._
-      import org.apache.spark.sql.functions.broadcast
-      val visible = ver.files.toDF("file")
-      val idx = spark.read.option("recursiveFileLookup", "true")
-        .json(s"${res.path}/bloomidx").join(broadcast(visible), "file")
-      val (hit, total) = BloomIndex.probeFiles(idx, bloomKeys.distinct)
-      if (total == ver.files.length) {
-        val hs = hit.toSet
-        keep = keep.filter(i => hs(ver.files(i)))
+      if (bloomKeys.nonEmpty && keep.nonEmpty) {
+        val spark = SparkSession.active
+        import spark.implicits._
+        import org.apache.spark.sql.functions.broadcast
+        val visible = ver.files.toDF("file")
+        val idx = spark.read.option("recursiveFileLookup", "true")
+          .json(s"${res.path}/bloomidx")
+          .filter(org.apache.spark.sql.functions.col("col") === bc.col)
+          .join(broadcast(visible), "file")
+        val (hit, total) = BloomIndex.probeFiles(idx, bloomKeys.distinct)
+        if (total == ver.files.length) {
+          val hs = hit.toSet
+          keep = keep.filter(i => hs(ver.files(i)))
+        }
       }
     }
     keep.toSeq.sorted
@@ -880,9 +881,11 @@ private[v2] final class GraftWriteBuilder(
             .orElse(marker.flatMap(_.statsCol))
             .filter(data.columns.contains)
           val bloomCol = props.get("bloom_col")
-            .orElse(base.flatMap(_.bloom.map(_.col)))
+            .orElse(base.map(_.bloomConfs.map(_.col))
+              .filter(_.nonEmpty).map(_.mkString(",")))
             .orElse(marker.flatMap(_.bloomCol))
-            .filter(data.columns.contains)
+            .filter(_.split(',').map(_.trim)
+              .forall(data.columns.contains))
           // typed multi-column stats declaration ("a,b,c"); inherited
           // declarations live in the manifest and need no option
           val statsCols = props.get("stats_cols")
@@ -1036,9 +1039,11 @@ private[v2] final class GraftStreamingWrite(
     .orElse(marker.flatMap(_.statsCol))
     .filter(schema.fieldNames.contains)
   private val bloomCol = props.get("bloom_col")
-    .orElse(base.flatMap(_.bloom.map(_.col)))
+    .orElse(base.map(_.bloomConfs.map(_.col))
+      .filter(_.nonEmpty).map(_.mkString(",")))
     .orElse(marker.flatMap(_.bloomCol))
-    .filter(schema.fieldNames.contains)
+    .filter(_.split(',').map(_.trim)
+      .forall(schema.fieldNames.contains))
   // typed multi-column stats: a first declaration via option/marker;
   // an existing declaration is inherited by commitAppendFiles from
   // the manifest and needs nothing here
@@ -1168,7 +1173,8 @@ private[v2] class GraftScanBuilder(res: GraftTableSource.Resolved)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = (res.ver.stats.map(_.col)
       ++ res.ver.part.toSeq.flatMap(_.fields.map(_.source))
-      ++ res.ver.bloom.map(_.col)).toSet ++ res.ver.colStats.map(_.col)
+      ++ res.ver.bloomConfs.map(_.col)).toSet ++
+      res.ver.colStats.map(_.col)
     // columns without a manifest index still benefit: predicates on
     // any row-group-translatable type ride to parquet's statistics
     // and column-index filters inside each kept file (pruneFiles
@@ -1451,8 +1457,8 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val cols = ((res.ver.stats.map(_.col) ++ res.ver.bloom.map(_.col))
-      .toSeq
+    val cols = ((res.ver.stats.map(_.col)).toSeq
+      ++ res.ver.bloomConfs.map(_.col)
       ++ res.ver.part.toSeq.flatMap(_.fields.map(_.source))
       ++ res.ver.colStats.map(_.col)).distinct
     // advertise ONLY columns this scan OUTPUTS (the pruned schema):

@@ -89,4 +89,70 @@ class BloomIndexSpec extends SparkSpec {
       BloomIndex.scanKeys(spark, path, "k", Seq.empty)
     }
   }
+
+  test("MULTI-COLUMN bloom declaration ('a,b'): each column gets its " +
+      "own per-file index, both prune independently, every write path " +
+      "maintains both, and ALTER RENAME follows an extra column") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val r = java.nio.file.Files.createTempDirectory("mbloom").toString
+    spark.conf.set("spark.sql.catalog.graft_mb",
+      "graft.source.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mb.root", r)
+    spark.sql("""CREATE TABLE graft_mb.db.t (okey BIGINT, pkey BIGINT,
+      day BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats_col'='day', 'bloom_col'='okey,pkey')""")
+    // day-range layout; both keys are sparse per file (high
+    // cardinality), so only the blooms can prune equality probes —
+    // stats exist on `day` alone
+    spark.sql("""INSERT INTO graft_mb.db.t
+      SELECT id, CAST(id / 3 AS BIGINT), id % 16, id
+      FROM range(4000)""")
+    val p = s"$r/db/t"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+    assert(v1.bloomConfs.map(_.col) === Seq("okey", "pkey"))
+
+    def prunedCount(cond: String): (Long, Int, Int) = {
+      GraftTableSource.lastPlan.set((-1, -1))
+      val n = spark.sql(
+        s"SELECT count(*) FROM graft_mb.db.t WHERE $cond")
+        .head.getLong(0)
+      val (pl, tot) = GraftTableSource.lastPlan.get()
+      (n, pl, tot)
+    }
+    val (n1, p1, t1) = prunedCount("okey = 7")
+    assert(n1 === 1)
+    assert(p1 > 0 && p1 < t1, s"okey bloom did not prune ($p1/$t1)")
+    val (n2, p2, t2) = prunedCount("pkey = 13")
+    assert(n2 === 3) // ids 39, 40, 41
+    assert(p2 > 0 && p2 < t2, s"pkey bloom did not prune ($p2/$t2)")
+
+    // a second INSERT inherits BOTH indexes (rows for the new files)
+    spark.sql("""INSERT INTO graft_mb.db.t
+      SELECT id, CAST(id / 3 AS BIGINT), id % 16, id
+      FROM range(4000, 6000)""")
+    val (n3, p3, t3) = prunedCount("pkey = 13")
+    assert(n3 === 3)
+    assert(p3 > 0 && p3 < t3,
+      s"inherited pkey bloom incomplete after append ($p3/$t3)")
+
+    // a row-level MERGE rebuilds rows for the rewritten files — the
+    // probe must stay COMPLETE (pruned, not disabled)
+    spark.sql("""MERGE INTO graft_mb.db.t t
+      USING (SELECT 999999 AS nk) m ON t.okey = m.nk
+      WHEN NOT MATCHED THEN INSERT (okey, pkey, day, v)
+      VALUES (7, 13, 0, 0)""")
+    val (n4, p4, t4) = prunedCount("pkey = 13")
+    assert(n4 === n3 + 1)
+    assert(p4 > 0 && p4 < t4,
+      s"pkey bloom incomplete after MERGE ($p4/$t4)")
+
+    // renaming an EXTRA bloom column follows in the manifest
+    spark.sql("ALTER TABLE graft_mb.db.t RENAME COLUMN pkey TO part_k")
+    val vr = SnapshotTable.readVersion(spark, p,
+      SnapshotTable.latestVersion(p))
+    assert(vr.bloomConfs.map(_.col) === Seq("okey", "part_k"))
+    spark.sql("DROP TABLE graft_mb.db.t")
+  }
 }
