@@ -2708,15 +2708,19 @@ object SnapshotTable {
     }
 
   /** Commit `df` as the next version of a HIDDEN-partitioned table:
-    * rows are shuffled once on the derived partition value (so each
-    * value lands in one task) and written `partitionBy` so every data
-    * file holds exactly one value — which is what makes manifest
+    * rows are shuffled once on the derived partition value(s) (so
+    * each tuple lands in one task) and written `partitionBy` so every
+    * data file holds exactly one tuple — which is what makes manifest
     * pruning on the recorded per-file value EXACT, not just tight.
-    * The derived value is dropped by the writer (it lives in the
-    * `__p=v` directory name and the manifest only); scans of leaf
-    * files never see it. `statsCol` additionally records per-file
-    * min/max of a DATA column for second-level pruning inside
-    * partitions (files are sorted by it within each partition).
+    * The derived values are dropped by the writer (they live in the
+    * `__p=v` / `__p0=…/__p1=…` directory names and the manifest
+    * only); scans of leaf files never see them. Works for BOTH spec
+    * forms — the legacy single-LONG spec and typed/multi-column
+    * [[PartField]] lists (days/months over DATE/TIMESTAMP, string
+    * identity/truncate/bucket). `statsCol` additionally records
+    * per-file min/max of a DATA column for second-level pruning
+    * inside partitions (files are sorted by it within each
+    * partition).
     *
     * Same create-exclusive commit + blind retry as [[append]] (append
     * commutes with append). The spec is table metadata: the first

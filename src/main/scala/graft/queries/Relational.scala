@@ -4105,16 +4105,18 @@ object Relational {
   }
 
   /** q203 — MULTI-COLUMN bloom indexes on the snapshot table: the
-    * bloom declaration is a column LIST ('okey,pkey'), each column
+    * bloom declaration is a column LIST ('okey,luid'), each column
     * getting its own per-file filters maintained by the same write
-    * paths ([[graft.ops.SnapshotTable.Version.bloomsExtra]]). The
-    * table is date-laid-out, so BOTH keys scatter across every file
-    * and min/max stats prune nothing — the per-column blooms restore
-    * equality pruning for each dimension independently
-    * (require-asserted: each probe plans a strict subset of files).
-    * DuckDB recomputes both probe aggregates from raw lineitem — a
-    * bloom false negative (a dropped file) loses rows and
-    * hash-mismatches.
+    * paths ([[graft.ops.SnapshotTable.Version.bloomsExtra]]) — the
+    * doc_id + url shape of the curation flagship, where BOTH
+    * high-cardinality keys arrive in archive order and neither is
+    * the layout column. The table is date-laid-out, min/max stats
+    * over either key span ~the whole domain (stats prune nothing);
+    * the per-column blooms restore equality pruning for each
+    * dimension independently (require-asserted: each probe plans a
+    * strict subset of files). DuckDB recomputes both probe
+    * aggregates from raw lineitem — a bloom false negative (a
+    * dropped file) loses rows and hash-mismatches.
     */
   val multiBloom = QueryDef("q203_multi_bloom",
     """SELECT
@@ -4124,11 +4126,17 @@ object Relational {
       |     AS BIGINT) FROM lineitem
       |    WHERE l_orderkey IN (1, 2, 3)) AS qty_ok,
       |  (SELECT count(*) FROM lineitem
-      |    WHERE l_partkey IN (1, 2)) AS n_pk,
+      |    WHERE l_orderkey * 1000 + l_linenumber IN (
+      |      (SELECT min(l_orderkey * 1000 + l_linenumber) FROM lineitem),
+      |      (SELECT max(l_orderkey * 1000 + l_linenumber) FROM lineitem)))
+      |    AS n_luid,
       |  (SELECT CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
       |     AS BIGINT) FROM lineitem
-      |    WHERE l_partkey IN (1, 2)) AS qty_pk,
-      |  TRUE AS pruned_okey, TRUE AS pruned_pkey""".stripMargin
+      |    WHERE l_orderkey * 1000 + l_linenumber IN (
+      |      (SELECT min(l_orderkey * 1000 + l_linenumber) FROM lineitem),
+      |      (SELECT max(l_orderkey * 1000 + l_linenumber) FROM lineitem)))
+      |    AS qty_luid,
+      |  TRUE AS pruned_okey, TRUE AS pruned_luid""".stripMargin
   ) { (s, d) =>
     import graft.ops.SnapshotTable
     import graft.source.v2.GraftTableSource
@@ -4139,18 +4147,19 @@ object Relational {
         SnapshotTable.append(
           Tables.lineitem(s, d).select(
             col("l_orderkey").as("okey"),
-            col("l_partkey").as("pkey"),
+            (col("l_orderkey") * 1000 + col("l_linenumber"))
+              .cast("long").as("luid"),
             expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
               .as("ship_day"),
             floor(col("l_quantity") * 100).cast("long").as("qty_u")),
           path, numPartitions = 16, statsCol = Some("ship_day"),
-          bloomCol = Some("okey,pkey"))
+          bloomCol = Some("okey,luid"))
       }
       d
     })
     val ver = SnapshotTable.readVersion(s, path,
       SnapshotTable.latestVersion(path))
-    require(ver.bloomConfs.map(_.col) == Seq("okey", "pkey"),
+    require(ver.bloomConfs.map(_.col) == Seq("okey", "luid"),
       s"expected two bloom indexes, manifest has ${ver.bloomConfs}")
     val t = s.read.format("graft_table").option("path", path).load()
     GraftTableSource.lastPlan.set((-1, -1))
@@ -4160,18 +4169,22 @@ object Relational {
     val (p1, t1) = GraftTableSource.lastPlan.get()
     require(p1 > 0 && p1 < t1,
       s"okey bloom did not prune: planned $p1 of $t1 files")
+    // probe the domain's extreme luids (data-derived — linenumbers
+    // per order are generator-arbitrary, so fixed keys are fragile):
+    // two exact keys land in ≤2 files however the dates scatter
+    val mm = t.agg(min("luid"), max("luid")).collect().head
     GraftTableSource.lastPlan.set((-1, -1))
-    val pk = t.filter(col("pkey").isin(1L, 2L))
+    val lu = t.filter(col("luid").isin(mm.getLong(0), mm.getLong(1)))
       .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
       .collect().head
     val (p2, t2) = GraftTableSource.lastPlan.get()
     require(p2 > 0 && p2 < t2,
-      s"pkey bloom did not prune: planned $p2 of $t2 files")
+      s"luid bloom did not prune: planned $p2 of $t2 files")
     import s.implicits._
-    Seq((ok.getLong(0), ok.getLong(1), pk.getLong(0), pk.getLong(1),
+    Seq((ok.getLong(0), ok.getLong(1), lu.getLong(0), lu.getLong(1),
       true, true))
-      .toDF("n_ok", "qty_ok", "n_pk", "qty_pk",
-        "pruned_okey", "pruned_pkey")
+      .toDF("n_ok", "qty_ok", "n_luid", "qty_luid",
+        "pruned_okey", "pruned_luid")
   }
 
   val all: Seq[QueryDef] = Seq(
