@@ -2896,7 +2896,7 @@ object SnapshotTable {
       if (emptyBatch) Seq.empty[String]
       else spark.read.parquet(batch.files.head).schema.fieldNames.toSeq
     if (!emptyBatch)
-      ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+      ver0.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     val batchCs = computeColStats(spark, batch.files, colSpecsOf(ver0))
     val (plo, phi) = (spec(lo), spec(hi))
     var attempts = 0
@@ -2981,7 +2981,7 @@ object SnapshotTable {
     enforceConstraints(spark, path, batchDir)
     val batchCols = spark.read.parquet(batch.files.head)
       .schema.fieldNames.toSeq
-    ver0.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    ver0.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     val batchCs = computeColStats(spark, batch.files, colSpecsOf(ver0))
     var attempts = 0
     while (true) {
@@ -3068,7 +3068,7 @@ object SnapshotTable {
         s"table layout changed under the overwrite (part=${ver.part}, " +
           s"dv=${ver.dvFiles.length}) — re-run against the new base")
       if (!bloomWritten) {
-        ver.bloom.foreach(writeBloomRows(spark, path, files, _))
+        ver.bloomConfs.foreach(writeBloomRows(spark, path, files, _))
         bloomWritten = true
       }
       val keepIdx =
@@ -3171,6 +3171,89 @@ object SnapshotTable {
     * file arithmetic is version-specific). Returns
     * (newVersion, filesDropped, filesTotalBefore).
     */
+  /** METADATA-ONLY SQL DELETE of whole hidden partitions: when every
+    * pushed predicate is an equality/IN on the SOURCE column of an
+    * INJECTIVE partition field — `identity` over any dtype, or
+    * `days` over a DATE source (epoch-day identity) — the recorded
+    * partition value DETERMINES the source value, so a matching file
+    * holds ONLY matching rows and a surviving file holds NONE: the
+    * new version simply omits the matched files. This is "drop a bad
+    * day/tenant" as one manifest write, via plain `DELETE FROM`, at
+    * any table size. `IsNotNull` on a partition source is vacuous
+    * (every write path rejects NULL sources) and is skipped. Returns
+    * None when the shape does not apply — a non-injective transform
+    * (truncate/bucket/hours/months over timestamps), a predicate on
+    * a non-source column, a DV-carrying table — and the caller falls
+    * back to the MOR path. Deleting EVERY file routes to [[truncate]]
+    * (a zero-file version needs the truncate form). Returns
+    * Some((version, rowsDeleted)) when it committed.
+    */
+  private[graft] def deletePartitionsByFilters(
+      spark: SparkSession, path: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Long, Long)] = {
+    import org.apache.spark.sql.sources._
+    val prev = latestVersion(path)
+    if (prev == 0) return None
+    val ver = readVersion(spark, path, prev)
+    if (ver.dvFiles.nonEmpty || ver.part.isEmpty ||
+        ver.files.isEmpty) return None
+    val sp = ver.part.get
+    def injective(f: PartField): Boolean =
+      f.transform == "identity" ||
+        (f.transform == "days" && f.dtype == "date")
+    val fieldOf: Map[String, (PartField, Int)] =
+      sp.fields.zipWithIndex
+        .filter { case (f, _) => injective(f) }
+        .map { case (f, j) => f.source -> (f, j) }.toMap
+    val sources = sp.fields.map(_.source).toSet
+    // translate EVERY filter to (field index, probe partition keys);
+    // anything else disqualifies the whole fast path
+    val probes = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Set[Any])]
+    filters.foreach {
+      case IsNotNull(c) if sources(c) => () // vacuous: sources non-NULL
+      case EqualTo(c, v) if fieldOf.contains(c) =>
+        val (f, j) = fieldOf(c)
+        TypedBounds.keyOfValue(f.dtype, v) match {
+          case Some(k) => probes += ((j, Set(f.applyKey(k))))
+          case None => return None
+        }
+      case In(c, vs) if fieldOf.contains(c) =>
+        val (f, j) = fieldOf(c)
+        val ks = vs.toSeq.map(v => TypedBounds.keyOfValue(f.dtype, v))
+        if (ks.exists(_.isEmpty)) return None
+        probes += ((j, ks.flatten.map(f.applyKey).toSet))
+      case _ => return None
+    }
+    if (probes.isEmpty) return None
+    def tupleKey(i: Int, j: Int): Any =
+      if (sp.isLegacy) ver.partValues.get(i)
+      else ver.partKeys.get.key(i, j)
+    val dropIdx = ver.files.indices.filter(i =>
+      probes.forall { case (j, want) => want.contains(tupleKey(i, j)) })
+    val rows = rowsOf(ver)
+    val dropped = dropIdx.map(rows).sum
+    if (dropIdx.isEmpty) return Some((prev, 0L)) // no partition matches
+    if (dropIdx.length == ver.files.length)
+      return Some((truncate(spark, path), dropped))
+    val keepIdx = ver.files.indices.filterNot(dropIdx.toSet)
+    val bytes = bytesOf(ver)
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files), keepIdx.map(rows), keepIdx.map(bytes),
+      ver.stats.map(st =>
+        Stats(st.col, keepIdx.map(st.mins), keepIdx.map(st.maxs))),
+      ver.bloom, ver.txns, ver.part,
+      ver.partValues.map(pv => keepIdx.map(pv)),
+      op = "DELETE", schema = carryMeta(ver, keepIdx, 0),
+      colStats = ver.colStats.map(_.slice(keepIdx)),
+      seg = path -> Some(ver),
+      partKeys = ver.partKeys.map(_.slice(keepIdx)),
+      bloomsExtra = ver.bloomsExtra))
+    Some((v, dropped))
+  }
+
   def deletePartitionRange(spark: SparkSession, path: String, lo: Long,
                            hi: Long): (Long, Int, Int) = {
     val prev = latestVersion(path)
@@ -3490,7 +3573,7 @@ object SnapshotTable {
     // empty rewrite dir (only row-less part files) rather than leaving
     // it for vacuum, and the new manifest is just the carried set
     if (batch.files.nonEmpty)
-      ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+      ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     else io(batchDir).deleteDir(batchDir)
     require(keepIdx.nonEmpty || batch.files.nonEmpty,
       "delete covers every row of every file — a zero-file version is " +
@@ -3701,7 +3784,7 @@ object SnapshotTable {
         val (batch, bparts) =
           writePartitionedBatch(survivors, batchDir, spec, statsCol)
         if (batch.files.isEmpty) io(batchDir).deleteDir(batchDir)
-        else ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        else ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
         val (pvNew, pkNew) = extendParts(spec, ver, keepIdx, bparts)
         commitExclusive(path, v, renderManifest(v,
           keepIdx.map(ver.files) ++ batch.files,
@@ -3742,7 +3825,7 @@ object SnapshotTable {
               Seq.empty[Long])
           } else partitionedBatchFacts(spark, batchDir, statsCol)
         if (batch.files.nonEmpty)
-          ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+          ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
         val pv = ver.partValues.get
         commitExclusive(path, v, renderManifest(v,
           keepIdx.map(ver.files) ++ batch.files,
@@ -3770,7 +3853,7 @@ object SnapshotTable {
         laidOut.write.mode("errorifexists").parquet(batchDir)
         val batch = batchFacts(spark, batchDir, statsCol)
         if (batch.files.nonEmpty)
-          ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+          ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
         else io(batchDir).deleteDir(batchDir)
         commitExclusive(path, v, renderManifest(v,
           keepIdx.map(ver.files) ++ batch.files,
@@ -3885,7 +3968,7 @@ object SnapshotTable {
       .drop("__file", "__bin")
       .write.mode("errorifexists").parquet(batchDir)
     val batch = batchFacts(spark, batchDir, Some(st.col))
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     // OCC: compaction is predicate-free — ANY interleaved append
     // rebases (the new files simply are not compacted this pass)
     val v = commitReplace(spark, path, ver,
@@ -3927,10 +4010,11 @@ object SnapshotTable {
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "compactPartitioned needs hidden partitioning — use compact"))
     requireUniform(ver, "compactPartitioned")
-    require(spec.isLegacy,
-      s"compactPartitioned supports single-column BIGINT specs; the " +
-        s"table is partitioned by ${spec.describe}")
-    val pv = ver.partValues.get
+    // partition identity per file, either spec form — bins never
+    // cross a tuple, so compaction preserves partition purity
+    val tupleOf: Int => Any =
+      if (spec.isLegacy) { val pv = ver.partValues.get; i => pv(i) }
+      else { val pk = ver.partKeys.get; i => pk.row(i) }
     val rows = ver.fileRows.getOrElse(throw new IllegalArgumentException(
       "manifest lacks per-file rows — recommit with this version"))
     val bytes = ver.fileBytes.getOrElse(throw new IllegalArgumentException(
@@ -3942,9 +4026,10 @@ object SnapshotTable {
       case Some(st) => i => (st.mins(i), ver.files(i))
       case None => i => (0L, ver.files(i))
     }
-    val binOf = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val binOf = scala.collection.mutable.Map.empty[String, Long]
     var rewriteBins = 0L
-    pv.indices.groupBy(pv).toSeq.sortBy(_._1).foreach { case (p, idxs) =>
+    ver.files.indices.groupBy(tupleOf).toSeq
+      .sortBy(_._1.toString).foreach { case (_, idxs) =>
       val ordered = idxs.sortBy(orderKey)
       // next-fit: cut a bin when adding the file would overflow target
       val bins = scala.collection.mutable.ArrayBuffer(
@@ -3959,7 +4044,7 @@ object SnapshotTable {
       }
       bins.filter(b => b.length > 1 && b.exists(i => bytes(i) < minBytes))
         .foreach { b =>
-          b.foreach(i => binOf(ver.files(i)) = (p, rewriteBins))
+          b.foreach(i => binOf(ver.files(i)) = rewriteBins)
           rewriteBins += 1
         }
     }
@@ -3968,13 +4053,15 @@ object SnapshotTable {
     val rewriteFiles = binOf.keys.toSeq.sorted
     val keepIdx = ver.files.indices.filterNot(i => binOf.contains(ver.files(i)))
     import spark.implicits._
-    val binDf = binOf.toSeq.map { case (f, (_, b)) => (f, b) }
-      .toDF("__file", "__bin")
+    val binDf = binOf.toSeq.toDF("__file", "__bin")
     val batchDir = s"$path/files/batch-${nonce()}"
-    val src = spark.read.parquet(rewriteFiles: _*)
+    val derived = partDerivedCols(spec) // partition-pure by construction
+    val src0 = spark.read.parquet(rewriteFiles: _*)
       .withColumn("__file", input_file_name())
       .join(broadcast(binDf), "__file")
-      .withColumn("__p", spec.column) // partition-pure by construction
+    val src = derived.foldLeft(src0) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
     val laidOut = ver.stats match {
       case Some(st) => src
         .repartitionByRange(rewriteBins.toInt, col("__bin"), col(st.col))
@@ -3982,11 +4069,21 @@ object SnapshotTable {
       case None => src.repartitionByRange(rewriteBins.toInt, col("__bin"))
     }
     laidOut.drop("__file", "__bin")
-      .write.mode("errorifexists").partitionBy("__p").parquet(batchDir)
-    val (batch, pvals) =
-      partitionedBatchFacts(spark, batchDir, ver.stats.map(_.col))
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+      .write.mode("errorifexists")
+      .partitionBy(derived.map(_._1): _*).parquet(batchDir)
+    val (batch, bparts) =
+      if (spec.isLegacy) {
+        val (b, pvals) =
+          partitionedBatchFacts(spark, batchDir, ver.stats.map(_.col))
+        (b, BatchParts(Some(pvals), None))
+      } else {
+        val (b, pkeys) =
+          typedBatchFacts(spark, batchDir, ver.stats.map(_.col), spec)
+        (b, BatchParts(None, Some(pkeys)))
+      }
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     val v = prev + 1
+    val (pvNew, pkNew) = extendParts(spec, ver, keepIdx, bparts)
     commitExclusive(path, v, renderManifest(v,
       keepIdx.map(ver.files) ++ batch.files,
       keepIdx.map(rows) ++ batch.rows,
@@ -3995,11 +4092,12 @@ object SnapshotTable {
         keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, Some(spec),
-      Some(keepIdx.map(pv) ++ pvals), op = "OPTIMIZE",
+      pvNew, op = "OPTIMIZE",
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
-      seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
+      seg = path -> Some(ver), partKeys = pkNew,
+      bloomsExtra = ver.bloomsExtra))
     CompactResult(v, ver.files.length,
       keepIdx.length + batch.files.length, rewriteFiles.length)
   }
@@ -4056,7 +4154,7 @@ object SnapshotTable {
       .sortWithinPartitions(clusterCol)
       .write.mode("errorifexists").parquet(batchDir)
     val batch = batchFacts(spark, batchDir, Some(clusterCol))
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     val v = prev + 1
     commitExclusive(path, v, renderManifest(v, batch.files, batch.rows,
       batch.bytes,
@@ -4173,7 +4271,7 @@ object SnapshotTable {
       .write.mode("errorifexists").parquet(batchDir)
     enforceConstraints(spark, path, batchDir)
     val batch = batchFacts(spark, batchDir, Some(st.col))
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     // OCC: interleaved files provably outside the update batch's
     // layout range [lo, hi] cannot hold a row any update key locates
     // (the merge contract addresses rows by key but LOCATES them by
@@ -4315,7 +4413,7 @@ object SnapshotTable {
     enforceConstraints(spark, path, batchDir)
     val (batch, pvalsB) =
       partitionedBatchFacts(spark, batchDir, ver.stats.map(_.col))
-    ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     val v = prev + 1
     commitExclusive(path, v, renderManifest(v,
       keepIdx.map(ver.files) ++ batch.files,
@@ -4553,7 +4651,7 @@ object SnapshotTable {
           .parquet(batchDir)
         val (batch, pvals) =
           partitionedBatchFacts(spark, batchDir, statsCol)
-        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
         commitExclusive(path, v, renderManifest(v, batch.files,
           batch.rows, batch.bytes,
           statsCol.map(c => Stats(c, batch.mins, batch.maxs)),
@@ -4573,7 +4671,7 @@ object SnapshotTable {
         }
         laidOut.write.mode("errorifexists").parquet(batchDir)
         val batch = batchFacts(spark, batchDir, statsCol)
-        ver.bloom.foreach(writeBloomRows(spark, path, batch.files, _))
+        ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
         commitExclusive(path, v, renderManifest(v, batch.files,
           batch.rows, batch.bytes,
           statsCol.map(c => Stats(c, batch.mins, batch.maxs)),

@@ -664,6 +664,13 @@ private[v2] class GraftTable(props: Map[String, String])
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val spark = SparkSession.active
     if (SnapshotTable.latestVersion(path) == 0L) return // created, empty
+    // METADATA-ONLY fast path: equality predicates on injective
+    // partition sources drop whole files from the manifest — "delete
+    // a day" costs one conditional put at any table size. Falls
+    // through to the MOR path when the shape does not apply.
+    if (filters.nonEmpty &&
+        SnapshotTable.deletePartitionsByFilters(spark, path,
+          filters.toSeq).isDefined) return
     val pred =
       if (filters.isEmpty) "true"
       else filters.map(f => GraftTable.filterSql(f).getOrElse(
@@ -1384,26 +1391,26 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     res.ver.part match {
-      case Some(p) if p.isLegacy && limit.isEmpty &&
-          required.fieldNames.contains(p.source) =>
-        import org.apache.spark.sql.connector.expressions.Expressions
-        // identity resolves catalog-free; bucket/truncate resolve only
-        // for tables loaded through GraftCatalog (its FunctionCatalog
-        // carries the transform arithmetic) — elsewhere Spark simply
-        // falls back to unknown partitioning, which is always sound
-        val key = p.transform match {
-          case "identity" => Expressions.column(p.source)
-          case "bucket" =>
-            Expressions.bucket(p.param.toInt, p.source)
-          case "truncate" =>
-            Expressions.apply("truncate",
-              Expressions.literal(p.param),
-              Expressions.column(p.source))
-        }
-        val pv = res.ver.partValues.get
+      case Some(p) if limit.isEmpty &&
+          p.fields.forall(f => required.fieldNames.contains(f.source)) =>
+        // per-field key expressions (identity resolves catalog-free;
+        // bucket/truncate/days/… resolve only for tables loaded
+        // through GraftCatalog, whose FunctionCatalog carries the
+        // transform arithmetic — elsewhere Spark simply falls back to
+        // unknown partitioning, which is always sound). Works for
+        // BOTH spec forms: the per-file key tuples ride on the input
+        // partitions ([[KeyedFilePartition]]).
+        val keys = GraftWriteUtil.transformExprs(p).toArray
+        val nTuples =
+          if (p.isLegacy) {
+            val pv = res.ver.partValues.get
+            keptFiles().map(pv).distinct.length
+          } else {
+            val pk = res.ver.partKeys.get
+            keptFiles().map(pk.row).distinct.length
+          }
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(key),
-            keptFiles().map(pv).distinct.length)
+          .KeyGroupedPartitioning(keys, nTuples)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(res.ver.files.length)
@@ -1532,8 +1539,24 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     plannedFiles = kept.length
     plannedFileNames = kept.map(res.ver.files)
     GraftTableSource.lastPlan.set((kept.length, res.ver.files.length))
-    val identityKeyed = limit.isEmpty && res.ver.part.exists(p =>
-      p.isLegacy && required.fieldNames.contains(p.source))
+    // key the input partitions whenever outputPartitioning reports
+    // KeyGroupedPartitioning (all partition sources projected)
+    val keyed = limit.isEmpty && res.ver.part.exists(p =>
+      p.fields.forall(f => required.fieldNames.contains(f.source)))
+    def keyValsOf(i: Int): Seq[Any] = res.ver.part.get match {
+      case p if p.isLegacy => Seq(res.ver.partValues.get(i))
+      case p =>
+        val pk = res.ver.partKeys.get
+        p.fields.zipWithIndex.map { case (f, j) =>
+          // decoded key → the key expression's PHYSICAL shape
+          f.valueDtype match {
+            case "int" | "date" => pk.key(i, j).asInstanceOf[Long].toInt
+            case "string" => org.apache.spark.unsafe.types.UTF8String
+              .fromString(pk.key(i, j).asInstanceOf[String])
+            case _ => pk.key(i, j) // long-backed ordinals
+          }
+        }
+    }
     // the pushed + runtime predicates, re-checked by Spark above the
     // scan, also drive parquet's ROW-GROUP statistics filtering inside
     // each kept file — what bounds the read when pruning keeps a huge
@@ -1549,8 +1572,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     kept.map { i =>
       val base = GraftReaderFactory.partition(res, i, required,
         rowGroupFilters)
-      if (identityKeyed)
-        KeyedFilePartition(base, res.ver.partValues.get(i))
+      if (keyed) KeyedFilePartition(base, keyValsOf(i))
       else base: InputPartition
     }.toArray
   }
@@ -1577,14 +1599,16 @@ private[v2] final case class GraftFilePartition(
     predicateCols: Seq[(String, String)] = Seq.empty)
     extends InputPartition
 
-/** A file partition of an identity-partitioned table, carrying its
-  * partition value so Spark can key-group partitions for
-  * storage-partitioned joins.
+/** A file partition of a hidden-partitioned table, carrying its
+  * partition value(s) so Spark can key-group partitions for
+  * storage-partitioned joins — one element per partition field, in
+  * spec order, already in the key expressions' PHYSICAL shapes (Long
+  * / Int / UTF8String).
   */
 private[v2] final case class KeyedFilePartition(p: GraftFilePartition,
-                                                key: Long)
+                                                keyVals: Seq[Any])
     extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow(key)
+  override def partitionKey(): InternalRow = InternalRow.fromSeq(keyVals)
 }
 
 /** Reader factory carrying the SESSION's Hadoop configuration as a

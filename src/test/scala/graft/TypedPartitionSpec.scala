@@ -415,15 +415,13 @@ class TypedPartitionSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL"))
     assert(SnapshotTable.latestVersion(path) === 0)
-    // a committed typed table: compactPartitioned / mergePartitioned
-    // (single-LONG helpers) must reject, not corrupt
+    // a committed typed table: mergePartitioned (a single-LONG
+    // helper — SQL MERGE is the typed front door) must reject, not
+    // corrupt (compactPartitioned gained typed support — see the
+    // dedicated case)
     SnapshotTable.appendPartitioned(
       Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("ds", "v")
         .select(to_date(col("ds")).as("d"), col("v")), path, spec)
-    val e3 = intercept[IllegalArgumentException] {
-      SnapshotTable.compactPartitioned(spark, path, 1024 * 1024)
-    }
-    assert(e3.getMessage.contains("single-column BIGINT"))
     val e4 = intercept[IllegalArgumentException] {
       SnapshotTable.mergePartitioned(spark, path,
         Seq(("2024-01-01", 5L)).toDF("ds", "v")
@@ -436,6 +434,147 @@ class TypedPartitionSpec extends SparkSpec {
       PartField("x", "months", 0L, "long")
     }
     assert(e5.getMessage.contains("DATE or TIMESTAMP"))
+  }
+
+  test("SQL DELETE of whole partitions is METADATA-ONLY on injective " +
+      "fields (days over DATE, identity) and falls back to MOR " +
+      "deletion vectors for everything else") {
+    import spark.implicits._
+    root
+    spark.sql("""CREATE TABLE graft_tp.db.dd (d DATE, g STRING, v BIGINT)
+      PARTITIONED BY (days(d), bucket(4, g))""")
+    spark.sql("""INSERT INTO graft_tp.db.dd
+      SELECT date_add(DATE'2024-09-10', CAST(id % 4 AS INT)),
+             concat('g', id % 3), id FROM range(240)""")
+    val p = s"$root/db/dd"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+
+    // whole-day drop: predicate on the injective days(DATE) source
+    spark.sql("DELETE FROM graft_tp.db.dd WHERE d = DATE'2024-09-11'")
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.op === "DELETE")
+    assert(v2.dvFiles.isEmpty, "whole-day delete must not write DVs")
+    val v1set = v1.files.toSet
+    assert(v2.files.forall(v1set.contains),
+      "metadata-only delete must not write new files")
+    assert(v2.files.length < v1.files.length)
+    assert(spark.sql("SELECT count(*) FROM graft_tp.db.dd")
+      .head.getLong(0) === (0L until 240L).count(_ % 4 != 1))
+    assert(spark.sql("""SELECT count(*) FROM graft_tp.db.dd
+      WHERE d = DATE'2024-09-11'""").head.getLong(0) === 0)
+
+    // a predicate on the BUCKET field is not whole-partition
+    // (buckets hold key mixtures): falls back to the MOR path, whose
+    // deleteWhere folds the DVs into rewritten partition-pure files
+    // right away (DELETE then OPTIMIZE in the history)
+    spark.sql("DELETE FROM graft_tp.db.dd WHERE g = 'g1'")
+    val ops = SnapshotTable.history(spark, p).orderBy("version")
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.takeRight(2) === Seq("DELETE", "OPTIMIZE"),
+      s"bucket-field delete must route through the MOR path, got $ops")
+    assert(spark.sql("SELECT count(*) FROM graft_tp.db.dd")
+      .head.getLong(0)
+      === (0L until 240L).count(i => i % 4 != 1 && i % 3 != 1))
+
+    // deleting EVERY remaining day routes to the zero-file truncate
+    spark.sql("DROP TABLE graft_tp.db.dd")
+
+    // legacy identity specs take the same fast path
+    spark.sql("""CREATE TABLE graft_tp.db.li (k BIGINT, v BIGINT)
+      PARTITIONED BY (k)""")
+    spark.sql("INSERT INTO graft_tp.db.li SELECT id % 5, id " +
+      "FROM range(100)")
+    val lp = s"$root/db/li"
+    spark.sql("DELETE FROM graft_tp.db.li WHERE k = 2")
+    val lv = SnapshotTable.readVersion(spark, lp,
+      SnapshotTable.latestVersion(lp))
+    assert(lv.op === "DELETE" && lv.dvFiles.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft_tp.db.li")
+      .head.getLong(0) === 80)
+    spark.sql("DROP TABLE graft_tp.db.li")
+  }
+
+  test("compactPartitioned on a TYPED spec: bins never cross a " +
+      "partition tuple, counts and tuples survive, pruning still works") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(
+      PartField("d", "days", 0L, "date"),
+      PartField("g", "identity", 0L, "string")))
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (s"2024-10-1${i % 2}", s"g${i % 2}", i))
+        .toDF("ds", "g", "v")
+        .select(to_date(col("ds")).as("d"), col("g"), col("v"))
+    // five small appends → 5 files per (day, group) tuple
+    (0 until 5).foreach(b =>
+      SnapshotTable.appendPartitioned(batch(b * 40, b * 40 + 40),
+        path, spec))
+    val before = SnapshotTable.readVersion(spark, path, 5)
+    val r = SnapshotTable.compactPartitioned(spark, path,
+      targetBytes = 1L << 30)
+    assert(r.filesAfter < before.files.length,
+      s"no compaction happened (${r.filesAfter} of ${before.files.length})")
+    val after = SnapshotTable.readVersion(spark, path, r.version)
+    assert(after.op === "OPTIMIZE")
+    assert(after.partKeys.get.nFiles === after.files.length)
+    // purity: every compacted file holds exactly its recorded tuple
+    after.files.zipWithIndex.foreach { case (f, i) =>
+      val tuples = spark.read.parquet(f)
+        .select(datediff(col("d"), to_date(lit("1970-01-01"))), col("g"))
+        .collect().map(rr => IndexedSeq(
+          spec.fields.head.encodeKey(
+            spec.fields.head.applyKey(rr.getInt(0).toLong)),
+          spec.fields(1).encodeKey(spec.fields(1).applyKey(
+            rr.getString(1))))).distinct
+      assert(tuples.length === 1 &&
+        tuples.head === after.partKeys.get.row(i),
+        s"compacted file $f not tuple-pure")
+    }
+    val t = scanPath(path)
+    assert(t.count() === 200)
+    assert(t.agg(sum("v")).head.getLong(0) === (0L until 200L).sum)
+    resetPlan()
+    assert(t.filter(col("g") === "g1").count() === 100)
+    assert(lastPlan()._1 < lastPlan()._2,
+      "identity pruning lost through compaction")
+  }
+
+  test("storage-partitioned join between two TYPED identity-" +
+      "partitioned tables: scans report key-grouped partitioning and " +
+      "the join plan carries no hash-partitioning exchange") {
+    import spark.implicits._
+    val p1 = freshPath()
+    val p2 = freshPath()
+    val spec = PartSpec(Seq(PartField("region", "identity", 0L, "string")))
+    SnapshotTable.appendPartitioned(
+      (0L until 200L).map(i => (s"r${i % 8}", i)).toDF("region", "a"),
+      p1, spec)
+    SnapshotTable.appendPartitioned(
+      (0L until 160L).map(i => (s"r${i % 8}", i * 3)).toDF("region", "b"),
+      p2, spec)
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = scanPath(p1).join(scanPath(p2), "region")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"))
+      val r = j.collect().head
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"typed SPJ still shuffles:\n${plan.take(1200)}")
+      // ground truth: 25 × 20 rows per region over 8 regions
+      assert(r.getLong(0) === 8L * 25 * 20)
+      assert(r.getLong(1) ===
+        (0L until 200L).map(i => i * 20).sum)
+      assert(r.getLong(2) ===
+        (0L until 160L).map(i => i * 3 * 25).sum)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("ALTER RENAME of a typed partition source is metadata-only: " +
