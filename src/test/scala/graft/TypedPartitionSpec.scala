@@ -577,6 +577,43 @@ class TypedPartitionSpec extends SparkSpec {
     }
   }
 
+  test("runtime (DPP-style) file pruning on a TYPED partition source: " +
+      "a join against a filtered dimension hands DATE keys back and " +
+      "files prune at runtime through the days() transform") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(PartField("d", "days", 0L, "date")))
+    SnapshotTable.appendPartitioned(
+      (0L until 300L).map(i => (s"2024-11-${i % 10 + 10}", i))
+        .toDF("ds", "v")
+        .select(to_date(col("ds")).as("d"), col("v")),
+      path, spec)
+    val fact = scanPath(path)
+    // the build side needs a SELECTIVE predicate for Spark to inject
+    // the runtime filter (the DPP eligibility rule)
+    val dim = spark.range(0, 40)
+      .select(date_add(lit("2024-11-01").cast("date"),
+        col("id").cast("int")).as("dim_d"))
+      .filter(col("dim_d").isin(
+        java.time.LocalDate.parse("2024-11-12"),
+        java.time.LocalDate.parse("2024-11-13")))
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val n = try {
+      resetPlan()
+      fact.join(dim, col("d") === col("dim_d")).count()
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(n === (0L until 300L).count(i => i % 10 == 2 || i % 10 == 3))
+    val (planned, total) = lastPlan()
+    assert(planned > 0 && planned < total,
+      s"runtime DATE keys did not prune typed partitions " +
+        s"($planned/$total)")
+  }
+
   test("ALTER RENAME of a typed partition source is metadata-only: " +
       "same files, spec follows the name, pruning works on the new " +
       "name") {
