@@ -47,6 +47,19 @@ object BloomIndex {
   final case class FileBloom(file: String, n: Long, bloomB64: String,
                              col: String)
 
+  /** The index relation's schema, pinned: every probe would otherwise
+    * pay a full JSON schema-INFERENCE pass over the index files
+    * before the actual read — one read per probe instead of two.
+    */
+  val indexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType),
+      StructField("n", LongType),
+      StructField("bloomB64", StringType),
+      StructField("col", StringType)))
+  }
+
   private def serialize(bf: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -167,7 +180,7 @@ object BloomIndex {
   }
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path + "_bloomidx")
+    spark.read.schema(indexSchema).json(path + "_bloomidx")
 
   /** Equality probe with file skipping: read only the files whose bloom
     * MIGHT contain at least one probe key, with the exact `IN` predicate

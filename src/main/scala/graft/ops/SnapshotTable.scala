@@ -3493,7 +3493,8 @@ object SnapshotTable {
     // O(files) names, the same manifest-scale trade every planner op
     // makes; the bloom bytes stay columnar in executors
     val visible = ver.files.toDF("file")
-    val idx = spark.read.option("recursiveFileLookup", "true")
+    val idx = spark.read.schema(BloomIndex.indexSchema)
+      .option("recursiveFileLookup", "true")
       .json(bloomIdxDir(path))
       .filter(col("col") === bc.col)
       .join(broadcast(visible), "file")
@@ -4243,7 +4244,8 @@ object SnapshotTable {
         val keys = updates.select(col(keyCol).cast("long"))
           .distinct().as[Long].collect().toSeq
         val visible = statsHit.map(ver.files).toDF("file")
-        val idx = spark.read.option("recursiveFileLookup", "true")
+        val idx = spark.read.schema(BloomIndex.indexSchema)
+          .option("recursiveFileLookup", "true")
           .json(bloomIdxDir(path)).filter(col("col") === keyCol)
           .join(broadcast(visible), "file")
         val (hitFiles, _) = BloomIndex.probeFiles(idx, keys)
@@ -4367,7 +4369,8 @@ object SnapshotTable {
           val keys = updates.select(col(keyCol).cast("long"))
             .distinct().as[Long].collect().toSeq
           val visible = ver.files.toDF("file")
-          val idx = spark.read.option("recursiveFileLookup", "true")
+          val idx = spark.read.schema(BloomIndex.indexSchema)
+            .option("recursiveFileLookup", "true")
             .json(bloomIdxDir(path))
             .filter(col("col") === ver.bloom.get.col)
             .join(broadcast(visible), "file")

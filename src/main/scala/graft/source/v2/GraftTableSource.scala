@@ -593,7 +593,8 @@ object GraftTableSource {
         import spark.implicits._
         import org.apache.spark.sql.functions.broadcast
         val visible = ver.files.toDF("file")
-        val idx = spark.read.option("recursiveFileLookup", "true")
+        val idx = spark.read.schema(BloomIndex.indexSchema)
+          .option("recursiveFileLookup", "true")
           .json(s"${res.path}/bloomidx")
           .filter(org.apache.spark.sql.functions.col("col") === bc.col)
           .join(broadcast(visible), "file")
