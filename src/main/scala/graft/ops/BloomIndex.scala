@@ -69,11 +69,72 @@ object BloomIndex {
   private def deserialize(b: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(b))
 
+  /** Canonical BUILD-side key expression for a bloom column: the bloom
+    * physically holds either longs or UTF-8 strings, and build/probe
+    * must agree on the encoding per source type —
+    *
+    *  - integral types: the long value itself
+    *  - DATE:           epoch DAYS (matches [[TypedBounds.keyOfValue]])
+    *  - TIMESTAMP:      epoch MICROS (ditto)
+    *  - STRING:         the string, hashed via `putString`
+    *
+    * Float/double/binary keys are rejected loudly: equality probes on
+    * floats are a correctness trap (NaN, -0.0) and the reference
+    * never needs them.
+    */
+  private def canonExpr(dt: org.apache.spark.sql.types.DataType,
+                        keyName: String): (Column, Boolean) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => (col(keyName), true)
+      case DateType =>
+        (datediff(col(keyName), to_date(lit("1970-01-01"))).cast("long"),
+          false)
+      case TimestampType => (unix_micros(col(keyName)), false)
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(keyName).cast("long"), false)
+      case other => throw new IllegalArgumentException(
+        s"bloom index on '$keyName' of type $other — supported key " +
+          "types are integral, STRING, DATE, TIMESTAMP (float/double " +
+          "equality probes are a NaN/-0.0 correctness trap)")
+    }
+  }
+
+  /** Canonical PROBE-side key for a value Spark's filter pushdown (or
+    * a caller) hands us: the runtime class decides, mirroring
+    * [[canonExpr]] exactly. Returns `Left(long)` or `Right(string)`;
+    * `None` = not a bloom-probeable value (caller must NOT prune).
+    */
+  def canonProbe(v: Any): Option[Either[Long, String]] = v match {
+    case l: Long => Some(Left(l))
+    case i: Int => Some(Left(i.toLong))
+    case s: Short => Some(Left(s.toLong))
+    case b: Byte => Some(Left(b.toLong))
+    case s: String => Some(Right(s))
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      Some(Right(s.toString))
+    case d: java.sql.Date => Some(Left(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(Left(d.toEpochDay))
+    case t: java.sql.Timestamp => Some(Left(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t)))
+    case t: java.time.Instant => Some(Left(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(t)))
+    case _ => None
+  }
+
   /** One index row per file of `files`: per-scan-partition partial
     * blooms OR-merged per file. The shuffle carries only bloom bytes;
     * nothing here ever materializes data or blooms on the driver.
     * Shared by the standalone index writer and the snapshot-table
     * per-batch index maintenance ([[SnapshotTable]]).
+    *
+    * The key column may be integral, STRING, DATE, or TIMESTAMP —
+    * the canonical encoding ([[canonExpr]]) is derived from the
+    * batch's own parquet schema, so every write path gets typed keys
+    * with no declaration change (the manifest still names only the
+    * column).
     *
     * `expectedPerFile <= 0` sizes each file's bloom from its EXACT row
     * count (one counting pre-pass over the batch, an O(files) map in
@@ -89,9 +150,13 @@ object BloomIndex {
     require(files.nonEmpty,
       "bloom index build over zero files — callers skip empty batches")
     import spark.implicits._
-    val src = spark.read.parquet(files: _*)
-      .select(input_file_name().as("file"),
-        col(keyName).cast("long").as("k"))
+    val raw = spark.read.parquet(files: _*)
+    val (kExpr, isString) = canonExpr(raw.schema(keyName).dataType, keyName)
+    // NULL keys never satisfy an equality probe (NULL = x is never
+    // true), so they are excluded from the bloom — a file holding
+    // only nulls prunes away, correctly
+    val src = raw.select(input_file_name().as("file"), kExpr.as("k"))
+      .filter(col("k").isNotNull)
     val sizes: Map[String, Long] =
       if (expectedPerFile > 0) Map.empty
       else src.groupBy("file").count()
@@ -99,13 +164,14 @@ object BloomIndex {
     def sizeFor(file: String): Long =
       if (expectedPerFile > 0) expectedPerFile
       else math.max(sizes.getOrElse(file, 1L), 1L)
-    src.as[(String, Long)]
-      .mapPartitions { rows =>
+    def merged[K](keyed: Dataset[(String, K)],
+                  put: (BloomFilter, K) => Unit): Dataset[FileBloom] =
+      keyed.mapPartitions { rows =>
         val acc = scala.collection.mutable.Map.empty[String, (BloomFilter, Long)]
         rows.foreach { case (file, k) =>
           val (bf, n) = acc.getOrElseUpdate(file,
             (BloomFilter.create(sizeFor(file), fpp), 0L))
-          bf.putLong(k)
+          put(bf, k)
           acc(file) = (bf, n + 1)
         }
         acc.iterator.map { case (f, (bf, n)) => (f, n, serialize(bf)) }
@@ -120,6 +186,23 @@ object BloomIndex {
         FileBloom(file, n, Base64.getEncoder.encodeToString(bytes),
           keyName)
       }
+    val built =
+      if (isString)
+        merged[String](src.as[(String, String)], (bf, k) => bf.putString(k))
+      else
+        merged[Long](src.as[(String, Long)], (bf, k) => bf.putLong(k))
+    // a file whose keys are ALL null contributes no partials above,
+    // but must still get an index row (empty bloom = prunes on every
+    // probe, correct for equality) — otherwise the probe-side
+    // completeness check `total == files` fails and pruning silently
+    // turns off for the whole table
+    val emptyB64 = Base64.getEncoder.encodeToString(
+      serialize(BloomFilter.create(1, fpp)))
+    val missing = spark.createDataset(files).toDF("file")
+      .join(built.toDF().select(col("file")), Seq("file"), "left_anti")
+      .as[String]
+      .map(f => FileBloom(f, 0L, emptyB64, keyName))
+    built.union(missing)
   }
 
   /** Lay `df` out range-partitioned by `sortCol` (the natural archive
@@ -155,15 +238,28 @@ object BloomIndex {
     * however many files the index covers. Exposed (rather than inlined
     * in [[scanKeys]]) so tests can pin that schema property.
     */
-  def probePlan(idx: DataFrame, keys: Seq[Long]): DataFrame = {
+  def probePlan(idx: DataFrame, keys: Seq[Long]): DataFrame =
+    probePlanTyped(idx, keys.map(Left(_)))
+
+  /** Typed probe plan: each canonical key is `Left(long)` (integral /
+    * DATE-days / TIMESTAMP-micros) or `Right(string)`, matching the
+    * build-side encoding ([[canonExpr]]). Longs and strings may mix
+    * (an IN list after a cast); a key of the wrong physical kind for
+    * the bloom simply never hits — blooms have no false negatives
+    * only for keys of the kind that was put.
+    */
+  def probePlanTyped(idx: DataFrame,
+                     keys: Seq[Either[Long, String]]): DataFrame = {
     require(keys.nonEmpty, "bloom probe needs at least one key")
     val spark = idx.sparkSession
     import spark.implicits._
-    val ks = keys.toArray
+    val longs = keys.collect { case Left(l) => l }.toArray
+    val strs = keys.collect { case Right(s) => s }.toArray
     idx.select(col("file"), col("bloomB64")).as[(String, String)]
       .map { case (f, b64) =>
         val bf = deserialize(Base64.getDecoder.decode(b64))
-        (f, ks.exists(bf.mightContainLong))
+        (f, longs.exists(bf.mightContainLong)
+          || strs.exists(bf.mightContainString))
       }
       .toDF("file", "hit")
       // collect_list skips the nulls the `when` leaves for misses, so
@@ -173,8 +269,13 @@ object BloomIndex {
   }
 
   /** Executor-side probe over an index relation: (hitFiles, filesTotal). */
-  def probeFiles(idx: DataFrame, keys: Seq[Long]): (Seq[String], Int) = {
-    val r = probePlan(idx, keys).collect().head
+  def probeFiles(idx: DataFrame, keys: Seq[Long]): (Seq[String], Int) =
+    probeFilesTyped(idx, keys.map(Left(_)))
+
+  /** Typed twin of [[probeFiles]]. */
+  def probeFilesTyped(idx: DataFrame,
+                      keys: Seq[Either[Long, String]]): (Seq[String], Int) = {
+    val r = probePlanTyped(idx, keys).collect().head
     (r.getAs[scala.collection.Seq[String]]("hit_files").toSeq.sorted,
       r.getAs[Long]("files_total").toInt)
   }
@@ -192,6 +293,24 @@ object BloomIndex {
   def scanKeys(spark: SparkSession, path: String, keyName: String,
                keys: Seq[Long]): (DataFrame, Int, Int) = {
     val (hit, total) = probeFiles(readIndex(spark, path), keys)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(hit: _*)
+    (df.filter(col(keyName).isin(keys: _*)), hit.length, total)
+  }
+
+  /** Typed twin of [[scanKeys]]: probe values in their SOURCE types
+    * (String / Date / Timestamp / integral) — canonicalized per
+    * [[canonProbe]] for the bloom test, applied verbatim as the
+    * residual `IN`.
+    */
+  def scanKeysTyped(spark: SparkSession, path: String, keyName: String,
+                    keys: Seq[Any]): (DataFrame, Int, Int) = {
+    val canon = keys.map(v => canonProbe(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"bloom probe value $v (${v.getClass.getName}) has no " +
+          "canonical bloom encoding")))
+    val (hit, total) = probeFilesTyped(readIndex(spark, path), canon)
     val df =
       if (hit.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(hit: _*)

@@ -3483,7 +3483,19 @@ object SnapshotTable {
     * layout evolved since. Returns (relation, filesRead, filesTotal).
     */
   def scanKeysAt(spark: SparkSession, path: String, version: Long,
-                 keys: Seq[Long]): (DataFrame, Int, Int) = {
+                 keys: Seq[Long]): (DataFrame, Int, Int) =
+    scanKeysTypedAt(spark, path, version, keys)
+
+  /** Typed twin of [[scanKeysAt]]: probe values in their SOURCE types
+    * (String / Date / Timestamp / integral), canonicalized per
+    * [[BloomIndex.canonProbe]] to match the build-side encoding.
+    */
+  def scanKeysTypedAt(spark: SparkSession, path: String, version: Long,
+                      keys: Seq[Any]): (DataFrame, Int, Int) = {
+    val canon = keys.map(v => BloomIndex.canonProbe(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"bloom probe value $v (${v.getClass.getName}) has no " +
+          "canonical bloom encoding")))
     val ver = readVersion(spark, path, version)
     val bc = ver.bloom.getOrElse(throw new IllegalArgumentException(
       s"version $version carries no bloom index — append with bloomCol"))
@@ -3498,7 +3510,7 @@ object SnapshotTable {
       .json(bloomIdxDir(path))
       .filter(col("col") === bc.col)
       .join(broadcast(visible), "file")
-    val (hit, total) = BloomIndex.probeFiles(idx, keys)
+    val (hit, total) = BloomIndex.probeFilesTyped(idx, canon)
     require(total == ver.files.length,
       s"bloom index incomplete at version $version: " +
         s"$total of ${ver.files.length} files indexed")

@@ -4187,6 +4187,69 @@ object Relational {
         "pruned_okey", "pruned_luid")
   }
 
+  /** q204 — TYPED (STRING) bloom keys: the per-file bloom index on a
+    * snapshot table accepts a native STRING column — url / uuid /
+    * content-hash equality probes, the commonest curation predicates,
+    * no 64-bit surrogate column required (the dodge r17 retired for
+    * stats and r18 for partitions). Build side hashes the UTF-8
+    * string (`putString`), probe side canonicalizes the pushed-down
+    * filter value by its runtime kind
+    * ([[graft.ops.BloomIndex.canonProbe]]); DATE/TIMESTAMP keys ride
+    * the same plane via epoch-days/micros canonical longs
+    * (spec-pinned in BloomTypedSpec). The probe urls are data-derived
+    * (min/max doc_id — generator keys are arbitrary), land in ≤2
+    * files whatever the layout, and the DSv2 scan is
+    * require-asserted to plan a strict subset of files. DuckDB
+    * recomputes the aggregate from raw documents by the equivalent
+    * doc_id probe (url is injective in doc_id) — a bloom false
+    * negative loses a row and hash-mismatches.
+    */
+  val stringBloom = QueryDef("q204_string_bloom",
+    """SELECT
+      |  (SELECT count(*) FROM documents
+      |    WHERE doc_id IN ((SELECT min(doc_id) FROM documents),
+      |                     (SELECT max(doc_id) FROM documents)))
+      |    AS n_hit,
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+      |    WHERE doc_id IN ((SELECT min(doc_id) FROM documents),
+      |                     (SELECT max(doc_id) FROM documents)))
+      |    AS sum_chars,
+      |  TRUE AS pruned_url""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q204_table")
+    clusterLayouts.compute("q204", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        SnapshotTable.append(
+          Tables.documents(s, d).select(
+            col("doc_id"),
+            concat(lit("https://ex.org/"), col("source"), lit("/"),
+              col("doc_id").cast("string")).as("url"),
+            col("n_chars")),
+          path, numPartitions = 8, statsCol = Some("doc_id"),
+          bloomCol = Some("url"))
+      }
+      d
+    })
+    val t = s.read.format("graft_table").option("path", path).load()
+    import s.implicits._
+    val mm = t.agg(min("doc_id"), max("doc_id")).collect().head
+    val urls = t.filter(col("doc_id").isin(mm.getLong(0), mm.getLong(1)))
+      .select("url").as[String].collect().toSeq.sorted
+    GraftTableSource.lastPlan.set((-1, -1))
+    val hit = t.filter(col("url").isin(urls: _*))
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("c"))
+      .collect().head
+    val (p, tot) = GraftTableSource.lastPlan.get()
+    require(p > 0 && p < tot,
+      s"string bloom did not prune: planned $p of $tot files")
+    Seq((hit.getLong(0), hit.getLong(1), true))
+      .toDF("n_hit", "sum_chars", "pruned_url")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4203,7 +4266,7 @@ object Relational {
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
-    segmentedManifest, typedPartitions, multiBloom)
+    segmentedManifest, typedPartitions, multiBloom, stringBloom)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

@@ -584,9 +584,14 @@ object GraftTableSource {
     // stats/partitions kept (membership tested in executors; only the
     // complete-index case is trusted per column, mirroring scanKeysAt)
     ver.bloomConfs.foreach { bc =>
-      val bloomKeys: Seq[Long] = filters.collect {
-        case EqualTo(c, v) if c == bc.col => longOf(v).toSeq
-        case In(c, vs) if c == bc.col => vs.toSeq.flatMap(longOf)
+      // typed: probe values keep their source kind (string/date/
+      // timestamp/integral), canonicalized per BloomIndex.canonProbe
+      // to the encoding the build side put
+      val bloomKeys: Seq[Either[Long, String]] = filters.collect {
+        case EqualTo(c, v) if c == bc.col =>
+          BloomIndex.canonProbe(v).toSeq
+        case In(c, vs) if c == bc.col =>
+          vs.toSeq.flatMap(BloomIndex.canonProbe)
       }.flatten.toSeq
       if (bloomKeys.nonEmpty && keep.nonEmpty) {
         val spark = SparkSession.active
@@ -598,7 +603,8 @@ object GraftTableSource {
           .json(s"${res.path}/bloomidx")
           .filter(org.apache.spark.sql.functions.col("col") === bc.col)
           .join(broadcast(visible), "file")
-        val (hit, total) = BloomIndex.probeFiles(idx, bloomKeys.distinct)
+        val (hit, total) =
+          BloomIndex.probeFilesTyped(idx, bloomKeys.distinct)
         if (total == ver.files.length) {
           val hs = hit.toSet
           keep = keep.filter(i => hs(ver.files(i)))
