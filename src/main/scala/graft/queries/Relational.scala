@@ -4250,6 +4250,252 @@ object Relational {
       .toDF("n_hit", "sum_chars", "pruned_url")
   }
 
+  /** q205 — METADATA-ONLY typed partition DELETE, oracle-gated (the
+    * r18 fast path was spec-only): on a `days(d) × bucket(4, g)`
+    * table a SQL `DELETE FROM ... WHERE d IN (...)` hits only
+    * INJECTIVE fields (days over DATE), so matching files hold ONLY
+    * matching rows and the new version simply omits them — zero
+    * bytes read or written, one manifest commit, "drop a bad day" at
+    * any table size. Require-asserted: the commit is op=DELETE with
+    * no deletion vectors, every surviving file is carried VERBATIM
+    * from v1 (no rewrite), and the file count strictly drops. DuckDB
+    * recomputes the post-delete aggregates from raw lineitem — an
+    * over-deleted partition (a bucket-field probe sneaking into the
+    * fast path) or an under-deleted file changes the counts and
+    * hash-mismatches.
+    */
+  val metaDelete = QueryDef("q205_meta_delete",
+    """WITH src AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(l_shipdate AS DATE) AS d,
+      |    concat('g', CAST(l_orderkey % 4 AS VARCHAR)) AS g,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+      |    AND CAST(l_shipdate AS DATE) <= DATE '1995-06-30'
+      |), kept AS (
+      |  SELECT * FROM src
+      |  WHERE d NOT IN (DATE '1995-06-10', DATE '1995-06-15')
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM kept) AS n_after,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM kept) AS qty_after,
+      |  (SELECT count(DISTINCT d) FROM kept) AS n_days,
+      |  TRUE AS meta_only""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val wh = Work.oracleDumpPath("q205_warehouse")
+    s.conf.set("spark.sql.catalog.graft_q205",
+      "graft.source.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q205.root", wh)
+    val p = s"$wh/q205/li"
+    clusterLayouts.compute("q205", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(wh))
+        Tables.lineitem(s, d).createOrReplaceTempView("q205_lineitem")
+        s.sql("""CREATE TABLE graft_q205.q205.li
+          (k BIGINT, d DATE, g STRING, qty_u BIGINT)
+          PARTITIONED BY (days(d), bucket(4, g))""")
+        s.sql("""INSERT INTO graft_q205.q205.li
+          SELECT l_orderkey * 10 + l_linenumber,
+            CAST(l_shipdate AS DATE),
+            concat('g', CAST(l_orderkey % 4 AS STRING)),
+            CAST(floor(l_quantity * 100) AS BIGINT)
+          FROM q205_lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+            AND CAST(l_shipdate AS DATE) <= DATE '1995-06-30'""")
+        val v1 = SnapshotTable.readVersion(s, p, 1)
+        s.sql("""DELETE FROM graft_q205.q205.li
+          WHERE d IN (DATE '1995-06-10', DATE '1995-06-15')""")
+        val v2 = SnapshotTable.readVersion(s, p, 2)
+        require(v2.op == "DELETE" && v2.dvFiles.isEmpty,
+          s"expected a pure DELETE commit, got op=${v2.op} with " +
+            s"${v2.dvFiles.size} DV files")
+        val v1set = v1.files.toSet
+        require(v2.files.forall(v1set.contains),
+          "metadata-only delete wrote new files — the fast path " +
+            "regressed to a rewrite")
+        require(v2.files.length < v1.files.length,
+          s"delete dropped no files (${v1.files.length} before/after)")
+      }
+      d
+    })
+    val r = s.sql("""SELECT count(*) AS n,
+        CAST(sum(qty_u) AS BIGINT) AS q,
+        count(DISTINCT d) AS nd
+      FROM graft_q205.q205.li""").collect().head
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n_after", "qty_after", "n_days", "meta_only")
+  }
+
+  /** q206 — TYPED `compactPartitioned`, oracle-gated (spec-only in
+    * r18): four small appends leave every `(days(d) × identity(g))`
+    * tuple fragmented; one maintenance pass bin-packs WITHIN each
+    * typed tuple (bins never cross a partition, so outputs stay
+    * partition-pure by construction) and the file count strictly
+    * drops while both pruning dimensions keep working — the identity
+    * probe is require-asserted to plan a strict subset of files
+    * post-compaction. Compaction must be a pure layout change:
+    * DuckDB recomputes the aggregates from raw lineitem, so one row
+    * lost, duplicated, or moved across a tuple by the rewrite
+    * hash-mismatches.
+    */
+  val typedCompaction = QueryDef("q206_typed_compaction",
+    """WITH src AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(l_shipdate AS DATE) AS d,
+      |    concat('g', CAST(l_orderkey % 3 AS VARCHAR)) AS g,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-02-01'
+      |    AND CAST(l_shipdate AS DATE) <= DATE '1995-02-14'
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM src) AS n_all,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM src) AS qty_all,
+      |  (SELECT count(*) FROM src WHERE g = 'g1') AS n_g1,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM src WHERE g = 'g1')
+      |    AS qty_g1,
+      |  TRUE AS compacted, TRUE AS pruned""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.{PartField, PartSpec}
+    import graft.source.v2.GraftTableSource
+    val p = Work.oracleDumpPath("q206_table")
+    clusterLayouts.compute("q206", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(p))
+        val spec = PartSpec(Seq(
+          PartField("d", "days", 0L, "date"),
+          PartField("g", "identity", 0L, "string")))
+        val src = Tables.lineitem(s, d)
+          .filter(col("l_shipdate").cast("date")
+            .between("1995-02-01", "1995-02-14"))
+          .select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+            col("l_shipdate").cast("date").as("d"),
+            concat(lit("g"), (col("l_orderkey") % 3).cast("string"))
+              .as("g"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        // four appends → ≥4 small files per touched tuple (a residue
+        // class can be empty at tiny SFs — generator keys are
+        // arbitrary — so empty slices are skipped, not appended)
+        (0 until 4).foreach { b =>
+          val slice = src.filter(pmod(col("k"), lit(4)) === b)
+          if (!slice.isEmpty) SnapshotTable.appendPartitioned(slice, p, spec)
+        }
+        val before = SnapshotTable.readVersion(s, p,
+          SnapshotTable.latestVersion(p))
+        val r = SnapshotTable.compactPartitioned(s, p,
+          targetBytes = 1L << 30)
+        require(r.filesAfter < before.files.length,
+          s"typed compaction was a no-op (${r.filesAfter} of " +
+            s"${before.files.length} files)")
+        val after = SnapshotTable.readVersion(s, p, r.version)
+        require(after.op == "OPTIMIZE",
+          s"expected an OPTIMIZE commit, got ${after.op}")
+      }
+      d
+    })
+    val t = s.read.format("graft_table").option("path", p).load()
+    val all = t.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    GraftTableSource.lastPlan.set((-1, -1))
+    val g1 = t.filter(col("g") === "g1")
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().head
+    val (pl, tot) = GraftTableSource.lastPlan.get()
+    require(pl > 0 && pl < tot,
+      s"identity pruning lost through typed compaction: $pl of $tot")
+    import s.implicits._
+    Seq((all.getLong(0), all.getLong(1), g1.getLong(0), g1.getLong(1),
+      true, true))
+      .toDF("n_all", "qty_all", "n_g1", "qty_g1", "compacted", "pruned")
+  }
+
+  /** q207 — typed-TUPLE storage-partitioned join, oracle-gated
+    * (spec-only in r18): both sides are typed TWO-field identity
+    * tables (`identity(g) × identity(m)`), the scans report
+    * `KeyGroupedPartitioning` over the full tuple, and the join on
+    * BOTH partition sources runs with NO hash-partitioning exchange
+    * on either side (require-asserted on the executed plan) — the
+    * co-located fact↔fact join shape a 100 TB pipeline needs, where
+    * shuffling either side would move the whole table. DuckDB
+    * recomputes the join aggregate from raw customer/supplier, so a
+    * file grouped under the wrong tuple (rows silently missing from
+    * the join) hash-mismatches.
+    */
+  val typedSpj = QueryDef("q207_typed_spj",
+    """WITH c AS (
+      |  SELECT concat('g', CAST(c_nationkey % 5 AS VARCHAR)) AS g,
+      |    CAST(c_custkey % 3 AS BIGINT) AS m,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS c_acct
+      |  FROM customer
+      |), s AS (
+      |  SELECT concat('g', CAST(s_nationkey % 5 AS VARCHAR)) AS g,
+      |    CAST(s_suppkey % 3 AS BIGINT) AS m,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acct
+      |  FROM supplier
+      |)
+      |SELECT count(*) AS n,
+      |  CAST(sum(c.c_acct) AS BIGINT) AS c_sum,
+      |  CAST(sum(s.s_acct) AS BIGINT) AS s_sum,
+      |  TRUE AS no_shuffle
+      |FROM c JOIN s ON c.g = s.g AND c.m = s.m""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.{PartField, PartSpec}
+    val p1 = Work.oracleDumpPath("q207_cust")
+    val p2 = Work.oracleDumpPath("q207_supp")
+    clusterLayouts.compute("q207", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(p1))
+        Work.wipe(java.nio.file.Paths.get(p2))
+        val spec = PartSpec(Seq(
+          PartField("g", "identity", 0L, "string"),
+          PartField("m", "identity", 0L, "long")))
+        SnapshotTable.appendPartitioned(
+          Tables.customer(s, d).select(
+            concat(lit("g"), (col("c_nationkey") % 5).cast("string"))
+              .as("g"),
+            (col("c_custkey") % 3).cast("long").as("m"),
+            floor(col("c_acctbal") * 100).cast("long").as("c_acct")),
+          p1, spec)
+        SnapshotTable.appendPartitioned(
+          Tables.supplier(s, d).select(
+            concat(lit("g"), (col("s_nationkey") % 5).cast("string"))
+              .as("g"),
+            (col("s_suppkey") % 3).cast("long").as("m"),
+            floor(col("s_acctbal") * 100).cast("long").as("s_acct")),
+          p2, spec)
+      }
+      d
+    })
+    val t1 = s.read.format("graft_table").option("path", p1).load()
+    val t2 = s.read.format("graft_table").option("path", p2).load()
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    val (r, plan) = try {
+      val j = t1.join(t2, Seq("g", "m"))
+        .agg(count(lit(1)).as("n"), sum("c_acct").as("c_sum"),
+          sum("s_acct").as("s_sum"))
+      (j.collect().head, j.queryExecution.executedPlan.toString)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"typed-tuple SPJ still shuffles:\n${plan.take(1500)}")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("n", "c_sum", "s_sum", "no_shuffle")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4266,7 +4512,8 @@ object Relational {
     runtimePrune, dsv2Write, manifestAgg, spjJoin, sqlCatalog, sqlDelete,
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
-    segmentedManifest, typedPartitions, multiBloom, stringBloom)
+    segmentedManifest, typedPartitions, multiBloom, stringBloom,
+    metaDelete, typedCompaction, typedSpj)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode
