@@ -4154,7 +4154,7 @@ object SnapshotTable {
         "so the rewrite cannot resurrect MOR-deleted rows")
     require(ver.part.isEmpty,
       "recluster would rewrite files without their partition dirs — " +
-        "not supported on hidden-partitioned tables")
+        "use reclusterPartitioned on hidden-partitioned tables")
     requireUniform(ver, "recluster")
     val data = spark.read.option("mergeSchema", "true")
       .parquet(ver.files: _*)
@@ -4178,6 +4178,82 @@ object SnapshotTable {
       colStats = colStatsWith(ver, Seq.empty,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
       seg = path -> Some(ver)))
+    ReclusterResult(v, ver.files.length, batch.files.length)
+  }
+
+  /** Partition-aware OPTIMIZE ZORDER (Iceberg's sort-order-within-spec):
+    * re-layout every live file by `clusterCol` WITHIN its hidden
+    * partition tuple, so rectangle/range pruning on the curve key
+    * COMPOSES with partition pruning — on a `days(d) × bucket(8, g)`
+    * table the layout tools stop being bin-packing-only. The hidden
+    * value(s) are re-derived from the source columns exactly as
+    * [[compactPartitioned]] does, and `partitionBy` on the derived
+    * dirs makes every output file tuple-pure BY CONSTRUCTION; the
+    * range partitioner keys on (partition dirs, clusterCol), so each
+    * file additionally covers one contiguous key range inside its
+    * tuple — the per-file min/max the manifest records become
+    * selective for rectangle probes ([[scanRectangleAt]]).
+    *
+    * Like [[recluster]] this is row-preserving (a change feed across
+    * it is EMPTY) and switches the manifest's stats column to
+    * `clusterCol`; the partition spec, schema epochs, blooms, and
+    * writer watermarks all carry. One range-shuffle job over the live
+    * files — the whole-table price of changing the within-partition
+    * order, paid once per layout decision. Create-exclusive commit,
+    * no retry (a racing commit staled the plan — re-run).
+    */
+  def reclusterPartitioned(spark: SparkSession, path: String,
+                           clusterCol: String, numPartitions: Int)
+      : ReclusterResult = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    require(ver.dvFiles.isEmpty,
+      "table carries deletion vectors — materializeDeletes(...) first " +
+        "so the rewrite cannot resurrect MOR-deleted rows")
+    val spec = ver.part.getOrElse(throw new IllegalArgumentException(
+      "reclusterPartitioned needs hidden partitioning — use recluster"))
+    requireUniform(ver, "reclusterPartitioned")
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(ver.files: _*)
+    require(data.columns.contains(clusterCol),
+      s"recluster column $clusterCol not in table " +
+        s"(${data.columns.toSeq.mkString(", ")}) — add it before " +
+        "reclustering; recluster reorders rows, it does not derive them")
+    val derived = partDerivedCols(spec) // partition-pure by construction
+    val src = derived.foldLeft(data) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val dcols = derived.map { case (n, _) => col(n) }
+    val batchDir = s"$path/files/batch-${nonce()}"
+    src.repartitionByRange(numPartitions,
+        (dcols :+ col(clusterCol)): _*)
+      .sortWithinPartitions((dcols :+ col(clusterCol)): _*)
+      .write.mode("errorifexists")
+      .partitionBy(derived.map(_._1): _*).parquet(batchDir)
+    val (batch, bparts) =
+      if (spec.isLegacy) {
+        val (b, pvals) =
+          partitionedBatchFacts(spark, batchDir, Some(clusterCol))
+        (b, BatchParts(Some(pvals), None))
+      } else {
+        val (b, pkeys) =
+          typedBatchFacts(spark, batchDir, Some(clusterCol), spec)
+        (b, BatchParts(None, Some(pkeys)))
+      }
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
+    val v = prev + 1
+    val (pvNew, pkNew) = extendParts(spec, ver, Seq.empty, bparts)
+    commitExclusive(path, v, renderManifest(v, batch.files, batch.rows,
+      batch.bytes,
+      Some(Stats(clusterCol, batch.mins, batch.maxs)),
+      ver.bloom, ver.txns, Some(spec), pvNew,
+      op = "OPTIMIZE",
+      schema = carryMeta(ver, Seq.empty, batch.files.length),
+      colStats = colStatsWith(ver, Seq.empty,
+        computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver), partKeys = pkNew,
+      bloomsExtra = ver.bloomsExtra))
     ReclusterResult(v, ver.files.length, batch.files.length)
   }
 

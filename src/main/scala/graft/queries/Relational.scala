@@ -4496,6 +4496,103 @@ object Relational {
       .toDF("n", "c_sum", "s_sum", "no_shuffle")
   }
 
+  /** q208 — PARTITION-AWARE OPTIMIZE ZORDER
+    * ([[graft.ops.SnapshotTable.reclusterPartitioned]], Iceberg's
+    * sort-order-within-spec): on a `days(d) × bucket(2, g)` table the
+    * recluster curve-orders rows INSIDE each partition tuple (hidden
+    * values re-derived, outputs tuple-pure by construction) and
+    * switches the manifest stats to the Morton key, so rectangle
+    * pruning COMPOSES with partition pruning — before r19 the only
+    * layout tool inside a typed tuple was bin packing. Asserted, not
+    * narrated: the day probe, the curve probe, and their conjunction
+    * must each plan a strict subset of files (the conjunction no
+    * looser than either dimension), and the change feed across the
+    * recluster commit must be EMPTY (row-preserving rewrite). DuckDB
+    * recomputes every aggregate from raw lineitem — a row dropped,
+    * duplicated, or moved across a tuple by the rewrite, or a wrong
+    * corner interval, hash-mismatches.
+    */
+  val partitionedZorder = QueryDef("q208_partitioned_zorder",
+    """WITH pts AS (
+      |  SELECT DATE '1996-01-01' + CAST(l_suppkey % 4 AS INT) AS d,
+      |    concat('g', CAST(l_orderkey % 2 AS VARCHAR)) AS g,
+      |    l_partkey % 256 AS px, l_orderkey % 256 AS py,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem)
+      |SELECT
+      |  (SELECT count(*) FROM pts) AS n_all,
+      |  (SELECT count(*) FROM pts WHERE d = DATE '1996-01-02') AS n_day,
+      |  (SELECT count(*) FROM pts WHERE px <= 63 AND py <= 63)
+      |    AS n_rect,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM pts
+      |    WHERE px <= 63 AND py <= 63) AS qty_rect,
+      |  (SELECT count(*) FROM pts
+      |    WHERE d = DATE '1996-01-02' AND px <= 63 AND py <= 63)
+      |    AS n_both,
+      |  TRUE AS pruned_day, TRUE AS pruned_curve,
+      |  TRUE AS feed_empty""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.{PartField, PartSpec}
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q208_table")
+    clusterLayouts.compute("q208", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val spec = PartSpec(Seq(
+          PartField("d", "days", 0L, "date"),
+          PartField("g", "bucket", 2L, "string")))
+        val base = Tables.lineitem(s, d).select(
+          date_add(lit("1996-01-01").cast("date"),
+            pmod(col("l_suppkey"), lit(4)).cast("int")).as("d"),
+          concat(lit("g"), pmod(col("l_orderkey"), lit(2)).cast("string"))
+            .as("g"),
+          pmod(col("l_partkey"), lit(256)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(256)).cast("long").as("py"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"),
+          monotonically_increasing_id().as("arr"))
+          .withColumn("z", graft.functions.ZOrderExpr.zorder(
+            col("px"), col("py"), 8))
+        SnapshotTable.appendPartitioned(base, path, spec,
+          statsCol = Some("arr"))
+        val r = SnapshotTable.reclusterPartitioned(s, path, "z", 32)
+        require(r.version == 2,
+          s"recluster committed v${r.version}, expected 2")
+        require(SnapshotTable.changes(s, path, 1, 2).count() == 0,
+          "recluster must be row-preserving (empty change feed)")
+      }
+      d
+    })
+    val t = s.read.format("graft_table").option("path", path).load()
+    val nAll = t.count()
+    val day = java.time.LocalDate.parse("1996-01-02")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nDay = t.filter(col("d") === lit(day)).count()
+    val (pd, tot) = GraftTableSource.lastPlan.get()
+    require(pd > 0 && pd < tot,
+      s"days() pruning failed post-recluster: planned $pd of $tot")
+    val zHi = graft.functions.ZOrderExpr.interleave(63, 63, 8)
+    GraftTableSource.lastPlan.set((-1, -1))
+    val rect = t.filter(col("z") <= zHi &&
+        col("px") <= 63 && col("py") <= 63)
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().head
+    val (pz, _) = GraftTableSource.lastPlan.get()
+    require(pz > 0 && pz < tot,
+      s"curve rectangle pruning failed: planned $pz of $tot")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nBoth = t.filter(col("d") === lit(day) && col("z") <= zHi &&
+      col("px") <= 63 && col("py") <= 63).count()
+    val (pb, _) = GraftTableSource.lastPlan.get()
+    require(pb <= math.min(pd, pz),
+      s"composed pruning ($pb) looser than either dimension ($pd, $pz)")
+    import s.implicits._
+    Seq((nAll, nDay, rect.getLong(0), rect.getLong(1), nBoth,
+      true, true, true))
+      .toDF("n_all", "n_day", "n_rect", "qty_rect", "n_both",
+        "pruned_day", "pruned_curve", "feed_empty")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4513,7 +4610,7 @@ object Relational {
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
-    metaDelete, typedCompaction, typedSpj)
+    metaDelete, typedCompaction, typedSpj, partitionedZorder)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

@@ -639,4 +639,77 @@ class TypedPartitionSpec extends SparkSpec {
       "months() range pruning failed after rename")
     spark.sql("DROP TABLE graft_tp.db.rn")
   }
+
+  test("reclusterPartitioned: curve-orders rows INSIDE each typed " +
+      "tuple, outputs tuple-pure, curve + partition pruning compose, " +
+      "change feed empty across the commit") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(PartField("g", "identity", 0L, "string")))
+    // px/py scattered vs arrival order s: pre-recluster, every file's
+    // z range spans ~the whole key space
+    val df = (0 until 4000).map { i =>
+      val px = (i.toLong * 2654435761L) % 256
+      val py = (i.toLong * 40503L) % 256
+      (s"g${i % 2}", i.toLong, px, py)
+    }.toDF("g", "s", "px", "py")
+      .withColumn("z",
+        graft.functions.ZOrderExpr.zorder(col("px"), col("py"), 8))
+    SnapshotTable.appendPartitioned(df, path, spec,
+      statsCol = Some("s"))
+    val r = SnapshotTable.reclusterPartitioned(spark, path, "z", 8)
+    assert(r.version === 2 && r.filesAfter > 2)
+    val after = SnapshotTable.readVersion(spark, path, 2)
+    assert(after.op === "OPTIMIZE")
+    assert(after.partKeys.get.nFiles === after.files.length)
+    assert(after.stats.exists(_.col == "z"),
+      "manifest stats must switch to the cluster column")
+    // purity: every rewritten file holds exactly one g value, and it
+    // matches the recorded tuple
+    after.files.zipWithIndex.foreach { case (f, i) =>
+      val gs = spark.read.parquet(f).select("g").distinct()
+        .collect().map(_.getString(0))
+      assert(gs.length === 1, s"file $f not tuple-pure")
+      assert(spec.fields.head.encodeKey(
+          spec.fields.head.applyKey(gs.head))
+        === after.partKeys.get.row(i).head,
+        s"file $f under the wrong tuple")
+    }
+    // row preservation: the rewrite reorders, never edits
+    val t = scanPath(path)
+    assert(t.count() === 4000)
+    assert(SnapshotTable.changes(spark, path, 1, 2).count() === 0,
+      "recluster must be row-preserving (empty change feed)")
+    // pruning composition: partition alone, curve range alone, both
+    resetPlan()
+    t.filter(col("g") === "g1").count()
+    val (pg, tot) = lastPlan()
+    assert(pg > 0 && pg < tot, s"partition pruning lost: $pg/$tot")
+    val zHi = graft.functions.ZOrderExpr.interleave(63, 63, 8)
+    resetPlan()
+    val nz = t.filter(col("z") <= zHi).count()
+    val (pz, _) = lastPlan()
+    assert(pz > 0 && pz < tot, s"curve-range pruning absent: $pz/$tot")
+    resetPlan()
+    t.filter(col("g") === "g1" && col("z") <= zHi).count()
+    val (pb, _) = lastPlan()
+    assert(pb <= math.min(pg, pz),
+      s"composed pruning ($pb) looser than either dimension ($pg, $pz)")
+    // and the curve slice is exact: corner interval [0, z(63,63)] over
+    // an aligned tile equals the px/py box
+    assert(nz ===
+      df.filter(col("px") <= 63 && col("py") <= 63).count())
+    // legacy single-LONG specs take the same path
+    val lp = freshPath()
+    val ldf = (0 until 1000).map { i =>
+      (i.toLong % 4, i.toLong, (i.toLong * 2654435761L) % 1024)
+    }.toDF("p", "s", "z2")
+    SnapshotTable.appendPartitioned(ldf, lp,
+      PartSpec("p", "identity", 0), statsCol = Some("s"))
+    val lr = SnapshotTable.reclusterPartitioned(spark, lp, "z2", 8)
+    assert(lr.filesAfter > 0)
+    assert(scanPath(lp).count() === 1000)
+    assert(SnapshotTable.readVersion(spark, lp, lr.version)
+      .partValues.get.toSet === Set(0L, 1L, 2L, 3L))
+  }
 }
