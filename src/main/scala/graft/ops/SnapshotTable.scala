@@ -95,7 +95,15 @@ object SnapshotTable {
                             // COUNT(col). Empty = unknown (a manifest
                             // written before the counts existed) —
                             // consumers then neither prune nor serve.
-                            nulls: Seq[Long] = Seq.empty) {
+                            nulls: Seq[Long] = Seq.empty,
+                            // per-file KMV NDV sketches
+                            // ([[NdvSketch]], base64). "" = unknown;
+                            // an EMPTY sketch ("no non-null values")
+                            // is a valid exact entry. Empty vector =
+                            // a manifest written before sketches (or
+                            // an unsketchable dtype) — consumers
+                            // serve no distinct count.
+                            kmv: Seq[String] = Seq.empty) {
     /** Decoded comparable bound keys (null where `has` is false),
       * materialized lazily ONCE per instance: the planner compares
       * bounds per (file × predicate × plan), and versions are cached
@@ -120,7 +128,8 @@ object SnapshotTable {
     def slice(keepIdx: Seq[Int]): ColStats =
       ColStats(col, dtype, keepIdx.map(mins), keepIdx.map(maxs),
         keepIdx.map(has), keepIdx.map(exact),
-        if (nulls.isEmpty) Seq.empty else keepIdx.map(nulls))
+        if (nulls.isEmpty) Seq.empty else keepIdx.map(nulls),
+        if (kmv.isEmpty) Seq.empty else keepIdx.map(kmv))
     def ++(that: ColStats): ColStats = {
       require(col == that.col && dtype == that.dtype,
         s"cannot extend stats of ($col: $dtype) with " +
@@ -131,8 +140,21 @@ object SnapshotTable {
         // vector would mis-prune the unknown half
         if ((nulls.isEmpty && mins.nonEmpty) ||
             (that.nulls.isEmpty && that.mins.nonEmpty)) Seq.empty
-        else nulls ++ that.nulls)
+        else nulls ++ that.nulls,
+        // same both-or-nothing rule for NDV sketches: a mixed vector
+        // would UNDERestimate the merged distinct count
+        if ((kmv.isEmpty && mins.nonEmpty) ||
+            (that.kmv.isEmpty && that.mins.nonEmpty)) Seq.empty
+        else kmv ++ that.kmv)
     }
+
+    /** Merged NDV estimate over the files at `idx` — None when any
+      * surviving file's sketch is unknown (serving a partial union
+      * would understate cardinality, the harmful direction for CBO).
+      */
+    def ndvOf(idx: Seq[Int]): Option[Long] =
+      if (kmv.isEmpty) None
+      else NdvSketch.mergeEstimate(idx.map(kmv))
   }
 
   /** Bloom-index configuration recorded in the manifest so mutating
@@ -539,7 +561,11 @@ object SnapshotTable {
                                    // per-column per-file null counts
                                    // (empty = written before they
                                    // existed — unknown)
-                                   csNulls: Seq[Seq[Long]] = Seq.empty)
+                                   csNulls: Seq[Seq[Long]] = Seq.empty,
+                                   // per-column per-file NDV sketches
+                                   // (empty = written before they
+                                   // existed — unknown)
+                                   csKmv: Seq[Seq[String]] = Seq.empty)
 
   /** Per-file rows/bytes of a committed version, LOUDLY: a manifest
     * predating per-file facts cannot be mutated or extended without
@@ -697,7 +723,8 @@ object SnapshotTable {
       nested("cs_has", _.asBoolean()), nested("cs_exact", _.asBoolean()),
       partKeys = node("part_keys").map(a =>
         (0 until a.size).map(a.get(_).asText()): Seq[String]),
-      csNulls = nested("cs_nulls", _.asLong()))
+      csNulls = nested("cs_nulls", _.asLong()),
+      csKmv = nested("cs_kmv", _.asText()))
   }
 
   private def renderSegment(seg: Segment): String = {
@@ -724,6 +751,8 @@ object SnapshotTable {
       fields += "cs_exact" -> nest[Boolean](seg.csExact, _.toString)
       if (seg.csNulls.nonEmpty)
         fields += "cs_nulls" -> nest[Long](seg.csNulls, _.toString)
+      if (seg.csKmv.nonEmpty)
+        fields += "cs_kmv" -> nest[String](seg.csKmv, Json.quote)
     }
     Json.obj(fields)
   }
@@ -1018,6 +1047,10 @@ object SnapshotTable {
             nulls =
               if (segLive.forall(_._1.csNulls.nonEmpty))
                 cat(_.csNulls(k))
+              else Seq.empty,
+            kmv =
+              if (segLive.forall(_._1.csKmv.nonEmpty))
+                cat(_.csKmv(k))
               else Seq.empty)
         }
       } else if (has("col_stats")) {
@@ -1036,7 +1069,8 @@ object SnapshotTable {
               if (cr.has("nulls")) {
                 val a = cr.get("nulls")
                 (0 until a.size).map(a.get(_).asLong()): Seq[Long]
-              } else Seq.empty)
+              } else Seq.empty,
+            kmv = if (cr.has("kmv")) sarr("kmv") else Seq.empty)
         }
       } else Seq.empty
     val schemaIds = longs("schema_ids")
@@ -1387,6 +1421,10 @@ object SnapshotTable {
         csNulls =
           if (colStats.forall(_.nulls.nonEmpty))
             colStats.map(cs => idx.map(cs.nulls))
+          else Seq.empty,
+        csKmv =
+          if (colStats.forall(_.kmv.nonEmpty))
+            colStats.map(cs => idx.map(cs.kmv))
           else Seq.empty)
     }
     val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
@@ -1602,6 +1640,9 @@ object SnapshotTable {
         "exact" -> cs.exact.mkString("[", ",", "]")) ++
         (if (cs.nulls.length == files.length)
           Seq("nulls" -> cs.nulls.mkString("[", ",", "]"))
+        else Seq.empty) ++
+        (if (cs.kmv.length == files.length)
+          Seq("kmv" -> cs.kmv.map(Json.quote).mkString("[", ",", "]"))
         else Seq.empty)))
         .mkString("[", ",", "]")
     }
@@ -1810,11 +1851,18 @@ object SnapshotTable {
           s"manifest declares $t — types never change per the append " +
           "contract")
     }
+    val ndvK = NdvSketch.kOf(spark)
     val byFile: Map[String, Row] = {
       val aggs = Seq(count(lit(1)).as("__n")) ++
-        present.flatMap { case (c, _) =>
+        present.flatMap { case (c, t) =>
           Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"))
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c")) ++
+            // NDV sketch in the SAME per-file aggregate: the k minima
+            // of the canonical-string hash ride next to the bounds,
+            // no extra pass ([[NdvSketch]])
+            NdvSketch.canonColumn(t, c).map(e =>
+              graft.functions.KmvDistinctExpr.kmvMins(e, ndvK)
+                .as(s"__kmv_$c"))
         }
       df.groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.drop(1): _*)
@@ -1823,20 +1871,32 @@ object SnapshotTable {
     }
     val presentSet = present.map(_._1).toSet
     specs.map { case (c, t) =>
+      val sketchable = NdvSketch.sketchable(t)
       val bounds = files.map { f =>
         byFile.get(canonFile(f)) match {
           case Some(r) if presentSet(c) =>
             val (mn, mx, has, exact) = TypedBounds.encode(t,
               r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c"))
-            (mn, mx, has, exact, r.getAs[Long](s"__nu_$c"))
+            val kv =
+              if (!sketchable) ""
+              else NdvSketch.encode(ndvK,
+                r.getAs[scala.collection.Seq[Long]](s"__kmv_$c").toSeq)
+            (mn, mx, has, exact, r.getAs[Long](s"__nu_$c"), kv)
           case Some(r) =>
-            // the file predates the column: every row reads as NULL
-            ("", "", false, false, r.getAs[Long]("__n"))
-          case _ => ("", "", false, false, 0L)
+            // the file predates the column: every row reads as NULL —
+            // an EMPTY sketch states that exactly
+            ("", "", false, false, r.getAs[Long]("__n"),
+              if (sketchable) NdvSketch.encode(ndvK, Seq.empty) else "")
+          case _ =>
+            // zero-row file (absent from the aggregate): no values at
+            // all, so the empty sketch is exact here too
+            ("", "", false, false, 0L,
+              if (sketchable) NdvSketch.encode(ndvK, Seq.empty) else "")
         }
       }
       ColStats(c, t, bounds.map(_._1), bounds.map(_._2),
-        bounds.map(_._3), bounds.map(_._4), bounds.map(_._5))
+        bounds.map(_._3), bounds.map(_._4), bounds.map(_._5),
+        if (sketchable) bounds.map(_._6) else Seq.empty)
     }
   }
 
@@ -4797,12 +4857,141 @@ object SnapshotTable {
     * they vanish when their batch's files are all dead and the index
     * dir is rewritten by a later compaction of the index, not here.
     */
+  // -------------------------------------------------------------- refs
+
+  /** A named ref in the table log: `log/refs/<name>.json` → a
+    * committed version. `kind` is "branch" (advanceable, forward-only)
+    * or "tag" (frozen). Refs make WRITE-AUDIT-PUBLISH representable on
+    * the linear version log: staged commits advance the log head (and
+    * a staging branch) while the published ref (`main`) stays put;
+    * the audit runs against the staging ref's version; publishing is
+    * ONE metadata-only ref update ([[fastForward]]) — in a linear log
+    * every higher version is a descendant of every lower one, so the
+    * fast-forward property is structural, not checked. Scans take
+    * refs via `.option("ref", name)` on the DSv2 source or
+    * [[scanRef]]; [[expire]] retains ref-reachable versions.
+    */
+  final case class RefInfo(name: String, kind: String, version: Long)
+
+  private def refsDir(path: String): String = s"${logDir(path)}/refs"
+  private def refPath(path: String, name: String): String =
+    s"${refsDir(path)}/$name.json"
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"ref name '$name' — use [A-Za-z0-9._-] (it becomes a log file " +
+        "name)")
+
+  private def renderRef(r: RefInfo): String = Json.obj(Seq(
+    "name" -> Json.quote(r.name), "kind" -> Json.quote(r.kind),
+    "version" -> r.version.toString))
+
+  private def createRef(path: String, name: String, kind: String,
+                        version: Long): Long = {
+    requireRefName(name)
+    val latest = latestVersion(path)
+    require(latest > 0, s"snapshot table $path does not exist")
+    val v = if (version > 0) version else latest
+    require(v <= latest && io(path).exists(manifestPath(path, v)),
+      s"cannot pin ref '$name' to v$v — not a live committed version")
+    io(path).mkdirs(refsDir(path))
+    // conditional put: racing creators of the same name surface as
+    // FileAlreadyExistsException, same protocol as version commits
+    io(path).createExclusive(refPath(path, name),
+      renderRef(RefInfo(name, kind, v)))
+    v
+  }
+
+  /** Create a branch at `version` (default: the current head). */
+  def createBranch(path: String, name: String,
+                   version: Long = -1L): Long =
+    createRef(path, name, "branch", version)
+
+  /** Create an immutable tag at `version` (default: the head). */
+  def createTag(path: String, name: String, version: Long = -1L): Long =
+    createRef(path, name, "tag", version)
+
+  /** Resolve a ref by name, loudly. */
+  def resolveRef(path: String, name: String): RefInfo = {
+    val p = refPath(path, name)
+    require(io(path).exists(p),
+      s"no ref '$name' on $path — refs: " +
+        refs(path).map(_.name).mkString(", "))
+    val n = jsonMapper.readTree(io(path).readString(p))
+    RefInfo(n.get("name").asText(), n.get("kind").asText(),
+      n.get("version").asLong())
+  }
+
+  /** Every ref on the table (empty when none were ever created). */
+  def refs(path: String): Seq[RefInfo] =
+    io(path).listNames(refsDir(path))
+      .filter(_.endsWith(".json")).map(_.dropRight(5)).sorted
+      .map(resolveRef(path, _))
+
+  /** Advance a BRANCH to `toVersion` — forward-only (the linear log
+    * makes every higher version a descendant, so this IS the
+    * fast-forward), tags refuse, and the update is atomic (readers
+    * see the old or the new pin, never torn bytes).
+    */
+  def advanceBranch(path: String, name: String, toVersion: Long): Long = {
+    val cur = resolveRef(path, name)
+    require(cur.kind == "branch",
+      s"ref '$name' is a ${cur.kind} — tags are immutable; drop and " +
+        "re-create to move one")
+    require(toVersion >= cur.version,
+      s"branch '$name' is at v${cur.version}; moving BACK to " +
+        s"v$toVersion is a rollback, not a fast-forward — use " +
+        "restoreTo semantics deliberately, not a ref move")
+    require(io(path).exists(manifestPath(path, toVersion)),
+      s"cannot advance '$name' to v$toVersion — not a live version")
+    io(path).writeAtomic(refPath(path, name),
+      renderRef(cur.copy(version = toVersion)))
+    toVersion
+  }
+
+  /** PUBLISH: fast-forward branch `to` onto ref `from`'s version —
+    * one atomic metadata write, zero data movement. The
+    * write-audit-publish closer: after the audit passes on the
+    * staging ref, `fastForward(path, "main", "staging")` makes the
+    * staged state the published one.
+    */
+  def fastForward(path: String, to: String, from: String): Long =
+    advanceBranch(path, to, resolveRef(path, from).version)
+
+  /** Remove a ref (its version becomes expirable again). */
+  def dropRef(path: String, name: String): Unit = {
+    val p = refPath(path, name)
+    require(io(path).exists(p), s"no ref '$name' on $path")
+    io(path).delete(p)
+    ()
+  }
+
+  /** Scan the version a ref pins — time travel by name. Returns
+    * (relation, pinned version, logical rows).
+    */
+  def scanRef(spark: SparkSession, path: String, name: String)
+      : (DataFrame, Long, Long) = {
+    val r = resolveRef(path, name)
+    val (df, _, rows) = scanAt(spark, path, r.version)
+    (df, r.version, rows)
+  }
+
+  // ------------------------------------------------------------ expire
+
   def expire(spark: SparkSession, path: String, keepFrom: Long)
       : ExpireResult = {
     val latest = latestVersion(path)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom $keepFrom outside committed versions [1, $latest]")
-    val survivors = (keepFrom to latest)
+    // REF-reachable versions are retained whatever keepFrom says: a
+    // branch/tag pins its version's manifest and files exactly like a
+    // recent version — dropping the ref is the explicit way to
+    // release them (the write-audit-publish contract: `main` must
+    // survive any retention sweep while it is the published state)
+    val pinned = refs(path).map(_.version)
+      .filter(_ < keepFrom).toSet
+    val survivors = ((keepFrom to latest) ++ pinned.toSeq).sorted
       .map(v => readVersion(spark, path, v))
     val retained = survivors.flatMap(_.files).toSet
     // segments referenced by ANY surviving header stay; a segment
@@ -4821,7 +5010,7 @@ object SnapshotTable {
     val tio = io(path)
     val root = tio.canon(path) + "/"
     val deadSegs = scala.collection.mutable.Set.empty[String]
-    (1L until keepFrom).foreach { v =>
+    (1L until keepFrom).filterNot(pinned).foreach { v =>
       val p = manifestPath(path, v)
       if (tio.exists(p)) {
         val dead = readVersion(spark, path, v)

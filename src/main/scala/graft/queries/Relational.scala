@@ -4593,6 +4593,104 @@ object Relational {
         "pruned_day", "pruned_curve", "feed_empty")
   }
 
+  /** q209 — WRITE-AUDIT-PUBLISH via branches
+    * ([[graft.ops.SnapshotTable.createBranch]]/`fastForward`): the
+    * lakehouse governance workflow the log lacked — staged commits
+    * advance the HEAD (and a staging branch) while readers follow the
+    * published `main` ref; an audit runs against the staging ref's
+    * version; publishing is ONE atomic metadata-only ref update (in a
+    * linear log every higher version descends from every lower one,
+    * so fast-forward is structural). Two staged batches: the first
+    * passes its audit (zero quality violations) and is published; the
+    * second carries a poisoned row, FAILS the audit, and is NOT
+    * published — require-asserted that `main` still pins the previous
+    * version and its row count is unchanged, while the head sees the
+    * poison. DuckDB recomputes the published aggregates (slices A+B),
+    * the head count (A+B+C+1 poison), and the violation count — a
+    * ref that moved on the failed audit, or a publish that rewrote
+    * data, changes the counts and hash-mismatches.
+    */
+  val writeAuditPublish = QueryDef("q209_write_audit_publish",
+    """WITH a AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-02-01'
+      |), b AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-02-01'
+      |    AND l_shipdate < TIMESTAMP '1996-03-01'
+      |), c AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-999 AS BIGINT)
+      |), pub AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      |SELECT
+      |  (SELECT count(*) FROM pub) AS n_pub,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM pub) AS qty_pub,
+      |  (SELECT count(*) FROM pub) + (SELECT count(*) FROM c)
+      |    AS n_head,
+      |  CAST(1 AS BIGINT) AS n_violations,
+      |  TRUE AS audit_blocked""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q209_table")
+    def slice(lo: String, hi: String) = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+    clusterLayouts.compute("q209", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        import s.implicits._
+        SnapshotTable.append(slice("1996-01-01", "1996-02-01"),
+          path, 4, statsCol = Some("k"))
+        SnapshotTable.createBranch(path, "main") // published = v1
+        // stage B, audit, publish
+        SnapshotTable.append(slice("1996-02-01", "1996-03-01"),
+          path, 4, statsCol = Some("k"))
+        SnapshotTable.createBranch(path, "staging")
+        val (sb, _, _) = SnapshotTable.scanRef(s, path, "staging")
+        require(sb.filter(col("qty_u") < 0).count() == 0,
+          "audit of the good batch found violations — fixture broken")
+        SnapshotTable.fastForward(path, "main", "staging")
+        // stage C with a poisoned row; audit fails; DO NOT publish
+        SnapshotTable.append(
+          slice("1996-03-01", "1996-04-01")
+            .union(Seq((-1L, -999L)).toDF("k", "qty_u")),
+          path, 4, statsCol = Some("k"))
+        SnapshotTable.advanceBranch(path, "staging", 3)
+      }
+      d
+    })
+    val (staged, _, _) = SnapshotTable.scanRef(s, path, "staging")
+    val nViol = staged.filter(col("qty_u") < 0).count()
+    require(nViol > 0, "the audit should flag the poisoned batch")
+    // the failed audit left main at the PUBLISHED version
+    require(SnapshotTable.resolveRef(path, "main").version == 2,
+      s"main moved without a publish: " +
+        s"v${SnapshotTable.resolveRef(path, "main").version}")
+    val t = s.read.format("graft_table").option("path", path)
+      .option("ref", "main").load()
+    val pub = t.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    require(t.filter(col("qty_u") < 0).count() == 0,
+      "published state leaked the poisoned row")
+    val nHead = s.read.format("graft_table").option("path", path)
+      .load().count()
+    import s.implicits._
+    Seq((pub.getLong(0), pub.getLong(1), nHead, nViol, true))
+      .toDF("n_pub", "qty_pub", "n_head", "n_violations",
+        "audit_blocked")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4610,7 +4708,8 @@ object Relational {
     bucketSpj, sqlMerge, replaceWhere, partitionedSqlMerge, streamSink,
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
-    metaDelete, typedCompaction, typedSpj, partitionedZorder)
+    metaDelete, typedCompaction, typedSpj, partitionedZorder,
+    writeAuditPublish)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

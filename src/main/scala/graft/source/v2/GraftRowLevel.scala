@@ -323,7 +323,11 @@ private[v2] object GraftWriteUtil {
       SnapshotTable.ColStats(c, t, bs.map(_._1), bs.map(_._2),
         bs.map(_._3), bs.map(_._4),
         nulls = written.map(f =>
-          if (k < f.csNulls.length) f.csNulls(k) else 0L))
+          if (k < f.csNulls.length) f.csNulls(k) else 0L),
+        kmv =
+          if (!graft.ops.NdvSketch.sketchable(t)) Seq.empty
+          else written.map(f =>
+            if (k < f.csKmv.length) f.csKmv(k) else ""))
     }
 
   /** The per-file partition values of a written batch, in the storage
@@ -487,7 +491,8 @@ private[v2] final case class GraftFileFact(
     file: String, rows: Long, statMin: Long, statMax: Long,
     statSeen: Boolean, part: Long, partKey: Seq[String] = Seq.empty,
     cs: Seq[(String, String, Boolean, Boolean)] = Seq.empty,
-    csNulls: Seq[Long] = Seq.empty)
+    csNulls: Seq[Long] = Seq.empty,
+    csKmv: Seq[String] = Seq.empty)
 
 private[v2] final case class GraftRowWriteMessage(files: Seq[GraftFileFact])
     extends WriterCommitMessage
@@ -502,7 +507,11 @@ private[v2] final class GraftRowWriterFactory(
     // write's schema lacks it, dtype) per declared stats column —
     // bounds accumulate per open file and ride back in the commit
     // message, so typed-stats commits never re-read their batch
-    csIdx: Seq[(String, Int, String)] = Seq.empty)
+    csIdx: Seq[(String, Int, String)] = Seq.empty,
+    // NDV sketch capacity, resolved ON THE DRIVER at factory
+    // construction (executors have no session conf)
+    ndvK: Int = graft.ops.NdvSketch.kOf(
+      org.apache.spark.sql.SparkSession.active))
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -530,6 +539,13 @@ private[v2] final class GraftRowWriterFactory(
         val csMn = new Array[Any](csIdx.length)
         val csMx = new Array[Any](csIdx.length)
         val csNu = new Array[Long](csIdx.length)
+        // per-column NDV sketch states (null = unsketchable dtype)
+        val csKv: Array[graft.functions.KmvState] =
+          csIdx.map { case (_, _, dt) =>
+            if (graft.ops.NdvSketch.sketchable(dt))
+              new graft.functions.KmvState(ndvK)
+            else null
+          }.toArray
         val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
           val conf = new org.apache.hadoop.conf.Configuration(
             bconf.value.value)
@@ -561,7 +577,11 @@ private[v2] final class GraftRowWriterFactory(
             graft.ops.TypedBounds.encodePhysical(csIdx(k)._3,
               csMn(k), csMx(k))
           },
-          csNulls = csIdx.indices.map(csNu))
+          csNulls = csIdx.indices.map(csNu),
+          csKmv = csIdx.indices.map { k =>
+            if (csKv(k) == null) ""
+            else graft.ops.NdvSketch.encodeState(csKv(k))
+          })
       }
 
       private var fileSeq = 0
@@ -654,6 +674,10 @@ private[v2] final class GraftRowWriterFactory(
                 // value becomes a retained bound (unsafe-row buffers
                 // are reused across rows)
                 val v = record.getUTF8String(i)
+                // hash consumed synchronously — safe on the reused
+                // unsafe-row buffer, no copy needed for the sketch
+                if (slot.csKv(k) != null)
+                  slot.csKv(k).add(graft.functions.KmvState.hash60(v))
                 val mnS = slot.csMn(k)
                   .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
                 if (mnS == null || v.compareTo(mnS) < 0)
@@ -685,6 +709,8 @@ private[v2] final class GraftRowWriterFactory(
                 val v =
                   if (dt == "int" || dt == "date") record.getInt(i).toLong
                   else record.getLong(i)
+                if (slot.csKv(k) != null)
+                  slot.csKv(k).add(graft.ops.NdvSketch.hashPhysical(v))
                 if (slot.csMn(k) == null ||
                     v < slot.csMn(k).asInstanceOf[Long])
                   slot.csMn(k) = v

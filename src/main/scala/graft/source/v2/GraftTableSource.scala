@@ -208,6 +208,10 @@ object GraftTableSource {
     val version = props.get("version").map(_.toLong)
       .orElse(props.get("timestamp_ms").map(ts =>
         SnapshotTable.versionAsOf(spark, path, ts.toLong)))
+      // time travel by NAME: scans pin to a branch/tag's version —
+      // write-audit-publish readers follow `main`, not the log head
+      .orElse(props.get("ref").map(r =>
+        SnapshotTable.resolveRef(path, r).version))
       .getOrElse(SnapshotTable.latestVersion(path))
     require(version > 0, s"graft_table: snapshot table $path does not exist")
     if (resolved.size > 256) resolved.clear()
@@ -1433,6 +1437,38 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
     val kept = keptFiles()
     val bytes = res.ver.fileBytes.map(fb => kept.map(fb).sum)
     val rows = res.ver.fileRows.map(fr => kept.map(fr).sum)
+    // COLUMN statistics from the manifest's per-file NDV sketches
+    // ([[graft.ops.NdvSketch]]): merged over exactly the surviving
+    // files, so a pruned slice reports the slice's distinct counts —
+    // under CBO, Catalyst's FilterEstimation then prices an equality
+    // predicate at rows/NDV and a join can flip to broadcast where
+    // the size-only estimate never would. Served only for columns
+    // this scan outputs (Spark resolves the references against the
+    // relation's output) and only when EVERY surviving file's sketch
+    // is known — a partial union would understate cardinality.
+    val colMap = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    res.ver.colStats.foreach { cs =>
+      if (required.fieldNames.contains(cs.col)) {
+        val ndv = cs.ndvOf(kept)
+        val nulls =
+          if (cs.nulls.isEmpty) None else Some(kept.map(cs.nulls).sum)
+        if (ndv.isDefined || nulls.isDefined)
+          colMap.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(cs.col),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                nulls.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         bytes.map(java.util.OptionalLong.of)
@@ -1440,6 +1476,10 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colMap
     }
   }
 
