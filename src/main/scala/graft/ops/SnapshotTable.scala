@@ -495,6 +495,13 @@ object SnapshotTable {
                            schemaAltered: Boolean = false,
                            colStats: Seq[ColStats] = Seq.empty,
                            addedTypes: Seq[(Long, String)] = Seq.empty,
+                           // metadata-only ALTER COLUMN TYPE widening
+                           // (int->long, float->double): the DECLARED
+                           // widened type per field id — overrides the
+                           // footer-derived type at resolution; old
+                           // files upcast at read (parquet's widening
+                           // decode / union coercion)
+                           widenedTypes: Seq[(Long, String)] = Seq.empty,
                            segRefs: Option[Seq[SegRef]] = None,
                            // per-file tuples of a TYPED spec (exactly
                            // one of partValues/partKeys is set when
@@ -833,7 +840,7 @@ object SnapshotTable {
           Some(SchemaMeta(baseIds, baseNames,
             base.fileEpochs.get ++ Seq.fill(nNewFiles)(base.epoch),
             base.epoch, base.droppedIds, base.schemaMaxId,
-            base.schemaAltered, base.addedTypes))
+            base.schemaAltered, base.addedTypes, base.widenedTypes))
         else {
           val newIds = ((base.schemaMaxId + 1) to
             (base.schemaMaxId + newCols.length)).toSeq
@@ -844,7 +851,7 @@ object SnapshotTable {
           Some(SchemaMeta(ids, names,
             base.fileEpochs.get ++ Seq.fill(nNewFiles)(e), e,
             base.droppedIds, base.schemaMaxId + newCols.length,
-            base.schemaAltered, base.addedTypes))
+            base.schemaAltered, base.addedTypes, base.widenedTypes))
         }
     }
   }
@@ -1129,6 +1136,11 @@ object SnapshotTable {
       if (has("schema_added_ids"))
         longs("schema_added_ids").get.zip(strsOf("schema_added_types"))
       else Seq.empty,
+      widenedTypes =
+        if (has("schema_widened_ids"))
+          longs("schema_widened_ids").get
+            .zip(strsOf("schema_widened_types"))
+        else Seq.empty,
       segRefs = seg.map(_._1),
       partKeys = partKeys,
       bloomsExtra = bloomsExtra)
@@ -1150,6 +1162,8 @@ object SnapshotTable {
                                       dropped: Seq[Long], maxId: Long,
                                       altered: Boolean,
                                       addedTypes: Seq[(Long, String)] =
+                                        Seq.empty,
+                                      widened: Seq[(Long, String)] =
                                         Seq.empty)
 
   /** Carry a version's schema metadata into its successor: kept files
@@ -1163,7 +1177,7 @@ object SnapshotTable {
       SchemaMeta(ids, ver.schemaNames.get,
         keepIdx.map(fe) ++ Seq.fill(nNew)(ver.epoch), ver.epoch,
         ver.droppedIds, ver.schemaMaxId, ver.schemaAltered,
-        ver.addedTypes)
+        ver.addedTypes, ver.widenedTypes)
     }
 
   /** Render the next version's manifest, choosing the storage form:
@@ -1493,6 +1507,13 @@ object SnapshotTable {
         fields += "schema_added_types" -> ts.map(t => Json.quote(t._2))
           .mkString("[", ",", "]")
       }
+      if (sm.widened.nonEmpty) {
+        val ws = sm.widened.sortBy(_._1)
+        fields += "schema_widened_ids" -> ws.map(_._1)
+          .mkString("[", ",", "]")
+        fields += "schema_widened_types" -> ws.map(w => Json.quote(w._2))
+          .mkString("[", ",", "]")
+      }
     }
     part.foreach { p =>
       if (p.isLegacy) {
@@ -1592,6 +1613,13 @@ object SnapshotTable {
         fields += "schema_added_ids" -> ts.map(_._1)
           .mkString("[", ",", "]")
         fields += "schema_added_types" -> ts.map(t => Json.quote(t._2))
+          .mkString("[", ",", "]")
+      }
+      if (sm.widened.nonEmpty) {
+        val ws = sm.widened.sortBy(_._1)
+        fields += "schema_widened_ids" -> ws.map(_._1)
+          .mkString("[", ",", "]")
+        fields += "schema_widened_types" -> ws.map(w => Json.quote(w._2))
           .mkString("[", ",", "]")
       }
     }
@@ -2338,6 +2366,8 @@ object SnapshotTable {
             dropped = m.dropped ++ removed,
             altered = m.altered || removed.nonEmpty,
             addedTypes = m.addedTypes
+              .filter(t => keep.map(m.ids).contains(t._1)),
+            widened = m.widened
               .filter(t => keep.map(m.ids).contains(t._1)))
         }
       val manifest = renderManifest(v, batch.files, batch.rows,
@@ -2377,7 +2407,8 @@ object SnapshotTable {
       val v = prev + 1
       val meta = base.schemaIds.map(ids => SchemaMeta(ids,
         base.schemaNames.get, Seq.empty, base.epoch, base.droppedIds,
-        base.schemaMaxId, base.schemaAltered, base.addedTypes))
+        base.schemaMaxId, base.schemaAltered, base.addedTypes,
+        base.widenedTypes))
       // layout CONFIG survives the truncate (stats with empty per-file
       // vectors, bloom unchanged) so post-truncate appends keep
       // indexing — dropping it would silently end range pruning
@@ -3442,7 +3473,22 @@ object SnapshotTable {
     // missing the adding batch's files, or an ADD COLUMN with no
     // type-bearing file) still surfaces, as TYPED nulls when the
     // manifest declares the type
-    fillAddedColumns(u, ver)
+    val filled = fillAddedColumns(u, ver)
+    // ALTER COLUMN TYPE widening: groups written pre-widen carry the
+    // narrow physical type; the union already coerces where groups
+    // mix, and the explicit cast pins the DECLARED widened type even
+    // while every live file is still narrow (cast to self is a no-op)
+    if (ver.widenedTypes.isEmpty) filled
+    else {
+      val idName = ver.schemaIds.get.zip(ver.schemaNames.get).toMap
+      ver.widenedTypes.foldLeft(filled) { case (d, (id, ddl)) =>
+        idName.get(id).filter(d.columns.contains) match {
+          case Some(n) => d.withColumn(n, col(n).cast(
+            org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+          case None => d
+        }
+      }
+    }
   }
 
   /** Canonical filesystem path for cross-source file comparisons:
@@ -4629,13 +4675,91 @@ object SnapshotTable {
       dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = Some(SchemaMeta(ids, newNames, ver.fileEpochs.get, e,
         ver.droppedIds, ver.schemaMaxId, altered = true,
-        addedTypes = ver.addedTypes)),
+        addedTypes = ver.addedTypes, widened = ver.widenedTypes)),
       colStats = ver.colStats.map(cs =>
         if (cs.col == oldName) cs.copy(col = newName) else cs),
       seg = path -> Some(ver),
       partKeys = ver.partKeys,
       bloomsExtra = ver.bloomsExtra.map(bc =>
         if (bc.col == oldName) bc.copy(col = newName) else bc)))
+    v
+  }
+
+  /** ALTER COLUMN TYPE — metadata-only for the SAFE widenings
+    * (int→long, float→double; the value-preserving pairs whose
+    * manifest encodings are already identical: integrals store
+    * decimal longs, floats store doubleToLongBits of the double).
+    * Committed files keep their narrow physical pages; reads widen
+    * per file (parquet's widening decode serves INT32 under a BIGINT
+    * requested schema on the DSv2 path; [[readResolved]] casts on the
+    * API path), so the ALTER is one manifest write at any table size.
+    * The widened type is DECLARED per field id (`widenedTypes`) —
+    * footers cannot supply it while narrow files live — and the
+    * naming epoch bumps so epoch groups stay physically type-pure for
+    * the group-wise reads. Like rename/drop, the table is then
+    * non-uniform: rewrite maintenance requires [[materializeSchema]]
+    * first (which settles every file on the widened type). Everything
+    * else is REJECTED with the atomic-RTAS workaround — narrowing
+    * loses values, and serving them would corrupt silently.
+    *
+    * Partition SOURCE columns refuse to widen: the spec's transform
+    * arithmetic and recorded tuple encodings are typed by the source
+    * dtype, and re-keying partitions is a rewrite decision, not a
+    * metadata edit.
+    */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+                      newDt: org.apache.spark.sql.types.DataType): Long = {
+    val prev = latestVersion(path)
+    require(prev > 0, s"snapshot table $path does not exist")
+    val ver = readVersion(spark, path, prev)
+    val ids = ver.schemaIds.getOrElse(throw new IllegalArgumentException(
+      s"$path predates field-id schema tracking — recreate to upgrade"))
+    val names = ver.schemaNames.get
+    val i = names.indexOf(name)
+    require(i >= 0, s"no column $name in ${names.mkString(", ")}")
+    // current VISIBLE type from the union schema (a by-data column is
+    // absent from the head file, and the empty-relation shortcut
+    // would type it void) — O(footers), fine for a one-time DDL
+    val curDt =
+      (if (ver.needsResolve || ver.files.isEmpty)
+        readResolved(spark, path, ver, ver.files.indices)
+      else fillAddedColumns(
+        spark.read.option("mergeSchema", "true")
+          .parquet(ver.files: _*), ver))
+        .schema(name).dataType
+    val pair = (TypedBounds.dtypeOf(curDt), TypedBounds.dtypeOf(newDt))
+    val (from, to) = pair match {
+      case (Some("int"), Some("long")) => ("int", "long")
+      case (Some("float"), Some("double")) => ("float", "double")
+      case _ => throw new UnsupportedOperationException(
+        s"ALTER COLUMN $name TYPE ${newDt.simpleString} is not " +
+          s"supported (current: ${curDt.simpleString}) — only the " +
+          "value-preserving widenings int→bigint and float→double " +
+          "are metadata-only; rewrite instead: REPLACE TABLE t AS " +
+          s"SELECT CAST($name AS ${newDt.simpleString}) ... FROM t " +
+          "(atomic RTAS)")
+    }
+    require(!ver.part.exists(_.fields.exists(_.source == name)),
+      s"$name is a partition source — the spec's transform arithmetic " +
+        "is typed by the source dtype; re-create the layout via " +
+        "atomic RTAS instead of widening under it")
+    val e = ver.epoch + 1
+    writeEpochFile(path, e, ids, names)
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v, ver.files, rowsOf(ver),
+      bytesOf(ver), ver.stats, ver.bloom, ver.txns, ver.part,
+      ver.partValues, op = "ALTER",
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      schema = Some(SchemaMeta(ids, names, ver.fileEpochs.get, e,
+        ver.droppedIds, ver.schemaMaxId, altered = true,
+        addedTypes = ver.addedTypes,
+        widened = ver.widenedTypes.filterNot(_._1 == ids(i)) :+
+          (ids(i) -> newDt.sql))),
+      colStats = ver.colStats.map(cs =>
+        if (cs.col == name && cs.dtype == from) cs.copy(dtype = to)
+        else cs),
+      seg = path -> Some(ver), partKeys = ver.partKeys,
+      bloomsExtra = ver.bloomsExtra))
     v
   }
 
@@ -4679,7 +4803,8 @@ object SnapshotTable {
       schema = Some(SchemaMeta(ids.patch(i, Nil, 1),
         names.patch(i, Nil, 1), ver.fileEpochs.get, ver.epoch,
         ver.droppedIds :+ ids(i), ver.schemaMaxId, altered = true,
-        addedTypes = ver.addedTypes.filterNot(_._1 == ids(i)))),
+        addedTypes = ver.addedTypes.filterNot(_._1 == ids(i)),
+        widened = ver.widenedTypes.filterNot(_._1 == ids(i)))),
       colStats = ver.colStats,
       seg = path -> Some(ver), partKeys = ver.partKeys))
     v
@@ -4726,7 +4851,8 @@ object SnapshotTable {
       schema = Some(SchemaMeta(ids :+ newId, names :+ name,
         ver.fileEpochs.get, e, ver.droppedIds, newId,
         altered = ver.schemaAltered,
-        addedTypes = ver.addedTypes :+ (newId, ddl))),
+        addedTypes = ver.addedTypes :+ (newId, ddl),
+        widened = ver.widenedTypes)),
       colStats = ver.colStats,
       seg = path -> Some(ver), partKeys = ver.partKeys))
     v
@@ -4788,7 +4914,8 @@ object SnapshotTable {
     val v = prev + 1
     def uniformMeta(nFiles: Int) = Some(SchemaMeta(ids, names,
       Seq.fill(nFiles)(e), e, Seq.empty, ver.schemaMaxId,
-      altered = false, addedTypes = ver.addedTypes))
+      altered = false, addedTypes = ver.addedTypes,
+      widened = ver.widenedTypes))
     ver.part match {
       case Some(spec) =>
         val withP = data.withColumn("__p", spec.column)

@@ -3395,8 +3395,16 @@ object Relational {
       |    AS BIGINT) FROM lineitem WHERE l_linenumber <= 4) AS sum_qc_v7,
       |  (SELECT count(*) FROM lineitem WHERE l_linenumber = 4)
       |    AS notes_nonnull,
+      |  (SELECT count(*) FROM lineitem WHERE l_linenumber <= 6)
+      |    AS n_v10,
+      |  (SELECT CAST(sum(CASE
+      |      WHEN l_linenumber = 5 THEN CAST(floor(l_extendedprice) AS BIGINT)
+      |      WHEN l_linenumber = 6 THEN CAST(floor(l_extendedprice) AS BIGINT)
+      |        + 3000000000
+      |      ELSE 0 END) AS BIGINT) FROM lineitem
+      |    WHERE l_linenumber <= 6) AS sum_score_v10,
       |  TRUE AS alters_metadata_only, TRUE AS drop_hidden,
-      |  TRUE AS add_metadata_only""".stripMargin
+      |  TRUE AS add_metadata_only, TRUE AS widen_metadata_only""".stripMargin
   ) { (s, d) =>
     import graft.ops.SnapshotTable
     val path = Work.oracleDumpPath("q183_table")
@@ -3438,6 +3446,27 @@ object Relational {
             .select(col("l_orderkey").as("k"), qc.as("qty_c"),
               col("l_returnflag").as("note")),
           path, numPartitions = 4)
+        // r19: ALTER COLUMN TYPE widening joins the lifecycle —
+        // `score` enters BY DATA as INT (v8), widens to BIGINT in one
+        // metadata-only commit (v9), and the post-widen append writes
+        // values past the int range (v10): one column, two physical
+        // page types, served as one BIGINT
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 5)
+            .select(col("l_orderkey").as("k"), qc.as("qty_c"),
+              floor(col("l_extendedprice")).cast("int").as("score")),
+          path, numPartitions = 4)
+        val files8 = SnapshotTable.readVersion(s, path, 8).files.toSet
+        SnapshotTable.widenColumnType(s, path, "score",
+          org.apache.spark.sql.types.LongType)
+        require(SnapshotTable.readVersion(s, path, 9).files.toSet
+          == files8, "widen rewrote data files")
+        SnapshotTable.append(
+          li.filter(col("l_linenumber") === 6)
+            .select(col("l_orderkey").as("k"), qc.as("qty_c"),
+              (floor(col("l_extendedprice")).cast("long") +
+                3000000000L).as("score")),
+          path, numPartitions = 4)
       }
       d
     })
@@ -3469,13 +3498,29 @@ object Relational {
       .collect().head
     val r7 = s7.agg(count(lit(1)), sum("qty_c").cast("long"),
       count(col("note"))).collect().head
+    // the widened column: INT pages (v8's files) and BIGINT pages
+    // (v10's) serve one BIGINT column; values past the int range
+    // prove the width is real, not a display cast
+    val (s8, _, _) = SnapshotTable.scanAt(s, path, 8)
+    require(s8.schema("score").dataType
+      == org.apache.spark.sql.types.IntegerType,
+      "pre-widen time travel must serve the narrow type")
+    val (s10, _, _) = SnapshotTable.scanAt(s, path, 10)
+    require(s10.schema("score").dataType
+      == org.apache.spark.sql.types.LongType,
+      "widen did not flip the visible type")
+    val r10 = s10.agg(count(lit(1)),
+      sum(coalesce(col("score"), lit(0L))).cast("long")).collect().head
     import s.implicits._
     Seq((r2.getLong(0), r2.getLong(1), r2.getLong(2), r3.getLong(0),
       r3.getLong(1), r5.getLong(0), r5.getLong(1), r7.getLong(0),
-      r7.getLong(1), r7.getLong(2), true, true, true))
+      r7.getLong(1), r7.getLong(2), r10.getLong(0), r10.getLong(1),
+      true, true, true, true))
       .toDF("n_v2", "sum_a_v2", "n_b_v2", "sum_qc_v3", "null_qc_v3",
         "n_v5", "sum_qc_v5", "n_v7", "sum_qc_v7", "notes_nonnull",
-        "alters_metadata_only", "drop_hidden", "add_metadata_only")
+        "n_v10", "sum_score_v10",
+        "alters_metadata_only", "drop_hidden", "add_metadata_only",
+        "widen_metadata_only")
   }
 
   /** q168 — BUCKET partitioning point probe: lineitem hashed into 16
@@ -4097,6 +4142,16 @@ object Relational {
     require(p3 <= p2, s"combined two-dimension pruning kept $p3 files")
     val nMoved = s.sql("""SELECT count(*) FROM graft_q202.q202.li
       WHERE d = DATE '1996-04-20'""").head.getLong(0)
+    // SHOW PARTITIONS-style typed rollup: one row per (day × bucket)
+    // tuple with per-tuple counts — operators read skew here before
+    // choosing bucket counts; it must reconcile with the table
+    val parts = s.sql("""SELECT partition_key, n_files, rows
+      FROM graft_q202.q202.li.partitions""").collect()
+    require(parts.length > 1 && parts.forall(_.getString(0) != null),
+      "typed partitions rollup missing tuples")
+    require(parts.map(_.getLong(2)).sum == all.getLong(0),
+      s"rollup rows ${parts.map(_.getLong(2)).sum} != table " +
+        s"${all.getLong(0)}")
     import s.implicits._
     Seq((all.getLong(0), all.getLong(1), nDay, nFlag, nBoth, nMoved,
       true, true))

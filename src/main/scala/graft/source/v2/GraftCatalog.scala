@@ -370,20 +370,36 @@ final class GraftCatalog extends TableCatalog
           m.copy(schema = StructType(m.schema.fields.patch(i, Nil, 1)),
             statsCols = m.statsCols.filterNot(_ == name))
         }
-      // type promotion is deliberately REJECTED, not silently
-      // metadata-only: committed files carry the old physical type
-      // and the columnar read path resolves columns by (field id,
-      // footer type) — serving INT32 pages under a BIGINT schema
-      // would need a per-file upcast layer the scan does not have.
-      // The spec-pinned workaround rewrites once, atomically.
+      // SAFE widenings (int→long, float→double) are metadata-only
+      // ([[SnapshotTable.widenColumnType]]): the declared widened
+      // type rides the manifest by field id, old files' narrow pages
+      // widen at read. Everything else still rejects with the
+      // atomic-RTAS workaround — narrowing loses values.
       case u: TableChange.UpdateColumnType =>
-        throw new UnsupportedOperationException(
-          s"ALTER COLUMN ${u.fieldNames().mkString(".")} TYPE " +
-            s"${u.newDataType().simpleString} is not supported — " +
-            "committed files keep their written physical type; " +
-            "rewrite instead: REPLACE TABLE t AS SELECT " +
-            s"CAST(${u.fieldNames().mkString(".")} AS " +
-            s"${u.newDataType().simpleString}) ... FROM t (atomic RTAS)")
+        require(u.fieldNames().length == 1,
+          "nested columns are not part of the snapshot-table surface")
+        val name = u.fieldNames()(0)
+        if (SnapshotTable.latestVersion(p) > 0)
+          SnapshotTable.widenColumnType(spark, p, name, u.newDataType())
+        else alterMarker(p) { m =>
+          val i = m.schema.fieldIndex(name)
+          val cur = m.schema.fields(i).dataType
+          val ok = (cur, u.newDataType()) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          if (!ok) throw new UnsupportedOperationException(
+            s"ALTER COLUMN $name TYPE " +
+              s"${u.newDataType().simpleString} is not supported " +
+              s"(current: ${cur.simpleString}) — only int→bigint and " +
+              "float→double widen; rewrite instead: REPLACE TABLE t " +
+              s"AS SELECT CAST($name AS " +
+              s"${u.newDataType().simpleString}) ... FROM t " +
+              "(atomic RTAS)")
+          m.copy(schema = StructType(m.schema.fields.updated(i,
+            m.schema.fields(i).copy(dataType = u.newDataType()))))
+        }
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER $other — add/rename/drop column are the " +
           "metadata-only ALTERs this catalog serves")

@@ -314,6 +314,18 @@ object GraftTableSource {
         }
       }
     }
+    // ALTER COLUMN TYPE widening: the DECLARED widened type OVERRIDES
+    // the footer-derived one (old files still carry the narrow
+    // physical type; the per-file requested schema then drives
+    // parquet's widening decode — INT32 pages serve a BIGINT column)
+    if (ver.widenedTypes.nonEmpty) {
+      val wm = ver.widenedTypes.toMap
+      ids.zip(names).foreach { case (id, cur) =>
+        wm.get(id).foreach { ddl =>
+          typed(cur) = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        }
+      }
+    }
     val schema = StructType(names.map { n =>
       val dt = typed.getOrElse(n, StringType)
       dt match {

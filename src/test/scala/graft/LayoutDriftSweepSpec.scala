@@ -114,8 +114,9 @@ class LayoutDriftSweepSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
-  test("ALTER COLUMN TYPE rejects loudly with the RTAS workaround — " +
-      "committed files keep their written physical type") {
+  test("ALTER COLUMN TYPE: safe widenings (int→bigint) are " +
+      "metadata-only; everything else rejects loudly with the RTAS " +
+      "workaround — committed files keep their written physical type") {
     val r = freshDir()
     spark.conf.set("spark.sql.catalog.graft_ld",
       "graft.source.v2.GraftCatalog")
@@ -123,19 +124,36 @@ class LayoutDriftSweepSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft_ld.db.w (a INT, b BIGINT)")
     spark.sql("INSERT INTO graft_ld.db.w SELECT CAST(id AS INT), id " +
       "FROM range(10)")
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_ld.db.w ALTER COLUMN a TYPE BIGINT")
-    }
-    assert(e.getMessage.contains("REPLACE TABLE") &&
-      e.getMessage.contains("CAST(a AS bigint)"),
-      s"rejection must name the RTAS workaround, got: ${e.getMessage}")
-    // the named workaround actually works
-    spark.sql("""REPLACE TABLE graft_ld.db.w AS
-      SELECT CAST(a AS BIGINT) AS a, b FROM graft_ld.db.w""")
+    val p = s"$r/db/w"
+    val v1 = SnapshotTable.readVersion(spark, p, 1)
+    // the safe widen: one manifest write, zero files touched (r19)
+    spark.sql("ALTER TABLE graft_ld.db.w ALTER COLUMN a TYPE BIGINT")
+    val v2 = SnapshotTable.readVersion(spark, p, 2)
+    assert(v2.files === v1.files, "widen must not rewrite data")
     assert(spark.table("graft_ld.db.w").schema("a").dataType
       === org.apache.spark.sql.types.LongType)
     assert(spark.sql("SELECT sum(a) FROM graft_ld.db.w")
       .head.getLong(0) === 45)
+    // NARROWING never reaches the catalog: Spark's analyzer itself
+    // rejects non-up-casts (NOT_SUPPORTED_CHANGE_COLUMN)
+    val n = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ld.db.w ALTER COLUMN b TYPE INT")
+    }
+    assert(n.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // an up-cast Catalyst allows but the table format does NOT
+    // (long→double changes the physical family) rejects with the
+    // atomic-RTAS workaround named
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ld.db.w ALTER COLUMN b TYPE DOUBLE")
+    }
+    assert(e.getMessage.contains("REPLACE TABLE") &&
+      e.getMessage.contains("CAST(b AS double)"),
+      s"rejection must name the RTAS workaround, got: ${e.getMessage}")
+    // the named workaround actually works
+    spark.sql("""REPLACE TABLE graft_ld.db.w AS
+      SELECT a, CAST(b AS DOUBLE) AS b FROM graft_ld.db.w""")
+    assert(spark.table("graft_ld.db.w").schema("b").dataType
+      === org.apache.spark.sql.types.DoubleType)
     spark.sql("DROP TABLE graft_ld.db.w")
   }
 
