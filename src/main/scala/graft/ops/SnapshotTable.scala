@@ -134,18 +134,19 @@ object SnapshotTable {
       require(col == that.col && dtype == that.dtype,
         s"cannot extend stats of ($col: $dtype) with " +
           s"(${that.col}: ${that.dtype})")
-      ColStats(col, dtype, mins ++ that.mins, maxs ++ that.maxs,
-        has ++ that.has, exact ++ that.exact,
+      ColStats(col, dtype, CatSeq.cat2(mins, that.mins),
+        CatSeq.cat2(maxs, that.maxs), CatSeq.cat2(has, that.has),
+        CatSeq.cat2(exact, that.exact),
         // null counts stay only when BOTH sides know them — a mixed
         // vector would mis-prune the unknown half
         if ((nulls.isEmpty && mins.nonEmpty) ||
             (that.nulls.isEmpty && that.mins.nonEmpty)) Seq.empty
-        else nulls ++ that.nulls,
+        else CatSeq.cat2(nulls, that.nulls),
         // same both-or-nothing rule for NDV sketches: a mixed vector
         // would UNDERestimate the merged distinct count
         if ((kmv.isEmpty && mins.nonEmpty) ||
             (that.kmv.isEmpty && that.mins.nonEmpty)) Seq.empty
-        else kmv ++ that.kmv)
+        else CatSeq.cat2(kmv, that.kmv))
     }
 
     /** Merged NDV estimate over the files at `idx` — None when any
@@ -454,7 +455,7 @@ object SnapshotTable {
     def ++(that: PartKeys): PartKeys = {
       require(valueDtypes == that.valueDtypes,
         "cannot extend partition keys across differing specs")
-      PartKeys(valueDtypes, flat ++ that.flat)
+      PartKeys(valueDtypes, CatSeq.cat2(flat, that.flat).toIndexedSeq)
     }
   }
 
@@ -838,7 +839,8 @@ object SnapshotTable {
         val newCols = batchCols.filterNot(known)
         if (newCols.isEmpty)
           Some(SchemaMeta(baseIds, baseNames,
-            base.fileEpochs.get ++ Seq.fill(nNewFiles)(base.epoch),
+            CatSeq.cat2(base.fileEpochs.get,
+              IndexedSeq.fill(nNewFiles)(base.epoch)),
             base.epoch, base.droppedIds, base.schemaMaxId,
             base.schemaAltered, base.addedTypes, base.widenedTypes))
         else {
@@ -849,7 +851,8 @@ object SnapshotTable {
           val names = baseNames ++ newCols
           writeEpochFile(path, e, ids, names)
           Some(SchemaMeta(ids, names,
-            base.fileEpochs.get ++ Seq.fill(nNewFiles)(e), e,
+            CatSeq.cat2(base.fileEpochs.get,
+              IndexedSeq.fill(nNewFiles)(e)), e,
             base.droppedIds, base.schemaMaxId + newCols.length,
             base.schemaAltered, base.addedTypes, base.widenedTypes))
         }
@@ -982,15 +985,19 @@ object SnapshotTable {
     // a List here would be O(n²) at scale
     val segLive: Seq[(Segment, Seq[Int])] = seg.toSeq.flatMap(_._2)
       .map { case (rf, sg) => (sg, rf.liveIdx) }
+    // LAZY stitch (r19): a version's positional facts are a [[CatSeq]]
+    // of per-segment live views — O(segments) to build, not O(files),
+    // which is what keeps readVersion (and so every commit's base
+    // read) off the per-file cost curve at 1M files
     def cat[T](f: Segment => Seq[T]): IndexedSeq[T] =
-      segLive.iterator.flatMap { case (sg, li) =>
-        val xs = f(sg); li.iterator.map(xs)
-      }.toIndexedSeq
+      CatSeq.of(segLive.iterator.map { case (sg, li) =>
+        CatSeq.view(f(sg).toIndexedSeq, li.toIndexedSeq)
+      }.toIndexedSeq)
     def catOpt[T](f: Segment => Option[Seq[T]]): Option[IndexedSeq[T]] =
       if (segLive.nonEmpty && segLive.forall(s => f(s._1).isDefined))
-        Some(segLive.iterator.flatMap { case (sg, li) =>
-          val xs = f(sg).get; li.iterator.map(xs)
-        }.toIndexedSeq)
+        Some(CatSeq.of(segLive.iterator.map { case (sg, li) =>
+          CatSeq.view(f(sg).get.toIndexedSeq, li.toIndexedSeq)
+        }.toIndexedSeq))
       else None
     val stats =
       if (has("stats_col")) {
@@ -1174,8 +1181,10 @@ object SnapshotTable {
                         nNew: Int): Option[SchemaMeta] =
     ver.schemaIds.map { ids =>
       val fe = ver.fileEpochs.get
+      val kept =
+        if (keepIdx == fe.indices) fe.toIndexedSeq else keepIdx.map(fe)
       SchemaMeta(ids, ver.schemaNames.get,
-        keepIdx.map(fe) ++ Seq.fill(nNew)(ver.epoch), ver.epoch,
+        CatSeq.cat2(kept, IndexedSeq.fill(nNew)(ver.epoch)), ver.epoch,
         ver.droppedIds, ver.schemaMaxId, ver.schemaAltered,
         ver.addedTypes, ver.widenedTypes)
     }
@@ -1239,6 +1248,14 @@ object SnapshotTable {
         colStats, partKeys, bloomsExtra)
   }
 
+  /** Spec-visible counter of append-shape identity-carry commits —
+    * pins that the O(Δ) fast path actually engages on the paths that
+    * claim it (a silent fallback to the O(files) walk would only
+    * surface as latency).
+    */
+  private[graft] val fastCarryHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Segmented header render: derive the carry against `baseOpt`,
     * write at most one fresh segment, and emit the O(Δ) header. See
     * the section doc for the self-verification contract.
@@ -1268,9 +1285,12 @@ object SnapshotTable {
     val stats = stats0.map(st =>
       Stats(st.col, st.mins.toIndexedSeq, st.maxs.toIndexedSeq))
     val partValues = partValues0.map(_.toIndexedSeq)
+    // toIndexedSeq is identity on the commit paths' CatSeqs, so the
+    // append-shape identity proof survives this normalization
     val colStats = colStats0.map(cs => ColStats(cs.col, cs.dtype,
       cs.mins.toIndexedSeq, cs.maxs.toIndexedSeq, cs.has.toIndexedSeq,
-      cs.exact.toIndexedSeq, cs.nulls.toIndexedSeq))
+      cs.exact.toIndexedSeq, cs.nulls.toIndexedSeq,
+      cs.kmv.toIndexedSeq))
     // the same positional-alignment guards renderInline enforces
     require(rows.length == files.length && bytes.length == files.length,
       s"per-file facts misaligned: ${rows.length} rows / " +
@@ -1301,10 +1321,65 @@ object SnapshotTable {
     }
     val epochs: Option[IndexedSeq[Long]] =
       schema.map(_.fileEpochs.toIndexedSeq)
+    // ---- APPEND-SHAPE identity carry (r19): when every positional
+    // array is a two-part [[CatSeq]] whose FIRST part IS the base
+    // version's own array (object identity), the carried region is
+    // bit-identical to the committed base state BY CONSTRUCTION —
+    // the arrays are immutable, identity implies equality, and there
+    // is nothing left to verify per file. Commit CPU is then O(Δ)
+    // like commit bytes: every base segment re-references verbatim
+    // and only the fresh part is walked. Any mismatch falls through
+    // to the general derivation below, which remains the
+    // unrepresentability backstop for every other commit shape.
+    val fastCarry: Option[(Seq[SegRef], Seq[Int], Seq[Int])] =
+      baseOpt.filter(b => b.segRefs.exists(_.nonEmpty) &&
+          b.fileRows.isDefined && b.fileBytes.isDefined)
+        .flatMap { base =>
+          import CatSeq.extendsBase
+          val shapeOk =
+            stats.isDefined == base.stats.isDefined &&
+              part.isDefined == base.part.isDefined &&
+              partKeys.isDefined == base.partKeys.isDefined &&
+              partValues.isDefined == base.partValues.isDefined &&
+              epochs.isDefined == base.fileEpochs.isDefined &&
+              colStats.length == base.colStats.length
+          val ok = shapeOk &&
+            extendsBase(files, base.files) &&
+            extendsBase(rows, base.fileRows.get) &&
+            extendsBase(bytes, base.fileBytes.get) &&
+            stats.forall(st => base.stats.exists(bs =>
+              extendsBase(st.mins, bs.mins) &&
+                extendsBase(st.maxs, bs.maxs))) &&
+            partValues.forall(pv =>
+              base.partValues.exists(extendsBase(pv, _))) &&
+            partKeys.forall(pk => base.partKeys.exists(bp =>
+              extendsBase(pk.flat, bp.flat))) &&
+            epochs.forall(e =>
+              base.fileEpochs.exists(extendsBase(e, _))) &&
+            colStats.zip(base.colStats).forall { case (a, b) =>
+              a.dtype == b.dtype &&
+                extendsBase(a.mins, b.mins) &&
+                extendsBase(a.maxs, b.maxs) &&
+                extendsBase(a.has, b.has) &&
+                extendsBase(a.exact, b.exact) &&
+                a.nulls.nonEmpty == b.nulls.nonEmpty &&
+                (a.nulls.isEmpty || extendsBase(a.nulls, b.nulls)) &&
+                a.kmv.nonEmpty == b.kmv.nonEmpty &&
+                (a.kmv.isEmpty || extendsBase(a.kmv, b.kmv))
+            }
+          if (!ok) None
+          else {
+            fastCarryHits.incrementAndGet()
+            Some((base.segRefs.get,
+              0 until base.files.length,
+              base.files.length until files.length))
+          }
+        }
     // ---- derive the carry: (re-referenced base segments, indices of
     // carried files in caller order, indices going into the fresh
     // segment). Any verification miss → everything fresh.
     val carry: Option[(Seq[SegRef], Seq[Int], Seq[Int])] =
+      if (fastCarry.isDefined) fastCarry else
       baseOpt.filter(b => b.segRefs.exists(_.nonEmpty) &&
           b.fileRows.isDefined && b.fileBytes.isDefined)
         .flatMap { base =>
@@ -1441,26 +1516,50 @@ object SnapshotTable {
             colStats.map(cs => idx.map(cs.kmv))
           else Seq.empty)
     }
+    // adjacent ranges join into one Range (the append shape yields
+    // [0,k) ++ [k,n) — keeping it a Range keeps the uniqueness check
+    // below O(1) instead of an O(files) set build per commit)
+    def joinIdx(a: Seq[Int], b: Seq[Int]): Seq[Int] = (a, b) match {
+      case (ar: Range, br: Range) if ar.step == 1 && br.step == 1 &&
+          ar.end == br.start => ar.start until br.end
+      case _ => a ++ b
+    }
     val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
     val (finalRefs, headerIdx) =
       if (carriedRefs.isEmpty || wantSegs > segMaxSegments) {
         // collapse: one full segment holding every live file
-        val order = carriedIdx ++ freshIdx
+        val order = joinIdx(carriedIdx, freshIdx)
         (Seq(writeSegment(tpath, segOf(order))), order)
       } else if (freshIdx.nonEmpty)
         (carriedRefs :+ writeSegment(tpath, segOf(freshIdx)),
-          carriedIdx ++ freshIdx)
+          joinIdx(carriedIdx, freshIdx))
       else (carriedRefs, carriedIdx)
-    require(headerIdx.length == files.length &&
-        headerIdx.toSet.size == files.length,
-      s"segment render lost files: ${headerIdx.length} of " +
-        s"${files.length}")
+    headerIdx match {
+      case r: Range if r.step == 1 =>
+        require(r.start == 0 && r.length == files.length,
+          s"segment render lost files: $r of ${files.length}")
+      case idx =>
+        require(idx.length == files.length && {
+          val bs = new java.util.BitSet(files.length)
+          idx.forall { i => val fresh = !bs.get(i); bs.set(i); fresh }
+        }, s"segment render lost files: ${idx.length} of " +
+          s"${files.length}")
+    }
+    // physical row total: on the identity-carry path the base's
+    // recorded total is exact (rows = physical − dv at render, so
+    // physical = rows + dv) and only the fresh part sums — the last
+    // per-file O(files) pass a pure append paid
+    val physRows =
+      if (fastCarry.isDefined)
+        baseOpt.get.rows + baseOpt.get.dvRows +
+          CatSeq.freshPart(rows).sum
+      else rows.sum
     // ---- the O(Δ) header: scalar facts + segment references
     val fields = scala.collection.mutable.ArrayBuffer(
       "version" -> v.toString,
       "op" -> Json.quote(op),
       "committed_ms" -> System.currentTimeMillis().toString,
-      "rows" -> (rows.sum - dvRows).toString,
+      "rows" -> (physRows - dvRows).toString,
       "seg_names" -> finalRefs.map(rf => Json.quote(rf.name))
         .mkString("[", ",", "]"),
       "seg_sizes" -> finalRefs.map(_.size).mkString("[", ",", "]"),
@@ -1964,7 +2063,14 @@ object SnapshotTable {
           s"${colSpecsOf(base)}, writer: " +
           s"${fresh.map(cs => (cs.col, cs.dtype))}) — re-plan against " +
           "the new latest version")
-      val carried = base.colStats.map(_.slice(keepIdx))
+      // full-keep (append shape): carry the base vectors BY IDENTITY —
+      // the O(1) that lets the segmented render prove the carry by
+      // object identity instead of an O(files) equality walk
+      val fullKeep =
+        base.colStats.headOption.exists(cs => keepIdx == cs.mins.indices)
+      val carried =
+        if (fullKeep) base.colStats
+        else base.colStats.map(_.slice(keepIdx))
       if (fresh.isEmpty) carried
       else carried.zip(fresh).map { case (a, b) => a ++ b }
     }
@@ -2139,15 +2245,15 @@ object SnapshotTable {
           s"${base.bloomConfs.map(_.col)}, got $bloomCol)")
       val v = prev + 1
       val manifest = renderManifest(v,
-        base.files ++ batch.files,
-        rowsOf(base) ++
-          batch.rows,
-        bytesOf(base) ++
-          batch.bytes,
+        CatSeq.cat2(base.files, batch.files),
+        CatSeq.cat2(rowsOf(base), batch.rows),
+        CatSeq.cat2(bytesOf(base), batch.bytes),
         statsColEff.map { c =>
           Stats(c,
-            base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
-            base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
+            CatSeq.cat2(base.stats.map(_.mins).getOrElse(Seq.empty),
+              batch.mins),
+            CatSeq.cat2(base.stats.map(_.maxs).getOrElse(Seq.empty),
+              batch.maxs))
         },
         bloomConf.orElse(base.bloom),
         base.txns ++ txn.toMap, op = "APPEND",
@@ -2252,10 +2358,14 @@ object SnapshotTable {
           "stream tracked none — the writer resolved a stale layout")
       val v = prev + 1
       val manifest = renderManifest(v,
-        base.files ++ files, rowsOf(base) ++ rows, bytesOf(base) ++ bytes,
+        CatSeq.cat2(base.files, files),
+        CatSeq.cat2(rowsOf(base), rows),
+        CatSeq.cat2(bytesOf(base), bytes),
         statsCol.map(c => Stats(c,
-          base.stats.map(_.mins).getOrElse(Seq.empty) ++ statMinMax.get._1,
-          base.stats.map(_.maxs).getOrElse(Seq.empty) ++ statMinMax.get._2)),
+          CatSeq.cat2(base.stats.map(_.mins).getOrElse(Seq.empty),
+            statMinMax.get._1),
+          CatSeq.cat2(base.stats.map(_.maxs).getOrElse(Seq.empty),
+            statMinMax.get._2))),
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         part = part.map(_._1),
         partValues = part.flatMap { case (sp, bp) =>
@@ -2789,11 +2899,13 @@ object SnapshotTable {
                           fresh: BatchParts)
       : (Option[Seq[Long]], Option[PartKeys]) =
     if (spec.isLegacy) {
-      val kept = base.partValues.map(pv => keepIdx.map(pv))
+      val kept = base.partValues.map(pv =>
+        if (keepIdx == pv.indices) pv else keepIdx.map(pv))
         .getOrElse(Seq.empty)
-      (Some(kept ++ fresh.longs.get), None)
+      (Some(CatSeq.cat2(kept, fresh.longs.get.toIndexedSeq)), None)
     } else {
-      val kept = base.partKeys.map(_.slice(keepIdx))
+      val kept = base.partKeys.map(pk =>
+        if (keepIdx == (0 until pk.nFiles)) pk else pk.slice(keepIdx))
         .getOrElse(PartKeys.empty(spec))
       (None, Some(kept ++ fresh.keys.get))
     }
@@ -2875,15 +2987,15 @@ object SnapshotTable {
       val (pvNew, pkNew) =
         extendParts(spec, base, base.files.indices, bparts)
       val manifest = renderManifest(v,
-        base.files ++ batch.files,
-        rowsOf(base) ++
-          batch.rows,
-        bytesOf(base) ++
-          batch.bytes,
+        CatSeq.cat2(base.files, batch.files),
+        CatSeq.cat2(rowsOf(base), batch.rows),
+        CatSeq.cat2(bytesOf(base), batch.bytes),
         statsColEff.map { c =>
           Stats(c,
-            base.stats.map(_.mins).getOrElse(Seq.empty) ++ batch.mins,
-            base.stats.map(_.maxs).getOrElse(Seq.empty) ++ batch.maxs)
+            CatSeq.cat2(base.stats.map(_.mins).getOrElse(Seq.empty),
+              batch.mins),
+            CatSeq.cat2(base.stats.map(_.maxs).getOrElse(Seq.empty),
+              batch.maxs))
         },
         bloomConf.orElse(base.bloom), base.txns ++ txn.toMap,
         Some(spec), pvNew,

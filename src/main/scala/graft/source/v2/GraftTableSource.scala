@@ -361,7 +361,10 @@ object GraftTableSource {
       : Seq[Int] = {
     import org.apache.spark.sql.sources._
     val ver = res.ver
-    var keep: Set[Int] = ver.files.indices.toSet
+    // ASCENDING index vector, not a hash set: every pass filters in
+    // file order, which keeps manifest access sequential (the CatSeq
+    // part-hint path) and the final result needs no sort
+    var keep: IndexedSeq[Int] = ver.files.indices
 
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
@@ -591,7 +594,7 @@ object GraftTableSource {
         case LessThan(c, v) => rangePrune(c, v, isLo = false)
         case LessThanOrEqual(c, v) => rangePrune(c, v, isLo = false)
         case IsNull(c) if fieldOf.contains(c) =>
-          keep = Set.empty
+          keep = IndexedSeq.empty
         case _ => ()
       }
     }
@@ -627,7 +630,7 @@ object GraftTableSource {
         }
       }
     }
-    keep.toSeq.sorted
+    keep
   }
 }
 

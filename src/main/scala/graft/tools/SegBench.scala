@@ -10,7 +10,7 @@ object SegBench {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build("8")
     import spark.implicits._
-    val nFiles = args.headOption.filterNot(_ == "planner200k")
+    val nFiles = args.headOption.filterNot(_.startsWith("planner"))
       .map(_.toInt).getOrElse(2000)
     val df = (0 until 200000).map(i => (i.toLong, i * 2L)).toDF("k", "x")
     val small = (0 until 200).map(i => (1000000L + i, i.toLong)).toDF("k", "x")
@@ -35,6 +35,7 @@ object SegBench {
       println(f"SEGBENCH $tag%-9s files=${nFiles + 10} headerBytes=$hdr%8d appendMs=$appendMs%8.1f readVersionMs=$readMs%8.1f")
     }
     if (args.contains("planner200k")) planner200k(spark)
+    else if (args.contains("planner1m")) planner(spark, nBatches = 500)
     else {
       run("segmented", 512)
       run("inline", 1000000)
@@ -54,7 +55,13 @@ object SegBench {
     * sandbox cannot materialize as actual parquet.
     */
   private def planner200k(spark: org.apache.spark.sql.SparkSession)
-      : Unit = {
+      : Unit = planner(spark, nBatches = 100)
+
+  /** Parameterized planner point: nBatches × 2k synthetic files —
+    * 100 = the r18 200k point, 500 = the r19 1M-file decade.
+    */
+  private def planner(spark: org.apache.spark.sql.SparkSession,
+                      nBatches: Int): Unit = {
     import spark.implicits._
     import graft.ops.SnapshotTable.ColStats
     spark.conf.set("spark.graft.manifest.segmentThreshold", "512")
@@ -68,7 +75,6 @@ object SegBench {
         .toDF("k", "d", "v"),
       p, 8, statsCol = Some("k"), statsCols = Seq("d"))
     val batchFiles = 2000
-    val nBatches = 100
     var commitMsTotal = 0.0
     val perBatchMs = new Array[Double](nBatches)
     (0 until nBatches).foreach { b =>
@@ -97,7 +103,7 @@ object SegBench {
     // O(Δ) sanity: the NON-COLLAPSE commits must not grow with table
     // size — report the median of the first and last deciles
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    println(f"SEGBENCH planner200k commitMs first10med=" +
+    println(f"SEGBENCH planner${nBatches * 2}k commitMs first10med=" +
       f"${med(perBatchMs.take(10).toSeq)}%.1f last10med=" +
       f"${med(perBatchMs.takeRight(10).toSeq)}%.1f " +
       f"max=${perBatchMs.max}%.1f")
@@ -126,7 +132,7 @@ object SegBench {
     val kept = graft.source.v2.GraftTableSource.pruneFiles(res,
       Array(org.apache.spark.sql.sources.EqualTo("d", probe)))
     val planMs = (System.nanoTime() - f0) / 1e6
-    println(f"SEGBENCH planner200k files=$nFiles%d headerBytes=$hdr%d " +
+    println(f"SEGBENCH planner${nBatches * 2}k files=$nFiles%d headerBytes=$hdr%d " +
       f"avgCommitMs=${commitMsTotal / nBatches}%.1f " +
       f"readVersionMs=$readMs%.1f prunePlanMs=$planMs%.1f " +
       f"keptFiles=${kept.length}%d")
