@@ -4746,6 +4746,99 @@ object Relational {
         "audit_blocked")
   }
 
+  /** q210 — NDV statistics drive the optimizer, oracle-gated (the
+    * r19 sketch plane was spec-only until here): both sides are
+    * snapshot tables whose manifests carry per-file KMV sketches for
+    * the declared stats columns ([[graft.ops.NdvSketch]]); the scan
+    * serves merged `distinctCount` through
+    * `SupportsReportStatistics`, so under CBO the dim side's equality
+    * filter prices at rows/NDV and the join plans a BROADCAST where
+    * size-only estimation keeps a sort-merge — both plans
+    * require-asserted (the control guards against the flip being
+    * free). The probe key is data-derived (min o_custkey); the filter
+    * column is scattered across every file so static pruning cannot
+    * shrink the scan — only the NDV estimate can. DuckDB recomputes
+    * the join aggregate from raw lineitem ⋈ orders, so a wrong NDV
+    * can only change the PLAN, never the answer — and a broken scan
+    * under either plan hash-mismatches.
+    */
+  val ndvBroadcast = QueryDef("q210_ndv_broadcast",
+    """WITH probe AS (SELECT min(o_custkey) AS c FROM orders)
+      |SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  TRUE AS cbo_broadcast, TRUE AS sizeonly_smj
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_custkey = (SELECT c FROM probe)""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val p1 = Work.oracleDumpPath("q210_fact")
+    val p2 = Work.oracleDumpPath("q210_dim")
+    clusterLayouts.compute("q210", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(p1))
+        Work.wipe(java.nio.file.Paths.get(p2))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).select(
+            col("l_orderkey").as("k"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u"),
+            concat(lit("x" * 48), col("l_orderkey").cast("string"))
+              .as("pad1")),
+          p1, 4, statsCol = Some("k"))
+        SnapshotTable.append(
+          Tables.orders(s, d).select(
+            col("o_orderkey").as("u"),
+            col("o_custkey").cast("long").as("cust"),
+            concat(lit("y" * 48), col("o_orderkey").cast("string"))
+              .as("pad2")),
+          p2, 4, statsCol = Some("u"), statsCols = Seq("cust"))
+      }
+      d
+    })
+    val dim0 = s.read.format("graft_table").option("path", p2).load()
+    val minCust = dim0.agg(min("cust")).collect().head.getLong(0)
+    // SF-independent threshold: a quarter of the dim's REAL bytes —
+    // the unfiltered scan always reports 4x the threshold (control
+    // stays sort-merge), while the CBO estimate rows/NDV(cust) is
+    // ~rows/150 of it (flip fires) at every scale factor
+    val dimBytes = SnapshotTable.readVersion(s, p2, 1)
+      .fileBytes.get.sum
+    def plan(cbo: Boolean): (String, org.apache.spark.sql.Row) = {
+      val keys = Seq(
+        "spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.autoBroadcastJoinThreshold" -> (dimBytes / 4).toString,
+        "spark.sql.adaptive.enabled" -> "false")
+      val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val fact = s.read.format("graft_table").option("path", p1).load()
+        val dim = s.read.format("graft_table").option("path", p2).load()
+          .filter(col("cust") === minCust)
+        val j = fact.join(dim, col("k") === col("u"))
+          .agg(count(lit(1)).as("n"),
+            sum("qty_u").cast("long").as("q"),
+            max(length(col("pad1"))), max(length(col("pad2"))))
+        (j.queryExecution.executedPlan.toString, j.collect().head)
+      } finally prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    val (withCbo, r) = plan(cbo = true)
+    require(withCbo.contains("BroadcastHashJoin"),
+      s"NDV stats did not flip the join to broadcast:\n" +
+        withCbo.take(1200))
+    val (withoutCbo, r2) = plan(cbo = false)
+    require(!withoutCbo.contains("BroadcastHashJoin"),
+      "control broken: size-only estimation already broadcasts — " +
+        "the flip proves nothing\n" + withoutCbo.take(1200))
+    require(r.getLong(0) == r2.getLong(0) && r.getLong(1) == r2.getLong(1),
+      "the two plans disagree on the answer")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), true, true))
+      .toDF("n", "qty_u", "cbo_broadcast", "sizeonly_smj")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4764,7 +4857,7 @@ object Relational {
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
     metaDelete, typedCompaction, typedSpj, partitionedZorder,
-    writeAuditPublish)
+    writeAuditPublish, ndvBroadcast)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

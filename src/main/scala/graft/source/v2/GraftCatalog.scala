@@ -621,6 +621,10 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
       StructField("size", LongType, nullable = false),
       StructField("live", LongType, nullable = false),
       StructField("dropped", LongType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -688,6 +692,15 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
                   ver.fileBytes.map(b => Long.box(idx.map(b).sum)).orNull)
               }
         }
+      case "refs" =>
+        // branches/tags (r19): the write-audit-publish surface,
+        // inspectable from SQL — empty when none were created
+        SnapshotTable.refs(path).map { r =>
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.name),
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.kind),
+            r.version)
+        }
       case "segments" =>
         // the O(Δ) manifest structure, inspectable from SQL; an
         // inline (below-threshold) table simply has none
@@ -731,7 +744,7 @@ private[v2] final class GraftMetaTable(kind: String, path: String)
 
 private[v2] object GraftMetaTable {
   val kinds: Set[String] = Set("history", "files", "partitions",
-    "segments")
+    "segments", "refs")
 
   /** Human-readable rendering of one typed partition tuple, e.g.
     * `days(ship_d)=18250/bucket(8, flag)=3`.

@@ -35,7 +35,8 @@ private[v2] object GraftProcedures {
 
   val names: Seq[String] = Seq("optimize", "zorder", "expire", "vacuum",
     "materialize_deletes", "materialize_schema", "restore", "clone",
-    "analyze")
+    "analyze", "create_branch", "create_tag", "fast_forward",
+    "drop_ref")
 
   def load(root: String, name: String): UnboundProcedure = {
     def pathOf(table: String): String =
@@ -68,11 +69,59 @@ private[v2] object GraftProcedures {
           StructField("files_after", IntegerType)))) { args =>
         val spark = SparkSession.active
         val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
-        val r = SnapshotTable.recluster(spark, p,
-          args(1).asInstanceOf[UTF8String].toString,
-          args(2).asInstanceOf[Int])
+        // partition-aware since r19: curve-order INSIDE each hidden
+        // tuple ([[SnapshotTable.reclusterPartitioned]]) so rectangle
+        // pruning composes with partition pruning
+        val ver = SnapshotTable.readVersion(spark, p,
+          SnapshotTable.latestVersion(p))
+        val r =
+          if (ver.part.isDefined)
+            SnapshotTable.reclusterPartitioned(spark, p,
+              args(1).asInstanceOf[UTF8String].toString,
+              args(2).asInstanceOf[Int])
+          else SnapshotTable.recluster(spark, p,
+            args(1).asInstanceOf[UTF8String].toString,
+            args(2).asInstanceOf[Int])
         GraftTableSource.invalidate(p)
         Seq[Any](r.version, r.filesBefore, r.filesAfter)
+      }
+      // write-audit-publish from pure SQL (r19): stage on a branch,
+      // audit by `SELECT ... FROM t VERSION AS OF`/ref reads, publish
+      // with one atomic fast-forward
+      case "create_branch" => proc("create_branch",
+        Seq("table" -> StringType, "name" -> StringType,
+          "version" -> LongType),
+        StructType(Seq(StructField("version", LongType)))) { args =>
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        Seq[Any](SnapshotTable.createBranch(p,
+          args(1).asInstanceOf[UTF8String].toString,
+          args(2).asInstanceOf[Long]))
+      }
+      case "create_tag" => proc("create_tag",
+        Seq("table" -> StringType, "name" -> StringType,
+          "version" -> LongType),
+        StructType(Seq(StructField("version", LongType)))) { args =>
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        Seq[Any](SnapshotTable.createTag(p,
+          args(1).asInstanceOf[UTF8String].toString,
+          args(2).asInstanceOf[Long]))
+      }
+      case "fast_forward" => proc("fast_forward",
+        Seq("table" -> StringType, "to" -> StringType,
+          "from" -> StringType),
+        StructType(Seq(StructField("version", LongType)))) { args =>
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        Seq[Any](SnapshotTable.fastForward(p,
+          args(1).asInstanceOf[UTF8String].toString,
+          args(2).asInstanceOf[UTF8String].toString))
+      }
+      case "drop_ref" => proc("drop_ref",
+        Seq("table" -> StringType, "name" -> StringType),
+        StructType(Seq(StructField("dropped", BooleanType)))) { args =>
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        SnapshotTable.dropRef(p,
+          args(1).asInstanceOf[UTF8String].toString)
+        Seq[Any](true)
       }
       case "analyze" => proc("analyze",
         Seq("table" -> StringType, "columns" -> StringType),

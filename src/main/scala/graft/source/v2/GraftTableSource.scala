@@ -205,7 +205,11 @@ object GraftTableSource {
     val spark = SparkSession.active
     val path = props.getOrElse("path",
       throw new IllegalArgumentException("graft_table: no path option"))
-    val version = props.get("version").map(_.toLong)
+    val version = props.get("version").map(v =>
+        // SQL `VERSION AS OF` takes a number or a REF NAME (the
+        // Iceberg idiom: SELECT ... VERSION AS OF 'main')
+        v.toLongOption.getOrElse(
+          SnapshotTable.resolveRef(path, v).version))
       .orElse(props.get("timestamp_ms").map(ts =>
         SnapshotTable.versionAsOf(spark, path, ts.toLong)))
       // time travel by NAME: scans pin to a branch/tag's version —

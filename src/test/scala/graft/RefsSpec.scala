@@ -104,6 +104,52 @@ class RefsSpec extends SparkSpec {
     assert(SnapshotTable.scanAt(spark, path, 4)._1.count() === 400)
   }
 
+  test("SQL surface: CALL create_branch/create_tag/fast_forward/" +
+      "drop_ref, VERSION AS OF by ref name, and the t.refs metadata " +
+      "table") {
+    val r = Files.createTempDirectory("refscat").toString
+    spark.conf.set("spark.sql.catalog.graft_rf",
+      "graft.source.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rf.root", r)
+    spark.sql("CREATE TABLE graft_rf.db.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_rf.db.t SELECT id, id * 2 FROM range(100)")
+    assert(spark.sql(
+      "CALL graft_rf.system.create_branch('db.t', 'main', -1)")
+      .head.getLong(0) === 1)
+    spark.sql("INSERT INTO graft_rf.db.t " +
+      "SELECT id, id * 2 FROM range(100, 150)")
+    assert(spark.sql(
+      "CALL graft_rf.system.create_branch('db.t', 'staging', -1)")
+      .head.getLong(0) === 2)
+    // readers: head sees both, the published ref sees v1 — by SQL
+    // VERSION AS OF with the REF NAME (the Iceberg idiom)
+    assert(spark.sql("SELECT count(*) FROM graft_rf.db.t")
+      .head.getLong(0) === 150)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_rf.db.t VERSION AS OF 'main'")
+      .head.getLong(0) === 100)
+    // publish = one CALL; the ref read follows
+    assert(spark.sql(
+      "CALL graft_rf.system.fast_forward('db.t', 'main', 'staging')")
+      .head.getLong(0) === 2)
+    graft.source.v2.GraftTableSource.invalidate(s"$r/db/t")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_rf.db.t VERSION AS OF 'main'")
+      .head.getLong(0) === 150)
+    // the refs metadata table
+    spark.sql("CALL graft_rf.system.create_tag('db.t', 'rel', 1)")
+    val refs = spark.sql("""SELECT name, kind, version
+      FROM graft_rf.db.t.refs ORDER BY name""").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(refs === Seq(("main", "branch", 2L), ("rel", "tag", 1L),
+      ("staging", "branch", 2L)))
+    assert(spark.sql("CALL graft_rf.system.drop_ref('db.t', 'rel')")
+      .head.getBoolean(0))
+    assert(spark.sql("SELECT count(*) FROM graft_rf.db.t.refs")
+      .head.getLong(0) === 2)
+    spark.sql("DROP TABLE graft_rf.db.t")
+  }
+
   test("write-audit-publish: staged commits move the head, main moves " +
       "only on publish, and a failed audit leaves main untouched") {
     import spark.implicits._
