@@ -1473,7 +1473,29 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
         val ndv = cs.ndvOf(kept)
         val nulls =
           if (cs.nulls.isEmpty) None else Some(kept.map(cs.nulls).sum)
-        if (ndv.isDefined || nulls.isDefined)
+        // overall [min, max] over the surviving files, as the CATALYST
+        // value FilterEstimation expects per attribute type (Int days
+        // for DATE, Long micros for TIMESTAMP, unwidened Int/Float for
+        // the narrow numerics) — string/boolean bounds are not served
+        // (Catalyst's range estimation has no use for them). Served
+        // only when EVERY surviving file carries a decodable bound.
+        def catalystOf(key: Any): Option[Any] = cs.dtype match {
+          case "int" | "date" => Some(key.asInstanceOf[Long].toInt)
+          case "long" | "timestamp" => Some(key)
+          case "double" => Some(key)
+          case "float" =>
+            Some(key.asInstanceOf[Double].floatValue())
+          case _ => None
+        }
+        def bound(keys: IndexedSeq[Any], takeMax: Boolean): Option[Any] =
+          if (kept.isEmpty || kept.exists(i => keys(i) == null)) None
+          else catalystOf(kept.map(keys)
+            .reduce((a, b) =>
+              if ((graft.ops.TypedBounds.compare(cs.dtype, a, b) > 0)
+                == takeMax) a else b))
+        val mn = bound(cs.minKeys, takeMax = false)
+        val mx = bound(cs.maxKeys, takeMax = true)
+        if (ndv.isDefined || nulls.isDefined || mn.isDefined)
           colMap.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(cs.col),
@@ -1485,6 +1507,12 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
               override def nullCount(): java.util.OptionalLong =
                 nulls.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
+              override def max(): java.util.Optional[Object] =
+                mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty())
             })
       }
     }

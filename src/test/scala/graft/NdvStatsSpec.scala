@@ -119,6 +119,47 @@ class NdvStatsSpec extends SparkSpec {
       "NDV drifted across a row-preserving compaction")
   }
 
+  test("min/max column stats: a RANGE filter prices at its fraction " +
+      "of [min, max] under CBO and flips the join to broadcast; " +
+      "size-only keeps the sort-merge") {
+    import spark.implicits._
+    val p1 = freshPath()
+    val p2 = freshPath()
+    SnapshotTable.append(
+      spark.range(0, 20000).select(col("id").as("k"),
+        concat(lit("pad"), col("id").cast("string"),
+          lit("x" * 64)).as("pad1")),
+      p1, 4, statsCol = Some("k"))
+    // s scattered vs layout: per-file [min,max] span ~everything, so
+    // static pruning keeps all files — only the CBO range estimate
+    // over the SERVED global [min, max] can shrink the build side
+    SnapshotTable.append(
+      spark.range(0, 20000).select(col("id").as("u"),
+        (col("id") * 2654435761L % 20000).as("s"),
+        concat(lit("desc"), col("id").cast("string"),
+          lit("y" * 64)).as("pad2")),
+      p2, 4, statsCol = Some("u"), statsCols = Seq("s")) // stats on s
+    def plan(cbo: Boolean): String = withSQLConf(
+      "spark.sql.cbo.enabled" -> cbo.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.read.format("graft_table").option("path", p1).load()
+      val dim = spark.read.format("graft_table").option("path", p2).load()
+        .filter(col("s").between(100, 140))
+      fact.join(dim, col("k") === col("u"))
+        .agg(count(lit(1)), max(length(col("pad1"))),
+          max(length(col("pad2"))))
+        .queryExecution.executedPlan.toString
+    }
+    val withCbo = plan(cbo = true)
+    assert(withCbo.contains("BroadcastHashJoin"),
+      s"range stats did not flip the join:\n${withCbo.take(1200)}")
+    val withoutCbo = plan(cbo = false)
+    assert(!withoutCbo.contains("BroadcastHashJoin"),
+      "control broken: size-only already broadcasts\n" +
+        withoutCbo.take(1200))
+  }
+
   test("the broadcast flip: under CBO, the NDV-priced equality filter " +
       "shrinks the build side below the threshold and the join " +
       "broadcasts; size-only estimation (CBO off) sort-merges") {
