@@ -5113,8 +5113,22 @@ object SnapshotTable {
   final case class RefInfo(name: String, kind: String, version: Long)
 
   private def refsDir(path: String): String = s"${logDir(path)}/refs"
-  private def refPath(path: String, name: String): String =
-    s"${refsDir(path)}/$name.json"
+
+  /** A ref is a DIRECTORY of sequence-numbered pins
+    * (`refs/<name>/r<seq>.json`) and every update is a CONDITIONAL PUT
+    * of the next sequence — the same create-exclusive protocol version
+    * commits use, so a racing advance/fast-forward surfaces as
+    * [[java.nio.file.FileAlreadyExistsException]] instead of silently
+    * last-winning (which could move a branch BACKWARDS past a
+    * concurrent publish). Resolution reads the max sequence.
+    */
+  private def refDir(path: String, name: String): String =
+    s"${refsDir(path)}/$name"
+
+  private def refSeqs(path: String, name: String): Seq[Long] =
+    io(path).listNames(refDir(path, name))
+      .filter(n => n.startsWith("r") && n.endsWith(".json"))
+      .map(_.drop(1).dropRight(5).toLong).sorted
 
   private def requireRefName(name: String): Unit =
     require(name.nonEmpty && name.forall(c =>
@@ -5134,10 +5148,13 @@ object SnapshotTable {
     val v = if (version > 0) version else latest
     require(v <= latest && io(path).exists(manifestPath(path, v)),
       s"cannot pin ref '$name' to v$v — not a live committed version")
-    io(path).mkdirs(refsDir(path))
+    io(path).mkdirs(refDir(path, name))
+    if (refSeqs(path, name).nonEmpty)
+      throw new java.nio.file.FileAlreadyExistsException(
+        s"ref '$name' already exists on $path")
     // conditional put: racing creators of the same name surface as
     // FileAlreadyExistsException, same protocol as version commits
-    io(path).createExclusive(refPath(path, name),
+    io(path).createExclusive(s"${refDir(path, name)}/r1.json",
       renderRef(RefInfo(name, kind, v)))
     v
   }
@@ -5151,21 +5168,30 @@ object SnapshotTable {
   def createTag(path: String, name: String, version: Long = -1L): Long =
     createRef(path, name, "tag", version)
 
-  /** Resolve a ref by name, loudly. */
-  def resolveRef(path: String, name: String): RefInfo = {
-    val p = refPath(path, name)
-    require(io(path).exists(p),
+  /** Resolve a ref by name, loudly. Returns the HIGHEST sequence's
+    * pin — a torn reader during an advance sees the old or the new
+    * pin, never a mixture.
+    */
+  def resolveRef(path: String, name: String): RefInfo =
+    resolveRefSeq(path, name)._1
+
+  private def resolveRefSeq(path: String, name: String)
+      : (RefInfo, Long) = {
+    val seqs = refSeqs(path, name)
+    require(seqs.nonEmpty,
       s"no ref '$name' on $path — refs: " +
         refs(path).map(_.name).mkString(", "))
-    val n = jsonMapper.readTree(io(path).readString(p))
-    RefInfo(n.get("name").asText(), n.get("kind").asText(),
-      n.get("version").asLong())
+    val seq = seqs.last
+    val n = jsonMapper.readTree(
+      io(path).readString(s"${refDir(path, name)}/r$seq.json"))
+    (RefInfo(n.get("name").asText(), n.get("kind").asText(),
+      n.get("version").asLong()), seq)
   }
 
   /** Every ref on the table (empty when none were ever created). */
   def refs(path: String): Seq[RefInfo] =
-    io(path).listNames(refsDir(path))
-      .filter(_.endsWith(".json")).map(_.dropRight(5)).sorted
+    io(path).listNames(refsDir(path)).sorted
+      .filter(n => refSeqs(path, n).nonEmpty)
       .map(resolveRef(path, _))
 
   /** Advance a BRANCH to `toVersion` — forward-only (the linear log
@@ -5174,7 +5200,7 @@ object SnapshotTable {
     * see the old or the new pin, never torn bytes).
     */
   def advanceBranch(path: String, name: String, toVersion: Long): Long = {
-    val cur = resolveRef(path, name)
+    val (cur, seq) = resolveRefSeq(path, name)
     require(cur.kind == "branch",
       s"ref '$name' is a ${cur.kind} — tags are immutable; drop and " +
         "re-create to move one")
@@ -5184,7 +5210,10 @@ object SnapshotTable {
         "restoreTo semantics deliberately, not a ref move")
     require(io(path).exists(manifestPath(path, toVersion)),
       s"cannot advance '$name' to v$toVersion — not a live version")
-    io(path).writeAtomic(refPath(path, name),
+    // CAS on the next sequence: a racing advance that read the same
+    // pin collides here and fails loudly — it must re-read and
+    // re-decide, never silently overwrite a concurrent publish
+    io(path).createExclusive(s"${refDir(path, name)}/r${seq + 1}.json",
       renderRef(cur.copy(version = toVersion)))
     toVersion
   }
@@ -5200,10 +5229,8 @@ object SnapshotTable {
 
   /** Remove a ref (its version becomes expirable again). */
   def dropRef(path: String, name: String): Unit = {
-    val p = refPath(path, name)
-    require(io(path).exists(p), s"no ref '$name' on $path")
-    io(path).delete(p)
-    ()
+    require(refSeqs(path, name).nonEmpty, s"no ref '$name' on $path")
+    io(path).deleteDir(refDir(path, name))
   }
 
   /** Scan the version a ref pins — time travel by name. Returns

@@ -57,6 +57,28 @@ class RefsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.resolveRef(path, "rel-1.0")
     }
+    // ref updates are CONDITIONAL PUTS, not last-wins replaces: every
+    // successful advance claims a FRESH sequence file, so a racing
+    // advance can collide (FileAlreadyExistsException) but can never
+    // silently overwrite a concurrent publish — the lost-update that
+    // could move a branch backwards is unrepresentable. Pin: N
+    // concurrent advances leave exactly (successes) new pin files and
+    // the resolved version is the advanced one.
+    val rdir = java.nio.file.Paths.get(path, "log", "refs", "main")
+    val before = java.nio.file.Files.list(rdir).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((0 until 8).map(_ =>
+      Future {
+        try { SnapshotTable.advanceBranch(path, "main", 3); 1 }
+        catch { case _: java.nio.file.FileAlreadyExistsException => 0 }
+      })), 60.seconds)
+    val ok = results.sum
+    assert(ok >= 1, "no advance succeeded")
+    assert(java.nio.file.Files.list(rdir).count() === before + ok,
+      "a successful advance must be a fresh pin file, never a replace")
+    assert(SnapshotTable.resolveRef(path, "main").version === 3)
   }
 
   test("scans by ref: the API scan and the DSv2 option read the " +
