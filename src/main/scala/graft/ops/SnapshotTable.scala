@@ -5109,8 +5109,18 @@ object SnapshotTable {
     * fast-forward property is structural, not checked. Scans take
     * refs via `.option("ref", name)` on the DSv2 source or
     * [[scanRef]]; [[expire]] retains ref-reachable versions.
+    *
+    * `base` (r20) is the staged BATCH's log parent — the version the
+    * batch's first commit landed on top of, recorded by
+    * [[stageBranch]] so [[publish]] knows the batch's exact delta.
+    * Fast-forward publish is only safe when every commit between the
+    * published and staged versions was audited; with `base`,
+    * [[publish]] CHERRY-PICKS the batch's delta onto the published
+    * state instead, so an earlier FAILED-audit batch sharing the
+    * linear log is never silently published along. -1 = unset.
     */
-  final case class RefInfo(name: String, kind: String, version: Long)
+  final case class RefInfo(name: String, kind: String, version: Long,
+                           base: Long = -1L)
 
   private def refsDir(path: String): String = s"${logDir(path)}/refs"
 
@@ -5130,15 +5140,25 @@ object SnapshotTable {
       .filter(n => n.startsWith("r") && n.endsWith(".json"))
       .map(_.drop(1).dropRight(5).toLong).sorted
 
-  private def requireRefName(name: String): Unit =
+  private def requireRefName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"ref name '$name' — use [A-Za-z0-9._-] (it becomes a log file " +
         "name)")
+    // the DSv2 `version` option and SQL VERSION AS OF try a numeric
+    // parse FIRST, so an all-digit ref name would silently resolve as
+    // a version number through that path — keep the namespaces
+    // unambiguous by refusing the collision at creation
+    require(!name.forall(_.isDigit),
+      s"ref name '$name' is all digits — VERSION AS OF and the " +
+        "`version` option would read it as a version NUMBER, making " +
+        "the ref unreachable by name; include a letter")
+  }
 
   private def renderRef(r: RefInfo): String = Json.obj(Seq(
     "name" -> Json.quote(r.name), "kind" -> Json.quote(r.kind),
-    "version" -> r.version.toString))
+    "version" -> r.version.toString) ++
+    (if (r.base >= 0) Seq("base" -> r.base.toString) else Seq.empty))
 
   private def createRef(path: String, name: String, kind: String,
                         version: Long): Long = {
@@ -5178,26 +5198,60 @@ object SnapshotTable {
   private def resolveRefSeq(path: String, name: String)
       : (RefInfo, Long) = {
     val seqs = refSeqs(path, name)
+    // list raw names, NOT refs(path): refs() resolves each name and
+    // would recurse right back here on a half-created sibling
     require(seqs.nonEmpty,
       s"no ref '$name' on $path — refs: " +
-        refs(path).map(_.name).mkString(", "))
+        io(path).listNames(refsDir(path)).sorted.mkString(", "))
     val seq = seqs.last
     val n = jsonMapper.readTree(
       io(path).readString(s"${refDir(path, name)}/r$seq.json"))
     (RefInfo(n.get("name").asText(), n.get("kind").asText(),
-      n.get("version").asLong()), seq)
+      n.get("version").asLong(),
+      if (n.has("base")) n.get("base").asLong() else -1L), seq)
   }
 
-  /** Every ref on the table (empty when none were ever created). */
+  /** Every ref on the table (empty when none were ever created).
+    * Tolerates a ref vanishing BETWEEN the listing and its resolve
+    * (a concurrent [[dropRef]]): the dropped name is skipped instead
+    * of failing the whole listing — [[expire]] and the `.refs` meta
+    * table stay available under concurrent ref churn.
+    */
   def refs(path: String): Seq[RefInfo] =
     io(path).listNames(refsDir(path)).sorted
-      .filter(n => refSeqs(path, n).nonEmpty)
-      .map(resolveRef(path, _))
+      .flatMap(n => scala.util.Try(resolveRef(path, n)).toOption)
+
+  /** The CAS step every branch move shares, with the DROP-RACE guard:
+    * [[TableIo.createExclusive]] implicitly recreates parent
+    * directories, so a put racing a [[dropRef]] could resurrect the
+    * deleted ref. Check the dir first, and AFTER a winning put verify
+    * the predecessor pin is still there — if a drop interleaved, undo
+    * the resurrection and fail loudly (a dropped ref stays dropped).
+    */
+  private def casRef(path: String, name: String, seq: Long,
+                     next: RefInfo): Unit = {
+    val dir = refDir(path, name)
+    require(io(path).exists(dir),
+      s"ref '$name' on $path was dropped — cannot advance it")
+    // CAS on the next sequence: a racing advance that read the same
+    // pin collides here and fails loudly — it must re-read and
+    // re-decide, never silently overwrite a concurrent publish
+    io(path).createExclusive(s"$dir/r${seq + 1}.json", renderRef(next))
+    if (!io(path).exists(s"$dir/r$seq.json")) {
+      io(path).deleteDir(dir)
+      throw new IllegalStateException(
+        s"ref '$name' on $path was dropped concurrently — the " +
+          "advance rolled back; re-create the ref deliberately if " +
+          "you meant to keep it")
+    }
+  }
 
   /** Advance a BRANCH to `toVersion` — forward-only (the linear log
     * makes every higher version a descendant, so this IS the
     * fast-forward), tags refuse, and the update is atomic (readers
-    * see the old or the new pin, never torn bytes).
+    * see the old or the new pin, never torn bytes). Clears any staged
+    * batch base — a plain advance makes no delta claim; use
+    * [[stageBranch]] when the move stages a batch for [[publish]].
     */
   def advanceBranch(path: String, name: String, toVersion: Long): Long = {
     val (cur, seq) = resolveRefSeq(path, name)
@@ -5210,22 +5264,236 @@ object SnapshotTable {
         "restoreTo semantics deliberately, not a ref move")
     require(io(path).exists(manifestPath(path, toVersion)),
       s"cannot advance '$name' to v$toVersion — not a live version")
-    // CAS on the next sequence: a racing advance that read the same
-    // pin collides here and fails loudly — it must re-read and
-    // re-decide, never silently overwrite a concurrent publish
-    io(path).createExclusive(s"${refDir(path, name)}/r${seq + 1}.json",
-      renderRef(cur.copy(version = toVersion)))
+    casRef(path, name, seq, cur.copy(version = toVersion, base = -1L))
+    toVersion
+  }
+
+  /** Stage a batch on a branch: advance it to `toVersion` AND record
+    * `baseVersion`, the batch's log parent (the head version its
+    * first commit landed on top of). The recorded base is what lets
+    * [[publish]] cherry-pick EXACTLY this batch's delta — without it,
+    * publishing from a shared linear log would carry every
+    * intermediate commit, including batches whose audit FAILED.
+    */
+  def stageBranch(path: String, name: String, toVersion: Long,
+                  baseVersion: Long): Long = {
+    require(baseVersion >= 0 && baseVersion < toVersion,
+      s"staged batch base v$baseVersion must precede the staged " +
+        s"version v$toVersion")
+    require(baseVersion == 0 ||
+        io(path).exists(manifestPath(path, baseVersion)),
+      s"staged batch base v$baseVersion is not a committed version")
+    val (cur, seq) = resolveRefSeq(path, name)
+    require(cur.kind == "branch",
+      s"ref '$name' is a ${cur.kind} — tags cannot stage batches")
+    require(toVersion >= cur.version,
+      s"branch '$name' is at v${cur.version}; staging cannot move it " +
+        s"BACK to v$toVersion")
+    require(io(path).exists(manifestPath(path, toVersion)),
+      s"cannot stage '$name' at v$toVersion — not a live version")
+    casRef(path, name, seq,
+      cur.copy(version = toVersion, base = baseVersion))
     toVersion
   }
 
   /** PUBLISH: fast-forward branch `to` onto ref `from`'s version —
-    * one atomic metadata write, zero data movement. The
-    * write-audit-publish closer: after the audit passes on the
-    * staging ref, `fastForward(path, "main", "staging")` makes the
-    * staged state the published one.
+    * one atomic metadata write, zero data movement. ONLY safe when
+    * every commit in (to.version, from.version] was audited: a linear
+    * log makes every intermediate commit an ancestor of the staged
+    * one, so fast-forwarding past an earlier batch publishes it too.
+    * Under concurrent staged writers use [[stageBranch]] +
+    * [[publish]], which cherry-picks the audited batch's delta alone.
     */
   def fastForward(path: String, to: String, from: String): Long =
     advanceBranch(path, to, resolveRef(path, from).version)
+
+  final case class PublishResult(version: Long, staged: Long,
+                                 mode: String, filesAdded: Int,
+                                 filesRemoved: Int, dvAdded: Int)
+
+  /** PUBLISH a staged batch, safe under CONCURRENT staged writers —
+    * the write-audit-publish closer that does not trust the linear
+    * log's ancestry. `from` must have been moved by [[stageBranch]]
+    * (so its pin records the batch's log parent `base`). Two modes:
+    *
+    *  - `to` pins exactly `base` → nothing foreign sits under the
+    *    batch; publish IS the fast-forward (one metadata write).
+    *  - otherwise → commits landed between the published version and
+    *    the batch (e.g. an earlier batch whose audit FAILED, still an
+    *    ancestor of every later version). Fast-forwarding would
+    *    silently publish them, so publish CHERRY-PICKS instead: it
+    *    re-commits the batch's exact delta vs `base` — added files
+    *    (facts sliced from the staged manifest), removed files,
+    *    added deletion vectors, its txn watermark — as a NEW version
+    *    whose content is the PUBLISHED state plus that delta, then
+    *    advances `to`. The unpublished intermediate batches' files,
+    *    DVs, and txn watermarks are all excluded, so an abandoned
+    *    batch can be retried (its watermark never leaked) and its
+    *    rows never appear under the published ref.
+    *
+    * Conflicts fail loudly as [[java.util.ConcurrentModificationException]]:
+    * a batch that removed files, or DV-deleted rows, of an
+    * UNPUBLISHED batch's files cannot be replayed onto the published
+    * state (the reference it rewrote is not there) — re-stage it
+    * against the published state. Schema/layout changes between base
+    * and stage (or base and published) also refuse: stage those
+    * directly on the published lineage.
+    *
+    * Cost: O(published files + batch delta) driver string work plus
+    * one conditional-put commit — segment carry against the published
+    * manifest keeps the new manifest O(Δ) bytes; no data moves.
+    */
+  def publish(spark: SparkSession, path: String, to: String,
+              from: String): PublishResult = {
+    val st = resolveRef(path, from)
+    require(st.kind == "branch", s"ref '$from' is a ${st.kind}")
+    val pub = resolveRef(path, to)
+    require(pub.kind == "branch", s"ref '$to' is a ${pub.kind}")
+    require(st.base >= 0L,
+      s"branch '$from' records no staged-batch base — stage with " +
+        "stageBranch(path, name, toVersion, baseVersion) so publish " +
+        "knows the batch's exact delta (fastForward is only safe " +
+        "when every commit between the published and staged " +
+        "versions was audited)")
+    require(st.version > pub.version,
+      s"nothing to publish: '$from' pins v${st.version}, '$to' " +
+        s"already at v${pub.version}")
+    if (st.base == pub.version) {
+      advanceBranch(path, to, st.version)
+      return PublishResult(st.version, st.version, "fast-forward",
+        0, 0, 0)
+    }
+    def conflict(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"publish '$from' (v${st.version}, base v${st.base}) onto " +
+          s"'$to' (v${pub.version}) on $path: $why — re-stage the " +
+          "batch against the published state")
+    if (st.base == 0L)
+      conflict("the batch's parent is the EMPTY table but the " +
+        "published branch has state")
+    val mainV = readVersion(spark, path, pub.version)
+    val parentV = readVersion(spark, path, st.base)
+    val stageV = readVersion(spark, path, st.version)
+    // layout planes must agree on all three ends: the delta's file
+    // facts are positional slices and only transplant when the
+    // published manifest declares the same planes the staged one does
+    def samePlanes(a: Version, b: Version, rel: String): Unit = {
+      if (a.part != b.part) conflict(s"partition spec changed $rel")
+      if (a.stats.map(_.col) != b.stats.map(_.col))
+        conflict(s"stats layout changed $rel")
+      if (colSpecsOf(a) != colSpecsOf(b))
+        conflict(s"typed-stats layout changed $rel")
+      if (a.bloomConfs != b.bloomConfs)
+        conflict(s"bloom layout changed $rel")
+      if (a.schemaIds != b.schemaIds || a.schemaNames != b.schemaNames ||
+          a.epoch != b.epoch || a.schemaAltered != b.schemaAltered ||
+          a.droppedIds != b.droppedIds ||
+          a.schemaMaxId != b.schemaMaxId ||
+          a.addedTypes != b.addedTypes ||
+          a.widenedTypes != b.widenedTypes)
+        conflict(s"schema changed $rel — stage schema ops directly " +
+          "on the published lineage, they do not cherry-pick")
+    }
+    samePlanes(parentV, stageV, "inside the staged batch")
+    samePlanes(mainV, parentV,
+      "between the published version and the batch's parent")
+    // the batch's exact delta vs its own log parent
+    val parentSet = parentV.files.map(canonFile).toSet
+    val stageCanon = stageV.files.map(canonFile)
+    val stageSet = stageCanon.toSet
+    val addedIdx = stageV.files.indices
+      .filter(i => !parentSet(stageCanon(i)))
+    val removed = parentSet.diff(stageSet)
+    val mainCanon = mainV.files.map(canonFile)
+    val mainSet = mainCanon.toSet
+    val missing = removed.filterNot(mainSet)
+    if (missing.nonEmpty)
+      conflict(s"the batch rewrote/removed ${missing.size} file(s) " +
+        s"the published state does not carry (e.g. ${missing.head}) " +
+        "— it touched an UNPUBLISHED batch's data")
+    val dup = addedIdx.map(stageCanon).filter(mainSet)
+    if (dup.nonEmpty)
+      conflict(s"${dup.size} added file(s) already published " +
+        s"(e.g. ${dup.head}) — double publish of the same batch")
+    val parentDv = parentV.dvFiles.toSet
+    if (!parentDv.subsetOf(stageV.dvFiles.toSet))
+      conflict("the batch removed/compacted deletion vectors — a DV " +
+        "materialize does not cherry-pick; run it on the published " +
+        "state")
+    val dvAdd = stageV.dvFiles.filterNot(parentDv)
+    // published successor = published state − removed + batch's adds
+    val keptIdx = mainV.files.indices
+      .filterNot(i => removed(mainCanon(i)))
+    val files = keptIdx.map(mainV.files) ++ addedIdx.map(stageV.files)
+    if (dvAdd.nonEmpty) {
+      // the batch's DVs must target files of the PUBLISHED successor:
+      // a DV row against an unpublished batch's file means the batch
+      // deleted rows it cannot have seen under the published state
+      val newSet = files.map(canonFile).toSet
+      val targets = spark.read.parquet(dvAdd: _*)
+        .select("__dvf").distinct().collect().map(_.getString(0))
+      val bad = targets.filterNot(t => newSet(canonFile(t)))
+      if (bad.nonEmpty)
+        conflict(s"staged deletion vectors target ${bad.length} " +
+          s"file(s) absent from the published state (e.g. " +
+          s"${bad.head}) — the batch deleted an UNPUBLISHED batch's " +
+          "rows")
+    }
+    val mainRows = rowsOf(mainV); val mainBytes = bytesOf(mainV)
+    val stRows = rowsOf(stageV); val stBytes = bytesOf(stageV)
+    val rows = keptIdx.map(mainRows) ++ addedIdx.map(stRows)
+    val bytes = keptIdx.map(mainBytes) ++ addedIdx.map(stBytes)
+    val stats = mainV.stats.map { ms =>
+      val ss = stageV.stats.get
+      Stats(ms.col, keptIdx.map(ms.mins) ++ addedIdx.map(ss.mins),
+        keptIdx.map(ms.maxs) ++ addedIdx.map(ss.maxs))
+    }
+    val colStats = mainV.colStats.zip(stageV.colStats).map {
+      case (a, b) => a.slice(keptIdx) ++ b.slice(addedIdx)
+    }
+    val partValues = mainV.partValues.map(pv =>
+      keptIdx.map(pv) ++ addedIdx.map(stageV.partValues.get))
+    val partKeys = mainV.partKeys.map(pk =>
+      pk.slice(keptIdx) ++ stageV.partKeys.get.slice(addedIdx))
+    val schema = mainV.schemaIds.map(ids =>
+      SchemaMeta(ids, mainV.schemaNames.get,
+        keptIdx.map(mainV.fileEpochs.get) ++
+          addedIdx.map(stageV.fileEpochs.get),
+        mainV.epoch, mainV.droppedIds, mainV.schemaMaxId,
+        mainV.schemaAltered, mainV.addedTypes, mainV.widenedTypes))
+    // the BATCH's txn watermarks only: an entry the stage merely
+    // inherited from its parent belongs to an unpublished writer —
+    // leaking it would make that writer's retry think it committed
+    val txns = stageV.txns.foldLeft(mainV.txns) { case (m, (w, b)) =>
+      if (parentV.txns.get(w).contains(b)) m
+      else m.updated(w, math.max(b, m.getOrElse(w, Long.MinValue)))
+    }
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      // content derives from the PUBLISHED pin, never the head — the
+      // version number is just the next free slot in the linear log
+      val v = latestVersion(path) + 1
+      val manifest = renderManifest(v, files, rows, bytes, stats,
+        mainV.bloom, txns, part = mainV.part, partValues = partValues,
+        op = s"publish:$from", dvFiles = mainV.dvFiles ++ dvAdd,
+        dvRows = mainV.dvRows + (stageV.dvRows - parentV.dvRows),
+        schema = schema, colStats = colStats,
+        seg = path -> Some(mainV), partKeys = partKeys,
+        bloomsExtra = mainV.bloomsExtra)
+      try { commitExclusive(path, v, manifest); committed = v }
+      catch {
+        case _: FileAlreadyExistsException =>
+          attempts += 1
+          require(attempts < 16,
+            s"publish on $path lost $attempts consecutive version " +
+              "races")
+      }
+    }
+    advanceBranch(path, to, committed)
+    PublishResult(committed, st.version, "cherry-pick",
+      addedIdx.length, removed.size, dvAdd.length)
+  }
 
   /** Remove a ref (its version becomes expirable again). */
   def dropRef(path: String, name: String): Unit = {

@@ -4839,6 +4839,126 @@ object Relational {
       .toDF("n", "qty_u", "cbo_broadcast", "sizeonly_smj")
   }
 
+  /** q211 — publish-as-CHERRY-PICK
+    * ([[graft.ops.SnapshotTable.publish]]): write-audit-publish made
+    * safe under CONCURRENT staged writers. On a linear log a
+    * failed-audit batch stays an ancestor of every later version, so
+    * fast-forwarding past any later batch silently publishes the
+    * poison too (the r19 gap). [[graft.ops.SnapshotTable.stageBranch]]
+    * records each batch's log parent; publish re-commits exactly the
+    * audited batch's delta on top of the published pin — one
+    * metadata-only commit, zero data movement, the unpublished
+    * batch's files, DVs, and txn watermarks all excluded. Flow: A is
+    * published; C (poisoned) stages and FAILS its audit; a cleanup E
+    * that rewrote C's file in place is REFUSED at publish
+    * (ConcurrentModificationException — it touched unpublished data);
+    * D stages on top of all of that, passes its audit, and publishes
+    * by cherry-pick. DuckDB recomputes the published aggregates
+    * (slices A+D — C and its poison absent), the staged lineage count
+    * (A+C+poison), and the published violation count (0): a publish
+    * that carried C, or one that rewrote data, hash-mismatches.
+    */
+  val publishCherryPick = QueryDef("q211_publish_cherry_pick",
+    """WITH a AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-02-01'
+      |), c AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-02-01'
+      |    AND l_shipdate < TIMESTAMP '1997-03-01'
+      |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-999 AS BIGINT)
+      |), d AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |), pub AS (SELECT * FROM a UNION ALL SELECT * FROM d)
+      |SELECT
+      |  (SELECT count(*) FROM pub) AS n_pub,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM pub) AS qty_pub,
+      |  (SELECT count(*) FROM a) + (SELECT count(*) FROM c)
+      |    AS n_stage,
+      |  CAST(0 AS BIGINT) AS n_violations,
+      |  TRUE AS cherry_picked, TRUE AS conflict_rejected""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q211_table")
+    def slice(lo: String, hi: String) = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+    clusterLayouts.compute("q211", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        import s.implicits._
+        SnapshotTable.append(slice("1997-01-01", "1997-02-01"),
+          path, 4, statsCol = Some("k"))          // A = v1
+        SnapshotTable.createBranch(path, "main")  // published = v1
+        // batch C: poisoned; staged with its log parent recorded
+        SnapshotTable.append(
+          slice("1997-02-01", "1997-03-01")
+            .union(Seq((-1L, -999L)).toDF("k", "qty_u")),
+          path, 4, statsCol = Some("k"))          // C = v2
+        SnapshotTable.createBranch(path, "staging", 2)
+        SnapshotTable.stageBranch(path, "staging", 2, 1)
+        // batch E: "fix" C in place — COW-delete the poison row,
+        // which rewrites C's file (k = -1 is the global minimum, so
+        // exactly the poisoned file is hit)
+        SnapshotTable.deleteStatsRange(s, path, -1L, -1L) // E = v3
+        SnapshotTable.stageBranch(path, "staging", 3, 2)
+        // batch D: clean
+        SnapshotTable.append(slice("1997-03-01", "1997-04-01"),
+          path, 4, statsCol = Some("k"))          // D = v4
+      }
+      d
+    })
+    // audit C at its staged version: the poison is there
+    val nViol = SnapshotTable.scanAt(s, path, 2)._1
+      .filter(col("qty_u") < 0).count()
+    require(nViol == 1, s"staged poison count $nViol")
+    // E cannot publish: it rewrote an UNPUBLISHED batch's file
+    val stBefore = SnapshotTable.resolveRef(path, "staging")
+    val conflictRejected =
+      if (stBefore.version == 3 && stBefore.base == 2)
+        try { SnapshotTable.publish(s, path, "main", "staging"); false }
+        catch { case _: java.util.ConcurrentModificationException =>
+          true }
+      else true // already advanced to D on a warm re-run
+    require(conflictRejected,
+      "publish accepted a batch that rewrote unpublished data")
+    require(SnapshotTable.resolveRef(path, "main").version == 1 ||
+      SnapshotTable.resolveRef(path, "main").kind != "branch" ||
+      SnapshotTable.resolveRef(path, "main").version >= 4,
+      "rejected publish moved the published ref")
+    // D passes its audit and publishes by cherry-pick (an idempotent
+    // warm re-run sees main already advanced and skips)
+    if (SnapshotTable.resolveRef(path, "main").version == 1) {
+      SnapshotTable.stageBranch(path, "staging", 4, 3)
+      val pr = SnapshotTable.publish(s, path, "main", "staging")
+      require(pr.mode == "cherry-pick",
+        s"expected cherry-pick, got ${pr.mode}")
+    }
+    val t = s.read.format("graft_table").option("path", path)
+      .option("ref", "main").load()
+    val pubViol = t.filter(col("qty_u") < 0).count()
+    require(pubViol == 0,
+      "published state leaked the poisoned batch via fast-forward")
+    val pub = t.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    val nStage = SnapshotTable.scanAt(s, path, 2)._3
+    import s.implicits._
+    Seq((pub.getLong(0), pub.getLong(1), nStage, pubViol, true, true))
+      .toDF("n_pub", "qty_pub", "n_stage", "n_violations",
+        "cherry_picked", "conflict_rejected")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4857,7 +4977,7 @@ object Relational {
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
     metaDelete, typedCompaction, typedSpj, partitionedZorder,
-    writeAuditPublish, ndvBroadcast)
+    writeAuditPublish, ndvBroadcast, publishCherryPick)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

@@ -36,7 +36,7 @@ private[v2] object GraftProcedures {
   val names: Seq[String] = Seq("optimize", "zorder", "expire", "vacuum",
     "materialize_deletes", "materialize_schema", "restore", "clone",
     "analyze", "create_branch", "create_tag", "fast_forward",
-    "drop_ref")
+    "stage_branch", "publish", "drop_ref")
 
   def load(root: String, name: String): UnboundProcedure = {
     def pathOf(table: String): String =
@@ -114,6 +114,36 @@ private[v2] object GraftProcedures {
         Seq[Any](SnapshotTable.fastForward(p,
           args(1).asInstanceOf[UTF8String].toString,
           args(2).asInstanceOf[UTF8String].toString))
+      }
+      case "stage_branch" => proc("stage_branch",
+        Seq("table" -> StringType, "name" -> StringType,
+          "version" -> LongType, "base" -> LongType),
+        StructType(Seq(StructField("version", LongType)))) { args =>
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        Seq[Any](SnapshotTable.stageBranch(p,
+          args(1).asInstanceOf[UTF8String].toString,
+          args(2).asInstanceOf[Long], args(3).asInstanceOf[Long]))
+      }
+      case "publish" => proc("publish",
+        Seq("table" -> StringType, "to" -> StringType,
+          "from" -> StringType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("staged", LongType),
+          StructField("mode", StringType),
+          StructField("files_added", IntegerType),
+          StructField("files_removed", IntegerType),
+          StructField("dv_added", IntegerType)))) { args =>
+        // publish-as-cherry-pick: safe when other staged batches
+        // (possibly failed-audit ones) sit between the published and
+        // staged versions — see [[SnapshotTable.publish]]
+        val spark = SparkSession.active
+        val p = pathOf(args(0).asInstanceOf[UTF8String].toString)
+        val r = SnapshotTable.publish(spark, p,
+          args(1).asInstanceOf[UTF8String].toString,
+          args(2).asInstanceOf[UTF8String].toString)
+        GraftTableSource.invalidate(p)
+        Seq[Any](r.version, r.staged, UTF8String.fromString(r.mode),
+          r.filesAdded, r.filesRemoved, r.dvAdded)
       }
       case "drop_ref" => proc("drop_ref",
         Seq("table" -> StringType, "name" -> StringType),

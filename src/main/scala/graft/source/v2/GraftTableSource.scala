@@ -609,13 +609,17 @@ object GraftTableSource {
     ver.bloomConfs.foreach { bc =>
       // typed: probe values keep their source kind (string/date/
       // timestamp/integral), canonicalized per BloomIndex.canonProbe
-      // to the encoding the build side put
+      // to the encoding the build side put. Only a COMPLETE
+      // translation of a conjunct may prune (same rule as every
+      // other pruning pass): probing with a PARTIAL In-list would
+      // drop files holding only the untranslatable value
       val bloomKeys: Seq[Either[Long, String]] = filters.collect {
         case EqualTo(c, v) if c == bc.col =>
-          BloomIndex.canonProbe(v).toSeq
+          Seq(BloomIndex.canonProbe(v))
         case In(c, vs) if c == bc.col =>
-          vs.toSeq.flatMap(BloomIndex.canonProbe)
-      }.flatten.toSeq
+          vs.toSeq.map(BloomIndex.canonProbe)
+      }.toSeq.filter(ks => ks.nonEmpty && ks.forall(_.isDefined))
+        .flatten.flatten
       if (bloomKeys.nonEmpty && keep.nonEmpty) {
         val spark = SparkSession.active
         import spark.implicits._
@@ -1487,8 +1491,18 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
             Some(key.asInstanceOf[Double].floatValue())
           case _ => None
         }
+        // dtypes catalystOf discards (string/boolean) short-circuit
+        // BEFORE the O(surviving-files) reduce — a large manifest
+        // with a string stats column in the output must not pay a
+        // per-file pass for a bound that is then thrown away
+        val servedDtype = cs.dtype match {
+          case "int" | "date" | "long" | "timestamp" | "double" |
+               "float" => true
+          case _ => false
+        }
         def bound(keys: IndexedSeq[Any], takeMax: Boolean): Option[Any] =
-          if (kept.isEmpty || kept.exists(i => keys(i) == null)) None
+          if (!servedDtype || kept.isEmpty ||
+              kept.exists(i => keys(i) == null)) None
           else catalystOf(kept.map(keys)
             .reduce((a, b) =>
               if ((graft.ops.TypedBounds.compare(cs.dtype, a, b) > 0)

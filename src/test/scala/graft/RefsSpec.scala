@@ -200,4 +200,162 @@ class RefsSpec extends SparkSpec {
     assert(pv === 2 && rows === 200)
     assert(pub.filter(col("v") =!= col("k") * 2).count() === 0)
   }
+
+  test("publish cherry-picks the staged batch past a failed-audit " +
+      "ancestor: the published state carries D but NOT C, and C's " +
+      "txn watermark never leaks into the published lineage") {
+    import spark.implicits._
+    val path = freshPath()
+    mk(path, 1) // batch A = v1
+    SnapshotTable.createBranch(path, "main") // published = v1
+    // batch C: POISONED (v=1 breaks v = k*2), staged, audit FAILS
+    SnapshotTable.append(
+      ((2000L until 2050L).map(i => (i, i * 2)) :+ (5000L, 1L))
+        .toDF("k", "v"), path, 2, statsCol = Some("k"),
+      txn = Some(("writerC", 1L)))
+    SnapshotTable.createBranch(path, "staging", 2)
+    SnapshotTable.stageBranch(path, "staging", 2, 1)
+    val (sc, _, _) = SnapshotTable.scanRef(spark, path, "staging")
+    assert(sc.filter(col("v") =!= col("k") * 2).count() === 1)
+    // audit failed → abandon C. batch D: clean, staged base = v2
+    SnapshotTable.append((3000L until 3080L).map(i => (i, i * 2))
+      .toDF("k", "v"), path, 2, statsCol = Some("k"),
+      txn = Some(("writerD", 7L)))
+    SnapshotTable.stageBranch(path, "staging", 3, 2)
+    val (sd, _, _) = SnapshotTable.scanRef(spark, path, "staging")
+    // D's slice audits clean (C's poison is visible at the staged
+    // version — the audit scopes to the batch's key range)
+    assert(sd.filter(col("k") >= 3000L && col("k") < 4000L)
+      .filter(col("v") =!= col("k") * 2).count() === 0)
+    val r = SnapshotTable.publish(spark, path, "main", "staging")
+    assert(r.mode === "cherry-pick" && r.version === 4)
+    assert(SnapshotTable.resolveRef(path, "main").version === 4)
+    val (pub, _, pubRows) = SnapshotTable.scanRef(spark, path, "main")
+    assert(pubRows === 180, s"published rows $pubRows")    // A + D
+    assert(pub.filter(col("k") >= 2000L && col("k") < 3000L).count()
+      === 0, "the failed-audit batch leaked into the published state")
+    assert(pub.filter(col("k") >= 3000L).count() === 80)
+    assert(pub.filter(col("v") =!= col("k") * 2).count() === 0)
+    // C's watermark must NOT be published (a retry of C must not
+    // think it committed); D's must be
+    val v4 = SnapshotTable.readVersion(spark, path, 4)
+    assert(!v4.txns.contains("writerC"), "failed batch's txn leaked")
+    assert(v4.txns.get("writerD").contains(7L))
+    // stats survive the transplant: a key-range scan still prunes
+    val (_, filesRead, filesTotal) =
+      SnapshotTable.scanStatsRange(spark, path, 4, 3000L, 3010L)
+    assert(filesRead < filesTotal,
+      s"cherry-picked manifest lost stats pruning ($filesRead/" +
+        s"$filesTotal)")
+    // time travel unbroken: the staged versions still read their
+    // full lineage (C included) — cherry-pick rewrote nothing
+    assert(SnapshotTable.scanAt(spark, path, 3)._1.count() === 231)
+  }
+
+  test("publish is a plain fast-forward when nothing foreign sits " +
+      "under the batch, and refuses without a staged base") {
+    import spark.implicits._
+    val path = freshPath()
+    mk(path, 1)
+    SnapshotTable.createBranch(path, "main")
+    SnapshotTable.append((900L until 950L).map(i => (i, i * 2))
+      .toDF("k", "v"), path, 1, statsCol = Some("k"))
+    SnapshotTable.createBranch(path, "staging", 2)
+    // plain advance records no base → publish refuses, fastForward
+    // remains the explicit whole-range publish
+    val noBase = intercept[IllegalArgumentException] {
+      SnapshotTable.publish(spark, path, "main", "staging")
+    }
+    assert(noBase.getMessage.contains("stageBranch"))
+    SnapshotTable.stageBranch(path, "staging", 2, 1)
+    val r = SnapshotTable.publish(spark, path, "main", "staging")
+    assert(r.mode === "fast-forward" && r.version === 2)
+    assert(SnapshotTable.resolveRef(path, "main").version === 2)
+    assert(SnapshotTable.latestVersion(path) === 2,
+      "fast-forward publish must not mint a new version")
+  }
+
+  test("publish rejects a batch that touched an unpublished batch's " +
+      "data: removed files and DV deletes against staged-only files " +
+      "both fail loudly") {
+    import spark.implicits._
+    val path = freshPath()
+    mk(path, 1) // v1: k in [0, 100)
+    SnapshotTable.createBranch(path, "main")
+    // batch C (unpublished): k in [2000, 2050)
+    SnapshotTable.append((2000L until 2050L).map(i => (i, i * 2))
+      .toDF("k", "v"), path, 1, statsCol = Some("k"))
+    // batch E: COW-deletes rows C added → rewrites C's file
+    SnapshotTable.deleteStatsRange(spark, path, 2000L, 2010L)
+    SnapshotTable.createBranch(path, "staging", 3)
+    SnapshotTable.stageBranch(path, "staging", 3, 2)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.publish(spark, path, "main", "staging")
+    }
+    assert(e.getMessage.contains("UNPUBLISHED"))
+    assert(SnapshotTable.resolveRef(path, "main").version === 1,
+      "a rejected publish must not move the published ref")
+    // DV flavor: delete via deletion vectors against C's rows
+    SnapshotTable.setDvPolicy(path, maxDvFiles = 100,
+      maxDvFraction = 1.0)
+    SnapshotTable.deleteRowsWhere(spark, path, "k = 2020")
+    SnapshotTable.stageBranch(path, "staging", 4, 3)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.publish(spark, path, "main", "staging")
+    }
+    assert(e2.getMessage.contains("deletion vectors") ||
+      e2.getMessage.contains("UNPUBLISHED"))
+  }
+
+  test("ref hygiene: digit-only names refuse (VERSION AS OF " +
+      "ambiguity), a dropped ref stays dropped, and refs() tolerates " +
+      "a half-created name") {
+    val path = freshPath()
+    mk(path, 2)
+    val digits = intercept[IllegalArgumentException] {
+      SnapshotTable.createBranch(path, "2026", 1)
+    }
+    assert(digits.getMessage.contains("version NUMBER"))
+    SnapshotTable.createBranch(path, "main", 1)
+    SnapshotTable.dropRef(path, "main")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.advanceBranch(path, "main", 2)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "log", "refs", "main")),
+      "a failed advance after drop must not resurrect the ref dir")
+    // a ref dir with no pin yet (a creator crashed mid-create, or a
+    // concurrent drop won): listing skips it instead of failing
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "log", "refs", "halfway"))
+    assert(SnapshotTable.refs(path).map(_.name) === Seq.empty)
+  }
+
+  test("SQL surface: CALL stage_branch + publish cherry-pick from " +
+      "pure SQL") {
+    val r = Files.createTempDirectory("refscat2").toString
+    spark.conf.set("spark.sql.catalog.graft_rp",
+      "graft.source.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rp.root", r)
+    spark.sql("CREATE TABLE graft_rp.db.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_rp.db.t SELECT id, id * 2 FROM range(100)")
+    spark.sql("CALL graft_rp.system.create_branch('db.t', 'main', -1)")
+    // staged batch C (poison), audit fails
+    spark.sql("INSERT INTO graft_rp.db.t VALUES (5000, 1)")
+    spark.sql("CALL graft_rp.system.create_branch('db.t', 'staging', 2)")
+    spark.sql("CALL graft_rp.system.stage_branch('db.t', 'staging', 2, 1)")
+    // staged batch D (clean), audit passes, publish
+    spark.sql("INSERT INTO graft_rp.db.t " +
+      "SELECT id, id * 2 FROM range(100, 150)")
+    spark.sql("CALL graft_rp.system.stage_branch('db.t', 'staging', 3, 2)")
+    val pr = spark.sql(
+      "CALL graft_rp.system.publish('db.t', 'main', 'staging')").head
+    assert(pr.getString(2) === "cherry-pick")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_rp.db.t VERSION AS OF 'main'")
+      .head.getLong(0) === 150)
+    assert(spark.sql("SELECT count(*) FROM graft_rp.db.t " +
+      "VERSION AS OF 'main' WHERE v <> k * 2").head.getLong(0) === 0)
+    spark.sql("DROP TABLE graft_rp.db.t")
+  }
 }
