@@ -4367,15 +4367,16 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
-    require(ver.dvFiles.isEmpty,
-      "table carries deletion vectors — materializeDeletes(...) first " +
-        "so the rewrite cannot resurrect MOR-deleted rows")
     require(ver.part.isEmpty,
       "recluster would rewrite files without their partition dirs — " +
         "use reclusterPartitioned on hidden-partitioned tables")
     requireUniform(ver, "recluster")
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(ver.files: _*)
+    // DV-aware (r20): a whole-table rewrite is ALSO the natural DV
+    // materialize — subtract deletion-vector positions during the
+    // read (same anti-join as every scan) and commit with no DVs,
+    // instead of demanding a separate materializeDeletes pass first
+    val data = applyDv(spark, spark.read.option("mergeSchema", "true")
+      .parquet(ver.files: _*), ver)
     require(data.columns.contains(clusterCol),
       s"recluster column $clusterCol not in table " +
         s"(${data.columns.toSeq.mkString(", ")}) — add it before " +
@@ -4426,14 +4427,14 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
-    require(ver.dvFiles.isEmpty,
-      "table carries deletion vectors — materializeDeletes(...) first " +
-        "so the rewrite cannot resurrect MOR-deleted rows")
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "reclusterPartitioned needs hidden partitioning — use recluster"))
     requireUniform(ver, "reclusterPartitioned")
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(ver.files: _*)
+    // DV-aware (r20): subtract deletion-vector positions during the
+    // read — the full rewrite doubles as the DV materialize, so a
+    // curated (MOR-deleted) table rezorders in ONE pass
+    val data = applyDv(spark, spark.read.option("mergeSchema", "true")
+      .parquet(ver.files: _*), ver)
     require(data.columns.contains(clusterCol),
       s"recluster column $clusterCol not in table " +
         s"(${data.columns.toSeq.mkString(", ")}) — add it before " +
@@ -4623,9 +4624,6 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
-    require(ver.dvFiles.isEmpty,
-      "table carries deletion vectors — materializeDeletes(...) first " +
-        "so the rewrite cannot resurrect MOR-deleted rows")
     txn.foreach { case (w, b) =>
       if (ver.txns.get(w).exists(_ >= b))
         return MergeResult(prev, 0, ver.files.length, 0L, 0L)
@@ -4703,9 +4701,27 @@ object SnapshotTable {
     val rows = rowsOf(ver)
     val bytes = bytesOf(ver)
     val hitRows = hitIdx.map(rows).sum
+    // DV-aware (r20): hit files read through the same deletion-vector
+    // anti-join every scan applies, so a rewrite cannot resurrect
+    // MOR-deleted rows; kept files' DV rows carry in the manifest and
+    // the rewritten files' DV rows go INERT (their target path no
+    // longer appears in the file list — the anti-join matches
+    // nothing), purged by the next materialize. Manifest per-file row
+    // counts are PHYSICAL, so the matched arithmetic subtracts the
+    // DV rows that targeted the hit files.
+    val dvHitRows: Long =
+      if (ver.dvFiles.isEmpty || hitIdx.isEmpty) 0L
+      else {
+        val hitCanon = hitIdx.map(i => canonFile(ver.files(i))).toSet
+        spark.read.parquet(ver.dvFiles: _*).groupBy("__dvf").count()
+          .collect()
+          .filter(r => hitCanon(canonFile(r.getString(0))))
+          .map(_.getLong(1)).sum
+      }
     val newData =
       if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
-      else spark.read.parquet(hitIdx.map(ver.files): _*)
+      else applyDv(spark,
+          spark.read.parquet(hitIdx.map(ver.files): _*), ver)
         .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         .select(tableCols.map(col): _*)
         .unionByName(updates.select(tableCols.map(col): _*))
@@ -4733,11 +4749,17 @@ object SnapshotTable {
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, Some(spec),
       Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE",
+      // DVs carry verbatim: kept files still need theirs, rewritten
+      // files' rows are inert (path gone from the file list). dvRows
+      // keeps the physical count — it overstates LIVE deletes by the
+      // inert rows, which only makes the DV policy materialize
+      // sooner (the safe direction)
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
       seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
-    val matched = hitRows + nUpd - batch.rows.sum
+    val matched = hitRows - dvHitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
   }
 

@@ -4959,6 +4959,107 @@ object Relational {
         "cherry_picked", "conflict_rejected")
   }
 
+  /** q212 — DV-AWARE OPTIMIZE ZORDER on a typed-partitioned table
+    * ([[graft.ops.SnapshotTable.reclusterPartitioned]] r20): a
+    * curated table (MOR deletion vectors from a curation pass) used
+    * to demand a separate materializeDeletes before any re-layout —
+    * two full rewrites where one suffices. The recluster read now
+    * subtracts DV positions (the same anti-join every scan applies)
+    * and the rewrite doubles as the materialize: ONE pass, the new
+    * version carries no DVs, and curve-order within each days×bucket
+    * tuple composes with partition pruning exactly as q208. DuckDB
+    * recomputes the post-delete aggregates from raw lineitem minus
+    * the deleted predicate — a resurrection (DV dropped instead of
+    * applied) or a lost row changes counts/sums and hash-mismatches;
+    * day and rectangle pruning are require-asserted on the scan
+    * planner's file counts.
+    */
+  val dvZorder = QueryDef("q212_dv_zorder",
+    """WITH pts AS (
+      |  SELECT DATE '1996-01-01' + CAST(l_suppkey % 4 AS INT) AS d,
+      |    concat('g', CAST(l_orderkey % 2 AS VARCHAR)) AS g,
+      |    l_partkey % 256 AS px, l_orderkey % 256 AS py,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem),
+      |live AS (SELECT * FROM pts WHERE px <> 0)
+      |SELECT
+      |  (SELECT count(*) FROM live) AS n_live,
+      |  (SELECT count(*) FROM pts) - (SELECT count(*) FROM live)
+      |    AS n_deleted,
+      |  (SELECT count(*) FROM live WHERE d = DATE '1996-01-02')
+      |    AS n_day,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM live
+      |    WHERE px <= 63 AND py <= 63) AS qty_rect,
+      |  CAST(0 AS BIGINT) AS n_resurrected,
+      |  TRUE AS dv_folded, TRUE AS pruned_day,
+      |  TRUE AS pruned_curve""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.{PartField, PartSpec}
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q212_table")
+    clusterLayouts.compute("q212", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val spec = PartSpec(Seq(
+          PartField("d", "days", 0L, "date"),
+          PartField("g", "bucket", 2L, "string")))
+        val base = Tables.lineitem(s, d).select(
+          date_add(lit("1996-01-01").cast("date"),
+            pmod(col("l_suppkey"), lit(4)).cast("int")).as("d"),
+          concat(lit("g"), pmod(col("l_orderkey"), lit(2)).cast("string"))
+            .as("g"),
+          pmod(col("l_partkey"), lit(256)).cast("long").as("px"),
+          pmod(col("l_orderkey"), lit(256)).cast("long").as("py"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"),
+          monotonically_increasing_id().as("arr"))
+          .withColumn("z", graft.functions.ZOrderExpr.zorder(
+            col("px"), col("py"), 8))
+        SnapshotTable.appendPartitioned(base, path, spec,
+          statsCol = Some("arr"))
+        // curation pass: MOR-delete a scattered slice (px = 0 hits
+        // every partition) — deletion vectors, no rewrite
+        val (v2, nDel) =
+          SnapshotTable.deleteRowsWhere(s, path, "px = 0")
+        require(nDel > 0, "fixture: the curation delete hit no rows")
+        require(SnapshotTable.readVersion(s, path, v2)
+          .dvFiles.nonEmpty, "fixture: delete was not MOR")
+        // re-layout DIRECTLY on the DV-carrying table — one pass
+        val r = SnapshotTable.reclusterPartitioned(s, path, "z", 32)
+        require(SnapshotTable.readVersion(s, path, r.version)
+          .dvFiles.isEmpty, "recluster must fold the DVs")
+        require(SnapshotTable.changes(s, path, v2, r.version)
+          .count() == 0,
+          "DV-aware recluster must preserve logical content")
+      }
+      d
+    })
+    val t = s.read.format("graft_table").option("path", path).load()
+    val nLive = t.count()
+    val nDeleted = t.filter(col("px") === 0).count() // must be 0 live
+    require(nDeleted == 0, "MOR-deleted rows resurrected")
+    val nDel = Tables.lineitem(s, d)
+      .filter(pmod(col("l_partkey"), lit(256)) === 0).count()
+    val day = java.time.LocalDate.parse("1996-01-02")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nDay = t.filter(col("d") === lit(day)).count()
+    val (pd, tot) = GraftTableSource.lastPlan.get()
+    require(pd > 0 && pd < tot,
+      s"days() pruning failed post-recluster: planned $pd of $tot")
+    val zHi = graft.functions.ZOrderExpr.interleave(63, 63, 8)
+    GraftTableSource.lastPlan.set((-1, -1))
+    val qtyRect = t.filter(col("z") <= zHi &&
+        col("px") <= 63 && col("py") <= 63)
+      .agg(sum("qty_u").cast("long")).collect().head.getLong(0)
+    val (pz, _) = GraftTableSource.lastPlan.get()
+    require(pz > 0 && pz < tot,
+      s"curve rectangle pruning failed: planned $pz of $tot")
+    import s.implicits._
+    Seq((nLive, nDel, nDay, qtyRect, nDeleted, true, true, true))
+      .toDF("n_live", "n_deleted", "n_day", "qty_rect",
+        "n_resurrected", "dv_folded", "pruned_day", "pruned_curve")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -4977,7 +5078,7 @@ object Relational {
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
     metaDelete, typedCompaction, typedSpj, partitionedZorder,
-    writeAuditPublish, ndvBroadcast, publishCherryPick)
+    writeAuditPublish, ndvBroadcast, publishCherryPick, dvZorder)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

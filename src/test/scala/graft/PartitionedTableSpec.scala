@@ -407,4 +407,74 @@ class PartitionedTableSpec extends SparkSpec {
     }
     assert(intKey.getMessage.contains("LONG"))
   }
+
+  test("mergePartitioned is DV-aware: the hit-file rewrite applies " +
+      "deletion vectors (no resurrection), kept files' DVs carry, and " +
+      "matched counts exclude MOR-deleted rows") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 100)
+    SnapshotTable.appendPartitioned(
+      (0L until 400L).map(t => (t, t * 2)).toDF("t", "v"),
+      path, spec, statsCol = Some("t"))
+    val (_, nDel) = SnapshotTable.deleteRowsWhere(spark, path,
+      "t BETWEEN 150 AND 250") // partitions 1 and 2 carry DV rows
+    assert(nDel === 101)
+    // t=50 is live (update in place); t=160 is MOR-DELETED — the
+    // merge must treat it as NOT MATCHED (insert), not resurrect the
+    // dead row and update it
+    val res = SnapshotTable.mergePartitioned(spark, path,
+      Seq((50L, -1L), (160L, -2L)).toDF("t", "v"), "t")
+    assert(res.rowsMatched === 1 && res.rowsInserted === 1,
+      s"DV-deleted row counted as matched: $res")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, res.version)
+    assert(scan.count() === 400 - 101 + 1)
+    assert(scan.filter(col("t") === 160L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(-2L),
+      "the re-inserted key must carry ONLY the merge's row")
+    assert(scan.filter(col("t") === 155L).count() === 0,
+      "rewriting partition 1 resurrected its MOR-deleted rows")
+    // partition 2 was NOT rewritten: its DV rows still apply
+    assert(scan.filter(col("t").between(200L, 299L)).count() === 49)
+    val ver = SnapshotTable.readVersion(spark, path, res.version)
+    assert(ver.dvFiles.nonEmpty, "kept files still need their DVs")
+    // a later materialize folds what remains and ends the read tax
+    val m = SnapshotTable.materializeDeletes(spark, path)
+    val vm = SnapshotTable.readVersion(spark, path, m.version)
+    assert(vm.dvFiles.isEmpty)
+    assert(SnapshotTable.scanAt(spark, path, m.version)._1.count()
+      === 300)
+  }
+
+  test("reclusterPartitioned is DV-aware: the full rewrite doubles as " +
+      "the materialize — DVs fold in one pass, nothing resurrects, " +
+      "and the change feed across the commit is empty") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 100)
+    SnapshotTable.appendPartitioned(
+      (0L until 400L).map(t => (t, (t * 37) % 256, t * 2))
+        .toDF("t", "z", "v"),
+      path, spec, statsCol = Some("t"))
+    SnapshotTable.deleteRowsWhere(spark, path, "v % 20 = 0")
+    val v2 = SnapshotTable.readVersion(spark, path, 2)
+    assert(v2.dvFiles.nonEmpty)
+    // recluster DIRECTLY — no materializeDeletes first
+    val r = SnapshotTable.reclusterPartitioned(spark, path, "z", 8)
+    val v3 = SnapshotTable.readVersion(spark, path, r.version)
+    assert(v3.dvFiles.isEmpty, "recluster must fold the DVs")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, r.version)
+    assert(scan.count() === 400 - 40)
+    assert(scan.filter(col("v") % 20 === 0).count() === 0,
+      "the rewrite resurrected MOR-deleted rows")
+    assert(v3.partValues.get.length === v3.files.length)
+    // row-preserving in LOGICAL content: empty change feed
+    assert(SnapshotTable.changes(spark, path, 2, r.version).count()
+      === 0)
+    // partition pruning survives the re-layout
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(spark, path, r.version,
+        100L, 199L)
+    assert(read < total && probe.count() === 100 - 10)
+  }
 }
