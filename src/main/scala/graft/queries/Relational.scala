@@ -5060,6 +5060,116 @@ object Relational {
         "n_resurrected", "dv_folded", "pruned_day", "pruned_curve")
   }
 
+  /** q213 — NDV statistics drive MULTI-JOIN REORDER, oracle-gated
+    * (the second thing `distinctCount` buys after q210's broadcast
+    * flip): a 3-table star written in the WORST syntactic order —
+    * fact ⋈ wide dim first, selective dim last. Under
+    * `spark.sql.cbo.joinReorder.enabled` the per-file KMV NDV
+    * sketches served through `SupportsReportStatistics` let
+    * FilterEstimation price the dim filter at rows/NDV and
+    * CostBasedJoinReorder flip the join ORDER (selective dim joins
+    * the fact FIRST — at 100 TB the difference between a fact-sized
+    * and a filter-sized intermediate). Plan-asserted both ways: with
+    * CBO the selective dim's scan sits in the INNER join, the
+    * size-only control keeps the written order (guards against the
+    * flip being free). DuckDB recomputes the star aggregate from raw
+    * lineitem ⋈ orders ⋈ part, so a wrong NDV can only change the
+    * PLAN, never the answer.
+    */
+  val ndvJoinReorder = QueryDef("q213_ndv_join_reorder",
+    """WITH probe AS (SELECT min(o_custkey) AS c FROM orders)
+      |SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |    AS qty_u,
+      |  TRUE AS cbo_reordered, TRUE AS sizeonly_syntactic
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_custkey = (SELECT c FROM probe)""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val pf = Work.oracleDumpPath("q213_fact")
+    val pa = Work.oracleDumpPath("q213_dima")
+    val pb = Work.oracleDumpPath("q213_dimb")
+    clusterLayouts.compute("q213", (_, prev) => {
+      if (prev != d) {
+        Seq(pf, pa, pb).foreach(p =>
+          Work.wipe(java.nio.file.Paths.get(p)))
+        SnapshotTable.append(
+          Tables.lineitem(s, d).select(
+            col("l_orderkey").as("ko"),
+            col("l_partkey").as("kp"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_u")),
+          pf, 4, statsCol = Some("ko"), statsCols = Seq("kp"))
+        SnapshotTable.append(
+          Tables.orders(s, d).select(
+            col("o_orderkey").as("u"),
+            col("o_custkey").cast("long").as("cust"),
+            concat(lit("a" * 48), col("o_orderkey").cast("string"))
+              .as("pada")),
+          pa, 4, statsCol = Some("u"), statsCols = Seq("cust"))
+        SnapshotTable.append(
+          Tables.part(s, d).select(
+            col("p_partkey").as("w"),
+            col("p_size").cast("long").as("psize"),
+            concat(lit("b" * 48), col("p_partkey").cast("string"))
+              .as("padb")),
+          pb, 4, statsCol = Some("w"))
+      }
+      d
+    })
+    val minCust = s.read.format("graft_table").option("path", pa)
+      .load().agg(min("cust")).collect().head.getLong(0)
+    def plan(cbo: Boolean): (String, org.apache.spark.sql.Row) = {
+      val keys = Seq(
+        "spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString,
+        "spark.sql.adaptive.enabled" -> "false")
+      val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val fact = s.read.format("graft_table").option("path", pf).load()
+        val dimA = s.read.format("graft_table").option("path", pa)
+          .load().filter(col("cust") === minCust)
+        val dimB = s.read.format("graft_table").option("path", pb).load()
+        // WRITTEN order: wide dim first — the trap a size-only
+        // planner walks into
+        val j = fact.join(dimB, col("kp") === col("w"))
+          .join(dimA, col("ko") === col("u"))
+          .agg(count(lit(1)).as("n"),
+            sum("qty_u").cast("long").as("q"),
+            max(length(col("pada"))), max(length(col("padb"))))
+        (j.queryExecution.executedPlan.toString, j.collect().head)
+      } finally prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    // the OUTER join prints first in the tree: syntactic order makes
+    // the kp⋈w (wide dim) join the INNER one, the reordered plan
+    // makes ko⋈u (selective dim) inner. Match the join nodes' own
+    // condition text — scan paths are unreliable markers because the
+    // runtime-pruning subquery nests a dim scan inside the fact scan
+    def joinOrder(p: String): (Int, Int) =
+      (p.indexOf("Join [ko"), p.indexOf("Join [kp"))
+    val (withCbo, r) = plan(cbo = true)
+    val (ko1, kp1) = joinOrder(withCbo)
+    require(ko1 >= 0 && kp1 >= 0 && kp1 < ko1,
+      s"NDV stats did not reorder the star (selective dim still " +
+        s"joins last: ko@$ko1 kp@$kp1):\n" + withCbo.take(1500))
+    val (noCbo, r2) = plan(cbo = false)
+    val (ko2, kp2) = joinOrder(noCbo)
+    require(ko2 >= 0 && kp2 >= 0 && ko2 < kp2,
+      "control broken: the size-only plan already joins the " +
+        "selective dim first — the reorder proves nothing\n" +
+        noCbo.take(1500))
+    require(r.getLong(0) == r2.getLong(0) && r.getLong(1) == r2.getLong(1),
+      "the two join orders disagree on the answer")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), true, true))
+      .toDF("n", "qty_u", "cbo_reordered", "sizeonly_syntactic")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -5078,7 +5188,8 @@ object Relational {
     sqlMaintenance, typedStatsPrune, occRebase, ctasAtomic,
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
     metaDelete, typedCompaction, typedSpj, partitionedZorder,
-    writeAuditPublish, ndvBroadcast, publishCherryPick, dvZorder)
+    writeAuditPublish, ndvBroadcast, publishCherryPick, dvZorder,
+    ndvJoinReorder)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

@@ -205,4 +205,50 @@ class NdvStatsSpec extends SparkSpec {
       "control broken: the size-only estimate already broadcasts — " +
         "the flip proves nothing\n" + withoutCbo.take(1500))
   }
+
+  test("join reorder: NDV-derived cardinalities flip a 3-table star's " +
+      "join ORDER under cbo.joinReorder; the size-only control keeps " +
+      "the written (bad) order") {
+    val pf = freshPath(); val pa = freshPath(); val pb = freshPath()
+    // fact joins BOTH dims; the selective filter sits on dimA but the
+    // query is WRITTEN with the wide dimB joined first
+    SnapshotTable.append(
+      spark.range(0, 20000).select(col("id").as("ko"),
+        (col("id") % 2000).as("kp")),
+      pf, 4, statsCol = Some("ko"), statsCols = Seq("kp"))
+    SnapshotTable.append(
+      spark.range(0, 20000).select(col("id").as("u"),
+        (col("id") % 50).as("grp"),
+        concat(lit("a" * 32), col("id").cast("string")).as("pada")),
+      pa, 4, statsCol = Some("u"), statsCols = Seq("grp"))
+    SnapshotTable.append(
+      spark.range(0, 2000).select(col("id").as("w"),
+        concat(lit("b" * 32), col("id").cast("string")).as("padb")),
+      pb, 2, statsCol = Some("w"))
+    def plan(cbo: Boolean): String = withSQLConf(
+      "spark.sql.cbo.enabled" -> cbo.toString,
+      "spark.sql.cbo.joinReorder.enabled" -> cbo.toString,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.read.format("graft_table").option("path", pf).load()
+      val dimA = spark.read.format("graft_table").option("path", pa)
+        .load().filter(col("grp") === 7)
+      val dimB = spark.read.format("graft_table").option("path", pb).load()
+      val j = fact.join(dimB, col("kp") === col("w"))
+        .join(dimA, col("ko") === col("u"))
+        .agg(count(lit(1)), max(length(col("pada"))),
+          max(length(col("padb"))))
+      j.queryExecution.executedPlan.toString
+    }
+    // outer join prints first: reordered → the kp⋈w join is OUTER
+    // (selective dim joined the fact first), syntactic → ko⋈u outer
+    def order(p: String): (Int, Int) =
+      (p.indexOf("Join [ko"), p.indexOf("Join [kp"))
+    val (ko1, kp1) = order(plan(cbo = true))
+    assert(ko1 >= 0 && kp1 >= 0 && kp1 < ko1,
+      s"NDV stats did not reorder the star (ko@$ko1 kp@$kp1)")
+    val (ko2, kp2) = order(plan(cbo = false))
+    assert(ko2 >= 0 && kp2 >= 0 && ko2 < kp2,
+      s"control broken: size-only plan already reordered " +
+        s"(ko@$ko2 kp@$kp2)")
+  }
 }
