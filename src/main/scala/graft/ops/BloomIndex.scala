@@ -93,10 +93,18 @@ object BloomIndex {
       case TimestampType => (unix_micros(col(keyName)), false)
       case ByteType | ShortType | IntegerType | LongType =>
         (col(keyName).cast("long"), false)
+      // DECIMAL (p ≤ 18): the UNSCALED long at the column's scale —
+      // exact, same canonical long the bounds/partition planes use.
+      // Probe values arrive as BigDecimal already cast to the column
+      // type, so their own scale IS the column scale ([[canonProbe]])
+      case d: DecimalType if d.precision <= 18 =>
+        ((col(keyName) * lit(TypedBounds.pow10(d.scale))).cast("long"),
+          false)
       case other => throw new IllegalArgumentException(
         s"bloom index on '$keyName' of type $other — supported key " +
-          "types are integral, STRING, DATE, TIMESTAMP (float/double " +
-          "equality probes are a NaN/-0.0 correctness trap)")
+          "types are integral, STRING, DATE, TIMESTAMP, DECIMAL(≤18) " +
+          "(float/double equality probes are a NaN/-0.0 correctness " +
+          "trap)")
     }
   }
 
@@ -121,6 +129,13 @@ object BloomIndex {
     case t: java.time.Instant => Some(Left(
       org.apache.spark.sql.catalyst.util.DateTimeUtils
         .instantToMicros(t)))
+    // decimal probes canonicalize at the VALUE's own scale — the
+    // pushdown path casts literals to the column type first, so the
+    // scales agree; an API caller must pass the column-scaled value
+    case bd: java.math.BigDecimal =>
+      TypedBounds.unscaledOf(bd, bd.scale).map(Left(_))
+    case dec: org.apache.spark.sql.types.Decimal =>
+      Some(Left(dec.toUnscaledLong))
     case _ => None
   }
 

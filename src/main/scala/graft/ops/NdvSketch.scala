@@ -54,6 +54,13 @@ object NdvSketch {
       case "date" => Some(
         datediff(col(name), to_date(lit("1970-01-01"))).cast("string"))
       case "timestamp" => Some(unix_micros(col(name)).cast("string"))
+      case d if TypedBounds.isDecimal(d) =>
+        // unscaled long text (p ≤ 18 ⇒ exact): the same canonical
+        // form the bounds/bloom planes use, and the writer-task twin
+        // ([[hashPhysical]]) hashes the identical long text
+        val s = TypedBounds.decimalOf(d).get._2
+        Some((col(name) * lit(TypedBounds.pow10(s))).cast("long")
+          .cast("string"))
       case _ => None
     }
 
@@ -72,6 +79,7 @@ object NdvSketch {
   /** Whether a dtype participates in NDV sketching at all. */
   def sketchable(dtype: String): Boolean = dtype match {
     case "string" | "int" | "long" | "date" | "timestamp" => true
+    case d if TypedBounds.isDecimal(d) => true
     case _ => false
   }
 

@@ -201,16 +201,19 @@ object SnapshotTable {
       s"unknown partition transform $transform (identity | truncate | " +
         "bucket | days | months | years | hours)")
     require(Seq("int", "long", "date", "timestamp", "string")
-        .contains(dtype),
+        .contains(dtype) || TypedBounds.isDecimal(dtype),
       s"partition source $source has dtype $dtype — hidden " +
-        "partitioning covers INT/BIGINT/DATE/TIMESTAMP/STRING sources")
+        "partitioning covers INT/BIGINT/DATE/TIMESTAMP/STRING/" +
+        "DECIMAL(≤18) sources")
     transform match {
       case "identity" => ()
       case "truncate" =>
         require(param > 0, s"truncate needs a positive width, got $param")
-        require(dtype == "int" || dtype == "long" || dtype == "string",
-          s"truncate($param, $source) needs an integral or string " +
-            s"source, got $dtype — use days()/months() for temporal")
+        require(dtype == "int" || dtype == "long" || dtype == "string" ||
+            TypedBounds.isDecimal(dtype),
+          s"truncate($param, $source) needs an integral, string, or " +
+            s"decimal source, got $dtype — use days()/months() for " +
+            "temporal")
       case "bucket" =>
         require(param > 0, s"bucket needs a positive count, got $param")
       case "days" | "months" | "years" =>
@@ -227,6 +230,14 @@ object SnapshotTable {
       if (transform == "identity") dtype
       else if (transform == "truncate" && dtype == "string") "string"
       else "long"
+
+    /** Decimal sources (r20) key on the UNSCALED long (p ≤ 18 makes
+      * it exact): identity records it as the decimal dtype's encoded
+      * key, truncate/bucket operate on it like any integral — the
+      * executor mirror derives the same long via
+      * `(src * 10^scale) :: long` ([[column]]).
+      */
+    private def decScale: Int = TypedBounds.decimalOf(dtype).get._2
 
     /** Range predicates convert to partition-value ranges only when
       * the transform preserves order. */
@@ -280,6 +291,10 @@ object SnapshotTable {
           k.asInstanceOf[Long].toInt, DateType, 42L)
         case "timestamp" => XxHash64Function.hash(
           k.asInstanceOf[Long], TimestampType, 42L)
+        // decimal buckets hash the UNSCALED long as LongType — the
+        // executor mirror hashes the same derived long column, so
+        // the two sides agree by construction (hashing the Decimal
+        // value directly would be type-dependent and unmirrorable)
         case _ => XxHash64Function.hash(
           k.asInstanceOf[Long], LongType, 42L)
       }
@@ -294,7 +309,13 @@ object SnapshotTable {
     def column: org.apache.spark.sql.Column = {
       def floorDivC(c: org.apache.spark.sql.Column, w: Long) =
         ((c - pmod(c, lit(w))) / lit(w)).cast("long")
-      val src = col(source)
+      // decimal sources reduce to the UNSCALED long first (exact for
+      // p ≤ 18); every transform then runs integral arithmetic on it,
+      // mirroring the driver's applyKey over keyOfValue's unscaled key
+      val src =
+        if (TypedBounds.isDecimal(dtype))
+          (col(source) * lit(TypedBounds.pow10(decScale))).cast("long")
+        else col(source)
       lazy val days: org.apache.spark.sql.Column = dtype match {
         case "date" => datediff(src, to_date(lit("1970-01-01")))
           .cast("long")
@@ -313,7 +334,15 @@ object SnapshotTable {
           case _ => src.cast("long")
         }
         case "truncate" => dtype match {
-          case "string" => substring(src, 1, param.toInt)
+          case "string" => substring(col(source), 1, param.toInt)
+          case d if TypedBounds.isDecimal(d) =>
+            // integral DIV over the derived unscaled long — inline the
+            // derivation in SQL so DIV (exact long division; `/` would
+            // round through double) applies to it
+            val uns =
+              s"CAST(`$source` * ${TypedBounds.pow10(decScale)}" +
+                " AS BIGINT)"
+            expr(s"(($uns) - pmod(($uns), ${param}L)) DIV ${param}L")
           case _ =>
             expr(s"(`$source` - pmod(`$source`, ${param}L)) DIV ${param}L")
         }
@@ -343,6 +372,9 @@ object SnapshotTable {
             param)
         else applyKey(u.toString)
       case "int" | "date" => applyKey(raw.asInstanceOf[Int].toLong)
+      case d if TypedBounds.isDecimal(d) => applyKey(
+        raw.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toUnscaledLong)
       case _ => applyKey(raw.asInstanceOf[Long])
     }
 
@@ -4865,11 +4897,23 @@ object SnapshotTable {
     val (from, to) = pair match {
       case (Some("int"), Some("long")) => ("int", "long")
       case (Some("float"), Some("double")) => ("float", "double")
+      // DECIMAL precision widening at the SAME scale (the Iceberg-
+      // safe case): every value representable before is representable
+      // after, and both dtypes' manifest encodings are the identical
+      // unscaled long — bounds/blooms/sketches stay valid verbatim.
+      // dtypeOf caps both at p ≤ 18 so the unscaled-long planes hold.
+      case (Some(a), Some(b))
+          if TypedBounds.isDecimal(a) && TypedBounds.isDecimal(b) &&
+            TypedBounds.decimalOf(a).get._2 ==
+              TypedBounds.decimalOf(b).get._2 &&
+            TypedBounds.decimalOf(a).get._1 <
+              TypedBounds.decimalOf(b).get._1 => (a, b)
       case _ => throw new UnsupportedOperationException(
         s"ALTER COLUMN $name TYPE ${newDt.simpleString} is not " +
           s"supported (current: ${curDt.simpleString}) — only the " +
-          "value-preserving widenings int→bigint and float→double " +
-          "are metadata-only; rewrite instead: REPLACE TABLE t AS " +
+          "value-preserving widenings int→bigint, float→double, and " +
+          "decimal(p,s)→decimal(p+k,s) with p+k ≤ 18 are " +
+          "metadata-only; rewrite instead: REPLACE TABLE t AS " +
           s"SELECT CAST($name AS ${newDt.simpleString}) ... FROM t " +
           "(atomic RTAS)")
     }

@@ -41,6 +41,39 @@ private[graft] object TypedBounds {
   /** Max stored code points for string bounds. */
   val StringCap = 64
 
+  /** DECIMAL plane (r20): dtype `decimal(p,s)` with p ≤ 18, so the
+    * UNSCALED value fits a long — bounds, partition keys, and bloom
+    * keys all encode the unscaled long in decimal-string form (same
+    * manifest shape as the integral dtypes; scale is carried by the
+    * dtype itself). Exact by construction — no float-hash dodge.
+    * Wider precisions refuse at declaration (dtypeOf → None).
+    */
+  private val DecimalRe = """decimal\((\d+),(\d+)\)""".r
+
+  /** (precision, scale) when `dtype` is a decimal dtype string. */
+  def decimalOf(dtype: String): Option[(Int, Int)] = dtype match {
+    case DecimalRe(p, s) => Some((p.toInt, s.toInt))
+    case _ => None
+  }
+
+  def isDecimal(dtype: String): Boolean = dtype.startsWith("decimal(")
+
+  /** 10^s as a long (s ≤ 18). */
+  def pow10(s: Int): Long = {
+    require(s >= 0 && s <= 18, s"decimal scale $s outside [0, 18]")
+    var r = 1L; var i = 0
+    while (i < s) { r *= 10L; i += 1 }
+    r
+  }
+
+  /** Unscaled long of an external decimal value at the COLUMN's
+    * scale. None when the value cannot be represented exactly at that
+    * scale (no pruning — conservative) or overflows the long.
+    */
+  def unscaledOf(v: java.math.BigDecimal, scale: Int): Option[Long] =
+    try Some(v.setScale(scale).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
+
   def dtypeOf(dt: DataType): Option[String] = dt match {
     case IntegerType => Some("int")
     case LongType => Some("long")
@@ -50,6 +83,8 @@ private[graft] object TypedBounds {
     case FloatType => Some("float")
     case StringType => Some("string")
     case BooleanType => Some("boolean")
+    case d: DecimalType if d.precision <= 18 =>
+      Some(s"decimal(${d.precision},${d.scale})")
     case _ => None
   }
 
@@ -63,6 +98,9 @@ private[graft] object TypedBounds {
     case "float" => FloatType
     case "string" => StringType
     case "boolean" => BooleanType
+    case d if isDecimal(d) =>
+      val (p, s) = decimalOf(d).get
+      DecimalType(p, s)
     case other => throw new IllegalArgumentException(
       s"unknown stats dtype $other")
   }
@@ -108,6 +146,16 @@ private[graft] object TypedBounds {
       case b: Boolean => Some(if (b) 1L else 0L)
       case _ => None
     }
+    case d if isDecimal(d) =>
+      val scale = decimalOf(d).get._2
+      v match {
+        case bd: java.math.BigDecimal => unscaledOf(bd, scale)
+        case bd: scala.math.BigDecimal =>
+          unscaledOf(bd.underlying(), scale)
+        case dec: org.apache.spark.sql.types.Decimal =>
+          unscaledOf(dec.toJavaBigDecimal, scale)
+        case _ => None
+      }
     case _ => None
   }
 
@@ -117,6 +165,7 @@ private[graft] object TypedBounds {
     case "double" | "float" =>
       Double.box(java.lang.Double.longBitsToDouble(enc.toLong))
     case "string" => enc
+    case d if isDecimal(d) => enc.toLong // unscaled
     case other => throw new IllegalArgumentException(
       s"unknown stats dtype $other")
   }
@@ -156,6 +205,8 @@ private[graft] object TypedBounds {
     dtype match {
       case "int" | "long" | "date" | "timestamp" | "boolean" =>
         (longEnc(mn), longEnc(mx), true, true)
+      case d if isDecimal(d) =>
+        (longEnc(mn), longEnc(mx), true, true)
       case "double" | "float" =>
         // `+ 0.0` canonicalizes -0.0 to +0.0 (NaN untouched): SQL
         // treats the zeros as one value, so bounds store the
@@ -194,6 +245,17 @@ private[graft] object TypedBounds {
       case "int" | "long" | "date" | "timestamp" =>
         (mn.asInstanceOf[Long].toString, mx.asInstanceOf[Long].toString,
           true, true)
+      case d if isDecimal(d) =>
+        // physical shapes: Decimal (InternalRow getter) or the
+        // already-derived unscaled Long (the writer-task tracker)
+        def u(v: Any): String = v match {
+          case dec: org.apache.spark.sql.types.Decimal =>
+            dec.toUnscaledLong.toString
+          case l: Long => l.toString
+          case other => throw new IllegalArgumentException(
+            s"stats value $other does not fit dtype $d")
+        }
+        (u(mn), u(mx), true, true)
       case "double" | "float" =>
         def bits(v: Any): String = java.lang.Double
           .doubleToLongBits(v.asInstanceOf[Double] + 0.0).toString

@@ -5170,6 +5170,108 @@ object Relational {
       .toDF("n", "qty_u", "cbo_reordered", "sizeonly_syntactic")
   }
 
+  /** q214 — the DECIMAL plane, oracle-gated: a DECIMAL(18,2) money
+    * column served by every typed surface at once — per-file bounds
+    * (statsCols), hidden partitioning (`truncate(10000)` = 100-unit
+    * bins over the UNSCALED cents), and a native bloom index — all
+    * keyed on the unscaled long (p ≤ 18, exact; DuckDB's decimals
+    * replicate it bit-for-bit, no float-hash dodge). Three probes,
+    * each plane's contribution require-asserted on planner file
+    * counts: an equality probe (partition+stats+bloom compose), a
+    * range probe (monotone truncate + bounds), and an ABSENT value
+    * inside a live bin's [min,max] — only the bloom can prove that
+    * file away, so the scan must plan ZERO files. DuckDB recomputes
+    * every aggregate in exact decimal arithmetic.
+    */
+  val decimalMoney = QueryDef("q214_decimal_money",
+    """WITH t AS (
+      |  SELECT CAST(CAST(l_partkey AS DECIMAL(15,2)) + 0.25
+      |      AS DECIMAL(18,2)) AS money,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem),
+      |probe AS (
+      |  SELECT CAST(CAST(min(l_partkey) AS DECIMAL(15,2)) + 0.25
+      |      AS DECIMAL(18,2)) AS m FROM lineitem),
+      |rngb AS (
+      |  SELECT CAST(CAST(CAST(floor(max(l_partkey) / 4.0) AS BIGINT)
+      |      AS DECIMAL(15,2)) AS DECIMAL(18,2)) AS lo,
+      |    CAST(CAST(CAST(floor(max(l_partkey) / 2.0) AS BIGINT)
+      |      AS DECIMAL(15,2)) AS DECIMAL(18,2)) AS hi FROM lineitem)
+      |SELECT
+      |  (SELECT count(*) FROM t WHERE money = (SELECT m FROM probe))
+      |    AS n_eq,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM t
+      |    WHERE money = (SELECT m FROM probe)) AS qty_eq,
+      |  (SELECT count(*) FROM t
+      |    WHERE money >= (SELECT lo FROM rngb)
+      |      AND money < (SELECT hi FROM rngb)) AS n_rng,
+      |  (SELECT CAST(sum(money) * 100 AS BIGINT) FROM t
+      |    WHERE money >= (SELECT lo FROM rngb)
+      |      AND money < (SELECT hi FROM rngb)) AS cents_rng,
+      |  CAST(0 AS BIGINT) AS n_absent,
+      |  TRUE AS pruned_eq, TRUE AS bloom_zero, TRUE AS pruned_rng"""
+      .stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    import graft.ops.SnapshotTable.{PartField, PartSpec}
+    import graft.source.v2.GraftTableSource
+    val path = Work.oracleDumpPath("q214_table")
+    clusterLayouts.compute("q214", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        val df = Tables.lineitem(s, d).select(
+          col("l_partkey").cast("decimal(15,2)")
+            .plus(lit(new java.math.BigDecimal("0.25")))
+            .cast("decimal(18,2)").as("money"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+        SnapshotTable.appendPartitioned(df, path,
+          PartSpec(Seq(PartField("money", "truncate", 10000L,
+            "decimal(18,2)"))),
+          statsCols = Seq("money"), bloomCol = Some("money"))
+      }
+      d
+    })
+    val pkr = Tables.lineitem(s, d)
+      .agg(min("l_partkey"), max("l_partkey")).collect().head
+    val (minPk, maxPk) = (pkr.getLong(0), pkr.getLong(1))
+    val probe = new java.math.BigDecimal(minPk).setScale(2)
+      .add(new java.math.BigDecimal("0.25"))
+    // SF-independent range: [maxPk/4, maxPk/2) whole units — always
+    // populated and always a strict subset of the bins
+    val rngLo = new java.math.BigDecimal(maxPk / 4).setScale(2)
+    val rngHi = new java.math.BigDecimal(maxPk / 2).setScale(2)
+    val t = s.read.format("graft_table").option("path", path).load()
+    GraftTableSource.lastPlan.set((-1, -1))
+    val eq = t.filter(col("money") === lit(probe))
+      .agg(count(lit(1)).as("n"), sum("qty_u").cast("long").as("q"))
+      .collect().head
+    val (rEq, total) = GraftTableSource.lastPlan.get()
+    require(rEq > 0 && rEq < total,
+      s"decimal equality probe did not prune: $rEq/$total")
+    // a value INSIDE the kept bin's bounds that never occurs (.26
+    // cents — every real value ends .25): partition and stats keep
+    // the bin, only the bloom proves it empty → zero files planned
+    GraftTableSource.lastPlan.set((-1, -1))
+    val nAbsent = t.filter(col("money") ===
+      lit(probe.add(new java.math.BigDecimal("0.01")))).count()
+    val (rAb, _) = GraftTableSource.lastPlan.get()
+    require(nAbsent == 0 && rAb == 0,
+      s"bloom did not prove the absent value away: $rAb files planned")
+    GraftTableSource.lastPlan.set((-1, -1))
+    val rng = t.filter(col("money") >= lit(rngLo) &&
+        col("money") < lit(rngHi))
+      .agg(count(lit(1)).as("n"),
+        (sum("money") * 100).cast("long").as("c")).collect().head
+    val (rRng, _) = GraftTableSource.lastPlan.get()
+    require(rRng > 0 && rRng < total,
+      s"decimal range probe did not prune: $rRng/$total")
+    import s.implicits._
+    Seq((eq.getLong(0), eq.getLong(1), rng.getLong(0), rng.getLong(1),
+      nAbsent, true, true, true))
+      .toDF("n_eq", "qty_eq", "n_rng", "cents_rng", "n_absent",
+        "pruned_eq", "bloom_zero", "pruned_rng")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -5189,7 +5291,7 @@ object Relational {
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
     metaDelete, typedCompaction, typedSpj, partitionedZorder,
     writeAuditPublish, ndvBroadcast, publishCherryPick, dvZorder,
-    ndvJoinReorder)
+    ndvJoinReorder, decimalMoney)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

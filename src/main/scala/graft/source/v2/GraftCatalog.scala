@@ -147,9 +147,12 @@ final class GraftCatalog extends TableCatalog
       "timestamp_ms" -> (timestamp / 1000L).toString))
   }
 
-  private val supportedTypes: Set[DataType] = Set(BooleanType,
-    IntegerType, LongType, FloatType, DoubleType, StringType, BinaryType,
-    DateType, TimestampType)
+  private def supportedTypes(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType | DateType | TimestampType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
 
   /** One SQL `PARTITIONED BY` transform → a typed [[SnapshotTable
     * .PartField]]: the source dtype comes from the declared schema
@@ -241,7 +244,8 @@ final class GraftCatalog extends TableCatalog
           s"stats_cols names $c, not a column of the table"))
       require(graft.ops.TypedBounds.dtypeOf(f.dataType).isDefined,
         s"stats_cols column $c has type ${f.dataType} — typed stats " +
-          "cover INT/BIGINT/DATE/TIMESTAMP/FLOAT/DOUBLE/STRING/BOOLEAN")
+          "cover INT/BIGINT/DATE/TIMESTAMP/FLOAT/DOUBLE/STRING/" +
+          "BOOLEAN/DECIMAL(≤18)")
     }
     GraftTableSource.Marker(schema, part, layoutCol("stats_col"),
       layoutCol("bloom_col"), statsCols)

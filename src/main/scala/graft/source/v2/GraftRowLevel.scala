@@ -636,6 +636,9 @@ private[v2] final class GraftRowWriterFactory(
                 // consumed synchronously by applyPhysical (hashed or
                 // copied to String) — no buffer retention
                 case "string" => record.getUTF8String(i)
+                case d if graft.ops.TypedBounds.isDecimal(d) =>
+                  val (pp, ss) = graft.ops.TypedBounds.decimalOf(d).get
+                  record.getDecimal(i, pp, ss)
                 case _ => record.getLong(i)
               }
               keys(k) = f.applyPhysical(raw)
@@ -705,10 +708,17 @@ private[v2] final class GraftRowWriterFactory(
                 if (slot.csMx(k) == null ||
                     (v && !slot.csMx(k).asInstanceOf[Boolean]))
                   slot.csMx(k) = v
-              case _ => // int | long | date | timestamp
+              case _ => // int | long | date | timestamp | decimal
+                // decimal (p ≤ 18) tracks its UNSCALED long — the
+                // same comparable/encoded/sketch-hashed shape the
+                // batch paths derive, so the producer mirror holds
                 val v =
                   if (dt == "int" || dt == "date") record.getInt(i).toLong
-                  else record.getLong(i)
+                  else graft.ops.TypedBounds.decimalOf(dt) match {
+                    case Some((pp, ss)) =>
+                      record.getDecimal(i, pp, ss).toUnscaledLong
+                    case None => record.getLong(i)
+                  }
                 if (slot.csKv(k) != null)
                   slot.csKv(k).add(graft.ops.NdvSketch.hashPhysical(v))
                 if (slot.csMn(k) == null ||

@@ -336,6 +336,7 @@ object GraftTableSource {
         case BooleanType | IntegerType | LongType | FloatType |
              DoubleType | StringType | BinaryType | DateType |
              TimestampType => ()
+        case d: DecimalType if d.precision <= 38 => ()
         case other => throw new IllegalArgumentException(
           s"graft_table: column $n has unsupported type $other — the " +
             "graft_table reader serves scalar snapshot tables")
@@ -1489,6 +1490,10 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
           case "double" => Some(key)
           case "float" =>
             Some(key.asInstanceOf[Double].floatValue())
+          case d if graft.ops.TypedBounds.isDecimal(d) =>
+            val (dp, ds) = graft.ops.TypedBounds.decimalOf(d).get
+            Some(org.apache.spark.sql.types.Decimal.createUnsafe(
+              key.asInstanceOf[Long], dp, ds))
           case _ => None
         }
         // dtypes catalystOf discards (string/boolean) short-circuit
@@ -1498,6 +1503,7 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
         val servedDtype = cs.dtype match {
           case "int" | "date" | "long" | "timestamp" | "double" |
                "float" => true
+          case d if graft.ops.TypedBounds.isDecimal(d) => true
           case _ => false
         }
         def bound(keys: IndexedSeq[Any], takeMax: Boolean): Option[Any] =
@@ -1661,6 +1667,10 @@ private[v2] final class GraftScan(res: GraftTableSource.Resolved,
             case "int" | "date" => pk.key(i, j).asInstanceOf[Long].toInt
             case "string" => org.apache.spark.unsafe.types.UTF8String
               .fromString(pk.key(i, j).asInstanceOf[String])
+            case d if graft.ops.TypedBounds.isDecimal(d) =>
+              val (dp, ds) = graft.ops.TypedBounds.decimalOf(d).get
+              org.apache.spark.sql.types.Decimal.createUnsafe(
+                pk.key(i, j).asInstanceOf[Long], dp, ds)
             case _ => pk.key(i, j) // long-backed ordinals
           }
         }
