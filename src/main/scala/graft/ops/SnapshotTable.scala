@@ -768,33 +768,69 @@ object SnapshotTable {
   }
 
   private def renderSegment(seg: Segment): String = {
-    val fields = scala.collection.mutable.ArrayBuffer(
-      "files" -> seg.files.map(Json.quote).mkString("[", ",", "]"),
-      "file_rows" -> seg.rows.mkString("[", ",", "]"),
-      "file_bytes" -> seg.bytes.mkString("[", ",", "]"))
-    seg.epochs.foreach(e =>
-      fields += "file_epochs" -> e.mkString("[", ",", "]"))
-    seg.partValues.foreach(p =>
-      fields += "part_values" -> p.mkString("[", ",", "]"))
-    seg.partKeys.foreach(p =>
-      fields += "part_keys" -> p.map(Json.quote).mkString("[", ",", "]"))
-    seg.statsMin.foreach(m =>
-      fields += "stats_min" -> m.mkString("[", ",", "]"))
-    seg.statsMax.foreach(m =>
-      fields += "stats_max" -> m.mkString("[", ",", "]"))
-    if (seg.csMins.nonEmpty) {
-      def nest[T](vss: Seq[Seq[T]], f: T => String): String =
-        vss.map(_.map(f).mkString("[", ",", "]")).mkString("[", ",", "]")
-      fields += "cs_mins" -> nest[String](seg.csMins, Json.quote)
-      fields += "cs_maxs" -> nest[String](seg.csMaxs, Json.quote)
-      fields += "cs_has" -> nest[Boolean](seg.csHas, _.toString)
-      fields += "cs_exact" -> nest[Boolean](seg.csExact, _.toString)
-      if (seg.csNulls.nonEmpty)
-        fields += "cs_nulls" -> nest[Long](seg.csNulls, _.toString)
-      if (seg.csKmv.nonEmpty)
-        fields += "cs_kmv" -> nest[String](seg.csKmv, Json.quote)
+    // ONE builder for the whole segment (r20): the field-by-field
+    // mkString form built every array as its own String and then
+    // concatenated them all again — 3× the bytes copied. Segment
+    // writes are the incremental-collapse hot path, so the render is
+    // append-only into a pre-sized builder.
+    val sb = new java.lang.StringBuilder(64 + seg.files.length * 128)
+    var first = true
+    def key(name: String): Unit = {
+      if (!first) sb.append(','); first = false
+      sb.append('"').append(name).append("\":")
     }
-    Json.obj(fields)
+    def qArr(name: String, xs: Seq[String]): Unit = {
+      key(name); sb.append('[')
+      var i = 0; val n = xs.length
+      while (i < n) {
+        if (i > 0) sb.append(',')
+        Json.appendQuoted(sb, xs(i)); i += 1
+      }
+      sb.append(']')
+    }
+    def lArr(name: String, xs: Seq[Long]): Unit = {
+      key(name); sb.append('[')
+      var i = 0; val n = xs.length
+      while (i < n) {
+        if (i > 0) sb.append(','); sb.append(xs(i)); i += 1
+      }
+      sb.append(']')
+    }
+    def nest[T](name: String, vss: Seq[Seq[T]], one: T => Unit): Unit = {
+      key(name); sb.append('[')
+      var k = 0
+      while (k < vss.length) {
+        if (k > 0) sb.append(',')
+        sb.append('[')
+        val vs = vss(k)
+        var i = 0; val n = vs.length
+        while (i < n) {
+          if (i > 0) sb.append(','); one(vs(i)); i += 1
+        }
+        sb.append(']'); k += 1
+      }
+      sb.append(']')
+    }
+    sb.append('{')
+    qArr("files", seg.files)
+    lArr("file_rows", seg.rows)
+    lArr("file_bytes", seg.bytes)
+    seg.epochs.foreach(lArr("file_epochs", _))
+    seg.partValues.foreach(lArr("part_values", _))
+    seg.partKeys.foreach(qArr("part_keys", _))
+    seg.statsMin.foreach(lArr("stats_min", _))
+    seg.statsMax.foreach(lArr("stats_max", _))
+    if (seg.csMins.nonEmpty) {
+      nest[String]("cs_mins", seg.csMins, Json.appendQuoted(sb, _))
+      nest[String]("cs_maxs", seg.csMaxs, Json.appendQuoted(sb, _))
+      nest[Boolean]("cs_has", seg.csHas, sb.append(_))
+      nest[Boolean]("cs_exact", seg.csExact, sb.append(_))
+      if (seg.csNulls.nonEmpty)
+        nest[Long]("cs_nulls", seg.csNulls, sb.append(_))
+      if (seg.csKmv.nonEmpty)
+        nest[String]("cs_kmv", seg.csKmv, Json.appendQuoted(sb, _))
+    }
+    sb.append('}').toString
   }
 
   /** Write a fresh segment under the table's log, returning its
@@ -1556,13 +1592,86 @@ object SnapshotTable {
           ar.end == br.start => ar.start until br.end
       case _ => a ++ b
     }
+    // ---- INCREMENTAL collapse (r20): over the segment cap, merge
+    // ONE adjacent run of small pieces (the fresh batch counts as the
+    // virtual tail piece) within a per-commit ENTRY BUDGET, instead
+    // of rewriting every live file into a single segment. The full
+    // collapse made the over-cap commit O(table) — the one commit in
+    // 64 that cost seconds at a million files; the budgeted merge
+    // bounds every commit at max(32k, 2·files/maxSegments) entries
+    // (LSM tiering), so the tail flattens to ~budget/table of the old
+    // spike while the amortized cost stays O(Δ·log). Order is
+    // preserved (only ADJACENT pieces merge), so the header's live
+    // list — carried ++ fresh — is unchanged; carry verification is
+    // untouched (the merged segment's facts come from the SAME
+    // verified arrays).
+    def collapseIncremental(): (Seq[SegRef], Seq[Int]) = {
+      val ci = carriedIdx.toIndexedSeq // Range on the fast path: O(1)
+      val pieces = scala.collection.mutable.ArrayBuffer
+        .empty[(Option[SegRef], IndexedSeq[Int])]
+      var off = 0
+      carriedRefs.foreach { rf =>
+        val live = rf.size - rf.drops.length
+        pieces += ((Some(rf), ci.slice(off, off + live)))
+        off += live
+      }
+      require(off == ci.length,
+        s"carried segments cover $off files, carry says ${ci.length}")
+      if (freshIdx.nonEmpty)
+        pieces += ((None, freshIdx.toIndexedSeq))
+      // equilibrium needs B ≥ files/(cap − tail-smalls); 1.5×/cap
+      // leaves ~20 slots of headroom at any size while keeping the
+      // merge spike ~B/files of the old full collapse
+      val budget = math.max(
+        confInt("spark.graft.manifest.collapseBudget", 32768),
+        3 * files.length / (2 * segMaxSegments))
+      // rightmost maximal adjacent run with total ≤ budget (appends
+      // pile small segments at the tail, so the rightmost run is the
+      // natural target and usually swallows the fresh batch too)
+      var hi = pieces.length - 1
+      var lo = -1
+      while (hi >= 1 && lo < 0) {
+        var j = hi
+        var tot = pieces(j)._2.length
+        while (j > 0 && tot + pieces(j - 1)._2.length <= budget) {
+          j -= 1; tot += pieces(j)._2.length
+        }
+        if (j < hi) lo = j else hi -= 1
+      }
+      val (mLo, mHi) =
+        if (lo >= 0) (lo, hi)
+        else {
+          // every adjacent pair exceeds the budget (near-uniform huge
+          // segments): the cap is a read-RTT contract and wins — merge
+          // the smallest adjacent pair, still ~2·files/maxSegments
+          val p = (0 until pieces.length - 1).minBy(k =>
+            pieces(k)._2.length + pieces(k + 1)._2.length)
+          (p, p + 1)
+        }
+      val mergedIdx: IndexedSeq[Int] =
+        (mLo to mHi).iterator.flatMap(pieces(_)._2).toIndexedSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[SegRef]
+      var k = 0
+      while (k < pieces.length) {
+        if (k == mLo) {
+          out += writeSegment(tpath, segOf(mergedIdx))
+          k = mHi + 1
+        } else {
+          out += pieces(k)._1.getOrElse(
+            writeSegment(tpath, segOf(pieces(k)._2)))
+          k += 1
+        }
+      }
+      (out.toSeq, joinIdx(carriedIdx, freshIdx))
+    }
     val wantSegs = carriedRefs.length + (if (freshIdx.nonEmpty) 1 else 0)
     val (finalRefs, headerIdx) =
-      if (carriedRefs.isEmpty || wantSegs > segMaxSegments) {
-        // collapse: one full segment holding every live file
+      if (carriedRefs.isEmpty) {
+        // first segmented commit (or a carry miss): one full segment
         val order = joinIdx(carriedIdx, freshIdx)
         (Seq(writeSegment(tpath, segOf(order))), order)
-      } else if (freshIdx.nonEmpty)
+      } else if (wantSegs > segMaxSegments) collapseIncremental()
+      else if (freshIdx.nonEmpty)
         (carriedRefs :+ writeSegment(tpath, segOf(freshIdx)),
           joinIdx(carriedIdx, freshIdx))
       else (carriedRefs, carriedIdx)

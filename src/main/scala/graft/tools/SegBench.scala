@@ -107,6 +107,9 @@ object SegBench {
       f"${med(perBatchMs.take(10).toSeq)}%.1f last10med=" +
       f"${med(perBatchMs.takeRight(10).toSeq)}%.1f " +
       f"max=${perBatchMs.max}%.1f")
+    val worst = perBatchMs.zipWithIndex.sortBy(-_._1).take(8)
+    println("SEGBENCH worst8 " + worst.map { case (ms, b) =>
+      f"b$b%d=$ms%.0fms" }.mkString(" "))
     val latest = SnapshotTable.latestVersion(p)
     val hdr = java.nio.file.Files.size(
       java.nio.file.Paths.get(p, "log", s"v$latest.json"))

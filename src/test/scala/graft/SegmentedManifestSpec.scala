@@ -196,6 +196,49 @@ class SegmentedManifestSpec extends SparkSpec {
     }
   }
 
+  test("incremental collapse: over-cap commits merge a bounded " +
+      "adjacent tail run — the big head segment re-references " +
+      "untouched, and later appends still fast-carry") {
+    spark.conf.set("spark.graft.manifest.collapseBudget", "10")
+    try withSegConf(1, maxSegs = 4) {
+      val path = freshPath()
+      val names = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      (0 until 20).foreach { i =>
+        SnapshotTable.append(df(i * 10, i * 10 + 10), path, 1,
+          statsCol = Some("k"))
+        val v = SnapshotTable.readVersion(spark, path, i + 1)
+        assert(v.segRefs.get.length <= 4,
+          s"v${i + 1} fan-out ${v.segRefs.get.length} over the cap")
+        names += v.segRefs.get.map(_.name)
+      }
+      val v20 = SnapshotTable.readVersion(spark, path, 20)
+      // bounded, not full: no collapse rewrote the whole table into
+      // one segment (the old behavior), and at 20 files > budget the
+      // head segment survives merges by reference
+      assert(v20.segRefs.get.length >= 2,
+        "over-cap commit degraded to a FULL collapse")
+      assert(v20.segRefs.get.forall(_.size <= 10),
+        s"a merge exceeded the entry budget: " +
+          s"${v20.segRefs.get.map(_.size)}")
+      // the head segment, once at budget size, is stable across
+      // later collapse commits (re-referenced, never rewritten)
+      val head15 = names(14).head
+      assert(names.drop(14).forall(_.head == head15),
+        "the budget-sized head segment was rewritten by a later " +
+          "collapse — the merge was not incremental")
+      // content intact through every merge
+      val (scan, _, rows) = SnapshotTable.scanAt(spark, path, 20)
+      assert(rows === 200 && scan.count() === 200)
+      assert(scan.agg(sum("k")).head.getLong(0) === (0L until 200L).sum)
+      // collapse commits did not break the identity-carry plane: the
+      // NEXT append over the merged base still fast-carries
+      val before = SnapshotTable.fastCarryHits.get()
+      SnapshotTable.append(df(900, 910), path, 1, statsCol = Some("k"))
+      assert(SnapshotTable.fastCarryHits.get() > before,
+        "append after an incremental collapse lost the O(Δ) carry")
+    } finally spark.conf.unset("spark.graft.manifest.collapseBudget")
+  }
+
   test("expire deletes segments only the dead versions referenced; " +
       "vacuum sweeps orphan segments under the TTL") {
     withSegConf(2, maxSegs = 100) {
