@@ -5471,6 +5471,25 @@ object SnapshotTable {
     toVersion
   }
 
+  /** ACCUMULATING stage — the streaming sink's per-epoch hook
+    * (`writeStream.option("ref", name)`): advance the branch to
+    * `toVersion`, creating it if absent, and record `baseVersion` as
+    * the staged batch's base ONLY IF the branch has none yet — an
+    * already-recorded base is KEPT, so a batch accumulates across
+    * epochs (and across sink re-constructions: a V1-source pipeline
+    * rebuilds the streaming write per micro-batch, each seeing a
+    * later head) until [[publish]] consumes it and clears the base.
+    */
+  def stageBranchEnsure(path: String, name: String, toVersion: Long,
+                        baseVersion: Long): Long = {
+    if (refSeqs(path, name).isEmpty)
+      try createRef(path, name, "branch", toVersion)
+      catch { case _: FileAlreadyExistsException => () }
+    val cur = resolveRef(path, name)
+    stageBranch(path, name, toVersion,
+      if (cur.base >= 0) cur.base else baseVersion)
+  }
+
   /** PUBLISH: fast-forward branch `to` onto ref `from`'s version —
     * one atomic metadata write, zero data movement. ONLY safe when
     * every commit in (to.version, from.version] was audited: a linear
@@ -5533,8 +5552,19 @@ object SnapshotTable {
     require(st.version > pub.version,
       s"nothing to publish: '$from' pins v${st.version}, '$to' " +
         s"already at v${pub.version}")
+    // after a successful publish the staged batch is CONSUMED: clear
+    // the from-ref's base so the next staged epoch re-bases fresh —
+    // re-publishing the same batch would duplicate its files (and is
+    // rejected by the dup guard anyway)
+    def consumeBase(): Unit = {
+      val (cur, seq) = resolveRefSeq(path, from)
+      if (cur.base >= 0)
+        try casRef(path, from, seq, cur.copy(base = -1L))
+        catch { case _: FileAlreadyExistsException => () }
+    }
     if (st.base == pub.version) {
       advanceBranch(path, to, st.version)
+      consumeBase()
       return PublishResult(st.version, st.version, "fast-forward",
         0, 0, 0)
     }
@@ -5666,6 +5696,7 @@ object SnapshotTable {
       }
     }
     advanceBranch(path, to, committed)
+    consumeBase()
     PublishResult(committed, st.version, "cherry-pick",
       addedIdx.length, removed.size, dvAdd.length)
   }

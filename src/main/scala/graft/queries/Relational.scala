@@ -5272,6 +5272,113 @@ object Relational {
         "pruned_eq", "bloom_zero", "pruned_rng")
   }
 
+  /** q215 — STREAM INTO A BRANCH, oracle-gated (r20): a streaming
+    * backfill composed with write-audit-publish. The sink takes
+    * `.option("ref", "staging")` — every micro-batch epoch advances
+    * the staging branch (with the stream RUN's base recorded), while
+    * `main` readers keep the published pin; after the run the audit
+    * runs against the staging ref and [[graft.ops.SnapshotTable
+    * .publish]] cherry-picks exactly the run's epochs onto `main` —
+    * a poisoned batch that landed on the head BEFORE the run (failed
+    * its audit, was abandoned) is excluded by the delta, where a
+    * fast-forward would silently publish it. Require-asserted: main
+    * unchanged after the run, staging records the base, publish mode
+    * is cherry-pick, the published state carries zero violations.
+    * DuckDB recomputes the published aggregates (A + the streamed
+    * slices) and the staged-lineage count.
+    */
+  val streamToBranch = QueryDef("q215_stream_to_branch",
+    """WITH a AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1995-02-01'
+      |), strm AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS k,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-02-01'
+      |    AND l_shipdate < TIMESTAMP '1995-04-01'
+      |), pub AS (SELECT * FROM a UNION ALL SELECT * FROM strm)
+      |SELECT
+      |  (SELECT count(*) FROM pub) AS n_pub,
+      |  (SELECT CAST(sum(qty_u) AS BIGINT) FROM pub) AS qty_pub,
+      |  (SELECT count(*) FROM a) AS n_main_mid,
+      |  CAST(0 AS BIGINT) AS n_violations,
+      |  TRUE AS staged_base, TRUE AS cherry_picked""".stripMargin
+  ) { (s, d) =>
+    import graft.ops.SnapshotTable
+    val path = Work.oracleDumpPath("q215_table")
+    def slice(lo: String, hi: String) = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_u"))
+    clusterLayouts.compute("q215", (_, prev) => {
+      if (prev != d) {
+        Work.wipe(java.nio.file.Paths.get(path))
+        import s.implicits._
+        SnapshotTable.append(slice("1995-01-01", "1995-02-01"),
+          path, 4, statsCol = Some("k"))          // A = v1
+        SnapshotTable.createBranch(path, "main")  // published = v1
+        // a poisoned batch lands on the HEAD and fails its audit
+        SnapshotTable.append(Seq((-1L, -999L)).toDF("k", "qty_u"),
+          path, 1, statsCol = Some("k"))          // C = v2, abandoned
+        SnapshotTable.createBranch(path, "staging")
+        // the streamed backfill: Feb+Mar as a file-per-trigger stream
+        val srcDir = Work.stableDir(
+          s"q215-src-${math.abs(d.hashCode)}").toString
+        Work.wipe(java.nio.file.Paths.get(srcDir))
+        slice("1995-02-01", "1995-04-01").repartition(3)
+          .write.mode("overwrite").parquet(srcDir)
+        val ckpt = Work.stableDir(s"q215-ckpt-${math.abs(d.hashCode)}")
+        Work.wipe(ckpt)
+        val q = s.readStream
+          .schema(s.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          .writeStream.format("graft_table")
+          .option("path", path)
+          .option("ref", "staging")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val st = SnapshotTable.resolveRef(path, "staging")
+        require(st.base == 2L,
+          s"staging must record the run's base v2, got v${st.base}")
+        require(st.version >= 4L,
+          s"expected ≥2 streamed epochs, staging at v${st.version}")
+        // MID-RUN isolation: main still pins the published version
+        require(SnapshotTable.resolveRef(path, "main").version == 1L,
+          "main moved while the stream was staging")
+        // audit the run's slice on the staging ref, then publish
+        val (staged, _, _) = SnapshotTable.scanRef(s, path, "staging")
+        require(staged.filter(col("k") >= 0L)
+          .filter(col("qty_u") < 0).count() == 0,
+          "the streamed slice audits dirty — fixture broken")
+        val pr = SnapshotTable.publish(s, path, "main", "staging")
+        require(pr.mode == "cherry-pick",
+          s"expected cherry-pick past the poisoned ancestor: $pr")
+      }
+      d
+    })
+    val nMainMid = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-02-01").cast("timestamp")).count()
+    val t = s.read.format("graft_table").option("path", path)
+      .option("ref", "main").load()
+    val nViol = t.filter(col("qty_u") < 0).count()
+    require(nViol == 0, "published state leaked the poisoned batch")
+    val pub = t.agg(count(lit(1)).as("n"),
+      sum("qty_u").cast("long").as("q")).collect().head
+    import s.implicits._
+    Seq((pub.getLong(0), pub.getLong(1), nMainMid, nViol, true, true))
+      .toDF("n_pub", "qty_pub", "n_main_mid", "n_violations",
+        "staged_base", "cherry_picked")
+  }
+
   val all: Seq[QueryDef] = Seq(
     bandStats, bbox, temporalExtent, extentMerge, distinctCount, sizeSum,
     validCount, hemisphere, unitNorm, antiJoin, semiJoin, getOrCreateMerge,
@@ -5291,7 +5398,7 @@ object Relational {
     segmentedManifest, typedPartitions, multiBloom, stringBloom,
     metaDelete, typedCompaction, typedSpj, partitionedZorder,
     writeAuditPublish, ndvBroadcast, publishCherryPick, dvZorder,
-    ndvJoinReorder, decimalMoney)
+    ndvJoinReorder, decimalMoney, streamToBranch)
 }
 
 /** JVM-static gate for q199's deterministic commit race (local-mode

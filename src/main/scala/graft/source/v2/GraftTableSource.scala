@@ -1124,6 +1124,23 @@ private[v2] final class GraftStreamingWrite(
     }
   }
 
+  /** STREAM INTO A BRANCH (r20): `.option("ref", "staging")` — every
+    * epoch commit advances the named branch with the stream RUN's
+    * base recorded, so readers following another branch (`main`) see
+    * NOTHING until an explicit [[SnapshotTable.publish]] cherry-picks
+    * the run's epochs onto it. Create the branch BEFORE starting the
+    * stream (`createBranch` — the WAP "begin staging" step; ref
+    * resolution is loud everywhere, including the sink's schema
+    * pin); a missing branch is still created at the first epoch when
+    * the sink resolves through a CREATE marker.
+    * A streaming backfill thus composes with write-audit-publish: a
+    * failed-audit batch committed before the run started is excluded
+    * by the delta. One publish per run: after publishing, restart the
+    * stream (a fresh run re-bases on the published head).
+    */
+  private val stageRef = props.get("ref")
+  private val streamBase = latest
+
   private val batchDir =
     s"$path/files/batch-${java.util.UUID.randomUUID().toString.take(12)}"
 
@@ -1159,7 +1176,7 @@ private[v2] final class GraftStreamingWrite(
       val p = new HPath(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }
-    SnapshotTable.commitAppendFiles(spark, path,
+    val v = SnapshotTable.commitAppendFiles(spark, path,
       written.map(_.file), written.map(_.rows),
       written.map(m => sizeOf(m.file)),
       batchCols = schema.fieldNames.toSeq,
@@ -1174,6 +1191,10 @@ private[v2] final class GraftStreamingWrite(
       trackedCs =
         if (csSpecs.isEmpty) None
         else Some(GraftWriteUtil.colStatsFromFacts(csSpecs, written)))
+    // branch staging AFTER the data commit: a crash between the two
+    // re-stages on the next epoch (the pin is monotone, never lost)
+    stageRef.foreach(r =>
+      SnapshotTable.stageBranchEnsure(path, r, v, streamBase))
   }
 
   override def abort(epochId: Long,

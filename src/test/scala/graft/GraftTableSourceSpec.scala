@@ -541,6 +541,66 @@ class GraftTableSourceSpec extends SparkSpec {
       "streamed commits must be txn-keyed by (queryId, epochId)")
   }
 
+  test("stream into a branch: epochs advance the staging ref with the " +
+      "run's base recorded, main readers see nothing, publish " +
+      "cherry-picks the run past a failed-audit ancestor") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("gbranch").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    // published state A, then a FAILED-audit batch C on the head
+    SnapshotTable.append(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), dst, 2,
+      statsCol = Some("k"))
+    SnapshotTable.createBranch(dst, "main") // published = v1
+    SnapshotTable.append(Seq((5000L, -1L)).toDF("k", "v"), dst, 1)
+    // C (v2) audits dirty and is abandoned — no publish
+    // begin staging: the branch exists before the stream starts (the
+    // sink's schema resolution pins refs loudly, same as any reader)
+    SnapshotTable.createBranch(dst, "staging")
+    // the streamed backfill: two source versions → two epochs
+    SnapshotTable.append(
+      (1000L to 1029L).map(k => (k, k * 2)).toDF("k", "v"), src, 1,
+      statsCol = Some("k"))
+    SnapshotTable.append(
+      (1030L to 1059L).map(k => (k, k * 2)).toDF("k", "v"), src, 1)
+    val q = spark.readStream.format("graft_table").option("path", src)
+      .load()
+      .writeStream.format("graft_table")
+      .option("path", dst)
+      .option("ref", "staging")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val st = SnapshotTable.resolveRef(dst, "staging")
+    assert(st.base === 2L,
+      s"staging must record the stream run's base (head at start), " +
+        s"got ${st.base}")
+    assert(st.version === SnapshotTable.latestVersion(dst))
+    // main readers saw NOTHING of the stream (or of C)
+    val main0 = spark.read.format("graft_table").option("path", dst)
+      .option("ref", "main").load()
+    assert(main0.count() === 100)
+    assert(main0.filter(col("v") < 0).count() === 0)
+    // audit the run's slice on the staging ref: clean
+    val (staged, _, _) = SnapshotTable.scanRef(spark, dst, "staging")
+    assert(staged.filter(col("k") >= 1000L && col("k") < 2000L)
+      .filter(col("v") =!= col("k") * 2).count() === 0)
+    // publish: cherry-pick (C sits between the published pin and the
+    // run's base, so fast-forward would leak it)
+    val r = SnapshotTable.publish(spark, dst, "main", "staging")
+    assert(r.mode === "cherry-pick", s"expected cherry-pick: $r")
+    GraftTableSource.invalidate(dst)
+    val pub = spark.read.format("graft_table").option("path", dst)
+      .option("ref", "main").load()
+    assert(pub.count() === 160, "published = A + the streamed run")
+    assert(pub.filter(col("v") < 0).count() === 0,
+      "publish leaked the failed-audit batch")
+    assert(pub.filter(col("k") >= 1000L).count() === 60)
+  }
+
   test("DV-carrying versions reject loudly; missing path is loud") {
     import spark.implicits._
     val path = freshPath()
