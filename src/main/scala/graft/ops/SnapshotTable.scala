@@ -4772,9 +4772,9 @@ object SnapshotTable {
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "mergePartitioned needs hidden partitioning — use merge"))
     requireUniform(ver, "mergePartitioned")
-    require(spec.isLegacy,
-      s"mergePartitioned supports single-column BIGINT specs; the " +
-        s"table is partitioned by ${spec.describe} — use SQL MERGE INTO")
+    if (!spec.isLegacy)
+      return mergeTypedPartitioned(spark, path, prev, ver, spec,
+        updates, keyCol, txn)
     val pv = ver.partValues.get
     val tableCols = spark.read.parquet(ver.files.head).limit(0).columns
     require(updates.columns.sorted.sameElements(tableCols.sorted),
@@ -4902,6 +4902,139 @@ object SnapshotTable {
       seg = path -> Some(ver), bloomsExtra = ver.bloomsExtra))
     val matched = hitRows - dvHitRows + nUpd - batch.rows.sum
     MergeResult(v, hitIdx.length, ver.files.length, matched, nUpd - matched)
+  }
+
+  /** [[mergePartitioned]] for TYPED / MULTI-COLUMN specs (r20 — the
+    * API path past the legacy single-BIGINT form): same contract,
+    * generalized planes. Partition pruning compares the updates'
+    * derived TUPLES (every field's transform over its source) against
+    * the manifest's per-file tuples; tuple pruning alone is sound
+    * only when EVERY field derives from the merge key (a key's old
+    * row then provably lives in a tuple the updates cover) —
+    * otherwise a TYPED bloom on the key closes the moved-key hazard
+    * (probe values canonicalize per [[BloomIndex.canonProbe]], so
+    * string/date/timestamp/decimal keys all work), with the
+    * complete-index and complete-translation guards degrading to the
+    * full rewrite, never to a silent duplicate. Hit files read
+    * through the DV anti-join; the rewrite routes partition-pure via
+    * [[writePartitionedBatch]] and the commit extends tuples/typed
+    * stats through the same [[extendParts]]/[[colStatsWith]] carry
+    * every partitioned commit uses.
+    */
+  private def mergeTypedPartitioned(spark: SparkSession, path: String,
+                                    prev: Long, ver: Version,
+                                    spec: PartSpec, updates: DataFrame,
+                                    keyCol: String,
+                                    txn: Option[(String, Long)])
+      : MergeResult = {
+    requireRoutable(updates, spec)
+    val tableCols = spark.read.parquet(ver.files.head).limit(0).columns
+    require(updates.columns.sorted.sameElements(tableCols.sorted),
+      s"updates schema ${updates.columns.toSeq} must match table " +
+        s"columns ${tableCols.toSeq}")
+    require(updates.columns.contains(keyCol),
+      s"updates must carry the merge key $keyCol")
+    val u = updates.agg(count(lit(1)), count_distinct(col(keyCol)))
+      .collect().head
+    val nUpd = u.getLong(0)
+    require(nUpd > 0, "empty update batch")
+    require(u.getLong(1) == nUpd,
+      s"merge keys must be unique: $nUpd rows, ${u.getLong(1)} keys")
+    // the updates' partition TUPLES, in the manifest's encoded form
+    val updTuples: Set[Seq[String]] = updates
+      .select(spec.fields.zipWithIndex.map { case (f, j) =>
+        f.column.as(s"__pv$j")
+      }: _*).distinct()
+      .collect().map { r =>
+        spec.fields.zipWithIndex.map { case (f, j) =>
+          f.encodeKey(r.get(j) match {
+            case i: Int => i.toLong
+            case x => x
+          })
+        }: Seq[String]
+      }.toSet
+    val pk = ver.partKeys.get
+    val partHit = ver.files.indices.filter(i => updTuples(pk.row(i)))
+    val keyDetermines = spec.fields.forall(_.source == keyCol)
+    val hitIdx: Seq[Int] =
+      if (keyDetermines) partHit
+      else if (nUpd > 100000) ver.files.indices // unprunable: all files
+      else ver.bloomConfs.find(_.col == keyCol) match {
+        case Some(bc) =>
+          import spark.implicits._
+          val canon = updates.select(col(keyCol)).distinct()
+            .collect().map(r => BloomIndex.canonProbe(r.get(0)))
+          if (canon.exists(_.isEmpty)) ver.files.indices
+          else {
+            val visible = ver.files.toDF("file")
+            val idx = spark.read.schema(BloomIndex.indexSchema)
+              .option("recursiveFileLookup", "true")
+              .json(bloomIdxDir(path))
+              .filter(col("col") === bc.col)
+              .join(broadcast(visible), "file")
+            val (hitFiles, total) =
+              BloomIndex.probeFilesTyped(idx, canon.map(_.get).toSeq)
+            // completeness: an unindexed live file might hold a moved
+            // key's old row — full rewrite, correct just unpruned
+            if (total != ver.files.length) ver.files.indices
+            else {
+              val hs = hitFiles.toSet
+              (partHit ++ ver.files.indices.filter(i =>
+                hs(ver.files(i)))).distinct.sorted
+            }
+          }
+        case None => throw new IllegalArgumentException(
+          s"mergePartitioned on key '$keyCol' needs either every " +
+            s"partition field sourced from it (spec: ${spec.describe}) " +
+            "or a bloom index on the key: without one, a key whose " +
+            "row lives outside the updates' partition tuples would " +
+            "be silently duplicated")
+      }
+    val hitSet = hitIdx.toSet
+    val keepIdx = ver.files.indices.filterNot(hitSet)
+    val rows = rowsOf(ver)
+    val bytes = bytesOf(ver)
+    val hitRows = hitIdx.map(rows).sum
+    val dvHitRows: Long =
+      if (ver.dvFiles.isEmpty || hitIdx.isEmpty) 0L
+      else {
+        val hitCanon = hitIdx.map(i => canonFile(ver.files(i))).toSet
+        spark.read.parquet(ver.dvFiles: _*).groupBy("__dvf").count()
+          .collect()
+          .filter(r => hitCanon(canonFile(r.getString(0))))
+          .map(_.getLong(1)).sum
+      }
+    val newData =
+      if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
+      else applyDv(spark,
+          spark.read.parquet(hitIdx.map(ver.files): _*), ver)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(tableCols.map(col): _*)
+        .unionByName(updates.select(tableCols.map(col): _*))
+    val batchDir = s"$path/files/batch-${nonce()}"
+    val (batch, bparts) = writePartitionedBatch(newData, batchDir,
+      spec, ver.stats.map(_.col))
+    enforceConstraints(spark, path, batchDir)
+    ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
+    val (pvN, pkN) = extendParts(spec, ver, keepIdx, bparts)
+    val v = prev + 1
+    commitExclusive(path, v, renderManifest(v,
+      keepIdx.map(ver.files) ++ batch.files,
+      keepIdx.map(rows) ++ batch.rows,
+      keepIdx.map(bytes) ++ batch.bytes,
+      ver.stats.map(st => Stats(st.col,
+        keepIdx.map(st.mins) ++ batch.mins,
+        keepIdx.map(st.maxs) ++ batch.maxs)),
+      ver.bloom, ver.txns ++ txn.toMap, Some(spec), pvN, op = "MERGE",
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      schema = carryMeta(ver, keepIdx, batch.files.length),
+      colStats = colStatsWith(ver, keepIdx,
+        computeColStats(spark, batch.files, colSpecsOf(ver))),
+      seg = path -> Some(ver), partKeys = pkN,
+      bloomsExtra = ver.bloomsExtra))
+    val matched = hitRows - dvHitRows + nUpd - batch.rows.sum
+    MergeResult(v, hitIdx.length, ver.files.length, matched,
+      nUpd - matched)
   }
 
   // ------------------------------------------------ schema evolution

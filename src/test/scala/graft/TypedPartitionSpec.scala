@@ -415,10 +415,10 @@ class TypedPartitionSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL"))
     assert(SnapshotTable.latestVersion(path) === 0)
-    // a committed typed table: mergePartitioned (a single-LONG
-    // helper — SQL MERGE is the typed front door) must reject, not
-    // corrupt (compactPartitioned gained typed support — see the
-    // dedicated case)
+    // a committed typed table: mergePartitioned now takes typed
+    // specs (r20 — see the dedicated cases); the remaining guard is
+    // key location: a key that determines no partition field and has
+    // no bloom index must refuse, not risk a duplicate
     SnapshotTable.appendPartitioned(
       Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("ds", "v")
         .select(to_date(col("ds")).as("d"), col("v")), path, spec)
@@ -427,7 +427,7 @@ class TypedPartitionSpec extends SparkSpec {
         Seq(("2024-01-01", 5L)).toDF("ds", "v")
           .select(to_date(col("ds")).as("d"), col("v")), "v")
     }
-    assert(e4.getMessage.contains("single-column BIGINT"))
+    assert(e4.getMessage.contains("bloom"))
     // bucket fields reject range pruning but equality still works;
     // months over an INT source rejects at construction
     val e5 = intercept[IllegalArgumentException] {
@@ -711,5 +711,80 @@ class TypedPartitionSpec extends SparkSpec {
     assert(scanPath(lp).count() === 1000)
     assert(SnapshotTable.readVersion(spark, lp, lr.version)
       .partValues.get.toSet === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("mergePartitioned on a TYPED days×bucket spec (API path, r20): " +
+      "bloom-backed key location, cross-tuple moves land pure, " +
+      "counts exact") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(
+      PartField("d", "days", 0L, "date"),
+      PartField("g", "bucket", 2L, "string")))
+    def day(n: Int) = java.sql.Date.valueOf(f"2024-01-${n}%02d")
+    val base = (0L until 120L).map(i =>
+      (i, day(1 + (i % 6).toInt), s"g${i % 2}", i * 10))
+      .toDF("id", "d", "g", "v")
+    SnapshotTable.appendPartitioned(base, path, spec,
+      bloomCol = Some("id"))
+    // id=5 updates in place; id=7 MOVES tuple (new day); id=1000 new
+    val updates = Seq(
+      (5L, day(1 + 5 % 6), s"g${5 % 2}", 999L),
+      (7L, java.sql.Date.valueOf("2024-02-01"), s"g${7 % 2}", 777L),
+      (1000L, day(1), "g0", 111L)).toDF("id", "d", "g", "v")
+    val res = SnapshotTable.mergePartitioned(spark, path, updates, "id")
+    assert(res.rowsMatched === 2 && res.rowsInserted === 1,
+      s"typed merge counts wrong: $res")
+    assert(res.filesRewritten < res.filesTotal,
+      "typed tuple + bloom pruning must not rewrite every file")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, res.version)
+    assert(scan.count() === 121)
+    // the moved key: exactly ONE row, in its NEW tuple
+    val moved = scan.filter(col("id") === 7L).collect()
+    assert(moved.length === 1, "moved key duplicated")
+    assert(moved.head.getAs[Any]("d").toString === "2024-02-01")
+    assert(scan.filter(col("id") === 5L).head.getAs[Long]("v") === 999L)
+    // tuples stayed pure and pruning still works: the new day's scan
+    // opens only its tuple's files
+    val ver = SnapshotTable.readVersion(spark, path, res.version)
+    assert(ver.partKeys.get.nFiles === ver.files.length)
+    resetPlan()
+    assert(scanPath(path)
+      .filter(col("d") === lit(java.sql.Date.valueOf("2024-02-01")))
+      .count() === 1)
+    val (read, total) = lastPlan()
+    assert(read > 0 && read < total,
+      s"days() pruning broke after the typed merge: $read/$total")
+  }
+
+  test("mergePartitioned on a TYPED single-field STRING spec keyed by " +
+      "its source: tuple pruning alone locates rows, no bloom needed") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec(Seq(
+      PartField("name", "truncate", 4L, "string")))
+    val prefixes = Seq("alfa", "beta", "gama", "delt")
+    SnapshotTable.appendPartitioned(
+      (0 until 60).map(i => (s"${prefixes(i % 4)}$i", i.toLong))
+        .toDF("name", "v"),
+      path, spec)
+    val res = SnapshotTable.mergePartitioned(spark, path,
+      Seq(("alfa4", -5L), ("zeta001", -1L)).toDF("name", "v"),
+      "name")
+    assert(res.rowsMatched === 1 && res.rowsInserted === 1)
+    assert(res.filesRewritten < res.filesTotal,
+      "key == every source: tuple pruning must engage without a bloom")
+    val (scan, _, _) = SnapshotTable.scanAt(spark, path, res.version)
+    assert(scan.count() === 61)
+    assert(scan.filter(col("name") === "alfa4").head
+      .getAs[Long]("v") === -5L)
+    assert(scan.filter(col("name") === "zeta001").count() === 1)
+    // without a bloom AND a key that does not determine the tuple,
+    // the merge refuses loudly instead of risking a duplicate
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergePartitioned(spark, path,
+        Seq(("userXXX", 0L)).toDF("name", "v"), "v")
+    }
+    assert(e.getMessage.contains("bloom"))
   }
 }
