@@ -2757,7 +2757,12 @@ object SnapshotTable {
                             newParts: Option[BatchParts],
                             newColStats: Seq[ColStats], op: String,
                             extraTxn: Map[String, Long],
-                            interleavedOk: (Version, Seq[Int]) => Boolean)
+                            interleavedOk: (Version, Seq[Int]) => Boolean,
+                            // DV rows the caller's rewrite MATERIALIZED
+                            // (their target files are in `removed`):
+                            // subtracted from the carried count so the
+                            // logical-rows arithmetic stays exact
+                            dvApplied: Long = 0L)
       : Long = {
     require(base.stats.isEmpty == newStats.isEmpty,
       "new-file stat bounds must be present exactly when the base " +
@@ -2793,6 +2798,11 @@ object SnapshotTable {
         }, part = cur.part,
         partValues = cur.part.flatMap(sp =>
           extendParts(sp, cur, keepIdx, newParts.get)._1),
+        // DVs carry (r20): kept files still need theirs; rows the
+        // caller's rewrite materialized (`dvApplied`) leave the
+        // live-delete count. Dropping the files here instead would
+        // resurrect kept files' dead rows
+        dvFiles = cur.dvFiles, dvRows = cur.dvRows - dvApplied,
         op = op,
         schema = carryMeta(cur, keepIdx, newFiles.length),
         colStats = colStatsWith(cur, keepIdx, newColStats),
@@ -3757,6 +3767,42 @@ object SnapshotTable {
     if (f.startsWith("file:")) TableIo.nioIo.canon(f)
     else TableIo.forPath(f).canon(f)
 
+  /** DV rows targeting any file in `canonSet` — the count a DV-aware
+    * rewrite must SUBTRACT from the carried `dvRows` when it removes
+    * those files (their DV rows go inert; the manifest's logical
+    * `rows` is physical − dvRows, so a stale count would double-drop
+    * the materialized rows). O(dv bytes) driver metadata.
+    */
+  private def dvRowsTargeting(spark: SparkSession, ver: Version,
+                              canonSet: Set[String]): Long =
+    if (ver.dvFiles.isEmpty || canonSet.isEmpty) 0L
+    else spark.read.parquet(ver.dvFiles: _*).groupBy("__dvf").count()
+      .collect()
+      .filter(r => canonSet(canonFile(r.getString(0))))
+      .map(_.getLong(1)).sum
+
+  /** Live rows of `files` with a `__file` provenance column — the
+    * compaction-shaped read: both `input_file_name()` and the DV
+    * anti-join's metadata addresses must bind while the relation is
+    * still the raw file source, so this derives them together.
+    */
+  private def dvLive(spark: SparkSession, ver: Version,
+                     files: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(files: _*)
+      .select(col("*"), input_file_name().as("__file"),
+        col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"))
+    val live =
+      if (ver.dvFiles.isEmpty) raw
+      else {
+        val dv = spark.read.parquet(ver.dvFiles: _*)
+        raw.join(dv,
+          col("__f") === dv("__dvf") && col("__i") === dv("__dvp"),
+          "left_anti")
+      }
+    live.drop("__f", "__i")
+  }
+
   /** Anti-join `ver`'s deletion vectors onto `base`, which MUST still
     * be the raw file-source relation (`_metadata` stops resolving
     * after any join/projection).
@@ -4294,9 +4340,6 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
-    require(ver.dvFiles.isEmpty,
-      "table carries deletion vectors — materializeDeletes(...) first " +
-        "so the rewrite cannot resurrect MOR-deleted rows")
     require(ver.part.isEmpty,
       "compaction would merge files across partition values — " +
         "not supported on hidden-partitioned tables")
@@ -4332,8 +4375,13 @@ object SnapshotTable {
     val rewriteFiles = binMap.map(_._1)
     val binDf = binMap.toDF("__file", "__bin")
     val batchDir = s"$path/files/batch-${nonce()}"
-    spark.read.parquet(rewriteFiles: _*)
-      .withColumn("__file", input_file_name())
+    // DV-aware (r20): subtract deletion-vector positions while the
+    // relation is still the raw file source (metadata columns stop
+    // resolving after the bin join) — compaction then doubles as a
+    // partial materialize for the rewritten bins; kept files' DV
+    // rows carry in the manifest (commitReplace), rewritten files'
+    // rows go inert
+    dvLive(spark, ver, rewriteFiles)
       .join(broadcast(binDf), "__file")
       .repartitionByRange(multi.length, col("__bin"), col(st.col))
       .sortWithinPartitions(col("__bin"), col(st.col))
@@ -4343,13 +4391,14 @@ object SnapshotTable {
     ver.bloomConfs.foreach(writeBloomRows(spark, path, batch.files, _))
     // OCC: compaction is predicate-free — ANY interleaved append
     // rebases (the new files simply are not compacted this pass)
-    val v = commitReplace(spark, path, ver,
-      rewriteFiles.map(canonFile).toSet,
+    val rewriteCanon = rewriteFiles.map(canonFile).toSet
+    val v = commitReplace(spark, path, ver, rewriteCanon,
       batch.files, batch.rows, batch.bytes,
       Some((batch.mins, batch.maxs)), None,
       computeColStats(spark, batch.files, colSpecsOf(ver)),
       op = "OPTIMIZE", extraTxn = Map.empty,
-      interleavedOk = (_, _) => true)
+      interleavedOk = (_, _) => true,
+      dvApplied = dvRowsTargeting(spark, ver, rewriteCanon))
     CompactResult(v, ver.files.length,
       readVersion(spark, path, v).files.length, rewriteFiles.length)
   }
@@ -4376,9 +4425,6 @@ object SnapshotTable {
     val prev = latestVersion(path)
     require(prev > 0, s"snapshot table $path does not exist")
     val ver = readVersion(spark, path, prev)
-    require(ver.dvFiles.isEmpty,
-      "table carries deletion vectors — materializeDeletes(...) first " +
-        "so the rewrite cannot resurrect MOR-deleted rows")
     val spec = ver.part.getOrElse(throw new IllegalArgumentException(
       "compactPartitioned needs hidden partitioning — use compact"))
     requireUniform(ver, "compactPartitioned")
@@ -4428,8 +4474,9 @@ object SnapshotTable {
     val binDf = binOf.toSeq.toDF("__file", "__bin")
     val batchDir = s"$path/files/batch-${nonce()}"
     val derived = partDerivedCols(spec) // partition-pure by construction
-    val src0 = spark.read.parquet(rewriteFiles: _*)
-      .withColumn("__file", input_file_name())
+    // DV-aware (r20): same as [[compact]] — dead rows subtract during
+    // the bin rewrite, kept files' DVs carry below
+    val src0 = dvLive(spark, ver, rewriteFiles)
       .join(broadcast(binDf), "__file")
     val src = derived.foldLeft(src0) { case (d, (n, c)) =>
       d.withColumn(n, c)
@@ -4465,6 +4512,8 @@ object SnapshotTable {
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns, Some(spec),
       pvNew, op = "OPTIMIZE",
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows -
+        dvRowsTargeting(spark, ver, rewriteFiles.map(canonFile).toSet),
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
@@ -4850,15 +4899,8 @@ object SnapshotTable {
     // nothing), purged by the next materialize. Manifest per-file row
     // counts are PHYSICAL, so the matched arithmetic subtracts the
     // DV rows that targeted the hit files.
-    val dvHitRows: Long =
-      if (ver.dvFiles.isEmpty || hitIdx.isEmpty) 0L
-      else {
-        val hitCanon = hitIdx.map(i => canonFile(ver.files(i))).toSet
-        spark.read.parquet(ver.dvFiles: _*).groupBy("__dvf").count()
-          .collect()
-          .filter(r => hitCanon(canonFile(r.getString(0))))
-          .map(_.getLong(1)).sum
-      }
+    val dvHitRows: Long = dvRowsTargeting(spark, ver,
+      hitIdx.map(i => canonFile(ver.files(i))).toSet)
     val newData =
       if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
       else applyDv(spark,
@@ -4890,12 +4932,11 @@ object SnapshotTable {
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, Some(spec),
       Some(keepIdx.map(pv) ++ pvalsB), op = "MERGE",
-      // DVs carry verbatim: kept files still need theirs, rewritten
-      // files' rows are inert (path gone from the file list). dvRows
-      // keeps the physical count — it overstates LIVE deletes by the
-      // inert rows, which only makes the DV policy materialize
-      // sooner (the safe direction)
-      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      // DVs carry for the kept files; the rewritten files' DV rows
+      // went INERT, so the live-delete count shrinks by exactly the
+      // rows the rewrite materialized (the manifest's logical rows
+      // is physical − dvRows — a stale count would double-drop them)
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows - dvHitRows,
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),
@@ -4995,15 +5036,8 @@ object SnapshotTable {
     val rows = rowsOf(ver)
     val bytes = bytesOf(ver)
     val hitRows = hitIdx.map(rows).sum
-    val dvHitRows: Long =
-      if (ver.dvFiles.isEmpty || hitIdx.isEmpty) 0L
-      else {
-        val hitCanon = hitIdx.map(i => canonFile(ver.files(i))).toSet
-        spark.read.parquet(ver.dvFiles: _*).groupBy("__dvf").count()
-          .collect()
-          .filter(r => hitCanon(canonFile(r.getString(0))))
-          .map(_.getLong(1)).sum
-      }
+    val dvHitRows: Long = dvRowsTargeting(spark, ver,
+      hitIdx.map(i => canonFile(ver.files(i))).toSet)
     val newData =
       if (hitIdx.isEmpty) updates.select(tableCols.map(col): _*)
       else applyDv(spark,
@@ -5026,7 +5060,7 @@ object SnapshotTable {
         keepIdx.map(st.mins) ++ batch.mins,
         keepIdx.map(st.maxs) ++ batch.maxs)),
       ver.bloom, ver.txns ++ txn.toMap, Some(spec), pvN, op = "MERGE",
-      dvFiles = ver.dvFiles, dvRows = ver.dvRows,
+      dvFiles = ver.dvFiles, dvRows = ver.dvRows - dvHitRows,
       schema = carryMeta(ver, keepIdx, batch.files.length),
       colStats = colStatsWith(ver, keepIdx,
         computeColStats(spark, batch.files, colSpecsOf(ver))),

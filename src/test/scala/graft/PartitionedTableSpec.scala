@@ -446,6 +446,33 @@ class PartitionedTableSpec extends SparkSpec {
       === 300)
   }
 
+  test("compactPartitioned is DV-aware: per-partition bin rewrites " +
+      "subtract deletion vectors and nothing resurrects") {
+    import spark.implicits._
+    val path = freshPath()
+    val spec = PartSpec("t", "truncate", 100)
+    (0 until 3).foreach(b => SnapshotTable.appendPartitioned(
+      (0L until 400L).map(t => (t, b * 1000L + t)).toDF("t", "v"),
+      path, spec, statsCol = Some("t")))
+    val (_, nDel) = SnapshotTable.deleteRowsWhere(spark, path,
+      "t BETWEEN 150 AND 250")
+    assert(nDel === 101 * 3)
+    val res = SnapshotTable.compactPartitioned(spark, path,
+      targetBytes = 1L << 30)
+    assert(res.rewritten > 0 && res.filesAfter < res.filesBefore)
+    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, res.version)
+    assert(rows === 1200 - 303 && scan.count() === 897)
+    assert(scan.filter(col("t") === 155L).count() === 0,
+      "partitioned compaction resurrected MOR-deleted rows")
+    // purity + pruning survive
+    val ver = SnapshotTable.readVersion(spark, path, res.version)
+    assert(ver.partValues.get.length === ver.files.length)
+    val (probe, read, total) =
+      SnapshotTable.scanPartitionRange(spark, path, res.version,
+        0L, 99L)
+    assert(read < total && probe.count() === 300)
+  }
+
   test("reclusterPartitioned is DV-aware: the full rewrite doubles as " +
       "the materialize — DVs fold in one pass, nothing resurrects, " +
       "and the change feed across the commit is empty") {

@@ -168,9 +168,11 @@ class SnapshotTableSpec extends SparkSpec {
     assert(feed.filter(col("_change") === "insert").count() === 0)
     assert(feed.filter(col("_change") === "delete")
       .select("k").collect().map(_.getLong(0)).sorted === (40L to 59L))
-    // mutating ops refuse a DV-carrying table
+    // the range COW delete still refuses a DV-carrying table (its
+    // stats arithmetic assumes physical rows); compaction/recluster/
+    // merge are DV-aware since r20 — see their dedicated cases
     val e = intercept[IllegalArgumentException] {
-      SnapshotTable.compact(spark, path, 1L << 30)
+      SnapshotTable.deleteStatsRange(spark, path, 1L, 5L)
     }
     assert(e.getMessage.contains("deletion vectors"))
     val res = SnapshotTable.materializeDeletes(spark, path)
@@ -891,5 +893,35 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.append(Seq(2L).toDF("x"), path, 1)
     assert(SnapshotTable.versionAsOf(spark, path,
       System.currentTimeMillis()) === 2L)
+  }
+
+  test("compact is DV-aware: bin rewrites subtract deletion vectors " +
+      "(a partial materialize), nothing resurrects, the carried DV " +
+      "plane stays consistent") {
+    import spark.implicits._
+    val path = freshPath()
+    (0 until 3).foreach(b => SnapshotTable.append(
+      (b * 100L until b * 100L + 100L).map(k => (k, k * 2))
+        .toDF("k", "v"), path, 1, statsCol = Some("k")))
+    val (_, nDel) =
+      SnapshotTable.deleteRowsWhere(spark, path, "k BETWEEN 50 AND 149")
+    assert(nDel === 100)
+    // compact DIRECTLY on the DV-carrying table — no materialize
+    val res = SnapshotTable.compact(spark, path, targetBytes = 1L << 30)
+    assert(res.rewritten === 3)
+    val ver = SnapshotTable.readVersion(spark, path, res.version)
+    val (scan, _, rows) = SnapshotTable.scanAt(spark, path, res.version)
+    assert(rows === 200 && scan.count() === 200)
+    assert(scan.filter(col("k").between(50, 149)).count() === 0,
+      "compaction resurrected MOR-deleted rows")
+    assert(scan.agg(sum("v")).head.getLong(0) ===
+      (0L until 300L).filterNot(k => k >= 50 && k <= 149)
+        .map(_ * 2).sum)
+    // the rewritten files' DV rows are inert (their targets left the
+    // file list) — a follow-up MOR delete still works on the result
+    SnapshotTable.deleteRowsWhere(spark, path, "k = 200")
+    assert(SnapshotTable.scanAt(spark, path,
+      SnapshotTable.latestVersion(path))._1.count() === 199)
+    assert(ver.op === "OPTIMIZE")
   }
 }
