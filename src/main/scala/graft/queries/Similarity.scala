@@ -449,18 +449,22 @@ object Similarity {
     val c0 = qv.filter(col("vec_id") % stride === 0 &&
         col("vec_id") < k * stride)
       .select(col("vec_id").as("cid"), col("v").as("c"))
-    def dist2 = aggregate(
-      zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    def assign(centers: DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    // native codegen sqdist (VecSqDistExpr) — bit-identical to the HOF
+    // fold it replaced; see the expression's doc for the exactness note
+    def dist2 = graft.functions.VecSqDistExpr.sqdist(col("v"), col("c"))
+    // argmin as a partial-aggregating min(struct(dist, cid, v)): struct
+    // ordering compares dist first, then cid — the identical total order
+    // the row_number(ORDER BY dist, cid) window established (cid is
+    // unique per center set, so the v field is never reached) — but a
+    // groupBy aggregates map-side (k rows per vector collapse before the
+    // exchange) and skips the window's per-partition sort entirely
+    def assign(centers: DataFrame) =
       qv.crossJoin(broadcast(centers))
         .select(col("vec_id"), col("cid"), col("v"), dist2.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
-    }
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"),
+          col("m.dist").as("dist"))
     val a1 = assign(c0)
     // centroid update: per-dim integer sums, TRUNCATION-divided —
     // Spark's `div` and DuckDB's `//` both round toward zero
@@ -650,17 +654,20 @@ object Similarity {
         slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sv"))
     val c0 = sub.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
       .select(col("j"), col("vec_id").as("cid"), col("sv").as("c"))
-    def dist2 = aggregate(
-      zip_with(col("sv"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "j").orderBy(col("dist"), col("cid"))
+    // native codegen sqdist (VecSqDistExpr) — bit-identical to the HOF
+    // fold it replaced; see the expression's doc for the exactness note
+    def dist2 = graft.functions.VecSqDistExpr.sqdist(col("sv"), col("c"))
+    // argmin as a partial-aggregating min(struct(dist, cid, …)): struct
+    // ordering compares dist then cid — the same total order the
+    // row_number window used — but aggregates map-side and never sorts
     def assign(centers: DataFrame) =
       sub.join(broadcast(centers), Seq("j"))
         .select(col("vec_id"), col("j"), col("cid"), col("sv"),
           dist2.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("dist"), col("cid"), col("sv"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.cid").as("cid"),
+          col("m.sv").as("sv"), col("m.dist").as("dist"))
     val a1 = assign(c0)
     // per-sub-space centroid update: truncation-divided integer means
     val c1 = a1.select(col("j"), col("cid"),
@@ -728,10 +735,14 @@ object Similarity {
       |FROM m LEFT JOIN dups ON m.cid = dups.cid AND m.vec_id = dups.i
       |GROUP BY m.cid ORDER BY m.cid""".stripMargin) { (s, d) =>
     val tau = 1300000L
-    val m = kmeansAssignments(s, d).select("cid", "vec_id", "v")
-    val d2 = aggregate(
-      zip_with(col("a.v"), col("b.v"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    // the assignment relation feeds THREE plan branches (both sides of
+    // the within-cluster pair join and the final survivor rollup) —
+    // persisted so the two-Lloyd-round k-means lineage runs once, not
+    // three times (the q132 shingle-cache discipline; LRU-evictable,
+    // stays live across the caller's action like every other in-query
+    // persist here)
+    val m = kmeansAssignments(s, d).select("cid", "vec_id", "v").persist()
+    val d2 = graft.functions.VecSqDistExpr.sqdist(col("a.v"), col("b.v"))
     val dups = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") &&
           col("b.vec_id") < col("a.vec_id"))
