@@ -81,17 +81,24 @@ object GraphRank {
       |FROM pairs JOIN supp s1 ON s1.p = p1 JOIN supp s2 ON s2.p = p2,
       |  tot
       |ORDER BY n DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
-    val items = Tables.lineitem(s, d)
+    // ONE fact scan + ONE shuffle builds the basket relation directly:
+    // collect_set dedups (o, p) inside the aggregation, so the separate
+    // distinct() exchange the old plan paid (and re-read for support,
+    // basket-total and pair branches) disappears; support counts and
+    // the basket total are then derived FROM the baskets (persisted —
+    // three consumers), never from a second fact-table pass
+    val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val supp = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
-    val tot = items.select(countDistinct(col("o")).as("no"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .persist()
+    val supp = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val tot = baskets.select(count(lit(1)).as("no"))
     // pairs WITHOUT a self-join: group each basket once, emit its
     // ordered pairs map-side from the sorted item array (p1 < p2 falls
     // out of the sort) — one shuffle on the basket key instead of a
     // join's shuffle of both sides plus the pair re-aggregation
-    val baskets = items.groupBy(col("o"))
-      .agg(sort_array(collect_set(col("p"))).as("ps"))
     val pairs = baskets
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + 2, size(col("ps"))),

@@ -3486,18 +3486,25 @@ object Relational {
     require(s6.schema("note").dataType
       == org.apache.spark.sql.types.StringType,
       "added column must read with its DECLARED type")
-    require(s6.agg(count(col("note"))).head.getLong(0) == 0L,
-      "pre-ADD rows must read the new column as NULL")
     val (s7, _, _) = SnapshotTable.scanAt(s, path, 7)
-    val r2 = s2.agg(count(lit(1)), sum("a").cast("long"),
-      count(col("b"))).collect().head
-    val r3 = s3.agg(sum("qty_c").cast("long"),
+    // the per-version aggregates are INDEPENDENT single-row jobs over a
+    // handful of files each — submit them concurrently so later jobs
+    // back-fill the executor tail of earlier ones (actions are only
+    // sequential because driver code awaits them sequentially); result
+    // values and ordering in the output row are unchanged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fNote = Future { s6.agg(count(col("note"))).head.getLong(0) }
+    val fR2 = Future { s2.agg(count(lit(1)), sum("a").cast("long"),
+      count(col("b"))).collect().head }
+    val fR3 = Future { s3.agg(sum("qty_c").cast("long"),
       sum(when(col("qty_c").isNull, 1L).otherwise(0L)).cast("long"))
-      .collect().head
-    val r5 = s5.agg(count(lit(1)), sum("qty_c").cast("long"))
-      .collect().head
-    val r7 = s7.agg(count(lit(1)), sum("qty_c").cast("long"),
-      count(col("note"))).collect().head
+      .collect().head }
+    val fR5 = Future { s5.agg(count(lit(1)), sum("qty_c").cast("long"))
+      .collect().head }
+    val fR7 = Future { s7.agg(count(lit(1)), sum("qty_c").cast("long"),
+      count(col("note"))).collect().head }
     // the widened column: INT pages (v8's files) and BIGINT pages
     // (v10's) serve one BIGINT column; values past the int range
     // prove the width is real, not a display cast
@@ -3509,8 +3516,15 @@ object Relational {
     require(s10.schema("score").dataType
       == org.apache.spark.sql.types.LongType,
       "widen did not flip the visible type")
-    val r10 = s10.agg(count(lit(1)),
-      sum(coalesce(col("score"), lit(0L))).cast("long")).collect().head
+    val fR10 = Future { s10.agg(count(lit(1)),
+      sum(coalesce(col("score"), lit(0L))).cast("long")).collect().head }
+    require(Await.result(fNote, Duration.Inf) == 0L,
+      "pre-ADD rows must read the new column as NULL")
+    val r2 = Await.result(fR2, Duration.Inf)
+    val r3 = Await.result(fR3, Duration.Inf)
+    val r5 = Await.result(fR5, Duration.Inf)
+    val r7 = Await.result(fR7, Duration.Inf)
+    val r10 = Await.result(fR10, Duration.Inf)
     import s.implicits._
     Seq((r2.getLong(0), r2.getLong(1), r2.getLong(2), r3.getLong(0),
       r3.getLong(1), r5.getLong(0), r5.getLong(1), r7.getLong(0),
