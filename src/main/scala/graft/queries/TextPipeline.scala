@@ -605,9 +605,15 @@ object TextPipeline {
     val ranked = tok.join(freq, "t")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "t")) - 1)
+    // persisted: the candidate join reads the prefix relation TWICE (as
+    // side a streamed and side b broadcast), and those two subtrees
+    // cannot share an exchange — without the cache the whole explode →
+    // df-aggregate → freq join → window pipeline ran once per side
+    // (plan-verified: two identical Window/Exchange chains)
     val prefix = ranked
       .filter(col("pos") < col("n") - expr("(n + 1) div 2") + 1)
       .select(col("doc_id"), col("n"), col("t"))
+      .persist()
     val a = prefix.select(col("doc_id").as("id_a"), col("n").as("na"),
       col("t").as("ta_t"))
     val b = prefix.select(col("doc_id").as("id_b"), col("n").as("nb"),
