@@ -133,6 +133,14 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      } finally {
+        // r21 measurement fix: drop the query's registered in-query
+        // caches after the action, so no cache outlives its query —
+        // iterations 2+ recompute from parquet instead of serving
+        // iteration 1's cache via plan canonicalization, and caches
+        // cannot pressure later queries in the suite (the r20 q69/q37
+        // flags sat lexically after q132's never-unpersisted cache).
+        GraftSession.sweepCaches(spark)
       }
     }
 

@@ -58,4 +58,15 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Drop every registered in-query cache (the q38/q132/q126-style
+    * `.persist()` calls that speed a single action's shared branches).
+    * Harnesses call this after each query's action so that (a) caches
+    * never accumulate across the suite and pressure later queries, and
+    * (b) a repeated timing iteration cannot silently serve iteration 1's
+    * cached result through plan canonicalization — every bench/verify
+    * invocation recomputes from the parquet inputs.
+    */
+  def sweepCaches(spark: SparkSession): Unit =
+    spark.sharedState.cacheManager.clearCache()
 }

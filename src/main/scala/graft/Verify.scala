@@ -36,6 +36,9 @@ object Verify {
             Files.createDirectories(dir)
             Files.writeString(dir.resolve("_FAILED"), msg.take(2000))
             Some(name -> Json.quote(msg.take(500)))
+        } finally {
+          // no cache outlives its query (same sweep as Bench.runOnce)
+          GraftSession.sweepCaches(spark)
         }
     }
     val oracle = SparkEntry.oracleSql.toSeq.sortBy(_._1)

@@ -3470,54 +3470,73 @@ object Relational {
       }
       d
     })
-    val (s2, _, _) = SnapshotTable.scanAt(s, path, 2)
-    require(s2.columns.toSeq == Seq("k", "a", "b"),
-      s"v2 schema drifted: ${s2.columns.toSeq}")
-    val (s3, _, _) = SnapshotTable.scanAt(s, path, 3)
-    require(s3.columns.toSeq == Seq("k", "qty_c", "b"),
-      s"v3 schema drifted: ${s3.columns.toSeq}")
-    val (s4, _, _) = SnapshotTable.scanAt(s, path, 4)
-    require(s4.columns.toSeq == Seq("k", "qty_c"),
-      "drop did not hide the column")
-    val (s5, _, _) = SnapshotTable.scanAt(s, path, 5)
-    val (s6, _, _) = SnapshotTable.scanAt(s, path, 6)
-    require(s6.columns.toSeq == Seq("k", "qty_c", "note"),
-      s"ADD COLUMN not visible at v6: ${s6.columns.toSeq}")
-    require(s6.schema("note").dataType
-      == org.apache.spark.sql.types.StringType,
-      "added column must read with its DECLARED type")
-    val (s7, _, _) = SnapshotTable.scanAt(s, path, 7)
-    // the per-version aggregates are INDEPENDENT single-row jobs over a
-    // handful of files each — submit them concurrently so later jobs
-    // back-fill the executor tail of earlier ones (actions are only
-    // sequential because driver code awaits them sequentially); result
-    // values and ordering in the output row are unchanged
+    // the per-version scans and aggregates are INDEPENDENT — and a
+    // scanAt CONSTRUCTION is itself a driver job (mergeSchema footer
+    // read), so r21 moves the whole per-version unit (scan + schema
+    // requires + aggregate) into one Future per version instead of
+    // constructing the eight scans serially and only overlapping the
+    // aggregates (the r20 shape). Result values and output ordering
+    // are unchanged; requires rethrow through Await.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fNote = Future { s6.agg(count(col("note"))).head.getLong(0) }
-    val fR2 = Future { s2.agg(count(lit(1)), sum("a").cast("long"),
-      count(col("b"))).collect().head }
-    val fR3 = Future { s3.agg(sum("qty_c").cast("long"),
-      sum(when(col("qty_c").isNull, 1L).otherwise(0L)).cast("long"))
-      .collect().head }
-    val fR5 = Future { s5.agg(count(lit(1)), sum("qty_c").cast("long"))
-      .collect().head }
-    val fR7 = Future { s7.agg(count(lit(1)), sum("qty_c").cast("long"),
-      count(col("note"))).collect().head }
+    val fR2 = Future {
+      val (s2, _, _) = SnapshotTable.scanAt(s, path, 2)
+      require(s2.columns.toSeq == Seq("k", "a", "b"),
+        s"v2 schema drifted: ${s2.columns.toSeq}")
+      s2.agg(count(lit(1)), sum("a").cast("long"),
+        count(col("b"))).collect().head
+    }
+    val fR3 = Future {
+      val (s3, _, _) = SnapshotTable.scanAt(s, path, 3)
+      require(s3.columns.toSeq == Seq("k", "qty_c", "b"),
+        s"v3 schema drifted: ${s3.columns.toSeq}")
+      s3.agg(sum("qty_c").cast("long"),
+        sum(when(col("qty_c").isNull, 1L).otherwise(0L)).cast("long"))
+        .collect().head
+    }
+    val fS4 = Future {
+      val (s4, _, _) = SnapshotTable.scanAt(s, path, 4)
+      require(s4.columns.toSeq == Seq("k", "qty_c"),
+        "drop did not hide the column")
+    }
+    val fR5 = Future {
+      val (s5, _, _) = SnapshotTable.scanAt(s, path, 5)
+      s5.agg(count(lit(1)), sum("qty_c").cast("long")).collect().head
+    }
+    val fNote = Future {
+      val (s6, _, _) = SnapshotTable.scanAt(s, path, 6)
+      require(s6.columns.toSeq == Seq("k", "qty_c", "note"),
+        s"ADD COLUMN not visible at v6: ${s6.columns.toSeq}")
+      require(s6.schema("note").dataType
+        == org.apache.spark.sql.types.StringType,
+        "added column must read with its DECLARED type")
+      s6.agg(count(col("note"))).head.getLong(0)
+    }
+    val fR7 = Future {
+      val (s7, _, _) = SnapshotTable.scanAt(s, path, 7)
+      s7.agg(count(lit(1)), sum("qty_c").cast("long"),
+        count(col("note"))).collect().head
+    }
     // the widened column: INT pages (v8's files) and BIGINT pages
     // (v10's) serve one BIGINT column; values past the int range
     // prove the width is real, not a display cast
-    val (s8, _, _) = SnapshotTable.scanAt(s, path, 8)
-    require(s8.schema("score").dataType
-      == org.apache.spark.sql.types.IntegerType,
-      "pre-widen time travel must serve the narrow type")
-    val (s10, _, _) = SnapshotTable.scanAt(s, path, 10)
-    require(s10.schema("score").dataType
-      == org.apache.spark.sql.types.LongType,
-      "widen did not flip the visible type")
-    val fR10 = Future { s10.agg(count(lit(1)),
-      sum(coalesce(col("score"), lit(0L))).cast("long")).collect().head }
+    val fS8 = Future {
+      val (s8, _, _) = SnapshotTable.scanAt(s, path, 8)
+      require(s8.schema("score").dataType
+        == org.apache.spark.sql.types.IntegerType,
+        "pre-widen time travel must serve the narrow type")
+    }
+    val fR10 = Future {
+      val (s10, _, _) = SnapshotTable.scanAt(s, path, 10)
+      require(s10.schema("score").dataType
+        == org.apache.spark.sql.types.LongType,
+        "widen did not flip the visible type")
+      s10.agg(count(lit(1)),
+        sum(coalesce(col("score"), lit(0L))).cast("long")).collect().head
+    }
+    Await.result(fS4, Duration.Inf)
+    Await.result(fS8, Duration.Inf)
     require(Await.result(fNote, Duration.Inf) == 0L,
       "pre-ADD rows must read the new column as NULL")
     val r2 = Await.result(fR2, Duration.Inf)

@@ -28,25 +28,19 @@ object TextPipeline {
   private def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** Distinct 3-gram word shingles.
-    *
-    * Built as a zip of three shifted views of the token array — O(n) per
-    * document. (The naive `transform(sequence(1, n-2), i -> slice(ts, i,
-    * 3))` is O(n²): `slice` copies per element; at sf0.1 that alone cost
-    * minutes.) zip_with pads the shorter side with nulls, so the trailing
-    * 1- and 2-token tails null out through `concat` and are filtered.
-    * Shingle ORDER differs from the generate_series form the oracle uses,
-    * but every consumer is order-insensitive (set min / intersect size).
+  /** Distinct 3-gram word shingles — one native codegen pass
+    * ([[graft.functions.WordNgramsExpr]], r21). The previous zip-of-
+    * shifted-views construction was O(n) in ARRAY passes but its
+    * zip_with lambdas evaluate interpreted per element and each fold
+    * step re-concatenates partial gram strings; the native pass builds
+    * each gram exactly once (bit-identical output, pinned by
+    * R21OptimizationSpec against the zip_with form over the corpus).
+    * Shingle ORDER (first occurrence) matches the old form and differs
+    * from the generate_series form the oracle uses, but every consumer
+    * is order-insensitive (set min / intersect size).
     */
-  private def shingles(text: Column): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    val pair2 = zip_with(ts, slice(ts, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    val tri = zip_with(pair2, slice(ts, lit(3), greatest(n - 2, lit(0))),
-      (p, c) => concat(p, lit(" "), c))
-    array_distinct(filter(tri, _.isNotNull))
-  }
+  private def shingles(text: Column): Column =
+    graft.functions.WordNgramsExpr.wordNgrams(text, 3, distinct = true)
 
   /** Keyed minhash: min over the shingle set of md5("<h>:" ++ shingle) —
     * one independent permutation approximation per key h.
@@ -550,31 +544,34 @@ object TextPipeline {
         sum(col("lp_u")).cast("long").as("score_u"))
   }
 
-  /** q132 — set-similarity JOIN with PREFIX FILTERING (the AllPairs/
-    * PPJoin primitive): every pair of documents whose distinct 3-gram
-    * shingle Jaccard clears τ = 1/2, found WITHOUT an all-pairs
-    * comparison and with the EXACT same result set brute force would
-    * produce — the exact-by-construction twin of q38's LSH
-    * (probabilistic-recall) candidate generation over the same
-    * near-dup semantics.
+  /** q132 — exact set-similarity JOIN: every pair of documents whose
+    * distinct 3-gram shingle Jaccard clears τ = 1/2, as an equi-join on
+    * HASHED tokens with a count aggregation and an exact verification of
+    * the (few) survivors — bit-identical to brute force.
     *
-    * Why the candidate set is complete (the prefix-filter theorem):
-    * order all tokens by (document frequency, token) — any total order
-    * works; rarest-first makes prefixes selective. A doc's prefix is its
-    * n − ceil(τ·n) + 1 smallest tokens. If J(a,b) ≥ τ then
-    * |a∩b| ≥ τ·max(na,nb) ≥ ceil(τ·na); were the globally smallest
-    * common token outside a's prefix, ALL common tokens would sit in
-    * a's ceil(τ·na) − 1 suffix slots — pigeonhole contradiction — so it
-    * sits in a's prefix, and symmetrically in b's. Joining prefixes on
-    * the token is therefore lossless; the exact intersection verifies
-    * the survivors.
+    * Shape (r21, measured): tokens travel as 8-byte xxhash64 identities
+    * from the explode on (guide §2.3 — never the ~30-byte shingle
+    * strings); the self-join co-partitions on the hash (ONE exchange,
+    * planned once and reused by both sides); the intersection size is
+    * counted IN the join's aggregate (map-side partials, no per-pair
+    * array materialization); the length filter 2·min(na,nb) ≥ max kills
+    * mismatched sizes inside the join; and only pairs whose HASH-level
+    * Jaccard clears τ pay the exact array_intersect — a superset of the
+    * true result (collisions can only merge identities and inflate i),
+    * so the exact recheck yields exactly brute force's rows and values.
     *
-    * Scale shape: one df aggregation, one window per doc, a self-join
-    * restricted to prefix tokens (rare by construction — frequency-
-    * ascending order puts common tokens LAST, outside prefixes), a
-    * 5·min ≥ ... length filter killing mismatched sizes before the
-    * verify join. Everything exact integers: jaccard_bp = 10000·I div U
-    * hash-matches DuckDB's brute force digit for digit.
+    * Why not AllPairs/PPJoin prefix filtering (the r20 shape): prefix
+    * selectivity needs a rare-token tail, and this corpus has none —
+    * measured at sf0.1: 27k distinct shingles over 260k occurrences
+    * (mean df ≈ 10), where frequency-ordered prefixes emitted 310k
+    * candidate pairs for 256 true ones and the per-pair exact verify
+    * dominated the runtime (~6 s of array_intersect); adding PPJoin's
+    * positional filter still left 210k candidates. The count-based form
+    * runs the same Σ df² join fan-out the prefix form merely halved,
+    * but replaces 310k interpreted set intersections with one codegen
+    * hash aggregate. On a Zipf-tailed corpus the prefix filter becomes
+    * profitable again — reintroduce it THERE from the r20 history, with
+    * the verify kept count-based.
     */
   val setsimJoin = QueryDef("q132_setsim_join",
     """WITH sh AS (
@@ -594,36 +591,35 @@ object TextPipeline {
       |FROM pairs
       |WHERE (i * 10000) // (na + nb - i) >= 5000
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-      .persist() // feeds the prefix build AND both verify sides
-    val tok = docs.select(col("doc_id"), col("n"), explode(col("toks")).as("t"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    // τ = 1/2: prefix length n − ceil(n/2) + 1, all integer arithmetic
-    val ranked = tok.join(freq, "t")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "t")) - 1)
-    // persisted: the candidate join reads the prefix relation TWICE (as
-    // side a streamed and side b broadcast), and those two subtrees
-    // cannot share an exchange — without the cache the whole explode →
-    // df-aggregate → freq join → window pipeline ran once per side
-    // (plan-verified: two identical Window/Exchange chains)
-    val prefix = ranked
-      .filter(col("pos") < col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("doc_id"), col("n"), col("t"))
-      .persist()
-    val a = prefix.select(col("doc_id").as("id_a"), col("n").as("na"),
-      col("t").as("ta_t"))
-    val b = prefix.select(col("doc_id").as("id_b"), col("n").as("nb"),
-      col("t").as("tb_t"))
-    val cand = a.join(b, col("ta_t") === col("tb_t") &&
-        col("id_a") < col("id_b") &&
+      .persist() // feeds the hash join AND both verify sides
+    val tok = docs
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), col("n"), xxhash64(col("t")).as("h"))
+    // both sides of the candidate self-join are the IDENTICAL plan, so
+    // the token-hash exchange is planned once and REUSED — the r20
+    // `.persist()` of an O(corpus-tokens) relation (which thrashed
+    // storage memory at 32 cores: 26.4 s vs the 6.8 s floor) and the
+    // broadcast that forced its pipeline to run twice are both gone.
+    val a = tok.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("h").as("ha"))
+    val b = tok.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("h").as("hb"))
+    // hash-level intersection counts: i_h ≥ the true i for every pair
+    // (collisions only merge), so filtering on the hash-level Jaccard
+    // keeps a SUPERSET of the true result for the exact verify below
+    val cand = a.hint("shuffle_merge").join(b.hint("shuffle_merge"),
+        col("ha") === col("hb") && col("id_a") < col("id_b") &&
         // length filter: J ≥ 1/2 needs 2·min(na,nb) ≥ max(na,nb)
         lit(2) * least(col("na"), col("nb")) >=
           greatest(col("na"), col("nb")))
-      .select(col("id_a"), col("id_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ih"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .filter(expr("(ih * 10000) div (na + nb - ih)") >= 5000)
+      .select(col("id_a"), col("id_b"))
     val verify = cand
       .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta"),
         col("n").as("na")), "id_a")
@@ -635,9 +631,8 @@ object TextPipeline {
         .cast("long"))
       .withColumn("jaccard_bp",
         expr("(inter_n * 10000) div union_n").cast("long"))
-    // the persist stays live across actions (LRU-evictable), exactly
-    // like q38's shingle cache — an eager unpersist would force the
-    // caller's action to recompute shingles for all four plan branches
+    // docs stays persisted across the action's branches (LRU-evictable),
+    // exactly like q38's shingle cache; the harness sweeps it afterwards
     verify.filter(col("jaccard_bp") >= 5000)
       .select(col("id_a"), col("id_b"), col("inter_n"), col("union_n"),
         col("jaccard_bp"))

@@ -30,12 +30,19 @@ object TrainingPrep {
 
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-grams as a zip of k shifted token-array views — O(n·k) per doc
-    * (the `transform`+`slice` form is O(n²); see TextPipeline.shingles).
-    * zip_with null-pads the short side, so the k-1 tail entries null out
-    * through concat and are filtered.
+  /** Word n-grams in one native codegen pass (r21 — see
+    * [[graft.functions.WordNgramsExpr]]; bit-identical to the zip-of-
+    * shifted-views fold it replaces, whose zip_with lambdas evaluated
+    * interpreted and re-concatenated partial grams at every step).
     */
-  private def ngrams(text: Column, k: Int): Column = ngrams2(tokens(text), k)
+  private def ngrams(text: Column, k: Int): Column =
+    graft.functions.WordNgramsExpr.wordNgrams(text, k, distinct = false)
+
+  /** First-occurrence-distinct word n-grams (≡ array_distinct(ngrams)),
+    * with the dedup folded into the same native pass.
+    */
+  private def distinctNgrams(text: Column, k: Int): Column =
+    graft.functions.WordNgramsExpr.wordNgrams(text, k, distinct = true)
 
   /** Benchmark decontamination: flag corpus documents sharing any 5-gram
     * with the held-out benchmark set (here: every 50th doc_id stands in for
@@ -66,18 +73,23 @@ object TrainingPrep {
       |WHERE NOT sp.is_bench ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), (col("doc_id") % 50 === 0).as("is_bench"),
-        array_distinct(ngrams(col("text"), 5)).as("grams"))
+        distinctNgrams(col("text"), 5).as("grams"))
     val benchGrams = docs.filter(col("is_bench"))
       .select(explode(col("grams")).as("g")).distinct()
     val corpus = docs.filter(!col("is_bench"))
-    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(broadcast(benchGrams), "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    corpus.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+    // ONE corpus pass (r21): the manifest derives from the same exploded
+    // relation as the hit counts — explode_outer keeps gram-less docs (a
+    // null gram matches nothing), the LEFT broadcast join marks matches
+    // map-side, and one doc-keyed hash-agg emits the full manifest. The
+    // old shape ran a second corpus branch plus a doc-keyed left join
+    // just to restore the zero-match rows.
+    corpus.select(col("doc_id"), explode_outer(col("grams")).as("g"))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("g"),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_matched"))
+      .select(col("doc_id"), col("n_matched"),
+        (col("n_matched") > 0).as("contaminated"))
   }
 
   /** Benchmark decontamination restated for ARCHIVE scale (identical
@@ -92,17 +104,15 @@ object TrainingPrep {
     * the exact path and the same DuckDB oracle applies. At 100 TB this
     * turns a multi-GB gram-set broadcast into megabytes of filter.
     *
-    * Filter lifecycle: the benchmark set is STATIC (eval suites change
-    * on release cadence, not per corpus shard), so the built filter is
-    * a reusable artifact — memoized per (benchmark dir, JVM) like
-    * `Tables.cachedCount` / the persisted IVF codebook. Only the first
-    * invocation pays the distributed build job; every later corpus
-    * pass (bench iterations 2+, repeated shards) serves from the
-    * cached bytes.
+    * Filter lifecycle (r21): built PER INVOCATION — one small
+    * distributed job over the bench docs (2 % of the corpus). The r20
+    * per-(dir, JVM) memo made bench iterations 2+ skip the build,
+    * which flattered the median with work iteration 1 had already
+    * paid; every invocation now computes from the parquet inputs (a
+    * production deployment would of course persist the filter beside
+    * the eval suite it derives from — that lifecycle belongs to the
+    * caller, not inside a measured query).
     */
-  private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-
   val bloomDecontaminate = QueryDef("q83_bloom_decontaminate",
     """WITH sp AS (
       |  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
@@ -128,11 +138,11 @@ object TrainingPrep {
     import org.apache.spark.sql.types.BinaryType
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), (col("doc_id") % 50 === 0).as("is_bench"),
-        array_distinct(ngrams(col("text"), 5)).as("grams"))
+        distinctNgrams(col("text"), 5).as("grams"))
     val benchGrams = docs.filter(col("is_bench"))
       .select(explode(col("grams")).as("g")).distinct()
     val corpus = docs.filter(!col("is_bench"))
-    val filterBytes = bloomCache.computeIfAbsent(d, _ => {
+    val filterBytes = {
       // filter sizing needs only an order of magnitude (fpp shapes the
       // survivor-set size, never correctness): docs/50 bench docs at a
       // generous 256 distinct grams each, from the cached table count
@@ -146,24 +156,29 @@ object TrainingPrep {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
-    })
+    }
     val might = Bridge.column(BloomFilterMightContain(
       Literal.create(filterBytes, BinaryType),
       Bridge.expression(xxhash64(col("g")))))
-    val candidates = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
-      .filter(might)
+    // ONE corpus pass (r21, same shape as q69): explode_outer keeps
+    // gram-less docs, bloom-negative grams collapse to a null marker
+    // instead of dropping their row's doc, and one doc-keyed hash-agg
+    // emits the full manifest — the second corpus branch and the
+    // doc-keyed left join that restored zero-match rows are gone.
+    val candidates = corpus
+      .select(col("doc_id"), explode_outer(col("grams")).as("g"))
+      .select(col("doc_id"), when(might, col("g")).as("g"))
     // NO broadcast hint on the verify join: the whole point is not to
     // ship the gram set to every executor — both sides here are small
     // (bloom survivors × bench grams), so AQE picks the strategy; at
     // fixture scale that is a broadcast anyway, at archive scale a
     // shuffle of the survivor set
-    val hits = candidates.join(benchGrams, "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    corpus.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+    candidates
+      .join(benchGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_matched"))
+      .select(col("doc_id"), col("n_matched"),
+        (col("n_matched") > 0).as("contaminated"))
   }
 
   /** Gopher-style repetition filter: per-document duplicate-token ratio
@@ -341,10 +356,10 @@ object TrainingPrep {
       .join(survivors, "digest")
       .drop("digest")
     val benchGrams = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
-      .select(explode(array_distinct(ngrams(col("text"), 5))).as("g"))
+      .select(explode(distinctNgrams(col("text"), 5)).as("g"))
       .distinct()
     val hits = base
-      .select(col("doc_id"), explode(array_distinct(ngrams(col("text"), 5))).as("g"))
+      .select(col("doc_id"), explode(distinctNgrams(col("text"), 5)).as("g"))
       .join(broadcast(benchGrams), "g")
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(true))
@@ -458,8 +473,8 @@ object TrainingPrep {
     val k = 8
     val sp = docs
       .select(col("doc_id"), tokens(col("text")).as("ts"))
-    val sh = sp.select(col("doc_id"),
-        posexplode(ngrams2(col("ts"), k)).as(Seq("pos0", "g")))
+    val sh = docs.select(col("doc_id"),
+        posexplode(ngrams(col("text"), k)).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
     val dupG = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("g"))
@@ -475,19 +490,6 @@ object TrainingPrep {
         nDup.cast("long").as("n_dup_tokens"),
         round(nDup.cast("double") / size(col("ts")), 6).as("dup_fraction"),
         (nDup.cast("double") / size(col("ts")) <= 0.5).as("keep"))
-  }
-
-  /** k-grams over an already-split token array (the positional sibling
-    * of `ngrams` — same shifted-zip construction, taking the array so
-    * the caller can also measure it).
-    */
-  private def ngrams2(ts: Column, k: Int): Column = {
-    val n = size(ts)
-    val joined = (2 to k).foldLeft(ts) { (acc, i) =>
-      zip_with(acc, slice(ts, lit(i), greatest(n - (i - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    filter(joined, _.isNotNull)
   }
 
   // PII patterns shared by both engines: plain character classes and
@@ -564,14 +566,38 @@ object TrainingPrep {
       |  CAST(count(*) AS BIGINT) AS n_shared
       |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val g = Tables.documents(s, d)
-      .filter(length(col("text")) >= SubL)
+    // Lightweight-proxy candidate generation (guide §8 / §2.3): the old
+    // plan materialized every 40-char substring of every position and
+    // shuffled those strings on BOTH sides of a self-join — ~40× the
+    // corpus bytes through each exchange. Candidates now come from a
+    // self-join over DISTINCT 8-byte rolling k-gram hashes (one native
+    // O(n) pass per document, no substring materialization); equal grams
+    // hash equal, so the candidate pair set is a superset of the truth,
+    // and the exact gram join below — restricted to documents that
+    // appear in some candidate pair — recounts n_shared exactly,
+    // dropping collision-born pairs (count 0 rows never emit).
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= SubL)
+    val hs = docs.select(col("doc_id"),
+      explode(graft.functions.GramHashesExpr.gramHashes(col("text"), SubL))
+        .as("h"))
+    // both sides of the candidate join are the IDENTICAL plan, so the
+    // hash exchange is planned once and reused (no persist needed)
+    val cand = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .persist() // three consumers: both doc-set derivations + the verify
+    val inCand = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b"))).distinct()
+    val g = docs.join(inCand, "doc_id")
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, length(text) - ${SubL - 1}), " +
           s"i -> substring(text, i, $SubL))"))).as("g"))
-    g.select(col("doc_id").as("id_a"), col("g"))
-      .join(g.select(col("doc_id").as("id_b"), col("g")), "g")
-      .filter(col("id_a") < col("id_b"))
+      .persist() // the two verify joins key on different columns
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("g").as("g2")), "id_b")
+      .filter(col("g") === col("g2"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .orderBy("id_a", "id_b")
   }
@@ -793,7 +819,7 @@ object TrainingPrep {
         // the oracle's final count
         val sp = docs.select(col("doc_id"),
           (col("doc_id") % 50 === 0).as("is_bench"),
-          array_distinct(ngrams(col("text"), 5)).as("grams"))
+          distinctNgrams(col("text"), 5).as("grams"))
         val benchGrams = sp.filter(col("is_bench"))
           .select(explode(col("grams")).as("g")).distinct()
         val contaminated = sp.filter(!col("is_bench"))
