@@ -53,6 +53,18 @@ object GraftSession {
       // table's typed row-group predicates can skip inside files
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // let AQE re-optimize (coalesce/skew-split) the partitioning of
+      // plans under a persist(): off by default only to keep cached
+      // output partitioning stable for consumers that co-partition on
+      // it, which nothing here does. Without it every in-query cache
+      // pins the static shuffle-partition count onto all downstream
+      // stages — tiny cached graph/basket relations (q126/q133/q172)
+      // then fan 32 near-empty tasks per stage locally, and at cluster
+      // scale the same mechanism mis-sizes partitions in the other
+      // direction. Measured r21: q133 2.2→1.4 s, q126 2.4→1.8 s,
+      // q172 1.9→1.5 s at local[32], neutral on the non-cached suite.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

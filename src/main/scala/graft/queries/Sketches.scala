@@ -319,9 +319,13 @@ object Sketches {
       |  CAST((7182::HUGEINT * 65536 * (1::HUGEINT << 53))
       |       // (10000::HUGEINT * (SELECT s FROM agg)) AS BIGINT) AS est
       |""".stripMargin) { (s, d) =>
+    // distinct on the 8-byte LONG key, string-cast after (guide §2.3):
+    // long→string is injective, so the distinct set is identical while
+    // the dedup exchange carries longs instead of decimal strings
     val el = Tables.lineitem(s, d)
-      .select((col("l_partkey") * 1000 + col("l_suppkey")).cast("string")
-        .as("e")).distinct()
+      .select((col("l_partkey") * 1000 + col("l_suppkey")).as("ek"))
+      .distinct()
+      .select(col("ek").cast("string").as("e"))
     val h = el.select(
       conv(substring(md5(col("e")), 1, 15), 16, 10).cast("long").as("h"))
     val rw = h.select(expr("h div 4503599627370496").as("idx"),

@@ -748,11 +748,18 @@ object TextPipeline {
       .unionAll(base.select((col("id") * 2 + 1).as("rid"),
         expr("concat(substr(nm, 1, (id % 10)), " +
           "substr(nm, (id % 10) + 2, 10))").as("nm")))
+    // deletion keys travel as xxhash64 identities (guide §2.3): a pair
+    // within edit distance 1 shares an EXACT deletion key (the SymSpell
+    // theorem), so it also shares that key's hash — the hash join's
+    // candidate set is a superset and the exact `levenshtein <= 1`
+    // filter below already discards every false candidate, making the
+    // final pair set identical to the string-keyed join's.
     val ks = recs.select(col("rid"), col("nm"),
       explode(expr("transform(sequence(0, length(nm)), i -> " +
         "CASE WHEN i = 0 THEN nm " +
         "ELSE concat(substr(nm, 1, i - 1), substr(nm, i + 1, 10)) END)"))
-        .as("k"))
+        .as("k0"))
+      .select(col("rid"), col("nm"), xxhash64(col("k0")).as("k"))
     val cand = ks.as("a").join(ks.as("b"),
         col("a.k") === col("b.k") && col("a.rid") < col("b.rid"))
       .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
